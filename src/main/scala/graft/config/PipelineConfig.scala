@@ -1,0 +1,138 @@
+package graft.config
+
+import graft.time.Granularity
+import java.time.ZoneId
+
+/** Engine configuration. The reference merges three string-keyed layers
+  * (runtime vars > index config > drive defaults) with {env}-style placeholder
+  * substitution (reference: pipeline_logic/hanlder_script.py:117-194). We keep
+  * the same layered-merge + substitution semantics over Map[String, String]
+  * and then bind into a typed case class.
+  */
+final case class PipelineConfig(
+    env: String,
+    indexGroup: String,
+    indexName: String,
+    timezone: ZoneId,
+    granularity: Granularity,         // window width (default 1h)
+    xTimeBack: Granularity,           // safe-lateness bound (default 1d)
+    maxPipelineRuns: Int,             // top-k batches per run (default 5)
+    acceptedTolerancePct: Double,     // audit count tolerance
+    enableAdaptiveAuditRetry: Boolean,
+    preConfigExecutionMinutes: Int,   // slack added to expected runtimes (C4)
+    avgRecordsPerWindow: Long,        // duration-estimation design point
+    baseSourceToStageMinutes: Int,
+    baseStageToTargetMinutes: Int,
+    baseAuditMinutes: Int,
+    skewFactor: Double,
+    sourceName: String,
+    sourceCategory: String,
+    sourceSubcategory: String,
+    stageName: String,
+    targetName: String,
+    targetCategory: String,
+    targetSubcategory: String,
+    pipelineName: String,
+    pipelinePriority: Double,
+    triggeredBy: String,
+    maxRecordsPerFile: Int,           // stage chunking (~250MB analog)
+    timestampField: String,           // source event-time column
+    mustExistFields: Seq[String],     // P2 filters
+    excludeNullFields: Seq[String],   // P3 filters
+    rootDir: String                   // engine state root: ledger/stage/target dirs
+) {
+  def ledgerPath: String = s"$rootDir/ledger"
+  def stageRoot: String = s"$rootDir/stage"
+  def targetPath: String = s"$rootDir/target"
+}
+
+object PipelineConfig {
+
+  /** Drive-table-defaults layer (reference:
+    * pipeline_logic/config/drive_table_defaults.json + index_config.json). */
+  val defaults: Map[String, String] = Map(
+    "env" -> "dev",
+    "index_group" -> "group0",
+    "index_name" -> "events",
+    "timezone" -> "UTC",
+    "granularity" -> "1h",
+    "x_time_back" -> "1d",
+    "max_pipeline_runs" -> "5",
+    "accepted_tolerance_percentage" -> "1.0",
+    "enable_adaptive_audit_retry" -> "false",
+    "pre_config_execution_minutes" -> "5",
+    "avg_records_per_query_window" -> "100000",
+    "base_source_to_stage_minutes" -> "10",
+    "base_stage_to_target_minutes" -> "5",
+    "base_audit_minutes" -> "2",
+    "skew_factor" -> "0.5",
+    "source_name" -> "parquet_events",
+    "source_category" -> "{env}/{index_group}",
+    "source_subcategory" -> "{index_name}",
+    "stage_name" -> "local_stage",
+    "target_name" -> "parquet_target",
+    "target_category" -> "{env}/{index_group}",
+    "target_subcategory" -> "{index_name}_target",
+    "pipeline_name" -> "PARQUET_TO_STAGE_TO_TARGET",
+    "pipeline_priority" -> "1.2",
+    "triggered_by" -> "RUNNER",
+    "max_records_per_file" -> "1000000",
+    "timestamp_field" -> "ts",
+    "must_exist_fields" -> "",
+    "exclude_null_fields" -> "",
+    "root_dir" -> "/tmp/graft"
+  )
+
+  /** Merge layers (later wins) then substitute {env}/{index_group}/{index_name}
+    * placeholders recursively through all values
+    * (reference: hanlder_script.py:117-194). */
+  def merged(layers: Map[String, String]*): Map[String, String] = {
+    val all = layers.foldLeft(defaults)(_ ++ _)
+    val anchors = Seq("env", "index_group", "index_name")
+      .map(k => s"{$k}" -> all.getOrElse(k, "")).toMap
+    all.map { case (k, v) =>
+      k -> anchors.foldLeft(v) { case (acc, (ph, rep)) => acc.replace(ph, rep) }
+    }
+  }
+
+  def fromMap(raw: Map[String, String]): PipelineConfig = {
+    val m = merged(raw)
+    def list(key: String): Seq[String] =
+      m(key).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    PipelineConfig(
+      env = m("env"),
+      indexGroup = m("index_group"),
+      indexName = m("index_name"),
+      timezone = ZoneId.of(m("timezone")),
+      granularity = Granularity.parse(m("granularity")),
+      xTimeBack = Granularity.parse(m("x_time_back")),
+      maxPipelineRuns = m("max_pipeline_runs").toInt,
+      acceptedTolerancePct = m("accepted_tolerance_percentage").toDouble,
+      enableAdaptiveAuditRetry = m("enable_adaptive_audit_retry").toBoolean,
+      preConfigExecutionMinutes = m("pre_config_execution_minutes").toInt,
+      avgRecordsPerWindow = m("avg_records_per_query_window").toLong,
+      baseSourceToStageMinutes = m("base_source_to_stage_minutes").toInt,
+      baseStageToTargetMinutes = m("base_stage_to_target_minutes").toInt,
+      baseAuditMinutes = m("base_audit_minutes").toInt,
+      skewFactor = m("skew_factor").toDouble,
+      sourceName = m("source_name"),
+      sourceCategory = m("source_category"),
+      sourceSubcategory = m("source_subcategory"),
+      stageName = m("stage_name"),
+      targetName = m("target_name"),
+      targetCategory = m("target_category"),
+      targetSubcategory = m("target_subcategory"),
+      pipelineName = m("pipeline_name"),
+      pipelinePriority = m("pipeline_priority").toDouble,
+      triggeredBy = m("triggered_by"),
+      maxRecordsPerFile = m("max_records_per_file").toInt,
+      timestampField = m("timestamp_field"),
+      mustExistFields = list("must_exist_fields"),
+      excludeNullFields = list("exclude_null_fields"),
+      rootDir = m("root_dir")
+    )
+  }
+
+  def default(rootDir: String): PipelineConfig =
+    fromMap(Map("root_dir" -> rootDir))
+}

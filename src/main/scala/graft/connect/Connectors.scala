@@ -1,0 +1,155 @@
+package graft.connect
+
+import graft.config.PipelineConfig
+import graft.time.TimeWindow
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pluggable data-plane endpoints. The reference injects these as free
+  * functions / config callables (reference:
+  * pipeline_logic/core/source_to_stage_ingestion_manager.py:6-8,
+  * stage_to_target_ingestion_manager.py:6-8 — a strategy pattern); here they
+  * are traits with parquet-backed defaults. The 100 TB story lives behind
+  * these traits: extract/load are full distributed Spark jobs; counts are
+  * metadata-only parquet scans.
+  */
+trait SourceConnector {
+  /** S1: count records in [start, end) — parquet row-group stats make this a
+    * metadata-dominated scan (reference:
+    * pipeline_logic/source/elasticsearch_counter.py:99-172). */
+  def count(w: TimeWindow): Long
+  /** S2: extract the window's records as a DataFrame (filters pushed to scan)
+    * (reference: pipeline_logic/stage/ingestion_engine.py:132-235). */
+  def extract(w: TimeWindow): DataFrame
+}
+
+trait StageStore {
+  /** F16: deterministic per-window directory — the idempotency keystone
+    * (reference: pipeline_logic/stage/ingestion_engine.py:62-99). */
+  def path(w: TimeWindow): String
+  /** S3 probe (reference: pipeline_logic/stage/data_checker.py:6-60). */
+  def exists(w: TimeWindow): Boolean
+  /** S4 clean (reference: pipeline_logic/stage/stage_cleaner.py:6-59). */
+  def clean(w: TimeWindow): Unit
+  /** Write the extract to the window's stage dir, chunked. */
+  def write(w: TimeWindow, df: DataFrame): Unit
+  /** Read a staged window back. */
+  def read(w: TimeWindow): DataFrame
+}
+
+trait TargetStore {
+  /** S5 load: staged window → target (reference:
+    * pipeline_logic/target/ingestion_engine.py:13-116 — Snowpipe + blind
+    * sleep; synchronous here, so the wait machinery collapses). */
+  def load(w: TimeWindow, staged: DataFrame): Unit
+  /** S6 probe (reference: pipeline_logic/target/data_checker.py:8-76). */
+  def hasData(w: TimeWindow): Boolean
+  /** S7 audit count (reference: pipeline_logic/target/audit_counter.py:7-73). */
+  def count(w: TimeWindow): Long
+  /** S8 range clean for replay (reference:
+    * pipeline_logic/target/target_cleaner.py:7-69). */
+  def clean(w: TimeWindow): Unit
+  /** Whole-table view (partition-discovered). */
+  def readAll(): DataFrame
+}
+
+object Connectors {
+  /** P1: the universal half-open window predicate — ts >= start AND ts < end.
+    * One shared definition so extract, probes, counts and cleaner can never
+    * disagree on boundary rows (SURVEY §7.4 hard part #4). */
+  def windowPredicate(tsCol: Column, w: TimeWindow): Column =
+    tsCol >= lit(java.sql.Timestamp.from(w.startInstant)) &&
+    tsCol < lit(java.sql.Timestamp.from(w.endInstant))
+
+  /** Window partition-key value: one target/stage directory per window. */
+  def windowKey(w: TimeWindow): String =
+    w.start.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH-mm"))
+}
+
+/** Parquet events table as the source system. `base` is the (lazily
+  * re-planned) source DataFrame — pass `Tables.events(spark, sfDir)`. */
+final class ParquetSource(spark: SparkSession, cfg: PipelineConfig,
+                          base: => DataFrame) extends SourceConnector {
+  import Connectors._
+
+  /** P1 + P2 (must-exist) + P3 (exclude-null) filters, all pushed to the
+    * parquet scan (reference: elasticsearch_counter.py:106-131). */
+  private def filtered(w: TimeWindow): DataFrame = {
+    val ts = col(cfg.timestampField)
+    val notNulls = (cfg.mustExistFields ++ cfg.excludeNullFields).distinct
+      .map(f => col(f).isNotNull)
+    notNulls.foldLeft(base.where(windowPredicate(ts, w)))(_ where _)
+  }
+
+  override def count(w: TimeWindow): Long = filtered(w).count()
+  override def extract(w: TimeWindow): DataFrame = filtered(w)
+}
+
+/** Deterministic per-window stage directories under cfg.stageRoot. */
+final class ParquetStage(spark: SparkSession, cfg: PipelineConfig) extends StageStore {
+  private def fs(p: Path) = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def path(w: TimeWindow): String = {
+    val d = w.start.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd"))
+    val hm = w.start.format(java.time.format.DateTimeFormatter.ofPattern("HH-mm"))
+    s"${cfg.stageRoot}/$d/$hm"
+  }
+
+  override def exists(w: TimeWindow): Boolean = {
+    val p = new Path(path(w), "_SUCCESS")
+    fs(p).exists(p)
+  }
+
+  override def clean(w: TimeWindow): Unit = {
+    val p = new Path(path(w))
+    val f = fs(p)
+    if (f.exists(p)) f.delete(p, true)
+  }
+
+  override def write(w: TimeWindow, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+      .parquet(path(w))
+
+  override def read(w: TimeWindow): DataFrame = spark.read.parquet(path(w))
+}
+
+/** Target table laid out as one partition directory per window
+  * (`window=<key>/`). Replay-clean is a directory drop and window counts hit
+  * only that partition's files — the `replaceWhere` pattern without a
+  * transactional format. */
+final class ParquetTarget(spark: SparkSession, cfg: PipelineConfig) extends TargetStore {
+  import Connectors._
+
+  private def fs(p: Path) = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def partDir(w: TimeWindow) =
+    new Path(s"${cfg.targetPath}/window=${windowKey(w)}")
+
+  override def load(w: TimeWindow, staged: DataFrame): Unit =
+    staged.write.mode(SaveMode.Overwrite).parquet(partDir(w).toString)
+
+  override def hasData(w: TimeWindow): Boolean = {
+    val p = new Path(partDir(w), "_SUCCESS")
+    fs(p).exists(p) && count(w) > 0
+  }
+
+  override def count(w: TimeWindow): Long = {
+    val p = partDir(w)
+    if (!fs(p).exists(p)) 0L
+    else spark.read.parquet(p.toString)
+      .where(windowPredicate(col(cfg.timestampField), w)).count()
+  }
+
+  override def clean(w: TimeWindow): Unit = {
+    val p = partDir(w)
+    val f = fs(p)
+    if (f.exists(p)) f.delete(p, true)
+  }
+
+  override def readAll(): DataFrame = {
+    val p = new Path(cfg.targetPath)
+    if (!fs(p).exists(p)) spark.emptyDataFrame
+    else spark.read.option("basePath", cfg.targetPath).parquet(cfg.targetPath)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** Deterministic composite-key hashing.
+  *
+  * The reference builds ids as md5 of "key:value_key:value…" with keys sorted
+  * (reference: pipeline_logic/core/state_manager.py:419-484) and a generic
+  * sha256 of "v1|v2|…" (reference: pipeline_logic/utils/hash_id_generation.py:4-7).
+  * Both a driver-side Scala form (for ledger-row construction) and a columnar
+  * Spark form (codegen'd md5/sha2 over concat_ws) are provided.
+  */
+object Ids {
+
+  /** md5 hex of "k1:v1_k2:v2…" with keys sorted — byte-exact with the
+    * reference's hash_input format (state_manager.py:429-432). */
+  def compositeMd5(components: Map[String, String]): String = {
+    val input = components.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k:$v" }.mkString("_")
+    md5Hex(input)
+  }
+
+  def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  def sha256Hex(s: String): String =
+    MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Columnar form: md5(concat of "key:col" pairs, key-sorted, '_'-joined).
+    * Pass (keyName -> column-as-string) pairs; null columns hash as "None"
+    * to match Python's str(None) interpolation. */
+  def compositeMd5Col(components: Map[String, Column]): Column = {
+    val parts = components.toSeq.sortBy(_._1).map { case (k, c) =>
+      concat(lit(s"$k:"), coalesce(c.cast("string"), lit("None")))
+    }
+    md5(concat_ws("_", parts: _*))
+  }
+
+  /** Columnar sha256 of "v1|v2|…" (hash_id_generation.py:4-7). */
+  def recordSha256(cols: Seq[Column]): Column =
+    sha2(concat_ws("|", cols.map(c => coalesce(c.cast("string"), lit("None"))): _*), 256)
+}

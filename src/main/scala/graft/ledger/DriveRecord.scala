@@ -1,0 +1,205 @@
+package graft.ledger
+
+import graft.config.PipelineConfig
+import graft.functions.Ids
+import graft.time.{TimeUtil, TimeWindow}
+import java.sql.{Date, Timestamp}
+import java.time.ZonedDateTime
+
+/** One row of the drive table: a single time-window batch's full state.
+  * Field set mirrors the reference's 61-column ledger DDL byte-for-byte in
+  * name and intent (reference: pipeline_logic/core/state_manager.py:87-162;
+  * defaults: pipeline_logic/config/drive_table_defaults.json).
+  *
+  * The ledger is simultaneously work queue, lock, state machine, audit trail
+  * and backfill planner; `uniqueSourceId` (deterministic md5 of scope+window)
+  * is the idempotency key.
+  */
+final case class DriveRecord(
+    unique_source_id: String,
+    unique_run_id: Option[String],
+    unique_stage_id: Option[String],
+    unique_target_id: Option[String],
+    triggered_by: String,
+    pipeline_name: String,
+    pipeline_priority: Double,
+    pipeline_start_time: Option[Timestamp],
+    pipeline_end_time: Option[Timestamp],
+    pipeline_status: String,
+    pipeline_error_details: Option[String],
+    pipeline_retry_count: Int,
+    completed_stage_number: Int,
+    record_first_inserted_time: Timestamp,
+    record_last_updated_time: Timestamp,
+    source_name: String,
+    source_category: Option[String],
+    source_subcategory: Option[String],
+    stage_name: String,
+    stage_category: Option[String],
+    stage_subcategory: Option[String],
+    target_name: String,
+    target_category: Option[String],
+    target_subcategory: Option[String],
+    source_query_window_start_time: Option[Timestamp],
+    source_query_window_end_time: Option[Timestamp],
+    source_query_window_duration_minutes: Option[Int],
+    query_window_start_day: Option[Date],
+    source_discovery_is_enabled: Boolean,
+    source_discovery_status: String,
+    source_discovery_start_time: Option[Timestamp],
+    source_discovery_end_time: Option[Timestamp],
+    source_discovery_expected_duration_minutes: Option[Int],
+    source_discovery_actual_duration_minutes: Option[Int],
+    source_discovery_result: Option[String],
+    source_to_stage_transfer_is_enabled: Boolean,
+    source_to_stage_transfer_status: String,
+    source_to_stage_transfer_start_time: Option[Timestamp],
+    source_to_stage_transfer_end_time: Option[Timestamp],
+    source_to_stage_transfer_expected_duration_minutes: Option[Int],
+    source_to_stage_transfer_actual_duration_minutes: Option[Int],
+    source_to_stage_transfer_result: Option[String],
+    stage_to_target_transfer_is_enabled: Boolean,
+    stage_to_target_transfer_status: String,
+    stage_to_target_transfer_start_time: Option[Timestamp],
+    stage_to_target_transfer_end_time: Option[Timestamp],
+    stage_to_target_transfer_expected_duration_minutes: Option[Int],
+    stage_to_target_transfer_actual_duration_minutes: Option[Int],
+    stage_to_target_transfer_result: Option[String],
+    audit_is_enabled: Boolean,
+    audit_status: String,
+    audit_start_time: Option[Timestamp],
+    audit_end_time: Option[Timestamp],
+    audit_expected_duration_minutes: Option[Int],
+    audit_actual_duration_minutes: Option[Int],
+    audit_result: Option[String],
+    source_count: Option[Long],
+    target_count: Option[Long],
+    count_difference: Option[Long],
+    count_difference_percentage: Option[Double],
+    accepted_tolerance_percentage: Double,
+    count_match_status: Option[String]
+)
+
+object DriveRecord {
+
+  object Status {
+    val Pending = "pending"
+    val InProgress = "in_progress"
+    val Completed = "completed"
+    val Failed = "failed"
+    val Skipped = "skipped"
+  }
+
+  /** Deterministic source id: md5 of sorted (scope, window) components
+    * (reference: state_manager.py:419-432). */
+  def sourceId(cfg: PipelineConfig, w: TimeWindow): String =
+    Ids.compositeMd5(Map(
+      "source_name" -> cfg.sourceName,
+      "source_category" -> cfg.sourceCategory,
+      "source_subcategory" -> cfg.sourceSubcategory,
+      "source_query_window_start_time" -> TimeUtil.toIso(w.start),
+      "source_query_window_end_time" -> TimeUtil.toIso(w.end)
+    ))
+
+  /** Deterministic stage id: the window's stage directory glob
+    * (reference: state_manager.py:434-450). */
+  def stageId(cfg: PipelineConfig, w: TimeWindow): String = {
+    val d = w.start.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd"))
+    val hm = w.start.format(java.time.format.DateTimeFormatter.ofPattern("HH-mm"))
+    s"${cfg.stageRoot}/$d/$hm"
+  }
+
+  /** Deterministic target id (reference: state_manager.py:452-467). */
+  def targetId(cfg: PipelineConfig): String =
+    Ids.compositeMd5(Map(
+      "target_category" -> cfg.targetCategory,
+      "target_subcategory" -> cfg.targetSubcategory
+    ))
+
+  /** Run id includes insertion time — unique per insert
+    * (reference: state_manager.py:469-484). */
+  def runId(cfg: PipelineConfig, srcId: String, stgId: String, tgtId: String,
+            firstInserted: ZonedDateTime): String =
+    Ids.compositeMd5(Map(
+      "triggered_by" -> cfg.triggeredBy,
+      "pipeline_name" -> cfg.pipelineName,
+      "pipeline_priority" -> cfg.pipelinePriority.toString,
+      "record_first_inserted_time" -> TimeUtil.toIso(firstInserted),
+      "unique_source_id" -> srcId,
+      "unique_stage_id" -> stgId,
+      "unique_target_id" -> tgtId
+    ))
+
+  /** Build a fresh pending ledger row for one window
+    * (reference: state_manager.py:542-629). */
+  def forWindow(cfg: PipelineConfig, w: TimeWindow, now: ZonedDateTime): DriveRecord = {
+    val srcId = sourceId(cfg, w)
+    val stgId = stageId(cfg, w)
+    val tgtId = targetId(cfg)
+    val ts = Timestamp.from(now.toInstant)
+    DriveRecord(
+      unique_source_id = srcId,
+      unique_run_id = Some(runId(cfg, srcId, stgId, tgtId, now)),
+      unique_stage_id = Some(stgId),
+      unique_target_id = Some(tgtId),
+      triggered_by = cfg.triggeredBy,
+      pipeline_name = cfg.pipelineName,
+      pipeline_priority = cfg.pipelinePriority,
+      pipeline_start_time = None,
+      pipeline_end_time = None,
+      pipeline_status = Status.Pending,
+      pipeline_error_details = None,
+      pipeline_retry_count = 0,
+      completed_stage_number = 0,
+      record_first_inserted_time = ts,
+      record_last_updated_time = ts,
+      source_name = cfg.sourceName,
+      source_category = Some(cfg.sourceCategory),
+      source_subcategory = Some(cfg.sourceSubcategory),
+      stage_name = cfg.stageName,
+      stage_category = Some(cfg.sourceCategory),
+      stage_subcategory = Some(stgId),
+      target_name = cfg.targetName,
+      target_category = Some(cfg.targetCategory),
+      target_subcategory = Some(cfg.targetSubcategory),
+      source_query_window_start_time = Some(Timestamp.from(w.startInstant)),
+      source_query_window_end_time = Some(Timestamp.from(w.endInstant)),
+      source_query_window_duration_minutes = Some(w.durationMinutes.toInt),
+      query_window_start_day = Some(Date.valueOf(w.day)),
+      source_discovery_is_enabled = true,
+      source_discovery_status = Status.Pending,
+      source_discovery_start_time = None,
+      source_discovery_end_time = None,
+      source_discovery_expected_duration_minutes = Some(3),
+      source_discovery_actual_duration_minutes = None,
+      source_discovery_result = None,
+      source_to_stage_transfer_is_enabled = true,
+      source_to_stage_transfer_status = Status.Pending,
+      source_to_stage_transfer_start_time = None,
+      source_to_stage_transfer_end_time = None,
+      source_to_stage_transfer_expected_duration_minutes = Some(cfg.baseSourceToStageMinutes),
+      source_to_stage_transfer_actual_duration_minutes = None,
+      source_to_stage_transfer_result = None,
+      stage_to_target_transfer_is_enabled = true,
+      stage_to_target_transfer_status = Status.Pending,
+      stage_to_target_transfer_start_time = None,
+      stage_to_target_transfer_end_time = None,
+      stage_to_target_transfer_expected_duration_minutes = Some(cfg.baseStageToTargetMinutes),
+      stage_to_target_transfer_actual_duration_minutes = None,
+      stage_to_target_transfer_result = None,
+      audit_is_enabled = true,
+      audit_status = Status.Pending,
+      audit_start_time = None,
+      audit_end_time = None,
+      audit_expected_duration_minutes = Some(cfg.baseAuditMinutes),
+      audit_actual_duration_minutes = None,
+      audit_result = None,
+      source_count = None,
+      target_count = None,
+      count_difference = None,
+      count_difference_percentage = None,
+      accepted_tolerance_percentage = cfg.acceptedTolerancePct,
+      count_match_status = None
+    )
+  }
+}

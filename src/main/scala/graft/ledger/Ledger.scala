@@ -1,0 +1,106 @@
+package graft.ledger
+
+import graft.config.PipelineConfig
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Dataset, Encoders, SaveMode, SparkSession}
+
+/** Parquet-backed drive table with an atomic read-modify-swap commit protocol.
+  *
+  * The reference mutates its ledger with Snowflake point UPDATE/DELETE/INSERT
+  * (reference: pipeline_logic/core/record_status_updater.py:7-195,
+  * state_manager.py:1040-1137). We have no transactional table format, so every
+  * mutation batch becomes: read → transform → write to a temp dir → atomic
+  * rename swap. Single-writer is guaranteed by the engine's own concurrency
+  * model (one pipeline run at a time — reference:
+  * main_pipeline_orchestrator.py:115-129), so the swap never races.
+  *
+  * Scale note: the ledger is control-plane metadata — O(#windows), not
+  * O(data). Ten years of hourly windows is <100k rows, so full-rewrite commits
+  * are cheap regardless of data-plane scale; the 100 TB lives behind the
+  * connectors, never here. Mutations are *batched per stage commit* (the
+  * reference's "single UPDATE with everything at once" principle,
+  * source_discovery_manager.py:40-44) — never one commit per column.
+  */
+final class Ledger(spark: SparkSession, val path: String) {
+  import spark.implicits._
+
+  private val schema = Encoders.product[DriveRecord].schema
+  private def hadoopFs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Create an empty ledger if absent (reference: state_manager.py:56-81). */
+  def bootstrap(): Unit = {
+    val p = new Path(path)
+    val fs = hadoopFs(p)
+    if (!fs.exists(p))
+      spark.emptyDataset[DriveRecord].write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  def exists(): Boolean = { val p = new Path(path); hadoopFs(p).exists(p) }
+
+  def read(): Dataset[DriveRecord] =
+    spark.read.schema(schema).parquet(path).as[DriveRecord]
+
+  /** Every ledger read in the reference is scoped to
+    * (source_name, source_category, source_subcategory) — multi-tenant
+    * isolation (reference: state_manager.py:213-215). */
+  def readScoped(cfg: PipelineConfig): Dataset[DriveRecord] =
+    read().filter(r =>
+      r.source_name == cfg.sourceName &&
+      r.source_category.contains(cfg.sourceCategory) &&
+      r.source_subcategory.contains(cfg.sourceSubcategory))
+
+  /** Append new batch rows (reference: snowflake_utils.py:146-165 bulk
+    * insert via write_pandas; state_manager.py:397-400). Rows whose
+    * unique_source_id already exists are dropped — ids are deterministic, so
+    * a re-planned window must not duplicate (idempotent backfill). */
+  def append(rows: Seq[DriveRecord]): Unit = {
+    if (rows.nonEmpty) {
+      val existing = read().collect().map(_.unique_source_id).toSet
+      val fresh = rows.filterNot(r => existing.contains(r.unique_source_id))
+      if (fresh.nonEmpty) commit(read().collect().toSeq ++ fresh)
+    }
+  }
+
+  /** Batched point update: apply `f` to every row matching `where`, in one
+    * commit (reference M1-M3: record_status_updater.py,
+    * invalid_progress_handler.py:106-167, audit_manager.py:435-516). */
+  def update(where: DriveRecord => Boolean)(f: DriveRecord => DriveRecord): Int = {
+    val rows = read().collect().toSeq
+    var n = 0
+    val next = rows.map { r => if (where(r)) { n += 1; f(r) } else r }
+    if (n > 0) commit(next)
+    n
+  }
+
+  def updateByIds(ids: Set[String])(f: DriveRecord => DriveRecord): Int =
+    update(r => ids.contains(r.unique_source_id))(f)
+
+  /** Point delete by id — losing duplicates removal
+    * (reference M4: state_manager.py:1107-1137). */
+  def delete(ids: Set[String]): Int = {
+    val rows = read().collect().toSeq
+    val keep = rows.filterNot(r => ids.contains(r.unique_source_id))
+    val n = rows.size - keep.size
+    if (n > 0) commit(keep)
+    n
+  }
+
+  /** Atomic full-state commit: temp write + rename swap. */
+  def commit(rows: Seq[DriveRecord]): Unit = {
+    val dst = new Path(path)
+    val fs = hadoopFs(dst)
+    val tmp = new Path(path + "__tmp_" + java.util.UUID.randomUUID().toString.take(8))
+    val old = new Path(path + "__old")
+    spark.createDataset(rows).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(dst) && !fs.rename(dst, old))
+      throw new IllegalStateException(s"ledger swap: could not retire $dst")
+    if (!fs.rename(tmp, dst)) {
+      fs.rename(old, dst) // roll back
+      throw new IllegalStateException(s"ledger swap: could not promote $tmp")
+    }
+    fs.delete(old, true)
+  }
+}

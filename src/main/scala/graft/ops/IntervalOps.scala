@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Interval analytics over any DataFrame of [start, end) rows.
+  *
+  * The reference implements gap/overlap/dedup detection as sorted pandas
+  * loops, one day at a time, in the driver (reference:
+  * pipeline_logic/core/state_manager.py:820-982;
+  * pipeline_logic/utils/time_utils.py:233-268). Here each is a single
+  * distributed pass: one shuffle on the partition key, then lag/lead/
+  * row_number inside each partition — the canonical Spark shape for
+  * interval gaps-and-islands. At 100 TB the partition key (day/scope)
+  * bounds per-partition state, so the sort inside each window stays local
+  * and skew-free.
+  */
+object IntervalOps {
+
+  /** Gaps per partition key: missing [gap_start, gap_end) stretches between
+    * sorted intervals and against the partition's [boundStart, boundEnd)
+    * edges (reference W1: state_manager.py:820-884).
+    *
+    * `boundStart`/`boundEnd` are columns (e.g. day start / next day start)
+    * evaluated per row. Returns (partition cols, gap_start, gap_end).
+    */
+  def gaps(df: DataFrame, partCols: Seq[String], start: Column, end: Column,
+           boundStart: Column, boundEnd: Column): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(start.asc)
+    val part = partCols.map(col)
+    // Running max of end handles contained intervals ((1,10),(2,3),(5,20)).
+    val withEdges = df
+      .withColumn("__cover",
+        max(end).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__prev_cover", lag(col("__cover"), 1).over(w))
+      .withColumn("__gap_start", coalesce(col("__prev_cover"), boundStart))
+      .withColumn("__is_last", lead(start, 1).over(w).isNull)
+    val interior = withEdges
+      .where(col("__gap_start") < start)
+      .select(part :+ col("__gap_start").as("gap_start") :+ start.as("gap_end"): _*)
+    val trailing = withEdges
+      .where(col("__is_last") && greatest(col("__cover"), col("__gap_start")) < boundEnd)
+      .select(part :+ greatest(col("__cover"), col("__gap_start")).as("gap_start")
+        :+ boundEnd.as("gap_end"): _*)
+    interior.unionByName(trailing)
+  }
+
+  /** Overlapping interval rows per partition key: a row overlaps when its
+    * start precedes the running-max end of earlier rows
+    * (reference W2: state_manager.py:886-935). Returns the input rows that
+    * participate in at least one overlap, flagged with the covering extent. */
+  def overlaps(df: DataFrame, partCols: Seq[String], start: Column, end: Column): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(start.asc, end.asc)
+    val prevCover = max(end).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = df
+      .withColumn("__prev_cover", prevCover)
+      .withColumn("__overlaps_prev", col("__prev_cover").isNotNull && start < col("__prev_cover"))
+    // A row is overlap-involved if it overlaps its predecessor cover, or its
+    // successor overlaps it (lead of the flag).
+    flagged
+      .withColumn("__next_overlaps", coalesce(lead(col("__overlaps_prev"), 1).over(w), lit(false)))
+      .where(col("__overlaps_prev") || col("__next_overlaps"))
+      .drop("__prev_cover", "__next_overlaps")
+      .withColumnRenamed("__overlaps_prev", "overlaps_previous")
+  }
+
+  /** Assign a contiguous overlap-group id per partition: a new group starts
+    * when an interval begins at-or-after the running-max end of all previous
+    * intervals (gaps-and-islands). Used to resolve duplicate/overlapping
+    * windows as whole chains, not just adjacent pairs. */
+  def overlapGroups(df: DataFrame, partCols: Seq[String], start: Column, end: Column,
+                    groupCol: String = "overlap_group"): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(start.asc, end.asc)
+    val prevCover = max(end).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn("__new_group",
+        when(prevCover.isNull || start >= prevCover, lit(1)).otherwise(lit(0)))
+      .withColumn(groupCol,
+        sum(col("__new_group")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__new_group")
+  }
+
+  /** Keep/lose ranking among overlapping ledger windows — rank 1 in each
+    * overlap group survives. Priority (reference W3: state_manager.py:937-982):
+    * completed first, then latest record_last_updated_time, then latest
+    * pipeline_start_time, then EARLIEST record_first_inserted_time. */
+  def duplicatePriority(df: DataFrame, partCols: Seq[String], start: Column, end: Column,
+                        isCompleted: Column, lastUpdated: Column,
+                        pipelineStart: Column, firstInserted: Column,
+                        tieBreak: Column): DataFrame = {
+    val grouped = overlapGroups(df, partCols, start, end)
+    val w = Window
+      .partitionBy((partCols.map(col) :+ col("overlap_group")): _*)
+      .orderBy(isCompleted.desc, lastUpdated.desc, pipelineStart.desc_nulls_last,
+        firstInserted.asc, tieBreak.asc)
+    grouped.withColumn("keep_rank", row_number().over(w))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.ledger.DriveRecord
+import java.sql.Timestamp
+
+/** Relational operators over the drive table, each a single declarative
+  * DataFrame transform (Catalyst handles pushdown/pruning/top-k). One
+  * method per reference operator; citations inline.
+  */
+object LedgerOps {
+
+  /** A1 granularity histogram: windows per duration with day extents
+    * (reference: state_manager.py:205-218). */
+  def granularityHistogram(ledger: DataFrame): DataFrame =
+    ledger
+      .where(col("source_query_window_duration_minutes").isNotNull)
+      .groupBy(col("source_query_window_duration_minutes").as("duration_minutes"))
+      .agg(
+        count(lit(1)).as("records_per_duration"),
+        min("query_window_start_day").as("min_day"),
+        max("query_window_start_day").as("max_day"),
+        countDistinct("query_window_start_day").as("distinct_days"))
+      .orderBy(desc("records_per_duration"), asc("duration_minutes"))
+
+  /** A2 dominant granularity: top-1 of the histogram
+    * (reference: state_manager.py:237-262). */
+  def dominantGranularityMinutes(ledger: DataFrame): Option[Int] =
+    granularityHistogram(ledger).limit(1).collect().headOption
+      .map(_.getInt(0))
+
+  /** A3 distinct day inventory (reference: state_manager.py:683-705). */
+  def distinctDays(ledger: DataFrame): DataFrame =
+    ledger.select(col("query_window_start_day").as("day"))
+      .where(col("day").isNotNull)
+      .distinct()
+      .orderBy(asc("day"))
+
+  /** J1 missing-days anti-join: expected continuous [minDay, maxDay] range
+    * minus days present (reference: state_manager.py:720-769). The expected
+    * range is generated columnar with sequence() — no driver loop. */
+  def missingDays(ledger: DataFrame): DataFrame = {
+    val days = distinctDays(ledger)
+    val expected = days
+      .agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+    expected.join(days, Seq("day"), "left_anti").orderBy(asc("day"))
+  }
+
+  /** T1 pending top-k scheduler: oldest window first, most-retried first,
+    * then priority — LIMIT k becomes TakeOrderedAndProject, a true
+    * distributed top-k with no full sort
+    * (reference: pending_records_selector.py:11-44). */
+  def pendingTopK(ledger: DataFrame, k: Int): DataFrame =
+    ledger
+      .where(col("pipeline_status") === DriveRecord.Status.Pending)
+      .orderBy(
+        asc("source_query_window_start_time"),
+        desc("pipeline_retry_count"),
+        asc("pipeline_priority"),
+        asc("unique_source_id"))
+      .limit(k)
+
+  /** P6 safe-boundary filter: drop windows newer than the boundary — native
+    * timestamp compare, not the reference's ISO-string compare
+    * (reference: main_pipeline_orchestrator.py:242-300). */
+  def boundaryFilter(ledger: DataFrame, boundary: Timestamp): DataFrame =
+    ledger.where(col("source_query_window_start_time") <= lit(boundary))
+
+  /** W1 ledger-window gaps per day, bounded by each day's midnight-to-
+    * midnight extent (reference: state_manager.py:820-884). */
+  def windowGaps(ledger: DataFrame): DataFrame =
+    IntervalOps.gaps(
+      ledger.where(col("source_query_window_start_time").isNotNull),
+      partCols = Seq("query_window_start_day"),
+      start = col("source_query_window_start_time"),
+      end = col("source_query_window_end_time"),
+      boundStart = col("query_window_start_day").cast("timestamp"),
+      boundEnd = date_add(col("query_window_start_day"), 1).cast("timestamp"))
+
+  /** W2 overlapping ledger windows per day
+    * (reference: state_manager.py:886-935). */
+  def windowOverlaps(ledger: DataFrame): DataFrame =
+    IntervalOps.overlaps(
+      ledger.where(col("source_query_window_start_time").isNotNull),
+      partCols = Seq("query_window_start_day"),
+      start = col("source_query_window_start_time"),
+      end = col("source_query_window_end_time"))
+
+  /** W3 duplicate resolution: rank overlap chains; keep_rank=1 survives,
+    * the rest are delete candidates (reference: state_manager.py:937-992). */
+  def duplicateResolution(ledger: DataFrame): DataFrame =
+    IntervalOps.duplicatePriority(
+      ledger.where(col("source_query_window_start_time").isNotNull),
+      partCols = Seq("query_window_start_day"),
+      start = col("source_query_window_start_time"),
+      end = col("source_query_window_end_time"),
+      isCompleted = (col("pipeline_status") === DriveRecord.Status.Completed).cast("int"),
+      lastUpdated = col("record_last_updated_time"),
+      pipelineStart = col("pipeline_start_time"),
+      firstInserted = col("record_first_inserted_time"),
+      tieBreak = col("unique_source_id"))
+
+  /** Delete candidates = everything ranked below 1 in its overlap chain. */
+  def duplicateLosers(ledger: DataFrame): Dataset[String] = {
+    import ledger.sparkSession.implicits._
+    duplicateResolution(ledger)
+      .where(col("keep_rank") > 1)
+      .select(col("unique_source_id")).as[String]
+  }
+}

@@ -1,0 +1,83 @@
+package graft.runner
+
+/** Count-reconciliation audit with the reference's adaptive retry decision
+  * table ("crazy logic") — ported as a pure decision procedure with injectable
+  * recount + wait hooks so tests run with a zero-wait clock
+  * (reference: pipeline_logic/core/audit_manager.py:16-383).
+  *
+  * With a synchronous Spark target the eventual-consistency window the retry
+  * exists for collapses, so the default pipeline disables it (config
+  * `enable_adaptive_audit_retry`, mirroring audit_manager.py:70-83); the
+  * decision table is kept for parity and for genuinely-async targets.
+  */
+object AuditManager {
+
+  sealed trait AuditOutcome { def matched: Boolean }
+  final case class Matched(targetCount: Long, diffPct: Double, retriesUsed: Int)
+      extends AuditOutcome { def matched = true }
+  final case class Mismatched(targetCount: Long, diffPct: Double, retriesUsed: Int)
+      extends AuditOutcome { def matched = false }
+
+  /** Base retry attempts by initial |diff%|
+    * (reference: audit_manager.py:211-233). */
+  def baseRetryAttempts(diffPct: Double): Int = {
+    val d = math.abs(diffPct)
+    if (d <= 5) 2 else if (d <= 15) 3 else if (d <= 30) 4 else if (d <= 50) 5 else 6
+  }
+
+  /** Additional retries + wait multiplier by improvement rate (records/sec)
+    * (reference: audit_manager.py:241-256). */
+  def adaptiveBudget(baseAttempts: Int, improvementRate: Double): (Int, Double) =
+    if (improvementRate >= 100) ((baseAttempts * 2.0).toInt, 1.5)
+    else if (improvementRate >= 50) ((baseAttempts * 1.5).toInt, 1.3)
+    else if (improvementRate >= 10) ((baseAttempts * 1.2).toInt, 1.2)
+    else (baseAttempts, 1.0)
+
+  /** Dynamic wait: 60s base * multiplier, +10%/attempt, capped at 180s
+    * (reference: audit_manager.py:279-282). */
+  def dynamicWaitSeconds(retryNum: Int, waitMultiplier: Double): Int =
+    math.min((60 * waitMultiplier * (1 + (retryNum - 2) * 0.1)).toInt, 180)
+
+  /** Run the audit: tolerance check, then (optionally) the adaptive retry
+    * loop. `recount` re-reads the target count; `wait(seconds)` is injectable
+    * (tests pass a no-op). Stops after 2 consecutive no-improvement rounds
+    * (reference: audit_manager.py:123-383). */
+  def run(sourceCount: Long, tolerancePct: Double, adaptiveEnabled: Boolean,
+          recount: () => Long, wait: Int => Unit): AuditOutcome = {
+    val initial = recount()
+    val initialDiff = Estimation.differencePercentage(sourceCount, initial)
+    if (math.abs(initialDiff) <= tolerancePct) return Matched(initial, initialDiff, 0)
+    if (!adaptiveEnabled) return Mismatched(initial, initialDiff, 0)
+
+    // Phase 1: one fixed 60s wait + recount (audit_manager.py:146-183).
+    wait(60)
+    val first = recount()
+    val firstDiff = Estimation.differencePercentage(sourceCount, first)
+    if (math.abs(firstDiff) <= tolerancePct) return Matched(first, firstDiff, 1)
+    val improvement = first - initial
+    if (improvement <= 0) return Mismatched(first, firstDiff, 1)
+
+    // Phase 2: improvement-rate-scaled budget (audit_manager.py:237-366).
+    val base = baseRetryAttempts(initialDiff)
+    val (additional, waitMult) = adaptiveBudget(base, improvement / 60.0)
+    val maxTotal = base + additional
+    var previous = first
+    var noImprovement = 0
+    var retry = 2
+    while (retry <= maxTotal) {
+      wait(dynamicWaitSeconds(retry, waitMult))
+      val cur = recount()
+      val diff = Estimation.differencePercentage(sourceCount, cur)
+      if (math.abs(diff) <= tolerancePct) return Matched(cur, diff, retry)
+      if (cur - previous > 0) noImprovement = 0
+      else {
+        noImprovement += 1
+        if (noImprovement >= 2)
+          return Mismatched(cur, diff, retry)
+      }
+      previous = cur
+      retry += 1
+    }
+    Mismatched(previous, Estimation.differencePercentage(sourceCount, previous), maxTotal)
+  }
+}

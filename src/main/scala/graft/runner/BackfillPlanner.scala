@@ -1,0 +1,91 @@
+package graft.runner
+
+import graft.config.PipelineConfig
+import graft.ledger.{DriveRecord, Ledger}
+import graft.ops.LedgerOps
+import graft.time.{Granularity, TimeUtil, TimeWindow}
+import org.apache.spark.sql.SparkSession
+import java.time.{Instant, LocalDate, ZonedDateTime}
+
+/** Self-healing ledger population: fresh start, missing-day backfill, gap
+  * fill, duplicate resolution (reference:
+  * pipeline_logic/core/state_manager.py:169-196 entry; fresh start :268-294;
+  * continuity :679-753; day analysis :771-818; fixes :998-1105).
+  *
+  * The reference runs one Snowflake round-trip per existing day (N+1 reads);
+  * here the whole analysis is three DataFrame jobs — granularity histogram,
+  * day inventory + anti-join, and a single windowed gap/dup pass — regardless
+  * of day count.
+  */
+object BackfillPlanner {
+  final case class PlanResult(freshStart: Boolean, inserted: Int, deletedDuplicates: Int)
+}
+
+final class BackfillPlanner(spark: SparkSession, cfg: PipelineConfig, ledger: Ledger) {
+  import BackfillPlanner.PlanResult
+
+  def populate(now: ZonedDateTime): PlanResult = {
+    ledger.bootstrap()
+    val scoped = ledger.readScoped(cfg)
+    if (scoped.isEmpty) freshStart(now)
+    else healExisting(now)
+  }
+
+  /** No ledger rows in scope: seed the safe-boundary day with windows from
+    * day start up to the boundary (reference: state_manager.py:268-294,369-413). */
+  private def freshStart(now: ZonedDateTime): PlanResult = {
+    val boundary = TimeUtil.safeBoundary(now, cfg.xTimeBack)
+    val dayStart = TimeUtil.floorTo(boundary, "1d")
+    val end = if (boundary.isAfter(dayStart)) boundary else dayStart.plusDays(1)
+    val windows = TimeUtil.generateWindows(dayStart, end, cfg.granularity)
+    insert(windows, now)
+    PlanResult(freshStart = true, inserted = windows.size, deletedDuplicates = 0)
+  }
+
+  /** Existing rows: fill missing days, tile interior gaps, drop losing
+    * duplicates (reference: state_manager.py:679-1105). */
+  private def healExisting(now: ZonedDateTime): PlanResult = {
+    val scoped = ledger.readScoped(cfg).toDF()
+    val granMinutes = LedgerOps.dominantGranularityMinutes(scoped)
+      .getOrElse(cfg.granularity.totalMinutes.toInt)
+    val gran = Granularity.fromMinutes(granMinutes.toLong)
+
+    // Missing whole days -> full-day window sets (state_manager.py:1040-1105).
+    val missingDayWindows = LedgerOps.missingDays(scoped).collect().toSeq
+      .map(_.getDate(0).toLocalDate)
+      .flatMap(d => TimeUtil.windowsForDay(d, cfg.timezone, gran))
+
+    // Interior gaps inside existing days -> tile each gap at the dominant
+    // granularity, remainder as one short window (state_manager.py:820-884).
+    val gapRows = LedgerOps.windowGaps(scoped).collect().toSeq
+    val gapWindows = gapRows.flatMap { r =>
+      val gs = r.getTimestamp(1).toInstant
+      val ge = r.getTimestamp(2).toInstant
+      tileGap(gs, ge, gran)
+    }
+
+    // Losing duplicates -> point deletes (state_manager.py:1107-1137).
+    val losers = LedgerOps.duplicateLosers(scoped).collect().toSet
+    val deleted = if (losers.nonEmpty) ledger.delete(losers) else 0
+
+    val toInsert = missingDayWindows ++ gapWindows
+    insert(toInsert, now)
+    PlanResult(freshStart = false, inserted = toInsert.size, deletedDuplicates = deleted)
+  }
+
+  private def tileGap(gs: Instant, ge: Instant, gran: Granularity): Seq[TimeWindow] = {
+    val zs = ZonedDateTime.ofInstant(gs, cfg.timezone)
+    val ze = ZonedDateTime.ofInstant(ge, cfg.timezone)
+    val full = TimeUtil.generateWindows(zs, ze, gran)
+    val covered = if (full.nonEmpty) full.last.end else zs
+    if (covered.toInstant.isBefore(ge)) full :+ TimeWindow(covered, ze) else full
+  }
+
+  private def insert(windows: Seq[TimeWindow], now: ZonedDateTime): Unit =
+    if (windows.nonEmpty)
+      ledger.append(windows.map(w => DriveRecord.forWindow(cfg, w, now)))
+
+  /** Expected continuous day range helper (reference: state_manager.py:755-769). */
+  def expectedDayRange(lo: LocalDate, hi: LocalDate): Seq[LocalDate] =
+    Iterator.iterate(lo)(_.plusDays(1)).takeWhile(!_.isAfter(hi)).toSeq
+}

@@ -1,0 +1,55 @@
+package graft.runner
+
+import graft.config.PipelineConfig
+
+/** Duration estimation + count-diff math.
+  * (reference: pipeline_logic/core/source_discovery_manager.py:186-270;
+  * pipeline_logic/core/audit_manager.py:385-392)
+  */
+object Estimation {
+
+  def linearScaling(ratio: Double, base: Double): Double = ratio * base
+
+  def logarithmicScaling(ratio: Double, base: Double): Double =
+    if (ratio <= 0) base else base * (1 + math.log(1 + ratio))
+
+  def squareRootScaling(ratio: Double, base: Double): Double =
+    if (ratio <= 0) base else base * math.sqrt(ratio)
+
+  def powerScaling(ratio: Double, base: Double, power: Double = 0.7): Double =
+    if (ratio <= 0) base else base * math.pow(ratio, power)
+
+  final case class DurationEstimates(sourceToStageMinutes: Int,
+                                     stageToTargetMinutes: Int,
+                                     auditMinutes: Int)
+
+  /** Expected stage durations scaled by data volume, floored at the base
+    * minutes, inflated by the skew factor. Stage transfer scales linearly,
+    * load by power-0.6, audit by sqrt
+    * (reference: source_discovery_manager.py:186-249). */
+  def estimate(cfg: PipelineConfig, sourceCount: Long): DurationEstimates = {
+    val ratio =
+      if (cfg.avgRecordsPerWindow > 0) sourceCount.toDouble / cfg.avgRecordsPerWindow
+      else 1.0
+    val (s2s, s2t, aud) =
+      if (ratio <= 1.0)
+        (cfg.baseSourceToStageMinutes.toDouble, cfg.baseStageToTargetMinutes.toDouble,
+          cfg.baseAuditMinutes.toDouble)
+      else
+        (linearScaling(ratio, cfg.baseSourceToStageMinutes),
+          powerScaling(ratio, cfg.baseStageToTargetMinutes, 0.6),
+          squareRootScaling(ratio, cfg.baseAuditMinutes))
+    val k = 1 + cfg.skewFactor
+    DurationEstimates(
+      math.max((s2s * k).toInt, cfg.baseSourceToStageMinutes),
+      math.max((s2t * k).toInt, cfg.baseStageToTargetMinutes),
+      math.max((aud * k).toInt, cfg.baseAuditMinutes))
+  }
+
+  /** (target-source)/source*100 with 0/0 -> 0 and 0/x -> 100 edge cases
+    * (reference: audit_manager.py:385-392). */
+  def differencePercentage(sourceCount: Long, targetCount: Long): Double =
+    if (sourceCount == 0 && targetCount == 0) 0.0
+    else if (sourceCount == 0) 100.0
+    else (targetCount - sourceCount).toDouble / sourceCount * 100.0
+}

@@ -1,0 +1,219 @@
+package graft.runner
+
+import graft.config.PipelineConfig
+import graft.connect.{SourceConnector, StageStore, TargetStore}
+import graft.ledger.{DriveRecord, Ledger}
+import graft.ledger.DriveRecord.Status
+import graft.ops.LedgerOps
+import graft.time.{TimeUtil, TimeWindow}
+import org.apache.spark.sql.SparkSession
+import java.sql.Timestamp
+import java.time.{ZoneId, ZonedDateTime}
+import scala.util.control.NonFatal
+
+/** Simple bounded retry (reference:
+  * pipeline_logic/utils/log_retry_decorators.py:47-87). */
+object Retry {
+  def withRetry[T](attempts: Int, delayMs: Long = 0)(body: => T): T = {
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try return body
+      catch { case NonFatal(e) => last = e; if (delayMs > 0) Thread.sleep(delayMs) }
+      i += 1
+    }
+    throw last
+  }
+}
+
+object PipelineRunner {
+  final case class RunSummary(
+      inserted: Int,
+      deletedDuplicates: Int,
+      staleReset: Int,
+      selected: Int,
+      succeeded: Int,
+      failed: Int,
+      skippedValidInProgress: Boolean)
+}
+
+/** The orchestration loop: populate ledger, validate/reset stale runs,
+  * select pending top-k, apply the safe boundary, then run each selected
+  * window through the four stages (discovery, source→stage, stage→target,
+  * audit) with idempotency probes at every step
+  * (reference: pipeline_logic/core/main_pipeline_orchestrator.py:51-529).
+  *
+  * Driver-vs-cluster split: this loop and the ledger are control-plane
+  * (driver, O(#windows)); extract/load/count inside each stage are
+  * distributed Spark jobs over the data plane.
+  */
+final class PipelineRunner(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    ledger: Ledger,
+    source: SourceConnector,
+    stage: StageStore,
+    target: TargetStore,
+    clock: () => ZonedDateTime = () => ZonedDateTime.now(ZoneId.of("UTC")),
+    auditWait: Int => Unit = s => Thread.sleep(s * 1000L)) {
+
+  import PipelineRunner.RunSummary
+
+  private def now(): ZonedDateTime = clock().withZoneSameInstant(cfg.timezone)
+  private def ts(z: ZonedDateTime): Timestamp = Timestamp.from(z.toInstant)
+
+  def run(): RunSummary = {
+    val t0 = now()
+
+    // Step 0: populate / heal the ledger (orchestrator:92-113).
+    val planner = new BackfillPlanner(spark, cfg, ledger)
+    val plan = planner.populate(t0)
+
+    // Steps 1-2: validate in-progress, reset stale, exit if a valid run is
+    // still alive — the concurrency gate (orchestrator:115-129).
+    val inProgress = ledger.readScoped(cfg).collect().toSeq
+      .filter(_.pipeline_status == Status.InProgress)
+    val (stale, valid) = inProgress.partition(Validation.isStale(_, cfg, t0))
+    if (stale.nonEmpty)
+      ledger.updateByIds(stale.map(_.unique_source_id).toSet)(Validation.resetInvalid(_, t0))
+    if (valid.nonEmpty)
+      return RunSummary(plan.inserted, plan.deletedDuplicates, stale.size, 0, 0, 0,
+        skippedValidInProgress = true)
+
+    // Steps 3-4: pending top-k then safe-boundary filter (orchestrator:131-177).
+    val boundary = TimeUtil.safeBoundary(t0, cfg.xTimeBack)
+    val scoped = ledger.readScoped(cfg).toDF()
+    val selected = LedgerOps.boundaryFilter(
+        LedgerOps.pendingTopK(scoped, cfg.maxPipelineRuns), ts(boundary))
+      .collect().toSeq
+
+    // Step 5: per-record sequential execution (orchestrator:302-529).
+    var ok = 0
+    var bad = 0
+    val ids = ledger.readScoped(cfg).collect()
+      .map(r => r.unique_source_id -> r).toMap
+    selected.foreach { row =>
+      val id = row.getAs[String]("unique_source_id")
+      val rec = ids(id)
+      if (runOne(rec)) ok += 1 else bad += 1
+    }
+    RunSummary(plan.inserted, plan.deletedDuplicates, stale.size, selected.size,
+      ok, bad, skippedValidInProgress = false)
+  }
+
+  private def windowOf(r: DriveRecord): TimeWindow = TimeWindow(
+    ZonedDateTime.ofInstant(r.source_query_window_start_time.get.toInstant, cfg.timezone),
+    ZonedDateTime.ofInstant(r.source_query_window_end_time.get.toInstant, cfg.timezone))
+
+  /** One window through all four stages. Each stage commits its whole result
+    * in a single ledger update (the reference's "single UPDATE" principle). */
+  def runOne(rec: DriveRecord): Boolean = {
+    val id = rec.unique_source_id
+    val w = windowOf(rec)
+    val start = now()
+    ledger.updateByIds(Set(id))(r => r.copy(
+      pipeline_status = Status.InProgress,
+      pipeline_start_time = Some(ts(start)),
+      unique_run_id = Some(DriveRecord.runId(cfg, id,
+        r.unique_stage_id.getOrElse(""), r.unique_target_id.getOrElse(""), start)),
+      record_last_updated_time = ts(start)))
+    try {
+      // Stage 1: source discovery (source_discovery_manager.py:17-79).
+      val srcCount = source.count(w)
+      val est = Estimation.estimate(cfg, srcCount)
+      val t1 = now()
+      ledger.updateByIds(Set(id))(r => r.copy(
+        source_discovery_status = Status.Completed,
+        source_discovery_start_time = Some(ts(start)),
+        source_discovery_end_time = Some(ts(t1)),
+        source_discovery_actual_duration_minutes = Some(minutesBetween(start, t1)),
+        source_discovery_result = Some(s"""{"source_count":$srcCount}"""),
+        source_count = Some(srcCount),
+        source_to_stage_transfer_expected_duration_minutes = Some(est.sourceToStageMinutes),
+        stage_to_target_transfer_expected_duration_minutes = Some(est.stageToTargetMinutes),
+        audit_expected_duration_minutes = Some(est.auditMinutes),
+        completed_stage_number = 1,
+        record_last_updated_time = ts(t1)))
+
+      // Stage 2: source -> stage, idempotent via probe + clean-before-write
+      // (source_to_stage_ingestion_manager.py:15-100).
+      val t2a = now()
+      val s2sSkipped = stage.exists(w)
+      if (!s2sSkipped) {
+        stage.clean(w)
+        stage.write(w, source.extract(w))
+      }
+      val t2 = now()
+      ledger.updateByIds(Set(id))(r => r.copy(
+        source_to_stage_transfer_status = Status.Completed,
+        source_to_stage_transfer_start_time = Some(ts(t2a)),
+        source_to_stage_transfer_end_time = Some(ts(t2)),
+        source_to_stage_transfer_actual_duration_minutes = Some(minutesBetween(t2a, t2)),
+        source_to_stage_transfer_result =
+          Some(s"""{"skipped":$s2sSkipped,"stage_path":"${stage.path(w)}"}"""),
+        completed_stage_number = 2,
+        record_last_updated_time = ts(t2)))
+
+      // Stage 3: stage -> target, idempotent via probe + range clean
+      // (stage_to_target_ingestion_manager.py:15-100).
+      val t3a = now()
+      val s2tSkipped = target.hasData(w)
+      if (!s2tSkipped) {
+        target.clean(w)
+        target.load(w, stage.read(w))
+      }
+      val t3 = now()
+      ledger.updateByIds(Set(id))(r => r.copy(
+        stage_to_target_transfer_status = Status.Completed,
+        stage_to_target_transfer_start_time = Some(ts(t3a)),
+        stage_to_target_transfer_end_time = Some(ts(t3)),
+        stage_to_target_transfer_actual_duration_minutes = Some(minutesBetween(t3a, t3)),
+        stage_to_target_transfer_result = Some(s"""{"skipped":$s2tSkipped}"""),
+        completed_stage_number = 3,
+        record_last_updated_time = ts(t3)))
+
+      // Stage 4: audit (audit_manager.py:16-101).
+      val t4a = now()
+      val outcome = AuditManager.run(srcCount, cfg.acceptedTolerancePct,
+        cfg.enableAdaptiveAuditRetry, () => target.count(w), auditWait)
+      val t4 = now()
+      outcome match {
+        case AuditManager.Matched(tc, pct, retries) =>
+          ledger.updateByIds(Set(id))(r => r.copy(
+            audit_status = Status.Completed,
+            audit_start_time = Some(ts(t4a)),
+            audit_end_time = Some(ts(t4)),
+            audit_actual_duration_minutes = Some(minutesBetween(t4a, t4)),
+            audit_result = Some(s"""{"retries":$retries}"""),
+            target_count = Some(tc),
+            count_difference = Some(tc - srcCount),
+            count_difference_percentage = Some(pct),
+            count_match_status = Some("matched"),
+            completed_stage_number = 4,
+            pipeline_status = Status.Completed,
+            pipeline_end_time = Some(ts(t4)),
+            record_last_updated_time = ts(t4)))
+          true
+        case AuditManager.Mismatched(tc, pct, _) =>
+          // Clean both layers then fully reset the row for a future retry
+          // (audit_manager.py:435-516).
+          target.clean(w)
+          stage.clean(w)
+          ledger.updateByIds(Set(id))(Validation.fullReset(_, t4, srcCount, tc, pct))
+          false
+      }
+    } catch {
+      case NonFatal(e) =>
+        val tf = now()
+        ledger.updateByIds(Set(id))(r => r.copy(
+          pipeline_status = Status.Failed,
+          pipeline_end_time = Some(ts(tf)),
+          pipeline_error_details = Some(Option(e.getMessage).getOrElse(e.getClass.getName)),
+          record_last_updated_time = ts(tf)))
+        false
+    }
+  }
+
+  private def minutesBetween(a: ZonedDateTime, b: ZonedDateTime): Int =
+    ((b.toInstant.toEpochMilli - a.toInstant.toEpochMilli) / 60000L).toInt
+}

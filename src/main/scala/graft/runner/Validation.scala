@@ -1,0 +1,109 @@
+package graft.runner
+
+import graft.config.PipelineConfig
+import graft.ledger.DriveRecord
+import graft.ledger.DriveRecord.Status
+import java.sql.Timestamp
+import java.time.ZonedDateTime
+
+/** Stale-run detection + selective reset.
+  * (reference: pipeline_logic/core/progress_validator.py:14-159;
+  * pipeline_logic/core/invalid_progress_handler.py:12-167)
+  */
+object Validation {
+
+  /** C4: a running record is stale when its runtime exceeds
+    * pre-config slack + the sum over enabled stages of (actual duration if
+    * the stage completed, else expected duration)
+    * (reference: progress_validator.py:82-159). */
+  def isStale(r: DriveRecord, cfg: PipelineConfig, now: ZonedDateTime): Boolean =
+    r.pipeline_start_time match {
+      case None => true // in_progress without a start time is malformed -> stale
+      case Some(start) =>
+        val runtimeMinutes =
+          (now.toInstant.toEpochMilli - start.toInstant.toEpochMilli) / 60000.0
+        runtimeMinutes > acceptableRuntimeMinutes(r, cfg)
+    }
+
+  def acceptableRuntimeMinutes(r: DriveRecord, cfg: PipelineConfig): Double = {
+    def stageBudget(enabled: Boolean, status: String,
+                    actual: Option[Int], expected: Option[Int]): Int =
+      if (!enabled) 0
+      else if (status == Status.Completed) actual.orElse(expected).getOrElse(0)
+      else expected.getOrElse(0)
+    cfg.preConfigExecutionMinutes +
+      stageBudget(r.source_discovery_is_enabled, r.source_discovery_status,
+        r.source_discovery_actual_duration_minutes, r.source_discovery_expected_duration_minutes) +
+      stageBudget(r.source_to_stage_transfer_is_enabled, r.source_to_stage_transfer_status,
+        r.source_to_stage_transfer_actual_duration_minutes, r.source_to_stage_transfer_expected_duration_minutes) +
+      stageBudget(r.stage_to_target_transfer_is_enabled, r.stage_to_target_transfer_status,
+        r.stage_to_target_transfer_actual_duration_minutes, r.stage_to_target_transfer_expected_duration_minutes) +
+      stageBudget(r.audit_is_enabled, r.audit_status,
+        r.audit_actual_duration_minutes, r.audit_expected_duration_minutes)
+  }
+
+  /** M3: selective reset of a stale run — only non-completed stage blocks go
+    * back to pending; completed work is preserved so the rerun resumes where
+    * it died (reference: invalid_progress_handler.py:106-167). */
+  def resetInvalid(r: DriveRecord, now: ZonedDateTime): DriveRecord = {
+    val ts = Timestamp.from(now.toInstant)
+    var next = r.copy(
+      pipeline_status = Status.Pending,
+      pipeline_start_time = None,
+      pipeline_end_time = None,
+      pipeline_retry_count = r.pipeline_retry_count + 1,
+      pipeline_error_details = Some("reset: stale in_progress run"),
+      record_last_updated_time = ts)
+    if (next.source_discovery_status != Status.Completed)
+      next = next.copy(source_discovery_status = Status.Pending,
+        source_discovery_start_time = None, source_discovery_end_time = None,
+        source_discovery_actual_duration_minutes = None)
+    if (next.source_to_stage_transfer_status != Status.Completed)
+      next = next.copy(source_to_stage_transfer_status = Status.Pending,
+        source_to_stage_transfer_start_time = None, source_to_stage_transfer_end_time = None,
+        source_to_stage_transfer_actual_duration_minutes = None)
+    if (next.stage_to_target_transfer_status != Status.Completed)
+      next = next.copy(stage_to_target_transfer_status = Status.Pending,
+        stage_to_target_transfer_start_time = None, stage_to_target_transfer_end_time = None,
+        stage_to_target_transfer_actual_duration_minutes = None)
+    if (next.audit_status != Status.Completed)
+      next = next.copy(audit_status = Status.Pending,
+        audit_start_time = None, audit_end_time = None,
+        audit_actual_duration_minutes = None)
+    next
+  }
+
+  /** M2: full pipeline reset after an audit mismatch — all four stage blocks
+    * and the count fields return to pending, retry_count increments; the
+    * audit evidence is recorded on the row
+    * (reference: audit_manager.py:435-516). */
+  def fullReset(r: DriveRecord, now: ZonedDateTime, sourceCount: Long,
+                targetCount: Long, diffPct: Double): DriveRecord = {
+    val ts = Timestamp.from(now.toInstant)
+    r.copy(
+      pipeline_status = Status.Pending,
+      pipeline_start_time = None,
+      pipeline_end_time = None,
+      pipeline_retry_count = r.pipeline_retry_count + 1,
+      completed_stage_number = 0,
+      pipeline_error_details = Some(f"audit mismatch: source=$sourceCount target=$targetCount diff=$diffPct%.2f%%"),
+      record_last_updated_time = ts,
+      source_discovery_status = Status.Pending,
+      source_discovery_start_time = None, source_discovery_end_time = None,
+      source_discovery_actual_duration_minutes = None,
+      source_to_stage_transfer_status = Status.Pending,
+      source_to_stage_transfer_start_time = None, source_to_stage_transfer_end_time = None,
+      source_to_stage_transfer_actual_duration_minutes = None,
+      stage_to_target_transfer_status = Status.Pending,
+      stage_to_target_transfer_start_time = None, stage_to_target_transfer_end_time = None,
+      stage_to_target_transfer_actual_duration_minutes = None,
+      audit_status = Status.Pending,
+      audit_start_time = None, audit_end_time = None,
+      audit_actual_duration_minutes = None,
+      source_count = Some(sourceCount),
+      target_count = Some(targetCount),
+      count_difference = Some(targetCount - sourceCount),
+      count_difference_percentage = Some(diffPct),
+      count_match_status = Some("not_matched"))
+  }
+}

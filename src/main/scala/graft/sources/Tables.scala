@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Central loader for the driver-provided parquet tables.
+  *
+  * `events.parquet` carries TIMESTAMP(NANOS) — illegal for Spark's parquet
+  * reader unless `spark.sql.legacy.parquet.nanosAsLong=true`, which surfaces
+  * the column as nanos-since-epoch LongType. We convert to TimestampType at
+  * microsecond precision (floor), matching how sub-microsecond instants
+  * bucket into windows downstream.
+  */
+object Tables {
+
+  val NanosAsLongConf = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Columns per table that are ns-longs needing conversion. */
+  private val nanosCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    nanosCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+      if (d.schema(c).dataType == org.apache.spark.sql.types.LongType)
+        d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      else d
+    }
+  }
+
+  def events(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+}

@@ -1,0 +1,190 @@
+package graft.time
+
+import java.time.{Duration, Instant, LocalDate, ZoneId, ZonedDateTime}
+import java.time.temporal.ChronoUnit
+import scala.util.matching.Regex
+
+/** Compound duration like "1d2h30m45s".
+  *
+  * Semantics follow the reference's granularity string
+  * (reference: pipeline_logic/utils/time_utils.py:142-175 parser regex,
+  * pipeline_logic/core/state_manager.py:1139-1152 inverse renderer).
+  */
+final case class Granularity(days: Int, hours: Int, minutes: Int, seconds: Int) {
+  require(days >= 0 && hours >= 0 && minutes >= 0 && seconds >= 0, "negative granularity component")
+
+  def totalSeconds: Long =
+    days * 86400L + hours * 3600L + minutes * 60L + seconds
+  def totalMinutes: Long = totalSeconds / 60
+  def isZero: Boolean = totalSeconds == 0
+
+  /** Largest non-zero unit, used to pick the floor unit for safe boundaries
+    * (reference: time_utils.py:160-170). */
+  def largestUnit: String =
+    if (days > 0) "1d" else if (hours > 0) "1h" else if (minutes > 0) "1m" else "1s"
+
+  /** True iff only h/m/s components — the only granularities window generation
+    * accepts (reference: time_utils.py:191-192 rejects 'd'). */
+  def isSubDaily: Boolean = days == 0 && !isZero
+
+  /** Render back to compact string, e.g. 150 min -> "2h30m"
+    * (reference: state_manager.py:1139-1152). */
+  def render: String = {
+    val sb = new StringBuilder
+    if (days > 0) sb.append(s"${days}d")
+    if (hours > 0) sb.append(s"${hours}h")
+    if (minutes > 0) sb.append(s"${minutes}m")
+    if (seconds > 0) sb.append(s"${seconds}s")
+    if (sb.isEmpty) "0s" else sb.toString
+  }
+}
+
+object Granularity {
+  private val Pattern: Regex = raw"^(?:(\d+)d)?(?:(\d+)h)?(?:(\d+)m)?(?:(\d+)s)?$$".r
+
+  /** Parse "1d2h30m45s"-style strings (any subset of units, in that order). */
+  def parse(s: String): Granularity = s.trim match {
+    case Pattern(d, h, m, sec) if Seq(d, h, m, sec).exists(_ != null) =>
+      def i(x: String) = if (x == null) 0 else x.toInt
+      Granularity(i(d), i(h), i(m), i(sec))
+    case _ => throw new IllegalArgumentException(s"invalid granularity: '$s'")
+  }
+
+  /** Inverse of totalMinutes, for gap-fill window sizing. */
+  def fromMinutes(m: Long): Granularity = {
+    require(m >= 0)
+    Granularity((m / 1440).toInt, ((m % 1440) / 60).toInt, (m % 60).toInt, 0)
+  }
+}
+
+/** A half-open time window [start, end). All engine predicates use
+  * ts >= start && ts < end — the single place this convention lives
+  * (reference: elasticsearch_counter.py:108-121 gte/lt; audit_counter.py:36-41). */
+final case class TimeWindow(start: ZonedDateTime, end: ZonedDateTime) {
+  def durationMinutes: Long = Duration.between(start, end).toMinutes
+  def day: LocalDate = start.toLocalDate
+  def startInstant: Instant = start.toInstant
+  def endInstant: Instant = end.toInstant
+  def contains(i: Instant): Boolean = !i.isBefore(startInstant) && i.isBefore(endInstant)
+  def overlaps(other: TimeWindow): Boolean =
+    startInstant.isBefore(other.endInstant) && other.startInstant.isBefore(endInstant)
+}
+
+/** Timestamp floor/ceil/round + tumbling-window generation.
+  *
+  * Wall-clock semantics: h/m/s arithmetic is exact duration (a DST-spring-
+  * forward day yields 23 hourly windows, fall-back 25); day arithmetic is
+  * calendar-based. Mirrors the reference's pendulum usage
+  * (reference: time_utils.py:8-217).
+  */
+object TimeUtil {
+
+  /** Floor ts to unit boundary: "1d" | "1h" | "1m" | "1s"
+    * (reference: time_utils.py:8-61). */
+  def floorTo(ts: ZonedDateTime, unit: String): ZonedDateTime = unit match {
+    case "1d" => ts.truncatedTo(ChronoUnit.DAYS)
+    case "1h" => ts.truncatedTo(ChronoUnit.HOURS)
+    case "1m" => ts.truncatedTo(ChronoUnit.MINUTES)
+    case "1s" => ts.truncatedTo(ChronoUnit.SECONDS)
+    case u    => throw new IllegalArgumentException(s"unknown unit: $u")
+  }
+
+  /** Ceil ts to the next unit boundary; identity if already on one
+    * (reference: time_utils.py:64-100). */
+  def ceilTo(ts: ZonedDateTime, unit: String): ZonedDateTime = {
+    val floored = floorTo(ts, unit)
+    if (floored == ts) ts
+    else unit match {
+      case "1d" => floored.plusDays(1)
+      case "1h" => floored.plusHours(1)
+      case "1m" => floored.plusMinutes(1)
+      case "1s" => floored.plusSeconds(1)
+    }
+  }
+
+  /** Round ts to the nearest unit boundary via midpoint
+    * (reference: time_utils.py:103-139). */
+  def roundTo(ts: ZonedDateTime, unit: String): ZonedDateTime = {
+    val lo = floorTo(ts, unit)
+    val hi = ceilTo(ts, unit)
+    if (lo == hi) lo
+    else {
+      val mid = lo.plus(Duration.between(lo, hi).dividedBy(2))
+      if (ts.isBefore(mid)) lo else hi
+    }
+  }
+
+  /** Safe processing boundary: now - back, floored to back's largest unit.
+    * Windows starting after this are "too fresh" to process — the batch
+    * analog of a watermark (reference: time_utils.py:142-175;
+    * main_pipeline_orchestrator.py:210-240). */
+  def safeBoundary(now: ZonedDateTime, back: Granularity): ZonedDateTime = {
+    val shifted = now
+      .minusDays(back.days).minusHours(back.hours)
+      .minusMinutes(back.minutes).minusSeconds(back.seconds)
+    floorTo(shifted, back.largestUnit)
+  }
+
+  /** Tumbling [start, end) windows of duration `gran` from `start` until the
+    * last window whose end <= endLimit. Sub-daily granularities only
+    * (reference: time_utils.py:178-217, rejects 'd' at :191-192). */
+  def generateWindows(start: ZonedDateTime, endLimit: ZonedDateTime,
+                      gran: Granularity): Seq[TimeWindow] = {
+    require(gran.isSubDaily, s"window granularity must be sub-daily h/m/s, got ${gran.render}")
+    val step = Duration.ofSeconds(gran.totalSeconds)
+    val out = Seq.newBuilder[TimeWindow]
+    var cur = start
+    var next = cur.plus(step)
+    while (!next.isAfter(endLimit)) {
+      out += TimeWindow(cur, next)
+      cur = next
+      next = cur.plus(step)
+    }
+    out.result()
+  }
+
+  /** All windows tiling one calendar day `day` in `zone` at `gran`
+    * (reference: state_manager.py:369-413 fresh-start day windows). */
+  def windowsForDay(day: LocalDate, zone: ZoneId, gran: Granularity): Seq[TimeWindow] = {
+    val dayStart = day.atStartOfDay(zone)
+    val dayEnd = day.plusDays(1).atStartOfDay(zone)
+    generateWindows(dayStart, dayEnd, gran)
+  }
+
+  /** Pure interval-continuity check: gaps between sorted [s,e) intervals
+    * within [boundStart, boundEnd) (reference: time_utils.py:233-251). */
+  def findGaps(intervals: Seq[(Instant, Instant)], boundStart: Instant,
+               boundEnd: Instant): Seq[(Instant, Instant)] = {
+    val sorted = intervals.sortBy(_._1)
+    val gaps = Seq.newBuilder[(Instant, Instant)]
+    var cursor = boundStart
+    sorted.foreach { case (s, e) =>
+      if (s.isAfter(cursor)) gaps += ((cursor, s))
+      if (e.isAfter(cursor)) cursor = e
+    }
+    if (boundEnd.isAfter(cursor)) gaps += ((cursor, boundEnd))
+    gaps.result()
+  }
+
+  /** Pure interval-overlap check on sorted intervals: pairs where
+    * next.start < current.end (reference: time_utils.py:253-268). */
+  def findOverlaps(intervals: Seq[(Instant, Instant)]): Seq[((Instant, Instant), (Instant, Instant))] = {
+    val sorted = intervals.sortBy(_._1)
+    sorted.lazyZip(sorted.drop(1)).collect {
+      case (a, b) if b._1.isBefore(a._2) => (a, b)
+    }.toSeq
+  }
+
+  val IsoFormatter: java.time.format.DateTimeFormatter =
+    java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME
+
+  /** ISO-8601 with offset, the ledger-edge serialization
+    * (reference: time_utils.py:271-286). */
+  def toIso(ts: ZonedDateTime): String = ts.format(IsoFormatter)
+
+  /** Source-query timestamp format "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    * (reference: time_utils.py:304-317). */
+  def toSourceFormat(ts: ZonedDateTime): String =
+    ts.withZoneSameInstant(ZoneId.of("UTC"))
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'"))
+}

@@ -1,0 +1,55 @@
+package graft.tools
+
+import graft.config.PipelineConfig
+import graft.connect.{ParquetSource, ParquetStage, ParquetTarget}
+import graft.ledger.Ledger
+import graft.runner.PipelineRunner
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import java.time.{ZoneId, ZonedDateTime}
+
+/** CLI entry: run the batch pipeline over a testdata scale dir.
+  *
+  * Usage: runMain graft.tools.RunPipeline <sfDir> <rootDir> [<isoNow>] [<xTimeBack>]
+  * e.g.   runMain graft.tools.RunPipeline /root/testdata/sf0.001 /tmp/graft_run 2024-01-02T10:30:00Z 2h
+  */
+object RunPipeline {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")
+    val rootDir = args.lift(1).getOrElse("/tmp/graft_run")
+    val isoNow = args.lift(2)
+    val back = args.lift(3).getOrElse("1d")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config(Tables.NanosAsLongConf, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cfg = PipelineConfig.fromMap(Map(
+      "root_dir" -> rootDir, "x_time_back" -> back))
+    val clock: () => ZonedDateTime = isoNow match {
+      case Some(s) => () => ZonedDateTime.parse(s)
+      case None    => () => ZonedDateTime.now(ZoneId.of("UTC"))
+    }
+    val ledger = new Ledger(spark, cfg.ledgerPath)
+    val runner = new PipelineRunner(spark, cfg, ledger,
+      new ParquetSource(spark, cfg, Tables.events(spark, sfDir)),
+      new ParquetStage(spark, cfg),
+      new ParquetTarget(spark, cfg),
+      clock = clock, auditWait = _ => ())
+    val summary = runner.run()
+    println(s"[pipeline] $summary")
+    ledger.readScoped(cfg).toDF()
+      .select("unique_source_id", "source_query_window_start_time",
+        "pipeline_status", "completed_stage_number", "pipeline_retry_count",
+        "source_count", "target_count", "count_match_status")
+      .orderBy("source_query_window_start_time")
+      .show(50, truncate = false)
+    spark.stop()
+  }
+}

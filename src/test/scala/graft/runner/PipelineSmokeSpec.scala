@@ -1,0 +1,100 @@
+package graft.runner
+
+import graft.SparkSpec
+import graft.config.PipelineConfig
+import graft.connect.{ParquetSource, ParquetStage, ParquetTarget}
+import graft.ledger.{DriveRecord, Ledger}
+import java.nio.file.Files
+import java.time.{ZoneId, ZonedDateTime}
+
+/** t1 smoke: one full pipeline run over sf0.001 events, then idempotent
+  * re-run (SURVEY §7.2 minimum end-to-end slice). Events span 2024-01-01 ..
+  * 2024-01-30; the injected clock sits inside that range. */
+class PipelineSmokeSpec extends SparkSpec {
+
+  private def freshCfg(): PipelineConfig = {
+    val root = Files.createTempDirectory("graft_smoke").toString
+    PipelineConfig.fromMap(Map(
+      "root_dir" -> root,
+      "granularity" -> "1h",
+      "x_time_back" -> "2h",
+      "max_pipeline_runs" -> "5"))
+  }
+
+  private val clockNow =
+    ZonedDateTime.of(2024, 1, 2, 10, 30, 0, 0, ZoneId.of("UTC"))
+
+  private def mkRunner(cfg: PipelineConfig): (PipelineRunner, Ledger) = {
+    val ledger = new Ledger(spark, cfg.ledgerPath)
+    val runner = new PipelineRunner(spark, cfg, ledger,
+      new ParquetSource(spark, cfg, graft.sources.Tables.events(spark, "/root/testdata/sf0.001")),
+      new ParquetStage(spark, cfg),
+      new ParquetTarget(spark, cfg),
+      clock = () => clockNow,
+      auditWait = _ => ())
+    (runner, ledger)
+  }
+
+  test("full pipeline run completes windows and audits counts") {
+    val cfg = freshCfg()
+    val (runner, ledger) = mkRunner(cfg)
+    val s = runner.run()
+    // boundary = 08:00 -> 8 hourly windows planned for 2024-01-02, top-5 run
+    assert(s.inserted == 8, s.toString)
+    assert(s.selected == 5)
+    assert(s.succeeded == 5, s.toString)
+    assert(s.failed == 0)
+
+    val rows = ledger.readScoped(cfg).collect()
+    val done = rows.filter(_.pipeline_status == DriveRecord.Status.Completed)
+    assert(done.length == 5)
+    assert(done.forall(_.completed_stage_number == 4))
+    assert(done.forall(_.count_match_status.contains("matched")))
+    // audit invariant: stored source_count equals what the target now holds
+    val tgt = new ParquetTarget(spark, cfg)
+    done.foreach { r =>
+      assert(r.source_count.isDefined && r.source_count == r.target_count)
+    }
+    val totalTarget = tgt.readAll().count()
+    assert(totalTarget == done.map(_.source_count.get).sum)
+  }
+
+  test("re-run is a no-op: probes skip completed work, remaining pending run") {
+    val cfg = freshCfg()
+    val (runner, ledger) = mkRunner(cfg)
+    val s1 = runner.run()
+    assert(s1.succeeded == 5)
+    val s2 = runner.run()
+    // second run: the healer tiles the rest of the day (08:00-24:00 -> 16
+    // windows, held pending behind the boundary, like the reference's
+    // day-end gap fill); eligible = 3 leftovers + the 08:00 window
+    assert(s2.inserted == 16, s2.toString)
+    assert(s2.selected == 4)
+    assert(s2.succeeded == 4)
+    val s3 = runner.run()
+    // third run: day fully tiled -> no inserts; nothing pending behind the
+    // boundary -> nothing selected
+    assert(s3.inserted == 0, s3.toString)
+    assert(s3.selected == 0)
+    val rows = ledger.readScoped(cfg).collect()
+    assert(rows.count(_.pipeline_status == DriveRecord.Status.Completed) == 9)
+  }
+
+  test("backfill heals a deleted ledger row via gap fill") {
+    val cfg = freshCfg()
+    val (runner, ledger) = mkRunner(cfg)
+    runner.run()
+    // remove one mid-day completed window -> a gap appears
+    val victim = ledger.readScoped(cfg).collect()
+      .filter(_.pipeline_status == DriveRecord.Status.Completed)
+      .sortBy(_.source_query_window_start_time.get.getTime).apply(2)
+    ledger.delete(Set(victim.unique_source_id))
+    val planner = new BackfillPlanner(spark, cfg, ledger)
+    val plan = planner.populate(clockNow)
+    assert(plan.inserted >= 1, plan.toString)
+    val healed = ledger.readScoped(cfg).collect()
+      .filter(_.source_query_window_start_time == victim.source_query_window_start_time)
+    assert(healed.length == 1)
+    assert(healed.head.pipeline_status == DriveRecord.Status.Pending)
+  }
+}

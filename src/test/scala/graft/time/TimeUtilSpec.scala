@@ -1,0 +1,109 @@
+package graft.time
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.time.{Instant, LocalDate, ZoneId, ZonedDateTime}
+import scala.util.Random
+
+class TimeUtilSpec extends AnyFunSuite {
+
+  private val utc = ZoneId.of("UTC")
+  private val la = ZoneId.of("America/Los_Angeles")
+  private def z(s: String, zone: ZoneId = utc) =
+    ZonedDateTime.of(java.time.LocalDateTime.parse(s), zone)
+
+  test("granularity parses all unit subsets") {
+    assert(Granularity.parse("1d2h30m45s") == Granularity(1, 2, 30, 45))
+    assert(Granularity.parse("1h") == Granularity(0, 1, 0, 0))
+    assert(Granularity.parse("90m") == Granularity(0, 0, 90, 0))
+    assert(Granularity.parse("1d") == Granularity(1, 0, 0, 0))
+    intercept[IllegalArgumentException](Granularity.parse("xyz"))
+    intercept[IllegalArgumentException](Granularity.parse(""))
+  }
+
+  test("granularity render is inverse of fromMinutes") {
+    assert(Granularity.fromMinutes(150).render == "2h30m")
+    assert(Granularity.fromMinutes(1440).render == "1d")
+    assert(Granularity.fromMinutes(60).render == "1h")
+    val rng = new Random(42)
+    (1 to 200).foreach { _ =>
+      val m = 1 + rng.nextInt(10000)
+      assert(Granularity.parse(Granularity.fromMinutes(m.toLong).render).totalMinutes == m)
+    }
+  }
+
+  test("floor/ceil/round to unit boundaries") {
+    val t = z("2024-03-15T13:47:31")
+    assert(TimeUtil.floorTo(t, "1h") == z("2024-03-15T13:00:00"))
+    assert(TimeUtil.floorTo(t, "1d") == z("2024-03-15T00:00:00"))
+    assert(TimeUtil.ceilTo(t, "1h") == z("2024-03-15T14:00:00"))
+    assert(TimeUtil.ceilTo(z("2024-03-15T13:00:00"), "1h") == z("2024-03-15T13:00:00"))
+    assert(TimeUtil.roundTo(z("2024-03-15T13:29:00"), "1h") == z("2024-03-15T13:00:00"))
+    assert(TimeUtil.roundTo(z("2024-03-15T13:31:00"), "1h") == z("2024-03-15T14:00:00"))
+  }
+
+  test("safe boundary floors at largest unit of x_time_back") {
+    assert(TimeUtil.safeBoundary(z("2024-01-03T10:30:00"), Granularity.parse("1d")) ==
+      z("2024-01-02T00:00:00"))
+    assert(TimeUtil.safeBoundary(z("2024-01-02T10:30:00"), Granularity.parse("2h")) ==
+      z("2024-01-02T08:00:00"))
+    assert(TimeUtil.safeBoundary(z("2024-01-02T10:30:45"), Granularity.parse("30m")) ==
+      z("2024-01-02T10:00:00"))
+  }
+
+  test("tumbling windows tile a normal day exactly") {
+    val ws = TimeUtil.windowsForDay(LocalDate.parse("2024-01-02"), utc, Granularity.parse("1h"))
+    assert(ws.size == 24)
+    assert(ws.head.start == z("2024-01-02T00:00:00"))
+    assert(ws.last.end == z("2024-01-03T00:00:00"))
+    ws.sliding(2).foreach { case Seq(a, b) => assert(a.end == b.start); case _ => }
+  }
+
+  test("DST spring-forward day yields 23 hourly windows, fall-back 25") {
+    // reference semantics: wall-clock stepping (time_utils.py:205-210)
+    val spring = TimeUtil.windowsForDay(LocalDate.parse("2025-03-09"), la, Granularity.parse("1h"))
+    assert(spring.size == 23)
+    val fall = TimeUtil.windowsForDay(LocalDate.parse("2025-11-02"), la, Granularity.parse("1h"))
+    assert(fall.size == 25)
+  }
+
+  test("window generation rejects day-granularities") {
+    intercept[IllegalArgumentException] {
+      TimeUtil.generateWindows(z("2024-01-01T00:00:00"), z("2024-01-05T00:00:00"),
+        Granularity.parse("1d"))
+    }
+  }
+
+  test("gaps and windows tile the bound exactly (property)") {
+    val day = LocalDate.parse("2024-06-01")
+    val dayStart = day.atStartOfDay(utc).toInstant
+    val dayEnd = day.plusDays(1).atStartOfDay(utc).toInstant
+    val rng = new Random(7)
+    (1 to 100).foreach { _ =>
+      val hours = (0 until 24).filter(_ => rng.nextBoolean())
+      val intervals = hours.map { h =>
+        (dayStart.plusSeconds(h * 3600L), dayStart.plusSeconds((h + 1) * 3600L))
+      }
+      val gaps = TimeUtil.findGaps(intervals, dayStart, dayEnd)
+      val total = (intervals ++ gaps).sortBy(_._1)
+      assert(total.headOption.forall(_._1 == dayStart))
+      if (total.nonEmpty) {
+        assert(total.last._2 == dayEnd)
+        total.sliding(2).foreach { case Seq(a, b) => assert(a._2 == b._1); case _ => }
+      }
+    }
+  }
+
+  test("overlap detection finds injected overlaps only") {
+    val base = Instant.parse("2024-01-01T00:00:00Z")
+    def iv(s: Long, e: Long) = (base.plusSeconds(s * 60), base.plusSeconds(e * 60))
+    assert(TimeUtil.findOverlaps(Seq(iv(0, 60), iv(60, 120))).isEmpty)
+    assert(TimeUtil.findOverlaps(Seq(iv(0, 61), iv(60, 120))).size == 1)
+    assert(TimeUtil.findOverlaps(Seq(iv(0, 60), iv(30, 90), iv(80, 120))).size == 2)
+  }
+
+  test("iso + source formats") {
+    val t = ZonedDateTime.of(2024, 1, 2, 3, 4, 5, 0, utc)
+    assert(TimeUtil.toSourceFormat(t) == "2024-01-02T03:04:05Z")
+    assert(TimeUtil.toIso(t) == "2024-01-02T03:04:05Z")
+  }
+}
