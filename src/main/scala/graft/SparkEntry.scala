@@ -1,13 +1,49 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import graft.config.PipelineConfig
+import graft.connect.{ParquetSource, ParquetStage, ParquetTarget}
+import graft.ledger.Ledger
+import graft.queries.{CorpusQueries, RelationalQueries, StarQueries}
+import graft.runner.PipelineRunner
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.time.{ZoneId, ZonedDateTime}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /** Flagship: a full end-to-end pipeline run (the engine's reason to exist)
+    * over sf0.001 into a fresh temp root — plan windows, run the 4 stages,
+    * audit counts — returning the completed ledger rows (driver smoke-checks
+    * rows > 0). */
+  def entry(spark: SparkSession): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_entry").toString
+    val cfg = PipelineConfig.fromMap(Map(
+      "root_dir" -> root, "granularity" -> "1h", "x_time_back" -> "2h"))
+    val clockNow = ZonedDateTime.of(2024, 1, 2, 10, 30, 0, 0, ZoneId.of("UTC"))
+    val ledger = new Ledger(spark, cfg.ledgerPath)
+    val runner = new PipelineRunner(spark, cfg, ledger,
+      new ParquetSource(spark, cfg, Tables.events(spark, "/root/testdata/sf0.001")),
+      new ParquetStage(spark, cfg),
+      new ParquetTarget(spark, cfg),
+      clock = () => clockNow, auditWait = _ => ())
+    runner.run()
+    ledger.readScoped(cfg).toDF()
+      .where(org.apache.spark.sql.functions.col("pipeline_status") === "completed")
+      .select("unique_source_id", "source_query_window_start_time",
+        "completed_stage_number", "source_count", "target_count",
+        "count_match_status")
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ the extended
+    * training-data operators). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.all ++ StarQueries.all ++ CorpusQueries.all
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops (seeded
+    * hash signatures, HLL estimates, heuristic argmax) — driver records a
+    * weaker rows-only check for those; ScalaTest covers their semantics. */
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracles ++ StarQueries.oracles ++ CorpusQueries.oracles
 }

@@ -1,0 +1,188 @@
+package graft.dedup
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for corpus-scale text pipelines.
+  *
+  * Scale design notes (the 100 TB story):
+  * - exact dedup = one hash-groupBy shuffle on the fingerprint;
+  * - MinHash signatures are computed with k min() aggregates in a single
+  *   shuffle (no k-fold row explosion);
+  * - LSH banding turns all-pairs comparison into a groupBy on (band, hash)
+  *   buckets, so only same-bucket docs ever meet;
+  * - n-gram Jaccard materializes only pairs sharing >= 1 shingle (sparse
+  *   join on shingle), never the full cross product;
+  * - SimHash pairs join on 16-bit chunks (pigeonhole: hamming<=3 over 64
+  *   bits => some 16-bit chunk is equal).
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact duplicates by normalized-text fingerprint. Returns
+    * (fingerprint, canonical_id, dup_ids, n) per duplicate group. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        TextFunctions.normalizedFingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min("id").as("canonical_id"),
+        sort_array(collect_list("id")).as("ids"),
+        count(lit(1)).as("n"))
+
+  /** Keep one row per normalized fingerprint (min id wins). */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(TextFunctions.normalizedFingerprint(col(textCol)))
+      .orderBy(col(idCol).asc)
+    docs.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  // -------------------------------------------------------------- shingles
+
+  /** Distinct (id, shingle) pairs of character k-grams. */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(TextFunctions.charShingles(col(textCol), k)).as("shingle"))
+      .distinct()
+
+  // -------------------------------------------------- exact n-gram Jaccard
+
+  /** Exact Jaccard similarity over character k-gram shingle sets for every
+    * pair sharing at least one shingle. Returns (id_a, id_b, jaccard) with
+    * id_a < id_b. Sparse: the only join is on the shingle itself. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, minJaccard: Double): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, k).cache()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---------------------------------------------------------------- minhash
+
+  /** MinHash signatures: one row per doc with k minimum seeded-hash values,
+    * computed as k min() aggregates in a single groupBy (one shuffle, no
+    * row multiplication). */
+  def minHashSignatures(shingles: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(j =>
+      min(xxhash64(col("shingle"), lit(j))).as(s"h$j"))
+    shingles.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: band the signature (bands x rowsPerBand =
+    * numHashes), hash each band, group by (band, hash). Docs sharing any
+    * band bucket become candidates. */
+  def lshCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val banded = signatures
+      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle -> sign -> band -> verify
+    * candidates with exact Jaccard >= threshold. */
+  def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
+                 minJaccard: Double = 0.6): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sh = shingleTable(docs, idCol, textCol, shingleK).cache()
+    val sig = minHashSignatures(sh, numHashes)
+    val cand = lshCandidates(sig, bands, numHashes / bands)
+    // verify: exact jaccard on the candidate pairs only
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingle", "s_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingle", "s_b"), "id_b")
+      .where(col("s_a") === col("s_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash per doc from whitespace tokens: per bit, sum +1/-1 of
+    * each token-hash's bit, take the sign. Expressed as 64 conditional sums
+    * in one aggregation (single shuffle). */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .withColumn("th", xxhash64(col("tok")))
+    val bitAggs = (0 until 64).map { b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val summed = toks.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
+    val sim = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce[Column](_ bitwiseOR _)
+    summed.select(col("id"), sim.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance <= maxHamming (<= 3).
+    * Pigeonhole blocking: hamming<=3 over 4 x 16-bit chunks forces at least
+    * one equal chunk, so candidates join on chunk equality — never all-pairs. */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "chunk blocking assumes hamming <= 3 over 4 chunks")
+    val sh = simHash(docs, idCol, textCol)
+    val chunks = sh.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("ci"),
+          shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("cv"))): _*)).as("c"))
+      .select(col("id"), col("simhash"), col("c.ci").as("ci"), col("c.cv").as("cv"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  // ----------------------------------------------------- embedding near-dup
+
+  /** Cosine similarity of two float-array columns as a codegen'd expression
+    * (zip_with product + aggregate sum — no UDF). */
+  def cosineSim(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact embedding near-dup pairs: cosine >= threshold. Brute-force
+    * all-pairs — correct baseline; use Similarity.lshBuckets for the
+    * large-scale path. */
+  def embeddingDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                        minCosine: Double): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosineSim(col("a.v"), col("b.v")).as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+}

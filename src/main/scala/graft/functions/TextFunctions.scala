@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * stats, quality scoring, language id, fingerprinting. All built from
+  * codegen'd `org.apache.spark.sql.functions` — no UDFs in the hot path, so
+  * every one of these stays inside whole-stage codegen and scales linearly
+  * with input splits.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text; empty string -> empty array. */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: word-chunks + digits + punctuation as separate
+    * tokens (a cheap deterministic proxy for tokenizer budgeting). */
+  def subwordCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** ASCII punctuation characters count / ratio. */
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[\\p{Punct}]", ""))
+
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(punctCount(c).cast("double") / length(c))
+
+  /** Uppercase ratio over letters. */
+  def upperRatio(c: Column): Column = {
+    val letters = length(c) - length(regexp_replace(c, "[A-Za-z]", ""))
+    val uppers = length(c) - length(regexp_replace(c, "[A-Z]", ""))
+    when(letters === 0, lit(0.0)).otherwise(uppers.cast("double") / letters)
+  }
+
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "by", "at", "it", "this", "that", "be")
+
+  /** Fraction of tokens that are (English) stopwords — a standard
+    * quality-signal feature. */
+  def stopwordRatio(c: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val toks = tokens(c)
+    val sw = array(stopwords.map(lit): _*)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(filter(toks, t => array_contains(sw, lower(t)))).cast("double")
+        / size(toks))
+  }
+
+  /** Mean token length. */
+  def meanTokenLength(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(toks))
+  }
+
+  /** Composite [0,1] quality score from length/punct/stopword signals —
+    * the usual "looks like prose" heuristic for corpus filtering. */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / 500.0, lit(1.0))
+    val punctOk = when(punctRatio(c) < 0.2, 1.0).otherwise(0.3)
+    val swOk = when(stopwordRatio(c) > 0.05, 1.0).otherwise(0.5)
+    round(lenScore * 0.4 + punctOk * 0.3 + swOk * 0.3, 4)
+  }
+
+  /** Language marker words (tiny in-code lists; the operator shape — score
+    * per language, argmax — is what matters, lists are swappable). */
+  val LanguageMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "für"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "avec", "pour"),
+    "es" -> Seq("el", "la", "los", "y", "es", "con", "para"))
+
+  /** n-gram/stopword-heuristic language id: argmax of marker hit-counts,
+    * 'und' when no markers hit. Deterministic tie-break on language code. */
+  def langId(c: Column): Column = {
+    val toks = tokens(lower(c))
+    val scored = LanguageMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val m = array(markers.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(m, t))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") <= 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Normalized-text md5 fingerprint: lowercase, collapse whitespace —
+    * exact-dedup key. */
+  def normalizedFingerprint(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** Character k-gram shingles of the text (positions 1..len-k+1). Built
+    * with sequence+transform so it stays codegen'd; explode downstream. */
+  def charShingles(c: Column, k: Int): Column =
+    when(length(c) < k, array(c))
+      .otherwise(transform(sequence(lit(1), length(c) - (k - 1)),
+        i => c.substr(i, lit(k))))
+
+  /** Rolling-hash document fingerprint: min md5 over character k-gram
+    * shingles — a 1-permutation minhash usable as a near-dup prefilter. */
+  def minShingleFingerprint(c: Column, k: Int = 5): Column =
+    array_min(transform(sequence(lit(1), greatest(length(c) - (k - 1), lit(1))),
+      i => md5(c.substr(i, lit(k)))))
+}

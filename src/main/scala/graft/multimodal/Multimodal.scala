@@ -1,0 +1,93 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media travels as opaque `binary` columns with typed metadata, the standard
+  * large-corpus layout (one row per asset, bytes inline below a size cap).
+  * The decode step is STUBBED — this container has no image/audio codecs —
+  * behind `MediaDecoder`; `FakeDecoder` is a deterministic stand-in so the
+  * Spark-side plumbing (schema, batching, partition-level execution, feature
+  * schema) is real and tested. Swap `FakeDecoder` for a JNI/codec-backed
+  * implementation in production; nothing else changes.
+  */
+object Multimodal {
+
+  /** One media asset: bytes + typed metadata. */
+  final case class MediaRow(asset_id: Long, kind: String, media: Array[Byte],
+                           width: Int, height: Int, sample_rate: Int)
+
+  /** Extracted features: fixed-size embedding + scalar stats. */
+  final case class MediaFeatures(asset_id: Long, kind: String, byte_len: Int,
+                                 checksum: Long, features: Array[Float])
+
+  /** Decode/feature-extract contract (the stubbed boundary). */
+  trait MediaDecoder extends Serializable {
+    def features(kind: String, bytes: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** Deterministic fake: rolling-hash histogram of the raw bytes. Stands in
+    * for "decode image -> resize -> embed"; same signature, same batch shape. */
+  object FakeDecoder extends MediaDecoder {
+    def features(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) {
+        h = 31 * h + bytes(i)
+        out(((h % dim).toInt + dim) % dim) += 1.0f
+        i += 1
+      }
+      val n = math.max(bytes.length, 1)
+      var j = 0
+      while (j < dim) { out(j) /= n; j += 1 }
+      out
+    }
+  }
+
+  /** Partition-level feature extraction: one decoder instance per partition,
+    * rows streamed through it (mapPartitions — the right boundary for
+    * per-record imperative decode work; everything before and after stays
+    * declarative DataFrames). */
+  def extractFeatures(media: Dataset[MediaRow], decoder: MediaDecoder,
+                      dim: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val fs = decoder.features(r.kind, r.media, dim)
+        var crc = 0L
+        var i = 0
+        while (i < r.media.length) { crc = crc * 31 + r.media(i); i += 1 }
+        MediaFeatures(r.asset_id, r.kind, r.media.length, crc, fs)
+      }
+    }
+  }
+
+  /** Build a synthetic media table from the documents corpus (text bytes as
+    * the payload) — exercises the binary-column path with real data shapes. */
+  def syntheticMediaFromDocs(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("asset_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("media"),
+        (pmod(col("doc_id"), lit(64)) * 16 + 64).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(48)) * 16 + 64).cast("int").as("height"),
+        when(pmod(col("doc_id"), lit(3)) === 1, 16000).otherwise(0).as("sample_rate"))
+      .as[MediaRow]
+  }
+
+  /** Frame-sample analog: take every nth chunk of the payload (video frame
+    * sampling shape without a codec). */
+  def sampleChunks(media: Dataset[MediaRow], chunkBytes: Int, everyNth: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      r.media.grouped(chunkBytes).zipWithIndex
+        .collect { case (chunk, i) if i % everyNth == 0 => (r.asset_id, i, chunk) }
+    }.toDF("asset_id", "chunk_idx", "chunk")
+  }
+}

@@ -1,0 +1,248 @@
+package graft.queries
+
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators over the documents/embeddings corpora:
+  * text stats, quality scoring, language id, fingerprinting, exact and
+  * near dedup (MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine),
+  * similarity search, multimodal plumbing.
+  *
+  * Oracle notes: similarity outputs emit pair ids / ranks, never floating
+  * similarity values (engines compute cosine at different precisions; the
+  * testdata's margins — near-dup Jaccard >=0.93 vs background <=0.31 —
+  * make the id sets themselves stable). Hash-seeded operators (MinHash,
+  * SimHash, LSH) have no SQL oracle and are covered by ScalaTest instead.
+  */
+object CorpusQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------------------ text
+
+  val tokenStats: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(TextFunctions.tokenCount(col("text"))), 4).as("avg_tokens"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        sum(TextFunctions.tokenCount(col("text"))).as("total_tokens"))
+      .orderBy("source")
+
+  val qualityStats: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(TextFunctions.punctRatio(col("text"))), 6).as("avg_punct_ratio"),
+        round(avg(TextFunctions.stopwordRatio(col("text"))), 6).as("avg_stopword_ratio"),
+        round(avg(length(col("text"))), 4).as("avg_len"))
+      .orderBy("lang")
+
+  /** Language-id heuristic (marker-word argmax) — rows-only check (the
+    * argmax tie-break logic has no clean ANSI-SQL mirror). */
+  val langIdDistribution: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("lang"), TextFunctions.langId(col("text")).as("predicted"))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+
+  /** Document fingerprints: exact-dedup md5 + min-shingle rolling hash
+    * (both md5-based, so DuckDB can mirror them byte-for-byte). */
+  val fingerprints: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("source"),
+        TextFunctions.normalizedFingerprint(col("text")).as("fp_norm"),
+        TextFunctions.minShingleFingerprint(col("text"), 5).as("fp_shingle"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("fp_norm").as("n_distinct_norm"),
+        countDistinct("fp_shingle").as("n_distinct_shingle"))
+      .orderBy("source")
+
+  // ----------------------------------------------------------------- dedup
+
+  val exactDedup: Q = (s, dir) => {
+    val groups = Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+    groups.agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("n") > 1, 1).otherwise(0)).as("n_dup_groups"),
+        sum(col("n") - 1).as("n_redundant_docs"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (sparse shingle join) — oracled:
+    * jaccard is a ratio of ints, so >= threshold is engine-exact. */
+  val ngramJaccardPairs: Q = (s, dir) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        k = 5, minJaccard = 0.6)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .orderBy("doc_a", "doc_b")
+
+  /** MinHash-LSH near-dup pipeline (seeded xxhash64 signatures — no SQL
+    * oracle; ScalaTest asserts it finds exactly the planted near-dup pairs). */
+  val minhashLshPairs: Q = (s, dir) =>
+    Dedup.minHashLsh(Tables.documents(s, dir), "doc_id", "text",
+        shingleK = 5, numHashes = 64, bands = 16, minJaccard = 0.6)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .orderBy("doc_a", "doc_b")
+
+  /** SimHash near-dup pairs (hamming <= 3 via 16-bit chunk blocking). */
+  val simhashPairs: Q = (s, dir) =>
+    Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+
+  /** Embedding cosine near-dup pairs, brute-force baseline — oracled on
+    * pair ids (threshold far from any observed pair). */
+  val embeddingDupPairs: Q = (s, dir) =>
+    Dedup.embeddingDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        minCosine = 0.45)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
+      .orderBy("vec_a", "vec_b")
+
+  // ------------------------------------------------------------ similarity
+
+  /** Exact cosine top-3 for the first 5 vectors — oracled on
+    * (query, neighbor, rank); observed rank margins are >=1e-3. */
+  val knnBruteForce: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5), "vec_id",
+        "embedding", k = 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed ANN (sign random projections, multi-probe) — approximate,
+    * rows-only; ScalaTest measures recall vs brute force. */
+  val annLsh: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.lshTopK(emb, emb.where(col("vec_id") < 5), "vec_id",
+        "embedding", k = 3, nBits = 10)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Approximate distinct (HLL++) — engine-specific estimate, rows-only. */
+  val approxDistinct: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id").as("approx_users"),
+        countDistinct("user_id").as("exact_users"))
+      .orderBy("event_type")
+
+  // ------------------------------------------------------------ multimodal
+
+  /** Multimodal plumbing: synthetic binary media from docs -> partition-level
+    * feature extraction (stubbed decoder) -> per-kind stats. Byte lengths are
+    * oracle-checkable; the feature vectors themselves are covered in
+    * ScalaTest. */
+  val mediaFeatures: Q = (s, dir) => {
+    val media = Multimodal.syntheticMediaFromDocs(s, Tables.documents(s, dir))
+    val feats = Multimodal.extractFeatures(media, Multimodal.FakeDecoder, dim = 64)
+    feats.toDF()
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_assets"),
+        round(avg("byte_len"), 4).as("avg_bytes"),
+        sum("byte_len").as("total_bytes"))
+      .orderBy("kind")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q30_token_stats" -> tokenStats,
+    "q31_quality_stats" -> qualityStats,
+    "q32_langid_distribution" -> langIdDistribution,
+    "q33_fingerprints" -> fingerprints,
+    "q40_exact_dedup" -> exactDedup,
+    "q41_ngram_jaccard_pairs" -> ngramJaccardPairs,
+    "q42_minhash_lsh_pairs" -> minhashLshPairs,
+    "q43_simhash_pairs" -> simhashPairs,
+    "q44_embedding_dup_pairs" -> embeddingDupPairs,
+    "q50_knn_brute_force" -> knnBruteForce,
+    "q51_ann_lsh" -> annLsh,
+    "q52_approx_distinct" -> approxDistinct,
+    "q60_media_features" -> mediaFeatures)
+
+  val oracles: Map[String, String] = Map(
+    "q30_token_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q31_quality_stats" ->
+      """WITH t AS (
+        |  SELECT lang, text,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0 / length(text)
+        |    END AS punct_ratio,
+        |    CASE WHEN len(string_split_regex(trim(text), '\s+')) = 0 THEN 0.0
+        |      ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that','be'], lower(x)))) * 1.0
+        |        / len(string_split_regex(trim(text), '\s+'))
+        |    END AS stopword_ratio
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(punct_ratio), 6) AS avg_punct_ratio,
+        |  round(avg(stopword_ratio), 6) AS avg_stopword_ratio,
+        |  round(avg(length(text)), 4) AS avg_len
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q33_fingerprints" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_norm,
+        |    list_min([md5(substring(text, i, 5))
+        |      FOR i IN generate_series(1, greatest(length(text) - 4, 1))]) AS fp_shingle
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT fp_norm) AS n_distinct_norm,
+        |  count(DISTINCT fp_shingle) AS n_distinct_shingle
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q40_exact_dedup" ->
+      """WITH g AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    count(*) AS n
+        |  FROM documents GROUP BY 1)
+        |SELECT count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+        |  CAST(sum(n - 1) AS BIGINT) AS n_redundant_docs
+        |FROM g""".stripMargin,
+    "q41_ngram_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id AS id, unnest(
+        |    [substring(text, i, 5) FOR i IN generate_series(1, greatest(length(text) - 4, 1))]) AS shingle
+        |  FROM documents),
+        |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.id AS ia, b.id AS ib, count(*) AS n
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT ia AS doc_a, ib AS doc_b
+        |FROM inter JOIN sizes sa ON ia = sa.id JOIN sizes sb ON ib = sb.id
+        |WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.6
+        |ORDER BY 1, 2""".stripMargin,
+    "q44_embedding_dup_pairs" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        |ORDER BY 1, 2""".stripMargin,
+    "q50_knn_brute_force" ->
+      """WITH s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.embedding, c.embedding) AS cs
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 5)
+        |SELECT query_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS INT) AS rank
+        |FROM s QUALIFY rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+    "q60_media_features" ->
+      """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  count(*) AS n_assets,
+        |  round(avg(octet_length(encode(text))), 4) AS avg_bytes,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+}

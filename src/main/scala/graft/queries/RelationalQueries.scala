@@ -1,0 +1,286 @@
+package graft.queries
+
+import graft.functions.Ids
+import graft.ops.IntervalOps
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator suite over the driver testdata — each query is the
+  * data-plane expression of a SURVEY §2 ledger operator (citations inline),
+  * with a DuckDB oracle in `SparkEntry.oracleSql`.
+  *
+  * Conventions for oracle parity: every aggregate/computed column aliased
+  * identically in Spark and SQL; doubles rounded; raw ns event timestamps
+  * never emitted (epoch seconds or truncated buckets instead); every query
+  * deterministically ordered.
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A1/A2-style pricing summary (TPC-H Q1 shape) — grouped aggregation with
+    * count/sum/avg/min/max (reference A1: state_manager.py:205-218). */
+  val pricingSummary: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .where(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** A1 granularity-histogram analog over events: per-type counts with day
+    * extents (reference: state_manager.py:205-218). */
+  val eventHistogram: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min(to_date(col("ts"))).as("min_day"),
+        max(to_date(col("ts"))).as("max_day"),
+        countDistinct(to_date(col("ts"))).as("n_days"))
+      .orderBy(desc("n"), asc("event_type"))
+  }
+
+  /** A3 distinct-day inventory (reference: state_manager.py:683-705). */
+  val distinctDays: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day")).distinct().orderBy("day")
+
+  /** J1 missing-bucket anti-join: continuous expected hour range minus hours
+    * that have 'error' events (reference: state_manager.py:720-769). */
+  val missingDays: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val present = ev.where(col("event_type") === "error")
+      .select(date_trunc("hour", col("ts")).as("h")).distinct()
+    val expected = ev.agg(min(date_trunc("hour", col("ts"))).as("lo"),
+        max(date_trunc("hour", col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+    expected.join(present, Seq("h"), "left_anti")
+      .select(unix_timestamp(col("h")).as("missing_hour_sec"))
+      .orderBy("missing_hour_sec")
+  }
+
+  /** T1 pending top-k scheduler shape: filter + multi-key order + LIMIT —
+    * Catalyst plans TakeOrderedAndProject, a true distributed top-k
+    * (reference: pending_records_selector.py:11-44). */
+  val topkScheduler: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .where(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ts_sec"), round(col("value"), 4).as("value"))
+      .orderBy(asc("ts_sec"), desc("value"), asc("event_id"))
+      .limit(10)
+
+  /** W3 dedup-rank: latest event per user via row_number, keep rank 1
+    * (reference: state_manager.py:937-982). */
+  val latestPerUser: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("ts_sec"))
+      .orderBy("user_id")
+  }
+
+  /** W1 gap detection: per-day silences > 30 min between consecutive events
+    * (reference: state_manager.py:820-884). */
+  val sessionGaps: Q = (s, dir) => {
+    val w = Window.partitionBy(to_date(col("ts"))).orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .withColumn("nxt", lead(col("ts"), 1).over(w))
+      .where(col("nxt").isNotNull &&
+        (unix_timestamp(col("nxt")) - unix_timestamp(col("ts"))) > 1800)
+      .select(to_date(col("ts")).as("day"),
+        unix_timestamp(col("ts")).as("gap_start_sec"),
+        unix_timestamp(col("nxt")).as("gap_end_sec"))
+      .orderBy("gap_start_sec")
+  }
+
+  /** W2 overlap detection: synthesize [ts, ts+value-minutes) intervals per
+    * event and count, per day, rows starting inside earlier cover
+    * (reference: state_manager.py:886-935). */
+  val intervalOverlaps: Q = (s, dir) => {
+    val iv = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("event_id"),
+        col("ts").as("start"),
+        timestamp_seconds(unix_timestamp(col("ts")) +
+          floor(col("value") * 60).cast("long")).as("end"))
+    val w = Window.partitionBy("day").orderBy(col("start").asc, col("event_id").asc)
+    iv.withColumn("prev_cover", max(col("end")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_overlap", col("prev_cover").isNotNull && col("start") < col("prev_cover"))
+      .groupBy("day")
+      .agg(sum(when(col("is_overlap"), 1).otherwise(0)).as("n_overlapping"),
+        count(lit(1)).as("n_events"))
+      .orderBy("day")
+  }
+
+  /** J1-shape anti-join on the star schema: customers with no orders,
+    * counted per market segment. */
+  val customersWithoutOrders: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).where(col("o_orderdate") >= lit("2000-01-01"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** F5/P1-P3 tumbling-window counts with not-null filters: Spark's
+    * window() on a one-week slice (reference windows: time_utils.py:178-217;
+    * filters: elasticsearch_counter.py:106-131). */
+  val hourlyWindowCounts: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .where(col("ts") >= lit("2024-01-08") && col("ts") < lit("2024-01-15") &&
+        col("props").isNotNull)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("wstart_sec"), col("n"), col("sum_value"))
+      .orderBy("wstart_sec")
+
+  /** P6 safe-boundary filter: only events at/before the boundary
+    * (reference: main_pipeline_orchestrator.py:242-300). */
+  val boundaryFilter: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .where(col("ts") <= lit("2024-01-15 00:00:00"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** F10/F11 deterministic composite ids, columnar
+    * (reference: state_manager.py:419-484; hash_id_generation.py:4-7). */
+  val compositeIds: Q = (s, dir) =>
+    Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name"),
+        Ids.compositeMd5Col(Map(
+          "source_name" -> lit("nation"),
+          "source_category" -> col("n_name"))).as("id_md5"),
+        Ids.recordSha256(Seq(col("n_nationkey"), col("n_name"))).as("id_sha"))
+      .orderBy("n_nationkey")
+
+  /** F13 difference-percentage math with its 0/0 and 0/x edge cases,
+    * columnar (reference: audit_manager.py:385-392). */
+  val diffPercentage: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("source_cnt"),
+        sum(when(col("l_linestatus") === "F", 1).otherwise(0)).as("target_cnt"))
+    li.select(col("l_returnflag"), col("source_cnt"), col("target_cnt"),
+        round(when(col("source_cnt") === 0 && col("target_cnt") === 0, 0.0)
+          .when(col("source_cnt") === 0, 100.0)
+          .otherwise((col("target_cnt") - col("source_cnt")).cast("double") /
+            col("source_cnt") * 100.0), 4).as("diff_pct"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q01_pricing_summary" -> pricingSummary,
+    "q02_event_histogram" -> eventHistogram,
+    "q03_distinct_days" -> distinctDays,
+    "q04_missing_days" -> missingDays,
+    "q05_topk_scheduler" -> topkScheduler,
+    "q06_latest_per_user" -> latestPerUser,
+    "q07_session_gaps" -> sessionGaps,
+    "q08_interval_overlaps" -> intervalOverlaps,
+    "q09_customers_without_orders" -> customersWithoutOrders,
+    "q10_hourly_window_counts" -> hourlyWindowCounts,
+    "q11_boundary_filter" -> boundaryFilter,
+    "q12_composite_ids" -> compositeIds,
+    "q13_diff_percentage" -> diffPercentage)
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q02_event_histogram" ->
+      """SELECT event_type, count(*) AS n,
+        |  min(CAST(ts AS DATE)) AS min_day, max(CAST(ts AS DATE)) AS max_day,
+        |  count(DISTINCT CAST(ts AS DATE)) AS n_days
+        |FROM events GROUP BY 1 ORDER BY n DESC, event_type ASC""".stripMargin,
+    "q03_distinct_days" ->
+      "SELECT DISTINCT CAST(ts AS DATE) AS day FROM events ORDER BY day",
+    "q04_missing_days" ->
+      """WITH bounds AS (
+        |  SELECT date_trunc('hour', min(ts)) lo, date_trunc('hour', max(ts)) hi FROM events),
+        |expected AS (SELECT unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP, INTERVAL 1 HOUR)) AS h FROM bounds),
+        |present AS (SELECT DISTINCT date_trunc('hour', ts)::TIMESTAMP AS h FROM events WHERE event_type = 'error')
+        |SELECT CAST(floor(epoch(h)) AS BIGINT) AS missing_hour_sec
+        |FROM expected WHERE h NOT IN (SELECT h FROM present) ORDER BY 1""".stripMargin,
+    "q05_topk_scheduler" ->
+      """SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |  round(value, 4) AS value
+        |FROM events WHERE event_type = 'signup'
+        |ORDER BY ts_sec ASC, value DESC, event_id ASC LIMIT 10""".stripMargin,
+    "q06_latest_per_user" ->
+      """SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    "q07_session_gaps" ->
+      """WITH t AS (
+        |  SELECT CAST(ts AS DATE) AS day, ts, event_id,
+        |    lead(ts) OVER (PARTITION BY CAST(ts AS DATE) ORDER BY ts ASC, event_id ASC) AS nxt
+        |  FROM events)
+        |SELECT day, CAST(floor(epoch(ts)) AS BIGINT) AS gap_start_sec,
+        |  CAST(floor(epoch(nxt)) AS BIGINT) AS gap_end_sec
+        |FROM t WHERE nxt IS NOT NULL
+        |  AND CAST(floor(epoch(nxt)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) > 1800
+        |ORDER BY gap_start_sec""".stripMargin,
+    "q08_interval_overlaps" ->
+      """WITH iv AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_id, ts AS strt,
+        |    ts + to_seconds(CAST(floor(value * 60) AS BIGINT)) AS "end"
+        |  FROM events),
+        |f AS (
+        |  SELECT day, strt,
+        |    max("end") OVER (PARTITION BY day ORDER BY strt ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_cover
+        |  FROM iv)
+        |SELECT day,
+        |  CAST(sum(CASE WHEN prev_cover IS NOT NULL AND strt < prev_cover THEN 1 ELSE 0 END) AS BIGINT) AS n_overlapping,
+        |  count(*) AS n_events
+        |FROM f GROUP BY day ORDER BY day""".stripMargin,
+    "q09_customers_without_orders" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_hourly_window_counts" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS wstart_sec,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |  AND props IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q11_boundary_filter" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_composite_ids" ->
+      """SELECT n_nationkey, n_name,
+        |  md5('source_category:' || n_name || '_source_name:nation') AS id_md5,
+        |  sha256(CAST(n_nationkey AS VARCHAR) || '|' || n_name) AS id_sha
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q13_diff_percentage" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, count(*) AS source_cnt,
+        |    CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS target_cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, source_cnt, target_cnt,
+        |  round(CASE WHEN source_cnt = 0 AND target_cnt = 0 THEN 0.0
+        |    WHEN source_cnt = 0 THEN 100.0
+        |    ELSE (target_cnt - source_cnt) * 1.0 / source_cnt * 100.0 END, 4) AS diff_pct
+        |FROM t ORDER BY 1""".stripMargin)
+}

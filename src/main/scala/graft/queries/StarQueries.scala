@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Star-schema analytics — the "real joins" surface of the engine
+  * (enrichment joins, multi-way star joins, semi/anti joins, top-k over
+  * joins). Dimension sides are explicitly `broadcast()` so the fact table
+  * never shuffles for them — the plan that survives a 100x scale-up.
+  */
+object StarQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Broadcast enrichment join: revenue per part brand. */
+  val revenueByBrand: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy("p_brand")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  /** 5-table star join: revenue per region; all dimensions broadcast, the
+    * only shuffles are the lineitem⋈orders join and the final aggregate. */
+  val revenueByRegion: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name")
+  }
+
+  /** Top-k over a join (TPC-H Q3 shape): 10 highest-revenue urgent orders. */
+  val topRevenueOrders: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .where(col("o_orderpriority") === "1-URGENT")
+      .groupBy("o_orderkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(desc("revenue"), asc("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Left-semi join (EXISTS): orders having any high-quantity line, counted
+    * per priority. */
+  val ordersWithBigLines: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir).where(col("l_quantity") > 45)
+    val o = Tables.orders(s, dir)
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q4 shape: orders with a line shipped >60 days after the order
+    * date, per priority (EXISTS on a derived predicate). */
+  val lateShipments: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val late = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .where(col("l_shipdate") > col("o_orderdate") + expr("interval 60 days"))
+      .select(col("o_orderkey")).distinct()
+    o.join(late, Seq("o_orderkey"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Dimension-chain aggregate: average positive account balance per nation
+    * (customer⋈nation broadcast chain). */
+  val acctbalByNation: Q = (s, dir) => {
+    val c = Tables.customer(s, dir).where(col("c_acctbal") > 0)
+    val n = Tables.nation(s, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(avg("c_acctbal"), 4).as("avg_bal"), count(lit(1)).as("n_cust"))
+      .orderBy("n_name")
+  }
+
+  /** Exact vs approximate distinct: countDistinct suppliers per nation —
+    * the exact side (approx_count_distinct variant kept no-oracle in
+    * CorpusQueries since HLL estimates are engine-specific). */
+  val supplierCountsByNation: Q = (s, dir) => {
+    val sup = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(countDistinct("s_suppkey").as("n_suppliers"),
+        round(sum("s_acctbal"), 2).as("total_bal"))
+      .orderBy("n_name")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q20_revenue_by_brand" -> revenueByBrand,
+    "q21_revenue_by_region" -> revenueByRegion,
+    "q22_top_revenue_orders" -> topRevenueOrders,
+    "q23_orders_with_big_lines" -> ordersWithBigLines,
+    "q24_late_shipments" -> lateShipments,
+    "q25_acctbal_by_nation" -> acctbalByNation,
+    "q26_suppliers_by_nation" -> supplierCountsByNation)
+
+  val oracles: Map[String, String] = Map(
+    "q20_revenue_by_brand" ->
+      """SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_revenue_by_region" ->
+      """SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q22_top_revenue_orders" ->
+      """SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q23_orders_with_big_lines" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q24_late_shipments" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q25_acctbal_by_nation" ->
+      """SELECT n_name, round(avg(c_acctbal), 4) AS avg_bal, count(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q26_suppliers_by_nation" ->
+      """SELECT n_name, count(DISTINCT s_suppkey) AS n_suppliers,
+        |  round(sum(s_acctbal), 2) AS total_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -1,0 +1,85 @@
+package graft.sim
+
+import graft.dedup.Dedup.cosineSim
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  * - `bruteForceTopK`: exact cosine top-k via broadcast of the (small) query
+  *   set against the corpus — one pass, no shuffle of the corpus, rank via
+  *   per-query window top-k. The correctness baseline.
+  * - `lshTopK`: sign-random-projection LSH — corpus and queries hash to
+  *   `nBits`-bit buckets; candidates come only from (multi-probe) matching
+  *   buckets, then exact cosine re-ranks. The 100 TB path: bucket join
+  *   instead of cross product, with deterministic seeded hyperplanes.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector. `queries` should be small
+    * (it is broadcast). Returns (query_id, neighbor_id, cosine, rank). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (bit, dim):
+    * a cheap hash-based N(0,1)-ish value in [-0.5, 0.5) — seeded, stable
+    * across runs, computed columnar. */
+  private def planeComponent(bit: Int, dim: Column, seed: Int): Column =
+    (pmod(xxhash64(lit(seed), lit(bit), dim), lit(100000L)).cast("double") / 100000.0) - 0.5
+
+  /** Sign-random-projection bucket id (nBits bits) for each vector. */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+                 nBits: Int, seed: Int = 42): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val bits = (0 until nBits).map { b =>
+      // dot(v, plane_b) via index-aware aggregate over the vector
+      val dotCol = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x * planeComponent(b, i, seed)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(dotCol >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    df.select(col(idCol).as("id"), v.as("v"),
+      bits.reduce[Column](_ bitwiseOR _).as("bucket"))
+  }
+
+  /** ANN top-k: candidates from equal buckets plus single-bit-flip probes of
+    * the query bucket (multi-probe LSH), re-ranked by exact cosine. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nBits: Int = 12, seed: Int = 42): DataFrame = {
+    val cb = lshBuckets(corpus, idCol, vecCol, nBits, seed)
+      .withColumnRenamed("id", "neighbor_id").withColumnRenamed("v", "cv")
+    val qb = lshBuckets(queries, idCol, vecCol, nBits, seed)
+      .withColumnRenamed("id", "query_id").withColumnRenamed("v", "qv")
+    // multi-probe: the bucket itself + all single-bit flips
+    val probes = qb.select(col("query_id"), col("qv"),
+      explode(array(
+        (col("bucket") +: (0 until nBits).map(b =>
+          col("bucket").bitwiseXOR(shiftleft(lit(1L), b)))): _*)).as("bucket"))
+    val cand = probes.join(cb, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand.select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("qv"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}

@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: compare graft.Verify
+parquet outputs against their DuckDB oracle SQL on the same testdata.
+
+Usage: python3 tools/check_parity.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes: timestamps -> iso strings, floats stay floats
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    import glob
+    names = sorted(d.split("/")[-1] for d in glob.glob(f"{out_dir}/*") if not d.endswith(".json"))
+    n_ok = n_bad = n_rowsonly = 0
+    for name in names:
+        spark_df = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        if name not in oracle:
+            print(f"  {name}: ROWS-ONLY ({len(spark_df)} rows)")
+            n_rowsonly += 1
+            continue
+        try:
+            ora_df = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"✗ {name}: ORACLE SQL ERROR: {e}")
+            n_bad += 1
+            continue
+        a, b = canon(spark_df), canon(ora_df)
+        if list(a.columns) != list(b.columns):
+            print(f"✗ {name}: SCHEMA {list(a.columns)} vs {list(b.columns)}")
+            n_bad += 1
+            continue
+        if len(a) != len(b):
+            print(f"✗ {name}: ROWS {len(a)} vs {len(b)}")
+            n_bad += 1
+            continue
+        if a.equals(b):
+            print(f"✓ {name}: MATCH ({len(a)} rows)")
+            n_ok += 1
+        else:
+            neq = (a != b) & ~(a.isna() & b.isna())
+            bad_cols = [c for c in a.columns if neq[c].any()]
+            print(f"✗ {name}: VALUES differ in {bad_cols}")
+            for c in bad_cols[:3]:
+                i = neq[c].idxmax()
+                print(f"    [{i}] {c}: spark={a[c][i]!r} oracle={b[c][i]!r}")
+            n_bad += 1
+    print(f"\n{n_ok} match, {n_bad} mismatch, {n_rowsonly} rows-only")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
