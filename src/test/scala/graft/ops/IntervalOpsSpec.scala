@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.time.TimeUtil
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import java.time.Instant
+import scala.util.Random
+
+/** Differential tests: the distributed interval operators must agree with
+  * the pure in-memory reference implementations in TimeUtil. */
+class IntervalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val day0 = Instant.parse("2024-03-01T00:00:00Z")
+  private def ts(minutes: Long) = Timestamp.from(day0.plusSeconds(minutes * 60))
+
+  private def ivDf(ivs: Seq[(Long, Long)]) =
+    ivs.zipWithIndex.map { case ((s, e), i) => (i.toLong, "d", ts(s), ts(e)) }
+      .toDF("id", "day", "start", "end")
+
+  test("gaps match pure reference on random interval sets") {
+    val rng = new Random(11)
+    (1 to 20).foreach { _ =>
+      // >=1 interval: the DataFrame operator derives partition keys from
+      // rows, so the all-gap case of an empty day never reaches it
+      val ivs = (0 to rng.nextInt(9)).map { _ =>
+        val s = rng.nextInt(1380)
+        (s.toLong, (s + 10 + rng.nextInt(60)).toLong)
+      }
+      val expected = TimeUtil.findGaps(
+        ivs.map { case (s, e) => (day0.plusSeconds(s * 60), day0.plusSeconds(e * 60)) },
+        day0, day0.plusSeconds(1440 * 60))
+      val got =
+        IntervalOps.gaps(ivDf(ivs), Seq("day"), col("start"), col("end"),
+            lit(ts(0)), lit(ts(1440)))
+          .select("gap_start", "gap_end").as[(Timestamp, Timestamp)]
+          .collect().toSeq.map { case (a, b) => (a.toInstant, b.toInstant) }.sortBy(_._1)
+      assert(got == expected.sortBy(_._1), s"ivs=$ivs")
+    }
+  }
+
+  test("overlap flags match pure reference") {
+    val ivs = Seq((0L, 60L), (30L, 90L), (100L, 160L), (150L, 200L), (400L, 410L))
+    val pure = TimeUtil.findOverlaps(
+      ivs.map { case (s, e) => (day0.plusSeconds(s * 60), day0.plusSeconds(e * 60)) })
+    assert(pure.size == 2)
+    val flagged = IntervalOps.overlaps(ivDf(ivs), Seq("day"), col("start"), col("end"))
+      .select("id").as[Long].collect().toSet
+    // rows 0,1 overlap; rows 2,3 overlap; row 4 clean
+    assert(flagged == Set(0L, 1L, 2L, 3L))
+  }
+
+  test("overlap groups chain transitive overlaps") {
+    val ivs = Seq((0L, 60L), (30L, 90L), (80L, 120L), (200L, 260L))
+    val groups = IntervalOps.overlapGroups(ivDf(ivs), Seq("day"), col("start"), col("end"))
+      .select("id", "overlap_group").as[(Long, Long)].collect().toMap
+    assert(groups(0L) == groups(1L) && groups(1L) == groups(2L))
+    assert(groups(3L) != groups(0L))
+  }
+
+  test("duplicate priority keeps exactly one winner per overlap chain") {
+    val df = Seq(
+      // chain A: ids 0,1 overlap; 1 is completed -> wins despite older update
+      (0L, "d", ts(0), ts(60), 0, ts(500), ts(400), ts(100)),
+      (1L, "d", ts(30), ts(90), 1, ts(450), ts(300), ts(200)),
+      // chain B: ids 2,3; equal status, later lastUpdated wins
+      (2L, "d", ts(200), ts(260), 0, ts(600), ts(100), ts(100)),
+      (3L, "d", ts(210), ts(270), 0, ts(700), ts(100), ts(100))
+    ).toDF("id", "day", "start", "end", "completed", "updated", "pstart", "inserted")
+    val ranked = IntervalOps.duplicatePriority(df, Seq("day"), col("start"), col("end"),
+      col("completed"), col("updated"), col("pstart"), col("inserted"), col("id"))
+    val winners = ranked.where(col("keep_rank") === 1).select("id").as[Long].collect().toSet
+    assert(winners == Set(1L, 3L))
+  }
+}

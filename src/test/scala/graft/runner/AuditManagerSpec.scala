@@ -1,0 +1,87 @@
+package graft.runner
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Decision-table tests for the adaptive audit retry
+  * (reference: pipeline_logic/core/audit_manager.py:123-383). */
+class AuditManagerSpec extends AnyFunSuite {
+
+  test("base retry attempts scale with initial diff percentage") {
+    assert(AuditManager.baseRetryAttempts(3.0) == 2)
+    assert(AuditManager.baseRetryAttempts(10.0) == 3)
+    assert(AuditManager.baseRetryAttempts(20.0) == 4)
+    assert(AuditManager.baseRetryAttempts(40.0) == 5)
+    assert(AuditManager.baseRetryAttempts(80.0) == 6)
+    assert(AuditManager.baseRetryAttempts(-10.0) == 3) // abs
+  }
+
+  test("adaptive budget scales with improvement rate") {
+    assert(AuditManager.adaptiveBudget(3, 150.0) == ((6, 1.5)))
+    assert(AuditManager.adaptiveBudget(3, 60.0) == ((4, 1.3)))
+    assert(AuditManager.adaptiveBudget(3, 20.0) == ((3, 1.2)))
+    assert(AuditManager.adaptiveBudget(3, 1.0) == ((3, 1.0)))
+  }
+
+  test("dynamic wait grows 10% per attempt and caps at 180s") {
+    assert(AuditManager.dynamicWaitSeconds(2, 1.0) == 60)
+    assert(AuditManager.dynamicWaitSeconds(3, 1.0) == 66)
+    assert(AuditManager.dynamicWaitSeconds(10, 1.5) == 162)
+    assert(AuditManager.dynamicWaitSeconds(20, 1.5) == 180)
+  }
+
+  test("within tolerance matches immediately with no waits") {
+    var waits = 0
+    val out = AuditManager.run(1000, 1.0, adaptiveEnabled = true,
+      recount = () => 995, wait = _ => waits += 1)
+    assert(out == AuditManager.Matched(995, -0.5, 0))
+    assert(waits == 0)
+  }
+
+  test("disabled adaptive retry mismatches immediately") {
+    val out = AuditManager.run(1000, 1.0, adaptiveEnabled = false,
+      recount = () => 500, wait = _ => fail("no waits expected"))
+    assert(out == AuditManager.Mismatched(500, -50.0, 0))
+  }
+
+  test("eventually-consistent target converges within the retry budget") {
+    // target count climbs 200 per recount: 400, 600, 800, 1000...
+    var count = 200
+    val out = AuditManager.run(1000, 1.0, adaptiveEnabled = true,
+      recount = () => { count += 200; count }, wait = _ => ())
+    assert(out.matched)
+    assert(out.asInstanceOf[AuditManager.Matched].targetCount == 1000)
+  }
+
+  test("no improvement after phase 1 resets without adaptive loop") {
+    val out = AuditManager.run(1000, 1.0, adaptiveEnabled = true,
+      recount = () => 500, wait = _ => ())
+    assert(!out.matched)
+    assert(out.asInstanceOf[AuditManager.Mismatched].retriesUsed == 1)
+  }
+
+  test("two consecutive non-improving rounds stop the adaptive loop") {
+    // improves once (600 -> 700) then plateaus
+    val seq = Iterator(600, 700, 700, 700, 700, 700, 700, 700, 700)
+    val out = AuditManager.run(1000, 1.0, adaptiveEnabled = true,
+      recount = () => seq.next(), wait = _ => ())
+    assert(!out.matched)
+  }
+
+  test("difference percentage edge cases") {
+    assert(Estimation.differencePercentage(0, 0) == 0.0)
+    assert(Estimation.differencePercentage(0, 5) == 100.0)
+    assert(Estimation.differencePercentage(100, 90) == -10.0)
+  }
+
+  test("duration estimation floors at base and applies skew") {
+    val cfg = graft.config.PipelineConfig.default("/tmp/x")
+    // below design point -> base minutes, skew still applied (reference
+    // applies the skew multiplier after the base floor decision:
+    // source_discovery_manager.py:216-232)
+    val small = Estimation.estimate(cfg, 1000)
+    assert(small == Estimation.DurationEstimates(15, 7, 3))
+    // 4x design point: linear 40*1.5=60, power .6: 5*4^.6*1.5=17.2->17, sqrt: 2*2*1.5=6
+    val big = Estimation.estimate(cfg, 400000)
+    assert(big == Estimation.DurationEstimates(60, 17, 6))
+  }
+}
