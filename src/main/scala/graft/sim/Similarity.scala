@@ -35,23 +35,26 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (bit, dim):
-    * a cheap hash-based N(0,1)-ish value in [-0.5, 0.5) — seeded, stable
-    * across runs, computed columnar. */
-  private def planeComponent(bit: Int, dim: Column, seed: Int): Column =
-    (pmod(xxhash64(lit(seed), lit(bit), dim), lit(100000L)).cast("double") / 100000.0) - 0.5
+  /** Deterministic gaussian hyperplanes for (table seed, bit): materialized
+    * as literal array columns so the per-row work is one codegen'd dot
+    * product per bit (java.util.Random's LCG is spec-fixed, so planes are
+    * stable across JVMs/runs). */
+  private def planes(nBits: Int, dim: Int, seed: Int): Seq[Column] = {
+    val rng = new java.util.Random(seed)
+    (0 until nBits).map { _ =>
+      array((0 until dim).map(_ => lit(rng.nextGaussian())): _*)
+    }
+  }
 
-  /** Sign-random-projection bucket id (nBits bits) for each vector. */
+  /** Sign-random-projection bucket id (nBits bits) for each vector. `dim`
+    * is the embedding dimensionality (planes are driver-side literals). */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
-                 nBits: Int, seed: Int = 42): DataFrame = {
+                 nBits: Int, seed: Int = 42, dim: Int = 64): DataFrame = {
     val v = col(vecCol).cast("array<double>")
-    val bits = (0 until nBits).map { b =>
-      // dot(v, plane_b) via index-aware aggregate over the vector
-      val dotCol = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * planeComponent(b, i, seed)),
-        lit(0.0d), (acc, x) => acc + x)
-      when(dotCol >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    val ps = planes(nBits, dim, seed)
+    val bits = ps.zipWithIndex.map { case (p, b) =>
+      when(graft.functions.VectorFunctions.dotProduct(v, p) >= 0,
+        shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
     df.select(col(idCol).as("id"), v.as("v"),
       bits.reduce[Column](_ bitwiseOR _).as("bucket"))

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface of the engine.
+  *
+  * The reference is a scheduled micro-batch system that hand-implements the
+  * streaming concepts (SURVEY §2.9): tumbling windows
+  * (time_utils.py:178-217), a lateness bound (`x_time_back`,
+  * main_pipeline_orchestrator.py:210-240), idempotent replay via
+  * deterministic paths, and hourly triggers. This module is the idiomatic
+  * Spark home for the same semantics: file-source streams, watermarks,
+  * windowed aggregation, checkpointed exactly-once sinks, and
+  * Trigger.AvailableNow as the "process the backlog then stop" analog of a
+  * scheduled batch run.
+  */
+object StreamingPipeline {
+
+  /** File-source stream over a parquet events directory. Schema must be
+    * supplied (streaming reads cannot infer); pass the batch table's schema. */
+  def eventsStream(spark: SparkSession, path: String, schema: StructType,
+                   tsCol: String = "ts"): DataFrame = {
+    val raw = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 4)
+      .parquet(path)
+    // ns-long shim, mirroring Tables.events for the batch side
+    if (raw.schema(tsCol).dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
+    else raw
+  }
+
+  /** Tumbling-window counts with a watermark — the streaming form of the
+    * engine's window planner + safe-boundary filter (reference:
+    * time_utils.py:178-217 + main_pipeline_orchestrator.py:242-300). */
+  def windowedCounts(events: DataFrame, tsCol: String, windowLength: String,
+                     watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Drain the whole backlog (AvailableNow) into an in-memory table and
+    * return its final content — the "scheduled run over accumulated data"
+    * shape. Complete mode: window counts are small (O(windows x types)). */
+  def runAvailableNowToMemory(spark: SparkSession, agg: DataFrame,
+                              tableName: String): DataFrame = {
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(tableName)
+  }
+
+  /** Exactly-once idempotent sink: per-batch overwrite into deterministic
+    * window=<key> partition dirs — the streaming twin of the batch target
+    * store's replay contract (reference: stage/ingestion_engine.py:62-99
+    * deterministic paths; target_cleaner.py range delete). */
+  def toWindowPartitionedSink(agg: DataFrame, targetPath: String,
+                              checkpointPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .withColumn("window", date_format(col("window_start"), "yyyy-MM-dd'T'HH-mm"))
+          .write.mode("overwrite")
+          .partitionBy("window")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(targetPath)
+      }
+}

@@ -1,0 +1,32 @@
+package graft.tools
+
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+
+/** Print the formatted physical plan of one or more SparkEntry queries —
+  * the feedback loop for pushdown/broadcast/codegen checks.
+  *
+  * Usage: runMain graft.tools.ExplainQuery <sfDir> <queryName> [<queryName>...]
+  *        runMain graft.tools.ExplainQuery <sfDir> all
+  */
+object ExplainQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names =
+      if (args.drop(1).toSeq == Seq("all")) graft.SparkEntry.queries.keys.toSeq.sorted
+      else args.drop(1).toSeq
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config(Tables.NanosAsLongConf, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

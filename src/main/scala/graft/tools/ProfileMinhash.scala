@@ -1,0 +1,61 @@
+package graft.tools
+
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage-by-stage timing of the MinHash-LSH pipeline at a given sf. */
+object ProfileMinhash {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config(Tables.NanosAsLongConf, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[prof] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+      r
+    }
+    val docs = Tables.documents(spark, sfDir).cache()
+    docs.count()
+    val sh = t("shingleTable+cache") {
+      val s = Dedup.shingleTable(docs, "doc_id", "text", 5).cache()
+      println(s"  shingle rows: ${s.count()}")
+      s
+    }
+    val raw = docs.select(col("doc_id").as("id"),
+      explode(TextFunctions.charShingles(col("text"), 5)).as("shingle"))
+    val sig = t("signatures") {
+      val s = Dedup.minHashSignatures(raw, 64).cache()
+      println(s"  docs signed: ${s.count()}")
+      s
+    }
+    val cand = t("lshCandidates") {
+      val c = Dedup.lshCandidates(sig, 16, 4).cache()
+      println(s"  candidates: ${c.count()}")
+      c
+    }
+    t("verify-jaccard") {
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+      val inter = cand
+        .join(sh.withColumnRenamed("id", "id_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b"), Seq("id_b", "shingle"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      val out = inter
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .where(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")) >= 0.6)
+      println(s"  verified pairs: ${out.count()}")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> Expression bridge. In Spark 4 the expression-backed Column
+  * constructors are `private[sql]`; this object lives under
+  * org.apache.spark.sql to re-expose the two conversions the engine's
+  * custom codegen expressions need (public Spark API offers no alternative
+  * for attaching a custom Catalyst Expression to a Column). */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

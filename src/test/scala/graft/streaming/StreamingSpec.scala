@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** File-stream sources need a directory; stage the single-file table. */
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      d.resolve("events_part0.parquet"))
+    d.toString
+  }
+
+  test("availableNow windowed stream agrees with the batch aggregation") {
+    val batchEvents = Tables.events(spark, dir)
+    // stream source needs the on-disk schema (ns-long ts before the shim)
+    val diskSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = StreamingPipeline.eventsStream(spark, streamDir, diskSchema)
+    val agg = StreamingPipeline.windowedCounts(stream, "ts", "1 hour", "1 day")
+    val streamed = StreamingPipeline
+      .runAvailableNowToMemory(spark, agg, "stream_counts_test")
+      .select(col("window_start"), col("event_type"), col("n"))
+
+    val expected = batchEvents
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty)
+  }
+
+  test("window-partitioned streaming sink writes deterministic partitions") {
+    val root = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val diskSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = StreamingPipeline.eventsStream(spark, streamDir, diskSchema)
+    val agg = StreamingPipeline.windowedCounts(stream, "ts", "6 hours", "1 day")
+    val q = StreamingPipeline.toWindowPartitionedSink(agg, s"$root/target", s"$root/ckpt").start()
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$root/target")
+    assert(out.count() > 0)
+    // partition dirs follow the deterministic window=<key> layout
+    val parts = out.select("window").distinct().collect().map(_.getString(0))
+    assert(parts.forall(_.matches("""\d{4}-\d{2}-\d{2}T\d{2}-\d{2}""")))
+    // windowed sums equal batch-side sums
+    val batchN = Tables.events(spark, dir).count()
+    val streamN = out.agg(sum("n")).collect()(0).getLong(0)
+    assert(streamN == batchN)
+  }
+}
