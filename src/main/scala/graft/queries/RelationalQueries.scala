@@ -178,7 +178,36 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  /** F1-F3 timestamp floor/ceil/round, columnar (reference:
+    * time_utils.py:8-139). Ceil = floor(ts - 1us) + 1h on the already-
+    * floored check; round via the half-hour midpoint. */
+  val timeRounding: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .where(col("event_id") < 200)
+      .select(col("event_id"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("floor_h_sec"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("floor_d_sec"),
+        (unix_timestamp(date_trunc("hour", col("ts"))) +
+          when(col("ts") > date_trunc("hour", col("ts")), 3600).otherwise(0)).as("ceil_h_sec"),
+        (unix_timestamp(date_trunc("hour", col("ts"))) +
+          when(col("ts") >= date_trunc("hour", col("ts")) + expr("interval 30 minutes"), 3600)
+            .otherwise(0)).as("round_h_sec"))
+      .orderBy("event_id")
+
+  /** F5 tumbling-window generation as a columnar sequence+explode — the
+    * planner's window list derived in one expression (reference:
+    * time_utils.py:178-217). */
+  val generatedWindows: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .agg(min(date_trunc("day", col("ts"))).as("lo"), max(col("ts")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 6 hours"))).as("wstart"))
+      .select(unix_timestamp(col("wstart")).as("wstart_sec"),
+        (unix_timestamp(col("wstart")) + 21600).as("wend_sec"))
+      .orderBy("wstart_sec")
+
   val all: Map[String, Q] = Map(
+    "q14_time_rounding" -> timeRounding,
+    "q15_generated_windows" -> generatedWindows,
     "q01_pricing_summary" -> pricingSummary,
     "q02_event_histogram" -> eventHistogram,
     "q03_distinct_days" -> distinctDays,
@@ -194,6 +223,22 @@ object RelationalQueries {
     "q13_diff_percentage" -> diffPercentage)
 
   val oracles: Map[String, String] = Map(
+    "q14_time_rounding" ->
+      """SELECT event_id,
+        |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS floor_h_sec,
+        |  CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS floor_d_sec,
+        |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+        |    + (CASE WHEN ts > date_trunc('hour', ts) THEN 3600 ELSE 0 END) AS ceil_h_sec,
+        |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+        |    + (CASE WHEN ts >= date_trunc('hour', ts) + INTERVAL 30 MINUTE THEN 3600 ELSE 0 END) AS round_h_sec
+        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
+    "q15_generated_windows" ->
+      """WITH bounds AS (
+        |  SELECT date_trunc('day', min(ts))::TIMESTAMP AS lo, max(ts)::TIMESTAMP AS hi FROM events)
+        |SELECT CAST(floor(epoch(w)) AS BIGINT) AS wstart_sec,
+        |  CAST(floor(epoch(w)) AS BIGINT) + 21600 AS wend_sec
+        |FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS w FROM bounds)
+        |ORDER BY wstart_sec""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

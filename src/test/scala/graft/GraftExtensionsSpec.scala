@@ -1,0 +1,46 @@
+package graft
+
+import graft.functions.{CosineSimilarity, DotProduct}
+import graft.sources.Tables
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("custom expressions are callable from SQL after registration") {
+    ColumnBridge.registerFunction(spark, "cosine_similarity",
+      args => CosineSimilarity(args(0), args(1)))
+    ColumnBridge.registerFunction(spark, "dot_product",
+      args => DotProduct(args(0), args(1)))
+    Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .createOrReplaceTempView("emb_ext_test")
+    val self = spark.sql(
+      "SELECT cosine_similarity(v, v) c, dot_product(v, v) d FROM emb_ext_test LIMIT 5")
+      .as[(Double, Double)].collect()
+    assert(self.forall { case (c, d) => math.abs(c - 1.0) < 1e-12 && d > 0 })
+  }
+
+  test("sql cosine matches the Column-API cosine on pairs") {
+    ColumnBridge.registerFunction(spark, "cosine_similarity",
+      args => CosineSimilarity(args(0), args(1)))
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .where("vec_id < 30")
+    emb.createOrReplaceTempView("emb_pairs_test")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id ia, b.vec_id ib, cosine_similarity(a.v, b.v) c
+        |FROM emb_pairs_test a JOIN emb_pairs_test b ON a.vec_id < b.vec_id""".stripMargin)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val viaCol = emb.as("a").join(emb.as("b"),
+        org.apache.spark.sql.functions.col("a.vec_id") < org.apache.spark.sql.functions.col("b.vec_id"))
+      .select(org.apache.spark.sql.functions.col("a.vec_id"),
+        org.apache.spark.sql.functions.col("b.vec_id"),
+        graft.functions.VectorFunctions.cosineSimilarity(
+          org.apache.spark.sql.functions.col("a.v"),
+          org.apache.spark.sql.functions.col("b.v")).as("c"))
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(viaSql.keySet == viaCol.keySet)
+    viaSql.foreach { case (k, v) => assert(math.abs(v - viaCol(k)) < 1e-12) }
+  }
+}
