@@ -148,14 +148,18 @@ object Dedup {
       .where(estCols >= lit(sigMargin * numHashes))
       .select("id_a", "id_b")
 
-    // verify: exact jaccard on the surviving pairs only. The second join is
-    // an equi-join on (id_b, shingle) so only true intersections materialize
+    // verify: exact jaccard on the surviving pairs only, over a shingle
+    // table semi-join-pruned to candidate docs (at scale the verification
+    // must never rescan the full corpus' shingles). The second join is an
+    // equi-join on (id_b, shingle) so only true intersections materialize
     // — joining on id_b alone and filtering shingle equality afterwards
     // would cross every candidate shingle with every id_b shingle.
+    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val shCand = sh.join(candIds, Seq("id"), "left_semi")
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = cand
-      .join(sh.withColumnRenamed("id", "id_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b"), Seq("id_b", "shingle"))
+      .join(shCand.withColumnRenamed("id", "id_a"), "id_a")
+      .join(shCand.withColumnRenamed("id", "id_b"), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")

@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation utilities for large joins/aggregations.
+  *
+  * AQE's skew-join handling covers sort-merge joins at runtime; explicit
+  * salting remains the tool when a hot key would still overwhelm one task
+  * (e.g., a power-law user id in a 100 TB events join). Semantics: the
+  * skewed (large) side gets a random salt in [0, n); the dimension side is
+  * replicated n times; joining on (key, salt) spreads each hot key across
+  * n tasks.
+  */
+object SkewTools {
+
+  /** Salted inner equi-join: `big` (skewed) x `small` (replicated n times).
+    * Result columns = big's columns ++ small's non-key columns. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0)
+    val salted = big.withColumn("__salt",
+      (rand(seed = 7) * saltBuckets).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase (salted partial + final) aggregation for skewed group keys:
+    * aggregate on (key, salt) first, then merge the partials per key.
+    * `partialAggs` and `mergeAggs` must be algebraically compatible
+    * (e.g., count -> sum of counts, sum -> sum of sums). */
+  def saltedCount(df: DataFrame, key: String, saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0)
+    df.withColumn("__salt", (rand(seed = 7) * saltBuckets).cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum("__partial").as("n"))
+  }
+}

@@ -1,0 +1,28 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SkewToolsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals plain join on skewed data") {
+    // hot key: 90% of rows share key 1
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) i else 1, s"v$i")).toDF("k", "payload")
+    val small = Seq((1, "dim1"), (10, "dim10"), (20, "dim20")).toDF("k", "dim")
+    val plain = big.join(small, "k").select("k", "payload", "dim")
+      .as[(Int, String, String)].collect().toSet
+    val salted = SkewTools.saltedJoin(big, small, "k", saltBuckets = 8)
+      .select("k", "payload", "dim")
+      .as[(Int, String, String)].collect().toSet
+    assert(salted == plain)
+    assert(plain.count(_._1 == 1) == 1800)
+  }
+
+  test("salted count equals plain count") {
+    val df = (1 to 5000).map(i => if (i % 100 == 0) i else 42).toDF("k")
+    val plain = df.groupBy("k").count().as[(Int, Long)].collect().toMap
+    val salted = SkewTools.saltedCount(df, "k", 16).as[(Int, Long)].collect().toMap
+    assert(salted == plain)
+  }
+}
