@@ -205,9 +205,26 @@ object RelationalQueries {
         (unix_timestamp(col("wstart")) + 21600).as("wend_sec"))
       .orderBy("wstart_sec")
 
+  /** Inactivity-gap sessionization (gaps-and-islands): 30-min gap splits a
+    * user's events into sessions — batch twin of the stateful streaming
+    * operator (streaming.Sessionize; differential-tested there). */
+  val sessionization: Q = (s, dir) => {
+    import graft.streaming.Sessionize
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("value")).as[Sessionize.Event]
+    Sessionize.sessionsBatch(s, ev, gapSeconds = 1800).toDF()
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"),
+        col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+      .orderBy("user_id", "start_us")
+  }
+
   val all: Map[String, Q] = Map(
     "q14_time_rounding" -> timeRounding,
     "q15_generated_windows" -> generatedWindows,
+    "q16_sessionization" -> sessionization,
     "q01_pricing_summary" -> pricingSummary,
     "q02_event_histogram" -> eventHistogram,
     "q03_distinct_days" -> distinctDays,
@@ -232,6 +249,27 @@ object RelationalQueries {
         |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
         |    + (CASE WHEN ts >= date_trunc('hour', ts) + INTERVAL 30 MINUTE THEN 3600 ELSE 0 END) AS round_h_sec
         |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
+    "q16_sessionization" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN prev IS NULL
+        |      OR epoch_us(ts::TIMESTAMP) - epoch_us(prev::TIMESTAMP) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM t),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id,
+        |  epoch_us(min(ts)::TIMESTAMP) AS start_us,
+        |  epoch_us(max(ts)::TIMESTAMP) AS end_us,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, start_us""".stripMargin,
     "q15_generated_windows" ->
       """WITH bounds AS (
         |  SELECT date_trunc('day', min(ts))::TIMESTAMP AS lo, max(ts)::TIMESTAMP AS hi FROM events)

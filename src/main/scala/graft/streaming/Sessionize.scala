@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import java.sql.Timestamp
+
+/** Custom stateful streaming: inactivity-gap sessionization per user via
+  * flatMapGroupsWithState — the Structured Streaming analog of the
+  * reference's per-window state machine (pending → in_progress → completed,
+  * SURVEY §2.9 "stateful progress tracking"). A session closes when its
+  * user is silent for `gapSeconds`; closed sessions are emitted with their
+  * event count, value sum, and bounds.
+  */
+object Sessionize {
+
+  final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  /** start/lastSeen in epoch MICROseconds — Timestamp.getTime alone would
+    * truncate to ms and drift session bounds off the batch twin's values. */
+  final case class SessionState(start: Long, lastSeen: Long, n: Long, sum: Double)
+  final case class Session(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Long, sum_value: Double)
+
+  def toMicros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+  def fromMicros(us: Long): Timestamp = {
+    val ts = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    ts.setNanos(((us % 1000000L) * 1000L).toInt)
+    ts
+  }
+
+  /** Pure transition: fold new events into the open session, emitting any
+    * sessions closed by the inactivity gap. Exposed for direct unit tests. */
+  def transition(state: Option[SessionState], events: Seq[Event],
+                 gapSeconds: Long): (Option[SessionState], Seq[Session]) = {
+    val sorted = events.sortBy(e => toMicros(e.ts))
+    var cur = state
+    val closed = Seq.newBuilder[(Long, SessionState)]
+    sorted.foreach { e =>
+      val t = toMicros(e.ts)
+      cur match {
+        case Some(s) if t - s.lastSeen <= gapSeconds * 1000000L =>
+          cur = Some(s.copy(lastSeen = t, n = s.n + 1, sum = s.sum + e.value))
+        case Some(s) =>
+          closed += ((e.user_id, s))
+          cur = Some(SessionState(t, t, 1, e.value))
+        case None =>
+          cur = Some(SessionState(t, t, 1, e.value))
+      }
+    }
+    val out = closed.result().map { case (uid, s) =>
+      Session(uid, fromMicros(s.start), fromMicros(s.lastSeen), s.n, s.sum)
+    }
+    (cur, out)
+  }
+
+  /** Streaming wiring: group by user, keep one open session per user in
+    * state, time out idle users to flush their last session. */
+  def sessions(events: Dataset[Event], gapSeconds: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", s"$gapSeconds seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(uid, fromMicros(s.start),
+              fromMicros(s.lastSeen), s.n, s.sum))
+          } else {
+            val (next, closed) = transition(state.getOption, it.toSeq, gapSeconds)
+            next match {
+              case Some(s) =>
+                state.update(s)
+                // timeout API is ms-granular; round the gap deadline up
+                state.setTimeoutTimestamp(s.lastSeen / 1000 + gapSeconds * 1000 + 1)
+              case None => state.remove()
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** Batch twin of the same sessionization (lag + cumulative session ids) —
+    * used as the differential oracle for the streaming path. */
+  def sessionsBatch(spark: SparkSession, events: Dataset[Event],
+                    gapSeconds: Long): Dataset[Session] = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    // microsecond gap arithmetic, matching the streaming state's precision
+    // (unix_timestamp would truncate to seconds and split boundary gaps
+    // differently)
+    events.toDF()
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev"))) > gapSeconds * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .as[Session]
+  }
+}

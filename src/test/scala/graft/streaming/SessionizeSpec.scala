@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sources.Tables
+import graft.streaming.Sessionize.{Event, Session, SessionState}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(uid: Long, sec: Long, v: Double = 1.0) =
+    Event(uid, new Timestamp(sec * 1000), v)
+
+  test("pure transition closes sessions at the inactivity gap") {
+    val (open, closed) = Sessionize.transition(None,
+      Seq(ev(1, 0), ev(1, 100), ev(1, 5000), ev(1, 5100)), gapSeconds = 600)
+    assert(closed.size == 1)
+    assert(closed.head.n_events == 2)
+    assert(closed.head.session_start.getTime == 0)
+    assert(closed.head.session_end.getTime == 100 * 1000)
+    assert(open.contains(SessionState(5000L * 1000000, 5100L * 1000000, 2, 2.0)))
+  }
+
+  test("streaming sessionization matches the batch twin on real events") {
+    val gap = 1800L
+    val batchEvents = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("ts"), col("value")).as[Event]
+    val expected = Sessionize.sessionsBatch(spark, batchEvents, gap)
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, Timestamp, Long)].collect().toSet
+
+    // drive the streaming path over the same data (availableNow, file source)
+    val d = java.nio.file.Files.createTempDirectory("graft_sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      d.resolve("part0.parquet"))
+    val diskSchema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
+    val stream = StreamingPipeline.eventsStream(spark, d.toString, diskSchema)
+      .select(col("user_id"), col("ts"), col("value")).as[Event]
+    val q = Sessionize.sessions(stream, gap).writeStream
+      .format("memory").queryName("sessions_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("sessions_test")
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, Timestamp, Long)].collect().toSet
+
+    // the stream flushes sessions closed by successor events; the final
+    // still-open session per user is flushed only by the event-time timeout,
+    // which AvailableNow's last batch may not fire -> streamed is a subset
+    // that must agree exactly on every session it emitted
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(expected),
+      s"streaming emitted sessions absent from batch: ${streamed -- expected}")
+    // and it must have emitted every session that was closed by a successor
+    // (i.e. all but at most one trailing session per user)
+    val byUser = expected.groupBy(_._1)
+    val lastPerUser = byUser.view.mapValues(_.maxBy(_._2.getTime)).values.toSet
+    assert((expected -- lastPerUser).subsetOf(streamed))
+  }
+}
