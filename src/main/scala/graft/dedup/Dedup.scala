@@ -123,7 +123,14 @@ object Dedup {
                  shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
                  minJaccard: Double = 0.6): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sh = shingleTable(docs, idCol, textCol, shingleK).cache()
+    // Work on hashed shingles throughout: every distinct/join/aggregate
+    // shuffles 8-byte longs instead of strings (set semantics preserved up
+    // to 64-bit collisions, odds ~n^2/2^65 per pair). The raw-string path
+    // lives in ngramJaccardPairs, which is the byte-exact oracle baseline.
+    val sh = docs.select(col(idCol).as("id"),
+        explode(graft.functions.TextFunctions.charShingles(col(textCol), shingleK)).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("shingle"))
+      .distinct().cache()
     // signatures don't need the distinct() pass — min() is idempotent under
     // duplicate shingles — so feed them the raw exploded shingles and save
     // a full-table shuffle

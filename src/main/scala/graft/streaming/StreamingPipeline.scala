@@ -60,6 +60,17 @@ object StreamingPipeline {
     spark.table(tableName)
   }
 
+  /** Streaming exact dedup: drop events whose key was already seen within
+    * the watermark horizon — the streaming twin of the batch exact-dedup
+    * operator, with state bounded by the lateness bound (state size =
+    * O(keys per watermark window), the knob that keeps it viable on an
+    * unbounded stream). */
+  def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
+                  watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Exactly-once idempotent sink: per-batch overwrite into deterministic
     * window=<key> partition dirs — the streaming twin of the batch target
     * store's replay contract (reference: stage/ingestion_engine.py:62-99

@@ -3,10 +3,11 @@ package graft.tools
 import graft.dedup.Dedup
 import graft.functions.TextFunctions
 import graft.sources.Tables
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Stage-by-stage timing of the MinHash-LSH pipeline at a given sf. */
+/** Stage-by-stage timing of the MinHash-LSH pipeline at a given sf,
+  * mirroring Dedup.minHashLsh's current structure. */
 object ProfileMinhash {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -27,34 +28,53 @@ object ProfileMinhash {
     }
     val docs = Tables.documents(spark, sfDir).cache()
     docs.count()
-    val sh = t("shingleTable+cache") {
-      val s = Dedup.shingleTable(docs, "doc_id", "text", 5).cache()
-      println(s"  shingle rows: ${s.count()}")
+    val (k, bands, rows) = (64, 16, 4)
+    val sh = t("hashed shingles") {
+      val s = docs.select(col("doc_id").as("id"),
+          explode(TextFunctions.charShingles(col("text"), 5)).as("s"))
+        .select(col("id"), xxhash64(col("s")).as("shingle"))
+        .distinct().cache()
+      println(s"  rows: ${s.count()}")
       s
     }
     val raw = docs.select(col("doc_id").as("id"),
       explode(TextFunctions.charShingles(col("text"), 5)).as("shingle"))
     val sig = t("signatures") {
-      val s = Dedup.minHashSignatures(raw, 64).cache()
-      println(s"  docs signed: ${s.count()}")
+      val s = Dedup.minHashSignatures(raw, k).cache()
+      println(s"  signed: ${s.count()}")
       s
     }
-    val cand = t("lshCandidates") {
-      val c = Dedup.lshCandidates(sig, 16, 4).cache()
+    val rawCand = t("band candidates") {
+      val c = Dedup.lshCandidates(sig, bands, rows).cache()
       println(s"  candidates: ${c.count()}")
       c
     }
-    t("verify-jaccard") {
+    val cand = t("sig prefilter") {
+      val est = (0 until k)
+        .map(j => when(col(s"a.h$j") === col(s"b.h$j"), 1).otherwise(0))
+        .reduce[Column](_ + _)
+      val margin = 0.6 - 3 * math.sqrt(0.6 * 0.4 / k)
+      val c = rawCand
+        .join(sig.as("a"), col("id_a") === col("a.id"))
+        .join(sig.as("b"), col("id_b") === col("b.id"))
+        .where(est >= lit(margin * k))
+        .select("id_a", "id_b").cache()
+      println(s"  survivors: ${c.count()}")
+      c
+    }
+    t("verify") {
+      val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+      val shCand = sh.join(candIds, Seq("id"), "left_semi")
       val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
       val inter = cand
-        .join(sh.withColumnRenamed("id", "id_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b"), Seq("id_b", "shingle"))
+        .join(shCand.withColumnRenamed("id", "id_a"), "id_a")
+        .join(shCand.withColumnRenamed("id", "id_b"), Seq("id_b", "shingle"))
         .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
       val out = inter
         .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
         .where(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")) >= 0.6)
-      println(s"  verified pairs: ${out.count()}")
+      println(s"  verified: ${out.count()}")
     }
     spark.stop()
   }

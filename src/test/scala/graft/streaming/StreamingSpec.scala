@@ -36,6 +36,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming dedup drops repeated keys within the watermark") {
+    // duplicate every event (union with itself) then dedup on event_id
+    val diskSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val d = java.nio.file.Files.createTempDirectory("graft_dedup_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), d.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), d.resolve("b.parquet"))
+    val stream = StreamingPipeline.eventsStream(spark, d.toString, diskSchema)
+    val deduped = StreamingPipeline.dedupStream(stream, "ts", Seq("event_id"), "1 day")
+      .groupBy().count()
+    val q = deduped.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val n = spark.table("dedup_test").collect()(0).getLong(0)
+    val expected = Tables.events(spark, dir).count()
+    assert(n == expected, s"deduped stream count $n != $expected")
+  }
+
   test("window-partitioned streaming sink writes deterministic partitions") {
     val root = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val diskSchema = spark.read.parquet(s"$dir/events.parquet").schema
