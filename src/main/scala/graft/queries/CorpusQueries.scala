@@ -134,6 +134,26 @@ object CorpusQueries {
         countDistinct("user_id").as("exact_users"))
       .orderBy("event_type")
 
+  /** Exact interpolated percentiles per group — oracled against DuckDB's
+    * quantile_cont (both linear interpolation). The approximate KLL/GK path
+    * (approx_percentile) is the scale variant, rows-only. */
+  val percentiles: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.25)"), 4).as("q25"),
+        round(expr("percentile(value, 0.5)"), 4).as("q50"),
+        round(expr("percentile(value, 0.9)"), 4).as("q90"))
+      .orderBy("event_type")
+
+  val approxPercentiles: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        expr("approx_percentile(value, 0.5, 1000)").as("approx_q50"),
+        round(expr("percentile(value, 0.5)"), 4).as("exact_q50"))
+      .orderBy("event_type")
+
   // ------------------------------------------------------------ multimodal
 
   /** Multimodal plumbing: synthetic binary media from docs -> partition-level
@@ -164,6 +184,8 @@ object CorpusQueries {
     "q50_knn_brute_force" -> knnBruteForce,
     "q51_ann_lsh" -> annLsh,
     "q52_approx_distinct" -> approxDistinct,
+    "q53_percentiles" -> percentiles,
+    "q54_approx_percentiles" -> approxPercentiles,
     "q60_media_features" -> mediaFeatures)
 
   val oracles: Map[String, String] = Map(
@@ -239,6 +261,12 @@ object CorpusQueries {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS INT) AS rank
         |FROM s QUALIFY rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+    "q53_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 4) AS q25,
+        |  round(quantile_cont(value, 0.5), 4) AS q50,
+        |  round(quantile_cont(value, 0.9), 4) AS q90
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q60_media_features" ->
       """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |  count(*) AS n_assets,

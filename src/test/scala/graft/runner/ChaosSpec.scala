@@ -1,0 +1,97 @@
+package graft.runner
+
+import graft.SparkSpec
+import graft.config.PipelineConfig
+import graft.connect.{ParquetSource, ParquetStage, ParquetTarget, TargetStore}
+import graft.ledger.{DriveRecord, Ledger}
+import graft.time.TimeWindow
+import org.apache.spark.sql.DataFrame
+import java.nio.file.Files
+import java.time.{ZoneId, ZonedDateTime}
+
+/** Fault-injection tests: the audit must catch a lossy target load, reset
+  * the window (M2), and a rerun must converge (reference runtime oracle:
+  * audit_manager.py:394-516; chaos strategy per SURVEY §5). */
+class ChaosSpec extends SparkSpec {
+
+  private val clockNow = ZonedDateTime.of(2024, 1, 2, 10, 30, 0, 0, ZoneId.of("UTC"))
+
+  /** Target that silently drops rows on its first `failures` loads. */
+  private final class LossyTarget(inner: ParquetTarget, var failures: Int)
+      extends TargetStore {
+    var loads = 0
+    override def load(w: TimeWindow, staged: DataFrame): Unit = {
+      loads += 1
+      if (failures > 0) {
+        failures -= 1
+        inner.load(w, staged.limit((staged.count() / 2).toInt))
+      } else inner.load(w, staged)
+    }
+    override def hasData(w: TimeWindow): Boolean = inner.hasData(w)
+    override def count(w: TimeWindow): Long = inner.count(w)
+    override def clean(w: TimeWindow): Unit = inner.clean(w)
+    override def readAll(): DataFrame = inner.readAll()
+  }
+
+  test("lossy load -> audit mismatch -> full reset -> rerun converges") {
+    val root = Files.createTempDirectory("graft_chaos").toString
+    val cfg = PipelineConfig.fromMap(Map(
+      "root_dir" -> root, "granularity" -> "1h", "x_time_back" -> "2h",
+      "max_pipeline_runs" -> "1"))
+    val ledger = new Ledger(spark, cfg.ledgerPath)
+    val lossy = new LossyTarget(new ParquetTarget(spark, cfg), failures = 1)
+    def runner = new PipelineRunner(spark, cfg, ledger,
+      new ParquetSource(spark, cfg, graft.sources.Tables.events(spark, "/root/testdata/sf0.001")),
+      new ParquetStage(spark, cfg), lossy,
+      clock = () => clockNow, auditWait = _ => ())
+
+    val s1 = runner.run()
+    assert(s1.failed == 1 && s1.succeeded == 0, s1.toString)
+    val afterFail = ledger.readScoped(cfg).collect()
+      .filter(_.source_count.exists(_ > 0))
+    val victim = afterFail.find(_.count_match_status.contains("not_matched"))
+    assert(victim.isDefined, "audit should record the mismatch on the row")
+    assert(victim.get.pipeline_status == DriveRecord.Status.Pending)
+    assert(victim.get.pipeline_retry_count == 1)
+    assert(victim.get.completed_stage_number == 0)
+
+    // rerun: the lossy load is healed (failures exhausted); the same window
+    // is selected again (highest retry count first) and completes
+    val s2 = runner.run()
+    assert(s2.succeeded == 1, s2.toString)
+    val healed = ledger.readScoped(cfg).collect()
+      .find(_.unique_source_id == victim.get.unique_source_id).get
+    assert(healed.pipeline_status == DriveRecord.Status.Completed)
+    assert(healed.count_match_status.contains("matched"))
+    assert(healed.source_count == healed.target_count)
+  }
+
+  test("stale in_progress run is reset selectively and reruns") {
+    val root = Files.createTempDirectory("graft_chaos2").toString
+    val cfg = PipelineConfig.fromMap(Map(
+      "root_dir" -> root, "granularity" -> "1h", "x_time_back" -> "2h",
+      "max_pipeline_runs" -> "2"))
+    val ledger = new Ledger(spark, cfg.ledgerPath)
+    def mk(now: ZonedDateTime) = new PipelineRunner(spark, cfg, ledger,
+      new ParquetSource(spark, cfg, graft.sources.Tables.events(spark, "/root/testdata/sf0.001")),
+      new ParquetStage(spark, cfg), new ParquetTarget(spark, cfg),
+      clock = () => now, auditWait = _ => ())
+    mk(clockNow).run()
+    // forge a crashed run: mark one completed row in_progress with an
+    // ancient start time and wipe its audit block
+    val victim = ledger.readScoped(cfg).collect()
+      .find(_.pipeline_status == DriveRecord.Status.Completed).get
+    ledger.updateByIds(Set(victim.unique_source_id))(r => r.copy(
+      pipeline_status = DriveRecord.Status.InProgress,
+      pipeline_start_time = Some(java.sql.Timestamp.from(
+        clockNow.minusHours(5).toInstant)),
+      audit_status = DriveRecord.Status.Pending))
+    val s = mk(clockNow).run()
+    assert(s.staleReset == 1, s.toString)
+    val after = ledger.readScoped(cfg).collect()
+      .find(_.unique_source_id == victim.unique_source_id).get
+    // selective reset preserved the completed transfer stages
+    assert(after.source_to_stage_transfer_status == DriveRecord.Status.Completed)
+    assert(after.pipeline_retry_count == victim.pipeline_retry_count + 1)
+  }
+}
