@@ -82,6 +82,15 @@ object CorpusQueries {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .orderBy("doc_a", "doc_b")
 
+  /** Scale path for the EXACT similarity join: PPJoin-style prefix + size
+    * filtering — same oracle as q41 because prefix filtering is a
+    * guarantee, not a heuristic. */
+  val ngramJaccardPruned: Q = (s, dir) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        k = 5, minJaccard = 0.6, prefixFilter = true)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .orderBy("doc_a", "doc_b")
+
   /** MinHash-LSH near-dup pipeline (seeded xxhash64 signatures — no SQL
     * oracle; ScalaTest asserts it finds exactly the planted near-dup pairs). */
   val minhashLshPairs: Q = (s, dir) =>
@@ -178,6 +187,7 @@ object CorpusQueries {
     "q33_fingerprints" -> fingerprints,
     "q40_exact_dedup" -> exactDedup,
     "q41_ngram_jaccard_pairs" -> ngramJaccardPairs,
+    "q45_ngram_jaccard_pruned" -> ngramJaccardPruned,
     "q42_minhash_lsh_pairs" -> minhashLshPairs,
     "q43_simhash_pairs" -> simhashPairs,
     "q44_embedding_dup_pairs" -> embeddingDupPairs,
@@ -233,6 +243,20 @@ object CorpusQueries {
         |  CAST(sum(n - 1) AS BIGINT) AS n_redundant_docs
         |FROM g""".stripMargin,
     "q41_ngram_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id AS id, unnest(
+        |    [substring(text, i, 5) FOR i IN generate_series(1, greatest(length(text) - 4, 1))]) AS shingle
+        |  FROM documents),
+        |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.id AS ia, b.id AS ib, count(*) AS n
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT ia AS doc_a, ib AS doc_b
+        |FROM inter JOIN sizes sa ON ia = sa.id JOIN sizes sb ON ib = sb.id
+        |WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.6
+        |ORDER BY 1, 2""".stripMargin,
+    "q45_ngram_jaccard_pruned" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id AS id, unnest(
         |    [substring(text, i, 5) FOR i IN generate_series(1, greatest(length(text) - 4, 1))]) AS shingle

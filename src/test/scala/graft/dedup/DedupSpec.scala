@@ -40,6 +40,18 @@ class DedupSpec extends SparkSpec {
     assert(j >= 0.6)
   }
 
+  test("prefix-filtered exact jaccard equals the exhaustive join") {
+    for (threshold <- Seq(0.3, 0.6, 0.9)) {
+      val exhaustive = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, threshold)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val filtered = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, threshold,
+          prefixFilter = true)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(filtered == exhaustive,
+        s"threshold $threshold: missing=${exhaustive -- filtered} extra=${filtered -- exhaustive}")
+    }
+  }
+
   test("minhash-lsh finds exactly the exact-jaccard pairs on this corpus") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 5, minJaccard = 0.6)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -1,0 +1,84 @@
+package graft.runner
+
+import graft.SparkSpec
+import graft.config.PipelineConfig
+import graft.connect.{ParquetSource, ParquetStage, ParquetTarget}
+import graft.ledger.{DriveRecord, Ledger}
+import graft.time.{TimeUtil, TimeWindow}
+import java.nio.file.Files
+import java.time.{ZoneId, ZonedDateTime}
+
+/** Month-scale backfill: one populate() call heals a 27-day hole with a
+  * single analysis pass (the reference does one Snowflake round-trip per
+  * day — SURVEY E2 notes the N+1 pattern this collapses). */
+class BackfillScaleSpec extends SparkSpec {
+
+  test("single populate heals a month of missing days") {
+    val root = Files.createTempDirectory("graft_scale").toString
+    val cfg = PipelineConfig.fromMap(Map(
+      "root_dir" -> root, "granularity" -> "1h", "x_time_back" -> "1d"))
+    val ledger = new Ledger(spark, cfg.ledgerPath)
+    ledger.bootstrap()
+    val utc = ZoneId.of("UTC")
+
+    // seed: day 1 and day 29 exist, the 27 days between are missing
+    def seedDay(d: Int): Unit = {
+      val day = java.time.LocalDate.of(2024, 1, d)
+      val rows = TimeUtil.windowsForDay(day, utc, cfg.granularity)
+        .map(w => DriveRecord.forWindow(cfg, w,
+          ZonedDateTime.of(2024, 1, d, 0, 0, 0, 0, utc)))
+      ledger.append(rows)
+    }
+    seedDay(1)
+    seedDay(29)
+    assert(ledger.readScoped(cfg).count() == 48)
+
+    val now = ZonedDateTime.of(2024, 1, 30, 12, 0, 0, 0, utc)
+    val planner = new BackfillPlanner(spark, cfg, ledger)
+    val t0 = System.nanoTime()
+    val plan = planner.populate(now)
+    val sec = (System.nanoTime() - t0) / 1e9
+    // 27 missing days x 24 hourly windows
+    assert(plan.inserted == 27 * 24, plan.toString)
+    assert(plan.deletedDuplicates == 0)
+    val all = ledger.readScoped(cfg).collect()
+    assert(all.length == 29 * 24)
+    // no overlaps, no gaps: every hour of Jan 1..29 exactly once
+    val starts = all.flatMap(_.source_query_window_start_time).map(_.getTime).sorted
+    assert(starts.distinct.length == starts.length)
+    starts.sliding(2).foreach {
+      case Array(a, b) => assert(b - a == 3600 * 1000L); case _ =>
+    }
+    // a second populate is a no-op (idempotent backfill)
+    val plan2 = planner.populate(now)
+    assert(plan2.inserted == 0 && plan2.deletedDuplicates == 0, plan2.toString)
+    info(f"populate over 29 days: $sec%.1fs")
+  }
+
+  test("duplicate windows are healed: losers deleted, winner kept") {
+    val root = Files.createTempDirectory("graft_scale2").toString
+    val cfg = PipelineConfig.fromMap(Map(
+      "root_dir" -> root, "granularity" -> "1h", "x_time_back" -> "1d"))
+    val ledger = new Ledger(spark, cfg.ledgerPath)
+    ledger.bootstrap()
+    val utc = ZoneId.of("UTC")
+    val day = java.time.LocalDate.of(2024, 1, 5)
+    val base = ZonedDateTime.of(2024, 1, 5, 0, 0, 0, 0, utc)
+    // full day of hourly windows...
+    ledger.append(TimeUtil.windowsForDay(day, utc, cfg.granularity)
+      .map(w => DriveRecord.forWindow(cfg, w, base)))
+    // ...plus an overlapping 2h window cutting across 03:00-05:00, inserted
+    // later (different id because different window bounds)
+    val overlapping = TimeWindow(base.plusHours(3), base.plusHours(5))
+    ledger.append(Seq(DriveRecord.forWindow(cfg, overlapping, base.plusHours(6))))
+    assert(ledger.readScoped(cfg).count() == 25)
+
+    val planner = new BackfillPlanner(spark, cfg, ledger)
+    val plan = planner.populate(ZonedDateTime.of(2024, 1, 7, 0, 0, 0, 0, utc))
+    // overlap chain 03-04/03-05/04-05: winner = latest inserted (the 2h
+    // window, newest record_last_updated_time) -> the two hourly losers go
+    assert(plan.deletedDuplicates == 2, plan.toString)
+    val remaining = ledger.readScoped(cfg).collect()
+    assert(remaining.length == 23 + plan.inserted)
+  }
+}
