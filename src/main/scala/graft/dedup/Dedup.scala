@@ -124,16 +124,25 @@ object Dedup {
     //   p, a_j*h + b_j is monotone in h and all k argmins degenerate to the
     //   single min-h shingle (mega-buckets, 4M candidate pairs measured).
     // Bounds (a,b < 2^31, h < 2^31) keep a*h+b within ANSI long range.
+    signaturesFromBase(shingles.select(col("id"),
+      xxhash64(col("shingle")).bitwiseAND(lit(0x7FFFFFFFL)).as("h")), numHashes)
+  }
+
+  /** Signature variant for an already-hashed (id, shingle: long) table —
+    * skips the string hash, masks the long to the 31-bit base domain. */
+  def minHashSignaturesHashed(hashedShingles: DataFrame, numHashes: Int): DataFrame =
+    signaturesFromBase(hashedShingles.select(col("id"),
+      col("shingle").bitwiseAND(lit(0x7FFFFFFFL)).as("h")), numHashes)
+
+  private def signaturesFromBase(base: DataFrame, numHashes: Int): DataFrame = {
     val p = (1L << 31) - 1
     val rng = new java.util.Random(0x5EED)
     val params = (0 until numHashes).map(_ =>
       (1L + rng.nextInt((p - 1).toInt).toLong, rng.nextInt(p.toInt).toLong))
-    val hashed = shingles.select(col("id"),
-      xxhash64(col("shingle")).bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
     val aggs = params.zipWithIndex.map { case ((a, b), j) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(p))).as(s"h$j")
     }
-    hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    base.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs: band the signature (bands x rowsPerBand =
@@ -164,16 +173,15 @@ object Dedup {
     // shuffles 8-byte longs instead of strings (set semantics preserved up
     // to 64-bit collisions, odds ~n^2/2^65 per pair). The raw-string path
     // lives in ngramJaccardPairs, which is the byte-exact oracle baseline.
-    val sh = docs.select(col(idCol).as("id"),
+    // one explode, cached, feeds both paths: signatures read the raw rows
+    // (min() is idempotent under duplicates), verification reads the
+    // distinct set
+    val rawShingles = docs.select(col(idCol).as("id"),
         explode(graft.functions.TextFunctions.charShingles(col(textCol), shingleK)).as("s"))
       .select(col("id"), xxhash64(col("s")).as("shingle"))
-      .distinct().cache()
-    // signatures don't need the distinct() pass — min() is idempotent under
-    // duplicate shingles — so feed them the raw exploded shingles and save
-    // a full-table shuffle
-    val rawShingles = docs.select(col(idCol).as("id"),
-      explode(graft.functions.TextFunctions.charShingles(col(textCol), shingleK)).as("shingle"))
-    val sig = minHashSignatures(rawShingles, numHashes).cache()
+      .cache()
+    val sh = rawShingles.distinct().cache()
+    val sig = minHashSignaturesHashed(rawShingles, numHashes).cache()
     val rawCand = lshCandidates(sig, bands, numHashes / bands)
 
     // Prefilter candidates by the signature-estimated jaccard (fraction of
@@ -239,7 +247,9 @@ object Dedup {
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "chunk blocking assumes hamming <= 3 over 4 chunks")
-    val sh = simHash(docs, idCol, textCol)
+    // cache: the self-join below would otherwise recompute the 64-sum
+    // aggregation for each side
+    val sh = simHash(docs, idCol, textCol).cache()
     val chunks = sh.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("ci"),

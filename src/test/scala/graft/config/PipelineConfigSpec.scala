@@ -1,0 +1,38 @@
+package graft.config
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineConfigSpec extends AnyFunSuite {
+
+  test("layered merge: later layers win over defaults") {
+    val cfg = PipelineConfig.fromMap(Map(
+      "root_dir" -> "/tmp/x", "granularity" -> "30m", "max_pipeline_runs" -> "9"))
+    assert(cfg.granularity.totalMinutes == 30)
+    assert(cfg.maxPipelineRuns == 9)
+    assert(cfg.xTimeBack.render == "1d") // default retained
+  }
+
+  test("placeholder substitution threads env/group/name through values") {
+    // reference: hanlder_script.py:174-194
+    val cfg = PipelineConfig.fromMap(Map(
+      "root_dir" -> "/tmp/x", "env" -> "prod", "index_group" -> "g7",
+      "index_name" -> "clicks"))
+    assert(cfg.sourceCategory == "prod/g7")
+    assert(cfg.sourceSubcategory == "clicks")
+    assert(cfg.targetSubcategory == "clicks_target")
+  }
+
+  test("derived paths hang off root_dir") {
+    val cfg = PipelineConfig.default("/data/run1")
+    assert(cfg.ledgerPath == "/data/run1/ledger")
+    assert(cfg.stageRoot == "/data/run1/stage")
+    assert(cfg.targetPath == "/data/run1/target")
+  }
+
+  test("field lists parse comma-separated values") {
+    val cfg = PipelineConfig.fromMap(Map(
+      "root_dir" -> "/tmp/x", "must_exist_fields" -> "a, b,c", "exclude_null_fields" -> ""))
+    assert(cfg.mustExistFields == Seq("a", "b", "c"))
+    assert(cfg.excludeNullFields.isEmpty)
+  }
+}

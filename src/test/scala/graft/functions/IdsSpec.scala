@@ -1,0 +1,42 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IdsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("composite md5 is byte-exact with the reference hash format") {
+    // golden value computed with Python hashlib over the reference's
+    // "k1:v1_k2:v2" sorted-key format (state_manager.py:419-432)
+    val id = Ids.compositeMd5(Map(
+      "source_name" -> "parquet_events",
+      "source_category" -> "dev/group0",
+      "source_subcategory" -> "events",
+      "source_query_window_start_time" -> "2024-01-02T00:00:00Z",
+      "source_query_window_end_time" -> "2024-01-02T01:00:00Z"))
+    assert(id == "b4f830ec123ac9bc2859295b3e019bba")
+  }
+
+  test("driver-side and columnar composite md5 agree") {
+    val driverSide = Ids.compositeMd5(Map("a" -> "x", "b" -> "y"))
+    val columnar = Seq(("x", "y")).toDF("ca", "cb")
+      .select(Ids.compositeMd5Col(Map("a" -> col("ca"), "b" -> col("cb"))).as("id"))
+      .as[String].head()
+    assert(driverSide == columnar)
+  }
+
+  test("null columns hash as the string None, like Python str(None)") {
+    val columnar = Seq((Some("x"), Option.empty[String])).toDF("ca", "cb")
+      .select(Ids.compositeMd5Col(Map("a" -> col("ca"), "b" -> col("cb"))).as("id"))
+      .as[String].head()
+    assert(columnar == Ids.compositeMd5(Map("a" -> "x", "b" -> "None")))
+  }
+
+  test("sha256 record hash matches driver-side digest") {
+    val columnar = Seq(("x", "y")).toDF("a", "b")
+      .select(Ids.recordSha256(Seq(col("a"), col("b"))).as("h"))
+      .as[String].head()
+    assert(columnar == Ids.sha256Hex("x|y"))
+  }
+}
