@@ -117,9 +117,13 @@ final class PipelineRunner(
       unique_run_id = Some(DriveRecord.runId(cfg, id,
         r.unique_stage_id.getOrElse(""), r.unique_target_id.getOrElse(""), start)),
       record_last_updated_time = ts(start)))
+    graft.util.Log.info("Pipeline Record", "STARTED",
+      "unique_source_id" -> id, "window_start" -> w.start)
     try {
-      // Stage 1: source discovery (source_discovery_manager.py:17-79).
-      val srcCount = source.count(w)
+      // Stage 1: source discovery (source_discovery_manager.py:17-79);
+      // source calls are retried like the reference's decorated ES calls
+      // (log_retry_decorators.py:47-87).
+      val srcCount = Retry.withRetry(attempts = 2)(source.count(w))
       val est = Estimation.estimate(cfg, srcCount)
       val t1 = now()
       ledger.updateByIds(Set(id))(r => r.copy(
@@ -139,7 +143,7 @@ final class PipelineRunner(
       // (source_to_stage_ingestion_manager.py:15-100).
       val t2a = now()
       val s2sSkipped = stage.exists(w)
-      if (!s2sSkipped) {
+      if (!s2sSkipped) Retry.withRetry(attempts = 2) {
         stage.clean(w)
         stage.write(w, source.extract(w))
       }
@@ -158,7 +162,7 @@ final class PipelineRunner(
       // (stage_to_target_ingestion_manager.py:15-100).
       val t3a = now()
       val s2tSkipped = target.hasData(w)
-      if (!s2tSkipped) {
+      if (!s2tSkipped) Retry.withRetry(attempts = 2) {
         target.clean(w)
         target.load(w, stage.read(w))
       }
@@ -193,6 +197,9 @@ final class PipelineRunner(
             pipeline_status = Status.Completed,
             pipeline_end_time = Some(ts(t4)),
             record_last_updated_time = ts(t4)))
+          graft.util.Log.info("Pipeline Record", "COMPLETED",
+            "unique_source_id" -> id, "source_count" -> srcCount,
+            "target_count" -> tc)
           true
         case AuditManager.Mismatched(tc, pct, _) =>
           // Clean both layers then fully reset the row for a future retry
@@ -200,6 +207,9 @@ final class PipelineRunner(
           target.clean(w)
           stage.clean(w)
           ledger.updateByIds(Set(id))(Validation.fullReset(_, t4, srcCount, tc, pct))
+          graft.util.Log.warn("Pipeline Record", "AUDIT_MISMATCH_RESET",
+            "unique_source_id" -> id, "source_count" -> srcCount,
+            "target_count" -> tc, "diff_pct" -> f"$pct%.2f")
           false
       }
     } catch {
@@ -210,6 +220,8 @@ final class PipelineRunner(
           pipeline_end_time = Some(ts(tf)),
           pipeline_error_details = Some(Option(e.getMessage).getOrElse(e.getClass.getName)),
           record_last_updated_time = ts(tf)))
+        graft.util.Log.error("Pipeline Record", "FAILED",
+          "unique_source_id" -> id, "error" -> e.getClass.getSimpleName)
         false
     }
   }

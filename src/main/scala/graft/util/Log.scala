@@ -1,0 +1,33 @@
+package graft.util
+
+/** Structured block logging: key/status/timestamp plus free-form fields —
+  * the reference's log_generator format (reference:
+  * pipeline_logic/utils/log_generator.py:9-86) on slf4j via Spark's
+  * logging backend. One line per event, stable key=value ordering, so logs
+  * stay grep-able in driver output at cluster scale.
+  */
+object Log {
+  // Spark's default root level is WARN; keep the engine's own channel at
+  // INFO without un-silencing Spark internals.
+  try org.apache.logging.log4j.core.config.Configurator
+    .setLevel("graft", org.apache.logging.log4j.Level.INFO)
+  catch { case _: Throwable => () } // non-log4j2 backends: keep defaults
+
+  private val logger = org.slf4j.LoggerFactory.getLogger("graft")
+
+  def info(logKey: String, status: String, fields: (String, Any)*): Unit =
+    logger.info(format(logKey, status, fields))
+
+  def warn(logKey: String, status: String, fields: (String, Any)*): Unit =
+    logger.warn(format(logKey, status, fields))
+
+  def error(logKey: String, status: String, fields: (String, Any)*): Unit =
+    logger.error(format(logKey, status, fields))
+
+  private[util] def format(logKey: String, status: String,
+                           fields: Seq[(String, Any)]): String = {
+    val ts = java.time.Instant.now().toString
+    val kv = fields.map { case (k, v) => s"$k=${String.valueOf(v)}" }
+    (Seq(s"key=$logKey", s"status=$status", s"ts=$ts") ++ kv).mkString(" | ")
+  }
+}

@@ -1,0 +1,24 @@
+package graft.util
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class LogSpec extends AnyFunSuite {
+  test("structured format: key/status/ts then stable field order") {
+    val line = Log.format("Audit", "MATCHED", Seq("a" -> 1, "b" -> "x"))
+    assert(line.startsWith("key=Audit | status=MATCHED | ts="))
+    assert(line.endsWith("| a=1 | b=x"))
+  }
+
+  test("retry helper retries then succeeds, and rethrows after budget") {
+    var calls = 0
+    val v = graft.runner.Retry.withRetry(3) {
+      calls += 1
+      if (calls < 3) sys.error("flaky")
+      42
+    }
+    assert(v == 42 && calls == 3)
+    intercept[RuntimeException] {
+      graft.runner.Retry.withRetry(2)(sys.error("always"))
+    }
+  }
+}
