@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: each left row picks the latest right row with
+  * right.ts <= left.ts within the same key — the temporal-enrichment
+  * operator behind slowly-changing dimensions, price marks, and
+  * feature-at-event-time lookups.
+  *
+  * Spark has no native as-of join; per the extension preference order this
+  * is COMPOSED from built-ins rather than a custom SparkPlan: union both
+  * sides tagged, one window sort per key carries the last right payload
+  * forward (last_value ignoreNulls), then keep the left rows. Cost: one
+  * shuffle on the key + one in-partition sort — same asymptotics as the
+  * dedicated merge-join implementations in engines that ship one, and it
+  * inherits AQE/skew handling for free. Tolerance variant bounds staleness.
+  */
+object AsOfJoin {
+
+  /** @param left      fact side (each row seeks its as-of match)
+    * @param right     dimension/quote side
+    * @param keys      equi-join key column names (present on both sides)
+    * @param leftTs    left event-time column name
+    * @param rightTs   right event-time column name
+    * @param rightCols right payload columns to carry (renamed as-is onto
+    *                  the result; must not clash with left columns)
+    * @param toleranceSeconds optional max staleness: matches older than
+    *                  left.ts - tolerance are nulled out
+    */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTs: String, rightTs: String, rightCols: Seq[String],
+           toleranceSeconds: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!rightCols.exists(leftCols.contains),
+      "right payload columns must not clash with left columns")
+
+    val taggedLeft = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__is_left", lit(1))
+      .withColumn("__rts", lit(null).cast("timestamp"))
+    val taggedRight = right
+      .select((keys.map(col) :+ col(rightTs).as("__ts")) ++ rightCols.map(col): _*)
+      .withColumn("__is_left", lit(0))
+      .withColumn("__rts", col("__ts"))
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+
+    // right rows sort before left rows at equal ts so an exact-tie match
+    // (right.ts == left.ts) is visible to the left row
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = rightCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }.withColumn("__matched_ts", last(col("__rts"), ignoreNulls = true).over(w))
+
+    val withTol = toleranceSeconds match {
+      case None => carried
+      case Some(tol) =>
+        val stale = col("__matched_ts").isNull ||
+          col("__matched_ts") < col("__ts") - expr(s"interval $tol seconds")
+        val nulled = rightCols.foldLeft(carried) { (df, c) =>
+          df.withColumn(c, when(stale, lit(null)).otherwise(col(c)))
+        }
+        nulled.withColumn("__matched_ts",
+          when(stale, lit(null).cast("timestamp")).otherwise(col("__matched_ts")))
+    }
+    withTol
+      .where(col("__is_left") === 1)
+      .select((leftCols ++ rightCols).map(col) :+
+        col("__matched_ts").as("asof_ts"): _*)
+  }
+}

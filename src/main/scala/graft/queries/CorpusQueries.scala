@@ -135,6 +135,17 @@ object CorpusQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF ANN: k-means coarse quantizer + nProbe inverted lists + exact
+    * re-rank — the second classic ANN index next to LSH. Rows-only (k-means
+    * is seeded-deterministic but iteration order isn't SQL-expressible). */
+  val annIvf: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5), "vec_id",
+        "embedding", k = 3, nLists = 16, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Approximate distinct (HLL++) — engine-specific estimate, rows-only. */
   val approxDistinct: Q = (s, dir) =>
     Tables.events(s, dir)
@@ -193,6 +204,7 @@ object CorpusQueries {
     "q44_embedding_dup_pairs" -> embeddingDupPairs,
     "q50_knn_brute_force" -> knnBruteForce,
     "q51_ann_lsh" -> annLsh,
+    "q55_ann_ivf" -> annIvf,
     "q52_approx_distinct" -> approxDistinct,
     "q53_percentiles" -> percentiles,
     "q54_approx_percentiles" -> approxPercentiles,

@@ -221,7 +221,28 @@ object RelationalQueries {
       .orderBy("user_id", "start_us")
   }
 
+  /** As-of join: each purchase picks the user's latest signup at-or-before
+    * it (point-in-time enrichment; Spark has no native as-of join — ours is
+    * composed per ops.AsOfJoin; DuckDB oracles it with its native
+    * ASOF JOIN). */
+  val asofJoin: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"),
+        round(col("value"), 4).as("signup_value"))
+    graft.ops.AsOfJoin.asOf(purchases, signups, Seq("user_id"),
+        leftTs = "ts", rightTs = "ts", rightCols = Seq("signup_value"))
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("purchase_sec"),
+        unix_timestamp(col("asof_ts")).as("signup_sec"),
+        col("signup_value"))
+      .orderBy("event_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q17_asof_join" -> asofJoin,
     "q14_time_rounding" -> timeRounding,
     "q15_generated_windows" -> generatedWindows,
     "q16_sessionization" -> sessionization,
@@ -240,6 +261,19 @@ object RelationalQueries {
     "q13_diff_percentage" -> diffPercentage)
 
   val oracles: Map[String, String] = Map(
+    "q17_asof_join" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |signups AS (
+        |  SELECT user_id, ts, round(value, 4) AS signup_value
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id,
+        |  CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_sec,
+        |  CAST(floor(epoch(s.ts)) AS BIGINT) AS signup_sec,
+        |  s.signup_value
+        |FROM purchases p ASOF LEFT JOIN signups s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin,
     "q14_time_rounding" ->
       """SELECT event_id,
         |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS floor_h_sec,

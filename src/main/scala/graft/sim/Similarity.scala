@@ -60,6 +60,55 @@ object Similarity {
       bits.reduce[Column](_ bitwiseOR _).as("bucket"))
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    * corpus into nLists inverted lists; each query probes its nProbe
+    * nearest lists and exact cosine re-ranks only those candidates. The
+    * other classic ANN shape next to LSH: recall/cost dial = nProbe/nLists,
+    * candidate fraction ~ nProbe/nLists of the corpus. Deterministic via
+    * the k-means seed. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
+              seed: Long = 42): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val trainable = c.withColumn("features", array_to_vector(col("cv"))).cache()
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+      .fit(trainable)
+    val assigned = model.transform(trainable)
+      .select(col("neighbor_id"), col("cv"), col("prediction").as("list_id"))
+    // query-side probing: rank all centroids per query by L2, keep nProbe
+    val centroids = model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i, v.toArray.toSeq)
+    }.toSeq
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = centroids.toDF("list_id", "centroid")
+    val qLists = q.crossJoin(broadcast(centDf))
+      .withColumn("dist",
+        // ||q||^2 - 2 q.c + ||c||^2; monotone equivalent: -2 q.c + ||c||^2
+        lit(-2.0) * graft.functions.VectorFunctions.dotProduct(col("qv"),
+          col("centroid").cast("array<double>")) +
+          graft.functions.VectorFunctions.dotProduct(
+            col("centroid").cast("array<double>"), col("centroid").cast("array<double>")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist").asc, col("list_id").asc)))
+      .where(col("crank") <= nProbe)
+      .select("query_id", "qv", "list_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    qLists.join(assigned, Seq("list_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("qv"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** ANN top-k: multi-table multi-probe LSH. `nTables` independent hash
     * tables of `nBits` sign-projections each; candidates come from the
     * query's bucket plus all single-bit-flip probes, unioned across tables,

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000)
+
+  private val quotes = Seq(
+    ("A", ts(100), 1.0), ("A", ts(200), 2.0), ("A", ts(300), 3.0),
+    ("B", ts(150), 10.0)
+  ).toDF("k", "ts", "price").withColumnRenamed("price", "quote_price")
+
+  private val trades = Seq(
+    ("A", ts(50), 1L),   // before any quote -> null
+    ("A", ts(200), 2L),  // exact tie -> 2.0
+    ("A", ts(250), 3L),  // between -> 2.0
+    ("A", ts(999), 4L),  // after last -> 3.0
+    ("B", ts(160), 5L),  // -> 10.0
+    ("C", ts(100), 6L)   // key with no quotes -> null
+  ).toDF("k", "ts", "trade_id")
+
+  test("as-of picks latest right row at-or-before each left row") {
+    val out = AsOfJoin.asOf(trades, quotes, Seq("k"), "ts", "ts", Seq("quote_price"))
+      .select("trade_id", "quote_price")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out == Map(
+      1L -> None, 2L -> Some(2.0), 3L -> Some(2.0), 4L -> Some(3.0),
+      5L -> Some(10.0), 6L -> None))
+  }
+
+  test("tolerance bounds staleness") {
+    val out = AsOfJoin.asOf(trades, quotes, Seq("k"), "ts", "ts",
+        Seq("quote_price"), toleranceSeconds = Some(60))
+      .select("trade_id", "quote_price")
+      .as[(Long, Option[Double])].collect().toMap
+    // trade 4 at 999 is 699s after quote 300 -> stale -> null
+    assert(out(4L).isEmpty)
+    assert(out(2L).contains(2.0) && out(3L).contains(2.0))
+    // matched ts is nulled too for stale matches
+    val asofTs = AsOfJoin.asOf(trades, quotes, Seq("k"), "ts", "ts",
+        Seq("quote_price"), toleranceSeconds = Some(60))
+      .select("trade_id", "asof_ts")
+      .as[(Long, Option[Timestamp])].collect().toMap
+    assert(asofTs(4L).isEmpty && asofTs(3L).isDefined)
+  }
+
+  test("left row count is preserved (no fan-out, no loss)") {
+    val out = AsOfJoin.asOf(trades, quotes, Seq("k"), "ts", "ts", Seq("quote_price"))
+    assert(out.count() == trades.count())
+  }
+}

@@ -37,6 +37,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall too low")
   }
 
+  test("ivf ann: probing more lists increases recall toward exact") {
+    val queries = emb.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallAt(nProbe: Int): Double = {
+      val ann = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 3,
+          nLists = 16, nProbe = nProbe)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (exact intersect ann).size.toDouble / exact.size
+    }
+    val rLow = recallAt(2)
+    val rFull = recallAt(16) // probing every list == exact search
+    assert(rFull == 1.0, s"full probe recall $rFull")
+    assert(rLow <= rFull)
+    assert(rLow > 0.0)
+  }
+
   test("lsh buckets are deterministic across invocations") {
     val b1 = Similarity.lshBuckets(emb, "vec_id", "embedding", 12)
       .select("id", "bucket").as[(Long, Long)].collect().toMap
