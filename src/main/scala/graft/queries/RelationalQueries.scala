@@ -241,8 +241,18 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** ROLLUP aggregation: revenue at (flag, status), per-flag subtotals and
+    * grand total in one pass — grouping-sets surface. */
+  val rollupRevenue: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
   val all: Map[String, Q] = Map(
     "q17_asof_join" -> asofJoin,
+    "q18_rollup_revenue" -> rollupRevenue,
     "q14_time_rounding" -> timeRounding,
     "q15_generated_windows" -> generatedWindows,
     "q16_sessionization" -> sessionization,
@@ -261,6 +271,12 @@ object RelationalQueries {
     "q13_diff_percentage" -> diffPercentage)
 
   val oracles: Map[String, String] = Map(
+    "q18_rollup_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q17_asof_join" ->
       """WITH purchases AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

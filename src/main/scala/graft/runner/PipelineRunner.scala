@@ -145,7 +145,7 @@ final class PipelineRunner(
       val s2sSkipped = stage.exists(w)
       if (!s2sSkipped) Retry.withRetry(attempts = 2) {
         stage.clean(w)
-        stage.write(w, source.extract(w))
+        source.extractInto(w, stage)
       }
       val t2 = now()
       ledger.updateByIds(Set(id))(r => r.copy(

@@ -1,0 +1,45 @@
+package graft.runner
+
+import graft.SparkSpec
+import graft.config.PipelineConfig
+import graft.connect.{ParquetStage, ParquetTarget, StreamingParquetSource}
+import graft.ledger.{DriveRecord, Ledger}
+import java.nio.file.Files
+import java.time.{ZoneId, ZonedDateTime}
+
+/** Pipeline end-to-end with the Structured-Streaming extract mode: the
+  * stage step drains the window through a checkpointed availableNow stream
+  * instead of a batch write; everything downstream (probes, load, audit)
+  * is unchanged. */
+class StreamingSourceSpec extends SparkSpec {
+
+  test("pipeline completes with the streaming extract source") {
+    val root = Files.createTempDirectory("graft_streamsrc").toString
+    // file-source streams need a directory
+    val srcDir = Files.createTempDirectory("graft_streamsrc_events")
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      srcDir.resolve("part0.parquet"))
+    val cfg = PipelineConfig.fromMap(Map(
+      "root_dir" -> root, "granularity" -> "1h", "x_time_back" -> "2h",
+      "max_pipeline_runs" -> "3"))
+    val ledger = new Ledger(spark, cfg.ledgerPath)
+    val clockNow = ZonedDateTime.of(2024, 1, 2, 10, 30, 0, 0, ZoneId.of("UTC"))
+    val runner = new PipelineRunner(spark, cfg, ledger,
+      new StreamingParquetSource(spark, cfg, srcDir.toString),
+      new ParquetStage(spark, cfg),
+      new ParquetTarget(spark, cfg),
+      clock = () => clockNow, auditWait = _ => ())
+    val s = runner.run()
+    assert(s.succeeded == 3 && s.failed == 0, s.toString)
+    val done = ledger.readScoped(cfg).collect()
+      .filter(_.pipeline_status == DriveRecord.Status.Completed)
+    assert(done.length == 3)
+    assert(done.forall(_.count_match_status.contains("matched")))
+    // stage dirs contain the streaming checkpoint alongside the data, and
+    // the downstream read ignored it (audit matched proves it)
+    val firstStage = done.minBy(_.source_query_window_start_time.get.getTime)
+      .unique_stage_id.get
+    assert(new java.io.File(s"$firstStage/_checkpoint").exists ||
+      done.forall(_.source_count.contains(0L)))
+  }
+}
