@@ -64,6 +64,34 @@ object CorpusQueries {
         countDistinct("fp_shingle").as("n_distinct_shingle"))
       .orderBy("source")
 
+  /** Intra-document repetition: avg/max 1-distinct/total word-3-gram ratio
+    * per source — the "document loops" pretraining-quality signal. */
+  val repetitionStats: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("source"),
+        TextFunctions.repetitionScore(col("text"), 3).as("rep"))
+      .groupBy("source")
+      .agg(round(avg("rep"), 6).as("avg_rep"),
+        round(max("rep"), 6).as("max_rep"),
+        sum(when(col("rep") > 0.1, 1).otherwise(0)).as("n_repetitive"))
+      .orderBy("source")
+
+  /** Column profiling (quality-report shape): exact per-column null counts,
+    * distincts, numeric extents over lineitem — the audit-family operator
+    * every ingest pipeline runs before accepting a batch. */
+  val profileLineitem: Q = (s, dir) =>
+    Tables.lineitem(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("l_quantity").isNull.cast("long")).as("null_qty"),
+      countDistinct("l_orderkey").as("distinct_orders"),
+      countDistinct("l_partkey").as("distinct_parts"),
+      round(min("l_quantity"), 2).as("min_qty"),
+      round(max("l_quantity"), 2).as("max_qty"),
+      round(min("l_extendedprice"), 2).as("min_price"),
+      round(max("l_extendedprice"), 2).as("max_price"),
+      min(col("l_shipdate")).as("min_ship"),
+      max(col("l_shipdate")).as("max_ship"))
+
   // ----------------------------------------------------------------- dedup
 
   val exactDedup: Q = (s, dir) => {
@@ -196,6 +224,8 @@ object CorpusQueries {
     "q31_quality_stats" -> qualityStats,
     "q32_langid_distribution" -> langIdDistribution,
     "q33_fingerprints" -> fingerprints,
+    "q34_repetition_stats" -> repetitionStats,
+    "q19_profile_lineitem" -> profileLineitem,
     "q40_exact_dedup" -> exactDedup,
     "q41_ngram_jaccard_pairs" -> ngramJaccardPairs,
     "q45_ngram_jaccard_pruned" -> ngramJaccardPruned,
@@ -245,6 +275,31 @@ object CorpusQueries {
         |  count(DISTINCT fp_norm) AS n_distinct_norm,
         |  count(DISTINCT fp_shingle) AS n_distinct_shingle
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q34_repetition_stats" ->
+      """WITH t AS (
+        |  SELECT source, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |g AS (
+        |  SELECT source,
+        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |      ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts) - 2)]
+        |    END AS grams
+        |  FROM t),
+        |r AS (
+        |  SELECT source,
+        |    1.0 - len(list_distinct(grams)) * 1.0 / len(grams) AS rep
+        |  FROM g)
+        |SELECT source, round(avg(rep), 6) AS avg_rep, round(max(rep), 6) AS max_rep,
+        |  CAST(sum(CASE WHEN rep > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_profile_lineitem" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,
+        |  count(DISTINCT l_orderkey) AS distinct_orders,
+        |  count(DISTINCT l_partkey) AS distinct_parts,
+        |  round(min(l_quantity), 2) AS min_qty, round(max(l_quantity), 2) AS max_qty,
+        |  round(min(l_extendedprice), 2) AS min_price, round(max(l_extendedprice), 2) AS max_price,
+        |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+        |FROM lineitem""".stripMargin,
     "q40_exact_dedup" ->
       """WITH g AS (
         |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
