@@ -22,5 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[graft.functions.KmvDistinct].getName, "kmv_distinct"),
+      (args: Seq[Expression]) => graft.functions.KmvDistinct(args.head, 256)
+        .toAggregateExpression()))
   }
 }

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.XxHash64
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import java.nio.ByteBuffer
+import scala.collection.mutable
+
+/** KMV (k-minimum-values) distinct-count sketch as a custom
+  * `TypedImperativeAggregate` — the mergeable-sketch shape for counting
+  * distincts across partitions with O(k) state per group (the custom
+  * aggregate counterpart to the engine's codegen scalar expressions;
+  * Spark's own approx_count_distinct is the HLL++ sibling).
+  *
+  * Estimator: hash values mapped to unsigned order; with the k-th minimum
+  * at unsigned fraction U(k) of the hash space, estimate = (k-1)/U(k).
+  * Exact below k distinct values (returns the observed count).
+  */
+final case class KmvState(k: Int, heap: mutable.TreeSet[Long]) {
+  // heap keeps the k smallest hashes in UNSIGNED order
+  def add(h: Long): Unit = {
+    val key = h ^ Long.MinValue // flip sign bit: unsigned order as signed
+    if (heap.size < k) heap += key
+    else if (key < heap.last) { heap -= heap.last; heap += key }
+  }
+  def mergeWith(other: KmvState): Unit = other.heap.foreach { key =>
+    if (heap.size < k) heap += key
+    else if (key < heap.last) { heap -= heap.last; heap += key }
+  }
+  def estimate: Long =
+    if (heap.size < k) heap.size.toLong
+    else {
+      // stored keys are hash ^ signBit, i.e. unsigned value - 2^63; the
+      // k-th minimum's unsigned fraction of the 2^64 hash space is
+      // (key + 2^63) / 2^64
+      val frac = (heap.last.toDouble - Long.MinValue.toDouble) / math.pow(2, 64)
+      math.round((k - 1) / math.max(frac, Double.MinPositiveValue))
+    }
+}
+
+case class KmvDistinct(child: Expression, k: Int,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KmvState] {
+
+  private val hasher = XxHash64(Seq(child), 42L)
+
+  override def createAggregationBuffer(): KmvState =
+    KmvState(k, mutable.TreeSet.empty[Long])
+
+  override def update(buffer: KmvState, input: InternalRow): KmvState = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(hasher.eval(input).asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(b1: KmvState, b2: KmvState): KmvState = {
+    b1.mergeWith(b2); b1
+  }
+
+  override def eval(buffer: KmvState): Any = buffer.estimate
+
+  override def serialize(buffer: KmvState): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buffer.heap.size * 8)
+    bb.putInt(buffer.heap.size)
+    buffer.heap.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvState = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val s = KmvState(k, mutable.TreeSet.empty[Long])
+    (0 until n).foreach(_ => s.heap += bb.getLong)
+    s
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "kmv_distinct"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object KmvDistinct {
+  /** Approximate COUNT(DISTINCT col) with a k-minimum-values sketch. */
+  def kmvDistinct(c: Column, k: Int = 256): Column =
+    ColumnBridge.column(
+      KmvDistinct(ColumnBridge.expression(c), k).toAggregateExpression())
+}

@@ -174,11 +174,14 @@ object CorpusQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** Approximate distinct (HLL++) — engine-specific estimate, rows-only. */
+  /** Approximate distinct (HLL++ built-in + the engine's own KMV
+    * TypedImperativeAggregate sketch) — engine-specific estimates,
+    * rows-only; KmvSketchSpec pins accuracy. */
   val approxDistinct: Q = (s, dir) =>
     Tables.events(s, dir)
       .groupBy("event_type")
       .agg(approx_count_distinct("user_id").as("approx_users"),
+        graft.functions.KmvDistinct.kmvDistinct(col("user_id"), 256).as("kmv_users"),
         countDistinct("user_id").as("exact_users"))
       .orderBy("event_type")
 

@@ -1,0 +1,36 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.KmvDistinct.kmvDistinct
+import org.apache.spark.sql.functions._
+
+class KmvSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact below k, approximate within 10% above k") {
+    val small = (1 to 100).toDF("v")
+    assert(small.agg(kmvDistinct(col("v"), 256)).as[Long].head() == 100L)
+
+    val big = (1 to 200000).map(i => i % 50000).toDF("v")
+    val est = big.repartition(8).agg(kmvDistinct(col("v"), 256)).as[Long].head()
+    val err = math.abs(est - 50000.0) / 50000.0
+    assert(err < 0.10, s"estimate $est, err $err")
+  }
+
+  test("sketch merges across groups and partitions like countDistinct") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.01")
+    val joined = ev.groupBy("event_type")
+      .agg(kmvDistinct(col("user_id"), 256).as("kmv"),
+        countDistinct("user_id").as("exact"))
+      .as[(String, Long, Long)].collect()
+    // 150 users << k=256 -> sketch is exact here
+    joined.foreach { case (t, kmv, exact) =>
+      assert(kmv == exact, s"$t: kmv=$kmv exact=$exact")
+    }
+  }
+
+  test("nulls are ignored") {
+    val df = Seq(Some(1), None, Some(2), None, Some(1)).toDF("v")
+    assert(df.agg(kmvDistinct(col("v"), 16)).as[Long].head() == 2L)
+  }
+}
