@@ -27,5 +27,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.KmvDistinct].getName, "kmv_distinct"),
       (args: Seq[Expression]) => graft.functions.KmvDistinct(args.head, 256)
         .toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSignature].getName, "minhash_signature"),
+      (args: Seq[Expression]) => graft.functions.GraftFunctions.minhashSignatureBuilder(args)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => graft.functions.SimHash64(args.head)))
   }
 }

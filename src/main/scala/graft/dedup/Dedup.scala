@@ -135,15 +135,25 @@ object Dedup {
       col("shingle").bitwiseAND(lit(0x7FFFFFFFL)).as("h")), numHashes)
 
   private def signaturesFromBase(base: DataFrame, numHashes: Int): DataFrame = {
-    val p = (1L << 31) - 1
-    val rng = new java.util.Random(0x5EED)
-    val params = (0 until numHashes).map(_ =>
-      (1L + rng.nextInt((p - 1).toInt).toLong, rng.nextInt(p.toInt).toLong))
-    val aggs = params.zipWithIndex.map { case ((a, b), j) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(p))).as(s"h$j")
+    val (as, bs) = graft.functions.MinHashFamily.params(numHashes)
+    val p = graft.functions.MinHashFamily.P
+    val aggs = (0 until numHashes).map { j =>
+      min(pmod(col("h") * lit(as(j)) + lit(bs(j)), lit(p))).as(s"h$j")
     }
     base.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Per-row MinHash signatures (array<long> `sig`): the narrow-plan form —
+    * a signature is a pure function of one document's text, so no shingle
+    * explode and NO SHUFFLE. Bit-identical to `minHashSignatures` (same
+    * shingle rules, same xxhash64 seed, same affine family — differential
+    * spec enforces it); this is the scale path, the aggregate form remains
+    * as the cross-implementation oracle. */
+  def minHashSignaturesPerRow(docs: DataFrame, idCol: String, textCol: String,
+                              shingleK: Int, numHashes: Int): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        graft.functions.HashFunctions.minhashSignature(col(textCol), shingleK, numHashes).as("sig"))
 
   /** LSH candidate pairs: band the signature (bands x rowsPerBand =
     * numHashes), hash each band, group by (band, hash). Docs sharing any
@@ -163,26 +173,40 @@ object Dedup {
       .distinct()
   }
 
-  /** Full MinHash-LSH near-dup pipeline: shingle -> sign -> band -> verify
-    * candidates with exact Jaccard >= threshold. */
+  /** Full MinHash-LSH near-dup pipeline: per-row signatures -> band ->
+    * signature prefilter -> verify candidates with exact Jaccard >=
+    * threshold.
+    *
+    * Scale shape (the round-2 rework): signatures are computed per row by
+    * the codegen-stage `MinHashSignature` expression — no shingle explode,
+    * no shuffle; the only wide stages left are the band-bucket self-join
+    * (which touches 16 longs per doc, not every shingle) and the exact
+    * verification, whose shingle table is built ONLY for candidate docs
+    * (semi-join before the explode, so the corpus is never re-shingled).
+    * At bench sf0.1 this removed a ~2.2M-row shuffle into 64 min-aggs —
+    * the hottest stage of round 1; at 100 TB it is the difference between
+    * an O(corpus-shingles) shuffle and none. */
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
                  minJaccard: Double = 0.6): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    // Work on hashed shingles throughout: every distinct/join/aggregate
-    // shuffles 8-byte longs instead of strings (set semantics preserved up
-    // to 64-bit collisions, odds ~n^2/2^65 per pair). The raw-string path
-    // lives in ngramJaccardPairs, which is the byte-exact oracle baseline.
-    // one explode, cached, feeds both paths: signatures read the raw rows
-    // (min() is idempotent under duplicates), verification reads the
-    // distinct set
-    val rawShingles = docs.select(col(idCol).as("id"),
-        explode(graft.functions.TextFunctions.charShingles(col(textCol), shingleK)).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("shingle"))
-      .cache()
-    val sh = rawShingles.distinct().cache()
-    val sig = minHashSignaturesHashed(rawShingles, numHashes).cache()
-    val rawCand = lshCandidates(sig, bands, numHashes / bands)
+    val rowsPerBand = numHashes / bands
+    val sig = minHashSignaturesPerRow(docs, idCol, textCol, shingleK, numHashes).cache()
+
+    // banding straight off the signature array: band hash = xxhash64 over
+    // that band's signature components (identical values to the aggregate
+    // form's h_j columns, so buckets — and final output — are unchanged)
+    val bandCols = (0 until bands).map { b =>
+      val comps = (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r))
+      struct(lit(b).as("band"), xxhash64(comps: _*).as("bh"))
+    }
+    val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val rawCand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
 
     // Prefilter candidates by the signature-estimated jaccard (fraction of
     // equal components, E[est] = J, sigma = sqrt(J(1-J)/k)). On a corpus
@@ -191,7 +215,7 @@ object Dedup {
     // before the exact verification joins. Margin 3 sigma below threshold
     // keeps essentially all true pairs.
     val estCols = (0 until numHashes)
-      .map(j => when(col(s"a.h$j") === col(s"b.h$j"), 1).otherwise(0))
+      .map(j => when(col("a.sig").getItem(j) === col("b.sig").getItem(j), 1).otherwise(0))
       .reduce[Column](_ + _)
     val sigMargin = minJaccard - 3 * math.sqrt(minJaccard * (1 - minJaccard) / numHashes)
     val cand = rawCand
@@ -199,16 +223,24 @@ object Dedup {
       .join(sig.as("b"), col("id_b") === col("b.id"))
       .where(estCols >= lit(sigMargin * numHashes))
       .select("id_a", "id_b")
+      .cache()
 
-    // verify: exact jaccard on the surviving pairs only, over a shingle
-    // table semi-join-pruned to candidate docs (at scale the verification
-    // must never rescan the full corpus' shingles). The second join is an
-    // equi-join on (id_b, shingle) so only true intersections materialize
-    // — joining on id_b alone and filtering shingle equality afterwards
-    // would cross every candidate shingle with every id_b shingle.
+    // verify: exact jaccard on the surviving pairs only. The shingle table
+    // exists ONLY for candidate docs — semi-join the docs BEFORE the
+    // explode, then hash shingles to longs (set semantics up to 64-bit
+    // collisions; the raw-string path lives in ngramJaccardPairs, the
+    // byte-exact oracle baseline). The second join is an equi-join on
+    // (id_b, shingle) so only true intersections materialize.
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-    val shCand = sh.join(candIds, Seq("id"), "left_semi")
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val candDocs = docs.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .join(candIds, Seq("id"), "left_semi")
+    val shCand = candDocs
+      .select(col("id"),
+        explode(graft.functions.TextFunctions.charShingles(col("__t"), shingleK)).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("shingle"))
+      .distinct()
+      .cache()
+    val sizes = shCand.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(shCand.withColumnRenamed("id", "id_a"), "id_a")
       .join(shCand.withColumnRenamed("id", "id_b"), Seq("id_b", "shingle"))
@@ -225,9 +257,20 @@ object Dedup {
   // ---------------------------------------------------------------- simhash
 
   /** 64-bit SimHash per doc from whitespace tokens: per bit, sum +1/-1 of
-    * each token-hash's bit, take the sign. Expressed as 64 conditional sums
-    * in one aggregation (single shuffle). */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * each token-hash's bit, take the sign. Computed per row by the
+    * `SimHash64` expression — the hash is a pure function of one document,
+    * so the plan is narrow (no token explode, no shuffle). Token-less
+    * documents are dropped (the expression returns null), matching how
+    * explode() dropped them from the aggregate form. */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        graft.functions.HashFunctions.simhash64(col(textCol)).as("simhash"))
+      .where(col("simhash").isNotNull)
+
+  /** Aggregate form of [[simHash]] (explode tokens, 64 conditional sums in
+    * one shuffle) — kept as the cross-implementation differential baseline
+    * for the per-row expression. */
+  def simHashAgg(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
         explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .withColumn("th", xxhash64(col("tok")))

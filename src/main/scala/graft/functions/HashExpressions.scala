@@ -1,0 +1,195 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared MinHash affine family g_j(h) = (a_j*h + b_j) mod p, p = 2^31-1.
+  *
+  * The (a_j, b_j) sequence is fixed (seeded PRNG) so that every signature
+  * producer in the engine — the aggregate form (`Dedup.minHashSignatures`,
+  * k min() aggs over an exploded shingle table) and the per-row expression
+  * (`MinHashSignature` below) — yields bit-identical signatures. Parameter
+  * bounds (a in [1, p-1], b in [0, p-1], h masked to 31 bits) keep a*h+b
+  * within long range under ANSI arithmetic and guarantee the mod wraps
+  * (see Dedup for the two measured degenerate-family traps).
+  */
+object MinHashFamily {
+  val P: Long = (1L << 31) - 1
+
+  /** (a_j, b_j) arrays for j < numHashes — deterministic across JVMs. */
+  def params(numHashes: Int): (Array[Long], Array[Long]) = {
+    val rng = new java.util.Random(0x5EED)
+    val as = new Array[Long](numHashes)
+    val bs = new Array[Long](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      as(j) = 1L + rng.nextInt((P - 1).toInt).toLong
+      bs(j) = rng.nextInt(P.toInt).toLong
+      j += 1
+    }
+    (as, bs)
+  }
+}
+
+/** Per-row MinHash signature of a text column: array<long> of length
+  * `numHashes`, where element j = min over character `shingleK`-gram
+  * shingles of g_j(xxhash64(shingle) & 0x7FFFFFFF).
+  *
+  * This is the narrow-plan replacement for the explode + groupBy(k mins)
+  * pipeline: a signature is a pure function of one document, so computing
+  * it per row eliminates the shingle shuffle entirely (at bench sf0.1 that
+  * shuffle moved ~2.2M rows into 64 min-aggregates — the single hottest
+  * stage of round 1). At 100 TB the difference is an O(corpus-shingles)
+  * shuffle versus none: signatures stream out of the scan stage.
+  *
+  * Semantics match `TextFunctions.charShingles` + `xxhash64` byte-for-byte:
+  * shingles are char (not byte) k-grams; texts shorter than k hash as one
+  * whole-text shingle; hashing uses the same XXH64 entry point with
+  * Spark's seed 42 over the shingle's UTF8 bytes (zero-copy views into the
+  * row buffer). Duplicate shingles are harmless under min().
+  *
+  * CodegenFallback is deliberate: the per-row loop (shingles x numHashes
+  * multiply-mods) dwarfs the one reflective call per row, and the heavy
+  * code is already compiled JVM bytecode — nothing here needs Janino.
+  */
+case class MinHashSignature(child: Expression, shingleK: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(shingleK >= 1, "shingleK must be >= 1")
+  require(numHashes >= 1, "numHashes must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  @transient private lazy val (as, bs) = MinHashFamily.params(numHashes)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nBytes = s.numBytes()
+    val nChars = s.numChars()
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    if (nChars < shingleK) {
+      accumulate(base, off, nBytes, sig)
+    } else {
+      // byte offset of each char start (UTF8 chars, matching substr/length)
+      val charOff = new Array[Int](nChars + 1)
+      var i = 0
+      var bo = 0
+      while (i < nChars) {
+        charOff(i) = bo
+        bo += UTF8String.numBytesForFirstByte(Platform.getByte(base, off + bo))
+        i += 1
+      }
+      charOff(nChars) = nBytes
+      var st = 0
+      while (st + shingleK <= nChars) {
+        accumulate(base, off + charOff(st), charOff(st + shingleK) - charOff(st), sig)
+        st += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
+  private def accumulate(base: AnyRef, offset: Long, len: Int, sig: Array[Long]): Unit = {
+    // same entry point the built-in xxhash64 uses for strings (seed 42)
+    val view = UTF8String.fromAddress(base, offset, len)
+    val h = XXH64.hashUTF8String(view, 42L) & 0x7FFFFFFFL
+    var j = 0
+    while (j < numHashes) {
+      val v = (as(j) * h + bs(j)) % MinHashFamily.P
+      if (v < sig(j)) sig(j) = v
+      j += 1
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-row 64-bit SimHash of a text column from whitespace tokens: per bit,
+  * the sign of the sum of +-1 contributions of each token-hash's bit.
+  *
+  * Narrow-plan replacement for the explode + groupBy(64 conditional sums)
+  * aggregation — the hash is a pure function of one document. Token
+  * semantics match `split(trim(c), "\\s+")` exactly (space-only trim,
+  * Java regex with limit -1 keeping interior empties); documents with zero
+  * tokens return NULL, mirroring how explode() dropped them from the
+  * aggregate form. Bit b is set iff strictly more tokens have bit b of
+  * xxhash64(token) set than clear (sum > 0), identical to the aggregate.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val trimmed = input.asInstanceOf[UTF8String].trim()
+    if (trimmed.numBytes() == 0) return null
+    val toks = SimHash64.Whitespace.split(trimmed.toString, -1)
+    val ones = new Array[Int](64)
+    var n = 0
+    var i = 0
+    while (i < toks.length) {
+      val th = XXH64.hashUTF8String(UTF8String.fromString(toks(i)), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((th >>> b) & 1L) == 1L) ones(b) += 1
+        b += 1
+      }
+      n += 1
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (2 * ones(b) > n) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  private val Whitespace = Pattern.compile("\\s+")
+}
+
+object GraftFunctions {
+  /** SQL builder for minhash_signature(text, shingleK, numHashes) — the
+    * shape parameters must be integer literals (they fix the output
+    * schema, so they cannot be data-dependent). */
+  def minhashSignatureBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 3, "usage: minhash_signature(text, shingleK, numHashes)")
+    def intLit(e: Expression, name: String): Int = e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"minhash_signature: $name must be an integer literal, got $other")
+    }
+    MinHashSignature(args.head, intLit(args(1), "shingleK"), intLit(args(2), "numHashes"))
+  }
+}
+
+object HashFunctions {
+  /** Per-row MinHash signature column (array<long>, length numHashes). */
+  def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(text), shingleK, numHashes))
+
+  /** Per-row 64-bit SimHash column (null for token-less documents). */
+  def simhash64(text: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
+}

@@ -1,0 +1,73 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Differential tests: the per-row hash expressions must be bit-identical
+  * to the aggregate (explode + groupBy) forms they replaced — same shingle
+  * rules, same xxhash64 entry point/seed, same affine family. Run on the
+  * real sf0.001 corpus plus adversarial edge rows (short/empty/unicode
+  * text), so any drift in UTF8 char-boundary handling or the hash family
+  * sequence fails loudly.
+  */
+class HashExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  // ids offset past the corpus range: the aggregate forms groupBy id, so a
+  // colliding id would merge two docs into one signature
+  private val edge = Seq(
+    900001L -> "",                      // empty: one whole-text shingle, no tokens
+    900002L -> "ab",                    // shorter than k
+    900003L -> "abcde",                 // exactly k
+    900004L -> "héllo wörld ünïcode",   // multi-byte chars cross shingle bounds
+    900005L -> "  spaced   out  ",      // space-only trim + interior runs
+    900006L -> "\tword\t",              // tab survives space-trim; empty tokens
+    900007L -> "日本語のテキストです")   // 3-byte chars throughout
+
+  test("per-row minhash signature equals the aggregate signatures (corpus)") {
+    val agg = Dedup.minHashSignatures(
+      Dedup.shingleTable(docs, "doc_id", "text", 5), 64)
+    val perRow = Dedup.minHashSignaturesPerRow(docs, "doc_id", "text", 5, 64)
+      .select((col("id") +: (0 until 64).map(j => col("sig").getItem(j).as(s"h$j"))): _*)
+    assert(perRow.exceptAll(agg).isEmpty && agg.exceptAll(perRow).isEmpty,
+      "per-row and aggregate minhash signatures differ on the corpus")
+  }
+
+  test("per-row minhash signature equals the aggregate signatures (edge rows)") {
+    val d = edge.toDF("doc_id", "text")
+    val agg = Dedup.minHashSignatures(Dedup.shingleTable(d, "doc_id", "text", 5), 8)
+    val perRow = Dedup.minHashSignaturesPerRow(d, "doc_id", "text", 5, 8)
+      .select((col("id") +: (0 until 8).map(j => col("sig").getItem(j).as(s"h$j"))): _*)
+    assert(perRow.exceptAll(agg).isEmpty && agg.exceptAll(perRow).isEmpty,
+      "per-row and aggregate minhash signatures differ on edge rows")
+  }
+
+  test("per-row simhash equals the aggregate simhash (corpus + edge rows)") {
+    val d = edge.toDF("doc_id", "text")
+      .unionAll(docs.select(col("doc_id"), col("text")))
+    val agg = Dedup.simHashAgg(d, "doc_id", "text")
+    val perRow = Dedup.simHash(d, "doc_id", "text")
+    assert(perRow.exceptAll(agg).isEmpty && agg.exceptAll(perRow).isEmpty,
+      "per-row and aggregate simhash differ")
+    // token-less docs must be absent from both (null -> filtered, explode -> dropped)
+    val ids = perRow.select("id").as[Long].collect().toSet
+    assert(!ids.contains(900001L))
+    assert(ids.contains(900005L) && ids.contains(900006L))
+  }
+
+  test("minhash_signature and simhash64 are callable from SQL") {
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
+      spark, "minhash_signature", args => GraftFunctions.minhashSignatureBuilder(args))
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
+      spark, "simhash64", args => SimHash64(args.head))
+    edge.toDF("doc_id", "text").createOrReplaceTempView("hash_edge_docs")
+    val n = spark.sql(
+      "SELECT minhash_signature(text, 5, 8) AS sig, simhash64(text) AS sh FROM hash_edge_docs")
+      .where(size(col("sig")) === 8).count()
+    assert(n == edge.size)
+  }
+}
