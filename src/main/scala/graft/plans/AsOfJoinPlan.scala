@@ -1,0 +1,217 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Expression, GenericInternalRow, JoinedRow, NamedExpression, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** As-of join as a first-class Catalyst operator: custom `LogicalPlan` +
+  * `SparkStrategy` + `SparkPlan`, registered via
+  * `SparkSessionExtensions`/`experimental.extraStrategies`.
+  *
+  * This is the extension-preference-order step (c) implementation of the
+  * same semantics as the composed `graft.ops.AsOfJoin` (step (a)): each
+  * left row picks the latest right row with right.ts <= left.ts in its key
+  * group, optionally bounded by a staleness tolerance. Where the composed
+  * form pays one shuffle of LEFT+RIGHT together and a windowed
+  * carry-forward over the union, the physical operator asks Catalyst for
+  * co-partitioned, (key, time)-sorted children — the same machinery
+  * sort-merge join uses — and then streams BOTH sides through a single
+  * per-partition merge with O(1) state (the latest matching right row).
+  * At scale that means: no union materialization, no window buffering, and
+  * the planner is free to satisfy the distribution from an existing
+  * partitioning (bucketed/bucket-sorted inputs plan with zero exchanges).
+  *
+  * Null semantics (identical to the composed form on non-null time data,
+  * which the differential spec enforces): null keys group together (as in
+  * Window.partitionBy); right rows with null time never match; left rows
+  * with null time match nothing.
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightPayload: Seq[NamedExpression],
+    toleranceMicros: Option[Long],
+    matchedAttrs: Seq[Attribute]) extends BinaryNode {
+
+  override def output: Seq[Attribute] = left.output ++ matchedAttrs
+
+  // the matched-side attributes are minted by this operator, not inherited
+  // from a child — declare them so CheckAnalysis doesn't flag them missing
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(matchedAttrs)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinNode]] as [[AsOfJoinExec]]. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case n: AsOfJoinNode =>
+      AsOfJoinExec(planLater(n.left), planLater(n.right),
+        n.leftKeys, n.rightKeys, n.leftTime, n.rightTime,
+        n.rightPayload, n.toleranceMicros, n.output) :: Nil
+    case _ => Nil
+  }
+
+  /** Idempotently register on an already-built session. */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        AsOfJoinStrategy +: spark.experimental.extraStrategies
+}
+
+/** Per-partition streaming merge of (key, time)-sorted children.
+  *
+  * Catalyst satisfies `requiredChildDistribution`/`requiredChildOrdering`
+  * (inserting hash exchanges + sorts only when the children aren't already
+  * co-partitioned/sorted), so the operator itself is a pure merge: advance
+  * the right iterator while it is at-or-before the current left row,
+  * remembering only the latest right row of the current key — O(1) state,
+  * no buffering of either side, spill-free by construction.
+  */
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightPayload: Seq[NamedExpression],
+    toleranceMicros: Option[Long],
+    override val output: Seq[Attribute]) extends BinaryExecNode {
+
+  require(Seq(leftTime.dataType, rightTime.dataType).forall(t =>
+    t == TimestampType || t == LongType),
+    "as-of time columns must be timestamp or long")
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val tol = toleranceMicros
+    val payloadWidth = rightPayload.length
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    val payload = rightPayload
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
+      // matched-side row = payload columns ++ matched right time (asof_ts)
+      val matchProj = UnsafeProjection.create((payload: Seq[Expression]) :+ rTimeExpr, rOut)
+      val keyOrdering = RowOrdering.createNaturalAscendingOrdering(lKeyExprs.map(_.dataType))
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      val nullMatch = new GenericInternalRow(payloadWidth + 1)
+
+      new Iterator[InternalRow] {
+        private var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
+        private var lastMatch: InternalRow = _ // copy of latest matching right
+        private var lastMatchKey: InternalRow = _
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val lRow = lIter.next()
+          val lk = lKeyProj(lRow)
+          val ltRow = lTimeProj(lRow)
+          val ltNull = ltRow.isNullAt(0)
+          val lt = if (ltNull) Long.MinValue else ltRow.getLong(0)
+          // advance right through everything at-or-before (lk, lt)
+          var done = rRow == null
+          while (!done) {
+            val rk = rKeyProj(rRow)
+            val c = keyOrdering.compare(rk, lk)
+            if (c < 0) {
+              rRow = if (rIter.hasNext) rIter.next() else null
+              done = rRow == null
+            } else if (c == 0) {
+              val rtRow = rTimeProj(rRow)
+              if (rtRow.isNullAt(0)) { // null right time never matches; skip
+                rRow = if (rIter.hasNext) rIter.next() else null
+                done = rRow == null
+              } else if (!ltNull && rtRow.getLong(0) <= lt) {
+                lastMatch = matchProj(rRow).copy()
+                lastMatchKey = lk.copy()
+                rRow = if (rIter.hasNext) rIter.next() else null
+                done = rRow == null
+              } else done = true
+            } else done = true
+          }
+          val valid = lastMatch != null && !ltNull &&
+            keyOrdering.compare(lastMatchKey, lk) == 0 &&
+            tol.forall(t => lastMatch.getLong(payloadWidth) >= lt - t)
+          resultProj(joined(lRow, if (valid) lastMatch else nullMatch))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public API: DataFrame-in, DataFrame-out as-of join on the custom
+  * operator. Same signature and semantics as `graft.ops.AsOfJoin.asOf`. */
+object AsOfJoinPhysical {
+
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTs: String, rightTs: String, rightCols: Seq[String],
+           toleranceSeconds: Option[Long] = None): DataFrame = {
+    val spark = left.sparkSession
+    AsOfJoinStrategy.install(spark)
+
+    val lPlan = ColumnBridge.analyzed(left)
+    var rPlan = ColumnBridge.analyzed(right)
+    // self-join safety: if the two sides share attribute ids, re-alias the
+    // right side so expression binding is unambiguous
+    if (lPlan.outputSet.intersect(rPlan.outputSet).nonEmpty) {
+      rPlan = org.apache.spark.sql.catalyst.plans.logical.Project(
+        rPlan.output.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), rPlan)
+    }
+    def attrOf(plan: LogicalPlan, name: String, side: String): Attribute =
+      plan.output.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found on $side side"))
+
+    val lKeys = keys.map(attrOf(lPlan, _, "left"))
+    val rKeys = keys.map(attrOf(rPlan, _, "right"))
+    val lTime = attrOf(lPlan, leftTs, "left")
+    val rTime = attrOf(rPlan, rightTs, "right")
+    val payload = rightCols.map(attrOf(rPlan, _, "right"))
+    require(!rightCols.exists(c => lPlan.output.exists(_.name.equalsIgnoreCase(c))),
+      "right payload columns must not clash with left columns")
+
+    val matchedAttrs = payload.map(a =>
+      AttributeReference(a.name, a.dataType, nullable = true)()) :+
+      AttributeReference("asof_ts", rTime.dataType, nullable = true)()
+
+    val node = AsOfJoinNode(lPlan, rPlan, lKeys, rKeys, lTime, rTime,
+      payload, toleranceSeconds.map(_ * 1000000L), matchedAttrs)
+    ColumnBridge.ofRows(spark, node)
+  }
+}

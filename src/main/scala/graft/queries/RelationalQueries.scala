@@ -241,6 +241,25 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** Same as-of semantics on the custom Catalyst operator (LogicalPlan +
+    * Strategy + AsOfJoinExec streaming merge) — gated against the same
+    * DuckDB native ASOF JOIN oracle as the composed q17. */
+  val asofJoinPhysical: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"),
+        round(col("value"), 4).as("signup_value"))
+    graft.plans.AsOfJoinPhysical.asOf(purchases, signups, Seq("user_id"),
+        leftTs = "ts", rightTs = "ts", rightCols = Seq("signup_value"))
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("purchase_sec"),
+        unix_timestamp(col("asof_ts")).as("signup_sec"),
+        col("signup_value"))
+      .orderBy("event_id")
+  }
+
   /** ROLLUP aggregation: revenue at (flag, status), per-flag subtotals and
     * grand total in one pass — grouping-sets surface. */
   val rollupRevenue: Q = (s, dir) =>
@@ -252,6 +271,7 @@ object RelationalQueries {
 
   val all: Map[String, Q] = Map(
     "q17_asof_join" -> asofJoin,
+    "q27_asof_physical" -> asofJoinPhysical,
     "q18_rollup_revenue" -> rollupRevenue,
     "q14_time_rounding" -> timeRounding,
     "q15_generated_windows" -> generatedWindows,
@@ -270,6 +290,22 @@ object RelationalQueries {
     "q12_composite_ids" -> compositeIds,
     "q13_diff_percentage" -> diffPercentage)
 
+  /** Shared by q17 (composed) and q27 (custom Catalyst operator): both must
+    * match DuckDB's native ASOF JOIN. */
+  private val AsOfOracleSql: String =
+    """WITH purchases AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |signups AS (
+      |  SELECT user_id, ts, round(value, 4) AS signup_value
+      |  FROM events WHERE event_type = 'signup')
+      |SELECT p.event_id, p.user_id,
+      |  CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_sec,
+      |  CAST(floor(epoch(s.ts)) AS BIGINT) AS signup_sec,
+      |  s.signup_value
+      |FROM purchases p ASOF LEFT JOIN signups s
+      |  ON p.user_id = s.user_id AND p.ts >= s.ts
+      |ORDER BY p.event_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q18_rollup_revenue" ->
       """SELECT l_returnflag, l_linestatus,
@@ -277,19 +313,8 @@ object RelationalQueries {
         |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
-    "q17_asof_join" ->
-      """WITH purchases AS (
-        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-        |signups AS (
-        |  SELECT user_id, ts, round(value, 4) AS signup_value
-        |  FROM events WHERE event_type = 'signup')
-        |SELECT p.event_id, p.user_id,
-        |  CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_sec,
-        |  CAST(floor(epoch(s.ts)) AS BIGINT) AS signup_sec,
-        |  s.signup_value
-        |FROM purchases p ASOF LEFT JOIN signups s
-        |  ON p.user_id = s.user_id AND p.ts >= s.ts
-        |ORDER BY p.event_id""".stripMargin,
+    "q17_asof_join" -> AsOfOracleSql,
+    "q27_asof_physical" -> AsOfOracleSql,
     "q14_time_rounding" ->
       """SELECT event_id,
         |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS floor_h_sec,

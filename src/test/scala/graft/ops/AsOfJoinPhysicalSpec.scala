@@ -1,0 +1,103 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.plans.{AsOfJoinExec, AsOfJoinPhysical}
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Differential: the custom-Catalyst as-of join (LogicalPlan + Strategy +
+  * SparkPlan) must produce exactly the composed (union + window) form's
+  * results — on the real event data and on adversarial synthetic cases
+  * (exact ts ties, keys missing from one side, tolerance cutoffs, repeated
+  * timestamps per key).
+  */
+class AsOfJoinPhysicalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def same(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.schema.map(f => (f.name, f.dataType)) == b.schema.map(f => (f.name, f.dataType)),
+      s"schemas differ: ${a.schema} vs ${b.schema}")
+    val extraA = a.exceptAll(b).count()
+    val extraB = b.exceptAll(a).count()
+    assert(extraA == 0 && extraB == 0,
+      s"results differ: $extraA rows only-in-physical, $extraB rows only-in-composed")
+  }
+
+  private lazy val ev = Tables.events(spark, "/root/testdata/sf0.001")
+  private lazy val purchases = ev.where(col("event_type") === "purchase")
+    .select("event_id", "user_id", "ts")
+  private lazy val signups = ev.where(col("event_type") === "signup")
+    .select(col("user_id"), col("ts"), round(col("value"), 4).as("signup_value"))
+
+  test("physical as-of equals composed as-of on event data") {
+    val physical = AsOfJoinPhysical.asOf(purchases, signups, Seq("user_id"),
+      "ts", "ts", Seq("signup_value"))
+    val composed = AsOfJoin.asOf(purchases, signups, Seq("user_id"),
+      "ts", "ts", Seq("signup_value"))
+    same(physical, composed)
+  }
+
+  test("physical as-of equals composed as-of with tolerance") {
+    for (tolSec <- Seq(3600L, 86400L * 7)) {
+      val physical = AsOfJoinPhysical.asOf(purchases, signups, Seq("user_id"),
+        "ts", "ts", Seq("signup_value"), Some(tolSec))
+      val composed = AsOfJoin.asOf(purchases, signups, Seq("user_id"),
+        "ts", "ts", Seq("signup_value"), Some(tolSec))
+      same(physical, composed)
+    }
+  }
+
+  test("edge cases: ties, unmatched keys, duplicate right timestamps") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val l = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00")), // exact tie with right
+      (2L, "a", ts("2024-01-01 09:59:59")), // just before any right
+      (3L, "b", ts("2024-01-02 00:00:00")), // later than all right b
+      (4L, "c", ts("2024-01-01 12:00:00")), // key missing on right
+      (5L, "d", ts("2024-01-01 12:00:00"))  // duplicate right ts at match
+    ).toDF("event_id", "user_id", "ts")
+    val r = Seq(
+      ("a", ts("2024-01-01 10:00:00"), 1.0),
+      ("b", ts("2024-01-01 00:00:00"), 2.0),
+      ("b", ts("2024-01-01 06:00:00"), 3.0),
+      ("d", ts("2024-01-01 11:00:00"), 4.0),
+      ("d", ts("2024-01-01 11:00:00"), 5.0)
+    ).toDF("user_id", "ts", "signup_value")
+    val physical = AsOfJoinPhysical.asOf(l, r, Seq("user_id"), "ts", "ts", Seq("signup_value"))
+    val composed = AsOfJoin.asOf(l, r, Seq("user_id"), "ts", "ts", Seq("signup_value"))
+    same(physical, composed)
+    val byId = physical.collect().map(row => row.getAs[Long]("event_id") -> row).toMap
+    assert(byId(1L).getAs[Double]("signup_value") == 1.0, "tie must match")
+    assert(byId(2L).isNullAt(byId(2L).fieldIndex("signup_value")))
+    assert(byId(3L).getAs[Double]("signup_value") == 3.0, "latest right wins")
+    assert(byId(4L).isNullAt(byId(4L).fieldIndex("signup_value")))
+  }
+
+  test("the plan actually contains the custom operator") {
+    val physical = AsOfJoinPhysical.asOf(purchases, signups, Seq("user_id"),
+      "ts", "ts", Seq("signup_value"))
+    physical.collect() // materialize so AQE finalizes the plan
+    // AQE hides the plan inside AdaptiveSparkPlanExec (not a child node), so
+    // match on the rendered plan rather than collect()
+    assert(physical.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      "AsOfJoinExec missing from the physical plan")
+  }
+
+  test("multi-column keys") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val l = Seq((1L, "a", 1, ts("2024-01-01 10:00:00")),
+                (2L, "a", 2, ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "k1", "k2", "ts")
+    val r = Seq(("a", 1, ts("2024-01-01 09:00:00"), 10.0),
+                ("a", 2, ts("2024-01-01 08:00:00"), 20.0))
+      .toDF("k1", "k2", "ts", "v")
+    val physical = AsOfJoinPhysical.asOf(l, r, Seq("k1", "k2"), "ts", "ts", Seq("v"))
+    val composed = AsOfJoin.asOf(l, r, Seq("k1", "k2"), "ts", "ts", Seq("v"))
+    same(physical, composed)
+    val vals = physical.select("event_id", "v").as[(Long, Double)].collect().toMap
+    assert(vals == Map(1L -> 10.0, 2L -> 20.0))
+  }
+}
