@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for corpus curation at scale.
+  *
+  * Sampling a 100 TB corpus must be (a) reproducible across runs and
+  * engines (no RNG state, no partition-order dependence — `df.sample` is
+  * neither), (b) a pure narrow filter (no shuffle for Bernoulli), and
+  * (c) monotone in the rate (raising 5% -> 10% keeps every previously
+  * selected row — threshold sampling gives this for free, so downstream
+  * caches/dedup state stay valid when the rate changes).
+  *
+  * Two hash families:
+  * - md5-bucket: portable — any engine with md5 computes the identical
+  *   sample (the DuckDB oracle does; this is the cross-engine contract).
+  * - xxhash64-bucket: the fast path (codegen'd, no hex-string detour) for
+  *   engine-internal sampling.
+  */
+object Sampling {
+
+  private val Buckets = 4294967296L // 2^32
+
+  /** Uniform bucket in [0, 2^32) from the md5 hex prefix of the key's
+    * string form — engine-portable determinism. */
+  def md5Bucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Uniform bucket in [0, 2^32) via xxhash64 — the fast engine-internal
+    * variant (no string/hex detour, stays in codegen). */
+  def xxBucket(key: Column): Column =
+    pmod(xxhash64(key), lit(Buckets))
+
+  /** Deterministic Bernoulli sample: keep rows whose key-bucket falls below
+    * fraction * 2^32. Pure narrow filter; monotone in `fraction`. */
+  def bernoulli(df: DataFrame, keyCol: String, fraction: Double,
+                portable: Boolean = true): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
+    val bucket = if (portable) md5Bucket(col(keyCol)) else xxBucket(col(keyCol))
+    df.where(bucket < math.floor(fraction * Buckets).toLong)
+  }
+
+  /** Deterministic stratified sample: the `perStratum` rows of each stratum
+    * with the smallest (md5(key), key) — one shuffle on the strata columns,
+    * bounded per-group state. The hash order makes the pick uniform within
+    * the stratum yet stable across runs and engines. */
+  def stratified(df: DataFrame, strataCols: Seq[String], keyCol: String,
+                 perStratum: Int): DataFrame = {
+    require(perStratum > 0, "perStratum must be positive")
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(md5Bucket(col(keyCol)).asc, col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= perStratum)
+      .drop("__rn")
+  }
+}

@@ -92,6 +92,22 @@ object CorpusQueries {
       min(col("l_shipdate")).as("min_ship"),
       max(col("l_shipdate")).as("max_ship"))
 
+  /** Deterministic Bernoulli sample (md5-threshold, engine-portable): 10%
+    * of events by event_id, aggregated per type. The same WHERE clause in
+    * any md5-capable engine selects the identical rows. */
+  val deterministicSample: Q = (s, dir) =>
+    graft.ops.Sampling.bernoulli(Tables.events(s, dir), "event_id", 0.1)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("event_type")
+
+  /** Deterministic stratified sample: 3 documents per lang, picked by
+    * md5-hash order — uniform within the stratum, stable across engines. */
+  val stratifiedSample: Q = (s, dir) =>
+    graft.ops.Sampling.stratified(Tables.documents(s, dir), Seq("lang"), "doc_id", 3)
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id")
+
   // ----------------------------------------------------------------- dedup
 
   val exactDedup: Q = (s, dir) => {
@@ -228,6 +244,8 @@ object CorpusQueries {
     "q32_langid_distribution" -> langIdDistribution,
     "q33_fingerprints" -> fingerprints,
     "q34_repetition_stats" -> repetitionStats,
+    "q35_deterministic_sample" -> deterministicSample,
+    "q36_stratified_sample" -> stratifiedSample,
     "q19_profile_lineitem" -> profileLineitem,
     "q40_exact_dedup" -> exactDedup,
     "q41_ngram_jaccard_pairs" -> ngramJaccardPairs,
@@ -244,6 +262,20 @@ object CorpusQueries {
     "q60_media_features" -> mediaFeatures)
 
   val oracles: Map[String, String] = Map(
+    "q35_deterministic_sample" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events
+        |WHERE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |  < 429496729
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q36_stratified_sample" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+        |        doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 3 ORDER BY lang, doc_id""".stripMargin,
     "q30_token_stats" ->
       """SELECT source, count(*) AS n_docs,
         |  round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens,

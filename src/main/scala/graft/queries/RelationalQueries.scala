@@ -260,6 +260,25 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** Range join: events into a deterministic schedule of intervals (every
+    * 7h; every 5th interval is 9h long so neighbors overlap) via the
+    * bin-bucketed equi-join in ops.RangeJoin — the linear-cost alternative
+    * to Spark's nested-loop plan for range predicates. */
+  val rangeJoinIntervals: Q = (s, dir) => {
+    val baseUs = 1704067200000000L // 2024-01-01T00:00:00Z
+    val iv = s.range(0, 107).toDF("interval_id")
+      .withColumn("start_ts", timestamp_micros(lit(baseUs) + col("interval_id") * lit(25200000000L)))
+      .withColumn("end_ts", timestamp_micros(lit(baseUs) + col("interval_id") * lit(25200000000L) +
+        when(col("interval_id") % 5 === 0, 9L).otherwise(3L) * lit(3600000000L)))
+    val ev = Tables.events(s, dir).select("event_id", "ts", "value")
+    graft.ops.RangeJoin.pointInInterval(ev, iv, "ts", "start_ts", "end_ts", binSeconds = 3600)
+      .groupBy("interval_id", "start_ts")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(col("interval_id"),
+        unix_timestamp(col("start_ts")).as("start_sec"), col("n"), col("sum_value"))
+      .orderBy("interval_id")
+  }
+
   /** ROLLUP aggregation: revenue at (flag, status), per-flag subtotals and
     * grand total in one pass — grouping-sets surface. */
   val rollupRevenue: Q = (s, dir) =>
@@ -272,6 +291,7 @@ object RelationalQueries {
   val all: Map[String, Q] = Map(
     "q17_asof_join" -> asofJoin,
     "q27_asof_physical" -> asofJoinPhysical,
+    "q28_range_join" -> rangeJoinIntervals,
     "q18_rollup_revenue" -> rollupRevenue,
     "q14_time_rounding" -> timeRounding,
     "q15_generated_windows" -> generatedWindows,
@@ -315,6 +335,18 @@ object RelationalQueries {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q17_asof_join" -> AsOfOracleSql,
     "q27_asof_physical" -> AsOfOracleSql,
+    "q28_range_join" ->
+      """WITH iv AS (
+        |  SELECT CAST(i AS BIGINT) AS interval_id,
+        |    make_timestamp(1704067200000000 + i*25200000000) AS start_ts,
+        |    make_timestamp(1704067200000000 + i*25200000000
+        |      + (CASE WHEN i % 5 = 0 THEN 9 ELSE 3 END)*3600000000) AS end_ts
+        |  FROM range(107) t(i))
+        |SELECT iv.interval_id,
+        |  CAST(floor(epoch(iv.start_ts)) AS BIGINT) AS start_sec,
+        |  count(*) AS n, round(sum(e.value), 4) AS sum_value
+        |FROM iv JOIN events e ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q14_time_rounding" ->
       """SELECT event_id,
         |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS floor_h_sec,

@@ -1,0 +1,77 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Differential: bin-bucketed range join must equal the naive cross-join +
+  * filter on every input, including bin-boundary and multi-bin edge cases.
+  */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def same(a: DataFrame, b: DataFrame, msg: String): Unit = {
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, msg)
+  }
+
+  test("point-in-interval equals naive join on event data") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "value")
+    val baseUs = 1704067200000000L // 2024-01-01T00:00:00Z
+    val iv = spark.range(0, 107).toDF("interval_id")
+      .withColumn("start_ts", timestamp_micros(lit(baseUs) + col("interval_id") * lit(25200000000L)))
+      .withColumn("end_ts", timestamp_micros(lit(baseUs) + col("interval_id") * lit(25200000000L) +
+        when(col("interval_id") % 5 === 0, 9L).otherwise(3L) * lit(3600000000L)))
+    val binned = RangeJoin.pointInInterval(ev, iv, "ts", "start_ts", "end_ts", 3600)
+      .select("event_id", "interval_id")
+    val naive = ev.join(iv, col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
+      .select("event_id", "interval_id")
+    same(binned, naive, "bin-bucketed point-in-interval differs from naive")
+  }
+
+  test("bin boundaries: start inclusive, end exclusive, sub-bin and multi-bin intervals") {
+    val points = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // == start: match
+      (2L, ts("2024-01-01 13:00:00")), // == end: no match (half-open)
+      (3L, ts("2024-01-01 12:59:59")),
+      (4L, ts("2024-01-01 10:30:00")),
+      (5L, ts("2024-01-02 05:00:00"))  // inside the long interval only
+    ).toDF("pid", "ts")
+    val intervals = Seq(
+      (10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 13:00:00")), // 3 bins
+      (11L, ts("2024-01-01 10:15:00"), ts("2024-01-01 10:45:00")), // sub-bin
+      (12L, ts("2024-01-01 23:00:00"), ts("2024-01-02 23:00:00")), // 24 bins
+      (13L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00")), // empty
+      (14L, ts("2024-01-01 11:00:00"), ts("2024-01-01 10:00:00"))  // inverted
+    ).toDF("iid", "start_ts", "end_ts")
+    val got = RangeJoin.pointInInterval(points, intervals, "ts", "start_ts", "end_ts", 3600)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (3L, 10L), (4L, 10L), (4L, 11L), (5L, 12L)))
+  }
+
+  test("interval-overlap join equals naive and emits each pair once") {
+    val a = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 05:00:00")),
+      (2L, ts("2024-01-01 04:00:00"), ts("2024-01-01 06:00:00")),
+      (3L, ts("2024-01-02 00:00:00"), ts("2024-01-02 00:30:00"))
+    ).toDF("aid", "a_start", "a_end")
+    val b = Seq(
+      (10L, ts("2024-01-01 04:30:00"), ts("2024-01-01 10:00:00")), // overlaps 1,2
+      (11L, ts("2024-01-01 05:00:00"), ts("2024-01-01 05:30:00")), // overlaps 2 only (1 ends at 05)
+      (12L, ts("2024-01-02 00:15:00"), ts("2024-01-02 04:00:00")), // overlaps 3
+      (13L, ts("2023-12-31 00:00:00"), ts("2024-01-01 00:00:00"))  // touches 1 at boundary: no
+    ).toDF("bid", "b_start", "b_end")
+    val got = RangeJoin.intervalOverlap(a, b, "a_start", "a_end", "b_start", "b_end", 3600)
+      .select("aid", "bid").as[(Long, Long)].collect().toList
+    val naive = a.join(b, col("a_start") < col("b_end") && col("b_start") < col("a_end"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(got.toSet == naive, s"overlap mismatch: got ${got.toSet}, want $naive")
+    assert(got.size == got.toSet.size, "overlap pairs must be emitted exactly once")
+    assert(got.toSet == Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 12L)))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ev = Tables.events(spark, "/root/testdata/sf0.001")
+
+  test("bernoulli sample is deterministic and near the requested rate") {
+    for (portable <- Seq(true, false)) {
+      val s1 = Sampling.bernoulli(ev, "event_id", 0.2, portable)
+        .select("event_id").as[Long].collect().toSet
+      val s2 = Sampling.bernoulli(ev, "event_id", 0.2, portable)
+        .select("event_id").as[Long].collect().toSet
+      assert(s1 == s2, "sample must be identical across runs")
+      val n = ev.count().toDouble
+      // binomial 3-sigma bound around 0.2
+      val sigma = math.sqrt(0.2 * 0.8 / n)
+      assert(math.abs(s1.size / n - 0.2) < 3 * sigma + 0.01,
+        s"rate ${s1.size / n} too far from 0.2")
+    }
+  }
+
+  test("bernoulli sample is monotone in the rate (threshold property)") {
+    val small = Sampling.bernoulli(ev, "event_id", 0.05)
+      .select("event_id").as[Long].collect().toSet
+    val large = Sampling.bernoulli(ev, "event_id", 0.15)
+      .select("event_id").as[Long].collect().toSet
+    assert(small.subsetOf(large), "5% sample must be contained in 15% sample")
+  }
+
+  test("stratified sample returns exactly perStratum rows per populated stratum") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sample = Sampling.stratified(docs, Seq("lang"), "doc_id", 3)
+    val counts = sample.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val full = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    full.foreach { case (lang, n) =>
+      assert(counts(lang) == math.min(3L, n), s"stratum $lang: ${counts.get(lang)}")
+    }
+    // deterministic across runs
+    val again = Sampling.stratified(docs, Seq("lang"), "doc_id", 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == sample.select("doc_id").as[Long].collect().toSet)
+  }
+}
