@@ -1,0 +1,44 @@
+package graft.dedup
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark-contamination detection: for each corpus document, the
+  * fraction of its distinct word n-grams that appear anywhere in a
+  * benchmark (eval-set) corpus — the standard decontamination signal for
+  * pretraining data.
+  *
+  * Scale shape: the benchmark side is tiny relative to a 100 TB corpus
+  * (eval sets are thousands of documents), so its distinct-gram table is
+  * built once and BROADCAST; the corpus side then needs only a narrow
+  * explode + broadcast semi-join + one groupBy on doc id — no corpus-sized
+  * shuffle of gram strings against gram strings. Gram matching hashes to
+  * 64-bit longs before the join (8-byte keys instead of strings on the
+  * wire; collision odds ~|grams|^2 / 2^65).
+  */
+object Contamination {
+
+  /** Per-document contamination scores.
+    *
+    * @return (id, total_grams, matched_grams, contamination) — one row per
+    *         corpus doc; contamination = matched/total over DISTINCT grams.
+    */
+  def scores(corpus: DataFrame, benchmark: DataFrame,
+             idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val corpusGrams = corpus.select(col(idCol).as("id"),
+        explode(array_distinct(TextFunctions.wordGrams(col(textCol), n))).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("gh"))
+    val benchGrams = benchmark.select(
+        explode(array_distinct(TextFunctions.wordGrams(col(textCol), n))).as("g"))
+      .select(xxhash64(col("g")).as("gh"))
+      .distinct()
+    val matched = corpusGrams.join(broadcast(benchGrams), Seq("gh"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("matched_grams"))
+    corpusGrams.groupBy("id").agg(count(lit(1)).as("total_grams"))
+      .join(matched, Seq("id"), "left_outer")
+      .withColumn("matched_grams", coalesce(col("matched_grams"), lit(0L)))
+      .withColumn("contamination",
+        col("matched_grams").cast("double") / col("total_grams"))
+  }
+}

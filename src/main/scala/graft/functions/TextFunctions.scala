@@ -108,14 +108,20 @@ object TextFunctions {
     array_min(transform(sequence(lit(1), greatest(length(c) - (k - 1), lit(1))),
       i => md5(c.substr(i, lit(k)))))
 
+  /** Word n-grams (space-joined token windows); texts with fewer than n
+    * tokens yield one gram of the whole token list. */
+  def wordGrams(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
   /** Intra-document repetition score: 1 - distinct/total word n-grams.
     * 0 = no repeated n-gram, ->1 = the document loops — the standard
     * "repetitious text" quality signal for pretraining filters. */
   def repetitionScore(c: Column, n: Int = 3): Column = {
-    val toks = tokens(c)
-    val grams = when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    val grams = wordGrams(c, n)
     lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams)
   }
 }

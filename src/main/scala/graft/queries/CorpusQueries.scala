@@ -108,6 +108,20 @@ object CorpusQueries {
       .select("lang", "doc_id")
       .orderBy("lang", "doc_id")
 
+  /** Benchmark-contamination sweep: every 20th doc plays the eval set; per
+    * source, the mean contamination and the count of docs above the usual
+    * 0.8 decontamination threshold. */
+  val contaminationStats: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val benchmark = docs.where(col("doc_id") % 20 === 0)
+    graft.dedup.Contamination.scores(docs, benchmark, "doc_id", "text", n = 3)
+      .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+      .groupBy("source")
+      .agg(round(avg("contamination"), 6).as("avg_contamination"),
+        sum(when(col("contamination") >= 0.8, 1L).otherwise(0L)).as("n_contaminated"))
+      .orderBy("source")
+  }
+
   // ----------------------------------------------------------------- dedup
 
   val exactDedup: Q = (s, dir) => {
@@ -246,6 +260,7 @@ object CorpusQueries {
     "q34_repetition_stats" -> repetitionStats,
     "q35_deterministic_sample" -> deterministicSample,
     "q36_stratified_sample" -> stratifiedSample,
+    "q37_contamination" -> contaminationStats,
     "q19_profile_lineitem" -> profileLineitem,
     "q40_exact_dedup" -> exactDedup,
     "q41_ngram_jaccard_pairs" -> ngramJaccardPairs,
@@ -276,6 +291,25 @@ object CorpusQueries {
         |        doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 3 ORDER BY lang, doc_id""".stripMargin,
+    "q37_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |      ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts) - 2)]
+        |    END AS grams
+        |  FROM toks),
+        |cg AS (SELECT doc_id, source, unnest(list_distinct(grams)) AS gm FROM g),
+        |bench AS (SELECT DISTINCT unnest(list_distinct(grams)) AS gm FROM g WHERE doc_id % 20 = 0),
+        |m AS (
+        |  SELECT c.doc_id, c.source, count(*) AS total,
+        |    sum(CASE WHEN b.gm IS NOT NULL THEN 1 ELSE 0 END) AS matched
+        |  FROM cg c LEFT JOIN bench b USING (gm) GROUP BY 1, 2)
+        |SELECT source, round(avg(matched * 1.0 / total), 6) AS avg_contamination,
+        |  CAST(sum(CASE WHEN matched * 1.0 / total >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_contaminated
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "q30_token_stats" ->
       """SELECT source, count(*) AS n_docs,
         |  round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens,

@@ -1,0 +1,49 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class ContaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contamination is 1 for benchmark members, 0 for disjoint text") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),  // exactly in benchmark
+      (2L, "zeta eta theta iota kappa"),       // disjoint
+      (3L, "alpha beta gamma zeta eta theta")  // half its grams shared
+    ).toDF("doc_id", "text")
+    val benchmark = Seq(
+      (100L, "alpha beta gamma delta epsilon")
+    ).toDF("doc_id", "text")
+    val s = Contamination.scores(corpus, benchmark, "doc_id", "text", n = 3)
+      .select("id", "total_grams", "matched_grams")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(s(1L) == (3L, 3L), "benchmark member must be fully contaminated")
+    assert(s(2L) == (3L, 0L), "disjoint doc must have zero contamination")
+    // doc 3 grams: "alpha beta gamma", "beta gamma zeta", "gamma zeta eta",
+    // "zeta eta theta"; only the first and last appear... the last appears in
+    // doc 2? No: benchmark only. "zeta eta theta" is not in the benchmark.
+    assert(s(3L) == (4L, 1L), s"partial overlap wrong: ${s(3L)}")
+  }
+
+  test("short texts fall back to whole-token-list grams") {
+    val corpus = Seq((1L, "one two"), (2L, "three")).toDF("doc_id", "text")
+    val benchmark = Seq((9L, "one two")).toDF("doc_id", "text")
+    val s = Contamination.scores(corpus, benchmark, "doc_id", "text", n = 3)
+      .select("id", "contamination").as[(Long, Double)].collect().toMap
+    assert(s(1L) == 1.0)
+    assert(s(2L) == 0.0)
+  }
+
+  test("corpus-vs-benchmark-subset on real docs: members score 1, aggregate sane") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val benchmark = docs.where(col("doc_id") % 20 === 0)
+    val s = Contamination.scores(docs, benchmark, "doc_id", "text", n = 3).cache()
+    val members = s.join(benchmark.select(col("doc_id").as("id")), "id")
+    assert(members.where(col("contamination") < 1.0).count() == 0,
+      "benchmark members must score exactly 1")
+    val avg = s.agg(org.apache.spark.sql.functions.avg("contamination")).as[Double].head()
+    assert(avg > 0 && avg < 1)
+  }
+}
