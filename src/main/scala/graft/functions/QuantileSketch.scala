@@ -1,0 +1,176 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import scala.collection.mutable.ArrayBuffer
+
+/** Mergeable quantile sketch (MRL/KLL compactor family) as a custom
+  * `TypedImperativeAggregate` — bounded O(k log(n/k)) state per group, so a
+  * single pass over any partitioning yields all requested quantiles with
+  * rank error ~ log2(n/k)/k regardless of data volume: the
+  * percentile-at-100-TB shape (exact percentile needs a full sort; Spark's
+  * built-in approx_percentile is the same idea with a different compactor).
+  *
+  * Level i holds items of weight 2^i. Inserts land in level 0; a full
+  * level sorts and keeps every second element (alternating start parity to
+  * cancel bias), promoting them to level i+1 — weight is conserved
+  * exactly, and an odd element stays behind, so the sketch's total weight
+  * always equals the observed count. Merge concatenates level-wise then
+  * re-compacts: associative and commutative up to the documented rank
+  * error, which is what makes the aggregate safe under Spark's arbitrary
+  * partition-merge order.
+  */
+final class QuantileSketchState(val k: Int) {
+  var levels: ArrayBuffer[ArrayBuffer[Double]] = ArrayBuffer(ArrayBuffer.empty[Double])
+  var parities: ArrayBuffer[Int] = ArrayBuffer(0)
+
+  def insert(v: Double): Unit = {
+    levels(0) += v
+    if (levels(0).length >= k) compact(0)
+  }
+
+  private def ensureLevel(i: Int): Unit =
+    while (levels.length <= i) { levels += ArrayBuffer.empty[Double]; parities += 0 }
+
+  private def compact(i: Int): Unit = {
+    ensureLevel(i + 1)
+    val buf = levels(i)
+    val sorted = buf.sorted
+    val start = parities(i)
+    parities(i) = 1 - start
+    val keepOdd = sorted.length % 2 == 1
+    // promote every second element; an odd leftover keeps its weight at level i
+    val promoted = new ArrayBuffer[Double]((sorted.length + 1) / 2)
+    var j = start
+    while (j < sorted.length - (if (keepOdd) 1 else 0)) { promoted += sorted(j); j += 2 }
+    levels(i) = if (keepOdd) ArrayBuffer(sorted.last) else ArrayBuffer.empty[Double]
+    levels(i + 1) ++= promoted
+    if (levels(i + 1).length >= k) compact(i + 1)
+  }
+
+  def mergeWith(other: QuantileSketchState): Unit = {
+    ensureLevel(other.levels.length - 1)
+    var i = 0
+    while (i < other.levels.length) {
+      levels(i) ++= other.levels(i)
+      i += 1
+    }
+    i = 0
+    while (i < levels.length) {
+      if (levels(i).length >= k) compact(i)
+      i += 1
+    }
+  }
+
+  def totalWeight: Long = {
+    var w = 0L
+    var i = 0
+    while (i < levels.length) { w += levels(i).length.toLong << i; i += 1 }
+    w
+  }
+
+  /** Weighted quantile: smallest value whose cumulative weight exceeds
+    * q * (W - 1). Exact when nothing has been compacted. */
+  def quantile(q: Double): Double = {
+    val items = ArrayBuffer.empty[(Double, Long)]
+    var i = 0
+    while (i < levels.length) {
+      levels(i).foreach(v => items += ((v, 1L << i)))
+      i += 1
+    }
+    if (items.isEmpty) return Double.NaN
+    val sorted = items.sortBy(_._1)
+    val w = totalWeight
+    val target = q * (w - 1)
+    var cum = 0L
+    var idx = 0
+    while (idx < sorted.length) {
+      cum += sorted(idx)._2
+      if (cum > target) return sorted(idx)._1
+      idx += 1
+    }
+    sorted.last._1
+  }
+}
+
+/** quantile_sketch(col, [q...], k) -> array<double> of the requested
+  * quantiles, one streaming pass, mergeable state. */
+case class QuantileSketch(child: Expression, quantiles: Seq[Double], k: Int,
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[QuantileSketchState] {
+
+  require(k >= 8, "sketch size k must be >= 8")
+  require(quantiles.nonEmpty && quantiles.forall(q => q >= 0 && q <= 1),
+    "quantiles must be in [0,1]")
+
+  override def createAggregationBuffer(): QuantileSketchState = new QuantileSketchState(k)
+
+  override def update(buffer: QuantileSketchState, input: InternalRow): QuantileSketchState = {
+    val v = child.eval(input)
+    if (v != null) buffer.insert(v.asInstanceOf[Double])
+    buffer
+  }
+
+  override def merge(b1: QuantileSketchState, b2: QuantileSketchState): QuantileSketchState = {
+    b1.mergeWith(b2); b1
+  }
+
+  override def eval(buffer: QuantileSketchState): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      quantiles.map(buffer.quantile).toArray)
+
+  override def serialize(buffer: QuantileSketchState): Array[Byte] = {
+    val nLevels = buffer.levels.length
+    val nItems = buffer.levels.map(_.length).sum
+    val bb = ByteBuffer.allocate(4 + nLevels * 8 + nItems * 8)
+    bb.putInt(nLevels)
+    buffer.levels.zip(buffer.parities).foreach { case (lvl, p) =>
+      bb.putInt(lvl.length); bb.putInt(p)
+      lvl.foreach(bb.putDouble)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): QuantileSketchState = {
+    val bb = ByteBuffer.wrap(bytes)
+    val s = new QuantileSketchState(k)
+    s.levels.clear(); s.parities.clear()
+    val nLevels = bb.getInt
+    (0 until nLevels).foreach { _ =>
+      val n = bb.getInt
+      val p = bb.getInt
+      val lvl = new ArrayBuffer[Double](n)
+      (0 until n).foreach(_ => lvl += bb.getDouble)
+      s.levels += lvl
+      s.parities += p
+    }
+    s
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "quantile_sketch"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object QuantileSketch {
+  /** Streaming mergeable quantiles of a double column. */
+  def quantileSketch(c: Column, quantiles: Seq[Double], k: Int = 200): Column =
+    ColumnBridge.column(
+      QuantileSketch(ColumnBridge.expression(c), quantiles, k).toAggregateExpression())
+}

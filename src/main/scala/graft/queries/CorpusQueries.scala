@@ -235,6 +235,23 @@ object CorpusQueries {
         round(expr("percentile(value, 0.5)"), 4).as("exact_q50"))
       .orderBy("event_type")
 
+  /** The engine's own mergeable quantile sketch (MRL/KLL compactor as a
+    * TypedImperativeAggregate) next to the exact values — rows-only;
+    * QuantileSketchSpec pins the rank-error bound. */
+  val sketchPercentiles: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(graft.functions.QuantileSketch
+          .quantileSketch(col("value"), Seq(0.5, 0.9, 0.99), k = 200).as("sketch_q"),
+        round(expr("percentile(value, 0.5)"), 4).as("exact_q50"),
+        round(expr("percentile(value, 0.9)"), 4).as("exact_q90"))
+      .select(col("event_type"),
+        round(col("sketch_q").getItem(0), 4).as("sketch_q50"),
+        round(col("sketch_q").getItem(1), 4).as("sketch_q90"),
+        round(col("sketch_q").getItem(2), 4).as("sketch_q99"),
+        col("exact_q50"), col("exact_q90"))
+      .orderBy("event_type")
+
   // ------------------------------------------------------------ multimodal
 
   /** Multimodal plumbing: synthetic binary media from docs -> partition-level
@@ -274,6 +291,7 @@ object CorpusQueries {
     "q52_approx_distinct" -> approxDistinct,
     "q53_percentiles" -> percentiles,
     "q54_approx_percentiles" -> approxPercentiles,
+    "q56_sketch_percentiles" -> sketchPercentiles,
     "q60_media_features" -> mediaFeatures)
 
   val oracles: Map[String, String] = Map(

@@ -1,0 +1,62 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class QuantileSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact below sketch capacity") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val got = df.agg(QuantileSketch.quantileSketch(col("v"), Seq(0.0, 0.5, 1.0), k = 200))
+      .as[Seq[Double]].head()
+    assert(got(0) == 1.0)
+    assert(math.abs(got(1) - 50.0) <= 1.0)
+    assert(got(2) == 100.0)
+  }
+
+  test("rank error stays bounded on 60k skewed values across 32 partitions") {
+    val n = 60000
+    val df = spark.range(n).repartition(32)
+      .select((pow(col("id").cast("double") / n, 3.0) * 1000.0).as("v"))
+      .cache()
+    val qs = Seq(0.1, 0.5, 0.9, 0.99)
+    val got = df.agg(QuantileSketch.quantileSketch(col("v"), qs, k = 200))
+      .as[Seq[Double]].head()
+    val exact = df.stat.approxQuantile("v", qs.toArray, 0.0) // relativeError 0 = exact
+    qs.indices.foreach { i =>
+      // locate the sketch value's true rank; assert rank error < 2.5%
+      val rankOfGot = df.where(col("v") <= got(i)).count().toDouble / n
+      assert(math.abs(rankOfGot - qs(i)) < 0.025,
+        s"q=${qs(i)}: sketch ${got(i)} sits at rank $rankOfGot (exact value ${exact(i)})")
+    }
+  }
+
+  test("group-by sketches on real data respect per-group ranges") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = ev.groupBy("event_type")
+      .agg(QuantileSketch.quantileSketch(col("value"), Seq(0.0, 0.5, 1.0), k = 128).as("qs"),
+        min("value").as("lo"), max("value").as("hi"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val qs = r.getAs[collection.Seq[Double]]("qs")
+      val (lo, hi) = (r.getAs[Double]("lo"), r.getAs[Double]("hi"))
+      // compaction may drop the true extremes; all outputs stay in range
+      assert(qs.forall(q => q >= lo && q <= hi), s"out of range: $qs vs [$lo,$hi]")
+      assert(qs.sorted == qs, "quantiles must be monotone")
+    }
+  }
+
+  test("null values are ignored, all-null group yields NaN") {
+    val df = Seq(Some(1.0), None, Some(3.0), None).toDF("v")
+    val got = df.agg(QuantileSketch.quantileSketch(col("v"), Seq(0.5), 32))
+      .as[Seq[Double]].head()
+    assert(got.head >= 1.0 && got.head <= 3.0)
+    val empty = Seq[Option[Double]](None, None).toDF("v")
+      .agg(QuantileSketch.quantileSketch(col("v"), Seq(0.5), 32))
+      .as[Seq[Double]].head()
+    assert(empty.head.isNaN)
+  }
+}
