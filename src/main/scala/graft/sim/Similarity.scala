@@ -109,31 +109,47 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** All tables' bucket ids in ONE scan: (id, tbl, bucket) — every table's
+    * sign-projection dot products run inside a single codegen'd projection,
+    * so the input is read once however many tables there are (the per-table
+    * form cost nTables scans + nTables joins in stage overhead alone). */
+  private def allBuckets(df: DataFrame, idCol: String, vecCol: String,
+                         nBits: Int, nTables: Int, seed: Int,
+                         dim: Int = 64): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val perTable = (0 until nTables).map { t =>
+      val bits = planes(nBits, dim, seed + t * 1000).zipWithIndex.map { case (p, b) =>
+        when(graft.functions.VectorFunctions.dotProduct(v, p) >= 0,
+          shiftleft(lit(1L), b)).otherwise(lit(0L))
+      }
+      struct(lit(t).as("tbl"), bits.reduce[Column](_ bitwiseOR _).as("bucket"))
+    }
+    df.select(col(idCol).as("id"), explode(array(perTable: _*)).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
   /** ANN top-k: multi-table multi-probe LSH. `nTables` independent hash
     * tables of `nBits` sign-projections each; candidates come from the
     * query's bucket plus all single-bit-flip probes, unioned across tables,
     * then re-ranked by exact cosine. More tables = higher recall at linear
-    * candidate cost — the standard recall/cost dial for IVF/LSH indexes. */
+    * candidate cost — the standard recall/cost dial for IVF/LSH indexes.
+    * One bucket join on (tbl, bucket) covers all tables at once. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nBits: Int = 8, nTables: Int = 8,
               seed: Int = 42): DataFrame = {
-    val tables = (0 until nTables).map { t =>
-      val cb = lshBuckets(corpus, idCol, vecCol, nBits, seed + t * 1000)
-        .withColumnRenamed("id", "neighbor_id").drop("v")
-        .withColumn("tbl", lit(t))
-      val qb = lshBuckets(queries, idCol, vecCol, nBits, seed + t * 1000)
-        .withColumnRenamed("id", "query_id").drop("v")
-        .withColumn("tbl", lit(t))
-      // multi-probe: the bucket itself + all single-bit flips
-      val probes = qb.select(col("query_id"), col("tbl"),
-        explode(array(
-          (col("bucket") +: (0 until nBits).map(b =>
-            col("bucket").bitwiseXOR(shiftleft(lit(1L), b)))): _*)).as("bucket"))
-      probes.join(cb, Seq("tbl", "bucket"))
-        .where(col("query_id") =!= col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-    }
-    val cand = tables.reduce(_ unionByName _).distinct()
+    val cb = allBuckets(corpus, idCol, vecCol, nBits, nTables, seed)
+      .withColumnRenamed("id", "neighbor_id")
+    val qb = allBuckets(queries, idCol, vecCol, nBits, nTables, seed)
+      .withColumnRenamed("id", "query_id")
+    // multi-probe: the bucket itself + all single-bit flips
+    val probes = qb.select(col("query_id"), col("tbl"),
+      explode(array(
+        (col("bucket") +: (0 until nBits).map(b =>
+          col("bucket").bitwiseXOR(shiftleft(lit(1L), b)))): _*)).as("bucket"))
+    val cand = probes.join(cb, Seq("tbl", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
     val w = Window.partitionBy("query_id")

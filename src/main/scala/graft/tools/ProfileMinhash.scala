@@ -7,7 +7,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Stage-by-stage timing of the MinHash-LSH pipeline at a given sf,
-  * mirroring Dedup.minHashLsh's current structure. */
+  * mirroring Dedup.minHashLsh's current (per-row signature) structure. */
 object ProfileMinhash {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -27,31 +27,32 @@ object ProfileMinhash {
       r
     }
     val docs = Tables.documents(spark, sfDir).cache()
-    docs.count()
-    val (k, bands, rows) = (64, 16, 4)
-    val sh = t("hashed shingles") {
-      val s = docs.select(col("doc_id").as("id"),
-          explode(TextFunctions.charShingles(col("text"), 5)).as("s"))
-        .select(col("id"), xxhash64(col("s")).as("shingle"))
-        .distinct().cache()
-      println(s"  rows: ${s.count()}")
-      s
-    }
-    val raw = docs.select(col("doc_id").as("id"),
-      explode(TextFunctions.charShingles(col("text"), 5)).as("shingle"))
-    val sig = t("signatures") {
-      val s = Dedup.minHashSignatures(raw, k).cache()
+    println(s"  docs: ${docs.count()}")
+    val (k, bands) = (64, 16)
+    val rowsPerBand = k / bands
+    val sig = t("per-row signatures") {
+      val s = Dedup.minHashSignaturesPerRow(docs, "doc_id", "text", 5, k).cache()
       println(s"  signed: ${s.count()}")
       s
     }
     val rawCand = t("band candidates") {
-      val c = Dedup.lshCandidates(sig, bands, rows).cache()
+      val bandCols = (0 until bands).map { b =>
+        val comps = (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r))
+        struct(lit(b).as("band"), xxhash64(comps: _*).as("bh"))
+      }
+      val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      val c = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct().cache()
       println(s"  candidates: ${c.count()}")
       c
     }
     val cand = t("sig prefilter") {
       val est = (0 until k)
-        .map(j => when(col(s"a.h$j") === col(s"b.h$j"), 1).otherwise(0))
+        .map(j => when(col("a.sig").getItem(j) === col("b.sig").getItem(j), 1).otherwise(0))
         .reduce[Column](_ + _)
       val margin = 0.6 - 3 * math.sqrt(0.6 * 0.4 / k)
       val c = rawCand
@@ -64,8 +65,13 @@ object ProfileMinhash {
     }
     t("verify") {
       val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-      val shCand = sh.join(candIds, Seq("id"), "left_semi")
-      val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+      val candDocs = docs.select(col("doc_id").as("id"), col("text").as("__t"))
+        .join(candIds, Seq("id"), "left_semi")
+      val shCand = candDocs
+        .select(col("id"), explode(TextFunctions.charShingles(col("__t"), 5)).as("s"))
+        .select(col("id"), xxhash64(col("s")).as("shingle"))
+        .distinct().cache()
+      val sizes = shCand.groupBy("id").agg(count(lit(1)).as("sz"))
       val inter = cand
         .join(shCand.withColumnRenamed("id", "id_a"), "id_a")
         .join(shCand.withColumnRenamed("id", "id_b"), Seq("id_b", "shingle"))
