@@ -71,6 +71,23 @@ object StreamingPipeline {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: match each left event to right events of
+    * the same key whose timestamp lies in [left.ts - lookback, left.ts].
+    * Both sides carry watermarks and the join condition time-bounds BOTH
+    * event times, which is exactly what lets Spark expire buffered state —
+    * the unbounded-stream form of the batch range/as-of join family (state
+    * per key = one lookback window of right rows, not the whole stream). */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
+                         leftTs: String, rightTs: String,
+                         lookback: String, watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).as("l")
+    val r = right.withWatermark(rightTs, watermark).as("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"interval $lookback") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs"))
+  }
+
   /** Exactly-once idempotent sink: per-batch overwrite into deterministic
     * window=<key> partition dirs — the streaming twin of the batch target
     * store's replay contract (reference: stage/ingestion_engine.py:62-99

@@ -73,4 +73,36 @@ class StreamingSpec extends SparkSpec {
     val streamN = out.agg(sum("n")).collect()(0).getLong(0)
     assert(streamN == batchN)
   }
+
+  test("stream-stream interval join agrees with the batch twin") {
+    val diskSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    def side(tsName: String, idName: String, eventType: String) =
+      StreamingPipeline.eventsStream(spark, streamDir, diskSchema)
+        .where(col("event_type") === eventType)
+        .select(col("user_id"), col("ts").as(tsName), col("event_id").as(idName))
+    val joined = StreamingPipeline.intervalJoinStream(
+        side("pts", "purchase_id", "purchase"),
+        side("sts", "signup_id", "signup"),
+        "user_id", "pts", "sts", lookback = "7 days", watermark = "1 day")
+      .select(col("purchase_id"), col("signup_id"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("ssjoin_test")
+
+    val ev = Tables.events(spark, dir)
+    val bp = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("event_id").as("purchase_id"))
+    val bs = ev.where(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("sts"), col("event_id").as("signup_id"))
+    val batch = bp.join(bs,
+        col("user_id") === col("s_user") &&
+          col("sts") >= col("pts") - expr("interval 7 days") && col("sts") <= col("pts"))
+      .select(col("purchase_id"), col("signup_id"))
+
+    assert(streamed.count() > 0, "stream-stream join produced no rows")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stream-stream interval join differs from batch twin")
+  }
 }
