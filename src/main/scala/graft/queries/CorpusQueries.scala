@@ -92,6 +92,18 @@ object CorpusQueries {
       min(col("l_shipdate")).as("min_ship"),
       max(col("l_shipdate")).as("max_ship"))
 
+  /** Remaining quality signals (mean token length, uppercase ratio,
+    * BPE-ish subword count) per lang — completes the oracle coverage of
+    * TextFunctions. */
+  val textQualityExtended: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(
+        round(avg(TextFunctions.meanTokenLength(col("text"))), 6).as("avg_mean_tok_len"),
+        round(avg(TextFunctions.upperRatio(col("text"))), 6).as("avg_upper_ratio"),
+        round(avg(TextFunctions.subwordCount(col("text"))), 4).as("avg_subwords"))
+      .orderBy("lang")
+
   /** Deterministic Bernoulli sample (md5-threshold, engine-portable): 10%
     * of events by event_id, aggregated per type. The same WHERE clause in
     * any md5-capable engine selects the identical rows. */
@@ -278,6 +290,7 @@ object CorpusQueries {
     "q35_deterministic_sample" -> deterministicSample,
     "q36_stratified_sample" -> stratifiedSample,
     "q37_contamination" -> contaminationStats,
+    "q38_text_quality_ext" -> textQualityExtended,
     "q19_profile_lineitem" -> profileLineitem,
     "q40_exact_dedup" -> exactDedup,
     "q41_ngram_jaccard_pairs" -> ngramJaccardPairs,
@@ -309,6 +322,21 @@ object CorpusQueries {
         |        doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 3 ORDER BY lang, doc_id""".stripMargin,
+    "q38_text_quality_ext" ->
+      """WITH t AS (
+        |  SELECT lang, text, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |m AS (
+        |  SELECT lang,
+        |    CASE WHEN len(ts) = 0 THEN 0.0
+        |      ELSE list_sum(list_transform(ts, x -> length(x))) * 1.0 / len(ts) END AS mtl,
+        |    CASE WHEN length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) = 0 THEN 0.0
+        |      ELSE (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) * 1.0
+        |        / (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) END AS ur,
+        |    len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS sw
+        |  FROM t)
+        |SELECT lang, round(avg(mtl), 6) AS avg_mean_tok_len,
+        |  round(avg(ur), 6) AS avg_upper_ratio, round(avg(sw), 4) AS avg_subwords
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "q37_contamination" ->
       """WITH toks AS (
         |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ts FROM documents),
