@@ -1,0 +1,55 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression tests: the optimizations the architecture claims
+  * must be visible in the physical plan, not just intended — top-k compiles
+  * to TakeOrderedAndProject, dimension joins broadcast, filters reach the
+  * parquet scan, projection prunes the read schema.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("top-k compiles to TakeOrderedAndProject, not global sort") {
+    val plan = planOf("q05_topk_scheduler")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("star-schema joins broadcast the dimension sides") {
+    val plan = planOf("q21_revenue_by_region")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts")
+    assert(!plan.contains("SortMergeJoin"),
+      "no dimension should be large enough to sort-merge at this sf")
+  }
+
+  test("semi joins stay semi in the physical plan") {
+    val plan = planOf("q24_late_shipments")
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+  }
+
+  test("filters push down to the parquet scan and projection prunes columns") {
+    val df = Tables.lineitem(spark, dir)
+      .where(col("l_quantity") > 45)
+      .select("l_orderkey", "l_quantity")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThan(l_quantity"),
+      s"filter not pushed to scan: ${plan.take(2000)}")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:"),
+      s"read schema not pruned: ${plan.take(2000)}")
+    assert(!plan.contains("l_comment"), "pruned column still read")
+  }
+
+  test("range join plans as a hash join on the bin, never nested-loop") {
+    val plan = planOf("q28_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to nested loop: ${plan.take(2000)}")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi-join on the bin: ${plan.take(2000)}")
+  }
+}

@@ -86,6 +86,37 @@ class AsOfJoinPhysicalSpec extends SparkSpec {
       "AsOfJoinExec missing from the physical plan")
   }
 
+  test("bucketed co-partitioned inputs plan with ZERO shuffles") {
+    // the scale story of the custom operator: ClusteredDistribution is
+    // satisfied by the bucketing's HashPartitioning, so Catalyst inserts no
+    // Exchange on either side — only in-partition sorts
+    val wh = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    spark.sql("DROP TABLE IF EXISTS asof_bkt_l")
+    spark.sql("DROP TABLE IF EXISTS asof_bkt_r")
+    purchases.coalesce(1).write.format("parquet")
+      .bucketBy(8, "user_id").sortBy("user_id", "ts")
+      .option("path", s"$wh/l").saveAsTable("asof_bkt_l")
+    signups.coalesce(1).write.format("parquet")
+      .bucketBy(8, "user_id").sortBy("user_id", "ts")
+      .option("path", s"$wh/r").saveAsTable("asof_bkt_r")
+    try {
+      val joined = AsOfJoinPhysical.asOf(
+        spark.table("asof_bkt_l"), spark.table("asof_bkt_r"),
+        Seq("user_id"), "ts", "ts", Seq("signup_value"))
+      val composed = AsOfJoin.asOf(purchases, signups, Seq("user_id"),
+        "ts", "ts", Seq("signup_value"))
+      same(joined, composed)
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin"), "custom operator missing")
+      assert(!plan.contains("Exchange"),
+        s"bucketed as-of join must not shuffle:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS asof_bkt_l")
+      spark.sql("DROP TABLE IF EXISTS asof_bkt_r")
+    }
+  }
+
   test("multi-column keys") {
     def ts(s: String) = Timestamp.valueOf(s)
     val l = Seq((1L, "a", 1, ts("2024-01-01 10:00:00")),
