@@ -80,6 +80,64 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** Batch decode contract: codecs and embedding models amortize their
+    * per-call cost over a batch (the JVM analog of the vectorized
+    * mapInPandas batch shape). Implementations must return exactly one
+    * feature array per input, in order. */
+  trait BatchMediaDecoder extends Serializable {
+    def maxBatch: Int
+    def featuresBatch(kind: Array[String], bytes: Array[Array[Byte]],
+                      dim: Int): Array[Array[Float]]
+  }
+
+  /** Deterministic fake batch decoder: delegates to FakeDecoder per element
+    * and ENFORCES the batch contract (size cap, arity) so plumbing bugs
+    * fail loudly in tests rather than silently mis-aligning features. */
+  final case class FakeBatchDecoder(maxBatch: Int = 32) extends BatchMediaDecoder {
+    def featuresBatch(kind: Array[String], bytes: Array[Array[Byte]],
+                      dim: Int): Array[Array[Float]] = {
+      require(kind.length == bytes.length, "batch arity mismatch")
+      require(kind.length <= maxBatch, s"batch ${kind.length} exceeds cap $maxBatch")
+      kind.indices.map(i => FakeDecoder.features(kind(i), bytes(i), dim)).toArray
+    }
+  }
+
+  /** Batched partition-level feature extraction: rows stream through the
+    * partition in `decoder.maxBatch`-sized groups, one codec call per
+    * group. Output rows are identical to the per-row path — the batch is
+    * an execution shape, not a semantic change. */
+  def extractFeaturesBatched(media: Dataset[MediaRow], decoder: BatchMediaDecoder,
+                             dim: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(decoder.maxBatch).flatMap { batch =>
+        val arr = batch.toArray
+        val fs = decoder.featuresBatch(arr.map(_.kind), arr.map(_.media), dim)
+        arr.indices.map { i =>
+          val r = arr(i)
+          var crc = 0L
+          var j = 0
+          while (j < r.media.length) { crc = crc * 31 + r.media(j); j += 1 }
+          MediaFeatures(r.asset_id, r.kind, r.media.length, crc, fs(i))
+        }
+      }
+    }
+  }
+
+  /** Resize metadata math (aspect-preserving fit into a maxW x maxH box,
+    * never upscaling) as pure columns — the deterministic part of "decode ->
+    * resize -> embed" that needs no codec: target dims drive the decoder
+    * call and the downstream feature schema. */
+  def fitWithin(width: org.apache.spark.sql.Column, height: org.apache.spark.sql.Column,
+                maxW: Int, maxH: Int): org.apache.spark.sql.Column = {
+    val scale = least(lit(maxW).cast("double") / width,
+      lit(maxH).cast("double") / height, lit(1.0))
+    struct(
+      floor(width * scale).cast("int").as("target_w"),
+      floor(height * scale).cast("int").as("target_h"),
+      (scale < 1.0).as("downscaled"))
+  }
+
   /** Frame-sample analog: take every nth chunk of the payload (video frame
     * sampling shape without a codec). */
   def sampleChunks(media: Dataset[MediaRow], chunkBytes: Int, everyNth: Int): DataFrame = {

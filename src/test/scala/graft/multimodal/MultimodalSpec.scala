@@ -37,6 +37,29 @@ class MultimodalSpec extends SparkSpec {
       f2.select("asset_id", "checksum").as[(Long, Long)].collect().toMap)
   }
 
+  test("batched decode equals the per-row path and respects the batch cap") {
+    val perRow = Multimodal.extractFeatures(media, Multimodal.FakeDecoder, dim = 32)
+      .collect().map(f => f.asset_id -> f.features.toSeq).toMap
+    // cap of 7 forces ragged final batches; FakeBatchDecoder throws if the
+    // plumbing ever hands it an oversized or misaligned batch
+    val batched = Multimodal.extractFeaturesBatched(media,
+        Multimodal.FakeBatchDecoder(maxBatch = 7), dim = 32)
+      .collect().map(f => f.asset_id -> f.features.toSeq).toMap
+    assert(batched == perRow, "batched decode diverged from per-row decode")
+  }
+
+  test("resize fit math preserves aspect ratio and never upscales") {
+    val dims = Seq((1L, 4000, 3000), (2L, 640, 480), (3L, 100, 2000), (4L, 50, 40))
+      .toDF("id", "w", "h")
+      .select(col("id"), Multimodal.fitWithin(col("w"), col("h"), 1024, 1024).as("fit"))
+      .select(col("id"), col("fit.target_w"), col("fit.target_h"), col("fit.downscaled"))
+      .as[(Long, Int, Int, Boolean)].collect().map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(dims(1L) == ((1024, 768, true)))
+    assert(dims(2L) == ((640, 480, false)), "inside the box: untouched")
+    assert(dims(3L) == ((51, 1024, true)), "tall image clamps on height")
+    assert(dims(4L) == ((50, 40, false)), "small image never upscales")
+  }
+
   test("chunk sampling takes every nth chunk") {
     val chunks = Multimodal.sampleChunks(media, chunkBytes = 100, everyNth = 2)
     val byAsset = chunks.groupBy("asset_id").count()
