@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming as-of enrichment — the third tier of the engine's as-of join
+  * family (composed batch `ops.AsOfJoin`, custom-plan batch
+  * `plans.AsOfJoinPhysical`, and this): each left event picks the latest
+  * right event of its key with right.ts <= left.ts, over unbounded streams.
+  *
+  * Correctness contract: a key's buffered rows are matched only once the
+  * watermark has passed the buffer's max timestamp — after that no
+  * arriving row can be at-or-before any buffered left (late rows are
+  * dropped by the watermark), so matches are FINAL. Between flushes the
+  * state is one buffer per key bounded by the watermark horizon (the same
+  * bound stream-stream joins pay), plus O(1) carried state: the latest
+  * right row survives flushes so later lefts still see it.
+  */
+object StreamingAsOf {
+
+  /** Tagged union of both streams: is_left=false rows are the dimension
+    * (right) side carrying `payload`. */
+  final case class Tick(user_id: Long, ts: Timestamp, is_left: Boolean,
+                        left_id: Long, payload: Double)
+  final case class TickRow(us: Long, isLeft: Boolean, leftId: Long, payload: Double)
+  final case class BufState(ticks: List[TickRow], carryUs: Long,
+                            carryPayload: Double, hasCarry: Boolean)
+  final case class Enriched(left_id: Long, user_id: Long, ts: Timestamp,
+                            asof_ts: Option[Timestamp], payload: Option[Double])
+
+  import Sessionize.{fromMicros, toMicros}
+
+  /** Pure flush: sort buffered ticks by (ts, rights-before-lefts), fold the
+    * carried right forward, emit every left. Exposed for unit tests. */
+  def flush(uid: Long, state: BufState): (BufState, Seq[Enriched]) = {
+    // rights sort before lefts at equal ts so an exact-tie match is visible
+    // (same contract as the batch forms)
+    val sorted = state.ticks.sortBy(t => (t.us, t.isLeft))
+    var carryUs = state.carryUs
+    var carryPayload = state.carryPayload
+    var hasCarry = state.hasCarry
+    val out = Seq.newBuilder[Enriched]
+    sorted.foreach { t =>
+      if (!t.isLeft) {
+        carryUs = t.us; carryPayload = t.payload; hasCarry = true
+      } else {
+        out += Enriched(t.leftId, uid, fromMicros(t.us),
+          if (hasCarry) Some(fromMicros(carryUs)) else None,
+          if (hasCarry) Some(carryPayload) else None)
+      }
+    }
+    (BufState(Nil, carryUs, carryPayload, hasCarry), out.result())
+  }
+
+  /** Streaming wiring. `watermarkDelay` is the lateness bound (e.g. "1
+    * hour"); rows later than that are dropped by the watermark, which is
+    * precisely what makes flushed matches final. */
+  def enrich(ticks: Dataset[Tick], watermarkDelay: String): Dataset[Enriched] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BufState, Enriched](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, it, state: GroupState[BufState]) =>
+          if (state.hasTimedOut) {
+            val (next, out) = flush(uid, state.get)
+            // keep the carried right, no timeout: an idle key costs O(1)
+            state.update(next)
+            out.iterator
+          } else {
+            val prev = state.getOption.getOrElse(BufState(Nil, 0L, 0.0, hasCarry = false))
+            val added = it.map(t =>
+              TickRow(toMicros(t.ts), t.is_left, t.left_id, t.payload)).toList
+            val buf = prev.copy(ticks = added ++ prev.ticks)
+            state.update(buf)
+            // flush once the watermark passes everything buffered
+            val maxUs = buf.ticks.iterator.map(_.us).max
+            state.setTimeoutTimestamp(maxUs / 1000 + 1)
+            Iterator.empty
+          }
+      }
+  }
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.ops.AsOfJoin
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class StreamingAsOfSpec extends SparkSpec {
+  import StreamingAsOf._
+  import spark.implicits._
+
+  private def us(msec: Long): Long = msec * 1000
+
+  test("flush: ordering, exact-ties, carry survives across flushes") {
+    val ticks = List(
+      TickRow(us(1000), isLeft = false, 0L, 10.0), // right @1s
+      TickRow(us(2000), isLeft = true, 101L, 0.0), // left @2s -> 10.0
+      TickRow(us(3000), isLeft = true, 102L, 0.0), // left @3s -> 10.0
+      TickRow(us(3000), isLeft = false, 0L, 30.0), // right @3s TIES left 102
+      TickRow(us(500), isLeft = true, 100L, 0.0))  // left @0.5s -> no match
+    val (next, out) = flush(7L, BufState(ticks, 0L, 0.0, hasCarry = false))
+    val byId = out.map(e => e.left_id -> e).toMap
+    assert(byId(100L).payload.isEmpty, "left before any right must not match")
+    assert(byId(101L).payload.contains(10.0))
+    assert(byId(102L).payload.contains(30.0), "tie: right at equal ts is visible")
+    assert(next.ticks.isEmpty && next.hasCarry && next.carryPayload == 30.0)
+
+    // a later left, after the flush, still sees the carried right
+    val (_, out2) = flush(7L, next.copy(ticks = List(TickRow(us(9000), isLeft = true, 103L, 0.0))))
+    assert(out2.head.payload.contains(30.0))
+    assert(out2.head.asof_ts.contains(Sessionize.fromMicros(us(3000))))
+  }
+
+  test("streaming as-of agrees with the batch as-of for watermark-flushed keys") {
+    val dir = "/root/testdata/sf0.001"
+    val d = java.nio.file.Files.createTempDirectory("graft_asof_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), d.resolve("events.parquet"))
+    val diskSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = StreamingPipeline.eventsStream(spark, d.toString, diskSchema)
+      .where(col("event_type").isin("purchase", "signup"))
+      .select(col("user_id"), col("ts"),
+        (col("event_type") === "purchase").as("is_left"),
+        col("event_id").as("left_id"),
+        round(col("value"), 4).as("payload"))
+      .as[Tick]
+    val q = StreamingAsOf.enrich(stream, watermarkDelay = "1 second")
+      .writeStream.format("memory").queryName("asof_stream_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("asof_stream_test")
+      .select(col("left_id"), col("payload"))
+      .as[(Long, Option[Double])].collect().toMap
+
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), round(col("value"), 4).as("signup_value"))
+    val batch = AsOfJoin.asOf(purchases, signups, Seq("user_id"),
+        "ts", "ts", Seq("signup_value"))
+      .select(col("event_id"), col("signup_value"))
+      .as[(Long, Option[Double])].collect().toMap
+
+    // every emitted row must equal the batch twin
+    assert(streamed.nonEmpty, "no rows flushed")
+    streamed.foreach { case (id, p) =>
+      assert(batch.get(id).contains(p), s"left $id: stream=$p batch=${batch.get(id)}")
+    }
+    // keys safely beyond the watermark horizon must all have flushed
+    val maxMs = ev.where(col("event_type").isin("purchase", "signup"))
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+    val safeUsers = ev.where(col("event_type").isin("purchase", "signup"))
+      .groupBy("user_id").agg(max(col("ts")).as("mx"))
+      .where(col("mx") < new Timestamp(maxMs - 2000))
+      .select("user_id").as[Long].collect().toSet
+    val mustFlush = ev.where(col("event_type") === "purchase" &&
+        col("user_id").isin(safeUsers.toSeq: _*))
+      .select("event_id").as[Long].collect().toSet
+    val missing = mustFlush -- streamed.keySet
+    assert(missing.isEmpty, s"${missing.size} safely-past-watermark lefts not flushed")
+  }
+}
