@@ -104,6 +104,30 @@ object CorpusQueries {
         round(avg(TextFunctions.subwordCount(col("text"))), 4).as("avg_subwords"))
       .orderBy("lang")
 
+  /** Corpus vocabulary heavy hitters: token frequency top-k — one explode
+    * + one hash-groupBy + TakeOrderedAndProject (no global sort). */
+  val vocabTopK: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(20)
+
+  /** Embedding-column statistics: per-bucket counts, mean L2 norm and the
+    * norm of the element-wise centroid (posexplode + two-level agg — the
+    * distributed mean-pooling shape). */
+  val embeddingStats: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+      .select((col("vec_id") % 8).as("bucket"), col("embedding").cast("array<double>").as("v"))
+    val norms = emb.groupBy("bucket").agg(count(lit(1)).as("n"),
+      round(avg(sqrt(graft.functions.VectorFunctions.dotProduct(col("v"), col("v")))), 6)
+        .as("avg_norm"))
+    val centroids = emb.select(col("bucket"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("bucket", "pos").agg(avg("x").as("m"))
+      .groupBy("bucket").agg(round(sqrt(sum(col("m") * col("m"))), 6).as("centroid_norm"))
+    norms.join(centroids, "bucket").orderBy("bucket")
+  }
+
   /** Deterministic Bernoulli sample (md5-threshold, engine-portable): 10%
     * of events by event_id, aggregated per type. The same WHERE clause in
     * any md5-capable engine selects the identical rows. */
@@ -291,6 +315,8 @@ object CorpusQueries {
     "q36_stratified_sample" -> stratifiedSample,
     "q37_contamination" -> contaminationStats,
     "q38_text_quality_ext" -> textQualityExtended,
+    "q39_vocab_topk" -> vocabTopK,
+    "q57_embedding_stats" -> embeddingStats,
     "q19_profile_lineitem" -> profileLineitem,
     "q40_exact_dedup" -> exactDedup,
     "q41_ngram_jaccard_pairs" -> ngramJaccardPairs,
@@ -322,6 +348,26 @@ object CorpusQueries {
         |        doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 3 ORDER BY lang, doc_id""".stripMargin,
+    "q39_vocab_topk" ->
+      """SELECT t AS token, count(*) AS n
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "q57_embedding_stats" ->
+      """WITH e AS (
+        |  SELECT vec_id % 8 AS bucket, embedding FROM embeddings),
+        |u AS (
+        |  SELECT bucket, unnest(embedding) AS x,
+        |    generate_subscripts(embedding, 1) AS pos
+        |  FROM e),
+        |c AS (SELECT bucket, pos, avg(x) AS m FROM u GROUP BY 1, 2),
+        |cn AS (SELECT bucket, round(sqrt(sum(m * m)), 6) AS centroid_norm FROM c GROUP BY 1),
+        |n AS (
+        |  SELECT bucket, count(*) AS n,
+        |    round(avg(sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS avg_norm
+        |  FROM e GROUP BY 1)
+        |SELECT n.bucket, n.n, n.avg_norm, cn.centroid_norm
+        |FROM n JOIN cn USING (bucket) ORDER BY 1""".stripMargin,
     "q38_text_quality_ext" ->
       """WITH t AS (
         |  SELECT lang, text, string_split_regex(trim(text), '\s+') AS ts FROM documents),
