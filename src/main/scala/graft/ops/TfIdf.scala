@@ -1,0 +1,36 @@
+package graft.ops
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TF-IDF keyword extraction: the classic corpus-relevance score, shaped
+  * for scale — one token explode, one (id, term) aggregation, a term-keyed
+  * join against the document-frequency table, and a per-doc window top-k.
+  * The corpus size enters as a broadcast 1-row aggregate (no driver-side
+  * count, the plan stays fully declarative).
+  */
+object TfIdf {
+
+  /** Top-k terms per document by smoothed TF-IDF
+    * (score = tf * ln((N+1)/(df+1))). Scores are rounded to 6 decimals
+    * BEFORE ranking with a term-ascending tiebreak, so ranks are stable
+    * across engines computing ln at slightly different ulps.
+    * Returns (id, rank, term, score). */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDf = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfTab, "term")
+      .crossJoin(broadcast(nDf))
+      .withColumn("score",
+        round(col("tf") * log((col("__n") + 1.0) / (col("df") + 1.0)), 6))
+    val w = Window.partitionBy("id").orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("id", "rank", "term", "score")
+  }
+}

@@ -128,6 +128,22 @@ object CorpusQueries {
     norms.join(centroids, "bucket").orderBy("bucket")
   }
 
+  /** Two-phase salted aggregation (SkewTools) — identical results to the
+    * plain groupBy by construction, which is exactly what the oracle
+    * checks; the salt spreads a hot key over `saltBuckets` tasks. */
+  val saltedAgg: Q = (s, dir) =>
+    graft.ops.SkewTools.saltedCount(Tables.events(s, dir), "event_type", 8)
+      .orderBy("event_type")
+
+  /** TF-IDF top-3 keywords for the first 20 docs (rank/term only above the
+    * rounded-score tiebreak; see ops.TfIdf for the cross-engine rank
+    * stability contract). */
+  val tfidfTopTerms: Q = (s, dir) =>
+    graft.ops.TfIdf.topTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
+      .where(col("id") < 20)
+      .select(col("id").as("doc_id"), col("rank"), col("term"))
+      .orderBy("doc_id", "rank")
+
   /** Deterministic Bernoulli sample (md5-threshold, engine-portable): 10%
     * of events by event_id, aggregated per type. The same WHERE clause in
     * any md5-capable engine selects the identical rows. */
@@ -317,6 +333,8 @@ object CorpusQueries {
     "q38_text_quality_ext" -> textQualityExtended,
     "q39_vocab_topk" -> vocabTopK,
     "q57_embedding_stats" -> embeddingStats,
+    "q58_salted_agg" -> saltedAgg,
+    "q59_tfidf_top_terms" -> tfidfTopTerms,
     "q19_profile_lineitem" -> profileLineitem,
     "q40_exact_dedup" -> exactDedup,
     "q41_ngram_jaccard_pairs" -> ngramJaccardPairs,
@@ -348,6 +366,25 @@ object CorpusQueries {
         |        doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 3 ORDER BY lang, doc_id""".stripMargin,
+    "q58_salted_agg" ->
+      """SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY 1""",
+    "q59_tfidf_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * ln((nn.n + 1.0) / (dfv.df + 1.0)), 6) AS score
+        |  FROM tf JOIN dfv USING (term) CROSS JOIN nn),
+        |ranked AS (
+        |  SELECT doc_id, term,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term FROM ranked
+        |WHERE rank <= 3 AND doc_id < 20 ORDER BY doc_id, rank""".stripMargin,
     "q39_vocab_topk" ->
       """SELECT t AS token, count(*) AS n
         |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents)

@@ -1,0 +1,34 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TfIdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tf-idf ranks corpus-rare repeated terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "spark spark spark the the cat"),
+      (2L, "the dog runs"),
+      (3L, "the cat sleeps"),
+      (4L, "the dog barks")).toDF("doc_id", "text")
+    val top = TfIdf.topTerms(docs, "doc_id", "text", k = 2)
+      .as[(Long, Int, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+    // doc 1: "spark" (tf=3, df=1) far above "the" (tf=2, df=4, idf~ln(5/5)=0)
+    assert(top(1L).head == "spark")
+    assert(!top(1L).contains("the"), s"ubiquitous term ranked: ${top(1L)}")
+    // doc 2: dog (df=2) outranks runs (df=1)? ln(5/2)*1 < ln(5/3)... check contract:
+    // runs: 1*ln(5/2)=0.916; dog: 1*ln(5/3)=0.511 -> runs first
+    assert(top(2L) == List("runs", "dog"))
+  }
+
+  test("all-identical docs: every term has idf ln(N+1 over N+1)=0... scores tie, term order breaks") {
+    val docs = Seq((1L, "b a"), (2L, "a b")).toDF("doc_id", "text")
+    val top = TfIdf.topTerms(docs, "doc_id", "text", k = 2)
+      .as[(Long, Int, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+    assert(top(1L) == List("a", "b") && top(2L) == List("a", "b"),
+      "equal scores must tiebreak on term ascending")
+  }
+}
