@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.MinHashSignature].getName, "minhash_signature"),
       (args: Seq[Expression]) => graft.functions.GraftFunctions.minhashSignatureBuilder(args)))
     ext.injectFunction((
+      new FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[graft.functions.HeavyHitters].getName, "heavy_hitters"),
+      (args: Seq[Expression]) => graft.functions.HeavyHitters(args.head, 64)
+        .toAggregateExpression()))
+    ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => graft.functions.SimHash64(args.head)))

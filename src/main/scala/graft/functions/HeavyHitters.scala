@@ -1,0 +1,126 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType, MapType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import scala.collection.mutable
+
+/** Misra-Gries heavy-hitters sketch as a `TypedImperativeAggregate`:
+  * O(k) state per group, one pass, mergeable — the sketch counterpart of
+  * the exact explode+groupBy top-k (q39), which shuffles the whole token
+  * stream. Guarantees (classic MG bounds, preserved under merge):
+  * - any item with true frequency > n/(k+1) IS in the sketch;
+  * - every reported count underestimates the true count by at most the
+  *   total decrement weight (<= n/(k+1)).
+  * Merge = counter-wise sum, then decrement all by the (k+1)-th largest
+  * and drop non-positives — the standard mergeable-MG construction.
+  */
+final class MisraGriesState(val k: Int) {
+  val counters: mutable.LinkedHashMap[String, Long] = mutable.LinkedHashMap.empty
+
+  def add(item: String, w: Long = 1L): Unit = {
+    counters.get(item) match {
+      case Some(c) => counters.update(item, c + w)
+      case None if counters.size < k => counters.update(item, w)
+      case None =>
+        // decrement-all step; amortized via the min counter
+        val dec = math.min(w, counters.valuesIterator.min)
+        val dead = mutable.ArrayBuffer.empty[String]
+        counters.keysIterator.foreach { key =>
+          val nv = counters(key) - dec
+          if (nv <= 0) dead += key else counters.update(key, nv)
+        }
+        dead.foreach(counters.remove)
+        if (w > dec && counters.size < k) counters.update(item, w - dec)
+    }
+  }
+
+  def mergeWith(other: MisraGriesState): Unit = {
+    other.counters.foreach { case (item, c) =>
+      counters.update(item, counters.getOrElse(item, 0L) + c)
+    }
+    if (counters.size > k) {
+      val sorted = counters.values.toArray.sorted(Ordering[Long].reverse)
+      val cut = sorted(k) // (k+1)-th largest
+      val dead = counters.collect { case (key, c) if c - cut <= 0 => key }
+      counters.keysIterator.toArray.foreach { key =>
+        val nv = counters(key) - cut
+        if (nv > 0) counters.update(key, nv)
+      }
+      dead.foreach(counters.remove)
+    }
+  }
+}
+
+/** heavy_hitters(col, k) -> map<string, long> of surviving items and their
+  * (under-)estimated counts. */
+case class HeavyHitters(child: Expression, k: Int,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[MisraGriesState] {
+
+  require(k >= 1, "k must be >= 1")
+
+  override def createAggregationBuffer(): MisraGriesState = new MisraGriesState(k)
+
+  override def update(buffer: MisraGriesState, input: InternalRow): MisraGriesState = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.toString)
+    buffer
+  }
+
+  override def merge(b1: MisraGriesState, b2: MisraGriesState): MisraGriesState = {
+    b1.mergeWith(b2); b1
+  }
+
+  override def eval(buffer: MisraGriesState): Any = {
+    val entries = buffer.counters.toSeq.sortBy { case (item, c) => (-c, item) }
+    new ArrayBasedMapData(
+      new GenericArrayData(entries.map(e => UTF8String.fromString(e._1)).toArray[Any]),
+      new GenericArrayData(entries.map(_._2).toArray[Any]))
+  }
+
+  override def serialize(buffer: MisraGriesState): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.counters.size)
+    buffer.counters.foreach { case (item, c) => out.writeUTF(item); out.writeLong(c) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): MisraGriesState = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val s = new MisraGriesState(k)
+    val n = in.readInt()
+    (0 until n).foreach(_ => s.counters.update(in.readUTF(), in.readLong()))
+    s
+  }
+
+  override def dataType: DataType = MapType(StringType, LongType, valueContainsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "heavy_hitters"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HeavyHitters =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HeavyHitters =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object HeavyHitters {
+  /** Misra-Gries heavy hitters of a string column. */
+  def heavyHitters(c: Column, k: Int = 64): Column =
+    ColumnBridge.column(
+      HeavyHitters(ColumnBridge.expression(c), k).toAggregateExpression())
+}

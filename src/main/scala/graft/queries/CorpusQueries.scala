@@ -128,6 +128,22 @@ object CorpusQueries {
     norms.join(centroids, "bucket").orderBy("bucket")
   }
 
+  /** Misra-Gries heavy-hitter sketch next to the exact top token count per
+    * source — rows-only (sketch counts depend on partition merge order);
+    * HeavyHittersSpec pins the MG guarantees. */
+  val heavyHitterTokens: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("token"))
+    val hh = toks.groupBy("source")
+      .agg(graft.functions.HeavyHitters.heavyHitters(col("token"), 32).as("hh"))
+      .select(col("source"), explode(col("hh")).as(Seq("token", "est")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("est").desc, col("token").asc)
+    hh.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+      .select("source", "rank", "token", "est")
+      .orderBy("source", "rank")
+  }
+
   /** Two-phase salted aggregation (SkewTools) — identical results to the
     * plain groupBy by construction, which is exactly what the oracle
     * checks; the salt spreads a hot key over `saltBuckets` tasks. */
@@ -335,6 +351,7 @@ object CorpusQueries {
     "q57_embedding_stats" -> embeddingStats,
     "q58_salted_agg" -> saltedAgg,
     "q59_tfidf_top_terms" -> tfidfTopTerms,
+    "q61_heavy_hitters" -> heavyHitterTokens,
     "q19_profile_lineitem" -> profileLineitem,
     "q40_exact_dedup" -> exactDedup,
     "q41_ngram_jaccard_pairs" -> ngramJaccardPairs,

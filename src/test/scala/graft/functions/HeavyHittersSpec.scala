@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact counts when distinct values fit in k") {
+    val df = Seq("a", "b", "a", "c", "a", "b").toDF("v").repartition(4)
+    val got = df.agg(HeavyHitters.heavyHitters(col("v"), k = 8))
+      .as[Map[String, Long]].head()
+    assert(got == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("a majority item always survives with bounded undercount") {
+    // 50% one hot token, the rest spread over 1000 cold tokens, 32 partitions
+    val n = 20000
+    val df = spark.range(n).repartition(32)
+      .select(when(col("id") % 2 === 0, lit("HOT"))
+        .otherwise(concat(lit("cold_"), (col("id") % 1000).cast("string"))).as("v"))
+    val k = 16
+    val got = df.agg(HeavyHitters.heavyHitters(col("v"), k))
+      .as[Map[String, Long]].head()
+    assert(got.contains("HOT"), s"majority item missing from $got")
+    val est = got("HOT")
+    val trueCount = n / 2
+    assert(est <= trueCount, "MG must never overcount")
+    // classic bound: undercount <= n/(k+1); merges of partial sketches can
+    // only decrement by what each merge's cut removes, same budget
+    assert(trueCount - est <= n / (k + 1),
+      s"undercount ${trueCount - est} exceeds n/(k+1)=${n / (k + 1)}")
+  }
+
+  test("per-group heavy hitters over real event data find the dominant event types") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val day = date_trunc("day", col("ts"))
+    val got = ev.groupBy(day.as("d"))
+      .agg(HeavyHitters.heavyHitters(col("event_type"), k = 3).as("hh"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val hh = r.getAs[Map[String, Long]]("hh")
+      assert(hh.nonEmpty && hh.size <= 3)
+      assert(hh.values.forall(_ > 0))
+    }
+  }
+}
