@@ -41,5 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => graft.functions.SimHash64(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("quantile_sketch"),
+      new ExpressionInfo(classOf[graft.functions.QuantileSketch].getName, "quantile_sketch"),
+      (args: Seq[Expression]) => graft.functions.GraftFunctions.quantileSketchBuilder(args)))
   }
 }

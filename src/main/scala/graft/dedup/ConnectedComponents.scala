@@ -1,0 +1,105 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components via alternating large-star/small-star
+  * edge rewriting (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14) — the canonical dedup-clustering primitive: near-dup
+  * PAIRS (from MinHash-LSH / SimHash / exact Jaccard) become CLUSTERS, and
+  * each cluster keeps one canonical document.
+  *
+  * Scale design (the 100 TB story):
+  * - no collect_set / no driver-side union-find: each round is a groupBy-min
+  *   plus an equi-join on the edge set, all distributed;
+  * - edges monotonically point toward smaller ids and the algorithm
+  *   converges in O(log n) rounds (vs O(diameter) for naive label
+  *   propagation — a long path of near-dup chains would need thousands of
+  *   rounds there);
+  * - each round's edge set is localCheckpoint()ed: the lineage would
+  *   otherwise double per round and re-execute the whole history at every
+  *   convergence check;
+  * - convergence is detected by an aggregate checksum (count + hash-sum),
+  *   one tiny job per round, never a collect of the edges.
+  *
+  * The reference has no graph operators; this extends the dedup family
+  * (reference's nearest analog is the overlap-chain grouping in
+  * pipeline_logic/core/state_manager.py:886-982, which is a sorted-scan
+  * special case of 1-D connected components).
+  */
+object ConnectedComponents {
+
+  /** Connected components of the undirected graph given by `edges`
+    * (columns `src`, `dst`, any integral type). Returns (id, component)
+    * for every node incident to at least one edge, where `component` is
+    * the minimum node id in the component.
+    */
+  def run(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    var e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct()
+      .localCheckpoint()
+
+    var prev = checksum(e)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val cur = checksum(e)
+      converged = cur == prev
+      prev = cur
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(s"connected components did not converge in $maxRounds rounds")
+
+    // Converged state is a star per component: every edge is (member, min).
+    // Members point at the center; the center itself is its own component.
+    val members = e.select(col("dst").as("id"), col("src").as("component"))
+    val centers = e.select(col("src").as("id")).distinct()
+      .join(members.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    members.union(centers)
+  }
+
+  /** Large-star: for each node u, connect every strictly-larger neighbor to
+    * m = min(N(u) ∪ {u}). Keeps components intact, shrinks large-id fans. */
+  private[dedup] def largeStar(e: DataFrame): DataFrame = {
+    val sym = symmetrize(e)
+    val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+    sym.join(mins, "u")
+      .where(col("v") > col("u"))
+      .select(col("m").as("src"), col("v").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Small-star: for each node u, connect its strictly-smaller neighbors
+    * (and u itself) to the minimum of those neighbors. */
+  private[dedup] def smallStar(e: DataFrame): DataFrame = {
+    // orient edges big->small: u is the larger endpoint, v < u
+    val oriented = e.select(greatest(col("src"), col("dst")).as("u"),
+      least(col("src"), col("dst")).as("v"))
+    val mins = oriented.groupBy("u").agg(min(col("v")).as("m"))
+    val reattached = oriented.join(mins, "u")
+      .where(col("v") =!= col("m"))
+      .select(col("m").as("src"), col("v").as("dst"))
+    val selfToMin = mins.select(col("m").as("src"), col("u").as("dst"))
+    reattached.union(selfToMin).where(col("src") =!= col("dst")).distinct()
+  }
+
+  private def symmetrize(e: DataFrame): DataFrame =
+    e.select(col("src").as("u"), col("dst").as("v"))
+      .union(e.select(col("dst").as("u"), col("src").as("v")))
+
+  /** Order-insensitive edge-set fingerprint: one tiny aggregate job.
+    * bit_xor, not sum — a hash-sum can overflow long under ANSI mode. */
+  private def checksum(e: DataFrame): (Long, Long) = {
+    val row = e.agg(count(lit(1)),
+      coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).head()
+    (row.getLong(0), row.getLong(1))
+  }
+}

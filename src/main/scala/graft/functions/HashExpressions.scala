@@ -182,6 +182,34 @@ object GraftFunctions {
     }
     MinHashSignature(args.head, intLit(args(1), "shingleK"), intLit(args(2), "numHashes"))
   }
+
+  /** SQL builder for quantile_sketch(value, quantiles[, k]) — quantiles is
+    * a numeric literal or a literal array of numerics (it fixes the output
+    * array length, so it cannot be data-dependent); k defaults to 200. */
+  def quantileSketchBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2 || args.length == 3,
+      "usage: quantile_sketch(value, quantiles[, k])")
+    def num(v: Any): Double = v match {
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: java.lang.Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"quantile_sketch: expected numeric literal, got $other")
+    }
+    val qArg = args(1)
+    require(qArg.foldable, "quantile_sketch: quantiles must be a literal")
+    val qs = (qArg.eval(), qArg.dataType) match {
+      case (a: org.apache.spark.sql.catalyst.util.ArrayData,
+            org.apache.spark.sql.types.ArrayType(et, _)) =>
+        a.toObjectArray(et).toSeq.map(num)
+      case (v, _) => Seq(num(v))
+    }
+    val k = if (args.length == 3) args(2) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"quantile_sketch: k must be an integer literal, got $other")
+    } else 200
+    QuantileSketch(args.head, qs, k).toAggregateExpression()
+  }
 }
 
 object HashFunctions {

@@ -124,4 +124,34 @@ object TextFunctions {
     val grams = wordGrams(c, n)
     lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams)
   }
+
+  // ------------------------------------------------------------- PII / URLs
+
+  /** PII patterns kept RE2-compatible (no lookaround, ASCII \b) so the same
+    * regex strings run in Spark's Java regex AND DuckDB's RE2 — the oracle
+    * contract for the redaction operators. */
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRegex = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val SsnRegex = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val UrlRegex = "https?://([A-Za-z0-9.-]+)"
+
+  /** Number of matches of `pattern` in the text (codegen'd, no UDF). */
+  def regexCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** Redact emails, SSNs, then phone numbers with typed placeholders —
+    * the standard pre-training PII scrub. Email first so '@'-adjacent
+    * digits are never half-eaten by the numeric patterns; SSN before phone
+    * (the two \d{3}-... patterns are mutually exclusive but ordering makes
+    * that explicit). */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRegex, "<EMAIL>"),
+        SsnRegex, "<SSN>"),
+      PhoneRegex, "<PHONE>")
+
+  /** Hostnames of all http(s) URLs in the text (capture group 1). */
+  def urlDomains(c: Column): Column =
+    regexp_extract_all(c, lit(UrlRegex), lit(1))
 }

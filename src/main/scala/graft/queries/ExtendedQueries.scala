@@ -1,0 +1,287 @@
+package graft.queries
+
+import graft.dedup.{ConnectedComponents, Contamination, Dedup}
+import graft.functions.TextFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-2 additions to the gate: window-frame analytics, distribution
+  * functions, corpus decontamination/removal, PII redaction, URL extraction,
+  * composite quality filtering, and dedup clustering via distributed
+  * connected components. Every query here has a DuckDB oracle.
+  *
+  * The PII/URL corpora are synthesized deterministically INSIDE the query
+  * (the synthetic documents contain no natural emails/URLs) — same trick as
+  * q60's media bytes: the injected text is a pure function of (doc_id, lang,
+  * source) that both engines construct identically, so the regex operators
+  * are exercised on real matches and still hash-checked.
+  */
+object ExtendedQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Trailing 7-row moving average of daily revenue — window FRAME coverage
+    * (rowsBetween), which the reference's lag/lead-only surface never uses.
+    * Scale shape: the window input is the daily rollup (O(#days) rows, here
+    * 2.4k), so the unpartitioned ordered window is a deliberate single-task
+    * pass over an already-tiny aggregate, not a data-sized sort. */
+  val rollingRevenue: Q = (s, dir) => {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum("o_totalprice").as("rev"))
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    daily.select(col("day"),
+        round(col("rev"), 2).as("day_rev"),
+        round(avg(col("rev")).over(w), 4).as("ma7"),
+        count(lit(1)).over(w).as("n_days"))
+      .orderBy("day")
+  }
+
+  /** Distribution window functions: per-segment acctbal deciles (ntile) and
+    * cumulative distribution — tie-broken on c_custkey so the assignment is
+    * total-ordered and engine-portable. */
+  val acctbalDeciles: Q = (s, dir) => {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_acctbal"),
+        ntile(10).over(w).as("decile"),
+        cume_dist().over(w).as("cd"))
+      .groupBy("c_mktsegment", "decile")
+      .agg(count(lit(1)).as("n"),
+        round(min("c_acctbal"), 2).as("min_bal"),
+        round(max("c_acctbal"), 2).as("max_bal"),
+        round(max("cd"), 6).as("max_cume_dist"))
+      .orderBy("c_mktsegment", "decile")
+  }
+
+  /** Decontamination REMOVAL (q37 scores; this one acts on them): drop docs
+    * whose distinct word-3-gram contamination vs the eval set (doc_id%7==0,
+    * cutting across sources) is >= 0.8; report kept/removed doc counts and
+    * the token volume retained per source — the number a data-pipeline
+    * operator actually reports after a decontamination pass. */
+  val decontaminate: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val benchmark = docs.where(col("doc_id") % 7 === 0)
+    val scores = Contamination.scores(docs, benchmark, "doc_id", "text", n = 3)
+      .select(col("id"), col("contamination"))
+    val kept = col("contamination") < 0.8
+    docs.select(col("doc_id").as("id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+      .join(scores, "id")
+      .groupBy("source")
+      .agg(sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(kept, 0L).otherwise(1L)).as("n_removed"),
+        sum(when(kept, col("ntok")).otherwise(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  /** PII redaction sweep: deterministic injected PII (email / phone / SSN by
+    * doc_id % 4), per-source match counts and the total character delta
+    * after redaction — proves the redaction actually rewrote the text. */
+  val piiRedaction: Q = (s, dir) => {
+    val injected = concat(col("text"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" email user"), col("doc_id").cast("string"), lit("@example.com now")))
+        .when(col("doc_id") % 4 === 1, lit(" phone 555-123-4567 ok"))
+        .when(col("doc_id") % 4 === 2, lit(" ssn 123-45-6789 end"))
+        .otherwise(lit("")))
+    Tables.documents(s, dir)
+      .select(col("source"), injected.as("t"))
+      .select(col("source"),
+        TextFunctions.regexCount(col("t"), TextFunctions.EmailRegex).cast("long").as("e"),
+        TextFunctions.regexCount(col("t"), TextFunctions.PhoneRegex).cast("long").as("p"),
+        TextFunctions.regexCount(col("t"), TextFunctions.SsnRegex).cast("long").as("n"),
+        (length(col("t")) - length(TextFunctions.redactPii(col("t")))).cast("long").as("d"))
+      .groupBy("source")
+      .agg(sum("e").as("n_emails"), sum("p").as("n_phones"), sum("n").as("n_ssns"),
+        sum("d").as("redacted_char_delta"))
+      .orderBy("source")
+  }
+
+  /** URL/domain extraction: deterministic injected URLs, exploded domain
+    * frequency top-15 — the boilerplate/source-attribution operator. */
+  val urlDomains: Q = (s, dir) => {
+    val injected = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" see https://"), col("source"), lit(".example.org/p/"),
+          col("doc_id").cast("string")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit(" ref http://cdn."), col("lang"), lit(".example.net/x ok")))
+        .otherwise(lit("")))
+    Tables.documents(s, dir)
+      .select(explode(TextFunctions.urlDomains(injected)).as("domain"))
+      .groupBy("domain").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("domain").asc)
+      .limit(15)
+  }
+
+  /** Composite quality filter (Gopher-style rule stack): token count,
+    * mean token length, stopword ratio, repetition — per-source pass and
+    * per-rule failure tallies. Thresholds are corpus-calibrated demo values;
+    * the operator shape (N cheap per-row signals, one pass/fail verdict,
+    * per-rule diagnostics) is the standard pretraining filter. */
+  val qualityFilter: Q = (s, dir) => {
+    val ntok = TextFunctions.tokenCount(col("text"))
+    val mtl = TextFunctions.meanTokenLength(col("text"))
+    val swr = TextFunctions.stopwordRatio(col("text"))
+    val rep = TextFunctions.repetitionScore(col("text"), 3)
+    val passLen = ntok.between(30, 90)
+    val passMtl = mtl.between(4.3, 4.7)
+    val passSwr = swr >= 0.02
+    val passRep = rep <= 0.02
+    Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(passLen && passMtl && passSwr && passRep, 1L).otherwise(0L)).as("n_pass"),
+        sum(when(!passLen, 1L).otherwise(0L)).as("n_fail_len"),
+        sum(when(!passMtl, 1L).otherwise(0L)).as("n_fail_mtl"),
+        sum(when(!passSwr, 1L).otherwise(0L)).as("n_fail_sw"),
+        sum(when(!passRep, 1L).otherwise(0L)).as("n_fail_rep"))
+      .orderBy("source")
+  }
+
+  /** Near-dup CLUSTERS: exact-Jaccard pair edges (the q41 oracle-identical
+    * set) resolved into connected components by the distributed
+    * large-star/small-star algorithm — pair detection is only half of dedup;
+    * this is the half that picks one canonical doc per duplicate group. */
+  val dedupClusters: Q = (s, dir) => {
+    val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      k = 5, minJaccard = 0.6)
+    ConnectedComponents.run(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q29_rolling_revenue" -> rollingRevenue,
+    "q63_acctbal_deciles" -> acctbalDeciles,
+    "q46_decontaminate" -> decontaminate,
+    "q47_pii_redaction" -> piiRedaction,
+    "q48_url_domains" -> urlDomains,
+    "q49_quality_filter" -> qualityFilter,
+    "q62_dedup_clusters" -> dedupClusters)
+
+  val oracles: Map[String, String] = Map(
+    "q29_rolling_revenue" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT day, round(rev, 2) AS day_rev,
+        |  round(avg(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7,
+        |  count(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_days
+        |FROM d ORDER BY day""".stripMargin,
+    "q63_acctbal_deciles" ->
+      """WITH w AS (
+        |  SELECT c_mktsegment, c_acctbal,
+        |    CAST(ntile(10) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS INT) AS decile,
+        |    cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS cd
+        |  FROM customer)
+        |SELECT c_mktsegment, decile, count(*) AS n,
+        |  round(min(c_acctbal), 2) AS min_bal,
+        |  round(max(c_acctbal), 2) AS max_bal,
+        |  round(max(cd), 6) AS max_cume_dist
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q46_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, len(ts) AS ntok,
+        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |      ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts) - 2)]
+        |    END AS grams
+        |  FROM toks),
+        |cg AS (SELECT doc_id, unnest(list_distinct(grams)) AS gm FROM g),
+        |bench AS (SELECT DISTINCT unnest(list_distinct(grams)) AS gm FROM g WHERE doc_id % 7 = 0),
+        |m AS (
+        |  SELECT c.doc_id, count(*) AS total,
+        |    sum(CASE WHEN b.gm IS NOT NULL THEN 1 ELSE 0 END) AS matched
+        |  FROM cg c LEFT JOIN bench b USING (gm) GROUP BY 1)
+        |SELECT g.source,
+        |  CAST(count(*) FILTER (m.matched * 1.0 / m.total < 0.8) AS BIGINT) AS n_kept,
+        |  CAST(count(*) FILTER (m.matched * 1.0 / m.total >= 0.8) AS BIGINT) AS n_removed,
+        |  CAST(coalesce(sum(g.ntok) FILTER (m.matched * 1.0 / m.total < 0.8), 0) AS BIGINT) AS kept_tokens
+        |FROM m JOIN g ON m.doc_id = g.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q47_pii_redaction" ->
+      """WITH aug AS (
+        |  SELECT source, text ||
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN ' email user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |      WHEN 1 THEN ' phone 555-123-4567 ok'
+        |      WHEN 2 THEN ' ssn 123-45-6789 end'
+        |      ELSE '' END AS t
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, t,
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS red
+        |  FROM aug)
+        |SELECT source,
+        |  CAST(sum(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails,
+        |  CAST(sum(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b'))) AS BIGINT) AS n_phones,
+        |  CAST(sum(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))) AS BIGINT) AS n_ssns,
+        |  CAST(sum(length(t) - length(red)) AS BIGINT) AS redacted_char_delta
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q48_url_domains" ->
+      """WITH aug AS (
+        |  SELECT text ||
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN ' see https://' || source || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+        |      WHEN 1 THEN ' ref http://cdn.' || lang || '.example.net/x ok'
+        |      ELSE '' END AS t
+        |  FROM documents)
+        |SELECT dom AS domain, count(*) AS n FROM (
+        |  SELECT unnest(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1)) AS dom FROM aug)
+        |GROUP BY 1 ORDER BY n DESC, domain LIMIT 15""".stripMargin,
+    "q49_quality_filter" ->
+      """WITH t AS (
+        |  SELECT source, text, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |m AS (
+        |  SELECT source,
+        |    len(ts) AS ntok,
+        |    CASE WHEN len(ts) = 0 THEN 0.0
+        |      ELSE list_sum(list_transform(ts, x -> length(x))) * 1.0 / len(ts) END AS mtl,
+        |    CASE WHEN len(ts) = 0 THEN 0.0
+        |      ELSE len(list_filter(ts, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that','be'], lower(x)))) * 1.0 / len(ts)
+        |    END AS swr,
+        |    (SELECT 1.0 - len(list_distinct(g)) * 1.0 / len(g) FROM (
+        |      SELECT CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |        ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts) - 2)]
+        |      END AS g)) AS rep
+        |  FROM t)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN ntok BETWEEN 30 AND 90 AND mtl BETWEEN 4.3 AND 4.7
+        |    AND swr >= 0.02 AND rep <= 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST(sum(CASE WHEN NOT (ntok BETWEEN 30 AND 90) THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_len,
+        |  CAST(sum(CASE WHEN NOT (mtl BETWEEN 4.3 AND 4.7) THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_mtl,
+        |  CAST(sum(CASE WHEN NOT (swr >= 0.02) THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_sw,
+        |  CAST(sum(CASE WHEN NOT (rep <= 0.02) THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_rep
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q62_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id AS id, unnest(
+        |    [substring(text, i, 5) FOR i IN generate_series(1, greatest(length(text) - 4, 1))]) AS shingle
+        |  FROM documents),
+        |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.id AS ia, b.id AS ib, count(*) AS n
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT ia AS doc_a, ib AS doc_b
+        |  FROM inter JOIN sizes sa ON ia = sa.id JOIN sizes sb ON ib = sb.id
+        |  WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.6),
+        |nodes AS (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u)
+        |SELECT id AS doc_id, min(r) AS cluster_id
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)
+}

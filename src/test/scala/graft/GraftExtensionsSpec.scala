@@ -43,4 +43,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.keySet == viaCol.keySet)
     viaSql.foreach { case (k, v) => assert(math.abs(v - viaCol(k)) < 1e-12) }
   }
+
+  test("quantile_sketch is callable from SQL, scalar and array quantiles") {
+    ColumnBridge.registerFunction(spark, "quantile_sketch",
+      graft.functions.GraftFunctions.quantileSketchBuilder)
+    spark.range(1, 1001).selectExpr("cast(id as double) as v")
+      .createOrReplaceTempView("qs_ext_test")
+    val row = spark.sql(
+      """SELECT quantile_sketch(v, 0.5) q50,
+        |       quantile_sketch(v, array(0.1, 0.9), 200) q19
+        |FROM qs_ext_test""".stripMargin).head()
+    val q50 = row.getSeq[Double](0)
+    val q19 = row.getSeq[Double](1)
+    assert(q50.size == 1 && math.abs(q50.head - 500.0) < 50.0)
+    assert(q19.size == 2 && math.abs(q19.head - 100.0) < 50.0 &&
+      math.abs(q19(1) - 900.0) < 50.0)
+  }
 }

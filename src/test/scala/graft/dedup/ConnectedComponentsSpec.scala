@@ -1,0 +1,66 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.run(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Driver-side union-find oracle. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // canonical component = min node id in the component
+    val byRoot = nodes.groupBy(find)
+    byRoot.values.flatMap(ns => { val m = ns.min; ns.map(_ -> m) }).toMap
+  }
+
+  test("two disjoint chains resolve to their min ids") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
+    assert(cc(edges) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("a long path converges (the O(log n) rounds case)") {
+    val n = 200L
+    val edges = (0L until n - 1).map(i => (i, i + 1))
+    val got = cc(edges)
+    assert(got.size == n)
+    assert(got.values.forall(_ == 0L))
+  }
+
+  test("cycles, self-loops and duplicate edges are handled") {
+    val edges = Seq((5L, 6L), (6L, 7L), (7L, 5L), (5L, 5L), (6L, 5L), (6L, 5L))
+    assert(cc(edges) === Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
+  test("matches a union-find oracle on random graphs") {
+    val rnd = new Random(42)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 30
+      val edges = (1 to n).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(e => e._1 != e._2)
+      assert(cc(edges) === unionFind(edges), s"trial $trial")
+    }
+  }
+
+  test("star output covers exactly the incident nodes, once each") {
+    val edges = Seq((3L, 9L), (9L, 27L), (100L, 101L))
+    val out = ConnectedComponents.run(edges.toDF("src", "dst"))
+    assert(out.groupBy("id").count().where(col("count") > 1).isEmpty)
+    assert(out.select("id").as[Long].collect().toSet === Set(3L, 9L, 27L, 100L, 101L))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.ledger
+
+import graft.SparkSpec
+import graft.config.PipelineConfig
+import graft.time.TimeWindow
+import java.nio.file.Files
+import java.time.{ZoneId, ZonedDateTime}
+
+/** The event-log ledger must be observationally equivalent to the rewrite
+  * ledger under any single-writer mutation sequence — compaction included. */
+class EventLogLedgerSpec extends SparkSpec {
+
+  private val cfg = PipelineConfig.fromMap(Map(
+    "root_dir" -> Files.createTempDirectory("graft_ell").toString,
+    "granularity" -> "1h", "x_time_back" -> "2h"))
+
+  private val t0 = ZonedDateTime.of(2024, 3, 1, 0, 0, 0, 0, ZoneId.of("UTC"))
+
+  private def windows(n: Int): Seq[TimeWindow] =
+    (0 until n).map(i => TimeWindow(t0.plusHours(i), t0.plusHours(i + 1)))
+
+  private def records(n: Int): Seq[DriveRecord] =
+    windows(n).map(w => DriveRecord.forWindow(cfg, w, t0.plusHours(12)))
+
+  private def state(rows: Seq[DriveRecord]): Map[String, DriveRecord] =
+    rows.map(r => r.unique_source_id -> r).toMap
+
+  private def freshPair(): (Ledger, EventLogLedger) = {
+    val root = Files.createTempDirectory("graft_ell_pair").toString
+    val a = new Ledger(spark, s"$root/rewrite")
+    val b = new EventLogLedger(spark, s"$root/eventlog", compactEvery = 1000)
+    a.bootstrap(); b.bootstrap()
+    (a, b)
+  }
+
+  test("append/update/delete sequence matches the rewrite ledger") {
+    val (a, b) = freshPair()
+    val rs = records(6)
+    a.append(rs); b.append(rs)
+    // duplicate append is a no-op on both
+    a.append(rs.take(3)); b.append(rs.take(3))
+
+    val ids = rs.map(_.unique_source_id)
+    def touch(r: DriveRecord) = r.copy(
+      pipeline_status = DriveRecord.Status.InProgress, pipeline_retry_count = r.pipeline_retry_count + 1)
+    a.updateByIds(Set(ids(0), ids(2)))(touch)
+    b.updateByIds(Set(ids(0), ids(2)))(touch)
+    def complete(r: DriveRecord) = r.copy(
+      pipeline_status = DriveRecord.Status.Completed, completed_stage_number = 4)
+    a.updateByIds(Set(ids(0)))(complete)
+    b.updateByIds(Set(ids(0)))(complete)
+    a.delete(Set(ids(4), "missing-id"))
+    b.delete(Set(ids(4), "missing-id"))
+
+    val sa = state(a.read().collect().toSeq)
+    val sb = state(b.read().collect().toSeq)
+    assert(sb.keySet === sa.keySet)
+    assert(sb === sa)
+    assert(b.logSegments() > 0)
+  }
+
+  test("compaction preserves state and clears the log") {
+    val (a, b) = freshPair()
+    val rs = records(5)
+    a.append(rs); b.append(rs)
+    val ids = rs.map(_.unique_source_id)
+    def fail(r: DriveRecord) = r.copy(pipeline_status = DriveRecord.Status.Failed)
+    a.updateByIds(Set(ids(1)))(fail); b.updateByIds(Set(ids(1)))(fail)
+    a.delete(Set(ids(3))); b.delete(Set(ids(3)))
+
+    val before = state(b.read().collect().toSeq)
+    b.compact()
+    assert(b.logSegments() === 0)
+    assert(state(b.read().collect().toSeq) === before)
+    assert(before === state(a.read().collect().toSeq))
+
+    // deleted id stays deleted across compaction; post-compact writes work
+    b.append(rs.take(1).map(r => r.copy(unique_source_id = "fresh-after-compact")))
+    assert(b.read().collect().exists(_.unique_source_id == "fresh-after-compact"))
+    assert(!b.read().collect().exists(_.unique_source_id == ids(3)))
+  }
+
+  test("auto-compaction bounds log segments") {
+    val root = Files.createTempDirectory("graft_ell_auto").toString
+    val b = new EventLogLedger(spark, s"$root/eventlog", compactEvery = 4)
+    b.bootstrap()
+    val rs = records(3)
+    b.append(rs)
+    def bump(r: DriveRecord) = r.copy(pipeline_retry_count = r.pipeline_retry_count + 1)
+    (1 to 6).foreach(_ => b.updateByIds(Set(rs.head.unique_source_id))(bump))
+    assert(b.logSegments() < 4)
+    assert(b.read().collect().find(_.unique_source_id == rs.head.unique_source_id)
+      .get.pipeline_retry_count == 6)
+  }
+}
