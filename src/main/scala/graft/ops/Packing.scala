@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing and token-budget mixing — the two operators that turn a
+  * filtered corpus into actual training batches.
+  *
+  * Scale shape: both are ONE shuffle on the shard column and a windowed
+  * running sum inside each shard — no global order, no driver state. A
+  * 100 TB corpus packs shard-by-shard (shards are independent, so 1000
+  * executors pack 1000 shards concurrently); the window never materializes
+  * more than one shard's doc list per task.
+  */
+object Packing {
+
+  /** Greedy concat-and-chop sequence packing: within each shard
+    * (`partitionCols`), documents are laid end-to-end in `orderCol` order
+    * and chopped into sequences of `budget` tokens; a document belongs to
+    * the sequence where its first token lands. Adds `__seq` (0-based
+    * sequence id within the shard) and `__start` (the doc's token offset).
+    *
+    * This is the standard "pack to context length" preprocessing step; the
+    * deterministic order makes the packing reproducible run-over-run (and
+    * engine-over-engine — the windowed cumulative sum is plain SQL).
+    */
+  def packSequences(docs: DataFrame, partitionCols: Seq[String],
+                    orderCol: String, tokenCol: String, budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(orderCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("__start", sum(col(tokenCol)).over(w) - col(tokenCol))
+      .withColumn("__seq", floor(col("__start") / budget))
+  }
+
+  /** Token-budget quota sampling (domain mixing): within each shard, keep
+    * documents in deterministic md5-hash order while the running token
+    * total stays within `budget` — the "cap each domain at N tokens"
+    * mixture step. Hash order makes the kept set a uniform-but-stable
+    * subset; monotone in `budget` (a larger budget keeps every previously
+    * kept doc). */
+  def tokenQuotaSample(docs: DataFrame, partitionCols: Seq[String],
+                       keyCol: String, tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(Sampling.md5Bucket(col(keyCol)).asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("__cum", sum(col(tokenCol)).over(w))
+      .where(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
+  /** Per-shard packing summary: sequence count, packed token total, and
+    * fill ratio against `budget` — what a packing job reports. */
+  def packingStats(packed: DataFrame, partitionCols: Seq[String],
+                   tokenCol: String, budget: Int): DataFrame =
+    packed.groupBy(partitionCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        (max(col("__seq")) + 1).as("n_seqs"),
+        sum(col(tokenCol)).as("total_tokens"),
+        round(sum(col(tokenCol)).cast("double") / ((max(col("__seq")) + 1) * budget), 6)
+          .as("fill_ratio"))
+}

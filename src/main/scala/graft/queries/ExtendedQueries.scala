@@ -155,7 +155,35 @@ object ExtendedQueries {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing: docs laid end-to-end per source in doc_id order,
+    * chopped into 512-token sequences (a doc belongs to the sequence its
+    * first token lands in) — the "pack to context length" batch-prep step.
+    * Reports per-source sequence counts and fill ratio. */
+  val sequencePacking: Q = (s, dir) => {
+    val withTok = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("ntok"))
+    val packed = graft.ops.Packing.packSequences(withTok, Seq("source"), "doc_id", "ntok", 512)
+    graft.ops.Packing.packingStats(packed, Seq("source"), "ntok", 512)
+      .orderBy("source")
+  }
+
+  /** Token-budget quota sampling (domain mixing): cap each source at 1500
+    * tokens, keeping docs in deterministic md5-hash order — the mixture
+    * step that rebalances domain weights by token count, not doc count. */
+  val tokenQuota: Q = (s, dir) => {
+    val withTok = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("ntok"))
+    graft.ops.Packing.tokenQuotaSample(withTok, Seq("source"), "doc_id", "ntok", 1500L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("ntok").cast("long").as("kept_tokens"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "q64_sequence_packing" -> sequencePacking,
+    "q65_token_quota" -> tokenQuota,
     "q29_rolling_revenue" -> rollingRevenue,
     "q63_acctbal_deciles" -> acctbalDeciles,
     "q46_decontaminate" -> decontaminate,
@@ -165,6 +193,32 @@ object ExtendedQueries {
     "q62_dedup_clusters" -> dedupClusters)
 
   val oracles: Map[String, String] = Map(
+    "q64_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split_regex(trim(text), '\s+')) AS ntok
+        |  FROM documents),
+        |p AS (
+        |  SELECT source, doc_id, ntok,
+        |    sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok AS strt
+        |  FROM t)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(max(floor(strt / 512)) + 1 AS BIGINT) AS n_seqs,
+        |  CAST(sum(ntok) AS BIGINT) AS total_tokens,
+        |  round(sum(ntok) * 1.0 / ((max(floor(strt / 512)) + 1) * 512), 6) AS fill_ratio
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q65_token_quota" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split_regex(trim(text), '\s+')) AS ntok
+        |  FROM documents),
+        |o AS (
+        |  SELECT source, doc_id, ntok,
+        |    sum(ntok) OVER (PARTITION BY source
+        |      ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT source, count(*) AS n_kept, CAST(sum(ntok) AS BIGINT) AS kept_tokens
+        |FROM o WHERE cum <= 1500 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q29_rolling_revenue" ->
       """WITH d AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev

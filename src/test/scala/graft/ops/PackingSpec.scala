@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    ("a", 1L, 300), ("a", 2L, 300), ("a", 3L, 100), ("a", 4L, 500),
+    ("b", 10L, 512), ("b", 11L, 1), ("c", 20L, 700)
+  ).toDF("source", "doc_id", "ntok")
+
+  test("packSequences assigns each doc to the sequence of its first token") {
+    val packed = Packing.packSequences(docs, Seq("source"), "doc_id", "ntok", 512)
+      .select("source", "doc_id", "__start", "__seq")
+      .as[(String, Long, Long, Long)].collect().map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // shard a: offsets 0, 300, 600, 700 -> seqs 0, 0, 1, 1
+    assert(packed(("a", 1L)) == (0L, 0L))
+    assert(packed(("a", 2L)) == (300L, 0L))
+    assert(packed(("a", 3L)) == (600L, 1L))
+    assert(packed(("a", 4L)) == (700L, 1L))
+    // shard b: exactly-full first sequence; next doc starts seq 1
+    assert(packed(("b", 10L)) == (0L, 0L))
+    assert(packed(("b", 11L)) == (512L, 1L))
+    // oversize doc still gets the seq where it starts
+    assert(packed(("c", 20L)) == (0L, 0L))
+  }
+
+  test("packingStats totals are conserved") {
+    val packed = Packing.packSequences(docs, Seq("source"), "doc_id", "ntok", 512)
+    val stats = Packing.packingStats(packed, Seq("source"), "ntok", 512)
+      .select("source", "n_docs", "n_seqs", "total_tokens")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(stats("a") == (4L, 2L, 1200L))
+    assert(stats("b") == (2L, 2L, 513L))
+    assert(stats("c") == (1L, 1L, 700L))
+  }
+
+  test("tokenQuotaSample keeps a budget-monotone prefix in hash order") {
+    val small = Packing.tokenQuotaSample(docs, Seq("source"), "doc_id", "ntok", 600L)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    val large = Packing.tokenQuotaSample(docs, Seq("source"), "doc_id", "ntok", 1200L)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    assert(small.subsetOf(large), s"monotonicity: $small vs $large")
+    // per-shard kept token totals never exceed the budget
+    val kept = Packing.tokenQuotaSample(docs, Seq("source"), "doc_id", "ntok", 600L)
+      .groupBy("source").agg(sum("ntok").as("t"))
+      .as[(String, Long)].collect().toMap
+    assert(kept.values.forall(_ <= 600L), kept.toString)
+    // determinism: same result on re-run
+    val again = Packing.tokenQuotaSample(docs, Seq("source"), "doc_id", "ntok", 600L)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    assert(again == small)
+  }
+}
