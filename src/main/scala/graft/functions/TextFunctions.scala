@@ -52,12 +52,16 @@ object TextFunctions {
         / size(toks))
   }
 
-  /** Mean token length. */
+  /** Mean token length. The token-length sum is computed as
+    * length-after-stripping-whitespace — identical to summing per-token
+    * lengths (tokens are exactly the non-whitespace runs) but it stays in
+    * whole-stage codegen, where the equivalent `aggregate` HOF would drop
+    * the whole stage to the interpreted path (measured ~40x slower on the
+    * vector ops; same trap). */
   def meanTokenLength(c: Column): Column = {
     val toks = tokens(c)
     when(size(toks) === 0, lit(0.0))
-      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
-        / size(toks))
+      .otherwise(length(regexp_replace(c, "\\s", "")).cast("double") / size(toks))
   }
 
   /** Composite [0,1] quality score from length/punct/stopword signals —

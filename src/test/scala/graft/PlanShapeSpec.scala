@@ -52,4 +52,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
       s"expected an equi-join on the bin: ${plan.take(2000)}")
   }
+
+  test("sequence packing is a single shuffle on the shard column") {
+    val withTok = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("ntok"))
+    val packed = graft.ops.Packing.packSequences(withTok, Seq("source"), "doc_id", "ntok", 512)
+    val plan = packed.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly 1 shard shuffle, got $exchanges:\n${plan.take(2000)}")
+  }
+
+  test("quota sampling is a single shuffle on the shard column") {
+    val withTok = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("ntok"))
+    val sampled = graft.ops.Packing.tokenQuotaSample(withTok, Seq("source"), "doc_id", "ntok", 1500L)
+    val plan = sampled.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly 1 shard shuffle, got $exchanges:\n${plan.take(2000)}")
+  }
+
+  test("quality-filter signals all run in one scan of documents") {
+    val plan = SparkEntry.queries("q49_quality_filter")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected a single documents scan, got $scans:\n${plan.take(2000)}")
+  }
+
+  test("contamination keeps the benchmark side broadcast") {
+    val plan = SparkEntry.queries("q46_decontaminate")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark gram table should broadcast: ${plan.take(2000)}")
+  }
 }
