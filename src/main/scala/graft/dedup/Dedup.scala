@@ -254,6 +254,85 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Banded bucket table of an (id, sig: array<long>) signature frame:
+    * (id, band, bh) with bh = xxhash64 over that band's components. */
+  private def bandBuckets(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val comps = (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r))
+      struct(lit(b).as("band"), xxhash64(comps: _*).as("bh"))
+    }
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** Incremental near-dup: LSH candidates between a NEW batch and an
+    * EXISTING corpus signature index, verified with exact Jaccard.
+    *
+    * The operator a growing corpus actually runs: when a delta arrives you
+    * do NOT re-dedup the corpus — signatures of the existing docs are a
+    * stored index (computed once by [[minHashSignaturesPerRow]], persisted
+    * alongside the corpus); the delta computes its own signatures (narrow,
+    * no shuffle), joins band buckets against the index, and only candidate
+    * docs from either side are ever re-shingled for verification. Cost is
+    * O(delta + matches), independent of corpus size beyond the bucket join.
+    *
+    * @param corpusSigs (id, sig) signature index of the existing corpus
+    * @param corpusDocs (id, text) for verification of candidate corpus docs
+    * @return (new_id, old_id, jaccard) pairs with jaccard >= minJaccard
+    */
+  def incrementalMinHashLsh(newDocs: DataFrame, idCol: String, textCol: String,
+                            corpusSigs: DataFrame, corpusDocs: DataFrame,
+                            shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
+                            minJaccard: Double = 0.6): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val newSig = minHashSignaturesPerRow(newDocs, idCol, textCol, shingleK, numHashes).cache()
+    val oldSig = corpusSigs.select(col("id"), col("sig"))
+
+    val rawCand = bandBuckets(newSig, bands, rowsPerBand).as("a")
+      .join(bandBuckets(oldSig, bands, rowsPerBand).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("new_id"), col("b.id").as("old_id"))
+      .distinct()
+
+    // signature-estimate prefilter, same 3-sigma margin as minHashLsh
+    val estCols = (0 until numHashes)
+      .map(j => when(col("a.sig").getItem(j) === col("b.sig").getItem(j), 1).otherwise(0))
+      .reduce[Column](_ + _)
+    val sigMargin = minJaccard - 3 * math.sqrt(minJaccard * (1 - minJaccard) / numHashes)
+    val cand = rawCand
+      .join(newSig.as("a"), col("new_id") === col("a.id"))
+      .join(oldSig.as("b"), col("old_id") === col("b.id"))
+      .where(estCols >= lit(sigMargin * numHashes))
+      .select("new_id", "old_id")
+      .cache()
+
+    // exact verification — shingle ONLY candidate docs from either side
+    def candShingles(docs: DataFrame, ids: DataFrame): DataFrame =
+      docs.select(col(idCol).as("id"), col(textCol).as("__t"))
+        .join(ids, Seq("id"), "left_semi")
+        .select(col("id"),
+          explode(TextFunctions.charShingles(col("__t"), shingleK)).as("s"))
+        .select(col("id"), xxhash64(col("s")).as("shingle"))
+        .distinct()
+    val shNew = candShingles(newDocs, cand.select(col("new_id").as("id")).distinct()).cache()
+    val shOld = candShingles(corpusDocs, cand.select(col("old_id").as("id")).distinct()).cache()
+    val szNew = shNew.groupBy("id").agg(count(lit(1)).as("sz_new"))
+    val szOld = shOld.groupBy("id").agg(count(lit(1)).as("sz_old"))
+    val inter = cand
+      .join(shNew.withColumnRenamed("id", "new_id"), "new_id")
+      .join(shOld.withColumnRenamed("id", "old_id"), Seq("old_id", "shingle"))
+      .groupBy("new_id", "old_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(szNew.withColumnRenamed("id", "new_id"), "new_id")
+      .join(szOld.withColumnRenamed("id", "old_id"), "old_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_new") + col("sz_old") - col("inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select("new_id", "old_id", "jaccard")
+  }
+
   // ---------------------------------------------------------------- simhash
 
   /** 64-bit SimHash per doc from whitespace tokens: per bit, sum +1/-1 of

@@ -181,9 +181,26 @@ object ExtendedQueries {
       .orderBy("source")
   }
 
+  /** Incremental dedup: a delta batch (doc_id%10==3) checked against the
+    * signature INDEX of the existing corpus — the corpus is never
+    * re-shingled wholesale, only candidate docs are verified. Oracled by
+    * the exhaustive cross-side exact-Jaccard join: safe because the planted
+    * near-dups sit at J>=0.92 where a 16-band/4-row miss is ~4e-10, and the
+    * exact verification removes every sub-threshold candidate. */
+  val incrementalDedup: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val delta = docs.where(col("doc_id") % 10 === 3)
+    val corpus = docs.where(col("doc_id") % 10 =!= 3)
+    val index = Dedup.minHashSignaturesPerRow(corpus, "doc_id", "text", 5, 64)
+    Dedup.incrementalMinHashLsh(delta, "doc_id", "text", index, corpus)
+      .select(col("new_id").as("new_doc"), col("old_id").as("old_doc"))
+      .orderBy("new_doc", "old_doc")
+  }
+
   val all: Map[String, Q] = Map(
     "q64_sequence_packing" -> sequencePacking,
     "q65_token_quota" -> tokenQuota,
+    "q66_incremental_dedup" -> incrementalDedup,
     "q29_rolling_revenue" -> rollingRevenue,
     "q63_acctbal_deciles" -> acctbalDeciles,
     "q46_decontaminate" -> decontaminate,
@@ -193,6 +210,21 @@ object ExtendedQueries {
     "q62_dedup_clusters" -> dedupClusters)
 
   val oracles: Map[String, String] = Map(
+    "q66_incremental_dedup" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id AS id, unnest(
+        |    [substring(text, i, 5) FOR i IN generate_series(1, greatest(length(text) - 4, 1))]) AS shingle
+        |  FROM documents),
+        |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.id AS ia, b.id AS ib, count(*) AS n
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |    AND a.id % 10 = 3 AND b.id % 10 <> 3
+        |  GROUP BY 1, 2)
+        |SELECT ia AS new_doc, ib AS old_doc
+        |FROM inter JOIN sizes sa ON ia = sa.id JOIN sizes sb ON ib = sb.id
+        |WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.6
+        |ORDER BY 1, 2""".stripMargin,
     "q64_sequence_packing" ->
       """WITH t AS (
         |  SELECT source, doc_id, len(string_split_regex(trim(text), '\s+')) AS ntok

@@ -90,6 +90,22 @@ class DedupSpec extends SparkSpec {
     assert(hs(1L) != hs(3L))
   }
 
+  test("incremental LSH against a signature index equals the exhaustive cross pairs") {
+    val delta = docs.where(col("doc_id") % 10 === 3)
+    val corpus = docs.where(col("doc_id") % 10 =!= 3)
+    val index = Dedup.minHashSignaturesPerRow(corpus, "doc_id", "text", 5, 64)
+    val inc = Dedup.incrementalMinHashLsh(delta, "doc_id", "text", index, corpus)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    // exhaustive cross-side exact Jaccard as the oracle
+    val undirected: Set[(Long, Long)] =
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 5, minJaccard = 0.6)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = undirected.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (n, o) => n % 10 == 3 && o % 10 != 3 }
+    assert(inc == exact, s"missed: ${exact -- inc}, spurious: ${inc -- exact}")
+    assert(inc.nonEmpty)
+  }
+
   test("embedding cosine self-similarity is 1 and pairs respect threshold") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val selfSim = emb.limit(5)
