@@ -117,6 +117,31 @@ class AsOfJoinPhysicalSpec extends SparkSpec {
     }
   }
 
+  test("optimizer rule pushes left-only predicates below the as-of join") {
+    graft.plans.AsOfJoinPredicatePushdown.install(spark)
+    val filtered = AsOfJoinPhysical.asOf(purchases, signups, Seq("user_id"),
+        "ts", "ts", Seq("signup_value"))
+      .where(col("event_id") > 1000L && col("signup_value").isNotNull)
+    // correctness: identical to filtering the composed form
+    val composed = AsOfJoin.asOf(purchases, signups, Seq("user_id"),
+        "ts", "ts", Seq("signup_value"))
+      .where(col("event_id") > 1000L && col("signup_value").isNotNull)
+    same(filtered, composed)
+    // plan shape: the left-only predicate reaches the parquet scan's
+    // PushedFilters; the matched-column predicate stays above the join
+    val optimized = filtered.queryExecution.optimizedPlan.toString
+    val plan = filtered.queryExecution.executedPlan.toString
+    // the PushedFilters list renders truncated, so match a prefix
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(event_id,1"),
+      s"left predicate did not reach the scan:\n${plan.take(3000)}")
+    val filterAboveJoin = optimized.linesIterator
+      .takeWhile(!_.contains("AsOfJoin")).mkString("\n")
+    assert(filterAboveJoin.contains("signup_value"),
+      s"matched-column predicate must stay above the join:\n$optimized")
+    assert(!filterAboveJoin.contains("event_id#"),
+      s"left predicate must not remain above the join:\n$optimized")
+  }
+
   test("multi-column keys") {
     def ts(s: String) = Timestamp.valueOf(s)
     val l = Seq((1L, "a", 1, ts("2024-01-01 10:00:00")),
