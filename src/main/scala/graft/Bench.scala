@@ -26,6 +26,10 @@ object Bench {
     "q40_exact_dedup",        // hash-groupBy dedup
     "q42_minhash_lsh_pairs",  // MinHash-LSH near-dup (the scale path)
     "q43_simhash_pairs",      // SimHash chunk-blocked near-dup
+    "q49_quality_filter",     // composite per-row quality rule stack
+    "q62_dedup_clusters",     // LSH pairs -> connected-component clusters
+    "q64_sequence_packing",   // windowed-cumsum packing to context length
+    "q66_incremental_dedup",  // delta batch vs stored signature index
     "q44_embedding_dup_pairs", // columnar all-pairs cosine
     "q50_knn_brute_force",    // exact ANN baseline
     "q51_ann_lsh",            // multi-table LSH ANN
@@ -60,7 +64,11 @@ object Bench {
       System.err.println(f"[bench] $name%-26s $sec%8.2fs rows=$n")
       sec
     }
-    val results = headline.filter(qs.contains).map { name =>
+    // ad-hoc override for profiling: SPARK_GRAFT_BENCH_QUERIES=q62_x,q64_y
+    val selected = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(headline)
+    val results = selected.filter(qs.contains).map { name =>
       name -> math.min(timeOnce(name), timeOnce(name))
     }
     val qjson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

