@@ -1,0 +1,111 @@
+package graft.time
+
+import java.time.{Instant, LocalDate, ZoneId, ZonedDateTime}
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based coverage of the pure time/interval core (SURVEY §5):
+  * windows tile the day, gaps ∪ intervals tile the bound, overlap
+  * detection is exact — on randomized inputs, not hand-picked cases.
+  * Raw scalacheck driven through scalatest (no scalatestplus bridge in the
+  * offline dependency set). */
+class TimePropertiesSpec extends AnyFunSuite {
+
+  private def check(name: String, prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"property '$name' failed: ${res.status}")
+  }
+
+  private val utc = ZoneId.of("UTC")
+  private val la = ZoneId.of("America/Los_Angeles")
+
+  private val genGran: Gen[Granularity] = Gen.oneOf(
+    Granularity.parse("1h"), Granularity.parse("30m"), Granularity.parse("15m"),
+    Granularity.parse("2h"), Granularity.parse("90s"))
+
+  private val genDay: Gen[LocalDate] = for {
+    y <- Gen.choose(2023, 2026)
+    d <- Gen.choose(1, 365)
+  } yield LocalDate.ofYearDay(y, d)
+
+  test("day windows abut, start at day start, and cover whole days (UTC and DST zone)") {
+    check("windows tile day", forAll(genDay, genGran, Gen.oneOf(utc, la)) { (day, gran, zone) =>
+      val ws = TimeUtil.windowsForDay(day, zone, gran)
+      val dayStart = day.atStartOfDay(zone)
+      val dayEnd = day.plusDays(1).atStartOfDay(zone)
+      val abut = ws.lazyZip(ws.drop(1)).forall { case (a, b) => a.end == b.start }
+      val daySeconds = java.time.Duration.between(dayStart, dayEnd).getSeconds
+      val covered = ws.map(w => java.time.Duration.between(w.start, w.end).getSeconds).sum
+      // windows whose duration divides the (wall-clock) day tile it exactly;
+      // otherwise the uncovered tail is strictly shorter than one window
+      ws.headOption.forall(_.start == dayStart) && abut &&
+        covered <= daySeconds && (daySeconds - covered) < gran.totalSeconds
+    })
+  }
+
+  test("DST days yield 23/25 hourly windows in the wall-clock zone") {
+    // 2025-03-09: spring forward (23h); 2025-11-02: fall back (25h)
+    assert(TimeUtil.windowsForDay(LocalDate.of(2025, 3, 9), la, Granularity.parse("1h")).size == 23)
+    assert(TimeUtil.windowsForDay(LocalDate.of(2025, 11, 2), la, Granularity.parse("1h")).size == 25)
+    assert(TimeUtil.windowsForDay(LocalDate.of(2025, 3, 9), utc, Granularity.parse("1h")).size == 24)
+  }
+
+  private val genIntervals: Gen[List[(Long, Long)]] =
+    Gen.listOfN(8, for {
+      s <- Gen.choose(0L, 86000L)
+      len <- Gen.choose(1L, 4000L)
+    } yield (s, s + len))
+
+  private def inst(s: Long): Instant = Instant.ofEpochSecond(1700000000L + s)
+
+  test("gaps ∪ interval-cover exactly tiles the bound, for ANY interval set") {
+    check("gaps tile", forAll(genIntervals) { raw =>
+      val bound = (inst(0), inst(90000L))
+      val ivs = raw.map { case (s, e) => (inst(s), inst(e)) }
+      val gaps = TimeUtil.findGaps(ivs, bound._1, bound._2)
+      // pointwise: every second in the bound is in a gap XOR under an interval
+      val points = (0L until 90000L by 997L) :+ 89999L
+      points.forall { p =>
+        val t = inst(p)
+        val inIv = ivs.exists { case (s, e) => !t.isBefore(s) && t.isBefore(e) }
+        val inGap = gaps.exists { case (s, e) => !t.isBefore(s) && t.isBefore(e) }
+        inIv ^ inGap
+      }
+    })
+    check("gaps disjoint+sorted", forAll(genIntervals) { raw =>
+      val ivs = raw.map { case (s, e) => (inst(s), inst(e)) }
+      val gaps = TimeUtil.findGaps(ivs, inst(0), inst(90000L))
+      gaps.lazyZip(gaps.drop(1)).forall { case (a, b) => !b._1.isBefore(a._2) }
+    })
+  }
+
+  test("overlap detection agrees with the quadratic definition on sorted-adjacent pairs") {
+    check("overlaps", forAll(genIntervals) { raw =>
+      val ivs = raw.map { case (s, e) => (inst(s), inst(e)) }
+      val got = TimeUtil.findOverlaps(ivs).nonEmpty
+      val sorted = ivs.sortBy(_._1)
+      val expect = sorted.lazyZip(sorted.drop(1)).exists { case (a, b) => b._1.isBefore(a._2) }
+      got == expect
+    })
+    // non-overlapping tilings never report overlaps
+    check("tilings clean", forAll(genGran, genDay) { (gran, day) =>
+      val ws = TimeUtil.windowsForDay(day, utc, gran)
+        .map(w => (w.startInstant, w.endInstant))
+      TimeUtil.findOverlaps(ws).isEmpty
+    })
+  }
+
+  test("safeBoundary is monotone in now and never in the future") {
+    check("boundary monotone", forAll(Gen.choose(0L, 100000000L), Gen.choose(0L, 500000L),
+        Gen.oneOf("1d", "2h", "30m", "1d2h30m")) { (base, delta, backStr) =>
+      val back = Granularity.parse(backStr)
+      val t1 = ZonedDateTime.ofInstant(Instant.ofEpochSecond(1600000000L + base), utc)
+      val t2 = t1.plusSeconds(delta)
+      val b1 = TimeUtil.safeBoundary(t1, back)
+      val b2 = TimeUtil.safeBoundary(t2, back)
+      !b2.isBefore(b1) && !b1.isAfter(t1)
+    })
+  }
+}
