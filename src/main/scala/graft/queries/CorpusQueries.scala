@@ -43,8 +43,10 @@ object CorpusQueries {
         round(avg(length(col("text"))), 4).as("avg_len"))
       .orderBy("lang")
 
-  /** Language-id heuristic (marker-word argmax) — rows-only check (the
-    * argmax tie-break logic has no clean ANSI-SQL mirror). */
+  /** Language-id heuristic (marker-word argmax). Oracled: Spark's
+    * greatest(struct(score, lang)) argmax maps to DuckDB's list_max over
+    * {score, lang} structs — both compare structs field-lexicographically,
+    * so even score ties break identically (larger lang code wins). */
   val langIdDistribution: Q = (s, dir) =>
     Tables.documents(s, dir)
       .select(col("lang"), TextFunctions.langId(col("text")).as("predicted"))
@@ -217,8 +219,11 @@ object CorpusQueries {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .orderBy("doc_a", "doc_b")
 
-  /** MinHash-LSH near-dup pipeline (seeded xxhash64 signatures — no SQL
-    * oracle; ScalaTest asserts it finds exactly the planted near-dup pairs). */
+  /** MinHash-LSH near-dup pipeline. Oracled by the exhaustive exact-Jaccard
+    * pair set (same SQL as q41): the exact verification stage removes every
+    * sub-threshold candidate, and the planted pairs sit at J>=0.92 where a
+    * 16-band/4-row miss is ~4e-10 — LSH reproduces the exact set here
+    * (DedupSpec pins it). */
   val minhashLshPairs: Q = (s, dir) =>
     Dedup.minHashLsh(Tables.documents(s, dir), "doc_id", "text",
         shingleK = 5, numHashes = 64, bands = 16, minJaccard = 0.6)
@@ -369,6 +374,22 @@ object CorpusQueries {
     "q60_media_features" -> mediaFeatures)
 
   val oracles: Map[String, String] = Map(
+    "q32_langid_distribution" ->
+      """WITH t AS (
+        |  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+        |s AS (SELECT lang,
+        |  len(list_filter(ts, x -> list_contains(['the','and','of','to','is','with','for'], x))) AS s_en,
+        |  len(list_filter(ts, x -> list_contains(['der','die','das','und','ist','mit','für'], x))) AS s_de,
+        |  len(list_filter(ts, x -> list_contains(['le','la','les','et','est','avec','pour'], x))) AS s_fr,
+        |  len(list_filter(ts, x -> list_contains(['el','la','los','y','es','con','para'], x))) AS s_es
+        |  FROM t),
+        |p AS (SELECT lang,
+        |  list_max([{'score': s_de, 'lang': 'de'}, {'score': s_en, 'lang': 'en'},
+        |            {'score': s_es, 'lang': 'es'}, {'score': s_fr, 'lang': 'fr'}]) AS best
+        |  FROM s)
+        |SELECT lang, CASE WHEN best.score <= 0 THEN 'und' ELSE best.lang END AS predicted,
+        |  count(*) AS n
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q35_deterministic_sample" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events
@@ -524,6 +545,20 @@ object CorpusQueries {
         |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
         |  CAST(sum(n - 1) AS BIGINT) AS n_redundant_docs
         |FROM g""".stripMargin,
+    "q42_minhash_lsh_pairs" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id AS id, unnest(
+        |    [substring(text, i, 5) FOR i IN generate_series(1, greatest(length(text) - 4, 1))]) AS shingle
+        |  FROM documents),
+        |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.id AS ia, b.id AS ib, count(*) AS n
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT ia AS doc_a, ib AS doc_b
+        |FROM inter JOIN sizes sa ON ia = sa.id JOIN sizes sb ON ib = sb.id
+        |WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.6
+        |ORDER BY 1, 2""".stripMargin,
     "q41_ngram_jaccard_pairs" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id AS id, unnest(
