@@ -36,6 +36,7 @@ final case class PipelineConfig(
     pipelinePriority: Double,
     triggeredBy: String,
     maxRecordsPerFile: Int,           // stage chunking (~250MB analog)
+    stageFormat: String,              // "parquet" (scale default) | "json" (NDJSON, reference-faithful)
     timestampField: String,           // source event-time column
     mustExistFields: Seq[String],     // P2 filters
     excludeNullFields: Seq[String],   // P3 filters
@@ -77,6 +78,7 @@ object PipelineConfig {
     "pipeline_priority" -> "1.2",
     "triggered_by" -> "RUNNER",
     "max_records_per_file" -> "1000000",
+    "stage_format" -> "parquet",
     "timestamp_field" -> "ts",
     "must_exist_fields" -> "",
     "exclude_null_fields" -> "",
@@ -126,6 +128,7 @@ object PipelineConfig {
       pipelinePriority = m("pipeline_priority").toDouble,
       triggeredBy = m("triggered_by"),
       maxRecordsPerFile = m("max_records_per_file").toInt,
+      stageFormat = m("stage_format"),
       timestampField = m("timestamp_field"),
       mustExistFields = list("must_exist_fields"),
       excludeNullFields = list("exclude_null_fields"),

@@ -69,6 +69,15 @@ object Connectors {
   /** Window partition-key value: one target/stage directory per window. */
   def windowKey(w: TimeWindow): String =
     w.start.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH-mm"))
+
+  /** Stage store for the configured `stage_format`. */
+  def stageFor(spark: SparkSession, cfg: PipelineConfig): StageStore =
+    cfg.stageFormat.toLowerCase match {
+      case "parquet" => new ParquetStage(spark, cfg)
+      case "json" => new JsonStage(spark, cfg)
+      case other => throw new IllegalArgumentException(
+        s"unknown stage_format '$other' (parquet|json)")
+    }
 }
 
 /** Parquet events table as the source system. `base` is the (lazily
@@ -174,6 +183,60 @@ final class ParquetStage(spark: SparkSession, cfg: PipelineConfig) extends Stage
       .parquet(path(w))
 
   override def read(w: TimeWindow): DataFrame = spark.read.parquet(path(w))
+}
+
+/** NDJSON stage — the reference's actual staging format (elasticdump
+  * streams newline-delimited JSON to S3, reference:
+  * pipeline_logic/stage/ingestion_engine.py:174-195). Parquet is the scale
+  * default (columnar, typed, splittable-compressed); this variant keeps
+  * wire-format fidelity where a downstream consumer expects NDJSON. JSON is
+  * schemaless on disk, so the writer drops a `_schema.json` sidecar and the
+  * reader re-applies it — without it, every column would come back
+  * string-typed and timestamps would silently lose their type. Timestamps
+  * round-trip at microsecond precision via an explicit timestampFormat. */
+final class JsonStage(spark: SparkSession, cfg: PipelineConfig) extends StageStore {
+  private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+  private def fs(p: Path) = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def schemaFile(w: TimeWindow) = new Path(path(w), "_schema.json")
+
+  override def path(w: TimeWindow): String = {
+    val d = w.start.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd"))
+    val hm = w.start.format(java.time.format.DateTimeFormatter.ofPattern("HH-mm"))
+    s"${cfg.stageRoot}/$d/$hm"
+  }
+
+  override def exists(w: TimeWindow): Boolean = {
+    val p = new Path(path(w), "_SUCCESS")
+    fs(p).exists(p) && fs(p).exists(schemaFile(w))
+  }
+
+  override def clean(w: TimeWindow): Unit = {
+    val p = new Path(path(w))
+    val f = fs(p)
+    if (f.exists(p)) f.delete(p, true)
+  }
+
+  override def write(w: TimeWindow, df: DataFrame): Unit = {
+    df.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+      .option("timestampFormat", TsFmt)
+      .json(path(w))
+    val sf = schemaFile(w)
+    val out = fs(sf).create(sf, true)
+    try out.write(df.schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  override def read(w: TimeWindow): DataFrame = {
+    val sf = schemaFile(w)
+    val in = fs(sf).open(sf)
+    val schemaJson =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    spark.read.schema(schema).option("timestampFormat", TsFmt).json(path(w))
+  }
 }
 
 /** Target table laid out as one partition directory per window

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.config.PipelineConfig
-import graft.connect.{ParquetSource, ParquetStage, ParquetTarget}
+import graft.connect.{Connectors, ParquetSource, ParquetTarget}
 import graft.ledger.Ledger
 import graft.runner.PipelineRunner
 import graft.sources.Tables
@@ -39,7 +39,7 @@ object RunPipeline {
     val ledger = new Ledger(spark, cfg.ledgerPath)
     val runner = new PipelineRunner(spark, cfg, ledger,
       new ParquetSource(spark, cfg, Tables.events(spark, sfDir)),
-      new ParquetStage(spark, cfg),
+      Connectors.stageFor(spark, cfg),
       new ParquetTarget(spark, cfg),
       clock = clock, auditWait = _ => ())
     val summary = runner.run()

@@ -1,0 +1,97 @@
+package graft.runner
+
+import graft.SparkSpec
+import graft.config.PipelineConfig
+import graft.connect.{Connectors, JsonStage, ParquetSource, ParquetTarget}
+import graft.ledger.{DriveRecord, Ledger}
+import java.nio.file.Files
+import java.time.{ZoneId, ZonedDateTime}
+
+/** The pipeline must run end-to-end with the NDJSON stage format (the
+  * reference's wire format) and audit byte-identically to the parquet
+  * stage: same counts, same completed windows, re-run idempotent. */
+class JsonStageSpec extends SparkSpec {
+
+  private val clockNow = ZonedDateTime.of(2024, 1, 2, 10, 30, 0, 0, ZoneId.of("UTC"))
+
+  private def mkRunner(stageFormat: String): (PipelineRunner, Ledger, PipelineConfig) = {
+    val root = Files.createTempDirectory("graft_jsonstage").toString
+    val cfg = PipelineConfig.fromMap(Map(
+      "root_dir" -> root, "granularity" -> "1h", "x_time_back" -> "2h",
+      "stage_format" -> stageFormat))
+    val ledger = new Ledger(spark, cfg.ledgerPath)
+    val runner = new PipelineRunner(spark, cfg, ledger,
+      new ParquetSource(spark, cfg, graft.sources.Tables.events(spark, "/root/testdata/sf0.001")),
+      Connectors.stageFor(spark, cfg),
+      new ParquetTarget(spark, cfg),
+      clock = () => clockNow, auditWait = _ => ())
+    (runner, ledger, cfg)
+  }
+
+  test("NDJSON stage: full run completes, counts audit, staged files are .json + schema sidecar") {
+    val (runner, ledger, cfg) = mkRunner("json")
+    val s = runner.run()
+    assert(s.succeeded == 5 && s.failed == 0, s.toString)
+    val rows = ledger.readScoped(cfg).collect()
+      .filter(_.pipeline_status == DriveRecord.Status.Completed)
+    assert(rows.length == 5)
+    assert(rows.forall(r => r.source_count == r.target_count && r.source_count.nonEmpty))
+    assert(rows.exists(_.source_count.exists(_ > 0)), "all windows empty")
+    assert(rows.forall(_.count_match_status.contains("matched")))
+
+    // the stage really is NDJSON with the schema sidecar
+    val stageDirs = new java.io.File(cfg.stageRoot).listFiles().flatMap(_.listFiles())
+    assert(stageDirs.nonEmpty)
+    stageDirs.foreach { d =>
+      val names = d.listFiles().map(_.getName)
+      assert(names.exists(_.endsWith(".json")), s"no .json part in $d: ${names.toSeq}")
+      assert(names.contains("_schema.json"), s"missing sidecar in $d")
+      assert(!names.exists(_.endsWith(".parquet")), s"unexpected parquet in $d")
+    }
+  }
+
+  test("NDJSON and parquet stages produce identical audited counts") {
+    val (jr, jl, jc) = mkRunner("json")
+    val (pr, pl, pc) = mkRunner("parquet")
+    jr.run(); pr.run()
+    def counts(l: Ledger, c: PipelineConfig): Map[String, (Long, Long)] =
+      l.readScoped(c).collect()
+        .filter(_.pipeline_status == DriveRecord.Status.Completed)
+        .map(r => r.unique_source_id -> ((r.source_count.get, r.target_count.get))).toMap
+    assert(counts(jl, jc) == counts(pl, pc))
+  }
+
+  test("NDJSON stage round-trips the schema: staged read has typed timestamps") {
+    val (runner, ledger, cfg) = mkRunner("json")
+    runner.run()
+    val stage = new JsonStage(spark, cfg)
+    val done = ledger.readScoped(cfg).collect()
+      .filter(_.pipeline_status == DriveRecord.Status.Completed).head
+    val w = graft.time.TimeWindow(
+      done.source_query_window_start_time.get.toInstant.atZone(cfg.timezone),
+      done.source_query_window_end_time.get.toInstant.atZone(cfg.timezone))
+    val staged = stage.read(w)
+    assert(staged.schema(cfg.timestampField).dataType ==
+      org.apache.spark.sql.types.TimestampType, staged.schema.treeString)
+    assert(staged.count() == done.source_count.get)
+  }
+
+  test("re-run with NDJSON stage is a no-op (probes skip completed work)") {
+    val (runner, ledger, cfg) = mkRunner("json")
+    val first = runner.run()
+    assert(first.succeeded == 5)
+    val (runner2, _, _) = {
+      val ledger2 = new Ledger(spark, cfg.ledgerPath)
+      (new PipelineRunner(spark, cfg, ledger2,
+        new ParquetSource(spark, cfg, graft.sources.Tables.events(spark, "/root/testdata/sf0.001")),
+        Connectors.stageFor(spark, cfg),
+        new ParquetTarget(spark, cfg),
+        clock = () => clockNow, auditWait = _ => ()), ledger2, cfg)
+    }
+    val second = runner2.run()
+    assert(second.failed == 0, second.toString)
+    // previously completed windows stay completed, none re-inserted
+    val rows = ledger.readScoped(cfg).collect()
+    assert(rows.count(_.pipeline_status == DriveRecord.Status.Completed) >= 5)
+  }
+}
