@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   * rewrite [[Ledger]].
   */
 final class EventLogLedger(spark: SparkSession, val path: String,
-                           compactEvery: Int = 64) {
+                           compactEvery: Int = 64) extends LedgerStore {
   import spark.implicits._
 
   private val schema = Encoders.product[DriveRecord].schema
@@ -46,9 +46,20 @@ final class EventLogLedger(spark: SparkSession, val path: String,
   private def logPath = new Path(path, "log")
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def bootstrap(): Unit =
+  def bootstrap(): Unit = {
+    // crash recovery for the compaction swap: a crash between retiring the
+    // old snapshot and promoting the new one leaves snapshot__old behind —
+    // restore it (the log still holds every event, so no state is lost);
+    // abandoned tmp dirs are garbage either way
+    val old = new Path(path, "snapshot__old")
+    if (!fs.exists(snapshotPath) && fs.exists(old)) fs.rename(old, snapshotPath)
+    if (fs.exists(new Path(path)))
+      fs.listStatus(new Path(path))
+        .filter(_.getPath.getName.startsWith("snapshot__tmp_"))
+        .foreach(s => fs.delete(s.getPath, true))
     if (!fs.exists(snapshotPath))
       emptyEvents().write.mode(SaveMode.Overwrite).parquet(snapshotPath.toString)
+  }
 
   def exists(): Boolean = fs.exists(snapshotPath)
 

@@ -4,6 +4,27 @@ import graft.config.PipelineConfig
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Dataset, Encoders, SaveMode, SparkSession}
 
+/** The ledger contract the runner/planner program against — implemented by
+  * the rewrite [[Ledger]] (single-tenant default) and the append-only
+  * [[EventLogLedger]] (multi-tenant scale variant); `LedgerSmoke` parity in
+  * `EventLogLedgerSpec` proves either runs the full pipeline. */
+trait LedgerStore {
+  def bootstrap(): Unit
+  def read(): Dataset[DriveRecord]
+  def append(rows: Seq[DriveRecord]): Unit
+  def updateByIds(ids: Set[String])(f: DriveRecord => DriveRecord): Int
+  def delete(ids: Set[String]): Int
+
+  /** Every ledger read in the reference is scoped to
+    * (source_name, source_category, source_subcategory) — multi-tenant
+    * isolation (reference: state_manager.py:213-215). */
+  def readScoped(cfg: PipelineConfig): Dataset[DriveRecord] =
+    read().filter(r =>
+      r.source_name == cfg.sourceName &&
+      r.source_category.contains(cfg.sourceCategory) &&
+      r.source_subcategory.contains(cfg.sourceSubcategory))
+}
+
 /** Parquet-backed drive table with an atomic read-modify-swap commit protocol.
   *
   * The reference mutates its ledger with Snowflake point UPDATE/DELETE/INSERT
@@ -21,7 +42,7 @@ import org.apache.spark.sql.{Dataset, Encoders, SaveMode, SparkSession}
   * reference's "single UPDATE with everything at once" principle,
   * source_discovery_manager.py:40-44) — never one commit per column.
   */
-final class Ledger(spark: SparkSession, val path: String) {
+final class Ledger(spark: SparkSession, val path: String) extends LedgerStore {
   import spark.implicits._
 
   private val schema = Encoders.product[DriveRecord].schema
@@ -40,15 +61,6 @@ final class Ledger(spark: SparkSession, val path: String) {
 
   def read(): Dataset[DriveRecord] =
     spark.read.schema(schema).parquet(path).as[DriveRecord]
-
-  /** Every ledger read in the reference is scoped to
-    * (source_name, source_category, source_subcategory) — multi-tenant
-    * isolation (reference: state_manager.py:213-215). */
-  def readScoped(cfg: PipelineConfig): Dataset[DriveRecord] =
-    read().filter(r =>
-      r.source_name == cfg.sourceName &&
-      r.source_category.contains(cfg.sourceCategory) &&
-      r.source_subcategory.contains(cfg.sourceSubcategory))
 
   /** Append new batch rows (reference: snowflake_utils.py:146-165 bulk
     * insert via write_pandas; state_manager.py:397-400). Rows whose

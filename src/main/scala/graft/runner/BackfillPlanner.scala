@@ -1,7 +1,7 @@
 package graft.runner
 
 import graft.config.PipelineConfig
-import graft.ledger.{DriveRecord, Ledger}
+import graft.ledger.{DriveRecord, LedgerStore}
 import graft.ops.LedgerOps
 import graft.time.{Granularity, TimeUtil, TimeWindow}
 import org.apache.spark.sql.SparkSession
@@ -21,7 +21,7 @@ object BackfillPlanner {
   final case class PlanResult(freshStart: Boolean, inserted: Int, deletedDuplicates: Int)
 }
 
-final class BackfillPlanner(spark: SparkSession, cfg: PipelineConfig, ledger: Ledger) {
+final class BackfillPlanner(spark: SparkSession, cfg: PipelineConfig, ledger: LedgerStore) {
   import BackfillPlanner.PlanResult
 
   def populate(now: ZonedDateTime): PlanResult = {

@@ -2,7 +2,7 @@ package graft.runner
 
 import graft.config.PipelineConfig
 import graft.connect.{SourceConnector, StageStore, TargetStore}
-import graft.ledger.{DriveRecord, Ledger}
+import graft.ledger.{DriveRecord, Ledger, LedgerStore}
 import graft.ledger.DriveRecord.Status
 import graft.ops.LedgerOps
 import graft.time.{TimeUtil, TimeWindow}
@@ -50,7 +50,7 @@ object PipelineRunner {
 final class PipelineRunner(
     spark: SparkSession,
     cfg: PipelineConfig,
-    ledger: Ledger,
+    ledger: LedgerStore,
     source: SourceConnector,
     stage: StageStore,
     target: TargetStore,

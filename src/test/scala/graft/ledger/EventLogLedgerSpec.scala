@@ -80,6 +80,44 @@ class EventLogLedgerSpec extends SparkSpec {
     assert(!b.read().collect().exists(_.unique_source_id == ids(3)))
   }
 
+  test("the full pipeline runs on the event-log ledger (drop-in for Ledger)") {
+    val root = Files.createTempDirectory("graft_ell_pipe").toString
+    val pcfg = PipelineConfig.fromMap(Map(
+      "root_dir" -> root, "granularity" -> "1h", "x_time_back" -> "2h"))
+    val ledger = new EventLogLedger(spark, pcfg.ledgerPath, compactEvery = 8)
+    val runner = new graft.runner.PipelineRunner(spark, pcfg, ledger,
+      new graft.connect.ParquetSource(spark, pcfg,
+        graft.sources.Tables.events(spark, "/root/testdata/sf0.001")),
+      new graft.connect.ParquetStage(spark, pcfg),
+      new graft.connect.ParquetTarget(spark, pcfg),
+      clock = () => ZonedDateTime.of(2024, 1, 2, 10, 30, 0, 0, ZoneId.of("UTC")),
+      auditWait = _ => ())
+    val s = runner.run()
+    assert(s.succeeded == 5 && s.failed == 0, s.toString)
+    val done = ledger.readScoped(pcfg).collect()
+      .filter(_.pipeline_status == DriveRecord.Status.Completed)
+    assert(done.length == 5)
+    assert(done.forall(r => r.source_count == r.target_count))
+  }
+
+  test("compaction-swap crash recovery: retired snapshot is restored on bootstrap") {
+    val root = Files.createTempDirectory("graft_ell_crash").toString
+    val b = new EventLogLedger(spark, s"$root/el", compactEvery = 1000)
+    b.bootstrap()
+    val rs = records(4)
+    b.append(rs)
+    val before = state(b.read().collect().toSeq)
+    // simulate the crash window: snapshot retired to __old, promotion lost
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    val snap = new org.apache.hadoop.fs.Path(s"$root/el/snapshot")
+    val old = new org.apache.hadoop.fs.Path(s"$root/el/snapshot__old")
+    assert(fs.rename(snap, old))
+    val reopened = new EventLogLedger(spark, s"$root/el", compactEvery = 1000)
+    reopened.bootstrap()
+    assert(state(reopened.read().collect().toSeq) === before)
+  }
+
   test("auto-compaction bounds log segments") {
     val root = Files.createTempDirectory("graft_ell_auto").toString
     val b = new EventLogLedger(spark, s"$root/eventlog", compactEvery = 4)
