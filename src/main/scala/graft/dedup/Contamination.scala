@@ -33,11 +33,14 @@ object Contamination {
         explode(array_distinct(TextFunctions.wordGrams(col(textCol), n))).as("g"))
       .select(xxhash64(col("g")).as("gh"))
       .distinct()
-    val matched = corpusGrams.join(broadcast(benchGrams), Seq("gh"), "left_semi")
-      .groupBy("id").agg(count(lit(1)).as("matched_grams"))
-    corpusGrams.groupBy("id").agg(count(lit(1)).as("total_grams"))
-      .join(matched, Seq("id"), "left_outer")
-      .withColumn("matched_grams", coalesce(col("matched_grams"), lit(0L)))
+    // one pass: broadcast-left-join the gram flag, then a single groupBy
+    // computes total and matched together — the two-branch form (semi-join
+    // count + total count) scanned the corpus grams twice
+    corpusGrams
+      .join(broadcast(benchGrams.withColumn("__hit", lit(1L))), Seq("gh"), "left_outer")
+      .groupBy("id")
+      .agg(count(lit(1)).as("total_grams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("matched_grams"))
       .withColumn("contamination",
         col("matched_grams").cast("double") / col("total_grams"))
   }
