@@ -333,6 +333,22 @@ object Dedup {
       .select("new_id", "old_id", "jaccard")
   }
 
+  /** Near-dup canonicalization: the end product of the dedup pipeline — the
+    * corpus with every near-duplicate CLUSTER collapsed to its canonical
+    * (min-id) document. Pairs come from the LSH scale path; clusters from
+    * distributed connected components; the removal itself is one anti-join
+    * on the loser set (cluster members that are not the canonical). */
+  def nearDupCanonicalize(docs: DataFrame, idCol: String, textCol: String,
+                          shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
+                          minJaccard: Double = 0.6): DataFrame = {
+    val pairs = minHashLsh(docs, idCol, textCol, shingleK, numHashes, bands, minJaccard)
+    val comps = ConnectedComponents.run(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    val losers = comps.where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---------------------------------------------------------------- simhash
 
   /** 64-bit SimHash per doc from whitespace tokens: per bit, sum +1/-1 of

@@ -201,7 +201,22 @@ object ExtendedQueries {
       .orderBy("new_doc", "old_doc")
   }
 
+  /** Near-dup canonicalization report: the corpus AFTER collapsing every
+    * near-dup cluster to its min-id canonical — kept docs and retained
+    * token volume per source, the number a dedup pass actually reports. */
+  val nearDupCanonical: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val kept = Dedup.nearDupCanonicalize(docs, "doc_id", "text")
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(kept.groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long")).as("kept_tokens")),
+        "source")
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "q67_neardup_canonical" -> nearDupCanonical,
     "q64_sequence_packing" -> sequencePacking,
     "q65_token_quota" -> tokenQuota,
     "q66_incremental_dedup" -> incrementalDedup,
@@ -214,6 +229,35 @@ object ExtendedQueries {
     "q62_dedup_clusters" -> dedupClusters)
 
   val oracles: Map[String, String] = Map(
+    "q67_neardup_canonical" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id AS id, unnest(
+        |    [substring(text, i, 5) FOR i IN generate_series(1, greatest(length(text) - 4, 1))]) AS shingle
+        |  FROM documents),
+        |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.id AS ia, b.id AS ib, count(*) AS n
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT ia AS doc_a, ib AS doc_b
+        |  FROM inter JOIN sizes sa ON ia = sa.id JOIN sizes sb ON ib = sb.id
+        |  WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.6),
+        |nodes AS (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
+        |comp AS (SELECT id, min(r) AS c FROM reach GROUP BY 1),
+        |losers AS (SELECT id FROM comp WHERE id <> c),
+        |k AS (
+        |  SELECT source, count(*) AS n_kept,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS kept_tokens
+        |  FROM documents WHERE doc_id NOT IN (SELECT id FROM losers) GROUP BY 1),
+        |t AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+        |SELECT t.source, t.n_docs, k.n_kept, k.kept_tokens
+        |FROM t JOIN k USING (source) ORDER BY 1""".stripMargin,
     "q66_incremental_dedup" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id AS id, unnest(

@@ -106,6 +106,26 @@ class DedupSpec extends SparkSpec {
     assert(inc.nonEmpty)
   }
 
+  test("near-dup canonicalization keeps exactly one doc per cluster") {
+    val kept = Dedup.nearDupCanonicalize(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val comps = ConnectedComponents.run(
+      pairs.toSeq.toDF("src", "dst"))
+      .as[(Long, Long)].collect()
+    val byCluster = comps.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    // each cluster contributes exactly its canonical (min) member
+    byCluster.foreach { case (c, members) =>
+      assert(members.intersect(kept) == Set(c), s"cluster $c: ${members.intersect(kept)}")
+    }
+    // docs in no cluster are all kept
+    val clustered = comps.map(_._1).toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    assert((all -- clustered).subsetOf(kept))
+    assert(kept.size == all.size - (clustered.size - byCluster.size))
+  }
+
   test("embedding cosine self-similarity is 1 and pairs respect threshold") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val selfSim = emb.limit(5)
