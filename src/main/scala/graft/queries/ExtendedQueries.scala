@@ -215,7 +215,30 @@ object ExtendedQueries {
       .orderBy("source")
   }
 
+  /** Int8 embedding quantization quality report: per bucket, mean absolute
+    * reconstruction error and mean cosine between original and dequantized
+    * vectors — the check run before switching an ANN index to a compressed
+    * codebook. */
+  val embeddingQuantization: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+      .select((col("vec_id") % 8).as("bucket"),
+        col("embedding").cast("array<double>").as("v"))
+    val deq = graft.sim.Quantization.dequantizeInt8(
+      graft.sim.Quantization.quantizeInt8(col("v")))
+    e.select(col("bucket"), col("v"), deq.as("d"))
+      .select(col("bucket"),
+        (aggregate(zip_with(col("v"), col("d"), (a, b) => abs(a - b)),
+          lit(0.0), (acc, x) => acc + x) / size(col("v"))).as("abs_err"),
+        graft.functions.VectorFunctions.cosineSimilarity(col("v"), col("d")).as("cos"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(avg("abs_err"), 6).as("avg_abs_err"),
+        round(avg("cos"), 6).as("avg_cosine"))
+      .orderBy("bucket")
+  }
+
   val all: Map[String, Q] = Map(
+    "q68_embedding_quant" -> embeddingQuantization,
     "q67_neardup_canonical" -> nearDupCanonical,
     "q64_sequence_packing" -> sequencePacking,
     "q65_token_quota" -> tokenQuota,
@@ -229,6 +252,27 @@ object ExtendedQueries {
     "q62_dedup_clusters" -> dedupClusters)
 
   val oracles: Map[String, String] = Map(
+    "q68_embedding_quant" ->
+      """WITH e AS (
+        |  SELECT vec_id % 8 AS bucket,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT bucket, v,
+        |    greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0 AS scale
+        |  FROM e),
+        |d AS (
+        |  SELECT bucket, v,
+        |    list_transform(v, x -> floor(x / scale + 0.5) * scale) AS deq
+        |  FROM q),
+        |m AS (
+        |  SELECT bucket,
+        |    list_sum(list_transform(list_zip(v, deq), p -> abs(p[1] - p[2]))) / len(v) AS abs_err,
+        |    list_cosine_similarity(v, deq) AS cos
+        |  FROM d)
+        |SELECT bucket, count(*) AS n, round(avg(abs_err), 6) AS avg_abs_err,
+        |  round(avg(cos), 6) AS avg_cosine
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "q67_neardup_canonical" ->
       """WITH RECURSIVE sh AS (
         |  SELECT DISTINCT doc_id AS id, unnest(

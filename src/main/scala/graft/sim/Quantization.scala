@@ -1,0 +1,39 @@
+package graft.sim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar int8 quantization of embedding vectors — the storage-scale
+  * operator for a 100 TB embedding corpus (4 bytes/dim float -> 1 byte/dim
+  * + one scale per vector ≈ 4x smaller index; IVF/LSH candidate scans read
+  * a quarter of the bytes and re-rank the survivors at full precision).
+  *
+  * Per vector: scale = max(|x|)/127 (floored at 1e-12 so zero vectors
+  * stay finite), q_i = floor(x_i/scale + 0.5). The rounding is written as
+  * floor(+0.5) EXPLICITLY rather than round(): engines disagree on
+  * round-half ties (HALF_UP vs half-even), floor arithmetic is IEEE-exact
+  * everywhere — that portability is what lets DuckDB mirror the math
+  * byte-for-byte in the oracle.
+  *
+  * Built from codegen'd builtins + the transform HOF; for a hot path the
+  * per-row loop belongs in a codegen Expression like CosineSimilarity
+  * (VectorExpressions) — quantization is a one-off write-side pass, so the
+  * HOF form is the right cost/complexity point.
+  */
+object Quantization {
+
+  /** Per-vector quantization scale: max(|x|)/127, floored at 1e-12. */
+  def int8Scale(v: Column): Column =
+    greatest(array_max(transform(v, x => abs(x))), lit(1e-12)) / 127.0
+
+  /** struct(scale double, q array<int>) — the compressed form. */
+  def quantizeInt8(v: Column): Column = {
+    val scale = int8Scale(v)
+    struct(scale.as("scale"),
+      transform(v, x => floor(x / scale + 0.5).cast("int")).as("q"))
+  }
+
+  /** array<double> reconstruction: q_i * scale. */
+  def dequantizeInt8(s: Column): Column =
+    transform(s.getField("q"), q => q.cast("double") * s.getField("scale"))
+}

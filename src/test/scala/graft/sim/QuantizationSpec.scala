@@ -1,0 +1,50 @@
+package graft.sim
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class QuantizationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  test("int8 codes stay in [-127, 127] and scale is positive") {
+    val rows = emb.select(Quantization.quantizeInt8(col("v")).as("s"))
+      .select(col("s.scale"), array_min(col("s.q")).as("lo"), array_max(col("s.q")).as("hi"))
+      .as[(Double, Int, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (scale, lo, hi) =>
+      assert(scale > 0)
+      assert(lo >= -127 && hi <= 127, s"codes out of range: [$lo, $hi]")
+    }
+  }
+
+  test("reconstruction error is bounded by scale/2 per component") {
+    val bad = emb.select(col("v"),
+        Quantization.dequantizeInt8(Quantization.quantizeInt8(col("v"))).as("d"),
+        Quantization.int8Scale(col("v")).as("scale"))
+      .select(aggregate(zip_with(col("v"), col("d"), (a, b) => abs(a - b)),
+        lit(0.0), (acc, x) => greatest(acc, x)).as("maxErr"), col("scale"))
+      .where(col("maxErr") > col("scale") / 2 + lit(1e-12))
+      .count()
+    assert(bad == 0, s"$bad vectors exceed the half-step error bound")
+  }
+
+  test("quantized cosine stays close to exact cosine") {
+    val worst = emb.select(
+        graft.functions.VectorFunctions.cosineSimilarity(col("v"),
+          Quantization.dequantizeInt8(Quantization.quantizeInt8(col("v")))).as("c"))
+      .agg(min("c")).as[Double].head()
+    assert(worst > 0.999, s"worst self-cosine after int8: $worst")
+  }
+
+  test("zero vectors survive (scale floor)") {
+    val z = Seq((1L, Seq.fill(8)(0.0))).toDF("id", "v")
+    val out = z.select(Quantization.dequantizeInt8(
+        Quantization.quantizeInt8(col("v"))).as("d"))
+      .as[Seq[Double]].head()
+    assert(out == Seq.fill(8)(0.0))
+  }
+}
