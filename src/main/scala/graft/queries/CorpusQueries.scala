@@ -256,6 +256,17 @@ object CorpusQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Compressed-index ANN: int8-dequantized scoring + exact re-rank of the
+    * over-retrieved survivors — same oracle as q50 (the re-rank restores
+    * exactness; quantization error ~2e-5 vs rank margins >=1e-3). */
+  val knnQuantized: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopKQuantized(emb, emb.where(col("vec_id") < 5), "vec_id",
+        "embedding", k = 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** LSH-bucketed ANN (sign random projections, multi-probe) — approximate,
     * rows-only; ScalaTest measures recall vs brute force. */
   val annLsh: Q = (s, dir) => {
@@ -365,6 +376,7 @@ object CorpusQueries {
     "q43_simhash_pairs" -> simhashPairs,
     "q44_embedding_dup_pairs" -> embeddingDupPairs,
     "q50_knn_brute_force" -> knnBruteForce,
+    "q69_knn_quantized" -> knnQuantized,
     "q51_ann_lsh" -> annLsh,
     "q55_ann_ivf" -> annIvf,
     "q52_approx_distinct" -> approxDistinct,
@@ -592,6 +604,16 @@ object CorpusQueries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
         |ORDER BY 1, 2""".stripMargin,
+    "q69_knn_quantized" ->
+      """WITH s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.embedding, c.embedding) AS cs
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 5)
+        |SELECT query_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS INT) AS rank
+        |FROM s QUALIFY rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
     "q50_knn_brute_force" ->
       """WITH s AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

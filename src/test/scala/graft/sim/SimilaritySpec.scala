@@ -23,6 +23,18 @@ class SimilaritySpec extends SparkSpec {
     assert(r0.sliding(2).forall { case Array(a, b) => a._2 >= b._2; case _ => true })
   }
 
+  test("quantized-index top-k equals the exact top-k after re-rank") {
+    val queries = emb.where(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val quant = Similarity.bruteForceTopKQuantized(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(quant == exact,
+      s"only-exact: ${exact -- quant}, only-quantized: ${quant -- exact}")
+  }
+
   test("lsh ann achieves high top-3 recall vs brute force on this corpus") {
     // near-random 64-dim vectors (top cosine ~0.37) are the hard case for
     // sign-projection LSH; 10 tables x 6 bits + 1-bit probes gives ~95%
