@@ -71,6 +71,26 @@ object StreamingPipeline {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming NEAR-dup dedup: drop documents whose full MinHash signature
+    * matches an earlier doc within the watermark horizon. The signature is
+    * a pure per-row function (the `MinHashSignature` expression — no
+    * shuffle, streaming-safe), so near-dup detection reduces to exact
+    * dedup on the signature key; a full 64-component match fires at
+    * J ≈ 1 (reordered/duplicated text with identical shingle sets),
+    * the "same doc re-crawled" case streaming ingest actually meets.
+    * Pair-precise thresholds (J >= 0.6) stay a batch pass — they need
+    * candidate verification, which has no bounded-state streaming form. */
+  def nearDupDedupStream(docs: DataFrame, tsCol: String, textCol: String,
+                         watermark: String, shingleK: Int = 5,
+                         numHashes: Int = 64): DataFrame =
+    docs
+      .withColumn("__sigkey",
+        xxhash64(graft.functions.HashFunctions.minhashSignature(
+          col(textCol), shingleK, numHashes)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("__sigkey"))
+      .drop("__sigkey")
+
   /** Stream-stream interval join: match each left event to right events of
     * the same key whose timestamp lies in [left.ts - lookback, left.ts].
     * Both sides carry watermarks and the join condition time-bounds BOTH

@@ -56,6 +56,41 @@ class StreamingSpec extends SparkSpec {
     assert(n == expected, s"deduped stream count $n != $expected")
   }
 
+  test("streaming near-dup dedup drops signature-identical docs exact dedup misses") {
+    import spark.implicits._
+    // periodic texts: different lengths (different md5 fingerprints) but
+    // identical 5-gram shingle SETS -> identical MinHash signatures; the
+    // "document loops / re-crawled boilerplate" streaming case
+    val loopA = "spark rocks " * 4
+    val loopB = "spark rocks " * 7
+    val src = java.nio.file.Files.createTempDirectory("graft_neardup_src")
+    val docs = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), loopA),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), loopB),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), "a perfectly distinct doc"),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 10:15:00"), "another different doc")
+    ).toDF("doc_id", "ts", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(src.toString)
+    // batch sanity: exact fingerprints differ, signatures match
+    val fps = docs.select(graft.functions.TextFunctions.normalizedFingerprint(col("text")))
+      .as[String].collect().toSet
+    assert(fps.size == 4, "exact dedup would NOT collapse the looped docs")
+    val sigs = docs.select(xxhash64(graft.functions.HashFunctions
+      .minhashSignature(col("text"), 5, 64))).as[Long].collect()
+    assert(sigs(0) == sigs(1) && sigs.distinct.length == 3)
+
+    val stream = spark.readStream.schema(docs.schema).parquet(src.toString)
+    val kept = StreamingPipeline.nearDupDedupStream(stream, "ts", "text", "1 day")
+    val q = kept.select("doc_id").writeStream.format("memory")
+      .queryName("neardup_test").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val keptIds = spark.table("neardup_test").as[Long].collect().toSet
+    assert(keptIds.size == 3, s"kept $keptIds")
+    assert(keptIds.intersect(Set(1L, 2L)).size == 1, "exactly one of the looped pair")
+    assert(keptIds.contains(3L) && keptIds.contains(4L))
+  }
+
   test("window-partitioned streaming sink writes deterministic partitions") {
     val root = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val diskSchema = spark.read.parquet(s"$dir/events.parquet").schema
