@@ -254,17 +254,6 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Banded bucket table of an (id, sig: array<long>) signature frame:
-    * (id, band, bh) with bh = xxhash64 over that band's components. */
-  private def bandBuckets(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandCols = (0 until bands).map { b =>
-      val comps = (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r))
-      struct(lit(b).as("band"), xxhash64(comps: _*).as("bh"))
-    }
-    sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-  }
-
   /** Incremental near-dup: LSH candidates between a NEW batch and an
     * EXISTING corpus signature index, verified with exact Jaccard.
     *
@@ -286,46 +275,69 @@ object Dedup {
                             minJaccard: Double = 0.6): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
+    // The delta is small by definition (that is WHY the operator is
+    // incremental) — every delta-derived frame below is broadcast, so the
+    // corpus index and corpus docs are only ever SCANNED, never shuffled:
+    //   band join     = corpus-index scan x broadcast(delta buckets)
+    //   prefilter     = corpus-index scan x broadcast(candidates + delta sigs)
+    //   verification  = corpus-docs scan  x broadcast(delta shingles)
+    // At 1000 executors against a petabyte index, the wall-clock is one pass
+    // over the index partitions + one over the candidate corpus docs.
     val newSig = minHashSignaturesPerRow(newDocs, idCol, textCol, shingleK, numHashes).cache()
     val oldSig = corpusSigs.select(col("id"), col("sig"))
 
-    val rawCand = bandBuckets(newSig, bands, rowsPerBand).as("a")
-      .join(bandBuckets(oldSig, bands, rowsPerBand).as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("new_id"), col("b.id").as("old_id"))
-      .distinct()
-
-    // signature-estimate prefilter, same 3-sigma margin as minHashLsh
+    // Band rows CARRY the signature array so the signature-estimate
+    // prefilter (same 3-sigma margin as minHashLsh) evaluates inline in the
+    // band join itself — no candidate materialization, no re-join against
+    // either signature table. The corpus-side duplication (16 band rows per
+    // index row, each holding the 64-long sig) is pipelined scan->explode->
+    // probe->filter and never hits a shuffle, because the delta side is the
+    // broadcast build side. Net data motion: ONE streaming scan of the
+    // index, a delta-sized broadcast, and a distinct over est-passing pairs
+    // (a few per true near-dup).
+    def bandRows(sig: DataFrame): DataFrame = {
+      val bandCols = (0 until bands).map { b =>
+        val comps = (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r))
+        struct(lit(b).as("band"), xxhash64(comps: _*).as("bh"))
+      }
+      sig.select(col("id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    }
     val estCols = (0 until numHashes)
       .map(j => when(col("a.sig").getItem(j) === col("b.sig").getItem(j), 1).otherwise(0))
       .reduce[Column](_ + _)
     val sigMargin = minJaccard - 3 * math.sqrt(minJaccard * (1 - minJaccard) / numHashes)
-    val cand = rawCand
-      .join(newSig.as("a"), col("new_id") === col("a.id"))
-      .join(oldSig.as("b"), col("old_id") === col("b.id"))
+    val cand = bandRows(oldSig).as("b")
+      .join(broadcast(bandRows(newSig)).as("a"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") =!= col("b.id"))
       .where(estCols >= lit(sigMargin * numHashes))
-      .select("new_id", "old_id")
+      .select(col("a.id").as("new_id"), col("b.id").as("old_id"))
+      .distinct()
       .cache()
 
     // exact verification — shingle ONLY candidate docs from either side
     def candShingles(docs: DataFrame, ids: DataFrame): DataFrame =
       docs.select(col(idCol).as("id"), col(textCol).as("__t"))
-        .join(ids, Seq("id"), "left_semi")
+        .join(broadcast(ids), Seq("id"), "left_semi")
         .select(col("id"),
           explode(TextFunctions.charShingles(col("__t"), shingleK)).as("s"))
         .select(col("id"), xxhash64(col("s")).as("shingle"))
         .distinct()
     val shNew = candShingles(newDocs, cand.select(col("new_id").as("id")).distinct()).cache()
+    // candidate-old docs are delta-sized too (one per surviving pair at
+    // most), so caching their shingles avoids a second corpus-docs scan
     val shOld = candShingles(corpusDocs, cand.select(col("old_id").as("id")).distinct()).cache()
     val szNew = shNew.groupBy("id").agg(count(lit(1)).as("sz_new"))
-    val szOld = shOld.groupBy("id").agg(count(lit(1)).as("sz_old"))
-    val inter = cand
-      .join(shNew.withColumnRenamed("id", "new_id"), "new_id")
-      .join(shOld.withColumnRenamed("id", "old_id"), Seq("old_id", "shingle"))
+    // Intersections: the (old-candidate) shingle stream probes the broadcast
+    // delta shingles; pair validity rides along via the broadcast cand set.
+    val inter = shOld.withColumnRenamed("id", "old_id")
+      .join(broadcast(shNew.withColumnRenamed("id", "new_id")), "shingle")
+      .join(broadcast(cand), Seq("new_id", "old_id"), "left_semi")
       .groupBy("new_id", "old_id").agg(count(lit(1)).as("inter"))
+    val szOld = shOld.groupBy("id").agg(count(lit(1)).as("sz_old"))
     inter
-      .join(szNew.withColumnRenamed("id", "new_id"), "new_id")
+      .join(broadcast(szNew.withColumnRenamed("id", "new_id")), "new_id")
       .join(szOld.withColumnRenamed("id", "old_id"), "old_id")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_new") + col("sz_old") - col("inter")))

@@ -1,0 +1,56 @@
+package graft.tools
+
+import graft.dedup.Dedup
+import graft.sources.Tables
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc stage profiler for the dedup scale paths (not part of the gate). */
+object ProfileDedup {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.NanosAsLongConf, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    @volatile var listen = false
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        if (listen) jobStarts.put(js.jobId, System.nanoTime())
+      override def onJobEnd(je: SparkListenerJobEnd): Unit =
+        if (listen) Option(jobStarts.get(je.jobId)).foreach { t0 =>
+          println(f"[profile]   job ${je.jobId}%3d  ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+    })
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+
+    val docs = Tables.documents(spark, sfDir)
+    docs.count() // warm IO
+
+    val delta = docs.where(col("doc_id") % 10 === 3)
+    val corpus = docs.where(col("doc_id") % 10 =!= 3)
+
+    for (i <- 1 to 3) {
+      spark.catalog.clearCache()
+      if (i == 3) listen = true
+      time(s"full q66 (bench mode) $i") {
+        val idx = Dedup.minHashSignaturesPerRow(corpus, "doc_id", "text", 5, 64)
+        Dedup.incrementalMinHashLsh(delta, "doc_id", "text", idx, corpus).count()
+      }
+      listen = false
+    }
+    spark.stop()
+  }
+}
