@@ -188,42 +188,81 @@ object Dedup {
     * an O(corpus-shingles) shuffle and none. */
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
-                 minJaccard: Double = 0.6): DataFrame = {
+                 minJaccard: Double = 0.6,
+                 carrySignatures: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sig = minHashSignaturesPerRow(docs, idCol, textCol, shingleK, numHashes).cache()
 
-    // banding straight off the signature array: band hash = xxhash64 over
-    // that band's signature components (identical values to the aggregate
-    // form's h_j columns, so buckets — and final output — are unchanged)
-    val bandCols = (0 until bands).map { b =>
-      val comps = (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r))
-      struct(lit(b).as("band"), xxhash64(comps: _*).as("bh"))
-    }
-    val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val rawCand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-
     // Prefilter candidates by the signature-estimated jaccard (fraction of
-    // equal components, E[est] = J, sigma = sqrt(J(1-J)/k)). On a corpus
-    // with high background similarity the bands alone admit a large
-    // candidate set; 64 integer comparisons per pair prune ~99% of it
-    // before the exact verification joins. Margin 3 sigma below threshold
-    // keeps essentially all true pairs.
+    // equal components, E[est] = J, sigma = sqrt(J(1-J)/k)); 64 integer
+    // comparisons per pair prune ~99% of the band candidates before the
+    // exact verification joins. Margin 3 sigma below threshold keeps
+    // essentially all true pairs.
     val estCols = (0 until numHashes)
       .map(j => when(col("a.sig").getItem(j) === col("b.sig").getItem(j), 1).otherwise(0))
       .reduce[Column](_ + _)
     val sigMargin = minJaccard - 3 * math.sqrt(minJaccard * (1 - minJaccard) / numHashes)
-    val cand = rawCand
-      .join(sig.as("a"), col("id_a") === col("a.id"))
-      .join(sig.as("b"), col("id_b") === col("b.id"))
-      .where(estCols >= lit(sigMargin * numHashes))
-      .select("id_a", "id_b")
-      .cache()
+
+    // Two physical shapes for the same candidate set (identical output —
+    // the prefilter is the same predicate either way, only WHERE it runs
+    // differs):
+    //
+    // carrySignatures=false (default): band rows are (id, band, bh) only;
+    // candidates materialize from the band self-join, then two joins
+    // re-attach signatures for the prefilter. Shuffle cost ~ 1 banding pass
+    // (16x24B/doc) + 2 passes of the signature index + 3x the candidate
+    // pair list. On real heavy-tailed corpora (background similarity far
+    // below threshold) candidates are rare and this is ~6x fewer shuffled
+    // bytes than carrying signatures.
+    //
+    // carrySignatures=true: band rows carry the 64-long signature through
+    // the band self-join and the prefilter runs INLINE — no candidate
+    // materialization, no re-joins, and the distinct sees only est-passing
+    // pairs. Shuffle cost ~ bands x sig bytes per doc, independent of the
+    // candidate count. Measured caveat (bench sf0.1, 5k docs): carrying
+    // sigs inflates the band table ~20x past the broadcast threshold, so a
+    // self-join that planned broadcast with the narrow table degrades to
+    // sort-merge and the "optimization" LOSES 2x (3.3s -> 7.1s). The shape
+    // only wins when the candidate list is so large that its 3x shuffle
+    // traffic dominates the inflated band exchange AND the narrow table
+    // would not broadcast anyway — i.e. huge corpora with near-threshold
+    // background similarity. Default off; the equality of both shapes is
+    // pinned by DedupSpec.
+    val cand = (if (carrySignatures) {
+      val bandCols = (0 until bands).map { b =>
+        val comps = (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r))
+        struct(lit(b).as("band"), xxhash64(comps: _*).as("bh"))
+      }
+      val banded = sig.select(col("id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.id") < col("b.id"))
+        .where(estCols >= lit(sigMargin * numHashes))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+    } else {
+      // banding straight off the signature array: band hash = xxhash64 over
+      // that band's signature components (identical values to the aggregate
+      // form's h_j columns, so buckets — and final output — are unchanged)
+      val bandCols = (0 until bands).map { b =>
+        val comps = (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r))
+        struct(lit(b).as("band"), xxhash64(comps: _*).as("bh"))
+      }
+      val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      val rawCand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      rawCand
+        .join(sig.as("a"), col("id_a") === col("a.id"))
+        .join(sig.as("b"), col("id_b") === col("b.id"))
+        .where(estCols >= lit(sigMargin * numHashes))
+        .select("id_a", "id_b")
+    }).cache()
 
     // verify: exact jaccard on the surviving pairs only. The shingle table
     // exists ONLY for candidate docs — semi-join the docs BEFORE the
@@ -352,8 +391,10 @@ object Dedup {
     * on the loser set (cluster members that are not the canonical). */
   def nearDupCanonicalize(docs: DataFrame, idCol: String, textCol: String,
                           shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
-                          minJaccard: Double = 0.6): DataFrame = {
-    val pairs = minHashLsh(docs, idCol, textCol, shingleK, numHashes, bands, minJaccard)
+                          minJaccard: Double = 0.6,
+                          carrySignatures: Boolean = false): DataFrame = {
+    val pairs = minHashLsh(docs, idCol, textCol, shingleK, numHashes, bands,
+      minJaccard, carrySignatures)
     val comps = ConnectedComponents.run(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
     val losers = comps.where(col("id") =!= col("component"))

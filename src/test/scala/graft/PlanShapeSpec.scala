@@ -80,6 +80,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans == 1, s"expected a single documents scan, got $scans:\n${plan.take(2000)}")
   }
 
+  test("incremental dedup never shuffle-joins: the corpus index only streams") {
+    // the scale contract of the delta-vs-index path: every join in the plan
+    // builds on a delta-derived (broadcast) side; the corpus is scanned,
+    // never exchanged into a join
+    val df = SparkEntry.queries("q66_incremental_dedup")(spark, dir)
+    df.collect() // materialize so AQE finalizes join strategies
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"incremental dedup must broadcast all join builds:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins in the plan")
+  }
+
   test("contamination keeps the benchmark side broadcast") {
     val plan = SparkEntry.queries("q46_decontaminate")(spark, dir)
       .queryExecution.executedPlan.toString

@@ -52,6 +52,17 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("carried-signature lsh shape produces the identical pair set") {
+    // the two physical shapes run the same prefilter predicate at different
+    // points; the RESULT contract is exact equality (pairs AND jaccard)
+    val plain = Dedup.minHashLsh(docs, "doc_id", "text")
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val carried = Dedup.minHashLsh(docs, "doc_id", "text", carrySignatures = true)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(plain.nonEmpty && carried == plain,
+      s"missing=${plain -- carried} extra=${carried -- plain}")
+  }
+
   test("minhash-lsh finds exactly the exact-jaccard pairs on this corpus") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 5, minJaccard = 0.6)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
