@@ -2,7 +2,11 @@ package graft.dedup
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
 
 /** Benchmark-contamination detection: for each corpus document, the
   * fraction of its distinct word n-grams that appear anywhere in a
@@ -43,5 +47,73 @@ object Contamination {
         coalesce(sum(col("__hit")), lit(0L)).as("matched_grams"))
       .withColumn("contamination",
         col("matched_grams").cast("double") / col("total_grams"))
+  }
+
+  /** [[scores]] with a Bloom-filter prefilter — EXACTLY the same output.
+    *
+    * The broadcast-gram-table shape of [[scores]] stops working when the
+    * benchmark outgrows the broadcast limit (1e8 distinct grams is ~800 MB
+    * as a table, far past broadcastable); its Bloom sketch at the same
+    * cardinality is a few MB. Since a Bloom filter has NO false negatives,
+    * a document none of whose grams probe positive is PROVEN contamination-
+    * free — at sane fpp that is almost the whole corpus, which therefore
+    * never reaches a join at all: one narrow scan, one groupBy. Only the
+    * flagged sliver re-checks exactly against the real gram table (false
+    * positives are removed there), so the result is bit-identical to
+    * [[scores]] — `ContaminationSpec` pins it and the q70 gate shares q46's
+    * DuckDB oracle.
+    *
+    * The probe is the engine's preferred extension tier: Catalyst's own
+    * codegen `BloomFilterMightContain` over `xxhash64` longs (no UDF).
+    *
+    * @param expectedItems expected distinct benchmark grams (sizes the
+    *                      sketch); -1 = count them first (one tiny job)
+    */
+  def scoresBloomPrefiltered(corpus: DataFrame, benchmark: DataFrame,
+                             idCol: String, textCol: String, n: Int = 3,
+                             expectedItems: Long = -1L,
+                             fpp: Double = 0.01): DataFrame = {
+    val corpusGrams = corpus.select(col(idCol).as("id"),
+        explode(array_distinct(TextFunctions.wordGrams(col(textCol), n))).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("gh"))
+    val benchGrams = benchmark.select(
+        explode(array_distinct(TextFunctions.wordGrams(col(textCol), n))).as("g"))
+      .select(xxhash64(col("g")).as("gh"))
+      .distinct()
+
+    val items = if (expectedItems > 0) expectedItems else math.max(benchGrams.count(), 1L)
+    // optimal bits for target fpp: m = -n ln(p) / (ln 2)^2
+    val numBits = math.max(64L, math.ceil(-items * math.log(fpp) / math.pow(math.log(2), 2)).toLong)
+    val bloomBytes = benchGrams.select(ColumnBridge.column(
+        new BloomFilterAggregate(ColumnBridge.expression(col("gh")),
+          Literal(items), Literal(numBits)).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    def mightContain(c: org.apache.spark.sql.Column) = ColumnBridge.column(
+      BloomFilterMightContain(Literal(bloomBytes, BinaryType), ColumnBridge.expression(c)))
+
+    // narrow corpus pass: per-doc gram total + bloom-flagged count
+    val stats = corpusGrams
+      .groupBy("id")
+      .agg(count(lit(1)).as("total_grams"),
+        sum(when(mightContain(col("gh")), 1L).otherwise(0L)).as("bloom_matched"))
+      .cache()
+    val clean = stats.where(col("bloom_matched") === 0)
+      .select(col("id"), col("total_grams"), lit(0L).as("matched_grams"),
+        lit(0.0).as("contamination"))
+
+    // Flagged sliver: exact re-check removes the bloom's false positives.
+    // Deliberately NO broadcast hint on the benchmark side — this path
+    // exists precisely for benchmarks too big to broadcast; the flagged
+    // gram list is the small side and the optimizer is free to pick the
+    // join strategy per actual sizes.
+    val flaggedIds = stats.where(col("bloom_matched") > 0).select("id")
+    val flagged = corpusGrams.join(flaggedIds, Seq("id"), "left_semi")
+      .join(benchGrams.withColumn("__hit", lit(1L)), Seq("gh"), "left_outer")
+      .groupBy("id")
+      .agg(count(lit(1)).as("total_grams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("matched_grams"))
+      .withColumn("contamination",
+        col("matched_grams").cast("double") / col("total_grams"))
+    clean.unionByName(flagged)
   }
 }

@@ -78,6 +78,28 @@ object ExtendedQueries {
       .orderBy("source")
   }
 
+  /** q46's decontamination removal on the Bloom-prefiltered scale path:
+    * identical result (the sketch has no false negatives and flagged docs
+    * re-check exactly), so it shares q46's oracle verbatim — but the
+    * benchmark gram table is replaced by a few-MB sketch on the corpus
+    * pass, which is what survives a benchmark too large to broadcast. */
+  val decontaminateBloom: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val benchmark = docs.where(col("doc_id") % 7 === 0)
+    val scores = Contamination.scoresBloomPrefiltered(
+        docs, benchmark, "doc_id", "text", n = 3)
+      .select(col("id"), col("contamination"))
+    val kept = col("contamination") < 0.8
+    docs.select(col("doc_id").as("id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+      .join(scores, "id")
+      .groupBy("source")
+      .agg(sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(kept, 0L).otherwise(1L)).as("n_removed"),
+        sum(when(kept, col("ntok")).otherwise(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
   /** PII redaction sweep: deterministic injected PII (email / phone / SSN by
     * doc_id % 4), per-source match counts and the total character delta
     * after redaction — proves the redaction actually rewrote the text. */
@@ -246,6 +268,7 @@ object ExtendedQueries {
     "q29_rolling_revenue" -> rollingRevenue,
     "q63_acctbal_deciles" -> acctbalDeciles,
     "q46_decontaminate" -> decontaminate,
+    "q70_bloom_decontaminate" -> decontaminateBloom,
     "q47_pii_redaction" -> piiRedaction,
     "q48_url_domains" -> urlDomains,
     "q49_quality_filter" -> qualityFilter,
@@ -362,27 +385,10 @@ object ExtendedQueries {
         |  round(max(c_acctbal), 2) AS max_bal,
         |  round(max(cd), 6) AS max_cume_dist
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q46_decontaminate" ->
-      """WITH toks AS (
-        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ts FROM documents),
-        |g AS (
-        |  SELECT doc_id, source, len(ts) AS ntok,
-        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
-        |      ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts) - 2)]
-        |    END AS grams
-        |  FROM toks),
-        |cg AS (SELECT doc_id, unnest(list_distinct(grams)) AS gm FROM g),
-        |bench AS (SELECT DISTINCT unnest(list_distinct(grams)) AS gm FROM g WHERE doc_id % 7 = 0),
-        |m AS (
-        |  SELECT c.doc_id, count(*) AS total,
-        |    sum(CASE WHEN b.gm IS NOT NULL THEN 1 ELSE 0 END) AS matched
-        |  FROM cg c LEFT JOIN bench b USING (gm) GROUP BY 1)
-        |SELECT g.source,
-        |  CAST(count(*) FILTER (m.matched * 1.0 / m.total < 0.8) AS BIGINT) AS n_kept,
-        |  CAST(count(*) FILTER (m.matched * 1.0 / m.total >= 0.8) AS BIGINT) AS n_removed,
-        |  CAST(coalesce(sum(g.ntok) FILTER (m.matched * 1.0 / m.total < 0.8), 0) AS BIGINT) AS kept_tokens
-        |FROM m JOIN g ON m.doc_id = g.doc_id
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q70 runs the same computation on the Bloom-prefiltered path — the
+    // prefilter is provably lossless, so the oracle is q46's verbatim
+    "q70_bloom_decontaminate" -> DecontaminateOracle,
+    "q46_decontaminate" -> DecontaminateOracle,
     "q47_pii_redaction" ->
       """WITH aug AS (
         |  SELECT source, text ||
@@ -462,4 +468,26 @@ object ExtendedQueries {
         |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u)
         |SELECT id AS doc_id, min(r) AS cluster_id
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  private lazy val DecontaminateOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+      |g AS (
+      |  SELECT doc_id, source, len(ts) AS ntok,
+      |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+      |      ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts) - 2)]
+      |    END AS grams
+      |  FROM toks),
+      |cg AS (SELECT doc_id, unnest(list_distinct(grams)) AS gm FROM g),
+      |bench AS (SELECT DISTINCT unnest(list_distinct(grams)) AS gm FROM g WHERE doc_id % 7 = 0),
+      |m AS (
+      |  SELECT c.doc_id, count(*) AS total,
+      |    sum(CASE WHEN b.gm IS NOT NULL THEN 1 ELSE 0 END) AS matched
+      |  FROM cg c LEFT JOIN bench b USING (gm) GROUP BY 1)
+      |SELECT g.source,
+      |  CAST(count(*) FILTER (m.matched * 1.0 / m.total < 0.8) AS BIGINT) AS n_kept,
+      |  CAST(count(*) FILTER (m.matched * 1.0 / m.total >= 0.8) AS BIGINT) AS n_removed,
+      |  CAST(coalesce(sum(g.ntok) FILTER (m.matched * 1.0 / m.total < 0.8), 0) AS BIGINT) AS kept_tokens
+      |FROM m JOIN g ON m.doc_id = g.doc_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -36,6 +36,35 @@ class ContaminationSpec extends SparkSpec {
     assert(s(2L) == 0.0)
   }
 
+  test("bloom-prefiltered scores equal the broadcast-join scores exactly") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val benchmark = docs.where(col("doc_id") % 7 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "total_grams", "matched_grams", "contamination")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val exact = key(Contamination.scores(docs, benchmark, "doc_id", "text", n = 3))
+    for (fpp <- Seq(0.5, 0.01)) { // even an awful fpp must stay exact
+      val bloom = key(Contamination.scoresBloomPrefiltered(
+        docs, benchmark, "doc_id", "text", n = 3, fpp = fpp))
+      assert(bloom == exact,
+        s"fpp=$fpp: missing=${(exact -- bloom).take(3)} extra=${(bloom -- exact).take(3)}")
+    }
+  }
+
+  test("bloom prefilter proves clean docs clean without any join") {
+    // a corpus where most docs share nothing with the benchmark: the clean
+    // branch must carry them with zero matched grams
+    val corpus = (1L to 50L).map(i => (i, s"unique$i tokens here nothing shared $i end"))
+      .toDF("doc_id", "text")
+    val dirty = Seq((99L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val benchmark = Seq((7L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val s = Contamination.scoresBloomPrefiltered(
+        corpus.union(dirty), benchmark, "doc_id", "text", n = 3, fpp = 0.001)
+      .select("id", "matched_grams").as[(Long, Long)].collect().toMap
+    assert(s(99L) == 3L)
+    assert((1L to 50L).forall(s(_) == 0L))
+  }
+
   test("corpus-vs-benchmark-subset on real docs: members score 1, aggregate sane") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val benchmark = docs.where(col("doc_id") % 20 === 0)
