@@ -33,8 +33,18 @@ object ConnectedComponents {
     * (columns `src`, `dst`, any integral type). Returns (id, component)
     * for every node incident to at least one edge, where `component` is
     * the minimum node id in the component.
+    *
+    * Adaptive execution, in the same spirit as AQE's shuffle-to-broadcast
+    * cutover: the first convergence checksum already counts the normalized
+    * edge set, and when it is at most `driverThreshold` (a few MB of longs
+    * — the same order as a broadcast build side) the iteration is replaced
+    * by a single-pass union-find on the driver. Near-dup edge sets are
+    * usually a sliver of the corpus, so this removes O(log n) rounds of
+    * shuffle jobs exactly when their fixed cost dominates; truly large
+    * graphs (over the threshold) run the distributed alternation unchanged.
     */
-  def run(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def run(edges: DataFrame, maxRounds: Int = 50,
+          driverThreshold: Long = 500000L): DataFrame = {
     val spark = edges.sparkSession
     var e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .where(col("src") =!= col("dst"))
@@ -44,6 +54,7 @@ object ConnectedComponents {
       .localCheckpoint()
 
     var prev = checksum(e)
+    if (prev._1 <= driverThreshold) return runOnDriver(spark, e)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -63,6 +74,31 @@ object ConnectedComponents {
       .join(members.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("component"))
     members.union(centers)
+  }
+
+  /** Small-graph fast path: union-find with path compression over the
+    * collected edge list, component = min member id — the same contract as
+    * the distributed rounds (equality pinned by `ConnectedComponentsSpec`). */
+  private def runOnDriver(spark: SparkSession, e: DataFrame): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    // iterative find + full path compression (a recursive form could blow
+    // the stack on a long merge chain at the threshold edge count)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    e.select(col("src"), col("dst")).as[(Long, Long)].collect().foreach {
+      case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        // smaller root wins every union, so a set's root IS its min member
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val ks = parent.keys.toSeq
+    ks.map(k => (k, find(k))).toDF("id", "component")
   }
 
   /** Large-star: for each node u, connect every strictly-larger neighbor to

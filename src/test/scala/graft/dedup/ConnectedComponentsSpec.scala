@@ -7,8 +7,11 @@ import scala.util.Random
 class ConnectedComponentsSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Forces the DISTRIBUTED alternation (driverThreshold=0) so these tests
+    * keep covering the scale path; the driver fast path is pinned equal to
+    * it in its own test below. */
   private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    ConnectedComponents.run(edges.toDF("src", "dst"))
+    ConnectedComponents.run(edges.toDF("src", "dst"), driverThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   /** Driver-side union-find oracle. */
@@ -59,8 +62,22 @@ class ConnectedComponentsSpec extends SparkSpec {
 
   test("star output covers exactly the incident nodes, once each") {
     val edges = Seq((3L, 9L), (9L, 27L), (100L, 101L))
-    val out = ConnectedComponents.run(edges.toDF("src", "dst"))
+    val out = ConnectedComponents.run(edges.toDF("src", "dst"), driverThreshold = 0L)
     assert(out.groupBy("id").count().where(col("count") > 1).isEmpty)
     assert(out.select("id").as[Long].collect().toSet === Set(3L, 9L, 27L, 100L, 101L))
+  }
+
+  test("driver fast path equals the distributed alternation") {
+    val rnd = new Random(7)
+    for (trial <- 1 to 3) {
+      val edges = (1 to 120 * trial)
+        .map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter(e => e._1 != e._2)
+      val distributed = cc(edges)
+      val driver = ConnectedComponents.run(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(driver === distributed, s"trial $trial")
+      assert(driver === unionFind(edges), s"trial $trial vs oracle")
+    }
   }
 }
