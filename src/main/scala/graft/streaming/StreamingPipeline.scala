@@ -91,6 +91,27 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark(Seq("__sigkey"))
       .drop("__sigkey")
 
+  /** Text-prep annotation stage: language id, token count, the q49 quality
+    * rule stack's verdict, and PII-redacted text — every signal a pure
+    * per-row projection (codegen'd expressions, no UDFs, no state), so the
+    * SAME function serves the batch corpus and a streaming ingest feed
+    * unchanged; `StreamingSpec` pins stream == batch row-for-row. This is
+    * the shape that matters at ingest scale: a narrow map pipelines with
+    * the scan, shuffles nothing, and needs no watermark because it keeps
+    * no state. */
+  def annotateText(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val f = graft.functions.TextFunctions
+    val ntok = f.tokenCount(t)
+    docs
+      .withColumn("lang", f.langId(t))
+      .withColumn("ntok", ntok.cast("long"))
+      .withColumn("quality_pass",
+        ntok.between(30, 90) && f.meanTokenLength(t).between(4.3, 4.7) &&
+          f.stopwordRatio(t) >= 0.02 && f.repetitionScore(t, 3) <= 0.02)
+      .withColumn("redacted_text", f.redactPii(t))
+  }
+
   /** Stream-stream interval join: match each left event to right events of
     * the same key whose timestamp lies in [left.ts - lookback, left.ts].
     * Both sides carry watermarks and the join condition time-bounds BOTH

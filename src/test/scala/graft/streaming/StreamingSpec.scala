@@ -140,4 +140,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
       "stream-stream interval join differs from batch twin")
   }
+
+  test("streaming text-prep annotation equals the batch projection row-for-row") {
+    val docsPath = s"$dir/documents.parquet"
+    val d = java.nio.file.Files.createTempDirectory("graft_textprep_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(docsPath), d.resolve("docs.parquet"))
+    val schema = spark.read.parquet(docsPath).schema
+    val stream = spark.readStream.schema(schema).parquet(d.toString)
+    val annotated = StreamingPipeline.annotateText(stream, "text")
+      .select("doc_id", "lang", "ntok", "quality_pass", "redacted_text")
+    val q = annotated.writeStream.format("memory").queryName("textprep_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("textprep_test")
+
+    val batch = StreamingPipeline.annotateText(
+        spark.read.parquet(docsPath), "text")
+      .select("doc_id", "lang", "ntok", "quality_pass", "redacted_text")
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stateless text-prep must be identical in batch and streaming")
+  }
 }
