@@ -1,0 +1,97 @@
+package graft.tools
+
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc stage profiler for the full-corpus MinHash-LSH path. */
+object ProfileLsh {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.NanosAsLongConf, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[profile] $label%-32s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+
+    val docs = Tables.documents(spark, sfDir)
+    docs.count()
+
+    val sig = time("sig materialize") {
+      val s = Dedup.minHashSignaturesPerRow(docs, "doc_id", "text", 5, 64).cache()
+      s.count(); s
+    }
+    val bandCols = (0 until 16).map { b =>
+      val comps = (0 until 4).map(r => col("sig").getItem(b * 4 + r))
+      struct(lit(b).as("band"), xxhash64(comps: _*).as("bh"))
+    }
+    val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val rawCand = time("rawCand distinct") {
+      val c = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct().cache()
+      println(s"[profile]   rawCand = ${c.count()}")
+      c
+    }
+    val estCols = (0 until 64)
+      .map(j => when(col("a.sig").getItem(j) === col("b.sig").getItem(j), 1).otherwise(0))
+      .reduce[Column](_ + _)
+    val margin = 0.6 - 3 * math.sqrt(0.6 * 0.4 / 64)
+    val cand = time("prefilter") {
+      val c = rawCand
+        .join(sig.as("a"), col("id_a") === col("a.id"))
+        .join(sig.as("b"), col("id_b") === col("b.id"))
+        .where(estCols >= lit(margin * 64))
+        .select("id_a", "id_b").cache()
+      println(s"[profile]   cand = ${c.count()}")
+      c
+    }
+    val shCand = time("candidate shingles") {
+      val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+      println(s"[profile]   cand docs = ${candIds.count()}")
+      val sh = docs.select(col("doc_id").as("id"), col("text").as("__t"))
+        .join(candIds, Seq("id"), "left_semi")
+        .select(col("id"), explode(TextFunctions.charShingles(col("__t"), 5)).as("s"))
+        .select(col("id"), xxhash64(col("s")).as("shingle"))
+        .distinct().cache()
+      println(s"[profile]   cand shingles = ${sh.count()}")
+      sh
+    }
+    time("verify join") {
+      val sizes = shCand.groupBy("id").agg(count(lit(1)).as("sz"))
+      val inter = cand
+        .join(shCand.withColumnRenamed("id", "id_a"), "id_a")
+        .join(shCand.withColumnRenamed("id", "id_b"), Seq("id_b", "shingle"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      val n = inter
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+        .where(col("jaccard") >= 0.6).count()
+      println(s"[profile]   pairs = $n")
+    }
+    for (i <- 1 to 2) {
+      spark.catalog.clearCache()
+      time(s"full minHashLsh (bench mode) $i") {
+        Dedup.minHashLsh(docs, "doc_id", "text").count()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -92,6 +92,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins in the plan")
   }
 
+  test("window-partitioned target reads prune to the addressed partition") {
+    import graft.config.PipelineConfig
+    import graft.connect.{Connectors, ParquetTarget}
+    import graft.time.TimeWindow
+    import java.time.{ZoneId, ZonedDateTime}
+    val cfg = PipelineConfig.fromMap(Map(
+      "root_dir" -> java.nio.file.Files.createTempDirectory("graft_prune").toString,
+      "granularity" -> "1h"))
+    val target = new ParquetTarget(spark, cfg)
+    def w(h: Int) = TimeWindow(
+      ZonedDateTime.of(2024, 1, 2, h, 0, 0, 0, ZoneId.of("UTC")),
+      ZonedDateTime.of(2024, 1, 2, h + 1, 0, 0, 0, ZoneId.of("UTC")))
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    target.load(w(10), ev.limit(100))
+    target.load(w(11), ev.limit(50))
+    // a filter on the window partition column must become a PartitionFilter
+    // on the scan (metadata-only pruning), never a data filter
+    val read = target.readAll().where(col("window") === Connectors.windowKey(w(10)))
+    assert(read.count() == 100)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("window"),
+      s"window predicate did not prune partitions:\n${plan.take(2000)}")
+    // and the pruned column list must not re-filter rows post-scan
+    assert(!plan.contains("Filter ("), s"unexpected post-scan filter:\n${plan.take(2000)}")
+  }
+
   test("contamination keeps the benchmark side broadcast") {
     val plan = SparkEntry.queries("q46_decontaminate")(spark, dir)
       .queryExecution.executedPlan.toString
