@@ -129,6 +129,32 @@ object StreamingPipeline {
         col(s"r.$rightTs") <= col(s"l.$leftTs"))
   }
 
+  /** Continuous-ingest near-dup filter: every micro-batch of arriving docs
+    * is checked against the STORED corpus signature index with the batch
+    * incremental operator (`Dedup.incrementalMinHashLsh`) and only docs
+    * with no corpus match at `minJaccard` pass to `onCleanBatch` —
+    * `foreachBatch` is the idiomatic way to reuse a batch operator's full
+    * join/verify machinery on a stream, and per-batch work stays
+    * O(batch + matches), never corpus-sized (the index only streams past
+    * broadcast delta frames; see the batch operator's plan contract).
+    * Within-batch/cross-batch self-duplicates are the job of the upstream
+    * signature-key dedup ([[nearDupDedupStream]]); this stage is
+    * specifically delta-vs-corpus. */
+  def dedupAgainstIndexStream(newDocs: DataFrame, idCol: String, textCol: String,
+                              corpusSigs: DataFrame, corpusDocs: DataFrame,
+                              minJaccard: Double = 0.6)
+                             (onCleanBatch: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val dupes = graft.dedup.Dedup
+          .incrementalMinHashLsh(batch, idCol, textCol, corpusSigs, corpusDocs,
+            minJaccard = minJaccard)
+          .select(col("new_id").as(idCol)).distinct()
+        onCleanBatch(batch.join(dupes, Seq(idCol), "left_anti"), batchId)
+      }
+
   /** Exactly-once idempotent sink: per-batch overwrite into deterministic
     * window=<key> partition dirs — the streaming twin of the batch target
     * store's replay contract (reference: stage/ingestion_engine.py:62-99

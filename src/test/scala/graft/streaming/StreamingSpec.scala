@@ -141,6 +141,43 @@ class StreamingSpec extends SparkSpec {
       "stream-stream interval join differs from batch twin")
   }
 
+  test("continuous-ingest dedup against the index equals the batch incremental pass") {
+    import graft.dedup.Dedup
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val delta = docs.where(col("doc_id") % 10 === 3)
+    val corpus = docs.where(col("doc_id") % 10 =!= 3)
+    val corpusSigs = Dedup.minHashSignaturesPerRow(corpus, "doc_id", "text", 5, 64)
+
+    // stage the delta as TWO files so the stream runs multiple batches
+    val d = java.nio.file.Files.createTempDirectory("graft_ingest_src")
+    delta.where(col("doc_id") % 20 === 3).coalesce(1)
+      .write.parquet(d.resolve("p0").toString)
+    delta.where(col("doc_id") % 20 =!= 3).coalesce(1)
+      .write.parquet(d.resolve("p1").toString)
+    val schema = delta.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$d/*")
+
+    val cleanIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    var batches = 0
+    val q = StreamingPipeline.dedupAgainstIndexStream(
+        stream, "doc_id", "text", corpusSigs, corpus) { (clean, _) =>
+      batches += 1
+      clean.select("doc_id").collect().foreach(r => cleanIds.add(r.getLong(0)))
+    }.start()
+    q.awaitTermination()
+
+    val dupIds = Dedup.incrementalMinHashLsh(delta, "doc_id", "text", corpusSigs, corpus)
+      .select("new_id").as[Long].collect().toSet
+    val expected = delta.select("doc_id").as[Long].collect().toSet -- dupIds
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    assert(dupIds.nonEmpty, "test needs at least one planted near-dup in the delta")
+    import scala.jdk.CollectionConverters._
+    assert(cleanIds.asScala.toSet == expected,
+      s"missing=${expected -- cleanIds.asScala} extra=${cleanIds.asScala.toSet -- expected}")
+  }
+
   test("streaming text-prep annotation equals the batch projection row-for-row") {
     val docsPath = s"$dir/documents.parquet"
     val d = java.nio.file.Files.createTempDirectory("graft_textprep_src")
