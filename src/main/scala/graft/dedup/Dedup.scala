@@ -252,6 +252,12 @@ object Dedup {
       }
       val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
         .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      // distinct BEFORE the prefilter joins, deliberately: the materialized
+      // distinct gives AQE real statistics, so both sig joins plan as
+      // broadcasts; filtering the raw pair stream first (distinct last) was
+      // measured 35% SLOWER here — the stat-less stream made the sig joins
+      // shuffle. Band duplication is only ~1.1x on this corpus, so the
+      // distinct's input is barely larger than the filtered stream anyway.
       val rawCand = banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
             col("a.id") < col("b.id"))
