@@ -271,9 +271,20 @@ final class ParquetTarget(spark: SparkSession, cfg: PipelineConfig) extends Targ
     if (f.exists(p)) f.delete(p, true)
   }
 
-  override def readAll(): DataFrame = {
+  override def readAll(): DataFrame = readAll(mergeSchema = false)
+
+  /** `mergeSchema = true` reconciles windows written under EVOLVED schemas
+    * (a long-lived target accretes columns; old windows surface the new
+    * columns as null). Off by default on purpose: merging reads every
+    * file's footer, which a 100 TB target with years of windows should opt
+    * into per query, not pay on every read — partition pruning on `window`
+    * still applies either way. */
+  def readAll(mergeSchema: Boolean): DataFrame = {
     val p = new Path(cfg.targetPath)
     if (!fs(p).exists(p)) spark.emptyDataFrame
-    else spark.read.option("basePath", cfg.targetPath).parquet(cfg.targetPath)
+    else spark.read
+      .option("basePath", cfg.targetPath)
+      .option("mergeSchema", mergeSchema)
+      .parquet(cfg.targetPath)
   }
 }

@@ -97,4 +97,26 @@ class PipelineSmokeSpec extends SparkSpec {
     assert(healed.length == 1)
     assert(healed.head.pipeline_status == DriveRecord.Status.Pending)
   }
+
+  test("target reads reconcile windows written under evolved schemas") {
+    import graft.connect.ParquetTarget
+    import graft.time.TimeWindow
+    import org.apache.spark.sql.functions._
+    import java.time.{ZoneId, ZonedDateTime}
+    val cfg = freshCfg()
+    val target = new ParquetTarget(spark, cfg)
+    def w(h: Int) = TimeWindow(
+      ZonedDateTime.of(2024, 1, 2, h, 0, 0, 0, ZoneId.of("UTC")),
+      ZonedDateTime.of(2024, 1, 2, h + 1, 0, 0, 0, ZoneId.of("UTC")))
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "ts")
+    target.load(w(1), ev.limit(40))                                   // old schema
+    target.load(w(2), ev.limit(25).withColumn("quality", lit(0.5)))   // evolved
+    val merged = target.readAll(mergeSchema = true)
+    assert(merged.columns.contains("quality"))
+    assert(merged.count() == 65)
+    // old-window rows surface the new column as null; new-window rows keep it
+    assert(merged.where(col("quality").isNull).count() == 40)
+    assert(merged.where(col("quality") === 0.5).count() == 25)
+  }
 }
