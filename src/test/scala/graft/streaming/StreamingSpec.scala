@@ -178,6 +178,45 @@ class StreamingSpec extends SparkSpec {
       s"missing=${expected -- cleanIds.asScala} extra=${cleanIds.asScala.toSet -- expected}")
   }
 
+  test("streaming windowed quantile sketch equals the batch sketch per window") {
+    // the point of a MERGEABLE sketch: partial states merge associatively,
+    // which is exactly what a streaming stateful aggregation does across
+    // micro-batches — same custom TypedImperativeAggregate, same result
+    val diskSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = StreamingPipeline.eventsStream(spark, streamDir, diskSchema)
+    val agg = stream
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 week").as("w"))
+      .agg(graft.functions.QuantileSketch
+        .quantileSketch(col("value"), Seq(0.5, 0.9), k = 200).as("qs"))
+      .select(col("w.start").as("ws"), col("qs"))
+    val streamed = StreamingPipeline
+      .runAvailableNowToMemory(spark, agg, "sketch_stream_test")
+
+    val batch = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 week").as("w"))
+      .agg(graft.functions.QuantileSketch
+        .quantileSketch(col("value"), Seq(0.5, 0.9), k = 200).as("qs"))
+      .select(col("w.start").as("ws"), col("qs"))
+
+    assert(streamed.count() > 0)
+    // deterministic input order per window is not guaranteed across the
+    // micro-batch split, but the sketch's rank error bound is; compare each
+    // estimate against the batch twin within the spec'd epsilon on ranks —
+    // here values are dense enough that estimates must land within 5%.
+    val b = batch.collect().map(r => r.getTimestamp(0) ->
+      r.getAs[collection.Seq[Double]](1)).toMap
+    streamed.collect().foreach { r =>
+      val ws = r.getTimestamp(0)
+      val s = r.getAs[collection.Seq[Double]](1)
+      val exp = b(ws)
+      s.zip(exp).foreach { case (got, want) =>
+        assert(math.abs(got - want) <= 0.05 * math.max(math.abs(want), 1.0),
+          s"window $ws: streamed $got vs batch $want")
+      }
+    }
+  }
+
   test("streaming text-prep annotation equals the batch projection row-for-row") {
     val docsPath = s"$dir/documents.parquet"
     val d = java.nio.file.Files.createTempDirectory("graft_textprep_src")
