@@ -80,8 +80,13 @@ object Similarity {
     * stable across JVMs/runs). */
   private def planes(nBits: Int, dim: Int, seed: Int): Seq[Column] = {
     val rng = new java.util.Random(seed)
+    // one ArrayType literal per plane, NOT array(lit, lit, ...): the
+    // per-element form put dim Literal nodes per plane into the projection
+    // (8 tables x 8 bits x 64 dims = 4096 expression nodes), and codegen
+    // compile time dominated the whole ANN query at bench scale; a typedlit
+    // is a single reference object. Same values, same buckets.
     (0 until nBits).map { _ =>
-      array((0 until dim).map(_ => lit(rng.nextGaussian())): _*)
+      typedLit((0 until dim).map(_ => rng.nextGaussian()))
     }
   }
 
