@@ -3,13 +3,23 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times the headline queries at SPARK_GRAFT_SF_DIR and
-  * prints one JSON line (driver contract).
+  * prints one JSON line (driver contract). The same line is also written to
+  * the file named by BENCH_OUT (default `target/bench.json`) so the result
+  * survives log-prefix mangling by whatever harness invokes sbt.
   *
   * Headline set = one representative per operator family, chosen to be the
   * *scale path* of each: MinHash-LSH rather than the deliberately-quadratic
   * exact-Jaccard baseline (q41 stays in the correctness gate at sf0.01,
   * where exact all-pairs is the oracle; at bench scale its cost is the very
   * reason the LSH variants exist).
+  *
+  * Timing protocol: min of 3 passes per query (cache cleared between
+  * passes), with the 1-minute system load average sampled around every
+  * pass. If the load during the best pass exceeded the core count — i.e.
+  * even the winning measurement was taken on a contended box — one extra
+  * pass runs. Per-pass load is logged and the start/end load avgs are
+  * embedded in the JSON so a polluted run is self-evident in the record,
+  * not just in a log tail.
   */
 object Bench {
 
@@ -30,10 +40,15 @@ object Bench {
     "q62_dedup_clusters",     // LSH pairs -> connected-component clusters
     "q64_sequence_packing",   // windowed-cumsum packing to context length
     "q66_incremental_dedup",  // delta batch vs stored signature index
-    "q44_embedding_dup_pairs", // columnar all-pairs cosine
+    "q67_neardup_canonical",  // LSH -> connected components -> anti-join
+    "q44_embedding_dup_pairs", // blocked exact cosine dup pairs
     "q50_knn_brute_force",    // exact ANN baseline
     "q51_ann_lsh",            // multi-table LSH ANN
+    "q70_bloom_decontaminate", // bloom-prefiltered decontamination
     "q60_media_features")     // binary media plumbing
+
+  private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+  private def loadAvg: Double = osBean.getSystemLoadAverage
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -48,33 +63,53 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.queries
+    val loadStart = loadAvg
     // warmup: pay session/codegen/IO cold-start outside the timings
     qs("q25_acctbal_by_nation")(spark, sfDir).count()
-    // two timed passes per query, report the min — the box this runs on
-    // carries variable background load and min-of-repeats is the standard
-    // estimator of the query's true cost under noise
-    def timeOnce(name: String): Double = {
+
+    // One timed pass; returns (seconds, load avg sampled just before).
+    def timeOnce(name: String): (Double, Double) = {
       spark.catalog.clearCache() // isolate: some operators cache intermediates
+      val l0 = loadAvg
       val t0 = System.nanoTime()
       val n = try qs(name)(spark, sfDir).count() catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-26s $sec%8.2fs rows=$n")
-      sec
+      System.err.println(f"[bench] $name%-26s $sec%8.2fs rows=$n load=$l0%.1f")
+      (sec, l0)
     }
+    // min-of-3; if even the best pass started on a contended box (1-min
+    // load above the core count), buy one more measurement
+    def bench(name: String): Double = {
+      val passes = Seq.fill(3)(timeOnce(name))
+      val best = passes.minBy(_._1)
+      if (best._2 > cpus.toDouble) math.min(best._1, timeOnce(name)._1)
+      else best._1
+    }
+
     // ad-hoc override for profiling: SPARK_GRAFT_BENCH_QUERIES=q62_x,q64_y
     val selected = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(headline)
-    val results = selected.filter(qs.contains).map { name =>
-      name -> math.min(timeOnce(name), timeOnce(name))
-    }
+    val results = selected.filter(qs.contains).map(name => name -> bench(name))
     val qjson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val loadEnd = loadAvg
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"sf":"$sfDir","passes":3,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f}"""
+    val out = sys.env.getOrElse("BENCH_OUT", "target/bench.json")
+    try {
+      val p = java.nio.file.Paths.get(out)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] wrote $out")
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
+    println(json)
     spark.stop()
   }
 }
