@@ -1,0 +1,73 @@
+package graft.tools
+
+import graft.sim.Similarity
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc measurement scratchpad (not part of the library surface). */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.sources.Tables.NanosAsLongConf, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      val dir = s"/root/testdata/sf$sf"
+      val emb = Tables.embeddings(spark, dir)
+      val queries = emb.where(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 3)
+        .select("query_id", "neighbor_id")
+      def hits(approx: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+        exact.join(approx.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").count()
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+      val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 3)
+      val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 3, nLists = 16, nProbe = 4)
+      println(s"== sf$sf LSH per-query hits/3: " + hits(lsh))
+      println(s"== sf$sf IVF per-query hits/3: " + hits(ivf))
+
+      // sketches over events
+      val ev = Tables.events(spark, dir)
+      val sk = ev.groupBy("event_type").agg(
+        approx_count_distinct("user_id", 0.02).as("hll"),
+        graft.functions.KmvDistinct.kmvDistinct(col("user_id"), 1024).as("kmv"),
+        countDistinct("user_id").as("exact"),
+        expr("approx_percentile(value, 0.5, 1000)").as("ap50"),
+        expr("percentile(value, 0.47)").as("p47"),
+        expr("percentile(value, 0.53)").as("p53"),
+        graft.functions.QuantileSketch
+          .quantileSketch(col("value"), Seq(0.5, 0.9, 0.99), k = 200).as("qs"),
+        expr("percentile(value, 0.87)").as("p87"),
+        expr("percentile(value, 0.93)").as("p93"),
+        expr("percentile(value, 0.96)").as("p96"),
+        max("value").as("mx"))
+      println(s"== sf$sf sketches:")
+      sk.orderBy("event_type").show(10, false)
+
+      // MG heavy hitters vs exact top tokens
+      val toks = Tables.documents(spark, dir)
+        .select(col("source"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      val hh = toks.groupBy("source")
+        .agg(graft.functions.HeavyHitters.heavyHitters(col("token"), 32).as("hh"),
+          count(lit(1)).as("total"))
+        .select(col("source"), col("total"), explode(col("hh")).as(Seq("token", "est")))
+      val ex = toks.groupBy("source", "token").agg(count(lit(1)).as("exact_n"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(col("exact_n").desc, col("token").asc)
+      val top3 = ex.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+      println(s"== sf$sf MG vs exact top-3:")
+      top3.join(hh, Seq("source", "token"), "left")
+        .select(col("source"), col("rank"), col("token"), col("exact_n"), col("est"),
+          col("total"), (col("exact_n") - col("est")).as("undercount"),
+          (col("total") / 33).as("bound"))
+        .orderBy("source", "rank").show(40, false)
+    }
+    spark.stop()
+  }
+}
