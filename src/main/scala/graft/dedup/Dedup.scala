@@ -155,17 +155,54 @@ object Dedup {
       .select(col(idCol).as("id"),
         graft.functions.HashFunctions.minhashSignature(col(textCol), shingleK, numHashes).as("sig"))
 
+  /** Default cap on LSH band-bucket size. A band bucket of n docs yields
+    * C(n,2) candidate pairs, so one degenerate bucket (boilerplate pages,
+    * templated documents, a broken hash family) turns the bucketed join
+    * quadratic — the builder measured 4M candidate pairs from mega-buckets
+    * when a hash-family bug produced them, and a skewed real corpus
+    * recreates that with a correct family. Legitimate near-dup buckets are
+    * small (a dup cluster of c docs gives buckets of ~c); 100k is far
+    * above any of those while still capping the blowup at C(100k,2) per
+    * degenerate bucket rather than C(corpus,2). */
+  val DefaultMaxBucketSize: Int = 100000
+
+  /** Drop every row of band buckets holding more than `maxBucketSize`
+    * docs. The oversized list is computed with one partial-aggregated
+    * groupBy over the (narrow) band table and is empty on healthy corpora,
+    * so the anti-join broadcasts a zero-row frame and the candidate plan
+    * is unchanged in shape.
+    *
+    * Recall trade (documented contract): pairs whose EVERY colliding
+    * bucket is oversized are lost. At J>=0.9 a pair collides in most of
+    * the 16 bands (per-band probability J^rowsPerBand), so losing one
+    * boilerplate bucket does not lose the pair; the case that does lose
+    * pairs — a dup cluster larger than the cap, where all buckets of the
+    * cluster are oversized — is exactly the case that belongs to EXACT
+    * dedup (boilerplate is byte-identical), which runs without any cap. */
+  private def dropOversizedBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame =
+    if (maxBucketSize <= 0) banded
+    else {
+      val oversized = banded.groupBy("band", "bh")
+        .agg(count(lit(1)).as("__n"))
+        .where(col("__n") > maxBucketSize)
+        .select("band", "bh")
+      banded.join(broadcast(oversized), Seq("band", "bh"), "left_anti")
+    }
+
   /** LSH candidate pairs: band the signature (bands x rowsPerBand =
     * numHashes), hash each band, group by (band, hash). Docs sharing any
-    * band bucket become candidates. */
-  def lshCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    * band bucket become candidates. Buckets larger than `maxBucketSize`
+    * are dropped before the self-join (see [[dropOversizedBuckets]]). */
+  def lshCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int,
+                    maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
     }
-    val banded = signatures
+    val banded = dropOversizedBuckets(signatures
       .select(col("id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh")),
+      maxBucketSize)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
@@ -189,7 +226,8 @@ object Dedup {
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
                  minJaccard: Double = 0.6,
-                 carrySignatures: Boolean = false): DataFrame = {
+                 carrySignatures: Boolean = false,
+                 maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sig = minHashSignaturesPerRow(docs, idCol, textCol, shingleK, numHashes).cache()
@@ -234,8 +272,10 @@ object Dedup {
         val comps = (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r))
         struct(lit(b).as("band"), xxhash64(comps: _*).as("bh"))
       }
-      val banded = sig.select(col("id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
-        .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      val banded = dropOversizedBuckets(
+        sig.select(col("id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
+          .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh")),
+        maxBucketSize)
       banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
             col("a.id") < col("b.id"))
@@ -250,8 +290,10 @@ object Dedup {
         val comps = (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r))
         struct(lit(b).as("band"), xxhash64(comps: _*).as("bh"))
       }
-      val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
-        .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      val banded = dropOversizedBuckets(
+        sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+          .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh")),
+        maxBucketSize)
       // distinct BEFORE the prefilter joins, deliberately: the materialized
       // distinct gives AQE real statistics, so both sig joins plan as
       // broadcasts; filtering the raw pair stream first (distinct last) was
@@ -317,7 +359,8 @@ object Dedup {
   def incrementalMinHashLsh(newDocs: DataFrame, idCol: String, textCol: String,
                             corpusSigs: DataFrame, corpusDocs: DataFrame,
                             shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
-                            minJaccard: Double = 0.6): DataFrame = {
+                            minJaccard: Double = 0.6,
+                            maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // The delta is small by definition (that is WHY the operator is
@@ -352,8 +395,20 @@ object Dedup {
       .map(j => when(col("a.sig").getItem(j) === col("b.sig").getItem(j), 1).otherwise(0))
       .reduce[Column](_ + _)
     val sigMargin = minJaccard - 3 * math.sqrt(minJaccard * (1 - minJaccard) / numHashes)
-    val cand = bandRows(oldSig).as("b")
-      .join(broadcast(bandRows(newSig)).as("a"),
+    // Mega-bucket guard, index-scan-safe: the index band rows first pass a
+    // broadcast SEMI-join against the delta's bucket keys (pipelined into
+    // the same streaming scan — rows outside delta-probed buckets never
+    // leave the scan stage), so the bucket-size count and the oversized
+    // anti-join aggregate a delta-sized cached frame, not the index. A
+    // boilerplate bucket in the corpus therefore materializes at most its
+    // own rows — never its C(n,2) pairs — before being dropped.
+    val deltaBandRows = bandRows(newSig)
+    val probed = bandRows(oldSig)
+      .join(broadcast(deltaBandRows.select("band", "bh").distinct()),
+        Seq("band", "bh"), "left_semi")
+      .cache()
+    val cand = dropOversizedBuckets(probed, maxBucketSize).as("b")
+      .join(broadcast(deltaBandRows).as("a"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") =!= col("b.id"))
       .where(estCols >= lit(sigMargin * numHashes))
@@ -398,9 +453,10 @@ object Dedup {
   def nearDupCanonicalize(docs: DataFrame, idCol: String, textCol: String,
                           shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
                           minJaccard: Double = 0.6,
-                          carrySignatures: Boolean = false): DataFrame = {
+                          carrySignatures: Boolean = false,
+                          maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val pairs = minHashLsh(docs, idCol, textCol, shingleK, numHashes, bands,
-      minJaccard, carrySignatures)
+      minJaccard, carrySignatures, maxBucketSize)
     val comps = ConnectedComponents.run(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
     val losers = comps.where(col("id") =!= col("component"))

@@ -117,6 +117,72 @@ class DedupSpec extends SparkSpec {
     assert(inc.nonEmpty)
   }
 
+  test("mega-bucket guard drops a degenerate cluster but keeps planted near-dups") {
+    // 300 byte-identical boilerplate docs: identical signatures, so every
+    // band bucket of the cluster holds all 300 rows — the skew shape a
+    // templated real corpus produces. Plus one planted near-dup pair.
+    val boiler = (0L until 300L).map(i =>
+      (1000L + i, "standard footer text repeated on every templated page " * 5))
+    val planted = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again until done",
+      2L -> "the quick brown fox jumps over the lazy dog again and again until dusk",
+      3L -> "completely different content about database indexes and query planners")
+    val d = (boiler ++ planted.map(p => (p._1, p._2))).toDF("doc_id", "text")
+    val guarded = Dedup.minHashLsh(d, "doc_id", "text", minJaccard = 0.6,
+        maxBucketSize = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the planted pair survives (its buckets are size 2); every pair from
+    // the oversized boilerplate buckets is dropped
+    assert(guarded == Set((1L, 2L)),
+      s"guarded set should be exactly the planted pair, got ${guarded.size} pairs")
+    // guard off: the cluster floods the output with C(300,2) exact pairs
+    val unguarded = Dedup.minHashLsh(d, "doc_id", "text", minJaccard = 0.6,
+        maxBucketSize = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(unguarded.size == 300 * 299 / 2 + 1)
+  }
+
+  test("mega-bucket guard is a no-op on this corpus at the default cap") {
+    val off = Dedup.minHashLsh(docs, "doc_id", "text", maxBucketSize = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val on = Dedup.minHashLsh(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(on == off)
+    // incremental path: same invariance (its guard counts only delta-probed
+    // index buckets, so this also pins the probed-rows restructure)
+    val delta = docs.where(col("doc_id") % 10 === 3)
+    val corpus = docs.where(col("doc_id") % 10 =!= 3)
+    val index = Dedup.minHashSignaturesPerRow(corpus, "doc_id", "text", 5, 64)
+    val incOn = Dedup.incrementalMinHashLsh(delta, "doc_id", "text", index, corpus)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    val incOff = Dedup.incrementalMinHashLsh(delta, "doc_id", "text", index, corpus,
+        maxBucketSize = 0)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(incOn == incOff)
+  }
+
+  test("incremental mega-bucket guard caps a degenerate corpus bucket") {
+    // corpus = 200 identical boilerplate docs + 1 true near-dup of the
+    // delta doc; the delta doc is boilerplate-like too, so its band
+    // buckets hit the oversized cluster
+    val corpus = ((0L until 200L).map(i =>
+        (2000L + i, "standard footer text repeated on every templated page " * 5)) :+
+      (1L, "the quick brown fox jumps over the lazy dog again and again until done"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again until dusk"),
+      (11L, "standard footer text repeated on every templated page " * 5))
+      .toDF("doc_id", "text")
+    val index = Dedup.minHashSignaturesPerRow(corpus, "doc_id", "text", 5, 64)
+    val inc = Dedup.incrementalMinHashLsh(delta, "doc_id", "text", index, corpus,
+        maxBucketSize = 50)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    // the true near-dup pair survives; the boilerplate delta doc matches
+    // nothing because its only buckets are oversized (documented trade:
+    // byte-identical boilerplate belongs to exact dedup)
+    assert(inc == Set((10L, 1L)), s"got $inc")
+  }
+
   test("near-dup canonicalization keeps exactly one doc per cluster") {
     val kept = Dedup.nearDupCanonicalize(docs, "doc_id", "text")
       .select("doc_id").as[Long].collect().toSet
