@@ -528,8 +528,76 @@ object Dedup {
   /** Exact embedding near-dup pairs: cosine >= threshold. Brute-force
     * all-pairs — correct baseline; use Similarity.lshBuckets for the
     * large-scale path. */
+  /** Exact embedding near-dup pairs — blocked default shape.
+    *
+    * The exhaustive form ([[embeddingDupPairsExhaustive]]) plans a
+    * BroadcastNestedLoopJoin: the whole corpus broadcasts to every task
+    * and each task walks all of it — impossible at index scale. All-pairs
+    * cosine is inherently quadratic in COMPARISONS, but the
+    * scale-correct physical shape is different in three ways, all
+    * preserved here without giving up exactness:
+    *
+    * 1. **Triangle block join** (numBlocks B): each vector lands in block
+    *    p = hash(id) mod B; the left side replicates to keys (p, j>=p),
+    *    the right side to keys (i<=p, p). The equi-join on the key pair
+    *    meets every unordered pair exactly once (same-block ties broken by
+    *    id), so the quadratic work spreads evenly over B(B+1)/2 shuffle
+    *    keys — a distributed shuffled join, no broadcast of the corpus,
+    *    no nested loop, no skew.
+    * 2. **int8 shuffle payload**: the replicated rows carry the quantized
+    *    code (1 byte/dim + 3 scalars) instead of the 8-byte/dim doubles —
+    *    ~6x less shuffle traffic. Per-pair scoring is the codegen'd
+    *    integer dot product (order-independent, engine-exact).
+    * 3. **Sound prefilter + exact re-check** (the q69 over-retrieve trick
+    *    applied to pairs): with per-vector EXACT scalars norm n=|v| and
+    *    quantization error e=|v-v̂| (one write-side pass),
+    *    <a,b> <= <â,b̂> + e_a·n_b + e_b·n_a + 3·e_a·e_b, so any pair the
+    *    quantized bound rejects is truly below threshold — no false
+    *    negatives. Survivors (a handful per true dup) re-join their
+    *    full-precision vectors by id and pass the exact cosine filter,
+    *    which also removes prefilter false positives. Output == the
+    *    exhaustive form, pinned by DedupSpec at three thresholds.
+    *
+    * At a billion vectors even the blocked exact scan is the wrong tool —
+    * that regime belongs to the ANN family (Similarity.lshTopK/ivfTopK);
+    * this operator is the exact gate/verifier for corpus slices and
+    * post-ANN candidate sets. */
   def embeddingDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                        minCosine: Double): DataFrame = {
+                        minCosine: Double, numBlocks: Int = 8): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val prepped = e
+      .withColumn("qz", graft.sim.Quantization.quantizeInt8(col("v")))
+      .withColumn("dq", graft.sim.Quantization.dequantizeInt8(col("qz")))
+      .withColumn("diff", zip_with(col("v"), col("dq"), (x, y) => x - y))
+      .select(col("id"), col("qz"),
+        sqrt(graft.functions.VectorFunctions.dotProduct(col("v"), col("v"))).as("nrm"),
+        sqrt(graft.functions.VectorFunctions.dotProduct(col("diff"), col("diff"))).as("qerr"),
+        pmod(xxhash64(col("id")), lit(numBlocks)).cast("int").as("p"))
+    val left = prepped.withColumn("j", explode(sequence(col("p"), lit(numBlocks - 1))))
+    val right = prepped.withColumn("i", explode(sequence(lit(0), col("p"))))
+    val approxDot = col("a.qz.scale") * col("b.qz.scale") *
+      graft.functions.VectorFunctions.int8DotProduct(col("a.qz.q"), col("b.qz.q"))
+    val upperBound = approxDot +
+      col("a.qerr") * col("b.nrm") + col("b.qerr") * col("a.nrm") +
+      lit(3.0) * col("a.qerr") * col("b.qerr")
+    val cand = left.as("a").join(right.as("b"),
+        col("a.p") === col("b.i") && col("a.j") === col("b.p") &&
+          (col("a.p") =!= col("b.p") || col("a.id") < col("b.id")) &&
+          col("a.id") =!= col("b.id"))
+      .where(upperBound >= lit(minCosine) * col("a.nrm") * col("b.nrm"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+    cand
+      .join(e.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(e.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"), cosineSim(col("va"), col("vb")).as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+
+  /** All-pairs exact baseline (BroadcastNestedLoopJoin) — the differential
+    * oracle for [[embeddingDupPairs]]; not a scale shape. */
+  def embeddingDupPairsExhaustive(emb: DataFrame, idCol: String, vecCol: String,
+                                  minCosine: Double): DataFrame = {
     val e = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

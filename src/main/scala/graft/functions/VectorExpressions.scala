@@ -103,6 +103,46 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer dot product of two array<int> columns (int8-quantized vector
+  * codes), returning long. Same codegen rationale as [[CosineSimilarity]];
+  * integer accumulation makes the result order-independent and engine-exact,
+  * which the quantized-prefilter soundness argument relies on. */
+case class Int8DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "int8_dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) { dot += x.getInt(i).toLong * y.getInt(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        long $dot = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          $dot += (long) $a.getInt($i) * $b.getInt($i);
+        }
+        ${ev.value} = $dot;
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Single-pass codegen'd cosine similarity of two array<double> columns. */
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -112,5 +152,10 @@ object VectorFunctions {
   /** Codegen'd dot product of two array<double> columns. */
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Codegen'd integer dot product of two array<int> columns -> long. */
+  def int8DotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(Int8DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

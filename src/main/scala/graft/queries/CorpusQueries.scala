@@ -270,8 +270,11 @@ object CorpusQueries {
         (col("n_sim") <= col("n_exact_pairs") * 2).as("candidates_bounded"))
   }
 
-  /** Embedding cosine near-dup pairs, brute-force baseline — oracled on
-    * pair ids (threshold far from any observed pair). */
+  /** Embedding cosine near-dup pairs — the blocked exact shape (triangle
+    * block join + int8 sound prefilter + exact re-check; no nested-loop
+    * join, pinned by PlanShapeSpec). Output identical to the all-pairs
+    * cross join (DedupSpec differential), so the exact oracle is
+    * unchanged. */
   val embeddingDupPairs: Q = (s, dir) =>
     Dedup.embeddingDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         minCosine = 0.45)

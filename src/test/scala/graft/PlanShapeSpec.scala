@@ -45,6 +45,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("l_comment"), "pruned column still read")
   }
 
+  test("blocked embedding pairs plan no nested-loop or cartesian join") {
+    val plan = planOf("q44_embedding_dup_pairs")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"embedding pairs degenerated to all-pairs: ${plan.take(2000)}")
+  }
+
   test("range join plans as a hash join on the bin, never nested-loop") {
     val plan = planOf("q28_range_join")
     assert(!plan.contains("BroadcastNestedLoopJoin"),

@@ -213,4 +213,25 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", 0.45)
     assert(pairs.agg(min("cosine")).as[Double].head() >= 0.45)
   }
+
+  test("blocked embedding pairs equal the exhaustive cross join at every threshold") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    for (t <- Seq(0.3, 0.45, 0.9)) {
+      val blocked = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val exhaustive = Dedup.embeddingDupPairsExhaustive(emb, "vec_id", "embedding", t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(blocked == exhaustive,
+        s"t=$t: missing=${exhaustive -- blocked} extra=${blocked -- exhaustive}")
+    }
+    // block-count invariance: the triangle keying meets each pair exactly
+    // once regardless of B (including B=1, the degenerate single block)
+    for (b <- Seq(1, 7)) {
+      val alt = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", 0.45, numBlocks = b)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val base = Dedup.embeddingDupPairsExhaustive(emb, "vec_id", "embedding", 0.45)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(alt == base, s"numBlocks=$b differs")
+    }
+  }
 }
