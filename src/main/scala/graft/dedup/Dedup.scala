@@ -66,19 +66,61 @@ object Dedup {
     * threshold 0.6, tiny shared vocab) the prefixes prune almost nothing
     * and the extra candidate materialization costs more than the direct
     * exhaustive groupBy. When the corpus itself defeats every exact
-    * filter, the sketch path (minHashLsh) is the scale answer. */
+    * filter, the sketch path (minHashLsh) is the scale answer.
+    *
+    * `maxShingleDf` (default 100k, 0 = off) bounds the self-join width:
+    * a shingle shared by f docs yields f^2/2 join rows, so one
+    * stopword-like shingle is a skew bomb at scale. Shingles with
+    * df > maxShingleDf are dropped from CANDIDATE GENERATION only —
+    * verification recounts intersections against the complete shingle
+    * table, so found pairs always carry their true Jaccard. Completeness
+    * is guarded, not assumed: a valid pair (J >= t) shares at least
+    * ceil(t * s_min) shingle TYPES (|A∩B| >= t|A∪B| >= t*s_min), so if
+    * the number of dropped types D < t * s_min, at least one shared
+    * shingle survives and every valid pair still meets — the cutoff is
+    * EXACT. The operator checks D and s_min (two metadata-sized
+    * aggregates) and falls back to the exhaustive join with a logged
+    * warning when the bound fails; when no shingle exceeds the cap the
+    * plan is the unchanged exhaustive join. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, minJaccard: Double,
-                        prefixFilter: Boolean = false): DataFrame = {
+                        prefixFilter: Boolean = false,
+                        maxShingleDf: Int = 100000): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol, k).cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    // exhaustive: intersection counts fall straight out of the self-join
+    def exhaustiveInter() =
+      sh.as("a").join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("inter"))
     val inter =
-      if (!prefixFilter) {
-        // exhaustive: intersection counts fall straight out of the self-join
-        sh.as("a").join(sh.as("b"),
-            col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-          .agg(count(lit(1)).as("inter"))
+      if (!prefixFilter && maxShingleDf > 0) {
+        val dropped = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxShingleDf).select("shingle").cache()
+        val d = dropped.count()
+        if (d == 0) exhaustiveInter()
+        else {
+          val sMin = sizes.agg(min("sz")).head().getLong(0)
+          if (d < minJaccard * sMin) {
+            val shF = sh.join(broadcast(dropped), Seq("shingle"), "left_anti")
+            val candidates = shF.as("a").join(shF.as("b"),
+                col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+              .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+              .distinct()
+            candidates
+              .join(sh.withColumnRenamed("id", "id_a"), "id_a")
+              .join(sh.withColumnRenamed("id", "id_b"), Seq("id_b", "shingle"))
+              .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+          } else {
+            graft.util.Log.warn("ngram_jaccard_df_cutoff", "fallback",
+              "dropped_types" -> d, "s_min" -> sMin, "min_jaccard" -> minJaccard,
+              "reason" -> "dropped >= t*s_min would risk missed pairs")
+            exhaustiveInter()
+          }
+        }
+      } else if (!prefixFilter) {
+        exhaustiveInter()
       } else {
         val dfTab = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         val w = Window.partitionBy("id").orderBy(col("df").asc, col("shingle").asc)

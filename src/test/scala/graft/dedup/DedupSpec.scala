@@ -52,6 +52,55 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("shingle-df cutoff: active cutoff yields the identical pair set") {
+    // cap 400 on this corpus drops ~10 shingle types while the guard bound
+    // holds (D=10 < 0.6 * s_min=43), so the cutoff path actually runs and
+    // must still produce the exact result
+    val base = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.6,
+        maxShingleDf = 0)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.6,
+        maxShingleDf = 400)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(capped == base,
+      s"missing=${base -- capped} extra=${capped -- base}")
+    // guard fallback: a cap low enough to violate D < t*s_min must fall
+    // back to the exhaustive join, not silently drop pairs
+    val fallback = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.6,
+        maxShingleDf = 50)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(fallback == base)
+  }
+
+  test("shingle-df cutoff defuses a stopword skew bomb, keeping planted pairs") {
+    // every doc shares one boilerplate sentence (a run of stopword-like
+    // shingles with df = n): unguarded, those shingles alone produce
+    // n^2/2 join rows; the cutoff drops them and the join width collapses
+    // to the true near-dup candidates
+    val boiler = "shared disclaimer footer." // 25 chars -> ~21 df=82 shingles
+    // genuinely unique per-doc body: every token carries the doc id, so
+    // cross-doc shingle overlap is (almost) only the boilerplate
+    def unique(i: Long) =
+      (0 until 26).map(j => s"t${i}v$j").mkString(" ") + " "
+    val d = ((0L until 80L).map(i => (i, unique(i) + boiler)) ++
+      Seq(900L -> ("the quick brown fox jumps over the lazy dog again and again until done. " + boiler),
+        901L -> ("the quick brown fox jumps over the lazy dog again and again until dusk. " + boiler)))
+      .toDF("doc_id", "text")
+    // guard sanity: ~21 dropped types vs t*s_min ~ 0.6*90 -> cutoff ACTIVE
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", 5, 0.6, maxShingleDf = 40)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exhaustive = Dedup.ngramJaccardPairs(d, "doc_id", "text", 5, 0.6, maxShingleDf = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == exhaustive)
+    assert(pairs.contains((900L, 901L)))
+    // the corpus really contains over-cap shingles (df = 82 > 40), so the
+    // identical result above went through the cutoff path, with the
+    // worst surviving join key bounded by the cap
+    val maxDf = Dedup.shingleTable(d, "doc_id", "text", 5)
+      .groupBy("shingle").count().agg(max("count")).as[Long].head()
+    assert(maxDf > 40)
+  }
+
   test("carried-signature lsh shape produces the identical pair set") {
     // the two physical shapes run the same prefilter predicate at different
     // points; the RESULT contract is exact equality (pairs AND jaccard)
