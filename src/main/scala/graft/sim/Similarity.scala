@@ -109,20 +109,37 @@ object Similarity {
     * nearest lists and exact cosine re-ranks only those candidates. The
     * other classic ANN shape next to LSH: recall/cost dial = nProbe/nLists,
     * candidate fraction ~ nProbe/nLists of the corpus. Deterministic via
-    * the k-means seed. */
+    * the k-means seed.
+    *
+    * Index-build scaling: k-means fits on a deterministic Bernoulli sample
+    * capped at `maxFitRows` (md5-threshold sampling — reproducible across
+    * runs and engines), never the full corpus; the full corpus is only
+    * TRANSFORMED (one narrow pass) into its inverted lists. Coarse
+    * quantizers are trained on samples in every production ANN index for
+    * the same reason (centroid quality saturates long before corpus size);
+    * correctness does not depend on centroid quality — probing all lists
+    * is exact regardless (pinned by SimilaritySpec), centroids only move
+    * the recall/cost dial. Corpora at or below the cap fit on everything,
+    * so small-scale results are unchanged. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
-              seed: Long = 42): DataFrame = {
+              seed: Long = 42, maxFitRows: Int = 100000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
-    val trainable = c.withColumn("features", array_to_vector(col("cv"))).cache()
+    val n = c.count() // metadata-sized driver aggregate (one long)
+    val fitInput =
+      if (n <= maxFitRows) c
+      else graft.ops.Sampling.bernoulli(c, "neighbor_id", maxFitRows.toDouble / n)
+    val trainable = fitInput.withColumn("features", array_to_vector(col("cv"))).cache()
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
       .fit(trainable)
-    val assigned = model.transform(trainable)
+    trainable.unpersist()
+    val assigned = model.transform(
+        c.withColumn("features", array_to_vector(col("cv"))))
       .select(col("neighbor_id"), col("cv"), col("prediction").as("list_id"))
     // query-side probing: rank all centroids per query by L2, keep nProbe
     val centroids = model.clusterCenters.zipWithIndex.map { case (v, i) =>

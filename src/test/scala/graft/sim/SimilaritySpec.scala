@@ -66,6 +66,25 @@ class SimilaritySpec extends SparkSpec {
     assert(rLow > 0.0)
   }
 
+  test("ivf sampled fit: full probe stays exact, capped fit input still clusters") {
+    // force the sampled-fit path (corpus > maxFitRows): correctness must
+    // not depend on centroid quality — probing every list is exact search
+    // whatever the quantizer learned from the sample
+    val queries = emb.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val full = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 3,
+        nLists = 16, nProbe = 16, maxFitRows = 100)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == exact, s"sampled-fit full probe diverged: ${exact -- full}")
+    // the partial probe still returns k results per query and recall > 0
+    val partial = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 3,
+        nLists = 16, nProbe = 4, maxFitRows = 100)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect partial).size.toDouble / exact.size
+    assert(recall > 0.0, s"sampled-fit recall collapsed: $recall")
+  }
+
   test("lsh buckets are deterministic across invocations") {
     val b1 = Similarity.lshBuckets(emb, "vec_id", "embedding", 12)
       .select("id", "bucket").as[(Long, Long)].collect().toMap
