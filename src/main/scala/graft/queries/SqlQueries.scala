@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, IntegerLiteral}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** The SQL-text tier of the gate: the same operators, driven end-to-end
+  * through `spark.sql(...)` strings instead of the DataFrame API, against
+  * the same DuckDB oracles as their DataFrame twins (q71<->q01, q72<->q56,
+  * q73<->q50, q74<->q52).
+  *
+  * The engine's custom expressions are SQL-callable two ways: at session
+  * build via `spark.sql.extensions=graft.GraftExtensions`, or on a live
+  * session via [[ensureSurface]] (temp-function registration with the SAME
+  * builders the extension injects, plus temp views over the gate tables).
+  * The gate uses the live-session path because the driver owns session
+  * construction.
+  */
+object SqlQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Idempotent: temp views for the gate tables + the engine's SQL
+    * functions on a live session. createOrReplaceTempView/TempFunction are
+    * both replace-on-conflict, so repeated calls (one per gate query) are
+    * safe and cheap. */
+  def ensureSurface(s: SparkSession, dir: String): Unit = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.events(s, dir).createOrReplaceTempView("events")
+    Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
+    ColumnBridge.registerFunction(s, "cosine_similarity",
+      (args: Seq[Expression]) =>
+        graft.functions.CosineSimilarity(args(0), args(1)))
+    ColumnBridge.registerFunction(s, "quantile_sketch",
+      graft.functions.GraftFunctions.quantileSketchBuilder)
+    ColumnBridge.registerFunction(s, "kmv_distinct",
+      (args: Seq[Expression]) => {
+        val k = args match {
+          case Seq(_) => 1024
+          case Seq(_, IntegerLiteral(v)) => v
+          case _ => throw new IllegalArgumentException(
+            "usage: kmv_distinct(col[, k literal])")
+        }
+        graft.functions.KmvDistinct(args.head, k).toAggregateExpression()
+      })
+  }
+
+  /** q01's pricing summary as pure SQL text — the plain-SQL baseline of
+    * the tier (no custom functions), sharing q01's oracle verbatim. */
+  val sqlPricingSummary: Q = (s, dir) => {
+    ensureSurface(s, dir)
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) AS sum_qty,
+        round(sum(l_extendedprice), 2) AS sum_base_price,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        round(avg(l_quantity), 4) AS avg_qty,
+        round(avg(l_discount), 6) AS avg_disc,
+        count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY 1, 2 ORDER BY 1, 2""")
+  }
+
+  /** q56's bounded-assert sketch percentiles with the engine's
+    * `quantile_sketch` TypedImperativeAggregate called FROM SQL — proves
+    * the custom aggregate registers, parses, aggregates and merges through
+    * the SQL tier. Same oracle as q56. */
+  val sqlSketchPercentiles: Q = (s, dir) => {
+    ensureSurface(s, dir)
+    s.sql("""
+      WITH agg AS (
+        SELECT event_type,
+          quantile_sketch(value, array(0.5D, 0.9D, 0.99D), 200) AS sq,
+          round(percentile(value, 0.5), 4) AS exact_q50,
+          round(percentile(value, 0.9), 4) AS exact_q90,
+          percentile(value, 0.47) AS p47, percentile(value, 0.53) AS p53,
+          percentile(value, 0.87) AS p87, percentile(value, 0.93) AS p93,
+          percentile(value, 0.96) AS p96, max(value) AS mx
+        FROM events GROUP BY event_type)
+      SELECT event_type, exact_q50, exact_q90,
+        sq[0] >= p47 AND sq[0] <= p53 AS q50_within_rank_3pct,
+        sq[1] >= p87 AND sq[1] <= p93 AS q90_within_rank_3pct,
+        sq[2] >= p96 AND sq[2] <= mx AS q99_within_rank_3pct
+      FROM agg ORDER BY event_type""")
+  }
+
+  /** q50's exact kNN with the codegen'd `cosine_similarity` expression
+    * called FROM SQL. Same oracle as q50. */
+  val sqlKnn: Q = (s, dir) => {
+    ensureSurface(s, dir)
+    s.sql("""
+      WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          cosine_similarity(CAST(q.embedding AS ARRAY<DOUBLE>),
+                            CAST(c.embedding AS ARRAY<DOUBLE>)) AS cs
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 5),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY cs DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, rank FROM ranked
+      WHERE rank <= 3 ORDER BY query_id, rank""")
+  }
+
+  /** q52's bounded-assert approximate distinct with the engine's
+    * `kmv_distinct` sketch called FROM SQL (k passed as a SQL literal).
+    * Same oracle as q52. */
+  val sqlApproxDistinct: Q = (s, dir) => {
+    ensureSurface(s, dir)
+    s.sql("""
+      WITH agg AS (
+        SELECT event_type,
+          approx_count_distinct(user_id, 0.02) AS hll,
+          kmv_distinct(user_id, 1024) AS kmv,
+          count(DISTINCT user_id) AS exact_users
+        FROM events GROUP BY event_type)
+      SELECT event_type, exact_users,
+        abs(hll - exact_users) * 20 <= exact_users AS hll_within_5pct,
+        abs(kmv - exact_users) * 20 <= exact_users AS kmv_within_5pct
+      FROM agg ORDER BY event_type""")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q71_sql_pricing_summary" -> sqlPricingSummary,
+    "q72_sql_sketch_percentiles" -> sqlSketchPercentiles,
+    "q73_sql_knn" -> sqlKnn,
+    "q74_sql_approx_distinct" -> sqlApproxDistinct)
+
+  val oracles: Map[String, String] = Map(
+    "q71_sql_pricing_summary" -> RelationalQueries.oracles("q01_pricing_summary"),
+    "q72_sql_sketch_percentiles" -> CorpusQueries.oracles("q56_sketch_percentiles"),
+    "q73_sql_knn" -> CorpusQueries.oracles("q50_knn_brute_force"),
+    "q74_sql_approx_distinct" -> CorpusQueries.oracles("q52_approx_distinct"))
+}

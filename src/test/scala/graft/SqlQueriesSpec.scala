@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** The SQL-text tier must produce exactly what its DataFrame twins
+  * produce — same rows, same values — through spark.sql strings using the
+  * live-session-registered engine functions (cosine_similarity,
+  * quantile_sketch, kmv_distinct). */
+class SqlQueriesSpec extends SparkSpec {
+
+  private def canon(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.map(col)
+    df.select(cols.toIndexedSeq: _*).collect().map(_.toString).sorted.toSeq
+  }
+
+  test("sql-text queries equal their DataFrame twins row for row") {
+    val dir = "/root/testdata/sf0.001"
+    val twins = Seq(
+      "q71_sql_pricing_summary" -> "q01_pricing_summary",
+      "q72_sql_sketch_percentiles" -> "q56_sketch_percentiles",
+      "q73_sql_knn" -> "q50_knn_brute_force",
+      "q74_sql_approx_distinct" -> "q52_approx_distinct")
+    for ((sqlName, dfName) <- twins) {
+      val viaSql = canon(SparkEntry.queries(sqlName)(spark, dir))
+      val viaDf = canon(SparkEntry.queries(dfName)(spark, dir))
+      assert(viaSql == viaDf, s"$sqlName diverged from $dfName")
+      assert(viaSql.nonEmpty)
+    }
+  }
+
+  test("sql tier repeats safely on one session (idempotent registration)") {
+    val dir = "/root/testdata/sf0.001"
+    val first = canon(SparkEntry.queries("q74_sql_approx_distinct")(spark, dir))
+    val second = canon(SparkEntry.queries("q74_sql_approx_distinct")(spark, dir))
+    assert(first == second)
+  }
+}
