@@ -76,10 +76,14 @@ object Contamination {
     val corpusGrams = corpus.select(col(idCol).as("id"),
         explode(array_distinct(TextFunctions.wordGrams(col(textCol), n))).as("g"))
       .select(col("id"), xxhash64(col("g")).as("gh"))
+    // cached: the benchmark gram table is the SMALL side by definition
+    // (that is why this operator exists) and is read up to three times —
+    // sizing count, bloom build, exact re-check of the flagged sliver
     val benchGrams = benchmark.select(
         explode(array_distinct(TextFunctions.wordGrams(col(textCol), n))).as("g"))
       .select(xxhash64(col("g")).as("gh"))
       .distinct()
+      .cache()
 
     val items = if (expectedItems > 0) expectedItems else math.max(benchGrams.count(), 1L)
     // optimal bits for target fpp: m = -n ln(p) / (ln 2)^2

@@ -1,0 +1,66 @@
+package graft.tools
+
+import graft.dedup.Contamination
+import graft.functions.TextFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc stage profiler for the bloom-decontamination path (not part of
+  * the gate): times the bloom build, the narrow stats pass, and the
+  * flagged-sliver exact join separately, vs the broadcast scorer. */
+object ProfileBloom {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.NanosAsLongConf, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[profile] $label%-34s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+
+    val docs = Tables.documents(spark, sfDir)
+    docs.count() // warm IO
+    val benchmark = docs.where(col("doc_id") % 20 === 0)
+
+    for (i <- 1 to 2) {
+      spark.catalog.clearCache()
+      println(s"== pass $i ==")
+      val corpusGrams = docs.select(col("doc_id").as("id"),
+          explode(array_distinct(TextFunctions.wordGrams(col("text"), 3))).as("g"))
+        .select(col("id"), xxhash64(col("g")).as("gh"))
+      val benchGrams = benchmark.select(
+          explode(array_distinct(TextFunctions.wordGrams(col("text"), 3))).as("g"))
+        .select(xxhash64(col("g")).as("gh")).distinct().cache()
+      time("bench grams count")(benchGrams.count())
+      time("corpus grams count")(corpusGrams.count())
+      time("stats pass (bloom probe agg)") {
+        val items = benchGrams.count()
+        val numBits = math.max(64L,
+          math.ceil(-items * math.log(0.01) / math.pow(math.log(2), 2)).toLong)
+        corpusGrams.groupBy("id").agg(count(lit(1))).count()
+      }
+      time("exact join all-flagged (q46 shape)") {
+        corpusGrams.join(broadcast(benchGrams.withColumn("__hit", lit(1L))), Seq("gh"), "left_outer")
+          .groupBy("id").agg(count(lit(1))).count()
+      }
+      time("exact join NO broadcast hint") {
+        corpusGrams.join(benchGrams.withColumn("__hit", lit(1L)), Seq("gh"), "left_outer")
+          .groupBy("id").agg(count(lit(1))).count()
+      }
+      time("full q46 scores")(
+        Contamination.scores(docs, benchmark, "doc_id", "text", 3).count())
+      time("full q70 bloom")(
+        Contamination.scoresBloomPrefiltered(docs, benchmark, "doc_id", "text", 3).count())
+    }
+    spark.stop()
+  }
+}
