@@ -8,7 +8,7 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 /** The SQL-text tier of the gate: the same operators, driven end-to-end
   * through `spark.sql(...)` strings instead of the DataFrame API, against
   * the same DuckDB oracles as their DataFrame twins (q71<->q01, q72<->q56,
-  * q73<->q50, q74<->q52).
+  * q73<->q50, q74<->q52, q75<->q17).
   *
   * The engine's custom expressions are SQL-callable two ways: at session
   * build via `spark.sql.extensions=graft.GraftExtensions`, or on a live
@@ -123,15 +123,54 @@ object SqlQueries {
       FROM agg ORDER BY event_type""")
   }
 
+  /** q17's as-of join expressed entirely in SQL text — the union +
+    * tie-aware ordering + ignore-nulls carry-forward shape of
+    * `ops.AsOfJoin`, gated against the same DuckDB native ASOF JOIN
+    * oracle. Right rows sort before left rows at equal ts so an
+    * exact-tie match is visible, exactly like the DataFrame form. */
+  val sqlAsOf: Q = (s, dir) => {
+    ensureSurface(s, dir)
+    s.sql("""
+      WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      signups AS (
+        SELECT user_id, ts, round(value, 4) AS signup_value
+        FROM events WHERE event_type = 'signup'),
+      unioned AS (
+        SELECT user_id, ts, CAST(NULL AS BIGINT) AS event_id,
+          ts AS s_ts, signup_value, 0 AS is_left
+        FROM signups
+        UNION ALL
+        SELECT user_id, ts, event_id,
+          CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE), 1
+        FROM purchases),
+      carried AS (
+        SELECT user_id, ts, event_id, is_left,
+          last_value(s_ts, true) OVER (PARTITION BY user_id
+            ORDER BY ts ASC, is_left ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_ts,
+          last_value(signup_value, true) OVER (PARTITION BY user_id
+            ORDER BY ts ASC, is_left ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv
+        FROM unioned)
+      SELECT event_id, user_id,
+        unix_timestamp(ts) AS purchase_sec,
+        unix_timestamp(asof_ts) AS signup_sec,
+        sv AS signup_value
+      FROM carried WHERE is_left = 1 ORDER BY event_id""")
+  }
+
   val all: Map[String, Q] = Map(
     "q71_sql_pricing_summary" -> sqlPricingSummary,
     "q72_sql_sketch_percentiles" -> sqlSketchPercentiles,
     "q73_sql_knn" -> sqlKnn,
-    "q74_sql_approx_distinct" -> sqlApproxDistinct)
+    "q74_sql_approx_distinct" -> sqlApproxDistinct,
+    "q75_sql_asof" -> sqlAsOf)
 
   val oracles: Map[String, String] = Map(
     "q71_sql_pricing_summary" -> RelationalQueries.oracles("q01_pricing_summary"),
     "q72_sql_sketch_percentiles" -> CorpusQueries.oracles("q56_sketch_percentiles"),
     "q73_sql_knn" -> CorpusQueries.oracles("q50_knn_brute_force"),
-    "q74_sql_approx_distinct" -> CorpusQueries.oracles("q52_approx_distinct"))
+    "q74_sql_approx_distinct" -> CorpusQueries.oracles("q52_approx_distinct"),
+    "q75_sql_asof" -> RelationalQueries.oracles("q17_asof_join"))
 }
