@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed (pre-partitioned) storage for shuffle-free repeated joins —
+  * the co-location tool for the 100 TB tier.
+  *
+  * A join or aggregation on key k normally exchanges BOTH sides on k every
+  * time it runs. When a table is written `bucketBy(n, k)` + `sortBy(k)`,
+  * its on-disk layout IS a hash partitioning of k: every later join
+  * against another table bucketed the same way (same n, same k), and every
+  * groupBy on k, reads the buckets as its required distribution and plans
+  * ZERO exchanges — the shuffle is paid once at write time and amortized
+  * over every subsequent query. That trade is the backbone of a fact table
+  * that is joined daily: at a thousand executors the exchange is the
+  * dominant cost, and bucketing deletes it from the steady state.
+  *
+  * Bucketed data lives in the session catalog (`saveAsTable` — bucket
+  * metadata cannot ride on a bare parquet path). `BucketingSpec` pins the
+  * no-Exchange plans for bucket-join, bucket-groupBy, and the negative
+  * case (a mis-bucketed side reintroduces the exchange).
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed+sorted catalog table (overwrite).
+    * Idempotent against a stale warehouse: a previous session's table dir
+    * without catalog metadata (crash, new in-memory catalog) would fail
+    * CTAS with LOCATION_ALREADY_EXISTS, so both the catalog entry and the
+    * default managed location are cleared first. */
+  def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
+                    keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "bucketing needs at least one key column")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = new java.net.URI(
+      spark.sessionState.conf.getConfString("spark.sql.warehouse.dir"))
+    val stale = new java.io.File(
+      new java.io.File(warehouse.getPath), table.toLowerCase)
+    if (stale.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(stale)
+    }
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Equi-join two same-bucketed tables on their bucket keys. With equal
+    * bucket counts on both sides the physical plan contains no Exchange:
+    * each task merge-joins one bucket pair in place. */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   keys: Seq[String]): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), keys)
+}

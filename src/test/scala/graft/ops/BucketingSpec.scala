@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Bucketed co-location: the write-once shuffle must actually delete the
+  * exchanges from later joins and aggregations — asserted on the physical
+  * plans, not assumed. */
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("same-bucketed join and groupBy plan zero exchanges") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val users = ev.select("user_id", "event_type", "value")
+    val profile = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), round(avg("value"), 4).as("avg_value"))
+    Bucketing.writeBucketed(users, "bkt_events", 8, Seq("user_id"))
+    Bucketing.writeBucketed(profile, "bkt_profile", 8, Seq("user_id"))
+
+    // disable broadcast: at test size the optimizer would broadcast the
+    // small side (with its BroadcastExchange) and skip the bucketed path
+    // entirely — the shape under proof is the big-big join, where both
+    // sides read their buckets and NO exchange of any kind appears
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = Bucketing.bucketedJoin(spark, "bkt_events", "bkt_profile",
+        Seq("user_id"))
+      val jPlan = plan(joined)
+      assert(!jPlan.contains("Exchange"),
+        s"bucketed join still shuffles: ${jPlan.take(1500)}")
+      assert(jPlan.contains("Bucketed: true"),
+        s"scan did not use buckets: ${jPlan.take(1500)}")
+
+      // correctness, not just shape: equals the plain join on raw frames
+      val expected = users.join(profile, Seq("user_id"))
+        .collect().map(_.toString).sorted.toSeq
+      val got = joined.collect().map(_.toString).sorted.toSeq
+      assert(got == expected)
+
+      // aggregation on the bucket key also rides the on-disk distribution
+      val aggPlan = plan(spark.table("bkt_events").groupBy("user_id")
+        .agg(sum("value")))
+      assert(!aggPlan.contains("Exchange"),
+        s"bucketed groupBy still shuffles: ${aggPlan.take(1500)}")
+    }
+  }
+
+  test("a non-bucketed side reintroduces the exchange (negative control)") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    Bucketing.writeBucketed(ev.select("user_id", "value"), "bkt_left", 8,
+      Seq("user_id"))
+    val raw = ev.select(col("user_id"), col("event_type"))
+    // disable broadcast so the join must pick a distribution for both sides
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = spark.table("bkt_left").join(raw, Seq("user_id"))
+      assert(plan(joined).contains("Exchange"),
+        "expected the raw side to shuffle")
+    }
+  }
+
+  private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
+    val conf = spark.conf
+    val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+}
