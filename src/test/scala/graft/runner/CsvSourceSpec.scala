@@ -1,68 +1,72 @@
 package graft.runner
 
+import graft.SparkSpec
+import graft.config.PipelineConfig
+import graft.connect.{CsvSource, ParquetSource, ParquetStage, ParquetTarget}
+import graft.ledger.Ledger
+import graft.sources.Tables
 import java.nio.file.Files
 import java.time.{ZoneId, ZonedDateTime}
 
-import graft.SparkSpec
-import graft.config.PipelineConfig
-import graft.connect.{ParquetSource, ParquetStage, ParquetTarget}
-import graft.ledger.{DriveRecord, Ledger}
-import org.apache.spark.sql.functions._
-
-/** Source-format breadth: the connector traits take any DataFrame-backed
-  * source (`base` is lazily re-planned), so a CSV system-of-record plugs
-  * into the identical pipeline — same window predicate, same audit counts,
-  * parquet staging/target unchanged. This spec round-trips the events table
-  * through CSV and runs the full 4-stage pipeline over it.
-  */
+/** The CSV source connector must be a drop-in for the parquet source:
+  * identical window counts and extracts after a lossless parquet->csv
+  * round trip, and the full pipeline over it audits the same. */
 class CsvSourceSpec extends SparkSpec {
 
-  test("full pipeline over a CSV source completes and audits") {
-    // stage the events table as CSV (timestamps as ISO strings)
-    val csvDir = Files.createTempDirectory("graft_csv_src").toString
-    graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
-      .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
-        col("user_id"), col("event_type"), col("value"))
-      .coalesce(1)
-      .write.option("header", "true").csv(s"$csvDir/events")
+  private val clockNow = ZonedDateTime.of(2024, 1, 2, 10, 30, 0, 0, ZoneId.of("UTC"))
 
-    val csvEvents = spark.read
+  // write the events table as CSV once (microsecond timestamp format —
+  // Spark timestamps are µs, so the round trip is lossless)
+  private lazy val csvDir: String = {
+    val dir = Files.createTempDirectory("graft_csv_events").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .coalesce(2).write.mode("overwrite")
       .option("header", "true")
-      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
-      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
-      .csv(s"$csvDir/events")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .csv(dir)
+    dir
+  }
 
-    val root = Files.createTempDirectory("graft_csv_run").toString
-    val cfg = PipelineConfig.fromMap(Map(
-      "root_dir" -> root,
-      "granularity" -> "1h",
-      "x_time_back" -> "2h",
-      "max_pipeline_runs" -> "5"))
-    val ledger = new Ledger(spark, cfg.ledgerPath)
-    val runner = new PipelineRunner(spark, cfg, ledger,
-      new ParquetSource(spark, cfg, csvEvents),
-      new ParquetStage(spark, cfg),
-      new ParquetTarget(spark, cfg),
-      clock = () => ZonedDateTime.of(2024, 1, 2, 10, 30, 0, 0, ZoneId.of("UTC")),
-      auditWait = _ => ())
-    val s = runner.run()
-    assert(s.succeeded == 5 && s.failed == 0, s.toString)
+  private def cfgAt(root: String) = PipelineConfig.fromMap(Map(
+    "root_dir" -> root, "granularity" -> "1h", "x_time_back" -> "2h"))
 
-    val done = ledger.readScoped(cfg).collect()
-      .filter(_.pipeline_status == DriveRecord.Status.Completed)
-    assert(done.length == 5)
-    assert(done.forall(_.count_match_status.contains("matched")))
-
-    // counts through the CSV path equal the parquet path's ground truth
-    val truth = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
-    done.foreach { r =>
-      val w = graft.time.TimeWindow(
-        r.source_query_window_start_time.get.toInstant.atZone(ZoneId.of("UTC")),
-        r.source_query_window_end_time.get.toInstant.atZone(ZoneId.of("UTC")))
-      val expected = truth.where(
-        graft.connect.Connectors.windowPredicate(col("ts"), w)).count()
-      assert(r.source_count.contains(expected),
-        s"window ${r.source_query_window_start_time}: csv=${r.source_count} truth=$expected")
+  test("csv source equals the parquet source per window (counts and rows)") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val cfg = cfgAt(Files.createTempDirectory("graft_csv_cmp").toString)
+    val pq = new ParquetSource(spark, cfg, events)
+    val csv = new CsvSource(spark, cfg, csvDir, events.schema)
+    val windows = graft.time.TimeUtil.generateWindows(
+      ZonedDateTime.of(2024, 1, 1, 0, 0, 0, 0, ZoneId.of("UTC")),
+      ZonedDateTime.of(2024, 1, 1, 6, 0, 0, 0, ZoneId.of("UTC")),
+      graft.time.Granularity.parse("1h"))
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(csv.count(w) == pq.count(w), s"count diverged for $w")
+      val a = csv.extract(w).collect().map(_.toString).sorted.toSeq
+      val b = pq.extract(w).collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"extract diverged for $w")
     }
+    assert(windows.map(pq.count).sum > 0, "all comparison windows empty")
+  }
+
+  test("full pipeline over the csv source audits identically to parquet") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    def run(mkSource: PipelineConfig => graft.connect.SourceConnector) = {
+      val cfg = cfgAt(Files.createTempDirectory("graft_csv_run").toString)
+      val ledger = new Ledger(spark, cfg.ledgerPath)
+      val runner = new PipelineRunner(spark, cfg, ledger,
+        mkSource(cfg), new ParquetStage(spark, cfg), new ParquetTarget(spark, cfg),
+        clock = () => clockNow, auditWait = _ => ())
+      val s = runner.run()
+      val rows = ledger.readScoped(cfg).collect()
+        .map(r => (r.source_query_window_start_time, r.pipeline_status,
+          r.source_count, r.target_count, r.count_match_status)).sortBy(_._1)
+      (s, rows.toSeq)
+    }
+    val (ps, pRows) = run(cfg => new ParquetSource(spark, cfg, events))
+    val (cs, cRows) = run(cfg => new CsvSource(spark, cfg, csvDir, events.schema))
+    assert(cs == ps, s"RunSummary diverged: csv=$cs parquet=$ps")
+    assert(cRows == pRows, "ledger rows diverged between csv and parquet sources")
+    assert(cs.succeeded > 0)
   }
 }
