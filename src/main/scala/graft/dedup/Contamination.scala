@@ -73,9 +73,6 @@ object Contamination {
                              idCol: String, textCol: String, n: Int = 3,
                              expectedItems: Long = -1L,
                              fpp: Double = 0.01): DataFrame = {
-    val corpusGrams = corpus.select(col(idCol).as("id"),
-        explode(array_distinct(TextFunctions.wordGrams(col(textCol), n))).as("g"))
-      .select(col("id"), xxhash64(col("g")).as("gh"))
     // cached: the benchmark gram table is the SMALL side by definition
     // (that is why this operator exists) and is read up to three times —
     // sizing count, bloom build, exact re-check of the flagged sliver
@@ -95,29 +92,38 @@ object Contamination {
     def mightContain(c: org.apache.spark.sql.Column) = ColumnBridge.column(
       BloomFilterMightContain(Literal(bloomBytes, BinaryType), ColumnBridge.expression(c)))
 
-    // narrow corpus pass: per-doc gram total + bloom-flagged count
-    val stats = corpusGrams
-      .groupBy("id")
-      .agg(count(lit(1)).as("total_grams"),
-        sum(when(mightContain(col("gh")), 1L).otherwise(0L)).as("bloom_matched"))
+    // Per-doc pass, array-native — NO shuffle and NO groupBy: the gram
+    // total is the array size and the bloom probe runs inside a `filter`
+    // lambda, so the whole stats computation is a narrow per-row project.
+    // Only the bloom-flagged gram hashes survive into the cached frame
+    // (empty arrays for the clean majority), which both bounds the cache
+    // and means the exact re-check below never re-tokenizes text — the
+    // single-tokenization fusion that the 2-pass form paid for twice.
+    val perDoc = corpus.select(col(idCol).as("id"),
+        transform(array_distinct(TextFunctions.wordGrams(col(textCol), n)),
+          g => xxhash64(g)).as("ghs"))
+      .select(col("id"), size(col("ghs")).cast("long").as("total_grams"),
+        filter(col("ghs"), g => mightContain(g)).as("fl"))
       .cache()
-    val clean = stats.where(col("bloom_matched") === 0)
+
+    val clean = perDoc.where(size(col("fl")) === 0)
       .select(col("id"), col("total_grams"), lit(0L).as("matched_grams"),
         lit(0.0).as("contamination"))
 
     // Flagged sliver: exact re-check removes the bloom's false positives.
-    // Deliberately NO broadcast hint on the benchmark side — this path
-    // exists precisely for benchmarks too big to broadcast; the flagged
-    // gram list is the small side and the optimizer is free to pick the
-    // join strategy per actual sizes.
-    val flaggedIds = stats.where(col("bloom_matched") > 0).select("id")
-    val flagged = corpusGrams.join(flaggedIds, Seq("id"), "left_semi")
+    // A true match is always bloom-flagged (no false negatives), so only
+    // the flagged gram hashes need the join. Deliberately NO broadcast
+    // hint on the benchmark side — this path exists precisely for
+    // benchmarks too big to broadcast; the flagged gram list is the small
+    // side and the optimizer is free to pick the join strategy per sizes.
+    val flagged = perDoc.where(size(col("fl")) > 0)
+      .select(col("id"), col("total_grams"), explode(col("fl")).as("gh"))
       .join(benchGrams.withColumn("__hit", lit(1L)), Seq("gh"), "left_outer")
-      .groupBy("id")
-      .agg(count(lit(1)).as("total_grams"),
-        coalesce(sum(col("__hit")), lit(0L)).as("matched_grams"))
-      .withColumn("contamination",
-        col("matched_grams").cast("double") / col("total_grams"))
+      .groupBy("id", "total_grams")
+      .agg(coalesce(sum(col("__hit")), lit(0L)).as("matched_grams"))
+      .select(col("id"), col("total_grams"), col("matched_grams"),
+        (col("matched_grams").cast("double") / col("total_grams"))
+          .as("contamination"))
     clean.unionByName(flagged)
   }
 }
