@@ -1,0 +1,55 @@
+package graft.runner
+
+import graft.SparkSpec
+import graft.config.PipelineConfig
+import graft.connect.{JsonSource, OrcSource, ParquetSource, SourceConnector}
+import graft.sources.Tables
+import java.nio.file.Files
+import java.time.{ZoneId, ZonedDateTime}
+
+/** Every alternate source format must own exactly the rows the parquet
+  * source owns, window by window — the shared `Connectors.sourceFilters`
+  * makes that structural, this spec makes it observed. (CSV has its own
+  * deeper spec, `CsvSourceSpec`, which also runs the full pipeline.) */
+class SourceFormatParitySpec extends SparkSpec {
+
+  private lazy val events = Tables.events(spark, "/root/testdata/sf0.001")
+
+  private lazy val cfg = PipelineConfig.fromMap(Map(
+    "root_dir" -> Files.createTempDirectory("graft_fmt_cfg").toString,
+    "granularity" -> "1h", "x_time_back" -> "2h"))
+
+  private def windows = graft.time.TimeUtil.generateWindows(
+    ZonedDateTime.of(2024, 1, 1, 0, 0, 0, 0, ZoneId.of("UTC")),
+    ZonedDateTime.of(2024, 1, 1, 6, 0, 0, 0, ZoneId.of("UTC")),
+    graft.time.Granularity.parse("1h"))
+
+  private def assertParity(alt: SourceConnector, label: String): Unit = {
+    val pq = new ParquetSource(spark, cfg, events)
+    assert(windows.nonEmpty)
+    var total = 0L
+    windows.foreach { w =>
+      val n = pq.count(w)
+      total += n
+      assert(alt.count(w) == n, s"$label: count diverged for $w")
+      val a = alt.extract(w).collect().map(_.toString).sorted.toSeq
+      val b = pq.extract(w).collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"$label: extract diverged for $w")
+    }
+    assert(total > 0, "all comparison windows empty")
+  }
+
+  test("ndjson source equals the parquet source per window") {
+    val dir = Files.createTempDirectory("graft_json_events").toString
+    events.coalesce(2).write.mode("overwrite")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .json(dir)
+    assertParity(new JsonSource(spark, cfg, dir, events.schema), "json")
+  }
+
+  test("orc source equals the parquet source per window") {
+    val dir = Files.createTempDirectory("graft_orc_events").toString
+    events.coalesce(2).write.mode("overwrite").orc(dir)
+    assertParity(new OrcSource(spark, cfg, dir), "orc")
+  }
+}
