@@ -69,6 +69,48 @@ object Contamination {
     * @param expectedItems expected distinct benchmark grams (sizes the
     *                      sketch); -1 = count them first (one tiny job)
     */
+  /** The benchmark's distinct gram hashes — the exact-match side of every
+    * decontamination shape. */
+  private[graft] def benchGramTable(benchmark: DataFrame, textCol: String,
+                                    n: Int): DataFrame =
+    benchmark.select(
+        explode(array_distinct(TextFunctions.wordGrams(col(textCol), n))).as("g"))
+      .select(xxhash64(col("g")).as("gh"))
+      .distinct()
+
+  /** Build the benchmark-gram Bloom sketch as driver-side bytes. A few MB
+    * even at 1e8 grams, so it embeds in any later plan as a literal —
+    * batch or streaming. */
+  def benchmarkBloom(benchGrams: DataFrame, expectedItems: Long = -1L,
+                     fpp: Double = 0.01): Array[Byte] = {
+    val items = if (expectedItems > 0) expectedItems else math.max(benchGrams.count(), 1L)
+    // optimal bits for target fpp: m = -n ln(p) / (ln 2)^2
+    val numBits = math.max(64L, math.ceil(-items * math.log(fpp) / math.pow(math.log(2), 2)).toLong)
+    benchGrams.select(ColumnBridge.column(
+        new BloomFilterAggregate(ColumnBridge.expression(col("gh")),
+          Literal(items), Literal(numBits)).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Codegen Bloom probe (Catalyst's own `BloomFilterMightContain`, no UDF). */
+  def mightContain(bloomBytes: Array[Byte],
+                   c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ColumnBridge.column(
+      BloomFilterMightContain(Literal(bloomBytes, BinaryType), ColumnBridge.expression(c)))
+
+  /** Per-row contamination screen: (total distinct grams, bloom-flagged gram
+    * hashes) as two columns. A pure narrow projection — no shuffle, no
+    * state — so the SAME screen runs over a batch corpus or a streaming
+    * ingest feed. `flagged` empty ⇒ the doc is PROVEN contamination-free
+    * (Bloom filters have no false negatives). */
+  def bloomScreenCols(textCol: org.apache.spark.sql.Column, n: Int,
+                      bloomBytes: Array[Byte])
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val ghs = transform(array_distinct(TextFunctions.wordGrams(textCol, n)),
+      g => xxhash64(g))
+    (size(ghs).cast("long"), filter(ghs, g => mightContain(bloomBytes, g)))
+  }
+
   def scoresBloomPrefiltered(corpus: DataFrame, benchmark: DataFrame,
                              idCol: String, textCol: String, n: Int = 3,
                              expectedItems: Long = -1L,
@@ -76,21 +118,8 @@ object Contamination {
     // cached: the benchmark gram table is the SMALL side by definition
     // (that is why this operator exists) and is read up to three times —
     // sizing count, bloom build, exact re-check of the flagged sliver
-    val benchGrams = benchmark.select(
-        explode(array_distinct(TextFunctions.wordGrams(col(textCol), n))).as("g"))
-      .select(xxhash64(col("g")).as("gh"))
-      .distinct()
-      .cache()
-
-    val items = if (expectedItems > 0) expectedItems else math.max(benchGrams.count(), 1L)
-    // optimal bits for target fpp: m = -n ln(p) / (ln 2)^2
-    val numBits = math.max(64L, math.ceil(-items * math.log(fpp) / math.pow(math.log(2), 2)).toLong)
-    val bloomBytes = benchGrams.select(ColumnBridge.column(
-        new BloomFilterAggregate(ColumnBridge.expression(col("gh")),
-          Literal(items), Literal(numBits)).toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
-    def mightContain(c: org.apache.spark.sql.Column) = ColumnBridge.column(
-      BloomFilterMightContain(Literal(bloomBytes, BinaryType), ColumnBridge.expression(c)))
+    val benchGrams = benchGramTable(benchmark, textCol, n).cache()
+    val bloomBytes = benchmarkBloom(benchGrams, expectedItems, fpp)
 
     // Per-doc pass, array-native — NO shuffle and NO groupBy: the gram
     // total is the array size and the bloom probe runs inside a `filter`
@@ -99,11 +128,9 @@ object Contamination {
     // (empty arrays for the clean majority), which both bounds the cache
     // and means the exact re-check below never re-tokenizes text — the
     // single-tokenization fusion that the 2-pass form paid for twice.
+    val (totalC, flaggedC) = bloomScreenCols(col(textCol), n, bloomBytes)
     val perDoc = corpus.select(col(idCol).as("id"),
-        transform(array_distinct(TextFunctions.wordGrams(col(textCol), n)),
-          g => xxhash64(g)).as("ghs"))
-      .select(col("id"), size(col("ghs")).cast("long").as("total_grams"),
-        filter(col("ghs"), g => mightContain(g)).as("fl"))
+        totalC.as("total_grams"), flaggedC.as("fl"))
       .cache()
 
     val clean = perDoc.where(size(col("fl")) === 0)

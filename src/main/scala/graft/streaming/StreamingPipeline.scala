@@ -112,6 +112,23 @@ object StreamingPipeline {
       .withColumn("redacted_text", f.redactPii(t))
   }
 
+  /** Streaming decontamination screen: annotate each arriving document with
+    * its distinct-gram total and the count of grams that probe positive
+    * against the benchmark's Bloom sketch (built ONCE on the batch side via
+    * `Contamination.benchmarkBloom` and embedded in the plan as a literal).
+    * `bloom_suspect_grams = 0` PROVES the doc benchmark-clean (Bloom
+    * filters have no false negatives), so an ingest pipeline passes clean
+    * docs straight through and quarantines the suspect sliver for the
+    * batch exact re-check — the streaming half of the q70 operator. Pure
+    * per-row projection: no shuffle, no state, no watermark needed. */
+  def decontaminationScreen(docs: DataFrame, textCol: String,
+                            bloomBytes: Array[Byte], n: Int = 3): DataFrame = {
+    val (total, flagged) = graft.dedup.Contamination
+      .bloomScreenCols(col(textCol), n, bloomBytes)
+    docs.withColumn("total_grams", total)
+      .withColumn("bloom_suspect_grams", size(flagged).cast("long"))
+  }
+
   /** Stream-stream interval join: match each left event to right events of
     * the same key whose timestamp lies in [left.ts - lookback, left.ts].
     * Both sides carry watermarks and the join condition time-bounds BOTH

@@ -239,4 +239,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
       "stateless text-prep must be identical in batch and streaming")
   }
+
+  test("streaming decontamination screen flags every truly contaminated doc") {
+    val docsPath = s"$dir/documents.parquet"
+    val docs = spark.read.parquet(docsPath)
+    val benchmark = docs.where(col("doc_id") % 7 === 0)
+    val bloom = graft.dedup.Contamination.benchmarkBloom(
+      graft.dedup.Contamination.benchGramTable(benchmark, "text", 3))
+
+    val d = java.nio.file.Files.createTempDirectory("graft_decontam_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(docsPath), d.resolve("docs.parquet"))
+    val stream = spark.readStream.schema(docs.schema).parquet(d.toString)
+    val q = StreamingPipeline.decontaminationScreen(stream, "text", bloom, n = 3)
+      .select("doc_id", "total_grams", "bloom_suspect_grams")
+      .writeStream.format("memory").queryName("decontam_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val screened = spark.table("decontam_test").cache()
+
+    // identical to running the same screen in batch (stateless projection)
+    val batch = StreamingPipeline.decontaminationScreen(docs, "text", bloom, n = 3)
+      .select("doc_id", "total_grams", "bloom_suspect_grams")
+    assert(screened.count() == docs.count())
+    assert(screened.exceptAll(batch).isEmpty && batch.exceptAll(screened).isEmpty)
+
+    // no false negatives: every doc the exact operator scores contaminated
+    // must be a bloom suspect — passing the stream screen PROVES clean
+    val truth = graft.dedup.Contamination
+      .scores(docs, benchmark, "doc_id", "text", n = 3)
+      .where(col("matched_grams") > 0).select(col("id").as("doc_id"))
+    val missed = truth.join(
+      screened.where(col("bloom_suspect_grams") === 0), "doc_id")
+    assert(missed.isEmpty, "bloom screen passed a contaminated doc")
+    assert(screened.where(col("bloom_suspect_grams") === 0).count() > 0,
+      "screen flagged everything — prefilter is vacuous on this corpus")
+  }
 }
