@@ -1,0 +1,123 @@
+package graft.dedup
+
+import graft.dedup.Dedup.cosineSim
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semantic (embedding-space) deduplication, SemDeDup-style (Abbas et al.
+  * 2023, arXiv:2303.09540): k-means partitions the embedding space into
+  * clusters, duplicate candidates are sought ONLY within a cluster, and
+  * survivors of an exact cosine check are collapsed to one representative.
+  *
+  * This is the third member of the embedding-dup family and the one whose
+  * plan survives a billion vectors:
+  * - [[Dedup.embeddingDupPairsExhaustive]]: all-pairs, the oracle baseline;
+  * - [[Dedup.embeddingDupPairs]]: blocked exact — still quadratic work,
+  *   distributed evenly;
+  * - this: quadratic only WITHIN a cluster, so total comparisons drop by
+  *   ~nClusters when the space is well spread — the standard approximation
+  *   trade (a dup pair split across clusters is missed; recall is gated by
+  *   the bounded-assert q78 and measured in SemanticDedupSpec).
+  *
+  * Scale shape: the k-means fit sees a capped deterministic sample (same
+  * policy as Similarity.ivfTopK — centroid quality saturates long before
+  * corpus size); the corpus itself is only TRANSFORMED (one narrow pass) to
+  * a cluster id; the intra-cluster self-join shuffles on cluster id, and
+  * per-pair work is the codegen'd exact cosine. Cluster-size skew is the
+  * operator's known hazard (a mega-cluster re-creates all-pairs), so
+  * oversized clusters beyond `maxClusterSize` are dropped from pairing with
+  * the same documented trade as the LSH mega-bucket guard.
+  */
+object SemanticDedup {
+
+  /** Fitted k-means centroids (driver-side arrays) — fit on a capped
+    * deterministic Bernoulli sample, never the full corpus. */
+  private def fitCentroids(e: DataFrame, nClusters: Int, seed: Long,
+                           maxFitRows: Int): Array[Seq[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val n = e.count() // one long on the driver
+    val fitInput =
+      if (n <= maxFitRows) e
+      else graft.ops.Sampling.bernoulli(e, "id", maxFitRows.toDouble / n)
+    val trainable = fitInput.withColumn("features", array_to_vector(col("v"))).cache()
+    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(10)
+      .fit(trainable)
+    trainable.unpersist()
+    model.clusterCenters.map(_.toArray.toSeq)
+  }
+
+  /** (id, v, cluster) multi-probe assignment: each vector lands in its
+    * `probes` NEAREST clusters (probes=1 is classic k-means assignment).
+    * Multi-probe is the standard recall fix for partition-based dedup/ANN:
+    * a pair on a cluster boundary splits under single assignment but
+    * co-occurs under top-2 with high probability.
+    *
+    * The assignment is a NARROW projection: centroids are driver-side
+    * literal arrays (the ANN-planes lesson — one typedLit per centroid),
+    * per-row distance is the codegen'd dot product, and arg-top-p is an
+    * `array_sort` + `slice` over a k-element array — no shuffle, no
+    * per-row broadcast join, no window. Distances use the monotone form
+    * -2·v·c + |c|² (the |v|² term is constant per row). */
+  def assignClusters(emb: DataFrame, idCol: String, vecCol: String,
+                     nClusters: Int, seed: Long = 42,
+                     maxFitRows: Int = 100000, probes: Int = 1): DataFrame = {
+    require(probes >= 1 && probes <= nClusters, "need 1 <= probes <= nClusters")
+    val e = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val cents = fitCentroids(e, nClusters, seed, maxFitRows)
+    val distStructs = cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        (lit(-2.0) * graft.functions.VectorFunctions.dotProduct(col("v"), typedLit(c))
+          + lit(c.map(x => x * x).sum)).as("d"),
+        lit(i).as("cid"))
+    }
+    e.select(col("id"), col("v"),
+        explode(slice(array_sort(array(distStructs: _*)), 1, probes)).as("s"))
+      .select(col("id"), col("v"), col("s.cid").as("cluster"))
+  }
+
+  /** Near-dup pairs found by intra-cluster exact cosine: every emitted pair
+    * truly has cosine >= minCosine (precision 1 by construction — the
+    * cosine here is the same codegen'd exact kernel as the blocked exact
+    * operator); pairs whose endpoints land in different clusters are missed
+    * (recall < 1, the SemDeDup trade). Returns (id_a, id_b, cosine),
+    * id_a < id_b. */
+  def clusterDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                      minCosine: Double, nClusters: Int, seed: Long = 42,
+                      maxFitRows: Int = 100000,
+                      maxClusterSize: Int = 1000000,
+                      probes: Int = 2): DataFrame = {
+    val assigned = assignClusters(emb, idCol, vecCol, nClusters, seed,
+      maxFitRows, probes).cache()
+    // mega-cluster guard (mirrors Dedup's LSH bucket cap): a degenerate
+    // embedding space must not silently re-create the all-pairs join
+    val oversized = assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("sz")).where(col("sz") > maxClusterSize)
+      .select("cluster")
+    val safe = assigned.join(broadcast(oversized), Seq("cluster"), "left_anti")
+    safe.as("a").join(safe.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosineSim(col("a.v"), col("b.v")).as("cosine"))
+      .where(col("cosine") >= minCosine)
+      // multi-probe can surface one pair from up to probes^2 shared
+      // clusters; the duplicate rows are identical, distinct collapses them
+      .distinct()
+  }
+
+  /** The removal step: collapse each duplicate component (connected
+    * components over the intra-cluster pair edges) to its min-id canonical
+    * row — the corpus with semantic near-dups dropped. */
+  def canonicalize(emb: DataFrame, idCol: String, vecCol: String,
+                   minCosine: Double, nClusters: Int, seed: Long = 42,
+                   maxFitRows: Int = 100000, probes: Int = 2): DataFrame = {
+    val pairs = clusterDupPairs(emb, idCol, vecCol, minCosine, nClusters, seed,
+      maxFitRows, probes = probes)
+    val comps = ConnectedComponents.run(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    val losers = comps.where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    emb.join(losers, Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 scoring — the lexical retrieval signal a training-data
+  * pipeline uses for quality-targeted selection ("docs relevant to X") and
+  * for building retrieval-augmented eval sets. Classic parameters
+  * (Robertson/Spärck Jones): idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)),
+  * tf saturation k1, length normalization b against the mean doc length.
+  *
+  * Scale shape: the token stream is FILTERED to the query's terms before
+  * the tf shuffle (a handful of terms -> the grouped stream is a tiny
+  * fraction of the corpus), df and the (N, avgdl) scalars are broadcast,
+  * and the final per-doc sum shuffles only docs that matched at least one
+  * term. Nothing corpus-sized is ever shuffled wide: the only full-corpus
+  * work is the narrow tokenize/length projection.
+  */
+object Bm25 {
+
+  /** Per-document BM25 score for a bag-of-terms query. Only documents
+    * containing at least one query term appear (score > 0). Returns
+    * (id, score). */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val base = docs.select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("ts"))
+    val withDl = base.select(col("id"), col("ts"),
+      size(col("ts")).cast("double").as("dl"))
+    // corpus scalars: one tiny agg, broadcast into the score projection
+    val stats = withDl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    // term filter BEFORE the shuffle: the grouped stream holds only
+    // query-term occurrences
+    val tf = withDl
+      .select(col("id"), col("dl"), explode(col("ts")).as("term"))
+      .where(col("term").isInCollection(terms))
+      .groupBy("id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfv = tf.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df")) // one row per (id, term) -> count = df
+    tf.join(broadcast(dfv), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("s",
+        col("idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("id")
+      .agg(sum(col("s")).as("score"))
+  }
+
+  /** Top-k retrieval: scores rounded to 6 decimals BEFORE ranking so the
+    * rank order (score desc, id asc) is engine-portable. The k winners come
+    * from orderBy+limit — Spark plans TakeOrderedAndProject (per-partition
+    * partial top-k, no global sort, no single-task window over the full
+    * match set); ranks are then assigned on the k-row result. Returns
+    * (id, score, rank). */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val top = score(docs, idCol, textCol, terms, k1, b)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("id").asc)
+    top.withColumn("rank", row_number().over(w))
+  }
+}

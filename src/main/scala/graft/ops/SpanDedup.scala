@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Span-level (sub-document) exact deduplication — the line/paragraph dedup
+  * pass of web-corpus pipelines (C4 dedups three-sentence spans, RefinedWeb
+  * dedups lines), generalized to fixed k-word spans because the synthetic
+  * corpus has no sentence/line structure. A span kept in exactly one place
+  * corpus-wide (its FIRST occurrence in (doc id, position) order) removes
+  * boilerplate that document-level dedup can never see: headers, navigation
+  * chrome, license blocks repeated across otherwise-distinct documents.
+  *
+  * Scale shape (the 100 TB story):
+  * - Span construction is a narrow per-row projection (tokens -> k-word
+  *   chunks via one `transform(sequence(...))` — no shuffle, no UDF).
+  * - First-occurrence election is `groupBy(span).agg(min(struct(id, idx)))`
+  *   — ONE shuffle keyed by span text, and the min() combines map-side, so
+  *   a boilerplate span repeated a billion times sends one row per map task,
+  *   not a billion (the skew that kills a window row_number() formulation —
+  *   `PARTITION BY span` puts the whole hot span in one task with no
+  *   partial aggregation; groupBy+min is the skew-robust choice).
+  * - Survivor selection is a semi-join of the span stream against the
+  *   (corpus-distinct-span-sized) winners on (span, id, idx).
+  * - Reassembly is `groupBy(id)` + an ordered array rebuild — second
+  *   shuffle, O(corpus) rows.
+  * Total: two shuffles + one semi-join, all hash-partitioned, nothing
+  * broadcast-sized. Nothing in the plan is corpus-quadratic.
+  */
+object SpanDedup {
+
+  /** Non-overlapping k-word spans of a text column, in order: array with
+    * ceil(ntokens / k) elements (last span may be short). Empty/blank text
+    * gives an empty array. */
+  def spans(text: Column, k: Int): Column = {
+    require(k >= 1, "span width must be >= 1")
+    val ts = TextFunctions.tokens(text)
+    when(size(ts) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), ((size(ts) + (k - 1)) / k).cast("int") - 1),
+        i => array_join(slice(ts, i * k + 1, lit(k)), " ")))
+  }
+
+  /** One row per (doc, span): (id, span_idx, span). */
+  def explodeSpans(docs: DataFrame, idCol: String, textCol: String,
+                   spanWords: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      posexplode(spans(col(textCol), spanWords)).as(Seq("span_idx", "span")))
+
+  /** Global first-occurrence span dedup. Returns one row per input doc:
+    * (id, n_spans, n_kept, text_dedup) where `text_dedup` is the document
+    * rebuilt from its surviving spans in original order ("" if every span
+    * was a repeat). Deterministic: the kept copy of a span is the one with
+    * the smallest (id, span_idx). */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
+                 spanWords: Int): DataFrame = {
+    val sp = explodeSpans(docs, idCol, textCol, spanWords)
+    // arg-min first occurrence per span text — map-side combinable min()
+    val firsts = sp.groupBy("span")
+      .agg(min(struct(col("id"), col("span_idx"))).as("f"))
+      .select(col("span"), col("f.id").as("id"), col("f.span_idx").as("span_idx"))
+    val kept = sp.join(firsts, Seq("span", "id", "span_idx"), "left_semi")
+    val rebuilt = kept.groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("span_idx"), col("span")))),
+          s => s.getField("span")), " ").as("text_dedup"))
+    // every doc appears, even if all of its spans were dropped
+    docs.select(col(idCol).as("id"),
+        size(spans(col(textCol), spanWords)).cast("long").as("n_spans"))
+      .join(rebuilt, Seq("id"), "left_outer")
+      .select(col("id"), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+}

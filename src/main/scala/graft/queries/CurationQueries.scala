@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.dedup.{Dedup, SemanticDedup}
+import graft.ops.{Bm25, SpanDedup}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-4 additions: sub-document (span) exact dedup, BM25 lexical
+  * retrieval, and SemDeDup-style semantic dedup over embeddings — the three
+  * curation operators a pretraining-data pipeline runs that the earlier
+  * rounds' surface lacked. q76/q77 are fully DuckDB-oracled; q78 follows
+  * the bounded-assert pattern (engine-exact values + measured-bound
+  * booleans; bounds measured at sf0.001/0.01/0.1 in MeasureSemDedup, see
+  * SemanticDedupSpec). */
+object CurationQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Span width for q76: 10 words — small enough that the synthetic
+    * near-dup docs share exact spans, big enough that chance collisions are
+    * rare. */
+  private val SpanWords = 10
+
+  /** q76: global first-occurrence span dedup, reported per source: how many
+    * spans existed, how many survived, how many chars of rebuilt text
+    * remain, and how many docs changed — the line-dedup report of a
+    * RefinedWeb-style pipeline. */
+  val spanDedup: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val dd = SpanDedup.dedupSpans(docs, "doc_id", "text", SpanWords)
+    docs.select(col("doc_id").as("id"), col("source"))
+      .join(dd, "id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_spans").as("n_spans"),
+        sum("n_kept").as("n_kept"),
+        sum(length(col("text_dedup")).cast("long")).as("kept_chars"),
+        sum(when(col("n_kept") < col("n_spans"), 1L).otherwise(0L)).as("docs_modified"))
+      .orderBy("source")
+  }
+
+  /** q77: BM25 top-15 retrieval for a fixed bag-of-terms query. Scores
+    * rounded to 6 decimals before ranking (the q59 float-parity pattern). */
+  val bm25TopK: Q = (s, dir) =>
+    Bm25.topK(Tables.documents(s, dir), "doc_id", "text",
+        terms = Seq("spark", "shuffle", "partition"), k = 15)
+      .select(col("id"), col("score"), col("rank"))
+
+  /** q78: SemDeDup-style semantic dedup, gated by bounded assert: the exact
+    * pair count at cosine >= 0.45 (engine-independent — DuckDB recomputes
+    * it), plus booleans certifying (a) recall of the cluster-blocked pass
+    * vs the exact pair set >= 0.5 (measured 1.0 / 1.0 / 0.83 at
+    * sf0.001/0.01/0.1 with k=8, probes=2 — every found pair is exact-
+    * verified, so found <= exact always), and (b) the intra-cluster
+    * candidate volume stayed below the all-pairs volume (the reason the
+    * operator exists; the real ratio is ~probes^2/k once n >> k). All
+    * boolean arithmetic is integer-only — engine-exact. */
+  val semanticDedup: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val k = 8
+    val probes = 2
+    val exact = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", 0.45)
+    val found = SemanticDedup.clusterDupPairs(emb, "vec_id", "embedding", 0.45,
+      nClusters = k, probes = probes)
+    val assigned = SemanticDedup.assignClusters(emb, "vec_id", "embedding",
+      nClusters = k, probes = probes)
+    val nAll = emb.select((count(lit(1)) * (count(lit(1)) - 1) / 2)
+      .cast("long").as("all_pairs"))
+    val cand = assigned.groupBy("cluster").agg(count(lit(1)).as("sz"))
+      .agg(sum((col("sz") * (col("sz") - 1) / 2).cast("long")).as("cand_pairs"))
+    exact.agg(count(lit(1)).as("n_exact_pairs"))
+      .crossJoin(found.agg(count(lit(1)).as("nf")))
+      .crossJoin(cand)
+      .crossJoin(nAll)
+      .select(col("n_exact_pairs"),
+        (col("nf") * 2 >= col("n_exact_pairs")).as("semdedup_recall_ge_050"),
+        (col("cand_pairs") <= col("all_pairs")).as("candidates_bounded"))
+  }
+
+  val all: Map[String, Q] = Map(
+    "q76_span_dedup" -> spanDedup,
+    "q77_bm25_topk" -> bm25TopK,
+    "q78_semantic_dedup" -> semanticDedup)
+
+  val oracles: Map[String, String] = Map(
+    "q76_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |sp AS (
+        |  SELECT doc_id, source,
+        |    unnest(generate_series(0, CAST(ceil(len(ts) / 10.0) AS INT) - 1)) AS span_idx,
+        |    unnest([array_to_string(ts[i*10+1:i*10+10], ' ')
+        |      FOR i IN generate_series(0, CAST(ceil(len(ts)/10.0) AS INT) - 1)]) AS span
+        |  FROM toks),
+        |kept AS (
+        |  SELECT * FROM sp
+        |  QUALIFY row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) = 1),
+        |perdoc AS (
+        |  SELECT t.doc_id, t.source,
+        |    CAST(ceil(len(t.ts) / 10.0) AS BIGINT) AS n_spans,
+        |    count(k.span) AS n_kept,
+        |    coalesce(length(string_agg(k.span, ' ' ORDER BY k.span_idx)), 0) AS kept_chars
+        |  FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+        |  GROUP BY 1, 2, 3)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_spans) AS BIGINT) AS n_spans,
+        |  CAST(sum(n_kept) AS BIGINT) AS n_kept,
+        |  CAST(sum(kept_chars) AS BIGINT) AS kept_chars,
+        |  CAST(sum(CASE WHEN n_kept < n_spans THEN 1 ELSE 0 END) AS BIGINT) AS docs_modified
+        |FROM perdoc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q77_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |dlen AS (
+        |  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dlen),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+        |  WHERE term IN ('spark', 'shuffle', 'partition') GROUP BY 1, 2),
+        |dfv AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    sum(ln(1.0 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5)) * tf.tf * 2.2 /
+        |        (tf.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score
+        |  FROM tf JOIN dfv USING (term) JOIN dlen d USING (doc_id) CROSS JOIN stats s
+        |  GROUP BY 1)
+        |SELECT doc_id AS id, round(score, 6) AS score,
+        |  CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS INT) AS rank
+        |FROM scored QUALIFY rank <= 15 ORDER BY rank""".stripMargin,
+    // q78: DuckDB computes the exact pair count; the booleans are Spark-side
+    // certifications with engine-exact integer arithmetic (bounded-assert
+    // pattern, same as q43/q51)
+    "q78_semantic_dedup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+        |  true AS semdedup_recall_ge_050, true AS candidates_bounded
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin)
+}

@@ -1,0 +1,41 @@
+package graft.tools
+
+import graft.dedup.{Dedup, SemanticDedup}
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch measurement: SemDeDup cluster-recall vs the exact pair set at
+  * each SF for several cluster counts — run before fixing q78's bounded-
+  * assert recall threshold. */
+object MeasureSemDedup {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      val dir = s"/root/testdata/sf$sf"
+      val emb = Tables.embeddings(spark, dir)
+      val n = emb.count()
+      val exact = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", 0.45).cache()
+      val nExact = exact.count()
+      for (k <- Seq(4, 8, 16); p <- Seq(1, 2)) {
+        val found = SemanticDedup.clusterDupPairs(emb, "vec_id", "embedding", 0.45, k,
+          probes = p)
+        val nFound = found.count()
+        val assigned = SemanticDedup.assignClusters(emb, "vec_id", "embedding", k,
+          probes = p)
+        val cand = assigned.groupBy("cluster").agg(count(lit(1)).as("sz"))
+          .agg(sum((col("sz") * (col("sz") - 1) / 2).cast("long"))).head().getLong(0)
+        val allPairs = n * (n - 1) / 2
+        println(f"sf=$sf%6s k=$k%3d p=$p n=$n%7d exact=$nExact%5d found=$nFound%5d " +
+          f"recall=${if (nExact == 0) 1.0 else nFound.toDouble / nExact}%.3f " +
+          f"cand=$cand%12d candFrac=${cand.toDouble / allPairs}%.4f")
+      }
+      exact.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("BM25 matches the hand-computed formula on a tiny corpus") {
+    val df = Seq(
+      (1L, "cat dog cat"),
+      (2L, "dog bird"),
+      (3L, "fish fish fish fish")
+    ).toDF("id", "text")
+    val got = Bm25.score(df, "id", "text", Seq("cat", "dog"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val n = 3.0; val avgdl = 3.0 // (3 + 2 + 4) / 3
+    val k1 = 1.2; val b = 0.75
+    def idf(dfreq: Double) = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+    def w(tf: Double, dl: Double, dfreq: Double) =
+      idf(dfreq) * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dl / avgdl))
+    val exp1 = w(2, 3, 1) + w(1, 3, 2) // cat df=1, dog df=2
+    val exp2 = w(1, 2, 2)              // dog only
+    assert(math.abs(got(1L) - exp1) < 1e-12)
+    assert(math.abs(got(2L) - exp2) < 1e-12)
+    assert(!got.contains(3L), "doc without query terms never scores")
+  }
+
+  test("longer docs score lower at equal tf (length normalization)") {
+    val df = Seq(
+      (1L, "cat a b c"),
+      (2L, "cat a b c d e f g h i j k l m n o p q r s t u v w x y z")
+    ).toDF("id", "text")
+    val got = Bm25.score(df, "id", "text", Seq("cat"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) > got(2L))
+  }
+
+  test("topK plans a TakeOrderedAndProject, not a global sort or window") {
+    val docs = spark.read.parquet(sf("documents"))
+    val top = Bm25.topK(docs, "doc_id", "text", Seq("spark", "shuffle"), 10)
+    val phys = top.queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"expected partial top-k in plan:\n$phys")
+    val rows = top.collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 10))
+  }
+}

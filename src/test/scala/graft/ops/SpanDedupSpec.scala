@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("spans chunk k words in order, last span short, blank text empty") {
+    val df = Seq(
+      (1L, "a b c d e f g"), // 7 tokens, k=3 -> [a b c][d e f][g]
+      (2L, "x y z"),         // exactly one span
+      (3L, "   ")            // blank -> no spans
+    ).toDF("id", "text")
+    val got = df.select($"id", SpanDedup.spans($"text", 3).as("sp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("a b c", "d e f", "g"))
+    assert(got(2L) == Seq("x y z"))
+    assert(got(3L) == Seq.empty)
+  }
+
+  test("first occurrence wins and docs rebuild in span order") {
+    val df = Seq(
+      (10L, "one two three four five six"),     // spans: [one two three][four five six]
+      (20L, "one two three seven eight nine"),  // first span repeats doc 10's
+      (30L, "one two three four five six")      // both spans repeat -> empty doc
+    ).toDF("id", "text")
+    val got = SpanDedup.dedupSpans(df, "id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(10L) == ((2L, 2L, "one two three four five six")))
+    assert(got(20L) == ((2L, 1L, "seven eight nine")))
+    assert(got(30L) == ((2L, 0L, "")))
+  }
+
+  test("kept spans are globally unique and complete on the documents table") {
+    val docs = spark.read.parquet(sf("documents"))
+    val dd = SpanDedup.dedupSpans(docs, "doc_id", "text", 10).cache()
+    val sp = SpanDedup.explodeSpans(docs, "doc_id", "text", 10)
+    val firsts = sp.groupBy("span")
+      .agg(min(struct($"id", $"span_idx")).as("f"))
+    assert(firsts.count() == sp.select("span").distinct().count())
+    // conservation: kept + dropped == total spans
+    val total = sp.count()
+    val keptN = dd.agg(sum("n_kept")).head().getLong(0)
+    val distinctN = sp.select("span").distinct().count()
+    assert(keptN == distinctN, "exactly one copy of every distinct span survives")
+    assert(keptN <= total)
+    // every doc row present
+    assert(dd.count() == docs.count())
+    dd.unpersist()
+  }
+}
