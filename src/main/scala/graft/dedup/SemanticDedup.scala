@@ -62,10 +62,18 @@ object SemanticDedup {
   def assignClusters(emb: DataFrame, idCol: String, vecCol: String,
                      nClusters: Int, seed: Long = 42,
                      maxFitRows: Int = 100000, probes: Int = 1): DataFrame = {
-    require(probes >= 1 && probes <= nClusters, "need 1 <= probes <= nClusters")
     val e = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val cents = fitCentroids(e, nClusters, seed, maxFitRows)
+    assignToCentroids(e, fitCentroids(e, nClusters, seed, maxFitRows), probes)
+  }
+
+  /** Top-`probes` assignment of (id, v) rows against FIXED centroids — the
+    * reusable half of [[assignClusters]]: an incremental pass assigns a
+    * delta batch against the centroids the corpus index was built with,
+    * without any re-fit. Narrow projection, no shuffle. */
+  def assignToCentroids(e: DataFrame, cents: Array[Seq[Double]],
+                        probes: Int): DataFrame = {
+    require(probes >= 1 && probes <= cents.length, "need 1 <= probes <= nClusters")
     val distStructs = cents.zipWithIndex.map { case (c, i) =>
       struct(
         (lit(-2.0) * graft.functions.VectorFunctions.dotProduct(col("v"), typedLit(c))
@@ -87,9 +95,17 @@ object SemanticDedup {
                       minCosine: Double, nClusters: Int, seed: Long = 42,
                       maxFitRows: Int = 100000,
                       maxClusterSize: Int = 1000000,
-                      probes: Int = 2): DataFrame = {
-    val assigned = assignClusters(emb, idCol, vecCol, nClusters, seed,
-      maxFitRows, probes).cache()
+                      probes: Int = 2): DataFrame =
+    clusterDupPairsFrom(
+      assignClusters(emb, idCol, vecCol, nClusters, seed, maxFitRows, probes),
+      minCosine, maxClusterSize)
+
+  /** [[clusterDupPairs]] over a PRECOMPUTED (id, v, cluster) assignment —
+    * lets a caller that also needs the assignment (stats, incremental
+    * index) pay for the k-means fit once. */
+  def clusterDupPairsFrom(assignment: DataFrame, minCosine: Double,
+                          maxClusterSize: Int = 1000000): DataFrame = {
+    val assigned = assignment.cache()
     // mega-cluster guard (mirrors Dedup's LSH bucket cap): a degenerate
     // embedding space must not silently re-create the all-pairs join
     val oversized = assigned.groupBy("cluster")
@@ -103,6 +119,50 @@ object SemanticDedup {
       .where(col("cosine") >= minCosine)
       // multi-probe can surface one pair from up to probes^2 shared
       // clusters; the duplicate rows are identical, distinct collapses them
+      .distinct()
+  }
+
+  /** A semantic-dedup index: the centroids the space was partitioned with
+    * (driver-side — k·dim doubles, a few KB) plus the corpus assignment
+    * (id, v, cluster) — the state an incremental or streaming pass checks
+    * new batches against without re-clustering anything. */
+  final case class SemanticIndex(centroids: Array[Seq[Double]],
+                                 assignment: DataFrame)
+
+  /** Build the [[SemanticIndex]] for a corpus: one sampled k-means fit,
+    * one narrow assignment pass. */
+  def buildIndex(emb: DataFrame, idCol: String, vecCol: String,
+                 nClusters: Int, seed: Long = 42, maxFitRows: Int = 100000,
+                 probes: Int = 2): SemanticIndex = {
+    val e = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val cents = fitCentroids(e, nClusters, seed, maxFitRows)
+    SemanticIndex(cents, assignToCentroids(e, cents, probes))
+  }
+
+  /** Incremental semantic dedup: a delta batch checked against the stored
+    * corpus index — q66's incremental-MinHash shape in embedding space.
+    * The delta assigns against the index's OWN centroids (no re-fit); the
+    * corpus assignment is scanned once and joined against the BROADCAST
+    * delta assignment on cluster id, so the index side is never shuffled
+    * and work is O(corpus scan + candidates), not O(corpus²). Every
+    * candidate is exact-cosine verified (precision 1 vs the cross-side
+    * exact pair set). Returns (new_id, old_id, cosine). */
+  def incrementalDupPairs(delta: DataFrame, idCol: String, vecCol: String,
+                          index: SemanticIndex, minCosine: Double,
+                          probes: Int = 2): DataFrame = {
+    val d = delta.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val da = assignToCentroids(d, index.centroids, probes)
+      .select(col("id").as("new_id"), col("v").as("nv"), col("cluster"))
+    val ca = index.assignment
+      .select(col("id").as("old_id"), col("v").as("ov"), col("cluster"))
+    ca.join(broadcast(da), Seq("cluster"))
+      .where(col("new_id") =!= col("old_id"))
+      .select(col("new_id"), col("old_id"),
+        cosineSim(col("nv"), col("ov")).as("cosine"))
+      .where(col("cosine") >= minCosine)
+      // a pair can share up to probes^2 clusters — collapse the identical rows
       .distinct()
   }
 

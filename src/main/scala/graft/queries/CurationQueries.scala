@@ -61,10 +61,10 @@ object CurationQueries {
     val k = 8
     val probes = 2
     val exact = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", 0.45)
-    val found = SemanticDedup.clusterDupPairs(emb, "vec_id", "embedding", 0.45,
-      nClusters = k, probes = probes)
+    // one k-means fit serves both the pair search and the candidate stats
     val assigned = SemanticDedup.assignClusters(emb, "vec_id", "embedding",
       nClusters = k, probes = probes)
+    val found = SemanticDedup.clusterDupPairsFrom(assigned, 0.45)
     val nAll = emb.select((count(lit(1)) * (count(lit(1)) - 1) / 2)
       .cast("long").as("all_pairs"))
     val cand = assigned.groupBy("cluster").agg(count(lit(1)).as("sz"))
@@ -78,10 +78,34 @@ object CurationQueries {
         (col("cand_pairs") <= col("all_pairs")).as("candidates_bounded"))
   }
 
+  /** q79: incremental semantic dedup — a delta batch (vec_id%10==3) checked
+    * against the stored cluster index of the remaining corpus (q66's
+    * delta-vs-index shape in embedding space). Bounded assert: DuckDB
+    * recomputes the exact cross-side pair count; the recall boolean
+    * certifies the index pass found at least half of them (measured 1.0 at
+    * every SF with k=8, probes=3 — found pairs are exact-verified, so
+    * found <= exact always). */
+  val semanticIncremental: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val delta = emb.where(col("vec_id") % 10 === 3)
+    val corpus = emb.where(col("vec_id") % 10 =!= 3)
+    val exact = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", 0.45)
+      .where((col("id_a") % 10 === 3) =!= (col("id_b") % 10 === 3))
+    val idx = SemanticDedup.buildIndex(corpus, "vec_id", "embedding",
+      nClusters = 8, probes = 3)
+    val found = SemanticDedup.incrementalDupPairs(delta, "vec_id", "embedding",
+      idx, 0.45, probes = 3)
+    exact.agg(count(lit(1)).as("n_exact_pairs"))
+      .crossJoin(found.agg(count(lit(1)).as("nf")))
+      .select(col("n_exact_pairs"),
+        (col("nf") * 2 >= col("n_exact_pairs")).as("increm_recall_ge_050"))
+  }
+
   val all: Map[String, Q] = Map(
     "q76_span_dedup" -> spanDedup,
     "q77_bm25_topk" -> bm25TopK,
-    "q78_semantic_dedup" -> semanticDedup)
+    "q78_semantic_dedup" -> semanticDedup,
+    "q79_semantic_incremental" -> semanticIncremental)
 
   val oracles: Map[String, String] = Map(
     "q76_span_dedup" ->
@@ -136,5 +160,11 @@ object CurationQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
         |  true AS semdedup_recall_ge_050, true AS candidates_bounded
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin,
+    "q79_semantic_incremental" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+        |  true AS increm_recall_ge_050
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  AND ((a.vec_id % 10 = 3) <> (b.vec_id % 10 = 3))
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin)
 }

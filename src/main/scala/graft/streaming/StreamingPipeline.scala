@@ -172,6 +172,28 @@ object StreamingPipeline {
         onCleanBatch(batch.join(dupes, Seq(idCol), "left_anti"), batchId)
       }
 
+  /** Continuous-ingest SEMANTIC dedup: the embedding-space twin of
+    * [[dedupAgainstIndexStream]]. Every micro-batch of arriving vectors is
+    * checked against the stored [[graft.dedup.SemanticDedup.SemanticIndex]]
+    * with the batch incremental operator — the delta assigns against the
+    * index's own centroids (driver-side literals, no re-fit) and the
+    * corpus assignment only streams past a broadcast of the batch, so
+    * per-batch work is O(batch + candidates), never corpus-sized. Vectors
+    * with no corpus match at `minCosine` pass to `onCleanBatch`. */
+  def semanticDedupStream(newVecs: DataFrame, idCol: String, vecCol: String,
+                          index: graft.dedup.SemanticDedup.SemanticIndex,
+                          minCosine: Double, probes: Int = 3)
+                         (onCleanBatch: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    newVecs.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val dupes = graft.dedup.SemanticDedup
+          .incrementalDupPairs(batch, idCol, vecCol, index, minCosine, probes)
+          .select(col("new_id").as(idCol)).distinct()
+        onCleanBatch(batch.join(dupes, Seq(idCol), "left_anti"), batchId)
+      }
+
   /** Exactly-once idempotent sink: per-batch overwrite into deterministic
     * window=<key> partition dirs — the streaming twin of the batch target
     * store's replay contract (reference: stage/ingestion_engine.py:62-99

@@ -35,6 +35,19 @@ object MeasureSemDedup {
           f"cand=$cand%12d candFrac=${cand.toDouble / allPairs}%.4f")
       }
       exact.unpersist()
+      // incremental: delta (vec_id%10==3) vs corpus index, k=8 p=2
+      val delta = emb.where(col("vec_id") % 10 === 3)
+      val corpus = emb.where(col("vec_id") % 10 =!= 3)
+      val crossExact = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", 0.45)
+        .where((col("id_a") % 10 === 3) =!= (col("id_b") % 10 === 3)).count()
+      for ((ki, pi) <- Seq((8, 2), (8, 3), (4, 2), (4, 3))) {
+        val idx = SemanticDedup.buildIndex(corpus, "vec_id", "embedding", ki,
+          probes = pi)
+        val nInc = SemanticDedup.incrementalDupPairs(delta, "vec_id", "embedding",
+          idx, 0.45, probes = pi).count()
+        println(f"sf=$sf%6s INC k=$ki p=$pi exact=$crossExact%5d found=$nInc%5d " +
+          f"recall=${if (crossExact == 0) 1.0 else nInc.toDouble / crossExact}%.3f")
+      }
     }
     spark.stop()
   }

@@ -50,6 +50,92 @@ class SemanticDedupSpec extends SparkSpec {
     assert(canon.join(kept, Seq("vec_id"), "left_anti").count() == 0)
   }
 
+  test("incremental pairs are exact-verified and complete vs the full pass") {
+    val delta = emb.where($"vec_id" % 10 === 3)
+    val corpus = emb.where($"vec_id" % 10 =!= 3)
+    val idx = SemanticDedup.buildIndex(corpus, "vec_id", "embedding", 8, probes = 2)
+    val inc = SemanticDedup.incrementalDupPairs(delta, "vec_id", "embedding",
+        idx, 0.45, probes = 2)
+      .select(least($"new_id", $"old_id").as("id_a"),
+        greatest($"new_id", $"old_id").as("id_b")).cache()
+    // precision: every incremental pair is in the exact cross-side set
+    val exactCross = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", 0.45)
+      .where(($"id_a" % 10 === 3) =!= ($"id_b" % 10 === 3))
+      .select($"id_a", $"id_b")
+    assert(inc.join(exactCross, Seq("id_a", "id_b"), "left_anti").count() == 0)
+    // completeness vs the same-centroid full pass: a delta-corpus pair
+    // co-occurs in a cluster under the full assignment iff it does under
+    // the incremental one (same centroids, same top-p rule)
+    val e = emb.select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    val full = SemanticDedup.clusterDupPairsFrom(
+        SemanticDedup.assignToCentroids(e, idx.centroids, 2), 0.45)
+      .where(($"id_a" % 10 === 3) =!= ($"id_b" % 10 === 3))
+      .select($"id_a", $"id_b")
+    assert(full.join(inc, Seq("id_a", "id_b"), "left_anti").count() == 0 &&
+      inc.join(full, Seq("id_a", "id_b"), "left_anti").count() == 0,
+      "incremental pass differs from the same-centroid full pass on cross pairs")
+    inc.unpersist()
+  }
+
+  test("incremental recall >= 0.5 at the gate settings (k=8, probes=3)") {
+    val delta = emb.where($"vec_id" % 10 === 3)
+    val corpus = emb.where($"vec_id" % 10 =!= 3)
+    val idx = SemanticDedup.buildIndex(corpus, "vec_id", "embedding", 8, probes = 3)
+    val nFound = SemanticDedup.incrementalDupPairs(delta, "vec_id", "embedding",
+      idx, 0.45, probes = 3).count()
+    val nExact = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", 0.45)
+      .where(($"id_a" % 10 === 3) =!= ($"id_b" % 10 === 3)).count()
+    assert(nExact > 0, "testdata plants cross-side dup pairs")
+    assert(nFound * 2 >= nExact,
+      s"recall ${nFound.toDouble / nExact} below the documented 0.5 bound")
+  }
+
+  test("incremental plan broadcasts the delta; the index is never shuffled") {
+    val delta = emb.where($"vec_id" % 10 === 3)
+    val corpus = emb.where($"vec_id" % 10 =!= 3)
+    val idx = SemanticDedup.buildIndex(corpus, "vec_id", "embedding", 8, probes = 2)
+    val plan = SemanticDedup.incrementalDupPairs(delta, "vec_id", "embedding",
+      idx, 0.45, probes = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast join of the delta assignment:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"index side must not shuffle into a sort-merge join:\n$plan")
+  }
+
+  test("streaming ingest dedup equals the batch incremental pass") {
+    import graft.streaming.StreamingPipeline
+    val delta = emb.where($"vec_id" % 10 === 3)
+    val corpus = emb.where($"vec_id" % 10 =!= 3)
+    val idx = SemanticDedup.buildIndex(corpus, "vec_id", "embedding", 8, probes = 3)
+
+    // stage the delta as two files so the stream runs multiple batches
+    val d = java.nio.file.Files.createTempDirectory("graft_sem_ingest")
+    delta.where($"vec_id" % 20 === 3).coalesce(1)
+      .write.parquet(d.resolve("p0").toString)
+    delta.where($"vec_id" % 20 =!= 3).coalesce(1)
+      .write.parquet(d.resolve("p1").toString)
+    val stream = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$d/*")
+
+    val cleanIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    var batches = 0
+    val q = StreamingPipeline.semanticDedupStream(
+        stream, "vec_id", "embedding", idx, 0.45) { (clean, _) =>
+      batches += 1
+      clean.select("vec_id").collect().foreach(r => cleanIds.add(r.getLong(0)))
+    }.start()
+    q.awaitTermination()
+
+    val dupIds = SemanticDedup.incrementalDupPairs(delta, "vec_id", "embedding",
+      idx, 0.45).select("new_id").as[Long].collect().toSet
+    val expected = delta.select("vec_id").as[Long].collect().toSet -- dupIds
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    assert(dupIds.nonEmpty, "test needs at least one planted cross-side dup")
+    import scala.jdk.CollectionConverters._
+    assert(cleanIds.asScala.toSet == expected,
+      s"missing=${expected -- cleanIds.asScala} extra=${cleanIds.asScala.toSet -- expected}")
+  }
+
   test("mega-cluster guard drops oversized clusters from pairing") {
     // cap of 1: every cluster with >1 member is dropped, so no pairs at all
     val guarded = SemanticDedup.clusterDupPairs(emb, "vec_id", "embedding", 0.0,
