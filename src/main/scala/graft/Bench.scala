@@ -45,7 +45,11 @@ object Bench {
     "q50_knn_brute_force",    // exact ANN baseline
     "q51_ann_lsh",            // multi-table LSH ANN
     "q70_bloom_decontaminate", // bloom-prefiltered decontamination
-    "q60_media_features")     // binary media plumbing
+    "q60_media_features",     // binary media plumbing
+    "q76_span_dedup",         // sub-document span dedup
+    "q77_bm25_topk",          // BM25 lexical retrieval
+    "q78_semantic_dedup",     // SemDeDup cluster-blocked embedding dedup
+    "q79_semantic_incremental") // delta embeddings vs stored cluster index
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

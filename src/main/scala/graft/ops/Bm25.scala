@@ -34,11 +34,15 @@ object Bm25 {
       avg(col("dl")).as("avgdl"))
     // term filter BEFORE the shuffle: the grouped stream holds only
     // query-term occurrences
+    // cached: df derives from tf, and without the cache the whole
+    // tokenize+filter+group subtree runs twice (plan-audited); the frame
+    // holds only query-term matches — tiny at any corpus size
     val tf = withDl
       .select(col("id"), col("dl"), explode(col("ts")).as("term"))
       .where(col("term").isInCollection(terms))
       .groupBy("id", "dl", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
+      .cache()
     val dfv = tf.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df")) // one row per (id, term) -> count = df
     tf.join(broadcast(dfv), "term")

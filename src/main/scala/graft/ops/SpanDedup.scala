@@ -59,18 +59,69 @@ object SpanDedup {
     // arg-min first occurrence per span text — map-side combinable min()
     val firsts = sp.groupBy("span")
       .agg(min(struct(col("id"), col("span_idx"))).as("f"))
-      .select(col("span"), col("f.id").as("id"), col("f.span_idx").as("span_idx"))
-    val kept = sp.join(firsts, Seq("span", "id", "span_idx"), "left_semi")
-    val rebuilt = kept.groupBy("id")
-      .agg(count(lit(1)).as("n_kept"),
+      .select(col("span"), col("f.id").as("win_id"), col("f.span_idx").as("win_idx"))
+    // one join, multiplicity exactly 1 (each span row meets its single
+    // winner row), marking survivors; then ONE groupBy(id) computes the
+    // span count, the kept count, and the ordered rebuild together.
+    // Two corpus scans total (the election pass and the join pass) — the
+    // minimum for any agg-then-join-back dedup; the previous shape paid a
+    // third scan for span counts and a fourth dataflow for the semi-join.
+    val marked = sp.join(firsts, Seq("span"))
+      .withColumn("kept",
+        col("id") === col("win_id") && col("span_idx") === col("win_idx"))
+    val agg = marked.groupBy("id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips nulls, so only kept spans enter the rebuild
         array_join(transform(
-          array_sort(collect_list(struct(col("span_idx"), col("span")))),
+          array_sort(collect_list(
+            when(col("kept"), struct(col("span_idx"), col("span"))))),
           s => s.getField("span")), " ").as("text_dedup"))
-    // every doc appears, even if all of its spans were dropped
-    docs.select(col(idCol).as("id"),
-        size(spans(col(textCol), spanWords)).cast("long").as("n_spans"))
-      .join(rebuilt, Seq("id"), "left_outer")
-      .select(col("id"), col("n_spans"),
+    // every doc appears, even if it had no spans at all (blank text)
+    docs.select(col(idCol).as("id"))
+      .join(agg, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
+  /** The corpus span index: one row per distinct span, keyed by xxhash64 —
+    * the state an incremental/streaming pass screens new documents against
+    * (8-byte keys on the wire, not span strings; collision odds
+    * ~|spans|²/2⁶⁵). */
+  def buildSpanIndex(docs: DataFrame, idCol: String, textCol: String,
+                     spanWords: Int): DataFrame =
+    explodeSpans(docs, idCol, textCol, spanWords)
+      .select(xxhash64(col("span")).as("span_hash"))
+      .distinct()
+
+  /** Incremental span dedup: drop from each new document every span already
+    * present in the corpus index, rebuilding the survivors in order. Spans
+    * repeated WITHIN the batch are each other's responsibility only via the
+    * index they later join — use [[dedupSpans]] on the batch first if
+    * within-batch dedup is also wanted. The index is scanned once and
+    * joined against the (batch-sized) exploded span stream — a left-anti
+    * join the optimizer sizes per side; the index is never shuffled when
+    * the batch side broadcasts. Returns (id, n_spans, n_kept, text_dedup). */
+  def dedupSpansAgainstIndex(newDocs: DataFrame, idCol: String, textCol: String,
+                             spanIndex: DataFrame, spanWords: Int): DataFrame = {
+    val sp = explodeSpans(newDocs, idCol, textCol, spanWords)
+      .withColumn("span_hash", xxhash64(col("span")))
+    val marked = sp.join(spanIndex.withColumn("__hit", lit(1L)),
+        Seq("span_hash"), "left_outer")
+      .withColumn("kept", col("__hit").isNull)
+    val agg = marked.groupBy("id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("kept"), struct(col("span_idx"), col("span"))))),
+          s => s.getField("span")), " ").as("text_dedup"))
+    newDocs.select(col(idCol).as("id"))
+      .join(agg, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }

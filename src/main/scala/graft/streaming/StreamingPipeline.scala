@@ -194,6 +194,24 @@ object StreamingPipeline {
         onCleanBatch(batch.join(dupes, Seq(idCol), "left_anti"), batchId)
       }
 
+  /** Continuous-ingest SPAN dedup: arriving documents are rewritten with
+    * every span already present in the stored corpus span index removed
+    * (the streaming half of RefinedWeb-style line dedup — boilerplate that
+    * the corpus has seen never enters the training set again). Reuses the
+    * batch incremental operator per micro-batch; per-batch work is
+    * O(batch spans + index probe), and the rewritten docs (with their
+    * span-survival counts) go to `onBatch`. */
+  def spanDedupStream(newDocs: DataFrame, idCol: String, textCol: String,
+                      spanIndex: DataFrame, spanWords: Int)
+                     (onBatch: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(graft.ops.SpanDedup.dedupSpansAgainstIndex(
+          batch, idCol, textCol, spanIndex, spanWords), batchId)
+      }
+
   /** Exactly-once idempotent sink: per-batch overwrite into deterministic
     * window=<key> partition dirs — the streaming twin of the batch target
     * store's replay contract (reference: stage/ingestion_engine.py:62-99

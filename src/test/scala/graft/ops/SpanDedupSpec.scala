@@ -33,6 +33,56 @@ class SpanDedupSpec extends SparkSpec {
     assert(got(30L) == ((2L, 0L, "")))
   }
 
+  test("index dedup drops exactly the corpus-known spans from new docs") {
+    val corpus = Seq((1L, "one two three four five six")).toDF("id", "text")
+    val idx = SpanDedup.buildSpanIndex(corpus, "id", "text", 3)
+    val fresh = Seq(
+      (10L, "one two three seven eight nine"), // first span known
+      (20L, "alpha beta gamma")                // nothing known
+    ).toDF("id", "text")
+    val got = SpanDedup.dedupSpansAgainstIndex(fresh, "id", "text", idx, 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(10L) == ((2L, 1L, "seven eight nine")))
+    assert(got(20L) == ((1L, 1L, "alpha beta gamma")))
+  }
+
+  test("streaming span dedup equals the batch incremental pass") {
+    import graft.streaming.StreamingPipeline
+    val docs = spark.read.parquet(sf("documents"))
+    val delta = docs.where($"doc_id" % 10 === 3)
+    val corpus = docs.where($"doc_id" % 10 =!= 3)
+    val idx = SpanDedup.buildSpanIndex(corpus, "doc_id", "text", 10).cache()
+
+    val d = java.nio.file.Files.createTempDirectory("graft_span_ingest")
+    delta.where($"doc_id" % 20 === 3).coalesce(1)
+      .write.parquet(d.resolve("p0").toString)
+    delta.where($"doc_id" % 20 =!= 3).coalesce(1)
+      .write.parquet(d.resolve("p1").toString)
+    val stream = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$d/*")
+
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, String)]()
+    var batches = 0
+    val q = StreamingPipeline.spanDedupStream(
+        stream, "doc_id", "text", idx, 10) { (out, _) =>
+      batches += 1
+      out.collect().foreach(r =>
+        got.put(r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+    }.start()
+    q.awaitTermination()
+
+    val batch = SpanDedup.dedupSpansAgainstIndex(delta, "doc_id", "text", idx, 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    assert(batch.exists { case (_, (n, k, _)) => k < n },
+      "test needs at least one corpus-known span in the delta")
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toMap == batch)
+    idx.unpersist()
+  }
+
   test("kept spans are globally unique and complete on the documents table") {
     val docs = spark.read.parquet(sf("documents"))
     val dd = SpanDedup.dedupSpans(docs, "doc_id", "text", 10).cache()
