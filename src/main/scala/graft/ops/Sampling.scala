@@ -55,4 +55,44 @@ object Sampling {
       .where(col("__rn") <= perStratum)
       .drop("__rn")
   }
+
+  /** Per-domain doc quotas for temperature-weighted rebalancing: domain i
+    * with n_i rows gets quota floor(budget · n_i^α / Σ n_j^α) — the
+    * α-sampling rule of multilingual/multi-domain pretraining mixtures
+    * (α=1 natural proportions, α=0 uniform, in between damps head
+    * domains). The quotient is rounded to 6 decimals before floor so the
+    * integer quota is engine-portable (the q59/q77 float-parity pattern).
+    * Returns one row per domain: (domainCols..., n_docs, quota). O(#domains)
+    * rows — a metadata-sized frame. */
+  def temperatureQuotas(df: DataFrame, domainCols: Seq[String], alpha: Double,
+                        totalBudget: Long): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, "alpha must be in [0,1]")
+    require(totalBudget > 0, "budget must be positive")
+    val counts = df.groupBy(domainCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"))
+    val weights = counts.withColumn("__pw", pow(col("n_docs").cast("double"), alpha))
+    val total = weights.agg(sum(col("__pw")).as("__tw"))
+    weights.crossJoin(broadcast(total))
+      .withColumn("quota",
+        floor(round(lit(totalBudget) * col("__pw") / col("__tw"), 6)).cast("long"))
+      .select(domainCols.map(col) :+ col("n_docs") :+ col("quota"): _*)
+  }
+
+  /** Temperature-weighted domain sample: each domain keeps its
+    * [[temperatureQuotas]] quota of rows, picked in deterministic
+    * (md5(key), key) order — [[stratified]] with per-stratum caps from the
+    * α rule instead of a constant. One shuffle on the domain columns; the
+    * quota frame broadcasts. Monotone in budget: a smaller budget's kept
+    * set is a prefix of a larger one's per domain. */
+  def temperatureSample(df: DataFrame, domainCols: Seq[String], keyCol: String,
+                        alpha: Double, totalBudget: Long): DataFrame = {
+    val quotas = temperatureQuotas(df, domainCols, alpha, totalBudget)
+      .drop("n_docs")
+    val w = Window.partitionBy(domainCols.map(col): _*)
+      .orderBy(md5Bucket(col(keyCol)).asc, col(keyCol).asc)
+    df.join(broadcast(quotas), domainCols)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= col("quota"))
+      .drop("__rn", "quota")
+  }
 }

@@ -101,11 +101,32 @@ object CurationQueries {
         (col("nf") * 2 >= col("n_exact_pairs")).as("increm_recall_ge_050"))
   }
 
+  /** q80: temperature-weighted domain rebalancing (α=0.5, 300-doc budget
+    * over the skewed `lang` domains — en is 3.4× fr naturally; α damps it):
+    * per-domain natural count, α-quota, and what the deterministic pick
+    * actually kept in docs and tokens. */
+  val temperatureMix: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val kept = graft.ops.Sampling
+      .temperatureSample(docs, Seq("lang"), "doc_id", alpha = 0.5, totalBudget = 300)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+          .as("kept_tokens"))
+    graft.ops.Sampling.temperatureQuotas(docs, Seq("lang"), 0.5, 300)
+      .join(kept, Seq("lang"), "left_outer")
+      .select(col("lang"), col("n_docs"), col("quota"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy("lang")
+  }
+
   val all: Map[String, Q] = Map(
     "q76_span_dedup" -> spanDedup,
     "q77_bm25_topk" -> bm25TopK,
     "q78_semantic_dedup" -> semanticDedup,
-    "q79_semantic_incremental" -> semanticIncremental)
+    "q79_semantic_incremental" -> semanticIncremental,
+    "q80_temperature_mix" -> temperatureMix)
 
   val oracles: Map[String, String] = Map(
     "q76_span_dedup" ->
@@ -166,5 +187,24 @@ object CurationQueries {
         |  true AS increm_recall_ge_050
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |  AND ((a.vec_id % 10 = 3) <> (b.vec_id % 10 = 3))
-        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin)
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin,
+    "q80_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n, pow(n, 0.5) AS pw FROM c),
+        |t AS (SELECT sum(pw) AS tw FROM w),
+        |q AS (
+        |  SELECT lang, n AS n_docs,
+        |    CAST(floor(round(300 * pw / tw, 6)) AS BIGINT) AS quota
+        |  FROM w CROSS JOIN t),
+        |r AS (
+        |  SELECT doc_id, lang, len(string_split_regex(trim(text), '\s+')) AS ntok,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id) AS rn
+        |  FROM documents),
+        |k AS (
+        |  SELECT r.lang, count(*) AS n_kept, CAST(sum(r.ntok) AS BIGINT) AS kept_tokens
+        |  FROM r JOIN q USING (lang) WHERE r.rn <= q.quota GROUP BY 1)
+        |SELECT q.lang, q.n_docs, q.quota,
+        |  coalesce(k.n_kept, 0) AS n_kept, coalesce(k.kept_tokens, 0) AS kept_tokens
+        |FROM q LEFT JOIN k USING (lang) ORDER BY 1""".stripMargin)
 }

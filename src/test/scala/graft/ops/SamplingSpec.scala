@@ -45,4 +45,42 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(again == sample.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("temperature quotas: alpha=0 is uniform, alpha=1 is proportional") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val nLangs = docs.select("lang").distinct().count()
+    val uni = Sampling.temperatureQuotas(docs, Seq("lang"), 0.0, 300)
+      .select("quota").as[Long].collect()
+    assert(uni.forall(_ == 300 / nLangs), s"alpha=0 must split evenly: ${uni.toSeq}")
+    val total = docs.count()
+    val prop = Sampling.temperatureQuotas(docs, Seq("lang"), 1.0, 300)
+      .as[(String, Long, Long)].collect()
+    prop.foreach { case (lang, n, q) =>
+      val expect = math.floor(
+        BigDecimal(300.0 * n / total).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong
+      assert(q == expect, s"alpha=1 quota for $lang: $q vs $expect")
+    }
+  }
+
+  test("temperature sampling damps the head domain and is budget-monotone") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val natural = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val head = natural.maxBy(_._2)._1
+    val kept = Sampling.temperatureSample(docs, Seq("lang"), "doc_id", 0.5, 300)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val keptTotal = kept.values.sum.toDouble
+    val natTotal = natural.values.sum.toDouble
+    assert(kept(head) / keptTotal < natural(head) / natTotal,
+      "alpha=0.5 must shrink the head domain's share")
+    // every domain still present, nothing over its natural count
+    natural.keys.foreach { l =>
+      assert(kept(l) >= 1 && kept(l) <= natural(l))
+    }
+    // budget monotone: the 150-budget pick is a prefix of the 300-budget pick
+    val small = Sampling.temperatureSample(docs, Seq("lang"), "doc_id", 0.5, 150)
+      .select("doc_id").as[Long].collect().toSet
+    val large = Sampling.temperatureSample(docs, Seq("lang"), "doc_id", 0.5, 300)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(large))
+  }
 }
