@@ -88,6 +88,37 @@ object Connectors {
       .map(f => col(f).isNotNull)
     notNulls.foldLeft(base.where(windowPredicate(ts, w)))(_ where _)
   }
+
+  /** NDJSON read with a quarantine channel: PERMISSIVE parse capturing each
+    * malformed line verbatim in `_corrupt_record`, split into
+    * (clean rows, corrupt lines). The raw frame is cached because Spark
+    * refuses to filter on the corrupt-record column of an uncached lazy
+    * parse (the column exists only while the parser is looking at the
+    * line) — the cache holds the window's batch, not the corpus. Use this
+    * when an ingest must make progress past bad lines AND account for
+    * every one of them (the reject counts feed the same audit the clean
+    * counts do); use FAILFAST (the source default) when a bad line should
+    * halt the window. */
+  def readJsonQuarantined(spark: SparkSession, jsonDir: String,
+                          schema: org.apache.spark.sql.types.StructType,
+                          timestampFormat: String = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      : (DataFrame, DataFrame) = {
+    val corruptCol = "_corrupt_record"
+    val withCorrupt = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField(
+        corruptCol, org.apache.spark.sql.types.StringType, nullable = true))
+    val raw = spark.read
+      .schema(withCorrupt)
+      .option("timestampFormat", timestampFormat)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(jsonDir)
+      .cache()
+    val clean = raw.where(col(corruptCol).isNull).drop(corruptCol)
+    val corrupt = raw.where(col(corruptCol).isNotNull)
+      .select(col(corruptCol).as("raw_line"))
+    (clean, corrupt)
+  }
 }
 
 /** Parquet events table as the source system. `base` is the (lazily
@@ -116,14 +147,21 @@ final class ParquetSource(spark: SparkSession, cfg: PipelineConfig,
 final class CsvSource(spark: SparkSession, cfg: PipelineConfig, csvDir: String,
                       schema: org.apache.spark.sql.types.StructType,
                       header: Boolean = true,
-                      timestampFormat: String = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+                      timestampFormat: String = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+                      mode: String = "FAILFAST")
     extends SourceConnector {
   import Connectors._
 
+  // mode defaults to FAILFAST, NOT Spark's PERMISSIVE: a malformed row
+  // silently parsed to nulls slips past the pipeline's count audit (source
+  // rows and target rows still tally) while corrupting the data — in an
+  // audited pipeline a parse failure must be loud, or explicitly routed
+  // (Connectors.readJsonQuarantined / DROPMALFORMED), never silent.
   private def base: DataFrame = spark.read
     .schema(schema)
     .option("header", header.toString)
     .option("timestampFormat", timestampFormat)
+    .option("mode", mode)
     .csv(csvDir)
 
   private def filtered(w: TimeWindow): DataFrame = sourceFilters(base, cfg, w)
@@ -141,13 +179,16 @@ final class CsvSource(spark: SparkSession, cfg: PipelineConfig, csvDir: String,
   * [[Connectors.sourceFilters]]. */
 final class JsonSource(spark: SparkSession, cfg: PipelineConfig, jsonDir: String,
                        schema: org.apache.spark.sql.types.StructType,
-                       timestampFormat: String = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+                       timestampFormat: String = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+                       mode: String = "FAILFAST")
     extends SourceConnector {
   import Connectors._
 
+  // FAILFAST default for the same audit-contract reason as [[CsvSource]]
   private def base: DataFrame = spark.read
     .schema(schema)
     .option("timestampFormat", timestampFormat)
+    .option("mode", mode)
     .json(jsonDir)
 
   private def filtered(w: TimeWindow): DataFrame = sourceFilters(base, cfg, w)

@@ -1,0 +1,63 @@
+package graft.runner
+
+import graft.SparkSpec
+import graft.config.PipelineConfig
+import graft.connect.{Connectors, JsonSource}
+import graft.time.{Granularity, TimeUtil}
+import java.nio.file.Files
+import java.time.{ZoneId, ZonedDateTime}
+import org.apache.spark.sql.types._
+
+/** Malformed-record policy of the text-format sources: FAILFAST by default
+  * (a silently-nulled row passes the count audit while corrupting data),
+  * DROPMALFORMED on request, and a quarantine read that accounts for every
+  * rejected line. */
+class MalformedRecordsSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("ts", TimestampType), StructField("id", LongType),
+    StructField("v", StringType)))
+
+  // 3 good lines + 1 corrupt (unparseable JSON) + 1 schema-violating
+  private lazy val jsonDir: String = {
+    val dir = Files.createTempDirectory("graft_badjson")
+    val lines = Seq(
+      """{"ts":"2024-01-01T00:10:00.000000Z","id":1,"v":"a"}""",
+      """{"ts":"2024-01-01T00:20:00.000000Z","id":2,"v":"b"}""",
+      """{"ts":"2024-01-01T00:30:00.000000Z","id":3,"v":"c"}""",
+      """{"ts":"2024-01-01T00:40:00.000000Z","id":4,""",        // truncated
+      """{"ts":"not-a-timestamp","id":5,"v":"e"}""")            // bad value
+    Files.write(dir.resolve("part-0.json"), lines.mkString("\n").getBytes("UTF-8"))
+    dir.toString
+  }
+
+  private val cfg = PipelineConfig.fromMap(Map(
+    "root_dir" -> "/tmp/graft_badjson_root", "granularity" -> "1h"))
+  private val window = TimeUtil.generateWindows(
+    ZonedDateTime.of(2024, 1, 1, 0, 0, 0, 0, ZoneId.of("UTC")),
+    ZonedDateTime.of(2024, 1, 1, 1, 0, 0, 0, ZoneId.of("UTC")),
+    Granularity.parse("1h")).head
+
+  test("FAILFAST default: a malformed line halts the window loudly") {
+    val src = new JsonSource(spark, cfg, jsonDir, schema)
+    val e = intercept[org.apache.spark.SparkException] { src.count(window) }
+    assert(e.getMessage.contains("FAILFAST") ||
+      e.getCause != null, s"unexpected failure shape: ${e.getMessage}")
+  }
+
+  test("DROPMALFORMED: bad lines vanish, good rows flow") {
+    val src = new JsonSource(spark, cfg, jsonDir, schema, mode = "DROPMALFORMED")
+    assert(src.count(window) == 3)
+    assert(src.extract(window).collect().map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("quarantine read accounts for every line: clean + corrupt == total") {
+    val (clean, corrupt) = Connectors.readJsonQuarantined(spark, jsonDir, schema)
+    assert(clean.count() + corrupt.count() == 5)
+    assert(clean.count() == 3)
+    val rejects = corrupt.collect().map(_.getString(0))
+    assert(rejects.exists(_.contains(""""id":4""")), "truncated line captured verbatim")
+    assert(rejects.exists(_.contains("not-a-timestamp")), "bad-value line captured verbatim")
+    clean.unpersist()
+  }
+}
