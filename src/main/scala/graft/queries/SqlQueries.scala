@@ -29,6 +29,7 @@ object SqlQueries {
     Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
     Tables.events(s, dir).createOrReplaceTempView("events")
     Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
+    Tables.documents(s, dir).createOrReplaceTempView("documents")
     ColumnBridge.registerFunction(s, "cosine_similarity",
       (args: Seq[Expression]) =>
         graft.functions.CosineSimilarity(args(0), args(1)))
@@ -160,17 +161,49 @@ object SqlQueries {
       FROM carried WHERE is_left = 1 ORDER BY event_id""")
   }
 
+  /** q80's temperature-weighted domain mix as pure SQL text — the
+    * α-sampling rule (power/floor/round quota arithmetic), the portable
+    * md5 pick order (conv(substring(md5(...)))) and the per-domain
+    * window cap all through the SQL parser. Same oracle as q80. */
+  val sqlTemperatureMix: Q = (s, dir) => {
+    ensureSurface(s, dir)
+    s.sql("""
+      WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      w AS (SELECT lang, n, power(n, 0.5D) AS pw FROM c),
+      t AS (SELECT sum(pw) AS tw FROM w),
+      q AS (
+        SELECT lang, n AS n_docs,
+          CAST(floor(round(300 * pw / tw, 6)) AS BIGINT) AS quota
+        FROM w CROSS JOIN t),
+      r AS (
+        SELECT doc_id, lang,
+          CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS ntok,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) ASC,
+                     doc_id ASC) AS rn
+        FROM documents),
+      k AS (
+        SELECT r.lang, count(*) AS n_kept, sum(r.ntok) AS kept_tokens
+        FROM r JOIN q ON r.lang = q.lang WHERE r.rn <= q.quota GROUP BY r.lang)
+      SELECT q.lang, q.n_docs, q.quota,
+        coalesce(k.n_kept, 0L) AS n_kept,
+        coalesce(k.kept_tokens, 0L) AS kept_tokens
+      FROM q LEFT JOIN k ON q.lang = k.lang ORDER BY q.lang""")
+  }
+
   val all: Map[String, Q] = Map(
     "q71_sql_pricing_summary" -> sqlPricingSummary,
     "q72_sql_sketch_percentiles" -> sqlSketchPercentiles,
     "q73_sql_knn" -> sqlKnn,
     "q74_sql_approx_distinct" -> sqlApproxDistinct,
-    "q75_sql_asof" -> sqlAsOf)
+    "q75_sql_asof" -> sqlAsOf,
+    "q81_sql_temperature_mix" -> sqlTemperatureMix)
 
   val oracles: Map[String, String] = Map(
     "q71_sql_pricing_summary" -> RelationalQueries.oracles("q01_pricing_summary"),
     "q72_sql_sketch_percentiles" -> CorpusQueries.oracles("q56_sketch_percentiles"),
     "q73_sql_knn" -> CorpusQueries.oracles("q50_knn_brute_force"),
     "q74_sql_approx_distinct" -> CorpusQueries.oracles("q52_approx_distinct"),
-    "q75_sql_asof" -> RelationalQueries.oracles("q17_asof_join"))
+    "q75_sql_asof" -> RelationalQueries.oracles("q17_asof_join"),
+    "q81_sql_temperature_mix" -> CurationQueries.oracles("q80_temperature_mix"))
 }

@@ -36,6 +36,37 @@ class Bm25Spec extends SparkSpec {
     assert(got(1L) > got(2L))
   }
 
+  test("randomized differential vs a driver-side model") {
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("cat", "dog", "bird", "fish", "ant", "bee", "cow", "elk")
+    val docs = (0L until 100L).map { i =>
+      val n = 1 + rng.nextInt(20)
+      (i, Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val terms = Seq("cat", "dog", "bee")
+    val k1 = 1.2; val b = 0.75
+    val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+    val nDocs = docs.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / nDocs
+    val dfm = terms.map(t => t -> toks.values.count(_.contains(t)).toDouble).toMap
+    val model = docs.flatMap { case (id, _) =>
+      val ts = toks(id)
+      val score = terms.map { t =>
+        val tf = ts.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else math.log(1.0 + (nDocs - dfm(t) + 0.5) / (dfm(t) + 0.5)) * tf * (k1 + 1.0) /
+          (tf + k1 * (1 - b + b * ts.size / avgdl))
+      }.sum
+      if (score > 0) Some(id -> score) else None
+    }.toMap
+    val got = Bm25.score(docs.toDF("id", "text"), "id", "text", terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == model.keySet)
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - model(id)) < 1e-9, s"doc $id: $s vs ${model(id)}")
+    }
+  }
+
   test("topK plans a TakeOrderedAndProject, not a global sort or window") {
     val docs = spark.read.parquet(sf("documents"))
     val top = Bm25.topK(docs, "doc_id", "text", Seq("spark", "shuffle"), 10)

@@ -33,6 +33,30 @@ class SpanDedupSpec extends SparkSpec {
     assert(got(30L) == ((2L, 0L, "")))
   }
 
+  test("randomized differential vs a driver-side model (small vocab forces collisions)") {
+    val rng = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val k = 3
+    val docs = (0L until 150L).map { i =>
+      val n = 1 + rng.nextInt(12)
+      (i, Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    // driver-side model: docs in id order, spans in position order, a span
+    // survives only at its first sighting — exactly the operator's contract
+    def spansOf(text: String): Seq[String] =
+      text.split("\\s+").filter(_.nonEmpty).grouped(k).map(_.mkString(" ")).toSeq
+    val seen = scala.collection.mutable.Set[String]()
+    val model = docs.map { case (id, text) =>
+      val sp = spansOf(text)
+      val kept = sp.filter(seen.add)
+      id -> ((sp.size.toLong, kept.size.toLong, kept.mkString(" ")))
+    }.toMap
+    val got = SpanDedup.dedupSpans(docs.toDF("id", "text"), "id", "text", k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == model)
+  }
+
   test("index dedup drops exactly the corpus-known spans from new docs") {
     val corpus = Seq((1L, "one two three four five six")).toDF("id", "text")
     val idx = SpanDedup.buildSpanIndex(corpus, "id", "text", 3)
