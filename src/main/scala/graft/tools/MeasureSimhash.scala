@@ -1,0 +1,29 @@
+package graft.tools
+
+import graft.dedup.Dedup
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch: simhash pair volume vs the exact pair set per SF — sizing the
+  * q43 candidate bound. */
+object MeasureSimhash {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      val docs = Tables.documents(spark, s"/root/testdata/sf$sf")
+      val n = docs.count()
+      val sim = Dedup.simHashPairs(docs, "doc_id", "text", 3).select("id_a", "id_b").cache()
+      val exact = Dedup.minHashLsh(docs, "doc_id", "text", 5, 64, 16, 0.6)
+        .select("id_a", "id_b").cache()
+      val nSim = sim.count(); val nExact = exact.count()
+      val nHit = exact.join(sim, Seq("id_a", "id_b"), "left_semi").count()
+      println(f"sf=$sf%6s n=$n%6d exact=$nExact%5d sim=$nSim%6d hit=$nHit%5d simRatio=${nSim.toDouble / nExact}%.2f")
+      sim.unpersist(); exact.unpersist()
+    }
+    spark.stop()
+  }
+}

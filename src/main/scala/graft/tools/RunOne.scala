@@ -1,0 +1,19 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Run a single gate query and show its rows: runMain graft.tools.RunOne <sfDir> <name> */
+object RunOne {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, name) = args
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config(graft.sources.Tables.NanosAsLongConf, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.queries(name)(spark, sfDir).show(50, truncate = false)
+    spark.stop()
+  }
+}
