@@ -86,6 +86,22 @@ object SpanDedup {
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
 
+  /** Boilerplate report: the spans repeated most across the corpus, with
+    * occurrence and distinct-document counts — what a curation operator
+    * reads BEFORE span dedup to see what the pass would remove (headers,
+    * navigation chrome, license blocks). One groupBy on the span stream
+    * (both counts in the same aggregation, map-side combinable) + a
+    * distributed top-k. */
+  def topRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                       spanWords: Int, k: Int, minCount: Long = 2L): DataFrame =
+    explodeSpans(docs, idCol, textCol, spanWords)
+      .groupBy("span")
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("id")).as("n_docs"))
+      .where(col("n_occurrences") >= minCount)
+      .orderBy(col("n_occurrences").desc, col("n_docs").desc, col("span").asc)
+      .limit(k)
+
   /** The corpus span index: one row per distinct span, keyed by xxhash64 —
     * the state an incremental/streaming pass screens new documents against
     * (8-byte keys on the wire, not span strings; collision odds

@@ -121,7 +121,14 @@ object CurationQueries {
       .orderBy("lang")
   }
 
+  /** q82: the boilerplate report — top-15 most-repeated 10-word spans with
+    * occurrence/doc counts, the "what would span dedup remove" preview. */
+  val boilerplateSpans: Q = (s, dir) =>
+    SpanDedup.topRepeatedSpans(Tables.documents(s, dir), "doc_id", "text",
+      SpanWords, k = 15)
+
   val all: Map[String, Q] = Map(
+    "q82_boilerplate_spans" -> boilerplateSpans,
     "q76_span_dedup" -> spanDedup,
     "q77_bm25_topk" -> bm25TopK,
     "q78_semantic_dedup" -> semanticDedup,
@@ -129,6 +136,17 @@ object CurationQueries {
     "q80_temperature_mix" -> temperatureMix)
 
   val oracles: Map[String, String] = Map(
+    "q82_boilerplate_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |sp AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(ts[i*10+1:i*10+10], ' ')
+        |      FOR i IN generate_series(0, CAST(ceil(len(ts)/10.0) AS INT) - 1)]) AS span
+        |  FROM toks)
+        |SELECT span, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+        |FROM sp GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY n_occurrences DESC, n_docs DESC, span LIMIT 15""".stripMargin,
     "q76_span_dedup" ->
       """WITH toks AS (
         |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ts FROM documents),

@@ -57,6 +57,18 @@ class SpanDedupSpec extends SparkSpec {
     assert(got == model)
   }
 
+  test("top repeated spans counts occurrences and distinct docs, honors minCount") {
+    val df = Seq(
+      (1L, "x y z x y z"),    // span "x y z" twice in one doc
+      (2L, "x y z a b c"),    // and once here
+      (3L, "a b c q r s")
+    ).toDF("id", "text")
+    val got = SpanDedup.topRepeatedSpans(df, "id", "text", 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("x y z", 3L, 2L), ("a b c", 2L, 2L)),
+      s"got ${got.toSeq}")
+  }
+
   test("index dedup drops exactly the corpus-known spans from new docs") {
     val corpus = Seq((1L, "one two three four five six")).toDF("id", "text")
     val idx = SpanDedup.buildSpanIndex(corpus, "id", "text", 3)
