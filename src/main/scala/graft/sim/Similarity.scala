@@ -123,13 +123,25 @@ object Similarity {
     * so small-scale results are unchanged. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
-              seed: Long = 42, maxFitRows: Int = 100000): DataFrame = {
+              seed: Long = 42, maxFitRows: Int = 100000): DataFrame =
+    ivfTopKFrom(buildIvfIndex(corpus, idCol, vecCol, nLists, seed, maxFitRows),
+      queries, idCol, vecCol, k, nProbe)
+
+  /** An IVF index: the coarse-quantizer centroids (driver-side KBs) plus
+    * the corpus partitioned into inverted lists — built ONCE, probed by
+    * any number of query batches ([[ivfTopKFrom]]). The build-once shape
+    * every production ANN service uses; [[ivfTopK]] is the fused
+    * convenience form for one-shot use. */
+  final case class IvfIndex(centroids: Seq[(Int, Seq[Double])],
+                            lists: DataFrame)
+
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    nLists: Int = 16, seed: Long = 42,
+                    maxFitRows: Int = 100000): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
     val n = c.count() // metadata-sized driver aggregate (one long)
     val fitInput =
       if (n <= maxFitRows) c
@@ -141,13 +153,23 @@ object Similarity {
     val assigned = model.transform(
         c.withColumn("features", array_to_vector(col("cv"))))
       .select(col("neighbor_id"), col("cv"), col("prediction").as("list_id"))
-    // query-side probing: rank all centroids per query by L2, keep nProbe
     val centroids = model.clusterCenters.zipWithIndex.map { case (v, i) =>
       (i, v.toArray.toSeq)
     }.toSeq
-    val spark = corpus.sparkSession
+    IvfIndex(centroids, assigned)
+  }
+
+  /** Probe a prebuilt [[IvfIndex]]: rank centroids per query, keep nProbe
+    * lists, exact-cosine re-rank only those candidates — no fit, no corpus
+    * re-assignment, the index lists are the only corpus-sized input. */
+  def ivfTopKFrom(index: IvfIndex, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val assigned = index.lists
+    val spark = queries.sparkSession
     import spark.implicits._
-    val centDf = centroids.toDF("list_id", "centroid")
+    val centDf = index.centroids.toDF("list_id", "centroid")
     val qLists = q.crossJoin(broadcast(centDf))
       .withColumn("dist",
         // ||q||^2 - 2 q.c + ||c||^2; monotone equivalent: -2 q.c + ||c||^2

@@ -85,6 +85,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.0, s"sampled-fit recall collapsed: $recall")
   }
 
+  test("prebuilt ivf index: repeated query batches reuse one fit, same results") {
+    val index = Similarity.buildIvfIndex(emb, "vec_id", "embedding", nLists = 16)
+    val q1 = emb.where(col("vec_id") < 10)
+    val q2 = emb.where(col("vec_id") >= 10 && col("vec_id") < 20)
+    def viaIndex(q: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopKFrom(index, q, "vec_id", "embedding", 3, nProbe = 4)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def fused(q: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopK(emb, q, "vec_id", "embedding", 3, nLists = 16, nProbe = 4)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(viaIndex(q1) == fused(q1), "index probe diverged from fused form")
+    assert(viaIndex(q2) == fused(q2), "second batch diverged")
+  }
+
   test("lsh buckets are deterministic across invocations") {
     val b1 = Similarity.lshBuckets(emb, "vec_id", "embedding", 12)
       .select("id", "bucket").as[(Long, Long)].collect().toMap
