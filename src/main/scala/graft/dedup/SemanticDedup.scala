@@ -27,6 +27,15 @@ import org.apache.spark.sql.functions._
   * operator's known hazard (a mega-cluster re-creates all-pairs), so
   * oversized clusters beyond `maxClusterSize` are dropped from pairing with
   * the same documented trade as the LSH mega-bucket guard.
+  *
+  * Sizing `nClusters`: it is the parallelism ceiling of the pair join (the
+  * shuffle has one key per cluster) AND the quadratic divisor (work ~
+  * probes²/k of all-pairs), so it must GROW with the corpus — pick
+  * k ≈ n / desiredClusterSize (SemDeDup used 11k clusters for 100M+ docs;
+  * the gate's k=8 fits a 500-doc testdata corpus). Beyond k ~ 1000 the
+  * literal-centroid projection should switch to a broadcast centroid
+  * table; per-row assignment cost is k dot products either way — an exact
+  * coarse quantizer scan, same as IVF's.
   */
 object SemanticDedup {
 
