@@ -111,6 +111,33 @@ object Contamination {
     (size(ghs).cast("long"), filter(ghs, g => mightContain(bloomBytes, g)))
   }
 
+  /** Per-document novelty: the fraction of a doc's DISTINCT word n-grams
+    * that appear in no other document — the inverse of boilerplate, used
+    * as a data-selection signal (high-novelty docs carry information the
+    * corpus doesn't already have; near-zero novelty marks templated text
+    * that survived doc-level dedup).
+    *
+    * Scale shape: gram stream hashed to 64-bit keys, document frequency by
+    * ONE map-side-combinable groupBy on the gram hash, then the (distinct
+    * corpus grams)-sized df frame joins back to the stream and one groupBy
+    * per doc folds the flags — two shuffles, both hash-partitioned,
+    * nothing quadratic, nothing broadcast-sized.
+    *
+    * @return (id, total_grams, unique_grams, novelty) */
+  def noveltyScores(corpus: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3): DataFrame = {
+    val grams = corpus.select(col(idCol).as("id"),
+        explode(array_distinct(TextFunctions.wordGrams(col(textCol), n))).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("gh"))
+    val dfv = grams.groupBy("gh").agg(count(lit(1)).as("__df"))
+    grams.join(dfv, Seq("gh"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("total_grams"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("unique_grams"))
+      .withColumn("novelty",
+        col("unique_grams").cast("double") / col("total_grams"))
+  }
+
   def scoresBloomPrefiltered(corpus: DataFrame, benchmark: DataFrame,
                              idCol: String, textCol: String, n: Int = 3,
                              expectedItems: Long = -1L,

@@ -127,7 +127,24 @@ object CurationQueries {
     SpanDedup.topRepeatedSpans(Tables.documents(s, dir), "doc_id", "text",
       SpanWords, k = 15)
 
+  /** q83: per-source novelty report — mean fraction of per-doc distinct
+    * 3-grams that exist nowhere else in the corpus, plus how many docs sit
+    * below 25% novelty (template suspects). */
+  val noveltyReport: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    docs.select(col("doc_id").as("id"), col("source"))
+      .join(graft.dedup.Contamination.noveltyScores(docs, "doc_id", "text"), "id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("novelty")), 6).as("avg_novelty"),
+        // integer form of novelty < 0.25 — no float compare at the boundary
+        sum(when(col("unique_grams") * 4 < col("total_grams"), 1L).otherwise(0L))
+          .as("n_low_novelty"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "q83_novelty_report" -> noveltyReport,
     "q82_boilerplate_spans" -> boilerplateSpans,
     "q76_span_dedup" -> spanDedup,
     "q77_bm25_topk" -> bm25TopK,
@@ -136,6 +153,25 @@ object CurationQueries {
     "q80_temperature_mix" -> temperatureMix)
 
   val oracles: Map[String, String] = Map(
+    "q83_novelty_report" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |      ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts) - 2)]
+        |    END AS grams
+        |  FROM toks),
+        |cg AS (SELECT doc_id, source, unnest(list_distinct(grams)) AS gm FROM g),
+        |dfv AS (SELECT gm, count(*) AS c FROM cg GROUP BY 1),
+        |per AS (
+        |  SELECT doc_id, source, count(*) AS total,
+        |    sum(CASE WHEN dfv.c = 1 THEN 1 ELSE 0 END) AS uniq
+        |  FROM cg JOIN dfv USING (gm) GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |  round(avg(uniq * 1.0 / total), 6) AS avg_novelty,
+        |  CAST(sum(CASE WHEN uniq * 4 < total THEN 1 ELSE 0 END) AS BIGINT) AS n_low_novelty
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "q82_boilerplate_spans" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),

@@ -75,4 +75,22 @@ class ContaminationSpec extends SparkSpec {
     val avg = s.agg(org.apache.spark.sql.functions.avg("contamination")).as[Double].head()
     assert(avg > 0 && avg < 1)
   }
+
+  test("novelty is 1 for all-unique grams, 0 for exact duplicates") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),  // grams unique to doc 1
+      (2L, "one two three four five"),         // duplicated by doc 3
+      (3L, "one two three four five"),
+      (4L, "one two three six seven")          // shares "one two three" only
+    ).toDF("doc_id", "text")
+    val got = Contamination.noveltyScores(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((3L, 3L, 1.0)))
+    assert(got(2L)._3 == 0.0 && got(3L)._3 == 0.0,
+      "exact duplicates have zero novelty")
+    // doc 4: grams = [one two three][two three six][three six seven];
+    // only the first is shared -> novelty 2/3
+    assert(got(4L)._1 == 3L && got(4L)._2 == 2L)
+  }
 }
