@@ -44,7 +44,8 @@ object Bench {
     "q44_embedding_dup_pairs", // blocked exact cosine dup pairs
     "q50_knn_brute_force",    // exact ANN baseline
     "q51_ann_lsh",            // multi-table LSH ANN
-    "q70_bloom_decontaminate", // bloom-prefiltered decontamination
+    "q70_bloom_decontaminate", // bloom decontamination, all-contaminated worst case
+    "q84_bloom_decontam_sparse", // bloom decontamination, sparse-benchmark target case
     "q60_media_features",     // binary media plumbing
     "q76_span_dedup",         // sub-document span dedup
     "q77_bm25_topk",          // BM25 lexical retrieval

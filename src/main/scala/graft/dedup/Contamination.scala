@@ -1,6 +1,5 @@
 package graft.dedup
 
-import graft.functions.TextFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -30,13 +29,11 @@ object Contamination {
     */
   def scores(corpus: DataFrame, benchmark: DataFrame,
              idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    // per-row compiled gram hashing (WordGramHashes) — the HOF form's
+    // interpreted gram construction was the measured floor of this family
     val corpusGrams = corpus.select(col(idCol).as("id"),
-        explode(array_distinct(TextFunctions.wordGrams(col(textCol), n))).as("g"))
-      .select(col("id"), xxhash64(col("g")).as("gh"))
-    val benchGrams = benchmark.select(
-        explode(array_distinct(TextFunctions.wordGrams(col(textCol), n))).as("g"))
-      .select(xxhash64(col("g")).as("gh"))
-      .distinct()
+        explode(graft.functions.HashFunctions.wordGramHashes(col(textCol), n)).as("gh"))
+    val benchGrams = benchGramTable(benchmark, textCol, n)
     // one pass: broadcast-left-join the gram flag, then a single groupBy
     // computes total and matched together — the two-branch form (semi-join
     // count + total count) scanned the corpus grams twice
@@ -74,15 +71,24 @@ object Contamination {
   private[graft] def benchGramTable(benchmark: DataFrame, textCol: String,
                                     n: Int): DataFrame =
     benchmark.select(
-        explode(array_distinct(TextFunctions.wordGrams(col(textCol), n))).as("g"))
-      .select(xxhash64(col("g")).as("gh"))
+        explode(graft.functions.HashFunctions.wordGramHashes(col(textCol), n)).as("gh"))
       .distinct()
 
   /** Build the benchmark-gram Bloom sketch as driver-side bytes. A few MB
     * even at 1e8 grams, so it embeds in any later plan as a literal —
-    * batch or streaming. */
+    * batch or streaming.
+    *
+    * fpp is the PER-GRAM false-positive rate, but a document flags if ANY
+    * of its grams probes positive, so the per-DOC false-flag rate
+    * compounds to ~ 1 - (1-fpp)^gramsPerDoc: at fpp 0.01 a 150-gram doc
+    * false-flags 78% of the time and the clean-corpus fast path never
+    * engages (measured — q84's disjoint-benchmark bench was as slow as
+    * q70's worst case before this default changed). The 1e-4 default puts
+    * a 150-gram doc at ~1.5% false-flag for ~2x the bits (19.2 vs 9.6
+    * bits/gram — still MBs at 1e8 grams). Size fpp ≈ target_doc_rate /
+    * typical_grams_per_doc. */
   def benchmarkBloom(benchGrams: DataFrame, expectedItems: Long = -1L,
-                     fpp: Double = 0.01): Array[Byte] = {
+                     fpp: Double = 1e-4): Array[Byte] = {
     val items = if (expectedItems > 0) expectedItems else math.max(benchGrams.count(), 1L)
     // optimal bits for target fpp: m = -n ln(p) / (ln 2)^2
     val numBits = math.max(64L, math.ceil(-items * math.log(fpp) / math.pow(math.log(2), 2)).toLong)
@@ -106,8 +112,7 @@ object Contamination {
   def bloomScreenCols(textCol: org.apache.spark.sql.Column, n: Int,
                       bloomBytes: Array[Byte])
       : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
-    val ghs = transform(array_distinct(TextFunctions.wordGrams(textCol, n)),
-      g => xxhash64(g))
+    val ghs = graft.functions.HashFunctions.wordGramHashes(textCol, n)
     (size(ghs).cast("long"), filter(ghs, g => mightContain(bloomBytes, g)))
   }
 
@@ -127,8 +132,7 @@ object Contamination {
   def noveltyScores(corpus: DataFrame, idCol: String, textCol: String,
                     n: Int = 3): DataFrame = {
     val grams = corpus.select(col(idCol).as("id"),
-        explode(array_distinct(TextFunctions.wordGrams(col(textCol), n))).as("g"))
-      .select(col("id"), xxhash64(col("g")).as("gh"))
+        explode(graft.functions.HashFunctions.wordGramHashes(col(textCol), n)).as("gh"))
     val dfv = grams.groupBy("gh").agg(count(lit(1)).as("__df"))
     grams.join(dfv, Seq("gh"))
       .groupBy("id")
@@ -141,7 +145,7 @@ object Contamination {
   def scoresBloomPrefiltered(corpus: DataFrame, benchmark: DataFrame,
                              idCol: String, textCol: String, n: Int = 3,
                              expectedItems: Long = -1L,
-                             fpp: Double = 0.01): DataFrame = {
+                             fpp: Double = 1e-4): DataFrame = {
     // cached: the benchmark gram table is the SMALL side by definition
     // (that is why this operator exists) and is read up to three times —
     // sizing count, bloom build, exact re-check of the flagged sliver

@@ -169,6 +169,72 @@ object SimHash64 {
   private val Whitespace = Pattern.compile("\\s+")
 }
 
+/** Per-row DISTINCT word n-gram hashes of a text column: array<long> of
+  * xxhash64(gram) for each distinct n-token gram, in first-occurrence
+  * order — semantically identical to
+  * `array_distinct(transform(TextFunctions.wordGrams(c, n), xxhash64))`
+  * (pinned by HashExpressionsSpec), including the short-text edge (fewer
+  * than n tokens hash as one whole-text gram; blank text as one ""
+  * gram).
+  *
+  * This is the gram-pipeline analogue of [[MinHashSignature]]: the HOF
+  * form evaluates `sequence`/`slice`/`concat_ws` lambdas INTERPRETED, one
+  * expression-tree walk per gram — profiled at ~3s for 750k grams at
+  * bench sf0.1, which made gram construction (not joins, not the Bloom
+  * probe) the floor of every decontamination/novelty query. One compiled
+  * per-row loop with a reused StringBuilder replaces ~150 interpreted
+  * walks per document. Hashing uses the same XXH64 entry point as the
+  * built-in xxhash64 (seed 42), so hash-join/Bloom compatibility with any
+  * xxhash64(gram-string) producer is exact.
+  */
+case class WordGramHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "gram width must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_gram_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val trimmed = input.asInstanceOf[UTF8String].trim()
+    val toks: Array[String] =
+      if (trimmed.numBytes() == 0) Array.empty[String]
+      else WordGramHashes.Whitespace.split(trimmed.toString, -1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (toks.length < n) {
+      seen.add(WordGramHashes.hashGram(String.join(" ", toks: _*)))
+    } else {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(WordGramHashes.hashGram(sb.toString))
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordGramHashes {
+  private val Whitespace = Pattern.compile("\\s+")
+  private def hashGram(s: String): Long =
+    XXH64.hashUTF8String(UTF8String.fromString(s), 42L)
+}
+
 object GraftFunctions {
   /** SQL builder for minhash_signature(text, shingleK, numHashes) — the
     * shape parameters must be integer literals (they fix the output
@@ -220,4 +286,9 @@ object HashFunctions {
   /** Per-row 64-bit SimHash column (null for token-less documents). */
   def simhash64(text: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
+
+  /** Per-row distinct word n-gram hash column (array<long>, first-
+    * occurrence order; == array_distinct(transform(wordGrams, xxhash64))). */
+  def wordGramHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(WordGramHashes(ColumnBridge.expression(text), n))
 }

@@ -100,6 +100,35 @@ object ExtendedQueries {
       .orderBy("source")
   }
 
+  /** q70's shape in its TARGET regime: a CLEAN corpus. The benchmark here
+    * is vocabulary-disjoint from the corpus (a ~1% doc sample with every
+    * token suffixed — deterministic in both engines, like the q47/q48
+    * injection trick), so the Bloom screen proves ~99% of docs
+    * contamination-free with zero join work and only the ~fpp false
+    * positives reach the exact re-check. q70's corpus (benchmark = 1/7 of
+    * docs sharing the corpus vocabulary) flags everything — the worst
+    * case; this is the case the operator exists for, and its bench number
+    * is the one that scales like a scan. */
+  val decontaminateBloomSparse: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val benchmark = docs.where(col("doc_id") % 97 === 0)
+      .select(concat_ws(" ",
+        transform(TextFunctions.tokens(col("text")),
+          t => concat(t, lit("zz")))).as("text"))
+    val scores = Contamination.scoresBloomPrefiltered(
+        docs, benchmark, "doc_id", "text", n = 3)
+      .select(col("id"), col("contamination"))
+    val kept = col("contamination") < 0.8
+    docs.select(col("doc_id").as("id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+      .join(scores, "id")
+      .groupBy("source")
+      .agg(sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(kept, 0L).otherwise(1L)).as("n_removed"),
+        sum(when(kept, col("ntok")).otherwise(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
   /** PII redaction sweep: deterministic injected PII (email / phone / SSN by
     * doc_id % 4), per-source match counts and the total character delta
     * after redaction — proves the redaction actually rewrote the text. */
@@ -269,6 +298,7 @@ object ExtendedQueries {
     "q63_acctbal_deciles" -> acctbalDeciles,
     "q46_decontaminate" -> decontaminate,
     "q70_bloom_decontaminate" -> decontaminateBloom,
+    "q84_bloom_decontam_sparse" -> decontaminateBloomSparse,
     "q47_pii_redaction" -> piiRedaction,
     "q48_url_domains" -> urlDomains,
     "q49_quality_filter" -> qualityFilter,
@@ -389,6 +419,38 @@ object ExtendedQueries {
     // prefilter is provably lossless, so the oracle is q46's verbatim
     "q70_bloom_decontaminate" -> DecontaminateOracle,
     "q46_decontaminate" -> DecontaminateOracle,
+    // q84: identical computation against the vocabulary-disjoint benchmark
+    // (the transformed-token injection makes contamination provably 0, so
+    // the oracle is the all-kept report — but it recomputes the full
+    // pipeline, not the shortcut, to keep the check honest)
+    "q84_bloom_decontam_sparse" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, len(ts) AS ntok,
+        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |      ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts) - 2)]
+        |    END AS grams
+        |  FROM toks),
+        |bts AS (
+        |  SELECT list_transform(ts, x -> x || 'zz') AS ts2 FROM toks WHERE doc_id % 97 = 0),
+        |bg AS (
+        |  SELECT CASE WHEN len(ts2) < 3 THEN [array_to_string(ts2, ' ')]
+        |      ELSE [array_to_string(ts2[i:i+2], ' ') FOR i IN generate_series(1, len(ts2) - 2)]
+        |    END AS grams
+        |  FROM bts),
+        |cg AS (SELECT doc_id, unnest(list_distinct(grams)) AS gm FROM g),
+        |bench AS (SELECT DISTINCT unnest(list_distinct(grams)) AS gm FROM bg),
+        |m AS (
+        |  SELECT c.doc_id, count(*) AS total,
+        |    sum(CASE WHEN b.gm IS NOT NULL THEN 1 ELSE 0 END) AS matched
+        |  FROM cg c LEFT JOIN bench b USING (gm) GROUP BY 1)
+        |SELECT g.source,
+        |  CAST(count(*) FILTER (m.matched * 1.0 / m.total < 0.8) AS BIGINT) AS n_kept,
+        |  CAST(count(*) FILTER (m.matched * 1.0 / m.total >= 0.8) AS BIGINT) AS n_removed,
+        |  CAST(coalesce(sum(g.ntok) FILTER (m.matched * 1.0 / m.total < 0.8), 0) AS BIGINT) AS kept_tokens
+        |FROM m JOIN g ON m.doc_id = g.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q47_pii_redaction" ->
       """WITH aug AS (
         |  SELECT source, text ||

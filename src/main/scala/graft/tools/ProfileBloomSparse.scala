@@ -1,0 +1,68 @@
+package graft.tools
+
+import graft.dedup.Contamination
+import graft.functions.TextFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch: where does the disjoint-benchmark (clean corpus) bloom pass
+  * spend its time? */
+object ProfileBloomSparse {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config(Tables.NanosAsLongConf, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[p] $label%-36s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    val docs = Tables.documents(spark, sfDir)
+    docs.count()
+    val benchmark = docs.where(col("doc_id") % 97 === 0)
+      .select(concat_ws(" ", transform(TextFunctions.tokens(col("text")),
+        t => concat(t, lit("zz")))).as("text"))
+    for (i <- 1 to 2) {
+      spark.catalog.clearCache()
+      println(s"== pass $i ==")
+      val bg = time("benchGramTable build+cache+count") {
+        val b = benchmark.select(explode(array_distinct(
+            TextFunctions.wordGrams(col("text"), 3))).as("g"))
+          .select(xxhash64(col("g")).as("gh")).distinct().cache()
+        b.count(); b
+      }
+      val bloom = time("bloom build")(Contamination.benchmarkBloom(bg, -1L, 1e-4))
+      time("per-doc screen (narrow)") {
+        val (tot, fl) = Contamination.bloomScreenCols(col("text"), 3, bloom)
+        docs.select(col("doc_id"), tot.as("t"), fl.as("f")).agg(sum(size(col("f")))).head()
+      }
+      time("screen: grams-once two projections") {
+        val ghs = transform(array_distinct(
+          TextFunctions.wordGrams(col("text"), 3)), g => xxhash64(g))
+        docs.select(col("doc_id"), ghs.as("ghs"))
+          .select(col("doc_id"), size(col("ghs")).as("t"),
+            filter(col("ghs"), g => Contamination.mightContain(bloom, g)).as("f"))
+          .agg(sum(size(col("f")))).head()
+      }
+      time("grams array alone (no probe)") {
+        docs.select(transform(array_distinct(
+            TextFunctions.wordGrams(col("text"), 3)), g => xxhash64(g)).as("ghs"))
+          .agg(sum(size(col("ghs")))).head()
+      }
+      time("exploded probe (no HOF)") {
+        docs.select(col("doc_id"), explode(transform(array_distinct(
+            TextFunctions.wordGrams(col("text"), 3)), g => xxhash64(g))).as("gh"))
+          .where(Contamination.mightContain(bloom, col("gh")))
+          .count()
+      }
+      time("full scoresBloomPrefiltered")(
+        Contamination.scoresBloomPrefiltered(docs, benchmark, "doc_id", "text", 3).count())
+    }
+    spark.stop()
+  }
+}

@@ -59,6 +59,20 @@ class HashExpressionsSpec extends SparkSpec {
     assert(ids.contains(900005L) && ids.contains(900006L))
   }
 
+  test("per-row word-gram hashes equal the HOF form (corpus + edge rows)") {
+    val d = edge.toDF("doc_id", "text")
+      .unionAll(docs.select(col("doc_id"), col("text")))
+    for (n <- Seq(1, 3, 7)) {
+      val hof = d.select(col("doc_id"),
+        array_distinct(transform(TextFunctions.wordGrams(col("text"), n),
+          g => xxhash64(g))).as("ghs"))
+      val perRow = d.select(col("doc_id"),
+        HashFunctions.wordGramHashes(col("text"), n).as("ghs"))
+      assert(perRow.exceptAll(hof).isEmpty && hof.exceptAll(perRow).isEmpty,
+        s"word-gram hashes differ from the HOF form at n=$n")
+    }
+  }
+
   test("minhash_signature and simhash64 are callable from SQL") {
     org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
       spark, "minhash_signature", args => GraftFunctions.minhashSignatureBuilder(args))
