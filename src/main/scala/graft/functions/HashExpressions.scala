@@ -235,6 +235,67 @@ object WordGramHashes {
     XXH64.hashUTF8String(UTF8String.fromString(s), 42L)
 }
 
+/** Per-row DISTINCT character k-gram shingle hashes: array<long> of
+  * xxhash64(shingle) for each distinct char k-gram, first-occurrence
+  * order — identical to
+  * `array_distinct(transform(TextFunctions.charShingles(c, k), xxhash64))`
+  * (pinned by HashExpressionsSpec), including the short-text edge (texts
+  * under k chars hash as one whole-text shingle). Same zero-copy UTF8
+  * walking as [[MinHashSignature]] (char-boundary offsets, seed-42 XXH64
+  * over byte views — no per-shingle string allocation at all).
+  *
+  * Replaces the interpreted `sequence`/`substr` HOF pipeline in the LSH
+  * verification paths, where shingling candidate docs measured 2.1s of
+  * q42's 2.9s fused time at bench sf0.1; the built-in dedupe also makes
+  * the downstream `(id, shingle)` stream per-row distinct, removing the
+  * global distinct SHUFFLE those paths paid before verification.
+  */
+case class CharShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nBytes = s.numBytes()
+    val nChars = s.numChars()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (nChars < k) {
+      seen.add(XXH64.hashUTF8String(s, 42L))
+    } else {
+      val charOff = new Array[Int](nChars + 1)
+      var i = 0
+      var bo = 0
+      while (i < nChars) {
+        charOff(i) = bo
+        bo += UTF8String.numBytesForFirstByte(Platform.getByte(base, off + bo))
+        i += 1
+      }
+      charOff(nChars) = nBytes
+      var st = 0
+      while (st + k <= nChars) {
+        val view = UTF8String.fromAddress(base, off + charOff(st),
+          charOff(st + k) - charOff(st))
+        seen.add(XXH64.hashUTF8String(view, 42L))
+        st += 1
+      }
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   /** SQL builder for minhash_signature(text, shingleK, numHashes) — the
     * shape parameters must be integer literals (they fix the output
@@ -291,4 +352,9 @@ object HashFunctions {
     * occurrence order; == array_distinct(transform(wordGrams, xxhash64))). */
   def wordGramHashes(text: Column, n: Int): Column =
     ColumnBridge.column(WordGramHashes(ColumnBridge.expression(text), n))
+
+  /** Per-row distinct char k-gram shingle hash column (array<long>, first-
+    * occurrence order; == array_distinct(transform(charShingles, xxhash64))). */
+  def charShingleHashes(text: Column, k: Int): Column =
+    ColumnBridge.column(CharShingleHashes(ColumnBridge.expression(text), k))
 }

@@ -73,6 +73,20 @@ class HashExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("per-row char-shingle hashes equal the HOF form (corpus + edge rows)") {
+    val d = edge.toDF("doc_id", "text")
+      .unionAll(docs.select(col("doc_id"), col("text")))
+    for (k <- Seq(1, 5)) {
+      val hof = d.select(col("doc_id"),
+        array_distinct(transform(TextFunctions.charShingles(col("text"), k),
+          s => xxhash64(s))).as("shs"))
+      val perRow = d.select(col("doc_id"),
+        HashFunctions.charShingleHashes(col("text"), k).as("shs"))
+      assert(perRow.exceptAll(hof).isEmpty && hof.exceptAll(perRow).isEmpty,
+        s"char-shingle hashes differ from the HOF form at k=$k")
+    }
+  }
+
   test("minhash_signature and simhash64 are callable from SQL") {
     org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
       spark, "minhash_signature", args => GraftFunctions.minhashSignatureBuilder(args))
