@@ -632,12 +632,86 @@ object Dedup {
       .where(upperBound >= lit(minCosine) * col("a.nrm") * col("b.nrm"))
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
+    exactCosineRecheck(e, cand, minCosine)
+  }
+
+  /** Survivor re-check shared by the blocked candidate generators: join the
+    * full-precision vectors back by id and keep exact cosine >= threshold
+    * (also removes prefilter false positives). */
+  private def exactCosineRecheck(e: DataFrame, cand: DataFrame,
+                                 minCosine: Double): DataFrame =
     cand
       .join(e.select(col("id").as("id_a"), col("v").as("va")), "id_a")
       .join(e.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"), cosineSim(col("va"), col("vb")).as("cosine"))
       .where(col("cosine") >= minCosine)
+
+  /** Batched form of [[embeddingDupPairs]]: same triangle block scheme and
+    * same sound int8 prefilter, but candidate enumeration runs as a typed
+    * flatMap over per-block-pair COLLECTED arrays instead of a 12.5M-row
+    * equi-join. The backlog's "measure first" experiment, measured and
+    * PROMOTED: join-row materialization was indeed the blocked shape's
+    * dominant local cost — 0.85s vs 2.6s (min of 3, sf0.1) for identical
+    * output, so the gate/bench queries (q44, q78/q79 exact sides) run this
+    * form; the equi-join form remains the differential baseline and the
+    * fallback where the memory contract below cannot be met.
+    *
+    * Memory contract: one task holds TWO blocks' quantized rows
+    * (collect_list per block-pair key; ~70 B/row at 64 dims), so at scale
+    * numBlocks must grow with the corpus (n/numBlocks rows per block
+    * bounded to task memory, e.g. 100k rows ≈ tens of MB) — same knob,
+    * stricter reason than the join form. */
+  def embeddingDupPairsBatched(emb: DataFrame, idCol: String, vecCol: String,
+                               minCosine: Double, numBlocks: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val prepped = e
+      .withColumn("qz", graft.sim.Quantization.quantizeInt8(col("v")))
+      .withColumn("dq", graft.sim.Quantization.dequantizeInt8(col("qz")))
+      .withColumn("diff", zip_with(col("v"), col("dq"), (x, y) => x - y))
+      .select(col("id"), col("qz.scale").as("scale"), col("qz.q").as("q"),
+        sqrt(graft.functions.VectorFunctions.dotProduct(col("v"), col("v"))).as("nrm"),
+        sqrt(graft.functions.VectorFunctions.dotProduct(col("diff"), col("diff"))).as("qerr"),
+        pmod(xxhash64(col("id")), lit(numBlocks)).cast("int").as("p"))
+    val rowC = struct(col("id"), col("scale"), col("q"), col("nrm"),
+      col("qerr"), col("p"))
+    val leftG = prepped
+      .select(rowC.as("r"), explode(sequence(col("p"), lit(numBlocks - 1))).as("j"))
+      .select((col("r.p") * numBlocks + col("j")).as("bp"), col("r"))
+      .groupBy("bp").agg(collect_list(col("r")).as("ls"))
+    val rightG = prepped
+      .select(rowC.as("r"), explode(sequence(lit(0), col("p"))).as("i"))
+      .select((col("i") * numBlocks + col("r.p")).as("bp"), col("r"))
+      .groupBy("bp").agg(collect_list(col("r")).as("rs"))
+    val cand = leftG.join(rightG, "bp")
+      .as[(Int, Seq[Dedup.QRow], Seq[Dedup.QRow])]
+      .flatMap { case (_, ls, rs) =>
+        val right = rs.iterator.map(r =>
+          (r.id, r.scale, r.q.toArray, r.nrm, r.qerr, r.p)).toArray
+        ls.iterator.flatMap { a =>
+          val qa = a.q.toArray
+          right.iterator.filter { case (bid, bscale, qb, bnrm, bqerr, bp) =>
+            (a.id != bid) && (a.p != bp || a.id < bid) && {
+              var dot = 0L
+              var i = 0
+              while (i < qa.length) { dot += qa(i).toLong * qb(i); i += 1 }
+              val upper = a.scale * bscale * dot +
+                a.qerr * bnrm + bqerr * a.nrm + 3.0 * a.qerr * bqerr
+              upper >= minCosine * a.nrm * bnrm
+            }
+          }.map { case (bid, _, _, _, _, _) =>
+            (math.min(a.id, bid), math.max(a.id, bid))
+          }
+        }
+      }
+      .toDF("id_a", "id_b")
+    exactCosineRecheck(e, cand, minCosine)
   }
+
+  /** Quantized row carried through the batched block join. */
+  final case class QRow(id: Long, scale: Double, q: Seq[Int], nrm: Double,
+                        qerr: Double, p: Int)
 
   /** All-pairs exact baseline (BroadcastNestedLoopJoin) — the differential
     * oracle for [[embeddingDupPairs]]; not a scale shape. */

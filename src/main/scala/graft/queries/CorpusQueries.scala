@@ -273,13 +273,14 @@ object CorpusQueries {
         (col("n_sim") <= col("n_exact_pairs") * 3).as("candidates_bounded"))
   }
 
-  /** Embedding cosine near-dup pairs — the blocked exact shape (triangle
-    * block join + int8 sound prefilter + exact re-check; no nested-loop
-    * join, pinned by PlanShapeSpec). Output identical to the all-pairs
-    * cross join (DedupSpec differential), so the exact oracle is
-    * unchanged. */
+  /** Embedding cosine near-dup pairs — the blocked exact shape in its
+    * measured-fastest form (triangle block scheme, int8 sound prefilter
+    * batched per block pair, exact re-check; no nested-loop join, pinned
+    * by PlanShapeSpec). Output identical to the all-pairs cross join AND
+    * to the equi-join blocked form (DedupSpec differentials), so the
+    * exact oracle is unchanged. */
   val embeddingDupPairs: Q = (s, dir) =>
-    Dedup.embeddingDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+    Dedup.embeddingDupPairsBatched(Tables.embeddings(s, dir), "vec_id", "embedding",
         minCosine = 0.45)
       .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
       .orderBy("vec_a", "vec_b")

@@ -60,7 +60,7 @@ object CurationQueries {
     val emb = Tables.embeddings(s, dir)
     val k = 8
     val probes = 2
-    val exact = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", 0.45)
+    val exact = Dedup.embeddingDupPairsBatched(emb, "vec_id", "embedding", 0.45)
     // one k-means fit serves both the pair search and the candidate stats
     val assigned = SemanticDedup.assignClusters(emb, "vec_id", "embedding",
       nClusters = k, probes = probes)
@@ -89,7 +89,7 @@ object CurationQueries {
     val emb = Tables.embeddings(s, dir)
     val delta = emb.where(col("vec_id") % 10 === 3)
     val corpus = emb.where(col("vec_id") % 10 =!= 3)
-    val exact = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", 0.45)
+    val exact = Dedup.embeddingDupPairsBatched(emb, "vec_id", "embedding", 0.45)
       .where((col("id_a") % 10 === 3) =!= (col("id_b") % 10 === 3))
     val idx = SemanticDedup.buildIndex(corpus, "vec_id", "embedding",
       nClusters = 8, probes = 3)

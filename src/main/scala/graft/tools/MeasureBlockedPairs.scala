@@ -1,0 +1,33 @@
+package graft.tools
+
+import graft.dedup.Dedup
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+
+/** Scratch: blocked equi-join vs batched flatMap candidate enumeration for
+  * exact embedding dup pairs (the backlog's measure-first experiment). */
+object MeasureBlockedPairs {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    emb.count()
+    def time(label: String)(f: => Long): Unit = {
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime(); val n = f
+        println(f"[m] $label%-10s pass$i n=$n%5d ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+    }
+    time("joined")(Dedup.embeddingDupPairs(emb, "vec_id", "embedding", 0.45).count())
+    time("batched")(Dedup.embeddingDupPairsBatched(emb, "vec_id", "embedding", 0.45).count())
+    // equality
+    val a = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b")
+    val b = Dedup.embeddingDupPairsBatched(emb, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b")
+    println(s"[m] equal=${a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty}")
+    spark.stop()
+  }
+}

@@ -283,4 +283,24 @@ class DedupSpec extends SparkSpec {
       assert(alt == base, s"numBlocks=$b differs")
     }
   }
+
+  test("batched blocked pairs equal the equi-join form at every threshold and block count") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    for (t <- Seq(0.3, 0.45, 0.9)) {
+      val batched = Dedup.embeddingDupPairsBatched(emb, "vec_id", "embedding", t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val joined = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(batched == joined,
+        s"t=$t: missing=${joined -- batched} extra=${batched -- joined}")
+    }
+    for (b <- Seq(1, 7)) {
+      val batched = Dedup.embeddingDupPairsBatched(emb, "vec_id", "embedding", 0.45,
+          numBlocks = b)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val base = Dedup.embeddingDupPairsExhaustive(emb, "vec_id", "embedding", 0.45)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(batched == base, s"numBlocks=$b differs")
+    }
+  }
 }
