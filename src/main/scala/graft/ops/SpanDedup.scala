@@ -54,8 +54,14 @@ object SpanDedup {
     * was a repeat). Deterministic: the kept copy of a span is the one with
     * the smallest (id, span_idx). */
   def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
-                 spanWords: Int): DataFrame = {
-    val sp = explodeSpans(docs, idCol, textCol, spanWords)
+                 spanWords: Int): DataFrame =
+    firstOccurrenceDedup(explodeSpans(docs, idCol, textCol, spanWords),
+      docs.select(col(idCol).as("id")))
+
+  /** The shared dedup core: given a span stream (id, span_idx, span) and
+    * the full id set, keep each span's first (id, span_idx) occurrence and
+    * rebuild every doc from its survivors in order. */
+  private def firstOccurrenceDedup(sp: DataFrame, allIds: DataFrame): DataFrame = {
     // arg-min first occurrence per span text — map-side combinable min()
     val firsts = sp.groupBy("span")
       .agg(min(struct(col("id"), col("span_idx"))).as("f"))
@@ -78,13 +84,48 @@ object SpanDedup {
             when(col("kept"), struct(col("span_idx"), col("span"))))),
           s => s.getField("span")), " ").as("text_dedup"))
     // every doc appears, even if it had no spans at all (blank text)
-    docs.select(col(idCol).as("id"))
+    allIds
       .join(agg, Seq("id"), "left_outer")
       .select(col("id"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
+
+  /** Content-defined chunks: a token STARTS a new chunk when its md5
+    * bucket is 0 mod `avgChunk` (and it is not the doc's first token) —
+    * Rabin-style content-defined chunking over words. Fixed-width spans
+    * ([[spans]]) lose alignment when an insertion shifts every later
+    * boundary; CDC boundaries depend only on token VALUES, so identical
+    * passages chunk identically wherever they sit — the shift-robust
+    * sub-document dedup (the storage-dedup trick applied to corpora).
+    * Expected chunk length = avgChunk tokens. The boundary hash is the
+    * engine-portable md5 bucket (Sampling's trick), so an oracle can
+    * replicate chunking exactly. Returns (id, span_idx, span). */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                avgChunk: Int): DataFrame = {
+    require(avgChunk >= 1, "avgChunk must be >= 1")
+    val tk = docs.select(col(idCol).as("id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val boundary = when(col("pos") > 0 &&
+      Sampling.md5Bucket(col("tok")) % avgChunk === 0, 1L).otherwise(0L)
+    // running boundary count = chunk index; per-doc window, bounded state
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    tk.withColumn("span_idx", sum(boundary).over(w).cast("int"))
+      .groupBy("id", "span_idx")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok")), " ").as("span"))
+  }
+
+  /** [[dedupSpans]] over content-defined chunks instead of fixed-width
+    * spans — same contract: (id, n_spans, n_kept, text_dedup). */
+  def dedupCdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                     avgChunk: Int): DataFrame =
+    firstOccurrenceDedup(cdcChunks(docs, idCol, textCol, avgChunk),
+      docs.select(col(idCol).as("id")))
 
   /** Boilerplate report: the spans repeated most across the corpus, with
     * occurrence and distinct-document counts — what a curation operator

@@ -143,7 +143,26 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  /** q85: content-defined-chunk dedup report — q76's report over CDC
+    * chunks (md5-bucket boundaries, expected 8-token chunks) instead of
+    * fixed 10-word windows; the shift-robust variant finds repeats that
+    * boundary drift hides from fixed spans. */
+  val cdcDedup: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val dd = SpanDedup.dedupCdcChunks(docs, "doc_id", "text", avgChunk = 8)
+    docs.select(col("doc_id").as("id"), col("source"))
+      .join(dd, "id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_spans").as("n_spans"),
+        sum("n_kept").as("n_kept"),
+        sum(length(col("text_dedup")).cast("long")).as("kept_chars"),
+        sum(when(col("n_kept") < col("n_spans"), 1L).otherwise(0L)).as("docs_modified"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "q85_cdc_dedup" -> cdcDedup,
     "q83_novelty_report" -> noveltyReport,
     "q82_boilerplate_spans" -> boilerplateSpans,
     "q76_span_dedup" -> spanDedup,
@@ -153,6 +172,26 @@ object CurationQueries {
     "q80_temperature_mix" -> temperatureMix)
 
   val oracles: Map[String, String] = Map(
+    "q85_cdc_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |tk AS (SELECT doc_id, source, unnest(ts) AS tok, generate_subscripts(ts, 1) AS pos FROM toks),
+        |fl AS (SELECT *, CASE WHEN pos > 1 AND CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 8 = 0
+        |  THEN 1 ELSE 0 END AS b FROM tk),
+        |cid AS (SELECT *, sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS span_idx FROM fl),
+        |ch AS (SELECT doc_id, source, span_idx, string_agg(tok, ' ' ORDER BY pos) AS span
+        |  FROM cid GROUP BY 1, 2, 3),
+        |kept AS (SELECT * FROM ch
+        |  QUALIFY row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) = 1),
+        |perdoc AS (
+        |  SELECT c.doc_id, c.source, count(*) AS n_spans, count(k.span) AS n_kept,
+        |    coalesce(length(string_agg(k.span, ' ' ORDER BY k.span_idx)), 0) AS kept_chars
+        |  FROM ch c LEFT JOIN kept k ON c.doc_id = k.doc_id AND c.span_idx = k.span_idx
+        |  GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_spans) AS BIGINT) AS n_spans,
+        |  CAST(sum(n_kept) AS BIGINT) AS n_kept, CAST(sum(kept_chars) AS BIGINT) AS kept_chars,
+        |  CAST(sum(CASE WHEN n_kept < n_spans THEN 1 ELSE 0 END) AS BIGINT) AS docs_modified
+        |FROM perdoc GROUP BY 1 ORDER BY 1""".stripMargin,
     "q83_novelty_report" ->
       """WITH toks AS (
         |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ts FROM documents),

@@ -57,6 +57,47 @@ class SpanDedupSpec extends SparkSpec {
     assert(got == model)
   }
 
+  test("cdc chunking is shift-robust: an inserted prefix doesn't break dedup") {
+    // find a boundary token (md5 bucket % 8 == 0) so doc A starts at a
+    // content-defined boundary — then A's chunks are identical wherever A
+    // sits inside another doc
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(tok: String): Long = {
+      val hex = md.digest(tok.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val boundaryTok = (1 to 10000).map(i => s"w$i").find(t => bucket(t) % 8 == 0).get
+    val aText = s"$boundaryTok alpha beta gamma delta epsilon zeta eta theta iota"
+    val df = Seq(
+      (1L, aText),                                  // original
+      (2L, s"completely different prefix $aText")   // shifted copy
+    ).toDF("id", "text")
+    val got = SpanDedup.dedupCdcChunks(df, "id", "text", 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    // doc 2 keeps only its novel prefix chunk(s); every chunk of A dedups
+    assert(got(1L)._2 == aText, "original doc must survive intact")
+    assert(!got(2L)._2.contains("alpha"),
+      s"shifted copy of A must dedup away, kept: ${got(2L)._2}")
+    assert(got(2L)._2.contains("prefix"), "novel prefix must survive")
+    // the fixed-width form MISSES this (boundaries shifted by the prefix):
+    val fixedKept = SpanDedup.dedupSpans(df, "id", "text", 8)
+      .where($"id" === 2L).head().getString(3)
+    assert(fixedKept.contains("alpha"),
+      "fixed spans should fail to dedup the shifted copy (the reason CDC exists)")
+  }
+
+  test("cdc chunks partition each doc: concatenation rebuilds the text") {
+    val docs = spark.read.parquet(sf("documents")).limit(50)
+    val rebuilt = SpanDedup.cdcChunks(docs, "doc_id", "text", 8)
+      .groupBy("id")
+      .agg(array_join(transform(array_sort(collect_list(struct($"span_idx", $"span"))),
+        s => s.getField("span")), " ").as("t"))
+    val orig = docs.select($"doc_id".as("id"),
+      array_join(graft.functions.TextFunctions.tokens($"text"), " ").as("t"))
+    assert(rebuilt.exceptAll(orig).isEmpty && orig.exceptAll(rebuilt).isEmpty,
+      "chunks must tile the token stream exactly")
+  }
+
   test("top repeated spans counts occurrences and distinct docs, honors minCount") {
     val df = Seq(
       (1L, "x y z x y z"),    // span "x y z" twice in one doc
