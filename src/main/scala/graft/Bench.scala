@@ -48,6 +48,7 @@ object Bench {
     "q84_bloom_decontam_sparse", // bloom decontamination, sparse-benchmark target case
     "q60_media_features",     // binary media plumbing
     "q76_span_dedup",         // sub-document span dedup
+    "q85_cdc_dedup",          // shift-robust content-defined-chunk dedup
     "q77_bm25_topk",          // BM25 lexical retrieval
     "q78_semantic_dedup",     // SemDeDup cluster-blocked embedding dedup
     "q79_semantic_incremental") // delta embeddings vs stored cluster index

@@ -153,6 +153,24 @@ object SpanDedup {
       .select(xxhash64(col("span")).as("span_hash"))
       .distinct()
 
+  /** [[buildSpanIndex]] over content-defined chunks — the index an
+    * incremental CDC dedup screens against. */
+  def buildCdcChunkIndex(docs: DataFrame, idCol: String, textCol: String,
+                         avgChunk: Int): DataFrame =
+    cdcChunks(docs, idCol, textCol, avgChunk)
+      .select(xxhash64(col("span")).as("span_hash"))
+      .distinct()
+
+  /** [[dedupSpansAgainstIndex]] with content-defined chunking: new docs
+    * chunk at their own content boundaries (so a known passage matches the
+    * index no matter where it sits in the arriving doc) and drop every
+    * chunk already present. Same contract and plan shape. */
+  def dedupCdcChunksAgainstIndex(newDocs: DataFrame, idCol: String,
+                                 textCol: String, chunkIndex: DataFrame,
+                                 avgChunk: Int): DataFrame =
+    dedupStreamAgainstIndex(cdcChunks(newDocs, idCol, textCol, avgChunk),
+      newDocs.select(col(idCol).as("id")), chunkIndex)
+
   /** Incremental span dedup: drop from each new document every span already
     * present in the corpus index, rebuilding the survivors in order. Spans
     * repeated WITHIN the batch are each other's responsibility only via the
@@ -162,10 +180,17 @@ object SpanDedup {
     * join the optimizer sizes per side; the index is never shuffled when
     * the batch side broadcasts. Returns (id, n_spans, n_kept, text_dedup). */
   def dedupSpansAgainstIndex(newDocs: DataFrame, idCol: String, textCol: String,
-                             spanIndex: DataFrame, spanWords: Int): DataFrame = {
-    val sp = explodeSpans(newDocs, idCol, textCol, spanWords)
-      .withColumn("span_hash", xxhash64(col("span")))
-    val marked = sp.join(spanIndex.withColumn("__hit", lit(1L)),
+                             spanIndex: DataFrame, spanWords: Int): DataFrame =
+    dedupStreamAgainstIndex(explodeSpans(newDocs, idCol, textCol, spanWords),
+      newDocs.select(col(idCol).as("id")), spanIndex)
+
+  /** Shared index-screen core over an exploded (id, span_idx, span)
+    * stream: mark corpus-known spans via the hash index, rebuild survivors
+    * in order. */
+  private def dedupStreamAgainstIndex(sp: DataFrame, allIds: DataFrame,
+                                      spanIndex: DataFrame): DataFrame = {
+    val marked = sp.withColumn("span_hash", xxhash64(col("span")))
+      .join(spanIndex.withColumn("__hit", lit(1L)),
         Seq("span_hash"), "left_outer")
       .withColumn("kept", col("__hit").isNull)
     val agg = marked.groupBy("id")
@@ -175,7 +200,7 @@ object SpanDedup {
           array_sort(collect_list(
             when(col("kept"), struct(col("span_idx"), col("span"))))),
           s => s.getField("span")), " ").as("text_dedup"))
-    newDocs.select(col(idCol).as("id"))
+    allIds
       .join(agg, Seq("id"), "left_outer")
       .select(col("id"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),

@@ -124,6 +124,24 @@ class SpanDedupSpec extends SparkSpec {
     assert(got(20L) == ((1L, 1L, "alpha beta gamma")))
   }
 
+  test("cdc index screen drops corpus-known chunks at any offset") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(tok: String): Long = {
+      val hex = md.digest(tok.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val boundaryTok = (1 to 10000).map(i => s"w$i").find(t => bucket(t) % 8 == 0).get
+    val aText = s"$boundaryTok alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq((1L, aText)).toDF("id", "text")
+    val idx = SpanDedup.buildCdcChunkIndex(corpus, "id", "text", 8)
+    val fresh = Seq((10L, s"novel words here $aText")).toDF("id", "text")
+    val got = SpanDedup.dedupCdcChunksAgainstIndex(fresh, "id", "text", idx, 8)
+      .head()
+    assert(!got.getString(3).contains("alpha"),
+      s"corpus-known chunk must drop at a shifted offset: ${got.getString(3)}")
+    assert(got.getString(3).contains("novel"))
+  }
+
   test("streaming span dedup equals the batch incremental pass") {
     import graft.streaming.StreamingPipeline
     val docs = spark.read.parquet(sf("documents"))
