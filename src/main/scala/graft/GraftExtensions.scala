@@ -46,5 +46,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("quantile_sketch"),
       new ExpressionInfo(classOf[graft.functions.QuantileSketch].getName, "quantile_sketch"),
       (args: Seq[Expression]) => graft.functions.GraftFunctions.quantileSketchBuilder(args)))
+    ext.injectFunction((
+      new FunctionIdentifier("word_gram_hashes"),
+      new ExpressionInfo(classOf[graft.functions.WordGramHashes].getName, "word_gram_hashes"),
+      (args: Seq[Expression]) => graft.functions.GraftFunctions.wordGramHashesBuilder(args)))
+    ext.injectFunction((
+      new FunctionIdentifier("char_shingle_hashes"),
+      new ExpressionInfo(classOf[graft.functions.CharShingleHashes].getName, "char_shingle_hashes"),
+      (args: Seq[Expression]) => graft.functions.GraftFunctions.charShingleHashesBuilder(args)))
   }
 }

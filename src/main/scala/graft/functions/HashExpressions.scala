@@ -310,6 +310,28 @@ object GraftFunctions {
     MinHashSignature(args.head, intLit(args(1), "shingleK"), intLit(args(2), "numHashes"))
   }
 
+  /** SQL builder for word_gram_hashes(text, n) — n must be an integer
+    * literal (it shapes the per-row loop, not the schema, but a
+    * data-dependent width has no meaning here). */
+  def wordGramHashesBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "usage: word_gram_hashes(text, n)")
+    args(1) match {
+      case Literal(v: Int, IntegerType) => WordGramHashes(args.head, v)
+      case other => throw new IllegalArgumentException(
+        s"word_gram_hashes: n must be an integer literal, got $other")
+    }
+  }
+
+  /** SQL builder for char_shingle_hashes(text, k). */
+  def charShingleHashesBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "usage: char_shingle_hashes(text, k)")
+    args(1) match {
+      case Literal(v: Int, IntegerType) => CharShingleHashes(args.head, v)
+      case other => throw new IllegalArgumentException(
+        s"char_shingle_hashes: k must be an integer literal, got $other")
+    }
+  }
+
   /** SQL builder for quantile_sketch(value, quantiles[, k]) — quantiles is
     * a numeric literal or a literal array of numerics (it fixes the output
     * array length, so it cannot be data-dependent); k defaults to 200. */

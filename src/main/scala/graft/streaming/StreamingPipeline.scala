@@ -212,6 +212,20 @@ object StreamingPipeline {
           batch, idCol, textCol, spanIndex, spanWords), batchId)
       }
 
+  /** [[spanDedupStream]] with content-defined chunking — arriving docs
+    * chunk at their own content boundaries, so a corpus-known passage is
+    * screened out no matter where it sits in the arriving doc. */
+  def cdcDedupStream(newDocs: DataFrame, idCol: String, textCol: String,
+                     chunkIndex: DataFrame, avgChunk: Int)
+                    (onBatch: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(graft.ops.SpanDedup.dedupCdcChunksAgainstIndex(
+          batch, idCol, textCol, chunkIndex, avgChunk), batchId)
+      }
+
   /** Exactly-once idempotent sink: per-batch overwrite into deterministic
     * window=<key> partition dirs — the streaming twin of the batch target
     * store's replay contract (reference: stage/ingestion_engine.py:62-99

@@ -142,6 +142,59 @@ class SpanDedupSpec extends SparkSpec {
     assert(got.getString(3).contains("novel"))
   }
 
+  test("streaming cdc dedup equals the batch index screen") {
+    import graft.streaming.StreamingPipeline
+    val docs = spark.read.parquet(sf("documents"))
+    val delta = docs.where($"doc_id" % 10 === 3)
+    val corpus = docs.where($"doc_id" % 10 =!= 3)
+    val idx = SpanDedup.buildCdcChunkIndex(corpus, "doc_id", "text", 8).cache()
+
+    val d = java.nio.file.Files.createTempDirectory("graft_cdc_ingest")
+    delta.where($"doc_id" % 20 === 3).coalesce(1)
+      .write.parquet(d.resolve("p0").toString)
+    delta.where($"doc_id" % 20 =!= 3).coalesce(1)
+      .write.parquet(d.resolve("p1").toString)
+    val stream = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$d/*")
+
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, String)]()
+    var batches = 0
+    val q = StreamingPipeline.cdcDedupStream(
+        stream, "doc_id", "text", idx, 8) { (out, _) =>
+      batches += 1
+      out.collect().foreach(r =>
+        got.put(r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+    }.start()
+    q.awaitTermination()
+
+    val batch = SpanDedup.dedupCdcChunksAgainstIndex(delta, "doc_id", "text", idx, 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    assert(batch.exists { case (_, (n, k, _)) => k < n },
+      "test needs at least one corpus-known chunk in the delta")
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toMap == batch)
+    idx.unpersist()
+  }
+
+  test("gram/shingle hash expressions are callable from SQL") {
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
+      spark, "word_gram_hashes",
+      args => graft.functions.GraftFunctions.wordGramHashesBuilder(args))
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
+      spark, "char_shingle_hashes",
+      args => graft.functions.GraftFunctions.charShingleHashesBuilder(args))
+    Seq((1L, "alpha beta gamma delta")).toDF("id", "text")
+      .createOrReplaceTempView("gram_sql_docs")
+    val row = spark.sql("""
+      SELECT size(word_gram_hashes(text, 3)) AS ng,
+             size(char_shingle_hashes(text, 5)) AS ns
+      FROM gram_sql_docs""").head()
+    assert(row.getInt(0) == 2)   // 4 tokens -> 2 distinct 3-grams
+    assert(row.getInt(1) == 18)  // 22 chars -> 18 shingles, all distinct
+  }
+
   test("streaming span dedup equals the batch incremental pass") {
     import graft.streaming.StreamingPipeline
     val docs = spark.read.parquet(sf("documents"))
