@@ -1,0 +1,413 @@
+package graft.functions
+
+import java.security.MessageDigest
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared helpers for the compiled per-row text expressions below.
+  *
+  * These expressions exist for one reason, measured three times in round 4
+  * (WordGramHashes: 6.9s -> 0.75s on q70; CharShingleHashes; MinHash/SimHash
+  * signatures): Spark's higher-order functions (`transform`, `filter`) are
+  * CodegenFallback and walk an expression tree PER ARRAY ELEMENT, so any
+  * hot per-row array construction — spans, chunks, gram sets, marker
+  * counting — pays hundreds of interpreted walks per document. One compiled
+  * JVM loop per row replaces all of them; the single reflective call per
+  * ROW is noise. Each expression here is pinned bit-equal to the HOF form
+  * it replaces (TextExpressionsSpec), and the HOF forms stay in the
+  * codebase as differential oracles.
+  */
+object TextExprs {
+  /** Token split shared by every word-level expression: space-only trim
+    * (Spark's trim()), then Java `\s+` split with limit -1 — byte-identical
+    * to `split(trim(c), "\\s+")`, including the leading-empty-token edge
+    * when the text starts with non-space whitespace. Blank -> empty. */
+  val Whitespace: Pattern = Pattern.compile("\\s+")
+
+  def tokens(s: UTF8String): Array[String] = {
+    val trimmed = s.trim()
+    if (trimmed.numBytes() == 0) Array.empty[String]
+    else Whitespace.split(trimmed.toString, -1)
+  }
+
+  private val Md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  def md5(): MessageDigest = { val m = Md5.get(); m.reset(); m }
+
+  /** Engine-portable md5 bucket in [0, 2^32): first 8 hex chars of the md5
+    * digest as an unsigned int — identical to Spark's
+    * `conv(substring(md5(x), 1, 8), 16, 10)` and DuckDB's
+    * `CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)` (the first 8 hex
+    * chars are exactly the first 4 digest bytes). */
+  def md5Bucket(tok: String): Long = {
+    val d = md5().digest(tok.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** Lowercase hex of a digest. */
+  def hex(d: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Unsigned lexicographic byte compare — the order UTF8String (and hence
+    * array_min over hex strings of equal length) uses. */
+  def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+}
+
+/** Non-overlapping k-word spans of a text column: array<string> of
+  * ceil(ntokens/k) space-joined windows, last may be short; blank -> empty
+  * array. Compiled replacement for
+  * `transform(sequence(0, ceil-1), i => array_join(slice(ts, i*k+1, k), " "))`
+  * (kept as `SpanDedup.spansHof`, pinned equal in TextExpressionsSpec) —
+  * the span-construction walk the round-4 verdict flagged as the 100 TB
+  * floor of the span-dedup family. */
+case class WordSpans(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, "span width must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_spans"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextExprs.tokens(input.asInstanceOf[UTF8String])
+    if (toks.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val n = (toks.length + k - 1) / k
+    val out = new Array[Any](n)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = i * k
+      val end = math.min(j + k, toks.length)
+      while (j < end) {
+        if (j > i * k) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Content-defined chunks of a text column: array<string>, a token STARTS a
+  * new chunk when its md5 bucket is 0 mod `avgChunk` (and it is not the
+  * first token) — the Rabin-style chunking of SpanDedup, computed per row.
+  *
+  * This replaces more than a lambda: the windowed form
+  * (`SpanDedup.cdcChunksWindowed`) pays a posexplode, a per-doc window sort,
+  * and a groupBy-reassembly SHUFFLE before dedup even starts; chunking is a
+  * pure function of one document, so the compiled form emits the chunk
+  * array straight out of the scan stage and `posexplode` supplies the chunk
+  * index for free. Boundary hash = the engine-portable md5 bucket, so
+  * DuckDB oracles replicate chunking exactly. */
+case class CdcChunkArray(child: Expression, avgChunk: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(avgChunk >= 1, "avgChunk must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextExprs.tokens(input.asInstanceOf[UTF8String])
+    if (toks.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[Any]()
+    val sb = new java.lang.StringBuilder
+    var inChunk = 0
+    var i = 0
+    while (i < toks.length) {
+      if (i > 0 && TextExprs.md5Bucket(toks(i)) % avgChunk == 0) {
+        out.add(UTF8String.fromString(sb.toString))
+        sb.setLength(0)
+        inChunk = 0
+      }
+      if (inChunk > 0) sb.append(' ')
+      sb.append(toks(i))
+      inChunk += 1
+      i += 1
+    }
+    out.add(UTF8String.fromString(sb.toString))
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Ordered span reassembly: given array<struct<span_idx:int, span:string>>
+  * (a `collect_list` — unordered, nulls already skipped), sort by span_idx
+  * and join the spans with " ". Compiled replacement for
+  * `array_join(transform(array_sort(collect_list(...)), s -> s.span), " ")`,
+  * whose transform walked an interpreted tree once per surviving span.
+  * span_idx is unique per document, so sorting by the int alone is
+  * identical to array_sort's (idx, span) struct order. */
+case class JoinSpanStructs(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "join_span_structs"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val keys = new Array[Long](n)
+    val spans = new Array[UTF8String](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val row = arr.getStruct(i, 2)
+        // sort key: span_idx in the high bits, arrival order as tiebreak
+        keys(m) = (row.getInt(0).toLong << 32) | (m & 0xffffffffL)
+        spans(m) = row.getUTF8String(1)
+        m += 1
+      }
+      i += 1
+    }
+    val ks = java.util.Arrays.copyOf(keys, m)
+    java.util.Arrays.sort(ks)
+    val ordered = new Array[UTF8String](m)
+    var j = 0
+    while (j < m) { ordered(j) = spans((ks(j) & 0xffffffffL).toInt); j += 1 }
+    UTF8String.concatWs(UTF8String.fromString(" "), ordered: _*)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fraction of tokens that are stopwords, in one compiled pass — replaces
+  * `size(filter(toks, t => array_contains(sw, lower(t)))) / size(toks)`
+  * (one interpreted walk per token). Token lowering uses UTF8String's own
+  * toLowerCase — the same implementation Spark's `lower()` resolves to —
+  * and membership is tested against the word list verbatim, exactly like
+  * array_contains. Blank text -> 0.0. */
+case class StopwordRatio(child: Expression, words: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "stopword_ratio"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextExprs.tokens(input.asInstanceOf[UTF8String])
+    if (toks.isEmpty) return 0.0
+    var hits = 0
+    var i = 0
+    while (i < toks.length) {
+      if (set.contains(UTF8String.fromString(toks(i)).toLowerCase)) hits += 1
+      i += 1
+    }
+    hits.toDouble / toks.length
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Marker-word language id in one compiled pass: per language, count tokens
+  * in its marker set; return the argmax, ties to the LARGER language code
+  * (exactly `greatest(struct(score, lang))`'s field-lexicographic order);
+  * "und" when no marker hits. Replaces one interpreted `filter` walk per
+  * language per token. Tokens are lowered per token (UTF8String
+  * toLowerCase) rather than lowering the whole text first — identical
+  * tokenization, since Unicode case mapping never creates whitespace. */
+case class MarkerLangId(child: Expression, markers: Seq[(String, Seq[String])])
+    extends UnaryExpression with CodegenFallback {
+
+  require(markers.nonEmpty, "need at least one language marker set")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "marker_lang_id"
+
+  @transient private lazy val langs: Array[UTF8String] =
+    markers.map(m => UTF8String.fromString(m._1)).toArray
+  @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+    markers.map { case (_, ws) =>
+      val s = new java.util.HashSet[UTF8String]()
+      ws.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextExprs.tokens(input.asInstanceOf[UTF8String])
+    val scores = new Array[Int](sets.length)
+    var i = 0
+    while (i < toks.length) {
+      val lt = UTF8String.fromString(toks(i)).toLowerCase
+      var s = 0
+      while (s < sets.length) {
+        if (sets(s).contains(lt)) scores(s) += 1
+        s += 1
+      }
+      i += 1
+    }
+    var best = 0
+    var s = 1
+    while (s < sets.length) {
+      if (scores(s) > scores(best) ||
+        (scores(s) == scores(best) && langs(s).compareTo(langs(best)) > 0)) best = s
+      s += 1
+    }
+    if (scores(best) <= 0) MarkerLangId.Und else langs(best)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MarkerLangId {
+  private val Und = UTF8String.fromString("und")
+}
+
+/** Min md5 over character k-gram shingles — the rolling-hash document
+  * fingerprint, compiled. Identical to
+  * `array_min(transform(sequence(1, greatest(len-k+1, 1)), i => md5(substr(c, i, k))))`:
+  * texts shorter than k (including empty) hash as one whole-text shingle;
+  * the min over equal-length lowercase hex strings is the unsigned byte
+  * order of the digests, so the comparison runs on raw digests and only the
+  * winner is hex-encoded. Shingle bytes are slices of one UTF8 copy —
+  * char-boundary walk as in CharShingleHashes, no per-shingle string. */
+case class MinShingleMd5(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "min_shingle_md5"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    val nChars = s.numChars()
+    val md = TextExprs.md5()
+    var best: Array[Byte] = null
+    if (nChars < k) {
+      best = md.digest(bytes)
+    } else {
+      val charOff = new Array[Int](nChars + 1)
+      var i = 0
+      var bo = 0
+      while (i < nChars) {
+        charOff(i) = bo
+        bo += UTF8String.numBytesForFirstByte(bytes(bo))
+        i += 1
+      }
+      charOff(nChars) = bytes.length
+      var st = 0
+      while (st + k <= nChars) {
+        md.reset()
+        md.update(bytes, charOff(st), charOff(st + k) - charOff(st))
+        val d = md.digest()
+        if (best == null || TextExprs.unsignedLess(d, best)) best = d
+        st += 1
+      }
+    }
+    UTF8String.fromString(TextExprs.hex(best))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Intra-document repetition score 1 - distinct/total word n-grams, in one
+  * compiled pass — replaces `1.0 - size(array_distinct(wordGrams))/size(wordGrams)`
+  * where both the gram construction AND the distinct were interpreted
+  * walks. Distinctness is by gram STRING (HashSet), exactly like
+  * array_distinct; short texts (< n tokens) count one whole-text gram, so
+  * the score is 0.0 for them and for blank text. */
+case class RepetitionScore(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "gram width must be >= 1")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "repetition_score"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextExprs.tokens(input.asInstanceOf[UTF8String])
+    val seen = new java.util.HashSet[String]()
+    var total = 0
+    if (toks.length < n) {
+      seen.add(String.join(" ", toks: _*))
+      total = 1
+    } else {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        total += 1
+        i += 1
+      }
+    }
+    1.0 - seen.size().toDouble / total
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column-API entry points for the compiled text expressions. */
+object TextExpr {
+  def wordSpans(text: Column, k: Int): Column =
+    ColumnBridge.column(WordSpans(ColumnBridge.expression(text), k))
+
+  def cdcChunks(text: Column, avgChunk: Int): Column =
+    ColumnBridge.column(CdcChunkArray(ColumnBridge.expression(text), avgChunk))
+
+  def joinSpanStructs(spans: Column): Column =
+    ColumnBridge.column(JoinSpanStructs(ColumnBridge.expression(spans)))
+
+  def stopwordRatio(text: Column, words: Seq[String]): Column =
+    ColumnBridge.column(StopwordRatio(ColumnBridge.expression(text), words))
+
+  def markerLangId(text: Column, markers: Seq[(String, Seq[String])]): Column =
+    ColumnBridge.column(MarkerLangId(ColumnBridge.expression(text), markers))
+
+  def minShingleMd5(text: Column, k: Int): Column =
+    ColumnBridge.column(MinShingleMd5(ColumnBridge.expression(text), k))
+
+  def repetitionScore(text: Column, n: Int): Column =
+    ColumnBridge.column(RepetitionScore(ColumnBridge.expression(text), n))
+}

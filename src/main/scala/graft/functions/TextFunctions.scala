@@ -43,8 +43,14 @@ object TextFunctions {
     "for", "on", "with", "as", "by", "at", "it", "this", "that", "be")
 
   /** Fraction of tokens that are (English) stopwords — a standard
-    * quality-signal feature. */
-  def stopwordRatio(c: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    * quality-signal feature. Compiled per-row pass (the `filter` HOF form
+    * walked an interpreted tree per token; [[stopwordRatioHof]] remains as
+    * the differential oracle). */
+  def stopwordRatio(c: Column, stopwords: Seq[String] = EnglishStopwords): Column =
+    TextExpr.stopwordRatio(c, stopwords)
+
+  /** HOF form of [[stopwordRatio]] — differential oracle only. */
+  def stopwordRatioHof(c: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
     val toks = tokens(c)
     val sw = array(stopwords.map(lit): _*)
     when(size(toks) === 0, lit(0.0))
@@ -82,8 +88,14 @@ object TextFunctions {
     "es" -> Seq("el", "la", "los", "y", "es", "con", "para"))
 
   /** n-gram/stopword-heuristic language id: argmax of marker hit-counts,
-    * 'und' when no markers hit. Deterministic tie-break on language code. */
-  def langId(c: Column): Column = {
+    * 'und' when no markers hit. Deterministic tie-break on language code.
+    * Compiled per-row pass (one token walk scores every language at once;
+    * [[langIdHof]] remains as the differential oracle). */
+  def langId(c: Column): Column =
+    TextExpr.markerLangId(c, LanguageMarkers.toSeq.sortBy(_._1))
+
+  /** HOF form of [[langId]] — differential oracle only. */
+  def langIdHof(c: Column): Column = {
     val toks = tokens(lower(c))
     val scored = LanguageMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
       val m = array(markers.map(lit): _*)
@@ -107,8 +119,15 @@ object TextFunctions {
         i => c.substr(i, lit(k))))
 
   /** Rolling-hash document fingerprint: min md5 over character k-gram
-    * shingles — a 1-permutation minhash usable as a near-dup prefilter. */
+    * shingles — a 1-permutation minhash usable as a near-dup prefilter.
+    * Compiled per-row pass (the transform form paid an interpreted walk plus
+    * an md5-hex string per shingle; [[minShingleFingerprintHof]] remains as
+    * the differential oracle). */
   def minShingleFingerprint(c: Column, k: Int = 5): Column =
+    TextExpr.minShingleMd5(c, k)
+
+  /** HOF form of [[minShingleFingerprint]] — differential oracle only. */
+  def minShingleFingerprintHof(c: Column, k: Int = 5): Column =
     array_min(transform(sequence(lit(1), greatest(length(c) - (k - 1), lit(1))),
       i => md5(c.substr(i, lit(k)))))
 
@@ -123,8 +142,14 @@ object TextFunctions {
 
   /** Intra-document repetition score: 1 - distinct/total word n-grams.
     * 0 = no repeated n-gram, ->1 = the document loops — the standard
-    * "repetitious text" quality signal for pretraining filters. */
-  def repetitionScore(c: Column, n: Int = 3): Column = {
+    * "repetitious text" quality signal for pretraining filters. Compiled
+    * per-row pass ([[repetitionScoreHof]] remains as the differential
+    * oracle). */
+  def repetitionScore(c: Column, n: Int = 3): Column =
+    TextExpr.repetitionScore(c, n)
+
+  /** HOF form of [[repetitionScore]] — differential oracle only. */
+  def repetitionScoreHof(c: Column, n: Int = 3): Column = {
     val grams = wordGrams(c, n)
     lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams)
   }

@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{DataType, DoubleType}
@@ -141,6 +141,87 @@ case class Int8DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Top-`probes` nearest centroids of an array<double> vector: array<int> of
+  * cluster ids ordered by (distance, cid) ascending, where distance is the
+  * monotone form -2·v·c + |c|² (the |v|² term is constant per row).
+  *
+  * This is the large-k replacement for the literal-centroid projection
+  * (`SemanticDedup.assignToCentroidsLiteral`): that form embeds k
+  * typedLit arrays in every assignment plan — ~700k literal doubles at
+  * SemDeDup's own 11k-cluster regime — which bloats plan
+  * serialization/optimization and caps k in practice around 1000. Here the
+  * centroid matrix rides in ONE expression node (shipped with the task
+  * closure, printed as `k=<n>` in plan strings), and per-row cost is the
+  * same k dot products, now in a primitive loop instead of k separate
+  * expression subtrees.
+  *
+  * Bit-compatibility with the literal path (pinned by SemanticDedupSpec):
+  * the dot product accumulates in index order exactly like [[DotProduct]]
+  * (n = min length), |c|² is the same driver-side Scala `.sum`, and the
+  * distance expression evaluates as (-2.0 * dot) + norm. Tie-break on
+  * equal distance keeps the smaller cid — `array_sort`'s (d, cid) struct
+  * order. CodegenFallback: one reflective call per row vs k dot products
+  * of work.
+  */
+case class CentroidTopProbes(child: Expression, centroids: Seq[Seq[Double]],
+                             probes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(centroids.nonEmpty, "need at least one centroid")
+  require(probes >= 1 && probes <= centroids.length,
+    "need 1 <= probes <= nClusters")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "centroid_top_probes"
+
+  // keep plan strings O(1): never print the centroid matrix
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"k=${centroids.length}", s"probes=$probes")
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val norms: Array[Double] =
+    centroids.map(c => c.map(x => x * x).sum).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val k = cents.length
+    val d = new Array[Double](k)
+    var i = 0
+    while (i < k) {
+      val c = cents(i)
+      val n = math.min(arr.numElements(), c.length)
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += arr.getDouble(j) * c(j); j += 1 }
+      d(i) = -2.0 * dot + norms(i)
+      i += 1
+    }
+    // selection by (distance, cid) ascending: strict < over ascending cid
+    // scan keeps the smallest cid on ties, like array_sort's struct order
+    val out = new Array[Int](probes)
+    val used = new Array[Boolean](k)
+    var p = 0
+    while (p < probes) {
+      var best = -1
+      var m = 0
+      while (m < k) {
+        if (!used(m) && (best < 0 || d(m) < d(best))) best = m
+        m += 1
+      }
+      used(best) = true
+      out(p) = best
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 object VectorFunctions {

@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
   * chrome, license blocks repeated across otherwise-distinct documents.
   *
   * Scale shape (the 100 TB story):
-  * - Span construction is a narrow per-row projection (tokens -> k-word
-  *   chunks via one `transform(sequence(...))` — no shuffle, no UDF).
+  * - Span construction is a narrow per-row projection (one compiled
+  *   WordSpans expression per row — no shuffle, no interpreted HOF walk).
   * - First-occurrence election is `groupBy(span).agg(min(struct(id, idx)))`
   *   — ONE shuffle keyed by span text, and the min() combines map-side, so
   *   a boilerplate span repeated a billion times sends one row per map task,
@@ -32,8 +32,17 @@ object SpanDedup {
 
   /** Non-overlapping k-word spans of a text column, in order: array with
     * ceil(ntokens / k) elements (last span may be short). Empty/blank text
-    * gives an empty array. */
+    * gives an empty array. Compiled per-row construction — the `transform`
+    * HOF form ([[spansHof]], kept as the differential oracle) walked an
+    * interpreted expression tree per span, the same 3-10x trap measured on
+    * the gram family in round 4. */
   def spans(text: Column, k: Int): Column = {
+    require(k >= 1, "span width must be >= 1")
+    graft.functions.TextExpr.wordSpans(text, k)
+  }
+
+  /** HOF form of [[spans]] — differential oracle only. */
+  def spansHof(text: Column, k: Int): Column = {
     require(k >= 1, "span width must be >= 1")
     val ts = TextFunctions.tokens(text)
     when(size(ts) === 0, array().cast("array<string>"))
@@ -78,11 +87,12 @@ object SpanDedup {
     val agg = marked.groupBy("id")
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-        // collect_list skips nulls, so only kept spans enter the rebuild
-        array_join(transform(
-          array_sort(collect_list(
-            when(col("kept"), struct(col("span_idx"), col("span"))))),
-          s => s.getField("span")), " ").as("text_dedup"))
+        // collect_list skips nulls, so only kept spans enter the rebuild;
+        // the compiled JoinSpanStructs sorts by span_idx and joins in one
+        // per-row pass (the transform form walked a tree per kept span)
+        graft.functions.TextExpr.joinSpanStructs(collect_list(
+          when(col("kept"), struct(col("span_idx"), col("span")))))
+          .as("text_dedup"))
     // every doc appears, even if it had no spans at all (blank text)
     allIds
       .join(agg, Seq("id"), "left_outer")
@@ -104,6 +114,24 @@ object SpanDedup {
     * replicate chunking exactly. Returns (id, span_idx, span). */
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
                 avgChunk: Int): DataFrame = {
+    require(avgChunk >= 1, "avgChunk must be >= 1")
+    // chunking is a pure function of one document, so the compiled
+    // CdcChunkArray emits the chunk array straight out of the scan stage
+    // and posexplode supplies the chunk index — no posexplode-of-tokens,
+    // no per-doc window sort, no reassembly shuffle (the windowed form,
+    // kept below as [[cdcChunksWindowed]], paid all three before the dedup
+    // pass even started)
+    docs.select(col(idCol).as("id"),
+      posexplode(graft.functions.TextExpr.cdcChunks(col(textCol), avgChunk))
+        .as(Seq("span_idx", "span")))
+  }
+
+  /** Windowed/aggregated form of [[cdcChunks]] — differential oracle only:
+    * posexplode tokens, window-sum the md5-bucket boundaries into chunk
+    * ids, reassemble per (id, chunk). Two shuffles the compiled form
+    * avoids. */
+  def cdcChunksWindowed(docs: DataFrame, idCol: String, textCol: String,
+                        avgChunk: Int): DataFrame = {
     require(avgChunk >= 1, "avgChunk must be >= 1")
     val tk = docs.select(col(idCol).as("id"),
       posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
@@ -196,10 +224,9 @@ object SpanDedup {
     val agg = marked.groupBy("id")
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(
-            when(col("kept"), struct(col("span_idx"), col("span"))))),
-          s => s.getField("span")), " ").as("text_dedup"))
+        graft.functions.TextExpr.joinSpanStructs(collect_list(
+          when(col("kept"), struct(col("span_idx"), col("span")))))
+          .as("text_dedup"))
     allIds
       .join(agg, Seq("id"), "left_outer")
       .select(col("id"),

@@ -1,0 +1,122 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ops.SpanDedup
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Differential tests for the round-5 compiled text expressions: each must
+  * be bit-identical to the interpreted HOF form it replaced, on the real
+  * sf0.001 corpus plus adversarial edge rows (blank, short, unicode,
+  * whitespace-edge text). The HOF forms stay in the codebase solely as
+  * these oracles.
+  */
+class TextExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  private val edge = Seq(
+    910001L -> "",
+    910002L -> "   ",                    // spaces-only: blank after trim
+    910003L -> "one",
+    910004L -> "exactly ten words here to fill a full span width ok",
+    910005L -> "héllo wörld ünïcode tëxt wïth mülti byte chärs änd möre",
+    910006L -> "\tword\tother",          // tab survives space-trim: empty first token
+    910007L -> "UPPER Mixed lower THE The the",
+    910008L -> "the the the the the the the the",   // all stopwords, repetitive
+    910009L -> "日本語 テキスト です 日本語 テキスト",
+    910010L -> "a b c d e f g h i j k l m n o p q r s t u v w")
+
+  private lazy val corpus = edge.toDF("doc_id", "text")
+    .unionAll(docs.select(col("doc_id"), col("text")))
+
+  test("compiled word spans equal the HOF form (corpus + edge rows)") {
+    for (k <- Seq(1, 3, 10)) {
+      val hof = corpus.select(col("doc_id"), SpanDedup.spansHof(col("text"), k).as("sp"))
+      val compiled = corpus.select(col("doc_id"), SpanDedup.spans(col("text"), k).as("sp"))
+      assert(compiled.exceptAll(hof).isEmpty && hof.exceptAll(compiled).isEmpty,
+        s"word spans differ from the HOF form at k=$k")
+    }
+  }
+
+  test("compiled cdc chunks equal the windowed form (corpus + edge rows)") {
+    for (avg <- Seq(1, 8)) {
+      val windowed = SpanDedup.cdcChunksWindowed(corpus, "doc_id", "text", avg)
+      val compiled = SpanDedup.cdcChunks(corpus, "doc_id", "text", avg)
+      assert(compiled.exceptAll(windowed).isEmpty && windowed.exceptAll(compiled).isEmpty,
+        s"cdc chunks differ from the windowed form at avgChunk=$avg")
+    }
+  }
+
+  test("compiled span reassembly equals the array_sort+transform+array_join form") {
+    // exploded (id, span_idx, span) stream with gaps and out-of-order rows
+    val sp = Seq(
+      (1L, 2, "charlie"), (1L, 0, "alpha"), (1L, 1, "bravo"),
+      (2L, 5, "zulu"), (2L, 3, "xray"),
+      (3L, 0, "")).toDF("id", "span_idx", "span")
+    val hof = sp.groupBy("id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("span_idx"), col("span")))),
+        s => s.getField("span")), " ").as("t"))
+    val compiled = sp.groupBy("id")
+      .agg(TextExpr.joinSpanStructs(
+        collect_list(struct(col("span_idx"), col("span")))).as("t"))
+    assert(compiled.exceptAll(hof).isEmpty && hof.exceptAll(compiled).isEmpty,
+      "span reassembly differs from the HOF form")
+    // all-null (nothing kept) collapses to the empty string, like array_join
+    val none = Seq(1L).toDF("id")
+      .select(col("id"), lit(null).cast("struct<span_idx:int,span:string>").as("s"))
+      .groupBy("id").agg(TextExpr.joinSpanStructs(collect_list(col("s"))).as("t"))
+    assert(none.select("t").as[String].head() == "")
+  }
+
+  test("compiled stopword ratio equals the filter-HOF form (corpus + edge rows)") {
+    val hof = corpus.select(col("doc_id"),
+      TextFunctions.stopwordRatioHof(col("text")).as("r"))
+    val compiled = corpus.select(col("doc_id"),
+      TextFunctions.stopwordRatio(col("text")).as("r"))
+    assert(compiled.exceptAll(hof).isEmpty && hof.exceptAll(compiled).isEmpty,
+      "stopword ratio differs from the HOF form")
+  }
+
+  test("compiled langId equals the greatest-struct form (corpus + edge rows)") {
+    val hof = corpus.select(col("doc_id"), TextFunctions.langIdHof(col("text")).as("l"))
+    val compiled = corpus.select(col("doc_id"), TextFunctions.langId(col("text")).as("l"))
+    assert(compiled.exceptAll(hof).isEmpty && hof.exceptAll(compiled).isEmpty,
+      "langId differs from the HOF form")
+  }
+
+  test("compiled min-shingle fingerprint equals the transform form (corpus + edge rows)") {
+    for (k <- Seq(1, 5)) {
+      val hof = corpus.select(col("doc_id"),
+        TextFunctions.minShingleFingerprintHof(col("text"), k).as("fp"))
+      val compiled = corpus.select(col("doc_id"),
+        TextFunctions.minShingleFingerprint(col("text"), k).as("fp"))
+      assert(compiled.exceptAll(hof).isEmpty && hof.exceptAll(compiled).isEmpty,
+        s"min-shingle fingerprint differs from the HOF form at k=$k")
+    }
+  }
+
+  test("compiled repetition score equals the array_distinct form (corpus + edge rows)") {
+    for (n <- Seq(1, 3)) {
+      val hof = corpus.select(col("doc_id"),
+        TextFunctions.repetitionScoreHof(col("text"), n).as("r"))
+      val compiled = corpus.select(col("doc_id"),
+        TextFunctions.repetitionScore(col("text"), n).as("r"))
+      assert(compiled.exceptAll(hof).isEmpty && hof.exceptAll(compiled).isEmpty,
+        s"repetition score differs from the HOF form at n=$n")
+    }
+  }
+
+  test("compiled cdc chunk boundaries match Sampling.md5Bucket semantics") {
+    // the boundary hash must stay the engine-portable md5 bucket so DuckDB
+    // oracles replicate chunking: check the scalar directly
+    val toks = Seq("spark", "the", "ünïcode", "", "日本語").toDF("tok")
+    val sql = toks.select(col("tok"),
+      graft.ops.Sampling.md5Bucket(col("tok")).as("b")).as[(String, Long)].collect()
+    sql.foreach { case (t, b) =>
+      assert(TextExprs.md5Bucket(t) == b, s"md5 bucket mismatch for '$t'")
+    }
+  }
+}
