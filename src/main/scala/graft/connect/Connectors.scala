@@ -103,6 +103,21 @@ object Connectors {
                           schema: org.apache.spark.sql.types.StructType,
                           timestampFormat: String = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
       : (DataFrame, DataFrame) = {
+    val (clean, corrupt, _) =
+      readJsonQuarantinedWith(spark, jsonDir, schema, timestampFormat)
+    (clean, corrupt)
+  }
+
+  /** [[readJsonQuarantined]] plus an unpersist handle: the cache sits on
+    * the shared RAW frame (both views derive from it — one JSON parse
+    * serves the clean batch and the quarantine), so unpersisting either
+    * VIEW is a no-op. Ingest loops that read one window per iteration
+    * should call the handle after both views are consumed, or the
+    * per-window caches pile up until LRU eviction. */
+  def readJsonQuarantinedWith(spark: SparkSession, jsonDir: String,
+                              schema: org.apache.spark.sql.types.StructType,
+                              timestampFormat: String = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      : (DataFrame, DataFrame, () => Unit) = {
     val corruptCol = "_corrupt_record"
     val withCorrupt = org.apache.spark.sql.types.StructType(
       schema.fields :+ org.apache.spark.sql.types.StructField(
@@ -117,7 +132,7 @@ object Connectors {
     val clean = raw.where(col(corruptCol).isNull).drop(corruptCol)
     val corrupt = raw.where(col(corruptCol).isNotNull)
       .select(col(corruptCol).as("raw_line"))
-    (clean, corrupt)
+    (clean, corrupt, () => { raw.unpersist(); () })
   }
 }
 

@@ -23,14 +23,24 @@ object Dedup {
   // ---------------------------------------------------------------- exact
 
   /** Exact duplicates by normalized-text fingerprint. Returns
-    * (fingerprint, canonical_id, dup_ids, n) per duplicate group. */
-  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    * (fingerprint, canonical_id, ids, n) per group, where `ids` is the
+    * group's `maxIdsPerGroup` SMALLEST member ids ascending (the full
+    * membership when the group is at or below the cap) and `n` is the true
+    * group size. The cap exists because a boilerplate fingerprint shared by
+    * 10M docs would otherwise materialize a 10M-element array in one
+    * aggregation buffer — BoundedMinList keeps every stage of the
+    * aggregation O(cap) and map-side combinable. Callers that need the
+    * FULL membership of an over-cap group should filter to that
+    * fingerprint and read the ids as rows, not as one array. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String,
+                  maxIdsPerGroup: Int = 1024): DataFrame =
     docs
       .select(col(idCol).as("id"),
         TextFunctions.normalizedFingerprint(col(textCol)).as("fp"))
       .groupBy("fp")
       .agg(min("id").as("canonical_id"),
-        sort_array(collect_list("id")).as("ids"),
+        graft.functions.BoundedMinList.boundedMinList(col("id"), maxIdsPerGroup)
+          .as("ids"),
         count(lit(1)).as("n"))
 
   /** Keep one row per normalized fingerprint (min id wins). */
@@ -657,15 +667,38 @@ object Dedup {
     * fallback where the memory contract below cannot be met.
     *
     * Memory contract: one task holds TWO blocks' quantized rows
-    * (collect_list per block-pair key; ~70 B/row at 64 dims), so at scale
-    * numBlocks must grow with the corpus (n/numBlocks rows per block
-    * bounded to task memory, e.g. 100k rows ≈ tens of MB) — same knob,
-    * stricter reason than the join form. */
+    * (collect_list per block-pair key; ~(dims + 48) B/row), so numBlocks
+    * must grow with the corpus. With `numBlocks = 0` (the default) the
+    * contract is enforced automatically: numBlocks is derived from the
+    * measured count and dimensionality so a block stays under
+    * ~`targetBlockBytes` (32 MB), and past `maxBatchedBlocks` the call
+    * falls back to the equi-join form ([[embeddingDupPairs]]) whose memory
+    * is per-ROW, not per-block — identical output (DedupSpec pins the
+    * forced fallback), so the switch is purely a physical one. An explicit
+    * positive numBlocks bypasses both (caller-owned contract). */
   def embeddingDupPairsBatched(emb: DataFrame, idCol: String, vecCol: String,
-                               minCosine: Double, numBlocks: Int = 8): DataFrame = {
+                               minCosine: Double, numBlocks: Int = 0,
+                               targetBlockBytes: Long = 32L << 20,
+                               maxBatchedBlocks: Int = 64): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val e = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val blocks =
+      if (numBlocks > 0) numBlocks
+      else {
+        val n = e.count() // one driver long; parquet counts are metadata-fast
+        if (n == 0) 1
+        else {
+          val dims = e.select(size(col("v"))).head().getInt(0).max(1)
+          val rowBytes = dims + 48L // int8 code + id/scale/norms/err/p
+          val rowsPerBlock = math.max(1L, targetBlockBytes / rowBytes)
+          math.max(8L, (n + rowsPerBlock - 1) / rowsPerBlock).toInt
+        }
+      }
+    if (blocks > maxBatchedBlocks)
+      // block size can't be bounded within the batched task budget at this
+      // corpus size — stream the comparisons through the equi-join form
+      return embeddingDupPairs(emb, idCol, vecCol, minCosine, blocks)
     val prepped = e
       .withColumn("qz", graft.sim.Quantization.quantizeInt8(col("v")))
       .withColumn("dq", graft.sim.Quantization.dequantizeInt8(col("qz")))
@@ -673,16 +706,16 @@ object Dedup {
       .select(col("id"), col("qz.scale").as("scale"), col("qz.q").as("q"),
         sqrt(graft.functions.VectorFunctions.dotProduct(col("v"), col("v"))).as("nrm"),
         sqrt(graft.functions.VectorFunctions.dotProduct(col("diff"), col("diff"))).as("qerr"),
-        pmod(xxhash64(col("id")), lit(numBlocks)).cast("int").as("p"))
+        pmod(xxhash64(col("id")), lit(blocks)).cast("int").as("p"))
     val rowC = struct(col("id"), col("scale"), col("q"), col("nrm"),
       col("qerr"), col("p"))
     val leftG = prepped
-      .select(rowC.as("r"), explode(sequence(col("p"), lit(numBlocks - 1))).as("j"))
-      .select((col("r.p") * numBlocks + col("j")).as("bp"), col("r"))
+      .select(rowC.as("r"), explode(sequence(col("p"), lit(blocks - 1))).as("j"))
+      .select((col("r.p") * blocks + col("j")).as("bp"), col("r"))
       .groupBy("bp").agg(collect_list(col("r")).as("ls"))
     val rightG = prepped
       .select(rowC.as("r"), explode(sequence(lit(0), col("p"))).as("i"))
-      .select((col("i") * numBlocks + col("r.p")).as("bp"), col("r"))
+      .select((col("i") * blocks + col("r.p")).as("bp"), col("r"))
       .groupBy("bp").agg(collect_list(col("r")).as("rs"))
     val cand = leftG.join(rightG, "bp")
       .as[(Int, Seq[Dedup.QRow], Seq[Dedup.QRow])]

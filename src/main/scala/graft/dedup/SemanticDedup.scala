@@ -32,9 +32,11 @@ import org.apache.spark.sql.functions._
   * shuffle has one key per cluster) AND the quadratic divisor (work ~
   * probes²/k of all-pairs), so it must GROW with the corpus — pick
   * k ≈ n / desiredClusterSize (SemDeDup used 11k clusters for 100M+ docs;
-  * the gate's k=8 fits a 500-doc testdata corpus). Beyond k ~ 1000 the
-  * literal-centroid projection should switch to a broadcast centroid
-  * table; per-row assignment cost is k dot products either way — an exact
+  * the gate's k=8 fits a 500-doc testdata corpus). Assignment carries the
+  * centroid matrix in ONE compiled expression node (CentroidTopProbes), so
+  * k is no longer plan-bounded: at SemDeDup's own 11k-cluster regime the
+  * plan stays O(1) nodes where the old k-literal projection embedded ~700k
+  * literal doubles. Per-row assignment cost is k dot products — an exact
   * coarse quantizer scan, same as IVF's.
   */
 object SemanticDedup {
@@ -79,9 +81,25 @@ object SemanticDedup {
   /** Top-`probes` assignment of (id, v) rows against FIXED centroids — the
     * reusable half of [[assignClusters]]: an incremental pass assigns a
     * delta batch against the centroids the corpus index was built with,
-    * without any re-fit. Narrow projection, no shuffle. */
+    * without any re-fit. Narrow projection, no shuffle; the centroid matrix
+    * rides in one compiled CentroidTopProbes node, so plans stay O(1) size
+    * at any k (bit-equal to [[assignToCentroidsLiteral]], pinned by
+    * SemanticDedupSpec). */
   def assignToCentroids(e: DataFrame, cents: Array[Seq[Double]],
                         probes: Int): DataFrame = {
+    require(probes >= 1 && probes <= cents.length, "need 1 <= probes <= nClusters")
+    val topProbes = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.CentroidTopProbes(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("v")),
+        cents.toSeq, probes))
+    e.select(col("id"), col("v"), explode(topProbes).as("cluster"))
+  }
+
+  /** k-literal-projection form of [[assignToCentroids]] — differential
+    * oracle only: embeds one typedLit array per centroid in the plan, which
+    * is exactly what caps k (~1000) and why the compiled form exists. */
+  def assignToCentroidsLiteral(e: DataFrame, cents: Array[Seq[Double]],
+                               probes: Int): DataFrame = {
     require(probes >= 1 && probes <= cents.length, "need 1 <= probes <= nClusters")
     val distStructs = cents.zipWithIndex.map { case (c, i) =>
       struct(
@@ -111,10 +129,19 @@ object SemanticDedup {
 
   /** [[clusterDupPairs]] over a PRECOMPUTED (id, v, cluster) assignment —
     * lets a caller that also needs the assignment (stats, incremental
-    * index) pay for the k-means fit once. */
+    * index) pay for the k-means fit once.
+    *
+    * Cache lifetime: the assignment is scanned three times (oversized-
+    * cluster census + both sides of the self-join), so it is cached here
+    * UNLESS the caller already persisted it; the cache is caller-owned —
+    * `assignment.unpersist()` after consuming the returned pairs frees it
+    * (Spark caches by logical plan, so the caller's handle reaches it). */
   def clusterDupPairsFrom(assignment: DataFrame, minCosine: Double,
                           maxClusterSize: Int = 1000000): DataFrame = {
-    val assigned = assignment.cache()
+    val assigned =
+      if (assignment.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        assignment.cache()
+      else assignment
     // mega-cluster guard (mirrors Dedup's LSH bucket cap): a degenerate
     // embedding space must not silently re-create the all-pairs join
     val oversized = assigned.groupBy("cluster")
@@ -159,14 +186,22 @@ object SemanticDedup {
     * exact pair set). Returns (new_id, old_id, cosine). */
   def incrementalDupPairs(delta: DataFrame, idCol: String, vecCol: String,
                           index: SemanticIndex, minCosine: Double,
-                          probes: Int = 2): DataFrame = {
+                          probes: Int = 2,
+                          maxBroadcastRows: Long = 1000000L): DataFrame = {
     val d = delta.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val da = assignToCentroids(d, index.centroids, probes)
       .select(col("id").as("new_id"), col("v").as("nv"), col("cluster"))
     val ca = index.assignment
       .select(col("id").as("old_id"), col("v").as("ov"), col("cluster"))
-    ca.join(broadcast(da), Seq("cluster"))
+    // broadcast guard: the delta side is delta-rows x probes; an oversized
+    // micro-batch must not be forced past broadcast memory — past the cap,
+    // fall back to a shuffle join on cluster id (the index side is then
+    // shuffled once; correctness identical, the broadcast is an
+    // optimization for the intended small-delta regime)
+    val deltaSide =
+      if (d.count() * probes <= maxBroadcastRows) broadcast(da) else da
+    ca.join(deltaSide, Seq("cluster"))
       .where(col("new_id") =!= col("old_id"))
       .select(col("new_id"), col("old_id"),
         cosineSim(col("nv"), col("ov")).as("cosine"))

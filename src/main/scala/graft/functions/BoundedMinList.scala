@@ -1,0 +1,96 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import scala.collection.mutable
+
+/** The `cap` smallest values of a long column, ascending — a BOUNDED
+  * replacement for `sort_array(collect_list(id))` in group-by contexts
+  * where a group can be pathologically large.
+  *
+  * The skew hazard it removes: `collect_list` has an unbounded aggregation
+  * buffer, so a boilerplate fingerprint shared by 10M documents
+  * materializes a 10M-element array inside ONE hash-aggregate buffer (and
+  * again on merge). This aggregate's buffer is O(cap) at every stage —
+  * partial, shuffle payload, and merge — and it is map-side combinable
+  * like min(): the hot group ships numPartitions·cap longs, not its full
+  * membership. Groups at or below `cap` members return exactly what
+  * `sort_array(collect_list(...))` would (pinned by DedupSpec).
+  */
+final case class MinListState(cap: Int, heap: mutable.PriorityQueue[Long]) {
+  // max-heap of the cap smallest values seen (duplicates kept)
+  def add(v: Long): Unit = {
+    if (heap.size < cap) heap.enqueue(v)
+    else if (v < heap.head) { heap.dequeue(); heap.enqueue(v) }
+  }
+}
+
+case class BoundedMinList(child: Expression, cap: Int,
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[MinListState] {
+
+  require(cap >= 1, "cap must be >= 1")
+
+  override def createAggregationBuffer(): MinListState =
+    MinListState(cap, mutable.PriorityQueue.empty[Long])
+
+  override def update(buffer: MinListState, input: InternalRow): MinListState = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(b1: MinListState, b2: MinListState): MinListState = {
+    b2.heap.foreach(b1.add)
+    b1
+  }
+
+  override def eval(buffer: MinListState): Any = {
+    val arr = buffer.heap.toArray
+    java.util.Arrays.sort(arr)
+    new GenericArrayData(arr)
+  }
+
+  override def serialize(buffer: MinListState): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buffer.heap.size * 8)
+    bb.putInt(buffer.heap.size)
+    buffer.heap.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): MinListState = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val s = MinListState(cap, mutable.PriorityQueue.empty[Long])
+    (0 until n).foreach(_ => s.heap.enqueue(bb.getLong))
+    s
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "bounded_min_list"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedMinList =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedMinList =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object BoundedMinList {
+  /** The `cap` smallest values of a long column, ascending. */
+  def boundedMinList(c: Column, cap: Int): Column =
+    ColumnBridge.column(
+      BoundedMinList(ColumnBridge.expression(c), cap).toAggregateExpression())
+}

@@ -21,9 +21,25 @@ object Bm25 {
 
   /** Per-document BM25 score for a bag-of-terms query. Only documents
     * containing at least one query term appear (score > 0). Returns
-    * (id, score). */
+    * (id, score).
+    *
+    * Caches a tiny per-query tf frame internally (see [[scoreWith]] for
+    * why); the cache lives until session LRU eviction. Long-lived sessions
+    * scoring many queries should use [[scoreWith]] and release each
+    * query's cache after consuming its result. */
   def score(docs: DataFrame, idCol: String, textCol: String,
-            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scoreWith(docs, idCol, textCol, terms, k1, b)._1
+
+  /** [[score]] plus an unpersist handle: the internal tf frame (one row
+    * per (doc, query-term) match — tiny at any corpus size, but nonzero)
+    * is cached because the df table derives from it and the whole
+    * tokenize+filter+group subtree would otherwise run twice
+    * (plan-audited). Call the handle after the final action on the
+    * returned frame to free the executor storage. */
+  def scoreWith(docs: DataFrame, idCol: String, textCol: String,
+                terms: Seq[String], k1: Double = 1.2,
+                b: Double = 0.75): (DataFrame, () => Unit) = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
     val base = docs.select(col(idCol).as("id"),
       TextFunctions.tokens(col(textCol)).as("ts"))
@@ -45,7 +61,7 @@ object Bm25 {
       .cache()
     val dfv = tf.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df")) // one row per (id, term) -> count = df
-    tf.join(broadcast(dfv), "term")
+    val scored = tf.join(broadcast(dfv), "term")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
@@ -54,6 +70,7 @@ object Bm25 {
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy("id")
       .agg(sum(col("s")).as("score"))
+    (scored, () => { tf.unpersist(); () })
   }
 
   /** Top-k retrieval: scores rounded to 6 decimals BEFORE ranking so the

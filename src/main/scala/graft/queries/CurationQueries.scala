@@ -79,20 +79,27 @@ object CurationQueries {
   }
 
   /** q79: incremental semantic dedup — a delta batch (vec_id%10==3) checked
-    * against the stored cluster index of the remaining corpus (q66's
-    * delta-vs-index shape in embedding space). Bounded assert: DuckDB
-    * recomputes the exact cross-side pair count; the recall boolean
-    * certifies the index pass found at least half of them (measured 1.0 at
-    * every SF with k=8, probes=3 — found pairs are exact-verified, so
-    * found <= exact always). */
+    * against the STORED cluster index of the remaining corpus (q66's
+    * delta-vs-index shape in embedding space). "Stored" is literal here:
+    * the index is built, persisted to parquet via IndexStore, and RELOADED
+    * before the delta probes it — the gate exercises the round trip a real
+    * incremental pipeline runs across sessions, not just the in-memory
+    * object. Bounded assert: DuckDB recomputes the exact cross-side pair
+    * count; the recall boolean certifies the index pass found at least half
+    * of them (measured 1.0 at every SF with k=8, probes=3 — found pairs are
+    * exact-verified, so found <= exact always). */
   val semanticIncremental: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     val delta = emb.where(col("vec_id") % 10 === 3)
     val corpus = emb.where(col("vec_id") % 10 =!= 3)
     val exact = Dedup.embeddingDupPairsBatched(emb, "vec_id", "embedding", 0.45)
       .where((col("id_a") % 10 === 3) =!= (col("id_b") % 10 === 3))
-    val idx = SemanticDedup.buildIndex(corpus, "vec_id", "embedding",
+    val built = SemanticDedup.buildIndex(corpus, "vec_id", "embedding",
       nClusters = 8, probes = 3)
+    val idxPath = s"${sys.props("java.io.tmpdir")}/graft_semidx_" +
+      Integer.toHexString(dir.hashCode)
+    graft.store.IndexStore.saveSemanticIndex(s, built, idxPath)
+    val idx = graft.store.IndexStore.loadSemanticIndex(s, idxPath)
     val found = SemanticDedup.incrementalDupPairs(delta, "vec_id", "embedding",
       idx, 0.45, probes = 3)
     exact.agg(count(lit(1)).as("n_exact_pairs"))
@@ -172,9 +179,16 @@ object CurationQueries {
     "q80_temperature_mix" -> temperatureMix)
 
   val oracles: Map[String, String] = Map(
+    // blank-text edge in the span/chunk oracles: Spark's spans()/cdcChunks()
+    // yield ZERO spans for blank docs, but string_split_regex('') in DuckDB
+    // is [''] (one empty token -> one empty span) — the CASE pins the
+    // engine convention so a blank doc at any future SF can't diverge
     "q85_cdc_dedup" ->
       """WITH toks AS (
-        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |  SELECT doc_id, source,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END AS ts
+        |  FROM documents),
         |tk AS (SELECT doc_id, source, unnest(ts) AS tok, generate_subscripts(ts, 1) AS pos FROM toks),
         |fl AS (SELECT *, CASE WHEN pos > 1 AND CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 8 = 0
         |  THEN 1 ELSE 0 END AS b FROM tk),
@@ -213,7 +227,10 @@ object CurationQueries {
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "q82_boilerplate_spans" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END AS ts
+        |  FROM documents),
         |sp AS (
         |  SELECT doc_id,
         |    unnest([array_to_string(ts[i*10+1:i*10+10], ' ')
@@ -224,7 +241,10 @@ object CurationQueries {
         |ORDER BY n_occurrences DESC, n_docs DESC, span LIMIT 15""".stripMargin,
     "q76_span_dedup" ->
       """WITH toks AS (
-        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |  SELECT doc_id, source,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END AS ts
+        |  FROM documents),
         |sp AS (
         |  SELECT doc_id, source,
         |    unnest(generate_series(0, CAST(ceil(len(ts) / 10.0) AS INT) - 1)) AS span_idx,

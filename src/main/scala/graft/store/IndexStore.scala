@@ -1,0 +1,100 @@
+package graft.store
+
+import graft.dedup.SemanticDedup
+import graft.sim.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Parquet persistence for the engine's dedup/ANN indexes — the missing
+  * half of the stored-index story: q66/q79-style incremental passes screen
+  * a delta against "the corpus index", which until now lived only in the
+  * building session's memory. Each index saves as a directory of plain
+  * parquet (readable by any engine) plus a one-row `meta` table carrying a
+  * format-version stamp and the index kind; `load` validates both, so a
+  * format change fails loudly instead of mis-probing.
+  *
+  * Layout: `<path>/meta` (version, kind), `<path>/centroids`
+  * (cid, centroid), and the corpus-sized table (`assignment` or `lists`).
+  * Centroids are KBs; the corpus table is written as-is and reloads as an
+  * ordinary parquet scan — at 100 TB the index data never moves through
+  * the driver (the centroids, which do, are k·dim doubles).
+  *
+  * LSH planes need no store: they are derived deterministically from
+  * (seed, nBits, nTables) — java.util.Random's LCG is spec-fixed — so
+  * persisting those three ints (any config channel) reproduces the planes
+  * exactly; only k-means-fitted state (semantic/IVF centroids) is
+  * unrecoverable without a store.
+  */
+object IndexStore {
+
+  val FormatVersion = 1
+
+  private def writeMeta(spark: SparkSession, path: String, kind: String): Unit = {
+    import spark.implicits._
+    Seq((FormatVersion, kind)).toDF("version", "kind")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def checkMeta(spark: SparkSession, path: String, kind: String): Unit = {
+    val m = spark.read.parquet(s"$path/meta").select("version", "kind").head()
+    require(m.getInt(0) == FormatVersion,
+      s"index at $path has format version ${m.getInt(0)}, expected $FormatVersion")
+    require(m.getString(1) == kind,
+      s"index at $path is a '${m.getString(1)}' index, expected '$kind'")
+  }
+
+  /** Persist a [[SemanticDedup.SemanticIndex]]: centroids + the (id, v,
+    * cluster) corpus assignment. Overwrites. */
+  def saveSemanticIndex(spark: SparkSession, idx: SemanticDedup.SemanticIndex,
+                        path: String): Unit = {
+    import spark.implicits._
+    writeMeta(spark, path, "semantic")
+    idx.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    idx.assignment.write.mode("overwrite").parquet(s"$path/assignment")
+  }
+
+  /** Reload a semantic index; the assignment comes back as a plain parquet
+    * scan (pruned/pushed like any other source). */
+  def loadSemanticIndex(spark: SparkSession, path: String): SemanticDedup.SemanticIndex = {
+    checkMeta(spark, path, "semantic")
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cid").collect()
+      .map(r => r.getSeq[Double](1))
+    SemanticDedup.SemanticIndex(cents, spark.read.parquet(s"$path/assignment"))
+  }
+
+  /** Persist a [[Similarity.IvfIndex]]: coarse-quantizer centroids + the
+    * inverted lists. Overwrites. */
+  def saveIvfIndex(spark: SparkSession, idx: Similarity.IvfIndex,
+                   path: String): Unit = {
+    import spark.implicits._
+    writeMeta(spark, path, "ivf")
+    idx.centroids.toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    idx.lists.write.mode("overwrite").parquet(s"$path/lists")
+  }
+
+  def loadIvfIndex(spark: SparkSession, path: String): Similarity.IvfIndex = {
+    checkMeta(spark, path, "ivf")
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    Similarity.IvfIndex(cents, spark.read.parquet(s"$path/lists"))
+  }
+
+  /** Persist the q66-style MinHash/span/chunk hash index: any one-column
+    * (or narrow) DataFrame of hashes/signatures. The generic store for
+    * indexes that are pure DataFrames (no driver-side fitted state). */
+  def saveHashIndex(spark: SparkSession, index: org.apache.spark.sql.DataFrame,
+                    path: String): Unit = {
+    writeMeta(spark, path, "hash")
+    index.write.mode("overwrite").parquet(s"$path/index")
+  }
+
+  def loadHashIndex(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    checkMeta(spark, path, "hash")
+    spark.read.parquet(s"$path/index")
+  }
+}

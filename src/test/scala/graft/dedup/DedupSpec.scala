@@ -303,4 +303,36 @@ class DedupSpec extends SparkSpec {
       assert(batched == base, s"numBlocks=$b differs")
     }
   }
+
+  test("auto numBlocks falls back to the equi-join form past the block cap, same pairs") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = Dedup.embeddingDupPairsExhaustive(emb, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // tiny block budget: rowsPerBlock = 1, so auto blocks = n >> cap and the
+    // fallback fires (each task would otherwise collect two corpus-sized
+    // blocks); result must be identical
+    val fellBack = Dedup.embeddingDupPairsBatched(emb, "vec_id", "embedding", 0.45,
+        targetBlockBytes = 1, maxBatchedBlocks = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(fellBack == base,
+      s"missing=${base -- fellBack} extra=${fellBack -- base}")
+    // default auto sizing on the small corpus lands at the 8-block floor
+    val auto = Dedup.embeddingDupPairsBatched(emb, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto == base)
+  }
+
+  test("exactGroups bounds its member list under a fingerprint skew bomb") {
+    // one fingerprint shared by 100k docs: the old sort_array(collect_list)
+    // built a 100k-element array in one aggregation buffer; the bounded
+    // aggregate keeps O(cap) state and still reports the true group size
+    val bomb = spark.range(100000)
+      .select(col("id").as("doc_id"), lit("same   boilerplate TEXT").as("text"))
+    val g = Dedup.exactGroups(bomb, "doc_id", "text", maxIdsPerGroup = 64).collect()
+    assert(g.length == 1)
+    val row = g.head
+    assert(row.getAs[Long]("n") == 100000L)
+    assert(row.getAs[Long]("canonical_id") == 0L)
+    assert(row.getAs[collection.Seq[Long]]("ids").toSeq == (0L until 64L))
+  }
 }

@@ -136,6 +136,69 @@ class SemanticDedupSpec extends SparkSpec {
       s"missing=${expected -- cleanIds.asScala} extra=${cleanIds.asScala.toSet -- expected}")
   }
 
+  test("compiled centroid assignment equals the k-literal projection (k=8)") {
+    val e = emb.select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    val idx = SemanticDedup.buildIndex(emb.where($"vec_id" % 10 =!= 3),
+      "vec_id", "embedding", 8, probes = 2)
+    for (probes <- Seq(1, 2, 3)) {
+      val lit = SemanticDedup.assignToCentroidsLiteral(e, idx.centroids, probes)
+        .select("id", "cluster")
+      val compiled = SemanticDedup.assignToCentroids(e, idx.centroids, probes)
+        .select("id", "cluster")
+      assert(compiled.exceptAll(lit).isEmpty && lit.exceptAll(compiled).isEmpty,
+        s"compiled assignment differs from the literal projection at probes=$probes")
+    }
+  }
+
+  test("k=1024 assignment carries no per-centroid literals in the plan") {
+    // SemDeDup's own regime is 11k clusters; the k-literal projection dies
+    // there (~700k literal doubles per plan). Synthesize 1024 centroids and
+    // check the compiled path keeps the plan O(1) and assigns sanely.
+    val rng = new scala.util.Random(7)
+    val cents = Array.fill(1024)(Seq.fill(16)(rng.nextDouble() - 0.5))
+    val e = emb.limit(50)
+      .select($"vec_id".as("id"),
+        expr("slice(cast(embedding as array<double>), 1, 16)").as("v"))
+    val assigned = SemanticDedup.assignToCentroids(e, cents, probes = 2)
+    val analyzed = assigned.queryExecution.analyzed
+    val arrayLiterals = analyzed.expressions.flatMap(_.collect {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal
+        if l.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] => l
+    })
+    assert(arrayLiterals.isEmpty,
+      s"plan embeds ${arrayLiterals.size} array literals — the k-literal trap")
+    // plan string stays O(1) too (stringArgs hides the matrix)
+    assert(assigned.queryExecution.optimizedPlan.toString.length < 10000)
+    val rows = assigned.select("id", "cluster").collect()
+    assert(rows.length == 100, "50 vectors x 2 probes")
+    assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 1024))
+  }
+
+  test("oversized delta falls back from broadcast to a shuffle join, same pairs") {
+    val delta = emb.where($"vec_id" % 10 === 3)
+    val corpus = emb.where($"vec_id" % 10 =!= 3)
+    val idx = SemanticDedup.buildIndex(corpus, "vec_id", "embedding", 8, probes = 2)
+    val bc = SemanticDedup.incrementalDupPairs(delta, "vec_id", "embedding",
+      idx, 0.45, probes = 2)
+    // force the guard: cap below delta-rows x probes. The guard removes the
+    // FORCED broadcast hint (the planner may still choose broadcast on its
+    // own when the side is genuinely small — that is the desired behavior),
+    // so assert on the join hint, not the physical strategy.
+    val shuffled = SemanticDedup.incrementalDupPairs(delta, "vec_id", "embedding",
+      idx, 0.45, probes = 2, maxBroadcastRows = 1)
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val guardedHints = shuffled.queryExecution.optimizedPlan.collect {
+      case j: Join => j.hint }
+    assert(guardedHints.forall(h => h.leftHint.isEmpty && h.rightHint.isEmpty),
+      "guard left the forced broadcast hint in place")
+    val forcedHints = bc.queryExecution.optimizedPlan.collect {
+      case j: Join => j.hint }
+    assert(forcedHints.exists(h => h.leftHint.nonEmpty || h.rightHint.nonEmpty),
+      "small-delta path should carry the broadcast hint")
+    assert(bc.exceptAll(shuffled).isEmpty && shuffled.exceptAll(bc).isEmpty,
+      "fallback join changed the result")
+  }
+
   test("mega-cluster guard drops oversized clusters from pairing") {
     // cap of 1: every cluster with >1 member is dropped, so no pairs at all
     val guarded = SemanticDedup.clusterDupPairs(emb, "vec_id", "embedding", 0.0,

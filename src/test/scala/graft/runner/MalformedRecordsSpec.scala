@@ -52,12 +52,18 @@ class MalformedRecordsSpec extends SparkSpec {
   }
 
   test("quarantine read accounts for every line: clean + corrupt == total") {
-    val (clean, corrupt) = Connectors.readJsonQuarantined(spark, jsonDir, schema)
+    // the cache sits on the shared raw frame, so the handle (not the views)
+    // is what frees it
+    val (clean, corrupt, release) =
+      Connectors.readJsonQuarantinedWith(spark, jsonDir, schema)
     assert(clean.count() + corrupt.count() == 5)
     assert(clean.count() == 3)
     val rejects = corrupt.collect().map(_.getString(0))
     assert(rejects.exists(_.contains(""""id":4""")), "truncated line captured verbatim")
     assert(rejects.exists(_.contains("not-a-timestamp")), "bad-value line captured verbatim")
-    clean.unpersist()
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty ||
+      spark.sparkContext.getPersistentRDDs.values
+        .forall(!_.name.contains("json")), "raw cache released")
   }
 }

@@ -1,0 +1,76 @@
+package graft.store
+
+import graft.SparkSpec
+import graft.dedup.SemanticDedup
+import graft.sim.Similarity
+import org.apache.spark.sql.functions._
+
+/** Round-trip persistence for the fitted indexes: reloading from parquet
+  * must reproduce the exact in-memory probe results (centroids and vectors
+  * are doubles, which parquet stores losslessly), and the version/kind
+  * stamp must reject mismatched loads. */
+class IndexStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = spark.read.parquet(sf("embeddings"))
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).resolve("idx").toString
+
+  test("semantic index round-trips: reloaded incremental pairs are identical") {
+    val delta = emb.where($"vec_id" % 10 === 3)
+    val corpus = emb.where($"vec_id" % 10 =!= 3)
+    val built = SemanticDedup.buildIndex(corpus, "vec_id", "embedding", 8, probes = 3)
+    val path = tmp("graft_semidx")
+    IndexStore.saveSemanticIndex(spark, built, path)
+    val loaded = IndexStore.loadSemanticIndex(spark, path)
+
+    assert(loaded.centroids.map(_.toSeq).toSeq == built.centroids.map(_.toSeq).toSeq,
+      "centroids changed across the round trip")
+    val a = SemanticDedup.incrementalDupPairs(delta, "vec_id", "embedding",
+      built, 0.45, probes = 3)
+    val b = SemanticDedup.incrementalDupPairs(delta, "vec_id", "embedding",
+      loaded, 0.45, probes = 3)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "incremental pairs differ against the reloaded index")
+  }
+
+  test("ivf index round-trips: reloaded probe results are identical") {
+    val qs = emb.where($"vec_id" < 5)
+    val built = Similarity.buildIvfIndex(emb, "vec_id", "embedding", nLists = 16)
+    val path = tmp("graft_ivfidx")
+    IndexStore.saveIvfIndex(spark, built, path)
+    val loaded = IndexStore.loadIvfIndex(spark, path)
+
+    assert(loaded.centroids.map { case (i, c) => (i, c.toSeq) } ==
+      built.centroids.map { case (i, c) => (i, c.toSeq) },
+      "centroids changed across the round trip")
+    val a = Similarity.ivfTopKFrom(built, qs, "vec_id", "embedding", k = 3, nProbe = 4)
+    val b = Similarity.ivfTopKFrom(loaded, qs, "vec_id", "embedding", k = 3, nProbe = 4)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "IVF probe results differ against the reloaded index")
+  }
+
+  test("hash index round-trips") {
+    val idx = graft.ops.SpanDedup.buildSpanIndex(
+      spark.read.parquet(sf("documents")), "doc_id", "text", 10)
+    val path = tmp("graft_hashidx")
+    IndexStore.saveHashIndex(spark, idx, path)
+    val loaded = IndexStore.loadHashIndex(spark, path)
+    assert(idx.exceptAll(loaded).isEmpty && loaded.exceptAll(idx).isEmpty)
+  }
+
+  test("kind and version stamps reject mismatched loads") {
+    val built = Similarity.buildIvfIndex(emb, "vec_id", "embedding", nLists = 4)
+    val path = tmp("graft_kindidx")
+    IndexStore.saveIvfIndex(spark, built, path)
+    intercept[IllegalArgumentException] {
+      IndexStore.loadSemanticIndex(spark, path) // wrong kind
+    }
+    // corrupt the version stamp
+    Seq((999, "ivf")).toDF("version", "kind")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    intercept[IllegalArgumentException] {
+      IndexStore.loadIvfIndex(spark, path)
+    }
+  }
+}
