@@ -51,7 +51,8 @@ object Bench {
     "q85_cdc_dedup",          // shift-robust content-defined-chunk dedup
     "q77_bm25_topk",          // BM25 lexical retrieval
     "q78_semantic_dedup",     // SemDeDup cluster-blocked embedding dedup
-    "q79_semantic_incremental") // delta embeddings vs stored cluster index
+    "q79_semantic_incremental", // delta embeddings vs stored cluster index
+    "q86_curation_pipeline")  // the composed end-to-end curation chain
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage
@@ -86,13 +87,21 @@ object Bench {
       System.err.println(f"[bench] $name%-26s $sec%8.2fs rows=$n load=$l0%.1f")
       (sec, l0)
     }
-    // min-of-3; if even the best pass started on a contended box (1-min
-    // load above the core count), buy one more measurement
-    def bench(name: String): Double = {
-      val passes = Seq.fill(3)(timeOnce(name))
-      val best = passes.minBy(_._1)
-      if (best._2 > cpus.toDouble) math.min(best._1, timeOnce(name)._1)
-      else best._1
+    // min-of-3, plus up to two extra passes while the BEST pass was taken
+    // on a contended box (1-min load above a quarter of the cores — the r4
+    // record showed load ~10/32 turning two queries into phantom
+    // regressions, so the gate is deliberately strict). Returns the best
+    // time AND the load its pass started at, so the published record
+    // carries per-query contention evidence, not just run-level endpoints.
+    val loadGate = cpus.toDouble / 4.0
+    def bench(name: String): (Double, Double) = {
+      var passes = Seq.fill(3)(timeOnce(name))
+      var extra = 0
+      while (passes.minBy(_._1)._2 > loadGate && extra < 2) {
+        passes :+= timeOnce(name)
+        extra += 1
+      }
+      passes.minBy(_._1)
     }
 
     // ad-hoc override for profiling: SPARK_GRAFT_BENCH_QUERIES=q62_x,q64_y
@@ -100,12 +109,14 @@ object Bench {
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(headline)
     val results = selected.filter(qs.contains).map(name => name -> bench(name))
-    val qjson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qjson = results.map { case (k, (v, _)) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val ljson = results.map { case (k, (_, l)) => "\"" + k + f"\":$l%.2f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
     val loadEnd = loadAvg
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"sf":"$sfDir","passes":3,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"loads":$ljson,"sf":"$sfDir","passes":3,"load_gate":$loadGate%.1f,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f}"""
     val out = sys.env.getOrElse("BENCH_OUT", "target/bench.json")
     try {
       val p = java.nio.file.Paths.get(out)

@@ -54,5 +54,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("char_shingle_hashes"),
       new ExpressionInfo(classOf[graft.functions.CharShingleHashes].getName, "char_shingle_hashes"),
       (args: Seq[Expression]) => graft.functions.GraftFunctions.charShingleHashesBuilder(args)))
+    ext.injectFunction((
+      new FunctionIdentifier("word_spans"),
+      new ExpressionInfo(classOf[graft.functions.WordSpans].getName, "word_spans"),
+      (args: Seq[Expression]) => graft.functions.GraftFunctions.intLitBuilder(
+        "word_spans", args)(graft.functions.WordSpans.apply)))
+    ext.injectFunction((
+      new FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[graft.functions.CdcChunkArray].getName, "cdc_chunks"),
+      (args: Seq[Expression]) => graft.functions.GraftFunctions.intLitBuilder(
+        "cdc_chunks", args)(graft.functions.CdcChunkArray.apply)))
+    ext.injectFunction((
+      new FunctionIdentifier("repetition_score"),
+      new ExpressionInfo(classOf[graft.functions.RepetitionScore].getName, "repetition_score"),
+      (args: Seq[Expression]) => graft.functions.GraftFunctions.intLitBuilder(
+        "repetition_score", args)(graft.functions.RepetitionScore.apply)))
+    ext.injectFunction((
+      new FunctionIdentifier("min_shingle_md5"),
+      new ExpressionInfo(classOf[graft.functions.MinShingleMd5].getName, "min_shingle_md5"),
+      (args: Seq[Expression]) => graft.functions.GraftFunctions.intLitBuilder(
+        "min_shingle_md5", args)(graft.functions.MinShingleMd5.apply)))
+    ext.injectFunction((
+      new FunctionIdentifier("stopword_ratio"),
+      new ExpressionInfo(classOf[graft.functions.StopwordRatio].getName, "stopword_ratio"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "usage: stopword_ratio(text)")
+        graft.functions.StopwordRatio(args.head,
+          graft.functions.TextFunctions.EnglishStopwords)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("lang_id"),
+      new ExpressionInfo(classOf[graft.functions.MarkerLangId].getName, "lang_id"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "usage: lang_id(text)")
+        graft.functions.MarkerLangId(args.head,
+          graft.functions.TextFunctions.LanguageMarkers.toSeq.sortBy(_._1))
+      }))
   }
 }

@@ -322,6 +322,18 @@ object GraftFunctions {
     }
   }
 
+  /** Generic SQL builder for (text, intLiteral) expressions — the width/k
+    * parameter shapes the per-row loop, so it must be a literal. */
+  def intLitBuilder(name: String, args: Seq[Expression])(
+      mk: (Expression, Int) => Expression): Expression = {
+    require(args.length == 2, s"usage: $name(text, n)")
+    args(1) match {
+      case Literal(v: Int, IntegerType) => mk(args.head, v)
+      case other => throw new IllegalArgumentException(
+        s"$name: n must be an integer literal, got $other")
+    }
+  }
+
   /** SQL builder for char_shingle_hashes(text, k). */
   def charShingleHashesBuilder(args: Seq[Expression]): Expression = {
     require(args.length == 2, "usage: char_shingle_hashes(text, k)")

@@ -103,18 +103,26 @@ final class EventLogLedger(spark: SparkSession, val path: String,
   }
 
   /** Idempotent bulk insert (ids are deterministic — a re-planned window
-    * must not duplicate). */
+    * must not duplicate). The collision check is a distributed semi-join
+    * against the incoming id batch — only COLLIDING ids reach the driver,
+    * so a wide multi-tenant ledger never ships its full id set. */
   def append(rows: Seq[DriveRecord]): Unit = {
     if (rows.nonEmpty) {
-      val existing = read().select("unique_source_id").as[String].collect().toSet
+      val incoming = spark.createDataset(rows.map(_.unique_source_id))
+        .toDF("unique_source_id")
+      val existing = read().toDF()
+        .join(broadcast(incoming), Seq("unique_source_id"), "left_semi")
+        .select("unique_source_id").as[String].collect().toSet
       appendEvents(rows.filterNot(r => existing.contains(r.unique_source_id)),
         deleted = false)
     }
   }
 
-  /** Batched point update: one event-append per commit, O(matched rows). */
+  /** Batched point update: one event-append per commit, O(matched rows).
+    * The predicate runs DISTRIBUTED (typed filter over the reconstructed
+    * state); only the matched rows are collected and re-appended. */
   def update(where: DriveRecord => Boolean)(f: DriveRecord => DriveRecord): Int = {
-    val hit = read().collect().filter(where).map(f)
+    val hit = read().filter(where).collect().map(f)
     appendEvents(hit.toSeq, deleted = false)
     hit.length
   }
@@ -124,7 +132,7 @@ final class EventLogLedger(spark: SparkSession, val path: String,
 
   /** Point delete = tombstone events. */
   def delete(ids: Set[String]): Int = {
-    val hit = read().collect().filter(r => ids.contains(r.unique_source_id))
+    val hit = read().filter(r => ids.contains(r.unique_source_id)).collect()
     appendEvents(hit.toSeq, deleted = true)
     hit.length
   }

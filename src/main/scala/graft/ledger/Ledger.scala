@@ -7,7 +7,16 @@ import org.apache.spark.sql.{Dataset, Encoders, SaveMode, SparkSession}
 /** The ledger contract the runner/planner program against — implemented by
   * the rewrite [[Ledger]] (single-tenant default) and the append-only
   * [[EventLogLedger]] (multi-tenant scale variant); `LedgerSmoke` parity in
-  * `EventLogLedgerSpec` proves either runs the full pipeline. */
+  * `EventLogLedgerSpec` proves either runs the full pipeline.
+  *
+  * Crossover rule (measured in EventLogLedgerSpec's 100k-row test): the
+  * rewrite ledger's commit cost is O(table) — it re-materializes every row
+  * — while the event log's is O(mutated rows) plus a bounded compaction.
+  * One pipeline's control table (windows-per-year ≈ 10^4 rows) stays on
+  * the rewrite ledger: simpler files, zero read amplification. Switch to
+  * [[EventLogLedger]] when commits are small relative to the table — any
+  * SHARED multi-tenant ledger, or any table past ~10^5 rows, where a
+  * 10-row commit writes 10 rows instead of 100k. */
 trait LedgerStore {
   def bootstrap(): Unit
   def read(): Dataset[DriveRecord]

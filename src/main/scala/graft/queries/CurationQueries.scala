@@ -168,7 +168,85 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  /** q86: the COMPOSED curation pipeline — exact dedup -> span dedup ->
+    * decontaminate -> quality filter -> temperature mix -> sequence pack,
+    * as one DataFrame chain. Real users run the operators composed, and a
+    * composed run catches cross-operator regressions (a stage reading the
+    * wrong column after a rebuild, re-tokenization drift, filter pushdown
+    * breaking a later window) that the per-operator gates can't see.
+    * Output: one row per lang with the surviving doc count after every
+    * stage plus the final mix/pack stats — all integers, so the oracle
+    * hash is exact.
+    *
+    * Corpus-scan note: the per-stage counts make this gate form re-derive
+    * each stage prefix per aggregate; the two frames every downstream
+    * stage re-reads (the span-rebuilt corpus and the quality survivors)
+    * are cached, so the chain performs 3 scans of the raw corpus (exact
+    * dedup + span election + benchmark grams) and the rest runs over the
+    * cached rebuilt/filtered frames. A production run materializing each
+    * stage to parquet would make every stage exactly one scan of its
+    * predecessor. */
+  val curationPipeline: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    // benchmark grams come from the RAW eval slice (decontamination screens
+    // against the benchmark as published, not as deduped)
+    val benchmark = docs.where(col("doc_id") % 20 === 0)
+    // stage 1: exact dedup (min doc_id per normalized fingerprint)
+    val exact = Dedup.exactDedup(docs, "doc_id", "text")
+    // stage 2: span dedup; docs rebuilt from surviving 10-word spans, docs
+    // that lost every span drop out
+    val rebuilt = SpanDedup.dedupSpans(exact, "doc_id", "text", SpanWords)
+      .where(col("n_kept") > 0)
+      .select(col("id").as("doc_id"), col("text_dedup").as("text"))
+      .join(exact.select("doc_id", "lang"), "doc_id")
+      .cache()
+    // stage 3: decontaminate — drop docs whose rebuilt text has >= 80% of
+    // its distinct 3-grams in the benchmark (integer compare, engine-exact)
+    val ct = graft.dedup.Contamination.scores(rebuilt, benchmark, "doc_id", "text", 3)
+    val decon = rebuilt.join(
+      ct.where(col("matched_grams") * 5 < col("total_grams") * 4)
+        .select(col("id").as("doc_id")), "doc_id")
+    // stage 4: quality stack on the REBUILT text (q49's rule shapes with
+    // post-dedup-calibrated thresholds)
+    val ntok = graft.functions.TextFunctions.tokenCount(col("text"))
+    val swr = graft.functions.TextFunctions.stopwordRatio(col("text"))
+    val rep = graft.functions.TextFunctions.repetitionScore(col("text"), 3)
+    val qual = decon.where(ntok.between(20, 120) && swr >= 0.01 && rep <= 0.05)
+      .select(col("doc_id"), col("lang"), ntok.as("ntok"))
+      .cache()
+    // stage 5: temperature mix (alpha=0.5, 200-doc budget over lang)
+    val quotas = graft.ops.Sampling.temperatureQuotas(qual, Seq("lang"), 0.5, 200)
+    val mixed = graft.ops.Sampling.temperatureSample(qual, Seq("lang"), "doc_id", 0.5, 200)
+    // stage 6: pack the mixed docs to 512-token sequences per lang
+    val packed = graft.ops.Packing.packSequences(mixed, Seq("lang"), "doc_id", "ntok", 512)
+    val pk = packed.groupBy("lang")
+      .agg(count(lit(1)).as("n_mixed"),
+        (max(col("__seq")) + 1).as("n_seqs"),
+        sum(col("ntok")).cast("long").as("packed_tokens"))
+    // per-lang stage counts
+    def cnt(df: DataFrame, name: String) =
+      df.groupBy("lang").agg(count(lit(1)).as(name))
+    cnt(docs, "n_input")
+      .join(cnt(exact, "n_exact"), Seq("lang"), "left_outer")
+      .join(cnt(rebuilt, "n_span"), Seq("lang"), "left_outer")
+      .join(cnt(decon, "n_decon"), Seq("lang"), "left_outer")
+      .join(cnt(qual, "n_quality"), Seq("lang"), "left_outer")
+      .join(quotas.select(col("lang"), col("quota")), Seq("lang"), "left_outer")
+      .join(pk, Seq("lang"), "left_outer")
+      .select(col("lang"), col("n_input"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_span"), lit(0L)).as("n_span"),
+        coalesce(col("n_decon"), lit(0L)).as("n_decon"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("quota"), lit(0L)).as("quota"),
+        coalesce(col("n_mixed"), lit(0L)).as("n_mixed"),
+        coalesce(col("n_seqs"), lit(0L)).as("n_seqs"),
+        coalesce(col("packed_tokens"), lit(0L)).as("packed_tokens"))
+      .orderBy("lang")
+  }
+
   val all: Map[String, Q] = Map(
+    "q86_curation_pipeline" -> curationPipeline,
     "q85_cdc_dedup" -> cdcDedup,
     "q83_novelty_report" -> noveltyReport,
     "q82_boilerplate_spans" -> boilerplateSpans,
@@ -179,6 +257,115 @@ object CurationQueries {
     "q80_temperature_mix" -> temperatureMix)
 
   val oracles: Map[String, String] = Map(
+    // the full composed chain, re-derived stage by stage: md5 exact dedup
+    // (q40's key), 10-word span dedup + rebuild (q76), 3-gram benchmark
+    // contamination on the REBUILT text (q37's grams), quality rules on the
+    // rebuilt text (q49's signal forms), alpha-quota mix (q80), 512-token
+    // packing (q64)
+    "q86_curation_pipeline" ->
+      """WITH raw AS (SELECT doc_id, lang, text FROM documents),
+        |fp AS (
+        |  SELECT doc_id, lang, text,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |  FROM raw),
+        |exact AS (
+        |  SELECT * FROM fp QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1),
+        |toks AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END AS ts
+        |  FROM exact),
+        |sp AS (
+        |  SELECT doc_id, lang,
+        |    unnest(generate_series(0, CAST(ceil(len(ts) / 10.0) AS INT) - 1)) AS span_idx,
+        |    unnest([array_to_string(ts[i*10+1:i*10+10], ' ')
+        |      FOR i IN generate_series(0, CAST(ceil(len(ts)/10.0) AS INT) - 1)]) AS span
+        |  FROM toks),
+        |kept AS (
+        |  SELECT * FROM sp
+        |  QUALIFY row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) = 1),
+        |rebuilt AS (
+        |  SELECT doc_id, lang, string_agg(span, ' ' ORDER BY span_idx) AS text
+        |  FROM kept GROUP BY 1, 2),
+        |bt AS (
+        |  SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |    ELSE string_split_regex(trim(text), '\s+') END AS ts
+        |  FROM raw WHERE doc_id % 20 = 0),
+        |bg AS (
+        |  SELECT DISTINCT unnest(list_distinct(
+        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |      ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts) - 2)]
+        |    END)) AS gm
+        |  FROM bt),
+        |rt AS (
+        |  SELECT doc_id, lang, text, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM rebuilt),
+        |rg AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |      ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts) - 2)]
+        |    END)) AS gm
+        |  FROM rt),
+        |ct AS (
+        |  SELECT rg.doc_id, count(*) AS total,
+        |    sum(CASE WHEN bg.gm IS NOT NULL THEN 1 ELSE 0 END) AS matched
+        |  FROM rg LEFT JOIN bg ON rg.gm = bg.gm GROUP BY 1),
+        |decon AS (
+        |  SELECT rt.* FROM rt JOIN ct USING (doc_id)
+        |  WHERE ct.matched * 5 < ct.total * 4),
+        |qm AS (
+        |  SELECT doc_id, lang, len(ts) AS ntok,
+        |    CASE WHEN len(ts) = 0 THEN 0.0
+        |      ELSE len(list_filter(ts, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that','be'], lower(x)))) * 1.0 / len(ts)
+        |    END AS swr,
+        |    (SELECT 1.0 - len(list_distinct(g)) * 1.0 / len(g) FROM (
+        |      SELECT CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |        ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts) - 2)]
+        |      END AS g)) AS rep
+        |  FROM decon),
+        |qual AS (
+        |  SELECT doc_id, lang, ntok FROM qm
+        |  WHERE ntok BETWEEN 20 AND 120 AND swr >= 0.01 AND rep <= 0.05),
+        |qc AS (SELECT lang, count(*) AS n FROM qual GROUP BY 1),
+        |qw AS (SELECT lang, n, pow(n, 0.5) AS pw FROM qc),
+        |qt AS (SELECT sum(pw) AS tw FROM qw),
+        |quo AS (
+        |  SELECT lang, CAST(floor(round(200 * pw / tw, 6)) AS BIGINT) AS quota
+        |  FROM qw CROSS JOIN qt),
+        |r AS (
+        |  SELECT qual.*, row_number() OVER (PARTITION BY lang
+        |    ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id) AS rn
+        |  FROM qual),
+        |mixed AS (SELECT r.lang, r.doc_id, r.ntok FROM r JOIN quo USING (lang) WHERE r.rn <= quo.quota),
+        |p AS (
+        |  SELECT lang, ntok,
+        |    sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok AS strt
+        |  FROM mixed),
+        |pk AS (
+        |  SELECT lang, count(*) AS n_mixed,
+        |    CAST(max(floor(strt / 512)) + 1 AS BIGINT) AS n_seqs,
+        |    CAST(sum(ntok) AS BIGINT) AS packed_tokens
+        |  FROM p GROUP BY 1),
+        |s0 AS (SELECT lang, count(*) AS n_input FROM raw GROUP BY 1),
+        |s1 AS (SELECT lang, count(*) AS n_exact FROM exact GROUP BY 1),
+        |s2 AS (SELECT lang, count(*) AS n_span FROM rebuilt GROUP BY 1),
+        |s3 AS (SELECT lang, count(*) AS n_decon FROM decon GROUP BY 1),
+        |s4 AS (SELECT lang, count(*) AS n_quality FROM qual GROUP BY 1)
+        |SELECT s0.lang, s0.n_input,
+        |  coalesce(s1.n_exact, 0) AS n_exact,
+        |  coalesce(s2.n_span, 0) AS n_span,
+        |  coalesce(s3.n_decon, 0) AS n_decon,
+        |  coalesce(s4.n_quality, 0) AS n_quality,
+        |  coalesce(quo.quota, 0) AS quota,
+        |  coalesce(pk.n_mixed, 0) AS n_mixed,
+        |  coalesce(pk.n_seqs, 0) AS n_seqs,
+        |  coalesce(pk.packed_tokens, 0) AS packed_tokens
+        |FROM s0
+        |LEFT JOIN s1 USING (lang) LEFT JOIN s2 USING (lang)
+        |LEFT JOIN s3 USING (lang) LEFT JOIN s4 USING (lang)
+        |LEFT JOIN quo USING (lang) LEFT JOIN pk USING (lang)
+        |ORDER BY lang""".stripMargin,
     // blank-text edge in the span/chunk oracles: Spark's spans()/cdcChunks()
     // yield ZERO spans for blank docs, but string_split_regex('') in DuckDB
     // is [''] (one empty token -> one empty span) — the CASE pins the

@@ -44,6 +44,40 @@ class GraftExtensionsSpec extends SparkSpec {
     viaSql.foreach { case (k, v) => assert(math.abs(v - viaCol(k)) < 1e-12) }
   }
 
+  test("round-5 compiled text expressions are callable from SQL") {
+    ColumnBridge.registerFunction(spark, "word_spans",
+      args => graft.functions.GraftFunctions.intLitBuilder("word_spans", args)(
+        graft.functions.WordSpans.apply))
+    ColumnBridge.registerFunction(spark, "cdc_chunks",
+      args => graft.functions.GraftFunctions.intLitBuilder("cdc_chunks", args)(
+        graft.functions.CdcChunkArray.apply))
+    ColumnBridge.registerFunction(spark, "repetition_score",
+      args => graft.functions.GraftFunctions.intLitBuilder("repetition_score", args)(
+        graft.functions.RepetitionScore.apply))
+    ColumnBridge.registerFunction(spark, "min_shingle_md5",
+      args => graft.functions.GraftFunctions.intLitBuilder("min_shingle_md5", args)(
+        graft.functions.MinShingleMd5.apply))
+    ColumnBridge.registerFunction(spark, "stopword_ratio",
+      args => graft.functions.StopwordRatio(args.head,
+        graft.functions.TextFunctions.EnglishStopwords))
+    ColumnBridge.registerFunction(spark, "lang_id",
+      args => graft.functions.MarkerLangId(args.head,
+        graft.functions.TextFunctions.LanguageMarkers.toSeq.sortBy(_._1)))
+    Seq((1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("id", "text").createOrReplaceTempView("txt_ext_test")
+    val row = spark.sql(
+      """SELECT size(word_spans(text, 3)) ns, size(cdc_chunks(text, 4)) nc,
+        |       repetition_score(text, 2) rep, min_shingle_md5(text, 5) fp,
+        |       stopword_ratio(text) swr, lang_id(text) lang
+        |FROM txt_ext_test""".stripMargin).head()
+    assert(row.getInt(0) == 4)          // 12 tokens / 3-word spans
+    assert(row.getInt(1) >= 1)
+    assert(row.getDouble(2) >= 0.0 && row.getDouble(2) < 1.0)
+    assert(row.getString(3).length == 32)
+    assert(row.getDouble(4) > 0.0)
+    assert(row.getString(5) == "en")
+  }
+
   test("quantile_sketch is callable from SQL, scalar and array quantiles") {
     ColumnBridge.registerFunction(spark, "quantile_sketch",
       graft.functions.GraftFunctions.quantileSketchBuilder)

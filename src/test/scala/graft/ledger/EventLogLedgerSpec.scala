@@ -59,6 +59,63 @@ class EventLogLedgerSpec extends SparkSpec {
     assert(b.logSegments() > 0)
   }
 
+  test("crossover: at 100k rows a point commit is O(mutated) on the event log, O(all) on rewrite") {
+    // The crossover rule this pins: the rewrite Ledger re-writes the WHOLE
+    // table on every commit — perfect while the table is one pipeline's
+    // windows (thousands of rows), pathological for a multi-tenant ledger.
+    // The event-log ledger appends exactly the mutated rows. At 100k rows a
+    // 10-row commit writes 10 rows vs 100k — switch to EventLogLedger once
+    // commit size << table size (in practice: any shared/multi-tenant
+    // ledger, or any table past ~10^5 rows).
+    val root = Files.createTempDirectory("graft_ell_big").toString
+    val rewrite = new Ledger(spark, s"$root/rewrite")
+    val eventlog = new EventLogLedger(spark, s"$root/eventlog", compactEvery = 1000)
+    rewrite.bootstrap(); eventlog.bootstrap()
+
+    val n = 100000
+    val rs = records(n)
+    val tApp0 = System.nanoTime()
+    rewrite.append(rs)
+    val tApp1 = System.nanoTime()
+    eventlog.append(rs)
+    val tApp2 = System.nanoTime()
+
+    val ids = Set(rs(1).unique_source_id, rs(5000).unique_source_id,
+      rs(20000).unique_source_id, rs(40000).unique_source_id,
+      rs(60000).unique_source_id, rs(70000).unique_source_id,
+      rs(80000).unique_source_id, rs(90000).unique_source_id,
+      rs(99000).unique_source_id, rs(99999).unique_source_id)
+    def touch(r: DriveRecord) = r.copy(
+      pipeline_status = DriveRecord.Status.InProgress,
+      pipeline_retry_count = r.pipeline_retry_count + 1)
+    val logRowsBefore = spark.read.parquet(s"$root/eventlog/log").count()
+    val tUp0 = System.nanoTime()
+    assert(rewrite.updateByIds(ids)(touch) == 10)
+    val tUp1 = System.nanoTime()
+    assert(eventlog.updateByIds(ids)(touch) == 10)
+    val tUp2 = System.nanoTime()
+
+    // commit-cost assertion: the event-log commit wrote EXACTLY the 10
+    // mutated rows; the rewrite ledger's table is by construction a full
+    // 100k-row rewrite on the same commit
+    val logRowsAfter = spark.read.parquet(s"$root/eventlog/log").count()
+    assert(logRowsAfter - logRowsBefore == 10,
+      s"event-log commit wrote ${logRowsAfter - logRowsBefore} rows, expected 10")
+    assert(spark.read.parquet(rewrite.path).count() == n,
+      "rewrite ledger re-materializes the full table per commit")
+
+    // observational equivalence at scale
+    val a = rewrite.read().toDF()
+    val b = eventlog.read().toDF()
+    assert(b.count() == n)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "ledgers diverged at 100k rows")
+    System.err.println(
+      f"[ledger-crossover] n=$n append rewrite=${(tApp1 - tApp0) / 1e9}%.2fs " +
+      f"eventlog=${(tApp2 - tApp1) / 1e9}%.2fs; 10-row commit " +
+      f"rewrite=${(tUp1 - tUp0) / 1e9}%.2fs eventlog=${(tUp2 - tUp1) / 1e9}%.2fs")
+  }
+
   test("compaction preserves state and clears the log") {
     val (a, b) = freshPair()
     val rs = records(5)
