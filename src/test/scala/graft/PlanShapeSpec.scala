@@ -86,6 +86,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans == 1, s"expected a single documents scan, got $scans:\n${plan.take(2000)}")
   }
 
+  test("compiled CDC chunking is a narrow projection: no window, no pre-explode shuffle") {
+    // the round-5 structural claim: chunking is a pure per-document
+    // function, so the (id, span_idx, span) stream comes straight off the
+    // scan — the windowed form paid a posexplode-of-tokens, a per-doc
+    // window sort, AND a regroup shuffle before dedup started
+    val plan = graft.ops.SpanDedup.cdcChunks(
+        Tables.documents(spark, dir), "doc_id", "text", 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"CDC chunking still windows:\n${plan.take(2000)}")
+    assert(!plan.contains("Exchange"), s"CDC chunking still shuffles:\n${plan.take(2000)}")
+    assert(plan.contains("Generate"), "expected the posexplode of the chunk array")
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected a single documents scan, got $scans")
+  }
+
+  test("large-k centroid assignment stays a narrow literal-free projection") {
+    val rng = new scala.util.Random(3)
+    val cents = Array.fill(512)(Seq.fill(8)(rng.nextDouble()))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        expr("slice(cast(embedding as array<double>), 1, 8)").as("v"))
+    val plan = graft.dedup.SemanticDedup.assignToCentroids(e, cents, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment shuffles:\n${plan.take(2000)}")
+    assert(plan.length < 20000, "plan string blew up — centroid matrix leaked into it")
+  }
+
   test("incremental dedup never shuffle-joins: the corpus index only streams") {
     // the scale contract of the delta-vs-index path: every join in the plan
     // builds on a delta-derived (broadcast) side; the corpus is scanned,

@@ -1,0 +1,41 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BoundedMinList must equal `slice(sort_array(collect_list(v)), 1, cap)`
+  * on every group — randomized differential across skewed group sizes,
+  * duplicate values, and caps straddling the group sizes, so the heap
+  * update/merge/serialize path is exercised through a real shuffle. */
+class BoundedMinListSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bounded min-list equals the sorted-prefix of collect_list (randomized)") {
+    val rng = new scala.util.Random(11)
+    // ~200 groups, sizes 1..500 (zipf-ish), values with duplicates
+    val rows = (0 until 200).flatMap { g =>
+      val sz = 1 + rng.nextInt(if (g % 17 == 0) 500 else 40)
+      Seq.fill(sz)((g, rng.nextInt(100).toLong))
+    }
+    val df = rows.toDF("g", "v").repartition(7)
+    for (cap <- Seq(1, 16, 1000)) {
+      val bounded = df.groupBy("g")
+        .agg(BoundedMinList.boundedMinList(col("v"), cap).as("ids"))
+      val reference = df.groupBy("g")
+        .agg(slice(sort_array(collect_list("v")), 1, cap).as("ids"))
+      assert(bounded.exceptAll(reference).isEmpty &&
+        reference.exceptAll(bounded).isEmpty,
+        s"bounded min-list differs from the collect_list prefix at cap=$cap")
+    }
+  }
+
+  test("nulls are skipped like collect_list") {
+    val df = Seq((1, Some(5L)), (1, None), (1, Some(2L)), (2, None))
+      .toDF("g", "v")
+    val out = df.groupBy("g")
+      .agg(BoundedMinList.boundedMinList(col("v"), 10).as("ids"))
+      .orderBy("g").collect()
+    assert(out(0).getAs[collection.Seq[Long]]("ids").toSeq == Seq(2L, 5L))
+    assert(out(1).getAs[collection.Seq[Long]]("ids").isEmpty)
+  }
+}
