@@ -620,13 +620,15 @@ object Dedup {
   def embeddingDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                         minCosine: Double, numBlocks: Int = 8): DataFrame = {
     val e = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    // one compiled loop per row computes scale/codes/norm/quant-error
+    // together (the HOF quantize + zip_with diff pipeline walked an
+    // interpreted tree per vector element; QuantizationExprSpec pins
+    // bit-equality with that form)
     val prepped = e
-      .withColumn("qz", graft.sim.Quantization.quantizeInt8(col("v")))
-      .withColumn("dq", graft.sim.Quantization.dequantizeInt8(col("qz")))
-      .withColumn("diff", zip_with(col("v"), col("dq"), (x, y) => x - y))
-      .select(col("id"), col("qz"),
-        sqrt(graft.functions.VectorFunctions.dotProduct(col("v"), col("v"))).as("nrm"),
-        sqrt(graft.functions.VectorFunctions.dotProduct(col("diff"), col("diff"))).as("qerr"),
+      .withColumn("qs", graft.sim.QuantExpr.quantStats(col("v")))
+      .select(col("id"),
+        struct(col("qs.scale").as("scale"), col("qs.q").as("q")).as("qz"),
+        col("qs.nrm").as("nrm"), col("qs.qerr").as("qerr"),
         pmod(xxhash64(col("id")), lit(numBlocks)).cast("int").as("p"))
     val left = prepped.withColumn("j", explode(sequence(col("p"), lit(numBlocks - 1))))
     val right = prepped.withColumn("i", explode(sequence(lit(0), col("p"))))
@@ -700,12 +702,9 @@ object Dedup {
       // corpus size — stream the comparisons through the equi-join form
       return embeddingDupPairs(emb, idCol, vecCol, minCosine, blocks)
     val prepped = e
-      .withColumn("qz", graft.sim.Quantization.quantizeInt8(col("v")))
-      .withColumn("dq", graft.sim.Quantization.dequantizeInt8(col("qz")))
-      .withColumn("diff", zip_with(col("v"), col("dq"), (x, y) => x - y))
-      .select(col("id"), col("qz.scale").as("scale"), col("qz.q").as("q"),
-        sqrt(graft.functions.VectorFunctions.dotProduct(col("v"), col("v"))).as("nrm"),
-        sqrt(graft.functions.VectorFunctions.dotProduct(col("diff"), col("diff"))).as("qerr"),
+      .withColumn("qs", graft.sim.QuantExpr.quantStats(col("v")))
+      .select(col("id"), col("qs.scale").as("scale"), col("qs.q").as("q"),
+        col("qs.nrm").as("nrm"), col("qs.qerr").as("qerr"),
         pmod(xxhash64(col("id")), lit(blocks)).cast("int").as("p"))
     val rowC = struct(col("id"), col("scale"), col("q"), col("nrm"),
       col("qerr"), col("p"))

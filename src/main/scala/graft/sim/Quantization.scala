@@ -15,25 +15,33 @@ import org.apache.spark.sql.functions._
   * everywhere — that portability is what lets DuckDB mirror the math
   * byte-for-byte in the oracle.
   *
-  * Built from codegen'd builtins + the transform HOF; for a hot path the
-  * per-row loop belongs in a codegen Expression like CosineSimilarity
-  * (VectorExpressions) — quantization is a one-off write-side pass, so the
-  * HOF form is the right cost/complexity point.
+  * Compiled per-row expressions (QuantizationExpressions) since round 5:
+  * the HOF forms walked an interpreted lambda tree per vector element in
+  * the embedding-pair prep — the same trap measured at 3-10x on the text
+  * gram family. The HOF forms remain below as differential oracles
+  * (QuantizationExprSpec pins bit-equality).
   */
 object Quantization {
 
-  /** Per-vector quantization scale: max(|x|)/127, floored at 1e-12. */
-  def int8Scale(v: Column): Column =
+  /** struct(scale double, q array<int>) — the compressed form. */
+  def quantizeInt8(v: Column): Column = QuantExpr.quantizeInt8(v)
+
+  /** array<double> reconstruction: q_i * scale. */
+  def dequantizeInt8(s: Column): Column = QuantExpr.dequantizeInt8(s)
+
+  /** Per-vector quantization scale: max(|x|)/127, floored at 1e-12 —
+    * HOF form, differential oracle only. */
+  def int8ScaleHof(v: Column): Column =
     greatest(array_max(transform(v, x => abs(x))), lit(1e-12)) / 127.0
 
-  /** struct(scale double, q array<int>) — the compressed form. */
-  def quantizeInt8(v: Column): Column = {
-    val scale = int8Scale(v)
+  /** HOF form of [[quantizeInt8]] — differential oracle only. */
+  def quantizeInt8Hof(v: Column): Column = {
+    val scale = int8ScaleHof(v)
     struct(scale.as("scale"),
       transform(v, x => floor(x / scale + 0.5).cast("int")).as("q"))
   }
 
-  /** array<double> reconstruction: q_i * scale. */
-  def dequantizeInt8(s: Column): Column =
+  /** HOF form of [[dequantizeInt8]] — differential oracle only. */
+  def dequantizeInt8Hof(s: Column): Column =
     transform(s.getField("q"), q => q.cast("double") * s.getField("scale"))
 }

@@ -1,0 +1,136 @@
+package graft.sim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Compiled per-row forms of the int8 quantization family. The HOF forms
+  * (`Quantization.quantizeInt8Hof` etc.) walk an interpreted lambda tree
+  * per vector ELEMENT — ~5 walks x dims per row in the embedding-pair prep
+  * — and stay in the codebase as differential oracles
+  * (QuantizationExprSpec pins bit-equality; the arithmetic here reproduces
+  * the HOF forms' IEEE operations in the same index order).
+  */
+object QuantExprs {
+  /** scale = max(|x|, floored at 1e-12) / 127.0 — exactly
+    * `greatest(array_max(transform(v, abs)), lit(1e-12)) / 127.0`,
+    * including the empty-vector edge (array_max(()) is null, greatest
+    * skips nulls -> 1e-12). */
+  def scaleOf(arr: ArrayData): Double = {
+    val n = arr.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(arr.getDouble(i))
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    math.max(maxAbs, 1e-12) / 127.0
+  }
+}
+
+/** struct(scale double, q array<int>) — compiled twin of
+  * `Quantization.quantizeInt8Hof`: q_i = floor(x_i/scale + 0.5) with the
+  * engine-portable floor(+0.5) rounding. */
+case class QuantizeInt8(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q", ArrayType(IntegerType, containsNull = false), nullable = false)))
+  override def prettyName: String = "quantize_int8"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val scale = QuantExprs.scaleOf(arr)
+    val q = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      q(i) = math.floor(arr.getDouble(i) / scale + 0.5).toInt
+      i += 1
+    }
+    InternalRow(scale, new GenericArrayData(q))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<double> reconstruction q_i * scale — compiled twin of
+  * `Quantization.dequantizeInt8Hof`. */
+case class DequantizeInt8(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "dequantize_int8"
+
+  override def nullSafeEval(input: Any): Any = {
+    val row = input.asInstanceOf[InternalRow]
+    val scale = row.getDouble(0)
+    val q = row.getArray(1)
+    val n = q.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = q.getInt(i).toDouble * scale; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The whole blocked-pair prep in ONE loop:
+  * struct(scale, q, nrm = sqrt(v·v), qerr = sqrt(|v - dequant(quant(v))|²))
+  * — replaces quantize + dequantize + zip_with diff + two dot products
+  * (three of which were interpreted per element). Accumulation is in index
+  * order, so nrm/qerr are bit-equal to `sqrt(DotProduct(v, v))` and
+  * `sqrt(DotProduct(diff, diff))` over the HOF-built diff. */
+case class QuantStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("nrm", DoubleType, nullable = false),
+    StructField("qerr", DoubleType, nullable = false)))
+  override def prettyName: String = "quant_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val scale = QuantExprs.scaleOf(arr)
+    val q = new Array[Int](n)
+    var dot = 0.0
+    var errSq = 0.0
+    var i = 0
+    while (i < n) {
+      val x = arr.getDouble(i)
+      val qi = math.floor(x / scale + 0.5).toInt
+      q(i) = qi
+      dot += x * x
+      val d = x - qi.toDouble * scale
+      errSq += d * d
+      i += 1
+    }
+    InternalRow(scale, new GenericArrayData(q), math.sqrt(dot), math.sqrt(errSq))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object QuantExpr {
+  def quantizeInt8(v: Column): Column =
+    ColumnBridge.column(QuantizeInt8(ColumnBridge.expression(v)))
+
+  def dequantizeInt8(s: Column): Column =
+    ColumnBridge.column(DequantizeInt8(ColumnBridge.expression(s)))
+
+  def quantStats(v: Column): Column =
+    ColumnBridge.column(QuantStats(ColumnBridge.expression(v)))
+}

@@ -1,0 +1,52 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The compiled quantization expressions must be bit-identical to the HOF
+  * forms they replaced — real embeddings plus adversarial vectors (zero,
+  * empty, tiny/huge magnitudes, negative-heavy). */
+class QuantizationExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(sf("embeddings"))
+    .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+
+  private lazy val edge = Seq(
+    (900001L, Seq.empty[Double]),
+    (900002L, Seq(0.0, 0.0, 0.0)),                  // zero vector: scale floor
+    (900003L, Seq(1e-300, -1e-300)),                // below the scale floor
+    (900004L, Seq(1e100, -1e100, 5.0)),             // huge magnitudes
+    (900005L, Seq(-1.0, -2.0, -127.0, 127.0)),
+    (900006L, Seq(0.1)))
+    .toDF("id", "v")
+
+  private lazy val all = emb.unionAll(edge)
+
+  test("compiled quantize/dequantize equal the HOF forms (corpus + edges)") {
+    val hof = all.select($"id",
+      Quantization.quantizeInt8Hof($"v").as("qz"))
+      .select($"id", $"qz", Quantization.dequantizeInt8Hof($"qz").as("dq"))
+    val compiled = all.select($"id",
+      Quantization.quantizeInt8($"v").as("qz"))
+      .select($"id", $"qz", Quantization.dequantizeInt8($"qz").as("dq"))
+    assert(compiled.exceptAll(hof).isEmpty && hof.exceptAll(compiled).isEmpty,
+      "compiled quantization differs from the HOF form")
+  }
+
+  test("quantStats equals the composed quantize+diff+dot pipeline (corpus + edges)") {
+    val hof = all
+      .withColumn("qz", Quantization.quantizeInt8Hof($"v"))
+      .withColumn("dq", Quantization.dequantizeInt8Hof($"qz"))
+      .withColumn("diff", zip_with($"v", $"dq", (x, y) => x - y))
+      .select($"id", $"qz.scale".as("scale"), $"qz.q".as("q"),
+        sqrt(graft.functions.VectorFunctions.dotProduct($"v", $"v")).as("nrm"),
+        sqrt(graft.functions.VectorFunctions.dotProduct($"diff", $"diff")).as("qerr"))
+    val compiled = all
+      .withColumn("qs", QuantExpr.quantStats($"v"))
+      .select($"id", $"qs.scale".as("scale"), $"qs.q".as("q"),
+        $"qs.nrm".as("nrm"), $"qs.qerr".as("qerr"))
+    assert(compiled.exceptAll(hof).isEmpty && hof.exceptAll(compiled).isEmpty,
+      "quantStats differs from the composed pipeline")
+  }
+}

@@ -24,7 +24,7 @@ class QuantizationSpec extends SparkSpec {
   test("reconstruction error is bounded by scale/2 per component") {
     val bad = emb.select(col("v"),
         Quantization.dequantizeInt8(Quantization.quantizeInt8(col("v"))).as("d"),
-        Quantization.int8Scale(col("v")).as("scale"))
+        Quantization.int8ScaleHof(col("v")).as("scale"))
       .select(aggregate(zip_with(col("v"), col("d"), (a, b) => abs(a - b)),
         lit(0.0), (acc, x) => greatest(acc, x)).as("maxErr"), col("scale"))
       .where(col("maxErr") > col("scale") / 2 + lit(1e-12))
