@@ -625,10 +625,10 @@ object Dedup {
     // interpreted tree per vector element; QuantizationExprSpec pins
     // bit-equality with that form)
     val prepped = e
-      .withColumn("qs", graft.sim.QuantExpr.quantStats(col("v")))
-      .select(col("id"),
-        struct(col("qs.scale").as("scale"), col("qs.q").as("q")).as("qz"),
-        col("qs.nrm").as("nrm"), col("qs.qerr").as("qerr"),
+      // inline = Generate: the fused stats struct evaluates once per row
+      .select(col("id"), inline(array(graft.sim.QuantExpr.quantStats(col("v")))))
+      .select(col("id"), struct(col("scale"), col("q")).as("qz"),
+        col("nrm"), col("qerr"),
         pmod(xxhash64(col("id")), lit(numBlocks)).cast("int").as("p"))
     val left = prepped.withColumn("j", explode(sequence(col("p"), lit(numBlocks - 1))))
     val right = prepped.withColumn("i", explode(sequence(lit(0), col("p"))))
@@ -702,9 +702,9 @@ object Dedup {
       // corpus size — stream the comparisons through the equi-join form
       return embeddingDupPairs(emb, idCol, vecCol, minCosine, blocks)
     val prepped = e
-      .withColumn("qs", graft.sim.QuantExpr.quantStats(col("v")))
-      .select(col("id"), col("qs.scale").as("scale"), col("qs.q").as("q"),
-        col("qs.nrm").as("nrm"), col("qs.qerr").as("qerr"),
+      // inline = Generate: the fused stats struct evaluates once per row
+      .select(col("id"), inline(array(graft.sim.QuantExpr.quantStats(col("v")))))
+      .select(col("id"), col("scale"), col("q"), col("nrm"), col("qerr"),
         pmod(xxhash64(col("id")), lit(blocks)).cast("int").as("p"))
     val rowC = struct(col("id"), col("scale"), col("q"), col("nrm"),
       col("qerr"), col("p"))

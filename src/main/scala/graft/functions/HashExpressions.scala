@@ -195,14 +195,31 @@ case class WordGramHashes(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "word_gram_hashes"
 
-  override def nullSafeEval(input: Any): Any = {
-    val trimmed = input.asInstanceOf[UTF8String].trim()
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      WordGramHashes.distinctGramHashes(input.asInstanceOf[UTF8String], n))
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordGramHashes {
+  private val Whitespace = Pattern.compile("\\s+")
+  private def hashGram(s: String): Long =
+    XXH64.hashUTF8String(UTF8String.fromString(s), 42L)
+
+  /** The shared per-row gram loop: distinct word n-gram xxhash64s in
+    * first-occurrence order (blank -> one "" gram; < n tokens -> one
+    * whole-text gram) — used by [[WordGramHashes]] and the fused Bloom
+    * screen ([[BloomScreen]]). */
+  private[functions] def distinctGramHashes(input: UTF8String, n: Int): Array[Long] = {
+    val trimmed = input.trim()
     val toks: Array[String] =
       if (trimmed.numBytes() == 0) Array.empty[String]
-      else WordGramHashes.Whitespace.split(trimmed.toString, -1)
+      else Whitespace.split(trimmed.toString, -1)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     if (toks.length < n) {
-      seen.add(WordGramHashes.hashGram(String.join(" ", toks: _*)))
+      seen.add(hashGram(String.join(" ", toks: _*)))
     } else {
       val sb = new java.lang.StringBuilder
       var i = 0
@@ -214,7 +231,7 @@ case class WordGramHashes(child: Expression, n: Int)
           sb.append(toks(i + j))
           j += 1
         }
-        seen.add(WordGramHashes.hashGram(sb.toString))
+        seen.add(hashGram(sb.toString))
         i += 1
       }
     }
@@ -222,17 +239,56 @@ case class WordGramHashes(child: Expression, n: Int)
     val it = seen.iterator()
     var k = 0
     while (it.hasNext) { out(k) = it.next(); k += 1 }
-    new GenericArrayData(out)
+    out
+  }
+}
+
+/** Fused decontamination screen: distinct word n-gram hashes AND their
+  * Bloom-flagged subset in ONE per-row pass —
+  * struct<total_grams:long, flagged:array<long>>. Replaces
+  * `(size(ghs), filter(ghs, g => BloomFilterMightContain(...)))`, which
+  * both re-evaluated the gram construction per output column and walked
+  * an interpreted lambda tree per gram for the probe. The filter is the
+  * SAME sketch implementation Catalyst's BloomFilterMightContain
+  * deserializes (`org.apache.spark.util.sketch.BloomFilter`), so flag
+  * decisions are bit-identical (pinned by ContaminationSpec).
+  */
+case class BloomScreen(child: Expression, n: Int, bloomBytes: Array[Byte])
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "gram width must be >= 1")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("total_grams", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("flagged",
+        ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "bloom_screen"
+
+  // keep plan strings O(1): never print the sketch bytes
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, n, s"bloom=${bloomBytes.length}B")
+
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+
+  override def nullSafeEval(input: Any): Any = {
+    val ghs = WordGramHashes.distinctGramHashes(input.asInstanceOf[UTF8String], n)
+    var m = 0
+    val fl = new Array[Long](ghs.length)
+    var i = 0
+    while (i < ghs.length) {
+      if (bloom.mightContainLong(ghs(i))) { fl(m) = ghs(i); m += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      ghs.length.toLong,
+      new GenericArrayData(java.util.Arrays.copyOf(fl, m)))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
-}
-
-object WordGramHashes {
-  private val Whitespace = Pattern.compile("\\s+")
-  private def hashGram(s: String): Long =
-    XXH64.hashUTF8String(UTF8String.fromString(s), 42L)
 }
 
 /** Per-row DISTINCT character k-gram shingle hashes: array<long> of

@@ -123,10 +123,12 @@ object StreamingPipeline {
     * per-row projection: no shuffle, no state, no watermark needed. */
   def decontaminationScreen(docs: DataFrame, textCol: String,
                             bloomBytes: Array[Byte], n: Int = 3): DataFrame = {
-    val (total, flagged) = graft.dedup.Contamination
-      .bloomScreenCols(col(textCol), n, bloomBytes)
-    docs.withColumn("total_grams", total)
-      .withColumn("bloom_suspect_grams", size(flagged).cast("long"))
+    // inline = Generate: the fused screen evaluates once per row (field
+    // reads on a plain struct column would collapse into duplicated evals)
+    val sc = graft.dedup.Contamination.bloomScreenCol(col(textCol), n, bloomBytes)
+    docs.select(col("*"), inline(array(sc)))
+      .withColumn("bloom_suspect_grams", size(col("flagged")).cast("long"))
+      .drop("flagged")
   }
 
   /** Stream-stream interval join: match each left event to right events of

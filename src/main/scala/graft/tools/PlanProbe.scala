@@ -1,0 +1,17 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions","4")
+      .config("spark.ui.enabled","false")
+      .config(graft.sources.Tables.NanosAsLongConf, "true").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = graft.SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.optimizedPlan.toString
+    println("PROBE bloom_screen=" + "bloom_screen".r.findAllIn(p).length)
+    println("PROBE quant_stats=" + "quant_stats".r.findAllIn(p).length)
+    println("PROBE plan_len=" + p.length)
+    spark.stop()
+  }
+}

@@ -38,7 +38,7 @@ object ProfileBloomSparse {
       }
       val bloom = time("bloom build")(Contamination.benchmarkBloom(bg, -1L, 1e-4))
       time("per-doc screen (narrow)") {
-        val (tot, fl) = Contamination.bloomScreenCols(col("text"), 3, bloom)
+        val (tot, fl) = Contamination.bloomScreenColsHof(col("text"), 3, bloom)
         docs.select(col("doc_id"), tot.as("t"), fl.as("f")).agg(sum(size(col("f")))).head()
       }
       time("screen: grams-once two projections") {
@@ -59,6 +59,17 @@ object ProfileBloomSparse {
             TextFunctions.wordGrams(col("text"), 3)), g => xxhash64(g))).as("gh"))
           .where(Contamination.mightContain(bloom, col("gh")))
           .count()
+      }
+      time("fused BloomScreen (one pass)") {
+        docs.select(col("doc_id"),
+            Contamination.bloomScreenCol(col("text"), 3, bloom).as("sc"))
+          .select(col("doc_id"), col("sc.total_grams").as("t"), col("sc.flagged").as("f"))
+          .agg(sum(size(col("f")))).head()
+      }
+      time("fused BloomScreen via inline") {
+        docs.select(col("doc_id"),
+            inline(array(Contamination.bloomScreenCol(col("text"), 3, bloom))))
+          .agg(sum(size(col("flagged")))).head()
       }
       time("full scoresBloomPrefiltered")(
         Contamination.scoresBloomPrefiltered(docs, benchmark, "doc_id", "text", 3).count())

@@ -76,6 +76,25 @@ class ContaminationSpec extends SparkSpec {
     assert(avg > 0 && avg < 1)
   }
 
+  test("fused bloom screen equals the size+filter HOF form (corpus + edges)") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+      .unionAll(Seq((910001L, ""), (910002L, "one two"),
+        (910003L, "\tword\tother")).toDF("doc_id", "text"))
+    val benchmark = docs.where($"doc_id" % 20 === 0)
+    for (fpp <- Seq(0.5, 1e-4)) {
+      val bg = Contamination.benchGramTable(benchmark, "text", 3)
+      val bloom = Contamination.benchmarkBloom(bg, -1L, fpp)
+      val hofPair = Contamination.bloomScreenColsHof($"text", 3, bloom)
+      val hof = docs.select($"doc_id", hofPair._1.as("t"), hofPair._2.as("f"))
+      val fused = docs
+        .select($"doc_id", Contamination.bloomScreenCol($"text", 3, bloom).as("sc"))
+        .select($"doc_id", $"sc.total_grams".as("t"), $"sc.flagged".as("f"))
+      assert(fused.exceptAll(hof).isEmpty && hof.exceptAll(fused).isEmpty,
+        s"fused bloom screen differs from the HOF form at fpp=$fpp")
+    }
+  }
+
   test("novelty is 1 for all-unique grams, 0 for exact duplicates") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon"),  // grams unique to doc 1
