@@ -1,0 +1,110 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ops.SpanDedup
+import org.apache.spark.sql.functions._
+
+/** Randomized differentials for the compiled text family: 400 generated
+  * texts mixing ASCII words, CJK, accented letters, digits, punctuation
+  * runs, tab/newline separators, leading/trailing whitespace, and blanks —
+  * every compiled expression must match its HOF twin on all of them. The
+  * corpus-based spec (TextExpressionsSpec) covers real data; this one
+  * covers the input space the corpus doesn't reach (a deterministic seed
+  * keeps failures reproducible). */
+class TextExprPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomDocs = {
+    val rng = new scala.util.Random(0xC0FFEE)
+    val alphabets = Seq("abcdefgh", "日本語テキスト", "äöüßéèñ", ".,;:!?-",
+      "0123456789", "the and of to is")
+    def tok(): String = {
+      val a = alphabets(rng.nextInt(alphabets.length))
+      (0 until 1 + rng.nextInt(6)).map(_ => a(rng.nextInt(a.length))).mkString
+    }
+    def text(): String = {
+      val seps = Seq(" ", "  ", "\t", "\n", " \t ")
+      val pads = Seq("", " ", "\t", "  ")
+      val body = (0 until rng.nextInt(30))
+        .map(_ => tok()).mkString(seps(rng.nextInt(seps.length)))
+      pads(rng.nextInt(pads.length)) + body + pads(rng.nextInt(pads.length))
+    }
+    (1 to 400).map(i => (i.toLong, if (i % 37 == 0) "" else text()))
+      .toDF("doc_id", "text")
+  }
+
+  private def assertEqual(a: org.apache.spark.sql.DataFrame,
+                          b: org.apache.spark.sql.DataFrame, what: String): Unit =
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      s"$what diverges on random text")
+
+  test("compiled text expressions equal their HOF twins on random text") {
+    val docs = randomDocs.cache()
+    try {
+      for (k <- Seq(1, 3, 10)) assertEqual(
+        docs.select($"doc_id", SpanDedup.spans($"text", k).as("x")),
+        docs.select($"doc_id", SpanDedup.spansHof($"text", k).as("x")),
+        s"word spans k=$k")
+      for (avg <- Seq(1, 8)) assertEqual(
+        SpanDedup.cdcChunks(docs, "doc_id", "text", avg),
+        SpanDedup.cdcChunksWindowed(docs, "doc_id", "text", avg),
+        s"cdc chunks avg=$avg")
+      assertEqual(
+        docs.select($"doc_id", TextFunctions.stopwordRatio($"text").as("x")),
+        docs.select($"doc_id", TextFunctions.stopwordRatioHof($"text").as("x")),
+        "stopword ratio")
+      assertEqual(
+        docs.select($"doc_id", TextFunctions.langId($"text").as("x")),
+        docs.select($"doc_id", TextFunctions.langIdHof($"text").as("x")),
+        "langId")
+      for (k <- Seq(1, 5)) assertEqual(
+        docs.select($"doc_id", TextFunctions.minShingleFingerprint($"text", k).as("x")),
+        docs.select($"doc_id", TextFunctions.minShingleFingerprintHof($"text", k).as("x")),
+        s"min-shingle md5 k=$k")
+      for (n <- Seq(1, 3)) assertEqual(
+        docs.select($"doc_id", TextFunctions.repetitionScore($"text", n).as("x")),
+        docs.select($"doc_id", TextFunctions.repetitionScoreHof($"text", n).as("x")),
+        s"repetition score n=$n")
+      for (n <- Seq(1, 3)) assertEqual(
+        docs.select($"doc_id", HashFunctions.wordGramHashes($"text", n).as("x")),
+        docs.select($"doc_id", array_distinct(transform(
+          TextFunctions.wordGrams($"text", n), g => xxhash64(g))).as("x")),
+        s"word-gram hashes n=$n")
+      for (k <- Seq(1, 5)) assertEqual(
+        docs.select($"doc_id", HashFunctions.charShingleHashes($"text", k).as("x")),
+        docs.select($"doc_id", array_distinct(transform(
+          TextFunctions.charShingles($"text", k), s => xxhash64(s))).as("x")),
+        s"char-shingle hashes k=$k")
+    } finally docs.unpersist()
+  }
+
+  test("fused bloom screen equals the HOF screen on random text") {
+    val docs = randomDocs.cache()
+    try {
+      val benchmark = docs.where($"doc_id" % 7 === 0)
+      val bg = graft.dedup.Contamination.benchGramTable(benchmark, "text", 3)
+      val bloom = graft.dedup.Contamination.benchmarkBloom(bg, -1L, 1e-4)
+      val hofPair = graft.dedup.Contamination.bloomScreenColsHof($"text", 3, bloom)
+      assertEqual(
+        docs.select($"doc_id",
+            graft.dedup.Contamination.bloomScreenCol($"text", 3, bloom).as("sc"))
+          .select($"doc_id", $"sc.total_grams".as("t"), $"sc.flagged".as("f")),
+        docs.select($"doc_id", hofPair._1.as("t"), hofPair._2.as("f")),
+        "bloom screen")
+    } finally docs.unpersist()
+  }
+
+  test("compiled quantization equals the HOF twin on random vectors") {
+    val rng = new scala.util.Random(0xBEEF)
+    val vecs = (1 to 300).map { i =>
+      val dim = rng.nextInt(8) * 8 + 8
+      (i.toLong, Seq.fill(dim)((rng.nextDouble() - 0.5) *
+        math.pow(10, rng.nextInt(9) - 4)))
+    }.toDF("id", "v")
+    val hof = vecs.select($"id", graft.sim.Quantization.quantizeInt8Hof($"v").as("qz"))
+      .select($"id", $"qz", graft.sim.Quantization.dequantizeInt8Hof($"qz").as("dq"))
+    val compiled = vecs.select($"id", graft.sim.Quantization.quantizeInt8($"v").as("qz"))
+      .select($"id", $"qz", graft.sim.Quantization.dequantizeInt8($"qz").as("dq"))
+    assertEqual(compiled, hof, "quantize/dequantize")
+  }
+}
