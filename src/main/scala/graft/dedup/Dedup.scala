@@ -43,6 +43,14 @@ object Dedup {
           .as("ids"),
         count(lit(1)).as("n"))
 
+  /** The corpus exact-dedup index: one row per distinct normalized
+    * fingerprint (column `fp`) — the state an incremental/streaming ingest
+    * screens arriving documents against ([[graft.store.IndexStore]]
+    * persists it like the other hash indexes). */
+  def buildFingerprintIndex(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(TextFunctions.normalizedFingerprint(col(textCol)).as("fp"))
+      .distinct()
+
   /** Keep one row per normalized fingerprint (min id wins). */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(TextFunctions.normalizedFingerprint(col(textCol)))

@@ -228,6 +228,78 @@ object StreamingPipeline {
           batch, idCol, textCol, chunkIndex, avgChunk), batchId)
       }
 
+  /** Continuous-ingest CURATION: the streaming twin of the q86 composed
+    * batch pipeline. Each arriving micro-batch flows through the stored-
+    * index/screen forms of the same stages, in the same order:
+    *
+    *  1. exact dedup — drop docs whose normalized fingerprint is in the
+    *     stored corpus fingerprint index, then min-id dedup WITHIN the
+    *     batch;
+    *  2. span dedup — rewrite each doc with corpus-known spans removed
+    *     (stored span index); docs that lose every span drop out;
+    *  3. decontamination — the Bloom screen on the REWRITTEN text; docs
+    *     whose flagged-gram fraction reaches 80% drop. The screen is the
+    *     CONSERVATIVE streaming stage (Bloom false positives can overcount
+    *     at the fpp rate — no false negatives, so nothing contaminated
+    *     passes); the batch exact re-check remains the authority when a
+    *     borderline doc matters;
+    *  4. quality stack on the rewritten text (token count, stopword
+    *     ratio, repetition — the q86 rules).
+    *
+    * Every stage is a narrow projection or an index probe the batch
+    * operators already bound (O(batch + matches), never corpus-sized).
+    * Surviving docs go to `onBatch` as (id, text, n_spans, n_kept).
+    * `StreamingCurationSpec` pins stream == the identical batch
+    * composition over the same indexes. */
+  def curationIngestStream(newDocs: DataFrame, idCol: String, textCol: String,
+                           fingerprintIndex: DataFrame, spanIndex: DataFrame,
+                           spanWords: Int, bloomBytes: Array[Byte],
+                           minTokens: Int = 20, maxTokens: Int = 120,
+                           minStopwordRatio: Double = 0.01,
+                           maxRepetition: Double = 0.05)
+                          (onBatch: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(curateBatch(batch, idCol, textCol, fingerprintIndex, spanIndex,
+          spanWords, bloomBytes, minTokens, maxTokens, minStopwordRatio,
+          maxRepetition), batchId)
+      }
+
+  /** The batch form of [[curationIngestStream]]'s per-batch work — shared
+    * so the spec can run the IDENTICAL composition on the whole delta. */
+  def curateBatch(batch: DataFrame, idCol: String, textCol: String,
+                  fingerprintIndex: DataFrame, spanIndex: DataFrame,
+                  spanWords: Int, bloomBytes: Array[Byte],
+                  minTokens: Int, maxTokens: Int,
+                  minStopwordRatio: Double, maxRepetition: Double): DataFrame = {
+    val f = graft.functions.TextFunctions
+    // 1. exact dedup vs index, then within-batch
+    val fresh = batch
+      .withColumn("__fp", f.normalizedFingerprint(col(textCol)))
+      .join(fingerprintIndex.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+      .drop("__fp")
+    val deduped = graft.dedup.Dedup.exactDedup(fresh, idCol, textCol)
+    // 2. span rewrite vs index
+    val rewritten = graft.ops.SpanDedup
+      .dedupSpansAgainstIndex(deduped, idCol, textCol, spanIndex, spanWords)
+      .where(col("n_kept") > 0)
+      .select(col("id").as(idCol), col("text_dedup").as(textCol),
+        col("n_spans"), col("n_kept"))
+    // 3. conservative bloom decontamination on the rewritten text
+    val screened = rewritten
+      .select(col("*"), inline(array(
+        graft.dedup.Contamination.bloomScreenCol(col(textCol), 3, bloomBytes))))
+      .where(size(col("flagged")) * 5 < col("total_grams") * 4)
+      .drop("total_grams", "flagged")
+    // 4. quality stack (q86's rules)
+    screened.where(
+      f.tokenCount(col(textCol)).between(minTokens, maxTokens) &&
+      f.stopwordRatio(col(textCol)) >= minStopwordRatio &&
+      f.repetitionScore(col(textCol), 3) <= maxRepetition)
+  }
+
   /** Exactly-once idempotent sink: per-batch overwrite into deterministic
     * window=<key> partition dirs — the streaming twin of the batch target
     * store's replay contract (reference: stage/ingestion_engine.py:62-99

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.dedup.{Contamination, Dedup}
+import graft.ops.SpanDedup
+import org.apache.spark.sql.functions._
+
+/** The composed streaming-ingest curation (exact screen -> span rewrite ->
+  * bloom decontamination -> quality stack) must equal the identical batch
+  * composition applied per micro-batch — the streaming twin of the q86
+  * pipeline, differential like every other stream twin in the suite. */
+class StreamingCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = graft.sources.Tables
+    .documents(spark, "/root/testdata/sf0.001")
+    .select($"doc_id", $"text")
+
+  test("streaming curation equals the per-batch batch composition") {
+    val corpus = docs.where($"doc_id" % 10 =!= 3)
+    val delta = docs.where($"doc_id" % 10 === 3)
+    val fpIndex = Dedup.buildFingerprintIndex(corpus, "text").cache()
+    val spanIndex = SpanDedup.buildSpanIndex(corpus, "doc_id", "text", 10).cache()
+    val bloom = Contamination.benchmarkBloom(
+      Contamination.benchGramTable(corpus.where($"doc_id" % 20 === 0), "text", 3))
+
+    // stage the delta as two files -> two micro-batches; the split mirrors
+    // the stream's per-batch semantics in the batch twin below
+    val d = java.nio.file.Files.createTempDirectory("graft_curation_ingest")
+    val partA = delta.where($"doc_id" % 20 === 3)
+    val partB = delta.where($"doc_id" % 20 =!= 3)
+    partA.coalesce(1).write.parquet(d.resolve("p0").toString)
+    partB.coalesce(1).write.parquet(d.resolve("p1").toString)
+    val stream = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$d/*")
+
+    val streamed = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Long, String, Long, Long)]()
+    var batches = 0
+    val q = StreamingPipeline.curationIngestStream(
+        stream, "doc_id", "text", fpIndex, spanIndex, 10, bloom) { (clean, _) =>
+      batches += 1
+      clean.select("doc_id", "text", "n_spans", "n_kept").collect()
+        .foreach(r => streamed.add(
+          (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))))
+    }.start()
+    q.awaitTermination()
+
+    def curate(part: org.apache.spark.sql.DataFrame) =
+      StreamingPipeline.curateBatch(part, "doc_id", "text", fpIndex, spanIndex,
+          10, bloom, 20, 120, 0.01, 0.05)
+        .select("doc_id", "text", "n_spans", "n_kept")
+        .as[(Long, String, Long, Long)].collect().toSet
+    val expected = curate(partA) ++ curate(partB)
+
+    import scala.jdk.CollectionConverters._
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    assert(expected.nonEmpty, "the curated delta should not be empty")
+    assert(streamed.asScala.toSet == expected,
+      s"missing=${expected -- streamed.asScala} extra=${streamed.asScala.toSet -- expected}")
+    // the pipeline actually filters: survivors are a strict subset
+    assert(expected.size < delta.count(), "curation must drop something")
+    fpIndex.unpersist(); spanIndex.unpersist()
+  }
+}
