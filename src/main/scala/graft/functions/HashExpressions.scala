@@ -105,10 +105,20 @@ case class MinHashSignature(child: Expression, shingleK: Int, numHashes: Int)
     // same entry point the built-in xxhash64 uses for strings (seed 42)
     val view = UTF8String.fromAddress(base, offset, len)
     val h = XXH64.hashUTF8String(view, 42L) & 0x7FFFFFFFL
+    val P = MinHashFamily.P
     var j = 0
     while (j < numHashes) {
-      val v = (as(j) * h + bs(j)) % MinHashFamily.P
-      if (v < sig(j)) sig(j) = v
+      // Mersenne reduction: P = 2^31-1, so 2^31 ≡ 1 (mod P) and
+      // m mod P folds out of shift-adds — exactly the value `% P` yields
+      // for non-negative m (pinned by the per-row == aggregate spec, where
+      // the aggregate form still computes Spark's `%`), at ~3 ALU ops
+      // instead of a 64-bit division. m < 2^62 (a,h < 2^31), so two folds
+      // bring m <= P+1 and one conditional subtract finishes.
+      var m = as(j) * h + bs(j)
+      m = (m & P) + (m >>> 31)
+      m = (m & P) + (m >>> 31)
+      if (m >= P) m -= P
+      if (m < sig(j)) sig(j) = m
       j += 1
     }
   }
