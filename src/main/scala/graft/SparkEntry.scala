@@ -3,7 +3,7 @@ package graft
 import graft.config.PipelineConfig
 import graft.connect.{ParquetSource, ParquetStage, ParquetTarget}
 import graft.ledger.Ledger
-import graft.queries.{CorpusQueries, CurationQueries, ExtendedQueries, RelationalQueries, SqlQueries, StarQueries}
+import graft.queries.{CorpusQueries, CurationQueries, ExtendedQueries, ModelPrepQueries, RelationalQueries, SqlQueries, StarQueries}
 import graft.runner.PipelineRunner
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -39,7 +39,8 @@ object SparkEntry {
     * training-data operators). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ StarQueries.all ++ CorpusQueries.all ++
-      ExtendedQueries.all ++ SqlQueries.all ++ CurationQueries.all
+      ExtendedQueries.all ++ SqlQueries.all ++ CurationQueries.all ++
+      ModelPrepQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (seeded
@@ -47,5 +48,6 @@ object SparkEntry {
     * weaker rows-only check for those; ScalaTest covers their semantics. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ StarQueries.oracles ++ CorpusQueries.oracles ++
-      ExtendedQueries.oracles ++ SqlQueries.oracles ++ CurationQueries.oracles
+      ExtendedQueries.oracles ++ SqlQueries.oracles ++ CurationQueries.oracles ++
+      ModelPrepQueries.oracles
 }

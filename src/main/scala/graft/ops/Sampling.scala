@@ -56,6 +56,42 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic train/validation/test split: each row lands in exactly
+    * one named split by where its md5 bucket (of `key:salt`) falls among
+    * the cumulative weight thresholds. Properties a 100 TB training-data
+    * split needs, all from the hash: (a) pure narrow projection — no
+    * shuffle, no RNG state, no partition-order dependence; (b) the same
+    * row lands in the same split on every run, engine, and cluster size;
+    * (c) changing `salt` re-rolls the whole split; (d) growing a split's
+    * weight only MOVES the boundary, so e.g. train 0.8 -> 0.9 keeps every
+    * previous train row in train (threshold monotonicity). Thresholds are
+    * floor(cumWeight * 2^32) longs, so any engine with md5 reproduces the
+    * assignment exactly (the DuckDB oracle does). */
+  def deterministicSplit(df: DataFrame, keyCol: String, salt: String,
+                         weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty, "need at least one split")
+    require(weights.forall(_._2 > 0), "split weights must be positive")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val bucket = md5Bucket(concat(col(keyCol).cast("string"), lit(":" + salt)))
+    val cum = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+    val thresholds = cum.init.map(w => math.floor(w * Buckets).toLong)
+    val assign = thresholds.zip(weights.map(_._1))
+      .foldRight(lit(weights.last._1): Column) { case ((t, name), rest) =>
+        when(bucket < t, name).otherwise(rest)
+      }
+    df.withColumn("split", assign)
+  }
+
+  /** Deterministic per-epoch shuffle key: md5 of `epoch:key`. Ordering a
+    * split by this column is the reproducible global shuffle a training
+    * run needs — one range-partitioned sort (the only shape a global order
+    * can take), different but deterministic permutation per epoch, and any
+    * engine re-derives the exact order (no RNG, no state to checkpoint).
+    * Ties are impossible for distinct keys (md5 of distinct strings). */
+  def epochOrderKey(key: Column, epoch: Int): Column =
+    md5(concat(lit(s"e$epoch:"), key.cast("string")))
+
   /** Per-domain doc quotas for temperature-weighted rebalancing: domain i
     * with n_i rows gets quota floor(budget · n_i^α / Σ n_j^α) — the
     * α-sampling rule of multilingual/multi-domain pretraining mixtures

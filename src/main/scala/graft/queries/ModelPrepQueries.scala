@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.ops.Sampling
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gate queries for the model-data-preparation tier: deterministic corpus
+  * splits, n-gram language-model scoring, cross-source overlap, and
+  * product-quantized ANN — the operators that sit between a curated corpus
+  * and a training run. Reference scope: data_pipeline_001 has no model-prep
+  * stage at all (its pipeline ends at target-table loads,
+  * `pipeline_logic/target/ingestion_engine.py`); these extend the engine
+  * along the training-data axis the builder prompt asks for.
+  */
+object ModelPrepQueries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** q88 — deterministic train/val/test split + reproducible epoch order.
+    *
+    * The split is a pure narrow projection (no shuffle, no RNG): md5
+    * buckets against cumulative-weight thresholds ([[Sampling.deterministicSplit]]).
+    * `first_doc_id` is the doc each (split, lang) group would emit FIRST
+    * under the epoch-1 global shuffle ([[Sampling.epochOrderKey]]) — one
+    * `min_by` per group proves the whole permutation is engine-portable
+    * (md5 keys are unique per doc, so the min is unambiguous).
+    *
+    * 100 TB: split assignment is embarrassingly parallel; the epoch order
+    * is a single range-partitioned sort per epoch — the minimum any global
+    * shuffle costs — and needs no stored permutation table.
+    */
+  val trainValSplit: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val split = Sampling.deterministicSplit(docs, "doc_id", "v1",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    split
+      .withColumn("__ek", Sampling.epochOrderKey(col("doc_id"), epoch = 1))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        min_by(col("doc_id"), col("__ek")).as("first_doc_id"))
+      .orderBy("split", "lang")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q88_train_val_split" -> trainValSplit)
+
+  val oracles: Map[String, String] = Map(
+    // thresholds are floor(cum * 2^32): 0.8 -> 3435973836, 0.9 -> 3865470566
+    "q88_train_val_split" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 8)) AS BIGINT) AS b,
+        |    md5('e1:' || CAST(doc_id AS VARCHAR)) AS ek
+        |  FROM documents)
+        |SELECT CASE WHEN b < 3435973836 THEN 'train'
+        |            WHEN b < 3865470566 THEN 'val' ELSE 'test' END AS split,
+        |  lang, count(*) AS n_docs, arg_min(doc_id, ek) AS first_doc_id
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}

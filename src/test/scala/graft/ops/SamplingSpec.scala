@@ -83,4 +83,61 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(small.subsetOf(large))
   }
+
+  test("deterministic split is a disjoint cover with near-requested weights") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val weights = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val split = Sampling.deterministicSplit(docs, "doc_id", "v1", weights)
+    val n = docs.count().toDouble
+    val counts = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == n.toLong, "split must cover every row exactly once")
+    weights.foreach { case (name, w) =>
+      val sigma = math.sqrt(w * (1 - w) / n)
+      assert(math.abs(counts(name) / n - w) < 4 * sigma + 0.01,
+        s"$name rate ${counts(name) / n} too far from $w")
+    }
+    // determinism across runs
+    val again = Sampling.deterministicSplit(docs, "doc_id", "v1", weights)
+      .where(col("split") === "val").select("doc_id").as[Long].collect().toSet
+    val first = split.where(col("split") === "val")
+      .select("doc_id").as[Long].collect().toSet
+    assert(first == again)
+  }
+
+  test("growing a boundary split keeps its previous members (monotone)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val t80 = Sampling.deterministicSplit(docs, "doc_id", "v1",
+        Seq(("train", 0.8), ("rest", 0.2)))
+      .where(col("split") === "train").select("doc_id").as[Long].collect().toSet
+    val t90 = Sampling.deterministicSplit(docs, "doc_id", "v1",
+        Seq(("train", 0.9), ("rest", 0.1)))
+      .where(col("split") === "train").select("doc_id").as[Long].collect().toSet
+    assert(t80.subsetOf(t90), "train@0.8 must be a subset of train@0.9")
+  }
+
+  test("a different salt re-rolls the split assignment") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val weights = Seq(("train", 0.8), ("rest", 0.2))
+    val a = Sampling.deterministicSplit(docs, "doc_id", "v1", weights)
+      .where(col("split") === "train").select("doc_id").as[Long].collect().toSet
+    val b = Sampling.deterministicSplit(docs, "doc_id", "v2", weights)
+      .where(col("split") === "train").select("doc_id").as[Long].collect().toSet
+    assert(a != b, "salts v1/v2 should not produce the identical split")
+    // but each is internally deterministic and roughly the right size
+    assert(math.abs(a.size - b.size).toDouble / a.size < 0.2)
+  }
+
+  test("epoch order is a deterministic permutation that varies by epoch") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def order(epoch: Int): Seq[Long] = docs
+      .orderBy(Sampling.epochOrderKey(col("doc_id"), epoch), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSeq
+    val e1a = order(1)
+    val e1b = order(1)
+    val e2 = order(2)
+    assert(e1a == e1b, "epoch-1 order must be stable across runs")
+    assert(e1a != e2, "epoch 1 and epoch 2 must be different permutations")
+    assert(e1a.sorted == e2.sorted, "every epoch is a permutation of the corpus")
+  }
 }
