@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.functions.HashFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-source n-gram overlap: for every pair of corpus groups (sources,
+  * snapshots, crawls), how much of their distinct-gram spaces coincide.
+  * The corpus-health report behind contamination triage ("which crawl leaked
+  * into which"), source weighting, and incremental-crawl novelty.
+  *
+  * Scale shape (the reason this is safe at 100 TB):
+  * 1. per-doc DISTINCT gram hashes come from the compiled
+  *    [[HashFunctions.wordGramHashes]] (one per-row loop, 8-byte keys — no
+  *    gram strings ever leave the scan stage);
+  * 2. one distinct over (group, hash) collapses the corpus to its
+  *    vocabulary — output is vocab-sized, not corpus-sized;
+  * 3. the pairwise intersection self-joins THAT frame on the hash: after
+  *    the distinct, a hash appears at most once per group, so the join
+  *    fans out to at most G rows per side per key — the join output is
+  *    bounded by G² per distinct gram, never corpus².
+  * The G×G result frame is metadata-sized (G groups → G(G-1)/2 rows).
+  *
+  * Counting on 64-bit gram hashes instead of gram strings means a hash
+  * collision could merge two grams (probability ~n²/2⁶⁴ — negligible at
+  * any realistic vocabulary; the same trade every hashed dedup/decontam
+  * operator in this engine makes, documented once in ARCHITECTURE.md).
+  */
+object Overlap {
+
+  /** Pairwise overlap matrix over `groupCol`: one row per unordered group
+    * pair (group_a < group_b) with distinct-gram counts, the intersection
+    * size, Jaccard, and containment (intersection over the smaller set).
+    * Pairs with zero overlap are kept (n_common = 0) so the matrix shape
+    * is data-independent. */
+  def overlapMatrix(docs: DataFrame, groupCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    val grams = docs
+      .select(col(groupCol).as("grp"),
+        explode(HashFunctions.wordGramHashes(col(textCol), n)).as("h"))
+      .distinct()
+    val sizes = grams.groupBy("grp").agg(count(lit(1)).as("n_grams"))
+    val inter = grams.as("a")
+      .join(grams.as("b"),
+        col("a.h") === col("b.h") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val pairs = sizes.as("sa")
+      .join(sizes.as("sb"), col("sa.grp") < col("sb.grp"))
+      .select(col("sa.grp").as("group_a"), col("sb.grp").as("group_b"),
+        col("sa.n_grams").as("n_a"), col("sb.n_grams").as("n_b"))
+    pairs
+      .join(inter,
+        pairs("group_a") === inter("grp_a") && pairs("group_b") === inter("grp_b"),
+        "left")
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 4))
+      .withColumn("containment",
+        round(col("n_common").cast("double") / least(col("n_a"), col("n_b")), 4))
+  }
+}

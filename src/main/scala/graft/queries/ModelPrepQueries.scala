@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.Sampling
+import graft.ops.{Overlap, Sampling}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -42,8 +42,18 @@ object ModelPrepQueries {
       .orderBy("split", "lang")
   }
 
+  /** q89 — cross-source 3-gram overlap matrix ([[Overlap.overlapMatrix]]):
+    * which sources share vocabulary, the report behind contamination triage
+    * and crawl-novelty weighting. The oracle recomputes with gram STRINGS
+    * while the engine joins 8-byte gram hashes — the count parity is itself
+    * the collision-freeness check at every scale factor. */
+  val sourceOverlap: Q = (s, dir) =>
+    Overlap.overlapMatrix(Tables.documents(s, dir), "source", "text", n = 3)
+      .orderBy("group_a", "group_b")
+
   val all: Map[String, Q] = Map(
-    "q88_train_val_split" -> trainValSplit)
+    "q88_train_val_split" -> trainValSplit,
+    "q89_source_overlap" -> sourceOverlap)
 
   val oracles: Map[String, String] = Map(
     // thresholds are floor(cum * 2^32): 0.8 -> 3435973836, 0.9 -> 3865470566
@@ -56,5 +66,29 @@ object ModelPrepQueries {
         |SELECT CASE WHEN b < 3435973836 THEN 'train'
         |            WHEN b < 3865470566 THEN 'val' ELSE 'test' END AS split,
         |  lang, count(*) AS n_docs, arg_min(doc_id, ek) AS first_doc_id
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q89_source_overlap" ->
+      """WITH d AS (
+        |  SELECT source, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |gl AS (SELECT source,
+        |  CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |       ELSE list_transform(generate_series(1, len(ts) - 2),
+        |              i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2])) END AS gs
+        |  FROM d),
+        |g AS (SELECT DISTINCT source, unnest(gs) AS gram FROM gl),
+        |sz AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS ga, b.source AS gb, count(*) AS n_common
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa.source AS group_a, sb.source AS group_b,
+        |  sa.n AS n_a, sb.n AS n_b,
+        |  coalesce(i.n_common, 0) AS n_common,
+        |  round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+        |    / (sa.n + sb.n - coalesce(i.n_common, 0)), 4) AS jaccard,
+        |  round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+        |    / least(sa.n, sb.n), 4) AS containment
+        |FROM sz sa JOIN sz sb ON sa.source < sb.source
+        |LEFT JOIN inter i ON i.ga = sa.source AND i.gb = sb.source
+        |ORDER BY 1, 2""".stripMargin)
 }

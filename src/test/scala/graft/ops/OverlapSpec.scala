@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class OverlapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("overlap matrix matches a string-gram recomputation (hash differential)") {
+    val fast = Overlap.overlapMatrix(docs, "source", "text", n = 3)
+      .orderBy("group_a", "group_b")
+      .collect()
+    // independent recomputation on gram STRINGS via built-in HOFs
+    val ts = split(trim(col("text")), "\\s+")
+    val grams = docs.select(col("source").as("grp"),
+        explode(when(size(ts) < 3, array(concat_ws(" ", ts)))
+          .otherwise(transform(sequence(lit(0), size(ts) - lit(3)),
+            i => concat_ws(" ", element_at(ts, i + 1),
+              element_at(ts, i + 2), element_at(ts, i + 3))))).as("g"))
+      .distinct()
+    val sizes = grams.groupBy("grp").agg(count(lit(1)).as("n")).as[(String, Long)]
+      .collect().toMap
+    val inter = grams.as("a")
+      .join(grams.as("b"), $"a.g" === $"b.g" && $"a.grp" < $"b.grp")
+      .groupBy($"a.grp", $"b.grp").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    assert(fast.nonEmpty)
+    fast.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == sizes(a), s"n_a mismatch for $a")
+      assert(r.getLong(3) == sizes(b), s"n_b mismatch for $b")
+      assert(r.getLong(4) == inter.getOrElse((a, b), 0L), s"n_common mismatch $a/$b")
+    }
+  }
+
+  test("matrix invariants: shape, bounds, zero pairs kept") {
+    val groups = docs.select("source").distinct().count()
+    val m = Overlap.overlapMatrix(docs, "source", "text", n = 3).collect()
+    assert(m.length == groups * (groups - 1) / 2,
+      "one row per unordered pair, zero-overlap pairs included")
+    m.foreach { r =>
+      val (na, nb, nc) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val (jac, cont) = (r.getDouble(5), r.getDouble(6))
+      assert(nc <= math.min(na, nb), "intersection cannot exceed either set")
+      assert(jac >= 0 && jac <= 1 && cont >= 0 && cont <= 1)
+      assert(jac <= cont + 1e-9, "jaccard is bounded by containment")
+    }
+  }
+
+  test("disjoint gram spaces produce an all-zero row") {
+    val df = Seq(("a", "x1 x2 x3 x4"), ("b", "y1 y2 y3 y4")).toDF("source", "text")
+    val m = Overlap.overlapMatrix(df, "source", "text", n = 3).collect()
+    assert(m.length == 1)
+    assert(m.head.getLong(4) == 0L && m.head.getDouble(5) == 0.0)
+  }
+}
