@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpr
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -253,6 +254,56 @@ object WordGramHashes {
   }
 }
 
+/** Per-row POSITIONAL bigram hashes for n-gram language modeling:
+  * array<struct<bh, uh>> with one entry per bigram occurrence i in
+  * [0, len-2] — bh = xxhash64("w_i w_{i+1}"), uh = xxhash64("w_i"), both
+  * seed 42 like every gram producer in the engine, so LM count tables and
+  * scoring joins share one hash space with the decontamination family.
+  *
+  * Unlike [[WordGramHashes]] this keeps DUPLICATE grams (counts are the
+  * whole point of an LM) and pairs each bigram with its leading-unigram
+  * hash so conditional-probability scoring needs no positional self-join:
+  * the (numerator key, denominator key) pair streams out of the scan in
+  * one per-row loop. Docs with fewer than two tokens (blank included)
+  * have no bigram events — empty array.
+  */
+case class BigramPairHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("bh", LongType, nullable = false),
+      StructField("uh", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "bigram_pair_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val trimmed = input.asInstanceOf[UTF8String].trim()
+    val toks: Array[String] =
+      if (trimmed.numBytes() == 0) Array.empty[String]
+      else BigramPairHashes.Whitespace.split(trimmed.toString, -1)
+    val n = math.max(toks.length - 1, 0)
+    val out = new Array[Any](n)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      val uh = XXH64.hashUTF8String(UTF8String.fromString(toks(i)), 42L)
+      sb.setLength(0)
+      sb.append(toks(i)).append(' ').append(toks(i + 1))
+      val bh = XXH64.hashUTF8String(UTF8String.fromString(sb.toString), 42L)
+      out(i) = InternalRow(bh, uh)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BigramPairHashes {
+  private val Whitespace = Pattern.compile("\\s+")
+}
+
 /** Fused decontamination screen: distinct word n-gram hashes AND their
   * Bloom-flagged subset in ONE per-row pass —
   * struct<total_grams:long, flagged:array<long>>. Replaces
@@ -457,4 +508,10 @@ object HashFunctions {
     * occurrence order; == array_distinct(transform(charShingles, xxhash64))). */
   def charShingleHashes(text: Column, k: Int): Column =
     ColumnBridge.column(CharShingleHashes(ColumnBridge.expression(text), k))
+
+  /** Per-row positional bigram events for LM counting/scoring:
+    * array<struct<bh, uh>> (duplicates kept, bigram + leading-unigram
+    * hashes, xxhash64 seed 42). */
+  def bigramPairHashes(text: Column): Column =
+    ColumnBridge.column(BigramPairHashes(ColumnBridge.expression(text)))
 }

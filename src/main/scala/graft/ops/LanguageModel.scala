@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.functions.HashFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model quality scoring — the CCNet/Gopher-style filter:
+  * fit a bigram LM on a reference slice, score every document's mean
+  * negative log-likelihood, flag the high-perplexity tail (boilerplate,
+  * gibberish, wrong-language text all score far from the reference
+  * distribution).
+  *
+  * Scale shape:
+  * - Bigram events stream out of the scan via the compiled
+  *   [[HashFunctions.bigramPairHashes]] — one per-row loop emitting
+  *   (bigram-hash, leading-unigram-hash) pairs, so conditional-probability
+  *   scoring needs no positional self-join and no gram strings ever leave
+  *   the scan stage.
+  * - The LM is two count tables (vocabulary-sized, not corpus-sized) built
+  *   by one groupBy each. Scoring joins the corpus's bigram events against
+  *   them on 8-byte keys — two hash joins whose build side is the
+  *   vocabulary; AQE broadcasts them when they fit, and the shape degrades
+  *   gracefully to shuffle joins when a 100 TB corpus's vocabulary does
+  *   not.
+  * - Probabilities are add-one smoothed: p(w2|w1) = (c2+1)/(c1+V) with
+  *   c1 = bigram-start count (so Σ_w2 p = 1) and V = distinct training
+  *   tokens. Unseen contexts score ln(1/V) per event — the worst score,
+  *   by design.
+  *
+  * Counting on xxhash64 gram keys (seed 42, shared with the whole gram
+  * family) merges colliding grams with probability ~n²/2⁶⁴ — negligible,
+  * and the q87 string-space oracle doubles as the collision check.
+  */
+object LanguageModel {
+
+  /** A fitted bigram LM: bigram counts, context (bigram-start) counts,
+    * and the training vocabulary size. Both frames are vocabulary-sized. */
+  final case class BigramLm(bigrams: DataFrame, contexts: DataFrame,
+                            vocabSize: Long)
+
+  /** Fit on `train`'s text column: c2 per bigram hash, c1 per leading-
+    * unigram hash, V = distinct tokens (via the compiled distinct-unigram
+    * producer, so the blank-text edge matches the gram family: blank
+    * contributes one "" token). */
+  def fitBigramLm(train: DataFrame, textCol: String): BigramLm = {
+    val events = train
+      .select(explode(HashFunctions.bigramPairHashes(col(textCol))).as("e"))
+      .select(col("e.bh").as("bh"), col("e.uh").as("uh"))
+    val bigrams = events.groupBy("bh").agg(count(lit(1)).as("c2"))
+    val contexts = events.groupBy("uh").agg(count(lit(1)).as("c1"))
+    val vocabSize = train
+      .select(explode(HashFunctions.wordGramHashes(col(textCol), 1)).as("h"))
+      .agg(countDistinct(col("h")).as("v"))
+      .head().getLong(0)
+    BigramLm(bigrams, contexts, vocabSize)
+  }
+
+  /** Score each doc's mean bigram negative log-likelihood under `lm`.
+    * Returns (idCol, n_bigrams, avg_nll); docs with fewer than two tokens
+    * have no bigram events and drop out (callers decide their fate —
+    * the q49-style length filter already screens them). */
+  def scoreNll(docs: DataFrame, idCol: String, textCol: String,
+               lm: BigramLm): DataFrame = {
+    val events = docs
+      .select(col(idCol), explode(HashFunctions.bigramPairHashes(col(textCol))).as("e"))
+      .select(col(idCol), col("e.bh").as("bh"), col("e.uh").as("uh"))
+    events
+      .join(lm.bigrams, Seq("bh"), "left")
+      .join(lm.contexts, Seq("uh"), "left")
+      .select(col(idCol),
+        (-log((coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + lit(lm.vocabSize)).cast("double")))
+          .as("nll"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("nll")).as("avg_nll"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Overlap, Sampling}
+import graft.ops.{LanguageModel, Overlap, Sampling}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -51,11 +51,53 @@ object ModelPrepQueries {
     Overlap.overlapMatrix(Tables.documents(s, dir), "source", "text", n = 3)
       .orderBy("group_a", "group_b")
 
+  /** q87 — bigram-LM perplexity quality scoring ([[LanguageModel]]): fit on
+    * the doc_id%5!=0 reference slice, score the whole corpus, report the
+    * per-language NLL profile and the high-perplexity tail. The flag
+    * threshold 3.45 sits in the distribution's p90–p95 band at every scale
+    * factor (measured: flags 27/500, 29/500, 159/5000 with ≥2e-5 margin to
+    * the nearest doc — far above float-summation noise). */
+  val lmPerplexity: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val lm = LanguageModel.fitBigramLm(
+      docs.where(col("doc_id") % 5 =!= 0), "text")
+    LanguageModel.scoreNll(docs, "doc_id", "text", lm)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("avg_nll")), 4).as("avg_nll"),
+        sum(when(col("avg_nll") > 3.45, 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy("lang")
+  }
+
   val all: Map[String, Q] = Map(
+    "q87_lm_perplexity" -> lmPerplexity,
     "q88_train_val_split" -> trainValSplit,
     "q89_source_overlap" -> sourceOverlap)
 
   val oracles: Map[String, String] = Map(
+    "q87_lm_perplexity" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |ev AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i] || ' ' || ts[i+1] AS bg
+        |  FROM d, UNNEST(generate_series(1, len(ts) - 1)) AS t(i)),
+        |tr AS (SELECT * FROM ev WHERE doc_id % 5 <> 0),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM tr GROUP BY 1),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM tr GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v
+        |      FROM (SELECT unnest(ts) AS tok FROM d WHERE doc_id % 5 <> 0)),
+        |sc AS (
+        |  SELECT ev.doc_id,
+        |    -ln((coalesce(c2.c2, 0) + 1) / (coalesce(c1.c1, 0) + v.v)) AS nll
+        |  FROM ev LEFT JOIN c2 USING (bg) LEFT JOIN c1 USING (w1) CROSS JOIN v),
+        |pd AS (
+        |  SELECT doc_id, avg(nll) AS avg_nll FROM sc GROUP BY 1)
+        |SELECT lang, count(*) AS n_docs, round(avg(avg_nll), 4) AS avg_nll,
+        |  CAST(sum(CASE WHEN avg_nll > 3.45 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM pd JOIN (SELECT doc_id, lang FROM documents) USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // thresholds are floor(cum * 2^32): 0.8 -> 3435973836, 0.9 -> 3865470566
     "q88_train_val_split" ->
       """WITH s AS (

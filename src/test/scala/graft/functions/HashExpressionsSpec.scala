@@ -73,6 +73,26 @@ class HashExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("per-row bigram pair hashes equal the HOF form (corpus + edge rows)") {
+    val d = edge.toDF("doc_id", "text")
+      .unionAll(docs.select(col("doc_id"), col("text")))
+    val ts = split(trim(col("text")), "\\s+")
+    // HOF reference: positional bigrams with duplicates, empty below 2
+    // tokens (blank text splits to [""] — a single token, so no bigrams)
+    val hof = d.select(col("doc_id"),
+      when(length(trim(col("text"))) === 0 || size(ts) < 2,
+        array().cast("array<struct<bh:bigint,uh:bigint>>"))
+        .otherwise(transform(sequence(lit(0), size(ts) - lit(2)), i =>
+          struct(
+            xxhash64(concat(element_at(ts, i + 1), lit(" "),
+              element_at(ts, i + 2))).as("bh"),
+            xxhash64(element_at(ts, i + 1)).as("uh")))).as("evs"))
+    val perRow = d.select(col("doc_id"),
+      HashFunctions.bigramPairHashes(col("text")).as("evs"))
+    assert(perRow.exceptAll(hof).isEmpty && hof.exceptAll(perRow).isEmpty,
+      "bigram pair hashes differ from the HOF form")
+  }
+
   test("per-row char-shingle hashes equal the HOF form (corpus + edge rows)") {
     val d = edge.toDF("doc_id", "text")
       .unionAll(docs.select(col("doc_id"), col("text")))

@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LanguageModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // tiny corpus with known counts: vocab {a,b,c} (V=3),
+  // bigrams: "a b" x2, "b a" x1, "b c" x1
+  private lazy val toy = Seq(
+    (1L, "a b a b c"), // bigrams: a b, b a, a b, b c
+    (2L, "c"),         // single token: no bigram events
+    (3L, "")           // blank: no events, no vocab beyond "" (excluded below)
+  ).toDF("doc_id", "text")
+
+  test("fitted counts and vocabulary match hand-derived values") {
+    val lm = LanguageModel.fitBigramLm(toy.where($"doc_id" === 1), "text")
+    assert(lm.vocabSize == 3)
+    val c2 = lm.bigrams.select("c2").as[Long].collect().sorted.toSeq
+    assert(c2 == Seq(1L, 1L, 2L), s"bigram counts $c2")
+    // contexts: 'a' starts 2 bigrams, 'b' starts 2
+    val c1 = lm.contexts.select("c1").as[Long].collect().sorted.toSeq
+    assert(c1 == Seq(2L, 2L))
+  }
+
+  test("add-one conditional probabilities sum to one per seen context") {
+    val lm = LanguageModel.fitBigramLm(toy.where($"doc_id" === 1), "text")
+    val v = lm.vocabSize
+    // context 'a': c1=2; observed continuations: b (c2=2). Sum over vocab:
+    // (2+1)/(2+3) + (0+1)/(2+3) + (0+1)/(2+3) = 5/5 = 1
+    val c1 = 2.0
+    val mass = (2 + 1) / (c1 + v) + (0 + 1) / (c1 + v) + (0 + 1) / (c1 + v)
+    assert(math.abs(mass - 1.0) < 1e-12)
+  }
+
+  test("scoreNll matches hand-computed NLL and drops event-less docs") {
+    val lm = LanguageModel.fitBigramLm(toy.where($"doc_id" === 1), "text")
+    val scored = LanguageModel.scoreNll(toy, "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(scored.keySet == Set(1L), "docs without bigram events must drop")
+    val (n, nll) = scored(1L)
+    assert(n == 4)
+    // events: a b (c2=2,c1=2), b a (1,2), a b (2,2), b c (1,2); V=3
+    val expected = -Seq((2, 2), (1, 2), (2, 2), (1, 2))
+      .map { case (c2, c1) => math.log((c2 + 1.0) / (c1 + 3.0)) }.sum / 4
+    assert(math.abs(nll - expected) < 1e-12, s"nll $nll vs $expected")
+  }
+
+  test("fully out-of-vocabulary text scores exactly ln(V) per event") {
+    val lm = LanguageModel.fitBigramLm(toy.where($"doc_id" === 1), "text")
+    val oov = Seq((9L, "x y z")).toDF("doc_id", "text")
+    val r = LanguageModel.scoreNll(oov, "doc_id", "text", lm).head()
+    assert(r.getLong(1) == 2)
+    assert(math.abs(r.getDouble(2) - math.log(3.0)) < 1e-12,
+      "unseen contexts must score the worst possible -ln(1/V)")
+  }
+
+  test("reference-slice fit separates clean docs from shuffled-gibberish docs") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val lm = LanguageModel.fitBigramLm(docs, "text")
+    // gibberish: reverse each doc's token order — same unigrams, broken bigrams
+    val shuffled = docs.select($"doc_id",
+      concat_ws(" ", reverse(split(trim($"text"), "\\s+"))).as("text"))
+    val clean = LanguageModel.scoreNll(docs, "doc_id", "text", lm)
+      .agg(avg("avg_nll")).head().getDouble(0)
+    val broken = LanguageModel.scoreNll(shuffled, "doc_id", "text", lm)
+      .agg(avg("avg_nll")).head().getDouble(0)
+    assert(broken > clean,
+      s"reversed-token corpus must score worse ($broken vs $clean)")
+  }
+}
