@@ -224,6 +224,129 @@ case class CentroidTopProbes(child: Expression, centroids: Seq[Seq[Double]],
     copy(child = newChild)
 }
 
+/** Product-quantization encoder: map an array<double> vector to its m
+  * subspace code indices — array<int>, code s = argmin over the s-th
+  * codebook of the L2 distance between the s-th subvector and each
+  * centroid (ties keep the smaller code, the [[CentroidTopProbes]]
+  * convention). The codebook matrix rides in this one expression node
+  * (m × ksub × dsub doubles in the task closure, never in the plan
+  * string), so encoding a 100 TB corpus is one narrow projection emitting
+  * m small ints per row — the 64× scan-byte compression that makes
+  * billion-vector ANN affordable.
+  */
+case class PqEncode(child: Expression, codebook: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with CodegenFallback {
+
+  require(codebook.nonEmpty && codebook.forall(_.nonEmpty),
+    "codebook needs at least one centroid per subspace")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  // keep plan strings O(1): never print the codebook matrix
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"m=${codebook.length}",
+      s"ksub=${codebook.head.length}", s"dsub=${codebook.head.head.length}")
+
+  @transient private lazy val cents: Array[Array[Array[Double]]] =
+    codebook.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = cents.length
+    val dsub = cents(0)(0).length
+    val len = arr.numElements()
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cb = cents(s)
+      val off = s * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          // vectors shorter than m*dsub read as zero-padded
+          val x = if (off + j < len) arr.getDouble(off + j) else 0.0
+          val diff = x - cent(j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance (ADC) cosine between a PQ code array (left) and a
+  * full-precision query vector (right): the corpus side is reconstructed
+  * implicitly from the codebook — dot = Σ_s q_s · c_s[code_s], and the
+  * reconstruction's norm is exact because subspaces are disjoint
+  * (|recon|² = Σ_s |c_s[code_s]|², precomputed per codebook entry). One
+  * codes-scan per query batch, no full-precision corpus read — the PQ
+  * scan shape. */
+case class PqAdcCosine(left: Expression, right: Expression,
+                       codebook: Seq[Seq[Seq[Double]]])
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_cosine"
+
+  override def stringArgs: Iterator[Any] =
+    Iterator(left, right, s"m=${codebook.length}",
+      s"ksub=${codebook.head.length}", s"dsub=${codebook.head.head.length}")
+
+  @transient private lazy val cents: Array[Array[Array[Double]]] =
+    codebook.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val centNorm2: Array[Array[Double]] =
+    cents.map(_.map(c => c.map(x => x * x).sum))
+
+  override def nullSafeEval(codesAny: Any, qvAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val qv = qvAny.asInstanceOf[ArrayData]
+    val m = cents.length
+    val dsub = cents(0)(0).length
+    val qlen = qv.numElements()
+    var dot = 0.0
+    var recon2 = 0.0
+    var s = 0
+    while (s < m) {
+      val code = codes.getInt(s)
+      val cent = cents(s)(code)
+      val off = s * dsub
+      var j = 0
+      while (j < dsub) {
+        val q = if (off + j < qlen) qv.getDouble(off + j) else 0.0
+        dot += q * cent(j)
+        j += 1
+      }
+      recon2 += centNorm2(s)(code)
+      s += 1
+    }
+    var qn2 = 0.0
+    var i = 0
+    while (i < qlen) { val q = qv.getDouble(i); qn2 += q * q; i += 1 }
+    val denom = math.sqrt(qn2) * math.sqrt(recon2)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Single-pass codegen'd cosine similarity of two array<double> columns. */
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -239,4 +362,14 @@ object VectorFunctions {
   def int8DotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(Int8DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** PQ-encode an array<double> vector to its m code indices. */
+  def pqEncode(v: Column, codebook: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(v), codebook))
+
+  /** ADC cosine between a PQ code array and a full-precision query. */
+  def pqAdcCosine(codes: Column, qv: Column,
+                  codebook: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(PqAdcCosine(ColumnBridge.expression(codes),
+      ColumnBridge.expression(qv), codebook))
 }

@@ -1,0 +1,153 @@
+package graft.sim
+
+import graft.dedup.Dedup.cosineSim
+import graft.functions.VectorFunctions
+import graft.ops.Sampling
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011): split each d-dim vector into m disjoint
+  * subvectors, k-means each subspace to ksub centroids, store each corpus
+  * vector as m small codes. At m=8/ksub=16 a 64-dim float vector becomes
+  * 8 half-byte codes — the corpus ANN scan reads ~64× fewer bytes, which
+  * is THE enabling compression for billion-vector search.
+  *
+  * Scale shape:
+  * - `fit` collects only a bounded deterministic sample (maxFitRows,
+  *   md5-ordered so the codebook is run- and cluster-size-independent);
+  *   Lloyd runs driver-side on that sample — m × ksub × dsub doubles of
+  *   state, KBs.
+  * - `encode` is one narrow projection ([[graft.functions.PqEncode]],
+  *   codebook in the task closure) — the corpus shuffles nothing.
+  * - `adcTopK` scans the CODES against broadcast queries with asymmetric-
+  *   distance cosine, keeps k·overRetrieve survivors per query, then
+  *   exact-reranks only those against the full-precision vectors — the
+  *   same compressed-scan + exact-rerank contract as the int8 path
+  *   (q69), at a deeper compression point.
+  *
+  * This complements IVF (q55): IVF prunes WHICH vectors are scanned, PQ
+  * shrinks WHAT each scan reads. Production systems compose them
+  * (IVF-PQ); here each is exercised separately so the gates isolate their
+  * recall trades.
+  */
+object ProductQuantization {
+
+  /** A fitted codebook: centroids(s)(c) is the c-th dsub-dim centroid of
+    * subspace s. Driver-side KBs, shipped in expression closures. */
+  final case class PqCodebook(dsub: Int, centroids: Seq[Seq[Seq[Double]]]) {
+    def m: Int = centroids.length
+    def ksub: Int = centroids.head.length
+  }
+
+  /** Fit per-subspace codebooks with deterministic Lloyd iterations on a
+    * bounded md5-ordered sample: init = first ksub sample subvectors,
+    * assignment ties keep the smaller code, empty clusters keep their
+    * previous centroid. No RNG anywhere — the same corpus always yields
+    * the same codebook. */
+  def fit(corpus: DataFrame, idCol: String, vecCol: String,
+          m: Int = 8, ksub: Int = 16, maxFitRows: Int = 4096,
+          iters: Int = 10): PqCodebook = {
+    require(m >= 1 && ksub >= 1 && iters >= 1)
+    val c = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val n = c.count()
+    val fitInput =
+      if (n <= maxFitRows) c
+      else Sampling.bernoulli(c, "id", maxFitRows.toDouble / n)
+    val sample: Array[Array[Double]] = fitInput
+      .orderBy(Sampling.md5Bucket(col("id")), col("id"))
+      .select("v").collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.length >= ksub,
+      s"need at least ksub=$ksub sample vectors, got ${sample.length}")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val dsub = dim / m
+
+    val centroids = (0 until m).map { s =>
+      val off = s * dsub
+      val subs = sample.map { v =>
+        java.util.Arrays.copyOfRange(v, off, off + dsub)
+      }
+      var centers = subs.take(ksub).map(_.clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Long](ksub)
+        subs.foreach { x =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var cI = 0
+          while (cI < ksub) {
+            val cent = centers(cI)
+            var d = 0.0
+            var j = 0
+            while (j < dsub) { val t = x(j) - cent(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = cI }
+            cI += 1
+          }
+          var j = 0
+          while (j < dsub) { sums(best)(j) += x(j); j += 1 }
+          counts(best) += 1
+        }
+        centers = (0 until ksub).map { cI =>
+          if (counts(cI) == 0) centers(cI) // empty cluster keeps its centroid
+          else sums(cI).map(_ / counts(cI))
+        }.toArray
+        it += 1
+      }
+      centers.map(_.toSeq).toSeq
+    }
+    PqCodebook(dsub, centroids)
+  }
+
+  /** Encode a corpus to (id, codes): one narrow projection, no shuffle. */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+             cb: PqCodebook): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"),
+      VectorFunctions.pqEncode(col(vecCol).cast("array<double>"),
+        cb.centroids).as("codes"))
+
+  /** ADC top-k over a prebuilt code table: compressed scan → top
+    * k·overRetrieve per query → exact re-rank against the full-precision
+    * vectors. Returns (query_id, neighbor_id, cosine, rank) like every
+    * ANN operator here. */
+  def adcTopKFrom(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, cb: PqCodebook, k: Int,
+                  overRetrieve: Int = 8): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val approx = codes.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.pqAdcCosine(col("codes"), col("qv"),
+          cb.centroids).as("acos"))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("acos").desc, col("neighbor_id").asc)
+    val survivors = approx.withColumn("arank", row_number().over(wa))
+      .where(col("arank") <= k * overRetrieve)
+      .select("query_id", "neighbor_id")
+    val exact = survivors
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv")), "neighbor_id")
+      .join(q, "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Fused fit + encode + probe for one-shot use. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
+             overRetrieve: Int = 8): DataFrame = {
+    val cb = fit(corpus, idCol, vecCol, m, ksub)
+    adcTopKFrom(encode(corpus, idCol, vecCol, cb), corpus, queries,
+      idCol, vecCol, cb, k, overRetrieve)
+  }
+}

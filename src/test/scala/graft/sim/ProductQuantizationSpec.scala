@@ -1,0 +1,105 @@
+package graft.sim
+
+import graft.SparkSpec
+import graft.sources.Tables
+import graft.store.IndexStore
+import org.apache.spark.sql.functions._
+
+class ProductQuantizationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("fit is deterministic and codebooks have the declared shape") {
+    val a = ProductQuantization.fit(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val b = ProductQuantization.fit(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    assert(a == b, "two fits on the same corpus must be identical (no RNG)")
+    assert(a.m == 8 && a.ksub == 16 && a.dsub == 8)
+    assert(a.centroids.forall(_.forall(_.length == 8)))
+  }
+
+  test("encode emits in-range codes and is deterministic") {
+    val cb = ProductQuantization.fit(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val codes = ProductQuantization.encode(emb, "vec_id", "embedding", cb)
+    val stats = codes.select(size($"codes").as("m"),
+      array_min($"codes").as("lo"), array_max($"codes").as("hi"))
+      .agg(min("m"), max("m"), min("lo"), max("hi")).head()
+    assert(stats.getInt(0) == 8 && stats.getInt(1) == 8)
+    assert(stats.getInt(2) >= 0 && stats.getInt(3) < 16)
+    val again = ProductQuantization.encode(emb, "vec_id", "embedding", cb)
+    assert(codes.exceptAll(again).isEmpty && again.exceptAll(codes).isEmpty)
+  }
+
+  test("quantization error shrinks as the codebook grows") {
+    def meanErr(m: Int, ksub: Int): Double = {
+      val cb = ProductQuantization.fit(emb, "vec_id", "embedding", m, ksub)
+      val flat = cb.centroids.map(_.map(_.toArray).toArray).toArray
+      val dsub = cb.dsub
+      val errs = emb.select($"embedding".cast("array<double>")).as[Seq[Double]]
+        .collect().map { v =>
+          val arr = v.toArray
+          (0 until cb.m).map { s =>
+            val off = s * dsub
+            flat(s).map { cent =>
+              (0 until dsub).map { j =>
+                val x = if (off + j < arr.length) arr(off + j) else 0.0
+                val d = x - cent(j); d * d
+              }.sum
+            }.min
+          }.sum
+        }
+      errs.sum / errs.length
+    }
+    val coarse = meanErr(8, 16)
+    val fine = meanErr(16, 64)
+    assert(fine < coarse,
+      s"m=16/ksub=64 must quantize tighter than m=8/ksub=16 ($fine vs $coarse)")
+  }
+
+  test("gate config reaches the measured recall bound (>= 0.8 at k=3)") {
+    val qs = emb.where($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id")
+    val approx = ProductQuantization.pqTopK(emb, qs, "vec_id", "embedding",
+      k = 3, m = 16, ksub = 64, overRetrieve = 8)
+      .select("query_id", "neighbor_id")
+    val nExact = exact.count()
+    val nHit = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(nHit * 5 >= nExact * 4, s"recall ${nHit.toDouble / nExact} below 0.8")
+  }
+
+  test("PQ index round-trips through the store with identical probe results") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    val cb = ProductQuantization.fit(emb, "vec_id", "embedding", m = 16, ksub = 64)
+    val codes = ProductQuantization.encode(emb, "vec_id", "embedding", cb)
+    IndexStore.savePqIndex(spark, cb, codes, dir)
+    val (cb2, codes2) = IndexStore.loadPqIndex(spark, dir)
+    assert(cb2 == cb, "reloaded codebook must be bit-identical")
+    val qs = emb.where($"vec_id" < 5)
+    val a = ProductQuantization.adcTopKFrom(codes, emb, qs,
+      "vec_id", "embedding", cb, k = 3).collect().toSeq
+    val b = ProductQuantization.adcTopKFrom(codes2, emb, qs,
+      "vec_id", "embedding", cb2, k = 3).collect().toSeq
+    assert(a == b, "probing the reloaded index must match the in-memory index")
+    // kind stamp: a pq index must not load as ivf
+    intercept[IllegalArgumentException] {
+      IndexStore.loadIvfIndex(spark, dir)
+    }
+  }
+
+  test("degenerate vectors: zero query scores 0, short vectors zero-pad") {
+    val cb = ProductQuantization.fit(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val zeroQ = Seq((9000L, Seq.fill(64)(0.0))).toDF("vec_id", "embedding")
+    val codes = ProductQuantization.encode(emb, "vec_id", "embedding", cb)
+    val scored = codes.crossJoin(
+        zeroQ.select($"vec_id".as("query_id"), $"embedding".as("qv")))
+      .select(graft.functions.VectorFunctions
+        .pqAdcCosine($"codes", $"qv", cb.centroids).as("c"))
+      .agg(min("c"), max("c")).head()
+    assert(scored.getDouble(0) == 0.0 && scored.getDouble(1) == 0.0)
+    val short = Seq((9001L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+    val enc = ProductQuantization.encode(short, "vec_id", "embedding", cb)
+      .select(size($"codes")).head().getInt(0)
+    assert(enc == 8, "short vectors must still encode to m codes (zero-padded)")
+  }
+}
