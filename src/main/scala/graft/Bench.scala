@@ -52,7 +52,10 @@ object Bench {
     "q77_bm25_topk",          // BM25 lexical retrieval
     "q78_semantic_dedup",     // SemDeDup cluster-blocked embedding dedup
     "q79_semantic_incremental", // delta embeddings vs stored cluster index
-    "q86_curation_pipeline")  // the composed end-to-end curation chain
+    "q86_curation_pipeline",  // the composed end-to-end curation chain
+    "q87_lm_perplexity",      // bigram-LM fit + corpus NLL scoring
+    "q89_source_overlap",     // cross-source distinct-gram overlap matrix
+    "q90_pq_ann")             // product-quantized ANN (ADC + re-rank)
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

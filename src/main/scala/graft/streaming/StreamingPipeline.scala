@@ -174,6 +174,27 @@ object StreamingPipeline {
         onCleanBatch(batch.join(dupes, Seq(idCol), "left_anti"), batchId)
       }
 
+  /** Streaming LM-perplexity scoring: each arriving micro-batch scores
+    * against a FITTED bigram LM ([[graft.ops.LanguageModel.BigramLm]] —
+    * vocabulary-sized static frames; the per-batch joins broadcast them
+    * when they fit). Fit once batch-side on the reference corpus; per-batch
+    * work is O(batch tokens), no corpus scan, no cross-batch state. The
+    * streaming half of q87. Docs without bigram events (blank/one-token)
+    * pass through with a null `avg_nll` — an ingest screen must not drop
+    * rows silently; the downstream quality gate owns that decision. */
+  def lmScoreStream(newDocs: DataFrame, idCol: String, textCol: String,
+                    lm: graft.ops.LanguageModel.BigramLm)
+                   (onScoredBatch: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val scored = batch.join(
+          graft.ops.LanguageModel.scoreNll(batch, idCol, textCol, lm),
+          Seq(idCol), "left")
+        onScoredBatch(scored, batchId)
+      }
+
   /** Continuous-ingest SEMANTIC dedup: the embedding-space twin of
     * [[dedupAgainstIndexStream]]. Every micro-batch of arriving vectors is
     * checked against the stored [[graft.dedup.SemanticDedup.SemanticIndex]]

@@ -178,6 +178,53 @@ class StreamingSpec extends SparkSpec {
       s"missing=${expected -- cleanIds.asScala} extra=${cleanIds.asScala.toSet -- expected}")
   }
 
+  test("streaming LM scoring equals the batch scoreNll per arriving doc") {
+    import graft.ops.LanguageModel
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val delta = docs.where(col("doc_id") % 10 === 7).select("doc_id", "text")
+    val reference = docs.where(col("doc_id") % 10 =!= 7)
+    val lm = LanguageModel.fitBigramLm(reference, "text")
+
+    val d = java.nio.file.Files.createTempDirectory("graft_lm_src")
+    delta.where(col("doc_id") % 20 === 7).coalesce(1)
+      .write.parquet(d.resolve("p0").toString)
+    delta.where(col("doc_id") % 20 =!= 7).coalesce(1)
+      .write.parquet(d.resolve("p1").toString)
+    val stream = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$d/*")
+
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Double)]()
+    var batches = 0
+    val q = StreamingPipeline.lmScoreStream(stream, "doc_id", "text", lm) {
+      (scored, _) =>
+        batches += 1
+        scored.select("doc_id", "n_bigrams", "avg_nll").collect().foreach { r =>
+          got.put(r.getLong(0),
+            (if (r.isNullAt(1)) -1L else r.getLong(1),
+             if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+        }
+    }.start()
+    q.awaitTermination()
+
+    val batchScored = delta.join(
+        LanguageModel.scoreNll(delta, "doc_id", "text", lm), Seq("doc_id"), "left")
+      .select("doc_id", "n_bigrams", "avg_nll").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1),
+         if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    import scala.jdk.CollectionConverters._
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    assert(got.asScala.keySet == batchScored.keySet,
+      "streaming must score every arriving doc exactly once")
+    got.asScala.foreach { case (id, (n, nll)) =>
+      val (bn, bnll) = batchScored(id)
+      assert(n == bn, s"doc $id n_bigrams $n vs $bn")
+      assert((nll.isNaN && bnll.isNaN) || math.abs(nll - bnll) < 1e-12,
+        s"doc $id nll $nll vs $bnll")
+    }
+  }
+
   test("streaming windowed quantile sketch equals the batch sketch per window") {
     // the point of a MERGEABLE sketch: partial states merge associatively,
     // which is exactly what a streaming stateful aggregation does across
