@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic epoch sharding — the sink half of the reproducible-
+  * shuffle story ([[Sampling.epochOrderKey]] is the ordering half): a
+  * training run wants the corpus written as N shards per epoch, where
+  * (a) shard membership and intra-shard order are pure functions of
+  * (key, epoch) — any engine, any cluster size, any retry produces the
+  * identical shard files; (b) different epochs produce genuinely different
+  * permutations; (c) a manifest of per-shard counts + boundary docs makes
+  * the layout verifiable without re-reading the data.
+  *
+  * Scale shape: shard assignment is a narrow projection; the write is one
+  * hash-partitioned exchange on the shard id + an intra-partition sort —
+  * the minimum any sharded global shuffle costs. The manifest is one
+  * vocabulary-of-shards-sized aggregation.
+  */
+object Sharding {
+
+  /** Shard id in [0, nShards): md5 bucket of "e<epoch>:<key>" mod nShards.
+    * The SAME hashed string drives [[Sampling.epochOrderKey]], so shard
+    * membership and intra-shard order come from one hash family. */
+  def epochShard(key: Column, epoch: Int, nShards: Int): Column = {
+    require(nShards > 0, "nShards must be positive")
+    pmod(Sampling.md5Bucket(concat(lit(s"e$epoch:"), key.cast("string"))),
+      lit(nShards.toLong)).cast("int")
+  }
+
+  /** Per-shard manifest: row counts plus the first/last key under the
+    * epoch order — the verifiable summary of the shard layout (md5 keys
+    * are unique per distinct key, so first/last are unambiguous). */
+  def manifest(df: DataFrame, keyCol: String, epoch: Int,
+               nShards: Int): DataFrame = {
+    val ek = Sampling.epochOrderKey(col(keyCol), epoch)
+    df.withColumn("shard", epochShard(col(keyCol), epoch, nShards))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        min_by(col(keyCol), ek).as("first_key"),
+        max_by(col(keyCol), ek).as("last_key"))
+  }
+
+  /** Write `df` as `nShards` epoch-ordered shard directories
+    * (`shard=<i>/`): one exchange on the shard id, intra-partition sort by
+    * the epoch key, one file per shard. Returns the manifest computed from
+    * the input (callers persist it next to the data). */
+  def writeEpochShards(df: DataFrame, keyCol: String, epoch: Int,
+                       nShards: Int, path: String): DataFrame = {
+    val ek = Sampling.epochOrderKey(col(keyCol), epoch)
+    df.withColumn("shard", epochShard(col(keyCol), epoch, nShards))
+      .withColumn("__ek", ek)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__ek"), col(keyCol))
+      .drop("__ek")
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(path)
+    manifest(df, keyCol, epoch, nShards)
+  }
+}

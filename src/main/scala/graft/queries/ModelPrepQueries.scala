@@ -1,7 +1,7 @@
 package graft.queries
 
-import graft.ops.{LanguageModel, Overlap, Sampling}
-import graft.sim.{ProductQuantization, Similarity}
+import graft.ops.{LanguageModel, Overlap, Sampling, Sharding}
+import graft.sim.{IvfPq, ProductQuantization, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -94,11 +94,43 @@ object ModelPrepQueries {
         (col("n_hits") * 5 >= col("n_exact_neighbors") * 4).as("recall_ge_080"))
   }
 
+  /** q91 — composed IVF-PQ ANN ([[IvfPq]]): coarse-list pruning × PQ scan
+    * compression, survivors exact-reranked. Same bounded-assert shape as
+    * q55/q90; recall measured at all three SFs BEFORE fixing the bound
+    * (tools/MeasurePq: nProbe=8 → 0.667/0.933/0.933; nProbe=4 fell to
+    * 0.533 at sf0.001, so the gate runs the config that clears 0.6
+    * everywhere — half the lists pruned, not three quarters). */
+  val ivfPqAnn: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.where(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 3)
+    val approx = IvfPq.topK(emb, qs, "vec_id", "embedding",
+      k = 3, nLists = 16, nProbe = 8, m = 16, ksub = 64, overRetrieve = 8)
+    val nHit = exact.select("query_id", "neighbor_id")
+      .join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    exact.agg(countDistinct("query_id").as("n_queries"),
+        count(lit(1)).as("n_exact_neighbors"))
+      .crossJoin(nHit)
+      .select(col("n_queries"), col("n_exact_neighbors"),
+        (col("n_hits") * 5 >= col("n_exact_neighbors") * 3).as("recall_ge_060"))
+  }
+
+  /** q92 — epoch-shard manifest ([[Sharding.manifest]]): per-shard counts
+    * and epoch-order boundary docs for the deterministic sharded-writer
+    * layout. Pure hash arithmetic — exact oracle. */
+  val epochShards: Q = (s, dir) =>
+    Sharding.manifest(Tables.documents(s, dir), "doc_id", epoch = 1,
+      nShards = 8).orderBy("shard")
+
   val all: Map[String, Q] = Map(
     "q87_lm_perplexity" -> lmPerplexity,
     "q88_train_val_split" -> trainValSplit,
     "q89_source_overlap" -> sourceOverlap,
-    "q90_pq_ann" -> pqAnn)
+    "q90_pq_ann" -> pqAnn,
+    "q91_ivfpq_ann" -> ivfPqAnn,
+    "q92_epoch_shards" -> epochShards)
 
   val oracles: Map[String, String] = Map(
     "q87_lm_perplexity" ->
@@ -162,5 +194,19 @@ object ModelPrepQueries {
       """SELECT count(DISTINCT vec_id) AS n_queries,
         |  3 * count(DISTINCT vec_id) AS n_exact_neighbors,
         |  true AS recall_ge_080
-        |FROM embeddings WHERE vec_id < 5""".stripMargin)
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "q91_ivfpq_ann" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries,
+        |  3 * count(DISTINCT vec_id) AS n_exact_neighbors,
+        |  true AS recall_ge_060
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "q92_epoch_shards" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5('e1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
+        |    md5('e1:' || CAST(doc_id AS VARCHAR)) AS ek
+        |  FROM documents)
+        |SELECT CAST(shard AS INT) AS shard, count(*) AS n_rows,
+        |  arg_min(doc_id, ek) AS first_key, arg_max(doc_id, ek) AS last_key
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)
 }

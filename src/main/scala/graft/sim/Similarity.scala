@@ -159,18 +159,18 @@ object Similarity {
     IvfIndex(centroids, assigned)
   }
 
-  /** Probe a prebuilt [[IvfIndex]]: rank centroids per query, keep nProbe
-    * lists, exact-cosine re-rank only those candidates — no fit, no corpus
-    * re-assignment, the index lists are the only corpus-sized input. */
-  def ivfTopKFrom(index: IvfIndex, queries: DataFrame, idCol: String,
-                  vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+  /** Rank the coarse-quantizer lists per query and keep the nProbe
+    * nearest: (query_id, qv, list_id). Shared by the IVF and IVF-PQ probe
+    * paths — the queries are small, the centroid table broadcasts. */
+  private[sim] def rankLists(queries: DataFrame, idCol: String, vecCol: String,
+                             centroids: Seq[(Int, Seq[Double])],
+                             nProbe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
-    val assigned = index.lists
     val spark = queries.sparkSession
     import spark.implicits._
-    val centDf = index.centroids.toDF("list_id", "centroid")
-    val qLists = q.crossJoin(broadcast(centDf))
+    val centDf = centroids.toDF("list_id", "centroid")
+    q.crossJoin(broadcast(centDf))
       .withColumn("dist",
         // ||q||^2 - 2 q.c + ||c||^2; monotone equivalent: -2 q.c + ||c||^2
         lit(-2.0) * graft.functions.VectorFunctions.dotProduct(col("qv"),
@@ -181,6 +181,17 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(col("dist").asc, col("list_id").asc)))
       .where(col("crank") <= nProbe)
       .select("query_id", "qv", "list_id")
+  }
+
+  /** Probe a prebuilt [[IvfIndex]]: rank centroids per query, keep nProbe
+    * lists, exact-cosine re-rank only those candidates — no fit, no corpus
+    * re-assignment, the index lists are the only corpus-sized input. */
+  def ivfTopKFrom(index: IvfIndex, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val assigned = index.lists
+    val qLists = rankLists(queries, idCol, vecCol, index.centroids, nProbe)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     qLists.join(assigned, Seq("list_id"))

@@ -1,7 +1,7 @@
 package graft.store
 
 import graft.dedup.SemanticDedup
-import graft.sim.{ProductQuantization, Similarity}
+import graft.sim.{IvfPq, ProductQuantization, Similarity}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -110,6 +110,35 @@ object IndexStore {
       .map { case (_, cs) => cs.sortBy(_._2).map(_._3).toSeq }
     val cb = ProductQuantization.PqCodebook(cents.head.head.length, cents)
     (cb, spark.read.parquet(s"$path/codes"))
+  }
+
+  /** Persist a composed IVF-PQ index: coarse centroids + PQ codebook +
+    * the encoded inverted lists. Overwrites. */
+  def saveIvfPqIndex(spark: SparkSession, idx: IvfPq.IvfPqIndex,
+                     path: String): Unit = {
+    import spark.implicits._
+    writeMeta(spark, path, "ivfpq")
+    idx.centroids.toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    idx.codebook.centroids.zipWithIndex.flatMap { case (subCents, s) =>
+      subCents.zipWithIndex.map { case (c, ci) => (s, ci, c) }
+    }.toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    idx.codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  def loadIvfPqIndex(spark: SparkSession, path: String): IvfPq.IvfPqIndex = {
+    checkMeta(spark, path, "ivfpq")
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    val rows = spark.read.parquet(s"$path/codebook")
+      .orderBy("sub", "code").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val cbCents = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, cs) => cs.sortBy(_._2).map(_._3).toSeq }
+    val cb = ProductQuantization.PqCodebook(cbCents.head.head.length, cbCents)
+    IvfPq.IvfPqIndex(cents, cb, spark.read.parquet(s"$path/codes"))
   }
 
   /** Persist the q66-style MinHash/span/chunk hash index: any one-column

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.sim.{ProductQuantization, Similarity}
+import graft.sim.{IvfPq, ProductQuantization, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -28,6 +28,16 @@ object MeasurePq {
         val nExact = exact.count()
         val nHit = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
         println(f"sf=$sf%6s m=$m%2d ksub=$ksub%3d over=$over%2d exact=$nExact%3d hit=$nHit%3d recall=${nHit.toDouble / nExact}%.3f")
+      }
+      // the composed IVF-PQ shape: coarse pruning on top of the PQ config
+      for (nProbe <- Seq(4, 8)) {
+        val approx = IvfPq.topK(emb, qs, "vec_id", "embedding",
+          k = 3, nLists = 16, nProbe = nProbe, m = 16, ksub = 64,
+          overRetrieve = 8)
+          .select("query_id", "neighbor_id")
+        val nExact = exact.count()
+        val nHit = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
+        println(f"sf=$sf%6s IVFPQ nProbe=$nProbe%2d exact=$nExact%3d hit=$nHit%3d recall=${nHit.toDouble / nExact}%.3f")
       }
       exact.unpersist()
     }

@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class ShardingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("manifest covers every row exactly once across shards") {
+    val m = Sharding.manifest(docs, "doc_id", epoch = 1, nShards = 8)
+    assert(m.count() == 8, "every shard should be populated at this corpus size")
+    assert(m.agg(sum("n_rows")).head().getLong(0) == docs.count())
+  }
+
+  test("written shards match the manifest and are epoch-ordered inside") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val m = Sharding.writeEpochShards(docs, "doc_id", epoch = 1,
+      nShards = 8, path = dir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    (0 until 8).foreach { s =>
+      val rows = spark.read.parquet(s"$dir/shard=$s")
+        .withColumn("__ek", Sampling.epochOrderKey(col("doc_id"), 1))
+      val ids = rows.select("doc_id").as[Long].collect()
+      val (n, first, last) = m(s)
+      assert(ids.length == n, s"shard $s count ${ids.length} vs manifest $n")
+      // file order must equal epoch order (sortWithinPartitions + 1 file)
+      val ordered = rows.orderBy("__ek").select("doc_id").as[Long].collect()
+      assert(ids.toSeq == ordered.toSeq, s"shard $s rows not in epoch order")
+      assert(ids.head == first && ids.last == last,
+        s"shard $s boundaries ${ids.head}/${ids.last} vs manifest $first/$last")
+    }
+  }
+
+  test("shard assignment is deterministic and epochs re-deal the corpus") {
+    val a = Sharding.manifest(docs, "doc_id", 1, 8).collect().toSeq
+    val b = Sharding.manifest(docs, "doc_id", 1, 8).collect().toSeq
+    assert(a.toSet == b.toSet, "same epoch must produce the identical manifest")
+    val e2 = docs.withColumn("s1", Sharding.epochShard(col("doc_id"), 1, 8))
+      .withColumn("s2", Sharding.epochShard(col("doc_id"), 2, 8))
+    val moved = e2.where($"s1" =!= $"s2").count()
+    assert(moved > 0, "epoch 2 must shard differently than epoch 1")
+  }
+}

@@ -1,0 +1,55 @@
+package graft.sim
+
+import graft.SparkSpec
+import graft.sources.Tables
+import graft.store.IndexStore
+import org.apache.spark.sql.functions._
+
+class IvfPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("composed index reaches the gate recall bound (>= 0.6 at k=3)") {
+    val qs = emb.where($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id")
+    val approx = IvfPq.topK(emb, qs, "vec_id", "embedding",
+      k = 3, nLists = 16, nProbe = 8, m = 16, ksub = 64, overRetrieve = 8)
+      .select("query_id", "neighbor_id")
+    val nExact = exact.count()
+    val nHit = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(nHit * 5 >= nExact * 3, s"recall ${nHit.toDouble / nExact} below 0.6")
+  }
+
+  test("probing every list equals the pure-PQ path (pruning is the only delta)") {
+    val qs = emb.where($"vec_id" < 5)
+    val idx = IvfPq.buildIndex(emb, "vec_id", "embedding",
+      nLists = 16, m = 16, ksub = 64)
+    val allLists = IvfPq.topKFrom(idx, emb, qs, "vec_id", "embedding",
+      k = 3, nProbe = 16, overRetrieve = 8).select("query_id", "neighbor_id")
+    val purePq = ProductQuantization.adcTopKFrom(
+      idx.codes.select("neighbor_id", "codes"), emb, qs,
+      "vec_id", "embedding", idx.codebook, k = 3, overRetrieve = 8)
+      .select("query_id", "neighbor_id")
+    assert(allLists.exceptAll(purePq).isEmpty && purePq.exceptAll(allLists).isEmpty,
+      "nProbe = nLists must reduce IVF-PQ to the PQ scan")
+  }
+
+  test("IVF-PQ index round-trips through the store with identical probes") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    val idx = IvfPq.buildIndex(emb, "vec_id", "embedding",
+      nLists = 16, m = 16, ksub = 64)
+    IndexStore.saveIvfPqIndex(spark, idx, dir)
+    val idx2 = IndexStore.loadIvfPqIndex(spark, dir)
+    assert(idx2.centroids == idx.centroids)
+    assert(idx2.codebook == idx.codebook)
+    val qs = emb.where($"vec_id" < 5)
+    val a = IvfPq.topKFrom(idx, emb, qs, "vec_id", "embedding", k = 3)
+      .collect().toSeq
+    val b = IvfPq.topKFrom(idx2, emb, qs, "vec_id", "embedding", k = 3)
+      .collect().toSeq
+    assert(a == b, "probing the reloaded index must match the in-memory index")
+    intercept[IllegalArgumentException] { IndexStore.loadPqIndex(spark, dir) }
+  }
+}
