@@ -90,5 +90,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.MarkerLangId(args.head,
           graft.functions.TextFunctions.LanguageMarkers.toSeq.sortBy(_._1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("bigram_pair_hashes"),
+      new ExpressionInfo(classOf[graft.functions.BigramPairHashes].getName,
+        "bigram_pair_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "usage: bigram_pair_hashes(text)")
+        graft.functions.BigramPairHashes(args.head)
+      }))
   }
 }

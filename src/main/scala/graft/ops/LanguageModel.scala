@@ -34,9 +34,10 @@ import org.apache.spark.sql.functions._
 object LanguageModel {
 
   /** A fitted bigram LM: bigram counts, context (bigram-start) counts,
-    * and the training vocabulary size. Both frames are vocabulary-sized. */
+    * the distinct-token table, and its count. All frames are
+    * vocabulary-sized. */
   final case class BigramLm(bigrams: DataFrame, contexts: DataFrame,
-                            vocabSize: Long)
+                            vocab: DataFrame, vocabSize: Long)
 
   /** Fit on `train`'s text column: c2 per bigram hash, c1 per leading-
     * unigram hash, V = distinct tokens (via the compiled distinct-unigram
@@ -48,11 +49,24 @@ object LanguageModel {
       .select(col("e.bh").as("bh"), col("e.uh").as("uh"))
     val bigrams = events.groupBy("bh").agg(count(lit(1)).as("c2"))
     val contexts = events.groupBy("uh").agg(count(lit(1)).as("c1"))
-    val vocabSize = train
+    val vocab = train
       .select(explode(HashFunctions.wordGramHashes(col(textCol), 1)).as("h"))
-      .agg(countDistinct(col("h")).as("v"))
-      .head().getLong(0)
-    BigramLm(bigrams, contexts, vocabSize)
+      .distinct()
+    BigramLm(bigrams, contexts, vocab, vocab.count())
+  }
+
+  /** Additive LM merge — the incremental-update path: counts are sums,
+    * vocabulary is a distinct union, so `merge(fit(A), fit(B))` equals
+    * `fit(A ∪ B)` EXACTLY (pinned by LanguageModelSpec). A growing corpus
+    * updates its stored LM by fitting ONLY the new batch and merging —
+    * vocabulary-sized work, never a rescan of the old corpus. */
+  def merge(a: BigramLm, b: BigramLm): BigramLm = {
+    val bigrams = a.bigrams.unionByName(b.bigrams)
+      .groupBy("bh").agg(sum("c2").as("c2"))
+    val contexts = a.contexts.unionByName(b.contexts)
+      .groupBy("uh").agg(sum("c1").as("c1"))
+    val vocab = a.vocab.unionByName(b.vocab).distinct()
+    BigramLm(bigrams, contexts, vocab, vocab.count())
   }
 
   /** Score each doc's mean bigram negative log-likelihood under `lm`.

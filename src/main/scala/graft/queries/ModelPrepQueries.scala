@@ -124,8 +124,36 @@ object ModelPrepQueries {
     Sharding.manifest(Tables.documents(s, dir), "doc_id", epoch = 1,
       nShards = 8).orderBy("shard")
 
+  /** q93 — incremental LM update + stored-LM round trip: fit the two
+    * corpus halves SEPARATELY, [[LanguageModel.merge]] them (counts are
+    * additive, vocabulary is a distinct union), SAVE the merged LM to
+    * parquet, RELOAD it, and score the corpus with the reloaded model.
+    * The oracle fits once on the whole corpus — hash equality holds only
+    * if merge(fit(A), fit(B)) == fit(A ∪ B) exactly AND the store round
+    * trip is lossless. Threshold 3.45 re-measured for full-corpus
+    * training: flags 16/15/163 with ≥2e-4 margin at the three SFs. */
+  val lmIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val even = LanguageModel.fitBigramLm(
+      docs.where(col("doc_id") % 2 === 0), "text")
+    val odd = LanguageModel.fitBigramLm(
+      docs.where(col("doc_id") % 2 === 1), "text")
+    val merged = LanguageModel.merge(even, odd)
+    val path = java.nio.file.Files.createTempDirectory("graft_lm_idx").toString
+    graft.store.IndexStore.saveLm(s, merged, path)
+    val reloaded = graft.store.IndexStore.loadLm(s, path)
+    LanguageModel.scoreNll(docs, "doc_id", "text", reloaded)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("avg_nll")), 4).as("avg_nll"),
+        sum(when(col("avg_nll") > 3.45, 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy("lang")
+  }
+
   val all: Map[String, Q] = Map(
     "q87_lm_perplexity" -> lmPerplexity,
+    "q93_lm_incremental" -> lmIncremental,
     "q88_train_val_split" -> trainValSplit,
     "q89_source_overlap" -> sourceOverlap,
     "q90_pq_ann" -> pqAnn,
@@ -145,6 +173,27 @@ object ModelPrepQueries {
         |c1 AS (SELECT w1, count(*) AS c1 FROM tr GROUP BY 1),
         |v AS (SELECT count(DISTINCT tok) AS v
         |      FROM (SELECT unnest(ts) AS tok FROM d WHERE doc_id % 5 <> 0)),
+        |sc AS (
+        |  SELECT ev.doc_id,
+        |    -ln((coalesce(c2.c2, 0) + 1) / (coalesce(c1.c1, 0) + v.v)) AS nll
+        |  FROM ev LEFT JOIN c2 USING (bg) LEFT JOIN c1 USING (w1) CROSS JOIN v),
+        |pd AS (
+        |  SELECT doc_id, avg(nll) AS avg_nll FROM sc GROUP BY 1)
+        |SELECT lang, count(*) AS n_docs, round(avg(avg_nll), 4) AS avg_nll,
+        |  CAST(sum(CASE WHEN avg_nll > 3.45 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM pd JOIN (SELECT doc_id, lang FROM documents) USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q93_lm_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |ev AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i] || ' ' || ts[i+1] AS bg
+        |  FROM d, UNNEST(generate_series(1, len(ts) - 1)) AS t(i)),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM ev GROUP BY 1),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM ev GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v
+        |      FROM (SELECT unnest(ts) AS tok FROM d)),
         |sc AS (
         |  SELECT ev.doc_id,
         |    -ln((coalesce(c2.c2, 0) + 1) / (coalesce(c1.c1, 0) + v.v)) AS nll

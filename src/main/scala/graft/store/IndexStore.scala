@@ -141,6 +141,29 @@ object IndexStore {
     IvfPq.IvfPqIndex(cents, cb, spark.read.parquet(s"$path/codes"))
   }
 
+  /** Persist a fitted bigram LM ([[graft.ops.LanguageModel.BigramLm]]):
+    * three vocabulary-sized count/vocab tables. The stored-LM half of the
+    * incremental-update story — reload, fit only the new batch, `merge`,
+    * save back. Overwrites. */
+  def saveLm(spark: SparkSession, lm: graft.ops.LanguageModel.BigramLm,
+             path: String): Unit = {
+    writeMeta(spark, path, "lm")
+    lm.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+    lm.contexts.write.mode("overwrite").parquet(s"$path/contexts")
+    lm.vocab.write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** Reload a stored LM; the count tables come back as plain parquet
+    * scans, vocabSize from one vocabulary-sized count. */
+  def loadLm(spark: SparkSession, path: String): graft.ops.LanguageModel.BigramLm = {
+    checkMeta(spark, path, "lm")
+    val vocab = spark.read.parquet(s"$path/vocab")
+    graft.ops.LanguageModel.BigramLm(
+      spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/contexts"),
+      vocab, vocab.count())
+  }
+
   /** Persist the q66-style MinHash/span/chunk hash index: any one-column
     * (or narrow) DataFrame of hashes/signatures. The generic store for
     * indexes that are pure DataFrames (no driver-side fitted state). */

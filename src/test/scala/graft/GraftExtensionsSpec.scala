@@ -78,6 +78,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getString(5) == "en")
   }
 
+  test("bigram_pair_hashes is callable from SQL and matches the Column API") {
+    ColumnBridge.registerFunction(spark, "bigram_pair_hashes",
+      args => graft.functions.BigramPairHashes(args.head))
+    Seq((1L, "a b c"), (2L, "solo"), (3L, ""))
+      .toDF("id", "text").createOrReplaceTempView("bigram_sql_test")
+    val viaSql = spark.sql(
+      "SELECT id, bigram_pair_hashes(text) AS evs FROM bigram_sql_test")
+    val viaApi = spark.table("bigram_sql_test")
+      .select(org.apache.spark.sql.functions.col("id"),
+        graft.functions.HashFunctions.bigramPairHashes(
+          org.apache.spark.sql.functions.col("text")).as("evs"))
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+    val counts = viaSql.select(org.apache.spark.sql.functions.col("id"),
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("evs")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(counts == Map(1L -> 2, 2L -> 0, 3L -> 0))
+  }
+
   test("quantile_sketch is callable from SQL, scalar and array quantiles") {
     ColumnBridge.registerFunction(spark, "quantile_sketch",
       graft.functions.GraftFunctions.quantileSketchBuilder)

@@ -56,6 +56,35 @@ class LanguageModelSpec extends SparkSpec {
       "unseen contexts must score the worst possible -ln(1/V)")
   }
 
+  test("merge of split fits equals the whole-corpus fit exactly") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val whole = LanguageModel.fitBigramLm(docs, "text")
+    val merged = LanguageModel.merge(
+      LanguageModel.fitBigramLm(docs.where($"doc_id" % 2 === 0), "text"),
+      LanguageModel.fitBigramLm(docs.where($"doc_id" % 2 === 1), "text"))
+    assert(merged.vocabSize == whole.vocabSize)
+    assert(merged.bigrams.exceptAll(whole.bigrams).isEmpty &&
+      whole.bigrams.exceptAll(merged.bigrams).isEmpty, "bigram counts differ")
+    assert(merged.contexts.exceptAll(whole.contexts).isEmpty &&
+      whole.contexts.exceptAll(merged.contexts).isEmpty, "context counts differ")
+  }
+
+  test("stored LM round-trips losslessly and rejects a wrong kind") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val lm = LanguageModel.fitBigramLm(docs, "text")
+    val dir = java.nio.file.Files.createTempDirectory("lm_idx").toString
+    graft.store.IndexStore.saveLm(spark, lm, dir)
+    val back = graft.store.IndexStore.loadLm(spark, dir)
+    assert(back.vocabSize == lm.vocabSize)
+    val a = LanguageModel.scoreNll(docs, "doc_id", "text", lm)
+    val b = LanguageModel.scoreNll(docs, "doc_id", "text", back)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "scores via the reloaded LM must be identical")
+    intercept[IllegalArgumentException] {
+      graft.store.IndexStore.loadHashIndex(spark, dir)
+    }
+  }
+
   test("reference-slice fit separates clean docs from shuffled-gibberish docs") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val lm = LanguageModel.fitBigramLm(docs, "text")
