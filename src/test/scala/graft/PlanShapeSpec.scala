@@ -125,6 +125,56 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins in the plan")
   }
 
+  test("LM scoring joins are equi-joins on hashed keys, never nested-loop") {
+    val docs = Tables.documents(spark, dir)
+    val lm = graft.ops.LanguageModel.fitBigramLm(
+      docs.where(col("doc_id") % 5 =!= 0), "text")
+    val plan = graft.ops.LanguageModel.scoreNll(docs, "doc_id", "text", lm)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"LM scoring degenerated to all-pairs: ${plan.take(2000)}")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected equi-joins on bh/uh: ${plan.take(2000)}")
+  }
+
+  test("overlap matrix self-join is an equi-join on the gram hash") {
+    val plan = planOf("q89_source_overlap")
+    assert(!plan.contains("CartesianProduct"),
+      s"overlap matrix must never cross-join the gram sets: ${plan.take(2000)}")
+    // the only nested-loop join allowed is the G x G sizes pairing
+    // (metadata-sized); the gram-hash intersection must be an equi-join
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi-join on h: ${plan.take(2000)}")
+  }
+
+  test("deterministic split and epoch sharding are narrow projections") {
+    val docs = Tables.documents(spark, dir)
+    val split = graft.ops.Sampling.deterministicSplit(docs, "doc_id", "v1",
+      Seq(("train", 0.8), ("rest", 0.2)))
+    val plan = split.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"split assignment must not shuffle: ${plan.take(2000)}")
+    val manifestPlan = graft.ops.Sharding
+      .manifest(docs, "doc_id", 1, 8)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(manifestPlan).length
+    assert(exchanges <= 2, // partial-agg then one hash exchange (AQE pair)
+      s"manifest should shuffle once on the shard key:\n${manifestPlan.take(2000)}")
+  }
+
+  test("PQ encode is a narrow projection with an O(1) plan string") {
+    val emb = Tables.embeddings(spark, dir)
+    val cb = graft.sim.ProductQuantization.fit(emb, "vec_id", "embedding",
+      m = 16, ksub = 64)
+    val enc = graft.sim.ProductQuantization.encode(emb, "vec_id", "embedding", cb)
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encode must not shuffle: ${plan.take(2000)}")
+    assert(plan.length < 20000,
+      s"plan string should not embed the codebook (len=${plan.length})")
+    assert(plan.contains("pq_encode"), "expression should print its compact form")
+  }
+
   test("window-partitioned target reads prune to the addressed partition") {
     import graft.config.PipelineConfig
     import graft.connect.{Connectors, ParquetTarget}
