@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{LanguageModel, Overlap, Sampling, Sharding}
+import graft.ops.{LanguageModel, Overlap, QualityClassifier, Sampling, Sharding}
 import graft.sim.{IvfPq, ProductQuantization, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -151,9 +151,23 @@ object ModelPrepQueries {
       .orderBy("lang")
   }
 
+  /** q94 — model-based quality classification ([[QualityClassifier]]):
+    * the reference linear model scored over the corpus, per-lang keep
+    * counts + mean calibrated score. Keep/drop compares the logit against
+    * 0, whose nearest corpus doc sits 7.7e-4 away at every SF (measured
+    * before the bias was fixed) — float-noise-proof decisions. */
+  val qualityClassifier: Q = (s, dir) =>
+    QualityClassifier.annotate(Tables.documents(s, dir), "text")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality_keep"), 1L).otherwise(0L)).as("n_keep"),
+        round(avg(col("quality_score")), 4).as("avg_score"))
+      .orderBy("lang")
+
   val all: Map[String, Q] = Map(
     "q87_lm_perplexity" -> lmPerplexity,
     "q93_lm_incremental" -> lmIncremental,
+    "q94_quality_classifier" -> qualityClassifier,
     "q88_train_val_split" -> trainValSplit,
     "q89_source_overlap" -> sourceOverlap,
     "q90_pq_ann" -> pqAnn,
@@ -244,6 +258,30 @@ object ModelPrepQueries {
         |  3 * count(DISTINCT vec_id) AS n_exact_neighbors,
         |  true AS recall_ge_080
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "q94_quality_classifier" ->
+      """WITH t AS (
+        |  SELECT lang, text, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |m AS (
+        |  SELECT lang,
+        |    len(ts) AS ntok,
+        |    CASE WHEN len(ts) = 0 THEN 0.0
+        |      ELSE list_sum(list_transform(ts, x -> length(x))) * 1.0 / len(ts) END AS mtl,
+        |    CASE WHEN len(ts) = 0 THEN 0.0
+        |      ELSE len(list_filter(ts, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that','be'], lower(x)))) * 1.0 / len(ts)
+        |    END AS swr,
+        |    (SELECT 1.0 - len(list_distinct(g)) * 1.0 / len(g) FROM (
+        |      SELECT CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |        ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts) - 2)]
+        |      END AS g)) AS rep
+        |  FROM t),
+        |z AS (
+        |  SELECT lang,
+        |    -2.91 + 0.02 * ntok + 0.3 * mtl + 10.0 * swr - 30.0 * rep AS zz
+        |  FROM m)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN zz >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  round(avg(1.0 / (1.0 + exp(-zz))), 4) AS avg_score
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     "q91_ivfpq_ann" ->
       """SELECT count(DISTINCT vec_id) AS n_queries,
         |  3 * count(DISTINCT vec_id) AS n_exact_neighbors,

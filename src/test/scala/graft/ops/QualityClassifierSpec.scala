@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class QualityClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("annotate emits consistent logit/score/keep per row") {
+    val a = QualityClassifier.annotate(docs, "text")
+    val bad = a.where(
+      (col("quality_keep") =!= (col("quality_logit") >= 0)) ||
+        (abs(col("quality_score") -
+          lit(1.0) / (lit(1.0) + exp(-col("quality_logit")))) > 1e-12))
+    assert(bad.isEmpty, "keep/score must derive from the logit")
+    // scores are probabilities
+    val mm = a.agg(min("quality_score"), max("quality_score")).head()
+    assert(mm.getDouble(0) > 0.0 && mm.getDouble(1) < 1.0)
+  }
+
+  test("monotone in each feature's direction: garbage scores lower") {
+    val base = "the quick brown fox jumps over a lazy dog and runs to the hills with it"
+    def scoreOf(t: String): Double =
+      QualityClassifier.annotate(Seq((1L, t)).toDF("doc_id", "text"), "text")
+        .select("quality_score").head().getDouble(0)
+    val clean = scoreOf(base)
+    // repetition hurts (wRep < 0)
+    val repeated = scoreOf(("spam ham " * 20).trim)
+    assert(repeated < clean, s"repetitive text must score lower ($repeated vs $clean)")
+    // stopword-free letter soup hurts (wSwr > 0 contribution lost)
+    val soup = scoreOf("qwe rty uio pas dfg hjk lzx cvb nmq wer tyu iop asd fgh jkl")
+    assert(soup < clean, s"stopword-free soup must score lower ($soup vs $clean)")
+  }
+
+  test("decision margin: no corpus doc sits near the boundary") {
+    val margin = QualityClassifier.annotate(docs, "text")
+      .agg(min(abs(col("quality_logit")))).head().getDouble(0)
+    assert(margin > 1e-5,
+      s"nearest logit to the boundary is $margin — too close for cross-engine parity")
+  }
+
+  test("a custom model reweights decisions") {
+    val strict = QualityClassifier.LinearModel(
+      bias = -4.5, wNtok = 0.02, wMtl = 0.3, wSwr = 10.0, wRep = -30.0)
+    val keepRef = QualityClassifier.annotate(docs, "text")
+      .where(col("quality_keep")).count()
+    val keepStrict = QualityClassifier.annotate(docs, "text", strict)
+      .where(col("quality_keep")).count()
+    assert(keepStrict < keepRef, "a lower bias must keep strictly fewer docs")
+  }
+}
