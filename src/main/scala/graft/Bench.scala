@@ -55,7 +55,9 @@ object Bench {
     "q86_curation_pipeline",  // the composed end-to-end curation chain
     "q87_lm_perplexity",      // bigram-LM fit + corpus NLL scoring
     "q89_source_overlap",     // cross-source distinct-gram overlap matrix
-    "q90_pq_ann")             // product-quantized ANN (ADC + re-rank)
+    "q90_pq_ann",             // product-quantized ANN (ADC + re-rank)
+    "q91_ivfpq_ann",          // composed IVF-PQ (pruned compressed scan)
+    "q93_lm_incremental")     // split-fit + merge + stored-LM round trip
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage
