@@ -68,19 +68,46 @@ object Sampling {
     * floor(cumWeight * 2^32) longs, so any engine with md5 reproduces the
     * assignment exactly (the DuckDB oracle does). */
   def deterministicSplit(df: DataFrame, keyCol: String, salt: String,
-                         weights: Seq[(String, Double)]): DataFrame = {
+                         weights: Seq[(String, Double)]): DataFrame =
+    df.withColumn("split", splitAssign(col(keyCol), salt, weights))
+
+  /** The split-assignment column: md5 bucket of `group:salt` against
+    * cumulative-weight thresholds. Exposed so any grouping key can drive
+    * the split ([[deterministicSplit]] uses the row key,
+    * [[clusterAwareSplit]] the dedup-cluster id). */
+  def splitAssign(group: Column, salt: String,
+                  weights: Seq[(String, Double)]): Column = {
     require(weights.nonEmpty, "need at least one split")
     require(weights.forall(_._2 > 0), "split weights must be positive")
     require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
       "split weights must sum to 1")
-    val bucket = md5Bucket(concat(col(keyCol).cast("string"), lit(":" + salt)))
+    val bucket = md5Bucket(concat(group.cast("string"), lit(":" + salt)))
     val cum = weights.map(_._2).scanLeft(0.0)(_ + _).tail
     val thresholds = cum.init.map(w => math.floor(w * Buckets).toLong)
-    val assign = thresholds.zip(weights.map(_._1))
+    thresholds.zip(weights.map(_._1))
       .foldRight(lit(weights.last._1): Column) { case ((t, name), rest) =>
         when(bucket < t, name).otherwise(rest)
       }
-    df.withColumn("split", assign)
+  }
+
+  /** Leakage-free split: rows sharing a dedup cluster are assigned as ONE
+    * unit — the split hash keys on the cluster id (singleton rows on their
+    * own key), so a near-duplicate can never sit in train while its twin
+    * sits in eval. `clusters` is the (id, component) frame of
+    * [[graft.dedup.ConnectedComponents.run]] over any pair source; one
+    * broadcast-sized join (clusters only contain docs that HAVE a
+    * duplicate) then the same narrow threshold assignment. This is the
+    * split a deduplicated training corpus actually needs — splitting
+    * before (or without) cluster awareness leaks eval data through every
+    * surviving near-dup pair. */
+  def clusterAwareSplit(df: DataFrame, keyCol: String, clusters: DataFrame,
+                        salt: String,
+                        weights: Seq[(String, Double)]): DataFrame = {
+    val c = clusters.select(col("id").as(keyCol), col("component"))
+    df.join(c, Seq(keyCol), "left")
+      .withColumn("split",
+        splitAssign(coalesce(col("component"), col(keyCol)), salt, weights))
+      .drop("component")
   }
 
   /** Deterministic per-epoch shuffle key: md5 of `epoch:key`. Ordering a

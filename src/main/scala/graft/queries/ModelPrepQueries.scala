@@ -164,10 +164,41 @@ object ModelPrepQueries {
         round(avg(col("quality_score")), 4).as("avg_score"))
       .orderBy("lang")
 
+  /** q95 — leakage-free (cluster-aware) split: near-dup clusters from the
+    * LSH scale path resolve to components, and the split hash keys on the
+    * COMPONENT, so twins can never straddle train/eval. The oracle
+    * recomputes clusters with q62's exact-Jaccard recursive closure (LSH
+    * == exact on this corpus, pinned by q62 at every SF) and re-derives
+    * the same assignment; `no_cluster_straddles` is the operator's
+    * invariant, computed (not assumed) on both sides. */
+  val clusterSplit: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pairs = graft.dedup.Dedup.minHashLsh(docs, "doc_id", "text",
+      shingleK = 5, numHashes = 64, bands = 16, minJaccard = 0.6)
+    val clusters = graft.dedup.ConnectedComponents.run(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    val split = Sampling.clusterAwareSplit(docs, "doc_id", clusters, "v1",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    val flagged = split.join(
+      clusters.select(col("id").as("doc_id"), lit(1L).as("clustered")),
+      Seq("doc_id"), "left")
+    val per = flagged.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("clustered"), lit(0L))).as("n_clustered"))
+    val straddle = split
+      .join(clusters.select(col("id").as("doc_id"), col("component")), "doc_id")
+      .groupBy("component")
+      .agg(countDistinct(col("split")).as("ns"))
+      .agg(coalesce(max(when(col("ns") > 1, lit(1))), lit(0)).as("straddles"))
+      .select((col("straddles") === 0).as("no_cluster_straddles"))
+    per.crossJoin(straddle).orderBy("split")
+  }
+
   val all: Map[String, Q] = Map(
     "q87_lm_perplexity" -> lmPerplexity,
     "q93_lm_incremental" -> lmIncremental,
     "q94_quality_classifier" -> qualityClassifier,
+    "q95_cluster_split" -> clusterSplit,
     "q88_train_val_split" -> trainValSplit,
     "q89_source_overlap" -> sourceOverlap,
     "q90_pq_ann" -> pqAnn,
@@ -258,6 +289,47 @@ object ModelPrepQueries {
         |  3 * count(DISTINCT vec_id) AS n_exact_neighbors,
         |  true AS recall_ge_080
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "q95_cluster_split" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id AS id, unnest(
+        |    [substring(text, i, 5) FOR i IN generate_series(1, greatest(length(text) - 4, 1))]) AS shingle
+        |  FROM documents),
+        |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.id AS ia, b.id AS ib, count(*) AS n
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT ia AS doc_a, ib AS doc_b
+        |  FROM inter JOIN sizes sa ON ia = sa.id JOIN sizes sb ON ib = sb.id
+        |  WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.6),
+        |nodes AS (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1),
+        |s AS (
+        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS grp,
+        |    CASE WHEN c.id IS NULL THEN 0 ELSE 1 END AS clustered
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        |lab AS (
+        |  SELECT doc_id, grp, clustered,
+        |    CASE WHEN CAST(concat('0x', substr(md5(CAST(grp AS VARCHAR) || ':v1'), 1, 8)) AS BIGINT) < 3435973836 THEN 'train'
+        |         WHEN CAST(concat('0x', substr(md5(CAST(grp AS VARCHAR) || ':v1'), 1, 8)) AS BIGINT) < 3865470566 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM s),
+        |per AS (
+        |  SELECT split, count(*) AS n_docs,
+        |    CAST(sum(clustered) AS BIGINT) AS n_clustered
+        |  FROM lab GROUP BY 1),
+        |st AS (
+        |  SELECT coalesce(bool_and(ns = 1), true) AS no_cluster_straddles
+        |  FROM (SELECT grp, count(DISTINCT split) AS ns
+        |        FROM lab WHERE clustered = 1 GROUP BY 1))
+        |SELECT per.split, per.n_docs, per.n_clustered, st.no_cluster_straddles
+        |FROM per CROSS JOIN st ORDER BY 1""".stripMargin,
     "q94_quality_classifier" ->
       """WITH t AS (
         |  SELECT lang, text, string_split_regex(trim(text), '\s+') AS ts FROM documents),

@@ -128,6 +128,32 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(a.size - b.size).toDouble / a.size < 0.2)
   }
 
+  test("cluster-aware split keeps every near-dup cluster in one split") {
+    import graft.dedup.{ConnectedComponents, Dedup}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val weights = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text", 5, 64, 16, 0.6)
+    val clusters = ConnectedComponents.run(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    assert(clusters.count() > 0, "test needs real near-dup clusters")
+    val split = Sampling.clusterAwareSplit(docs, "doc_id", clusters, "v1", weights)
+    assert(split.count() == docs.count(), "the join must not drop or dup rows")
+    val straddles = split
+      .join(clusters.select(col("id").as("doc_id"), col("component")), "doc_id")
+      .groupBy("component").agg(countDistinct("split").as("ns"))
+      .where(col("ns") > 1).count()
+    assert(straddles == 0, "no cluster may span two splits")
+    // docs outside any cluster split exactly like the plain key split
+    val plain = Sampling.deterministicSplit(docs, "doc_id", "v1", weights)
+    val clusterIds = clusters.select(col("id").as("doc_id"))
+    val a = split.join(clusterIds, Seq("doc_id"), "left_anti")
+      .select("doc_id", "split")
+    val b = plain.join(clusterIds, Seq("doc_id"), "left_anti")
+      .select("doc_id", "split")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "singleton docs must be assigned exactly like the plain split")
+  }
+
   test("epoch order is a deterministic permutation that varies by epoch") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     def order(epoch: Int): Seq[Long] = docs
