@@ -75,6 +75,20 @@ class TextExprPropertySpec extends SparkSpec {
         docs.select($"doc_id", array_distinct(transform(
           TextFunctions.charShingles($"text", k), s => xxhash64(s))).as("x")),
         s"char-shingle hashes k=$k")
+      locally {
+        val ts = split(trim($"text"), "\\s+")
+        assertEqual(
+          docs.select($"doc_id", HashFunctions.bigramPairHashes($"text").as("x")),
+          docs.select($"doc_id",
+            when(length(trim($"text")) === 0 || size(ts) < 2,
+              array().cast("array<struct<bh:bigint,uh:bigint>>"))
+              .otherwise(transform(sequence(lit(0), size(ts) - lit(2)), i =>
+                struct(
+                  xxhash64(concat(element_at(ts, i + 1), lit(" "),
+                    element_at(ts, i + 2))).as("bh"),
+                  xxhash64(element_at(ts, i + 1)).as("uh")))).as("x")),
+          "bigram pair hashes")
+      }
     } finally docs.unpersist()
   }
 
