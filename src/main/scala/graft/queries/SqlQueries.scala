@@ -191,7 +191,25 @@ object SqlQueries {
       FROM q LEFT JOIN k ON q.lang = k.lang ORDER BY q.lang""")
   }
 
+  /** q96 — the q88 deterministic split from pure SQL text: same md5
+    * bucket thresholds, same epoch-order arg-min proof, built-ins only
+    * (conv/md5/min_by), sharing q88's oracle. */
+  val sqlTrainValSplit: Q = (s, dir) => {
+    ensureSurface(s, dir)
+    s.sql("""
+      WITH b AS (
+        SELECT doc_id, lang,
+          CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':v1')), 1, 8), 16, 10) AS BIGINT) AS bucket,
+          md5(concat('e1:', CAST(doc_id AS STRING))) AS ek
+        FROM documents)
+      SELECT CASE WHEN bucket < 3435973836L THEN 'train'
+                  WHEN bucket < 3865470566L THEN 'val' ELSE 'test' END AS split,
+        lang, count(*) AS n_docs, min_by(doc_id, ek) AS first_doc_id
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2""")
+  }
+
   val all: Map[String, Q] = Map(
+    "q96_sql_split" -> sqlTrainValSplit,
     "q71_sql_pricing_summary" -> sqlPricingSummary,
     "q72_sql_sketch_percentiles" -> sqlSketchPercentiles,
     "q73_sql_knn" -> sqlKnn,
@@ -200,6 +218,7 @@ object SqlQueries {
     "q81_sql_temperature_mix" -> sqlTemperatureMix)
 
   val oracles: Map[String, String] = Map(
+    "q96_sql_split" -> ModelPrepQueries.oracles("q88_train_val_split"),
     "q71_sql_pricing_summary" -> RelationalQueries.oracles("q01_pricing_summary"),
     "q72_sql_sketch_percentiles" -> CorpusQueries.oracles("q56_sketch_percentiles"),
     "q73_sql_knn" -> CorpusQueries.oracles("q50_knn_brute_force"),
