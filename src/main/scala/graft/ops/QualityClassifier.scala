@@ -56,4 +56,25 @@ object QualityClassifier {
       .withColumn("quality_score", lit(1.0) / (lit(1.0) + exp(-z)))
       .withColumn("quality_keep", z >= 0)
   }
+
+  /** Per-domain calibrated filter: keep each domain's top `keepFraction`
+    * by classifier logit — percent_rank normalization, because quality
+    * distributions differ BY SOURCE and a single global threshold
+    * over-filters clean-but-terse domains while under-filtering verbose
+    * ones (the reason production filters calibrate per source). One
+    * shuffle on the domain column; rank ties are broken by the key so the
+    * kept set is deterministic and engine-portable (percent_rank is exact
+    * rational arithmetic — no float threshold to sit on). Adds
+    * `quality_pr` and `quality_keep`. */
+  def annotateCalibrated(docs: DataFrame, textCol: String, domainCol: String,
+                         keyCol: String, keepFraction: Double,
+                         model: LinearModel = ReferenceModel): DataFrame = {
+    require(keepFraction > 0 && keepFraction <= 1, "keepFraction in (0,1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(domainCol)
+      .orderBy(logit(col(textCol), model).asc, col(keyCol).asc)
+    docs.withColumn("quality_logit", logit(col(textCol), model))
+      .withColumn("quality_pr", percent_rank().over(w))
+      .withColumn("quality_keep", col("quality_pr") >= lit(1.0 - keepFraction))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.ops.{LanguageModel, Overlap, QualityClassifier, Sampling, Sharding}
-import graft.sim.{IvfPq, ProductQuantization, Similarity}
+import graft.sim.{EmbeddingDrift, IvfPq, ProductQuantization, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -194,11 +194,42 @@ object ModelPrepQueries {
     per.crossJoin(straddle).orderBy("split")
   }
 
+  /** q97 — per-source calibrated quality filter
+    * ([[QualityClassifier.annotateCalibrated]]): each source keeps its own
+    * top half by logit percent_rank — rank arithmetic, not a float
+    * threshold, so there is no boundary to sit on. Reports per-source
+    * kept counts and the kept-set cutoff logit. */
+  val calibratedQuality: Q = (s, dir) =>
+    QualityClassifier.annotateCalibrated(Tables.documents(s, dir), "text",
+      domainCol = "source", keyCol = "doc_id", keepFraction = 0.5)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality_keep"), 1L).otherwise(0L)).as("n_keep"),
+        round(min(when(col("quality_keep"), col("quality_logit"))), 4)
+          .as("cutoff_logit"))
+      .orderBy("source")
+
+  /** q98 — embedding centroid drift ([[EmbeddingDrift.centroidDrift]]):
+    * per-label comparison of the even/odd vec_id halves — the
+    * distribution-shift report between two crawls/windows. Dimension-
+    * bounded shuffles; the oracle re-derives per-dimension means and
+    * cosines in DuckDB list arithmetic. */
+  val embeddingDrift: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    EmbeddingDrift.centroidDrift(
+      emb.where(col("vec_id") % 2 === 0),
+      emb.where(col("vec_id") % 2 === 1),
+      "label", "embedding")
+      .orderBy("label")
+  }
+
   val all: Map[String, Q] = Map(
     "q87_lm_perplexity" -> lmPerplexity,
     "q93_lm_incremental" -> lmIncremental,
     "q94_quality_classifier" -> qualityClassifier,
     "q95_cluster_split" -> clusterSplit,
+    "q97_calibrated_quality" -> calibratedQuality,
+    "q98_embedding_drift" -> embeddingDrift,
     "q88_train_val_split" -> trainValSplit,
     "q89_source_overlap" -> sourceOverlap,
     "q90_pq_ann" -> pqAnn,
@@ -289,6 +320,51 @@ object ModelPrepQueries {
         |  3 * count(DISTINCT vec_id) AS n_exact_neighbors,
         |  true AS recall_ge_080
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "q98_embedding_drift" ->
+      """WITH u AS (
+        |  SELECT label, vec_id % 2 AS half,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |m AS (SELECT label, half, pos, avg(x) AS mx FROM u GROUP BY 1, 2, 3),
+        |c AS (SELECT label, half, list(mx ORDER BY pos) AS v FROM m GROUP BY 1, 2),
+        |n AS (SELECT label, vec_id % 2 AS half, count(*) AS n
+        |      FROM embeddings GROUP BY 1, 2),
+        |a AS (SELECT c.label, c.v, n.n FROM c JOIN n USING (label, half) WHERE half = 0),
+        |b AS (SELECT c.label, c.v, n.n FROM c JOIN n USING (label, half) WHERE half = 1)
+        |SELECT a.label, a.n AS n_a, b.n AS n_b,
+        |  round(sqrt(list_sum(list_transform(a.v, x -> x * x))), 6) AS norm_a,
+        |  round(sqrt(list_sum(list_transform(b.v, x -> x * x))), 6) AS norm_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS centroid_cosine
+        |FROM a JOIN b USING (label) ORDER BY 1""".stripMargin,
+    "q97_calibrated_quality" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, text, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |m AS (
+        |  SELECT source, doc_id,
+        |    len(ts) AS ntok,
+        |    CASE WHEN len(ts) = 0 THEN 0.0
+        |      ELSE list_sum(list_transform(ts, x -> length(x))) * 1.0 / len(ts) END AS mtl,
+        |    CASE WHEN len(ts) = 0 THEN 0.0
+        |      ELSE len(list_filter(ts, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that','be'], lower(x)))) * 1.0 / len(ts)
+        |    END AS swr,
+        |    (SELECT 1.0 - len(list_distinct(g)) * 1.0 / len(g) FROM (
+        |      SELECT CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |        ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts) - 2)]
+        |      END AS g)) AS rep
+        |  FROM t),
+        |z AS (
+        |  SELECT source, doc_id,
+        |    -2.91 + 0.02 * ntok + 0.3 * mtl + 10.0 * swr - 30.0 * rep AS zz
+        |  FROM m),
+        |r AS (
+        |  SELECT source, zz,
+        |    percent_rank() OVER (PARTITION BY source ORDER BY zz ASC, doc_id ASC) AS pr
+        |  FROM z)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN pr >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  round(min(CASE WHEN pr >= 0.5 THEN zz END), 4) AS cutoff_logit
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q95_cluster_split" ->
       """WITH RECURSIVE sh AS (
         |  SELECT DISTINCT doc_id AS id, unnest(

@@ -1,0 +1,54 @@
+package graft.sim
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Embedding distribution-shift monitoring: per-group centroid comparison
+  * between two corpus slices (crawls, time windows, pipeline versions).
+  * The ops report behind "did this month's crawl move the embedding
+  * space" — centroid cosine near 1 means the group's mass sits where it
+  * did; a dropping cosine or a norm jump flags drift before a model
+  * retrain discovers it the hard way.
+  *
+  * Scale shape: one posexplode + (group, dim) aggregation per side —
+  * the corpus collapses to G × d partial sums in the map stage (avg is
+  * algebraic), so the shuffle carries dimension-bounded rows, never
+  * vectors. Centroid assembly (sort_array over d struct rows) and the
+  * final cosine run on the G-row result frame — metadata-sized, where
+  * interpreted HOF cost is irrelevant by the compiled-expression
+  * doctrine's own profiling rule (per-ELEMENT cost only matters on
+  * corpus-sized paths).
+  */
+object EmbeddingDrift {
+
+  private def centroids(df: DataFrame, groupCol: String,
+                        vecCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"),
+        posexplode(col(vecCol).cast("array<double>")))
+      .groupBy("grp", "pos")
+      .agg(avg(col("col")).as("m"))
+      .groupBy("grp")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("centroid"))
+
+  /** One row per group present in BOTH slices: sizes, centroid norms, and
+    * the centroid cosine (rounded for engine-portable reporting). */
+  def centroidDrift(a: DataFrame, b: DataFrame, groupCol: String,
+                    vecCol: String): DataFrame = {
+    def side(df: DataFrame, tag: String): DataFrame =
+      centroids(df, groupCol, vecCol)
+        .withColumnRenamed("centroid", s"c_$tag")
+        .join(df.groupBy(col(groupCol).as("grp"))
+          .agg(count(lit(1)).as(s"n_$tag")), "grp")
+    side(a, "a").join(side(b, "b"), "grp")
+      .select(col("grp").as(groupCol), col("n_a"), col("n_b"),
+        round(sqrt(VectorFunctions.dotProduct(col("c_a"), col("c_a"))), 6)
+          .as("norm_a"),
+        round(sqrt(VectorFunctions.dotProduct(col("c_b"), col("c_b"))), 6)
+          .as("norm_b"),
+        round(VectorFunctions.cosineSimilarity(col("c_a"), col("c_b")), 6)
+          .as("centroid_cosine"))
+  }
+}

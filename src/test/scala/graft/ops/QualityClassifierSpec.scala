@@ -42,6 +42,43 @@ class QualityClassifierSpec extends SparkSpec {
       s"nearest logit to the boundary is $margin — too close for cross-engine parity")
   }
 
+  test("calibrated filter keeps ~keepFraction per domain, cutoffs differ") {
+    val cal = QualityClassifier.annotateCalibrated(docs, "text",
+      domainCol = "source", keyCol = "doc_id", keepFraction = 0.5)
+    val per = cal.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("quality_keep"), 1L).otherwise(0L)).as("k"),
+        min(when(col("quality_keep"), col("quality_logit"))).as("cut"))
+      .collect()
+    per.foreach { r =>
+      val (n, k) = (r.getLong(1), r.getLong(2))
+      // top half by percent_rank >= 0.5: kept = ceil(n/2) when n > 1
+      val expected = if (n == 1) 0L else (n + 1) / 2
+      assert(k == expected, s"source ${r.getString(0)}: kept $k of $n")
+    }
+    val cuts = per.map(_.getDouble(3)).distinct
+    assert(cuts.length > 1,
+      "per-source cutoffs should differ — that is the point of calibration")
+  }
+
+  test("calibration beats the global threshold on a skewed-domain corpus") {
+    // two domains with disjoint logit ranges: a global threshold keeps
+    // none of the weak domain; calibration keeps half of each
+    val weak = (1 to 10).map(i => (i.toLong, "dom_a", ("zz " * (i + 2)).trim))
+    val strong = (11 to 20).map(i =>
+      (i.toLong, "dom_b", ("the quick brown fox jumps over the lazy dog and it is with " * 3).trim + " " + i))
+    val df = (weak ++ strong).toDF("doc_id", "source", "text")
+    val global = QualityClassifier.annotate(df, "text")
+      .groupBy("source").agg(sum(when(col("quality_keep"), 1).otherwise(0)).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cal = QualityClassifier.annotateCalibrated(df, "text", "source", "doc_id", 0.5)
+      .groupBy("source").agg(sum(when(col("quality_keep"), 1).otherwise(0)).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(global("dom_a") == 0, "global threshold should reject the weak domain outright")
+    assert(cal("dom_a") == 5 && cal("dom_b") == 5,
+      s"calibration keeps half of each domain, got $cal")
+  }
+
   test("a custom model reweights decisions") {
     val strict = QualityClassifier.LinearModel(
       bias = -4.5, wNtok = 0.02, wMtl = 0.3, wSwr = 10.0, wRep = -30.0)

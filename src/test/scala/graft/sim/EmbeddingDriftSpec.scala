@@ -1,0 +1,56 @@
+package graft.sim
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class EmbeddingDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("identical slices report cosine 1 and equal norms") {
+    val d = EmbeddingDrift.centroidDrift(emb, emb, "label", "embedding")
+      .collect()
+    assert(d.nonEmpty)
+    d.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), "same slice, same counts")
+      assert(math.abs(r.getDouble(5) - 1.0) < 1e-9,
+        s"self-cosine must be 1, got ${r.getDouble(5)}")
+      assert(r.getDouble(3) == r.getDouble(4), "self-norms must match")
+    }
+  }
+
+  test("centroids match a hand-computed mean on a tiny frame") {
+    val a = Seq((1L, 0, Seq(1.0, 0.0)), (2L, 0, Seq(3.0, 2.0)))
+      .toDF("vec_id", "label", "embedding")
+    val b = Seq((3L, 0, Seq(0.0, 2.0))).toDF("vec_id", "label", "embedding")
+    val r = EmbeddingDrift.centroidDrift(a, b, "label", "embedding").head()
+    // centroid_a = (2, 1), centroid_b = (0, 2)
+    assert(r.getLong(1) == 2 && r.getLong(2) == 1)
+    assert(math.abs(r.getDouble(3) - math.sqrt(5)) < 1e-6)
+    assert(math.abs(r.getDouble(4) - 2.0) < 1e-6)
+    val expectedCos = 2.0 / (math.sqrt(5) * 2.0) // (2*0 + 1*2) / (|a||b|)
+    assert(math.abs(r.getDouble(5) - expectedCos) < 1e-6)
+  }
+
+  test("an injected shift moves the drift signal, untouched labels stay put") {
+    val half0 = emb.where($"vec_id" % 2 === 0)
+    val half1 = emb.where($"vec_id" % 2 === 1)
+    // shift label 0's second half by a constant offset in every dimension
+    val shifted = half1.withColumn("embedding",
+      when($"label" === 0,
+        transform($"embedding".cast("array<double>"), x => x + lit(5.0)))
+        .otherwise($"embedding".cast("array<double>")))
+    val base = EmbeddingDrift.centroidDrift(half0, half1, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getDouble(5)).toMap
+    val moved = EmbeddingDrift.centroidDrift(half0, shifted, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getDouble(5)).toMap
+    assert(moved(0) < base(0) - 0.01,
+      s"shifted label must show drift (${moved(0)} vs ${base(0)})")
+    (base.keySet - 0).foreach { l =>
+      assert(math.abs(moved(l) - base(l)) < 1e-9,
+        s"untouched label $l must not move")
+    }
+  }
+}
