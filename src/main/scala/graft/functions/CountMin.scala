@@ -1,0 +1,153 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Count-Min sketch (Cormode & Muthukrishnan 2005) as a
+  * `TypedImperativeAggregate` — the point-frequency member of the
+  * engine's mergeable-sketch family (KMV = distinct, Misra-Gries =
+  * top-k, MRL = quantiles, CMS = arbitrary point queries): d×w counters,
+  * estimate = min over rows, NEVER an underestimate, overestimate ≤ εN
+  * with ε ≈ 2/w at probability 1−2^−d. Merge is cell-wise sum, so the
+  * partial/shuffle/merge path carries a fixed d·w·8-byte buffer per
+  * group regardless of stream size — the property that lets one sketch
+  * summarize a 100 TB token stream per group.
+  *
+  * Row hashes are XXH64 with per-row seeds (seed 1000+i), deterministic
+  * across JVMs and runs; the same estimates come back from any
+  * partitioning of the input.
+  */
+final class CmsState(val depth: Int, val width: Int) {
+  val cells: Array[Array[Long]] = Array.ofDim[Long](depth, width)
+  var total: Long = 0L
+
+  private def idx(item: UTF8String, row: Int): Int = {
+    val h = XXH64.hashUTF8String(item, 1000L + row)
+    ((h % width).toInt + width) % width
+  }
+
+  def add(item: UTF8String): Unit = {
+    var i = 0
+    while (i < depth) { cells(i)(idx(item, i)) += 1L; i += 1 }
+    total += 1L
+  }
+
+  def estimate(item: UTF8String): Long = {
+    var est = Long.MaxValue
+    var i = 0
+    while (i < depth) {
+      val c = cells(i)(idx(item, i))
+      if (c < est) est = c
+      i += 1
+    }
+    est
+  }
+
+  def mergeWith(o: CmsState): Unit = {
+    var i = 0
+    while (i < depth) {
+      var j = 0
+      while (j < width) { cells(i)(j) += o.cells(i)(j); j += 1 }
+      i += 1
+    }
+    total += o.total
+  }
+}
+
+/** count_min(col, keys[, depth, width]) -> array<long> of length
+  * keys.size + 1: the frequency estimate for each probe key, then the
+  * stream total N (for bound checks) as the last element. Keys are fixed
+  * at plan time — the common monitoring shape ("how often did THESE
+  * values occur per group"), answered in one pass with O(d·w) state. */
+case class CountMinSketch(child: Expression, keys: Seq[String],
+                          depth: Int = 4, width: Int = 2048,
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[CmsState] {
+
+  require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
+  require(keys.nonEmpty, "need at least one probe key")
+
+  override def createAggregationBuffer(): CmsState = new CmsState(depth, width)
+
+  override def update(buffer: CmsState, input: InternalRow): CmsState = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[UTF8String])
+    buffer
+  }
+
+  override def merge(b1: CmsState, b2: CmsState): CmsState = {
+    b1.mergeWith(b2); b1
+  }
+
+  override def eval(buffer: CmsState): Any = {
+    val out = new Array[Long](keys.length + 1)
+    var i = 0
+    while (i < keys.length) {
+      out(i) = buffer.estimate(UTF8String.fromString(keys(i)))
+      i += 1
+    }
+    out(keys.length) = buffer.total
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: CmsState): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.depth); out.writeInt(buffer.width)
+    out.writeLong(buffer.total)
+    var i = 0
+    while (i < buffer.depth) {
+      var j = 0
+      while (j < buffer.width) { out.writeLong(buffer.cells(i)(j)); j += 1 }
+      i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): CmsState = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val d = in.readInt(); val w = in.readInt()
+    val s = new CmsState(d, w)
+    s.total = in.readLong()
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < w) { s.cells(i)(j) = in.readLong(); j += 1 }
+      i += 1
+    }
+    s
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "count_min"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object CountMin {
+  /** CMS point-frequency estimates of a string column for fixed probe
+    * keys: array<long> of (estimates..., total). */
+  def countMin(c: Column, keys: Seq[String], depth: Int = 4,
+               width: Int = 2048): Column =
+    ColumnBridge.column(
+      CountMinSketch(ColumnBridge.expression(c), keys, depth, width)
+        .toAggregateExpression())
+}

@@ -223,6 +223,34 @@ object ModelPrepQueries {
       .orderBy("label")
   }
 
+  /** q99 — Count-Min point frequencies ([[graft.functions.CountMin]]):
+    * per-source estimates for three fixed probe tokens, gated
+    * bounded-assert (estimate never below exact, overestimate within the
+    * sketch's 2N/w bound; DuckDB recomputes the exact side). The
+    * monitoring shape: per-group frequencies of known values in one pass
+    * with O(d·w) state. */
+  val cmsFrequencies: Q = (s, dir) => {
+    val probes = Seq("scan", "join", "window")
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val agg = toks.groupBy("source").agg(
+      graft.functions.CountMin.countMin(col("tok"), probes).as("cms"),
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("tok") === "scan", 1L).otherwise(0L)).as("exact_scan"),
+      sum(when(col("tok") === "join", 1L).otherwise(0L)).as("exact_join"),
+      sum(when(col("tok") === "window", 1L).otherwise(0L)).as("exact_window"))
+    def ok(i: Int, exact: String) =
+      (element_at(col("cms"), i) >= col(exact)) &&
+        ((element_at(col("cms"), i) - col(exact)) * 2048 <=
+          element_at(col("cms"), 4) * 2)
+    agg.select(col("source"), col("n_tokens"),
+        col("exact_scan"), col("exact_join"), col("exact_window"),
+        ok(1, "exact_scan").as("ok_scan"),
+        ok(2, "exact_join").as("ok_join"),
+        ok(3, "exact_window").as("ok_window"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
     "q87_lm_perplexity" -> lmPerplexity,
     "q93_lm_incremental" -> lmIncremental,
@@ -230,6 +258,7 @@ object ModelPrepQueries {
     "q95_cluster_split" -> clusterSplit,
     "q97_calibrated_quality" -> calibratedQuality,
     "q98_embedding_drift" -> embeddingDrift,
+    "q99_cms_frequencies" -> cmsFrequencies,
     "q88_train_val_split" -> trainValSplit,
     "q89_source_overlap" -> sourceOverlap,
     "q90_pq_ann" -> pqAnn,
@@ -320,6 +349,16 @@ object ModelPrepQueries {
         |  3 * count(DISTINCT vec_id) AS n_exact_neighbors,
         |  true AS recall_ge_080
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "q99_cms_frequencies" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents)
+        |SELECT source, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN tok = 'scan' THEN 1 ELSE 0 END) AS BIGINT) AS exact_scan,
+        |  CAST(sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS BIGINT) AS exact_join,
+        |  CAST(sum(CASE WHEN tok = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS exact_window,
+        |  true AS ok_scan, true AS ok_join, true AS ok_window
+        |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin,
     "q98_embedding_drift" ->
       """WITH u AS (
         |  SELECT label, vec_id % 2 AS half,

@@ -1,0 +1,41 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CountMinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("collision-free regime: estimates are exact and total is the stream size") {
+    val df = (1 to 1000).map(i => s"tok${i % 10}").toDF("t")
+    val r = df.agg(CountMin.countMin($"t", Seq("tok0", "tok3", "missing"))
+      .as("cms")).head().getSeq[Long](0)
+    assert(r(0) == 100 && r(1) == 100, "10 distinct keys in w=2048 cannot collide enough to drift")
+    assert(r(2) == 0, "an absent key with no colliding mass estimates 0")
+    assert(r(3) == 1000, "last element is the stream total")
+  }
+
+  test("estimates never underestimate, even under forced collisions") {
+    // 5k distinct keys into width 64: collisions guaranteed
+    val df = (1 to 20000).map(i => s"k${i % 5000}").toDF("t")
+    val probes = (0 until 20).map(i => s"k$i")
+    val r = df.agg(CountMin.countMin($"t", probes, depth = 4, width = 64)
+      .as("cms")).head().getSeq[Long](0)
+    val total = r.last
+    probes.indices.foreach { i =>
+      assert(r(i) >= 4, s"true count is 4; CMS may never report less (got ${r(i)})")
+      // classic bound with d=4, w=64: overestimate <= 2N/w w.h.p.
+      assert(r(i) - 4 <= 2 * total / 64 + 1, s"overestimate ${r(i) - 4} beyond bound")
+    }
+  }
+
+  test("result is independent of partitioning (mergeable)") {
+    val base = (1 to 5000).map(i => s"v${i % 97}").toDF("t")
+    val probes = Seq("v0", "v13", "v96")
+    val one = base.repartition(1)
+      .agg(CountMin.countMin($"t", probes).as("c")).head().getSeq[Long](0)
+    val many = base.repartition(32)
+      .agg(CountMin.countMin($"t", probes).as("c")).head().getSeq[Long](0)
+    assert(one == many, "cell-wise-sum merge must make partitioning invisible")
+  }
+}
