@@ -57,7 +57,8 @@ object Bench {
     "q89_source_overlap",     // cross-source distinct-gram overlap matrix
     "q90_pq_ann",             // product-quantized ANN (ADC + re-rank)
     "q91_ivfpq_ann",          // composed IVF-PQ (pruned compressed scan)
-    "q93_lm_incremental")     // split-fit + merge + stored-LM round trip
+    "q93_lm_incremental",     // split-fit + merge + stored-LM round trip
+    "q100_modelprep_pipeline") // composed filter->split->LM->shard chain
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -251,7 +251,41 @@ object ModelPrepQueries {
       .orderBy("source")
   }
 
+  /** q100 — the COMPOSED model-prep chain, the q86 of this tier: per-source
+    * calibrated quality filter (top half) → deterministic 90/10 split of
+    * the survivors → bigram LM fit ONLY on the train split → both splits
+    * scored under that LM (the train-vs-val NLL gap is the
+    * generalization-gap report every data pipeline wants) → epoch-1 shard
+    * fan-out count. One DataFrame chain; the oracle re-derives the whole
+    * composition from q94/q97/q88/q87/q92's verified fragments, so every
+    * inter-stage contract (which docs survive, who trains the LM, who
+    * gets scored) is hash-pinned. */
+  val modelPrepPipeline: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val survivors = QualityClassifier
+      .annotateCalibrated(docs, "text", "source", "doc_id", keepFraction = 0.5)
+      .where(col("quality_keep"))
+      .select("doc_id", "source", "lang", "text")
+    // the split frame feeds three consumers (LM fit, scoring, the final
+    // report) — cache it so the feature stack + window run once, the q86
+    // convention (a production run would materialize the stage)
+    val split = Sampling.deterministicSplit(survivors, "doc_id", "v1",
+      Seq(("train", 0.9), ("val", 0.1))).cache()
+    val lm = LanguageModel.fitBigramLm(
+      split.where(col("split") === "train"), "text")
+    val scored = LanguageModel.scoreNll(split, "doc_id", "text", lm)
+    split
+      .join(scored.select("doc_id", "avg_nll"), Seq("doc_id"), "left")
+      .withColumn("shard", Sharding.epochShard(col("doc_id"), 1, 8))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("shard")).as("n_shards"),
+        round(avg(col("avg_nll")), 4).as("avg_nll"))
+      .orderBy("split")
+  }
+
   val all: Map[String, Q] = Map(
+    "q100_modelprep_pipeline" -> modelPrepPipeline,
     "q87_lm_perplexity" -> lmPerplexity,
     "q93_lm_incremental" -> lmIncremental,
     "q94_quality_classifier" -> qualityClassifier,
@@ -349,6 +383,55 @@ object ModelPrepQueries {
         |  3 * count(DISTINCT vec_id) AS n_exact_neighbors,
         |  true AS recall_ge_080
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    // thresholds: floor(0.9 * 2^32) = 3865470566
+    "q100_modelprep_pipeline" ->
+      """WITH t AS (
+        |  SELECT source, lang, doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |m AS (
+        |  SELECT source, lang, doc_id, ts,
+        |    len(ts) AS ntok,
+        |    CASE WHEN len(ts) = 0 THEN 0.0
+        |      ELSE list_sum(list_transform(ts, x -> length(x))) * 1.0 / len(ts) END AS mtl,
+        |    CASE WHEN len(ts) = 0 THEN 0.0
+        |      ELSE len(list_filter(ts, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that','be'], lower(x)))) * 1.0 / len(ts)
+        |    END AS swr,
+        |    (SELECT 1.0 - len(list_distinct(g)) * 1.0 / len(g) FROM (
+        |      SELECT CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |        ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts) - 2)]
+        |      END AS g)) AS rep
+        |  FROM t),
+        |z AS (
+        |  SELECT source, lang, doc_id, ts,
+        |    -2.91 + 0.02 * ntok + 0.3 * mtl + 10.0 * swr - 30.0 * rep AS zz
+        |  FROM m),
+        |r AS (
+        |  SELECT lang, doc_id, ts,
+        |    percent_rank() OVER (PARTITION BY source ORDER BY zz ASC, doc_id ASC) AS pr
+        |  FROM z),
+        |surv AS (
+        |  SELECT lang, doc_id, ts,
+        |    CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 8)) AS BIGINT) < 3865470566
+        |      THEN 'train' ELSE 'val' END AS split
+        |  FROM r WHERE pr >= 0.5),
+        |ev AS (
+        |  SELECT s.doc_id, s.split, s.ts[i] AS w1,
+        |    s.ts[i] || ' ' || s.ts[i+1] AS bg
+        |  FROM surv s, UNNEST(generate_series(1, len(s.ts) - 1)) AS u(i)),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM ev WHERE split = 'train' GROUP BY 1),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM ev WHERE split = 'train' GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v
+        |      FROM (SELECT unnest(ts) AS tok FROM surv WHERE split = 'train')),
+        |sc AS (
+        |  SELECT ev.doc_id,
+        |    -ln((coalesce(c2.c2, 0) + 1) / (coalesce(c1.c1, 0) + v.v)) AS nll
+        |  FROM ev LEFT JOIN c2 USING (bg) LEFT JOIN c1 USING (w1) CROSS JOIN v),
+        |pd AS (SELECT doc_id, avg(nll) AS avg_nll FROM sc GROUP BY 1)
+        |SELECT surv.split, count(*) AS n_docs,
+        |  count(DISTINCT CAST(concat('0x', substr(md5('e1:' || CAST(surv.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8) AS n_shards,
+        |  round(avg(pd.avg_nll), 4) AS avg_nll
+        |FROM surv LEFT JOIN pd USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q99_cms_frequencies" ->
       """WITH toks AS (
         |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
