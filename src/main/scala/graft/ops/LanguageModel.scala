@@ -30,6 +30,15 @@ import org.apache.spark.sql.functions._
   * Counting on xxhash64 gram keys (seed 42, shared with the whole gram
   * family) merges colliding grams with probability ~n²/2⁶⁴ — negligible,
   * and the q87 string-space oracle doubles as the collision check.
+  *
+  * Recompute over materialize, deliberately: a fit + score composition
+  * (q87/q93/q100) walks the per-row bigram construction up to three times
+  * (c2, c1, scoring). Fusing them would require materializing the
+  * corpus-BIGRAM-sized event frame, which at 100 TB costs far more than
+  * re-running a narrow compiled projection inside each consumer's scan —
+  * the same recompute-wins trade the compiled-expression doctrine is
+  * built on. Callers who genuinely reuse one corpus across many fits
+  * should persist the events table themselves and build LMs from it.
   */
 object LanguageModel {
 
