@@ -32,13 +32,32 @@ object Overlap {
     * pair (group_a < group_b) with distinct-gram counts, the intersection
     * size, Jaccard, and containment (intersection over the smaller set).
     * Pairs with zero overlap are kept (n_common = 0) so the matrix shape
-    * is data-independent. */
+    * is data-independent.
+    *
+    * `maxGroupsPerGram` is the mega-gram guard (the LSH mega-bucket
+    * doctrine applied here): a gram present in more than that many groups
+    * contributes ~G²/2 rows to the pair join while carrying no
+    * discriminative signal (it is corpus boilerplate by definition), so
+    * at large G the guard caps the join's per-key fanout. Sizes and
+    * intersections are then computed over the GUARDED gram space —
+    * consistent on both sides of every ratio. Default keeps every gram
+    * (the exact matrix; what the q89 oracle verifies). */
   def overlapMatrix(docs: DataFrame, groupCol: String, textCol: String,
-                    n: Int): DataFrame = {
-    val grams = docs
+                    n: Int, maxGroupsPerGram: Int = Int.MaxValue): DataFrame = {
+    require(maxGroupsPerGram >= 2, "guard below 2 would drop every shared gram")
+    val raw = docs
       .select(col(groupCol).as("grp"),
         explode(HashFunctions.wordGramHashes(col(textCol), n)).as("h"))
       .distinct()
+    val grams =
+      if (maxGroupsPerGram == Int.MaxValue) raw
+      else {
+        val spread = raw.groupBy("h")
+          .agg(count(lit(1)).as("__ng"))
+          .where(col("__ng") <= maxGroupsPerGram)
+          .select("h")
+        raw.join(spread, "h")
+      }
     val sizes = grams.groupBy("grp").agg(count(lit(1)).as("n_grams"))
     val inter = grams.as("a")
       .join(grams.as("b"),

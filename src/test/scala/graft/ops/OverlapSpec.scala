@@ -51,6 +51,30 @@ class OverlapSpec extends SparkSpec {
     }
   }
 
+  test("mega-gram guard drops only ubiquitous grams, consistently on both sides") {
+    // gram "x1 x2 x3" appears in all 3 groups (ubiquitous); each group
+    // also has a private gram
+    val df = Seq(
+      ("a", "x1 x2 x3 pa1 pa2"), ("b", "x1 x2 x3 pb1 pb2"),
+      ("c", "x1 x2 x3 pc1 pc2")).toDF("source", "text")
+    val exact = Overlap.overlapMatrix(df, "source", "text", n = 3)
+      .orderBy("group_a", "group_b").collect()
+    val guarded = Overlap.overlapMatrix(df, "source", "text", n = 3,
+        maxGroupsPerGram = 2)
+      .orderBy("group_a", "group_b").collect()
+    assert(exact.length == 3 && guarded.length == 3)
+    exact.foreach(r => assert(r.getLong(4) >= 1, "shared gram must intersect"))
+    guarded.foreach { r =>
+      val e = exact.find(e => e.getString(0) == r.getString(0) &&
+        e.getString(1) == r.getString(1)).get
+      assert(r.getLong(4) == e.getLong(4) - 1,
+        "guard removes exactly the ubiquitous gram from each intersection")
+      // sizes shrink by the same dropped gram: ratios stay consistent
+      assert(r.getLong(2) == 2 && r.getLong(3) == 2,
+        "per-group sizes are computed over the guarded gram space")
+    }
+  }
+
   test("disjoint gram spaces produce an all-zero row") {
     val df = Seq(("a", "x1 x2 x3 x4"), ("b", "y1 y2 y3 y4")).toDF("source", "text")
     val m = Overlap.overlapMatrix(df, "source", "text", n = 3).collect()
