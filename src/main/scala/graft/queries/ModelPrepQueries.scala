@@ -267,10 +267,13 @@ object ModelPrepQueries {
       .where(col("quality_keep"))
       .select("doc_id", "source", "lang", "text")
     // the split frame feeds three consumers (LM fit, scoring, the final
-    // report) — cache it so the feature stack + window run once, the q86
-    // convention (a production run would materialize the stage)
+    // report) and is deliberately NOT cached: .cache() here is plan-keyed,
+    // so repeated gate/bench invocations silently share it and min-of-N
+    // timing measures cache reads, not the chain (observed: 3.9s -> 0.7s
+    // phantom). Recompute keeps the measurement honest; a production run
+    // would materialize the stage to storage instead.
     val split = Sampling.deterministicSplit(survivors, "doc_id", "v1",
-      Seq(("train", 0.9), ("val", 0.1))).cache()
+      Seq(("train", 0.9), ("val", 0.1)))
     val lm = LanguageModel.fitBigramLm(
       split.where(col("split") === "train"), "text")
     val scored = LanguageModel.scoreNll(split, "doc_id", "text", lm)
