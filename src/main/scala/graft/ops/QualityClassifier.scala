@@ -77,4 +77,28 @@ object QualityClassifier {
       .withColumn("quality_pr", percent_rank().over(w))
       .withColumn("quality_keep", col("quality_pr") >= lit(1.0 - keepFraction))
   }
+
+  /** The 100 TB form of [[annotateCalibrated]]: instead of globally
+    * SORTING every domain (percent_rank's cost), derive each domain's
+    * keep-threshold logit from a mergeable quantile estimate
+    * (`approx_percentile`, GK at `accuracy`) — one aggregation producing a
+    * domains-sized threshold table that broadcasts into a narrow filter.
+    * No full sort anywhere; the trade is the sketch's rank error (≤1/
+    * accuracy), i.e. the kept fraction lands within ~±0.1% of the target
+    * at the default — the exact percent_rank form stays as the
+    * differential oracle ([[QualityClassifierSpec]] pins the agreement).
+    * Adds `quality_threshold` and `quality_keep`. */
+  def annotateCalibratedApprox(docs: DataFrame, textCol: String,
+                               domainCol: String, keepFraction: Double,
+                               model: LinearModel = ReferenceModel,
+                               accuracy: Int = 1000): DataFrame = {
+    require(keepFraction > 0 && keepFraction <= 1, "keepFraction in (0,1]")
+    val scored = docs.withColumn("quality_logit", logit(col(textCol), model))
+    val thresholds = scored.groupBy(domainCol)
+      .agg(expr(s"approx_percentile(quality_logit, ${1.0 - keepFraction}, $accuracy)")
+        .as("quality_threshold"))
+    scored.join(broadcast(thresholds), domainCol)
+      .withColumn("quality_keep",
+        col("quality_logit") >= col("quality_threshold"))
+  }
 }

@@ -44,7 +44,14 @@ object Sharding {
   /** Write `df` as `nShards` epoch-ordered shard directories
     * (`shard=<i>/`): one exchange on the shard id, intra-partition sort by
     * the epoch key, one file per shard. Returns the manifest computed from
-    * the input (callers persist it next to the data). */
+    * the input (callers persist it next to the data).
+    *
+    * Write parallelism equals nShards (each shard is one sorted file by
+    * contract — that is what makes intra-shard order verifiable), so SIZE
+    * nShards TO THE CLUSTER: training shards are the unit of dataloader
+    * parallelism anyway, and a 100 TB corpus wants thousands of them, not
+    * eight. The gate's nShards=8 is a corpus-scale choice, not a
+    * recommendation. */
   def writeEpochShards(df: DataFrame, keyCol: String, epoch: Int,
                        nShards: Int, path: String): DataFrame = {
     val ek = Sampling.epochOrderKey(col(keyCol), epoch)

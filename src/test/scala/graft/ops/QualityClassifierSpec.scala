@@ -79,6 +79,32 @@ class QualityClassifierSpec extends SparkSpec {
       s"calibration keeps half of each domain, got $cal")
   }
 
+  test("approx calibration agrees with exact percent_rank within sketch error") {
+    val exact = QualityClassifier.annotateCalibrated(docs, "text",
+        "source", "doc_id", keepFraction = 0.5)
+      .groupBy("source").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("quality_keep"), 1L).otherwise(0L)).as("k"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = QualityClassifier.annotateCalibratedApprox(docs, "text",
+        "source", keepFraction = 0.5)
+      .groupBy("source").agg(
+        sum(when(col("quality_keep"), 1L).otherwise(0L)).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (src, (n, kExact)) =>
+      val kApprox = approx(src)
+      // GK at accuracy 1000 on small groups: at most a couple of ranks off
+      assert(math.abs(kApprox - kExact) <= math.max(2L, n / 100),
+        s"$src: approx kept $kApprox vs exact $kExact of $n")
+    }
+    // no full sort in the approx plan: the threshold join broadcasts
+    val plan = QualityClassifier.annotateCalibratedApprox(docs, "text",
+      "source", 0.5).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "approx path must not window-sort the corpus")
+    assert(plan.contains("BroadcastHashJoin"),
+      "threshold table should broadcast into a narrow filter")
+  }
+
   test("a custom model reweights decisions") {
     val strict = QualityClassifier.LinearModel(
       bias = -4.5, wNtok = 0.02, wMtl = 0.3, wSwr = 10.0, wRep = -30.0)
