@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.ops.{LanguageModel, Overlap, QualityClassifier, Sampling, Sharding}
-import graft.sim.{EmbeddingDrift, IvfPq, ProductQuantization, Similarity}
+import graft.sim.{EmbeddingDrift, IvfPq, NegativeMining, ProductQuantization, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -287,8 +287,28 @@ object ModelPrepQueries {
       .orderBy("split")
   }
 
+  /** q101 — negative mining for contrastive training
+    * ([[NegativeMining]]): per anchor, the 3 hardest different-label
+    * neighbors (exact cosine rank, the q50 shape + label filter) and 2
+    * deterministic md5-picked easy negatives. Ranks-only output, the q50
+    * float convention. */
+  val negativeMining: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val anchors = emb.where(col("vec_id") < 5)
+    val hard = NegativeMining.hardNegatives(emb, anchors,
+        "vec_id", "embedding", "label", k = 3)
+      .select(lit("hard").as("kind"), col("query_id"), col("rank"),
+        col("neighbor_id"))
+    val easy = NegativeMining.easyNegatives(emb, anchors,
+        "vec_id", "label", m = 2)
+      .select(lit("easy").as("kind"), col("query_id"), col("rank"),
+        col("neighbor_id"))
+    hard.unionByName(easy).orderBy("kind", "query_id", "rank")
+  }
+
   val all: Map[String, Q] = Map(
     "q100_modelprep_pipeline" -> modelPrepPipeline,
+    "q101_negative_mining" -> negativeMining,
     "q87_lm_perplexity" -> lmPerplexity,
     "q93_lm_incremental" -> lmIncremental,
     "q94_quality_classifier" -> qualityClassifier,
@@ -386,6 +406,31 @@ object ModelPrepQueries {
         |  3 * count(DISTINCT vec_id) AS n_exact_neighbors,
         |  true AS recall_ge_080
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "q101_negative_mining" ->
+      """WITH a AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 5),
+        |hard AS (
+        |  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(a.embedding, c.embedding) AS cs
+        |  FROM a JOIN embeddings c ON c.label <> a.label),
+        |hr AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cs DESC, neighbor_id ASC) AS INT) AS rank
+        |  FROM hard),
+        |easy AS (
+        |  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(concat('0x', substr(md5(CAST(a.vec_id AS VARCHAR) || ':' ||
+        |      CAST(c.vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS b
+        |  FROM a JOIN embeddings c ON c.label <> a.label),
+        |er AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY b ASC, neighbor_id ASC) AS INT) AS rank
+        |  FROM easy)
+        |SELECT 'hard' AS kind, query_id, rank, neighbor_id FROM hr WHERE rank <= 3
+        |UNION ALL
+        |SELECT 'easy' AS kind, query_id, rank, neighbor_id FROM er WHERE rank <= 2
+        |ORDER BY kind, query_id, rank""".stripMargin,
     // thresholds: floor(0.9 * 2^32) = 3865470566
     "q100_modelprep_pipeline" ->
       """WITH t AS (

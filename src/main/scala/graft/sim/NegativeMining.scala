@@ -1,0 +1,68 @@
+package graft.sim
+
+import graft.dedup.Dedup.cosineSim
+import graft.ops.Sampling
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Negative mining for contrastive/embedding training — the data-prep
+  * operator that turns a labeled (or clustered) embedding corpus into
+  * (anchor, negative) training pairs:
+  *
+  * - HARD negatives: the most-similar vectors with a DIFFERENT label —
+  *   the near-boundary examples that actually move a contrastive loss
+  *   (easy negatives contribute ~zero gradient).
+  * - EASY negatives: deterministic hash-picked different-label vectors —
+  *   the uniform background sample every batch also needs, reproducible
+  *   across runs/engines via the md5 order (no RNG, same pairs every
+  *   epoch build).
+  *
+  * Scale shape: identical to the ANN family — the gate form scans the
+  * corpus against broadcast anchors exactly like [[Similarity.bruteForceTopK]]
+  * (one pass, per-anchor window top-k); at corpus scale the candidate
+  * generation swaps to any of the engine's ANN paths (LSH/IVF/PQ probe
+  * first, then the different-label filter + exact re-rank — the same
+  * candidates-then-verify contract as every bucketed operator here).
+  */
+object NegativeMining {
+
+  /** Per anchor: the k most-cosine-similar corpus vectors whose label
+    * differs. Returns (query_id, neighbor_id, cosine, rank). */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"), col(labelCol).as("nl"))
+    val q = anchors.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"), col(labelCol).as("ql"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("nl") =!= col("ql"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Per anchor: m deterministic different-label negatives in md5 order of
+    * "anchor:candidate" — uniform over the different-label corpus, stable
+    * across runs, different per anchor. Returns (query_id, neighbor_id,
+    * rank). */
+  def easyNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+                    labelCol: String, m: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("nl"))
+    val q = anchors.select(col(idCol).as("query_id"), col(labelCol).as("ql"))
+    val pick = Sampling.md5Bucket(
+      concat(col("query_id").cast("string"), lit(":"),
+        col("neighbor_id").cast("string")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(pick.asc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .where(col("nl") =!= col("ql"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= m)
+      .select("query_id", "neighbor_id", "rank")
+  }
+}

@@ -1,0 +1,58 @@
+package graft.sim
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class NegativeMiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+  private lazy val anchors = emb.where($"vec_id" < 5)
+
+  test("hard negatives never share the anchor's label and rank by cosine") {
+    val hn = NegativeMining.hardNegatives(emb, anchors,
+      "vec_id", "embedding", "label", k = 3)
+    val labels = emb.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val rows = hn.collect()
+    assert(rows.length == 15, "5 anchors x 3 negatives")
+    rows.foreach { r =>
+      assert(labels(r.getLong(0)) != labels(r.getLong(1)),
+        "a negative must carry a different label")
+    }
+    // per anchor, cosines are non-increasing with rank
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("hard negatives are harder than easy ones (higher cosine)") {
+    val hard = NegativeMining.hardNegatives(emb, anchors,
+        "vec_id", "embedding", "label", k = 3)
+      .agg(avg("cosine")).head().getDouble(0)
+    val easyPairs = NegativeMining.easyNegatives(emb, anchors, "vec_id", "label", 3)
+    val easy = easyPairs
+      .join(emb.select($"vec_id".as("query_id"),
+        $"embedding".cast("array<double>").as("qv")), "query_id")
+      .join(emb.select($"vec_id".as("neighbor_id"),
+        $"embedding".cast("array<double>").as("cv")), "neighbor_id")
+      .agg(avg(graft.dedup.Dedup.cosineSim($"qv", $"cv"))).head().getDouble(0)
+    assert(hard > easy + 0.05,
+      s"hard negatives should be meaningfully more similar ($hard vs $easy)")
+  }
+
+  test("easy negatives are deterministic, label-disjoint, distinct per anchor") {
+    val a = NegativeMining.easyNegatives(emb, anchors, "vec_id", "label", 2).collect()
+    val b = NegativeMining.easyNegatives(emb, anchors, "vec_id", "label", 2).collect()
+    assert(a.map(_.toString).sorted.toSeq == b.map(_.toString).sorted.toSeq,
+      "md5 pick order must be stable across runs")
+    assert(a.length == 10, "5 anchors x 2 negatives")
+    val perAnchor = a.groupBy(_.getLong(0)).values
+    perAnchor.foreach(rs =>
+      assert(rs.map(_.getLong(1)).distinct.length == rs.length))
+    // different anchors draw different samples (hash depends on the pair)
+    val sets = perAnchor.map(_.map(_.getLong(1)).toSet).toSeq
+    assert(sets.distinct.length > 1, "picks should vary per anchor")
+  }
+}
