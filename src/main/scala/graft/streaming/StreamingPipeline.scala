@@ -49,11 +49,12 @@ object StreamingPipeline {
     * return its final content — the "scheduled run over accumulated data"
     * shape. Complete mode: window counts are small (O(windows x types)). */
   def runAvailableNowToMemory(spark: SparkSession, agg: DataFrame,
-                              tableName: String): DataFrame = {
+                              tableName: String,
+                              outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
     val q = agg.writeStream
       .format("memory")
       .queryName(tableName)
-      .outputMode(OutputMode.Complete())
+      .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -194,6 +195,26 @@ object StreamingPipeline {
           Seq(idCol), "left")
         onScoredBatch(scored, batchId)
       }
+
+  /** Streaming calibrated quality screen: apply batch-fitted per-domain
+    * keep thresholds ([[graft.ops.QualityClassifier.annotateCalibratedApprox]]'s
+    * `(domain, quality_threshold)` table, domains-sized) to an arriving
+    * stream — a stream-static broadcast join plus the narrow compiled
+    * feature stack, no state, no watermark. Rank-based calibration is
+    * inherently a batch computation (it orders the corpus); the streaming
+    * half freezes the thresholds and screens against them, the same
+    * fit-batch/apply-stream split as the Bloom decontamination screen.
+    * Rows from domains absent in the threshold table pass with a null
+    * threshold (screens must not silently drop). */
+  def qualityScreenStream(docs: DataFrame, textCol: String, domainCol: String,
+                          thresholds: DataFrame): DataFrame = {
+    val z = graft.ops.QualityClassifier.logit(col(textCol))
+    docs.withColumn("quality_logit", z)
+      .join(broadcast(thresholds), Seq(domainCol), "left")
+      .withColumn("quality_keep",
+        col("quality_threshold").isNull ||
+          col("quality_logit") >= col("quality_threshold"))
+  }
 
   /** Continuous-ingest SEMANTIC dedup: the embedding-space twin of
     * [[dedupAgainstIndexStream]]. Every micro-batch of arriving vectors is

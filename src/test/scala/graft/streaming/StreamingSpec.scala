@@ -225,6 +225,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming quality screen equals the batch approx-calibrated filter") {
+    import graft.ops.QualityClassifier
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    // split by RANGE: source is doc_id-derived (src<doc_id%20>), so a
+    // modulo split would put whole sources in the delta and the screen
+    // would only exercise its null-threshold passthrough
+    val delta = docs.where(col("doc_id") >= 400)
+      .select("doc_id", "source", "text")
+    val reference = docs.where(col("doc_id") < 400)
+    val thresholds = QualityClassifier
+      .annotateCalibratedApprox(reference, "text", "source", keepFraction = 0.5)
+      .select("source", "quality_threshold").distinct()
+
+    val d = java.nio.file.Files.createTempDirectory("graft_qscreen_src")
+    delta.coalesce(1).write.parquet(d.resolve("p0").toString)
+    val stream = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$d/*")
+
+    val screened = StreamingPipeline
+      .qualityScreenStream(stream, "text", "source", thresholds)
+      .select("doc_id", "quality_keep")
+    val streamed = StreamingPipeline.runAvailableNowToMemory(spark, screened,
+      "quality_screen_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+
+    val batch = StreamingPipeline
+      .qualityScreenStream(delta, "text", "source", thresholds)
+      .select("doc_id", "quality_keep")
+    assert(streamed.count() == delta.count(), "screens must not drop rows")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stream screen differs from the batch screen")
+    // and the screen keeps a nontrivial, nonuniversal subset
+    val kept = batch.where(col("quality_keep")).count()
+    assert(kept > 0 && kept < delta.count())
+  }
+
   test("streaming windowed quantile sketch equals the batch sketch per window") {
     // the point of a MERGEABLE sketch: partial states merge associatively,
     // which is exactly what a streaming stateful aggregation does across
