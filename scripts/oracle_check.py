@@ -1,0 +1,31 @@
+#!/usr/bin/env python3
+"""Cross-check a graft.Verify output dir against its oracle_sql.json via DuckDB.
+Usage: python3 scripts/oracle_check.py <sfDir> <verifyOut> [query ...]"""
+import duckdb, json, sys, glob, os
+
+sf, out = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
+con = duckdb.connect()
+for t in ['region','nation','customer','supplier','part','orders','lineitem',
+          'documents','embeddings','events']:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+oracle = json.load(open(os.path.join(out, 'oracle_sql.json')))
+bad = 0
+names = sorted(n for n in oracle if not only or n in only)
+for q in names:
+    try:
+        spark = con.execute(f"SELECT * FROM '{out}/{q}/*.parquet'").fetchdf()
+        ora = con.execute(oracle[q]).fetchdf()
+        cols = sorted(spark.columns)
+        if sorted(ora.columns) != cols:
+            print(f"{q} SCHEMA-MISMATCH {sorted(ora.columns)} vs {cols}"); bad += 1; continue
+        s = spark[cols].sort_values(cols).reset_index(drop=True)
+        o = ora[cols].sort_values(cols).reset_index(drop=True)
+        if s.shape != o.shape:
+            print(f"{q} ROWS-MISMATCH {s.shape} vs {o.shape}"); bad += 1; continue
+        if not (s.astype(str).values == o.astype(str).values).all():
+            print(f"{q} HASH-MISMATCH"); bad += 1; continue
+    except Exception as e:
+        print(q, 'ERR', str(e)[:200]); bad += 1
+print(f"checked {len(names)} queries, {bad} failures")
+sys.exit(1 if bad else 0)

@@ -1,0 +1,151 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+
+/** Per-group top-k rows by (score, id) as a BOUNDED mergeable aggregate —
+  * the scale-safe replacement for the
+  * `row_number().over(Window.partitionBy(group).orderBy(score, id)) <= k`
+  * idiom in the brute-force kNN / negative-mining family.
+  *
+  * Why the window form fails at training scale: a window rank shuffles the
+  * ENTIRE scored set on the group key and sorts each group's full
+  * partition just to keep k rows. For per-anchor kNN over N corpus
+  * vectors and Q anchors that is an N·Q-row shuffle with corpus-sized
+  * partitions per anchor — the exact skew bomb [[BoundedMinList]] removes
+  * for membership lists. This aggregate's state is O(k) at every stage
+  * (partial, shuffle payload, merge), it combines map-side like `min()`,
+  * and each anchor ships numPartitions·k (score, id) pairs instead of the
+  * whole corpus.
+  *
+  * Ordering contract (pinned by SimilaritySpec against the window form):
+  * `descending=true` keeps the k highest scores, ties broken by SMALLEST
+  * id — identical to `orderBy(score.desc, id.asc)`; `descending=false`
+  * keeps the k lowest, same tie-break — `orderBy(score.asc, id.asc)`.
+  * NaN ordering follows java.lang.Double.compare (NaN greater than every
+  * value), which is Spark's sort semantics for DoubleType.
+  *
+  * Result: `array<struct<id:long, score:double, rank:int>>`, best-first,
+  * rank 1-based — explode to recover the window-form rows bit-for-bit.
+  */
+final case class TopKScoredState(k: Int, descending: Boolean,
+                                 heap: mutable.PriorityQueue[(Double, Long)]) {
+  // heap head = the WORST kept entry (the eviction candidate)
+  def add(score: Double, id: Long): Unit = {
+    if (heap.size < k) heap.enqueue((score, id))
+    else {
+      val (ws, wi) = heap.head
+      // Double.compare (not <) so NaN ranks above every score, matching
+      // Spark's DoubleType sort order in the window form
+      val c = java.lang.Double.compare(score, ws)
+      val better =
+        if (descending) c > 0 || (c == 0 && id < wi)
+        else c < 0 || (c == 0 && id < wi)
+      if (better) { heap.dequeue(); heap.enqueue((score, id)) }
+    }
+  }
+}
+
+case class TopKByScore(score: Expression, id: Expression, k: Int,
+                       descending: Boolean = true,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKScoredState] {
+
+  require(k >= 1, "k must be >= 1")
+
+  // Worst-first heap ordering: in descending (keep-highest) mode the worst
+  // entry is the LOWEST score (ties: LARGEST id); PriorityQueue dequeues
+  // the max of its ordering, so "max" must mean "worst".
+  private def heapOrdering: Ordering[(Double, Long)] =
+    if (descending)
+      Ordering.fromLessThan[(Double, Long)] { (a, b) =>
+        val c = java.lang.Double.compare(a._1, b._1)
+        if (c != 0) c > 0 else a._2 < b._2 // a "less" = a better
+      }
+    else
+      Ordering.fromLessThan[(Double, Long)] { (a, b) =>
+        val c = java.lang.Double.compare(a._1, b._1)
+        if (c != 0) c < 0 else a._2 < b._2
+      }
+
+  override def createAggregationBuffer(): TopKScoredState =
+    TopKScoredState(k, descending,
+      mutable.PriorityQueue.empty[(Double, Long)](heapOrdering))
+
+  override def update(buffer: TopKScoredState, input: InternalRow): TopKScoredState = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      buffer.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(b1: TopKScoredState, b2: TopKScoredState): TopKScoredState = {
+    b2.heap.foreach { case (s, i) => b1.add(s, i) }
+    b1
+  }
+
+  override def eval(buffer: TopKScoredState): Any = {
+    // best-first: dequeue yields worst-first; reverse
+    val arr = buffer.heap.clone().dequeueAll.toArray.reverse
+    new GenericArrayData(arr.zipWithIndex.map { case ((s, i), r) =>
+      InternalRow(i, s, r + 1)
+    }.toArray[Any])
+  }
+
+  override def serialize(buffer: TopKScoredState): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buffer.heap.size * 16)
+    bb.putInt(buffer.heap.size)
+    buffer.heap.foreach { case (s, i) => bb.putDouble(s); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKScoredState = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val st = createAggregationBuffer()
+    (0 until n).foreach { _ =>
+      val s = bb.getDouble; val i = bb.getLong
+      st.heap.enqueue((s, i))
+    }
+    st
+  }
+
+  override def dataType: DataType = TopKByScore.resultType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(score, id)
+  override def prettyName: String = "top_k_by_score"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(score = newChildren(0), id = newChildren(1))
+}
+
+object TopKByScore {
+  val resultType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false),
+    StructField("rank", IntegerType, nullable = false))),
+    containsNull = false)
+
+  /** Bounded per-group top-k: array<struct<id,score,rank>> best-first.
+    * `descending=true` == `orderBy(score.desc, id.asc)` semantics. */
+  def topKByScore(score: Column, id: Column, k: Int,
+                  descending: Boolean = true): Column =
+    ColumnBridge.column(
+      TopKByScore(ColumnBridge.expression(score), ColumnBridge.expression(id),
+        k, descending).toAggregateExpression())
+}

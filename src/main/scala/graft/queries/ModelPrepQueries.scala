@@ -306,9 +306,49 @@ object ModelPrepQueries {
     hard.unionByName(easy).orderBy("kind", "query_id", "rank")
   }
 
+  /** q102 — ANN-backed negative mining
+    * ([[NegativeMining.hardNegativesAnn]]): the training-scale composition
+    * the exact form (q101) cannot reach — IVF-PQ candidate generation →
+    * different-label filter → exact re-rank. Gated against the exact hard
+    * negatives with a measured recall bound (the q91 pattern; MeasureAnnNeg
+    * swept nProbe∈{4,8,12}×overRetrieve∈{8,16}: nProbe=12 of nLists=16
+    * measures 1.000/0.933/0.933 at sf0.001/0.01/0.1 while nProbe=8 dips to
+    * 0.667 — IVF pruning, not PQ ranking, is the recall dial here. Bound
+    * 0.6 absorbs clustering drift; a structural label-disjoint count makes
+    * the different-label contract part of the hash). */
+  val negativeMiningAnn: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val anchors = emb.where(col("vec_id") < 5)
+    val exact = NegativeMining.hardNegatives(emb, anchors,
+      "vec_id", "embedding", "label", k = 3)
+    val ann = NegativeMining.hardNegativesAnn(emb, anchors,
+      "vec_id", "embedding", "label", k = 3,
+      nLists = 16, nProbe = 12, m = 16, ksub = 64, overRetrieve = 8)
+    val labels = emb.select(col("vec_id").as("neighbor_id"),
+      col("label").as("nl"))
+    val qLabels = emb.select(col("vec_id").as("query_id"),
+      col("label").as("ql"))
+    val nHit = exact.select("query_id", "neighbor_id")
+      .join(ann.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    val nCrossLabel = ann.join(labels, Seq("neighbor_id"))
+      .join(qLabels, Seq("query_id"))
+      .where(col("nl") =!= col("ql"))
+      .agg(count(lit(1)).as("n_cross_label"))
+    exact.agg(countDistinct("query_id").as("n_queries"),
+        count(lit(1)).as("n_exact_hard"))
+      .crossJoin(ann.agg(count(lit(1)).as("n_ann")))
+      .crossJoin(nHit).crossJoin(nCrossLabel)
+      .select(col("n_queries"), col("n_exact_hard"),
+        (col("n_cross_label") === col("n_ann")).as("all_cross_label"),
+        (col("n_hits") * 5 >= col("n_exact_hard") * 3).as("recall_ge_060"))
+  }
+
   val all: Map[String, Q] = Map(
     "q100_modelprep_pipeline" -> modelPrepPipeline,
     "q101_negative_mining" -> negativeMining,
+    "q102_negative_mining_ann" -> negativeMiningAnn,
     "q87_lm_perplexity" -> lmPerplexity,
     "q93_lm_incremental" -> lmIncremental,
     "q94_quality_classifier" -> qualityClassifier,
@@ -405,6 +445,12 @@ object ModelPrepQueries {
       """SELECT count(DISTINCT vec_id) AS n_queries,
         |  3 * count(DISTINCT vec_id) AS n_exact_neighbors,
         |  true AS recall_ge_080
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "q102_negative_mining_ann" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries,
+        |  3 * count(DISTINCT vec_id) AS n_exact_hard,
+        |  true AS all_cross_label,
+        |  true AS recall_ge_060
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
     "q101_negative_mining" ->
       """WITH a AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 5),

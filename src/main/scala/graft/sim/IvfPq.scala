@@ -3,7 +3,6 @@ package graft.sim
 import graft.dedup.Dedup.cosineSim
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF-PQ: the composed production ANN shape (FAISS's IVFPQ, Jégou et al.
@@ -65,10 +64,10 @@ object IvfPq {
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.pqAdcCosine(col("codes"), col("qv"),
           index.codebook.centroids).as("acos"))
-    val wa = Window.partitionBy("query_id")
-      .orderBy(col("acos").desc, col("neighbor_id").asc)
-    val survivors = approx.withColumn("arank", row_number().over(wa))
-      .where(col("arank") <= k * overRetrieve)
+    // bounded top-k aggregate, not a window sort: the ADC candidate set is
+    // nProbe/nLists of the corpus PER QUERY — corpus-fraction partitions
+    // that a window rank would shuffle and sort whole
+    val survivors = Similarity.topKRows(approx, "acos", k * overRetrieve, "acos")
       .select("query_id", "neighbor_id")
     val exact = survivors
       .join(corpus.select(col(idCol).as("neighbor_id"),
@@ -76,11 +75,7 @@ object IvfPq {
       .join(q, "query_id")
       .select(col("query_id"), col("neighbor_id"),
         cosineSim(col("qv"), col("cv")).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    exact.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    Similarity.topKRows(exact, "cosine", k, "cosine")
   }
 
   /** Fused build + probe for one-shot use. */

@@ -3,7 +3,6 @@ package graft.sim
 import graft.dedup.Dedup.cosineSim
 import graft.ops.Sampling
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Negative mining for contrastive/embedding training — the data-prep
@@ -18,12 +17,15 @@ import org.apache.spark.sql.functions._
   *   across runs/engines via the md5 order (no RNG, same pairs every
   *   epoch build).
   *
-  * Scale shape: identical to the ANN family — the gate form scans the
-  * corpus against broadcast anchors exactly like [[Similarity.bruteForceTopK]]
-  * (one pass, per-anchor window top-k); at corpus scale the candidate
-  * generation swaps to any of the engine's ANN paths (LSH/IVF/PQ probe
-  * first, then the different-label filter + exact re-rank — the same
-  * candidates-then-verify contract as every bucketed operator here).
+  * Scale shape: per-anchor ranking is the bounded
+  * [[graft.functions.TopKByScore]] aggregate everywhere (O(k) state per
+  * anchor, never a window sort over corpus-sized partitions), and the
+  * corpus-scale candidate generation is COMPOSED, not just asserted:
+  * [[hardNegativesAnn]] probes an IVF-PQ index (ADC scan of nProbe/nLists
+  * of the code table), filters to different-label candidates, and
+  * exact-reranks the survivors — the same candidates-then-verify contract
+  * as every bucketed operator here, gated by q102 against the exact form
+  * with a measured recall bound.
   */
 object NegativeMining {
 
@@ -39,11 +41,56 @@ object NegativeMining {
       .where(col("nl") =!= col("ql"))
       .select(col("query_id"), col("neighbor_id"),
         cosineSim(col("qv"), col("cv")).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    // bounded per-anchor top-k aggregate, NOT a window sort: at the real
+    // regime (millions of anchors) each anchor's scored partition is
+    // corpus-sized; the aggregate ships O(k) state per anchor per partition
+    Similarity.topKRows(scored, "cosine", k, "cosine")
+  }
+
+  /** Training-scale hard negatives: ANN candidate generation instead of
+    * the full corpus scan. Probes a composed IVF-PQ index ([[IvfPq]]): per
+    * anchor, ADC-score only the codes in its nProbe nearest inverted lists,
+    * drop same-label candidates BEFORE ranking, keep k·overRetrieve
+    * approximate survivors (bounded aggregate), exact-rerank those against
+    * the full-precision corpus. Scan bytes per anchor ∝ (nProbe/nLists) ×
+    * (1/pq-compression) × corpus — the multiplicative reduction that makes
+    * millions of anchors tractable; recall-vs-exact is measured and gated
+    * (q102). Label attach is one equi-join of two narrow corpus-sized
+    * frames on the id key (co-partitionable; the codes table is the only
+    * wide-ish input and it carries m bytes per row, not the vector).
+    *
+    * Returns (query_id, neighbor_id, cosine, rank) — same contract as
+    * [[hardNegatives]]; ANN recall is the only difference. */
+  def hardNegativesAnn(corpus: DataFrame, anchors: DataFrame, idCol: String,
+                       vecCol: String, labelCol: String, k: Int,
+                       nLists: Int = 16, nProbe: Int = 4, m: Int = 16,
+                       ksub: Int = 64, overRetrieve: Int = 8): DataFrame = {
+    val index = IvfPq.buildIndex(corpus, idCol, vecCol, nLists, m, ksub)
+    val nLabels = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("nl"))
+    val codesLabeled = index.codes.join(nLabels, Seq("neighbor_id"))
+    val qLabels = anchors.select(col(idCol).as("query_id"),
+      col(labelCol).as("ql"))
+    val q = anchors.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val qLists = Similarity.rankLists(anchors, idCol, vecCol,
+        index.centroids, nProbe)
+      .join(broadcast(qLabels), Seq("query_id"))
+    val approx = qLists.join(codesLabeled, Seq("list_id"))
+      .where(col("query_id") =!= col("neighbor_id") &&
+        col("nl") =!= col("ql"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorFunctions.pqAdcCosine(col("codes"), col("qv"),
+          index.codebook.centroids).as("acos"))
+    val survivors = Similarity.topKRows(approx, "acos", k * overRetrieve, "acos")
+      .select("query_id", "neighbor_id")
+    val exact = survivors
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv")), "neighbor_id")
+      .join(q, "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("qv"), col("cv")).as("cosine"))
+    Similarity.topKRows(exact, "cosine", k, "cosine")
   }
 
   /** Per anchor: m deterministic different-label negatives in md5 order of
@@ -57,12 +104,13 @@ object NegativeMining {
     val pick = Sampling.md5Bucket(
       concat(col("query_id").cast("string"), lit(":"),
         col("neighbor_id").cast("string")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(pick.asc, col("neighbor_id").asc)
-    c.crossJoin(broadcast(q))
+    // md5 buckets are < 2^32, so the double cast is exact and the bounded
+    // ascending top-k aggregate reproduces orderBy(pick.asc, id.asc)
+    val scored = c.crossJoin(broadcast(q))
       .where(col("nl") =!= col("ql"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= m)
+      .select(col("query_id"), col("neighbor_id"),
+        pick.cast("double").as("pick"))
+    Similarity.topKRows(scored, "pick", m, "pick", descending = false)
       .select("query_id", "neighbor_id", "rank")
   }
 }

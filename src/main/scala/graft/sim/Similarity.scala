@@ -18,8 +18,30 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Explode a [[graft.functions.TopKByScore]] result back into the
+    * window-form rows (query_id, neighbor_id, score, rank). This is the
+    * scale-safe per-anchor top-k: O(k) aggregation state, map-side
+    * combined, so the shuffle carries numPartitions·k pairs per anchor
+    * instead of the anchor's full scored partition. Bit-identical to
+    * `row_number().over(Window.partitionBy("query_id").orderBy(score, id))
+    * <= k` (pinned by SimilaritySpec). */
+  private[graft] def topKRows(scored: DataFrame, scoreCol: String, k: Int,
+                              outScoreName: String,
+                              descending: Boolean = true): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKByScore.topKByScore(
+        col(scoreCol), col("neighbor_id"), k, descending).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("e"))
+      .select(col("query_id"), col("e.id").as("neighbor_id"),
+        col("e.score").as(outScoreName), col("e.rank").as("rank"))
+
   /** Exact top-k neighbors for each query vector. `queries` should be small
-    * (it is broadcast). Returns (query_id, neighbor_id, cosine, rank). */
+    * (it is broadcast). Returns (query_id, neighbor_id, cosine, rank).
+    * Per-anchor ranking is the bounded [[graft.functions.TopKByScore]]
+    * aggregate, NOT a window sort — at training scale (millions of
+    * anchors) a window rank would shuffle all N·Q scored rows and sort
+    * corpus-sized per-anchor partitions; the aggregate ships O(k) state
+    * per anchor per partition. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
@@ -28,11 +50,7 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineSim(col("qv"), col("cv")).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    topKRows(scored, "cosine", k, "cosine")
   }
 
   /** Compressed-index ANN: score candidates against the INT8-dequantized
@@ -55,10 +73,7 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineSim(col("qv"), col("dv")).as("acos"))
-    val wa = Window.partitionBy("query_id")
-      .orderBy(col("acos").desc, col("neighbor_id").asc)
-    val survivors = approx.withColumn("arank", row_number().over(wa))
-      .where(col("arank") <= k * overRetrieve)
+    val survivors = topKRows(approx, "acos", k * overRetrieve, "acos")
       .select("query_id", "neighbor_id")
     // exact re-rank of the survivors only
     val exact = survivors
@@ -67,11 +82,7 @@ object Similarity {
       .join(q, "query_id")
       .select(col("query_id"), col("neighbor_id"),
         cosineSim(col("qv"), col("cv")).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    exact.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    topKRows(exact, "cosine", k, "cosine")
   }
 
   /** Deterministic gaussian hyperplanes for (table seed, bit): materialized
@@ -188,19 +199,14 @@ object Similarity {
     * re-assignment, the index lists are the only corpus-sized input. */
   def ivfTopKFrom(index: IvfIndex, queries: DataFrame, idCol: String,
                   vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
-    val assigned = index.lists
     val qLists = rankLists(queries, idCol, vecCol, index.centroids, nProbe)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    qLists.join(assigned, Seq("list_id"))
+    // bounded top-k aggregate: candidates are nProbe/nLists of the corpus
+    // per query — corpus-fraction partitions, same hazard as brute force
+    val scored = qLists.join(index.lists, Seq("list_id"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineSim(col("qv"), col("cv")).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    topKRows(scored, "cosine", k, "cosine")
   }
 
   /** All tables' bucket ids in ONE scan: (id, tbl, bucket) — every table's
@@ -246,13 +252,9 @@ object Similarity {
       .distinct()
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cand.join(c, Seq("neighbor_id")).join(broadcast(q), Seq("query_id"))
+    val scored = cand.join(c, Seq("neighbor_id")).join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineSim(col("qv"), col("cv")).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    topKRows(scored, "cosine", k, "cosine")
   }
 }

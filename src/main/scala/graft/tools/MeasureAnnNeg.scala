@@ -1,0 +1,37 @@
+package graft.tools
+
+import graft.sim.NegativeMining
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measure hardNegativesAnn recall vs the exact form across configs — the
+  * number that sets q102's gate bound. Usage: runMain
+  * graft.tools.MeasureAnnNeg <sfDir> */
+object MeasureAnnNeg {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config(Tables.NanosAsLongConf, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = Tables.embeddings(spark, args(0))
+    val anchors = emb.where(col("vec_id") < 5)
+    val exact = NegativeMining.hardNegatives(emb, anchors,
+        "vec_id", "embedding", "label", k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (nProbe <- Seq(4, 8, 12); over <- Seq(8, 16)) {
+      val ann = NegativeMining.hardNegativesAnn(emb, anchors,
+          "vec_id", "embedding", "label", k = 3,
+          nLists = 16, nProbe = nProbe, overRetrieve = over)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact intersect ann).size.toDouble / exact.size
+      println(f"MEASURE nProbe=$nProbe%2d over=$over%2d recall=$recall%.3f")
+    }
+    spark.stop()
+  }
+}

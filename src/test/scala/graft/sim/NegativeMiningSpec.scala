@@ -42,6 +42,23 @@ class NegativeMiningSpec extends SparkSpec {
       s"hard negatives should be meaningfully more similar ($hard vs $easy)")
   }
 
+  test("ann hard negatives are label-disjoint with high recall vs exact") {
+    val exact = NegativeMining.hardNegatives(emb, anchors,
+        "vec_id", "embedding", "label", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = NegativeMining.hardNegativesAnn(emb, anchors,
+      "vec_id", "embedding", "label", k = 3, nLists = 16, nProbe = 12)
+    val labels = emb.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val rows = ann.collect()
+    assert(rows.length == 15, "5 anchors x 3 ann negatives")
+    rows.foreach(r => assert(labels(r.getLong(0)) != labels(r.getLong(1)),
+      "an ANN negative must carry a different label"))
+    val annSet = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect annSet).size.toDouble / exact.size
+    info(s"ANN hard-negative recall vs exact: $recall")
+    assert(recall >= 0.6, s"recall $recall below gate bound")
+  }
+
   test("easy negatives are deterministic, label-disjoint, distinct per anchor") {
     val a = NegativeMining.easyNegatives(emb, anchors, "vec_id", "label", 2).collect()
     val b = NegativeMining.easyNegatives(emb, anchors, "vec_id", "label", 2).collect()

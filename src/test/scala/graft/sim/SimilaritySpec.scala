@@ -99,6 +99,53 @@ class SimilaritySpec extends SparkSpec {
     assert(viaIndex(q2) == fused(q2), "second batch diverged")
   }
 
+  test("bounded top-k aggregate == window-rank form, plan has no Window sort") {
+    import org.apache.spark.sql.expressions.Window
+    val queries = emb.where(col("vec_id") < 8)
+    val res = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+    // the window-rank reference form, computed inline
+    val c = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("cv"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.dedup.Dedup.cosineSim(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val ref = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val got = res.select("query_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == ref, s"aggregate diverged from window form: ${ref -- got}")
+    // plan pin: the brute-force path must rank via the bounded aggregate,
+    // never a full-partition window sort
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "brute-force top-k must not use a Window")
+    assert(plan.contains("top_k_by_score"), "expected the bounded aggregate")
+  }
+
+  test("ascending bounded top-k == window asc form (easy-negative ordering)") {
+    import org.apache.spark.sql.expressions.Window
+    val scored = emb.select(col("vec_id").as("neighbor_id"))
+      .crossJoin(broadcast(emb.where(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"))))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("neighbor_id") % 7).cast("double").as("pick")) // deliberate ties
+    val ref = scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("pick").asc, col("neighbor_id").asc)))
+      .where(col("rank") <= 6)
+      .select("query_id", "neighbor_id", "pick", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val got = Similarity.topKRows(scored, "pick", 6, "pick", descending = false)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == ref, s"asc aggregate diverged: ${ref -- got}")
+  }
+
   test("lsh buckets are deterministic across invocations") {
     val b1 = Similarity.lshBuckets(emb, "vec_id", "embedding", 12)
       .select("id", "bucket").as[(Long, Long)].collect().toMap
