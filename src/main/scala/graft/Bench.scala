@@ -100,14 +100,15 @@ object Bench {
     // time AND the load its pass started at, so the published record
     // carries per-query contention evidence, not just run-level endpoints.
     val loadGate = cpus.toDouble / 4.0
-    def bench(name: String): (Double, Double) = {
+    def bench(name: String): (Double, Double, Int) = {
       var passes = Seq.fill(3)(timeOnce(name))
       var extra = 0
       while (passes.minBy(_._1)._2 > loadGate && extra < 2) {
         passes :+= timeOnce(name)
         extra += 1
       }
-      passes.minBy(_._1)
+      val (t, l) = passes.minBy(_._1)
+      (t, l, passes.size)
     }
 
     // ad-hoc override for profiling: SPARK_GRAFT_BENCH_QUERIES=q62_x,q64_y
@@ -115,14 +116,19 @@ object Bench {
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(headline)
     val results = selected.filter(qs.contains).map(name => name -> bench(name))
-    val qjson = results.map { case (k, (v, _)) => "\"" + k + f"\":$v%.3f" }
+    val qjson = results.map { case (k, (v, _, _)) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val ljson = results.map { case (k, (_, l)) => "\"" + k + f"\":$l%.2f" }
+    val ljson = results.map { case (k, (_, l, _)) => "\"" + k + f"\":$l%.2f" }
+      .mkString("{", ",", "}")
+    val pjson = results.map { case (k, (_, _, p)) => "\"" + k + "\":" + p }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
+    // record the protocol the run actually followed: the contention loop can
+    // take up to 5 passes per query, so publish per-query counts + the max
+    val passesMax = if (results.isEmpty) 0 else results.map(_._2._3).max
     val loadEnd = loadAvg
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"loads":$ljson,"sf":"$sfDir","passes":3,"load_gate":$loadGate%.1f,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"loads":$ljson,"sf":"$sfDir","passes":$passesMax,"passes_per_query":$pjson,"load_gate":$loadGate%.1f,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f}"""
     val out = sys.env.getOrElse("BENCH_OUT", "target/bench.json")
     try {
       val p = java.nio.file.Paths.get(out)

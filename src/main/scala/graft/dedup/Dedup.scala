@@ -676,9 +676,10 @@ object Dedup {
     * form; the equi-join form remains the differential baseline and the
     * fallback where the memory contract below cannot be met.
     *
-    * Memory contract: one task holds TWO blocks' quantized rows
-    * (collect_list per block-pair key; ~(dims + 48) B/row), so numBlocks
-    * must grow with the corpus. With `numBlocks = 0` (the default) the
+    * Memory contract: one task holds TWO blocks' quantized rows — sized at
+    * their DESERIALIZED cost ([[qRowBytes]]: ~20 B per boxed code + ~100 B
+    * row overhead, the shape the typed flatMap actually materializes, not
+    * the compact wire format) — so numBlocks must grow with the corpus. With `numBlocks = 0` (the default) the
     * contract is enforced automatically: numBlocks is derived from the
     * measured count and dimensionality so a block stays under
     * ~`targetBlockBytes` (32 MB), and past `maxBatchedBlocks` the call
@@ -700,9 +701,7 @@ object Dedup {
         if (n == 0) 1
         else {
           val dims = e.select(size(col("v"))).head().getInt(0).max(1)
-          val rowBytes = dims + 48L // int8 code + id/scale/norms/err/p
-          val rowsPerBlock = math.max(1L, targetBlockBytes / rowBytes)
-          math.max(8L, (n + rowsPerBlock - 1) / rowsPerBlock).toInt
+          autoNumBlocks(n, dims, targetBlockBytes)
         }
       }
     if (blocks > maxBatchedBlocks)
@@ -747,6 +746,23 @@ object Dedup {
       }
       .toDF("id_a", "id_b")
     exactCosineRecheck(e, cand, minCosine)
+  }
+
+  /** JVM-resident bytes of ONE deserialized [[QRow]]: the task peak is the
+    * two `Seq[QRow]` lists AFTER the typed flatMap deserializes them, not
+    * the compact Tungsten arrays collect_list builds — each code is a boxed
+    * Integer (16 B object + ~4 B ref in the backing array) and the QRow /
+    * Vector / header overhead is ~100 B. The earlier `dims + 48` estimate
+    * modeled the wire format and under-provisioned the heap ~20×. */
+  private[dedup] def qRowBytes(dims: Int): Long = 20L * dims + 100L
+
+  /** Blocks needed so one block's deserialized rows stay under
+    * `targetBlockBytes` (a task holds two blocks). Exposed for the sizing
+    * spec, which pins `rowsPerBlock * qRowBytes(dims) <= target`. */
+  private[dedup] def autoNumBlocks(n: Long, dims: Int,
+                                   targetBlockBytes: Long): Int = {
+    val rowsPerBlock = math.max(1L, targetBlockBytes / qRowBytes(dims))
+    math.max(8L, (n + rowsPerBlock - 1) / rowsPerBlock).toInt
   }
 
   /** Quantized row carried through the batched block join. */

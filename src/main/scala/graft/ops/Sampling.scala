@@ -81,7 +81,13 @@ object Sampling {
     require(weights.forall(_._2 > 0), "split weights must be positive")
     require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
       "split weights must sum to 1")
-    val bucket = md5Bucket(concat(group.cast("string"), lit(":" + salt)))
+    // a null key would make every `bucket < t` null and silently fall
+    // through otherwise() into the LAST split (for train/val/test: test,
+    // the most leakage-sensitive one) — fail the job loudly instead
+    val g = when(group.isNotNull, group)
+      .otherwise(raise_error(lit(
+        "splitAssign: null split key (null would silently land in the last split)")))
+    val bucket = md5Bucket(concat(g.cast("string"), lit(":" + salt)))
     val cum = weights.map(_._2).scanLeft(0.0)(_ + _).tail
     val thresholds = cum.init.map(w => math.floor(w * Buckets).toLong)
     thresholds.zip(weights.map(_._1))

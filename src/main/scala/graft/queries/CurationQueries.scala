@@ -96,8 +96,10 @@ object CurationQueries {
       .where((col("id_a") % 10 === 3) =!= (col("id_b") % 10 === 3))
     val built = SemanticDedup.buildIndex(corpus, "vec_id", "embedding",
       nClusters = 8, probes = 3)
-    val idxPath = s"${sys.props("java.io.tmpdir")}/graft_semidx_" +
-      Integer.toHexString(dir.hashCode)
+    // per-invocation dir: a fixed shared path races concurrent runs (bench
+    // vs verify) and hashCode can collide across data dirs
+    val idxPath =
+      java.nio.file.Files.createTempDirectory("graft_semidx").toString
     graft.store.IndexStore.saveSemanticIndex(s, built, idxPath)
     val idx = graft.store.IndexStore.loadSemanticIndex(s, idxPath)
     val found = SemanticDedup.incrementalDupPairs(delta, "vec_id", "embedding",

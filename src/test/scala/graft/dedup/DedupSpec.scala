@@ -322,6 +322,23 @@ class DedupSpec extends SparkSpec {
     assert(auto == base)
   }
 
+  test("auto numBlocks sizes blocks by deserialized row cost, not wire bytes") {
+    // the task peak is two Seq[QRow] lists of boxed Integers (~20 B/code +
+    // ~100 B row overhead), not the int8 wire format: the sizing model must
+    // charge at least that, or a 32 MB 'block' occupies hundreds of MB on
+    // heap (r5 advisor finding)
+    val dims = 64
+    assert(Dedup.qRowBytes(dims) >= 20L * dims + 100L)
+    val target = 32L << 20
+    val blocks = Dedup.autoNumBlocks(n = 10_000_000L, dims = dims,
+      targetBlockBytes = target)
+    val rowsPerBlock = math.ceil(10_000_000.0 / blocks).toLong
+    assert(rowsPerBlock * Dedup.qRowBytes(dims) <= target + Dedup.qRowBytes(dims),
+      s"a block of $rowsPerBlock rows overflows the $target-byte budget")
+    // floor: tiny corpora still spread across >= 8 blocks for parallelism
+    assert(Dedup.autoNumBlocks(100L, dims, target) == 8)
+  }
+
   test("exactGroups bounds its member list under a fingerprint skew bomb") {
     // one fingerprint shared by 100k docs: the old sort_array(collect_list)
     // built a 100k-element array in one aggregation buffer; the bounded

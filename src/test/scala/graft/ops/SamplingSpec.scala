@@ -105,6 +105,26 @@ class SamplingSpec extends SparkSpec {
     assert(first == again)
   }
 
+  test("a null split key fails the job instead of silently landing in test") {
+    // nulls would make every threshold comparison null and fall through to
+    // the LAST split (test — the leakage-sensitive one); the assignment must
+    // raise instead (r5 advisor finding)
+    val docs = Seq((Some(1L), "a"), (None, "b"))
+      .toDF("doc_id", "text")
+    val weights = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val ex = intercept[Exception] {
+      Sampling.deterministicSplit(docs, "doc_id", "v1", weights)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("null split key")), s"got: $ex")
+    // non-null rows are untouched by the guard
+    val ok = Sampling.deterministicSplit(
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"), "doc_id", "v1", weights)
+    assert(ok.count() == 2)
+  }
+
   test("growing a boundary split keeps its previous members (monotone)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val t80 = Sampling.deterministicSplit(docs, "doc_id", "v1",
