@@ -99,11 +99,16 @@ object Bench {
     // regressions, so the gate is deliberately strict). Returns the best
     // time AND the load its pass started at, so the published record
     // carries per-query contention evidence, not just run-level endpoints.
+    // A best pass above HALF the gate is still suspect (the r6 record was
+    // judged 1.74x "slower" almost entirely from sandbox load): keep
+    // retrying, bounded, while the best pass's load exceeds gate/2; if it
+    // never clears, the query is marked contended in the published record so
+    // the next round's driver discounts it instead of reading a regression.
     val loadGate = cpus.toDouble / 4.0
     def bench(name: String): (Double, Double, Int) = {
       var passes = Seq.fill(3)(timeOnce(name))
       var extra = 0
-      while (passes.minBy(_._1)._2 > loadGate && extra < 2) {
+      while (passes.minBy(_._1)._2 > loadGate / 2.0 && extra < 3) {
         passes :+= timeOnce(name)
         extra += 1
       }
@@ -127,8 +132,14 @@ object Bench {
     // take up to 5 passes per query, so publish per-query counts + the max
     val passesMax = if (results.isEmpty) 0 else results.map(_._2._3).max
     val loadEnd = loadAvg
+    // validity stamp: queries whose BEST pass still ran above gate/2 after
+    // the bounded retry loop — their published times are upper bounds, not
+    // clean measurements
+    val contendedQs = results.collect { case (k, (_, l, _)) if l > loadGate / 2.0 => k }
+    val contended = contendedQs.nonEmpty
+    val cjson = contendedQs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"loads":$ljson,"sf":"$sfDir","passes":$passesMax,"passes_per_query":$pjson,"load_gate":$loadGate%.1f,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"loads":$ljson,"sf":"$sfDir","passes":$passesMax,"passes_per_query":$pjson,"load_gate":$loadGate%.1f,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"contended":$contended,"contended_queries":$cjson}"""
     val out = sys.env.getOrElse("BENCH_OUT", "target/bench.json")
     try {
       val p = java.nio.file.Paths.get(out)

@@ -23,11 +23,23 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
+    // Failures must be LOUD: a crashed query that simply vanishes from the
+    // output set reads as a smaller-but-green correctness report (this bit
+    // round 6: 3 crashed queries hid behind a 99/99-pass file). On failure we
+    // still create the query's output dir with a _FAILED marker (so the
+    // downstream compare sees the query and records an error instead of
+    // skipping it) and collect everything into errors.json.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${e.getMessage}"
+        System.err.println(s"[verify] $name FAILED: $msg")
+        failures(name) = msg
+        val d = Paths.get(s"$outDir/$name")
+        Files.createDirectories(d)
+        Files.writeString(d.resolve("_FAILED"), msg)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -45,6 +57,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // Shrinkage check: every registered query must have produced an output
+    // dir (parquet or _FAILED marker) — anything else is a harness bug.
+    val produced = queries.keys.count(n => Files.exists(Paths.get(s"$outDir/$n")))
+    if (produced != queries.size)
+      System.err.println(s"[verify] GATE SHRINKAGE: $produced/${queries.size} outputs present")
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size}/${queries.size} queries FAILED: " +
+        failures.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -243,10 +243,12 @@ final class StreamingParquetSource(spark: SparkSession, cfg: PipelineConfig,
   private def batchDf: DataFrame = {
     spark.conf.set(graft.sources.Tables.NanosAsLongConf, "true")
     val df = spark.read.parquet(sourceDir)
-    if (df.schema(cfg.timestampField).dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn(cfg.timestampField,
-        expr(s"timestamp_micros(${cfg.timestampField} div 1000)"))
-    else df
+    val shimmed =
+      if (df.schema(cfg.timestampField).dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn(cfg.timestampField,
+          expr(s"timestamp_micros(${cfg.timestampField} div 1000)"))
+      else df
+    graft.sources.Tables.normalizeNtz(shimmed)
   }
 
   private def filters(df: DataFrame, w: TimeWindow): DataFrame = {
@@ -268,11 +270,11 @@ final class StreamingParquetSource(spark: SparkSession, cfg: PipelineConfig,
     val diskSchema = spark.read.parquet(sourceDir).schema
     val stream0 = spark.readStream.schema(diskSchema)
       .option("maxFilesPerTrigger", 8).parquet(sourceDir)
-    val stream =
+    val stream = graft.sources.Tables.normalizeNtz(
       if (stream0.schema(cfg.timestampField).dataType == org.apache.spark.sql.types.LongType)
         stream0.withColumn(cfg.timestampField,
           expr(s"timestamp_micros(${cfg.timestampField} div 1000)"))
-      else stream0
+      else stream0)
     val q = filters(stream, w).writeStream
       .option("checkpointLocation", s"$stagePath/_checkpoint")
       .foreachBatch { (batch: DataFrame, _: Long) =>

@@ -23,11 +23,26 @@ object Tables {
     // legacy conf; it is session-settable at runtime.
     spark.conf.set(NanosAsLongConf, "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    nanosCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+    val nanosFixed = nanosCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
       if (d.schema(c).dataType == org.apache.spark.sql.types.LongType)
         d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
       else d
     }
+    normalizeNtz(nanosFixed)
+  }
+
+  /** Parquet `timestamp[us]` with `isAdjustedToUTC=false` surfaces as
+    * TIMESTAMP_NTZ, which downstream rejects (`unix_micros`, watermarks, the
+    * as-of physical operator's TimestampType requirement). The session time
+    * zone is pinned UTC throughout this engine, so reinterpreting NTZ as an
+    * instant is lossless: cast every NTZ column to TimestampType here, once,
+    * at the ingestion boundary.
+    */
+  def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType).map(_.name)
+    if (ntz.isEmpty) df
+    else df.withColumns(ntz.map(c => c -> col(c).cast(TimestampType)).toMap)
   }
 
   def events(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")

@@ -27,10 +27,14 @@ object StreamingPipeline {
       .schema(schema)
       .option("maxFilesPerTrigger", 4)
       .parquet(path)
-    // ns-long shim, mirroring Tables.events for the batch side
-    if (raw.schema(tsCol).dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
-    else raw
+    // ns-long shim, mirroring Tables.events for the batch side; then the
+    // NTZ normalization (timestamp[us] isAdjustedToUTC=false testdata) —
+    // watermarks reject TIMESTAMP_NTZ event-time columns.
+    val shimmed =
+      if (raw.schema(tsCol).dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
+      else raw
+    graft.sources.Tables.normalizeNtz(shimmed)
   }
 
   /** Tumbling-window counts with a watermark — the streaming form of the
