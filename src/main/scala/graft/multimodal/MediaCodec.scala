@@ -1,0 +1,262 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Real media metadata extraction over opaque `binary` columns.
+  *
+  * Two tiers, mirroring how a 100 TB multimodal corpus is actually
+  * processed:
+  *
+  * 1. **Header parse** ([[parseImageMeta]] / [[parseWavMeta]] and the
+  *    compiled [[ImageMetaExpr]]): reads the first few dozen bytes of the
+  *    container format — PNG IHDR, JPEG SOF segment walk, GIF logical
+  *    screen descriptor, BMP info header, RIFF/WAVE fmt chunk. All five are
+  *    public file formats parsed from their published layouts. This is the
+  *    scale path: width/height/channels for a billion assets without
+  *    decoding a single pixel (bytes read per row is O(header), not
+  *    O(image)).
+  * 2. **Full decode** ([[ImageIoDecoder]]): `javax.imageio` (Java SE — no
+  *    external codec dependency) decodes PNG/JPEG/BMP/GIF payloads to
+  *    pixels for feature extraction at the `Multimodal.extractFeatures`
+  *    mapPartitions boundary. This replaces the round-4..6 stub for image
+  *    kinds; formats the JDK cannot decode still fall back to the
+  *    deterministic byte-histogram so the plumbing never throws on opaque
+  *    payloads (audio/video).
+  *
+  * Reference anchor: the reference ships media rows as opaque documents
+  * with typed metadata fields (see SURVEY §2.8); dimension/channel
+  * extraction is the decode-side half it delegates to its ingest workers.
+  */
+object MediaCodec {
+
+  /** Parsed image container metadata. `channels` is the pixel channel
+    * count implied by the container (PNG color type, JPEG component count,
+    * 3 for palette GIF / 24-bit BMP). */
+  final case class ImageMeta(format: String, width: Int, height: Int,
+                             bitDepth: Int, channels: Int)
+
+  final case class WavMeta(channels: Int, sampleRate: Int, bitsPerSample: Int)
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  /** PNG color type -> sample channels (spec: greyscale 1, truecolor 3,
+    * palette 1 index but 3 rendered — we report rendered channels). */
+  private def pngChannels(colorType: Int): Int = colorType match {
+    case 0 => 1; case 2 => 3; case 3 => 3; case 4 => 2; case 6 => 4
+    case _ => -1
+  }
+
+  /** Parse PNG / JPEG / GIF / BMP headers; null when the payload is none
+    * of them (truncated counts as unparseable, never throws). */
+  def parseImageMeta(b: Array[Byte]): ImageMeta = {
+    if (b == null) return null
+    // PNG: 8-byte signature, then IHDR chunk (len+type+13 data bytes)
+    if (b.length >= 29 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+        b(3) == 'G' && b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+      val ct = b(25) & 0xff
+      return ImageMeta("png", be32(b, 16), be32(b, 20), b(24) & 0xff, pngChannels(ct))
+    }
+    // JPEG: FF D8, then a marker-segment walk to the first SOFn
+    if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 3 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return null // desynced — not a JPEG stream
+        var m = b(i + 1) & 0xff
+        // skip fill bytes (FF FF ... FF marker is legal padding)
+        while (m == 0xff && i + 2 < b.length) { i += 1; m = b(i + 1) & 0xff }
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) { i += 2 } // standalone
+        else if (m == 0xd9 || m == 0xda) return null // EOI/SOS before any SOF
+        else {
+          if (i + 3 >= b.length) return null
+          val len = be16(b, i + 2)
+          val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof) {
+            if (i + 9 >= b.length) return null
+            return ImageMeta("jpeg", be16(b, i + 7), be16(b, i + 5),
+              b(i + 4) & 0xff, b(i + 9) & 0xff)
+          }
+          i += 2 + len
+        }
+      }
+      return null
+    }
+    // GIF87a / GIF89a: logical screen descriptor
+    if (b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      val packed = b(10) & 0xff
+      return ImageMeta("gif", le16(b, 6), le16(b, 8), ((packed >> 4) & 0x7) + 1, 3)
+    }
+    // BMP: BITMAPINFOHEADER (height may be negative = top-down; report abs)
+    if (b.length >= 30 && b(0) == 'B' && b(1) == 'M') {
+      val bpp = le16(b, 28)
+      return ImageMeta("bmp", le32(b, 18), math.abs(le32(b, 22)), 8,
+        math.max(1, bpp / 8))
+    }
+    null
+  }
+
+  /** Parse a RIFF/WAVE fmt chunk (walks chunks, so an unusual chunk order
+    * still parses); null for non-WAV payloads. */
+  def parseWavMeta(b: Array[Byte]): WavMeta = {
+    if (b == null || b.length < 36 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
+      return null
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+        if (i + 24 > b.length) return null
+        return WavMeta(le16(b, i + 10), le32(b, i + 12), le16(b, i + 22))
+      }
+      i += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    null
+  }
+
+  // ------------------------------------------------------------ encoders
+
+  /** Encode a real image of the given dims via javax.imageio. Pixels are a
+    * deterministic function of (seed, x, y) so decode tests can assert
+    * pixel statistics, not just dimensions. Formats: png, jpeg, bmp, gif. */
+  def encodeImage(format: String, width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val h = seed * 6364136223846793005L + (y.toLong * width + x) * 1442695040888963407L
+        img.setRGB(x, y, (h >>> 40).toInt & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, format, out))
+      throw new IllegalArgumentException(s"no ImageIO writer for format $format")
+    out.toByteArray
+  }
+
+  /** Encode a solid-color image — the decode test's ground truth. */
+  def encodeSolid(format: String, width: Int, height: Int, rgb: Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb & 0xffffff); x += 1 }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, out)
+    out.toByteArray
+  }
+
+  /** Minimal valid PCM WAV container around `samples` 16-bit frames. */
+  def encodeWav(channels: Int, sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1)
+    bb.putShort(channels.toShort); bb.putInt(sampleRate)
+    bb.putInt(sampleRate * channels * 2); bb.putShort((channels * 2).toShort)
+    bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  // ------------------------------------------------------- real decoder
+
+  /** Pixel-level feature extraction through the JDK's ImageIO codecs:
+    * decoded luminance histogram over `dim` bins (mass 1.0). Non-image or
+    * undecodable payloads fall back to the byte-histogram stub so the
+    * partition never throws mid-stream. */
+  object ImageIoDecoder extends Multimodal.MediaDecoder {
+    def features(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null) return Multimodal.FakeDecoder.features(kind, bytes, dim)
+      val out = new Array[Float](dim)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          // integer Rec.601 luma, 0..255
+          val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          out(luma * dim / 256) += 1.0f
+          x += 1
+        }
+        y += 1
+      }
+      val n = math.max(w * h, 1)
+      var j = 0
+      while (j < dim) { out(j) /= n; j += 1 }
+      out
+    }
+  }
+}
+
+/** Compiled header parse of an image binary column:
+  * struct<format,width,height,bit_depth,channels>, null for non-image
+  * payloads. CodegenFallback — one compiled byte-walk per row (O(header
+  * bytes)); per-row reflective dispatch is noise next to it, same rationale
+  * as the TextExprs tier. */
+case class ImageMetaExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ImageMetaExpr.schema
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"image_meta needs a binary column, got ${child.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val m = MediaCodec.parseImageMeta(input.asInstanceOf[Array[Byte]])
+    if (m == null) null
+    else InternalRow(UTF8String.fromString(m.format), m.width, m.height,
+      m.bitDepth, m.channels)
+  }
+
+  override def prettyName: String = "image_meta"
+  override protected def withNewChildInternal(newChild: Expression): ImageMetaExpr =
+    copy(child = newChild)
+}
+
+object ImageMetaExpr {
+  val schema: DataType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("bit_depth", IntegerType),
+    StructField("channels", IntegerType)))
+
+  /** Column form: `image_meta(media)`. */
+  def imageMeta(media: Column): Column =
+    ColumnBridge.column(ImageMetaExpr(ColumnBridge.expression(media)))
+}

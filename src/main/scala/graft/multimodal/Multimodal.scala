@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
   *
   * Media travels as opaque `binary` columns with typed metadata, the standard
   * large-corpus layout (one row per asset, bytes inline below a size cap).
-  * The decode step is STUBBED — this container has no image/audio codecs —
-  * behind `MediaDecoder`; `FakeDecoder` is a deterministic stand-in so the
-  * Spark-side plumbing (schema, batching, partition-level execution, feature
-  * schema) is real and tested. Swap `FakeDecoder` for a JNI/codec-backed
-  * implementation in production; nothing else changes.
+  * The decode boundary (`MediaDecoder`) has two real implementations:
+  * [[MediaCodec.ImageIoDecoder]] decodes PNG/JPEG/BMP/GIF payloads to pixels
+  * through the JDK's own ImageIO codecs, and [[MediaCodec]]'s header parsers
+  * recover width/height/channels from the public container formats without
+  * decoding (the metadata scale path — gated as q103). `FakeDecoder` remains
+  * as the deterministic stand-in for codec-less payload kinds (audio/video
+  * feature extraction would need external models) so the partition-level
+  * plumbing is exercised uniformly; swap in a JNI/codec-backed decoder in
+  * production and nothing else changes.
   */
 object Multimodal {
 

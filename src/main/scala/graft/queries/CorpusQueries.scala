@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.dedup.Dedup
 import graft.functions.TextFunctions
-import graft.multimodal.Multimodal
+import graft.multimodal.{ImageMetaExpr, MediaCodec, Multimodal}
 import graft.sim.Similarity
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -445,6 +445,34 @@ object CorpusQueries {
       .orderBy("kind")
   }
 
+  /** Real-codec round trip: encode actual PNG/JPEG/BMP/GIF files (ImageIO,
+    * dims a pure function of doc_id), then recover the dimensions by
+    * parsing the container headers with the compiled [[ImageMetaExpr]] —
+    * the q60 plumbing upgraded from a byte-histogram stub to true public
+    * file formats. Hash-matching the arithmetic oracle proves the parser
+    * reads width/height/format out of real encoded bytes; pixel-level
+    * decode (ImageIoDecoder) is covered in MultimodalSpec. */
+  val mediaMetadata: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .where(col("doc_id") % 17 === 3)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val fmt = (id % 4) match {
+            case 0 => "png"; case 1 => "jpeg"; case 2 => "bmp"; case _ => "gif"
+          }
+          val w = (16 + id % 48).toInt
+          val h = (16 + (id * 7) % 48).toInt
+          (id, MediaCodec.encodeImage(fmt, w, h, seed = id))
+        }
+      }.toDF("doc_id", "media")
+    media.select(col("doc_id"), ImageMetaExpr.imageMeta(col("media")).as("m"))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.width").as("width"), col("m.height").as("height"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q30_token_stats" -> tokenStats,
     "q31_quality_stats" -> qualityStats,
@@ -475,9 +503,17 @@ object CorpusQueries {
     "q53_percentiles" -> percentiles,
     "q54_approx_percentiles" -> approxPercentiles,
     "q56_sketch_percentiles" -> sketchPercentiles,
-    "q60_media_features" -> mediaFeatures)
+    "q60_media_features" -> mediaFeatures,
+    "q103_media_metadata" -> mediaMetadata)
 
   val oracles: Map[String, String] = Map(
+    "q103_media_metadata" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |    WHEN 2 THEN 'bmp' ELSE 'gif' END AS format,
+        |  CAST(16 + doc_id % 48 AS INT) AS width,
+        |  CAST(16 + (doc_id * 7) % 48 AS INT) AS height
+        |FROM documents WHERE doc_id % 17 = 3 ORDER BY doc_id""".stripMargin,
     "q32_langid_distribution" ->
       """WITH t AS (
         |  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),

@@ -1,0 +1,119 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The real codec tier: ImageIO-encoded files round-trip through the
+  * header parsers and the pixel decoder. Every byte layout asserted here
+  * is from the published PNG/JPEG/GIF/BMP/RIFF specifications. */
+class MediaCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val formats = Seq("png", "jpeg", "bmp", "gif")
+
+  test("header parse recovers dims from real encoded files, all formats") {
+    for (fmt <- formats; (w, h) <- Seq((16, 16), (31, 47), (128, 1), (1, 200))) {
+      val bytes = MediaCodec.encodeImage(fmt, w, h, seed = w * 1000L + h)
+      val m = MediaCodec.parseImageMeta(bytes)
+      assert(m != null, s"$fmt ${w}x$h unparseable")
+      assert(m.format == fmt && m.width == w && m.height == h,
+        s"$fmt: got $m for ${w}x$h")
+    }
+  }
+
+  test("format-specific fields: PNG color type, JPEG components, BMP bpp") {
+    val png = MediaCodec.parseImageMeta(MediaCodec.encodeImage("png", 20, 10, 1L))
+    assert(png.bitDepth == 8 && png.channels == 3, s"png: $png")
+    val jpg = MediaCodec.parseImageMeta(MediaCodec.encodeImage("jpeg", 20, 10, 1L))
+    assert(jpg.bitDepth == 8 && jpg.channels == 3, s"jpeg: $jpg")
+    val bmp = MediaCodec.parseImageMeta(MediaCodec.encodeImage("bmp", 20, 10, 1L))
+    assert(bmp.channels == 3, s"bmp: $bmp")
+  }
+
+  test("garbage, truncation, and cross-format bytes never throw — they null") {
+    assert(MediaCodec.parseImageMeta(null) == null)
+    assert(MediaCodec.parseImageMeta(Array.emptyByteArray) == null)
+    assert(MediaCodec.parseImageMeta("not an image at all".getBytes) == null)
+    for (fmt <- formats) {
+      val full = MediaCodec.encodeImage(fmt, 40, 40, 7L)
+      // every truncation point: parse either nulls or (for prefixes that
+      // still contain the whole header) returns the true dims — it must
+      // never throw or fabricate other dims
+      for (n <- 0 until math.min(full.length, 64)) {
+        val m = MediaCodec.parseImageMeta(java.util.Arrays.copyOf(full, n))
+        assert(m == null || (m.width == 40 && m.height == 40),
+          s"$fmt truncated at $n: $m")
+      }
+    }
+    // WAV bytes are not an image; PNG bytes are not a WAV
+    val wav = MediaCodec.encodeWav(2, 16000, Array.fill[Short](64)(5))
+    assert(MediaCodec.parseImageMeta(wav) == null)
+    assert(MediaCodec.parseWavMeta(MediaCodec.encodeImage("png", 8, 8, 1L)) == null)
+  }
+
+  test("WAV fmt chunk round-trips channels, rate, and sample width") {
+    val wav = MediaCodec.encodeWav(channels = 2, sampleRate = 44100,
+      samples = Array.tabulate[Short](128)(i => (i * 17).toShort))
+    val m = MediaCodec.parseWavMeta(wav)
+    assert(m == MediaCodec.WavMeta(2, 44100, 16))
+    val mono = MediaCodec.parseWavMeta(MediaCodec.encodeWav(1, 8000, Array[Short](0)))
+    assert(mono == MediaCodec.WavMeta(1, 8000, 16))
+  }
+
+  test("ImageIoDecoder reads true pixels: solid-color mass lands in one luma bin") {
+    val dim = 32
+    // mid-gray (128,128,128) -> luma 128 -> bin 128*32/256 = 16
+    for (fmt <- formats) {
+      val bytes = MediaCodec.encodeSolid(fmt, 24, 24, 0x808080)
+      val f = MediaCodec.ImageIoDecoder.features("image", bytes, dim)
+      assert(f.length == dim)
+      // jpeg/gif may quantize a shade: allow mass in the 2-bin neighborhood
+      val mass = (15 to 17).map(f(_)).sum
+      assert(mass > 0.99f, s"$fmt: luma mass ${f.toSeq}")
+    }
+    // undecodable payload falls back to the byte histogram, never throws
+    val fb = MediaCodec.ImageIoDecoder.features("audio", "opaque".getBytes, dim)
+    assert(fb.length == dim && math.abs(fb.sum - 1.0f) < 1e-3)
+  }
+
+  test("extractFeatures with the real decoder over a real-image media table") {
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "image", MediaCodec.encodeSolid("png", 10, 10, 0xffffff), 10, 10, 0),
+      Multimodal.MediaRow(2L, "image", MediaCodec.encodeSolid("jpeg", 10, 10, 0x000000), 10, 10, 0),
+      Multimodal.MediaRow(3L, "audio", MediaCodec.encodeWav(1, 16000, Array[Short](1, 2, 3)), 0, 0, 16000)))
+    val f = Multimodal.extractFeatures(media, MediaCodec.ImageIoDecoder, dim = 16)
+      .collect().map(r => r.asset_id -> r.features).toMap
+    assert(f(1L)(15) > 0.99f, "white image -> top luma bin")
+    assert(f(2L)(0) > 0.99f, "black image -> bottom luma bin")
+    assert(math.abs(f(3L).sum - 1.0f) < 1e-3, "audio fell back to byte histogram")
+  }
+
+  test("ImageMetaExpr is a null-safe column over mixed binary payloads") {
+    val df = Seq(
+      (1L, MediaCodec.encodeImage("png", 33, 21, 1L)),
+      (2L, MediaCodec.encodeImage("jpeg", 40, 50, 2L)),
+      (3L, "not media".getBytes)
+    ).toDF("id", "media")
+      .select(col("id"), ImageMetaExpr.imageMeta(col("media")).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) null else (r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(rows(1L) == (("png", 33, 21)))
+    assert(rows(2L) == (("jpeg", 40, 50)))
+    assert(rows(3L) == null)
+  }
+
+  test("q103 engine output matches its arithmetic oracle shape on sf0.001") {
+    val out = graft.queries.CorpusQueries.mediaMetadata(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val fmt = Seq("png", "jpeg", "bmp", "gif")((id % 4).toInt)
+      assert(id % 17 == 3)
+      assert(r.getString(1) == fmt)
+      assert(r.getInt(2) == (16 + id % 48).toInt)
+      assert(r.getInt(3) == (16 + (id * 7) % 48).toInt)
+    }
+  }
+}
