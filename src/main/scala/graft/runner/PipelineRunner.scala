@@ -35,6 +35,16 @@ object PipelineRunner {
       succeeded: Int,
       failed: Int,
       skippedValidInProgress: Boolean)
+
+  /** DAG exit-code mapping (reference: index_main_pipeline_dag.py:83-87): a
+    * completed batch whose failure rate (failed / windows attempted)
+    * exceeds the threshold is a run-level FAILURE — the scheduler must see
+    * a nonzero exit even though each window's failure is already recorded
+    * in the ledger. Skip outcomes (valid in-progress concurrency gate,
+    * nothing selected) are exempt, as in the reference. */
+  def exceedsFailureThreshold(s: RunSummary, threshold: Double = 0.5): Boolean =
+    !s.skippedValidInProgress && s.selected > 0 &&
+      s.failed.toDouble / s.selected > threshold
 }
 
 /** The orchestration loop: populate ledger, validate/reset stale runs,

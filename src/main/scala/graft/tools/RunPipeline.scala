@@ -51,5 +51,11 @@ object RunPipeline {
       .orderBy("source_query_window_start_time")
       .show(50, truncate = false)
     spark.stop()
+    val threshold = sys.env.getOrElse("GRAFT_FAILURE_THRESHOLD", "0.5").toDouble
+    if (PipelineRunner.exceedsFailureThreshold(summary, threshold)) {
+      System.err.println(f"[pipeline] FAILURE RATE ${summary.failed}/${summary.selected} " +
+        f"exceeds threshold $threshold%.2f — exiting nonzero for the scheduler")
+      sys.exit(1)
+    }
   }
 }

@@ -119,4 +119,17 @@ class PipelineSmokeSpec extends SparkSpec {
     assert(merged.where(col("quality").isNull).count() == 40)
     assert(merged.where(col("quality") === 0.5).count() == 25)
   }
+
+  test("failure-rate threshold maps run summaries to scheduler failure") {
+    import PipelineRunner.{RunSummary, exceedsFailureThreshold}
+    def s(selected: Int, failed: Int, skipped: Boolean = false) =
+      RunSummary(0, 0, 0, selected, selected - failed, failed, skipped)
+    // reference decision table (index_main_pipeline_dag.py:83-87): strict >
+    assert(!exceedsFailureThreshold(s(10, 5)), "exactly 50% is NOT a failure")
+    assert(exceedsFailureThreshold(s(10, 6)), "above 50% fails the run")
+    assert(!exceedsFailureThreshold(s(0, 0)), "nothing selected: exempt")
+    assert(!exceedsFailureThreshold(s(10, 6, skipped = true)), "skip state: exempt")
+    assert(exceedsFailureThreshold(s(10, 1), threshold = 0.0), "custom threshold")
+    assert(!exceedsFailureThreshold(s(10, 10), threshold = 1.0), "1.0 never trips")
+  }
 }
