@@ -677,9 +677,10 @@ object Dedup {
     * fallback where the memory contract below cannot be met.
     *
     * Memory contract: one task holds TWO blocks' quantized rows — sized at
-    * their DESERIALIZED cost ([[qRowBytes]]: ~20 B per boxed code + ~100 B
-    * row overhead, the shape the typed flatMap actually materializes, not
-    * the compact wire format) — so numBlocks must grow with the corpus. With `numBlocks = 0` (the default) the
+    * their DESERIALIZED cost ([[qRowBytes]]: measured ~4 B per code with
+    * the primitive-array QRow + ~80 B row overhead, the shape the typed
+    * flatMap actually materializes, not the compact wire format) — so
+    * numBlocks must grow with the corpus. With `numBlocks = 0` (the default) the
     * contract is enforced automatically: numBlocks is derived from the
     * measured count and dimensionality so a block stays under
     * ~`targetBlockBytes` (32 MB), and past `maxBatchedBlocks` the call
@@ -726,21 +727,21 @@ object Dedup {
     val cand = leftG.join(rightG, "bp")
       .as[(Int, Seq[Dedup.QRow], Seq[Dedup.QRow])]
       .flatMap { case (_, ls, rs) =>
-        val right = rs.iterator.map(r =>
-          (r.id, r.scale, r.q.toArray, r.nrm, r.qerr, r.p)).toArray
+        val right = rs.toArray
         ls.iterator.flatMap { a =>
-          val qa = a.q.toArray
-          right.iterator.filter { case (bid, bscale, qb, bnrm, bqerr, bp) =>
-            (a.id != bid) && (a.p != bp || a.id < bid) && {
+          val qa = a.q
+          right.iterator.filter { b =>
+            (a.id != b.id) && (a.p != b.p || a.id < b.id) && {
+              val qb = b.q
               var dot = 0L
               var i = 0
               while (i < qa.length) { dot += qa(i).toLong * qb(i); i += 1 }
-              val upper = a.scale * bscale * dot +
-                a.qerr * bnrm + bqerr * a.nrm + 3.0 * a.qerr * bqerr
-              upper >= minCosine * a.nrm * bnrm
+              val upper = a.scale * b.scale * dot +
+                a.qerr * b.nrm + b.qerr * a.nrm + 3.0 * a.qerr * b.qerr
+              upper >= minCosine * a.nrm * b.nrm
             }
-          }.map { case (bid, _, _, _, _, _) =>
-            (math.min(a.id, bid), math.max(a.id, bid))
+          }.map { b =>
+            (math.min(a.id, b.id), math.max(a.id, b.id))
           }
         }
       }
@@ -750,11 +751,14 @@ object Dedup {
 
   /** JVM-resident bytes of ONE deserialized [[QRow]]: the task peak is the
     * two `Seq[QRow]` lists AFTER the typed flatMap deserializes them, not
-    * the compact Tungsten arrays collect_list builds — each code is a boxed
-    * Integer (16 B object + ~4 B ref in the backing array) and the QRow /
-    * Vector / header overhead is ~100 B. The earlier `dims + 48` estimate
-    * modeled the wire format and under-provisioned the heap ~20×. */
-  private[dedup] def qRowBytes(dims: Int): Long = 20L * dims + 100L
+    * the compact Tungsten arrays collect_list builds. Measured, not
+    * guessed (`tools/MeasureQRow`, GC-settled heap deltas): with the codes
+    * as `Seq[Int]` the encoder materialized a boxed cons List at ~24 B per
+    * code; as `Array[Int]` it deserializes a primitive int[] — measured
+    * ~4 B/code + ~80 B row overhead. The switch buys the batched path ~6×
+    * more corpus inside the same task budget and drops the per-row
+    * `toArray` copies the boxed form needed. */
+  private[graft] def qRowBytes(dims: Int): Long = 4L * dims + 80L
 
   /** Blocks needed so one block's deserialized rows stay under
     * `targetBlockBytes` (a task holds two blocks). Exposed for the sizing
@@ -765,8 +769,11 @@ object Dedup {
     math.max(8L, (n + rowsPerBlock - 1) / rowsPerBlock).toInt
   }
 
-  /** Quantized row carried through the batched block join. */
-  final case class QRow(id: Long, scale: Double, q: Seq[Int], nrm: Double,
+  /** Quantized row carried through the batched block join. `q` is a
+    * primitive `Array[Int]` deliberately: the typed encoder deserializes
+    * it unboxed (4 B/code), where `Seq[Int]` materialized a boxed List at
+    * ~24 B/code (measured, `tools/MeasureQRow`). */
+  final case class QRow(id: Long, scale: Double, q: Array[Int], nrm: Double,
                         qerr: Double, p: Int)
 
   /** All-pairs exact baseline (BroadcastNestedLoopJoin) — the differential

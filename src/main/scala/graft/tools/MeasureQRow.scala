@@ -1,0 +1,61 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Calibrate `Dedup.qRowBytes`: materialize QRows through the SAME typed
+  * encoder path the batched block join's flatMap uses, and measure the
+  * actual JVM-retained bytes per row (GC-settled heap delta). Also prints
+  * the concrete runtime class of the deserialized code vector — boxed vs
+  * primitive-backed decides ~20x of the model.
+  *
+  * Usage: runMain graft.tools.MeasureQRow [nRows] [dims]
+  */
+object MeasureQRow {
+  def main(args: Array[String]): Unit = {
+    val n = args.lift(0).map(_.toInt).getOrElse(100000)
+    val dims = args.lift(1).map(_.toInt).getOrElse(768)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+
+    val ds = spark.range(n).select(
+        col("id"), lit(0.01).as("scale"),
+        transform(sequence(lit(0), lit(dims - 1)),
+          i => pmod(i + col("id"), lit(251)).cast("int") - 125).as("q"),
+        lit(1.0).as("nrm"), lit(0.001).as("qerr"), lit(0).cast("int").as("p"))
+      .as[graft.dedup.Dedup.QRow]
+
+    def settledUsed(): Long = {
+      val rt = Runtime.getRuntime
+      var prev = Long.MaxValue
+      var used = rt.totalMemory - rt.freeMemory
+      var i = 0
+      while (i < 10 && math.abs(prev - used) > (1 << 18)) {
+        System.gc(); Thread.sleep(200)
+        prev = used; used = rt.totalMemory - rt.freeMemory
+        i += 1
+      }
+      used
+    }
+
+    // warm the deserialization path, then measure retained delta
+    ds.collect()
+    val before = settledUsed()
+    val held: Array[graft.dedup.Dedup.QRow] = ds.collect()
+    val after = settledUsed()
+    val perRow = (after - before).toDouble / held.length
+    println(s"[qrow] q class: ${held(0).q.getClass.getName}")
+    println(f"[qrow] n=$n dims=$dims retained=${after - before} bytes, " +
+      f"perRow=$perRow%.1f B, perCode=${(perRow - 60) / dims}%.3f B")
+    println(s"[qrow] model says: ${graft.dedup.Dedup.qRowBytes(dims)} B/row")
+    // keep `held` live so the delta is honest
+    if (held.length < 0) println(held.mkString)
+    spark.stop()
+  }
+}

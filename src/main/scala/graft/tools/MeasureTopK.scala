@@ -1,0 +1,66 @@
+package graft.tools
+
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Where does brute-force kNN time actually go? Decomposes q50's chain at a
+  * given SF into: scoring only (cosine forced via sum, no per-anchor
+  * ranking), scoring + bounded TopKByScore aggregate, and scoring + the
+  * window-rank form it replaced. Drove the round-7 A/B recorded in
+  * NOTES_r7.md: the optimizer does NOT collapse the scoring projection
+  * into the aggregate (plan keeps a codegen'd Project below it), so the
+  * aggregate's eval path reads bound references — the residual vs the
+  * window form is the O(k)-state maintenance itself, not interpreted
+  * expression evaluation.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.MeasureTopK [k] [reps]
+  */
+object MeasureTopK {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val k = args.lift(0).map(_.toInt).getOrElse(3)
+    val reps = args.lift(1).map(_.toInt).getOrElse(5)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config(Tables.NanosAsLongConf, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = Tables.embeddings(spark, sfDir)
+    val c = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("cv"))
+    val q = emb.where(col("vec_id") < 5).select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    def scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.dedup.Dedup.cosineSim(col("qv"), col("cv")).as("cosine"))
+
+    def time(label: String)(thunk: => Unit): Unit = {
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); thunk; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[topk] $label%-28s min=${ts.min}%6.3fs  all=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+
+    time("score_only_sum")(scored.agg(sum("cosine")).collect())
+    time("score_plus_bounded_topk") {
+      scored.groupBy("query_id")
+        .agg(graft.functions.TopKByScore.topKByScore(
+          col("cosine"), col("neighbor_id"), k).as("tk"))
+        .select(explode(col("tk"))).collect()
+    }
+    time("score_plus_window_rank") {
+      scored.withColumn("rank", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+        .where(col("rank") <= k).collect()
+    }
+    spark.stop()
+  }
+}

@@ -323,12 +323,13 @@ class DedupSpec extends SparkSpec {
   }
 
   test("auto numBlocks sizes blocks by deserialized row cost, not wire bytes") {
-    // the task peak is two Seq[QRow] lists of boxed Integers (~20 B/code +
-    // ~100 B row overhead), not the int8 wire format: the sizing model must
-    // charge at least that, or a 32 MB 'block' occupies hundreds of MB on
-    // heap (r5 advisor finding)
+    // the task peak is two Seq[QRow] lists AFTER encoder deserialization,
+    // not the int8 wire format (r5 advisor finding). QRow.q is a primitive
+    // Array[Int] precisely so that cost is ~4 B/code (measured,
+    // tools/MeasureQRow — the Seq[Int] form was a ~24 B/code boxed List);
+    // the model must charge at least the primitive-array cost
     val dims = 64
-    assert(Dedup.qRowBytes(dims) >= 20L * dims + 100L)
+    assert(Dedup.qRowBytes(dims) >= 4L * dims + 16L)
     val target = 32L << 20
     val blocks = Dedup.autoNumBlocks(n = 10_000_000L, dims = dims,
       targetBlockBytes = target)
