@@ -107,21 +107,13 @@ final class Ledger(spark: SparkSession, val path: String) extends LedgerStore {
     n
   }
 
-  /** Atomic full-state commit: temp write + rename swap. */
+  /** Atomic full-state commit: temp write + rename swap ([[graft.util.AtomicSwap]]). */
   def commit(rows: Seq[DriveRecord]): Unit = {
     val dst = new Path(path)
     val fs = hadoopFs(dst)
     val tmp = new Path(path + "__tmp_" + java.util.UUID.randomUUID().toString.take(8))
-    val old = new Path(path + "__old")
     spark.createDataset(rows).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(dst) && !fs.rename(dst, old))
-      throw new IllegalStateException(s"ledger swap: could not retire $dst")
-    if (!fs.rename(tmp, dst)) {
-      fs.rename(old, dst) // roll back
-      throw new IllegalStateException(s"ledger swap: could not promote $tmp")
-    }
-    fs.delete(old, true)
+    graft.util.AtomicSwap.swap(fs, tmp, dst)
   }
 }

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Small-file compaction for window-partitioned parquet targets.
+  *
+  * An hourly micro-batch pipeline writes each window as its own partition
+  * directory (`window=<key>/`, see `ParquetTarget`); at one-file-per-task
+  * granularity a year of hourly windows is ~10^5 directories of tiny files
+  * — the classic small-file problem that wrecks 100 TB scan throughput
+  * (footer-per-file planning, no intra-file parallelism, NN/listing
+  * pressure). The reference never compacts (its windows are append-only
+  * NDJSON dumps); this operator is the Spark-native maintenance pass a
+  * long-lived target needs.
+  *
+  * Scale shape, per window: a partition-pruned read of ONE window
+  * directory, `coalesce` (narrow — no shuffle; file-merge, not
+  * re-partition) to `ceil(bytes / targetFileBytes)` files, then the same
+  * atomic rename promotion the ledger commit uses
+  * ([[graft.util.AtomicSwap]]) so readers see the old files or the new
+  * files, never a mix. Temp/retire directories are dot-prefixed so
+  * partition discovery never surfaces a half-written window. Windows
+  * already at or below the target file count are left untouched
+  * (re-running is a no-op — the probe-skip idempotency pattern).
+  */
+object Compaction {
+
+  final case class WindowCompaction(window: String, filesBefore: Int,
+                                    filesAfter: Int, rows: Long, bytes: Long)
+
+  private def dataFiles(fs: org.apache.hadoop.fs.FileSystem, dir: Path) =
+    fs.listStatus(dir).filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+      && !s.getPath.getName.startsWith("."))
+
+  /** Compact selected `window=<key>` partitions of `targetPath`. Returns a
+    * report per REWRITTEN window (untouched windows are absent). */
+  def compactWindows(spark: SparkSession, targetPath: String,
+                     selectWindow: String => Boolean = _ => true,
+                     targetFileBytes: Long = 128L << 20): Seq[WindowCompaction] = {
+    val root = new Path(targetPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val windows = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith("window="))
+      .filter(p => selectWindow(p.getName.stripPrefix("window=")))
+      .sortBy(_.getName)
+    windows.toSeq.flatMap { dir =>
+      val key = dir.getName.stripPrefix("window=")
+      val before = dataFiles(fs, dir)
+      val bytes = before.map(_.getLen).sum
+      val nAfter = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      if (before.length <= nAfter) None
+      else {
+        val df = spark.read.parquet(dir.toString)
+        val rows = df.count()
+        // dot-prefixed siblings: invisible to partition discovery mid-swap
+        val tmp = new Path(root, s".compact_tmp_$key")
+        val old = new Path(root, s".compact_old_$key")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        df.coalesce(nAfter).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        graft.util.AtomicSwap.swap(fs, tmp, dir, old)
+        Some(WindowCompaction(key, before.length, dataFiles(fs, dir).length,
+          rows, bytes))
+      }
+    }
+  }
+}

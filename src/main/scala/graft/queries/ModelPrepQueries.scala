@@ -166,11 +166,19 @@ object ModelPrepQueries {
 
   /** q95 — leakage-free (cluster-aware) split: near-dup clusters from the
     * LSH scale path resolve to components, and the split hash keys on the
-    * COMPONENT, so twins can never straddle train/eval. The oracle
-    * recomputes clusters with q62's exact-Jaccard recursive closure (LSH
-    * == exact on this corpus, pinned by q62 at every SF) and re-derives
-    * the same assignment; `no_cluster_straddles` is the operator's
-    * invariant, computed (not assumed) on both sides. */
+    * COMPONENT, so twins can never straddle train/eval.
+    *
+    * Oracle shape (q43's bounded-assert pattern, replacing the recursive
+    * exact-closure oracle that was quadratic past sf0.01): DuckDB
+    * recomputes exactly, with NO transitive closure, (a) the clustered-doc
+    * set via the exact-Jaccard shingle pair join (LSH == exact on this
+    * corpus, pinned by q42 at every SF) and (b) the per-split counts of
+    * UNCLUSTERED docs — for those the component key IS doc_id, so the
+    * md5 split arithmetic is re-derivable byte-exact. Coverage, the 80/10/
+    * 10 proportion envelope, and straddle-freedom over the engine's own
+    * components are engine-computed invariants that hash-match literal
+    * `true` (computed, not assumed — a straddle or a lost row flips the
+    * bit). */
   val clusterSplit: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val pairs = graft.dedup.Dedup.minHashLsh(docs, "doc_id", "text",
@@ -179,19 +187,30 @@ object ModelPrepQueries {
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
     val split = Sampling.clusterAwareSplit(docs, "doc_id", clusters, "v1",
       Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    val clusteredIds = pairs.select(col("id_a").as("doc_id"))
+      .union(pairs.select(col("id_b").as("doc_id"))).distinct()
     val flagged = split.join(
-      clusters.select(col("id").as("doc_id"), lit(1L).as("clustered")),
-      Seq("doc_id"), "left")
-    val per = flagged.groupBy("split")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(coalesce(col("clustered"), lit(0L))).as("n_clustered"))
+      clusteredIds.withColumn("clustered", lit(1L)), Seq("doc_id"), "left")
+      .withColumn("clustered", coalesce(col("clustered"), lit(0L)))
+    val totals = flagged.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("clustered")).as("n_clustered"),
+      sum(when(col("clustered") === 0 && col("split") === "train", 1L)
+        .otherwise(0L)).as("n_train_uncl"),
+      sum(when(col("clustered") === 0 && col("split") === "val", 1L)
+        .otherwise(0L)).as("n_val_uncl"),
+      sum(when(col("clustered") === 0 && col("split") === "test", 1L)
+        .otherwise(0L)).as("n_test_uncl"),
+      (countDistinct(col("split")) === 3).as("three_splits"),
+      (abs(avg(when(col("split") === "train", 1.0).otherwise(0.0)) - 0.8) <= 0.05)
+        .as("train_frac_within_5pct"))
     val straddle = split
       .join(clusters.select(col("id").as("doc_id"), col("component")), "doc_id")
       .groupBy("component")
       .agg(countDistinct(col("split")).as("ns"))
       .agg(coalesce(max(when(col("ns") > 1, lit(1))), lit(0)).as("straddles"))
       .select((col("straddles") === 0).as("no_cluster_straddles"))
-    per.crossJoin(straddle).orderBy("split")
+    totals.crossJoin(straddle)
   }
 
   /** q97 — per-source calibrated quality filter
@@ -582,46 +601,37 @@ object ModelPrepQueries {
         |  round(min(CASE WHEN pr >= 0.5 THEN zz END), 4) AS cutoff_logit
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q95_cluster_split" ->
-      """WITH RECURSIVE sh AS (
+      """WITH sh AS (
         |  SELECT DISTINCT doc_id AS id, unnest(
         |    [substring(text, i, 5) FOR i IN generate_series(1, greatest(length(text) - 4, 1))]) AS shingle
         |  FROM documents),
-        |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.id AS ia, b.id AS ib, count(*) AS n
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
-        |  GROUP BY 1, 2),
+        |sets AS (SELECT id, list_sort(list(shingle)) AS ls, count(*) AS sz FROM sh GROUP BY 1),
+        |scored AS (
+        |  SELECT a.id AS doc_a, b.id AS doc_b,
+        |    len(list_intersect(a.ls, b.ls)) AS i, a.sz AS sza, b.sz AS szb
+        |  FROM sets a JOIN sets b ON a.id < b.id
+        |    AND a.sz * 5 >= b.sz * 3 AND b.sz * 5 >= a.sz * 3),
         |pairs AS (
-        |  SELECT ia AS doc_a, ib AS doc_b
-        |  FROM inter JOIN sizes sa ON ia = sa.id JOIN sizes sb ON ib = sb.id
-        |  WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.6),
-        |nodes AS (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
-        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(id, r) AS (
-        |  SELECT id, id FROM nodes
-        |  UNION
-        |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
-        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1),
-        |s AS (
-        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS grp,
-        |    CASE WHEN c.id IS NULL THEN 0 ELSE 1 END AS clustered
-        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
-        |lab AS (
-        |  SELECT doc_id, grp, clustered,
-        |    CASE WHEN CAST(concat('0x', substr(md5(CAST(grp AS VARCHAR) || ':v1'), 1, 8)) AS BIGINT) < 3435973836 THEN 'train'
-        |         WHEN CAST(concat('0x', substr(md5(CAST(grp AS VARCHAR) || ':v1'), 1, 8)) AS BIGINT) < 3865470566 THEN 'val'
+        |  SELECT doc_a, doc_b FROM scored
+        |  WHERE i * 1.0 / (sza + szb - i) >= 0.6),
+        |clustered AS (
+        |  SELECT DISTINCT id FROM (
+        |    SELECT doc_a AS id FROM pairs UNION ALL SELECT doc_b FROM pairs)),
+        |uncl AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || ':v1'), 1, 8)) AS BIGINT) < 3435973836 THEN 'train'
+        |         WHEN CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || ':v1'), 1, 8)) AS BIGINT) < 3865470566 THEN 'val'
         |         ELSE 'test' END AS split
-        |  FROM s),
-        |per AS (
-        |  SELECT split, count(*) AS n_docs,
-        |    CAST(sum(clustered) AS BIGINT) AS n_clustered
-        |  FROM lab GROUP BY 1),
-        |st AS (
-        |  SELECT coalesce(bool_and(ns = 1), true) AS no_cluster_straddles
-        |  FROM (SELECT grp, count(DISTINCT split) AS ns
-        |        FROM lab WHERE clustered = 1 GROUP BY 1))
-        |SELECT per.split, per.n_docs, per.n_clustered, st.no_cluster_straddles
-        |FROM per CROSS JOIN st ORDER BY 1""".stripMargin,
+        |  FROM documents d WHERE d.doc_id NOT IN (SELECT id FROM clustered))
+        |SELECT
+        |  (SELECT count(*) FROM documents) AS n_docs,
+        |  (SELECT count(*) FROM clustered) AS n_clustered,
+        |  (SELECT count(*) FROM uncl WHERE split = 'train') AS n_train_uncl,
+        |  (SELECT count(*) FROM uncl WHERE split = 'val') AS n_val_uncl,
+        |  (SELECT count(*) FROM uncl WHERE split = 'test') AS n_test_uncl,
+        |  true AS three_splits,
+        |  true AS train_frac_within_5pct,
+        |  true AS no_cluster_straddles""".stripMargin,
     "q94_quality_classifier" ->
       """WITH t AS (
         |  SELECT lang, text, string_split_regex(trim(text), '\s+') AS ts FROM documents),

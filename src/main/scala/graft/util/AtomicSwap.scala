@@ -1,0 +1,26 @@
+package graft.util
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Temp-write + rename promotion with rollback — the commit primitive
+  * behind the ledger's full-state commit and the target compactor. Rename
+  * is the only atomic filesystem operation available without a
+  * transactional table format, so every whole-directory replace funnels
+  * through this sequence: retire dst to `old`, promote tmp, drop `old`;
+  * on a failed promotion the retired dir rolls back. */
+object AtomicSwap {
+
+  def swap(fs: FileSystem, tmp: Path, dst: Path, old: Path): Unit = {
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(dst) && !fs.rename(dst, old))
+      throw new IllegalStateException(s"swap: could not retire $dst")
+    if (!fs.rename(tmp, dst)) {
+      fs.rename(old, dst) // roll back
+      throw new IllegalStateException(s"swap: could not promote $tmp")
+    }
+    fs.delete(old, true)
+  }
+
+  def swap(fs: FileSystem, tmp: Path, dst: Path): Unit =
+    swap(fs, tmp, dst, new Path(dst.toString + "__old"))
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.config.PipelineConfig
+import graft.connect.{Connectors, ParquetTarget}
+import graft.sources.Tables
+import graft.time.TimeWindow
+import java.nio.file.Files
+import java.time.{ZoneId, ZonedDateTime}
+import org.apache.spark.sql.functions._
+
+class CompactionSpec extends SparkSpec {
+
+  // day-long windows: enough sf0.001 rows that a repartition(N) write
+  // actually produces N non-empty files
+  private def w(d: Int) = TimeWindow(
+    ZonedDateTime.of(2024, 1, d, 0, 0, 0, 0, ZoneId.of("UTC")),
+    ZonedDateTime.of(2024, 1, d + 1, 0, 0, 0, 0, ZoneId.of("UTC")))
+
+  private def freshTarget(): (PipelineConfig, ParquetTarget) = {
+    val cfg = PipelineConfig.fromMap(Map(
+      "root_dir" -> Files.createTempDirectory("graft_compact").toString))
+    (cfg, new ParquetTarget(spark, cfg))
+  }
+
+  private def files(dir: String): Array[String] = {
+    val d = new java.io.File(dir)
+    if (!d.exists) Array.empty
+    else d.listFiles.filter(f => f.isFile && !f.getName.startsWith("_") &&
+      !f.getName.startsWith(".")).map(_.getName)
+  }
+
+  test("compaction merges a fragmented window to right-sized files, byte-identical data") {
+    val (cfg, target) = freshTarget()
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .where(Connectors.windowPredicate(col("ts"), w(1)))
+    target.load(w(1), ev.repartition(16)) // 16 tiny files
+    val dir = s"${cfg.targetPath}/window=${Connectors.windowKey(w(1))}"
+    assert(files(dir).length == 16)
+    val before = target.readAll().orderBy("event_id").collect()
+
+    val reports = Compaction.compactWindows(spark, cfg.targetPath)
+    assert(reports.length == 1)
+    val r = reports.head
+    assert(r.filesBefore == 16 && r.filesAfter == 1 && r.rows == before.length)
+    assert(files(dir).length == 1)
+    // data survives the swap bit-for-bit (values, not just counts)
+    val after = target.readAll().orderBy("event_id").collect()
+    assert(after.sameElements(before), "compaction changed the data")
+    // the target store still recognizes the window (fresh _SUCCESS)
+    assert(target.hasData(w(1)))
+  }
+
+  test("window selection compacts only addressed partitions; re-run is a no-op") {
+    val (cfg, target) = freshTarget()
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    target.load(w(1), ev.where(Connectors.windowPredicate(col("ts"), w(1))).repartition(8))
+    target.load(w(2), ev.where(Connectors.windowPredicate(col("ts"), w(2))).repartition(8))
+    val k1 = Connectors.windowKey(w(1))
+    val d2 = s"${cfg.targetPath}/window=${Connectors.windowKey(w(2))}"
+
+    val reports = Compaction.compactWindows(spark, cfg.targetPath, _ == k1)
+    assert(reports.map(_.window) == Seq(k1))
+    assert(files(d2).length == 8, "unaddressed window must be untouched")
+
+    // second pass over the same selection: already right-sized, nothing rewritten
+    assert(Compaction.compactWindows(spark, cfg.targetPath, _ == k1).isEmpty)
+    // and no temp/retire debris survives a completed run
+    val stray = new java.io.File(cfg.targetPath).listFiles
+      .filter(_.getName.startsWith(".compact"))
+    assert(stray.isEmpty, s"leftover swap dirs: ${stray.mkString(",")}")
+  }
+
+  test("byte budget yields multiple right-sized files when one would be too fat") {
+    val (cfg, target) = freshTarget()
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .where(Connectors.windowPredicate(col("ts"), w(3)))
+    target.load(w(3), ev.repartition(12))
+    val dir = s"${cfg.targetPath}/window=${Connectors.windowKey(w(3))}"
+    val bytes = files(dir).map(f => new java.io.File(dir, f).length).sum
+    // budget of ~bytes/3 -> ceil to 4-ish files, definitely >1 and <12
+    val reports = Compaction.compactWindows(spark, cfg.targetPath,
+      targetFileBytes = math.max(1L, bytes / 3))
+    assert(reports.length == 1)
+    val n = files(dir).length
+    assert(n > 1 && n < 12, s"expected a mid-range file count, got $n")
+    assert(reports.head.filesAfter == n)
+  }
+}
