@@ -66,7 +66,12 @@ object Sampling {
     * weight only MOVES the boundary, so e.g. train 0.8 -> 0.9 keeps every
     * previous train row in train (threshold monotonicity). Thresholds are
     * floor(cumWeight * 2^32) longs, so any engine with md5 reproduces the
-    * assignment exactly (the DuckDB oracle does). */
+    * assignment exactly (the DuckDB oracle does).
+    *
+    * A NULL key fails the job (see [[splitAssign]]) — callers with
+    * legitimately-null keys must filter or `coalesce` them to an explicit
+    * sentinel first, choosing their split deliberately rather than
+    * inheriting the silent last-split fallthrough. */
   def deterministicSplit(df: DataFrame, keyCol: String, salt: String,
                          weights: Seq[(String, Double)]): DataFrame =
     df.withColumn("split", splitAssign(col(keyCol), salt, weights))
@@ -74,7 +79,13 @@ object Sampling {
   /** The split-assignment column: md5 bucket of `group:salt` against
     * cumulative-weight thresholds. Exposed so any grouping key can drive
     * the split ([[deterministicSplit]] uses the row key,
-    * [[clusterAwareSplit]] the dedup-cluster id). */
+    * [[clusterAwareSplit]] the dedup-cluster id).
+    *
+    * NULL keys `raise_error` the whole job rather than assigning a split:
+    * the otherwise-branch fallthrough would drop every null-keyed row into
+    * the LAST split (test — the most leakage-sensitive), silently. There
+    * is deliberately no opt-out; pre-filter or `coalesce(key, sentinel)`
+    * to make a null-key policy explicit at the call site. */
   def splitAssign(group: Column, salt: String,
                   weights: Seq[(String, Double)]): Column = {
     require(weights.nonEmpty, "need at least one split")

@@ -97,9 +97,13 @@ object CurationQueries {
     val built = SemanticDedup.buildIndex(corpus, "vec_id", "embedding",
       nClusters = 8, probes = 3)
     // per-invocation dir: a fixed shared path races concurrent runs (bench
-    // vs verify) and hashCode can collide across data dirs
-    val idxPath =
-      java.nio.file.Files.createTempDirectory("graft_semidx").toString
+    // vs verify) and hashCode can collide across data dirs. Deleted on JVM
+    // exit, not here — eager deletion would break the returned lazy frame,
+    // which still reads the path; bench re-invokes this query several
+    // times, so without the hook the corpus-sized index copies accumulate
+    // on /tmp unbounded.
+    val idxPath = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_semidx")).toString
     graft.store.IndexStore.saveSemanticIndex(s, built, idxPath)
     val idx = graft.store.IndexStore.loadSemanticIndex(s, idxPath)
     val found = SemanticDedup.incrementalDupPairs(delta, "vec_id", "embedding",

@@ -139,7 +139,10 @@ object ModelPrepQueries {
     val odd = LanguageModel.fitBigramLm(
       docs.where(col("doc_id") % 2 === 1), "text")
     val merged = LanguageModel.merge(even, odd)
-    val path = java.nio.file.Files.createTempDirectory("graft_lm_idx").toString
+    // per-invocation dir (see q79's note); reaped at JVM exit — eager
+    // deletion would break the returned lazy frame that reads the path
+    val path = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_lm_idx")).toString
     graft.store.IndexStore.saveLm(s, merged, path)
     val reloaded = graft.store.IndexStore.loadLm(s, path)
     LanguageModel.scoreNll(docs, "doc_id", "text", reloaded)

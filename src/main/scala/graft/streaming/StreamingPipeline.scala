@@ -220,6 +220,48 @@ object StreamingPipeline {
           col("quality_logit") >= col("quality_threshold"))
   }
 
+  /** Per-batch body of the streaming model-prep chain — shared verbatim by
+    * [[modelPrepStream]] and its batch twin so stream==batch is structural:
+    * calibrated quality screen (batch-fitted thresholds) → survivors only →
+    * deterministic split (pure hash projection, stream-safe by
+    * construction) → NLL scoring under a batch-fitted LM. All three stages
+    * are stateless per row given the frozen thresholds/LM, which is what
+    * makes the composition exactly replayable across micro-batch
+    * boundaries. */
+  def modelPrepBatch(docs: DataFrame, idCol: String, textCol: String,
+                     domainCol: String, thresholds: DataFrame,
+                     lm: graft.ops.LanguageModel.BigramLm, seed: String,
+                     splits: Seq[(String, Double)]): DataFrame = {
+    val kept = qualityScreenStream(docs, textCol, domainCol, thresholds)
+      .where(col("quality_keep"))
+      .drop("quality_logit", "quality_threshold", "quality_keep")
+    val split = graft.ops.Sampling.deterministicSplit(kept, idCol, seed, splits)
+    split.join(
+      graft.ops.LanguageModel.scoreNll(split, idCol, textCol, lm)
+        .select(idCol, "n_bigrams", "avg_nll"),
+      Seq(idCol), "left")
+  }
+
+  /** Streaming model-prep twin of the q100 composition: screen → split →
+    * LM-score runs as ONE `foreachBatch` over each arriving micro-batch.
+    * The fit halves (rank calibration, LM training) are inherently batch
+    * computations over a reference corpus; the streaming half freezes
+    * their outputs and applies the full prep chain to new data as it
+    * lands — the fit-batch/apply-stream split used by the Bloom and
+    * quality screens, composed end-to-end. */
+  def modelPrepStream(newDocs: DataFrame, idCol: String, textCol: String,
+                      domainCol: String, thresholds: DataFrame,
+                      lm: graft.ops.LanguageModel.BigramLm, seed: String,
+                      splits: Seq[(String, Double)])
+                     (onPreppedBatch: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onPreppedBatch(modelPrepBatch(batch, idCol, textCol, domainCol,
+          thresholds, lm, seed, splits), batchId)
+      }
+
   /** Continuous-ingest SEMANTIC dedup: the embedding-space twin of
     * [[dedupAgainstIndexStream]]. Every micro-batch of arriving vectors is
     * checked against the stored [[graft.dedup.SemanticDedup.SemanticIndex]]

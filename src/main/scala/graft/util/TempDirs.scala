@@ -1,0 +1,35 @@
+package graft.util
+
+import java.nio.file.{Files, Path}
+
+/** JVM-exit cleanup for per-invocation scratch directories.
+  *
+  * Queries that exercise a stored-index round trip (q79 semantic index,
+  * q93 stored LM) write a corpus-sized artifact under a fresh temp dir per
+  * invocation — fresh because a fixed path races concurrent runs. The
+  * returned DataFrames read those paths LAZILY, so the creating function
+  * cannot delete eagerly; without cleanup, bench's min-of-N re-invocations
+  * accumulate index copies on /tmp unbounded. A single shutdown hook
+  * deletes every registered dir once, when nothing can still be reading. */
+object TempDirs {
+
+  private val registered = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+  private lazy val hookInstalled: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      registered.forEach { dir =>
+        try {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        } catch { case _: Exception => () } // exit-time best effort
+      }
+    }, "graft-tempdir-cleanup"))
+  }
+
+  /** Register `dir` for recursive deletion at JVM exit; returns it. */
+  def deleteOnExit(dir: Path): Path = {
+    hookInstalled
+    registered.add(dir)
+    dir
+  }
+}

@@ -262,6 +262,65 @@ class StreamingSpec extends SparkSpec {
     assert(kept > 0 && kept < delta.count())
   }
 
+  test("streaming model-prep chain equals the batch composition per arriving doc") {
+    import graft.ops.{LanguageModel, QualityClassifier}
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    // fit halves on the reference corpus (range split so the screen has
+    // real per-source thresholds to apply — see quality-screen test note)
+    val reference = docs.where(col("doc_id") < 400)
+    val delta = docs.where(col("doc_id") >= 400).select("doc_id", "source", "text")
+    val thresholds = QualityClassifier
+      .annotateCalibratedApprox(reference, "text", "source", keepFraction = 0.5)
+      .select("source", "quality_threshold").distinct()
+    val lm = LanguageModel.fitBigramLm(reference, "text")
+    val splits = Seq(("train", 0.9), ("val", 0.1))
+
+    // two files -> multiple micro-batches: the chain must not depend on
+    // which batch a doc arrives in
+    val d = java.nio.file.Files.createTempDirectory("graft_modelprep_src")
+    delta.where(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(d.resolve("p0").toString)
+    delta.where(col("doc_id") % 2 =!= 0).coalesce(1)
+      .write.parquet(d.resolve("p1").toString)
+    val stream = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$d/*")
+
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, (String, Long, Double)]()
+    var batches = 0
+    val q = StreamingPipeline.modelPrepStream(stream, "doc_id", "text",
+        "source", thresholds, lm, "v1", splits) { (prepped, _) =>
+      batches += 1
+      prepped.select("doc_id", "split", "n_bigrams", "avg_nll").collect().foreach { r =>
+        got.put(r.getLong(0), (r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+      }
+    }.start()
+    q.awaitTermination()
+
+    val batch = StreamingPipeline.modelPrepBatch(delta, "doc_id", "text",
+        "source", thresholds, lm, "v1", splits)
+      .select("doc_id", "split", "n_bigrams", "avg_nll").collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    import scala.jdk.CollectionConverters._
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    assert(batch.nonEmpty && batch.size < delta.count(),
+      "screen must keep a nontrivial strict subset")
+    assert(got.asScala.keySet == batch.keySet,
+      s"missing=${batch.keySet -- got.asScala.keySet} extra=${got.asScala.keySet -- batch.keySet}")
+    got.asScala.foreach { case (id, (sp, n, nll)) =>
+      val (bsp, bn, bnll) = batch(id)
+      assert(sp == bsp && n == bn, s"doc $id: ($sp,$n) vs ($bsp,$bn)")
+      assert((nll.isNaN && bnll.isNaN) || math.abs(nll - bnll) < 1e-12,
+        s"doc $id nll $nll vs $bnll")
+    }
+    // both splits actually materialize across the stream
+    assert(got.asScala.values.map(_._1).toSet == Set("train", "val"))
+  }
+
   test("streaming windowed quantile sketch equals the batch sketch per window") {
     // the point of a MERGEABLE sketch: partial states merge associatively,
     // which is exactly what a streaming stateful aggregation does across
