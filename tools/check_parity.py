@@ -35,6 +35,12 @@ def main():
     names = sorted(d.split("/")[-1] for d in glob.glob(f"{out_dir}/*") if not d.endswith(".json"))
     n_ok = n_bad = n_rowsonly = 0
     for name in names:
+        import os
+        marker = f"{out_dir}/{name}/_FAILED"
+        if os.path.exists(marker):
+            print(f"✗ {name}: QUERY FAILED: {open(marker).read().strip()}")
+            n_bad += 1
+            continue
         spark_df = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
         if name not in oracle:
             print(f"  {name}: ROWS-ONLY ({len(spark_df)} rows)")
