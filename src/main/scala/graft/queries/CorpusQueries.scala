@@ -473,6 +473,36 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** Audio twin of [[mediaMetadata]]: encode real 16-bit PCM WAV files
+    * (square wave, period and length pure functions of doc_id), decode the
+    * data chunk back with the compiled [[graft.multimodal.WavStatsExpr]],
+    * and emit sample count / zero crossings / RMS — all arithmetically
+    * re-derivable: a ±1000 square wave of period p over n samples has
+    * floor((n-1)/p) sign changes and RMS exactly 1000. */
+  val audioStats: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .where(col("doc_id") % 13 === 5)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = (64 + id % 100).toInt
+          val p = (2 + id % 9).toInt
+          val samples = Array.tabulate[Short](n)(i =>
+            if ((i / p) % 2 == 0) 1000 else -1000)
+          (id, MediaCodec.encodeWav(channels = 1, sampleRate = 16000, samples))
+        }
+      }.toDF("doc_id", "media")
+    media.select(col("doc_id"),
+        graft.multimodal.WavStatsExpr.wavStats(col("media")).as("w"))
+      .select(col("doc_id"), col("w.channels").as("channels"),
+        col("w.sample_rate").as("sample_rate"),
+        col("w.n_samples").as("n_samples"),
+        col("w.zero_crossings").as("zero_crossings"),
+        round(col("w.rms"), 4).as("rms"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q30_token_stats" -> tokenStats,
     "q31_quality_stats" -> qualityStats,
@@ -504,9 +534,18 @@ object CorpusQueries {
     "q54_approx_percentiles" -> approxPercentiles,
     "q56_sketch_percentiles" -> sketchPercentiles,
     "q60_media_features" -> mediaFeatures,
-    "q103_media_metadata" -> mediaMetadata)
+    "q103_media_metadata" -> mediaMetadata,
+    "q104_audio_stats" -> audioStats)
 
   val oracles: Map[String, String] = Map(
+    "q104_audio_stats" ->
+      """SELECT doc_id,
+        |  1 AS channels,
+        |  16000 AS sample_rate,
+        |  CAST(64 + doc_id % 100 AS INT) AS n_samples,
+        |  CAST((64 + doc_id % 100 - 1) // (2 + doc_id % 9) AS INT) AS zero_crossings,
+        |  round(CAST(1000.0 AS DOUBLE), 4) AS rms
+        |FROM documents WHERE doc_id % 13 = 5 ORDER BY doc_id""".stripMargin,
     "q103_media_metadata" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'

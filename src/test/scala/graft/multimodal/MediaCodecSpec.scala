@@ -60,6 +60,29 @@ class MediaCodecSpec extends SparkSpec {
     assert(mono == MediaCodec.WavMeta(1, 8000, 16))
   }
 
+  test("PCM decode: hand-computable stats from real WAV bytes") {
+    // 8 samples, alternating sign each sample: 7 crossings, RMS = 500
+    val alt = Array.tabulate[Short](8)(i => if (i % 2 == 0) 500 else -500)
+    val s1 = MediaCodec.parseWavStats(MediaCodec.encodeWav(1, 8000, alt))
+    assert(s1 == MediaCodec.WavStats(1, 8000, 8, 7, 500.0))
+    // constant positive signal: zero crossings, RMS = amplitude
+    val dc = Array.fill[Short](16)(250)
+    val s2 = MediaCodec.parseWavStats(MediaCodec.encodeWav(2, 44100, dc))
+    assert(s2 == MediaCodec.WavStats(2, 44100, 16, 0, 250.0))
+    // zero samples are signless and BREAK the chain: 100->0->0->-100 is
+    // not a strict sign change; only -100->100 counts
+    val withZeros = Array[Short](100, 0, 0, -100, 100)
+    val s3 = MediaCodec.parseWavStats(MediaCodec.encodeWav(1, 8000, withZeros))
+    assert(s3.nSamples == 5 && s3.zeroCrossings == 1, s3.toString)
+    // negative samples round-trip sign-extended, not as 0..65535
+    val neg = Array[Short](-32768, 32767)
+    val s4 = MediaCodec.parseWavStats(MediaCodec.encodeWav(1, 8000, neg))
+    assert(s4.zeroCrossings == 1 && math.abs(s4.rms - 32767.5) < 0.51)
+    // non-WAV payloads null, never throw
+    assert(MediaCodec.parseWavStats("not audio".getBytes) == null)
+    assert(MediaCodec.parseWavStats(MediaCodec.encodeImage("png", 4, 4, 1L)) == null)
+  }
+
   test("ImageIoDecoder reads true pixels: solid-color mass lands in one luma bin") {
     val dim = 32
     // mid-gray (128,128,128) -> luma 128 -> bin 128*32/256 = 16
