@@ -47,6 +47,8 @@ object Bench {
     "q70_bloom_decontaminate", // bloom decontamination, all-contaminated worst case
     "q84_bloom_decontam_sparse", // bloom decontamination, sparse-benchmark target case
     "q60_media_features",     // binary media plumbing
+    "q103_media_metadata",    // real image encode -> header-parse round trip
+    "q104_audio_stats",       // real PCM encode -> decode-stats round trip
     "q76_span_dedup",         // sub-document span dedup
     "q85_cdc_dedup",          // shift-robust content-defined-chunk dedup
     "q77_bm25_topk",          // BM25 lexical retrieval

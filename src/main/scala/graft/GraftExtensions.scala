@@ -98,5 +98,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "usage: bigram_pair_hashes(text)")
         graft.functions.BigramPairHashes(args.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("image_meta"),
+      new ExpressionInfo(classOf[graft.multimodal.ImageMetaExpr].getName, "image_meta"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "usage: image_meta(media_binary)")
+        graft.multimodal.ImageMetaExpr(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("wav_stats"),
+      new ExpressionInfo(classOf[graft.multimodal.WavStatsExpr].getName, "wav_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "usage: wav_stats(media_binary)")
+        graft.multimodal.WavStatsExpr(args.head)
+      }))
   }
 }

@@ -97,6 +97,24 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(counts == Map(1L -> 2, 2L -> 0, 3L -> 0))
   }
 
+  test("media expressions are callable from SQL and match the Column API") {
+    import graft.multimodal.{ImageMetaExpr, MediaCodec, WavStatsExpr}
+    ColumnBridge.registerFunction(spark, "image_meta", args => ImageMetaExpr(args.head))
+    ColumnBridge.registerFunction(spark, "wav_stats", args => WavStatsExpr(args.head))
+    Seq(
+      (1L, MediaCodec.encodeImage("png", 12, 34, 1L)),
+      (2L, MediaCodec.encodeWav(1, 8000, Array[Short](10, -10, 10))),
+      (3L, "neither".getBytes)
+    ).toDF("id", "media").createOrReplaceTempView("media_ext_test")
+    val rows = spark.sql(
+      """SELECT id, image_meta(media).width w, image_meta(media).format f,
+        |       wav_stats(media).n_samples n, wav_stats(media).zero_crossings zc
+        |FROM media_ext_test ORDER BY id""".stripMargin).collect()
+    assert(rows(0).getInt(1) == 12 && rows(0).getString(2) == "png" && rows(0).isNullAt(3))
+    assert(rows(1).isNullAt(1) && rows(1).getInt(3) == 3 && rows(1).getInt(4) == 2)
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(3))
+  }
+
   test("quantile_sketch is callable from SQL, scalar and array quantiles") {
     ColumnBridge.registerFunction(spark, "quantile_sketch",
       graft.functions.GraftFunctions.quantileSketchBuilder)
