@@ -262,6 +262,27 @@ object StreamingPipeline {
           thresholds, lm, seed, splits), batchId)
       }
 
+  /** Streaming ANN search against a stored IVF-PQ index: each micro-batch
+    * of arriving query vectors probes the frozen index (nProbe of nLists
+    * inverted lists, ADC scan of codes, exact re-rank of survivors) — the
+    * "embed the crawl as it lands, look up its neighbors in the corpus"
+    * shape. Per-query results depend only on that query's vector and the
+    * frozen index/corpus, so stream == batch holds exactly, per rank and
+    * score — the kNN family's member of the fit-batch/apply-stream twins.
+    * Per-batch work is candidate-bounded at every stage (the only
+    * corpus-sized input is the code table, nProbe/nLists of it scanned). */
+  def annSearchStream(newVecs: DataFrame, idCol: String, vecCol: String,
+                      index: graft.sim.IvfPq.IvfPqIndex, corpus: DataFrame,
+                      k: Int, nProbe: Int = 4, overRetrieve: Int = 8)
+                     (onResultBatch: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    newVecs.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onResultBatch(graft.sim.IvfPq.topKFrom(index, corpus, batch,
+          idCol, vecCol, k, nProbe, overRetrieve), batchId)
+      }
+
   /** Continuous-ingest SEMANTIC dedup: the embedding-space twin of
     * [[dedupAgainstIndexStream]]. Every micro-batch of arriving vectors is
     * checked against the stored [[graft.dedup.SemanticDedup.SemanticIndex]]

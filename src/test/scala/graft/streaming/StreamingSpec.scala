@@ -321,6 +321,48 @@ class StreamingSpec extends SparkSpec {
     assert(got.asScala.values.map(_._1).toSet == Set("train", "val"))
   }
 
+  test("streaming ANN search against the stored IVF-PQ index equals the batch probe") {
+    import graft.sim.IvfPq
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val corpus = emb.where(col("vec_id") % 10 =!= 3)
+    val arriving = emb.where(col("vec_id") % 10 === 3)
+      .select("vec_id", "embedding")
+    val index = IvfPq.buildIndex(corpus, "vec_id", "embedding",
+      nLists = 8, m = 8, ksub = 32)
+
+    val d = java.nio.file.Files.createTempDirectory("graft_ann_src")
+    arriving.where(col("vec_id") % 20 === 3).coalesce(1)
+      .write.parquet(d.resolve("p0").toString)
+    arriving.where(col("vec_id") % 20 =!= 3).coalesce(1)
+      .write.parquet(d.resolve("p1").toString)
+    val stream = spark.readStream.schema(arriving.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$d/*")
+
+    val got = new java.util.concurrent.ConcurrentHashMap[(Long, Int), Long]()
+    var batches = 0
+    val q = StreamingPipeline.annSearchStream(stream, "vec_id", "embedding",
+        index, corpus, k = 3, nProbe = 4) { (res, _) =>
+      batches += 1
+      res.select("query_id", "rank", "neighbor_id").collect().foreach { r =>
+        got.put((r.getLong(0), r.getInt(1)), r.getLong(2))
+      }
+    }.start()
+    q.awaitTermination()
+
+    val batch = IvfPq.topKFrom(index, corpus, arriving, "vec_id", "embedding",
+        k = 3, nProbe = 4)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    import scala.jdk.CollectionConverters._
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    assert(batch.nonEmpty && batch.keySet.map(_._1) ==
+      arriving.select("vec_id").as[Long].collect().toSet,
+      "every arriving vector must get neighbors")
+    assert(got.asScala.toMap == batch,
+      "streaming ANN results differ from the batch probe")
+  }
+
   test("streaming windowed quantile sketch equals the batch sketch per window") {
     // the point of a MERGEABLE sketch: partial states merge associatively,
     // which is exactly what a streaming stateful aggregation does across
