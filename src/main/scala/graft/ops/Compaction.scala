@@ -33,6 +33,34 @@ object Compaction {
     fs.listStatus(dir).filter(s => s.isFile && !s.getPath.getName.startsWith("_")
       && !s.getPath.getName.startsWith("."))
 
+  /** Crash recovery for interrupted compactions. The swap's crash window:
+    * after the live dir is retired to `.compact_old_<key>` but before the
+    * rewrite is promoted, a died JVM leaves the window's data parked in a
+    * dot-prefixed dir partition discovery cannot see. Recovery is
+    * deterministic from the directory state alone: a parked `old` with no
+    * live `window=<key>` dir is restored by rename (prefer the original
+    * files — the rewrite may be incomplete); any remaining `.compact_*`
+    * debris is deleted. Run before [[compactWindows]] — it is a no-op on a
+    * clean target. Returns the window keys that were restored. */
+  def recover(spark: SparkSession, targetPath: String): Seq[String] = {
+    val root = new Path(targetPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val entries = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+    val restored = entries.toSeq
+      .filter(_.getName.startsWith(".compact_old_"))
+      .flatMap { old =>
+        val key = old.getName.stripPrefix(".compact_old_")
+        val live = new Path(root, s"window=$key")
+        if (fs.exists(live)) { fs.delete(old, true); None } // promote won: drop retiree
+        else if (fs.rename(old, live)) Some(key)
+        else throw new IllegalStateException(s"recover: could not restore $old")
+      }
+    entries.filter(_.getName.startsWith(".compact_tmp_"))
+      .foreach(tmp => fs.delete(tmp, true))
+    restored
+  }
+
   /** Compact selected `window=<key>` partitions of `targetPath`. Returns a
     * report per REWRITTEN window (untouched windows are absent). */
   def compactWindows(spark: SparkSession, targetPath: String,

@@ -71,6 +71,38 @@ class CompactionSpec extends SparkSpec {
     assert(stray.isEmpty, s"leftover swap dirs: ${stray.mkString(",")}")
   }
 
+  test("recover restores a window parked mid-swap and clears debris") {
+    val (cfg, target) = freshTarget()
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .where(Connectors.windowPredicate(col("ts"), w(4)))
+    target.load(w(4), ev.repartition(4))
+    val key = Connectors.windowKey(w(4))
+    val live = new java.io.File(s"${cfg.targetPath}/window=$key")
+    val before = target.readAll().orderBy("event_id").collect()
+
+    // crash state A: retired but never promoted — live dir gone, data
+    // parked in .compact_old, a half-written .compact_tmp beside it
+    val old = new java.io.File(s"${cfg.targetPath}/.compact_old_$key")
+    val tmp = new java.io.File(s"${cfg.targetPath}/.compact_tmp_$key")
+    assert(live.renameTo(old))
+    tmp.mkdirs()
+    new java.io.File(tmp, "part-garbage.parquet").createNewFile()
+    assert(!live.exists, "live dir must be gone in the crash state")
+
+    assert(Compaction.recover(spark, cfg.targetPath) == Seq(key))
+    val after = target.readAll().orderBy("event_id").collect()
+    assert(after.sameElements(before), "recovery changed the data")
+    assert(!old.exists && !tmp.exists, "debris must be cleared")
+
+    // crash state B: promote happened, retiree left behind — recovery
+    // keeps the live dir and just drops the retiree
+    assert(old.mkdirs())
+    assert(Compaction.recover(spark, cfg.targetPath).isEmpty)
+    assert(!old.exists && target.readAll().count() == before.length)
+    // clean target: no-op
+    assert(Compaction.recover(spark, cfg.targetPath).isEmpty)
+  }
+
   test("byte budget yields multiple right-sized files when one would be too fat") {
     val (cfg, target) = freshTarget()
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
