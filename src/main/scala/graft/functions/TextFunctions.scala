@@ -183,4 +183,26 @@ object TextFunctions {
   /** Hostnames of all http(s) URLs in the text (capture group 1). */
   def urlDomains(c: Column): Column =
     regexp_extract_all(c, lit(UrlRegex), lit(1))
+
+  /** URL canonicalization for URL-level dedup — the normalization pass
+    * that collapses crawl-variant duplicates of one resource before any
+    * content-level dedup runs: lowercase scheme+host (path stays
+    * case-sensitive per RFC 3986), strip the fragment, drop tracking
+    * parameters (utm_*, fbclid, gclid, ref), and sort the surviving query
+    * parameters so parameter order cannot distinguish identical requests.
+    * Composed entirely from built-in functions (regex + array HOFs — no
+    * UDF), with every regex RE2-compatible so the DuckDB oracle mirrors it
+    * byte-for-byte (q105). */
+  def canonicalUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*$", "")
+    val rawSh = regexp_extract(noFrag, "^([^/]*//[^/?#]*)", 1)
+    val rest = noFrag.substr(length(rawSh) + lit(1), length(noFrag))
+    val path = regexp_extract(rest, "^([^?]*)", 1)
+    val query = regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
+    val kept = filter(split(query, "&"),
+      p => p =!= lit("") && not(p.rlike("^(utm_[^=]*|fbclid|gclid|ref)=")))
+    val sortedQ = array_join(array_sort(kept), "&")
+    concat(lower(rawSh), path,
+      when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
+  }
 }

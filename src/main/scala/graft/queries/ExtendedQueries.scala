@@ -169,6 +169,32 @@ object ExtendedQueries {
       .limit(15)
   }
 
+  /** URL canonicalization (q105): crawl-variant URLs — case-varied
+    * scheme/host, tracking params, fragments, shuffled query order —
+    * collapse to one canonical form before URL-level dedup. Four messy
+    * variants are constructed per doc (pure functions of doc columns, the
+    * q48 injection pattern); variants 0/1 and 2/3 canonicalize pairwise
+    * identically, so the oracle hash pins both the string surgery and the
+    * collapse. */
+  val urlCanonical: Q = (s, dir) => {
+    val messy = expr(
+      """CASE CAST(doc_id % 4 AS INT)
+        |  WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM/Path/' ||
+        |    CAST(doc_id % 50 AS STRING) || '?utm_source=x&id=' ||
+        |    CAST(doc_id % 50 AS STRING) || '#frag'
+        |  WHEN 1 THEN 'https://www.' || source || '.example.com/Path/' ||
+        |    CAST(doc_id % 50 AS STRING) || '?id=' || CAST(doc_id % 50 AS STRING)
+        |  WHEN 2 THEN 'http://' || lang || '.example.org/a?b=2&a=1&fbclid=zzz'
+        |  ELSE 'http://' || lang || '.example.org/a?a=1&b=2'
+        |END""".stripMargin)
+    Tables.documents(s, dir)
+      .where(col("doc_id") % 11 === 7)
+      .select(col("doc_id"), messy.as("u"))
+      .select(col("doc_id"), col("u").as("raw_url"),
+        TextFunctions.canonicalUrl(col("u")).as("canonical"))
+      .orderBy("doc_id")
+  }
+
   /** Composite quality filter (Gopher-style rule stack): token count,
     * mean token length, stopword ratio, repetition — per-source pass and
     * per-rule failure tallies. Thresholds are corpus-calibrated demo values;
@@ -301,10 +327,43 @@ object ExtendedQueries {
     "q84_bloom_decontam_sparse" -> decontaminateBloomSparse,
     "q47_pii_redaction" -> piiRedaction,
     "q48_url_domains" -> urlDomains,
+    "q105_url_canonical" -> urlCanonical,
     "q49_quality_filter" -> qualityFilter,
     "q62_dedup_clusters" -> dedupClusters)
 
   val oracles: Map[String, String] = Map(
+    "q105_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM/Path/' ||
+        |        CAST(doc_id % 50 AS VARCHAR) || '?utm_source=x&id=' ||
+        |        CAST(doc_id % 50 AS VARCHAR) || '#frag'
+        |      WHEN 1 THEN 'https://www.' || source || '.example.com/Path/' ||
+        |        CAST(doc_id % 50 AS VARCHAR) || '?id=' || CAST(doc_id % 50 AS VARCHAR)
+        |      WHEN 2 THEN 'http://' || lang || '.example.org/a?b=2&a=1&fbclid=zzz'
+        |      ELSE 'http://' || lang || '.example.org/a?a=1&b=2'
+        |    END AS u
+        |  FROM documents WHERE doc_id % 11 = 7),
+        |parts AS (
+        |  SELECT doc_id, u,
+        |    regexp_replace(u, '#.*$', '') AS nofrag,
+        |    regexp_extract(regexp_replace(u, '#.*$', ''), '^([^/]*//[^/?#]*)', 1) AS rawsh
+        |  FROM u),
+        |pq AS (
+        |  SELECT doc_id, u, rawsh,
+        |    regexp_extract(substr(nofrag, length(rawsh) + 1), '^([^?]*)', 1) AS path,
+        |    regexp_extract(substr(nofrag, length(rawsh) + 1), '^[^?]*\?(.*)$', 1) AS query
+        |  FROM parts),
+        |canon AS (
+        |  SELECT doc_id, u, rawsh, path,
+        |    array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS sq
+        |  FROM pq)
+        |SELECT doc_id, u AS raw_url,
+        |  lower(rawsh) || path ||
+        |    CASE WHEN sq = '' THEN '' ELSE '?' || sq END AS canonical
+        |FROM canon ORDER BY doc_id""".stripMargin,
     "q68_embedding_quant" ->
       """WITH e AS (
         |  SELECT vec_id % 8 AS bucket,

@@ -61,4 +61,22 @@ class TextFunctionsSpec extends SparkSpec {
     // hell|o worl|d|4|2|! -> 7 subword tokens
     assert(one("hello world42!", TextFunctions.subwordCount).as[Int].head() == 7)
   }
+
+  test("url canonicalization: case, fragments, tracking params, param order") {
+    def canon(u: String): String =
+      one(u, TextFunctions.canonicalUrl).as[String].head()
+    // scheme+host lowercase; PATH case preserved (RFC 3986)
+    assert(canon("HTTPS://WWW.Ex.COM/PaTh") == "https://www.ex.com/PaTh")
+    // fragment stripped
+    assert(canon("http://a.io/x#sec-2") == "http://a.io/x")
+    // tracking params dropped, '?' dropped when none survive
+    assert(canon("http://a.io/x?utm_source=tw&utm_c=1&fbclid=z") == "http://a.io/x")
+    // surviving params sort; order variants collapse
+    assert(canon("http://a.io/x?b=2&a=1&gclid=g") == "http://a.io/x?a=1&b=2")
+    assert(canon("http://a.io/x?a=1&b=2") == canon("http://a.io/x?b=2&ref=r&a=1"))
+    // a non-tracking param whose VALUE mentions utm stays
+    assert(canon("http://a.io/x?q=utm_test") == "http://a.io/x?q=utm_test")
+    // bare host, no query, no path: unchanged but lowercased
+    assert(canon("HTTP://A.IO") == "http://a.io")
+  }
 }
