@@ -109,6 +109,56 @@ class StreamingSpec extends SparkSpec {
     assert(streamN == batchN)
   }
 
+  test("checkpointed sink resumes across process restarts exactly-once") {
+    // two separate AvailableNow queries over the SAME checkpoint simulate a
+    // kill + restart: run 1 sees only the first file; files arrive while
+    // the stream is down; run 2 must (a) resume offsets — never re-read
+    // file 0 — and (b) recover the windowed aggregation state so its
+    // complete-mode output still covers run-1's events. Final sums equal
+    // the batch aggregation over everything, exactly once.
+    val events = Tables.events(spark, dir)
+    val src = java.nio.file.Files.createTempDirectory("graft_restart_src")
+    val root = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    def stageFile(part: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_restart_p$part")
+      events.where(pmod(col("event_id"), lit(3)) === part).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, src.resolve(s"p$part.parquet"))
+    }
+    stageFile(0)
+    val schema = spark.read.parquet(src.toString).schema
+    def runOnce(): Unit = {
+      val stream = StreamingPipeline.eventsStream(spark, src.toString, schema)
+      val agg = StreamingPipeline.windowedCounts(stream, "ts", "6 hours", "1 day")
+      val q = StreamingPipeline
+        .toWindowPartitionedSink(agg, s"$root/target", s"$root/ckpt").start()
+      q.awaitTermination()
+    }
+    runOnce() // "process dies" after draining file 0
+    val afterRun1 = spark.read.parquet(s"$root/target")
+      .agg(sum("n")).collect()(0).getLong(0)
+    stageFile(1); stageFile(2) // backlog accumulates while down
+    runOnce() // restart from the same checkpoint
+
+    val out = spark.read.parquet(s"$root/target")
+    val total = out.agg(sum("n")).collect()(0).getLong(0)
+    val expected = events.count()
+    assert(afterRun1 < expected, "run 1 must have seen only part of the data")
+    assert(total == expected,
+      s"restart lost or duplicated events: $total != $expected")
+    // per-window equality against the batch twin, not just the grand total
+    val batch = events
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd'T'HH-mm").as("window"),
+        col("event_type"), col("n"))
+    val streamed = out.select(col("window"), col("event_type"), col("n"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "per-window counts differ from the batch aggregation after restart")
+  }
+
   test("stream-stream interval join agrees with the batch twin") {
     val diskSchema = spark.read.parquet(s"$dir/events.parquet").schema
     def side(tsName: String, idName: String, eventType: String) =
