@@ -413,7 +413,12 @@ final class ParquetTarget(spark: SparkSession, cfg: PipelineConfig) extends Targ
     * still applies either way. */
   def readAll(mergeSchema: Boolean): DataFrame = {
     val p = new Path(cfg.targetPath)
-    if (!fs(p).exists(p)) spark.emptyDataFrame
+    // An existing root with no visible window partitions (fresh target, or
+    // every window parked by an in-flight maintenance swap) must read as
+    // empty, not crash schema inference.
+    val hasWindows = fs(p).exists(p) && fs(p).listStatus(p)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("window="))
+    if (!hasWindows) spark.emptyDataFrame
     else spark.read
       .option("basePath", cfg.targetPath)
       .option("mergeSchema", mergeSchema)

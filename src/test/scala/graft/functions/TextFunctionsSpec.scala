@@ -78,5 +78,13 @@ class TextFunctionsSpec extends SparkSpec {
     assert(canon("http://a.io/x?q=utm_test") == "http://a.io/x?q=utm_test")
     // bare host, no query, no path: unchanged but lowercased
     assert(canon("HTTP://A.IO") == "http://a.io")
+    // idempotence: canonicalizing stored canonical urls is a no-op
+    val messy = Seq(
+      "HTTPS://WWW.Ex.COM/PaTh?b=2&utm_x=1&a=3#f",
+      "http://a.io/x?gclid=g", "http://a.io", "http://a.io/p?z=1&y=2&x=3")
+    messy.foreach { m =>
+      val once = canon(m)
+      assert(canon(once) == once, s"not idempotent on $m -> $once")
+    }
   }
 }

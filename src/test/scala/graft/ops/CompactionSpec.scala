@@ -88,6 +88,8 @@ class CompactionSpec extends SparkSpec {
     tmp.mkdirs()
     new java.io.File(tmp, "part-garbage.parquet").createNewFile()
     assert(!live.exists, "live dir must be gone in the crash state")
+    assert(target.readAll().isEmpty,
+      "a windowless target root must read empty, not crash schema inference")
 
     assert(Compaction.recover(spark, cfg.targetPath) == Seq(key))
     val after = target.readAll().orderBy("event_id").collect()
