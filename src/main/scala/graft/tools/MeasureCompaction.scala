@@ -1,0 +1,68 @@
+package graft.tools
+
+import graft.config.PipelineConfig
+import graft.connect.{Connectors, ParquetTarget}
+import graft.sources.Tables
+import graft.time.TimeWindow
+import java.time.{ZoneId, ZonedDateTime}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Quantify the small-file problem Compaction exists for: the same events
+  * data laid out as a heavily fragmented window-partitioned target vs the
+  * compacted rewrite, scan-timed. Drives the NOTES_r7 numbers.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.MeasureCompaction [filesPerWindow] [reps]
+  */
+object MeasureCompaction {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val perWindow = args.lift(0).map(_.toInt).getOrElse(64)
+    val reps = args.lift(1).map(_.toInt).getOrElse(5)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config(Tables.NanosAsLongConf, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val root = java.nio.file.Files.createTempDirectory("graft_compact_bench")
+    graft.util.TempDirs.deleteOnExit(root)
+    val cfg = PipelineConfig.fromMap(Map("root_dir" -> root.toString))
+    val target = new ParquetTarget(spark, cfg)
+    val ev = Tables.events(spark, sfDir)
+    def w(d: Int) = TimeWindow(
+      ZonedDateTime.of(2024, 1, d, 0, 0, 0, 0, ZoneId.of("UTC")),
+      ZonedDateTime.of(2024, 1, d + 1, 0, 0, 0, 0, ZoneId.of("UTC")))
+    val days = 1 to 10
+    days.foreach { d =>
+      target.load(w(d), ev.where(Connectors.windowPredicate(col("ts"), w(d)))
+        .repartition(perWindow))
+    }
+    def countFiles(): Int = new java.io.File(root.toString + "/target")
+      .listFiles.filter(_.getName.startsWith("window="))
+      .map(_.listFiles.count(f => f.isFile && !f.getName.startsWith("_"))).sum
+    def scanTime(): Double = {
+      val ts = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        target.readAll().groupBy("event_type").agg(sum("value")).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.min
+    }
+    val filesBefore = countFiles()
+    val before = scanTime()
+    val reports = graft.ops.Compaction.compactWindows(spark, s"$root/target")
+    val filesAfter = countFiles()
+    val after = scanTime()
+    println(f"[compact] windows=${days.size} filesBefore=$filesBefore " +
+      f"filesAfter=$filesAfter rewritten=${reports.size}")
+    println(f"[compact] scan min-of-$reps: fragmented=$before%.3fs compacted=$after%.3fs " +
+      f"(${before / after}%.1fx)")
+    spark.stop()
+  }
+}
