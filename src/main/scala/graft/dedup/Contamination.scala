@@ -198,4 +198,40 @@ object Contamination {
           .as("contamination"))
     clean.unionByName(flagged)
   }
+
+  /** SEMANTIC decontamination — the embedding-side complement of the
+    * n-gram screens above: paraphrased or lightly-rewritten benchmark
+    * leakage shares almost no exact n-grams with the eval set, but its
+    * embedding still sits next to it. For each corpus vector, count the
+    * benchmark vectors within cosine >= `threshold` (n_bench_hits > 0 =
+    * contaminated; the count itself grades HOW entangled the doc is).
+    *
+    * Scale shape — same contract as [[scores]]: the benchmark is tiny by
+    * definition (eval sets), so it rides as ONE broadcast; the corpus side
+    * is a narrow scan scoring each vector against the broadcast benchmark
+    * (codegen'd single-pass cosine), and the only shuffle is the map-side-
+    * combined per-doc count — one row per corpus doc on the wire, no
+    * vector ever shuffled. For benchmark sets past broadcast size, probe
+    * the stored IVF-PQ index first (the q102 negative-mining shape) and
+    * exact-score only candidate lists.
+    *
+    * Engine portability: the output is integer counts under a thresholded
+    * compare — exact across engines given the corpus's cosine margins
+    * (same contract q44/q78's oracles rely on); no rounded floats leave
+    * the operator.
+    *
+    * @return (id, n_bench_hits) — every corpus row, hits possibly 0. */
+  def semanticScores(corpus: DataFrame, benchmark: DataFrame,
+                     idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSimilarity
+    val c = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val b = benchmark.select(col(idCol).as("bench_id"),
+      col(vecCol).cast("array<double>").as("bv"))
+    c.crossJoin(broadcast(b))
+      .groupBy("id")
+      .agg(sum(when(cosineSimilarity(col("cv"), col("bv")) >= threshold, 1L)
+        .otherwise(0L)).as("n_bench_hits"))
+  }
 }

@@ -23,6 +23,42 @@ object TextFunctions {
   def subwordCount(c: Column): Column =
     size(regexp_extract_all(c, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Sliding-window token chunks — the context-window prep an embedding /
+    * RAG / long-document training pipeline runs over every document: split
+    * the token stream into windows of `chunkTokens` advancing by
+    * `strideTokens` (overlap = chunk - stride). Returns an array of
+    * structs (chunk_idx, chunk_text, n_tokens); empty text -> empty array;
+    * a document of <= chunkTokens tokens -> exactly one chunk.
+    *
+    * Pure per-row function composed from codegen'd built-ins
+    * (sequence/transform/slice/array_join) — no shuffle, no UDF; chunk
+    * fan-out happens only when the caller posexplodes, and that explode is
+    * the operator's entire cost at any corpus size. */
+  def slidingChunks(c: Column, chunkTokens: Int, strideTokens: Int): Column = {
+    require(chunkTokens > 0 && strideTokens > 0, "chunk and stride must be positive")
+    require(strideTokens <= chunkTokens, "stride must not exceed chunk (windows would skip tokens)")
+    val ts = tokens(c)
+    val n = size(ts)
+    // number of windows: 1 if n <= chunk, else ceil((n-chunk)/stride) + 1
+    // (last window may be shorter than chunk but is never empty)
+    // Column `/` is double division; floor restores integer ceil-div
+    // (operands are token counts — exact in double far past any doc size)
+    val nChunks = when(n <= chunkTokens, lit(1))
+      .otherwise(floor((n - chunkTokens + strideTokens - 1) / strideTokens)
+        .cast("int") + 1)
+    val chunks = transform(sequence(lit(0), nChunks - 1), i => {
+      val start = i * strideTokens
+      struct(
+        i.as("chunk_idx"),
+        array_join(slice(ts, start + 1, lit(chunkTokens)), " ").as("chunk_text"),
+        least(lit(chunkTokens), n - start).as("n_tokens"))
+    })
+    // guard BEFORE building the sequence: sequence(0, -1) would count DOWN
+    when(n === 0, array().cast(
+      "array<struct<chunk_idx:int,chunk_text:string,n_tokens:int>>"))
+      .otherwise(chunks)
+  }
+
   /** ASCII punctuation characters count / ratio. */
   def punctCount(c: Column): Column =
     length(c) - length(regexp_replace(c, "[\\p{Punct}]", ""))

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Rank fusion for hybrid retrieval — combining a lexical ranking (BM25)
+  * with a dense ranking (embedding cosine) into one result list, the
+  * standard shape for retrieval-augmented training-data selection and
+  * hybrid search (Cormack/Clarke/Buettcher's Reciprocal Rank Fusion:
+  * score(d) = Σ_lists 1/(k + rank_list(d))).
+  *
+  * Scale shape: the INPUTS are the expensive part and each is already a
+  * bounded top-k produced by its own scale-shaped operator (BM25's
+  * term-filtered scan, the kNN family's bounded top-k aggregate). Fusion
+  * itself touches only Σ|lists| ≤ nLists·k rows — a driver-trivial union +
+  * one tiny aggregation regardless of corpus size, so the fused query
+  * costs exactly the sum of its retrieval legs at 100 TB.
+  *
+  * Determinism / engine portability: 1/(k+rank) and the two-term sums are
+  * exactly-rounded IEEE ops (and IEEE addition is commutative), so any
+  * engine computes bit-identical RRF scores for ≤2 lists from the same
+  * integer ranks; ties (e.g. rank r in one list vs rank r in the other)
+  * break on id ascending.
+  */
+object Fusion {
+
+  /** Fuse ranked lists by Reciprocal Rank Fusion. Each input must have
+    * columns (id, rank) with rank 1-based and each id at most once per
+    * list. Returns the top `k` rows of (id, rrf_score, in_lists, rank)
+    * ordered by (rrf_score desc, id asc); `in_lists` counts how many input
+    * lists contained the id. `rrfK` is the standard dampening constant
+    * (60 in the original paper). */
+  def rrf(rankings: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrf needs at least one ranking")
+    require(k > 0 && rrfK > 0, "k and rrfK must be positive")
+    val unioned = rankings
+      .map(_.select(col("id"), col("rank").cast("int").as("rank")))
+      .reduce(_ unionByName _)
+    val fused = unioned
+      .groupBy("id")
+      .agg(sum(lit(1.0) / (lit(rrfK) + col("rank"))).as("rrf_score"),
+        count(lit(1)).as("in_lists"))
+      .orderBy(col("rrf_score").desc, col("id").asc)
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf_score").desc, col("id").asc)
+    // rank assigned on the k-row result only (post-limit, driver-tiny)
+    fused.withColumn("rank", row_number().over(w))
+  }
+}

@@ -42,6 +42,34 @@ object Sampling {
     df.where(bucket < math.floor(fraction * Buckets).toLong)
   }
 
+  /** Soft (probabilistic) quality sampling — the FineWeb-Edu / DCLM-style
+    * curation move: instead of a hard score cutoff, keep each row with
+    * probability sigmoid((score - midpoint) / temperature), so
+    * borderline-quality documents survive at a rate proportional to how
+    * borderline they are (a hard threshold at 100 TB throws away the
+    * entire gray zone AND makes the kept set knife-edge-sensitive to the
+    * threshold; the soft gate degrades gracefully and keeps score-diversity
+    * for downstream mixing).
+    *
+    * Deterministic: the per-row uniform is the md5 bucket of `keyCol`
+    * (reproducible across runs/engines, independent of partitioning), and
+    * the keep decision is `bucket < round(sigmoid, 6) * 2^32`. The
+    * round-to-6 quantizes the probability so the comparison does not sit
+    * on the last ulp of `exp` (whose rounding may differ across math
+    * libraries) — any engine that reproduces 6-decimal sigmoid values
+    * makes the identical per-row decision. Pure narrow filter: no shuffle,
+    * stays in whole-stage codegen, monotone in `score`.
+    */
+  def softSample(df: DataFrame, keyCol: String, score: Column,
+                 midpoint: Double, temperature: Double,
+                 portable: Boolean = true): DataFrame = {
+    require(temperature > 0, "temperature must be positive")
+    val bucket = if (portable) md5Bucket(col(keyCol)) else xxBucket(col(keyCol))
+    val p = round(lit(1.0) /
+      (lit(1.0) + exp((lit(midpoint) - score) / temperature)), 6)
+    df.where(bucket.cast("double") < p * Buckets)
+  }
+
   /** Deterministic stratified sample: the `perStratum` rows of each stratum
     * with the smallest (md5(key), key) — one shuffle on the strata columns,
     * bounded per-group state. The hash order makes the pick uniform within

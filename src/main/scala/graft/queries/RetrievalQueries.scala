@@ -1,0 +1,197 @@
+package graft.queries
+
+import graft.dedup.Contamination
+import graft.functions.TextFunctions
+import graft.ops.{Bm25, Fusion, Sampling}
+import graft.sim.Similarity
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 additions — the retrieval / soft-curation operators:
+  * hybrid lexical+dense retrieval with RRF fusion (q106), sliding-window
+  * token chunking for context-window prep (q107), soft sigmoid-probability
+  * quality sampling (q108), and semantic (embedding-side) benchmark
+  * decontamination (q109). All fully DuckDB-oracled — integer/md5-exact or
+  * rounded-before-compare outputs throughout.
+  */
+object RetrievalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q106: hybrid retrieval — BM25 top-30 for a fixed bag-of-terms query
+    * fused with the exact cosine top-30 around a fixed query embedding
+    * (vec_id 7) by Reciprocal Rank Fusion, top-15 reported. Each leg is an
+    * already-verified scale-shaped retrieval (q77 / q50); the fusion
+    * touches only the ≤60 leg rows. */
+  val hybridRrf: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val lexical = Bm25.topK(docs, "doc_id", "text",
+        terms = Seq("spark", "shuffle", "partition"), k = 30)
+      .select(col("id"), col("rank"))
+    val dense = Similarity.bruteForceTopK(
+        emb, emb.where(col("vec_id") === 7), "vec_id", "embedding", k = 30)
+      .select(col("neighbor_id").as("id"), col("rank"))
+    Fusion.rrf(Seq(lexical, dense), k = 15)
+      .select(col("id"), round(col("rrf_score"), 6).as("rrf_score"),
+        col("in_lists"), col("rank"))
+      .orderBy("rank")
+  }
+
+  /** q107: sliding-window token chunking (64-token windows, stride 48 —
+    * 16-token overlap) over a doc_id%20 slice, reported per chunk as
+    * (doc_id, chunk_idx, n_tokens, chunk md5). The md5 certifies the exact
+    * chunk text without shipping it. */
+  val slidingChunks: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).where(col("doc_id") % 20 === 0)
+    docs.select(col("doc_id"),
+        explode(TextFunctions.slidingChunks(col("text"), 64, 48)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.n_tokens").as("n_tokens"),
+        md5(col("c.chunk_text")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** q108: soft quality sampling — keep each doc with probability
+    * sigmoid((qualityScore - 0.75) / 0.1) via the deterministic md5
+    * uniform (0.75 ≈ corpus median quality → ~55% kept, graded by score).
+    * Reported per source with the exact kept-id sum as the certificate. */
+  val softQualitySample: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .withColumn("score", TextFunctions.qualityScore(col("text")))
+    Sampling.softSample(docs, "doc_id", col("score"),
+        midpoint = 0.75, temperature = 0.1)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("sum_kept_ids"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+      .orderBy("source")
+  }
+
+  /** q109: semantic decontamination — benchmark = vec_id%20 vectors,
+    * corpus = the rest; per corpus vector the count of benchmark vectors
+    * within cosine >= 0.40 (measured cross-side margins at that threshold:
+    * >= 1e-4 at all three SFs — far above any double-cosine engine skew),
+    * rolled up per label. Integer outputs only. */
+  val semanticDecontam: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val bench = emb.where(col("vec_id") % 20 === 0)
+    val corpus = emb.where(col("vec_id") % 20 =!= 0)
+    Contamination.semanticScores(corpus, bench, "vec_id", "embedding",
+        threshold = 0.40)
+      .join(corpus.select(col("vec_id").as("id"), col("label")), "id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_bench_hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("n_bench_hits")).as("total_hits"))
+      .orderBy("label")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q106_hybrid_rrf" -> hybridRrf,
+    "q107_sliding_chunks" -> slidingChunks,
+    "q108_soft_quality_sample" -> softQualitySample,
+    "q109_semantic_decontam" -> semanticDecontam)
+
+  val oracles: Map[String, String] = Map(
+    // q106: BM25 leg = q77's oracle at k=30; dense leg = q50's oracle shape
+    // anchored at vec_id 7; RRF = sum(1/(60+rank)) — 1-2 exactly-rounded
+    // IEEE terms per doc, so the double is bit-identical cross-engine
+    "q106_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |dlen AS (
+        |  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dlen),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+        |  WHERE term IN ('spark', 'shuffle', 'partition') GROUP BY 1, 2),
+        |dfv AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    sum(ln(1.0 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5)) * tf.tf * 2.2 /
+        |        (tf.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score
+        |  FROM tf JOIN dfv USING (term) JOIN dlen d USING (doc_id) CROSS JOIN stats s
+        |  GROUP BY 1),
+        |lex AS (
+        |  SELECT doc_id AS id,
+        |    CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS INT) AS rank
+        |  FROM scored QUALIFY rank <= 30),
+        |dense AS (
+        |  SELECT c.vec_id AS id,
+        |    CAST(row_number() OVER (
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS INT) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id = 7 QUALIFY rank <= 30),
+        |u AS (SELECT id, rank FROM lex UNION ALL SELECT id, rank FROM dense),
+        |f AS (SELECT id, sum(1.0 / (60 + rank)) AS s, count(*) AS in_lists FROM u GROUP BY 1),
+        |top AS (SELECT id, s, in_lists FROM f ORDER BY s DESC, id ASC LIMIT 15)
+        |SELECT id, round(s, 6) AS rrf_score, in_lists,
+        |  CAST(row_number() OVER (ORDER BY s DESC, id ASC) AS INT) AS rank
+        |FROM top ORDER BY rank""".stripMargin,
+    "q107_sliding_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END AS ts
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |n AS (
+        |  SELECT doc_id, ts, len(ts) AS n,
+        |    CASE WHEN len(ts) <= 64 THEN 1
+        |      ELSE CAST(ceil((len(ts) - 64) / 48.0) AS INT) + 1 END AS nch
+        |  FROM toks WHERE len(ts) > 0),
+        |ch AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, nch - 1)) AS chunk_idx,
+        |    unnest([CAST(least(64, n - i * 48) AS INT)
+        |      FOR i IN generate_series(0, nch - 1)]) AS n_tokens,
+        |    unnest([md5(array_to_string(ts[i*48+1:i*48+64], ' '))
+        |      FOR i IN generate_series(0, nch - 1)]) AS chunk_md5
+        |  FROM n)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, n_tokens, chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q108: q31's punct/stopword forms + the q35 md5-bucket idiom; the
+    // sigmoid is quantized to 6 decimals on BOTH sides before the bucket
+    // compare so the decision never sits on the last ulp of exp
+    "q108_soft_quality_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0 / length(text)
+        |    END AS punct_ratio,
+        |    CASE WHEN len(string_split_regex(trim(text), '\s+')) = 0 THEN 0.0
+        |      ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that','be'], lower(x)))) * 1.0
+        |        / len(string_split_regex(trim(text), '\s+'))
+        |    END AS stopword_ratio
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source,
+        |    round(len_score * 0.4 + (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.3 END) * 0.3
+        |      + (CASE WHEN stopword_ratio > 0.05 THEN 1.0 ELSE 0.5 END) * 0.3, 4) AS score
+        |  FROM t),
+        |kept AS (
+        |  SELECT * FROM s
+        |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    < round(1.0 / (1.0 + exp((0.75 - score) / CAST(0.1 AS DOUBLE))), 6) * 4294967296)
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids,
+        |  min(score) AS min_score, max(score) AS max_score
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q109_semantic_decontam" ->
+      """WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+        |c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 20 <> 0),
+        |h AS (
+        |  SELECT c.vec_id, c.label,
+        |    sum(CASE WHEN list_cosine_similarity(c.embedding, b.embedding) >= 0.40
+        |      THEN 1 ELSE 0 END) AS hits
+        |  FROM c CROSS JOIN b GROUP BY 1, 2)
+        |SELECT label, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(sum(hits) AS BIGINT) AS total_hits
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -1,0 +1,59 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class SemanticScreenSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-built vectors: near-duplicate flagged, orthogonal not") {
+    val bench = Seq((100L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(0.99f, 0.1f)),  // cos ~0.995 vs bench
+      (2L, Seq(0.0f, 1.0f)),   // cos 0
+      (3L, Seq(-1.0f, 0.0f))   // cos -1
+    ).toDF("vec_id", "embedding")
+    val got = Contamination.semanticScores(corpus, bench, "vec_id", "embedding", 0.8)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("hit counts equal the brute-force cross-side count at sf0.001") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val bench = emb.where(col("vec_id") % 20 === 0)
+    val corpus = emb.where(col("vec_id") % 20 =!= 0)
+    val got = Contamination.semanticScores(corpus, bench, "vec_id", "embedding", 0.40)
+      .as[(Long, Long)].collect().toMap
+    // independent brute force: driver-side double cosine over collected rows
+    val b = bench.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val c = corpus.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    def cos(x: Seq[Double], y: Seq[Double]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) { dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      val d = math.sqrt(nx) * math.sqrt(ny)
+      if (d == 0) 0.0 else dot / d
+    }
+    val expected = c.map { case (id, cv) =>
+      id -> b.count { case (_, bv) => cos(cv, bv) >= 0.40 }.toLong
+    }.toMap
+    assert(got == expected)
+    assert(expected.values.sum > 0, "fixture must exercise at least one hit")
+  }
+
+  test("every corpus row is reported, including zero-hit rows") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val bench = emb.where(col("vec_id") % 20 === 0)
+    val corpus = emb.where(col("vec_id") % 20 =!= 0)
+    val n = Contamination.semanticScores(corpus, bench, "vec_id", "embedding", 0.40).count()
+    assert(n == corpus.count())
+  }
+
+  test("self-screen flags every vector (cos(v,v)=1 >= any threshold)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
+    val got = Contamination.semanticScores(emb, emb, "vec_id", "embedding", 0.999999)
+    assert(got.where(col("n_bench_hits") >= 1).count() == 50)
+  }
+}

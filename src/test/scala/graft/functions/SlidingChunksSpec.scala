@@ -1,0 +1,85 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class SlidingChunksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def chunksOf(text: String, chunk: Int, stride: Int) =
+    Seq(text).toDF("text")
+      .select(explode(TextFunctions.slidingChunks(col("text"), chunk, stride)).as("c"))
+      .select($"c.chunk_idx", $"c.chunk_text", $"c.n_tokens")
+      .as[(Int, String, Int)].collect().toList
+
+  test("10 tokens, chunk 4, stride 3: exact windows incl. short tail") {
+    val text = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    val got = chunksOf(text, 4, 3)
+    val expected = List(
+      (0, "t0 t1 t2 t3", 4),
+      (1, "t3 t4 t5 t6", 4),
+      (2, "t6 t7 t8 t9", 4))
+    assert(got == expected)
+  }
+
+  test("11 tokens, chunk 4, stride 3: short final window") {
+    val text = (0 until 11).map("t" + _).mkString(" ")
+    val got = chunksOf(text, 4, 3)
+    assert(got.size == 4) // ceil((11-4)/3)+1 = 4
+    assert(got.last == (3, "t9 t10", 2))
+  }
+
+  test("doc shorter than one chunk yields exactly one chunk") {
+    assert(chunksOf("a b", 64, 48) == List((0, "a b", 2)))
+  }
+
+  test("empty and whitespace-only text yield no chunks") {
+    assert(chunksOf("", 4, 3).isEmpty)
+    assert(chunksOf("   ", 4, 3).isEmpty)
+  }
+
+  test("stride == chunk tiles the doc without overlap and loses no token") {
+    val text = (0 until 103).map("w" + _).mkString(" ")
+    val got = chunksOf(text, 10, 10)
+    assert(got.size == 11)
+    assert(got.map(_._3).sum == 103, "tiling must cover every token once")
+    assert(got.flatMap(_._2.split(" ")) == (0 until 103).map("w" + _).toList)
+  }
+
+  test("consecutive chunks overlap by chunk - stride tokens") {
+    val text = (0 until 50).map("w" + _).mkString(" ")
+    val got = chunksOf(text, 8, 5)
+    got.sliding(2).foreach {
+      case List((_, a, _), (_, b, _)) =>
+        val at = a.split(" ").toList
+        val bt = b.split(" ").toList
+        assert(at.takeRight(3).zip(bt.take(3)).forall { case (x, y) => x == y } ||
+          bt.size < 3, s"overlap mismatch between [$a] and [$b]")
+      case _ => ()
+    }
+  }
+
+  test("corpus invariants at sf0.001: idx dense, counts consistent") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val ch = docs.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n"),
+        explode(TextFunctions.slidingChunks(col("text"), 64, 48)).as("c"))
+      .select(col("doc_id"), col("n"), $"c.chunk_idx".as("idx"), $"c.n_tokens".as("nt"))
+    val perDoc = ch.groupBy("doc_id", "n")
+      .agg(count(lit(1)).as("nch"), max("idx").as("maxidx"),
+        sum("nt").as("sumnt"), min("nt").as("minnt"))
+      .as[(Long, Int, Long, Int, Long, Int)].collect()
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { case (id, n, nch, maxidx, sumnt, minnt) =>
+      assert(maxidx == nch - 1, s"doc $id: chunk_idx not dense")
+      val expected = if (n <= 64) 1 else ((n - 64 + 47) / 48) + 1
+      assert(nch == expected, s"doc $id: $nch chunks for $n tokens")
+      assert(minnt > 0, s"doc $id: empty chunk")
+      // total tokens across windows = n + overlap double-counts
+      assert(sumnt == n + (nch - 1) * 16 ||
+        sumnt <= n + (nch - 1) * 16,
+        s"doc $id: window token sum $sumnt vs $n tokens in $nch windows")
+    }
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FusionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranking(rows: (Long, Int)*) =
+    rows.toSeq.toDF("id", "rank")
+
+  test("rrf matches the hand-computed formula for two lists") {
+    // list A: 1,2,3  list B: 2,3,4
+    val a = ranking(1L -> 1, 2L -> 2, 3L -> 3)
+    val b = ranking(2L -> 1, 3L -> 2, 4L -> 3)
+    val got = Fusion.rrf(Seq(a, b), k = 10)
+      .select("id", "rrf_score", "in_lists", "rank")
+      .as[(Long, Double, Long, Int)].collect().toList
+    def r(x: Int) = 1.0 / (60 + x)
+    val expected = List(
+      (2L, r(2) + r(1), 2L), // 0.03253...
+      (3L, r(3) + r(2), 2L),
+      (1L, r(1), 1L),
+      (4L, r(3), 1L))
+    assert(got.map(_._1) == expected.map(_._1), s"order wrong: $got")
+    got.zip(expected).foreach { case ((_, s, n, _), (_, es, en)) =>
+      assert(s == es, "RRF sums are exact IEEE doubles — must match bitwise")
+      assert(n == en)
+    }
+    assert(got.map(_._4) == List(1, 2, 3, 4))
+  }
+
+  test("a doc in both lists outranks docs in a single list at better rank") {
+    // doc 9 at rank 5 in BOTH lists beats doc 1 at rank 1 in one list:
+    // 2/(60+5) = 0.0308 > 1/61 = 0.0164
+    val a = ranking(1L -> 1, 9L -> 5)
+    val b = ranking(2L -> 1, 9L -> 5)
+    val top = Fusion.rrf(Seq(a, b), k = 1).select("id").as[Long].collect()
+    assert(top.toList == List(9L))
+  }
+
+  test("equal scores tie-break on id ascending") {
+    // doc 7 rank 3 in A only; doc 5 rank 3 in B only -> equal scores
+    val a = ranking(7L -> 3)
+    val b = ranking(5L -> 3)
+    val got = Fusion.rrf(Seq(a, b), k = 10).select("id", "rank")
+      .as[(Long, Int)].collect().toList
+    assert(got == List((5L, 1), (7L, 2)))
+  }
+
+  test("k bounds the output") {
+    val a = ranking((1L to 30L).map(i => i -> i.toInt): _*)
+    assert(Fusion.rrf(Seq(a), k = 5).count() == 5)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class SoftSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    .withColumn("score", TextFunctions.qualityScore(col("text")))
+
+  test("soft sample is deterministic across runs") {
+    def run() = Sampling.softSample(docs, "doc_id", col("score"), 0.75, 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(run() == run())
+  }
+
+  test("keep probability saturates: score far above keeps all, far below drops all") {
+    val ids = spark.range(0, 2000).toDF("id")
+    val high = Sampling.softSample(
+      ids.withColumn("s", lit(10.0)), "id", col("s"), 0.5, 0.1)
+    // sigmoid(95) rounds to 1.0 at 6 decimals -> every bucket < 2^32 kept
+    assert(high.count() == 2000)
+    val low = Sampling.softSample(
+      ids.withColumn("s", lit(-10.0)), "id", col("s"), 0.5, 0.1)
+    assert(low.count() == 0)
+  }
+
+  test("keep decision is monotone in the score for a fixed key") {
+    // same key -> same uniform; raising the score can only flip drop->keep
+    val scores = (0 to 40).map(_ * 0.025)
+    val df = scores.map(s => (7L, s)).toDF("id", "s")
+    val kept = Sampling.softSample(df, "id", col("s"), 0.5, 0.1)
+      .select("s").as[Double].collect().toSet
+    val dropped = scores.toSet -- kept
+    assert(dropped.isEmpty || kept.isEmpty || dropped.max < kept.min,
+      s"kept set $kept is not an upper set of the score range")
+  }
+
+  test("empirical keep rate tracks the mean sigmoid (3-sigma binomial)") {
+    val scored = docs.select(col("doc_id"), col("score"))
+    val meanP = scored.select(
+        avg(round(lit(1.0) / (lit(1.0) + exp((lit(0.75) - col("score")) / 0.1)), 6)))
+      .as[Double].head()
+    val n = scored.count().toDouble
+    val kept = Sampling.softSample(scored, "doc_id", col("score"), 0.75, 0.1)
+      .count().toDouble
+    val sigma = math.sqrt(meanP * (1 - meanP) / n)
+    assert(math.abs(kept / n - meanP) < 3 * sigma + 0.01,
+      s"keep rate ${kept / n} vs expected $meanP")
+  }
+
+  test("soft gate keeps MORE gray-zone rows than the hard cutoff at the same volume") {
+    // the operator's reason to exist: at matched volume, the soft gate's
+    // kept set spans scores below the hard threshold
+    val soft = Sampling.softSample(docs, "doc_id", col("score"), 0.75, 0.1)
+    val nSoft = soft.count()
+    val hardCut = docs.orderBy(col("score").desc, col("doc_id"))
+      .limit(nSoft.toInt).agg(min("score")).as[Double].head()
+    val softMin = soft.agg(min("score")).as[Double].head()
+    assert(softMin < hardCut,
+      s"soft min $softMin should dip below the matched-volume hard cutoff $hardCut")
+  }
+}
