@@ -117,6 +117,25 @@ object StreamingPipeline {
       .withColumn("redacted_text", f.redactPii(t))
   }
 
+  /** Streaming context-window prep: soft sigmoid-probability quality gate
+    * (the q108 operator — deterministic md5 uniform, so a replayed
+    * micro-batch makes the identical keep decisions) followed by
+    * sliding-window token chunking fan-out (the q107 operator). Both are
+    * stateless narrow per-row ops, so the SAME code path serves batch and
+    * stream — no watermark, no state store; the chunk explode is the whole
+    * cost per micro-batch. */
+  def chunkPrepStream(docs: DataFrame, idCol: String, textCol: String,
+                      chunkTokens: Int, strideTokens: Int,
+                      midpoint: Double, temperature: Double): DataFrame = {
+    val f = graft.functions.TextFunctions
+    val kept = graft.ops.Sampling.softSample(docs, idCol,
+      f.qualityScore(col(textCol)), midpoint, temperature)
+    kept.select(col(idCol),
+        explode(f.slidingChunks(col(textCol), chunkTokens, strideTokens)).as("c"))
+      .select(col(idCol), col("c.chunk_idx").as("chunk_idx"),
+        col("c.chunk_text").as("chunk_text"), col("c.n_tokens").as("n_tokens"))
+  }
+
   /** Streaming decontamination screen: annotate each arriving document with
     * its distinct-gram total and the count of grams that probe positive
     * against the benchmark's Bloom sketch (built ONCE on the batch side via

@@ -207,4 +207,48 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"benchmark gram table should broadcast: ${plan.take(2000)}")
   }
+
+  test("sliding chunking is a narrow projection: no window, no shuffle, one scan") {
+    val plan = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.slidingChunks(col("text"), 64, 48)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"chunking windows:\n${plan.take(2000)}")
+    assert(!plan.contains("Exchange"), s"chunking shuffles:\n${plan.take(2000)}")
+    assert(plan.contains("Generate"), "expected the chunk-array explode")
+    assert("FileScan parquet".r.findAllIn(plan).length == 1)
+  }
+
+  test("soft quality sampling is a pure narrow filter: no shuffle at all") {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("score", graft.functions.TextFunctions.qualityScore(col("text")))
+    val plan = graft.ops.Sampling.softSample(docs, "doc_id", col("score"), 0.75, 0.1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"soft sample shuffles:\n${plan.take(2000)}")
+    assert("FileScan parquet".r.findAllIn(plan).length == 1)
+  }
+
+  test("semantic screen broadcasts the benchmark; only per-doc counts shuffle") {
+    val emb = Tables.embeddings(spark, dir)
+    val plan = graft.dedup.Contamination.semanticScores(
+        emb.where(col("vec_id") % 20 =!= 0), emb.where(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", 0.40)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"unbounded cartesian:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastExchange"), "benchmark side must broadcast")
+    // the ONLY exchange beyond the broadcast is the per-doc count partial:
+    // (id, count) rows — vectors never ride a shuffle
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 1, s"expected at most one hash exchange, got $shuffles:\n${plan.take(3000)}")
+    assert(!plan.contains("Exchange rangepartitioning"))
+  }
+
+  test("hybrid RRF keeps both legs' scale shapes: bounded top-k aggregate + TakeOrdered") {
+    val plan = planOf("q106_hybrid_rrf")
+    assert(plan.contains("top_k_by_score"),
+      "dense leg must use the bounded top-k aggregate, not a window sort")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "BM25 leg must keep its partial top-k")
+    assert(!plan.contains("CartesianProduct"), s"unbounded cartesian:\n${plan.take(2000)}")
+  }
 }

@@ -475,6 +475,28 @@ class StreamingSpec extends SparkSpec {
       "stateless text-prep must be identical in batch and streaming")
   }
 
+  test("streaming chunk-prep (soft gate -> sliding chunks) equals the batch composition") {
+    val docsPath = s"$dir/documents.parquet"
+    val d = java.nio.file.Files.createTempDirectory("graft_chunkprep_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(docsPath), d.resolve("docs.parquet"))
+    val schema = spark.read.parquet(docsPath).schema
+    val stream = spark.readStream.schema(schema).parquet(d.toString)
+    val q = StreamingPipeline.chunkPrepStream(stream, "doc_id", "text",
+        chunkTokens = 64, strideTokens = 48, midpoint = 0.75, temperature = 0.1)
+      .writeStream.format("memory").queryName("chunkprep_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("chunkprep_test")
+
+    val batch = StreamingPipeline.chunkPrepStream(
+      spark.read.parquet(docsPath), "doc_id", "text", 64, 48, 0.75, 0.1)
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stateless chunk-prep must be identical in batch and streaming")
+  }
+
   test("streaming decontamination screen flags every truly contaminated doc") {
     val docsPath = s"$dir/documents.parquet"
     val docs = spark.read.parquet(docsPath)
