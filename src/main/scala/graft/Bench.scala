@@ -60,7 +60,12 @@ object Bench {
     "q90_pq_ann",             // product-quantized ANN (ADC + re-rank)
     "q91_ivfpq_ann",          // composed IVF-PQ (pruned compressed scan)
     "q93_lm_incremental",     // split-fit + merge + stored-LM round trip
-    "q100_modelprep_pipeline") // composed filter->split->LM->shard chain
+    "q100_modelprep_pipeline", // composed filter->split->LM->shard chain
+    "q106_hybrid_rrf",        // BM25 (+) dense cosine, RRF-fused
+    "q107_sliding_chunks",    // context-window token chunk fan-out
+    "q108_soft_quality_sample", // sigmoid-probability quality gate
+    "q109_semantic_decontam", // embedding-side benchmark screen
+    "q110_corpus_diff")       // snapshot CDC by content fingerprint
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.dedup.Contamination
 import graft.functions.TextFunctions
-import graft.ops.{Bm25, Fusion, Sampling}
+import graft.ops.{Bm25, CorpusDiff, Fusion, Sampling}
 import graft.sim.Similarity
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -89,13 +89,46 @@ object RetrievalQueries {
       .orderBy("label")
   }
 
+  /** q110: corpus snapshot diff — v1 = docs minus the %10==3 slice, v2 =
+    * docs minus the %10==7 slice with the %7==0 texts edited; every id
+    * classified added/removed/changed/unchanged by content fingerprint,
+    * rolled up with exact id-sum certificates. */
+  val corpusDiff: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val v1 = docs.where(col("doc_id") % 10 =!= 3)
+    val v2 = docs.where(col("doc_id") % 10 =!= 7)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" EDIT")))
+          .otherwise(col("text")))
+    CorpusDiff.diffSummary(v1, v2, "doc_id", "text")
+  }
+
   val all: Map[String, Q] = Map(
+    "q110_corpus_diff" -> corpusDiff,
     "q106_hybrid_rrf" -> hybridRrf,
     "q107_sliding_chunks" -> slidingChunks,
     "q108_soft_quality_sample" -> softQualitySample,
     "q109_semantic_decontam" -> semanticDecontam)
 
   val oracles: Map[String, String] = Map(
+    "q110_corpus_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 10 <> 3),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(
+        |      CASE WHEN doc_id % 7 = 0 THEN text || ' EDIT' ELSE text END)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 10 <> 7),
+        |d AS (
+        |  SELECT coalesce(v1.doc_id, v2.doc_id) AS id,
+        |    CASE WHEN v1.fp IS NULL THEN 'added'
+        |      WHEN v2.fp IS NULL THEN 'removed'
+        |      WHEN v1.fp = v2.fp THEN 'unchanged'
+        |      ELSE 'changed' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT status, count(*) AS n_docs, CAST(sum(id) AS BIGINT) AS sum_ids
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     // q106: BM25 leg = q77's oracle at k=30; dense leg = q50's oracle shape
     // anchored at vec_id 7; RRF = sum(1/(60+rank)) — 1-2 exactly-rounded
     // IEEE terms per doc, so the double is bit-identical cross-engine

@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class CorpusDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("all four classes on a hand-built pair of snapshots") {
+    val old = Seq(
+      (1L, "same text"),
+      (2L, "will change"),
+      (3L, "will be removed"),
+      (5L, "Same    TEXT   different whitespace")).toDF("id", "text")
+    val nw = Seq(
+      (1L, "same text"),
+      (2L, "has changed"),
+      (4L, "newly added"),
+      (5L, "same text different whitespace")).toDF("id", "text")
+    val got = CorpusDiff.diff(old, nw, "id", "text")
+      .select("id", "status").as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added",
+      // normalization: case + whitespace runs are not content changes
+      5L -> "unchanged"))
+  }
+
+  test("diff is a partition of the id-union with set-correct classes") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val v1 = docs.where(col("doc_id") % 10 =!= 3)
+    val v2 = docs.where(col("doc_id") % 10 =!= 7)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" EDIT"))).otherwise(col("text")))
+    val d = CorpusDiff.diff(v1, v2, "doc_id", "text").cache()
+    val ids1 = v1.select("doc_id").as[Long].collect().toSet
+    val ids2 = v2.select("doc_id").as[Long].collect().toSet
+    val byStatus = d.select("id", "status").as[(Long, String)].collect()
+      .groupBy(_._2).map { case (k, v) => k -> v.map(_._1).toSet }
+    assert(byStatus.values.map(_.size).sum == (ids1 ++ ids2).size, "one row per id")
+    assert(byStatus.getOrElse("added", Set.empty) == ids2 -- ids1)
+    assert(byStatus.getOrElse("removed", Set.empty) == ids1 -- ids2)
+    val both = ids1 intersect ids2
+    assert(byStatus.getOrElse("changed", Set.empty) == both.filter(_ % 7 == 0))
+    assert(byStatus.getOrElse("unchanged", Set.empty) == both.filterNot(_ % 7 == 0))
+    d.unpersist()
+  }
+
+  test("summary counts + id sums agree with the per-row diff") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val v1 = docs.where(col("doc_id") < 400)
+    val v2 = docs.where(col("doc_id") >= 100)
+    val rows = CorpusDiff.diff(v1, v2, "doc_id", "text")
+      .select("id", "status").as[(Long, String)].collect()
+    val got = CorpusDiff.diffSummary(v1, v2, "doc_id", "text")
+      .as[(String, Long, Long)].collect().toList
+    val expected = rows.groupBy(_._2).map { case (s, v) =>
+      (s, v.length.toLong, v.map(_._1).sum)
+    }.toList.sortBy(_._1)
+    assert(got == expected)
+  }
+
+  test("identical snapshots diff to all-unchanged") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val d = CorpusDiff.diff(docs, docs, "doc_id", "text")
+    assert(d.where(col("status") =!= "unchanged").count() == 0)
+    assert(d.count() == docs.count())
+  }
+}
