@@ -65,7 +65,8 @@ object Bench {
     "q107_sliding_chunks",    // context-window token chunk fan-out
     "q108_soft_quality_sample", // sigmoid-probability quality gate
     "q109_semantic_decontam", // embedding-side benchmark screen
-    "q110_corpus_diff")       // snapshot CDC by content fingerprint
+    "q110_corpus_diff",       // snapshot CDC by content fingerprint
+    "q111_indexed_bm25")      // stored inverted index: merge + reload + query
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -86,8 +86,91 @@ object Bm25 {
       .withColumn("score", round(col("score"), 6))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
+    rankTop(top)
+  }
+
+  private def rankTop(top: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score").desc, col("id").asc)
     top.withColumn("rank", row_number().over(w))
+  }
+
+  // ------------------------------------------------- stored inverted index
+
+  /** A persisted inverted index for lexical retrieval — the stored-index
+    * half of the BM25 story (the q79/q93 pattern applied to postings):
+    * build once over the corpus, persist via `IndexStore`, additively
+    * merge per-delta indexes, and answer queries by touching ONLY the
+    * query terms' posting rows — never rescanning (or re-tokenizing) the
+    * corpus.
+    *
+    * - `postings` (term, id, tf): corpus-sized but term-keyed — a query
+    *   filters it to its handful of terms (parquet term pushdown / term
+    *   partitioning at scale), so the scored stream is a sliver.
+    * - `stats` (term, df): vocabulary-sized.
+    * - `norms` (id, dl): one long per doc (the BM25 length normalizer).
+    * - `nDocs`/`sumDl`: exact integer corpus scalars, so avgdl after any
+    *   merge chain is arithmetic on longs — no float accumulation drift.
+    *
+    * All four components add under disjoint-id union, so
+    * `merge(build(A), build(B)) == build(A ∪ B)` EXACTLY (integer counts;
+    * q111 pins the identity through a save/reload round trip against the
+    * whole-corpus oracle). */
+  final case class LexicalIndex(postings: DataFrame, stats: DataFrame,
+                                norms: DataFrame, nDocs: Long, sumDl: Long)
+
+  /** Build the inverted index: one tokenize pass, one (id, term) groupBy
+    * for tf, one term groupBy for df. */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String): LexicalIndex = {
+    val base = docs.select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("ts"))
+    val norms = base.select(col("id"), size(col("ts")).cast("long").as("dl"))
+    val postings = base
+      .select(col("id"), explode(col("ts")).as("term"))
+      .groupBy("term", "id").agg(count(lit(1)).as("tf"))
+    val stats = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val scalars = norms.agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+    LexicalIndex(postings, stats, norms, scalars.getLong(0), scalars.getLong(1))
+  }
+
+  /** Additive merge of two indexes over DISJOINT doc-id sets (the
+    * incremental-ingest contract: a delta is new docs). tf rows union
+    * (disjoint (term,id) keys), df/nDocs/sumDl add. */
+  def mergeIndex(a: LexicalIndex, b: LexicalIndex): LexicalIndex = {
+    val postings = a.postings.unionByName(b.postings)
+    val stats = a.stats.unionByName(b.stats)
+      .groupBy("term").agg(sum("df").as("df"))
+    LexicalIndex(postings, stats, a.norms.unionByName(b.norms),
+      a.nDocs + b.nDocs, a.sumDl + b.sumDl)
+  }
+
+  /** BM25 top-k answered from the stored index: filter postings to the
+    * query terms (the only corpus-sized touch, term-pushdown-prunable),
+    * broadcast the terms' df rows, join the matched ids' length norms, and
+    * rank exactly as [[topK]] does. Output schema/semantics == [[topK]] on
+    * the same corpus. */
+  def topKAgainstIndex(idx: LexicalIndex, terms: Seq[String], k: Int,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val nDocs = idx.nDocs.toDouble
+    val avgdl = idx.sumDl.toDouble / idx.nDocs
+    val matched = idx.postings.where(col("term").isInCollection(terms))
+    val dfv = idx.stats.where(col("term").isInCollection(terms))
+    val top = matched
+      .join(broadcast(dfv), "term")
+      .join(idx.norms, "id")
+      .withColumn("idf",
+        log(lit(1.0) + (lit(nDocs) - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5)))
+      .withColumn("s",
+        col("idf") * col("tf").cast("double") * (k1 + 1.0) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl)))
+      .groupBy("id")
+      .agg(sum(col("s")).as("score"))
+      .withColumn("score", round(col("score"), 6))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+    rankTop(top)
   }
 }

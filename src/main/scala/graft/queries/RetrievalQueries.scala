@@ -103,14 +103,40 @@ object RetrievalQueries {
     CorpusDiff.diffSummary(v1, v2, "doc_id", "text")
   }
 
+  /** q111: stored inverted-index retrieval with incremental maintenance —
+    * build the lexical index on the %10!=3 corpus, build the %10==3 delta
+    * separately, MERGE additively, SAVE to parquet, RELOAD, and answer the
+    * q77 query from the reloaded index. Shares q77's whole-corpus oracle:
+    * the hash equality proves the merge identity
+    * (merge(build(A), build(B)) == build(A∪B)) AND the lossless round
+    * trip, the q93 pattern applied to postings. */
+  val indexedBm25: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val base = Bm25.buildIndex(docs.where(col("doc_id") % 10 =!= 3), "doc_id", "text")
+    val delta = Bm25.buildIndex(docs.where(col("doc_id") % 10 === 3), "doc_id", "text")
+    val merged = Bm25.mergeIndex(base, delta)
+    // per-invocation dir, reaped at JVM exit (see q79's note)
+    val idxPath = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_lexidx")).toString
+    graft.store.IndexStore.saveLexicalIndex(s, merged, idxPath)
+    val reloaded = graft.store.IndexStore.loadLexicalIndex(s, idxPath)
+    Bm25.topKAgainstIndex(reloaded,
+        terms = Seq("spark", "shuffle", "partition"), k = 15)
+      .select(col("id"), col("score"), col("rank"))
+  }
+
   val all: Map[String, Q] = Map(
     "q110_corpus_diff" -> corpusDiff,
+    "q111_indexed_bm25" -> indexedBm25,
     "q106_hybrid_rrf" -> hybridRrf,
     "q107_sliding_chunks" -> slidingChunks,
     "q108_soft_quality_sample" -> softQualitySample,
     "q109_semantic_decontam" -> semanticDecontam)
 
   val oracles: Map[String, String] = Map(
+    // q111 shares q77's whole-corpus oracle: equality proves merge
+    // identity + store round trip (the q93 pattern)
+    "q111_indexed_bm25" -> CurationQueries.oracles("q77_bm25_topk"),
     "q110_corpus_diff" ->
       """WITH v1 AS (
         |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

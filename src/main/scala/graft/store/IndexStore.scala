@@ -177,4 +177,31 @@ object IndexStore {
     checkMeta(spark, path, "hash")
     spark.read.parquet(s"$path/index")
   }
+
+  /** Persist a BM25 inverted index ([[graft.ops.Bm25.LexicalIndex]]):
+    * term-keyed postings, vocabulary-sized df stats, per-doc length norms,
+    * and the exact integer corpus scalars. The stored-retrieval half of
+    * the incremental-ingest story — reload, `buildIndex` only the delta,
+    * `mergeIndex`, save back; queries touch only their terms' postings.
+    * Overwrites. */
+  def saveLexicalIndex(spark: SparkSession, idx: graft.ops.Bm25.LexicalIndex,
+                       path: String): Unit = {
+    import spark.implicits._
+    writeMeta(spark, path, "lexical")
+    idx.postings.write.mode("overwrite").parquet(s"$path/postings")
+    idx.stats.write.mode("overwrite").parquet(s"$path/stats")
+    idx.norms.write.mode("overwrite").parquet(s"$path/norms")
+    Seq((idx.nDocs, idx.sumDl)).toDF("n_docs", "sum_dl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/scalars")
+  }
+
+  def loadLexicalIndex(spark: SparkSession, path: String): graft.ops.Bm25.LexicalIndex = {
+    checkMeta(spark, path, "lexical")
+    val s = spark.read.parquet(s"$path/scalars").select("n_docs", "sum_dl").head()
+    graft.ops.Bm25.LexicalIndex(
+      spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/stats"),
+      spark.read.parquet(s"$path/norms"),
+      s.getLong(0), s.getLong(1))
+  }
 }

@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.sources.Tables
+import graft.store.IndexStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class Bm25IndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val terms = Seq("spark", "shuffle", "partition")
+
+  private def frameEq(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("buildIndex components are exact on a hand corpus") {
+    val docs = Seq(
+      (1L, "spark spark shuffle"),
+      (2L, "partition"),
+      (3L, "")).toDF("id", "text")
+    val idx = Bm25.buildIndex(docs, "id", "text")
+    val postings = idx.postings.as[(String, Long, Long)].collect().toSet
+    assert(postings == Set(("spark", 1L, 2L), ("shuffle", 1L, 1L), ("partition", 2L, 1L)))
+    assert(idx.stats.as[(String, Long)].collect().toSet ==
+      Set(("spark", 1L), ("shuffle", 1L), ("partition", 1L)))
+    assert(idx.norms.as[(Long, Long)].collect().toSet ==
+      Set((1L, 3L), (2L, 1L), (3L, 0L)))
+    assert(idx.nDocs == 3 && idx.sumDl == 4)
+  }
+
+  test("merge(build(A), build(B)) == build(A union B) exactly") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = Bm25.buildIndex(docs.where(col("doc_id") % 10 =!= 3), "doc_id", "text")
+    val b = Bm25.buildIndex(docs.where(col("doc_id") % 10 === 3), "doc_id", "text")
+    val merged = Bm25.mergeIndex(a, b)
+    val whole = Bm25.buildIndex(docs, "doc_id", "text")
+    assert(frameEq(merged.postings, whole.postings), "postings differ")
+    assert(frameEq(merged.stats, whole.stats), "df stats differ")
+    assert(frameEq(merged.norms, whole.norms), "norms differ")
+    assert(merged.nDocs == whole.nDocs && merged.sumDl == whole.sumDl)
+  }
+
+  test("topKAgainstIndex equals the direct corpus-scan topK") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val direct = Bm25.topK(docs, "doc_id", "text", terms, k = 15)
+      .select("id", "score", "rank")
+    val viaIndex = Bm25.topKAgainstIndex(
+        Bm25.buildIndex(docs, "doc_id", "text"), terms, k = 15)
+      .select("id", "score", "rank")
+    assert(frameEq(direct, viaIndex),
+      s"direct ${direct.collect().toList} vs index ${viaIndex.collect().toList}")
+  }
+
+  test("store round trip preserves retrieval; wrong kind rejected") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val idx = Bm25.buildIndex(docs, "doc_id", "text")
+    val path = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_lexidx_spec")).toString
+    IndexStore.saveLexicalIndex(spark, idx, path)
+    val back = IndexStore.loadLexicalIndex(spark, path)
+    assert(back.nDocs == idx.nDocs && back.sumDl == idx.sumDl)
+    assert(frameEq(
+      Bm25.topKAgainstIndex(idx, terms, 15),
+      Bm25.topKAgainstIndex(back, terms, 15)))
+    intercept[IllegalArgumentException] {
+      IndexStore.loadLm(spark, path)
+    }
+  }
+
+  test("query touches only its terms' postings (term filter present in plan)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val idx = Bm25.buildIndex(docs, "doc_id", "text")
+    val plan = Bm25.topKAgainstIndex(idx, terms, 15)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("spark") && plan.contains("shuffle"),
+      s"expected the term filter in the plan:\n${plan.take(1500)}")
+  }
+}
