@@ -185,13 +185,13 @@ object IndexStore {
     * `mergeIndex`, save back; queries touch only their terms' postings.
     * Overwrites. */
   def saveLexicalIndex(spark: SparkSession, idx: graft.ops.Bm25.LexicalIndex,
-                       path: String): Unit = {
+                       path: String, lastBatchId: Long = -1L): Unit = {
     import spark.implicits._
     writeMeta(spark, path, "lexical")
     idx.postings.write.mode("overwrite").parquet(s"$path/postings")
     idx.stats.write.mode("overwrite").parquet(s"$path/stats")
     idx.norms.write.mode("overwrite").parquet(s"$path/norms")
-    Seq((idx.nDocs, idx.sumDl)).toDF("n_docs", "sum_dl")
+    Seq((idx.nDocs, idx.sumDl, lastBatchId)).toDF("n_docs", "sum_dl", "last_batch")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/scalars")
   }
 
@@ -203,5 +203,47 @@ object IndexStore {
       spark.read.parquet(s"$path/stats"),
       spark.read.parquet(s"$path/norms"),
       s.getLong(0), s.getLong(1))
+  }
+
+  /** The stored index's replay cursor (−1 on a fresh/batch-written index).
+    * See [[updateLexicalIndex]]. */
+  def lexicalIndexLastBatch(spark: SparkSession, path: String): Long = {
+    val row = spark.read.parquet(s"$path/scalars").select("last_batch").head()
+    row.getLong(0)
+  }
+
+  /** Merge a delta of NEW docs into the stored lexical index, in place and
+    * atomically: the merged index (lazy frames still reading the live
+    * `path`) is written to a dot-prefixed sibling, then promoted over the
+    * live dir with the engine's rename-swap commit primitive — readers see
+    * the old index or the new one, never a mix, and the read-then-
+    * overwrite-same-path trap never arises.
+    *
+    * `batchId` is the exactly-once guard for streaming ingest: each update
+    * stamps its batch id into the index, and an update whose id is <= the
+    * stored cursor is a NO-OP — so a micro-batch replayed after a crash
+    * (foreachBatch retries the last uncommitted batch) cannot double-merge
+    * its postings. Batch callers keep the default −1 (no guard).
+    *
+    * @return true if the update applied, false if skipped as a replay. */
+  def updateLexicalIndex(spark: SparkSession, path: String,
+                         delta: org.apache.spark.sql.DataFrame,
+                         idCol: String, textCol: String,
+                         batchId: Long = -1L): Boolean = {
+    val deltaIdx = graft.ops.Bm25.buildIndex(delta, idCol, textCol)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta"))
+    if (exists && batchId >= 0 && batchId <= lexicalIndexLastBatch(spark, path))
+      return false
+    val merged =
+      if (exists) graft.ops.Bm25.mergeIndex(loadLexicalIndex(spark, path), deltaIdx)
+      else deltaIdx
+    val parent = Option(root.getParent).map(_.toString).getOrElse(".")
+    val tmp = new org.apache.hadoop.fs.Path(s"$parent/.${root.getName}_update_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    saveLexicalIndex(spark, merged, tmp.toString, batchId)
+    graft.util.AtomicSwap.swap(fs, tmp, root)
+    true
   }
 }

@@ -136,6 +136,26 @@ object StreamingPipeline {
         col("c.chunk_text").as("chunk_text"), col("c.n_tokens").as("n_tokens"))
   }
 
+  /** Continuous lexical-index maintenance: every arriving micro-batch of
+    * NEW documents is built into a delta inverted index (O(batch tokens))
+    * and additively merged into the stored [[graft.ops.Bm25.LexicalIndex]]
+    * via the atomic rename-swap update — queries against the index see the
+    * pre-batch or post-batch state, never a mix. Exactly-once under
+    * crash/replay: each merge stamps its micro-batch id into the index and
+    * [[graft.store.IndexStore.updateLexicalIndex]] no-ops on a replayed
+    * id, so foreachBatch's at-least-once delivery cannot double-count
+    * postings. The streaming half of the q111 operator. */
+  def lexicalIndexIngestStream(newDocs: DataFrame, idCol: String, textCol: String,
+                               indexPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.store.IndexStore.updateLexicalIndex(
+          batch.sparkSession, indexPath, batch, idCol, textCol, batchId)
+        ()
+      }
+
   /** Streaming decontamination screen: annotate each arriving document with
     * its distinct-gram total and the count of grams that probe positive
     * against the benchmark's Bloom sketch (built ONCE on the batch side via

@@ -68,6 +68,23 @@ class Bm25IndexSpec extends SparkSpec {
     }
   }
 
+  test("updateLexicalIndex bootstraps on a fresh path and chains merges") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val path = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_lexidx_upd")).toString + "/idx"
+    assert(IndexStore.updateLexicalIndex(spark, path,
+      docs.where(col("doc_id") % 3 === 0), "doc_id", "text"))
+    assert(IndexStore.updateLexicalIndex(spark, path,
+      docs.where(col("doc_id") % 3 === 1), "doc_id", "text"))
+    assert(IndexStore.updateLexicalIndex(spark, path,
+      docs.where(col("doc_id") % 3 === 2), "doc_id", "text"))
+    val got = IndexStore.loadLexicalIndex(spark, path)
+    val whole = Bm25.buildIndex(docs, "doc_id", "text")
+    assert(got.nDocs == whole.nDocs && got.sumDl == whole.sumDl)
+    assert(frameEq(got.postings, whole.postings))
+    assert(frameEq(got.stats, whole.stats))
+  }
+
   test("query touches only its terms' postings (term filter present in plan)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val idx = Bm25.buildIndex(docs, "doc_id", "text")

@@ -228,6 +228,49 @@ class StreamingSpec extends SparkSpec {
       s"missing=${expected -- cleanIds.asScala} extra=${cleanIds.asScala.toSet -- expected}")
   }
 
+  test("continuous lexical-index ingest converges to the whole-corpus index") {
+    import graft.ops.Bm25
+    val docs = Tables.documents(spark, dir)
+    val terms = Seq("spark", "shuffle", "partition")
+    val idxPath = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_lexidx_stream")).toString + "/idx"
+    // seed the index with the base corpus batch-side
+    graft.store.IndexStore.saveLexicalIndex(spark,
+      Bm25.buildIndex(docs.where(col("doc_id") % 10 =!= 3), "doc_id", "text"), idxPath)
+
+    // stream the delta in TWO micro-batches
+    val delta = docs.where(col("doc_id") % 10 === 3)
+    val d = java.nio.file.Files.createTempDirectory("graft_lexidx_src")
+    delta.where(col("doc_id") % 20 === 3).coalesce(1)
+      .write.parquet(d.resolve("p0").toString)
+    delta.where(col("doc_id") % 20 =!= 3).coalesce(1)
+      .write.parquet(d.resolve("p1").toString)
+    val stream = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$d/*")
+    val q = StreamingPipeline.lexicalIndexIngestStream(
+      stream, "doc_id", "text", idxPath).start()
+    q.awaitTermination()
+
+    val streamed = graft.store.IndexStore.loadLexicalIndex(spark, idxPath)
+    val whole = Bm25.buildIndex(docs, "doc_id", "text")
+    assert(streamed.nDocs == whole.nDocs && streamed.sumDl == whole.sumDl)
+    assert(streamed.postings.exceptAll(whole.postings).isEmpty &&
+      whole.postings.exceptAll(streamed.postings).isEmpty,
+      "streamed index postings must equal the whole-corpus build")
+    val a = Bm25.topKAgainstIndex(streamed, terms, 15)
+    val b = Bm25.topK(docs, "doc_id", "text", terms, 15)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "retrieval from the streamed index must equal direct whole-corpus retrieval")
+
+    // replay guard: re-applying the last micro-batch id is a no-op
+    val cursor = graft.store.IndexStore.lexicalIndexLastBatch(spark, idxPath)
+    assert(cursor >= 1, s"expected >= 2 micro-batches, cursor $cursor")
+    val applied = graft.store.IndexStore.updateLexicalIndex(
+      spark, idxPath, delta, "doc_id", "text", batchId = cursor)
+    assert(!applied, "replayed batch id must be skipped")
+    assert(graft.store.IndexStore.loadLexicalIndex(spark, idxPath).nDocs == whole.nDocs)
+  }
+
   test("streaming LM scoring equals the batch scoreNll per arriving doc") {
     import graft.ops.LanguageModel
     import spark.implicits._
