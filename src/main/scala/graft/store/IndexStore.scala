@@ -226,6 +226,32 @@ object IndexStore {
     * its postings. Batch callers keep the default −1 (no guard).
     *
     * @return true if the update applied, false if skipped as a replay. */
+  /** Crash recovery for an interrupted [[updateLexicalIndex]] swap. The
+    * crash window: the live index was retired to `<path>__old` but the
+    * promotion of the update-tmp dir did not complete — a died JVM leaves
+    * NO live index. Deterministic from the directory state alone: a
+    * retiree with no live dir is restored by rename (prefer the
+    * pre-update state — the tmp may be incomplete); update-tmp debris and
+    * a superseded retiree are deleted. No-op on a clean path. Run before
+    * reading/updating an index a crashed process may have held.
+    *
+    * @return true if a retired index was restored. */
+  def recoverLexicalIndex(spark: SparkSession, path: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    val parent = Option(root.getParent).map(_.toString).getOrElse(".")
+    val tmp = new org.apache.hadoop.fs.Path(s"$parent/.${root.getName}_update_tmp")
+    val restored =
+      if (fs.exists(old)) {
+        if (fs.exists(root)) { fs.delete(old, true); false } // promote won
+        else if (fs.rename(old, root)) true
+        else throw new IllegalStateException(s"recover: could not restore $old")
+      } else false
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    restored
+  }
+
   def updateLexicalIndex(spark: SparkSession, path: String,
                          delta: org.apache.spark.sql.DataFrame,
                          idCol: String, textCol: String,

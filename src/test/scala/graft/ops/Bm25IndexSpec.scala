@@ -85,6 +85,31 @@ class Bm25IndexSpec extends SparkSpec {
     assert(frameEq(got.stats, whole.stats))
   }
 
+  test("recoverLexicalIndex restores a crash-parked index; no-op when clean") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val path = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_lexidx_rec")).toString + "/idx"
+    val idx = Bm25.buildIndex(docs, "doc_id", "text")
+    IndexStore.saveLexicalIndex(spark, idx, path)
+    assert(!IndexStore.recoverLexicalIndex(spark, path), "clean path must no-op")
+
+    // simulate the crash window: live retired, promotion never happened,
+    // a half-written tmp left behind
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(root, new org.apache.hadoop.fs.Path(path + "__old")))
+    val tmp = new org.apache.hadoop.fs.Path(
+      root.getParent.toString + "/." + root.getName + "_update_tmp")
+    fs.mkdirs(tmp)
+    assert(IndexStore.recoverLexicalIndex(spark, path), "must restore the retiree")
+    assert(!fs.exists(tmp), "tmp debris must be gone")
+    val back = IndexStore.loadLexicalIndex(spark, path)
+    assert(back.nDocs == idx.nDocs && back.sumDl == idx.sumDl)
+    // and the restored index still answers queries
+    assert(frameEq(Bm25.topKAgainstIndex(back, terms, 15),
+      Bm25.topKAgainstIndex(idx, terms, 15)))
+  }
+
   test("query touches only its terms' postings (term filter present in plan)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val idx = Bm25.buildIndex(docs, "doc_id", "text")
