@@ -66,7 +66,8 @@ object Bench {
     "q108_soft_quality_sample", // sigmoid-probability quality gate
     "q109_semantic_decontam", // embedding-side benchmark screen
     "q110_corpus_diff",       // snapshot CDC by content fingerprint
-    "q111_indexed_bm25")      // stored inverted index: merge + reload + query
+    "q111_indexed_bm25",      // stored inverted index: merge + reload + query
+    "q112_corpus_profile")    // one-scan dataset card
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

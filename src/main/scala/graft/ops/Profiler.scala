@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling — the "data card" a curation pipeline publishes with
+  * every corpus snapshot: per-group volume, emptiness, token/char budgets,
+  * length distribution, and content-duplication rate, computed in ONE pass.
+  *
+  * Scale shape: a single narrow projection (token count, fingerprint,
+  * length — all codegen per-row work) feeding one corpus SCAN; every
+  * statistic has a partial form, so the shuffles carry per-partition
+  * partials, never rows (the exact-distinct fingerprint count adds the
+  * standard (grp, fp) pre-dedup exchange — swap for HLL/KMV at 100 TB if
+  * ±2% suffices). The exact interpolated percentiles buffer a group's
+  * values (the q53 contract — exact, oracle-matchable); at 100 TB swap
+  * them for `approx_percentile`, which sketches in O(1/ε) per partial
+  * (the q54/q97 pattern) — same call shape, bounded error.
+  */
+object Profiler {
+
+  /** Per-group text corpus profile.
+    *
+    * @return (grp, n_docs, n_empty, total_tokens, avg_tokens, p50_tokens,
+    *         p90_tokens, n_distinct_fp, total_chars) — `n_distinct_fp`
+    *         counts distinct normalized content fingerprints, so
+    *         `n_docs - n_distinct_fp` is the group's exact-dup surplus. */
+  def textProfile(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(groupCol).as("grp"),
+        TextFunctions.tokenCount(t).as("__ntok"),
+        TextFunctions.normalizedFingerprint(t).as("__fp"),
+        length(t).cast("long").as("__chars"))
+      .groupBy("grp")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__ntok") === 0, 1L).otherwise(0L)).as("n_empty"),
+        sum(col("__ntok").cast("long")).as("total_tokens"),
+        round(avg(col("__ntok")), 4).as("avg_tokens"),
+        round(expr("percentile(__ntok, 0.5)"), 4).as("p50_tokens"),
+        round(expr("percentile(__ntok, 0.9)"), 4).as("p90_tokens"),
+        count_distinct(col("__fp")).as("n_distinct_fp"),
+        sum(col("__chars")).as("total_chars"))
+  }
+}

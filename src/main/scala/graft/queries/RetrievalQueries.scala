@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.dedup.Contamination
 import graft.functions.TextFunctions
-import graft.ops.{Bm25, CorpusDiff, Fusion, Sampling}
+import graft.ops.{Bm25, CorpusDiff, Fusion, Profiler, Sampling}
 import graft.sim.Similarity
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -125,9 +125,17 @@ object RetrievalQueries {
       .select(col("id"), col("score"), col("rank"))
   }
 
+  /** q112: the per-source dataset card — volume, emptiness, token/char
+    * budgets, exact length percentiles (the q53 contract), and the exact
+    * dup surplus via distinct content fingerprints, one pass. */
+  val corpusProfile: Q = (s, dir) =>
+    Profiler.textProfile(Tables.documents(s, dir), "source", "text")
+      .orderBy("grp")
+
   val all: Map[String, Q] = Map(
     "q110_corpus_diff" -> corpusDiff,
     "q111_indexed_bm25" -> indexedBm25,
+    "q112_corpus_profile" -> corpusProfile,
     "q106_hybrid_rrf" -> hybridRrf,
     "q107_sliding_chunks" -> slidingChunks,
     "q108_soft_quality_sample" -> softQualitySample,
@@ -137,6 +145,23 @@ object RetrievalQueries {
     // q111 shares q77's whole-corpus oracle: equality proves merge
     // identity + store round trip (the q93 pattern)
     "q111_indexed_bm25" -> CurationQueries.oracles("q77_bm25_topk"),
+    "q112_corpus_profile" ->
+      """WITH t AS (
+        |  SELECT source AS grp,
+        |    len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END) AS ntok,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    length(text) AS chars
+        |  FROM documents)
+        |SELECT grp, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN ntok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+        |  CAST(sum(ntok) AS BIGINT) AS total_tokens,
+        |  round(avg(ntok), 4) AS avg_tokens,
+        |  round(quantile_cont(ntok, 0.5), 4) AS p50_tokens,
+        |  round(quantile_cont(ntok, 0.9), 4) AS p90_tokens,
+        |  count(DISTINCT fp) AS n_distinct_fp,
+        |  CAST(sum(chars) AS BIGINT) AS total_chars
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "q110_corpus_diff" ->
       """WITH v1 AS (
         |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class ProfilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand corpus: every column exact") {
+    val docs = Seq(
+      ("a", "one two three"),   // 3 tokens, 13 chars
+      ("a", "one two three"),   // exact dup of the first
+      ("a", ""),                // empty
+      ("b", "x y")).toDF("src", "text")
+    val got = Profiler.textProfile(docs, "src", "text")
+      .orderBy("grp")
+      .as[(String, Long, Long, Long, Double, Double, Double, Long, Long)]
+      .collect().toList
+    // group a: ntoks (3,3,0) -> p50 = 3.0 (interpolated median of 0,3,3),
+    // p90 = 3.0; 2 distinct fps (dup text + empty)
+    assert(got == List(
+      ("a", 3L, 1L, 6L, 2.0, 3.0, 3.0, 2L, 26L),
+      ("b", 1L, 0L, 2L, 2.0, 2.0, 2.0, 1L, 3L)))
+  }
+
+  test("profile totals agree with direct aggregations at sf0.001") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val prof = Profiler.textProfile(docs, "source", "text")
+    val direct = docs.groupBy(col("source").as("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        count_distinct(TextFunctions.normalizedFingerprint(col("text"))).as("n_distinct_fp"))
+    val j = prof.as("p").join(direct.as("d"), "grp")
+      .where(col("p.n_docs") =!= col("d.n_docs") ||
+        col("p.total_tokens") =!= col("d.total_tokens") ||
+        col("p.n_distinct_fp") =!= col("d.n_distinct_fp"))
+    assert(j.count() == 0)
+    assert(prof.count() == docs.select("source").distinct().count())
+  }
+
+  test("dup surplus matches the per-source distinct-fingerprint deficit") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val surplus = Profiler.textProfile(docs, "source", "text")
+      .agg(sum(col("n_docs") - col("n_distinct_fp"))).as[Long].head()
+    val removed = docs.count() - docs.select(col("source"),
+        TextFunctions.normalizedFingerprint(col("text"))).distinct().count()
+    assert(surplus == removed,
+      s"profile surplus $surplus vs per-source dup count $removed")
+    // plant dups to prove the signal is live (sf0.001 has none per-source)
+    val planted = docs.unionByName(docs.limit(20))
+    val plantedSurplus = Profiler.textProfile(planted, "source", "text")
+      .agg(sum(col("n_docs") - col("n_distinct_fp"))).as[Long].head()
+    assert(plantedSurplus == surplus + 20,
+      s"20 planted dups must surface: $plantedSurplus vs $surplus")
+  }
+
+  test("profile reads the corpus once; shuffles carry only partials") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Profiler.textProfile(docs, "source", "text")
+      .queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(plan).length == 1, "one corpus scan")
+    // grp partial-agg exchange + the (grp, fp) distinct pre-dedup exchange
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2,
+      s"only the two partial-agg exchanges expected:\n${plan.take(2000)}")
+    assert(!plan.contains("Exchange rangepartitioning") &&
+      !plan.contains("CartesianProduct"))
+  }
+}
