@@ -234,4 +234,42 @@ object Contamination {
       .agg(sum(when(cosineSimilarity(col("cv"), col("bv")) >= threshold, 1L)
         .otherwise(0L)).as("n_bench_hits"))
   }
+
+  /** [[semanticScores]] for benchmarks past broadcast size — the q102
+    * candidates-then-verify shape: the BENCHMARK is IVF-PQ-indexed (it is
+    * the smaller, reusable side), each corpus vector probes its nProbe
+    * nearest lists, the compressed ADC cosine keeps candidates above
+    * `threshold - margin` (the margin absorbs PQ reconstruction error so
+    * near-threshold true hits survive the prefilter), and only that
+    * sliver re-checks against the exact benchmark vectors — so false
+    * POSITIVES are impossible (every reported hit is exact-verified;
+    * per-doc counts are <= the exact screen's, a spec-pinned invariant)
+    * and misses come only from unprobed lists (recall measured in
+    * `SemanticScreenSpec`, the q55/q91 protocol). Per-corpus-row work:
+    * nLists centroid dots + the probed lists' ADC codes — never the whole
+    * benchmark. */
+  def semanticScoresAnn(corpus: DataFrame, benchmark: DataFrame,
+                        idCol: String, vecCol: String, threshold: Double,
+                        nLists: Int = 16, nProbe: Int = 4, m: Int = 16,
+                        ksub: Int = 64, margin: Double = 0.05): DataFrame = {
+    import graft.functions.VectorFunctions
+    val index = graft.sim.IvfPq.buildIndex(benchmark, idCol, vecCol, nLists, m, ksub)
+    val probes = graft.sim.Similarity.rankLists(corpus, idCol, vecCol,
+      index.centroids, nProbe)
+    // one bench list membership per vector -> candidate pairs are distinct
+    val cand = probes.join(index.codes, Seq("list_id"))
+      .where(VectorFunctions.pqAdcCosine(col("codes"), col("qv"),
+        index.codebook.centroids) >= threshold - margin)
+      .select(col("query_id").as("id"), col("neighbor_id").as("bench_id"))
+    val bv = benchmark.select(col(idCol).as("bench_id"),
+      col(vecCol).cast("array<double>").as("bv"))
+    val cv = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val hits = cand.join(bv, Seq("bench_id")).join(cv, Seq("id"))
+      .where(VectorFunctions.cosineSimilarity(col("cv"), col("bv")) >= threshold)
+      .groupBy("id").agg(count(lit(1)).as("n_bench_hits"))
+    // a screen reports EVERY doc — zero-hit rows included
+    corpus.select(col(idCol).as("id")).join(hits, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("n_bench_hits"), lit(0L)).as("n_bench_hits"))
+  }
 }

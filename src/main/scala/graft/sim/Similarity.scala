@@ -173,7 +173,7 @@ object Similarity {
   /** Rank the coarse-quantizer lists per query and keep the nProbe
     * nearest: (query_id, qv, list_id). Shared by the IVF and IVF-PQ probe
     * paths — the queries are small, the centroid table broadcasts. */
-  private[sim] def rankLists(queries: DataFrame, idCol: String, vecCol: String,
+  private[graft] def rankLists(queries: DataFrame, idCol: String, vecCol: String,
                              centroids: Seq[(Int, Seq[Double])],
                              nProbe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),

@@ -51,6 +51,31 @@ class SemanticScreenSpec extends SparkSpec {
     assert(n == corpus.count())
   }
 
+  test("ANN screen: no false positives, bounded counts, measured recall") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val bench = emb.where(col("vec_id") % 20 === 0)   // 25 vectors
+    val corpus = emb.where(col("vec_id") % 20 =!= 0)
+    val exact = Contamination.semanticScores(
+        corpus, bench, "vec_id", "embedding", 0.40)
+      .as[(Long, Long)].collect().toMap
+    val ann = Contamination.semanticScoresAnn(
+        corpus, bench, "vec_id", "embedding", 0.40,
+        nLists = 4, nProbe = 2, m = 16, ksub = 16)
+      .as[(Long, Long)].collect().toMap
+    assert(ann.keySet == exact.keySet, "screen must report every corpus doc")
+    // exact re-check => every ANN hit is a true hit
+    ann.foreach { case (id, n) =>
+      assert(n <= exact(id), s"doc $id: ANN $n > exact ${exact(id)}")
+    }
+    val exactFlagged = exact.count(_._2 > 0)
+    val annFlagged = ann.count(_._2 > 0)
+    assert(exactFlagged > 0, "fixture must contain true contamination")
+    // recall pin: at nLists=4/nProbe=2/margin=0.05 the probe must keep at
+    // least 2/3 of the truly-flagged docs (deterministic index fit)
+    assert(annFlagged * 3 >= exactFlagged * 2,
+      s"ANN flagged $annFlagged of $exactFlagged exact")
+  }
+
   test("self-screen flags every vector (cos(v,v)=1 >= any threshold)") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
     val got = Contamination.semanticScores(emb, emb, "vec_id", "embedding", 0.999999)
