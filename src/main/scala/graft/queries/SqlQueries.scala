@@ -208,7 +208,37 @@ object SqlQueries {
       FROM b GROUP BY 1, 2 ORDER BY 1, 2""")
   }
 
+  /** q107's sliding-window chunking as pure SQL TEXT (the q71/q96
+    * plain-SQL baseline of the tier): the same sequence/transform/slice
+    * composition the DataFrame operator compiles to, written as Spark SQL
+    * built-ins — proves a SQL-text user can run the chunker with identical
+    * semantics. Shares q107's oracle verbatim. */
+  val sqlChunks: Q = (s, dir) => {
+    ensureSurface(s, dir)
+    s.sql("""
+      WITH toks AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST(array() AS ARRAY<STRING>)
+               ELSE split(trim(text), '\\s+') END AS ts
+        FROM documents WHERE doc_id % 20 = 0),
+      n AS (
+        SELECT doc_id, ts, size(ts) AS n,
+          CASE WHEN size(ts) <= 64 THEN 1
+               ELSE CAST(floor((size(ts) - 64 + 47) / 48) AS INT) + 1 END AS nch
+        FROM toks WHERE size(ts) > 0),
+      ch AS (
+        SELECT doc_id, explode(transform(sequence(0, nch - 1),
+          i -> struct(i AS chunk_idx,
+                      array_join(slice(ts, i * 48 + 1, 64), ' ') AS chunk_text,
+                      least(64, n - i * 48) AS n_tokens))) AS c
+        FROM n)
+      SELECT doc_id, c.chunk_idx AS chunk_idx, c.n_tokens AS n_tokens,
+        md5(c.chunk_text) AS chunk_md5
+      FROM ch ORDER BY doc_id, chunk_idx""")
+  }
+
   val all: Map[String, Q] = Map(
+    "q113_sql_chunks" -> sqlChunks,
     "q96_sql_split" -> sqlTrainValSplit,
     "q71_sql_pricing_summary" -> sqlPricingSummary,
     "q72_sql_sketch_percentiles" -> sqlSketchPercentiles,
@@ -218,6 +248,7 @@ object SqlQueries {
     "q81_sql_temperature_mix" -> sqlTemperatureMix)
 
   val oracles: Map[String, String] = Map(
+    "q113_sql_chunks" -> RetrievalQueries.oracles("q107_sliding_chunks"),
     "q96_sql_split" -> ModelPrepQueries.oracles("q88_train_val_split"),
     "q71_sql_pricing_summary" -> RelationalQueries.oracles("q01_pricing_summary"),
     "q72_sql_sketch_percentiles" -> CorpusQueries.oracles("q56_sketch_percentiles"),
