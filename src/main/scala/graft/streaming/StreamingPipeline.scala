@@ -136,6 +136,25 @@ object StreamingPipeline {
         col("c.chunk_text").as("chunk_text"), col("c.n_tokens").as("n_tokens"))
   }
 
+  /** Streaming semantic decontamination: every arriving micro-batch of
+    * embedded documents screens against the benchmark EMBEDDINGS with the
+    * batch operator ([[graft.dedup.Contamination.semanticScores]] — the
+    * paraphrase-leakage complement of [[decontaminationScreen]]'s n-gram
+    * Bloom). The benchmark is a static frame broadcast into each
+    * micro-batch's narrow cosine scan; per-batch work is
+    * O(batch · |benchmark|) flops with only (id, count) rows shuffled —
+    * no cross-batch state, no watermark. */
+  def semanticScreenStream(newVecs: DataFrame, idCol: String, vecCol: String,
+                           benchmark: DataFrame, threshold: Double)
+                          (onScreenedBatch: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    newVecs.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onScreenedBatch(graft.dedup.Contamination.semanticScores(
+          batch, benchmark, idCol, vecCol, threshold), batchId)
+      }
+
   /** Continuous lexical-index maintenance: every arriving micro-batch of
     * NEW documents is built into a delta inverted index (O(batch tokens))
     * and additively merged into the stored [[graft.ops.Bm25.LexicalIndex]]

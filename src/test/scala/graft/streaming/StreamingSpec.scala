@@ -228,6 +228,39 @@ class StreamingSpec extends SparkSpec {
       s"missing=${expected -- cleanIds.asScala} extra=${cleanIds.asScala.toSet -- expected}")
   }
 
+  test("streaming semantic screen equals the batch embedding screen per doc") {
+    import graft.dedup.Contamination
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val bench = emb.where(col("vec_id") % 20 === 0)
+    val corpus = emb.where(col("vec_id") % 20 =!= 0)
+
+    val d = java.nio.file.Files.createTempDirectory("graft_semscreen_src")
+    corpus.where(col("vec_id") % 2 === 1).coalesce(1)
+      .write.parquet(d.resolve("p0").toString)
+    corpus.where(col("vec_id") % 2 =!= 1).coalesce(1)
+      .write.parquet(d.resolve("p1").toString)
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$d/*")
+
+    val streamed = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    var batches = 0
+    val q = StreamingPipeline.semanticScreenStream(
+        stream, "vec_id", "embedding", bench, 0.40) { (screened, _) =>
+      batches += 1
+      screened.collect().foreach(r => streamed.put(r.getLong(0), r.getLong(1)))
+    }.start()
+    q.awaitTermination()
+
+    val batch = Contamination.semanticScores(corpus, bench, "vec_id", "embedding", 0.40)
+      .as[(Long, Long)].collect().toMap
+    import scala.jdk.CollectionConverters._
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    assert(streamed.asScala.toMap == batch,
+      "stateless semantic screen must be identical in batch and streaming")
+    assert(batch.values.sum > 0, "fixture must contain true contamination")
+  }
+
   test("continuous lexical-index ingest converges to the whole-corpus index") {
     import graft.ops.Bm25
     val docs = Tables.documents(spark, dir)
