@@ -60,6 +60,41 @@ class SlidingChunksSpec extends SparkSpec {
     }
   }
 
+  test("seeded randomized reconstruction across configs (lossless + exact overlap)") {
+    // 200 random docs x 5 (chunk, stride) configs: dropping each chunk's
+    // leading overlap tokens and concatenating must restore the document's
+    // token stream exactly — chunking loses nothing, duplicates only the
+    // declared overlap, and the n_tokens column matches the real split
+    val rng = new scala.util.Random(42)
+    val docs = (0 until 200).map { id =>
+      val n = rng.nextInt(151) // 0..150 tokens
+      (id.toLong, (0 until n).map(j => s"t$j").mkString(" "))
+    }
+    val df = docs.toDF("id", "text")
+    for ((chunk, stride) <- Seq((4, 3), (8, 5), (10, 10), (64, 48), (7, 2))) {
+      val rows = df.select(col("id"),
+          explode(TextFunctions.slidingChunks(col("text"), chunk, stride)).as("c"))
+        .select(col("id"), $"c.chunk_idx", $"c.chunk_text", $"c.n_tokens")
+        .as[(Long, Int, String, Int)].collect()
+        .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2) }
+      docs.foreach { case (id, text) =>
+        val toks = if (text.isEmpty) Nil else text.split(" ").toList
+        val chunks = rows.getOrElse(id, Array.empty[(Long, Int, String, Int)])
+        if (toks.isEmpty) assert(chunks.isEmpty, s"doc $id: empty doc must have no chunks")
+        else {
+          val overlap = chunk - stride
+          val rebuilt = chunks.zipWithIndex.flatMap { case ((_, _, t, nt), i) =>
+            val ct = t.split(" ").toList
+            assert(ct.length == nt, s"doc $id ($chunk,$stride): n_tokens $nt != ${ct.length}")
+            if (i == 0) ct else ct.drop(overlap)
+          }.toList
+          assert(rebuilt == toks,
+            s"doc $id ($chunk,$stride): reconstruction lost/duplicated tokens")
+        }
+      }
+    }
+  }
+
   test("corpus invariants at sf0.001: idx dense, counts consistent") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val ch = docs.select(col("doc_id"),

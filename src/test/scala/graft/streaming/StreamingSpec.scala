@@ -304,6 +304,57 @@ class StreamingSpec extends SparkSpec {
     assert(graft.store.IndexStore.loadLexicalIndex(spark, idxPath).nDocs == whole.nDocs)
   }
 
+  test("lexical-index ingest survives kill + restart exactly-once") {
+    import graft.ops.Bm25
+    // same protocol as the windowed-sink restart test: two AvailableNow
+    // runs over ONE checkpoint; files arrive while the stream is down;
+    // run 2 must resume offsets (never re-merge file 0) and the index's
+    // batch-id cursor guards any foreachBatch retry inside a run
+    val docs = Tables.documents(spark, dir)
+    val terms = Seq("spark", "shuffle", "partition")
+    val src = java.nio.file.Files.createTempDirectory("graft_lexrestart_src")
+    val root = java.nio.file.Files.createTempDirectory("graft_lexrestart").toString
+    val idxPath = s"$root/idx"
+    graft.store.IndexStore.saveLexicalIndex(spark,
+      Bm25.buildIndex(docs.where(col("doc_id") % 10 =!= 3), "doc_id", "text"), idxPath)
+
+    val delta = docs.where(col("doc_id") % 10 === 3)
+    def stageFile(part: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_lexrestart_p$part")
+      delta.where(pmod(col("doc_id"), lit(2)) === part).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, src.resolve(s"p$part.parquet"))
+    }
+    stageFile(0)
+    val schema = delta.schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+      val q = StreamingPipeline
+        .lexicalIndexIngestStream(stream, "doc_id", "text", idxPath)
+        .option("checkpointLocation", s"$root/ckpt").start()
+      q.awaitTermination()
+    }
+    runOnce() // "process dies" after merging file 0
+    val afterRun1 = graft.store.IndexStore.loadLexicalIndex(spark, idxPath).nDocs
+    stageFile(1) // backlog arrives while down
+    runOnce() // restart from the same checkpoint
+
+    val got = graft.store.IndexStore.loadLexicalIndex(spark, idxPath)
+    val whole = Bm25.buildIndex(docs, "doc_id", "text")
+    assert(afterRun1 < whole.nDocs, "run 1 must have merged only part of the delta")
+    assert(got.nDocs == whole.nDocs && got.sumDl == whole.sumDl,
+      s"restart lost or duplicated docs: ${got.nDocs} != ${whole.nDocs}")
+    assert(got.postings.exceptAll(whole.postings).isEmpty &&
+      whole.postings.exceptAll(got.postings).isEmpty,
+      "postings after restart differ from the whole-corpus build")
+    val a = Bm25.topKAgainstIndex(got, terms, 15)
+    val b = Bm25.topK(docs, "doc_id", "text", terms, 15)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("streaming LM scoring equals the batch scoreNll per arriving doc") {
     import graft.ops.LanguageModel
     import spark.implicits._
