@@ -144,6 +144,37 @@ object Bm25 {
       a.nDocs + b.nDocs, a.sumDl + b.sumDl)
   }
 
+  /** Remove documents from the index — the other half of the maintenance
+    * algebra (the q110 corpus-diff's `removed`/`changed` classes feed
+    * this; a changed doc is remove + re-add). Exact inverse of the merge:
+    * postings/norms anti-join the removed ids, df subtracts each removed
+    * doc's per-term presence (computed from the removed postings slice —
+    * O(removed), never a full stats rebuild), scalars subtract — so
+    * `remove(build(A ∪ B), B) == build(A)` EXACTLY, integer arithmetic
+    * throughout.
+    *
+    * `removedIds` must hold one `id` column; ids absent from the index are
+    * ignored (remove is idempotent). */
+  def removeFromIndex(idx: LexicalIndex, removedIds: DataFrame): LexicalIndex = {
+    val rm = removedIds.select(col("id")).distinct()
+    val removedPostings = idx.postings.join(rm, Seq("id"), "left_semi")
+    val dfDelta = removedPostings.groupBy("term")
+      .agg(count(lit(1)).as("__rm"))
+    val stats = idx.stats.join(dfDelta, Seq("term"), "left_outer")
+      .select(col("term"),
+        (col("df") - coalesce(col("__rm"), lit(0L))).as("df"))
+      .where(col("df") > 0)
+    val removedScalars = idx.norms.join(rm, Seq("id"), "left_semi")
+      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+    LexicalIndex(
+      // the id-keyed join moves the key first; restore build-order columns
+      idx.postings.join(rm, Seq("id"), "left_anti").select("term", "id", "tf"),
+      stats,
+      idx.norms.join(rm, Seq("id"), "left_anti").select("id", "dl"),
+      idx.nDocs - removedScalars.getLong(0),
+      idx.sumDl - removedScalars.getLong(1))
+  }
+
   /** BM25 top-k answered from the stored index: filter postings to the
     * query terms (the only corpus-sized touch, term-pushdown-prunable),
     * broadcast the terms' df rows, join the matched ids' length norms, and

@@ -132,10 +132,27 @@ object RetrievalQueries {
     Profiler.textProfile(Tables.documents(s, dir), "source", "text")
       .orderBy("grp")
 
+  /** q114: index REMOVAL identity — build the whole-corpus index, remove
+    * the %10==3 docs, and answer the q77 query from the shrunken index;
+    * the oracle recomputes BM25 over the corpus WITHOUT those docs, so
+    * hash equality proves remove(build(A∪B), B) == build(A) through live
+    * retrieval (df subtraction, norms/postings anti-join, scalar
+    * arithmetic all exact). */
+  val indexRemoval: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val whole = Bm25.buildIndex(docs, "doc_id", "text")
+    val shrunk = Bm25.removeFromIndex(whole,
+      docs.where(col("doc_id") % 10 === 3).select(col("doc_id").as("id")))
+    Bm25.topKAgainstIndex(shrunk,
+        terms = Seq("spark", "shuffle", "partition"), k = 15)
+      .select(col("id"), col("score"), col("rank"))
+  }
+
   val all: Map[String, Q] = Map(
     "q110_corpus_diff" -> corpusDiff,
     "q111_indexed_bm25" -> indexedBm25,
     "q112_corpus_profile" -> corpusProfile,
+    "q114_index_removal" -> indexRemoval,
     "q106_hybrid_rrf" -> hybridRrf,
     "q107_sliding_chunks" -> slidingChunks,
     "q108_soft_quality_sample" -> softQualitySample,
@@ -145,6 +162,28 @@ object RetrievalQueries {
     // q111 shares q77's whole-corpus oracle: equality proves merge
     // identity + store round trip (the q93 pattern)
     "q111_indexed_bm25" -> CurationQueries.oracles("q77_bm25_topk"),
+    // q114: q77's BM25 oracle over the corpus minus the removed slice
+    "q114_index_removal" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM corpus),
+        |dlen AS (
+        |  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS dl
+        |  FROM corpus),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dlen),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+        |  WHERE term IN ('spark', 'shuffle', 'partition') GROUP BY 1, 2),
+        |dfv AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    sum(ln(1.0 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5)) * tf.tf * 2.2 /
+        |        (tf.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score
+        |  FROM tf JOIN dfv USING (term) JOIN dlen d USING (doc_id) CROSS JOIN stats s
+        |  GROUP BY 1)
+        |SELECT doc_id AS id, round(score, 6) AS score,
+        |  CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS INT) AS rank
+        |FROM scored QUALIFY rank <= 15 ORDER BY rank""".stripMargin,
     "q112_corpus_profile" ->
       """WITH t AS (
         |  SELECT source AS grp,

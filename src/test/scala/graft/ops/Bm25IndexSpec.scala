@@ -85,6 +85,38 @@ class Bm25IndexSpec extends SparkSpec {
     assert(frameEq(got.stats, whole.stats))
   }
 
+  test("remove(build(A union B), B) == build(A) exactly; remove is idempotent") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val whole = Bm25.buildIndex(docs, "doc_id", "text")
+    val removedIds = docs.where(col("doc_id") % 10 === 3)
+      .select(col("doc_id").as("id"))
+    val shrunk = Bm25.removeFromIndex(whole, removedIds)
+    val direct = Bm25.buildIndex(docs.where(col("doc_id") % 10 =!= 3), "doc_id", "text")
+    assert(frameEq(shrunk.postings, direct.postings), "postings differ")
+    assert(frameEq(shrunk.stats, direct.stats), "df stats differ")
+    assert(frameEq(shrunk.norms, direct.norms), "norms differ")
+    assert(shrunk.nDocs == direct.nDocs && shrunk.sumDl == direct.sumDl)
+    // ids not in the index are ignored
+    val again = Bm25.removeFromIndex(shrunk, removedIds)
+    assert(frameEq(again.postings, direct.postings))
+    assert(again.nDocs == direct.nDocs && again.sumDl == direct.sumDl)
+  }
+
+  test("changed-doc cycle: remove + re-add equals a fresh build") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val changedIds = docs.where(col("doc_id") % 7 === 0)
+    val edited = changedIds.withColumn("text", concat(col("text"), lit(" EDIT")))
+    val cycled = Bm25.mergeIndex(
+      Bm25.removeFromIndex(Bm25.buildIndex(docs, "doc_id", "text"),
+        changedIds.select(col("doc_id").as("id"))),
+      Bm25.buildIndex(edited, "doc_id", "text"))
+    val fresh = Bm25.buildIndex(
+      docs.where(col("doc_id") % 7 =!= 0).unionByName(edited), "doc_id", "text")
+    assert(frameEq(cycled.postings, fresh.postings))
+    assert(frameEq(cycled.stats, fresh.stats))
+    assert(cycled.nDocs == fresh.nDocs && cycled.sumDl == fresh.sumDl)
+  }
+
   test("recoverLexicalIndex restores a crash-parked index; no-op when clean") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val path = graft.util.TempDirs.deleteOnExit(
