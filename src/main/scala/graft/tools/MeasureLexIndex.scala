@@ -1,0 +1,67 @@
+package graft.tools
+
+import graft.ops.Bm25
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+
+/** Quantify what the stored inverted index buys over direct-scan BM25:
+  * direct retrieval re-tokenizes the whole corpus per query; the indexed
+  * path touches only the query terms' posting rows (plus the matched ids'
+  * norms). Times N distinct queries against (a) Bm25.topK direct and
+  * (b) a reloaded stored index — the amortization argument: the build is
+  * paid once, each query then skips the corpus scan entirely. At 100 TB
+  * the direct path's per-query cost is a full-corpus tokenize (hours);
+  * the indexed path's is bounded by the queried terms' posting lists.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.MeasureLexIndex [reps]
+  */
+object MeasureLexIndex {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = args.lift(0).map(_.toInt).getOrElse(5)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config(Tables.NanosAsLongConf, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, sfDir)
+    val queries = Seq(
+      Seq("spark", "shuffle", "partition"),
+      Seq("data", "pipeline"),
+      Seq("model", "training", "tokens"),
+      Seq("quality", "filter"),
+      Seq("index", "search", "vector"))
+
+    def time[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime(); val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    def minOf(rep: Int)(f: => Long): Double =
+      (1 to rep).map(_ => time(f)._1).min
+
+    // build + persist once (timed separately — the amortized cost)
+    val idxPath = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_lexmeasure")).toString + "/idx"
+    val (buildS, _) = time {
+      graft.store.IndexStore.saveLexicalIndex(spark,
+        Bm25.buildIndex(docs, "doc_id", "text"), idxPath)
+    }
+    val idx = graft.store.IndexStore.loadLexicalIndex(spark, idxPath)
+
+    println(f"[lexindex] build+save once: $buildS%.3fs (sf=$sfDir)")
+    var dTot = 0.0; var iTot = 0.0
+    for (terms <- queries) {
+      val d = minOf(reps)(Bm25.topK(docs, "doc_id", "text", terms, 15).count())
+      val i = minOf(reps)(Bm25.topKAgainstIndex(idx, terms, 15).count())
+      dTot += d; iTot += i
+      println(f"[lexindex] ${terms.mkString("+")}%-28s direct $d%.3fs  indexed $i%.3fs  (${d / i}%.1fx)")
+    }
+    println(f"[lexindex] TOTAL ${queries.size} queries: direct $dTot%.3fs  indexed $iTot%.3fs  (${dTot / iTot}%.1fx; break-even after ${buildS / math.max(dTot / queries.size - iTot / queries.size, 1e-9)}%.1f queries)")
+    spark.stop()
+  }
+}
