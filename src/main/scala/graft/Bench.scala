@@ -67,7 +67,8 @@ object Bench {
     "q109_semantic_decontam", // embedding-side benchmark screen
     "q110_corpus_diff",       // snapshot CDC by content fingerprint
     "q111_indexed_bm25",      // stored inverted index: merge + reload + query
-    "q112_corpus_profile")    // one-scan dataset card
+    "q112_corpus_profile",    // one-scan dataset card
+    "q115_incremental_reprocess") // diff -> index remove+merge -> query
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -148,7 +148,40 @@ object RetrievalQueries {
       .select(col("id"), col("score"), col("rank"))
   }
 
+  /** q115: COMPOSED incremental reprocessing — the round-8 maintenance
+    * story end-to-end. Start from the stored index built on snapshot v1
+    * (docs minus the %10==3 slice), compute the v1→v2 corpus diff (v2 =
+    * docs minus the %10==7 slice, %7==0 texts edited — q110's snapshots),
+    * and apply ONLY the diff to the index: remove `removed` + `changed`
+    * ids, merge an index built on just the `added` + `changed` v2 docs,
+    * save, reload, query. The oracle recomputes BM25 over ALL of v2 from
+    * scratch — hash equality proves diff-driven maintenance converges to
+    * the from-scratch build while touching only the delta. */
+  val incrementalReprocess: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val v1 = docs.where(col("doc_id") % 10 =!= 3)
+    val v2 = docs.where(col("doc_id") % 10 =!= 7)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" EDIT")))
+          .otherwise(col("text")))
+    val d = CorpusDiff.diff(v1, v2, "doc_id", "text")
+    val stale = d.where(col("status").isin("removed", "changed")).select("id")
+    val freshIds = d.where(col("status").isin("added", "changed")).select("id")
+    val v1Index = Bm25.buildIndex(v1, "doc_id", "text")
+    val deltaIndex = Bm25.buildIndex(
+      v2.join(freshIds, col("doc_id") === col("id"), "left_semi"),
+      "doc_id", "text")
+    val updated = Bm25.mergeIndex(Bm25.removeFromIndex(v1Index, stale), deltaIndex)
+    val idxPath = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_increproc")).toString
+    graft.store.IndexStore.saveLexicalIndex(s, updated, idxPath)
+    Bm25.topKAgainstIndex(graft.store.IndexStore.loadLexicalIndex(s, idxPath),
+        terms = Seq("spark", "shuffle", "partition"), k = 15)
+      .select(col("id"), col("score"), col("rank"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q115_incremental_reprocess" -> incrementalReprocess,
     "q110_corpus_diff" -> corpusDiff,
     "q111_indexed_bm25" -> indexedBm25,
     "q112_corpus_profile" -> corpusProfile,
@@ -159,6 +192,32 @@ object RetrievalQueries {
     "q109_semantic_decontam" -> semanticDecontam)
 
   val oracles: Map[String, String] = Map(
+    // q115: BM25 from scratch over the FULL v2 snapshot — equality proves
+    // the diff-driven index maintenance converged
+    "q115_incremental_reprocess" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' EDIT' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 7),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM corpus),
+        |dlen AS (
+        |  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS dl
+        |  FROM corpus),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dlen),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+        |  WHERE term IN ('spark', 'shuffle', 'partition') GROUP BY 1, 2),
+        |dfv AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    sum(ln(1.0 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5)) * tf.tf * 2.2 /
+        |        (tf.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score
+        |  FROM tf JOIN dfv USING (term) JOIN dlen d USING (doc_id) CROSS JOIN stats s
+        |  GROUP BY 1)
+        |SELECT doc_id AS id, round(score, 6) AS score,
+        |  CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS INT) AS rank
+        |FROM scored QUALIFY rank <= 15 ORDER BY rank""".stripMargin,
     // q111 shares q77's whole-corpus oracle: equality proves merge
     // identity + store round trip (the q93 pattern)
     "q111_indexed_bm25" -> CurationQueries.oracles("q77_bm25_topk"),
