@@ -99,6 +99,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.BigramPairHashes(args.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("char_class_counts"),
+      new ExpressionInfo(classOf[graft.functions.CharClassCounts].getName,
+        "char_class_counts"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "usage: char_class_counts(text)")
+        graft.functions.CharClassCounts(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("top_gram_fraction"),
+      new ExpressionInfo(classOf[graft.functions.TopGramFraction].getName,
+        "top_gram_fraction"),
+      (args: Seq[Expression]) => graft.functions.GraftFunctions.intLitBuilder(
+        "top_gram_fraction", args)(graft.functions.TopGramFraction.apply)))
+    ext.injectFunction((
       new FunctionIdentifier("image_meta"),
       new ExpressionInfo(classOf[graft.multimodal.ImageMetaExpr].getName, "image_meta"),
       (args: Seq[Expression]) => {

@@ -4,6 +4,7 @@ import java.security.MessageDigest
 import java.util.regex.Pattern
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -388,6 +389,107 @@ case class RepetitionScore(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Per-codepoint character-class census of a text column — the script /
+  * charset profile a language-ID and mojibake screen keys on:
+  * struct<n_chars, ascii_letter, digit, whitespace, ascii_punct,
+  * cyrillic, cjk, other> (all counts of CODEPOINTS, so astral chars count
+  * once, matching DuckDB's `length()`).
+  *
+  * Classes are explicit codepoint RANGES, not Unicode script tables, so a
+  * DuckDB oracle reproduces every count with
+  * `length(x) - length(regexp_replace(x, '[class]', '', 'g'))` — no
+  * dependency on any engine's script-property data:
+  *  - ascii_letter [A-Za-z]; digit [0-9];
+  *  - whitespace [ \t\n\f\r] (the RE2 `\s` set, spelled explicitly);
+  *  - ascii_punct the four ASCII runs !-/ :-@ [-` {-~;
+  *  - cyrillic U+0400–U+04FF; cjk U+4E00–U+9FFF (the unified-ideograph
+  *    block — the overwhelmingly dominant range in real CJK text);
+  *  - other = everything else (accented Latin, Greek, emoji, controls).
+  *
+  * One compiled loop per row; the HOF equivalent would be seven
+  * regexp_replace passes over the same string. */
+case class CharClassCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("ascii_letter", LongType, nullable = false),
+    StructField("digit", LongType, nullable = false),
+    StructField("whitespace", LongType, nullable = false),
+    StructField("ascii_punct", LongType, nullable = false),
+    StructField("cyrillic", LongType, nullable = false),
+    StructField("cjk", LongType, nullable = false),
+    StructField("other", LongType, nullable = false)))
+  override def prettyName: String = "char_class_counts"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var n = 0L; var letter = 0L; var digit = 0L; var ws = 0L
+    var punct = 0L; var cyr = 0L; var cjk = 0L; var other = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) letter += 1
+      else if (cp >= '0' && cp <= '9') digit += 1
+      else if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\f' || cp == '\r') ws += 1
+      else if ((cp >= 0x21 && cp <= 0x2f) || (cp >= 0x3a && cp <= 0x40) ||
+               (cp >= 0x5b && cp <= 0x60) || (cp >= 0x7b && cp <= 0x7e)) punct += 1
+      else if (cp >= 0x0400 && cp <= 0x04ff) cyr += 1
+      else if (cp >= 0x4e00 && cp <= 0x9fff) cjk += 1
+      else other += 1
+    }
+    InternalRow(n, letter, digit, ws, punct, cyr, cjk, other)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fraction of token positions covered by the single most frequent word
+  * n-gram: max-gram-count · n / n_tokens — the Gopher-style "top n-gram
+  * fraction" repetition signal (a doc whose most common 2-gram covers 20%
+  * of it is boilerplate, whatever that 2-gram is). Texts with fewer than
+  * n tokens (including blank) score 0.0 — too short to repeat an n-gram,
+  * and the q49 length screen already owns that regime. The fraction
+  * depends only on the max COUNT, so gram ties need no tie-break. */
+case class TopGramFraction(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "gram width must be >= 1")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "top_gram_fraction"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextExprs.tokens(input.asInstanceOf[UTF8String])
+    if (toks.length < n) return 0.0
+    val counts = new java.util.HashMap[String, Int]()
+    val sb = new java.lang.StringBuilder
+    var max = 0
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val c = counts.merge(sb.toString, 1, (a, b) => a + b)
+      if (c > max) max = c
+      i += 1
+    }
+    // a self-overlapping gram ("a a a a", n=2: 3 hits × 2 / 4) can push the
+    // product past 1 — cap so the result stays a coverage fraction
+    math.min(1.0, max.toDouble * n / toks.length)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the compiled text expressions. */
 object TextExpr {
   def wordSpans(text: Column, k: Int): Column =
@@ -410,4 +512,10 @@ object TextExpr {
 
   def repetitionScore(text: Column, n: Int): Column =
     ColumnBridge.column(RepetitionScore(ColumnBridge.expression(text), n))
+
+  def charClassCounts(text: Column): Column =
+    ColumnBridge.column(CharClassCounts(ColumnBridge.expression(text)))
+
+  def topGramFraction(text: Column, n: Int): Column =
+    ColumnBridge.column(TopGramFraction(ColumnBridge.expression(text), n))
 }

@@ -190,6 +190,38 @@ object TextFunctions {
     lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams)
   }
 
+  /** Gopher-style top n-gram fraction (see [[TopGramFraction]]): the share
+    * of token positions covered by the single most frequent n-gram. */
+  def topGramFraction(c: Column, n: Int): Column =
+    TextExpr.topGramFraction(c, n)
+
+  // --------------------------------------------------- script / charset
+
+  /** Codepoint-class census struct (see [[CharClassCounts]]):
+    * n_chars, ascii_letter, digit, whitespace, ascii_punct, cyrillic,
+    * cjk, other — range-based, so every count is DuckDB-reproducible. */
+  def charClassCounts(c: Column): Column = TextExpr.charClassCounts(c)
+
+  /** Dominant writing system among the letter classes of a
+    * [[charClassCounts]] struct: 'latin' ≥ 'cyrillic' ≥ 'cjk' ≥ 'other'
+    * with earlier classes winning ties — a deterministic CASE chain, so
+    * the DuckDB oracle states the identical expression. */
+  def dominantScript(counts: Column): Column =
+    when(counts("ascii_letter") >= counts("cyrillic") &&
+         counts("ascii_letter") >= counts("cjk") &&
+         counts("ascii_letter") >= counts("other"), "latin")
+      .when(counts("cyrillic") >= counts("cjk") &&
+            counts("cyrillic") >= counts("other"), "cyrillic")
+      .when(counts("cjk") >= counts("other"), "cjk")
+      .otherwise("other")
+
+  /** Mixed-script flag: at least two of {ascii_letter, cyrillic, cjk}
+    * present — the classic spam / glyph-smuggling signal. */
+  def mixedScript(counts: Column): Column =
+    (counts("ascii_letter") > 0).cast("int") +
+      (counts("cyrillic") > 0).cast("int") +
+      (counts("cjk") > 0).cast("int") >= 2
+
   // ------------------------------------------------------------- PII / URLs
 
   /** PII patterns kept RE2-compatible (no lookaround, ASCII \b) so the same

@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.functions.TextFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-9 additions — the corpus-analysis operators a pretraining screen
+  * runs before anything heavier: codepoint-class / script profiling (q117)
+  * and Gopher-style top-n-gram repetition metrics (q119). Both oracled in
+  * DuckDB: the char classes are explicit codepoint ranges (so the oracle
+  * needs no engine script tables), and the repetition fractions are exact
+  * rationals computed with the identical IEEE operations on both sides.
+  */
+object AnalysisQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q117: script / charset census. The synthetic corpus is pure-ASCII, so
+    * the gate plants deterministic non-Latin slices before profiling:
+    * %10==1 docs become Cyrillic, %10==2 become CJK, %10==3/4 get a
+    * non-Latin suffix (mixed-script). Per (source, dominant script):
+    * doc and mixed-doc counts plus exact per-class codepoint sums. */
+  val scriptProfile: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .withColumn("tx",
+        when(col("doc_id") % 10 === 1, lit("привет мир как дела сегодня"))
+          .when(col("doc_id") % 10 === 2, lit("你好 世界 数据 系统 模型"))
+          .when(col("doc_id") % 10 === 3, concat(col("text"), lit(" привет мир")))
+          .when(col("doc_id") % 10 === 4, concat(col("text"), lit(" 你好 世界")))
+          .otherwise(col("text")))
+      .withColumn("c", TextFunctions.charClassCounts(col("tx")))
+    docs.select(col("source"),
+        TextFunctions.dominantScript(col("c")).as("dominant"),
+        TextFunctions.mixedScript(col("c")).cast("int").as("mixed"),
+        col("c.ascii_letter").as("letter"), col("c.cyrillic").as("cyr"),
+        col("c.cjk").as("cjk"), col("c.other").as("oth"))
+      .groupBy("source", "dominant")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("mixed")).as("n_mixed"),
+        sum(col("letter")).as("sum_letter"),
+        sum(col("cyr")).as("sum_cyrillic"),
+        sum(col("cjk")).as("sum_cjk"),
+        sum(col("oth")).as("sum_other"))
+      .orderBy("source", "dominant")
+  }
+
+  /** q119: repetition report — the Gopher top-n-gram boilerplate signal.
+    * Per doc: the fraction of token positions covered by the single most
+    * frequent 2-gram / 3-gram; a doc is flagged when either exceeds its
+    * threshold (0.12 — measured p88/p85 of this corpus, so the gate
+    * actually splits it). Per source: doc / flagged counts, the exact
+    * flagged-id sum certificate, order-insensitive maxima, and 4-dp mean
+    * fractions (the q112 avg-rounding contract). */
+  val repetitionReport: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .withColumn("top2", TextFunctions.topGramFraction(col("text"), 2))
+      .withColumn("top3", TextFunctions.topGramFraction(col("text"), 3))
+      .withColumn("flagged",
+        (col("top2") > 0.12 || col("top3") > 0.12).cast("int"))
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("flagged")).as("n_flagged"),
+        sum(col("doc_id") * col("flagged")).as("sum_flagged_ids"),
+        round(max(col("top2")), 6).as("max_top2"),
+        round(max(col("top3")), 6).as("max_top3"),
+        round(avg(col("top2")), 4).as("avg_top2"),
+        round(avg(col("top3")), 4).as("avg_top3"))
+      .orderBy("source")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q117_script_profile" -> scriptProfile,
+    "q119_repetition_report" -> repetitionReport)
+
+  val oracles: Map[String, String] = Map(
+    "q117_script_profile" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 10 = 1 THEN 'привет мир как дела сегодня'
+        |         WHEN doc_id % 10 = 2 THEN '你好 世界 数据 系统 模型'
+        |         WHEN doc_id % 10 = 3 THEN text || ' привет мир'
+        |         WHEN doc_id % 10 = 4 THEN text || ' 你好 世界'
+        |         ELSE text END AS tx
+        |  FROM documents),
+        |c AS (
+        |  SELECT source,
+        |    length(tx) - length(regexp_replace(tx, '[A-Za-z]', '', 'g')) AS letter,
+        |    length(tx) - length(regexp_replace(tx, '[0-9]', '', 'g')) AS dig,
+        |    length(tx) - length(regexp_replace(tx, '[ \t\n\f\r]', '', 'g')) AS ws,
+        |    length(tx) - length(regexp_replace(tx, '[!-/:-@\[-`{-~]', '', 'g')) AS punct,
+        |    length(tx) - length(regexp_replace(tx, '[\x{0400}-\x{04FF}]', '', 'g')) AS cyr,
+        |    length(tx) - length(regexp_replace(tx, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS cjk,
+        |    length(tx) AS n
+        |  FROM t),
+        |d AS (
+        |  SELECT source, letter, cyr, cjk,
+        |    n - letter - dig - ws - punct - cyr - cjk AS oth,
+        |    CASE WHEN (letter > 0)::INT + (cyr > 0)::INT + (cjk > 0)::INT >= 2
+        |      THEN 1 ELSE 0 END AS mixed
+        |  FROM c),
+        |e AS (
+        |  SELECT source, letter, cyr, cjk, oth, mixed,
+        |    CASE WHEN letter >= cyr AND letter >= cjk AND letter >= oth THEN 'latin'
+        |         WHEN cyr >= cjk AND cyr >= oth THEN 'cyrillic'
+        |         WHEN cjk >= oth THEN 'cjk'
+        |         ELSE 'other' END AS dominant
+        |  FROM d)
+        |SELECT source, dominant, count(*) AS n_docs,
+        |  CAST(sum(mixed) AS BIGINT) AS n_mixed,
+        |  CAST(sum(letter) AS BIGINT) AS sum_letter,
+        |  CAST(sum(cyr) AS BIGINT) AS sum_cyrillic,
+        |  CAST(sum(cjk) AS BIGINT) AS sum_cjk,
+        |  CAST(sum(oth) AS BIGINT) AS sum_other
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q119_repetition_report" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END AS ts
+        |  FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1]
+        |    FOR i IN generate_series(1, len(ts) - 1)]) AS g
+        |  FROM toks WHERE len(ts) >= 2),
+        |c2 AS (SELECT doc_id, max(cnt) AS m FROM (
+        |  SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2) GROUP BY 1),
+        |g3 AS (
+        |  SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+        |    FOR i IN generate_series(1, len(ts) - 2)]) AS g
+        |  FROM toks WHERE len(ts) >= 3),
+        |c3 AS (SELECT doc_id, max(cnt) AS m FROM (
+        |  SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY 1, 2) GROUP BY 1),
+        |f AS (
+        |  SELECT t.doc_id, t.source,
+        |    least(coalesce(c2.m * 2.0 / len(t.ts), 0.0), 1.0) AS top2,
+        |    least(coalesce(c3.m * 3.0 / len(t.ts), 0.0), 1.0) AS top3
+        |  FROM toks t LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)),
+        |h AS (
+        |  SELECT doc_id, source, top2, top3,
+        |    CASE WHEN top2 > 0.12 OR top3 > 0.12 THEN 1 ELSE 0 END AS flagged
+        |  FROM f)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(flagged) AS BIGINT) AS n_flagged,
+        |  CAST(sum(doc_id * flagged) AS BIGINT) AS sum_flagged_ids,
+        |  round(max(top2), 6) AS max_top2, round(max(top3), 6) AS max_top3,
+        |  round(avg(top2), 4) AS avg_top2, round(avg(top3), 4) AS avg_top3
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -109,6 +109,89 @@ class TextExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("char class counts: hand-computed census incl. astral + empty") {
+    val rows = Seq(
+      1L -> "",                               // all zero
+      2L -> "Ab1 !\t",                        // 2 letter, 1 digit, 2 ws, 1 punct
+      3L -> "привет",                         // 6 cyrillic
+      4L -> "你好",                            // 2 cjk
+      5L -> "café😀",                          // 3 letter + é/😀 other (😀 is ONE codepoint)
+      6L -> "a привет 你 9?")                  // mixed everything
+    val got = rows.toDF("id", "t")
+      .select(col("id"), TextFunctions.charClassCounts(col("t")).as("c"))
+      .select(col("id"), col("c.n_chars"), col("c.ascii_letter"), col("c.digit"),
+        col("c.whitespace"), col("c.ascii_punct"), col("c.cyrillic"),
+        col("c.cjk"), col("c.other"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(got(0) == ((1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(got(1) == ((2L, 6L, 2L, 1L, 2L, 1L, 0L, 0L, 0L)))
+    assert(got(2) == ((3L, 6L, 0L, 0L, 0L, 0L, 6L, 0L, 0L)))
+    assert(got(3) == ((4L, 2L, 0L, 0L, 0L, 0L, 0L, 2L, 0L)))
+    assert(got(4) == ((5L, 5L, 3L, 0L, 0L, 0L, 0L, 0L, 2L)))
+    assert(got(5) == ((6L, 13L, 1L, 1L, 3L, 1L, 6L, 1L, 0L)))
+  }
+
+  test("char class counts equal the regexp-replace census (corpus + edges)") {
+    // the exact DuckDB-oracle construction, run through Spark's own regex
+    // engine: count(class) == length - length(strip(class))
+    def strip(cls: String) = length(col("text")) -
+      length(regexp_replace(col("text"), cls, ""))
+    val viaRegex = corpus.select(col("doc_id"),
+      strip("[A-Za-z]").cast("long").as("letter"),
+      strip("[0-9]").cast("long").as("digit"),
+      strip("[ \t\n\f\r]").cast("long").as("ws"),
+      strip("[!-/:-@\\[-`{-~]").cast("long").as("punct"),
+      strip("[\\x{0400}-\\x{04FF}]").cast("long").as("cyr"),
+      strip("[\\x{4E00}-\\x{9FFF}]").cast("long").as("cjk"))
+    val compiled = corpus
+      .select(col("doc_id"), TextFunctions.charClassCounts(col("text")).as("c"))
+      .select(col("doc_id"), col("c.ascii_letter").as("letter"),
+        col("c.digit").as("digit"), col("c.whitespace").as("ws"),
+        col("c.ascii_punct").as("punct"), col("c.cyrillic").as("cyr"),
+        col("c.cjk").as("cjk"))
+    assert(compiled.exceptAll(viaRegex).isEmpty && viaRegex.exceptAll(compiled).isEmpty,
+      "char class counts differ from the regexp census")
+  }
+
+  test("top gram fraction: hand cases incl. overlap cap") {
+    val rows = Seq(
+      1L -> "",                  // no grams -> 0
+      2L -> "one",               // shorter than n=2 -> 0
+      3L -> "a b a b c",         // max bigram 'a b' x2 -> 2*2/5
+      4L -> "a a a a",           // overlapping 'a a' x3 -> capped at 1.0
+      5L -> "x y z x y z x y")   // max trigram x2 -> 2*3/8 at n=3
+    val got2 = rows.toDF("id", "t")
+      .select(col("id"), TextFunctions.topGramFraction(col("t"), 2).as("f"))
+      .as[(Long, Double)].collect().toMap
+    assert(got2(1L) == 0.0 && got2(2L) == 0.0)
+    assert(got2(3L) == 2.0 * 2 / 5)
+    assert(got2(4L) == 1.0)
+    val got3 = rows.toDF("id", "t")
+      .select(col("id"), TextFunctions.topGramFraction(col("t"), 3).as("f"))
+      .as[(Long, Double)].collect().toMap
+    assert(got3(5L) == 2.0 * 3 / 8)
+  }
+
+  test("top gram fraction equals the explode/groupBy form (corpus + edges)") {
+    for (n <- Seq(2, 3)) {
+      val ntok = size(split(trim(col("text")), "\\s+"))
+      val viaExplode = corpus
+        .select(col("doc_id"), ntok.as("ntok"),
+          explode_outer(TextFunctions.wordGrams(col("text"), n)).as("g"))
+        .groupBy("doc_id", "ntok", "g").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id", "ntok")
+        .agg(max(when(col("g").isNotNull, col("cnt")).otherwise(0L)).as("m"))
+        .select(col("doc_id"),
+          when(col("ntok") < n, 0.0)
+            .otherwise(least(col("m") * n / col("ntok"), lit(1.0))).as("f"))
+      val compiled = corpus.select(col("doc_id"),
+        TextFunctions.topGramFraction(col("text"), n).as("f"))
+      assert(compiled.exceptAll(viaExplode).isEmpty && viaExplode.exceptAll(compiled).isEmpty,
+        s"top gram fraction differs from the explode form at n=$n")
+    }
+  }
+
   test("compiled cdc chunk boundaries match Sampling.md5Bucket semantics") {
     // the boundary hash must stay the engine-portable md5 bucket so DuckDB
     // oracles replicate chunking: check the scalar directly
