@@ -99,6 +99,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.BigramPairHashes(args.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("trigram_pair_hashes"),
+      new ExpressionInfo(classOf[graft.functions.TrigramPairHashes].getName,
+        "trigram_pair_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "usage: trigram_pair_hashes(text)")
+        graft.functions.TrigramPairHashes(args.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("char_class_counts"),
       new ExpressionInfo(classOf[graft.functions.CharClassCounts].getName,
         "char_class_counts"),

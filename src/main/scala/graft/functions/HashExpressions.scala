@@ -301,7 +301,47 @@ case class BigramPairHashes(child: Expression)
 }
 
 object BigramPairHashes {
-  private val Whitespace = Pattern.compile("\\s+")
+  private[functions] val Whitespace = Pattern.compile("\\s+")
+}
+
+/** Positional trigram events for the 3-gram LM tier — the [[BigramPairHashes]]
+  * contract one order up: array<struct<th, bh>> with one entry per trigram
+  * START (duplicates kept), th = xxhash64("w1 w2 w3"), bh = xxhash64 of the
+  * LEADING BIGRAM "w1 w2" (the conditioning context of p(w3|w1,w2)), both
+  * seed 42 so the bigram-context hashes coincide with the bigram family's
+  * gram hashes. Texts with fewer than three tokens emit no events. */
+case class TrigramPairHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("th", LongType, nullable = false),
+      StructField("bh", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "trigram_pair_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val trimmed = input.asInstanceOf[UTF8String].trim()
+    val toks: Array[String] =
+      if (trimmed.numBytes() == 0) Array.empty[String]
+      else BigramPairHashes.Whitespace.split(trimmed.toString, -1)
+    val n = math.max(toks.length - 2, 0)
+    val out = new Array[Any](n)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      sb.append(toks(i)).append(' ').append(toks(i + 1))
+      val bh = XXH64.hashUTF8String(UTF8String.fromString(sb.toString), 42L)
+      sb.append(' ').append(toks(i + 2))
+      val th = XXH64.hashUTF8String(UTF8String.fromString(sb.toString), 42L)
+      out(i) = InternalRow(th, bh)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Fused decontamination screen: distinct word n-gram hashes AND their
@@ -514,4 +554,10 @@ object HashFunctions {
     * hashes, xxhash64 seed 42). */
   def bigramPairHashes(text: Column): Column =
     ColumnBridge.column(BigramPairHashes(ColumnBridge.expression(text)))
+
+  /** Per-row positional trigram events for the 3-gram LM tier:
+    * array<struct<th, bh>> (trigram + leading-bigram-context hashes,
+    * xxhash64 seed 42). */
+  def trigramPairHashes(text: Column): Column =
+    ColumnBridge.column(TrigramPairHashes(ColumnBridge.expression(text)))
 }

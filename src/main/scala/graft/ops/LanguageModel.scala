@@ -78,6 +78,63 @@ object LanguageModel {
     BigramLm(bigrams, contexts, vocab, vocab.count())
   }
 
+  // ----------------------------------------------------- trigram tier
+
+  /** A fitted trigram LM: trigram counts (c3 per trigram hash), context
+    * counts (c2s per leading-BIGRAM hash — trigram starts, so Σ p = 1),
+    * plus the bigram-LM-shared distinct-unigram vocabulary. Same scale
+    * shape as [[BigramLm]]: every frame is vocabulary-sized, counting is
+    * one groupBy over compiled per-row events, and p(w3|w1w2) =
+    * (c3+1)/(c2s+V) is add-one smoothed. The longer context sharpens the
+    * boilerplate/gibberish separation where bigram statistics saturate —
+    * at the price of sparser counts, which is why both tiers exist. */
+  final case class TrigramLm(trigrams: DataFrame, contexts: DataFrame,
+                             vocab: DataFrame, vocabSize: Long)
+
+  /** Fit a trigram LM on `train`'s text column (events from the compiled
+    * [[HashFunctions.trigramPairHashes]] — no positional self-joins). */
+  def fitTrigramLm(train: DataFrame, textCol: String): TrigramLm = {
+    val events = train
+      .select(explode(HashFunctions.trigramPairHashes(col(textCol))).as("e"))
+      .select(col("e.th").as("th"), col("e.bh").as("bh"))
+    val trigrams = events.groupBy("th").agg(count(lit(1)).as("c3"))
+    val contexts = events.groupBy("bh").agg(count(lit(1)).as("c2s"))
+    val vocab = train
+      .select(explode(HashFunctions.wordGramHashes(col(textCol), 1)).as("h"))
+      .distinct()
+    TrigramLm(trigrams, contexts, vocab, vocab.count())
+  }
+
+  /** Additive trigram-LM merge — `merge(fit(A), fit(B)) == fit(A ∪ B)`
+    * exactly, the same incremental-update identity as the bigram tier. */
+  def mergeTrigram(a: TrigramLm, b: TrigramLm): TrigramLm = {
+    val trigrams = a.trigrams.unionByName(b.trigrams)
+      .groupBy("th").agg(sum("c3").as("c3"))
+    val contexts = a.contexts.unionByName(b.contexts)
+      .groupBy("bh").agg(sum("c2s").as("c2s"))
+    val vocab = a.vocab.unionByName(b.vocab).distinct()
+    TrigramLm(trigrams, contexts, vocab, vocab.count())
+  }
+
+  /** Score each doc's mean trigram negative log-likelihood under `lm`:
+    * (idCol, n_trigrams, avg_nll); docs with fewer than three tokens have
+    * no trigram events and drop out (the bigram/length tiers own them). */
+  def scoreNllTrigram(docs: DataFrame, idCol: String, textCol: String,
+                      lm: TrigramLm): DataFrame = {
+    val events = docs
+      .select(col(idCol), explode(HashFunctions.trigramPairHashes(col(textCol))).as("e"))
+      .select(col(idCol), col("e.th").as("th"), col("e.bh").as("bh"))
+    events
+      .join(lm.trigrams, Seq("th"), "left")
+      .join(lm.contexts, Seq("bh"), "left")
+      .select(col(idCol),
+        (-log((coalesce(col("c3"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("c2s"), lit(0L)) + lit(lm.vocabSize)).cast("double")))
+          .as("nll"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_trigrams"), avg(col("nll")).as("avg_nll"))
+  }
+
   /** Score each doc's mean bigram negative log-likelihood under `lm`.
     * Returns (idCol, n_bigrams, avg_nll); docs with fewer than two tokens
     * have no bigram events and drop out (callers decide their fate —

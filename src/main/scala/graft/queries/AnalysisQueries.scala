@@ -69,11 +69,61 @@ object AnalysisQueries {
       .orderBy("source")
   }
 
+  /** q118: trigram-LM perplexity screen — the q87 contract one order up,
+    * with the incremental story baked into the gate: the LM is
+    * mergeTrigram(fit(%5∈{1,2}), fit(%5∈{3,4})) while the oracle fits the
+    * whole %5≠0 slice at once, so hash equality ALSO proves the additive
+    * merge identity (the q93 pattern). Threshold 3.44 sits between p80
+    * and p95 at every SF with a measured ≥6e-6 margin to the nearest doc
+    * — far above cross-engine mean-of-doubles skew. */
+  val trigramPerplexity: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val train = docs.where(col("doc_id") % 5 =!= 0)
+    val lm = graft.ops.LanguageModel.mergeTrigram(
+      graft.ops.LanguageModel.fitTrigramLm(
+        train.where(col("doc_id") % 5 <= 2), "text"),
+      graft.ops.LanguageModel.fitTrigramLm(
+        train.where(col("doc_id") % 5 >= 3), "text"))
+    graft.ops.LanguageModel.scoreNllTrigram(docs, "doc_id", "text", lm)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("avg_nll")), 4).as("avg_nll"),
+        sum(when(col("avg_nll") > 3.44, 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy("lang")
+  }
+
   val all: Map[String, Q] = Map(
     "q117_script_profile" -> scriptProfile,
+    "q118_trigram_perplexity" -> trigramPerplexity,
     "q119_repetition_report" -> repetitionReport)
 
   val oracles: Map[String, String] = Map(
+    // q118: one whole-slice fit in string space — equality proves both the
+    // scoring arithmetic and the two-half additive merge the engine used
+    "q118_trigram_perplexity" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |ev AS (
+        |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bg,
+        |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS tg
+        |  FROM d, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)),
+        |tr AS (SELECT * FROM ev WHERE doc_id % 5 <> 0),
+        |c3 AS (SELECT tg, count(*) AS c3 FROM tr GROUP BY 1),
+        |c2 AS (SELECT bg, count(*) AS c2s FROM tr GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v
+        |      FROM (SELECT unnest(ts) AS tok FROM d WHERE doc_id % 5 <> 0)),
+        |sc AS (
+        |  SELECT ev.doc_id,
+        |    -ln((coalesce(c3.c3, 0) + 1) / (coalesce(c2.c2s, 0) + v.v)) AS nll
+        |  FROM ev LEFT JOIN c3 USING (tg) LEFT JOIN c2 USING (bg) CROSS JOIN v),
+        |pd AS (
+        |  SELECT doc_id, avg(nll) AS avg_nll FROM sc GROUP BY 1)
+        |SELECT lang, count(*) AS n_docs, round(avg(avg_nll), 4) AS avg_nll,
+        |  CAST(sum(CASE WHEN avg_nll > 3.44 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM pd JOIN (SELECT doc_id, lang FROM documents) USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q117_script_profile" ->
       """WITH t AS (
         |  SELECT doc_id, source,

@@ -85,6 +85,72 @@ class LanguageModelSpec extends SparkSpec {
     }
   }
 
+  test("trigram: fitted counts, contexts and vocabulary match hand-derived values") {
+    // doc 1 "a b a b c": trigrams "a b a", "b a b", "a b c" (each x1);
+    // contexts (leading bigrams of trigram starts): "a b" x2, "b a" x1
+    val lm = LanguageModel.fitTrigramLm(toy.where($"doc_id" === 1), "text")
+    assert(lm.vocabSize == 3)
+    val c3 = lm.trigrams.select("c3").as[Long].collect().sorted.toSeq
+    assert(c3 == Seq(1L, 1L, 1L), s"trigram counts $c3")
+    val c2s = lm.contexts.select("c2s").as[Long].collect().sorted.toSeq
+    assert(c2s == Seq(1L, 2L), s"context counts $c2s")
+  }
+
+  test("trigram: scoreNllTrigram matches hand-computed NLL, drops short docs") {
+    val lm = LanguageModel.fitTrigramLm(toy.where($"doc_id" === 1), "text")
+    val input = toy.unionAll(Seq((4L, "a b")).toDF("doc_id", "text"))
+    val scored = LanguageModel.scoreNllTrigram(input, "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(scored.keySet == Set(1L), "docs with <3 tokens must drop")
+    val (n, nll) = scored(1L)
+    assert(n == 3)
+    // events: (aba: c3=1, ab: c2s=2), (bab: 1, ba: 1), (abc: 1, ab: 2); V=3
+    val expected = -Seq((1, 2), (1, 1), (1, 2))
+      .map { case (c3, c2s) => math.log((c3 + 1.0) / (c2s + 3.0)) }.sum / 3
+    assert(math.abs(nll - expected) < 1e-12, s"nll $nll vs $expected")
+  }
+
+  test("trigram: unseen contexts score exactly ln(V) per event") {
+    val lm = LanguageModel.fitTrigramLm(toy.where($"doc_id" === 1), "text")
+    val oov = Seq((9L, "x y z w")).toDF("doc_id", "text")
+    val r = LanguageModel.scoreNllTrigram(oov, "doc_id", "text", lm).head()
+    assert(r.getLong(1) == 2)
+    assert(math.abs(r.getDouble(2) - math.log(3.0)) < 1e-12)
+  }
+
+  test("trigram: merge of split fits equals the whole-corpus fit exactly") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val whole = LanguageModel.fitTrigramLm(docs, "text")
+    val merged = LanguageModel.mergeTrigram(
+      LanguageModel.fitTrigramLm(docs.where($"doc_id" % 2 === 0), "text"),
+      LanguageModel.fitTrigramLm(docs.where($"doc_id" % 2 === 1), "text"))
+    assert(merged.vocabSize == whole.vocabSize)
+    assert(merged.trigrams.exceptAll(whole.trigrams).isEmpty &&
+      whole.trigrams.exceptAll(merged.trigrams).isEmpty, "trigram counts differ")
+    assert(merged.contexts.exceptAll(whole.contexts).isEmpty &&
+      whole.contexts.exceptAll(merged.contexts).isEmpty, "context counts differ")
+  }
+
+  test("trigram: sharper than bigram on reversed-token gibberish") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val b = LanguageModel.fitBigramLm(docs, "text")
+    val t = LanguageModel.fitTrigramLm(docs, "text")
+    val shuffled = docs.select($"doc_id",
+      concat_ws(" ", reverse(split(trim($"text"), "\\s+"))).as("text"))
+    def gap(clean: Double, broken: Double) = broken - clean
+    val bGap = gap(
+      LanguageModel.scoreNll(docs, "doc_id", "text", b)
+        .agg(avg("avg_nll")).head().getDouble(0),
+      LanguageModel.scoreNll(shuffled, "doc_id", "text", b)
+        .agg(avg("avg_nll")).head().getDouble(0))
+    val tGap = gap(
+      LanguageModel.scoreNllTrigram(docs, "doc_id", "text", t)
+        .agg(avg("avg_nll")).head().getDouble(0),
+      LanguageModel.scoreNllTrigram(shuffled, "doc_id", "text", t)
+        .agg(avg("avg_nll")).head().getDouble(0))
+    assert(bGap > 0 && tGap > 0, s"both tiers must separate ($bGap, $tGap)")
+  }
+
   test("reference-slice fit separates clean docs from shuffled-gibberish docs") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val lm = LanguageModel.fitBigramLm(docs, "text")
