@@ -89,6 +89,58 @@ object Bm25 {
     rankTop(top)
   }
 
+  /** Batch top-k retrieval for MANY bag-of-terms queries in ONE corpus
+    * pass — the shape for eval-set construction and recall measurement,
+    * where re-tokenizing the corpus per query (Q × corpus scans) is the
+    * scale killer. `queries` holds (query_id: long, term: string) rows and
+    * is broadcast twice (term filter + per-query fan-out); both are
+    * eval-set-sized by definition.
+    *
+    * Identical scoring to [[topK]]: global df (document frequency is a
+    * corpus property, not a per-query one), scores rounded to 6 decimals
+    * BEFORE ranking, per-query ranking via the bounded [[graft.functions.TopKByScore]]
+    * aggregate (score desc, id asc — NO window over the match set, so
+    * per-query state is O(k) however many docs match). Returns
+    * (query_id, id, score, rank). */
+  def topKBatch(docs: DataFrame, idCol: String, textCol: String,
+                queries: DataFrame, k: Int,
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qterms = queries.select(col("query_id"), col("term")).distinct()
+    val allTerms = qterms.select("term").distinct()
+    val base = docs.select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("ts"))
+    val withDl = base.select(col("id"), col("ts"),
+      size(col("ts")).cast("double").as("dl"))
+    val stats = withDl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    // term filter BEFORE the shuffle, exactly as [[scoreWith]]; cached for
+    // the same df-derives-from-tf reason
+    val tf = withDl
+      .select(col("id"), col("dl"), explode(col("ts")).as("term"))
+      .join(broadcast(allTerms), "term")
+      .groupBy("id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .cache()
+    val dfv = tf.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf.join(broadcast(dfv), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("s",
+        col("idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .join(broadcast(qterms), "term") // fan out to the queries wanting the term
+      .groupBy("query_id", "id")
+      .agg(round(sum(col("s")), 6).as("score"))
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKByScore.topKByScore(
+        col("score"), col("id"), k, descending = true).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("e"))
+      .select(col("query_id"), col("e.id").as("id"),
+        col("e.score").as("score"), col("e.rank").as("rank"))
+  }
+
   private def rankTop(top: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score").desc, col("id").asc)

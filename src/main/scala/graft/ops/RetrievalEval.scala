@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranking-quality metrics over a retrieval run — the measurement half of
+  * the retrieval family (BM25 / dense / hybrid / indexed): given ranked
+  * results and graded relevance judgments, compute recall@k, MRR@k and
+  * NDCG@k per (query, cutoff).
+  *
+  * Scale shape: a run is (queries × k) rows and qrels are eval-set-sized
+  * BY DEFINITION (human- or heuristic-judged pairs) — both tiny next to
+  * the corpus that produced the run, so every join here broadcasts and
+  * the one window (ideal-DCG ordering) partitions by query over qrel
+  * lists, never over anything corpus-sized. The expensive part of
+  * evaluation is generating the run; that is [[Bm25.topKBatch]]'s one-pass
+  * job, not this operator's.
+  *
+  * Metric definitions (all engine-portable arithmetic):
+  *  - recall@k  = |relevant ∩ top-k| / |relevant| (exact rational);
+  *  - MRR@k     = 1/rank of the first relevant hit within the cutoff, 0 if
+  *    none (max over exact rationals);
+  *  - NDCG@k    = DCG@k / IDCG@k with gain = grade and the ln(rank+1)
+  *    discount (natural log on both engines; the log2 variant only rescales
+  *    by a constant factor that cancels in the ratio);
+  *  - every float output rounded (recall/mrr to 6, ndcg to 4 — ndcg is a
+  *    ratio of two log-sums, so it carries last-ulp sum-order noise the
+  *    exact rationals don't).
+  */
+object RetrievalEval {
+
+  /** Evaluate `run` (query_id, id, rank — 1-based, deterministic) against
+    * `qrels` (query_id, id, grade > 0) at each cutoff in `ks`. Queries are
+    * taken from qrels (a query with no relevant docs has undefined recall);
+    * one output row per (query_id, k) even when the run missed everything.
+    * Returns (query_id, k, n_rel, hits, recall, mrr, ndcg). */
+  def evaluate(run: DataFrame, qrels: DataFrame, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty, "need at least one cutoff")
+    val spark = run.sparkSession
+    import spark.implicits._
+    val kdf = ks.toDF("k")
+    val rel = qrels.select(col("query_id"), col("id"),
+      col("grade").cast("long").as("grade"))
+    val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val hitRows = run.select(col("query_id"), col("id"), col("rank"))
+      .join(rel, Seq("query_id", "id"), "inner") // only relevant hits score
+    val perK = hitRows.crossJoin(broadcast(kdf))
+      .where(col("rank") <= col("k"))
+      .groupBy("query_id", "k")
+      .agg(count(lit(1)).as("hits"),
+        max(lit(1.0) / col("rank")).as("mrr_raw"),
+        sum(col("grade").cast("double") / log(col("rank") + lit(1.0))).as("dcg"))
+    // ideal DCG: the qrel list itself in best order (grade desc, id asc —
+    // deterministic tie-break); window partitions are per-query qrel lists
+    val w = Window.partitionBy("query_id").orderBy(col("grade").desc, col("id").asc)
+    val ideal = rel.withColumn("pos", row_number().over(w))
+      .crossJoin(broadcast(kdf))
+      .where(col("pos") <= col("k"))
+      .groupBy("query_id", "k")
+      .agg(sum(col("grade").cast("double") / log(col("pos") + lit(1.0))).as("idcg"))
+    nRel.crossJoin(broadcast(kdf))
+      .join(perK, Seq("query_id", "k"), "left")
+      .join(ideal, Seq("query_id", "k"), "left")
+      .select(col("query_id"), col("k"), col("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / col("n_rel"), 6).as("recall"),
+        round(coalesce(col("mrr_raw"), lit(0.0)), 6).as("mrr"),
+        round(when(coalesce(col("idcg"), lit(0.0)) > 0,
+          coalesce(col("dcg"), lit(0.0)) / col("idcg")).otherwise(0.0), 4).as("ndcg"))
+  }
+}

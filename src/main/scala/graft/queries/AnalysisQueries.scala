@@ -93,12 +93,94 @@ object AnalysisQueries {
       .orderBy("lang")
   }
 
+  /** q116: retrieval-quality evaluation — three bag-of-terms queries run
+    * through the ONE-corpus-pass [[graft.ops.Bm25.topKBatch]] (per-query
+    * ranking via the bounded top-k aggregate, no window), judged against
+    * heuristic graded qrels (occurrence tiers: ≥9 hits → grade 3, ≥7 → 2,
+    * ≥5 → 1 — measured to give each query a graded, non-degenerate
+    * relevant set), scored by [[graft.ops.RetrievalEval]] at k=5 and 15.
+    * Exact rationals for recall/MRR; NDCG a 4-dp-rounded log-sum ratio. */
+  val retrievalEval: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val queries = Seq(
+      1L -> "spark", 1L -> "dup", 1L -> "key",
+      2L -> "join", 2L -> "window", 2L -> "merge",
+      3L -> "vector", 3L -> "stream", 3L -> "batch").toDF("query_id", "term")
+    val run = graft.ops.Bm25.topKBatch(docs, "doc_id", "text", queries, k = 15)
+    val qrels = docs
+      .select(col("doc_id").as("id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .join(broadcast(queries), "term")
+      .groupBy("query_id", "id").agg(count(lit(1)).as("tot"))
+      .select(col("query_id"), col("id"),
+        when(col("tot") >= 9, 3L).when(col("tot") >= 7, 2L)
+          .when(col("tot") >= 5, 1L).otherwise(0L).as("grade"))
+      .where(col("grade") > 0)
+    graft.ops.RetrievalEval.evaluate(run, qrels, Seq(5, 15))
+      .orderBy("query_id", "k")
+  }
+
   val all: Map[String, Q] = Map(
+    "q116_retrieval_eval" -> retrievalEval,
     "q117_script_profile" -> scriptProfile,
     "q118_trigram_perplexity" -> trigramPerplexity,
     "q119_repetition_report" -> repetitionReport)
 
   val oracles: Map[String, String] = Map(
+    "q116_retrieval_eval" ->
+      """WITH q(query_id, term) AS (VALUES (CAST(1 AS BIGINT),'spark'),(1,'dup'),(1,'key'),
+        |  (2,'join'),(2,'window'),(2,'merge'),(3,'vector'),(3,'stream'),(3,'batch')),
+        |d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |dlen AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl FROM d),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dlen),
+        |toks AS (SELECT doc_id, unnest(ts) AS term FROM d),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+        |  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+        |dfv AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    sum(ln(1.0 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5)) * tf.tf * 2.2 /
+        |        (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+        |  FROM tf JOIN dfv USING (term) JOIN q ON q.term = tf.term
+        |  JOIN dlen dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+        |  GROUP BY 1, 2),
+        |run AS (
+        |  SELECT query_id, doc_id AS id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(score, 6) DESC, doc_id) AS INT) AS rank
+        |  FROM sc QUALIFY rank <= 15),
+        |qrels AS (
+        |  SELECT m.query_id, m.doc_id AS id,
+        |    CASE WHEN m.tot >= 9 THEN 3 WHEN m.tot >= 7 THEN 2 ELSE 1 END AS grade
+        |  FROM (SELECT q.query_id, t.doc_id, count(*) AS tot
+        |        FROM toks t JOIN q USING (term) GROUP BY 1, 2) m
+        |  WHERE m.tot >= 5),
+        |nrel AS (SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY 1),
+        |ks(k) AS (VALUES (5),(15)),
+        |hits AS (
+        |  SELECT r.query_id, r.id, r.rank, qr.grade
+        |  FROM run r JOIN qrels qr ON qr.query_id = r.query_id AND qr.id = r.id),
+        |perk AS (
+        |  SELECT h.query_id, ks.k, count(*) AS hits,
+        |    max(CAST(1.0 AS DOUBLE) / h.rank) AS mrr_raw,
+        |    sum(CAST(h.grade AS DOUBLE) / ln(h.rank + 1.0)) AS dcg
+        |  FROM hits h CROSS JOIN ks WHERE h.rank <= ks.k GROUP BY 1, 2),
+        |ideal AS (
+        |  SELECT s.query_id, ks.k,
+        |    sum(CAST(s.grade AS DOUBLE) / ln(s.pos + 1.0)) AS idcg
+        |  FROM (SELECT query_id, grade, row_number() OVER (PARTITION BY query_id
+        |          ORDER BY grade DESC, id) AS pos FROM qrels) s
+        |  CROSS JOIN ks WHERE s.pos <= ks.k GROUP BY 1, 2)
+        |SELECT g.query_id, g.k, g.n_rel,
+        |  CAST(coalesce(perk.hits, 0) AS BIGINT) AS hits,
+        |  round(CAST(coalesce(perk.hits, 0) AS DOUBLE) / g.n_rel, 6) AS recall,
+        |  round(coalesce(perk.mrr_raw, 0.0), 6) AS mrr,
+        |  round(CASE WHEN coalesce(ideal.idcg, 0.0) > 0
+        |    THEN coalesce(perk.dcg, 0.0) / ideal.idcg ELSE 0.0 END, 4) AS ndcg
+        |FROM (SELECT query_id, n_rel, k FROM nrel CROSS JOIN ks) g
+        |LEFT JOIN perk USING (query_id, k) LEFT JOIN ideal USING (query_id, k)
+        |ORDER BY 1, 2""".stripMargin,
     // q118: one whole-slice fit in string space — equality proves both the
     // scoring arithmetic and the two-half additive merge the engine used
     "q118_trigram_perplexity" ->

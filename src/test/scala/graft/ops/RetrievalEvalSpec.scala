@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RetrievalEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("metrics match hand-computed values on a tiny run") {
+    // query 10: run = [d1(rel g2), d2(-), d3(rel g1)], qrels = {d1:2, d3:1, d9:3}
+    val run = Seq((10L, 1L, 1), (10L, 2L, 2), (10L, 3L, 3))
+      .toDF("query_id", "id", "rank")
+    val qrels = Seq((10L, 1L, 2L), (10L, 3L, 1L), (10L, 9L, 3L))
+      .toDF("query_id", "id", "grade")
+    val r = RetrievalEval.evaluate(run, qrels, Seq(2, 3))
+      .orderBy("k").collect()
+    // k=2: hits=1 (d1), recall=1/3, mrr=1/1, dcg=2/ln2,
+    //      idcg=3/ln2 + 2/ln3 (ideal: d9 g3 pos1, d1 g2 pos2)
+    val r2 = r(0)
+    assert(r2.getLong(2) == 3 && r2.getLong(3) == 1)
+    assert(r2.getDouble(4) == 0.333333)
+    assert(r2.getDouble(5) == 1.0)
+    val idcg2 = 3.0 / math.log(2) + 2.0 / math.log(3)
+    assert(r2.getDouble(6) ==
+      math.rint((2.0 / math.log(2)) / idcg2 * 1e4) / 1e4)
+    // k=3: hits=2, recall=2/3, dcg=2/ln2 + 1/ln4, idcg += 1/ln4
+    val r3 = r(1)
+    assert(r3.getLong(3) == 2 && r3.getDouble(4) == 0.666667)
+    val dcg3 = 2.0 / math.log(2) + 1.0 / math.log(4)
+    val idcg3 = idcg2 + 1.0 / math.log(4)
+    assert(r3.getDouble(6) == math.rint(dcg3 / idcg3 * 1e4) / 1e4)
+  }
+
+  test("query whose run misses every relevant doc scores zero across the board") {
+    val run = Seq((7L, 5L, 1), (7L, 6L, 2)).toDF("query_id", "id", "rank")
+    val qrels = Seq((7L, 1L, 1L)).toDF("query_id", "id", "grade")
+    val r = RetrievalEval.evaluate(run, qrels, Seq(2)).head()
+    assert(r.getLong(3) == 0 && r.getDouble(4) == 0.0 &&
+      r.getDouble(5) == 0.0 && r.getDouble(6) == 0.0)
+  }
+
+  test("every query in qrels gets a row even when absent from the run") {
+    val run = Seq((1L, 5L, 1)).toDF("query_id", "id", "rank")
+    val qrels = Seq((1L, 5L, 1L), (2L, 6L, 2L)).toDF("query_id", "id", "grade")
+    val rows = RetrievalEval.evaluate(run, qrels, Seq(1, 5)).collect()
+    assert(rows.length == 4, "2 queries x 2 cutoffs")
+  }
+
+  test("topKBatch equals per-query topK on the real corpus") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val queries = Seq(1L -> "spark", 1L -> "dup", 2L -> "join", 2L -> "window")
+      .toDF("query_id", "term")
+    val batch = Bm25.topKBatch(docs, "doc_id", "text", queries, k = 10)
+    for ((qid, terms) <- Seq(1L -> Seq("spark", "dup"), 2L -> Seq("join", "window"))) {
+      val single = Bm25.topK(docs, "doc_id", "text", terms, k = 10)
+        .select(col("id"), col("score"), col("rank"))
+      val slice = batch.where(col("query_id") === qid)
+        .select(col("id"), col("score"), col("rank"))
+      assert(slice.exceptAll(single).isEmpty && single.exceptAll(slice).isEmpty,
+        s"batch slice for query $qid differs from the single-query form")
+    }
+  }
+
+  test("topKBatch plans the bounded aggregate, not a window rank") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val queries = Seq(1L -> "spark", 2L -> "join").toDF("query_id", "term")
+    val plan = Bm25.topKBatch(docs, "doc_id", "text", queries, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("top_k_by_score"), "expected the bounded top-k aggregate")
+    assert(!plan.contains("Window"), s"per-query ranking must not window-sort:\n$plan")
+  }
+}
