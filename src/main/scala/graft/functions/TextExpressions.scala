@@ -490,6 +490,67 @@ case class TopGramFraction(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Subword tokenization with a learned BPE merge list
+  * ([[graft.ops.BpeTrainer]]): array<string> of the subword symbols of
+  * every whitespace token, in order. Encoding applies the merges
+  * SEQUENTIALLY IN RANK ORDER, each left-to-right non-overlapping within
+  * a token — precisely the trainer's own update, so encoding a training
+  * word reproduces its fit end state exactly (the property the q121
+  * oracle leans on: it derives expected encodings from the oracle-side
+  * replayed merge chain, never from the engine).
+  *
+  * The merge list rides in this one expression node (the
+  * CentroidTopProbes pattern — no 2·numMerges-literal plan blowup), and a
+  * bounded per-executor word cache short-circuits the merge walk for
+  * recurring word types: natural-language corpora are Zipfian, so the
+  * cache hit rate approaches 1 and the per-row cost collapses to a
+  * HashMap probe per token. */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  // keep plan strings O(1): never print the merge table
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"numMerges=${merges.length}")
+
+  @transient private lazy val mergeArr = merges.toArray
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+  private val MaxCachedWords = 262144
+
+  private def encodeWord(w: String): Array[String] = {
+    val hit = cache.get(w)
+    if (hit != null) return hit
+    var syms: Array[String] =
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    var m = 0
+    while (m < mergeArr.length && syms.length > 1) {
+      syms = graft.ops.BpeTrainer.mergePair(syms, mergeArr(m)._1, mergeArr(m)._2)
+      m += 1
+    }
+    if (cache.size < MaxCachedWords) cache.put(w, syms)
+    syms
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextExprs.tokens(input.asInstanceOf[UTF8String])
+    val out = Array.newBuilder[Any]
+    var i = 0
+    while (i < toks.length) {
+      val syms = encodeWord(toks(i))
+      var j = 0
+      while (j < syms.length) { out += UTF8String.fromString(syms(j)); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out.result())
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the compiled text expressions. */
 object TextExpr {
   def wordSpans(text: Column, k: Int): Column =
@@ -518,4 +579,7 @@ object TextExpr {
 
   def topGramFraction(text: Column, n: Int): Column =
     ColumnBridge.column(TopGramFraction(ColumnBridge.expression(text), n))
+
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), merges))
 }

@@ -1,0 +1,118 @@
+package graft.ops
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary learning (Sennrich/Haddow/Birch 2016, the
+  * word-frequency-table formulation every production tokenizer trainer
+  * uses): learn `numMerges` symbol merges greedily from corpus statistics,
+  * then encode text with the learned merge list (the compiled
+  * [[graft.functions.BpeEncode]] expression).
+  *
+  * Scale shape — the same split as the k-means fits ([[graft.sim]]) and
+  * the ledger windows: the CORPUS-sized work is one distributed
+  * word-frequency aggregation (tokenize → groupBy word); the merge loop
+  * then runs on the driver over a table that is VOCABULARY-sized and
+  * capped (`maxWords` most frequent words, deterministic freq-desc /
+  * word-asc order — the standard trainer practice: merges learned beyond
+  * the top ~1M word types change nothing measurable). Each merge step is
+  * O(types × word length) on that bounded table — never a corpus rescan,
+  * never a per-step shuffle.
+  *
+  * Determinism contract (what the q120 DuckDB oracle replays): pair
+  * counts weight every ADJACENT OCCURRENCE (overlaps included: [a,a,a]
+  * holds (a,a) twice) by word frequency; the winner is max count with
+  * ties broken by (left, right) ascending byte order; a merge applies
+  * LEFT-TO-RIGHT NON-OVERLAPPING within each word ([a,a,a,a] → [aa,aa] —
+  * exactly SQL `replace` semantics on the separator-framed symbol
+  * string). No end-of-word marker — merges never cross token boundaries
+  * here, and the marker only matters for detokenization.
+  */
+object BpeTrainer {
+
+  /** One learned merge: `lhs`+`rhs` become one symbol; `rank` is the
+    * 1-based learning step; `pairCount` the weighted count that won it. */
+  final case class Merge(lhs: String, rhs: String, rank: Int, pairCount: Long)
+
+  /** A fitted model: the ordered merge list plus the end-state symbol
+    * sequence per (capped) word type — encoding a training word with the
+    * merge list reproduces exactly its end state (pinned by BpeSpec). */
+  final case class BpeModel(merges: Seq[Merge], words: Map[String, Seq[String]])
+
+  /** Learn `numMerges` merges from `docs(textCol)`. Stops early if the
+    * symbol table runs out of adjacent pairs. */
+  def fit(docs: DataFrame, textCol: String, numMerges: Int,
+          maxWords: Int = 1000000): BpeModel = {
+    require(numMerges >= 1, "need at least one merge step")
+    // distributed part: the word-frequency table, capped deterministically
+    val wordFreq: Array[(String, Long)] = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w").asc)
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // driver part: bounded greedy merge loop over codepoint symbol arrays
+    val words: Array[Array[String]] = wordFreq.map { case (w, _) =>
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    }
+    val freqs = wordFreq.map(_._2)
+    val merges = Seq.newBuilder[Merge]
+    var step = 1
+    var exhausted = false
+    while (step <= numMerges && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      var wi = 0
+      while (wi < words.length) {
+        val s = words(wi); val f = freqs(wi)
+        var i = 0
+        while (i + 1 < s.length) {
+          counts.merge((s(i), s(i + 1)), f, (a, b) => a + b)
+          i += 1
+        }
+        wi += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.forEach { (pair, c) =>
+          if (best == null || c > best._2 ||
+              (c == best._2 && (pair._1 < best._1._1 ||
+                (pair._1 == best._1._1 && pair._2 < best._1._2)))) best = (pair, c)
+        }
+        val ((l, r), c) = best
+        merges += Merge(l, r, step, c)
+        wi = 0
+        while (wi < words.length) {
+          words(wi) = mergePair(words(wi), l, r)
+          wi += 1
+        }
+        step += 1
+      }
+    }
+    BpeModel(merges.result(),
+      wordFreq.map(_._1).zip(words.map(_.toSeq)).toMap)
+  }
+
+  /** Left-to-right non-overlapping merge of (l, r) in a symbol sequence —
+    * the one semantics shared by the driver loop, the compiled encoder,
+    * and the oracle's SQL `replace`. */
+  private[graft] def mergePair(s: Array[String], l: String, r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** The learned merge table as a DataFrame (step, lhs, rhs, pair_count) —
+    * the q120 gate surface and the natural persistence format. */
+  def mergesDf(spark: org.apache.spark.sql.SparkSession, model: BpeModel): DataFrame = {
+    import spark.implicits._
+    model.merges.map(m => (m.rank, m.lhs, m.rhs, m.pairCount))
+      .toDF("step", "lhs", "rhs", "pair_count")
+  }
+}

@@ -121,13 +121,101 @@ object AnalysisQueries {
       .orderBy("query_id", "k")
   }
 
+  private val BpeMerges = 20
+
+  /** q120: BPE vocabulary learning — 20 greedy merges from the corpus word
+    * table ([[graft.ops.BpeTrainer]]: distributed word counts, bounded
+    * driver loop). The oracle replays the ENTIRE training loop in SQL — 20
+    * unrolled merge steps, each recounting pairs and applying the winner
+    * via `replace` on separator-framed symbol strings (replace's
+    * left-to-right non-overlapping semantics IS the trainer's merge
+    * semantics, by construction) — so every row certifies the full greedy
+    * history, not just one step. */
+  val bpeVocab: Q = (s, dir) => {
+    val model = graft.ops.BpeTrainer.fit(Tables.documents(s, dir), "text", BpeMerges)
+    graft.ops.BpeTrainer.mergesDf(s, model).orderBy("step")
+  }
+
+  /** q121: subword encoding census with the q120-learned merges — the
+    * compiled [[graft.functions.BpeEncode]] applied corpus-wide, rolled up
+    * per source (subword count, distinct subwords, exact char-sum
+    * certificate). The oracle never runs an encoder: it replays the merge
+    * chain (q120's CTEs), reads each word's END-STATE symbols, and joins
+    * them onto the token stream — valid precisely because sequential
+    * rank-order encoding reproduces training end states. */
+  val bpeEncodeStats: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val model = graft.ops.BpeTrainer.fit(docs, "text", BpeMerges)
+    docs.select(col("source"),
+        explode(graft.functions.TextExpr.bpeEncode(col("text"),
+          model.merges.map(m => (m.lhs, m.rhs)))).as("sub"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_subwords"),
+        countDistinct(col("sub")).as("n_distinct_subwords"),
+        sum(length(col("sub"))).cast("long").as("sum_subword_chars"))
+      .orderBy("source")
+  }
+
+  /** The unrolled merge-replay CTE chain shared by the q120/q121 oracles:
+    * w0 = the word table as ':'-framed codepoint symbols, then per step i —
+    * p{i} pair counts (every adjacent occurrence, freq-weighted), b{i} the
+    * (count desc, pair asc) winner, w{i} the merge applied everywhere. */
+  private def bpeChainSql(n: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT w AS word, regexp_replace(w, '(.)', ':\1:', 'g') AS repr,
+        |    CAST(count(*) AS BIGINT) AS f
+        |  FROM (SELECT unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |          ELSE string_split_regex(trim(text), '\s+') END) AS w
+        |        FROM documents)
+        |  GROUP BY 1)""".stripMargin)
+    for (i <- 1 to n) {
+      sb.append(s""",
+        |p$i AS MATERIALIZED (
+        |  SELECT sy[j] AS l, sy[j+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
+        |  FROM (SELECT f, string_split(trim(repr, ':'), '::') AS sy FROM w${i - 1}) t,
+        |       UNNEST(generate_series(1, len(sy) - 1)) AS u(j)
+        |  GROUP BY 1, 2),
+        |b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        |w$i AS MATERIALIZED (
+        |  SELECT w.word, replace(w.repr, ':' || b.l || '::' || b.r || ':',
+        |                         ':' || b.l || b.r || ':') AS repr, w.f
+        |  FROM w${i - 1} w CROSS JOIN b$i b)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private def bpeVocabOracle(n: Int): String =
+    bpeChainSql(n) + "\n" +
+      (1 to n).map(i =>
+        s"SELECT CAST($i AS INT) AS step, l AS lhs, r AS rhs, cnt AS pair_count FROM b$i")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY step")
+
+  private def bpeEncodeOracle(n: Int): String =
+    bpeChainSql(n) + s""",
+      |enc AS (SELECT word, string_split(trim(repr, ':'), '::') AS sy FROM w$n),
+      |tok AS (SELECT source, unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |          ELSE string_split_regex(trim(text), '\\s+') END) AS word
+      |        FROM documents),
+      |u AS (SELECT j.source, unnest(j.sy) AS sub
+      |      FROM (SELECT t.source, e.sy FROM tok t JOIN enc e USING (word)) j)
+      |SELECT source, count(*) AS n_subwords,
+      |  count(DISTINCT sub) AS n_distinct_subwords,
+      |  CAST(sum(length(sub)) AS BIGINT) AS sum_subword_chars
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q116_retrieval_eval" -> retrievalEval,
+    "q120_bpe_vocab" -> bpeVocab,
+    "q121_bpe_encode" -> bpeEncodeStats,
     "q117_script_profile" -> scriptProfile,
     "q118_trigram_perplexity" -> trigramPerplexity,
     "q119_repetition_report" -> repetitionReport)
 
   val oracles: Map[String, String] = Map(
+    "q120_bpe_vocab" -> bpeVocabOracle(BpeMerges),
+    "q121_bpe_encode" -> bpeEncodeOracle(BpeMerges),
     "q116_retrieval_eval" ->
       """WITH q(query_id, term) AS (VALUES (CAST(1 AS BIGINT),'spark'),(1,'dup'),(1,'key'),
         |  (2,'join'),(2,'window'),(2,'merge'),(3,'vector'),(3,'stream'),(3,'batch')),

@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.TextExpr
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fit learns hand-derivable merges and stops when pairs run out") {
+    // words: aab x3, ab x1, b x1
+    // step 1: (a,a)=3, (a,b)=3+1=4 -> merge (a,b): aab=[a,ab], ab=[ab]
+    // step 2: (a,ab)=3 -> merge: aab=[aab]
+    // step 3: no pairs anywhere -> early stop
+    val docs = Seq("aab aab", "aab ab b").toDF("text")
+    val m = BpeTrainer.fit(docs, "text", numMerges = 5)
+    assert(m.merges.map(x => (x.lhs, x.rhs, x.rank, x.pairCount)) ==
+      Seq(("a", "b", 1, 4L), ("a", "ab", 2, 3L)))
+    assert(m.words("aab") == Seq("aab") && m.words("ab") == Seq("ab") &&
+      m.words("b") == Seq("b"))
+  }
+
+  test("equal-count pairs break ties by (lhs, rhs) ascending") {
+    val docs = Seq("ba ba dc dc").toDF("text")
+    val m = BpeTrainer.fit(docs, "text", numMerges = 1)
+    assert(m.merges.head.lhs == "b" && m.merges.head.rhs == "a" &&
+      m.merges.head.pairCount == 2L)
+  }
+
+  test("mergePair is left-to-right non-overlapping (the SQL replace contract)") {
+    def mp(s: Seq[String]) = BpeTrainer.mergePair(s.toArray, "a", "a").toSeq
+    assert(mp(Seq("a", "a", "a", "a")) == Seq("aa", "aa"))
+    assert(mp(Seq("a", "a", "a")) == Seq("aa", "a"))
+    assert(mp(Seq("x", "a", "a", "a")) == Seq("x", "aa", "a"))
+    assert(mp(Seq("a")) == Seq("a"))
+  }
+
+  test("fit is deterministic on the real corpus") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = BpeTrainer.fit(docs, "text", 10)
+    val b = BpeTrainer.fit(docs, "text", 10)
+    assert(a.merges == b.merges)
+  }
+
+  test("encoding a training word reproduces its fit end state") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val model = BpeTrainer.fit(docs, "text", 15)
+    val merges = model.merges.map(m => (m.lhs, m.rhs))
+    val encoded = model.words.keys.toSeq.toDF("w")
+      .select(col("w"), TextExpr.bpeEncode(col("w"), merges).as("sy"))
+      .as[(String, Seq[String])].collect().toMap
+    model.words.foreach { case (w, syms) =>
+      assert(encoded(w) == syms, s"encode('$w') diverged from the fit end state")
+    }
+  }
+
+  test("subword concatenation round-trips every token (corpus + edges)") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text"))
+      .unionAll(Seq("", "   ", "one", "héllo wörld", "a b a b").toDF("text"))
+    val model = BpeTrainer.fit(docs, "text", 10)
+    val merges = model.merges.map(m => (m.lhs, m.rhs))
+    val bad = docs.select(
+        concat_ws(" ", graft.functions.TextFunctions.tokens(col("text"))).as("orig"),
+        concat_ws("", TextExpr.bpeEncode(col("text"), merges)).as("enc"))
+      .where(regexp_replace(col("orig"), " ", "") =!= col("enc"))
+      .count()
+    assert(bad == 0, "subwords must concatenate back to the original characters")
+  }
+}
