@@ -68,7 +68,13 @@ object Bench {
     "q110_corpus_diff",       // snapshot CDC by content fingerprint
     "q111_indexed_bm25",      // stored inverted index: merge + reload + query
     "q112_corpus_profile",    // one-scan dataset card
-    "q115_incremental_reprocess") // diff -> index remove+merge -> query
+    "q115_incremental_reprocess", // diff -> index remove+merge -> query
+    "q116_retrieval_eval",    // one-pass batch BM25 run + ranking metrics
+    "q117_script_profile",    // compiled codepoint-class census scan
+    "q118_trigram_perplexity", // trigram-LM merge-fit + corpus NLL scoring
+    "q119_repetition_report", // Gopher top-n-gram boilerplate screen
+    "q120_bpe_vocab",         // BPE fit: distributed counts + driver merges
+    "q121_bpe_encode")        // corpus-wide compiled subword encoding
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

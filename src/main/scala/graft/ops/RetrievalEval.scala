@@ -59,9 +59,11 @@ object RetrievalEval {
       .where(col("pos") <= col("k"))
       .groupBy("query_id", "k")
       .agg(sum(col("grade").cast("double") / log(col("pos") + lit(1.0))).as("idcg"))
+    // perK/ideal are (queries × cutoffs)-sized — broadcast explicitly so
+    // the static plan already shows hash joins, not size-blind SMJs
     nRel.crossJoin(broadcast(kdf))
-      .join(perK, Seq("query_id", "k"), "left")
-      .join(ideal, Seq("query_id", "k"), "left")
+      .join(broadcast(perK), Seq("query_id", "k"), "left")
+      .join(broadcast(ideal), Seq("query_id", "k"), "left")
       .select(col("query_id"), col("k"), col("n_rel"),
         coalesce(col("hits"), lit(0L)).as("hits"),
         round(coalesce(col("hits"), lit(0L)) / col("n_rel"), 6).as("recall"),

@@ -251,4 +251,39 @@ class PlanShapeSpec extends SparkSpec {
       "BM25 leg must keep its partial top-k")
     assert(!plan.contains("CartesianProduct"), s"unbounded cartesian:\n${plan.take(2000)}")
   }
+
+  test("script and repetition profiles are single-scan grouped aggregations") {
+    for (q <- Seq("q117_script_profile", "q119_repetition_report")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Window"), s"$q windows:\n${plan.take(2000)}")
+      assert(!plan.contains("Join"), s"$q joins:\n${plan.take(2000)}")
+      assert("FileScan parquet".r.findAllIn(plan).length == 1,
+        s"$q must read the corpus exactly once")
+    }
+  }
+
+  test("batch BM25 ranks via the bounded aggregate with broadcast query tables") {
+    val plan = planOf("q116_retrieval_eval")
+    assert(plan.contains("top_k_by_score"),
+      "per-query ranking must be the bounded aggregate")
+    assert(!plan.contains("CartesianProduct"), s"unbounded cartesian:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "every join side here is query/eval-sized and must broadcast or stay hashed")
+  }
+
+  test("trigram LM joins stay equi-joins on hashed keys, never nested-loop") {
+    val plan = planOf("q118_trigram_perplexity")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"LM scoring must join on the 8-byte hash keys:\n${plan.take(3000)}")
+  }
+
+  test("BPE encoding census is a single corpus scan over the compiled encoder") {
+    val plan = planOf("q121_bpe_encode")
+    // the fit's word-count scans run at FIT time (driver model); the gate
+    // frame itself re-reads the corpus once for encoding
+    assert(plan.contains("bpe_encode"), "expected the compiled encoder node")
+    assert(!plan.contains("Window"), s"encoding windows:\n${plan.take(2000)}")
+    assert("FileScan parquet".r.findAllIn(plan).length == 1,
+      "the encode frame must read the corpus exactly once")
+  }
 }
