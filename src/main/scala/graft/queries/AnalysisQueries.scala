@@ -146,9 +146,15 @@ object AnalysisQueries {
   val bpeEncodeStats: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val model = graft.ops.BpeTrainer.fit(docs, "text", BpeMerges)
+    // the gate ships the tokenizer through its persistence format before
+    // encoding (the q93/q111 stored-artifact pattern): save, reload, use
+    val bpePath = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_bpe")).toString
+    graft.store.IndexStore.saveBpe(s, model, bpePath)
+    val merges = graft.store.IndexStore.loadBpeMerges(s, bpePath)
     docs.select(col("source"),
         explode(graft.functions.TextExpr.bpeEncode(col("text"),
-          model.merges.map(m => (m.lhs, m.rhs)))).as("sub"))
+          merges.map(m => (m.lhs, m.rhs)))).as("sub"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_subwords"),
         countDistinct(col("sub")).as("n_distinct_subwords"),

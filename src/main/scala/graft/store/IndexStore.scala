@@ -164,6 +164,31 @@ object IndexStore {
       vocab, vocab.count())
   }
 
+  /** Persist a learned BPE merge list ([[graft.ops.BpeTrainer.BpeModel]]).
+    * The merge table IS the tokenizer (encoding needs nothing else), so
+    * this is the whole artifact a training job ships to its workers; the
+    * fit-time word end states are deliberately NOT stored — encoding
+    * regenerates them exactly (BpeSpec pins that identity). */
+  def saveBpe(spark: SparkSession, model: graft.ops.BpeTrainer.BpeModel,
+              path: String): Unit = {
+    writeMeta(spark, path, "bpe")
+    graft.ops.BpeTrainer.mergesDf(spark, model)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+  }
+
+  /** Reload the ordered merge list (driver-side, vocabulary-bounded —
+    * the same collect contract as the fit itself). */
+  def loadBpeMerges(spark: SparkSession, path: String): Seq[graft.ops.BpeTrainer.Merge] = {
+    checkMeta(spark, path, "bpe")
+    spark.read.parquet(s"$path/merges")
+      .orderBy("step")
+      .collect()
+      .map(r => graft.ops.BpeTrainer.Merge(
+        r.getAs[String]("lhs"), r.getAs[String]("rhs"),
+        r.getAs[Int]("step"), r.getAs[Long]("pair_count")))
+      .toSeq
+  }
+
   /** Persist the q66-style MinHash/span/chunk hash index: any one-column
     * (or narrow) DataFrame of hashes/signatures. The generic store for
     * indexes that are pure DataFrames (no driver-side fitted state). */

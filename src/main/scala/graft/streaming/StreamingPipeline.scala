@@ -136,6 +136,31 @@ object StreamingPipeline {
         col("c.chunk_text").as("chunk_text"), col("c.n_tokens").as("n_tokens"))
   }
 
+  /** Tokenizer-aware ingest prep — the round-9 screens composed as ONE
+    * stateless per-row transform, so the same code runs verbatim over a
+    * batch frame or a micro-batch stream (no state, no watermark):
+    * char-class census → keep docs whose dominant script is `script` and
+    * that are not mixed-script → keep docs whose top-2-gram fraction stays
+    * under `maxTopGram` (the Gopher boilerplate gate) → encode survivors
+    * with the STORED BPE merge list (the artifact a training job ships —
+    * [[graft.store.IndexStore.loadBpeMerges]]). Emits
+    * (id, dominant, top2gram, n_subwords) per surviving doc. */
+  def subwordPrepStream(docs: DataFrame, idCol: String, textCol: String,
+                        merges: Seq[(String, String)], script: String = "latin",
+                        maxTopGram: Double = 0.5): DataFrame = {
+    val f = graft.functions.TextFunctions
+    val censused = docs
+      .withColumn("__c", f.charClassCounts(col(textCol)))
+      .withColumn("dominant", f.dominantScript(col("__c")))
+      .withColumn("top2gram", f.topGramFraction(col(textCol), 2))
+      .where(col("dominant") === script && !f.mixedScript(col("__c")) &&
+        col("top2gram") <= maxTopGram)
+    censused.select(col(idCol), col("dominant"),
+      col("top2gram"),
+      size(graft.functions.TextExpr.bpeEncode(col(textCol), merges))
+        .cast("long").as("n_subwords"))
+  }
+
   /** Streaming semantic decontamination: every arriving micro-batch of
     * embedded documents screens against the benchmark EMBEDDINGS with the
     * batch operator ([[graft.dedup.Contamination.semanticScores]] — the

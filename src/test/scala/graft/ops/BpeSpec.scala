@@ -54,6 +54,18 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("stored tokenizer round-trips losslessly and rejects a wrong kind") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val model = BpeTrainer.fit(docs, "text", 10)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_idx").toString
+    graft.store.IndexStore.saveBpe(spark, model, dir)
+    val back = graft.store.IndexStore.loadBpeMerges(spark, dir)
+    assert(back == model.merges, "reloaded merge list must be identical, in order")
+    intercept[IllegalArgumentException] {
+      graft.store.IndexStore.loadHashIndex(spark, dir)
+    }
+  }
+
   test("subword concatenation round-trips every token (corpus + edges)") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("text"))

@@ -602,6 +602,34 @@ class StreamingSpec extends SparkSpec {
       "stateless text-prep must be identical in batch and streaming")
   }
 
+  test("streaming subword prep (script/repetition screens -> stored BPE) equals batch") {
+    val docsPath = s"$dir/documents.parquet"
+    val d = java.nio.file.Files.createTempDirectory("graft_subword_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(docsPath), d.resolve("docs.parquet"))
+    // fit + persist the tokenizer once (batch side), stream ships the
+    // reloaded merge list — the artifact-shipping contract
+    val model = graft.ops.BpeTrainer.fit(spark.read.parquet(docsPath), "text", 10)
+    val bpeDir = java.nio.file.Files.createTempDirectory("graft_subword_bpe").toString
+    graft.store.IndexStore.saveBpe(spark, model, bpeDir)
+    val merges = graft.store.IndexStore.loadBpeMerges(spark, bpeDir)
+      .map(m => (m.lhs, m.rhs))
+    val schema = spark.read.parquet(docsPath).schema
+    val stream = spark.readStream.schema(schema).parquet(d.toString)
+    val q = StreamingPipeline.subwordPrepStream(stream, "doc_id", "text", merges)
+      .writeStream.format("memory").queryName("subwordprep_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("subwordprep_test")
+
+    val batch = StreamingPipeline.subwordPrepStream(
+      spark.read.parquet(docsPath), "doc_id", "text", merges)
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stateless subword prep must be identical in batch and streaming")
+  }
+
   test("streaming chunk-prep (soft gate -> sliding chunks) equals the batch composition") {
     val docsPath = s"$dir/documents.parquet"
     val d = java.nio.file.Files.createTempDirectory("graft_chunkprep_src")
