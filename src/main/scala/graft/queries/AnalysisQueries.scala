@@ -162,6 +162,48 @@ object AnalysisQueries {
       .orderBy("source")
   }
 
+  /** q122: tokenizer-aware sequence packing — the q64 packing contract
+    * driven by REAL subword counts from the learned tokenizer instead of
+    * whitespace tokens (what a training job actually packs by: context
+    * budgets are in model tokens). Composition: BPE fit → compiled encode
+    * for per-doc subword counts → greedy concat-and-chop packing per
+    * source at a 512-subword budget. The oracle replays the merge chain,
+    * derives each word's end-state symbol count, sums per doc, and
+    * re-runs the packing arithmetic. */
+  val bpePacking: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val model = graft.ops.BpeTrainer.fit(docs, "text", BpeMerges)
+    val withTok = docs.select(col("source"), col("doc_id"),
+      size(graft.functions.TextExpr.bpeEncode(col("text"),
+        model.merges.map(m => (m.lhs, m.rhs)))).cast("long").as("ntok"))
+    val packed = graft.ops.Packing.packSequences(
+      withTok, Seq("source"), "doc_id", "ntok", 512)
+    graft.ops.Packing.packingStats(packed, Seq("source"), "ntok", 512)
+      .orderBy("source")
+  }
+
+  private def bpePackingOracle(n: Int): String =
+    bpeChainSql(n) + s""",
+      |enc AS (SELECT word, len(string_split(trim(repr, ':'), '::')) AS nsw FROM w$n),
+      |tok AS (SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |          ELSE string_split_regex(trim(text), '\\s+') END) AS word
+      |        FROM documents),
+      |cnt AS (
+      |  SELECT d.source, d.doc_id, coalesce(s.nsw, 0) AS ntok
+      |  FROM documents d LEFT JOIN (
+      |    SELECT t.doc_id, CAST(sum(e.nsw) AS BIGINT) AS nsw
+      |    FROM tok t JOIN enc e USING (word) GROUP BY 1) s USING (doc_id)),
+      |p AS (
+      |  SELECT source, doc_id, ntok,
+      |    sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok AS strt
+      |  FROM cnt)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(max(floor(strt / 512)) + 1 AS BIGINT) AS n_seqs,
+      |  CAST(sum(ntok) AS BIGINT) AS total_tokens,
+      |  round(sum(ntok) * 1.0 / ((max(floor(strt / 512)) + 1) * 512), 6) AS fill_ratio
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The unrolled merge-replay CTE chain shared by the q120/q121 oracles:
     * w0 = the word table as ':'-framed codepoint symbols, then per step i —
     * p{i} pair counts (every adjacent occurrence, freq-weighted), b{i} the
@@ -214,6 +256,7 @@ object AnalysisQueries {
   val all: Map[String, Q] = Map(
     "q116_retrieval_eval" -> retrievalEval,
     "q120_bpe_vocab" -> bpeVocab,
+    "q122_bpe_packing" -> bpePacking,
     "q121_bpe_encode" -> bpeEncodeStats,
     "q117_script_profile" -> scriptProfile,
     "q118_trigram_perplexity" -> trigramPerplexity,
@@ -221,6 +264,7 @@ object AnalysisQueries {
 
   val oracles: Map[String, String] = Map(
     "q120_bpe_vocab" -> bpeVocabOracle(BpeMerges),
+    "q122_bpe_packing" -> bpePackingOracle(BpeMerges),
     "q121_bpe_encode" -> bpeEncodeOracle(BpeMerges),
     "q116_retrieval_eval" ->
       """WITH q(query_id, term) AS (VALUES (CAST(1 AS BIGINT),'spark'),(1,'dup'),(1,'key'),
