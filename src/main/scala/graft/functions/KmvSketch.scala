@@ -99,3 +99,133 @@ object KmvDistinct {
     ColumnBridge.column(
       KmvDistinct(ColumnBridge.expression(c), k).toAggregateExpression())
 }
+
+/** The KMV sketch ITSELF as an aggregate — array<long> of the k minimum
+  * hash keys in ascending unsigned order (stored sign-flipped, the
+  * [[KmvState]] encoding). Unlike [[KmvDistinct]], which evals straight to
+  * an estimate, the materialized sketch supports SET ALGEBRA downstream
+  * ([[KmvSetOps]]: union / intersection / Jaccard between groups) — the
+  * Beyer et al. 2007 synopsis story. Input duplicates collapse for free
+  * (same hash → same key), so the aggregate consumes the RAW value stream
+  * with O(k) state and needs no vocabulary-sized distinct shuffle first —
+  * exactly what the exact overlap matrix cannot avoid. */
+case class KmvSketchAgg(child: Expression, k: Int,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KmvState] {
+
+  private val hasher = XxHash64(Seq(child), 42L)
+
+  override def createAggregationBuffer(): KmvState =
+    KmvState(k, mutable.TreeSet.empty[Long])
+
+  override def update(buffer: KmvState, input: InternalRow): KmvState = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(hasher.eval(input).asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(b1: KmvState, b2: KmvState): KmvState = {
+    b1.mergeWith(b2); b1
+  }
+
+  override def eval(buffer: KmvState): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      buffer.heap.toArray[Any](scala.reflect.ClassTag.Any))
+
+  override def serialize(buffer: KmvState): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buffer.heap.size * 8)
+    bb.putInt(buffer.heap.size)
+    buffer.heap.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvState = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val s = KmvState(k, mutable.TreeSet.empty[Long])
+    (0 until n).foreach(_ => s.heap += bb.getLong)
+    s
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "kmv_sketch"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object KmvSketchAgg {
+  def kmvSketch(c: Column, k: Int = 256): Column =
+    ColumnBridge.column(
+      KmvSketchAgg(ColumnBridge.expression(c), k).toAggregateExpression())
+}
+
+/** Set algebra over two [[KmvSketchAgg]] sketches (same k, same hash):
+  * struct<union_est, intersect_est, jaccard>. The union of two KMV
+  * sketches' k smallest keys IS the KMV sketch of the set union, so
+  * union_est reuses the (k-1)/U(k) estimator (exact when fewer than k
+  * keys — then the merged key set is the exact distinct union). Jaccard
+  * is estimated as the fraction ρ of the union sketch's keys present in
+  * BOTH inputs, and intersect_est = round(ρ · union_est) — Beyer et al.
+  * 2007. All arithmetic is per-row over ≤2k longs. */
+case class KmvSetOps(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(k >= 2, "k must be >= 2")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("union_est", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("intersect_est", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("jaccard", org.apache.spark.sql.types.DoubleType,
+      nullable = false)))
+  override def prettyName: String = "kmv_set_ops"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val ka = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    val kb = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    val setA = new java.util.HashSet[Long]()
+    ka.foreach(setA.add)
+    val setB = new java.util.HashSet[Long]()
+    kb.foreach(setB.add)
+    // k smallest distinct keys of the merged sketches = the union's sketch
+    val merged = new java.util.TreeSet[java.lang.Long]()
+    ka.foreach(merged.add(_))
+    kb.foreach(merged.add(_))
+    while (merged.size > k) merged.remove(merged.last)
+    val m = merged.size
+    val unionEst: Long =
+      if (m < k) m.toLong
+      else {
+        val frac = (merged.last.toDouble - Long.MinValue.toDouble) / math.pow(2, 64)
+        math.round((k - 1) / math.max(frac, Double.MinPositiveValue))
+      }
+    var inBoth = 0
+    val it = merged.iterator()
+    while (it.hasNext) {
+      val key = it.next().longValue()
+      if (setA.contains(key) && setB.contains(key)) inBoth += 1
+    }
+    val jaccard = if (m == 0) 0.0 else inBoth.toDouble / m
+    InternalRow(unionEst, math.round(jaccard * unionEst), jaccard)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object KmvSetOps {
+  def kmvSetOps(a: Column, b: Column, k: Int = 256): Column =
+    ColumnBridge.column(KmvSetOps(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), k))
+}

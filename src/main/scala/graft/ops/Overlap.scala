@@ -80,4 +80,33 @@ object Overlap {
       .withColumn("containment",
         round(col("n_common").cast("double") / least(col("n_a"), col("n_b")), 4))
   }
+
+  /** The 100 TB form of [[overlapMatrix]]: per-group KMV sketches replace
+    * the exact distinct machinery entirely. The exact matrix needs a
+    * vocabulary-sized (group, hash) distinct — itself a corpus-wide
+    * shuffle — plus a self-join whose output grows with the shared
+    * vocabulary; the sketch path aggregates the RAW gram-hash stream with
+    * O(k) state per group (duplicates collapse inside the sketch), ships
+    * G sketch rows into a G²-bounded pair join, and estimates
+    * union / intersection / Jaccard per pair with [[graft.functions.KmvSetOps]]
+    * set algebra. Error is the KMV synopsis bound (~1/√k relative on the
+    * union; the q123 gate asserts MEASURED bounds). Returns one row per
+    * unordered pair: (group_a, group_b, union_est, intersect_est,
+    * jaccard_est). */
+  def overlapMatrixSketched(docs: DataFrame, groupCol: String, textCol: String,
+                            n: Int, k: Int = 256): DataFrame = {
+    val sketches = docs
+      .select(col(groupCol).as("grp"),
+        explode(HashFunctions.wordGramHashes(col(textCol), n)).as("h"))
+      .groupBy("grp")
+      .agg(graft.functions.KmvSketchAgg.kmvSketch(col("h"), k).as("sk"))
+    sketches.as("a")
+      .join(sketches.as("b"), col("a.grp") < col("b.grp"))
+      .select(col("a.grp").as("group_a"), col("b.grp").as("group_b"),
+        graft.functions.KmvSetOps.kmvSetOps(col("a.sk"), col("b.sk"), k).as("e"))
+      .select(col("group_a"), col("group_b"),
+        col("e.union_est").as("union_est"),
+        col("e.intersect_est").as("intersect_est"),
+        col("e.jaccard").as("jaccard_est"))
+  }
 }

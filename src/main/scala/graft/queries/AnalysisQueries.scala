@@ -204,6 +204,32 @@ object AnalysisQueries {
       |  round(sum(ntok) * 1.0 / ((max(floor(strt / 512)) + 1) * 512), 6) AS fill_ratio
       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q123: sketched cross-source overlap — the 100 TB path for q89's
+    * matrix ([[graft.ops.Overlap.overlapMatrixSketched]]: per-source KMV
+    * sketches over the raw gram-hash stream, O(k) state, no
+    * vocabulary-sized distinct shuffle; union/intersection/Jaccard per
+    * pair by KMV set algebra). The q52 bounded-assert pattern: the engine
+    * emits the EXACT pair counts (the q89 machinery, string-space-oracled)
+    * plus booleans certifying every estimate sits inside its bound —
+    * measured at k=512 across all three SFs (worst case: union 12.6% rel,
+    * Jaccard 0.056 abs, intersection 5.9% of union; gate bounds 20% /
+    * 0.10 / 10% leave margin). */
+  val sketchedOverlap: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val exact = graft.ops.Overlap.overlapMatrix(docs, "source", "text", 3)
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"), col("n_common"))
+    val est = graft.ops.Overlap.overlapMatrixSketched(docs, "source", "text", 3, 512)
+    val exUnion = (col("n_a") + col("n_b") - col("n_common")).cast("double")
+    exact.join(est, Seq("group_a", "group_b"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"), col("n_common"),
+        (abs(col("union_est") - exUnion) <= exUnion * 0.20).as("union_within_20pct"),
+        (abs(col("jaccard_est") - col("n_common") / exUnion) <= 0.10)
+          .as("jaccard_within_010"),
+        (abs(col("intersect_est") - col("n_common")) <= exUnion * 0.10)
+          .as("intersect_within_10pct_of_union"))
+      .orderBy("group_a", "group_b")
+  }
+
   /** The unrolled merge-replay CTE chain shared by the q120/q121 oracles:
     * w0 = the word table as ':'-framed codepoint symbols, then per step i —
     * p{i} pair counts (every adjacent occurrence, freq-weighted), b{i} the
@@ -257,12 +283,35 @@ object AnalysisQueries {
     "q116_retrieval_eval" -> retrievalEval,
     "q120_bpe_vocab" -> bpeVocab,
     "q122_bpe_packing" -> bpePacking,
+    "q123_sketched_overlap" -> sketchedOverlap,
     "q121_bpe_encode" -> bpeEncodeStats,
     "q117_script_profile" -> scriptProfile,
     "q118_trigram_perplexity" -> trigramPerplexity,
     "q119_repetition_report" -> repetitionReport)
 
   val oracles: Map[String, String] = Map(
+    "q123_sketched_overlap" ->
+      """WITH d AS (
+        |  SELECT source, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |gl AS (SELECT source,
+        |  CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |       ELSE list_transform(generate_series(1, len(ts) - 2),
+        |              i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2])) END AS gs
+        |  FROM d),
+        |g AS (SELECT DISTINCT source, unnest(gs) AS gram FROM gl),
+        |sz AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS ga, b.source AS gb, count(*) AS n_common
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa.source AS group_a, sb.source AS group_b,
+        |  sa.n AS n_a, sb.n AS n_b,
+        |  coalesce(i.n_common, 0) AS n_common,
+        |  true AS union_within_20pct, true AS jaccard_within_010,
+        |  true AS intersect_within_10pct_of_union
+        |FROM sz sa JOIN sz sb ON sa.source < sb.source
+        |LEFT JOIN inter i ON i.ga = sa.source AND i.gb = sb.source
+        |ORDER BY 1, 2""".stripMargin,
     "q120_bpe_vocab" -> bpeVocabOracle(BpeMerges),
     "q122_bpe_packing" -> bpePackingOracle(BpeMerges),
     "q121_bpe_encode" -> bpeEncodeOracle(BpeMerges),

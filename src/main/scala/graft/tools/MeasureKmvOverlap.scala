@@ -1,0 +1,39 @@
+package graft.tools
+
+import graft.ops.Overlap
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch: KMV-sketched overlap-matrix error vs the exact matrix, per SF
+  * and per k — sizing the q123 bound booleans before fixing them (bounds
+  * must be measured at every scale factor, never extrapolated from one).
+  * Reports worst-case relative union error, absolute Jaccard error, and
+  * intersection error as a fraction of the exact union. */
+object MeasureKmvOverlap {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (sf <- Seq("0.001", "0.01", "0.1"); k <- Seq(256, 512)) {
+      val docs = Tables.documents(spark, s"/root/testdata/sf$sf")
+      val exact = Overlap.overlapMatrix(docs, "source", "text", n = 3)
+        .select(col("group_a"), col("group_b"),
+          (col("n_a") + col("n_b") - col("n_common")).as("ex_union"),
+          col("n_common").as("ex_int"))
+      val est = Overlap.overlapMatrixSketched(docs, "source", "text", n = 3, k = k)
+      val j = exact.join(est, Seq("group_a", "group_b"))
+        .select(
+          (abs(col("union_est") - col("ex_union")) / col("ex_union")).as("u_rel"),
+          abs(col("jaccard_est") - col("ex_int") / col("ex_union")).as("j_abs"),
+          (abs(col("intersect_est") - col("ex_int")) / col("ex_union")).as("i_rel"))
+        .agg(max("u_rel"), max("j_abs"), max("i_rel"), count(lit(1)))
+        .head()
+      println(f"sf=$sf%-6s k=$k%4d pairs=${j.getLong(3)}%4d " +
+        f"maxUnionRelErr=${j.getDouble(0)}%.4f maxJacAbsErr=${j.getDouble(1)}%.4f " +
+        f"maxIntErrOverUnion=${j.getDouble(2)}%.4f")
+    }
+    spark.stop()
+  }
+}

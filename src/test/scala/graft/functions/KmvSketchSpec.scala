@@ -29,6 +29,55 @@ class KmvSketchSpec extends SparkSpec {
     }
   }
 
+  test("set ops are exact below k: union, intersection, jaccard") {
+    import graft.functions.KmvSketchAgg.kmvSketch
+    import graft.functions.KmvSetOps.kmvSetOps
+    // A = 1..60, B = 41..100: union 100, intersection 20, jaccard 0.2
+    val df = ((1 to 60).map(v => ("a", v)) ++ (41 to 100).map(v => ("b", v)))
+      .toDF("g", "v")
+    val sk = df.groupBy("g").agg(kmvSketch(col("v"), 256).as("sk"))
+    val r = sk.where(col("g") === "a").crossJoin(
+        sk.where(col("g") === "b").select(col("sk").as("skb")))
+      .select(kmvSetOps(col("sk"), col("skb"), 256).as("e"))
+      .select(col("e.union_est"), col("e.intersect_est"), col("e.jaccard"))
+      .as[(Long, Long, Double)].head()
+    assert(r == ((100L, 20L, 0.2)), s"got $r")
+  }
+
+  test("set-op union estimate equals the merged-sketch distinct estimate") {
+    import graft.functions.KmvSketchAgg.kmvSketch
+    import graft.functions.KmvSetOps.kmvSetOps
+    // above k: the pairwise union estimator must agree with running
+    // KmvDistinct over the concatenated stream (same k, same hash)
+    val a = (1 to 120000).map(v => ("a", v % 30000))
+    val b = (1 to 120000).map(v => ("b", (v % 30000) + 15000))
+    val df = (a ++ b).toDF("g", "v").repartition(8)
+    val sk = df.groupBy("g").agg(kmvSketch(col("v"), 256).as("sk"))
+    val pairUnion = sk.where(col("g") === "a").crossJoin(
+        sk.where(col("g") === "b").select(col("sk").as("skb")))
+      .select(kmvSetOps(col("sk"), col("skb"), 256).as("e"))
+      .select(col("e.union_est")).as[Long].head()
+    val mergedEst = df.agg(kmvDistinct(col("v"), 256)).as[Long].head()
+    assert(pairUnion == mergedEst,
+      s"pairwise union $pairUnion != merged-stream estimate $mergedEst")
+    // and the estimate is within the KMV error envelope of the truth (45000)
+    assert(math.abs(pairUnion - 45000.0) / 45000.0 < 0.15)
+  }
+
+  test("sketched overlap matrix stays inside the measured q123 bounds") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = graft.ops.Overlap.overlapMatrix(docs, "source", "text", 3)
+      .select(col("group_a"), col("group_b"),
+        (col("n_a") + col("n_b") - col("n_common")).as("exu"), col("n_common"))
+    val est = graft.ops.Overlap.overlapMatrixSketched(docs, "source", "text", 3, 512)
+    val bad = exact.join(est, Seq("group_a", "group_b"))
+      .where(abs(col("union_est") - col("exu")) > col("exu") * 0.20 ||
+        abs(col("jaccard_est") - col("n_common") / col("exu")) > 0.10 ||
+        abs(col("intersect_est") - col("n_common")) > col("exu") * 0.10)
+      .count()
+    assert(bad == 0, s"$bad pairs outside the measured bounds")
+  }
+
   test("nulls are ignored") {
     val df = Seq(Some(1), None, Some(2), None, Some(1)).toDF("v")
     assert(df.agg(kmvDistinct(col("v"), 16)).as[Long].head() == 2L)
