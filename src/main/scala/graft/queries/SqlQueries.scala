@@ -237,7 +237,46 @@ object SqlQueries {
       FROM ch ORDER BY doc_id, chunk_idx""")
   }
 
+  /** q117's script census as pure SQL text: the compiled
+    * `char_class_counts` expression called FROM SQL (the round-9 member of
+    * the SQL tier), with the dominant/mixed derivations restated as the
+    * same CASE chains the oracle uses. Shares q117's oracle verbatim. */
+  val sqlScriptProfile: Q = (s, dir) => {
+    ensureSurface(s, dir)
+    ColumnBridge.registerFunction(s, "char_class_counts",
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "usage: char_class_counts(text)")
+        graft.functions.CharClassCounts(args.head)
+      })
+    s.sql("""
+      WITH t AS (
+        SELECT source,
+          char_class_counts(CASE
+            WHEN doc_id % 10 = 1 THEN 'привет мир как дела сегодня'
+            WHEN doc_id % 10 = 2 THEN '你好 世界 数据 系统 模型'
+            WHEN doc_id % 10 = 3 THEN text || ' привет мир'
+            WHEN doc_id % 10 = 4 THEN text || ' 你好 世界'
+            ELSE text END) AS c
+        FROM documents),
+      e AS (
+        SELECT source, c.ascii_letter AS letter, c.cyrillic AS cyr,
+          c.cjk AS cjk, c.other AS oth,
+          CASE WHEN CAST(c.ascii_letter > 0 AS INT) + CAST(c.cyrillic > 0 AS INT)
+               + CAST(c.cjk > 0 AS INT) >= 2 THEN 1 ELSE 0 END AS mixed,
+          CASE WHEN c.ascii_letter >= c.cyrillic AND c.ascii_letter >= c.cjk
+                AND c.ascii_letter >= c.other THEN 'latin'
+               WHEN c.cyrillic >= c.cjk AND c.cyrillic >= c.other THEN 'cyrillic'
+               WHEN c.cjk >= c.other THEN 'cjk'
+               ELSE 'other' END AS dominant
+        FROM t)
+      SELECT source, dominant, count(*) AS n_docs,
+        sum(mixed) AS n_mixed, sum(letter) AS sum_letter,
+        sum(cyr) AS sum_cyrillic, sum(cjk) AS sum_cjk, sum(oth) AS sum_other
+      FROM e GROUP BY source, dominant ORDER BY source, dominant""")
+  }
+
   val all: Map[String, Q] = Map(
+    "q124_sql_script_profile" -> sqlScriptProfile,
     "q113_sql_chunks" -> sqlChunks,
     "q96_sql_split" -> sqlTrainValSplit,
     "q71_sql_pricing_summary" -> sqlPricingSummary,
@@ -248,6 +287,7 @@ object SqlQueries {
     "q81_sql_temperature_mix" -> sqlTemperatureMix)
 
   val oracles: Map[String, String] = Map(
+    "q124_sql_script_profile" -> AnalysisQueries.oracles("q117_script_profile"),
     "q113_sql_chunks" -> RetrievalQueries.oracles("q107_sliding_chunks"),
     "q96_sql_split" -> ModelPrepQueries.oracles("q88_train_val_split"),
     "q71_sql_pricing_summary" -> RelationalQueries.oracles("q01_pricing_summary"),

@@ -23,7 +23,8 @@ class SqlQueriesSpec extends SparkSpec {
       "q74_sql_approx_distinct" -> "q52_approx_distinct",
       "q75_sql_asof" -> "q17_asof_join",
       "q81_sql_temperature_mix" -> "q80_temperature_mix",
-      "q113_sql_chunks" -> "q107_sliding_chunks")
+      "q113_sql_chunks" -> "q107_sliding_chunks",
+      "q124_sql_script_profile" -> "q117_script_profile")
     for ((sqlName, dfName) <- twins) {
       val viaSql = canon(SparkEntry.queries(sqlName)(spark, dir))
       val viaDf = canon(SparkEntry.queries(dfName)(spark, dir))
