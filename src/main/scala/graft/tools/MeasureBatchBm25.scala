@@ -1,0 +1,46 @@
+package graft.tools
+
+import graft.ops.Bm25
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch: batch multi-query BM25 (one corpus pass) vs the per-query
+  * loop (Q corpus passes) at sf0.1 — the measured basis of topKBatch's
+  * existence. Q term-bag queries over the corpus vocabulary; min-of-3
+  * wall clock per side. */
+object MeasureBatchBm25 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    val vocab = Seq("spark", "shuffle", "partition", "join", "window", "merge",
+      "vector", "stream", "batch", "scan", "filter", "sort", "hash", "group",
+      "order", "data", "table", "query", "key", "agg", "row", "line", "value",
+      "column", "part", "fast", "slow", "big", "small", "dup")
+    def timeMin3(f: => Long): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+    for (nq <- Seq(3, 10, 30)) {
+      val queries = (0 until nq).flatMap(q =>
+        Seq(vocab(q % vocab.size), vocab((q + 7) % vocab.size),
+          vocab((q + 13) % vocab.size)).map(t => (q.toLong, t)))
+      val qdf = queries.toDF("query_id", "term")
+      val batchSec = timeMin3 {
+        Bm25.topKBatch(docs, "doc_id", "text", qdf, k = 15).count()
+      }
+      val loopSec = timeMin3 {
+        (0 until nq).map { q =>
+          Bm25.topK(docs, "doc_id", "text",
+            queries.filter(_._1 == q).map(_._2), k = 15).count()
+        }.sum
+      }
+      println(f"Q=$nq%3d batch=$batchSec%7.3fs loop=$loopSec%7.3fs  speedup=${loopSec / batchSec}%5.2fx")
+    }
+    spark.stop()
+  }
+}
