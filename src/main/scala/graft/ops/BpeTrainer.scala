@@ -94,6 +94,70 @@ object BpeTrainer {
       wordFreq.map(_._1).zip(words.map(_.toSeq)).toMap)
   }
 
+  /** Continued training — tokenizer domain adaptation without a from-
+    * scratch refit: freeze `model`'s merge list, recount the NEW corpus's
+    * word table with those merges applied (exactly how encoding would see
+    * it), and learn `extraMerges` more merges greedily on top, ranks
+    * continuing where the base model stopped. The same distributed/driver
+    * split as [[fit]]; a frozen merge can never be re-learned (merged
+    * symbols only grow, so a merged pair's adjacency cannot re-form).
+    * Returns the COMBINED model (base merges ++ new merges, end states
+    * for the new corpus's words). */
+  def continueFit(model: BpeModel, docs: DataFrame, textCol: String,
+                  extraMerges: Int, maxWords: Int = 1000000): BpeModel = {
+    require(extraMerges >= 1, "need at least one extra merge step")
+    val wordFreq: Array[(String, Long)] = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w").asc)
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val words: Array[Array[String]] = wordFreq.map { case (w, _) =>
+      var syms: Array[String] =
+        w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+      model.merges.foreach { m => syms = mergePair(syms, m.lhs, m.rhs) }
+      syms
+    }
+    val freqs = wordFreq.map(_._2)
+    val merges = Seq.newBuilder[Merge]
+    merges ++= model.merges
+    var step = model.merges.size + 1
+    val lastStep = model.merges.size + extraMerges
+    var exhausted = false
+    while (step <= lastStep && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      var wi = 0
+      while (wi < words.length) {
+        val s = words(wi); val f = freqs(wi)
+        var i = 0
+        while (i + 1 < s.length) {
+          counts.merge((s(i), s(i + 1)), f, (a, b) => a + b)
+          i += 1
+        }
+        wi += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.forEach { (pair, c) =>
+          if (best == null || c > best._2 ||
+              (c == best._2 && (pair._1 < best._1._1 ||
+                (pair._1 == best._1._1 && pair._2 < best._1._2)))) best = (pair, c)
+        }
+        val ((l, r), c) = best
+        merges += Merge(l, r, step, c)
+        var wi2 = 0
+        while (wi2 < words.length) {
+          words(wi2) = mergePair(words(wi2), l, r)
+          wi2 += 1
+        }
+        step += 1
+      }
+    }
+    BpeModel(merges.result(),
+      wordFreq.map(_._1).zip(words.map(_.toSeq)).toMap)
+  }
+
   /** Left-to-right non-overlapping merge of (l, r) in a symbol sequence —
     * the one semantics shared by the driver loop, the compiled encoder,
     * and the oracle's SQL `replace`. */

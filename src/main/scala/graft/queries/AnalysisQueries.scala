@@ -230,39 +230,83 @@ object AnalysisQueries {
       .orderBy("group_a", "group_b")
   }
 
-  /** The unrolled merge-replay CTE chain shared by the q120/q121 oracles:
-    * w0 = the word table as ':'-framed codepoint symbols, then per step i —
-    * p{i} pair counts (every adjacent occurrence, freq-weighted), b{i} the
-    * (count desc, pair asc) winner, w{i} the merge applied everywhere. */
-  private def bpeChainSql(n: Int): String = {
-    val sb = new StringBuilder
-    sb.append(
-      """WITH w0 AS MATERIALIZED (
-        |  SELECT w AS word, regexp_replace(w, '(.)', ':\1:', 'g') AS repr,
-        |    CAST(count(*) AS BIGINT) AS f
-        |  FROM (SELECT unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-        |          ELSE string_split_regex(trim(text), '\s+') END) AS w
-        |        FROM documents)
-        |  GROUP BY 1)""".stripMargin)
-    for (i <- 1 to n) {
-      sb.append(s""",
+  /** The unrolled merge-replay CTE chain shared by the q120/q121/q122/q125
+    * oracles: a base word table as ':'-framed codepoint symbols, then per
+    * step i — p{i} pair counts (every adjacent occurrence, freq-weighted),
+    * b{i} the (count desc, pair asc) winner, w{i} the merge applied
+    * everywhere. All CTEs MATERIALIZED: step i references step i-1 twice,
+    * so default inlining re-reads the base table 2^n times. */
+  private def bpeBaseSql(name: String, whereClause: String): String =
+    s"""$name AS MATERIALIZED (
+      |  SELECT w AS word, regexp_replace(w, '(.)', ':\\1:', 'g') AS repr,
+      |    CAST(count(*) AS BIGINT) AS f
+      |  FROM (SELECT unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |          ELSE string_split_regex(trim(text), '\\s+') END) AS w
+      |        FROM documents$whereClause)
+      |  GROUP BY 1)""".stripMargin
+
+  /** Replay steps lo..hi; step lo reads `from`, later steps read w{i-1}. */
+  private def bpeStepsSql(from: String, lo: Int, hi: Int): String =
+    (lo to hi).map { i =>
+      val src = if (i == lo) from else s"w${i - 1}"
+      s""",
         |p$i AS MATERIALIZED (
         |  SELECT sy[j] AS l, sy[j+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
-        |  FROM (SELECT f, string_split(trim(repr, ':'), '::') AS sy FROM w${i - 1}) t,
+        |  FROM (SELECT f, string_split(trim(repr, ':'), '::') AS sy FROM $src) t,
         |       UNNEST(generate_series(1, len(sy) - 1)) AS u(j)
         |  GROUP BY 1, 2),
         |b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
         |w$i AS MATERIALIZED (
         |  SELECT w.word, replace(w.repr, ':' || b.l || '::' || b.r || ':',
         |                         ':' || b.l || b.r || ':') AS repr, w.f
-        |  FROM w${i - 1} w CROSS JOIN b$i b)""".stripMargin)
-    }
-    sb.toString
-  }
+        |  FROM $src w CROSS JOIN b$i b)""".stripMargin
+    }.mkString
+
+  /** Apply already-derived winners b1..bn to a second base table (the
+    * frozen-merge side of continued training): $prefix{i} = b{i} applied
+    * to $prefix{i-1}. */
+  private def bpeApplySql(base: String, prefix: String, n: Int): String =
+    (1 to n).map { i =>
+      val src = if (i == 1) base else s"$prefix${i - 1}"
+      s""",
+        |$prefix$i AS MATERIALIZED (
+        |  SELECT w.word, replace(w.repr, ':' || b.l || '::' || b.r || ':',
+        |                         ':' || b.l || b.r || ':') AS repr, w.f
+        |  FROM $src w CROSS JOIN b$i b)""".stripMargin
+    }.mkString
+
+  private def bpeChainSql(n: Int): String =
+    "WITH " + bpeBaseSql("w0", "") + bpeStepsSql("w0", 1, n)
 
   private def bpeVocabOracle(n: Int): String =
     bpeChainSql(n) + "\n" +
       (1 to n).map(i =>
+        s"SELECT CAST($i AS INT) AS step, l AS lhs, r AS rhs, cnt AS pair_count FROM b$i")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY step")
+
+  /** q125: continued BPE training — tokenizer domain adaptation. Fit 20
+    * merges on the v1 slice (%10≠3), then CONTINUE 10 more on the FULL
+    * corpus with the v1 merges frozen ([[graft.ops.BpeTrainer.continueFit]]:
+    * recount the new corpus with frozen merges applied, learn on top).
+    * The oracle replays BOTH phases: the v1 chain derives b1..b20, a
+    * second full-corpus base gets those winners APPLIED (a1..a20 — the
+    * frozen side, no recounting), and the chain continues p21..b30 from
+    * a20. Every row certifies the combined history. */
+  val bpeContinued: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val base = graft.ops.BpeTrainer.fit(
+      docs.where(col("doc_id") % 10 =!= 3), "text", BpeMerges)
+    val extended = graft.ops.BpeTrainer.continueFit(base, docs, "text", 10)
+    graft.ops.BpeTrainer.mergesDf(s, extended).orderBy("step")
+  }
+
+  private def bpeContinuedOracle(nBase: Int, nExtra: Int): String =
+    "WITH " + bpeBaseSql("w0", " WHERE doc_id % 10 <> 3") +
+      bpeStepsSql("w0", 1, nBase) +
+      "," + bpeBaseSql("a0", "") +
+      bpeApplySql("a0", "a", nBase) +
+      bpeStepsSql(s"a$nBase", nBase + 1, nBase + nExtra) + "\n" +
+      (1 to nBase + nExtra).map(i =>
         s"SELECT CAST($i AS INT) AS step, l AS lhs, r AS rhs, cnt AS pair_count FROM b$i")
         .mkString("", "\nUNION ALL\n", "\nORDER BY step")
 
@@ -284,6 +328,7 @@ object AnalysisQueries {
     "q120_bpe_vocab" -> bpeVocab,
     "q122_bpe_packing" -> bpePacking,
     "q123_sketched_overlap" -> sketchedOverlap,
+    "q125_bpe_continued" -> bpeContinued,
     "q121_bpe_encode" -> bpeEncodeStats,
     "q117_script_profile" -> scriptProfile,
     "q118_trigram_perplexity" -> trigramPerplexity,
@@ -313,6 +358,7 @@ object AnalysisQueries {
         |LEFT JOIN inter i ON i.ga = sa.source AND i.gb = sb.source
         |ORDER BY 1, 2""".stripMargin,
     "q120_bpe_vocab" -> bpeVocabOracle(BpeMerges),
+    "q125_bpe_continued" -> bpeContinuedOracle(BpeMerges, 10),
     "q122_bpe_packing" -> bpePackingOracle(BpeMerges),
     "q121_bpe_encode" -> bpeEncodeOracle(BpeMerges),
     "q116_retrieval_eval" ->

@@ -54,6 +54,30 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("continued fit freezes the base merges and learns on top (hand case)") {
+    // base: "aab aab aab" -> pairs (a,a)=3 ties (a,b)=3 -> (a,a) wins lexicographically
+    val v1 = Seq("aab aab aab").toDF("text")
+    val base = BpeTrainer.fit(v1, "text", 1)
+    assert(base.merges.map(m => (m.lhs, m.rhs)) == Seq(("a", "a")))
+    // new corpus: frozen (a,a) applies (no-op on "cd"), then (c,d)=2 learned
+    val v2 = Seq("cd cd").toDF("text")
+    val ext = BpeTrainer.continueFit(base, v2, "text", 1)
+    assert(ext.merges.map(m => (m.lhs, m.rhs, m.rank, m.pairCount)) ==
+      Seq(("a", "a", 1, 3L), ("c", "d", 2, 2L)))
+    assert(ext.words("cd") == Seq("cd"))
+  }
+
+  test("continued fit on the real corpus: frozen prefix, continuing ranks") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = BpeTrainer.fit(docs.where(col("doc_id") % 10 =!= 3), "text", 10)
+    val ext = BpeTrainer.continueFit(base, docs, "text", 5)
+    assert(ext.merges.take(10) == base.merges, "base merges must be frozen verbatim")
+    assert(ext.merges.map(_.rank) == (1 to 15), "ranks must continue without gaps")
+    // no merge pair may repeat across the combined list
+    val pairs = ext.merges.map(m => (m.lhs, m.rhs))
+    assert(pairs.distinct.size == pairs.size, "a frozen merge can never be re-learned")
+  }
+
   test("stored tokenizer round-trips losslessly and rejects a wrong kind") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val model = BpeTrainer.fit(docs, "text", 10)
