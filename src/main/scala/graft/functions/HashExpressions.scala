@@ -454,6 +454,11 @@ case class CharShingleHashes(child: Expression, k: Int)
 }
 
 object GraftFunctions {
+  /** Column wrapper for the compiled PCA whitening projection. */
+  def pcaProject(vec: Column, mean: Seq[Double], basis: Seq[Seq[Double]],
+                 scales: Seq[Double]): Column =
+    ColumnBridge.column(PcaProject(ColumnBridge.expression(vec), mean, basis, scales))
+
   /** SQL builder for minhash_signature(text, shingleK, numHashes) — the
     * shape parameters must be integer literals (they fix the output
     * schema, so they cannot be data-dependent). */

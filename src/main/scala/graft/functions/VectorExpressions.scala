@@ -165,6 +165,59 @@ case class Int8DotProduct(left: Expression, right: Expression)
   * order. CodegenFallback: one reflective call per row vs k dot products
   * of work.
   */
+/** Compiled affine projection for PCA whitening: y_j = scale_j · basis_j ·
+  * (x − mean), j < k. The whole transform (mean vector, k×d basis, k
+  * scales) rides in this ONE expression node — the CentroidTopProbes
+  * pattern, so the plan string stays O(1) and k is never plan-bounded.
+  * One fused per-row loop: the mean subtraction folds into the dot
+  * product (y_j = scale_j · (basis_j·x − basis_j·mean), with basis_j·mean
+  * precomputed once per executor). */
+case class PcaProject(child: Expression, mean: Seq[Double],
+                      basis: Seq[Seq[Double]], scales: Seq[Double])
+    extends UnaryExpression with CodegenFallback {
+
+  require(basis.nonEmpty && basis.length == scales.length,
+    "need one scale per basis row")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pca_project"
+
+  // keep plan strings O(1): never print the basis matrix
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"k=${basis.length}", s"d=${mean.length}")
+
+  @transient private lazy val m: Array[Double] = mean.toArray
+  @transient private lazy val b: Array[Array[Double]] = basis.map(_.toArray).toArray
+  @transient private lazy val sc: Array[Double] = scales.toArray
+  @transient private lazy val bDotMean: Array[Double] =
+    b.map { row =>
+      var s = 0.0; var i = 0
+      while (i < row.length && i < m.length) { s += row(i) * m(i); i += 1 }
+      s
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val k = b.length
+    val out = new Array[Any](k)
+    var j = 0
+    while (j < k) {
+      val row = b(j)
+      val n = math.min(x.numElements(), row.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += row(i) * x.getDouble(i); i += 1 }
+      out(j) = (dot - bDotMean(j)) * sc(j)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class CentroidTopProbes(child: Expression, centroids: Seq[Seq[Double]],
                              probes: Int)
     extends UnaryExpression with CodegenFallback {

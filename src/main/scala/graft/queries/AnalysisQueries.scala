@@ -230,6 +230,50 @@ object AnalysisQueries {
       .orderBy("group_a", "group_b")
   }
 
+  /** q126: PCA whitening fit over the embedding corpus
+    * ([[graft.sim.Whitening]]: one treeAggregate for (n, Σx, ΣxxT) — d²/2
+    * doubles of state, nothing corpus-sized shuffled — then a driver-side
+    * Jacobi eigendecomposition of the d×d covariance, and whitening as a
+    * compiled one-node projection). The q52 bounded-assert pattern: the
+    * oracle re-derives the exact scalars (n, dims, the covariance trace =
+    * Σ per-dim var_pop) and the booleans certify the spectral invariants
+    * the engine computed — eigenvalue sum == trace, orthonormal basis,
+    * descending order, and the END-TO-END check that the whitened
+    * corpus's own fitted covariance is the identity (every eigenvalue
+    * within 1e-4 of 1 at the top-16 projection). */
+  val pcaWhitening: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val model = graft.sim.Whitening.fitPca(emb, "embedding")
+    val d = model.dims
+    val eigSumOk =
+      math.abs(model.eigenvalues.sum - model.trace) <= 1e-8 * model.trace
+    var orthoErr = 0.0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        var dot = 0.0
+        var t = 0
+        while (t < d) { dot += model.components(i)(t) * model.components(j)(t); t += 1 }
+        val e = math.abs(dot - (if (i == j) 1.0 else 0.0))
+        if (e > orthoErr) orthoErr = e
+        j += 1
+      }
+      i += 1
+    }
+    val descending = model.eigenvalues.sliding(2)
+      .forall(p => p.length < 2 || p(0) >= p(1) - 1e-12)
+    val whitened = graft.sim.Whitening.whiten(emb, "embedding", model, k = 16)
+      .select(col("whitened").as("embedding"))
+    val wModel = graft.sim.Whitening.fitPca(whitened, "embedding")
+    val covIdentity = wModel.eigenvalues.forall(l => math.abs(l - 1.0) <= 1e-4)
+    Seq((model.nVecs, d, math.rint(model.trace * 1e4) / 1e4,
+        eigSumOk, orthoErr <= 1e-8, descending, covIdentity))
+      .toDF("n_vecs", "dims", "trace", "eigsum_matches_trace", "orthonormal",
+        "evals_descending", "whitened_cov_identity")
+  }
+
   /** The unrolled merge-replay CTE chain shared by the q120/q121/q122/q125
     * oracles: a base word table as ':'-framed codepoint symbols, then per
     * step i — p{i} pair counts (every adjacent occurrence, freq-weighted),
@@ -329,6 +373,7 @@ object AnalysisQueries {
     "q122_bpe_packing" -> bpePacking,
     "q123_sketched_overlap" -> sketchedOverlap,
     "q125_bpe_continued" -> bpeContinued,
+    "q126_pca_whitening" -> pcaWhitening,
     "q121_bpe_encode" -> bpeEncodeStats,
     "q117_script_profile" -> scriptProfile,
     "q118_trigram_perplexity" -> trigramPerplexity,
@@ -358,6 +403,16 @@ object AnalysisQueries {
         |LEFT JOIN inter i ON i.ga = sa.source AND i.gb = sb.source
         |ORDER BY 1, 2""".stripMargin,
     "q120_bpe_vocab" -> bpeVocabOracle(BpeMerges),
+    "q126_pca_whitening" ->
+      """WITH v AS (
+        |  SELECT i, var_pop(embedding[i]) AS vp
+        |  FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+        |  GROUP BY i)
+        |SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
+        |  CAST(64 AS INT) AS dims, round(sum(vp), 4) AS trace,
+        |  true AS eigsum_matches_trace, true AS orthonormal,
+        |  true AS evals_descending, true AS whitened_cov_identity
+        |FROM v""".stripMargin,
     "q125_bpe_continued" -> bpeContinuedOracle(BpeMerges, 10),
     "q122_bpe_packing" -> bpePackingOracle(BpeMerges),
     "q121_bpe_encode" -> bpeEncodeOracle(BpeMerges),

@@ -1,0 +1,182 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PCA whitening for embedding columns — the classic retrieval-quality
+  * preprocessing step (decorrelate + equalize variance before cosine/ANN;
+  * the same transform OPQ-style quantizers start from).
+  *
+  * Scale shape — the textbook Spark split for second-moment statistics:
+  * - The corpus-sized work is ONE `treeAggregate` over the vectors
+  *   accumulating (n, Σx, packed upper-triangular ΣxxT) per partition —
+  *   d(d+1)/2 + d doubles of state (d=64: ~17 KB), combined in a tree, so
+  *   nothing corpus-sized ever shuffles and the driver receives one
+  *   partial per combiner, not per row. This is a genuine per-partition
+  *   imperative accumulation — the one place the RDD API earns its keep.
+  * - The eigendecomposition runs on the DRIVER over the d×d covariance
+  *   (cyclic Jacobi — public textbook algorithm; d³ work on a
+  *   dims-by-dims matrix, the k-means-fit bounded-driver precedent).
+  * - Whitening itself is a compiled per-row projection expression
+  *   ([[graft.functions.PcaProject]]) whose mean/basis/scales ride in ONE
+  *   expression node (the CentroidTopProbes pattern) — a narrow scan, no
+  *   shuffle, no UDF.
+  */
+object Whitening {
+
+  /** A fitted PCA basis: eigenvalues DESCENDING with matching row
+    * eigenvectors; `mean` the per-dim mean; `trace` the covariance trace
+    * (= total variance, the oracle-checkable scalar). */
+  final case class PcaModel(dims: Int, nVecs: Long, trace: Double,
+                            mean: Array[Double], eigenvalues: Array[Double],
+                            components: Array[Array[Double]])
+
+  /** Fit the full PCA basis of `vecCol` (population covariance). */
+  def fitPca(df: DataFrame, vecCol: String): PcaModel = {
+    val vecs = df.select(col(vecCol).cast("array<double>"))
+      .rdd.map(_.getSeq[Double](0).toArray)
+    val d = vecs.first().length
+    val triLen = d * (d + 1) / 2
+    // acc layout: [n, sum(0..d-1), tri(packed row-major upper triangle)]
+    val zero = new Array[Double](1 + d + triLen)
+    def seqOp(acc: Array[Double], x: Array[Double]): Array[Double] = {
+      acc(0) += 1.0
+      var i = 0
+      while (i < d) { acc(1 + i) += x(i); i += 1 }
+      var t = 1 + d
+      i = 0
+      while (i < d) {
+        var j = i
+        val xi = x(i)
+        while (j < d) { acc(t) += xi * x(j); j += 1; t += 1 }
+        i += 1
+      }
+      acc
+    }
+    def combOp(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    val acc = vecs.treeAggregate(zero)(seqOp, combOp)
+    val n = acc(0)
+    require(n > 0, "cannot fit PCA on an empty frame")
+    val mean = Array.tabulate(d)(i => acc(1 + i) / n)
+    val cov = Array.ofDim[Double](d, d)
+    var t = 1 + d
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = acc(t) / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        j += 1; t += 1
+      }
+      i += 1
+    }
+    var trace = 0.0
+    i = 0
+    while (i < d) { trace += cov(i)(i); i += 1 }
+    val (evals, evecs) = jacobiEigen(cov)
+    // sort descending by eigenvalue, tie-break by original index (determinism)
+    val order = evals.indices.sortBy(k => (-evals(k), k))
+    PcaModel(d, n.toLong, trace, mean,
+      order.map(evals).toArray, order.map(evecs).toArray)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix (public
+    * textbook algorithm — Golub & Van Loan §8.5): repeatedly zero the
+    * largest-sweep off-diagonal entries with Givens rotations until the
+    * off-diagonal Frobenius norm vanishes. Returns (eigenvalues,
+    * row-eigenvectors), unsorted. Deterministic: fixed sweep order, fixed
+    * iteration cap. */
+  private[sim] def jacobiEigen(m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offNorm(a)
+    val tol = 1e-14 * math.max(1.0, frobNorm(a))
+    while (off > tol && sweep < 64) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > tol / (d * d)) {
+            // Givens rotation zeroing a(p)(q)
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val sgn = if (theta >= 0) 1.0 else -1.0
+            val tt = sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(tt * tt + 1.0)
+            val s = tt * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              // accumulate V <- V·J (columns p,q) so columns of V are the
+              // eigenvectors of the final diagonal: A_final = Vt A V
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offNorm(a)
+      sweep += 1
+    }
+    // eigenvector i = COLUMN i of the accumulated V; return as rows
+    (Array.tabulate(d)(i => a(i)(i)),
+      Array.tabulate(d)(i => Array.tabulate(d)(r => v(r)(i))))
+  }
+
+  private def offNorm(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      var j = 0
+      while (j < a.length) {
+        if (i != j) s += a(i)(j) * a(i)(j)
+        j += 1
+      }
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  private def frobNorm(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      var j = 0
+      while (j < a.length) { s += a(i)(j) * a(i)(j); j += 1 }
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  /** Whiten `vecCol` onto the model's top-`k` components:
+    * y_j = v_j · (x − mean) / sqrt(λ_j + eps). Narrow compiled projection;
+    * output column `whitened` (array<double>, length k). */
+  def whiten(df: DataFrame, vecCol: String, model: PcaModel, k: Int,
+             eps: Double = 1e-9): DataFrame = {
+    require(k >= 1 && k <= model.dims, s"k must be in [1, ${model.dims}]")
+    val scales = Array.tabulate(k)(j => 1.0 / math.sqrt(model.eigenvalues(j) + eps))
+    df.withColumn("whitened",
+      graft.functions.GraftFunctions.pcaProject(col(vecCol).cast("array<double>"),
+        model.mean.toSeq, model.components.take(k).map(_.toSeq).toSeq,
+        scales.toSeq))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WhiteningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb =
+    graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("jacobi solves the textbook 2x2 symmetric case exactly") {
+    val (evals, evecs) = Whitening.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val order = evals.indices.sortBy(i => -evals(i))
+    val l = order.map(evals)
+    assert(math.abs(l(0) - 3.0) < 1e-12 && math.abs(l(1) - 1.0) < 1e-12)
+    val v0 = evecs(order(0))
+    assert(math.abs(math.abs(v0(0)) - math.sqrt(0.5)) < 1e-12 &&
+      math.abs(v0(0) - v0(1)) < 1e-12, "top eigenvector must be (1,1)/sqrt(2)")
+  }
+
+  test("fitted basis diagonalizes the real covariance: residuals, orthonormality, trace") {
+    val model = Whitening.fitPca(emb, "embedding")
+    val d = model.dims
+    assert(d == 64 && model.nVecs > 0)
+    // eigenvalue sum == trace
+    assert(math.abs(model.eigenvalues.sum - model.trace) <= 1e-8 * model.trace)
+    // descending
+    assert(model.eigenvalues.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    // orthonormal rows
+    for (i <- 0 until d by 7; j <- 0 until d by 7) {
+      val dot = (0 until d).map(t => model.components(i)(t) * model.components(j)(t)).sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-8, s"v$i . v$j = $dot")
+    }
+  }
+
+  test("jacobi pairs eigenvalues with their eigenvectors: A v = lambda v") {
+    // deterministic dense symmetric 6x6 with distinct eigenvalues —
+    // catches value<->vector mispairing the trace identity cannot see
+    val d = 6
+    val a = Array.tabulate(d, d)((i, j) =>
+      1.0 / (1 + i + j) + (if (i == j) 0.5 * (i + 1) else 0.0))
+    val (evals, evecs) = Whitening.jacobiEigen(a)
+    for (k <- 0 until d) {
+      val v = evecs(k)
+      for (i <- 0 until d) {
+        val av = (0 until d).map(j => a(i)(j) * v(j)).sum
+        assert(math.abs(av - evals(k) * v(i)) < 1e-9,
+          s"residual at eigenpair $k row $i: $av vs ${evals(k) * v(i)}")
+      }
+    }
+  }
+
+  test("whitened output has identity covariance on the kept components") {
+    val model = Whitening.fitPca(emb, "embedding")
+    val k = 8
+    val w = Whitening.whiten(emb, "embedding", model, k)
+      .select(col("whitened").as("embedding"))
+    val wModel = Whitening.fitPca(w, "embedding")
+    assert(wModel.dims == k)
+    // every eigenvalue of the whitened covariance ~ 1 (eps-regularized)
+    wModel.eigenvalues.foreach(l =>
+      assert(math.abs(l - 1.0) < 1e-4, s"whitened eigenvalue $l != 1"))
+    assert(math.abs(wModel.trace - k) < 1e-3)
+  }
+
+  test("PcaProject with identity basis and zero mean is the identity") {
+    val rows = Seq((1L, Seq(1.5, -2.0)), (2L, Seq(0.0, 3.25))).toDF("id", "v")
+    val basis = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val got = rows.select(col("id"),
+        graft.functions.GraftFunctions.pcaProject(col("v"),
+          Seq(0.0, 0.0), basis, Seq(1.0, 1.0)).as("p"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(got(1L) == Seq(1.5, -2.0) && got(2L) == Seq(0.0, 3.25))
+  }
+
+  test("fit is deterministic") {
+    val a = Whitening.fitPca(emb, "embedding")
+    val b = Whitening.fitPca(emb, "embedding")
+    assert(a.eigenvalues.toSeq == b.eigenvalues.toSeq)
+    assert(a.components.map(_.toSeq).toSeq == b.components.map(_.toSeq).toSeq)
+  }
+}
