@@ -64,4 +64,35 @@ object Packing {
         sum(col(tokenCol)).as("total_tokens"),
         round(sum(col(tokenCol)).cast("double") / ((max(col("__seq")) + 1) * budget), 6)
           .as("fill_ratio"))
+
+  /** Length-bucketed batching report — the PAD-to-longest batching
+    * strategy's counterpart to [[packSequences]]'s concat-and-chop: when
+    * examples cannot be concatenated (instruction tuning, reranker pairs,
+    * any per-example loss), each batch pads to its longest member, and
+    * padding waste is decided by how length-homogeneous the batches are.
+    * This report quantifies it: docs are assigned to `nBuckets` equal-width
+    * length buckets over [0, maxLen] (width = ceil((maxLen+1)/nBuckets) —
+    * closed form, so the oracle restates it; equal-WIDTH, not equal-depth,
+    * keeps the bucket id a pure per-row function — no quantile pass), and
+    * per bucket the padded cost is n_docs · bucket_max_len vs the unpadded
+    * token sum. `waste_frac` per bucket — and the headline comparison:
+    * Σ padded over buckets vs one global pad-to-longest batch. One narrow
+    * scan + one bucket-keyed aggregation; everything else is arithmetic on
+    * nBuckets rows. */
+  def lengthBucketWaste(docs: DataFrame, tokenCol: String,
+                        nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, "need at least one bucket")
+    val maxLen = docs.agg(max(col(tokenCol))).head().getLong(0)
+    val width = math.max(1L, (maxLen + nBuckets) / nBuckets) // ceil((max+1)/n)
+    docs
+      .withColumn("bucket", (col(tokenCol) / width).cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol)).as("sum_tokens"),
+        max(col(tokenCol)).as("bucket_max"))
+      .withColumn("padded_tokens", col("n_docs") * col("bucket_max"))
+      .withColumn("waste_frac",
+        round((col("padded_tokens") - col("sum_tokens")).cast("double") /
+          col("padded_tokens"), 6))
+  }
 }

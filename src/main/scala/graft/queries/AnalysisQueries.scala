@@ -274,6 +274,19 @@ object AnalysisQueries {
         "evals_descending", "whitened_cov_identity")
   }
 
+  /** q127: length-bucketed batching waste report
+    * ([[graft.ops.Packing.lengthBucketWaste]]) — for per-example-loss
+    * training data that pads to the batch max instead of concatenating,
+    * quantify padding waste per equal-width length bucket (8 buckets over
+    * [0, max]): padded cost n·bucket_max vs the unpadded token sum. Every
+    * output value is integer arithmetic or an exact rational. */
+  val lengthBucketReport: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+    graft.ops.Packing.lengthBucketWaste(docs, "ntok", nBuckets = 8)
+      .orderBy("bucket")
+  }
+
   /** The unrolled merge-replay CTE chain shared by the q120/q121/q122/q125
     * oracles: a base word table as ':'-framed codepoint symbols, then per
     * step i — p{i} pair counts (every adjacent occurrence, freq-weighted),
@@ -374,6 +387,7 @@ object AnalysisQueries {
     "q123_sketched_overlap" -> sketchedOverlap,
     "q125_bpe_continued" -> bpeContinued,
     "q126_pca_whitening" -> pcaWhitening,
+    "q127_length_buckets" -> lengthBucketReport,
     "q121_bpe_encode" -> bpeEncodeStats,
     "q117_script_profile" -> scriptProfile,
     "q118_trigram_perplexity" -> trigramPerplexity,
@@ -403,6 +417,20 @@ object AnalysisQueries {
         |LEFT JOIN inter i ON i.ga = sa.source AND i.gb = sb.source
         |ORDER BY 1, 2""".stripMargin,
     "q120_bpe_vocab" -> bpeVocabOracle(BpeMerges),
+    "q127_length_buckets" ->
+      """WITH t AS (
+        |  SELECT len(string_split_regex(trim(text), '\s+')) AS ntok FROM documents),
+        |m AS (SELECT max(ntok) AS mx FROM t),
+        |w AS (SELECT CAST(greatest(1, (mx + 8) // 8) AS BIGINT) AS width FROM m),
+        |b AS (SELECT CAST(ntok // w.width AS INT) AS bucket, ntok FROM t CROSS JOIN w),
+        |g AS (SELECT bucket, count(*) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+        |  CAST(max(ntok) AS BIGINT) AS bucket_max FROM b GROUP BY 1)
+        |SELECT bucket, n_docs, sum_tokens, bucket_max,
+        |  n_docs * bucket_max AS padded_tokens,
+        |  round(CAST(n_docs * bucket_max - sum_tokens AS DOUBLE)
+        |    / (n_docs * bucket_max), 6) AS waste_frac
+        |FROM g ORDER BY bucket""".stripMargin,
     "q126_pca_whitening" ->
       """WITH v AS (
         |  SELECT i, var_pop(embedding[i]) AS vp

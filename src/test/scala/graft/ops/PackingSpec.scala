@@ -53,4 +53,22 @@ class PackingSpec extends SparkSpec {
       .select("source", "doc_id").as[(String, Long)].collect().toSet
     assert(again == small)
   }
+test("length-bucket waste report: hand-computed buckets and waste") {
+    // lengths 1..10 with max 10, 5 buckets -> width ceil(11/5)=3:
+    // bucket 0 = {1,2}, 1 = {3,4,5}, 2 = {6,7,8}, 3 = {9,10}
+    val lens = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L).toDF("ntok")
+    val got = Packing.lengthBucketWaste(lens, "ntok", nBuckets = 5)
+      .orderBy("bucket")
+      .select("bucket", "n_docs", "sum_tokens", "bucket_max", "padded_tokens")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0, 2L, 3L, 2L, 4L),
+      (1, 3L, 12L, 5L, 15L),
+      (2, 3L, 21L, 8L, 24L),
+      (3, 2L, 19L, 10L, 20L)))
+    // bucketed padding always beats one global pad-to-longest batch
+    val bucketedPadded = got.map(_._5).sum
+    val globalPadded = lens.count() * 10
+    assert(bucketedPadded <= globalPadded)
+  }
 }
