@@ -74,7 +74,12 @@ object Bench {
     "q118_trigram_perplexity", // trigram-LM merge-fit + corpus NLL scoring
     "q119_repetition_report", // Gopher top-n-gram boilerplate screen
     "q120_bpe_vocab",         // BPE fit: distributed counts + driver merges
-    "q121_bpe_encode")        // corpus-wide compiled subword encoding
+    "q121_bpe_encode",        // corpus-wide compiled subword encoding
+    "q122_bpe_packing",       // packing by real subword counts
+    "q123_sketched_overlap",  // KMV set-algebra overlap matrix (+ exact side)
+    "q125_bpe_continued",     // frozen-merge continued tokenizer training
+    "q126_pca_whitening",     // covariance treeAggregate + Jacobi + projection
+    "q127_length_buckets")    // padding-waste bucketing report
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

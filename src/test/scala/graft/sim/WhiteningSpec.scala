@@ -76,6 +76,29 @@ class WhiteningSpec extends SparkSpec {
     assert(got(1L) == Seq(1.5, -2.0) && got(2L) == Seq(0.0, 3.25))
   }
 
+  test("degenerate inputs: constant vectors -> zero spectrum, finite whitening") {
+    val rows = Seq.fill(10)(Tuple1(Seq(1.0, 2.0, 3.0))).toDF("embedding")
+    val m = Whitening.fitPca(rows, "embedding")
+    assert(math.abs(m.trace) < 1e-12)
+    m.eigenvalues.foreach(l => assert(math.abs(l) < 1e-12))
+    // eps regularization keeps the projection finite
+    val w = Whitening.whiten(rows, "embedding", m, 2)
+      .select(col("whitened")).as[Seq[Double]].head()
+    assert(w.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
+  test("rank-1 data: one eigenvalue carries the whole trace") {
+    val v = Array(1.0, 2.0, 2.0)
+    val rows = (1 to 20).map(t => Tuple1(v.map(_ * t).toSeq)).toDF("embedding")
+    val m = Whitening.fitPca(rows, "embedding")
+    assert(math.abs(m.eigenvalues.head - m.trace) < 1e-9 * m.trace)
+    m.eigenvalues.tail.foreach(l => assert(math.abs(l) < 1e-9 * m.trace))
+    // top eigenvector is v/|v| up to sign
+    val vn = math.sqrt(v.map(x => x * x).sum)
+    val dot = m.components.head.zip(v).map { case (a, b) => a * b / vn }.sum
+    assert(math.abs(math.abs(dot) - 1.0) < 1e-9)
+  }
+
   test("fit is deterministic") {
     val a = Whitening.fitPca(emb, "embedding")
     val b = Whitening.fitPca(emb, "embedding")
