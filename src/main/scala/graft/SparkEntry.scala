@@ -3,7 +3,7 @@ package graft
 import graft.config.PipelineConfig
 import graft.connect.{ParquetSource, ParquetStage, ParquetTarget}
 import graft.ledger.Ledger
-import graft.queries.{AnalysisQueries, CorpusQueries, CurationQueries, ExtendedQueries, ModelPrepQueries, RelationalQueries, RetrievalQueries, SqlQueries, StarQueries}
+import graft.queries.{AnalysisQueries, CorpusQueries, CurationQueries, ExtendedQueries, HygieneQueries, ModelPrepQueries, RelationalQueries, RetrievalQueries, SqlQueries, StarQueries}
 import graft.runner.PipelineRunner
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -40,7 +40,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ StarQueries.all ++ CorpusQueries.all ++
       ExtendedQueries.all ++ SqlQueries.all ++ CurationQueries.all ++
-      ModelPrepQueries.all ++ RetrievalQueries.all ++ AnalysisQueries.all
+      ModelPrepQueries.all ++ RetrievalQueries.all ++ AnalysisQueries.all ++
+      HygieneQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (seeded
@@ -49,5 +50,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ StarQueries.oracles ++ CorpusQueries.oracles ++
       ExtendedQueries.oracles ++ SqlQueries.oracles ++ CurationQueries.oracles ++
-      ModelPrepQueries.oracles ++ RetrievalQueries.oracles ++ AnalysisQueries.oracles
+      ModelPrepQueries.oracles ++ RetrievalQueries.oracles ++ AnalysisQueries.oracles ++
+      HygieneQueries.oracles
 }

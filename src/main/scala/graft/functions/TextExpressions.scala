@@ -551,6 +551,40 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (UAX #15 canonical composition) via the JDK's
+  * `java.text.Normalizer`. Spark has no normalization built-in, so this is
+  * the one missing kernel for text-cleanup pipelines — the steps around it
+  * (control-char stripping, whitespace collapse) stay on the codegen'd
+  * regexp built-ins. Two fast paths keep the common case allocation-free:
+  * pure-ASCII input is NFC by definition (one byte scan), and
+  * `Normalizer.isNormalized` (a quick-check table walk, no rewrite) skips
+  * the compose pass for already-normalized non-ASCII text — which is
+  * nearly all of it in a real crawl. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val bytes = u.getBytes
+    var ascii = true
+    var i = 0
+    while (ascii && i < bytes.length) { if (bytes(i) < 0) ascii = false; i += 1 }
+    if (ascii) u
+    else {
+      val s = u.toString
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the compiled text expressions. */
 object TextExpr {
   def wordSpans(text: Column, k: Int): Column =
@@ -582,4 +616,7 @@ object TextExpr {
 
   def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), merges))
+
+  def nfcNormalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
 }

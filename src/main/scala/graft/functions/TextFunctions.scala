@@ -248,6 +248,30 @@ object TextFunctions {
         SsnRegex, "<SSN>"),
       PhoneRegex, "<PHONE>")
 
+  /** Control / zero-width character class stripped by [[cleanText]]: C0
+    * controls except \t and \n, DEL, zero-width space/joiners, BOM. Both
+    * Java and RE2 parse this class identically, so the DuckDB oracle
+    * reuses the string verbatim. */
+  val ControlCharClass: String =
+    "[\\x00-\\x08\\x0B-\\x1F\\x7F\\x{200B}-\\x{200D}\\x{FEFF}]"
+
+  /** Unicode NFC normalization (compiled [[TextExpr.nfcNormalize]] kernel
+    * — ASCII/quick-check fast paths, no allocation on already-normal
+    * text). */
+  def nfc(c: Column): Column = TextExpr.nfcNormalize(c)
+
+  /** Strip control and zero-width characters (count removals by length
+    * difference against the input). */
+  def stripControls(c: Column): Column =
+    regexp_replace(c, ControlCharClass, "")
+
+  /** The standard crawl text cleanup: NFC-normalize, strip control and
+    * zero-width characters, collapse space/tab runs to a single space,
+    * trim. Newlines survive (document structure); every step after the
+    * NFC kernel is a codegen'd regexp built-in. */
+  def cleanText(c: Column): Column =
+    trim(regexp_replace(stripControls(nfc(c)), "[ \\t]+", " "))
+
   /** Hostnames of all http(s) URLs in the text (capture group 1). */
   def urlDomains(c: Column): Column =
     regexp_extract_all(c, lit(UrlRegex), lit(1))

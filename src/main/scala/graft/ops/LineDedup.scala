@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Line-level boilerplate removal — the RefinedWeb/CCNet cleanup step:
+  * a LINE that recurs across at least `minDocs` distinct documents is
+  * boilerplate (navigation menus, cookie banners, license footers,
+  * "subscribe" calls-to-action) and is removed from EVERY document,
+  * preserving the order of the surviving lines. This is the cross-document
+  * complement of [[SpanDedup]]: span dedup keeps ONE copy of a repeated
+  * passage; line dedup deletes ALL copies of high-document-frequency
+  * lines, because a line that appears verbatim in hundreds of documents
+  * is template chrome, not content.
+  *
+  * Scale shape: one posexplode off the scan (lines carry (id, pos,
+  * 8-byte hash) — the line STRING itself never leaves the scan stage
+  * except into the md5/xxhash kernel); document frequencies are a
+  * distinct + map-side-combined count on the hash; the boilerplate set
+  * (df >= minDocs) is tiny by construction at a real threshold, so the
+  * removal anti-join broadcasts; the rebuild is one groupBy(id) with an
+  * order-restoring sort_array — no window, no driver collect. Counting
+  * on 64-bit line hashes means a collision could merge two lines
+  * (probability ~n²/2⁶⁴ — negligible; the q130 oracle counts line
+  * STRINGS, so gate equality doubles as the collision check, the q89
+  * doctrine).
+  */
+object LineDedup {
+
+  /** Strip leading/trailing WHITESPACE (Spark's `trim` only strips
+    * spaces; boilerplate lines arrive padded with tabs too). */
+  private def wsTrim(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
+
+  /** 64-bit line key. Lines are whitespace-trimmed before hashing
+    * (trailing padding is formatting, not content); empty lines are
+    * dropped — they are separators, not boilerplate candidates. */
+  def lineKey(line: Column): Column = xxhash64(wsTrim(line))
+
+  /** (id, pos, line, fp) — one row per non-empty line. */
+  def explodeLines(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .toDF(idCol, "pos", "line")
+      .where(wsTrim(col("line")) =!= "")
+      .withColumn("fp", lineKey(col("line")))
+
+  /** Distinct-document frequency per line fingerprint. */
+  def lineDocFreq(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    explodeLines(docs, idCol, textCol)
+      .select(col("fp"), col(idCol)).distinct()
+      .groupBy("fp").agg(count(lit(1)).as("line_df"))
+
+  /** The boilerplate index: fingerprints of lines whose document
+    * frequency reaches `minDocs`. Persistable like any other graft index
+    * frame; [[dedupLinesAgainstIndex]] (and the streaming twin) screen
+    * new documents against it without rescanning the corpus. */
+  def boilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    lineDocFreq(docs, idCol, textCol).where(col("line_df") >= minDocs)
+  }
+
+  /** Rewrite every document with boilerplate lines removed. Returns
+    * (id, textCol = cleaned text, n_lines, n_lines_removed); documents
+    * that lose every line come back with empty text (they were pure
+    * chrome), documents with no non-empty lines pass through unchanged.
+    * Blank lines are separators, not content: they never count as
+    * boilerplate candidates, and the rebuilt text joins the surviving
+    * non-empty lines with single newlines (blank-line runs are
+    * normalized away, n_lines/n_lines_removed count non-empty lines
+    * only). */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Int): DataFrame =
+    dedupLinesAgainstIndex(docs, idCol, textCol,
+      boilerplateLines(docs, idCol, textCol, minDocs))
+
+  /** The incremental form: screen `docs` against an already-built
+    * boilerplate index (`fp` column) — per-batch cost O(batch lines +
+    * index), never O(corpus). This is what the streaming twin runs per
+    * micro-batch. */
+  def dedupLinesAgainstIndex(docs: DataFrame, idCol: String, textCol: String,
+      index: DataFrame): DataFrame = {
+    val lines = explodeLines(docs, idCol, textCol)
+    val marked = lines.join(index.select("fp").distinct(), Seq("fp"), "left_anti")
+    val rebuilt = marked
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x("line")), "\n").as("__clean"),
+        count(lit(1)).as("__kept"))
+    val totals = lines.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"))
+    docs.select(col(idCol), col(textCol))
+      .join(totals, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("n_lines").isNull, col(textCol))  // no non-empty lines: keep as-is
+          .otherwise(coalesce(col("__clean"), lit(""))).as(textCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        (coalesce(col("n_lines"), lit(0L)) - coalesce(col("__kept"), lit(0L)))
+          .as("n_lines_removed"))
+  }
+}

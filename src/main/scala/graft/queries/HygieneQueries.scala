@@ -1,0 +1,316 @@
+package graft.queries
+
+import graft.functions.TextFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-10 additions — corpus hygiene and distribution analysis: the
+  * frequency-spectrum and cross-source-divergence reports a pretraining
+  * data audit opens with (q128/q129), line-level boilerplate removal
+  * (q130), Unicode normalization cleanup (q131), and their composition
+  * targets. All oracled in DuckDB with the established portability
+  * contracts: exact integers wherever possible, shared IEEE expression
+  * shape + documented rounding where a float is the point of the metric.
+  */
+object HygieneQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Top-N cap for the Zipf regression: the fit runs over the head of the
+    * frequency spectrum (the classical regime), and the cap bounds the
+    * window/regression frame to a constant regardless of corpus size —
+    * counts reduce map-side, `limit` is a TakeOrderedAndProject, never a
+    * full sort. */
+  private val ZipfTopN = 100
+
+  /** q128: Zipf-law fit over the token frequency spectrum, per gram order
+    * (unigrams + bigrams). For each order: vocabulary size, total
+    * occurrences, then an OLS fit of ln(count) against ln(rank) over the
+    * top-[[ZipfTopN]] types (rank = count-desc, type-asc — deterministic
+    * under ties) — slope (the Zipf exponent, ~-1 for natural text),
+    * intercept, and R². The whole regression frame is ≤ N rows by
+    * construction: the corpus-sized work is one map-side-combined count
+    * per type, the head extraction is a bounded TakeOrderedAndProject,
+    * and the OLS is closed-form moment arithmetic on ≤ N doubles (no
+    * iterative solver). 4-dp rounding per the q112 contract: both engines
+    * run the identical expression shape; ln/avg skew is ~1e-14, far below
+    * the rounding grain. */
+  val zipfFit: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    def fitFor(n: Int): DataFrame = {
+      val grams =
+        if (n == 1) docs.select(explode(TextFunctions.tokens(col("text"))).as("g"))
+        else docs.select(explode(TextFunctions.wordGrams(col("text"), n)).as("g"))
+      val counts = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+      val top = counts.orderBy(col("cnt").desc, col("g").asc).limit(ZipfTopN)
+      val ranked = top.withColumn("rank",
+          row_number().over(Window.orderBy(col("cnt").desc, col("g").asc)))
+        .select(log(col("rank").cast("double")).as("x"),
+          log(col("cnt").cast("double")).as("y"))
+      val m = ranked.agg(
+        count(lit(1)).as("n_fit"),
+        avg(col("x")).as("mx"), avg(col("y")).as("my"),
+        avg(col("x") * col("y")).as("mxy"),
+        avg(col("x") * col("x")).as("mxx"),
+        avg(col("y") * col("y")).as("myy"))
+      val totals = counts.agg(
+        count(lit(1)).as("vocab"), sum(col("cnt")).as("n_grams"))
+      val sxy = col("mxy") - col("mx") * col("my")
+      val sxx = col("mxx") - col("mx") * col("mx")
+      val syy = col("myy") - col("my") * col("my")
+      totals.crossJoin(m).select(
+        lit(n).as("gram_n"), col("vocab"), col("n_grams"), col("n_fit"),
+        round(sxy / sxx, 4).as("slope"),
+        round(col("my") - (sxy / sxx) * col("mx"), 4).as("intercept"),
+        round((sxy * sxy) / (sxx * syy), 4).as("r2"))
+    }
+    fitFor(1).unionByName(fitFor(2)).orderBy("gram_n")
+  }
+
+  /** q129: cross-source distribution divergence — per source, the KL
+    * divergence of its unigram distribution against the whole-corpus
+    * distribution (the drift/mixture signal a curation run tracks across
+    * crawls and domains), plus exact token totals, vocabulary size, and
+    * global-vocabulary coverage. Scale shape: one map-side-combined
+    * (source, token) count off the scan; everything after is
+    * vocabulary-sized (the per-source and global marginals re-aggregate
+    * the SAME counts — the corpus is scanned once), and the divergence
+    * join keys on the token with G rows per token. KL terms share the
+    * exact expression shape cross-engine ((c/t)·ln((c/t)/(gc/gt))),
+    * 6-dp rounded. */
+  val sourceDivergence: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val sc = docs
+      .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val st = sc.groupBy("source").agg(sum(col("c")).as("t"),
+      count(lit(1)).as("vocab"))
+    val g = sc.groupBy("tok").agg(sum(col("c")).as("gc"))
+    val gt = g.agg(sum(col("gc")).as("gt"), count(lit(1)).as("gvocab"))
+    val p = col("c").cast("double") / col("t").cast("double")
+    val q = col("gc").cast("double") / col("gt").cast("double")
+    sc.join(st, "source").join(g, "tok").crossJoin(gt)
+      .groupBy(col("source"))
+      .agg(max(col("t")).as("n_tokens"),
+        max(col("vocab")).as("vocab"),
+        round(max(col("vocab")).cast("double") /
+          max(col("gvocab")).cast("double"), 4).as("vocab_coverage"),
+        round(sum(p * log(p / q)), 6).as("kl_vs_corpus"))
+      .orderBy("source")
+  }
+
+  /** q130: line-level boilerplate dedup ([[graft.ops.LineDedup]] — the
+    * RefinedWeb/CCNet template-chrome removal). The synthetic corpus is
+    * single-line, so the gate first reshapes each document into 6-token
+    * lines and plants deterministic boilerplate (doc_id%4==1 → banner
+    * line prepended, %4==2 → footer appended, %4==3 → both); lines
+    * recurring in ≥3 distinct docs are then removed corpus-wide. Per
+    * source: docs / changed docs, exact line and char tallies before and
+    * after, and the changed-id sum certificate. The engine keys lines by
+    * xxhash64 while the oracle groups line STRINGS — equality doubles as
+    * the hash-collision check (q89 doctrine). */
+  val lineDedup: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val ts = TextFunctions.tokens(col("text"))
+    val nLines = ceil(size(ts).cast("double") / 6.0).cast("int")
+    val body = when(size(ts) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), nLines),
+        i => array_join(slice(ts, (i - 1) * 6 + 1, lit(6)), " ")))
+    val none = array().cast("array<string>")
+    val banner = array(lit("subscribe to our newsletter today"))
+    val footer = array(lit("all rights reserved worldwide"))
+    val linesArr = concat(
+      when(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 3, banner).otherwise(none),
+      body,
+      when(col("doc_id") % 4 === 2 || col("doc_id") % 4 === 3, footer).otherwise(none))
+    val lined = docs.select(col("doc_id"), col("source"),
+      array_join(linesArr, "\n").as("text"))
+    val cleaned = graft.ops.LineDedup.dedupLines(lined, "doc_id", "text", minDocs = 3)
+    cleaned
+      .join(lined.select(col("doc_id"), col("source"),
+        length(col("text")).as("chars_before")), "doc_id")
+      .withColumn("changed", (col("n_lines_removed") > 0).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("changed")).as("n_docs_changed"),
+        sum(col("n_lines")).as("n_lines"),
+        sum(col("n_lines_removed")).as("n_lines_removed"),
+        sum(col("chars_before").cast("long")).as("chars_before"),
+        sum(length(col("text")).cast("long")).as("chars_after"),
+        sum(col("doc_id") * col("changed")).as("sum_changed_ids"))
+      .orderBy("source")
+  }
+
+  /** q131: Unicode normalization cleanup ([[TextFunctions.cleanText]]:
+    * the compiled NFC kernel → control/zero-width strip → space-run
+    * collapse → trim). The ASCII corpus is planted per doc_id%6: NFD
+    * combining sequences (→ composed by NFC), a C0 control + zero-width
+    * space (→ stripped), doubled spaces (→ collapsed), and an ﬁ ligature
+    * negative control (NFC keeps it — the doc must come back unchanged).
+    * All-integer output: per source, docs touched by each cleanup stage,
+    * exact char tallies before/after, stripped-char count, and the
+    * changed-id sum certificate. Oracle: DuckDB nfc_normalize + the SAME
+    * RE2/Java-identical regex strings. */
+  val nfcCleanup: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val m = col("doc_id") % 6
+    val planted = docs.select(col("doc_id"), col("source"),
+      when(m === 1, concat(col("text"), lit(" cafe\u0301 menu")))
+        .when(m === 2, concat(col("text"), lit("\u0007system beep\u200B")))
+        .when(m === 3, concat(col("text"), lit(" a\u0300 la carte")))
+        .when(m === 4, concat(col("text"), lit("  trailing   spaces  ")))
+        .when(m === 5, concat(col("text"), lit(" \uFB01nal file")))
+        .otherwise(col("text")).as("t"))
+    val staged = planted
+      .withColumn("n1", TextFunctions.nfc(col("t")))
+      .withColumn("n2", TextFunctions.stripControls(col("n1")))
+      .withColumn("cl", TextFunctions.cleanText(col("t")))
+    staged.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n1") =!= col("t")).cast("long")).as("n_nfc_changed"),
+        sum((length(col("n1")) =!= length(col("n2"))).cast("long")).as("n_ctrl_docs"),
+        sum((length(col("n1")) - length(col("n2"))).cast("long")).as("n_ctrl_removed"),
+        sum((col("cl") =!= col("t")).cast("long")).as("n_changed"),
+        sum(length(col("t")).cast("long")).as("chars_before"),
+        sum(length(col("cl")).cast("long")).as("chars_after"),
+        sum(col("doc_id") * (col("cl") =!= col("t")).cast("long")).as("sum_changed_ids"))
+      .orderBy("source")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q128_zipf_fit" -> zipfFit,
+    "q129_source_divergence" -> sourceDivergence,
+    "q130_line_dedup" -> lineDedup,
+    "q131_nfc_cleanup" -> nfcCleanup)
+
+  val oracles: Map[String, String] = Map(
+    "q128_zipf_fit" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |    ELSE string_split_regex(trim(text), '\s+') END AS ts
+        |  FROM documents),
+        |g1 AS (SELECT unnest(ts) AS g FROM d),
+        |g2 AS (SELECT unnest(CASE WHEN len(ts) < 2 THEN [array_to_string(ts, ' ')]
+        |    ELSE [ts[i] || ' ' || ts[i+1] FOR i IN generate_series(1, len(ts)-1)]
+        |  END) AS g FROM d),
+        |fit AS (
+        |  SELECT gram_n, vocab, n_grams, n_fit,
+        |    round((mxy - mx*my)/(mxx - mx*mx), 4) AS slope,
+        |    round(my - ((mxy - mx*my)/(mxx - mx*mx))*mx, 4) AS intercept,
+        |    round(((mxy - mx*my)*(mxy - mx*my))/((mxx - mx*mx)*(myy - my*my)), 4) AS r2
+        |  FROM (
+        |    SELECT gram_n, max(vocab) AS vocab, max(n_grams) AS n_grams,
+        |      count(*) AS n_fit, avg(x) AS mx, avg(y) AS my, avg(x*y) AS mxy,
+        |      avg(x*x) AS mxx, avg(y*y) AS myy
+        |    FROM (
+        |      SELECT gram_n, vocab, n_grams,
+        |        ln(CAST(row_number() OVER (PARTITION BY gram_n ORDER BY cnt DESC, g) AS DOUBLE)) AS x,
+        |        ln(CAST(cnt AS DOUBLE)) AS y,
+        |        row_number() OVER (PARTITION BY gram_n ORDER BY cnt DESC, g) AS r
+        |      FROM (
+        |        SELECT gram_n, g, cnt,
+        |          count(*) OVER (PARTITION BY gram_n) AS vocab,
+        |          sum(cnt) OVER (PARTITION BY gram_n) AS n_grams
+        |        FROM (
+        |          SELECT 1 AS gram_n, g, count(*) AS cnt FROM g1 GROUP BY 2
+        |          UNION ALL
+        |          SELECT 2 AS gram_n, g, count(*) AS cnt FROM g2 GROUP BY 2)))
+        |    WHERE r <= 100 GROUP BY 1))
+        |SELECT gram_n, vocab, CAST(n_grams AS BIGINT) AS n_grams, n_fit,
+        |  slope, intercept, r2
+        |FROM fit ORDER BY gram_n""".stripMargin,
+    "q129_source_divergence" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |sc AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        |st AS (SELECT source, sum(c) AS t, count(*) AS vocab FROM sc GROUP BY 1),
+        |g AS (SELECT tok, sum(c) AS gc FROM sc GROUP BY 1),
+        |gt AS (SELECT sum(gc) AS gt, count(*) AS gvocab FROM g)
+        |SELECT sc.source,
+        |  CAST(max(t) AS BIGINT) AS n_tokens,
+        |  CAST(max(vocab) AS BIGINT) AS vocab,
+        |  round(CAST(max(vocab) AS DOUBLE) / max(gvocab), 4) AS vocab_coverage,
+        |  round(sum((CAST(c AS DOUBLE)/t) * ln((CAST(c AS DOUBLE)/t)/(CAST(gc AS DOUBLE)/gt))), 6) AS kl_vs_corpus
+        |FROM sc JOIN st USING (source) JOIN g USING (tok) CROSS JOIN gt
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q130_line_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END AS ts
+        |  FROM documents),
+        |lb AS (
+        |  SELECT doc_id, source,
+        |    list_concat(list_concat(
+        |      CASE WHEN doc_id % 4 IN (1, 3)
+        |        THEN ['subscribe to our newsletter today'] ELSE [] END,
+        |      [array_to_string(ts[(i-1)*6+1:i*6], ' ')
+        |        FOR i IN generate_series(1, CAST(ceil(len(ts)/6.0) AS INT))]),
+        |      CASE WHEN doc_id % 4 IN (2, 3)
+        |        THEN ['all rights reserved worldwide'] ELSE [] END) AS lines
+        |  FROM d),
+        |lx AS (
+        |  SELECT doc_id, source, i AS pos, lines[i] AS line
+        |  FROM lb, UNNEST(generate_series(1, len(lines))) AS t(i)
+        |  WHERE trim(lines[i]) <> ''),
+        |bp AS (
+        |  SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS ldf FROM lx GROUP BY 1)
+        |  WHERE ldf >= 3),
+        |reb AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,
+        |    count(*) AS kept
+        |  FROM lx WHERE line NOT IN (SELECT line FROM bp) GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS n_lines FROM lx GROUP BY 1),
+        |per AS (
+        |  SELECT lb.doc_id, lb.source,
+        |    coalesce(tot.n_lines, 0) AS n_lines,
+        |    coalesce(tot.n_lines, 0) - coalesce(reb.kept, 0) AS n_removed,
+        |    length(array_to_string(lb.lines, chr(10))) AS chars_before,
+        |    CASE WHEN tot.n_lines IS NULL
+        |      THEN length(array_to_string(lb.lines, chr(10)))
+        |      ELSE length(coalesce(reb.clean, '')) END AS chars_after
+        |  FROM lb LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_changed,
+        |  CAST(sum(n_lines) AS BIGINT) AS n_lines,
+        |  CAST(sum(n_removed) AS BIGINT) AS n_lines_removed,
+        |  CAST(sum(chars_before) AS BIGINT) AS chars_before,
+        |  CAST(sum(chars_after) AS BIGINT) AS chars_after,
+        |  CAST(sum(doc_id * CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS sum_changed_ids
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    // planted chars via chr(): 769=U+0301 comb. acute, 7=BEL, 8203=U+200B
+    // ZWSP, 768=U+0300 comb. grave, 64257=U+FB01 fi-ligature (NFC-stable)
+    "q131_nfc_cleanup" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, CASE CAST(doc_id % 6 AS INT)
+        |    WHEN 1 THEN text || ' cafe' || chr(769) || ' menu'
+        |    WHEN 2 THEN text || chr(7) || 'system beep' || chr(8203)
+        |    WHEN 3 THEN text || ' a' || chr(768) || ' la carte'
+        |    WHEN 4 THEN text || '  trailing   spaces  '
+        |    WHEN 5 THEN text || ' ' || chr(64257) || 'nal file'
+        |    ELSE text END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, t,
+        |    nfc_normalize(t) AS n1,
+        |    regexp_replace(nfc_normalize(t),
+        |      '[\x00-\x08\x0B-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]', '', 'g') AS n2
+        |  FROM p),
+        |f AS (
+        |  SELECT doc_id, source, t, n1, n2,
+        |    trim(regexp_replace(n2, '[ \t]+', ' ', 'g')) AS cl
+        |  FROM c)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n1 <> t THEN 1 ELSE 0 END) AS BIGINT) AS n_nfc_changed,
+        |  CAST(sum(CASE WHEN length(n1) <> length(n2) THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl_docs,
+        |  CAST(sum(length(n1) - length(n2)) AS BIGINT) AS n_ctrl_removed,
+        |  CAST(sum(CASE WHEN cl <> t THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(length(t)) AS BIGINT) AS chars_before,
+        |  CAST(sum(length(cl)) AS BIGINT) AS chars_after,
+        |  CAST(sum(doc_id * CASE WHEN cl <> t THEN 1 ELSE 0 END) AS BIGINT) AS sum_changed_ids
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)
+}

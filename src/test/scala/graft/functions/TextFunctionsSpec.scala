@@ -87,4 +87,37 @@ class TextFunctionsSpec extends SparkSpec {
       assert(canon(once) == once, s"not idempotent on $m -> $once")
     }
   }
+
+  test("nfc composes combining sequences and matches java.text.Normalizer") {
+    def nfc(s: String) = one(s, TextFunctions.nfc).as[String].head()
+    assert(nfc("cafe\u0301") == "caf\u00e9")
+    assert(nfc("a\u0300 la") == "\u00e0 la")
+    // already-composed and pure-ASCII inputs come back unchanged
+    assert(nfc("caf\u00e9") == "caf\u00e9")
+    assert(nfc("plain ascii") == "plain ascii")
+    // NFC does NOT decompose compatibility ligatures (that is NFKC)
+    assert(nfc("\uFB01le") == "\uFB01le")
+    // differential vs the JDK on a grab bag incl. astral + reordered marks
+    val cases = Seq("", "x\u0301\u0300y", "\uD83D\uDE00e\u0301",
+      "A\u030A", "q\u0307\u0323", "\u1E0B\u0323")
+    cases.foreach { s =>
+      val expected = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      assert(nfc(s) == expected, s"mismatch on ${s.codePoints().toArray.toSeq}")
+    }
+    // null in, null out
+    assert(Seq[Option[String]](None).toDF("t")
+      .select(TextFunctions.nfc(col("t"))).head().isNullAt(0))
+  }
+
+  test("cleanText strips controls, collapses space runs, trims, keeps newlines") {
+    def clean(s: String) = one(s, TextFunctions.cleanText).as[String].head()
+    assert(clean("a\u0007b\u200Bc") == "abc")
+    assert(clean("  a   b\t\tc  ") == "a b c")
+    assert(clean("line one\nline two") == "line one\nline two")
+    assert(clean("e\u0301tude  rapide") == "\u00e9tude rapide")
+    assert(clean("\uFEFFbom lead") == "bom lead")
+    assert(clean("") == "")
+    // the ControlCharClass never eats printable text
+    assert(clean("unchanged text") == "unchanged text")
+  }
 }

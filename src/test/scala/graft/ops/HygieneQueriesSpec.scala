@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.queries.HygieneQueries
+import org.apache.spark.sql.functions._
+
+/** Hand-corpus checks for the round-10 analysis gates: the gates read a
+  * `documents.parquet` under a directory, so each test stages a tiny
+  * synthetic corpus in a temp dir and runs the REAL gate query on it. */
+class HygieneQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stage(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hyg").toString
+    rows.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("zipf fit recovers slope -1 / r2 1 exactly on a perfect power law") {
+    // unigram counts 600/rank for ranks 1..6: ln(count) vs ln(rank) is an
+    // exact line with slope -1 (one one-word doc per type, word repeated)
+    val counts = Seq(600, 300, 200, 150, 120, 100)
+    val rows = counts.zipWithIndex.map { case (c, i) =>
+      ((i + 1).toLong, "s0", (("w" + ('a' + i).toChar.toString) + " ") * c) }
+    val out = HygieneQueries.zipfFit(spark, stage(rows))
+      .where(col("gram_n") === 1)
+      .select("vocab", "n_grams", "n_fit", "slope", "r2")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(out == ((6L, 1470L, 6L, -1.0, 1.0)))
+  }
+
+  test("kl divergence matches the closed form on a two-source skew") {
+    // src A: a,a,a,b  src B: a,b,b,b  -> global 4/4; KL is symmetric here
+    val rows = Seq(
+      (1L, "A", "a a a b"), (2L, "B", "a b b b"))
+    val out = HygieneQueries.sourceDivergence(spark, stage(rows))
+      .select("source", "n_tokens", "vocab", "vocab_coverage", "kl_vs_corpus")
+      .as[(String, Long, Long, Double, Double)].collect().toMap2
+    val expected = BigDecimal(
+      0.75 * math.log(0.75 / 0.5) + 0.25 * math.log(0.25 / 0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("A") == ((4L, 2L, 1.0, expected)))
+    assert(out("B") == ((4L, 2L, 1.0, expected)))
+  }
+
+  test("kl divergence is zero when every source shares the corpus distribution") {
+    val rows = Seq(
+      (1L, "A", "x y"), (2L, "B", "x y"), (3L, "C", "x y"))
+    val kl = HygieneQueries.sourceDivergence(spark, stage(rows))
+      .select("kl_vs_corpus").as[Double].collect()
+    assert(kl.forall(_ == 0.0))
+  }
+
+  private implicit class ToMap2(
+      rows: Array[(String, Long, Long, Double, Double)]) {
+    def toMap2: Map[String, (Long, Long, Double, Double)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LineDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // BOILER recurs in 4 distinct docs (>= minDocs 3); every other line is
+  // unique. d5 is pure chrome, d6 has no lines at all.
+  private def corpus = Seq(
+    (1L, "keep one\nBOILER\nkeep two"),
+    (2L, "BOILER\nunique a"),
+    (3L, "solo line\nBOILER"),
+    (4L, "all mine here"),
+    (5L, "BOILER"),
+    (6L, "")).toDF("doc_id", "text")
+
+  test("boilerplate set is exactly the lines with document frequency >= minDocs") {
+    val bp = LineDedup.boilerplateLines(corpus, "doc_id", "text", minDocs = 3)
+    assert(bp.count() == 1)
+    val fp = bp.select("fp").as[Long].head()
+    val expected = corpus.sparkSession.range(1)
+      .select(xxhash64(lit("BOILER"))).as[Long].head()
+    assert(fp == expected)
+  }
+
+  test("dedup removes every copy, preserves line order, empties pure-chrome docs") {
+    val out = LineDedup.dedupLines(corpus, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out(0) == ((1L, "keep one\nkeep two", 3L, 1L)))
+    assert(out(1) == ((2L, "unique a", 2L, 1L)))
+    assert(out(2) == ((3L, "solo line", 2L, 1L)))
+    assert(out(3) == ((4L, "all mine here", 1L, 0L)))
+    assert(out(4) == ((5L, "", 1L, 1L)))  // pure chrome -> empty text
+    assert(out(5) == ((6L, "", 0L, 0L)))  // no lines -> untouched passthrough
+  }
+
+  test("line matching trims whitespace but rewrites preserve surviving lines verbatim") {
+    val padded = Seq(
+      (1L, "  BOILER \ncontent x"),
+      (2L, "BOILER\ncontent y"),
+      (3L, "BOILER\t\ncontent z")).toDF("doc_id", "text")
+    val out = LineDedup.dedupLines(padded, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    // all three BOILER variants hash together via trim and are removed
+    assert(out.map(_._2).toSeq == Seq("content x", "content y", "content z"))
+    assert(out.forall(_._4 == 1L))
+  }
+
+  test("empty lines are separators, never boilerplate candidates") {
+    val gappy = Seq(
+      (1L, "a\n\nb"), (2L, "c\n\nd"), (3L, "e\n\nf"), (4L, "g\n\nh"))
+      .toDF("doc_id", "text")
+    val out = LineDedup.dedupLines(gappy, "doc_id", "text", minDocs = 3)
+    // the empty middle line recurs in all 4 docs but is not removable chrome;
+    // it is dropped from line counts entirely and the rebuild joins kept lines
+    assert(out.where(col("n_lines_removed") > 0).count() == 0)
+    assert(out.orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+      .map(_._3).forall(_ == 2L))
+  }
+
+  test("screening against an externally built index equals the one-shot form") {
+    val idx = LineDedup.boilerplateLines(corpus, "doc_id", "text", minDocs = 3)
+    val viaIndex = LineDedup.dedupLinesAgainstIndex(corpus, "doc_id", "text", idx)
+    val oneShot = LineDedup.dedupLines(corpus, "doc_id", "text", minDocs = 3)
+    assert(viaIndex.orderBy("doc_id").collect().toSeq ==
+      oneShot.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("dedup is idempotent: a second pass removes nothing") {
+    val once = LineDedup.dedupLines(corpus, "doc_id", "text", minDocs = 3)
+      .select(col("doc_id"), col("text"))
+    val twice = LineDedup.dedupLines(once, "doc_id", "text", minDocs = 3)
+    assert(twice.where(col("n_lines_removed") > 0).count() == 0)
+    assert(twice.select("doc_id", "text").orderBy("doc_id").collect().toSeq ==
+      once.orderBy("doc_id").collect().toSeq)
+  }
+}
