@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.functions.HashFunctions
+import graft.ops.LanguageModel.BigramLm
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data Selection via Importance Resampling (DSIR — Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling"):
+  * select raw-corpus documents whose n-gram distribution looks like a
+  * small TARGET domain, by scoring each document under two cheap bigram
+  * LMs and resampling proportionally to the importance weight
+  * w(x) = p_target(x) / p_raw(x).
+  *
+  * Engine shape:
+  *  - both LMs come from [[LanguageModel.fitBigramLm]] (vocabulary-sized
+  *    count frames; the target fit reads only the small target slice);
+  *  - [[logImportance]] computes ln w(x) for every document in ONE corpus
+  *    pass — the event stream joins all four count tables at once
+  *    (vocabulary-sized, AQE-broadcast when small), so the raw corpus is
+  *    never scanned twice;
+  *  - selection is the Gumbel-threshold form of importance resampling:
+  *    keep x iff ln w(x)/T + G(x) > τ with G(x) = −ln(−ln U(x)) a
+  *    DETERMINISTIC Gumbel variate from the engine-portable md5 uniform
+  *    (the [[Sampling]] idiom — no RNG, replayable in any engine).
+  *    P(keep) = 1 − exp(−w^{1/T}·e^{−τ}) ∝ w^{1/T} for small weights —
+  *    importance-proportional sampling without a normalization pass, so
+  *    the decision is a NARROW per-row filter: no global sort, no top-k
+  *    over the corpus, nothing driver-sized (the paper's exact top-k
+  *    needs a full sort; at 100 TB the threshold form is the one that
+  *    ships, and τ calibrates the budget the way q97's approx-percentile
+  *    thresholds do).
+  */
+object Dsir {
+
+  /** ln importance weight per document, from one event-stream pass:
+    * (id, n_bigrams, avg_nll_raw, avg_nll_target, log_ratio) where
+    * log_ratio = n·(avg_nll_raw − avg_nll_target) = ln p_t(x) − ln p_r(x)
+    * under the two add-one-smoothed bigram LMs. Documents with fewer than
+    * two tokens have no bigram events and drop out (callers screen them
+    * with the q49 length filter). */
+  def logImportance(docs: DataFrame, idCol: String, textCol: String,
+      target: BigramLm, raw: BigramLm): DataFrame = {
+    val events = docs
+      .select(col(idCol), explode(HashFunctions.bigramPairHashes(col(textCol))).as("e"))
+      .select(col(idCol), col("e.bh").as("bh"), col("e.uh").as("uh"))
+    def nll(c2: Column, c1: Column, v: Long): Column =
+      -log((coalesce(c2, lit(0L)) + lit(1L)).cast("double") /
+        (coalesce(c1, lit(0L)) + lit(v)).cast("double"))
+    events
+      .join(raw.bigrams.select(col("bh"), col("c2").as("rc2")), Seq("bh"), "left")
+      .join(raw.contexts.select(col("uh"), col("c1").as("rc1")), Seq("uh"), "left")
+      .join(target.bigrams.select(col("bh"), col("c2").as("tc2")), Seq("bh"), "left")
+      .join(target.contexts.select(col("uh"), col("c1").as("tc1")), Seq("uh"), "left")
+      .select(col(idCol),
+        nll(col("rc2"), col("rc1"), raw.vocabSize).as("nll_r"),
+        nll(col("tc2"), col("tc1"), target.vocabSize).as("nll_t"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(col("nll_r")).as("avg_nll_raw"),
+        avg(col("nll_t")).as("avg_nll_target"))
+      .withColumn("log_ratio",
+        col("n_bigrams") * (col("avg_nll_raw") - col("avg_nll_target")))
+  }
+
+  /** Deterministic standard-Gumbel variate per key: −ln(−ln U) with
+    * U = (md5_bucket + 0.5) / 2³². The +0.5 centers each bucket and keeps
+    * U strictly inside (0,1), so the double ln never sees 0 or 1. */
+  def gumbelKey(key: Column, salt: String): Column = {
+    val b = conv(substring(md5(concat(lit(salt + ":"), key.cast("string"))),
+      1, 8), 16, 10).cast("long")
+    -log(-log((b.cast("double") + lit(0.5)) / lit(4294967296.0)))
+  }
+
+  /** Importance-resample `docs` toward the target domain: score, add the
+    * per-document Gumbel, keep rows with log_ratio/T + G > τ. Returns the
+    * scored frame (id, n_bigrams, avg nlls, log_ratio, gumbel, score)
+    * filtered to the selected documents — join back on the id for the
+    * text. Fully deterministic for a fixed salt. */
+  def resample(docs: DataFrame, idCol: String, textCol: String,
+      target: BigramLm, raw: BigramLm, temperature: Double, tau: Double,
+      salt: String = "dsir"): DataFrame = {
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    logImportance(docs, idCol, textCol, target, raw)
+      .withColumn("gumbel", gumbelKey(col(idCol), salt))
+      .withColumn("score", col("log_ratio") / temperature + col("gumbel"))
+      .where(col("score") > tau)
+  }
+}

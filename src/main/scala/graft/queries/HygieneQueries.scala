@@ -179,11 +179,41 @@ object HygieneQueries {
       .orderBy("source")
   }
 
+  /** q132: DSIR importance resampling ([[graft.ops.Dsir]]) — select
+    * corpus documents toward a target domain (src0 as the stand-in
+    * benchmark slice) by bigram-LM importance weights and the
+    * deterministic Gumbel-threshold rule (T=4, τ=0.75 — measured
+    * selection 16–29% with ≥2.7e-4 score margin to the nearest doc at
+    * all three SFs, far above cross-engine mean-of-doubles skew). Per
+    * source: doc/scored/selected counts, 4-dp mean log-ratio, and the
+    * selected-id sum certificate — src0 visibly over-selects, which is
+    * the operator's point. Oracle: both LMs refit in string space (the
+    * q87 replay), the identical md5 Gumbel, the identical decision. */
+  val dsirResample: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val raw = graft.ops.LanguageModel.fitBigramLm(docs, "text")
+    val target = graft.ops.LanguageModel.fitBigramLm(
+      docs.where(col("source") === "src0"), "text")
+    val scored = graft.ops.Dsir.logImportance(docs, "doc_id", "text", target, raw)
+      .withColumn("score",
+        col("log_ratio") / lit(4.0) + graft.ops.Dsir.gumbelKey(col("doc_id"), "dsir"))
+      .withColumn("sel", (col("score") > 0.75).cast("long"))
+    docs.select("doc_id", "source").join(scored, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_bigrams").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+        sum(coalesce(col("sel"), lit(0L))).as("n_selected"),
+        round(avg(col("log_ratio")), 4).as("avg_log_ratio"),
+        sum(col("doc_id") * coalesce(col("sel"), lit(0L))).as("sum_selected_ids"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
     "q128_zipf_fit" -> zipfFit,
     "q129_source_divergence" -> sourceDivergence,
     "q130_line_dedup" -> lineDedup,
-    "q131_nfc_cleanup" -> nfcCleanup)
+    "q131_nfc_cleanup" -> nfcCleanup,
+    "q132_dsir_resample" -> dsirResample)
 
   val oracles: Map[String, String] = Map(
     "q128_zipf_fit" ->
@@ -312,5 +342,42 @@ object HygieneQueries {
         |  CAST(sum(length(t)) AS BIGINT) AS chars_before,
         |  CAST(sum(length(cl)) AS BIGINT) AS chars_after,
         |  CAST(sum(doc_id * CASE WHEN cl <> t THEN 1 ELSE 0 END) AS BIGINT) AS sum_changed_ids
-        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q132_dsir_resample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |ev AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i] || ' ' || ts[i+1] AS bg
+        |  FROM d, UNNEST(generate_series(1, len(ts) - 1)) AS t(i)),
+        |rc2 AS (SELECT bg, count(*) AS c FROM ev GROUP BY 1),
+        |rc1 AS (SELECT w1, count(*) AS c FROM ev GROUP BY 1),
+        |rv AS (SELECT count(DISTINCT tok) AS v
+        |       FROM (SELECT unnest(ts) AS tok FROM d)),
+        |tev AS (SELECT ev.* FROM ev JOIN d USING (doc_id) WHERE d.source = 'src0'),
+        |tc2 AS (SELECT bg, count(*) AS c FROM tev GROUP BY 1),
+        |tc1 AS (SELECT w1, count(*) AS c FROM tev GROUP BY 1),
+        |tv AS (SELECT count(DISTINCT tok) AS v
+        |       FROM (SELECT unnest(ts) AS tok FROM d WHERE source = 'src0')),
+        |sc AS (
+        |  SELECT ev.doc_id, count(*) AS n,
+        |    avg(-ln((coalesce(rc2.c,0)+1)/(coalesce(rc1.c,0)+rv.v))) AS avg_r,
+        |    avg(-ln((coalesce(tc2.c,0)+1)/(coalesce(tc1.c,0)+tv.v))) AS avg_t
+        |  FROM ev LEFT JOIN rc2 USING (bg) LEFT JOIN rc1 USING (w1)
+        |    LEFT JOIN tc2 USING (bg) LEFT JOIN tc1 USING (w1)
+        |    CROSS JOIN rv CROSS JOIN tv
+        |  GROUP BY 1),
+        |s AS (
+        |  SELECT doc_id, n, n*(avg_r - avg_t) AS lr,
+        |    CASE WHEN n*(avg_r - avg_t)/4.0 +
+        |      (-ln(-ln((CAST(concat('0x', substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0)))
+        |      > 0.75 THEN 1 ELSE 0 END AS sel
+        |  FROM sc)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN s.n IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+        |  CAST(sum(coalesce(sel, 0)) AS BIGINT) AS n_selected,
+        |  round(avg(lr), 4) AS avg_log_ratio,
+        |  CAST(sum(d2.doc_id * coalesce(sel, 0)) AS BIGINT) AS sum_selected_ids
+        |FROM (SELECT doc_id, source FROM documents) d2 LEFT JOIN s USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

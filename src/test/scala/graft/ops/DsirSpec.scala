@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+  private lazy val raw = LanguageModel.fitBigramLm(docs, "text")
+  private lazy val target = LanguageModel.fitBigramLm(
+    docs.where(col("source") === "src0"), "text")
+
+  test("one-pass log importance equals the two-pass scoreNll difference") {
+    val one = Dsir.logImportance(docs, "doc_id", "text", target, raw)
+    val r = LanguageModel.scoreNll(docs, "doc_id", "text", raw)
+      .select(col("doc_id"), col("n_bigrams").as("nr"), col("avg_nll").as("ar"))
+    val t = LanguageModel.scoreNll(docs, "doc_id", "text", target)
+      .select(col("doc_id"), col("avg_nll").as("at"))
+    val joined = one.join(r, "doc_id").join(t, "doc_id")
+      .select(col("doc_id"), col("n_bigrams"), col("nr"),
+        (col("log_ratio") - col("nr") * (col("ar") - col("at"))).as("diff"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(joined.nonEmpty)
+    assert(joined.forall(x => x._2 == x._3), "event counts disagree")
+    assert(joined.forall(x => math.abs(x._4) < 1e-9),
+      s"max drift ${joined.map(x => math.abs(x._4)).max}")
+  }
+
+  test("deterministic gumbel variates have the standard Gumbel shape") {
+    val g = spark.range(0, 20000)
+      .select(Dsir.gumbelKey(col("id"), "t").as("g")).as[Double].collect()
+    val mean = g.sum / g.length
+    // standard Gumbel mean is the Euler-Mascheroni constant; se ~ 0.009 here
+    assert(math.abs(mean - 0.57722) < 0.03, s"mean $mean")
+    // salt changes the stream
+    val g2 = spark.range(0, 100)
+      .select(Dsir.gumbelKey(col("id"), "other").as("g")).as[Double].collect()
+    assert(g.take(100).toSeq != g2.toSeq)
+  }
+
+  test("resampling is deterministic, tau-monotone, and favors the target domain") {
+    def run(tau: Double) =
+      Dsir.resample(docs, "doc_id", "text", target, raw, 4.0, tau)
+        .select("doc_id").as[Long].collect().toSet
+    val sel = run(0.75)
+    assert(sel == run(0.75))
+    // tightening the threshold can only shrink the selection
+    assert(run(1.5).subsetOf(sel))
+    // src0 (the target domain) must over-select vs the rest of the corpus
+    val srcOf = docs.select("doc_id", "source").as[(Long, String)].collect().toMap
+    val n0 = srcOf.count(_._2 == "src0")
+    val s0 = sel.count(id => srcOf(id) == "src0")
+    val rate0 = s0.toDouble / n0
+    val rateRest = (sel.size - s0).toDouble / (srcOf.size - n0)
+    assert(rate0 > rateRest, s"src0 rate $rate0 <= rest rate $rateRest")
+  }
+}
