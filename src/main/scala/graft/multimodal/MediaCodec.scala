@@ -207,6 +207,32 @@ object MediaCodec {
     out.toByteArray
   }
 
+  /** Deterministic gray block-pattern BMP for the perceptual-hash gate
+    * and specs: 36×32 pixels whose 4×4 blocks tile the 9×8 dHash grid
+    * exactly, block (r,c) gray level ((cls·29 + r·8 + c)·73) mod 151 + 20
+    * (+ `brightness`). The seven cls∈[0,7) patterns have pairwise-distinct
+    * dHashes (pinned in MediaCodecSpec), the max level 170+brightness
+    * stays below 255 for brightness ≤ 85 (no clipping), and a uniform
+    * gray shift moves every cell mean by exactly +brightness — so the
+    * hash is provably invariant under it. */
+  def encodeBlockPattern(cls: Int, brightness: Int): Array[Byte] = {
+    require(brightness >= 0 && brightness <= 85, s"brightness $brightness would clip")
+    val img = new BufferedImage(36, 32, BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 36) {
+        val v = ((cls * 29 + (y / 4) * 8 + (x / 4)) * 73) % 151 + 20 + brightness
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    out.toByteArray
+  }
+
   /** Minimal valid PCM WAV container around `samples` 16-bit frames. */
   def encodeWav(channels: Int, sampleRate: Int, samples: Array[Short]): Array[Byte] = {
     val dataLen = samples.length * 2
@@ -220,6 +246,71 @@ object MediaCodec {
     bb.put("data".getBytes); bb.putInt(dataLen)
     samples.foreach(bb.putShort)
     bb.array()
+  }
+
+  // --------------------------------------------------- perceptual hash
+
+  /** Integer luma grid: area-average the decoded image to `rows`×`cols`
+    * cells. All-integer arithmetic (Rec.601 luma in thousandths, floor
+    * division by the cell's pixel count) so the grid — and everything
+    * derived from it — is bit-deterministic across platforms. */
+  private def lumaGrid(img: BufferedImage, cols: Int, rows: Int): Array[Array[Int]] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = Array.ofDim[Long](rows, cols)
+    val counts = Array.ofDim[Long](rows, cols)
+    var y = 0
+    while (y < h) {
+      val r = y * rows / h
+      var x = 0
+      while (x < w) {
+        val c = x * cols / w
+        val rgb = img.getRGB(x, y)
+        val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        sums(r)(c) += luma
+        counts(r)(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(rows, cols)((r, c) => (sums(r)(c) / counts(r)(c)).toInt)
+  }
+
+  /** 64-bit difference hash (dHash — the standard perceptual near-dup
+    * fingerprint): area-average the luma plane to a 9×8 grid, then bit
+    * r·8+c is set iff cell (r,c) is strictly brighter than its right
+    * neighbor. Only horizontal luminance GRADIENTS survive, so the hash is
+    * exactly invariant under uniform brightness shifts (a +k luma shift
+    * moves every integer cell mean by exactly +k) and robust to rescaling
+    * — the two transforms that defeat byte-level image dedup. Equal
+    * hashes ⇒ near-duplicate candidates; Hamming distance ranks them. */
+  def dHash64(img: BufferedImage): Long = {
+    val g = lumaGrid(img, cols = 9, rows = 8)
+    var bits = 0L
+    var k = 0
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (g(r)(c) > g(r)(c + 1)) bits |= 1L << k
+        k += 1
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** Decode-and-hash: ImageIO decode (PNG/JPEG/BMP/GIF), then [[dHash64]].
+    * Null for undecodable payloads and for images smaller than the 9×8
+    * grid (nothing meaningful to compare). */
+  def imageDHash(bytes: Array[Byte]): java.lang.Long = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth < 9 || img.getHeight < 8) null
+    else java.lang.Long.valueOf(dHash64(img))
   }
 
   // ------------------------------------------------------- real decoder
@@ -340,4 +431,37 @@ object WavStatsExpr {
   /** Column form: `wav_stats(media)`. */
   def wavStats(media: Column): Column =
     ColumnBridge.column(WavStatsExpr(ColumnBridge.expression(media)))
+}
+
+/** Compiled perceptual hash of an image binary column:
+  * [[MediaCodec.imageDHash]] as a LongType expression — decode + 9×8 luma
+  * grid + difference bits in one per-row pass, null for undecodable or
+  * sub-grid payloads. O(pixels) per row like any decode; grouping/joining
+  * on the resulting long is what turns image near-dup detection into the
+  * same narrow hash-groupBy shape as the text MinHash/SimHash family. */
+case class ImageDHashExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"image_dhash needs a binary column, got ${child.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.imageDHash(input.asInstanceOf[Array[Byte]])
+
+  override def prettyName: String = "image_dhash"
+  override protected def withNewChildInternal(newChild: Expression): ImageDHashExpr =
+    copy(child = newChild)
+}
+
+object ImageDHashExpr {
+  /** Column form: `image_dhash(media)`. */
+  def imageDHash(media: Column): Column =
+    ColumnBridge.column(ImageDHashExpr(ColumnBridge.expression(media)))
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.dedup.Dedup
 import graft.functions.TextFunctions
-import graft.multimodal.{ImageMetaExpr, MediaCodec, Multimodal}
+import graft.multimodal.{ImageDHashExpr, ImageMetaExpr, MediaCodec, Multimodal}
 import graft.sim.Similarity
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -503,6 +503,37 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** q133: perceptual image near-dup grouping through the REAL pixel
+    * path — every doc gets a block-pattern BMP (pattern class doc_id%7,
+    * odd ids brightness-shifted +40), the compiled
+    * [[graft.multimodal.ImageDHashExpr]] decodes and dHashes each one,
+    * and grouping on the hash must reconstruct the 7 pattern classes
+    * EXACTLY: dHash is provably invariant under the uniform brightness
+    * shift (integer cell means move by exactly +40), and the 7 patterns
+    * have pairwise-distinct hashes (pinned in MediaCodecSpec). The
+    * oracle never sees a hash — it groups doc_id%7 arithmetically, so
+    * row equality certifies the whole decode→grid→hash pipeline. Scale
+    * shape: one narrow decode projection, one hash groupBy — image
+    * near-dup becomes the MinHash/SimHash shape. */
+  val imageNearDup: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          (id, MediaCodec.encodeBlockPattern((id % 7).toInt,
+            if (id % 2 == 0) 0 else 40))
+        }
+      }.toDF("doc_id", "media")
+    media.select(col("doc_id"), ImageDHashExpr.imageDHash(col("media")).as("dhash"))
+      .groupBy("dhash")
+      .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_doc_ids"),
+        sum(col("doc_id") % 2).as("n_bright"))
+      .select("rep_doc", "n_docs", "sum_doc_ids", "n_bright")
+      .orderBy("rep_doc")
+  }
+
   val all: Map[String, Q] = Map(
     "q30_token_stats" -> tokenStats,
     "q31_quality_stats" -> qualityStats,
@@ -535,9 +566,15 @@ object CorpusQueries {
     "q56_sketch_percentiles" -> sketchPercentiles,
     "q60_media_features" -> mediaFeatures,
     "q103_media_metadata" -> mediaMetadata,
-    "q104_audio_stats" -> audioStats)
+    "q104_audio_stats" -> audioStats,
+    "q133_image_neardup" -> imageNearDup)
 
   val oracles: Map[String, String] = Map(
+    "q133_image_neardup" ->
+      """SELECT min(doc_id) AS rep_doc, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids,
+        |  CAST(sum(doc_id % 2) AS BIGINT) AS n_bright
+        |FROM documents GROUP BY doc_id % 7 ORDER BY 1""".stripMargin,
     "q104_audio_stats" ->
       """SELECT doc_id,
         |  1 AS channels,

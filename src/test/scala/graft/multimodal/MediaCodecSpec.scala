@@ -139,4 +139,63 @@ class MediaCodecSpec extends SparkSpec {
       assert(r.getInt(3) == (16 + (id * 7) % 48).toInt)
     }
   }
+
+  test("dHash matches the block-pattern definition computed straight from arithmetic") {
+    // the encoder's 4x4 blocks ARE the 9x8 grid cells, so the expected
+    // hash falls out of the pattern formula without any image machinery
+    def cell(cls: Int, r: Int, c: Int): Int = ((cls * 29 + r * 8 + c) * 73) % 151 + 20
+    def expected(cls: Int): Long = {
+      var bits = 0L; var k = 0
+      for (r <- 0 until 8; c <- 0 until 8) {
+        if (cell(cls, r, c) > cell(cls, r, c + 1)) bits |= 1L << k
+        k += 1
+      }
+      bits
+    }
+    for (cls <- 0 until 7) {
+      val viaDecode = MediaCodec.imageDHash(MediaCodec.encodeBlockPattern(cls, 0))
+      assert(viaDecode != null && viaDecode.longValue() == expected(cls),
+        s"class $cls decode/arithmetic mismatch")
+    }
+  }
+
+  test("dHash is invariant under uniform brightness shift, distinct across patterns") {
+    val base = (0 until 7).map(c => MediaCodec.imageDHash(MediaCodec.encodeBlockPattern(c, 0)).longValue())
+    val bright = (0 until 7).map(c => MediaCodec.imageDHash(MediaCodec.encodeBlockPattern(c, 40)).longValue())
+    assert(base == bright)           // the +40 shift never flips a comparison
+    assert(base.distinct.size == 7)  // the q133 oracle's grouping premise
+  }
+
+  test("dHash format-independence and degenerate inputs") {
+    // same pixels through PNG (lossless) must hash identically to BMP
+    val img = new java.awt.image.BufferedImage(36, 32,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 32; x <- 0 until 36) {
+      val v = ((y / 4) * 8 + (x / 4)) * 73 % 151 + 20
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    def enc(fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out); out.toByteArray
+    }
+    assert(MediaCodec.imageDHash(enc("png")) == MediaCodec.imageDHash(enc("bmp")))
+    // solid color: no gradient anywhere -> all bits zero
+    assert(MediaCodec.imageDHash(
+      MediaCodec.encodeSolid("png", 18, 16, 0x808080)).longValue() == 0L)
+    // garbage and sub-grid images are null, not crashes
+    assert(MediaCodec.imageDHash("not an image".getBytes) == null)
+    assert(MediaCodec.imageDHash(MediaCodec.encodeSolid("png", 4, 4, 0)) == null)
+  }
+
+  test("q133 engine grouping equals the doc_id%7 arithmetic oracle on sf0.001") {
+    val out = graft.queries.CorpusQueries.imageNearDup(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 7)
+    val ids = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val expected = ids.groupBy(_ % 7).values.map { g =>
+      (g.min, g.size.toLong, g.sum, g.count(_ % 2 == 1).toLong)
+    }.toSeq.sortBy(_._1)
+    assert(out.toSeq == expected)
+  }
 }
