@@ -406,6 +406,24 @@ object StreamingPipeline {
           batch, idCol, textCol, spanIndex, spanWords), batchId)
       }
 
+  /** Streaming line-level boilerplate removal: every arriving micro-batch
+    * screens against the STORED boilerplate-line index (built in batch by
+    * [[graft.ops.LineDedup.boilerplateLines]] — template chrome is a
+    * corpus-level property, so the index is the artifact and the stream
+    * just applies it). Per-batch work is O(batch lines + index); the
+    * rewritten docs (with their line tallies) go to `onBatch`. Stateless:
+    * replayed micro-batches rewrite identically. */
+  def lineDedupStream(newDocs: DataFrame, idCol: String, textCol: String,
+                      lineIndex: DataFrame)
+                     (onBatch: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(graft.ops.LineDedup.dedupLinesAgainstIndex(
+          batch, idCol, textCol, lineIndex), batchId)
+      }
+
   /** [[spanDedupStream]] with content-defined chunking — arriving docs
     * chunk at their own content boundaries, so a corpus-known passage is
     * screened out no matter where it sits in the arriving doc. */

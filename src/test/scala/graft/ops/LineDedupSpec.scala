@@ -69,6 +69,40 @@ class LineDedupSpec extends SparkSpec {
       oneShot.orderBy("doc_id").collect().toSeq)
   }
 
+  test("streaming screen against the stored index equals the batch incremental pass") {
+    val idx = LineDedup.boilerplateLines(corpus, "doc_id", "text", minDocs = 3).cache()
+    val delta = Seq(
+      (10L, "BOILER\nnew a"), (11L, "new b\nBOILER"),
+      (12L, "only fresh"), (13L, "BOILER")).toDF("doc_id", "text")
+    val d = java.nio.file.Files.createTempDirectory("graft_line_ingest")
+    delta.where(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(d.resolve("p0").toString)
+    delta.where(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(d.resolve("p1").toString)
+    val stream = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$d/*")
+
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, (String, Long, Long)]()
+    var batches = 0
+    val q = graft.streaming.StreamingPipeline.lineDedupStream(
+        stream, "doc_id", "text", idx) { (out, _) =>
+      batches += 1
+      out.collect().foreach(r =>
+        got.put(r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3))))
+    }.start()
+    q.awaitTermination()
+
+    val batch = LineDedup.dedupLinesAgainstIndex(delta, "doc_id", "text", idx)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    assert(batch.values.exists(_._3 > 0),
+      "test needs at least one corpus-known boilerplate line in the delta")
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toMap == batch)
+    idx.unpersist()
+  }
+
   test("dedup is idempotent: a second pass removes nothing") {
     val once = LineDedup.dedupLines(corpus, "doc_id", "text", minDocs = 3)
       .select(col("doc_id"), col("text"))
