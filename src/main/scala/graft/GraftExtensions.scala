@@ -134,5 +134,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "usage: wav_stats(media_binary)")
         graft.multimodal.WavStatsExpr(args.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName,
+        "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "usage: nfc_normalize(text)")
+        graft.functions.NfcNormalize(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("image_dhash"),
+      new ExpressionInfo(classOf[graft.multimodal.ImageDHashExpr].getName,
+        "image_dhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "usage: image_dhash(media_binary)")
+        graft.multimodal.ImageDHashExpr(args.head)
+      }))
   }
 }

@@ -35,6 +35,8 @@ object SqlQueries {
         graft.functions.CosineSimilarity(args(0), args(1)))
     ColumnBridge.registerFunction(s, "quantile_sketch",
       graft.functions.GraftFunctions.quantileSketchBuilder)
+    ColumnBridge.registerFunction(s, "nfc_normalize",
+      (args: Seq[Expression]) => graft.functions.NfcNormalize(args.head))
     ColumnBridge.registerFunction(s, "kmv_distinct",
       (args: Seq[Expression]) => {
         val k = args match {
@@ -275,7 +277,45 @@ object SqlQueries {
       FROM e GROUP BY source, dominant ORDER BY source, dominant""")
   }
 
+  /** q131's Unicode cleanup as pure SQL text: the registered
+    * `nfc_normalize` engine function plus built-in regexp_replace/trim.
+    * The planted sequences and both regex classes ride as unicode source
+    * escapes, which the Scala lexer resolves to the SAME raw characters
+    * the DataFrame twin plants -- so this shares q131's oracle verbatim. */
+  val sqlNfcCleanup: Q = (s, dir) => {
+    ensureSurface(s, dir)
+    s.sql("""
+      WITH p AS (
+        SELECT doc_id, source, CASE CAST(doc_id % 6 AS INT)
+          WHEN 1 THEN concat(text, ' cafe\u0301 menu')
+          WHEN 2 THEN concat(text, '\u0007system beep\u200B')
+          WHEN 3 THEN concat(text, ' a\u0300 la carte')
+          WHEN 4 THEN concat(text, '  trailing   spaces  ')
+          WHEN 5 THEN concat(text, ' \uFB01nal file')
+          ELSE text END AS t
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, t, nfc_normalize(t) AS n1,
+          regexp_replace(nfc_normalize(t),
+            '[\u0000-\u0008\u000B-\u001F\u007F\u200B-\u200D\uFEFF]', '') AS n2
+        FROM p),
+      f AS (
+        SELECT doc_id, source, t, n1, n2,
+          trim(regexp_replace(n2, '[ \u0009]+', ' ')) AS cl
+        FROM c)
+      SELECT source, count(*) AS n_docs,
+        sum(CASE WHEN n1 <> t THEN 1 ELSE 0 END) AS n_nfc_changed,
+        sum(CASE WHEN length(n1) <> length(n2) THEN 1 ELSE 0 END) AS n_ctrl_docs,
+        sum(length(n1) - length(n2)) AS n_ctrl_removed,
+        sum(CASE WHEN cl <> t THEN 1 ELSE 0 END) AS n_changed,
+        sum(length(t)) AS chars_before,
+        sum(length(cl)) AS chars_after,
+        sum(doc_id * CASE WHEN cl <> t THEN 1 ELSE 0 END) AS sum_changed_ids
+      FROM f GROUP BY source ORDER BY source""")
+  }
+
   val all: Map[String, Q] = Map(
+    "q134_sql_nfc_cleanup" -> sqlNfcCleanup,
     "q124_sql_script_profile" -> sqlScriptProfile,
     "q113_sql_chunks" -> sqlChunks,
     "q96_sql_split" -> sqlTrainValSplit,
@@ -287,6 +327,7 @@ object SqlQueries {
     "q81_sql_temperature_mix" -> sqlTemperatureMix)
 
   val oracles: Map[String, String] = Map(
+    "q134_sql_nfc_cleanup" -> HygieneQueries.oracles("q131_nfc_cleanup"),
     "q124_sql_script_profile" -> AnalysisQueries.oracles("q117_script_profile"),
     "q113_sql_chunks" -> RetrievalQueries.oracles("q107_sliding_chunks"),
     "q96_sql_split" -> ModelPrepQueries.oracles("q88_train_val_split"),

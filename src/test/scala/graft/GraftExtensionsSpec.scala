@@ -115,6 +115,27 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(rows(2).isNullAt(1) && rows(2).isNullAt(3))
   }
 
+  test("round-10 expressions (nfc_normalize, image_dhash) are callable from SQL") {
+    import graft.multimodal.{ImageDHashExpr, MediaCodec}
+    ColumnBridge.registerFunction(spark, "nfc_normalize",
+      args => graft.functions.NfcNormalize(args.head))
+    ColumnBridge.registerFunction(spark, "image_dhash",
+      args => ImageDHashExpr(args.head))
+    val nfc = spark.sql("SELECT nfc_normalize('cafe\u0301')").head().getString(0)
+    assert(nfc == "caf\u00E9")
+    Seq(
+      (1L, MediaCodec.encodeBlockPattern(3, 0)),
+      (2L, MediaCodec.encodeBlockPattern(3, 40)),
+      (3L, "junk".getBytes)
+    ).toDF("id", "media").createOrReplaceTempView("dhash_ext_test")
+    val rows = spark.sql(
+      "SELECT id, image_dhash(media) h FROM dhash_ext_test ORDER BY id").collect()
+    assert(!rows(0).isNullAt(1) && rows(0).getLong(1) == rows(1).getLong(1))
+    assert(rows(2).isNullAt(1))
+    assert(rows(0).getLong(1) ==
+      MediaCodec.imageDHash(MediaCodec.encodeBlockPattern(3, 0)).longValue())
+  }
+
   test("quantile_sketch is callable from SQL, scalar and array quantiles") {
     ColumnBridge.registerFunction(spark, "quantile_sketch",
       graft.functions.GraftFunctions.quantileSketchBuilder)

@@ -24,7 +24,8 @@ class SqlQueriesSpec extends SparkSpec {
       "q75_sql_asof" -> "q17_asof_join",
       "q81_sql_temperature_mix" -> "q80_temperature_mix",
       "q113_sql_chunks" -> "q107_sliding_chunks",
-      "q124_sql_script_profile" -> "q117_script_profile")
+      "q124_sql_script_profile" -> "q117_script_profile",
+      "q134_sql_nfc_cleanup" -> "q131_nfc_cleanup")
     for ((sqlName, dfName) <- twins) {
       val viaSql = canon(SparkEntry.queries(sqlName)(spark, dir))
       val viaDf = canon(SparkEntry.queries(dfName)(spark, dir))
