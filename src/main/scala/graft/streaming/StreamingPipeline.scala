@@ -283,6 +283,26 @@ object StreamingPipeline {
         onScoredBatch(scored, batchId)
       }
 
+  /** Streaming DSIR selection: importance-resample every arriving
+    * micro-batch toward the target domain with the two STORED bigram LMs
+    * (the fitted artifacts — [[graft.store.IndexStore.saveLm]]/loadLm;
+    * target and raw distributions are corpus-level properties, the stream
+    * just applies them). The Gumbel-threshold rule is a per-row
+    * deterministic filter keyed on the doc id, so replayed micro-batches
+    * select identically — exactly-once semantics for free, no state. */
+  def dsirResampleStream(newDocs: DataFrame, idCol: String, textCol: String,
+                         target: graft.ops.LanguageModel.BigramLm,
+                         raw: graft.ops.LanguageModel.BigramLm,
+                         temperature: Double, tau: Double)
+                        (onBatch: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(graft.ops.Dsir.resample(
+          batch, idCol, textCol, target, raw, temperature, tau), batchId)
+      }
+
   /** Streaming calibrated quality screen: apply batch-fitted per-domain
     * keep thresholds ([[graft.ops.QualityClassifier.annotateCalibratedApprox]]'s
     * `(domain, quality_threshold)` table, domains-sized) to an arriving

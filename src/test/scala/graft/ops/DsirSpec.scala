@@ -40,6 +40,43 @@ class DsirSpec extends SparkSpec {
     assert(g.take(100).toSeq != g2.toSeq)
   }
 
+  test("streaming resample with STORED LMs equals the batch pass") {
+    // ship both LMs through their persistence format first (the artifact
+    // a production stream actually loads), then drive two micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir_lm")
+    graft.store.IndexStore.saveLm(spark, raw, dir.resolve("raw").toString)
+    graft.store.IndexStore.saveLm(spark, target, dir.resolve("tgt").toString)
+    val rawLoaded = graft.store.IndexStore.loadLm(spark, dir.resolve("raw").toString)
+    val tgtLoaded = graft.store.IndexStore.loadLm(spark, dir.resolve("tgt").toString)
+
+    val delta = docs.select("doc_id", "text").where(col("doc_id") % 3 === 1)
+    val stage = java.nio.file.Files.createTempDirectory("graft_dsir_ingest")
+    delta.where(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(stage.resolve("p0").toString)
+    delta.where(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(stage.resolve("p1").toString)
+    val stream = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$stage/*")
+
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    var batches = 0
+    val q = graft.streaming.StreamingPipeline.dsirResampleStream(
+        stream, "doc_id", "text", tgtLoaded, rawLoaded, 4.0, 0.75) { (out, _) =>
+      batches += 1
+      out.select("doc_id", "n_bigrams").collect()
+        .foreach(r => got.put(r.getLong(0), r.getLong(1)))
+    }.start()
+    q.awaitTermination()
+
+    val batch = Dsir.resample(delta, "doc_id", "text", tgtLoaded, rawLoaded, 4.0, 0.75)
+      .select("doc_id", "n_bigrams").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    assert(batch.nonEmpty, "test needs at least one selected doc in the delta")
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toMap == batch)
+  }
+
   test("resampling is deterministic, tau-monotone, and favors the target domain") {
     def run(tau: Double) =
       Dsir.resample(docs, "doc_id", "text", target, raw, 4.0, tau)
