@@ -79,7 +79,13 @@ object Bench {
     "q123_sketched_overlap",  // KMV set-algebra overlap matrix (+ exact side)
     "q125_bpe_continued",     // frozen-merge continued tokenizer training
     "q126_pca_whitening",     // covariance treeAggregate + Jacobi + projection
-    "q127_length_buckets")    // padding-waste bucketing report
+    "q127_length_buckets",    // padding-waste bucketing report
+    "q128_zipf_fit",          // frequency-spectrum OLS over top types
+    "q129_source_divergence", // per-source KL vs corpus unigram dist
+    "q130_line_dedup",        // cross-doc boilerplate line removal + rebuild
+    "q131_nfc_cleanup",       // NFC kernel + control strip + collapse
+    "q132_dsir_resample",     // two-LM importance scoring + Gumbel select
+    "q133_image_neardup")     // BMP decode -> dHash -> group reconstruction
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -170,6 +170,46 @@ object MediaCodec {
     null
   }
 
+  /** Acoustic fingerprint — the audio analog of [[dHash64]]: split the
+    * 16-bit PCM data chunk into `frames` equal frames, compute each
+    * frame's integer energy (Σ sample², exact in a Long), and emit bit i
+    * iff frame i is strictly louder than frame i+1. Only the energy
+    * ENVELOPE's shape survives, so the fingerprint is exactly invariant
+    * under amplitude scaling (energies scale by k², every comparison —
+    * including ties — is preserved) — the audio counterpart of dHash's
+    * brightness invariance, and the property that catches re-encoded /
+    * re-normalized copies of one recording. Null for non-16-bit-PCM
+    * payloads and clips shorter than `frames` samples. */
+  def wavFingerprint(b: Array[Byte], frames: Int = 16): java.lang.Long = {
+    val meta = parseWavMeta(b)
+    if (meta == null || meta.bitsPerSample != 16) return null
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
+        val end = math.min(b.length, i + 8 + size)
+        val n = (end - (i + 8)) / 2
+        if (n < frames) return null
+        val energy = new Array[Long](frames)
+        var k = 0
+        while (k < n) {
+          val s = (le16(b, i + 8 + 2 * k) << 16) >> 16
+          energy(k * frames / n) += s.toLong * s
+          k += 1
+        }
+        var bits = 0L
+        var f = 0
+        while (f < frames - 1) {
+          if (energy(f) > energy(f + 1)) bits |= 1L << f
+          f += 1
+        }
+        return java.lang.Long.valueOf(bits)
+      }
+      i += 8 + size + (size & 1)
+    }
+    null
+  }
+
   // ------------------------------------------------------------ encoders
 
   /** Encode a real image of the given dims via javax.imageio. Pixels are a
@@ -464,4 +504,35 @@ object ImageDHashExpr {
   /** Column form: `image_dhash(media)`. */
   def imageDHash(media: Column): Column =
     ColumnBridge.column(ImageDHashExpr(ColumnBridge.expression(media)))
+}
+
+/** Compiled acoustic fingerprint of a WAV binary column:
+  * [[MediaCodec.wavFingerprint]] as a LongType expression — one data-chunk
+  * walk per row, null for non-PCM payloads. Same near-dup-by-groupBy shape
+  * as [[ImageDHashExpr]], for the audio modality. */
+case class WavFingerprintExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"wav_fingerprint needs a binary column, got ${child.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.wavFingerprint(input.asInstanceOf[Array[Byte]])
+
+  override def prettyName: String = "wav_fingerprint"
+  override protected def withNewChildInternal(newChild: Expression): WavFingerprintExpr =
+    copy(child = newChild)
+}
+
+object WavFingerprintExpr {
+  /** Column form: `wav_fingerprint(media)`. */
+  def wavFingerprint(media: Column): Column =
+    ColumnBridge.column(WavFingerprintExpr(ColumnBridge.expression(media)))
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.dedup.Dedup
 import graft.functions.TextFunctions
-import graft.multimodal.{ImageDHashExpr, ImageMetaExpr, MediaCodec, Multimodal}
+import graft.multimodal.{ImageDHashExpr, ImageMetaExpr, MediaCodec, Multimodal, WavFingerprintExpr}
 import graft.sim.Similarity
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -534,6 +534,42 @@ object CorpusQueries {
       .orderBy("rep_doc")
   }
 
+  /** q135: acoustic near-dup grouping — the audio twin of [[imageNearDup]].
+    * Every doc gets a 512-sample square-wave WAV whose per-frame energy
+    * ENVELOPE is a pure function of doc_id%5 (16 frames of 32 samples,
+    * envelope ((cls·7+f)·13)%9+1), with odd ids amplitude-doubled; the
+    * compiled [[graft.multimodal.WavFingerprintExpr]] decodes each clip and
+    * the fingerprint groupBy must reconstruct the 5 envelope classes
+    * exactly — the fingerprint compares frame energies, so the ×2
+    * amplitude (×4 energy) variant provably lands in the same group. The
+    * oracle is pure doc_id%5 arithmetic; row equality certifies the PCM
+    * decode → framing → energy → bits pipeline end to end. */
+  val audioNearDup: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val cls = (id % 5).toInt
+          val amp = if (id % 2 == 0) 500 else 1000
+          val samples = Array.tabulate[Short](512) { k =>
+            val e = ((cls * 7 + k * 16 / 512) * 13) % 9 + 1
+            val v = amp * e
+            (if (k % 2 == 0) v else -v).toShort
+          }
+          (id, MediaCodec.encodeWav(channels = 1, sampleRate = 16000, samples))
+        }
+      }.toDF("doc_id", "media")
+    media.select(col("doc_id"),
+        WavFingerprintExpr.wavFingerprint(col("media")).as("fp"))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_doc_ids"),
+        sum(col("doc_id") % 2).as("n_loud"))
+      .select("rep_doc", "n_docs", "sum_doc_ids", "n_loud")
+      .orderBy("rep_doc")
+  }
+
   val all: Map[String, Q] = Map(
     "q30_token_stats" -> tokenStats,
     "q31_quality_stats" -> qualityStats,
@@ -567,9 +603,15 @@ object CorpusQueries {
     "q60_media_features" -> mediaFeatures,
     "q103_media_metadata" -> mediaMetadata,
     "q104_audio_stats" -> audioStats,
-    "q133_image_neardup" -> imageNearDup)
+    "q133_image_neardup" -> imageNearDup,
+    "q135_audio_neardup" -> audioNearDup)
 
   val oracles: Map[String, String] = Map(
+    "q135_audio_neardup" ->
+      """SELECT min(doc_id) AS rep_doc, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids,
+        |  CAST(sum(doc_id % 2) AS BIGINT) AS n_loud
+        |FROM documents GROUP BY doc_id % 5 ORDER BY 1""".stripMargin,
     "q133_image_neardup" ->
       """SELECT min(doc_id) AS rep_doc, count(*) AS n_docs,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids,

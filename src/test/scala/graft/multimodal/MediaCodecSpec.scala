@@ -187,6 +187,36 @@ class MediaCodecSpec extends SparkSpec {
     assert(MediaCodec.imageDHash(MediaCodec.encodeSolid("png", 4, 4, 0)) == null)
   }
 
+  test("wav fingerprint matches the envelope arithmetic and is amplitude-invariant") {
+    def clip(cls: Int, amp: Int): Array[Byte] = {
+      val samples = Array.tabulate[Short](512) { k =>
+        val e = ((cls * 7 + k * 16 / 512) * 13) % 9 + 1
+        val v = amp * e
+        (if (k % 2 == 0) v else -v).toShort
+      }
+      MediaCodec.encodeWav(1, 16000, samples)
+    }
+    def expected(cls: Int): Long = {
+      // per-frame energy orders exactly as the envelope value does
+      def env(f: Int) = ((cls * 7 + f) * 13) % 9 + 1
+      var bits = 0L
+      for (f <- 0 until 15) if (env(f) > env(f + 1)) bits |= 1L << f
+      bits
+    }
+    for (cls <- 0 until 5) {
+      val quiet = MediaCodec.wavFingerprint(clip(cls, 500))
+      val loud = MediaCodec.wavFingerprint(clip(cls, 1000))
+      assert(quiet != null && quiet.longValue() == expected(cls), s"class $cls")
+      assert(quiet == loud, s"class $cls not amplitude-invariant")
+    }
+    assert((0 until 5).map(c =>
+      MediaCodec.wavFingerprint(clip(c, 500)).longValue()).distinct.size == 5)
+    // degenerate inputs null out
+    assert(MediaCodec.wavFingerprint("not audio".getBytes) == null)
+    assert(MediaCodec.wavFingerprint(
+      MediaCodec.encodeWav(1, 8000, Array[Short](1, 2, 3))) == null) // < frames
+  }
+
   test("q133 engine grouping equals the doc_id%7 arithmetic oracle on sf0.001") {
     val out = graft.queries.CorpusQueries.imageNearDup(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
