@@ -4,22 +4,31 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times the headline queries at SPARK_GRAFT_SF_DIR and
   * prints one JSON line (driver contract). The same line is also written to
-  * the file named by BENCH_OUT (default `target/bench.json`) so the result
-  * survives log-prefix mangling by whatever harness invokes sbt.
+  * the file named by BENCH_OUT (default `target/bench.json`) AND appended as
+  * a provenance-stamped copy under `bench_records/` (tracked in git) so
+  * clean and contended records survive with history — the r7 driver record
+  * truncated mid-JSON and only the untracked target/bench.json held the
+  * full run.
   *
   * Headline set = one representative per operator family, chosen to be the
   * *scale path* of each: MinHash-LSH rather than the deliberately-quadratic
   * exact-Jaccard baseline (q41 stays in the correctness gate at sf0.01,
   * where exact all-pairs is the oracle; at bench scale its cost is the very
-  * reason the LSH variants exist).
+  * reason the LSH variants exist). For the three gates that embed their
+  * exact baseline INSIDE the query (q43/q78/q123 — bounded-assert needs
+  * it), the headline times the [[graft.queries.BenchOnlyQueries]] twin that
+  * runs only the blocked/sketched path; the composed forms remain in the
+  * correctness gate.
   *
-  * Timing protocol: min of 3 passes per query (cache cleared between
-  * passes), with the 1-minute system load average sampled around every
-  * pass. If the load during the best pass exceeded the core count — i.e.
-  * even the winning measurement was taken on a contended box — one extra
-  * pass runs. Per-pass load is logged and the start/end load avgs are
-  * embedded in the JSON so a polluted run is self-evident in the record,
-  * not just in a log tail.
+  * Timing protocol: min of 3 passes per query, ROUND-ROBIN INTERLEAVED —
+  * pass 1 of every query, then pass 2 of every query, then pass 3 — so a
+  * transient spike (GC, a concurrent sweep on the box) pollutes one pass of
+  * many queries instead of every pass of one query, which is exactly how
+  * r7's q78 phantom 20.8s survived min-of-4 back-to-back passes. The
+  * 1-minute system load average is sampled around every pass; queries whose
+  * BEST pass still started above the contention gate get bounded extra
+  * interleaved rounds, and per-pass times and loads for every query are
+  * published in the record so a polluted pass is self-evident.
   */
 object Bench {
 
@@ -35,7 +44,7 @@ object Bench {
     "q33_fingerprints",       // shingle fingerprints
     "q40_exact_dedup",        // hash-groupBy dedup
     "q42_minhash_lsh_pairs",  // MinHash-LSH near-dup (the scale path)
-    "q43_simhash_pairs",      // SimHash chunk-blocked near-dup
+    "q43_simhash_bench",      // SimHash chunk-blocked near-dup (scale path only)
     "q49_quality_filter",     // composite per-row quality rule stack
     "q62_dedup_clusters",     // LSH pairs -> connected-component clusters
     "q64_sequence_packing",   // windowed-cumsum packing to context length
@@ -52,7 +61,7 @@ object Bench {
     "q76_span_dedup",         // sub-document span dedup
     "q85_cdc_dedup",          // shift-robust content-defined-chunk dedup
     "q77_bm25_topk",          // BM25 lexical retrieval
-    "q78_semantic_dedup",     // SemDeDup cluster-blocked embedding dedup
+    "q78_semdedup_bench",     // SemDeDup cluster-blocked pass (scale path only)
     "q79_semantic_incremental", // delta embeddings vs stored cluster index
     "q86_curation_pipeline",  // the composed end-to-end curation chain
     "q87_lm_perplexity",      // bigram-LM fit + corpus NLL scoring
@@ -76,7 +85,7 @@ object Bench {
     "q120_bpe_vocab",         // BPE fit: distributed counts + driver merges
     "q121_bpe_encode",        // corpus-wide compiled subword encoding
     "q122_bpe_packing",       // packing by real subword counts
-    "q123_sketched_overlap",  // KMV set-algebra overlap matrix (+ exact side)
+    "q123_sketch_bench",      // KMV set-algebra overlap matrix (sketch only)
     "q125_bpe_continued",     // frozen-merge continued tokenizer training
     "q126_pca_whitening",     // covariance treeAggregate + Jacobi + projection
     "q127_length_buckets",    // padding-waste bucketing report
@@ -85,7 +94,8 @@ object Bench {
     "q130_line_dedup",        // cross-doc boilerplate line removal + rebuild
     "q131_nfc_cleanup",       // NFC kernel + control strip + collapse
     "q132_dsir_resample",     // two-LM importance scoring + Gumbel select
-    "q133_image_neardup")     // BMP decode -> dHash -> group reconstruction
+    "q133_image_neardup",     // BMP decode -> dHash -> group reconstruction
+    "q135_audio_neardup")     // WAV decode -> energy fingerprint -> group
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage
@@ -102,7 +112,7 @@ object Bench {
       .config(graft.sources.Tables.NanosAsLongConf, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val qs = SparkEntry.queries
+    val qs = SparkEntry.queries ++ graft.queries.BenchOnlyQueries.all
     val loadStart = loadAvg
     // warmup: pay session/codegen/IO cold-start outside the timings
     qs("q25_acctbal_by_nation")(spark, sfDir).count()
@@ -120,62 +130,76 @@ object Bench {
       System.err.println(f"[bench] $name%-26s $sec%8.2fs rows=$n load=$l0%.1f")
       (sec, l0)
     }
-    // min-of-3, plus up to two extra passes while the BEST pass was taken
-    // on a contended box (1-min load above a quarter of the cores — the r4
-    // record showed load ~10/32 turning two queries into phantom
-    // regressions, so the gate is deliberately strict). Returns the best
-    // time AND the load its pass started at, so the published record
-    // carries per-query contention evidence, not just run-level endpoints.
-    // A best pass above HALF the gate is still suspect (the r6 record was
-    // judged 1.74x "slower" almost entirely from sandbox load): keep
-    // retrying, bounded, while the best pass's load exceeds gate/2; if it
-    // never clears, the query is marked contended in the published record so
-    // the next round's driver discounts it instead of reading a regression.
-    val loadGate = cpus.toDouble / 4.0
-    def bench(name: String): (Double, Double, Int) = {
-      var passes = Seq.fill(3)(timeOnce(name))
-      var extra = 0
-      while (passes.minBy(_._1)._2 > loadGate / 2.0 && extra < 3) {
-        passes :+= timeOnce(name)
-        extra += 1
-      }
-      val (t, l) = passes.minBy(_._1)
-      (t, l, passes.size)
-    }
 
     // ad-hoc override for profiling: SPARK_GRAFT_BENCH_QUERIES=q62_x,q64_y
     val selected = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(headline)
-    val results = selected.filter(qs.contains).map(name => name -> bench(name))
-    val qjson = results.map { case (k, (v, _, _)) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val ljson = results.map { case (k, (_, l, _)) => "\"" + k + f"\":$l%.2f" }
-      .mkString("{", ",", "}")
-    val pjson = results.map { case (k, (_, _, p)) => "\"" + k + "\":" + p }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2._1).sum
-    // record the protocol the run actually followed: the contention loop can
-    // take up to 5 passes per query, so publish per-query counts + the max
-    val passesMax = if (results.isEmpty) 0 else results.map(_._2._3).max
+      .filter(qs.contains)
+
+    // Round-robin: pass 1 of every query, then pass 2, then pass 3. A
+    // transient spike then pollutes one pass of many queries instead of
+    // every pass of one — min-of-3 absorbs it. Then, bounded contention
+    // retry: while any query's BEST pass started above the gate (1-min
+    // load above an eighth of the cores — strict on purpose; the r4/r6/r7
+    // records all had load-born phantoms), run one more interleaved pass
+    // over just the suspect queries, up to 3 extra rounds.
+    val loadGate = cpus.toDouble / 8.0
+    val passes = scala.collection.mutable.Map[String, Vector[(Double, Double)]]()
+      .withDefaultValue(Vector.empty)
+    for (round <- 1 to 3; name <- selected)
+      passes(name) = passes(name) :+ timeOnce(name)
+    def suspects = selected.filter(n => passes(n).minBy(_._1)._2 > loadGate)
+    var extra = 0
+    while (suspects.nonEmpty && extra < 3) {
+      for (name <- suspects) passes(name) = passes(name) :+ timeOnce(name)
+      extra += 1
+    }
+
+    val results = selected.map { name =>
+      val ps = passes(name)
+      val (t, l) = ps.minBy(_._1)
+      (name, t, l, ps)
+    }
+    def jmap(f: (String, Double, Double, Vector[(Double, Double)]) => String) =
+      results.map { case (k, t, l, ps) => "\"" + k + "\":" + f(k, t, l, ps) }
+        .mkString("{", ",", "}")
+    val qjson = jmap((_, t, _, _) => f"$t%.3f")
+    val ljson = jmap((_, _, l, _) => f"$l%.2f")
+    val pjson = jmap((_, _, _, ps) => ps.size.toString)
+    // per-pass evidence: every pass's (time, load) so a polluted pass is
+    // visible in the published record itself
+    val passTimes = jmap((_, _, _, ps) =>
+      ps.map(p => f"${p._1}%.3f").mkString("[", ",", "]"))
+    val passLoads = jmap((_, _, _, ps) =>
+      ps.map(p => f"${p._2}%.2f").mkString("[", ",", "]"))
+    val total = results.map(_._2).sum
+    val passesMax = if (results.isEmpty) 0 else results.map(_._4.size).max
     val loadEnd = loadAvg
-    // validity stamp: queries whose BEST pass still ran above gate/2 after
+    // validity stamp: queries whose BEST pass still ran above the gate after
     // the bounded retry loop — their published times are upper bounds, not
     // clean measurements
-    val contendedQs = results.collect { case (k, (_, l, _)) if l > loadGate / 2.0 => k }
+    val contendedQs = results.collect { case (k, _, l, _) if l > loadGate => k }
     val contended = contendedQs.nonEmpty
     val cjson = contendedQs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"loads":$ljson,"sf":"$sfDir","passes":$passesMax,"passes_per_query":$pjson,"load_gate":$loadGate%.1f,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"contended":$contended,"contended_queries":$cjson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"loads":$ljson,"sf":"$sfDir","passes":$passesMax,"passes_per_query":$pjson,"pass_times":$passTimes,"pass_loads":$passLoads,"load_gate":$loadGate%.1f,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"contended":$contended,"contended_queries":$cjson}"""
     val out = sys.env.getOrElse("BENCH_OUT", "target/bench.json")
-    try {
-      val p = java.nio.file.Paths.get(out)
+    def write(path: String): Unit = try {
+      val p = java.nio.file.Paths.get(path)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
-      System.err.println(s"[bench] wrote $out")
+      System.err.println(s"[bench] wrote $path")
     } catch {
-      case e: Throwable => System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+      case e: Throwable => System.err.println(s"[bench] could not write $path: ${e.getMessage}")
     }
+    write(out)
+    // provenance copy under git: BENCH_LABEL names the run (e.g. r8_clean);
+    // default is a wall-clock stamp so records never overwrite each other
+    val label = sys.env.getOrElse("BENCH_LABEL",
+      new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+        .format(new java.util.Date()))
+    write(s"bench_records/$label.json")
     println(json)
     spark.stop()
   }

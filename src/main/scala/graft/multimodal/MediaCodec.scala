@@ -122,6 +122,7 @@ object MediaCodec {
     var i = 12
     while (i + 8 <= b.length) {
       val size = le32(b, i + 4)
+      if (size < 0) return null // hostile/corrupt chunk size must not stall the walk
       if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
         if (i + 24 > b.length) return null
         return WavMeta(le16(b, i + 10), le32(b, i + 12), le16(b, i + 22))
@@ -146,6 +147,7 @@ object MediaCodec {
     var i = 12
     while (i + 8 <= b.length) {
       val size = le32(b, i + 4)
+      if (size < 0) return null // hostile/corrupt chunk size must not stall the walk
       if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
         val end = math.min(b.length, i + 8 + size)
         val n = (end - (i + 8)) / 2
@@ -186,6 +188,7 @@ object MediaCodec {
     var i = 12
     while (i + 8 <= b.length) {
       val size = le32(b, i + 4)
+      if (size < 0) return null // hostile/corrupt chunk size must not stall the walk
       if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
         val end = math.min(b.length, i + 8 + size)
         val n = (end - (i + 8)) / 2
@@ -194,7 +197,7 @@ object MediaCodec {
         var k = 0
         while (k < n) {
           val s = (le16(b, i + 8 + 2 * k) << 16) >> 16
-          energy(k * frames / n) += s.toLong * s
+          energy((k.toLong * frames / n).toInt) += s.toLong * s
           k += 1
         }
         var bits = 0L

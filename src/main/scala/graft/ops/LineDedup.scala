@@ -13,13 +13,15 @@ import org.apache.spark.sql.functions._
   * lines, because a line that appears verbatim in hundreds of documents
   * is template chrome, not content.
   *
-  * Scale shape: one posexplode off the scan (lines carry (id, pos,
-  * 8-byte hash) — the line STRING itself never leaves the scan stage
-  * except into the md5/xxhash kernel); document frequencies are a
-  * distinct + map-side-combined count on the hash; the boilerplate set
-  * (df >= minDocs) is tiny by construction at a real threshold, so the
-  * removal anti-join broadcasts; the rebuild is one groupBy(id) with an
-  * order-restoring sort_array — no window, no driver collect. Counting
+  * Scale shape: the screen ([[dedupLinesAgainstIndex]]) is ONE posexplode
+  * off the scan — the boilerplate set (tiny by construction at a real
+  * threshold) broadcasts as a LEFT-join flag and kept text / kept count /
+  * total count all come out of a single groupBy over that one exploded
+  * frame; the composed [[dedupLines]] adds exactly one more explode to
+  * build the index (document frequencies: distinct + map-side-combined
+  * count on the 8-byte hash — the line STRING never leaves the scan stage
+  * except into the xxhash kernel). The rebuild is an order-restoring
+  * sort_array — no window, no driver collect. Counting
   * on 64-bit line hashes means a collision could merge two lines
   * (probability ~n²/2⁶⁴ — negligible; the q130 oracle counts line
   * STRINGS, so gate equality doubles as the collision check, the q89
@@ -79,20 +81,26 @@ object LineDedup {
     * micro-batch. */
   def dedupLinesAgainstIndex(docs: DataFrame, idCol: String, textCol: String,
       index: DataFrame): DataFrame = {
-    val lines = explodeLines(docs, idCol, textCol)
-    val marked = lines.join(index.select("fp").distinct(), Seq("fp"), "left_anti")
-    val rebuilt = marked
+    // One exploded frame feeds everything: the boilerplate membership is a
+    // broadcast LEFT join that FLAGS each line (not an anti-join that would
+    // force a second explode for the totals), and kept text + kept count +
+    // total count all come out of one groupBy over that single frame.
+    // collect_list skips nulls, so the un-otherwise'd `when` drops flagged
+    // lines from the rebuild while count(lit(1)) still sees every line.
+    val flagged = explodeLines(docs, idCol, textCol)
+      .join(index.select(col("fp")).distinct().withColumn("__bp", lit(true)),
+        Seq("fp"), "left")
+    val perDoc = flagged
       .groupBy(col(idCol))
       .agg(
         array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("line")))),
+          array_sort(collect_list(
+            when(col("__bp").isNull, struct(col("pos"), col("line"))))),
           x => x("line")), "\n").as("__clean"),
-        count(lit(1)).as("__kept"))
-    val totals = lines.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_lines"))
+        count(when(col("__bp").isNull, lit(1))).as("__kept"),
+        count(lit(1)).as("n_lines"))
     docs.select(col(idCol), col(textCol))
-      .join(totals, Seq(idCol), "left")
-      .join(rebuilt, Seq(idCol), "left")
+      .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         when(col("n_lines").isNull, col(textCol))  // no non-empty lines: keep as-is
           .otherwise(coalesce(col("__clean"), lit(""))).as(textCol),

@@ -217,6 +217,27 @@ class MediaCodecSpec extends SparkSpec {
       MediaCodec.encodeWav(1, 8000, Array[Short](1, 2, 3))) == null) // < frames
   }
 
+  test("hostile RIFF chunk with negative le32 size nulls out instead of hanging") {
+    // A well-formed header followed by a chunk whose size field decodes to
+    // a negative Int (0xFFFFFFF8 = -8): the unguarded walk computed
+    // i += 8 + (-8) + 0 and never advanced — an infinite loop on an
+    // executor fed untrusted bytes. All three walk sites must return null.
+    val wav = MediaCodec.encodeWav(1, 8000, Array.tabulate[Short](64)(_.toShort))
+    val evil = java.util.Arrays.copyOf(wav, wav.length)
+    // overwrite the fmt chunk's id+size (offset 12) with a junk chunk of
+    // "size" -8 so the walk hits it before anything useful
+    evil(12) = 'j'; evil(13) = 'u'; evil(14) = 'n'; evil(15) = 'k'
+    evil(16) = 0xF8.toByte; evil(17) = 0xFF.toByte
+    evil(18) = 0xFF.toByte; evil(19) = 0xFF.toByte
+    assert(MediaCodec.parseWavMeta(evil) == null)
+    assert(MediaCodec.parseWavStats(evil) == null)
+    assert(MediaCodec.wavFingerprint(evil) == null)
+    // the pristine original still parses — the guard is not over-broad
+    assert(MediaCodec.parseWavMeta(wav) != null)
+    assert(MediaCodec.parseWavStats(wav) != null)
+    assert(MediaCodec.wavFingerprint(wav) != null)
+  }
+
   test("q133 engine grouping equals the doc_id%7 arithmetic oracle on sf0.001") {
     val out = graft.queries.CorpusQueries.imageNearDup(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
