@@ -95,7 +95,10 @@ object Bench {
     "q131_nfc_cleanup",       // NFC kernel + control strip + collapse
     "q132_dsir_resample",     // two-LM importance scoring + Gumbel select
     "q133_image_neardup",     // BMP decode -> dHash -> group reconstruction
-    "q135_audio_neardup")     // WAV decode -> energy fingerprint -> group
+    "q135_audio_neardup",     // WAV decode -> energy fingerprint -> group
+    "q136_substring_dedup",   // ExactSubstr anchors -> islands -> report
+    "q137_image_neardup_radius", // dHash banding -> CC radius grouping
+    "q138_dsir_calibrated")   // budget-calibrated DSIR threshold
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

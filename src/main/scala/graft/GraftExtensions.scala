@@ -51,6 +51,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.WordGramHashes].getName, "word_gram_hashes"),
       (args: Seq[Expression]) => graft.functions.GraftFunctions.wordGramHashesBuilder(args)))
     ext.injectFunction((
+      new FunctionIdentifier("positional_gram_hashes"),
+      new ExpressionInfo(classOf[graft.functions.PositionalGramHashes].getName,
+        "positional_gram_hashes"),
+      (args: Seq[Expression]) => graft.functions.GraftFunctions.intLitBuilder(
+        "positional_gram_hashes", args)(
+        graft.functions.PositionalGramHashes(_, _))))
+    ext.injectFunction((
       new FunctionIdentifier("char_shingle_hashes"),
       new ExpressionInfo(classOf[graft.functions.CharShingleHashes].getName, "char_shingle_hashes"),
       (args: Seq[Expression]) => graft.functions.GraftFunctions.charShingleHashesBuilder(args)))

@@ -561,21 +561,36 @@ object Dedup {
     * Pigeonhole blocking: hamming<=3 over 4 x 16-bit chunks forces at least
     * one equal chunk, so candidates join on chunk equality — never all-pairs. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "chunk blocking assumes hamming <= 3 over 4 chunks")
-    // cache: the self-join below would otherwise recompute the 64-sum
+                   maxHamming: Int = 3): DataFrame =
+    // cache: the self-join inside would otherwise recompute the 64-sum
     // aggregation for each side
-    val sh = simHash(docs, idCol, textCol).cache()
-    val chunks = sh.select(col("id"), col("simhash"),
+    hammingPairs64(simHash(docs, idCol, textCol).cache(), "id", "simhash",
+      maxHamming)
+
+  /** Near-dup pairs over ANY precomputed 64-bit fingerprint column by
+    * Hamming distance <= maxHamming (<= 3) — the pigeonhole banding of
+    * [[simHashPairs]] factored out so perceptual hashes ride the same
+    * machinery (image dHash, audio energy fingerprints, any simhash-like
+    * signature): split the 64 bits into 4 16-bit bands; at distance <= 3
+    * at least one band is untouched, so candidates join on band equality
+    * and the exact `bit_count` check filters — never all-pairs, and a
+    * band value shared by B rows costs B²/2 candidate checks only within
+    * that band bucket. Input: one row per item with (`idCol`, `hashCol`);
+    * output: (id_a, id_b, hamming) with id_a < id_b. */
+  def hammingPairs64(hashes: DataFrame, idCol: String, hashCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "chunk blocking assumes hamming <= 3 over 4 chunks")
+    val sh = hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
+    val chunks = sh.select(col("id"), col("h"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("ci"),
-          shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("cv"))): _*)).as("c"))
-      .select(col("id"), col("simhash"), col("c.ci").as("ci"), col("c.cv").as("cv"))
+          shiftright(col("h"), i * 16).bitwiseAND(0xFFFFL).as("cv"))): _*)).as("c"))
+      .select(col("id"), col("h"), col("c.ci").as("ci"), col("c.cv").as("cv"))
     chunks.as("a").join(chunks.as("b"),
         col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }

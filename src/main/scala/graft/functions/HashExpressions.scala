@@ -254,6 +254,51 @@ object WordGramHashes {
   }
 }
 
+/** Per-row POSITIONAL sliding n-gram hashes for exact-substring dedup
+  * ([[graft.ops.SubstringDedup]]): array<long> with entry i =
+  * xxhash64("w_i .. w_{i+n-1}", seed 42) — one entry per window START, so
+  * `posexplode` yields (token position, window fingerprint) pairs straight
+  * off the scan. Unlike [[WordGramHashes]] this keeps DUPLICATES and
+  * POSITIONS (anchor extension needs both) and emits an EMPTY array for
+  * docs shorter than n tokens (a short doc has no n-token window — it can
+  * never anchor an n-token repeat; WordGramHashes' whole-text fallback
+  * exists for containment screens, not here). Same hash family/seed as
+  * every gram producer in the engine. */
+case class PositionalGramHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "gram width must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "positional_gram_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val trimmed = input.asInstanceOf[UTF8String].trim()
+    val toks: Array[String] =
+      if (trimmed.numBytes() == 0) Array.empty[String]
+      else TextExprs.Whitespace.split(trimmed.toString, -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = XXH64.hashUTF8String(UTF8String.fromString(sb.toString), 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Per-row POSITIONAL bigram hashes for n-gram language modeling:
   * array<struct<bh, uh>> with one entry per bigram occurrence i in
   * [0, len-2] — bh = xxhash64("w_i w_{i+1}"), uh = xxhash64("w_i"), both
@@ -553,6 +598,11 @@ object HashFunctions {
     * occurrence order; == array_distinct(transform(charShingles, xxhash64))). */
   def charShingleHashes(text: Column, k: Int): Column =
     ColumnBridge.column(CharShingleHashes(ColumnBridge.expression(text), k))
+
+  /** Per-row positional sliding n-gram hash column (array<long>, entry i =
+    * window starting at token i; duplicates kept; < n tokens -> empty). */
+  def positionalGramHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(PositionalGramHashes(ColumnBridge.expression(text), n))
 
   /** Per-row positional bigram events for LM counting/scoring:
     * array<struct<bh, uh>> (duplicates kept, bigram + leading-unigram

@@ -276,6 +276,42 @@ object MediaCodec {
     out.toByteArray
   }
 
+  /** Deterministic BMP whose [[dHash64]] is EXACTLY `bits` — the
+    * controlled-distance fixture for Hamming-radius near-dup gates: cell
+    * (r,0) starts at gray 128 and each step right goes DOWN 1 when bit
+    * r·8+c is set (strictly-brighter ⇒ bit 1) or UP 1 when clear, so every
+    * horizontal comparison realizes its target bit and values stay within
+    * [120,136] (no clipping). 36×32 pixels of 4×4 blocks tiling the 9×8
+    * dHash grid exactly, like [[encodeBlockPattern]]. */
+  def encodeHashPattern(bits: Long): Array[Byte] = {
+    val img = new BufferedImage(36, 32, BufferedImage.TYPE_3BYTE_BGR)
+    var r = 0
+    while (r < 8) {
+      val levels = new Array[Int](9)
+      levels(0) = 128
+      var c = 0
+      while (c < 8) {
+        val set = ((bits >>> (r * 8 + c)) & 1L) == 1L
+        levels(c + 1) = levels(c) + (if (set) -1 else 1)
+        c += 1
+      }
+      var y = r * 4
+      while (y < r * 4 + 4) {
+        var x = 0
+        while (x < 36) {
+          val v = levels(x / 4)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      r += 1
+    }
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    out.toByteArray
+  }
+
   /** Minimal valid PCM WAV container around `samples` 16-bit frames. */
   def encodeWav(channels: Int, sampleRate: Int, samples: Array[Short]): Array[Byte] = {
     val dataLen = samples.length * 2

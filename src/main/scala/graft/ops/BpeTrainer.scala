@@ -57,10 +57,162 @@ object BpeTrainer {
       w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
     }
     val freqs = wordFreq.map(_._2)
+    val merges = greedyMerges(words, freqs, firstStep = 1, lastStep = numMerges)
+    BpeModel(merges,
+      wordFreq.map(_._1).zip(words.map(_.toSeq)).toMap)
+  }
+
+  /** Continued training — tokenizer domain adaptation without a from-
+    * scratch refit: freeze `model`'s merge list, recount the NEW corpus's
+    * word table with those merges applied (exactly how encoding would see
+    * it), and learn `extraMerges` more merges greedily on top, ranks
+    * continuing where the base model stopped. The same distributed/driver
+    * split as [[fit]]; a frozen merge can never be re-learned (merged
+    * symbols only grow, so a merged pair's adjacency cannot re-form).
+    * Returns the COMBINED model (base merges ++ new merges, end states
+    * for the new corpus's words). */
+  def continueFit(model: BpeModel, docs: DataFrame, textCol: String,
+                  extraMerges: Int, maxWords: Int = 1000000): BpeModel = {
+    require(extraMerges >= 1, "need at least one extra merge step")
+    val wordFreq: Array[(String, Long)] = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w").asc)
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val words: Array[Array[String]] = wordFreq.map { case (w, _) =>
+      var syms: Array[String] =
+        w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+      model.merges.foreach { m => syms = mergePair(syms, m.lhs, m.rhs) }
+      syms
+    }
+    val freqs = wordFreq.map(_._2)
+    val newMerges = greedyMerges(words, freqs,
+      firstStep = model.merges.size + 1,
+      lastStep = model.merges.size + extraMerges)
+    BpeModel(model.merges ++ newMerges,
+      wordFreq.map(_._1).zip(words.map(_.toSeq)).toMap)
+  }
+
+  // ------------------------------------------------- driver merge loop
+
+  /** The greedy merge loop in its INCREMENTAL form — the shape every
+    * production trainer uses. State: (a) the global weighted pair-count
+    * table, (b) a pair → {word indices} inverted index, (c) a max-heap of
+    * (count, lhs, rhs) with LAZY DELETION (a popped entry is valid iff its
+    * count still matches the table; every count change pushes a fresh
+    * entry). Each step pops the winner (max count, ties by (lhs, rhs)
+    * ascending — the same order the rescan form computed by full scan)
+    * and touches ONLY the words that contain the winning pair, applying
+    * exact count deltas (old pair multiset vs new, weighted by word
+    * frequency). Per-step cost is O(affected words × their length +
+    * log-heap), vs the rescan form's O(all types × length): at a
+    * production 30k-merge / 1M-type fit this is the difference between
+    * minutes and hours. A merge can never re-create its own pair (the
+    * merged symbol `l+r` differs from both `l` and `r`, and it separates
+    * its former neighbors), so removing the winner's index entry is
+    * permanent. Equivalence with [[greedyMergesRescan]] is differential-
+    * tested (BpeSpec) and the q120/q125 oracles replay the same chain.
+    *
+    * Mutates `words` in place to the post-merge end states; returns the
+    * learned merges with ranks `firstStep..`. */
+  private[graft] def greedyMerges(words: Array[Array[String]], freqs: Array[Long],
+      firstStep: Int, lastStep: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    final case class Entry(c: Long, l: String, r: String)
+    val heapOrd: java.util.Comparator[Entry] = (a: Entry, b: Entry) => {
+      if (a.c != b.c) java.lang.Long.compare(b.c, a.c)
+      else {
+        val cl = a.l.compareTo(b.l)
+        if (cl != 0) cl else a.r.compareTo(b.r)
+      }
+    }
+    // per-word adjacent-pair multiset (overlaps included: [a,a,a] → (a,a)×2)
+    def pairBag(s: Array[String]): mutable.HashMap[(String, String), Long] = {
+      val m = mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i + 1 < s.length) {
+        val p = (s(i), s(i + 1))
+        m.update(p, m.getOrElse(p, 0L) + 1L)
+        i += 1
+      }
+      m
+    }
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val index = mutable.HashMap.empty[(String, String), java.util.BitSet]
+    val heap = new java.util.PriorityQueue[Entry](math.max(16, words.length), heapOrd)
+    var wi = 0
+    while (wi < words.length) {
+      val f = freqs(wi)
+      pairBag(words(wi)).foreach { case (p, n) =>
+        counts.update(p, counts.getOrElse(p, 0L) + n * f)
+        index.getOrElseUpdate(p, new java.util.BitSet()).set(wi)
+      }
+      wi += 1
+    }
+    counts.foreach { case ((l, r), c) => heap.add(Entry(c, l, r)) }
+
     val merges = Seq.newBuilder[Merge]
-    var step = 1
+    var step = firstStep
     var exhausted = false
-    while (step <= numMerges && !exhausted) {
+    while (step <= lastStep && !exhausted) {
+      var top: Entry = null
+      while (top == null && !heap.isEmpty) {
+        val e = heap.poll()
+        if (counts.get((e.l, e.r)).contains(e.c)) top = e // else stale: discard
+      }
+      if (top == null) exhausted = true
+      else {
+        val l = top.l; val r = top.r
+        merges += Merge(l, r, step, top.c)
+        counts.remove((l, r)) // fully consumed by the merge below
+        val bits = index.remove((l, r)).orNull
+        if (bits != null) {
+          var w = bits.nextSetBit(0)
+          while (w >= 0) {
+            val s = words(w)
+            val s2 = mergePair(s, l, r)
+            if (s2.length != s.length) { // stale index bit otherwise: skip
+              val f = freqs(w)
+              val oldP = pairBag(s)
+              val newP = pairBag(s2)
+              (oldP.keySet ++ newP.keySet).foreach { p =>
+                if (p != ((l, r))) { // winner's own count is already retired
+                  val d = newP.getOrElse(p, 0L) - oldP.getOrElse(p, 0L)
+                  if (d != 0L) {
+                    val nc = counts.getOrElse(p, 0L) + d * f
+                    if (nc == 0L) counts.remove(p)
+                    else {
+                      counts.update(p, nc)
+                      heap.add(Entry(nc, p._1, p._2))
+                    }
+                  }
+                }
+              }
+              newP.keysIterator.foreach { p =>
+                index.getOrElseUpdate(p, new java.util.BitSet()).set(w)
+              }
+              words(w) = s2
+            }
+            w = bits.nextSetBit(w + 1)
+          }
+        }
+        step += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** The round-9 rescan form — full pair recount over every capped word
+    * type per merge step — kept as the differential-test twin for
+    * [[greedyMerges]] (identical winners, ranks, counts and end states by
+    * construction; BpeSpec pins it). Same in-place contract. */
+  private[graft] def greedyMergesRescan(words: Array[Array[String]], freqs: Array[Long],
+      firstStep: Int, lastStep: Int): Seq[Merge] = {
+    val merges = Seq.newBuilder[Merge]
+    var step = firstStep
+    var exhausted = false
+    while (step <= lastStep && !exhausted) {
       val counts = new java.util.HashMap[(String, String), Long]()
       var wi = 0
       while (wi < words.length) {
@@ -90,72 +242,7 @@ object BpeTrainer {
         step += 1
       }
     }
-    BpeModel(merges.result(),
-      wordFreq.map(_._1).zip(words.map(_.toSeq)).toMap)
-  }
-
-  /** Continued training — tokenizer domain adaptation without a from-
-    * scratch refit: freeze `model`'s merge list, recount the NEW corpus's
-    * word table with those merges applied (exactly how encoding would see
-    * it), and learn `extraMerges` more merges greedily on top, ranks
-    * continuing where the base model stopped. The same distributed/driver
-    * split as [[fit]]; a frozen merge can never be re-learned (merged
-    * symbols only grow, so a merged pair's adjacency cannot re-form).
-    * Returns the COMBINED model (base merges ++ new merges, end states
-    * for the new corpus's words). */
-  def continueFit(model: BpeModel, docs: DataFrame, textCol: String,
-                  extraMerges: Int, maxWords: Int = 1000000): BpeModel = {
-    require(extraMerges >= 1, "need at least one extra merge step")
-    val wordFreq: Array[(String, Long)] = docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("f"))
-      .orderBy(col("f").desc, col("w").asc)
-      .limit(maxWords)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val words: Array[Array[String]] = wordFreq.map { case (w, _) =>
-      var syms: Array[String] =
-        w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
-      model.merges.foreach { m => syms = mergePair(syms, m.lhs, m.rhs) }
-      syms
-    }
-    val freqs = wordFreq.map(_._2)
-    val merges = Seq.newBuilder[Merge]
-    merges ++= model.merges
-    var step = model.merges.size + 1
-    val lastStep = model.merges.size + extraMerges
-    var exhausted = false
-    while (step <= lastStep && !exhausted) {
-      val counts = new java.util.HashMap[(String, String), Long]()
-      var wi = 0
-      while (wi < words.length) {
-        val s = words(wi); val f = freqs(wi)
-        var i = 0
-        while (i + 1 < s.length) {
-          counts.merge((s(i), s(i + 1)), f, (a, b) => a + b)
-          i += 1
-        }
-        wi += 1
-      }
-      if (counts.isEmpty) exhausted = true
-      else {
-        var best: ((String, String), Long) = null
-        counts.forEach { (pair, c) =>
-          if (best == null || c > best._2 ||
-              (c == best._2 && (pair._1 < best._1._1 ||
-                (pair._1 == best._1._1 && pair._2 < best._1._2)))) best = (pair, c)
-        }
-        val ((l, r), c) = best
-        merges += Merge(l, r, step, c)
-        var wi2 = 0
-        while (wi2 < words.length) {
-          words(wi2) = mergePair(words(wi2), l, r)
-          wi2 += 1
-        }
-        step += 1
-      }
-    }
-    BpeModel(merges.result(),
-      wordFreq.map(_._1).zip(words.map(_.toSeq)).toMap)
+    merges.result()
   }
 
   /** Left-to-right non-overlapping merge of (l, r) in a symbol sequence —

@@ -72,6 +72,18 @@ object Dsir {
     -log(-log((b.cast("double") + lit(0.5)) / lit(4294967296.0)))
   }
 
+  /** The scored-but-unfiltered frame: (id, n_bigrams, avg nlls, log_ratio,
+    * gumbel, score) with score = log_ratio/T + G. [[resample]] filters it
+    * against τ; [[calibrateTau]] derives τ from it. */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+      target: BigramLm, raw: BigramLm, temperature: Double,
+      salt: String = "dsir"): DataFrame = {
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    logImportance(docs, idCol, textCol, target, raw)
+      .withColumn("gumbel", gumbelKey(col(idCol), salt))
+      .withColumn("score", col("log_ratio") / temperature + col("gumbel"))
+  }
+
   /** Importance-resample `docs` toward the target domain: score, add the
     * per-document Gumbel, keep rows with log_ratio/T + G > τ. Returns the
     * scored frame (id, n_bigrams, avg nlls, log_ratio, gumbel, score)
@@ -79,11 +91,26 @@ object Dsir {
     * text. Fully deterministic for a fixed salt. */
   def resample(docs: DataFrame, idCol: String, textCol: String,
       target: BigramLm, raw: BigramLm, temperature: Double, tau: Double,
-      salt: String = "dsir"): DataFrame = {
-    require(temperature > 0, s"temperature must be positive, got $temperature")
-    logImportance(docs, idCol, textCol, target, raw)
-      .withColumn("gumbel", gumbelKey(col(idCol), salt))
-      .withColumn("score", col("log_ratio") / temperature + col("gumbel"))
+      salt: String = "dsir"): DataFrame =
+    score(docs, idCol, textCol, target, raw, temperature, salt)
       .where(col("score") > tau)
+
+  /** τ from a keep-BUDGET instead of a hand-picked constant: the
+    * (1 − keepFraction) approximate quantile of the Gumbel-perturbed
+    * score over a [[score]] frame — filtering that frame at the returned
+    * τ keeps ≈ keepFraction of the scoreable documents. One aggregate
+    * with bounded sketch state (`approx_percentile`, the q97 threshold
+    * pattern): no global sort, no exact top-k, so the calibration costs
+    * one corpus pass at ANY scale — in production you'd calibrate on a
+    * small deterministic sample ([[Sampling]]) and apply the τ to the
+    * full corpus, which is exactly how the paper's top-k budget translates
+    * to the threshold form that ships. `accuracy` trades sketch memory for
+    * quantile error (1/accuracy relative rank error). */
+  def calibrateTau(scored: DataFrame, keepFraction: Double,
+      accuracy: Int = 10000): Double = {
+    require(keepFraction > 0 && keepFraction < 1,
+      s"keepFraction must be in (0,1), got $keepFraction")
+    scored.agg(percentile_approx(col("score"), lit(1.0 - keepFraction),
+      lit(accuracy)).as("tau")).head.getDouble(0)
   }
 }

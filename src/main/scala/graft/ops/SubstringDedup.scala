@@ -1,0 +1,171 @@
+package graft.ops
+
+import graft.functions.{HashFunctions, TextFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact substring deduplication at ARBITRARY boundaries — the
+  * suffix-array dedup of Lee et al. 2022 ("Deduplicating Training Data
+  * Makes Language Models Better", ExactSubstr): any ≥k-token substring
+  * that occurs more than once corpus-wide is a repeat, and EVERY copy is
+  * removed (the paper's choice — with arbitrary boundaries there is no
+  * canonical "first" copy to keep). This is the missing member between
+  * [[SpanDedup]] (fixed k-word spans / CDC chunks — a repeat that
+  * straddles a chunk boundary is invisible) and [[LineDedup]] (whole
+  * lines): a long quote, a mirrored paragraph, or a template fragment is
+  * caught wherever it starts.
+  *
+  * The suffix-array construction of the paper is single-node; the
+  * distributed equivalent used here is the ANCHOR + EXTEND shape:
+  * a substring of length ≥ k repeats iff every one of its k-token windows
+  * repeats, so (1) fingerprint every k-token window (one compiled per-row
+  * loop, `posexplode` off the scan — positions AND duplicates kept),
+  * (2) a window whose fingerprint occurs ≥ 2 times corpus-wide (map-side-
+  * combined count on the 8-byte hash, never the string) is a duplicated
+  * anchor, (3) per document, the union of [pos, pos+k) over duplicated
+  * anchors — an islands merge over the per-doc position stream — yields
+  * the MAXIMAL repeated spans. Never all-pairs: cost is one groupBy on
+  * the window hash + one semi-join back + one per-doc window partition
+  * (bounded by document length; AQE's skew split handles a
+  * billion-occurrence boilerplate fingerprint in the semi-join).
+  *
+  * Anchor semantics (what the DuckDB oracle replays in string space —
+  * gate equality doubles as the hash-collision check, the q89 doctrine):
+  * windows are whitespace tokens space-rejoined; an occurrence is a
+  * (doc, position) pair, so a substring repeated WITHIN one document
+  * counts as a repeat too (the paper's semantics: dedup against the whole
+  * corpus including self).
+  */
+object SubstringDedup {
+
+  /** One row per k-token window occurrence: (id, pos, fp). */
+  def windowAnchors(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"anchor width must be >= 2 tokens, got $k")
+    docs.select(col(idCol).as("id"),
+      posexplode(HashFunctions.positionalGramHashes(col(textCol), k))
+        .as(Seq("pos", "fp")))
+  }
+
+  /** Anchors whose fingerprint occurs at ≥ 2 (doc, position) sites
+    * corpus-wide: (id, pos) of every occurrence of a repeated window. */
+  def duplicatedAnchors(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val anchors = windowAnchors(docs, idCol, textCol, k)
+    val dup = anchors.groupBy("fp").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+    anchors.join(dup.select("fp"), Seq("fp"), "left_semi")
+      .select("id", "pos")
+  }
+
+  /** Maximal repeated spans per document: (id, span_start, span_end) with
+    * token-index bounds [span_start, span_end) — the islands merge of
+    * [pos, pos+k) over that doc's duplicated anchors. Two anchors chain
+    * into one span when their windows overlap OR touch (a contiguous
+    * repeated region ≥ k tokens yields consecutive anchors). */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    mergeAnchorIslands(duplicatedAnchors(docs, idCol, textCol, k), k)
+
+  /** The islands merge shared by the corpus-wide and against-index paths:
+    * (id, pos) anchors -> maximal [span_start, span_end) spans. */
+  private def mergeAnchorIslands(anchors: DataFrame, k: Int): DataFrame = {
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val prevMax = max(col("pos") + k)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    anchors
+      .withColumn("brk",
+        when(col("pos") > coalesce(prevMax, lit(-1)), 1).otherwise(0))
+      .withColumn("island",
+        sum("brk").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("island"))
+      .agg(min("pos").as("span_start"), (max("pos") + k).as("span_end"))
+      .select("id", "span_start", "span_end")
+  }
+
+  /** The corpus's window-fingerprint index: one `fp` per DISTINCT k-token
+    * window the corpus contains — the persistable artifact (q66/q79/q111
+    * doctrine: the index is built in batch, stored, and incremental
+    * passes screen against it without rescanning the corpus). */
+  def windowIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    windowAnchors(docs, idCol, textCol, k).select("fp").distinct()
+
+  /** Incremental form: spans of `docs` that repeat A STORED CORPUS — an
+    * anchor is "repeated" iff its fingerprint is in `index` (per-batch
+    * cost O(batch windows + index probe), never O(corpus)). Within-batch
+    * repeats are NOT screened here — rebuild the index or run the batch
+    * operator for corpus-internal dedup. */
+  def repeatedSpansAgainstIndex(docs: DataFrame, idCol: String,
+      textCol: String, index: DataFrame, k: Int): DataFrame =
+    mergeAnchorIslands(
+      windowAnchors(docs, idCol, textCol, k)
+        .join(index.select("fp").distinct(), Seq("fp"), "left_semi")
+        .select("id", "pos"),
+      k)
+
+  /** Per-document repeat report — one row per input doc (docs with no
+    * ≥k-token repeat report 0/0): (id, n_tokens, n_spans, dup_tokens).
+    * `dup_tokens` is the exact number of token positions covered by some
+    * repeated ≥k-token substring — the volume ExactSubstr removal would
+    * delete. */
+  def report(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val spans = repeatedSpans(docs, idCol, textCol, k)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start")).as("dup_tokens"))
+    docs.select(col(idCol).as("id"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(spans, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
+  /** ExactSubstr removal: rewrite each document with every token that lies
+    * inside a repeated ≥k-token substring deleted (ALL copies go — the
+    * paper's semantics). Returns (id, textCol = cleaned text, n_tokens,
+    * dup_tokens); docs that are one whole repeat come back empty. The
+    * rebuild joins each doc's surviving tokens in order — per-doc work
+    * bounded by document length, same two-shuffle shape as [[report]]. */
+  def removeRepeats(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    rebuildWithoutSpans(docs, idCol, textCol,
+      repeatedSpans(docs, idCol, textCol, k))
+
+  /** [[removeRepeats]] against a STORED corpus index ([[windowIndex]]) —
+    * what the streaming twin runs per micro-batch: arriving docs are
+    * rewritten with every passage the corpus already contains deleted.
+    * Stateless given the index; replayed batches rewrite identically. */
+  def removeRepeatsAgainstIndex(docs: DataFrame, idCol: String,
+      textCol: String, index: DataFrame, k: Int): DataFrame =
+    rebuildWithoutSpans(docs, idCol, textCol,
+      repeatedSpansAgainstIndex(docs, idCol, textCol, index, k))
+
+  private def rebuildWithoutSpans(docs: DataFrame, idCol: String,
+      textCol: String, spanFrame: DataFrame): DataFrame = {
+    val spans = spanFrame
+      .groupBy("id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"),
+        sum(col("span_end") - col("span_start")).as("dup_tokens"))
+    docs.select(col(idCol).as("id"), col(textCol),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .join(spans, Seq("id"), "left")
+      .select(col("id"),
+        when(col("spans").isNull, col(textCol))
+          .otherwise(array_join(
+            filter(
+              zip_with(col("__toks"),
+                sequence(lit(0), size(col("__toks")) - 1),
+                (t, i) => when(
+                  !exists(col("spans"),
+                    sp => i >= sp("span_start") && i < sp("span_end")),
+                  t)),
+              t => t.isNotNull),
+            " ")).as(textCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+}

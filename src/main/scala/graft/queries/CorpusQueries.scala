@@ -273,6 +273,62 @@ object CorpusQueries {
         (col("n_sim") <= col("n_exact_pairs") * 3).as("candidates_bounded"))
   }
 
+  /** q137: Hamming-RADIUS image near-dup — q133 catches only exact-equal
+    * dHashes; real re-encodes land at distance 1-4. Fixture with exact
+    * distance control: [[graft.multimodal.MediaCodec.encodeHashPattern]]
+    * renders a BMP whose dHash IS a chosen 64-bit value, each doc gets its
+    * class center (doc_id%5; centers pairwise >= 16 bits apart) XOR
+    * doc_id%4 deterministic bit flips — so same-class docs sit at Hamming
+    * <= 6 of each other and cross-class docs at >= 10. The engine decodes,
+    * hashes, finds distance<=3 pairs via the 4x16-bit pigeonhole banding
+    * ([[graft.dedup.Dedup.hammingPairs64]] — the SimHash machinery shared
+    * with q43), and connected-components the pairs: distance-2 and -3
+    * variants that never pair DIRECTLY (up to 6 apart) must still join
+    * through the unperturbed centers. Group reconstruction == doc_id%5
+    * arithmetic, so the oracle certifies decode → dHash → banding → CC
+    * end to end without seeing a hash. */
+  val imageNearDupRadius: Q = (s, dir) => {
+    import s.implicits._
+    val centers = Array(0L, 0x000000000000FFFFL, 0x00000000FFFF0000L,
+      0x0000FFFF00000000L, 0xFFFF000000000000L)
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val f = (id % 4).toInt
+          var h = centers((id % 5).toInt)
+          var i = 0
+          while (i < f) { h ^= 1L << ((id * 7 + i) % 64); i += 1 }
+          (id, MediaCodec.encodeHashPattern(h))
+        }
+      }.toDF("doc_id", "media")
+    val hashes = media.select(col("doc_id"),
+      ImageDHashExpr.imageDHash(col("media")).as("dhash"))
+    val pairs = Dedup.hammingPairs64(hashes, "doc_id", "dhash", maxHamming = 3)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val cc = graft.dedup.ConnectedComponents.run(pairs)
+    cc.groupBy("component")
+      .agg(min(col("id")).as("rep_doc"), count(lit(1)).as("n_docs"),
+        sum(col("id")).as("sum_doc_ids"),
+        sum(when(col("id") % 4 =!= 0, 1L).otherwise(0L)).as("n_perturbed"))
+      .select("rep_doc", "n_docs", "sum_doc_ids", "n_perturbed")
+      .orderBy("rep_doc")
+  }
+
+  /** q136: exact substring dedup at arbitrary boundaries
+    * ([[graft.ops.SubstringDedup]], the Lee et al. 2022 ExactSubstr
+    * family): per-doc report of maximal repeated ≥8-token substrings —
+    * any 8-token window occurring at ≥2 (doc, pos) sites anchors a
+    * repeat; anchors chain into maximal spans by an islands merge. The
+    * engine anchors on 8-byte window hashes; the oracle replays the whole
+    * computation in window-STRING space, so gate equality doubles as the
+    * collision check (q89 doctrine). 45-57 of 500 docs carry a repeat at
+    * k=8 across SFs — non-trivial both ways. */
+  val substringDedup: Q = (s, dir) =>
+    graft.ops.SubstringDedup.report(Tables.documents(s, dir), "doc_id", "text", k = 8)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_spans"), col("dup_tokens"))
+      .orderBy("doc_id")
+
   /** Embedding cosine near-dup pairs — the blocked exact shape in its
     * measured-fastest form (triangle block scheme, int8 sound prefilter
     * batched per block pair, exact re-check; no nested-loop join, pinned
@@ -604,9 +660,51 @@ object CorpusQueries {
     "q103_media_metadata" -> mediaMetadata,
     "q104_audio_stats" -> audioStats,
     "q133_image_neardup" -> imageNearDup,
-    "q135_audio_neardup" -> audioNearDup)
+    "q135_audio_neardup" -> audioNearDup,
+    "q136_substring_dedup" -> substringDedup,
+    "q137_image_neardup_radius" -> imageNearDupRadius)
 
   val oracles: Map[String, String] = Map(
+    "q137_image_neardup_radius" ->
+      """SELECT min(doc_id) AS rep_doc, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids,
+        |  CAST(sum(CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_perturbed
+        |FROM documents GROUP BY doc_id % 5 ORDER BY 1""".stripMargin,
+    "q136_substring_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS ts
+        |  FROM documents),
+        |win AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    array_to_string(ts[i:i+7], ' ') AS w
+        |  FROM d, UNNEST(range(1, len(ts) - 6)) AS t(i)
+        |  WHERE len(ts) >= 8),
+        |dup AS (SELECT w FROM win GROUP BY w HAVING count(*) >= 2),
+        |danch AS (SELECT doc_id, pos FROM win WHERE w IN (SELECT w FROM dup)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(max(pos + 8) OVER (
+        |        PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM danch),
+        |isl2 AS (
+        |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM isl),
+        |sp AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(e - s) AS BIGINT) AS dup_tokens
+        |  FROM (SELECT doc_id, island, min(pos) AS s, max(pos) + 8 AS e
+        |        FROM isl2 GROUP BY doc_id, island)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.ts) AS BIGINT) AS n_tokens,
+        |  coalesce(sp.n_spans, 0) AS n_spans,
+        |  coalesce(sp.dup_tokens, 0) AS dup_tokens
+        |FROM d LEFT JOIN sp USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "q135_audio_neardup" ->
       """SELECT min(doc_id) AS rep_doc, count(*) AS n_docs,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids,

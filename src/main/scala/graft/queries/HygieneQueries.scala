@@ -208,14 +208,53 @@ object HygieneQueries {
       .orderBy("source")
   }
 
+  /** q138: BUDGET-calibrated DSIR — q132 selects at a hand-picked τ;
+    * production wants "keep 30% of the corpus, weighted toward the
+    * target". [[graft.ops.Dsir.calibrateTau]] derives τ as the
+    * (1 − budget) approx-percentile of the Gumbel-perturbed score (the
+    * q97 threshold pattern: bounded sketch state, no global sort), and
+    * this gate certifies the calibration actually lands the budget. The
+    * q52 bounded-assert shape: n_scoreable is SQL-exact (docs with ≥2
+    * tokens — only they produce bigram events), the booleans certify
+    * |kept − budget·n| within tolerance (percentile_approx at accuracy
+    * 10⁴ is rank-exact at gate sizes; tolerance max(2, 2%) covers the
+    * strict-> boundary row) and τ finite. */
+  val dsirCalibrated: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val raw = graft.ops.LanguageModel.fitBigramLm(docs, "text")
+    val target = graft.ops.LanguageModel.fitBigramLm(
+      docs.where(col("source") === "src0"), "text")
+    val scored = graft.ops.Dsir.score(docs, "doc_id", "text", target, raw,
+      temperature = 4.0).cache()
+    try {
+      val n = scored.count()
+      val budget = 0.3
+      val tau = graft.ops.Dsir.calibrateTau(scored, budget)
+      val kept = scored.where(col("score") > tau).count()
+      val tol = math.max(2.0, 0.02 * n)
+      Seq((n, budget, math.abs(kept - budget * n) <= tol,
+          !tau.isNaN && !tau.isInfinite))
+        .toDF("n_scoreable", "budget", "kept_within_tol", "tau_finite")
+    } finally scored.unpersist()
+  }
+
   val all: Map[String, Q] = Map(
     "q128_zipf_fit" -> zipfFit,
     "q129_source_divergence" -> sourceDivergence,
     "q130_line_dedup" -> lineDedup,
     "q131_nfc_cleanup" -> nfcCleanup,
-    "q132_dsir_resample" -> dsirResample)
+    "q132_dsir_resample" -> dsirResample,
+    "q138_dsir_calibrated" -> dsirCalibrated)
 
   val oracles: Map[String, String] = Map(
+    "q138_dsir_calibrated" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_scoreable,
+        |  CAST(0.3 AS DOUBLE) AS budget,
+        |  true AS kept_within_tol, true AS tau_finite
+        |FROM documents
+        |WHERE len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |  ELSE string_split_regex(trim(text), '\s+') END) >= 2""".stripMargin,
     "q128_zipf_fit" ->
       """WITH d AS (
         |  SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])

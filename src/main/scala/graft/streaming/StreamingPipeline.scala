@@ -444,6 +444,25 @@ object StreamingPipeline {
           batch, idCol, textCol, lineIndex), batchId)
       }
 
+  /** Continuous-ingest EXACT-SUBSTRING dedup (the streaming half of the
+    * Lee et al. ExactSubstr pass, q136): arriving documents are rewritten
+    * with every ≥k-token passage the stored corpus already contains
+    * deleted — at ARBITRARY boundaries, which the span/CDC twins cannot
+    * see. Screens each micro-batch's window fingerprints against the
+    * stored [[graft.ops.SubstringDedup.windowIndex]]; per-batch work is
+    * O(batch windows + index probe). Stateless given the index: replayed
+    * micro-batches rewrite identically. */
+  def substringDedupStream(newDocs: DataFrame, idCol: String, textCol: String,
+                           windowIndex: DataFrame, k: Int)
+                          (onBatch: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(graft.ops.SubstringDedup.removeRepeatsAgainstIndex(
+          batch, idCol, textCol, windowIndex, k), batchId)
+      }
+
   /** [[spanDedupStream]] with content-defined chunking — arriving docs
     * chunk at their own content boundaries, so a corpus-known passage is
     * screened out no matter where it sits in the arriving doc. */

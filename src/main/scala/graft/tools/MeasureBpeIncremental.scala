@@ -1,0 +1,68 @@
+package graft.tools
+
+import graft.functions.TextFunctions
+import graft.ops.BpeTrainer
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch: the incremental (heap + per-merge deltas) BPE merge loop vs
+  * the rescan loop at production-shaped merge counts — the measured basis
+  * for replacing the rescan form. One shared word-frequency table off the
+  * sf0.1 corpus; both loops run on identical copies; equality of the merge
+  * lists is asserted while timing. */
+object MeasureBpeIncremental {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val corpusFreq = Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w").asc)
+      .limit(1000000)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // The synthetic corpus holds only ~31 word types — far below the regime
+    // the incremental loop exists for. Production shape: a Zipfian table of
+    // 200k distinct word types (seeded, ascii-lowercase, natural-language
+    // length distribution) — the scale a real web-corpus tokenizer fit sees
+    // after the maxWords cap.
+    val rng = new scala.util.Random(9)
+    val synthetic = (0 until 200000).map { i =>
+      val len = 2 + rng.nextInt(11)
+      val w = Array.fill(len)(('a' + rng.nextInt(26)).toChar).mkString
+      (w, math.max(1L, (1e7 / (i + 1)).toLong))
+    }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toArray
+      .sortBy { case (w, f) => (-f, w) }
+    println(s"corpus word types: ${corpusFreq.length}; synthetic types: ${synthetic.length}")
+    val wordFreq = synthetic
+    def syms = wordFreq.map { case (w, _) =>
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    }
+    val freqs = wordFreq.map(_._2)
+    // head-to-head where the rescan form is still runnable (its per-step
+    // cost is the full 200k-type scan; past ~1k merges it stops being
+    // practical to even measure — which is the finding)
+    for (merges <- Seq(100, 1000)) {
+      val w1 = syms; val w2 = syms
+      val t0 = System.nanoTime()
+      val inc = BpeTrainer.greedyMerges(w1, freqs, 1, merges)
+      val tInc = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val res = BpeTrainer.greedyMergesRescan(w2, freqs, 1, merges)
+      val tRes = (System.nanoTime() - t1) / 1e9
+      require(inc == res, s"DIVERGENCE at merges=$merges")
+      println(f"merges=$merges%5d  learned=${inc.size}%5d  incremental=$tInc%8.3fs  rescan=$tRes%9.3fs  speedup=${tRes / tInc}%6.1fx")
+    }
+    // incremental alone at the production vocab size the rescan can't reach
+    for (merges <- Seq(10000, 30000)) {
+      val w1 = syms
+      val t0 = System.nanoTime()
+      val inc = BpeTrainer.greedyMerges(w1, freqs, 1, merges)
+      val tInc = (System.nanoTime() - t0) / 1e9
+      println(f"merges=$merges%5d  learned=${inc.size}%5d  incremental=$tInc%8.3fs  (rescan impractical at this depth)")
+    }
+    spark.stop()
+  }
+}

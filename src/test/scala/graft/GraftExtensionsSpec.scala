@@ -97,6 +97,26 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(counts == Map(1L -> 2, 2L -> 0, 3L -> 0))
   }
 
+  test("positional_gram_hashes is callable from SQL and matches the Column API") {
+    ColumnBridge.registerFunction(spark, "positional_gram_hashes",
+      args => graft.functions.GraftFunctions.intLitBuilder(
+        "positional_gram_hashes", args)(graft.functions.PositionalGramHashes(_, _)))
+    Seq((1L, "a b c d"), (2L, "a b"), (3L, ""))
+      .toDF("id", "text").createOrReplaceTempView("pgram_sql_test")
+    val viaSql = spark.sql(
+      "SELECT id, positional_gram_hashes(text, 3) AS fps FROM pgram_sql_test")
+    val viaApi = spark.table("pgram_sql_test")
+      .select(org.apache.spark.sql.functions.col("id"),
+        graft.functions.HashFunctions.positionalGramHashes(
+          org.apache.spark.sql.functions.col("text"), 3).as("fps"))
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+    val counts = viaSql.select(org.apache.spark.sql.functions.col("id"),
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("fps")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(counts == Map(1L -> 2, 2L -> 0, 3L -> 0)) // < n tokens -> empty
+  }
+
   test("media expressions are callable from SQL and match the Column API") {
     import graft.multimodal.{ImageMetaExpr, MediaCodec, WavStatsExpr}
     ColumnBridge.registerFunction(spark, "image_meta", args => ImageMetaExpr(args.head))

@@ -217,6 +217,34 @@ class MediaCodecSpec extends SparkSpec {
       MediaCodec.encodeWav(1, 8000, Array[Short](1, 2, 3))) == null) // < frames
   }
 
+  test("encodeHashPattern realizes ANY target dHash exactly (round trip)") {
+    val rng = new scala.util.Random(77)
+    val targets = Seq(0L, -1L, 0x5A5A5A5A5A5A5A5AL) ++ Seq.fill(20)(rng.nextLong())
+    targets.foreach { bits =>
+      val h = MediaCodec.imageDHash(MediaCodec.encodeHashPattern(bits))
+      assert(h != null && h.longValue() == bits, f"target $bits%016x")
+    }
+  }
+
+  test("hammingPairs64 over rendered images: exact recall at <=3, nothing above") {
+    import spark.implicits._
+    // ids 0..9: id 0 is the base; id k sits at Hamming distance k from it
+    // (flip bits 0..k-1); distances between k1<k2 are k2-k1.
+    val df = (0L to 9L).map { k =>
+      var h = 0x0123456789ABCDEFL
+      var i = 0
+      while (i < k) { h ^= 1L << (i * 5); i += 1 }
+      (k, MediaCodec.encodeHashPattern(h))
+    }.toDF("doc_id", "media")
+      .select(col("doc_id"), ImageDHashExpr.imageDHash(col("media")).as("dhash"))
+    val pairs = graft.dedup.Dedup.hammingPairs64(df, "doc_id", "dhash", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = (for {
+      a <- 0L to 9L; b <- 0L to 9L if a < b && b - a <= 3
+    } yield (a, b, (b - a).toInt)).toSet
+    assert(pairs == expected)
+  }
+
   test("hostile RIFF chunk with negative le32 size nulls out instead of hanging") {
     // A well-formed header followed by a chunk whose size field decodes to
     // a negative Int (0xFFFFFFF8 = -8): the unguarded walk computed

@@ -35,6 +35,37 @@ class BpeSpec extends SparkSpec {
     assert(mp(Seq("a")) == Seq("a"))
   }
 
+  test("incremental merge loop == rescan loop (randomized differential)") {
+    // The incremental (heap + delta) loop must reproduce the rescan loop
+    // bit-for-bit: same winners, ranks, counts, and word end states —
+    // including overlap counting ([a,a,a] holds (a,a) twice), left-to-right
+    // non-overlapping application, and (lhs, rhs) tie-breaks. Randomized
+    // over skewed small-alphabet words (tiny alphabets force heavy merge
+    // interaction and ties) with a fixed seed.
+    val rng = new scala.util.Random(4242)
+    for (trial <- 0 until 30) {
+      val alpha = "ab" + "cde".take(rng.nextInt(3) + 1)
+      val n = rng.nextInt(40) + 5
+      val wf = (0 until n).map { _ =>
+        val len = rng.nextInt(10) + 1
+        val w = Array.fill(len)(alpha(rng.nextInt(alpha.length))).mkString
+        (w, rng.nextInt(50) + 1L)
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toArray
+        .sortBy { case (w, f) => (-f, w) }
+      def syms = wf.map { case (w, _) =>
+        w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+      }
+      val freqs = wf.map(_._2)
+      val steps = rng.nextInt(30) + 1
+      val w1 = syms; val w2 = syms
+      val inc = BpeTrainer.greedyMerges(w1, freqs, 1, steps)
+      val res = BpeTrainer.greedyMergesRescan(w2, freqs, 1, steps)
+      assert(inc == res, s"trial $trial: merge lists diverge\ninc=$inc\nres=$res")
+      assert(w1.map(_.toSeq).toSeq == w2.map(_.toSeq).toSeq,
+        s"trial $trial: end states diverge")
+    }
+  }
+
   test("fit is deterministic on the real corpus") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val a = BpeTrainer.fit(docs, "text", 10)

@@ -93,4 +93,22 @@ class DsirSpec extends SparkSpec {
     val rateRest = (sel.size - s0).toDouble / (srcOf.size - n0)
     assert(rate0 > rateRest, s"src0 rate $rate0 <= rest rate $rateRest")
   }
+
+  test("calibrateTau hits a keep-budget and is the resample filter's fixpoint") {
+    val scored = Dsir.score(docs, "doc_id", "text", target, raw, 4.0)
+    val n = scored.count()
+    for (budget <- Seq(0.25, 0.5, 0.8)) {
+      val tau = Dsir.calibrateTau(scored, budget)
+      val kept = scored.where(col("score") > tau).count()
+      // approx_percentile at accuracy 10000 is rank-exact at this n; the
+      // strict > excludes the quantile row itself, so allow one row slack
+      assert(math.abs(kept - budget * n) <= math.max(1.0, 0.02 * n),
+        s"budget $budget: kept $kept of $n at tau $tau")
+      // the calibrated tau plugs straight into resample
+      val viaResample = Dsir.resample(docs, "doc_id", "text", target, raw, 4.0, tau).count()
+      assert(viaResample == kept)
+    }
+    // tau is monotone in the budget: keeping more means a lower threshold
+    assert(Dsir.calibrateTau(scored, 0.8) < Dsir.calibrateTau(scored, 0.2))
+  }
 }
