@@ -314,7 +314,43 @@ object ExtendedQueries {
       .orderBy("bucket")
   }
 
+  /** q139: document-level NEAR-DUP decontamination report — the missing
+    * rung between exact/n-gram decontamination (q37/q46/q70: verbatim
+    * leakage) and semantic decontamination (q109: embedding paraphrase):
+    * a corpus document that is a MinHash near-duplicate (exact-verified
+    * Jaccard >= 0.6, 5-char shingles) of any benchmark document is
+    * contaminated even when no single n-gram window survives verbatim.
+    * benchmark slice = doc_id%11==0 (the held-out-eval stand-in). Scale
+    * shape is [[graft.dedup.Dedup.incrementalMinHashLsh]] with the
+    * BENCHMARK as the broadcast delta — the corpus index is only ever
+    * scanned, never shuffled, which is the right orientation for a
+    * billion-doc corpus against a thousand-doc benchmark. Output per
+    * source: docs, contaminated docs, contaminated-id sum certificate,
+    * and the clean token volume that survives removal. Oracle: the q41
+    * exact-Jaccard machinery restricted to cross-slice pairs, aggregated
+    * the same way. */
+  val nearDupDecontam: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val benchmark = docs.where(col("doc_id") % 11 === 0)
+    val corpus = docs.where(col("doc_id") % 11 =!= 0)
+    val index = Dedup.minHashSignaturesPerRow(corpus, "doc_id", "text", 5, 64)
+    val hits = Dedup.incrementalMinHashLsh(benchmark, "doc_id", "text", index, corpus)
+      .select(col("old_id").as("doc_id")).distinct()
+      .withColumn("contam", lit(1L))
+    corpus.join(hits, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("contam"), lit(0L))).as("n_contaminated"),
+        sum(col("doc_id") * coalesce(col("contam"), lit(0L)))
+          .as("sum_contaminated_ids"),
+        sum(when(col("contam").isNull,
+          TextFunctions.tokenCount(col("text")).cast("long")).otherwise(0L))
+          .as("clean_tokens"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "q139_neardup_decontam" -> nearDupDecontam,
     "q68_embedding_quant" -> embeddingQuantization,
     "q67_neardup_canonical" -> nearDupCanonical,
     "q64_sequence_packing" -> sequencePacking,
@@ -332,6 +368,35 @@ object ExtendedQueries {
     "q62_dedup_clusters" -> dedupClusters)
 
   val oracles: Map[String, String] = Map(
+    "q139_neardup_decontam" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id AS id, unnest(
+        |    [substring(text, i, 5) FOR i IN generate_series(1, greatest(length(text) - 4, 1))]) AS shingle
+        |  FROM documents),
+        |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.id AS ib, b.id AS ic, count(*) AS n
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |    AND a.id % 11 = 0 AND b.id % 11 <> 0
+        |  GROUP BY 1, 2),
+        |contam AS (
+        |  SELECT DISTINCT ic AS doc_id
+        |  FROM inter JOIN sizes sa ON ib = sa.id JOIN sizes sb ON ic = sb.id
+        |  WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.6),
+        |tok AS (
+        |  SELECT doc_id, source,
+        |    len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END) AS ntok
+        |  FROM documents WHERE doc_id % 11 <> 0)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_contaminated,
+        |  CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN t.doc_id ELSE 0 END) AS BIGINT)
+        |    AS sum_contaminated_ids,
+        |  CAST(sum(CASE WHEN c.doc_id IS NULL THEN ntok ELSE 0 END) AS BIGINT)
+        |    AS clean_tokens
+        |FROM tok t LEFT JOIN contam c USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q105_url_canonical" ->
       """WITH u AS (
         |  SELECT doc_id,
