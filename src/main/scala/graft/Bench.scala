@@ -98,7 +98,9 @@ object Bench {
     "q135_audio_neardup",     // WAV decode -> energy fingerprint -> group
     "q136_substring_dedup",   // ExactSubstr anchors -> islands -> report
     "q137_image_neardup_radius", // dHash banding -> CC radius grouping
-    "q138_dsir_calibrated")   // budget-calibrated DSIR threshold
+    "q138_dsir_calibrated",   // budget-calibrated DSIR threshold
+    "q139_neardup_decontam",  // benchmark near-dup decontam (delta bcast)
+    "q140_bpe_fertility")     // tokenizer fertility per language
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -595,6 +595,32 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Hamming-RADIUS grouping: items whose 64-bit fingerprints chain within
+    * distance <= maxHamming land in one group — (id, component) with
+    * component = min member id. DEDUPE-FIRST composition (the production
+    * shape): exact-equal fingerprints collapse to one representative
+    * BEFORE the banding self-join, so a fingerprint shared by a million
+    * re-encodes costs one banding row instead of a million² candidate
+    * pairs — the exact-dup skew guard the band join needs (a perceptual
+    * hash's whole point is that identical content collides). Banding +
+    * exact check run over the distinct-fingerprint frame
+    * ([[hammingPairs64]]), components over its edges
+    * ([[ConnectedComponents]]), then every item joins back through its
+    * fingerprint; fingerprints with no <=maxHamming neighbor keep their
+    * own representative as the component. */
+  def hammingGroups64(hashes: DataFrame, idCol: String, hashCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val items = hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
+    val reps = items.groupBy("h").agg(min("id").as("rep")).cache()
+    val edges = hammingPairs64(reps, "rep", "h", maxHamming)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val cc = ConnectedComponents.run(edges)
+    items
+      .join(reps, Seq("h"))
+      .join(cc.withColumnRenamed("id", "rep"), Seq("rep"), "left")
+      .select(col("id"), coalesce(col("component"), col("rep")).as("component"))
+  }
+
   // ----------------------------------------------------- embedding near-dup
 
   /** Cosine similarity of two array<double> columns — a native codegen'd

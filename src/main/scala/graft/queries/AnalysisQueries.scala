@@ -380,7 +380,56 @@ object AnalysisQueries {
       |  CAST(sum(length(sub)) AS BIGINT) AS sum_subword_chars
       |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q140: tokenizer FERTILITY report — the standard tokenizer-quality
+    * metric (subwords per word; high fertility on a language means the
+    * vocabulary underserves it, inflating its effective sequence length
+    * and training cost). Fits the corpus tokenizer, encodes the corpus
+    * with the compiled [[graft.functions.BpeEncode]], and reports per
+    * language: docs, words, subwords, fertility, and chars-per-subword
+    * (subwords concatenate losslessly to their word, so the char total is
+    * exact word chars). One fit + one encode scan + one grouped agg. The
+    * oracle replays the merge chain (q121 machinery) and derives each
+    * word's end-state symbol count from the replayed repr strings. */
+  val bpeFertility: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val model = graft.ops.BpeTrainer.fit(docs, "text", BpeMerges)
+    val toks = TextFunctions.tokens(col("text"))
+    docs.select(col("lang"),
+        size(toks).cast("long").as("nw"),
+        size(graft.functions.TextExpr.bpeEncode(col("text"),
+          model.merges.map(m => (m.lhs, m.rhs)))).cast("long").as("ns"),
+        length(concat_ws("", toks)).cast("long").as("nc"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nw").as("n_words"),
+        sum("ns").as("n_subwords"),
+        round(sum(col("ns")) / sum(col("nw")).cast("double"), 6).as("fertility"),
+        round(sum(col("nc")) / sum(col("ns")).cast("double"), 6)
+          .as("chars_per_subword"))
+      .orderBy("lang")
+  }
+
+  private def bpeFertilityOracle(n: Int): String =
+    bpeChainSql(n) + s""",
+      |enc AS (SELECT word, len(string_split(trim(repr, ':'), '::')) AS nsw FROM w$n),
+      |tok AS (SELECT lang, unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |          ELSE string_split_regex(trim(text), '\\s+') END) AS word
+      |        FROM documents),
+      |j AS (SELECT t.lang, e.nsw, length(t.word) AS wc
+      |      FROM tok t JOIN enc e USING (word)),
+      |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+      |        CAST(sum(nsw) AS BIGINT) AS n_subwords,
+      |        CAST(sum(wc) AS BIGINT) AS nc
+      |      FROM j GROUP BY 1),
+      |d AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      |      FROM documents GROUP BY 1)
+      |SELECT d.lang, d.n_docs, g.n_words, g.n_subwords,
+      |  round(g.n_subwords * 1.0 / g.n_words, 6) AS fertility,
+      |  round(g.nc * 1.0 / g.n_subwords, 6) AS chars_per_subword
+      |FROM d JOIN g USING (lang) ORDER BY d.lang""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q140_bpe_fertility" -> bpeFertility,
     "q116_retrieval_eval" -> retrievalEval,
     "q120_bpe_vocab" -> bpeVocab,
     "q122_bpe_packing" -> bpePacking,
@@ -444,6 +493,7 @@ object AnalysisQueries {
     "q125_bpe_continued" -> bpeContinuedOracle(BpeMerges, 10),
     "q122_bpe_packing" -> bpePackingOracle(BpeMerges),
     "q121_bpe_encode" -> bpeEncodeOracle(BpeMerges),
+    "q140_bpe_fertility" -> bpeFertilityOracle(BpeMerges),
     "q116_retrieval_eval" ->
       """WITH q(query_id, term) AS (VALUES (CAST(1 AS BIGINT),'spark'),(1,'dup'),(1,'key'),
         |  (2,'join'),(2,'window'),(2,'merge'),(3,'vector'),(3,'stream'),(3,'batch')),

@@ -245,6 +245,28 @@ class MediaCodecSpec extends SparkSpec {
     assert(pairs == expected)
   }
 
+  test("hammingGroups64 chains transitive neighbors and keeps singletons apart") {
+    import spark.implicits._
+    // ids 0..9 form a distance-1 chain (consecutive ids 1 apart, so the
+    // radius-3 pairs chain everything into ONE component via CC even
+    // though id 0 and id 9 are 9 bits apart); id 100 is ~32 bits from
+    // everything and must stay its own singleton component; id 101
+    // duplicates id 100's hash exactly and must join it (dedupe-first
+    // collapse, no pair needed).
+    val far = 0xFFFFFFFF00000000L
+    val rows = (0L to 9L).map { k =>
+      var h = 0x0123456789ABCDEFL
+      var i = 0
+      while (i < k) { h ^= 1L << (i * 5); i += 1 }
+      (k, h)
+    } ++ Seq((100L, far), (101L, far))
+    val groups = graft.dedup.Dedup.hammingGroups64(
+        rows.toDF("doc_id", "h"), "doc_id", "h", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L to 9L).map(groups).toSet == Set(0L))
+    assert(groups(100L) == 100L && groups(101L) == 100L)
+  }
+
   test("hostile RIFF chunk with negative le32 size nulls out instead of hanging") {
     // A well-formed header followed by a chunk whose size field decodes to
     // a negative Int (0xFFFFFFF8 = -8): the unguarded walk computed
