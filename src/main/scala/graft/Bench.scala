@@ -100,7 +100,9 @@ object Bench {
     "q137_image_neardup_radius", // dHash banding -> CC radius grouping
     "q138_dsir_calibrated",   // budget-calibrated DSIR threshold
     "q139_neardup_decontam",  // benchmark near-dup decontam (delta bcast)
-    "q140_bpe_fertility")     // tokenizer fertility per language
+    "q140_bpe_fertility",     // tokenizer fertility per language
+    "q141_leakage_attribution", // per-benchmark-item leakage report
+    "q142_domain_reweight")   // DoReMi EG step from grouped LM fits
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -272,4 +272,49 @@ object Contamination {
     corpus.select(col(idCol).as("id")).join(hits, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("n_bench_hits"), lit(0L)).as("n_bench_hits"))
   }
+
+  /** BENCHMARK-side leakage attribution — [[scores]] transposed: instead
+    * of "how contaminated is each corpus doc", answer the eval-owner's
+    * question "which of MY benchmark items leaked, into how many corpus
+    * docs, and how badly" — the report that decides which eval items to
+    * drop (the GPT-3/Llama appendix methodology: per-item n-gram overlap
+    * against the training set). One row per benchmark doc:
+    * (bench_id, n_grams, corpus_matched, corpus_frac, n_leaking_docs,
+    * max_pair_frac), where n_leaking_docs counts corpus docs (self
+    * excluded) sharing ≥ `pairThreshold` of the item's distinct n-grams
+    * and corpus_frac is the fraction of its grams found ANYWHERE else.
+    *
+    * Scale shape: the benchmark gram table broadcasts (eval sets are
+    * small by definition); the corpus gram stream is scanned once; the
+    * `hits` frame holds only true gram matches (bounded by actual
+    * leakage, not the corpus) and is cached across its two aggregations;
+    * every later frame is benchmark-sized. */
+  def leakageAttribution(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      pairThreshold: Double = 0.5): DataFrame = {
+    val bg = benchmark.select(col(idCol).as("bid"),
+      explode(graft.functions.HashFunctions.wordGramHashes(col(textCol), n)).as("gh"))
+    val cg = corpus.select(col(idCol).as("cid"),
+      explode(graft.functions.HashFunctions.wordGramHashes(col(textCol), n)).as("gh"))
+    val sizes = bg.groupBy("bid").agg(count(lit(1)).as("n_grams"))
+    val hits = cg.join(broadcast(bg), Seq("gh"))
+      .where(col("cid") =!= col("bid")).cache()
+    val corpusMatched = hits.select("bid", "gh").distinct()
+      .groupBy("bid").agg(count(lit(1)).as("corpus_matched"))
+    val pairs = hits.groupBy("bid", "cid").agg(count(lit(1)).as("m"))
+      .join(broadcast(sizes), Seq("bid"))
+      .groupBy("bid")
+      .agg(sum(when(col("m").cast("double") / col("n_grams") >= pairThreshold,
+          1L).otherwise(0L)).as("n_leaking_docs"),
+        max(col("m").cast("double") / col("n_grams")).as("mx"))
+    sizes
+      .join(corpusMatched, Seq("bid"), "left")
+      .join(pairs, Seq("bid"), "left")
+      .select(col("bid").as("bench_id"), col("n_grams"),
+        coalesce(col("corpus_matched"), lit(0L)).as("corpus_matched"),
+        round(coalesce(col("corpus_matched"), lit(0L)).cast("double") /
+          col("n_grams"), 6).as("corpus_frac"),
+        coalesce(col("n_leaking_docs"), lit(0L)).as("n_leaking_docs"),
+        round(coalesce(col("mx"), lit(0.0)), 6).as("max_pair_frac"))
+  }
 }

@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.functions.HashFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Domain mixture reweighting — the DoReMi signal (Xie et al. 2023,
+  * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+  * Pretraining") computed with the engine's cheap bigram LMs: a domain
+  * whose text the GLOBAL corpus model fits worse than the domain's OWN
+  * model (positive excess loss) is under-served by the current mixture
+  * and gets up-weighted by one exponentiated-gradient step
+  *     w_d ∝ p_d · exp(η · excess_d),   excess_d = max(0, L_global,d − L_own,d)
+  * with p_d the domain's event share — the paper's update rule with its
+  * proxy/reference losses replaced by the engine's add-one-smoothed
+  * bigram NLLs (DSIR precedent, [[Dsir]]: the n-gram proxy stands in for
+  * the neural loss).
+  *
+  * Scale shape: ONE corpus pass builds the per-domain count tables keyed
+  * by (domain, hash) — D domains cost one grouped aggregation, not D
+  * filtered refits — and the GLOBAL tables are the additive rollup of
+  * the per-domain ones (the [[LanguageModel.merge]] identity: counts are
+  * sums, vocab is a distinct union). Scoring joins events against both
+  * tiers at once (vocabulary-sized tables, AQE-broadcast when small);
+  * everything after the per-domain aggregate is D rows.
+  */
+object DomainReweight {
+
+  /** One EG reweighting step. Output one row per domain:
+    * (groupCol, n_docs, n_events, avg_nll_global, avg_nll_own, excess,
+    * weight) — NLL averages are event-weighted (corpus perplexity over
+    * the domain's bigram events), 4-dp rounded; `excess` is the clamped
+    * 4-dp difference; `weight` renormalizes p_d·exp(η·excess_d), 6-dp. */
+  def reweight(docs: DataFrame, groupCol: String, textCol: String,
+      eta: Double = 1.0): DataFrame = {
+    val events = docs
+      .select(col(groupCol).as("g"),
+        explode(HashFunctions.bigramPairHashes(col(textCol))).as("e"))
+      .select(col("g"), col("e.bh").as("bh"), col("e.uh").as("uh"))
+    // per-domain count tables, one grouped pass
+    val gBi = events.groupBy("g", "bh").agg(count(lit(1)).as("c2g"))
+    val gCtx = events.groupBy("g", "uh").agg(count(lit(1)).as("c1g"))
+    val gVocab = docs
+      .select(col(groupCol).as("g"),
+        explode(HashFunctions.wordGramHashes(col(textCol), 1)).as("h"))
+      .distinct()
+    val gV = gVocab.groupBy("g").agg(count(lit(1)).as("vg"))
+    // global tier = additive rollup (merge identity) — no second pass
+    val bi = gBi.groupBy("bh").agg(sum("c2g").as("c2"))
+    val ctx = gCtx.groupBy("uh").agg(sum("c1g").as("c1"))
+    val v = gVocab.select("h").distinct().count()
+
+    val scored = events
+      .join(gBi, Seq("g", "bh"), "left")
+      .join(gCtx, Seq("g", "uh"), "left")
+      .join(bi, Seq("bh"), "left")
+      .join(ctx, Seq("uh"), "left")
+      .join(gV, Seq("g"))
+      .select(col("g"),
+        (-log((coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + lit(v)).cast("double"))).as("nll_global"),
+        (-log((coalesce(col("c2g"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("c1g"), lit(0L)) + col("vg")).cast("double"))).as("nll_own"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_events"),
+        avg("nll_global").as("ag"), avg("nll_own").as("ao"))
+      .withColumn("excess", greatest(round(col("ag") - col("ao"), 4), lit(0.0)))
+      // D rows with a corpus-sized lineage: cache so the two normalizer
+      // aggregates below don't re-run the scoring pass
+      .cache()
+    val nDocs = docs.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n_docs"))
+    // D-row frame from here: the two 1-row normalizer crossJoins are the
+    // q43/q78 scalar pattern, not data-sized joins
+    val raw = scored
+      .crossJoin(scored.agg(sum("n_events").cast("double").as("tot")))
+      .withColumn("p", col("n_events") / col("tot"))
+      .withColumn("wraw", col("p") * exp(lit(eta) * col("excess")))
+    raw.crossJoin(raw.agg(sum("wraw").as("z")))
+      .join(nDocs, Seq("g"))
+      .select(col("g").as(groupCol), col("n_docs"), col("n_events"),
+        round(col("ag"), 4).as("avg_nll_global"),
+        round(col("ao"), 4).as("avg_nll_own"),
+        col("excess"),
+        round(col("wraw") / col("z"), 6).as("weight"))
+  }
+}

@@ -318,6 +318,21 @@ object CorpusQueries {
       .orderBy("rep_doc")
   }
 
+  /** q141: benchmark-side LEAKAGE ATTRIBUTION
+    * ([[graft.dedup.Contamination.leakageAttribution]]) — q37 answers
+    * "how contaminated is each corpus doc"; this answers the eval-owner's
+    * transpose: per benchmark item (doc_id%20==0, q37's slice), how much
+    * of it leaked into OTHER docs, into how many (≥50% 3-gram overlap),
+    * and the worst single-doc overlap — the per-item report that decides
+    * which eval rows to drop. Oracle replays in gram-string space. */
+  val leakageAttribution: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    graft.dedup.Contamination.leakageAttribution(
+        docs, docs.where(col("doc_id") % 20 === 0), "doc_id", "text",
+        n = 3, pairThreshold = 0.5)
+      .orderBy("bench_id")
+  }
+
   /** q136: exact substring dedup at arbitrary boundaries
     * ([[graft.ops.SubstringDedup]], the Lee et al. 2022 ExactSubstr
     * family): per-doc report of maximal repeated ≥8-token substrings —
@@ -665,9 +680,40 @@ object CorpusQueries {
     "q133_image_neardup" -> imageNearDup,
     "q135_audio_neardup" -> audioNearDup,
     "q136_substring_dedup" -> substringDedup,
-    "q137_image_neardup_radius" -> imageNearDupRadius)
+    "q137_image_neardup_radius" -> imageNearDupRadius,
+    "q141_leakage_attribution" -> leakageAttribution)
 
   val oracles: Map[String, String] = Map(
+    "q141_leakage_attribution" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |      ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts) - 2)]
+        |    END AS grams
+        |  FROM toks),
+        |cg AS (SELECT doc_id AS cid, unnest(list_distinct(grams)) AS gm FROM g),
+        |bg AS (SELECT doc_id AS bid, unnest(list_distinct(grams)) AS gm FROM g
+        |       WHERE doc_id % 20 = 0),
+        |bs AS (SELECT bid, CAST(count(*) AS BIGINT) AS n_grams FROM bg GROUP BY 1),
+        |hits AS (SELECT b.bid, c.cid, b.gm FROM bg b JOIN cg c USING (gm)
+        |         WHERE c.cid <> b.bid),
+        |cm AS (SELECT bid, CAST(count(DISTINCT gm) AS BIGINT) AS corpus_matched
+        |       FROM hits GROUP BY 1),
+        |pair AS (SELECT bid, cid, count(*) AS m FROM hits GROUP BY 1, 2),
+        |pl AS (SELECT p.bid,
+        |         CAST(sum(CASE WHEN p.m * 1.0 / bs.n_grams >= 0.5 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_leaking_docs,
+        |         max(p.m * 1.0 / bs.n_grams) AS mx
+        |       FROM pair p JOIN bs USING (bid) GROUP BY 1)
+        |SELECT bs.bid AS bench_id, bs.n_grams,
+        |  CAST(coalesce(cm.corpus_matched, 0) AS BIGINT) AS corpus_matched,
+        |  round(coalesce(cm.corpus_matched, 0) * 1.0 / bs.n_grams, 6) AS corpus_frac,
+        |  CAST(coalesce(pl.n_leaking_docs, 0) AS BIGINT) AS n_leaking_docs,
+        |  round(coalesce(pl.mx, 0.0), 6) AS max_pair_frac
+        |FROM bs LEFT JOIN cm USING (bid) LEFT JOIN pl USING (bid)
+        |ORDER BY bench_id""".stripMargin,
     "q137_image_neardup_radius" ->
       """SELECT min(doc_id) AS rep_doc, count(*) AS n_docs,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids,

@@ -367,7 +367,23 @@ object ModelPrepQueries {
         (col("n_hits") * 5 >= col("n_exact_hard") * 3).as("recall_ge_060"))
   }
 
+  /** q142: DoReMi-style domain reweighting
+    * ([[graft.ops.DomainReweight]]) — one exponentiated-gradient step
+    * over the source domains from measured bigram-LM excess loss
+    * (global-model NLL minus own-model NLL per domain; a domain the
+    * global mixture under-serves gets up-weighted). Per-domain fits are
+    * ONE grouped pass keyed (source, hash); the global tier is their
+    * additive rollup (the q93 merge identity), so the whole update costs
+    * two corpus scans regardless of D. Oracle replays both LM tiers and
+    * the EG arithmetic in gram-string space; the 4-dp excess rounding on
+    * both sides pins the exp() input exactly. */
+  val domainReweight: Q = (s, dir) =>
+    graft.ops.DomainReweight.reweight(Tables.documents(s, dir), "source",
+        "text", eta = 1.0)
+      .orderBy("source")
+
   val all: Map[String, Q] = Map(
+    "q142_domain_reweight" -> domainReweight,
     "q100_modelprep_pipeline" -> modelPrepPipeline,
     "q101_negative_mining" -> negativeMining,
     "q102_negative_mining_ann" -> negativeMiningAnn,
@@ -385,6 +401,44 @@ object ModelPrepQueries {
     "q92_epoch_shards" -> epochShards)
 
   val oracles: Map[String, String] = Map(
+    "q142_domain_reweight" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |ev AS (
+        |  SELECT source, ts[i] AS w1, ts[i] || ' ' || ts[i+1] AS bg
+        |  FROM d, UNNEST(generate_series(1, len(ts) - 1)) AS t(i)),
+        |gc2 AS (SELECT source, bg, count(*) AS c2g FROM ev GROUP BY 1, 2),
+        |gc1 AS (SELECT source, w1, count(*) AS c1g FROM ev GROUP BY 1, 2),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM ev GROUP BY 1),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM ev GROUP BY 1),
+        |vg AS (SELECT source, count(DISTINCT tok) AS vg
+        |       FROM (SELECT source, unnest(ts) AS tok FROM d) GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v
+        |      FROM (SELECT unnest(ts) AS tok FROM d)),
+        |sc AS (
+        |  SELECT ev.source,
+        |    -ln((coalesce(c2.c2, 0) + 1) / (coalesce(c1.c1, 0) + v.v)) AS nll_global,
+        |    -ln((coalesce(gc2.c2g, 0) + 1) / (coalesce(gc1.c1g, 0) + vg.vg)) AS nll_own
+        |  FROM ev LEFT JOIN gc2 USING (source, bg) LEFT JOIN gc1 USING (source, w1)
+        |    LEFT JOIN c2 USING (bg) LEFT JOIN c1 USING (w1)
+        |    JOIN vg USING (source) CROSS JOIN v),
+        |agg AS (SELECT source, count(*) AS n_events,
+        |          avg(nll_global) AS ag, avg(nll_own) AS ao
+        |        FROM sc GROUP BY 1),
+        |ex AS (SELECT source, n_events, ag, ao,
+        |         greatest(round(ag - ao, 4), 0.0) AS excess FROM agg),
+        |tot AS (SELECT sum(n_events) * 1.0 AS tot FROM ex),
+        |raw AS (SELECT e.*, (e.n_events / t.tot) * exp(1.0 * e.excess) AS wraw
+        |        FROM ex e CROSS JOIN tot t),
+        |z AS (SELECT sum(wraw) AS z FROM raw),
+        |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |       FROM documents GROUP BY 1)
+        |SELECT r.source, nd.n_docs, CAST(r.n_events AS BIGINT) AS n_events,
+        |  round(r.ag, 4) AS avg_nll_global, round(r.ao, 4) AS avg_nll_own,
+        |  r.excess, round(r.wraw / z.z, 6) AS weight
+        |FROM raw r CROSS JOIN z JOIN nd USING (source)
+        |ORDER BY r.source""".stripMargin,
     "q87_lm_perplexity" ->
       """WITH d AS (
         |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ts

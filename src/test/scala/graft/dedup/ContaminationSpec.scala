@@ -112,4 +112,27 @@ class ContaminationSpec extends SparkSpec {
     // only the first is shared -> novelty 2/3
     assert(got(4L)._1 == 3L && got(4L)._2 == 2L)
   }
+
+  test("leakage attribution: per-item fractions, self excluded, zero-leak items kept") {
+    // bench doc 10 leaks fully into doc 1 (verbatim) and partially into
+    // doc 2; bench doc 20 leaks nowhere. Self-matches must not count.
+    val docs = Seq(
+      (10L, "a b c d e"),            // bench: grams [a b c][b c d][c d e]
+      (20L, "p q r s"),              // bench: no leak
+      (1L, "a b c d e"),             // full copy of 10
+      (2L, "z a b c z2 z3"),         // shares [a b c] only
+      (3L, "unrelated text here ok")
+    ).toDF("doc_id", "text")
+    val bench = docs.where(col("doc_id") >= 10)
+    val got = Contamination.leakageAttribution(docs, bench, "doc_id", "text",
+        n = 3, pairThreshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // doc 10: 3 grams, all 3 found elsewhere (doc 1), leaking docs: doc 1
+    // (3/3 >= 0.5) but not doc 2 (1/3); max pair frac 1.0
+    assert(got(10L) == ((3L, 3L, 1.0, 1L, 1.0)))
+    // doc 20: nothing leaked anywhere — present with zeros
+    assert(got(20L) == ((2L, 0L, 0.0, 0L, 0.0)))
+  }
 }

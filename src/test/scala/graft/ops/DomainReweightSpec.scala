@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DomainReweightSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("weights normalize to 1 and the update is deterministic") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = DomainReweight.reweight(docs, "source", "text").cache()
+    val w = out.agg(sum("weight")).head.getDouble(0)
+    assert(math.abs(w - 1.0) <= 1e-4, s"weights sum to $w")
+    assert(out.collect().toSet ==
+      DomainReweight.reweight(docs, "source", "text").collect().toSet)
+    out.unpersist()
+  }
+
+  test("a domain the global mixture under-serves is up-weighted (hand corpus)") {
+    // dom A: large, self-consistent, dominates the mixture — its context
+    // counts dwarf the add-one vocab term, so global≈own and excess_A≈0.
+    // dom B: small and disjoint — the global model (mostly A's mass and
+    // vocabulary) fits it worse than its own model. One EG step must push
+    // B's weight ABOVE its event share. (A too-small A makes the
+    // smoothing-denominator artifact dominate — found the hard way.)
+    val docs = (
+      Seq.fill(3)(("a", Seq.fill(50)("x y").mkString(" "))) :+
+        (("b", "p q r s p q r s p q"))).toDF("source", "text")
+    val out = DomainReweight.reweight(docs, "source", "text", eta = 1.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getDouble(5), r.getDouble(6)))).toMap
+    val (nbEvents, excessB, wB) = out("b")
+    val (naEvents, excessA, _) = out("a")
+    assert(excessB > excessA, s"B excess $excessB <= A excess $excessA")
+    val pB = nbEvents.toDouble / (naEvents + nbEvents)
+    assert(wB > pB, s"B weight $wB not above its event share $pB")
+  }
+
+  test("eta = 0 recovers the event-share mixture exactly") {
+    val docs = Seq(
+      ("a", "x y x y"), ("b", "p q r s p q")).toDF("source", "text")
+    val out = DomainReweight.reweight(docs, "source", "text", eta = 0.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getDouble(6))).toMap
+    val tot = out.values.map(_._1).sum.toDouble
+    out.foreach { case (s, (n, w)) =>
+      assert(math.abs(w - n / tot) <= 1e-6, s"$s: $w vs ${n / tot}")
+    }
+  }
+}
