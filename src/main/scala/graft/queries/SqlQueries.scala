@@ -37,6 +37,10 @@ object SqlQueries {
       graft.functions.GraftFunctions.quantileSketchBuilder)
     ColumnBridge.registerFunction(s, "nfc_normalize",
       (args: Seq[Expression]) => graft.functions.NfcNormalize(args.head))
+    ColumnBridge.registerFunction(s, "positional_gram_hashes",
+      (args: Seq[Expression]) => graft.functions.GraftFunctions.intLitBuilder(
+        "positional_gram_hashes", args)(
+        graft.functions.PositionalGramHashes(_, _)))
     ColumnBridge.registerFunction(s, "kmv_distinct",
       (args: Seq[Expression]) => {
         val k = args match {
@@ -314,7 +318,47 @@ object SqlQueries {
       FROM f GROUP BY source ORDER BY source""")
   }
 
+  /** q136's ExactSubstr report as pure SQL text: the registered
+    * `positional_gram_hashes` engine function supplies the window
+    * fingerprints; the duplicated-anchor screen, islands merge, and
+    * per-doc report are plain SQL (LEFT SEMI JOIN + window functions) —
+    * the whole operator is expressible to a SQL-only user. Shares q136's
+    * oracle verbatim. */
+  val sqlSubstringDedup: Q = (s, dir) => {
+    ensureSurface(s, dir)
+    s.sql("""
+      WITH anch AS (
+        SELECT doc_id, pos, fp
+        FROM documents
+        LATERAL VIEW posexplode(positional_gram_hashes(text, 8)) AS pos, fp),
+      dup AS (SELECT fp FROM anch GROUP BY fp HAVING count(*) >= 2),
+      danch AS (SELECT a.doc_id, a.pos FROM anch a LEFT SEMI JOIN dup d ON a.fp = d.fp),
+      isl AS (
+        SELECT doc_id, pos,
+          CASE WHEN pos > coalesce(max(pos + 8) OVER (
+              PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+            THEN 1 ELSE 0 END AS brk
+        FROM danch),
+      isl2 AS (
+        SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM isl),
+      sp AS (
+        SELECT doc_id, count(*) AS n_spans, CAST(sum(e - s) AS BIGINT) AS dup_tokens
+        FROM (SELECT doc_id, island, min(pos) AS s, max(pos) + 8 AS e
+              FROM isl2 GROUP BY doc_id, island)
+        GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(size(CASE WHEN length(trim(d.text)) = 0 THEN array()
+          ELSE split(trim(d.text), '\\s+') END) AS BIGINT) AS n_tokens,
+        coalesce(sp.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+        coalesce(sp.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens
+      FROM documents d LEFT JOIN sp USING (doc_id) ORDER BY d.doc_id""")
+  }
+
   val all: Map[String, Q] = Map(
+    "q143_sql_substring_dedup" -> sqlSubstringDedup,
     "q134_sql_nfc_cleanup" -> sqlNfcCleanup,
     "q124_sql_script_profile" -> sqlScriptProfile,
     "q113_sql_chunks" -> sqlChunks,
@@ -327,6 +371,7 @@ object SqlQueries {
     "q81_sql_temperature_mix" -> sqlTemperatureMix)
 
   val oracles: Map[String, String] = Map(
+    "q143_sql_substring_dedup" -> CorpusQueries.oracles("q136_substring_dedup"),
     "q134_sql_nfc_cleanup" -> HygieneQueries.oracles("q131_nfc_cleanup"),
     "q124_sql_script_profile" -> AnalysisQueries.oracles("q117_script_profile"),
     "q113_sql_chunks" -> RetrievalQueries.oracles("q107_sliding_chunks"),

@@ -25,7 +25,8 @@ class SqlQueriesSpec extends SparkSpec {
       "q81_sql_temperature_mix" -> "q80_temperature_mix",
       "q113_sql_chunks" -> "q107_sliding_chunks",
       "q124_sql_script_profile" -> "q117_script_profile",
-      "q134_sql_nfc_cleanup" -> "q131_nfc_cleanup")
+      "q134_sql_nfc_cleanup" -> "q131_nfc_cleanup",
+      "q143_sql_substring_dedup" -> "q136_substring_dedup")
     for ((sqlName, dfName) <- twins) {
       val viaSql = canon(SparkEntry.queries(sqlName)(spark, dir))
       val viaDf = canon(SparkEntry.queries(dfName)(spark, dir))
