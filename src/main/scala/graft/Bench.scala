@@ -102,7 +102,8 @@ object Bench {
     "q139_neardup_decontam",  // benchmark near-dup decontam (delta bcast)
     "q140_bpe_fertility",     // tokenizer fertility per language
     "q141_leakage_attribution", // per-benchmark-item leakage report
-    "q142_domain_reweight")   // DoReMi EG step from grouped LM fits
+    "q142_domain_reweight",   // DoReMi EG step from grouped LM fits
+    "q144_leakage_incremental") // stored-state attribution update + report
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

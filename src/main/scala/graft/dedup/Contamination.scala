@@ -291,17 +291,59 @@ object Contamination {
     * every later frame is benchmark-sized. */
   def leakageAttribution(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
-      pairThreshold: Double = 0.5): DataFrame = {
-    val bg = benchmark.select(col(idCol).as("bid"),
+      pairThreshold: Double = 0.5): DataFrame =
+    leakageReport(leakState(corpus, benchmark, idCol, textCol, n),
+      benchmark, idCol, textCol, n, pairThreshold)
+
+  /** The ADDITIVE state behind [[leakageAttribution]] — what makes the
+    * attribution incremental: `matched` is the set of (bench item, gram)
+    * hits seen so far (a distinct union across batches) and `pairs` the
+    * per-(bench item, corpus doc) shared-gram counts (append/sum across
+    * batches — each corpus doc's grams arrive atomically, so
+    * merge(state(A), state(B)) == state(A ∪ B) exactly, the q93 LM-merge
+    * identity in attribution space). The benchmark itself is fixed; only
+    * the corpus grows. */
+  final case class LeakState(matched: DataFrame, pairs: DataFrame)
+
+  /** Benchmark gram stream (bid, gh) — distinct per item by construction
+    * (wordGramHashes emits per-row distinct grams). */
+  private def benchGrams(benchmark: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    benchmark.select(col(idCol).as("bid"),
       explode(graft.functions.HashFunctions.wordGramHashes(col(textCol), n)).as("gh"))
+
+  /** Attribution state of one corpus slice against the benchmark. */
+  def leakState(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): LeakState = {
     val cg = corpus.select(col(idCol).as("cid"),
       explode(graft.functions.HashFunctions.wordGramHashes(col(textCol), n)).as("gh"))
-    val sizes = bg.groupBy("bid").agg(count(lit(1)).as("n_grams"))
-    val hits = cg.join(broadcast(bg), Seq("gh"))
+    val hits = cg.join(broadcast(benchGrams(benchmark, idCol, textCol, n)), Seq("gh"))
       .where(col("cid") =!= col("bid")).cache()
-    val corpusMatched = hits.select("bid", "gh").distinct()
+    LeakState(
+      hits.select("bid", "gh").distinct(),
+      hits.groupBy("bid", "cid").agg(count(lit(1)).as("m")))
+  }
+
+  /** merge(state(A), state(B)) == state(A ∪ B) — matched is a distinct
+    * union, pair counts are sums (a corpus doc appears in one slice, so
+    * the sum is really an append; the groupBy form keeps the identity
+    * exact even for split inputs). */
+  def mergeLeakState(a: LeakState, b: LeakState): LeakState =
+    LeakState(
+      a.matched.unionByName(b.matched).distinct(),
+      a.pairs.unionByName(b.pairs)
+        .groupBy("bid", "cid").agg(sum("m").as("m")))
+
+  /** The per-item report off an attribution state — identical output to
+    * [[leakageAttribution]] when the state covers the whole corpus. */
+  def leakageReport(state: LeakState, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      pairThreshold: Double = 0.5): DataFrame = {
+    val sizes = benchGrams(benchmark, idCol, textCol, n)
+      .groupBy("bid").agg(count(lit(1)).as("n_grams"))
+    val corpusMatched = state.matched
       .groupBy("bid").agg(count(lit(1)).as("corpus_matched"))
-    val pairs = hits.groupBy("bid", "cid").agg(count(lit(1)).as("m"))
+    val pairs = state.pairs
       .join(broadcast(sizes), Seq("bid"))
       .groupBy("bid")
       .agg(sum(when(col("m").cast("double") / col("n_grams") >= pairThreshold,

@@ -333,6 +333,32 @@ object CorpusQueries {
       .orderBy("bench_id")
   }
 
+  /** q144: INCREMENTAL leakage attribution — q141's report produced the
+    * way a live pipeline keeps it current: the attribution state for the
+    * corpus-minus-delta is built and PERSISTED
+    * ([[graft.store.IndexStore.saveLeakState]]), the delta batch
+    * (doc_id%9==2) is merged through the stored-state update path
+    * (load → additive merge → atomic swap — the q111/q115 doctrine), and
+    * the report comes off the RELOADED state. merge(state(A), state(B))
+    * == state(A∪B) exactly, so this shares q141's whole-corpus oracle
+    * verbatim — equality proves the merge identity, the persistence
+    * round trip, and the report in one gate. */
+  val leakageIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val bench = docs.where(col("doc_id") % 20 === 0)
+    val delta = docs.where(col("doc_id") % 9 === 2)
+    val base = docs.where(col("doc_id") % 9 =!= 2)
+    val path = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_leak")).toString
+    graft.store.IndexStore.saveLeakState(s,
+      graft.dedup.Contamination.leakState(base, bench, "doc_id", "text", 3), path)
+    graft.store.IndexStore.updateLeakState(s, path, delta, bench, "doc_id", "text", 3)
+    graft.dedup.Contamination.leakageReport(
+        graft.store.IndexStore.loadLeakState(s, path), bench, "doc_id", "text",
+        3, pairThreshold = 0.5)
+      .orderBy("bench_id")
+  }
+
   /** q136: exact substring dedup at arbitrary boundaries
     * ([[graft.ops.SubstringDedup]], the Lee et al. 2022 ExactSubstr
     * family): per-doc report of maximal repeated ≥8-token substrings —
@@ -681,9 +707,41 @@ object CorpusQueries {
     "q135_audio_neardup" -> audioNearDup,
     "q136_substring_dedup" -> substringDedup,
     "q137_image_neardup_radius" -> imageNearDupRadius,
-    "q141_leakage_attribution" -> leakageAttribution)
+    "q141_leakage_attribution" -> leakageAttribution,
+    "q144_leakage_incremental" -> leakageIncremental)
 
   val oracles: Map[String, String] = Map(
+    "q144_leakage_incremental" -> // shares q141's whole-corpus oracle: the
+      // merge identity makes incremental == one-shot exactly
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |      ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts) - 2)]
+        |    END AS grams
+        |  FROM toks),
+        |cg AS (SELECT doc_id AS cid, unnest(list_distinct(grams)) AS gm FROM g),
+        |bg AS (SELECT doc_id AS bid, unnest(list_distinct(grams)) AS gm FROM g
+        |       WHERE doc_id % 20 = 0),
+        |bs AS (SELECT bid, CAST(count(*) AS BIGINT) AS n_grams FROM bg GROUP BY 1),
+        |hits AS (SELECT b.bid, c.cid, b.gm FROM bg b JOIN cg c USING (gm)
+        |         WHERE c.cid <> b.bid),
+        |cm AS (SELECT bid, CAST(count(DISTINCT gm) AS BIGINT) AS corpus_matched
+        |       FROM hits GROUP BY 1),
+        |pair AS (SELECT bid, cid, count(*) AS m FROM hits GROUP BY 1, 2),
+        |pl AS (SELECT p.bid,
+        |         CAST(sum(CASE WHEN p.m * 1.0 / bs.n_grams >= 0.5 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_leaking_docs,
+        |         max(p.m * 1.0 / bs.n_grams) AS mx
+        |       FROM pair p JOIN bs USING (bid) GROUP BY 1)
+        |SELECT bs.bid AS bench_id, bs.n_grams,
+        |  CAST(coalesce(cm.corpus_matched, 0) AS BIGINT) AS corpus_matched,
+        |  round(coalesce(cm.corpus_matched, 0) * 1.0 / bs.n_grams, 6) AS corpus_frac,
+        |  CAST(coalesce(pl.n_leaking_docs, 0) AS BIGINT) AS n_leaking_docs,
+        |  round(coalesce(pl.mx, 0.0), 6) AS max_pair_frac
+        |FROM bs LEFT JOIN cm USING (bid) LEFT JOIN pl USING (bid)
+        |ORDER BY bench_id""".stripMargin,
     "q141_leakage_attribution" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),

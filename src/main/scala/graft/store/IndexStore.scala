@@ -277,6 +277,62 @@ object IndexStore {
     restored
   }
 
+  /** Persist a leakage-attribution state ([[graft.dedup.Contamination
+    * .LeakState]]): the matched (bench item, gram) set and the
+    * per-(bench item, corpus doc) shared-gram counts, plus the replay
+    * cursor. */
+  def saveLeakState(spark: SparkSession, state: graft.dedup.Contamination.LeakState,
+                    path: String, lastBatchId: Long = -1L): Unit = {
+    import spark.implicits._
+    writeMeta(spark, path, "leakage")
+    state.matched.write.mode("overwrite").parquet(s"$path/matched")
+    state.pairs.write.mode("overwrite").parquet(s"$path/pairs")
+    Seq(Tuple1(lastBatchId)).toDF("last_batch")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/scalars")
+  }
+
+  def loadLeakState(spark: SparkSession, path: String): graft.dedup.Contamination.LeakState = {
+    checkMeta(spark, path, "leakage")
+    graft.dedup.Contamination.LeakState(
+      spark.read.parquet(s"$path/matched"),
+      spark.read.parquet(s"$path/pairs"))
+  }
+
+  /** The stored attribution state's replay cursor (−1 on fresh/batch). */
+  def leakStateLastBatch(spark: SparkSession, path: String): Long =
+    spark.read.parquet(s"$path/scalars").select("last_batch").head().getLong(0)
+
+  /** Merge a NEW corpus batch's attribution hits into the stored state,
+    * atomically and exactly-once — [[updateLexicalIndex]]'s contract
+    * (dot-tmp write → rename-swap promote; batchId cursor makes a
+    * replayed micro-batch a no-op). The benchmark is the FIXED side of an
+    * attribution state; callers pass the same benchmark the state was
+    * built against.
+    *
+    * @return true if the update applied, false if skipped as a replay. */
+  def updateLeakState(spark: SparkSession, path: String,
+                      batch: org.apache.spark.sql.DataFrame,
+                      benchmark: org.apache.spark.sql.DataFrame,
+                      idCol: String, textCol: String, n: Int = 3,
+                      batchId: Long = -1L): Boolean = {
+    val delta = graft.dedup.Contamination.leakState(batch, benchmark, idCol, textCol, n)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta"))
+    if (exists && batchId >= 0 && batchId <= leakStateLastBatch(spark, path))
+      return false
+    val merged =
+      if (exists) graft.dedup.Contamination.mergeLeakState(
+        loadLeakState(spark, path), delta)
+      else delta
+    val parent = Option(root.getParent).map(_.toString).getOrElse(".")
+    val tmp = new org.apache.hadoop.fs.Path(s"$parent/.${root.getName}_update_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    saveLeakState(spark, merged, tmp.toString, batchId)
+    graft.util.AtomicSwap.swap(fs, tmp, root)
+    true
+  }
+
   def updateLexicalIndex(spark: SparkSession, path: String,
                          delta: org.apache.spark.sql.DataFrame,
                          idCol: String, textCol: String,

@@ -200,6 +200,27 @@ object StreamingPipeline {
         ()
       }
 
+  /** Continuous LEAKAGE-ATTRIBUTION ingest: as new corpus documents
+    * arrive, each benchmark item's attribution state (matched grams +
+    * per-doc shared-gram counts) is updated additively in the stored
+    * state dir — the eval owner's per-item leakage report
+    * ([[graft.dedup.Contamination.leakageReport]]) stays current without
+    * ever rescanning the corpus. Exactly-once by the stored batch-id
+    * cursor ([[graft.store.IndexStore.updateLeakState]]); replayed
+    * micro-batches are no-ops. The streaming half of the q141/q144
+    * operators. */
+  def leakageIngestStream(newDocs: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String, statePath: String,
+                          n: Int = 3): DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.store.IndexStore.updateLeakState(
+          batch.sparkSession, statePath, batch, benchmark, idCol, textCol, n, batchId)
+        ()
+      }
+
   /** Streaming decontamination screen: annotate each arriving document with
     * its distinct-gram total and the count of grams that probe positive
     * against the benchmark's Bloom sketch (built ONCE on the batch side via

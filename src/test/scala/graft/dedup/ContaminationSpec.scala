@@ -135,4 +135,61 @@ class ContaminationSpec extends SparkSpec {
     // doc 20: nothing leaked anywhere — present with zeros
     assert(got(20L) == ((2L, 0L, 0.0, 0L, 0.0)))
   }
+
+  private def canonLeak(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.orderBy("bench_id").collect().map(_.toString).toSeq
+
+  test("leak-state merge identity: merge(state(A), state(B)) == state(A ∪ B) (sf0.001)") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = docs.where(col("doc_id") % 20 === 0)
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 === 1)
+    val merged = Contamination.mergeLeakState(
+      Contamination.leakState(a, bench, "doc_id", "text", 3),
+      Contamination.leakState(b, bench, "doc_id", "text", 3))
+    val oneShot = Contamination.leakageAttribution(docs, bench, "doc_id", "text", 3)
+    assert(canonLeak(Contamination.leakageReport(merged, bench, "doc_id", "text", 3))
+      == canonLeak(oneShot))
+  }
+
+  test("stored leak state: round trip, exactly-once replay cursor, streaming twin") {
+    import graft.store.IndexStore
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = docs.where(col("doc_id") % 20 === 0).cache()
+    val base = docs.where(col("doc_id") % 3 === 0)
+    val d1 = docs.where(col("doc_id") % 3 === 1)
+    val d2 = docs.where(col("doc_id") % 3 === 2)
+    val path = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_leak_spec")).toString
+
+    IndexStore.saveLeakState(spark,
+      Contamination.leakState(base, bench, "doc_id", "text", 3), path)
+    assert(IndexStore.updateLeakState(spark, path, d1, bench, "doc_id", "text", 3, batchId = 0))
+    // replayed micro-batch (same id): must be a no-op, not a double-merge
+    assert(!IndexStore.updateLeakState(spark, path, d1, bench, "doc_id", "text", 3, batchId = 0))
+    assert(IndexStore.updateLeakState(spark, path, d2, bench, "doc_id", "text", 3, batchId = 1))
+
+    val viaStore = Contamination.leakageReport(
+      IndexStore.loadLeakState(spark, path), bench, "doc_id", "text", 3)
+    val oneShot = Contamination.leakageAttribution(docs, bench, "doc_id", "text", 3)
+    assert(canonLeak(viaStore) == canonLeak(oneShot))
+
+    // streaming twin over a 2-file source reaches the same state
+    val path2 = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_leak_stream")).toString
+    IndexStore.saveLeakState(spark,
+      Contamination.leakState(base, bench, "doc_id", "text", 3), path2)
+    val src = java.nio.file.Files.createTempDirectory("graft_leak_src")
+    d1.coalesce(1).write.parquet(src.resolve("p1").toString)
+    d2.coalesce(1).write.parquet(src.resolve("p2").toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$src/*")
+    val q = graft.streaming.StreamingPipeline.leakageIngestStream(
+      stream, bench, "doc_id", "text", path2, n = 3).start()
+    q.awaitTermination()
+    val viaStream = Contamination.leakageReport(
+      IndexStore.loadLeakState(spark, path2), bench, "doc_id", "text", 3)
+    assert(canonLeak(viaStream) == canonLeak(oneShot))
+    bench.unpersist()
+  }
 }
