@@ -286,4 +286,32 @@ class PlanShapeSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(plan).length == 1,
       "the encode frame must read the corpus exactly once")
   }
+
+  test("substring dedup: compiled window hashes, no cartesian, bounded per-doc windows") {
+    val plan = planOf("q136_substring_dedup")
+    assert(plan.contains("positional_gram_hashes"),
+      "expected the compiled positional window-fingerprint node")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"anchor screen degenerated to all-pairs:\n${plan.take(3000)}")
+    // the islands merge windows are PARTITIONED per doc — an unpartitioned
+    // window here would serialize the corpus through one task
+    assert(!plan.contains("Window [") || !plan.contains("windowspecdefinition()"),
+      s"unpartitioned window in the islands merge:\n${plan.take(3000)}")
+  }
+
+  test("leakage attribution broadcasts the benchmark gram table") {
+    val plan = planOf("q141_leakage_attribution")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark grams must broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"attribution went all-pairs:\n${plan.take(3000)}")
+  }
+
+  test("domain reweight scoring joins stay equi-joins on (domain, hash) keys") {
+    val plan = planOf("q142_domain_reweight")
+    assert(!plan.contains("CartesianProduct"),
+      s"reweight plan has a cartesian outside the 1-row normalizers:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
+      "count-table joins should hash-join at this sf")
+  }
 }
