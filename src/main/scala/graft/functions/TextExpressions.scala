@@ -585,6 +585,118 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/** Length of the longest substring that occurs at least twice in the text
+  * (overlapping occurrences count: "aaa" → "aa" at positions 1 and 2 →
+  * lrs = 2). The per-document repetition signal of the Gopher/Lee-et-al
+  * dedup analyses at ARBITRARY boundaries — [[TopGramFraction]] and
+  * [[RepetitionScore]] see fixed-width token n-grams only, so a long
+  * verbatim repeat that is not n-gram-aligned (boilerplate injected
+  * mid-sentence, self-plagiarized spans) under-counts there; this
+  * expression measures it exactly.
+  *
+  * Implementation: a suffix automaton (Blumer et al. 1985 DAWG
+  * construction) built in one left-to-right pass — O(n) states and
+  * transitions for an n-char text. Each automaton state represents a set
+  * of substrings sharing an end-position set; a substring repeats iff its
+  * state's occurrence count ≥ 2, so the answer is the max `len` over
+  * states with endpos-count ≥ 2, with counts propagated through suffix
+  * links in one decreasing-`len` sweep (counting sort — no comparison
+  * sort anywhere). The O(n²) substring-enumeration form is the DuckDB
+  * oracle (q146): the gate caps text length so the oracle stays
+  * tractable; THIS side is linear and runs uncapped at corpus scale.
+  * Lengths are UTF-16 code units (= codepoints for the BMP text the
+  * corpus holds). Texts shorter than 2 chars → 0. */
+case class LongestRepeatedSubstringLen(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "longest_repeated_substring_len"
+
+  override def nullSafeEval(input: Any): Any =
+    LongestRepeatedSubstringLen.lrsLen(input.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LongestRepeatedSubstringLen {
+  /** Suffix-automaton longest-repeated-substring length. One compiled JVM
+    * loop per row (the TextExprs doctrine); ~2n states, each holding a
+    * small char→state map. */
+  def lrsLen(s: String): Int = {
+    val n = s.length
+    if (n < 2) return 0
+    val cap = 2 * n
+    val len = new Array[Int](cap)
+    val link = new Array[Int](cap)
+    val cnt = new Array[Int](cap)
+    val next = new Array[scala.collection.mutable.HashMap[Char, Int]](cap)
+    next(0) = scala.collection.mutable.HashMap.empty
+    link(0) = -1
+    var size = 1
+    var last = 0
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      val cur = size; size += 1
+      len(cur) = len(last) + 1
+      cnt(cur) = 1
+      next(cur) = scala.collection.mutable.HashMap.empty
+      var p = last
+      while (p != -1 && !next(p).contains(c)) {
+        next(p)(c) = cur
+        p = link(p)
+      }
+      if (p == -1) link(cur) = 0
+      else {
+        val q = next(p)(c)
+        if (len(p) + 1 == len(q)) link(cur) = q
+        else {
+          val clone = size; size += 1
+          len(clone) = len(p) + 1
+          link(clone) = link(q)
+          next(clone) = next(q).clone()
+          cnt(clone) = 0
+          while (p != -1 && next(p).get(c).contains(q)) {
+            next(p)(c) = clone
+            p = link(p)
+          }
+          link(q) = clone
+          link(cur) = clone
+        }
+      }
+      last = cur
+      i += 1
+    }
+    // Occurrence counts: propagate along suffix links in decreasing state
+    // length (counting sort over len ∈ [1, n]); a state's count is final
+    // when reached, since only strictly longer states feed it.
+    val bucket = new Array[Int](n + 2)
+    var v = 1
+    while (v < size) { bucket(len(v)) += 1; v += 1 }
+    var b = n
+    var pos = 0
+    val startAt = new Array[Int](n + 2)
+    while (b >= 1) { startAt(b) = pos; pos += bucket(b); b -= 1 }
+    val order = new Array[Int](size - 1)
+    v = 1
+    while (v < size) {
+      order(startAt(len(v))) = v
+      startAt(len(v)) += 1
+      v += 1
+    }
+    var best = 0
+    var j = 0
+    while (j < order.length) {
+      val st = order(j)
+      if (cnt(st) >= 2 && len(st) > best) best = len(st)
+      if (link(st) != -1) cnt(link(st)) += cnt(st)
+      j += 1
+    }
+    best
+  }
+}
+
 /** Column-API entry points for the compiled text expressions. */
 object TextExpr {
   def wordSpans(text: Column, k: Int): Column =
@@ -619,4 +731,7 @@ object TextExpr {
 
   def nfcNormalize(text: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
+
+  def longestRepeatedSubstringLen(text: Column): Column =
+    ColumnBridge.column(LongestRepeatedSubstringLen(ColumnBridge.expression(text)))
 }

@@ -26,6 +26,34 @@ object SkewTools {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Key-skew diagnostic: the report run BEFORE choosing a partitioning /
+    * salt factor for a 100 TB join or agg. Per top-`topN` hottest key:
+    * rank, row count, share of all rows, and the skew multiple vs a
+    * uniform key distribution (rows·n_keys/total — the factor by which
+    * the hot key's task outweighs the average task, i.e. the straggler
+    * multiplier AQE's skew threshold is compared against). Scale shape:
+    * one map-side-combined count per key; the totals are a second
+    * aggregate OVER THE COUNTS (key-cardinality-sized, not row-sized);
+    * the head is a bounded TakeOrderedAndProject; the scalar totals
+    * attach by 1-row crossJoin. Shares are 4-dp exact rationals. */
+  def keySkewReport(df: DataFrame, key: String, topN: Int): DataFrame = {
+    require(topN > 0)
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n_rows"))
+    val totals = counts.agg(sum(col("n_rows")).as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    val top = counts.orderBy(col("n_rows").desc, col(key).asc).limit(topN)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_rows").desc, col(key).asc)))
+    top.crossJoin(totals)
+      .select(col("rank"), col(key), col("n_rows"),
+        round(col("n_rows") * lit(100.0) / col("total_rows"), 4)
+          .as("share_pct"),
+        round(col("n_rows").cast("double") * col("n_keys") / col("total_rows"), 4)
+          .as("skew_x"))
+      .orderBy("rank")
+  }
+
   /** Two-phase (salted partial + final) aggregation for skewed group keys:
     * aggregate on (key, salt) first, then merge the partials per key.
     * `partialAggs` and `mergeAggs` must be algebraically compatible

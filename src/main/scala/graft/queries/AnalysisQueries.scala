@@ -428,7 +428,32 @@ object AnalysisQueries {
       |  round(g.nc * 1.0 / g.n_subwords, 6) AS chars_per_subword
       |FROM d JOIN g USING (lang) ORDER BY d.lang""".stripMargin
 
+  /** q146: intra-document longest-repeated-substring census
+    * ([[graft.functions.LongestRepeatedSubstringLen]] — suffix-automaton
+    * LRS at ARBITRARY boundaries, the per-doc counterpart of the q136
+    * cross-doc ExactSubstr dedup; q119's fixed-n gram fractions
+    * under-count repeats that are not n-gram-aligned). Histogram over the
+    * exact LRS length: docs per length, min-id witness, sum-id
+    * certificate. The gate caps each text to its first 150 chars so the
+    * DuckDB oracle — which enumerates all O(n²) substrings and replays
+    * the definition literally — stays tractable (22s at sf0.1, measured);
+    * the automaton side is O(n) per doc and runs uncapped at corpus
+    * scale. Output is all-integer: no float contract needed. */
+  val intraDocRepeats: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val scored = docs
+      .select(col("doc_id"),
+        graft.functions.TextExpr.longestRepeatedSubstringLen(
+          substring(col("text"), 1, 150)).as("lrs"))
+    scored.groupBy("lrs")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy("lrs")
+  }
+
   val all: Map[String, Q] = Map(
+    "q146_intradoc_repeats" -> intraDocRepeats,
     "q140_bpe_fertility" -> bpeFertility,
     "q116_retrieval_eval" -> retrievalEval,
     "q120_bpe_vocab" -> bpeVocab,
@@ -443,6 +468,20 @@ object AnalysisQueries {
     "q119_repetition_report" -> repetitionReport)
 
   val oracles: Map[String, String] = Map(
+    "q146_intradoc_repeats" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 150) AS t FROM documents),
+        |sub AS (
+        |  SELECT doc_id, L, substr(t, i, L) AS s
+        |  FROM d, UNNEST(generate_series(1, length(t)-1)) AS a(L),
+        |       UNNEST(generate_series(1, length(t)-L+1)) AS b(i)),
+        |dup AS (
+        |  SELECT doc_id, L FROM sub GROUP BY doc_id, L, s HAVING count(*) > 1),
+        |lrs AS (
+        |  SELECT d.doc_id, coalesce(max(dup.L), 0) AS lrs
+        |  FROM d LEFT JOIN dup USING (doc_id) GROUP BY 1)
+        |SELECT CAST(lrs AS INT) AS lrs, count(*) AS n_docs,
+        |  min(doc_id) AS min_doc, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM lrs GROUP BY 1 ORDER BY 1""".stripMargin,
     "q123_sketched_overlap" ->
       """WITH d AS (
         |  SELECT source, string_split_regex(trim(text), '\s+') AS ts FROM documents),

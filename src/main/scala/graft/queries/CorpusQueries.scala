@@ -165,6 +165,15 @@ object CorpusQueries {
     graft.ops.SkewTools.saltedCount(Tables.events(s, dir), "event_type", 8)
       .orderBy("event_type")
 
+  /** q149: key-skew diagnostic ([[graft.ops.SkewTools.keySkewReport]]) —
+    * the report that decides whether q58's salting / AQE skew-join is
+    * needed at all, over the events user_id (the power-law key of the
+    * 100 TB join scenario). Top-10 hottest users with exact counts,
+    * 4-dp share, and the straggler multiple vs uniform. All arithmetic
+    * is exact-rational → 4-dp; no float contract needed. */
+  val skewReport: Q = (s, dir) =>
+    graft.ops.SkewTools.keySkewReport(Tables.events(s, dir), "user_id", 10)
+
   /** TF-IDF top-3 keywords for the first 20 docs (rank/term only above the
     * rounded-score tiebreak; see ops.TfIdf for the cross-engine rank
     * stability contract). */
@@ -395,6 +404,62 @@ object CorpusQueries {
         "embedding", k = 3)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
       .orderBy("query_id", "rank")
+  }
+
+  /** q147: margin-based pair mining ([[graft.sim.MarginMining]] — the
+    * CCMatrix/LASER mutual-best margin-ratio rule). The embedding table
+    * splits by vec_id parity into two "corpora" (the bitext stand-in);
+    * mined pairs are mutual cosine top-1 across sides with margin =
+    * cos / mean-of-both-sides' top-4-avg ≥ 1.02. Threshold chosen by
+    * measurement: min margin distance to the cut is 8.1e-3 above /
+    * 1.9e-3 below at sf0.1 (wider at smaller SFs) — six orders above
+    * cross-engine float skew, so the pre-rounding comparison is stable;
+    * the published margin is 4-dp under the shared-expression-shape
+    * contract. Exact form: each side's top-k via the broadcast
+    * brute-force baseline (gate scale); q148 runs the IVF composition
+    * that survives two corpus-sized sides. */
+  val marginMining: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val left = emb.where(col("vec_id") % 2 === 0)
+    val right = emb.where(col("vec_id") % 2 === 1)
+    graft.sim.MarginMining.marginPairs(left, right, "vec_id", "embedding",
+        k = 4, threshold = 1.02)
+      .select(col("left_id"), col("right_id"),
+        round(col("margin"), 4).as("margin"))
+      .orderBy("left_id")
+  }
+
+  /** q148: ANN-backed margin mining — [[graft.sim.MarginMining
+    * .marginPairsAnn]]: one IVF index per side, each probed by the other
+    * side (neither side broadcasts — the two-large-corpora shape CCMatrix
+    * actually runs). Gated against the exact q147 pairs with the q102
+    * certificate doctrine: n_exact is SQL-derivable, recall ≥ 0.8 bounds
+    * IVF pruning loss (MeasureMarginAnn: 0.969/0.968/0.975 at the three
+    * SFs with nProbe=12 of nLists=16 — the loss is mutual-best pairs
+    * whose partner sits in an unprobed list), and the parity booleans pin
+    * the structural contract (sides disjoint by construction). */
+  val marginMiningAnn: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val left = emb.where(col("vec_id") % 2 === 0)
+    val right = emb.where(col("vec_id") % 2 === 1)
+    val exact = graft.sim.MarginMining.marginPairs(left, right,
+      "vec_id", "embedding", k = 4, threshold = 1.02)
+    val ann = graft.sim.MarginMining.marginPairsAnn(left, right,
+      "vec_id", "embedding", k = 4, threshold = 1.02,
+      nLists = 16, nProbe = 12)
+    val hits = exact.select("left_id", "right_id")
+      .join(ann.select("left_id", "right_id"),
+        Seq("left_id", "right_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    val parity = ann.agg(
+      count(lit(1)).as("n_ann"),
+      max(col("left_id") % 2).as("max_left_parity"),
+      min(col("right_id") % 2).as("min_right_parity"))
+    exact.agg(count(lit(1)).as("n_exact")).crossJoin(hits).crossJoin(parity)
+      .select(col("n_exact"),
+        (col("n_hits") * 5 >= col("n_exact") * 4).as("recall_ge_080"),
+        (col("max_left_parity") === 0 && col("min_right_parity") === 1)
+          .as("sides_disjoint"))
   }
 
   /** Compressed-index ANN: int8-dequantized scoring + exact re-rank of the
@@ -693,6 +758,9 @@ object CorpusQueries {
     "q43_simhash_pairs" -> simhashPairs,
     "q44_embedding_dup_pairs" -> embeddingDupPairs,
     "q50_knn_brute_force" -> knnBruteForce,
+    "q147_margin_mining" -> marginMining,
+    "q148_margin_mining_ann" -> marginMiningAnn,
+    "q149_skew_report" -> skewReport,
     "q69_knn_quantized" -> knnQuantized,
     "q51_ann_lsh" -> annLsh,
     "q55_ann_ivf" -> annIvf,
@@ -1065,6 +1133,54 @@ object CorpusQueries {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS INT) AS rank
         |FROM s QUALIFY rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+    "q149_skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1),
+        |t AS (SELECT sum(n_rows) AS total_rows, count(*) AS n_keys FROM c),
+        |top AS (
+        |  SELECT user_id, n_rows, CAST(row_number() OVER (
+        |    ORDER BY n_rows DESC, user_id ASC) AS INT) AS rank
+        |  FROM c QUALIFY rank <= 10)
+        |SELECT rank, user_id, n_rows,
+        |  round(n_rows * 100.0 / total_rows, 4) AS share_pct,
+        |  round(CAST(n_rows AS DOUBLE) * n_keys / total_rows, 4) AS skew_x
+        |FROM top CROSS JOIN t ORDER BY rank""".stripMargin,
+    "q147_margin_mining" ->
+      """WITH l AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+        |r AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+        |fw AS (SELECT l.vec_id AS lid, r.vec_id AS rid,
+        |         list_cosine_similarity(l.embedding, r.embedding) AS cs
+        |       FROM l CROSS JOIN r),
+        |fr AS (SELECT lid, rid, cs, row_number() OVER (
+        |         PARTITION BY lid ORDER BY cs DESC, rid ASC) AS rk FROM fw),
+        |br AS (SELECT lid, rid, cs, row_number() OVER (
+        |         PARTITION BY rid ORDER BY cs DESC, lid ASC) AS rk FROM fw),
+        |dx AS (SELECT lid, avg(cs) AS dl FROM fr WHERE rk <= 4 GROUP BY 1),
+        |dy AS (SELECT rid, avg(cs) AS dr FROM br WHERE rk <= 4 GROUP BY 1),
+        |bf AS (SELECT lid, rid, cs FROM fr WHERE rk = 1),
+        |bb AS (SELECT lid, rid FROM br WHERE rk = 1)
+        |SELECT bf.lid AS left_id, bf.rid AS right_id,
+        |  round(cs / ((dl + dr) / 2), 4) AS margin
+        |FROM bf JOIN bb USING (lid, rid) JOIN dx USING (lid) JOIN dy USING (rid)
+        |WHERE cs / ((dl + dr) / 2) >= 1.02
+        |ORDER BY left_id""".stripMargin,
+    "q148_margin_mining_ann" ->
+      """WITH l AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+        |r AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+        |fw AS (SELECT l.vec_id AS lid, r.vec_id AS rid,
+        |         list_cosine_similarity(l.embedding, r.embedding) AS cs
+        |       FROM l CROSS JOIN r),
+        |fr AS (SELECT lid, rid, cs, row_number() OVER (
+        |         PARTITION BY lid ORDER BY cs DESC, rid ASC) AS rk FROM fw),
+        |br AS (SELECT lid, rid, cs, row_number() OVER (
+        |         PARTITION BY rid ORDER BY cs DESC, lid ASC) AS rk FROM fw),
+        |dx AS (SELECT lid, avg(cs) AS dl FROM fr WHERE rk <= 4 GROUP BY 1),
+        |dy AS (SELECT rid, avg(cs) AS dr FROM br WHERE rk <= 4 GROUP BY 1),
+        |bf AS (SELECT lid, rid, cs FROM fr WHERE rk = 1),
+        |bb AS (SELECT lid, rid FROM br WHERE rk = 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+        |  true AS recall_ge_080, true AS sides_disjoint
+        |FROM bf JOIN bb USING (lid, rid) JOIN dx USING (lid) JOIN dy USING (rid)
+        |WHERE cs / ((dl + dr) / 2) >= 1.02""".stripMargin,
     "q50_knn_brute_force" ->
       """WITH s AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -239,7 +239,64 @@ object HygieneQueries {
     } finally scored.unpersist()
   }
 
+  /** q145: Heaps'-law vocabulary-growth curve — the companion diagnostic
+    * to q128's Zipf fit, and the corpus-hygiene signal dedup work watches:
+    * V(N) ≈ k·N^β for natural text (β ≈ 0.4–0.8); a corpus whose new-type
+    * curve flattens hard below the fit is template-saturated, one that
+    * stays near-linear is still "novel" and under-crawled. The corpus is
+    * cut into 10 equal doc-id spans (doc_ids are dense; the bucket is
+    * exact scalar arithmetic off one count — no global sort, no ntile
+    * window); each type is attributed to the bucket where it FIRST
+    * appears (one map-side-combined min per type), so cumulative vocab at
+    * bucket b = types with first_b ≤ b — a 10-row running sum, never a
+    * re-scan per checkpoint. The type unit is the word 3-GRAM: the
+    * synthetic corpus draws from a 31-word vocabulary, so unigram V(N)
+    * saturates inside bucket 0 (a constant curve has syy = 0 and no
+    * defined fit); 3-gram types keep growing through the whole corpus
+    * (16.9k new in bucket 0 down to 24 in bucket 9 at sf0.1) — the same
+    * regime real-text unigrams occupy. The OLS of ln V against ln N over
+    * the 10 checkpoints is the q128 closed-form moment fit (slope = β,
+    * intercept = ln k), 4-dp under the shared-expression-shape contract;
+    * gram/vocab counts are exact integers. */
+  val heapsFit: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val nTotal = docs.agg(count(lit(1)).as("n_total"))
+    val toks = docs.crossJoin(nTotal)
+      .select(floor(col("doc_id") * 10.0 / col("n_total")).cast("int").as("bucket"),
+        explode(TextFunctions.wordGrams(col("text"), 3)).as("tok"))
+    val firstB = toks.groupBy("tok").agg(min("bucket").as("first_b"))
+    val newTypes = firstB.groupBy("first_b").agg(count(lit(1)).as("new_types"))
+    val perBucket = toks.groupBy("bucket").agg(count(lit(1)).as("n_toks"))
+    val base = perBucket
+      .join(newTypes, col("bucket") === col("first_b"), "left")
+      .select(col("bucket"), col("n_toks"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+    // 10-row frame by construction (bucket ∈ [0, 9]) — the bounded-window
+    // pattern, not a corpus-sized sort.
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = base.select(col("bucket"),
+      sum("n_toks").over(w).as("cum_tokens"),
+      sum("new_types").over(w).as("cum_vocab"))
+    val pts = cum.select(log(col("cum_tokens").cast("double")).as("x"),
+      log(col("cum_vocab").cast("double")).as("y"))
+    val m = pts.agg(count(lit(1)).as("n_fit"),
+      avg(col("x")).as("mx"), avg(col("y")).as("my"),
+      avg(col("x") * col("y")).as("mxy"),
+      avg(col("x") * col("x")).as("mxx"),
+      avg(col("y") * col("y")).as("myy"))
+    val sxy = col("mxy") - col("mx") * col("my")
+    val sxx = col("mxx") - col("mx") * col("mx")
+    val syy = col("myy") - col("my") * col("my")
+    cum.crossJoin(m).select(col("bucket"), col("cum_tokens"), col("cum_vocab"),
+        round(sxy / sxx, 4).as("beta"),
+        round(col("my") - (sxy / sxx) * col("mx"), 4).as("ln_k"),
+        round((sxy * sxy) / (sxx * syy), 4).as("r2"))
+      .orderBy("bucket")
+  }
+
   val all: Map[String, Q] = Map(
+    "q145_heaps_fit" -> heapsFit,
     "q128_zipf_fit" -> zipfFit,
     "q129_source_divergence" -> sourceDivergence,
     "q130_line_dedup" -> lineDedup,
@@ -248,6 +305,42 @@ object HygieneQueries {
     "q138_dsir_calibrated" -> dsirCalibrated)
 
   val oracles: Map[String, String] = Map(
+    "q145_heaps_fit" ->
+      """WITH n AS (SELECT count(*) AS n_total FROM documents),
+        |d AS (
+        |  SELECT CAST(floor(doc_id * 10.0 / n_total) AS INT) AS bucket,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END AS ts
+        |  FROM documents, n),
+        |toks AS (
+        |  SELECT bucket, unnest(
+        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |      ELSE [array_to_string(ts[i:i+2], ' ')
+        |            FOR i IN generate_series(1, len(ts) - 2)]
+        |    END) AS tok
+        |  FROM d),
+        |fb AS (SELECT tok, min(bucket) AS first_b FROM toks GROUP BY 1),
+        |nt AS (SELECT first_b AS bucket, count(*) AS new_types FROM fb GROUP BY 1),
+        |pb AS (SELECT bucket, count(*) AS n_toks FROM toks GROUP BY 1),
+        |base AS (
+        |  SELECT pb.bucket, n_toks, coalesce(new_types, 0) AS new_types
+        |  FROM pb LEFT JOIN nt USING (bucket)),
+        |cum AS (
+        |  SELECT bucket,
+        |    sum(n_toks) OVER (ORDER BY bucket) AS cum_tokens,
+        |    sum(new_types) OVER (ORDER BY bucket) AS cum_vocab
+        |  FROM base),
+        |m AS (
+        |  SELECT count(*) AS n_fit, avg(x) AS mx, avg(y) AS my,
+        |    avg(x*y) AS mxy, avg(x*x) AS mxx, avg(y*y) AS myy
+        |  FROM (SELECT ln(CAST(cum_tokens AS DOUBLE)) AS x,
+        |          ln(CAST(cum_vocab AS DOUBLE)) AS y FROM cum))
+        |SELECT bucket, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |  CAST(cum_vocab AS BIGINT) AS cum_vocab,
+        |  round((mxy - mx*my)/(mxx - mx*mx), 4) AS beta,
+        |  round(my - ((mxy - mx*my)/(mxx - mx*mx))*mx, 4) AS ln_k,
+        |  round(((mxy - mx*my)*(mxy - mx*my))/((mxx - mx*mx)*(myy - my*my)), 4) AS r2
+        |FROM cum CROSS JOIN m ORDER BY bucket""".stripMargin,
     "q138_dsir_calibrated" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_scoreable,
         |  CAST(0.3 AS DOUBLE) AS budget,

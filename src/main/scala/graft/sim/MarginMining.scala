@@ -1,0 +1,82 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Margin-based paired-data mining — the CCMatrix/LASER recipe (Artetxe &
+  * Schwenk 2019, "Margin-based Parallel Corpus Mining with Multilingual
+  * Sentence Embeddings"; Schwenk et al. 2021 CCMatrix): find (left, right)
+  * pairs whose cosine stands out RELATIVE to each side's neighborhood
+  * density, not in absolute terms. The raw-cosine rule fails in practice
+  * (hubness: some vectors are near everything), so the score is the ratio
+  *
+  *   margin(x, y) = cos(x, y) / ((avgTopK(x) + avgTopK(y)) / 2)
+  *
+  * with `avgTopK` the mean cosine of the vector's k nearest neighbors on
+  * the OTHER side, and a pair is mined when it is mutual-best (y is x's
+  * top-1 and x is y's top-1) with margin >= threshold. This is the
+  * operator a multilingual pretraining pipeline runs to mine aligned
+  * text/image/translation pairs from two embedded corpora.
+  *
+  * Scale shape: everything after the directed top-k frames is key-joined
+  * and O(pairs). The top-k frames themselves come from the ANN tier —
+  * [[marginPairsAnn]] probes a prebuilt IVF index per side so candidates
+  * are a nProbe/nLists fraction of the other side (the CCMatrix shape:
+  * their FAISS index is this IVF composition); [[marginPairs]] is the
+  * exact brute-force baseline the ANN form is gated against (q147/q148,
+  * the q101/q102 doctrine).
+  */
+object MarginMining {
+
+  /** Exact margin-mined pairs between two embedding sets. Output:
+    * (left_id, right_id, margin) — margin unrounded; gates round at the
+    * edge. Ids must be disjoint across sides (they key the directed
+    * frames). */
+  def marginPairs(left: DataFrame, right: DataFrame, idCol: String,
+                  vecCol: String, k: Int, threshold: Double): DataFrame =
+    marginFrom(
+      Similarity.bruteForceTopK(right, left, idCol, vecCol, k),
+      Similarity.bruteForceTopK(left, right, idCol, vecCol, k),
+      threshold)
+
+  /** ANN-backed margin mining: one IVF index per side, probed by the other
+    * side's vectors — the composition that survives two corpus-sized
+    * sides (no broadcast of either). Same margin/mutual/threshold rule on
+    * the approximate top-k frames. */
+  def marginPairsAnn(left: DataFrame, right: DataFrame, idCol: String,
+                     vecCol: String, k: Int, threshold: Double,
+                     nLists: Int = 16, nProbe: Int = 12,
+                     seed: Long = 42): DataFrame = {
+    val rightIdx = Similarity.buildIvfIndex(right, idCol, vecCol, nLists, seed)
+    val leftIdx = Similarity.buildIvfIndex(left, idCol, vecCol, nLists, seed)
+    marginFrom(
+      Similarity.ivfTopKFrom(rightIdx, left, idCol, vecCol, k, nProbe),
+      Similarity.ivfTopKFrom(leftIdx, right, idCol, vecCol, k, nProbe),
+      threshold)
+  }
+
+  /** Margin composition over two directed top-k frames
+    * (query_id, neighbor_id, cosine, rank — the [[Similarity]] contract).
+    * `fwd` scores left queries against the right side, `bwd` the reverse.
+    * All joins are id-keyed; each side's denominator is one grouped avg
+    * over its k neighbor rows. */
+  private[graft] def marginFrom(fwd: DataFrame, bwd: DataFrame,
+                                threshold: Double): DataFrame = {
+    val denomL = fwd.groupBy("query_id").agg(avg("cosine").as("dl"))
+      .withColumnRenamed("query_id", "left_id")
+    val denomR = bwd.groupBy("query_id").agg(avg("cosine").as("dr"))
+      .withColumnRenamed("query_id", "right_id")
+    val best = fwd.where(col("rank") === 1)
+      .select(col("query_id").as("left_id"),
+        col("neighbor_id").as("right_id"), col("cosine"))
+    val bestBack = bwd.where(col("rank") === 1)
+      .select(col("query_id").as("right_id"),
+        col("neighbor_id").as("left_id"))
+    best.join(bestBack, Seq("left_id", "right_id"))
+      .join(denomL, "left_id")
+      .join(denomR, "right_id")
+      .select(col("left_id"), col("right_id"),
+        (col("cosine") / ((col("dl") + col("dr")) / 2)).as("margin"))
+      .where(col("margin") >= threshold)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.tools
+
+import graft.sim.MarginMining
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measure ANN-vs-exact recall for margin-based pair mining (q147/q148):
+  * at each SF, the exact mutual-best margin pairs, the IVF-backed pairs,
+  * and |ann ∩ exact| / |exact| — the number the q148 certificate's 0.8
+  * bound has to absorb.
+  *
+  * Usage: runMain graft.tools.MeasureMarginAnn [sfDir ...]
+  */
+object MeasureMarginAnn {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config(Tables.NanosAsLongConf, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    dirs.foreach { dir =>
+      val emb = Tables.embeddings(spark, dir)
+      val left = emb.where(col("vec_id") % 2 === 0)
+      val right = emb.where(col("vec_id") % 2 === 1)
+      val exact = MarginMining.marginPairs(left, right, "vec_id", "embedding",
+        k = 4, threshold = 1.02).select("left_id", "right_id").cache()
+      val ann = MarginMining.marginPairsAnn(left, right, "vec_id", "embedding",
+        k = 4, threshold = 1.02, nLists = 16, nProbe = 12)
+        .select("left_id", "right_id").cache()
+      val nExact = exact.count()
+      val nAnn = ann.count()
+      val nHits = exact.join(ann, Seq("left_id", "right_id"), "left_semi").count()
+      println(f"$dir%s exact=$nExact%d ann=$nAnn%d hits=$nHits%d " +
+        f"recall=${nHits.toDouble / nExact}%.4f")
+      exact.unpersist(); ann.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,63 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LrsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** O(n²) reference: longest L with a duplicated (possibly overlapping)
+    * length-L substring — the same definition the q146 DuckDB oracle
+    * enumerates. */
+  private def bruteLrs(s: String): Int = {
+    var l = s.length - 1
+    while (l >= 1) {
+      val seen = scala.collection.mutable.HashSet[String]()
+      var i = 0
+      var found = false
+      while (i + l <= s.length && !found) {
+        if (!seen.add(s.substring(i, i + l))) found = true
+        i += 1
+      }
+      if (found) return l
+      l -= 1
+    }
+    0
+  }
+
+  test("suffix automaton matches brute force on edge cases") {
+    val cases = Seq("", "a", "ab", "aa", "aaa", "abab", "abcabc", "abcdefg",
+      "mississippi", "banana", "aaaaaaaaaa", "abaababaab")
+    cases.foreach { s =>
+      assert(LongestRepeatedSubstringLen.lrsLen(s) == bruteLrs(s), s"input '$s'")
+    }
+    assert(LongestRepeatedSubstringLen.lrsLen("aaa") == 2) // overlap counts
+    assert(LongestRepeatedSubstringLen.lrsLen("banana") == 3) // "ana" overlaps
+  }
+
+  test("suffix automaton matches brute force on random strings") {
+    val rng = new scala.util.Random(42)
+    (1 to 300).foreach { _ =>
+      val n = rng.nextInt(60)
+      val alpha = 2 + rng.nextInt(3)
+      val s = (0 until n).map(_ => ('a' + rng.nextInt(alpha)).toChar).mkString
+      assert(LongestRepeatedSubstringLen.lrsLen(s) == bruteLrs(s), s"input '$s'")
+    }
+  }
+
+  test("column expression evaluates per row and handles nulls") {
+    val df = Seq(Some("abcabc"), Some("xyz"), None, Some(""))
+      .toDF("t")
+      .select(TextExpr.longestRepeatedSubstringLen(col("t")).as("lrs"))
+    assert(df.as[Option[Int]].collect().toSeq ==
+      Seq(Some(3), Some(0), None, Some(0)))
+  }
+
+  test("lrs of corpus docs is consistent with repetitionScore extremes") {
+    // a doc whose text is one token repeated must have lrs >= half its
+    // length; a doc of all-distinct chars has lrs 0
+    val rep = "tok " * 30
+    assert(LongestRepeatedSubstringLen.lrsLen(rep) >= rep.length / 2)
+    assert(LongestRepeatedSubstringLen.lrsLen("abcdefghijklmnop") == 0)
+  }
+}

@@ -25,4 +25,24 @@ class SkewToolsSpec extends SparkSpec {
     val salted = SkewTools.saltedCount(df, "k", 16).as[(Int, Long)].collect().toMap
     assert(salted == plain)
   }
+
+  test("keySkewReport: exact counts, shares, straggler multiple") {
+    // 100 rows over 12 keys: key 7 holds 60, key 3 holds 30, ten singletons
+    val df = (Seq.fill(60)(7L) ++ Seq.fill(30)(3L) ++ (100L to 109L)).toDF("k")
+    val r = SkewTools.keySkewReport(df, "k", 3)
+      .as[(Int, Long, Long, Double, Double)].collect()
+    assert(r.length == 3)
+    assert(r(0) == ((1, 7L, 60L, 60.0, 7.2)))   // 60 * 12 / 100
+    assert(r(1) == ((2, 3L, 30L, 30.0, 3.6)))
+    assert(r(2) == ((3, 100L, 1L, 1.0, 0.12)))  // smallest key breaks the tie
+  }
+
+  test("keySkewReport shares sum to 100 when topN covers all keys") {
+    val df = (1 to 500).map(i => i % 7).toDF("k")
+    val r = SkewTools.keySkewReport(df, "k", 10)
+      .as[(Int, Int, Long, Double, Double)].collect()
+    assert(r.length == 7)
+    assert(math.abs(r.map(_._4).sum - 100.0) < 1e-9)
+    assert(r.map(_._3).sum == 500L)
+  }
 }

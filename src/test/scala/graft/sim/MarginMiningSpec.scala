@@ -1,0 +1,81 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MarginMiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cos(a: Seq[Double], b: Seq[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+  }
+
+  /** Reference margin mining in plain Scala for a tiny fixture. */
+  private def refPairs(left: Map[Long, Seq[Double]], right: Map[Long, Seq[Double]],
+                       k: Int, threshold: Double): Set[(Long, Long, Double)] = {
+    def topK(q: Seq[Double], side: Map[Long, Seq[Double]]): Seq[(Long, Double)] =
+      side.toSeq.map { case (id, v) => (id, cos(q, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(k)
+    val fwd = left.map { case (x, v) => x -> topK(v, right) }
+    val bwd = right.map { case (y, v) => y -> topK(v, left) }
+    val out = for {
+      (x, nn) <- fwd.toSeq
+      (y, cxy) = nn.head
+      if bwd(y).head._1 == x
+      dl = nn.map(_._2).sum / nn.size
+      dr = bwd(y).map(_._2).sum / bwd(y).size
+      m = cxy / ((dl + dr) / 2)
+      if m >= threshold
+    } yield (x, y, m)
+    out.toSet
+  }
+
+  test("margin pairs match the scalar reference on a hand fixture") {
+    val left = Map(
+      0L -> Seq(1.0, 0.0, 0.1), 2L -> Seq(0.0, 1.0, 0.0), 4L -> Seq(0.6, 0.6, 0.5))
+    val right = Map(
+      1L -> Seq(0.95, 0.05, 0.12), 3L -> Seq(0.05, 0.9, 0.1),
+      5L -> Seq(0.5, 0.5, 0.7), 7L -> Seq(-1.0, 0.2, 0.0))
+    val df = (left ++ right).toSeq.map { case (id, v) => (id, v) }
+      .toDF("vec_id", "embedding")
+    val got = MarginMining.marginPairs(
+        df.where(col("vec_id") % 2 === 0), df.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 2, threshold = 1.0)
+      .as[(Long, Long, Double)].collect().toSet
+    val want = refPairs(left, right, k = 2, threshold = 1.0)
+    assert(got.map(p => (p._1, p._2)) == want.map(p => (p._1, p._2)))
+    got.foreach { case (x, y, m) =>
+      val wm = want.find(p => p._1 == x && p._2 == y).get._3
+      assert(math.abs(m - wm) < 1e-12, s"margin for ($x,$y)")
+    }
+  }
+
+  test("mined pairs are mutual-best: each id appears at most once per side") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val pairs = MarginMining.marginPairs(
+        emb.where(col("vec_id") % 2 === 0), emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 4, threshold = 1.02)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.map(_._1).distinct.length == pairs.length, "left ids unique")
+    assert(pairs.map(_._2).distinct.length == pairs.length, "right ids unique")
+    assert(pairs.forall(_._1 % 2 == 0) && pairs.forall(_._2 % 2 == 1))
+    assert(pairs.forall(_._3 >= 1.02))
+  }
+
+  test("ANN margin mining with nProbe = nLists equals the exact form") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val left = emb.where(col("vec_id") % 2 === 0)
+    val right = emb.where(col("vec_id") % 2 === 1)
+    val exact = MarginMining.marginPairs(left, right, "vec_id", "embedding",
+      k = 4, threshold = 1.02).select("left_id", "right_id")
+      .as[(Long, Long)].collect().toSet
+    // probing every list makes IVF candidate generation exhaustive, so the
+    // approximate pipeline must reproduce the exact pairs bit-for-bit
+    val ann = MarginMining.marginPairsAnn(left, right, "vec_id", "embedding",
+      k = 4, threshold = 1.02, nLists = 4, nProbe = 4)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(ann == exact)
+  }
+}
