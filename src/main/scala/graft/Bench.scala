@@ -103,7 +103,13 @@ object Bench {
     "q140_bpe_fertility",     // tokenizer fertility per language
     "q141_leakage_attribution", // per-benchmark-item leakage report
     "q142_domain_reweight",   // DoReMi EG step from grouped LM fits
-    "q144_leakage_incremental") // stored-state attribution update + report
+    "q144_leakage_incremental", // stored-state attribution update + report
+    "q145_heaps_fit",         // vocab-growth curve: scan-once gram counts
+    "q146_intradoc_repeats",  // suffix-automaton LRS census
+    "q147_margin_mining",     // mutual-best margin pairs (exact baseline)
+    "q148_margin_mining_ann", // per-side IVF margin mining + certificate
+    "q149_skew_report",       // hot-key diagnostic (count + bounded head)
+    "q150_wordpiece_encode")  // greedy vocab fit + compiled encode scan
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

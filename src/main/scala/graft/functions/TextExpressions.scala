@@ -697,6 +697,58 @@ object LongestRepeatedSubstringLen {
   }
 }
 
+/** Greedy longest-match subword encoding of a text column against a fixed
+  * vocabulary — the WordPiece inference rule ([[graft.ops.WordPiece]]):
+  * tokenize, then per word repeatedly consume the longest vocabulary
+  * entry matching at the cursor. Returns array<string> of subwords for
+  * the whole text (words concatenate losslessly). The vocabulary ships
+  * as a driver-side literal (the [[BpeEncode]] merges precedent) grouped
+  * by length, so each step probes at most maxLen hash sets — one
+  * compiled JVM loop per row, no join against a vocab table. A position
+  * with no match (impossible for corpus-derived vocabularies, which
+  * contain every character) falls back to the single character so the
+  * encoding stays total and lossless. */
+case class GreedyVocabEncode(child: Expression, vocab: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "greedy_vocab_encode"
+
+  @transient private lazy val maxLen: Int =
+    if (vocab.isEmpty) 1 else vocab.map(_.length).max
+  @transient private lazy val byLen: Array[java.util.HashSet[String]] = {
+    val a = Array.fill(maxLen + 1)(new java.util.HashSet[String]())
+    vocab.foreach(v => if (v.nonEmpty) a(v.length).add(v))
+    a
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextExprs.tokens(input.asInstanceOf[UTF8String])
+    val out = new scala.collection.mutable.ArrayBuffer[Any](toks.length * 2)
+    var w = 0
+    while (w < toks.length) {
+      val word = toks(w)
+      var pos = 0
+      while (pos < word.length) {
+        var l = math.min(maxLen, word.length - pos)
+        var matched: String = null
+        while (matched == null && l >= 1) {
+          val cand = word.substring(pos, pos + l)
+          if (byLen(l).contains(cand)) matched = cand else l -= 1
+        }
+        if (matched == null) matched = word.substring(pos, pos + 1)
+        out += UTF8String.fromString(matched)
+        pos += matched.length
+      }
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the compiled text expressions. */
 object TextExpr {
   def wordSpans(text: Column, k: Int): Column =
@@ -734,4 +786,7 @@ object TextExpr {
 
   def longestRepeatedSubstringLen(text: Column): Column =
     ColumnBridge.column(LongestRepeatedSubstringLen(ColumnBridge.expression(text)))
+
+  def greedyVocabEncode(text: Column, vocab: Seq[String]): Column =
+    ColumnBridge.column(GreedyVocabEncode(ColumnBridge.expression(text), vocab))
 }

@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Greedy longest-match subword segmentation — the WordPiece INFERENCE
+  * rule (Wu et al. 2016 §4.1 "maximal munch"; the `tokenizers` library's
+  * WordPiece model): at each position in a word, consume the longest
+  * vocabulary entry that matches, then continue from the end of the
+  * match. The second tokenizer family next to BPE (q120–q125, q140):
+  * BPE applies a learned MERGE CHAIN, WordPiece applies a learned
+  * VOCABULARY with a greedy matcher — different inference shape, and the
+  * one used by the BERT lineage. (Continuation-prefix bookkeeping ("##")
+  * is presentation, not segmentation, and is omitted; entries are plain
+  * substrings.)
+  *
+  * The vocabulary here is derived deterministically from the corpus so
+  * both engines can rebuild it exactly: every single character seen in a
+  * word, the top-`nBigrams` character bigrams and top-`nTrigrams`
+  * trigrams by occurrence count (weighted by word frequency, ties broken
+  * gram-ascending — the q39 ordering contract), and the top-`nWords`
+  * whole words. Single characters guarantee the matcher always advances;
+  * subwords concatenate losslessly back to the word.
+  *
+  * Scale shape: ONE corpus scan reduces to the word-TYPE frequency table
+  * (map-side combined — the BpeTrainer shape); all gram counting runs
+  * over the type table weighted by type count (vocabulary-sized, not
+  * corpus-sized); the vocabulary is driver-side KBs (the BPE merges
+  * precedent) and ships into the compiled
+  * [[graft.functions.GreedyVocabEncode]] expression, so corpus encoding
+  * is one codegen-stage scan with no join.
+  */
+object WordPiece {
+
+  /** Deterministic corpus-derived vocabulary (sorted by entry for a
+    * stable artifact; order does not affect greedy matching, which is
+    * longest-match). */
+  def fitVocab(docs: DataFrame, textCol: String, nBigrams: Int = 12,
+               nTrigrams: Int = 6, nWords: Int = 5): Seq[String] = {
+    val types = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .cache()
+    try {
+      // char grams of each word TYPE, weighted by the type's corpus freq
+      def grams(k: Int, topN: Int): Seq[String] = types
+        .where(length(col("word")) >= k)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), length(col("word")) - (k - 1)),
+          i => col("word").substr(i, lit(k)))).as("g"))
+        .groupBy("g").agg(sum("freq").as("c"))
+        .orderBy(col("c").desc, col("g").asc).limit(topN)
+        .collect().map(_.getString(0)).toSeq
+      val chars = types
+        .select(explode(split(col("word"), "")).as("ch"))
+        .where(col("ch") =!= "").distinct()
+        .collect().map(_.getString(0)).toSeq
+      val words = types.orderBy(col("freq").desc, col("word").asc)
+        .limit(nWords).collect().map(_.getString(0)).toSeq
+      (chars ++ grams(2, nBigrams) ++ grams(3, nTrigrams) ++ words)
+        .distinct.sorted
+    } finally types.unpersist()
+  }
+}

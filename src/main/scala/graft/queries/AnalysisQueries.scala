@@ -452,7 +452,44 @@ object AnalysisQueries {
       .orderBy("lrs")
   }
 
+  /** q150: WordPiece-style greedy subword encoding
+    * ([[graft.ops.WordPiece]] + compiled
+    * [[graft.functions.GreedyVocabEncode]]) — the second tokenizer
+    * family next to the BPE tier: a corpus-derived VOCABULARY (every
+    * char + top-12 weighted char bigrams + top-6 trigrams + top-5 whole
+    * words, ties gram-ascending) applied by longest-match-first, the
+    * BERT-lineage inference rule. Per source: words, subwords, distinct
+    * subwords, exact subword chars (greedy matching is lossless), and
+    * 6-dp fertility. The vocabulary fit reduces the corpus to the
+    * word-type table in one scan and counts grams vocabulary-sized; the
+    * encode is one compiled scan with the vocab as a driver literal. The
+    * oracle rebuilds the identical vocabulary and replays the greedy
+    * matcher over word TYPES with an unrolled 8-step chain (max corpus
+    * word length is 8; each step consumes ≥1 char — the q121
+    * merge-chain-unroll doctrine), then joins back to occurrences. */
+  val wordpieceEncode: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val vocab = graft.ops.WordPiece.fitVocab(docs, "text",
+      nBigrams = 12, nTrigrams = 6, nWords = 5)
+    val subs = docs.select(col("source"),
+      explode(graft.functions.TextExpr.greedyVocabEncode(col("text"), vocab))
+        .as("sub"))
+    val sagg = subs.groupBy("source").agg(
+      count(lit(1)).as("n_subwords"),
+      countDistinct(col("sub")).as("n_distinct_subwords"),
+      sum(length(col("sub")).cast("long")).as("sum_subword_chars"))
+    val wagg = docs.groupBy("source").agg(
+      sum(size(TextFunctions.tokens(col("text"))).cast("long")).as("n_words"))
+    sagg.join(wagg, "source")
+      .select(col("source"), col("n_words"), col("n_subwords"),
+        col("n_distinct_subwords"), col("sum_subword_chars"),
+        round(col("n_subwords") / col("n_words").cast("double"), 6)
+          .as("fertility"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "q150_wordpiece_encode" -> wordpieceEncode,
     "q146_intradoc_repeats" -> intraDocRepeats,
     "q140_bpe_fertility" -> bpeFertility,
     "q116_retrieval_eval" -> retrievalEval,
@@ -467,7 +504,61 @@ object AnalysisQueries {
     "q118_trigram_perplexity" -> trigramPerplexity,
     "q119_repetition_report" -> repetitionReport)
 
+  /** q150 oracle: rebuild the WordPiece vocabulary and unroll the greedy
+    * matcher `steps` times over word types (each step consumes ≥1 char,
+    * so steps = max word length suffices). */
+  private def wordpieceOracle(steps: Int): String = {
+    def step(k: Int): String =
+      s"""s${k + 1} AS (
+        |  SELECT word,
+        |    CASE WHEN pos > length(word) THEN pos
+        |      ELSE pos + (SELECT max(length(t)) FROM vocab v
+        |                  WHERE substr(word, pos, length(t)) = v.t) END AS pos,
+        |    CASE WHEN pos > length(word) THEN repr
+        |      ELSE repr || '::' || substr(word, pos,
+        |        (SELECT max(length(t)) FROM vocab v
+        |         WHERE substr(word, pos, length(t)) = v.t)) END AS repr
+        |  FROM s$k)""".stripMargin
+    s"""WITH tok AS (
+      |  SELECT source, unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |    ELSE string_split_regex(trim(text), '\\s+') END) AS word
+      |  FROM documents),
+      |w AS (SELECT word, count(*) AS freq FROM tok GROUP BY 1),
+      |ch AS (SELECT DISTINCT unnest([substr(word, i, 1)
+      |        FOR i IN generate_series(1, length(word))]) AS t FROM w),
+      |bg AS (SELECT g AS t FROM (
+      |  SELECT g, sum(freq) AS c FROM (
+      |    SELECT freq, unnest([substr(word, i, 2)
+      |      FOR i IN generate_series(1, length(word) - 1)]) AS g
+      |    FROM w WHERE length(word) >= 2) GROUP BY 1)
+      |  ORDER BY c DESC, g ASC LIMIT 12),
+      |tg AS (SELECT g AS t FROM (
+      |  SELECT g, sum(freq) AS c FROM (
+      |    SELECT freq, unnest([substr(word, i, 3)
+      |      FOR i IN generate_series(1, length(word) - 2)]) AS g
+      |    FROM w WHERE length(word) >= 3) GROUP BY 1)
+      |  ORDER BY c DESC, g ASC LIMIT 6),
+      |tw AS (SELECT word AS t FROM w ORDER BY freq DESC, word ASC LIMIT 5),
+      |vocab AS (SELECT DISTINCT t FROM (
+      |  SELECT t FROM ch UNION ALL SELECT t FROM bg
+      |  UNION ALL SELECT t FROM tg UNION ALL SELECT t FROM tw)),
+      |s0 AS (SELECT word, 1 AS pos, '' AS repr FROM w),
+      |""".stripMargin +
+      (0 until steps).map(step).mkString(",\n") + s""",
+      |enc AS (SELECT word, string_split(trim(repr, ':'), '::') AS sy FROM s$steps),
+      |u AS (SELECT t.source, unnest(e.sy) AS sub
+      |      FROM tok t JOIN enc e USING (word)),
+      |nw AS (SELECT source, count(*) AS n_words FROM tok GROUP BY 1)
+      |SELECT u.source, CAST(max(nw.n_words) AS BIGINT) AS n_words,
+      |  count(*) AS n_subwords,
+      |  count(DISTINCT sub) AS n_distinct_subwords,
+      |  CAST(sum(length(sub)) AS BIGINT) AS sum_subword_chars,
+      |  round(count(*) / CAST(max(nw.n_words) AS DOUBLE), 6) AS fertility
+      |FROM u JOIN nw USING (source) GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q150_wordpiece_encode" -> wordpieceOracle(8),
     "q146_intradoc_repeats" ->
       """WITH d AS (SELECT doc_id, substr(text, 1, 150) AS t FROM documents),
         |sub AS (

@@ -264,9 +264,14 @@ object HygieneQueries {
     val toks = docs.crossJoin(nTotal)
       .select(floor(col("doc_id") * 10.0 / col("n_total")).cast("int").as("bucket"),
         explode(TextFunctions.wordGrams(col("text"), 3)).as("tok"))
-    val firstB = toks.groupBy("tok").agg(min("bucket").as("first_b"))
+    // ONE tokenize+explode scan: reduce to (bucket, type) counts first
+    // (map-side combined), then both the first-occurrence tier and the
+    // per-bucket totals re-aggregate that ≤10×vocab frame — the q129
+    // scan-once-reaggregate-counts shape.
+    val bt = toks.groupBy("bucket", "tok").agg(count(lit(1)).as("c"))
+    val firstB = bt.groupBy("tok").agg(min("bucket").as("first_b"))
     val newTypes = firstB.groupBy("first_b").agg(count(lit(1)).as("new_types"))
-    val perBucket = toks.groupBy("bucket").agg(count(lit(1)).as("n_toks"))
+    val perBucket = bt.groupBy("bucket").agg(sum("c").as("n_toks"))
     val base = perBucket
       .join(newTypes, col("bucket") === col("first_b"), "left")
       .select(col("bucket"), col("n_toks"),

@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Execute a gate query under AQE and report whether the runtime plan
+  * actually reused exchanges (self-join / multi-aggregate branches that
+  * static explain shows as duplicated scans often collapse to one scan +
+  * ReusedExchange at runtime — this probe is the way to know, instead of
+  * guessing from the static plan).
+  *
+  * Usage: runMain graft.tools.PlanReuseProbe <sfDir> <queryName> [...]
+  */
+object PlanReuseProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config(graft.sources.Tables.NanosAsLongConf, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.drop(1).foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      // force final adaptive plans everywhere, then count
+      val s = df.queryExecution.executedPlan.toString
+      val full = df.queryExecution.executedPlan.collect {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      }.mkString("\n") + s
+      def n(p: String) = p.r.findAllIn(full).length
+      println(s"$name reusedExchange=${n("ReusedExchange")} " +
+        s"scans=${n("Scan parquet")} shuffles=${n("Exchange hashpartitioning")}")
+    }
+    spark.stop()
+  }
+}

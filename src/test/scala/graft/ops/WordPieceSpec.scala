@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.TextExpr
+import org.apache.spark.sql.functions._
+
+class WordPieceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def encode(text: String, vocab: Seq[String]): Seq[String] =
+    Seq(text).toDF("t")
+      .select(TextExpr.greedyVocabEncode(col("t"), vocab).as("s"))
+      .as[Seq[String]].head()
+
+  test("greedy matcher takes the longest match first") {
+    val vocab = Seq("a", "b", "c", "ab", "bc", "abc")
+    assert(encode("abcbc", vocab) == Seq("abc", "bc"))
+    assert(encode("ababc", vocab) == Seq("ab", "abc"))
+    assert(encode("ba", vocab) == Seq("b", "a"))
+    assert(encode("abc abc", vocab) == Seq("abc", "abc")) // per-word reset
+  }
+
+  test("unknown characters fall back to single chars (total encoding)") {
+    val vocab = Seq("a", "ab")
+    assert(encode("abz", vocab) == Seq("ab", "z"))
+    assert(encode("", vocab) == Seq.empty)
+  }
+
+  test("corpus encoding is lossless: subwords concatenate back to words") {
+    val docs = spark.read.parquet(sf("documents"))
+    val vocab = WordPiece.fitVocab(docs, "text")
+    val bad = docs.select(
+        concat_ws("", graft.functions.TextFunctions.tokens(col("text"))).as("w"),
+        concat_ws("", TextExpr.greedyVocabEncode(col("text"), vocab)).as("s"))
+      .where(col("w") =!= col("s")).count()
+    assert(bad == 0)
+  }
+
+  test("fitVocab is deterministic and covers every character") {
+    val docs = spark.read.parquet(sf("documents"))
+    val v1 = WordPiece.fitVocab(docs, "text")
+    val v2 = WordPiece.fitVocab(docs, "text")
+    assert(v1 == v2)
+    val chars = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .select(explode(split(col("w"), "")).as("c"))
+      .where(col("c") =!= "").distinct().as[String].collect().toSet
+    assert(chars.subsetOf(v1.toSet))
+    assert(v1.count(_.length == 2) <= 12 && v1.count(_.length == 3) <= 6)
+  }
+}
