@@ -37,6 +37,9 @@ object SqlQueries {
       graft.functions.GraftFunctions.quantileSketchBuilder)
     ColumnBridge.registerFunction(s, "nfc_normalize",
       (args: Seq[Expression]) => graft.functions.NfcNormalize(args.head))
+    ColumnBridge.registerFunction(s, "longest_repeated_substring_len",
+      (args: Seq[Expression]) =>
+        graft.functions.LongestRepeatedSubstringLen(args.head))
     ColumnBridge.registerFunction(s, "positional_gram_hashes",
       (args: Seq[Expression]) => graft.functions.GraftFunctions.intLitBuilder(
         "positional_gram_hashes", args)(
@@ -357,7 +360,55 @@ object SqlQueries {
       FROM documents d LEFT JOIN sp USING (doc_id) ORDER BY d.doc_id""")
   }
 
+  /** q147's margin mining as pure SQL text: the registered
+    * `cosine_similarity` engine function plus plain window functions —
+    * the mutual-best + margin-ratio rule is expressible to a SQL-only
+    * user (the window top-k here is the gate-scale form; the DataFrame
+    * twin's bounded TopKByScore aggregate is the shuffle-safe shape).
+    * Shares q147's oracle verbatim. */
+  val sqlMarginMining: Q = (s, dir) => {
+    ensureSurface(s, dir)
+    s.sql("""
+      WITH l AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+                 FROM embeddings WHERE vec_id % 2 = 0),
+      r AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+            FROM embeddings WHERE vec_id % 2 = 1),
+      fw AS (SELECT l.vec_id AS lid, r.vec_id AS rid,
+               cosine_similarity(l.v, r.v) AS cs
+             FROM l CROSS JOIN r),
+      fr AS (SELECT lid, rid, cs, row_number() OVER (
+               PARTITION BY lid ORDER BY cs DESC, rid ASC) AS rk FROM fw),
+      br AS (SELECT lid, rid, cs, row_number() OVER (
+               PARTITION BY rid ORDER BY cs DESC, lid ASC) AS rk FROM fw),
+      dx AS (SELECT lid, avg(cs) AS dl FROM fr WHERE rk <= 4 GROUP BY lid),
+      dy AS (SELECT rid, avg(cs) AS dr FROM br WHERE rk <= 4 GROUP BY rid),
+      bf AS (SELECT lid, rid, cs FROM fr WHERE rk = 1),
+      bb AS (SELECT lid, rid FROM br WHERE rk = 1)
+      SELECT bf.lid AS left_id, bf.rid AS right_id,
+        round(cs / ((dl + dr) / 2), 4) AS margin
+      FROM bf JOIN bb USING (lid, rid) JOIN dx USING (lid) JOIN dy USING (rid)
+      WHERE cs / ((dl + dr) / 2) >= 1.02
+      ORDER BY left_id""")
+  }
+
+  /** q146's LRS census as pure SQL text: the registered suffix-automaton
+    * `longest_repeated_substring_len` engine function — the O(n) kernel
+    * a SQL-only user gets where the oracle must enumerate O(n²)
+    * substrings. Shares q146's oracle verbatim. */
+  val sqlIntraDocRepeats: Q = (s, dir) => {
+    ensureSurface(s, dir)
+    s.sql("""
+      SELECT lrs, count(*) AS n_docs, min(doc_id) AS min_doc,
+        sum(doc_id) AS sum_ids
+      FROM (SELECT doc_id,
+              longest_repeated_substring_len(substring(text, 1, 150)) AS lrs
+            FROM documents)
+      GROUP BY lrs ORDER BY lrs""")
+  }
+
   val all: Map[String, Q] = Map(
+    "q151_sql_margin_mining" -> sqlMarginMining,
+    "q152_sql_intradoc_repeats" -> sqlIntraDocRepeats,
     "q143_sql_substring_dedup" -> sqlSubstringDedup,
     "q134_sql_nfc_cleanup" -> sqlNfcCleanup,
     "q124_sql_script_profile" -> sqlScriptProfile,
@@ -371,6 +422,8 @@ object SqlQueries {
     "q81_sql_temperature_mix" -> sqlTemperatureMix)
 
   val oracles: Map[String, String] = Map(
+    "q151_sql_margin_mining" -> CorpusQueries.oracles("q147_margin_mining"),
+    "q152_sql_intradoc_repeats" -> AnalysisQueries.oracles("q146_intradoc_repeats"),
     "q143_sql_substring_dedup" -> CorpusQueries.oracles("q136_substring_dedup"),
     "q134_sql_nfc_cleanup" -> HygieneQueries.oracles("q131_nfc_cleanup"),
     "q124_sql_script_profile" -> AnalysisQueries.oracles("q117_script_profile"),

@@ -161,6 +161,31 @@ object StreamingPipeline {
         .cast("long").as("n_subwords"))
   }
 
+  /** Repetition screen + WordPiece accounting — one stateless per-row
+    * transform (batch ≡ stream structurally, the [[subwordPrepStream]]
+    * doctrine): the suffix-automaton longest-repeated-substring ratio
+    * ([[graft.functions.LongestRepeatedSubstringLen]], q146) gates out
+    * looping/template docs at ARBITRARY repeat boundaries (the failure
+    * mode fixed-n gram fractions miss), and survivors are accounted with
+    * the stored greedy vocabulary ([[graft.functions.GreedyVocabEncode]],
+    * q150 — the vocab is the shipped artifact, fit once batch-side).
+    * Emits (id, lrs, lrs_ratio, n_subwords). No state, no watermark; the
+    * expressions are compiled per-row loops, so each micro-batch is one
+    * narrow scan. */
+  def repetitionScreenStream(docs: DataFrame, idCol: String, textCol: String,
+                             vocab: Seq[String],
+                             maxLrsRatio: Double = 0.5): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.TextExpr.longestRepeatedSubstringLen(col(textCol))
+          .as("lrs"),
+        length(col(textCol)).as("len"),
+        size(graft.functions.TextExpr.greedyVocabEncode(col(textCol), vocab))
+          .cast("long").as("n_subwords"))
+      .withColumn("lrs_ratio",
+        round(col("lrs") / greatest(col("len"), lit(1)).cast("double"), 6))
+      .where(col("lrs_ratio") <= maxLrsRatio)
+      .select(col(idCol), col("lrs"), col("lrs_ratio"), col("n_subwords"))
+
   /** Streaming semantic decontamination: every arriving micro-batch of
     * embedded documents screens against the benchmark EMBEDDINGS with the
     * batch operator ([[graft.dedup.Contamination.semanticScores]] — the

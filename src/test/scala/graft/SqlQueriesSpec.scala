@@ -26,7 +26,9 @@ class SqlQueriesSpec extends SparkSpec {
       "q113_sql_chunks" -> "q107_sliding_chunks",
       "q124_sql_script_profile" -> "q117_script_profile",
       "q134_sql_nfc_cleanup" -> "q131_nfc_cleanup",
-      "q143_sql_substring_dedup" -> "q136_substring_dedup")
+      "q143_sql_substring_dedup" -> "q136_substring_dedup",
+      "q151_sql_margin_mining" -> "q147_margin_mining",
+      "q152_sql_intradoc_repeats" -> "q146_intradoc_repeats")
     for ((sqlName, dfName) <- twins) {
       val viaSql = canon(SparkEntry.queries(sqlName)(spark, dir))
       val viaDf = canon(SparkEntry.queries(dfName)(spark, dir))

@@ -630,6 +630,33 @@ class StreamingSpec extends SparkSpec {
       "stateless subword prep must be identical in batch and streaming")
   }
 
+  test("streaming repetition screen (LRS gate -> greedy vocab) equals batch") {
+    val docsPath = s"$dir/documents.parquet"
+    val d = java.nio.file.Files.createTempDirectory("graft_repscreen_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(docsPath), d.resolve("docs.parquet"))
+    // fit the greedy vocabulary once batch-side; the stream ships the list
+    val vocab = graft.ops.WordPiece.fitVocab(
+      spark.read.parquet(docsPath), "text")
+    val schema = spark.read.parquet(docsPath).schema
+    val stream = spark.readStream.schema(schema).parquet(d.toString)
+    val q = StreamingPipeline.repetitionScreenStream(stream, "doc_id", "text",
+        vocab, maxLrsRatio = 0.1)
+      .writeStream.format("memory").queryName("repscreen_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("repscreen_test")
+
+    val batch = StreamingPipeline.repetitionScreenStream(
+      spark.read.parquet(docsPath), "doc_id", "text", vocab, maxLrsRatio = 0.1)
+    val total = spark.read.parquet(docsPath).count()
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(batch.count() < total, "the LRS gate must actually screen docs")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stateless repetition screen must be identical in batch and streaming")
+  }
+
   test("streaming chunk-prep (soft gate -> sliding chunks) equals the batch composition") {
     val docsPath = s"$dir/documents.parquet"
     val d = java.nio.file.Files.createTempDirectory("graft_chunkprep_src")
