@@ -107,9 +107,10 @@ object Bench {
     "q145_heaps_fit",         // vocab-growth curve: scan-once gram counts
     "q146_intradoc_repeats",  // suffix-automaton LRS census
     "q147_margin_mining",     // mutual-best margin pairs (exact baseline)
-    "q148_margin_mining_ann", // per-side IVF margin mining + certificate
+    "q148_margin_ann_bench",  // per-side IVF margin mining (scale path only)
     "q149_skew_report",       // hot-key diagnostic (count + bounded head)
-    "q150_wordpiece_encode")  // greedy vocab fit + compiled encode scan
+    "q150_wordpiece_encode",  // greedy vocab fit + compiled encode scan
+    "q153_vocab_incremental") // stored vocab index: 2-batch ingest + report
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

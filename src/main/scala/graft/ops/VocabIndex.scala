@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stored vocabulary index — the INCREMENTAL form of the Heaps'-law /
+  * novelty diagnostics (q145, q83): a pretraining crawl never recomputes
+  * "how much of this batch is new" from scratch; it keeps the set of
+  * gram types it has ever seen and screens each arriving batch against
+  * it. State:
+  *
+  *   - `grams`   (gram, first_batch, c): every type ever seen, the batch
+  *     that introduced it, and its total occurrence count — additive
+  *     under [[merge]] (min of first_batch, sum of counts), so
+  *     merge(build(A,0), build(B,1)) equals the one-shot computation over
+  *     A∪B with batch attribution exactly (the q93 LM-merge identity in
+  *     vocabulary space).
+  *   - `batches` (batch_id, n_occurrences, n_distinct, n_new_types): one
+  *     row per ingested batch. Occurrences/distinct are computable from
+  *     the delta alone; n_new_types is the anti-join of the delta's
+  *     types against the stored set — the batch's NOVELTY, the number
+  *     the curve is watched for.
+  *
+  * Scale shape: a batch update costs one gram count over the DELTA plus
+  * one type-keyed join against the stored grams table — the corpus is
+  * never rescanned (the whole point); the batches table is
+  * ingest-history-sized. Persistence with atomic swap + replay cursor
+  * lives in [[graft.store.IndexStore]] (saveVocabIndex /
+  * updateVocabIndex), streaming ingest in
+  * [[graft.streaming.StreamingPipeline.vocabIngestStream]].
+  */
+object VocabIndex {
+
+  /** Gram-type counts of one batch, attributed to `batchId`. */
+  def build(docs: DataFrame, textCol: String, batchId: Long,
+            n: Int = 3): DataFrame =
+    docs.select(explode(TextFunctions.wordGrams(col(textCol), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("c"))
+      .select(col("gram"), lit(batchId).as("first_batch"), col("c"))
+
+  /** Additive merge of two gram tables: a type's first_batch is the min
+    * (earliest introduction wins), counts add. */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("gram")
+      .agg(min(col("first_batch")).as("first_batch"), sum(col("c")).as("c"))
+
+  /** Per-batch stats of a delta gram table (batch-sized aggregates). */
+  def batchStats(delta: DataFrame, batchId: Long): DataFrame =
+    delta.agg(sum(col("c")).as("n_occurrences"),
+        count(lit(1)).as("n_distinct"))
+      .select(lit(batchId).as("batch_id"), col("n_occurrences"),
+        col("n_distinct"))
+
+  /** The growth report over a batches table: per batch — occurrences,
+    * distinct types, NEW types, cumulative vocabulary, and the novelty
+    * rate (new/distinct). The frame is ingest-history-sized (one row per
+    * batch), so the running-sum window is bounded by construction. */
+  def report(batches: DataFrame): DataFrame = {
+    val w = Window.orderBy("batch_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    batches.select(col("batch_id"), col("n_occurrences"), col("n_distinct"),
+        col("n_new_types"),
+        sum(col("n_new_types")).over(w).as("cum_vocab"),
+        round(col("n_new_types") / col("n_distinct").cast("double"), 6)
+          .as("novelty_rate"))
+      .orderBy("batch_id")
+  }
+}

@@ -41,8 +41,19 @@ object BenchOnlyQueries {
   val sketchedOverlapBench: Q = (s, dir) =>
     Overlap.overlapMatrixSketched(Tables.documents(s, dir), "source", "text", 3, 512)
 
+  /** q148's scale path alone: IVF-backed margin mining (two per-side index
+    * builds + probes + the margin composition), without the exact
+    * brute-force side the certificate gate also runs. */
+  val marginAnnBench: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    graft.sim.MarginMining.marginPairsAnn(
+      emb.where(col("vec_id") % 2 === 0), emb.where(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", k = 4, threshold = 1.02, nLists = 16, nProbe = 12)
+  }
+
   val all: Map[String, Q] = Map(
     "q43_simhash_bench" -> simhashBench,
     "q78_semdedup_bench" -> semanticDedupBench,
-    "q123_sketch_bench" -> sketchedOverlapBench)
+    "q123_sketch_bench" -> sketchedOverlapBench,
+    "q148_margin_ann_bench" -> marginAnnBench)
 }

@@ -266,9 +266,13 @@ object HygieneQueries {
         explode(TextFunctions.wordGrams(col("text"), 3)).as("tok"))
     // ONE tokenize+explode scan: reduce to (bucket, type) counts first
     // (map-side combined), then both the first-occurrence tier and the
-    // per-bucket totals re-aggregate that ≤10×vocab frame — the q129
-    // scan-once-reaggregate-counts shape.
-    val bt = toks.groupBy("bucket", "tok").agg(count(lit(1)).as("c"))
+    // per-bucket totals re-aggregate that ≤10×vocab frame. The frame is
+    // cached because it feeds two aggregation tiers AND the cum frame is
+    // consumed twice (rows + fit): without it the corpus is re-tokenized
+    // per consumer (PlanReuseProbe: exchange reuse alone does not collapse
+    // the re-scans). Vocabulary-sized — the LM/BPE-tier cache budget;
+    // Bench clearCache()s between passes so timings stay honest.
+    val bt = toks.groupBy("bucket", "tok").agg(count(lit(1)).as("c")).cache()
     val firstB = bt.groupBy("tok").agg(min("bucket").as("first_b"))
     val newTypes = firstB.groupBy("first_b").agg(count(lit(1)).as("new_types"))
     val perBucket = bt.groupBy("bucket").agg(sum("c").as("n_toks"))
@@ -300,7 +304,38 @@ object HygieneQueries {
       .orderBy("bucket")
   }
 
+  /** q153: INCREMENTAL vocabulary growth through the stored index
+    * ([[graft.ops.VocabIndex]] + [[graft.store.IndexStore
+    * .updateVocabIndex]]) — q145's curve maintained the way a real crawl
+    * maintains it: never recompute novelty from scratch, screen each
+    * arriving batch against the set of types ever seen. The gate cuts
+    * the corpus into two exact doc-id halves (the q145 scalar-bucket
+    * arithmetic with 2 spans), ingests half 0 as a fresh index into a
+    * temp store, ingests half 1 THROUGH the stored index (anti-join
+    * novelty + additive merge + atomic swap), reloads, and reports. The
+    * oracle computes the same two-batch curve one-shot in SQL — equality
+    * proves the merge identity, the anti-join novelty count, and the
+    * persistence round trip at once (the q144 doctrine). Counts exact;
+    * novelty rate 6-dp exact rational. */
+  val vocabIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val nTotal = docs.crossJoin(docs.agg(count(lit(1)).as("n_total")))
+      .select(col("doc_id"), col("text"),
+        floor(col("doc_id") * 2.0 / col("n_total")).cast("int").as("half"))
+    // per-invocation dir, reaped at JVM exit (the q79 doctrine)
+    val path = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_vocab_idx"))
+      .resolve("idx").toString
+    graft.store.IndexStore.updateVocabIndex(s, path,
+      nTotal.where(col("half") === 0), "text", logicalBatch = 0L)
+    graft.store.IndexStore.updateVocabIndex(s, path,
+      nTotal.where(col("half") === 1), "text", logicalBatch = 1L)
+    graft.ops.VocabIndex.report(
+      graft.store.IndexStore.loadVocabBatches(s, path))
+  }
+
   val all: Map[String, Q] = Map(
+    "q153_vocab_incremental" -> vocabIncremental,
     "q145_heaps_fit" -> heapsFit,
     "q128_zipf_fit" -> zipfFit,
     "q129_source_divergence" -> sourceDivergence,
@@ -310,6 +345,31 @@ object HygieneQueries {
     "q138_dsir_calibrated" -> dsirCalibrated)
 
   val oracles: Map[String, String] = Map(
+    "q153_vocab_incremental" ->
+      """WITH n AS (SELECT count(*) AS n_total FROM documents),
+        |d AS (
+        |  SELECT CAST(floor(doc_id * 2.0 / n_total) AS INT) AS b,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END AS ts
+        |  FROM documents, n),
+        |toks AS (
+        |  SELECT b, unnest(
+        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |      ELSE [array_to_string(ts[i:i+2], ' ')
+        |            FOR i IN generate_series(1, len(ts) - 2)]
+        |    END) AS tok
+        |  FROM d),
+        |pb AS (SELECT b, count(*) AS n_occ, count(DISTINCT tok) AS n_distinct
+        |       FROM toks GROUP BY 1),
+        |fb AS (SELECT tok, min(b) AS fb FROM toks GROUP BY 1),
+        |nt AS (SELECT fb AS b, count(*) AS n_new FROM fb GROUP BY 1)
+        |SELECT CAST(pb.b AS BIGINT) AS batch_id,
+        |  CAST(n_occ AS BIGINT) AS n_occurrences,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  CAST(coalesce(n_new, 0) AS BIGINT) AS n_new_types,
+        |  CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY pb.b) AS BIGINT) AS cum_vocab,
+        |  round(coalesce(n_new, 0) / CAST(n_distinct AS DOUBLE), 6) AS novelty_rate
+        |FROM pb LEFT JOIN nt USING (b) ORDER BY 1""".stripMargin,
     "q145_heaps_fit" ->
       """WITH n AS (SELECT count(*) AS n_total FROM documents),
         |d AS (

@@ -353,4 +353,79 @@ object IndexStore {
     graft.util.AtomicSwap.swap(fs, tmp, root)
     true
   }
+
+  /** Persist a vocabulary index ([[graft.ops.VocabIndex]]): the
+    * (gram, first_batch, count) type table, the per-batch stats history,
+    * and the replay cursor. */
+  def saveVocabIndex(spark: SparkSession, grams: org.apache.spark.sql.DataFrame,
+                     batches: org.apache.spark.sql.DataFrame,
+                     path: String, lastBatchId: Long = -1L): Unit = {
+    import spark.implicits._
+    writeMeta(spark, path, "vocab")
+    grams.write.mode("overwrite").parquet(s"$path/grams")
+    batches.write.mode("overwrite").parquet(s"$path/batches")
+    Seq(Tuple1(lastBatchId)).toDF("last_batch")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/scalars")
+  }
+
+  def loadVocabGrams(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    checkMeta(spark, path, "vocab")
+    spark.read.parquet(s"$path/grams")
+  }
+
+  def loadVocabBatches(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    checkMeta(spark, path, "vocab")
+    spark.read.parquet(s"$path/batches")
+  }
+
+  /** The stored vocabulary index's replay cursor (−1 on fresh/batch). */
+  def vocabIndexLastBatch(spark: SparkSession, path: String): Long =
+    spark.read.parquet(s"$path/scalars").select("last_batch").head().getLong(0)
+
+  /** Merge a NEW corpus batch's gram types into the stored vocabulary
+    * index, atomically and exactly-once ([[updateLexicalIndex]]'s
+    * contract: dot-tmp write → rename-swap promote; the batchId cursor
+    * makes a replayed micro-batch a no-op). The batch's novelty row
+    * (occurrences, distinct, NEW types vs the stored set) is appended to
+    * the batches history; the corpus is never rescanned.
+    *
+    * @param logicalBatch the batch number recorded in first_batch and the
+    *        stats history (ingest order); `batchId` is the exactly-once
+    *        replay cursor (a streaming micro-batch id), kept separate
+    *        because replays must not renumber history.
+    * @return true if the update applied, false if skipped as a replay. */
+  def updateVocabIndex(spark: SparkSession, path: String,
+                       batch: org.apache.spark.sql.DataFrame,
+                       textCol: String, logicalBatch: Long, n: Int = 3,
+                       batchId: Long = -1L): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta"))
+    if (exists && batchId >= 0 && batchId <= vocabIndexLastBatch(spark, path))
+      return false
+    val delta = graft.ops.VocabIndex.build(batch, textCol, logicalBatch, n)
+      .cache()
+    try {
+      val stats = graft.ops.VocabIndex.batchStats(delta, logicalBatch)
+      val (grams, batches) =
+        if (exists) {
+          val stored = loadVocabGrams(spark, path)
+          val nNew = delta.join(stored.select("gram"), Seq("gram"), "left_anti")
+            .count()
+          (graft.ops.VocabIndex.merge(stored, delta),
+            loadVocabBatches(spark, path)
+              .unionByName(stats.withColumn("n_new_types", lit(nNew))))
+        } else {
+          // a fresh index: every type of the first batch is new
+          val nNew = delta.count()
+          (delta, stats.withColumn("n_new_types", lit(nNew)))
+        }
+      val parent = Option(root.getParent).map(_.toString).getOrElse(".")
+      val tmp = new org.apache.hadoop.fs.Path(s"$parent/.${root.getName}_update_tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      saveVocabIndex(spark, grams, batches, tmp.toString, batchId)
+      graft.util.AtomicSwap.swap(fs, tmp, root)
+      true
+    } finally delta.unpersist()
+  }
 }

@@ -225,6 +225,27 @@ object StreamingPipeline {
         ()
       }
 
+  /** Continuous VOCABULARY-GROWTH ingest: each arriving micro-batch's
+    * gram types merge into the stored vocabulary index
+    * ([[graft.ops.VocabIndex]]) and its novelty row (new types vs
+    * everything ever seen) is appended to the growth history — the
+    * incremental Heaps/novelty curve (q145/q153) stays current without
+    * rescanning the corpus. Exactly-once by the stored batch-id cursor
+    * ([[graft.store.IndexStore.updateVocabIndex]]); a replayed
+    * micro-batch is a no-op and cannot renumber history (logical batch
+    * number travels separately from the replay cursor). */
+  def vocabIngestStream(newDocs: DataFrame, textCol: String,
+                        indexPath: String, n: Int = 3): DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.store.IndexStore.updateVocabIndex(
+          batch.sparkSession, indexPath, batch, textCol,
+          logicalBatch = batchId, n = n, batchId = batchId)
+        ()
+      }
+
   /** Continuous LEAKAGE-ATTRIBUTION ingest: as new corpus documents
     * arrive, each benchmark item's attribution state (matched grams +
     * per-doc shared-gram counts) is updated additively in the stored

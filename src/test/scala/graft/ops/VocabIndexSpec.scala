@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.store.IndexStore
+import org.apache.spark.sql.functions._
+
+class VocabIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(sf("documents"))
+
+  test("merge identity: incremental build equals one-shot attribution") {
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 === 1)
+    val merged = VocabIndex.merge(
+        VocabIndex.build(a, "text", 0L), VocabIndex.build(b, "text", 1L))
+      .as[(String, Long, Long)].collect().toSet
+    // one-shot truth: tag every gram occurrence with its half, then
+    // min-batch + total count per type
+    val truth = docs
+      .select((col("doc_id") % 2).as("half"),
+        explode(graft.functions.TextFunctions.wordGrams(col("text"), 3)).as("gram"))
+      .groupBy("gram")
+      .agg(min(col("half")).as("first_batch"), count(lit(1)).as("c"))
+      .select(col("gram"), col("first_batch"), col("c"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged == truth)
+  }
+
+  test("update-through-store equals in-memory merge; replay is a no-op") {
+    val path = java.nio.file.Files.createTempDirectory("graft_vocab_spec")
+      .resolve("idx").toString
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 === 1)
+    assert(IndexStore.updateVocabIndex(spark, path, a, "text",
+      logicalBatch = 0L, batchId = 0L))
+    assert(IndexStore.updateVocabIndex(spark, path, b, "text",
+      logicalBatch = 1L, batchId = 1L))
+    // replayed micro-batch: cursor makes it a no-op
+    assert(!IndexStore.updateVocabIndex(spark, path, b, "text",
+      logicalBatch = 1L, batchId = 1L))
+    val stored = IndexStore.loadVocabGrams(spark, path)
+      .as[(String, Long, Long)].collect().toSet
+    val mem = VocabIndex.merge(
+        VocabIndex.build(a, "text", 0L), VocabIndex.build(b, "text", 1L))
+      .as[(String, Long, Long)].collect().toSet
+    assert(stored == mem)
+    val batches = IndexStore.loadVocabBatches(spark, path)
+      .orderBy("batch_id").collect()
+    assert(batches.length == 2)
+    // first batch: everything is new; second: new == types absent from a
+    val aTypes = VocabIndex.build(a, "text", 0L).count()
+    assert(batches(0).getAs[Long]("n_new_types") == aTypes)
+    val bNew = VocabIndex.build(b, "text", 1L)
+      .join(VocabIndex.build(a, "text", 0L).select("gram"),
+        Seq("gram"), "left_anti").count()
+    assert(batches(1).getAs[Long]("n_new_types") == bNew)
+  }
+
+  test("report: cumulative vocab and novelty arithmetic") {
+    val batches = Seq(
+      (0L, 100L, 40L, 40L), (1L, 80L, 30L, 10L), (2L, 50L, 20L, 0L))
+      .toDF("batch_id", "n_occurrences", "n_distinct", "n_new_types")
+    val r = VocabIndex.report(batches)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(r.map(_._5).toSeq == Seq(40L, 50L, 50L))
+    assert(r(1)._6 == 0.333333) // 10/30 at 6dp
+    assert(r(2)._6 == 0.0)
+  }
+
+  test("streaming vocab ingest through the store equals a fresh one-shot index") {
+    val d = java.nio.file.Files.createTempDirectory("graft_vocab_src")
+    docs.coalesce(1).write.mode("overwrite").parquet(d.resolve("in").toString)
+    val path = d.resolve("idx").toString
+    val schema = docs.schema
+    val q = graft.streaming.StreamingPipeline.vocabIngestStream(
+        spark.readStream.schema(schema).parquet(d.resolve("in").toString),
+        "text", path)
+      .option("checkpointLocation", d.resolve("ck").toString).start()
+    q.awaitTermination()
+    val streamed = IndexStore.loadVocabGrams(spark, path)
+      .select("gram", "c").as[(String, Long)].collect().toSet
+    val oneShot = VocabIndex.build(docs, "text", 0L)
+      .select("gram", "c").as[(String, Long)].collect().toSet
+    assert(streamed == oneShot)
+  }
+}
