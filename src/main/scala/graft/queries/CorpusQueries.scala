@@ -231,6 +231,40 @@ object CorpusQueries {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .orderBy("doc_a", "doc_b")
 
+  /** q154: dedup-THRESHOLD tuning curve — the report that decides what
+    * `minJaccard` the corpus-wide LSH dedup (q42) should run at: per
+    * candidate threshold, surviving pair count, docs pairwise-dominated
+    * (having any partner with a smaller id at ≥ t — the removal upper
+    * bound), and the removal percentage. Run the way production tunes
+    * thresholds: EXACT similarity on a deterministic SAMPLE (doc_id%2 —
+    * the exact pruned path q41/q45 certify), sweep once, then run LSH at
+    * the chosen t corpus-wide — banding recall below ~0.5 makes an
+    * LSH-based sweep dishonest at exactly the thresholds the sweep
+    * exists to compare (1−(1−J⁴)¹⁶ ≈ 0.12 at J=0.3), which is why the
+    * exact path is the right tool here and why this gate, like q41/q45,
+    * stays out of the bench headline. The 7 thresholds fan out of the
+    * verified pair list (7× pairs rows, not 7 corpus passes). Jaccard
+    * and thresholds are the same IEEE doubles in both engines, so even
+    * an exactly-at-threshold pair compares identically. */
+  val dedupThresholdCurve: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val sample = docs.where(col("doc_id") % 2 === 0)
+    val nDocs = sample.agg(count(lit(1)).as("n_docs"))
+    val pairs = Dedup.ngramJaccardPairs(sample, "doc_id", "text",
+      k = 5, minJaccard = 0.3)
+    val ts = array((3 to 9).map(i => lit(i / 10.0)): _*)
+    pairs.select(col("jaccard"), col("id_b"), explode(ts).as("threshold"))
+      .where(col("jaccard") >= col("threshold"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id_b")).as("n_docs_removed"))
+      .crossJoin(nDocs)
+      .select(col("threshold"), col("n_pairs"), col("n_docs_removed"),
+        round(col("n_docs_removed") * lit(100.0) / col("n_docs"), 4)
+          .as("pct_removed"))
+      .orderBy("threshold")
+  }
+
   /** Scale path for the EXACT similarity join: PPJoin-style prefix + size
     * filtering — same oracle as q41 because prefix filtering is a
     * guarantee, not a heuristic. */
@@ -761,6 +795,7 @@ object CorpusQueries {
     "q147_margin_mining" -> marginMining,
     "q148_margin_mining_ann" -> marginMiningAnn,
     "q149_skew_report" -> skewReport,
+    "q154_dedup_threshold_curve" -> dedupThresholdCurve,
     "q69_knn_quantized" -> knnQuantized,
     "q51_ann_lsh" -> annLsh,
     "q55_ann_ivf" -> annIvf,
@@ -1133,6 +1168,27 @@ object CorpusQueries {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS INT) AS rank
         |FROM s QUALIFY rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+    "q154_dedup_threshold_curve" ->
+      """WITH s AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |sh AS (SELECT DISTINCT doc_id AS id, unnest([substring(text, i, 5)
+        |  FOR i IN generate_series(1, greatest(length(text) - 4, 1))]) AS sg
+        |  FROM s),
+        |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.id AS ia, b.id AS ib, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.sg = b.sg AND a.id < b.id GROUP BY 1, 2),
+        |p AS (
+        |  SELECT ia, ib, i * 1.0 / (sa.n + sb.n - i) AS jac
+        |  FROM inter JOIN sz sa ON ia = sa.id JOIN sz sb ON ib = sb.id
+        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.3),
+        |t AS (SELECT CAST(unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE)
+        |        AS threshold),
+        |nd AS (SELECT count(*) AS n_docs FROM s)
+        |SELECT threshold, count(*) AS n_pairs,
+        |  CAST(count(DISTINCT ib) AS BIGINT) AS n_docs_removed,
+        |  round(count(DISTINCT ib) * 100.0 / max(n_docs), 4) AS pct_removed
+        |FROM t JOIN p ON jac >= threshold CROSS JOIN nd
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q149_skew_report" ->
       """WITH c AS (SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1),
         |t AS (SELECT sum(n_rows) AS total_rows, count(*) AS n_keys FROM c),
