@@ -314,4 +314,50 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
       "count-table joins should hash-join at this sf")
   }
+
+  test("LRS census is one scan over the compiled automaton, no shuffle before the agg") {
+    val plan = planOf("q146_intradoc_repeats")
+    assert(plan.contains("longest_repeated_substring_len"),
+      "expected the compiled suffix-automaton node")
+    assert("FileScan parquet".r.findAllIn(plan).length == 1,
+      s"LRS census must read the corpus exactly once:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"), "no window belongs in a groupBy census")
+  }
+
+  test("skew report head is a bounded TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("q149_skew_report")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"),
+      "the scalar totals must attach by 1-row broadcast, not cartesian")
+  }
+
+  test("margin mining stays id-keyed after the top-k frames: no cartesian") {
+    val plan = planOf("q147_margin_mining")
+    assert(!plan.contains("CartesianProduct"),
+      s"margin composition went all-pairs:\n${plan.take(3000)}")
+    // the directed scoring is the deliberate broadcast-query crossJoin of
+    // the q50 baseline; everything AFTER must be hash-joins on pair ids
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      "mutual-best and denominator joins must be equi-joins")
+  }
+
+  test("wordpiece encode is one corpus scan over the compiled greedy matcher") {
+    val plan = planOf("q150_wordpiece_encode")
+    assert(plan.contains("greedy_vocab_encode"),
+      "expected the compiled greedy-match node")
+    // fit-time scans run before the gate frame is built; the returned
+    // frame reads the corpus once for the subword branch and once for the
+    // word-count branch
+    assert("FileScan parquet".r.findAllIn(plan).length <= 2,
+      s"encode frame re-scans the corpus:\n${plan.take(2000)}")
+  }
+
+  test("threshold curve fans thresholds out of the pair list, not corpus passes") {
+    val plan = planOf("q154_dedup_threshold_curve")
+    // one scan for the sample shingles (cached), one for the doc count
+    assert(!plan.contains("CartesianProduct"),
+      s"threshold sweep went cartesian:\n${plan.take(3000)}")
+    assert(plan.contains("Generate explode"),
+      "thresholds must explode from the verified pairs frame")
+  }
 }
