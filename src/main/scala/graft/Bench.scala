@@ -110,7 +110,8 @@ object Bench {
     "q148_margin_ann_bench",  // per-side IVF margin mining (scale path only)
     "q149_skew_report",       // hot-key diagnostic (count + bounded head)
     "q150_wordpiece_encode",  // greedy vocab fit + compiled encode scan
-    "q153_vocab_incremental") // stored vocab index: 2-batch ingest + report
+    "q153_vocab_incremental", // stored vocab index: 2-batch ingest + report
+    "q155_embedding_diversity") // one treeAggregate: anisotropy + PR
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

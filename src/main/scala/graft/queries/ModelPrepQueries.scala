@@ -382,7 +382,43 @@ object ModelPrepQueries {
         "text", eta = 1.0)
       .orderBy("source")
 
+  /** q155: embedding DIVERSITY / collapse report — the check run before
+    * trusting an embedding set for dedup, retrieval, or selection:
+    * anisotropy (mean pairwise cosine — a healthy spread sits near 0, a
+    * collapsed encoder near 1; Ethayarajh 2019) and effective
+    * dimensionality (participation ratio (Σλ)²/Σλ² of the covariance
+    * spectrum — d when isotropic, →1 under collapse). Scale shape: the
+    * whole report is ONE [[graft.sim.Whitening.fitPca]] treeAggregate
+    * over normalized vectors (d(d+1)/2 doubles of state — nothing
+    * corpus-sized shuffles, no pair join anywhere): mean pairwise cosine
+    * falls out of the moment identity Σ_{a≠b} v̂ₐ·v̂ᵦ = ‖Σv̂‖² − n, and
+    * Σλ² = ‖C‖²_F. The oracle replays the DEFINITIONS instead (the LRS
+    * doctrine): brute-force O(n²) pair average and explicit d² covariance
+    * sums — equality certifies the identities, not a shared shortcut.
+    * 6-dp/4-dp rounding: Jacobi eigenvalue residuals and summation-order
+    * skew are ~1e-12, far below grain. */
+  val embeddingDiversity: Q = (s, dir) => {
+    import s.implicits._
+    val v = col("embedding").cast("array<double>")
+    val nrm = sqrt(graft.functions.VectorFunctions.dotProduct(v, v))
+    val normalized = Tables.embeddings(s, dir)
+      .select(transform(v, x => x / nrm).as("vh"))
+    val model = graft.sim.Whitening.fitPca(normalized, "vh")
+    val n = model.nVecs.toDouble
+    val muSq = model.mean.map(m => m * m).sum
+    val meanCos = (n * n * muSq - n) / (n * (n - 1))
+    val fro2 = model.eigenvalues.map(l => l * l).sum
+    Seq((model.nVecs, model.dims,
+        BigDecimal(meanCos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(model.trace).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(model.trace * model.trace / fro2)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n_vectors", "dims", "mean_pairwise_cos", "trace_c",
+        "participation_ratio")
+  }
+
   val all: Map[String, Q] = Map(
+    "q155_embedding_diversity" -> embeddingDiversity,
     "q142_domain_reweight" -> domainReweight,
     "q100_modelprep_pipeline" -> modelPrepPipeline,
     "q101_negative_mining" -> negativeMining,
@@ -522,6 +558,29 @@ object ModelPrepQueries {
         |  3 * count(DISTINCT vec_id) AS n_exact_neighbors,
         |  true AS recall_ge_080
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "q155_embedding_diversity" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |nn AS (SELECT vec_id,
+        |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vh
+        |       FROM e),
+        |n AS (SELECT count(*) AS n, max(len(vh)) AS d FROM nn),
+        |mp AS (SELECT avg(list_dot_product(a.vh, b.vh)) AS mc
+        |       FROM nn a JOIN nn b ON a.vec_id < b.vec_id),
+        |dims AS (SELECT vec_id, i, vh[i] AS x
+        |         FROM nn, UNNEST(generate_series(1, len(vh))) AS t(i)),
+        |mu AS (SELECT i, avg(x) AS m FROM dims GROUP BY 1),
+        |mm AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS s
+        |       FROM dims a JOIN dims b USING (vec_id) GROUP BY 1, 2),
+        |c AS (SELECT mm.i, mm.j, mm.s / n.n - ma.m * mb.m AS c
+        |      FROM mm JOIN mu ma ON mm.i = ma.i JOIN mu mb ON mm.j = mb.i
+        |      CROSS JOIN n),
+        |tr AS (SELECT sum(c) AS trace FROM c WHERE i = j),
+        |fro AS (SELECT sum(c * c) AS fro2 FROM c)
+        |SELECT n.n AS n_vectors, CAST(n.d AS INT) AS dims,
+        |  round(mp.mc, 6) AS mean_pairwise_cos,
+        |  round(tr.trace, 6) AS trace_c,
+        |  round(tr.trace * tr.trace / fro.fro2, 4) AS participation_ratio
+        |FROM n CROSS JOIN mp CROSS JOIN tr CROSS JOIN fro""".stripMargin,
     "q102_negative_mining_ann" ->
       """SELECT count(DISTINCT vec_id) AS n_queries,
         |  3 * count(DISTINCT vec_id) AS n_exact_hard,

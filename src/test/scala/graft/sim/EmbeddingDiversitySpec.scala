@@ -1,0 +1,66 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The q155 diversity report rests on two identities; pin both against
+  * brute force on random data. */
+class EmbeddingDiversitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomVecs(n: Int, d: Int, seed: Long): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(n)(Seq.fill(d)(rng.nextGaussian()))
+  }
+
+  test("moment identity: mean pairwise cosine from one pass equals brute force") {
+    val raw = randomVecs(40, 7, seed = 11)
+    val unit = raw.map { v =>
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / nrm)
+    }
+    val n = unit.length.toDouble
+    val sums = unit.transpose.map(_.sum)
+    val viaMoments = (sums.map(s => s * s).sum - n) / (n * (n - 1))
+    val brute = (for {
+      i <- unit.indices; j <- unit.indices if i < j
+    } yield unit(i).zip(unit(j)).map { case (a, b) => a * b }.sum)
+    val viaBrute = brute.sum / brute.length
+    assert(math.abs(viaMoments - viaBrute) < 1e-10)
+  }
+
+  test("spectrum identity: sum of squared eigenvalues equals covariance Frobenius norm") {
+    val raw = randomVecs(60, 6, seed = 23)
+    val df = raw.map(Tuple1(_)).toDF("vh")
+    val model = Whitening.fitPca(df, "vh")
+    // explicit covariance from the same data
+    val n = raw.length.toDouble
+    val mu = raw.transpose.map(_.sum / n)
+    val fro2Direct = (for (i <- 0 until 6; j <- 0 until 6) yield {
+      val cij = raw.map(v => v(i) * v(j)).sum / n - mu(i) * mu(j)
+      cij * cij
+    }).sum
+    val fro2Eigen = model.eigenvalues.map(l => l * l).sum
+    assert(math.abs(fro2Eigen - fro2Direct) < 1e-9)
+    val trDirect = (0 until 6).map(i => raw.map(v => v(i) * v(i)).sum / n - mu(i) * mu(i)).sum
+    assert(math.abs(model.trace - trDirect) < 1e-10)
+  }
+
+  test("participation ratio separates isotropic from collapsed clouds") {
+    val d = 8
+    val iso = randomVecs(4000, d, seed = 7).map(Tuple1(_)).toDF("vh")
+    val isoModel = Whitening.fitPca(iso, "vh")
+    val isoPr = isoModel.trace * isoModel.trace /
+      isoModel.eigenvalues.map(l => l * l).sum
+    assert(isoPr > d * 0.8, s"isotropic cloud should have PR near $d, got $isoPr")
+    // near-collapsed: one dominant direction plus small noise
+    val rng = new scala.util.Random(3)
+    val coll = Seq.fill(500) {
+      val a = rng.nextGaussian() * 10
+      Seq.tabulate(d)(i => if (i == 0) a else rng.nextGaussian() * 0.01)
+    }.map(Tuple1(_)).toDF("vh")
+    val cModel = Whitening.fitPca(coll, "vh")
+    val cPr = cModel.trace * cModel.trace / cModel.eigenvalues.map(l => l * l).sum
+    assert(cPr < 1.1, s"collapsed cloud should have PR near 1, got $cPr")
+  }
+}
