@@ -111,7 +111,8 @@ object Bench {
     "q149_skew_report",       // hot-key diagnostic (count + bounded head)
     "q150_wordpiece_encode",  // greedy vocab fit + compiled encode scan
     "q153_vocab_incremental", // stored vocab index: 2-batch ingest + report
-    "q155_embedding_diversity") // one treeAggregate: anisotropy + PR
+    "q155_embedding_diversity", // one treeAggregate: anisotropy + PR
+    "q156_html_extract")      // codegen'd markup-to-text extraction scan
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

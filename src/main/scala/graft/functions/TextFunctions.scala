@@ -272,6 +272,30 @@ object TextFunctions {
   def cleanText(c: Column): Column =
     trim(regexp_replace(stripControls(nfc(c)), "[ \\t]+", " "))
 
+  /** Markup-to-text extraction — the WET-style step a crawl pipeline runs
+    * before any text analysis: drop script/style payloads and comments
+    * WITH their contents, strip remaining tags, decode the six common
+    * entities, collapse whitespace. Entity decoding runs AFTER tag
+    * stripping on purpose: decoding first would turn literal `&lt;script&gt;`
+    * text into a live tag for the stripper — the classic
+    * sanitizer-ordering bug. Entirely codegen'd built-ins (regexp_replace
+    * + literal replace); the inline-flag patterns `(?is)` mean the SAME
+    * pattern strings run in the DuckDB oracle (RE2 and java.util.regex
+    * agree on every construct used: inline flags, non-greedy, explicit
+    * classes — the q131 shared-regex contract). */
+  def htmlExtract(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (col0, (ent, ch)) =>
+        call_function("replace", col0, lit(ent), lit(ch))
+      }
+    trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
+  }
+
   /** Hostnames of all http(s) URLs in the text (capture group 1). */
   def urlDomains(c: Column): Column =
     regexp_extract_all(c, lit(UrlRegex), lit(1))

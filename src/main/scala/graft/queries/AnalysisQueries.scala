@@ -488,7 +488,45 @@ object AnalysisQueries {
       .orderBy("source")
   }
 
+  /** q156: markup-to-text extraction report
+    * ([[TextFunctions.htmlExtract]] — the WET-style step between a crawl
+    * and every text operator in this engine). The ASCII corpus is planted
+    * per doc_id%5: full-page wrapper tags, a div + script payload (must
+    * vanish WITH contents), pre-encoded entities (must decode), and a
+    * comment + style + &nbsp; mix. Per source: docs, changed docs, exact
+    * char tallies before/after, token count of the extracted text, and
+    * the changed-id sum certificate. The extraction chain is entirely
+    * codegen'd built-ins sharing pattern strings with the oracle (q131
+    * contract); entity decoding runs after tag stripping (the
+    * sanitizer-ordering rule, asserted by the planted `&lt;ok&gt;`
+    * surviving as literal text). */
+  val htmlExtractReport: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val m = col("doc_id") % 5
+    val planted = docs.select(col("doc_id"), col("source"),
+      when(m === 1, concat(lit("<html><body><p>"), col("text"),
+          lit("</p></body></html>")))
+        .when(m === 2, concat(lit("<div class=\"x\">"), col("text"),
+          lit("</div><script>var tracker = 1;</script>")))
+        .when(m === 3, concat(col("text"),
+          lit(" benchmarks &amp; results &lt;ok&gt;")))
+        .when(m === 4, concat(lit("<!-- nav -->"), col("text"),
+          lit("<style>p{color:red}</style>&nbsp;footer")))
+        .otherwise(col("text")).as("t"))
+    val ex = planted.withColumn("x", TextFunctions.htmlExtract(col("t")))
+    ex.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("x") =!= col("t")).cast("long")).as("n_changed"),
+        sum(length(col("t")).cast("long")).as("chars_before"),
+        sum(length(col("x")).cast("long")).as("chars_after"),
+        sum(size(TextFunctions.tokens(col("x"))).cast("long")).as("tokens_after"),
+        sum(col("doc_id") * (col("x") =!= col("t")).cast("long"))
+          .as("sum_changed_ids"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "q156_html_extract" -> htmlExtractReport,
     "q150_wordpiece_encode" -> wordpieceEncode,
     "q146_intradoc_repeats" -> intraDocRepeats,
     "q140_bpe_fertility" -> bpeFertility,
@@ -558,6 +596,41 @@ object AnalysisQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q156_html_extract" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 1 THEN '<html><body><p>' || text || '</p></body></html>'
+        |    WHEN 2 THEN '<div class="x">' || text ||
+        |      '</div><script>var tracker = 1;</script>'
+        |    WHEN 3 THEN text || ' benchmarks &amp; results &lt;ok&gt;'
+        |    WHEN 4 THEN '<!-- nav -->' || text ||
+        |      '<style>p{color:red}</style>&nbsp;footer'
+        |    ELSE text END AS t
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, source, t,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(t, '(?is)<script.*?</script>', ' ', 'g'),
+        |            '(?is)<style.*?</style>', ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&nbsp;', ' '),
+        |      '[ \t\n\r]+', ' ', 'g')) AS x
+        |  FROM p)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN x <> t THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(length(t)) AS BIGINT) AS chars_before,
+        |  CAST(sum(length(x)) AS BIGINT) AS chars_after,
+        |  CAST(sum(len(CASE WHEN trim(x) = '' THEN CAST([] AS VARCHAR[])
+        |    ELSE string_split_regex(trim(x), '\s+') END)) AS BIGINT) AS tokens_after,
+        |  CAST(sum(doc_id * CASE WHEN x <> t THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS sum_changed_ids
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     "q150_wordpiece_encode" -> wordpieceOracle(8),
     "q146_intradoc_repeats" ->
       """WITH d AS (SELECT doc_id, substr(text, 1, 150) AS t FROM documents),

@@ -120,4 +120,22 @@ class TextFunctionsSpec extends SparkSpec {
     // the ControlCharClass never eats printable text
     assert(clean("unchanged text") == "unchanged text")
   }
+
+  test("htmlExtract strips payload blocks, tags, and decodes entities in order") {
+    def ex(s: String): String =
+      one(s, TextFunctions.htmlExtract).as[String].head()
+    assert(ex("<html><body><p>hello world</p></body></html>") == "hello world")
+    assert(ex("keep<script>drop() // all of this</script>me") == "keep me")
+    assert(ex("a<style>p { color: red }</style>b") == "a b")
+    assert(ex("x<!-- secret\nnote -->y") == "x y")
+    assert(ex("<SCRIPT>UPPER</SCRIPT>ok") == "ok") // (?i) case-insensitive
+    assert(ex("<script>multi\nline\npayload</script>after") == "after") // (?s)
+    assert(ex("a &amp; b &quot;c&quot; &#39;d&#39;") == "a & b \"c\" 'd'")
+    // the sanitizer-ordering rule: entity-encoded tags decode to LITERAL
+    // text, they are never stripped as tags
+    assert(ex("&lt;script&gt;not code&lt;/script&gt;") == "<script>not code</script>")
+    assert(ex("  spaced\t\tout \n text ") == "spaced out text")
+    assert(ex("") == "")
+    assert(ex("plain text stays") == "plain text stays")
+  }
 }
