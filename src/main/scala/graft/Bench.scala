@@ -112,7 +112,8 @@ object Bench {
     "q150_wordpiece_encode",  // greedy vocab fit + compiled encode scan
     "q153_vocab_incremental", // stored vocab index: 2-batch ingest + report
     "q155_embedding_diversity", // one treeAggregate: anisotropy + PR
-    "q156_html_extract")      // codegen'd markup-to-text extraction scan
+    "q156_html_extract",      // codegen'd markup-to-text extraction scan
+    "q157_winnow_census")     // O(n) deque winnowing fingerprint scan
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

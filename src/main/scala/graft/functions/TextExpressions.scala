@@ -749,6 +749,73 @@ case class GreedyVocabEncode(child: Expression, vocab: Seq[String])
     copy(child = newChild)
 }
 
+/** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+  * document-fingerprinting algorithm): hash every character k-gram, slide
+  * a window of w consecutive hashes, select each window's MINIMUM (ties →
+  * rightmost occurrence, the paper's rule), record a selection once per
+  * position. Guarantee: any verbatim match of length ≥ w + k − 1 shares a
+  * fingerprint; expected density 2/(w+1). The local-fingerprint
+  * counterpart of [[MinShingleMd5]] (one global min per doc) and the
+  * q136 positional anchors (every window) — winnowing is the classic
+  * middle point: position-robust like ExactSubstr, sublinear output like
+  * MinHash.
+  *
+  * One compiled loop per row: md5-bucket gram hashes (the
+  * engine-portable [[TextExprs.md5Bucket]], so the DuckDB oracle replays
+  * hashes exactly) + a monotonic deque for the sliding minimum — O(n)
+  * total, each position pushed/popped once; the ≥-eviction makes the
+  * deque front the RIGHTMOST minimum, implementing the tie rule for
+  * free. Returns the selected hashes in position order (one entry per
+  * selected position). Texts shorter than k yield one gram of the whole
+  * text (the [[MinShingleMd5]] short-text convention). */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1 && w >= 1, "k and w must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    val nGrams = math.max(n - k + 1, 1)
+    val h = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      h(i) = TextExprs.md5Bucket(s.substring(i, math.min(i + k, n)))
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any](nGrams / 2 + 1)
+    // monotonic deque over indices; back-evict on >= so the front is the
+    // rightmost minimum of the current window
+    val dq = new Array[Int](nGrams)
+    var head = 0
+    var tail = 0 // exclusive
+    var lastSel = -1
+    i = 0
+    while (i < nGrams) {
+      while (tail > head && h(dq(tail - 1)) >= h(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      while (dq(head) <= i - w) head += 1
+      if (i >= w - 1 || i == nGrams - 1) {
+        // window [max(0, i-w+1), i] complete (or the text has fewer than
+        // w grams — then the single whole-text window selects once)
+        val sel = dq(head)
+        if (sel != lastSel) {
+          out += h(sel)
+          lastSel = sel
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the compiled text expressions. */
 object TextExpr {
   def wordSpans(text: Column, k: Int): Column =
@@ -789,4 +856,7 @@ object TextExpr {
 
   def greedyVocabEncode(text: Column, vocab: Seq[String]): Column =
     ColumnBridge.column(GreedyVocabEncode(ColumnBridge.expression(text), vocab))
+
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(text), k, w))
 }

@@ -525,7 +525,34 @@ object AnalysisQueries {
       .orderBy("source")
   }
 
+  /** q157: winnowing fingerprint census
+    * ([[graft.functions.WinnowFingerprints]], k=5 / w=8 — MOSS): per
+    * source, gram totals, selected-fingerprint totals, observed density
+    * (theory: 2/(w+1) ≈ 0.222 for random text), and the exact
+    * sum-of-selected-hashes certificate. The md5-bucket gram hash is the
+    * engine-portable one, so the oracle replays hash VALUES exactly and
+    * then replays the window/rightmost-tie/position-dedup selection
+    * literally — O(docs·windows·w) enumeration against the engine's O(n)
+    * monotonic deque (the LRS doctrine: the oracle is the definition,
+    * the engine is the algorithm). */
+  val winnowCensus: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val fps = graft.functions.TextExpr.winnowFingerprints(col("text"), 5, 8)
+    docs.select(col("source"),
+        greatest(length(col("text")) - 4, lit(1)).cast("long").as("ng"),
+        fps.as("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ng")).as("n_grams"),
+        sum(size(col("fp")).cast("long")).as("n_fingerprints"),
+        round(sum(size(col("fp")).cast("long")) /
+          sum(col("ng")).cast("double"), 4).as("density"),
+        sum(aggregate(col("fp"), lit(0L), (a, x) => a + x)).as("sum_fp_hash"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "q157_winnow_census" -> winnowCensus,
     "q156_html_extract" -> htmlExtractReport,
     "q150_wordpiece_encode" -> wordpieceEncode,
     "q146_intradoc_repeats" -> intraDocRepeats,
@@ -596,6 +623,42 @@ object AnalysisQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q157_winnow_census" ->
+      """WITH g AS (
+        |  SELECT doc_id, source, i,
+        |    CAST(concat('0x', substr(md5(substring(text, i, 5)), 1, 8)) AS BIGINT) AS h,
+        |    greatest(length(text) - 4, 1) AS ng
+        |  FROM documents,
+        |    UNNEST(generate_series(1, greatest(length(text) - 4, 1))) AS t(i)),
+        |st AS (
+        |  SELECT DISTINCT doc_id, st
+        |  FROM g, UNNEST(generate_series(1, greatest(ng - 7, 1))) AS s(st)),
+        |wg AS (
+        |  SELECT st.doc_id, st.st, g.i AS j, g.h
+        |  FROM st JOIN g USING (doc_id)
+        |  WHERE g.i BETWEEN st.st AND st.st + 7),
+        |m AS (SELECT doc_id, st, min(h) AS mh FROM wg GROUP BY 1, 2),
+        |sel AS (
+        |  SELECT wg.doc_id, wg.st, max(wg.j) AS pos
+        |  FROM wg JOIN m ON wg.doc_id = m.doc_id AND wg.st = m.st
+        |    AND wg.h = m.mh
+        |  GROUP BY 1, 2),
+        |fp AS (SELECT DISTINCT doc_id, pos FROM sel),
+        |fph AS (
+        |  SELECT g.doc_id, g.source, g.h
+        |  FROM fp JOIN g ON fp.doc_id = g.doc_id AND fp.pos = g.i),
+        |pg AS (SELECT doc_id, source, max(ng) AS ng FROM g GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT source, count(*) AS n_fps, sum(h) AS sum_fp FROM fph GROUP BY 1),
+        |base AS (
+        |  SELECT source, count(*) AS n_docs, sum(ng) AS n_grams
+        |  FROM pg GROUP BY 1)
+        |SELECT base.source, base.n_docs,
+        |  CAST(base.n_grams AS BIGINT) AS n_grams,
+        |  CAST(agg.n_fps AS BIGINT) AS n_fingerprints,
+        |  round(agg.n_fps / CAST(base.n_grams AS DOUBLE), 4) AS density,
+        |  CAST(agg.sum_fp AS BIGINT) AS sum_fp_hash
+        |FROM base JOIN agg USING (source) ORDER BY base.source""".stripMargin,
     "q156_html_extract" ->
       """WITH p AS (
         |  SELECT doc_id, source, CASE CAST(doc_id % 5 AS INT)

@@ -1,0 +1,68 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 5
+  private val W = 8
+
+  /** Literal replay of the paper's definition: every window, min hash,
+    * rightmost tie, dedup by position. */
+  private def bruteWinnow(s: String, k: Int, w: Int): Seq[Long] = {
+    val n = s.length
+    val nGrams = math.max(n - k + 1, 1)
+    val h = (0 until nGrams).map(i => TextExprs.md5Bucket(
+      s.substring(i, math.min(i + k, n))))
+    val starts = 0 until math.max(nGrams - w + 1, 1)
+    val sel = starts.map { st =>
+      val win = (st until math.min(st + w, nGrams))
+      val mh = win.map(h).min
+      win.filter(j => h(j) == mh).max // rightmost tie
+    }.distinct.sorted
+    sel.map(h)
+  }
+
+  private def engine(s: String, k: Int = K, w: Int = W): Seq[Long] =
+    Seq(s).toDF("t")
+      .select(TextExpr.winnowFingerprints(col("t"), k, w).as("f"))
+      .as[Seq[Long]].head()
+
+  test("deque selection matches the literal window replay on random strings") {
+    val rng = new scala.util.Random(99)
+    (1 to 200).foreach { _ =>
+      val n = rng.nextInt(80)
+      val s = (0 until n).map(_ => ('a' + rng.nextInt(3)).toChar).mkString
+      assert(engine(s) == bruteWinnow(s, K, W), s"input '$s'")
+    }
+  }
+
+  test("short and empty texts select exactly one fingerprint") {
+    assert(engine("").length == 1)
+    assert(engine("ab").length == 1)
+    assert(engine("abcdefgh").length == 1) // 4 grams < w -> one window
+  }
+
+  test("the winnowing guarantee: shared spans of length >= w+k-1 share a fingerprint") {
+    val rng = new scala.util.Random(7)
+    def rand(n: Int) = (0 until n).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val span = rand(W + K - 1) // minimal guaranteed length
+    (1 to 30).foreach { _ =>
+      val a = rand(25) + span + rand(25)
+      val b = rand(30) + span + rand(20)
+      val shared = engine(a).toSet.intersect(engine(b).toSet)
+      assert(shared.nonEmpty, s"span '$span' not caught")
+    }
+  }
+
+  test("density sits near the 2/(w+1) theory value on corpus docs") {
+    val docs = spark.read.parquet(sf("documents"))
+    val r = docs.select(
+        greatest(length(col("text")) - (K - 1), lit(1)).cast("double").as("ng"),
+        size(TextExpr.winnowFingerprints(col("text"), K, W)).cast("double").as("nf"))
+      .agg((sum("nf") / sum("ng")).as("d")).as[Double].head()
+    assert(r > 1.2 / (W + 1) && r < 3.2 / (W + 1), s"density $r out of family")
+  }
+}
