@@ -286,7 +286,13 @@ object TextFunctions {
   def htmlExtract(c: Column): Column = {
     val noScript = regexp_replace(c, "(?is)<script.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style.*?</style>", " ")
-    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    // UNCLOSED script/style: the paired patterns above leave the payload
+    // of a never-closed block in place, and a browser treats everything
+    // after the open tag as code — so must the extractor, or a truncated
+    // page leaks raw JS/CSS into training text. One anchored pass each.
+    val noOpenScript = regexp_replace(noStyle, "(?is)<script.*", " ")
+    val noOpenStyle = regexp_replace(noOpenScript, "(?is)<style.*", " ")
+    val noComment = regexp_replace(noOpenStyle, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "<[^>]*>", " ")
     val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
       "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")

@@ -677,8 +677,12 @@ object AnalysisQueries {
         |        regexp_replace(
         |          regexp_replace(
         |            regexp_replace(
-        |              regexp_replace(t, '(?is)<script.*?</script>', ' ', 'g'),
-        |            '(?is)<style.*?</style>', ' ', 'g'),
+        |              regexp_replace(
+        |                regexp_replace(
+        |                  regexp_replace(t, '(?is)<script.*?</script>', ' ', 'g'),
+        |                '(?is)<style.*?</style>', ' ', 'g'),
+        |              '(?is)<script.*', ' ', 'g'),
+        |            '(?is)<style.*', ' ', 'g'),
         |          '(?s)<!--.*?-->', ' ', 'g'),
         |        '<[^>]*>', ' ', 'g'),
         |      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),

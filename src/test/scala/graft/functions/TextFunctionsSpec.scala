@@ -137,5 +137,11 @@ class TextFunctionsSpec extends SparkSpec {
     assert(ex("  spaced\t\tout \n text ") == "spaced out text")
     assert(ex("") == "")
     assert(ex("plain text stays") == "plain text stays")
+    // UNCLOSED payload blocks: a truncated page must not leak code into
+    // the extracted text — everything after the open tag is dropped, the
+    // browser rule
+    assert(ex("before<script>var leaked = 'payload'") == "before")
+    assert(ex("keep<style>p{color:red") == "keep")
+    assert(ex("a<script>x</script>b<script>unclosed") == "a b")
   }
 }
