@@ -113,7 +113,8 @@ object Bench {
     "q153_vocab_incremental", // stored vocab index: 2-batch ingest + report
     "q155_embedding_diversity", // one treeAggregate: anisotropy + PR
     "q156_html_extract",      // codegen'd markup-to-text extraction scan
-    "q157_winnow_census")     // O(n) deque winnowing fingerprint scan
+    "q157_winnow_census",     // O(n) deque winnowing fingerprint scan
+    "q158_backoff_scoring")   // stupid-backoff scoring off existing LM tables
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -349,6 +349,55 @@ object BigramPairHashes {
   private[functions] val Whitespace = Pattern.compile("\\s+")
 }
 
+/** Positional trigram events with the FULL backoff key set — one entry
+  * per trigram start: th ("w1 w2 w3"), bh12 ("w1 w2" — the trigram
+  * conditioning context), bh23 ("w2 w3" — the bigram the first backoff
+  * step scores), uh2 ("w2" — its context), uh3 ("w3" — the unigram
+  * floor). All xxhash64 seed 42, so every key joins the count tables the
+  * [[BigramPairHashes]]/[[TrigramPairHashes]] fits already produce — the
+  * stupid-backoff scorer needs no new counting pass, only this one
+  * compiled event producer. */
+case class TrigramBackoffHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("th", LongType, nullable = false),
+      StructField("bh12", LongType, nullable = false),
+      StructField("bh23", LongType, nullable = false),
+      StructField("uh2", LongType, nullable = false),
+      StructField("uh3", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "trigram_backoff_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val trimmed = input.asInstanceOf[UTF8String].trim()
+    val toks: Array[String] =
+      if (trimmed.numBytes() == 0) Array.empty[String]
+      else BigramPairHashes.Whitespace.split(trimmed.toString, -1)
+    val n = math.max(toks.length - 2, 0)
+    val out = new Array[Any](n)
+    val sb = new java.lang.StringBuilder
+    def h(s: String): Long = XXH64.hashUTF8String(UTF8String.fromString(s), 42L)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      sb.append(toks(i)).append(' ').append(toks(i + 1))
+      val bh12 = h(sb.toString)
+      sb.append(' ').append(toks(i + 2))
+      val th = h(sb.toString)
+      sb.setLength(0)
+      sb.append(toks(i + 1)).append(' ').append(toks(i + 2))
+      val bh23 = h(sb.toString)
+      out(i) = InternalRow(th, bh12, bh23, h(toks(i + 1)), h(toks(i + 2)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Positional trigram events for the 3-gram LM tier — the [[BigramPairHashes]]
   * contract one order up: array<struct<th, bh>> with one entry per trigram
   * START (duplicates kept), th = xxhash64("w1 w2 w3"), bh = xxhash64 of the
@@ -615,4 +664,9 @@ object HashFunctions {
     * xxhash64 seed 42). */
   def trigramPairHashes(text: Column): Column =
     ColumnBridge.column(TrigramPairHashes(ColumnBridge.expression(text)))
+
+  /** Per-row trigram events with the full backoff key set:
+    * array<struct<th, bh12, bh23, uh2, uh3>> (xxhash64 seed 42). */
+  def trigramBackoffHashes(text: Column): Column =
+    ColumnBridge.column(TrigramBackoffHashes(ColumnBridge.expression(text)))
 }

@@ -135,6 +135,63 @@ object LanguageModel {
       .agg(count(lit(1)).as("n_trigrams"), avg(col("nll")).as("avg_nll"))
   }
 
+  /** Stupid-backoff trigram scoring (Brants et al. 2007, "Large Language
+    * Models in Machine Translation" — the scoring rule web-scale count
+    * LMs actually ship, chosen there BECAUSE it needs no discount
+    * fitting and distributes trivially):
+    *
+    *   S(w3|w1w2) = c3/c2s                 when the trigram was seen
+    *              = α · c2(w2w3)/c1(w2)    else, when the bigram was seen
+    *              = α² · (c1(w3)+1)/(E+V)  else (add-one unigram floor,
+    *                                       so unseen words stay finite)
+    *
+    * with α = 0.4 (the paper's constant), E = total bigram events and
+    * c1 the leading-unigram counts the bigram fit already keeps — the
+    * scorer adds NO counting pass: one compiled event producer
+    * ([[graft.functions.HashFunctions.trigramBackoffHashes]]) and four
+    * vocabulary-sized left joins against the existing [[TrigramLm]] /
+    * [[BigramLm]] tables. Returns per doc: event count, per-level hit
+    * counts (exact integers — the backoff profile is itself a corpus
+    * signal), and the mean negative log-score. Docs with fewer than
+    * three tokens drop out (the shorter tiers own them). */
+  def scoreStupidBackoff(docs: DataFrame, idCol: String, textCol: String,
+                         tri: TrigramLm, bi: BigramLm,
+                         alpha: Double = 0.4): DataFrame = {
+    val totalEvents = bi.contexts.agg(sum("c1")).head().getLong(0)
+    val events = docs
+      .select(col(idCol),
+        explode(HashFunctions.trigramBackoffHashes(col(textCol))).as("e"))
+      .select(col(idCol), col("e.th").as("th"), col("e.bh12").as("bh12"),
+        col("e.bh23").as("bh23"), col("e.uh2").as("uh2"),
+        col("e.uh3").as("uh3"))
+    val joined = events
+      .join(tri.trigrams, Seq("th"), "left")
+      .join(tri.contexts.withColumnRenamed("bh", "bh12"), Seq("bh12"), "left")
+      .join(bi.bigrams.withColumnRenamed("bh", "bh23")
+        .withColumnRenamed("c2", "c2f"), Seq("bh23"), "left")
+      .join(bi.contexts.withColumnRenamed("uh", "uh2"), Seq("uh2"), "left")
+      .join(bi.contexts.withColumnRenamed("uh", "uh3")
+        .withColumnRenamed("c1", "c1f"), Seq("uh3"), "left")
+    val a = lit(alpha)
+    val score =
+      when(col("c3").isNotNull,
+        col("c3").cast("double") / col("c2s").cast("double"))
+      .when(col("c2f").isNotNull,
+        a * col("c2f").cast("double") / col("c1").cast("double"))
+      .otherwise(a * a *
+        (coalesce(col("c1f"), lit(0L)) + lit(1L)).cast("double") /
+        lit(totalEvents + bi.vocabSize).cast("double"))
+    joined.select(col(idCol),
+        col("c3").isNotNull.cast("long").as("l0"),
+        (col("c3").isNull && col("c2f").isNotNull).cast("long").as("l1"),
+        (col("c3").isNull && col("c2f").isNull).cast("long").as("l2"),
+        (-log(score)).as("nll"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_events"),
+        sum("l0").as("n_tri_hits"), sum("l1").as("n_bi_hits"),
+        sum("l2").as("n_uni_floor"), avg("nll").as("avg_nll"))
+  }
+
   /** Score each doc's mean bigram negative log-likelihood under `lm`.
     * Returns (idCol, n_bigrams, avg_nll); docs with fewer than two tokens
     * have no bigram events and drop out (callers decide their fate —

@@ -551,7 +551,38 @@ object AnalysisQueries {
       .orderBy("source")
   }
 
+  /** q158: stupid-backoff scoring ([[graft.ops.LanguageModel
+    * .scoreStupidBackoff]], Brants et al. 2007) — the web-scale count-LM
+    * scoring rule, completing the LM tier: q87/q118 score with add-one
+    * smoothing at a fixed order, backoff uses the longest context with
+    * evidence and pays α per fallback step. Train on doc_id%4≠0, score
+    * the WHOLE corpus — held-out docs exercise all three levels (level
+    * counts at the three SFs: 3333/2947/113 bigram fallbacks, 2/4/0
+    * unigram floors — the zero is itself pinned by the oracle). Per
+    * source: scored docs, events, exact per-level hit counts (the
+    * backoff profile is a corpus-drift signal in its own right), 4-dp
+    * mean NLL. Engine keys by xxhash64, oracle replays in gram-string
+    * space — equality doubles as the collision check (q89 doctrine). */
+  val backoffScoring: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val train = docs.where(col("doc_id") % 4 =!= 0)
+    val tri = graft.ops.LanguageModel.fitTrigramLm(train, "text")
+    val bi = graft.ops.LanguageModel.fitBigramLm(train, "text")
+    val scored = graft.ops.LanguageModel.scoreStupidBackoff(
+      docs, "doc_id", "text", tri, bi)
+    docs.select("doc_id", "source").join(scored, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_scored"),
+        sum("n_events").as("n_events"),
+        sum("n_tri_hits").as("n_tri_hits"),
+        sum("n_bi_hits").as("n_bi_hits"),
+        sum("n_uni_floor").as("n_uni_floor"),
+        round(avg("avg_nll"), 4).as("avg_nll"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "q158_backoff_scoring" -> backoffScoring,
     "q157_winnow_census" -> winnowCensus,
     "q156_html_extract" -> htmlExtractReport,
     "q150_wordpiece_encode" -> wordpieceEncode,
@@ -623,6 +654,59 @@ object AnalysisQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q158_backoff_scoring" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |    ELSE string_split_regex(trim(text), '\s+') END AS ts
+        |  FROM documents),
+        |tr AS (SELECT * FROM d WHERE doc_id % 4 <> 0),
+        |tev AS (
+        |  SELECT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS tg,
+        |    ts[i] || ' ' || ts[i+1] AS bg
+        |  FROM tr, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)),
+        |c3 AS (SELECT tg, count(*) AS c3 FROM tev GROUP BY 1),
+        |c2s AS (SELECT bg, count(*) AS c2s FROM tev GROUP BY 1),
+        |bev AS (
+        |  SELECT ts[i] || ' ' || ts[i+1] AS bg, ts[i] AS w1
+        |  FROM tr, UNNEST(generate_series(1, len(ts) - 1)) AS t(i)),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM bev GROUP BY 1),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bev GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT tok) AS v
+        |       FROM (SELECT unnest(ts) AS tok FROM tr)),
+        |ee AS (SELECT count(*) AS e FROM bev),
+        |sev AS (
+        |  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS tg,
+        |    ts[i] || ' ' || ts[i+1] AS bg12,
+        |    ts[i+1] || ' ' || ts[i+2] AS bg23,
+        |    ts[i+1] AS w2, ts[i+2] AS w3
+        |  FROM d, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)),
+        |sc AS (
+        |  SELECT sev.doc_id,
+        |    CASE WHEN c3.c3 IS NOT NULL THEN 1 ELSE 0 END AS l0,
+        |    CASE WHEN c3.c3 IS NULL AND c2.c2 IS NOT NULL THEN 1 ELSE 0 END AS l1,
+        |    CASE WHEN c3.c3 IS NULL AND c2.c2 IS NULL THEN 1 ELSE 0 END AS l2,
+        |    -ln(CASE WHEN c3.c3 IS NOT NULL THEN CAST(c3.c3 AS DOUBLE) / s2.c2s
+        |         WHEN c2.c2 IS NOT NULL THEN 0.4 * CAST(c2.c2 AS DOUBLE) / c1a.c1
+        |         ELSE 0.4 * 0.4 * (coalesce(c1b.c1, 0) + 1)
+        |           / CAST(ee.e + vv.v AS DOUBLE) END) AS nll
+        |  FROM sev LEFT JOIN c3 USING (tg)
+        |    LEFT JOIN c2s s2 ON sev.bg12 = s2.bg
+        |    LEFT JOIN c2 ON sev.bg23 = c2.bg
+        |    LEFT JOIN c1 c1a ON sev.w2 = c1a.w1
+        |    LEFT JOIN c1 c1b ON sev.w3 = c1b.w1
+        |  CROSS JOIN ee CROSS JOIN vv),
+        |pd AS (
+        |  SELECT doc_id, count(*) AS ne, sum(l0) AS l0, sum(l1) AS l1,
+        |    sum(l2) AS l2, avg(nll) AS an
+        |  FROM sc GROUP BY 1)
+        |SELECT d2.source, count(*) AS n_docs_scored,
+        |  CAST(sum(ne) AS BIGINT) AS n_events,
+        |  CAST(sum(l0) AS BIGINT) AS n_tri_hits,
+        |  CAST(sum(l1) AS BIGINT) AS n_bi_hits,
+        |  CAST(sum(l2) AS BIGINT) AS n_uni_floor,
+        |  round(avg(an), 4) AS avg_nll
+        |FROM pd JOIN (SELECT doc_id, source FROM documents) d2 USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q157_winnow_census" ->
       """WITH g AS (
         |  SELECT doc_id, source, i,

@@ -164,4 +164,33 @@ class LanguageModelSpec extends SparkSpec {
     assert(broken > clean,
       s"reversed-token corpus must score worse ($broken vs $clean)")
   }
+
+  test("stupid backoff: hand-computed levels and scores on a tiny corpus") {
+    // train: "a b c", "a b d" -> c3("a b c")=c3("a b d")=1, c2s("a b")=2;
+    // bigram events: (a b)x2, (b c), (b d) -> c1(a)=2, c1(b)=2; V=4, E=4
+    val train = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val tri = LanguageModel.fitTrigramLm(train, "text")
+    val bi = LanguageModel.fitBigramLm(train, "text")
+    // score "a b c d x": (a,b,c) seen trigram -> 1/2;
+    // (b,c,d): trigram unseen, bigram "c d" unseen -> floor with c1(d)=0
+    //   -> 0.4*0.4*(0+1)/(4+4) = 0.02;
+    // (c,d,x): same floor with c1(x)=0 -> 0.02
+    val scored = LanguageModel.scoreStupidBackoff(
+        Seq((9L, "a b c d x")).toDF("doc_id", "text"),
+        "doc_id", "text", tri, bi)
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(scored._2 == 3 && scored._3 == 1 && scored._4 == 0 && scored._5 == 2)
+    val want = (-math.log(0.5) - math.log(0.02) - math.log(0.02)) / 3
+    assert(math.abs(scored._6 - want) < 1e-12, s"got ${scored._6}, want $want")
+    // a bigram-backoff case: "b c a" -> trigram unseen, bigram "c a"
+    // unseen -> floor; but "a b x": (a,b,x) unseen trigram, bigram "b x"
+    // unseen -> floor. Use "x a b": (x,a,b) unseen, bigram "a b" SEEN ->
+    // 0.4 * c2(a b)/c1(a) = 0.4 * 2/2 = 0.4
+    val l1 = LanguageModel.scoreStupidBackoff(
+        Seq((10L, "x a b")).toDF("doc_id", "text"),
+        "doc_id", "text", tri, bi)
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(l1._2 == 1 && l1._4 == 1)
+    assert(math.abs(l1._6 - (-math.log(0.4))) < 1e-12)
+  }
 }
