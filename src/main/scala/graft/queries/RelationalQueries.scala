@@ -288,7 +288,31 @@ object RelationalQueries {
         count(lit(1)).as("n"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** q160: schema-on-read JSON extraction — the semi-structured column
+    * path every event pipeline needs: `events.props` carries a JSON
+    * payload; `from_json` with an explicit schema projects it into a
+    * typed struct INSIDE whole-stage codegen (no UDF, no string
+    * re-parsing per field access — the reason from_json beats repeated
+    * get_json_object when more than one field is read; their equality is
+    * spec-pinned). Per event type: events, payloads with the field,
+    * exact sum / min / max and 4-dp mean of the extracted value. Oracle:
+    * DuckDB's JSON arrow operator on the same strings. */
+  val jsonExtract: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .withColumn("p", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k LONG")))
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("p.k").isNotNull.cast("long")).as("n_with_k"),
+        sum(col("p.k")).as("sum_k"),
+        round(avg(col("p.k")), 4).as("avg_k"),
+        min(col("p.k")).as("min_k"),
+        max(col("p.k")).as("max_k"))
+      .orderBy("event_type")
+  }
+
   val all: Map[String, Q] = Map(
+    "q160_json_extract" -> jsonExtract,
     "q17_asof_join" -> asofJoin,
     "q27_asof_physical" -> asofJoinPhysical,
     "q28_range_join" -> rangeJoinIntervals,
@@ -356,6 +380,16 @@ object RelationalQueries {
         |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
         |    + (CASE WHEN ts >= date_trunc('hour', ts) + INTERVAL 30 MINUTE THEN 3600 ELSE 0 END) AS round_h_sec
         |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
+    "q160_json_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_with_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  round(avg(k), 4) AS avg_k,
+        |  CAST(min(k) AS BIGINT) AS min_k,
+        |  CAST(max(k) AS BIGINT) AS max_k
+        |FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q16_sessionization" ->
       """WITH t AS (
         |  SELECT user_id, ts, value,

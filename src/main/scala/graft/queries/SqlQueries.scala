@@ -40,6 +40,13 @@ object SqlQueries {
     ColumnBridge.registerFunction(s, "longest_repeated_substring_len",
       (args: Seq[Expression]) =>
         graft.functions.LongestRepeatedSubstringLen(args.head))
+    ColumnBridge.registerFunction(s, "winnow_fingerprints",
+      (args: Seq[Expression]) => args match {
+        case Seq(t, IntegerLiteral(k), IntegerLiteral(w)) =>
+          graft.functions.WinnowFingerprints(t, k, w)
+        case _ => throw new IllegalArgumentException(
+          "usage: winnow_fingerprints(text, k literal, w literal)")
+      })
     ColumnBridge.registerFunction(s, "positional_gram_hashes",
       (args: Seq[Expression]) => graft.functions.GraftFunctions.intLitBuilder(
         "positional_gram_hashes", args)(
@@ -406,7 +413,28 @@ object SqlQueries {
       GROUP BY lrs ORDER BY lrs""")
   }
 
+  /** q157's winnowing census as pure SQL text: the registered
+    * `winnow_fingerprints` engine function (O(n) deque selection) with
+    * plain SQL aggregation — a SQL-only user fingerprints a corpus where
+    * the oracle must enumerate every window. Shares q157's oracle
+    * verbatim. */
+  val sqlWinnowCensus: Q = (s, dir) => {
+    ensureSurface(s, dir)
+    s.sql("""
+      SELECT source, count(*) AS n_docs,
+        sum(CAST(greatest(length(text) - 4, 1) AS BIGINT)) AS n_grams,
+        sum(CAST(size(fp) AS BIGINT)) AS n_fingerprints,
+        round(sum(CAST(size(fp) AS BIGINT)) /
+          CAST(sum(CAST(greatest(length(text) - 4, 1) AS BIGINT)) AS DOUBLE), 4)
+          AS density,
+        sum(aggregate(fp, CAST(0 AS BIGINT), (a, x) -> a + x)) AS sum_fp_hash
+      FROM (SELECT source, text, winnow_fingerprints(text, 5, 8) AS fp
+            FROM documents)
+      GROUP BY source ORDER BY source""")
+  }
+
   val all: Map[String, Q] = Map(
+    "q159_sql_winnow_census" -> sqlWinnowCensus,
     "q151_sql_margin_mining" -> sqlMarginMining,
     "q152_sql_intradoc_repeats" -> sqlIntraDocRepeats,
     "q143_sql_substring_dedup" -> sqlSubstringDedup,
@@ -422,6 +450,7 @@ object SqlQueries {
     "q81_sql_temperature_mix" -> sqlTemperatureMix)
 
   val oracles: Map[String, String] = Map(
+    "q159_sql_winnow_census" -> AnalysisQueries.oracles("q157_winnow_census"),
     "q151_sql_margin_mining" -> CorpusQueries.oracles("q147_margin_mining"),
     "q152_sql_intradoc_repeats" -> AnalysisQueries.oracles("q146_intradoc_repeats"),
     "q143_sql_substring_dedup" -> CorpusQueries.oracles("q136_substring_dedup"),

@@ -164,6 +164,26 @@ object IndexStore {
       vocab, vocab.count())
   }
 
+  /** Persist a fitted trigram LM ([[graft.ops.LanguageModel.TrigramLm]]) —
+    * same contract as [[saveLm]]; together the two stored tiers are the
+    * artifact set the stupid-backoff scorer (q158) ships. Overwrites. */
+  def saveTrigramLm(spark: SparkSession, lm: graft.ops.LanguageModel.TrigramLm,
+                    path: String): Unit = {
+    writeMeta(spark, path, "lm3")
+    lm.trigrams.write.mode("overwrite").parquet(s"$path/trigrams")
+    lm.contexts.write.mode("overwrite").parquet(s"$path/contexts")
+    lm.vocab.write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  def loadTrigramLm(spark: SparkSession, path: String): graft.ops.LanguageModel.TrigramLm = {
+    checkMeta(spark, path, "lm3")
+    val vocab = spark.read.parquet(s"$path/vocab")
+    graft.ops.LanguageModel.TrigramLm(
+      spark.read.parquet(s"$path/trigrams"),
+      spark.read.parquet(s"$path/contexts"),
+      vocab, vocab.count())
+  }
+
   /** Persist a learned BPE merge list ([[graft.ops.BpeTrainer.BpeModel]]).
     * The merge table IS the tokenizer (encoding needs nothing else), so
     * this is the whole artifact a training job ships to its workers; the

@@ -350,6 +350,27 @@ object StreamingPipeline {
         onScoredBatch(scored, batchId)
       }
 
+  /** Streaming stupid-backoff scoring: score every arriving micro-batch
+    * with the two STORED LM tiers
+    * ([[graft.store.IndexStore.saveTrigramLm]]/saveLm — the q158
+    * artifact set). Stateless per batch: the count tables are static
+    * frames joined into each micro-batch's event stream; per-level hit
+    * counts and NLL are pure functions of the stored counts, so replays
+    * score identically. The streaming half of the q158 operator. */
+  def backoffScoreStream(newDocs: DataFrame, idCol: String, textCol: String,
+                         tri: graft.ops.LanguageModel.TrigramLm,
+                         bi: graft.ops.LanguageModel.BigramLm)
+                        (onScoredBatch: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val scored = batch.join(
+          graft.ops.LanguageModel.scoreStupidBackoff(batch, idCol, textCol, tri, bi),
+          Seq(idCol), "left")
+        onScoredBatch(scored, batchId)
+      }
+
   /** Streaming DSIR selection: importance-resample every arriving
     * micro-batch toward the target domain with the two STORED bigram LMs
     * (the fitted artifacts — [[graft.store.IndexStore.saveLm]]/loadLm;

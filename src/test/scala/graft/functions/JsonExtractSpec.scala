@@ -1,0 +1,26 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class JsonExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("from_json struct projection agrees with get_json_object per field") {
+    val df = Seq("""{"k": 3}""", """{"k": 0}""", "{}", "not json", null)
+      .toDF("props")
+    val both = df.select(
+      from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k").as("a"),
+      get_json_object(col("props"), "$.k").cast("long").as("b"))
+    assert(both.where(!(col("a") <=> col("b"))).count() == 0)
+    assert(both.where(col("a").isNotNull).count() == 2)
+  }
+
+  test("corpus props payloads all parse") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val n = ev.count()
+    val parsed = ev.select(from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k").as("k"))
+      .where(col("k").isNotNull).count()
+    assert(parsed == n, s"$parsed of $n props rows parsed")
+  }
+}

@@ -355,6 +355,43 @@ class StreamingSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("streaming backoff scoring through STORED LM tiers equals batch") {
+    import graft.ops.LanguageModel
+    val docs = Tables.documents(spark, dir)
+    val reference = docs.where(col("doc_id") % 4 =!= 0)
+    // fit + persist both tiers, then score through the RELOADED artifacts
+    val triDir = java.nio.file.Files.createTempDirectory("graft_lm3").toString
+    val biDir = java.nio.file.Files.createTempDirectory("graft_lm2").toString
+    graft.store.IndexStore.saveTrigramLm(spark,
+      LanguageModel.fitTrigramLm(reference, "text"), triDir)
+    graft.store.IndexStore.saveLm(spark,
+      LanguageModel.fitBigramLm(reference, "text"), biDir)
+    val tri = graft.store.IndexStore.loadTrigramLm(spark, triDir)
+    val bi = graft.store.IndexStore.loadLm(spark, biDir)
+
+    val delta = docs.where(col("doc_id") % 10 === 5).select("doc_id", "text")
+    val d = java.nio.file.Files.createTempDirectory("graft_backoff_src")
+    delta.coalesce(1).write.parquet(d.resolve("p0").toString)
+    val stream = spark.readStream.schema(delta.schema).parquet(s"$d/*")
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, Double)]()
+    val q = StreamingPipeline.backoffScoreStream(stream, "doc_id", "text", tri, bi) {
+      (scored, _) =>
+        scored.select("doc_id", "n_events", "n_bi_hits", "avg_nll")
+          .collect().foreach { r =>
+            got.put(r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))
+          }
+    }.start()
+    q.awaitTermination()
+    val want = LanguageModel.scoreStupidBackoff(delta, "doc_id", "text", tri, bi)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getDouble(5)))).toMap
+    assert(want.nonEmpty && got.size == want.size)
+    want.foreach { case (id, (ne, nb, nll)) =>
+      val g = got.get(id)
+      assert(g._1 == ne && g._2 == nb && math.abs(g._3 - nll) < 1e-12, s"doc $id")
+    }
+  }
+
   test("streaming LM scoring equals the batch scoreNll per arriving doc") {
     import graft.ops.LanguageModel
     import spark.implicits._
