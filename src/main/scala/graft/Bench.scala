@@ -115,7 +115,8 @@ object Bench {
     "q156_html_extract",      // codegen'd markup-to-text extraction scan
     "q157_winnow_census",     // O(n) deque winnowing fingerprint scan
     "q158_backoff_scoring",   // stupid-backoff scoring off existing LM tables
-    "q160_json_extract")      // schema-on-read from_json projection scan
+    "q160_json_extract",      // schema-on-read from_json projection scan
+    "q161_keyword_tagging")   // Aho-Corasick one-pass dictionary tagging
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

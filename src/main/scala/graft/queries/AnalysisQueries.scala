@@ -581,7 +581,39 @@ object AnalysisQueries {
       .orderBy("source")
   }
 
+  /** The q161 dictionary — deliberately includes nested patterns ("a"
+    * inside "a b", "hash" inside "hash join") so the gate exercises the
+    * automaton's output-link collapse, and single letters that match
+    * INSIDE words (substring semantics, counted identically by the
+    * oracle's positional scan). */
+  private val TagKeywords =
+    Seq("a", "a b", "hash", "hash join", "merge", "scan", "stream")
+
+  /** q161: dictionary tagging ([[graft.functions.MultiPatternCounts]] —
+    * Aho-Corasick 1975): every occurrence of every keyword counted in
+    * ONE pass per document, overlaps and nestings included — the
+    * taxonomy/blocklist/PII-term screen at its real scale shape (a 10k-
+    * term list costs the same single pass; per-pattern rescans cost
+    * 10k passes). Per keyword: corpus occurrence total and documents
+    * containing it. Oracle: the definition — enumerate every position ×
+    * keyword and compare substrings (replace()-based counting would
+    * miss overlapping occurrences, so the oracle deliberately avoids
+    * it). All-integer output. */
+  val keywordTagging: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val counted = docs.select(col("doc_id"),
+      posexplode(graft.functions.TextExpr.multiPatternCounts(
+        col("text"), TagKeywords)).as(Seq("i", "c")))
+    counted.groupBy("i")
+      .agg(sum(col("c").cast("long")).as("n_occurrences"),
+        sum((col("c") > 0).cast("long")).as("n_docs_with"))
+      .select(element_at(typedLit(TagKeywords), col("i") + 1).as("keyword"),
+        col("n_occurrences"), col("n_docs_with"))
+      .orderBy("keyword")
+  }
+
   val all: Map[String, Q] = Map(
+    "q161_keyword_tagging" -> keywordTagging,
     "q158_backoff_scoring" -> backoffScoring,
     "q157_winnow_census" -> winnowCensus,
     "q156_html_extract" -> htmlExtractReport,
@@ -654,6 +686,22 @@ object AnalysisQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q161_keyword_tagging" ->
+      """WITH kw(keyword) AS (
+        |  SELECT unnest(['a', 'a b', 'hash', 'hash join', 'merge',
+        |                 'scan', 'stream'])),
+        |pc AS (
+        |  SELECT d.doc_id, kw.keyword, count(*) AS c
+        |  FROM documents d, kw,
+        |    UNNEST(generate_series(1,
+        |      length(d.text) - length(kw.keyword) + 1)) AS t(i)
+        |  WHERE substr(d.text, i, length(kw.keyword)) = kw.keyword
+        |  GROUP BY 1, 2)
+        |SELECT kw.keyword,
+        |  CAST(coalesce(sum(pc.c), 0) AS BIGINT) AS n_occurrences,
+        |  CAST(count(pc.doc_id) AS BIGINT) AS n_docs_with
+        |FROM kw LEFT JOIN pc USING (keyword)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q158_backoff_scoring" ->
       """WITH d AS (
         |  SELECT doc_id, source, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])

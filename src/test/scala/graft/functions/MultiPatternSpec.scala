@@ -1,0 +1,39 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultiPatternSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Definitionally-correct reference: every position, every pattern. */
+  private def brute(s: String, ps: Seq[String]): Seq[Int] =
+    ps.map(p => (0 to s.length - p.length)
+      .count(i => i >= 0 && s.regionMatches(i, p, 0, p.length)))
+
+  private def engine(s: String, ps: Seq[String]): Seq[Int] =
+    Seq(s).toDF("t")
+      .select(TextExpr.multiPatternCounts(col("t"), ps).as("c"))
+      .as[Seq[Int]].head()
+
+  test("overlapping and nested matches are all counted") {
+    assert(engine("a a a", Seq("a a")) == Seq(2)) // overlap via shared middle
+    assert(engine("aaaa", Seq("aa")) == Seq(3))
+    assert(engine("a b c", Seq("a", "a b", "b", "a b c")) == Seq(1, 1, 1, 1))
+    assert(engine("hash join hash", Seq("hash", "hash join")) == Seq(2, 1))
+    assert(engine("", Seq("x")) == Seq(0))
+    assert(engine("zzz", Seq("a", "b")) == Seq(0, 0))
+  }
+
+  test("automaton matches brute force on random texts and pattern sets") {
+    val rng = new scala.util.Random(17)
+    (1 to 150).foreach { _ =>
+      val s = (0 until rng.nextInt(60)).map(_ => ('a' + rng.nextInt(3)).toChar).mkString
+      val nPat = 1 + rng.nextInt(5)
+      val ps = (0 until nPat).map(_ =>
+        (0 until 1 + rng.nextInt(4)).map(_ => ('a' + rng.nextInt(3)).toChar).mkString)
+        .distinct
+      assert(engine(s, ps) == brute(s, ps), s"text '$s' patterns $ps")
+    }
+  }
+}
