@@ -1,0 +1,72 @@
+package graft.tools
+
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measure the two scale claims of the round-11 text additions:
+  *
+  * 1. Aho-Corasick (q161) vs per-pattern scanning: one automaton pass
+  *    should be ~flat in dictionary size while the per-pattern
+  *    regexp_extract_all form pays a full scan per pattern.
+  * 2. Tokenizer encode throughput: compiled BPE (q121) vs compiled
+  *    greedy WordPiece (q150) on the same corpus — both are single
+  *    codegen-stage scans; this pins their relative per-row cost.
+  *
+  * Usage: runMain graft.tools.MeasureTaggers [sfDir]
+  */
+object MeasureTaggers {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config(Tables.NanosAsLongConf, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, dir).cache()
+    docs.count()
+
+    def time(label: String)(f: => Long): Unit = {
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      println(f"$label%-36s min=${runs.map(_._1).min}%6.2fs  (result=${runs.head._2})")
+    }
+
+    // ---- dictionary scaling: 10 vs 100 patterns, automaton vs per-pattern
+    val vocabWords = Seq("spark", "stream", "join", "data", "hash", "merge",
+      "scan", "sort", "group", "filter")
+    def dict(n: Int): Seq[String] =
+      (0 until n).map(i => vocabWords(i % 10) + (if (i >= 10) " " + vocabWords((i / 10) % 10) else ""))
+        .distinct
+    Seq(10, 100).foreach { n =>
+      val d = dict(n)
+      time(s"aho-corasick  ${d.length} patterns") {
+        docs.select(graft.functions.TextExpr.multiPatternCounts(col("text"), d).as("c"))
+          .agg(sum(expr("aggregate(c, 0, (a, x) -> a + x)"))).head().getLong(0)
+      }
+      time(s"per-pattern   ${d.length} regexps") {
+        val cols = d.map(p =>
+          size(regexp_extract_all(col("text"), lit(java.util.regex.Pattern.quote(p)), lit(0))))
+        docs.select(cols.reduce(_ + _).cast("long").as("c"))
+          .agg(sum("c")).head().getLong(0)
+      }
+    }
+
+    // ---- tokenizer encode throughput on identical input
+    val model = graft.ops.BpeTrainer.fit(docs, "text", 20)
+    val merges = model.merges.map(m => (m.lhs, m.rhs))
+    val vocab = graft.ops.WordPiece.fitVocab(docs, "text")
+    time("bpe encode (20 merges)") {
+      docs.select(size(graft.functions.TextExpr.bpeEncode(col("text"), merges)).as("n"))
+        .agg(sum("n")).head().getLong(0)
+    }
+    time(s"wordpiece greedy (${vocab.length} entries)") {
+      docs.select(size(graft.functions.TextExpr.greedyVocabEncode(col("text"), vocab)).as("n"))
+        .agg(sum("n")).head().getLong(0)
+    }
+    spark.stop()
+  }
+}
