@@ -1,6 +1,5 @@
 package graft.ops
 
-import graft.functions.TextFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -33,10 +32,18 @@ import org.apache.spark.sql.functions._
   */
 object VocabIndex {
 
-  /** Gram-type counts of one batch, attributed to `batchId`. */
+  /** Gram-type counts of one batch, attributed to `batchId`. Types are
+    * keyed by the compiled positional producer's xxhash64 (the q145/q128
+    * lesson this round: the wordGrams HOF walks an interpreted lambda
+    * per element and dominated the gate; and an 8-byte key is the honest
+    * stored-index format at vocabulary scale). The q153 oracle counts
+    * gram STRINGS, so gate equality doubles as the collision check
+    * (q130 doctrine). Docs shorter than n tokens emit no grams. */
   def build(docs: DataFrame, textCol: String, batchId: Long,
             n: Int = 3): DataFrame =
-    docs.select(explode(TextFunctions.wordGrams(col(textCol), n)).as("gram"))
+    docs.select(explode(
+        graft.functions.HashFunctions.positionalGramHashes(col(textCol), n))
+        .as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("c"))
       .select(col("gram"), lit(batchId).as("first_batch"), col("c"))
 

@@ -40,9 +40,20 @@ object HygieneQueries {
   val zipfFit: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     def fitFor(n: Int): DataFrame = {
-      val grams =
-        if (n == 1) docs.select(explode(TextFunctions.tokens(col("text"))).as("g"))
-        else docs.select(explode(TextFunctions.wordGrams(col("text"), n)).as("g"))
+      // COMPILED positional gram hashes, not the wordGrams HOF (the q145
+      // lesson this round: the interpreted transform/slice walk was ~4x
+      // the whole query). Hash keys are safe here because no gram string
+      // reaches the output and the regression is tie-order invariant:
+      // row_number breaks count ties by key, but tied rows have EQUAL
+      // counts, so the (rank, count) multiset entering the OLS — and
+      // hence every published moment — is identical whichever of the
+      // tied grams the top-100 cutoff admits. Collisions would merge
+      // types and shift vocab/counts — caught by the string-space
+      // oracle (q130 doctrine). Positional convention note: every corpus
+      // doc has ≥ 10 tokens, so the <n whole-text fallback branch the
+      // oracle keeps is vacuous at both orders.
+      val grams = docs.select(explode(
+        graft.functions.HashFunctions.positionalGramHashes(col("text"), n)).as("g"))
       val counts = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
       val top = counts.orderBy(col("cnt").desc, col("g").asc).limit(ZipfTopN)
       val ranked = top.withColumn("rank",
@@ -261,9 +272,20 @@ object HygieneQueries {
   val heapsFit: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val nTotal = docs.agg(count(lit(1)).as("n_total"))
+    // Gram production is the COMPILED positional producer, not the
+    // wordGrams HOF: `transform`/`slice` lambdas are CodegenFallback and
+    // walk an interpreted tree per array element (the round-4
+    // WordGramHashes lesson — measured 4.4s → see NOTES_r11), and types
+    // are keyed by the producer's xxhash64 so the gram text never leaves
+    // the scan stage (q130 doctrine: the oracle counts gram STRINGS, so
+    // gate equality doubles as the collision check). Positional
+    // convention: docs under 3 tokens emit no grams (none exist in the
+    // corpus — min doc length is 10 tokens — and the oracle mirrors the
+    // empty-array branch).
     val toks = docs.crossJoin(nTotal)
       .select(floor(col("doc_id") * 10.0 / col("n_total")).cast("int").as("bucket"),
-        explode(TextFunctions.wordGrams(col("text"), 3)).as("tok"))
+        explode(graft.functions.HashFunctions.positionalGramHashes(
+          col("text"), 3)).as("tok"))
     // ONE tokenize+explode scan: reduce to (bucket, type) counts first
     // (map-side combined), then both the first-occurrence tier and the
     // per-bucket totals re-aggregate that ≤10×vocab frame. The frame is
@@ -379,7 +401,7 @@ object HygieneQueries {
         |  FROM documents, n),
         |toks AS (
         |  SELECT bucket, unnest(
-        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |    CASE WHEN len(ts) < 3 THEN CAST([] AS VARCHAR[])
         |      ELSE [array_to_string(ts[i:i+2], ' ')
         |            FOR i IN generate_series(1, len(ts) - 2)]
         |    END) AS tok

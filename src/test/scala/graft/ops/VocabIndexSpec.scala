@@ -14,16 +14,17 @@ class VocabIndexSpec extends SparkSpec {
     val b = docs.where(col("doc_id") % 2 === 1)
     val merged = VocabIndex.merge(
         VocabIndex.build(a, "text", 0L), VocabIndex.build(b, "text", 1L))
-      .as[(String, Long, Long)].collect().toSet
+      .as[(Long, Long, Long)].collect().toSet
     // one-shot truth: tag every gram occurrence with its half, then
-    // min-batch + total count per type
+    // min-batch + total count per type (same compiled producer as build)
     val truth = docs
       .select((col("doc_id") % 2).as("half"),
-        explode(graft.functions.TextFunctions.wordGrams(col("text"), 3)).as("gram"))
+        explode(graft.functions.HashFunctions.positionalGramHashes(
+          col("text"), 3)).as("gram"))
       .groupBy("gram")
       .agg(min(col("half")).as("first_batch"), count(lit(1)).as("c"))
       .select(col("gram"), col("first_batch"), col("c"))
-      .as[(String, Long, Long)].collect().toSet
+      .as[(Long, Long, Long)].collect().toSet
     assert(merged == truth)
   }
 
@@ -40,10 +41,10 @@ class VocabIndexSpec extends SparkSpec {
     assert(!IndexStore.updateVocabIndex(spark, path, b, "text",
       logicalBatch = 1L, batchId = 1L))
     val stored = IndexStore.loadVocabGrams(spark, path)
-      .as[(String, Long, Long)].collect().toSet
+      .as[(Long, Long, Long)].collect().toSet
     val mem = VocabIndex.merge(
         VocabIndex.build(a, "text", 0L), VocabIndex.build(b, "text", 1L))
-      .as[(String, Long, Long)].collect().toSet
+      .as[(Long, Long, Long)].collect().toSet
     assert(stored == mem)
     val batches = IndexStore.loadVocabBatches(spark, path)
       .orderBy("batch_id").collect()
@@ -79,9 +80,9 @@ class VocabIndexSpec extends SparkSpec {
       .option("checkpointLocation", d.resolve("ck").toString).start()
     q.awaitTermination()
     val streamed = IndexStore.loadVocabGrams(spark, path)
-      .select("gram", "c").as[(String, Long)].collect().toSet
+      .select("gram", "c").as[(Long, Long)].collect().toSet
     val oneShot = VocabIndex.build(docs, "text", 0L)
-      .select("gram", "c").as[(String, Long)].collect().toSet
+      .select("gram", "c").as[(Long, Long)].collect().toSet
     assert(streamed == oneShot)
   }
 }
