@@ -116,7 +116,8 @@ object Bench {
     "q157_winnow_census",     // O(n) deque winnowing fingerprint scan
     "q158_backoff_scoring",   // stupid-backoff scoring off existing LM tables
     "q160_json_extract",      // schema-on-read from_json projection scan
-    "q161_keyword_tagging")   // Aho-Corasick one-pass dictionary tagging
+    "q161_keyword_tagging",   // Aho-Corasick one-pass dictionary tagging
+    "q162_tokenizer_upgrade") // v1 vs continued-v2 encode, one scan
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -612,7 +612,45 @@ object AnalysisQueries {
       .orderBy("keyword")
   }
 
+  /** q162: tokenizer-UPGRADE impact report — the migration-planning
+    * question a training org asks before swapping tokenizers: encode the
+    * SAME corpus under the stored v1 tokenizer (fit on the %10≠3 slice)
+    * and under its domain-continued v2 (q125's continueFit: +10 merges
+    * on the full corpus with v1 frozen), and report the per-source
+    * fertility delta — where v2 compresses (sources the v1 slice
+    * under-served) and by how much, in exact subword counts. One scan,
+    * both compiled encoders side by side in the same projection. Oracle:
+    * the q125 replay machinery composed end-to-end — v1 chain on the
+    * slice, winners APPLIED to the full-corpus word table (a-chain: the
+    * v1 encoder must cover words the slice never saw), continuation
+    * steps 21..30, then both end-state symbol counts joined onto the
+    * token stream. */
+  val tokenizerUpgrade: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val base = graft.ops.BpeTrainer.fit(
+      docs.where(col("doc_id") % 10 =!= 3), "text", BpeMerges)
+    val extended = graft.ops.BpeTrainer.continueFit(base, docs, "text", 10)
+    val m1 = base.merges.map(m => (m.lhs, m.rhs))
+    val m2 = extended.merges.map(m => (m.lhs, m.rhs))
+    docs.select(col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("nw"),
+        size(graft.functions.TextExpr.bpeEncode(col("text"), m1))
+          .cast("long").as("n1"),
+        size(graft.functions.TextExpr.bpeEncode(col("text"), m2))
+          .cast("long").as("n2"))
+      .groupBy("source")
+      .agg(sum(col("nw")).as("n_words"),
+        sum(col("n1")).as("n_sub_v1"),
+        sum(col("n2")).as("n_sub_v2"),
+        round(sum(col("n1")) * lit(1.0) / sum(col("nw")), 6).as("fertility_v1"),
+        round(sum(col("n2")) * lit(1.0) / sum(col("nw")), 6).as("fertility_v2"),
+        round((sum(col("n1")) - sum(col("n2"))) * lit(1.0) / sum(col("nw")), 6)
+          .as("fertility_gain"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "q162_tokenizer_upgrade" -> tokenizerUpgrade,
     "q161_keyword_tagging" -> keywordTagging,
     "q158_backoff_scoring" -> backoffScoring,
     "q157_winnow_census" -> winnowCensus,
@@ -685,7 +723,34 @@ object AnalysisQueries {
       |FROM u JOIN nw USING (source) GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q162 oracle: v1 chain on the slice → winners applied to the full
+    * word table → continuation → both end-state symbol counts per word
+    * joined onto the token stream. */
+  private def tokenizerUpgradeOracle(nBase: Int, nExtra: Int): String =
+    "WITH " + bpeBaseSql("w0", " WHERE doc_id % 10 <> 3") +
+      bpeStepsSql("w0", 1, nBase) +
+      "," + bpeBaseSql("a0", "") +
+      bpeApplySql("a0", "a", nBase) +
+      bpeStepsSql(s"a$nBase", nBase + 1, nBase + nExtra) + s""",
+      |e1 AS (SELECT word, len(string_split(trim(repr, ':'), '::')) AS n1
+      |       FROM a$nBase),
+      |e2 AS (SELECT word, len(string_split(trim(repr, ':'), '::')) AS n2
+      |       FROM w${nBase + nExtra}),
+      |tok AS (SELECT source, unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |          ELSE string_split_regex(trim(text), '\\s+') END) AS word
+      |        FROM documents),
+      |j AS (SELECT t.source, e1.n1, e2.n2
+      |      FROM tok t JOIN e1 USING (word) JOIN e2 USING (word))
+      |SELECT source, count(*) AS n_words,
+      |  CAST(sum(n1) AS BIGINT) AS n_sub_v1,
+      |  CAST(sum(n2) AS BIGINT) AS n_sub_v2,
+      |  round(sum(n1) * 1.0 / count(*), 6) AS fertility_v1,
+      |  round(sum(n2) * 1.0 / count(*), 6) AS fertility_v2,
+      |  round((sum(n1) - sum(n2)) * 1.0 / count(*), 6) AS fertility_gain
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q162_tokenizer_upgrade" -> tokenizerUpgradeOracle(BpeMerges, 10),
     "q161_keyword_tagging" ->
       """WITH kw(keyword) AS (
         |  SELECT unnest(['a', 'a b', 'hash', 'hash join', 'merge',

