@@ -204,8 +204,25 @@ object Bench {
     val contendedQs = results.collect { case (k, _, l, _) if l > loadGate => k }
     val contended = contendedQs.nonEmpty
     val cjson = contendedQs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // stability evidence: median-over-min pass ratio per query. An 84-query
+    // interleaved run keeps its own 1-min load above the gate for long
+    // stretches, so the load stamp alone over-flags (observed: the flag
+    // list churns between runs while times agree to noise). A query whose
+    // passes agree (spread ~1.0) is a stable measurement whatever the
+    // load average said; one with spread >> 1 deserves suspicion even at
+    // quiet load. Published per query so the record carries its own
+    // adjudication evidence.
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val sjson = jmap((_, t, _, ps) => f"${median(ps.map(_._1)) / t}%.3f")
+    val unstableQs = results.collect {
+      case (k, t, _, ps) if median(ps.map(_._1)) / t > 1.3 => k
+    }
+    val ujson = unstableQs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"loads":$ljson,"sf":"$sfDir","passes":$passesMax,"passes_per_query":$pjson,"pass_times":$passTimes,"pass_loads":$passLoads,"load_gate":$loadGate%.1f,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"contended":$contended,"contended_queries":$cjson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"loads":$ljson,"sf":"$sfDir","passes":$passesMax,"passes_per_query":$pjson,"pass_times":$passTimes,"pass_loads":$passLoads,"spread":$sjson,"unstable_queries":$ujson,"load_gate":$loadGate%.1f,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"contended":$contended,"contended_queries":$cjson}"""
     val out = sys.env.getOrElse("BENCH_OUT", "target/bench.json")
     def write(path: String): Unit = try {
       val p = java.nio.file.Paths.get(path)

@@ -374,6 +374,15 @@ object IndexStore {
     true
   }
 
+  /** Generic crash recovery for ANY index dir maintained by the dot-tmp +
+    * rename-swap update protocol — lexical (q111/q115), vocabulary
+    * (q153), leakage (q144): the directory layout (`<path>`,
+    * `<path>__old`, `.<name>_update_tmp`) is shared, so the recovery
+    * decision procedure is too. Run before reading/updating a store a
+    * crashed process may have held. */
+  def recoverIndexDir(spark: SparkSession, path: String): Boolean =
+    recoverLexicalIndex(spark, path)
+
   /** Persist a vocabulary index ([[graft.ops.VocabIndex]]): the
     * (gram, first_batch, count) type table, the per-batch stats history,
     * and the replay cursor. */

@@ -69,6 +69,27 @@ class VocabIndexSpec extends SparkSpec {
     assert(r(2)._6 == 0.0)
   }
 
+  test("recoverIndexDir restores a crash-parked vocab index; no-op when clean") {
+    val path = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_vocab_rec")).toString + "/idx"
+    IndexStore.updateVocabIndex(spark, path, docs, "text", logicalBatch = 0L)
+    val before = IndexStore.loadVocabGrams(spark, path).count()
+    assert(!IndexStore.recoverIndexDir(spark, path), "clean path must no-op")
+    // crash window: live retired, promotion never happened, tmp debris left
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(root, new org.apache.hadoop.fs.Path(path + "__old")))
+    val tmp = new org.apache.hadoop.fs.Path(
+      root.getParent.toString + "/." + root.getName + "_update_tmp")
+    fs.mkdirs(tmp)
+    assert(IndexStore.recoverIndexDir(spark, path), "must restore the retiree")
+    assert(!fs.exists(tmp), "tmp debris must be gone")
+    assert(IndexStore.loadVocabGrams(spark, path).count() == before)
+    // and the restored store still accepts updates
+    assert(IndexStore.updateVocabIndex(spark, path,
+      docs.where(col("doc_id") < 10), "text", logicalBatch = 1L))
+  }
+
   test("streaming vocab ingest through the store equals a fresh one-shot index") {
     val d = java.nio.file.Files.createTempDirectory("graft_vocab_src")
     docs.coalesce(1).write.mode("overwrite").parquet(d.resolve("in").toString)
