@@ -496,6 +496,47 @@ object CorpusQueries {
           .as("sides_disjoint"))
   }
 
+  /** q163: margin mining through STORED per-side IVF indexes — the
+    * build-once/probe-many artifact story (q111's inverted-index doctrine
+    * in the mining family): both sides' indexes persist via
+    * [[graft.store.IndexStore.saveIvfIndex]], reload, and the mining run
+    * probes the RELOADED artifacts. Certificate: the stored-index pairs
+    * must equal the fused build+mine pairs EXACTLY (k-means is
+    * seed-deterministic and the store is lossless — any drift in
+    * centroids, lists, or probe order breaks the boolean), plus the q148
+    * recall bound against the exact pairs. n_exact is SQL-derivable; the
+    * oracle is q148's. */
+  val marginMiningStored: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val left = emb.where(col("vec_id") % 2 === 0)
+    val right = emb.where(col("vec_id") % 2 === 1)
+    val li = Similarity.buildIvfIndex(left, "vec_id", "embedding", 16, 42)
+    val ri = Similarity.buildIvfIndex(right, "vec_id", "embedding", 16, 42)
+    // per-invocation dirs, reaped at JVM exit (the q79 doctrine)
+    val root = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_margin_idx"))
+    graft.store.IndexStore.saveIvfIndex(s, li, s"$root/left")
+    graft.store.IndexStore.saveIvfIndex(s, ri, s"$root/right")
+    val li2 = graft.store.IndexStore.loadIvfIndex(s, s"$root/left")
+    val ri2 = graft.store.IndexStore.loadIvfIndex(s, s"$root/right")
+    val stored = graft.sim.MarginMining.marginPairsFromIndexes(li2, ri2,
+      left, right, "vec_id", "embedding", k = 4, threshold = 1.02)
+    val fused = graft.sim.MarginMining.marginPairsAnn(left, right,
+      "vec_id", "embedding", k = 4, threshold = 1.02, nLists = 16, nProbe = 12)
+    val exact = graft.sim.MarginMining.marginPairs(left, right,
+      "vec_id", "embedding", k = 4, threshold = 1.02)
+    val sp = stored.select("left_id", "right_id")
+    val fp = fused.select("left_id", "right_id")
+    val storedEqFused = sp.unionByName(fp).distinct().count() == sp.count() &&
+      sp.count() == fp.count()
+    val hits = exact.select("left_id", "right_id")
+      .join(sp, Seq("left_id", "right_id"), "left_semi").count()
+    val nExact = exact.count()
+    import s.implicits._
+    Seq((nExact, storedEqFused, hits * 5 >= nExact * 4))
+      .toDF("n_exact", "stored_equals_fused", "recall_ge_080")
+  }
+
   /** Compressed-index ANN: int8-dequantized scoring + exact re-rank of the
     * over-retrieved survivors — same oracle as q50 (the re-rank restores
     * exactness; quantization error ~2e-5 vs rank margins >=1e-3). */
@@ -796,6 +837,7 @@ object CorpusQueries {
     "q148_margin_mining_ann" -> marginMiningAnn,
     "q149_skew_report" -> skewReport,
     "q154_dedup_threshold_curve" -> dedupThresholdCurve,
+    "q163_margin_mining_stored" -> marginMiningStored,
     "q69_knn_quantized" -> knnQuantized,
     "q51_ann_lsh" -> annLsh,
     "q55_ann_ivf" -> annIvf,
@@ -1219,6 +1261,24 @@ object CorpusQueries {
         |FROM bf JOIN bb USING (lid, rid) JOIN dx USING (lid) JOIN dy USING (rid)
         |WHERE cs / ((dl + dr) / 2) >= 1.02
         |ORDER BY left_id""".stripMargin,
+    "q163_margin_mining_stored" ->
+      """WITH l AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+        |r AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+        |fw AS (SELECT l.vec_id AS lid, r.vec_id AS rid,
+        |         list_cosine_similarity(l.embedding, r.embedding) AS cs
+        |       FROM l CROSS JOIN r),
+        |fr AS (SELECT lid, rid, cs, row_number() OVER (
+        |         PARTITION BY lid ORDER BY cs DESC, rid ASC) AS rk FROM fw),
+        |br AS (SELECT lid, rid, cs, row_number() OVER (
+        |         PARTITION BY rid ORDER BY cs DESC, lid ASC) AS rk FROM fw),
+        |dx AS (SELECT lid, avg(cs) AS dl FROM fr WHERE rk <= 4 GROUP BY 1),
+        |dy AS (SELECT rid, avg(cs) AS dr FROM br WHERE rk <= 4 GROUP BY 1),
+        |bf AS (SELECT lid, rid, cs FROM fr WHERE rk = 1),
+        |bb AS (SELECT lid, rid FROM br WHERE rk = 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+        |  true AS stored_equals_fused, true AS recall_ge_080
+        |FROM bf JOIN bb USING (lid, rid) JOIN dx USING (lid) JOIN dy USING (rid)
+        |WHERE cs / ((dl + dr) / 2) >= 1.02""".stripMargin,
     "q148_margin_mining_ann" ->
       """WITH l AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
         |r AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),

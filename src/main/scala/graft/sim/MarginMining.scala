@@ -55,6 +55,22 @@ object MarginMining {
       threshold)
   }
 
+  /** ANN margin mining against two PREBUILT per-side IVF indexes — the
+    * steady-state production shape: the indexes are built (and persisted,
+    * [[graft.store.IndexStore.saveIvfIndex]]) once per corpus snapshot
+    * and probed by every mining run; [[marginPairsAnn]] is the fused
+    * build+mine convenience form. Identical pairs to the fused form when
+    * given the same indexes. */
+  def marginPairsFromIndexes(leftIdx: Similarity.IvfIndex,
+                             rightIdx: Similarity.IvfIndex,
+                             left: DataFrame, right: DataFrame,
+                             idCol: String, vecCol: String, k: Int,
+                             threshold: Double, nProbe: Int = 12): DataFrame =
+    marginFrom(
+      Similarity.ivfTopKFrom(rightIdx, left, idCol, vecCol, k, nProbe),
+      Similarity.ivfTopKFrom(leftIdx, right, idCol, vecCol, k, nProbe),
+      threshold)
+
   /** Margin composition over two directed top-k frames
     * (query_id, neighbor_id, cosine, rank — the [[Similarity]] contract).
     * `fwd` scores left queries against the right side, `bwd` the reverse.

@@ -64,6 +64,21 @@ class MarginMiningSpec extends SparkSpec {
     assert(pairs.forall(_._3 >= 1.02))
   }
 
+  test("mining from prebuilt indexes equals the fused build+mine form") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val left = emb.where(col("vec_id") % 2 === 0)
+    val right = emb.where(col("vec_id") % 2 === 1)
+    val li = Similarity.buildIvfIndex(left, "vec_id", "embedding", 8, 42)
+    val ri = Similarity.buildIvfIndex(right, "vec_id", "embedding", 8, 42)
+    val fromIdx = MarginMining.marginPairsFromIndexes(li, ri, left, right,
+        "vec_id", "embedding", k = 4, threshold = 1.02, nProbe = 6)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    val fused = MarginMining.marginPairsAnn(left, right, "vec_id", "embedding",
+        k = 4, threshold = 1.02, nLists = 8, nProbe = 6)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(fromIdx == fused && fromIdx.nonEmpty)
+  }
+
   test("ANN margin mining with nProbe = nLists equals the exact form") {
     val emb = spark.read.parquet(sf("embeddings"))
     val left = emb.where(col("vec_id") % 2 === 0)
