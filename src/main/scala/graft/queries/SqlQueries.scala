@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, IntegerLiteral}
+import org.apache.spark.sql.catalyst.expressions.{Expression, IntegerLiteral, Literal}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** The SQL-text tier of the gate: the same operators, driven end-to-end
@@ -40,6 +40,15 @@ object SqlQueries {
     ColumnBridge.registerFunction(s, "longest_repeated_substring_len",
       (args: Seq[Expression]) =>
         graft.functions.LongestRepeatedSubstringLen(args.head))
+    ColumnBridge.registerFunction(s, "multi_pattern_counts",
+      (args: Seq[Expression]) => {
+        val patterns = args.tail.map {
+          case Literal(u: org.apache.spark.unsafe.types.UTF8String, _) => u.toString
+          case _ => throw new IllegalArgumentException(
+            "usage: multi_pattern_counts(text, 'pat1', 'pat2', ...)")
+        }
+        graft.functions.MultiPatternCounts(args.head, patterns)
+      })
     ColumnBridge.registerFunction(s, "winnow_fingerprints",
       (args: Seq[Expression]) => args match {
         case Seq(t, IntegerLiteral(k), IntegerLiteral(w)) =>
@@ -433,7 +442,28 @@ object SqlQueries {
       GROUP BY source ORDER BY source""")
   }
 
+  /** q161's dictionary tagging as pure SQL text: the registered
+    * `multi_pattern_counts` engine function (varargs pattern literals →
+    * one Aho-Corasick pass) + posexplode/element_at to map count indexes
+    * back to keywords. Shares q161's oracle verbatim. */
+  val sqlKeywordTagging: Q = (s, dir) => {
+    ensureSurface(s, dir)
+    s.sql("""
+      WITH kw AS (SELECT array('a', 'a b', 'hash', 'hash join', 'merge',
+                              'scan', 'stream') AS ks),
+      c AS (
+        SELECT posexplode(multi_pattern_counts(text,
+          'a', 'a b', 'hash', 'hash join', 'merge', 'scan', 'stream'))
+          AS (i, c)
+        FROM documents)
+      SELECT element_at((SELECT ks FROM kw), i + 1) AS keyword,
+        sum(CAST(c AS BIGINT)) AS n_occurrences,
+        sum(CAST(CASE WHEN c > 0 THEN 1 ELSE 0 END AS BIGINT)) AS n_docs_with
+      FROM c GROUP BY i ORDER BY keyword""")
+  }
+
   val all: Map[String, Q] = Map(
+    "q164_sql_keyword_tagging" -> sqlKeywordTagging,
     "q159_sql_winnow_census" -> sqlWinnowCensus,
     "q151_sql_margin_mining" -> sqlMarginMining,
     "q152_sql_intradoc_repeats" -> sqlIntraDocRepeats,
@@ -450,6 +480,7 @@ object SqlQueries {
     "q81_sql_temperature_mix" -> sqlTemperatureMix)
 
   val oracles: Map[String, String] = Map(
+    "q164_sql_keyword_tagging" -> AnalysisQueries.oracles("q161_keyword_tagging"),
     "q159_sql_winnow_census" -> AnalysisQueries.oracles("q157_winnow_census"),
     "q151_sql_margin_mining" -> CorpusQueries.oracles("q147_margin_mining"),
     "q152_sql_intradoc_repeats" -> AnalysisQueries.oracles("q146_intradoc_repeats"),

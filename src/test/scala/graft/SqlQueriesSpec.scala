@@ -29,7 +29,8 @@ class SqlQueriesSpec extends SparkSpec {
       "q143_sql_substring_dedup" -> "q136_substring_dedup",
       "q151_sql_margin_mining" -> "q147_margin_mining",
       "q152_sql_intradoc_repeats" -> "q146_intradoc_repeats",
-      "q159_sql_winnow_census" -> "q157_winnow_census")
+      "q159_sql_winnow_census" -> "q157_winnow_census",
+      "q164_sql_keyword_tagging" -> "q161_keyword_tagging")
     for ((sqlName, dfName) <- twins) {
       val viaSql = canon(SparkEntry.queries(sqlName)(spark, dir))
       val viaDf = canon(SparkEntry.queries(dfName)(spark, dir))
