@@ -350,6 +350,23 @@ object StreamingPipeline {
         onScoredBatch(scored, batchId)
       }
 
+  /** Streaming dictionary screen: tag every arriving micro-batch with the
+    * one-pass Aho-Corasick counts ([[graft.functions.MultiPatternCounts]],
+    * q161 — blocklist / taxonomy / PII-term screening at ingest time) and
+    * keep docs whose total hit count stays under `maxHits`. Stateless
+    * per-row (the automaton rides in the expression node), batch ≡ stream
+    * structurally; emits (id, per-pattern counts, total) per surviving
+    * doc. */
+  def dictionaryScreenStream(docs: DataFrame, idCol: String, textCol: String,
+                             patterns: Seq[String],
+                             maxHits: Int): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.TextExpr.multiPatternCounts(col(textCol), patterns)
+          .as("pattern_hits"))
+      .withColumn("total_hits",
+        aggregate(col("pattern_hits"), lit(0), (a, x) => a + x))
+      .where(col("total_hits") <= maxHits)
+
   /** Streaming stupid-backoff scoring: score every arriving micro-batch
     * with the two STORED LM tiers
     * ([[graft.store.IndexStore.saveTrigramLm]]/saveLm — the q158

@@ -667,6 +667,30 @@ class StreamingSpec extends SparkSpec {
       "stateless subword prep must be identical in batch and streaming")
   }
 
+  test("streaming dictionary screen (Aho-Corasick gate) equals batch") {
+    val docsPath = s"$dir/documents.parquet"
+    val d = java.nio.file.Files.createTempDirectory("graft_dict_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(docsPath), d.resolve("docs.parquet"))
+    val patterns = Seq("spark stream", "hash join", "window")
+    val schema = spark.read.parquet(docsPath).schema
+    val stream = spark.readStream.schema(schema).parquet(d.toString)
+    val q = StreamingPipeline.dictionaryScreenStream(stream, "doc_id", "text",
+        patterns, maxHits = 2)
+      .writeStream.format("memory").queryName("dictscreen_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("dictscreen_test")
+    val batch = StreamingPipeline.dictionaryScreenStream(
+      spark.read.parquet(docsPath), "doc_id", "text", patterns, maxHits = 2)
+    val total = spark.read.parquet(docsPath).count()
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(batch.count() < total, "the screen must actually drop docs")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stateless dictionary screen must be identical in batch and streaming")
+  }
+
   test("streaming repetition screen (LRS gate -> greedy vocab) equals batch") {
     val docsPath = s"$dir/documents.parquet"
     val d = java.nio.file.Files.createTempDirectory("graft_repscreen_src")
