@@ -117,7 +117,8 @@ object Bench {
     "q158_backoff_scoring",   // stupid-backoff scoring off existing LM tables
     "q160_json_extract",      // schema-on-read from_json projection scan
     "q161_keyword_tagging",   // Aho-Corasick one-pass dictionary tagging
-    "q162_tokenizer_upgrade") // v1 vs continued-v2 encode, one scan
+    "q162_tokenizer_upgrade", // v1 vs continued-v2 encode, one scan
+    "q165_signals_profile")   // LRS + winnow + dictionary card, one scan
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

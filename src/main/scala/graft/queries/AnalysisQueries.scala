@@ -649,7 +649,43 @@ object AnalysisQueries {
       .orderBy("source")
   }
 
+  /** q165: the round-11 signals composed into a per-source dataset-card
+    * extension (q112's one-scan card with the NEW columns): mean
+    * intra-doc LRS ratio (repetition at arbitrary boundaries, q146
+    * kernel under the same 150-char cap), winnowing fingerprint density
+    * (q157 kernel — drifts above 2/(w+1) when text is template-heavy),
+    * and dictionary hits per kiloword (q161 automaton over the q161
+    * keyword set). One scan: all three compiled expressions run in the
+    * same projection; per-source frames after the agg are D rows. The
+    * signals a curation run actually tracks TOGETHER — each certified
+    * individually by its own gate, this gate certifies the composition.
+    * 6-dp shared-expression-shape rounding. */
+  val signalsProfile: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val t150 = substring(col("text"), 1, 150)
+    val row = docs.select(col("source"),
+      graft.functions.TextExpr.longestRepeatedSubstringLen(t150).as("lrs"),
+      length(t150).as("len"),
+      greatest(length(col("text")) - 4, lit(1)).cast("long").as("ng"),
+      size(graft.functions.TextExpr.winnowFingerprints(col("text"), 5, 8))
+        .cast("long").as("nf"),
+      aggregate(graft.functions.TextExpr.multiPatternCounts(
+        col("text"), TagKeywords), lit(0), (a, x) => a + x)
+        .cast("long").as("hits"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("nw"))
+    row.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("lrs") / greatest(col("len"), lit(1)).cast("double")), 6)
+          .as("mean_lrs_ratio"),
+        round(sum(col("nf")) * lit(1.0) / sum(col("ng")), 6)
+          .as("winnow_density"),
+        round(sum(col("hits")) * lit(1000.0) / sum(col("nw")), 6)
+          .as("dict_hits_per_kiloword"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "q165_signals_profile" -> signalsProfile,
     "q162_tokenizer_upgrade" -> tokenizerUpgrade,
     "q161_keyword_tagging" -> keywordTagging,
     "q158_backoff_scoring" -> backoffScoring,
@@ -750,6 +786,66 @@ object AnalysisQueries {
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q165_signals_profile" ->
+      """WITH d AS (SELECT doc_id, source, text, substr(text, 1, 150) AS t
+        |           FROM documents),
+        |sub AS (
+        |  SELECT doc_id, L, substr(t, i, L) AS s
+        |  FROM d, UNNEST(generate_series(1, length(t)-1)) AS a(L),
+        |       UNNEST(generate_series(1, length(t)-L+1)) AS b(i)),
+        |dup AS (
+        |  SELECT doc_id, L FROM sub GROUP BY doc_id, L, s HAVING count(*) > 1),
+        |lrs AS (
+        |  SELECT d.doc_id, d.source, length(d.t) AS len,
+        |    coalesce(max(dup.L), 0) AS lrs
+        |  FROM d LEFT JOIN dup USING (doc_id) GROUP BY 1, 2, 3),
+        |lragg AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    avg(lrs / CAST(greatest(len, 1) AS DOUBLE)) AS mlr
+        |  FROM lrs GROUP BY 1),
+        |g AS (
+        |  SELECT doc_id, source, i,
+        |    CAST(concat('0x', substr(md5(substring(text, i, 5)), 1, 8)) AS BIGINT) AS h,
+        |    greatest(length(text) - 4, 1) AS ng
+        |  FROM documents,
+        |    UNNEST(generate_series(1, greatest(length(text) - 4, 1))) AS t(i)),
+        |st AS (SELECT DISTINCT doc_id, st
+        |       FROM g, UNNEST(generate_series(1, greatest(ng - 7, 1))) AS s(st)),
+        |wg AS (SELECT st.doc_id, st.st, g.i AS j, g.h
+        |       FROM st JOIN g USING (doc_id)
+        |       WHERE g.i BETWEEN st.st AND st.st + 7),
+        |m AS (SELECT doc_id, st, min(h) AS mh FROM wg GROUP BY 1, 2),
+        |sel AS (SELECT wg.doc_id, wg.st, max(wg.j) AS pos
+        |        FROM wg JOIN m ON wg.doc_id = m.doc_id AND wg.st = m.st
+        |          AND wg.h = m.mh GROUP BY 1, 2),
+        |fp AS (SELECT DISTINCT doc_id, pos FROM sel),
+        |srcs AS (SELECT DISTINCT doc_id, source FROM documents),
+        |wda AS (SELECT srcs.source, count(*) AS nf
+        |        FROM fp JOIN srcs USING (doc_id) GROUP BY 1),
+        |ngs AS (SELECT source, sum(ng) AS ng FROM
+        |        (SELECT doc_id, source, max(ng) AS ng FROM g GROUP BY 1, 2)
+        |        GROUP BY 1),
+        |kwm AS (
+        |  SELECT d2.source, count(*) AS hits
+        |  FROM documents d2,
+        |    (SELECT unnest(['a', 'a b', 'hash', 'hash join', 'merge',
+        |                    'scan', 'stream']) AS keyword) kw,
+        |    UNNEST(generate_series(1,
+        |      length(d2.text) - length(kw.keyword) + 1)) AS t(i)
+        |  WHERE substr(d2.text, i, length(kw.keyword)) = kw.keyword
+        |  GROUP BY 1),
+        |nws AS (SELECT source,
+        |        sum(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |          ELSE string_split_regex(trim(text), '\s+') END)) AS nw
+        |        FROM documents GROUP BY 1)
+        |SELECT lragg.source, lragg.n_docs,
+        |  round(lragg.mlr, 6) AS mean_lrs_ratio,
+        |  round(wda.nf * 1.0 / ngs.ng, 6) AS winnow_density,
+        |  round(coalesce(kwm.hits, 0) * 1000.0 / nws.nw, 6)
+        |    AS dict_hits_per_kiloword
+        |FROM lragg JOIN wda USING (source) JOIN ngs USING (source)
+        |  LEFT JOIN kwm USING (source) JOIN nws USING (source)
+        |ORDER BY lragg.source""".stripMargin,
     "q162_tokenizer_upgrade" -> tokenizerUpgradeOracle(BpeMerges, 10),
     "q161_keyword_tagging" ->
       """WITH kw(keyword) AS (
