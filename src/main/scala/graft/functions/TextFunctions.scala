@@ -284,18 +284,30 @@ object TextFunctions {
     * agree on every construct used: inline flags, non-greedy, explicit
     * classes — the q131 shared-regex contract). */
   def htmlExtract(c: Column): Column = {
-    val noScript = regexp_replace(c, "(?is)<script.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?is)<style.*?</style>", " ")
+    // `\b` after the tag name so a custom element (`<scriptlet>`,
+    // `<styled-card>`) is an ordinary tag for the generic stripper, not a
+    // trigger for the drop-to-end branch that would delete the rest of
+    // the document.
+    val noScript = regexp_replace(c, "(?is)<script\\b.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b.*?</style\\s*>", " ")
     // UNCLOSED script/style: the paired patterns above leave the payload
     // of a never-closed block in place, and a browser treats everything
     // after the open tag as code — so must the extractor, or a truncated
     // page leaks raw JS/CSS into training text. One anchored pass each.
-    val noOpenScript = regexp_replace(noStyle, "(?is)<script.*", " ")
-    val noOpenStyle = regexp_replace(noOpenScript, "(?is)<style.*", " ")
+    val noOpenScript = regexp_replace(noStyle, "(?is)<script\\b.*", " ")
+    val noOpenStyle = regexp_replace(noOpenScript, "(?is)<style\\b.*", " ")
     val noComment = regexp_replace(noOpenStyle, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "<[^>]*>", " ")
-    val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+    // `&amp;` decodes LAST (standard entity-decoding order): decoding it
+    // first would turn the double-encoded `&amp;lt;` — literal text
+    // `&lt;` on the rendered page — into `&lt;` and then a second pass
+    // has already run, but with `&amp;` first in a single sequential fold
+    // the freshly-produced `&lt;` IS seen by the later `&lt;` step and
+    // double-decodes to `<`. With `&amp;` last, `&amp;lt;` correctly
+    // yields the literal text `&lt;` (and plain `&lt;` still yields `<`,
+    // since `&amp;lt;` contains no `&lt;` substring before the amp step).
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (col0, (ent, ch)) =>
         call_function("replace", col0, lit(ent), lit(ch))
       }

@@ -972,14 +972,14 @@ object AnalysisQueries {
         |            regexp_replace(
         |              regexp_replace(
         |                regexp_replace(
-        |                  regexp_replace(t, '(?is)<script.*?</script>', ' ', 'g'),
-        |                '(?is)<style.*?</style>', ' ', 'g'),
-        |              '(?is)<script.*', ' ', 'g'),
-        |            '(?is)<style.*', ' ', 'g'),
+        |                  regexp_replace(t, '(?is)<script\b.*?</script\s*>', ' ', 'g'),
+        |                '(?is)<style\b.*?</style\s*>', ' ', 'g'),
+        |              '(?is)<script\b.*', ' ', 'g'),
+        |            '(?is)<style\b.*', ' ', 'g'),
         |          '(?s)<!--.*?-->', ' ', 'g'),
         |        '<[^>]*>', ' ', 'g'),
-        |      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        |      '&#39;', ''''), '&nbsp;', ' '),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
         |      '[ \t\n\r]+', ' ', 'g')) AS x
         |  FROM p)
         |SELECT source, count(*) AS n_docs,

@@ -376,7 +376,7 @@ object HygieneQueries {
         |  FROM documents, n),
         |toks AS (
         |  SELECT b, unnest(
-        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |    CASE WHEN len(ts) < 3 THEN CAST([] AS VARCHAR[])
         |      ELSE [array_to_string(ts[i:i+2], ' ')
         |            FOR i IN generate_series(1, len(ts) - 2)]
         |    END) AS tok

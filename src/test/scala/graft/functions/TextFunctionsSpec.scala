@@ -143,5 +143,17 @@ class TextFunctionsSpec extends SparkSpec {
     assert(ex("before<script>var leaked = 'payload'") == "before")
     assert(ex("keep<style>p{color:red") == "keep")
     assert(ex("a<script>x</script>b<script>unclosed") == "a b")
+    // double-encoded entities decode exactly ONE level: `&amp;lt;` is the
+    // literal text `&lt;` on the rendered page and must come out as that
+    // — not double-decode to `<`. Requires `&amp;` to decode LAST.
+    assert(ex("&amp;lt;b&amp;gt;") == "&lt;b&gt;")
+    assert(ex("x &amp;amp; y") == "x &amp; y")
+    // custom elements whose name merely STARTS with script/style are
+    // ordinary tags for the generic stripper — the `\b` anchor keeps the
+    // drop-to-end branch from eating the rest of the document
+    assert(ex("a<scriptlet>b</scriptlet>c") == "a b c")
+    assert(ex("a<styled-card>b</styled-card>c") == "a b c")
+    // whitespace before the closer's `>` still closes the block
+    assert(ex("keep<script>x</script >me") == "keep me")
   }
 }
