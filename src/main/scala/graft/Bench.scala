@@ -118,7 +118,8 @@ object Bench {
     "q160_json_extract",      // schema-on-read from_json projection scan
     "q161_keyword_tagging",   // Aho-Corasick one-pass dictionary tagging
     "q162_tokenizer_upgrade", // v1 vs continued-v2 encode, one scan
-    "q165_signals_profile")   // LRS + winnow + dictionary card, one scan
+    "q165_signals_profile",   // LRS + winnow + dictionary card, one scan
+    "q167_learned_quality")   // classifier fit + corpus scoring + calibration
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

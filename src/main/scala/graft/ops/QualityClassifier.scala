@@ -68,12 +68,24 @@ object QualityClassifier {
     * `quality_pr` and `quality_keep`. */
   def annotateCalibrated(docs: DataFrame, textCol: String, domainCol: String,
                          keyCol: String, keepFraction: Double,
-                         model: LinearModel = ReferenceModel): DataFrame = {
+                         model: LinearModel = ReferenceModel): DataFrame =
+    annotateCalibratedWith(docs, logit(col(textCol), model), domainCol,
+      keyCol, keepFraction)
+
+  /** [[annotateCalibrated]] over an ARBITRARY decision-function column —
+    * the consumption path for a model learned by
+    * [[QualityTrainer.fit]] (whose standardized logit doesn't factor into
+    * the raw-feature [[LinearModel]] shape without leaving its exactness
+    * contract). Same per-domain percent_rank calibration, same
+    * deterministic tie-break on the key. */
+  def annotateCalibratedWith(docs: DataFrame, logitCol: Column,
+                             domainCol: String, keyCol: String,
+                             keepFraction: Double): DataFrame = {
     require(keepFraction > 0 && keepFraction <= 1, "keepFraction in (0,1]")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(domainCol)
-      .orderBy(logit(col(textCol), model).asc, col(keyCol).asc)
-    docs.withColumn("quality_logit", logit(col(textCol), model))
+      .orderBy(logitCol.asc, col(keyCol).asc)
+    docs.withColumn("quality_logit", logitCol)
       .withColumn("quality_pr", percent_rank().over(w))
       .withColumn("quality_keep", col("quality_pr") >= lit(1.0 - keepFraction))
   }

@@ -1,0 +1,185 @@
+package graft.ops
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed training for the model-based quality filter — the missing
+  * half of [[QualityClassifier]]: that operator SCORES a linear model whose
+  * weights arrive as config; this one LEARNS the weights from a labeled
+  * sample with a deterministic, engine-portable logistic-regression fit.
+  * The labeling recipe is the fastText/DSIR-classifier one every production
+  * quality filter uses (GPT-3's WebText classifier, CCNet, phi): curated /
+  * benchmark documents as positives, a hash-sampled slice of the raw corpus
+  * as negatives.
+  *
+  * ## The fit
+  *
+  * Fixed-iteration FULL-BATCH gradient descent on the logistic loss over
+  * the engine's four standard quality features (token count, mean token
+  * length, stopword ratio, 3-gram repetition), standardized. No RNG, no
+  * convergence test, no shuffle inside a step: every iteration is ONE
+  * groupBy-free aggregate over a cached narrow feature projection — the
+  * q142 exponentiated-gradient step generalized to n steps. The labeled
+  * TRAINING set is sample-sized by construction (benchmarks are small and
+  * the negative slice is a fixed hash fraction), so the per-step aggregate
+  * is cheap at any corpus scale; the corpus-scale side of the operator is
+  * SCORING, which stays in [[QualityClassifier]]'s one-pass projection.
+  *
+  * ## Engine-portable determinism (the reason for the integer arithmetic)
+  *
+  * A naive float fit is NOT replayable across engines: gradient sums over
+  * rows arrive in partition order, doubles don't associate, and the
+  * per-step error feeds back and amplifies — with mixed-sign addends the
+  * cancellation can push order-noise above any mid-computation rounding.
+  * So every cross-row reduction in the fit is an EXACT INTEGER sum:
+  *
+  *  - features are quantized to 1e-4 units (`round(x*10000)` as BIGINT) —
+  *    the raw features are ratios of exact integer counts, so both engines
+  *    compute bit-identical doubles before the round;
+  *  - standardization stats are integer-derived: mu = round(sum_q/n),
+  *    sigma = max(1, round(sqrt(sum((q-mu)^2)/n))), both in 1e-4 units
+  *    from exact BIGINT sums (sqrt and the divisions are single IEEE ops,
+  *    correctly rounded identically everywhere);
+  *  - each step's gradient component is sum(round((sigma(z)-y)*x_j*1e6))
+  *    as BIGINT — addition order cannot change an integer sum, so the
+  *    weight trajectory is bit-identical however Spark partitions the
+  *    sample, and a DuckDB SQL replay of the unrolled loop (the q120
+  *    doctrine) reproduces it exactly. The only cross-engine float risk
+  *    left is exp() differing in the last ulp exactly on a 5e-7 rounding
+  *    boundary — probability ~1e-10 per term.
+  *
+  * z itself is evaluated in a fixed expression order (b + w1*x1 + w2*x2 +
+  * w3*x3 + w4*x4, each x_j = (q_j - mu_j)*1.0/sigma_j), so per-row logits
+  * are bit-identical too — per-step train accuracy is an exact integer
+  * count, and downstream percent_rank calibration over learned logits
+  * ranks identically in both engines.
+  */
+object QualityTrainer {
+
+  val FeatureNames: Seq[String] = Seq("ntok", "mtl", "swr", "rep")
+  /** Feature quantization: 1e-4 units. */
+  val Scale = 10000.0
+  /** Gradient-term quantization: 1e-6 units. */
+  val GradScale = 1000000.0
+
+  /** The four standard quality features, quantized to BIGINT 1e-4 units.
+    * ntok is pre-scaled by /100 so all features sit at O(1) — full-batch
+    * GD needs comparably-scaled coordinates even after standardization
+    * (the raw-count column would otherwise own the variance estimate). */
+  def quantizedFeatures(textCol: Column): Seq[Column] = Seq(
+    round(TextFunctions.tokenCount(textCol).cast("double") / lit(100.0) * lit(Scale), 0)
+      .cast("long"),
+    round(TextFunctions.meanTokenLength(textCol) * lit(Scale), 0).cast("long"),
+    round(TextFunctions.stopwordRatio(textCol) * lit(Scale), 0).cast("long"),
+    round(TextFunctions.repetitionScore(textCol, 3) * lit(Scale), 0).cast("long"))
+
+  /** Weights after one step, plus the exact train-correct count AT those
+    * weights (decision rule z >= 0). `w(0)` is the bias. */
+  final case class FitStep(step: Int, w: Array[Double], nCorrect: Long)
+
+  /** A fitted standardized linear model: sample stats in 1e-4 integer
+    * units + the full weight trajectory (last entry = the model). */
+  final case class FitResult(n: Long, nPos: Long, mu: Array[Long],
+                             sigma: Array[Long], steps: Seq[FitStep]) {
+    def weights: Array[Double] = steps.last.w
+
+    /** The learned decision function over arbitrary text — the SAME
+      * standardized feature space the fit used, so scoring replays
+      * bit-identically in an oracle. Feed this to
+      * [[QualityClassifier.annotateCalibratedWith]]. */
+    def logit(textCol: Column): Column = {
+      val qs = quantizedFeatures(textCol)
+      val w = weights
+      qs.zipWithIndex.foldLeft(lit(w(0))) { case (acc, (q, j)) =>
+        acc + lit(w(j + 1)) *
+          ((q - lit(mu(j))).cast("double") / lit(sigma(j).toDouble))
+      }
+    }
+
+    /** Fold the standardized weights back into raw-feature space for the
+      * existing [[QualityClassifier.LinearModel]] API:
+      * w_raw,ntok = w1*(Scale/100)/sigma1 (ntok quantizes exactly), and for
+      * the ratio features w_raw,j = w_j*Scale/sigma_j — exact up to the
+      * 1e-4 feature-quantization band, i.e. decisions can differ from
+      * [[logit]] only for rows within ~5e-5 feature units of the boundary.
+      * Use [[logit]] where engine-portability matters. */
+    def toRawModel: QualityClassifier.LinearModel = {
+      val w = weights
+      val raw = FeatureNames.indices.map(j => w(j + 1) * Scale / sigma(j))
+      val bias = w(0) - FeatureNames.indices
+        .map(j => w(j + 1) * mu(j).toDouble / sigma(j)).sum
+      QualityClassifier.LinearModel(bias = bias, wNtok = raw(0) / 100.0,
+        wMtl = raw(1), wSwr = raw(2), wRep = raw(3))
+    }
+  }
+
+  private def bdRound(x: Double): Long =
+    new java.math.BigDecimal(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
+  /** Fit the classifier on `labeled` (`textCol`, integer `labelCol` in
+    * {0,1}). `steps` full-batch GD iterations at learning rate `lr` from
+    * zero weights. Each iteration = one aggregate producing five exact
+    * BIGINT gradient sums + one exact correct-count aggregate, both over a
+    * cached 5-column frame. */
+  def fit(labeled: DataFrame, textCol: String, labelCol: String,
+          steps: Int = 8, lr: Double = 2.0): FitResult = {
+    require(steps >= 1, "steps >= 1")
+    val qs = quantizedFeatures(col(textCol))
+    val feat = labeled.select(
+      (col(labelCol).cast("int").as("y")) +:
+        qs.zipWithIndex.map { case (q, j) => q.as(s"q${j + 1}") }: _*)
+      .cache()
+    val statRow = feat.agg(
+      count(lit(1)).as("n"), sum("y").cast("long").as("np"),
+      sum("q1").as("s1"), sum("q2").as("s2"),
+      sum("q3").as("s3"), sum("q4").as("s4")).head()
+    val n = statRow.getLong(0)
+    require(n > 0, "empty training sample")
+    val nPos = statRow.getLong(1)
+    val mu = (0 until 4).map(j => bdRound(statRow.getLong(2 + j).toDouble / n))
+      .toArray
+    val varAggs = (0 until 4).map { j =>
+      val d = col(s"q${j + 1}") - lit(mu(j))
+      sum(d * d).as(s"v${j + 1}")
+    }
+    val varRow = feat.agg(varAggs.head, varAggs.tail: _*).head()
+    val sigma = (0 until 4).map { j =>
+      math.max(1L, bdRound(math.sqrt(varRow.getLong(j).toDouble / n)))
+    }.toArray
+
+    val x = (0 until 4).map { j =>
+      (col(s"q${j + 1}") - lit(mu(j))).cast("double") / lit(sigma(j).toDouble)
+    }
+    def zCol(w: Array[Double]): Column =
+      x.zipWithIndex.foldLeft(lit(w(0))) { case (acc, (xj, j)) =>
+        acc + lit(w(j + 1)) * xj
+      }
+
+    var w = Array.fill(5)(0.0)
+    val out = Seq.newBuilder[FitStep]
+    for (t <- 1 to steps) {
+      val z = zCol(w)
+      val s = lit(1.0) / (lit(1.0) + exp(-z))
+      val resid = s - col("y").cast("double")
+      val gradAggs = (lit(1.0) +: x.map(identity)).zipWithIndex.map {
+        case (xj, j) =>
+          val term = if (j == 0) resid * lit(GradScale)
+                     else resid * xj * lit(GradScale)
+          sum(round(term, 0).cast("long")).as(s"g$j")
+      }
+      val gRow = feat.agg(gradAggs.head, gradAggs.tail: _*).head()
+      w = w.zipWithIndex.map { case (wj, j) =>
+        wj - lr * (gRow.getLong(j).toDouble / (GradScale * n))
+      }
+      val zNew = zCol(w)
+      val nCorrect = feat.agg(
+        sum(when((zNew >= 0) === (col("y") === 1), 1L).otherwise(0L))).head()
+        .getLong(0)
+      out += FitStep(t, w.clone(), nCorrect)
+    }
+    feat.unpersist()
+    FitResult(n, nPos, mu, sigma, out.result())
+  }
+}

@@ -417,7 +417,74 @@ object ModelPrepQueries {
         "participation_ratio")
   }
 
+  /** Labeled fixture for the classifier-training gates — the
+    * fastText/DSIR-classifier labeling recipe at testdata scale:
+    * positives are the benchmark slice (doc_id%20==0, the q37/q70
+    * convention), negatives a DISJOINT corpus slice (doc_id%20==7) with a
+    * planted low-quality suffix (repeated filler raises 3-gram repetition
+    * and dilutes the stopword ratio — the degradation axis the reference
+    * model's wRep/wSwr signs encode), so the fixture is separable and the
+    * learned signs are checkable against quality intuition. */
+  private def classifierLabeled(docs: DataFrame): DataFrame = {
+    val spam = lit(" spam spam spam spam spam spam spam spam")
+    docs.where(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), col("text"), lit(1).as("y"))
+      .unionAll(docs.where(col("doc_id") % 20 === 7)
+        .select(col("doc_id"), concat(col("text"), spam).as("text"),
+          lit(0).as("y")))
+  }
+
+  private val ClassifierSteps = 8
+  private val ClassifierLr = 2.0
+
+  /** q166 — distributed quality-classifier TRAINING
+    * ([[graft.ops.QualityTrainer.fit]]): the full 8-step full-batch GD
+    * weight trajectory plus per-step exact train-correct counts. The
+    * oracle replays the unrolled loop in SQL (the q120 doctrine) — every
+    * cross-row reduction in the fit is an exact BIGINT sum, so the weights
+    * match BIT-WISE before the display rounding, at every partitioning. */
+  val classifierFit: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val fit = graft.ops.QualityTrainer.fit(classifierLabeled(docs), "text",
+      "y", steps = ClassifierSteps, lr = ClassifierLr)
+    fit.steps.map(st => (st.step, st.w(0), st.w(1), st.w(2), st.w(3),
+        st.w(4), st.nCorrect, fit.n, fit.nPos))
+      .toDF("step", "bias", "w_ntok", "w_mtl", "w_swr", "w_rep",
+        "n_correct", "n_train", "n_pos")
+      .select(col("step"), round(col("bias"), 6).as("bias"),
+        round(col("w_ntok"), 6).as("w_ntok"),
+        round(col("w_mtl"), 6).as("w_mtl"),
+        round(col("w_swr"), 6).as("w_swr"),
+        round(col("w_rep"), 6).as("w_rep"),
+        col("n_correct"), col("n_train"), col("n_pos"))
+      .orderBy("step")
+  }
+
+  /** q167 — the learned model consumed END-TO-END: fit on the labeled
+    * fixture, then [[QualityClassifier.annotateCalibratedWith]] scores the
+    * FULL corpus with the learned standardized logit and calibrates
+    * per-source at keepFraction 0.5 (the q97 shape, learned weights
+    * instead of config weights). Logits are bit-identical across engines
+    * (fixed expression order over quantized features), so the per-source
+    * percent_rank kept-sets match exactly. */
+  val learnedQuality: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val fit = graft.ops.QualityTrainer.fit(classifierLabeled(docs), "text",
+      "y", steps = ClassifierSteps, lr = ClassifierLr)
+    QualityClassifier.annotateCalibratedWith(docs, fit.logit(col("text")),
+        "source", "doc_id", keepFraction = 0.5)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality_keep"), 1L).otherwise(0L)).as("n_keep"),
+        round(min(when(col("quality_keep"), col("quality_logit"))), 4)
+          .as("cutoff_logit"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "q166_classifier_fit" -> classifierFit,
+    "q167_learned_quality" -> learnedQuality,
     "q155_embedding_diversity" -> embeddingDiversity,
     "q142_domain_reweight" -> domainReweight,
     "q100_modelprep_pipeline" -> modelPrepPipeline,
@@ -436,7 +503,133 @@ object ModelPrepQueries {
     "q91_ivfpq_ann" -> ivfPqAnn,
     "q92_epoch_shards" -> epochShards)
 
+  /** Shared CTE prefix for the q166/q167 oracles: labeled fixture →
+    * quantized integer features → integer-derived standardization stats →
+    * standardized feature frame `x` → zero-weight row `w0`. Every
+    * expression is written in the engine's exact evaluation order so the
+    * doubles agree bit-wise (the [[graft.ops.QualityTrainer]] contract). */
+  private def classifierOraclePrefix: String = {
+    val sw = "['the','a','an','and','or','of','to','in','is','are','was'," +
+      "'for','on','with','as','by','at','it','this','that','be']"
+    s"""WITH lab AS (
+       |  SELECT doc_id, text, 1 AS y FROM documents WHERE doc_id % 20 = 0
+       |  UNION ALL
+       |  SELECT doc_id, text || ' spam spam spam spam spam spam spam spam', 0
+       |  FROM documents WHERE doc_id % 20 = 7),
+       |tl AS MATERIALIZED (SELECT doc_id, y, string_split_regex(trim(text), '\\s+') AS ts FROM lab),
+       |q AS MATERIALIZED (
+       |  SELECT doc_id, y,
+       |    CAST(round(len(ts)/100.0*10000.0) AS BIGINT) AS q1,
+       |    CAST(round((CASE WHEN len(ts) = 0 THEN 0.0
+       |      ELSE list_sum(list_transform(ts, x -> length(x))) * 1.0 / len(ts) END)*10000.0) AS BIGINT) AS q2,
+       |    CAST(round((CASE WHEN len(ts) = 0 THEN 0.0
+       |      ELSE len(list_filter(ts, x -> list_contains($sw, lower(x)))) * 1.0 / len(ts) END)*10000.0) AS BIGINT) AS q3,
+       |    CAST(round(((SELECT 1.0 - len(list_distinct(g)) * 1.0 / len(g) FROM (
+       |      SELECT CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+       |        ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts) - 2)]
+       |      END AS g)))*10000.0) AS BIGINT) AS q4
+       |  FROM tl),
+       |st AS MATERIALIZED (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS np,
+       |  CAST(round(sum(q1)*1.0/count(*)) AS BIGINT) AS mu1,
+       |  CAST(round(sum(q2)*1.0/count(*)) AS BIGINT) AS mu2,
+       |  CAST(round(sum(q3)*1.0/count(*)) AS BIGINT) AS mu3,
+       |  CAST(round(sum(q4)*1.0/count(*)) AS BIGINT) AS mu4 FROM q),
+       |vs AS MATERIALIZED (SELECT
+       |  sum((q.q1-st.mu1)*(q.q1-st.mu1)) AS v1,
+       |  sum((q.q2-st.mu2)*(q.q2-st.mu2)) AS v2,
+       |  sum((q.q3-st.mu3)*(q.q3-st.mu3)) AS v3,
+       |  sum((q.q4-st.mu4)*(q.q4-st.mu4)) AS v4 FROM q, st),
+       |sd AS MATERIALIZED (SELECT
+       |  greatest(CAST(round(sqrt(vs.v1*1.0/st.n)) AS BIGINT), 1) AS sg1,
+       |  greatest(CAST(round(sqrt(vs.v2*1.0/st.n)) AS BIGINT), 1) AS sg2,
+       |  greatest(CAST(round(sqrt(vs.v3*1.0/st.n)) AS BIGINT), 1) AS sg3,
+       |  greatest(CAST(round(sqrt(vs.v4*1.0/st.n)) AS BIGINT), 1) AS sg4
+       |  FROM vs, st),
+       |x AS MATERIALIZED (SELECT q.doc_id, q.y,
+       |  (q.q1-st.mu1)*1.0/sd.sg1 AS x1,
+       |  (q.q2-st.mu2)*1.0/sd.sg2 AS x2,
+       |  (q.q3-st.mu3)*1.0/sd.sg3 AS x3,
+       |  (q.q4-st.mu4)*1.0/sd.sg4 AS x4 FROM q, st, sd),
+       |w0 AS MATERIALIZED (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)""".stripMargin
+  }
+
+  /** One GD step t as three CTEs: per-row sigmoid frame s{t} at the
+    * previous weights, exact-integer gradient sums g{t}, updated weights
+    * w{t}; plus the exact correct-count a{t} AT the new weights. */
+  private def classifierOracleStep(t: Int, lr: Double): String = {
+    val p = t - 1
+    def z(w: String) =
+      s"$w.b + $w.w1*x.x1 + $w.w2*x.x2 + $w.w3*x.x3 + $w.w4*x.x4"
+    s"""s$t AS MATERIALIZED (SELECT x.y, x.x1, x.x2, x.x3, x.x4,
+       |  1.0/(1.0+exp(-(${z("w")}))) AS sg FROM x, w$p w),
+       |g$t AS MATERIALIZED (SELECT
+       |  sum(CAST(round((sg - y)*1000000.0) AS BIGINT)) AS g0,
+       |  sum(CAST(round((sg - y)*x1*1000000.0) AS BIGINT)) AS g1,
+       |  sum(CAST(round((sg - y)*x2*1000000.0) AS BIGINT)) AS g2,
+       |  sum(CAST(round((sg - y)*x3*1000000.0) AS BIGINT)) AS g3,
+       |  sum(CAST(round((sg - y)*x4*1000000.0) AS BIGINT)) AS g4 FROM s$t),
+       |w$t AS MATERIALIZED (SELECT
+       |  w.b - $lr*(g.g0*1.0/(1000000.0*st.n)) AS b,
+       |  w.w1 - $lr*(g.g1*1.0/(1000000.0*st.n)) AS w1,
+       |  w.w2 - $lr*(g.g2*1.0/(1000000.0*st.n)) AS w2,
+       |  w.w3 - $lr*(g.g3*1.0/(1000000.0*st.n)) AS w3,
+       |  w.w4 - $lr*(g.g4*1.0/(1000000.0*st.n)) AS w4
+       |  FROM w$p w, g$t g, st),
+       |a$t AS MATERIALIZED (SELECT CAST(sum(CASE WHEN ((${z("w")}) >= 0) = (x.y = 1)
+       |  THEN 1 ELSE 0 END) AS BIGINT) AS nc FROM x, w$t w)""".stripMargin
+  }
+
+  private def classifierFitOracle(steps: Int, lr: Double): String = {
+    val stepCtes = (1 to steps).map(classifierOracleStep(_, lr))
+      .mkString(",\n")
+    val rows = (1 to steps).map { t =>
+      s"""SELECT $t AS step, round(w.b, 6) AS bias, round(w.w1, 6) AS w_ntok,
+         |  round(w.w2, 6) AS w_mtl, round(w.w3, 6) AS w_swr,
+         |  round(w.w4, 6) AS w_rep, a.nc AS n_correct, st.n AS n_train,
+         |  st.np AS n_pos FROM w$t w, a$t a, st""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$classifierOraclePrefix,\n$stepCtes\n$rows\nORDER BY step"
+  }
+
+  /** q167 oracle: the full fit chain, then score the whole corpus with
+    * w{steps} (same standardization stats, same expression order) and
+    * replay the q97 percent_rank calibration at keepFraction 0.5. */
+  private def learnedQualityOracle(steps: Int, lr: Double): String = {
+    val stepCtes = (1 to steps).map(classifierOracleStep(_, lr))
+      .mkString(",\n")
+    val sw = "['the','a','an','and','or','of','to','in','is','are','was'," +
+      "'for','on','with','as','by','at','it','this','that','be']"
+    s"""$classifierOraclePrefix,
+       |$stepCtes,
+       |corpus AS MATERIALIZED (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ts FROM documents),
+       |cq AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |    CAST(round(len(ts)/100.0*10000.0) AS BIGINT) AS q1,
+       |    CAST(round((CASE WHEN len(ts) = 0 THEN 0.0
+       |      ELSE list_sum(list_transform(ts, x -> length(x))) * 1.0 / len(ts) END)*10000.0) AS BIGINT) AS q2,
+       |    CAST(round((CASE WHEN len(ts) = 0 THEN 0.0
+       |      ELSE len(list_filter(ts, x -> list_contains($sw, lower(x)))) * 1.0 / len(ts) END)*10000.0) AS BIGINT) AS q3,
+       |    CAST(round(((SELECT 1.0 - len(list_distinct(g)) * 1.0 / len(g) FROM (
+       |      SELECT CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+       |        ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts) - 2)]
+       |      END AS g)))*10000.0) AS BIGINT) AS q4
+       |  FROM corpus),
+       |cz AS MATERIALIZED (SELECT cq.doc_id, cq.source,
+       |  w.b + w.w1*((cq.q1-st.mu1)*1.0/sd.sg1) + w.w2*((cq.q2-st.mu2)*1.0/sd.sg2)
+       |      + w.w3*((cq.q3-st.mu3)*1.0/sd.sg3) + w.w4*((cq.q4-st.mu4)*1.0/sd.sg4) AS zz
+       |  FROM cq, st, sd, w$steps w),
+       |r AS (SELECT source, zz,
+       |  percent_rank() OVER (PARTITION BY source ORDER BY zz ASC, doc_id ASC) AS pr
+       |  FROM cz)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN pr >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |  round(min(CASE WHEN pr >= 0.5 THEN zz END), 4) AS cutoff_logit
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q166_classifier_fit" -> classifierFitOracle(ClassifierSteps, ClassifierLr),
+    "q167_learned_quality" -> learnedQualityOracle(ClassifierSteps, ClassifierLr),
     "q142_domain_reweight" ->
       """WITH d AS (
         |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ts

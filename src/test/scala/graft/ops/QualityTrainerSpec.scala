@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class QualityTrainerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  /** The q166 fixture: benchmark slice as positives, a disjoint slice with
+    * planted repetitive filler as negatives. */
+  private lazy val labeled = {
+    val spam = lit(" spam spam spam spam spam spam spam spam")
+    docs.where(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), col("text"), lit(1).as("y"))
+      .unionAll(docs.where(col("doc_id") % 20 === 7)
+        .select(col("doc_id"), concat(col("text"), spam).as("text"),
+          lit(0).as("y")))
+  }
+
+  test("fit separates the planted fixture and learns quality-signed weights") {
+    val fit = QualityTrainer.fit(labeled, "text", "y", steps = 8, lr = 2.0)
+    assert(fit.n == fit.nPos * 2, "balanced fixture")
+    val last = fit.steps.last
+    assert(last.nCorrect.toDouble / fit.n >= 0.95,
+      s"train accuracy ${last.nCorrect}/${fit.n}")
+    // accuracy never collapses after converging: monotone non-decreasing
+    // from step 1 on this fixture
+    val accs = fit.steps.map(_.nCorrect)
+    assert(accs.zip(accs.tail).forall { case (a, b) => b >= a },
+      s"non-decreasing correct counts, got $accs")
+    // learned signs match quality intuition (the planted degradation is
+    // repetition-raising and stopword-diluting)
+    assert(last.w(4) < 0, "repetition weight negative")
+    assert(last.w(3) > 0, "stopword weight positive")
+  }
+
+  test("fit is partitioning-invariant (exact integer reductions)") {
+    val a = QualityTrainer.fit(labeled.coalesce(1), "text", "y", 4, 2.0)
+    val b = QualityTrainer.fit(labeled.repartition(13), "text", "y", 4, 2.0)
+    assert(a.mu.toSeq == b.mu.toSeq && a.sigma.toSeq == b.sigma.toSeq)
+    a.steps.zip(b.steps).foreach { case (sa, sb) =>
+      assert(sa.w.toSeq == sb.w.toSeq,
+        s"step ${sa.step} weights must be bit-identical")
+      assert(sa.nCorrect == sb.nCorrect)
+    }
+  }
+
+  test("logit column reproduces the fit's decision rule on the train set") {
+    val fit = QualityTrainer.fit(labeled, "text", "y", 4, 2.0)
+    val agree = labeled
+      .withColumn("z", fit.logit(col("text")))
+      .where((col("z") >= 0) === (col("y") === 1))
+      .count()
+    assert(agree == fit.steps.last.nCorrect,
+      "scoring path must agree with the in-fit accuracy count exactly")
+  }
+
+  test("toRawModel matches the standardized logit up to the quantization band") {
+    val fit = QualityTrainer.fit(labeled, "text", "y", 8, 2.0)
+    val raw = fit.toRawModel
+    val both = labeled.select(
+      fit.logit(col("text")).as("zs"),
+      QualityClassifier.logit(col("text"), raw).as("zr"))
+    // the fold-back differs only by feature-quantization error (<= 5e-5
+    // per feature, scaled by |w|/sigma): bound the logit gap loosely and
+    // require decision agreement away from the boundary
+    val stats = both.agg(max(abs(col("zs") - col("zr")))).head().getDouble(0)
+    assert(stats < 0.05, s"raw-model logit gap $stats")
+    val disagree = both
+      .where((col("zs") >= 0) =!= (col("zr") >= 0))
+      .where(abs(col("zs")) > 0.05).count()
+    assert(disagree == 0, "decisions may differ only within the band")
+  }
+
+  test("annotateCalibratedWith keeps the target fraction per domain") {
+    val fit = QualityTrainer.fit(labeled, "text", "y", 8, 2.0)
+    val ann = QualityClassifier.annotateCalibratedWith(
+      docs, fit.logit(col("text")), "source", "doc_id", keepFraction = 0.5)
+    val off = ann.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("quality_keep"), 1L).otherwise(0L)).as("k"))
+      .where(abs(col("k") - col("n") / 2) > 1)
+    assert(off.isEmpty, "each domain keeps ~half")
+  }
+}
