@@ -119,7 +119,8 @@ object Bench {
     "q161_keyword_tagging",   // Aho-Corasick one-pass dictionary tagging
     "q162_tokenizer_upgrade", // v1 vs continued-v2 encode, one scan
     "q165_signals_profile",   // LRS + winnow + dictionary card, one scan
-    "q167_learned_quality")   // classifier fit + corpus scoring + calibration
+    "q167_learned_quality",   // classifier fit + corpus scoring + calibration
+    "q168_ivf_incremental")   // stored IVF: build + update + reload + probe
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

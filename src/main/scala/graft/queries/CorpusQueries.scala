@@ -537,6 +537,62 @@ object CorpusQueries {
       .toDF("n_exact", "stored_equals_fused", "recall_ge_080")
   }
 
+  /** q168: incremental IVF index maintenance
+    * ([[graft.store.IndexStore.updateIvfIndex]]) — the dense twin of the
+    * q111/q115 lexical-index story, closing the build-once asymmetry:
+    * build+save on the even half, merge the odd half THROUGH the store
+    * (frozen centroids, atomic swap, batch cursor), replay the same batch
+    * (must no-op), reload, and certify:
+    *  - the updated lists equal the ONE-SHOT frozen-centroid assignment
+    *    of the grown corpus EXACTLY (the q144/q153 additive-merge
+    *    identity — incremental routing and bulk routing are the same
+    *    function; also pins MLlib transform == the compiled
+    *    [[Similarity.assignWithCentroids]] argmin on the built half);
+    *  - probe-after-update recall vs the exact top-k on the GROWN corpus
+    *    clears 0.8 (nProbe=12/16, the q148 measured config);
+    *  - the list-size skew sits below the documented re-train trigger
+    *    ([[Similarity.listSkewReport]] frac_vs_uniform < 4). */
+  val ivfIncremental: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val half0 = emb.where(col("vec_id") % 2 === 0)
+    val half1 = emb.where(col("vec_id") % 2 === 1)
+    val built = Similarity.buildIvfIndex(half0, "vec_id", "embedding", 16, 42)
+    val root = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_ivf_inc"))
+    val path = s"$root/ivf"
+    graft.store.IndexStore.saveIvfIndex(s, built, path)
+    val applied = graft.store.IndexStore.updateIvfIndex(s, path, half1,
+      "vec_id", "embedding", batchId = 1L)
+    val replayed = graft.store.IndexStore.updateIvfIndex(s, path, half1,
+      "vec_id", "embedding", batchId = 1L)
+    val updated = graft.store.IndexStore.loadIvfIndex(s, path)
+    val oneShot = Similarity.assignWithCentroids(emb, "vec_id", "embedding",
+      updated.centroids)
+    val a = updated.lists.select("neighbor_id", "list_id")
+    val b = oneShot.select("neighbor_id", "list_id")
+    val nA = a.count()
+    val listsMatch = nA == b.count() &&
+      a.unionByName(b).distinct().count() == nA
+    val qs = emb.where(col("vec_id") < 5)
+    val ann = Similarity.ivfTopKFrom(updated, qs, "vec_id", "embedding",
+      k = 3, nProbe = 12)
+    val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 3)
+    val hits = exact.select("query_id", "neighbor_id")
+      .join(ann.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+    val nExact = exact.count()
+    val maxSkew = Similarity.listSkewReport(updated)
+      .agg(max("frac_vs_uniform")).head().getDouble(0)
+    import s.implicits._
+    Seq((half0.count(), half1.count(), nA,
+        applied && !replayed,
+        graft.store.IndexStore.ivfIndexLastBatch(s, path),
+        listsMatch, hits * 5 >= nExact * 4, maxSkew < 4.0))
+      .toDF("n_built", "n_delta", "n_total", "update_applied_once",
+        "cursor_at", "lists_match_oneshot", "recall_ge_080",
+        "skew_below_retrain")
+  }
+
   /** Compressed-index ANN: int8-dequantized scoring + exact re-rank of the
     * over-retrieved survivors — same oracle as q50 (the re-rank restores
     * exactness; quantization error ~2e-5 vs rank margins >=1e-3). */
@@ -838,6 +894,7 @@ object CorpusQueries {
     "q149_skew_report" -> skewReport,
     "q154_dedup_threshold_curve" -> dedupThresholdCurve,
     "q163_margin_mining_stored" -> marginMiningStored,
+    "q168_ivf_incremental" -> ivfIncremental,
     "q69_knn_quantized" -> knnQuantized,
     "q51_ann_lsh" -> annLsh,
     "q55_ann_ivf" -> annIvf,
@@ -1279,6 +1336,16 @@ object CorpusQueries {
         |  true AS stored_equals_fused, true AS recall_ge_080
         |FROM bf JOIN bb USING (lid, rid) JOIN dx USING (lid) JOIN dy USING (rid)
         |WHERE cs / ((dl + dr) / 2) >= 1.02""".stripMargin,
+    "q168_ivf_incremental" ->
+      """SELECT
+        |  (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0) AS n_built,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 1) AS n_delta,
+        |  (SELECT count(*) FROM embeddings) AS n_total,
+        |  true AS update_applied_once,
+        |  CAST(1 AS BIGINT) AS cursor_at,
+        |  true AS lists_match_oneshot,
+        |  true AS recall_ge_080,
+        |  true AS skew_below_retrain""".stripMargin,
     "q148_margin_mining_ann" ->
       """WITH l AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
         |r AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),

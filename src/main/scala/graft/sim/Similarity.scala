@@ -170,6 +170,59 @@ object Similarity {
     IvfIndex(centroids, assigned)
   }
 
+  /** Frozen-centroid list assignment — the maintenance half of the IVF
+    * story ([[graft.store.IndexStore.updateIvfIndex]]): new vectors are
+    * routed to their nearest EXISTING list without refitting the coarse
+    * quantizer, exactly how production ANN services grow an index between
+    * re-trains (centroids freeze at build time; assignment is the only
+    * per-vector work). Squared-Euclidean argmin in the same monotone form
+    * the probe side uses (−2·v·c + ‖c‖², the ‖v‖² term cancels), with
+    * ties to the LOWEST list id.
+    *
+    * Scale shape: one codegen'd projection — the centroids ride as
+    * literals (k·dim doubles), each distance is a compiled [[graft.functions.VectorFunctions.dotProduct]],
+    * and the argmin is a `least` + first-match `when` chain, so there is
+    * NO shuffle, NO crossJoin row explosion, and no per-row interpreted
+    * HOF (the round-4 lesson). Output schema matches the index lists:
+    * (neighbor_id, cv, list_id). */
+  def assignWithCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                          centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "assignWithCentroids: empty centroid set")
+    val v = col(vecCol).cast("array<double>")
+    val dCols = centroids.sortBy(_._1).map { case (cid, c) =>
+      val cNorm2 = c.map(x => x * x).sum // driver constant, folded now
+      (cid, lit(-2.0) * graft.functions.VectorFunctions.dotProduct(
+        v, typedlit(c)) + lit(cNorm2))
+    }
+    val minD = least(dCols.map(_._2): _*)
+    val listId = dCols.tail.foldLeft(
+      when(dCols.head._2 === minD, lit(dCols.head._1))) {
+      case (acc, (cid, d)) => acc.when(d === minD, lit(cid))
+    }
+    corpus.select(col(idCol).as("neighbor_id"), v.as("cv"),
+      listId.as("list_id"))
+  }
+
+  /** Per-list occupancy of an [[IvfIndex]] — the re-train trigger report
+    * for incrementally-maintained indexes ([[graft.store.IndexStore.updateIvfIndex]]):
+    * frozen centroids drift from the data as the corpus grows, and the
+    * first observable symptom is list-size skew (hot lists absorb the new
+    * mass → probe cost concentrates, recall at fixed nProbe decays). One
+    * k-row aggregate: (list_id, n_vecs, frac of corpus, frac vs uniform).
+    * Operational rule of thumb documented here: re-train the quantizer
+    * when max frac_vs_uniform exceeds ~4 — before that, appended lists
+    * probe indistinguishably from built ones (q168 pins recall). */
+  def listSkewReport(index: IvfIndex): DataFrame = {
+    val counts = index.lists.groupBy("list_id")
+      .agg(count(lit(1)).as("n_vecs"))
+    val k = index.centroids.size
+    counts.crossJoin(broadcast(counts.agg(sum("n_vecs").as("n_total"))))
+      .select(col("list_id"), col("n_vecs"),
+        round(col("n_vecs") / col("n_total"), 4).as("frac"),
+        round(col("n_vecs") * lit(k) / col("n_total"), 4)
+          .as("frac_vs_uniform"))
+  }
+
   /** Rank the coarse-quantizer lists per query and keep the nProbe
     * nearest: (query_id, qv, list_id). Shared by the IVF and IVF-PQ probe
     * paths — the queries are small, the centroid table broadcasts. */

@@ -66,14 +66,17 @@ object IndexStore {
   }
 
   /** Persist a [[Similarity.IvfIndex]]: coarse-quantizer centroids + the
-    * inverted lists. Overwrites. */
+    * inverted lists + the replay cursor (−1 for batch-built indexes).
+    * Overwrites. */
   def saveIvfIndex(spark: SparkSession, idx: Similarity.IvfIndex,
-                   path: String): Unit = {
+                   path: String, lastBatchId: Long = -1L): Unit = {
     import spark.implicits._
     writeMeta(spark, path, "ivf")
     idx.centroids.toDF("cid", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     idx.lists.write.mode("overwrite").parquet(s"$path/lists")
+    Seq(Tuple1(lastBatchId)).toDF("last_batch")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/scalars")
   }
 
   def loadIvfIndex(spark: SparkSession, path: String): Similarity.IvfIndex = {
@@ -82,6 +85,57 @@ object IndexStore {
       .orderBy("cid").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
     Similarity.IvfIndex(cents, spark.read.parquet(s"$path/lists"))
+  }
+
+  /** The stored IVF index's replay cursor (−1 on fresh/batch-built,
+    * including indexes written before the cursor existed). */
+  def ivfIndexLastBatch(spark: SparkSession, path: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/scalars"))) -1L
+    else spark.read.parquet(s"$path/scalars").select("last_batch").head()
+      .getLong(0)
+  }
+
+  /** Merge a delta of NEW vectors into the stored IVF index, atomically
+    * and exactly-once — the dense twin of [[updateLexicalIndex]] (same
+    * dot-tmp write → rename-swap promote; same batchId cursor making a
+    * replayed micro-batch a no-op; same [[recoverIndexDir]] crash story).
+    * The coarse quantizer stays FROZEN: the delta is routed to its
+    * nearest existing lists by [[Similarity.assignWithCentroids]] (one
+    * codegen'd projection — no refit, no window shuffle), so
+    * update-then-probe is EXACTLY probe over the one-shot frozen-centroid
+    * assignment of the grown corpus (the q144/q153 additive-merge
+    * identity, pinned by q168), and recall moves only with genuine
+    * centroid drift — watch [[Similarity.listSkewReport]] for the
+    * re-train trigger.
+    *
+    * The path must hold an existing index (an empty path has no centroids
+    * to freeze — build the first snapshot with [[Similarity.buildIvfIndex]]
+    * + [[saveIvfIndex]]).
+    *
+    * @return true if the update applied, false if skipped as a replay. */
+  def updateIvfIndex(spark: SparkSession, path: String,
+                     delta: org.apache.spark.sql.DataFrame,
+                     idCol: String, vecCol: String,
+                     batchId: Long = -1L): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta")),
+      s"updateIvfIndex: no IVF index at $path (build + save the first snapshot)")
+    if (batchId >= 0 && batchId <= ivfIndexLastBatch(spark, path))
+      return false
+    val idx = loadIvfIndex(spark, path)
+    val assigned = Similarity.assignWithCentroids(delta, idCol, vecCol,
+      idx.centroids)
+    val merged = Similarity.IvfIndex(idx.centroids,
+      idx.lists.unionByName(assigned))
+    val parent = Option(root.getParent).map(_.toString).getOrElse(".")
+    val tmp = new org.apache.hadoop.fs.Path(s"$parent/.${root.getName}_update_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    saveIvfIndex(spark, merged, tmp.toString, batchId)
+    graft.util.AtomicSwap.swap(fs, tmp, root)
+    true
   }
 
   /** Persist a PQ index: the per-subspace codebooks (KBs) plus the encoded

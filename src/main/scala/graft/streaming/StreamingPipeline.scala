@@ -246,6 +246,26 @@ object StreamingPipeline {
         ()
       }
 
+  /** Continuous DENSE-INDEX ingest: each arriving micro-batch of vectors
+    * is routed to its nearest frozen coarse-quantizer list and appended
+    * to the stored IVF index ([[graft.store.IndexStore.updateIvfIndex]])
+    * — the ANN serving index stays current between quantizer re-trains
+    * without ever re-assigning the existing corpus (the dense twin of
+    * the lexical ingest stream above). Exactly-once by the stored
+    * batch-id cursor; a replayed micro-batch is a no-op. Watch
+    * [[graft.sim.Similarity.listSkewReport]] on the growing index for
+    * the re-train trigger. */
+  def ivfIngestStream(newVecs: DataFrame, idCol: String, vecCol: String,
+                      indexPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    newVecs.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.store.IndexStore.updateIvfIndex(
+          batch.sparkSession, indexPath, batch, idCol, vecCol, batchId)
+        ()
+      }
+
   /** Continuous LEAKAGE-ATTRIBUTION ingest: as new corpus documents
     * arrive, each benchmark item's attribution state (matched grams +
     * per-doc shared-gram counts) is updated additively in the stored

@@ -1,0 +1,103 @@
+package graft.store
+
+import graft.SparkSpec
+import graft.sim.Similarity
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of the stored IVF index — the dense twin of the
+  * lexical-index update contract (atomic swap, replay cursor, crash
+  * recovery), plus the frozen-centroid identities q168 gates end-to-end. */
+class IvfMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+  private lazy val half0 = emb.where(col("vec_id") % 2 === 0)
+  private lazy val half1 = emb.where(col("vec_id") % 2 === 1)
+
+  private def freshPath(tag: String): String =
+    graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory(tag)).toString + "/ivf"
+
+  test("assignWithCentroids reproduces MLlib's build-time assignment") {
+    val idx = Similarity.buildIvfIndex(half0, "vec_id", "embedding", 16, 42)
+    val mine = Similarity.assignWithCentroids(half0, "vec_id", "embedding",
+      idx.centroids).select("neighbor_id", "list_id")
+    val mllib = idx.lists.select("neighbor_id", "list_id")
+    assert(mine.exceptAll(mllib).isEmpty && mllib.exceptAll(mine).isEmpty,
+      "compiled argmin must match KMeans.transform routing")
+  }
+
+  test("update == one-shot frozen assignment; replay is a no-op") {
+    val path = freshPath("graft_ivf_m1")
+    val built = Similarity.buildIvfIndex(half0, "vec_id", "embedding", 16, 42)
+    IndexStore.saveIvfIndex(spark, built, path)
+    assert(IndexStore.ivfIndexLastBatch(spark, path) == -1L)
+    assert(IndexStore.updateIvfIndex(spark, path, half1, "vec_id",
+      "embedding", batchId = 7L), "first update applies")
+    assert(!IndexStore.updateIvfIndex(spark, path, half1, "vec_id",
+      "embedding", batchId = 7L), "replayed batch must no-op")
+    assert(!IndexStore.updateIvfIndex(spark, path, half1, "vec_id",
+      "embedding", batchId = 3L), "older batch must no-op")
+    assert(IndexStore.ivfIndexLastBatch(spark, path) == 7L)
+    val updated = IndexStore.loadIvfIndex(spark, path)
+    assert(updated.centroids == built.centroids, "quantizer stays frozen")
+    val oneShot = Similarity.assignWithCentroids(emb, "vec_id", "embedding",
+      built.centroids).select("neighbor_id", "list_id")
+    val got = updated.lists.select("neighbor_id", "list_id")
+    assert(got.exceptAll(oneShot).isEmpty && oneShot.exceptAll(got).isEmpty,
+      "incremental routing == bulk routing with the same centroids")
+  }
+
+  test("update on a missing index fails loudly (no centroids to freeze)") {
+    val path = freshPath("graft_ivf_m2")
+    intercept[IllegalArgumentException] {
+      IndexStore.updateIvfIndex(spark, path, half1, "vec_id", "embedding")
+    }
+  }
+
+  test("crash recovery restores a retired index (shared dir protocol)") {
+    val path = freshPath("graft_ivf_m3")
+    val built = Similarity.buildIvfIndex(half0, "vec_id", "embedding", 16, 42)
+    IndexStore.saveIvfIndex(spark, built, path)
+    val before = IndexStore.loadIvfIndex(spark, path).lists.count()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(root, new org.apache.hadoop.fs.Path(path + "__old")))
+    assert(IndexStore.recoverIndexDir(spark, path))
+    assert(IndexStore.loadIvfIndex(spark, path).lists.count() == before)
+    // restored store still accepts updates
+    assert(IndexStore.updateIvfIndex(spark, path, half1, "vec_id",
+      "embedding", batchId = 0L))
+  }
+
+  test("streaming ingest through the store equals the batch update") {
+    val d = java.nio.file.Files.createTempDirectory("graft_ivf_stream")
+    graft.util.TempDirs.deleteOnExit(d)
+    half1.write.mode("overwrite").parquet(d.resolve("in").toString)
+    val path = d.resolve("idx").toString
+    val built = Similarity.buildIvfIndex(half0, "vec_id", "embedding", 16, 42)
+    IndexStore.saveIvfIndex(spark, built, path)
+    val q = graft.streaming.StreamingPipeline.ivfIngestStream(
+        spark.readStream.schema(half1.schema)
+          .parquet(d.resolve("in").toString),
+        "vec_id", "embedding", path)
+      .option("checkpointLocation", d.resolve("ck").toString).start()
+    q.awaitTermination()
+    val streamed = IndexStore.loadIvfIndex(spark, path).lists
+      .select("neighbor_id", "list_id").as[(Long, Int)].collect().toSet
+    val oneShot = Similarity.assignWithCentroids(emb, "vec_id", "embedding",
+      built.centroids)
+      .select("neighbor_id", "list_id").as[(Long, Int)].collect().toSet
+    assert(streamed == oneShot, "stream == batch")
+  }
+
+  test("listSkewReport sums to the corpus and flags nothing on built lists") {
+    val idx = Similarity.buildIvfIndex(emb, "vec_id", "embedding", 16, 42)
+    val rep = Similarity.listSkewReport(idx)
+    val tot = rep.agg(sum("n_vecs")).head().getLong(0)
+    assert(tot == emb.count())
+    val fr = rep.agg(sum("frac")).head().getDouble(0)
+    assert(math.abs(fr - 1.0) < 0.01)
+  }
+}
