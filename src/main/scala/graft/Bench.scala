@@ -120,7 +120,8 @@ object Bench {
     "q162_tokenizer_upgrade", // v1 vs continued-v2 encode, one scan
     "q165_signals_profile",   // LRS + winnow + dictionary card, one scan
     "q167_learned_quality",   // classifier fit + corpus scoring + calibration
-    "q168_ivf_incremental")   // stored IVF: build + update + reload + probe
+    "q168_ivf_incremental",   // stored IVF: build + update + reload + probe
+    "q170_byte_fertility")    // dual-mode tokenizer fit + two-encoder scan
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -551,6 +551,58 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** Byte-level BPE encoding — [[BpeEncode]]'s GPT-lineage twin
+  * ([[graft.ops.BpeTrainer.fitBytes]]): pretokenize with the RE2-portable
+  * GPT-2 pattern class ([[graft.ops.BpeTrainer.Gpt2Pretokenizer]]), decompose
+  * each pretoken into UTF-8 hex-pair byte symbols, apply the learned merge
+  * list in rank order, emit all symbols. Same per-pretoken memo cache and
+  * O(1) plan-string discipline as [[BpeEncode]]; the merge table rides as a
+  * driver literal so the whole encode is one scan. */
+case class BpeEncodeBytes(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode_bytes"
+
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"numMerges=${merges.length}")
+
+  @transient private lazy val mergeArr = merges.toArray
+  @transient private lazy val pretok =
+    java.util.regex.Pattern.compile(graft.ops.BpeTrainer.Gpt2Pretokenizer)
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+  private val MaxCachedWords = 262144
+
+  private def encodePretoken(w: String): Array[String] = {
+    val hit = cache.get(w)
+    if (hit != null) return hit
+    var syms: Array[String] = graft.ops.BpeTrainer.byteSymbols(w)
+    var m = 0
+    while (m < mergeArr.length && syms.length > 1) {
+      syms = graft.ops.BpeTrainer.mergePair(syms, mergeArr(m)._1, mergeArr(m)._2)
+      m += 1
+    }
+    if (cache.size < MaxCachedWords) cache.put(w, syms)
+    syms
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val out = Array.newBuilder[Any]
+    val m = pretok.matcher(s)
+    while (m.find()) {
+      val syms = encodePretoken(m.group())
+      var j = 0
+      while (j < syms.length) { out += UTF8String.fromString(syms(j)); j += 1 }
+    }
+    new GenericArrayData(out.result())
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Unicode NFC normalization (UAX #15 canonical composition) via the JDK's
   * `java.text.Normalizer`. Spark has no normalization built-in, so this is
   * the one missing kernel for text-cleanup pipelines — the steps around it
@@ -941,6 +993,10 @@ object TextExpr {
 
   def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), merges))
+
+  /** Byte-level (GPT-lineage) BPE encode — see [[BpeEncodeBytes]]. */
+  def bpeEncodeBytes(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeEncodeBytes(ColumnBridge.expression(text), merges))
 
   def nfcNormalize(text: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))

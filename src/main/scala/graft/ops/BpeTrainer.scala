@@ -62,6 +62,64 @@ object BpeTrainer {
       wordFreq.map(_._1).zip(words.map(_.toSeq)).toMap)
   }
 
+  /** GPT-lineage pretokenizer pattern (the GPT-2 class: contractions,
+    * optionally-space-prefixed letter runs / digit runs / punctuation
+    * runs, whitespace runs), made RE2-PORTABLE by dropping the original's
+    * `\s+(?!\S)` negative-lookahead alternative — RE2 (the DuckDB oracle
+    * engine) has no lookahead, and the only behavioral difference is that
+    * a whitespace run before a word stays one `\s+` token instead of
+    * donating its last space to the word (identical in both engines, which
+    * is the property the shared-regex contract needs). Alternation is
+    * leftmost-first in both java.util.regex and RE2; every match class is
+    * shared syntax. Matches cover every character, so pretokens
+    * concatenate losslessly back to the text (q170 certifies by byte
+    * count). */
+  val Gpt2Pretokenizer: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Pretoken stream of a text column under [[Gpt2Pretokenizer]]. */
+  def pretokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract_all(c, lit(Gpt2Pretokenizer), lit(0))
+
+  /** A pretoken's UTF-8 bytes as lowercase hex-pair symbols — the
+    * byte-mode alphabet. Hex pairs (not raw bytes, not the GPT-2
+    * byte-to-unicode remap) because they are printable, unambiguous to
+    * concatenate, and the DuckDB oracle reproduces them exactly with
+    * `lower(hex(encode(w)))`; `unhex` of the concatenated symbols is the
+    * original byte sequence, which is the losslessness certificate. */
+  def byteSymbols(w: String): Array[String] = {
+    val bs = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bs.length)
+    var i = 0
+    while (i < bs.length) { out(i) = f"${bs(i) & 0xff}%02x"; i += 1 }
+    out
+  }
+
+  /** BYTE-LEVEL fit — the production GPT-lineage mode: pretokenize with
+    * [[Gpt2Pretokenizer]] (not whitespace split), decompose each pretoken
+    * into UTF-8 byte symbols (not codepoints), and learn merges with the
+    * SAME incremental loop ([[greedyMerges]] — the alphabet is the only
+    * difference). Byte mode needs no vocabulary escape hatch: any text in
+    * any script decomposes into at most 256 base symbols, where codepoint
+    * mode's alphabet grows with every distinct character it meets — the
+    * reason every production tokenizer since GPT-2 is byte-level. Same
+    * distributed/driver split and determinism contract as [[fit]]; the
+    * q169 oracle replays this chain over hex symbols. */
+  def fitBytes(docs: DataFrame, textCol: String, numMerges: Int,
+               maxWords: Int = 1000000): BpeModel = {
+    require(numMerges >= 1, "need at least one merge step")
+    val wordFreq: Array[(String, Long)] = docs
+      .select(explode(pretokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w").asc)
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val words: Array[Array[String]] = wordFreq.map { case (w, _) => byteSymbols(w) }
+    val freqs = wordFreq.map(_._2)
+    val merges = greedyMerges(words, freqs, firstStep = 1, lastStep = numMerges)
+    BpeModel(merges, wordFreq.map(_._1).zip(words.map(_.toSeq)).toMap)
+  }
+
   /** Continued training — tokenizer domain adaptation without a from-
     * scratch refit: freeze `model`'s merge list, recount the NEW corpus's
     * word table with those merges applied (exactly how encoding would see

@@ -293,30 +293,48 @@ object AnalysisQueries {
     * b{i} the (count desc, pair asc) winner, w{i} the merge applied
     * everywhere. All CTEs MATERIALIZED: step i references step i-1 twice,
     * so default inlining re-reads the base table 2^n times. */
-  private def bpeBaseSql(name: String, whereClause: String): String =
+  private def bpeBaseSql(name: String, whereClause: String,
+                         table: String = "documents"): String =
     s"""$name AS MATERIALIZED (
       |  SELECT w AS word, regexp_replace(w, '(.)', ':\\1:', 'g') AS repr,
       |    CAST(count(*) AS BIGINT) AS f
       |  FROM (SELECT unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
       |          ELSE string_split_regex(trim(text), '\\s+') END) AS w
-      |        FROM documents$whereClause)
+      |        FROM $table$whereClause)
       |  GROUP BY 1)""".stripMargin
 
-  /** Replay steps lo..hi; step lo reads `from`, later steps read w{i-1}. */
-  private def bpeStepsSql(from: String, lo: Int, hi: Int): String =
+  /** BYTE-mode base: GPT-2-class pretokens (the RE2-portable
+    * [[graft.ops.BpeTrainer.Gpt2Pretokenizer]] — shared pattern string),
+    * each framed as ':'-separated lowercase HEX-PAIR byte symbols; the
+    * step machinery below is symbol-agnostic, so the chains share it. */
+  private def bpeByteBaseSql(name: String, table: String): String = {
+    val pat = graft.ops.BpeTrainer.Gpt2Pretokenizer.replace("'", "''")
+    s"""$name AS MATERIALIZED (
+      |  SELECT w AS word,
+      |    regexp_replace(lower(hex(encode(w))), '(..)', ':\\1:', 'g') AS repr,
+      |    CAST(count(*) AS BIGINT) AS f
+      |  FROM (SELECT unnest(regexp_extract_all(text, '$pat')) AS w FROM $table)
+      |  GROUP BY 1)""".stripMargin
+  }
+
+  /** Replay steps lo..hi; step lo reads `from`, later steps read
+    * {prefix}w{i-1}. `prefix` disambiguates parallel chains in one oracle
+    * (q170 runs the codepoint and byte chains side by side). */
+  private def bpeStepsSql(from: String, lo: Int, hi: Int,
+                          prefix: String = ""): String =
     (lo to hi).map { i =>
-      val src = if (i == lo) from else s"w${i - 1}"
+      val src = if (i == lo) from else s"${prefix}w${i - 1}"
       s""",
-        |p$i AS MATERIALIZED (
+        |${prefix}p$i AS MATERIALIZED (
         |  SELECT sy[j] AS l, sy[j+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
         |  FROM (SELECT f, string_split(trim(repr, ':'), '::') AS sy FROM $src) t,
         |       UNNEST(generate_series(1, len(sy) - 1)) AS u(j)
         |  GROUP BY 1, 2),
-        |b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-        |w$i AS MATERIALIZED (
+        |${prefix}b$i AS MATERIALIZED (SELECT l, r, cnt FROM ${prefix}p$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        |${prefix}w$i AS MATERIALIZED (
         |  SELECT w.word, replace(w.repr, ':' || b.l || '::' || b.r || ':',
         |                         ':' || b.l || b.r || ':') AS repr, w.f
-        |  FROM $src w CROSS JOIN b$i b)""".stripMargin
+        |  FROM $src w CROSS JOIN ${prefix}b$i b)""".stripMargin
     }.mkString
 
   /** Apply already-derived winners b1..bn to a second base table (the
@@ -427,6 +445,126 @@ object AnalysisQueries {
       |  round(g.n_subwords * 1.0 / g.n_words, 6) AS fertility,
       |  round(g.nc * 1.0 / g.n_subwords, 6) AS chars_per_subword
       |FROM d JOIN g USING (lang) ORDER BY d.lang""".stripMargin
+
+  /** Shared fixture for the byte-level tokenizer gates: plant a non-ASCII
+    * suffix (2-byte Latin accents, a 3-byte em-dash, CJK) on the doc_id%5==2
+    * slice — the corpus is ASCII, where byte mode and codepoint mode
+    * coincide; the planted rows are exactly where byte-level decomposition
+    * earns its existence (é is TWO byte symbols c3,a9 but ONE codepoint
+    * symbol, and codepoint mode's alphabet has no sub-character
+    * representation at all). */
+  private val ByteBpeSuffix = " café naïve — 你好"
+  private def bytePlanted(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"),
+      when(col("doc_id") % 5 === 2, concat(col("text"), lit(ByteBpeSuffix)))
+        .otherwise(col("text")).as("text"))
+  private val ByteBpePlantedSql: String =
+    """planted AS MATERIALIZED (
+      |  SELECT doc_id, lang, source,
+      |    CASE WHEN doc_id % 5 = 2
+      |      THEN text || ' café naïve — 你好'
+      |      ELSE text END AS text
+      |  FROM documents)""".stripMargin
+
+  /** q169: BYTE-LEVEL BPE vocabulary fit
+    * ([[graft.ops.BpeTrainer.fitBytes]]) — the GPT-lineage mode: GPT-2-class
+    * regex pretokenization (RE2-portable, pattern string shared verbatim
+    * with the oracle) + UTF-8 hex-pair byte symbols, the incremental merge
+    * loop reused VERBATIM. The oracle replays the full chain over
+    * `lower(hex(encode(word)))` decompositions — every winner, rank and
+    * count must match on a corpus planted with multi-byte text. */
+  val byteBpeVocab: Q = (s, dir) => {
+    val model = graft.ops.BpeTrainer.fitBytes(
+      bytePlanted(Tables.documents(s, dir)), "text", BpeMerges)
+    graft.ops.BpeTrainer.mergesDf(s, model).orderBy("step")
+  }
+
+  private def byteBpeVocabOracle(n: Int): String =
+    s"WITH $ByteBpePlantedSql,\n" +
+      bpeByteBaseSql("y0", "planted") + bpeStepsSql("y0", 1, n, "y") + "\n" +
+      (1 to n).map(i =>
+        s"SELECT CAST($i AS INT) AS step, l AS lhs, r AS rhs, cnt AS pair_count FROM yb$i")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY step")
+
+  /** q170: tokenizer MODE comparison + byte-losslessness certificate —
+    * the q140 fertility report run under BOTH tokenizer modes in one scan
+    * (codepoint whitespace-token BPE vs byte-level pretokenized BPE, both
+    * compiled encoders in the same projection — the q162 doctrine), over
+    * the planted multi-byte corpus. Certificates: `n_subword_bytes`
+    * (derived from the ACTUAL byte-encoder output: hex chars / 2) must
+    * equal `n_text_bytes` — byte mode reconstructs every UTF-8 byte of
+    * the text, including characters codepoint mode cannot represent
+    * sub-symbol, and the pretokenization itself is lossless (matches
+    * cover every char). Fertility is per-unit-of-meaning: subwords per
+    * whitespace word (codepoint mode) vs subwords per pretoken (byte
+    * mode). */
+  val byteFertility: Q = (s, dir) => {
+    val docs = bytePlanted(Tables.documents(s, dir))
+    val cp = graft.ops.BpeTrainer.fit(docs, "text", BpeMerges)
+    val by = graft.ops.BpeTrainer.fitBytes(docs, "text", BpeMerges)
+    val toks = TextFunctions.tokens(col("text"))
+    val byArr = graft.functions.TextExpr.bpeEncodeBytes(col("text"),
+      by.merges.map(m => (m.lhs, m.rhs)))
+    docs.select(col("lang"),
+        size(toks).cast("long").as("nw"),
+        size(graft.functions.TextExpr.bpeEncode(col("text"),
+          cp.merges.map(m => (m.lhs, m.rhs)))).cast("long").as("nscp"),
+        size(graft.ops.BpeTrainer.pretokens(col("text"))).cast("long").as("npt"),
+        byArr.as("bysubs"),
+        octet_length(col("text")).cast("long").as("tb"))
+      .select(col("lang"), col("nw"), col("nscp"), col("npt"), col("tb"),
+        size(col("bysubs")).cast("long").as("nsby"),
+        (length(concat_ws("", col("bysubs"))) / lit(2)).cast("long").as("sb"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nw").as("n_words"),
+        sum("npt").as("n_pretokens"),
+        sum("nscp").as("n_subwords_cp"),
+        sum("nsby").as("n_subwords_byte"),
+        round(sum(col("nscp")) / sum(col("nw")).cast("double"), 6)
+          .as("fertility_cp"),
+        round(sum(col("nsby")) / sum(col("npt")).cast("double"), 6)
+          .as("fertility_byte"),
+        sum("tb").as("n_text_bytes"),
+        sum("sb").as("n_subword_bytes"))
+      .withColumn("bytes_lossless",
+        col("n_subword_bytes") === col("n_text_bytes"))
+      .orderBy("lang")
+  }
+
+  private def byteFertilityOracle(n: Int): String = {
+    val pat = graft.ops.BpeTrainer.Gpt2Pretokenizer.replace("'", "''")
+    s"WITH $ByteBpePlantedSql,\n" +
+      bpeBaseSql("w0", "", "planted") + bpeStepsSql("w0", 1, n) +
+      ",\n" + bpeByteBaseSql("y0", "planted") + bpeStepsSql("y0", 1, n, "y") +
+      s""",
+        |enc AS (SELECT word, len(string_split(trim(repr, ':'), '::')) AS nsw FROM w$n),
+        |benc AS (SELECT word, len(string_split(trim(repr, ':'), '::')) AS nsw,
+        |         octet_length(encode(word)) AS wb FROM yw$n),
+        |tok AS (SELECT lang, unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |          ELSE string_split_regex(trim(text), '\\s+') END) AS word
+        |        FROM planted),
+        |ptok AS (SELECT lang, unnest(regexp_extract_all(text, '$pat')) AS word
+        |         FROM planted),
+        |g1 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+        |         CAST(sum(e.nsw) AS BIGINT) AS ns_cp
+        |       FROM tok JOIN enc e USING (word) GROUP BY 1),
+        |g2 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_pretokens,
+        |         CAST(sum(b.nsw) AS BIGINT) AS ns_by,
+        |         CAST(sum(b.wb) AS BIGINT) AS sb
+        |       FROM ptok JOIN benc b USING (word) GROUP BY 1),
+        |g3 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(octet_length(encode(text))) AS BIGINT) AS tb
+        |       FROM planted GROUP BY 1)
+        |SELECT g3.lang, n_docs, n_words, n_pretokens,
+        |  ns_cp AS n_subwords_cp, ns_by AS n_subwords_byte,
+        |  round(ns_cp * 1.0 / n_words, 6) AS fertility_cp,
+        |  round(ns_by * 1.0 / n_pretokens, 6) AS fertility_byte,
+        |  tb AS n_text_bytes, sb AS n_subword_bytes,
+        |  (sb = tb) AS bytes_lossless
+        |FROM g3 JOIN g1 USING (lang) JOIN g2 USING (lang)
+        |ORDER BY g3.lang""".stripMargin
+  }
 
   /** q146: intra-document longest-repeated-substring census
     * ([[graft.functions.LongestRepeatedSubstringLen]] — suffix-automaton
@@ -694,6 +832,8 @@ object AnalysisQueries {
     "q150_wordpiece_encode" -> wordpieceEncode,
     "q146_intradoc_repeats" -> intraDocRepeats,
     "q140_bpe_fertility" -> bpeFertility,
+    "q169_byte_bpe_vocab" -> byteBpeVocab,
+    "q170_byte_fertility" -> byteFertility,
     "q116_retrieval_eval" -> retrievalEval,
     "q120_bpe_vocab" -> bpeVocab,
     "q122_bpe_packing" -> bpePacking,
@@ -1057,6 +1197,8 @@ object AnalysisQueries {
     "q122_bpe_packing" -> bpePackingOracle(BpeMerges),
     "q121_bpe_encode" -> bpeEncodeOracle(BpeMerges),
     "q140_bpe_fertility" -> bpeFertilityOracle(BpeMerges),
+    "q169_byte_bpe_vocab" -> byteBpeVocabOracle(BpeMerges),
+    "q170_byte_fertility" -> byteFertilityOracle(BpeMerges),
     "q116_retrieval_eval" ->
       """WITH q(query_id, term) AS (VALUES (CAST(1 AS BIGINT),'spark'),(1,'dup'),(1,'key'),
         |  (2,'join'),(2,'window'),(2,'merge'),(3,'vector'),(3,'stream'),(3,'batch')),

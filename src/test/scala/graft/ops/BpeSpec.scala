@@ -134,4 +134,47 @@ class BpeSpec extends SparkSpec {
       .count()
     assert(bad == 0, "subwords must concatenate back to the original characters")
   }
+
+  test("byteSymbols is the exact UTF-8 byte sequence, hex-paired") {
+    assert(BpeTrainer.byteSymbols("ab").toSeq == Seq("61", "62"))
+    assert(BpeTrainer.byteSymbols("é").toSeq == Seq("c3", "a9"))
+    assert(BpeTrainer.byteSymbols("你").toSeq == Seq("e4", "bd", "a0"))
+    assert(BpeTrainer.byteSymbols("").isEmpty)
+    // round trip: unhex(concat) == original bytes, for any input
+    for (s <- Seq("café", "東京 2024!", "a b", "'re"))
+      assert(BpeTrainer.byteSymbols(s).mkString ==
+        s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString)
+  }
+
+  test("pretokenization is lossless: matches concatenate back to the text") {
+    val p = java.util.regex.Pattern.compile(BpeTrainer.Gpt2Pretokenizer)
+    for (s <- Seq("the cat's hat", "we're  fine\n\tok", "a1b2 ... x", "café — 你好",
+                  "", " lead", "trail ")) {
+      val m = p.matcher(s)
+      val sb = new StringBuilder
+      while (m.find()) sb.append(m.group())
+      assert(sb.toString == s, s"pretokens must cover '$s'")
+    }
+  }
+
+  test("byte-mode fit + compiled encoder reproduce training end states and bytes") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text"))
+      .unionAll(Seq("héllo — wörld 你好", "it's fine", "").toDF("text"))
+    val model = BpeTrainer.fitBytes(docs, "text", 10)
+    val merges = model.merges.map(m => (m.lhs, m.rhs))
+    // every encoded row's concatenated hex == the row's UTF-8 bytes hex
+    val bad = docs.select(col("text"),
+        concat_ws("", TextExpr.bpeEncodeBytes(col("text"), merges)).as("enc"))
+      .as[(String, String)].collect()
+      .filter { case (t, enc) => enc != BpeTrainer.byteSymbols(t).mkString }
+    assert(bad.isEmpty, s"byte round trip failed on ${bad.take(3).toSeq}")
+    // encoding a training pretoken reproduces its fit end state
+    val probe = model.words.keysIterator.take(50)
+    for (w <- probe) {
+      var syms = BpeTrainer.byteSymbols(w)
+      merges.foreach { case (l, r) => syms = BpeTrainer.mergePair(syms, l, r) }
+      assert(syms.toSeq == model.words(w), s"end-state mismatch for '$w'")
+    }
+  }
 }
