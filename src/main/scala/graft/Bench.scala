@@ -121,7 +121,8 @@ object Bench {
     "q165_signals_profile",   // LRS + winnow + dictionary card, one scan
     "q167_learned_quality",   // classifier fit + corpus scoring + calibration
     "q168_ivf_incremental",   // stored IVF: build + update + reload + probe
-    "q170_byte_fertility")    // dual-mode tokenizer fit + two-encoder scan
+    "q170_byte_fertility",    // dual-mode tokenizer fit + two-encoder scan
+    "q171_host_pagerank")     // 8-step power iteration over the host graph
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

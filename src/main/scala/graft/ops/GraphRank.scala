@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality for crawl-frontier quality — the host-level
+  * PageRank signal (Page et al. 1999) every production crawl pipeline
+  * feeds into seed selection and domain-quality priors (Common Crawl
+  * publishes exactly this host ranking). Fixed-iteration POWER ITERATION
+  * over a (src_host, dst_host) edge table; deterministic at a fixed
+  * iteration count, so a DuckDB oracle can replay the unrolled chain
+  * (q171), and next to [[graft.dedup.ConnectedComponents]] it is the
+  * second member of the engine's graph tier.
+  *
+  * Scale shape: each iteration is ONE join (edges ⋈ ranks on src — both
+  * sides hash-partition on the host key; AQE broadcasts ranks while the
+  * host table stays small) + ONE groupBy(dst) sum with map-side partial
+  * aggregation. Out-degrees are computed once and FOLDED INTO the edge
+  * table as per-edge contribution weights (contrib = 1/outdeg), so the
+  * per-step join touches only (src, dst, w) — no repeated degree join.
+  * The rank frame is nodes-sized (hosts, not pages: millions of rows at
+  * web scale — far under corpus scale) and is cached per step; dangling
+  * mass (ranks of hosts with no out-links) is a one-double driver
+  * aggregate per step, redistributed uniformly — the standard treatment,
+  * without it rank mass leaks and the vector stops summing to 1.
+  */
+object GraphRank {
+
+  /** `iters` power-iteration steps at `damping` over the DISTINCT edges
+    * of `edges(srcCol, dstCol)`. Returns one row per node:
+    * (host, out_degree, in_degree, rank) — rank a full-precision double
+    * summing to 1 over the node set; callers round for display. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "iters >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .cache()
+    val nodes = e.select(col("src").as("host"))
+      .unionByName(e.select(col("dst").as("host")))
+      .distinct()
+      .cache()
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // contribution-weighted edges: the only per-step corpus of the loop
+    val contribEdges = e.join(outDeg, Seq("src"))
+      .select(col("src"), col("dst"),
+        (lit(1.0) / col("outdeg").cast("double")).as("w"))
+      .cache()
+    val base = (1.0 - damping) / n
+
+    // localCheckpoint per step: an iterative chain's LOGICAL plan nests
+    // once per iteration and Spark re-renders it on every AQE update —
+    // growth is super-linear and a few dozen steps OOM the driver on plan
+    // STRINGS alone. Checkpointing materializes the nodes-sized rank
+    // vector and cuts the lineage, which is the standard treatment for
+    // power iteration on Spark (same reason GraphX checkpoints Pregel
+    // state).
+    var ranks = nodes.select(col("host"), lit(1.0 / n).as("r"))
+      .localCheckpoint(true)
+    var iter = 0
+    while (iter < iters) {
+      // dangling mass: hosts with no out-links (one double to the driver)
+      val dangling = ranks.join(outDeg.select(col("src").as("host")),
+          Seq("host"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0.0))).head().getDouble(0)
+      val dmOverN = dangling / n
+      val contrib = contribEdges
+        .join(ranks.withColumnRenamed("host", "src"), Seq("src"))
+        .groupBy("dst").agg(sum(col("r") * col("w")).as("s"))
+      val next = nodes
+        .join(contrib.withColumnRenamed("dst", "host"), Seq("host"), "left")
+        .select(col("host"),
+          (lit(base) + lit(damping) *
+            (coalesce(col("s"), lit(0.0)) + lit(dmOverN))).as("r"))
+        .localCheckpoint(true) // materializes eagerly, truncates lineage
+      ranks.unpersist()
+      ranks = next
+      iter += 1
+    }
+    val inDeg = e.groupBy("dst").agg(count(lit(1)).as("indeg"))
+    ranks
+      .join(outDeg.withColumnRenamed("src", "host"), Seq("host"), "left")
+      .join(inDeg.withColumnRenamed("dst", "host"), Seq("host"), "left")
+      .select(col("host"),
+        coalesce(col("outdeg"), lit(0L)).as("out_degree"),
+        coalesce(col("indeg"), lit(0L)).as("in_degree"),
+        col("r").as("rank"))
+  }
+}

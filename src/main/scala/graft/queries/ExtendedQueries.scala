@@ -365,9 +365,91 @@ object ExtendedQueries {
     "q48_url_domains" -> urlDomains,
     "q105_url_canonical" -> urlCanonical,
     "q49_quality_filter" -> qualityFilter,
-    "q62_dedup_clusters" -> dedupClusters)
+    "q62_dedup_clusters" -> dedupClusters,
+    "q171_host_pagerank" -> hostPageRank)
+
+  /** q171: host-graph PageRank ([[graft.ops.GraphRank.pageRank]]) — the
+    * crawl-frontier centrality signal, over a host link graph synthesized
+    * deterministically from doc columns (the q48/q105 injection pattern):
+    * every doc's site links its language portal, portals link a hub
+    * (doc_id%3), the hub links back to a rotating subset of sites
+    * (doc_id%7), and sites cross-link by a doc_id-derived rotation
+    * (doc_id%5). 8 power-iteration steps at damping 0.85; the oracle
+    * replays the unrolled iteration chain CTE-for-CTE with the identical
+    * arithmetic shape, so the 6-dp ranks hash-match (float drift from
+    * summation order is ~1e-14 against a 5e-7 rounding quantum). */
+  lazy val hostPageRank: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    def srcHost = concat(col("source"), lit(".example.org"))
+    def langHost = concat(col("lang"), lit(".example.net"))
+    val e1 = docs.select(srcHost.as("src"), langHost.as("dst"))
+    val e2 = docs.where(col("doc_id") % 3 === 0)
+      .select(langHost.as("src"), lit("hub.example.net").as("dst"))
+    val e3 = docs.where(col("doc_id") % 7 === 1)
+      .select(lit("hub.example.net").as("src"), srcHost.as("dst"))
+    val e4 = docs.where(col("doc_id") % 5 === 2)
+      .select(srcHost.as("src"),
+        concat(lit("src"), (col("doc_id") * 7 % 20).cast("string"),
+          lit(".example.org")).as("dst"))
+    val edges = e1.unionByName(e2).unionByName(e3).unionByName(e4)
+      .where(col("src") =!= col("dst"))
+    graft.ops.GraphRank.pageRank(edges, "src", "dst", iters = 8)
+      .select(col("host"), col("out_degree"), col("in_degree"),
+        round(col("rank"), 6).as("rank"))
+      .orderBy("host")
+  }
+
+  private def hostPageRankOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      val prev = s"r${i - 1}"
+      s""",
+        |dg$i AS MATERIALIZED (
+        |  SELECT coalesce(sum(r.r), 0.0) AS dang FROM $prev r
+        |  WHERE r.host NOT IN (SELECT src FROM od)),
+        |c$i AS MATERIALIZED (
+        |  SELECT ce.dst AS host, sum(r.r * ce.w) AS s
+        |  FROM ce JOIN $prev r ON r.host = ce.src GROUP BY 1),
+        |r$i AS MATERIALIZED (
+        |  SELECT nd.host,
+        |    (1.0 - 0.85) / nn.cnt + 0.85 * (coalesce(c.s, 0.0) + dg.dang / nn.cnt) AS r
+        |  FROM nd CROSS JOIN nn CROSS JOIN dg$i dg
+        |  LEFT JOIN c$i c USING (host))""".stripMargin
+    }.mkString
+    s"""WITH ed0 AS MATERIALIZED (
+      |  SELECT source || '.example.org' AS src, lang || '.example.net' AS dst
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT lang || '.example.net', 'hub.example.net'
+      |  FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT 'hub.example.net', source || '.example.org'
+      |  FROM documents WHERE doc_id % 7 = 1
+      |  UNION ALL
+      |  SELECT source || '.example.org',
+      |    'src' || CAST((doc_id * 7) % 20 AS VARCHAR) || '.example.org'
+      |  FROM documents WHERE doc_id % 5 = 2),
+      |ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM ed0 WHERE src <> dst),
+      |nd AS MATERIALIZED (SELECT DISTINCT host FROM (
+      |  SELECT src AS host FROM ed UNION ALL SELECT dst FROM ed)),
+      |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS cnt FROM nd),
+      |od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM ed GROUP BY 1),
+      |ce AS MATERIALIZED (
+      |  SELECT ed.src, ed.dst, 1.0 / od.outdeg AS w FROM ed JOIN od USING (src)),
+      |r0 AS MATERIALIZED (SELECT host, 1.0 / nn.cnt AS r FROM nd, nn)$steps,
+      |idg AS (SELECT dst, count(*) AS indeg FROM ed GROUP BY 1)
+      |SELECT nd.host,
+      |  CAST(coalesce(od.outdeg, 0) AS BIGINT) AS out_degree,
+      |  CAST(coalesce(idg.indeg, 0) AS BIGINT) AS in_degree,
+      |  round(r$iters.r, 6) AS rank
+      |FROM nd
+      |LEFT JOIN od ON od.src = nd.host
+      |LEFT JOIN idg ON idg.dst = nd.host
+      |JOIN r$iters ON r$iters.host = nd.host
+      |ORDER BY nd.host""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
+    "q171_host_pagerank" -> hostPageRankOracle(8),
     "q139_neardup_decontam" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id AS id, unnest(

@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranksOf(edges: Seq[(String, String)], iters: Int = 20) =
+    GraphRank.pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+      .select("host", "rank").as[(String, Double)].collect().toMap
+
+  test("ranks sum to 1 and a symmetric cycle is uniform") {
+    val r = ranksOf(Seq("a" -> "b", "b" -> "c", "c" -> "a"))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assert(r.values.forall(v => math.abs(v - 1.0 / 3) < 1e-9))
+  }
+
+  test("a star graph concentrates rank on the hub") {
+    val spokes = (1 to 8).map(i => s"s$i" -> "hub")
+    // hub links back so nothing dangles in the directed sense
+    val r = ranksOf(spokes ++ (1 to 8).map(i => "hub" -> s"s$i"))
+    assert(r("hub") > r("s1") * 3, s"hub must dominate: $r")
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("dangling nodes redistribute their mass (vector still sums to 1)") {
+    // d has no out-links: without dangling handling the sum decays
+    val r = ranksOf(Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "d"))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, s"mass must not leak: $r")
+    assert(r("d") > 0)
+  }
+
+  test("duplicate edge rows do not change the result (distinct contract)") {
+    val base = Seq("a" -> "b", "b" -> "a", "a" -> "c", "c" -> "a")
+    val r1 = ranksOf(base)
+    val r2 = ranksOf(base ++ base ++ Seq("a" -> "b"))
+    assert(r1.keySet == r2.keySet &&
+      r1.forall { case (k, v) => math.abs(v - r2(k)) < 1e-12 })
+  }
+
+  test("degrees are reported on the distinct edge set") {
+    val df = GraphRank.pageRank(
+      Seq("a" -> "b", "a" -> "b", "a" -> "c", "b" -> "a").toDF("src", "dst"),
+      "src", "dst", iters = 2)
+    val m = df.select("host", "out_degree", "in_degree")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m("a") == (2L, 1L) && m("b") == (1L, 1L) && m("c") == (0L, 1L))
+  }
+}
