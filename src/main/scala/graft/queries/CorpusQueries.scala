@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.dedup.Dedup
 import graft.functions.TextFunctions
-import graft.multimodal.{ImageDHashExpr, ImageMetaExpr, MediaCodec, Multimodal, WavFingerprintExpr}
+import graft.multimodal.{ImageDHashExpr, ImageMetaExpr, MediaCodec, Multimodal, WavFingerprintExpr, WavSpectralFingerprintExpr}
 import graft.sim.Similarity
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -866,7 +866,51 @@ object CorpusQueries {
       .orderBy("rep_doc")
   }
 
+  /** q172: SPECTRAL audio near-dup grouping
+    * ([[graft.multimodal.MediaCodec.wavSpectralFingerprint]]) — the
+    * re-encode-robust upgrade of q135's energy envelope. Every doc gets a
+    * constant-volume square-wave TONE whose period is a pure function of
+    * doc_id%4 (periods 8/16/32/64 samples → dominant DFT bins 8/4/2/1),
+    * with odd ids amplitude-doubled. Constant volume means the energy
+    * envelope is FLAT for every class — the q135 fingerprint provably
+    * collapses all four classes into one group (`n_energy_fps` pins it at
+    * 1) — while the fixed-point spectral DFT separates them exactly and
+    * ignores the ×2 amplitude (×4 energy) variant. The oracle is pure
+    * doc_id%4 arithmetic; row equality certifies decode → framing →
+    * integer DFT → dominant-peak bits end to end. */
+  val audioSpectralNearDup: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val period = Seq(8, 16, 32, 64)((id % 4).toInt)
+          val amp = if (id % 2 == 0) 500 else 1000
+          val samples = Array.tabulate[Short](1024) { k =>
+            (if (k % period < period / 2) amp else -amp).toShort
+          }
+          (id, MediaCodec.encodeWav(channels = 1, sampleRate = 16000, samples))
+        }
+      }.toDF("doc_id", "media")
+      .cache()
+    val nEnergy = media
+      .select(WavFingerprintExpr.wavFingerprint(col("media")).as("efp"))
+      .agg(countDistinct(col("efp"))).head().getLong(0)
+    val out = media.select(col("doc_id"),
+        WavSpectralFingerprintExpr.wavSpectralFingerprint(col("media")).as("fp"))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_doc_ids"),
+        sum(col("doc_id") % 2).as("n_loud"))
+      .select(col("rep_doc"), col("n_docs"), col("sum_doc_ids"), col("n_loud"),
+        lit(nEnergy).as("n_energy_fps"))
+      .orderBy("rep_doc")
+    media.unpersist()
+    out
+  }
+
   val all: Map[String, Q] = Map(
+    "q172_audio_spectral" -> audioSpectralNearDup,
     "q30_token_stats" -> tokenStats,
     "q31_quality_stats" -> qualityStats,
     "q32_langid_distribution" -> langIdDistribution,
@@ -1019,6 +1063,12 @@ object CorpusQueries {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids,
         |  CAST(sum(doc_id % 2) AS BIGINT) AS n_loud
         |FROM documents GROUP BY doc_id % 5 ORDER BY 1""".stripMargin,
+    "q172_audio_spectral" ->
+      """SELECT min(doc_id) AS rep_doc, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids,
+        |  CAST(sum(doc_id % 2) AS BIGINT) AS n_loud,
+        |  CAST(1 AS BIGINT) AS n_energy_fps
+        |FROM documents GROUP BY doc_id % 4 ORDER BY 1""".stripMargin,
     "q133_image_neardup" ->
       """SELECT min(doc_id) AS rep_doc, count(*) AS n_docs,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids,

@@ -288,6 +288,57 @@ class MediaCodecSpec extends SparkSpec {
     assert(MediaCodec.wavFingerprint(wav) != null)
   }
 
+  // ---------------------------------------- spectral fingerprint (q172)
+
+  private def squareWav(period: Int, amp: Int, n: Int = 1024,
+                        noiseSeed: Long = -1L, noiseAmp: Int = 0): Array[Byte] = {
+    val rnd = if (noiseSeed >= 0) new java.util.Random(noiseSeed) else null
+    val samples = Array.tabulate[Short](n) { k =>
+      val base = if (k % period < period / 2) amp else -amp
+      val nz = if (rnd != null) rnd.nextInt(2 * noiseAmp + 1) - noiseAmp else 0
+      (base + nz).toShort
+    }
+    MediaCodec.encodeWav(1, 16000, samples)
+  }
+
+  test("spectral fingerprint is exactly amplitude-invariant") {
+    for (p <- Seq(8, 16, 32, 64)) {
+      val a = MediaCodec.wavSpectralFingerprint(squareWav(p, 300))
+      val b = MediaCodec.wavSpectralFingerprint(squareWav(p, 600))
+      val c = MediaCodec.wavSpectralFingerprint(squareWav(p, 12000))
+      assert(a != null && a == b && b == c,
+        s"period $p: scaling must preserve every magnitude comparison")
+    }
+  }
+
+  test("spectral fingerprint separates pitch classes the energy envelope cannot") {
+    val fps = Seq(8, 16, 32, 64).map(p =>
+      MediaCodec.wavSpectralFingerprint(squareWav(p, 500)).longValue())
+    assert(fps.distinct.size == 4, s"tone classes must separate: $fps")
+    // constant-volume tones all have a FLAT energy envelope: the energy
+    // fingerprint collapses them into one group — the q172 story
+    val efps = Seq(8, 16, 32, 64).map(p =>
+      MediaCodec.wavFingerprint(squareWav(p, 500)).longValue())
+    assert(efps.distinct.size == 1,
+      s"energy envelope must confuse constant-volume tones: $efps")
+  }
+
+  test("small additive noise moves few spectral bits (radius-groupable)") {
+    for (p <- Seq(16, 64); seed <- 0 until 5) {
+      val clean = MediaCodec.wavSpectralFingerprint(squareWav(p, 500)).longValue()
+      val noisy = MediaCodec.wavSpectralFingerprint(
+        squareWav(p, 500, noiseSeed = seed, noiseAmp = 25)).longValue()
+      val d = java.lang.Long.bitCount(clean ^ noisy)
+      assert(d <= 8, s"period $p seed $seed: hamming distance $d")
+    }
+  }
+
+  test("spectral fingerprint rejects short and non-PCM-16 payloads") {
+    assert(MediaCodec.wavSpectralFingerprint(
+      MediaCodec.encodeWav(1, 8000, Array.fill[Short](100)(3))) == null)
+    assert(MediaCodec.wavSpectralFingerprint(Array[Byte](1, 2, 3)) == null)
+  }
+
   test("q133 engine grouping equals the doc_id%7 arithmetic oracle on sf0.001") {
     val out = graft.queries.CorpusQueries.imageNearDup(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
