@@ -229,6 +229,159 @@ final class OrcSource(spark: SparkSession, cfg: PipelineConfig, orcDir: String)
   override def extract(w: TimeWindow): DataFrame = filtered(w)
 }
 
+/** Avro container-file I/O built directly on the avro/avro-mapred jars —
+  * this environment ships Spark WITHOUT the `spark-avro` datasource
+  * module, so `spark.read.format("avro")` is unavailable; the format
+  * itself is one SchemaBuilder + one Hadoop InputFormat away, and a
+  * common-wire-format connector should not fall just because the optional
+  * module is absent. Supports the flat primitive schemas the pipeline
+  * contract uses (long/int/double/float/boolean/string/binary/timestamp);
+  * timestamps travel as Avro `long` with the standard `timestamp-micros`
+  * logical type — µs-lossless, the same precision contract as the
+  * CSV/NDJSON timestamp format. Nullable fields map to `union(null, T)`.
+  */
+object AvroIo {
+  import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+  import org.apache.avro.generic.GenericRecord
+  import org.apache.spark.sql.types._
+
+  private def avroType(dt: DataType): Schema = dt match {
+    case LongType => Schema.create(Schema.Type.LONG)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case DoubleType => Schema.create(Schema.Type.DOUBLE)
+    case FloatType => Schema.create(Schema.Type.FLOAT)
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case StringType => Schema.create(Schema.Type.STRING)
+    case BinaryType => Schema.create(Schema.Type.BYTES)
+    case TimestampType =>
+      LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case other =>
+      throw new IllegalArgumentException(
+        s"AvroIo: unsupported field type ${other.catalogString}")
+  }
+
+  /** Avro record schema for a flat StructType (nullables as unions). */
+  def avroSchemaFor(st: StructType, name: String = "row"): Schema = {
+    val fields = new java.util.ArrayList[Schema.Field]()
+    st.fields.foreach { f =>
+      val base = avroType(f.dataType)
+      val s =
+        if (f.nullable)
+          Schema.createUnion(Schema.create(Schema.Type.NULL), base)
+        else base
+      fields.add(new Schema.Field(f.name, s, null,
+        if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null))
+    }
+    Schema.createRecord(name, null, "graft.avro", false, fields)
+  }
+
+  private[connect] def toAvroValue(v: Any): Any = v match {
+    case null => null
+    case t: java.sql.Timestamp =>
+      // epoch micros: getTime carries millis; nanos carries the sub-second
+      java.lang.Long.valueOf(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    case s: String => s
+    case other => other
+  }
+
+  private[connect] def fromAvroValue(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (l: java.lang.Long, TimestampType) =>
+      val t = new java.sql.Timestamp(Math.floorDiv(l.longValue(), 1000L))
+      t.setNanos((Math.floorMod(l.longValue(), 1000000L) * 1000L).toInt)
+      t
+    case (u: org.apache.avro.util.Utf8, StringType) => u.toString
+    case (s: CharSequence, StringType) => s.toString
+    case (bb: java.nio.ByteBuffer, BinaryType) =>
+      val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+    case (other, _) => other
+  }
+
+  /** Write `df` as Avro container files, one per partition, straight
+    * through the Hadoop filesystem API on the executors (no driver
+    * collect — the same distribution shape as any datasource write). */
+  def writeAvro(df: DataFrame, dir: String): Unit = {
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+    val st = df.schema
+    val schemaJson = avroSchemaFor(st).toString
+    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val path = new Path(f"$dir/part-$idx%05d.avro")
+      val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val out = fs.create(path, true)
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, out)
+      rows.foreach { r =>
+        val rec = new GenericData.Record(schema)
+        var i = 0
+        while (i < st.length) { rec.put(st(i).name, toAvroValue(r.get(i))); i += 1 }
+        w.append(rec)
+      }
+      w.close()
+      Iterator.empty[Int]
+    }.count() // force the write tasks
+  }
+
+  /** Read an Avro container dir as a DataFrame with the DECLARED schema
+    * (set as the Avro reader schema, so writer-side field reordering or
+    * additions resolve by Avro schema evolution, and a missing field
+    * fails loudly — the FAILFAST analog). RDD-based (AvroKeyInputFormat),
+    * so window predicates filter post-parse rather than pushing into the
+    * reader — the documented trade of running without the spark-avro
+    * module; semantics are unchanged because the shared
+    * [[Connectors.sourceFilters]] applies on top. */
+  def readAvro(spark: SparkSession, dir: String,
+               st: StructType): DataFrame = {
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.avro.mapreduce.AvroKeyInputFormat
+    import org.apache.hadoop.io.NullWritable
+    val schemaJson = avroSchemaFor(st).toString
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("avro.schema.input.key", schemaJson)
+    val fields = st.fields.map(f => f.dataType)
+    val names = st.fieldNames
+    val rdd = spark.sparkContext.newAPIHadoopFile(
+        dir,
+        classOf[AvroKeyInputFormat[GenericRecord]],
+        classOf[AvroKey[GenericRecord]],
+        classOf[NullWritable], conf)
+      .map { case (k, _) =>
+        // convert BEFORE the record object is reused by the reader
+        val rec = k.datum()
+        val vals = new Array[Any](names.length)
+        var i = 0
+        while (i < names.length) {
+          vals(i) = fromAvroValue(rec.get(names(i)), fields(i)); i += 1
+        }
+        org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
+      }
+    spark.createDataFrame(rdd, st)
+  }
+}
+
+/** Avro directory as the source system — the remaining common wire format
+  * next to parquet/CSV/NDJSON/ORC, served by [[AvroIo]] because this
+  * Spark build ships without the spark-avro module. Same window/not-null
+  * semantics as every other source via the shared
+  * [[Connectors.sourceFilters]]; timestamps are µs-lossless
+  * (timestamp-micros logical type), so a parquet→avro→extract round trip
+  * is exact at Spark's timestamp precision. */
+final class AvroSource(spark: SparkSession, cfg: PipelineConfig, avroDir: String,
+                       schema: org.apache.spark.sql.types.StructType)
+    extends SourceConnector {
+  import Connectors._
+
+  private def base: DataFrame = AvroIo.readAvro(spark, avroDir, schema)
+
+  private def filtered(w: TimeWindow): DataFrame = sourceFilters(base, cfg, w)
+
+  override def count(w: TimeWindow): Long = filtered(w).count()
+  override def extract(w: TimeWindow): DataFrame = filtered(w)
+}
+
 /** Streaming variant of the source connector: extraction drains the
   * window's records through a checkpointed Structured Streaming query
   * (Trigger.AvailableNow + foreachBatch), so a crashed extract resumes from

@@ -2,7 +2,7 @@ package graft.runner
 
 import graft.SparkSpec
 import graft.config.PipelineConfig
-import graft.connect.{JsonSource, OrcSource, ParquetSource, SourceConnector}
+import graft.connect.{AvroIo, AvroSource, JsonSource, OrcSource, ParquetSource, SourceConnector}
 import graft.sources.Tables
 import java.nio.file.Files
 import java.time.{ZoneId, ZonedDateTime}
@@ -51,5 +51,47 @@ class SourceFormatParitySpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_orc_events").toString
     events.coalesce(2).write.mode("overwrite").orc(dir)
     assertParity(new OrcSource(spark, cfg, dir), "orc")
+  }
+
+  test("avro source equals the parquet source per window (µs timestamps)") {
+    val dir = Files.createTempDirectory("graft_avro_events").toString
+    AvroIo.writeAvro(events.coalesce(2), dir)
+    assertParity(new AvroSource(spark, cfg, dir, events.schema), "avro")
+  }
+
+  test("full pipeline over the avro source audits identically to parquet") {
+    val clockNow = ZonedDateTime.of(2024, 1, 2, 10, 30, 0, 0, ZoneId.of("UTC"))
+    val avroDir = Files.createTempDirectory("graft_avro_pipe").toString
+    AvroIo.writeAvro(events.coalesce(2), avroDir)
+    def run(mk: PipelineConfig => SourceConnector) = {
+      val c = PipelineConfig.fromMap(Map(
+        "root_dir" -> Files.createTempDirectory("graft_avro_run").toString,
+        "granularity" -> "1h", "x_time_back" -> "2h"))
+      val ledger = new graft.ledger.Ledger(spark, c.ledgerPath)
+      val runner = new PipelineRunner(spark, c, ledger,
+        mk(c), new graft.connect.ParquetStage(spark, c),
+        new graft.connect.ParquetTarget(spark, c),
+        clock = () => clockNow, auditWait = _ => ())
+      val s = runner.run()
+      val rows = ledger.readScoped(c).collect()
+        .map(r => (r.source_query_window_start_time, r.pipeline_status,
+          r.source_count, r.target_count, r.count_match_status)).sortBy(_._1)
+      (s, rows.toSeq)
+    }
+    val (ps, pRows) = run(c => new ParquetSource(spark, c, events))
+    val (as, aRows) = run(c => new AvroSource(spark, c, avroDir, events.schema))
+    assert(as == ps, s"RunSummary diverged: avro=$as parquet=$ps")
+    assert(aRows == pRows, "ledger rows diverged between avro and parquet sources")
+    assert(as.succeeded > 0)
+  }
+
+  test("avro round trip is value-exact including timestamp micros") {
+    val dir = Files.createTempDirectory("graft_avro_rt").toString
+    AvroIo.writeAvro(events, dir)
+    val back = AvroIo.readAvro(spark, dir, events.schema)
+    assert(back.schema == events.schema)
+    val a = back.collect().map(_.toString).sorted.toSeq
+    val b = events.collect().map(_.toString).sorted.toSeq
+    assert(a == b, "avro round trip must be lossless")
   }
 }
