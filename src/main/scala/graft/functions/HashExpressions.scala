@@ -272,8 +272,26 @@ case class PositionalGramHashes(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "positional_gram_hashes"
 
-  override def nullSafeEval(input: Any): Any = {
-    val trimmed = input.asInstanceOf[UTF8String].trim()
+  // CodegenFallback is a MEASURED choice, re-confirmed by a doGenCode A/B
+  // this round (NOTES_r9): a generated-code path calling the shared
+  // [[PositionalGramHashes.compute]] directly (no InternalRow wrap, no
+  // boxed eval dispatch) moved the q128/q136/q145/q153 group −9% on one
+  // interleaved min-of-3 run and 0% on the repeat — inside run-to-run
+  // noise. The per-row gram loop dominates; the fallback wrapper does
+  // not. Same verdict as the TopKByScore A/B.
+  override def nullSafeEval(input: Any): Any =
+    PositionalGramHashes.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PositionalGramHashes {
+  /** The per-row gram loop, factored out so the doGenCode A/B (NOTES_r9)
+    * could call it from generated code; kept shared for any future
+    * re-measure. */
+  def compute(input: UTF8String, n: Int): GenericArrayData = {
+    val trimmed = input.trim()
     val toks: Array[String] =
       if (trimmed.numBytes() == 0) Array.empty[String]
       else TextExprs.Whitespace.split(trimmed.toString, -1)
@@ -294,9 +312,6 @@ case class PositionalGramHashes(child: Expression, n: Int)
     }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }
 
 /** Per-row POSITIONAL bigram hashes for n-gram language modeling:
