@@ -167,9 +167,9 @@ object IndexStore {
   }
 
   /** Persist a composed IVF-PQ index: coarse centroids + PQ codebook +
-    * the encoded inverted lists. Overwrites. */
+    * the encoded inverted lists + the replay cursor. Overwrites. */
   def saveIvfPqIndex(spark: SparkSession, idx: IvfPq.IvfPqIndex,
-                     path: String): Unit = {
+                     path: String, lastBatchId: Long = -1L): Unit = {
     import spark.implicits._
     writeMeta(spark, path, "ivfpq")
     idx.centroids.toDF("cid", "centroid")
@@ -179,6 +179,59 @@ object IndexStore {
     }.toDF("sub", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
     idx.codes.write.mode("overwrite").parquet(s"$path/codes")
+    Seq(Tuple1(lastBatchId)).toDF("last_batch")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/scalars")
+  }
+
+  /** The stored IVF-PQ index's replay cursor (−1 on fresh/batch-built,
+    * including indexes written before the cursor existed). */
+  def ivfPqIndexLastBatch(spark: SparkSession, path: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/scalars"))) -1L
+    else spark.read.parquet(s"$path/scalars").select("last_batch").head()
+      .getLong(0)
+  }
+
+  /** [[updateIvfIndex]]'s composed twin: merge a vector delta into the
+    * stored IVF-PQ index with BOTH fitted stages frozen — the delta is
+    * routed to its nearest existing coarse list
+    * ([[Similarity.assignWithCentroids]]) and PQ-encoded against the
+    * existing codebook ([[graft.functions.VectorFunctions.pqEncode]]),
+    * one codegen'd projection each, then appended behind the same
+    * dot-tmp → rename-swap + batch-cursor protocol. Same identity as
+    * q168: update-then-probe == probe over the one-shot frozen
+    * assignment+encoding of the grown corpus; quantizer/codebook drift is
+    * the re-train trigger ([[Similarity.listSkewReport]] on the coarse
+    * lists; PQ reconstruction error growth on new data for the codebook).
+    *
+    * @return true if the update applied, false if skipped as a replay. */
+  def updateIvfPqIndex(spark: SparkSession, path: String,
+                       delta: org.apache.spark.sql.DataFrame,
+                       idCol: String, vecCol: String,
+                       batchId: Long = -1L): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta")),
+      s"updateIvfPqIndex: no IVF-PQ index at $path (build + save the first snapshot)")
+    if (batchId >= 0 && batchId <= ivfPqIndexLastBatch(spark, path))
+      return false
+    val idx = loadIvfPqIndex(spark, path)
+    val assigned = Similarity.assignWithCentroids(delta, idCol, vecCol,
+      idx.centroids)
+    val newCodes = assigned.select(org.apache.spark.sql.functions.col("list_id"),
+      org.apache.spark.sql.functions.col("neighbor_id"),
+      graft.functions.VectorFunctions.pqEncode(
+        org.apache.spark.sql.functions.col("cv"),
+        idx.codebook.centroids).as("codes"))
+    val merged = IvfPq.IvfPqIndex(idx.centroids, idx.codebook,
+      idx.codes.unionByName(newCodes))
+    val parent = Option(root.getParent).map(_.toString).getOrElse(".")
+    val tmp = new org.apache.hadoop.fs.Path(s"$parent/.${root.getName}_update_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    saveIvfPqIndex(spark, merged, tmp.toString, batchId)
+    graft.util.AtomicSwap.swap(fs, tmp, root)
+    true
   }
 
   def loadIvfPqIndex(spark: SparkSession, path: String): IvfPq.IvfPqIndex = {

@@ -266,6 +266,21 @@ object StreamingPipeline {
         ()
       }
 
+  /** [[ivfIngestStream]]'s composed twin for the stored IVF-PQ index:
+    * frozen coarse routing + frozen-codebook PQ encoding per micro-batch
+    * ([[graft.store.IndexStore.updateIvfPqIndex]]), exactly-once by the
+    * stored batch cursor. */
+  def ivfPqIngestStream(newVecs: DataFrame, idCol: String, vecCol: String,
+                        indexPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    newVecs.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.store.IndexStore.updateIvfPqIndex(
+          batch.sparkSession, indexPath, batch, idCol, vecCol, batchId)
+        ()
+      }
+
   /** Continuous LEAKAGE-ATTRIBUTION ingest: as new corpus documents
     * arrive, each benchmark item's attribution state (matched grams +
     * per-doc shared-gram counts) is updated additively in the stored

@@ -92,6 +92,62 @@ class IvfMaintenanceSpec extends SparkSpec {
     assert(streamed == oneShot, "stream == batch")
   }
 
+  test("IVF-PQ update == one-shot frozen assignment+encoding; replay no-ops") {
+    val path = freshPath("graft_ivfpq_m1")
+    val built = graft.sim.IvfPq.buildIndex(half0, "vec_id", "embedding",
+      nLists = 16, m = 16, ksub = 64)
+    IndexStore.saveIvfPqIndex(spark, built, path)
+    assert(IndexStore.ivfPqIndexLastBatch(spark, path) == -1L)
+    assert(IndexStore.updateIvfPqIndex(spark, path, half1, "vec_id",
+      "embedding", batchId = 5L))
+    assert(!IndexStore.updateIvfPqIndex(spark, path, half1, "vec_id",
+      "embedding", batchId = 5L), "replayed batch must no-op")
+    assert(IndexStore.ivfPqIndexLastBatch(spark, path) == 5L)
+    val updated = IndexStore.loadIvfPqIndex(spark, path)
+    assert(updated.centroids == built.centroids)
+    assert(updated.codebook.centroids == built.codebook.centroids,
+      "both fitted stages stay frozen")
+    val oneShot = Similarity.assignWithCentroids(emb, "vec_id", "embedding",
+        built.centroids)
+      .select(col("list_id"), col("neighbor_id"),
+        graft.functions.VectorFunctions.pqEncode(col("cv"),
+          built.codebook.centroids).as("codes"))
+    val a = updated.codes.select(col("neighbor_id"), col("list_id"),
+      col("codes").cast("array<int>").as("c"))
+    val b = oneShot.select(col("neighbor_id"), col("list_id"),
+      col("codes").cast("array<int>").as("c"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "incremental codes == bulk codes under frozen stages")
+    // probe the grown index: recall vs exact on the grown corpus
+    val qs = emb.where(col("vec_id") < 5)
+    val ann = graft.sim.IvfPq.topKFrom(updated, emb, qs, "vec_id",
+      "embedding", k = 3, nProbe = 12)
+    val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 3)
+    val hits = exact.select("query_id", "neighbor_id")
+      .join(ann.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(hits * 5 >= exact.count() * 4, s"recall too low: $hits")
+  }
+
+  test("IVF-PQ streaming ingest equals the batch update") {
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfpq_stream")
+    graft.util.TempDirs.deleteOnExit(d)
+    half1.write.mode("overwrite").parquet(d.resolve("in").toString)
+    val path = d.resolve("idx").toString
+    val built = graft.sim.IvfPq.buildIndex(half0, "vec_id", "embedding",
+      nLists = 16, m = 16, ksub = 64)
+    IndexStore.saveIvfPqIndex(spark, built, path)
+    val q = graft.streaming.StreamingPipeline.ivfPqIngestStream(
+        spark.readStream.schema(half1.schema)
+          .parquet(d.resolve("in").toString),
+        "vec_id", "embedding", path)
+      .option("checkpointLocation", d.resolve("ck").toString).start()
+    q.awaitTermination()
+    val streamed = IndexStore.loadIvfPqIndex(spark, path).codes
+    assert(streamed.count() == emb.count(), "all vectors present once")
+    assert(streamed.select("neighbor_id").distinct().count() == emb.count())
+  }
+
   test("listSkewReport sums to the corpus and flags nothing on built lists") {
     val idx = Similarity.buildIvfIndex(emb, "vec_id", "embedding", 16, 42)
     val rep = Similarity.listSkewReport(idx)
