@@ -962,6 +962,57 @@ object MultiPatternCounts {
   }
 }
 
+/** Unigram-LM (SentencePiece-style) encoding — [[graft.ops.UnigramLm]]'s
+  * compiled inference twin: whitespace tokens, each Viterbi-decoded under
+  * the fitted integer piece scores (maximize the lpq sum, ties to the
+  * smallest split point — the exact training-time rule, so encoding a
+  * training word reproduces the final EM iteration's segmentation).
+  * The score table rides as a driver literal; per-word memo cache and
+  * O(1) plan-string discipline as [[BpeEncode]]. */
+case class UnigramEncode(child: Expression, scores: Seq[(String, Long)],
+                         maxPieceLen: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "unigram_encode"
+
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"vocab=${scores.length}", s"maxPieceLen=$maxPieceLen")
+
+  @transient private lazy val lpMap = {
+    val m = new java.util.HashMap[String, java.lang.Long](scores.length * 2)
+    scores.foreach { case (p, s) => m.put(p, s) }
+    m
+  }
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+  private val MaxCachedWords = 262144
+
+  private def encodeWord(w: String): Array[String] = {
+    val hit = cache.get(w)
+    if (hit != null) return hit
+    val pieces = graft.ops.UnigramLm.viterbi(w, lpMap, maxPieceLen)
+    if (cache.size < MaxCachedWords) cache.put(w, pieces)
+    pieces
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextExprs.tokens(input.asInstanceOf[UTF8String])
+    val out = Array.newBuilder[Any]
+    var i = 0
+    while (i < toks.length) {
+      val pieces = encodeWord(toks(i))
+      var j = 0
+      while (j < pieces.length) { out += UTF8String.fromString(pieces(j)); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out.result())
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the compiled text expressions. */
 object TextExpr {
   def wordSpans(text: Column, k: Int): Column =
@@ -1012,4 +1063,10 @@ object TextExpr {
 
   def multiPatternCounts(text: Column, patterns: Seq[String]): Column =
     ColumnBridge.column(MultiPatternCounts(ColumnBridge.expression(text), patterns))
+
+  /** Unigram-LM Viterbi encode — see [[UnigramEncode]]. */
+  def unigramEncode(text: Column, scores: Seq[(String, Long)],
+                    maxPieceLen: Int): Column =
+    ColumnBridge.column(UnigramEncode(ColumnBridge.expression(text), scores,
+      maxPieceLen))
 }

@@ -1,0 +1,207 @@
+package graft.ops
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram language-model tokenizer (Kudo 2018, the SentencePiece
+  * algorithm) in a deterministic, oracle-replayable form — the third
+  * member of the tokenizer family next to BPE ([[BpeTrainer]], greedy
+  * bottom-up merges) and WordPiece ([[WordPiece]], greedy longest-match):
+  * here the vocabulary comes FIRST (a substring seed) and segmentation is
+  * a per-word VITERBI decode under piece log-probabilities, re-estimated
+  * by fixed-iteration hard EM.
+  *
+  * Deliberate deviations from the SentencePiece reference, chosen so the
+  * whole fit is exact-arithmetic and the DuckDB oracle can replay it
+  * step for step (the q120 unrolled-loop doctrine):
+  *  - HARD EM (Viterbi counts), not forward–backward expected counts:
+  *    every E-step statistic is an integer sum of word frequencies, so
+  *    the count tables are bit-exact under any partitioning — the same
+  *    reason [[QualityTrainer]] quantizes its gradients.
+  *  - Piece log-probs are QUANTIZED to integers: lpq = floor(ln((c+1) /
+  *    (tot+V)) · 10⁴ + 0.5) — add-one smoothing keeps zero-count pieces
+  *    finite, the explicit floor(x+0.5) form (NOT round(), whose
+  *    half-away-from-zero vs half-up conventions differ between engines
+  *    on the all-negative log domain) makes the quantization shared
+  *    syntax, and Viterbi then maximizes an INTEGER sum, so the DP value
+  *    is engine-exact and the only float in the contract is one ln()
+  *    whose ≤1-ulp cross-engine wobble is crushed by the 10⁴ grid
+  *    (margins measured in UnigramLmSpec).
+  *  - The vocabulary is FIXED after seeding (top `seedSize` substrings
+  *    by weighted count + every single character for coverage) instead
+  *    of SentencePiece's iterative EM-prune schedule: the seed budget IS
+  *    the vocab budget, and probability mass — not membership — is what
+  *    the iterations move. A piece EM abandons just decays to the
+  *    add-one floor.
+  *
+  * Scale shape — the [[BpeTrainer]] split: corpus-sized work is ONE
+  * distributed word-frequency aggregation plus ONE distributed substring
+  * census over the vocabulary-sized word-TYPE table (never the corpus:
+  * substrings explode off types weighted by frequency); the EM loop then
+  * runs on the driver over the capped type table at O(types · len ·
+  * maxPieceLen) per iteration — no per-step shuffle, no corpus rescan.
+  * Encoding rides the [[graft.functions.UnigramEncode]] compiled
+  * expression with the fitted scores as a driver literal: one scan.
+  *
+  * Determinism contract (what the q173/q174 oracles replay): Viterbi
+  * maximizes the sum of integer lpq scores; ties on the DP value take
+  * the SMALLEST split point j (equivalently, the longest final piece) —
+  * scanning j ascending with strict improvement implements it for free,
+  * and the oracle's `row_number() OVER (ORDER BY s DESC, j ASC)` is the
+  * same rule. Seed-cap ties break by (count desc, piece asc). Substring
+  * positions are codepoint-based on both engines (Spark `Column.substr`,
+  * DuckDB `substr`); the driver loop's `String.substring` is UTF-16-unit
+  * based, which coincides for all BMP text (supplementary-plane corpora
+  * would need codepoint indexing there too).
+  */
+object UnigramLm {
+
+  /** One vocabulary piece: its seed-census weighted count, its count in
+    * the final EM iteration's Viterbi segmentation, and its quantized
+    * log-probability after the final re-estimation. */
+  final case class Piece(piece: String, seedCount: Long, count: Long, lpq: Long)
+
+  /** A fitted model: the (piece-ordered) vocabulary with final counts and
+    * scores, plus the fit's shape parameters. */
+  final case class UnigramModel(pieces: Seq[Piece], maxPieceLen: Int,
+                                iterations: Int) {
+    def scores: Seq[(String, Long)] = pieces.map(p => (p.piece, p.lpq))
+  }
+
+  /** lpq = floor(ln((cnt+1)/(tot+V)) · 10⁴ + 0.5) — see the class doc for
+    * why this exact shape (add-one, explicit floor(x+0.5), 10⁴ grid). */
+  def lpQuant(cnt: Long, tot: Long, v: Long): Long =
+    math.floor(math.log((cnt + 1).toDouble / (tot + v)) * 10000.0 + 0.5).toLong
+
+  /** Fit a unigram tokenizer on the whitespace tokens of `docs(textCol)`.
+    *
+    * @param seedSize  top-N substring budget (singles are added on top)
+    * @param iterations fixed hard-EM iteration count (the oracle unrolls
+    *                   exactly this many DP layers)
+    * @param maxPieceLen longest piece considered, in characters
+    * @param maxWords  deterministic word-type cap (freq desc, word asc —
+    *                  the [[BpeTrainer.fit]] contract) */
+  def fit(docs: DataFrame, textCol: String, seedSize: Int = 300,
+          iterations: Int = 2, maxPieceLen: Int = 8,
+          maxWords: Int = 1000000): UnigramModel = {
+    require(iterations >= 1, "need at least one EM iteration")
+    require(maxPieceLen >= 1, "pieces need at least one character")
+    // distributed: capped word-frequency table
+    val wordFreq: Array[(String, Long)] = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w").asc)
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // distributed: substring census over the TYPE table (weighted by f) —
+    // types × len × maxPieceLen rows, vocabulary-scale, never the corpus
+    val typesDf = wordFreq.toSeq.toDF("w", "f")
+    val subs = typesDf
+      .select(col("w"), col("f"),
+        explode(sequence(lit(1), length(col("w")))).as("st"))
+      .select(col("w"), col("f"), col("st"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("w")) - col("st") + lit(1)))).as("l"))
+      .select(col("w").substr(col("st"), col("l")).as("piece"), col("f"))
+      .groupBy("piece").agg(sum("f").as("c"))
+    val seed: Array[(String, Long)] = subs
+      .orderBy(col("c").desc, col("piece").asc).limit(seedSize)
+      .unionByName(subs.where(length(col("piece")) === 1))
+      .distinct()
+      .orderBy("piece")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    // driver: fixed-iteration hard EM over the capped types
+    val v = seed.length.toLong
+    val seedTot = seed.map(_._2).sum
+    var lp = new java.util.HashMap[String, java.lang.Long](seed.length * 2)
+    seed.foreach { case (p, c) => lp.put(p, lpQuant(c, seedTot, v)) }
+    var lastCounts: java.util.HashMap[String, Long] = null
+    var t = 0
+    while (t < iterations) {
+      val cnt = new java.util.HashMap[String, Long](seed.length * 2)
+      var i = 0
+      while (i < wordFreq.length) {
+        val (w, f) = wordFreq(i)
+        val pieces = viterbi(w, lp, maxPieceLen)
+        var k = 0
+        while (k < pieces.length) {
+          cnt.merge(pieces(k), f, (a, b) => a + b)
+          k += 1
+        }
+        i += 1
+      }
+      var tot = 0L
+      val it = cnt.values().iterator()
+      while (it.hasNext) tot += it.next()
+      val lp2 = new java.util.HashMap[String, java.lang.Long](seed.length * 2)
+      seed.foreach { case (p, _) =>
+        lp2.put(p, lpQuant(cnt.getOrDefault(p, 0L), tot, v))
+      }
+      lp = lp2
+      lastCounts = cnt
+      t += 1
+    }
+    UnigramModel(
+      seed.map { case (p, sc) =>
+        Piece(p, sc, lastCounts.getOrDefault(p, 0L), lp.get(p))
+      }.toSeq,
+      maxPieceLen, iterations)
+  }
+
+  /** Viterbi decode of one word under integer piece scores: maximize the
+    * lpq sum; DP-value ties take the smallest split point (j ascending +
+    * strict improvement). Falls back to a per-character split if some
+    * character is outside the vocabulary (cannot happen for training
+    * words — every single character is seeded — but keeps encoding total
+    * on unseen text). */
+  private[graft] def viterbi(w: String,
+      lp: java.util.HashMap[String, java.lang.Long],
+      maxPieceLen: Int): Array[String] = {
+    val n = w.length
+    if (n == 0) return Array.empty
+    val best = new Array[Long](n + 1)
+    val back = new Array[Int](n + 1)
+    java.util.Arrays.fill(best, Long.MinValue)
+    java.util.Arrays.fill(back, -1)
+    best(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        if (best(j) != Long.MinValue) {
+          val s = lp.get(w.substring(j, i))
+          if (s != null) {
+            val cand = best(j) + s.longValue()
+            if (cand > best(i)) { best(i) = cand; back(i) = j }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (best(n) == Long.MinValue)
+      return w.map(_.toString).toArray // out-of-vocab character fallback
+    val rev = Array.newBuilder[String]
+    var pos = n
+    while (pos > 0) {
+      val j = back(pos)
+      rev += w.substring(j, pos)
+      pos = j
+    }
+    rev.result().reverse
+  }
+
+  /** The fitted vocabulary as a DataFrame (piece, n_seed, n_final, lpq) —
+    * the q173 gate surface and the natural persistence format. */
+  def piecesDf(spark: org.apache.spark.sql.SparkSession,
+               model: UnigramModel): DataFrame = {
+    import spark.implicits._
+    model.pieces.map(p => (p.piece, p.seedCount, p.count, p.lpq))
+      .toDF("piece", "n_seed", "n_final", "lpq")
+  }
+}

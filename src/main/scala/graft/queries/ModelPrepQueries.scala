@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.TextFunctions
 import graft.ops.{LanguageModel, Overlap, QualityClassifier, Sampling, Sharding}
 import graft.sim.{EmbeddingDrift, IvfPq, NegativeMining, ProductQuantization, Similarity}
 import graft.sources.Tables
@@ -482,7 +483,175 @@ object ModelPrepQueries {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- unigram
+
+  /** Unigram gate parameters: the oracle unrolls the Viterbi DP to
+    * `UniMaxWordLen` positions, which the planted compound corpus bounds by
+    * construction (base words are ≤8 chars — measured corpus max — so
+    * pairwise compounds are ≤16). `UniPieceLen` 8 lets whole base words
+    * become pieces, which is exactly the segmentation structure the model
+    * should discover. The engine-side `maxWords` cap never bites (≤961
+    * compound types), so the oracle omits it. */
+  private val UniSeed = 300
+  private val UniIters = 2
+  private val UniPieceLen = 8
+  private val UniMaxWordLen = 16
+
+  /** Planted corpus for the unigram gates: adjacent whitespace tokens
+    * pairwise concatenated into compound words (doc order, 0-based pairs;
+    * an odd trailing token drops). The raw corpus vocabulary is ~31 short
+    * types — compounds give the fit genuine sub-word structure (up to ~961
+    * 16-char types whose natural segmentation is the base-word boundary)
+    * while keeping every table vocabulary-sized. */
+  private def compoundPlanted(docs: DataFrame): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val np = floor(size(toks) / lit(2)).cast("int")
+    val comp = when(np >= 1,
+      transform(sequence(lit(0), np - 1),
+        i => concat(get(toks, i * 2), get(toks, i * 2 + 1))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), col("lang"), col("source"),
+      concat_ws(" ", comp).as("text"))
+  }
+
+  private val CompoundPlantedSql: String =
+    """ptoks AS MATERIALIZED (
+      |  SELECT doc_id, lang, source,
+      |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(trim(text), '\s+') END AS t
+      |  FROM documents),
+      |planted AS MATERIALIZED (
+      |  SELECT doc_id, lang, source,
+      |    array_to_string([t[2*i+1] || t[2*i+2]
+      |      FOR i IN generate_series(0, CAST(floor(len(t)/2) AS INT) - 1)], ' ') AS text
+      |  FROM ptoks)""".stripMargin
+
+  /** Seed CTEs shared by the q173/q174 oracles: word-frequency table →
+    * substring census (weighted by word frequency) → top-`UniSeed` pieces ∪
+    * all single characters → seed log-probs under the engine's exact
+    * quantization shape (floor(ln((c+1)·1.0/(tot+V))·10⁴+0.5) — see
+    * [[graft.ops.UnigramLm.lpQuant]]). */
+  private def unigramSeedSql: String =
+    s"""uwords AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+       |          ELSE string_split_regex(trim(text), '\\s+') END) AS w FROM planted)
+       |  WHERE length(w) > 0 GROUP BY 1),
+       |usubs AS MATERIALIZED (
+       |  SELECT substr(w, st, l) AS piece, CAST(sum(f) AS BIGINT) AS c
+       |  FROM uwords,
+       |    UNNEST(generate_series(1, length(w))) AS a(st),
+       |    UNNEST(generate_series(1, least($UniPieceLen, length(w) - st + 1))) AS b(l)
+       |  GROUP BY 1),
+       |utop AS MATERIALIZED (
+       |  SELECT piece, c FROM usubs ORDER BY c DESC, piece ASC LIMIT $UniSeed),
+       |uvocab AS MATERIALIZED (
+       |  SELECT piece, c FROM utop UNION
+       |  SELECT piece, c FROM usubs WHERE length(piece) = 1),
+       |ustats AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(c) AS BIGINT) AS tot FROM uvocab),
+       |uv0 AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(floor(ln((c + 1) * 1.0 / (tot + v)) * 10000.0 + 0.5) AS BIGINT) AS lpq
+       |  FROM uvocab, ustats)""".stripMargin
+
+  /** One hard-EM round as unrolled CTEs (prefix `pfx`, scores from
+    * `scoreCte`): Viterbi DP layers b1..bL (per position: best integer
+    * score, smallest-split tie rule via `row_number OVER (ORDER BY s DESC,
+    * bj ASC)` — the engine's exact rule), a choice table, L backtrace hops,
+    * the piece multiset, counts, and (if `emitV`) the re-estimated
+    * quantized log-probs over the FIXED vocabulary. Plain CTEs would
+    * inline exponentially; every layer is MATERIALIZED (the q166
+    * doctrine). All tables stay vocabulary-sized. */
+  private def unigramEmSql(pfx: String, scoreCte: String,
+                           emitV: Boolean): String = {
+    val p = UniPieceLen; val l = UniMaxWordLen
+    val sb = new StringBuilder
+    sb.append(s"${pfx}b0 AS MATERIALIZED (SELECT w, f, CAST(0 AS BIGINT) AS s, 0 AS bj FROM uwords),\n")
+    for (i <- 1 to l) {
+      val branches = (math.max(0, i - p) until i).map { j =>
+        s"      SELECT p.w, p.f, p.s + v.lpq AS s, $j AS bj\n" +
+          s"      FROM ${pfx}b$j p JOIN $scoreCte v ON v.piece = substr(p.w, ${j + 1}, ${i - j})\n" +
+          s"      WHERE length(p.w) >= $i"
+      }.mkString("\n      UNION ALL\n")
+      sb.append(
+        s"""${pfx}b$i AS MATERIALIZED (
+           |  SELECT w, f, s, bj FROM (
+           |    SELECT w, f, s, bj,
+           |      row_number() OVER (PARTITION BY w ORDER BY s DESC, bj ASC) AS rn
+           |    FROM (
+           |$branches) cand) rk WHERE rn = 1),
+           |""".stripMargin)
+    }
+    sb.append(s"${pfx}ch AS MATERIALIZED (\n" +
+      (1 to l).map(i => s"  SELECT w, $i AS pos, bj FROM ${pfx}b$i")
+        .mkString("", " UNION ALL\n", "),\n"))
+    sb.append(s"${pfx}t0 AS MATERIALIZED (SELECT c.w, u.f, c.pos, c.bj AS prev " +
+      s"FROM ${pfx}ch c JOIN uwords u ON u.w = c.w AND length(u.w) = c.pos),\n")
+    for (k <- 1 until l)
+      sb.append(s"${pfx}t$k AS MATERIALIZED (SELECT t.w, t.f, t.prev AS pos, c.bj AS prev " +
+        s"FROM ${pfx}t${k - 1} t JOIN ${pfx}ch c ON c.w = t.w AND c.pos = t.prev " +
+        s"WHERE t.prev > 0),\n")
+    sb.append(s"${pfx}p AS MATERIALIZED (SELECT substr(w, prev + 1, pos - prev) AS piece, f FROM (\n" +
+      (0 until l).map(k => s"  SELECT w, f, pos, prev FROM ${pfx}t$k")
+        .mkString("", " UNION ALL\n", ") seg),\n"))
+    sb.append(s"${pfx}cnt AS MATERIALIZED (SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM ${pfx}p GROUP BY 1)")
+    if (emitV) {
+      sb.append(s",\n${pfx}tot AS MATERIALIZED (SELECT CAST(sum(c) AS BIGINT) AS tot FROM ${pfx}cnt),\n")
+      sb.append(s"${pfx}v AS MATERIALIZED (SELECT b.piece, coalesce(c.c, 0) AS c,\n" +
+        s"  CAST(floor(ln((coalesce(c.c, 0) + 1) * 1.0 / (t.tot + s.v)) * 10000.0 + 0.5) AS BIGINT) AS lpq\n" +
+        s"  FROM uvocab b LEFT JOIN ${pfx}cnt c USING (piece), ${pfx}tot t, ustats s)")
+    }
+    sb.toString
+  }
+
+  /** q173 — unigram-LM tokenizer fit ([[graft.ops.UnigramLm.fit]]):
+    * substring-seeded vocabulary, 2 hard-EM iterations, integer-quantized
+    * log-probs. The oracle replays the ENTIRE fit — seed census, both
+    * Viterbi-EM rounds position by position, the re-estimation arithmetic —
+    * so every piece's seed count, final count and quantized score must
+    * match. */
+  val unigramFit: Q = (s, dir) => {
+    val model = graft.ops.UnigramLm.fit(compoundPlanted(Tables.documents(s, dir)),
+      "text", UniSeed, UniIters, UniPieceLen)
+    graft.ops.UnigramLm.piecesDf(s, model).orderBy("piece")
+  }
+
+  private def unigramFitOracle: String =
+    s"WITH $CompoundPlantedSql,\n$unigramSeedSql,\n" +
+      unigramEmSql("u1", "uv0", emitV = true) + ",\n" +
+      unigramEmSql("u2", "u1v", emitV = true) + "\n" +
+      """SELECT b.piece, b.c AS n_seed, f.c AS n_final, f.lpq
+        |FROM uvocab b JOIN u2v f USING (piece)
+        |ORDER BY piece""".stripMargin
+
+  /** q174 — corpus census under the FITTED tokenizer: the planted corpus
+    * encoded by the compiled [[graft.functions.UnigramEncode]] Viterbi
+    * expression (fitted scores as a driver literal — one scan, one
+    * explode+groupBy), per-piece occurrence totals. The oracle refits and
+    * runs ONE MORE Viterbi round under the final scores over the word-TYPE
+    * table (occurrences weighted by type frequency — the same total by
+    * commutativity), pinning training and inference segmentation agree. */
+  val unigramCensus: Q = (s, dir) => {
+    val planted = compoundPlanted(Tables.documents(s, dir))
+    val model = graft.ops.UnigramLm.fit(planted, "text", UniSeed, UniIters,
+      UniPieceLen)
+    planted.select(explode(graft.functions.TextExpr.unigramEncode(col("text"),
+        model.scores, UniPieceLen)).as("piece"))
+      .groupBy("piece").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy("piece")
+  }
+
+  private def unigramCensusOracle: String =
+    s"WITH $CompoundPlantedSql,\n$unigramSeedSql,\n" +
+      unigramEmSql("u1", "uv0", emitV = true) + ",\n" +
+      unigramEmSql("u2", "u1v", emitV = true) + ",\n" +
+      unigramEmSql("u3", "u2v", emitV = false) + "\n" +
+      """SELECT piece, c AS n_occurrences FROM u3cnt ORDER BY piece""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q173_unigram_fit" -> unigramFit,
+    "q174_unigram_census" -> unigramCensus,
     "q166_classifier_fit" -> classifierFit,
     "q167_learned_quality" -> learnedQuality,
     "q155_embedding_diversity" -> embeddingDiversity,
@@ -628,6 +797,8 @@ object ModelPrepQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q173_unigram_fit" -> unigramFitOracle,
+    "q174_unigram_census" -> unigramCensusOracle,
     "q166_classifier_fit" -> classifierFitOracle(ClassifierSteps, ClassifierLr),
     "q167_learned_quality" -> learnedQualityOracle(ClassifierSteps, ClassifierLr),
     "q142_domain_reweight" ->

@@ -1,0 +1,133 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UnigramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lpMap(ps: (String, Long)*): java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    ps.foreach { case (p, s) => m.put(p, s) }
+    m
+  }
+
+  test("viterbi maximizes the integer score sum") {
+    // "abc": [abc]=-5 beats [a,b,c]=-9 and [ab,c]=-7
+    val lp = lpMap("a" -> -3L, "b" -> -3L, "c" -> -3L, "ab" -> -4L, "abc" -> -5L)
+    assert(UnigramLm.viterbi("abc", lp, 8).toSeq == Seq("abc"))
+    assert(UnigramLm.viterbi("abcc", lp, 8).toSeq == Seq("abc", "c"))
+  }
+
+  test("DP-value ties take the smallest split point (longest final piece)") {
+    // [a,b] and [ab] both score -20; the rule picks j=0 -> [ab]
+    val lp = lpMap("a" -> -10L, "b" -> -10L, "ab" -> -20L)
+    assert(UnigramLm.viterbi("ab", lp, 8).toSeq == Seq("ab"))
+    // and the rule applies per DP cell, not just at the end
+    assert(UnigramLm.viterbi("abab", lp, 8).toSeq == Seq("ab", "ab"))
+  }
+
+  test("maxPieceLen bounds candidate pieces") {
+    val lp = lpMap("a" -> -10L, "b" -> -10L, "abab" -> -1L)
+    assert(UnigramLm.viterbi("abab", lp, 3).toSeq ==
+      Seq("a", "b", "a", "b"), "a 4-char piece must be invisible at maxPieceLen=3")
+    assert(UnigramLm.viterbi("abab", lp, 4).toSeq == Seq("abab"))
+  }
+
+  test("out-of-vocabulary character falls back to a per-character split") {
+    val lp = lpMap("a" -> -1L)
+    assert(UnigramLm.viterbi("axa", lp, 8).toSeq == Seq("a", "x", "a"))
+  }
+
+  test("viterbi == brute-force enumeration (score) on random words") {
+    val rnd = new scala.util.Random(42)
+    val vocabPieces: Seq[(String, Long)] =
+      (for (c <- "abc") yield (c.toString, -(10L + rnd.nextInt(5)))) ++
+        Seq("ab" -> -15L, "bc" -> -12L, "ca" -> -18L, "abc" -> -21L,
+          "cab" -> -25L, "aa" -> -30L)
+    val lp = lpMap(vocabPieces: _*)
+    def bruteBest(w: String): Long = {
+      // max segmentation score over all 2^(n-1) compositions
+      def rec(i: Int): Long =
+        if (i == w.length) 0L
+        else (for {
+          j <- (i + 1) to math.min(w.length, i + 8)
+          s = lp.get(w.substring(i, j)) if s != null
+          rest = rec(j) if rest != Long.MinValue
+        } yield s.longValue() + rest)
+          .foldLeft(Long.MinValue)(math.max)
+      rec(0)
+    }
+    for (_ <- 1 to 300) {
+      val w = (1 to (1 + rnd.nextInt(9))).map(_ => "abc"(rnd.nextInt(3))).mkString
+      val got = UnigramLm.viterbi(w, lp, 8)
+      assert(got.mkString == w, s"pieces must concatenate to $w")
+      val score = got.map(p => lp.get(p).longValue()).sum
+      assert(score == bruteBest(w), s"suboptimal segmentation of $w: $got")
+    }
+  }
+
+  test("fit is partitioning-invariant") {
+    val docs = Seq.tabulate(40)(i => s"alpha beta gamma${i % 3} alphabeta")
+      .toDF("text")
+    val a = UnigramLm.fit(docs.repartition(1), "text", seedSize = 50,
+      iterations = 2, maxPieceLen = 6)
+    val b = UnigramLm.fit(docs.repartition(7), "text", seedSize = 50,
+      iterations = 2, maxPieceLen = 6)
+    assert(a.pieces == b.pieces)
+  }
+
+  test("compound corpus converges to base-word segmentation") {
+    // compounds of 4 base words; after EM the base words should carry the
+    // mass and every compound should segment at the word boundary
+    val base = Seq("cat", "dog", "bird", "fish")
+    val compounds = for (x <- base; y <- base) yield x + y
+    val docs = (compounds ++ compounds ++ base).mkString(" ")
+    val model = UnigramLm.fit(Seq(docs).toDF("text"), "text",
+      seedSize = 40, iterations = 3, maxPieceLen = 4)
+    val lp = lpMap(model.scores: _*)
+    for (x <- base; y <- base)
+      assert(UnigramLm.viterbi(x + y, lp, 4).toSeq == Seq(x, y),
+        s"compound $x$y must split at the base-word boundary")
+  }
+
+  test("UnigramEncode expression == driver viterbi, and segments the corpus") {
+    val docs = spark.read.parquet(sf("documents"))
+    val model = UnigramLm.fit(docs, "text", seedSize = 100, iterations = 2,
+      maxPieceLen = 6)
+    val lp = lpMap(model.scores: _*)
+    val viaExpr = docs.limit(50)
+      .select(col("text"),
+        graft.functions.TextExpr.unigramEncode(col("text"), model.scores, 6)
+          .as("pieces"))
+      .collect()
+    viaExpr.foreach { r =>
+      val text = r.getString(0)
+      val got = r.getSeq[String](1)
+      val want = text.trim.split("\\s+").filter(_.nonEmpty)
+        .flatMap(w => UnigramLm.viterbi(w, lp, 6)).toSeq
+      assert(got == want)
+      assert(got.mkString == text.split("\\s+").filter(_.nonEmpty).mkString,
+        "pieces must concatenate back to the tokens")
+    }
+  }
+
+  test("quantization margins are far from the floor boundary (gate safety)") {
+    // For every lpq the sf0.001 gate computes, measure the distance of
+    // ln((c+1)/(tot+V))*1e4 + 0.5 to the nearest integer: a cross-engine
+    // 1-ulp difference in ln() only flips floor() within ~1e-10 of the
+    // boundary. (Same doctrine as the q87/q118 threshold-margin checks.)
+    val docs = spark.read.parquet(sf("documents"))
+    val model = UnigramLm.fit(docs, "text", seedSize = 300, iterations = 2,
+      maxPieceLen = 8)
+    val counts = model.pieces.map(_.count)
+    val tot = counts.sum
+    val v = model.pieces.length.toLong
+    val margins = counts.map { c =>
+      val x = math.log((c + 1).toDouble / (tot + v)) * 10000.0 + 0.5
+      math.abs(x - math.rint(x))
+    }
+    val minMargin = margins.min
+    assert(minMargin > 1e-6, s"lpq quantization margin too tight: $minMargin")
+  }
+}
