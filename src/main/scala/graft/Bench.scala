@@ -124,7 +124,8 @@ object Bench {
     "q170_byte_fertility",    // dual-mode tokenizer fit + two-encoder scan
     "q171_host_pagerank",     // 8-step power iteration over the host graph
     "q172_audio_spectral",    // fixed-point DFT fingerprint -> tone grouping
-    "q174_unigram_census")    // unigram hard-EM fit + Viterbi encode scan
+    "q174_unigram_census",    // unigram hard-EM fit + Viterbi encode scan
+    "q175_warc_extract")      // WARC blob synth -> byte-walk parse -> WET
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -1,0 +1,191 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WARC (ISO 28500 / the CommonCrawl container) record parsing — the
+  * crawl-ingest front door: one blob (a `.warc` file's content, or any
+  * concatenation of records) → the array of records inside it, each with
+  * its WARC headers and, for `response` records, the parsed HTTP payload.
+  *
+  * The walk is LENGTH-DRIVEN, byte-based, exactly like a conforming
+  * reader: `WARC/1.0\r\n`, header lines to the first empty line,
+  * `Content-Length` BYTES of payload, then the mandatory `\r\n\r\n`
+  * record separator — never a delimiter scan over the payload, so a body
+  * that itself contains `WARC/1.0` text cannot resplit the stream
+  * (spec-pinned). Hostile-input rule (the [[graft.ops.MediaCodec]] RIFF
+  * doctrine): any malformation — bad magic, unparsable or negative
+  * Content-Length, a payload running past the blob, a missing record
+  * separator — ends the walk at the LAST GOOD RECORD; records already
+  * parsed are returned, nothing throws at row scope.
+  *
+  * HTTP sub-parse (response records): status code from the
+  * `HTTP/x.x NNN` status line, `Content-Type` header, and the body after
+  * the header terminator. A payload that does not start with `HTTP/`
+  * (request records, warcinfo, conversion records…) keeps those three
+  * fields null — the raw payload is always surfaced for them.
+  *
+  * Scale shape: a pure per-row function (CodegenFallback, one JVM walk
+  * per blob) — partition parallelism is per WARC file, which IS the
+  * production CommonCrawl layout (thousands of ~1 GiB .warc files);
+  * see [[graft.ops.Warc.readWarcFiles]]. Body strings are UTF-8
+  * decoded; binary payloads (images in `conversion` records) belong to
+  * the binary-column media tier instead.
+  */
+case class WarcRecords(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(WarcRecords.RecordType,
+    containsNull = false)
+  override def prettyName: String = "warc_records"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val out = Array.newBuilder[InternalRow]
+    var pos = 0
+    var good = true
+    while (good && pos < bytes.length) {
+      val rec = WarcRecords.parseOne(bytes, pos)
+      if (rec == null) good = false
+      else { out += rec._1; pos = rec._2 }
+    }
+    new GenericArrayData(out.result().asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WarcRecords {
+
+  /** One parsed record: WARC headers + (for HTTP responses) the payload
+    * split into status/type/body. `payload` is always the full raw
+    * Content-Length slice. */
+  val RecordType: StructType = StructType(Seq(
+    StructField("warc_type", StringType, nullable = true),
+    StructField("record_id", StringType, nullable = true),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("warc_date", StringType, nullable = true),
+    StructField("content_length", LongType, nullable = false),
+    StructField("http_status", IntegerType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("body", StringType, nullable = true),
+    StructField("payload", StringType, nullable = false)))
+
+  private val Magic = "WARC/1.0\r\n".getBytes("US-ASCII")
+
+  private def startsWith(b: Array[Byte], pos: Int, pat: Array[Byte]): Boolean = {
+    if (pos + pat.length > b.length) return false
+    var i = 0
+    while (i < pat.length) {
+      if (b(pos + i) != pat(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Next CRLF at/after `pos`, or -1. */
+  private def findCrlf(b: Array[Byte], pos: Int): Int = {
+    var i = pos
+    while (i + 1 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  private def utf8(b: Array[Byte], from: Int, until: Int): UTF8String =
+    UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, from, until))
+
+  /** Parse one record at `pos`; null on any malformation (ends the walk).
+    * Returns (row, positionAfterRecord). */
+  private[functions] def parseOne(b: Array[Byte],
+                                  start: Int): (InternalRow, Int) = {
+    if (!startsWith(b, start, Magic)) return null
+    var pos = start + Magic.length
+    var warcType: UTF8String = null
+    var recordId: UTF8String = null
+    var targetUri: UTF8String = null
+    var warcDate: UTF8String = null
+    var contentLength = -1L
+    // header lines until the empty line
+    var inHeaders = true
+    while (inHeaders) {
+      val eol = findCrlf(b, pos)
+      if (eol < 0) return null
+      if (eol == pos) { inHeaders = false; pos = eol + 2 } // empty line
+      else {
+        val line = new String(b, pos, eol - pos, "UTF-8")
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val name = line.substring(0, colon).trim.toLowerCase
+          val value = line.substring(colon + 1).trim
+          name match {
+            case "warc-type" => warcType = UTF8String.fromString(value)
+            case "warc-record-id" => recordId = UTF8String.fromString(value)
+            case "warc-target-uri" => targetUri = UTF8String.fromString(value)
+            case "warc-date" => warcDate = UTF8String.fromString(value)
+            case "content-length" =>
+              contentLength =
+                try java.lang.Long.parseLong(value)
+                catch { case _: NumberFormatException => return null }
+            case _ => ()
+          }
+        }
+        pos = eol + 2
+      }
+    }
+    if (contentLength < 0 || pos + contentLength > b.length) return null
+    val payloadStart = pos
+    val payloadEnd = pos + contentLength.toInt
+    pos = payloadEnd
+    // the mandatory two-CRLF record separator
+    if (!startsWith(b, pos, "\r\n\r\n".getBytes("US-ASCII"))) return null
+    pos += 4
+    // HTTP sub-parse
+    var status: Any = null
+    var cType: UTF8String = null
+    var body: UTF8String = null
+    if (startsWith(b, payloadStart, "HTTP/".getBytes("US-ASCII"))) {
+      val stEol = findCrlf(b, payloadStart)
+      if (stEol > 0 && stEol <= payloadEnd - 2) {
+        val statusLine = new String(b, payloadStart, stEol - payloadStart, "UTF-8")
+        val parts = statusLine.split(" ")
+        if (parts.length >= 2)
+          try status = Integer.parseInt(parts(1))
+          catch { case _: NumberFormatException => () }
+        // HTTP headers until the blank line, body after
+        var hp = stEol + 2
+        var hEnd = -1
+        while (hEnd < 0 && hp < payloadEnd) {
+          val eol = findCrlf(b, hp)
+          if (eol < 0 || eol >= payloadEnd) hp = payloadEnd
+          else if (eol == hp) hEnd = hp + 2
+          else {
+            val line = new String(b, hp, eol - hp, "UTF-8")
+            val colon = line.indexOf(':')
+            if (colon > 0 &&
+                line.substring(0, colon).trim.equalsIgnoreCase("content-type"))
+              cType = UTF8String.fromString(line.substring(colon + 1).trim)
+            hp = eol + 2
+          }
+        }
+        if (hEnd >= 0) body = utf8(b, hEnd, payloadEnd)
+      }
+    }
+    (InternalRow(warcType, recordId, targetUri, warcDate, contentLength,
+      status, cType, body, utf8(b, payloadStart, payloadEnd)), pos)
+  }
+}
+
+/** Column-API entry point for [[WarcRecords]]. */
+object WarcExpr {
+  def warcRecords(blob: Column): Column =
+    ColumnBridge.column(WarcRecords(ColumnBridge.expression(blob)))
+}

@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.functions.{TextFunctions, WarcExpr}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC crawl-archive ingestion ([[graft.functions.WarcRecords]] — see
+  * there for the parsing contract): blob → records → extracted text, the
+  * CommonCrawl→WET path composed from the engine's own pieces (the
+  * length-driven container walk + [[TextFunctions.htmlExtract]]).
+  *
+  * Scale shape: everything here is a narrow per-row pipeline — parse is
+  * one JVM walk per blob, the explode is the only row multiplication, and
+  * extraction is the codegen'd q156 chain. Parallelism is per WARC file
+  * ([[readWarcFiles]]: Spark's binaryFile source, one task per file —
+  * the production CommonCrawl layout of thousands of ~1 GiB segments);
+  * no shuffle anywhere until the caller aggregates. */
+object Warc {
+
+  /** Parse a blob column into one row per WARC record (blob columns kept,
+    * record fields flattened). */
+  def records(df: DataFrame, blobCol: String): DataFrame =
+    df.select(col("*"),
+        explode(WarcExpr.warcRecords(col(blobCol))).as("__rec"))
+      .select(col("*"), col("__rec.*"))
+      .drop("__rec", blobCol)
+
+  /** The WET step: `response` records only, with the HTTP body run
+    * through the markup-to-text extractor. */
+  def extractResponses(df: DataFrame, blobCol: String): DataFrame =
+    records(df, blobCol)
+      .where(col("warc_type") === "response" && col("body").isNotNull)
+      .withColumn("extracted_text", TextFunctions.htmlExtract(col("body")))
+
+  /** Read `.warc` files (one task per file — Spark's binaryFile source)
+    * and parse each into records. UTF-8 text archives; binary payloads
+    * belong to the media tier. */
+  def readWarcFiles(spark: SparkSession, pathGlob: String): DataFrame =
+    records(
+      spark.read.format("binaryFile").load(pathGlob)
+        .select(col("path"), col("content").cast("string").as("warc_blob")),
+      "warc_blob")
+}

@@ -909,7 +909,83 @@ object CorpusQueries {
     out
   }
 
+  /** q175 — WARC crawl-archive ingestion ([[graft.ops.Warc]] /
+    * [[graft.functions.WarcRecords]]): the CommonCrawl→WET path, decode
+    * proven end to end. The gate synthesizes REAL multi-record WARC blobs
+    * from the documents table (HTTP response records wrapping each doc as
+    * HTML — title `d<doc_id>` + a script block the extractor must drop —
+    * plus `request` records planted on the doc_id%7==3 slice; records
+    * interleaved across sources into doc_id%32 blobs so nothing but the
+    * parsed `WARC-Target-URI` can recover the source), then PARSES them
+    * with the length-driven byte walk and reports per source from the
+    * parsed fields only. The oracle computes the same report from the
+    * plant's arithmetic (the q172 planted-classes doctrine) and replays
+    * the q156 extraction chain for the round-trip certificate — every
+    * count, byte total and parsed Content-Length must land exactly. */
+  val warcExtract: Q = (s, dir) => {
+    val crlf = "\r\n"
+    val docs = Tables.documents(s, dir)
+    val html = concat(lit("<html><head><title>d"), col("doc_id"),
+      lit("</title><script>var x=1;</script></head><body><p>"), col("text"),
+      lit("</p></body></html>"))
+    val httpResp = concat(
+      lit(s"HTTP/1.1 200 OK${crlf}Content-Type: text/html; charset=utf-8$crlf$crlf"),
+      html)
+    val respRec = concat(
+      lit(s"WARC/1.0${crlf}WARC-Type: response${crlf}WARC-Record-ID: <urn:uuid:"),
+      col("doc_id"),
+      lit(s">${crlf}WARC-Date: 2024-01-15T12:00:00Z${crlf}WARC-Target-URI: http://"),
+      col("source"), lit(".example/doc/"), col("doc_id"),
+      lit(s"${crlf}Content-Length: "), octet_length(httpResp),
+      lit(s"$crlf$crlf"), httpResp, lit(s"$crlf$crlf"))
+    val reqPayload = concat(lit("GET /doc/"), col("doc_id"),
+      lit(s" HTTP/1.1${crlf}Host: "), col("source"), lit(s".example$crlf$crlf"))
+    val reqRec = concat(
+      lit(s"WARC/1.0${crlf}WARC-Type: request${crlf}WARC-Record-ID: <urn:uuid:"),
+      col("doc_id"),
+      lit(s"-req>${crlf}WARC-Date: 2024-01-15T12:00:00Z${crlf}WARC-Target-URI: http://"),
+      col("source"), lit(".example/doc/"), col("doc_id"),
+      lit(s"${crlf}Content-Length: "), octet_length(reqPayload),
+      lit(s"$crlf$crlf"), reqPayload, lit(s"$crlf$crlf"))
+    val rec = concat(
+      when(col("doc_id") % 7 === 3, reqRec).otherwise(lit("")), respRec)
+    val blobs = docs
+      .select((col("doc_id") % 32).as("g"),
+        struct(col("doc_id").as("k"), rec.as("r")).as("kr"))
+      .groupBy("g")
+      .agg(array_join(transform(array_sort(collect_list(col("kr"))),
+        x => x.getField("r")), "").as("blob"))
+      .select("blob")
+    val recs = graft.ops.Warc.records(blobs, "blob")
+      .withColumn("src",
+        regexp_extract(col("target_uri"), "^http://([^.]+)\\.example/", 1))
+      .withColumn("rid",
+        regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1).cast("long"))
+    val base = recs.groupBy(col("src").as("source"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(when(col("warc_type") === "response", 1L).otherwise(0L))
+          .as("n_responses"),
+        sum(when(col("warc_type") === "request", 1L).otherwise(0L))
+          .as("n_requests"),
+        sum(when(col("http_status") === 200, 1L).otherwise(0L))
+          .as("n_status_200"),
+        sum(col("content_length")).as("sum_content_length"))
+    val roundtrip = recs
+      .where(col("warc_type") === "response" && col("body").isNotNull)
+      .join(docs.select(col("doc_id"), col("text")), col("rid") === col("doc_id"))
+      .withColumn("expected", trim(regexp_replace(
+        concat(lit("d"), col("doc_id"), lit(" "), col("text")),
+        "[ \\t\\n\\r]+", " ")))
+      .withColumn("extracted", TextFunctions.htmlExtract(col("body")))
+      .groupBy(col("src").as("source"))
+      .agg(sum(octet_length(col("body")).cast("long")).as("sum_body_bytes"),
+        sum(when(col("extracted") === col("expected"), 1L).otherwise(0L))
+          .as("n_roundtrip_exact"))
+    base.join(roundtrip, "source").orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "q175_warc_extract" -> warcExtract,
     "q172_audio_spectral" -> audioSpectralNearDup,
     "q30_token_stats" -> tokenStats,
     "q31_quality_stats" -> qualityStats,
@@ -957,6 +1033,58 @@ object CorpusQueries {
     "q144_leakage_incremental" -> leakageIncremental)
 
   val oracles: Map[String, String] = Map(
+    "q175_warc_extract" ->
+      // the oracle never parses: it derives every field of the report from
+      // the plant's construction arithmetic (record counts and planted
+      // Content-Lengths per source) and replays the q156 extraction chain
+      // on the constructed HTML for the round-trip certificate — the
+      // engine must recover the identical numbers from actual byte-walk
+      // parsing of the interleaved blobs
+      """WITH h AS MATERIALIZED (
+        |  SELECT doc_id, source, text,
+        |    '<html><head><title>d' || doc_id ||
+        |    '</title><script>var x=1;</script></head><body><p>' || text ||
+        |    '</p></body></html>' AS html
+        |  FROM documents),
+        |x AS MATERIALIZED (
+        |  SELECT doc_id, source, text, html,
+        |    octet_length(encode('HTTP/1.1 200 OK' || e'\r\n' ||
+        |      'Content-Type: text/html; charset=utf-8' || e'\r\n\r\n' || html))
+        |      AS resp_len,
+        |    octet_length(encode('GET /doc/' || doc_id || ' HTTP/1.1' || e'\r\n' ||
+        |      'Host: ' || source || '.example' || e'\r\n\r\n')) AS req_len,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(
+        |                regexp_replace(
+        |                  regexp_replace(html, '(?is)<script\b.*?</script\s*>', ' ', 'g'),
+        |                '(?is)<style\b.*?</style\s*>', ' ', 'g'),
+        |              '(?is)<script\b.*', ' ', 'g'),
+        |            '(?is)<style\b.*', ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |      '[ \t\n\r]+', ' ', 'g')) AS extracted,
+        |    trim(regexp_replace('d' || doc_id || ' ' || text,
+        |      '[ \t\n\r]+', ' ', 'g')) AS expected
+        |  FROM h)
+        |SELECT source,
+        |  CAST(count(*) + sum(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_records,
+        |  CAST(count(*) AS BIGINT) AS n_responses,
+        |  CAST(sum(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_requests,
+        |  CAST(count(*) AS BIGINT) AS n_status_200,
+        |  CAST(sum(resp_len + CASE WHEN doc_id % 7 = 3 THEN req_len ELSE 0 END)
+        |    AS BIGINT) AS sum_content_length,
+        |  CAST(sum(octet_length(encode(html))) AS BIGINT) AS sum_body_bytes,
+        |  CAST(sum(CASE WHEN extracted = expected THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_roundtrip_exact
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     "q144_leakage_incremental" -> // shares q141's whole-corpus oracle: the
       // merge identity makes incremental == one-shot exactly
       """WITH toks AS (

@@ -402,6 +402,14 @@ object StreamingPipeline {
         aggregate(col("pattern_hits"), lit(0), (a, x) => a + x))
       .where(col("total_hits") <= maxHits)
 
+  /** Streaming WARC ingest: parse each arriving blob (a crawl segment)
+    * into records and extract response text ([[graft.ops.Warc]] — the
+    * CommonCrawl→WET path at ingest time). Stateless per row: the
+    * length-driven byte walk and the extraction chain ride in the
+    * projection, batch ≡ stream structurally. */
+  def warcExtractStream(blobs: DataFrame, blobCol: String): DataFrame =
+    graft.ops.Warc.extractResponses(blobs, blobCol)
+
   /** Streaming stupid-backoff scoring: score every arriving micro-batch
     * with the two STORED LM tiers
     * ([[graft.store.IndexStore.saveTrigramLm]]/saveLm — the q158

@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val crlf = "\r\n"
+
+  private def record(warcType: String, uri: String, payload: String,
+                     lengthOverride: Option[Long] = None): String = {
+    val len = lengthOverride.getOrElse(
+      payload.getBytes("UTF-8").length.toLong)
+    s"WARC/1.0${crlf}WARC-Type: $warcType${crlf}" +
+      s"WARC-Record-ID: <urn:uuid:1>${crlf}" +
+      s"WARC-Date: 2024-01-15T12:00:00Z${crlf}" +
+      s"WARC-Target-URI: $uri${crlf}" +
+      s"Content-Length: $len$crlf$crlf$payload$crlf$crlf"
+  }
+
+  private def httpResp(body: String, status: Int = 200,
+                       cType: String = "text/html"): String =
+    s"HTTP/1.1 $status OK${crlf}Content-Type: $cType$crlf$crlf$body"
+
+  private def parse(blob: String) =
+    Warc.records(Seq(blob).toDF("b"), "b").collect()
+
+  test("multi-record blob parses every record in order") {
+    val blob = record("response", "http://a.example/1", httpResp("<p>one</p>")) +
+      record("request", "http://a.example/2",
+        s"GET /2 HTTP/1.1${crlf}Host: a.example$crlf$crlf") +
+      record("response", "http://a.example/3", httpResp("<p>three</p>", 404))
+    val rows = parse(blob)
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[String]("warc_type")).toSeq ==
+      Seq("response", "request", "response"))
+    assert(rows(0).getAs[String]("body") == "<p>one</p>")
+    assert(rows(0).getAs[Int]("http_status") == 200)
+    assert(rows(0).getAs[String]("content_type") == "text/html")
+    assert(rows(1).getAs[Any]("http_status") == null, "request has no status")
+    assert(rows(1).getAs[Any]("body") == null)
+    assert(rows(1).getAs[String]("payload").startsWith("GET /2"))
+    assert(rows(2).getAs[Int]("http_status") == 404)
+  }
+
+  test("length-driven walk: a payload containing WARC/1.0 cannot resplit") {
+    val tricky = httpResp(s"<p>quote: WARC/1.0${crlf}Content-Length: 0</p>")
+    val blob = record("response", "http://a.example/1", tricky) +
+      record("response", "http://a.example/2", httpResp("<p>two</p>"))
+    val rows = parse(blob)
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("body").contains("WARC/1.0"))
+    assert(rows(1).getAs[String]("body") == "<p>two</p>")
+  }
+
+  test("Content-Length counts BYTES: multi-byte payload parses exactly") {
+    val body = "<p>café — 你好</p>"
+    val blob = record("response", "http://a.example/1", httpResp(body)) +
+      record("response", "http://a.example/2", httpResp("<p>ascii</p>"))
+    val rows = parse(blob)
+    assert(rows.length == 2, "a char-counted length would misalign record 2")
+    assert(rows(0).getAs[String]("body") == body)
+  }
+
+  test("hostile inputs stop at the last good record, never throw") {
+    val good = record("response", "http://a.example/1", httpResp("<p>ok</p>"))
+    // bad magic
+    assert(parse("WARC/0.9" + crlf + "x").isEmpty)
+    // non-numeric length
+    assert(parse(good + s"WARC/1.0${crlf}Content-Length: NaN$crlf$crlf").length == 1)
+    // negative length
+    assert(parse(good + s"WARC/1.0${crlf}Content-Length: -4$crlf$crlf").length == 1)
+    // truncated payload (claims more bytes than the blob holds)
+    assert(parse(good + record("response", "http://a.example/2",
+      httpResp("<p>x</p>"), lengthOverride = Some(100000L))).length == 1)
+    // missing record separator after the payload
+    val noSep = good + s"WARC/1.0${crlf}WARC-Type: response$crlf" +
+      s"Content-Length: 2$crlf${crlf}hi"
+    assert(parse(noSep).length == 1)
+    // headers never terminated
+    assert(parse(good + s"WARC/1.0${crlf}WARC-Type: response$crlf").length == 1)
+  }
+
+  test("extractResponses filters to responses and extracts text") {
+    val blob = record("response", "http://a.example/1",
+      httpResp("<html><script>var x=1;</script><p>hello &amp; world</p></html>")) +
+      record("request", "http://a.example/1",
+        s"GET /1 HTTP/1.1${crlf}Host: a.example$crlf$crlf")
+    val out = Warc.extractResponses(Seq(blob).toDF("b"), "b").collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("extracted_text") == "hello & world")
+  }
+
+  test("readWarcFiles: disk round trip, one row per record") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc")
+    graft.util.TempDirs.deleteOnExit(dir)
+    val b1 = record("response", "http://a.example/1", httpResp("<p>one</p>")) +
+      record("response", "http://a.example/2", httpResp("<p>two</p>"))
+    val b2 = record("response", "http://b.example/3", httpResp("<p>three</p>"))
+    java.nio.file.Files.write(dir.resolve("a.warc"), b1.getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("b.warc"), b2.getBytes("UTF-8"))
+    val rows = Warc.readWarcFiles(spark, dir.toString + "/*.warc")
+    assert(rows.count() == 3)
+    assert(rows.select("target_uri").as[String].collect().toSet ==
+      Set("http://a.example/1", "http://a.example/2", "http://b.example/3"))
+  }
+}

@@ -691,6 +691,38 @@ class StreamingSpec extends SparkSpec {
       "stateless dictionary screen must be identical in batch and streaming")
   }
 
+  test("streaming WARC ingest (parse + extract) equals batch") {
+    val crlf = "\r\n"
+    def rec(id: Int, body: String): String = {
+      val payload = s"HTTP/1.1 200 OK${crlf}Content-Type: text/html$crlf$crlf$body"
+      s"WARC/1.0${crlf}WARC-Type: response${crlf}" +
+        s"WARC-Target-URI: http://s.example/$id$crlf" +
+        s"Content-Length: ${payload.getBytes("UTF-8").length}$crlf$crlf" +
+        payload + crlf + crlf
+    }
+    import spark.implicits._
+    val blobs = (0 until 6).map(g =>
+      (g, (0 until 5).map(i => rec(g * 5 + i,
+        s"<html><script>var t=$i;</script><p>doc ${g * 5 + i}</p></html>"))
+        .mkString)).toDF("g", "blob")
+    val d = java.nio.file.Files.createTempDirectory("graft_warc_src")
+    blobs.write.mode("overwrite").parquet(d.resolve("in").toString)
+    val stream = spark.readStream.schema(blobs.schema)
+      .parquet(d.resolve("in").toString)
+    val q = StreamingPipeline.warcExtractStream(stream, "blob")
+      .writeStream.format("memory").queryName("warc_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("warc_test")
+    val batch = StreamingPipeline.warcExtractStream(
+      spark.read.parquet(d.resolve("in").toString), "blob")
+    assert(streamed.count() == 30 && batch.count() == 30)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stateless WARC ingest must be identical in batch and streaming")
+    assert(streamed.where(col("extracted_text") === "doc 17").count() == 1)
+  }
+
   test("streaming repetition screen (LRS gate -> greedy vocab) equals batch") {
     val docsPath = s"$dir/documents.parquet"
     val d = java.nio.file.Files.createTempDirectory("graft_repscreen_src")
