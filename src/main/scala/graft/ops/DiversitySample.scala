@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Diversity sampling over an embedding column: greedy k-center (farthest-
+  * point traversal, Gonzalez 1985 — the 2-approximation every coreset /
+  * diverse-subset selector builds on). Start from a deterministic seed
+  * (smallest id), then k−1 times pick the point farthest from everything
+  * selected so far. Complements the dedup family: SemDeDup-style semantic
+  * dedup REMOVES near-duplicates, k-center SELECTS a spread — the
+  * "choose n diverse exemplars for annotation / eval / curriculum
+  * anchors" operation.
+  *
+  * Exactness contract (what the q176 oracle replays): embeddings are
+  * quantized ONCE to integers — qv[j] = floor(x·10⁴ + 0.5) as the shared
+  * engine/oracle shape; float→double cast, one multiply, one add, one
+  * floor are all IEEE-exact and identical on both engines, so unlike a
+  * float-distance argmax there is NO cross-engine wobble anywhere:
+  * squared Euclidean distances are exact BIGINT sums (|x|≤0.5, d=64 →
+  * ≤6.4e9, far inside Long), the argmax is over integers, and ties break
+  * by smallest id. The whole trajectory is bit-determined.
+  *
+  * Scale shape: step i is ONE narrow scan — the selected vectors ride as
+  * literals (≤ k·d ints) in a least()-of-distances projection — plus a
+  * TakeOrdered(1); total O(k²·n·d) work, no shuffle, no pair join. The
+  * 100 TB form caps the candidate set first (a deterministic sample, or
+  * the IVF centroid table from [[graft.sim.Similarity]] — k-center over
+  * list representatives), exactly how coreset pipelines run it; the
+  * greedy loop itself is size-independent of the corpus beyond the k
+  * scans. */
+object DiversitySample {
+
+  /** floor(x·scale + 0.5) per coordinate, as BIGINT. */
+  def quantize(vecCol: Column, scale: Double = 10000.0): Column =
+    transform(vecCol, x => floor(x.cast("double") * lit(scale) + lit(0.5))
+      .cast("long"))
+
+  private def sqDistTo(qv: Column, sel: Array[Long]): Column =
+    aggregate(
+      zip_with(qv, typedlit(sel.toSeq), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Greedy k-center picks: (step 1..k, id, picked_dist) where
+    * `picked_dist` is the exact quantized squared distance that won the
+    * pick (−1 for the seed). Farthest-first ⇒ picked_dist is
+    * non-increasing in step (the min-distance field only shrinks as the
+    * selected set grows). */
+  def kCenterIds(df: DataFrame, idCol: String, vecCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 1, "need at least one pick")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = df.select(col(idCol).cast("long").as("id"),
+      quantize(col(vecCol)).as("qv")).cache()
+    try {
+      val seed = q.orderBy("id").limit(1).collect()(0)
+      var selected =
+        Vector((seed.getLong(0), seed.getSeq[Long](1).toArray, -1L))
+      while (selected.length < k) {
+        val mind = selected.map(s => sqDistTo(col("qv"), s._2))
+          .reduce(least(_, _))
+        val pick = q
+          .where(!col("id").isInCollection(selected.map(_._1)))
+          .select(col("id"), col("qv"), mind.as("mind"))
+          .orderBy(col("mind").desc, col("id").asc).limit(1)
+          .collect()
+        if (pick.isEmpty) // fewer distinct ids than k: stop at what exists
+          return selectedDf(spark, selected)
+        val r = pick(0)
+        selected :+= ((r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      }
+      selectedDf(spark, selected)
+    } finally q.unpersist()
+  }
+
+  private def selectedDf(spark: org.apache.spark.sql.SparkSession,
+      sel: Vector[(Long, Array[Long], Long)]): DataFrame = {
+    import spark.implicits._
+    sel.zipWithIndex.map { case ((id, _, pd), i) => (i + 1, id, pd) }
+      .toDF("step", "id", "picked_dist")
+  }
+}

@@ -649,7 +649,54 @@ object ModelPrepQueries {
       unigramEmSql("u3", "u2v", emitV = false) + "\n" +
       """SELECT piece, c AS n_occurrences FROM u3cnt ORDER BY piece""".stripMargin
 
+  /** q176 — greedy k-center diversity sample
+    * ([[graft.ops.DiversitySample.kCenterIds]]): 8 farthest-point picks
+    * over the quantized embeddings. Everything after the shared
+    * floor(x·10⁴+0.5) quantization is integer arithmetic, so the full
+    * greedy trajectory — every pick, every winning squared distance — is
+    * bit-determined and the oracle replays it step by step (unrolled
+    * argmax CTEs, ties to the smallest id). */
+  val kcenterSample: Q = (s, dir) =>
+    graft.ops.DiversitySample.kCenterIds(
+      Tables.embeddings(s, dir), "vec_id", "embedding", k = 8)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("step")
+
+  private def kcenterOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH qe AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    [CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings),
+        |sel1 AS MATERIALIZED (
+        |  SELECT CAST(1 AS INT) AS step, vec_id, qv, CAST(-1 AS BIGINT) AS pd
+        |  FROM qe ORDER BY vec_id LIMIT 1),
+        |""".stripMargin)
+    for (i <- 1 until k) {
+      sb.append(
+        s"""m$i AS MATERIALIZED (
+           |  SELECT e.vec_id,
+           |    min(CAST(list_sum([(e.qv[j] - s.qv[j]) * (e.qv[j] - s.qv[j])
+           |      FOR j IN generate_series(1, len(e.qv))]) AS BIGINT)) AS mind
+           |  FROM qe e, sel$i s
+           |  WHERE e.vec_id NOT IN (SELECT vec_id FROM sel$i)
+           |  GROUP BY 1),
+           |p$i AS MATERIALIZED (
+           |  SELECT m.vec_id, q.qv, m.mind FROM m$i m JOIN qe q USING (vec_id)
+           |  ORDER BY m.mind DESC, m.vec_id ASC LIMIT 1),
+           |sel${i + 1} AS MATERIALIZED (
+           |  SELECT * FROM sel$i UNION ALL
+           |  SELECT CAST(${i + 1} AS INT) AS step, vec_id, qv, mind AS pd FROM p$i),
+           |""".stripMargin)
+    }
+    sb.append(s"fin AS (SELECT step, vec_id, pd AS picked_dist FROM sel$k)\n" +
+      "SELECT step, vec_id, picked_dist FROM fin ORDER BY step")
+    sb.toString
+  }
+
   val all: Map[String, Q] = Map(
+    "q176_kcenter_sample" -> kcenterSample,
     "q173_unigram_fit" -> unigramFit,
     "q174_unigram_census" -> unigramCensus,
     "q166_classifier_fit" -> classifierFit,
@@ -797,6 +844,7 @@ object ModelPrepQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q176_kcenter_sample" -> kcenterOracle(8),
     "q173_unigram_fit" -> unigramFitOracle,
     "q174_unigram_census" -> unigramCensusOracle,
     "q166_classifier_fit" -> classifierFitOracle(ClassifierSteps, ClassifierLr),
