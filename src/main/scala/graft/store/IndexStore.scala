@@ -138,6 +138,41 @@ object IndexStore {
     true
   }
 
+  /** Right-to-be-forgotten for the dense store —
+    * [[graft.ops.Bm25.removeFromIndex]]'s IVF twin: drop the given ids
+    * from the stored inverted lists behind the same dot-tmp → rename-swap
+    * + batch-cursor protocol as [[updateIvfIndex]] (ingest and removal
+    * share one cursor: they are one ordered maintenance log, and a
+    * replayed removal batch must no-op exactly like a replayed ingest).
+    * The quantizer is untouched — removal cannot move frozen centroids —
+    * so probe-after-remove == probe over a one-shot frozen-centroid
+    * assignment of the SURVIVING corpus (the q168 identity restricted by
+    * an anti-join; pinned in IvfMaintenanceSpec).
+    *
+    * @return true if the removal applied, false if skipped as a replay. */
+  def removeFromIvfIndex(spark: SparkSession, path: String,
+                         removedIds: org.apache.spark.sql.DataFrame,
+                         idCol: String, batchId: Long = -1L): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta")),
+      s"removeFromIvfIndex: no IVF index at $path")
+    if (batchId >= 0 && batchId <= ivfIndexLastBatch(spark, path))
+      return false
+    val idx = loadIvfIndex(spark, path)
+    val surviving = idx.lists.join(
+      removedIds.select(org.apache.spark.sql.functions.col(idCol)
+        .as("neighbor_id")).distinct(),
+      Seq("neighbor_id"), "left_anti")
+    val parent = Option(root.getParent).map(_.toString).getOrElse(".")
+    val tmp = new org.apache.hadoop.fs.Path(s"$parent/.${root.getName}_update_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    saveIvfIndex(spark, Similarity.IvfIndex(idx.centroids, surviving),
+      tmp.toString, batchId)
+    graft.util.AtomicSwap.swap(fs, tmp, root)
+    true
+  }
+
   /** Persist a PQ index: the per-subspace codebooks (KBs) plus the encoded
     * corpus codes (the m-small-ints-per-row table that replaces the
     * full-precision scan). Overwrites. */
@@ -230,6 +265,34 @@ object IndexStore {
     val tmp = new org.apache.hadoop.fs.Path(s"$parent/.${root.getName}_update_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     saveIvfPqIndex(spark, merged, tmp.toString, batchId)
+    graft.util.AtomicSwap.swap(fs, tmp, root)
+    true
+  }
+
+  /** [[removeFromIvfIndex]]'s composed twin: drop ids from the stored
+    * IVF-PQ code lists (coarse quantizer and PQ codebook untouched), same
+    * swap + shared-cursor protocol.
+    *
+    * @return true if the removal applied, false if skipped as a replay. */
+  def removeFromIvfPqIndex(spark: SparkSession, path: String,
+                           removedIds: org.apache.spark.sql.DataFrame,
+                           idCol: String, batchId: Long = -1L): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta")),
+      s"removeFromIvfPqIndex: no IVF-PQ index at $path")
+    if (batchId >= 0 && batchId <= ivfPqIndexLastBatch(spark, path))
+      return false
+    val idx = loadIvfPqIndex(spark, path)
+    val surviving = idx.codes.join(
+      removedIds.select(org.apache.spark.sql.functions.col(idCol)
+        .as("neighbor_id")).distinct(),
+      Seq("neighbor_id"), "left_anti")
+    val parent = Option(root.getParent).map(_.toString).getOrElse(".")
+    val tmp = new org.apache.hadoop.fs.Path(s"$parent/.${root.getName}_update_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    saveIvfPqIndex(spark, IvfPq.IvfPqIndex(idx.centroids, idx.codebook,
+      surviving), tmp.toString, batchId)
     graft.util.AtomicSwap.swap(fs, tmp, root)
     true
   }

@@ -49,6 +49,50 @@ class IvfMaintenanceSpec extends SparkSpec {
       "incremental routing == bulk routing with the same centroids")
   }
 
+  test("IVF removal == one-shot index of the surviving corpus; replay no-ops") {
+    val path = freshPath("graft_ivf_rm")
+    val built = Similarity.buildIvfIndex(emb, "vec_id", "embedding", 16, 42)
+    IndexStore.saveIvfIndex(spark, built, path, lastBatchId = 4L)
+    val gone = emb.where(col("vec_id") % 5 === 0).select("vec_id")
+    assert(IndexStore.removeFromIvfIndex(spark, path, gone, "vec_id",
+      batchId = 5L))
+    assert(!IndexStore.removeFromIvfIndex(spark, path, gone, "vec_id",
+      batchId = 5L), "replayed removal must no-op (shared maintenance cursor)")
+    val after = IndexStore.loadIvfIndex(spark, path)
+    assert(after.centroids == built.centroids, "removal never moves the quantizer")
+    val oneShot = Similarity.assignWithCentroids(
+        emb.where(col("vec_id") % 5 =!= 0), "vec_id", "embedding",
+        built.centroids).select("neighbor_id", "list_id")
+    val got = after.lists.select("neighbor_id", "list_id")
+    assert(got.exceptAll(oneShot).isEmpty && oneShot.exceptAll(got).isEmpty)
+    // a removed id can never be retrieved again
+    val qs = emb.where(col("vec_id") % 5 === 0).limit(3)
+    val hits = Similarity.ivfTopKFrom(after, qs, "vec_id", "embedding",
+      k = 5, nProbe = 16)
+    assert(hits.where(col("neighbor_id") % 5 === 0).count() == 0,
+      "forgotten ids must be gone from every probe")
+  }
+
+  test("IVF-PQ removal drops codes only, both fitted stages untouched") {
+    val path = freshPath("graft_ivfpq_rm")
+    val built = graft.sim.IvfPq.buildIndex(emb, "vec_id", "embedding",
+      nLists = 16, m = 16, ksub = 64)
+    IndexStore.saveIvfPqIndex(spark, built, path)
+    val gone = emb.where(col("vec_id") % 5 === 0).select("vec_id")
+    assert(IndexStore.removeFromIvfPqIndex(spark, path, gone, "vec_id",
+      batchId = 1L))
+    assert(!IndexStore.removeFromIvfPqIndex(spark, path, gone, "vec_id",
+      batchId = 1L))
+    val after = IndexStore.loadIvfPqIndex(spark, path)
+    assert(after.centroids == built.centroids)
+    assert(after.codebook.centroids == built.codebook.centroids)
+    val expected = built.codes.join(gone.withColumnRenamed("vec_id",
+      "neighbor_id"), Seq("neighbor_id"), "left_anti")
+    assert(after.codes.count() == expected.count() &&
+      after.codes.select("neighbor_id").exceptAll(
+        expected.select("neighbor_id")).isEmpty)
+  }
+
   test("update on a missing index fails loudly (no centroids to freeze)") {
     val path = freshPath("graft_ivf_m2")
     intercept[IllegalArgumentException] {
