@@ -125,7 +125,8 @@ object Bench {
     "q171_host_pagerank",     // 8-step power iteration over the host graph
     "q172_audio_spectral",    // fixed-point DFT fingerprint -> tone grouping
     "q174_unigram_census",    // unigram hard-EM fit + Viterbi encode scan
-    "q175_warc_extract")      // WARC blob synth -> byte-walk parse -> WET
+    "q175_warc_extract",      // WARC blob synth -> byte-walk parse -> WET
+    "q177_crawl_pipeline")    // WARC -> parse -> WET -> langid -> dedup
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

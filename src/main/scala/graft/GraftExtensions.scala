@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => graft.functions.HeavyHitters(args.head, 64)
         .toAggregateExpression()))
     ext.injectFunction((
+      new FunctionIdentifier("warc_records"),
+      new ExpressionInfo(classOf[graft.functions.WarcRecords].getName, "warc_records"),
+      (args: Seq[Expression]) => graft.functions.WarcRecords(args.head)))
+    ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => graft.functions.SimHash64(args.head)))

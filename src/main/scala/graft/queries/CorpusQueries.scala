@@ -984,7 +984,60 @@ object CorpusQueries {
     base.join(roundtrip, "source").orderBy("source")
   }
 
+  /** q177 — COMPOSED crawl-ingestion pipeline (the q86 composition
+    * doctrine applied to the front door): WARC blobs with planted
+    * RE-CRAWL duplicates (doc_id%9==5 emits its response twice under a
+    * fresh record id — the same URL fetched twice, the most common dupe
+    * source in a real crawl) → length-driven parse → WET extraction →
+    * language id → exact dedup (normalized-fingerprint, which collapses
+    * exactly the re-crawls because every extracted text carries its
+    * doc_id) → per-(source, predicted-language) report. Every number
+    * flows from parsed fields only; the oracle rebuilds the report from
+    * the plant arithmetic + the shared q32 langid fragment over the
+    * derived extraction. */
+  val crawlPipeline: Q = (s, dir) => {
+    val crlf = "\r\n"
+    val docs = Tables.documents(s, dir)
+    val html = concat(lit("<html><head><title>d"), col("doc_id"),
+      lit("</title><script>var x=1;</script></head><body><p>"), col("text"),
+      lit("</p></body></html>"))
+    val httpResp = concat(
+      lit(s"HTTP/1.1 200 OK${crlf}Content-Type: text/html; charset=utf-8$crlf$crlf"),
+      html)
+    def respRec(idSuffix: String): org.apache.spark.sql.Column = concat(
+      lit(s"WARC/1.0${crlf}WARC-Type: response${crlf}WARC-Record-ID: <urn:uuid:"),
+      col("doc_id"), lit(idSuffix),
+      lit(s">${crlf}WARC-Date: 2024-01-15T12:00:00Z${crlf}WARC-Target-URI: http://"),
+      col("source"), lit(".example/doc/"), col("doc_id"),
+      lit(s"${crlf}Content-Length: "), octet_length(httpResp),
+      lit(s"$crlf$crlf"), httpResp, lit(s"$crlf$crlf"))
+    val rec = concat(respRec(""),
+      when(col("doc_id") % 9 === 5, respRec("-re")).otherwise(lit("")))
+    val blobs = docs
+      .select((col("doc_id") % 16).as("g"),
+        struct(col("doc_id").as("k"), rec.as("r")).as("kr"))
+      .groupBy("g")
+      .agg(array_join(transform(array_sort(collect_list(col("kr"))),
+        x => x.getField("r")), "").as("blob"))
+      .select("blob")
+    val resp = graft.ops.Warc.extractResponses(blobs, "blob")
+      .withColumn("src",
+        regexp_extract(col("target_uri"), "^http://([^.]+)\\.example/", 1))
+      .withColumn("predicted", TextFunctions.langId(col("extracted_text")))
+    val fetched = resp.groupBy(col("src").as("source"), col("predicted"))
+      .agg(count(lit(1)).as("n_fetched"))
+    val unique = Dedup.exactDedup(resp, "record_id", "extracted_text")
+      .groupBy(col("src").as("source"), col("predicted"))
+      .agg(count(lit(1)).as("n_unique"),
+        sum(TextFunctions.tokenCount(col("extracted_text")).cast("long"))
+          .as("n_tokens"))
+    fetched.join(unique, Seq("source", "predicted"))
+      .withColumn("n_recrawls_removed", col("n_fetched") - col("n_unique"))
+      .orderBy("source", "predicted")
+  }
+
   val all: Map[String, Q] = Map(
+    "q177_crawl_pipeline" -> crawlPipeline,
     "q175_warc_extract" -> warcExtract,
     "q172_audio_spectral" -> audioSpectralNearDup,
     "q30_token_stats" -> tokenStats,
@@ -1033,6 +1086,38 @@ object CorpusQueries {
     "q144_leakage_incremental" -> leakageIncremental)
 
   val oracles: Map[String, String] = Map(
+    "q177_crawl_pipeline" ->
+      // plant arithmetic (fetch counts, re-crawl dupes) + the q32 langid
+      // fragment over the derived extraction text 'd<doc_id> <text>' —
+      // the engine must reach the same report through actual byte-walk
+      // parsing, the extraction chain, and fingerprint dedup
+      """WITH x AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    trim(regexp_replace('d' || doc_id || ' ' || text,
+        |      '[ \t\n\r]+', ' ', 'g')) AS ex
+        |  FROM documents),
+        |t AS (SELECT doc_id, source, ex,
+        |  string_split_regex(trim(lower(ex)), '\s+') AS ts FROM x),
+        |s AS (SELECT doc_id, source, ex, len(ts) AS ntok,
+        |  len(list_filter(ts, q -> list_contains(['the','and','of','to','is','with','for'], q))) AS s_en,
+        |  len(list_filter(ts, q -> list_contains(['der','die','das','und','ist','mit','für'], q))) AS s_de,
+        |  len(list_filter(ts, q -> list_contains(['le','la','les','et','est','avec','pour'], q))) AS s_fr,
+        |  len(list_filter(ts, q -> list_contains(['el','la','los','y','es','con','para'], q))) AS s_es
+        |  FROM t),
+        |p AS (SELECT doc_id, source, ntok,
+        |  list_max([{'score': s_de, 'lang': 'de'}, {'score': s_en, 'lang': 'en'},
+        |            {'score': s_es, 'lang': 'es'}, {'score': s_fr, 'lang': 'fr'}]) AS best
+        |  FROM s),
+        |r AS (SELECT source, doc_id, ntok,
+        |  CASE WHEN best.score <= 0 THEN 'und' ELSE best.lang END AS predicted,
+        |  CASE WHEN doc_id % 9 = 5 THEN 2 ELSE 1 END AS fetches
+        |  FROM p)
+        |SELECT source, predicted,
+        |  CAST(sum(fetches) AS BIGINT) AS n_fetched,
+        |  CAST(count(*) AS BIGINT) AS n_unique,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(fetches) - count(*) AS BIGINT) AS n_recrawls_removed
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q175_warc_extract" ->
       // the oracle never parses: it derives every field of the report from
       // the plant's construction arithmetic (record counts and planted

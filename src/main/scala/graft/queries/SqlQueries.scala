@@ -49,6 +49,8 @@ object SqlQueries {
         }
         graft.functions.MultiPatternCounts(args.head, patterns)
       })
+    ColumnBridge.registerFunction(s, "warc_records",
+      (args: Seq[Expression]) => graft.functions.WarcRecords(args.head))
     ColumnBridge.registerFunction(s, "winnow_fingerprints",
       (args: Seq[Expression]) => args match {
         case Seq(t, IntegerLiteral(k), IntegerLiteral(w)) =>
@@ -462,7 +464,91 @@ object SqlQueries {
       FROM c GROUP BY i ORDER BY keyword""")
   }
 
+  /** q175's WARC pipeline as pure SQL text: record synthesis, blob
+    * grouping, the registered `warc_records` engine function (the
+    * length-driven byte walk riding in a SQL projection), inline() of the
+    * record structs, and the extraction-chain round-trip certificate —
+    * the whole crawl front door expressible from spark.sql. Shares
+    * q175's oracle verbatim. */
+  val sqlWarcExtract: Q = (s, dir) => {
+    ensureSurface(s, dir)
+    s.sql("""
+      WITH h AS (
+        SELECT doc_id, source, text,
+          concat('<html><head><title>d', doc_id,
+            '</title><script>var x=1;</script></head><body><p>', text,
+            '</p></body></html>') AS html
+        FROM documents),
+      pay AS (
+        SELECT doc_id, source, text,
+          concat('HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n',
+            html) AS payload,
+          concat('GET /doc/', doc_id, ' HTTP/1.1\r\nHost: ', source,
+            '.example\r\n\r\n') AS reqp
+        FROM h),
+      r AS (
+        SELECT doc_id,
+          concat(
+            CASE WHEN doc_id % 7 = 3 THEN concat(
+              'WARC/1.0\r\nWARC-Type: request\r\nWARC-Record-ID: <urn:uuid:',
+              doc_id,
+              '-req>\r\nWARC-Date: 2024-01-15T12:00:00Z\r\nWARC-Target-URI: http://',
+              source, '.example/doc/', doc_id, '\r\nContent-Length: ',
+              octet_length(reqp), '\r\n\r\n', reqp, '\r\n\r\n') ELSE '' END,
+            concat('WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:',
+              doc_id,
+              '>\r\nWARC-Date: 2024-01-15T12:00:00Z\r\nWARC-Target-URI: http://',
+              source, '.example/doc/', doc_id, '\r\nContent-Length: ',
+              octet_length(payload), '\r\n\r\n', payload, '\r\n\r\n')) AS rec
+        FROM pay),
+      blobs AS (
+        SELECT array_join(
+          transform(array_sort(collect_list(struct(doc_id AS k, rec AS r))),
+            x -> x.r), '') AS blob
+        FROM r GROUP BY doc_id % 32),
+      recs AS (SELECT inline(warc_records(blob)) FROM blobs),
+      en AS (
+        SELECT regexp_extract(target_uri, '^http://([^.]+)\\.example/', 1) AS src,
+          CAST(regexp_extract(target_uri, '/doc/([0-9]+)$', 1) AS BIGINT) AS rid,
+          warc_type, content_length, http_status, body
+        FROM recs),
+      base AS (
+        SELECT src AS source, count(*) AS n_records,
+          sum(CASE WHEN warc_type = 'response' THEN 1 ELSE 0 END) AS n_responses,
+          sum(CASE WHEN warc_type = 'request' THEN 1 ELSE 0 END) AS n_requests,
+          sum(CASE WHEN http_status = 200 THEN 1 ELSE 0 END) AS n_status_200,
+          sum(content_length) AS n_cl
+        FROM en GROUP BY 1),
+      rt AS (
+        SELECT e.src AS source,
+          sum(CAST(octet_length(e.body) AS BIGINT)) AS sum_body_bytes,
+          sum(CASE WHEN
+            trim(regexp_replace(
+              replace(replace(replace(replace(replace(replace(
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(regexp_replace(e.body,
+                    '(?is)<script\\b.*?</script\\s*>', ' '),
+                  '(?is)<style\\b.*?</style\\s*>', ' '),
+                  '(?is)<script\\b.*', ' '), '(?is)<style\\b.*', ' '),
+                  '(?s)<!--.*?-->', ' '), '<[^>]*>', ' '),
+                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                '&#39;', '\''), '&nbsp;', ' '), '&amp;', '&'),
+              '[ \t\n\r]+', ' '))
+            = trim(regexp_replace(concat('d', d.doc_id, ' ', d.text),
+                '[ \t\n\r]+', ' '))
+            THEN 1 ELSE 0 END) AS n_roundtrip_exact
+        FROM en e JOIN documents d ON e.rid = d.doc_id
+        WHERE e.warc_type = 'response' AND e.body IS NOT NULL
+        GROUP BY 1)
+      SELECT b.source, b.n_records, b.n_responses, b.n_requests,
+        b.n_status_200, b.n_cl AS sum_content_length, rt.sum_body_bytes,
+        rt.n_roundtrip_exact
+      FROM base b JOIN rt USING (source) ORDER BY source
+    """)
+  }
+
   val all: Map[String, Q] = Map(
+    "q178_sql_warc" -> sqlWarcExtract,
     "q164_sql_keyword_tagging" -> sqlKeywordTagging,
     "q159_sql_winnow_census" -> sqlWinnowCensus,
     "q151_sql_margin_mining" -> sqlMarginMining,
@@ -480,6 +566,7 @@ object SqlQueries {
     "q81_sql_temperature_mix" -> sqlTemperatureMix)
 
   val oracles: Map[String, String] = Map(
+    "q178_sql_warc" -> CorpusQueries.oracles("q175_warc_extract"),
     "q164_sql_keyword_tagging" -> AnalysisQueries.oracles("q161_keyword_tagging"),
     "q159_sql_winnow_census" -> AnalysisQueries.oracles("q157_winnow_census"),
     "q151_sql_margin_mining" -> CorpusQueries.oracles("q147_margin_mining"),
