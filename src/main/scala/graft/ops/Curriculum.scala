@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Curriculum scheduling: order the corpus easy→hard by an exact integer
+  * difficulty signal and cut it into `nStages` contiguous stages — the
+  * classic length curriculum (Bengio et al. 2009's shape, short→long as
+  * every LM curriculum ships it) when the signal is the token count; any
+  * integer difficulty (quantized logit, LRS length, dictionary hits)
+  * plugs into the same schedule.
+  *
+  * Determinism contract (replayed by the q179 oracle): the global rank is
+  * over (difficulty asc, id asc) — exact, no float anywhere — and the
+  * stage is OUR OWN integer formula, stage = ((rank−1)·nStages) div N + 1
+  * (not ntile(), whose remainder-spreading convention would be an
+  * implicit cross-engine dependency; the explicit formula is shared
+  * syntax). Within a stage, epoch order is the md5 interleave
+  * ([[Sampling.epochOrderKey]]) — difficulty orders BETWEEN stages,
+  * hash order WITHIN them, which is exactly what a curriculum data
+  * loader consumes.
+  *
+  * Scale shape: the global rank is NOT a single-partition row_number —
+  * it decomposes as rank = prefix(difficulty) + rank-within-difficulty,
+  * where the prefix comes from a difficulty HISTOGRAM (a frame the size
+  * of the distinct difficulty values — token counts at 100 TB are a few
+  * thousand distinct ints) and the within-rank is a difficulty-
+  * partitioned window that parallelizes across the cluster. One grouped
+  * aggregate + one bounded-frame window + one partitioned window; no
+  * global sort, no driver collect beyond the histogram. */
+object Curriculum {
+
+  /** Add (rank, stage) to `docs` from the integer `difficultyCol`; ties
+    * rank by `idCol` ascending. */
+  def schedule(docs: DataFrame, idCol: String, difficultyCol: Column,
+               nStages: Int): DataFrame = {
+    require(nStages >= 1, "need at least one stage")
+    val d = docs.withColumn("difficulty", difficultyCol.cast("long"))
+    val hist = d.groupBy("difficulty")
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__prefix",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy(col("difficulty").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val total = d.count()
+    d.join(broadcast(hist.select(col("difficulty"), col("__prefix"))),
+        Seq("difficulty"))
+      .withColumn("__within", row_number().over(
+        Window.partitionBy(col("difficulty")).orderBy(col(idCol).asc)))
+      .withColumn("rank", col("__prefix") + col("__within"))
+      .withColumn("stage",
+        (expr(s"((rank - 1) * $nStages) div ${math.max(total, 1L)}") + 1)
+          .cast("int"))
+      .drop("__prefix", "__within")
+  }
+
+  /** Per-stage schedule report: size, difficulty span, and the doc each
+    * stage's epoch-1 interleave emits first. */
+  def stageReport(scheduled: DataFrame, idCol: String): DataFrame =
+    scheduled
+      .withColumn("__ek", Sampling.epochOrderKey(col(idCol), epoch = 1))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"),
+        min("difficulty").as("min_difficulty"),
+        max("difficulty").as("max_difficulty"),
+        min_by(col(idCol), col("__ek")).as("first_doc_id"),
+        sum(col(idCol)).as("sum_doc_ids"))
+      .orderBy("stage")
+}

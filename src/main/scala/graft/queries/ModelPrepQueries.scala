@@ -695,7 +695,45 @@ object ModelPrepQueries {
     sb.toString
   }
 
+  /** q179 — curriculum schedule ([[graft.ops.Curriculum]]): the classic
+    * short→long length curriculum, 8 contiguous stages over the exact
+    * (token count, doc_id) rank — built scale-shaped (histogram-prefix +
+    * per-difficulty window, no single-partition global sort) but
+    * identical by construction to the oracle's one-line
+    * `row_number() OVER (ORDER BY difficulty, doc_id)` replay; the stage
+    * formula is the engine's own integer arithmetic, not ntile(). */
+  val curriculumSchedule: Q = (s, dir) => {
+    val sched = graft.ops.Curriculum.schedule(Tables.documents(s, dir),
+      "doc_id", TextFunctions.tokenCount(col("text")), nStages = 8)
+    graft.ops.Curriculum.stageReport(sched, "doc_id")
+  }
+
+  private val curriculumOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |      ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT)
+      |      AS difficulty
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, difficulty,
+      |    row_number() OVER (ORDER BY difficulty, doc_id) AS rn,
+      |    (SELECT count(*) FROM d) AS n
+      |  FROM d),
+      |st AS (
+      |  SELECT doc_id, difficulty,
+      |    CAST(((rn - 1) * 8) // n + 1 AS INT) AS stage,
+      |    md5('e1:' || CAST(doc_id AS VARCHAR)) AS ek
+      |  FROM r)
+      |SELECT stage, count(*) AS n_docs,
+      |  min(difficulty) AS min_difficulty,
+      |  max(difficulty) AS max_difficulty,
+      |  arg_min(doc_id, ek) AS first_doc_id,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
+      |FROM st GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q179_curriculum" -> curriculumSchedule,
     "q176_kcenter_sample" -> kcenterSample,
     "q173_unigram_fit" -> unigramFit,
     "q174_unigram_census" -> unigramCensus,
@@ -844,6 +882,7 @@ object ModelPrepQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q179_curriculum" -> curriculumOracle,
     "q176_kcenter_sample" -> kcenterOracle(8),
     "q173_unigram_fit" -> unigramFitOracle,
     "q174_unigram_census" -> unigramCensusOracle,

@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class CurriculumSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(sf("documents"))
+
+  test("histogram-prefix rank == single-window global row_number") {
+    val sched = Curriculum.schedule(docs, "doc_id",
+      TextFunctions.tokenCount(col("text")), nStages = 8)
+    val direct = docs
+      .withColumn("difficulty", TextFunctions.tokenCount(col("text")).cast("long"))
+      .withColumn("rank_direct", row_number().over(
+        Window.orderBy(col("difficulty").asc, col("doc_id").asc)))
+      .select("doc_id", "rank_direct")
+    val joined = sched.join(direct, "doc_id")
+    assert(joined.where(col("rank") =!= col("rank_direct")).count() == 0,
+      "the scale-shaped rank must equal the global row_number exactly")
+  }
+
+  test("stages are contiguous in difficulty and balanced within one doc") {
+    val sched = Curriculum.schedule(docs, "doc_id",
+      TextFunctions.tokenCount(col("text")), nStages = 8).cache()
+    val spans = sched.groupBy("stage")
+      .agg(min("difficulty").as("lo"), max("difficulty").as("hi"),
+        count(lit(1)).as("n"))
+      .orderBy("stage").collect()
+    assert(spans.length == 8)
+    spans.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo") ||
+        a.getAs[Long]("hi") == b.getAs[Long]("lo"),
+        "a later stage never holds easier docs than an earlier one")
+      assert(a.getAs[Long]("lo") <= a.getAs[Long]("hi"))
+    }
+    val sizes = spans.map(_.getAs[Long]("n"))
+    assert(sizes.max - sizes.min <= 1,
+      s"the div formula balances stages to within one doc: ${sizes.toSeq}")
+    sched.unpersist()
+  }
+
+  test("epoch interleave reorders within a stage (hash, not difficulty)") {
+    val sched = Curriculum.schedule(docs, "doc_id",
+      TextFunctions.tokenCount(col("text")), nStages = 4)
+    val s1 = sched.where(col("stage") === 1)
+      .withColumn("ek", Sampling.epochOrderKey(col("doc_id"), 1))
+    val byRank = s1.orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    val byEpoch = s1.orderBy("ek").select("doc_id").as[Long].collect().toSeq
+    assert(byRank.toSet == byEpoch.toSet)
+    assert(byRank != byEpoch, "the interleave must actually shuffle")
+  }
+
+  test("one stage degenerates to the plain rank") {
+    val sched = Curriculum.schedule(docs.limit(50), "doc_id",
+      TextFunctions.tokenCount(col("text")), nStages = 1)
+    assert(sched.select("stage").distinct().as[Int].collect().toSeq == Seq(1))
+  }
+}
