@@ -126,7 +126,8 @@ object Bench {
     "q172_audio_spectral",    // fixed-point DFT fingerprint -> tone grouping
     "q174_unigram_census",    // unigram hard-EM fit + Viterbi encode scan
     "q175_warc_extract",      // WARC blob synth -> byte-walk parse -> WET
-    "q177_crawl_pipeline")    // WARC -> parse -> WET -> langid -> dedup
+    "q177_crawl_pipeline",    // WARC -> parse -> WET -> langid -> dedup
+    "q180_waterfill_mix")     // max-min-fair token-budget mixture
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

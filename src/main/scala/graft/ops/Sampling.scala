@@ -186,6 +186,74 @@ object Sampling {
       .select(domainCols.map(col) :+ col("n_docs") :+ col("quota"): _*)
   }
 
+  /** Max-min-fair (WATERFILLING) token-budget allocation across domains —
+    * [[temperatureQuotas]]'s counterpart for the "cap the head, keep the
+    * tail whole" mixture policy: every domain gets
+    * quota_d = min(available_d, θ) with the integer water level θ chosen
+    * so the quotas sum EXACTLY to `budget` (the division remainder goes
+    * +1 to the first `rem` unsaturated domains in (available, domain)
+    * order). Small domains are never down-sampled while large ones share
+    * the rest equally — the allocation rule behind "epsilon-capped"
+    * multilingual mixtures.
+    *
+    * All-integer on a D-row frame: one grouped token sum, a rank window
+    * over the DOMAIN table (bounded — this is the only unpartitioned
+    * window and it never sees the corpus), and the closed-form level:
+    * a domain saturates iff prefix(d) + (D−i+1)·a_d ≤ budget (saturation
+    * is a prefix of the ascending order, so the saturated set is the
+    * largest feasible prefix), θ = (budget − Σ_sat) div (D − m),
+    * rem = (budget − Σ_sat) mod (D − m). Budget ≥ total available ⇒
+    * everything saturates and quotas are the availabilities. Replayed
+    * exactly by the q180 oracle. */
+  def waterfillQuotas(df: DataFrame, domainCol: String, tokenCol: Column,
+                      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val avail = df.groupBy(domainCol)
+      .agg(sum(tokenCol.cast("long")).as("available"))
+    val w = Window.orderBy(col("available").asc, col(domainCol).asc)
+    val ranked = avail
+      .withColumn("__i", row_number().over(w))
+      .withColumn("__prefix", coalesce(sum(col("available")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__k", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val sat = ranked.withColumn("__sat",
+      col("__prefix") + (col("__k") - col("__i") + 1) * col("available") <= budget)
+    // ONE bounded driver round-trip for the three scalars of the closed
+    // form (coalesced so an empty frame yields zeros, not null getLong).
+    val satAgg = sat.agg(
+      coalesce(sum(when(col("__sat"), col("available")).otherwise(0L)), lit(0L)).as("ss"),
+      coalesce(sum(when(col("__sat"), 1L).otherwise(0L)), lit(0L)).as("m"),
+      coalesce(max(col("__k")), lit(0L)).as("k")).collect()(0)
+    val satSum = satAgg.getLong(0); val m = satAgg.getLong(1)
+    val unsat = satAgg.getLong(2) - m
+    val theta = if (unsat == 0) 0L else (budget - satSum) / unsat
+    val rem = if (unsat == 0) 0L else (budget - satSum) % unsat
+    sat.withColumn("quota",
+        when(col("__sat"), col("available"))
+          .otherwise(lit(theta) +
+            when(col("__i") - m <= rem, 1L).otherwise(0L)))
+      .select(col(domainCol), col("available"), col("quota"))
+  }
+
+  /** Waterfilled domain sample: each domain keeps its [[waterfillQuotas]]
+    * token quota of rows, taken as the deterministic (md5(key), key)
+    * hash-order prefix by cumulative token count (the q65 selection rule
+    * with per-domain budgets). One shuffle on the domain; the D-row quota
+    * frame broadcasts. */
+  def waterfillSample(df: DataFrame, domainCol: String, keyCol: String,
+                      tokenCol: Column, budget: Long): DataFrame = {
+    val quotas = waterfillQuotas(df, domainCol, tokenCol, budget)
+      .drop("available")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(md5Bucket(col(keyCol)).asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.join(broadcast(quotas), Seq(domainCol))
+      .withColumn("__cum", sum(tokenCol.cast("long")).over(w))
+      .where(col("__cum") <= col("quota"))
+      .drop("__cum", "quota")
+  }
+
   /** Temperature-weighted domain sample: each domain keeps its
     * [[temperatureQuotas]] quota of rows, picked in deterministic
     * (md5(key), key) order — [[stratified]] with per-stratum caps from the

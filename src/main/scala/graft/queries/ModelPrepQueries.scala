@@ -649,6 +649,74 @@ object ModelPrepQueries {
       unigramEmSql("u3", "u2v", emitV = false) + "\n" +
       """SELECT piece, c AS n_occurrences FROM u3cnt ORDER BY piece""".stripMargin
 
+  /** q180 — max-min-fair (waterfilling) token-budget mixture
+    * ([[Sampling.waterfillQuotas]] / [[Sampling.waterfillSample]]): cap the
+    * head, keep the tail whole. Budget = 90% of total corpus tokens
+    * (integer arithmetic the oracle replays), so at every SF some sources
+    * saturate (keep everything) and the rest share the remaining budget at
+    * the integer water level θ (+1 for the first `rem` in rank order).
+    * Reports, per source: availability, allocated quota, and what the
+    * deterministic md5-prefix sample actually kept under that quota —
+    * kept_tokens ≤ quota by construction, and the quota column itself sums
+    * exactly to the budget. All integer: the oracle replays the closed
+    * form (largest feasible prefix → θ, rem) and the hash-order prefix
+    * selection verbatim. */
+  val waterfillMix: Q = (s, dir) => {
+    val withTok = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("ntok"))
+    val total = withTok.agg(
+      coalesce(sum(col("ntok").cast("long")), lit(0L))).collect()(0).getLong(0)
+    val budget = total * 9 / 10
+    val quotas = Sampling.waterfillQuotas(withTok, "source", col("ntok"), budget)
+    val kept = Sampling.waterfillSample(withTok, "source", "doc_id", col("ntok"), budget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("ntok").cast("long")).as("kept_tokens"))
+    quotas.join(kept, Seq("source"), "left")
+      .select(col("source"), col("available"), col("quota"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  private val waterfillOracle: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |      ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT) AS ntok
+      |  FROM documents),
+      |a AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS available FROM t GROUP BY 1),
+      |b AS (SELECT CAST(sum(available) AS BIGINT) * 9 // 10 AS budget FROM a),
+      |r AS (SELECT source, available,
+      |        CAST(row_number() OVER (ORDER BY available, source) AS BIGINT) AS i,
+      |        CAST(coalesce(sum(available) OVER (ORDER BY available, source
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pfx,
+      |        CAST(count(*) OVER () AS BIGINT) AS k
+      |      FROM a),
+      |s AS (SELECT r.*, (pfx + (k - i + 1) * available <= b.budget) AS sat FROM r, b),
+      |m AS (SELECT CAST(coalesce(sum(CASE WHEN sat THEN available END), 0) AS BIGINT) AS ss,
+      |             CAST(coalesce(sum(CASE WHEN sat THEN 1 END), 0) AS BIGINT) AS msat
+      |      FROM s),
+      |q AS (SELECT s.source, s.available,
+      |        CASE WHEN s.sat THEN s.available
+      |          ELSE (b.budget - m.ss) // (s.k - m.msat)
+      |            + CASE WHEN s.i - m.msat <= (b.budget - m.ss) % (s.k - m.msat)
+      |                   THEN 1 ELSE 0 END END AS quota
+      |      FROM s, m, b),
+      |o AS (SELECT t.source, t.doc_id, t.ntok,
+      |        sum(t.ntok) OVER (PARTITION BY t.source
+      |          ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM t),
+      |kept AS (SELECT o.source, count(*) AS n_kept,
+      |           CAST(sum(o.ntok) AS BIGINT) AS kept_tokens
+      |         FROM o JOIN q USING (source) WHERE o.cum <= q.quota GROUP BY 1)
+      |SELECT q.source, q.available, CAST(q.quota AS BIGINT) AS quota,
+      |  coalesce(kept.n_kept, 0) AS n_kept,
+      |  coalesce(kept.kept_tokens, 0) AS kept_tokens
+      |FROM q LEFT JOIN kept USING (source) ORDER BY source""".stripMargin
+
   /** q176 — greedy k-center diversity sample
     * ([[graft.ops.DiversitySample.kCenterIds]]): 8 farthest-point picks
     * over the quantized embeddings. Everything after the shared
@@ -733,6 +801,7 @@ object ModelPrepQueries {
       |FROM st GROUP BY 1 ORDER BY 1""".stripMargin
 
   val all: Map[String, Q] = Map(
+    "q180_waterfill_mix" -> waterfillMix,
     "q179_curriculum" -> curriculumSchedule,
     "q176_kcenter_sample" -> kcenterSample,
     "q173_unigram_fit" -> unigramFit,
@@ -882,6 +951,7 @@ object ModelPrepQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q180_waterfill_mix" -> waterfillOracle,
     "q179_curriculum" -> curriculumOracle,
     "q176_kcenter_sample" -> kcenterOracle(8),
     "q173_unigram_fit" -> unigramFitOracle,

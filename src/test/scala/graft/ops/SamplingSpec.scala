@@ -174,6 +174,76 @@ class SamplingSpec extends SparkSpec {
       "singleton docs must be assigned exactly like the plain split")
   }
 
+  /** Sequential reference for [[Sampling.waterfillQuotas]]: the same
+    * largest-feasible-prefix closed form, computed row-by-row. */
+  private def refWaterfill(avail: Seq[(String, Long)], budget: Long): Map[String, Long] = {
+    val sorted = avail.sortBy { case (dom, a) => (a, dom) }
+    val d = sorted.size
+    var pfx = 0L
+    val sat = sorted.zipWithIndex.map { case ((_, a), idx) =>
+      val ok = pfx + (d - idx).toLong * a <= budget
+      pfx += a; ok
+    }
+    val m = sat.count(identity)
+    val satSum = sorted.take(m).map(_._2).sum
+    val unsat = d - m
+    val theta = if (unsat == 0) 0L else (budget - satSum) / unsat
+    val rem = if (unsat == 0) 0L else (budget - satSum) % unsat
+    sorted.zipWithIndex.map { case ((dom, a), idx) =>
+      if (idx < m) dom -> a
+      else dom -> (theta + (if ((idx - m).toLong < rem) 1L else 0L))
+    }.toMap
+  }
+
+  test("waterfill quotas match the sequential closed form on random instances") {
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 8) {
+      val d = 2 + rnd.nextInt(9)
+      val avail = (0 until d).map(i => (f"dom$i%02d", 1L + rnd.nextInt(500)))
+      val total = avail.map(_._2).sum
+      val budget = 1L + rnd.nextLong(total + total / 3 + 1)
+      val df = avail.toDF("dom", "ntok") // one row per domain
+      val got = Sampling.waterfillQuotas(df, "dom", col("ntok"), budget)
+        .as[(String, Long, Long)].collect()
+      val quotas = got.map(r => r._1 -> r._3).toMap
+      assert(quotas == refWaterfill(avail, budget),
+        s"trial $trial (budget=$budget, avail=$avail): $quotas")
+      // invariants: exact budget fill (or everything when budget >= total),
+      // never above availability, saturated <= theta <= unsaturated quota
+      assert(quotas.values.sum == math.min(budget, total))
+      got.foreach { case (dom, a, q) => assert(q <= a, s"$dom quota $q > avail $a") }
+      val (satQ, unsatQ) = got.partition { case (_, a, q) => q == a }
+      if (satQ.nonEmpty && unsatQ.nonEmpty)
+        assert(satQ.map(_._2).max <= unsatQ.map(_._3).min + 1,
+          "max-min fairness: no saturated domain may exceed the water level")
+    }
+  }
+
+  test("waterfill sample keeps at most the quota per domain, deterministically") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("source"), col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("ntok"))
+    val total = docs.agg(sum("ntok")).as[Long].collect()(0)
+    val budget = total * 7 / 10
+    val quotas = Sampling.waterfillQuotas(docs, "source", col("ntok"), budget)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val kept = Sampling.waterfillSample(docs, "source", "doc_id", col("ntok"), budget)
+      .groupBy("source").agg(sum("ntok").as("kt"))
+      .as[(String, Long)].collect().toMap
+    kept.foreach { case (src, kt) =>
+      assert(kt <= quotas(src), s"$src kept $kt > quota ${quotas(src)}")
+    }
+    // monotone in the budget: a larger budget keeps a superset of rows
+    val small = Sampling.waterfillSample(docs, "source", "doc_id", col("ntok"), budget)
+      .select("doc_id").as[Long].collect().toSet
+    val large = Sampling.waterfillSample(docs, "source", "doc_id", col("ntok"), total * 9 / 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(large), "waterfill sample must be monotone in the budget")
+    // budget >= total: everything survives
+    val all = Sampling.waterfillSample(docs, "source", "doc_id", col("ntok"), total + 1)
+    assert(all.count() == docs.count(), "budget above total must keep every row")
+  }
+
   test("epoch order is a deterministic permutation that varies by epoch") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     def order(epoch: Int): Seq[Long] = docs
