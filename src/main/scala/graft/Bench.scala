@@ -127,7 +127,8 @@ object Bench {
     "q174_unigram_census",    // unigram hard-EM fit + Viterbi encode scan
     "q175_warc_extract",      // WARC blob synth -> byte-walk parse -> WET
     "q177_crawl_pipeline",    // WARC -> parse -> WET -> langid -> dedup
-    "q180_waterfill_mix")     // max-min-fair token-budget mixture
+    "q180_waterfill_mix",     // max-min-fair token-budget mixture
+    "q181_containment")       // winnow cross-doc containment screen
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

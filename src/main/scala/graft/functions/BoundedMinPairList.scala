@@ -1,0 +1,107 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
+import scala.collection.mutable
+
+/** [[BoundedMinList]] for (key, payload) long pairs: the `cap`
+  * lexicographically-smallest (key, payload) pairs, ascending, as
+  * `array<struct<id long, n long>>` — lets a group-by carry a bounded
+  * member list WITH one attribute per member (e.g. each doc's fingerprint
+  * count) without a second corpus scan to join the attribute back on.
+  *
+  * Same skew contract as [[BoundedMinList]]: the buffer is O(cap) at every
+  * stage — partial, shuffle payload, merge — so a hot group (a boilerplate
+  * fingerprint shared by 10M docs) ships numPartitions·cap pairs, never its
+  * full membership. Groups at or below `cap` members return their exact
+  * membership in (id, n) order.
+  */
+final case class MinPairListState(cap: Int,
+                                  heap: mutable.PriorityQueue[(Long, Long)]) {
+  // max-heap of the cap smallest pairs seen (duplicates kept)
+  def add(k: Long, v: Long): Unit = {
+    if (heap.size < cap) heap.enqueue((k, v))
+    else if (Ordering.Tuple2[Long, Long].lt((k, v), heap.head)) {
+      heap.dequeue(); heap.enqueue((k, v))
+    }
+  }
+}
+
+case class BoundedMinPairList(key: Expression, payload: Expression, cap: Int,
+                              mutableAggBufferOffset: Int = 0,
+                              inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[MinPairListState] {
+
+  require(cap >= 1, "cap must be >= 1")
+
+  override def createAggregationBuffer(): MinPairListState =
+    MinPairListState(cap, mutable.PriorityQueue.empty[(Long, Long)])
+
+  override def update(buffer: MinPairListState, input: InternalRow): MinPairListState = {
+    val k = key.eval(input)
+    val v = payload.eval(input)
+    if (k != null && v != null)
+      buffer.add(k.asInstanceOf[Long], v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(b1: MinPairListState, b2: MinPairListState): MinPairListState = {
+    b2.heap.foreach { case (k, v) => b1.add(k, v) }
+    b1
+  }
+
+  override def eval(buffer: MinPairListState): Any = {
+    val arr = buffer.heap.toArray
+    java.util.Arrays.sort(arr, Ordering.Tuple2[Long, Long])
+    new GenericArrayData(arr.map { case (k, v) =>
+      new GenericInternalRow(Array[Any](k, v)): Any
+    })
+  }
+
+  override def serialize(buffer: MinPairListState): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buffer.heap.size * 16)
+    bb.putInt(buffer.heap.size)
+    buffer.heap.foreach { case (k, v) => bb.putLong(k); bb.putLong(v) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): MinPairListState = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val s = MinPairListState(cap, mutable.PriorityQueue.empty[(Long, Long)])
+    (0 until n).foreach(_ => s.heap.enqueue((bb.getLong, bb.getLong)))
+    s
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("n", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(key, payload)
+  override def prettyName: String = "bounded_min_pair_list"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedMinPairList =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedMinPairList =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(key = newChildren(0), payload = newChildren(1))
+}
+
+object BoundedMinPairList {
+  /** The `cap` lexicographically-smallest (key, payload) pairs, ascending,
+    * as array<struct<id, n>>. */
+  def boundedMinPairList(key: Column, payload: Column, cap: Int): Column =
+    ColumnBridge.column(
+      BoundedMinPairList(ColumnBridge.expression(key),
+        ColumnBridge.expression(payload), cap).toAggregateExpression())
+}

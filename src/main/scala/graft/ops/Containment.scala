@@ -1,0 +1,98 @@
+package graft.ops
+
+import graft.functions.{BoundedMinPairList, TextExpr}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-document CONTAINMENT screen over winnowing fingerprints
+  * (Schleimer, Wilkerson & Aiken 2003 — the MOSS screen turned corpus
+  * operator): find pairs where one document contains a substantial
+  * verbatim chunk of another, even when the containing document is mostly
+  * other material — the case symmetric near-dup measures (Jaccard,
+  * MinHash, SimHash) are built to ignore. The curation motive: quote
+  * farms, scraped aggregators, and template-stuffed pages all CONTAIN
+  * high-quality source docs without being globally similar to them.
+  *
+  * Score: |shared fingerprints| / min(|A|, |B|) over per-doc DISTINCT
+  * winnow fingerprint sets — 1.0 means the smaller doc's entire selected
+  * fingerprint set appears in the larger (classic set containment, with
+  * winnowing's guarantee that any verbatim match of length ≥ w + k − 1
+  * contributes at least one shared fingerprint).
+  *
+  * 100 TB shape — one corpus scan, two bounded shuffles, never all-pairs:
+  *  - the winnow scan emits (id, n_fp, fp) with the per-doc set size
+  *    carried ALONGSIDE each fingerprint, so pair scoring needs no join
+  *    back to a per-doc sizes frame (no second corpus scan);
+  *  - pairing evidence comes from a groupBy(fp) whose member list is a
+  *    [[BoundedMinPairList]] — O(dfCap) buffer even under a boilerplate
+  *    fingerprint shared by millions of docs;
+  *  - fingerprints with document frequency above `dfCap` are EXCLUDED
+  *    from evidence (MOSS's own rule: over-common fingerprints are
+  *    boilerplate, not provenance), which simultaneously bounds the pair
+  *    fanout at dfCap·(dfCap−1)/2 per fingerprint — the skew guard IS the
+  *    semantic;
+  *  - df = 1 fingerprints die in the same filter (nothing to pair).
+  * The final per-pair count is a map-side-combinable groupBy over rows
+  * bounded by (evidence fingerprints)·dfCap².
+  */
+object Containment {
+
+  /** Per-doc winnow fingerprint evidence: (id, n_fp, fp) — one row per
+    * DISTINCT selected fingerprint hash, with the doc's distinct-set size
+    * carried on every row. */
+  def fingerprintTable(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, w: Int): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"),
+        array_distinct(TextExpr.winnowFingerprints(col(textCol), k, w)).as("__fps"))
+      .select(col("id"), size(col("__fps")).cast("long").as("n_fp"),
+        explode(col("__fps")).as("fp"))
+
+  /** All ordered pairs (id_a < id_b) sharing at least one rare fingerprint,
+    * with containment ≥ `minContainment`. Columns: id_a, id_b, n_shared,
+    * n_a, n_b, containment (6 dp). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, w: Int, dfCap: Int,
+                       minContainment: Double): DataFrame = {
+    require(dfCap >= 2, s"dfCap must be >= 2 to ever pair, got $dfCap")
+    val fps = fingerprintTable(docs, idCol, textCol, k, w)
+    // cap + 1 capacity: a group with df <= dfCap keeps its FULL membership,
+    // and the df filter discards every group the list would have truncated.
+    val buckets = fps.groupBy("fp")
+      .agg(count(lit(1)).as("df"),
+        BoundedMinPairList.boundedMinPairList(col("id"), col("n_fp"), dfCap + 1)
+          .as("members"))
+      .where(col("df").between(2, dfCap))
+    // two sequential explodes (nested generators are illegal in one select);
+    // each array is <= dfCap elements, so the expansion is bounded per row
+    val pairs = buckets
+      .select(col("members"), explode(col("members")).as("a"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .where(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"), col("n_b"),
+        round(col("n_shared") / least(col("n_a"), col("n_b")), 6).as("containment"))
+      .where(col("containment") >= minContainment)
+  }
+
+  /** The screen form: ids of docs substantially contained in some other
+    * doc — per flagged pair the SMALLER-fingerprint-set doc is the
+    * contained one (on a tie both are near-dups; the larger id loses, the
+    * keep-first doctrine). Distinct (contained_id). */
+  def containedIds(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int, w: Int, dfCap: Int,
+                   minContainment: Double): DataFrame =
+    containmentPairs(docs, idCol, textCol, k, w, dfCap, minContainment)
+      .select(when(col("n_a") < col("n_b"), col("id_a"))
+        .otherwise(col("id_b")).as("contained_id"))
+      .distinct()
+
+  /** Containment-screened corpus: drop every contained doc. */
+  def screen(docs: DataFrame, idCol: String, textCol: String,
+             k: Int, w: Int, dfCap: Int, minContainment: Double): DataFrame = {
+    val dead = containedIds(docs, idCol, textCol, k, w, dfCap, minContainment)
+    docs.join(dead, docs(idCol) === dead("contained_id"), "left_anti")
+  }
+}

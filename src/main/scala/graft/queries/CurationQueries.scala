@@ -251,7 +251,32 @@ object CurationQueries {
       .orderBy("lang")
   }
 
+  /** q181 — cross-doc containment screen ([[graft.ops.Containment]],
+    * winnowing k=16 / w=12, dfCap=8): pairs where one doc contains a
+    * substantial verbatim chunk of another — the asymmetric case the
+    * symmetric near-dup family (q41–q45) ignores by construction. The
+    * planted fixture (the q137/q156 synthesize-in-query pattern): every
+    * doc_id % 5 == 2 doc spawns a composite at id+1,000,000 that embeds a
+    * verbatim 150-char chunk of it between unrelated padding; the screen
+    * must recover all 100 planted (base, composite) pairs at containment
+    * ≥ 0.5 AND surfaces the corpus's natural near-dup prefixes. The
+    * df-cap (boilerplate exclusion) is part of the definition and the
+    * oracle replays it — it is also the reason the operator never goes
+    * all-pairs. */
+  val containmentScreen: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val composites = docs.where(col("doc_id") % 5 === 2)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("pad"), col("doc_id").cast("string"), lit(" start marker "),
+          substring(col("text"), 1, 150), lit(" end marker tail")).as("text"))
+    val aug = docs.select(col("doc_id"), col("text")).unionByName(composites)
+    graft.ops.Containment.containmentPairs(aug, "doc_id", "text",
+        k = 16, w = 12, dfCap = 8, minContainment = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Map[String, Q] = Map(
+    "q181_containment" -> containmentScreen,
     "q86_curation_pipeline" -> curationPipeline,
     "q85_cdc_dedup" -> cdcDedup,
     "q83_novelty_report" -> noveltyReport,
@@ -263,6 +288,56 @@ object CurationQueries {
     "q80_temperature_mix" -> temperatureMix)
 
   val oracles: Map[String, String] = Map(
+    // q181: the winnow selection replayed literally (the q157 every-window
+    // enumeration — the oracle is the definition, the engine is the O(n)
+    // deque), then distinct per-doc hash sets, the df-band evidence filter,
+    // and the pair score
+    "q181_containment" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    'pad' || CAST(doc_id AS VARCHAR) || ' start marker ' ||
+        |      substr(text, 1, 150) || ' end marker tail' AS text
+        |  FROM documents WHERE doc_id % 5 = 2),
+        |g AS (
+        |  SELECT doc_id, i,
+        |    CAST(concat('0x', substr(md5(substring(text, i, 16)), 1, 8)) AS BIGINT) AS h,
+        |    greatest(length(text) - 15, 1) AS ng
+        |  FROM aug,
+        |    UNNEST(generate_series(1, greatest(length(text) - 15, 1))) AS t(i)),
+        |st AS (
+        |  SELECT DISTINCT doc_id, st
+        |  FROM g, UNNEST(generate_series(1, greatest(ng - 11, 1))) AS s(st)),
+        |wg AS (
+        |  SELECT st.doc_id, st.st, g.i AS j, g.h
+        |  FROM st JOIN g USING (doc_id)
+        |  WHERE g.i BETWEEN st.st AND st.st + 11),
+        |m AS (SELECT doc_id, st, min(h) AS mh FROM wg GROUP BY 1, 2),
+        |sel AS (
+        |  SELECT wg.doc_id, wg.st, max(wg.j) AS pos
+        |  FROM wg JOIN m ON wg.doc_id = m.doc_id AND wg.st = m.st
+        |    AND wg.h = m.mh
+        |  GROUP BY 1, 2),
+        |fp AS (SELECT DISTINCT doc_id, pos FROM sel),
+        |fph AS (
+        |  SELECT DISTINCT g.doc_id, g.h
+        |  FROM fp JOIN g ON fp.doc_id = g.doc_id AND fp.pos = g.i),
+        |sizes AS (SELECT doc_id, count(*) AS n_fp FROM fph GROUP BY 1),
+        |dfreq AS (SELECT h, count(*) AS df FROM fph GROUP BY 1),
+        |rare AS (SELECT h FROM dfreq WHERE df BETWEEN 2 AND 8),
+        |ev AS (SELECT doc_id, h FROM fph JOIN rare USING (h)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |  FROM ev a JOIN ev b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+        |  CAST(sa.n_fp AS BIGINT) AS n_a, CAST(sb.n_fp AS BIGINT) AS n_b,
+        |  round(p.n_shared / least(sa.n_fp, sb.n_fp), 6) AS containment
+        |FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id
+        |  JOIN sizes sb ON p.id_b = sb.doc_id
+        |WHERE round(p.n_shared / least(sa.n_fp, sb.n_fp), 6) >= 0.5
+        |ORDER BY p.id_a, p.id_b""".stripMargin,
     // the full composed chain, re-derived stage by stage: md5 exact dedup
     // (q40's key), 10-word span dedup + rebuild (q76), 3-gram benchmark
     // contamination on the REBUILT text (q37's grams), quality rules on the

@@ -1,0 +1,136 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.TextExpr
+import org.apache.spark.sql.functions._
+
+class ContainmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 8
+  private val W = 6
+
+  /** Deterministic word salad so brute-force fingerprints are non-trivial. */
+  private def salad(seed: Int, words: Int): String = {
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val r = new scala.util.Random(seed)
+    Seq.fill(words)(vocab(r.nextInt(vocab.size))).mkString(" ")
+  }
+
+  test("a doc embedding a chunk of another is flagged; unrelated docs are not") {
+    val base = salad(1, 120)
+    val chunk = base.substring(10, 150)
+    val composite = salad(2, 30) + " " + chunk + " " + salad(3, 30)
+    val unrelated = salad(4, 120)
+    val docs = Seq((1L, base), (2L, composite), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = Containment.containmentPairs(docs, "doc_id", "text",
+        K, W, dfCap = 8, minContainment = 0.3)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L),
+      s"the (base, composite) pair must surface: ${pairs.toSeq}")
+    // word salads over a shared tiny vocab DO share some fingerprints, but
+    // containment with doc 3 must stay below the planted pair's score
+    val planted = pairs.find(p => p._1 == 1L && p._2 == 2L).get._6
+    pairs.filter(p => p._1 == 3L || p._2 == 3L).foreach { p =>
+      assert(p._6 < planted, s"unrelated pair $p at or above planted $planted")
+    }
+  }
+
+  test("winnowing guarantee: a shared substring of length >= w + k - 1 pairs the docs") {
+    // two docs whose ONLY common material is exactly w + k - 1 = 13 chars;
+    // distinct alphabets elsewhere prevent accidental gram collisions
+    val shared = "qqwweerrttyyu".take(W + K - 1)
+    val a = "aaaaabbbbbcccccdddd " + shared + " eeeeefffffggggg"
+    val b = "hhhhhiiiiijjjjjkkkk " + shared + " lllllmmmmmnnnnn"
+    val docs = Seq((10L, a), (20L, b)).toDF("doc_id", "text")
+    val pairs = Containment.containmentPairs(docs, "doc_id", "text",
+        K, W, dfCap = 4, minContainment = 0.0)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 10L && p._2 == 20L && p._3 >= 1L),
+      s"guaranteed fingerprint share missing: ${pairs.toSeq}")
+  }
+
+  test("df-cap: fingerprints above the cap contribute no evidence") {
+    // 6 IDENTICAL docs: every selected fingerprint has df exactly 6, so a
+    // cap of 5 excludes all evidence while a cap of 6 pairs all 15 pairs
+    // at containment 1.0. (Near-identical docs would NOT give a clean df:
+    // winnow selection is context-dependent near chunk edges, so a chunk
+    // planted in 6 different contexts can select a fingerprint in only a
+    // few of them — that df-banding is the operator's semantics, covered
+    // by the brute-force differential below.)
+    val t = salad(42, 80)
+    val docs = (1 to 6).map(i => (i.toLong, t)).toDF("doc_id", "text")
+    val capped = Containment.containmentPairs(docs, "doc_id", "text",
+      K, W, dfCap = 5, minContainment = 0.0).count()
+    val uncapped = Containment.containmentPairs(docs, "doc_id", "text",
+      K, W, dfCap = 6, minContainment = 0.0)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(capped == 0L, "over-cap fingerprints must pair nothing")
+    assert(uncapped.length == 15 && uncapped.forall(_._6 == 1.0),
+      "at cap 6 the 6 identical docs pair completely at containment 1.0")
+  }
+
+  test("pairs match a brute-force replay on a mixed corpus") {
+    val docs = (1 to 24).map { i =>
+      val base = salad(i, 40)
+      val t =
+        if (i % 4 == 0) salad(100 + i, 10) + " " + salad(i - 1, 40).substring(0, 60)
+        else base
+      (i.toLong, t)
+    }
+    val dfCap = 6
+    val df = docs.toDF("doc_id", "text")
+    val got = Containment.containmentPairs(df, "doc_id", "text",
+        K, W, dfCap, minContainment = 0.0)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> (p._3, p._4, p._5)).toMap
+
+    // brute force: per-doc distinct winnow sets via the expression itself,
+    // then exact set arithmetic in Scala
+    val sets = df.select(col("doc_id"),
+        array_distinct(TextExpr.winnowFingerprints(col("text"), K, W)).as("f"))
+      .as[(Long, Seq[Long])].collect().map(x => x._1 -> x._2.toSet).toMap
+    val dfreq = sets.values.toSeq.flatten.groupBy(identity).map { case (h, xs) => h -> xs.size }
+    val rare: Set[Long] = dfreq.collect { case (h, c) if c >= 2 && c <= dfCap => h }.toSet
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      shared = (sets(a) & sets(b) & rare).size if shared > 0
+    } yield (a, b) -> (shared.toLong, sets(a).size.toLong, sets(b).size.toLong)).toMap
+    assert(got == want, s"engine ${got.size} pairs vs brute ${want.size}")
+  }
+
+  test("invariants: ordered ids, n_shared <= min(n_a, n_b), containment in (0, 1]") {
+    val docs = (1 to 30).map(i => (i.toLong,
+      if (i % 3 == 0) salad(7, 50) + " " + salad(i, 20) else salad(i, 60)))
+      .toDF("doc_id", "text")
+    val pairs = Containment.containmentPairs(docs, "doc_id", "text",
+        K, W, dfCap = 8, minContainment = 0.0)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, sh, na, nb, c) =>
+      assert(a < b)
+      assert(sh >= 1 && sh <= math.min(na, nb))
+      assert(c > 0.0 && c <= 1.0)
+    }
+  }
+
+  test("screen drops exactly the contained (smaller-set) side of flagged pairs") {
+    val base = salad(11, 120)
+    val composite = salad(12, 8) + " " + base.substring(0, 180) + " tail"
+    val survivor = salad(13, 100)
+    val docs = Seq((1L, base), (2L, composite), (3L, survivor))
+      .toDF("doc_id", "text")
+    val pairs = Containment.containmentPairs(docs, "doc_id", "text",
+        K, W, dfCap = 8, minContainment = 0.5)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    val flagged = pairs.map { case (a, b, _, na, nb, _) =>
+      if (na < nb) a else b
+    }.toSet
+    val kept = Containment.screen(docs, "doc_id", "text",
+      K, W, dfCap = 8, minContainment = 0.5).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L) -- flagged)
+    assert(flagged.nonEmpty, "the planted containment must flag someone")
+  }
+}
