@@ -71,6 +71,66 @@ object MarginMining {
       Similarity.ivfTopKFrom(leftIdx, right, idCol, vecCol, k, nProbe),
       threshold)
 
+  /** Per-right-vector neighborhood denominators against a FROZEN left-side
+    * snapshot: dr(y) = avg cosine of y's top-k neighbors in the left index
+    * — the HALF of the margin score that does not depend on the arriving
+    * left vector, precomputable once per (leftIdx, rightIdx) snapshot and
+    * reused by every [[marginCandidates]] batch. Right-side-corpus-sized
+    * frame, built by one index probe. */
+  def rightDenominators(leftIdx: Similarity.IvfIndex,
+                        rightIdx: Similarity.IvfIndex,
+                        k: Int, nProbe: Int = 12): DataFrame =
+    Similarity.ivfTopKFrom(leftIdx,
+        rightIdx.lists.select(col("neighbor_id").as("rid"), col("cv")),
+        "rid", "cv", k, nProbe)
+      .groupBy("query_id").agg(avg("cosine").as("dr"))
+      .withColumnRenamed("query_id", "right_id")
+
+  /** One-directional margin CANDIDATES for an arriving left delta — the
+    * honest streaming form of margin mining: mutual-best needs both sides
+    * closed, but "y is x's best match with margin ≥ τ" is decidable the
+    * moment x arrives, against frozen per-side snapshots. Emits
+    * (left_id, right_id, margin) with margins IDENTICAL to what the full
+    * mutual run computes (same fwd probe, same precomputed dr), so
+    * [[confirmMutual]] over the accumulated candidates reproduces
+    * [[marginPairsFromIndexes]] exactly — candidates ⊇ mined pairs by
+    * construction (the mutual filter only removes).
+    *
+    * Per-batch work: one IVF probe of the batch (candidates are
+    * nProbe/nLists of the right side per query) + a key-join against the
+    * precomputed denominator frame. Nothing corpus×corpus. */
+  def marginCandidates(newLeft: DataFrame, idCol: String, vecCol: String,
+                       rightIdx: Similarity.IvfIndex, denomR: DataFrame,
+                       k: Int, threshold: Double,
+                       nProbe: Int = 12): DataFrame = {
+    val fwd = Similarity.ivfTopKFrom(rightIdx, newLeft, idCol, vecCol, k, nProbe)
+    val dl = fwd.groupBy("query_id").agg(avg("cosine").as("dl"))
+    fwd.where(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as("right_id"), col("cosine"))
+      .join(dl, "query_id")
+      .join(denomR, "right_id")
+      .select(col("query_id").as("left_id"), col("right_id"),
+        (col("cosine") / ((col("dl") + col("dr")) / 2)).as("margin"))
+      .where(col("margin") >= threshold)
+  }
+
+  /** Close the loop on accumulated one-directional candidates once the
+    * left side's snapshot index exists: keep exactly the pairs where the
+    * left doc is ALSO the right doc's best match in the left index — the
+    * mutual-best rule applied post-hoc. confirmMutual(all candidates) ==
+    * [[marginPairsFromIndexes]] over the same snapshots (pinned by
+    * MarginMiningSpec). */
+  def confirmMutual(candidates: DataFrame, leftIdx: Similarity.IvfIndex,
+                    rightIdx: Similarity.IvfIndex,
+                    k: Int, nProbe: Int = 12): DataFrame = {
+    val bestBack = Similarity.ivfTopKFrom(leftIdx,
+        rightIdx.lists.select(col("neighbor_id").as("rid"), col("cv")),
+        "rid", "cv", k, nProbe)
+      .where(col("rank") === 1)
+      .select(col("query_id").as("right_id"), col("neighbor_id").as("left_id"))
+    candidates.join(bestBack, Seq("left_id", "right_id"))
+  }
+
   /** Margin composition over two directed top-k frames
     * (query_id, neighbor_id, cosine, rank — the [[Similarity]] contract).
     * `fwd` scores left queries against the right side, `bwd` the reverse.

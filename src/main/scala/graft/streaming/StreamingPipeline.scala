@@ -664,6 +664,31 @@ object StreamingPipeline {
           maxRepetition), batchId)
       }
 
+  /** Streaming one-directional margin mining: each micro-batch of arriving
+    * left-side vectors (a fresh crawl being embedded) probes the FROZEN
+    * right-side IVF index for its best match and scores the CCMatrix
+    * margin against the precomputed right-side denominators
+    * ([[graft.sim.MarginMining.rightDenominators]]) — the honest streaming
+    * form: mutual-best needs both sides closed, but "y is x's best match
+    * with margin ≥ τ" is decidable the moment x arrives. Candidate pairs
+    * carry margins IDENTICAL to the full mutual run over the same
+    * snapshots, so a post-hoc [[graft.sim.MarginMining.confirmMutual]]
+    * over the accumulated candidates reproduces the batch miner exactly
+    * (candidates ⊇ mined pairs). Per-batch work: one bounded IVF probe +
+    * one key-join; stream == batch pinned by `MarginMiningSpec`. */
+  def marginMineStream(newLeft: DataFrame, idCol: String, vecCol: String,
+                       rightIdx: graft.sim.Similarity.IvfIndex,
+                       denomR: DataFrame, k: Int, threshold: Double,
+                       nProbe: Int = 12)
+                      (onCandidateBatch: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    newLeft.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onCandidateBatch(graft.sim.MarginMining.marginCandidates(
+          batch, idCol, vecCol, rightIdx, denomR, k, threshold, nProbe), batchId)
+      }
+
   /** The batch form of [[curationIngestStream]]'s per-batch work — shared
     * so the spec can run the IDENTICAL composition on the whole delta. */
   def curateBatch(batch: DataFrame, idCol: String, textCol: String,

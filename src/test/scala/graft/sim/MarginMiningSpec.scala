@@ -79,6 +79,37 @@ class MarginMiningSpec extends SparkSpec {
     assert(fromIdx == fused && fromIdx.nonEmpty)
   }
 
+  test("one-directional candidates ⊇ mined pairs with identical margins; confirmMutual closes the loop") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val left = emb.where(col("vec_id") % 2 === 0)
+    val right = emb.where(col("vec_id") % 2 === 1)
+    val li = Similarity.buildIvfIndex(left, "vec_id", "embedding", 8, 42)
+    val ri = Similarity.buildIvfIndex(right, "vec_id", "embedding", 8, 42)
+    val denomR = MarginMining.rightDenominators(li, ri, k = 4, nProbe = 6)
+    val candsDf = MarginMining.marginCandidates(left, "vec_id", "embedding",
+      ri, denomR, k = 4, threshold = 1.02, nProbe = 6)
+    val cands = candsDf.as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    val mined = MarginMining.marginPairsFromIndexes(li, ri, left, right,
+        "vec_id", "embedding", k = 4, threshold = 1.02, nProbe = 6)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(mined.nonEmpty && cands.size >= mined.size)
+    mined.foreach { case (pair, m) =>
+      assert(cands.contains(pair), s"mined pair $pair missing from candidates")
+      assert(math.abs(cands(pair) - m) < 1e-12,
+        s"margin drift on $pair: ${cands(pair)} vs $m")
+    }
+    val confirmed = MarginMining.confirmMutual(candsDf, li, ri, k = 4, nProbe = 6)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(confirmed.keySet == mined.keySet,
+      "mutual confirmation over candidates must reproduce the batch miner")
+    confirmed.foreach { case (pair, m) =>
+      assert(math.abs(mined(pair) - m) < 1e-12)
+    }
+  }
+
   test("ANN margin mining with nProbe = nLists equals the exact form") {
     val emb = spark.read.parquet(sf("embeddings"))
     val left = emb.where(col("vec_id") % 2 === 0)

@@ -577,6 +577,52 @@ class StreamingSpec extends SparkSpec {
       "streaming ANN results differ from the batch probe")
   }
 
+  test("streaming margin-mining candidates equal the batch operator") {
+    import graft.sim.{MarginMining, Similarity}
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val left = emb.where(col("vec_id") % 2 === 0)
+    val right = emb.where(col("vec_id") % 2 === 1)
+    val li = Similarity.buildIvfIndex(left, "vec_id", "embedding", 8, 42)
+    val ri = Similarity.buildIvfIndex(right, "vec_id", "embedding", 8, 42)
+    val denomR = MarginMining.rightDenominators(li, ri, k = 4, nProbe = 6)
+      .localCheckpoint() // frozen snapshot table, computed once
+
+    val arriving = left.select("vec_id", "embedding")
+    val d = java.nio.file.Files.createTempDirectory("graft_margin_src")
+    arriving.where(col("vec_id") % 20 === 0).coalesce(1)
+      .write.parquet(d.resolve("p0").toString)
+    arriving.where(col("vec_id") % 20 =!= 0).coalesce(1)
+      .write.parquet(d.resolve("p1").toString)
+    val stream = spark.readStream.schema(arriving.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$d/*")
+
+    val got = new java.util.concurrent.ConcurrentHashMap[(Long, Long), Double]()
+    var batches = 0
+    val q = StreamingPipeline.marginMineStream(stream, "vec_id", "embedding",
+        ri, denomR, k = 4, threshold = 1.02, nProbe = 6) { (res, _) =>
+      batches += 1
+      res.as[(Long, Long, Double)].collect().foreach { p =>
+        got.put((p._1, p._2), p._3)
+      }
+    }.start()
+    q.awaitTermination()
+
+    val batch = MarginMining.marginCandidates(arriving, "vec_id", "embedding",
+        ri, denomR, k = 4, threshold = 1.02, nProbe = 6)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    import scala.jdk.CollectionConverters._
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    assert(batch.nonEmpty, "the fixture must mine at least one candidate")
+    val gotMap = got.asScala.toMap
+    assert(gotMap.keySet == batch.keySet,
+      "streaming candidates differ from the batch operator")
+    gotMap.foreach { case (pair, m) =>
+      assert(math.abs(m - batch(pair)) < 1e-12, s"margin drift on $pair")
+    }
+  }
+
   test("streaming windowed quantile sketch equals the batch sketch per window") {
     // the point of a MERGEABLE sketch: partial states merge associatively,
     // which is exactly what a streaming stateful aggregation does across
