@@ -93,9 +93,19 @@ object HygieneQueries {
     * 6-dp rounded. */
   val sourceDivergence: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
+    // localCheckpoint: the (source, token) marginal feeds FOUR consumers
+    // (st, g, gt, and the divergence join) and Catalyst's exchange reuse
+    // does not fire across them (measured: four full scan+explode+agg
+    // chains in the plan, 0 ReusedExchange) — materializing the
+    // vocabulary×sources-sized frame once keeps the corpus scan at
+    // exactly one whatever the consumer count. sf0.1 time is unchanged
+    // (0.60s vs 0.66s min-of-3 — the corpus is too small for scan
+    // multiplicity to dominate); the change is for the 100 TB shape,
+    // where scanning the corpus four times IS the query cost.
     val sc = docs
       .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
       .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val st = sc.groupBy("source").agg(sum(col("c")).as("t"),
       count(lit(1)).as("vocab"))
     val g = sc.groupBy("tok").agg(sum(col("c")).as("gc"))
