@@ -128,7 +128,9 @@ object Bench {
     "q175_warc_extract",      // WARC blob synth -> byte-walk parse -> WET
     "q177_crawl_pipeline",    // WARC -> parse -> WET -> langid -> dedup
     "q180_waterfill_mix",     // max-min-fair token-budget mixture
-    "q181_containment")       // winnow cross-doc containment screen
+    "q181_containment",       // winnow cross-doc containment screen
+    "q182_fim_mix",           // deterministic FIM objective transform
+    "q183_span_corrupt")      // T5 span corruption, compiled one-pass
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

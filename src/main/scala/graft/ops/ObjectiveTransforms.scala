@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.functions.{ObjectiveExpr, TextFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-objective data transforms — the last hop before tokens hit the
+  * trainer, where a clean document becomes the (input, target) shape a
+  * specific objective consumes:
+  *
+  *  - [[fimTransform]]: fill-in-the-middle (Bavarian et al. 2022, "FIM") —
+  *    the code-model objective: split a deterministic slice of docs into
+  *    (prefix, middle, suffix) and emit them in PSM order
+  *    `<fim_prefix> P <fim_suffix> S <fim_middle> M`, so the model learns
+  *    to infill while plain docs keep the autoregressive order;
+  *  - [[spanCorrupt]]: T5-style span corruption
+  *    ([[graft.functions.SpanCorrupt]]) — (input with sentinels, target
+  *    spans) denoising pairs.
+  *
+  * Both are row-local projections (no shuffle, no explode — the transform
+  * rides the same scan as everything else) and fully deterministic via the
+  * engine-portable md5 bucket, so an identical corpus yields an identical
+  * training set on any cluster — the property that makes training runs
+  * reproducible and the DuckDB oracle able to replay every split point and
+  * mask decision exactly.
+  */
+object ObjectiveTransforms {
+
+  private def bucket(parts: Column*): Column =
+    Sampling.md5Bucket(concat(parts: _*))
+
+  /** Deterministic FIM: docs with md5(id:"fim") % fimDen < fimNum are
+    * reordered PSM over two hash-chosen token split points; the rest pass
+    * through. Output: (id columns preserved) + objective ('fim'|'plain'),
+    * out_text, n_tokens_out. Sentinel tokens count toward n_tokens_out
+    * (they are real positions in the training sequence). */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+                   fimNum: Int, fimDen: Int,
+                   preTok: String = "<fim_prefix>",
+                   sufTok: String = "<fim_suffix>",
+                   midTok: String = "<fim_middle>"): DataFrame = {
+    require(fimNum >= 0 && fimDen >= 1 && fimNum <= fimDen,
+      s"fim rate $fimNum/$fimDen out of range")
+    val id = col(idCol).cast("string")
+    val ts = TextFunctions.tokens(col(textCol))
+    val n = size(ts)
+    val isFim = bucket(id, lit(":fim")) % fimDen < fimNum
+    // two independent hash draws over [0, n]; (lo, hi) ordered
+    val s1 = (bucket(id, lit(":s1")) % (n + 1)).cast("int")
+    val s2 = (bucket(id, lit(":s2")) % (n + 1)).cast("int")
+    val lo = least(s1, s2)
+    val hi = greatest(s1, s2)
+    val prefix = slice(ts, lit(1), lo)
+    val middle = slice(ts, lo + 1, hi - lo)
+    val suffix = slice(ts, hi + 1, n - hi)
+    val fimText = array_join(
+      concat(array(lit(preTok)), prefix, array(lit(sufTok)), suffix,
+        array(lit(midTok)), middle), " ")
+    docs.withColumn("objective", when(isFim, "fim").otherwise("plain"))
+      .withColumn("out_text",
+        when(isFim, fimText).otherwise(col(textCol)))
+      .withColumn("n_tokens_out", when(isFim, n + 3).otherwise(n).cast("long"))
+  }
+
+  /** Deterministic T5 span corruption over the corpus: one compiled
+    * projection adding (input_text, target_text, n_spans, n_masked). */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+                  startDen: Int = 20, maxLen: Int = 5): DataFrame = {
+    val c = ObjectiveExpr.spanCorrupt(col(idCol), col(textCol), startDen, maxLen)
+    docs.withColumn("__sc", c)
+      .select(docs.columns.map(col) :+
+        col("__sc.input_text").as("input_text") :+
+        col("__sc.target_text").as("target_text") :+
+        col("__sc.n_spans").as("n_spans") :+
+        col("__sc.n_masked").as("n_masked"): _*)
+  }
+}

@@ -717,6 +717,134 @@ object ModelPrepQueries {
       |  coalesce(kept.kept_tokens, 0) AS kept_tokens
       |FROM q LEFT JOIN kept USING (source) ORDER BY source""".stripMargin
 
+  /** q182 — deterministic FIM transform
+    * ([[graft.ops.ObjectiveTransforms.fimTransform]], fim rate 3/10): per
+    * source, docs, FIM'd docs, output token totals (sentinels are real
+    * positions), and the exact sum-of-output-text-hashes certificate — the
+    * oracle replays every hash draw, both split points, and the PSM
+    * reassembly verbatim, so the hash sum pins every byte of every
+    * transformed doc without shipping the corpus through the gate. */
+  val fimMix: Q = (s, dir) => {
+    val t = graft.ops.ObjectiveTransforms.fimTransform(
+      Tables.documents(s, dir), "doc_id", "text", fimNum = 3, fimDen = 10)
+    t.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("objective") === "fim").cast("long")).as("n_fim"),
+        sum("n_tokens_out").as("n_tokens_out"),
+        sum(Sampling.md5Bucket(col("out_text"))).as("sum_out_hash"))
+      .orderBy("source")
+  }
+
+  private val fimOracle: String =
+    """WITH t AS (
+      |  SELECT source, CAST(doc_id AS VARCHAR) AS id, text,
+      |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |      ELSE string_split_regex(trim(text), '\s+') END AS ts
+      |  FROM documents),
+      |d AS (
+      |  SELECT source, id, text, ts, len(ts) AS n,
+      |    CAST(concat('0x', substr(md5(id || ':fim'), 1, 8)) AS BIGINT) % 10 < 3 AS isfim,
+      |    CAST(concat('0x', substr(md5(id || ':s1'), 1, 8)) AS BIGINT) % (len(ts) + 1) AS s1,
+      |    CAST(concat('0x', substr(md5(id || ':s2'), 1, 8)) AS BIGINT) % (len(ts) + 1) AS s2
+      |  FROM t),
+      |o AS (
+      |  SELECT source, isfim,
+      |    CASE WHEN isfim THEN n + 3 ELSE n END AS n_out,
+      |    CASE WHEN isfim THEN array_to_string(
+      |        ['<fim_prefix>'] || ts[1:least(s1, s2)] || ['<fim_suffix>'] ||
+      |        ts[greatest(s1, s2) + 1:n] || ['<fim_middle>'] ||
+      |        ts[least(s1, s2) + 1:greatest(s1, s2)], ' ')
+      |      ELSE text END AS out_text
+      |  FROM d)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN isfim THEN 1 ELSE 0 END) AS BIGINT) AS n_fim,
+      |  CAST(sum(n_out) AS BIGINT) AS n_tokens_out,
+      |  CAST(sum(CAST(concat('0x', substr(md5(out_text), 1, 8)) AS BIGINT)) AS BIGINT)
+      |    AS sum_out_hash
+      |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q183 — deterministic T5 span corruption
+    * ([[graft.functions.SpanCorrupt]], startDen=20 / maxLen=5 ≈ the T5
+    * 15%-at-mean-3 defaults): per source, span/masked totals and the exact
+    * input- and target-text hash-sum certificates. The oracle replays the
+    * per-position hash draws, the overlap-merge (a window max over the
+    * preceding maxLen−1 positions), sentinel numbering, and both
+    * reassemblies — certifying the compiled one-pass kernel against the
+    * definitional token-level construction. */
+  val spanCorruptCensus: Q = (s, dir) => {
+    val t = graft.ops.ObjectiveTransforms.spanCorrupt(
+      Tables.documents(s, dir), "doc_id", "text", startDen = 20, maxLen = 5)
+    t.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_spans").as("n_spans"),
+        sum("n_masked").as("n_masked"),
+        sum(Sampling.md5Bucket(col("input_text"))).as("sum_input_hash"),
+        sum(Sampling.md5Bucket(col("target_text"))).as("sum_target_hash"))
+      .orderBy("source")
+  }
+
+  private val spanCorruptOracle: String =
+    """WITH t AS (
+      |  SELECT source, CAST(doc_id AS VARCHAR) AS id, doc_id,
+      |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |      ELSE string_split_regex(trim(text), '\s+') END AS ts
+      |  FROM documents),
+      |tk AS (
+      |  SELECT source, id, doc_id, unnest(ts) AS tok,
+      |    generate_subscripts(ts, 1) AS pos
+      |  FROM t),
+      |mk AS (
+      |  SELECT *,
+      |    CASE WHEN CAST(concat('0x', substr(md5(id || ':' || pos || ':s'), 1, 8)) AS BIGINT) % 20 = 0
+      |      THEN pos + 1 + CAST(concat('0x', substr(md5(id || ':' || pos || ':l'), 1, 8)) AS BIGINT) % 5
+      |      ELSE NULL END AS cover_end
+      |  FROM tk),
+      |cv AS (
+      |  SELECT *,
+      |    coalesce(max(cover_end) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 0) > pos AS masked
+      |  FROM mk),
+      |rn AS (
+      |  SELECT *,
+      |    CASE WHEN masked AND NOT coalesce(lag(masked) OVER (PARTITION BY doc_id ORDER BY pos), false)
+      |      THEN 1 ELSE 0 END AS run_start
+      |  FROM cv),
+      |rid AS (
+      |  SELECT *, sum(run_start) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+      |  FROM rn),
+      |input_items AS (
+      |  SELECT doc_id, pos, 1 AS kind, tok FROM rid WHERE NOT masked
+      |  UNION ALL
+      |  SELECT doc_id, pos, 0 AS kind,
+      |    '<extra_id_' || CAST(run_id - 1 AS VARCHAR) || '>' AS tok
+      |  FROM rid WHERE run_start = 1),
+      |target_items AS (
+      |  SELECT doc_id, pos, 1 AS kind, tok FROM rid WHERE masked
+      |  UNION ALL
+      |  SELECT doc_id, pos, 0 AS kind,
+      |    '<extra_id_' || CAST(run_id - 1 AS VARCHAR) || '>' AS tok
+      |  FROM rid WHERE run_start = 1),
+      |per AS (
+      |  SELECT t.source, t.doc_id,
+      |    coalesce(i.txt, '') AS input_text, coalesce(g.txt, '') AS target_text,
+      |    coalesce(s.n_spans, 0) AS n_spans, coalesce(s.n_masked, 0) AS n_masked
+      |  FROM t
+      |  LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos, kind) AS txt
+      |             FROM input_items GROUP BY 1) i USING (doc_id)
+      |  LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos, kind) AS txt
+      |             FROM target_items GROUP BY 1) g USING (doc_id)
+      |  LEFT JOIN (SELECT doc_id, sum(run_start) AS n_spans,
+      |               sum(CASE WHEN masked THEN 1 ELSE 0 END) AS n_masked
+      |             FROM rid GROUP BY 1) s USING (doc_id))
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_spans) AS BIGINT) AS n_spans,
+      |  CAST(sum(n_masked) AS BIGINT) AS n_masked,
+      |  CAST(sum(CAST(concat('0x', substr(md5(input_text), 1, 8)) AS BIGINT)) AS BIGINT)
+      |    AS sum_input_hash,
+      |  CAST(sum(CAST(concat('0x', substr(md5(target_text), 1, 8)) AS BIGINT)) AS BIGINT)
+      |    AS sum_target_hash
+      |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q176 — greedy k-center diversity sample
     * ([[graft.ops.DiversitySample.kCenterIds]]): 8 farthest-point picks
     * over the quantized embeddings. Everything after the shared
@@ -801,6 +929,8 @@ object ModelPrepQueries {
       |FROM st GROUP BY 1 ORDER BY 1""".stripMargin
 
   val all: Map[String, Q] = Map(
+    "q182_fim_mix" -> fimMix,
+    "q183_span_corrupt" -> spanCorruptCensus,
     "q180_waterfill_mix" -> waterfillMix,
     "q179_curriculum" -> curriculumSchedule,
     "q176_kcenter_sample" -> kcenterSample,
@@ -951,6 +1081,8 @@ object ModelPrepQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q182_fim_mix" -> fimOracle,
+    "q183_span_corrupt" -> spanCorruptOracle,
     "q180_waterfill_mix" -> waterfillOracle,
     "q179_curriculum" -> curriculumOracle,
     "q176_kcenter_sample" -> kcenterOracle(8),

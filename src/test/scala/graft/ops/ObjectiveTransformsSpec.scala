@@ -1,0 +1,109 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class ObjectiveTransformsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("FIM reorder: PSM pieces reassemble the original token stream") {
+    val docs = Tables.documents(spark, dir).limit(200)
+    val t = ObjectiveTransforms.fimTransform(docs, "doc_id", "text",
+      fimNum = 10, fimDen = 10) // force FIM on everything
+    val rows = t.select("text", "out_text").as[(String, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (orig, out) =>
+      val toks = out.split("\\s+").toVector
+      assert(toks.head == "<fim_prefix>", s"must open with the prefix sentinel: $out")
+      val iSuf = toks.indexOf("<fim_suffix>")
+      val iMid = toks.indexOf("<fim_middle>")
+      assert(iSuf >= 1 && iMid > iSuf, s"sentinel order broken: $out")
+      val prefix = toks.slice(1, iSuf)
+      val suffix = toks.slice(iSuf + 1, iMid)
+      val middle = toks.drop(iMid + 1)
+      val rebuilt = (prefix ++ middle ++ suffix).mkString(" ")
+      val origToks = orig.trim.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt == origToks, s"PSM pieces must reassemble the doc")
+    }
+  }
+
+  test("FIM rate and passthrough: plain docs keep their text byte-for-byte") {
+    val docs = Tables.documents(spark, dir)
+    val t = ObjectiveTransforms.fimTransform(docs, "doc_id", "text",
+      fimNum = 3, fimDen = 10)
+    val n = t.count()
+    val nFim = t.where(col("objective") === "fim").count()
+    assert(nFim > 0 && nFim < n, s"fim slice must be proper: $nFim of $n")
+    assert(math.abs(nFim.toDouble / n - 0.3) < 0.08,
+      s"hash slice should sit near 3/10, got ${nFim.toDouble / n}")
+    val broken = t.where(col("objective") === "plain" &&
+      col("out_text") =!= col("text")).count()
+    assert(broken == 0L, "plain docs must pass through unchanged")
+    // deterministic: same inputs, same outputs
+    val h1 = t.agg(sum(Sampling.md5Bucket(col("out_text")))).as[Long].collect()(0)
+    val h2 = ObjectiveTransforms.fimTransform(docs, "doc_id", "text", 3, 10)
+      .agg(sum(Sampling.md5Bucket(col("out_text")))).as[Long].collect()(0)
+    assert(h1 == h2)
+  }
+
+  test("span corruption: splicing target spans into input sentinels rebuilds the doc") {
+    val docs = Tables.documents(spark, dir).limit(300)
+    val t = ObjectiveTransforms.spanCorrupt(docs, "doc_id", "text")
+    val rows = t.select("text", "input_text", "target_text", "n_spans", "n_masked")
+      .as[(String, String, String, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.exists(_._4 > 0), "some doc must get a span")
+    val sentinel = "<extra_id_(\\d+)>".r
+    rows.foreach { case (orig, input, target, nSpans, nMasked) =>
+      // parse target into span k -> tokens
+      val spans = scala.collection.mutable.Map[Int, Vector[String]]()
+      var cur = -1
+      target.split("\\s+").filter(_.nonEmpty).foreach {
+        case sentinel(k) => cur = k.toInt; spans(cur) = Vector.empty
+        case tok => assert(cur >= 0, s"target must open with a sentinel: $target")
+          spans(cur) = spans(cur) :+ tok
+      }
+      assert(spans.size == nSpans, s"sentinel count vs n_spans in $target")
+      assert(spans.values.map(_.size).sum == nMasked)
+      // sentinels number left to right 0..k-1 in BOTH texts
+      val inOrder = sentinel.findAllMatchIn(input).map(_.group(1).toInt).toVector
+      assert(inOrder == (0 until nSpans.toInt).toVector,
+        s"input sentinels must be 0..${nSpans - 1} in order: $input")
+      val rebuilt = input.split("\\s+").filter(_.nonEmpty).flatMap {
+        case sentinel(k) => spans(k.toInt)
+        case tok => Vector(tok)
+      }.mkString(" ")
+      val origToks = orig.trim.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt == origToks, "splice must reconstruct the original")
+    }
+  }
+
+  test("span corruption rate sits near the T5 defaults (15% at mean span 3)") {
+    val docs = Tables.documents(spark, dir)
+    val t = ObjectiveTransforms.spanCorrupt(docs, "doc_id", "text")
+    val (nTok, nMasked, nSpans) = t.agg(
+        sum(size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")),
+        sum("n_masked"), sum("n_spans"))
+      .as[(Long, Long, Long)].collect()(0)
+    val rate = nMasked.toDouble / nTok
+    val meanSpan = nMasked.toDouble / nSpans
+    assert(rate > 0.10 && rate < 0.20, s"corruption rate $rate")
+    // overlap-merging pulls the observed mean a bit above the draw mean
+    assert(meanSpan > 2.2 && meanSpan < 4.5, s"mean span $meanSpan")
+  }
+
+  test("span corruption is partitioning-invariant") {
+    val docs = Tables.documents(spark, dir)
+    val a = ObjectiveTransforms.spanCorrupt(docs, "doc_id", "text")
+      .agg(sum(Sampling.md5Bucket(col("input_text"))),
+        sum(Sampling.md5Bucket(col("target_text"))))
+      .as[(Long, Long)].collect()(0)
+    val b = ObjectiveTransforms.spanCorrupt(docs.repartition(13), "doc_id", "text")
+      .agg(sum(Sampling.md5Bucket(col("input_text"))),
+        sum(Sampling.md5Bucket(col("target_text"))))
+      .as[(Long, Long)].collect()(0)
+    assert(a == b)
+  }
+}
