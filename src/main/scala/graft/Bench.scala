@@ -130,7 +130,9 @@ object Bench {
     "q180_waterfill_mix",     // max-min-fair token-budget mixture
     "q181_containment",       // winnow cross-doc containment screen
     "q182_fim_mix",           // deterministic FIM objective transform
-    "q183_span_corrupt")      // T5 span corruption, compiled one-pass
+    "q183_span_corrupt",      // T5 span corruption, compiled one-pass
+    "q184_filter_funnel",     // one-scan 5-stage attrition funnel
+    "q185_entropy_signals")   // char-gram entropy/compressibility census
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

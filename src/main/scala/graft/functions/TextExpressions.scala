@@ -345,6 +345,76 @@ case class MinShingleMd5(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Per-document character n-gram census in one compiled pass:
+  * struct<total:long, distinct:long, entropy:double>. `entropy` is the
+  * Shannon entropy in bits of the empirical n-gram distribution, computed
+  * as log2(m) - (sum c*log2 c)/m over the type counts c (total m) — the
+  * standard gibberish/boilerplate compressibility signal (low entropy =
+  * repetitive or machine-generated text, high = random noise). `total` and
+  * `distinct` are exact integers, so a unique-gram compression-ratio proxy
+  * (distinct/total) falls out integer-exact. Texts shorter than n chars
+  * (including empty) count one whole-text gram — the [[RepetitionScore]] /
+  * [[MinShingleMd5]] short-input convention — giving (1, 1, 0.0).
+  * Character boundaries walk the UTF8 bytes like [[MinShingleMd5]], so a
+  * "char" is a codepoint, matching DuckDB's substring semantics. Summation
+  * over types iterates a HashMap (arbitrary but deterministic-per-run
+  * order) while the oracle sums in its own order: skew is O(types·eps),
+  * ~1e-13, far below the published 4-dp rounding grain (q112 contract). */
+case class CharGramStats(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "gram width must be >= 1")
+
+  private val Ln2 = math.log(2.0)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("total", LongType, nullable = false),
+    StructField("distinct", LongType, nullable = false),
+    StructField("entropy", DoubleType, nullable = false)))
+  override def prettyName: String = "char_gram_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    val nChars = s.numChars()
+    val counts = new java.util.HashMap[String, Integer]()
+    var total = 0L
+    if (nChars < n) {
+      counts.put(s.toString, 1)
+      total = 1L
+    } else {
+      val charOff = new Array[Int](nChars + 1)
+      var i = 0
+      var bo = 0
+      while (i < nChars) {
+        charOff(i) = bo
+        bo += UTF8String.numBytesForFirstByte(bytes(bo))
+        i += 1
+      }
+      charOff(nChars) = bytes.length
+      var st = 0
+      while (st + n <= nChars) {
+        val g = new String(bytes, charOff(st), charOff(st + n) - charOff(st),
+          java.nio.charset.StandardCharsets.UTF_8)
+        counts.merge(g, 1, (a: Integer, b: Integer) => Integer.valueOf(a + b))
+        total += 1L
+        st += 1
+      }
+    }
+    var acc = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toDouble
+      acc += c * (math.log(c) / Ln2)
+    }
+    val h = (math.log(total.toDouble) / Ln2) - acc / total
+    InternalRow(total, counts.size().toLong, h)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Intra-document repetition score 1 - distinct/total word n-grams, in one
   * compiled pass — replaces `1.0 - size(array_distinct(wordGrams))/size(wordGrams)`
   * where both the gram construction AND the distinct were interpreted
@@ -1035,6 +1105,9 @@ object TextExpr {
 
   def repetitionScore(text: Column, n: Int): Column =
     ColumnBridge.column(RepetitionScore(ColumnBridge.expression(text), n))
+
+  def charGramStats(text: Column, n: Int): Column =
+    ColumnBridge.column(CharGramStats(ColumnBridge.expression(text), n))
 
   def charClassCounts(text: Column): Column =
     ColumnBridge.column(CharClassCounts(ColumnBridge.expression(text)))

@@ -366,7 +366,41 @@ object HygieneQueries {
       graft.store.IndexStore.loadVocabBatches(s, path))
   }
 
+  /** q185: per-source entropy / compressibility census — the
+    * gibberish-and-boilerplate screen a corpus audit runs before any
+    * model-based scoring. Two signals per doc, both from one compiled
+    * [[graft.functions.CharGramStats]] pass each (no explode, no per-doc
+    * shuffle — the corpus-sized work is a narrow projection feeding a
+    * source-keyed aggregate):
+    *  - character-bigram Shannon entropy (bits): low = looping/repetitive
+    *    or machine-generated text, high = random noise — both tails are
+    *    what the screen exists to catch;
+    *  - character-trigram total/distinct counts (integer-exact), whose
+    *    corpus ratio is the unique-gram compression proxy (a cheap,
+    *    deterministic stand-in for a zlib-ratio screen).
+    * Published floats are per-doc-H aggregates rounded to 4 dp (q112
+    * contract: both engines share the log2(m) - Σc·log2(c)/m expression
+    * shape; summation-order skew is ~1e-13 against a 1e-4 grain). */
+  val entropySignals: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val st2 = graft.functions.TextExpr.charGramStats(col("text"), 2)
+    val st3 = graft.functions.TextExpr.charGramStats(col("text"), 3)
+    docs.select(col("source"),
+        st2.getField("entropy").as("h2"),
+        st3.getField("total").as("t3"),
+        st3.getField("distinct").as("d3"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("h2")), 4).as("avg_h2"),
+        round(min(col("h2")), 4).as("min_h2"),
+        round(max(col("h2")), 4).as("max_h2"),
+        sum(col("t3")).as("tri_total"),
+        sum(col("d3")).as("tri_distinct"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "q185_entropy_signals" -> entropySignals,
     "q153_vocab_incremental" -> vocabIncremental,
     "q145_heaps_fit" -> heapsFit,
     "q128_zipf_fit" -> zipfFit,
@@ -377,6 +411,31 @@ object HygieneQueries {
     "q138_dsir_calibrated" -> dsirCalibrated)
 
   val oracles: Map[String, String] = Map(
+    "q185_entropy_signals" ->
+      """WITH g2 AS (
+        |  SELECT doc_id, any_value(source) AS source, g, count(*) AS c FROM (
+        |    SELECT doc_id, source, unnest(CASE WHEN length(text) < 2 THEN [text]
+        |      ELSE [substring(text, i, 2) FOR i IN generate_series(1, length(text) - 1)] END) AS g
+        |    FROM documents)
+        |  GROUP BY doc_id, g),
+        |h2 AS (
+        |  SELECT doc_id, any_value(source) AS source,
+        |    log2(sum(c)) - sum(c * log2(c)) / sum(c) AS h
+        |  FROM g2 GROUP BY doc_id),
+        |c3 AS (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(CASE WHEN length(text) < 3 THEN [text]
+        |      ELSE [substring(text, i, 3) FOR i IN generate_series(1, length(text) - 2)] END) AS g
+        |    FROM documents)
+        |  GROUP BY doc_id, g),
+        |t3 AS (SELECT doc_id, sum(c) AS total, count(*) AS dist FROM c3 GROUP BY doc_id)
+        |SELECT h2.source, count(*) AS n_docs,
+        |  round(avg(h), 4) AS avg_h2, round(min(h), 4) AS min_h2,
+        |  round(max(h), 4) AS max_h2,
+        |  CAST(sum(total) AS BIGINT) AS tri_total,
+        |  CAST(sum(dist) AS BIGINT) AS tri_distinct
+        |FROM h2 JOIN t3 USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q153_vocab_incremental" ->
       """WITH n AS (SELECT count(*) AS n_total FROM documents),
         |d AS (

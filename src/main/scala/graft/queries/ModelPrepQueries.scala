@@ -168,6 +168,57 @@ object ModelPrepQueries {
         round(avg(col("quality_score")), 4).as("avg_score"))
       .orderBy("lang")
 
+  /** q184 — one-scan filter funnel with first-fail attribution: the
+    * attrition report every multi-stage curation pipeline publishes
+    * (RefinedWeb/FineWeb-style "docs surviving each rule" tables). Five
+    * conjunctive stages — language, minimum length, stopword floor,
+    * bigram-repetition cap, and the q94 model-quality gate — evaluated as
+    * boolean columns in ONE narrow projection over the corpus, then
+    * reduced by a single scalar aggregate; the per-stage rows are an
+    * unpivot of that one row. The naive form is N sequential
+    * filter-count passes (N corpus scans, N× the cost at 100 TB); here
+    * the corpus is read once and nothing shuffles (the aggregate is a
+    * scalar reduce). Because the stages are conjunctive, a doc's FIRST
+    * failing stage is exactly the stage where the cumulative count drops,
+    * so n_first_fail = n_in - n_pass needs no per-doc attribution column.
+    * All published values are exact integers. Thresholds (ntok >= 30,
+    * swr >= 0.04, rep2 <= 0.04, logit >= 0) were picked against the
+    * measured corpus feature quantiles so every stage drops a nontrivial
+    * share at every SF; float comparisons are bit-portable because both
+    * engines build each feature from the same integer ratios and the
+    * same left-associated logit shape (the q94 argument). */
+  val filterFunnel: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val f = docs.select(
+      col("lang"),
+      TextFunctions.tokenCount(col("text")).as("ntok"),
+      TextFunctions.stopwordRatio(col("text")).as("swr"),
+      TextFunctions.repetitionScore(col("text"), 2).as("rep2"),
+      QualityClassifier.logit(col("text")).as("zz"))
+    val c1 = col("lang") === "en"
+    val c2 = c1 && col("ntok") >= 30
+    val c3 = c2 && col("swr") >= 0.04
+    val c4 = c3 && col("rep2") <= 0.04
+    val c5 = c4 && col("zz") >= 0
+    val agg = f.agg(
+      count(lit(1)).as("s0"),
+      sum(when(c1, 1L).otherwise(0L)).as("s1"),
+      sum(when(c2, 1L).otherwise(0L)).as("s2"),
+      sum(when(c3, 1L).otherwise(0L)).as("s3"),
+      sum(when(c4, 1L).otherwise(0L)).as("s4"),
+      sum(when(c5, 1L).otherwise(0L)).as("s5"))
+    val names = Seq("lang_en", "min_tokens", "stopword_floor",
+      "bigram_repetition", "model_quality")
+    agg.select(explode(array((1 to 5).map { i =>
+        struct(lit(i).as("stage"), lit(names(i - 1)).as("stage_name"),
+          col(s"s${i - 1}").as("n_in"), col(s"s$i").as("n_pass"),
+          (col(s"s${i - 1}") - col(s"s$i")).as("n_first_fail"))
+      }: _*)).as("r"))
+      .select(col("r.stage"), col("r.stage_name"), col("r.n_in"),
+        col("r.n_pass"), col("r.n_first_fail"))
+      .orderBy("stage")
+  }
+
   /** q95 — leakage-free (cluster-aware) split: near-dup clusters from the
     * LSH scale path resolve to components, and the split hash keys on the
     * COMPONENT, so twins can never straddle train/eval.
@@ -946,6 +997,7 @@ object ModelPrepQueries {
     "q87_lm_perplexity" -> lmPerplexity,
     "q93_lm_incremental" -> lmIncremental,
     "q94_quality_classifier" -> qualityClassifier,
+    "q184_filter_funnel" -> filterFunnel,
     "q95_cluster_split" -> clusterSplit,
     "q97_calibrated_quality" -> calibratedQuality,
     "q98_embedding_drift" -> embeddingDrift,
@@ -1401,6 +1453,46 @@ object ModelPrepQueries {
         |  true AS three_splits,
         |  true AS train_frac_within_5pct,
         |  true AS no_cluster_straddles""".stripMargin,
+    "q184_filter_funnel" ->
+      """WITH t AS (
+        |  SELECT lang, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |m AS (
+        |  SELECT lang, len(ts) AS ntok,
+        |    CASE WHEN len(ts) = 0 THEN 0.0
+        |      ELSE list_sum(list_transform(ts, x -> length(x))) * 1.0 / len(ts) END AS mtl,
+        |    CASE WHEN len(ts) = 0 THEN 0.0
+        |      ELSE len(list_filter(ts, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that','be'], lower(x)))) * 1.0 / len(ts)
+        |    END AS swr,
+        |    (SELECT 1.0 - len(list_distinct(g)) * 1.0 / len(g) FROM (
+        |      SELECT CASE WHEN len(ts) < 2 THEN [array_to_string(ts, ' ')]
+        |        ELSE [array_to_string(ts[i:i+1], ' ') FOR i IN generate_series(1, len(ts) - 1)]
+        |      END AS g)) AS rep2,
+        |    (SELECT 1.0 - len(list_distinct(g)) * 1.0 / len(g) FROM (
+        |      SELECT CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |        ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts) - 2)]
+        |      END AS g)) AS rep3
+        |  FROM t),
+        |b AS (
+        |  SELECT
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS c1,
+        |    CASE WHEN lang = 'en' AND ntok >= 30 THEN 1 ELSE 0 END AS c2,
+        |    CASE WHEN lang = 'en' AND ntok >= 30 AND swr >= 0.04 THEN 1 ELSE 0 END AS c3,
+        |    CASE WHEN lang = 'en' AND ntok >= 30 AND swr >= 0.04 AND rep2 <= 0.04 THEN 1 ELSE 0 END AS c4,
+        |    CASE WHEN lang = 'en' AND ntok >= 30 AND swr >= 0.04 AND rep2 <= 0.04
+        |      AND (-2.91 + 0.02 * ntok + 0.3 * mtl + 10.0 * swr - 30.0 * rep3) >= 0 THEN 1 ELSE 0 END AS c5
+        |  FROM m),
+        |a AS (
+        |  SELECT count(*) AS s0, CAST(sum(c1) AS BIGINT) AS s1,
+        |    CAST(sum(c2) AS BIGINT) AS s2, CAST(sum(c3) AS BIGINT) AS s3,
+        |    CAST(sum(c4) AS BIGINT) AS s4, CAST(sum(c5) AS BIGINT) AS s5
+        |  FROM b)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage, 'lang_en' AS stage_name, s0 AS n_in, s1 AS n_pass, s0 - s1 AS n_first_fail FROM a
+        |  UNION ALL SELECT 2, 'min_tokens', s1, s2, s1 - s2 FROM a
+        |  UNION ALL SELECT 3, 'stopword_floor', s2, s3, s2 - s3 FROM a
+        |  UNION ALL SELECT 4, 'bigram_repetition', s3, s4, s3 - s4 FROM a
+        |  UNION ALL SELECT 5, 'model_quality', s4, s5, s4 - s5 FROM a)
+        |ORDER BY stage""".stripMargin,
     "q94_quality_classifier" ->
       """WITH t AS (
         |  SELECT lang, text, string_split_regex(trim(text), '\s+') AS ts FROM documents),

@@ -1,0 +1,78 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** [[CharGramStats]] against a definitional Scala oracle (codepoint-walk
+  * gram enumeration + exact count map) on the real sf0.001 corpus plus
+  * adversarial edge rows. Integers must match exactly; entropy must match
+  * the definition to float-roundoff (the expression and the oracle may sum
+  * type contributions in different orders).
+  */
+class CharGramStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  private val edge = Seq(
+    920001L -> "",
+    920002L -> "a",                       // shorter than every tested n
+    920003L -> "aa",                      // exactly one bigram
+    920004L -> "aaaaaaaa",                // uniform: entropy 0
+    920005L -> "abababab",                // two alternating bigram types
+    920006L -> "héllo wörld ünïcode",     // multi-byte codepoints
+    920007L -> "日本語テキスト日本語",        // CJK, repeated run
+    920008L -> "ab")
+
+  private def oracle(text: String, n: Int): (Long, Long, Double) = {
+    val cps = text.codePoints().toArray
+    val grams: Seq[String] =
+      if (cps.length < n) Seq(text)
+      else (0 to cps.length - n).map(i => new String(cps, i, n))
+    val counts = grams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val m = grams.size.toLong
+    val ln2 = math.log(2.0)
+    val acc = counts.values.toSeq.sorted.map(c => c * (math.log(c.toDouble) / ln2)).sum
+    (m, counts.size.toLong, math.log(m.toDouble) / ln2 - acc / m)
+  }
+
+  test("compiled char-gram stats match the definitional oracle (corpus + edges)") {
+    for (n <- Seq(2, 3)) {
+      val corpus = edge.toDF("doc_id", "text")
+        .unionAll(docs.select(col("doc_id"), col("text")).limit(100))
+      val got = corpus
+        .select(col("doc_id"), col("text"),
+          TextExpr.charGramStats(col("text"), n).as("st"))
+        .select(col("doc_id"), col("text"), col("st.total"), col("st.distinct"),
+          col("st.entropy"))
+        .collect()
+      assert(got.length > 100)
+      got.foreach { r =>
+        val (m, d, h) = oracle(r.getString(1), n)
+        assert(r.getLong(2) == m, s"total mismatch on doc ${r.getLong(0)} n=$n")
+        assert(r.getLong(3) == d, s"distinct mismatch on doc ${r.getLong(0)} n=$n")
+        assert(math.abs(r.getDouble(4) - h) <= 1e-12 * math.max(1.0, math.abs(h)),
+          s"entropy mismatch on doc ${r.getLong(0)} n=$n: got ${r.getDouble(4)} want $h")
+      }
+    }
+  }
+
+  test("entropy invariants: 0 <= H <= log2(total); uniform text is 0") {
+    val rows = edge.toDF("doc_id", "text")
+      .select(col("doc_id"), TextExpr.charGramStats(col("text"), 2).as("st"))
+      .select(col("doc_id"), col("st.total"), col("st.distinct"), col("st.entropy"))
+      .collect()
+    rows.foreach { r =>
+      val (m, d, h) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(d <= m)
+      assert(h >= -1e-12, s"negative entropy on ${r.getLong(0)}")
+      assert(h <= math.log(m.toDouble) / math.log(2.0) + 1e-12)
+    }
+    val uniform = rows.find(_.getLong(0) == 920004L).get
+    assert(uniform.getDouble(3) == 0.0)           // one bigram type exactly
+    val single = rows.find(_.getLong(0) == 920002L).get
+    assert(single.getLong(1) == 1L && single.getLong(2) == 1L &&
+      single.getDouble(3) == 0.0)                 // whole-text short convention
+  }
+}

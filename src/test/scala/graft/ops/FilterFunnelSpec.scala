@@ -1,0 +1,32 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.queries.ModelPrepQueries
+
+/** Structural invariants of the q184 one-scan filter funnel (the DuckDB
+  * gate proves the values; these pin the funnel algebra): the stage chain
+  * is conjunctive (n_in of stage i+1 == n_pass of stage i, n_pass
+  * monotone non-increasing), attribution is exact (n_first_fail ==
+  * n_in - n_pass), stage 1 sees the whole corpus, and every stage drops
+  * at least one doc at sf0.001 (the thresholds are calibrated to split —
+  * a vacuous stage would silently stop testing anything).
+  */
+class FilterFunnelSpec extends SparkSpec {
+
+  test("funnel chain algebra and non-vacuous stages (sf0.001)") {
+    val rows = ModelPrepQueries.filterFunnel(spark, "/root/testdata/sf0.001")
+      .collect().sortBy(_.getInt(0))
+    assert(rows.length == 5)
+    val total = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001").count()
+    assert(rows.head.getLong(2) == total, "stage 1 must see the whole corpus")
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(2) - r.getLong(3), "attribution must be exact")
+      assert(r.getLong(3) <= r.getLong(2), "n_pass <= n_in")
+      assert(r.getLong(4) >= 1L, s"stage ${r.getString(1)} is vacuous (drops nothing)")
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) == a.getLong(3), "conjunctive chain: next n_in == prev n_pass")
+    }
+    assert(rows.last.getLong(3) >= 1L, "something must survive the whole funnel")
+  }
+}
