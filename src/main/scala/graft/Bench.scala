@@ -132,7 +132,8 @@ object Bench {
     "q182_fim_mix",           // deterministic FIM objective transform
     "q183_span_corrupt",      // T5 span corruption, compiled one-pass
     "q184_filter_funnel",     // one-scan 5-stage attrition funnel
-    "q185_entropy_signals")   // char-gram entropy/compressibility census
+    "q185_entropy_signals",   // char-gram entropy/compressibility census
+    "q186_epoch_copies")      // fractional-epoch replication plan
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

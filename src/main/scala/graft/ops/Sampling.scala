@@ -254,6 +254,57 @@ object Sampling {
       .drop("__cum", "quota")
   }
 
+  /** Fractional-epoch replication quotas: per domain, how many FULL passes
+    * over the domain a token budget buys, plus the size of the partial
+    * last pass — the materialization step that turns a mixture allocation
+    * into integer per-doc copy counts (the "epochs elapsed when training"
+    * accounting of mixture-weighted corpora: a 2.9× weight means every doc
+    * twice plus a deterministic 0.9-fraction subset once more; replication
+    * by fractional SAMPLING, never fractional loss-weighting). Budgets are
+    * temperature-weighted over token availability (pw = available^α, the
+    * [[temperatureQuotas]] float contract: round 6 dp then floor, replayed
+    * verbatim by the oracle); full_epochs/partial_tokens are exact integer
+    * div/mod of that budget. D-row frame throughout — the corpus is not
+    * touched here. */
+  def epochQuotaPlan(df: DataFrame, domainCol: String, tokenCol: Column,
+                     alpha: Double, totalBudget: Long): DataFrame = {
+    require(totalBudget > 0, "budget must be positive")
+    val avail = df.groupBy(domainCol)
+      .agg(sum(tokenCol.cast("long")).as("available"),
+        count(lit(1)).as("n_docs"))
+    val weights = avail.withColumn("__pw", pow(col("available").cast("double"), alpha))
+    val total = weights.agg(sum(col("__pw")).as("__tw"))
+    weights.crossJoin(broadcast(total))
+      .withColumn("budget",
+        floor(round(lit(totalBudget) * col("__pw") / col("__tw"), 6)).cast("long"))
+      .withColumn("full_epochs", expr("budget div available"))
+      .withColumn("partial_tokens", col("budget") - col("full_epochs") * col("available"))
+      .select(col(domainCol), col("available"), col("n_docs"), col("budget"),
+        col("full_epochs"), col("partial_tokens"))
+  }
+
+  /** Per-doc integer copy counts under [[epochQuotaPlan]]: every doc gets
+    * `full_epochs` copies, and the deterministic (md5(key), key) hash-order
+    * prefix whose cumulative tokens fit `partial_tokens` gets one more —
+    * the q65/q180 prefix-selection rule, so a budget increase only ever
+    * ADDS copies (monotone, like every sampler here). One shuffle on the
+    * domain for the prefix window; the D-row plan broadcasts. Rows with
+    * zero copies are kept (copies = 0) so the output is a full audit frame,
+    * not a filter — the shard writer drops them with `where(copies > 0)`. */
+  def epochCopies(df: DataFrame, domainCol: String, keyCol: String,
+                  tokenCol: Column, alpha: Double, totalBudget: Long): DataFrame = {
+    val plan = epochQuotaPlan(df, domainCol, tokenCol, alpha, totalBudget)
+      .select(col(domainCol), col("full_epochs"), col("partial_tokens"))
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(md5Bucket(col(keyCol)).asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.join(broadcast(plan), Seq(domainCol))
+      .withColumn("__cum", sum(tokenCol.cast("long")).over(w))
+      .withColumn("copies",
+        col("full_epochs") + when(col("__cum") <= col("partial_tokens"), 1L).otherwise(0L))
+      .drop("__cum", "full_epochs", "partial_tokens")
+  }
+
   /** Temperature-weighted domain sample: each domain keeps its
     * [[temperatureQuotas]] quota of rows, picked in deterministic
     * (md5(key), key) order — [[stratified]] with per-stratum caps from the

@@ -768,6 +768,72 @@ object ModelPrepQueries {
       |  coalesce(kept.kept_tokens, 0) AS kept_tokens
       |FROM q LEFT JOIN kept USING (source) ORDER BY source""".stripMargin
 
+  /** q186 — fractional-epoch replication plan
+    * ([[Sampling.epochQuotaPlan]] / [[Sampling.epochCopies]]): the step
+    * AFTER a mixture allocation — turn per-source token budgets into
+    * integer per-doc copy counts ("2.9 epochs" = every doc twice + a
+    * deterministic 0.9-token-fraction hash-prefix once more). Budget =
+    * 2× corpus tokens, α = 0.5 over availability, so small sources
+    * upsample past 2× and large ones below it at every SF. The report
+    * re-derives per-source n_partial_docs/total_copies/realized_tokens
+    * from the per-doc copies frame (sum of copies, sum copies·ntok), and
+    * the oracle rebuilds them from the closed form (full·n_docs + prefix
+    * count etc.) — equality certifies the per-doc materialization against
+    * the plan arithmetic, not one shortcut against itself. All integers
+    * except the α weighting, which follows the q80 pow/round-6/floor
+    * portability contract. */
+  val epochCopiesPlan: Q = (s, dir) => {
+    val withTok = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("ntok"))
+    val total = withTok.agg(
+      coalesce(sum(col("ntok").cast("long")), lit(0L))).collect()(0).getLong(0)
+    val budget = total * 2
+    val plan = Sampling.epochQuotaPlan(withTok, "source", col("ntok"), 0.5, budget)
+    val perDoc = Sampling.epochCopies(withTok, "source", "doc_id",
+        col("ntok"), 0.5, budget)
+      .groupBy("source")
+      .agg(sum(col("copies")).as("total_copies"),
+        sum(col("copies") * col("ntok").cast("long")).as("realized_tokens"))
+    plan.join(perDoc, Seq("source"))
+      .select(col("source"), col("available"), col("n_docs"), col("budget"),
+        col("full_epochs"),
+        (col("total_copies") - col("full_epochs") * col("n_docs")).as("n_partial_docs"),
+        col("total_copies"), col("realized_tokens"))
+      .orderBy("source")
+  }
+
+  private val epochCopiesOracle: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |      ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT) AS ntok
+      |  FROM documents),
+      |a AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS available,
+      |        count(*) AS n_docs FROM t GROUP BY 1),
+      |tot AS (SELECT CAST(sum(available) * 2 AS BIGINT) AS tb FROM a),
+      |w AS (SELECT source, available, n_docs, pow(available, 0.5) AS pw FROM a),
+      |tw AS (SELECT sum(pw) AS s FROM w),
+      |q AS (SELECT source, available, n_docs,
+      |        CAST(floor(round(tot.tb * pw / tw.s, 6)) AS BIGINT) AS budget,
+      |        CAST(floor(round(tot.tb * pw / tw.s, 6)) AS BIGINT) // available AS full_epochs,
+      |        CAST(floor(round(tot.tb * pw / tw.s, 6)) AS BIGINT) % available AS pt
+      |      FROM w, tw, tot),
+      |o AS (SELECT t.source, t.ntok,
+      |        sum(t.ntok) OVER (PARTITION BY t.source
+      |          ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM t),
+      |pref AS (SELECT o.source, count(*) AS n_partial,
+      |           CAST(sum(o.ntok) AS BIGINT) AS ptok
+      |         FROM o JOIN q USING (source) WHERE o.cum <= q.pt GROUP BY 1)
+      |SELECT q.source, q.available, q.n_docs, q.budget,
+      |  CAST(q.full_epochs AS BIGINT) AS full_epochs,
+      |  coalesce(pref.n_partial, 0) AS n_partial_docs,
+      |  CAST(q.full_epochs * q.n_docs + coalesce(pref.n_partial, 0) AS BIGINT) AS total_copies,
+      |  CAST(q.full_epochs * q.available + coalesce(pref.ptok, 0) AS BIGINT) AS realized_tokens
+      |FROM q LEFT JOIN pref USING (source) ORDER BY source""".stripMargin
+
   /** q182 — deterministic FIM transform
     * ([[graft.ops.ObjectiveTransforms.fimTransform]], fim rate 3/10): per
     * source, docs, FIM'd docs, output token totals (sentinels are real
@@ -983,6 +1049,7 @@ object ModelPrepQueries {
     "q182_fim_mix" -> fimMix,
     "q183_span_corrupt" -> spanCorruptCensus,
     "q180_waterfill_mix" -> waterfillMix,
+    "q186_epoch_copies" -> epochCopiesPlan,
     "q179_curriculum" -> curriculumSchedule,
     "q176_kcenter_sample" -> kcenterSample,
     "q173_unigram_fit" -> unigramFit,
@@ -1136,6 +1203,7 @@ object ModelPrepQueries {
     "q182_fim_mix" -> fimOracle,
     "q183_span_corrupt" -> spanCorruptOracle,
     "q180_waterfill_mix" -> waterfillOracle,
+    "q186_epoch_copies" -> epochCopiesOracle,
     "q179_curriculum" -> curriculumOracle,
     "q176_kcenter_sample" -> kcenterOracle(8),
     "q173_unigram_fit" -> unigramFitOracle,

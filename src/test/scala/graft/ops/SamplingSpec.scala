@@ -256,4 +256,32 @@ class SamplingSpec extends SparkSpec {
     assert(e1a != e2, "epoch 1 and epoch 2 must be different permutations")
     assert(e1a.sorted == e2.sorted, "every epoch is a permutation of the corpus")
   }
+
+  test("epoch copies: plan arithmetic, budget fill bound, and monotone growth") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("source"), col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("ntok"))
+    val total = docs.agg(sum("ntok")).as[Long].collect()(0)
+    val budget = total * 2
+    val plan = Sampling.epochQuotaPlan(docs, "source", col("ntok"), 0.5, budget)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    plan.foreach { case (src, avail, _, b, full, pt) =>
+      assert(full == b / avail && pt == b % avail, s"$src plan arithmetic")
+      assert(pt < avail, s"$src partial must be a strict sub-epoch")
+    }
+    // α=0.5 over a skewed availability must split repeat factors: some
+    // source above 2 full epochs, some below (the upsampled tail).
+    assert(plan.map(_._5).distinct.length > 1, "α weighting must vary full_epochs")
+    val copies = Sampling.epochCopies(docs, "source", "doc_id", col("ntok"), 0.5, budget)
+    val realized = copies.agg(sum(col("copies") * col("ntok"))).as[Long].collect()(0)
+    assert(realized <= budget, "realized tokens can never exceed the budget")
+    // monotone: growing the budget never removes a copy from any doc
+    val c1 = copies.select(col("doc_id"), col("copies")).as[(Long, Long)]
+      .collect().toMap
+    val c2 = Sampling.epochCopies(docs, "source", "doc_id", col("ntok"), 0.5,
+        budget + budget / 2)
+      .select(col("doc_id"), col("copies")).as[(Long, Long)].collect().toMap
+    assert(c1.keySet == c2.keySet)
+    c1.foreach { case (id, n) => assert(c2(id) >= n, s"doc $id lost copies") }
+  }
 }
