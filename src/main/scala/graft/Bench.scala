@@ -133,7 +133,8 @@ object Bench {
     "q183_span_corrupt",      // T5 span corruption, compiled one-pass
     "q184_filter_funnel",     // one-scan 5-stage attrition funnel
     "q185_entropy_signals",   // char-gram entropy/compressibility census
-    "q186_epoch_copies")      // fractional-epoch replication plan
+    "q186_epoch_copies",      // fractional-epoch replication plan
+    "q187_dictionary_redact") // leftmost-longest dictionary scrubbing
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -992,6 +992,84 @@ case class MultiPatternCounts(child: Expression, patterns: Seq[String])
     copy(child = newChild)
 }
 
+/** Dictionary redaction — [[MultiPatternCounts]]'s rewrite twin: replace
+  * every leftmost-longest non-overlapping dictionary match with a marker,
+  * in one automaton pass + one rewrite walk per row (the PII-term /
+  * blocklist scrubbing step; counting tells you the corpus is dirty,
+  * this cleans it). Semantics are exactly RE2's 'g'-flag scan over an
+  * alternation sorted longest-first — leftmost match wins, the longest
+  * pattern at that position is taken, scanning resumes after the match,
+  * the marker itself is never rescanned — so the DuckDB oracle replays
+  * the operator verbatim with regexp_replace (patterns must be
+  * regex-literal: no metacharacters; enforced at construction).
+  *
+  * Pass 1 runs the shared Aho-Corasick automaton recording, per start
+  * position, the LONGEST pattern beginning there (matches are reported
+  * by end position; start = end − len + 1). Pass 2 walks left to right:
+  * a position with a recorded match emits the marker and jumps past it,
+  * anything else copies — O(text + matches) total, independent of
+  * dictionary size. Returns struct<out:string, n_redactions:int>. */
+case class MultiPatternRedact(child: Expression, patterns: Seq[String],
+                              marker: String)
+    extends UnaryExpression with CodegenFallback {
+
+  require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+    "patterns must be non-empty")
+  require(patterns.forall(_.forall(c => c.isLetterOrDigit || c == ' ')),
+    "patterns must be regex-literal (letters/digits/spaces) so the oracle's " +
+      "alternation replays them verbatim")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("out", StringType, nullable = false),
+    StructField("n_redactions", IntegerType, nullable = false)))
+  override def prettyName: String = "multi_pattern_redact"
+
+  @transient private lazy val automaton: MultiPatternCounts.Automaton =
+    MultiPatternCounts.build(patterns)
+  @transient private lazy val patLens: Array[Int] = patterns.map(_.length).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    val a = automaton
+    val maxLen = new Array[Int](math.max(n, 1))
+    var state = 0
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      var st = state
+      while (st != 0 && !a.next(st).contains(c)) st = a.fail(st)
+      state = a.next(st).getOrElse(c, 0)
+      val out = a.output(state)
+      var j = 0
+      while (j < out.length) {
+        val len = patLens(out(j))
+        val start = i - len + 1
+        if (len > maxLen(start)) maxLen(start) = len
+        j += 1
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(n)
+    var k = 0
+    var nRed = 0
+    while (k < n) {
+      if (maxLen(k) > 0) {
+        sb.append(marker)
+        nRed += 1
+        k += maxLen(k)
+      } else {
+        sb.append(s.charAt(k))
+        k += 1
+      }
+    }
+    InternalRow(UTF8String.fromString(sb.toString), nRed)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object MultiPatternCounts {
   final case class Automaton(next: Array[scala.collection.mutable.HashMap[Char, Int]],
                              fail: Array[Int], output: Array[Array[Int]])
@@ -1136,6 +1214,9 @@ object TextExpr {
 
   def multiPatternCounts(text: Column, patterns: Seq[String]): Column =
     ColumnBridge.column(MultiPatternCounts(ColumnBridge.expression(text), patterns))
+
+  def multiPatternRedact(text: Column, patterns: Seq[String], marker: String): Column =
+    ColumnBridge.column(MultiPatternRedact(ColumnBridge.expression(text), patterns, marker))
 
   /** Unigram-LM Viterbi encode — see [[UnigramEncode]]. */
   def unigramEncode(text: Column, scores: Seq[(String, Long)],

@@ -822,7 +822,38 @@ object AnalysisQueries {
       .orderBy("source")
   }
 
+  /** q187: dictionary redaction ([[graft.functions.MultiPatternRedact]] —
+    * the rewrite twin of q161's counting automaton): every leftmost-
+    * longest non-overlapping dictionary match replaced with a marker in
+    * one O(text + matches) pass per doc, whatever the dictionary size —
+    * the PII-term / blocklist scrubbing step of a curation pipeline. Per
+    * source: docs touched, redaction count, net chars removed, and the
+    * sum-of-output-hashes certificate (the q182 doctrine: the hash sum
+    * pins every byte of every redacted doc without shipping the corpus
+    * through the gate). Oracle: DuckDB regexp_replace/'g' over the
+    * alternation sorted longest-first — RE2's leftmost-first scan over
+    * that ordering IS leftmost-longest non-overlap (verified on nested/
+    * overlapping fixtures in MultiPatternSpec), so the oracle replays the
+    * operator, not a lookalike. */
+  val dictionaryRedact: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val red = graft.functions.TextExpr.multiPatternRedact(
+      col("text"), TagKeywords, "#")
+    docs.select(col("source"), length(col("text")).cast("long").as("len0"),
+        red.as("r"))
+      .select(col("source"), col("len0"), col("r.out").as("out"),
+        col("r.n_redactions").cast("long").as("nr"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("nr") > 0).cast("long")).as("docs_changed"),
+        sum(col("nr")).as("n_redactions"),
+        sum(col("len0") - length(col("out")).cast("long")).as("chars_removed"),
+        sum(graft.ops.Sampling.md5Bucket(col("out"))).as("sum_out_hash"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "q187_dictionary_redact" -> dictionaryRedact,
     "q165_signals_profile" -> signalsProfile,
     "q162_tokenizer_upgrade" -> tokenizerUpgrade,
     "q161_keyword_tagging" -> keywordTagging,
@@ -926,6 +957,18 @@ object AnalysisQueries {
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q187_dictionary_redact" ->
+      """WITH r AS (
+        |  SELECT source, text,
+        |    regexp_replace(text, 'hash join|stream|merge|hash|scan|a b|a', '#', 'g') AS o,
+        |    len(regexp_extract_all(text, 'hash join|stream|merge|hash|scan|a b|a')) AS nr
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN nr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_changed,
+        |  CAST(sum(nr) AS BIGINT) AS n_redactions,
+        |  CAST(sum(length(text) - length(o)) AS BIGINT) AS chars_removed,
+        |  CAST(sum(CAST(concat('0x', substr(md5(o), 1, 8)) AS BIGINT)) AS BIGINT) AS sum_out_hash
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q165_signals_profile" ->
       """WITH d AS (SELECT doc_id, source, text, substr(text, 1, 150) AS t
         |           FROM documents),

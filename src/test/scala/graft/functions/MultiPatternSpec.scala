@@ -36,4 +36,49 @@ class MultiPatternSpec extends SparkSpec {
       assert(engine(s, ps) == brute(s, ps), s"text '$s' patterns $ps")
     }
   }
+
+  /** Definitional leftmost-longest greedy rewrite: at each position take
+    * the longest pattern starting there, replace, jump past it. */
+  private def bruteRedact(s: String, ps: Seq[String], m: String): (String, Int) = {
+    val sb = new StringBuilder
+    var i = 0
+    var n = 0
+    while (i < s.length) {
+      val best = ps.filter(p => s.regionMatches(i, p, 0, p.length))
+        .map(_.length).sorted.lastOption.getOrElse(0)
+      if (best > 0) { sb.append(m); n += 1; i += best }
+      else { sb.append(s.charAt(i)); i += 1 }
+    }
+    (sb.toString, n)
+  }
+
+  private def engineRedact(s: String, ps: Seq[String], m: String): (String, Int) =
+    Seq(s).toDF("t")
+      .select(TextExpr.multiPatternRedact(col("t"), ps, m).as("r"))
+      .select(col("r.out"), col("r.n_redactions"))
+      .as[(String, Int)].head()
+
+  test("redaction is leftmost-longest non-overlapping (fixtures)") {
+    assert(engineRedact("a hash join and a b scan",
+      Seq("a", "a b", "hash", "hash join", "merge", "scan", "stream"), "#") ==
+      ("# # #nd # #", 5))
+    assert(engineRedact("aaaa", Seq("aa"), "#") == ("##", 2)) // no overlap reuse
+    assert(engineRedact("a a a", Seq("a a"), "#") == ("# a", 1))
+    assert(engineRedact("", Seq("x"), "#") == ("", 0))
+    assert(engineRedact("zzz", Seq("a"), "#") == ("zzz", 0))
+    // longest wins even when a shorter pattern also starts there
+    assert(engineRedact("hash join", Seq("hash", "hash join"), "#") == ("#", 1))
+  }
+
+  test("redaction matches the greedy definition on random texts") {
+    val rng = new scala.util.Random(41)
+    (1 to 150).foreach { _ =>
+      val s = (0 until rng.nextInt(60)).map(_ => ('a' + rng.nextInt(3)).toChar).mkString
+      val ps = (0 until 1 + rng.nextInt(5)).map(_ =>
+        (0 until 1 + rng.nextInt(4)).map(_ => ('a' + rng.nextInt(3)).toChar).mkString)
+        .distinct
+      assert(engineRedact(s, ps, "#") == bruteRedact(s, ps, "#"),
+        s"text '$s' patterns $ps")
+    }
+  }
 }
