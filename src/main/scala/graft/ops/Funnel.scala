@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-row form of the q184 filter funnel: annotate each doc with the
+  * index of its FIRST failing stage (0 = survives the whole funnel) —
+  * the stateless screen the streaming twin runs per micro-batch, and the
+  * per-doc attribution the batch gate's counters are the histogram of
+  * (FilterFunnelSpec pins the two against each other, so the thresholds
+  * here and in the gate cannot drift apart silently).
+  *
+  * One narrow feature projection (each compiled feature evaluated once),
+  * one when-chain — no shuffle, no state; first-fail counts are additive
+  * across micro-batches by construction, which is the whole streaming
+  * story for an attrition report.
+  */
+object Funnel {
+
+  /** Stage names, index-aligned with the 1-based `first_fail` values. */
+  val StageNames: Seq[String] = Seq("lang_en", "min_tokens",
+    "stopword_floor", "bigram_repetition", "model_quality")
+
+  /** Annotate with `first_fail` (int: 1-based failing stage, 0 = pass) and
+    * `funnel_pass`. Internal feature columns are dropped. */
+  def annotate(df: DataFrame, textCol: String, langCol: String): DataFrame = {
+    val f = df
+      .withColumn("__ntok", TextFunctions.tokenCount(col(textCol)))
+      .withColumn("__swr", TextFunctions.stopwordRatio(col(textCol)))
+      .withColumn("__rep2", TextFunctions.repetitionScore(col(textCol), 2))
+      .withColumn("__zz", QualityClassifier.logit(col(textCol)))
+    val stages: Seq[Column] = Seq(
+      col(langCol) === "en",
+      col("__ntok") >= 30,
+      col("__swr") >= 0.04,
+      col("__rep2") <= 0.04,
+      col("__zz") >= 0)
+    val firstFail = stages.zipWithIndex.foldRight(lit(0)) {
+      case ((pred, i), rest) => when(!pred, lit(i + 1)).otherwise(rest)
+    }
+    f.withColumn("first_fail", firstFail)
+      .withColumn("funnel_pass", col("first_fail") === 0)
+      .drop("__ntok", "__swr", "__rep2", "__zz")
+  }
+}

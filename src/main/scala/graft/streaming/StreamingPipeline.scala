@@ -186,6 +186,19 @@ object StreamingPipeline {
       .where(col("lrs_ratio") <= maxLrsRatio)
       .select(col(idCol), col("lrs"), col("lrs_ratio"), col("n_subwords"))
 
+  /** Streaming filter funnel: each arriving doc is annotated with its
+    * first failing stage by the shared per-row form of the q184 funnel
+    * ([[graft.ops.Funnel.annotate]]) — stateless, so stream == batch holds
+    * structurally, and because a conjunctive funnel's report is just the
+    * first-fail HISTOGRAM, the attrition counters accumulate additively
+    * across micro-batches: summing per-batch counts reproduces the batch
+    * gate exactly (StreamingSpec pins this against q184's published
+    * numbers). The production shape: attrition telemetry on a live crawl
+    * without ever re-scanning history. */
+  def funnelScreenStream(docs: DataFrame, textCol: String,
+                         langCol: String): DataFrame =
+    graft.ops.Funnel.annotate(docs, textCol, langCol)
+
   /** Streaming semantic decontamination: every arriving micro-batch of
     * embedded documents screens against the benchmark EMBEDDINGS with the
     * batch operator ([[graft.dedup.Contamination.semanticScores]] — the

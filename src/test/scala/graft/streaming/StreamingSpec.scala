@@ -854,4 +854,35 @@ class StreamingSpec extends SparkSpec {
     assert(screened.where(col("bloom_suspect_grams") === 0).count() > 0,
       "screen flagged everything — prefilter is vacuous on this corpus")
   }
+
+  test("streaming funnel attrition accumulates to the q184 report") {
+    val d = java.nio.file.Files.createTempDirectory("graft_funnel_src")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .repartition(3).write.mode("overwrite").parquet(d.toString)
+    val schema = spark.read.parquet(d.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+    // driver-side accumulation across micro-batches: the additive-counters
+    // claim the operator's doc makes, exercised literally
+    val acc = scala.collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+    var nBatches = 0
+    val q = StreamingPipeline.funnelScreenStream(stream, "text", "lang")
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        nBatches += 1
+        batch.groupBy("first_fail").count().collect()
+          .foreach(r => acc(r.getInt(0)) += r.getLong(1))
+      }.start()
+    q.awaitTermination()
+    assert(nBatches >= 2, "the additivity claim needs multiple micro-batches")
+    val report = graft.queries.ModelPrepQueries.filterFunnel(spark, dir)
+      .collect().sortBy(_.getInt(0))
+    report.foreach { r =>
+      assert(acc(r.getInt(0)) == r.getLong(4),
+        s"accumulated first-fail count for stage ${r.getString(1)} diverged")
+    }
+    assert(acc(0) == report.last.getLong(3),
+      "streamed survivors must equal the batch funnel's final n_pass")
+  }
 }
