@@ -134,7 +134,8 @@ object Bench {
     "q184_filter_funnel",     // one-scan 5-stage attrition funnel
     "q185_entropy_signals",   // char-gram entropy/compressibility census
     "q186_epoch_copies",      // fractional-epoch replication plan
-    "q187_dictionary_redact") // leftmost-longest dictionary scrubbing
+    "q187_dictionary_redact", // leftmost-longest dictionary scrubbing
+    "q188_collocations")      // PMI phrase mining, vocabulary-sized tail
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

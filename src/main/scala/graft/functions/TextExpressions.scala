@@ -459,6 +459,46 @@ case class RepetitionScore(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Adjacent word n-gram STRINGS in one compiled pass — the string-space
+  * sibling of `PositionalGramHashes` for the operators whose OUTPUT is the
+  * gram itself (collocations, top-phrase reports), where a hash key can't
+  * be published. Duplicates kept (counts are the point); docs with fewer
+  * than n tokens emit NO grams (the PositionalGramHashes convention — a
+  * short doc cannot anchor an n-token phrase); grams are space-joined
+  * tokens, exactly `array_to_string(ts[i:i+n-1], ' ')` in the oracle's
+  * terms. */
+case class WordGramStrings(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "gram width must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_gram_strings"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextExprs.tokens(input.asInstanceOf[UTF8String])
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Per-codepoint character-class census of a text column — the script /
   * charset profile a language-ID and mojibake screen keys on:
   * struct<n_chars, ascii_letter, digit, whitespace, ascii_punct,
@@ -1186,6 +1226,9 @@ object TextExpr {
 
   def charGramStats(text: Column, n: Int): Column =
     ColumnBridge.column(CharGramStats(ColumnBridge.expression(text), n))
+
+  def wordGramStrings(text: Column, n: Int): Column =
+    ColumnBridge.column(WordGramStrings(ColumnBridge.expression(text), n))
 
   def charClassCounts(text: Column): Column =
     ColumnBridge.column(CharClassCounts(ColumnBridge.expression(text)))

@@ -399,7 +399,46 @@ object HygieneQueries {
       .orderBy("source")
   }
 
+  /** q188: PMI collocation mining — the top-15 adjacent word pairs by
+    * pointwise mutual information (min pair count 5), the classic
+    * phrase/collocation extraction a corpus-analysis pass publishes
+    * (Church & Hanks 1990). Scale shape: ONE compiled gram pass per order
+    * (the string-space [[graft.functions.WordGramStrings]] — outputs are
+    * the phrases themselves, so hash keys can't serve), map-side-combined
+    * counts, then everything is vocabulary-sized: two V-row joins, two
+    * 1-row totals broadcast, and a bounded TakeOrderedAndProject head.
+    * PMI is computed ratio-first — log2((c_ab/N2) / ((c_a/N1)(c_b/N1))) —
+    * so no integer product can overflow at any corpus size; both engines
+    * share that exact IEEE shape and the published value rounds to 6 dp
+    * BEFORE ranking (the q59 rank-stability pattern), with (w1, w2) as
+    * the deterministic tie-break. */
+  val collocations: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val uni = docs.select(explode(
+        graft.functions.TextExpr.wordGramStrings(col("text"), 1)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = docs.select(explode(
+        graft.functions.TextExpr.wordGramStrings(col("text"), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n_pairs"))
+      .select(split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"), col("n_pairs"))
+    val n1 = uni.agg(sum(col("c")).as("n1"))
+    val n2 = bi.agg(sum(col("n_pairs")).as("n2"))
+    bi.where(col("n_pairs") >= 5)
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("w1"), col("w2"), col("n_pairs"),
+        round(log(2.0,
+          (col("n_pairs").cast("double") / col("n2")) /
+            ((col("c_a").cast("double") / col("n1")) *
+              (col("c_b").cast("double") / col("n1")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(15)
+  }
+
   val all: Map[String, Q] = Map(
+    "q188_collocations" -> collocations,
     "q185_entropy_signals" -> entropySignals,
     "q153_vocab_incremental" -> vocabIncremental,
     "q145_heaps_fit" -> heapsFit,
@@ -411,6 +450,24 @@ object HygieneQueries {
     "q138_dsir_calibrated" -> dsirCalibrated)
 
   val oracles: Map[String, String] = Map(
+    "q188_collocations" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |    ELSE string_split_regex(trim(text), '\s+') END AS ts FROM documents),
+        |uc AS (SELECT w, count(*) AS c FROM (SELECT unnest(ts) AS w FROM t) GROUP BY 1),
+        |n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc),
+        |bc AS (SELECT g, count(*) AS c FROM (
+        |    SELECT unnest(CASE WHEN len(ts) < 2 THEN CAST([] AS VARCHAR[])
+        |      ELSE [ts[i] || ' ' || ts[i+1] FOR i IN generate_series(1, len(ts) - 1)] END) AS g
+        |    FROM t) GROUP BY 1),
+        |n2 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM bc),
+        |p AS (SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2,
+        |        c AS n_pairs FROM bc WHERE c >= 5)
+        |SELECT w1, w2, n_pairs,
+        |  round(log2((n_pairs * 1.0 / n2.n) /
+        |    ((a.c * 1.0 / n1.n) * (b.c * 1.0 / n1.n))), 6) AS pmi
+        |FROM p JOIN uc a ON p.w1 = a.w JOIN uc b ON p.w2 = b.w, n1, n2
+        |ORDER BY pmi DESC, w1, w2 LIMIT 15""".stripMargin,
     "q185_entropy_signals" ->
       """WITH g2 AS (
         |  SELECT doc_id, any_value(source) AS source, g, count(*) AS c FROM (

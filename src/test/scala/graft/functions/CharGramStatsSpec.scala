@@ -75,4 +75,25 @@ class CharGramStatsSpec extends SparkSpec {
     assert(single.getLong(1) == 1L && single.getLong(2) == 1L &&
       single.getDouble(3) == 0.0)                 // whole-text short convention
   }
+
+  test("compiled word-gram strings equal the HOF form; short docs emit none") {
+    val corpus = docs.select(col("doc_id"), col("text")).limit(120)
+    for (n <- Seq(1, 2, 3)) {
+      // HOF form has a whole-text fallback for < n tokens; the compiled
+      // producer follows the PositionalGramHashes empty convention — so
+      // differential only where both paths are defined (>= n tokens),
+      // which is every corpus doc (min 10 tokens).
+      val hof = corpus.select(col("doc_id"),
+        graft.functions.TextFunctions.wordGrams(col("text"), n).as("g"))
+      val compiled = corpus.select(col("doc_id"),
+        TextExpr.wordGramStrings(col("text"), n).as("g"))
+      assert(compiled.exceptAll(hof).isEmpty && hof.exceptAll(compiled).isEmpty,
+        s"word gram strings differ from the HOF form at n=$n")
+    }
+    val short = Seq(930001L -> "", 930002L -> "one two").toDF("doc_id", "text")
+      .select(TextExpr.wordGramStrings(col("text"), 3).as("g"))
+      .select(org.apache.spark.sql.functions.size(col("g")))
+      .as[Int].collect()
+    assert(short.forall(_ == 0), "docs shorter than n tokens must emit no grams")
+  }
 }
