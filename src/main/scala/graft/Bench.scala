@@ -135,7 +135,8 @@ object Bench {
     "q185_entropy_signals",   // char-gram entropy/compressibility census
     "q186_epoch_copies",      // fractional-epoch replication plan
     "q187_dictionary_redact", // leftmost-longest dictionary scrubbing
-    "q188_collocations")      // PMI phrase mining, vocabulary-sized tail
+    "q188_collocations",      // PMI phrase mining, vocabulary-sized tail
+    "q189_video_neardup")     // AVI mux -> frame-sample -> dHash grouping
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -603,6 +603,167 @@ object WavStatsExpr {
     ColumnBridge.column(WavStatsExpr(ColumnBridge.expression(media)))
 }
 
+/** AVI (RIFF video) container support — the video member of the
+  * image/audio/video modality triple. Same two-tier doctrine as the rest
+  * of [[MediaCodec]]: a header parse that reads O(header) bytes for
+  * metadata at corpus scale ([[MediaCodecAvi.parseAviMeta]]), and a frame
+  * tier that walks the 'movi' list, SAMPLES every Nth frame, and
+  * perceptual-hashes each sampled frame through the existing BMP decode →
+  * dHash path ([[MediaCodecAvi.aviFrameHashes]]) — frame-sampling is the
+  * standard way a 100 TB video corpus is fingerprinted (hashing every
+  * frame of every clip is pointless; a sampled hash sequence already
+  * identifies re-encodes and brightness-shifted copies because dHash is
+  * invariant to uniform luma shifts).
+  *
+  * AVI stores frames as '00db'/'00dc' chunks holding a DIB (a BMP minus
+  * its 14-byte BITMAPFILEHEADER); [[MediaCodecAvi.encodeAvi]] strips that
+  * header on the way in and the frame walk re-synthesizes it before
+  * decode — exactly what a real AVI reader does. All chunk walks apply
+  * the hostile-size rule (negative or overflowing chunk length ⇒ null,
+  * never a stall — the round-8 ADVICE contract, applied at every walk
+  * site here too).
+  */
+object MediaCodecAvi {
+  import MediaCodec.{dHash64}
+
+  final case class AviMeta(width: Int, height: Int, nFrames: Int,
+                           usPerFrame: Int)
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  private def fourcc(b: Array[Byte], i: Int, a: Char, c: Char, d: Char, e: Char): Boolean =
+    b(i) == a && b(i + 1) == c && b(i + 2) == d && b(i + 3) == e
+
+  private def putLe32(bb: java.nio.ByteBuffer, v: Int): Unit = bb.putInt(v)
+
+  /** Minimal valid AVI around BMP frames: RIFF('AVI ') → LIST('hdrl')
+    * holding the 56-byte 'avih' main header → LIST('movi') of '00db' DIB
+    * chunks (each the BMP payload minus its file header). `frames` must be
+    * BMP files (e.g. [[MediaCodec.encodeBlockPattern]] output). */
+  def encodeAvi(frames: Seq[Array[Byte]], width: Int, height: Int,
+                usPerFrame: Int): Array[Byte] = {
+    require(frames.nonEmpty, "an AVI fixture needs at least one frame")
+    val dibs = frames.map { f =>
+      require(f.length > 14 && f(0) == 'B' && f(1) == 'M', "frames must be BMP files")
+      java.util.Arrays.copyOfRange(f, 14, f.length)
+    }
+    val moviBody = dibs.map(d => 8 + d.length + (d.length & 1)).sum
+    val hdrlLen = 4 + 8 + 56                 // 'hdrl' + avih chunk
+    val moviLen = 4 + moviBody               // 'movi' + frame chunks
+    val riffBody = 4 + (8 + hdrlLen) + (8 + moviLen)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffBody)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); putLe32(bb, riffBody); bb.put("AVI ".getBytes)
+    bb.put("LIST".getBytes); putLe32(bb, hdrlLen); bb.put("hdrl".getBytes)
+    bb.put("avih".getBytes); putLe32(bb, 56)
+    putLe32(bb, usPerFrame); putLe32(bb, 0); putLe32(bb, 0); putLe32(bb, 0)
+    putLe32(bb, frames.length); putLe32(bb, 0); putLe32(bb, 1); putLe32(bb, 0)
+    putLe32(bb, width); putLe32(bb, height)
+    putLe32(bb, 0); putLe32(bb, 0); putLe32(bb, 0); putLe32(bb, 0)
+    bb.put("LIST".getBytes); putLe32(bb, moviLen); bb.put("movi".getBytes)
+    dibs.foreach { d =>
+      bb.put("00db".getBytes); putLe32(bb, d.length); bb.put(d)
+      if ((d.length & 1) == 1) bb.put(0.toByte)
+    }
+    bb.array()
+  }
+
+  /** O(header) metadata: width/height/frame-count/frame-interval from the
+    * 'avih' chunk inside LIST('hdrl'). Null for non-AVI payloads or
+    * hostile chunk sizes. */
+  def parseAviMeta(b: Array[Byte]): AviMeta = {
+    if (b == null || b.length < 24 || !fourcc(b, 0, 'R', 'I', 'F', 'F') ||
+        !fourcc(b, 8, 'A', 'V', 'I', ' ')) return null
+    var i = 12
+    while (i + 12 <= b.length) {
+      val size = le32(b, i + 4)
+      if (size < 0 || i + 8 + size > b.length) return null
+      if (fourcc(b, i, 'L', 'I', 'S', 'T') &&
+          fourcc(b, i + 8, 'h', 'd', 'r', 'l')) {
+        var j = i + 12
+        val end = i + 8 + size
+        while (j + 8 <= end) {
+          val csize = le32(b, j + 4)
+          if (csize < 0 || j + 8 + csize > b.length) return null
+          if (fourcc(b, j, 'a', 'v', 'i', 'h') && csize >= 40)
+            return AviMeta(le32(b, j + 40), le32(b, j + 44),
+              le32(b, j + 24), le32(b, j + 8))
+          j += 8 + csize + (csize & 1)
+        }
+        return null
+      }
+      i += 8 + size + (size & 1)
+    }
+    null
+  }
+
+  /** Every-Nth-frame perceptual hashes: walk LIST('movi'), take frame
+    * chunks ('##db'/'##dc') at indexes 0, n, 2n, …, re-prepend the
+    * BITMAPFILEHEADER each DIB lost on muxing, decode, dHash. Null for
+    * non-AVI payloads; frames that fail to decode are skipped (a corrupt
+    * frame must not sink the clip's remaining evidence). */
+  def aviFrameHashes(b: Array[Byte], everyNth: Int): Array[java.lang.Long] = {
+    if (parseAviMeta(b) == null) return null
+    var i = 12
+    while (i + 12 <= b.length) {
+      val size = le32(b, i + 4)
+      if (size < 0 || i + 8 + size > b.length) return null
+      if (fourcc(b, i, 'L', 'I', 'S', 'T') &&
+          fourcc(b, i + 8, 'm', 'o', 'v', 'i')) {
+        val out = new scala.collection.mutable.ArrayBuffer[java.lang.Long]()
+        var j = i + 12
+        val end = i + 8 + size
+        var frameIdx = 0
+        while (j + 8 <= end) {
+          val csize = le32(b, j + 4)
+          if (csize < 0 || j + 8 + csize > b.length) return null
+          val isFrame = Character.isDigit(b(j).toChar) &&
+            Character.isDigit(b(j + 1).toChar) &&
+            (b(j + 2) == 'd' && (b(j + 3) == 'b' || b(j + 3) == 'c'))
+          if (isFrame) {
+            if (frameIdx % everyNth == 0) {
+              val dib = java.util.Arrays.copyOfRange(b, j + 8, j + 8 + csize)
+              val bmp = dibToBmp(dib)
+              if (bmp != null) {
+                try {
+                  val img = javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(bmp))
+                  if (img != null && img.getWidth >= 9 && img.getHeight >= 8)
+                    out += dHash64(img)
+                } catch { case _: Exception => () }
+              }
+            }
+            frameIdx += 1
+          }
+          j += 8 + csize + (csize & 1)
+        }
+        return out.toArray
+      }
+      i += 8 + size + (size & 1)
+    }
+    null
+  }
+
+  /** DIB → BMP: re-synthesize the 14-byte BITMAPFILEHEADER (pixel offset =
+    * 14 + info-header size + 4·palette entries, the format's own rule). */
+  private def dibToBmp(dib: Array[Byte]): Array[Byte] = {
+    if (dib.length < 40) return null
+    val hdrSize = le32(dib, 0)
+    val clrUsed = le32(dib, 32)
+    if (hdrSize < 40 || hdrSize > dib.length || clrUsed < 0 ||
+        clrUsed > (1 << 16)) return null
+    val bb = java.nio.ByteBuffer.allocate(14 + dib.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+    bb.putInt(14 + dib.length).putShort(0).putShort(0)
+    bb.putInt(14 + hdrSize + 4 * clrUsed)
+    bb.put(dib)
+    bb.array()
+  }
+}
+
 /** Compiled perceptual hash of an image binary column:
   * [[MediaCodec.imageDHash]] as a LongType expression — decode + 9×8 luma
   * grid + difference bits in one per-row pass, null for undecodable or
@@ -693,4 +854,79 @@ object WavSpectralFingerprintExpr {
   /** Column form: `wav_spectral_fingerprint(media)`. */
   def wavSpectralFingerprint(media: Column): Column =
     ColumnBridge.column(WavSpectralFingerprintExpr(ColumnBridge.expression(media)))
+}
+
+/** Compiled AVI header parse ([[MediaCodecAvi.parseAviMeta]]): the video
+  * metadata scale path — width/height/frame-count/frame-interval from
+  * O(header) bytes per row, null for non-AVI payloads. */
+case class AviMetaExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = AviMetaExpr.schema
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"avi_meta needs a binary column, got ${child.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val m = MediaCodecAvi.parseAviMeta(input.asInstanceOf[Array[Byte]])
+    if (m == null) null
+    else InternalRow(m.width, m.height, m.nFrames, m.usPerFrame)
+  }
+
+  override def prettyName: String = "avi_meta"
+  override protected def withNewChildInternal(newChild: Expression): AviMetaExpr =
+    copy(child = newChild)
+}
+
+object AviMetaExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("n_frames", IntegerType), StructField("us_per_frame", IntegerType)))
+
+  /** Column form: `avi_meta(media)`. */
+  def aviMeta(media: Column): Column =
+    ColumnBridge.column(AviMetaExpr(ColumnBridge.expression(media)))
+}
+
+/** Compiled frame-sampled video fingerprint
+  * ([[MediaCodecAvi.aviFrameHashes]]): array<long> of every-Nth-frame
+  * dHashes — one movi walk + one BMP decode per SAMPLED frame per row,
+  * null for non-AVI payloads. Grouping on the hash array is the video
+  * near-dup shape (dHash's brightness invariance carries over per frame). */
+case class VideoFrameHashesExpr(child: Expression, everyNth: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(everyNth >= 1, "sampling stride must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"video_frame_hashes needs a binary column, got ${child.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = MediaCodecAvi.aviFrameHashes(input.asInstanceOf[Array[Byte]], everyNth)
+    if (hs == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      hs.map(h => h.longValue: Any))
+  }
+
+  override def prettyName: String = "video_frame_hashes"
+  override protected def withNewChildInternal(newChild: Expression): VideoFrameHashesExpr =
+    copy(child = newChild)
+}
+
+object VideoFrameHashesExpr {
+  /** Column form: `video_frame_hashes(media, everyNth)`. */
+  def videoFrameHashes(media: Column, everyNth: Int): Column =
+    ColumnBridge.column(VideoFrameHashesExpr(ColumnBridge.expression(media), everyNth))
 }

@@ -866,6 +866,49 @@ object CorpusQueries {
       .orderBy("rep_doc")
   }
 
+  /** q189: video near-dup grouping through the REAL container path — the
+    * video member of the q133/q135/q172 modality triple. Every doc gets a
+    * 6-frame AVI ([[graft.multimodal.MediaCodecAvi.encodeAvi]]: RIFF →
+    * hdrl/avih → movi of '00db' DIB chunks) whose frame SEQUENCE is a
+    * pure function of doc_id%5 (frame j's block-pattern class =
+    * ((cls·8+j)·3)%7 — the five sampled sequences are pairwise distinct),
+    * with odd ids brightness-shifted +40 in every frame. The compiled
+    * [[graft.multimodal.VideoFrameHashesExpr]] walks the container, takes
+    * every 2nd frame (frame-SAMPLING — nobody hashes every frame of a
+    * 100 TB video corpus), re-synthesizes each DIB's BMP header, decodes,
+    * dHashes; grouping on the sampled hash ARRAY must reconstruct the 5
+    * classes exactly, because per-frame dHash is invariant under the
+    * uniform luma shift. `n_frames` (min over the group of the O(header)
+    * [[graft.multimodal.AviMetaExpr]] parse) pins the metadata tier in
+    * the same pass. The oracle never sees a hash — pure doc_id%5
+    * arithmetic, so row equality certifies mux → walk → sample → decode →
+    * hash end to end. */
+  val videoNearDup: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val cls = (id % 5).toInt
+          val bright = if (id % 2 == 0) 0 else 40
+          val frames = (0 until 6).map(j =>
+            MediaCodec.encodeBlockPattern(((cls * 8 + j) * 3) % 7, bright))
+          (id, graft.multimodal.MediaCodecAvi.encodeAvi(
+            frames, width = 36, height = 32, usPerFrame = 33333))
+        }
+      }.toDF("doc_id", "media")
+    media.select(col("doc_id"),
+        graft.multimodal.VideoFrameHashesExpr.videoFrameHashes(col("media"), 2).as("fhs"),
+        graft.multimodal.AviMetaExpr.aviMeta(col("media")).getField("n_frames").as("nf"))
+      .groupBy("fhs")
+      .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_doc_ids"),
+        sum(col("doc_id") % 2).as("n_bright"),
+        min(col("nf")).as("n_frames"))
+      .select("rep_doc", "n_docs", "sum_doc_ids", "n_bright", "n_frames")
+      .orderBy("rep_doc")
+  }
+
   /** q172: SPECTRAL audio near-dup grouping
     * ([[graft.multimodal.MediaCodec.wavSpectralFingerprint]]) — the
     * re-encode-robust upgrade of q135's energy envelope. Every doc gets a
@@ -1080,6 +1123,7 @@ object CorpusQueries {
     "q104_audio_stats" -> audioStats,
     "q133_image_neardup" -> imageNearDup,
     "q135_audio_neardup" -> audioNearDup,
+    "q189_video_neardup" -> videoNearDup,
     "q136_substring_dedup" -> substringDedup,
     "q137_image_neardup_radius" -> imageNearDupRadius,
     "q141_leakage_attribution" -> leakageAttribution,
@@ -1275,6 +1319,12 @@ object CorpusQueries {
       """SELECT min(doc_id) AS rep_doc, count(*) AS n_docs,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids,
         |  CAST(sum(doc_id % 2) AS BIGINT) AS n_loud
+        |FROM documents GROUP BY doc_id % 5 ORDER BY 1""".stripMargin,
+    "q189_video_neardup" ->
+      """SELECT min(doc_id) AS rep_doc, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids,
+        |  CAST(sum(doc_id % 2) AS BIGINT) AS n_bright,
+        |  CAST(6 AS INT) AS n_frames
         |FROM documents GROUP BY doc_id % 5 ORDER BY 1""".stripMargin,
     "q172_audio_spectral" ->
       """SELECT min(doc_id) AS rep_doc, count(*) AS n_docs,

@@ -339,6 +339,42 @@ class MediaCodecSpec extends SparkSpec {
     assert(MediaCodec.wavSpectralFingerprint(Array[Byte](1, 2, 3)) == null)
   }
 
+  test("AVI meta parse round-trips the encoder and rejects non-AVI/hostile payloads") {
+    val frames = (0 until 5).map(j => MediaCodec.encodeBlockPattern(j % 7, 0))
+    val avi = MediaCodecAvi.encodeAvi(frames, width = 36, height = 32,
+      usPerFrame = 40000)
+    val m = MediaCodecAvi.parseAviMeta(avi)
+    assert(m != null && m.width == 36 && m.height == 32 &&
+      m.nFrames == 5 && m.usPerFrame == 40000)
+    assert(MediaCodecAvi.parseAviMeta("RIFFxxxxWAVE".getBytes) == null)
+    assert(MediaCodecAvi.parseAviMeta(Array[Byte](1, 2, 3)) == null)
+    // hostile: negative chunk size inside the walk must null out, not hang
+    val hostile = avi.clone()
+    hostile(16) = 0xff.toByte; hostile(17) = 0xff.toByte
+    hostile(18) = 0xff.toByte; hostile(19) = 0xff.toByte
+    assert(MediaCodecAvi.parseAviMeta(hostile) == null)
+    assert(MediaCodecAvi.aviFrameHashes(hostile, 1) == null)
+  }
+
+  test("AVI frame hashes equal the direct BMP dHashes, per sampling stride") {
+    val frames = (0 until 6).map(j => MediaCodec.encodeBlockPattern((j * 2) % 7, 0))
+    val direct = frames.map(MediaCodec.imageDHash(_).longValue)
+    val avi = MediaCodecAvi.encodeAvi(frames, 36, 32, 33333)
+    assert(MediaCodecAvi.aviFrameHashes(avi, 1).map(_.longValue).toSeq == direct)
+    assert(MediaCodecAvi.aviFrameHashes(avi, 2).map(_.longValue).toSeq ==
+      Seq(direct(0), direct(2), direct(4)))
+    assert(MediaCodecAvi.aviFrameHashes(avi, 3).map(_.longValue).toSeq ==
+      Seq(direct(0), direct(3)))
+  }
+
+  test("per-frame dHash brightness invariance carries through the container") {
+    val dim = (0 until 4).map(j => MediaCodec.encodeBlockPattern(j, 0))
+    val bright = (0 until 4).map(j => MediaCodec.encodeBlockPattern(j, 40))
+    val a = MediaCodecAvi.aviFrameHashes(MediaCodecAvi.encodeAvi(dim, 36, 32, 1), 1)
+    val b = MediaCodecAvi.aviFrameHashes(MediaCodecAvi.encodeAvi(bright, 36, 32, 1), 1)
+    assert(a.toSeq == b.toSeq, "uniform luma shift must not move any frame hash")
+  }
+
   test("q133 engine grouping equals the doc_id%7 arithmetic oracle on sf0.001") {
     val out = graft.queries.CorpusQueries.imageNearDup(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
