@@ -888,11 +888,18 @@ object CorpusQueries {
     val media = Tables.documents(s, dir)
       .select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
+        // fixture-synthesis memo: only 7 pattern classes x 2 brightness
+        // levels exist, so each partition renders at most 14 BMPs however
+        // many docs it muxes (the BMP encode is the fixture's cost, not
+        // the operator's)
+        val frameCache = scala.collection.mutable.Map[(Int, Int), Array[Byte]]()
+        def frame(p: Int, bright: Int): Array[Byte] =
+          frameCache.getOrElseUpdate((p, bright),
+            MediaCodec.encodeBlockPattern(p, bright))
         ids.map { id =>
           val cls = (id % 5).toInt
           val bright = if (id % 2 == 0) 0 else 40
-          val frames = (0 until 6).map(j =>
-            MediaCodec.encodeBlockPattern(((cls * 8 + j) * 3) % 7, bright))
+          val frames = (0 until 6).map(j => frame(((cls * 8 + j) * 3) % 7, bright))
           (id, graft.multimodal.MediaCodecAvi.encodeAvi(
             frames, width = 36, height = 32, usPerFrame = 33333))
         }
