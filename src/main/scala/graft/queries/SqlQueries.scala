@@ -51,6 +51,17 @@ object SqlQueries {
       })
     ColumnBridge.registerFunction(s, "warc_records",
       (args: Seq[Expression]) => graft.functions.WarcRecords(args.head))
+    ColumnBridge.registerFunction(s, "multi_pattern_redact",
+      (args: Seq[Expression]) => {
+        val lits = args.tail.map {
+          case Literal(u: org.apache.spark.unsafe.types.UTF8String, _) => u.toString
+          case _ => throw new IllegalArgumentException(
+            "usage: multi_pattern_redact(text, 'marker', 'pat1', ...)")
+        }
+        if (lits.length < 2) throw new IllegalArgumentException(
+          "usage: multi_pattern_redact(text, 'marker', 'pat1', ...)")
+        graft.functions.MultiPatternRedact(args.head, lits.tail, lits.head)
+      })
     ColumnBridge.registerFunction(s, "winnow_fingerprints",
       (args: Seq[Expression]) => args match {
         case Seq(t, IntegerLiteral(k), IntegerLiteral(w)) =>
@@ -464,6 +475,28 @@ object SqlQueries {
       FROM c GROUP BY i ORDER BY keyword""")
   }
 
+  /** q190: q187's dictionary scrubbing as pure SQL text — the registered
+    * varargs `multi_pattern_redact(text, 'marker', 'pat1', ...)` engine
+    * function (the leftmost-longest automaton riding in a SQL
+    * projection), then plain SQL aggregation of the struct result.
+    * Shares q187's oracle verbatim; `SqlQueriesSpec` pins row equality
+    * with the DataFrame twin. */
+  val sqlDictionaryRedact: Q = (s, dir) => {
+    ensureSurface(s, dir)
+    s.sql("""
+      WITH r AS (
+        SELECT source, length(text) AS len0,
+          multi_pattern_redact(text, '#',
+            'a', 'a b', 'hash', 'hash join', 'merge', 'scan', 'stream') AS rd
+        FROM documents)
+      SELECT source, count(1) AS n_docs,
+        sum(CAST(CASE WHEN rd.n_redactions > 0 THEN 1 ELSE 0 END AS BIGINT)) AS docs_changed,
+        sum(CAST(rd.n_redactions AS BIGINT)) AS n_redactions,
+        sum(CAST(len0 - length(rd.out) AS BIGINT)) AS chars_removed,
+        sum(CAST(conv(substring(md5(rd.out), 1, 8), 16, 10) AS BIGINT)) AS sum_out_hash
+      FROM r GROUP BY source ORDER BY source""")
+  }
+
   /** q175's WARC pipeline as pure SQL text: record synthesis, blob
     * grouping, the registered `warc_records` engine function (the
     * length-driven byte walk riding in a SQL projection), inline() of the
@@ -548,6 +581,7 @@ object SqlQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "q190_sql_redact" -> sqlDictionaryRedact,
     "q178_sql_warc" -> sqlWarcExtract,
     "q164_sql_keyword_tagging" -> sqlKeywordTagging,
     "q159_sql_winnow_census" -> sqlWinnowCensus,
@@ -567,6 +601,7 @@ object SqlQueries {
 
   val oracles: Map[String, String] = Map(
     "q178_sql_warc" -> CorpusQueries.oracles("q175_warc_extract"),
+    "q190_sql_redact" -> AnalysisQueries.oracles("q187_dictionary_redact"),
     "q164_sql_keyword_tagging" -> AnalysisQueries.oracles("q161_keyword_tagging"),
     "q159_sql_winnow_census" -> AnalysisQueries.oracles("q157_winnow_census"),
     "q151_sql_margin_mining" -> CorpusQueries.oracles("q147_margin_mining"),

@@ -31,7 +31,8 @@ class SqlQueriesSpec extends SparkSpec {
       "q152_sql_intradoc_repeats" -> "q146_intradoc_repeats",
       "q159_sql_winnow_census" -> "q157_winnow_census",
       "q164_sql_keyword_tagging" -> "q161_keyword_tagging",
-      "q178_sql_warc" -> "q175_warc_extract")
+      "q178_sql_warc" -> "q175_warc_extract",
+      "q190_sql_redact" -> "q187_dictionary_redact")
     for ((sqlName, dfName) <- twins) {
       val viaSql = canon(SparkEntry.queries(sqlName)(spark, dir))
       val viaDf = canon(SparkEntry.queries(dfName)(spark, dir))
