@@ -136,7 +136,8 @@ object Bench {
     "q186_epoch_copies",      // fractional-epoch replication plan
     "q187_dictionary_redact", // leftmost-longest dictionary scrubbing
     "q188_collocations",      // PMI phrase mining, vocabulary-sized tail
-    "q189_video_neardup")     // AVI mux -> frame-sample -> dHash grouping
+    "q189_video_neardup",     // AVI mux -> frame-sample -> dHash grouping
+    "q191_video_containment") // trim-robust frame-set containment pairs
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -52,9 +52,29 @@ object Containment {
     * n_a, n_b, containment (6 dp). */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        k: Int, w: Int, dfCap: Int,
-                       minContainment: Double): DataFrame = {
+                       minContainment: Double): DataFrame =
+    pairsFromEvidence(fingerprintTable(docs, idCol, textCol, k, w),
+      dfCap, minContainment)
+
+  /** The generic form over ANY per-row evidence set (id, array<long>) —
+    * winnow fingerprints are one instance; sampled video frame hashes
+    * (q191), audio constellation hashes, or any other per-item signature
+    * set are others. Same df-cap doctrine: over-common evidence is
+    * excluded (boilerplate, not provenance) and the exclusion IS the
+    * pair-fanout bound. */
+  def pairsFromSets(sets: DataFrame, idCol: String, setCol: String,
+                    dfCap: Int, minContainment: Double): DataFrame =
+    pairsFromEvidence(
+      sets.select(col(idCol).cast("long").as("id"),
+          array_distinct(col(setCol)).as("__fps"))
+        .where(size(col("__fps")) > 0)
+        .select(col("id"), size(col("__fps")).cast("long").as("n_fp"),
+          explode(col("__fps")).as("fp")),
+      dfCap, minContainment)
+
+  private def pairsFromEvidence(fps: DataFrame, dfCap: Int,
+                                minContainment: Double): DataFrame = {
     require(dfCap >= 2, s"dfCap must be >= 2 to ever pair, got $dfCap")
-    val fps = fingerprintTable(docs, idCol, textCol, k, w)
     // cap + 1 capacity: a group with df <= dfCap keeps its FULL membership,
     // and the df filter discards every group the list would have truncated.
     val buckets = fps.groupBy("fp")

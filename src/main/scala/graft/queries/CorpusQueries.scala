@@ -916,6 +916,52 @@ object CorpusQueries {
       .orderBy("rep_doc")
   }
 
+  /** q191: TRIM-robust video containment — the failure mode q189's exact
+    * hash-array grouping cannot catch: a clipped re-upload (the first
+    * frames of a longer video) lands in its own group because its sampled
+    * hash sequence is shorter. Containment over the sampled-frame hash
+    * SETS ([[graft.ops.Containment.pairsFromSets]] — the winnowing
+    * machinery's generic form, df-capped so over-common frames are
+    * excluded AND the pair fanout stays bounded) recovers exactly the
+    * (source, trim) pairs. Fixture: every even doc carries a 6-frame AVI
+    * of per-doc-unique frames ([[MediaCodec.encodeHashPattern]] over a
+    * doc-keyed bit mix — dHash(frame) IS the planted value, so cross-video
+    * collisions are impossible by construction); docs with id%20==1 carry
+    * the first 4 frames of doc id−1's video (the trimmed re-upload).
+    * Sampling every 2nd frame gives the trim hashes {j=0, j=2} ⊂ the
+    * source's {0, 2, 4}: containment 2/2 = 1.0, while unrelated videos
+    * share nothing. The oracle is pure doc_id%20 arithmetic — row
+    * equality certifies mux → walk → sample → decode → hash → set-join →
+    * containment end to end. */
+  val videoContainment: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        def bits(base: Long, j: Int): Long =
+          base * 2654435761L + j.toLong * 40503L
+        def avi(base: Long, nFrames: Int) =
+          graft.multimodal.MediaCodecAvi.encodeAvi(
+            (0 until nFrames).map(j => MediaCodec.encodeHashPattern(bits(base, j))),
+            width = 36, height = 32, usPerFrame = 33333)
+        // fixture density: every 4th doc is a source video (id%20==1 trims
+        // reference id-1, and 20 ≡ 0 mod 4, so every referenced source
+        // exists); ~1/4 of the corpus renders instead of 1/2 — synthesis
+        // is the gate's entire cost and the oracle only counts the trims
+        if (id % 4 == 0) Some((id, avi(id, 6)))
+        else if (id % 20 == 1) Some((id, avi(id - 1, 4)))
+        else None
+      }.toDF("doc_id", "media")
+    val sets = media.select(col("doc_id"),
+      graft.multimodal.VideoFrameHashesExpr.videoFrameHashes(col("media"), 2).as("fhs"))
+    graft.ops.Containment.pairsFromSets(sets, "doc_id", "fhs",
+        dfCap = 4, minContainment = 0.99)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("id_a")).as("sum_full_ids"),
+        sum(col("id_b")).as("sum_trimmed_ids"),
+        sum(col("n_shared")).as("n_shared_frames"))
+  }
+
   /** q172: SPECTRAL audio near-dup grouping
     * ([[graft.multimodal.MediaCodec.wavSpectralFingerprint]]) — the
     * re-encode-robust upgrade of q135's energy envelope. Every doc gets a
@@ -1131,6 +1177,7 @@ object CorpusQueries {
     "q133_image_neardup" -> imageNearDup,
     "q135_audio_neardup" -> audioNearDup,
     "q189_video_neardup" -> videoNearDup,
+    "q191_video_containment" -> videoContainment,
     "q136_substring_dedup" -> substringDedup,
     "q137_image_neardup_radius" -> imageNearDupRadius,
     "q141_leakage_attribution" -> leakageAttribution,
@@ -1333,6 +1380,12 @@ object CorpusQueries {
         |  CAST(sum(doc_id % 2) AS BIGINT) AS n_bright,
         |  CAST(6 AS INT) AS n_frames
         |FROM documents GROUP BY doc_id % 5 ORDER BY 1""".stripMargin,
+    "q191_video_containment" ->
+      """SELECT count(*) AS n_pairs,
+        |  CAST(sum(doc_id - 1) AS BIGINT) AS sum_full_ids,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_trimmed_ids,
+        |  CAST(2 * count(*) AS BIGINT) AS n_shared_frames
+        |FROM documents WHERE doc_id % 20 = 1""".stripMargin,
     "q172_audio_spectral" ->
       """SELECT min(doc_id) AS rep_doc, count(*) AS n_docs,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids,

@@ -133,4 +133,29 @@ class ContainmentSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 3L) -- flagged)
     assert(flagged.nonEmpty, "the planted containment must flag someone")
   }
+
+  test("pairsFromSets: generic evidence sets, df-cap, duplicate/empty-set handling") {
+    val sets = Seq(
+      (1L, Seq(10L, 20L, 30L)),          // source
+      (2L, Seq(10L, 20L)),               // contained in 1 (2/2)
+      (3L, Seq(20L, 40L)),               // half-shared with 1 (1/2)
+      (4L, Seq(50L)),                    // unrelated
+      (5L, Seq.empty[Long]),             // no evidence: must not crash or pair
+      (6L, Seq(10L, 10L, 20L)))          // duplicates collapse: == doc 2's set
+    .toDF("doc_id", "hs")
+    val pairs = Containment.pairsFromSets(sets, "doc_id", "hs",
+        dfCap = 8, minContainment = 0.99)
+      .select("id_a", "id_b", "n_shared").as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 2L), (1L, 6L, 2L), (2L, 6L, 2L)))
+    // lowering the bar admits every pair sharing hash 20 (containment 1/2)
+    val loose = Containment.pairsFromSets(sets, "doc_id", "hs",
+        dfCap = 8, minContainment = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(loose == Set((1L, 2L), (1L, 6L), (2L, 6L), (1L, 3L), (2L, 3L), (3L, 6L)))
+    // df-cap 2: hash 10 has df 3 and hash 20 df 4 — both excluded, and the
+    // df-1 hashes never pair, so no evidence survives at all
+    val capped = Containment.pairsFromSets(sets, "doc_id", "hs",
+        dfCap = 2, minContainment = 0.01)
+    assert(capped.isEmpty, "over-common evidence must be excluded by the cap")
+  }
 }
