@@ -414,14 +414,22 @@ object HygieneQueries {
     * the deterministic tie-break. */
   val collocations: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
+    // localCheckpoint (the q129 rule): the unigram count frame feeds THREE
+    // consumers (both PMI joins + the N1 total) and the bigram frame two
+    // (pairs + N2), and exchange reuse does not fire across them — without
+    // materialization the plan re-derives each use from its own corpus
+    // scan (measured: 5 FileScans; PlanShapeSpec pins ≤ 2 now). The
+    // checkpointed frames are vocabulary-sized.
     val uni = docs.select(explode(
         graft.functions.TextExpr.wordGramStrings(col("text"), 1)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val bi = docs.select(explode(
         graft.functions.TextExpr.wordGramStrings(col("text"), 2)).as("g"))
       .groupBy("g").agg(count(lit(1)).as("n_pairs"))
       .select(split(col("g"), " ").getItem(0).as("w1"),
         split(col("g"), " ").getItem(1).as("w2"), col("n_pairs"))
+      .localCheckpoint()
     val n1 = uni.agg(sum(col("c")).as("n1"))
     val n2 = bi.agg(sum(col("n_pairs")).as("n2"))
     bi.where(col("n_pairs") >= 5)

@@ -360,4 +360,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Generate explode"),
       "thresholds must explode from the verified pairs frame")
   }
+
+  test("filter funnel is ONE corpus scan and a scalar reduce — no shuffle joins") {
+    val plan = planOf("q184_filter_funnel")
+    assert("FileScan parquet".r.findAllIn(plan).length == 1,
+      s"the funnel's whole point is a single corpus pass:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"nothing in a conjunctive funnel should join:\n${plan.take(2000)}")
+  }
+
+  test("entropy census is one scan feeding a source-keyed aggregate — no explode") {
+    val plan = planOf("q185_entropy_signals")
+    assert("FileScan parquet".r.findAllIn(plan).length == 1, plan.take(2000))
+    assert(!plan.contains("Generate explode"),
+      s"char-gram stats must stay in-row, never explode grams:\n${plan.take(2000)}")
+  }
+
+  test("collocations keep the corpus-sized work in two gram passes; tail is bounded") {
+    val plan = planOf("q188_collocations")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-15 must compile to a bounded head:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the gram count frames are localCheckpointed (q129 rule), so the
+    // FINAL plan reads only the two materialized vocabulary-sized frames —
+    // zero parquet scans here; the two corpus passes happened at
+    // checkpoint time, one per gram order
+    assert("FileScan parquet".r.findAllIn(plan).isEmpty, plan.take(2000))
+    assert("Scan ExistingRDD".r.findAllIn(plan).nonEmpty, plan.take(2000))
+  }
+
+  test("dictionary redaction is a narrow projection into a partial aggregate") {
+    val plan = planOf("q187_dictionary_redact")
+    assert("FileScan parquet".r.findAllIn(plan).length == 1, plan.take(2000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Generate explode"),
+      plan.take(2000))
+  }
 }
