@@ -219,6 +219,48 @@ object ModelPrepQueries {
       .orderBy("stage")
   }
 
+  /** q192 — funnel threshold sensitivity sweep: the tuning table behind
+    * q184's thresholds. For each numeric stage and each candidate
+    * threshold, the FULL-funnel survivor count with that one threshold
+    * substituted (one-at-a-time sensitivity, the way filter thresholds
+    * are actually tuned). The q154/q184 fan-from-one-pass doctrine taken
+    * to its limit: all 20 (stage, threshold) cells are extra counters in
+    * the SAME single scalar aggregate over the SAME single corpus scan —
+    * a naive sweep is 20 full filter-count passes. All-integer counts;
+    * thresholds are shared literals. */
+  val funnelSweep: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val f = docs.select(
+      col("lang"),
+      TextFunctions.tokenCount(col("text")).as("ntok"),
+      TextFunctions.stopwordRatio(col("text")).as("swr"),
+      TextFunctions.repetitionScore(col("text"), 2).as("rep2"),
+      QualityClassifier.logit(col("text")).as("zz"))
+    def full(ntokT: Int, swrT: Double, rep2T: Double, zzT: Double) =
+      col("lang") === "en" && col("ntok") >= ntokT && col("swr") >= swrT &&
+        col("rep2") <= rep2T && col("zz") >= zzT
+    val grid: Seq[(String, Double, org.apache.spark.sql.Column)] =
+      Seq(20, 25, 30, 35, 40).map(t =>
+        ("min_tokens", t.toDouble, full(t, 0.04, 0.04, 0.0))) ++
+      Seq(0.02, 0.03, 0.04, 0.05, 0.06).map(t =>
+        ("stopword_floor", t, full(30, t, 0.04, 0.0))) ++
+      Seq(0.02, 0.03, 0.04, 0.05, 0.06).map(t =>
+        ("bigram_repetition", t, full(30, 0.04, t, 0.0))) ++
+      Seq(-1.0, -0.5, 0.0, 0.5, 1.0).map(t =>
+        ("model_quality", t, full(30, 0.04, 0.04, t)))
+    val agg = f.agg(
+      sum(when(grid.head._3, 1L).otherwise(0L)).as("s0"),
+      grid.tail.zipWithIndex.map { case ((_, _, c), i) =>
+        sum(when(c, 1L).otherwise(0L)).as(s"s${i + 1}")
+      }: _*)
+    agg.select(explode(array(grid.zipWithIndex.map { case ((name, t, _), i) =>
+        struct(lit(name).as("stage_name"), lit(t).as("threshold"),
+          col(s"s$i").as("n_survivors"))
+      }: _*)).as("r"))
+      .select(col("r.stage_name"), col("r.threshold"), col("r.n_survivors"))
+      .orderBy("stage_name", "threshold")
+  }
+
   /** q95 — leakage-free (cluster-aware) split: near-dup clusters from the
     * LSH scale path resolve to components, and the split hash keys on the
     * COMPONENT, so twins can never straddle train/eval.
@@ -803,6 +845,54 @@ object ModelPrepQueries {
       .orderBy("source")
   }
 
+  /** q192's oracle, generated from the same grid the engine uses so the 20
+    * (stage, threshold) cells can never drift apart: the q184 feature CTE,
+    * ONE aggregate with 20 conditional sums, then a 20-row unpivot. */
+  private val funnelSweepOracle: String = {
+    def cond(ntokT: String, swrT: String, rep2T: String, zzT: String): String =
+      s"lang = 'en' AND ntok >= $ntokT AND swr >= $swrT AND rep2 <= $rep2T " +
+        s"AND (-2.91 + 0.02 * ntok + 0.3 * mtl + 10.0 * swr - 30.0 * rep3) >= $zzT"
+    val grid: Seq[(String, String, String)] =
+      Seq("20", "25", "30", "35", "40").map(t =>
+        ("min_tokens", t, cond(t, "0.04", "0.04", "0.0"))) ++
+      Seq("0.02", "0.03", "0.04", "0.05", "0.06").map(t =>
+        ("stopword_floor", t, cond("30", t, "0.04", "0.0"))) ++
+      Seq("0.02", "0.03", "0.04", "0.05", "0.06").map(t =>
+        ("bigram_repetition", t, cond("30", "0.04", t, "0.0"))) ++
+      Seq("-1.0", "-0.5", "0.0", "0.5", "1.0").map(t =>
+        ("model_quality", t, cond("30", "0.04", "0.04", t)))
+    val sums = grid.zipWithIndex.map { case ((_, _, c), i) =>
+      s"CAST(sum(CASE WHEN $c THEN 1 ELSE 0 END) AS BIGINT) AS s$i"
+    }.mkString(",\n    ")
+    val rows = grid.zipWithIndex.map { case ((name, t, _), i) =>
+      s"SELECT '$name' AS stage_name, CAST($t AS DOUBLE) AS threshold, s$i AS n_survivors FROM a"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH t AS (
+       |  SELECT lang, string_split_regex(trim(text), '\\s+') AS ts FROM documents),
+       |m AS (
+       |  SELECT lang, len(ts) AS ntok,
+       |    CASE WHEN len(ts) = 0 THEN 0.0
+       |      ELSE list_sum(list_transform(ts, x -> length(x))) * 1.0 / len(ts) END AS mtl,
+       |    CASE WHEN len(ts) = 0 THEN 0.0
+       |      ELSE len(list_filter(ts, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that','be'], lower(x)))) * 1.0 / len(ts)
+       |    END AS swr,
+       |    (SELECT 1.0 - len(list_distinct(g)) * 1.0 / len(g) FROM (
+       |      SELECT CASE WHEN len(ts) < 2 THEN [array_to_string(ts, ' ')]
+       |        ELSE [array_to_string(ts[i:i+1], ' ') FOR i IN generate_series(1, len(ts) - 1)]
+       |      END AS g)) AS rep2,
+       |    (SELECT 1.0 - len(list_distinct(g)) * 1.0 / len(g) FROM (
+       |      SELECT CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+       |        ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts) - 2)]
+       |      END AS g)) AS rep3
+       |  FROM t),
+       |a AS (
+       |  SELECT $sums
+       |  FROM m)
+       |SELECT * FROM (
+       |  $rows)
+       |ORDER BY stage_name, threshold""".stripMargin
+  }
+
   private val epochCopiesOracle: String =
     """WITH t AS (
       |  SELECT source, doc_id,
@@ -1050,6 +1140,7 @@ object ModelPrepQueries {
     "q183_span_corrupt" -> spanCorruptCensus,
     "q180_waterfill_mix" -> waterfillMix,
     "q186_epoch_copies" -> epochCopiesPlan,
+    "q192_funnel_sweep" -> funnelSweep,
     "q179_curriculum" -> curriculumSchedule,
     "q176_kcenter_sample" -> kcenterSample,
     "q173_unigram_fit" -> unigramFit,
@@ -1204,6 +1295,7 @@ object ModelPrepQueries {
     "q183_span_corrupt" -> spanCorruptOracle,
     "q180_waterfill_mix" -> waterfillOracle,
     "q186_epoch_copies" -> epochCopiesOracle,
+    "q192_funnel_sweep" -> funnelSweepOracle,
     "q179_curriculum" -> curriculumOracle,
     "q176_kcenter_sample" -> kcenterOracle(8),
     "q173_unigram_fit" -> unigramFitOracle,

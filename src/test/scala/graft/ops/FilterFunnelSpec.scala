@@ -29,4 +29,30 @@ class FilterFunnelSpec extends SparkSpec {
     }
     assert(rows.last.getLong(3) >= 1L, "something must survive the whole funnel")
   }
+
+  test("threshold sweep is monotone per stage and agrees with q184 at the reference cell") {
+    val sweep = ModelPrepQueries.funnelSweep(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(sweep.length == 20)
+    val funnel = ModelPrepQueries.filterFunnel(spark, "/root/testdata/sf0.001")
+      .collect().sortBy(_.getInt(0))
+    val finalPass = funnel.last.getLong(3)
+    // every stage's reference-threshold cell must reproduce the funnel's
+    // final survivor count — the sweep and the gate share one definition
+    for ((stage, ref) <- Seq(("min_tokens", 30.0), ("stopword_floor", 0.04),
+        ("bigram_repetition", 0.04), ("model_quality", 0.0))) {
+      val cell = sweep.find(c => c._1 == stage && c._2 == ref).get
+      assert(cell._3 == finalPass, s"$stage reference cell diverged from q184")
+    }
+    // tightening a floor (or raising the logit bar) can only shrink the
+    // survivor set; loosening a cap can only grow it
+    def series(stage: String): Seq[Long] =
+      sweep.filter(_._1 == stage).sortBy(_._2).map(_._3).toSeq
+    assert(series("min_tokens") == series("min_tokens").sorted.reverse)
+    assert(series("stopword_floor") == series("stopword_floor").sorted.reverse)
+    assert(series("model_quality") == series("model_quality").sorted.reverse)
+    assert(series("bigram_repetition") == series("bigram_repetition").sorted)
+    // and the sweep must not be flat everywhere (thresholds chosen to bite)
+    assert(sweep.map(_._3).distinct.length > 1)
+  }
 }
