@@ -445,7 +445,42 @@ object HygieneQueries {
       .limit(15)
   }
 
+  /** q193: distinctive phrases per source — for each source, the top-5
+    * word bigrams by tf·idf weight (source occurrence count × ln of
+    * inverse source-frequency, smoothed), the "what characterizes this
+    * domain" report a mixture audit reads next to q129's divergence
+    * number. Scale shape: ONE compiled gram pass feeding a
+    * (source, gram) map-side-combined count — the corpus-sized work —
+    * then everything is vocabulary-sized: the document-frequency frame
+    * re-aggregates the SAME counts (localCheckpoint, the q129/q188 rule,
+    * so the corpus is scanned exactly once), the per-source top-5 is a
+    * rank-truncated window over V·S rows. Weight = c · ln((1+S)/(1+df)),
+    * exact-integer inputs, 6-dp rounded BEFORE ranking with (gram) as the
+    * deterministic tie-break (the q59 pattern — idf ties are common since
+    * df is small-integer-valued). */
+  val distinctivePhrases: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val sc = docs.select(col("source"), explode(
+        graft.functions.TextExpr.wordGramStrings(col("text"), 2)).as("g"))
+      .groupBy("source", "g").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val df = sc.groupBy("g").agg(count(lit(1)).as("df"))
+    val nSources = sc.select(col("source")).distinct().count()
+    val weighted = sc.join(df, "g")
+      .withColumn("w", round(col("c") *
+        log((lit(1L) + lit(nSources)).cast("double") /
+          (lit(1L) + col("df")).cast("double")), 6))
+    val ranked = weighted.withColumn("rk",
+        row_number().over(Window.partitionBy("source")
+          .orderBy(col("w").desc, col("g").asc)))
+      .where(col("rk") <= 5)
+    ranked.select(col("source"), col("rk"), col("g").as("phrase"),
+        col("c").as("n_occurrences"), col("df").as("n_sources_with"), col("w"))
+      .orderBy("source", "rk")
+  }
+
   val all: Map[String, Q] = Map(
+    "q193_distinctive_phrases" -> distinctivePhrases,
     "q188_collocations" -> collocations,
     "q185_entropy_signals" -> entropySignals,
     "q153_vocab_incremental" -> vocabIncremental,
@@ -458,6 +493,24 @@ object HygieneQueries {
     "q138_dsir_calibrated" -> dsirCalibrated)
 
   val oracles: Map[String, String] = Map(
+    "q193_distinctive_phrases" ->
+      """WITH t AS (
+        |  SELECT source, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |    ELSE string_split_regex(trim(text), '\s+') END AS ts FROM documents),
+        |sc AS (SELECT source, g, count(*) AS c FROM (
+        |    SELECT source, unnest(CASE WHEN len(ts) < 2 THEN CAST([] AS VARCHAR[])
+        |      ELSE [ts[i] || ' ' || ts[i+1] FOR i IN generate_series(1, len(ts) - 1)] END) AS g
+        |    FROM t) GROUP BY 1, 2),
+        |df AS (SELECT g, count(*) AS df FROM sc GROUP BY 1),
+        |ns AS (SELECT count(DISTINCT source) AS s FROM sc),
+        |w AS (SELECT sc.source, sc.g, sc.c, df.df,
+        |    round(sc.c * ln((1 + ns.s) * 1.0 / (1 + df.df)), 6) AS w
+        |  FROM sc JOIN df USING (g), ns),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY w DESC, g) AS INT) AS rk FROM w)
+        |SELECT source, rk, g AS phrase, c AS n_occurrences,
+        |  CAST(df AS BIGINT) AS n_sources_with, w
+        |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
     "q188_collocations" ->
       """WITH t AS (
         |  SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
