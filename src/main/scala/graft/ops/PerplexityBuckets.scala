@@ -1,0 +1,128 @@
+package graft.ops
+
+import graft.functions.HashFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CCNet-style perplexity banding (Wenzek et al. 2020, "CCNet: Extracting
+  * High Quality Monolingual Datasets from Web Crawl Data"): score every
+  * document under a reference LM, then cut EACH LANGUAGE into equal-count
+  * perplexity bands — head / middle / tail — so downstream mixing can keep
+  * the clean head, sample the middle, and drop the tail per language
+  * instead of applying one global threshold that a low-resource language
+  * would fail wholesale. The reference pipeline stages corpora per window
+  * and filters per slice (`pipeline_logic/stage/ingestion_engine.py`); this
+  * is the corpus-quality analogue the LLM-data tier adds on top.
+  *
+  * Determinism contract (replayed verbatim by the q194 oracle):
+  *   - Per-event score is quantized ONCE, at the probability level:
+  *     qnll = round(-ln((c3+1)/(c2s+V)) · 1e6) as a long (micro-nats).
+  *     Cross-engine float risk is confined to the bounded set of distinct
+  *     (c3, c2s) count pairs — after that every sum is exact integer
+  *     arithmetic in any order.
+  *   - Per-doc difficulty = sum(qnll) div n_events (integer division —
+  *     shared syntax with DuckDB's `//`, no float mean anywhere).
+  *   - Band assignment is the [[Curriculum]] rank formula PER GROUP:
+  *     rank over (difficulty asc, id asc) within the language,
+  *     band = ((rank−1)·nBands) div n_lang + 1 — our own integer formula,
+  *     not ntile(), for the same no-implicit-convention reason.
+  *
+  * Scale shape: the per-language rank decomposes exactly like the global
+  * curriculum rank — a (group, difficulty) HISTOGRAM carries the prefix
+  * (frame size = distinct (lang, micro-nat mean) pairs, ≪ corpus), and the
+  * within-difficulty tiebreak is a (group, difficulty)-partitioned window
+  * whose partitions are tie-groups, not languages — so no language ever
+  * serializes through one partition the way a `PARTITION BY lang` window
+  * over the raw docs would at 100 TB. One grouped aggregate + one
+  * histogram-frame window + one tie-group window; no global sort. */
+object PerplexityBuckets {
+
+  /** Micro-nat quantization of the per-event NLL. */
+  val Scale = 1000000.0
+
+  /** Per-doc quantized trigram score under `lm`:
+    * (idCol, n_trigrams, q_nll_sum, difficulty) with difficulty the
+    * integer micro-nat mean. Docs with fewer than three tokens have no
+    * trigram events and drop out (the bigram/length tiers own them). */
+  def scoreQuantized(docs: DataFrame, idCol: String, textCol: String,
+                     lm: LanguageModel.TrigramLm): DataFrame = {
+    val events = docs
+      .select(col(idCol),
+        explode(HashFunctions.trigramPairHashes(col(textCol))).as("e"))
+      .select(col(idCol), col("e.th").as("th"), col("e.bh").as("bh"))
+    events
+      .join(lm.trigrams, Seq("th"), "left")
+      .join(lm.contexts, Seq("bh"), "left")
+      .select(col(idCol),
+        round(-log((coalesce(col("c3"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("c2s"), lit(0L)) + lit(lm.vocabSize)).cast("double")) *
+          lit(Scale), 0).cast("long").as("qnll"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("qnll")).as("q_nll_sum"))
+      .withColumn("difficulty", expr("q_nll_sum div n_trigrams"))
+  }
+
+  /** Assign each row to one of `nBands` equal-count bands within its
+    * `groupCol`, ranking by (difficultyCol asc, idCol asc). Adds
+    * (band: int, band_name: string). */
+  def assign(scored: DataFrame, groupCol: String, idCol: String,
+             difficultyCol: String, nBands: Int = 3): DataFrame = {
+    require(nBands >= 1, "need at least one band")
+    val hist = scored.groupBy(groupCol, difficultyCol)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__prefix",
+        coalesce(sum(col("__n")).over(
+          Window.partitionBy(groupCol).orderBy(col(difficultyCol).asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val totals = scored.groupBy(groupCol).agg(count(lit(1)).as("__total"))
+    scored
+      .join(broadcast(hist.select(col(groupCol), col(difficultyCol),
+        col("__prefix"))), Seq(groupCol, difficultyCol))
+      .join(broadcast(totals), Seq(groupCol))
+      .withColumn("__within", row_number().over(
+        Window.partitionBy(groupCol, difficultyCol).orderBy(col(idCol).asc)))
+      .withColumn("__rank", col("__prefix") + col("__within"))
+      .withColumn("band",
+        (expr(s"((__rank - 1) * $nBands) div __total") + 1).cast("int"))
+      .withColumn("band_name",
+        when(col("band") === 1, "head")
+          .when(col("band") === nBands, "tail").otherwise("middle"))
+      .drop("__prefix", "__within", "__rank", "__total")
+  }
+
+  /** Frozen per-(group, band) cut points: the max difficulty each band
+    * reached at assignment time — the bounded table a streaming annotator
+    * broadcasts to band NEW docs without re-ranking the corpus (the DSIR
+    * τ pattern). Value-only classification: a new doc lands in the first
+    * band whose cut ≥ its difficulty, so docs tied exactly ON a historic
+    * cut value band by value, not by the id tiebreak the exact path used. */
+  def thresholds(assigned: DataFrame, groupCol: String,
+                 difficultyCol: String): DataFrame =
+    assigned.groupBy(col(groupCol), col("band"), col("band_name"))
+      .agg(max(col(difficultyCol)).as("cut"))
+
+  /** Annotate `scored` against frozen `cuts` (pivoted to one row per
+    * group, broadcast): band = first band whose cut ≥ difficulty, else the
+    * last band. Per-row and shuffle-free on the scored frame — the pivot
+    * shuffles only the bounded cuts table, which is what a streaming
+    * micro-batch can afford every trigger. */
+  def annotateFrozen(scored: DataFrame, groupCol: String,
+                     difficultyCol: String, cuts: DataFrame,
+                     nBands: Int = 3): DataFrame = {
+    val wide = cuts.groupBy(groupCol)
+      .pivot("band", (1 to nBands).map(b => b: Any))
+      .agg(first(col("cut")))
+    val band = (1 until nBands).foldRight(lit(nBands): Column) {
+      case (b, rest) =>
+        when(col(s"$b").isNotNull && col(s"$b") >= col(difficultyCol),
+          lit(b)).otherwise(rest)
+    }
+    scored.join(broadcast(wide), Seq(groupCol))
+      .withColumn("band", band.cast("int"))
+      .withColumn("band_name",
+        when(col("band") === 1, "head")
+          .when(col("band") === nBands, "tail").otherwise("middle"))
+      .drop((1 to nBands).map(_.toString): _*)
+  }
+}

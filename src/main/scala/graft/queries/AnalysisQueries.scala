@@ -93,6 +93,32 @@ object AnalysisQueries {
       .orderBy("lang")
   }
 
+  /** q194: CCNet-style perplexity bands ([[graft.ops.PerplexityBuckets]])
+    * — the q118 LM turned from a one-threshold flag into the per-language
+    * head/middle/tail banding CCNet actually ships. Per-event NLL is
+    * quantized to micro-nat longs at the probability level, the per-doc
+    * difficulty is an integer division, and the band is the per-group
+    * curriculum rank formula — so the oracle replays every step exactly,
+    * floats touching only the bounded set of distinct count pairs. The
+    * banding itself is histogram-prefix shaped: no per-language window
+    * over raw docs, no global sort (see the op's scaladoc). */
+  val perplexityBands: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val lm = graft.ops.LanguageModel.fitTrigramLm(
+      docs.where(col("doc_id") % 5 =!= 0), "text")
+    val scored = graft.ops.PerplexityBuckets
+      .scoreQuantized(docs, "doc_id", "text", lm)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    graft.ops.PerplexityBuckets.assign(scored, "lang", "doc_id", "difficulty")
+      .groupBy("lang", "band", "band_name")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("difficulty")).as("min_qnll"),
+        max(col("difficulty")).as("max_qnll"),
+        sum(col("doc_id")).as("sum_doc_ids"),
+        sum(col("n_trigrams")).as("sum_trigrams"))
+      .orderBy("lang", "band")
+  }
+
   /** q116: retrieval-quality evaluation — three bag-of-terms queries run
     * through the ONE-corpus-pass [[graft.ops.Bm25.topKBatch]] (per-query
     * ranking via the bounded top-k aggregate, no window), judged against
@@ -875,6 +901,7 @@ object AnalysisQueries {
     "q121_bpe_encode" -> bpeEncodeStats,
     "q117_script_profile" -> scriptProfile,
     "q118_trigram_perplexity" -> trigramPerplexity,
+    "q194_perplexity_bands" -> perplexityBands,
     "q119_repetition_report" -> repetitionReport)
 
   /** q150 oracle: rebuild the WordPiece vocabulary and unroll the greedy
@@ -1320,6 +1347,44 @@ object AnalysisQueries {
         |  CAST(sum(CASE WHEN avg_nll > 3.44 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
         |FROM pd JOIN (SELECT doc_id, lang FROM documents) USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q194: whole-pipeline replay — string-space trigram fit, micro-nat
+    // quantization, integer mean, per-language rank + band formula
+    "q194_perplexity_bands" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |ev AS (
+        |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bg,
+        |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS tg
+        |  FROM d, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)),
+        |tr AS (SELECT * FROM ev WHERE doc_id % 5 <> 0),
+        |c3 AS (SELECT tg, count(*) AS c3 FROM tr GROUP BY 1),
+        |c2 AS (SELECT bg, count(*) AS c2s FROM tr GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v
+        |      FROM (SELECT unnest(ts) AS tok FROM d WHERE doc_id % 5 <> 0)),
+        |sc AS (
+        |  SELECT ev.doc_id,
+        |    CAST(round(-ln((coalesce(c3.c3, 0) + 1) /
+        |      (coalesce(c2.c2s, 0) + v.v)) * 1000000.0) AS BIGINT) AS q
+        |  FROM ev LEFT JOIN c3 USING (tg) LEFT JOIN c2 USING (bg) CROSS JOIN v),
+        |pd AS (
+        |  SELECT doc_id, count(*) AS n_tri, CAST(sum(q) AS BIGINT) AS sq
+        |  FROM sc GROUP BY 1),
+        |sd AS (SELECT doc_id, n_tri, sq // n_tri AS diff FROM pd),
+        |j AS (SELECT sd.doc_id, sd.n_tri, sd.diff, d2.lang
+        |      FROM sd JOIN (SELECT doc_id, lang FROM documents) d2 USING (doc_id)),
+        |r AS (SELECT j.*,
+        |        row_number() OVER (PARTITION BY lang ORDER BY diff, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY lang) AS nl FROM j),
+        |b AS (SELECT lang, doc_id, diff, n_tri,
+        |        CAST(((rn - 1) * 3) // nl + 1 AS INT) AS band FROM r)
+        |SELECT lang, band,
+        |  CASE WHEN band = 1 THEN 'head' WHEN band = 3 THEN 'tail'
+        |    ELSE 'middle' END AS band_name,
+        |  count(*) AS n_docs, min(diff) AS min_qnll, max(diff) AS max_qnll,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids,
+        |  CAST(sum(n_tri) AS BIGINT) AS sum_trigrams
+        |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
     "q117_script_profile" ->
       """WITH t AS (
         |  SELECT doc_id, source,

@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** CCNet-style perplexity banding: exact per-group tercile semantics,
+  * frozen-threshold agreement, and the scale-shape invariants the q194
+  * gate can't see (band-size balance per group, histogram-prefix rank
+  * equality against a brute-force window rank). */
+class PerplexityBucketsSpec extends SparkSpec {
+
+  private lazy val assigned = {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val lm = LanguageModel.fitTrigramLm(
+      docs.where(col("doc_id") % 5 =!= 0), "text")
+    val scored = PerplexityBuckets
+      .scoreQuantized(docs, "doc_id", "text", lm)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    PerplexityBuckets.assign(scored, "lang", "doc_id", "difficulty").cache()
+  }
+
+  test("every scored doc gets exactly one band, 1..3") {
+    val bad = assigned.where(col("band") < 1 || col("band") > 3).count()
+    assert(bad == 0)
+    val dup = assigned.groupBy("doc_id").count().where(col("count") > 1).count()
+    assert(dup == 0)
+  }
+
+  test("per-language band sizes are balanced to within one doc") {
+    val rows = assigned.groupBy("lang", "band").count()
+      .groupBy("lang").agg((max("count") - min("count")).as("spread"))
+      .where(col("spread") > 1).count()
+    assert(rows == 0)
+  }
+
+  test("bands are ordered: every head difficulty <= every tail difficulty within a language") {
+    val spans = assigned.groupBy("lang", "band")
+      .agg(min("difficulty").as("lo"), max("difficulty").as("hi"))
+    val a = spans.as("a"); val b = spans.as("b")
+    val violations = a.join(b,
+      col("a.lang") === col("b.lang") && col("a.band") < col("b.band") &&
+        col("a.hi") > col("b.lo"), "inner")
+      // a tie value may legally straddle a boundary (id tiebreak)
+      .where(col("a.hi") =!= col("b.lo"))
+      .count()
+    assert(violations == 0)
+  }
+
+  test("histogram-prefix rank == brute-force per-language window rank") {
+    import org.apache.spark.sql.expressions.Window
+    val brute = assigned.select("lang", "doc_id", "difficulty")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("difficulty").asc, col("doc_id").asc)))
+      .withColumn("nl", count(lit(1)).over(Window.partitionBy("lang")))
+      .withColumn("band_b",
+        (expr("((rn - 1) * 3) div nl") + 1).cast("int"))
+    val diff = assigned.select(col("doc_id"), col("band"))
+      .join(brute.select(col("doc_id"), col("band_b")), "doc_id")
+      .where(col("band") =!= col("band_b")).count()
+    assert(diff == 0)
+  }
+
+  test("frozen thresholds reproduce the exact assignment off tie-boundaries") {
+    val cuts = PerplexityBuckets.thresholds(assigned, "lang", "difficulty")
+    val frozen = PerplexityBuckets.annotateFrozen(
+      assigned.drop("band", "band_name"), "lang", "difficulty",
+      cuts.select("lang", "band", "cut"))
+    assert(frozen.count() == assigned.count())
+    // docs whose difficulty equals a historic cut may band by value, not
+    // by the id tiebreak — everywhere else the two paths must agree
+    val boundaryVals = cuts.select(col("lang"), col("cut").as("difficulty"))
+      .distinct()
+    val offBoundary = assigned.join(boundaryVals, Seq("lang", "difficulty"),
+      "left_anti")
+    val disagree = offBoundary.select("doc_id", "band")
+      .join(frozen.select(col("doc_id"), col("band").as("fband")), "doc_id")
+      .where(col("band") =!= col("fband")).count()
+    assert(disagree == 0)
+  }
+}
