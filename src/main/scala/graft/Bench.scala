@@ -140,7 +140,8 @@ object Bench {
     "q191_video_containment", // trim-robust frame-set containment pairs
     "q192_funnel_sweep",      // 20-cell threshold sweep, one scan one agg
     "q193_distinctive_phrases", // tf-idf top phrases per source
-    "q194_perplexity_bands")  // CCNet per-language perplexity terciles
+    "q194_perplexity_bands",  // CCNet per-language perplexity terciles
+    "q195_card_pii")          // Luhn-validated card detection + redaction
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Checksum-validated payment-card PII — the half of the PII scrub the
+  * regex tier ([[TextFunctions.redactPii]]) cannot do: a 16-digit string
+  * is only redactable if it IS a card number, and the discriminator is
+  * the Luhn check (ISO/IEC 7812) every issued PAN satisfies. Redacting
+  * every 13–19-digit run would scrub order ids, tracking numbers and
+  * timestamps wholesale; redacting none leaks real cards. Validate, then
+  * redact only what validates — the standard pre-training scrub rule.
+  *
+  * Candidate model (shared syntax with the q195 oracle): a candidate is a
+  * maximal run matched by the RE2-portable `[0-9](?:[ -]?[0-9])*` — digits
+  * separated by at most one space or dash — whose digit count is 13..19.
+  * Maximality comes from greedy matching, not lookarounds (RE2 has none),
+  * so DuckDB's `regexp_extract_all` reproduces the candidate set verbatim;
+  * a 22-digit run is ONE candidate that fails the length screen, never
+  * two shorter ones. Both expressions walk the text once, O(len), no
+  * regex engine on the hot path.
+  */
+object PiiScan {
+
+  /** (start, end, nDigits, luhnOk) spans of all digit-run candidates in
+    * `s` (char indices, end exclusive), 13..19 digits only. */
+  def scan(s: String): Seq[(Int, Int, Int, Boolean)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Boolean)]()
+    val n = s.length
+    var i = 0
+    val digits = new Array[Int](32)
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c >= '0' && c <= '9') {
+        val start = i
+        var nd = 0
+        var j = i
+        var continue = true
+        while (continue) {
+          val cj = s.charAt(j)
+          if (nd < digits.length) digits(nd) = cj - '0'
+          nd += 1
+          if (j + 1 < n && s.charAt(j + 1) >= '0' && s.charAt(j + 1) <= '9') {
+            j += 1
+          } else if (j + 2 < n && (s.charAt(j + 1) == ' ' || s.charAt(j + 1) == '-') &&
+              s.charAt(j + 2) >= '0' && s.charAt(j + 2) <= '9') {
+            j += 2
+          } else {
+            continue = false
+          }
+        }
+        val end = j + 1
+        if (nd >= 13 && nd <= 19) {
+          var sum = 0
+          var k = 0
+          while (k < nd) {
+            val d = digits(k)
+            // position from the right, 0-based: rightmost digit undoubled
+            if ((nd - 1 - k) % 2 == 1) {
+              val d2 = 2 * d
+              sum += (if (d2 > 9) d2 - 9 else d2)
+            } else sum += d
+            k += 1
+          }
+          out += ((start, end, nd, sum % 10 == 0))
+        }
+        i = end
+      } else {
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+}
+
+/** Per-row candidate census: struct<n_cand:int, n_valid:int> — the
+  * detection tier the q195 gate aggregates. */
+case class LuhnStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_cand", IntegerType, nullable = false),
+    StructField("n_valid", IntegerType, nullable = false)))
+  override def prettyName: String = "luhn_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val spans = PiiScan.scan(input.asInstanceOf[UTF8String].toString)
+    InternalRow(spans.length, spans.count(_._4))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Span-based rewrite: replace each Luhn-VALID candidate span with
+  * `marker`; invalid candidates (order ids, tracking numbers) and
+  * out-of-length runs are left byte-for-byte intact. Span replacement —
+  * not content replace — so a valid number whose digit string happens to
+  * appear inside a longer invalid run is never half-scrubbed. Idempotent
+  * whenever the marker contains no digits. */
+case class LuhnRedact(child: Expression, marker: String)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "luhn_redact"
+
+  @transient private lazy val markerStr = marker
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val valid = PiiScan.scan(s).filter(_._4)
+    if (valid.isEmpty) return input
+    val sb = new java.lang.StringBuilder(s.length)
+    var pos = 0
+    valid.foreach { case (st, en, _, _) =>
+      sb.append(s, pos, st).append(markerStr)
+      pos = en
+    }
+    sb.append(s, pos, s.length)
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PiiFunctions {
+  /** struct(n_cand, n_valid) of 13–19-digit Luhn candidates. */
+  def luhnStats(text: Column): Column =
+    ColumnBridge.column(LuhnStats(ColumnBridge.expression(text)))
+
+  /** Text with Luhn-valid card candidates replaced by `marker`. */
+  def luhnRedact(text: Column, marker: String = "<CARD>"): Column =
+    ColumnBridge.column(LuhnRedact(ColumnBridge.expression(text), marker))
+}

@@ -152,6 +152,44 @@ object ExtendedQueries {
       .orderBy("source")
   }
 
+  /** q195: Luhn-validated card PII ([[graft.functions.PiiScan]]) — the
+    * checksum half of the PII scrub q47's regexes cannot do: a 13–19-digit
+    * run is only a card if it passes Luhn (ISO/IEC 7812), so order ids and
+    * tracking numbers survive while every planted test PAN is caught.
+    * Plants by doc_id % 7: valid Visa with spaces (1), the same number
+    * with its check digit broken (2), a separator-free valid Amex (3), a
+    * 22-digit Luhn-VALID run that must fail the length screen (4), and a
+    * 10-digit phone that must fail it low (5). Census per source plus the
+    * arithmetic redaction certificate: char delta == Σ(span_len − 6) over
+    * valid spans, which the oracle computes without rewriting text. */
+  val cardPii: Q = (s, dir) => {
+    val injected = concat(col("text"),
+      when(col("doc_id") % 7 === 1, lit(" pay 4539 1488 0343 6467 ok"))
+        .when(col("doc_id") % 7 === 2, lit(" ref 4539-1488-0343-6468 end"))
+        .when(col("doc_id") % 7 === 3, lit(" acct 378282246310005 now"))
+        .when(col("doc_id") % 7 === 4, lit(" id 1234567890123456789012 x"))
+        .when(col("doc_id") % 7 === 5, lit(" tel 555-867-5309 call"))
+        .otherwise(lit("")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), injected.as("t"))
+      .select(col("doc_id"), col("source"),
+        graft.functions.PiiFunctions.luhnStats(col("t")).as("st"),
+        (length(col("t")) -
+          length(graft.functions.PiiFunctions.luhnRedact(col("t"))))
+          .cast("long").as("d"))
+      .select(col("doc_id"), col("source"),
+        col("st.n_cand").cast("long").as("nc"),
+        col("st.n_valid").cast("long").as("nv"), col("d"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_candidates"),
+        sum(col("nv")).as("n_valid"),
+        sum(when(col("nv") > 0, 1L).otherwise(0L)).as("n_docs_with_cards"),
+        sum(col("doc_id") * col("nv")).as("sum_flagged_ids"),
+        sum(col("d")).as("redacted_char_delta"))
+      .orderBy("source")
+  }
+
   /** URL/domain extraction: deterministic injected URLs, exploded domain
     * frequency top-15 — the boilerplate/source-attribution operator. */
   val urlDomains: Q = (s, dir) => {
@@ -362,6 +400,7 @@ object ExtendedQueries {
     "q70_bloom_decontaminate" -> decontaminateBloom,
     "q84_bloom_decontam_sparse" -> decontaminateBloomSparse,
     "q47_pii_redaction" -> piiRedaction,
+    "q195_card_pii" -> cardPii,
     "q48_url_domains" -> urlDomains,
     "q105_url_canonical" -> urlCanonical,
     "q49_quality_filter" -> qualityFilter,
@@ -679,6 +718,51 @@ object ExtendedQueries {
         |  CAST(sum(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))) AS BIGINT) AS n_ssns,
         |  CAST(sum(length(t) - length(red)) AS BIGINT) AS redacted_char_delta
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q195: RE2 candidate extraction + lambda Luhn + arithmetic delta —
+    // the oracle never rewrites text, it proves the rewrite by length
+    "q195_card_pii" ->
+      """WITH aug AS (
+        |  SELECT doc_id, source, text ||
+        |    CASE CAST(doc_id % 7 AS INT)
+        |      WHEN 1 THEN ' pay 4539 1488 0343 6467 ok'
+        |      WHEN 2 THEN ' ref 4539-1488-0343-6468 end'
+        |      WHEN 3 THEN ' acct 378282246310005 now'
+        |      WHEN 4 THEN ' id 1234567890123456789012 x'
+        |      WHEN 5 THEN ' tel 555-867-5309 call'
+        |      ELSE '' END AS t
+        |  FROM documents),
+        |runs AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(t, '[0-9](?:[ -]?[0-9])*')) AS c
+        |  FROM aug),
+        |cand AS (
+        |  SELECT doc_id, c, regexp_replace(c, '[^0-9]', '', 'g') AS ds
+        |  FROM runs
+        |  WHERE length(regexp_replace(c, '[^0-9]', '', 'g')) BETWEEN 13 AND 19),
+        |lu AS (
+        |  SELECT doc_id, c,
+        |    CASE WHEN list_sum(list_transform(generate_series(1, length(ds)),
+        |      i -> CASE WHEN (length(ds) - i) % 2 = 1
+        |        THEN CASE WHEN 2 * CAST(substr(ds, i, 1) AS INT) > 9
+        |          THEN 2 * CAST(substr(ds, i, 1) AS INT) - 9
+        |          ELSE 2 * CAST(substr(ds, i, 1) AS INT) END
+        |        ELSE CAST(substr(ds, i, 1) AS INT) END)) % 10 = 0
+        |    THEN 1 ELSE 0 END AS ok
+        |  FROM cand),
+        |pd AS (
+        |  SELECT doc_id, count(*) AS nc, CAST(sum(ok) AS BIGINT) AS nv,
+        |    CAST(sum(ok * (length(c) - 6)) AS BIGINT) AS delta
+        |  FROM lu GROUP BY 1),
+        |j AS (
+        |  SELECT a.doc_id, a.source, coalesce(pd.nc, 0) AS nc,
+        |    coalesce(pd.nv, 0) AS nv, coalesce(pd.delta, 0) AS delta
+        |  FROM aug a LEFT JOIN pd USING (doc_id))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS n_candidates,
+        |  CAST(sum(nv) AS BIGINT) AS n_valid,
+        |  CAST(sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_cards,
+        |  CAST(sum(doc_id * nv) AS BIGINT) AS sum_flagged_ids,
+        |  CAST(sum(delta) AS BIGINT) AS redacted_char_delta
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q48_url_domains" ->
       """WITH aug AS (
         |  SELECT text ||

@@ -1,0 +1,91 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Luhn card-PII semantics: known-number truth table, span-vs-content
+  * discipline, idempotence, and a full-corpus differential against an
+  * independent regex+Luhn reference (pins the compiled char walk to the
+  * RE2 candidate model the q195 oracle uses). */
+class PiiSpec extends SparkSpec {
+
+  private def scanOne(s: String) = PiiScan.scan(s)
+
+  // independent reference: java regex + textbook Luhn
+  private def refScan(s: String): Seq[(String, Boolean)] = {
+    val m = java.util.regex.Pattern.compile("[0-9](?:[ -]?[0-9])*").matcher(s)
+    val out = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
+    while (m.find()) {
+      val c = m.group()
+      val ds = c.filter(_.isDigit).map(_ - '0')
+      if (ds.length >= 13 && ds.length <= 19) {
+        val sum = ds.reverse.zipWithIndex.map { case (d, i) =>
+          if (i % 2 == 1) { val d2 = 2 * d; if (d2 > 9) d2 - 9 else d2 } else d
+        }.sum
+        out += ((c, sum % 10 == 0))
+      }
+    }
+    out.toSeq
+  }
+
+  test("known numbers: valid cards pass, broken check digit fails, lengths screen") {
+    assert(scanOne("pay 4539 1488 0343 6467 ok").map(t => (t._3, t._4)) == Seq((16, true)))
+    assert(scanOne("ref 4539-1488-0343-6468 end").map(_._4) == Seq(false))
+    assert(scanOne("acct 378282246310005 now").map(t => (t._3, t._4)) == Seq((15, true)))
+    // 22-digit Luhn-valid run is ONE candidate over the length cap -> none
+    assert(scanOne("id 1234567890123456789012 x").isEmpty)
+    assert(scanOne("tel 555-867-5309 call").isEmpty)
+    assert(scanOne("visa 4111111111111111.").map(_._4) == Seq(true))
+  }
+
+  test("redaction replaces exactly the valid spans, leaves invalid runs intact") {
+    val df = spark.createDataFrame(Seq(
+      (1, "a 4111111111111111 b 4539-1488-0343-6468 c"),
+      (2, "plain text, no digits"),
+      (3, "two: 4539 1488 0343 6467 and 378282246310005!"))).toDF("id", "t")
+    val out = df.select(col("id"),
+      PiiFunctions.luhnRedact(col("t")).as("r")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) == "a <CARD> b 4539-1488-0343-6468 c")
+    assert(out(2) == "plain text, no digits")
+    assert(out(3) == "two: <CARD> and <CARD>!")
+  }
+
+  test("span discipline: a valid number embedded in a longer run is NOT scrubbed") {
+    // 4111111111111111 (valid) as a strict substring of a 20-digit run:
+    // the run is one out-of-length candidate, so nothing is redacted
+    val df = spark.createDataFrame(Seq(Tuple1("id 41111111111111112345 end"))).toDF("t")
+    val r = df.select(PiiFunctions.luhnRedact(col("t"))).head().getString(0)
+    assert(r == "id 41111111111111112345 end")
+  }
+
+  test("idempotence over the corpus with plants") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("t", concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" pay 4539 1488 0343 6467"))
+          .otherwise(lit(" ref 4539-1488-0343-6468"))))
+    val diff = docs
+      .select(PiiFunctions.luhnRedact(col("t")).as("r1"))
+      .select(col("r1"), PiiFunctions.luhnRedact(col("r1")).as("r2"))
+      .where(col("r1") =!= col("r2")).count()
+    assert(diff == 0)
+  }
+
+  test("full-corpus differential: compiled walk == regex+Luhn reference") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("t", concat(col("text"),
+        when(col("doc_id") % 7 === 1, lit(" pay 4539 1488 0343 6467 ok"))
+          .when(col("doc_id") % 7 === 2, lit(" ref 4539-1488-0343-6468 end"))
+          .when(col("doc_id") % 7 === 4, lit(" id 1234567890123456789012 x"))
+          .otherwise(lit(""))))
+    val rows = docs.select(col("t"),
+      PiiFunctions.luhnStats(col("t")).as("st")).collect()
+    rows.foreach { r =>
+      val ref = refScan(r.getString(0))
+      val st = r.getStruct(1)
+      assert(st.getInt(0) == ref.length, s"n_cand mismatch on: ${r.getString(0).takeRight(60)}")
+      assert(st.getInt(1) == ref.count(_._2))
+    }
+  }
+}
