@@ -141,7 +141,9 @@ object Bench {
     "q192_funnel_sweep",      // 20-cell threshold sweep, one scan one agg
     "q193_distinctive_phrases", // tf-idf top phrases per source
     "q194_perplexity_bands",  // CCNet per-language perplexity terciles
-    "q195_card_pii")          // Luhn-validated card detection + redaction
+    "q195_card_pii",          // Luhn-validated card detection + redaction
+    "q196_chat_render",       // SFT template render + loss-mask accounting
+    "q197_prompt_dedup")      // keep-best-response prompt dedup
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SFT / instruction-data preparation — the post-crawl pipeline stage every
+  * fine-tuning corpus goes through: multi-turn conversations rendered to a
+  * single training string with role markers, loss-mask accounting (only
+  * assistant tokens carry loss), and prompt-level dedup that keeps the best
+  * response per distinct prompt (an SFT set with one prompt duplicated 500
+  * ways overfits that prompt; the standard fix is keep-best, drop the rest).
+  *
+  * Scale shape: everything is keyed by conv_id — ONE shuffle whose groups
+  * are conversation-sized (bounded by max turns, not corpus size), then
+  * per-group work is O(turns). The keep-best dedup is a map-side-combinable
+  * `max(struct(score, -id))` aggregate, NOT a per-prompt window — a
+  * mega-duplicated prompt (the classic "write a poem" class with millions
+  * of copies) partial-aggregates on every mapper instead of serializing
+  * through one partition. */
+object ChatOps {
+
+  /** Render marker for a role: `<|role|>\n...content...\n`. */
+  private def turnPiece(role: Column, content: Column): Column =
+    concat(lit("<|"), role, lit("|>\n"), content, lit("\n"))
+
+  /** Per-conversation render + role token accounting. Input must carry
+    * (convCol, turnIdxCol int, roleCol in {user, assistant}, contentCol).
+    * Output per conv: n_turns, user_tokens, assistant_tokens, rendered.
+    * Turn order inside the render comes from sorting the collected
+    * struct array by turn index — collect_list order is never trusted. */
+  def renderConversations(turns: DataFrame, convCol: String,
+                          turnIdxCol: String, roleCol: String,
+                          contentCol: String): DataFrame = {
+    val withTok = turns.withColumn("__ntok",
+      TextFunctions.tokenCount(col(contentCol)).cast("long"))
+    withTok.groupBy(convCol)
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(col(roleCol) === "user", col("__ntok")).otherwise(0L))
+          .as("user_tokens"),
+        sum(when(col(roleCol) === "assistant", col("__ntok")).otherwise(0L))
+          .as("assistant_tokens"),
+        array_sort(collect_list(struct(col(turnIdxCol).as("i"),
+          col(roleCol).as("r"), col(contentCol).as("c")))).as("__turns"))
+      .withColumn("rendered",
+        concat_ws("", transform(col("__turns"),
+          t => turnPiece(t.getField("r"), t.getField("c")))))
+      .drop("__turns")
+  }
+
+  /** Keep-best-response prompt dedup: one survivor per distinct prompt,
+    * the conversation with the most assistant tokens (ties -> lowest conv
+    * id). Input per conv: (convCol, promptCol, asstTokCol). Output per
+    * prompt class: class_size, kept_id, kept_asst_tokens, sum_ids,
+    * sum_asst_tokens. Pure aggregate — see the scale note above. */
+  def keepBestPerPrompt(convs: DataFrame, convCol: String,
+                        promptCol: String, asstTokCol: String): DataFrame =
+    convs.groupBy(promptCol)
+      .agg(count(lit(1)).as("class_size"),
+        max(struct(col(asstTokCol).as("a"), (-col(convCol)).as("nid")))
+          .as("__b"),
+        sum(col(convCol)).as("sum_ids"),
+        sum(col(asstTokCol)).as("sum_asst_tokens"))
+      .withColumn("kept_id", -col("__b.nid"))
+      .withColumn("kept_asst_tokens", col("__b.a"))
+      .drop("__b")
+}

@@ -275,7 +275,82 @@ object CurationQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Shared conversation synthesis for q196/q197: docs become 4-turn
+    * conversations (conv_id = doc_id div 4), roles alternating by turn
+    * (even doc_id -> user — with 4 turns per conv, doc parity IS turn
+    * parity), content = the doc text. Deterministic, id-arithmetic only,
+    * so the oracle rebuilds it with the same three expressions. */
+  private def chatTurns(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      expr("doc_id div 4").as("conv_id"),
+      (col("doc_id") % 4).cast("int").as("turn_idx"),
+      when(col("doc_id") % 2 === 0, lit("user")).otherwise(lit("assistant"))
+        .as("role"),
+      col("text").as("content"))
+
+  /** q196: chat-template render + loss-mask accounting
+    * ([[graft.ops.ChatOps.renderConversations]]) — conversations rendered
+    * to the single training string (`<|role|>\n...` pieces in turn order
+    * via a sorted struct array, never collect_list order) with exact
+    * user/assistant token splits; per conversation length: conv count,
+    * role token sums, the assistant-loss fraction every SFT trainer
+    * reports, and the total rendered length as the byte-level render
+    * certificate. */
+  val chatRender: Q = (s, dir) => {
+    val convs = graft.ops.ChatOps.renderConversations(
+      chatTurns(s, dir), "conv_id", "turn_idx", "role", "content")
+    convs.groupBy("n_turns")
+      .agg(count(lit(1)).as("n_convs"),
+        sum(col("user_tokens")).as("user_tokens"),
+        sum(col("assistant_tokens")).as("assistant_tokens"),
+        round(sum(col("assistant_tokens")) * lit(1.0) /
+          (sum(col("user_tokens")) + sum(col("assistant_tokens"))), 4)
+          .as("loss_fraction"),
+        sum(length(col("rendered"))).as("render_chars"),
+        sum(col("conv_id")).as("sum_conv_ids"))
+      .orderBy("n_turns")
+  }
+
+  /** q197: prompt-level keep-best dedup
+    * ([[graft.ops.ChatOps.keepBestPerPrompt]]) — every third conversation
+    * gets one of 7 canned prompts (the duplicated-prompt classes an SFT
+    * corpus actually accumulates), the rest keep their unique first user
+    * turn; one survivor per prompt class, the conv with the most
+    * assistant tokens (ties -> lowest conv_id), selected by a map-side
+    * `max(struct)` aggregate, not a window. Report per prompt kind. */
+  val promptDedup: Q = (s, dir) => {
+    val turns = chatTurns(s, dir)
+      .withColumn("__ntok",
+        graft.functions.TextFunctions.tokenCount(col("content")).cast("long"))
+    val convs = turns.groupBy("conv_id")
+      .agg(max(when(col("turn_idx") === 0,
+          when(col("conv_id") % 3 === 0,
+            concat(lit("please summarize variant "),
+              (col("conv_id") % 7).cast("string")))
+            .otherwise(col("content")))).as("prompt"),
+        sum(when(col("role") === "assistant", col("__ntok")).otherwise(0L))
+          .as("asst_tokens"))
+    val classes = graft.ops.ChatOps.keepBestPerPrompt(
+      convs, "conv_id", "prompt", "asst_tokens")
+    classes
+      .withColumn("kind",
+        when(col("prompt").startsWith("please summarize"), lit("canned"))
+          .otherwise(lit("unique")))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("class_size")).as("n_convs"),
+        (sum(col("class_size")) - count(lit(1))).as("n_dropped"),
+        max(col("class_size")).as("max_class_size"),
+        sum(col("kept_id")).as("sum_kept_ids"),
+        sum(col("kept_asst_tokens")).as("kept_asst_tokens"),
+        (sum(col("sum_asst_tokens")) - sum(col("kept_asst_tokens")))
+          .as("dropped_asst_tokens"))
+      .orderBy("kind")
+  }
+
   val all: Map[String, Q] = Map(
+    "q196_chat_render" -> chatRender,
+    "q197_prompt_dedup" -> promptDedup,
     "q181_containment" -> containmentScreen,
     "q86_curation_pipeline" -> curationPipeline,
     "q85_cdc_dedup" -> cdcDedup,
@@ -287,7 +362,65 @@ object CurationQueries {
     "q79_semantic_incremental" -> semanticIncremental,
     "q80_temperature_mix" -> temperatureMix)
 
+  /** Shared q196/q197 oracle prefix: the conversation synthesis replayed
+    * with the same id arithmetic, plus the engine token convention. */
+  private val chatTurnsCte: String =
+    """WITH t AS (
+      |  SELECT doc_id // 4 AS conv_id, CAST(doc_id % 4 AS INT) AS turn_idx,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+      |    text AS content,
+      |    CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |      ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT) AS ntok
+      |  FROM documents)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // q196: ordered string_agg render + role token splits — render_chars
+    // certifies every byte of every rendered conversation
+    "q196_chat_render" -> (chatTurnsCte +
+      """,
+        |c AS (
+        |  SELECT conv_id, count(*) AS n_turns,
+        |    CAST(sum(CASE WHEN role = 'user' THEN ntok ELSE 0 END) AS BIGINT) AS ut,
+        |    CAST(sum(CASE WHEN role = 'assistant' THEN ntok ELSE 0 END) AS BIGINT) AS at,
+        |    string_agg('<|' || role || '|>' || chr(10) || content || chr(10), ''
+        |      ORDER BY turn_idx) AS rendered
+        |  FROM t GROUP BY 1)
+        |SELECT n_turns, count(*) AS n_convs,
+        |  CAST(sum(ut) AS BIGINT) AS user_tokens,
+        |  CAST(sum(at) AS BIGINT) AS assistant_tokens,
+        |  round(sum(at) * 1.0 / (sum(ut) + sum(at)), 4) AS loss_fraction,
+        |  CAST(sum(length(rendered)) AS BIGINT) AS render_chars,
+        |  CAST(sum(conv_id) AS BIGINT) AS sum_conv_ids
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+    // q197: keep-best = rn 1 over (asst tokens desc, conv_id asc) — the
+    // window IS the oracle's job; the engine uses the max(struct) aggregate
+    "q197_prompt_dedup" -> (chatTurnsCte +
+      """,
+        |cv AS (
+        |  SELECT conv_id,
+        |    max(CASE WHEN turn_idx = 0 THEN
+        |      CASE WHEN conv_id % 3 = 0
+        |        THEN 'please summarize variant ' || CAST(conv_id % 7 AS VARCHAR)
+        |        ELSE content END END) AS prompt,
+        |    CAST(sum(CASE WHEN role = 'assistant' THEN ntok ELSE 0 END) AS BIGINT) AS at
+        |  FROM t GROUP BY 1),
+        |r AS (SELECT cv.*, row_number() OVER (
+        |        PARTITION BY prompt ORDER BY at DESC, conv_id ASC) AS rn FROM cv),
+        |cl AS (
+        |  SELECT prompt, count(*) AS sz, CAST(sum(at) AS BIGINT) AS sum_at,
+        |    max(CASE WHEN rn = 1 THEN conv_id END) AS kept_id,
+        |    max(CASE WHEN rn = 1 THEN at END) AS kept_at
+        |  FROM r GROUP BY 1)
+        |SELECT CASE WHEN prompt LIKE 'please summarize%' THEN 'canned'
+        |    ELSE 'unique' END AS kind,
+        |  count(*) AS n_classes,
+        |  CAST(sum(sz) AS BIGINT) AS n_convs,
+        |  CAST(sum(sz) - count(*) AS BIGINT) AS n_dropped,
+        |  CAST(max(sz) AS BIGINT) AS max_class_size,
+        |  CAST(sum(kept_id) AS BIGINT) AS sum_kept_ids,
+        |  CAST(sum(kept_at) AS BIGINT) AS kept_asst_tokens,
+        |  CAST(sum(sum_at) - sum(kept_at) AS BIGINT) AS dropped_asst_tokens
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin),
     // q181: the winnow selection replayed literally (the q157 every-window
     // enumeration — the oracle is the definition, the engine is the O(n)
     // deque), then distinct per-doc hash sets, the df-band evidence filter,

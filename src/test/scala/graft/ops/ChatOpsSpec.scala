@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Chat render + prompt keep-best: exact render bytes on a hand fixture
+  * (with shuffled input order — collect_list order must not matter),
+  * tie-break semantics, token conservation, and the max(struct)-vs-window
+  * equivalence the q197 oracle relies on. */
+class ChatOpsSpec extends SparkSpec {
+
+  test("render is turn-ordered and byte-exact regardless of input order") {
+    val turns = spark.createDataFrame(Seq(
+      (10L, 1, "assistant", "hi there"),
+      (10L, 0, "user", "hello"),
+      (10L, 2, "user", "bye"))).toDF("conv_id", "turn_idx", "role", "content")
+      .repartition(3) // scatter input order
+    val r = ChatOps.renderConversations(turns, "conv_id", "turn_idx",
+      "role", "content").head()
+    assert(r.getAs[Long]("n_turns") == 3L)
+    assert(r.getAs[Long]("user_tokens") == 2L)
+    assert(r.getAs[Long]("assistant_tokens") == 2L)
+    assert(r.getAs[String]("rendered") ==
+      "<|user|>\nhello\n<|assistant|>\nhi there\n<|user|>\nbye\n")
+  }
+
+  test("keep-best: most assistant tokens wins, ties break to lowest conv id") {
+    val convs = spark.createDataFrame(Seq(
+      (1L, "p1", 5L), (2L, "p1", 9L), (3L, "p1", 9L),
+      (4L, "p2", 0L), (5L, "p2", 0L),
+      (6L, "p3", 7L))).toDF("conv_id", "prompt", "asst")
+    val out = ChatOps.keepBestPerPrompt(convs, "conv_id", "prompt", "asst")
+      .select("prompt", "kept_id", "kept_asst_tokens", "class_size")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("p1") == ((2L, 9L, 3L))) // tie on 9 -> conv 2, not 3
+    assert(out("p2") == ((4L, 0L, 2L)))
+    assert(out("p3") == ((6L, 7L, 1L)))
+  }
+
+  test("corpus-wide: aggregate keep-best == window-rank reference; tokens conserve") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val turns = docs.select(
+      expr("doc_id div 4").as("conv_id"),
+      (col("doc_id") % 4).cast("int").as("turn_idx"),
+      when(col("doc_id") % 2 === 0, lit("user")).otherwise(lit("assistant"))
+        .as("role"),
+      col("text").as("content"))
+    val rendered = ChatOps.renderConversations(turns, "conv_id", "turn_idx",
+      "role", "content").cache()
+    // conservation: per-conv role split sums to the flat corpus token count
+    val total = docs.select(sum(TextFunctions.tokenCount(col("text"))
+      .cast("long"))).head().getLong(0)
+    val split = rendered.select(
+      sum(col("user_tokens") + col("assistant_tokens"))).head().getLong(0)
+    assert(split == total)
+
+    val convs = rendered.select(col("conv_id"),
+      col("assistant_tokens").as("asst"))
+      .withColumn("prompt", (col("conv_id") % 11).cast("string")) // forced classes
+    val agg = ChatOps.keepBestPerPrompt(convs, "conv_id", "prompt", "asst")
+      .select("prompt", "kept_id", "kept_asst_tokens")
+    val ref = convs.withColumn("rn", row_number().over(
+        Window.partitionBy("prompt")
+          .orderBy(col("asst").desc, col("conv_id").asc)))
+      .where(col("rn") === 1)
+      .select(col("prompt"), col("conv_id").as("kept_id_ref"),
+        col("asst").as("kept_asst_ref"))
+    val bad = agg.join(ref, "prompt")
+      .where(col("kept_id") =!= col("kept_id_ref") ||
+        col("kept_asst_tokens") =!= col("kept_asst_ref")).count()
+    assert(bad == 0)
+  }
+}
