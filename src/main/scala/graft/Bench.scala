@@ -143,7 +143,9 @@ object Bench {
     "q194_perplexity_bands",  // CCNet per-language perplexity terciles
     "q195_card_pii",          // Luhn-validated card detection + redaction
     "q196_chat_render",       // SFT template render + loss-mask accounting
-    "q197_prompt_dedup")      // keep-best-response prompt dedup
+    "q197_prompt_dedup",      // keep-best-response prompt dedup
+    "q198_hashed_fit",        // hashed-feature logistic fit, 4 GD steps
+    "q199_hashed_quality")    // learned hashed model scoring, one scan
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

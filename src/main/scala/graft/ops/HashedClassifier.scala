@@ -1,0 +1,139 @@
+package graft.ops
+
+import graft.functions.TextExprs
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hashed-feature term-frequency vector — the Weinberger hashing trick in
+  * one compiled pass: token j-bucket = engine-portable md5 bucket mod `d`
+  * ([[TextExprs.md5Bucket]], replayable in DuckDB), per-bucket counts, and
+  * q_j = (count_j · scale) div n_tok as exact BIGINTs. The whole vector is
+  * built per row with no explode, no (doc, bucket) shuffle — the corpus-
+  * scale scoring path costs exactly one projection scan. */
+case class HashedTfVector(child: Expression, d: Int, scale: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(d >= 1 && scale >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_tf_vector"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextExprs.tokens(input.asInstanceOf[UTF8String])
+    val counts = new Array[Long](d)
+    var i = 0
+    while (i < toks.length) {
+      counts((TextExprs.md5Bucket(toks(i)) % d).toInt) += 1L
+      i += 1
+    }
+    val n = toks.length
+    val qs = new Array[Long](d)
+    if (n > 0) {
+      var j = 0
+      while (j < d) { qs(j) = counts(j) * scale / n; j += 1 }
+    }
+    ArrayData.toArrayData(qs)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** fastText-style quality classifier over hashed bag-of-words features —
+  * the [[QualityTrainer]] contract lifted from 4 interpretable features to
+  * a `d`-bucket hashed text representation (what production quality
+  * filters actually train on when interpretable features stop being
+  * enough). Same engine-portable determinism doctrine:
+  *
+  *  - features are exact integers BY CONSTRUCTION: q_j = (count_j·1e4)
+  *    div n_tok — integer division, not a rounded float, so there is NO
+  *    quantization float risk at all on the feature side;
+  *  - z is evaluated in fixed order b + w_1·x_1 + … + w_d·x_d (the oracle
+  *    unrolls the identical chain), x_j = q_j / 1e4;
+  *  - each gradient component is an exact BIGINT sum of per-row
+  *    round((σ(z)−y)·x_j·1e6) — partition order cannot move it;
+  *  - no standardization: TF features already sit in [0, 1e4], so the
+  *    full-batch GD is well-conditioned without per-bucket stats (and the
+  *    oracle stays one CTE per step instead of three).
+  *
+  * Fit is sample-sized (labeled docs); scoring is the corpus-scale side
+  * and costs one compiled projection — see [[HashedTfVector]]. */
+object HashedClassifier {
+
+  val Scale = 10000
+  val GradScale = 1000000.0
+
+  final case class FitStep(step: Int, w: Array[Double], nCorrect: Long)
+  final case class FitResult(d: Int, n: Long, nPos: Long,
+                             steps: Seq[FitStep]) {
+    def weights: Array[Double] = steps.last.w
+
+    /** Learned decision logit over arbitrary text — the identical fixed
+      * evaluation order the fit used. */
+    def logit(textCol: Column): Column =
+      HashedClassifier.logit(textCol, weights, d)
+  }
+
+  def tfVector(text: Column, d: Int): Column =
+    ColumnBridge.column(
+      HashedTfVector(ColumnBridge.expression(text), d, Scale))
+
+  /** b + Σ w_j·x_j over the compiled vector, fixed fold order. */
+  def logit(textCol: Column, w: Array[Double], d: Int): Column = {
+    val vec = tfVector(textCol, d)
+    (1 to d).foldLeft(lit(w(0))) { case (acc, j) =>
+      acc + lit(w(j)) *
+        (element_at(vec, j).cast("double") / lit(Scale.toDouble))
+    }
+  }
+
+  /** Fixed-iteration full-batch GD from zero weights; every cross-row
+    * reduction an exact BIGINT sum (see object doc). One cached (y, vec)
+    * frame; per step one 1+d+1-column aggregate + one correct-count. */
+  def fit(labeled: DataFrame, textCol: String, labelCol: String,
+          d: Int = 32, steps: Int = 4, lr: Double = 2.0): FitResult = {
+    require(steps >= 1 && d >= 1)
+    val feat = labeled.select(col(labelCol).cast("int").as("y"),
+      tfVector(col(textCol), d).as("v")).cache()
+    val cRow = feat.agg(count(lit(1)), sum("y").cast("long")).head()
+    val n = cRow.getLong(0)
+    require(n > 0, "empty training sample")
+    val nPos = cRow.getLong(1)
+
+    val x = (1 to d).map(j =>
+      element_at(col("v"), j).cast("double") / lit(Scale.toDouble))
+    def zCol(w: Array[Double]): Column =
+      x.zipWithIndex.foldLeft(lit(w(0))) { case (acc, (xj, j)) =>
+        acc + lit(w(j + 1)) * xj
+      }
+
+    var w = Array.fill(d + 1)(0.0)
+    val out = Seq.newBuilder[FitStep]
+    for (t <- 1 to steps) {
+      val z = zCol(w)
+      val resid = lit(1.0) / (lit(1.0) + exp(-z)) - col("y").cast("double")
+      val gradAggs = (0 to d).map { j =>
+        val term = if (j == 0) resid * lit(GradScale)
+                   else resid * x(j - 1) * lit(GradScale)
+        sum(round(term, 0).cast("long")).as(s"g$j")
+      }
+      val gRow = feat.agg(gradAggs.head, gradAggs.tail: _*).head()
+      w = w.zipWithIndex.map { case (wj, j) =>
+        wj - lr * (gRow.getLong(j).toDouble / (GradScale * n))
+      }
+      val zNew = zCol(w)
+      val nCorrect = feat.agg(
+        sum(when((zNew >= 0) === (col("y") === 1), 1L).otherwise(0L))).head()
+        .getLong(0)
+      out += FitStep(t, w.clone(), nCorrect)
+    }
+    feat.unpersist()
+    FitResult(d, n, nPos, out.result())
+  }
+}

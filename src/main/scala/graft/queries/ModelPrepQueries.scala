@@ -531,6 +531,61 @@ object ModelPrepQueries {
   private val ClassifierSteps = 8
   private val ClassifierLr = 2.0
 
+  private val HashedD = 32
+  private val HashedSteps = 4
+  private val HashedLr = 2.0
+
+  /** HALF_UP 1e-9-unit quantization of a learned weight — matches DuckDB
+    * `round(w * 1e9)` (ties away from zero) on the bit-identical doubles
+    * the two fits produce. */
+  private def r9(x: Double): Long =
+    new java.math.BigDecimal(x * 1000000000.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
+  /** q198 — hashed-feature (fastText-style) classifier fit
+    * ([[graft.ops.HashedClassifier]]): the q166 recipe lifted to a
+    * 32-bucket hashed bag-of-words space built by ONE compiled projection
+    * (no explode, no (doc,bucket) shuffle — [[graft.ops.HashedTfVector]]).
+    * Same labeled fixture, 4 unrolled GD steps; the gate publishes per
+    * step the rounded bias, an exact Σround(w_j·1e9) checksum over ALL 33
+    * weights, and the exact train-correct count — the full trajectory
+    * certified in 4 rows. */
+  val hashedFit: Q = (s, dir) => {
+    import s.implicits._
+    val fit = graft.ops.HashedClassifier.fit(
+      classifierLabeled(Tables.documents(s, dir)), "text", "y",
+      d = HashedD, steps = HashedSteps, lr = HashedLr)
+    fit.steps.map(st => (st.step, st.w(0), st.w.map(r9).sum,
+        st.nCorrect, fit.n, fit.nPos))
+      .toDF("step", "bias", "w_checksum", "n_correct", "n_train", "n_pos")
+      .select(col("step"), round(col("bias"), 6).as("bias"),
+        col("w_checksum"), col("n_correct"), col("n_train"), col("n_pos"))
+      .orderBy("step")
+  }
+
+  /** q199 — the learned hashed model consumed corpus-wide: the final q198
+    * weights score EVERY document through the same compiled vector (one
+    * projection scan — this is the operator's 100 TB side), keep rule
+    * z ≥ 0; per source: doc/keep counts, kept-id sum, and the rounded
+    * logit span (min/max are order-free exact picks of bit-identical
+    * per-row doubles, so they oracle cleanly where an avg would not). */
+  val hashedQuality: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val fit = graft.ops.HashedClassifier.fit(
+      classifierLabeled(docs), "text", "y",
+      d = HashedD, steps = HashedSteps, lr = HashedLr)
+    val z = graft.ops.HashedClassifier.logit(col("text"), fit.weights, HashedD)
+    docs.select(col("source"), col("doc_id"), z.as("z"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("z") >= 0, 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("z") >= 0, col("doc_id")).otherwise(0L))
+          .as("sum_kept_ids"),
+        round(min(col("z")), 6).as("min_z"),
+        round(max(col("z")), 6).as("max_z"))
+      .orderBy("source")
+  }
+
   /** q166 — distributed quality-classifier TRAINING
     * ([[graft.ops.QualityTrainer.fit]]): the full 8-step full-batch GD
     * weight trajectory plus per-step exact train-correct counts. The
@@ -1147,6 +1202,8 @@ object ModelPrepQueries {
     "q174_unigram_census" -> unigramCensus,
     "q166_classifier_fit" -> classifierFit,
     "q167_learned_quality" -> learnedQuality,
+    "q198_hashed_fit" -> hashedFit,
+    "q199_hashed_quality" -> hashedQuality,
     "q155_embedding_diversity" -> embeddingDiversity,
     "q142_domain_reweight" -> domainReweight,
     "q100_modelprep_pipeline" -> modelPrepPipeline,
@@ -1242,6 +1299,92 @@ object ModelPrepQueries {
        |  THEN 1 ELSE 0 END) AS BIGINT) AS nc FROM x, w$t w)""".stripMargin
   }
 
+  /** q198/q199 oracle machinery: the hashed fit unrolled CTE-for-CTE —
+    * portable-md5-bucket TF vectors rebuilt in map space, then per step
+    * one scored frame, one 33-column exact-integer gradient row, one
+    * weight row, one correct-count. Generated from the same (d, steps,
+    * lr) constants the engine uses, so the two cannot drift. */
+  private def hashedZExpr: String =
+    (1 to HashedD).map(j => s"w$j*(qs[$j]/10000.0)").mkString("w0 + ", " + ", "")
+
+  private def hashedOraclePrefix: String = {
+    val w0cols = (0 to HashedD).map(j => s"0.0 AS w$j").mkString(", ")
+    val steps = (1 to HashedSteps).map { t =>
+      val gcols = (0 to HashedD).map { j =>
+        val term = if (j == 0) "(1.0/(1.0+exp(-z)) - y) * 1000000.0"
+                   else s"(1.0/(1.0+exp(-z)) - y) * (qs[$j]/10000.0) * 1000000.0"
+        s"CAST(sum(CAST(round($term) AS BIGINT)) AS BIGINT) AS g$j"
+      }.mkString(",\n    ")
+      val wcols = (0 to HashedD).map(j =>
+        s"w$j - $HashedLr*(g$j/(1000000.0*n)) AS w$j").mkString(",\n    ")
+      s"""s$t AS (SELECT doc_id, y, qs, $hashedZExpr AS z FROM dv CROSS JOIN w${t - 1}s),
+         |g$t AS (SELECT
+         |    $gcols
+         |  FROM s$t),
+         |w${t}s AS (SELECT
+         |    $wcols
+         |  FROM w${t - 1}s CROSS JOIN g$t CROSS JOIN nr),
+         |c$t AS (SELECT CAST(sum(CASE WHEN ($hashedZExpr >= 0) = (y = 1)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS nc
+         |  FROM dv CROSS JOIN w${t}s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH lab AS (
+       |  SELECT doc_id, text, 1 AS y FROM documents WHERE doc_id % 20 = 0
+       |  UNION ALL
+       |  SELECT doc_id, text || ' spam spam spam spam spam spam spam spam', 0
+       |  FROM documents WHERE doc_id % 20 = 7),
+       |tl AS MATERIALIZED (SELECT doc_id, y,
+       |  string_split_regex(trim(text), '\\s+') AS ts FROM lab),
+       |bk AS (SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % $HashedD AS j
+       |  FROM (SELECT doc_id, unnest(ts) AS tok FROM tl)),
+       |cnt AS (SELECT doc_id, j, count(*) AS c FROM bk GROUP BY 1, 2),
+       |dm AS (SELECT doc_id, map(list(j ORDER BY j), list(c ORDER BY j)) AS m
+       |  FROM cnt GROUP BY 1),
+       |dv AS MATERIALIZED (
+       |  SELECT tl.doc_id, tl.y,
+       |    list_transform(generate_series(0, ${HashedD - 1}), jj ->
+       |      coalesce(map_extract(m, jj)[1], 0) * 10000 // len(tl.ts)) AS qs
+       |  FROM tl LEFT JOIN dm USING (doc_id)),
+       |nr AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS np FROM dv),
+       |w0s AS (SELECT $w0cols),
+       |$steps""".stripMargin
+  }
+
+  private def hashedFitOracle: String = {
+    val rows = (1 to HashedSteps).map { t =>
+      val checksum = (0 to HashedD)
+        .map(j => s"CAST(round(w$j*1000000000.0) AS BIGINT)").mkString(" + ")
+      s"""SELECT $t AS step, round(w0, 6) AS bias,
+         |  $checksum AS w_checksum,
+         |  c$t.nc AS n_correct, nr.n AS n_train, nr.np AS n_pos
+         |FROM w${t}s CROSS JOIN c$t CROSS JOIN nr""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    hashedOraclePrefix + "\n" + rows + "\nORDER BY step"
+  }
+
+  private def hashedQualityOracle: String =
+    hashedOraclePrefix + s""",
+       |cal AS MATERIALIZED (SELECT doc_id, source,
+       |  string_split_regex(trim(text), '\\s+') AS ts FROM documents),
+       |cbk AS (SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % $HashedD AS j
+       |  FROM (SELECT doc_id, unnest(ts) AS tok FROM cal)),
+       |ccnt AS (SELECT doc_id, j, count(*) AS c FROM cbk GROUP BY 1, 2),
+       |cdm AS (SELECT doc_id, map(list(j ORDER BY j), list(c ORDER BY j)) AS m
+       |  FROM ccnt GROUP BY 1),
+       |cdv AS (SELECT cal.doc_id, cal.source,
+       |    list_transform(generate_series(0, ${HashedD - 1}), jj ->
+       |      coalesce(map_extract(m, jj)[1], 0) * 10000 // len(cal.ts)) AS qs
+       |  FROM cal LEFT JOIN cdm USING (doc_id)),
+       |sc AS (SELECT doc_id, source, $hashedZExpr AS z
+       |  FROM cdv CROSS JOIN w${HashedSteps}s)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN z >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |  CAST(sum(CASE WHEN z >= 0 THEN doc_id ELSE 0 END) AS BIGINT) AS sum_kept_ids,
+       |  round(min(z), 6) AS min_z, round(max(z), 6) AS max_z
+       |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def classifierFitOracle(steps: Int, lr: Double): String = {
     val stepCtes = (1 to steps).map(classifierOracleStep(_, lr))
       .mkString(",\n")
@@ -1300,6 +1443,8 @@ object ModelPrepQueries {
     "q176_kcenter_sample" -> kcenterOracle(8),
     "q173_unigram_fit" -> unigramFitOracle,
     "q174_unigram_census" -> unigramCensusOracle,
+    "q198_hashed_fit" -> hashedFitOracle,
+    "q199_hashed_quality" -> hashedQualityOracle,
     "q166_classifier_fit" -> classifierFitOracle(ClassifierSteps, ClassifierLr),
     "q167_learned_quality" -> learnedQualityOracle(ClassifierSteps, ClassifierLr),
     "q142_domain_reweight" ->

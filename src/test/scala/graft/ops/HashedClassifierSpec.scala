@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.TextExprs
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Hashed-feature classifier: compiled vector vs explode+groupBy
+  * reference, learning sanity (the spam bucket gets the most negative
+  * weight), and the partition-order invariance the integer-gradient
+  * doctrine promises. */
+class HashedClassifierSpec extends SparkSpec {
+
+  private val D = 32
+
+  private def labeled = {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val spam = lit(" spam spam spam spam spam spam spam spam")
+    docs.where(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), col("text"), lit(1).as("y"))
+      .unionAll(docs.where(col("doc_id") % 20 === 7)
+        .select(col("doc_id"), concat(col("text"), spam).as("text"),
+          lit(0).as("y")))
+  }
+
+  test("compiled tf vector == explode + groupBy reference") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val vec = docs.select(col("doc_id"),
+      HashedClassifier.tfVector(col("text"), D).as("v"))
+    // reference: explode, portable md5 bucket, exact integer division
+    val ntok = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("nt"))
+    val ref = docs.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % D).as("j"))
+      .groupBy("doc_id", "j").agg(count(lit(1)).as("c"))
+      .join(ntok, "doc_id")
+      .select(col("doc_id"), col("j"), expr("c * 10000 div nt").as("q"))
+    val flat = vec.select(col("doc_id"),
+      posexplode(col("v")).as(Seq("p", "qv")))
+      .where(col("qv") > 0)
+      .select(col("doc_id"), col("p").cast("long").as("j"), col("qv").as("q"))
+    assert(flat.count() == ref.where(col("q") > 0).count())
+    assert(flat.join(ref.where(col("q") > 0), Seq("doc_id", "j", "q")).count()
+      == flat.count())
+  }
+
+  test("fit separates the fixture and puts its most negative weight on the spam bucket") {
+    val fit = HashedClassifier.fit(labeled, "text", "y", d = D, steps = 4)
+    assert(fit.steps.last.nCorrect == fit.n)
+    val spamBucket = (TextExprs.md5Bucket("spam") % D).toInt
+    val w = fit.weights
+    val featureWeights = w.drop(1)
+    assert(featureWeights(spamBucket) == featureWeights.min)
+    assert(featureWeights(spamBucket) < 0)
+  }
+
+  test("trajectory is bit-identical under repartitioning (integer-sum determinism)") {
+    val a = HashedClassifier.fit(labeled, "text", "y", d = D, steps = 3)
+    val b = HashedClassifier.fit(labeled.repartition(7, col("doc_id")),
+      "text", "y", d = D, steps = 3)
+    a.steps.zip(b.steps).foreach { case (sa, sb) =>
+      assert(sa.w.toSeq == sb.w.toSeq)
+      assert(sa.nCorrect == sb.nCorrect)
+    }
+  }
+
+  test("logit column matches a driver-side replay of the fixed fold") {
+    val fit = HashedClassifier.fit(labeled, "text", "y", d = D, steps = 2)
+    val rows = Tables.documents(spark, "/root/testdata/sf0.001").limit(20)
+      .select(col("text"),
+        HashedClassifier.logit(col("text"), fit.weights, D).as("z"),
+        HashedClassifier.tfVector(col("text"), D).as("v")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Long](2)
+      val z = (1 to D).foldLeft(fit.weights(0)) { (acc, j) =>
+        acc + fit.weights(j) * (v(j - 1).toDouble / 10000.0)
+      }
+      assert(r.getDouble(1) == z)
+    }
+  }
+}
