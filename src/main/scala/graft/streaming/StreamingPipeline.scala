@@ -199,6 +199,40 @@ object StreamingPipeline {
                          langCol: String): DataFrame =
     graft.ops.Funnel.annotate(docs, textCol, langCol)
 
+  /** Streaming perplexity banding against FROZEN per-language cut points
+    * (the q194 thresholds captured at calibration time — the DSIR τ
+    * pattern): each arriving scored micro-batch is banded by VALUE via
+    * the pivoted broadcast when-chain, no re-ranking of history, no
+    * cross-batch state. A new doc's band is decided the instant it
+    * arrives; re-calibration is a batch-side event that swaps the cuts
+    * frame, exactly like a stored-index rebuild. */
+  def perplexityBandStream(scored: DataFrame, groupCol: String,
+                           difficultyCol: String, cuts: DataFrame,
+                           nBands: Int = 3): DataFrame =
+    graft.ops.PerplexityBuckets.annotateFrozen(scored, groupCol,
+      difficultyCol, cuts, nBands)
+
+  /** Streaming learned-quality screen with frozen hashed-classifier
+    * weights (q198's fit output): one compiled [[graft.ops.HashedTfVector]]
+    * projection per micro-batch — per-row, stateless, additive keep
+    * counters; the batch/stream scoring expressions are the same Column,
+    * so stream == batch per doc by construction. */
+  def hashedQualityStream(docs: DataFrame, textCol: String,
+                          w: Array[Double], d: Int): DataFrame =
+    docs.withColumn("quality_logit",
+      graft.ops.HashedClassifier.logit(col(textCol), w, d))
+      .withColumn("quality_keep", col("quality_logit") >= 0)
+
+  /** Streaming card-PII scrub (q195's operator per micro-batch): census
+    * struct + span redaction in one stateless projection — the shape a
+    * live ingest runs so no un-scrubbed doc ever lands in the staged
+    * corpus. */
+  def cardPiiStream(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("card_stats",
+        graft.functions.PiiFunctions.luhnStats(col(textCol)))
+      .withColumn(textCol,
+        graft.functions.PiiFunctions.luhnRedact(col(textCol)))
+
   /** Streaming semantic decontamination: every arriving micro-batch of
     * embedded documents screens against the benchmark EMBEDDINGS with the
     * batch operator ([[graft.dedup.Contamination.semanticScores]] — the

@@ -885,4 +885,89 @@ class StreamingSpec extends SparkSpec {
     assert(acc(0) == report.last.getLong(3),
       "streamed survivors must equal the batch funnel's final n_pass")
   }
+
+  test("streaming perplexity banding against frozen cuts == batch frozen annotate") {
+    import graft.ops.{LanguageModel, PerplexityBuckets}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val lm = LanguageModel.fitTrigramLm(
+      docs.where(col("doc_id") % 5 =!= 0), "text")
+    val scored = PerplexityBuckets.scoreQuantized(docs, "doc_id", "text", lm)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val assigned = PerplexityBuckets.assign(scored, "lang", "doc_id", "difficulty")
+    val cuts = PerplexityBuckets.thresholds(assigned, "lang", "difficulty")
+      .select("lang", "band", "cut").cache()
+    cuts.count()
+    val batchBands = PerplexityBuckets.annotateFrozen(
+        scored, "lang", "difficulty", cuts)
+      .groupBy("lang", "band").count().collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+    val d = java.nio.file.Files.createTempDirectory("graft_band_src")
+    scored.repartition(3).write.mode("overwrite").parquet(d.toString)
+    val schema = spark.read.parquet(d.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+    val acc = scala.collection.mutable.Map[(String, Int), Long]().withDefaultValue(0L)
+    var nBatches = 0
+    val q = StreamingPipeline.perplexityBandStream(stream, "lang",
+        "difficulty", cuts)
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        nBatches += 1
+        batch.groupBy("lang", "band").count().collect()
+          .foreach(r => acc((r.getString(0), r.getInt(1))) += r.getLong(2))
+      }.start()
+    q.awaitTermination()
+    assert(nBatches >= 2)
+    assert(acc.toMap == batchBands)
+  }
+
+  test("streaming hashed-quality screen and card-PII scrub == their batch twins") {
+    import graft.ops.HashedClassifier
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val spamLit = lit(" spam spam spam spam spam spam spam spam")
+    val labeled = docs.where(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), col("text"), lit(1).as("y"))
+      .unionAll(docs.where(col("doc_id") % 20 === 7)
+        .select(col("doc_id"), concat(col("text"), spamLit).as("text"),
+          lit(0).as("y")))
+    val fit = HashedClassifier.fit(labeled, "text", "y", d = 32, steps = 2)
+    val withCard = docs.withColumn("text",
+      when(col("doc_id") % 7 === 1,
+        concat(col("text"), lit(" pay 4539 1488 0343 6467 ok")))
+        .otherwise(col("text")))
+    val batchKeep = withCard.select(
+      sum(when(HashedClassifier.logit(col("text"), fit.weights, 32) >= 0, 1L)
+        .otherwise(0L))).head().getLong(0)
+    val batchValid = withCard.select(
+      sum(col("doc_id") * graft.functions.PiiFunctions.luhnStats(col("text"))
+        .getField("n_valid"))).head().getLong(0)
+
+    val d = java.nio.file.Files.createTempDirectory("graft_hq_src")
+    withCard.repartition(3).write.mode("overwrite").parquet(d.toString)
+    val schema = spark.read.parquet(d.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+    var keep = 0L; var valid = 0L; var leaked = 0L; var nBatches = 0
+    val q = StreamingPipeline.cardPiiStream(
+        StreamingPipeline.hashedQualityStream(stream, "text", fit.weights, 32),
+        "text")
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        nBatches += 1
+        val r = batch.agg(
+          sum(when(col("quality_keep"), 1L).otherwise(0L)),
+          sum(col("doc_id") * col("card_stats.n_valid")),
+          sum(when(col("text").contains("4539 1488 0343 6467"), 1L)
+            .otherwise(0L))).head()
+        keep += r.getLong(0); valid += r.getLong(1); leaked += r.getLong(2)
+      }.start()
+    q.awaitTermination()
+    assert(nBatches >= 2)
+    assert(keep == batchKeep, "streamed quality keeps diverged from batch")
+    assert(valid == batchValid, "streamed card census diverged from batch")
+    assert(leaked == 0L, "a planted card number survived the streaming scrub")
+  }
 }
