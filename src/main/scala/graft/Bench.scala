@@ -145,7 +145,8 @@ object Bench {
     "q196_chat_render",       // SFT template render + loss-mask accounting
     "q197_prompt_dedup",      // keep-best-response prompt dedup
     "q198_hashed_fit",        // hashed-feature logistic fit, 4 GD steps
-    "q199_hashed_quality")    // learned hashed model scoring, one scan
+    "q199_hashed_quality",    // learned hashed model scoring, one scan
+    "q200_gopher_rules")      // full Gopher rule census, one compiled pass
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The complete Gopher document-quality rule statistics (Rae et al. 2021,
+  * "Scaling Language Models: ... Gopher", Appendix A1.1) in ONE compiled
+  * pass — the published rule set the q184 funnel's five stages don't
+  * cover: symbol-to-word ratio (# and ellipsis), bullet-started and
+  * ellipsis-ended line fractions, alphabetic-word fraction, and the
+  * required-stop-word floor. The expression emits only exact integer
+  * counts; the rules themselves are ratio comparisons built OUTSIDE the
+  * kernel in shared engine/oracle syntax, so thresholds live in the query
+  * where the oracle can replay them and a threshold sweep can reuse the
+  * same scan.
+  *
+  * Portability contract (the q200 oracle replays each piece):
+  *  - words = the engine token convention (trim + \s+ split);
+  *  - word chars counted in CODEPOINTS (DuckDB `length`);
+  *  - ellipsis occurrences = non-overlapping "..." scan, identical to
+  *    RE2's `regexp_extract_all(text, '\.\.\.')` on a fixed literal;
+  *  - lines = split on \n keeping empties; bullet/ellipsis tests strip
+  *    SPACES only (DuckDB ltrim/rtrim default), bullets are -, *, •;
+  *  - alphabetic means ASCII [A-Za-z] (the corpus contract; script-aware
+  *    profiling is q117's job, not a quality rule's);
+  *  - stop words are DISTINCT membership of the paper's 8-word list over
+  *    lowercased tokens. */
+case class GopherStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("sum_word_chars", LongType, nullable = false),
+    StructField("n_hash", LongType, nullable = false),
+    StructField("n_ellipsis", LongType, nullable = false),
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_bullet_lines", LongType, nullable = false),
+    StructField("n_ellipsis_lines", LongType, nullable = false),
+    StructField("n_alpha_words", LongType, nullable = false),
+    StructField("n_required_stops", LongType, nullable = false)))
+  override def prettyName: String = "gopher_stats"
+
+  private val RequiredStops =
+    Array("the", "be", "to", "of", "and", "that", "have", "with")
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val s = u.toString
+    val toks = TextExprs.tokens(u)
+
+    var sumChars = 0L
+    var alphaWords = 0L
+    val stopsSeen = new Array[Boolean](RequiredStops.length)
+    var i = 0
+    while (i < toks.length) {
+      val w = toks(i)
+      sumChars += w.codePointCount(0, w.length)
+      var hasAlpha = false
+      var k = 0
+      while (!hasAlpha && k < w.length) {
+        val c = w.charAt(k)
+        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) hasAlpha = true
+        k += 1
+      }
+      if (hasAlpha) alphaWords += 1L
+      val lw = w.toLowerCase
+      var si = 0
+      while (si < RequiredStops.length) {
+        if (!stopsSeen(si) && lw == RequiredStops(si)) stopsSeen(si) = true
+        si += 1
+      }
+      i += 1
+    }
+    var nStops = 0L
+    var si = 0
+    while (si < stopsSeen.length) { if (stopsSeen(si)) nStops += 1L; si += 1 }
+
+    var nHash = 0L
+    var ci = 0
+    while (ci < s.length) { if (s.charAt(ci) == '#') nHash += 1L; ci += 1 }
+
+    var nEll = 0L
+    var from = 0
+    while ({ val p = s.indexOf("...", from); if (p >= 0) { nEll += 1L; from = p + 3; true } else false }) ()
+
+    val lines = s.split("\n", -1)
+    var nBullet = 0L
+    var nEllLine = 0L
+    var li = 0
+    while (li < lines.length) {
+      val line = lines(li)
+      var st = 0
+      while (st < line.length && line.charAt(st) == ' ') st += 1
+      if (st < line.length) {
+        val c = line.charAt(st)
+        if (c == '-' || c == '*' || c == '•') nBullet += 1L
+      }
+      var en = line.length
+      while (en > 0 && line.charAt(en - 1) == ' ') en -= 1
+      if (en >= 3 && line.charAt(en - 1) == '.' && line.charAt(en - 2) == '.' &&
+          line.charAt(en - 3) == '.') nEllLine += 1L
+      li += 1
+    }
+
+    InternalRow(toks.length.toLong, sumChars, nHash, nEll,
+      lines.length.toLong, nBullet, nEllLine, alphaWords, nStops)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GopherFunctions {
+  /** struct of the 9 exact Gopher rule counts — see [[GopherStats]]. */
+  def gopherStats(text: Column): Column =
+    ColumnBridge.column(GopherStats(ColumnBridge.expression(text)))
+}

@@ -119,6 +119,60 @@ object AnalysisQueries {
       .orderBy("lang", "band")
   }
 
+  /** q200: the complete published Gopher rule census
+    * ([[graft.functions.GopherStats]], Rae et al. 2021 A1.1) — the rules
+    * the q184 funnel's stages don't cover: word-count band, mean word
+    * length band, #/ellipsis symbol ratio, bullet-started and
+    * ellipsis-ended line fractions, alphabetic-word floor, required-stop-
+    * word floor. ONE compiled pass emits the 9 exact counts; every rule is
+    * a ratio comparison in shared engine/oracle syntax OUTSIDE the kernel.
+    * The corpus is single-line word soup, so five plants (by doc_id % 11)
+    * make the line/symbol/alpha/stopword rules non-vacuous in both
+    * directions; rule 1 bites naturally (docs run 10–99 words). Per-rule
+    * fail counts are INDEPENDENT flags, not funnel attrition — this is
+    * the rule-authoring diagnostic, q184 is the production screen. */
+  val gopherRules: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val planted = docs.withColumn("t",
+      when(col("doc_id") % 11 === 1, concat(col("text"), lit("\n- x" * 10)))
+        .when(col("doc_id") % 11 === 2,
+          concat(col("text"), lit("\nread more...\nclick here...")))
+        .when(col("doc_id") % 11 === 3, concat(col("text"), lit(" #" * 30)))
+        .when(col("doc_id") % 11 === 4,
+          concat(col("text"), lit(" 12345" * 60)))
+        .when(col("doc_id") % 11 === 5, lit("tiny doc"))
+        .when(col("doc_id") % 11 === 6,
+          concat(col("text"), lit(" the cat sat of late")))
+        .otherwise(col("text")))
+    val g = planted.withColumn("g",
+      graft.functions.GopherFunctions.gopherStats(col("t")))
+    val ok1 = col("g.n_words") >= 50 && col("g.n_words") <= 100000
+    val ok2 = col("g.n_words") > 0 &&
+      col("g.sum_word_chars") * lit(1.0) / col("g.n_words") >= 3.0 &&
+      col("g.sum_word_chars") * lit(1.0) / col("g.n_words") <= 10.0
+    val ok3 = col("g.n_words") > 0 &&
+      (col("g.n_hash") + col("g.n_ellipsis")) * lit(1.0) /
+        col("g.n_words") <= 0.1
+    val ok4 = col("g.n_bullet_lines") * lit(1.0) / col("g.n_lines") <= 0.9
+    val ok5 = col("g.n_ellipsis_lines") * lit(1.0) / col("g.n_lines") <= 0.3
+    val ok6 = col("g.n_words") > 0 &&
+      col("g.n_alpha_words") * lit(1.0) / col("g.n_words") >= 0.8
+    val ok7 = col("g.n_required_stops") >= 2
+    val passAll = ok1 && ok2 && ok3 && ok4 && ok5 && ok6 && ok7
+    g.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(passAll, 1L).otherwise(0L)).as("n_pass_all"),
+        sum(when(!ok1, 1L).otherwise(0L)).as("f_word_count"),
+        sum(when(!ok2, 1L).otherwise(0L)).as("f_mean_word_len"),
+        sum(when(!ok3, 1L).otherwise(0L)).as("f_symbol_ratio"),
+        sum(when(!ok4, 1L).otherwise(0L)).as("f_bullet_lines"),
+        sum(when(!ok5, 1L).otherwise(0L)).as("f_ellipsis_lines"),
+        sum(when(!ok6, 1L).otherwise(0L)).as("f_alpha_words"),
+        sum(when(!ok7, 1L).otherwise(0L)).as("f_stop_words"),
+        sum(when(passAll, col("doc_id")).otherwise(0L)).as("sum_pass_ids"))
+      .orderBy("source")
+  }
+
   /** q116: retrieval-quality evaluation — three bag-of-terms queries run
     * through the ONE-corpus-pass [[graft.ops.Bm25.topKBatch]] (per-query
     * ranking via the bounded top-k aggregate, no window), judged against
@@ -902,6 +956,7 @@ object AnalysisQueries {
     "q117_script_profile" -> scriptProfile,
     "q118_trigram_perplexity" -> trigramPerplexity,
     "q194_perplexity_bands" -> perplexityBands,
+    "q200_gopher_rules" -> gopherRules,
     "q119_repetition_report" -> repetitionReport)
 
   /** q150 oracle: rebuild the WordPiece vocabulary and unroll the greedy
@@ -1347,6 +1402,61 @@ object AnalysisQueries {
         |  CAST(sum(CASE WHEN avg_nll > 3.44 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
         |FROM pd JOIN (SELECT doc_id, lang FROM documents) USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q200: every kernel count replayed in list/regex space; the rule
+    // comparisons are the same double expressions on both sides
+    "q200_gopher_rules" ->
+      """WITH p AS (
+        |  SELECT doc_id, source,
+        |    CASE CAST(doc_id % 11 AS INT)
+        |      WHEN 1 THEN text || repeat(chr(10) || '- x', 10)
+        |      WHEN 2 THEN text || chr(10) || 'read more...' || chr(10) || 'click here...'
+        |      WHEN 3 THEN text || repeat(' #', 30)
+        |      WHEN 4 THEN text || repeat(' 12345', 60)
+        |      WHEN 5 THEN 'tiny doc'
+        |      WHEN 6 THEN text || ' the cat sat of late'
+        |      ELSE text END AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(ts) AS BIGINT) AS nw,
+        |    CAST(coalesce(list_sum(list_transform(ts, w -> length(w))), 0) AS BIGINT) AS sc,
+        |    CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) AS nh,
+        |    CAST(len(regexp_extract_all(t, '\.\.\.')) AS BIGINT) AS ne,
+        |    CAST(len(ls) AS BIGINT) AS nl,
+        |    CAST(len(list_filter(ls, l -> ltrim(l) LIKE '-%' OR
+        |      ltrim(l) LIKE '*%' OR ltrim(l) LIKE '•%')) AS BIGINT) AS nb,
+        |    CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...')) AS BIGINT) AS nel,
+        |    CAST(len(list_filter(ts, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS na,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      sw -> list_contains(list_transform(ts, tk -> lower(tk)), sw))) AS BIGINT) AS ns
+        |  FROM (SELECT doc_id, source, t,
+        |      CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
+        |        ELSE string_split_regex(trim(t), '\s+') END AS ts,
+        |      string_split(t, chr(10)) AS ls
+        |    FROM p)),
+        |f AS (
+        |  SELECT doc_id, source,
+        |    (nw >= 50 AND nw <= 100000) AS ok1,
+        |    (nw > 0 AND sc * 1.0 / nw >= 3.0 AND sc * 1.0 / nw <= 10.0) AS ok2,
+        |    (nw > 0 AND (nh + ne) * 1.0 / nw <= 0.1) AS ok3,
+        |    (nb * 1.0 / nl <= 0.9) AS ok4,
+        |    (nel * 1.0 / nl <= 0.3) AS ok5,
+        |    (nw > 0 AND na * 1.0 / nw >= 0.8) AS ok6,
+        |    (ns >= 2) AS ok7
+        |  FROM g),
+        |a AS (SELECT doc_id, source, ok1, ok2, ok3, ok4, ok5, ok6, ok7,
+        |  (ok1 AND ok2 AND ok3 AND ok4 AND ok5 AND ok6 AND ok7) AS pass FROM f)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all,
+        |  CAST(sum(CASE WHEN NOT ok1 THEN 1 ELSE 0 END) AS BIGINT) AS f_word_count,
+        |  CAST(sum(CASE WHEN NOT ok2 THEN 1 ELSE 0 END) AS BIGINT) AS f_mean_word_len,
+        |  CAST(sum(CASE WHEN NOT ok3 THEN 1 ELSE 0 END) AS BIGINT) AS f_symbol_ratio,
+        |  CAST(sum(CASE WHEN NOT ok4 THEN 1 ELSE 0 END) AS BIGINT) AS f_bullet_lines,
+        |  CAST(sum(CASE WHEN NOT ok5 THEN 1 ELSE 0 END) AS BIGINT) AS f_ellipsis_lines,
+        |  CAST(sum(CASE WHEN NOT ok6 THEN 1 ELSE 0 END) AS BIGINT) AS f_alpha_words,
+        |  CAST(sum(CASE WHEN NOT ok7 THEN 1 ELSE 0 END) AS BIGINT) AS f_stop_words,
+        |  CAST(sum(CASE WHEN pass THEN doc_id ELSE 0 END) AS BIGINT) AS sum_pass_ids
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
     // q194: whole-pipeline replay — string-space trigram fit, micro-nat
     // quantization, integer mean, per-language rank + band formula
     "q194_perplexity_bands" ->

@@ -1,0 +1,68 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** GopherStats kernel: hand-fixture truth table for every count, the
+  * non-overlapping-ellipsis and space-only-strip conventions, and a
+  * corpus differential of the word-level counts against independent
+  * HOF references. */
+class GopherStatsSpec extends SparkSpec {
+
+  private def stats(t: String) = {
+    val df = spark.createDataFrame(Seq(Tuple1(t))).toDF("t")
+    df.select(GopherFunctions.gopherStats(col("t")).as("g")).head().getStruct(0)
+  }
+
+  test("hand fixture: every count field") {
+    val g = stats("The big #tag is...\n  - item one\n* item two \nplain of and...")
+    // words: The big #tag is... / - item one / * item two / plain of and...
+    assert(g.getAs[Long]("n_words") == 13L)
+    assert(g.getAs[Long]("n_hash") == 1L)
+    assert(g.getAs[Long]("n_ellipsis") == 2L)
+    assert(g.getAs[Long]("n_lines") == 4L)
+    assert(g.getAs[Long]("n_bullet_lines") == 2L) // "  - item" and "* item"
+    assert(g.getAs[Long]("n_ellipsis_lines") == 2L) // line 1 and last
+    assert(g.getAs[Long]("n_alpha_words") == 11L) // all but "-" and "*"
+    // whole-token equality: the, of hit; "and..." is NOT "and"
+    assert(g.getAs[Long]("n_required_stops") == 2L)
+  }
+
+  test("ellipsis scan is non-overlapping and trailing spaces are stripped") {
+    assert(stats(".....").getAs[Long]("n_ellipsis") == 1L) // 5 dots -> one
+    assert(stats("......").getAs[Long]("n_ellipsis") == 2L)
+    assert(stats("ends here...   ").getAs[Long]("n_ellipsis_lines") == 1L)
+    assert(stats("   - bullet").getAs[Long]("n_bullet_lines") == 1L)
+    assert(stats("\t- not a bullet after tab")
+      .getAs[Long]("n_bullet_lines") == 0L) // space-only strip, like ltrim
+  }
+
+  test("empty and blank text") {
+    val g = stats("")
+    assert(g.getAs[Long]("n_words") == 0L)
+    assert(g.getAs[Long]("n_lines") == 1L) // one empty line, like string_split
+    assert(g.getAs[Long]("sum_word_chars") == 0L)
+  }
+
+  test("corpus differential: word-level counts match independent HOF references") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("t", concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" the #x of 99...")).otherwise(lit(""))))
+    val toks = split(trim(col("t")), "\\s+")
+    val bad = docs.select(
+        GopherFunctions.gopherStats(col("t")).as("g"),
+        size(toks).cast("long").as("nw_ref"),
+        aggregate(transform(toks, w => length(w).cast("long")), lit(0L),
+          (a, x) => a + x).as("sc_ref"),
+        size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long").as("na_ref"),
+        (length(col("t")) - length(regexp_replace(col("t"), "#", "")))
+          .cast("long").as("nh_ref"))
+      .where(col("g.n_words") =!= col("nw_ref") ||
+        col("g.sum_word_chars") =!= col("sc_ref") ||
+        col("g.n_alpha_words") =!= col("na_ref") ||
+        col("g.n_hash") =!= col("nh_ref"))
+      .count()
+    assert(bad == 0)
+  }
+}
