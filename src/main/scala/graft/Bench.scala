@@ -146,7 +146,8 @@ object Bench {
     "q197_prompt_dedup",      // keep-best-response prompt dedup
     "q198_hashed_fit",        // hashed-feature logistic fit, 4 GD steps
     "q199_hashed_quality",    // learned hashed model scoring, one scan
-    "q200_gopher_rules")      // full Gopher rule census, one compiled pass
+    "q200_gopher_rules",      // full Gopher rule census, one compiled pass
+    "q201_lsh_planner")       // S-curve banding plan, integer cell masses
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

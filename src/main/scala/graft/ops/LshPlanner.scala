@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MinHash-LSH parameter planner — the tuning step every banding
+  * deployment (q42/q62/q66) does before it runs: given a permutation
+  * budget `nPerm` and a target Jaccard threshold, score every exact
+  * banding (b rows × r bands with b·r = nPerm) by its S-curve error and
+  * pick the minimizer. Collision probability at similarity s is the
+  * textbook 1 − (1 − s^r)^b (Leskovec/Rajaraman/Ullman, MMDS ch. 3); the
+  * error masses integrate that curve below the threshold (false-positive
+  * mass) and its complement above it (false-negative mass) by midpoint
+  * rectangles over a uniform similarity prior.
+  *
+  * Determinism contract: each grid cell's probability is quantized ONCE
+  * (round(p·1e9) as BIGINT — the identical pow-chain double in both
+  * engines), masses are exact integer sums of those cells, and the chosen
+  * row is the lexicographic (total_units, b) minimum — no float sum ever
+  * crosses rows, so the q201 oracle replays the plan table exactly.
+  *
+  * Scale note: the planner is O(divisors(nPerm) · cells) — a few hundred
+  * rows of pure arithmetic. It exists so the EXPENSIVE thing (re-running
+  * banding dedup at 100 TB with a mis-tuned (b, r)) never happens. */
+object LshPlanner {
+
+  /** Plan table: one row per (b, r) candidate with integer error masses
+    * (1e-9 units of probability·cell), the band-count-balanced s50
+    * threshold approximation (1/b)^(1/r), and the chosen flag. */
+  def plan(spark: SparkSession, nPerm: Int = 128, threshold: Double = 0.6,
+           cells: Int = 40): DataFrame = {
+    require(nPerm >= 1 && cells >= 2)
+    import spark.implicits._
+    val cands = (1 to nPerm).filter(nPerm % _ == 0).map(b => (b, nPerm / b))
+    val grid = cands.toDF("b", "r")
+      .select(col("b"), col("r"),
+        explode(sequence(lit(1), lit(cells))).as("k"))
+      .withColumn("s",
+        (col("k") * 2 - 1).cast("double") / lit(2.0 * cells))
+      .withColumn("p", lit(1.0) -
+        pow(lit(1.0) - pow(col("s"), col("r").cast("double")),
+          col("b").cast("double")))
+      .withColumn("cq", round(col("p") * lit(1000000000.0), 0).cast("long"))
+    val agg = grid.groupBy("b", "r")
+      .agg(sum(when(col("s") < threshold, col("cq")).otherwise(0L))
+          .as("fp_units"),
+        sum(when(col("s") >= threshold, lit(1000000000L) - col("cq"))
+          .otherwise(0L)).as("fn_units"))
+      .withColumn("total_units", col("fp_units") + col("fn_units"))
+      .withColumn("s50",
+        round(pow(lit(1.0) / col("b"), lit(1.0) / col("r")), 6))
+    val m = agg.agg(min(struct(col("total_units"), col("b"))).as("m"))
+      .select(col("m.total_units").as("__bt"), col("m.b").as("__bb"))
+    agg.crossJoin(broadcast(m))
+      .withColumn("chosen",
+        col("total_units") === col("__bt") && col("b") === col("__bb"))
+      .drop("__bt", "__bb")
+      .orderBy("b")
+  }
+}

@@ -405,7 +405,17 @@ object ExtendedQueries {
     "q105_url_canonical" -> urlCanonical,
     "q49_quality_filter" -> qualityFilter,
     "q62_dedup_clusters" -> dedupClusters,
+    "q201_lsh_planner" -> lshPlanner,
     "q171_host_pagerank" -> hostPageRank)
+
+  /** q201: MinHash-LSH banding planner ([[graft.ops.LshPlanner]]) — the
+    * tuning table the q42/q62/q66 banding family is configured FROM: all
+    * exact (b, r) splits of a 128-permutation budget scored by S-curve
+    * error against the engine's own 0.6 near-dup threshold. Every mass is
+    * an exact integer sum of once-quantized grid cells, so the oracle
+    * replays the full plan table and the argmin row bit-for-bit. */
+  lazy val lshPlanner: Q = (s, dir) =>
+    graft.ops.LshPlanner.plan(s, nPerm = 128, threshold = 0.6, cells = 40)
 
   /** q171: host-graph PageRank ([[graft.ops.GraphRank.pageRank]]) — the
     * crawl-frontier centrality signal, over a host link graph synthesized
@@ -488,6 +498,35 @@ object ExtendedQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q201: corpus-free plan-table replay — same pow chain, same 1e-9
+    // cell quantization, same (total, b) lexicographic argmin
+    "q201_lsh_planner" ->
+      """WITH cand AS (
+        |  SELECT b, 128 // b AS r
+        |  FROM (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128]) AS b)),
+        |g AS (
+        |  SELECT b, r, k, (k * 2 - 1) / 80.0 AS s
+        |  FROM cand, UNNEST(generate_series(1, 40)) AS t(k)),
+        |pq AS (
+        |  SELECT b, r, s,
+        |    CAST(round((1.0 - pow(1.0 - pow(s, r), b)) * 1000000000.0)
+        |      AS BIGINT) AS cq
+        |  FROM g),
+        |a AS (
+        |  SELECT b, r,
+        |    CAST(sum(CASE WHEN s < 0.6 THEN cq ELSE 0 END) AS BIGINT) AS fp_units,
+        |    CAST(sum(CASE WHEN s >= 0.6 THEN 1000000000 - cq ELSE 0 END)
+        |      AS BIGINT) AS fn_units
+        |  FROM pq GROUP BY 1, 2),
+        |t2 AS (
+        |  SELECT a.*, fp_units + fn_units AS total_units,
+        |    round(pow(1.0 / b, 1.0 / r), 6) AS s50
+        |  FROM a),
+        |m AS (SELECT min(total_units) AS bt FROM t2),
+        |m2 AS (SELECT min(b) AS bb FROM t2, m WHERE total_units = m.bt)
+        |SELECT b, r, fp_units, fn_units, total_units, s50,
+        |  (total_units = m.bt AND b = m2.bb) AS chosen
+        |FROM t2, m, m2 ORDER BY b""".stripMargin,
     "q171_host_pagerank" -> hostPageRankOracle(8),
     "q139_neardup_decontam" ->
       """WITH sh AS (

@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** LSH planner: independent driver-side recompute differential, chosen-row
+  * uniqueness, and S-curve shape invariants. */
+class LshPlannerSpec extends SparkSpec {
+
+  test("plan table matches an independent scalar recompute; exactly one chosen") {
+    val rows = LshPlanner.plan(spark, nPerm = 128, threshold = 0.6, cells = 40)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(6)))
+    assert(rows.length == 8)
+    assert(rows.count(_._6) == 1)
+    // independent reference
+    val ref = (1 to 128).filter(128 % _ == 0).map { b =>
+      val r = 128 / b
+      var fp = 0L; var fn = 0L
+      for (k <- 1 to 40) {
+        val s = (k * 2 - 1).toDouble / 80.0
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+        val cq = math.round(p * 1000000000.0)
+        if (s < 0.6) fp += cq else fn += 1000000000L - cq
+      }
+      (b, r, fp, fn, fp + fn)
+    }
+    val best = ref.minBy(t => (t._5, t._1))
+    rows.foreach { case (b, r, fp, fn, tot, chosen) =>
+      val e = ref.find(_._1 == b).get
+      assert((e._2, e._3, e._4, e._5) == ((r, fp, fn, tot)), s"b=$b diverged")
+      assert(chosen == (b == best._1))
+    }
+    // shape: fn mass decreases with b (more bands, easier collisions),
+    // fp mass increases with b
+    assert(rows.map(_._4).sliding(2).forall(p => p(0) >= p(1)))
+    assert(rows.map(_._3).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("a tighter threshold moves the chosen banding toward more rows per band") {
+    def chosen(t: Double) = LshPlanner.plan(spark, 128, t, 40)
+      .where(org.apache.spark.sql.functions.col("chosen")).head()
+    val loose = chosen(0.4)
+    val tight = chosen(0.85)
+    assert(tight.getInt(1) >= loose.getInt(1),
+      "higher threshold should prefer at least as many rows per band")
+  }
+}
