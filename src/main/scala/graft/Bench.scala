@@ -147,7 +147,8 @@ object Bench {
     "q198_hashed_fit",        // hashed-feature logistic fit, 4 GD steps
     "q199_hashed_quality",    // learned hashed model scoring, one scan
     "q200_gopher_rules",      // full Gopher rule census, one compiled pass
-    "q201_lsh_planner")       // S-curve banding plan, integer cell masses
+    "q201_lsh_planner",       // S-curve banding plan, integer cell masses
+    "q202_crawl_priority")    // PageRank x host quality frontier ordering
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -406,6 +406,7 @@ object ExtendedQueries {
     "q49_quality_filter" -> qualityFilter,
     "q62_dedup_clusters" -> dedupClusters,
     "q201_lsh_planner" -> lshPlanner,
+    "q202_crawl_priority" -> crawlPriority,
     "q171_host_pagerank" -> hostPageRank)
 
   /** q201: MinHash-LSH banding planner ([[graft.ops.LshPlanner]]) — the
@@ -427,8 +428,8 @@ object ExtendedQueries {
     * replays the unrolled iteration chain CTE-for-CTE with the identical
     * arithmetic shape, so the 6-dp ranks hash-match (float drift from
     * summation order is ~1e-14 against a 5e-7 rounding quantum). */
-  lazy val hostPageRank: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
+  /** The deterministic host link graph shared by q171/q202. */
+  private def hostEdges(docs: DataFrame): DataFrame = {
     def srcHost = concat(col("source"), lit(".example.org"))
     def langHost = concat(col("lang"), lit(".example.net"))
     val e1 = docs.select(srcHost.as("src"), langHost.as("dst"))
@@ -440,15 +441,55 @@ object ExtendedQueries {
       .select(srcHost.as("src"),
         concat(lit("src"), (col("doc_id") * 7 % 20).cast("string"),
           lit(".example.org")).as("dst"))
-    val edges = e1.unionByName(e2).unionByName(e3).unionByName(e4)
+    e1.unionByName(e2).unionByName(e3).unionByName(e4)
       .where(col("src") =!= col("dst"))
-    graft.ops.GraphRank.pageRank(edges, "src", "dst", iters = 8)
+  }
+
+  lazy val hostPageRank: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    graft.ops.GraphRank.pageRank(hostEdges(docs), "src", "dst", iters = 8)
       .select(col("host"), col("out_degree"), col("in_degree"),
         round(col("rank"), 6).as("rank"))
       .orderBy("host")
   }
 
-  private def hostPageRankOracle(iters: Int): String = {
+  /** q202: crawl-frontier prioritization — the decision a crawl scheduler
+    * actually makes from the two signals this engine now computes: host
+    * centrality (q171's PageRank over the same link graph) × host content
+    * quality (fraction of the host's docs passing the length / mean-word-
+    * length / alphabetic Gopher rules — the subset that bites on raw
+    * corpus text). priority = round(rank₆ · pass_rate, 9), ranked
+    * rounded-BEFORE-ranked (q59 doctrine) with host tie-break. The
+    * ranking window runs on the HOST frame — bounded by distinct hosts,
+    * never by docs. */
+  lazy val crawlPriority: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val ranks = graft.ops.GraphRank
+      .pageRank(hostEdges(docs), "src", "dst", iters = 8)
+      .select(col("host"), round(col("rank"), 6).as("rank"))
+    val g = docs.withColumn("g",
+      graft.functions.GopherFunctions.gopherStats(col("text")))
+    val pass = col("g.n_words") >= 50 && col("g.n_words") <= 100000 &&
+      col("g.n_words") > 0 &&
+      col("g.sum_word_chars") * lit(1.0) / col("g.n_words") >= 3.0 &&
+      col("g.sum_word_chars") * lit(1.0) / col("g.n_words") <= 10.0 &&
+      col("g.n_alpha_words") * lit(1.0) / col("g.n_words") >= 0.8
+    val qual = g.groupBy(concat(col("source"), lit(".example.org")).as("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(pass, 1L).otherwise(0L)).as("n_pass"))
+    val pr = qual.join(ranks, "host")
+      .withColumn("priority",
+        round(col("rank") * (col("n_pass") * lit(1.0) / col("n_docs")), 9))
+    pr.withColumn("crawl_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("priority").desc, col("host").asc)))
+      .select("host", "rank", "n_docs", "n_pass", "priority", "crawl_rank")
+      .orderBy("host")
+  }
+
+  /** Shared q171/q202 oracle prefix: the host graph + the unrolled
+    * `iters`-step power iteration, ending with the r`iters` rank CTE. */
+  private def hostGraphPrefix(iters: Int): String = {
     val steps = (1 to iters).map { i =>
       val prev = s"r${i - 1}"
       s""",
@@ -484,7 +525,11 @@ object ExtendedQueries {
       |od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM ed GROUP BY 1),
       |ce AS MATERIALIZED (
       |  SELECT ed.src, ed.dst, 1.0 / od.outdeg AS w FROM ed JOIN od USING (src)),
-      |r0 AS MATERIALIZED (SELECT host, 1.0 / nn.cnt AS r FROM nd, nn)$steps,
+      |r0 AS MATERIALIZED (SELECT host, 1.0 / nn.cnt AS r FROM nd, nn)$steps""".stripMargin
+  }
+
+  private def hostPageRankOracle(iters: Int): String =
+    hostGraphPrefix(iters) + s""",
       |idg AS (SELECT dst, count(*) AS indeg FROM ed GROUP BY 1)
       |SELECT nd.host,
       |  CAST(coalesce(od.outdeg, 0) AS BIGINT) AS out_degree,
@@ -495,7 +540,30 @@ object ExtendedQueries {
       |LEFT JOIN idg ON idg.dst = nd.host
       |JOIN r$iters ON r$iters.host = nd.host
       |ORDER BY nd.host""".stripMargin
-  }
+
+  /** q202 oracle: the PageRank chain + the raw-text Gopher quality subset
+    * + the rounded-before-ranked priority ordering. */
+  private def crawlPriorityOracle(iters: Int): String =
+    hostGraphPrefix(iters) + s""",
+      |gq AS (
+      |  SELECT source || '.example.org' AS host, count(*) AS n_docs,
+      |    CAST(sum(CASE WHEN nw >= 50 AND nw <= 100000 AND nw > 0
+      |      AND sc * 1.0 / nw >= 3.0 AND sc * 1.0 / nw <= 10.0
+      |      AND na * 1.0 / nw >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+      |  FROM (SELECT source,
+      |      CAST(len(ts) AS BIGINT) AS nw,
+      |      CAST(coalesce(list_sum(list_transform(ts, w -> length(w))), 0) AS BIGINT) AS sc,
+      |      CAST(len(list_filter(ts, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS na
+      |    FROM (SELECT source, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |        ELSE string_split_regex(trim(text), '\\s+') END AS ts FROM documents))
+      |  GROUP BY 1),
+      |pr AS (
+      |  SELECT gq.host, round(r$iters.r, 6) AS rank, gq.n_docs, gq.n_pass,
+      |    round(round(r$iters.r, 6) * (gq.n_pass * 1.0 / gq.n_docs), 9) AS priority
+      |  FROM gq JOIN r$iters ON r$iters.host = gq.host)
+      |SELECT host, rank, n_docs, n_pass, priority,
+      |  CAST(row_number() OVER (ORDER BY priority DESC, host ASC) AS INT) AS crawl_rank
+      |FROM pr ORDER BY host""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // q201: corpus-free plan-table replay — same pow chain, same 1e-9
@@ -528,6 +596,7 @@ object ExtendedQueries {
         |  (total_units = m.bt AND b = m2.bb) AS chosen
         |FROM t2, m, m2 ORDER BY b""".stripMargin,
     "q171_host_pagerank" -> hostPageRankOracle(8),
+    "q202_crawl_priority" -> crawlPriorityOracle(8),
     "q139_neardup_decontam" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id AS id, unnest(

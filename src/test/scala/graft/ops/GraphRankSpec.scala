@@ -47,4 +47,24 @@ class GraphRankSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(m("a") == (2L, 1L) && m("b") == (1L, 1L) && m("c") == (0L, 1L))
   }
+
+  test("crawl priority (q202): rank permutation, priority arithmetic, ordering") {
+    val rows = graft.queries.ExtendedQueries.crawlPriority(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val ranks = rows.map(_.getAs[Int]("crawl_rank")).sorted
+    assert(ranks.toSeq == (1 to rows.length).toSeq,
+      "crawl_rank must be a 1..N permutation")
+    rows.foreach { r =>
+      val expect = BigDecimal(r.getAs[Double]("rank") *
+        (r.getAs[Long]("n_pass").toDouble / r.getAs[Long]("n_docs")))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("priority") - expect) < 1e-12)
+    }
+    val byRank = rows.sortBy(_.getAs[Int]("crawl_rank"))
+      .map(r => (r.getAs[Double]("priority"), r.getAs[String]("host")))
+    byRank.sliding(2).foreach { case Array((p1, h1), (p2, h2)) =>
+      assert(p1 > p2 || (p1 == p2 && h1 < h2), "ordering violates (-priority, host)")
+    }
+  }
 }
