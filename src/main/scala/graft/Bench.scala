@@ -148,7 +148,8 @@ object Bench {
     "q199_hashed_quality",    // learned hashed model scoring, one scan
     "q200_gopher_rules",      // full Gopher rule census, one compiled pass
     "q201_lsh_planner",       // S-curve banding plan, integer cell masses
-    "q202_crawl_priority")    // PageRank x host quality frontier ordering
+    "q202_crawl_priority",    // PageRank x host quality frontier ordering
+    "q203_markup_census")     // prose/markdown/code routing census
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

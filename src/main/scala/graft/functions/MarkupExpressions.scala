@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Markdown / code structure census in one compiled pass — the signals a
+  * mixture pipeline uses to route documents into prose vs markdown vs
+  * code buckets before tokenizer and quality decisions (code wants a
+  * different tokenizer fertility budget and different quality rules than
+  * prose; misrouting either wastes the budget). Counts only — the
+  * classification thresholds live OUTSIDE the kernel in shared
+  * engine/oracle syntax, per the q200 doctrine.
+  *
+  * Portability contract (each count replayed by the q203 oracle):
+  *  - lines split on \n keeping empties; leading strip is SPACES only
+  *    (DuckDB ltrim default);
+  *  - heading line: 1–6 '#' then a space (the CommonMark atx rule);
+  *  - fence line: stripped line STARTS WITH ``` (language tags allowed);
+  *  - link sites: non-overlapping occurrences of the two-char "](";
+  *  - backticks / semicolons / braces: raw character counts;
+  *  - indented line: raw line starts with 4 spaces or a tab AND has a
+  *    non-space character somewhere (pure-blank lines don't count). */
+case class MarkupStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_heading_lines", LongType, nullable = false),
+    StructField("n_fence_lines", LongType, nullable = false),
+    StructField("n_links", LongType, nullable = false),
+    StructField("n_backticks", LongType, nullable = false),
+    StructField("n_semicolons", LongType, nullable = false),
+    StructField("n_braces", LongType, nullable = false),
+    StructField("n_indented_lines", LongType, nullable = false)))
+  override def prettyName: String = "markup_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+
+    var backticks = 0L; var semis = 0L; var braces = 0L; var links = 0L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '`') backticks += 1L
+      else if (c == ';') semis += 1L
+      else if (c == '{' || c == '}') braces += 1L
+      else if (c == ']' && i + 1 < s.length && s.charAt(i + 1) == '(') links += 1L
+      i += 1
+    }
+
+    val lines = s.split("\n", -1)
+    var headings = 0L; var fences = 0L; var indented = 0L
+    var li = 0
+    while (li < lines.length) {
+      val line = lines(li)
+      var st = 0
+      while (st < line.length && line.charAt(st) == ' ') st += 1
+      // heading: 1..6 '#' then ' '
+      var nh = 0
+      var p = st
+      while (p < line.length && line.charAt(p) == '#' && nh <= 6) { nh += 1; p += 1 }
+      if (nh >= 1 && nh <= 6 && p < line.length && line.charAt(p) == ' ')
+        headings += 1L
+      if (line.length >= st + 3 && line.charAt(st) == '`' &&
+          line.charAt(st + 1) == '`' && line.charAt(st + 2) == '`')
+        fences += 1L
+      val rawIndent = line.startsWith("    ") || line.startsWith("\t")
+      if (rawIndent && line.exists(c => c != ' ' && c != '\t'))
+        indented += 1L
+      li += 1
+    }
+
+    InternalRow(lines.length.toLong, headings, fences, links, backticks,
+      semis, braces, indented)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MarkupFunctions {
+  /** struct of the 8 exact markup/code counts — see [[MarkupStats]]. */
+  def markupStats(text: Column): Column =
+    ColumnBridge.column(MarkupStats(ColumnBridge.expression(text)))
+}

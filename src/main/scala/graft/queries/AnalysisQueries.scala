@@ -173,6 +173,46 @@ object AnalysisQueries {
       .orderBy("source")
   }
 
+  /** q203: markdown / code structure census
+    * ([[graft.functions.MarkupStats]]) — route documents into prose vs
+    * markdown vs code buckets (code wants different tokenizer fertility
+    * and quality rules than prose; misrouting wastes both budgets). ONE
+    * compiled pass emits 8 exact counts; the routing rule is ratio
+    * comparisons in shared syntax outside the kernel (q200 doctrine).
+    * Plants by doc_id % 13 (headings+links, brace/semicolon code bodies,
+    * fenced blocks) give every class members on the single-line prose
+    * corpus. */
+  val markupCensus: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val planted = docs.withColumn("t",
+      when(col("doc_id") % 13 === 1, concat(col("text"),
+        lit("\n# Title\n## Section\nsee [link](http://x) and [two](y)")))
+        .when(col("doc_id") % 13 === 2, concat(col("text"),
+          lit("\nint main() {\n    int x = 1;\n    return x;\n}" * 3)))
+        .when(col("doc_id") % 13 === 3, concat(col("text"),
+          lit("\n```python\ncode here\n```")))
+        .otherwise(col("text")))
+    val g = planted.withColumn("g",
+      graft.functions.MarkupFunctions.markupStats(col("t")))
+    val isCode = (col("g.n_semicolons") + col("g.n_braces")) * lit(1.0) /
+      col("g.n_lines") >= 0.5 && col("g.n_lines") >= 3
+    val isMarkdown = !isCode && (col("g.n_heading_lines") >= 1 ||
+      col("g.n_links") >= 2 || col("g.n_fence_lines") >= 2)
+    val cls = when(isCode, "code").when(isMarkdown, "markdown")
+      .otherwise("prose")
+    g.withColumn("doc_class", cls)
+      .groupBy("doc_class")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("g.n_heading_lines")).as("sum_headings"),
+        sum(col("g.n_links")).as("sum_links"),
+        sum(col("g.n_fence_lines")).as("sum_fences"),
+        sum(col("g.n_semicolons")).as("sum_semicolons"),
+        sum(col("g.n_braces")).as("sum_braces"),
+        sum(col("g.n_indented_lines")).as("sum_indented"),
+        sum(col("doc_id")).as("sum_doc_ids"))
+      .orderBy("doc_class")
+  }
+
   /** q116: retrieval-quality evaluation — three bag-of-terms queries run
     * through the ONE-corpus-pass [[graft.ops.Bm25.topKBatch]] (per-query
     * ranking via the bounded top-k aggregate, no window), judged against
@@ -957,6 +997,7 @@ object AnalysisQueries {
     "q118_trigram_perplexity" -> trigramPerplexity,
     "q194_perplexity_bands" -> perplexityBands,
     "q200_gopher_rules" -> gopherRules,
+    "q203_markup_census" -> markupCensus,
     "q119_repetition_report" -> repetitionReport)
 
   /** q150 oracle: rebuild the WordPiece vocabulary and unroll the greedy
@@ -1402,6 +1443,49 @@ object AnalysisQueries {
         |  CAST(sum(CASE WHEN avg_nll > 3.44 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
         |FROM pd JOIN (SELECT doc_id, lang FROM documents) USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q203: each kernel count replayed via replace/regex arithmetic; the
+    // routing rule is the same ratio comparisons on both sides
+    "q203_markup_census" ->
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE CAST(doc_id % 13 AS INT)
+        |      WHEN 1 THEN chr(10) || '# Title' || chr(10) || '## Section' ||
+        |        chr(10) || 'see [link](http://x) and [two](y)'
+        |      WHEN 2 THEN repeat(chr(10) || 'int main() {' || chr(10) ||
+        |        '    int x = 1;' || chr(10) || '    return x;' || chr(10) || '}', 3)
+        |      WHEN 3 THEN chr(10) || '```python' || chr(10) || 'code here' ||
+        |        chr(10) || '```'
+        |      ELSE '' END AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST(len(ls) AS BIGINT) AS nl,
+        |    CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l), '^#{1,6} ')))
+        |      AS BIGINT) AS nh,
+        |    CAST(len(list_filter(ls, l -> ltrim(l) LIKE '```%')) AS BIGINT) AS nf,
+        |    CAST((length(t) - length(replace(t, '](', ''))) // 2 AS BIGINT) AS nk,
+        |    CAST(length(t) - length(replace(t, '`', '')) AS BIGINT) AS nb,
+        |    CAST(length(t) - length(replace(t, ';', '')) AS BIGINT) AS nsemi,
+        |    CAST((length(t) - length(replace(t, '{', ''))) +
+        |      (length(t) - length(replace(t, '}', ''))) AS BIGINT) AS nbr,
+        |    CAST(len(list_filter(ls, l -> (l LIKE '    %' OR l LIKE chr(9) || '%')
+        |      AND regexp_matches(l, '[^ \t]'))) AS BIGINT) AS ni
+        |  FROM (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM p)),
+        |c AS (
+        |  SELECT doc_id, nh, nk, nf, nsemi, nbr, ni,
+        |    CASE WHEN (nsemi + nbr) * 1.0 / nl >= 0.5 AND nl >= 3 THEN 'code'
+        |      WHEN nh >= 1 OR nk >= 2 OR nf >= 2 THEN 'markdown'
+        |      ELSE 'prose' END AS doc_class
+        |  FROM g)
+        |SELECT doc_class, count(*) AS n_docs,
+        |  CAST(sum(nh) AS BIGINT) AS sum_headings,
+        |  CAST(sum(nk) AS BIGINT) AS sum_links,
+        |  CAST(sum(nf) AS BIGINT) AS sum_fences,
+        |  CAST(sum(nsemi) AS BIGINT) AS sum_semicolons,
+        |  CAST(sum(nbr) AS BIGINT) AS sum_braces,
+        |  CAST(sum(ni) AS BIGINT) AS sum_indented,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // q200: every kernel count replayed in list/regex space; the rule
     // comparisons are the same double expressions on both sides
     "q200_gopher_rules" ->

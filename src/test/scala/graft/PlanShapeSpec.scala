@@ -395,4 +395,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("Generate explode"),
       plan.take(2000))
   }
+
+  test("perplexity banding: histogram and totals broadcast, no per-language doc window") {
+    val plan = planOf("q194_perplexity_bands")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"histogram-prefix frames must broadcast into the doc frame:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the only Window nodes may partition by (lang, difficulty) tie-groups,
+    // never by lang alone over raw docs
+    val windowSpecs = "Window .*windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(windowSpecs.forall(s => !(s.contains("lang") && !s.contains("difficulty"))),
+      s"a lang-only window would serialize whole languages:\n$windowSpecs")
+  }
+
+  test("hashed-classifier corpus scoring is one scan, no joins before the aggregate") {
+    val plan = planOf("q199_hashed_quality")
+    assert("FileScan parquet".r.findAllIn(plan).length == 1,
+      s"scoring must be a single corpus scan:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), // weights are literals, not a frame
+      s"scoring must not join a weights frame:\n${plan.take(2000)}")
+    assert(!plan.contains("Generate explode"), plan.take(2000))
+  }
+
+  test("chat render is one conv-keyed shuffle; prompt keep-best has no window") {
+    val render = planOf("q196_chat_render")
+    assert(!render.contains("Window"),
+      s"turn ordering must come from array_sort, not a window:\n${render.take(2000)}")
+    val dedup = planOf("q197_prompt_dedup")
+    assert(!dedup.contains("Window"),
+      s"keep-best must be the max(struct) aggregate, not a per-prompt window:\n${dedup.take(2000)}")
+    assert(!dedup.contains("CartesianProduct"), dedup.take(2000))
+  }
+
+  test("Gopher census and card-PII census are single-scan grouped aggregations") {
+    Seq("q200_gopher_rules", "q195_card_pii").foreach { q =>
+      val plan = planOf(q)
+      assert("FileScan parquet".r.findAllIn(plan).length == 1,
+        s"$q must scan documents exactly once:\n${plan.take(2000)}")
+      assert(!plan.contains("Generate explode") && !plan.contains("Join"),
+        s"$q must stay in-row into a partial aggregate:\n${plan.take(2000)}")
+    }
+  }
 }

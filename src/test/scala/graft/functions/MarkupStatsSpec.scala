@@ -1,0 +1,49 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** MarkupStats kernel: CommonMark heading edges, fence/indent conventions,
+  * link-site counting, and a differential against SQL-function references. */
+class MarkupStatsSpec extends SparkSpec {
+
+  private def stats(t: String) = {
+    val df = spark.createDataFrame(Seq(Tuple1(t))).toDF("t")
+    df.select(MarkupFunctions.markupStats(col("t")).as("g")).head().getStruct(0)
+  }
+
+  test("heading rule: 1-6 hashes then space, leading spaces allowed") {
+    assert(stats("# one\n## two\n###### six\n####### seven\n#nospace\n ## indented")
+      .getAs[Long]("n_heading_lines") == 4L) // seven-# and #nospace rejected
+  }
+
+  test("fences, links, indent, char counts") {
+    val g = stats("```scala\nval x = 1;\n```\nsee [a](b) and [c](d)\n    indented\n    \n\tx{y}")
+    assert(g.getAs[Long]("n_fence_lines") == 2L)
+    assert(g.getAs[Long]("n_links") == 2L)
+    assert(g.getAs[Long]("n_backticks") == 6L)
+    assert(g.getAs[Long]("n_semicolons") == 1L)
+    assert(g.getAs[Long]("n_braces") == 2L)
+    // "    indented" and "\tx{y}" count; the all-blank "    " line does not
+    assert(g.getAs[Long]("n_indented_lines") == 2L)
+    assert(g.getAs[Long]("n_lines") == 7L)
+  }
+
+  test("corpus differential against SQL-function references") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("t", concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit("\n# h\n[a](b); {x}")).otherwise(lit(""))))
+    val bad = docs.select(
+        MarkupFunctions.markupStats(col("t")).as("g"),
+        ((length(col("t")) - length(regexp_replace(col("t"), "\\]\\(", ""))) / 2)
+          .cast("long").as("nk_ref"),
+        (length(col("t")) - length(regexp_replace(col("t"), ";", "")))
+          .cast("long").as("ns_ref"),
+        size(split(col("t"), "\n", -1)).cast("long").as("nl_ref"))
+      .where(col("g.n_links") =!= col("nk_ref") ||
+        col("g.n_semicolons") =!= col("ns_ref") ||
+        col("g.n_lines") =!= col("nl_ref"))
+      .count()
+    assert(bad == 0)
+  }
+}
