@@ -149,7 +149,9 @@ object Bench {
     "q200_gopher_rules",      // full Gopher rule census, one compiled pass
     "q201_lsh_planner",       // S-curve banding plan, integer cell masses
     "q202_crawl_priority",    // PageRank x host quality frontier ordering
-    "q203_markup_census")     // prose/markdown/code routing census
+    "q203_markup_census",     // prose/markdown/code routing census
+    "q204_secret_census",     // credential detectors + entropy screen
+    "q205_secret_scrub")      // in-place secret redaction certificate
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -1,0 +1,204 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Credential / secret detection census in one compiled pass — the scan a
+  * code-corpus release runs before anything ships (leaked API keys in
+  * training data get memorized and regurgitated; the scrub has to happen
+  * corpus-side). Three detector classes over whitespace tokens, mirroring
+  * the public detect-secrets taxonomy: a structured-id pattern (AWS-style
+  * `AKIA` + 16 upper-alnum), long lowercase-hex blobs, and long
+  * base64-alphabet blobs that additionally pass a Shannon-entropy screen
+  * (the entropy test is what separates a real key from `AAAA...==`
+  * padding or repeated-motif strings that share the alphabet).
+  *
+  * Portability contract (the q204 oracle replays every count):
+  *  - tokens = `split(trim(text), "\\s+")` (the [[SimHash64]] convention);
+  *    blank-trim text yields zero tokens;
+  *  - class precedence per token, first match wins (shared CASE order):
+  *    aws = `^AKIA[0-9A-Z]{16}$`; hex = len >= 32 all `[0-9a-f]`;
+  *    cand = len >= 32 all `[A-Za-z0-9+/=]`;
+  *  - entropy (cand tokens only) = log2(m) - Σ c·log2(c)/m over the
+  *    token's character histogram (the [[CharGramStats]] shape, m = token
+  *    length) — both engines share that exact IEEE expression;
+  *  - n_secret = cand tokens with entropy >= 4.2 (threshold OUTSIDE any
+  *    attainable-exactly value: planted keys measure >= 4.6, alphabet
+  *    decoys 2.0, so a 1-ulp log2 skew between engines cannot flip it —
+  *    the q194 float-threshold doctrine);
+  *  - sum_cand_entropy = Σ entropy over cand tokens (0.0 when none), so
+  *    the aggregate layer can publish sum/count averages at any grouping.
+  */
+case class SecretStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  private val Ln2 = math.log(2.0)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_aws", LongType, nullable = false),
+    StructField("n_hex", LongType, nullable = false),
+    StructField("n_cand", LongType, nullable = false),
+    StructField("n_secret", LongType, nullable = false),
+    StructField("sum_cand_entropy", DoubleType, nullable = false)))
+  override def prettyName: String = "secret_stats"
+
+  private def isAws(t: String): Boolean = {
+    if (t.length != 20 || !t.startsWith("AKIA")) return false
+    var i = 4
+    while (i < 20) {
+      val c = t.charAt(i)
+      if (!((c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z'))) return false
+      i += 1
+    }
+    true
+  }
+
+  private def isHex(t: String): Boolean = {
+    if (t.length < 32) return false
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (!((c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'))) return false
+      i += 1
+    }
+    true
+  }
+
+  private def isB64(t: String): Boolean = {
+    if (t.length < 32) return false
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (!((c >= '0' && c <= '9') || (c >= 'a' && c <= 'z') ||
+            (c >= 'A' && c <= 'Z') || c == '+' || c == '/' || c == '='))
+        return false
+      i += 1
+    }
+    true
+  }
+
+  /** log2(m) - Σ c·log2(c)/m over the token's char histogram. Alphabet is
+    * ASCII by construction (isB64 passed), so a 128-slot table suffices. */
+  private def entropy(t: String): Double = {
+    val counts = new Array[Int](128)
+    var i = 0
+    while (i < t.length) { counts(t.charAt(i)) += 1; i += 1 }
+    var acc = 0.0
+    var j = 0
+    while (j < 128) {
+      val c = counts(j)
+      if (c > 0) acc += c.toDouble * (math.log(c.toDouble) / Ln2)
+      j += 1
+    }
+    (math.log(t.length.toDouble) / Ln2) - acc / t.length
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val trimmed = input.asInstanceOf[UTF8String].trim()
+    if (trimmed.numBytes() == 0)
+      return InternalRow(0L, 0L, 0L, 0L, 0L, 0.0)
+    val toks = SecretStats.Whitespace.split(trimmed.toString, -1)
+    var aws = 0L; var hex = 0L; var cand = 0L; var secret = 0L
+    var sumH = 0.0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (isAws(t)) aws += 1L
+      else if (isHex(t)) hex += 1L
+      else if (isB64(t)) {
+        cand += 1L
+        val h = entropy(t)
+        sumH += h
+        if (h >= 4.2) secret += 1L
+      }
+      i += 1
+    }
+    InternalRow(toks.length.toLong, aws, hex, cand, secret, sumH)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SecretStats {
+  private val Whitespace = Pattern.compile("\\s+")
+}
+
+/** Rewrite twin of [[SecretStats]] — replace every detected secret token
+  * in place with `<SECRET_AWS>` / `<SECRET_HEX>` / `<SECRET_B64>`,
+  * preserving ALL surrounding whitespace byte-for-byte (the scrub runs
+  * before packing/rendering, so it must not re-flow the document).
+  * Detection is the exact [[SecretStats]] classifier — same precedence,
+  * same entropy screen — so census counts before == replacement counts
+  * after by construction. Non-secret text is untouched. */
+case class SecretRedact(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  private val Ln2 = math.log(2.0)
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "secret_redact"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      if (Character.isWhitespace(s.charAt(i))) { out.append(s.charAt(i)); i += 1 }
+      else {
+        var j = i
+        while (j < n && !Character.isWhitespace(s.charAt(j))) j += 1
+        val t = s.substring(i, j)
+        out.append(SecretRedact.replacement(t, Ln2))
+        i = j
+      }
+    }
+    UTF8String.fromString(out.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SecretRedact {
+  /** Shared with the streaming scrub twin; classification mirrors
+    * [[SecretStats]] exactly. */
+  private[functions] def replacement(t: String, ln2: Double): String = {
+    def isAws: Boolean = t.length == 20 && t.startsWith("AKIA") &&
+      t.substring(4).forall(c => (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z'))
+    def isHex: Boolean = t.length >= 32 &&
+      t.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'))
+    def isB64: Boolean = t.length >= 32 && t.forall(c =>
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'z') ||
+        (c >= 'A' && c <= 'Z') || c == '+' || c == '/' || c == '=')
+    if (isAws) "<SECRET_AWS>"
+    else if (isHex) "<SECRET_HEX>"
+    else if (isB64) {
+      val counts = new Array[Int](128)
+      t.foreach(c => counts(c) += 1)
+      var acc = 0.0
+      counts.foreach(c => if (c > 0) acc += c.toDouble * (math.log(c.toDouble) / ln2))
+      val h = (math.log(t.length.toDouble) / ln2) - acc / t.length
+      if (h >= 4.2) "<SECRET_B64>" else t
+    } else t
+  }
+}
+
+object SecretFunctions {
+  /** struct of the 6 secret-detector signals — see [[SecretStats]]. */
+  def secretStats(text: Column): Column =
+    ColumnBridge.column(SecretStats(ColumnBridge.expression(text)))
+
+  /** whitespace-preserving secret scrub — see [[SecretRedact]]. */
+  def secretRedact(text: Column): Column =
+    ColumnBridge.column(SecretRedact(ColumnBridge.expression(text)))
+}

@@ -213,6 +213,92 @@ object AnalysisQueries {
       .orderBy("doc_class")
   }
 
+  /** q204: credential / secret-leak census
+    * ([[graft.functions.SecretStats]]) — the pre-release scan a code
+    * corpus runs before training (leaked keys get memorized). ONE
+    * compiled pass per doc over whitespace tokens: AWS-style structured
+    * ids, long lowercase-hex blobs, long base64-alphabet blobs gated by
+    * a Shannon-entropy screen (>= 4.2 bits — planted keys measure >= 4.6,
+    * the repeated-motif decoy 2.0 up to float rounding, so the threshold
+    * sits in a wide dead zone per the q194 doctrine). Plants by doc_id % 17
+    * are
+    * md5/base64 arithmetic both engines evaluate identically: a derived
+    * AKIA id, a 64-char hex blob, a 44-char base64 key (high entropy),
+    * and an alphabet-matching low-entropy decoy the screen must REJECT.
+    * Per source: token/detector totals, flagged-doc count, and the
+    * sum/count candidate-entropy average (4 dp). */
+  val secretCensus: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val did = col("doc_id").cast("string")
+    val planted = docs.withColumn("t",
+      when(col("doc_id") % 17 === 1, concat(col("text"),
+        lit(" AKIA"), upper(substring(md5(did), 1, 16))))
+        .when(col("doc_id") % 17 === 2, concat(col("text"), lit(" "),
+          md5(did), md5((col("doc_id") + 1).cast("string"))))
+        .when(col("doc_id") % 17 === 3, concat(col("text"), lit(" "),
+          base64(unhex(concat(md5(did), md5((col("doc_id") + 7).cast("string")))))))
+        .when(col("doc_id") % 17 === 4, concat(col("text"), lit(" " + "Ab+/" * 9)))
+        .otherwise(col("text")))
+    val g = planted.select(col("doc_id"), col("source"),
+      graft.functions.SecretFunctions.secretStats(col("t")).as("g"))
+    g.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("g.n_tokens")).as("n_tokens"),
+        sum(col("g.n_aws")).as("n_aws"),
+        sum(col("g.n_hex")).as("n_hex"),
+        sum(col("g.n_cand")).as("n_candidates"),
+        sum(col("g.n_secret")).as("n_b64_secrets"),
+        sum(((col("g.n_aws") + col("g.n_hex") + col("g.n_secret")) > 0)
+          .cast("long")).as("n_docs_flagged"),
+        round(sum(col("g.sum_cand_entropy")) / sum(col("g.n_cand")), 4)
+          .as("avg_cand_entropy"),
+        sum(col("doc_id")).as("sum_doc_ids"))
+      .orderBy("source")
+  }
+
+  /** q205: secret scrub certificate ([[graft.functions.SecretRedact]],
+    * the rewrite twin of q204's census) — the scrub that actually ships.
+    * Same plants as q204; every detected token is replaced in place with
+    * its class marker, whitespace preserved byte-for-byte. The gate
+    * proves the two halves agree END-TO-END: marker counts in the
+    * scrubbed text == census detector counts, a re-census of the
+    * scrubbed text finds ZERO residual detections (markers contain
+    * non-alphabet chars, so they can't re-trigger), and the exact char
+    * delta certifies nothing else moved. */
+  val secretScrub: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val did = col("doc_id").cast("string")
+    val planted = docs.withColumn("t",
+      when(col("doc_id") % 17 === 1, concat(col("text"),
+        lit(" AKIA"), upper(substring(md5(did), 1, 16))))
+        .when(col("doc_id") % 17 === 2, concat(col("text"), lit(" "),
+          md5(did), md5((col("doc_id") + 1).cast("string"))))
+        .when(col("doc_id") % 17 === 3, concat(col("text"), lit(" "),
+          base64(unhex(concat(md5(did), md5((col("doc_id") + 7).cast("string")))))))
+        .when(col("doc_id") % 17 === 4, concat(col("text"), lit(" " + "Ab+/" * 9)))
+        .otherwise(col("text")))
+    val scrubbed = planted.select(col("doc_id"), col("source"), col("t"),
+      graft.functions.SecretFunctions.secretRedact(col("t")).as("clean"))
+    def markers(c: org.apache.spark.sql.Column, m: String): org.apache.spark.sql.Column =
+      ((length(c) - length(replace(c, lit(m), lit("")))) / m.length).cast("long")
+    scrubbed.select(col("doc_id"), col("source"),
+        markers(col("clean"), "<SECRET_AWS>").as("m_aws"),
+        markers(col("clean"), "<SECRET_HEX>").as("m_hex"),
+        markers(col("clean"), "<SECRET_B64>").as("m_b64"),
+        graft.functions.SecretFunctions.secretStats(col("clean")).as("r"),
+        (length(col("clean")) - length(col("t"))).as("char_delta"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("m_aws")).as("n_aws_scrubbed"),
+        sum(col("m_hex")).as("n_hex_scrubbed"),
+        sum(col("m_b64")).as("n_b64_scrubbed"),
+        sum(col("r.n_aws") + col("r.n_hex") + col("r.n_secret"))
+          .as("n_residual"),
+        sum(col("char_delta")).as("char_delta"),
+        sum(col("doc_id")).as("sum_doc_ids"))
+      .orderBy("source")
+  }
+
   /** q116: retrieval-quality evaluation — three bag-of-terms queries run
     * through the ONE-corpus-pass [[graft.ops.Bm25.topKBatch]] (per-query
     * ranking via the bounded top-k aggregate, no window), judged against
@@ -998,6 +1084,8 @@ object AnalysisQueries {
     "q194_perplexity_bands" -> perplexityBands,
     "q200_gopher_rules" -> gopherRules,
     "q203_markup_census" -> markupCensus,
+    "q204_secret_census" -> secretCensus,
+    "q205_secret_scrub" -> secretScrub,
     "q119_repetition_report" -> repetitionReport)
 
   /** q150 oracle: rebuild the WordPiece vocabulary and unroll the greedy
@@ -1078,6 +1166,48 @@ object AnalysisQueries {
       |  round(sum(n2) * 1.0 / count(*), 6) AS fertility_v2,
       |  round((sum(n1) - sum(n2)) * 1.0 / count(*), 6) AS fertility_gain
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Shared q204/q205 oracle prefix: the secret plants replayed with the
+    * same md5/base64 arithmetic, tokenization (trim + `\s+`), per-token
+    * classification (shared CASE order), and candidate entropy (shared
+    * log2 expression shape over the token char histogram). */
+  private val secretPlantCte: String =
+    """WITH p AS (
+      |  SELECT doc_id, source, text ||
+      |    CASE CAST(doc_id % 17 AS INT)
+      |      WHEN 1 THEN ' AKIA' || upper(substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+      |      WHEN 2 THEN ' ' || md5(CAST(doc_id AS VARCHAR)) ||
+      |        md5(CAST(doc_id + 1 AS VARCHAR))
+      |      WHEN 3 THEN ' ' || to_base64(from_hex(md5(CAST(doc_id AS VARCHAR)) ||
+      |        md5(CAST(doc_id + 7 AS VARCHAR))))
+      |      WHEN 4 THEN ' ' || repeat('Ab+/', 9)
+      |      ELSE '' END AS t
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, source, CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
+      |    ELSE string_split_regex(trim(t), '\s+') END AS ts
+      |  FROM p),
+      |toks AS (
+      |  SELECT doc_id, i AS tpos, ts[i] AS tok
+      |  FROM d, unnest(generate_series(1, len(ts))) AS u(i)),
+      |cls AS (
+      |  SELECT doc_id, tpos, tok,
+      |    CASE
+      |      WHEN regexp_matches(tok, '^AKIA[0-9A-Z]{16}$') THEN 'aws'
+      |      WHEN length(tok) >= 32 AND regexp_matches(tok, '^[0-9a-f]+$') THEN 'hex'
+      |      WHEN length(tok) >= 32 AND regexp_matches(tok, '^[A-Za-z0-9+/=]+$')
+      |        THEN 'cand'
+      |      ELSE 'none' END AS k
+      |  FROM toks),
+      |ch AS (
+      |  SELECT doc_id, tpos, c, count(*) AS n FROM (
+      |    SELECT doc_id, tpos, unnest([substring(tok, i, 1)
+      |      FOR i IN generate_series(1, length(tok))]) AS c
+      |    FROM cls WHERE k = 'cand')
+      |  GROUP BY 1, 2, 3),
+      |ent AS (
+      |  SELECT doc_id, tpos, log2(sum(n)) - sum(n * log2(n)) / sum(n) AS h
+      |  FROM ch GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q187_dictionary_redact" ->
@@ -1443,6 +1573,52 @@ object AnalysisQueries {
         |  CAST(sum(CASE WHEN avg_nll > 3.44 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
         |FROM pd JOIN (SELECT doc_id, lang FROM documents) USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q204: plants replayed with the same md5/base64 arithmetic; per-token
+    // classification is the same CASE order; candidate entropy is the
+    // shared log2(m) - Σc·log2(c)/m shape over the token char histogram
+    "q204_secret_census" -> (secretPlantCte +
+      """,
+        |pd AS (SELECT doc_id, count(*) AS ntok,
+        |    sum(CASE WHEN k = 'aws' THEN 1 ELSE 0 END) AS a,
+        |    sum(CASE WHEN k = 'hex' THEN 1 ELSE 0 END) AS x,
+        |    sum(CASE WHEN k = 'cand' THEN 1 ELSE 0 END) AS cnd,
+        |    sum(CASE WHEN k = 'cand' AND h >= 4.2 THEN 1 ELSE 0 END) AS sec,
+        |    sum(CASE WHEN k = 'cand' THEN h ELSE 0 END) AS sh
+        |  FROM cls LEFT JOIN ent USING (doc_id, tpos) GROUP BY 1)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(coalesce(ntok, 0)) AS BIGINT) AS n_tokens,
+        |  CAST(sum(coalesce(a, 0)) AS BIGINT) AS n_aws,
+        |  CAST(sum(coalesce(x, 0)) AS BIGINT) AS n_hex,
+        |  CAST(sum(coalesce(cnd, 0)) AS BIGINT) AS n_candidates,
+        |  CAST(sum(coalesce(sec, 0)) AS BIGINT) AS n_b64_secrets,
+        |  CAST(sum(CASE WHEN coalesce(a, 0) + coalesce(x, 0) +
+        |    coalesce(sec, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged,
+        |  round(sum(coalesce(sh, 0)) / sum(coalesce(cnd, 0)), 4)
+        |    AS avg_cand_entropy,
+        |  CAST(sum(d.doc_id) AS BIGINT) AS sum_doc_ids
+        |FROM d LEFT JOIN pd USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+    // q205: the scrub contract replayed from classification alone — marker
+    // counts == detector counts, residual 0, char delta = Σ (12 - len(tok))
+    // per detected token (markers are 12 chars; decoys untouched)
+    "q205_secret_scrub" -> (secretPlantCte +
+      """,
+        |pd AS (SELECT doc_id,
+        |    sum(CASE WHEN k = 'aws' THEN 1 ELSE 0 END) AS a,
+        |    sum(CASE WHEN k = 'hex' THEN 1 ELSE 0 END) AS x,
+        |    sum(CASE WHEN k = 'cand' AND h >= 4.2 THEN 1 ELSE 0 END) AS sec,
+        |    sum(CASE WHEN k = 'aws' OR k = 'hex' OR (k = 'cand' AND h >= 4.2)
+        |      THEN 12 - length(tok) ELSE 0 END) AS delta
+        |  FROM cls LEFT JOIN ent USING (doc_id, tpos) GROUP BY 1)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(coalesce(a, 0)) AS BIGINT) AS n_aws_scrubbed,
+        |  CAST(sum(coalesce(x, 0)) AS BIGINT) AS n_hex_scrubbed,
+        |  CAST(sum(coalesce(sec, 0)) AS BIGINT) AS n_b64_scrubbed,
+        |  CAST(0 AS BIGINT) AS n_residual,
+        |  CAST(sum(coalesce(delta, 0)) AS BIGINT) AS char_delta,
+        |  CAST(sum(d.doc_id) AS BIGINT) AS sum_doc_ids
+        |FROM d LEFT JOIN pd USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
     // q203: each kernel count replayed via replace/regex arithmetic; the
     // routing rule is the same ratio comparisons on both sides
     "q203_markup_census" ->

@@ -233,6 +233,19 @@ object StreamingPipeline {
       .withColumn(textCol,
         graft.functions.PiiFunctions.luhnRedact(col(textCol)))
 
+  /** Streaming secret scrub (q204/q205's operators per micro-batch):
+    * detector census struct + in-place token redaction in one stateless
+    * projection — the code-corpus analogue of [[cardPiiStream]], run at
+    * ingest so no leaked credential ever lands in the staged corpus.
+    * Census and scrub share one classifier ([[graft.functions.SecretStats]]
+    * / [[graft.functions.SecretRedact]]), so counts-before == markers-after
+    * per micro-batch by construction. */
+  def secretScrubStream(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("secret_stats",
+        graft.functions.SecretFunctions.secretStats(col(textCol)))
+      .withColumn(textCol,
+        graft.functions.SecretFunctions.secretRedact(col(textCol)))
+
   /** Streaming semantic decontamination: every arriving micro-batch of
     * embedded documents screens against the benchmark EMBEDDINGS with the
     * batch operator ([[graft.dedup.Contamination.semanticScores]] — the

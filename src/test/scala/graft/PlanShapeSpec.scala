@@ -437,4 +437,14 @@ class PlanShapeSpec extends SparkSpec {
         s"$q must stay in-row into a partial aggregate:\n${plan.take(2000)}")
     }
   }
+
+  test("markup, secret census, and secret scrub are single-scan in-row aggregations") {
+    Seq("q203_markup_census", "q204_secret_census", "q205_secret_scrub").foreach { q =>
+      val plan = planOf(q)
+      assert("FileScan parquet".r.findAllIn(plan).length == 1,
+        s"$q must scan documents exactly once:\n${plan.take(2000)}")
+      assert(!plan.contains("Generate explode") && !plan.contains("Join"),
+        s"$q must stay in-row into a partial aggregate:\n${plan.take(2000)}")
+    }
+  }
 }

@@ -970,4 +970,51 @@ class StreamingSpec extends SparkSpec {
     assert(valid == batchValid, "streamed card census diverged from batch")
     assert(leaked == 0L, "a planted card number survived the streaming scrub")
   }
+
+  test("streaming secret scrub == batch twin; no planted key survives") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val did = col("doc_id").cast("string")
+    val planted = docs.withColumn("text",
+      when(col("doc_id") % 17 === 1, concat(col("text"),
+        lit(" AKIA"), upper(substring(md5(did), 1, 16))))
+        .when(col("doc_id") % 17 === 2, concat(col("text"), lit(" "),
+          md5(did), md5((col("doc_id") + 1).cast("string"))))
+        .when(col("doc_id") % 17 === 3, concat(col("text"), lit(" "),
+          base64(unhex(concat(md5(did), md5((col("doc_id") + 7).cast("string")))))))
+        .otherwise(col("text")))
+    val batchDetected = planted.select(sum(col("doc_id") *
+      (graft.functions.SecretFunctions.secretStats(col("text"))
+        .getField("n_aws") +
+        graft.functions.SecretFunctions.secretStats(col("text"))
+          .getField("n_hex") +
+        graft.functions.SecretFunctions.secretStats(col("text"))
+          .getField("n_secret")))).head().getLong(0)
+
+    val d = java.nio.file.Files.createTempDirectory("graft_sec_src")
+    planted.repartition(3).write.mode("overwrite").parquet(d.toString)
+    val schema = spark.read.parquet(d.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+    var detected = 0L; var residual = 0L; var nBatches = 0
+    val q = StreamingPipeline.secretScrubStream(stream, "text")
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        nBatches += 1
+        val r = batch.agg(
+          sum(col("doc_id") * (col("secret_stats.n_aws") +
+            col("secret_stats.n_hex") + col("secret_stats.n_secret"))),
+          sum(graft.functions.SecretFunctions.secretStats(col("text"))
+            .getField("n_aws") +
+            graft.functions.SecretFunctions.secretStats(col("text"))
+              .getField("n_hex") +
+            graft.functions.SecretFunctions.secretStats(col("text"))
+              .getField("n_secret"))).head()
+        detected += r.getLong(0); residual += r.getLong(1)
+      }.start()
+    q.awaitTermination()
+    assert(nBatches >= 2)
+    assert(detected == batchDetected, "streamed secret census diverged from batch")
+    assert(residual == 0L, "a planted credential survived the streaming scrub")
+  }
 }
