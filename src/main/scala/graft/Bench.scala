@@ -151,7 +151,9 @@ object Bench {
     "q202_crawl_priority",    // PageRank x host quality frontier ordering
     "q203_markup_census",     // prose/markdown/code routing census
     "q204_secret_census",     // credential detectors + entropy screen
-    "q205_secret_scrub")      // in-place secret redaction certificate
+    "q205_secret_scrub",      // in-place secret redaction certificate
+    "q206_license_census",    // SPDX phrase automaton + precedence routing
+    "q207_comment_census")    // comment/blank line shares by doc class
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -24,7 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - link sites: non-overlapping occurrences of the two-char "](";
   *  - backticks / semicolons / braces: raw character counts;
   *  - indented line: raw line starts with 4 spaces or a tab AND has a
-  *    non-space character somewhere (pure-blank lines don't count). */
+  *    non-space character somewhere (pure-blank lines don't count);
+  *  - comment line: stripped line starts with `//`, `#`, `--`, or
+  *    slash-star (the C/script/SQL/block families; `*` continuations are
+  *    excluded on purpose — they collide with markdown bullets);
+  *  - blank line: empty or spaces/tabs only. */
 case class MarkupStats(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -36,7 +40,9 @@ case class MarkupStats(child: Expression)
     StructField("n_backticks", LongType, nullable = false),
     StructField("n_semicolons", LongType, nullable = false),
     StructField("n_braces", LongType, nullable = false),
-    StructField("n_indented_lines", LongType, nullable = false)))
+    StructField("n_indented_lines", LongType, nullable = false),
+    StructField("n_comment_lines", LongType, nullable = false),
+    StructField("n_blank_lines", LongType, nullable = false)))
   override def prettyName: String = "markup_stats"
 
   override def nullSafeEval(input: Any): Any = {
@@ -55,11 +61,21 @@ case class MarkupStats(child: Expression)
 
     val lines = s.split("\n", -1)
     var headings = 0L; var fences = 0L; var indented = 0L
+    var comments = 0L; var blanks = 0L
     var li = 0
     while (li < lines.length) {
       val line = lines(li)
       var st = 0
       while (st < line.length && line.charAt(st) == ' ') st += 1
+      if (line.forall(c => c == ' ' || c == '\t')) blanks += 1L
+      else {
+        val rest = line.length - st
+        val c0 = if (rest >= 1) line.charAt(st) else ' '
+        val c1 = if (rest >= 2) line.charAt(st + 1) else ' '
+        if (c0 == '#' || (c0 == '/' && c1 == '/') || (c0 == '-' && c1 == '-') ||
+            (c0 == '/' && c1 == '*'))
+          comments += 1L
+      }
       // heading: 1..6 '#' then ' '
       var nh = 0
       var p = st
@@ -76,7 +92,7 @@ case class MarkupStats(child: Expression)
     }
 
     InternalRow(lines.length.toLong, headings, fences, links, backticks,
-      semis, braces, indented)
+      semis, braces, indented, comments, blanks)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

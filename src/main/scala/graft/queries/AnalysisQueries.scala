@@ -213,6 +213,104 @@ object AnalysisQueries {
       .orderBy("doc_class")
   }
 
+  /** The q206 license-phrase dictionary — SPDX-identifying phrases, all
+    * lowercase (matching runs on lower(text)). None is a substring of
+    * another and none has a self-border, so the oracle's left-to-right
+    * replace() counting equals the automaton's all-occurrence counting. */
+  private val LicensePhrases = Seq(
+    "mit license", "apache license", "gnu general public license",
+    "bsd 3-clause license", "mozilla public license")
+
+  /** q206: license classification for code corpora
+    * ([[graft.functions.MultiPatternCounts]], the q161 automaton over the
+    * SPDX phrase dictionary) — the compliance gate a code-corpus release
+    * runs: route every doc into copyleft / weak-copyleft / permissive /
+    * none by detected license phrases, conservative precedence (viral
+    * terms win: GPL > MPL > permissive), and count dual-licensed docs
+    * (GPL alongside a permissive grant — the relicensing-decision set).
+    * ONE compiled pass per doc for any dictionary size; the routing rule
+    * is comparisons on the count array in shared engine/oracle syntax.
+    * Plants by doc_id % 19 populate every class, including a dual-license
+    * header exercising the precedence. */
+  val licenseCensus: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val planted = docs.withColumn("t",
+      when(col("doc_id") % 19 === 1, concat(col("text"),
+        lit(" Licensed under the MIT License.")))
+        .when(col("doc_id") % 19 === 2, concat(col("text"),
+          lit(" Licensed under the Apache License, Version 2.0.")))
+        .when(col("doc_id") % 19 === 3, concat(col("text"),
+          lit(" This program is free software under the GNU General Public License.")))
+        .when(col("doc_id") % 19 === 4, concat(col("text"),
+          lit(" Redistribution permitted under the BSD 3-Clause License.")))
+        .when(col("doc_id") % 19 === 5, concat(col("text"),
+          lit(" Dual licensed under the MIT License or the GNU General Public License.")))
+        .when(col("doc_id") % 19 === 6, concat(col("text"),
+          lit(" Covered by the Mozilla Public License 2.0.")))
+        .otherwise(col("text")))
+    val c = planted.withColumn("c",
+      graft.functions.TextExpr.multiPatternCounts(lower(col("t")), LicensePhrases))
+    val mit = element_at(col("c"), 1); val apache = element_at(col("c"), 2)
+    val gpl = element_at(col("c"), 3); val bsd = element_at(col("c"), 4)
+    val mpl = element_at(col("c"), 5)
+    val cls = when(gpl > 0, "copyleft")
+      .when(mpl > 0, "weak-copyleft")
+      .when(mit + apache + bsd > 0, "permissive")
+      .otherwise("none")
+    c.withColumn("license_class", cls)
+      .groupBy("license_class")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(mit.cast("long")).as("n_mit"),
+        sum(apache.cast("long")).as("n_apache"),
+        sum(gpl.cast("long")).as("n_gpl"),
+        sum(bsd.cast("long")).as("n_bsd"),
+        sum(mpl.cast("long")).as("n_mpl"),
+        sum((gpl > 0 && (mit + apache + bsd) > 0).cast("long")).as("n_dual"),
+        sum(col("doc_id")).as("sum_doc_ids"))
+      .orderBy("license_class")
+  }
+
+  /** q207: comment-line census by doc class — the comment-to-code signal
+    * every code-quality filter keys on (a near-zero comment share flags
+    * minified/generated code; an extreme share flags license-header-only
+    * stubs). Reuses the ONE [[graft.functions.MarkupStats]] compiled pass
+    * (comment/blank fields) AND the q203 routing rule verbatim, so the
+    * routing thresholds stay pinned by two independent gates. Per class:
+    * line-type totals and the class comment share
+    * sum(comment)/sum(nonblank) at 4 dp. */
+  val commentCensus: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val planted = docs.withColumn("t",
+      when(col("doc_id") % 23 === 1, concat(col("text"), lit(
+        "\n// sum both\nint a = b + c;\n// done\nreturn a;\n{ }")))
+        .when(col("doc_id") % 23 === 2, concat(col("text"), lit(
+          "\n# load\nx = 1;\n# save it {}\n\n\ny = 2;")))
+        .when(col("doc_id") % 23 === 3, concat(col("text"), lit(
+          "\n-- count rows\nselect 1;\n/* block note */\nselect 2;;")))
+        .otherwise(col("text")))
+    val g = planted.withColumn("g",
+      graft.functions.MarkupFunctions.markupStats(col("t")))
+    val isCode = (col("g.n_semicolons") + col("g.n_braces")) * lit(1.0) /
+      col("g.n_lines") >= 0.5 && col("g.n_lines") >= 3
+    val isMarkdown = !isCode && (col("g.n_heading_lines") >= 1 ||
+      col("g.n_links") >= 2 || col("g.n_fence_lines") >= 2)
+    val cls = when(isCode, "code").when(isMarkdown, "markdown")
+      .otherwise("prose")
+    g.withColumn("doc_class", cls)
+      .groupBy("doc_class")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("g.n_lines")).as("n_lines"),
+        sum(col("g.n_comment_lines")).as("n_comment_lines"),
+        sum(col("g.n_blank_lines")).as("n_blank_lines"),
+        (sum(col("g.n_lines")) - sum(col("g.n_comment_lines")) -
+          sum(col("g.n_blank_lines"))).as("n_other_lines"),
+        round(sum(col("g.n_comment_lines")) /
+          (sum(col("g.n_lines")) - sum(col("g.n_blank_lines"))).cast("double"), 4)
+          .as("comment_share"),
+        sum(col("doc_id")).as("sum_doc_ids"))
+      .orderBy("doc_class")
+  }
+
   /** q204: credential / secret-leak census
     * ([[graft.functions.SecretStats]]) — the pre-release scan a code
     * corpus runs before training (leaked keys get memorized). ONE
@@ -1086,6 +1184,8 @@ object AnalysisQueries {
     "q203_markup_census" -> markupCensus,
     "q204_secret_census" -> secretCensus,
     "q205_secret_scrub" -> secretScrub,
+    "q206_license_census" -> licenseCensus,
+    "q207_comment_census" -> commentCensus,
     "q119_repetition_report" -> repetitionReport)
 
   /** q150 oracle: rebuild the WordPiece vocabulary and unroll the greedy
@@ -1619,6 +1719,88 @@ object AnalysisQueries {
         |  CAST(sum(d.doc_id) AS BIGINT) AS sum_doc_ids
         |FROM d LEFT JOIN pd USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+    // q206: per-phrase counts replayed via replace() length arithmetic
+    // (valid because no phrase self-overlaps or nests in another); the
+    // precedence CASE is shared syntax on both sides
+    "q206_license_census" ->
+      """WITH p AS (
+        |  SELECT doc_id, lower(text ||
+        |    CASE CAST(doc_id % 19 AS INT)
+        |      WHEN 1 THEN ' Licensed under the MIT License.'
+        |      WHEN 2 THEN ' Licensed under the Apache License, Version 2.0.'
+        |      WHEN 3 THEN ' This program is free software under the GNU General Public License.'
+        |      WHEN 4 THEN ' Redistribution permitted under the BSD 3-Clause License.'
+        |      WHEN 5 THEN ' Dual licensed under the MIT License or the GNU General Public License.'
+        |      WHEN 6 THEN ' Covered by the Mozilla Public License 2.0.'
+        |      ELSE '' END) AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    (length(t) - length(replace(t, 'mit license', ''))) // 11 AS mit,
+        |    (length(t) - length(replace(t, 'apache license', ''))) // 14 AS apache,
+        |    (length(t) - length(replace(t, 'gnu general public license', ''))) // 26 AS gpl,
+        |    (length(t) - length(replace(t, 'bsd 3-clause license', ''))) // 20 AS bsd,
+        |    (length(t) - length(replace(t, 'mozilla public license', ''))) // 22 AS mpl
+        |  FROM p),
+        |c AS (
+        |  SELECT *, CASE WHEN gpl > 0 THEN 'copyleft'
+        |    WHEN mpl > 0 THEN 'weak-copyleft'
+        |    WHEN mit + apache + bsd > 0 THEN 'permissive'
+        |    ELSE 'none' END AS license_class
+        |  FROM g)
+        |SELECT license_class, count(*) AS n_docs,
+        |  CAST(sum(mit) AS BIGINT) AS n_mit,
+        |  CAST(sum(apache) AS BIGINT) AS n_apache,
+        |  CAST(sum(gpl) AS BIGINT) AS n_gpl,
+        |  CAST(sum(bsd) AS BIGINT) AS n_bsd,
+        |  CAST(sum(mpl) AS BIGINT) AS n_mpl,
+        |  CAST(sum(CASE WHEN gpl > 0 AND mit + apache + bsd > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dual,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q207: line-type counts replayed in list space (space-only strip on
+    // both sides); routing CASE and comment-share shape shared with engine
+    "q207_comment_census" ->
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE CAST(doc_id % 23 AS INT)
+        |      WHEN 1 THEN chr(10) || '// sum both' || chr(10) || 'int a = b + c;' ||
+        |        chr(10) || '// done' || chr(10) || 'return a;' || chr(10) || '{ }'
+        |      WHEN 2 THEN chr(10) || '# load' || chr(10) || 'x = 1;' || chr(10) ||
+        |        '# save it {}' || chr(10) || chr(10) || chr(10) || 'y = 2;'
+        |      WHEN 3 THEN chr(10) || '-- count rows' || chr(10) || 'select 1;' ||
+        |        chr(10) || '/* block note */' || chr(10) || 'select 2;;'
+        |      ELSE '' END AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST(len(ls) AS BIGINT) AS nl,
+        |    CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l), '^#{1,6} ')))
+        |      AS BIGINT) AS nh,
+        |    CAST(len(list_filter(ls, l -> ltrim(l) LIKE '```%')) AS BIGINT) AS nf,
+        |    CAST((length(t) - length(replace(t, '](', ''))) // 2 AS BIGINT) AS nk,
+        |    CAST(length(t) - length(replace(t, ';', '')) AS BIGINT) AS nsemi,
+        |    CAST((length(t) - length(replace(t, '{', ''))) +
+        |      (length(t) - length(replace(t, '}', ''))) AS BIGINT) AS nbr,
+        |    CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l),
+        |      '^(#|//|--|/\*)'))) AS BIGINT) AS nc,
+        |    CAST(len(list_filter(ls, l -> NOT regexp_matches(l, '[^ \t]')))
+        |      AS BIGINT) AS nb
+        |  FROM (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM p)),
+        |c AS (
+        |  SELECT doc_id, nl, nc, nb,
+        |    CASE WHEN (nsemi + nbr) * 1.0 / nl >= 0.5 AND nl >= 3 THEN 'code'
+        |      WHEN nh >= 1 OR nk >= 2 OR nf >= 2 THEN 'markdown'
+        |      ELSE 'prose' END AS doc_class
+        |  FROM g)
+        |SELECT doc_class, count(*) AS n_docs,
+        |  CAST(sum(nl) AS BIGINT) AS n_lines,
+        |  CAST(sum(nc) AS BIGINT) AS n_comment_lines,
+        |  CAST(sum(nb) AS BIGINT) AS n_blank_lines,
+        |  CAST(sum(nl) - sum(nc) - sum(nb) AS BIGINT) AS n_other_lines,
+        |  round(sum(nc) / CAST(sum(nl) - sum(nb) AS DOUBLE), 4) AS comment_share,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // q203: each kernel count replayed via replace/regex arithmetic; the
     // routing rule is the same ratio comparisons on both sides
     "q203_markup_census" ->

@@ -29,6 +29,21 @@ class MarkupStatsSpec extends SparkSpec {
     assert(g.getAs[Long]("n_lines") == 7L)
   }
 
+  test("comment and blank line conventions") {
+    val g = stats("// c\n# py\n-- sql\n/* block */\n * cont\nx = 1;\n\n   \n\t\n  # sp")
+    // "// c", "# py", "-- sql", "/* block */", "  # sp" — " * cont" excluded
+    assert(g.getAs[Long]("n_comment_lines") == 5L)
+    // "", "   " blank; "\t" blank (tab-only); total 3
+    assert(g.getAs[Long]("n_blank_lines") == 3L)
+    // tab-then-hash is NOT a comment (space-only strip, shared with ltrim)
+    assert(stats("\t# x").getAs[Long]("n_comment_lines") == 0L)
+    // a markdown heading also counts as a '#' comment line — inherent
+    // ambiguity resolved by doc_class routing, not the kernel
+    val h = stats("# Title")
+    assert(h.getAs[Long]("n_heading_lines") == 1L &&
+      h.getAs[Long]("n_comment_lines") == 1L)
+  }
+
   test("corpus differential against SQL-function references") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
       .withColumn("t", concat(col("text"),
