@@ -153,7 +153,8 @@ object Bench {
     "q204_secret_census",     // credential detectors + entropy screen
     "q205_secret_scrub",      // in-place secret redaction certificate
     "q206_license_census",    // SPDX phrase automaton + precedence routing
-    "q207_comment_census")    // comment/blank line shares by doc class
+    "q207_comment_census",    // comment/blank line shares by doc class
+    "q208_preference_pairs")  // DPO chosen/rejected margin-band census
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -348,9 +348,44 @@ object CurationQueries {
       .orderBy("kind")
   }
 
+  /** q208: preference-pair construction (DPO/RLHF prep) — the step that
+    * turns scored response groups into (chosen, rejected) training pairs:
+    * responses grouped by prompt (doc_id div 3 — the q196 id-arithmetic
+    * synthesis convention), score = response token count, chosen = best
+    * (score desc, doc_id asc tie — one `max(struct)` aggregate, the q197
+    * no-window doctrine), rejected = worst (score asc, doc_id asc tie),
+    * flat groups (max == min score, no preference signal) dropped.
+    * Published as the margin-band census a preference-data release
+    * reports (band = margin div 10), with chosen/rejected id and score
+    * sums pinning the exact selections. Scale shape: ONE corpus scan into
+    * a map-side-combinable aggregate on the derived prompt key (uniform
+    * by construction), then a ≤9-row band aggregate — no window over
+    * docs, no join. */
+  val preferencePairs: Q = (s, dir) => {
+    val resp = Tables.documents(s, dir).select(
+      expr("doc_id div 3").as("prompt_id"), col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+        .as("ntok"))
+    val groups = resp.groupBy("prompt_id")
+      .agg(max(struct(col("ntok").as("s"), (-col("doc_id")).as("nid"))).as("mx"),
+        min(struct(col("ntok").as("s"), col("doc_id").as("id"))).as("mn"))
+    groups.where(col("mx.s") > col("mn.s"))
+      .select((-col("mx.nid")).as("chosen_id"), col("mx.s").as("c_s"),
+        col("mn.id").as("rejected_id"), col("mn.s").as("r_s"))
+      .groupBy(expr("(c_s - r_s) div 10").as("margin_band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("c_s") - col("r_s")).as("sum_margin"),
+        sum(col("c_s")).as("sum_chosen_score"),
+        sum(col("r_s")).as("sum_rejected_score"),
+        sum(col("chosen_id")).as("sum_chosen_ids"),
+        sum(col("rejected_id")).as("sum_rejected_ids"))
+      .orderBy("margin_band")
+  }
+
   val all: Map[String, Q] = Map(
     "q196_chat_render" -> chatRender,
     "q197_prompt_dedup" -> promptDedup,
+    "q208_preference_pairs" -> preferencePairs,
     "q181_containment" -> containmentScreen,
     "q86_curation_pipeline" -> curationPipeline,
     "q85_cdc_dedup" -> cdcDedup,
@@ -374,6 +409,35 @@ object CurationQueries {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q208: chosen/rejected replayed with two ranking windows (the window
+    // IS the oracle's job; the engine uses max/min(struct) aggregates);
+    // same token convention, flat groups dropped on both sides
+    "q208_preference_pairs" ->
+      """WITH r AS (
+        |  SELECT doc_id, doc_id // 3 AS prompt_id,
+        |    CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT) AS ntok
+        |  FROM documents),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY prompt_id
+        |      ORDER BY ntok DESC, doc_id ASC) AS rn_c,
+        |    row_number() OVER (PARTITION BY prompt_id
+        |      ORDER BY ntok ASC, doc_id ASC) AS rn_r
+        |  FROM r),
+        |sel AS (
+        |  SELECT prompt_id,
+        |    max(CASE WHEN rn_c = 1 THEN doc_id END) AS chosen_id,
+        |    max(CASE WHEN rn_c = 1 THEN ntok END) AS c_s,
+        |    max(CASE WHEN rn_r = 1 THEN doc_id END) AS rejected_id,
+        |    max(CASE WHEN rn_r = 1 THEN ntok END) AS r_s
+        |  FROM w GROUP BY 1 HAVING max(ntok) > min(ntok))
+        |SELECT (c_s - r_s) // 10 AS margin_band, count(*) AS n_pairs,
+        |  CAST(sum(c_s - r_s) AS BIGINT) AS sum_margin,
+        |  CAST(sum(c_s) AS BIGINT) AS sum_chosen_score,
+        |  CAST(sum(r_s) AS BIGINT) AS sum_rejected_score,
+        |  CAST(sum(chosen_id) AS BIGINT) AS sum_chosen_ids,
+        |  CAST(sum(rejected_id) AS BIGINT) AS sum_rejected_ids
+        |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin,
     // q196: ordered string_agg render + role token splits — render_chars
     // certifies every byte of every rendered conversation
     "q196_chat_render" -> (chatTurnsCte +

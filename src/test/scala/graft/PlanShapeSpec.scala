@@ -438,6 +438,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("preference pairs: no window over docs, one scan, map-side struct extremes") {
+    val plan = planOf("q208_preference_pairs")
+    assert(!plan.contains("Window"),
+      s"chosen/rejected must come from max/min(struct), not ranking windows:\n${plan.take(2000)}")
+    assert("FileScan parquet".r.findAllIn(plan).length == 1, plan.take(2000))
+    assert(!plan.contains("Join") && !plan.contains("Generate explode"),
+      plan.take(2000))
+  }
+
   test("markup, secret census, and secret scrub are single-scan in-row aggregations") {
     Seq("q203_markup_census", "q204_secret_census", "q205_secret_scrub",
         "q206_license_census", "q207_comment_census").foreach { q =>

@@ -74,4 +74,31 @@ class ChatOpsSpec extends SparkSpec {
         col("kept_asst_tokens") =!= col("kept_asst_ref")).count()
     assert(bad == 0)
   }
+
+  test("q208 preference selection: max/min(struct) == ranking-window reference") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val resp = docs.select(expr("doc_id div 3").as("prompt_id"), col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+    val agg = resp.groupBy("prompt_id")
+      .agg(max(struct(col("ntok").as("s"), (-col("doc_id")).as("nid"))).as("mx"),
+        min(struct(col("ntok").as("s"), col("doc_id").as("id"))).as("mn"))
+      .where(col("mx.s") > col("mn.s"))
+      .select(col("prompt_id"), (-col("mx.nid")).as("chosen_id"),
+        col("mn.id").as("rejected_id"))
+    val ref = resp.withColumn("rn_c", row_number().over(
+        Window.partitionBy("prompt_id").orderBy(col("ntok").desc, col("doc_id").asc)))
+      .withColumn("rn_r", row_number().over(
+        Window.partitionBy("prompt_id").orderBy(col("ntok").asc, col("doc_id").asc)))
+      .groupBy("prompt_id")
+      .agg(max(when(col("rn_c") === 1, col("doc_id"))).as("chosen_ref"),
+        max(when(col("rn_r") === 1, col("doc_id"))).as("rejected_ref"),
+        (max(col("ntok")) > min(col("ntok"))).as("keep"))
+      .where(col("keep"))
+    val bad = agg.join(ref, "prompt_id")
+      .where(col("chosen_id") =!= col("chosen_ref") ||
+        col("rejected_id") =!= col("rejected_ref")).count()
+    assert(bad == 0)
+    // chosen and rejected never coincide (flat groups are dropped)
+    assert(agg.where(col("chosen_id") === col("rejected_id")).count() == 0)
+  }
 }
