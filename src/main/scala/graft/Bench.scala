@@ -154,7 +154,9 @@ object Bench {
     "q205_secret_scrub",      // in-place secret redaction certificate
     "q206_license_census",    // SPDX phrase automaton + precedence routing
     "q207_comment_census",    // comment/blank line shares by doc class
-    "q208_preference_pairs")  // DPO chosen/rejected margin-band census
+    "q208_preference_pairs",  // DPO chosen/rejected margin-band census
+    "q209_dup_matrix",        // cross-source duplicate provenance pairs
+    "q210_split_leakage")     // exact-dup contamination across hash split
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

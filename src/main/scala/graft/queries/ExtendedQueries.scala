@@ -387,7 +387,86 @@ object ExtendedQueries {
       .orderBy("source")
   }
 
+  /** The q209/q210 duplicate plants: 5/31 of docs are replaced by one of 7
+    * shared templates (index = doc_id % 7), producing exact-dup groups that
+    * span sources and — under any hash split — both split sides. Pure
+    * id-arithmetic, so the oracle rebuilds the corpus identically. */
+  private val DupTemplates = Seq(
+    "the quick brown fox jumps over the lazy dog near the river bank today",
+    "a second shared template about batch windows and late arriving data rows",
+    "shuffle partitions and broadcast joins decide the cost of every query",
+    "vector indexes trade recall for probe count under a fixed latency budget",
+    "tokenizer fertility varies by language and script more than by domain",
+    "near duplicate clusters inflate loss on memorized spans during training",
+    "stream and batch must agree on every stateless transform by construction")
+
+  private def plantDups(docs: DataFrame): DataFrame =
+    docs.withColumn("t",
+      when(col("doc_id") % 31 >= 1 && col("doc_id") % 31 <= 5,
+        element_at(typedLit(DupTemplates), (col("doc_id") % 7).cast("int") + 1))
+        .otherwise(col("text")))
+
+  /** q209: cross-source duplicate provenance matrix — the corpus-forensics
+    * question dedup reports feed ("which sources mirror which"): for every
+    * source pair, how many exact-duplicate groups span both. Scale shape:
+    * group on md5(text) (narrow 32-char shuffle key, never the text), per
+    * group a sorted DISTINCT source list — bounded by the source count
+    * (corpus metadata cardinality, ~constant), NOT the group size — then
+    * in-row pair expansion of that bounded list (nested transform+flatten,
+    * ≤ C(20,2) structs per group) into the pair census. No self-join, no
+    * window; giant dup groups cost the same as small ones. */
+  val dupMatrix: Q = (s, dir) => {
+    val g = plantDups(Tables.documents(s, dir))
+      .groupBy(md5(col("t")).as("h"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"),
+        min(col("doc_id")).as("gid"))
+      .where(size(col("srcs")) > 1)
+    val pairs = g.select(col("gid"), explode(flatten(
+      transform(col("srcs"), (x, i) => transform(
+        slice(col("srcs"), i + lit(2), size(col("srcs"))),
+        y => struct(x.as("a"), y.as("b")))))).as("p"))
+    pairs.groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_groups"),
+        sum(col("gid")).as("sum_group_ids"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** q210: split-leakage audit — exact-duplicate contamination across a
+    * deterministic hash split (test = first md5(doc_id) hex digit in 0-3,
+    * ~25%): a test doc whose duplicate group contains ANY train member is
+    * a contaminated eval row. Scale shape: two map-side-combinable
+    * aggregates — per (group, source) test counts and per group train
+    * counts — joined on the narrow md5 key, never a doc-level self-join,
+    * never a per-group member list (group sizes are unbounded at corpus
+    * scale; both aggregated frames are not). Per source: test totals,
+    * contaminated totals, leaky groups touched, and the contaminated-id
+    * sum pinning exact membership. */
+  val splitLeakage: Q = (s, dir) => {
+    val d = plantDups(Tables.documents(s, dir))
+      .withColumn("h", md5(col("t")))
+      .withColumn("is_test",
+        substring(md5(col("doc_id").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3"))
+    val hs = d.groupBy("h", "source")
+      .agg(sum(when(col("is_test"), 1L).otherwise(0L)).as("n_test"),
+        sum(when(col("is_test"), col("doc_id")).otherwise(0L)).as("sum_test_ids"))
+    val ge = d.groupBy("h")
+      .agg(sum(when(!col("is_test"), 1L).otherwise(0L)).as("n_train"))
+    hs.join(ge, "h")
+      .groupBy("source")
+      .agg(sum(col("n_test")).as("n_test_docs"),
+        sum(when(col("n_train") > 0, col("n_test")).otherwise(0L))
+          .as("n_contaminated_test_docs"),
+        sum(when(col("n_train") > 0 && col("n_test") > 0, 1L).otherwise(0L))
+          .as("n_leaky_groups_touched"),
+        sum(when(col("n_train") > 0, col("sum_test_ids")).otherwise(0L))
+          .as("sum_contaminated_ids"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "q209_dup_matrix" -> dupMatrix,
+    "q210_split_leakage" -> splitLeakage,
     "q139_neardup_decontam" -> nearDupDecontam,
     "q68_embedding_quant" -> embeddingQuantization,
     "q67_neardup_canonical" -> nearDupCanonical,
@@ -565,7 +644,65 @@ object ExtendedQueries {
       |  CAST(row_number() OVER (ORDER BY priority DESC, host ASC) AS INT) AS crawl_rank
       |FROM pr ORDER BY host""".stripMargin
 
+  /** Shared q209/q210 oracle prefix: the duplicate plants replayed with
+    * the same id arithmetic and template list. */
+  private val dupPlantCte: String =
+    """WITH p AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN CAST(doc_id % 31 AS INT) BETWEEN 1 AND 5 THEN list_extract([
+      |      'the quick brown fox jumps over the lazy dog near the river bank today',
+      |      'a second shared template about batch windows and late arriving data rows',
+      |      'shuffle partitions and broadcast joins decide the cost of every query',
+      |      'vector indexes trade recall for probe count under a fixed latency budget',
+      |      'tokenizer fertility varies by language and script more than by domain',
+      |      'near duplicate clusters inflate loss on memorized spans during training',
+      |      'stream and batch must agree on every stateless transform by construction'],
+      |      CAST(doc_id % 7 AS INT) + 1)
+      |    ELSE text END AS t
+      |  FROM documents)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // q209: pair expansion replayed as a distinct (group, source) self-join
+    // (the in-row bounded expansion is the ENGINE's job)
+    "q209_dup_matrix" -> (dupPlantCte +
+      """,
+        |g AS (
+        |  SELECT md5(t) AS h, min(doc_id) AS gid
+        |  FROM p GROUP BY 1 HAVING count(DISTINCT source) > 1),
+        |e AS (
+        |  SELECT g.h, g.gid, s.source
+        |  FROM g JOIN (SELECT DISTINCT md5(t) AS h, source FROM p) s USING (h)),
+        |pr AS (
+        |  SELECT e1.gid, e1.source AS source_a, e2.source AS source_b
+        |  FROM e e1 JOIN e e2 ON e1.h = e2.h AND e1.source < e2.source)
+        |SELECT source_a, source_b, count(*) AS n_shared_groups,
+        |  CAST(sum(gid) AS BIGINT) AS sum_group_ids
+        |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // q210: same md5 hash split, same two-aggregate shape
+    "q210_split_leakage" -> (dupPlantCte +
+      """,
+        |d AS (
+        |  SELECT doc_id, source, md5(t) AS h,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+        |      AS is_test
+        |  FROM p),
+        |hs AS (
+        |  SELECT h, source,
+        |    sum(CASE WHEN is_test THEN 1 ELSE 0 END) AS n_test,
+        |    sum(CASE WHEN is_test THEN doc_id ELSE 0 END) AS sum_test_ids
+        |  FROM d GROUP BY 1, 2),
+        |ge AS (
+        |  SELECT h, sum(CASE WHEN is_test THEN 0 ELSE 1 END) AS n_train
+        |  FROM d GROUP BY 1)
+        |SELECT source,
+        |  CAST(sum(n_test) AS BIGINT) AS n_test_docs,
+        |  CAST(sum(CASE WHEN n_train > 0 THEN n_test ELSE 0 END) AS BIGINT)
+        |    AS n_contaminated_test_docs,
+        |  CAST(sum(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_leaky_groups_touched,
+        |  CAST(sum(CASE WHEN n_train > 0 THEN sum_test_ids ELSE 0 END) AS BIGINT)
+        |    AS sum_contaminated_ids
+        |FROM hs JOIN ge USING (h) GROUP BY 1 ORDER BY 1""".stripMargin),
     // q201: corpus-free plan-table replay — same pow chain, same 1e-9
     // cell quantization, same (total, b) lexicographic argmin
     "q201_lsh_planner" ->

@@ -438,6 +438,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("dup matrix: one scan, in-row bounded pair expansion, no self-join") {
+    val plan = planOf("q209_dup_matrix")
+    assert("FileScan parquet".r.findAllIn(plan).length == 1,
+      s"group + pair expansion must be one corpus scan:\n${plan.take(2000)}")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"pairs must come from the bounded source-list expansion, not a self-join:\n${plan.take(2000)}")
+  }
+
+  test("split leakage: narrow-key join of two aggregated frames, no cartesian") {
+    val plan = planOf("q210_split_leakage")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert("FileScan parquet".r.findAllIn(plan).length <= 2,
+      s"both join sides must be pre-aggregated, never doc-level self-joined:\n${plan.take(2000)}")
+    assert(!plan.contains("Generate explode"), plan.take(2000))
+  }
+
   test("preference pairs: no window over docs, one scan, map-side struct extremes") {
     val plan = planOf("q208_preference_pairs")
     assert(!plan.contains("Window"),
