@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Embedding-distribution drift between two corpus snapshots — the
+  * dataset-shift monitor an embedding pipeline runs when the upstream
+  * corpus (or the encoder) changes: per-dimension mean shift and variance
+  * ratio between snapshot A and snapshot B. A mean shift flags systematic
+  * encoder/domain movement; a variance ratio far from 1 flags collapse or
+  * blow-up of individual directions (the anisotropy failure mode q155
+  * measures globally, here localized per dimension).
+  *
+  * Scale shape (the q155 doctrine): the corpus-sized work is ONE
+  * `treeAggregate` whose state is 2 + 4d doubles — counts plus per-side
+  * per-dim Σx and Σx² — so nothing per-row ever shuffles and the result
+  * frame is d rows built driver-side (bounded by the embedding width,
+  * like codebooks/centroids). Statistics use the shared expression shapes
+  * mean = Σx/n, var = Σx²/n − mean², shift = mean_b − mean_a,
+  * ratio = var_b/var_a, so a SQL oracle replays them bit-for-bit up to
+  * summation order. */
+object DriftMonitor {
+
+  /** Per-dimension drift stats between the rows where `sideBCol` is false
+    * (snapshot A) and true (snapshot B). Returns (dim, n_a, n_b,
+    * mean_shift, var_ratio) with the two doubles UNrounded — callers round
+    * at their published grain. */
+  def dimDrift(spark: SparkSession, df: DataFrame, vecCol: String,
+               sideBCol: String): DataFrame = {
+    val rows = df.select(org.apache.spark.sql.functions.col(vecCol)
+        .cast("array<double>"),
+        org.apache.spark.sql.functions.col(sideBCol).cast("boolean"))
+      .rdd.map(r => (r.getSeq[Double](0).toArray, r.getBoolean(1)))
+    val d = rows.first()._1.length
+    // acc layout: [n_a, n_b, sumA(d), ssqA(d), sumB(d), ssqB(d)]
+    val zero = new Array[Double](2 + 4 * d)
+    def seqOp(acc: Array[Double], xs: (Array[Double], Boolean)): Array[Double] = {
+      val (x, isB) = xs
+      val base = if (isB) 2 + 2 * d else 2
+      acc(if (isB) 1 else 0) += 1.0
+      var i = 0
+      while (i < d) {
+        val v = x(i)
+        acc(base + i) += v
+        acc(base + d + i) += v * v
+        i += 1
+      }
+      acc
+    }
+    def combOp(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    val acc = rows.treeAggregate(zero)(seqOp, combOp)
+    val na = acc(0); val nb = acc(1)
+    require(na > 0 && nb > 0, "both snapshots must be non-empty")
+    val out = (0 until d).map { i =>
+      val meanA = acc(2 + i) / na
+      val meanB = acc(2 + 2 * d + i) / nb
+      val varA = acc(2 + d + i) / na - meanA * meanA
+      val varB = acc(2 + 3 * d + i) / nb - meanB * meanB
+      (i.toLong, na.toLong, nb.toLong, meanB - meanA, varB / varA)
+    }
+    spark.createDataFrame(out).toDF("dim", "n_a", "n_b", "mean_shift",
+      "var_ratio")
+  }
+}

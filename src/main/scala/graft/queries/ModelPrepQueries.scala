@@ -1190,7 +1190,29 @@ object ModelPrepQueries {
       |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
       |FROM st GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q211: per-DIMENSION embedding drift monitor
+    * ([[graft.ops.DriftMonitor.dimDrift]]) — the complement of q98's
+    * per-label centroid drift: mean shift AND variance ratio per
+    * coordinate between two snapshots (vec_id parity — the q98 split).
+    * q98 sees direction changes of label centroids; this sees the
+    * failure mode centroids can't — per-direction variance collapse or
+    * blow-up (dead/exploding coordinates after an encoder change). ONE
+    * treeAggregate with a 2+4d-double state; the result frame is d rows
+    * built driver-side (bounded by embedding width). Published at 6 dp
+    * (sums of thousands of O(1) floats carry ~1e-12 summation-order skew
+    * against the 1e-6 grain — the q112 contract). */
+  val dimDriftReport: Q = (s, dir) => {
+    val vecs = Tables.embeddings(s, dir)
+      .withColumn("is_b", col("vec_id") % 2 === 1)
+    graft.ops.DriftMonitor.dimDrift(s, vecs, "embedding", "is_b")
+      .select(col("dim"), col("n_a"), col("n_b"),
+        round(col("mean_shift"), 6).as("mean_shift"),
+        round(col("var_ratio"), 6).as("var_ratio"))
+      .orderBy("dim")
+  }
+
   val all: Map[String, Q] = Map(
+    "q211_dim_drift" -> dimDriftReport,
     "q182_fim_mix" -> fimMix,
     "q183_span_corrupt" -> spanCorruptCensus,
     "q180_waterfill_mix" -> waterfillMix,
@@ -1434,6 +1456,29 @@ object ModelPrepQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q211: per-dim moments replayed via lateral unnest; mean/var/shift/
+    // ratio share the engine's exact expression shapes
+    "q211_dim_drift" ->
+      """WITH e AS (
+        |  SELECT vec_id % 2 = 1 AS is_b, embedding FROM embeddings),
+        |x AS (
+        |  SELECT is_b, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM e, unnest(generate_series(1, len(embedding))) AS u(i)),
+        |g AS (
+        |  SELECT dim,
+        |    sum(CASE WHEN is_b THEN 0 ELSE 1 END) AS na,
+        |    sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS nb,
+        |    sum(CASE WHEN is_b THEN 0 ELSE v END) AS sa,
+        |    sum(CASE WHEN is_b THEN v ELSE 0 END) AS sb,
+        |    sum(CASE WHEN is_b THEN 0 ELSE v * v END) AS qa,
+        |    sum(CASE WHEN is_b THEN v * v ELSE 0 END) AS qb
+        |  FROM x GROUP BY 1)
+        |SELECT CAST(dim AS BIGINT) AS dim,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(sb / nb - sa / na, 6) AS mean_shift,
+        |  round((qb / nb - (sb / nb) * (sb / nb)) /
+        |        (qa / na - (sa / na) * (sa / na)), 6) AS var_ratio
+        |FROM g ORDER BY 1""".stripMargin,
     "q182_fim_mix" -> fimOracle,
     "q183_span_corrupt" -> spanCorruptOracle,
     "q180_waterfill_mix" -> waterfillOracle,

@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** DriftMonitor: hand-computed fixture + corpus differential against a
+  * posexplode/groupBy reference (the shuffle-heavy form the treeAggregate
+  * replaces). */
+class DriftMonitorSpec extends SparkSpec {
+
+  test("hand fixture: known mean shift and variance ratio per dim") {
+    // A = {(1,0), (3,4)}: means (2,2), vars (1,4)
+    // B = {(5,2), (9,2)}: means (7,2), vars (4,0)
+    val df = spark.createDataFrame(Seq(
+      (0L, Seq(1.0f, 0.0f), false), (1L, Seq(3.0f, 4.0f), false),
+      (2L, Seq(5.0f, 2.0f), true), (3L, Seq(9.0f, 2.0f), true)))
+      .toDF("id", "embedding", "is_b")
+    val out = DriftMonitor.dimDrift(spark, df, "embedding", "is_b")
+      .orderBy("dim").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 2L)) // n_a
+    assert(out(0).getDouble(3) == 5.0) // mean shift dim 0: 7 - 2
+    assert(out(0).getDouble(4) == 4.0) // var ratio dim 0: 4 / 1
+    assert(out(1).getDouble(3) == 0.0) // dim 1: 2 - 2
+    assert(out(1).getDouble(4) == 0.0) // dim 1: 0 / 4
+  }
+
+  test("corpus differential vs posexplode reference with planted drift") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("is_b", col("vec_id") % 2 === 1)
+      // plant drift: snapshot B gets dim-0 shifted and dim-1 scaled
+      .withColumn("embedding", when(col("is_b"),
+        concat(array((element_at(col("embedding"), 1) + 0.5f).cast("float"),
+            (element_at(col("embedding"), 2) * 2.0f).cast("float")),
+          slice(col("embedding"), 3, 62)))
+        .otherwise(col("embedding")))
+    val fast = DriftMonitor.dimDrift(spark, emb, "embedding", "is_b")
+    val ref = emb.select(col("is_b"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(sum(when(!col("is_b"), 1.0).otherwise(0.0)).as("na"),
+        sum(when(col("is_b"), 1.0).otherwise(0.0)).as("nb"),
+        sum(when(!col("is_b"), col("v")).otherwise(0.0)).as("sa"),
+        sum(when(col("is_b"), col("v")).otherwise(0.0)).as("sb"),
+        sum(when(!col("is_b"), col("v") * col("v")).otherwise(0.0)).as("qa"),
+        sum(when(col("is_b"), col("v") * col("v")).otherwise(0.0)).as("qb"))
+      .select(col("dim").cast("long").as("dim"),
+        (col("sb") / col("nb") - col("sa") / col("na")).as("shift_ref"),
+        ((col("qb") / col("nb") - (col("sb") / col("nb")) * (col("sb") / col("nb"))) /
+          (col("qa") / col("na") - (col("sa") / col("na")) * (col("sa") / col("na"))))
+          .as("ratio_ref"))
+    val bad = fast.join(ref, "dim")
+      .where(abs(col("mean_shift") - col("shift_ref")) > 1e-9 ||
+        abs(col("var_ratio") - col("ratio_ref")) > 1e-9)
+      .count()
+    assert(bad == 0)
+    // the plants are visible: dim 0 shift ~0.5, dim 1 variance ratio ~4
+    val r = fast.orderBy("dim").limit(2).collect()
+    assert(math.abs(r(0).getDouble(3) - 0.5) < 0.2)
+    assert(r(1).getDouble(4) > 2.0)
+  }
+}
