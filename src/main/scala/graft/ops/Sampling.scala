@@ -322,4 +322,69 @@ object Sampling {
       .where(col("__rn") <= col("quota"))
       .drop("__rn", "quota")
   }
+
+  /** Neyman allocation for a stratified EVAL sample: per-stratum quota
+    * ∝ N_h·σ_h (Neyman 1934 — minimizes the estimator variance of a mean
+    * under a fixed sample budget), where σ_h is the population std of
+    * `signalCol` in the stratum. The variance-aware counterpart of
+    * [[temperatureQuotas]] (availability^α): eval-set design wants more
+    * probes where the signal varies, not where there is merely more data.
+    *
+    * Exactness contract (the q201 quantize-once doctrine): σ_h comes from
+    * integer-exact Σx/Σx² via the shared double shape
+    * sqrt(q/n − (s/n)²); the weight is quantized ONCE to
+    * w_h = round((n_h·σ_h)·1e6) and every allocation step after that is
+    * integer-exact largest-remainder arithmetic in BigInt — base =
+    * budget·w_h div W, +1 to the `budget − Σbase` largest remainders
+    * (tie: stratum asc). The per-stratum arithmetic runs driver-side on
+    * the stratum frame (bounded by domain cardinality — corpus metadata,
+    * the codebook exception), so no product ever meets 64-bit overflow at
+    * any corpus size. Signal values must keep Σx² in long range (token
+    * counts do). */
+  def neymanQuotas(df: DataFrame, domainCol: String, signalCol: Column,
+                   budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    val sig = signalCol.cast("long")
+    val a = df.groupBy(domainCol).agg(
+      count(lit(1)).as("n_docs"),
+      sum(sig).as("s"),
+      sum(sig * sig).as("q"))
+    val n = col("n_docs").cast("double")
+    val sigma = sqrt(col("q").cast("double") / n -
+      (col("s").cast("double") / n) * (col("s").cast("double") / n))
+    val stats = a.select(col(domainCol).cast("string"), col("n_docs"),
+        round((col("n_docs") * sigma) * lit(1000000.0), 0).cast("long").as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val totalW = stats.map(r => BigInt(r._3)).sum
+    require(totalW > 0, "all strata have zero signal variance")
+    val based = stats.map { case (d, nd, w) =>
+      val prod = BigInt(budget) * BigInt(w)
+      (d, nd, w, (prod / totalW).toLong, prod % totalW)
+    }
+    val leftover = budget - based.map(_._4).sum
+    val ordered = based.sortBy { case (d, _, _, _, rem) => (rem, d) }(
+      Ordering.Tuple2(Ordering[BigInt].reverse, Ordering[String]))
+    val bumped = ordered.zipWithIndex.map { case ((d, nd, w, base, _), i) =>
+      (d, nd, w, base + (if (i < leftover) 1L else 0L))
+    }
+    spark.createDataFrame(bumped.toSeq)
+      .toDF(domainCol, "n_docs", "weight", "alloc")
+  }
+
+  /** Rank-filtered stratified selection under [[neymanQuotas]]: within each
+    * stratum keep the `alloc` first docs by (md5 bucket, key) — the
+    * [[temperatureSample]] selection shape, deterministic and monotone in
+    * budget. */
+  def neymanSample(df: DataFrame, domainCol: String, keyCol: String,
+                   signalCol: Column, budget: Long): DataFrame = {
+    val quotas = neymanQuotas(df, domainCol, signalCol, budget)
+      .select(col(domainCol), col("alloc"))
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(md5Bucket(col(keyCol)).asc, col(keyCol).asc)
+    df.join(broadcast(quotas), Seq(domainCol))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= col("alloc"))
+      .drop("__rn", "alloc")
+  }
 }

@@ -1211,8 +1211,36 @@ object ModelPrepQueries {
       .orderBy("dim")
   }
 
+  /** q212: Neyman-allocated stratified eval sample
+    * ([[graft.ops.Sampling.neymanQuotas]]/neymanSample) — eval-set design
+    * under a fixed probe budget (10% of docs): per-source quota ∝ N·σ of
+    * the token-count signal (minimum-variance allocation, Neyman 1934),
+    * weights quantized ONCE to integers then largest-remainder allocated
+    * in exact BigInt arithmetic, selection by the deterministic
+    * (md5 bucket, id) rank the other samplers share. The gate pins the
+    * weight table, the integer allocation, and the exact selected set
+    * (id/token sums). */
+  val neymanEval: Q = (s, dir) => {
+    val t = Tables.documents(s, dir).select(col("source"), col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+    val budget = t.count() / 10
+    val quotas = Sampling.neymanQuotas(t, "source", col("ntok"), budget)
+    val kept = Sampling.neymanSample(t, "source", "doc_id", col("ntok"), budget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("doc_id")).as("sum_selected_ids"),
+        sum(col("ntok")).as("sum_selected_ntok"))
+    quotas.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("weight"), col("alloc"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("sum_selected_ids"), lit(0L)).as("sum_selected_ids"),
+        coalesce(col("sum_selected_ntok"), lit(0L)).as("sum_selected_ntok"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
     "q211_dim_drift" -> dimDriftReport,
+    "q212_neyman_sample" -> neymanEval,
     "q182_fim_mix" -> fimMix,
     "q183_span_corrupt" -> spanCorruptCensus,
     "q180_waterfill_mix" -> waterfillMix,
@@ -1456,6 +1484,50 @@ object ModelPrepQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q212: σ via shared sqrt(q/n−(s/n)²) shape, weight quantized with the
+    // same round(·1e6), HUGEINT largest-remainder, same md5-rank selection
+    "q212_neyman_sample" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT) AS ntok
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, count(*) AS nd,
+        |    CAST(round((count(*) * sqrt(CAST(sum(ntok * ntok) AS DOUBLE) / count(*) -
+        |      (CAST(sum(ntok) AS DOUBLE) / count(*)) *
+        |      (CAST(sum(ntok) AS DOUBLE) / count(*)))) * 1000000.0) AS BIGINT) AS w
+        |  FROM t GROUP BY 1),
+        |c AS (SELECT CAST(sum(w) AS HUGEINT) AS wt FROM a),
+        |b AS (SELECT CAST(count(*) // 10 AS HUGEINT) AS budget FROM t),
+        |q1 AS (
+        |  SELECT a.source, a.nd, a.w,
+        |    b.budget * a.w // c.wt AS base,
+        |    b.budget * a.w % c.wt AS rem
+        |  FROM a, b, c),
+        |q2 AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rn,
+        |    (SELECT budget FROM b) - (SELECT sum(base) FROM q1) AS leftover
+        |  FROM q1),
+        |al AS (
+        |  SELECT source, nd, w,
+        |    CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |      AS alloc
+        |  FROM q2),
+        |sel AS (
+        |  SELECT t.*, row_number() OVER (PARTITION BY source
+        |    ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) ASC, doc_id ASC) AS rnk
+        |  FROM t)
+        |SELECT al.source, CAST(nd AS BIGINT) AS n_docs, w AS weight, alloc,
+        |  CAST(coalesce(sum(CASE WHEN rnk <= alloc THEN 1 END), 0) AS BIGINT)
+        |    AS n_selected,
+        |  CAST(coalesce(sum(CASE WHEN rnk <= alloc THEN doc_id END), 0) AS BIGINT)
+        |    AS sum_selected_ids,
+        |  CAST(coalesce(sum(CASE WHEN rnk <= alloc THEN ntok END), 0) AS BIGINT)
+        |    AS sum_selected_ntok
+        |FROM al LEFT JOIN sel ON al.source = sel.source
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
     // q211: per-dim moments replayed via lateral unnest; mean/var/shift/
     // ratio share the engine's exact expression shapes
     "q211_dim_drift" ->
