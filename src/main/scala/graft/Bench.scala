@@ -158,7 +158,8 @@ object Bench {
     "q209_dup_matrix",        // cross-source duplicate provenance pairs
     "q210_split_leakage",     // exact-dup contamination across hash split
     "q211_dim_drift",         // per-dim embedding drift, one treeAggregate
-    "q212_neyman_sample")     // variance-aware stratified eval allocation
+    "q212_neyman_sample",     // variance-aware stratified eval allocation
+    "q213_signal_corr")       // integer-moment Pearson signal matrix
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -479,7 +479,51 @@ object HygieneQueries {
       .orderBy("source", "rk")
   }
 
+  /** q213: quality-signal correlation matrix — the redundancy check run
+    * BEFORE training a quality classifier on hand-picked signals (two
+    * signals with r ≈ 1 contribute one feature and double its implicit
+    * weight; a near-zero r justifies keeping both). Four integer per-doc
+    * signals in ONE projection (token count, char count, distinct tokens
+    * via the q145 gram kernel, alphabetic words via the q200 Gopher
+    * kernel) feed ONE aggregate of 15 integer-exact moment sums
+    * (n, 4×Σx, 4×Σx², 6×Σxy — longs, no float accumulates); the 6
+    * pairwise Pearson r values come from the shared closed form
+    * (n·Σxy − ΣxΣy)/(√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)) with every factor
+    * CAST from the same exact integers, so both engines round the same
+    * doubles at 6 dp. Result is 6 rows built driver-side from the single
+    * aggregate row (bounded). */
+  val signalCorrelation: Q = (s, dir) => {
+    val names = Seq("n_tokens", "n_chars", "n_distinct_tokens", "n_alpha_words")
+    val docs = Tables.documents(s, dir).select(
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("x1"),
+      length(col("text")).cast("long").as("x2"),
+      size(graft.functions.HashFunctions.wordGramHashes(col("text"), 1))
+        .cast("long").as("x3"),
+      graft.functions.GopherFunctions.gopherStats(col("text"))
+        .getField("n_alpha_words").as("x4"))
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      (1 to 4).map(i => sum(col(s"x$i")).as(s"s$i")) ++
+      (1 to 4).map(i => sum(col(s"x$i") * col(s"x$i")).as(s"q$i")) ++
+      (for (i <- 1 to 4; j <- i + 1 to 4)
+        yield sum(col(s"x$i") * col(s"x$j")).as(s"p${i}${j}"))
+    val r = docs.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = r.getAs[Long]("n").toDouble
+    def sm(i: Int) = r.getAs[Long](s"s$i").toDouble
+    def qm(i: Int) = r.getAs[Long](s"q$i").toDouble
+    def pm(i: Int, j: Int) = r.getAs[Long](s"p$i$j").toDouble
+    val rows = for (i <- 1 to 4; j <- i + 1 to 4) yield {
+      val corr = (n * pm(i, j) - sm(i) * sm(j)) /
+        (math.sqrt(n * qm(i) - sm(i) * sm(i)) *
+          math.sqrt(n * qm(j) - sm(j) * sm(j)))
+      (names(i - 1), names(j - 1), n.toLong,
+        BigDecimal(corr).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    s.createDataFrame(rows).toDF("sig_a", "sig_b", "n_docs", "pearson_r")
+      .orderBy("sig_a", "sig_b")
+  }
+
   val all: Map[String, Q] = Map(
+    "q213_signal_corr" -> signalCorrelation,
     "q193_distinctive_phrases" -> distinctivePhrases,
     "q188_collocations" -> collocations,
     "q185_entropy_signals" -> entropySignals,
@@ -493,6 +537,53 @@ object HygieneQueries {
     "q138_dsir_calibrated" -> dsirCalibrated)
 
   val oracles: Map[String, String] = Map(
+    // q213: the same 15 integer moment sums, the same closed-form Pearson
+    // from DOUBLE casts of those exact integers, rounded at the same 6 dp.
+    // x3 mirrors the engine's whole-text-gram edge for token-less docs.
+    "q213_signal_corr" ->
+      """WITH d AS (
+        |  SELECT text, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |    ELSE string_split_regex(trim(text), '\s+') END AS ts
+        |  FROM documents),
+        |x AS (
+        |  SELECT CAST(len(ts) AS BIGINT) AS x1,
+        |    CAST(length(text) AS BIGINT) AS x2,
+        |    CAST(CASE WHEN len(ts) < 1 THEN 1
+        |      ELSE len(list_distinct(ts)) END AS BIGINT) AS x3,
+        |    CAST(len(list_filter(ts, w -> regexp_matches(w, '[A-Za-z]')))
+        |      AS BIGINT) AS x4
+        |  FROM d),
+        |m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS nn,
+        |    CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+        |    CAST(sum(x3) AS DOUBLE) AS s3, CAST(sum(x4) AS DOUBLE) AS s4,
+        |    CAST(sum(x1 * x1) AS DOUBLE) AS q1, CAST(sum(x2 * x2) AS DOUBLE) AS q2,
+        |    CAST(sum(x3 * x3) AS DOUBLE) AS q3, CAST(sum(x4 * x4) AS DOUBLE) AS q4,
+        |    CAST(sum(x1 * x2) AS DOUBLE) AS p12, CAST(sum(x1 * x3) AS DOUBLE) AS p13,
+        |    CAST(sum(x1 * x4) AS DOUBLE) AS p14, CAST(sum(x2 * x3) AS DOUBLE) AS p23,
+        |    CAST(sum(x2 * x4) AS DOUBLE) AS p24, CAST(sum(x3 * x4) AS DOUBLE) AS p34
+        |  FROM x)
+        |SELECT sig_a, sig_b, CAST(nn AS BIGINT) AS n_docs, pearson_r FROM (
+        |  SELECT 'n_tokens' AS sig_a, 'n_chars' AS sig_b, nn,
+        |    round((n * p12 - s1 * s2) /
+        |      (sqrt(n * q1 - s1 * s1) * sqrt(n * q2 - s2 * s2)), 6) AS pearson_r
+        |  FROM m
+        |  UNION ALL SELECT 'n_tokens', 'n_distinct_tokens', nn,
+        |    round((n * p13 - s1 * s3) /
+        |      (sqrt(n * q1 - s1 * s1) * sqrt(n * q3 - s3 * s3)), 6) FROM m
+        |  UNION ALL SELECT 'n_tokens', 'n_alpha_words', nn,
+        |    round((n * p14 - s1 * s4) /
+        |      (sqrt(n * q1 - s1 * s1) * sqrt(n * q4 - s4 * s4)), 6) FROM m
+        |  UNION ALL SELECT 'n_chars', 'n_distinct_tokens', nn,
+        |    round((n * p23 - s2 * s3) /
+        |      (sqrt(n * q2 - s2 * s2) * sqrt(n * q3 - s3 * s3)), 6) FROM m
+        |  UNION ALL SELECT 'n_chars', 'n_alpha_words', nn,
+        |    round((n * p24 - s2 * s4) /
+        |      (sqrt(n * q2 - s2 * s2) * sqrt(n * q4 - s4 * s4)), 6) FROM m
+        |  UNION ALL SELECT 'n_distinct_tokens', 'n_alpha_words', nn,
+        |    round((n * p34 - s3 * s4) /
+        |      (sqrt(n * q3 - s3 * s3) * sqrt(n * q4 - s4 * s4)), 6) FROM m)
+        |ORDER BY 1, 2""".stripMargin,
     "q193_distinctive_phrases" ->
       """WITH t AS (
         |  SELECT source, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])

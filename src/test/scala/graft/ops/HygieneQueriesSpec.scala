@@ -57,4 +57,23 @@ class HygieneQueriesSpec extends SparkSpec {
     def toMap2: Map[String, (Long, Long, Double, Double)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
   }
+
+  test("q213 signal correlation == built-in corr (sample/population cancels in r)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = HygieneQueries.signalCorrelation(spark, dir)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    val sig = graft.sources.Tables.documents(spark, dir).select(
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("double").as("n_tokens"),
+      length(col("text")).cast("double").as("n_chars"),
+      size(graft.functions.HashFunctions.wordGramHashes(col("text"), 1))
+        .cast("double").as("n_distinct_tokens"),
+      graft.functions.GopherFunctions.gopherStats(col("text"))
+        .getField("n_alpha_words").cast("double").as("n_alpha_words"))
+    got.foreach { case ((a, b), r) =>
+      val ref = sig.select(corr(col(a), col(b))).head().getDouble(0)
+      assert(math.abs(r - ref) < 1e-6, s"($a,$b): $r vs builtin $ref")
+    }
+    assert(got.size == 6)
+  }
 }
