@@ -325,10 +325,11 @@ object AnalysisQueries {
     * and an alphabet-matching low-entropy decoy the screen must REJECT.
     * Per source: token/detector totals, flagged-doc count, and the
     * sum/count candidate-entropy average (4 dp). */
-  val secretCensus: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
+  /** The q204/q205/q214 plants — md5/base64 arithmetic both engines
+    * evaluate identically (see [[secretCensus]]). */
+  private def secretPlanted(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val did = col("doc_id").cast("string")
-    val planted = docs.withColumn("t",
+    docs.withColumn("t",
       when(col("doc_id") % 17 === 1, concat(col("text"),
         lit(" AKIA"), upper(substring(md5(did), 1, 16))))
         .when(col("doc_id") % 17 === 2, concat(col("text"), lit(" "),
@@ -337,9 +338,16 @@ object AnalysisQueries {
           base64(unhex(concat(md5(did), md5((col("doc_id") + 7).cast("string")))))))
         .when(col("doc_id") % 17 === 4, concat(col("text"), lit(" " + "Ab+/" * 9)))
         .otherwise(col("text")))
-    val g = planted.select(col("doc_id"), col("source"),
-      graft.functions.SecretFunctions.secretStats(col("t")).as("g"))
-    g.groupBy("source")
+  }
+
+  /** The RAW additive per-source census — every non-key column is a sum
+    * (longs + the candidate-entropy-sum double), which is exactly the
+    * [[graft.store.IndexStore.updateCensus]] storage contract: merge of
+    * batch censuses == one-shot census by the additivity of sums. */
+  private def secretCensusRaw(planted: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    planted.select(col("doc_id"), col("source"),
+        graft.functions.SecretFunctions.secretStats(col("t")).as("g"))
+      .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("g.n_tokens")).as("n_tokens"),
         sum(col("g.n_aws")).as("n_aws"),
@@ -348,10 +356,44 @@ object AnalysisQueries {
         sum(col("g.n_secret")).as("n_b64_secrets"),
         sum(((col("g.n_aws") + col("g.n_hex") + col("g.n_secret")) > 0)
           .cast("long")).as("n_docs_flagged"),
-        round(sum(col("g.sum_cand_entropy")) / sum(col("g.n_cand")), 4)
-          .as("avg_cand_entropy"),
+        sum(col("g.sum_cand_entropy")).as("sum_cand_entropy"),
         sum(col("doc_id")).as("sum_doc_ids"))
+
+  /** Published report over the raw census: ratios derived HERE, never
+    * stored (the additive-store rule). */
+  private def secretReport(raw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    raw.select(col("source"), col("n_docs"), col("n_tokens"), col("n_aws"),
+        col("n_hex"), col("n_candidates"), col("n_b64_secrets"),
+        col("n_docs_flagged"),
+        round(col("sum_cand_entropy") / col("n_candidates"), 4)
+          .as("avg_cand_entropy"),
+        col("sum_doc_ids"))
       .orderBy("source")
+
+  val secretCensus: Q = (s, dir) =>
+    secretReport(secretCensusRaw(secretPlanted(Tables.documents(s, dir))))
+
+  /** q214: INCREMENTAL stored secret census — the continuous-monitoring
+    * form of q204: each corpus batch's additive census merges into the
+    * stored per-source frame ([[graft.store.IndexStore.updateCensus]]:
+    * groupBy-key + SUM, atomic swap, replay cursor), the corpus is never
+    * rescanned and the stored frame stays source-cardinality-sized. The
+    * gate ingests the corpus as two doc_id-parity batches and reports
+    * from the RELOADED store — proven against q204's own one-shot oracle
+    * (the q144 additive-merge doctrine: update-by-batches == one-shot,
+    * certified by the same SQL). */
+  val secretCensusIncremental: Q = (s, dir) => {
+    val planted = secretPlanted(Tables.documents(s, dir))
+    val path = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_census_idx"))
+      .resolve("idx").toString
+    graft.store.IndexStore.updateCensus(s, path,
+      secretCensusRaw(planted.where(col("doc_id") % 2 === 0)),
+      Seq("source"), batchId = 0L)
+    graft.store.IndexStore.updateCensus(s, path,
+      secretCensusRaw(planted.where(col("doc_id") % 2 === 1)),
+      Seq("source"), batchId = 1L)
+    secretReport(graft.store.IndexStore.loadCensus(s, path))
   }
 
   /** q205: secret scrub certificate ([[graft.functions.SecretRedact]],
@@ -364,17 +406,7 @@ object AnalysisQueries {
     * non-alphabet chars, so they can't re-trigger), and the exact char
     * delta certifies nothing else moved. */
   val secretScrub: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-    val did = col("doc_id").cast("string")
-    val planted = docs.withColumn("t",
-      when(col("doc_id") % 17 === 1, concat(col("text"),
-        lit(" AKIA"), upper(substring(md5(did), 1, 16))))
-        .when(col("doc_id") % 17 === 2, concat(col("text"), lit(" "),
-          md5(did), md5((col("doc_id") + 1).cast("string"))))
-        .when(col("doc_id") % 17 === 3, concat(col("text"), lit(" "),
-          base64(unhex(concat(md5(did), md5((col("doc_id") + 7).cast("string")))))))
-        .when(col("doc_id") % 17 === 4, concat(col("text"), lit(" " + "Ab+/" * 9)))
-        .otherwise(col("text")))
+    val planted = secretPlanted(Tables.documents(s, dir))
     val scrubbed = planted.select(col("doc_id"), col("source"), col("t"),
       graft.functions.SecretFunctions.secretRedact(col("t")).as("clean"))
     def markers(c: org.apache.spark.sql.Column, m: String): org.apache.spark.sql.Column =
@@ -1184,6 +1216,7 @@ object AnalysisQueries {
     "q203_markup_census" -> markupCensus,
     "q204_secret_census" -> secretCensus,
     "q205_secret_scrub" -> secretScrub,
+    "q214_census_incremental" -> secretCensusIncremental,
     "q206_license_census" -> licenseCensus,
     "q207_comment_census" -> commentCensus,
     "q119_repetition_report" -> repetitionReport)
@@ -1308,6 +1341,31 @@ object AnalysisQueries {
       |ent AS (
       |  SELECT doc_id, tpos, log2(sum(n)) - sum(n * log2(n)) / sum(n) AS h
       |  FROM ch GROUP BY 1, 2)""".stripMargin
+
+  /** The q204 one-shot census oracle — ALSO the q214 gate: the stored
+    * incremental census must reproduce the one-shot report exactly. */
+  private val secretCensusOracle: String = secretPlantCte +
+    """,
+      |pd AS (SELECT doc_id, count(*) AS ntok,
+      |    sum(CASE WHEN k = 'aws' THEN 1 ELSE 0 END) AS a,
+      |    sum(CASE WHEN k = 'hex' THEN 1 ELSE 0 END) AS x,
+      |    sum(CASE WHEN k = 'cand' THEN 1 ELSE 0 END) AS cnd,
+      |    sum(CASE WHEN k = 'cand' AND h >= 4.2 THEN 1 ELSE 0 END) AS sec,
+      |    sum(CASE WHEN k = 'cand' THEN h ELSE 0 END) AS sh
+      |  FROM cls LEFT JOIN ent USING (doc_id, tpos) GROUP BY 1)
+      |SELECT d.source, count(*) AS n_docs,
+      |  CAST(sum(coalesce(ntok, 0)) AS BIGINT) AS n_tokens,
+      |  CAST(sum(coalesce(a, 0)) AS BIGINT) AS n_aws,
+      |  CAST(sum(coalesce(x, 0)) AS BIGINT) AS n_hex,
+      |  CAST(sum(coalesce(cnd, 0)) AS BIGINT) AS n_candidates,
+      |  CAST(sum(coalesce(sec, 0)) AS BIGINT) AS n_b64_secrets,
+      |  CAST(sum(CASE WHEN coalesce(a, 0) + coalesce(x, 0) +
+      |    coalesce(sec, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged,
+      |  round(sum(coalesce(sh, 0)) / sum(coalesce(cnd, 0)), 4)
+      |    AS avg_cand_entropy,
+      |  CAST(sum(d.doc_id) AS BIGINT) AS sum_doc_ids
+      |FROM d LEFT JOIN pd USING (doc_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q187_dictionary_redact" ->
@@ -1675,29 +1733,11 @@ object AnalysisQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q204: plants replayed with the same md5/base64 arithmetic; per-token
     // classification is the same CASE order; candidate entropy is the
-    // shared log2(m) - Σc·log2(c)/m shape over the token char histogram
-    "q204_secret_census" -> (secretPlantCte +
-      """,
-        |pd AS (SELECT doc_id, count(*) AS ntok,
-        |    sum(CASE WHEN k = 'aws' THEN 1 ELSE 0 END) AS a,
-        |    sum(CASE WHEN k = 'hex' THEN 1 ELSE 0 END) AS x,
-        |    sum(CASE WHEN k = 'cand' THEN 1 ELSE 0 END) AS cnd,
-        |    sum(CASE WHEN k = 'cand' AND h >= 4.2 THEN 1 ELSE 0 END) AS sec,
-        |    sum(CASE WHEN k = 'cand' THEN h ELSE 0 END) AS sh
-        |  FROM cls LEFT JOIN ent USING (doc_id, tpos) GROUP BY 1)
-        |SELECT d.source, count(*) AS n_docs,
-        |  CAST(sum(coalesce(ntok, 0)) AS BIGINT) AS n_tokens,
-        |  CAST(sum(coalesce(a, 0)) AS BIGINT) AS n_aws,
-        |  CAST(sum(coalesce(x, 0)) AS BIGINT) AS n_hex,
-        |  CAST(sum(coalesce(cnd, 0)) AS BIGINT) AS n_candidates,
-        |  CAST(sum(coalesce(sec, 0)) AS BIGINT) AS n_b64_secrets,
-        |  CAST(sum(CASE WHEN coalesce(a, 0) + coalesce(x, 0) +
-        |    coalesce(sec, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged,
-        |  round(sum(coalesce(sh, 0)) / sum(coalesce(cnd, 0)), 4)
-        |    AS avg_cand_entropy,
-        |  CAST(sum(d.doc_id) AS BIGINT) AS sum_doc_ids
-        |FROM d LEFT JOIN pd USING (doc_id)
-        |GROUP BY 1 ORDER BY 1""".stripMargin),
+    // shared log2(m) - Σc·log2(c)/m shape over the token char histogram.
+    // q214 (incremental stored census) maps to the SAME oracle — the gate
+    // that batched ingest == one-shot IS this equality (q144 doctrine).
+    "q204_secret_census" -> secretCensusOracle,
+    "q214_census_incremental" -> secretCensusOracle,
     // q205: the scrub contract replayed from classification alone — marker
     // counts == detector counts, residual 0, char delta = Σ (12 - len(tok))
     // per detected token (markers are 12 chars; decoys untouched)

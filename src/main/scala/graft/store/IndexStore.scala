@@ -627,4 +627,63 @@ object IndexStore {
       true
     } finally delta.unpersist()
   }
+
+  /** Persist an ADDITIVE census: a keyed frame whose every non-key column
+    * is a sum (long or double) — the stored form of the per-source
+    * monitoring censuses (q204 secrets, q203 markup, …). Additive is the
+    * contract that makes continuous ingest exact: merge = groupBy(key) +
+    * SUM of everything else, so update-by-batches == one-shot over the
+    * union, provable by the one-shot gate's own oracle. Ratios/averages
+    * must NOT be stored — store their numerator and denominator and
+    * derive at report time. */
+  def saveCensus(spark: SparkSession, rows: org.apache.spark.sql.DataFrame,
+                 path: String, lastBatchId: Long = -1L): Unit = {
+    import spark.implicits._
+    writeMeta(spark, path, "census")
+    rows.write.mode("overwrite").parquet(s"$path/rows")
+    Seq(Tuple1(lastBatchId)).toDF("last_batch")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/scalars")
+  }
+
+  def loadCensus(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    checkMeta(spark, path, "census")
+    spark.read.parquet(s"$path/rows")
+  }
+
+  /** The stored census's replay cursor (−1 on fresh/batch ingest). */
+  def censusLastBatch(spark: SparkSession, path: String): Long =
+    spark.read.parquet(s"$path/scalars").select("last_batch").head().getLong(0)
+
+  /** Merge a new batch's census rows into the stored census, atomically
+    * and exactly-once (the [[updateVocabIndex]] contract: dot-tmp write →
+    * rename-swap promote; the batchId cursor makes a replayed micro-batch
+    * a no-op). The stored frame stays key-cardinality-sized — the corpus
+    * is never rescanned.
+    * @return true if applied, false if skipped as a replay. */
+  def updateCensus(spark: SparkSession, path: String,
+                   delta: org.apache.spark.sql.DataFrame,
+                   keyCols: Seq[String], batchId: Long = -1L): Boolean = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta"))
+    if (exists && batchId >= 0 && batchId <= censusLastBatch(spark, path))
+      return false
+    val merged =
+      if (exists) {
+        val stored = loadCensus(spark, path)
+        val valueCols = delta.schema.fieldNames.filterNot(keyCols.contains)
+        stored.unionByName(delta)
+          .groupBy(keyCols.map(col): _*)
+          .agg(sum(col(valueCols.head)).as(valueCols.head),
+            valueCols.tail.map(c => sum(col(c)).as(c)): _*)
+          .select(delta.schema.fieldNames.map(col): _*)
+      } else delta
+    val parent = Option(root.getParent).map(_.toString).getOrElse(".")
+    val tmp = new org.apache.hadoop.fs.Path(s"$parent/.${root.getName}_update_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    saveCensus(spark, merged, tmp.toString, batchId)
+    graft.util.AtomicSwap.swap(fs, tmp, root)
+    true
+  }
 }

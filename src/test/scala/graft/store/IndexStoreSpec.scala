@@ -73,4 +73,31 @@ class IndexStoreSpec extends SparkSpec {
       IndexStore.loadIvfIndex(spark, path)
     }
   }
+
+  test("additive census store: batched update == one-shot, replay is a no-op") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(sf("documents"))
+      .select(col("source"), col("doc_id"),
+        length(col("text")).cast("long").as("nch"))
+    def census(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("source").agg(count(lit(1)).as("n_docs"),
+        sum(col("nch")).as("sum_chars"),
+        (sum(col("nch")) * 0.5).as("half_chars")) // a double column stays additive
+    val path = tmp("graft_censusidx") + "/idx"
+    assert(IndexStore.updateCensus(spark, path,
+      census(docs.where(col("doc_id") % 2 === 0)), Seq("source"), batchId = 0L))
+    assert(IndexStore.updateCensus(spark, path,
+      census(docs.where(col("doc_id") % 2 === 1)), Seq("source"), batchId = 1L))
+    // replayed micro-batch: cursor makes it a no-op
+    assert(!IndexStore.updateCensus(spark, path,
+      census(docs.where(col("doc_id") % 2 === 1)), Seq("source"), batchId = 1L))
+    val stored = IndexStore.loadCensus(spark, path)
+    val oneShot = census(docs)
+    assert(stored.exceptAll(oneShot).isEmpty && oneShot.exceptAll(stored).isEmpty,
+      "batched census diverged from the one-shot census")
+    assert(IndexStore.censusLastBatch(spark, path) == 1L)
+    intercept[IllegalArgumentException] {
+      IndexStore.loadVocabGrams(spark, path) // wrong kind
+    }
+  }
 }
