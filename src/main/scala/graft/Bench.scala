@@ -160,7 +160,8 @@ object Bench {
     "q211_dim_drift",         // per-dim embedding drift, one treeAggregate
     "q212_neyman_sample",     // variance-aware stratified eval allocation
     "q213_signal_corr",       // integer-moment Pearson signal matrix
-    "q214_census_incremental") // stored additive census: 2-batch ingest
+    "q214_census_incremental", // stored additive census: 2-batch ingest
+    "q215_sentence_census")   // sentence boundaries + readability ratios
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -429,6 +429,44 @@ object AnalysisQueries {
       .orderBy("source")
   }
 
+  /** q215: sentence segmentation + readability census — the
+    * sentence-level preprocessing report (sentence-dedup, TTS chunking,
+    * and readability screens all start here). Deterministic rule both
+    * engines share: sentence boundaries = `[.!?]+` followed by
+    * whitespace; count = non-blank segments (a trailing terminator does
+    * not open an empty sentence). The readability proxies are the two
+    * ratios every Flesch-family formula is built from — tokens/sentence
+    * and chars/token — published as sum/sum at 4 dp (never avg-of-ratios,
+    * which would weight short docs up). One scan; the per-doc segment
+    * arrays are tiny (≤ sentences/doc), so built-in split+filter stays in
+    * codegen-friendly territory without a custom kernel. Plants by
+    * doc_id % 29 add multi-sentence and tail-without-terminator shapes to
+    * the punctuation-free corpus. */
+  val sentenceCensus: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val planted = docs.withColumn("t",
+      when(col("doc_id") % 29 === 1, concat(col("text"),
+        lit(". Second sentence here. Third one ends now!")))
+        .when(col("doc_id") % 29 === 2, concat(col("text"),
+          lit("? One more thing. And a tail without terminal punct")))
+        .otherwise(col("text")))
+    val g = planted.select(col("doc_id"), col("source"),
+      size(filter(split(col("t"), "[.!?]+\\s+", -1),
+        x => trim(x) =!= "")).cast("long").as("nsent"),
+      graft.functions.TextFunctions.tokenCount(col("t")).cast("long").as("ntok"),
+      length(col("t")).cast("long").as("nch"))
+    g.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nsent")).as("n_sentences"),
+        round(sum(col("ntok")).cast("double") / sum(col("nsent")), 4)
+          .as("tokens_per_sentence"),
+        round(sum(col("nch")).cast("double") / sum(col("ntok")), 4)
+          .as("chars_per_token"),
+        sum(when(col("nsent") === 1, 1L).otherwise(0L)).as("n_single_sentence"),
+        sum(col("doc_id")).as("sum_doc_ids"))
+      .orderBy("source")
+  }
+
   /** q116: retrieval-quality evaluation — three bag-of-terms queries run
     * through the ONE-corpus-pass [[graft.ops.Bm25.topKBatch]] (per-query
     * ranking via the bounded top-k aggregate, no window), judged against
@@ -1219,6 +1257,7 @@ object AnalysisQueries {
     "q214_census_incremental" -> secretCensusIncremental,
     "q206_license_census" -> licenseCensus,
     "q207_comment_census" -> commentCensus,
+    "q215_sentence_census" -> sentenceCensus,
     "q119_repetition_report" -> repetitionReport)
 
   /** q150 oracle: rebuild the WordPiece vocabulary and unroll the greedy
@@ -1738,6 +1777,32 @@ object AnalysisQueries {
     // that batched ingest == one-shot IS this equality (q144 doctrine).
     "q204_secret_census" -> secretCensusOracle,
     "q214_census_incremental" -> secretCensusOracle,
+    // q215: same boundary regex, same non-blank-segment count, same
+    // sum/sum ratio shapes at 4 dp
+    "q215_sentence_census" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, text ||
+        |    CASE CAST(doc_id % 29 AS INT)
+        |      WHEN 1 THEN '. Second sentence here. Third one ends now!'
+        |      WHEN 2 THEN '? One more thing. And a tail without terminal punct'
+        |      ELSE '' END AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(t, '[.!?]+\s+'),
+        |      x -> trim(x) <> '')) AS BIGINT) AS nsent,
+        |    CAST(len(CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(t), '\s+') END) AS BIGINT) AS ntok,
+        |    CAST(length(t) AS BIGINT) AS nch
+        |  FROM p)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(nsent) AS BIGINT) AS n_sentences,
+        |  round(CAST(sum(ntok) AS DOUBLE) / sum(nsent), 4) AS tokens_per_sentence,
+        |  round(CAST(sum(nch) AS DOUBLE) / sum(ntok), 4) AS chars_per_token,
+        |  CAST(sum(CASE WHEN nsent = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_single_sentence,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     // q205: the scrub contract replayed from classification alone — marker
     // counts == detector counts, residual 0, char delta = Σ (12 - len(tok))
     // per detected token (markers are 12 chars; decoys untouched)

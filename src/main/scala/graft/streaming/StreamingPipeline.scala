@@ -306,6 +306,26 @@ object StreamingPipeline {
         ()
       }
 
+  /** Continuous CENSUS ingest: each arriving micro-batch's additive census
+    * (built by `census` — e.g. the q204 per-source secret census) merges
+    * into the stored census ([[graft.store.IndexStore.updateCensus]]:
+    * groupBy-key + SUM behind the atomic swap). Exactly-once by the
+    * stored batch-id cursor; a replayed micro-batch is a no-op. The
+    * monitoring analogue of [[vocabIngestStream]]: the store stays
+    * key-cardinality-sized however long the stream runs. */
+  def censusIngestStream(newDocs: DataFrame, indexPath: String,
+                         keyCols: Seq[String],
+                         census: DataFrame => DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.store.IndexStore.updateCensus(
+          batch.sparkSession, indexPath, census(batch), keyCols,
+          batchId = batchId)
+        ()
+      }
+
   /** Continuous DENSE-INDEX ingest: each arriving micro-batch of vectors
     * is routed to its nearest frozen coarse-quantizer list and appended
     * to the stored IVF index ([[graft.store.IndexStore.updateIvfIndex]])

@@ -971,6 +971,41 @@ class StreamingSpec extends SparkSpec {
     assert(leaked == 0L, "a planted card number survived the streaming scrub")
   }
 
+  test("census ingest stream == one-shot census; survives restart exactly-once") {
+    val docs = Tables.documents(spark, dir)
+    def census(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("source").agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("sum_chars"))
+    val src = java.nio.file.Files.createTempDirectory("graft_census_src")
+    val root = java.nio.file.Files.createTempDirectory("graft_census_stream").toString
+    val idxPath = s"$root/idx"
+    def stageFile(part: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_census_p$part")
+      docs.where(pmod(col("doc_id"), lit(2)) === part).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, src.resolve(s"p$part.parquet"))
+    }
+    stageFile(0)
+    val schema = docs.schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+      val q = StreamingPipeline
+        .censusIngestStream(stream, idxPath, Seq("source"), census)
+        .option("checkpointLocation", s"$root/ckpt").start()
+      q.awaitTermination()
+    }
+    runOnce() // "process dies" after file 0
+    stageFile(1) // backlog arrives while down
+    runOnce() // restart: must not re-merge file 0
+    val stored = graft.store.IndexStore.loadCensus(spark, idxPath)
+    val oneShot = census(docs)
+    assert(stored.exceptAll(oneShot).isEmpty && oneShot.exceptAll(stored).isEmpty,
+      "streamed census diverged from the one-shot census")
+  }
+
   test("streaming secret scrub == batch twin; no planted key survives") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val did = col("doc_id").cast("string")
