@@ -464,8 +464,57 @@ object ExtendedQueries {
       .orderBy("source")
   }
 
+  /** The q216 confusable fold: the high-frequency Cyrillic/Latin lookalike
+    * pairs spam obfuscation actually uses (а→a е→e о→o р→p с→c х→x і→i).
+    * Shared verbatim with the oracle's translate(). */
+  private val ConfusableFrom = "аеорсхі"
+  private val ConfusableTo = "aeopcxi"
+
+  /** q216: confusable-folding dedup delta — the obfuscation-resistant
+    * dedup screen: spam farms evade exact dedup by swapping Latin vowels
+    * for Cyrillic lookalikes ("viаgra"); folding confusables BEFORE
+    * hashing unmasks those groups. ONE corpus scan projecting the raw and
+    * folded md5 keys (translate() is codegen'd), ONE shuffle on the
+    * folded key; per fold-group the distinct-raw count k separates groups
+    * exact dedup already caught (k = 1) from groups only the fold reveals
+    * (k > 1) — no second dedup pass, no join. Plants: plain templates
+    * (raw dups) + their confusable-swapped twins (unmasked only by
+    * folding). */
+  val confusableDedup: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val tmpl = element_at(typedLit(DupTemplates), (col("doc_id") % 7).cast("int") + 1)
+    val planted = docs.withColumn("t",
+      when(col("doc_id") % 37 === 1 || col("doc_id") % 37 === 3, tmpl)
+        .when(col("doc_id") % 37 === 2,
+          translate(tmpl, ConfusableTo.take(3), ConfusableFrom.take(3)))
+        .otherwise(col("text")))
+    val keyed = planted.select(
+      md5(col("t")).as("raw_h"),
+      md5(translate(col("t"), ConfusableFrom, ConfusableTo)).as("fold_h"),
+      (length(col("t")) -
+        length(translate(col("t"), ConfusableFrom, ""))).cast("long").as("n_conf"),
+      col("doc_id"))
+    val groups = keyed.groupBy("fold_h")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("raw_h")).as("k"),
+        sum(col("n_conf")).as("conf_chars"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum((col("n_conf") > 0).cast("long")).as("n_conf_docs"))
+    groups.agg(
+      sum(col("n")).as("n_docs"),
+      sum(col("n_conf_docs")).as("n_docs_confusable"),
+      sum(col("conf_chars")).as("n_confusable_chars"),
+      sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_fold_dup_groups"),
+      sum(when(col("n") > 1 && col("k") > 1, 1L).otherwise(0L))
+        .as("n_unmasked_groups"),
+      sum(when(col("n") > 1 && col("k") > 1, col("n")).otherwise(0L))
+        .as("n_docs_in_unmasked"),
+      sum(when(col("n") > 1, col("sum_ids")).otherwise(0L)).as("sum_dup_ids"))
+  }
+
   val all: Map[String, Q] = Map(
     "q209_dup_matrix" -> dupMatrix,
+    "q216_confusable_dedup" -> confusableDedup,
     "q210_split_leakage" -> splitLeakage,
     "q139_neardup_decontam" -> nearDupDecontam,
     "q68_embedding_quant" -> embeddingQuantization,
@@ -662,6 +711,46 @@ object ExtendedQueries {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q216: same fold alphabet, same per-fold-group (n, distinct-raw)
+    // arithmetic; oracle's translate() shares Spark's drop-when-shorter
+    // semantics
+    "q216_confusable_dedup" ->
+      """WITH tl AS (
+        |  SELECT ['the quick brown fox jumps over the lazy dog near the river bank today',
+        |    'a second shared template about batch windows and late arriving data rows',
+        |    'shuffle partitions and broadcast joins decide the cost of every query',
+        |    'vector indexes trade recall for probe count under a fixed latency budget',
+        |    'tokenizer fertility varies by language and script more than by domain',
+        |    'near duplicate clusters inflate loss on memorized spans during training',
+        |    'stream and batch must agree on every stateless transform by construction'] AS ts),
+        |p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN CAST(doc_id % 37 AS INT) IN (1, 3)
+        |        THEN list_extract(ts, CAST(doc_id % 7 AS INT) + 1)
+        |      WHEN CAST(doc_id % 37 AS INT) = 2
+        |        THEN translate(list_extract(ts, CAST(doc_id % 7 AS INT) + 1),
+        |          'aeo', 'аео')
+        |      ELSE text END AS t
+        |  FROM documents, tl),
+        |k AS (
+        |  SELECT doc_id, md5(t) AS raw_h, md5(translate(t, 'аеорсхі', 'aeopcxi')) AS fold_h,
+        |    CAST(length(t) - length(translate(t, 'аеорсхі', '')) AS BIGINT) AS n_conf
+        |  FROM p),
+        |g AS (
+        |  SELECT fold_h, count(*) AS n, count(DISTINCT raw_h) AS k,
+        |    sum(n_conf) AS conf_chars, sum(doc_id) AS sum_ids,
+        |    sum(CASE WHEN n_conf > 0 THEN 1 ELSE 0 END) AS n_conf_docs
+        |  FROM k GROUP BY 1)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_conf_docs) AS BIGINT) AS n_docs_confusable,
+        |  CAST(sum(conf_chars) AS BIGINT) AS n_confusable_chars,
+        |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_fold_dup_groups,
+        |  CAST(sum(CASE WHEN n > 1 AND k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unmasked_groups,
+        |  CAST(sum(CASE WHEN n > 1 AND k > 1 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_docs_in_unmasked,
+        |  CAST(sum(CASE WHEN n > 1 THEN sum_ids ELSE 0 END) AS BIGINT) AS sum_dup_ids
+        |FROM g""".stripMargin,
     // q209: pair expansion replayed as a distinct (group, source) self-join
     // (the in-row bounded expansion is the ENGINE's job)
     "q209_dup_matrix" -> (dupPlantCte +

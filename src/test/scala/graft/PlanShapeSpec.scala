@@ -438,6 +438,14 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("confusable dedup: one scan, one fold-key shuffle, no join") {
+    val plan = planOf("q216_confusable_dedup")
+    assert("FileScan parquet".r.findAllIn(plan).length == 1,
+      s"raw and folded keys must come from the same scan:\n${plan.take(2000)}")
+    assert(!plan.contains("Join") && !plan.contains("Window") &&
+      !plan.contains("Generate explode"), plan.take(2000))
+  }
+
   test("dup matrix: one scan, in-row bounded pair expansion, no self-join") {
     val plan = planOf("q209_dup_matrix")
     assert("FileScan parquet".r.findAllIn(plan).length == 1,
