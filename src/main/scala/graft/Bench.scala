@@ -162,7 +162,8 @@ object Bench {
     "q213_signal_corr",       // integer-moment Pearson signal matrix
     "q214_census_incremental", // stored additive census: 2-batch ingest
     "q215_sentence_census",   // sentence boundaries + readability ratios
-    "q216_confusable_dedup")  // homoglyph-fold dedup delta, one shuffle
+    "q216_confusable_dedup",  // homoglyph-fold dedup delta, one shuffle
+    "q217_niah_build")        // needle-in-haystack eval construction
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

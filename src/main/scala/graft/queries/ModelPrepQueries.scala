@@ -1238,9 +1238,51 @@ object ModelPrepQueries {
       .orderBy("source")
   }
 
+  /** q217: needle-in-a-haystack eval construction — the long-context eval
+    * set everyone builds: concatenate doc groups into haystacks (8 docs,
+    * doc_id order — the q196 sorted-struct render, bounded collect), plant
+    * a deterministic needle sentence at token position hid % (ntok+1) (a
+    * uniform sweep over depths WITHOUT randomness, so the set is
+    * reproducible and the oracle replays it), report the depth-decile
+    * census with a byte-level render certificate (md5-bucket sum over the
+    * full rendered strings — any splice error anywhere breaks it). The
+    * needle is 8 tokens, so total_tokens pins the arithmetic too. Scale
+    * shape: one shuffle on the haystack key; per-haystack arrays bounded
+    * by group size × doc length. */
+  val niahBuild: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(
+      expr("doc_id div 8").as("hid"), col("doc_id"), col("text"))
+    val hs = docs.groupBy("hid").agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("doc_id"), col("text")))),
+        x => x.getField("text")), " ").as("base"))
+    val toks = split(trim(col("base")), "\\s+")
+    val staged = hs.select(col("hid"), toks.as("ts"))
+      .withColumn("ntok", size(col("ts")).cast("long"))
+      .withColumn("p", (col("hid") % (col("ntok") + 1)).cast("int"))
+      .withColumn("needle", concat(lit("the magic number for haystack "),
+        col("hid").cast("string"), lit(" is "),
+        substring(md5(col("hid").cast("string")), 1, 8)))
+    val rendered = staged.select(col("hid"), col("ntok"), col("p"),
+      expr("(p * 10) div (ntok + 1)").as("depth"),
+      concat_ws(" ", concat(
+        slice(col("ts"), lit(1), col("p")),
+        array(col("needle")),
+        slice(col("ts"), col("p") + 1, size(col("ts")) - col("p"))))
+        .as("rendered"))
+    rendered.groupBy("depth")
+      .agg(count(lit(1)).as("n_haystacks"),
+        sum(col("ntok") + 8).as("total_tokens"),
+        sum(col("p").cast("long")).as("sum_positions"),
+        sum(col("hid")).as("sum_haystack_ids"),
+        sum(graft.ops.Sampling.md5Bucket(col("rendered"))).as("render_cert"))
+      .orderBy("depth")
+  }
+
   val all: Map[String, Q] = Map(
     "q211_dim_drift" -> dimDriftReport,
     "q212_neyman_sample" -> neymanEval,
+    "q217_niah_build" -> niahBuild,
     "q182_fim_mix" -> fimMix,
     "q183_span_corrupt" -> spanCorruptCensus,
     "q180_waterfill_mix" -> waterfillMix,
@@ -1484,6 +1526,33 @@ object ModelPrepQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q217: same ordered string_agg base, same modular depth arithmetic,
+    // same splice — the render certificate hashes every byte of every
+    // haystack on both sides
+    "q217_niah_build" ->
+      """WITH h AS (
+        |  SELECT doc_id // 8 AS hid,
+        |    string_agg(text, ' ' ORDER BY doc_id) AS base
+        |  FROM documents GROUP BY 1),
+        |x AS (SELECT hid, string_split_regex(trim(base), '\s+') AS ts FROM h),
+        |y AS (
+        |  SELECT hid, ts, CAST(len(ts) AS BIGINT) AS ntok,
+        |    CAST(hid % (len(ts) + 1) AS BIGINT) AS p,
+        |    'the magic number for haystack ' || hid || ' is ' ||
+        |      substring(md5(CAST(hid AS VARCHAR)), 1, 8) AS needle
+        |  FROM x),
+        |r AS (
+        |  SELECT hid, ntok, p, (p * 10) // (ntok + 1) AS depth,
+        |    array_to_string(list_concat(list_concat(
+        |      ts[1:p], [needle]), ts[p+1:len(ts)]), ' ') AS rendered
+        |  FROM y)
+        |SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n_haystacks,
+        |  CAST(sum(ntok + 8) AS BIGINT) AS total_tokens,
+        |  CAST(sum(p) AS BIGINT) AS sum_positions,
+        |  CAST(sum(hid) AS BIGINT) AS sum_haystack_ids,
+        |  CAST(sum(CAST(concat('0x', substr(md5(rendered), 1, 8)) AS BIGINT))
+        |    AS BIGINT) AS render_cert
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     // q212: σ via shared sqrt(q/n−(s/n)²) shape, weight quantized with the
     // same round(·1e6), HUGEINT largest-remainder, same md5-rank selection
     "q212_neyman_sample" ->

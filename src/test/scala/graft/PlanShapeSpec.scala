@@ -438,6 +438,12 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("niah build: one haystack-key shuffle, no window, no join") {
+    val plan = planOf("q217_niah_build")
+    assert("FileScan parquet".r.findAllIn(plan).length == 1, plan.take(2000))
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan.take(2000))
+  }
+
   test("confusable dedup: one scan, one fold-key shuffle, no join") {
     val plan = planOf("q216_confusable_dedup")
     assert("FileScan parquet".r.findAllIn(plan).length == 1,
