@@ -163,7 +163,8 @@ object Bench {
     "q214_census_incremental", // stored additive census: 2-batch ingest
     "q215_sentence_census",   // sentence boundaries + readability ratios
     "q216_confusable_dedup",  // homoglyph-fold dedup delta, one shuffle
-    "q217_niah_build")        // needle-in-haystack eval construction
+    "q217_niah_build",        // needle-in-haystack eval construction
+    "q218_audio_vad")         // VAD silence segmentation, real byte path
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -172,6 +172,55 @@ object MediaCodec {
     null
   }
 
+  /** VAD-style silence segmentation over a 16-bit PCM WAV payload: frames
+    * of `frameLen` samples (the tail frame keeps its actual length), a
+    * frame is SPEECH iff its mean |amplitude| >= `threshold` — compared
+    * integer-exactly as Σ|x| >= threshold·len, no float mean — and
+    * segments are maximal speech-frame runs. The silence/duration screen
+    * an audio-corpus curation pass runs before any transcription spend
+    * (mostly-silence clips are cut; max segment length sizes the chunker).
+    * Null for non-16-bit-PCM payloads or a missing data chunk. */
+  final case class WavVad(nFrames: Int, speechFrames: Int, nSegments: Int,
+                          maxSegmentFrames: Int)
+
+  def parseWavVad(b: Array[Byte], frameLen: Int, threshold: Int): WavVad = {
+    val meta = parseWavMeta(b)
+    if (meta == null || meta.bitsPerSample != 16) return null
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      if (size < 0) return null
+      if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
+        val end = math.min(b.length, i + 8 + size)
+        val n = (end - (i + 8)) / 2
+        var f = 0
+        var frames = 0; var speech = 0; var segs = 0
+        var run = 0; var maxRun = 0
+        while (f < n) {
+          val len = math.min(frameLen, n - f)
+          var sumAbs = 0L
+          var k = 0
+          while (k < len) {
+            val s = (le16(b, i + 8 + 2 * (f + k)) << 16) >> 16
+            sumAbs += math.abs(s).toLong
+            k += 1
+          }
+          frames += 1
+          if (sumAbs >= threshold.toLong * len) {
+            speech += 1
+            if (run == 0) segs += 1
+            run += 1
+            if (run > maxRun) maxRun = run
+          } else run = 0
+          f += len
+        }
+        return WavVad(frames, speech, segs, maxRun)
+      }
+      i += 8 + size + (size & 1)
+    }
+    null
+  }
+
   /** Acoustic fingerprint — the audio analog of [[dHash64]]: split the
     * 16-bit PCM data chunk into `frames` equal frames, compute each
     * frame's integer energy (Σ sample², exact in a Long), and emit bit i
@@ -601,6 +650,47 @@ object WavStatsExpr {
   /** Column form: `wav_stats(media)`. */
   def wavStats(media: Column): Column =
     ColumnBridge.column(WavStatsExpr(ColumnBridge.expression(media)))
+}
+
+/** VAD segmentation as a compiled expression — see
+  * [[MediaCodec.parseWavVad]]. Same decode tier as [[WavStatsExpr]]. */
+case class WavVadExpr(child: Expression, frameLen: Int, threshold: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(frameLen > 0 && threshold >= 0, "frameLen > 0, threshold >= 0")
+
+  override def dataType: DataType = WavVadExpr.schema
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"wav_vad needs a binary column, got ${child.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = MediaCodec.parseWavVad(input.asInstanceOf[Array[Byte]],
+      frameLen, threshold)
+    if (v == null) null
+    else InternalRow(v.nFrames, v.speechFrames, v.nSegments, v.maxSegmentFrames)
+  }
+
+  override def prettyName: String = "wav_vad"
+  override protected def withNewChildInternal(newChild: Expression): WavVadExpr =
+    copy(child = newChild)
+}
+
+object WavVadExpr {
+  val schema: DataType = StructType(Seq(
+    StructField("n_frames", IntegerType),
+    StructField("speech_frames", IntegerType),
+    StructField("n_segments", IntegerType),
+    StructField("max_segment_frames", IntegerType)))
+
+  /** Column form: `wav_vad(media, frameLen, threshold)`. */
+  def wavVad(media: Column, frameLen: Int, threshold: Int): Column =
+    ColumnBridge.column(WavVadExpr(ColumnBridge.expression(media), frameLen, threshold))
 }
 
 /** AVI (RIFF video) container support — the video member of the

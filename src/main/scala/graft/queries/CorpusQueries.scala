@@ -799,6 +799,57 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** q218: VAD silence segmentation through the REAL byte path
+    * ([[graft.multimodal.WavVadExpr]]) — the silence/duration screen an
+    * audio corpus runs before spending transcription compute. Each doc
+    * gets real 16-bit PCM: r = 2+id%4 speech runs (a = 2+id%3 frames of
+    * ±1000 square — mean |x| is exactly 1000, far above the 100
+    * threshold) alternating with silence runs (b = 1+id%2 frames of
+    * zeros), all FRAME-ALIGNED at 20 samples so every expected count is
+    * pure id arithmetic: frames = r(a+b), speech = ra, segments = r,
+    * max segment = a. The oracle never sees a byte — row equality
+    * certifies the whole encode→decode→frame-energy→run-detection path.
+    * Segmentation is integer-exact (Σ|x| >= threshold·len, no float
+    * mean). */
+  val audioVad: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .where(col("doc_id") % 13 === 7)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val fr = 20
+          val r = (2 + id % 4).toInt
+          val a = (2 + id % 3).toInt
+          val b = (1 + id % 2).toInt
+          val buf = Array.newBuilder[Short]
+          var run = 0
+          while (run < r) {
+            var k = 0
+            while (k < a * fr) {
+              buf += (if (k % 4 < 2) 1000 else -1000).toShort
+              k += 1
+            }
+            k = 0
+            while (k < b * fr) { buf += 0.toShort; k += 1 }
+            run += 1
+          }
+          (id, MediaCodec.encodeWav(channels = 1, sampleRate = 16000,
+            buf.result()))
+        }
+      }.toDF("doc_id", "media")
+    media.select(col("doc_id"),
+        graft.multimodal.WavVadExpr.wavVad(col("media"), 20, 100).as("v"))
+      .select(col("doc_id"),
+        col("v.n_frames").as("n_frames"),
+        col("v.speech_frames").as("speech_frames"),
+        col("v.n_segments").as("n_segments"),
+        col("v.max_segment_frames").as("max_segment_frames"),
+        round(col("v.speech_frames").cast("double") / col("v.n_frames"), 4)
+          .as("speech_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** q133: perceptual image near-dup grouping through the REAL pixel
     * path — every doc gets a block-pattern BMP (pattern class doc_id%7,
     * odd ids brightness-shifted +40), the compiled
@@ -1174,6 +1225,7 @@ object CorpusQueries {
     "q60_media_features" -> mediaFeatures,
     "q103_media_metadata" -> mediaMetadata,
     "q104_audio_stats" -> audioStats,
+    "q218_audio_vad" -> audioVad,
     "q133_image_neardup" -> imageNearDup,
     "q135_audio_neardup" -> audioNearDup,
     "q189_video_neardup" -> videoNearDup,
@@ -1405,6 +1457,20 @@ object CorpusQueries {
         |  CAST((64 + doc_id % 100 - 1) // (2 + doc_id % 9) AS INT) AS zero_crossings,
         |  round(CAST(1000.0 AS DOUBLE), 4) AS rms
         |FROM documents WHERE doc_id % 13 = 5 ORDER BY doc_id""".stripMargin,
+    // q218: every count is id arithmetic — the oracle certifies the whole
+    // encode→decode→VAD path without seeing a byte
+    "q218_audio_vad" ->
+      """WITH p AS (
+        |  SELECT doc_id, 2 + doc_id % 4 AS r, 2 + doc_id % 3 AS a,
+        |    1 + doc_id % 2 AS b
+        |  FROM documents WHERE doc_id % 13 = 7)
+        |SELECT doc_id,
+        |  CAST(r * (a + b) AS INT) AS n_frames,
+        |  CAST(r * a AS INT) AS speech_frames,
+        |  CAST(r AS INT) AS n_segments,
+        |  CAST(a AS INT) AS max_segment_frames,
+        |  round(CAST(r * a AS DOUBLE) / (r * (a + b)), 4) AS speech_ratio
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q103_media_metadata" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'

@@ -386,4 +386,30 @@ class MediaCodecSpec extends SparkSpec {
     }.toSeq.sortBy(_._1)
     assert(out.toSeq == expected)
   }
+
+  test("wav VAD: frame runs, tail frame, integer threshold edge, hostile payload") {
+    def wav(samples: Array[Short]) =
+      MediaCodec.encodeWav(channels = 1, sampleRate = 16000, samples)
+    // 2 speech frames (|x|=1000), 1 silence frame, 1 speech frame; frame=4
+    val s = Array.fill[Short](8)(1000) ++ Array.fill[Short](4)(0) ++
+      Array.fill[Short](4)(-1000)
+    val v = MediaCodec.parseWavVad(wav(s), frameLen = 4, threshold = 100)
+    assert(v == MediaCodec.WavVad(4, 3, 2, 2))
+    // tail partial frame keeps its own length: 6 samples at frame=4 ->
+    // frames 2; second frame is 2 loud samples, mean 1000 >= 100
+    val t = MediaCodec.parseWavVad(
+      wav(Array.fill[Short](6)(1000)), frameLen = 4, threshold = 100)
+    assert(t == MediaCodec.WavVad(2, 2, 1, 2))
+    // exact threshold: mean |x| == threshold counts as speech (>=)
+    val e = MediaCodec.parseWavVad(
+      wav(Array.fill[Short](4)(100)), frameLen = 4, threshold = 100)
+    assert(e.speechFrames == 1)
+    assert(MediaCodec.parseWavVad(
+      wav(Array.fill[Short](4)(99)), frameLen = 4, threshold = 100)
+      .speechFrames == 0)
+    // hostile: truncated/non-WAV payloads return null, never throw
+    assert(MediaCodec.parseWavVad(Array[Byte](1, 2, 3), 4, 100) == null)
+    val ok = wav(Array.fill[Short](8)(1000))
+    assert(MediaCodec.parseWavVad(ok.take(16), 4, 100) == null)
+  }
 }
