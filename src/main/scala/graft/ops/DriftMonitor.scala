@@ -20,18 +20,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * summation order. */
 object DriftMonitor {
 
-  /** Per-dimension drift stats between the rows where `sideBCol` is false
-    * (snapshot A) and true (snapshot B). Returns (dim, n_a, n_b,
-    * mean_shift, var_ratio) with the two doubles UNrounded — callers round
-    * at their published grain. */
-  def dimDrift(spark: SparkSession, df: DataFrame, vecCol: String,
-               sideBCol: String): DataFrame = {
+  /** The ADDITIVE per-dimension moment frame: (dim, n_a, n_b, s_a, s_b,
+    * q_a, q_b) — every non-key column a sum, which is exactly the
+    * [[graft.store.IndexStore.updateCensus]] storage contract, so drift
+    * monitoring can run incrementally: each corpus batch's moments merge
+    * into the stored frame and [[driftFromMoments]] reports at any time
+    * without rescanning history. d rows, built driver-side from the one
+    * treeAggregate. */
+  def dimMoments(spark: SparkSession, df: DataFrame, vecCol: String,
+                 sideBCol: String): DataFrame = {
     val rows = df.select(org.apache.spark.sql.functions.col(vecCol)
         .cast("array<double>"),
         org.apache.spark.sql.functions.col(sideBCol).cast("boolean"))
       .rdd.map(r => (r.getSeq[Double](0).toArray, r.getBoolean(1)))
     val d = rows.first()._1.length
-    // acc layout: [n_a, n_b, sumA(d), ssqA(d), sumB(d), ssqB(d)]
     val zero = new Array[Double](2 + 4 * d)
     def seqOp(acc: Array[Double], xs: (Array[Double], Boolean)): Array[Double] = {
       val (x, isB) = xs
@@ -52,16 +54,32 @@ object DriftMonitor {
       a
     }
     val acc = rows.treeAggregate(zero)(seqOp, combOp)
-    val na = acc(0); val nb = acc(1)
-    require(na > 0 && nb > 0, "both snapshots must be non-empty")
     val out = (0 until d).map { i =>
-      val meanA = acc(2 + i) / na
-      val meanB = acc(2 + 2 * d + i) / nb
-      val varA = acc(2 + d + i) / na - meanA * meanA
-      val varB = acc(2 + 3 * d + i) / nb - meanB * meanB
-      (i.toLong, na.toLong, nb.toLong, meanB - meanA, varB / varA)
+      (i.toLong, acc(0).toLong, acc(1).toLong,
+        acc(2 + i), acc(2 + 2 * d + i), acc(2 + d + i), acc(2 + 3 * d + i))
     }
-    spark.createDataFrame(out).toDF("dim", "n_a", "n_b", "mean_shift",
-      "var_ratio")
+    spark.createDataFrame(out).toDF("dim", "n_a", "n_b", "s_a", "s_b",
+      "q_a", "q_b")
   }
+
+  /** Drift report from a (possibly merged) moment frame — the shared
+    * mean/var/shift/ratio expression shapes, unrounded. */
+  def driftFromMoments(moments: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val meanA = col("s_a") / na; val meanB = col("s_b") / nb
+    moments.select(col("dim"), col("n_a"), col("n_b"),
+      (meanB - meanA).as("mean_shift"),
+      ((col("q_b") / nb - meanB * meanB) /
+        (col("q_a") / na - meanA * meanA)).as("var_ratio"))
+  }
+
+  /** Per-dimension drift stats between the rows where `sideBCol` is false
+    * (snapshot A) and true (snapshot B). Returns (dim, n_a, n_b,
+    * mean_shift, var_ratio) with the two doubles UNrounded — callers round
+    * at their published grain. One-shot composition of [[dimMoments]] +
+    * [[driftFromMoments]]. */
+  def dimDrift(spark: SparkSession, df: DataFrame, vecCol: String,
+               sideBCol: String): DataFrame =
+    driftFromMoments(dimMoments(spark, df, vecCol, sideBCol))
 }

@@ -1279,10 +1279,41 @@ object ModelPrepQueries {
       .orderBy("depth")
   }
 
+  /** q219: INCREMENTAL stored drift monitor — q211's moments are additive
+    * (n, Σx, Σx² per side per dim), so they live in the generic census
+    * store ([[graft.store.IndexStore.updateCensus]] keyed by dim): each
+    * embedding batch merges its d-row moment frame exactly-once, and the
+    * drift report derives from the store at any time without rescanning
+    * history. The gate ingests the corpus as two vec_id-quartile batches
+    * and reports from the RELOADED store against q211's own one-shot
+    * oracle (the q214 doctrine). */
+  val dimDriftIncremental: Q = (s, dir) => {
+    val vecs = Tables.embeddings(s, dir)
+      .withColumn("is_b", col("vec_id") % 2 === 1)
+    val path = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_drift_idx"))
+      .resolve("idx").toString
+    graft.store.IndexStore.updateCensus(s, path,
+      graft.ops.DriftMonitor.dimMoments(s,
+        vecs.where(col("vec_id") % 4 <= 1), "embedding", "is_b"),
+      Seq("dim"), batchId = 0L)
+    graft.store.IndexStore.updateCensus(s, path,
+      graft.ops.DriftMonitor.dimMoments(s,
+        vecs.where(col("vec_id") % 4 >= 2), "embedding", "is_b"),
+      Seq("dim"), batchId = 1L)
+    graft.ops.DriftMonitor.driftFromMoments(
+        graft.store.IndexStore.loadCensus(s, path))
+      .select(col("dim"), col("n_a"), col("n_b"),
+        round(col("mean_shift"), 6).as("mean_shift"),
+        round(col("var_ratio"), 6).as("var_ratio"))
+      .orderBy("dim")
+  }
+
   val all: Map[String, Q] = Map(
     "q211_dim_drift" -> dimDriftReport,
     "q212_neyman_sample" -> neymanEval,
     "q217_niah_build" -> niahBuild,
+    "q219_drift_incremental" -> dimDriftIncremental,
     "q182_fim_mix" -> fimMix,
     "q183_span_corrupt" -> spanCorruptCensus,
     "q180_waterfill_mix" -> waterfillMix,
@@ -1525,6 +1556,30 @@ object ModelPrepQueries {
        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** The q211 one-shot drift oracle — ALSO the q219 gate (stored
+    * incremental moments must reproduce the one-shot report). */
+  private val dimDriftOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id % 2 = 1 AS is_b, embedding FROM embeddings),
+      |x AS (
+      |  SELECT is_b, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+      |  FROM e, unnest(generate_series(1, len(embedding))) AS u(i)),
+      |g AS (
+      |  SELECT dim,
+      |    sum(CASE WHEN is_b THEN 0 ELSE 1 END) AS na,
+      |    sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS nb,
+      |    sum(CASE WHEN is_b THEN 0 ELSE v END) AS sa,
+      |    sum(CASE WHEN is_b THEN v ELSE 0 END) AS sb,
+      |    sum(CASE WHEN is_b THEN 0 ELSE v * v END) AS qa,
+      |    sum(CASE WHEN is_b THEN v * v ELSE 0 END) AS qb
+      |  FROM x GROUP BY 1)
+      |SELECT CAST(dim AS BIGINT) AS dim,
+      |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  round(sb / nb - sa / na, 6) AS mean_shift,
+      |  round((qb / nb - (sb / nb) * (sb / nb)) /
+      |        (qa / na - (sa / na) * (sa / na)), 6) AS var_ratio
+      |FROM g ORDER BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // q217: same ordered string_agg base, same modular depth arithmetic,
     // same splice — the render certificate hashes every byte of every
@@ -1598,28 +1653,11 @@ object ModelPrepQueries {
         |FROM al LEFT JOIN sel ON al.source = sel.source
         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
     // q211: per-dim moments replayed via lateral unnest; mean/var/shift/
-    // ratio share the engine's exact expression shapes
-    "q211_dim_drift" ->
-      """WITH e AS (
-        |  SELECT vec_id % 2 = 1 AS is_b, embedding FROM embeddings),
-        |x AS (
-        |  SELECT is_b, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
-        |  FROM e, unnest(generate_series(1, len(embedding))) AS u(i)),
-        |g AS (
-        |  SELECT dim,
-        |    sum(CASE WHEN is_b THEN 0 ELSE 1 END) AS na,
-        |    sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS nb,
-        |    sum(CASE WHEN is_b THEN 0 ELSE v END) AS sa,
-        |    sum(CASE WHEN is_b THEN v ELSE 0 END) AS sb,
-        |    sum(CASE WHEN is_b THEN 0 ELSE v * v END) AS qa,
-        |    sum(CASE WHEN is_b THEN v * v ELSE 0 END) AS qb
-        |  FROM x GROUP BY 1)
-        |SELECT CAST(dim AS BIGINT) AS dim,
-        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-        |  round(sb / nb - sa / na, 6) AS mean_shift,
-        |  round((qb / nb - (sb / nb) * (sb / nb)) /
-        |        (qa / na - (sa / na) * (sa / na)), 6) AS var_ratio
-        |FROM g ORDER BY 1""".stripMargin,
+    // ratio share the engine's exact expression shapes. q219 (incremental
+    // stored moments) maps to the SAME oracle — batched ingest == one-shot
+    // IS the gate (q214 doctrine).
+    "q219_drift_incremental" -> dimDriftOracle,
+    "q211_dim_drift" -> dimDriftOracle,
     "q182_fim_mix" -> fimOracle,
     "q183_span_corrupt" -> spanCorruptOracle,
     "q180_waterfill_mix" -> waterfillOracle,
