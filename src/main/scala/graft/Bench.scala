@@ -165,7 +165,8 @@ object Bench {
     "q216_confusable_dedup",  // homoglyph-fold dedup delta, one shuffle
     "q217_niah_build",        // needle-in-haystack eval construction
     "q218_audio_vad",         // VAD silence segmentation, real byte path
-    "q219_drift_incremental") // stored drift moments: 2-batch ingest
+    "q219_drift_incremental", // stored drift moments: 2-batch ingest
+    "q220_video_shots")       // shot-boundary detection, real container
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -836,6 +836,38 @@ object MediaCodecAvi {
     null
   }
 
+  /** Shot-boundary detection over the decoded frame-hash sequence — the
+    * video segmentation a clip-level curation pass runs (per-shot dedup,
+    * shot-aligned sampling, trailer/static-card screens). A boundary is a
+    * consecutive-frame dHash Hamming distance STRICTLY ABOVE `threshold`
+    * (0 = any visual change); shots are the runs between boundaries.
+    * Hashes every frame (everyNth = 1 — segmentation needs the full
+    * sequence, unlike q189's sampled near-dup); decode-failed frames are
+    * skipped, inheriting [[aviFrameHashes]]'s corrupt-frame tolerance.
+    * Null for non-AVI payloads or clips with zero decodable frames. */
+  final case class ShotStats(nFrames: Int, nBoundaries: Int, nShots: Int,
+                             maxShotFrames: Int)
+
+  def shotStats(b: Array[Byte], threshold: Int): ShotStats = {
+    val hs = aviFrameHashes(b, everyNth = 1)
+    if (hs == null || hs.isEmpty) return null
+    var boundaries = 0
+    var run = 1; var maxRun = 1
+    var i = 1
+    while (i < hs.length) {
+      val d = java.lang.Long.bitCount(hs(i - 1).longValue ^ hs(i).longValue)
+      if (d > threshold) {
+        boundaries += 1
+        run = 1
+      } else {
+        run += 1
+        if (run > maxRun) maxRun = run
+      }
+      i += 1
+    }
+    ShotStats(hs.length, boundaries, boundaries + 1, math.max(maxRun, run))
+  }
+
   /** DIB → BMP: re-synthesize the 14-byte BITMAPFILEHEADER (pixel offset =
     * 14 + info-header size + 4·palette entries, the format's own rule). */
   private def dibToBmp(dib: Array[Byte]): Array[Byte] = {
@@ -1019,4 +1051,45 @@ object VideoFrameHashesExpr {
   /** Column form: `video_frame_hashes(media, everyNth)`. */
   def videoFrameHashes(media: Column, everyNth: Int): Column =
     ColumnBridge.column(VideoFrameHashesExpr(ColumnBridge.expression(media), everyNth))
+}
+
+/** Shot-boundary segmentation as a compiled expression — see
+  * [[MediaCodecAvi.shotStats]]. Same frame tier as
+  * [[VideoFrameHashesExpr]]. */
+case class VideoShotStatsExpr(child: Expression, threshold: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(threshold >= 0, "threshold must be >= 0")
+
+  override def dataType: DataType = VideoShotStatsExpr.schema
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"video_shot_stats needs a binary column, got ${child.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = MediaCodecAvi.shotStats(input.asInstanceOf[Array[Byte]], threshold)
+    if (s == null) null
+    else InternalRow(s.nFrames, s.nBoundaries, s.nShots, s.maxShotFrames)
+  }
+
+  override def prettyName: String = "video_shot_stats"
+  override protected def withNewChildInternal(newChild: Expression): VideoShotStatsExpr =
+    copy(child = newChild)
+}
+
+object VideoShotStatsExpr {
+  val schema: DataType = StructType(Seq(
+    StructField("n_frames", IntegerType),
+    StructField("n_boundaries", IntegerType),
+    StructField("n_shots", IntegerType),
+    StructField("max_shot_frames", IntegerType)))
+
+  /** Column form: `video_shot_stats(media, threshold)`. */
+  def videoShotStats(media: Column, threshold: Int): Column =
+    ColumnBridge.column(VideoShotStatsExpr(ColumnBridge.expression(media), threshold))
 }

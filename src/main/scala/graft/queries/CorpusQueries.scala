@@ -917,6 +917,49 @@ object CorpusQueries {
       .orderBy("rep_doc")
   }
 
+  /** q220: shot-boundary detection through the REAL container path —
+    * the video member of the segmentation triple (q215 sentences, q218
+    * audio VAD). Each doc (id % 13 == 9 subset) gets an AVI of
+    * s = 2 + id%3 shots, each L = 2 + id%2 identical frames, consecutive
+    * shots on DIFFERENT pattern classes ((id + shot) % 7 — adjacent mod-7
+    * values differ, and the 7 patterns have pairwise-distinct dHashes,
+    * pinned in MediaCodecSpec). [[graft.multimodal.VideoShotStatsExpr]]
+    * walks the container, dHashes EVERY frame, and cuts where consecutive
+    * hashes differ (threshold 0): within-shot identical frames give
+    * Hamming 0, so expected counts are pure id arithmetic — frames = s·L,
+    * boundaries = s−1, shots = s, max shot = L. Row equality certifies
+    * mux → walk → decode → hash → run-detection end to end. */
+  val videoShots: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .where(col("doc_id") % 13 === 9)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val frameCache = scala.collection.mutable.Map[Int, Array[Byte]]()
+        def frame(p: Int): Array[Byte] =
+          frameCache.getOrElseUpdate(p, MediaCodec.encodeBlockPattern(p, 0))
+        ids.map { id =>
+          val nShots = (2 + id % 3).toInt
+          val len = (2 + id % 2).toInt
+          val frames = for {
+            shot <- 0 until nShots
+            _ <- 0 until len
+          } yield frame(((id + shot) % 7).toInt)
+          (id, graft.multimodal.MediaCodecAvi.encodeAvi(
+            frames, width = 36, height = 32, usPerFrame = 33333))
+        }
+      }.toDF("doc_id", "media")
+    media.select(col("doc_id"),
+        graft.multimodal.VideoShotStatsExpr.videoShotStats(col("media"), 0)
+          .as("v"))
+      .select(col("doc_id"),
+        col("v.n_frames").as("n_frames"),
+        col("v.n_boundaries").as("n_boundaries"),
+        col("v.n_shots").as("n_shots"),
+        col("v.max_shot_frames").as("max_shot_frames"))
+      .orderBy("doc_id")
+  }
+
   /** q189: video near-dup grouping through the REAL container path — the
     * video member of the q133/q135/q172 modality triple. Every doc gets a
     * 6-frame AVI ([[graft.multimodal.MediaCodecAvi.encodeAvi]]: RIFF →
@@ -1226,6 +1269,7 @@ object CorpusQueries {
     "q103_media_metadata" -> mediaMetadata,
     "q104_audio_stats" -> audioStats,
     "q218_audio_vad" -> audioVad,
+    "q220_video_shots" -> videoShots,
     "q133_image_neardup" -> imageNearDup,
     "q135_audio_neardup" -> audioNearDup,
     "q189_video_neardup" -> videoNearDup,
@@ -1457,6 +1501,18 @@ object CorpusQueries {
         |  CAST((64 + doc_id % 100 - 1) // (2 + doc_id % 9) AS INT) AS zero_crossings,
         |  round(CAST(1000.0 AS DOUBLE), 4) AS rms
         |FROM documents WHERE doc_id % 13 = 5 ORDER BY doc_id""".stripMargin,
+    // q220: every count is id arithmetic — row equality certifies the
+    // whole mux→walk→decode→hash→run-detection path
+    "q220_video_shots" ->
+      """WITH p AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS s, 2 + doc_id % 2 AS l
+        |  FROM documents WHERE doc_id % 13 = 9)
+        |SELECT doc_id,
+        |  CAST(s * l AS INT) AS n_frames,
+        |  CAST(s - 1 AS INT) AS n_boundaries,
+        |  CAST(s AS INT) AS n_shots,
+        |  CAST(l AS INT) AS max_shot_frames
+        |FROM p ORDER BY doc_id""".stripMargin,
     // q218: every count is id arithmetic — the oracle certifies the whole
     // encode→decode→VAD path without seeing a byte
     "q218_audio_vad" ->

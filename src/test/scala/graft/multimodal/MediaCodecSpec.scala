@@ -412,4 +412,20 @@ class MediaCodecSpec extends SparkSpec {
     val ok = wav(Array.fill[Short](8)(1000))
     assert(MediaCodec.parseWavVad(ok.take(16), 4, 100) == null)
   }
+
+  test("avi shot stats: run detection, single-shot clip, hostile payload") {
+    def clip(classes: Seq[Int]): Array[Byte] =
+      MediaCodecAvi.encodeAvi(classes.map(p => MediaCodec.encodeBlockPattern(p, 0)),
+        width = 36, height = 32, usPerFrame = 33333)
+    // shots of lengths 2, 3, 1 over distinct patterns
+    val s = MediaCodecAvi.shotStats(clip(Seq(0, 0, 1, 1, 1, 2)), threshold = 0)
+    assert(s == MediaCodecAvi.ShotStats(6, 2, 3, 3))
+    // one static shot: no boundaries, max run = all frames
+    val one = MediaCodecAvi.shotStats(clip(Seq(4, 4, 4)), threshold = 0)
+    assert(one == MediaCodecAvi.ShotStats(3, 0, 1, 3))
+    // a huge threshold merges everything into one shot
+    val merged = MediaCodecAvi.shotStats(clip(Seq(0, 1, 2)), threshold = 64)
+    assert(merged.nShots == 1 && merged.maxShotFrames == 3)
+    assert(MediaCodecAvi.shotStats(Array[Byte](1, 2, 3), 0) == null)
+  }
 }
