@@ -166,7 +166,8 @@ object Bench {
     "q217_niah_build",        // needle-in-haystack eval construction
     "q218_audio_vad",         // VAD silence segmentation, real byte path
     "q219_drift_incremental", // stored drift moments: 2-batch ingest
-    "q220_video_shots")       // shot-boundary detection, real container
+    "q220_video_shots",       // shot-boundary detection, real container
+    "q221_asr_screen")        // cross-modal pairing consistency screen
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -960,6 +960,51 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** q221: ASR pairing screen — the cross-modal consistency check an
+    * audio+transcript corpus runs before training (a transcript whose
+    * speaking rate is impossible for its clip length is a misaligned
+    * pair; both too-fast and too-slow are discard classes). Each doc
+    * (id % 13 == 11) gets real PCM whose DURATION is id arithmetic
+    * (n = (4 + id%7)·4000 samples at 16 kHz → 1.0–2.5 s), the transcript
+    * is the doc's own text; rate = transcript tokens / decoded seconds,
+    * banded at the 2-and-40-tokens/sec screen every ASR pipeline ships
+    * with. The duration comes from the DECODED header+data walk
+    * ([[graft.multimodal.WavStatsExpr]]), not the synth arithmetic, so
+    * the gate certifies the modality JOIN: bytes → duration ⋈ text →
+    * tokens → decision, with the 8-and-40-tokens/sec band edges chosen so
+    * all three bands are realized on the corpus (rates span 4–99). Per
+    * band: counts, token/second sums, id sum. */
+  val asrPairScreen: Q = (s, dir) => {
+    import s.implicits._
+    val subset = Tables.documents(s, dir).where(col("doc_id") % 13 === 11)
+    val media = subset.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = ((4 + id % 7) * 4000).toInt
+          val samples = Array.tabulate[Short](n)(i =>
+            if ((i / 8) % 2 == 0) 900 else -900)
+          (id, MediaCodec.encodeWav(channels = 1, sampleRate = 16000, samples))
+        }
+      }.toDF("doc_id", "media")
+    val joined = subset.select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+          .as("ntok"))
+      .join(media, "doc_id")
+      .select(col("doc_id"), col("source"), col("ntok"),
+        (graft.multimodal.WavStatsExpr.wavStats(col("media"))
+          .getField("n_samples").cast("double") / 16000.0).as("secs"))
+    val rate = col("ntok").cast("double") / col("secs")
+    joined.select(col("doc_id"), col("source"), col("ntok"), col("secs"),
+        when(rate < 8.0, "too_slow").when(rate > 40.0, "too_fast")
+          .otherwise("ok").as("band"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("ntok")).as("sum_tokens"),
+        round(sum(col("secs")), 4).as("sum_seconds"),
+        sum(col("doc_id")).as("sum_doc_ids"))
+      .orderBy("band")
+  }
+
   /** q189: video near-dup grouping through the REAL container path — the
     * video member of the q133/q135/q172 modality triple. Every doc gets a
     * 6-frame AVI ([[graft.multimodal.MediaCodecAvi.encodeAvi]]: RIFF →
@@ -1270,6 +1315,7 @@ object CorpusQueries {
     "q104_audio_stats" -> audioStats,
     "q218_audio_vad" -> audioVad,
     "q220_video_shots" -> videoShots,
+    "q221_asr_screen" -> asrPairScreen,
     "q133_image_neardup" -> imageNearDup,
     "q135_audio_neardup" -> audioNearDup,
     "q189_video_neardup" -> videoNearDup,
@@ -1501,6 +1547,26 @@ object CorpusQueries {
         |  CAST((64 + doc_id % 100 - 1) // (2 + doc_id % 9) AS INT) AS zero_crossings,
         |  round(CAST(1000.0 AS DOUBLE), 4) AS rms
         |FROM documents WHERE doc_id % 13 = 5 ORDER BY doc_id""".stripMargin,
+    // q221: decoded duration == synth arithmetic ((4+id%7)/4 s, exact in
+    // binary), so the oracle replays the modality join without bytes;
+    // rate thresholds are identical double expressions on both sides
+    "q221_asr_screen" ->
+      """WITH p AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT) AS ntok,
+        |    CAST((4 + doc_id % 7) * 4000 AS DOUBLE) / 16000.0 AS secs
+        |  FROM documents WHERE doc_id % 13 = 11),
+        |b AS (
+        |  SELECT *, CASE WHEN ntok / secs < 8.0 THEN 'too_slow'
+        |    WHEN ntok / secs > 40.0 THEN 'too_fast'
+        |    ELSE 'ok' END AS band
+        |  FROM p)
+        |SELECT band, count(*) AS n_pairs,
+        |  CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+        |  round(sum(secs), 4) AS sum_seconds,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     // q220: every count is id arithmetic — row equality certifies the
     // whole mux→walk→decode→hash→run-detection path
     "q220_video_shots" ->
