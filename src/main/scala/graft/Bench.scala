@@ -167,7 +167,8 @@ object Bench {
     "q218_audio_vad",         // VAD silence segmentation, real byte path
     "q219_drift_incremental", // stored drift moments: 2-batch ingest
     "q220_video_shots",       // shot-boundary detection, real container
-    "q221_asr_screen")        // cross-modal pairing consistency screen
+    "q221_asr_screen",        // cross-modal pairing consistency screen
+    "q222_robots_eval")       // REP longest-match rule evaluation
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

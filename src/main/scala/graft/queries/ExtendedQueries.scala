@@ -512,9 +512,66 @@ object ExtendedQueries {
       sum(when(col("n") > 1, col("sum_ids")).otherwise(0L)).as("sum_dup_ids"))
   }
 
+  /** q222: robots.txt rule evaluation — the crawl-politeness decision the
+    * frontier (q202) must respect: parse Disallow/Allow/Crawl-delay lines
+    * and evaluate fixed probe paths under the REP precedence rule
+    * (longest matching path wins; on a length tie Allow wins; no match =
+    * allowed). The precedence is ONE struct-max over matching rules —
+    * (len, is_allow) lexicographic max IS the rule — identical array
+    * semantics in both engines, so no custom kernel is needed and the
+    * per-doc arrays stay tiny. Plants by doc_id % 41 give three rule
+    * shapes (carve-out Allow under a Disallow subtree, Disallow-all with
+    * one Allow island, empty-Disallow = allow-everything); all other docs
+    * have no directives and form the no-robots class. */
+  val robotsEval: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val planted = docs.withColumn("t",
+      when(col("doc_id") % 41 === 1, lit(
+        "User-agent: *\nDisallow: /private\nAllow: /private/ok\nCrawl-delay: 5"))
+        .when(col("doc_id") % 41 === 2, lit(
+          "User-agent: *\nDisallow: /\nAllow: /public"))
+        .when(col("doc_id") % 41 === 3, lit("User-agent: *\nDisallow:"))
+        .otherwise(col("text")))
+    val lines = split(col("t"), "\n", -1)
+    val rules = concat(
+      transform(filter(lines, l => l.startsWith("Disallow: ")),
+        l => struct(substring(l, 11, 100000).as("path"), lit(false).as("allow"))),
+      transform(filter(lines, l => l.startsWith("Allow: ")),
+        l => struct(substring(l, 8, 100000).as("path"), lit(true).as("allow"))))
+    def allowed(probe: String): org.apache.spark.sql.Column = {
+      val matching = filter(rules,
+        r => substring(lit(probe), lit(1), length(r.getField("path"))) ===
+          r.getField("path"))
+      val best = array_max(transform(matching,
+        r => struct(length(r.getField("path")).as("l"),
+          r.getField("allow").as("a"))))
+      when(size(matching) === 0, lit(true)).otherwise(best.getField("a"))
+    }
+    val delay = coalesce(try_element_at(transform(
+      filter(lines, l => l.startsWith("Crawl-delay: ")),
+      l => substring(l, 14, 100000).cast("long")), lit(1)), lit(0L))
+    planted.select(
+        when(col("doc_id") % 41 === 1, 1L)
+          .when(col("doc_id") % 41 === 2, 2L)
+          .when(col("doc_id") % 41 === 3, 3L).otherwise(0L).as("rule_class"),
+        allowed("/private/ok/page").cast("long").as("a1"),
+        allowed("/public/index").cast("long").as("a2"),
+        allowed("/private/x").cast("long").as("a3"),
+        delay.as("crawl_delay"), col("doc_id"))
+      .groupBy("rule_class")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("a1")).as("n_allow_private_ok"),
+        sum(col("a2")).as("n_allow_public"),
+        sum(col("a3")).as("n_allow_private_x"),
+        sum(col("crawl_delay")).as("sum_crawl_delay"),
+        sum(col("doc_id")).as("sum_doc_ids"))
+      .orderBy("rule_class")
+  }
+
   val all: Map[String, Q] = Map(
     "q209_dup_matrix" -> dupMatrix,
     "q216_confusable_dedup" -> confusableDedup,
+    "q222_robots_eval" -> robotsEval,
     "q210_split_leakage" -> splitLeakage,
     "q139_neardup_decontam" -> nearDupDecontam,
     "q68_embedding_quant" -> embeddingQuantization,
@@ -751,6 +808,53 @@ object ExtendedQueries {
         |    AS n_docs_in_unmasked,
         |  CAST(sum(CASE WHEN n > 1 THEN sum_ids ELSE 0 END) AS BIGINT) AS sum_dup_ids
         |FROM g""".stripMargin,
+    // q222: same line parse, same (len, allow) struct-max precedence —
+    // struct comparison is field-order lexicographic in both engines
+    "q222_robots_eval" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 41 AS INT)
+        |      WHEN 1 THEN 'User-agent: *' || chr(10) || 'Disallow: /private' ||
+        |        chr(10) || 'Allow: /private/ok' || chr(10) || 'Crawl-delay: 5'
+        |      WHEN 2 THEN 'User-agent: *' || chr(10) || 'Disallow: /' ||
+        |        chr(10) || 'Allow: /public'
+        |      WHEN 3 THEN 'User-agent: *' || chr(10) || 'Disallow:'
+        |      ELSE text END AS t,
+        |    CASE CAST(doc_id % 41 AS INT) WHEN 1 THEN 1 WHEN 2 THEN 2
+        |      WHEN 3 THEN 3 ELSE 0 END AS rule_class
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, rule_class,
+        |    list_concat(
+        |      [{'path': l[11:], 'allow': false}
+        |        FOR l IN string_split(t, chr(10)) IF l LIKE 'Disallow: %'],
+        |      [{'path': l[8:], 'allow': true}
+        |        FOR l IN string_split(t, chr(10)) IF l LIKE 'Allow: %']) AS rules,
+        |    coalesce(TRY_CAST(list_extract(
+        |      [l[14:] FOR l IN string_split(t, chr(10))
+        |        IF l LIKE 'Crawl-delay: %'], 1) AS BIGINT), 0) AS delay
+        |  FROM p),
+        |e AS (
+        |  SELECT doc_id, rule_class, delay,
+        |    CASE WHEN len(m1) = 0 THEN true ELSE (list_max(m1)).a END AS a1,
+        |    CASE WHEN len(m2) = 0 THEN true ELSE (list_max(m2)).a END AS a2,
+        |    CASE WHEN len(m3) = 0 THEN true ELSE (list_max(m3)).a END AS a3
+        |  FROM (
+        |    SELECT *,
+        |      [{'l': length(r.path), 'a': r.allow} FOR r IN rules
+        |        IF substring('/private/ok/page', 1, length(r.path)) = r.path] AS m1,
+        |      [{'l': length(r.path), 'a': r.allow} FOR r IN rules
+        |        IF substring('/public/index', 1, length(r.path)) = r.path] AS m2,
+        |      [{'l': length(r.path), 'a': r.allow} FOR r IN rules
+        |        IF substring('/private/x', 1, length(r.path)) = r.path] AS m3
+        |    FROM g))
+        |SELECT CAST(rule_class AS BIGINT) AS rule_class, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN a1 THEN 1 ELSE 0 END) AS BIGINT) AS n_allow_private_ok,
+        |  CAST(sum(CASE WHEN a2 THEN 1 ELSE 0 END) AS BIGINT) AS n_allow_public,
+        |  CAST(sum(CASE WHEN a3 THEN 1 ELSE 0 END) AS BIGINT) AS n_allow_private_x,
+        |  CAST(sum(delay) AS BIGINT) AS sum_crawl_delay,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     // q209: pair expansion replayed as a distinct (group, source) self-join
     // (the in-row bounded expansion is the ENGINE's job)
     "q209_dup_matrix" -> (dupPlantCte +
