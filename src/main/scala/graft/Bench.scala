@@ -168,7 +168,8 @@ object Bench {
     "q219_drift_incremental", // stored drift moments: 2-batch ingest
     "q220_video_shots",       // shot-boundary detection, real container
     "q221_asr_screen",        // cross-modal pairing consistency screen
-    "q222_robots_eval")       // REP longest-match rule evaluation
+    "q222_robots_eval",       // REP longest-match rule evaluation
+    "q223_code_pipeline")     // composed code-release funnel, one scan
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

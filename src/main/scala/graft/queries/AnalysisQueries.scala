@@ -467,6 +467,89 @@ object AnalysisQueries {
       .orderBy("source")
   }
 
+  /** q223: the composed CODE-RELEASE pipeline — each stage is certified
+    * by its own gate (q203 routing, q206 license, q204/q205 secrets, q207
+    * comments); this gate certifies the COMPOSITION (the q86/q165
+    * doctrine), in production order: route → drop copyleft → scrub
+    * secrets → drop comment-majority docs. ONE corpus scan: all four
+    * compiled kernels run in the same projection, the funnel is boolean
+    * algebra per doc, the aggregate is class-keyed. Plant chain = q203's
+    * markup plants (+ one comment-majority code plant) ∘ q206's license
+    * plants ∘ q204's secret plants — each oracle snippet replays its own
+    * stage against the composed text. Comment stats are computed on the
+    * PRE-scrub text on both sides: the scrub replaces whitespace-free
+    * tokens in place and no marker or detector token starts with a
+    * comment prefix, so line structure and comment classification are
+    * provably unchanged. */
+  val codePipeline: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val did = col("doc_id").cast("string")
+    val withMarkup = docs.withColumn("t",
+      when(col("doc_id") % 13 === 1, concat(col("text"),
+        lit("\n# Title\n## Section\nsee [link](http://x) and [two](y)")))
+        .when(col("doc_id") % 13 === 2, concat(col("text"),
+          lit("\nint main() {\n    int x = 1;\n    return x;\n}" * 3)))
+        .when(col("doc_id") % 13 === 3, concat(col("text"),
+          lit("\n```python\ncode here\n```")))
+        .when(col("doc_id") % 13 === 4, concat(col("text"),
+          lit("\n// a\n// b\n// c\nint x = 1;{}")))
+        .otherwise(col("text")))
+    val withLicense = withMarkup.withColumn("t",
+      when(col("doc_id") % 19 === 1, concat(col("t"),
+        lit(" Licensed under the MIT License.")))
+        .when(col("doc_id") % 19 === 2, concat(col("t"),
+          lit(" Licensed under the Apache License, Version 2.0.")))
+        .when(col("doc_id") % 19 === 3, concat(col("t"),
+          lit(" This program is free software under the GNU General Public License.")))
+        .when(col("doc_id") % 19 === 4, concat(col("t"),
+          lit(" Redistribution permitted under the BSD 3-Clause License.")))
+        .when(col("doc_id") % 19 === 5, concat(col("t"),
+          lit(" Dual licensed under the MIT License or the GNU General Public License.")))
+        .when(col("doc_id") % 19 === 6, concat(col("t"),
+          lit(" Covered by the Mozilla Public License 2.0.")))
+        .otherwise(col("t")))
+    val planted = withLicense.withColumn("t",
+      when(col("doc_id") % 17 === 1, concat(col("t"),
+        lit(" AKIA"), upper(substring(md5(did), 1, 16))))
+        .when(col("doc_id") % 17 === 2, concat(col("t"), lit(" "),
+          md5(did), md5((col("doc_id") + 1).cast("string"))))
+        .when(col("doc_id") % 17 === 3, concat(col("t"), lit(" "),
+          base64(unhex(concat(md5(did), md5((col("doc_id") + 7).cast("string")))))))
+        .when(col("doc_id") % 17 === 4, concat(col("t"), lit(" " + "Ab+/" * 9)))
+        .otherwise(col("t")))
+    val g = planted.select(col("doc_id"), col("t"),
+      graft.functions.MarkupFunctions.markupStats(col("t")).as("g"),
+      graft.functions.TextExpr.multiPatternCounts(lower(col("t")), LicensePhrases)
+        .as("c"),
+      graft.functions.SecretFunctions.secretStats(col("t")).as("sec"),
+      (length(graft.functions.SecretFunctions.secretRedact(col("t"))) -
+        length(col("t"))).cast("long").as("char_delta"))
+    val isCode = (col("g.n_semicolons") + col("g.n_braces")) * lit(1.0) /
+      col("g.n_lines") >= 0.5 && col("g.n_lines") >= 3
+    val isMarkdown = !isCode && (col("g.n_heading_lines") >= 1 ||
+      col("g.n_links") >= 2 || col("g.n_fence_lines") >= 2)
+    val cls = when(isCode, "code").when(isMarkdown, "markdown")
+      .otherwise("prose")
+    val copyleft = element_at(col("c"), 3) > 0
+    val nonblank = col("g.n_lines") - col("g.n_blank_lines")
+    val commentHeavy = nonblank > 0 && col("g.n_comment_lines") * 2 > nonblank
+    val nSecrets = col("sec.n_aws") + col("sec.n_hex") + col("sec.n_secret")
+    g.select(cls.as("doc_class"), copyleft.as("cl"), commentHeavy.as("ch"),
+        nSecrets.as("ns"), col("char_delta"), col("doc_id"))
+      .groupBy("doc_class")
+      .agg(count(lit(1)).as("n_input"),
+        sum(col("cl").cast("long")).as("n_copyleft_dropped"),
+        sum(when(!col("cl"), col("ns")).otherwise(0L))
+          .as("n_secret_tokens_scrubbed"),
+        sum(when(!col("cl"), col("char_delta")).otherwise(0L)).as("char_delta"),
+        sum(when(!col("cl") && col("ch"), 1L).otherwise(0L))
+          .as("n_comment_dropped"),
+        sum(when(!col("cl") && !col("ch"), 1L).otherwise(0L)).as("n_survivors"),
+        sum(when(!col("cl") && !col("ch"), col("doc_id")).otherwise(0L))
+          .as("sum_survivor_ids"))
+      .orderBy("doc_class")
+  }
+
   /** q116: retrieval-quality evaluation — three bag-of-terms queries run
     * through the ONE-corpus-pass [[graft.ops.Bm25.topKBatch]] (per-query
     * ranking via the bounded top-k aggregate, no window), judged against
@@ -1258,6 +1341,7 @@ object AnalysisQueries {
     "q206_license_census" -> licenseCensus,
     "q207_comment_census" -> commentCensus,
     "q215_sentence_census" -> sentenceCensus,
+    "q223_code_pipeline" -> codePipeline,
     "q119_repetition_report" -> repetitionReport)
 
   /** q150 oracle: rebuild the WordPiece vocabulary and unroll the greedy
@@ -1339,23 +1423,23 @@ object AnalysisQueries {
       |  round((sum(n1) - sum(n2)) * 1.0 / count(*), 6) AS fertility_gain
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Shared q204/q205 oracle prefix: the secret plants replayed with the
-    * same md5/base64 arithmetic, tokenization (trim + `\s+`), per-token
-    * classification (shared CASE order), and candidate entropy (shared
-    * log2 expression shape over the token char histogram). */
-  private val secretPlantCte: String =
-    """WITH p AS (
-      |  SELECT doc_id, source, text ||
-      |    CASE CAST(doc_id % 17 AS INT)
+  /** The q204-plant SQL fragment (appended to `text`). */
+  private val secretPlantCase: String =
+    """CASE CAST(doc_id % 17 AS INT)
       |      WHEN 1 THEN ' AKIA' || upper(substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))
       |      WHEN 2 THEN ' ' || md5(CAST(doc_id AS VARCHAR)) ||
       |        md5(CAST(doc_id + 1 AS VARCHAR))
       |      WHEN 3 THEN ' ' || to_base64(from_hex(md5(CAST(doc_id AS VARCHAR)) ||
       |        md5(CAST(doc_id + 7 AS VARCHAR))))
       |      WHEN 4 THEN ' ' || repeat('Ab+/', 9)
-      |      ELSE '' END AS t
-      |  FROM documents),
-      |d AS (
+      |      ELSE '' END""".stripMargin
+
+  /** The secret tokenization/classification/entropy CTE chain, applied to
+    * a prior CTE `p(doc_id, source, t)` — shared by q204/q205/q214 and
+    * the q223 composed pipeline (same tokenization, CASE order, and log2
+    * entropy shape as the engine kernel). */
+  private val secretClassifyCtes: String =
+    """d AS (
       |  SELECT doc_id, source, CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
       |    ELSE string_split_regex(trim(t), '\s+') END AS ts
       |  FROM p),
@@ -1380,6 +1464,17 @@ object AnalysisQueries {
       |ent AS (
       |  SELECT doc_id, tpos, log2(sum(n)) - sum(n * log2(n)) / sum(n) AS h
       |  FROM ch GROUP BY 1, 2)""".stripMargin
+
+  /** Shared q204/q205 oracle prefix: the secret plants replayed with the
+    * same md5/base64 arithmetic, tokenization (trim + `\s+`), per-token
+    * classification (shared CASE order), and candidate entropy (shared
+    * log2 expression shape over the token char histogram). */
+  private val secretPlantCte: String =
+    s"""WITH p AS (
+      |  SELECT doc_id, source, text ||
+      |    $secretPlantCase AS t
+      |  FROM documents),
+      |$secretClassifyCtes""".stripMargin
 
   /** The q204 one-shot census oracle — ALSO the q214 gate: the stored
     * incremental census must reproduce the one-shot report exactly. */
@@ -1777,6 +1872,89 @@ object AnalysisQueries {
     // that batched ingest == one-shot IS this equality (q144 doctrine).
     "q204_secret_census" -> secretCensusOracle,
     "q214_census_incremental" -> secretCensusOracle,
+    // q223: each stage's proven oracle snippet replayed against the
+    // COMPOSED plant chain; the funnel is the same boolean algebra
+    "q223_code_pipeline" -> (
+      s"""WITH m AS (
+        |  SELECT doc_id, source, text ||
+        |    CASE CAST(doc_id % 13 AS INT)
+        |      WHEN 1 THEN chr(10) || '# Title' || chr(10) || '## Section' ||
+        |        chr(10) || 'see [link](http://x) and [two](y)'
+        |      WHEN 2 THEN repeat(chr(10) || 'int main() {' || chr(10) ||
+        |        '    int x = 1;' || chr(10) || '    return x;' || chr(10) || '}', 3)
+        |      WHEN 3 THEN chr(10) || '```python' || chr(10) || 'code here' ||
+        |        chr(10) || '```'
+        |      WHEN 4 THEN chr(10) || '// a' || chr(10) || '// b' || chr(10) ||
+        |        '// c' || chr(10) || 'int x = 1;{}'
+        |      ELSE '' END AS t
+        |  FROM documents),
+        |lic0 AS (
+        |  SELECT doc_id, source, t ||
+        |    CASE CAST(doc_id % 19 AS INT)
+        |      WHEN 1 THEN ' Licensed under the MIT License.'
+        |      WHEN 2 THEN ' Licensed under the Apache License, Version 2.0.'
+        |      WHEN 3 THEN ' This program is free software under the GNU General Public License.'
+        |      WHEN 4 THEN ' Redistribution permitted under the BSD 3-Clause License.'
+        |      WHEN 5 THEN ' Dual licensed under the MIT License or the GNU General Public License.'
+        |      WHEN 6 THEN ' Covered by the Mozilla Public License 2.0.'
+        |      ELSE '' END AS t
+        |  FROM m),
+        |p AS (
+        |  SELECT doc_id, source, t ||
+        |    $secretPlantCase AS t
+        |  FROM lic0),
+        |$secretClassifyCtes,
+        |sd AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN k = 'aws' OR k = 'hex' OR (k = 'cand' AND h >= 4.2)
+        |      THEN 1 ELSE 0 END) AS ns,
+        |    sum(CASE WHEN k = 'aws' OR k = 'hex' OR (k = 'cand' AND h >= 4.2)
+        |      THEN 12 - length(tok) ELSE 0 END) AS delta
+        |  FROM cls LEFT JOIN ent USING (doc_id, tpos) GROUP BY 1),
+        |mk AS (
+        |  SELECT doc_id,
+        |    CAST(len(ls) AS BIGINT) AS nl,
+        |    CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l), '^#{1,6} ')))
+        |      AS BIGINT) AS nh,
+        |    CAST(len(list_filter(ls, l -> ltrim(l) LIKE '```%')) AS BIGINT) AS nf,
+        |    CAST((length(t) - length(replace(t, '](', ''))) // 2 AS BIGINT) AS nk,
+        |    CAST(length(t) - length(replace(t, ';', '')) AS BIGINT) AS nsemi,
+        |    CAST((length(t) - length(replace(t, '{', ''))) +
+        |      (length(t) - length(replace(t, '}', ''))) AS BIGINT) AS nbr,
+        |    CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l),
+        |      '^(#|//|--|/\\*)'))) AS BIGINT) AS nc,
+        |    CAST(len(list_filter(ls, l -> NOT regexp_matches(l, '[^ \\t]')))
+        |      AS BIGINT) AS nb
+        |  FROM (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM p)),
+        |lc AS (
+        |  SELECT doc_id,
+        |    (length(lower(t)) -
+        |      length(replace(lower(t), 'gnu general public license', ''))) // 26
+        |      AS gpl
+        |  FROM p),
+        |doc AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN (mk.nsemi + mk.nbr) * 1.0 / mk.nl >= 0.5 AND mk.nl >= 3
+        |        THEN 'code'
+        |      WHEN mk.nh >= 1 OR mk.nk >= 2 OR mk.nf >= 2 THEN 'markdown'
+        |      ELSE 'prose' END AS doc_class,
+        |    lc.gpl > 0 AS cl,
+        |    (mk.nl - mk.nb) > 0 AND mk.nc * 2 > (mk.nl - mk.nb) AS chv,
+        |    coalesce(sd.ns, 0) AS ns, coalesce(sd.delta, 0) AS delta
+        |  FROM p JOIN mk USING (doc_id) JOIN lc USING (doc_id)
+        |    LEFT JOIN sd USING (doc_id))
+        |SELECT doc_class, count(*) AS n_input,
+        |  CAST(sum(CASE WHEN cl THEN 1 ELSE 0 END) AS BIGINT) AS n_copyleft_dropped,
+        |  CAST(sum(CASE WHEN NOT cl THEN ns ELSE 0 END) AS BIGINT)
+        |    AS n_secret_tokens_scrubbed,
+        |  CAST(sum(CASE WHEN NOT cl THEN delta ELSE 0 END) AS BIGINT) AS char_delta,
+        |  CAST(sum(CASE WHEN NOT cl AND chv THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_comment_dropped,
+        |  CAST(sum(CASE WHEN NOT cl AND NOT chv THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_survivors,
+        |  CAST(sum(CASE WHEN NOT cl AND NOT chv THEN doc_id ELSE 0 END) AS BIGINT)
+        |    AS sum_survivor_ids
+        |FROM doc GROUP BY 1 ORDER BY 1""".stripMargin),
     // q215: same boundary regex, same non-blank-segment count, same
     // sum/sum ratio shapes at 4 dp
     "q215_sentence_census" ->

@@ -480,7 +480,8 @@ class PlanShapeSpec extends SparkSpec {
 
   test("markup, secret census, and secret scrub are single-scan in-row aggregations") {
     Seq("q203_markup_census", "q204_secret_census", "q205_secret_scrub",
-        "q206_license_census", "q207_comment_census").foreach { q =>
+        "q206_license_census", "q207_comment_census", "q215_sentence_census",
+        "q223_code_pipeline").foreach { q =>
       val plan = planOf(q)
       assert("FileScan parquet".r.findAllIn(plan).length == 1,
         s"$q must scan documents exactly once:\n${plan.take(2000)}")
