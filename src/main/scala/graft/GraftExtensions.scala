@@ -161,5 +161,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "usage: image_dhash(media_binary)")
         graft.multimodal.ImageDHashExpr(args.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("secret_stats"),
+      new ExpressionInfo(classOf[graft.functions.SecretStats].getName,
+        "secret_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "usage: secret_stats(text)")
+        graft.functions.SecretStats(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("secret_redact"),
+      new ExpressionInfo(classOf[graft.functions.SecretRedact].getName,
+        "secret_redact"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "usage: secret_redact(text)")
+        graft.functions.SecretRedact(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("markup_stats"),
+      new ExpressionInfo(classOf[graft.functions.MarkupStats].getName,
+        "markup_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "usage: markup_stats(text)")
+        graft.functions.MarkupStats(args.head)
+      }))
   }
 }

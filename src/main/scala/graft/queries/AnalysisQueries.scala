@@ -1476,9 +1476,10 @@ object AnalysisQueries {
       |  FROM documents),
       |$secretClassifyCtes""".stripMargin
 
-  /** The q204 one-shot census oracle — ALSO the q214 gate: the stored
-    * incremental census must reproduce the one-shot report exactly. */
-  private val secretCensusOracle: String = secretPlantCte +
+  /** The q204 one-shot census oracle — ALSO the q214 gate (the stored
+    * incremental census must reproduce the one-shot report exactly) AND
+    * the q224 SQL-tier twin's. */
+  private[queries] val secretCensusOracle: String = secretPlantCte +
     """,
       |pd AS (SELECT doc_id, count(*) AS ntok,
       |    sum(CASE WHEN k = 'aws' THEN 1 ELSE 0 END) AS a,

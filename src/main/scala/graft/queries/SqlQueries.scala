@@ -62,6 +62,10 @@ object SqlQueries {
           "usage: multi_pattern_redact(text, 'marker', 'pat1', ...)")
         graft.functions.MultiPatternRedact(args.head, lits.tail, lits.head)
       })
+    ColumnBridge.registerFunction(s, "secret_stats",
+      (args: Seq[Expression]) => graft.functions.SecretStats(args.head))
+    ColumnBridge.registerFunction(s, "markup_stats",
+      (args: Seq[Expression]) => graft.functions.MarkupStats(args.head))
     ColumnBridge.registerFunction(s, "winnow_fingerprints",
       (args: Seq[Expression]) => args match {
         case Seq(t, IntegerLiteral(k), IntegerLiteral(w)) =>
@@ -580,7 +584,39 @@ object SqlQueries {
     """)
   }
 
+  /** q204's secret census as pure SQL text — the compiled
+    * [[graft.functions.SecretStats]] kernel called FROM SQL (plants
+    * included in the SQL, md5/base64 arithmetic identical). Same oracle
+    * as q204. */
+  val sqlSecretCensus: Q = (s, dir) => {
+    ensureSurface(s, dir)
+    s.sql("""
+      WITH p AS (
+        SELECT doc_id, source, CONCAT(text,
+          CASE CAST(doc_id % 17 AS INT)
+            WHEN 1 THEN CONCAT(' AKIA',
+              upper(substring(md5(CAST(doc_id AS STRING)), 1, 16)))
+            WHEN 2 THEN CONCAT(' ', md5(CAST(doc_id AS STRING)),
+              md5(CAST(doc_id + 1 AS STRING)))
+            WHEN 3 THEN CONCAT(' ', base64(unhex(CONCAT(
+              md5(CAST(doc_id AS STRING)), md5(CAST(doc_id + 7 AS STRING))))))
+            WHEN 4 THEN CONCAT(' ', repeat('Ab+/', 9))
+            ELSE '' END) AS t
+        FROM documents),
+      g AS (SELECT doc_id, source, secret_stats(t) AS g FROM p)
+      SELECT source, count(*) AS n_docs,
+        sum(g.n_tokens) AS n_tokens, sum(g.n_aws) AS n_aws,
+        sum(g.n_hex) AS n_hex, sum(g.n_cand) AS n_candidates,
+        sum(g.n_secret) AS n_b64_secrets,
+        sum(CAST(g.n_aws + g.n_hex + g.n_secret > 0 AS BIGINT))
+          AS n_docs_flagged,
+        round(sum(g.sum_cand_entropy) / sum(g.n_cand), 4) AS avg_cand_entropy,
+        sum(doc_id) AS sum_doc_ids
+      FROM g GROUP BY source ORDER BY source""")
+  }
+
   val all: Map[String, Q] = Map(
+    "q224_sql_secrets" -> sqlSecretCensus,
     "q190_sql_redact" -> sqlDictionaryRedact,
     "q178_sql_warc" -> sqlWarcExtract,
     "q164_sql_keyword_tagging" -> sqlKeywordTagging,
@@ -600,6 +636,7 @@ object SqlQueries {
     "q81_sql_temperature_mix" -> sqlTemperatureMix)
 
   val oracles: Map[String, String] = Map(
+    "q224_sql_secrets" -> AnalysisQueries.oracles("q204_secret_census"),
     "q178_sql_warc" -> CorpusQueries.oracles("q175_warc_extract"),
     "q190_sql_redact" -> AnalysisQueries.oracles("q187_dictionary_redact"),
     "q164_sql_keyword_tagging" -> AnalysisQueries.oracles("q161_keyword_tagging"),
