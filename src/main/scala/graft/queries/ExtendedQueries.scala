@@ -568,10 +568,49 @@ object ExtendedQueries {
       .orderBy("rule_class")
   }
 
+  /** q225: split REPAIR — the act on q210's finding: any duplicate group
+    * straddling the hash split is moved WHOLE to the train side (evals
+    * must never share content with training; shrinking the test set is
+    * the safe direction). Same scale shape as the audit: per-group side
+    * counts (one map-side-combinable aggregate), joined back on the
+    * narrow md5 key to reassign — never a member list, never a doc-level
+    * self-join. The gate publishes the repair certificate: residual
+    * straddling groups = 0 BY RECOMPUTATION on the repaired assignment
+    * (not by construction), plus per-source move accounting. */
+  val splitRepair: Q = (s, dir) => {
+    val d = plantDups(Tables.documents(s, dir))
+      .withColumn("h", md5(col("t")))
+      .withColumn("is_test",
+        substring(md5(col("doc_id").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3"))
+    val sides = d.groupBy("h").agg(
+      sum(when(col("is_test"), 1L).otherwise(0L)).as("n_test"),
+      sum(when(!col("is_test"), 1L).otherwise(0L)).as("n_train"))
+    val repaired = d.join(sides, "h")
+      .withColumn("straddles", col("n_test") > 0 && col("n_train") > 0)
+      .withColumn("final_test", col("is_test") && !col("straddles"))
+    // the certificate is recomputed from the REPAIRED column, not assumed
+    val residual = repaired.groupBy("h").agg(
+        (sum(when(col("final_test"), 1L).otherwise(0L)) > 0 &&
+          sum(when(!col("final_test"), 1L).otherwise(0L)) > 0).as("bad"))
+      .agg(sum(when(col("bad"), 1L).otherwise(0L)).as("n_residual_straddles"))
+    repaired.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_test"), 1L).otherwise(0L)).as("n_test_before"),
+        sum(when(col("is_test") && col("straddles"), 1L).otherwise(0L))
+          .as("n_moved_to_train"),
+        sum(when(col("final_test"), 1L).otherwise(0L)).as("n_test_after"),
+        sum(when(col("is_test") && col("straddles"), col("doc_id"))
+          .otherwise(0L)).as("sum_moved_ids"))
+      .crossJoin(broadcast(residual))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
     "q209_dup_matrix" -> dupMatrix,
     "q216_confusable_dedup" -> confusableDedup,
     "q222_robots_eval" -> robotsEval,
+    "q225_split_repair" -> splitRepair,
     "q210_split_leakage" -> splitLeakage,
     "q139_neardup_decontam" -> nearDupDecontam,
     "q68_embedding_quant" -> embeddingQuantization,
@@ -855,6 +894,42 @@ object ExtendedQueries {
         |  CAST(sum(delay) AS BIGINT) AS sum_crawl_delay,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q225: same plant + split CTEs as q210; the repair rule and the
+    // recomputed residual certificate share syntax
+    "q225_split_repair" -> (dupPlantCte +
+      """,
+        |d AS (
+        |  SELECT doc_id, source, md5(t) AS h,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+        |      AS is_test
+        |  FROM p),
+        |sides AS (
+        |  SELECT h,
+        |    sum(CASE WHEN is_test THEN 1 ELSE 0 END) AS n_test,
+        |    sum(CASE WHEN is_test THEN 0 ELSE 1 END) AS n_train
+        |  FROM d GROUP BY 1),
+        |r AS (
+        |  SELECT d.*, (n_test > 0 AND n_train > 0) AS straddles,
+        |    is_test AND NOT (n_test > 0 AND n_train > 0) AS final_test
+        |  FROM d JOIN sides USING (h)),
+        |resid AS (
+        |  SELECT CAST(coalesce(sum(CASE WHEN bad THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS n_residual_straddles
+        |  FROM (
+        |    SELECT h,
+        |      sum(CASE WHEN final_test THEN 1 ELSE 0 END) > 0 AND
+        |      sum(CASE WHEN final_test THEN 0 ELSE 1 END) > 0 AS bad
+        |    FROM r GROUP BY 1))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT) AS n_test_before,
+        |  CAST(sum(CASE WHEN is_test AND straddles THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_moved_to_train,
+        |  CAST(sum(CASE WHEN final_test THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_test_after,
+        |  CAST(sum(CASE WHEN is_test AND straddles THEN doc_id ELSE 0 END)
+        |    AS BIGINT) AS sum_moved_ids,
+        |  (SELECT n_residual_straddles FROM resid) AS n_residual_straddles
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
     // q209: pair expansion replayed as a distinct (group, source) self-join
     // (the in-row bounded expansion is the ENGINE's job)
     "q209_dup_matrix" -> (dupPlantCte +
