@@ -171,7 +171,8 @@ object Bench {
     "q222_robots_eval",       // REP longest-match rule evaluation
     "q223_code_pipeline",     // composed code-release funnel, one scan
     "q224_sql_secrets",       // secret census through the SQL tier
-    "q225_split_repair")      // leakage repair + recomputed certificate
+    "q225_split_repair",      // leakage repair + recomputed certificate
+    "q226_norm_ladder")       // normalization collapse curve, one scan
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -606,11 +606,55 @@ object ExtendedQueries {
       .orderBy("source")
   }
 
+  /** q226: normalization-ladder collapse curve — the dedup-aggressiveness
+    * tuning report: corpus distinct-text counts at five NESTED
+    * normalization rungs (raw → casefold → confusable-fold → punct-strip
+    * → whitespace-collapse; each rung composes on the previous, so two
+    * texts equal at rung k stay equal at every coarser rung), showing how
+    * much redundancy each rung unlocks before anyone commits to a
+    * normalization for the expensive corpus-wide dedup. ONE scan projects
+    * the five md5 keys (narrow 32-char shuffle values, never the text);
+    * the five exact distinct counts run in one aggregate. Plants by
+    * doc_id % 43 collapse at exactly one rung each (uppercased /
+    * confusable-swapped / punctuation-suffixed / space-doubled template
+    * variants). */
+  val normalizationLadder: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val tmpl = element_at(typedLit(DupTemplates), (col("doc_id") % 7).cast("int") + 1)
+    val planted = docs.withColumn("t",
+      when(col("doc_id") % 43 === 1, tmpl)
+        .when(col("doc_id") % 43 === 2, upper(tmpl))
+        .when(col("doc_id") % 43 === 3,
+          translate(tmpl, ConfusableTo.take(3), ConfusableFrom.take(3)))
+        .when(col("doc_id") % 43 === 4, concat(tmpl, lit("!!!")))
+        .when(col("doc_id") % 43 === 5, regexp_replace(tmpl, " ", "  "))
+        .otherwise(col("text")))
+    val r2 = lower(col("t"))
+    val r3 = translate(r2, ConfusableFrom, ConfusableTo)
+    val r4 = regexp_replace(r3, "[^a-z0-9 \\t\\n]", "")
+    val r5 = trim(regexp_replace(r4, "\\s+", " "))
+    planted.select(md5(col("t")).as("h1"), md5(r2).as("h2"), md5(r3).as("h3"),
+        md5(r4).as("h4"), md5(r5).as("h5"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h1")).as("d_raw"),
+        countDistinct(col("h2")).as("d_casefold"),
+        countDistinct(col("h3")).as("d_confusable"),
+        countDistinct(col("h4")).as("d_punct"),
+        countDistinct(col("h5")).as("d_whitespace"))
+      .select(col("n_docs"), col("d_raw"), col("d_casefold"),
+        col("d_confusable"), col("d_punct"), col("d_whitespace"),
+        (col("d_raw") - col("d_casefold")).as("collapsed_by_case"),
+        (col("d_casefold") - col("d_confusable")).as("collapsed_by_confusable"),
+        (col("d_confusable") - col("d_punct")).as("collapsed_by_punct"),
+        (col("d_punct") - col("d_whitespace")).as("collapsed_by_whitespace"))
+  }
+
   val all: Map[String, Q] = Map(
     "q209_dup_matrix" -> dupMatrix,
     "q216_confusable_dedup" -> confusableDedup,
     "q222_robots_eval" -> robotsEval,
     "q225_split_repair" -> splitRepair,
+    "q226_norm_ladder" -> normalizationLadder,
     "q210_split_leakage" -> splitLeakage,
     "q139_neardup_decontam" -> nearDupDecontam,
     "q68_embedding_quant" -> embeddingQuantization,
@@ -894,6 +938,54 @@ object ExtendedQueries {
         |  CAST(sum(delay) AS BIGINT) AS sum_crawl_delay,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q226: the same five-rung chain (lower → translate → punct regex →
+    // ws collapse + trim) — RE2 and Java agree on these classes
+    "q226_norm_ladder" ->
+      """WITH tl AS (
+        |  SELECT ['the quick brown fox jumps over the lazy dog near the river bank today',
+        |    'a second shared template about batch windows and late arriving data rows',
+        |    'shuffle partitions and broadcast joins decide the cost of every query',
+        |    'vector indexes trade recall for probe count under a fixed latency budget',
+        |    'tokenizer fertility varies by language and script more than by domain',
+        |    'near duplicate clusters inflate loss on memorized spans during training',
+        |    'stream and batch must agree on every stateless transform by construction'] AS ts),
+        |p AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 43 AS INT)
+        |      WHEN 1 THEN list_extract(ts, CAST(doc_id % 7 AS INT) + 1)
+        |      WHEN 2 THEN upper(list_extract(ts, CAST(doc_id % 7 AS INT) + 1))
+        |      WHEN 3 THEN translate(list_extract(ts, CAST(doc_id % 7 AS INT) + 1),
+        |        'aeo', 'аео')
+        |      WHEN 4 THEN list_extract(ts, CAST(doc_id % 7 AS INT) + 1) || '!!!'
+        |      WHEN 5 THEN replace(list_extract(ts, CAST(doc_id % 7 AS INT) + 1),
+        |        ' ', '  ')
+        |      ELSE text END AS t
+        |  FROM documents, tl),
+        |r AS (
+        |  SELECT t AS r1, lower(t) AS r2,
+        |    translate(lower(t), 'аеорсхі', 'aeopcxi') AS r3,
+        |    regexp_replace(translate(lower(t), 'аеорсхі', 'aeopcxi'),
+        |      '[^a-z0-9 \t\n]', '', 'g') AS r4
+        |  FROM p),
+        |x AS (
+        |  SELECT r1, r2, r3, r4,
+        |    trim(regexp_replace(r4, '\s+', ' ', 'g')) AS r5
+        |  FROM r)
+        |SELECT count(*) AS n_docs,
+        |  CAST(count(DISTINCT md5(r1)) AS BIGINT) AS d_raw,
+        |  CAST(count(DISTINCT md5(r2)) AS BIGINT) AS d_casefold,
+        |  CAST(count(DISTINCT md5(r3)) AS BIGINT) AS d_confusable,
+        |  CAST(count(DISTINCT md5(r4)) AS BIGINT) AS d_punct,
+        |  CAST(count(DISTINCT md5(r5)) AS BIGINT) AS d_whitespace,
+        |  CAST(count(DISTINCT md5(r1)) - count(DISTINCT md5(r2)) AS BIGINT)
+        |    AS collapsed_by_case,
+        |  CAST(count(DISTINCT md5(r2)) - count(DISTINCT md5(r3)) AS BIGINT)
+        |    AS collapsed_by_confusable,
+        |  CAST(count(DISTINCT md5(r3)) - count(DISTINCT md5(r4)) AS BIGINT)
+        |    AS collapsed_by_punct,
+        |  CAST(count(DISTINCT md5(r4)) - count(DISTINCT md5(r5)) AS BIGINT)
+        |    AS collapsed_by_whitespace
+        |FROM x""".stripMargin,
     // q225: same plant + split CTEs as q210; the repair rule and the
     // recomputed residual certificate share syntax
     "q225_split_repair" -> (dupPlantCte +
