@@ -233,6 +233,34 @@ object StreamingPipeline {
       .withColumn(textCol,
         graft.functions.PiiFunctions.luhnRedact(col(textCol)))
 
+  /** Streaming code-release chain (q223's stateless stages per
+    * micro-batch): route by markup stats, flag copyleft by the SPDX
+    * automaton, scrub secrets in place, flag comment-majority docs — all
+    * one projection of compiled kernels, so stream == batch per doc by
+    * construction. The keep decision and class label ride along for the
+    * sink to route on. */
+  def codeReleaseStream(docs: DataFrame, textCol: String): DataFrame = {
+    val g = graft.functions.MarkupFunctions.markupStats(col(textCol))
+    val isCode = (g.getField("n_semicolons") + g.getField("n_braces")) * lit(1.0) /
+      g.getField("n_lines") >= 0.5 && g.getField("n_lines") >= 3
+    val isMarkdown = !isCode && (g.getField("n_heading_lines") >= 1 ||
+      g.getField("n_links") >= 2 || g.getField("n_fence_lines") >= 2)
+    val nonblank = g.getField("n_lines") - g.getField("n_blank_lines")
+    val licenses = graft.functions.TextExpr.multiPatternCounts(
+      lower(col(textCol)), Seq("mit license", "apache license",
+        "gnu general public license", "bsd 3-clause license",
+        "mozilla public license"))
+    docs
+      .withColumn("doc_class",
+        when(isCode, "code").when(isMarkdown, "markdown").otherwise("prose"))
+      .withColumn("copyleft", element_at(licenses, 3) > 0)
+      .withColumn("comment_heavy",
+        nonblank > 0 && g.getField("n_comment_lines") * 2 > nonblank)
+      .withColumn(textCol,
+        graft.functions.SecretFunctions.secretRedact(col(textCol)))
+      .withColumn("release_keep", !col("copyleft") && !col("comment_heavy"))
+  }
+
   /** Streaming secret scrub (q204/q205's operators per micro-batch):
     * detector census struct + in-place token redaction in one stateless
     * projection — the code-corpus analogue of [[cardPiiStream]], run at

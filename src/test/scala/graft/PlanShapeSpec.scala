@@ -444,6 +444,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Window"), plan.take(2000))
   }
 
+  test("normalization ladder: one scan feeding the multi-distinct aggregate") {
+    val plan = planOf("q226_norm_ladder")
+    assert("FileScan parquet".r.findAllIn(plan).length == 1,
+      s"all five rung keys must come from one scan:\n${plan.take(2000)}")
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan.take(2000))
+  }
+
   test("confusable dedup: one scan, one fold-key shuffle, no join") {
     val plan = planOf("q216_confusable_dedup")
     assert("FileScan parquet".r.findAllIn(plan).length == 1,

@@ -1006,6 +1006,46 @@ class StreamingSpec extends SparkSpec {
       "streamed census diverged from the one-shot census")
   }
 
+  test("streaming code-release chain == batch funnel; classes and keeps agree") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("text",
+        when(col("doc_id") % 11 === 1, concat(col("text"),
+          lit("\nint a = 1;\nint b = 2;\n{ }")))
+          .when(col("doc_id") % 11 === 2, concat(col("text"),
+            lit(" This program is under the GNU General Public License.")))
+          .when(col("doc_id") % 11 === 3, concat(col("text"),
+            lit("\n// a\n// b\n// c\nint x = 1;{}")))
+          .otherwise(col("text")))
+    val batch = StreamingPipeline.codeReleaseStream(docs, "text")
+      .agg(sum(when(col("release_keep"), col("doc_id")).otherwise(0L)),
+        sum(when(col("doc_class") === "code", 1L).otherwise(0L)),
+        sum(when(col("copyleft"), 1L).otherwise(0L))).head()
+    val (bKeep, bCode, bCl) = (batch.getLong(0), batch.getLong(1), batch.getLong(2))
+    assert(bCode > 0 && bCl > 0, "plants must populate code and copyleft classes")
+
+    val d = java.nio.file.Files.createTempDirectory("graft_crs_src")
+    docs.repartition(3).write.mode("overwrite").parquet(d.toString)
+    val schema = spark.read.parquet(d.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+    var keep = 0L; var code = 0L; var cl = 0L; var nBatches = 0
+    val q = StreamingPipeline.codeReleaseStream(stream, "text")
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        nBatches += 1
+        val r = b.agg(
+          sum(when(col("release_keep"), col("doc_id")).otherwise(0L)),
+          sum(when(col("doc_class") === "code", 1L).otherwise(0L)),
+          sum(when(col("copyleft"), 1L).otherwise(0L))).head()
+        keep += r.getLong(0); code += r.getLong(1); cl += r.getLong(2)
+      }.start()
+    q.awaitTermination()
+    assert(nBatches >= 2)
+    assert(keep == bKeep && code == bCode && cl == bCl,
+      "streamed code-release decisions diverged from batch")
+  }
+
   test("streaming secret scrub == batch twin; no planted key survives") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val did = col("doc_id").cast("string")
