@@ -172,7 +172,10 @@ object Bench {
     "q223_code_pipeline",     // composed code-release funnel, one scan
     "q224_sql_secrets",       // secret census through the SQL tier
     "q225_split_repair",      // leakage repair + recomputed certificate
-    "q226_norm_ladder")       // normalization collapse curve, one scan
+    "q226_norm_ladder",       // normalization collapse curve, one scan
+    "q227_snapshot_delta",    // crawl refresh delta, url-keyed full-outer
+    "q228_manifest_verify",   // shard checksum diff vs replica, one scan
+    "q229_kanon_census")      // k-anonymity / l-diversity release gate
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

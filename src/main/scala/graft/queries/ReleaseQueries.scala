@@ -1,0 +1,205 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dataset-RELEASE operations — the scans that run between "the corpus is
+  * clean" and "the corpus ships": refresh deltas against the previous crawl
+  * snapshot, content-addressed manifest verification against a replica, and
+  * the privacy census (k-anonymity / l-diversity) a structured release has
+  * to publish. Every query is oracle-gated; synthetic inputs are pure
+  * doc_id/event arithmetic both engines construct identically (the q222/q226
+  * plant doctrine).
+  *
+  * Reference scope anchor: the reference pipeline's audit stage compares
+  * source and target counts per window (pipeline_logic/audit/audit_manager.py)
+  * — these operators are that idea grown to corpus scale: delta audits
+  * between crawl generations, checksummed shard manifests, and a release
+  * gate on re-identification risk.
+  */
+object ReleaseQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 64-bit additive content fingerprint (order-independent per group):
+    * the first 8 hex chars of md5 as a BIGINT — the q217 render-certificate
+    * idiom, shared verbatim by the DuckDB oracles. */
+  private def h64(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** q227: crawl snapshot delta — the refresh audit between two crawl
+    * generations. Snapshot A (the previous crawl) and snapshot B (the new
+    * one) are synthesized as overlapping doc_id slices (%5 classes give
+    * vanished/new; %7 marks content that changed in place), each carrying a
+    * url -> content-hash frame. The delta is a FULL OUTER join on the url
+    * key — the real shape at 100 TB: two narrow (url, 32-char hash) frames,
+    * hash-partitioned on url, never the document bodies — classified in-row
+    * and rolled up per source with a churn rate and a moved-id certificate.
+    * No window functions, no member lists; output is source-cardinality. */
+  val snapshotDelta: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("url", concat(col("source"), lit("/"), col("doc_id")))
+    val snapA = docs.where(col("doc_id") % 5 =!= 4)
+      .select(col("url"), col("source").as("src_a"), col("doc_id").as("id_a"),
+        md5(col("text")).as("h_a"))
+    val snapB = docs.where(col("doc_id") % 5 =!= 3)
+      .select(col("url"), col("source").as("src_b"), col("doc_id").as("id_b"),
+        when(col("doc_id") % 7 === 0, md5(concat(col("text"), lit("#v2"))))
+          .otherwise(md5(col("text"))).as("h_b"))
+    snapA.join(snapB, Seq("url"), "full_outer")
+      .select(coalesce(col("src_a"), col("src_b")).as("source"),
+        coalesce(col("id_a"), col("id_b")).as("doc_id"),
+        when(col("h_a").isNull, lit("new"))
+          .when(col("h_b").isNull, lit("vanished"))
+          .when(col("h_a") =!= col("h_b"), lit("changed"))
+          .otherwise(lit("unchanged")).as("cls"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_urls"),
+        sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("cls") === "vanished", 1L).otherwise(0L)).as("n_vanished"),
+        sum(when(col("cls") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("cls") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
+        round(sum(when(col("cls") =!= "unchanged", 1L).otherwise(0L)) /
+          count(lit(1)).cast("double"), 4).as("churn_rate"),
+        sum(when(col("cls") === "changed", col("doc_id")).otherwise(0L))
+          .as("sum_changed_ids"))
+      .orderBy("source")
+  }
+
+  /** q228: release-manifest integrity verification — content-addressed
+    * shard checksums diffed against a replica. Shards are doc_id % 16; the
+    * per-shard checksum is the SUM of per-doc 64-bit content fingerprints
+    * (order-independent, so it is insensitive to row order within a shard —
+    * a checksum a distributed writer can actually produce). The replica
+    * corrupts doc_id % 97 == 5 in flight; the gate publishes both the
+    * shard-level verdict (what a manifest check can see) AND the per-doc
+    * drill-down recount (what the repair action needs). ONE scan projects
+    * both variants (the q226 ladder shape); overflow-safe because 16 sums of
+    * ~n/16 * 2^32-bounded values stay far under 2^63 at any realistic shard
+    * cardinality — and the shard count, not the corpus size, bounds the
+    * output. */
+  val manifestVerify: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val replica = when(col("doc_id") % 97 === 5, concat(col("text"), lit("X")))
+      .otherwise(col("text"))
+    docs.select((col("doc_id") % 16).as("shard_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        h64(col("text")).as("hp"), h64(replica).as("hr"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum("hp").as("chk_primary"),
+        sum("hr").as("chk_replica"),
+        (sum("hp") === sum("hr")).cast("long").as("shard_ok"),
+        sum(when(col("hp") =!= col("hr"), 1L).otherwise(0L)).as("n_bad_docs"))
+      .orderBy("shard_id")
+  }
+
+  /** q229: k-anonymity / l-diversity census — the re-identification-risk
+    * report a structured-data release publishes. Quasi-identifiers are
+    * (event_type, hour-of-day, user cohort); the sensitive attribute is the
+    * value band floor(value/10). Two nested map-side-combinable aggregates:
+    * per-QI-group (size, distinct sensitive values), then the census per
+    * event_type — groups below k=5, records they expose, and groups that
+    * pass k but fail l=2 diversity (every member shares one sensitive
+    * value, so membership alone leaks it). QI cardinality bounds every
+    * post-shuffle frame; nothing is ever per-record after the first
+    * aggregate. floor() on IEEE doubles is engine-portable (the q194 float
+    * doctrine: no equality thresholds near data values). */
+  val kanonCensus: Q = (s, dir) => {
+    val groups = Tables.events(s, dir)
+      .select(col("event_type"), hour(col("ts")).as("hh"),
+        (col("user_id") % 10).as("cohort"),
+        floor(col("value") / 10.0).cast("long").as("band"))
+      .groupBy("event_type", "hh", "cohort")
+      .agg(count(lit(1)).as("grp_n"), countDistinct("band").as("grp_l"))
+    groups.groupBy("event_type")
+      .agg(sum("grp_n").as("n_records"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("grp_n") < 5, 1L).otherwise(0L)).as("n_small_groups"),
+        sum(when(col("grp_n") < 5, col("grp_n")).otherwise(0L)).as("n_at_risk"),
+        sum(when(col("grp_n") >= 5 && col("grp_l") < 2, 1L).otherwise(0L))
+          .as("n_low_diversity"),
+        round(sum(when(col("grp_n") < 5, col("grp_n")).otherwise(0L)) /
+          sum("grp_n").cast("double"), 4).as("at_risk_rate"),
+        min("grp_n").as("min_group_size"))
+      .orderBy("event_type")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q227_snapshot_delta" -> snapshotDelta,
+    "q228_manifest_verify" -> manifestVerify,
+    "q229_kanon_census" -> kanonCensus)
+
+  val oracles: Map[String, String] = Map(
+    "q227_snapshot_delta" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text,
+        |    source || '/' || doc_id AS url
+        |  FROM documents),
+        |a AS (
+        |  SELECT url, source AS src_a, doc_id AS id_a, md5(text) AS h_a
+        |  FROM d WHERE doc_id % 5 != 4),
+        |b AS (
+        |  SELECT url, source AS src_b, doc_id AS id_b,
+        |    CASE WHEN doc_id % 7 = 0 THEN md5(text || '#v2')
+        |         ELSE md5(text) END AS h_b
+        |  FROM d WHERE doc_id % 5 != 3),
+        |j AS (
+        |  SELECT coalesce(src_a, src_b) AS source,
+        |    coalesce(id_a, id_b) AS doc_id,
+        |    CASE WHEN h_a IS NULL THEN 'new'
+        |         WHEN h_b IS NULL THEN 'vanished'
+        |         WHEN h_a != h_b THEN 'changed'
+        |         ELSE 'unchanged' END AS cls
+        |  FROM a FULL OUTER JOIN b USING (url))
+        |SELECT source, count(*) AS n_urls,
+        |  CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(sum(CASE WHEN cls = 'vanished' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_vanished,
+        |  CAST(sum(CASE WHEN cls = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_changed,
+        |  CAST(sum(CASE WHEN cls = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unchanged,
+        |  round(sum(CASE WHEN cls != 'unchanged' THEN 1 ELSE 0 END) /
+        |    CAST(count(*) AS DOUBLE), 4) AS churn_rate,
+        |  CAST(sum(CASE WHEN cls = 'changed' THEN doc_id ELSE 0 END) AS BIGINT)
+        |    AS sum_changed_ids
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q228_manifest_verify" ->
+      """WITH d AS (
+        |  SELECT doc_id % 16 AS shard_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS hp,
+        |    CAST(concat('0x', substr(md5(CASE WHEN doc_id % 97 = 5
+        |      THEN text || 'X' ELSE text END), 1, 8)) AS BIGINT) AS hr
+        |  FROM documents)
+        |SELECT shard_id, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(hp) AS BIGINT) AS chk_primary,
+        |  CAST(sum(hr) AS BIGINT) AS chk_replica,
+        |  CAST(sum(hp) = sum(hr) AS BIGINT) AS shard_ok,
+        |  CAST(sum(CASE WHEN hp != hr THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bad_docs
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q229_kanon_census" ->
+      """WITH g2 AS (
+        |  SELECT event_type, CAST(hour(ts) AS INT) AS hh,
+        |    user_id % 10 AS cohort, count(*) AS grp_n,
+        |    count(DISTINCT CAST(floor(value / 10.0) AS BIGINT)) AS grp_l
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(sum(grp_n) AS BIGINT) AS n_records,
+        |  count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_small_groups,
+        |  CAST(sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+        |    AS n_at_risk,
+        |  CAST(sum(CASE WHEN grp_n >= 5 AND grp_l < 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_low_diversity,
+        |  round(sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) /
+        |    CAST(sum(grp_n) AS DOUBLE), 4) AS at_risk_rate,
+        |  CAST(min(grp_n) AS BIGINT) AS min_group_size
+        |FROM g2 GROUP BY 1 ORDER BY 1""".stripMargin)
+}

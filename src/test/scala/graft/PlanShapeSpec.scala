@@ -485,6 +485,26 @@ class PlanShapeSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("snapshot delta: url-keyed equi-join of two narrow frames, no cartesian") {
+    val plan = planOf("q227_snapshot_delta")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"the snapshot diff must be a url-keyed equi-join:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("Window") && !plan.contains("Generate explode"),
+      plan.take(2000))
+  }
+
+  test("manifest verify and k-anon census are single-scan nested aggregates") {
+    Seq("q228_manifest_verify", "q229_kanon_census").foreach { q =>
+      val plan = planOf(q)
+      assert("FileScan parquet".r.findAllIn(plan).length == 1,
+        s"$q must scan its table exactly once:\n${plan.take(2000)}")
+      assert(!plan.contains("Join") && !plan.contains("Window") &&
+        !plan.contains("Generate explode"), s"$q:\n${plan.take(2000)}")
+    }
+  }
+
   test("markup, secret census, and secret scrub are single-scan in-row aggregations") {
     Seq("q203_markup_census", "q204_secret_census", "q205_secret_scrub",
         "q206_license_census", "q207_comment_census", "q215_sentence_census",
