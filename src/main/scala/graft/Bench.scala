@@ -175,7 +175,8 @@ object Bench {
     "q226_norm_ladder",       // normalization collapse curve, one scan
     "q227_snapshot_delta",    // crawl refresh delta, url-keyed full-outer
     "q228_manifest_verify",   // shard checksum diff vs replica, one scan
-    "q229_kanon_census")      // k-anonymity / l-diversity release gate
+    "q229_kanon_census",      // k-anonymity / l-diversity release gate
+    "q230_snapshot_incremental") // stored LWW crawl state: 2-gen ingest
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

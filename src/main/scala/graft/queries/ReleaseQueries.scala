@@ -128,10 +128,55 @@ object ReleaseQueries {
       .orderBy("event_type")
   }
 
+  /** q230: INCREMENTAL snapshot tracking through the stored per-url state
+    * ([[graft.store.IndexStore.updateSnapshotState]]) — q227's refresh
+    * delta maintained the way a crawl monitor actually runs: each
+    * generation folds into a url-cardinality LWW state (latest version +
+    * hash, additive seen/change counters) behind the atomic swap + replay
+    * cursor, so "what changed since generation k" never rescans past
+    * generations. The gate ingests generation 1 then generation 2 (the
+    * q227 constructions), REPLAYS generation 2 (must no-op via the
+    * cursor), reloads, and reports per source — gated by a ONE-SHOT
+    * oracle over the unioned observations: batched == one-shot IS the
+    * check (the q144/q214 doctrine), including a latest-hash certificate
+    * that catches any LWW mix-up. */
+  val snapshotIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("url", concat(col("source"), lit("/"), col("doc_id")))
+    val snapA = docs.where(col("doc_id") % 5 =!= 4)
+      .select(col("url"), col("source"), lit(1L).as("version"),
+        md5(col("text")).as("hash"))
+    val snapB = docs.where(col("doc_id") % 5 =!= 3)
+      .select(col("url"), col("source"), lit(2L).as("version"),
+        when(col("doc_id") % 7 === 0, md5(concat(col("text"), lit("#v2"))))
+          .otherwise(md5(col("text"))).as("hash"))
+    val path = java.nio.file.Files.createTempDirectory("graft_snapstate")
+      .resolve("state").toString
+    val store = graft.store.IndexStore
+    require(store.updateSnapshotState(s, path, snapA, batchId = 0L))
+    require(store.updateSnapshotState(s, path, snapB, batchId = 1L))
+    require(!store.updateSnapshotState(s, path, snapB, batchId = 1L),
+      "replayed generation must no-op via the stored cursor")
+    store.loadSnapshotState(s, path)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_urls"),
+        sum("n_seen").as("n_observations"),
+        sum(when(col("n_seen") === 2, 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("first_version") === 2, 1L).otherwise(0L)).as("n_new_v2"),
+        sum(when(col("n_seen") === 1 && col("first_version") === 1, 1L)
+          .otherwise(0L)).as("n_vanished_v1"),
+        sum(when(col("n_changes") > 0, 1L).otherwise(0L)).as("n_changed"),
+        sum(conv(substring(col("latest_hash"), 1, 8), 16, 10).cast("long"))
+          .as("latest_cert"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
     "q227_snapshot_delta" -> snapshotDelta,
     "q228_manifest_verify" -> manifestVerify,
-    "q229_kanon_census" -> kanonCensus)
+    "q229_kanon_census" -> kanonCensus,
+    "q230_snapshot_incremental" -> snapshotIncremental)
 
   val oracles: Map[String, String] = Map(
     "q227_snapshot_delta" ->
@@ -201,5 +246,35 @@ object ReleaseQueries {
         |  round(sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) /
         |    CAST(sum(grp_n) AS DOUBLE), 4) AS at_risk_rate,
         |  CAST(min(grp_n) AS BIGINT) AS min_group_size
-        |FROM g2 GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM g2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q230: ONE-SHOT replay over the unioned generations — with exactly two
+    // versions per url the in-order fold has the closed form below, so the
+    // oracle never needs the store: batched-through-the-store == one-shot.
+    "q230_snapshot_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text, source || '/' || doc_id AS url
+        |  FROM documents),
+        |a AS (SELECT url, source, 1 AS v, md5(text) AS h
+        |      FROM d WHERE doc_id % 5 != 4),
+        |b AS (SELECT url, source, 2 AS v,
+        |        CASE WHEN doc_id % 7 = 0 THEN md5(text || '#v2')
+        |             ELSE md5(text) END AS h
+        |      FROM d WHERE doc_id % 5 != 3),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+        |st AS (
+        |  SELECT url, min(source) AS source, min(v) AS fv, count(*) AS n,
+        |    arg_max(h, v) AS lh,
+        |    CASE WHEN count(*) = 2 AND count(DISTINCT h) = 2
+        |         THEN 1 ELSE 0 END AS ch
+        |  FROM u GROUP BY 1)
+        |SELECT source, count(*) AS n_urls,
+        |  CAST(sum(n) AS BIGINT) AS n_observations,
+        |  CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |  CAST(sum(CASE WHEN fv = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_new_v2,
+        |  CAST(sum(CASE WHEN n = 1 AND fv = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_vanished_v1,
+        |  CAST(sum(CASE WHEN ch > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(CAST(concat('0x', substr(lh, 1, 8)) AS BIGINT)) AS BIGINT)
+        |    AS latest_cert
+        |FROM st GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -686,4 +686,106 @@ object IndexStore {
     graft.util.AtomicSwap.swap(fs, tmp, root)
     true
   }
+
+  /** Persist a SNAPSHOT state: per-url crawl-history summary rows
+    * (url, source, first_version, latest_version, latest_hash, n_seen,
+    * n_changes). Unlike the additive census, the merge is LAST-WRITER-WINS
+    * by version for the latest columns and additive for the counters —
+    * the stored form of the q227 refresh delta, so a crawl monitor can
+    * answer "what changed since generation k" without ever rescanning
+    * past generations. The state is url-cardinality-sized however many
+    * generations ingest. */
+  def saveSnapshotState(spark: SparkSession, rows: org.apache.spark.sql.DataFrame,
+                        path: String, lastBatchId: Long = -1L): Unit = {
+    import spark.implicits._
+    writeMeta(spark, path, "snapshot")
+    rows.write.mode("overwrite").parquet(s"$path/rows")
+    Seq(Tuple1(lastBatchId)).toDF("last_batch")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/scalars")
+  }
+
+  def loadSnapshotState(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    checkMeta(spark, path, "snapshot")
+    spark.read.parquet(s"$path/rows")
+  }
+
+  /** The stored snapshot state's replay cursor (−1 on fresh/batch). */
+  def snapshotLastBatch(spark: SparkSession, path: String): Long =
+    spark.read.parquet(s"$path/scalars").select("last_batch").head().getLong(0)
+
+  /** Fold a (url, source, version, hash) micro-batch into the stored
+    * snapshot state, atomically and exactly-once (the [[updateVocabIndex]]
+    * contract: dot-tmp write → rename-swap promote; the batchId cursor
+    * makes a replayed micro-batch a no-op). Within the batch each url's
+    * observations are folded IN VERSION ORDER (sorted struct array + an
+    * adjacent-pair transition count — bounded by generations-per-batch,
+    * never corpus size); against the stored state the merge is: versions
+    * at or below the stored latest are STALE and ignored (replay/ordering
+    * screen), fresh versions advance the latest columns and add one
+    * transition when the first fresh hash differs from the stored latest.
+    * Everything is a url-keyed join of two url-cardinality frames.
+    * @return true if applied, false if skipped as a replay. */
+  def updateSnapshotState(spark: SparkSession, path: String,
+                          batch: org.apache.spark.sql.DataFrame,
+                          batchId: Long = -1L): Boolean = {
+    import org.apache.spark.sql.functions._
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta"))
+    if (exists && batchId >= 0 && batchId <= snapshotLastBatch(spark, path))
+      return false
+    // per-url fold of the batch: sorted (version, hash) observations →
+    // (first/last version+hash, count, in-batch transitions)
+    def summarize(df: org.apache.spark.sql.DataFrame) = {
+      val obs = sort_array(collect_list(struct(col("version"), col("hash"))))
+      df.groupBy("url")
+        .agg(min(col("source")).as("source"), obs.as("obs"))
+        .select(col("url"), col("source"),
+          element_at(col("obs"), 1).getField("version").as("d_first_v"),
+          element_at(col("obs"), 1).getField("hash").as("d_first_h"),
+          element_at(col("obs"), -1).getField("version").as("d_last_v"),
+          element_at(col("obs"), -1).getField("hash").as("d_last_h"),
+          size(col("obs")).cast("long").as("d_n"),
+          size(filter(zip_with(
+            slice(transform(col("obs"), o => o.getField("hash")), lit(1),
+              size(col("obs")) - 1),
+            slice(transform(col("obs"), o => o.getField("hash")), lit(2),
+              size(col("obs")) - 1),
+            (a, b) => a =!= b), x => x)).cast("long").as("d_ch"))
+    }
+    val merged =
+      if (exists) {
+        val stored = loadSnapshotState(spark, path)
+        // stale screen: only observations beyond the stored latest count
+        val fresh = summarize(batch.as("b")
+          .join(stored.select(col("url"), col("latest_version").as("sv")),
+            Seq("url"), "left")
+          .where(col("sv").isNull || col("version") > col("sv"))
+          .select("url", "source", "version", "hash"))
+        stored.join(fresh, Seq("url"), "full_outer")
+          .select(col("url"),
+            coalesce(stored("source"), fresh("source")).as("source"),
+            coalesce(col("first_version"), col("d_first_v")).as("first_version"),
+            coalesce(col("d_last_v"), col("latest_version")).as("latest_version"),
+            coalesce(col("d_last_h"), col("latest_hash")).as("latest_hash"),
+            (coalesce(col("n_seen"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+              .as("n_seen"),
+            (coalesce(col("n_changes"), lit(0L)) + coalesce(col("d_ch"), lit(0L)) +
+              when(col("latest_hash").isNotNull && col("d_first_h").isNotNull &&
+                col("latest_hash") =!= col("d_first_h"), 1L).otherwise(0L))
+              .as("n_changes"))
+      } else {
+        summarize(batch).select(col("url"), col("source"),
+          col("d_first_v").as("first_version"),
+          col("d_last_v").as("latest_version"),
+          col("d_last_h").as("latest_hash"),
+          col("d_n").as("n_seen"), col("d_ch").as("n_changes"))
+      }
+    val parent = Option(root.getParent).map(_.toString).getOrElse(".")
+    val tmp = new org.apache.hadoop.fs.Path(s"$parent/.${root.getName}_update_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    saveSnapshotState(spark, merged, tmp.toString, batchId)
+    graft.util.AtomicSwap.swap(fs, tmp, root)
+    true
+  }
 }

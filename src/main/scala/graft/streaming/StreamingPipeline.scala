@@ -354,6 +354,26 @@ object StreamingPipeline {
         ()
       }
 
+  /** Continuous SNAPSHOT ingest: each arriving micro-batch of
+    * (url, source, version, hash) crawl observations folds into the stored
+    * per-url LWW state ([[graft.store.IndexStore.updateSnapshotState]]:
+    * in-batch version-order fold, stale-version screen against the stored
+    * latest, additive seen/change counters — all behind the atomic swap).
+    * Exactly-once by the stored batch-id cursor; a replayed micro-batch is
+    * a no-op. The refresh-monitoring analogue of [[censusIngestStream]]:
+    * the state stays url-cardinality-sized however many crawl generations
+    * the stream ingests. */
+  def snapshotIngestStream(newObs: DataFrame,
+                           indexPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    newObs.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.store.IndexStore.updateSnapshotState(
+          batch.sparkSession, indexPath, batch, batchId = batchId)
+        ()
+      }
+
   /** Continuous DENSE-INDEX ingest: each arriving micro-batch of vectors
     * is routed to its nearest frozen coarse-quantizer list and appended
     * to the stored IVF index ([[graft.store.IndexStore.updateIvfIndex]])

@@ -100,4 +100,50 @@ class IndexStoreSpec extends SparkSpec {
       IndexStore.loadVocabGrams(spark, path) // wrong kind
     }
   }
+
+  test("snapshot state: in-order fold, LWW latest, stale screen, replay no-op") {
+    val obs = Seq(
+      // u1: three generations, hash changes at v2 only -> n_changes 1
+      ("s/u1", "s", 1L, "aa"), ("s/u1", "s", 2L, "bb"), ("s/u1", "s", 3L, "bb"),
+      // u2: appears only in generation 2
+      ("s/u2", "s", 2L, "cc"),
+      // u3: vanishes after generation 1
+      ("t/u3", "t", 1L, "dd"))
+      .toDF("url", "source", "version", "hash")
+    val path = tmp("graft_snapidx") + "/state"
+    // generation batches arrive one at a time
+    (1L to 3L).foreach { v =>
+      assert(IndexStore.updateSnapshotState(spark, path,
+        obs.where($"version" === v), batchId = v - 1))
+    }
+    // replayed batch: cursor no-op
+    assert(!IndexStore.updateSnapshotState(spark, path,
+      obs.where($"version" === 3L), batchId = 2L))
+    val st1 = IndexStore.loadSnapshotState(spark, path)
+      .orderBy("url").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getString(4),
+        r.getLong(5), r.getLong(6)))
+    assert(st1.toSeq == Seq(
+      ("s/u1", 1L, 3L, "bb", 3L, 1L),
+      ("s/u2", 2L, 2L, "cc", 1L, 0L),
+      ("t/u3", 1L, 1L, "dd", 1L, 0L)))
+
+    // the SAME observations folded as one multi-version batch must agree
+    // (the in-batch sorted fold == the batch-at-a-time merge)
+    val path2 = tmp("graft_snapidx2") + "/state"
+    assert(IndexStore.updateSnapshotState(spark, path2, obs, batchId = 0L))
+    val st2 = IndexStore.loadSnapshotState(spark, path2)
+    val a = IndexStore.loadSnapshotState(spark, path)
+    assert(a.exceptAll(st2).isEmpty && st2.exceptAll(a).isEmpty,
+      "one multi-generation batch diverged from generation-at-a-time ingest")
+
+    // stale-version screen: an old generation arriving late (fresh batch id,
+    // version at/below the stored latest) must not move the state
+    val before = IndexStore.loadSnapshotState(spark, path).collect().toSet
+    assert(IndexStore.updateSnapshotState(spark, path,
+      obs.where($"version" === 1L), batchId = 9L))
+    val after = IndexStore.loadSnapshotState(spark, path).collect().toSet
+    assert(before == after, "a stale generation mutated the snapshot state")
+    assert(IndexStore.snapshotLastBatch(spark, path) == 9L)
+  }
 }

@@ -1006,6 +1006,48 @@ class StreamingSpec extends SparkSpec {
       "streamed census diverged from the one-shot census")
   }
 
+  test("snapshot ingest stream == one-shot fold; survives restart exactly-once") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("url", concat(col("source"), lit("/"), col("doc_id")))
+    def gen(v: Int): org.apache.spark.sql.DataFrame =
+      docs.where(pmod(col("doc_id"), lit(5)) =!= (if (v == 1) 4 else 3))
+        .select(col("url"), col("source"), lit(v.toLong).as("version"),
+          (if (v == 1) md5(col("text"))
+           else when(col("doc_id") % 7 === 0, md5(concat(col("text"), lit("#v2"))))
+             .otherwise(md5(col("text")))).as("hash"))
+    val src = java.nio.file.Files.createTempDirectory("graft_snap_src")
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_stream").toString
+    val statePath = s"$root/state"
+    def stageFile(v: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_snap_g$v")
+      gen(v).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, src.resolve(s"g$v.parquet"))
+    }
+    stageFile(1)
+    val schema = gen(1).schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+      val q = StreamingPipeline.snapshotIngestStream(stream, statePath)
+        .option("checkpointLocation", s"$root/ckpt").start()
+      q.awaitTermination()
+    }
+    runOnce() // "process dies" after generation 1
+    stageFile(2) // the next crawl generation lands while the stream is down
+    runOnce() // restart: must not re-fold generation 1
+    val stored = graft.store.IndexStore.loadSnapshotState(spark, statePath)
+    // one-shot reference: both generations folded as a single batch
+    val oneShotPath = s"$root/oneshot"
+    graft.store.IndexStore.updateSnapshotState(spark, oneShotPath,
+      gen(1).unionByName(gen(2)), batchId = 0L)
+    val oneShot = graft.store.IndexStore.loadSnapshotState(spark, oneShotPath)
+    assert(stored.exceptAll(oneShot).isEmpty && oneShot.exceptAll(stored).isEmpty,
+      "streamed snapshot state diverged from the one-shot fold")
+  }
+
   test("streaming code-release chain == batch funnel; classes and keeps agree") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .withColumn("text",
