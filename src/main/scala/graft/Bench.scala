@@ -176,7 +176,10 @@ object Bench {
     "q227_snapshot_delta",    // crawl refresh delta, url-keyed full-outer
     "q228_manifest_verify",   // shard checksum diff vs replica, one scan
     "q229_kanon_census",      // k-anonymity / l-diversity release gate
-    "q230_snapshot_incremental") // stored LWW crawl state: 2-gen ingest
+    "q230_snapshot_incremental", // stored LWW crawl state: 2-gen ingest
+    "q231_host_template",     // per-host LCP/LCS boilerplate census
+    "q232_chat_lint",         // chat-schema violation census, one scan
+    "q233_rougel_decontam")   // ROUGE-L pair adjudication, rolling DP
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

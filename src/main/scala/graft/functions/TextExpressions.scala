@@ -5,7 +5,7 @@ import java.util.regex.Pattern
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -1201,6 +1201,56 @@ case class UnigramEncode(child: Expression, scores: Seq[(String, Long)],
     copy(child = newChild)
 }
 
+/** Longest-common-subsequence length over WHITESPACE TOKENS of two text
+  * columns — the ROUGE-L core, used by the decontamination screen that
+  * n-gram containment can't adjudicate (interleaved edits break every
+  * contiguous n-gram but leave the subsequence intact). Classic rolling
+  * two-row DP: O(n·m) time, O(min(n,m)) space per row — which is exactly
+  * why this kernel must only ever run on BLOCKED candidate pairs, never
+  * all-pairs; at 100 TB the blocker (shared-gram / winnow-fingerprint
+  * buckets) bounds the pair count and this per-pair cost is the small
+  * constant on top. Sides are truncated to the first 4096 tokens
+  * (documented screen contract: long docs are chunked upstream; corpus
+  * docs here are ≤100 tokens). */
+case class LcsTokenLen(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lcs_token_len"
+
+  private val MaxTokens = 4096
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    var x = TextExprs.tokens(a.asInstanceOf[UTF8String])
+    var y = TextExprs.tokens(b.asInstanceOf[UTF8String])
+    if (x.length > MaxTokens) x = x.take(MaxTokens)
+    if (y.length > MaxTokens) y = y.take(MaxTokens)
+    if (x.length < y.length) { val t = x; x = y; y = t } // y is the short side
+    val m = y.length
+    if (m == 0) return 0L
+    val prev = new Array[Int](m + 1)
+    val cur = new Array[Int](m + 1)
+    var i = 1
+    while (i <= x.length) {
+      val xi = x(i - 1)
+      var j = 1
+      while (j <= m) {
+        cur(j) =
+          if (xi == y(j - 1)) prev(j - 1) + 1
+          else math.max(prev(j), cur(j - 1))
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, m + 1)
+      i += 1
+    }
+    prev(m).toLong
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points for the compiled text expressions. */
 object TextExpr {
   def wordSpans(text: Column, k: Int): Column =
@@ -1260,6 +1310,11 @@ object TextExpr {
 
   def multiPatternRedact(text: Column, patterns: Seq[String], marker: String): Column =
     ColumnBridge.column(MultiPatternRedact(ColumnBridge.expression(text), patterns, marker))
+
+  /** Token-level LCS length (the ROUGE-L core) — see [[LcsTokenLen]]. */
+  def lcsTokenLen(a: Column, b: Column): Column =
+    ColumnBridge.column(LcsTokenLen(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
 
   /** Unigram-LM Viterbi encode — see [[UnigramEncode]]. */
   def unigramEncode(text: Column, scores: Seq[(String, Long)],

@@ -172,11 +172,152 @@ object ReleaseQueries {
       .orderBy("source")
   }
 
+  /** q231: host-template boilerplate census — the shared-banner detector a
+    * crawl cleaner runs before line-level dedup: per host, the longest
+    * common PREFIX and SUFFIX across every document, using the classic
+    * order-statistics identity LCP(set) = LCP(lexicographic min, max) —
+    * so the whole census is ONE map-side-combinable aggregate of four
+    * order statistics (min/max of the text and of its reverse) per host;
+    * the per-host character comparison then runs on exactly TWO strings
+    * however many documents the host has. Hosts are synthesized as
+    * source × (doc_id %% 13); hosts with (h %% 3 == 0) get a shared
+    * banner + footer on every page (templated sites), the rest keep raw
+    * text (whatever natural shared prefix the corpus happens to have —
+    * both engines compute the same answer either way). */
+  val hostTemplateCensus: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .withColumn("hid", (col("doc_id") % 13).cast("long"))
+      .withColumn("host", concat(col("source"), lit("-h"), col("hid")))
+    val banner = concat(lit("HOST "), col("host"),
+      lit(" NAV home about contact :: "))
+    val footer = concat(lit(" :: (c) "), col("host"),
+      lit(" all rights reserved"))
+    val t = when(col("hid") % 3 === 0, concat(banner, col("text"), footer))
+      .otherwise(col("text"))
+    val g = docs.select(col("host"), t.as("t"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("t")).cast("long")).as("sum_chars"),
+        min("t").as("mn"), max("t").as("mx"),
+        min(reverse(col("t"))).as("rmn"), max(reverse(col("t"))).as("rmx"))
+    def lcp(a: Column, b: Column): Column = {
+      val bound = least(length(a), length(b))
+      // first mismatching 1-based position over the two extreme strings;
+      // no mismatch within the bound -> the bound itself is the LCP
+      val mism = array_min(filter(sequence(lit(1), greatest(bound, lit(1))),
+        i => a.substr(i, lit(1)) =!= b.substr(i, lit(1))))
+      least(coalesce(mism - 1, bound), bound).cast("long")
+    }
+    g.select(col("host"), col("n_docs"), col("sum_chars"),
+        lcp(col("mn"), col("mx")).as("prefix_len"),
+        lcp(col("rmn"), col("rmx")).as("suffix_len"))
+      .withColumn("templated", (col("prefix_len") >= 20).cast("long"))
+      .withColumn("boiler_rate",
+        round((col("prefix_len") + col("suffix_len")) * col("n_docs") /
+          col("sum_chars").cast("double"), 4))
+      .orderBy("host")
+  }
+
+  /** q232: chat-schema lint census — the validation every SFT/RLHF intake
+    * runs before a conversation corpus is trusted: role ordering, empty
+    * turns, dangling user prompts. Conversations are synthesized per doc
+    * from token slices into five doc_id %% 5 classes, each violating
+    * exactly one rule (or none); the LINT ITSELF is generic array logic —
+    * first-role check, adjacent-role collision via zip_with on shifted
+    * role arrays, emptiness via exists — evaluated in-row, one scan, no
+    * explode. The oracle never parses a conversation: every violation
+    * count is pure class arithmetic (the q218 doctrine). */
+  val chatLintCensus: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val ts = split(trim(col("text")), "\\s+")
+    def seg(from: Int, n: Int): Column =
+      array_join(slice(ts, from, n), " ")
+    def turn(role: String, content: Column): Column =
+      struct(lit(role).as("role"), content.as("content"))
+    val cls = (col("doc_id") % 5).cast("long")
+    val turns = when(cls === 0, array(
+        turn("system", lit("You are a careful assistant.")),
+        turn("user", seg(1, 3)), turn("assistant", seg(4, 3)),
+        turn("user", seg(7, 2)), turn("assistant", lit("Done."))))
+      .when(cls === 1, array( // starts with assistant
+        turn("assistant", seg(1, 3)), turn("user", seg(4, 3)),
+        turn("assistant", seg(7, 2))))
+      .when(cls === 2, array( // consecutive same role
+        turn("user", seg(1, 3)), turn("user", seg(4, 3)),
+        turn("assistant", seg(7, 2))))
+      .when(cls === 3, array( // an empty assistant turn
+        turn("user", seg(1, 3)), turn("assistant", lit("")),
+        turn("user", seg(4, 3)), turn("assistant", seg(7, 2))))
+      .otherwise(array( // ends on a user turn
+        turn("system", lit("You are a careful assistant.")),
+        turn("user", seg(1, 3)), turn("assistant", seg(4, 3)),
+        turn("user", seg(7, 2))))
+    val roles = transform(turns, t => t.getField("role"))
+    val n = size(roles)
+    val vEmpty = exists(turns, t => trim(t.getField("content")) === "")
+    val vStart = !element_at(roles, 1).isin("system", "user")
+    val vConsec = exists(zip_with(slice(roles, lit(1), n - 1),
+      slice(roles, lit(2), n - 1), (a, b) => a === b), x => x)
+    val vEnd = element_at(roles, -1) =!= "assistant"
+    docs.select(cls.as("cls"), n.cast("long").as("n_turns"),
+        vEmpty.cast("long").as("v_empty"), vStart.cast("long").as("v_start"),
+        vConsec.cast("long").as("v_consec"), vEnd.cast("long").as("v_end"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_convs"), sum("n_turns").as("sum_turns"),
+        sum("v_empty").as("n_empty_turns"),
+        sum("v_start").as("n_bad_start"),
+        sum("v_consec").as("n_role_collisions"),
+        sum("v_end").as("n_dangling_user"),
+        sum(when(col("v_empty") + col("v_start") + col("v_consec") +
+          col("v_end") === 0, 1L).otherwise(0L)).as("n_valid"))
+      .orderBy("cls")
+  }
+
+  /** q233: ROUGE-L decontamination screen — the adjudicator for candidate
+    * eval↔train pairs that n-gram containment (q181) cannot call:
+    * interleaved token edits break every contiguous n-gram yet leave the
+    * common SUBSEQUENCE nearly intact. Eval twins are synthesized from
+    * every 11th doc at four perturbation levels (identical / every-5th /
+    * every-3rd token replaced by an md5 marker / all replaced), so true
+    * LCS is exact id arithmetic: n − ⌊n/k⌋. The compiled rolling-DP
+    * kernel ([[graft.functions.LcsTokenLen]]) runs per PAIR — which is
+    * why the screen only ever sees blocked candidate pairs (here paired
+    * by construction; in production by the q157 winnow buckets or q181
+    * shared grams), never all-pairs. Recall is reported sum/sum, never
+    * avg-of-ratios; the 0.5 flag threshold sits in a wide dead zone
+    * between level-2 (≈0.67) and level-3 (0). */
+  val rougeDecontam: Q = (s, dir) => {
+    import graft.functions.TextExpr
+    val docs = Tables.documents(s, dir).where(col("doc_id") % 11 === 0)
+    val ts = split(trim(col("text")), "\\s+")
+    val lvl = expr("(doc_id div 11) % 4")
+    val marker = (i: Column) => md5(concat(col("doc_id").cast("string"),
+      lit(":"), i.cast("string")))
+    val evalText = array_join(zip_with(ts, sequence(lit(1), size(ts)),
+      (t, i) => when(
+        (lvl === 1 && i % 5 === 0) || (lvl === 2 && i % 3 === 0) || lvl === 3,
+        marker(i)).otherwise(t)), " ")
+    val paired = docs.select(col("doc_id"), lvl.as("level"),
+        size(ts).cast("long").as("ntok"),
+        TextExpr.lcsTokenLen(col("text"), evalText).as("lcs"))
+    paired.groupBy("level")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum("lcs") / sum("ntok").cast("double"), 4).as("macro_recall"),
+        round(min(col("lcs") / col("ntok").cast("double")), 4).as("min_recall"),
+        sum(when(col("lcs") / col("ntok").cast("double") >= 0.5, 1L)
+          .otherwise(0L)).as("n_flagged"),
+        sum("doc_id").as("sum_pair_ids"))
+      .orderBy("level")
+  }
+
   val all: Map[String, Q] = Map(
     "q227_snapshot_delta" -> snapshotDelta,
     "q228_manifest_verify" -> manifestVerify,
     "q229_kanon_census" -> kanonCensus,
-    "q230_snapshot_incremental" -> snapshotIncremental)
+    "q230_snapshot_incremental" -> snapshotIncremental,
+    "q231_host_template" -> hostTemplateCensus,
+    "q232_chat_lint" -> chatLintCensus,
+    "q233_rougel_decontam" -> rougeDecontam)
 
   val oracles: Map[String, String] = Map(
     "q227_snapshot_delta" ->
@@ -276,5 +417,82 @@ object ReleaseQueries {
         |  CAST(sum(CASE WHEN ch > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
         |  CAST(sum(CAST(concat('0x', substr(lh, 1, 8)) AS BIGINT)) AS BIGINT)
         |    AS latest_cert
-        |FROM st GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q231: LCP(set) = LCP(min, max); suffixes via the same identity on the
+    // reversed strings. The mismatch scan is a list comprehension over the
+    // two extreme strings only.
+    "q231_host_template" ->
+      """WITH d AS (
+        |  SELECT source || '-h' || (doc_id % 13) AS host,
+        |    CASE WHEN (doc_id % 13) % 3 = 0
+        |      THEN 'HOST ' || source || '-h' || (doc_id % 13) ||
+        |        ' NAV home about contact :: ' || text ||
+        |        ' :: (c) ' || source || '-h' || (doc_id % 13) ||
+        |        ' all rights reserved'
+        |      ELSE text END AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT host, count(*) AS n_docs,
+        |    CAST(sum(length(t)) AS BIGINT) AS sum_chars,
+        |    min(t) AS mn, max(t) AS mx,
+        |    min(reverse(t)) AS rmn, max(reverse(t)) AS rmx
+        |  FROM d GROUP BY 1),
+        |p AS (
+        |  SELECT host, n_docs, sum_chars,
+        |    least(length(mn), length(mx)) AS bp,
+        |    least(length(rmn), length(rmx)) AS bs,
+        |    list_min([i FOR i IN generate_series(1,
+        |      greatest(least(length(mn), length(mx)), 1))
+        |      IF substr(mn, i, 1) != substr(mx, i, 1)]) AS mp,
+        |    list_min([i FOR i IN generate_series(1,
+        |      greatest(least(length(rmn), length(rmx)), 1))
+        |      IF substr(rmn, i, 1) != substr(rmx, i, 1)]) AS ms
+        |  FROM g),
+        |f AS (
+        |  SELECT host, n_docs, sum_chars,
+        |    CAST(least(coalesce(mp - 1, bp), bp) AS BIGINT) AS prefix_len,
+        |    CAST(least(coalesce(ms - 1, bs), bs) AS BIGINT) AS suffix_len
+        |  FROM p)
+        |SELECT host, n_docs, sum_chars, prefix_len, suffix_len,
+        |  CAST(prefix_len >= 20 AS BIGINT) AS templated,
+        |  round((prefix_len + suffix_len) * n_docs /
+        |    CAST(sum_chars AS DOUBLE), 4) AS boiler_rate
+        |FROM f ORDER BY host""".stripMargin,
+    // q232: the oracle is pure class arithmetic — each doc_id % 5 class
+    // violates exactly one rule by construction (the q218 doctrine: the
+    // oracle never parses a conversation).
+    "q232_chat_lint" ->
+      """WITH d AS (SELECT doc_id % 5 AS cls, count(*) AS n FROM documents
+        |           GROUP BY 1)
+        |SELECT CAST(cls AS BIGINT) AS cls, n AS n_convs,
+        |  CAST(n * (CASE cls WHEN 0 THEN 5 WHEN 1 THEN 3 WHEN 2 THEN 3
+        |    WHEN 3 THEN 4 ELSE 4 END) AS BIGINT) AS sum_turns,
+        |  CAST(CASE WHEN cls = 3 THEN n ELSE 0 END AS BIGINT) AS n_empty_turns,
+        |  CAST(CASE WHEN cls = 1 THEN n ELSE 0 END AS BIGINT) AS n_bad_start,
+        |  CAST(CASE WHEN cls = 2 THEN n ELSE 0 END AS BIGINT)
+        |    AS n_role_collisions,
+        |  CAST(CASE WHEN cls = 4 THEN n ELSE 0 END AS BIGINT)
+        |    AS n_dangling_user,
+        |  CAST(CASE WHEN cls = 0 THEN n ELSE 0 END AS BIGINT) AS n_valid
+        |FROM d ORDER BY 1""".stripMargin,
+    // q233: true LCS of the planted pairs is exact id arithmetic
+    // (n − ⌊n/k⌋ for the every-k-th replacement; n for copies; 0 for the
+    // all-replaced level) — the kernel must land on it to the token.
+    "q233_rougel_decontam" ->
+      """WITH e AS (
+        |  SELECT doc_id, (doc_id // 11) % 4 AS lvl,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |p AS (
+        |  SELECT doc_id, lvl, n,
+        |    CAST(CASE lvl WHEN 0 THEN n WHEN 1 THEN n - n // 5
+        |      WHEN 2 THEN n - n // 3 ELSE 0 END AS BIGINT) AS lcs
+        |  FROM e)
+        |SELECT CAST(lvl AS BIGINT) AS level, count(*) AS n_pairs,
+        |  round(sum(lcs) / CAST(sum(n) AS DOUBLE), 4) AS macro_recall,
+        |  round(min(lcs / CAST(n AS DOUBLE)), 4) AS min_recall,
+        |  CAST(sum(CASE WHEN lcs / CAST(n AS DOUBLE) >= 0.5 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_flagged,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_pair_ids
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)
 }

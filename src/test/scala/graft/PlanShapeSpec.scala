@@ -505,6 +505,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("host template, chat lint, and rouge screen are single-scan aggregates") {
+    Seq("q231_host_template", "q232_chat_lint", "q233_rougel_decontam")
+      .foreach { q =>
+        val plan = planOf(q)
+        assert("FileScan parquet".r.findAllIn(plan).length == 1,
+          s"$q must scan documents exactly once:\n${plan.take(2000)}")
+        assert(!plan.contains("Join") && !plan.contains("Window") &&
+          !plan.contains("Generate explode"), s"$q:\n${plan.take(2000)}")
+      }
+  }
+
   test("markup, secret census, and secret scrub are single-scan in-row aggregations") {
     Seq("q203_markup_census", "q204_secret_census", "q205_secret_scrub",
         "q206_license_census", "q207_comment_census", "q215_sentence_census",

@@ -1,0 +1,69 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LcsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Full-matrix O(n·m) reference LCS over whitespace tokens — the
+    * definitional recurrence, no rolling-array trick to share a bug with
+    * the kernel under test. */
+  private def bruteLcs(a: String, b: String): Long = {
+    def toks(s: String): Array[String] = {
+      val t = s.trim
+      if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+    }
+    val x = toks(a); val y = toks(b)
+    val dp = Array.ofDim[Int](x.length + 1, y.length + 1)
+    for (i <- 1 to x.length; j <- 1 to y.length)
+      dp(i)(j) =
+        if (x(i - 1) == y(j - 1)) dp(i - 1)(j - 1) + 1
+        else math.max(dp(i - 1)(j), dp(i)(j - 1))
+    dp(x.length)(y.length).toLong
+  }
+
+  private def kernel(a: String, b: String): Long =
+    Seq((a, b)).toDF("a", "b")
+      .select(TextExpr.lcsTokenLen(col("a"), col("b")).as("l"))
+      .head().getLong(0)
+
+  test("rolling-DP kernel matches the definitional matrix on edge cases") {
+    val cases = Seq(
+      ("", ""), ("a", ""), ("", "b"), ("a", "a"), ("a b c", "a b c"),
+      ("a b c d", "d c b a"), ("a a a", "a a"), ("x y z", "p q r"),
+      ("the quick brown fox", "the slow brown dog"),
+      ("  padded   tokens  ", "padded tokens"),
+      ("a b a b a", "b a b a b"))
+    cases.foreach { case (a, b) =>
+      assert(kernel(a, b) == bruteLcs(a, b), s"inputs '$a' / '$b'")
+    }
+  }
+
+  test("rolling-DP kernel matches the definitional matrix on random pairs") {
+    val rng = new scala.util.Random(1337)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee")
+    (1 to 200).foreach { _ =>
+      val a = Array.fill(rng.nextInt(30))(vocab(rng.nextInt(vocab.length)))
+        .mkString(" ")
+      val b = Array.fill(rng.nextInt(30))(vocab(rng.nextInt(vocab.length)))
+        .mkString(" ")
+      assert(kernel(a, b) == bruteLcs(a, b), s"inputs '$a' / '$b'")
+    }
+  }
+
+  test("every-kth replacement yields exactly n - n/k (the q233 plant identity)") {
+    val rng = new scala.util.Random(7)
+    (1 to 30).foreach { trial =>
+      val n = 5 + rng.nextInt(60)
+      val base = (1 to n).map(i => s"w${rng.nextInt(8)}_$i")
+      Seq(3, 5).foreach { k =>
+        val mutated = base.zipWithIndex.map { case (t, i0) =>
+          if ((i0 + 1) % k == 0) s"ZZMARK${trial}_${i0}" else t
+        }
+        assert(kernel(base.mkString(" "), mutated.mkString(" ")) == n - n / k,
+          s"n=$n k=$k")
+      }
+    }
+  }
+}
