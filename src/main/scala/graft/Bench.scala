@@ -179,7 +179,10 @@ object Bench {
     "q230_snapshot_incremental", // stored LWW crawl state: 2-gen ingest
     "q231_host_template",     // per-host LCP/LCS boilerplate census
     "q232_chat_lint",         // chat-schema violation census, one scan
-    "q233_rougel_decontam")   // ROUGE-L pair adjudication, rolling DP
+    "q233_rougel_decontam",   // ROUGE-L pair adjudication, rolling DP
+    "q234_bitext_funnel",     // parallel-pair screens, first-fail census
+    "q235_json_shape",        // JSON key-path/type schema discovery
+    "q236_sentence_chunks")   // sentence-aware greedy chunking census
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -1,0 +1,96 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Schema-on-read SHAPE inference for a JSON text column: the distinct
+  * (key-path, value-type) pairs present in each payload, depth-limited —
+  * the per-document half of the key-path census a JSON lake runs before
+  * anyone writes an extraction schema (`from_json` needs the schema; this
+  * is the operator that DISCOVERS it). Array elements share one `[]` path
+  * segment, so a million-element array contributes the same path set as a
+  * three-element one — the output is bounded by the payload's distinct
+  * structure, never its data size. Unparseable payloads yield the single
+  * sentinel ('$', 'invalid'): schema discovery over a crawl must COUNT
+  * malformed payloads, not throw on them.
+  *
+  * Jackson streaming/databind is the engine-portable parse (Spark's own
+  * JSON reader uses the same library); type names are the JSON scalar
+  * classes (object/array/string/number/boolean/null), with all numeric
+  * widths collapsing to 'number' — a shape census, not a value census.
+  */
+case class JsonPaths(child: Expression, maxDepth: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(maxDepth >= 0, "maxDepth must be >= 0")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("jtype", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "json_paths"
+
+  @transient private lazy val mapper = new ObjectMapper()
+
+  override def nullSafeEval(input: Any): Any = {
+    val out = new java.util.LinkedHashSet[(String, String)]()
+    val text = input.asInstanceOf[UTF8String].toString
+    try {
+      val root = mapper.readTree(text)
+      if (root == null) out.add(("$", "invalid"))
+      else walk(root, "$", 0, out)
+    } catch {
+      case _: java.io.IOException => out.add(("$", "invalid"))
+    }
+    val rows = new Array[Any](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) {
+      val (p, t) = it.next()
+      rows(i) = InternalRow(UTF8String.fromString(p), UTF8String.fromString(t))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  private def typeName(n: JsonNode): String =
+    if (n.isObject) "object"
+    else if (n.isArray) "array"
+    else if (n.isTextual) "string"
+    else if (n.isNumber) "number"
+    else if (n.isBoolean) "boolean"
+    else "null"
+
+  private def walk(n: JsonNode, path: String, depth: Int,
+                   out: java.util.LinkedHashSet[(String, String)]): Unit = {
+    out.add((path, typeName(n)))
+    if (depth < maxDepth) {
+      if (n.isObject) {
+        val fields = n.fields()
+        while (fields.hasNext) {
+          val e = fields.next()
+          walk(e.getValue, s"$path.${e.getKey}", depth + 1, out)
+        }
+      } else if (n.isArray) {
+        val elems = n.elements()
+        while (elems.hasNext) walk(elems.next(), s"$path[]", depth + 1, out)
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object JsonShapeExpr {
+  /** Distinct (path, jtype) shape entries of a JSON payload — see
+    * [[JsonPaths]]. */
+  def jsonPaths(json: Column, maxDepth: Int = 3): Column =
+    ColumnBridge.column(JsonPaths(ColumnBridge.expression(json), maxDepth))
+}

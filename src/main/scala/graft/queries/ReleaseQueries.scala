@@ -310,7 +310,150 @@ object ReleaseQueries {
       .orderBy("level")
   }
 
+  /** q234: bitext filter funnel — the pair-level screens every parallel
+    * (translation) corpus runs before training an MT/multilingual model,
+    * with FIRST-FAILING-RULE attribution (the q184 doctrine: each pair is
+    * charged to exactly one rule, so the census sums to the pair count):
+    * empty target → length-ratio band [0.5, 2] → verbatim copy (hash
+    * equality) → token-overlap screen (distinct-token Jaccard > 0.5 — the
+    * "partially untranslated" class that hash equality misses). Targets
+    * are synthesized per doc_id %% 9 class (pseudo-translation suffixes
+    * every token, so the pass class has near-zero overlap by
+    * construction); ALL rule evaluations are genuine in-row array
+    * algebra — the oracle recomputes Jaccard itself rather than trusting
+    * class arithmetic, so a set-semantics mix-up in either engine breaks
+    * the gate. One scan, no explode, no join; per-source output. */
+  val bitextFunnel: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val ts = split(trim(col("text")), "\\s+")
+    val n = size(ts)
+    val cls = (col("doc_id") % 9).cast("long")
+    val xform = (t: Column) => concat(t, lit("x"))
+    val tgt = when(cls === 1, array().cast("array<string>"))
+      .when(cls === 2, transform(slice(ts, lit(1), (n + 2) / 3), xform))
+      .when(cls === 3, ts)
+      .when(cls === 4, zip_with(ts, sequence(lit(1), n),
+        (t, i) => when(i % 4 === 0, concat(t, lit("x"))).otherwise(t)))
+      .otherwise(transform(ts, xform))
+    val srcD = array_distinct(ts)
+    val tgtD = array_distinct(tgt)
+    val jac = size(array_intersect(srcD, tgtD)) /
+      size(array_union(srcD, tgtD)).cast("double")
+    val ratio = size(tgt) / n.cast("double")
+    val reason = when(size(tgt) === 0, "empty")
+      .when(ratio < 0.5 || ratio > 2.0, "length_ratio")
+      .when(md5(array_join(tgt, " ")) === md5(array_join(ts, " ")), "copy")
+      .when(jac > 0.5, "overlap")
+      .otherwise("pass")
+    docs.select(col("source"), col("doc_id"), n.cast("long").as("n_src"),
+        size(tgt).cast("long").as("n_tgt"), reason.as("reason"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("reason") === "empty", 1L).otherwise(0L)).as("n_empty"),
+        sum(when(col("reason") === "length_ratio", 1L).otherwise(0L))
+          .as("n_length_ratio"),
+        sum(when(col("reason") === "copy", 1L).otherwise(0L)).as("n_copy"),
+        sum(when(col("reason") === "overlap", 1L).otherwise(0L)).as("n_overlap"),
+        sum(when(col("reason") === "pass", 1L).otherwise(0L)).as("n_pass"),
+        sum(when(col("reason") === "pass", col("n_tgt")).otherwise(0L))
+          .as("kept_tgt_tokens"),
+        sum(when(col("reason") === "pass", col("doc_id")).otherwise(0L))
+          .as("sum_kept_ids"))
+      .orderBy("source")
+  }
+
+  /** q235: JSON shape census — schema DISCOVERY over a semi-structured
+    * column: the corpus-wide (key-path, value-type) histogram that tells
+    * a JSON lake what `from_json` schema to write (q160 consumes a known
+    * schema; this is the operator that finds it). Payloads are
+    * synthesized per doc_id %% 5 class (flat / nested object + array /
+    * array-of-objects / malformed / deep nesting) with doc-varying
+    * values, so the SHAPES are class constants while the values never
+    * repeat — the oracle is a class-arithmetic join against the expected
+    * shape table and never parses JSON (the q218 doctrine). The compiled
+    * [[graft.functions.JsonPaths]] kernel emits each payload's DISTINCT
+    * shape entries depth-limited (array elements share one `[]` segment,
+    * so output is structure-bounded, never data-bounded); malformed
+    * payloads yield the ('$', 'invalid') sentinel instead of throwing —
+    * at crawl scale malformed JSON is a class to count, not an error.
+    * One scan; the explode is over the bounded per-doc shape set. */
+  val jsonShapeCensus: Q = (s, dir) => {
+    import graft.functions.JsonShapeExpr
+    val docs = Tables.documents(s, dir)
+    val did = col("doc_id").cast("string")
+    val cls = (col("doc_id") % 5).cast("long")
+    val payload = when(cls === 0,
+        concat(lit("{\"a\": "), did, lit(", \"b\": \"s"), did, lit("\"}")))
+      .when(cls === 1,
+        concat(lit("{\"a\": {\"c\": true, \"d\": [1, 2, "), col("doc_id") % 10,
+          lit("]}, \"b\": null}")))
+      .when(cls === 2,
+        concat(lit("{\"a\": [{\"e\": 1.5}, {\"e\": "), col("doc_id") % 10,
+          lit(".5}], \"f\": \"y\"}")))
+      .when(cls === 3, concat(lit("{\"a\": nope"), did))
+      .otherwise(
+        concat(lit("{\"a\": "), did,
+          lit(", \"g\": {\"h\": {\"i\": \"deep\"}}}")))
+    docs.select(col("doc_id"),
+        explode(JsonShapeExpr.jsonPaths(payload, maxDepth = 3)).as("p"))
+      .groupBy(col("p.path").as("path"), col("p.jtype").as("jtype"))
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+      .orderBy("path", "jtype")
+  }
+
+  /** q236: sentence-boundary-aware chunking census — the RAG/packing
+    * chunker that never splits inside a sentence: greedily pack whole
+    * sentences into chunks of ≤ 20 tokens; a single sentence over budget
+    * becomes its own oversize chunk (the chunker's documented escape
+    * hatch, counted separately). The greedy fold is a per-row
+    * `aggregate` HOF over the per-sentence token counts — sequential in
+    * the only place it can be (within one document), embarrassingly
+    * parallel across the corpus; the DuckDB oracle replays the identical
+    * left fold via list_reduce over singleton states. Sentence boundary
+    * regex shared verbatim with q215. Plants: doc_id %% 3 == 0 docs are
+    * rebuilt as 7-token sentences (real packing: two fit, the third
+    * breaks), %% 3 == 1 keep raw text (typically one long oversize
+    * sentence), %% 3 == 2 append q215-style short sentences. */
+  val sentenceChunks: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val ts0 = split(trim(col("text")), "\\s+")
+    val spans = transform(
+      sequence(lit(1), size(ts0), lit(7)),
+      i => array_join(slice(ts0, i, lit(7)), " "))
+    val t = when(col("doc_id") % 3 === 0,
+        concat(array_join(spans, ". "), lit(".")))
+      .when(col("doc_id") % 3 === 2, concat(col("text"),
+        lit(". Second sentence here. Third one ends now!")))
+      .otherwise(col("text"))
+    val arr = transform(
+      filter(split(t, "[.!?]+\\s+", -1), x => trim(x) =!= ""),
+      x => size(split(trim(x), "\\s+")).cast("long"))
+    val zero = struct(lit(0L).as("ch"), lit(0L).as("cur"), lit(0L).as("ov"))
+    val st = aggregate(arr, zero, (acc, n) =>
+      when(acc.getField("ch") === 0 || acc.getField("cur") + n > 20,
+        struct((acc.getField("ch") + 1).as("ch"), n.as("cur"),
+          (acc.getField("ov") + when(n > 20, 1L).otherwise(0L)).as("ov")))
+        .otherwise(struct(acc.getField("ch").as("ch"),
+          (acc.getField("cur") + n).as("cur"), acc.getField("ov").as("ov"))))
+    val stok = aggregate(arr, lit(0L), (a, n) => a + n)
+    docs.select(col("source"), col("doc_id"),
+        st.getField("ch").as("n_chunks"), st.getField("ov").as("n_over"),
+        stok.as("stok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chunks").as("n_chunks"),
+        sum("n_over").as("n_oversize"),
+        sum("stok").as("sent_tokens"),
+        round(sum("stok") / sum("n_chunks").cast("double"), 4)
+          .as("avg_chunk_fill"),
+        max("n_chunks").as("max_doc_chunks"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "q234_bitext_funnel" -> bitextFunnel,
+    "q235_json_shape" -> jsonShapeCensus,
+    "q236_sentence_chunks" -> sentenceChunks,
     "q227_snapshot_delta" -> snapshotDelta,
     "q228_manifest_verify" -> manifestVerify,
     "q229_kanon_census" -> kanonCensus,
@@ -494,5 +637,131 @@ object ReleaseQueries {
         |  CAST(sum(CASE WHEN lcs / CAST(n AS DOUBLE) >= 0.5 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_flagged,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_pair_ids
-        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q234: the oracle recomputes every rule genuinely — Jaccard via
+    // list_filter/list_contains on distinct tokens (set semantics shared
+    // with array_intersect/array_union), first-fail attribution in the
+    // same rule order.
+    "q234_bitext_funnel" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END AS ts,
+        |    doc_id % 9 AS cls
+        |  FROM documents),
+        |t AS (
+        |  SELECT source, doc_id, ts, len(ts) AS n,
+        |    CASE WHEN cls = 1 THEN CAST([] AS VARCHAR[])
+        |      WHEN cls = 2 THEN [x || 'x' FOR x IN ts[1:(len(ts)+2)//3]]
+        |      WHEN cls = 3 THEN ts
+        |      WHEN cls = 4 THEN [CASE WHEN i % 4 = 0 THEN ts[i] || 'x'
+        |        ELSE ts[i] END FOR i IN generate_series(1, len(ts))]
+        |      ELSE [x || 'x' FOR x IN ts] END AS tg
+        |  FROM d),
+        |r AS (
+        |  SELECT source, doc_id, n, len(tg) AS n_tgt,
+        |    CASE WHEN len(tg) = 0 THEN 'empty'
+        |      WHEN len(tg) / CAST(n AS DOUBLE) < 0.5 OR
+        |           len(tg) / CAST(n AS DOUBLE) > 2.0 THEN 'length_ratio'
+        |      WHEN md5(array_to_string(tg, ' ')) =
+        |           md5(array_to_string(ts, ' ')) THEN 'copy'
+        |      WHEN len(list_filter(list_distinct(ts),
+        |             x -> list_contains(list_distinct(tg), x))) /
+        |           CAST(len(list_distinct(list_concat(ts, tg))) AS DOUBLE)
+        |             > 0.5 THEN 'overlap'
+        |      ELSE 'pass' END AS reason
+        |  FROM t)
+        |SELECT source, count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN reason = 'empty' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_empty,
+        |  CAST(sum(CASE WHEN reason = 'length_ratio' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_length_ratio,
+        |  CAST(sum(CASE WHEN reason = 'copy' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_copy,
+        |  CAST(sum(CASE WHEN reason = 'overlap' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_overlap,
+        |  CAST(sum(CASE WHEN reason = 'pass' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pass,
+        |  CAST(sum(CASE WHEN reason = 'pass' THEN n_tgt ELSE 0 END) AS BIGINT)
+        |    AS kept_tgt_tokens,
+        |  CAST(sum(CASE WHEN reason = 'pass' THEN doc_id ELSE 0 END) AS BIGINT)
+        |    AS sum_kept_ids
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q235: the shapes are class constants — the oracle joins per-class
+    // doc counts against the expected shape table and never parses JSON.
+    "q235_json_shape" ->
+      """WITH c AS (
+        |  SELECT doc_id % 5 AS cls, count(*) AS n,
+        |    CAST(sum(doc_id) AS BIGINT) AS sids
+        |  FROM documents GROUP BY 1),
+        |exp AS (
+        |  SELECT * FROM (VALUES
+        |    (0, '$', 'object'), (0, '$.a', 'number'), (0, '$.b', 'string'),
+        |    (1, '$', 'object'), (1, '$.a', 'object'), (1, '$.a.c', 'boolean'),
+        |    (1, '$.a.d', 'array'), (1, '$.a.d[]', 'number'),
+        |    (1, '$.b', 'null'),
+        |    (2, '$', 'object'), (2, '$.a', 'array'), (2, '$.a[]', 'object'),
+        |    (2, '$.a[].e', 'number'), (2, '$.f', 'string'),
+        |    (3, '$', 'invalid'),
+        |    (4, '$', 'object'), (4, '$.a', 'number'), (4, '$.g', 'object'),
+        |    (4, '$.g.h', 'object'), (4, '$.g.h.i', 'string')
+        |  ) AS t(cls, path, jtype))
+        |SELECT path, jtype, CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(sum(sids) AS BIGINT) AS sum_ids
+        |FROM exp JOIN c USING (cls)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q236: identical greedy left fold replayed as a RECURSIVE CTE over the
+    // per-doc sentence index (one level per sentence; all docs advance in
+    // lockstep). NOT list_reduce: DuckDB v1.0.0's list_reduce mis-folds
+    // struct accumulators under vectorized multi-row execution (correct on
+    // a single row, wrong across a table — verified on this corpus: ten
+    // 7-token sentences folded to 4 chunks instead of 5), so the oracle
+    // replays the fold with plain recursion instead. Same q215 boundary
+    // regex.
+    "q236_sentence_chunks" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END AS ts, text
+        |  FROM documents),
+        |p AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      array_to_string([array_to_string(ts[i:i+6], ' ')
+        |        FOR i IN generate_series(1, len(ts), 7)], '. ') || '.'
+        |    WHEN doc_id % 3 = 2 THEN
+        |      text || '. Second sentence here. Third one ends now!'
+        |    ELSE text END AS t
+        |  FROM d),
+        |s1 AS (
+        |  SELECT source, doc_id,
+        |    [CAST(len(string_split_regex(trim(x), '\s+')) AS BIGINT)
+        |     FOR x IN string_split_regex(t, '[.!?]+\s+') IF trim(x) != '']
+        |      AS arr
+        |  FROM p),
+        |rec AS (
+        |  SELECT doc_id, 1 AS i, CAST(1 AS BIGINT) AS ch, arr[1] AS cur,
+        |    CAST(CASE WHEN arr[1] > 20 THEN 1 ELSE 0 END AS BIGINT) AS ov
+        |  FROM s1 WHERE len(arr) > 0
+        |  UNION ALL
+        |  SELECT r.doc_id, r.i + 1,
+        |    CASE WHEN r.cur + s.arr[r.i + 1] <= 20 THEN r.ch
+        |         ELSE r.ch + 1 END,
+        |    CASE WHEN r.cur + s.arr[r.i + 1] <= 20 THEN r.cur + s.arr[r.i + 1]
+        |         ELSE s.arr[r.i + 1] END,
+        |    r.ov + CASE WHEN s.arr[r.i + 1] > 20 THEN 1 ELSE 0 END
+        |  FROM rec r JOIN s1 s USING (doc_id) WHERE r.i < len(s.arr)),
+        |f AS (
+        |  SELECT s.source, s.doc_id,
+        |    coalesce(r.ch, 0) AS ch, coalesce(r.ov, 0) AS ov,
+        |    coalesce(list_aggregate(s.arr, 'sum'), 0) AS stok
+        |  FROM s1 s LEFT JOIN rec r
+        |    ON s.doc_id = r.doc_id AND r.i = len(s.arr))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(ch) AS BIGINT) AS n_chunks,
+        |  CAST(sum(ov) AS BIGINT) AS n_oversize,
+        |  CAST(sum(stok) AS BIGINT) AS sent_tokens,
+        |  round(sum(stok) / CAST(sum(ch) AS DOUBLE), 4) AS avg_chunk_fill,
+        |  CAST(max(ch) AS BIGINT) AS max_doc_chunks
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)
 }

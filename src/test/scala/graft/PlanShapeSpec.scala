@@ -516,6 +516,22 @@ class PlanShapeSpec extends SparkSpec {
       }
   }
 
+  test("bitext funnel and sentence chunking are single-scan in-row folds") {
+    Seq("q234_bitext_funnel", "q236_sentence_chunks").foreach { q =>
+      val plan = planOf(q)
+      assert("FileScan parquet".r.findAllIn(plan).length == 1,
+        s"$q must scan documents exactly once:\n${plan.take(2000)}")
+      assert(!plan.contains("Join") && !plan.contains("Window") &&
+        !plan.contains("Generate explode"), s"$q:\n${plan.take(2000)}")
+    }
+  }
+
+  test("json shape census: one scan, explode only over bounded shape sets") {
+    val plan = planOf("q235_json_shape")
+    assert("FileScan parquet".r.findAllIn(plan).length == 1, plan.take(2000))
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan.take(2000))
+  }
+
   test("markup, secret census, and secret scrub are single-scan in-row aggregations") {
     Seq("q203_markup_census", "q204_secret_census", "q205_secret_scrub",
         "q206_license_census", "q207_comment_census", "q215_sentence_census",
