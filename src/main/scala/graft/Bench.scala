@@ -182,7 +182,10 @@ object Bench {
     "q233_rougel_decontam",   // ROUGE-L pair adjudication, rolling DP
     "q234_bitext_funnel",     // parallel-pair screens, first-fail census
     "q235_json_shape",        // JSON key-path/type schema discovery
-    "q236_sentence_chunks")   // sentence-aware greedy chunking census
+    "q236_sentence_chunks",   // sentence-aware greedy chunking census
+    "q237_shape_incremental", // stored shape census: 2-batch ingest
+    "q238_host_quota",        // per-host doc cap via bounded-heap top-k
+    "q239_image_phash")       // DCT perceptual-hash image grouping
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -521,6 +521,120 @@ object MediaCodec {
     bits
   }
 
+  // 32-point DCT-II basis, shared across rows/cols and threads (read-only).
+  private lazy val Dct32: Array[Array[Double]] =
+    Array.tabulate(32, 32)((k, n) =>
+      math.cos(math.Pi * (2 * n + 1) * k / 64.0))
+
+  /** 64-bit perceptual DCT hash (pHash): area-average the luma plane to a
+    * 32×32 grid, 2-D DCT-II (separable, fixed summation order — the same
+    * doubles on every JVM), keep the top-left 8×8 low-frequency block, and
+    * set bit k (k = 1..63, row-major u·8+v) iff its coefficient exceeds
+    * the MEDIAN of the 63 non-DC coefficients (bit 0 stays 0). Excluding
+    * the DC term makes the hash EXACTLY brightness-invariant — a uniform
+    * +k luma shift is a constant image whose DCT lives entirely in DC —
+    * and keeping only the lowest frequencies makes it robust to the
+    * transforms that flip dHash's local gradients: rescaling artifacts
+    * and scattered per-pixel noise, which land in the discarded high
+    * bands. The complement of [[dHash64]] for the image near-dup family:
+    * global frequency structure instead of local gradients, feeding the
+    * same equal-hash groupBy / Hamming-radius machinery. */
+  def pHash64(img: BufferedImage): Long = {
+    val g = lumaGrid(img, cols = 32, rows = 32)
+    // rows: tmp(r)(k) = Σ_c g(r)(c)·cos(k,c)
+    val tmp = Array.ofDim[Double](32, 32)
+    var r = 0
+    while (r < 32) {
+      var k = 0
+      while (k < 32) {
+        var s = 0.0
+        var c = 0
+        while (c < 32) { s += g(r)(c) * Dct32(k)(c); c += 1 }
+        tmp(r)(k) = s
+        k += 1
+      }
+      r += 1
+    }
+    // cols: f(u)(v) = Σ_r tmp(r)(v)·cos(u,r); only the 8×8 block is needed
+    val coeffs = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var rr = 0
+        while (rr < 32) { s += tmp(rr)(v) * Dct32(u)(rr); rr += 1 }
+        coeffs(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val nonDc = java.util.Arrays.copyOfRange(coeffs, 1, 64)
+    java.util.Arrays.sort(nonDc)
+    val med = nonDc(31)
+    var bits = 0L
+    var k = 1
+    while (k < 64) {
+      if (coeffs(k) > med) bits |= 1L << k
+      k += 1
+    }
+    bits
+  }
+
+  /** Decode-and-pHash: null for undecodable payloads and images smaller
+    * than the 32×32 grid. */
+  def imagePHash(bytes: Array[Byte]): java.lang.Long = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth < 32 || img.getHeight < 32) null
+    else java.lang.Long.valueOf(pHash64(img))
+  }
+
+  /** [[encodeBlockPattern]]'s 32-ALIGNED sibling for the pHash fixtures:
+    * 32s×32s pixels of 4s×4s blocks (an 8×8 block grid), so the 32×32
+    * pHash luma grid maps to exactly s×s whole pixels per cell at EVERY
+    * integer scale — the area averages are bit-identical across scales by
+    * construction, which makes pixel-doubling invariance provable, not
+    * just observed (the 9-block-wide dHash fixture cannot give this: 36s
+    * px over 32 cells quantizes differently per scale). Optional
+    * scattered pixel noise: when `noiseSeed >= 0`, four deterministic
+    * pixels get +6 luma — high-frequency content a DCT low-band hash must
+    * absorb (and small enough that block means barely move). */
+  def encodePHashPattern(cls: Int, brightness: Int, scale: Int,
+                         noiseSeed: Long = -1L): Array[Byte] = {
+    require(brightness >= 0 && brightness <= 85, s"brightness $brightness would clip")
+    require(scale >= 1 && scale <= 8, s"scale $scale out of range")
+    val w = 32 * scale
+    val h = 32 * scale
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((cls * 29 + (y / (4 * scale)) * 8 + (x / (4 * scale))) * 73) %
+          151 + 20 + brightness
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    if (noiseSeed >= 0) {
+      var i = 0
+      while (i < 4) {
+        val px = ((noiseSeed * 31 + i * 17) % w).toInt
+        val py = ((noiseSeed * 37 + i * 23) % h).toInt
+        val old = img.getRGB(px, py) & 0xff
+        val v = math.min(old + 6, 255)
+        img.setRGB(px, py, (v << 16) | (v << 8) | v)
+        i += 1
+      }
+    }
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    out.toByteArray
+  }
+
   /** Decode-and-hash: ImageIO decode (PNG/JPEG/BMP/GIF), then [[dHash64]].
     * Null for undecodable payloads and for images smaller than the 9×8
     * grid (nothing meaningful to compare). */
@@ -917,6 +1031,38 @@ object ImageDHashExpr {
   /** Column form: `image_dhash(media)`. */
   def imageDHash(media: Column): Column =
     ColumnBridge.column(ImageDHashExpr(ColumnBridge.expression(media)))
+}
+
+/** Compiled perceptual DCT hash of an image binary column:
+  * [[MediaCodec.pHash64]] as a LongType expression — the frequency-domain
+  * complement of [[ImageDHashExpr]], robust to the scattered pixel noise
+  * and rescaling artifacts that flip local-gradient bits. Null for
+  * undecodable or sub-32×32 payloads. */
+case class ImagePHashExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"image_phash needs a binary column, got ${child.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.imagePHash(input.asInstanceOf[Array[Byte]])
+
+  override def prettyName: String = "image_phash"
+  override protected def withNewChildInternal(newChild: Expression): ImagePHashExpr =
+    copy(child = newChild)
+}
+
+object ImagePHashExpr {
+  /** Column form: `image_phash(media)`. */
+  def imagePHash(media: Column): Column =
+    ColumnBridge.column(ImagePHashExpr(ColumnBridge.expression(media)))
 }
 
 /** Compiled acoustic fingerprint of a WAV binary column:

@@ -377,9 +377,12 @@ object ReleaseQueries {
     * payloads yield the ('$', 'invalid') sentinel instead of throwing —
     * at crawl scale malformed JSON is a class to count, not an error.
     * One scan; the explode is over the bounded per-doc shape set. */
-  val jsonShapeCensus: Q = (s, dir) => {
+  /** The ADDITIVE half of the shape census (keyed by (path, jtype), both
+    * value columns sums) — shared by the one-shot gate q235 and the
+    * stored-ingest gate q237, so batched-through-the-store == one-shot is
+    * provable by q235's own oracle (the q214 doctrine). */
+  private def jsonShapeRows(docs: DataFrame): DataFrame = {
     import graft.functions.JsonShapeExpr
-    val docs = Tables.documents(s, dir)
     val did = col("doc_id").cast("string")
     val cls = (col("doc_id") % 5).cast("long")
     val payload = when(cls === 0,
@@ -398,7 +401,34 @@ object ReleaseQueries {
         explode(JsonShapeExpr.jsonPaths(payload, maxDepth = 3)).as("p"))
       .groupBy(col("p.path").as("path"), col("p.jtype").as("jtype"))
       .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
-      .orderBy("path", "jtype")
+  }
+
+  val jsonShapeCensus: Q = (s, dir) =>
+    jsonShapeRows(Tables.documents(s, dir)).orderBy("path", "jtype")
+
+  /** q237: INCREMENTAL shape discovery through the stored additive census
+    * ([[graft.store.IndexStore.updateCensus]]) — the schema-discovery
+    * report a JSON lake keeps current as new payload batches land,
+    * without ever rescanning old payloads. Two doc_id-half batches merge
+    * behind the atomic swap + replay cursor (replayed batch must no-op);
+    * the report comes from the RELOADED store and is gated by q235's own
+    * one-shot oracle. */
+  val jsonShapeIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_shapecensus")
+      .resolve("idx").toString
+    val store = graft.store.IndexStore
+    require(store.updateCensus(s, path,
+      jsonShapeRows(docs.where(col("doc_id") % 2 === 0)),
+      Seq("path", "jtype"), batchId = 0L))
+    require(store.updateCensus(s, path,
+      jsonShapeRows(docs.where(col("doc_id") % 2 === 1)),
+      Seq("path", "jtype"), batchId = 1L))
+    require(!store.updateCensus(s, path,
+      jsonShapeRows(docs.where(col("doc_id") % 2 === 1)),
+      Seq("path", "jtype"), batchId = 1L),
+      "replayed shape batch must no-op via the stored cursor")
+    store.loadCensus(s, path).orderBy("path", "jtype")
   }
 
   /** q236: sentence-boundary-aware chunking census — the RAG/packing
@@ -450,10 +480,86 @@ object ReleaseQueries {
       .orderBy("source")
   }
 
+  /** q238: per-host document quota (the C4-style domain cap): keep at most
+    * K = 3 documents per host, selected by a deterministic md5 rank — the
+    * anti-spam mixing control that stops one mega-host from dominating a
+    * source's token budget. Selection is the compiled bounded-heap
+    * aggregate ([[graft.functions.TopKByScore]], ascending mode): per-host
+    * state is K entries however large the host, no window, no sort, no
+    * explode — at 100 TB a ranking window over the corpus would be a
+    * full per-host sort; the heap is the whole point. The oracle replays
+    * selection with a ranking window (fine oracle-side) over the same
+    * md5 rank + doc_id tie order, and the kept-id certificate pins that
+    * both engines selected the SAME documents, not just the same count. */
+  val hostQuota: Q = (s, dir) => {
+    import graft.functions.TopKByScore.topKByScore
+    val docs = Tables.documents(s, dir)
+      .withColumn("host", concat(col("source"), lit("-h"), col("doc_id") % 13))
+    val rank = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double")
+    val perHost = docs.groupBy("source", "host")
+      .agg(count(lit(1)).as("n_docs"),
+        topKByScore(rank, col("doc_id"), 3, descending = false).as("kept"))
+    perHost.groupBy("source")
+      .agg(count(lit(1)).as("n_hosts"),
+        sum("n_docs").as("n_docs"),
+        sum(size(col("kept")).cast("long")).as("n_kept"),
+        (sum("n_docs") - sum(size(col("kept")).cast("long"))).as("n_dropped"),
+        sum(aggregate(transform(col("kept"), k => k.getField("id")),
+          lit(0L), (a, x) => a + x)).as("sum_kept_ids"))
+      .orderBy("source")
+  }
+
+  /** q239: DCT perceptual-hash image grouping — the frequency-domain
+    * complement of q133's dHash (local gradients) and q137's Hamming
+    * radius: [[graft.multimodal.MediaCodec.pHash64]] discards everything
+    * but the 8×8 low-frequency DCT band, so rescaling and scattered
+    * pixel noise — which perturb local gradients — cannot move the hash,
+    * and a uniform brightness shift is EXACTLY invariant (constant
+    * images live entirely in the discarded DC term; PHashSpec pins all
+    * three invariances at the codec level). Each doc renders its
+    * doc_id %% 7 pattern class through one of four variants (base /
+    * 2×-rescaled / brightness-shifted / rescaled+noisy) on the
+    * 32-ALIGNED fixture (grid cells are whole pixels at every scale, so
+    * scale invariance is by construction); equal-hash groupBy must
+    * reassemble exactly the seven classes — pure id arithmetic for the
+    * oracle, real decode + DCT on the engine side. Same shape as the
+    * q133 gate: decode cost is per row, grouping is one narrow
+    * (hash, id) shuffle. */
+  val imagePHashGroups: Q = (s, dir) => {
+    import s.implicits._
+    import graft.multimodal.{ImagePHashExpr, MediaCodec}
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val cls = (id % 7).toInt
+          val bytes = (id % 4) match {
+            case 0 => MediaCodec.encodePHashPattern(cls, 0, 1)
+            case 1 => MediaCodec.encodePHashPattern(cls, 0, 2)
+            case 2 => MediaCodec.encodePHashPattern(cls, 30, 1)
+            case _ => MediaCodec.encodePHashPattern(cls, 0, 2, noiseSeed = id)
+          }
+          (id, bytes)
+        }
+      }.toDF("doc_id", "media")
+    media.select(col("doc_id"), ImagePHashExpr.imagePHash(col("media")).as("ph"))
+      .groupBy("ph")
+      .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_doc_ids"),
+        sum(when(col("doc_id") % 4 === 1, 1L).otherwise(0L)).as("n_rescaled"),
+        sum(when(col("doc_id") % 4 === 3, 1L).otherwise(0L)).as("n_noisy"))
+      .select("rep_doc", "n_docs", "sum_doc_ids", "n_rescaled", "n_noisy")
+      .orderBy("rep_doc")
+  }
+
   val all: Map[String, Q] = Map(
+    "q238_host_quota" -> hostQuota,
+    "q239_image_phash" -> imagePHashGroups,
     "q234_bitext_funnel" -> bitextFunnel,
     "q235_json_shape" -> jsonShapeCensus,
     "q236_sentence_chunks" -> sentenceChunks,
+    "q237_shape_incremental" -> jsonShapeIncremental,
     "q227_snapshot_delta" -> snapshotDelta,
     "q228_manifest_verify" -> manifestVerify,
     "q229_kanon_census" -> kanonCensus,
@@ -461,6 +567,30 @@ object ReleaseQueries {
     "q231_host_template" -> hostTemplateCensus,
     "q232_chat_lint" -> chatLintCensus,
     "q233_rougel_decontam" -> rougeDecontam)
+
+  /** Shared by q235 and q237 — the expected-shape table join; never
+    * parses JSON. */
+  private val JsonShapeOracle: String =
+    """WITH c AS (
+      |  SELECT doc_id % 5 AS cls, count(*) AS n,
+      |    CAST(sum(doc_id) AS BIGINT) AS sids
+      |  FROM documents GROUP BY 1),
+      |exp AS (
+      |  SELECT * FROM (VALUES
+      |    (0, '$', 'object'), (0, '$.a', 'number'), (0, '$.b', 'string'),
+      |    (1, '$', 'object'), (1, '$.a', 'object'), (1, '$.a.c', 'boolean'),
+      |    (1, '$.a.d', 'array'), (1, '$.a.d[]', 'number'),
+      |    (1, '$.b', 'null'),
+      |    (2, '$', 'object'), (2, '$.a', 'array'), (2, '$.a[]', 'object'),
+      |    (2, '$.a[].e', 'number'), (2, '$.f', 'string'),
+      |    (3, '$', 'invalid'),
+      |    (4, '$', 'object'), (4, '$.a', 'number'), (4, '$.g', 'object'),
+      |    (4, '$.g.h', 'object'), (4, '$.g.h.i', 'string')
+      |  ) AS t(cls, path, jtype))
+      |SELECT path, jtype, CAST(sum(n) AS BIGINT) AS n_docs,
+      |  CAST(sum(sids) AS BIGINT) AS sum_ids
+      |FROM exp JOIN c USING (cls)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q227_snapshot_delta" ->
@@ -689,27 +819,41 @@ object ReleaseQueries {
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     // q235: the shapes are class constants — the oracle joins per-class
     // doc counts against the expected shape table and never parses JSON.
-    "q235_json_shape" ->
-      """WITH c AS (
-        |  SELECT doc_id % 5 AS cls, count(*) AS n,
-        |    CAST(sum(doc_id) AS BIGINT) AS sids
-        |  FROM documents GROUP BY 1),
-        |exp AS (
-        |  SELECT * FROM (VALUES
-        |    (0, '$', 'object'), (0, '$.a', 'number'), (0, '$.b', 'string'),
-        |    (1, '$', 'object'), (1, '$.a', 'object'), (1, '$.a.c', 'boolean'),
-        |    (1, '$.a.d', 'array'), (1, '$.a.d[]', 'number'),
-        |    (1, '$.b', 'null'),
-        |    (2, '$', 'object'), (2, '$.a', 'array'), (2, '$.a[]', 'object'),
-        |    (2, '$.a[].e', 'number'), (2, '$.f', 'string'),
-        |    (3, '$', 'invalid'),
-        |    (4, '$', 'object'), (4, '$.a', 'number'), (4, '$.g', 'object'),
-        |    (4, '$.g.h', 'object'), (4, '$.g.h.i', 'string')
-        |  ) AS t(cls, path, jtype))
-        |SELECT path, jtype, CAST(sum(n) AS BIGINT) AS n_docs,
-        |  CAST(sum(sids) AS BIGINT) AS sum_ids
-        |FROM exp JOIN c USING (cls)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q237 (stored two-batch ingest) shares this oracle VERBATIM: batched
+    // through the census store == one-shot IS the check.
+    "q235_json_shape" -> JsonShapeOracle,
+    "q237_shape_incremental" -> JsonShapeOracle,
+    // q238: selection replayed with a ranking window over the same
+    // (md5 rank, doc_id) order; the kept-id sum pins identical selection.
+    "q238_host_quota" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, source || '-h' || (doc_id % 13) AS host,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS rk
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY host
+        |    ORDER BY rk ASC, doc_id ASC) AS rn
+        |  FROM d)
+        |SELECT source,
+        |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(count(*) - sum(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  CAST(sum(CASE WHEN rn <= 3 THEN doc_id ELSE 0 END) AS BIGINT)
+        |    AS sum_kept_ids
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q239: the four variants of a class must collapse to one group —
+    // pure id arithmetic; the engine earns it with real decode + DCT.
+    "q239_image_phash" ->
+      """SELECT min(doc_id) AS rep_doc, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids,
+        |  CAST(sum(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_rescaled,
+        |  CAST(sum(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_noisy
+        |FROM documents GROUP BY doc_id % 7 ORDER BY 1""".stripMargin,
     // q236: identical greedy left fold replayed as a RECURSIVE CTE over the
     // per-doc sentence index (one level per sentence; all docs advance in
     // lockstep). NOT list_reduce: DuckDB v1.0.0's list_reduce mis-folds

@@ -1,0 +1,53 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariance contract of the DCT perceptual hash — the properties the
+  * q239 gate's plants rely on, pinned directly at the codec level. */
+class PHashSpec extends AnyFunSuite {
+
+  private def hash(cls: Int, brightness: Int = 0, scale: Int = 1,
+                   noise: Long = -1L): Long =
+    MediaCodec.imagePHash(
+      MediaCodec.encodePHashPattern(cls, brightness, scale, noise))
+
+  test("brightness shift is exactly invariant (DC-only energy)") {
+    (0 until 7).foreach { cls =>
+      assert(hash(cls) == hash(cls, brightness = 30), s"cls $cls")
+      assert(hash(cls) == hash(cls, brightness = 85), s"cls $cls")
+    }
+  }
+
+  test("pixel-doubling rescale preserves the hash") {
+    (0 until 7).foreach { cls =>
+      assert(hash(cls) == hash(cls, scale = 2), s"cls $cls at 2x")
+      assert(hash(cls) == hash(cls, scale = 3), s"cls $cls at 3x")
+    }
+  }
+
+  test("scattered pixel noise lands in discarded high bands") {
+    (0 until 7).foreach { cls =>
+      (0L until 5L).foreach { seed =>
+        assert(hash(cls, scale = 2) == hash(cls, scale = 2, noise = seed),
+          s"cls $cls seed $seed")
+      }
+    }
+  }
+
+  test("the seven pattern classes have pairwise distinct pHashes") {
+    val hs = (0 until 7).map(hash(_))
+    assert(hs.distinct.size == 7, hs.mkString(","))
+  }
+
+  test("composed brightness+scale+noise variant still hashes identically") {
+    (0 until 7).foreach { cls =>
+      assert(hash(cls) == hash(cls, 30, 2, 3L),
+        s"composed variant broke pHash for cls $cls")
+    }
+  }
+
+  test("undecodable and undersized payloads hash to null") {
+    assert(MediaCodec.imagePHash(Array[Byte](1, 2, 3)) == null)
+    assert(MediaCodec.imagePHash(MediaCodec.encodeSolid("bmp", 16, 16, 0x777777)) == null)
+  }
+}
