@@ -185,7 +185,8 @@ object Bench {
     "q236_sentence_chunks",   // sentence-aware greedy chunking census
     "q237_shape_incremental", // stored shape census: 2-batch ingest
     "q238_host_quota",        // per-host doc cap via bounded-heap top-k
-    "q239_image_phash")       // DCT perceptual-hash image grouping
+    "q239_image_phash",       // DCT perceptual-hash image grouping
+    "q240_host_hits")         // HITS hub/authority over the host graph
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

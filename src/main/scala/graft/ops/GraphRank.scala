@@ -89,4 +89,72 @@ object GraphRank {
         coalesce(col("indeg"), lit(0L)).as("in_degree"),
         col("r").as("rank"))
   }
+
+  /** Fixed-iteration HITS (Kleinberg 1999): hub and authority scores over
+    * the same host edge table — the directional complement of
+    * [[pageRank]]: PageRank finds globally endorsed hosts, HITS separates
+    * DIRECTORY hosts (hubs: they point at good content) from CONTENT
+    * hosts (authorities: good hubs point at them), which is exactly the
+    * split a crawl frontier wants when deciding whether a host is worth
+    * expanding (hub) versus worth fetching deeply (authority).
+    *
+    * Same scale shape as pageRank: per half-step ONE edge⋈score join +
+    * ONE map-side-combinable groupBy; scores are nodes-sized; the L2
+    * normalizer is a one-double driver aggregate (the dangling-mass
+    * pattern); localCheckpoint per step truncates the iterative lineage.
+    * Deterministic at a fixed iteration count up to float summation
+    * order — gates round to 6 dp (the q171 treatment). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int): DataFrame = {
+    require(iters >= 1, "iters >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .cache()
+    val nodes = e.select(col("src").as("host"))
+      .unionByName(e.select(col("dst").as("host")))
+      .distinct()
+      .cache()
+    var hub = nodes.select(col("host"), lit(1.0).as("h")).localCheckpoint(true)
+    var auth = nodes.select(col("host"), lit(0.0).as("a")).localCheckpoint(true)
+    var iter = 0
+    while (iter < iters) {
+      // authority half-step: a(d) ∝ Σ_{(s,d)} h(s), L2-normalized over
+      // the non-zero raw sums (zeros contribute nothing to the norm)
+      val aRaw = e.join(hub.withColumnRenamed("host", "src"), Seq("src"))
+        .groupBy("dst").agg(sum("h").as("s"))
+      val aNorm = math.sqrt(
+        aRaw.agg(coalesce(sum(col("s") * col("s")), lit(0.0)))
+          .head().getDouble(0))
+      val nextAuth = nodes
+        .join(aRaw.withColumnRenamed("dst", "host"), Seq("host"), "left")
+        .select(col("host"), (coalesce(col("s"), lit(0.0)) / aNorm).as("a"))
+        .localCheckpoint(true)
+      auth.unpersist()
+      auth = nextAuth
+      // hub half-step: h(s) ∝ Σ_{(s,d)} a(d)
+      val hRaw = e.join(auth.withColumnRenamed("host", "dst"), Seq("dst"))
+        .groupBy("src").agg(sum("a").as("s"))
+      val hNorm = math.sqrt(
+        hRaw.agg(coalesce(sum(col("s") * col("s")), lit(0.0)))
+          .head().getDouble(0))
+      val nextHub = nodes
+        .join(hRaw.withColumnRenamed("src", "host"), Seq("host"), "left")
+        .select(col("host"), (coalesce(col("s"), lit(0.0)) / hNorm).as("h"))
+        .localCheckpoint(true)
+      hub.unpersist()
+      hub = nextHub
+      iter += 1
+    }
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val inDeg = e.groupBy("dst").agg(count(lit(1)).as("indeg"))
+    nodes
+      .join(outDeg.withColumnRenamed("src", "host"), Seq("host"), "left")
+      .join(inDeg.withColumnRenamed("dst", "host"), Seq("host"), "left")
+      .join(hub, Seq("host")).join(auth, Seq("host"))
+      .select(col("host"),
+        coalesce(col("outdeg"), lit(0L)).as("out_degree"),
+        coalesce(col("indeg"), lit(0L)).as("in_degree"),
+        col("h").as("hub"), col("a").as("authority"))
+  }
 }

@@ -675,7 +675,8 @@ object ExtendedQueries {
     "q62_dedup_clusters" -> dedupClusters,
     "q201_lsh_planner" -> lshPlanner,
     "q202_crawl_priority" -> crawlPriority,
-    "q171_host_pagerank" -> hostPageRank)
+    "q171_host_pagerank" -> hostPageRank,
+    "q240_host_hits" -> hostHits)
 
   /** q201: MinHash-LSH banding planner ([[graft.ops.LshPlanner]]) — the
     * tuning table the q42/q62/q66 banding family is configured FROM: all
@@ -773,7 +774,14 @@ object ExtendedQueries {
         |  FROM nd CROSS JOIN nn CROSS JOIN dg$i dg
         |  LEFT JOIN c$i c USING (host))""".stripMargin
     }.mkString
-    s"""WITH ed0 AS MATERIALIZED (
+    s"""WITH $HostEdgeSql,
+      |r0 AS MATERIALIZED (SELECT host, 1.0 / nn.cnt AS r FROM nd, nn)$steps""".stripMargin
+  }
+
+  /** The shared host-graph CTE block (edges, nodes, degrees, contribution
+    * weights) — prefix of both the q171 PageRank and q240 HITS oracles. */
+  private val HostEdgeSql: String =
+    """ed0 AS MATERIALIZED (
       |  SELECT source || '.example.org' AS src, lang || '.example.net' AS dst
       |  FROM documents
       |  UNION ALL
@@ -792,8 +800,53 @@ object ExtendedQueries {
       |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS cnt FROM nd),
       |od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM ed GROUP BY 1),
       |ce AS MATERIALIZED (
-      |  SELECT ed.src, ed.dst, 1.0 / od.outdeg AS w FROM ed JOIN od USING (src)),
-      |r0 AS MATERIALIZED (SELECT host, 1.0 / nn.cnt AS r FROM nd, nn)$steps""".stripMargin
+      |  SELECT ed.src, ed.dst, 1.0 / od.outdeg AS w FROM ed JOIN od USING (src))""".stripMargin
+
+  /** Unrolled HITS chain (the q171 doctrine): per iteration an authority
+    * half-step (join on src, group by dst, L2-normalize via a scalar CTE)
+    * then a hub half-step, replayed exactly as the engine computes them. */
+  private def hostHitsOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s""",
+        |ar$i AS MATERIALIZED (
+        |  SELECT ed.dst AS host, sum(h.h) AS s
+        |  FROM ed JOIN h${i - 1} h ON h.host = ed.src GROUP BY 1),
+        |an$i AS MATERIALIZED (SELECT sqrt(sum(s * s)) AS nrm FROM ar$i),
+        |a$i AS MATERIALIZED (
+        |  SELECT nd.host, coalesce(ar.s, 0.0) / an.nrm AS a
+        |  FROM nd CROSS JOIN an$i an LEFT JOIN ar$i ar USING (host)),
+        |hr$i AS MATERIALIZED (
+        |  SELECT ed.src AS host, sum(a.a) AS s
+        |  FROM ed JOIN a$i a ON a.host = ed.dst GROUP BY 1),
+        |hn$i AS MATERIALIZED (SELECT sqrt(sum(s * s)) AS nrm FROM hr$i),
+        |h$i AS MATERIALIZED (
+        |  SELECT nd.host, coalesce(hr.s, 0.0) / hn.nrm AS h
+        |  FROM nd CROSS JOIN hn$i hn LEFT JOIN hr$i hr USING (host))""".stripMargin
+    }.mkString
+    s"""WITH $HostEdgeSql,
+      |h0 AS MATERIALIZED (SELECT host, 1.0 AS h FROM nd)$steps,
+      |idg AS (SELECT dst, count(*) AS indeg FROM ed GROUP BY 1)
+      |SELECT nd.host,
+      |  CAST(coalesce(od.outdeg, 0) AS BIGINT) AS out_degree,
+      |  CAST(coalesce(idg.indeg, 0) AS BIGINT) AS in_degree,
+      |  round(h$iters.h, 6) AS hub,
+      |  round(a$iters.a, 6) AS authority
+      |FROM nd
+      |LEFT JOIN od ON od.src = nd.host
+      |LEFT JOIN idg ON idg.dst = nd.host
+      |JOIN h$iters ON h$iters.host = nd.host
+      |JOIN a$iters ON a$iters.host = nd.host
+      |ORDER BY nd.host""".stripMargin
+  }
+
+  /** q240: host hub/authority split — see [[graft.ops.GraphRank.hits]]. */
+  lazy val hostHits: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    graft.ops.GraphRank.hits(hostEdges(docs), "src", "dst", iters = 6)
+      .select(col("host"), col("out_degree"), col("in_degree"),
+        round(col("hub"), 6).as("hub"),
+        round(col("authority"), 6).as("authority"))
+      .orderBy("host")
   }
 
   private def hostPageRankOracle(iters: Int): String =
@@ -1093,6 +1146,7 @@ object ExtendedQueries {
         |  (total_units = m.bt AND b = m2.bb) AS chosen
         |FROM t2, m, m2 ORDER BY b""".stripMargin,
     "q171_host_pagerank" -> hostPageRankOracle(8),
+    "q240_host_hits" -> hostHitsOracle(6),
     "q202_crawl_priority" -> crawlPriorityOracle(8),
     "q139_neardup_decontam" ->
       """WITH sh AS (
