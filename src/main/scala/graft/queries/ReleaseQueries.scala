@@ -227,6 +227,22 @@ object ReleaseQueries {
     * role arrays, emptiness via exists — evaluated in-row, one scan, no
     * explode. The oracle never parses a conversation: every violation
     * count is pure class arithmetic (the q218 doctrine). */
+  /** Generic conversation-lint flags over an array<struct<role,content>>
+    * column — shared VERBATIM by the q232 gate and the streaming twin
+    * ([[graft.streaming.StreamingPipeline.chatLintStream]]): first-role
+    * check, adjacent-role collision via zip_with on shifted role arrays,
+    * emptiness via exists, dangling-user end. */
+  def chatLintFlags(turns: Column): Column = {
+    val roles = transform(turns, t => t.getField("role"))
+    val n = size(roles)
+    struct(
+      exists(turns, t => trim(t.getField("content")) === "").as("v_empty"),
+      (!element_at(roles, 1).isin("system", "user")).as("v_start"),
+      exists(zip_with(slice(roles, lit(1), n - 1),
+        slice(roles, lit(2), n - 1), (a, b) => a === b), x => x).as("v_consec"),
+      (element_at(roles, -1) =!= "assistant").as("v_end"))
+  }
+
   val chatLintCensus: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val ts = split(trim(col("text")), "\\s+")
@@ -252,16 +268,12 @@ object ReleaseQueries {
         turn("system", lit("You are a careful assistant.")),
         turn("user", seg(1, 3)), turn("assistant", seg(4, 3)),
         turn("user", seg(7, 2))))
-    val roles = transform(turns, t => t.getField("role"))
-    val n = size(roles)
-    val vEmpty = exists(turns, t => trim(t.getField("content")) === "")
-    val vStart = !element_at(roles, 1).isin("system", "user")
-    val vConsec = exists(zip_with(slice(roles, lit(1), n - 1),
-      slice(roles, lit(2), n - 1), (a, b) => a === b), x => x)
-    val vEnd = element_at(roles, -1) =!= "assistant"
-    docs.select(cls.as("cls"), n.cast("long").as("n_turns"),
-        vEmpty.cast("long").as("v_empty"), vStart.cast("long").as("v_start"),
-        vConsec.cast("long").as("v_consec"), vEnd.cast("long").as("v_end"))
+    val flags = chatLintFlags(turns)
+    docs.select(cls.as("cls"), size(turns).cast("long").as("n_turns"),
+        flags.getField("v_empty").cast("long").as("v_empty"),
+        flags.getField("v_start").cast("long").as("v_start"),
+        flags.getField("v_consec").cast("long").as("v_consec"),
+        flags.getField("v_end").cast("long").as("v_end"))
       .groupBy("cls")
       .agg(count(lit(1)).as("n_convs"), sum("n_turns").as("sum_turns"),
         sum("v_empty").as("n_empty_turns"),
@@ -323,6 +335,25 @@ object ReleaseQueries {
     * algebra — the oracle recomputes Jaccard itself rather than trusting
     * class arithmetic, so a set-semantics mix-up in either engine breaks
     * the gate. One scan, no explode, no join; per-source output. */
+  /** First-failing-rule verdict for one (src tokens, tgt tokens) bitext
+    * pair — shared VERBATIM by the q234 gate and the streaming twin
+    * ([[graft.streaming.StreamingPipeline.bitextScreenStream]]), so
+    * stream == batch per pair by construction. Rule order: empty →
+    * length-ratio band [0.5, 2] → verbatim copy → distinct-token
+    * Jaccard > 0.5. */
+  def bitextReason(ts: Column, tgt: Column): Column = {
+    val srcD = array_distinct(ts)
+    val tgtD = array_distinct(tgt)
+    val jac = size(array_intersect(srcD, tgtD)) /
+      size(array_union(srcD, tgtD)).cast("double")
+    val ratio = size(tgt) / size(ts).cast("double")
+    when(size(tgt) === 0, "empty")
+      .when(ratio < 0.5 || ratio > 2.0, "length_ratio")
+      .when(md5(array_join(tgt, " ")) === md5(array_join(ts, " ")), "copy")
+      .when(jac > 0.5, "overlap")
+      .otherwise("pass")
+  }
+
   val bitextFunnel: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val ts = split(trim(col("text")), "\\s+")
@@ -335,16 +366,7 @@ object ReleaseQueries {
       .when(cls === 4, zip_with(ts, sequence(lit(1), n),
         (t, i) => when(i % 4 === 0, concat(t, lit("x"))).otherwise(t)))
       .otherwise(transform(ts, xform))
-    val srcD = array_distinct(ts)
-    val tgtD = array_distinct(tgt)
-    val jac = size(array_intersect(srcD, tgtD)) /
-      size(array_union(srcD, tgtD)).cast("double")
-    val ratio = size(tgt) / n.cast("double")
-    val reason = when(size(tgt) === 0, "empty")
-      .when(ratio < 0.5 || ratio > 2.0, "length_ratio")
-      .when(md5(array_join(tgt, " ")) === md5(array_join(ts, " ")), "copy")
-      .when(jac > 0.5, "overlap")
-      .otherwise("pass")
+    val reason = bitextReason(ts, tgt)
     docs.select(col("source"), col("doc_id"), n.cast("long").as("n_src"),
         size(tgt).cast("long").as("n_tgt"), reason.as("reason"))
       .groupBy("source")

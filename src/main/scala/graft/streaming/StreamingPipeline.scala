@@ -261,6 +261,39 @@ object StreamingPipeline {
       .withColumn("release_keep", !col("copyleft") && !col("comment_heavy"))
   }
 
+  /** Streaming bitext pair screen (q234's rules per micro-batch): the
+    * first-failing-rule verdict ([[graft.queries.ReleaseQueries
+    * .bitextReason]], shared verbatim with the batch gate) attached per
+    * arriving pair — the shape a live alignment pipeline runs so no
+    * unscreened pair ever lands in the parallel corpus. Expects the
+    * source/target TEXT columns; tokenization happens inside, identical
+    * to batch. */
+  def bitextScreenStream(pairs: DataFrame, srcCol: String,
+                         tgtCol: String): DataFrame = {
+    // blank → empty token array (the TextExprs.tokens convention; a bare
+    // split("") would yield [""] and dodge the empty-target rule)
+    def toks(c: org.apache.spark.sql.Column) =
+      when(trim(c) === "", array().cast("array<string>"))
+        .otherwise(split(trim(c), "\\s+"))
+    pairs.withColumn("pair_reason",
+        graft.queries.ReleaseQueries.bitextReason(
+          toks(col(srcCol)), toks(col(tgtCol))))
+      .withColumn("pair_keep", col("pair_reason") === "pass")
+  }
+
+  /** Streaming conversation lint (q232's rules per micro-batch): the
+    * generic schema-violation flags ([[graft.queries.ReleaseQueries
+    * .chatLintFlags]], shared verbatim with the batch gate) attached per
+    * arriving conversation — run at SFT-corpus intake so malformed
+    * conversations are counted and quarantined, never silently trained
+    * on. */
+  def chatLintStream(convs: DataFrame, turnsCol: String): DataFrame = {
+    val f = graft.queries.ReleaseQueries.chatLintFlags(col(turnsCol))
+    convs.withColumn("lint", f)
+      .withColumn("lint_ok", !f.getField("v_empty") && !f.getField("v_start") &&
+        !f.getField("v_consec") && !f.getField("v_end"))
+  }
+
   /** Streaming secret scrub (q204/q205's operators per micro-batch):
     * detector census struct + in-place token redaction in one stateless
     * projection — the code-corpus analogue of [[cardPiiStream]], run at

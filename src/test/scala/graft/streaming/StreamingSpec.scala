@@ -1048,6 +1048,91 @@ class StreamingSpec extends SparkSpec {
       "streamed snapshot state diverged from the one-shot fold")
   }
 
+  test("streaming bitext screen == batch verdicts per pair") {
+    val cls = col("doc_id") % 9
+    val ts = split(trim(col("text")), "\\s+")
+    val pairs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("tgt_text",
+        when(cls === 1, lit(""))
+          .when(cls === 3, col("text"))
+          .otherwise(array_join(transform(ts, t => concat(t, lit("x"))), " ")))
+      .select(col("doc_id"), col("text"), col("tgt_text"))
+    val batch = StreamingPipeline.bitextScreenStream(pairs, "text", "tgt_text")
+      .agg(sum(when(col("pair_keep"), col("doc_id")).otherwise(0L)),
+        sum(when(col("pair_reason") === "copy", 1L).otherwise(0L)),
+        sum(when(col("pair_reason") === "empty", 1L).otherwise(0L))).head()
+    val (bKeep, bCopy, bEmpty) = (batch.getLong(0), batch.getLong(1), batch.getLong(2))
+    assert(bCopy > 0 && bEmpty > 0, "plants must populate reject classes")
+
+    val d = java.nio.file.Files.createTempDirectory("graft_bitext_src")
+    pairs.repartition(3).write.mode("overwrite").parquet(d.toString)
+    val schema = spark.read.parquet(d.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+    var keep = 0L; var copy = 0L; var empty = 0L; var nBatches = 0
+    val q = StreamingPipeline.bitextScreenStream(stream, "text", "tgt_text")
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        nBatches += 1
+        val r = b.agg(
+          sum(when(col("pair_keep"), col("doc_id")).otherwise(0L)),
+          sum(when(col("pair_reason") === "copy", 1L).otherwise(0L)),
+          sum(when(col("pair_reason") === "empty", 1L).otherwise(0L))).head()
+        keep += r.getLong(0); copy += r.getLong(1); empty += r.getLong(2)
+      }.start()
+    q.awaitTermination()
+    assert(nBatches >= 2)
+    assert(keep == bKeep && copy == bCopy && empty == bEmpty,
+      "streamed bitext verdicts diverged from batch")
+  }
+
+  test("streaming chat lint == batch flags per conversation") {
+    val ts = split(trim(col("text")), "\\s+")
+    def turn(role: String, content: org.apache.spark.sql.Column) =
+      struct(lit(role).as("role"), content.as("content"))
+    val convs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("turns",
+        when(col("doc_id") % 3 === 0, array(
+          turn("user", array_join(slice(ts, 1, 3), " ")),
+          turn("assistant", array_join(slice(ts, 4, 3), " "))))
+          .when(col("doc_id") % 3 === 1, array(
+            turn("assistant", array_join(slice(ts, 1, 3), " ")),
+            turn("user", array_join(slice(ts, 4, 3), " "))))
+          .otherwise(array(
+            turn("user", array_join(slice(ts, 1, 3), " ")),
+            turn("assistant", lit("")))))
+      .select(col("doc_id"), col("turns"))
+    val batch = StreamingPipeline.chatLintStream(convs, "turns")
+      .agg(sum(when(col("lint_ok"), col("doc_id")).otherwise(0L)),
+        sum(when(col("lint.v_start"), 1L).otherwise(0L)),
+        sum(when(col("lint.v_empty"), 1L).otherwise(0L))).head()
+    val (bOk, bStart, bEmpty) = (batch.getLong(0), batch.getLong(1), batch.getLong(2))
+    assert(bStart > 0 && bEmpty > 0, "plants must populate violation classes")
+
+    val d = java.nio.file.Files.createTempDirectory("graft_chatlint_src")
+    convs.repartition(3).write.mode("overwrite").parquet(d.toString)
+    val schema = spark.read.parquet(d.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+    var ok = 0L; var st = 0L; var em = 0L; var nBatches = 0
+    val q = StreamingPipeline.chatLintStream(stream, "turns")
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        nBatches += 1
+        val r = b.agg(
+          sum(when(col("lint_ok"), col("doc_id")).otherwise(0L)),
+          sum(when(col("lint.v_start"), 1L).otherwise(0L)),
+          sum(when(col("lint.v_empty"), 1L).otherwise(0L))).head()
+        ok += r.getLong(0); st += r.getLong(1); em += r.getLong(2)
+      }.start()
+    q.awaitTermination()
+    assert(nBatches >= 2)
+    assert(ok == bOk && st == bStart && em == bEmpty,
+      "streamed chat-lint flags diverged from batch")
+  }
+
   test("streaming code-release chain == batch funnel; classes and keeps agree") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .withColumn("text",
