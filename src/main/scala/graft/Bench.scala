@@ -186,7 +186,9 @@ object Bench {
     "q237_shape_incremental", // stored shape census: 2-batch ingest
     "q238_host_quota",        // per-host doc cap via bounded-heap top-k
     "q239_image_phash",       // DCT perceptual-hash image grouping
-    "q240_host_hits")         // HITS hub/authority over the host graph
+    "q240_host_hits",         // HITS hub/authority over the host graph
+    "q241_passk_census",      // unbiased pass@k estimator, integer sums
+    "q242_mojibake_screen")   // encoding-corruption triage, shared regexes
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

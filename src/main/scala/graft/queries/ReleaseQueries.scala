@@ -575,8 +575,74 @@ object ReleaseQueries {
       .orderBy("rep_doc")
   }
 
+  /** q241: pass@k estimator census — the unbiased HumanEval-style
+    * estimator (Chen et al. 2021): pass@k = 1 − C(n−c, k)/C(n, k) per
+    * task, here n = 10 samples with c = doc_id %% 11 correct. Everything
+    * stays INTEGER until one division per reported mean (the sum/sum
+    * doctrine — per-task doubles like 3/10 are inexact in binary and
+    * order-sensitive under summation, so the census sums the integer
+    * NUMERATORS instead): C(m,5) = m(m−1)(m−2)(m−3)(m−4)/120, which is
+    * exact and self-zeroing for m < 5 (the product crosses zero), so no
+    * branch is needed. One scan, pure arithmetic, engine-portable to the
+    * digit. */
+  val passAtK: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val c = col("doc_id") % 11
+    val m = lit(10) - c // misses
+    val c5 = (m * (m - 1) * (m - 2) * (m - 3) * (m - 4)) / lit(120)
+    docs.select(col("source"),
+        c.as("c"), (lit(252) - c5).as("p5num"),
+        when(c > 0, 1L).otherwise(0L).as("p10num"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tasks"),
+        sum("c").cast("long").as("sum_correct"),
+        sum("p5num").cast("long").as("sum_pass5_num"),
+        sum("p10num").as("sum_pass10_num"),
+        round(sum("c") / (count(lit(1)) * 10.0), 6).as("mean_pass1"),
+        round(sum("p5num") / (count(lit(1)) * 252.0), 6).as("mean_pass5"),
+        round(sum("p10num") / count(lit(1)).cast("double"), 6)
+          .as("mean_pass10"))
+      .orderBy("source")
+  }
+
+  /** q242: mojibake / encoding-corruption screen — the ftfy-class triage
+    * every crawled corpus runs: UTF-8-read-as-Latin-1 artifacts (Ã·),
+    * the U+FFFD replacement character (lossy transcode), and CP1252
+    * smart-quote debris (â€¦) each get a per-doc detector; the census
+    * attributes each doc to its artifact classes and counts artifact
+    * characters. The corpus is ASCII by construction (verified), so the
+    * planted artifacts are the only non-ASCII content and the oracle
+    * shares the detector regexes literally (the q131 shared-regex
+    * contract). One scan, in-row regexp counts. */
+  val mojibakeScreen: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val cls = (col("doc_id") % 8).cast("long")
+    val t = when(cls === 1, concat(col("text"), lit(" cafÃ© naÃ¯ve")))
+      .when(cls === 2, concat(col("text"), lit(" bad�text�")))
+      .when(cls === 3, concat(col("text"), lit(" itâs fine")))
+      .otherwise(col("text"))
+    val nRepl = length(t) - length(regexp_replace(t, "�", ""))
+    val nLatin1 = size(regexp_extract_all(t, lit("Ã[-¿]"), lit(0)))
+      .cast("long")
+    val nSmart = size(regexp_extract_all(t, lit("â[-¦]"), lit(0)))
+      .cast("long")
+    docs.select(col("source"),
+        nRepl.cast("long").as("n_repl"), nLatin1.as("n_l1"), nSmart.as("n_sq"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_repl") > 0, 1L).otherwise(0L)).as("n_replacement_docs"),
+        sum(when(col("n_l1") > 0, 1L).otherwise(0L)).as("n_latin1_docs"),
+        sum(when(col("n_sq") > 0, 1L).otherwise(0L)).as("n_smartquote_docs"),
+        sum(when(col("n_repl") + col("n_l1") + col("n_sq") === 0, 1L)
+          .otherwise(0L)).as("n_clean"),
+        (sum("n_repl") + sum("n_l1") + sum("n_sq")).as("artifact_hits"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
     "q238_host_quota" -> hostQuota,
+    "q241_passk_census" -> passAtK,
+    "q242_mojibake_screen" -> mojibakeScreen,
     "q239_image_phash" -> imagePHashGroups,
     "q234_bitext_funnel" -> bitextFunnel,
     "q235_json_shape" -> jsonShapeCensus,
@@ -866,6 +932,56 @@ object ReleaseQueries {
         |  CAST(sum(CASE WHEN rn <= 3 THEN doc_id ELSE 0 END) AS BIGINT)
         |    AS sum_kept_ids
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q241: same integer-numerator arithmetic; // is DuckDB integer
+    // division, exact because the falling factorial is divisible by 120
+    // (and self-zeroing for fewer than 5 misses).
+    "q241_passk_census" ->
+      """WITH d AS (
+        |  SELECT source, doc_id % 11 AS c,
+        |    252 - ((10 - doc_id % 11) * (9 - doc_id % 11) *
+        |      (8 - doc_id % 11) * (7 - doc_id % 11) *
+        |      (6 - doc_id % 11)) // 120 AS p5num
+        |  FROM documents)
+        |SELECT source, count(*) AS n_tasks,
+        |  CAST(sum(c) AS BIGINT) AS sum_correct,
+        |  CAST(sum(p5num) AS BIGINT) AS sum_pass5_num,
+        |  CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS sum_pass10_num,
+        |  round(sum(c) / (count(*) * 10.0), 6) AS mean_pass1,
+        |  round(sum(p5num) / (count(*) * 252.0), 6) AS mean_pass5,
+        |  round(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) /
+        |    CAST(count(*) AS DOUBLE), 6) AS mean_pass10
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q242: identical plants and detector regexes (the q131 shared-regex
+    // contract); replace() handles the single-char replacement count.
+    "q242_mojibake_screen" ->
+      ("""WITH d AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 8 = 1 THEN text || ' cafÃ© naÃ¯ve'
+        |      WHEN doc_id % 8 = 2 THEN text || ' bad�text�'
+        |      WHEN doc_id % 8 = 3 THEN text || ' itâs fine'
+        |      ELSE text END AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT source,
+        |    CAST(length(t) - length(replace(t, '�', '')) AS BIGINT)
+        |      AS n_repl,
+        |    CAST(len(regexp_extract_all(t, 'Ã[-¿]')) AS BIGINT)
+        |      AS n_l1,
+        |    CAST(len(regexp_extract_all(t, 'â[-¦]'))
+        |      AS BIGINT) AS n_sq
+        |  FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_repl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_replacement_docs,
+        |  CAST(sum(CASE WHEN n_l1 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_latin1_docs,
+        |  CAST(sum(CASE WHEN n_sq > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_smartquote_docs,
+        |  CAST(sum(CASE WHEN n_repl + n_l1 + n_sq = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clean,
+        |  CAST(sum(n_repl) + sum(n_l1) + sum(n_sq) AS BIGINT) AS artifact_hits
+        |FROM m GROUP BY 1 ORDER BY 1""").stripMargin,
     // q239: the four variants of a class must collapse to one group —
     // pure id arithmetic; the engine earns it with real decode + DCT.
     "q239_image_phash" ->
