@@ -188,7 +188,8 @@ object Bench {
     "q239_image_phash",       // DCT perceptual-hash image grouping
     "q240_host_hits",         // HITS hub/authority over the host graph
     "q241_passk_census",      // unbiased pass@k estimator, integer sums
-    "q242_mojibake_screen")   // encoding-corruption triage, shared regexes
+    "q242_mojibake_screen",   // encoding-corruption triage, shared regexes
+    "q243_crawl_admission")   // robots -> quality -> quota composition
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

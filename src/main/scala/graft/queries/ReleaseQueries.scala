@@ -639,10 +639,90 @@ object ReleaseQueries {
       .orderBy("source")
   }
 
+  /** q243: the composed CRAWL-ADMISSION pipeline — each stage is certified
+    * by its own gate (q222 REP longest-match, q200/q202 Gopher quality,
+    * q238 host quota); this gate certifies the COMPOSITION (the q223
+    * doctrine) in production order: robots → quality → per-host quota,
+    * with first-failing-stage attribution. The quota stage deliberately
+    * runs over SURVIVORS of the first two stages (capping before
+    * filtering would waste quota slots on docs the filters kill — the
+    * composition is not order-free, which is exactly why it needs its
+    * own gate). Engine side: generic REP rule algebra (the q222
+    * struct-max), the compiled Gopher kernel, and the bounded-heap top-k
+    * per host; oracle side: robots by plant arithmetic, quality by the
+    * shared Gopher replay, quota by a ranking window over survivors.
+    * Shapes: one scan → host-keyed survivor aggregate (K-sized state) →
+    * host-keyed join back → source census. */
+  val crawlAdmission: Q = (s, dir) => {
+    import graft.functions.TopKByScore.topKByScore
+    val docs = Tables.documents(s, dir)
+      .withColumn("hid", (col("doc_id") % 13).cast("long"))
+      .withColumn("host", concat(col("source"), lit("-h"), col("hid")))
+    val path = when(col("doc_id") % 4 === 0,
+        concat(lit("/articles/a"), col("doc_id")))
+      .when(col("doc_id") % 4 === 1, concat(lit("/private/x"), col("doc_id")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("/private/ok/y"), col("doc_id")))
+      .otherwise(concat(lit("/misc/m"), col("doc_id")))
+    val rules = when(col("hid") % 3 === 0, array(
+        struct(lit("/private").as("path"), lit(false).as("allow")),
+        struct(lit("/private/ok").as("path"), lit(true).as("allow"))))
+      .when(col("hid") % 3 === 2, array(
+        struct(lit("/").as("path"), lit(false).as("allow")),
+        struct(lit("/articles").as("path"), lit(true).as("allow"))))
+      .otherwise(array().cast("array<struct<path:string,allow:boolean>>"))
+    val matching = filter(rules, r =>
+      path.substr(lit(1), length(r.getField("path"))) === r.getField("path"))
+    val best = array_max(transform(matching,
+      r => struct(length(r.getField("path")).as("l"),
+        r.getField("allow").as("a"))))
+    val robotsOk = when(size(matching) === 0, lit(true))
+      .otherwise(best.getField("a"))
+    val g = graft.functions.GopherFunctions.gopherStats(col("text"))
+    val nw = g.getField("n_words")
+    val qualityOk = nw >= 50 && nw <= 100000 && nw > 0 &&
+      g.getField("sum_word_chars") * lit(1.0) / nw >= 3.0 &&
+      g.getField("sum_word_chars") * lit(1.0) / nw <= 10.0 &&
+      g.getField("n_alpha_words") * lit(1.0) / nw >= 0.8
+    val base = docs.select(col("source"), col("host"), col("doc_id"),
+        robotsOk.as("robots_ok"), qualityOk.as("quality_ok"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("double").as("rk"))
+      .cache()
+    val kept = base.where(col("robots_ok") && col("quality_ok"))
+      .groupBy("host")
+      .agg(topKByScore(col("rk"), col("doc_id"), 3, descending = false)
+        .as("kept"))
+      .select(col("host"),
+        transform(col("kept"), k => k.getField("id")).as("kept_ids"))
+    base.join(kept, Seq("host"), "left")
+      .select(col("source"), col("doc_id"),
+        when(!col("robots_ok"), "robots")
+          .when(!col("quality_ok"), "quality")
+          .when(!array_contains(
+            coalesce(col("kept_ids"), array().cast("array<bigint>")),
+            col("doc_id")), "quota")
+          .otherwise(lit("admitted")).as("verdict"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_urls"),
+        sum(when(col("verdict") === "robots", 1L).otherwise(0L))
+          .as("n_robots_blocked"),
+        sum(when(col("verdict") === "quality", 1L).otherwise(0L))
+          .as("n_quality_fail"),
+        sum(when(col("verdict") === "quota", 1L).otherwise(0L))
+          .as("n_quota_dropped"),
+        sum(when(col("verdict") === "admitted", 1L).otherwise(0L))
+          .as("n_admitted"),
+        sum(when(col("verdict") === "admitted", col("doc_id")).otherwise(0L))
+          .as("sum_admitted_ids"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
     "q238_host_quota" -> hostQuota,
     "q241_passk_census" -> passAtK,
     "q242_mojibake_screen" -> mojibakeScreen,
+    "q243_crawl_admission" -> crawlAdmission,
     "q239_image_phash" -> imagePHashGroups,
     "q234_bitext_funnel" -> bitextFunnel,
     "q235_json_shape" -> jsonShapeCensus,
@@ -982,6 +1062,53 @@ object ReleaseQueries {
         |    AS BIGINT) AS n_clean,
         |  CAST(sum(n_repl) + sum(n_l1) + sum(n_sq) AS BIGINT) AS artifact_hits
         |FROM m GROUP BY 1 ORDER BY 1""").stripMargin,
+    // q243: robots verdict is plant arithmetic (the engine runs the
+    // generic REP algebra); quality is the shared Gopher replay; quota is
+    // a ranking window over the SURVIVORS of the first two stages.
+    "q243_crawl_admission" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, doc_id % 13 AS hid,
+        |    source || '-h' || (doc_id % 13) AS host,
+        |    (doc_id % 13) % 3 AS h3, doc_id % 4 AS p4,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END AS ts,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS rk
+        |  FROM documents),
+        |f AS (
+        |  SELECT source, doc_id, host, rk,
+        |    NOT ((h3 = 0 AND p4 = 1) OR (h3 = 2 AND p4 != 0)) AS robots_ok,
+        |    (len(ts) >= 50 AND len(ts) <= 100000 AND len(ts) > 0 AND
+        |     coalesce(list_sum(list_transform(ts, w -> length(w))), 0) * 1.0 /
+        |       len(ts) >= 3.0 AND
+        |     coalesce(list_sum(list_transform(ts, w -> length(w))), 0) * 1.0 /
+        |       len(ts) <= 10.0 AND
+        |     len(list_filter(ts, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 /
+        |       len(ts) >= 0.8) AS quality_ok
+        |  FROM d),
+        |sv AS (
+        |  SELECT *, row_number() OVER (PARTITION BY host
+        |    ORDER BY rk ASC, doc_id ASC) AS rn
+        |  FROM f WHERE robots_ok AND quality_ok),
+        |v AS (
+        |  SELECT f.source, f.doc_id,
+        |    CASE WHEN NOT f.robots_ok THEN 'robots'
+        |      WHEN NOT f.quality_ok THEN 'quality'
+        |      WHEN sv.rn IS NULL OR sv.rn > 3 THEN 'quota'
+        |      ELSE 'admitted' END AS verdict
+        |  FROM f LEFT JOIN sv ON f.doc_id = sv.doc_id)
+        |SELECT source, count(*) AS n_urls,
+        |  CAST(sum(CASE WHEN verdict = 'robots' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_robots_blocked,
+        |  CAST(sum(CASE WHEN verdict = 'quality' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_quality_fail,
+        |  CAST(sum(CASE WHEN verdict = 'quota' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_quota_dropped,
+        |  CAST(sum(CASE WHEN verdict = 'admitted' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_admitted,
+        |  CAST(sum(CASE WHEN verdict = 'admitted' THEN doc_id ELSE 0 END)
+        |    AS BIGINT) AS sum_admitted_ids
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     // q239: the four variants of a class must collapse to one group —
     // pure id arithmetic; the engine earns it with real decode + DCT.
     "q239_image_phash" ->

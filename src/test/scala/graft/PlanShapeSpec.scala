@@ -532,6 +532,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Window"), plan.take(2000))
   }
 
+  test("crawl admission: host-keyed equi-joins only, no window over docs") {
+    val plan = planOf("q243_crawl_admission")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("Window"),
+      s"quota must come from the bounded heap, not a ranking window:\n${plan.take(2000)}")
+  }
+
   test("markup, secret census, and secret scrub are single-scan in-row aggregations") {
     Seq("q203_markup_census", "q204_secret_census", "q205_secret_scrub",
         "q206_license_census", "q207_comment_census", "q215_sentence_census",
