@@ -428,6 +428,66 @@ object ReleaseQueries {
   val jsonShapeCensus: Q = (s, dir) =>
     jsonShapeRows(Tables.documents(s, dir)).orderBy("path", "jtype")
 
+  /** q244: schema DRIFT report — the alarm between two shape censuses
+    * (epoch A vs epoch B of a JSON feed): paths that appeared, vanished,
+    * or CHANGED TYPE (present in both epochs with disjoint type sets —
+    * the break that silently nulls a `from_json` column downstream).
+    * Epoch B's payloads drift by construction: class 0's "b" turns from
+    * string to number, class 4 grows a new "k" path. The diff is a
+    * full-outer join of two (path → sorted type-set) frames — both sides
+    * are STRUCTURE-cardinality aggregates, never payload-sized, so the
+    * report costs the same at any corpus scale. Type sets are
+    * sort_array(collect_set(...)) — bounded by the JSON type count and
+    * deterministic both engines. */
+  val schemaDrift: Q = (s, dir) => {
+    import graft.functions.JsonShapeExpr
+    val docs = Tables.documents(s, dir)
+    val did = col("doc_id").cast("string")
+    val cls = (col("doc_id") % 5).cast("long")
+    def payload(drifted: Boolean): Column = {
+      // epoch-B drift: $.f turns string→number (a TYPE change on a
+      // single-type path), $.g.h.i is dropped (VANISHED), $.k appears
+      // (NEW); $.b stays {string, null} across classes — a multi-type
+      // path whose set merely narrows is NOT a type change
+      val f = if (drifted) lit("{\"a\": [{\"e\": 1.5}, {\"e\": 2.5}], \"f\": 9}")
+        else lit("{\"a\": [{\"e\": 1.5}, {\"e\": 2.5}], \"f\": \"y\"}")
+      val deep = if (drifted)
+        concat(lit("{\"a\": "), did, lit(", \"g\": {\"h\": {}}, \"k\": true}"))
+      else concat(lit("{\"a\": "), did,
+        lit(", \"g\": {\"h\": {\"i\": \"deep\"}}}"))
+      when(cls === 0,
+        concat(lit("{\"a\": "), did, lit(", \"b\": \"s"), did, lit("\"}")))
+        .when(cls === 1,
+          concat(lit("{\"a\": {\"c\": true, \"d\": [1, 2, "), col("doc_id") % 10,
+            lit("]}, \"b\": null}")))
+        .when(cls === 2, f)
+        .when(cls === 3, concat(lit("{\"a\": nope"), did))
+        .otherwise(deep)
+    }
+    def shapes(drifted: Boolean, half: Int): DataFrame =
+      docs.where(col("doc_id") % 2 === half)
+        .select(explode(JsonShapeExpr.jsonPaths(payload(drifted), 3)).as("p"))
+        .groupBy(col("p.path").as("path"))
+        .agg(sort_array(collect_set(col("p.jtype"))).as("types"),
+          count(lit(1)).as("n"))
+    val a = shapes(drifted = false, half = 0)
+      .select(col("path"), col("types").as("types_a"), col("n").as("n_a"))
+    val b = shapes(drifted = true, half = 1)
+      .select(col("path"), col("types").as("types_b"), col("n").as("n_b"))
+    a.join(b, Seq("path"), "full_outer")
+      .select(col("path"),
+        when(col("types_a").isNull, "new")
+          .when(col("types_b").isNull, "vanished")
+          .when(size(array_intersect(col("types_a"), col("types_b"))) === 0,
+            "type_changed")
+          .otherwise(lit("stable")).as("status"),
+        coalesce(array_join(col("types_a"), ","), lit("")).as("types_a"),
+        coalesce(array_join(col("types_b"), ","), lit("")).as("types_b"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .orderBy("path")
+  }
+
   /** q237: INCREMENTAL shape discovery through the stored additive census
     * ([[graft.store.IndexStore.updateCensus]]) — the schema-discovery
     * report a JSON lake keeps current as new payload batches land,
