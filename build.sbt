@@ -15,6 +15,11 @@ run / fork := true
 // and verify mains print machine-parsed JSON lines, and sbt's default
 // LoggedOutput would wrap them in "[info] ".
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress sbt's "[success] Total time: ..." trailer so the bench
+// record JSON stays the genuinely-final stdout line (the driver's
+// last-line parser needs it; see VERDICT r9 item 2).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -300,17 +300,38 @@ object AvroIo {
 
   /** Write `df` as Avro container files, one per partition, straight
     * through the Hadoop filesystem API on the executors (no driver
-    * collect — the same distribution shape as any datasource write). */
+    * collect — the same distribution shape as any datasource write).
+    *
+    * Commit protocol (the datasource-writer discipline, hand-rolled):
+    * each task writes to an attempt-unique `.inprogress-` file inside a
+    * fresh dot-tmp directory and COMMITS it by rename to its final
+    * part name — a retried or speculative attempt that loses the rename
+    * race just deletes its own file, so exactly one attempt's output
+    * survives per partition. The driver then promotes the tmp dir over
+    * the target with the engine's rename-swap primitive, so a re-write
+    * of a directory that previously had MORE partitions can never leave
+    * stale part files behind, and readers never observe a half-written
+    * directory. */
   def writeAvro(df: DataFrame, dir: String): Unit = {
     import org.apache.avro.file.DataFileWriter
     import org.apache.avro.generic.{GenericData, GenericDatumWriter}
     val st = df.schema
     val schemaJson = avroSchemaFor(st).toString
+    val dst = new Path(dir)
+    val fs = dst.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val parent = Option(dst.getParent).map(_.toString).getOrElse(".")
+    val tmp = new Path(s"$parent/.${dst.getName}_write_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    fs.mkdirs(tmp)
+    val tmpStr = tmp.toString
     df.rdd.mapPartitionsWithIndex { (idx, rows) =>
       val schema = new Schema.Parser().parse(schemaJson)
-      val path = new Path(f"$dir/part-$idx%05d.avro")
-      val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      val out = fs.create(path, true)
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      val inprog = new Path(f"$tmpStr/.inprogress-$idx%05d-$attempt")
+      val fin = new Path(f"$tmpStr/part-$idx%05d.avro")
+      val tfs = inprog.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val out = tfs.create(inprog, true)
       val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
       w.create(schema, out)
       rows.foreach { r =>
@@ -320,8 +341,12 @@ object AvroIo {
         w.append(rec)
       }
       w.close()
+      // Task commit: first attempt to rename wins; a losing speculative
+      // attempt cleans up its own in-progress file.
+      if (!tfs.rename(inprog, fin)) tfs.delete(inprog, false)
       Iterator.empty[Int]
     }.count() // force the write tasks
+    graft.util.AtomicSwap.swap(fs, tmp, dst)
   }
 
   /** Read an Avro container dir as a DataFrame with the DECLARED schema

@@ -263,13 +263,15 @@ object MediaCodec {
   }
 
   /** Fixed-point DFT twiddle tables for [[wavSpectralFingerprint]]:
-    * round(512·cos/sin(2π·k·j/window)) for bins k=1..bins over one
-    * `window`-sample frame. Scale 512 keeps the magnitude-squared
-    * accumulation inside a Long with headroom (|re| ≤ 32767·512·64 ≈
-    * 1.07e9 → re²+im² ≤ 2.3e18 < 2^63); integer tables make the whole
-    * transform EXACT integer arithmetic — deterministic across JVMs,
-    * partitionings and replays, the same reason the classifier fit
-    * quantizes its gradients. */
+    * round(256·cos/sin(2π·k·j/window)) for bins k=1..bins over one
+    * `window`-sample frame. Scale 256 keeps EVERY downstream integer
+    * inside a Long: |re|,|im| ≤ 32767·256·64 ≈ 5.4e8, so re²+im² ≤
+    * ~5.8e17, the 8-bin total Σmag² ≤ ~4.6e18 < 2^63, and the dominant-
+    * peak comparison mag²·4 ≤ ~2.3e18 < 2^63. (Scale 512 would push the
+    * 8-bin total to ~1.8e19 and overflow — do not "restore" it.) Integer
+    * tables make the whole transform EXACT integer arithmetic —
+    * deterministic across JVMs, partitionings and replays, the same
+    * reason the classifier fit quantizes its gradients. */
   private val SpecWindow = 64
   private val SpecBins = 8
   private val SpecFrames = 8

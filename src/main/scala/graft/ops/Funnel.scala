@@ -30,12 +30,16 @@ object Funnel {
       .withColumn("__swr", TextFunctions.stopwordRatio(col(textCol)))
       .withColumn("__rep2", TextFunctions.repetitionScore(col(textCol), 2))
       .withColumn("__zz", QualityClassifier.logit(col(textCol)))
+    // Each stage predicate is coalesced to false so a NULL input (null
+    // lang/text nulls the comparison) FAILS its stage instead of
+    // slipping through every fail-branch to first_fail=0 — the
+    // streaming twin sees live crawl rows where null lang is realistic.
     val stages: Seq[Column] = Seq(
       col(langCol) === "en",
       col("__ntok") >= 30,
       col("__swr") >= 0.04,
       col("__rep2") <= 0.04,
-      col("__zz") >= 0)
+      col("__zz") >= 0).map(p => coalesce(p, lit(false)))
     val firstFail = stages.zipWithIndex.foldRight(lit(0)) {
       case ((pred, i), rest) => when(!pred, lit(i + 1)).otherwise(rest)
     }

@@ -45,6 +45,53 @@ case class HashedTfVector(child: Expression, d: Int, scale: Int)
     copy(child = newChild)
 }
 
+/** Learned-logit scoring fused into ONE compiled pass: b + Σ w_j·x_j
+  * where x_j comes from the same hashing-trick vector as
+  * [[HashedTfVector]] — but the vector is built ONCE per row and the dot
+  * product emitted directly, instead of folding `element_at(vector, j)`
+  * d times in an expression tree (which, under CodegenFallback, has no
+  * guaranteed common-subexpression elimination and would re-run the
+  * O(tokens) hashing pass up to d times per row on the corpus-scale
+  * scoring path). The floating-point reduction is the IDENTICAL
+  * left-associated chain the fit used — acc = w_0; acc += w_j ·
+  * (q_j / scale) for j = 1..d, each q_j the exact BIGINT TF feature —
+  * so scores are bitwise identical to the unfused fold and the oracle's
+  * unrolled SQL chain. */
+case class HashedTfLogit(child: Expression, d: Int, scale: Int,
+                         w: Seq[Double])
+    extends UnaryExpression with CodegenFallback {
+
+  require(d >= 1 && scale >= 1 && w.length == d + 1)
+
+  private val wArr = w.toArray
+  private val scaleD = scale.toDouble
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "hashed_tf_logit"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextExprs.tokens(input.asInstanceOf[UTF8String])
+    val counts = new Array[Long](d)
+    var i = 0
+    while (i < toks.length) {
+      counts((TextExprs.md5Bucket(toks(i)) % d).toInt) += 1L
+      i += 1
+    }
+    val n = toks.length
+    var acc = wArr(0)
+    var j = 0
+    while (j < d) {
+      val q = if (n > 0) counts(j) * scale / n else 0L
+      acc = acc + wArr(j + 1) * (q.toDouble / scaleD)
+      j += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** fastText-style quality classifier over hashed bag-of-words features —
   * the [[QualityTrainer]] contract lifted from 4 interpretable features to
   * a `d`-bucket hashed text representation (what production quality
@@ -84,14 +131,11 @@ object HashedClassifier {
     ColumnBridge.column(
       HashedTfVector(ColumnBridge.expression(text), d, Scale))
 
-  /** b + Σ w_j·x_j over the compiled vector, fixed fold order. */
-  def logit(textCol: Column, w: Array[Double], d: Int): Column = {
-    val vec = tfVector(textCol, d)
-    (1 to d).foldLeft(lit(w(0))) { case (acc, j) =>
-      acc + lit(w(j)) *
-        (element_at(vec, j).cast("double") / lit(Scale.toDouble))
-    }
-  }
+  /** b + Σ w_j·x_j, fixed fold order, fused into one compiled pass —
+    * the per-row hashing runs ONCE, not d times ([[HashedTfLogit]]). */
+  def logit(textCol: Column, w: Array[Double], d: Int): Column =
+    ColumnBridge.column(
+      HashedTfLogit(ColumnBridge.expression(textCol), d, Scale, w.toSeq))
 
   /** Fixed-iteration full-batch GD from zero weights; every cross-row
     * reduction an exact BIGINT sum (see object doc). One cached (y, vec)

@@ -235,12 +235,25 @@ object ReleaseQueries {
   def chatLintFlags(turns: Column): Column = {
     val roles = transform(turns, t => t.getField("role"))
     val n = size(roles)
+    // Every flag is coalesced to a DEFINITE boolean: a zero-turn
+    // conversation is a start/end violation (not a null that the
+    // streaming twin's lint_ok would neither quarantine nor count), and
+    // a NULL content/role counts as the violation it hides (null
+    // content = empty turn; null first/last role = bad start/end) —
+    // live intake data makes all of these realistic.
+    val empty = n === 0
     struct(
-      exists(turns, t => trim(t.getField("content")) === "").as("v_empty"),
-      (!element_at(roles, 1).isin("system", "user")).as("v_start"),
-      exists(zip_with(slice(roles, lit(1), n - 1),
-        slice(roles, lit(2), n - 1), (a, b) => a === b), x => x).as("v_consec"),
-      (element_at(roles, -1) =!= "assistant").as("v_end"))
+      coalesce(exists(turns,
+        t => coalesce(trim(t.getField("content")), lit("")) === ""),
+        lit(false)).as("v_empty"),
+      (empty ||
+        coalesce(!element_at(roles, 1).isin("system", "user"), lit(true)))
+        .as("v_start"),
+      coalesce(exists(zip_with(slice(roles, lit(1), n - 1),
+          slice(roles, lit(2), n - 1), (a, b) => coalesce(a === b, lit(true))),
+          x => x), lit(false)).as("v_consec"),
+      (empty || coalesce(element_at(roles, -1) =!= "assistant", lit(true)))
+        .as("v_end"))
   }
 
   val chatLintCensus: Q = (s, dir) => {
