@@ -189,7 +189,8 @@ object Bench {
     "q240_host_hits",         // HITS hub/authority over the host graph
     "q241_passk_census",      // unbiased pass@k estimator, integer sums
     "q242_mojibake_screen",   // encoding-corruption triage, shared regexes
-    "q243_crawl_admission")   // robots -> quality -> quota composition
+    "q243_crawl_admission",   // robots -> quality -> quota composition
+    "q244_image_pair_screen") // decoded luma <-> caption keyword join
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -593,6 +593,36 @@ object MediaCodec {
     else java.lang.Long.valueOf(pHash64(img))
   }
 
+  /** Decode-and-census: full-pixel luma statistics —
+    * (width, height, n_pixels, sum_luma) with per-pixel integer Rec.601
+    * luma (thousandths, floor division — the same formula [[lumaGrid]]
+    * uses per cell, so the two tiers can never disagree on what "luma"
+    * means). sum_luma is an exact BIGINT: mean luma derived from it is
+    * replayable arithmetic, the property the pairing-screen oracles
+    * need. Null for undecodable payloads. O(pixels) per row like any
+    * decode; one compiled walk, no per-pixel object churn. */
+  def imageLumaStats(bytes: Array[Byte]): Array[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    Array(w.toLong, h.toLong, w.toLong * h, sum)
+  }
+
   /** [[encodeBlockPattern]]'s 32-ALIGNED sibling for the pHash fixtures:
     * 32s×32s pixels of 4s×4s blocks (an 8×8 block grid), so the 32×32
     * pHash luma grid maps to exactly s×s whole pixels per cell at EVERY
@@ -1065,6 +1095,48 @@ object ImagePHashExpr {
   /** Column form: `image_phash(media)`. */
   def imagePHash(media: Column): Column =
     ColumnBridge.column(ImagePHashExpr(ColumnBridge.expression(media)))
+}
+
+/** Compiled full-decode luma census of an image binary column:
+  * struct<width,height,n_pixels,sum_luma> via [[MediaCodec.imageLumaStats]]
+  * — the content tier between [[ImageMetaExpr]] (header-only) and the
+  * perceptual hashes (structure-only): exact integer brightness mass, the
+  * decoded-image half of the image↔caption pairing screen. Null for
+  * undecodable payloads. */
+case class ImageLumaStatsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ImageLumaStatsExpr.schema
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"image_luma_stats needs a binary column, got ${child.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = MediaCodec.imageLumaStats(input.asInstanceOf[Array[Byte]])
+    if (s == null) null
+    else InternalRow(s(0).toInt, s(1).toInt, s(2), s(3))
+  }
+
+  override def prettyName: String = "image_luma_stats"
+  override protected def withNewChildInternal(newChild: Expression): ImageLumaStatsExpr =
+    copy(child = newChild)
+}
+
+object ImageLumaStatsExpr {
+  val schema: DataType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_pixels", LongType),
+    StructField("sum_luma", LongType)))
+
+  /** Column form: `image_luma_stats(media)`. */
+  def imageLumaStats(media: Column): Column =
+    ColumnBridge.column(ImageLumaStatsExpr(ColumnBridge.expression(media)))
 }
 
 /** Compiled acoustic fingerprint of a WAV binary column:

@@ -1005,6 +1005,91 @@ object CorpusQueries {
       .orderBy("band")
   }
 
+  /** q244 fixture: (doc_id, caption, media) pairs for the image↔caption
+    * screen. Docs with id%13==3 get a solid-gray BMP whose DECODED mean
+    * luma, width and height are k = id div 13 arithmetic (bright class:
+    * gray 150+k%40, dark: 50+k%40; w = 8+k%5, h = 8+k%3), and a caption
+    * that prefixes the doc's own text with the keyword naming the image's
+    * TRUE brightness class — except the planted swaps (k%8 ∈ {1,6},
+    * chosen so both swap directions occur: k%8==6 puts a "dark" caption
+    * on a bright image, k%8==1 the reverse), which claim the opposite.
+    * The fixture-synthesis cost is the fixture's, not the operator's
+    * (the q189 memo rationale); gray/size arithmetic is exact in binary
+    * so the oracle replays the whole join without bytes. */
+  def imagePairFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).where(col("doc_id") % 13 === 3)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val k = id / 13
+          val bright = k % 2 == 0
+          val planted = k % 8 == 1 || k % 8 == 6
+          val gray = ((if (bright) 150L else 50L) + k % 40).toInt
+          val w = (8 + k % 5).toInt
+          val h = (8 + k % 3).toInt
+          val kw = if (bright != planted) "bright" else "dark"
+          (id, s"$kw photo " + text,
+            MediaCodec.encodeSolid("bmp", w, h, (gray << 16) | (gray << 8) | gray))
+        }
+      }.toDF("doc_id", "caption", "media")
+  }
+
+  /** Per-row image↔caption consistency flags — shared VERBATIM by the
+    * q244 batch gate and the streaming twin
+    * ([[graft.streaming.StreamingPipeline.imagePairStream]]), so the two
+    * can never drift. One stateless projection: decode the image ONCE
+    * ([[graft.multimodal.ImageLumaStatsExpr]] — exact integer luma mass),
+    * band the decoded mean at 128, extract the caption's brightness
+    * keyword by dictionary membership over its token set (an ambiguous
+    * or keyword-free caption classes as "none", which can never equal a
+    * decoded class — fail-closed, the Funnel null doctrine), and flag
+    * the pair when the two disagree. No shuffle, no state. */
+  def imagePairFlags(df: DataFrame, captionCol: String,
+                     mediaCol: String): DataFrame = {
+    val st = graft.multimodal.ImageLumaStatsExpr.imageLumaStats(col(mediaCol))
+    val toks = split(lower(col(captionCol)), "\\s+")
+    val hasB = array_contains(toks, "bright")
+    val hasD = array_contains(toks, "dark")
+    df.withColumn("__st", st)
+      .withColumn("n_pixels", col("__st").getField("n_pixels"))
+      .withColumn("mean_luma",
+        (col("__st").getField("sum_luma") / col("__st").getField("n_pixels"))
+          .cast("long"))
+      .withColumn("luma_class",
+        when(col("mean_luma") >= 128, "bright").otherwise("dark"))
+      .withColumn("caption_kw",
+        when(hasB && !hasD, "bright").when(hasD && !hasB, "dark")
+          .otherwise("none"))
+      .withColumn("pair_ok",
+        coalesce(col("caption_kw") === col("luma_class"), lit(false)))
+      .drop("__st")
+  }
+
+  /** q244: image↔caption pairing screen — the image member of the
+    * modality-join trio (audio↔text = q221, video = q191): a caption
+    * that describes a DIFFERENT image than the one it ships with is a
+    * mispaired training example, and the screen that catches it must
+    * join decoded image CONTENT against the caption's text profile —
+    * header metadata cannot see a swap. Decoded mean luma (full-pixel
+    * integer census, [[graft.multimodal.ImageLumaStatsExpr]]) ⋈ caption
+    * brightness keyword; planted swaps (both directions) land in the
+    * off-diagonal (caption_kw ≠ luma_class) cells, so row equality
+    * against the id-arithmetic oracle certifies encode → decode → band ⋈
+    * tokenize → keyword → verdict end to end without the oracle seeing
+    * a byte (the q221 doctrine). Per cell: pair count, flagged count,
+    * id sum, decoded-pixel sum, decoded-mean average. */
+  val imagePairScreen: Q = (s, dir) => {
+    imagePairFlags(imagePairFixture(s, dir), "caption", "media")
+      .groupBy("caption_kw", "luma_class")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(!col("pair_ok"), 1L).otherwise(0L)).as("n_flagged"),
+        sum("doc_id").as("sum_doc_ids"),
+        sum("n_pixels").as("sum_pixels"),
+        round(avg("mean_luma"), 4).as("avg_luma"))
+      .orderBy("caption_kw", "luma_class")
+  }
+
   /** q189: video near-dup grouping through the REAL container path — the
     * video member of the q133/q135/q172 modality triple. Every doc gets a
     * 6-frame AVI ([[graft.multimodal.MediaCodecAvi.encodeAvi]]: RIFF →
@@ -1316,6 +1401,7 @@ object CorpusQueries {
     "q218_audio_vad" -> audioVad,
     "q220_video_shots" -> videoShots,
     "q221_asr_screen" -> asrPairScreen,
+    "q244_image_pair_screen" -> imagePairScreen,
     "q133_image_neardup" -> imageNearDup,
     "q135_audio_neardup" -> audioNearDup,
     "q189_video_neardup" -> videoNearDup,
@@ -1567,6 +1653,29 @@ object CorpusQueries {
         |  round(sum(secs), 4) AS sum_seconds,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q244: decoded gray/size == k-arithmetic (exact in binary), caption
+    // keyword == plant arithmetic — the oracle replays the modality join
+    // without bytes; flagged cells are exactly the off-diagonal
+    "q244_image_pair_screen" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id // 13 AS k
+        |  FROM documents WHERE doc_id % 13 = 3),
+        |c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN k % 2 = 0 THEN 150 + k % 40
+        |         ELSE 50 + k % 40 END AS gray,
+        |    (8 + k % 5) * (8 + k % 3) AS npix,
+        |    CASE WHEN (k % 2 = 0) != (k % 8 IN (1, 6)) THEN 'bright'
+        |         ELSE 'dark' END AS caption_kw,
+        |    CASE WHEN k % 2 = 0 THEN 'bright' ELSE 'dark' END AS luma_class
+        |  FROM p)
+        |SELECT caption_kw, luma_class, count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN caption_kw != luma_class THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_flagged,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids,
+        |  CAST(sum(npix) AS BIGINT) AS sum_pixels,
+        |  round(avg(gray), 4) AS avg_luma
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q220: every count is id arithmetic — row equality certifies the
     // whole mux→walk→decode→hash→run-detection path
     "q220_video_shots" ->

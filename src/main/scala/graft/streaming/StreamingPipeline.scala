@@ -294,6 +294,18 @@ object StreamingPipeline {
         !f.getField("v_consec") && !f.getField("v_end"))
   }
 
+  /** Streaming image↔caption pairing screen (q244's per-pair operator
+    * per micro-batch): decode-once luma census ⋈ caption keyword profile
+    * in ONE stateless projection — shared VERBATIM with the batch gate
+    * ([[graft.queries.CorpusQueries.imagePairFlags]]), so batch and
+    * stream verdicts cannot drift. Run at intake so a mispaired example
+    * never lands in the staged corpus; flag counts are additive across
+    * micro-batches (no state, no watermark — the chatLint shape for the
+    * image modality). */
+  def imagePairStream(pairs: DataFrame, captionCol: String,
+                      mediaCol: String): DataFrame =
+    graft.queries.CorpusQueries.imagePairFlags(pairs, captionCol, mediaCol)
+
   /** Streaming secret scrub (q204/q205's operators per micro-batch):
     * detector census struct + in-place token redaction in one stateless
     * projection — the code-corpus analogue of [[cardPiiStream]], run at

@@ -140,6 +140,27 @@ class MediaCodecSpec extends SparkSpec {
     }
   }
 
+  test("imageLumaStats: exact luma mass on solid + block patterns, null on garbage") {
+    // solid gray g: per-pixel Rec.601 luma is (g*299+g*587+g*114)/1000 = g
+    // exactly, so sum_luma = g * w * h with no rounding anywhere
+    for ((g, w, h) <- Seq((50, 8, 9), (150, 12, 10), (255, 9, 8))) {
+      val s = MediaCodec.imageLumaStats(
+        MediaCodec.encodeSolid("bmp", w, h, (g << 16) | (g << 8) | g))
+      assert(s != null && s.sameElements(
+        Array(w.toLong, h.toLong, w.toLong * h, g.toLong * w * h)))
+    }
+    // block pattern: the expected mass falls out of the cell formula —
+    // each 4x4 block contributes 16 * its gray level
+    def cell(cls: Int, r: Int, c: Int): Int = ((cls * 29 + r * 8 + c) * 73) % 151 + 20
+    val expected = (for (r <- 0 until 8; c <- 0 until 9)
+      yield 16L * cell(3, r, c)).sum
+    val bp = MediaCodec.imageLumaStats(MediaCodec.encodeBlockPattern(3, 0))
+    assert(bp != null && bp(0) == 36L && bp(1) == 32L && bp(2) == 36L * 32 &&
+      bp(3) == expected)
+    assert(MediaCodec.imageLumaStats("not an image".getBytes) == null)
+    assert(MediaCodec.imageLumaStats(Array.emptyByteArray) == null)
+  }
+
   test("dHash matches the block-pattern definition computed straight from arithmetic") {
     // the encoder's 4x4 blocks ARE the 9x8 grid cells, so the expected
     // hash falls out of the pattern formula without any image machinery

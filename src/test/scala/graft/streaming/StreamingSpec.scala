@@ -1087,6 +1087,44 @@ class StreamingSpec extends SparkSpec {
       "streamed bitext verdicts diverged from batch")
   }
 
+  test("streaming image pair screen == batch flags per pair") {
+    val pairs = graft.queries.CorpusQueries.imagePairFixture(spark, dir)
+    def tally(df: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamingPipeline.imagePairStream(df, "caption", "media")
+        .agg(count(lit(1)),
+          sum(when(!col("pair_ok"), 1L).otherwise(0L)),
+          sum(when(!col("pair_ok"), col("doc_id")).otherwise(0L)),
+          sum(col("n_pixels")), sum(col("mean_luma"))).head()
+    val b = tally(pairs)
+    assert(b.getLong(1) > 0, "plants must populate the flagged class")
+
+    val d = java.nio.file.Files.createTempDirectory("graft_imgpair_src")
+    pairs.repartition(3).write.mode("overwrite").parquet(d.toString)
+    val schema = spark.read.parquet(d.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+    var n = 0L; var fl = 0L; var ids = 0L; var px = 0L; var lu = 0L
+    var nBatches = 0
+    val q = graft.streaming.StreamingPipeline
+      .imagePairStream(stream, "caption", "media")
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+        nBatches += 1
+        val r = bdf.agg(count(lit(1)),
+          sum(when(!col("pair_ok"), 1L).otherwise(0L)),
+          sum(when(!col("pair_ok"), col("doc_id")).otherwise(0L)),
+          sum(col("n_pixels")), sum(col("mean_luma"))).head()
+        n += r.getLong(0); fl += r.getLong(1); ids += r.getLong(2)
+        px += r.getLong(3); lu += r.getLong(4)
+      }.start()
+    q.awaitTermination()
+    assert(nBatches >= 2)
+    assert(n == b.getLong(0) && fl == b.getLong(1) && ids == b.getLong(2) &&
+      px == b.getLong(3) && lu == b.getLong(4),
+      "streamed image-pair verdicts diverged from batch")
+  }
+
   test("streaming chat lint == batch flags per conversation") {
     val ts = split(trim(col("text")), "\\s+")
     def turn(role: String, content: org.apache.spark.sql.Column) =
