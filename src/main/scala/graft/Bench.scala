@@ -190,7 +190,8 @@ object Bench {
     "q241_passk_census",      // unbiased pass@k estimator, integer sums
     "q242_mojibake_screen",   // encoding-corruption triage, shared regexes
     "q243_crawl_admission",   // robots -> quality -> quota composition
-    "q244_image_pair_screen") // decoded luma <-> caption keyword join
+    "q244_image_pair_screen", // decoded luma <-> caption keyword join
+    "q245_sft_pack_masks")    // chat render -> packed seqs + loss masks
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Loss-masked SFT sequence packing — the composition every SFT data
+  * loader consumes: conversations rendered to the training string (the
+  * [[ChatOps]] `<|role|>\n...` template), laid end-to-end and chopped
+  * into `budget`-token sequences ([[Packing.packSequences]] — the q64
+  * concat-and-chop operator applied at TURN granularity), each sequence
+  * carrying the per-span loss-mask offsets that tell the trainer which
+  * token ranges are trainable (assistant turns) and which are context
+  * (user/system turns). A turn whose tokens cross a sequence boundary is
+  * SPLIT into one mask segment per sequence (the cross-boundary
+  * truncation every packer must get right — an off-by-one here trains on
+  * user tokens or masks assistant ones).
+  *
+  * The output is self-certifying: `spans` index into `seq_toks`, so
+  * extracting the assistant ranges BY OFFSET and comparing against the
+  * turn contents (which an oracle reconstructs without ever running the
+  * packer) pins every mask boundary byte-for-byte — the q217
+  * render-certificate idiom applied to masks.
+  *
+  * Scale shape: one window over (shard; conv, turn) for the running
+  * token offset — shards pack independently, so 1000 executors pack
+  * 1000 shards concurrently (the q64 argument) — then one shuffle
+  * keyed by (shard, seq) whose per-group state is BUDGET-bounded
+  * (≤ budget tokens and ≤ budget span structs per sequence), never
+  * corpus- or conversation-bounded. No driver state, no global order.
+  */
+object LossMaskPacking {
+
+  /** Max turns per conversation encodable in the packing order key. */
+  private val TurnBits = 20
+
+  /** Pack rendered turns into `budget`-token sequences with loss-mask
+    * spans. Input: one row per turn carrying (shardCol, convCol,
+    * turnIdxCol int, roleCol, contentCol). Output per (shard, seq):
+    *  - `seq_toks`: the sequence's token array (≤ budget, the final
+    *    sequence of a shard may be short);
+    *  - `spans`: array<struct<start,end,role,crossed>> of 0-based
+    *    half-open token ranges tiling `seq_toks` exactly, in stream
+    *    order; `crossed` marks segments of turns split across a
+    *    boundary;
+    *  - `n_toks`: size of `seq_toks`.
+    * Each turn renders as `<|role|>\ncontent\n` and contributes its
+    * whitespace tokens (`<|role|>` marker + content tokens — the
+    * trailing newline glues to nothing, so sequence tokens are exactly
+    * the concatenation of per-turn tokens). */
+  def packWithMasks(turns: DataFrame, shardCol: String, convCol: String,
+                    turnIdxCol: String, roleCol: String, contentCol: String,
+                    budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val b = lit(budget.toLong)
+    val piece = concat(lit("<|"), col(roleCol), lit("|>\n"),
+      col(contentCol), lit("\n"))
+    val t = turns.select(
+      col(shardCol).as("__shard"),
+      (col(convCol).cast("long") * (1L << TurnBits) +
+        col(turnIdxCol).cast("long")).as("__okey"),
+      col(roleCol).as("__role"),
+      // filter, don't trim: SQL trim strips only spaces, so the piece's
+      // trailing newline would survive and split would emit a trailing
+      // empty token (limit -1 keeps it) — one phantom token per turn
+      filter(split(piece, "\\s+"), t => length(t) > 0).as("__ptoks"))
+      .withColumn("__tn", size(col("__ptoks")).cast("long"))
+    // q64 packing at turn granularity: __start = the turn's absolute
+    // token offset in its shard's concatenated stream.
+    val packed = Packing.packSequences(t, Seq("__shard"), "__okey",
+      "__tn", budget)
+      .withColumn("__aend", col("__start") + col("__tn"))
+      .withColumn("__seq0", col("__seq")) // floor(__start / budget)
+      .withColumn("__seqN", floor((col("__aend") - 1) / b))
+    // One row per (turn, sequence it touches): the cross-boundary split.
+    val segs = packed
+      .withColumn("__seqi", explode(sequence(col("__seq0"), col("__seqN"))))
+      .withColumn("__gstart", greatest(col("__start"), col("__seqi") * b))
+      .withColumn("__sstart", col("__gstart") - col("__seqi") * b)
+      .withColumn("__send",
+        least(col("__aend"), (col("__seqi") + 1) * b) - col("__seqi") * b)
+      .withColumn("__crossed", col("__seqN") > col("__seq0"))
+      .withColumn("__ftoks", slice(col("__ptoks"),
+        (col("__gstart") - col("__start") + 1).cast("int"),
+        (col("__send") - col("__sstart")).cast("int")))
+    // Reassemble per sequence; array_sort on the okey-led struct restores
+    // stream order (collect_list order is never trusted — the q196 rule).
+    segs.groupBy(col("__shard"), col("__seqi"))
+      .agg(array_sort(collect_list(struct(col("__okey"),
+        col("__sstart"), col("__send"), col("__role"),
+        col("__crossed"), col("__ftoks")))).as("__xs"))
+      .select(col("__shard").as(shardCol), col("__seqi").as("seq"),
+        flatten(transform(col("__xs"), x => x.getField("__ftoks")))
+          .as("seq_toks"),
+        transform(col("__xs"), x => struct(
+          x.getField("__sstart").as("start"),
+          x.getField("__send").as("end"),
+          x.getField("__role").as("role"),
+          x.getField("__crossed").as("crossed"))).as("spans"))
+      .withColumn("n_toks", size(col("seq_toks")).cast("long"))
+  }
+
+  /** Assistant-token extraction BY MASK OFFSET — the certificate side:
+    * slices `seq_toks` with the trainable spans' [start, end) offsets
+    * (never the turn contents), joins with single spaces. If any mask
+    * boundary is off by one token anywhere, the extracted text — and any
+    * hash of it — diverges from the ground truth an oracle rebuilds from
+    * the turn contents directly. */
+  def trainableText(seqToks: org.apache.spark.sql.Column,
+                    spans: org.apache.spark.sql.Column,
+                    trainableRole: String): org.apache.spark.sql.Column =
+    concat_ws(" ", flatten(transform(
+      filter(spans, sp => sp.getField("role") === trainableRole),
+      sp => slice(seqToks, (sp.getField("start") + 1).cast("int"),
+        (sp.getField("end") - sp.getField("start")).cast("int")))))
+}

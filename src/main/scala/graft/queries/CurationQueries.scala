@@ -311,6 +311,47 @@ object CurationQueries {
       .orderBy("n_turns")
   }
 
+  /** q245: loss-masked SFT packing — q196's chat render composed with
+    * q64's concat-and-chop packing ([[graft.ops.LossMaskPacking]]): the
+    * packed training sequences every SFT data loader actually consumes,
+    * each carrying per-span loss-mask offsets (assistant spans trainable,
+    * user spans masked), turns split across sequence boundaries getting
+    * one mask segment per side. Four packing shards (conv_id % 4), a
+    * 512-token budget. The per-shard report pins the composition three
+    * ways: exact token/span/crossing counts (id arithmetic), a render
+    * certificate over every packed sequence (md5-bucket sum of the
+    * joined `seq_toks` — any packing slip anywhere breaks it), and the
+    * MASK certificate: assistant text extracted from the packed stream
+    * BY OFFSET ([[graft.ops.LossMaskPacking.trainableText]]), which the
+    * oracle reproduces from the turn contents without ever consulting
+    * the mask — so certificate equality proves mask offsets ==
+    * rendered-turn boundaries, token for token (the q217 idiom). */
+  val sftPackMasks: Q = (s, dir) => {
+    val turns = chatTurns(s, dir)
+      .withColumn("shard", (col("conv_id") % 4).cast("long"))
+    val seqs = graft.ops.LossMaskPacking.packWithMasks(
+      turns, "shard", "conv_id", "turn_idx", "role", "content", budget = 512)
+    val asst = filter(col("spans"),
+      sp => sp.getField("role") === "assistant")
+    seqs
+      .withColumn("a_text", graft.ops.LossMaskPacking.trainableText(
+        col("seq_toks"), col("spans"), "assistant"))
+      .withColumn("a_toks", aggregate(asst, lit(0L),
+        (acc, sp) => acc + sp.getField("end") - sp.getField("start")))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(size(col("spans")).cast("long")).as("n_spans"),
+        sum(size(asst).cast("long")).as("n_assist_spans"),
+        sum(col("a_toks")).as("assist_tokens"),
+        sum(size(filter(col("spans"), sp => sp.getField("crossed")))
+          .cast("long")).as("n_crossing"),
+        sum(graft.ops.Sampling.md5Bucket(
+          concat_ws(" ", col("seq_toks")))).as("render_cert"),
+        sum(graft.ops.Sampling.md5Bucket(col("a_text"))).as("mask_cert"))
+      .orderBy("shard")
+  }
+
   /** q197: prompt-level keep-best dedup
     * ([[graft.ops.ChatOps.keepBestPerPrompt]]) — every third conversation
     * gets one of 7 canned prompts (the duplicated-prompt classes an SFT
@@ -384,6 +425,7 @@ object CurationQueries {
 
   val all: Map[String, Q] = Map(
     "q196_chat_render" -> chatRender,
+    "q245_sft_pack_masks" -> sftPackMasks,
     "q197_prompt_dedup" -> promptDedup,
     "q208_preference_pairs" -> preferencePairs,
     "q181_containment" -> containmentScreen,
@@ -438,6 +480,59 @@ object CurationQueries {
         |  CAST(sum(chosen_id) AS BIGINT) AS sum_chosen_ids,
         |  CAST(sum(rejected_id) AS BIGINT) AS sum_rejected_ids
         |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q245: the full pack replayed from first principles — running token
+    // offsets, boundary splits, per-sequence reassembly — with the mask
+    // certificate built from TURN CONTENTS (never the mask): equality
+    // with the engine's extract-by-offset side proves every mask
+    // boundary token-for-token
+    "q245_sft_pack_masks" ->
+      """WITH t AS (
+        |  SELECT doc_id // 4 AS conv, (doc_id // 4) % 4 AS shard,
+        |    CAST(doc_id % 4 AS BIGINT) AS tix,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    list_concat(
+        |      ['<|' || CASE WHEN doc_id % 2 = 0 THEN 'user'
+        |        ELSE 'assistant' END || '|>'],
+        |      CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |        ELSE string_split_regex(trim(text), '\s+') END) AS ptoks
+        |  FROM documents),
+        |u AS (SELECT *, CAST(len(ptoks) AS BIGINT) AS tn FROM t),
+        |w AS (SELECT *, sum(tn) OVER (PARTITION BY shard ORDER BY conv, tix
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tn AS astart
+        |  FROM u),
+        |g AS (SELECT *, astart + tn AS aend,
+        |    CAST(astart // 512 AS BIGINT) AS seq0,
+        |    CAST((astart + tn - 1) // 512 AS BIGINT) AS seqN FROM w),
+        |seg AS (
+        |  SELECT shard, conv, tix, role, s.seqi,
+        |    greatest(astart, s.seqi * 512) - s.seqi * 512 AS sstart,
+        |    least(aend, (s.seqi + 1) * 512) - s.seqi * 512 AS send,
+        |    seqN > seq0 AS crossed,
+        |    ptoks[(greatest(astart, s.seqi * 512) - astart + 1):
+        |      (least(aend, (s.seqi + 1) * 512) - astart)] AS ftoks
+        |  FROM g, UNNEST(generate_series(seq0, seqN)) AS s(seqi)),
+        |q AS (
+        |  SELECT shard, seqi,
+        |    flatten(list(ftoks ORDER BY conv, tix)) AS seq_toks,
+        |    count(*) AS nsp,
+        |    count(*) FILTER (WHERE role = 'assistant') AS nasp,
+        |    coalesce(sum(send - sstart) FILTER (WHERE role = 'assistant'), 0)
+        |      AS a_toks,
+        |    count(*) FILTER (WHERE crossed) AS ncr,
+        |    coalesce(array_to_string(flatten(list(ftoks ORDER BY conv, tix)
+        |      FILTER (WHERE role = 'assistant')), ' '), '') AS a_text
+        |  FROM seg GROUP BY 1, 2)
+        |SELECT shard, count(*) AS n_seqs,
+        |  CAST(sum(len(seq_toks)) AS BIGINT) AS total_tokens,
+        |  CAST(sum(nsp) AS BIGINT) AS n_spans,
+        |  CAST(sum(nasp) AS BIGINT) AS n_assist_spans,
+        |  CAST(sum(a_toks) AS BIGINT) AS assist_tokens,
+        |  CAST(sum(ncr) AS BIGINT) AS n_crossing,
+        |  CAST(sum(CAST(concat('0x', substr(md5(array_to_string(seq_toks,
+        |    ' ')), 1, 8)) AS BIGINT)) AS BIGINT) AS render_cert,
+        |  CAST(sum(CAST(concat('0x', substr(md5(a_text), 1, 8)) AS BIGINT))
+        |    AS BIGINT) AS mask_cert
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
     // q196: ordered string_agg render + role token splits — render_chars
     // certifies every byte of every rendered conversation
     "q196_chat_render" -> (chatTurnsCte +

@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Boundary semantics of the loss-masked packer (the q245 DuckDB gate
+  * proves the corpus-scale values; these pin the hand-checkable edges):
+  * a turn crossing a sequence boundary splits into per-sequence segments
+  * whose offsets abut the boundary exactly, a turn ending exactly ON the
+  * boundary never leaks an empty segment into the next sequence, a turn
+  * longer than two budgets spans three, spans tile every sequence with
+  * no gap or overlap, and extract-by-offset returns precisely the
+  * trainable turns' tokens. */
+class LossMaskPackingSpec extends SparkSpec {
+
+  // turns: (shard, conv, tix, role, content); piece token count =
+  // 1 marker + content whitespace tokens
+  private def pack(turns: Seq[(Long, Long, Int, String, String)], budget: Int) = {
+    import spark.implicits._
+    LossMaskPacking.packWithMasks(
+      turns.toDF("shard", "conv", "tix", "role", "content"),
+      "shard", "conv", "tix", "role", "content", budget)
+      .orderBy("shard", "seq")
+      .collect()
+  }
+
+  private def spans(r: Row): Seq[(Long, Long, String, Boolean)] =
+    r.getAs[scala.collection.Seq[Row]]("spans")
+      .map(s => (s.getLong(0), s.getLong(1), s.getString(2), s.getBoolean(3))).toSeq
+
+  private def toks(r: Row): Seq[String] =
+    r.getAs[scala.collection.Seq[String]]("seq_toks").toSeq
+
+  test("cross-boundary turn splits into abutting segments, offsets exact") {
+    // user piece = [<|user|>, a, b, c] (4 toks), assistant piece =
+    // [<|assistant|>, d, e, f, g] (5 toks); budget 6 puts the assistant
+    // turn across the boundary: [4,6) in seq 0, [0,3) in seq 1
+    val rows = pack(Seq(
+      (0L, 0L, 0, "user", "a b c"),
+      (0L, 0L, 1, "assistant", "d e f g")), budget = 6)
+    assert(rows.length == 2)
+    assert(toks(rows(0)) == Seq("<|user|>", "a", "b", "c", "<|assistant|>", "d"))
+    assert(toks(rows(1)) == Seq("e", "f", "g"))
+    assert(spans(rows(0)) == Seq((0L, 4L, "user", false), (4L, 6L, "assistant", true)))
+    assert(spans(rows(1)) == Seq((0L, 3L, "assistant", true)))
+  }
+
+  test("turn ending exactly on the boundary leaks no empty segment") {
+    // user piece is exactly the budget: one un-crossed span, and the
+    // next turn starts cleanly at offset 0 of sequence 1
+    val rows = pack(Seq(
+      (0L, 0L, 0, "user", "a b c d e"),
+      (0L, 0L, 1, "assistant", "x y")), budget = 6)
+    assert(rows.length == 2)
+    assert(spans(rows(0)) == Seq((0L, 6L, "user", false)))
+    assert(spans(rows(1)) == Seq((0L, 3L, "assistant", false)))
+    assert(toks(rows(1)) == Seq("<|assistant|>", "x", "y"))
+  }
+
+  test("turn longer than two budgets spans three sequences") {
+    val content = (1 to 14).map(i => s"t$i").mkString(" ") // piece = 15 toks
+    val rows = pack(Seq((0L, 0L, 0, "assistant", content)), budget = 6)
+    assert(rows.length == 3)
+    assert(spans(rows(0)) == Seq((0L, 6L, "assistant", true)))
+    assert(spans(rows(1)) == Seq((0L, 6L, "assistant", true)))
+    assert(spans(rows(2)) == Seq((0L, 3L, "assistant", true)))
+    assert(toks(rows(2)) == Seq("t12", "t13", "t14"))
+  }
+
+  test("spans tile every sequence exactly; extract-by-offset == turn tokens") {
+    val rows = pack(Seq(
+      (0L, 0L, 0, "user", "u1 u2 u3"),
+      (0L, 0L, 1, "assistant", "a1 a2 a3 a4 a5"),
+      (0L, 1L, 0, "user", "u4"),
+      (0L, 1L, 1, "assistant", "a6 a7")), budget = 5)
+    rows.foreach { r =>
+      val sp = spans(r)
+      assert(sp.head._1 == 0L, "first span starts at 0")
+      assert(sp.last._2 == toks(r).length.toLong, "last span ends at n_toks")
+      sp.sliding(2).foreach {
+        case Seq(a, b) => assert(a._2 == b._1, "spans abut with no gap/overlap")
+        case _ =>
+      }
+    }
+    import spark.implicits._
+    val df = LossMaskPacking.packWithMasks(
+      Seq((0L, 0L, 0, "user", "u1 u2 u3"),
+        (0L, 0L, 1, "assistant", "a1 a2 a3 a4 a5"),
+        (0L, 1L, 0, "user", "u4"),
+        (0L, 1L, 1, "assistant", "a6 a7"))
+        .toDF("shard", "conv", "tix", "role", "content"),
+      "shard", "conv", "tix", "role", "content", budget = 5)
+    val aTexts = df.orderBy("seq")
+      .select(LossMaskPacking.trainableText(col("seq_toks"), col("spans"),
+        "assistant").as("a"))
+      .collect().map(_.getString(0)).mkString(" ").trim
+    assert(aTexts == "<|assistant|> a1 a2 a3 a4 a5 <|assistant|> a6 a7",
+      s"extract-by-offset diverged: '$aTexts'")
+  }
+}
