@@ -191,7 +191,9 @@ object Bench {
     "q242_mojibake_screen",   // encoding-corruption triage, shared regexes
     "q243_crawl_admission",   // robots -> quality -> quota composition
     "q244_image_pair_screen", // decoded luma <-> caption keyword join
-    "q245_sft_pack_masks")    // chat render -> packed seqs + loss masks
+    "q245_sft_pack_masks",    // chat render -> packed seqs + loss masks
+    "q246_pagerank_incremental", // edge-census ingest -> re-rank == rebuild
+    "q247_hits_incremental")  // HITS from the same stored edge census
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

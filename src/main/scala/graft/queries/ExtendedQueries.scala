@@ -676,7 +676,9 @@ object ExtendedQueries {
     "q201_lsh_planner" -> lshPlanner,
     "q202_crawl_priority" -> crawlPriority,
     "q171_host_pagerank" -> hostPageRank,
-    "q240_host_hits" -> hostHits)
+    "q240_host_hits" -> hostHits,
+    "q246_pagerank_incremental" -> pageRankIncremental,
+    "q247_hits_incremental" -> hitsIncremental)
 
   /** q201: MinHash-LSH banding planner ([[graft.ops.LshPlanner]]) — the
     * tuning table the q42/q62/q66 banding family is configured FROM: all
@@ -697,8 +699,9 @@ object ExtendedQueries {
     * replays the unrolled iteration chain CTE-for-CTE with the identical
     * arithmetic shape, so the 6-dp ranks hash-match (float drift from
     * summation order is ~1e-14 against a 5e-7 rounding quantum). */
-  /** The deterministic host link graph shared by q171/q202. */
-  private def hostEdges(docs: DataFrame): DataFrame = {
+  /** The deterministic host link graph shared by q171/q202/q246/q247 and
+    * the streaming edge-ingest twin. */
+  private[graft] def hostEdges(docs: DataFrame): DataFrame = {
     def srcHost = concat(col("source"), lit(".example.org"))
     def langHost = concat(col("lang"), lit(".example.net"))
     val e1 = docs.select(srcHost.as("src"), langHost.as("dst"))
@@ -843,6 +846,58 @@ object ExtendedQueries {
   lazy val hostHits: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     graft.ops.GraphRank.hits(hostEdges(docs), "src", "dst", iters = 6)
+      .select(col("host"), col("out_degree"), col("in_degree"),
+        round(col("hub"), 6).as("hub"),
+        round(col("authority"), 6).as("authority"))
+      .orderBy("host")
+  }
+
+  /** Stored-edge-census ingest shared by q246/q247: each crawl
+    * generation's host edges merge additively into the generic census
+    * store ([[graft.store.IndexStore.updateCensus]] keyed by (src, dst),
+    * value = n_seen — the q214/q219 doctrine applied to the link graph),
+    * exactly-once behind the batch cursor. Ranking reads the RELOADED
+    * store — (src, dst) rows, edge-cardinality-sized — so old crawls are
+    * never rescanned: a new generation costs its own edges' census + a
+    * node-sized re-rank, not an edge-table rebuild over all history. */
+  private def storedEdgeCensus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val path = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_edge_census"))
+      .resolve("idx").toString
+    def gen(p: Int) = hostEdges(docs.where(pmod(col("doc_id"), lit(2)) === p))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n_seen"))
+    graft.store.IndexStore.updateCensus(s, path, gen(0),
+      Seq("src", "dst"), batchId = 0L)
+    graft.store.IndexStore.updateCensus(s, path, gen(1),
+      Seq("src", "dst"), batchId = 1L)
+    graft.store.IndexStore.loadCensus(s, path)
+  }
+
+  /** q246: INCREMENTAL PageRank maintenance — the q168 "update == rebuild"
+    * shape applied to the host graph: two crawl generations (doc parity
+    * halves) ingest their edge deltas into the stored additive edge
+    * census, and the rank recomputes from the RELOADED store. The gate's
+    * oracle is q171's own unrolled full-rebuild chain, so row equality
+    * certifies ingest → merge → reload → re-rank == one-shot rebuild at
+    * 6 dp — without the engine ever holding the full edge table in one
+    * pass. (Replay no-ops and the streaming ingest twin are pinned in
+    * GraphRankSpec / StreamingSpec.) */
+  lazy val pageRankIncremental: Q = (s, dir) => {
+    graft.ops.GraphRank.pageRank(
+        storedEdgeCensus(s, dir).select("src", "dst"), "src", "dst", iters = 8)
+      .select(col("host"), col("out_degree"), col("in_degree"),
+        round(col("rank"), 6).as("rank"))
+      .orderBy("host")
+  }
+
+  /** q247: INCREMENTAL HITS from the same stored edge census — one store
+    * serves every graph-rank family (the point of keeping the sufficient
+    * statistic, the edge multiset, rather than any rank vector: ranks are
+    * not additive, edges are). Oracle = q240's unrolled chain. */
+  lazy val hitsIncremental: Q = (s, dir) => {
+    graft.ops.GraphRank.hits(
+        storedEdgeCensus(s, dir).select("src", "dst"), "src", "dst", iters = 6)
       .select(col("host"), col("out_degree"), col("in_degree"),
         round(col("hub"), 6).as("hub"),
         round(col("authority"), 6).as("authority"))
@@ -1147,6 +1202,10 @@ object ExtendedQueries {
         |FROM t2, m, m2 ORDER BY b""".stripMargin,
     "q171_host_pagerank" -> hostPageRankOracle(8),
     "q240_host_hits" -> hostHitsOracle(6),
+    // q246/q247: the oracle is the FULL-REBUILD chain — equality certifies
+    // incremental ingest -> stored merge -> reload -> re-rank == rebuild
+    "q246_pagerank_incremental" -> hostPageRankOracle(8),
+    "q247_hits_incremental" -> hostHitsOracle(6),
     "q202_crawl_priority" -> crawlPriorityOracle(8),
     "q139_neardup_decontam" ->
       """WITH sh AS (

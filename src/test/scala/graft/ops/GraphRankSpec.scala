@@ -48,6 +48,35 @@ class GraphRankSpec extends SparkSpec {
     assert(m("a") == (2L, 1L) && m("b") == (1L, 1L) && m("c") == (0L, 1L))
   }
 
+  test("stored edge census: replayed batch is a no-op; rank == rebuild") {
+    val root = java.nio.file.Files.createTempDirectory("graft_edge_noop")
+    val path = root.resolve("idx").toString
+    val b0 = Seq("a" -> "b", "b" -> "c").toDF("src", "dst")
+      .groupBy("src", "dst").agg(count(lit(1)).as("n_seen"))
+    val b1 = Seq("c" -> "a", "a" -> "b").toDF("src", "dst")
+      .groupBy("src", "dst").agg(count(lit(1)).as("n_seen"))
+    assert(graft.store.IndexStore.updateCensus(spark, path, b0,
+      Seq("src", "dst"), batchId = 0L))
+    assert(graft.store.IndexStore.updateCensus(spark, path, b1,
+      Seq("src", "dst"), batchId = 1L))
+    // crash-replay of batch 1: cursor makes it a no-op
+    assert(!graft.store.IndexStore.updateCensus(spark, path, b1,
+      Seq("src", "dst"), batchId = 1L))
+    val stored = graft.store.IndexStore.loadCensus(spark, path)
+    val incr = GraphRank.pageRank(stored.select("src", "dst"),
+      "src", "dst", iters = 20).select("host", "rank")
+      .as[(String, Double)].collect().toMap
+    val full = ranksOf(Seq("a" -> "b", "b" -> "c", "c" -> "a"))
+    assert(incr.keySet == full.keySet &&
+      full.forall { case (k, v) => math.abs(v - incr(k)) < 1e-12 },
+      s"incremental rank diverged from rebuild: $incr vs $full")
+    // the duplicate a->b across generations folded additively, not as a
+    // second edge (n_seen 2, one row)
+    val ab = stored.where(col("src") === "a" && col("dst") === "b")
+      .select("n_seen").as[Long].collect()
+    assert(ab.toSeq == Seq(2L))
+  }
+
   test("crawl priority (q202): rank permutation, priority arithmetic, ordering") {
     val rows = graft.queries.ExtendedQueries.crawlPriority(
       spark, "/root/testdata/sf0.001").collect()

@@ -1006,6 +1006,46 @@ class StreamingSpec extends SparkSpec {
       "streamed census diverged from the one-shot census")
   }
 
+  test("edge-census ingest stream -> re-rank == one-shot rank; restart exactly-once") {
+    val docs = Tables.documents(spark, dir)
+    def census(df: org.apache.spark.sql.DataFrame) =
+      graft.queries.ExtendedQueries.hostEdges(df)
+        .groupBy("src", "dst").agg(count(lit(1)).as("n_seen"))
+    val src = java.nio.file.Files.createTempDirectory("graft_edge_src")
+    val root = java.nio.file.Files.createTempDirectory("graft_edge_stream").toString
+    val idxPath = s"$root/idx"
+    def stageFile(part: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_edge_p$part")
+      docs.where(pmod(col("doc_id"), lit(2)) === part).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, src.resolve(s"p$part.parquet"))
+    }
+    stageFile(0)
+    val schema = docs.schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+      val q = StreamingPipeline
+        .censusIngestStream(stream, idxPath, Seq("src", "dst"), census)
+        .option("checkpointLocation", s"$root/ckpt").start()
+      q.awaitTermination()
+    }
+    runOnce() // "process dies" after generation 0
+    stageFile(1) // a new crawl generation arrives while down
+    runOnce() // restart: must not re-merge generation 0
+    val stored = graft.store.IndexStore.loadCensus(spark, idxPath)
+    def rankMap(edges: org.apache.spark.sql.DataFrame) =
+      graft.ops.GraphRank.pageRank(edges, "src", "dst", iters = 8)
+        .select(col("host"), round(col("rank"), 6).as("r"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val incr = rankMap(stored.select("src", "dst"))
+    val full = rankMap(graft.queries.ExtendedQueries.hostEdges(docs))
+    assert(incr == full,
+      "re-rank from the streamed edge census diverged from the one-shot rank")
+  }
+
   test("snapshot ingest stream == one-shot fold; survives restart exactly-once") {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))
