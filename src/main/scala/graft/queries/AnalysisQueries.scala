@@ -131,33 +131,41 @@ object AnalysisQueries {
     * directions; rule 1 bites naturally (docs run 10–99 words). Per-rule
     * fail counts are INDEPENDENT flags, not funnel attrition — this is
     * the rule-authoring diagnostic, q184 is the production screen. */
+  /** The q200 plant column — shared verbatim with the q248 card. */
+  private def gopherPlantCol: org.apache.spark.sql.Column =
+    when(col("doc_id") % 11 === 1, concat(col("text"), lit("\n- x" * 10)))
+      .when(col("doc_id") % 11 === 2,
+        concat(col("text"), lit("\nread more...\nclick here...")))
+      .when(col("doc_id") % 11 === 3, concat(col("text"), lit(" #" * 30)))
+      .when(col("doc_id") % 11 === 4,
+        concat(col("text"), lit(" 12345" * 60)))
+      .when(col("doc_id") % 11 === 5, lit("tiny doc"))
+      .when(col("doc_id") % 11 === 6,
+        concat(col("text"), lit(" the cat sat of late")))
+      .otherwise(col("text"))
+
+  /** The 7 Gopher rule predicates over a gopherStats struct column `g` —
+    * shared verbatim by q200 and the q248 card. */
+  private def gopherOks(g: String): Seq[org.apache.spark.sql.Column] = Seq(
+    col(s"$g.n_words") >= 50 && col(s"$g.n_words") <= 100000,
+    col(s"$g.n_words") > 0 &&
+      col(s"$g.sum_word_chars") * lit(1.0) / col(s"$g.n_words") >= 3.0 &&
+      col(s"$g.sum_word_chars") * lit(1.0) / col(s"$g.n_words") <= 10.0,
+    col(s"$g.n_words") > 0 &&
+      (col(s"$g.n_hash") + col(s"$g.n_ellipsis")) * lit(1.0) /
+        col(s"$g.n_words") <= 0.1,
+    col(s"$g.n_bullet_lines") * lit(1.0) / col(s"$g.n_lines") <= 0.9,
+    col(s"$g.n_ellipsis_lines") * lit(1.0) / col(s"$g.n_lines") <= 0.3,
+    col(s"$g.n_words") > 0 &&
+      col(s"$g.n_alpha_words") * lit(1.0) / col(s"$g.n_words") >= 0.8,
+    col(s"$g.n_required_stops") >= 2)
+
   val gopherRules: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val planted = docs.withColumn("t",
-      when(col("doc_id") % 11 === 1, concat(col("text"), lit("\n- x" * 10)))
-        .when(col("doc_id") % 11 === 2,
-          concat(col("text"), lit("\nread more...\nclick here...")))
-        .when(col("doc_id") % 11 === 3, concat(col("text"), lit(" #" * 30)))
-        .when(col("doc_id") % 11 === 4,
-          concat(col("text"), lit(" 12345" * 60)))
-        .when(col("doc_id") % 11 === 5, lit("tiny doc"))
-        .when(col("doc_id") % 11 === 6,
-          concat(col("text"), lit(" the cat sat of late")))
-        .otherwise(col("text")))
+    val planted = docs.withColumn("t", gopherPlantCol)
     val g = planted.withColumn("g",
       graft.functions.GopherFunctions.gopherStats(col("t")))
-    val ok1 = col("g.n_words") >= 50 && col("g.n_words") <= 100000
-    val ok2 = col("g.n_words") > 0 &&
-      col("g.sum_word_chars") * lit(1.0) / col("g.n_words") >= 3.0 &&
-      col("g.sum_word_chars") * lit(1.0) / col("g.n_words") <= 10.0
-    val ok3 = col("g.n_words") > 0 &&
-      (col("g.n_hash") + col("g.n_ellipsis")) * lit(1.0) /
-        col("g.n_words") <= 0.1
-    val ok4 = col("g.n_bullet_lines") * lit(1.0) / col("g.n_lines") <= 0.9
-    val ok5 = col("g.n_ellipsis_lines") * lit(1.0) / col("g.n_lines") <= 0.3
-    val ok6 = col("g.n_words") > 0 &&
-      col("g.n_alpha_words") * lit(1.0) / col("g.n_words") >= 0.8
-    val ok7 = col("g.n_required_stops") >= 2
+    val Seq(ok1, ok2, ok3, ok4, ok5, ok6, ok7) = gopherOks("g")
     val passAll = ok1 && ok2 && ok3 && ok4 && ok5 && ok6 && ok7
     g.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -182,24 +190,32 @@ object AnalysisQueries {
     * Plants by doc_id % 13 (headings+links, brace/semicolon code bodies,
     * fenced blocks) give every class members on the single-line prose
     * corpus. */
+  /** The q203 plant column — shared verbatim with the q248 card. */
+  private def markupPlantCol: org.apache.spark.sql.Column =
+    when(col("doc_id") % 13 === 1, concat(col("text"),
+      lit("\n# Title\n## Section\nsee [link](http://x) and [two](y)")))
+      .when(col("doc_id") % 13 === 2, concat(col("text"),
+        lit("\nint main() {\n    int x = 1;\n    return x;\n}" * 3)))
+      .when(col("doc_id") % 13 === 3, concat(col("text"),
+        lit("\n```python\ncode here\n```")))
+      .otherwise(col("text"))
+
+  /** The prose/markdown/code routing rule over a markupStats struct
+    * column `g` — shared verbatim by q203/q207 and the q248 card. */
+  private def markupClassCol(g: String): org.apache.spark.sql.Column = {
+    val isCode = (col(s"$g.n_semicolons") + col(s"$g.n_braces")) * lit(1.0) /
+      col(s"$g.n_lines") >= 0.5 && col(s"$g.n_lines") >= 3
+    val isMarkdown = !isCode && (col(s"$g.n_heading_lines") >= 1 ||
+      col(s"$g.n_links") >= 2 || col(s"$g.n_fence_lines") >= 2)
+    when(isCode, "code").when(isMarkdown, "markdown").otherwise("prose")
+  }
+
   val markupCensus: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val planted = docs.withColumn("t",
-      when(col("doc_id") % 13 === 1, concat(col("text"),
-        lit("\n# Title\n## Section\nsee [link](http://x) and [two](y)")))
-        .when(col("doc_id") % 13 === 2, concat(col("text"),
-          lit("\nint main() {\n    int x = 1;\n    return x;\n}" * 3)))
-        .when(col("doc_id") % 13 === 3, concat(col("text"),
-          lit("\n```python\ncode here\n```")))
-        .otherwise(col("text")))
+    val planted = docs.withColumn("t", markupPlantCol)
     val g = planted.withColumn("g",
       graft.functions.MarkupFunctions.markupStats(col("t")))
-    val isCode = (col("g.n_semicolons") + col("g.n_braces")) * lit(1.0) /
-      col("g.n_lines") >= 0.5 && col("g.n_lines") >= 3
-    val isMarkdown = !isCode && (col("g.n_heading_lines") >= 1 ||
-      col("g.n_links") >= 2 || col("g.n_fence_lines") >= 2)
-    val cls = when(isCode, "code").when(isMarkdown, "markdown")
-      .otherwise("prose")
+    val cls = markupClassCol("g")
     g.withColumn("doc_class", cls)
       .groupBy("doc_class")
       .agg(count(lit(1)).as("n_docs"),
@@ -278,24 +294,22 @@ object AnalysisQueries {
     * routing thresholds stay pinned by two independent gates. Per class:
     * line-type totals and the class comment share
     * sum(comment)/sum(nonblank) at 4 dp. */
+  /** The q207 plant column — shared verbatim with the q248 card. */
+  private def commentPlantCol: org.apache.spark.sql.Column =
+    when(col("doc_id") % 23 === 1, concat(col("text"), lit(
+      "\n// sum both\nint a = b + c;\n// done\nreturn a;\n{ }")))
+      .when(col("doc_id") % 23 === 2, concat(col("text"), lit(
+        "\n# load\nx = 1;\n# save it {}\n\n\ny = 2;")))
+      .when(col("doc_id") % 23 === 3, concat(col("text"), lit(
+        "\n-- count rows\nselect 1;\n/* block note */\nselect 2;;")))
+      .otherwise(col("text"))
+
   val commentCensus: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val planted = docs.withColumn("t",
-      when(col("doc_id") % 23 === 1, concat(col("text"), lit(
-        "\n// sum both\nint a = b + c;\n// done\nreturn a;\n{ }")))
-        .when(col("doc_id") % 23 === 2, concat(col("text"), lit(
-          "\n# load\nx = 1;\n# save it {}\n\n\ny = 2;")))
-        .when(col("doc_id") % 23 === 3, concat(col("text"), lit(
-          "\n-- count rows\nselect 1;\n/* block note */\nselect 2;;")))
-        .otherwise(col("text")))
+    val planted = docs.withColumn("t", commentPlantCol)
     val g = planted.withColumn("g",
       graft.functions.MarkupFunctions.markupStats(col("t")))
-    val isCode = (col("g.n_semicolons") + col("g.n_braces")) * lit(1.0) /
-      col("g.n_lines") >= 0.5 && col("g.n_lines") >= 3
-    val isMarkdown = !isCode && (col("g.n_heading_lines") >= 1 ||
-      col("g.n_links") >= 2 || col("g.n_fence_lines") >= 2)
-    val cls = when(isCode, "code").when(isMarkdown, "markdown")
-      .otherwise("prose")
+    val cls = markupClassCol("g")
     g.withColumn("doc_class", cls)
       .groupBy("doc_class")
       .agg(count(lit(1)).as("n_docs"),
@@ -327,18 +341,22 @@ object AnalysisQueries {
     * sum/count candidate-entropy average (4 dp). */
   /** The q204/q205/q214 plants — md5/base64 arithmetic both engines
     * evaluate identically (see [[secretCensus]]). */
-  private def secretPlanted(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** The q204 plant column — shared by q204/q205/q214 (via
+    * [[secretPlanted]]) and the q248 card. */
+  private def secretPlantCol: org.apache.spark.sql.Column = {
     val did = col("doc_id").cast("string")
-    docs.withColumn("t",
-      when(col("doc_id") % 17 === 1, concat(col("text"),
-        lit(" AKIA"), upper(substring(md5(did), 1, 16))))
-        .when(col("doc_id") % 17 === 2, concat(col("text"), lit(" "),
-          md5(did), md5((col("doc_id") + 1).cast("string"))))
-        .when(col("doc_id") % 17 === 3, concat(col("text"), lit(" "),
-          base64(unhex(concat(md5(did), md5((col("doc_id") + 7).cast("string")))))))
-        .when(col("doc_id") % 17 === 4, concat(col("text"), lit(" " + "Ab+/" * 9)))
-        .otherwise(col("text")))
+    when(col("doc_id") % 17 === 1, concat(col("text"),
+      lit(" AKIA"), upper(substring(md5(did), 1, 16))))
+      .when(col("doc_id") % 17 === 2, concat(col("text"), lit(" "),
+        md5(did), md5((col("doc_id") + 1).cast("string"))))
+      .when(col("doc_id") % 17 === 3, concat(col("text"), lit(" "),
+        base64(unhex(concat(md5(did), md5((col("doc_id") + 7).cast("string")))))))
+      .when(col("doc_id") % 17 === 4, concat(col("text"), lit(" " + "Ab+/" * 9)))
+      .otherwise(col("text"))
   }
+
+  private def secretPlanted(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.withColumn("t", secretPlantCol)
 
   /** The RAW additive per-source census — every non-key column is a sum
     * (longs + the candidate-entropy-sum double), which is exactly the
@@ -442,17 +460,23 @@ object AnalysisQueries {
     * codegen-friendly territory without a custom kernel. Plants by
     * doc_id % 29 add multi-sentence and tail-without-terminator shapes to
     * the punctuation-free corpus. */
+  /** The q215 plant column — shared verbatim with the q248 card. */
+  private def sentencePlantCol: org.apache.spark.sql.Column =
+    when(col("doc_id") % 29 === 1, concat(col("text"),
+      lit(". Second sentence here. Third one ends now!")))
+      .when(col("doc_id") % 29 === 2, concat(col("text"),
+        lit("? One more thing. And a tail without terminal punct")))
+      .otherwise(col("text"))
+
+  /** Sentence count over a text column — shared by q215 and the card. */
+  private def sentenceCountCol(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    size(filter(split(t, "[.!?]+\\s+", -1), x => trim(x) =!= "")).cast("long")
+
   val sentenceCensus: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val planted = docs.withColumn("t",
-      when(col("doc_id") % 29 === 1, concat(col("text"),
-        lit(". Second sentence here. Third one ends now!")))
-        .when(col("doc_id") % 29 === 2, concat(col("text"),
-          lit("? One more thing. And a tail without terminal punct")))
-        .otherwise(col("text")))
+    val planted = docs.withColumn("t", sentencePlantCol)
     val g = planted.select(col("doc_id"), col("source"),
-      size(filter(split(col("t"), "[.!?]+\\s+", -1),
-        x => trim(x) =!= "")).cast("long").as("nsent"),
+      sentenceCountCol(col("t")).as("nsent"),
       graft.functions.TextFunctions.tokenCount(col("t")).cast("long").as("ntok"),
       length(col("t")).cast("long").as("nch"))
     g.groupBy("source")
@@ -465,6 +489,65 @@ object AnalysisQueries {
         sum(when(col("nsent") === 1, 1L).otherwise(0L)).as("n_single_sentence"),
         sum(col("doc_id")).as("sum_doc_ids"))
       .orderBy("source")
+  }
+
+  /** q248: the ONE-SCAN dataset card — every release publishes all five
+    * text censuses (Gopher rules q200, markup routing q203, secret scan
+    * q204, comment structure q207, sentence stats q215), and running
+    * them as five jobs means five corpus scans; this gate proves the
+    * stack COMPOSES into one: all five compiled kernels evaluate in ONE
+    * projection over ONE FileScan (PlanShapeSpec-pinned), each on its
+    * own census's planted text (the plant columns are shared verbatim
+    * with the individual gates, so the card's totals are BY CONSTRUCTION
+    * the gates' totals summed over their groups — pinned in
+    * DatasetCardSpec), and the single scalar aggregate emits the whole
+    * card. The q192 many-counters-one-pass shape at release scope: at
+    * 100 TB this is literally a 5× scan-cost reduction. */
+  val datasetCard: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val row = docs.select(
+      col("doc_id"),
+      graft.functions.GopherFunctions.gopherStats(gopherPlantCol).as("g"),
+      graft.functions.MarkupFunctions.markupStats(markupPlantCol).as("m"),
+      graft.functions.SecretFunctions.secretStats(secretPlantCol).as("sec"),
+      graft.functions.MarkupFunctions.markupStats(commentPlantCol).as("c"),
+      sentenceCountCol(sentencePlantCol).as("nsent"),
+      graft.functions.TextFunctions.tokenCount(sentencePlantCol)
+        .cast("long").as("sntok"),
+      length(sentencePlantCol).cast("long").as("snch"))
+    val Seq(ok1, ok2, ok3, ok4, ok5, ok6, ok7) = gopherOks("g")
+    val passAll = ok1 && ok2 && ok3 && ok4 && ok5 && ok6 && ok7
+    val mcls = markupClassCol("m")
+    val ccls = markupClassCol("c")
+    def nFail(ok: org.apache.spark.sql.Column) =
+      sum(when(!ok, 1L).otherwise(0L))
+    row.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(passAll, 1L).otherwise(0L)).as("g_pass_all"),
+      nFail(ok1).as("g_f_word_count"), nFail(ok2).as("g_f_mean_word_len"),
+      nFail(ok3).as("g_f_symbol_ratio"), nFail(ok4).as("g_f_bullet_lines"),
+      nFail(ok5).as("g_f_ellipsis_lines"), nFail(ok6).as("g_f_alpha_words"),
+      nFail(ok7).as("g_f_stop_words"),
+      sum(when(mcls === "code", 1L).otherwise(0L)).as("m_code_docs"),
+      sum(when(mcls === "markdown", 1L).otherwise(0L)).as("m_markdown_docs"),
+      sum(when(mcls === "prose", 1L).otherwise(0L)).as("m_prose_docs"),
+      sum(col("m.n_heading_lines")).as("m_headings"),
+      sum(col("m.n_links")).as("m_links"),
+      sum(col("m.n_fence_lines")).as("m_fences"),
+      sum(col("sec.n_aws")).as("sec_aws"),
+      sum(col("sec.n_hex")).as("sec_hex"),
+      sum(col("sec.n_cand")).as("sec_candidates"),
+      sum(col("sec.n_secret")).as("sec_b64"),
+      sum(((col("sec.n_aws") + col("sec.n_hex") + col("sec.n_secret")) > 0)
+        .cast("long")).as("sec_docs_flagged"),
+      sum(when(ccls === "code", 1L).otherwise(0L)).as("c_code_docs"),
+      sum(col("c.n_lines")).as("c_lines"),
+      sum(col("c.n_comment_lines")).as("c_comment_lines"),
+      sum(col("c.n_blank_lines")).as("c_blank_lines"),
+      sum(col("nsent")).as("s_sentences"),
+      sum(when(col("nsent") === 1, 1L).otherwise(0L)).as("s_single_sentence"),
+      sum(col("sntok")).as("s_tokens"),
+      sum(col("snch")).as("s_chars"))
   }
 
   /** q223: the composed CODE-RELEASE pipeline — each stage is certified
@@ -1341,6 +1424,7 @@ object AnalysisQueries {
     "q206_license_census" -> licenseCensus,
     "q207_comment_census" -> commentCensus,
     "q215_sentence_census" -> sentenceCensus,
+    "q248_dataset_card" -> datasetCard,
     "q223_code_pipeline" -> codePipeline,
     "q119_repetition_report" -> repetitionReport)
 
@@ -1502,7 +1586,175 @@ object AnalysisQueries {
       |FROM d LEFT JOIN pd USING (doc_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The q248 card oracle: the five census oracles' ROW-LEVEL chains
+    * (same plants, same kernel replays, same rule syntax), each reduced
+    * to a 1-row global aggregate and cross-joined — so the card equals
+    * the five individual gates' totals by the same SQL that certifies
+    * each of them. */
+  private val datasetCardOracle: String = secretPlantCte +
+    """,
+      |sec_pd AS (SELECT doc_id,
+      |    sum(CASE WHEN k = 'aws' THEN 1 ELSE 0 END) AS a,
+      |    sum(CASE WHEN k = 'hex' THEN 1 ELSE 0 END) AS x,
+      |    sum(CASE WHEN k = 'cand' THEN 1 ELSE 0 END) AS cnd,
+      |    sum(CASE WHEN k = 'cand' AND h >= 4.2 THEN 1 ELSE 0 END) AS sec
+      |  FROM cls LEFT JOIN ent USING (doc_id, tpos) GROUP BY 1),
+      |sec1 AS (
+      |  SELECT CAST(sum(coalesce(a, 0)) AS BIGINT) AS sec_aws,
+      |    CAST(sum(coalesce(x, 0)) AS BIGINT) AS sec_hex,
+      |    CAST(sum(coalesce(cnd, 0)) AS BIGINT) AS sec_candidates,
+      |    CAST(sum(coalesce(sec, 0)) AS BIGINT) AS sec_b64,
+      |    CAST(sum(CASE WHEN coalesce(a, 0) + coalesce(x, 0) +
+      |      coalesce(sec, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS sec_docs_flagged
+      |  FROM d LEFT JOIN sec_pd USING (doc_id)),
+      |gp AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 11 AS INT)
+      |      WHEN 1 THEN text || repeat(chr(10) || '- x', 10)
+      |      WHEN 2 THEN text || chr(10) || 'read more...' || chr(10) || 'click here...'
+      |      WHEN 3 THEN text || repeat(' #', 30)
+      |      WHEN 4 THEN text || repeat(' 12345', 60)
+      |      WHEN 5 THEN 'tiny doc'
+      |      WHEN 6 THEN text || ' the cat sat of late'
+      |      ELSE text END AS t
+      |  FROM documents),
+      |gg AS (
+      |  SELECT doc_id,
+      |    CAST(len(ts) AS BIGINT) AS nw,
+      |    CAST(coalesce(list_sum(list_transform(ts, w -> length(w))), 0) AS BIGINT) AS sc,
+      |    CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) AS nh,
+      |    CAST(len(regexp_extract_all(t, '\.\.\.')) AS BIGINT) AS ne,
+      |    CAST(len(ls) AS BIGINT) AS nl,
+      |    CAST(len(list_filter(ls, l -> ltrim(l) LIKE '-%' OR
+      |      ltrim(l) LIKE '*%' OR ltrim(l) LIKE '•%')) AS BIGINT) AS nb,
+      |    CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...')) AS BIGINT) AS nel,
+      |    CAST(len(list_filter(ts, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS na,
+      |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+      |      sw -> list_contains(list_transform(ts, tk -> lower(tk)), sw))) AS BIGINT) AS ns
+      |  FROM (SELECT doc_id, t,
+      |      CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
+      |        ELSE string_split_regex(trim(t), '\s+') END AS ts,
+      |      string_split(t, chr(10)) AS ls
+      |    FROM gp)),
+      |gf AS (
+      |  SELECT doc_id,
+      |    (nw >= 50 AND nw <= 100000) AS ok1,
+      |    (nw > 0 AND sc * 1.0 / nw >= 3.0 AND sc * 1.0 / nw <= 10.0) AS ok2,
+      |    (nw > 0 AND (nh + ne) * 1.0 / nw <= 0.1) AS ok3,
+      |    (nb * 1.0 / nl <= 0.9) AS ok4,
+      |    (nel * 1.0 / nl <= 0.3) AS ok5,
+      |    (nw > 0 AND na * 1.0 / nw >= 0.8) AS ok6,
+      |    (ns >= 2) AS ok7
+      |  FROM gg),
+      |g1 AS (
+      |  SELECT count(*) AS n_docs,
+      |    CAST(sum(CASE WHEN ok1 AND ok2 AND ok3 AND ok4 AND ok5 AND ok6
+      |      AND ok7 THEN 1 ELSE 0 END) AS BIGINT) AS g_pass_all,
+      |    CAST(sum(CASE WHEN NOT ok1 THEN 1 ELSE 0 END) AS BIGINT) AS g_f_word_count,
+      |    CAST(sum(CASE WHEN NOT ok2 THEN 1 ELSE 0 END) AS BIGINT) AS g_f_mean_word_len,
+      |    CAST(sum(CASE WHEN NOT ok3 THEN 1 ELSE 0 END) AS BIGINT) AS g_f_symbol_ratio,
+      |    CAST(sum(CASE WHEN NOT ok4 THEN 1 ELSE 0 END) AS BIGINT) AS g_f_bullet_lines,
+      |    CAST(sum(CASE WHEN NOT ok5 THEN 1 ELSE 0 END) AS BIGINT) AS g_f_ellipsis_lines,
+      |    CAST(sum(CASE WHEN NOT ok6 THEN 1 ELSE 0 END) AS BIGINT) AS g_f_alpha_words,
+      |    CAST(sum(CASE WHEN NOT ok7 THEN 1 ELSE 0 END) AS BIGINT) AS g_f_stop_words
+      |  FROM gf),
+      |mp AS (
+      |  SELECT doc_id, text ||
+      |    CASE CAST(doc_id % 13 AS INT)
+      |      WHEN 1 THEN chr(10) || '# Title' || chr(10) || '## Section' ||
+      |        chr(10) || 'see [link](http://x) and [two](y)'
+      |      WHEN 2 THEN repeat(chr(10) || 'int main() {' || chr(10) ||
+      |        '    int x = 1;' || chr(10) || '    return x;' || chr(10) || '}', 3)
+      |      WHEN 3 THEN chr(10) || '```python' || chr(10) || 'code here' ||
+      |        chr(10) || '```'
+      |      ELSE '' END AS t
+      |  FROM documents),
+      |mg AS (
+      |  SELECT doc_id,
+      |    CAST(len(ls) AS BIGINT) AS nl,
+      |    CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l), '^#{1,6} ')))
+      |      AS BIGINT) AS nh,
+      |    CAST(len(list_filter(ls, l -> ltrim(l) LIKE '```%')) AS BIGINT) AS nf,
+      |    CAST((length(t) - length(replace(t, '](', ''))) // 2 AS BIGINT) AS nk,
+      |    CAST(length(t) - length(replace(t, ';', '')) AS BIGINT) AS nsemi,
+      |    CAST((length(t) - length(replace(t, '{', ''))) +
+      |      (length(t) - length(replace(t, '}', ''))) AS BIGINT) AS nbr
+      |  FROM (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM mp)),
+      |m1 AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN (nsemi + nbr) * 1.0 / nl >= 0.5 AND nl >= 3
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS m_code_docs,
+      |    CAST(sum(CASE WHEN NOT ((nsemi + nbr) * 1.0 / nl >= 0.5 AND nl >= 3)
+      |      AND (nh >= 1 OR nk >= 2 OR nf >= 2) THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS m_markdown_docs,
+      |    CAST(sum(CASE WHEN NOT ((nsemi + nbr) * 1.0 / nl >= 0.5 AND nl >= 3)
+      |      AND NOT (nh >= 1 OR nk >= 2 OR nf >= 2) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS m_prose_docs,
+      |    CAST(sum(nh) AS BIGINT) AS m_headings,
+      |    CAST(sum(nk) AS BIGINT) AS m_links,
+      |    CAST(sum(nf) AS BIGINT) AS m_fences
+      |  FROM mg),
+      |cp AS (
+      |  SELECT doc_id, text ||
+      |    CASE CAST(doc_id % 23 AS INT)
+      |      WHEN 1 THEN chr(10) || '// sum both' || chr(10) || 'int a = b + c;' ||
+      |        chr(10) || '// done' || chr(10) || 'return a;' || chr(10) || '{ }'
+      |      WHEN 2 THEN chr(10) || '# load' || chr(10) || 'x = 1;' || chr(10) ||
+      |        '# save it {}' || chr(10) || chr(10) || chr(10) || 'y = 2;'
+      |      WHEN 3 THEN chr(10) || '-- count rows' || chr(10) || 'select 1;' ||
+      |        chr(10) || '/* block note */' || chr(10) || 'select 2;;'
+      |      ELSE '' END AS t
+      |  FROM documents),
+      |cg AS (
+      |  SELECT doc_id,
+      |    CAST(len(ls) AS BIGINT) AS nl,
+      |    CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l), '^#{1,6} ')))
+      |      AS BIGINT) AS nh,
+      |    CAST(len(list_filter(ls, l -> ltrim(l) LIKE '```%')) AS BIGINT) AS nf,
+      |    CAST((length(t) - length(replace(t, '](', ''))) // 2 AS BIGINT) AS nk,
+      |    CAST(length(t) - length(replace(t, ';', '')) AS BIGINT) AS nsemi,
+      |    CAST((length(t) - length(replace(t, '{', ''))) +
+      |      (length(t) - length(replace(t, '}', ''))) AS BIGINT) AS nbr,
+      |    CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l),
+      |      '^(#|//|--|/\*)'))) AS BIGINT) AS nc,
+      |    CAST(len(list_filter(ls, l -> NOT regexp_matches(l, '[^ \t]')))
+      |      AS BIGINT) AS nb
+      |  FROM (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM cp)),
+      |c1 AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN (nsemi + nbr) * 1.0 / nl >= 0.5 AND nl >= 3
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS c_code_docs,
+      |    CAST(sum(nl) AS BIGINT) AS c_lines,
+      |    CAST(sum(nc) AS BIGINT) AS c_comment_lines,
+      |    CAST(sum(nb) AS BIGINT) AS c_blank_lines
+      |  FROM cg),
+      |sp AS (
+      |  SELECT doc_id, text ||
+      |    CASE CAST(doc_id % 29 AS INT)
+      |      WHEN 1 THEN '. Second sentence here. Third one ends now!'
+      |      WHEN 2 THEN '? One more thing. And a tail without terminal punct'
+      |      ELSE '' END AS t
+      |  FROM documents),
+      |sg AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(t, '[.!?]+\s+'),
+      |      x -> trim(x) <> '')) AS BIGINT) AS nsent,
+      |    CAST(len(CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
+      |      ELSE string_split_regex(trim(t), '\s+') END) AS BIGINT) AS ntok,
+      |    CAST(length(t) AS BIGINT) AS nch
+      |  FROM sp),
+      |s1 AS (
+      |  SELECT CAST(sum(nsent) AS BIGINT) AS s_sentences,
+      |    CAST(sum(CASE WHEN nsent = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS s_single_sentence,
+      |    CAST(sum(ntok) AS BIGINT) AS s_tokens,
+      |    CAST(sum(nch) AS BIGINT) AS s_chars
+      |  FROM sg)
+      |SELECT g1.*, m1.*, sec1.*, c1.*, s1.* FROM g1, m1, sec1, c1, s1""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q248_dataset_card" -> datasetCardOracle,
     "q187_dictionary_redact" ->
       """WITH r AS (
         |  SELECT source, text,

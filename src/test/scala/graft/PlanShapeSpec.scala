@@ -551,4 +551,12 @@ class PlanShapeSpec extends SparkSpec {
         s"$q must stay in-row into a partial aggregate:\n${plan.take(2000)}")
     }
   }
+
+  test("dataset card: all five censuses fuse into ONE FileScan, no join") {
+    val plan = planOf("q248_dataset_card")
+    assert("FileScan parquet".r.findAllIn(plan).length == 1,
+      s"the card must scan documents exactly once:\n${plan.take(3000)}")
+    assert(!plan.contains("Generate explode") && !plan.contains("Join"),
+      s"the card must stay in-row into one partial aggregate:\n${plan.take(3000)}")
+  }
 }

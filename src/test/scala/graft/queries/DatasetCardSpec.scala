@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** The q248 card's contract: its one-scan totals equal the five
+  * individual census gates' totals summed over their groups (the DuckDB
+  * gate proves both sides against SQL; this pins them against EACH
+  * OTHER, so the shared plant/rule columns can never drift apart). */
+class DatasetCardSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def sumCol(rows: Array[Row], col: String): Long =
+    rows.map(r => r.getLong(r.fieldIndex(col))).sum
+
+  test("card totals == the five census gates' totals (sf0.001)") {
+    val card = AnalysisQueries.datasetCard(spark, dir).collect().head
+    def c(name: String): Long = card.getLong(card.fieldIndex(name))
+
+    val gopher = AnalysisQueries.gopherRules(spark, dir).collect()
+    assert(c("n_docs") == sumCol(gopher, "n_docs"))
+    assert(c("g_pass_all") == sumCol(gopher, "n_pass_all"))
+    assert(c("g_f_word_count") == sumCol(gopher, "f_word_count"))
+    assert(c("g_f_mean_word_len") == sumCol(gopher, "f_mean_word_len"))
+    assert(c("g_f_symbol_ratio") == sumCol(gopher, "f_symbol_ratio"))
+    assert(c("g_f_bullet_lines") == sumCol(gopher, "f_bullet_lines"))
+    assert(c("g_f_ellipsis_lines") == sumCol(gopher, "f_ellipsis_lines"))
+    assert(c("g_f_alpha_words") == sumCol(gopher, "f_alpha_words"))
+    assert(c("g_f_stop_words") == sumCol(gopher, "f_stop_words"))
+
+    val markup = AnalysisQueries.markupCensus(spark, dir).collect()
+    def classDocs(cls: String): Long = markup
+      .filter(_.getString(0) == cls).map(r => r.getLong(1)).sum
+    assert(c("m_code_docs") == classDocs("code"))
+    assert(c("m_markdown_docs") == classDocs("markdown"))
+    assert(c("m_prose_docs") == classDocs("prose"))
+    assert(c("m_headings") == sumCol(markup, "sum_headings"))
+    assert(c("m_links") == sumCol(markup, "sum_links"))
+    assert(c("m_fences") == sumCol(markup, "sum_fences"))
+
+    val secrets = AnalysisQueries.secretCensus(spark, dir).collect()
+    assert(c("sec_aws") == sumCol(secrets, "n_aws"))
+    assert(c("sec_hex") == sumCol(secrets, "n_hex"))
+    assert(c("sec_candidates") == sumCol(secrets, "n_candidates"))
+    assert(c("sec_b64") == sumCol(secrets, "n_b64_secrets"))
+    assert(c("sec_docs_flagged") == sumCol(secrets, "n_docs_flagged"))
+
+    val comments = AnalysisQueries.commentCensus(spark, dir).collect()
+    assert(c("c_code_docs") == comments
+      .filter(_.getString(0) == "code").map(r => r.getLong(1)).sum)
+    assert(c("c_lines") == sumCol(comments, "n_lines"))
+    assert(c("c_comment_lines") == sumCol(comments, "n_comment_lines"))
+    assert(c("c_blank_lines") == sumCol(comments, "n_blank_lines"))
+
+    val sentences = AnalysisQueries.sentenceCensus(spark, dir).collect()
+    assert(c("s_sentences") == sumCol(sentences, "n_sentences"))
+    assert(c("s_single_sentence") == sumCol(sentences, "n_single_sentence"))
+    // non-vacuity: every section of the card is populated
+    assert(c("g_pass_all") > 0 && c("m_code_docs") > 0 &&
+      c("sec_b64") > 0 && c("c_comment_lines") > 0 && c("s_sentences") > 0)
+  }
+}
