@@ -651,6 +651,9 @@ object ModelPrepQueries {
     * types — compounds give the fit genuine sub-word structure (up to ~961
     * 16-char types whose natural segmentation is the base-word boundary)
     * while keeping every table vocabulary-sized. */
+  private[graft] def compoundPlantedPublic(docs: DataFrame): DataFrame =
+    compoundPlanted(docs)
+
   private def compoundPlanted(docs: DataFrame): DataFrame = {
     val toks = TextFunctions.tokens(col("text"))
     val np = floor(size(toks) / lit(2)).cast("int")

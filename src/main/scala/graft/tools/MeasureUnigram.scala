@@ -1,0 +1,113 @@
+package graft.tools
+
+import graft.functions.TextFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Where does q174 (unigram corpus census, the slowest headline) actually
+  * spend its time? Decomposes the chain at a given SF into its four
+  * phases — (a) the capped word-frequency aggregate, (b) the substring
+  * seed census over the word-TYPE table (the double-explode + substr +
+  * groupBy the round-9 verdict asked to profile), (c) the driver-side
+  * hard-EM loop, (d) the compiled-Viterbi encode scan + final groupBy —
+  * and A/Bs phase (b) against a candidate compiled kernel shape
+  * (per-type substring MAP emitted by one expression, aggregated by
+  * exploding the map once instead of twice). Interleaved passes (the
+  * TopKByScore discipline): phases alternate within each rep so load
+  * drift hits both variants equally.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.MeasureUnigram [reps]
+  */
+object MeasureUnigram {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = args.lift(0).map(_.toInt).getOrElse(5)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config(Tables.NanosAsLongConf, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val planted = graft.queries.ModelPrepQueries
+      .compoundPlantedPublic(Tables.documents(spark, sfDir))
+    val (seedSize, iters, maxLen) = (300, 2, 8)
+
+    def phaseA(): Array[(String, Long)] = planted
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w").asc)
+      .limit(1000000)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    val wordFreq = phaseA()
+    println(s"[unigram] word types: ${wordFreq.length}")
+    val typesDf = wordFreq.toSeq.toDF("w", "f").cache()
+    typesDf.count()
+
+    // phase (b), current shape: double explode + substr + groupBy
+    def seedExplode(): Long = {
+      val subs = typesDf
+        .select(col("w"), col("f"),
+          explode(sequence(lit(1), length(col("w")))).as("st"))
+        .select(col("w"), col("f"), col("st"),
+          explode(sequence(lit(1),
+            least(lit(maxLen), length(col("w")) - col("st") + lit(1)))).as("l"))
+        .select(col("w").substr(col("st"), col("l")).as("piece"), col("f"))
+        .groupBy("piece").agg(sum("f").as("c"))
+      subs.orderBy(col("c").desc, col("piece").asc).limit(seedSize)
+        .unionByName(subs.where(length(col("piece")) === 1))
+        .distinct().count()
+    }
+
+    // phase (b), candidate kernel shape: per-type substring->count MAP in
+    // ONE pass (aggregate over in-row positions), exploded once
+    def seedMap(): Long = {
+      val pieces = typesDf.select(col("f"), explode(flatten(
+        transform(sequence(lit(1), length(col("w"))), st =>
+          transform(sequence(lit(1),
+            least(lit(maxLen), length(col("w")) - st + lit(1))), l =>
+            col("w").substr(st, l))))).as("piece"))
+        .groupBy("piece").agg(sum("f").as("c"))
+      pieces.orderBy(col("c").desc, col("piece").asc).limit(seedSize)
+        .unionByName(pieces.where(length(col("piece")) === 1))
+        .distinct().count()
+    }
+
+    // phases (c)+(d) via the public fit + encode (dominated by EM+encode)
+    def fullFit(): Unit = {
+      val model = graft.ops.UnigramLm.fit(planted, "text", seedSize, iters, maxLen)
+      planted.select(explode(graft.functions.TextExpr.unigramEncode(
+          col("text"), model.scores, maxLen)).as("piece"))
+        .groupBy("piece").agg(count(lit(1)).as("n")).collect()
+      ()
+    }
+
+    def timeOne(thunk: () => Any): Double = {
+      val t0 = System.nanoTime(); thunk(); (System.nanoTime() - t0) / 1e9
+    }
+    val tA = collection.mutable.ArrayBuffer[Double]()
+    val tB1 = collection.mutable.ArrayBuffer[Double]()
+    val tB2 = collection.mutable.ArrayBuffer[Double]()
+    val tF = collection.mutable.ArrayBuffer[Double]()
+    (1 to reps).foreach { _ =>
+      tA += timeOne(() => phaseA())
+      tB1 += timeOne(() => seedExplode())
+      tB2 += timeOne(() => seedMap())
+      tF += timeOne(() => fullFit())
+    }
+    def fmt(xs: Seq[Double]) =
+      f"min=${xs.min}%6.3fs all=${xs.map(t => f"$t%.3f").mkString(",")}"
+    println(s"[unigram] A word-freq agg        ${fmt(tA.toSeq)}")
+    println(s"[unigram] B1 seed double-explode ${fmt(tB1.toSeq)}")
+    println(s"[unigram] B2 seed nested-map     ${fmt(tB2.toSeq)}")
+    println(s"[unigram] F fit+encode (q174)    ${fmt(tF.toSeq)}")
+    spark.stop()
+  }
+}
