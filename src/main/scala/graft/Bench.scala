@@ -194,7 +194,8 @@ object Bench {
     "q245_sft_pack_masks",    // chat render -> packed seqs + loss masks
     "q246_pagerank_incremental", // edge-census ingest -> re-rank == rebuild
     "q247_hits_incremental",  // HITS from the same stored edge census
-    "q248_dataset_card")      // five text censuses fused into one scan
+    "q248_dataset_card",      // five text censuses fused into one scan
+    "q249_card_incremental")  // stored additive card, batched == one-shot
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

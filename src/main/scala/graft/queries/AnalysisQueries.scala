@@ -550,6 +550,87 @@ object AnalysisQueries {
       sum(col("snch")).as("s_chars"))
   }
 
+  /** The q248 card's per-source RAW census — every column an exact sum
+    * (the [[graft.store.IndexStore.updateCensus]] additive contract), so
+    * batch censuses merge into the one-shot census by additivity. Shared
+    * by q248's incremental twin (q249) and the streaming card ingest. */
+  private[graft] def cardCensusRaw(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val row = docs.select(
+      col("doc_id"), col("source"),
+      graft.functions.GopherFunctions.gopherStats(gopherPlantCol).as("g"),
+      graft.functions.MarkupFunctions.markupStats(markupPlantCol).as("m"),
+      graft.functions.SecretFunctions.secretStats(secretPlantCol).as("sec"),
+      graft.functions.MarkupFunctions.markupStats(commentPlantCol).as("c"),
+      sentenceCountCol(sentencePlantCol).as("nsent"),
+      graft.functions.TextFunctions.tokenCount(sentencePlantCol)
+        .cast("long").as("sntok"),
+      length(sentencePlantCol).cast("long").as("snch"))
+    val Seq(ok1, ok2, ok3, ok4, ok5, ok6, ok7) = gopherOks("g")
+    val passAll = ok1 && ok2 && ok3 && ok4 && ok5 && ok6 && ok7
+    val mcls = markupClassCol("m")
+    val ccls = markupClassCol("c")
+    def nFail(ok: org.apache.spark.sql.Column) =
+      sum(when(!ok, 1L).otherwise(0L))
+    row.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(passAll, 1L).otherwise(0L)).as("g_pass_all"),
+      nFail(ok1).as("g_f_word_count"), nFail(ok2).as("g_f_mean_word_len"),
+      nFail(ok3).as("g_f_symbol_ratio"), nFail(ok4).as("g_f_bullet_lines"),
+      nFail(ok5).as("g_f_ellipsis_lines"), nFail(ok6).as("g_f_alpha_words"),
+      nFail(ok7).as("g_f_stop_words"),
+      sum(when(mcls === "code", 1L).otherwise(0L)).as("m_code_docs"),
+      sum(when(mcls === "markdown", 1L).otherwise(0L)).as("m_markdown_docs"),
+      sum(when(mcls === "prose", 1L).otherwise(0L)).as("m_prose_docs"),
+      sum(col("m.n_heading_lines")).as("m_headings"),
+      sum(col("m.n_links")).as("m_links"),
+      sum(col("m.n_fence_lines")).as("m_fences"),
+      sum(col("sec.n_aws")).as("sec_aws"),
+      sum(col("sec.n_hex")).as("sec_hex"),
+      sum(col("sec.n_cand")).as("sec_candidates"),
+      sum(col("sec.n_secret")).as("sec_b64"),
+      sum(((col("sec.n_aws") + col("sec.n_hex") + col("sec.n_secret")) > 0)
+        .cast("long")).as("sec_docs_flagged"),
+      sum(when(ccls === "code", 1L).otherwise(0L)).as("c_code_docs"),
+      sum(col("c.n_lines")).as("c_lines"),
+      sum(col("c.n_comment_lines")).as("c_comment_lines"),
+      sum(col("c.n_blank_lines")).as("c_blank_lines"),
+      sum(col("nsent")).as("s_sentences"),
+      sum(when(col("nsent") === 1, 1L).otherwise(0L)).as("s_single_sentence"),
+      sum(col("sntok")).as("s_tokens"),
+      sum(col("snch")).as("s_chars"))
+  }
+
+  /** Roll the stored per-source card census up to the release-level card
+    * row (the q248 column contract). */
+  private[graft] def cardReport(raw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val counters = raw.schema.fieldNames.filterNot(_ == "source")
+    raw.agg(sum(col(counters.head)).as(counters.head),
+      counters.tail.map(c => sum(col(c)).as(c)): _*)
+  }
+
+  /** q249: INCREMENTAL dataset card — q248's counters are ALL exact sums,
+    * so the card lives in the additive census store keyed by source (the
+    * q214/q219 doctrine at card scope): each corpus batch merges its
+    * per-source card census exactly-once, and the release card rolls up
+    * from the RELOADED store at any time without rescanning history. The
+    * gate ingests the corpus as two doc-parity batches and reports from
+    * the store against q248's own one-shot oracle — a dataset card you
+    * can keep current under continuous ingest for the cost of each new
+    * batch's single scan. */
+  val datasetCardIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val path = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_card_idx"))
+      .resolve("idx").toString
+    graft.store.IndexStore.updateCensus(s, path,
+      cardCensusRaw(docs.where(col("doc_id") % 2 === 0)),
+      Seq("source"), batchId = 0L)
+    graft.store.IndexStore.updateCensus(s, path,
+      cardCensusRaw(docs.where(col("doc_id") % 2 === 1)),
+      Seq("source"), batchId = 1L)
+    cardReport(graft.store.IndexStore.loadCensus(s, path))
+  }
+
   /** q223: the composed CODE-RELEASE pipeline — each stage is certified
     * by its own gate (q203 routing, q206 license, q204/q205 secrets, q207
     * comments); this gate certifies the COMPOSITION (the q86/q165
@@ -1425,6 +1506,7 @@ object AnalysisQueries {
     "q207_comment_census" -> commentCensus,
     "q215_sentence_census" -> sentenceCensus,
     "q248_dataset_card" -> datasetCard,
+    "q249_card_incremental" -> datasetCardIncremental,
     "q223_code_pipeline" -> codePipeline,
     "q119_repetition_report" -> repetitionReport)
 
@@ -1755,6 +1837,9 @@ object AnalysisQueries {
 
   val oracles: Map[String, String] = Map(
     "q248_dataset_card" -> datasetCardOracle,
+    // q249: the one-shot card oracle IS the gate — stored batched merge
+    // must reproduce it exactly (additivity + exactly-once round trip)
+    "q249_card_incremental" -> datasetCardOracle,
     "q187_dictionary_redact" ->
       """WITH r AS (
         |  SELECT source, text,

@@ -1046,6 +1046,42 @@ class StreamingSpec extends SparkSpec {
       "re-rank from the streamed edge census diverged from the one-shot rank")
   }
 
+  test("dataset-card ingest stream == one-shot card; restart exactly-once") {
+    val docs = Tables.documents(spark, dir)
+    val src = java.nio.file.Files.createTempDirectory("graft_card_src")
+    val root = java.nio.file.Files.createTempDirectory("graft_card_stream").toString
+    val idxPath = s"$root/idx"
+    def stageFile(part: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_card_p$part")
+      docs.where(pmod(col("doc_id"), lit(2)) === part).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, src.resolve(s"p$part.parquet"))
+    }
+    stageFile(0)
+    val schema = docs.schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+      val q = StreamingPipeline
+        .censusIngestStream(stream, idxPath, Seq("source"),
+          graft.queries.AnalysisQueries.cardCensusRaw)
+        .option("checkpointLocation", s"$root/ckpt").start()
+      q.awaitTermination()
+    }
+    runOnce() // "process dies" after batch 0
+    stageFile(1) // backlog arrives while down
+    runOnce() // restart: must not re-merge batch 0
+    val streamedCard = graft.queries.AnalysisQueries.cardReport(
+      graft.store.IndexStore.loadCensus(spark, idxPath))
+    val oneShotCard = graft.queries.AnalysisQueries
+      .datasetCard(spark, dir)
+    assert(streamedCard.exceptAll(oneShotCard).isEmpty &&
+      oneShotCard.exceptAll(streamedCard).isEmpty,
+      "streamed dataset card diverged from the one-shot card")
+  }
+
   test("snapshot ingest stream == one-shot fold; survives restart exactly-once") {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))
