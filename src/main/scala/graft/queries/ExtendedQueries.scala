@@ -464,6 +464,38 @@ object ExtendedQueries {
       .orderBy("source")
   }
 
+  /** q250: SOFT dedup — the downweight-don't-drop alternative every
+    * scaling-data paper ends up comparing against hard dedup: each doc in
+    * an exact-duplicate group of size n carries importance weight 1/n,
+    * so every group contributes unit mass to the training mixture and no
+    * text is discarded (repeated docs still appear, just not over-
+    * counted in the loss). Weights are EXACT integers — w6 = 10^6 div n,
+    * the engine's quantization doctrine — so weighted token masses are
+    * BIGINT sums the oracle replays digit-for-digit. Scale shape: one
+    * md5-keyed group-size aggregate joined back on the narrow 32-char
+    * key (never a member list, never the text), then one source-keyed
+    * aggregate; giant dup groups cost one counter. Per source: docs,
+    * dup-group members, raw vs weighted token mass, and the effective
+    * fraction (weighted/raw) a mixture planner consumes. */
+  val softDedup: Q = (s, dir) => {
+    val d = plantDups(Tables.documents(s, dir))
+      .withColumn("h", md5(col("t")))
+      .withColumn("ntok",
+        graft.functions.TextFunctions.tokenCount(col("t")).cast("long"))
+    val sizes = d.groupBy("h").agg(count(lit(1)).as("n_dup"))
+    d.join(sizes, "h")
+      .withColumn("w6", expr("1000000 div n_dup"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_dup") > 1, 1L).otherwise(0L)).as("n_dup_members"),
+        sum(col("ntok")).as("raw_tokens"),
+        sum(col("ntok") * col("w6")).as("weighted_tokens_x1e6"),
+        sum(col("w6")).as("sum_weight_x1e6"),
+        round(sum(col("ntok") * col("w6")) /
+          (sum(col("ntok")) * lit(1000000.0)), 6).as("effective_frac"))
+      .orderBy("source")
+  }
+
   /** The q216 confusable fold: the high-frequency Cyrillic/Latin lookalike
     * pairs spam obfuscation actually uses (а→a е→e о→o р→p с→c х→x і→i).
     * Shared verbatim with the oracle's translate(). */
@@ -654,6 +686,7 @@ object ExtendedQueries {
     "q216_confusable_dedup" -> confusableDedup,
     "q222_robots_eval" -> robotsEval,
     "q225_split_repair" -> splitRepair,
+    "q250_soft_dedup" -> softDedup,
     "q226_norm_ladder" -> normalizationLadder,
     "q210_split_leakage" -> splitLeakage,
     "q139_neardup_decontam" -> nearDupDecontam,
@@ -1096,6 +1129,26 @@ object ExtendedQueries {
         |FROM x""".stripMargin,
     // q225: same plant + split CTEs as q210; the repair rule and the
     // recomputed residual certificate share syntax
+    // q250: group sizes + the same 10^6 div n quantized weight; weighted
+    // masses are exact BIGINTs on both sides
+    "q250_soft_dedup" -> (dupPlantCte + """,
+      |g AS (
+      |  SELECT doc_id, source, t, md5(t) AS h,
+      |    CAST(len(CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
+      |      ELSE string_split_regex(trim(t), '\s+') END) AS BIGINT) AS ntok
+      |  FROM p),
+      |sz AS (SELECT h, count(*) AS n_dup FROM g GROUP BY 1),
+      |j AS (
+      |  SELECT g.*, sz.n_dup, CAST(1000000 // sz.n_dup AS BIGINT) AS w6
+      |  FROM g JOIN sz USING (h))
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN n_dup > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_members,
+      |  CAST(sum(ntok) AS BIGINT) AS raw_tokens,
+      |  CAST(sum(ntok * w6) AS BIGINT) AS weighted_tokens_x1e6,
+      |  CAST(sum(w6) AS BIGINT) AS sum_weight_x1e6,
+      |  round(sum(ntok * w6) / (sum(ntok) * 1000000.0), 6) AS effective_frac
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin),
     "q225_split_repair" -> (dupPlantCte +
       """,
         |d AS (
