@@ -196,7 +196,8 @@ object Bench {
     "q247_hits_incremental",  // HITS from the same stored edge census
     "q248_dataset_card",      // five text censuses fused into one scan
     "q249_card_incremental",  // stored additive card, batched == one-shot
-    "q250_soft_dedup")        // 1/n dup-group importance weights
+    "q250_soft_dedup",        // 1/n dup-group importance weights
+    "q251_pack_boundaries")   // packed-seq conv-start offset map
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -74,6 +74,11 @@ object LossMaskPacking {
     // One row per (turn, sequence it touches): the cross-boundary split.
     val segs = packed
       .withColumn("__seqi", explode(sequence(col("__seq0"), col("__seqN"))))
+      // a segment OPENS a conversation iff it is turn 0's first segment —
+      // the offsets loaders need for position-id resets / block-diagonal
+      // attention over packed sequences
+      .withColumn("__cstart",
+        col("__okey") % (1L << TurnBits) === 0 && col("__seqi") === col("__seq0"))
       .withColumn("__gstart", greatest(col("__start"), col("__seqi") * b))
       .withColumn("__sstart", col("__gstart") - col("__seqi") * b)
       .withColumn("__send",
@@ -87,7 +92,7 @@ object LossMaskPacking {
     segs.groupBy(col("__shard"), col("__seqi"))
       .agg(array_sort(collect_list(struct(col("__okey"),
         col("__sstart"), col("__send"), col("__role"),
-        col("__crossed"), col("__ftoks")))).as("__xs"))
+        col("__crossed"), col("__cstart"), col("__ftoks")))).as("__xs"))
       .select(col("__shard").as(shardCol), col("__seqi").as("seq"),
         flatten(transform(col("__xs"), x => x.getField("__ftoks")))
           .as("seq_toks"),
@@ -95,7 +100,9 @@ object LossMaskPacking {
           x.getField("__sstart").as("start"),
           x.getField("__send").as("end"),
           x.getField("__role").as("role"),
-          x.getField("__crossed").as("crossed"))).as("spans"))
+          x.getField("__crossed").as("crossed"))).as("spans"),
+        transform(filter(col("__xs"), x => x.getField("__cstart")),
+          x => x.getField("__sstart")).as("conv_starts"))
       .withColumn("n_toks", size(col("seq_toks")).cast("long"))
   }
 

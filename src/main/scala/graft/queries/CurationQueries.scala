@@ -352,6 +352,41 @@ object CurationQueries {
       .orderBy("shard")
   }
 
+  /** q251: packed-sequence boundary map — the third artifact an SFT
+    * loader consumes next to q245's tokens and loss masks: the per-
+    * sequence offsets where a NEW conversation opens, which drive
+    * position-id resets and the block-diagonal attention mask that stops
+    * packed neighbors from attending to each other (an off-by-one here
+    * silently leaks context across examples). Same pack as q245; the
+    * boundary certificate hashes every sequence's full offset list
+    * (shard|seq|o1,o2,…), and the oracle rebuilds those offsets from the
+    * running-token arithmetic alone — so certificate equality pins every
+    * boundary, including sequences that open mid-conversation
+    * (continuations, which contribute NO boundary at offset 0). */
+  val packBoundaries: Q = (s, dir) => {
+    val turns = chatTurns(s, dir)
+      .withColumn("shard", (col("conv_id") % 4).cast("long"))
+    val seqs = graft.ops.LossMaskPacking.packWithMasks(
+      turns, "shard", "conv_id", "turn_idx", "role", "content", budget = 512)
+    seqs
+      .withColumn("bcert", graft.ops.Sampling.md5Bucket(
+        concat_ws("|", col("shard").cast("string"), col("seq").cast("string"),
+          concat_ws(",", transform(col("conv_starts"),
+            o => o.cast("string"))))))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(size(col("conv_starts")).cast("long")).as("n_conv_starts"),
+        sum(when(size(col("conv_starts")) === 0, 1L).otherwise(0L))
+          .as("n_continuation_only_seqs"),
+        // get() is the null-safe index (ANSI element_at throws on the
+        // empty array a continuation-only sequence carries)
+        sum(when(coalesce(get(col("conv_starts"), lit(0)) === 0,
+          lit(false)), 1L).otherwise(0L))
+          .as("n_seqs_opening_on_boundary"),
+        sum(col("bcert")).as("boundary_cert"))
+      .orderBy("shard")
+  }
+
   /** q197: prompt-level keep-best dedup
     * ([[graft.ops.ChatOps.keepBestPerPrompt]]) — every third conversation
     * gets one of 7 canned prompts (the duplicated-prompt classes an SFT
@@ -426,6 +461,7 @@ object CurationQueries {
   val all: Map[String, Q] = Map(
     "q196_chat_render" -> chatRender,
     "q245_sft_pack_masks" -> sftPackMasks,
+    "q251_pack_boundaries" -> packBoundaries,
     "q197_prompt_dedup" -> promptDedup,
     "q208_preference_pairs" -> preferencePairs,
     "q181_containment" -> containmentScreen,
@@ -532,6 +568,44 @@ object CurationQueries {
         |    ' ')), 1, 8)) AS BIGINT)) AS BIGINT) AS render_cert,
         |  CAST(sum(CAST(concat('0x', substr(md5(a_text), 1, 8)) AS BIGINT))
         |    AS BIGINT) AS mask_cert
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q251: the q245 chain's running-offset arithmetic alone (no mask, no
+    // tokens) rebuilds every sequence's conversation-opening offsets; the
+    // hashed offset-list certificate pins them one for one
+    "q251_pack_boundaries" ->
+      """WITH t AS (
+        |  SELECT doc_id // 4 AS conv, (doc_id // 4) % 4 AS shard,
+        |    CAST(doc_id % 4 AS BIGINT) AS tix,
+        |    1 + CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT) AS tn
+        |  FROM documents),
+        |w AS (SELECT *, sum(tn) OVER (PARTITION BY shard ORDER BY conv, tix
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tn AS astart
+        |  FROM t),
+        |g AS (SELECT *, astart + tn AS aend,
+        |    CAST(astart // 512 AS BIGINT) AS seq0,
+        |    CAST((astart + tn - 1) // 512 AS BIGINT) AS seqN FROM w),
+        |seg AS (
+        |  SELECT shard, conv, tix, s.seqi,
+        |    greatest(astart, s.seqi * 512) - s.seqi * 512 AS sstart,
+        |    (tix = 0 AND s.seqi = seq0) AS cstart
+        |  FROM g, UNNEST(generate_series(seq0, seqN)) AS s(seqi)),
+        |q AS (
+        |  SELECT shard, seqi,
+        |    count(*) FILTER (WHERE cstart) AS ncs,
+        |    coalesce(array_to_string(list(sstart ORDER BY conv, tix)
+        |      FILTER (WHERE cstart), ','), '') AS starts_csv,
+        |    coalesce(min(CASE WHEN cstart THEN sstart END), -1) AS first_start
+        |  FROM seg GROUP BY 1, 2)
+        |SELECT shard, count(*) AS n_seqs,
+        |  CAST(sum(ncs) AS BIGINT) AS n_conv_starts,
+        |  CAST(sum(CASE WHEN ncs = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_continuation_only_seqs,
+        |  CAST(sum(CASE WHEN first_start = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_seqs_opening_on_boundary,
+        |  CAST(sum(CAST(concat('0x', substr(md5(CAST(shard AS VARCHAR) || '|' ||
+        |    CAST(seqi AS VARCHAR) || '|' || starts_csv), 1, 8)) AS BIGINT))
+        |    AS BIGINT) AS boundary_cert
         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
     // q196: ordered string_agg render + role token splits — render_chars
     // certifies every byte of every rendered conversation

@@ -44,6 +44,11 @@ class LossMaskPackingSpec extends SparkSpec {
     assert(toks(rows(1)) == Seq("e", "f", "g"))
     assert(spans(rows(0)) == Seq((0L, 4L, "user", false), (4L, 6L, "assistant", true)))
     assert(spans(rows(1)) == Seq((0L, 3L, "assistant", true)))
+    // boundary map: the conversation opens at offset 0 of seq 0; seq 1 is
+    // a pure continuation (no position-id reset inside it)
+    def starts(r: Row) = r.getAs[scala.collection.Seq[Long]]("conv_starts").toSeq
+    assert(starts(rows(0)) == Seq(0L))
+    assert(starts(rows(1)) == Seq())
   }
 
   test("turn ending exactly on the boundary leaks no empty segment") {
@@ -74,6 +79,12 @@ class LossMaskPackingSpec extends SparkSpec {
       (0L, 0L, 1, "assistant", "a1 a2 a3 a4 a5"),
       (0L, 1L, 0, "user", "u4"),
       (0L, 1L, 1, "assistant", "a6 a7")), budget = 5)
+    // conv 0 opens seq 0 at offset 0; conv 1 opens mid-sequence where
+    // conv 0's tokens end (13 toks -> seq 2, offset 3)
+    val allStarts = rows.map(r => (r.getLong(r.fieldIndex("seq")),
+      r.getAs[scala.collection.Seq[Long]]("conv_starts").toSeq)).toSeq
+    assert(allStarts.map(_._2.size).sum == 2, s"two convs, two openings: $allStarts")
+    assert(allStarts.head._2 == Seq(0L), "conv 0 opens at offset 0 of seq 0")
     rows.foreach { r =>
       val sp = spans(r)
       assert(sp.head._1 == 0L, "first span starts at 0")
