@@ -197,7 +197,8 @@ object Bench {
     "q248_dataset_card",      // five text censuses fused into one scan
     "q249_card_incremental",  // stored additive card, batched == one-shot
     "q250_soft_dedup",        // 1/n dup-group importance weights
-    "q251_pack_boundaries")   // packed-seq conv-start offset map
+    "q251_pack_boundaries",   // packed-seq conv-start offset map
+    "q252_soft_dedup_incremental") // stored dup census -> derived weights
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -496,6 +496,46 @@ object ExtendedQueries {
       .orderBy("source")
   }
 
+  /** q252: INCREMENTAL soft dedup — q250's inputs are additive (per
+    * (hash, source): member count and token sum), so they live in the
+    * census store and the weight 10^6 div n_dup derives AT REPORT TIME
+    * from the stored global group size (ratios/weights never stored —
+    * the additive-store rule): each corpus batch merges its (h, source)
+    * census exactly-once, and the mixture report stays current without
+    * rescanning history. Gate ingests two doc-parity batches and reports
+    * from the RELOADED store against q250's own one-shot oracle. */
+  val softDedupIncremental: Q = (s, dir) => {
+    def census(df: DataFrame): DataFrame = df
+      .withColumn("h", md5(col("t")))
+      .withColumn("ntok",
+        graft.functions.TextFunctions.tokenCount(col("t")).cast("long"))
+      .groupBy("h", "source")
+      .agg(count(lit(1)).as("n"), sum(col("ntok")).as("sum_ntok"))
+    val planted = plantDups(Tables.documents(s, dir))
+    val path = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_softdedup_idx"))
+      .resolve("idx").toString
+    graft.store.IndexStore.updateCensus(s, path,
+      census(planted.where(col("doc_id") % 2 === 0)),
+      Seq("h", "source"), batchId = 0L)
+    graft.store.IndexStore.updateCensus(s, path,
+      census(planted.where(col("doc_id") % 2 === 1)),
+      Seq("h", "source"), batchId = 1L)
+    val stored = graft.store.IndexStore.loadCensus(s, path)
+    val sizes = stored.groupBy("h").agg(sum(col("n")).as("n_dup"))
+    stored.join(sizes, "h")
+      .withColumn("w6", expr("1000000 div n_dup"))
+      .groupBy("source")
+      .agg(sum(col("n")).as("n_docs"),
+        sum(when(col("n_dup") > 1, col("n")).otherwise(0L)).as("n_dup_members"),
+        sum(col("sum_ntok")).as("raw_tokens"),
+        sum(col("sum_ntok") * col("w6")).as("weighted_tokens_x1e6"),
+        sum(col("n") * col("w6")).as("sum_weight_x1e6"),
+        round(sum(col("sum_ntok") * col("w6")) /
+          (sum(col("sum_ntok")) * lit(1000000.0)), 6).as("effective_frac"))
+      .orderBy("source")
+  }
+
   /** The q216 confusable fold: the high-frequency Cyrillic/Latin lookalike
     * pairs spam obfuscation actually uses (а→a е→e о→o р→p с→c х→x і→i).
     * Shared verbatim with the oracle's translate(). */
@@ -687,6 +727,7 @@ object ExtendedQueries {
     "q222_robots_eval" -> robotsEval,
     "q225_split_repair" -> splitRepair,
     "q250_soft_dedup" -> softDedup,
+    "q252_soft_dedup_incremental" -> softDedupIncremental,
     "q226_norm_ladder" -> normalizationLadder,
     "q210_split_leakage" -> splitLeakage,
     "q139_neardup_decontam" -> nearDupDecontam,
@@ -991,6 +1032,30 @@ object ExtendedQueries {
       |    ELSE text END AS t
       |  FROM documents)""".stripMargin
 
+  /** Shared q250/q252 oracle: group sizes + the 10^6 div n quantized
+    * weight; weighted masses exact BIGINTs on both sides. The q252 gate
+    * reuses it verbatim (stored batched merge must reproduce one-shot). */
+  private val oracleSoftDedup: String =
+    dupPlantCte + """,
+      |g AS (
+      |  SELECT doc_id, source, t, md5(t) AS h,
+      |    CAST(len(CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
+      |      ELSE string_split_regex(trim(t), '\s+') END) AS BIGINT) AS ntok
+      |  FROM p),
+      |sz AS (SELECT h, count(*) AS n_dup FROM g GROUP BY 1),
+      |j AS (
+      |  SELECT g.*, sz.n_dup, CAST(1000000 // sz.n_dup AS BIGINT) AS w6
+      |  FROM g JOIN sz USING (h))
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN n_dup > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_members,
+      |  CAST(sum(ntok) AS BIGINT) AS raw_tokens,
+      |  CAST(sum(ntok * w6) AS BIGINT) AS weighted_tokens_x1e6,
+      |  CAST(sum(w6) AS BIGINT) AS sum_weight_x1e6,
+      |  round(sum(ntok * w6) / (sum(ntok) * 1000000.0), 6) AS effective_frac
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
+
   val oracles: Map[String, String] = Map(
     // q216: same fold alphabet, same per-fold-group (n, distinct-raw)
     // arithmetic; oracle's translate() shares Spark's drop-when-shorter
@@ -1129,26 +1194,13 @@ object ExtendedQueries {
         |FROM x""".stripMargin,
     // q225: same plant + split CTEs as q210; the repair rule and the
     // recomputed residual certificate share syntax
+    // q252: the one-shot q250 oracle IS the gate — the stored batched
+    // merge must reproduce it exactly (additive counts + report-time
+    // weight derivation + exactly-once round trip)
+    "q252_soft_dedup_incremental" -> oracleSoftDedup,
     // q250: group sizes + the same 10^6 div n quantized weight; weighted
     // masses are exact BIGINTs on both sides
-    "q250_soft_dedup" -> (dupPlantCte + """,
-      |g AS (
-      |  SELECT doc_id, source, t, md5(t) AS h,
-      |    CAST(len(CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
-      |      ELSE string_split_regex(trim(t), '\s+') END) AS BIGINT) AS ntok
-      |  FROM p),
-      |sz AS (SELECT h, count(*) AS n_dup FROM g GROUP BY 1),
-      |j AS (
-      |  SELECT g.*, sz.n_dup, CAST(1000000 // sz.n_dup AS BIGINT) AS w6
-      |  FROM g JOIN sz USING (h))
-      |SELECT source, count(*) AS n_docs,
-      |  CAST(sum(CASE WHEN n_dup > 1 THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_dup_members,
-      |  CAST(sum(ntok) AS BIGINT) AS raw_tokens,
-      |  CAST(sum(ntok * w6) AS BIGINT) AS weighted_tokens_x1e6,
-      |  CAST(sum(w6) AS BIGINT) AS sum_weight_x1e6,
-      |  round(sum(ntok * w6) / (sum(ntok) * 1000000.0), 6) AS effective_frac
-      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin),
+    "q250_soft_dedup" -> oracleSoftDedup,
     "q225_split_repair" -> (dupPlantCte +
       """,
         |d AS (
