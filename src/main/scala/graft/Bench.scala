@@ -198,7 +198,9 @@ object Bench {
     "q249_card_incremental",  // stored additive card, batched == one-shot
     "q250_soft_dedup",        // 1/n dup-group importance weights
     "q251_pack_boundaries",   // packed-seq conv-start offset map
-    "q252_soft_dedup_incremental") // stored dup census -> derived weights
+    "q252_soft_dedup_incremental", // stored dup census -> derived weights
+    "q253_prompt_diversity",  // digit-masked skeleton template census
+    "q254_caption_conflicts") // same decoded image, conflicting captions
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -1090,6 +1090,51 @@ object CorpusQueries {
       .orderBy("caption_kw", "luma_class")
   }
 
+  /** q254: caption-conflict screen — the OTHER failure mode of an
+    * image+caption corpus (q244 catches a caption describing a different
+    * image; this catches the SAME image shipping with different captions
+    * — conflicting labels that teach the model both answers): group by
+    * the DECODED perceptual hash ([[graft.multimodal.ImageDHashExpr]] —
+    * byte-identical re-uploads and brightness-shifted copies land
+    * together, filename/byte-level grouping cannot do that), count
+    * distinct captions per group, flag conflicts. Fixture: docs with
+    * id%13==6 render pattern class k%5 (identical pixels within a
+    * class); planted alternates (k%7==2 on even classes only, so clean
+    * and conflicted groups both exist) append " alt" to the class
+    * caption. The group key the report publishes is parsed from the
+    * caption, so the oracle replays everything from k arithmetic — but
+    * a single dHash collision or split would merge/break a class's row
+    * and fail the match, certifying decode → hash → group ⋈ caption
+    * cardinality end to end. */
+  val captionConflicts: Q = (s, dir) => {
+    import s.implicits._
+    val pairs = Tables.documents(s, dir).where(col("doc_id") % 13 === 6)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val frameCache = scala.collection.mutable.Map[Int, Array[Byte]]()
+        ids.map { id =>
+          val k = id / 13
+          val cls = (k % 5).toInt
+          val alt = k % 7 == 2 && cls % 2 == 0
+          val caption = s"label $cls" + (if (alt) " alt" else "")
+          (id, caption,
+            frameCache.getOrElseUpdate(cls, MediaCodec.encodeBlockPattern(cls, 0)))
+        }
+      }.toDF("doc_id", "caption", "media")
+    pairs
+      .groupBy(graft.multimodal.ImageDHashExpr.imageDHash(col("media")).as("h"))
+      .agg(min(regexp_extract(col("caption"), "label ([0-9]+)", 1)
+          .cast("long")).as("cls"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("caption")).as("n_captions"),
+        sum(when(col("caption").endsWith(" alt"), 1L).otherwise(0L)).as("n_alt"),
+        sum(col("doc_id")).as("sum_doc_ids"))
+      .withColumn("conflicted", col("n_captions") > 1)
+      .select("cls", "n_docs", "n_captions", "conflicted", "n_alt",
+        "sum_doc_ids")
+      .orderBy("cls")
+  }
+
   /** q189: video near-dup grouping through the REAL container path — the
     * video member of the q133/q135/q172 modality triple. Every doc gets a
     * 6-frame AVI ([[graft.multimodal.MediaCodecAvi.encodeAvi]]: RIFF →
@@ -1402,6 +1447,7 @@ object CorpusQueries {
     "q220_video_shots" -> videoShots,
     "q221_asr_screen" -> asrPairScreen,
     "q244_image_pair_screen" -> imagePairScreen,
+    "q254_caption_conflicts" -> captionConflicts,
     "q133_image_neardup" -> imageNearDup,
     "q135_audio_neardup" -> audioNearDup,
     "q189_video_neardup" -> videoNearDup,
@@ -1676,6 +1722,25 @@ object CorpusQueries {
         |  CAST(sum(npix) AS BIGINT) AS sum_pixels,
         |  round(avg(gray), 4) AS avg_luma
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q254: caption-cardinality counts are pure k arithmetic; a dHash
+    // collision or split would merge/break a class row and fail the match
+    "q254_caption_conflicts" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id // 13 AS k
+        |  FROM documents WHERE doc_id % 13 = 6),
+        |c AS (
+        |  SELECT doc_id, CAST(k % 5 AS BIGINT) AS cls,
+        |    CASE WHEN k % 7 = 2 AND (k % 5) % 2 = 0
+        |      THEN 'label ' || CAST(k % 5 AS VARCHAR) || ' alt'
+        |      ELSE 'label ' || CAST(k % 5 AS VARCHAR) END AS caption
+        |  FROM p)
+        |SELECT cls, count(*) AS n_docs,
+        |  CAST(count(DISTINCT caption) AS BIGINT) AS n_captions,
+        |  (count(DISTINCT caption) > 1) AS conflicted,
+        |  CAST(sum(CASE WHEN caption LIKE '% alt' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_alt,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // q220: every count is id arithmetic — row equality certifies the
     // whole mux→walk→decode→hash→run-detection path
     "q220_video_shots" ->

@@ -424,6 +424,47 @@ object CurationQueries {
       .orderBy("kind")
   }
 
+  /** q253: prompt-skeleton diversity census — the SFT-hygiene check
+    * exact dedup cannot do: template-generated prompts ("rate item 123",
+    * "rate item 456") are all exact-distinct but train like ONE prompt,
+    * and a set dominated by a few skeletons overfits them (the q197
+    * keep-best gate handles exact duplicates; this catches the
+    * parameterized kind). Skeleton = the prompt with digit runs masked
+    * to '#' and whitespace collapsed — the q197 canned prompts
+    * ("please summarize variant 0..6") collapse into one skeleton while
+    * staying 7 exact-distinct strings, so the gap between
+    * n_exact_distinct and n_skeletons is realized at every SF. One
+    * conv-keyed aggregate to extract first-user prompts, one
+    * skeleton-keyed aggregate, one scalar roll-up — no member lists; a
+    * mega-template costs one counter (the q197 mega-prompt argument). */
+  val promptDiversity: Q = (s, dir) => {
+    val turns = chatTurns(s, dir)
+    val prompts = turns.groupBy("conv_id")
+      .agg(max(when(col("turn_idx") === 0,
+        when(col("conv_id") % 3 === 0,
+          concat(lit("please summarize variant "),
+            (col("conv_id") % 7).cast("string")))
+          .otherwise(col("content")))).as("prompt"))
+    val skel = trim(regexp_replace(
+      regexp_replace(lower(col("prompt")), "[0-9]+", "#"), "\\s+", " "))
+    val bySkel = prompts.select(col("conv_id"), col("prompt"), skel.as("skeleton"))
+      .groupBy("skeleton")
+      .agg(count(lit(1)).as("n_prompts"),
+        countDistinct(col("prompt")).as("n_exact_variants"),
+        sum(col("conv_id")).as("sum_conv_ids"))
+    bySkel.agg(
+      sum(col("n_prompts")).as("n_prompts"),
+      sum(col("n_exact_variants")).as("n_exact_distinct"),
+      count(lit(1)).as("n_skeletons"),
+      sum(when(col("n_prompts") > 1, col("n_prompts")).otherwise(0L))
+        .as("n_template_prompts"),
+      sum(when(col("n_prompts") > 1, 1L).otherwise(0L))
+        .as("n_template_skeletons"),
+      max(col("n_prompts")).as("max_skeleton_size"),
+      sum(when(col("n_prompts") > 1, col("sum_conv_ids")).otherwise(0L))
+        .as("sum_template_conv_ids"))
+  }
+
   /** q208: preference-pair construction (DPO/RLHF prep) — the step that
     * turns scored response groups into (chosen, rejected) training pairs:
     * responses grouped by prompt (doc_id div 3 — the q196 id-arithmetic
@@ -462,6 +503,7 @@ object CurationQueries {
     "q196_chat_render" -> chatRender,
     "q245_sft_pack_masks" -> sftPackMasks,
     "q251_pack_boundaries" -> packBoundaries,
+    "q253_prompt_diversity" -> promptDiversity,
     "q197_prompt_dedup" -> promptDedup,
     "q208_preference_pairs" -> preferencePairs,
     "q181_containment" -> containmentScreen,
@@ -607,6 +649,34 @@ object CurationQueries {
         |    CAST(seqi AS VARCHAR) || '|' || starts_csv), 1, 8)) AS BIGINT))
         |    AS BIGINT) AS boundary_cert
         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q253: same prompt synthesis as q197, digit-masked skeleton on both
+    // sides; the canned variants collapse to one skeleton by construction
+    "q253_prompt_diversity" -> (chatTurnsCte + """,
+      |cv AS (
+      |  SELECT conv_id, max(CASE WHEN turn_idx = 0 THEN
+      |    CASE WHEN conv_id % 3 = 0
+      |      THEN 'please summarize variant ' || CAST(conv_id % 7 AS VARCHAR)
+      |      ELSE content END END) AS prompt
+      |  FROM t GROUP BY 1),
+      |sk AS (
+      |  SELECT conv_id, prompt, trim(regexp_replace(regexp_replace(
+      |    lower(prompt), '[0-9]+', '#', 'g'), '\s+', ' ', 'g')) AS skeleton
+      |  FROM cv),
+      |g AS (
+      |  SELECT skeleton, count(*) AS np, count(DISTINCT prompt) AS nev,
+      |    sum(conv_id) AS sids
+      |  FROM sk GROUP BY 1)
+      |SELECT CAST(sum(np) AS BIGINT) AS n_prompts,
+      |  CAST(sum(nev) AS BIGINT) AS n_exact_distinct,
+      |  count(*) AS n_skeletons,
+      |  CAST(sum(CASE WHEN np > 1 THEN np ELSE 0 END) AS BIGINT)
+      |    AS n_template_prompts,
+      |  CAST(sum(CASE WHEN np > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_template_skeletons,
+      |  CAST(max(np) AS BIGINT) AS max_skeleton_size,
+      |  CAST(sum(CASE WHEN np > 1 THEN sids ELSE 0 END) AS BIGINT)
+      |    AS sum_template_conv_ids
+      |FROM g""".stripMargin),
     // q196: ordered string_agg render + role token splits — render_chars
     // certifies every byte of every rendered conversation
     "q196_chat_render" -> (chatTurnsCte +
