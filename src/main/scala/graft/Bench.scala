@@ -200,7 +200,8 @@ object Bench {
     "q251_pack_boundaries",   // packed-seq conv-start offset map
     "q252_soft_dedup_incremental", // stored dup census -> derived weights
     "q253_prompt_diversity",  // digit-masked skeleton template census
-    "q254_caption_conflicts") // same decoded image, conflicting captions
+    "q254_caption_conflicts", // same decoded image, conflicting captions
+    "q255_embedding_intake")  // NaN/Inf/zero-norm/wrong-dim quarantine
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

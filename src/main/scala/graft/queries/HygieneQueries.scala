@@ -522,7 +522,52 @@ object HygieneQueries {
       .orderBy("sig_a", "sig_b")
   }
 
+  /** q255: embedding intake screen — the first gate any third-party
+    * embedding dump goes through before it touches an index or a dedup
+    * pass: one malformed vector (NaN from a failed encode, Inf from an
+    * overflow, a zero vector from a crashed batch, a wrong-dim row from
+    * a mixed export) silently poisons every downstream cosine. One
+    * in-row scan classifies each vector into exactly one quarantine
+    * class with fixed precedence — bad_dim > nan > inf > zero_norm > ok
+    * (dimension first: a truncated vector's values prove nothing; NaN
+    * before norm: a NaN sum is not a zero norm) — and the census groups
+    * by verdict. Plants (vec_id % 23 ∈ 1..4) realize every class at
+    * every SF; zero-norm detection is order-robust on both engines
+    * because a sum of squares is 0 iff every term is 0. */
+  val embeddingIntake: Q = (s, dir) => {
+    val dim = 64
+    val planted = Tables.embeddings(s, dir).select(col("vec_id"),
+      when(col("vec_id") % 23 === 1,
+        transform(col("embedding"), (x, i) =>
+          when(i === 3, lit(Float.NaN)).otherwise(x)))
+        .when(col("vec_id") % 23 === 2,
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, lit(Float.PositiveInfinity)).otherwise(x)))
+        .when(col("vec_id") % 23 === 3,
+          transform(col("embedding"), x => lit(0.0f)))
+        .when(col("vec_id") % 23 === 4, slice(col("embedding"), 1, dim / 2))
+        .otherwise(col("embedding")).as("v"))
+    val hasNan = exists(col("v"), x => isnan(x))
+    val hasInf = exists(col("v"), x =>
+      x === lit(Float.PositiveInfinity) || x === lit(Float.NegativeInfinity))
+    val sumsq = aggregate(col("v"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    planted
+      .withColumn("verdict",
+        when(size(col("v")) =!= dim, "bad_dim")
+          .when(hasNan, "nan")
+          .when(hasInf, "inf")
+          .when(sumsq === 0.0, "zero_norm")
+          .otherwise("ok"))
+      .groupBy("verdict")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(size(col("v")).cast("long")).as("sum_dims"),
+        sum(col("vec_id")).as("sum_vec_ids"))
+      .orderBy("verdict")
+  }
+
   val all: Map[String, Q] = Map(
+    "q255_embedding_intake" -> embeddingIntake,
     "q213_signal_corr" -> signalCorrelation,
     "q193_distinctive_phrases" -> distinctivePhrases,
     "q188_collocations" -> collocations,
@@ -537,6 +582,34 @@ object HygieneQueries {
     "q138_dsir_calibrated" -> dsirCalibrated)
 
   val oracles: Map[String, String] = Map(
+    // q255: the same plants, the same fixed classification precedence;
+    // verdict counts are pure vec_id arithmetic given well-formed input
+    "q255_embedding_intake" ->
+      """WITH p AS (
+        |  SELECT vec_id,
+        |    CASE CAST(vec_id % 23 AS INT)
+        |      WHEN 1 THEN list_transform(embedding,
+        |        (x, i) -> CASE WHEN i = 4 THEN 'nan'::FLOAT ELSE x END)
+        |      WHEN 2 THEN list_transform(embedding,
+        |        (x, i) -> CASE WHEN i = 1 THEN 'inf'::FLOAT ELSE x END)
+        |      WHEN 3 THEN list_transform(embedding, x -> 0.0::FLOAT)
+        |      WHEN 4 THEN embedding[1:32]
+        |      ELSE embedding END AS v
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, len(v) AS nd,
+        |    CASE WHEN len(v) <> 64 THEN 'bad_dim'
+        |      WHEN len(list_filter(v, x -> isnan(x))) > 0 THEN 'nan'
+        |      WHEN len(list_filter(v, x -> isinf(x))) > 0 THEN 'inf'
+        |      WHEN list_sum(list_transform(v,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+        |        THEN 'zero_norm'
+        |      ELSE 'ok' END AS verdict
+        |  FROM p)
+        |SELECT verdict, count(*) AS n_vecs,
+        |  CAST(sum(nd) AS BIGINT) AS sum_dims,
+        |  CAST(sum(vec_id) AS BIGINT) AS sum_vec_ids
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // q213: the same 15 integer moment sums, the same closed-form Pearson
     // from DOUBLE casts of those exact integers, rounded at the same 6 dp.
     // x3 mirrors the engine's whole-text-gram edge for token-less docs.
