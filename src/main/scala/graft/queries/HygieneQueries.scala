@@ -534,9 +534,26 @@ object HygieneQueries {
     * by verdict. Plants (vec_id % 23 ∈ 1..4) realize every class at
     * every SF; zero-norm detection is order-robust on both engines
     * because a sum of squares is 0 iff every term is 0. */
-  val embeddingIntake: Q = (s, dir) => {
-    val dim = 64
-    val planted = Tables.embeddings(s, dir).select(col("vec_id"),
+  /** The q255 quarantine verdict over a vector column — shared VERBATIM
+    * by the batch gate and the streaming intake twin. Fixed precedence:
+    * bad_dim > nan > inf > zero_norm > ok. */
+  def embeddingVerdictCol(v: Column, dim: Int): Column = {
+    val hasNan = exists(v, x => isnan(x))
+    val hasInf = exists(v, x =>
+      x === lit(Float.PositiveInfinity) || x === lit(Float.NegativeInfinity))
+    val sumsq = aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    when(size(v) =!= dim, "bad_dim")
+      .when(hasNan, "nan")
+      .when(hasInf, "inf")
+      .when(sumsq === 0.0, "zero_norm")
+      .otherwise("ok")
+  }
+
+  /** The q255 malformed-vector plants (vec_id % 23 ∈ 1..4) — shared by
+    * the gate and the streaming twin's fixture. */
+  private[graft] def embeddingIntakePlanted(vecs: DataFrame, dim: Int): DataFrame =
+    vecs.select(col("vec_id"),
       when(col("vec_id") % 23 === 1,
         transform(col("embedding"), (x, i) =>
           when(i === 3, lit(Float.NaN)).otherwise(x)))
@@ -547,18 +564,11 @@ object HygieneQueries {
           transform(col("embedding"), x => lit(0.0f)))
         .when(col("vec_id") % 23 === 4, slice(col("embedding"), 1, dim / 2))
         .otherwise(col("embedding")).as("v"))
-    val hasNan = exists(col("v"), x => isnan(x))
-    val hasInf = exists(col("v"), x =>
-      x === lit(Float.PositiveInfinity) || x === lit(Float.NegativeInfinity))
-    val sumsq = aggregate(col("v"), lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double"))
-    planted
-      .withColumn("verdict",
-        when(size(col("v")) =!= dim, "bad_dim")
-          .when(hasNan, "nan")
-          .when(hasInf, "inf")
-          .when(sumsq === 0.0, "zero_norm")
-          .otherwise("ok"))
+
+  val embeddingIntake: Q = (s, dir) => {
+    val dim = 64
+    embeddingIntakePlanted(Tables.embeddings(s, dir), dim)
+      .withColumn("verdict", embeddingVerdictCol(col("v"), dim))
       .groupBy("verdict")
       .agg(count(lit(1)).as("n_vecs"),
         sum(size(col("v")).cast("long")).as("sum_dims"),

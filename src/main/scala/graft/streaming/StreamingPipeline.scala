@@ -306,6 +306,18 @@ object StreamingPipeline {
                       mediaCol: String): DataFrame =
     graft.queries.CorpusQueries.imagePairFlags(pairs, captionCol, mediaCol)
 
+  /** Streaming embedding intake screen (q255's quarantine verdict per
+    * micro-batch): one stateless in-row classification shared VERBATIM
+    * with the batch gate
+    * ([[graft.queries.HygieneQueries.embeddingVerdictCol]]) — run at
+    * ingest so a NaN/Inf/zero-norm/wrong-dim vector never reaches an
+    * index build or a cosine pass; class counts are additive across
+    * micro-batches (no state, no watermark). */
+  def embeddingIntakeStream(vecs: DataFrame, vecCol: String,
+                            dim: Int): DataFrame =
+    vecs.withColumn("intake_verdict",
+      graft.queries.HygieneQueries.embeddingVerdictCol(col(vecCol), dim))
+
   /** Streaming secret scrub (q204/q205's operators per micro-batch):
     * detector census struct + in-place token redaction in one stateless
     * projection — the code-corpus analogue of [[cardPiiStream]], run at

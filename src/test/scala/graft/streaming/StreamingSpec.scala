@@ -1201,6 +1201,42 @@ class StreamingSpec extends SparkSpec {
       "streamed image-pair verdicts diverged from batch")
   }
 
+  test("streaming embedding intake screen == batch verdicts per vector") {
+    val planted = graft.queries.HygieneQueries.embeddingIntakePlanted(
+      spark.read.parquet(s"$dir/embeddings.parquet"), 64)
+    def tally(df: org.apache.spark.sql.DataFrame, vcol: String) =
+      StreamingPipeline.embeddingIntakeStream(df, "v", 64)
+        .groupBy("intake_verdict")
+        .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("ids"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = tally(planted, "v")
+    assert(b.keySet == Set("bad_dim", "nan", "inf", "zero_norm", "ok"),
+      s"plants must realize every class: ${b.keySet}")
+
+    val d = java.nio.file.Files.createTempDirectory("graft_embint_src")
+    planted.repartition(3).write.mode("overwrite").parquet(d.toString)
+    val schema = spark.read.parquet(d.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+    val acc = scala.collection.mutable.Map[String, (Long, Long)]()
+    var nBatches = 0
+    val q = StreamingPipeline.embeddingIntakeStream(stream, "v", 64)
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+        nBatches += 1
+        bdf.groupBy("intake_verdict")
+          .agg(count(lit(1)), sum(col("vec_id")))
+          .collect().foreach { r =>
+            val (n0, i0) = acc.getOrElse(r.getString(0), (0L, 0L))
+            acc(r.getString(0)) = (n0 + r.getLong(1), i0 + r.getLong(2))
+          }
+      }.start()
+    q.awaitTermination()
+    assert(nBatches >= 2)
+    assert(acc.toMap == b, "streamed intake verdicts diverged from batch")
+  }
+
   test("streaming chat lint == batch flags per conversation") {
     val ts = split(trim(col("text")), "\\s+")
     def turn(role: String, content: org.apache.spark.sql.Column) =
