@@ -201,7 +201,8 @@ object Bench {
     "q252_soft_dedup_incremental", // stored dup census -> derived weights
     "q253_prompt_diversity",  // digit-masked skeleton template census
     "q254_caption_conflicts", // same decoded image, conflicting captions
-    "q255_embedding_intake")  // NaN/Inf/zero-norm/wrong-dim quarantine
+    "q255_embedding_intake",  // NaN/Inf/zero-norm/wrong-dim quarantine
+    "q256_hard_negatives")    // BM25 run anti-join qrels, top negatives
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -721,6 +721,46 @@ object AnalysisQueries {
     * ≥5 → 1 — measured to give each query a graded, non-degenerate
     * relevant set), scored by [[graft.ops.RetrievalEval]] at k=5 and 15.
     * Exact rationals for recall/MRR; NDCG a 4-dp-rounded log-sum ratio. */
+  /** q256: hard-negative mining — the retrieval-training prep step after
+    * q116's evaluation: a dense retriever (DPR-style) trains on
+    * (query, positive, hard-negative) triples where hard negatives are
+    * the TOP-SCORING lexically-similar docs that are NOT relevant —
+    * random negatives are too easy and teach nothing. Same query/qrel
+    * synthesis as q116; candidates from the k=40 BM25 run, relevants
+    * removed by an anti-join on the narrow (query, id) key, then the 10
+    * best-ranked survivors per query. Scale shape: everything after the
+    * BM25 run operates on the k-bounded run frame (≤ k rows per query),
+    * so the selection window is bounded by construction — the corpus
+    * never reappears. Scores are the run's rounded-6 values, so sums
+    * replay exactly. */
+  val hardNegatives: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val queries = Seq(
+      1L -> "spark", 1L -> "dup", 1L -> "key",
+      2L -> "join", 2L -> "window", 2L -> "merge",
+      3L -> "vector", 3L -> "stream", 3L -> "batch").toDF("query_id", "term")
+    val run = graft.ops.Bm25.topKBatch(docs, "doc_id", "text", queries, k = 40)
+    val qrels = docs
+      .select(col("doc_id").as("id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .join(broadcast(queries), "term")
+      .groupBy("query_id", "id").agg(count(lit(1)).as("tot"))
+      .where(col("tot") >= 5)
+      .select("query_id", "id")
+    val negs = run.join(qrels, Seq("query_id", "id"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rank").asc)
+    negs.withColumn("pos", row_number().over(w)).where(col("pos") <= 10)
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_negatives"),
+        sum(col("id")).as("sum_negative_ids"),
+        round(sum(col("score")), 4).as("sum_neg_score"),
+        min(col("rank")).cast("long").as("best_run_rank"),
+        max(col("rank")).cast("long").as("worst_run_rank"))
+      .orderBy("query_id")
+  }
+
   val retrievalEval: Q = (s, dir) => {
     import s.implicits._
     val docs = Tables.documents(s, dir)
@@ -1487,6 +1527,7 @@ object AnalysisQueries {
     "q169_byte_bpe_vocab" -> byteBpeVocab,
     "q170_byte_fertility" -> byteFertility,
     "q116_retrieval_eval" -> retrievalEval,
+    "q256_hard_negatives" -> hardNegatives,
     "q120_bpe_vocab" -> bpeVocab,
     "q122_bpe_packing" -> bpePacking,
     "q123_sketched_overlap" -> sketchedOverlap,
@@ -2125,6 +2166,50 @@ object AnalysisQueries {
     "q140_bpe_fertility" -> bpeFertilityOracle(BpeMerges),
     "q169_byte_bpe_vocab" -> byteBpeVocabOracle(BpeMerges),
     "q170_byte_fertility" -> byteFertilityOracle(BpeMerges),
+    // q256: the q116 BM25 replay with k=40, relevants removed by a null
+    // left join, best-ranked 10 survivors aggregated; rounded-6 scores
+    // sum exactly on both sides
+    "q256_hard_negatives" ->
+      """WITH q(query_id, term) AS (VALUES (CAST(1 AS BIGINT),'spark'),(1,'dup'),(1,'key'),
+        |  (2,'join'),(2,'window'),(2,'merge'),(3,'vector'),(3,'stream'),(3,'batch')),
+        |d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |dlen AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl FROM d),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dlen),
+        |toks AS (SELECT doc_id, unnest(ts) AS term FROM d),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+        |  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+        |dfv AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    sum(ln(1.0 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5)) * tf.tf * 2.2 /
+        |        (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+        |  FROM tf JOIN dfv USING (term) JOIN q ON q.term = tf.term
+        |  JOIN dlen dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+        |  GROUP BY 1, 2),
+        |run AS (
+        |  SELECT query_id, doc_id AS id, round(score, 6) AS score6,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(score, 6) DESC, doc_id) AS INT) AS rank
+        |  FROM sc QUALIFY rank <= 40),
+        |qrels AS (
+        |  SELECT m.query_id, m.doc_id AS id
+        |  FROM (SELECT q.query_id, t.doc_id, count(*) AS tot
+        |        FROM toks t JOIN q USING (term) GROUP BY 1, 2) m
+        |  WHERE m.tot >= 5),
+        |negs AS (
+        |  SELECT r.* FROM run r LEFT JOIN qrels qr
+        |    ON qr.query_id = r.query_id AND qr.id = r.id
+        |  WHERE qr.id IS NULL),
+        |picked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rank)
+        |    AS pos
+        |  FROM negs QUALIFY pos <= 10)
+        |SELECT query_id, count(*) AS n_negatives,
+        |  CAST(sum(id) AS BIGINT) AS sum_negative_ids,
+        |  round(sum(score6), 4) AS sum_neg_score,
+        |  CAST(min(rank) AS BIGINT) AS best_run_rank,
+        |  CAST(max(rank) AS BIGINT) AS worst_run_rank
+        |FROM picked GROUP BY 1 ORDER BY 1""".stripMargin,
     "q116_retrieval_eval" ->
       """WITH q(query_id, term) AS (VALUES (CAST(1 AS BIGINT),'spark'),(1,'dup'),(1,'key'),
         |  (2,'join'),(2,'window'),(2,'merge'),(3,'vector'),(3,'stream'),(3,'batch')),
