@@ -440,6 +440,54 @@ object CorpusQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** q257: semi-hard triplet mining census — the metric-learning data
+    * prep that turns a labeled embedding table into (anchor, hardest
+    * positive, hardest impostor) triples: the hardest positive is the
+    * SAME-label neighbor with the LOWEST cosine (the one triplet loss
+    * must pull in), the hardest negative the DIFFERENT-label neighbor
+    * with the HIGHEST cosine (the impostor it must push out), and the
+    * margin between them is the per-anchor health signal (violated ⇔
+    * the impostor is already closer than the worst positive). Anchors
+    * are a bounded broadcast set; the corpus is scanned ONCE and reduced
+    * by two map-side-combinable struct-extreme aggregates (min(struct)
+    * for the positive, max(struct(cos, −id)) for the impostor — the
+    * q197 no-window doctrine), so a mega-label costs one counter, not a
+    * per-label window. Cosines publish at 4 dp under the q147
+    * shared-shape contract; selection ties break on id like q50's
+    * ranking. */
+  val tripletMining: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val anchors = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+        col("embedding").cast("array<double>").as("qv"))
+    val scored = emb
+      .select(col("vec_id").as("cid"), col("label").as("c_label"),
+        col("embedding").cast("array<double>").as("cv"))
+      .crossJoin(broadcast(anchors))
+      .where(col("cid") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("a_label"), col("cid"), col("c_label"),
+        graft.dedup.Dedup.cosineSim(col("qv"), col("cv")).as("cs"))
+    val pos = scored.where(col("c_label") === col("a_label"))
+      .groupBy("anchor_id")
+      .agg(min(struct(col("cs"), col("cid"))).as("p"))
+      .select(col("anchor_id"), col("p.cid").as("hard_pos_id"),
+        col("p.cs").as("pos_cs"))
+    val neg = scored.where(col("c_label") =!= col("a_label"))
+      .groupBy("anchor_id")
+      .agg(max(struct(col("cs"), (-col("cid")).as("nid"))).as("n"))
+      .select(col("anchor_id"), (-col("n.nid")).as("hard_neg_id"),
+        col("n.cs").as("neg_cs"))
+    anchors.select(col("anchor_id"), col("a_label").as("label"))
+      .join(pos, "anchor_id").join(neg, "anchor_id")
+      .select(col("anchor_id"), col("label"),
+        col("hard_pos_id"), col("hard_neg_id"),
+        round(col("pos_cs"), 4).as("pos_cos"),
+        round(col("neg_cs"), 4).as("neg_cos"),
+        round(col("pos_cs") - col("neg_cs"), 4).as("margin"),
+        (col("pos_cs") < col("neg_cs")).as("violated"))
+      .orderBy("anchor_id")
+  }
+
   /** q147: margin-based pair mining ([[graft.sim.MarginMining]] — the
     * CCMatrix/LASER mutual-best margin-ratio rule). The embedding table
     * splits by vec_id parity into two "corpora" (the bitext stand-in);
@@ -1427,6 +1475,7 @@ object CorpusQueries {
     "q43_simhash_pairs" -> simhashPairs,
     "q44_embedding_dup_pairs" -> embeddingDupPairs,
     "q50_knn_brute_force" -> knnBruteForce,
+    "q257_triplet_mining" -> tripletMining,
     "q147_margin_mining" -> marginMining,
     "q148_margin_mining_ann" -> marginMiningAnn,
     "q149_skew_report" -> skewReport,
@@ -2099,6 +2148,35 @@ object CorpusQueries {
         |  true AS recall_ge_080, true AS sides_disjoint
         |FROM bf JOIN bb USING (lid, rid) JOIN dx USING (lid) JOIN dy USING (rid)
         |WHERE cs / ((dl + dr) / 2) >= 1.02""".stripMargin,
+    // q257: extreme selections replayed as min_by/max_by-style windows
+    // with the same id tie-break; cosines published at 4 dp (q147 shape)
+    "q257_triplet_mining" ->
+      """WITH a AS (
+        |  SELECT vec_id AS anchor_id, label AS a_label,
+        |    CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 20),
+        |s AS (
+        |  SELECT a.anchor_id, a.a_label, c.vec_id AS cid, c.label AS c_label,
+        |    list_cosine_similarity(a.qv, CAST(c.embedding AS DOUBLE[])) AS cs
+        |  FROM a JOIN embeddings c ON c.vec_id <> a.anchor_id),
+        |pos AS (
+        |  SELECT anchor_id, cid AS hard_pos_id, cs AS pos_cs,
+        |    row_number() OVER (PARTITION BY anchor_id
+        |      ORDER BY cs ASC, cid ASC) AS rn
+        |  FROM s WHERE c_label = a_label QUALIFY rn = 1),
+        |neg AS (
+        |  SELECT anchor_id, cid AS hard_neg_id, cs AS neg_cs,
+        |    row_number() OVER (PARTITION BY anchor_id
+        |      ORDER BY cs DESC, cid ASC) AS rn
+        |  FROM s WHERE c_label <> a_label QUALIFY rn = 1)
+        |SELECT a.anchor_id, CAST(a.a_label AS INT) AS label,
+        |  hard_pos_id, hard_neg_id,
+        |  round(pos_cs, 4) AS pos_cos,
+        |  round(neg_cs, 4) AS neg_cos,
+        |  round(pos_cs - neg_cs, 4) AS margin,
+        |  (pos_cs < neg_cs) AS violated
+        |FROM a JOIN pos USING (anchor_id) JOIN neg USING (anchor_id)
+        |ORDER BY anchor_id""".stripMargin,
     "q50_knn_brute_force" ->
       """WITH s AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
