@@ -203,7 +203,8 @@ object Bench {
     "q254_caption_conflicts", // same decoded image, conflicting captions
     "q255_embedding_intake",  // NaN/Inf/zero-norm/wrong-dim quarantine
     "q256_hard_negatives",    // BM25 run anti-join qrels, top negatives
-    "q257_triplet_mining")    // hardest positive/impostor per anchor
+    "q257_triplet_mining",    // hardest positive/impostor per anchor
+    "q258_label_noise")       // kNN label-agreement audit screen
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -488,6 +488,50 @@ object CorpusQueries {
       .orderBy("anchor_id")
   }
 
+  /** q258: label-noise screen — kNN label agreement over a sampled audit
+    * set (the confident-learning-style check a labeled corpus runs
+    * before the labels are trusted for training or eval): an example
+    * whose nearest neighbors overwhelmingly carry a DIFFERENT label is
+    * a likely annotation error. Audit anchors are a bounded broadcast
+    * set (how audits actually run at 100 TB: sample, then exact-score
+    * the sample — the corpus-side scan stays one pass); top-5 per anchor
+    * via the bounded [[graft.functions.TopKByScore]] aggregate (no
+    * per-anchor window), neighbor labels joined back on the narrow id
+    * key. Published values are integer counts plus one rounded rate, so
+    * only the q50-class ranking stability is in play. Per label:
+    * anchors, summed agreement, rate, suspects (≤1 of 5 agree). */
+  val labelNoise: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val anchors = emb.where(col("vec_id") < 40)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+        col("embedding").cast("array<double>").as("qv"))
+    val scored = emb
+      .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("cv"))
+      .crossJoin(broadcast(anchors.select("anchor_id", "qv")))
+      .where(col("cid") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("cid"),
+        graft.dedup.Dedup.cosineSim(col("qv"), col("cv")).as("cs"))
+    val top = scored.groupBy("anchor_id")
+      .agg(graft.functions.TopKByScore.topKByScore(
+        col("cs"), col("cid"), 5, descending = true).as("tk"))
+      .select(col("anchor_id"), explode(col("tk")).as("e"))
+      .select(col("anchor_id"), col("e.id").as("cid"))
+      .join(emb.select(col("vec_id").as("cid"), col("label").as("c_label")), "cid")
+    val agree = top
+      .join(broadcast(anchors.select("anchor_id", "a_label")), "anchor_id")
+      .groupBy("anchor_id", "a_label")
+      .agg(sum(when(col("c_label") === col("a_label"), 1L).otherwise(0L))
+        .as("agree"))
+    agree.groupBy(col("a_label").as("label"))
+      .agg(count(lit(1)).as("n_anchors"),
+        sum(col("agree")).as("sum_agree"),
+        round(sum(col("agree")) / (lit(5.0) * count(lit(1))), 4)
+          .as("agreement_rate"),
+        sum(when(col("agree") <= 1, 1L).otherwise(0L)).as("n_suspect"),
+        sum(col("anchor_id")).as("sum_anchor_ids"))
+      .orderBy("label")
+  }
+
   /** q147: margin-based pair mining ([[graft.sim.MarginMining]] — the
     * CCMatrix/LASER mutual-best margin-ratio rule). The embedding table
     * splits by vec_id parity into two "corpora" (the bitext stand-in);
@@ -1476,6 +1520,7 @@ object CorpusQueries {
     "q44_embedding_dup_pairs" -> embeddingDupPairs,
     "q50_knn_brute_force" -> knnBruteForce,
     "q257_triplet_mining" -> tripletMining,
+    "q258_label_noise" -> labelNoise,
     "q147_margin_mining" -> marginMining,
     "q148_margin_mining_ann" -> marginMiningAnn,
     "q149_skew_report" -> skewReport,
@@ -2177,6 +2222,33 @@ object CorpusQueries {
         |  (pos_cs < neg_cs) AS violated
         |FROM a JOIN pos USING (anchor_id) JOIN neg USING (anchor_id)
         |ORDER BY anchor_id""".stripMargin,
+    // q258: same ranking discipline as q50 (raw-cosine order, id
+    // tie-break); everything published is integer counts + one rate
+    "q258_label_noise" ->
+      """WITH a AS (
+        |  SELECT vec_id AS anchor_id, label AS a_label,
+        |    CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 40),
+        |s AS (
+        |  SELECT a.anchor_id, a.a_label, c.vec_id AS cid, c.label AS c_label,
+        |    list_cosine_similarity(a.qv, CAST(c.embedding AS DOUBLE[])) AS cs
+        |  FROM a JOIN embeddings c ON c.vec_id <> a.anchor_id),
+        |top AS (
+        |  SELECT anchor_id, a_label, c_label,
+        |    row_number() OVER (PARTITION BY anchor_id
+        |      ORDER BY cs DESC, cid ASC) AS rn
+        |  FROM s QUALIFY rn <= 5),
+        |ag AS (
+        |  SELECT anchor_id, a_label,
+        |    sum(CASE WHEN c_label = a_label THEN 1 ELSE 0 END) AS agree
+        |  FROM top GROUP BY 1, 2)
+        |SELECT CAST(a_label AS INT) AS label, count(*) AS n_anchors,
+        |  CAST(sum(agree) AS BIGINT) AS sum_agree,
+        |  round(sum(agree) / (5.0 * count(*)), 4) AS agreement_rate,
+        |  CAST(sum(CASE WHEN agree <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_suspect,
+        |  CAST(sum(anchor_id) AS BIGINT) AS sum_anchor_ids
+        |FROM ag GROUP BY 1 ORDER BY 1""".stripMargin,
     "q50_knn_brute_force" ->
       """WITH s AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
