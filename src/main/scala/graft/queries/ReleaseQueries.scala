@@ -249,8 +249,12 @@ object ReleaseQueries {
       (empty ||
         coalesce(!element_at(roles, 1).isin("system", "user"), lit(true)))
         .as("v_start"),
-      coalesce(exists(zip_with(slice(roles, lit(1), n - 1),
-          slice(roles, lit(2), n - 1), (a, b) => coalesce(a === b, lit(true))),
+      // slice length is clamped at 0: a zero-turn conversation would
+      // otherwise make slice(roles, 1, n-1) THROW (length -1) before any
+      // null logic runs
+      coalesce(exists(zip_with(slice(roles, lit(1), greatest(n - 1, lit(0))),
+          slice(roles, lit(2), greatest(n - 1, lit(0))),
+          (a, b) => coalesce(a === b, lit(true))),
           x => x), lit(false)).as("v_consec"),
       (empty || coalesce(element_at(roles, -1) =!= "assistant", lit(true)))
         .as("v_end"))

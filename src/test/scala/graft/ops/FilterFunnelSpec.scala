@@ -30,6 +30,24 @@ class FilterFunnelSpec extends SparkSpec {
     assert(rows.last.getLong(3) >= 1L, "something must survive the whole funnel")
   }
 
+  test("null lang/text FAILS its stage instead of passing the whole funnel") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, null.asInstanceOf[String], "the quick brown fox jumps over the lazy dog " * 5),
+      (2L, "en", null.asInstanceOf[String]),
+      (3L, "en", "the of and to a in that it with as " * 10))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.ops.Funnel.annotate(docs, "text", "lang")
+      .select("doc_id", "first_fail", "funnel_pass")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    // null lang: the language stage (1) must claim it
+    assert(out(1L) == (1, false), s"null lang must fail stage 1: ${out(1L)}")
+    // null text: every text feature nulls; the first text stage (2) claims it
+    assert(out(2L)._1 == 2 && !out(2L)._2, s"null text must fail stage 2: ${out(2L)}")
+    // a well-formed stopword-rich doc still passes the early stages
+    assert(out(3L)._1 != 1 && out(3L)._1 != 2, s"control doc misrouted: ${out(3L)}")
+  }
+
   test("threshold sweep is monotone per stage and agrees with q184 at the reference cell") {
     val sweep = ModelPrepQueries.funnelSweep(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))

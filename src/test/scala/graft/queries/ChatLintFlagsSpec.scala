@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Edge contract of the shared chat-lint flags (the q232 gate proves the
+  * planted classes; these pin the hostile-input edges the streaming twin
+  * meets on live intake): a zero-turn conversation is a definite start-
+  * and end-violation, null content counts as an empty turn, and every
+  * flag is a definite boolean — lint_ok can never be null. */
+class ChatLintFlagsSpec extends SparkSpec {
+
+  private def flagsOf(turns: Seq[(String, String)]) = {
+    import spark.implicits._
+    val df = Seq(Tuple1(turns)).toDF("raw")
+      .select(transform(col("raw"), t => struct(
+        t.getField("_1").as("role"), t.getField("_2").as("content")))
+        .as("turns"))
+    val f = ReleaseQueries.chatLintFlags(col("turns"))
+    df.select(f.getField("v_empty"), f.getField("v_start"),
+        f.getField("v_consec"), f.getField("v_end"))
+      .collect().head
+  }
+
+  test("zero-turn conversation flags start and end, definitely") {
+    val r = flagsOf(Seq.empty)
+    assert(!r.anyNull, "every flag must be a definite boolean")
+    assert(!r.getBoolean(0) && r.getBoolean(1) && !r.getBoolean(2) &&
+      r.getBoolean(3), s"empty conv must violate start+end: $r")
+  }
+
+  test("null content counts as an empty turn, not a null flag") {
+    val r = flagsOf(Seq(("user", "hi there"), ("assistant", null)))
+    assert(!r.anyNull, "every flag must be a definite boolean")
+    assert(r.getBoolean(0), "null content must flag v_empty")
+    assert(!r.getBoolean(1) && !r.getBoolean(2) && !r.getBoolean(3))
+  }
+
+  test("well-formed conversation raises no flag") {
+    val r = flagsOf(Seq(("system", "be helpful"), ("user", "hi"),
+      ("assistant", "hello")))
+    assert(!r.anyNull)
+    assert((0 to 3).forall(i => !r.getBoolean(i)), s"clean conv flagged: $r")
+  }
+}

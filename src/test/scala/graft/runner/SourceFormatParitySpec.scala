@@ -85,6 +85,24 @@ class SourceFormatParitySpec extends SparkSpec {
     assert(as.succeeded > 0)
   }
 
+  test("re-writing an avro dir with fewer partitions leaves no stale parts") {
+    val dir = Files.createTempDirectory("graft_avro_shrink").toString
+    // first write: many partitions -> many part files
+    AvroIo.writeAvro(events.limit(40).repartition(6), dir)
+    assert(AvroIo.readAvro(spark, dir, events.schema).count() == 40)
+    // second write into the SAME dir: fewer partitions AND fewer rows —
+    // before the rename-swap commit protocol, part-00002..05 from the
+    // first write survived and readAvro returned phantom rows
+    AvroIo.writeAvro(events.limit(10).repartition(2), dir)
+    val back = AvroIo.readAvro(spark, dir, events.schema)
+    assert(back.count() == 10,
+      "stale part files from the previous larger write leaked into the read")
+    val files = new java.io.File(dir).listFiles.map(_.getName).filter(_.endsWith(".avro"))
+    assert(files.length == 2, s"expected 2 part files, got ${files.toSeq}")
+    assert(!new java.io.File(dir).listFiles.exists(_.getName.startsWith(".inprogress")),
+      "uncommitted in-progress files must not survive a completed write")
+  }
+
   test("avro round trip is value-exact including timestamp micros") {
     val dir = Files.createTempDirectory("graft_avro_rt").toString
     AvroIo.writeAvro(events, dir)
