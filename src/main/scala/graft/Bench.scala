@@ -326,18 +326,14 @@ object Bench {
       new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
         .format(new java.util.Date()))
     write(s"bench_records/$label.json")
-    // The driver keeps only a bounded TAIL of stdout (~2 KB observed in
-    // BENCH_r07/r08: "parsed": null with the record cut mid-object), so
-    // the FINAL stdout line must be a complete JSON object that FITS.
-    // Print a compact summary — query keys shortened to their unique qNN
-    // prefix, 2-decimal times, no per-pass evidence — and point at the
-    // tracked bench_records/ file that carries the full record.
-    val compactQ = results
-      .map { case (k, t, _, _) =>
-        "\"" + k.takeWhile(_ != '_') + "\":" + f"$t%.2f" }
-      .mkString("{", ",", "}")
+    // The driver keeps only a bounded TAIL of stdout (~2.3 KB observed in
+    // BENCH_r07–r10: "parsed": null with the record cut mid-object — in r10
+    // even a shortened 172-entry query map at ~4 KB overflowed it), so the
+    // FINAL stdout line must be a complete JSON object well under that
+    // budget. Print ONLY the summary scalars — no per-query map at all —
+    // and point at the tracked bench_records/ file carrying the full record.
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$compactQ,"sf":"$sfDir","contended":$contended,"record":"bench_records/$label.json"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","contended":$contended,"n_queries":${results.size},"record":"bench_records/$label.json"}"""
     spark.stop()
     System.out.flush()
     println(compact)

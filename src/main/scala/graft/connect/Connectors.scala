@@ -341,9 +341,17 @@ object AvroIo {
         w.append(rec)
       }
       w.close()
-      // Task commit: first attempt to rename wins; a losing speculative
-      // attempt cleans up its own in-progress file.
-      if (!tfs.rename(inprog, fin)) tfs.delete(inprog, false)
+      // Task commit: the first attempt to PUBLISH wins. POSIX rename (and
+      // Hadoop RawLocalFileSystem) overwrites an existing destination and
+      // returns true, so rename success alone does NOT prove this attempt
+      // won — a late speculative attempt could clobber the winner's part
+      // file. Guard with an existence check: a losing attempt sees the
+      // committed file and deletes only its own in-progress file. The
+      // residual check-then-rename window is benign because partitions
+      // are deterministic — both attempts carry identical bytes — but the
+      // guard keeps the exactly-one-publish claim honest on local FS.
+      if (tfs.exists(fin) || !tfs.rename(inprog, fin))
+        tfs.delete(inprog, false)
       Iterator.empty[Int]
     }.count() // force the write tasks
     graft.util.AtomicSwap.swap(fs, tmp, dst)

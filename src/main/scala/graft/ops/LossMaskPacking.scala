@@ -54,10 +54,22 @@ object LossMaskPacking {
     val b = lit(budget.toLong)
     val piece = concat(lit("<|"), col(roleCol), lit("|>\n"),
       col(contentCol), lit("\n"))
+    // The okey packs (conv, turn) into one long; a turn index outside
+    // [0, 2^TurnBits) would silently collide with a neighbouring
+    // conversation's key space — corrupting stream order, segment
+    // reassembly, and the __cstart boundary detection — so out-of-range
+    // indexes must fail the pack loudly, not mis-mask it.
+    val turnIdxChecked = {
+      val ti = col(turnIdxCol).cast("long")
+      when(ti >= 0L && ti < (1L << TurnBits), ti)
+        .otherwise(raise_error(concat(
+          lit(s"$turnIdxCol out of [0, 2^$TurnBits) for packing okey: "),
+          ti.cast("string"))))
+    }
     val t = turns.select(
       col(shardCol).as("__shard"),
       (col(convCol).cast("long") * (1L << TurnBits) +
-        col(turnIdxCol).cast("long")).as("__okey"),
+        turnIdxChecked).as("__okey"),
       col(roleCol).as("__role"),
       // filter, don't trim: SQL trim strips only spaces, so the piece's
       // trailing newline would survive and split would emit a trailing

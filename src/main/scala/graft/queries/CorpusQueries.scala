@@ -1149,7 +1149,16 @@ object CorpusQueries {
         (col("__st").getField("sum_luma") / col("__st").getField("n_pixels"))
           .cast("long"))
       .withColumn("luma_class",
-        when(col("mean_luma") >= 128, "bright").otherwise("dark"))
+        // Null-safe on purpose: an undecodable image yields a null stats
+        // struct, so mean_luma is null and BOTH bands must miss — the row
+        // classes "undecodable", which can never equal a caption keyword,
+        // so pair_ok's coalesce(..., false) fail-closes it. A bare
+        // otherwise("dark") would class corrupt media as dark and pass a
+        // 'dark'-captioned pair — fail-open, the bug class the Funnel
+        // null doctrine exists to prevent.
+        when(col("mean_luma") >= 128, "bright")
+          .when(col("mean_luma") < 128, "dark")
+          .otherwise("undecodable"))
       .withColumn("caption_kw",
         when(hasB && !hasD, "bright").when(hasD && !hasB, "dark")
           .otherwise("none"))

@@ -536,14 +536,24 @@ object HygieneQueries {
     * because a sum of squares is 0 iff every term is 0. */
   /** The q255 quarantine verdict over a vector column — shared VERBATIM
     * by the batch gate and the streaming intake twin. Fixed precedence:
-    * bad_dim > nan > inf > zero_norm > ok. */
+    * bad_dim > null_elem > nan > inf > zero_norm > ok. The null_elem
+    * class must come before the value checks: exists(isnan) over a
+    * vector with a NULL element yields null, every when() falls through,
+    * and the row would class "ok" — fail-open on exactly the malformed
+    * third-party dumps this screen exists to quarantine. Catching null
+    * elements first also makes every later predicate definite (no nulls
+    * remain), so the fall-through to "ok" is sound. A null VECTOR (the
+    * whole column) also lands in null_elem: size(null) and exists(null)
+    * are both null, and the coalesce(.., true) fail-closes it. */
   def embeddingVerdictCol(v: Column, dim: Int): Column = {
+    val hasNull = exists(v, x => x.isNull)
     val hasNan = exists(v, x => isnan(x))
     val hasInf = exists(v, x =>
       x === lit(Float.PositiveInfinity) || x === lit(Float.NegativeInfinity))
     val sumsq = aggregate(v, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double"))
     when(size(v) =!= dim, "bad_dim")
+      .when(coalesce(hasNull, lit(true)), "null_elem")
       .when(hasNan, "nan")
       .when(hasInf, "inf")
       .when(sumsq === 0.0, "zero_norm")

@@ -1,0 +1,104 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.queries.{CorpusQueries, HygieneQueries}
+import org.apache.spark.sql.functions._
+
+/** Regression pins for the round-11 fail-closed null fixes: every intake
+  * screen must QUARANTINE malformed input, never class it as a definite
+  * verdict by null fall-through, and the packing okey must reject
+  * out-of-range turn indexes loudly instead of silently colliding key
+  * spaces. */
+class FailClosedNullSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- q255 embedding intake: null elements / null vectors quarantine ---
+
+  private def verdictOf(v: Seq[java.lang.Float]): String =
+    Seq(Tuple1(v)).toDF("v")
+      .select(HygieneQueries.embeddingVerdictCol(col("v"), 4).as("verdict"))
+      .as[String].head()
+
+  test("embedding intake quarantines a vector with a NULL element") {
+    // exists(isnan) over a null element is null; before the fix every
+    // predicate fell through and the row classed "ok" — fail-open
+    assert(verdictOf(Seq(1.0f, null, 3.0f, 4.0f)) == "null_elem")
+  }
+
+  test("embedding intake quarantines a fully-null vector column") {
+    val r = Seq(Tuple1(Option.empty[Seq[Float]])).toDF("v")
+      .select(HygieneQueries.embeddingVerdictCol(col("v"), 4).as("verdict"))
+      .as[String].head()
+    assert(r == "null_elem")
+  }
+
+  test("embedding intake precedence: bad_dim beats null_elem; values stay classed") {
+    assert(verdictOf(Seq(1.0f, null)) == "bad_dim") // dim 2 != 4, dimension first
+    assert(verdictOf(Seq(1.0f, Float.NaN, 3.0f, 4.0f)) == "nan")
+    assert(verdictOf(Seq(1.0f, Float.PositiveInfinity, 3.0f, 4.0f)) == "inf")
+    assert(verdictOf(Seq(0.0f, 0.0f, 0.0f, 0.0f)) == "zero_norm")
+    assert(verdictOf(Seq(1.0f, 2.0f, 3.0f, 4.0f)) == "ok")
+  }
+
+  // --- q244 image↔caption screen: undecodable media fail-closes ---
+
+  test("image pair screen classes undecodable media as undecodable, pair_ok=false") {
+    // garbage bytes decode to a null luma struct; before the fix the
+    // otherwise("dark") branch fired and a 'dark' caption passed the pair
+    val df = Seq(
+      (1L, "a dark alley", Array[Byte](1, 2, 3, 4)),
+      (2L, "a bright day", Array[Byte](-1, -2, -3))).toDF(
+      "doc_id", "caption", "media")
+    val out = CorpusQueries.imagePairFlags(df, "caption", "media")
+      .select("doc_id", "luma_class", "pair_ok")
+      .as[(Long, String, Boolean)].collect()
+      .map { case (id, cls, ok) => id -> ((cls, ok)) }.toMap
+    assert(out == Map(1L -> (("undecodable", false)),
+      2L -> (("undecodable", false))))
+  }
+
+  test("image pair screen still bands decodable media bright/dark") {
+    val bright = graft.multimodal.MediaCodec.encodeSolid("bmp", 4, 4, 0xC8C8C8)
+    val dark = graft.multimodal.MediaCodec.encodeSolid("bmp", 4, 4, 0x141414)
+    val df = Seq((1L, "a bright day", bright), (2L, "a dark alley", dark))
+      .toDF("doc_id", "caption", "media")
+    val out = CorpusQueries.imagePairFlags(df, "caption", "media")
+      .select("doc_id", "luma_class", "pair_ok")
+      .as[(Long, String, Boolean)].collect()
+      .map { case (id, cls, ok) => id -> ((cls, ok)) }.toMap
+    assert(out == Map(1L -> (("bright", true)), 2L -> (("dark", true))))
+  }
+
+  // --- loss-mask packing: okey range guard ---
+
+  test("packing rejects a turn index outside the okey's 20-bit range") {
+    val bad = Seq((0L, 0L, 1 << 20, "user", "hello world"))
+      .toDF("shard", "conv", "turn_idx", "role", "content")
+    val e = intercept[Exception] {
+      LossMaskPacking.packWithMasks(bad, "shard", "conv", "turn_idx",
+        "role", "content", 8).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("turn_idx out of")),
+      s"expected the okey range guard to fire, got: ${messages(e)}")
+  }
+
+  test("packing rejects a negative turn index") {
+    val bad = Seq((0L, 0L, -1, "user", "hello world"))
+      .toDF("shard", "conv", "turn_idx", "role", "content")
+    assertThrows[Exception] {
+      LossMaskPacking.packWithMasks(bad, "shard", "conv", "turn_idx",
+        "role", "content", 8).collect()
+    }
+  }
+
+  test("packing still packs the maximum in-range turn index") {
+    val ok = Seq((0L, 0L, (1 << 20) - 1, "user", "hello world"))
+      .toDF("shard", "conv", "turn_idx", "role", "content")
+    val n = LossMaskPacking.packWithMasks(ok, "shard", "conv", "turn_idx",
+      "role", "content", 8).count()
+    assert(n >= 1)
+  }
+}
