@@ -204,7 +204,9 @@ object Bench {
     "q255_embedding_intake",  // NaN/Inf/zero-norm/wrong-dim quarantine
     "q256_hard_negatives",    // BM25 run anti-join qrels, top negatives
     "q257_triplet_mining",    // hardest positive/impostor per anchor
-    "q258_label_noise")       // kNN label-agreement audit screen
+    "q258_label_noise",       // kNN label-agreement audit screen
+    "q259_packing_efficiency", // chop-vs-BFD packing waste census
+    "q260_bfd_pack_map")      // best-fit-decreasing per-doc assignment
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

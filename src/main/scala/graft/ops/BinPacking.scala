@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Whole-document bin packing — the alternative to [[Packing.packSequences]]
+  * concat-and-chop that real data loaders choose when examples must not be
+  * split across sequences (per-example losses, instruction tuning, anything
+  * where a truncated head is worse than padding): documents are TRUNCATED
+  * to the token budget, never split, and bins pad their slack. The
+  * engineering trade is padding waste (bin slack) against truncation waste
+  * (tokens chopped off over-budget docs) — [[packingEfficiency]] measures
+  * both sides against the chop baseline with exact integer accounting so a
+  * mixture planner can pick per corpus.
+  *
+  * Strategy: best-fit-decreasing (BFD) — docs sorted by length descending,
+  * each placed into the open bin with the LEAST remaining capacity that
+  * still fits (ties → lowest bin id), else a new bin opens. BFD is the
+  * classic 11/9·OPT+1 bin-packing heuristic (Johnson 1973); decreasing
+  * order is what makes it near-optimal in practice (big items first, small
+  * items fill the gaps).
+  *
+  * Scale shape: packing is inherently sequential WITHIN a shard (each
+  * placement depends on all previous), so the shard is the parallel unit —
+  * ONE hash shuffle on the shard key, an in-partition sort (spillable),
+  * then one streaming pass per shard whose live state is the open-bin
+  * capacity table: two longs per bin in a tree keyed by remaining capacity
+  * (best-fit probe and update are O(log bins)). A billion-token shard at a
+  * 1k budget is ~1M bins ≈ 16 MB of state — executor-sized however large
+  * the shard's doc list is, because docs stream through. 1000 executors
+  * pack 1000 shards concurrently, the same parallelism contract as
+  * [[Packing.packSequences]].
+  */
+object BinPacking {
+
+  /** Best-fit-decreasing assignment: one row per input doc —
+    * (shard, idCol, len_capped, bin, bin_offset) where `bin` is the
+    * 0-based bin id within the shard, `bin_offset` the doc's token offset
+    * inside its bin (docs tile each bin's used prefix exactly — the q245
+    * mask-certificate hook), and `len_capped = min(tokens, budget)` (docs
+    * over budget are truncated, the strategy's stated trade). The shard
+    * column is carried through as a string key named `shard`.
+    *
+    * Deterministic: placement order is (len_capped desc, id asc) within
+    * the shard, independent of input partitioning. */
+  def bestFitDecreasing(docs: DataFrame, shardCol: String, idCol: String,
+                        tokenCol: String, budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val b = budget.toLong
+    docs.select(col(shardCol).cast("string").as("__shard"),
+        col(idCol).cast("long").as("__id"),
+        least(col(tokenCol).cast("long"), lit(b)).as("__len"))
+      .as[(String, Long, Long)]
+      .repartition(col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__len").desc, col("__id").asc)
+      .mapPartitions { rows =>
+        // Open-bin state for the CURRENT shard only (reset on shard change):
+        // used(i) = tokens placed in bin i; byRemaining maps remaining
+        // capacity -> bin ids with that remaining (sorted, so the lowest id
+        // wins ties). ceilingEntry(len) IS the best fit: the smallest
+        // remaining >= len.
+        var shard: String = null
+        var used: scala.collection.mutable.ArrayBuffer[Long] = null
+        var byRemaining: java.util.TreeMap[Long, java.util.TreeSet[Int]] = null
+        rows.map { case (sh, id, len) =>
+          if (sh != shard) {
+            shard = sh
+            used = scala.collection.mutable.ArrayBuffer.empty[Long]
+            byRemaining = new java.util.TreeMap[Long, java.util.TreeSet[Int]]()
+          }
+          val entry = byRemaining.ceilingEntry(len)
+          val bin =
+            if (entry == null) { used += 0L; used.length - 1 }
+            else {
+              val set = entry.getValue
+              val i = set.first()
+              set.remove(i)
+              if (set.isEmpty) byRemaining.remove(entry.getKey)
+              i
+            }
+          val offset = used(bin)
+          used(bin) = offset + len
+          val rem = b - used(bin)
+          if (rem > 0) {
+            var set = byRemaining.get(rem)
+            if (set == null) { set = new java.util.TreeSet[Int](); byRemaining.put(rem, set) }
+            set.add(bin)
+          }
+          (sh, id, len, bin.toLong, offset)
+        }
+      }
+      .toDF("shard", idCol, "len_capped", "bin", "bin_offset")
+  }
+
+  /** The packing-efficiency census: for each shard, the exact integer
+    * accounting of BOTH strategies over the same docs at the same budget —
+    *  - chop ([[Packing.packSequences]], doc-id stream order): sequences,
+    *    padding waste (only the final sequence's slack), and the number of
+    *    docs SPLIT across a sequence boundary (chop's quality cost);
+    *  - BFD ([[bestFitDecreasing]]): bins, padding waste (every bin's
+    *    slack), truncation waste (tokens cut from over-budget docs —
+    *    BFD's quality cost; split docs are 0 by construction).
+    * Fill ratios are derived 6-dp doubles; every other column is an exact
+    * BIGINT the oracle replays. One row per shard. */
+  def packingEfficiency(docs: DataFrame, shardCol: String, idCol: String,
+                        tokenCol: String, budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val b = budget.toLong
+    val base = docs.select(col(shardCol).cast("string").as("shard"),
+      col(idCol).as("__id"), col(tokenCol).cast("long").as("__ntok"))
+    val chopped = Packing.packSequences(base, Seq("shard"), "__id", "__ntok", budget)
+      .withColumn("__split",
+        when(col("__ntok") > 0 &&
+          floor(col("__start") / b) =!= floor((col("__start") + col("__ntok") - 1) / b),
+          1L).otherwise(0L))
+    // chop_seqs must count the WHOLE chopped stream — ceil(total/B), not
+    // q64's max(__seq)+1 (the sequence owning the last doc's FIRST token):
+    // a long final doc spills into sequences that own no doc start, and
+    // those tail sequences still cost budget (their slack is the pad).
+    val chop = chopped.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).as("total_tokens"),
+        floor((sum(col("__ntok")) + b - 1) / b).as("chop_seqs"),
+        (floor((sum(col("__ntok")) + b - 1) / b) * b - sum(col("__ntok")))
+          .as("chop_pad"),
+        sum(col("__split")).as("chop_split_docs"))
+    val bfd = bestFitDecreasing(base, "shard", "__id", "__ntok", budget)
+      .groupBy("shard")
+      .agg((max(col("bin")) + 1).as("bfd_bins"),
+        ((max(col("bin")) + 1) * b - sum(col("len_capped"))).as("bfd_pad"),
+        sum(col("len_capped")).as("bfd_kept_tokens"))
+    chop.join(bfd, Seq("shard"))
+      .withColumn("bfd_trunc", col("total_tokens") - col("bfd_kept_tokens"))
+      .withColumn("chop_fill",
+        round(col("total_tokens") / (col("chop_seqs") * b).cast("double"), 6))
+      .withColumn("bfd_fill",
+        round(col("bfd_kept_tokens") / (col("bfd_bins") * b).cast("double"), 6))
+      .select("shard", "n_docs", "total_tokens", "chop_seqs", "chop_pad",
+        "chop_split_docs", "chop_fill", "bfd_bins", "bfd_pad", "bfd_trunc",
+        "bfd_fill")
+  }
+}

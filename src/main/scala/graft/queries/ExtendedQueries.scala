@@ -300,6 +300,48 @@ object ExtendedQueries {
       .orderBy("source")
   }
 
+  /** Budget shared by the q259/q260 packing-efficiency gates: 80 tokens —
+    * below the corpus max (~99 at every SF), so BOTH failure modes are
+    * realized (some docs truncate under BFD; most bins hold 1-3 docs so
+    * padding waste is non-trivial on both strategies). */
+  private val PackBudget = 80
+
+  /** q259: packing-efficiency census ([[graft.ops.BinPacking
+    * .packingEfficiency]]) — the chop-vs-bin-pack decision table: per
+    * source, exact integer accounting of concat-and-chop (q64: zero
+    * truncation, but docs split across sequence boundaries and only the
+    * final sequence pads) against best-fit-decreasing whole-doc packing
+    * (zero splits, but every bin pads its slack and over-budget docs
+    * truncate). The oracle replays the BFD placement loop literally
+    * (recursive CTE, one doc per iteration per shard) — the sequential
+    * fold is the definition, the engine's tree-indexed streaming pass is
+    * the algorithm (the q157 doctrine). */
+  val packingEfficiencyCensus: Q = (s, dir) => {
+    val withTok = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+    graft.ops.BinPacking.packingEfficiency(withTok, "source", "doc_id",
+        "ntok", PackBudget)
+      .withColumnRenamed("shard", "source")
+      .orderBy("source")
+  }
+
+  /** q260: the BFD assignment map itself — one row per document:
+    * (source, doc_id, len_capped, bin, bin_offset). The per-doc offsets
+    * are the loader contract (where each example starts inside its padded
+    * sequence — the q251 boundary map for the bin-packed strategy), and
+    * row-level equality against the oracle's replayed fold certifies
+    * every placement decision, not just the census totals. */
+  val bfdPackMap: Q = (s, dir) => {
+    val withTok = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+    graft.ops.BinPacking.bestFitDecreasing(withTok, "source", "doc_id",
+        "ntok", PackBudget)
+      .withColumnRenamed("shard", "source")
+      .orderBy("source", "doc_id")
+  }
+
   /** Incremental dedup: a delta batch (doc_id%10==3) checked against the
     * signature INDEX of the existing corpus — the corpus is never
     * re-shingled wholesale, only candidate docs are verified. Oracled by
@@ -734,6 +776,8 @@ object ExtendedQueries {
     "q68_embedding_quant" -> embeddingQuantization,
     "q67_neardup_canonical" -> nearDupCanonical,
     "q64_sequence_packing" -> sequencePacking,
+    "q259_packing_efficiency" -> packingEfficiencyCensus,
+    "q260_bfd_pack_map" -> bfdPackMap,
     "q65_token_quota" -> tokenQuota,
     "q66_incremental_dedup" -> incrementalDedup,
     "q29_rolling_revenue" -> rollingRevenue,
@@ -1056,7 +1100,105 @@ object ExtendedQueries {
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
 
+  /** The best-fit bin choice inside the q259/q260 oracle's recursive fold:
+    * among open bins with remaining >= the doc's capped length, the one
+    * with the LEAST remaining, ties to the lowest 1-based index — encoded
+    * as list_min over remaining*100000+index (remaining <= budget and bins
+    * per shard << 100000, so the encoding is collision-free); 0 = no fit,
+    * open a new bin. Inlined at each use site (a recursive CTE term cannot
+    * name sub-CTEs). */
+  private def bfdBestSql(bins: String, lc: String): String =
+    s"""coalesce(list_min([($PackBudget - $bins[j]) * 100000 + j
+       |      FOR j IN generate_series(1, len($bins))
+       |      IF $PackBudget - $bins[j] >= $lc]) % 100000, 0)""".stripMargin
+
+  /** Shared q259/q260 oracle CTEs: token lengths -> per-shard decreasing
+    * rank -> the BFD placement fold replayed LITERALLY one doc per
+    * iteration per shard (state = the open-bin used-token list), ending in
+    * `u`: one row per doc with its 1-based bin and offset. The sequential
+    * replay is the bin-packing definition; the engine's tree-indexed
+    * streaming pass must reproduce every placement exactly. */
+  private def bfdOracleCtes: String = {
+    val best = bfdBestSql("st.bins", "r.lc")
+    s"""WITH RECURSIVE d AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+       |      ELSE string_split_regex(trim(text), '\\s+') END) AS BIGINT) AS ntok
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, doc_id, ntok, least(ntok, $PackBudget) AS lc,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY least(ntok, $PackBudget) DESC, doc_id ASC) AS rk
+       |  FROM d),
+       |mx AS (SELECT source, max(rk) AS m FROM r GROUP BY 1),
+       |st(source, i, bins, ids, bs, offs) AS (
+       |  SELECT source, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+       |    CAST([] AS BIGINT[]), CAST([] AS BIGINT[]), CAST([] AS BIGINT[])
+       |  FROM mx
+       |  UNION ALL
+       |  SELECT st.source, st.i + 1,
+       |    CASE WHEN $best = 0
+       |      THEN list_append(st.bins, r.lc)
+       |      ELSE [CASE WHEN j = $best
+       |        THEN st.bins[j] + r.lc ELSE st.bins[j] END
+       |        FOR j IN generate_series(1, len(st.bins))] END,
+       |    list_append(st.ids, r.doc_id),
+       |    list_append(st.bs,
+       |      CASE WHEN $best = 0 THEN len(st.bins) + 1 ELSE $best END),
+       |    list_append(st.offs,
+       |      coalesce(st.bins[CAST($best AS INT)], 0))
+       |  FROM st JOIN r ON r.source = st.source AND r.rk = st.i + 1),
+       |fin AS (
+       |  SELECT st.source, st.bins, st.ids, st.bs, st.offs
+       |  FROM st JOIN mx USING (source) WHERE st.i = mx.m),
+       |u AS (
+       |  SELECT source, unnest(ids) AS doc_id, unnest(bs) AS bin1,
+       |    unnest(offs) AS bin_offset
+       |  FROM fin)""".stripMargin
+  }
+
+  private def bfdPackMapOracle: String =
+    s"""$bfdOracleCtes
+       |SELECT u.source, u.doc_id, r.lc AS len_capped,
+       |  CAST(u.bin1 - 1 AS BIGINT) AS bin, u.bin_offset
+       |FROM u JOIN r ON u.source = r.source AND u.doc_id = r.doc_id
+       |ORDER BY 1, 2""".stripMargin
+
+  private def packingEfficiencyOracle: String =
+    s"""$bfdOracleCtes,
+       |chp AS (
+       |  SELECT source, doc_id, ntok,
+       |    sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) - ntok AS strt
+       |  FROM d),
+       |chop AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(ntok) AS BIGINT) AS total_tokens,
+       |    CAST((sum(ntok) + $PackBudget - 1) // $PackBudget AS BIGINT)
+       |      AS chop_seqs,
+       |    CAST((sum(ntok) + $PackBudget - 1) // $PackBudget * $PackBudget
+       |      - sum(ntok) AS BIGINT) AS chop_pad,
+       |    CAST(sum(CASE WHEN ntok > 0 AND
+       |        strt // $PackBudget <> (strt + ntok - 1) // $PackBudget
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS chop_split_docs
+       |  FROM chp GROUP BY 1),
+       |bfd AS (
+       |  SELECT source, CAST(len(bins) AS BIGINT) AS bfd_bins,
+       |    CAST(len(bins) * $PackBudget - list_sum(bins) AS BIGINT) AS bfd_pad,
+       |    CAST(list_sum(bins) AS BIGINT) AS kept
+       |  FROM fin)
+       |SELECT chop.source, chop.n_docs, chop.total_tokens, chop.chop_seqs,
+       |  chop.chop_pad, chop.chop_split_docs,
+       |  round(chop.total_tokens * 1.0 / (chop.chop_seqs * $PackBudget), 6)
+       |    AS chop_fill,
+       |  bfd.bfd_bins, bfd.bfd_pad,
+       |  CAST(chop.total_tokens - bfd.kept AS BIGINT) AS bfd_trunc,
+       |  round(bfd.kept * 1.0 / (bfd.bfd_bins * $PackBudget), 6) AS bfd_fill
+       |FROM chop JOIN bfd USING (source) ORDER BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q259_packing_efficiency" -> packingEfficiencyOracle,
+    "q260_bfd_pack_map" -> bfdPackMapOracle,
     // q216: same fold alphabet, same per-fold-group (n, distinct-raw)
     // arithmetic; oracle's translate() shares Spark's drop-when-shorter
     // semantics

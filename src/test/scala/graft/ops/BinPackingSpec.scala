@@ -1,0 +1,143 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Best-fit-decreasing bin packing: placement semantics, determinism
+  * across partitionings, the budget/tiling invariants, the q245
+  * mask-certificate idiom applied to BFD offsets, and the efficiency
+  * census arithmetic. */
+class BinPackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pack(rows: Seq[(String, Long, Long)], budget: Int) =
+    BinPacking.bestFitDecreasing(
+      rows.toDF("shard", "id", "ntok"), "shard", "id", "ntok", budget)
+      .select("id", "bin", "bin_offset", "len_capped")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+
+  test("best-fit-decreasing places the textbook example") {
+    // lens 6,5,4,3,2 at budget 8: 6 opens bin0; 5 opens bin1 (bin0 rem 2
+    // < 5); 4 opens bin2; 3 best-fits bin1 (rem 3 beats bin2's rem 4);
+    // 2 best-fits bin0 (rem 2 is the tightest fit)
+    val out = pack(Seq(("s", 1L, 6L), ("s", 2L, 5L), ("s", 3L, 4L),
+      ("s", 4L, 3L), ("s", 5L, 2L)), 8)
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 6L), (2L, 1L, 0L, 5L), (3L, 2L, 0L, 4L),
+      (4L, 1L, 5L, 3L), (5L, 0L, 6L, 2L)))
+  }
+
+  test("equal lengths break ties by id; new bin ties to lowest bin id") {
+    // four docs of len 3 at budget 6: ids 1,2,3,4 in order; 1 opens bin0,
+    // 2 best-fits bin0 (rem 3), 3 opens bin1, 4 fills bin1
+    val out = pack(Seq(("s", 4L, 3L), ("s", 2L, 3L), ("s", 1L, 3L),
+      ("s", 3L, 3L)), 6)
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 3L), (2L, 0L, 3L, 3L), (3L, 1L, 0L, 3L), (4L, 1L, 3L, 3L)))
+  }
+
+  test("over-budget docs truncate to the budget and own a full bin") {
+    val out = pack(Seq(("s", 1L, 10L), ("s", 2L, 2L)), 4)
+    assert(out.toSeq == Seq((1L, 0L, 0L, 4L), (2L, 1L, 0L, 2L)))
+  }
+
+  test("shards pack independently; bins never exceed budget; offsets tile") {
+    val docs = Seq.tabulate(200) { i =>
+      (s"sh${i % 7}", i.toLong, (i * 37 % 90 + 5).toLong) }
+    val out = BinPacking.bestFitDecreasing(
+      docs.toDF("shard", "id", "ntok"), "shard", "id", "ntok", 100)
+    val byBin = out.groupBy("shard", "bin")
+      .agg(sum("len_capped").as("used"), min("bin_offset").as("mn"),
+        max(col("bin_offset") + col("len_capped")).as("mx"),
+        count(lit(1)).as("n"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(byBin.nonEmpty)
+    byBin.foreach { case (sh, bin, used, mn, mx, _) =>
+      assert(used <= 100, s"$sh/$bin over budget")
+      assert(mn == 0L && mx == used, s"$sh/$bin offsets do not tile [0,$used)")
+    }
+    // offsets within a bin are a prefix partition: sorted slices are disjoint
+    val slices = out.select("shard", "bin", "bin_offset", "len_capped")
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(t => (t._1, t._2)).values
+    slices.foreach { ss =>
+      val sorted = ss.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 == b._3, "gap/overlap in bin")
+        case _ =>
+      }
+    }
+  }
+
+  test("assignment is independent of input partitioning") {
+    val docs = Seq.tabulate(300) { i =>
+      (s"sh${i % 5}", i.toLong, (i * 53 % 70 + 3).toLong) }
+    val df1 = docs.toDF("shard", "id", "ntok").repartition(1)
+    val df2 = docs.reverse.toDF("shard", "id", "ntok").repartition(13)
+    val a = BinPacking.bestFitDecreasing(df1, "shard", "id", "ntok", 96)
+      .select("id", "bin", "bin_offset").as[(Long, Long, Long)].collect().sortBy(_._1)
+    val b = BinPacking.bestFitDecreasing(df2, "shard", "id", "ntok", 96)
+      .select("id", "bin", "bin_offset").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("mask certificate: tokens extracted by (bin, offset, len) equal the originals") {
+    // the q245 idiom on BFD offsets: materialize each bin's token stream by
+    // placing docs at their offsets, then slice every doc back out by its
+    // certificate (bin_offset, len_capped) — byte-equality proves the
+    // offsets are the loader contract, not just bookkeeping
+    val docs = spark.read.parquet(sf("documents"))
+      .select(col("source"), col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .withColumn("ntok", size(col("toks")).cast("long"))
+    val budget = 80
+    val packed = BinPacking.bestFitDecreasing(
+      docs, "source", "doc_id", "ntok", budget)
+    val joined = packed.join(docs.select("doc_id", "toks"), "doc_id")
+      .withColumn("ctoks",
+        slice(col("toks"), lit(1), col("len_capped").cast("int")))
+    // per-bin stream: order docs by offset, concatenate their capped tokens
+    val bins = joined.groupBy("shard", "bin")
+      .agg(array_sort(collect_list(struct(col("bin_offset"), col("doc_id"),
+        col("ctoks")))).as("xs"))
+      .withColumn("stream", flatten(transform(col("xs"), x => x.getField("ctoks"))))
+    // extract every doc back out of its bin's stream by offset
+    val extracted = bins
+      .select(col("shard"), col("bin"), col("stream"), explode(col("xs")).as("x"))
+      .select(col("x").getField("doc_id").as("doc_id"),
+        slice(col("stream"), (col("x").getField("bin_offset") + 1).cast("int"),
+          size(col("x").getField("ctoks"))).as("got"),
+        col("x").getField("ctoks").as("want"))
+    val bad = extracted.where(not(col("got") === col("want"))).count()
+    assert(bad == 0, s"$bad docs failed offset extraction")
+    assert(extracted.count() == docs.count())
+  }
+
+  test("efficiency census: exact chop-vs-bfd arithmetic on a hand corpus") {
+    // one shard, lens 6,5,4,3,2 (total 20) at budget 8:
+    // chop: ceil(20/8)=3 seqs, pad 4; splits: starts 0,6,11,15,18 ->
+    //   doc1 [0,6) no; doc2 [6,11) crosses 8 yes; doc3 [11,15) no;
+    //   doc4 [15,18) crosses 16 yes; doc5 [18,20) no -> 2 splits
+    // bfd (textbook above): 3 bins, used 8+8+4 -> pad 4, trunc 0
+    val rows = Seq(("s", 1L, 6L), ("s", 2L, 5L), ("s", 3L, 4L),
+      ("s", 4L, 3L), ("s", 5L, 2L))
+    val out = BinPacking.packingEfficiency(
+      rows.toDF("shard", "id", "ntok"), "shard", "id", "ntok", 8)
+      .select("n_docs", "total_tokens", "chop_seqs", "chop_pad",
+        "chop_split_docs", "bfd_bins", "bfd_pad", "bfd_trunc")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(out == ((5L, 20L, 3L, 4L, 2L, 3L, 4L, 0L)))
+  }
+
+  test("efficiency census: truncation waste is exact when docs exceed budget") {
+    val rows = Seq(("s", 1L, 10L), ("s", 2L, 2L)) // budget 4
+    val out = BinPacking.packingEfficiency(
+      rows.toDF("shard", "id", "ntok"), "shard", "id", "ntok", 4)
+      .select("chop_seqs", "chop_pad", "chop_split_docs",
+        "bfd_bins", "bfd_pad", "bfd_trunc")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    // chop: total 12, 3 seqs, pad 0, doc1 splits; bfd: doc1 trunc to 4
+    // (own bin), doc2 bin of 2 -> pad 2, trunc 6
+    assert(out == ((3L, 0L, 1L, 2L, 2L, 6L)))
+  }
+}
