@@ -685,6 +685,51 @@ object CorpusQueries {
         "skew_below_retrain")
   }
 
+  /** q261: stored-ANN index HEALTH census ([[graft.sim.IndexHealth]]) —
+    * the monitoring loop a production index runs between quantizer
+    * re-trains: recall@k vs exact over a fixed probe sample (vec_id%37==5),
+    * measured after EVERY ingest generation and persisted additively (the
+    * q219 drift doctrine applied to the q168 stored index). The exact
+    * ground truth is itself batch-maintained — each generation scores the
+    * probes against only its own batch and merges the per-batch top-k
+    * (top-k(A∪B) ⊆ top-k(A)∪top-k(B)), so the corpus is never rescanned.
+    * Gate: two generations through the store; per gen the exact-side
+    * integers (probe count, top-k rows, neighbor-id sum — the SQL-
+    * replayable half) plus the certificates: stored exact state == the
+    * one-shot exact pass, recall ≥ 0.8 (q148's measured config,
+    * nProbe=12/16), skew below the q149 re-train rule, the composed
+    * trigger state, and the replay no-op. */
+  val ivfHealthCensus: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val b0 = emb.where(col("vec_id") % 2 === 0)
+    val b1 = emb.where(col("vec_id") % 2 === 1)
+    val probes = emb.where(col("vec_id") % 37 === 5)
+    val root = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_ivf_health"))
+    val idxPath = s"$root/ivf"
+    val exactPath = s"$root/exact"
+    val censusPath = s"$root/recall"
+    val built = Similarity.buildIvfIndex(b0, "vec_id", "embedding", 16, 42)
+    graft.store.IndexStore.saveIvfIndex(s, built, idxPath)
+    graft.sim.IndexHealth.ingestExactState(s, exactPath, b0, probes,
+      "vec_id", "embedding", k = 3, batchId = 0L)
+    graft.sim.IndexHealth.measureGeneration(s, idxPath, exactPath,
+      censusPath, probes, b0, "vec_id", "embedding", k = 3, nProbe = 12,
+      gen = 0L)
+    graft.store.IndexStore.updateIvfIndex(s, idxPath, b1,
+      "vec_id", "embedding", batchId = 1L)
+    // replaying generation 0's exact ingest must no-op (cursor at 1)
+    val replayNoop = !graft.sim.IndexHealth.ingestExactState(s, exactPath,
+      b0, probes, "vec_id", "embedding", k = 3, batchId = 0L)
+    graft.sim.IndexHealth.ingestExactState(s, exactPath, b1, probes,
+      "vec_id", "embedding", k = 3, batchId = 1L)
+    graft.sim.IndexHealth.measureGeneration(s, idxPath, exactPath,
+      censusPath, probes, emb, "vec_id", "embedding", k = 3, nProbe = 12,
+      gen = 1L)
+    graft.sim.IndexHealth.healthReport(s, censusPath)
+      .withColumn("replay_noop", lit(replayNoop))
+  }
+
   /** Compressed-index ANN: int8-dequantized scoring + exact re-rank of the
     * over-retrieved survivors — same oracle as q50 (the re-rank restores
     * exactness; quantization error ~2e-5 vs rank margins >=1e-3). */
@@ -1536,6 +1581,7 @@ object CorpusQueries {
     "q154_dedup_threshold_curve" -> dedupThresholdCurve,
     "q163_margin_mining_stored" -> marginMiningStored,
     "q168_ivf_incremental" -> ivfIncremental,
+    "q261_ivf_health_census" -> ivfHealthCensus,
     "q69_knn_quantized" -> knnQuantized,
     "q51_ann_lsh" -> annLsh,
     "q55_ann_ivf" -> annIvf,
@@ -2184,6 +2230,40 @@ object CorpusQueries {
         |  true AS lists_match_oneshot,
         |  true AS recall_ge_080,
         |  true AS skew_below_retrain""".stripMargin,
+    // q261: the exact-side integers replayed per generation (cosine top-3
+    // per probe over the corpus-so-far, self excluded); the ANN/store
+    // certificates are engine-verified booleans (the q168 doctrine)
+    "q261_ivf_health_census" ->
+      """WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 37 = 5),
+        |g0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+        |s0 AS (SELECT p.vec_id AS qid, c.vec_id AS nid,
+        |    list_cosine_similarity(p.embedding, c.embedding) AS cs
+        |  FROM p JOIN g0 c ON p.vec_id <> c.vec_id),
+        |e0 AS (SELECT qid, nid FROM (SELECT qid, nid, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cs DESC, nid ASC) AS rk FROM s0)
+        |  WHERE rk <= 3),
+        |s1 AS (SELECT p.vec_id AS qid, c.vec_id AS nid,
+        |    list_cosine_similarity(p.embedding, c.embedding) AS cs
+        |  FROM p JOIN embeddings c ON p.vec_id <> c.vec_id),
+        |e1 AS (SELECT qid, nid FROM (SELECT qid, nid, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cs DESC, nid ASC) AS rk FROM s1)
+        |  WHERE rk <= 3)
+        |SELECT CAST(0 AS BIGINT) AS gen,
+        |  (SELECT count(*) FROM g0) AS n_corpus,
+        |  (SELECT count(DISTINCT qid) FROM e0) AS n_probes,
+        |  (SELECT count(*) FROM e0) AS n_exact_rows,
+        |  (SELECT CAST(sum(nid) AS BIGINT) FROM e0) AS sum_exact_neighbor_ids,
+        |  true AS exact_matches_oneshot, true AS recall_ge_080,
+        |  true AS skew_below_retrain, false AS trigger_fired,
+        |  true AS replay_noop
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT),
+        |  (SELECT count(*) FROM embeddings),
+        |  (SELECT count(DISTINCT qid) FROM e1),
+        |  (SELECT count(*) FROM e1),
+        |  (SELECT CAST(sum(nid) AS BIGINT) FROM e1),
+        |  true, true, true, false, true
+        |ORDER BY gen""".stripMargin,
     "q148_margin_mining_ann" ->
       """WITH l AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
         |r AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),

@@ -1,0 +1,121 @@
+package graft.sim
+
+import graft.store.IndexStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stored-ANN index HEALTH monitoring — the recall census a production
+  * index needs between quantizer re-trains: recall@k of the stored
+  * IVF index vs the exact top-k over a fixed probe set, maintained
+  * ADDITIVELY across ingest batches (the q219 drift doctrine applied to
+  * the index itself), feeding the re-train trigger the list-skew report
+  * documents.
+  *
+  * Why this is cheap at 100 TB: the probe set is a small deterministic
+  * sample, and the EXACT ground truth is itself maintainable batch-by-
+  * batch — top-k(A ∪ B) ⊆ top-k(A) ∪ top-k(B), so each ingest scores
+  * probes against ONLY its own batch (one bounded broadcast join over
+  * O(batch) rows) and merges the per-batch top-k into a stored state of
+  * ≤ generations·k rows per probe. The full corpus is never rescanned;
+  * each generation's health measurement touches the index lists (the
+  * probe) and the probe-cardinality state, nothing else.
+  *
+  * Stored state, two additive censuses ([[IndexStore.updateCensus]] —
+  * atomic swap, replay-cursor exactly-once):
+  *  - exact state, key (query_id, neighbor_id): the per-batch exact
+  *    top-k candidates with their full-precision cosine (keys are unique
+  *    across disjoint batches, so the additive merge is a pure union);
+  *  - recall census, key (gen): per-generation integer facts — probes,
+  *    exact rows, ANN∩exact hits, corpus size, max list occupancy and
+  *    total (the skew trigger's numerator/denominator — the ratio itself
+  *    is never stored, the additive-store rule).
+  */
+object IndexHealth {
+
+  /** Merge one corpus batch into the stored exact-top-k probe state:
+    * scores `probes` against THIS BATCH ONLY and merges the per-batch
+    * top-k rows. Replayed batchIds no-op.
+    * @return true if applied, false if skipped as a replay. */
+  def ingestExactState(spark: SparkSession, statePath: String,
+                       batch: DataFrame, probes: DataFrame, idCol: String,
+                       vecCol: String, k: Int, batchId: Long): Boolean = {
+    val topk = Similarity.bruteForceTopK(batch, probes, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    IndexStore.updateCensus(spark, statePath, topk,
+      Seq("query_id", "neighbor_id"), batchId)
+  }
+
+  /** The exact top-k per probe from the RELOADED stored state — true
+    * corpus-wide top-k by the union-of-per-batch-top-k invariant. The
+    * window is over the probe-cardinality state (≤ gens·k rows per
+    * probe), never the corpus. */
+  def exactTopKFromState(spark: SparkSession, statePath: String,
+                         k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    IndexStore.loadCensus(spark, statePath)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Measure one generation's health off the RELOADED artifacts and merge
+    * the row into the stored recall census: probe the stored IVF index,
+    * compare against the stored exact state, verify the stored exact
+    * state against a ONE-SHOT exact pass over `corpusSoFar` (the batched
+    * == one-shot certificate), and record the list-skew trigger inputs.
+    * @return true if applied, false if the gen was a replay. */
+  def measureGeneration(spark: SparkSession, indexPath: String,
+                        statePath: String, censusPath: String,
+                        probes: DataFrame, corpusSoFar: DataFrame,
+                        idCol: String, vecCol: String, k: Int, nProbe: Int,
+                        gen: Long): Boolean = {
+    import spark.implicits._
+    val idx = IndexStore.loadIvfIndex(spark, indexPath)
+    val exact = exactTopKFromState(spark, statePath, k)
+      .select("query_id", "neighbor_id").cache()
+    val ann = Similarity.ivfTopKFrom(idx, probes, idCol, vecCol, k, nProbe)
+      .select("query_id", "neighbor_id")
+    val nExact = exact.count()
+    val nHits = exact.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+      .count()
+    val nProbes = exact.select("query_id").distinct().count()
+    val oneShot = Similarity.bruteForceTopK(corpusSoFar, probes, idCol,
+      vecCol, k).select("query_id", "neighbor_id")
+    val matchesOneShot = oneShot.count() == nExact &&
+      oneShot.unionByName(exact).distinct().count() == nExact
+    val sumExactIds = exact.agg(coalesce(sum("neighbor_id"), lit(0L)))
+      .head().getLong(0)
+    exact.unpersist()
+    // skew trigger inputs as integers: maxListN * nLists < 4 * nTotal
+    // <=> frac_vs_uniform < 4 (the documented re-train rule)
+    val occ = idx.lists.groupBy("list_id").agg(count(lit(1)).as("n"))
+      .agg(max("n").as("mx"), sum("n").as("tot"))
+      .head()
+    val row = Seq((gen, corpusSoFar.count(), nProbes, nExact, nHits,
+        sumExactIds, if (matchesOneShot) 1L else 0L,
+        occ.getLong(0), occ.getLong(1), idx.centroids.size.toLong))
+      .toDF("gen", "n_corpus", "n_probes", "n_exact_rows", "n_hits",
+        "sum_exact_neighbor_ids", "matches_oneshot", "max_list_n",
+        "n_indexed", "n_lists")
+    IndexStore.updateCensus(spark, censusPath, row, Seq("gen"), gen)
+  }
+
+  /** The health report off the RELOADED recall census: one row per
+    * generation with the exact integers plus the derived trigger state —
+    * recall_ge_080 (hits·5 ≥ exact·4, the q148 bound), skew_below_retrain
+    * (max·lists < 4·total, the q149 rule), trigger_fired when either
+    * degrades. Ratios derive at report time; only integers are stored. */
+  def healthReport(spark: SparkSession, censusPath: String): DataFrame =
+    IndexStore.loadCensus(spark, censusPath)
+      .select(col("gen"), col("n_corpus"), col("n_probes"),
+        col("n_exact_rows"), col("sum_exact_neighbor_ids"),
+        (col("matches_oneshot") === 1L).as("exact_matches_oneshot"),
+        (col("n_hits") * 5 >= col("n_exact_rows") * 4).as("recall_ge_080"),
+        (col("max_list_n") * col("n_lists") < col("n_indexed") * 4)
+          .as("skew_below_retrain"),
+        (col("n_hits") * 5 < col("n_exact_rows") * 4 ||
+          col("max_list_n") * col("n_lists") >= col("n_indexed") * 4)
+          .as("trigger_fired"))
+      .orderBy("gen")
+}

@@ -1,0 +1,125 @@
+package graft.sim
+
+import graft.SparkSpec
+import graft.store.IndexStore
+import org.apache.spark.sql.functions._
+
+/** Stored-ANN health census: the batched exact state equals one-shot, the
+  * planted-drift batch fires the re-train trigger, and the report derives
+  * recall degradation from the stored integers. */
+class IndexHealthSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = graft.util.TempDirs.deleteOnExit(
+    java.nio.file.Files.createTempDirectory("graft_idxhealth")).toString
+
+  /** Deterministic pseudo-noise in [-spread, spread). */
+  private def noise(seed: Long, spread: Double): Double =
+    ((seed * 2654435761L % 1000).toDouble / 1000.0 - 0.5) * 2 * spread
+
+  /** 8 tight, hugely separated mini-clusters of 5 vectors (ids 0..39):
+    * k-means(k=8) recovers them exactly, so gen-0 list occupancy is
+    * uniform (5 each) and the skew trigger is quiet. */
+  private def baseCorpus = Seq.tabulate(40) { i =>
+    val c = i % 8
+    (i.toLong, Seq.tabulate(4)(d =>
+      (1000.0 * (c + 1) * (d + 1) + noise(i * 4 + d, 0.1)).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  /** The drift batch (ids 100..139): one far-away blob — every vector
+    * routes to the single nearest FROZEN list, which is exactly the
+    * occupancy concentration the re-train rule exists to catch. */
+  private def driftBatch = Seq.tabulate(40) { i =>
+    (100L + i, Seq.tabulate(4)(d =>
+      (500000.0 + noise(i * 4 + d + 7, 0.1)).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  test("planted drift batch fires the skew re-train trigger at gen 1, not gen 0") {
+    val root = tmp()
+    val base = baseCorpus
+    val probes = base.where(col("vec_id") % 8 === 3) // 5 probes, all in mini-cluster 3
+    val built = Similarity.buildIvfIndex(base, "vec_id", "embedding", nLists = 8, seed = 42)
+    IndexStore.saveIvfIndex(spark, built, s"$root/ivf")
+    assert(IndexHealth.ingestExactState(spark, s"$root/exact", base, probes,
+      "vec_id", "embedding", k = 3, batchId = 0L))
+    assert(IndexHealth.measureGeneration(spark, s"$root/ivf", s"$root/exact",
+      s"$root/census", probes, base, "vec_id", "embedding", k = 3,
+      nProbe = 8, gen = 0L))
+    val drift = driftBatch
+    IndexStore.updateIvfIndex(spark, s"$root/ivf", drift, "vec_id",
+      "embedding", batchId = 1L)
+    assert(IndexHealth.ingestExactState(spark, s"$root/exact", drift, probes,
+      "vec_id", "embedding", k = 3, batchId = 1L))
+    assert(IndexHealth.measureGeneration(spark, s"$root/ivf", s"$root/exact",
+      s"$root/census", probes, base.unionByName(drift), "vec_id",
+      "embedding", k = 3, nProbe = 8, gen = 1L))
+    val rep = IndexHealth.healthReport(spark, s"$root/census")
+      .select("gen", "exact_matches_oneshot", "recall_ge_080",
+        "skew_below_retrain", "trigger_fired")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map { case (g, a, b, c, d) => g -> ((a, b, c, d)) }.toMap
+    // gen 0: uniform lists, full-probe recall, exact state == one-shot
+    assert(rep(0L) == ((true, true, true, false)))
+    // gen 1: exact state still one-shot-correct and recall intact (all
+    // lists probed) — the trigger fires on SKEW alone, the early symptom
+    assert(rep(1L) == ((true, true, false, true)))
+  }
+
+  test("replayed exact-state ingest is a no-op; cursor advances once") {
+    val root = tmp()
+    val base = baseCorpus
+    val probes = base.where(col("vec_id") < 3)
+    assert(IndexHealth.ingestExactState(spark, s"$root/exact", base, probes,
+      "vec_id", "embedding", k = 2, batchId = 0L))
+    assert(!IndexHealth.ingestExactState(spark, s"$root/exact", base, probes,
+      "vec_id", "embedding", k = 2, batchId = 0L))
+    assert(IndexStore.censusLastBatch(spark, s"$root/exact") == 0L)
+  }
+
+  test("batched exact state equals the one-shot exact top-k over the union") {
+    val root = tmp()
+    // 60 pseudo-random vectors in 3 batches of 20
+    val vecs = Seq.tabulate(60) { i =>
+      (i.toLong, Seq.tabulate(6)(d => noise(i * 13 + d * 7, 1.0).toFloat))
+    }.toDF("vec_id", "embedding")
+    val probes = vecs.where(col("vec_id") % 11 === 2)
+    (0 until 3).foreach { b =>
+      assert(IndexHealth.ingestExactState(spark, s"$root/exact",
+        vecs.where(col("vec_id") % 3 === b), probes,
+        "vec_id", "embedding", k = 4, batchId = b.toLong))
+    }
+    val merged = IndexHealth.exactTopKFromState(spark, s"$root/exact", 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().sortBy(t => (t._1, t._3))
+    val oneShot = Similarity.bruteForceTopK(vecs, probes, "vec_id",
+        "embedding", 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().sortBy(t => (t._1, t._3))
+    assert(merged.toSeq == oneShot.toSeq)
+  }
+
+  test("recall degradation in the stored census derives into the trigger") {
+    val root = tmp()
+    // fabricated generations: gen 0 at 30/30 hits, gen 1 at 20/30 (0.67)
+    val rows = Seq(
+      (0L, 100L, 10L, 30L, 30L, 4242L, 1L, 10L, 100L, 8L),
+      (1L, 200L, 10L, 30L, 20L, 4242L, 1L, 20L, 200L, 8L))
+      .toDF("gen", "n_corpus", "n_probes", "n_exact_rows", "n_hits",
+        "sum_exact_neighbor_ids", "matches_oneshot", "max_list_n",
+        "n_indexed", "n_lists")
+    rows.where(col("gen") === 0).pipe(d =>
+      IndexStore.updateCensus(spark, s"$root/census", d, Seq("gen"), 0L))
+    rows.where(col("gen") === 1).pipe(d =>
+      IndexStore.updateCensus(spark, s"$root/census", d, Seq("gen"), 1L))
+    val rep = IndexHealth.healthReport(spark, s"$root/census")
+      .select("gen", "recall_ge_080", "skew_below_retrain", "trigger_fired")
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+      .map { case (g, a, b, c) => g -> ((a, b, c)) }.toMap
+    assert(rep(0L) == ((true, true, false)))
+    assert(rep(1L) == ((false, true, true)), "recall 20/30 must fire the trigger")
+  }
+
+  private implicit class Pipe[A](a: A) {
+    def pipe[B](f: A => B): B = f(a)
+  }
+}
