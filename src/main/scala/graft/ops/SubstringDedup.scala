@@ -92,6 +92,56 @@ object SubstringDedup {
       k: Int): DataFrame =
     windowAnchors(docs, idCol, textCol, k).select("fp").distinct()
 
+  /** The ADDITIVE form of the window index: one (fp, n) row per DISTINCT
+    * k-token window with its corpus-wide occurrence count. Counts are
+    * what make the index MAINTAINABLE across generations: merging two
+    * batches' censuses sums per-fp counts, so "occurs ≥ 2 corpus-wide"
+    * stays answerable after any number of ingests without rescanning
+    * history — including repeats that only exist ACROSS batches (count 1
+    * in each, 2 in the merged store), which the presence-only
+    * [[windowIndex]] cannot see. */
+  def windowCensus(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    windowAnchors(docs, idCol, textCol, k)
+      .groupBy("fp").agg(count(lit(1)).as("n"))
+
+  /** Merge one batch's window census into the stored census
+    * ([[graft.store.IndexStore.updateCensus]] — atomic swap, replay
+    * cursor). Per-batch cost is O(batch windows); the stored frame is
+    * distinct-window-cardinality-sized.
+    * @return true if applied, false if skipped as a replay. */
+  def ingestWindowCensus(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, textCol: String,
+      k: Int, batchId: Long): Boolean =
+    graft.store.IndexStore.updateCensus(spark, path,
+      windowCensus(batch, idCol, textCol, k), Seq("fp"), batchId)
+
+  /** The q136 ExactSubstr report computed FROM THE RELOADED STORE: a
+    * window is a repeat iff its stored corpus-wide count ≥ 2 (exactly
+    * [[duplicatedAnchors]]' rule, answered by the census instead of a
+    * fresh corpus-wide count), so when the store covers the same corpus,
+    * this equals [[report]] row for row — the incremental == one-shot
+    * contract. Only the docs being REPORTED ON are scanned; prior
+    * generations live in the census. */
+  def reportFromStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val dup = graft.store.IndexStore.loadCensus(spark, path)
+      .where(col("n") >= 2).select("fp")
+    val spans = mergeAnchorIslands(
+      windowAnchors(docs, idCol, textCol, k)
+        .join(dup, Seq("fp"), "left_semi").select("id", "pos"), k)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start")).as("dup_tokens"))
+    docs.select(col(idCol).as("id"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(spans, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
   /** Incremental form: spans of `docs` that repeat A STORED CORPUS — an
     * anchor is "repeated" iff its fingerprint is in `index` (per-batch
     * cost O(batch windows + index probe), never O(corpus)). Within-batch

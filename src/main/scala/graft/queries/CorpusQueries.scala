@@ -416,6 +416,44 @@ object CorpusQueries {
       .select(col("id").as("doc_id"), col("n_tokens"), col("n_spans"), col("dup_tokens"))
       .orderBy("doc_id")
 
+  /** q262: INCREMENTAL exact-substring dedup — q136's window-fingerprint
+    * index made maintainable ([[graft.ops.SubstringDedup.windowCensus]]):
+    * each corpus generation ingests its (fp, count) census into the
+    * census store exactly-once, and the span report derives from the
+    * RELOADED store ("occurs ≥ 2 corpus-wide" answered by the stored
+    * counts — including repeats that only exist ACROSS generations, which
+    * a presence-only index cannot see), so history is never rescanned.
+    * Gate ingests two doc-parity batches, replays batch 0 (must no-op),
+    * and reports the per-source ExactSubstr totals + the id-weighted
+    * certificate — equal to the one-shot q136 chain replayed by the
+    * oracle (the q252 shape). */
+  val substringIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val path = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_substr_idx"))
+      .resolve("census").toString
+    graft.ops.SubstringDedup.ingestWindowCensus(s, path,
+      docs.where(col("doc_id") % 2 === 0), "doc_id", "text", k = 8,
+      batchId = 0L)
+    val replayNoop = !graft.ops.SubstringDedup.ingestWindowCensus(s, path,
+      docs.where(col("doc_id") % 2 === 0), "doc_id", "text", k = 8,
+      batchId = 0L)
+    graft.ops.SubstringDedup.ingestWindowCensus(s, path,
+      docs.where(col("doc_id") % 2 === 1), "doc_id", "text", k = 8,
+      batchId = 1L)
+    val rep = graft.ops.SubstringDedup.reportFromStore(s, path, docs,
+      "doc_id", "text", k = 8)
+    docs.select(col("doc_id").as("id"), col("source")).join(rep, "id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_spans")).as("n_spans"),
+        sum(col("dup_tokens")).as("dup_tokens"),
+        sum(col("id") * col("dup_tokens")).as("sum_id_x_dup"))
+      .withColumn("replay_noop", lit(replayNoop))
+      .orderBy("source")
+  }
+
   /** Embedding cosine near-dup pairs — the blocked exact shape in its
     * measured-fastest form (triangle block scheme, int8 sound prefilter
     * batched per block pair, exact re-check; no nested-loop join, pinned
@@ -1602,6 +1640,7 @@ object CorpusQueries {
     "q189_video_neardup" -> videoNearDup,
     "q191_video_containment" -> videoContainment,
     "q136_substring_dedup" -> substringDedup,
+    "q262_substring_incremental" -> substringIncremental,
     "q137_image_neardup_radius" -> imageNearDupRadius,
     "q141_leakage_attribution" -> leakageAttribution,
     "q144_leakage_incremental" -> leakageIncremental)
@@ -1792,6 +1831,48 @@ object CorpusQueries {
         |  coalesce(sp.n_spans, 0) AS n_spans,
         |  coalesce(sp.dup_tokens, 0) AS dup_tokens
         |FROM d LEFT JOIN sp USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // q262: the one-shot q136 chain IS the oracle (batched census ==
+    // one-shot — the q252 doctrine), aggregated per source with the
+    // id-weighted certificate; the replay no-op is an engine boolean
+    "q262_substring_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS ts
+        |  FROM documents),
+        |win AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    array_to_string(ts[i:i+7], ' ') AS w
+        |  FROM d, UNNEST(range(1, len(ts) - 6)) AS t(i)
+        |  WHERE len(ts) >= 8),
+        |dup AS (SELECT w FROM win GROUP BY w HAVING count(*) >= 2),
+        |danch AS (SELECT doc_id, pos FROM win WHERE w IN (SELECT w FROM dup)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(max(pos + 8) OVER (
+        |        PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM danch),
+        |isl2 AS (
+        |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM isl),
+        |sp AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(e - s) AS BIGINT) AS dup_tokens
+        |  FROM (SELECT doc_id, island, min(pos) AS s, max(pos) + 8 AS e
+        |        FROM isl2 GROUP BY doc_id, island)
+        |  GROUP BY doc_id)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(len(d.ts)) AS BIGINT) AS n_tokens,
+        |  CAST(sum(coalesce(sp.n_spans, 0)) AS BIGINT) AS n_spans,
+        |  CAST(sum(coalesce(sp.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+        |  CAST(sum(d.doc_id * coalesce(sp.dup_tokens, 0)) AS BIGINT)
+        |    AS sum_id_x_dup,
+        |  true AS replay_noop
+        |FROM d LEFT JOIN sp USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q135_audio_neardup" ->
       """SELECT min(doc_id) AS rep_doc, count(*) AS n_docs,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids,

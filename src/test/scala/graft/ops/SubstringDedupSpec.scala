@@ -155,4 +155,54 @@ class SubstringDedupSpec extends SparkSpec {
     assert(uncovered.count() == 0)
     assert(dupSpans.count() > 0) // the claim is non-vacuous on this corpus
   }
+
+  test("stored window census: batched ingest report == one-shot report") {
+    val docs = spark.read.parquet(sf("documents"))
+    val path = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_substr_spec"))
+      .resolve("census").toString
+    (0 until 3).foreach { b =>
+      assert(SubstringDedup.ingestWindowCensus(spark, path,
+        docs.where(col("doc_id") % 3 === b), "doc_id", "text", 8, b.toLong))
+    }
+    val stored = SubstringDedup.reportFromStore(spark, path, docs,
+      "doc_id", "text", 8)
+    val oneShot = SubstringDedup.report(docs, "doc_id", "text", 8)
+    assert(stored.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(stored).isEmpty,
+      "store-derived report diverged from the one-shot report")
+  }
+
+  test("census sees repeats that exist only ACROSS batches") {
+    // the passage occurs once per batch: each batch census has count 1,
+    // the merged store count 2 — a presence-only index (windowIndex of
+    // either batch alone) can never flag it
+    val shared = (1 to 9).map(i => s"x$i").mkString(" ")
+    val b0 = docs((1L, s"$shared tail1 tail2"))
+    val b1 = docs((2L, s"head1 $shared"))
+    val path = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_substr_cross"))
+      .resolve("census").toString
+    assert(SubstringDedup.ingestWindowCensus(spark, path, b0, "doc_id", "text", 8, 0L))
+    assert(SubstringDedup.ingestWindowCensus(spark, path, b1, "doc_id", "text", 8, 1L))
+    val rep = SubstringDedup.reportFromStore(spark, path,
+        b0.unionByName(b1), "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(rep.toSeq == Seq((1L, 1L, 9L), (2L, 1L, 9L)),
+      "cross-batch repeat must surface from the merged census")
+  }
+
+  test("replayed census ingest is a no-op") {
+    val d = docs((1L, (1 to 12).map(i => s"r$i").mkString(" ")))
+    val path = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_substr_replay"))
+      .resolve("census").toString
+    assert(SubstringDedup.ingestWindowCensus(spark, path, d, "doc_id", "text", 8, 0L))
+    assert(!SubstringDedup.ingestWindowCensus(spark, path, d, "doc_id", "text", 8, 0L))
+    // a replayed merge would double every count and flag the doc's
+    // windows as corpus-wide repeats
+    val rep = SubstringDedup.reportFromStore(spark, path, d, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rep.toSeq == Seq((1L, 0L, 0L)))
+  }
 }

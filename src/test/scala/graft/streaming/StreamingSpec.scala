@@ -1006,6 +1006,41 @@ class StreamingSpec extends SparkSpec {
       "streamed census diverged from the one-shot census")
   }
 
+  test("window-census ingest stream -> span report == batch ExactSubstr report") {
+    val docs = Tables.documents(spark, dir)
+    val src = java.nio.file.Files.createTempDirectory("graft_substr_src")
+    val root = java.nio.file.Files.createTempDirectory("graft_substr_stream").toString
+    val idxPath = s"$root/idx"
+    def stageFile(part: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_substr_p$part")
+      docs.where(pmod(col("doc_id"), lit(2)) === part).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, src.resolve(s"p$part.parquet"))
+    }
+    stageFile(0)
+    val schema = docs.schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+      val q = StreamingPipeline
+        .censusIngestStream(stream, idxPath, Seq("fp"),
+          b => graft.ops.SubstringDedup.windowCensus(b, "doc_id", "text", 8))
+        .option("checkpointLocation", s"$root/ckpt").start()
+      q.awaitTermination()
+    }
+    runOnce() // "process dies" after file 0
+    stageFile(1) // backlog arrives while down
+    runOnce() // restart: must not re-merge file 0 (a re-merge would
+              // double counts and flag every window as a repeat)
+    val stored = graft.ops.SubstringDedup.reportFromStore(spark, idxPath,
+      docs, "doc_id", "text", 8)
+    val oneShot = graft.ops.SubstringDedup.report(docs, "doc_id", "text", 8)
+    assert(stored.exceptAll(oneShot).isEmpty && oneShot.exceptAll(stored).isEmpty,
+      "streamed window census diverged from the batch ExactSubstr report")
+  }
+
   test("edge-census ingest stream -> re-rank == one-shot rank; restart exactly-once") {
     val docs = Tables.documents(spark, dir)
     def census(df: org.apache.spark.sql.DataFrame) =
