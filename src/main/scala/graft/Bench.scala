@@ -208,7 +208,8 @@ object Bench {
     "q259_packing_efficiency", // chop-vs-BFD packing waste census
     "q260_bfd_pack_map",      // best-fit-decreasing per-doc assignment
     "q261_ivf_health_census", // stored-ANN recall census + re-train trigger
-    "q262_substring_incremental") // stored window census -> span report
+    "q262_substring_incremental", // stored window census -> span report
+    "q263_quality_canonical") // keep the BEST near-dup cluster member
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

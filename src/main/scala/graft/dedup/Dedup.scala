@@ -527,6 +527,42 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware canonicalization: [[nearDupCanonicalize]] with the
+    * cluster representative chosen by a SCORE column instead of min-id —
+    * keep the best member (ties → min id, the base rule), which is the
+    * selection curation pipelines actually run: a near-dup cluster
+    * usually holds one clean copy and n−1 degraded scrapes, and min-id
+    * keeps an arbitrary one. Selection is one max(struct(score, −id))
+    * aggregate per cluster — never a per-cluster window, so a
+    * mega-cluster costs one accumulator. Returns the kept docs (winners
+    * plus every unclustered doc) with a `quality_override` flag marking
+    * winners the score CHANGED vs the min-id rule. `idCol` must be
+    * numeric (the same contract as the LSH id handling). */
+  def nearDupCanonicalizeByScore(docs: DataFrame, idCol: String,
+      textCol: String, score: Column,
+      shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      minJaccard: Double = 0.6,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val pairs = minHashLsh(docs, idCol, textCol, shingleK, numHashes, bands,
+      minJaccard, carrySignatures = false, maxBucketSize)
+    val comps = ConnectedComponents.run(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    val withComp = docs
+      .select(col(idCol), score.as("__score"))
+      .join(comps.select(col("id").as(idCol), col("component")),
+        Seq(idCol), "left")
+      .withColumn("__comp", coalesce(col("component"), col(idCol)))
+    val winners = withComp.groupBy("__comp")
+      .agg(max(struct(col("__score").as("s"), (-col(idCol)).as("nid")))
+          .as("w"),
+        min(col(idCol)).as("__min_id"),
+        count(lit(1)).as("__csize"))
+      .select((-col("w.nid")).as(idCol),
+        (col("__csize") > 1 && -col("w.nid") =!= col("__min_id"))
+          .as("quality_override"))
+    docs.join(winners, Seq(idCol))
+  }
+
   // ---------------------------------------------------------------- simhash
 
   /** 64-bit SimHash per doc from whitespace tokens: per bit, sum +1/-1 of

@@ -631,6 +631,37 @@ object ModelPrepQueries {
       .orderBy("source")
   }
 
+  /** q263 — quality-aware canonical selection: near-dup canonicalization
+    * (q67's LSH → connected-components clusters) composed with the LEARNED
+    * quality score (q167's fit) so every cluster keeps its BEST member,
+    * not its min-id member — the variant curation pipelines actually run
+    * (a near-dup cluster usually holds one clean copy and n-1 degraded
+    * scrapes; min-id keeps an arbitrary one). Selection is one
+    * max(struct(z, −id)) aggregate per cluster — argmax quality, ties to
+    * the q67 min-id rule — NEVER a per-cluster window (a mega-cluster
+    * costs one accumulator, the q197/q257 doctrine). Logits are
+    * bit-identical across engines (fixed expression order over quantized
+    * features — the q167 contract), so the oracle replays fit → cluster →
+    * argmax literally. Per source: docs, kept docs, kept tokens, kept-id
+    * sum, and how many winners the quality score CHANGED vs min-id. */
+  val qualityCanonical: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val fit = graft.ops.QualityTrainer.fit(classifierLabeled(docs), "text",
+      "y", steps = ClassifierSteps, lr = ClassifierLr)
+    val kept = graft.dedup.Dedup.nearDupCanonicalizeByScore(
+        docs, "doc_id", "text", fit.logit(col("text")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long"))
+          .as("kept_tokens"),
+        sum(col("doc_id")).as("sum_kept_ids"),
+        sum(when(col("quality_override"), 1L).otherwise(0L))
+          .as("n_quality_overrides"))
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(kept, Seq("source"))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------- unigram
 
   /** Unigram gate parameters: the oracle unrolls the Viterbi DP to
@@ -1328,6 +1359,7 @@ object ModelPrepQueries {
     "q174_unigram_census" -> unigramCensus,
     "q166_classifier_fit" -> classifierFit,
     "q167_learned_quality" -> learnedQuality,
+    "q263_quality_canonical" -> qualityCanonical,
     "q198_hashed_fit" -> hashedFit,
     "q199_hashed_quality" -> hashedQuality,
     "q155_embedding_diversity" -> embeddingDiversity,
@@ -1559,6 +1591,79 @@ object ModelPrepQueries {
        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q263 oracle: the q167 fit CTEs (fit replayed to bit-identical
+    * logits) + the q67 shingle/Jaccard/connected-components replay +
+    * per-cluster argmax(zz, min-id tiebreak). RECURSIVE hoisted onto the
+    * shared prefix for the reachability CTE. */
+  private def qualityCanonicalOracle(steps: Int, lr: Double): String = {
+    val stepCtes = (1 to steps).map(classifierOracleStep(_, lr))
+      .mkString(",\n")
+    val sw = "['the','a','an','and','or','of','to','in','is','are','was'," +
+      "'for','on','with','as','by','at','it','this','that','be']"
+    s"""${classifierOraclePrefix.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |$stepCtes,
+       |corpus AS MATERIALIZED (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ts FROM documents),
+       |cq AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |    CAST(round(len(ts)/100.0*10000.0) AS BIGINT) AS q1,
+       |    CAST(round((CASE WHEN len(ts) = 0 THEN 0.0
+       |      ELSE list_sum(list_transform(ts, x -> length(x))) * 1.0 / len(ts) END)*10000.0) AS BIGINT) AS q2,
+       |    CAST(round((CASE WHEN len(ts) = 0 THEN 0.0
+       |      ELSE len(list_filter(ts, x -> list_contains($sw, lower(x)))) * 1.0 / len(ts) END)*10000.0) AS BIGINT) AS q3,
+       |    CAST(round(((SELECT 1.0 - len(list_distinct(g)) * 1.0 / len(g) FROM (
+       |      SELECT CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+       |        ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts) - 2)]
+       |      END AS g)))*10000.0) AS BIGINT) AS q4
+       |  FROM corpus),
+       |cz AS MATERIALIZED (SELECT cq.doc_id, cq.source,
+       |  w.b + w.w1*((cq.q1-st.mu1)*1.0/sd.sg1) + w.w2*((cq.q2-st.mu2)*1.0/sd.sg2)
+       |      + w.w3*((cq.q3-st.mu3)*1.0/sd.sg3) + w.w4*((cq.q4-st.mu4)*1.0/sd.sg4) AS zz
+       |  FROM cq, st, sd, w$steps w),
+       |sh AS (
+       |  SELECT DISTINCT doc_id AS id, unnest(
+       |    [substring(text, i, 5) FOR i IN generate_series(1, greatest(length(text) - 4, 1))]) AS shingle
+       |  FROM documents),
+       |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.id AS ia, b.id AS ib, count(*) AS n
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+       |  GROUP BY 1, 2),
+       |prs AS (
+       |  SELECT ia AS doc_a, ib AS doc_b
+       |  FROM inter JOIN sizes sa ON ia = sa.id JOIN sizes sb ON ib = sb.id
+       |  WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.6),
+       |nodes AS (SELECT doc_a AS id FROM prs UNION SELECT doc_b FROM prs),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs UNION SELECT doc_b, doc_a FROM prs),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
+       |cmp AS (SELECT id, min(r) AS c FROM reach GROUP BY 1),
+       |allc AS (
+       |  SELECT cz.doc_id, cz.source, cz.zz, coalesce(cmp.c, cz.doc_id) AS comp
+       |  FROM cz LEFT JOIN cmp ON cz.doc_id = cmp.id),
+       |wr AS (
+       |  SELECT doc_id, source, comp,
+       |    row_number() OVER (PARTITION BY comp ORDER BY zz DESC, doc_id ASC) AS rk,
+       |    min(doc_id) OVER (PARTITION BY comp) AS min_id,
+       |    count(*) OVER (PARTITION BY comp) AS csize
+       |  FROM allc),
+       |kept AS (
+       |  SELECT doc_id, source,
+       |    (csize > 1 AND doc_id <> min_id) AS ovr
+       |  FROM wr WHERE rk = 1),
+       |kt AS (
+       |  SELECT kept.source, count(*) AS n_kept,
+       |    CAST(sum(len(corpus.ts)) AS BIGINT) AS kept_tokens,
+       |    CAST(sum(kept.doc_id) AS BIGINT) AS sum_kept_ids,
+       |    CAST(sum(CASE WHEN ovr THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_overrides
+       |  FROM kept JOIN corpus USING (doc_id) GROUP BY 1),
+       |tot AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+       |SELECT tot.source, tot.n_docs, kt.n_kept, kt.kept_tokens,
+       |  kt.sum_kept_ids, kt.n_quality_overrides
+       |FROM tot JOIN kt USING (source) ORDER BY 1""".stripMargin
+  }
+
   /** The q211 one-shot drift oracle — ALSO the q219 gate (stored
     * incremental moments must reproduce the one-shot report). */
   private val dimDriftOracle: String =
@@ -1674,6 +1779,7 @@ object ModelPrepQueries {
     "q199_hashed_quality" -> hashedQualityOracle,
     "q166_classifier_fit" -> classifierFitOracle(ClassifierSteps, ClassifierLr),
     "q167_learned_quality" -> learnedQualityOracle(ClassifierSteps, ClassifierLr),
+    "q263_quality_canonical" -> qualityCanonicalOracle(ClassifierSteps, ClassifierLr),
     "q142_domain_reweight" ->
       """WITH d AS (
         |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ts

@@ -252,6 +252,42 @@ class DedupSpec extends SparkSpec {
     assert(kept.size == all.size - (clustered.size - byCluster.size))
   }
 
+  test("score-aware canonicalization keeps the best-scored member per cluster") {
+    // score = doc_id: the best member is the MAX-id doc — the opposite of
+    // the min-id base rule, so every multi-member cluster must override
+    val kept = Dedup.nearDupCanonicalizeByScore(docs, "doc_id", "text",
+        col("doc_id").cast("double"))
+      .select("doc_id", "quality_override").as[(Long, Boolean)].collect()
+    val keptIds = kept.map(_._1).toSet
+    val overrides = kept.filter(_._2).map(_._1).toSet
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val comps = ConnectedComponents.run(pairs.toSeq.toDF("src", "dst"))
+      .as[(Long, Long)].collect()
+    val byCluster = comps.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCluster.nonEmpty)
+    byCluster.foreach { case (c, members) =>
+      assert(members.intersect(keptIds) == Set(members.max),
+        s"cluster $c must keep its max-score (max-id) member")
+      assert(overrides.contains(members.max) == (members.size > 1),
+        s"cluster $c override flag wrong")
+    }
+    val clustered = comps.map(_._1).toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    assert((all -- clustered).subsetOf(keptIds))
+    assert((all -- clustered).forall(id => !overrides.contains(id)))
+  }
+
+  test("score-aware canonicalization with a constant score is the min-id rule") {
+    val byScore = Dedup.nearDupCanonicalizeByScore(docs, "doc_id", "text",
+        lit(0.0))
+    assert(byScore.where(col("quality_override")).count() == 0)
+    val baseline = Dedup.nearDupCanonicalize(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(byScore.select("doc_id").as[Long].collect().toSet == baseline,
+      "constant score must reduce to the deterministic min-id canonical")
+  }
+
   test("embedding cosine self-similarity is 1 and pairs respect threshold") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val selfSim = emb.limit(5)
