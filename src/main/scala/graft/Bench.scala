@@ -209,7 +209,9 @@ object Bench {
     "q260_bfd_pack_map",      // best-fit-decreasing per-doc assignment
     "q261_ivf_health_census", // stored-ANN recall census + re-train trigger
     "q262_substring_incremental", // stored window census -> span report
-    "q263_quality_canonical") // keep the BEST near-dup cluster member
+    "q263_quality_canonical", // keep the BEST near-dup cluster member
+    "q264_bt_strength",       // Bradley-Terry preference strength fit
+    "q265_preference_consistency") // pair majority + Condorcet cycles
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bradley-Terry strength fitting over pairwise preferences — the
+  * aggregate model behind preference-data quality work (Bradley & Terry
+  * 1952; the Chatbot-Arena/reward-model ranking workhorse): given
+  * comparisons "i beat j", fit per-item strengths θ with
+  * P(i beats j) = σ(θ_i − θ_j), by full-batch gradient ASCENT on the
+  * log-likelihood Σ W(i,j)·log σ(θ_i − θ_j).
+  *
+  * Scale shape: the corpus of comparisons is touched EXACTLY ONCE, by
+  * [[winMatrix]] — one map-side-combinable groupBy to the (winner, loser)
+  * win matrix, which is item-pair-cardinality-sized (domains, sources,
+  * annotators, model variants — metadata cardinality, not data
+  * cardinality). The GD loop then runs on that bounded table
+  * driver-side (the q120/q142 bounded-merge doctrine: a 20-source matrix
+  * is ≤400 rows; even 1000 items is ~10⁶ — KBs). A billion comparisons
+  * cost one aggregate.
+  *
+  * Exactness: every per-edge gradient term is quantized to 1e-6 units
+  * (HALF_UP, the q166 doctrine) before summation, so the whole strength
+  * trajectory is an exact integer-arithmetic function of the win matrix
+  * and replays bit-identically in a SQL oracle's unrolled steps.
+  */
+object BradleyTerry {
+
+  /** One corpus pass: comparisons → the bounded (winner, loser, n_wins)
+    * win matrix. */
+  def winMatrix(comparisons: DataFrame, winnerCol: String,
+                loserCol: String): DataFrame =
+    comparisons.groupBy(col(winnerCol).as("winner"), col(loserCol).as("loser"))
+      .agg(count(lit(1)).as("n_wins"))
+
+  /** HALF_UP 1e-6-unit quantization — matches DuckDB round(x*1e6). */
+  private def q6(x: Double): Long =
+    new java.math.BigDecimal(x * 1000000.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
+  /** Fit strengths from a COLLECTED win matrix (item-cardinality-sized by
+    * contract — see the scale note above): `steps` full-batch GD steps at
+    * rate `lr`, θ initialized to 0 (the identifiability anchor: strengths
+    * are log-odds relative to the common start). Returns (item, θ) sorted
+    * by item. */
+  def fit(matrix: Seq[(String, String, Long)], steps: Int,
+          lr: Double): Seq[(String, Double)] = {
+    require(steps >= 1, "need at least one step")
+    val items = matrix.flatMap(m => Seq(m._1, m._2)).distinct.sorted
+    val nTotal = matrix.map(_._3).sum.toDouble
+    require(nTotal > 0, "empty win matrix")
+    var theta = items.map(_ -> 0.0).toMap
+    for (_ <- 1 to steps) {
+      val g = scala.collection.mutable.Map[String, Long]()
+        .withDefaultValue(0L)
+      matrix.foreach { case (w, l, n) =>
+        // d/dθ_w log σ(θ_w−θ_l) = σ(θ_l−θ_w); loser side symmetric.
+        // Quantized INDEPENDENTLY per side — the oracle rounds the same
+        // two expressions, so engine exp() ULP noise is absorbed.
+        g(w) += q6(n * (1.0 / (1.0 + math.exp(-(theta(l) - theta(w))))))
+        g(l) -= q6(n * (1.0 / (1.0 + math.exp(-(theta(w) - theta(l))))))
+      }
+      theta = theta.map { case (i, th) =>
+        i -> (th + lr * ((g(i) / 1000000.0) / nTotal))
+      }
+    }
+    items.map(i => i -> theta(i))
+  }
+
+  /** Fit off a win-matrix DataFrame: bounded collect + [[fit]]. */
+  def fitFromMatrix(matrix: DataFrame, steps: Int,
+                    lr: Double): Seq[(String, Double)] =
+    fit(matrix.select("winner", "loser", "n_wins")
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq,
+      steps, lr)
+}

@@ -499,7 +499,129 @@ object CurationQueries {
       .orderBy("margin_band")
   }
 
+  /** Fixed comparison fixture shared by q264/q265: each doc challenges a
+    * deterministic partner ((doc_id·31+7) mod N — id arithmetic, so both
+    * engines rebuild identical pairings), winner = more tokens, ties to
+    * the lower doc_id. Aggregated to SOURCE level, this yields a dense
+    * pairwise-preference matrix whose ground truth (longer-doc sources
+    * win) the fitted strengths must recover. */
+  private val BtSteps = 8
+  private val BtLr = 4.0
+
+  private def comparisonFixture(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("source"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+        .as("ntok"))
+    val n = d.count()
+    val a = d.select(col("doc_id").as("a_id"), col("source").as("a_src"),
+      col("ntok").as("a_ntok"))
+    val b = d.select(col("doc_id").as("b_id"), col("source").as("b_src"),
+      col("ntok").as("b_ntok"))
+    val aWins = col("a_ntok") > col("b_ntok") ||
+      (col("a_ntok") === col("b_ntok") && col("a_id") < col("b_id"))
+    val organic = a.join(b, (col("a_id") * 31 + 7) % n === col("b_id"))
+      .where(col("a_id") =!= col("b_id"))
+      .select(when(aWins, col("a_src")).otherwise(col("b_src")).as("winner"),
+        when(aWins, col("b_src")).otherwise(col("a_src")).as("loser"))
+    // The Condorcet plant: every doc_id%4==0 doc contributes one vote to
+    // each leg of src0 > src1 > src2 > src0 — N/4 planted votes per leg
+    // swamp the ≤N/10 organic ones, so the majority tournament contains
+    // this 3-cycle BY CONSTRUCTION at every SF (the intransitivity the
+    // q265 census exists to count; preferences with cycles cannot be fit
+    // by any scalar strength model).
+    val planted = d.where(col("doc_id") % 4 === 0)
+      .select(explode(typedLit(Seq(("src0", "src1"), ("src1", "src2"),
+        ("src2", "src0")))).as("p"))
+      .select(col("p._1").as("winner"), col("p._2").as("loser"))
+    organic.unionByName(planted)
+  }
+
+  /** q264: Bradley-Terry source-strength fit
+    * ([[graft.ops.BradleyTerry]]) — the preference-data aggregate every
+    * RLHF/reward-model pipeline reports: which domain's responses WIN,
+    * as log-odds strengths fitted on the pairwise win matrix, not raw
+    * win rates (BT corrects for opponent strength — a source that only
+    * beat weak opponents scores lower than its win rate suggests). One
+    * corpus scan builds the (winner, loser) win matrix; 8 quantized GD
+    * steps run on the collected 20×20 table; the oracle unrolls the
+    * identical integer-gradient fold in SQL (the q166 doctrine at
+    * matrix-variable shape). Per source: wins, losses, comparisons, and
+    * the 6-dp fitted strength. */
+  val btStrength: Q = (s, dir) => {
+    import s.implicits._
+    val mat = graft.ops.BradleyTerry.winMatrix(
+      comparisonFixture(Tables.documents(s, dir)), "winner", "loser")
+      .cache()
+    val strengths = graft.ops.BradleyTerry.fitFromMatrix(mat, BtSteps, BtLr)
+      .toDF("source", "th")
+    val wins = mat.groupBy(col("winner").as("source"))
+      .agg(sum(col("n_wins")).as("n_wins"))
+    val losses = mat.groupBy(col("loser").as("source"))
+      .agg(sum(col("n_wins")).as("n_losses"))
+    strengths
+      .join(wins, Seq("source"), "left")
+      .join(losses, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_wins"), lit(0L)).as("n_wins"),
+        coalesce(col("n_losses"), lit(0L)).as("n_losses"),
+        (coalesce(col("n_wins"), lit(0L)) +
+          coalesce(col("n_losses"), lit(0L))).as("n_comparisons"),
+        round(col("th"), 6).as("strength"))
+      .orderBy("source")
+  }
+
+  /** q265: preference-consistency census — the annotation-quality screen
+    * run BEFORE fitting anything on preference data: per source pair, the
+    * two directed win counts, the majority direction, and the minority
+    * share (label noise at pair granularity); attached globally, the
+    * number of majority edges and the count of 3-cycles in the majority
+    * tournament (Condorcet violations — intransitive preference structure
+    * no scalar strength model can fit). Scale shape: the corpus collapses
+    * to the pair matrix in ONE scan; the census and the triangle count
+    * run on that metadata-sized table (the 1-row global attach idiom). */
+  val preferenceConsistency: Q = (s, dir) => {
+    val mat = graft.ops.BradleyTerry.winMatrix(
+      comparisonFixture(Tables.documents(s, dir)), "winner", "loser")
+    val lo = when(col("winner") < col("loser"), col("winner"))
+      .otherwise(col("loser"))
+    val hi = when(col("winner") < col("loser"), col("loser"))
+      .otherwise(col("winner"))
+    val pairs = mat
+      .select(lo.as("s_lo"), hi.as("s_hi"),
+        when(col("winner") === lo, col("n_wins")).otherwise(0L).as("lw"),
+        when(col("winner") === lo, 0L).otherwise(col("n_wins")).as("hw"))
+      .groupBy("s_lo", "s_hi")
+      .agg(sum(col("lw")).as("n_lo_wins"), sum(col("hw")).as("n_hi_wins"))
+      .withColumn("majority",
+        when(col("n_lo_wins") > col("n_hi_wins"), "lo")
+          .when(col("n_hi_wins") > col("n_lo_wins"), "hi")
+          .otherwise("tie"))
+      .withColumn("minority_frac",
+        round(least(col("n_lo_wins"), col("n_hi_wins")) /
+          (col("n_lo_wins") + col("n_hi_wins")).cast("double"), 4))
+    // majority tournament: u -> v when u beats v strictly more often
+    val edges = pairs.where(col("majority") =!= "tie")
+      .select(when(col("majority") === "lo", col("s_lo"))
+          .otherwise(col("s_hi")).as("u"),
+        when(col("majority") === "lo", col("s_hi"))
+          .otherwise(col("s_lo")).as("v"))
+    val cycles = edges.as("e1")
+      .join(edges.as("e2"), col("e1.v") === col("e2.u"))
+      .join(edges.as("e3"),
+        col("e2.v") === col("e3.u") && col("e3.v") === col("e1.u"))
+      // each directed 3-cycle appears once per rotation: anchor on min node
+      .where(col("e1.u") < col("e2.u") && col("e1.u") < col("e3.u"))
+      .agg(count(lit(1)).as("n_cycles_3"))
+    pairs.crossJoin(broadcast(
+        edges.agg(count(lit(1)).as("n_majority_edges")).crossJoin(cycles)))
+      .select("s_lo", "s_hi", "n_lo_wins", "n_hi_wins", "majority",
+        "minority_frac", "n_majority_edges", "n_cycles_3")
+      .orderBy("s_lo", "s_hi")
+  }
+
   val all: Map[String, Q] = Map(
+    "q264_bt_strength" -> btStrength,
+    "q265_preference_consistency" -> preferenceConsistency,
     "q196_chat_render" -> chatRender,
     "q245_sft_pack_masks" -> sftPackMasks,
     "q251_pack_boundaries" -> packBoundaries,
@@ -528,7 +650,101 @@ object CurationQueries {
       |      ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT) AS ntok
       |  FROM documents)""".stripMargin
 
+  /** Shared q264/q265 oracle CTEs: the id-arithmetic comparison fixture
+    * replayed in string space, collapsed to the (winner, loser, w) win
+    * matrix. */
+  private val btComparisonSql: String =
+    """d AS MATERIALIZED (
+      |  SELECT doc_id, source,
+      |    CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |      ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT) AS ntok
+      |  FROM documents),
+      |nn AS MATERIALIZED (SELECT count(*) AS n FROM d),
+      |cmp AS MATERIALIZED (
+      |  SELECT CASE WHEN a.ntok > b.ntok OR (a.ntok = b.ntok AND a.doc_id < b.doc_id)
+      |      THEN a.source ELSE b.source END AS winner,
+      |    CASE WHEN a.ntok > b.ntok OR (a.ntok = b.ntok AND a.doc_id < b.doc_id)
+      |      THEN b.source ELSE a.source END AS loser
+      |  FROM d a JOIN d b ON (a.doc_id * 31 + 7) % (SELECT n FROM nn) = b.doc_id
+      |  WHERE a.doc_id <> b.doc_id),
+      |pl AS MATERIALIZED (
+      |  SELECT u.p['w'] AS winner, u.p['l'] AS loser
+      |  FROM d, UNNEST([{'w': 'src0', 'l': 'src1'}, {'w': 'src1', 'l': 'src2'},
+      |    {'w': 'src2', 'l': 'src0'}]) AS u(p)
+      |  WHERE d.doc_id % 4 = 0),
+      |m AS MATERIALIZED (SELECT winner, loser, CAST(count(*) AS BIGINT) AS w
+      |      FROM (SELECT * FROM cmp UNION ALL SELECT * FROM pl)
+      |      GROUP BY 1, 2)""".stripMargin
+
+  /** q264 oracle: the quantized BT gradient-ascent fold unrolled step by
+    * step over the win matrix (the q166 doctrine with a score TABLE
+    * instead of scalar weights): per step, both directed per-edge terms
+    * round to 1e-6 integers, sums update θ with the identical expression
+    * order the engine uses. */
+  private def btStrengthOracle(steps: Int, lr: Double): String = {
+    val stepCtes = (1 to steps).map { t =>
+      val p = t - 1
+      s"""e$t AS MATERIALIZED (
+         |  SELECT m.winner AS source,
+         |    CAST(round(m.w * (1.0/(1.0+exp(-(tl.th - tw.th)))) * 1000000.0) AS BIGINT) AS g
+         |  FROM m JOIN t$p tw ON tw.source = m.winner
+         |         JOIN t$p tl ON tl.source = m.loser
+         |  UNION ALL
+         |  SELECT m.loser,
+         |    -CAST(round(m.w * (1.0/(1.0+exp(-(tw.th - tl.th)))) * 1000000.0) AS BIGINT)
+         |  FROM m JOIN t$p tw ON tw.source = m.winner
+         |         JOIN t$p tl ON tl.source = m.loser),
+         |t$t AS MATERIALIZED (
+         |  SELECT t.source,
+         |    t.th + $lr * ((coalesce(g.sg, 0) / 1000000.0) / (SELECT tot FROM tot)) AS th
+         |  FROM t$p t LEFT JOIN (SELECT source, sum(g) AS sg FROM e$t GROUP BY 1) g
+         |    USING (source))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $btComparisonSql,
+       |items AS MATERIALIZED (SELECT DISTINCT source FROM d),
+       |tot AS MATERIALIZED (SELECT CAST(sum(w) AS DOUBLE) AS tot FROM m),
+       |t0 AS MATERIALIZED (SELECT source, 0.0 AS th FROM items),
+       |$stepCtes,
+       |wn AS (SELECT winner AS source, CAST(sum(w) AS BIGINT) AS n_wins FROM m GROUP BY 1),
+       |ls AS (SELECT loser AS source, CAST(sum(w) AS BIGINT) AS n_losses FROM m GROUP BY 1)
+       |SELECT t.source, coalesce(wn.n_wins, 0) AS n_wins,
+       |  coalesce(ls.n_losses, 0) AS n_losses,
+       |  coalesce(wn.n_wins, 0) + coalesce(ls.n_losses, 0) AS n_comparisons,
+       |  round(t.th, 6) AS strength
+       |FROM t$steps t LEFT JOIN wn USING (source) LEFT JOIN ls USING (source)
+       |ORDER BY 1""".stripMargin
+  }
+
+  private val preferenceConsistencyOracle: String =
+    s"""WITH $btComparisonSql,
+       |pm AS MATERIALIZED (
+       |  SELECT CASE WHEN winner < loser THEN winner ELSE loser END AS s_lo,
+       |    CASE WHEN winner < loser THEN loser ELSE winner END AS s_hi,
+       |    CAST(sum(CASE WHEN winner < loser THEN w ELSE 0 END) AS BIGINT) AS n_lo_wins,
+       |    CAST(sum(CASE WHEN winner < loser THEN 0 ELSE w END) AS BIGINT) AS n_hi_wins
+       |  FROM m GROUP BY 1, 2),
+       |pj AS (SELECT *,
+       |  CASE WHEN n_lo_wins > n_hi_wins THEN 'lo'
+       |       WHEN n_hi_wins > n_lo_wins THEN 'hi' ELSE 'tie' END AS majority
+       |  FROM pm),
+       |ed AS MATERIALIZED (SELECT CASE WHEN majority = 'lo' THEN s_lo ELSE s_hi END AS u,
+       |         CASE WHEN majority = 'lo' THEN s_hi ELSE s_lo END AS v
+       |       FROM pj WHERE majority <> 'tie'),
+       |cyc AS (SELECT CAST(count(*) AS BIGINT) AS n_cycles_3
+       |  FROM ed e1 JOIN ed e2 ON e1.v = e2.u
+       |       JOIN ed e3 ON e2.v = e3.u AND e3.v = e1.u
+       |  WHERE e1.u < e2.u AND e1.u < e3.u),
+       |me AS (SELECT CAST(count(*) AS BIGINT) AS n_majority_edges FROM ed)
+       |SELECT pj.s_lo, pj.s_hi, pj.n_lo_wins, pj.n_hi_wins, pj.majority,
+       |  round(least(n_lo_wins, n_hi_wins) * 1.0 / (n_lo_wins + n_hi_wins), 4)
+       |    AS minority_frac,
+       |  (SELECT n_majority_edges FROM me) AS n_majority_edges,
+       |  (SELECT n_cycles_3 FROM cyc) AS n_cycles_3
+       |FROM pj ORDER BY 1, 2""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q264_bt_strength" -> btStrengthOracle(BtSteps, BtLr),
+    "q265_preference_consistency" -> preferenceConsistencyOracle,
     // q208: chosen/rejected replayed with two ranking windows (the window
     // IS the oracle's job; the engine uses max/min(struct) aggregates);
     // same token convention, flat groups dropped on both sides

@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Bradley-Terry strength fit: order recovery, symmetry, and the
+  * count-scaling invariance of the normalized gradient fold. */
+class BradleyTerrySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fit recovers a planted total order") {
+    // A beats B 9:1, B beats C 9:1, A beats C 9:1
+    val m = Seq(("A", "B", 9L), ("B", "A", 1L), ("B", "C", 9L),
+      ("C", "B", 1L), ("A", "C", 9L), ("C", "A", 1L))
+    val th = BradleyTerry.fit(m, steps = 8, lr = 4.0).toMap
+    assert(th("A") > th("B") && th("B") > th("C"),
+      s"expected A > B > C, got $th")
+    assert(th("A") > 0 && th("C") < 0)
+  }
+
+  test("a perfectly symmetric matrix fits to all-zero strengths") {
+    // every pair splits 5:5 — at theta=0 both directed terms quantize to
+    // the same integer, so every step's net gradient is exactly zero
+    val m = Seq(("A", "B", 5L), ("B", "A", 5L), ("B", "C", 5L),
+      ("C", "B", 5L))
+    val th = BradleyTerry.fit(m, steps = 8, lr = 4.0).toMap
+    assert(th.values.forall(_ == 0.0), s"expected all zeros, got $th")
+  }
+
+  test("uniformly scaling all counts leaves the trajectory unchanged") {
+    val m = Seq(("A", "B", 7L), ("B", "C", 3L), ("C", "A", 2L),
+      ("B", "A", 1L))
+    val m10 = m.map { case (w, l, n) => (w, l, n * 10) }
+    val a = BradleyTerry.fit(m, steps = 6, lr = 2.0)
+    val b = BradleyTerry.fit(m10, steps = 6, lr = 2.0)
+    // per-edge terms and the normalizer both scale by 10; the quantized
+    // integers differ only in the 1e-6 rounding band
+    a.zip(b).foreach { case ((i1, t1), (i2, t2)) =>
+      assert(i1 == i2 && math.abs(t1 - t2) < 1e-5, s"$i1: $t1 vs $t2")
+    }
+  }
+
+  test("fitFromMatrix equals fit on the collected rows") {
+    val rows = Seq(("A", "B", 4L), ("B", "C", 2L), ("A", "C", 6L),
+      ("C", "A", 1L))
+    val df = rows.toDF("winner", "loser", "n_wins")
+    assert(BradleyTerry.fitFromMatrix(df, 5, 3.0) ==
+      BradleyTerry.fit(rows, 5, 3.0))
+  }
+
+  test("winMatrix aggregates duplicate comparisons") {
+    val cmp = Seq(("A", "B"), ("A", "B"), ("B", "A"), ("A", "C"))
+      .toDF("w", "l")
+    val m = BradleyTerry.winMatrix(cmp, "w", "l")
+      .as[(String, String, Long)].collect().toSet
+    assert(m == Set(("A", "B", 2L), ("B", "A", 1L), ("A", "C", 1L)))
+  }
+}
