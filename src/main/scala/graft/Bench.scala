@@ -211,7 +211,8 @@ object Bench {
     "q262_substring_incremental", // stored window census -> span report
     "q263_quality_canonical", // keep the BEST near-dup cluster member
     "q264_bt_strength",       // Bradley-Terry preference strength fit
-    "q265_preference_consistency") // pair majority + Condorcet cycles
+    "q265_preference_consistency", // pair majority + Condorcet cycles
+    "q266_packed_leakage")    // boundary-crossing benchmark leakage
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.functions.{HashFunctions, TextFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Packing-aware decontamination — the screen that closes a hole document-
+  * level decontamination leaves open: concat-and-chop packing
+  * ([[Packing.packSequences]]) juxtaposes the tail of one document with
+  * the head of the next inside a training sequence, so the PACKED stream
+  * contains n-grams that exist in NO single training document. A
+  * benchmark n-gram can therefore appear verbatim in what the model
+  * actually trains on even after every document was individually
+  * decontaminated. This operator enumerates every k-token window of every
+  * packed sequence, flags benchmark hits, and classifies each window as
+  * within-doc or BOUNDARY-CROSSING — the census that says whether the
+  * packing step itself manufactured leakage.
+  *
+  * Scale shape: the packing replays q64's windowed cumulative sum (one
+  * shuffle on the shard key); sequences reassemble with the
+  * [[LossMaskPacking]] segment idiom (one groupBy on (shard, seq);
+  * array_sort restores stream order — collect_list order is never
+  * trusted); window fingerprints come from the compiled per-row
+  * [[HashFunctions.positionalGramHashes]] kernel over each sequence; the
+  * benchmark index is the bounded [[SubstringDedup.windowIndex]] frame
+  * joined by fingerprint. Per-sequence work is budget-bounded, so the
+  * whole screen is two shuffles however large the corpus.
+  */
+object PackedLeakage {
+
+  /** One row per k-token window of every packed sequence:
+    * (shard, seq, pos, fp, crossed, hit) — `pos` the window's 0-based
+    * token offset in its sequence, `crossed` true when the window spans
+    * ≥2 documents (its first and last tokens have different owners — doc
+    * ownership is monotone along the stream), `hit` true when the
+    * window's fingerprint is in `benchIndex` (an `fp`-column frame, e.g.
+    * [[SubstringDedup.windowIndex]] of the benchmark). */
+  def packedWindowScreen(train: DataFrame, benchIndex: DataFrame,
+                         shardCol: String, idCol: String, textCol: String,
+                         k: Int, budget: Int): DataFrame = {
+    require(k >= 2, "window width must be >= 2 tokens")
+    require(budget >= k, "budget must fit at least one window")
+    val b = lit(budget.toLong)
+    val t = train.select(col(shardCol).as("__shard"),
+        col(idCol).cast("long").as("__id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__tn", size(col("__toks")).cast("long"))
+      .where(col("__tn") > 0)
+    val packed = Packing.packSequences(t, Seq("__shard"), "__id", "__tn", budget)
+      .withColumn("__aend", col("__start") + col("__tn"))
+      .withColumn("__seq0", col("__seq"))
+      .withColumn("__seqN", floor((col("__aend") - 1) / b))
+    // one row per (doc, sequence it touches) — the cross-boundary split
+    val segs = packed
+      .withColumn("__seqi", explode(sequence(col("__seq0"), col("__seqN"))))
+      .withColumn("__gstart", greatest(col("__start"), col("__seqi") * b))
+      .withColumn("__send",
+        least(col("__aend"), (col("__seqi") + 1) * b) - col("__seqi") * b)
+      .withColumn("__sstart", col("__gstart") - col("__seqi") * b)
+      .withColumn("__ftoks", slice(col("__toks"),
+        (col("__gstart") - col("__start") + 1).cast("int"),
+        (col("__send") - col("__sstart")).cast("int")))
+    val seqs = segs.groupBy(col("__shard"), col("__seqi").as("seq"))
+      .agg(array_sort(collect_list(struct(col("__sstart"), col("__id"),
+        col("__ftoks")))).as("__xs"))
+      .select(col("__shard").as("shard"), col("seq"),
+        flatten(transform(col("__xs"), x => x.getField("__ftoks")))
+          .as("__stoks"),
+        flatten(transform(col("__xs"), x =>
+          array_repeat(x.getField("__id"), size(x.getField("__ftoks")))))
+          .as("__owners"))
+    val wins = seqs.select(col("shard"), col("seq"), col("__owners"),
+        posexplode(HashFunctions.positionalGramHashes(
+          array_join(col("__stoks"), " "), k)).as(Seq("pos", "fp")))
+      .withColumn("crossed",
+        get(col("__owners"), col("pos")) =!=
+          get(col("__owners"), col("pos") + (k - 1)))
+      .drop("__owners")
+    wins.join(broadcast(benchIndex.select(col("fp")).distinct()
+        .withColumn("__hit", lit(true))), Seq("fp"), "left")
+      .withColumn("hit", coalesce(col("__hit"), lit(false)))
+      .select("shard", "seq", "pos", "fp", "crossed", "hit")
+  }
+
+  /** The per-shard leakage census over [[packedWindowScreen]] output:
+    * sequences, windows, benchmark hits, boundary-crossing windows, and —
+    * the operator's reason to exist — boundary-crossing HITS (leakage
+    * manufactured by packing), with the exact hit-position sum as the
+    * certificate. */
+  def leakageCensus(windows: DataFrame): DataFrame =
+    windows.groupBy(col("shard"))
+      .agg(countDistinct(col("seq")).as("n_seqs"),
+        count(lit(1)).as("n_windows"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"),
+        sum(when(col("crossed"), 1L).otherwise(0L)).as("n_crossed"),
+        sum(when(col("hit") && col("crossed"), 1L).otherwise(0L))
+          .as("n_crossed_hits"),
+        sum(when(col("hit"), col("pos")).otherwise(0L)).as("sum_hit_pos"))
+}

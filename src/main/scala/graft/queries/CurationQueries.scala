@@ -536,6 +536,45 @@ object CurationQueries {
     organic.unionByName(planted)
   }
 
+  /** q266: packed-sequence boundary leakage ([[graft.ops.PackedLeakage]])
+    * — the decontamination hole document-level screens can't see:
+    * concat-and-chop packing juxtaposes one doc's tail with the next
+    * doc's head inside a training sequence, so the packed stream contains
+    * 8-grams no single training document has — and a benchmark 8-gram can
+    * appear verbatim in training sequences AFTER per-document
+    * decontamination passed. Plants (pure id arithmetic, both engines
+    * rebuild them): train %9==4 docs end with the phrase's first half,
+    * %9==6 docs begin with its second half (stream neighbors at
+    * source-stride 20, so the halves abut at a packed boundary), %9==7
+    * docs carry the WHOLE phrase (the within-doc control), and benchmark
+    * %3==1 docs contain the full phrase — so both hit classes are
+    * realized at every SF. Census per source: sequences, windows, hits,
+    * crossed windows, CROSSED HITS (the manufactured leakage), and the
+    * hit-position sum certificate. */
+  val packedLeakage: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val half1 = "alpha beta gamma delta"
+    val half2 = "epsilon zeta eta theta"
+    val planted = docs.withColumn("t",
+      when(col("doc_id") % 11 =!= 0 && col("doc_id") % 9 === 4,
+        concat(col("text"), lit(s" $half1")))
+        .when(col("doc_id") % 11 =!= 0 && col("doc_id") % 9 === 6,
+          concat(lit(s"$half2 "), col("text")))
+        .when(col("doc_id") % 11 =!= 0 && col("doc_id") % 9 === 7,
+          concat(col("text"), lit(s" $half1 $half2")))
+        .when(col("doc_id") % 11 === 0 && col("doc_id") % 3 === 1,
+          concat(col("text"), lit(s" $half1 $half2")))
+        .otherwise(col("text")))
+    val train = planted.where(col("doc_id") % 11 =!= 0)
+    val bench = planted.where(col("doc_id") % 11 === 0)
+    val bIdx = graft.ops.SubstringDedup.windowIndex(bench, "doc_id", "t", 8)
+    graft.ops.PackedLeakage.leakageCensus(
+        graft.ops.PackedLeakage.packedWindowScreen(train, bIdx,
+          "source", "doc_id", "t", k = 8, budget = 128))
+      .withColumnRenamed("shard", "source")
+      .orderBy("source")
+  }
+
   /** q264: Bradley-Terry source-strength fit
     * ([[graft.ops.BradleyTerry]]) — the preference-data aggregate every
     * RLHF/reward-model pipeline reports: which domain's responses WIN,
@@ -622,6 +661,7 @@ object CurationQueries {
   val all: Map[String, Q] = Map(
     "q264_bt_strength" -> btStrength,
     "q265_preference_consistency" -> preferenceConsistency,
+    "q266_packed_leakage" -> packedLeakage,
     "q196_chat_render" -> chatRender,
     "q245_sft_pack_masks" -> sftPackMasks,
     "q251_pack_boundaries" -> packBoundaries,
@@ -742,9 +782,71 @@ object CurationQueries {
        |  (SELECT n_cycles_3 FROM cyc) AS n_cycles_3
        |FROM pj ORDER BY 1, 2""".stripMargin
 
+  /** q266 oracle: plants replayed by CASE, chop packing replayed by the
+    * cumulative-sum closed form, sequences rebuilt as ordered token+owner
+    * lists, windows enumerated in STRING space (so engine-side gram
+    * hashing is certified against string equality — the q89/q136
+    * collision doctrine), crossing = first/last owner differ. */
+  private val packedLeakageOracle: String =
+    """WITH base AS MATERIALIZED (
+      |  SELECT doc_id, source,
+      |    CASE
+      |      WHEN doc_id % 11 <> 0 AND doc_id % 9 = 4
+      |        THEN text || ' alpha beta gamma delta'
+      |      WHEN doc_id % 11 <> 0 AND doc_id % 9 = 6
+      |        THEN 'epsilon zeta eta theta ' || text
+      |      WHEN doc_id % 11 <> 0 AND doc_id % 9 = 7
+      |        THEN text || ' alpha beta gamma delta epsilon zeta eta theta'
+      |      WHEN doc_id % 11 = 0 AND doc_id % 3 = 1
+      |        THEN text || ' alpha beta gamma delta epsilon zeta eta theta'
+      |      ELSE text END AS t
+      |  FROM documents),
+      |tr AS MATERIALIZED (
+      |  SELECT doc_id, source,
+      |    CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
+      |      ELSE string_split_regex(trim(t), '\s+') END AS ts
+      |  FROM base WHERE doc_id % 11 <> 0),
+      |bw AS MATERIALIZED (
+      |  SELECT DISTINCT array_to_string(ts[i:i+7], ' ') AS w
+      |  FROM (SELECT CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
+      |          ELSE string_split_regex(trim(t), '\s+') END AS ts
+      |        FROM base WHERE doc_id % 11 = 0),
+      |    UNNEST(range(1, len(ts) - 6)) AS u(i)
+      |  WHERE len(ts) >= 8),
+      |st AS MATERIALIZED (
+      |  SELECT doc_id, source, ts, len(ts) AS n,
+      |    sum(len(ts)) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) - len(ts) AS strt
+      |  FROM tr WHERE len(ts) > 0),
+      |tok AS MATERIALIZED (
+      |  SELECT source, doc_id, strt + i - 1 AS gpos, ts[i] AS tk
+      |  FROM st, UNNEST(generate_series(1, n)) AS u(i)),
+      |lst AS MATERIALIZED (
+      |  SELECT source, gpos // 128 AS seq,
+      |    list(tk ORDER BY gpos) AS toks,
+      |    list(doc_id ORDER BY gpos) AS owners
+      |  FROM tok GROUP BY 1, 2),
+      |w AS MATERIALIZED (
+      |  SELECT source, seq, CAST(i - 1 AS BIGINT) AS pos,
+      |    array_to_string(toks[i:i+7], ' ') AS wstr,
+      |    owners[i] <> owners[i+7] AS crossed
+      |  FROM lst, UNNEST(generate_series(1, len(toks) - 7)) AS u(i)
+      |  WHERE len(toks) >= 8),
+      |h AS (SELECT source, seq, pos, crossed,
+      |  wstr IN (SELECT w FROM bw) AS hit FROM w)
+      |SELECT source, count(DISTINCT seq) AS n_seqs,
+      |  count(*) AS n_windows,
+      |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      |  CAST(sum(CASE WHEN crossed THEN 1 ELSE 0 END) AS BIGINT) AS n_crossed,
+      |  CAST(sum(CASE WHEN hit AND crossed THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_crossed_hits,
+      |  CAST(sum(CASE WHEN hit THEN pos ELSE 0 END) AS BIGINT) AS sum_hit_pos
+      |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q264_bt_strength" -> btStrengthOracle(BtSteps, BtLr),
     "q265_preference_consistency" -> preferenceConsistencyOracle,
+    "q266_packed_leakage" -> packedLeakageOracle,
     // q208: chosen/rejected replayed with two ranking windows (the window
     // IS the oracle's job; the engine uses max/min(struct) aggregates);
     // same token convention, flat groups dropped on both sides

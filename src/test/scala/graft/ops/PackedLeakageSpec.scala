@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Packed-sequence boundary leakage: crossing classification, the
+  * seq-boundary cutoff, and hit detection for both window classes. */
+class PackedLeakageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, "s0", t) }.toDF("doc_id", "shard", "text")
+
+  private def bench(texts: String*) =
+    SubstringDedup.windowIndex(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"), "doc_id", "text", 4)
+
+  private def screen(d: org.apache.spark.sql.DataFrame,
+                     b: org.apache.spark.sql.DataFrame, budget: Int) =
+    PackedLeakage.packedWindowScreen(d, b, "shard", "doc_id", "text", 4, budget)
+
+  test("windows spanning a doc boundary inside one sequence are crossed") {
+    // stream: a b c d e f | g h i j k l (12 tokens, one seq at budget 16)
+    // 4-windows at pos 0..8; crossed = pos 3,4,5 (span both docs)
+    val w = screen(docs((1L, "a b c d e f"), (2L, "g h i j k l")),
+        bench("zz zz zz zz"), 16)
+      .select("pos", "crossed").as[(Int, Boolean)].collect().sortBy(_._1)
+    assert(w.length == 9)
+    assert(w.filter(_._2).map(_._1).toSeq == Seq(3, 4, 5))
+  }
+
+  test("a sequence boundary between the docs kills the crossing windows") {
+    // budget 6: each doc is exactly one sequence — no window can cross
+    val w = screen(docs((1L, "a b c d e f"), (2L, "g h i j k l")),
+        bench("zz zz zz zz"), 6)
+    assert(w.count() == 6) // 3 windows per 6-token sequence
+    assert(w.where(col("crossed")).count() == 0)
+  }
+
+  test("benchmark hits classify by window class") {
+    val d = docs((1L, "a b c d e f"), (2L, "g h i j k l"))
+    // "e f g h" exists ONLY in the packed stream (crossed); "b c d e" is
+    // inside doc 1 (within-doc)
+    val w = screen(d, bench("e f g h", "b c d e"), 16)
+    val hits = w.where(col("hit")).select("pos", "crossed")
+      .as[(Int, Boolean)].collect().sortBy(_._1)
+    assert(hits.toSeq == Seq((1, false), (4, true)))
+    val c = PackedLeakage.leakageCensus(w)
+      .select("n_seqs", "n_windows", "n_hits", "n_crossed",
+        "n_crossed_hits", "sum_hit_pos")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(c == ((1L, 9L, 2L, 3L, 1L, 5L)))
+  }
+
+  test("per-document decontamination cannot see the crossed hit") {
+    // the crossed window hits the benchmark, but NEITHER train doc alone
+    // contains it — the report q136-style doc screens would give is clean
+    val d = docs((1L, "a b c d e f"), (2L, "g h i j k l"))
+    val bIdx = bench("e f g h")
+    val perDoc = SubstringDedup.repeatedSpansAgainstIndex(
+      d, "doc_id", "text", bIdx, 4)
+    assert(perDoc.count() == 0, "doc-level screen must be blind to the juxtaposition")
+    val packed = screen(d, bIdx, 16).where(col("hit")).count()
+    assert(packed == 1, "the packed screen must catch it")
+  }
+
+  test("shards pack independently — no cross-shard juxtaposition") {
+    val d = Seq((1L, "s0", "a b c d e f"), (2L, "s1", "g h i j k l"))
+      .toDF("doc_id", "shard", "text")
+    val w = screen(d, bench("e f g h"), 16)
+    assert(w.where(col("crossed") || col("hit")).count() == 0)
+  }
+}
