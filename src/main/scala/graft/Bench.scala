@@ -212,7 +212,8 @@ object Bench {
     "q263_quality_canonical", // keep the BEST near-dup cluster member
     "q264_bt_strength",       // Bradley-Terry preference strength fit
     "q265_preference_consistency", // pair majority + Condorcet cycles
-    "q266_packed_leakage")    // boundary-crossing benchmark leakage
+    "q266_packed_leakage",    // boundary-crossing benchmark leakage
+    "q267_bt_incremental")    // stored win-matrix census -> derived fit
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -609,6 +609,54 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  /** q267: INCREMENTAL Bradley-Terry — the win matrix is an additive
+    * census (key (winner, loser), value n_wins), so preference batches
+    * merge into the census store exactly-once and the strengths derive
+    * AT REPORT TIME from the reloaded matrix (strengths are ratios of
+    * the stored integers — never stored themselves, the additive-store
+    * rule). New comparisons arrive forever; the fit stays current
+    * without rescanning history. Gate: two doc-parity batches through
+    * the store, replay no-op, report == q264's one-shot oracle. */
+  val btIncremental: Q = (s, dir) => {
+    val fix = comparisonFixture(Tables.documents(s, dir))
+    val path = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_bt_idx"))
+      .resolve("census").toString
+    // split the comparison STREAM by winner hash (deterministic): the
+    // two halves carry different keys, and the additive merge would be
+    // exact even if they overlapped — sums add per (winner, loser)
+    def ingest(half: Int, id: Long): Boolean =
+      graft.store.IndexStore.updateCensus(s, path,
+        graft.ops.BradleyTerry.winMatrix(
+          fix.where(pmod(xxhash64(col("winner")), lit(2)) === half),
+          "winner", "loser"),
+        Seq("winner", "loser"), batchId = id)
+    ingest(0, 0L)
+    val replayNoop = !ingest(0, 0L)
+    ingest(1, 1L)
+    val mat = graft.store.IndexStore.loadCensus(s, path)
+    val strengths = {
+      import s.implicits._
+      graft.ops.BradleyTerry.fitFromMatrix(mat, BtSteps, BtLr)
+        .toDF("source", "th")
+    }
+    val wins = mat.groupBy(col("winner").as("source"))
+      .agg(sum(col("n_wins")).as("n_wins"))
+    val losses = mat.groupBy(col("loser").as("source"))
+      .agg(sum(col("n_wins")).as("n_losses"))
+    strengths
+      .join(wins, Seq("source"), "left")
+      .join(losses, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_wins"), lit(0L)).as("n_wins"),
+        coalesce(col("n_losses"), lit(0L)).as("n_losses"),
+        (coalesce(col("n_wins"), lit(0L)) +
+          coalesce(col("n_losses"), lit(0L))).as("n_comparisons"),
+        round(col("th"), 6).as("strength"))
+      .withColumn("replay_noop", lit(replayNoop))
+      .orderBy("source")
+  }
+
   /** q265: preference-consistency census — the annotation-quality screen
     * run BEFORE fitting anything on preference data: per source pair, the
     * two directed win counts, the majority direction, and the minority
@@ -662,6 +710,7 @@ object CurationQueries {
     "q264_bt_strength" -> btStrength,
     "q265_preference_consistency" -> preferenceConsistency,
     "q266_packed_leakage" -> packedLeakage,
+    "q267_bt_incremental" -> btIncremental,
     "q196_chat_render" -> chatRender,
     "q245_sft_pack_masks" -> sftPackMasks,
     "q251_pack_boundaries" -> packBoundaries,
@@ -847,6 +896,10 @@ object CurationQueries {
     "q264_bt_strength" -> btStrengthOracle(BtSteps, BtLr),
     "q265_preference_consistency" -> preferenceConsistencyOracle,
     "q266_packed_leakage" -> packedLeakageOracle,
+    // q267: batched census == one-shot IS the gate (q252 doctrine) — the
+    // q264 oracle with the engine replay-noop boolean appended
+    "q267_bt_incremental" -> btStrengthOracle(BtSteps, BtLr)
+      .replace("round(t.th, 6) AS strength", "round(t.th, 6) AS strength, true AS replay_noop"),
     // q208: chosen/rejected replayed with two ranking windows (the window
     // IS the oracle's job; the engine uses max/min(struct) aggregates);
     // same token convention, flat groups dropped on both sides

@@ -1006,6 +1006,47 @@ class StreamingSpec extends SparkSpec {
       "streamed census diverged from the one-shot census")
   }
 
+  test("preference-comparison stream -> BT fit from store == one-shot fit") {
+    // comparisons arrive as (winner, loser) events; the stored win matrix
+    // is their additive census, and the strengths derive at report time
+    val docs = Tables.documents(spark, dir)
+    val cmp = docs.select(
+      concat(lit("s"), pmod(col("doc_id"), lit(5))).as("winner"),
+      concat(lit("s"), pmod(col("doc_id") * 3 + 1, lit(5))).as("loser"))
+      .where(col("winner") =!= col("loser"))
+    val src = java.nio.file.Files.createTempDirectory("graft_bt_src")
+    val root = java.nio.file.Files.createTempDirectory("graft_bt_stream").toString
+    val idxPath = s"$root/idx"
+    def stageFile(part: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_bt_p$part")
+      cmp.where(pmod(xxhash64(col("winner"), col("loser")), lit(2)) === part)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, src.resolve(s"p$part.parquet"))
+    }
+    stageFile(0)
+    val schema = cmp.schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+      val q = StreamingPipeline
+        .censusIngestStream(stream, idxPath, Seq("winner", "loser"),
+          b => graft.ops.BradleyTerry.winMatrix(b, "winner", "loser"))
+        .option("checkpointLocation", s"$root/ckpt").start()
+      q.awaitTermination()
+    }
+    runOnce() // dies after file 0
+    stageFile(1)
+    runOnce() // restart: must not re-merge file 0 (a re-merge would skew
+              // every strength toward batch-0 winners)
+    val stored = graft.ops.BradleyTerry.fitFromMatrix(
+      graft.store.IndexStore.loadCensus(spark, idxPath), 8, 4.0)
+    val oneShot = graft.ops.BradleyTerry.fitFromMatrix(
+      graft.ops.BradleyTerry.winMatrix(cmp, "winner", "loser"), 8, 4.0)
+    assert(stored == oneShot, "streamed BT fit diverged from one-shot")
+  }
+
   test("window-census ingest stream -> span report == batch ExactSubstr report") {
     val docs = Tables.documents(spark, dir)
     val src = java.nio.file.Files.createTempDirectory("graft_substr_src")
