@@ -73,28 +73,36 @@ object IndexHealth {
     import spark.implicits._
     val idx = IndexStore.loadIvfIndex(spark, indexPath)
     val exact = exactTopKFromState(spark, statePath, k)
-      .select("query_id", "neighbor_id").cache()
+      .select("query_id", "neighbor_id").withColumn("__e", lit(true))
     val ann = Similarity.ivfTopKFrom(idx, probes, idCol, vecCol, k, nProbe)
-      .select("query_id", "neighbor_id")
-    val nExact = exact.count()
-    val nHits = exact.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
-      .count()
-    val nProbes = exact.select("query_id").distinct().count()
+      .select("query_id", "neighbor_id").withColumn("__ann", lit(true))
     val oneShot = Similarity.bruteForceTopK(corpusSoFar, probes, idCol,
-      vecCol, k).select("query_id", "neighbor_id")
-    val matchesOneShot = oneShot.count() == nExact &&
-      oneShot.unionByName(exact).distinct().count() == nExact
-    val sumExactIds = exact.agg(coalesce(sum("neighbor_id"), lit(0L)))
-      .head().getLong(0)
-    exact.unpersist()
-    // skew trigger inputs as integers: maxListN * nLists < 4 * nTotal
-    // <=> frac_vs_uniform < 4 (the documented re-train rule)
+        vecCol, k).select("query_id", "neighbor_id")
+      .withColumn("__o", lit(true))
+    // ONE Spark action for the whole measurement (plus the census write):
+    // exact state FULL-OUTER one-shot (the batched == one-shot
+    // certificate is "no row misses either side"), LEFT the ANN result
+    // (the recall numerator), one aggregate, with the k-row list
+    // occupancy attached by a 1-row crossJoin — per-metric jobs were the
+    // measured cost, not the data (probe-cardinality frames throughout).
     val occ = idx.lists.groupBy("list_id").agg(count(lit(1)).as("n"))
       .agg(max("n").as("mx"), sum("n").as("tot"))
+    val m = exact
+      .join(oneShot, Seq("query_id", "neighbor_id"), "full_outer")
+      .join(ann, Seq("query_id", "neighbor_id"), "left")
+      .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("ne"),
+        sum(when(col("__e") && col("__ann"), 1L).otherwise(0L)).as("nh"),
+        countDistinct(when(col("__e"), col("query_id"))).as("np"),
+        coalesce(sum(when(col("__e"), col("neighbor_id"))), lit(0L))
+          .as("sids"),
+        sum(when(col("__e").isNull || col("__o").isNull, 1L).otherwise(0L))
+          .as("mismatch"))
+      .crossJoin(occ)
       .head()
-    val row = Seq((gen, corpusSoFar.count(), nProbes, nExact, nHits,
-        sumExactIds, if (matchesOneShot) 1L else 0L,
-        occ.getLong(0), occ.getLong(1), idx.centroids.size.toLong))
+    val row = Seq((gen, m.getLong(6), m.getLong(2), m.getLong(0),
+        m.getLong(1), m.getLong(3),
+        if (m.getLong(4) == 0L) 1L else 0L,
+        m.getLong(5), m.getLong(6), idx.centroids.size.toLong))
       .toDF("gen", "n_corpus", "n_probes", "n_exact_rows", "n_hits",
         "sum_exact_neighbor_ids", "matches_oneshot", "max_list_n",
         "n_indexed", "n_lists")

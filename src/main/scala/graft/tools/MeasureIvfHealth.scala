@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Phase profiler for q261 (stored-ANN health census): times each stage of
+  * the gate — IVF build, store save, exact-state ingests, per-generation
+  * measurement, index update, report — so optimization goes where the
+  * seconds are.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.MeasureIvfHealth
+  */
+object MeasureIvfHealth {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config(graft.sources.Tables.NanosAsLongConf, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val s = spark
+    def phase[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[ivfhealth] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+      r
+    }
+    val emb = graft.sources.Tables.embeddings(s, dir)
+    val b0 = emb.where(col("vec_id") % 2 === 0)
+    val b1 = emb.where(col("vec_id") % 2 === 1)
+    val probes = emb.where(col("vec_id") % 37 === 5)
+    val root = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_mivf"))
+    val idxPath = s"$root/ivf"
+    val exactPath = s"$root/exact"
+    val censusPath = s"$root/recall"
+    val built = phase("buildIvfIndex") {
+      graft.sim.Similarity.buildIvfIndex(b0, "vec_id", "embedding", 16, 42) }
+    phase("saveIvfIndex") {
+      graft.store.IndexStore.saveIvfIndex(s, built, idxPath) }
+    phase("ingestExact b0") {
+      graft.sim.IndexHealth.ingestExactState(s, exactPath, b0, probes,
+        "vec_id", "embedding", 3, 0L) }
+    phase("measure gen0") {
+      graft.sim.IndexHealth.measureGeneration(s, idxPath, exactPath,
+        censusPath, probes, b0, "vec_id", "embedding", 3, 12, 0L) }
+    phase("updateIvfIndex b1") {
+      graft.store.IndexStore.updateIvfIndex(s, idxPath, b1,
+        "vec_id", "embedding", batchId = 1L) }
+    phase("replay ingest (noop)") {
+      graft.sim.IndexHealth.ingestExactState(s, exactPath, b0, probes,
+        "vec_id", "embedding", 3, 0L) }
+    phase("ingestExact b1") {
+      graft.sim.IndexHealth.ingestExactState(s, exactPath, b1, probes,
+        "vec_id", "embedding", 3, 1L) }
+    phase("measure gen1") {
+      graft.sim.IndexHealth.measureGeneration(s, idxPath, exactPath,
+        censusPath, probes, emb, "vec_id", "embedding", 3, 12, 1L) }
+    phase("healthReport") {
+      graft.sim.IndexHealth.healthReport(s, censusPath).collect() }
+    spark.stop()
+  }
+}
