@@ -213,7 +213,8 @@ object Bench {
     "q264_bt_strength",       // Bradley-Terry preference strength fit
     "q265_preference_consistency", // pair majority + Condorcet cycles
     "q266_packed_leakage",    // boundary-crossing benchmark leakage
-    "q267_bt_incremental")    // stored win-matrix census -> derived fit
+    "q267_bt_incremental",    // stored win-matrix census -> derived fit
+    "q268_annotator_agreement") // Cohen/Fleiss kappa label-quality census
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -536,6 +536,74 @@ object CurationQueries {
     organic.unionByName(planted)
   }
 
+  /** q268: inter-annotator agreement census — the label-quality gate run
+    * on human-rated data BEFORE it trains anything: per annotator pair,
+    * observed agreement over their SHARED items, chance agreement from
+    * their own marginals, and Cohen's κ = (p_o − p_e)/(1 − p_e); attached
+    * globally, Fleiss' κ over all items (every item here carries its full
+    * rating panel). Fixture is pure id arithmetic: item = doc_id div 5,
+    * annotator = doc_id % 5, true class = item % 3, and a deterministic
+    * noise flip ((doc_id·7+3) % 11 == 0) plants the disagreement every
+    * agreement statistic exists to measure. Scale shape: one scan to the
+    * ratings frame; the pair join keys on item (≤ C(panel,2) pairs per
+    * item — panel size is metadata cardinality); every census value is an
+    * exact integer until the final 6-dp ratios. */
+  val annotatorAgreement: Q = (s, dir) => {
+    val r = Tables.documents(s, dir).select(
+      expr("doc_id div 5").as("item"),
+      (col("doc_id") % 5).as("annotator"),
+      ((expr("doc_id div 5") % 3) +
+        when((col("doc_id") * 7 + 3) % 11 === 0, 1L).otherwise(0L))
+        .%(3).as("label"))
+    val a = r.select(col("item"), col("annotator").as("a"), col("label").as("la"))
+    val b = r.select(col("item"), col("annotator").as("b"), col("label").as("lb"))
+    val perPair = a.join(b, Seq("item")).where(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_shared"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_agree"),
+        sum(when(col("la") === 0, 1L).otherwise(0L)).as("a0"),
+        sum(when(col("la") === 1, 1L).otherwise(0L)).as("a1"),
+        sum(when(col("la") === 2, 1L).otherwise(0L)).as("a2"),
+        sum(when(col("lb") === 0, 1L).otherwise(0L)).as("b0"),
+        sum(when(col("lb") === 1, 1L).otherwise(0L)).as("b1"),
+        sum(when(col("lb") === 2, 1L).otherwise(0L)).as("b2"))
+      .withColumn("po", col("n_agree") * lit(1.0) / col("n_shared"))
+      .withColumn("pe",
+        (col("a0") * col("b0") + col("a1") * col("b1") +
+          col("a2") * col("b2")) * lit(1.0) /
+          (col("n_shared") * col("n_shared")))
+    // Fleiss over items with >= 2 ratings: P_i = (Σ_c x_ic² − n_i) /
+    // (n_i(n_i−1)); P̄ vs Pe = Σ p_c² from the pooled class mass
+    val items = r.groupBy("item")
+      .agg(count(lit(1)).as("ni"),
+        sum(when(col("label") === 0, 1L).otherwise(0L)).as("x0"),
+        sum(when(col("label") === 1, 1L).otherwise(0L)).as("x1"),
+        sum(when(col("label") === 2, 1L).otherwise(0L)).as("x2"))
+      .where(col("ni") >= 2)
+    val fleiss = items.agg(
+        count(lit(1)).as("n_items"),
+        sum((col("x0") * col("x0") + col("x1") * col("x1") +
+          col("x2") * col("x2") - col("ni")) * lit(1.0) /
+          (col("ni") * (col("ni") - 1))).as("sum_pi"),
+        sum(col("ni")).as("nr"),
+        sum(col("x0")).as("t0"), sum(col("x1")).as("t1"),
+        sum(col("x2")).as("t2"))
+      .withColumn("pbar", col("sum_pi") / col("n_items"))
+      .withColumn("pexp",
+        (col("t0") * col("t0") + col("t1") * col("t1") +
+          col("t2") * col("t2")) * lit(1.0) / (col("nr") * col("nr")))
+      .select(col("n_items"),
+        round((col("pbar") - col("pexp")) / (lit(1.0) - col("pexp")), 6)
+          .as("fleiss_kappa"))
+    perPair.crossJoin(broadcast(fleiss))
+      .select(col("a"), col("b"), col("n_shared"), col("n_agree"),
+        round(col("po"), 6).as("po"), round(col("pe"), 6).as("pe"),
+        round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6)
+          .as("cohen_kappa"),
+        col("n_items"), col("fleiss_kappa"))
+      .orderBy("a", "b")
+  }
+
   /** q266: packed-sequence boundary leakage ([[graft.ops.PackedLeakage]])
     * — the decontamination hole document-level screens can't see:
     * concat-and-chop packing juxtaposes one doc's tail with the next
@@ -711,6 +779,7 @@ object CurationQueries {
     "q265_preference_consistency" -> preferenceConsistency,
     "q266_packed_leakage" -> packedLeakage,
     "q267_bt_incremental" -> btIncremental,
+    "q268_annotator_agreement" -> annotatorAgreement,
     "q196_chat_render" -> chatRender,
     "q245_sft_pack_masks" -> sftPackMasks,
     "q251_pack_boundaries" -> packBoundaries,
@@ -900,6 +969,55 @@ object CurationQueries {
     // q264 oracle with the engine replay-noop boolean appended
     "q267_bt_incremental" -> btStrengthOracle(BtSteps, BtLr)
       .replace("round(t.th, 6) AS strength", "round(t.th, 6) AS strength, true AS replay_noop"),
+    // q268: kappa arithmetic replayed from the same integer counts with
+    // the same expression shapes; fixture is pure id arithmetic
+    "q268_annotator_agreement" ->
+      """WITH r AS MATERIALIZED (
+        |  SELECT doc_id // 5 AS item, doc_id % 5 AS annotator,
+        |    ((doc_id // 5) % 3 +
+        |      CASE WHEN (doc_id * 7 + 3) % 11 = 0 THEN 1 ELSE 0 END) % 3 AS label
+        |  FROM documents),
+        |pr AS (
+        |  SELECT a.annotator AS a, b.annotator AS b,
+        |    count(*) AS n_shared,
+        |    CAST(sum(CASE WHEN a.label = b.label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+        |    sum(CASE WHEN a.label = 0 THEN 1 ELSE 0 END) AS a0,
+        |    sum(CASE WHEN a.label = 1 THEN 1 ELSE 0 END) AS a1,
+        |    sum(CASE WHEN a.label = 2 THEN 1 ELSE 0 END) AS a2,
+        |    sum(CASE WHEN b.label = 0 THEN 1 ELSE 0 END) AS b0,
+        |    sum(CASE WHEN b.label = 1 THEN 1 ELSE 0 END) AS b1,
+        |    sum(CASE WHEN b.label = 2 THEN 1 ELSE 0 END) AS b2
+        |  FROM r a JOIN r b ON a.item = b.item AND a.annotator < b.annotator
+        |  GROUP BY 1, 2),
+        |pp AS (
+        |  SELECT a, b, n_shared, n_agree,
+        |    n_agree * 1.0 / n_shared AS po,
+        |    (a0*b0 + a1*b1 + a2*b2) * 1.0 / (n_shared * n_shared) AS pe
+        |  FROM pr),
+        |it AS (
+        |  SELECT item, count(*) AS ni,
+        |    sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS x0,
+        |    sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS x1,
+        |    sum(CASE WHEN label = 2 THEN 1 ELSE 0 END) AS x2
+        |  FROM r GROUP BY 1 HAVING count(*) >= 2),
+        |fl AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |    sum((x0*x0 + x1*x1 + x2*x2 - ni) * 1.0 / (ni * (ni - 1))) AS sum_pi,
+        |    sum(ni) AS nr, sum(x0) AS t0, sum(x1) AS t1, sum(x2) AS t2
+        |  FROM it),
+        |fk AS (
+        |  SELECT n_items,
+        |    round(((sum_pi / n_items) -
+        |      (t0*t0 + t1*t1 + t2*t2) * 1.0 / (nr * nr)) /
+        |      (1.0 - (t0*t0 + t1*t1 + t2*t2) * 1.0 / (nr * nr)), 6)
+        |      AS fleiss_kappa
+        |  FROM fl)
+        |SELECT pp.a, pp.b, pp.n_shared, pp.n_agree,
+        |  round(po, 6) AS po, round(pe, 6) AS pe,
+        |  round((po - pe) / (1.0 - pe), 6) AS cohen_kappa,
+        |  fk.n_items, fk.fleiss_kappa
+        |FROM pp, fk ORDER BY 1, 2""".stripMargin,
+
     // q208: chosen/rejected replayed with two ranking windows (the window
     // IS the oracle's job; the engine uses max/min(struct) aggregates);
     // same token convention, flat groups dropped on both sides
