@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Loss-masked SFT sequence packing — the composition every SFT data
@@ -115,6 +116,74 @@ object LossMaskPacking {
           x.getField("__crossed").as("crossed"))).as("spans"),
         transform(filter(col("__xs"), x => x.getField("__cstart")),
           x => x.getField("__sstart")).as("conv_starts"))
+      .withColumn("n_toks", size(col("seq_toks")).cast("long"))
+  }
+
+  /** Whole-conversation best-fit packing with loss masks — the OTHER SFT
+    * packing strategy ([[BinPacking]]'s side of the q259 trade): each
+    * conversation renders to one token run and is placed WHOLE into a
+    * bin ([[BinPacking.bestFitDecreasing]] at conversation granularity),
+    * so no example ever crosses a sequence boundary (spans carry no
+    * `crossed` class — impossible by construction); conversations longer
+    * than the budget TRUNCATE at the budget (trailing turns drop, the
+    * cut turn's span is flagged `truncated`). Output mirrors
+    * [[packWithMasks]]: per (shard, seq=bin) the token stream, whole-turn
+    * mask spans in stream order, and `conv_starts` (each conversation's
+    * bin offset — position-id resets / block-diagonal attention).
+    *
+    * Scale shape: one conversation-bounded window for within-conv turn
+    * offsets, one conv-level aggregate into the BFD pass (its shard
+    * shuffle + streaming placement), one join back to turns, one
+    * (shard, bin) reassembly groupBy — the q245 segment idiom with the
+    * chop arithmetic replaced by placement offsets. */
+  def packConversationsBfd(turns: DataFrame, shardCol: String,
+                           convCol: String, turnIdxCol: String,
+                           roleCol: String, contentCol: String,
+                           budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val piece = concat(lit("<|"), col(roleCol), lit("|>\n"),
+      col(contentCol), lit("\n"))
+    val t = turns.select(col(shardCol).as("__shard"),
+        col(convCol).cast("long").as("__conv"),
+        col(turnIdxCol).cast("long").as("__tix"),
+        col(roleCol).as("__role"),
+        filter(split(piece, "\\s+"), x => length(x) > 0).as("__ptoks"))
+      .withColumn("__tn", size(col("__ptoks")).cast("long"))
+    val wConv = Window.partitionBy(col("__shard"), col("__conv"))
+      .orderBy(col("__tix"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withOff = t.withColumn("__coff",
+      sum(col("__tn")).over(wConv) - col("__tn"))
+    val convs = withOff.groupBy(col("__shard"), col("__conv"))
+      .agg(sum(col("__tn")).as("__ctn"))
+    val placed = BinPacking.bestFitDecreasing(convs, "__shard", "__conv",
+        "__ctn", budget)
+      .select(col("__conv"), col("bin"), col("bin_offset"),
+        col("len_capped"))
+    val segs = withOff.join(placed, Seq("__conv"))
+      .where(col("__coff") < col("len_capped")) // turns past the cut drop
+      .withColumn("__send",
+        least(col("__coff") + col("__tn"), col("len_capped")))
+      .withColumn("__trunc",
+        col("__coff") + col("__tn") > col("len_capped"))
+      .withColumn("__ftoks", slice(col("__ptoks"), lit(1),
+        (col("__send") - col("__coff")).cast("int")))
+      .withColumn("__astart", col("bin_offset") + col("__coff"))
+      .withColumn("__aend", col("bin_offset") + col("__send"))
+    segs.groupBy(col("__shard"), col("bin"))
+      .agg(array_sort(collect_list(struct(col("__astart"), col("__aend"),
+        col("__role"), col("__trunc"), col("__coff"), col("__ftoks"))))
+        .as("__xs"))
+      .select(col("__shard").as(shardCol), col("bin").as("seq"),
+        flatten(transform(col("__xs"), x => x.getField("__ftoks")))
+          .as("seq_toks"),
+        transform(col("__xs"), x => struct(
+          x.getField("__astart").as("start"),
+          x.getField("__aend").as("end"),
+          x.getField("__role").as("role"),
+          x.getField("__trunc").as("truncated"))).as("spans"),
+        transform(filter(col("__xs"), x => x.getField("__coff") === 0),
+          x => x.getField("__astart")).as("conv_starts"))
       .withColumn("n_toks", size(col("seq_toks")).cast("long"))
   }
 

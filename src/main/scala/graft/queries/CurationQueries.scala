@@ -352,6 +352,65 @@ object CurationQueries {
       .orderBy("shard")
   }
 
+  /** q269: whole-conversation BFD packing with loss masks
+    * ([[graft.ops.LossMaskPacking.packConversationsBfd]]) — the OTHER
+    * side of the q259 packing trade applied to SFT data: q245 chops (no
+    * truncation, but turns split across sequences); this packer places
+    * each conversation WHOLE via best-fit-decreasing (no crossing — the
+    * class is impossible by construction — but over-budget conversations
+    * truncate and bins pad). Same chat fixture and certificates as q245:
+    * render cert over every packed stream, MASK cert (assistant text
+    * extracted BY OFFSET, oracle reproduces it from turn contents
+    * without consulting the mask), plus the q251 boundary cert over each
+    * sequence's conversation-start offsets, pad accounting, and the
+    * truncated-span census. Oracle replays the BFD placement fold over
+    * conversations (the q260 recursive CTE) and the span arithmetic. */
+  val bfdSftPack: Q = (s, dir) => {
+    // giant-conversation plant: conv%13==2 appends 400 deterministic
+    // filler tokens to its turn 3, pushing those conversations past the
+    // 448 budget UNCONDITIONALLY (organic sizes are 118-324), so the
+    // truncation class AND multi-conv bins are both realized at every SF
+    // — no single budget realizes both on the organic distribution
+    val filler = concat_ws(" ",
+      transform(sequence(lit(1), lit(400)),
+        i => concat(lit("f"), i.cast("string"))))
+    val turns = chatTurns(s, dir)
+      .withColumn("shard", (col("conv_id") % 4).cast("long"))
+      .withColumn("content",
+        when(col("conv_id") % 13 === 2 && col("turn_idx") === 3,
+          concat_ws(" ", col("content"), filler))
+          .otherwise(col("content")))
+    val seqs = graft.ops.LossMaskPacking.packConversationsBfd(
+      turns, "shard", "conv_id", "turn_idx", "role", "content",
+      budget = 448)
+    val asst = filter(col("spans"),
+      sp => sp.getField("role") === "assistant")
+    seqs
+      .withColumn("a_text", graft.ops.LossMaskPacking.trainableText(
+        col("seq_toks"), col("spans"), "assistant"))
+      .withColumn("bcert", graft.ops.Sampling.md5Bucket(
+        concat_ws("|", col("shard").cast("string"), col("seq").cast("string"),
+          concat_ws(",", transform(col("conv_starts"),
+            o => o.cast("string"))))))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(size(col("conv_starts")).cast("long")).as("n_convs"),
+        sum(col("n_toks")).as("total_tokens"),
+        (count(lit(1)) * 448 - sum(col("n_toks"))).as("pad_tokens"),
+        sum(size(col("spans")).cast("long")).as("n_spans"),
+        sum(size(asst).cast("long")).as("n_assist_spans"),
+        sum(aggregate(asst, lit(0L), (acc, sp) =>
+          acc + sp.getField("end") - sp.getField("start")))
+          .as("assist_tokens"),
+        sum(size(filter(col("spans"), sp => sp.getField("truncated")))
+          .cast("long")).as("n_trunc_spans"),
+        sum(graft.ops.Sampling.md5Bucket(
+          concat_ws(" ", col("seq_toks")))).as("render_cert"),
+        sum(graft.ops.Sampling.md5Bucket(col("a_text"))).as("mask_cert"),
+        sum(col("bcert")).as("boundary_cert"))
+      .orderBy("shard")
+  }
+
   /** q251: packed-sequence boundary map — the third artifact an SFT
     * loader consumes next to q245's tokens and loss masks: the per-
     * sequence offsets where a NEW conversation opens, which drive
@@ -782,6 +841,7 @@ object CurationQueries {
     "q268_annotator_agreement" -> annotatorAgreement,
     "q196_chat_render" -> chatRender,
     "q245_sft_pack_masks" -> sftPackMasks,
+    "q269_bfd_sft_pack" -> bfdSftPack,
     "q251_pack_boundaries" -> packBoundaries,
     "q253_prompt_diversity" -> promptDiversity,
     "q197_prompt_dedup" -> promptDedup,
@@ -1099,6 +1159,120 @@ object CurationQueries {
         |    ' ')), 1, 8)) AS BIGINT)) AS BIGINT) AS render_cert,
         |  CAST(sum(CAST(concat('0x', substr(md5(a_text), 1, 8)) AS BIGINT))
         |    AS BIGINT) AS mask_cert
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q269: the q245 render CTEs + the q260 BFD placement fold (over
+    // conversations, budget 448) + whole-turn span arithmetic; the mask
+    // cert is rebuilt from turn contents without consulting the mask
+    "q269_bfd_sft_pack" ->
+      """WITH RECURSIVE t AS MATERIALIZED (
+        |  SELECT doc_id // 4 AS conv, (doc_id // 4) % 4 AS shard,
+        |    CAST(doc_id % 4 AS BIGINT) AS tix,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    list_concat(
+        |      ['<|' || CASE WHEN doc_id % 2 = 0 THEN 'user'
+        |        ELSE 'assistant' END || '|>'],
+        |      CASE WHEN trim(CASE WHEN (doc_id // 4) % 13 = 2 AND doc_id % 4 = 3
+        |          THEN text || ' ' || array_to_string(
+        |            ['f' || i FOR i IN generate_series(1, 400)], ' ')
+        |          ELSE text END) = ''
+        |        THEN CAST([] AS VARCHAR[])
+        |        ELSE string_split_regex(trim(
+        |          CASE WHEN (doc_id // 4) % 13 = 2 AND doc_id % 4 = 3
+        |            THEN text || ' ' || array_to_string(
+        |              ['f' || i FOR i IN generate_series(1, 400)], ' ')
+        |            ELSE text END),
+        |          '\s+') END) AS ptoks
+        |  FROM documents),
+        |u AS MATERIALIZED (SELECT *, CAST(len(ptoks) AS BIGINT) AS tn FROM t),
+        |co AS MATERIALIZED (
+        |  SELECT shard, conv, CAST(sum(tn) AS BIGINT) AS ctn
+        |  FROM u GROUP BY 1, 2),
+        |r AS MATERIALIZED (
+        |  SELECT shard, conv, ctn, least(ctn, 448) AS lc,
+        |    row_number() OVER (PARTITION BY shard
+        |      ORDER BY least(ctn, 448) DESC, conv ASC) AS rk
+        |  FROM co),
+        |mx AS MATERIALIZED (SELECT shard, max(rk) AS m FROM r GROUP BY 1),
+        |st(shard, i, bins, ids, bs, offs) AS (
+        |  SELECT shard, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+        |    CAST([] AS BIGINT[]), CAST([] AS BIGINT[]), CAST([] AS BIGINT[])
+        |  FROM mx
+        |  UNION ALL
+        |  SELECT st.shard, st.i + 1,
+        |    CASE WHEN coalesce(list_min([(448 - st.bins[j]) * 100000 + j
+        |        FOR j IN generate_series(1, len(st.bins))
+        |        IF 448 - st.bins[j] >= r.lc]) % 100000, 0) = 0
+        |      THEN list_append(st.bins, r.lc)
+        |      ELSE [CASE WHEN j = coalesce(list_min([(448 - st.bins[k]) * 100000 + k
+        |          FOR k IN generate_series(1, len(st.bins))
+        |          IF 448 - st.bins[k] >= r.lc]) % 100000, 0)
+        |        THEN st.bins[j] + r.lc ELSE st.bins[j] END
+        |        FOR j IN generate_series(1, len(st.bins))] END,
+        |    list_append(st.ids, r.conv),
+        |    list_append(st.bs,
+        |      CASE WHEN coalesce(list_min([(448 - st.bins[j]) * 100000 + j
+        |          FOR j IN generate_series(1, len(st.bins))
+        |          IF 448 - st.bins[j] >= r.lc]) % 100000, 0) = 0
+        |        THEN len(st.bins) + 1
+        |        ELSE coalesce(list_min([(448 - st.bins[j]) * 100000 + j
+        |          FOR j IN generate_series(1, len(st.bins))
+        |          IF 448 - st.bins[j] >= r.lc]) % 100000, 0) END),
+        |    list_append(st.offs,
+        |      coalesce(st.bins[CAST(coalesce(list_min([(448 - st.bins[j]) * 100000 + j
+        |          FOR j IN generate_series(1, len(st.bins))
+        |          IF 448 - st.bins[j] >= r.lc]) % 100000, 0) AS INT)], 0))
+        |  FROM st JOIN r ON r.shard = st.shard AND r.rk = st.i + 1),
+        |fin AS MATERIALIZED (
+        |  SELECT st.shard, st.ids, st.bs, st.offs
+        |  FROM st JOIN mx USING (shard) WHERE st.i = mx.m),
+        |pl AS MATERIALIZED (
+        |  SELECT shard, unnest(ids) AS conv, unnest(bs) AS bin1,
+        |    unnest(offs) AS bin_offset
+        |  FROM fin),
+        |plc AS MATERIALIZED (
+        |  SELECT pl.conv, pl.bin1 - 1 AS bin, pl.bin_offset, r.lc
+        |  FROM pl JOIN r ON pl.conv = r.conv),
+        |woff AS MATERIALIZED (
+        |  SELECT u.*, sum(tn) OVER (PARTITION BY shard, conv ORDER BY tix
+        |    ROWS UNBOUNDED PRECEDING) - tn AS coff
+        |  FROM u),
+        |seg AS MATERIALIZED (
+        |  SELECT w.shard, w.conv, w.tix, w.role, plc.bin,
+        |    plc.bin_offset + w.coff AS astart,
+        |    plc.bin_offset + least(w.coff + w.tn, plc.lc) AS aend,
+        |    (w.coff + w.tn > plc.lc) AS trunc,
+        |    (w.coff = 0) AS cstart,
+        |    w.ptoks[1:CAST(least(w.coff + w.tn, plc.lc) - w.coff AS INT)] AS ftoks
+        |  FROM woff w JOIN plc ON w.conv = plc.conv
+        |  WHERE w.coff < plc.lc),
+        |q AS (
+        |  SELECT shard, bin,
+        |    flatten(list(ftoks ORDER BY astart)) AS seq_toks,
+        |    count(*) AS nsp,
+        |    count(*) FILTER (WHERE role = 'assistant') AS nasp,
+        |    coalesce(sum(aend - astart) FILTER (WHERE role = 'assistant'), 0)
+        |      AS a_toks,
+        |    count(*) FILTER (WHERE trunc) AS ntr,
+        |    count(*) FILTER (WHERE cstart) AS ncv,
+        |    coalesce(array_to_string(flatten(list(ftoks ORDER BY astart)
+        |      FILTER (WHERE role = 'assistant')), ' '), '') AS a_text,
+        |    coalesce(array_to_string(list(astart ORDER BY astart)
+        |      FILTER (WHERE cstart), ','), '') AS starts_csv
+        |  FROM seg GROUP BY 1, 2)
+        |SELECT shard, count(*) AS n_seqs,
+        |  CAST(sum(ncv) AS BIGINT) AS n_convs,
+        |  CAST(sum(len(seq_toks)) AS BIGINT) AS total_tokens,
+        |  CAST(count(*) * 448 - sum(len(seq_toks)) AS BIGINT) AS pad_tokens,
+        |  CAST(sum(nsp) AS BIGINT) AS n_spans,
+        |  CAST(sum(nasp) AS BIGINT) AS n_assist_spans,
+        |  CAST(sum(a_toks) AS BIGINT) AS assist_tokens,
+        |  CAST(sum(ntr) AS BIGINT) AS n_trunc_spans,
+        |  CAST(sum(CAST(concat('0x', substr(md5(array_to_string(seq_toks,
+        |    ' ')), 1, 8)) AS BIGINT)) AS BIGINT) AS render_cert,
+        |  CAST(sum(CAST(concat('0x', substr(md5(a_text), 1, 8)) AS BIGINT))
+        |    AS BIGINT) AS mask_cert,
+        |  CAST(sum(CAST(concat('0x', substr(md5(shard || '|' || bin || '|' ||
+        |    starts_csv), 1, 8)) AS BIGINT)) AS BIGINT) AS boundary_cert
         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
     // q251: the q245 chain's running-offset arithmetic alone (no mask, no
     // tokens) rebuilds every sequence's conversation-opening offsets; the

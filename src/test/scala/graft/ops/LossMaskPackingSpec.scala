@@ -109,4 +109,74 @@ class LossMaskPackingSpec extends SparkSpec {
     assert(aTexts == "<|assistant|> a1 a2 a3 a4 a5 <|assistant|> a6 a7",
       s"extract-by-offset diverged: '$aTexts'")
   }
+
+  // ---- whole-conversation BFD packing (q269) ----
+
+  private def packBfd(turns: Seq[(Long, Long, Int, String, String)], budget: Int) = {
+    import spark.implicits._
+    LossMaskPacking.packConversationsBfd(
+      turns.toDF("shard", "conv", "tix", "role", "content"),
+      "shard", "conv", "tix", "role", "content", budget)
+      .orderBy("shard", "seq")
+      .collect()
+  }
+
+  test("bfd pack: conversations place whole; no span ever crosses a bin") {
+    // conv 1: 6 toks (2 turns), conv 2: 4 toks, conv 3: 3 toks; budget 8:
+    // BFD by size desc: c1->bin0(rem 2), c2->bin1(rem 4), c3->bin1(rem 1)
+    val rows = packBfd(Seq(
+      (0L, 1L, 0, "user", "u1 u2"), (0L, 1L, 1, "assistant", "a1 a2"),
+      (0L, 2L, 0, "user", "v1 v2 v3"),
+      (0L, 3L, 0, "assistant", "b1 b2")), budget = 8)
+    assert(rows.length == 2)
+    val bin0 = rows(0); val bin1 = rows(1)
+    assert(toks(bin0) == Seq("<|user|>", "u1", "u2", "<|assistant|>", "a1", "a2"))
+    assert(toks(bin1) == Seq("<|user|>", "v1", "v2", "v3", "<|assistant|>", "b1", "b2"))
+    // conv_starts: bin0 [0]; bin1 [0, 4]
+    assert(bin0.getAs[scala.collection.Seq[Long]]("conv_starts").toSeq == Seq(0L))
+    assert(bin1.getAs[scala.collection.Seq[Long]]("conv_starts").toSeq == Seq(0L, 4L))
+    // spans tile, whole turns, none truncated
+    rows.foreach { r =>
+      val sp = r.getAs[scala.collection.Seq[Row]]("spans")
+        .map(x => (x.getLong(0), x.getLong(1), x.getBoolean(3)))
+      sp.sliding(2).foreach {
+        case scala.collection.Seq(a, b) => assert(a._2 == b._1, "gap in spans")
+        case _ =>
+      }
+      assert(sp.forall(!_._3), "no span may be truncated here")
+    }
+  }
+
+  test("bfd pack: over-budget conversation truncates at the budget, cut span flagged") {
+    // one conv of 10 tokens at budget 6: tokens 0..5 survive; turn 0
+    // (5 toks) intact, turn 1 clipped to 1 token and flagged; turn 2
+    // (beyond the cut) drops entirely
+    val rows = packBfd(Seq(
+      (0L, 1L, 0, "user", "u1 u2 u3 u4"),
+      (0L, 1L, 1, "assistant", "a1 a2"),
+      (0L, 1L, 2, "user", "w1")), budget = 6)
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(toks(r) == Seq("<|user|>", "u1", "u2", "u3", "u4", "<|assistant|>"))
+    val sp = spans(r)
+    assert(sp == Seq((0L, 5L, "user", false), (5L, 6L, "assistant", true)))
+    assert(r.getAs[Long]("n_toks") == 6L)
+  }
+
+  test("bfd pack: extract-by-offset returns exactly the assistant tokens") {
+    import spark.implicits._
+    val turns = Seq(
+      (0L, 1L, 0, "user", "q1 q2"), (0L, 1L, 1, "assistant", "r1 r2 r3"),
+      (0L, 2L, 0, "user", "q3"), (0L, 2L, 1, "assistant", "r4"))
+      .toDF("shard", "conv", "tix", "role", "content")
+    val seqs = LossMaskPacking.packConversationsBfd(
+      turns, "shard", "conv", "tix", "role", "content", 16)
+    val extracted = seqs.select(LossMaskPacking.trainableText(
+        col("seq_toks"), col("spans"), "assistant").as("t"))
+      .collect().map(_.getString(0)).toSeq.sorted
+    // both convs fit one bin (5 + 3 <= 16): one sequence, assistant
+    // spans extracted in stream order
+    assert(extracted == Seq("<|assistant|> r1 r2 r3 <|assistant|> r4"),
+      s"got $extracted")
+  }
 }
