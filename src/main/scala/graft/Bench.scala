@@ -215,7 +215,8 @@ object Bench {
     "q266_packed_leakage",    // boundary-crossing benchmark leakage
     "q267_bt_incremental",    // stored win-matrix census -> derived fit
     "q268_annotator_agreement", // Cohen/Fleiss kappa label-quality census
-    "q269_bfd_sft_pack")      // whole-conversation BFD pack + loss masks
+    "q269_bfd_sft_pack",      // whole-conversation BFD pack + loss masks
+    "q270_ivf_probe_planner") // recall-vs-nProbe curve, one ranking pass
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

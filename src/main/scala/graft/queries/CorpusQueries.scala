@@ -768,6 +768,50 @@ object CorpusQueries {
       .withColumn("replay_noop", lit(replayNoop))
   }
 
+  /** q270: IVF probe planner — the recall-vs-nProbe tuning curve (the
+    * dense-index analog of the q201 LSH banding planner): a true top-k
+    * neighbor is RETRIEVABLE at probe depth p iff the centroid rank of
+    * its list for that query is ≤ p, so the whole candidate-recall curve
+    * falls out of ONE exact-top-k pass joined to ONE centroid-ranking
+    * pass — no per-depth probing. One row per probe depth 1..nLists:
+    * exact-side integers (SQL-replayable) plus the certificates the
+    * curve must satisfy — non-decreasing coverage, FULL coverage at
+    * depth nLists (probing every list retrieves everything — an exact
+    * identity, not a measurement), and the q148/q168 operating point
+    * (coverage ≥ 0.8 at nProbe=12). The planner is what picks nProbe
+    * before committing a 100 TB index to a latency budget. */
+  val ivfProbePlanner: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val probes = emb.where(col("vec_id") % 37 === 5)
+    val idx = Similarity.buildIvfIndex(emb, "vec_id", "embedding", 16, 42)
+    val exact = Similarity.bruteForceTopK(emb, probes, "vec_id",
+      "embedding", k = 3).select("query_id", "neighbor_id")
+    val ranked = Similarity.rankListsRanked(probes, "vec_id", "embedding",
+      idx.centroids).select("query_id", "list_id", "crank")
+    val annotated = exact
+      .join(idx.lists.select("neighbor_id", "list_id"), Seq("neighbor_id"))
+      .join(ranked, Seq("query_id", "list_id"))
+    val byDepth = annotated
+      .withColumn("n_probe", explode(sequence(lit(1), lit(16))))
+      .groupBy("n_probe")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("crank") <= col("n_probe"), 1L).otherwise(0L))
+          .as("n_cov"),
+        sum(col("neighbor_id")).as("sum_exact_ids"))
+    // the curve frame is nLists rows — the lag window is bounded by design
+    val w = org.apache.spark.sql.expressions.Window.orderBy("n_probe")
+    byDepth
+      .withColumn("cover_monotone",
+        col("n_cov") >= coalesce(lag(col("n_cov"), 1).over(w), lit(0L)))
+      .select(col("n_probe"), col("n_exact"), col("sum_exact_ids"),
+        col("cover_monotone"),
+        (col("n_probe") =!= 16 || col("n_cov") === col("n_exact"))
+          .as("full_cover_at_max"),
+        (col("n_probe") =!= 12 || col("n_cov") * 5 >= col("n_exact") * 4)
+          .as("cover_ge_080_at_12"))
+      .orderBy("n_probe")
+  }
+
   /** Compressed-index ANN: int8-dequantized scoring + exact re-rank of the
     * over-retrieved survivors — same oracle as q50 (the re-rank restores
     * exactness; quantization error ~2e-5 vs rank margins >=1e-3). */
@@ -1620,6 +1664,7 @@ object CorpusQueries {
     "q163_margin_mining_stored" -> marginMiningStored,
     "q168_ivf_incremental" -> ivfIncremental,
     "q261_ivf_health_census" -> ivfHealthCensus,
+    "q270_ivf_probe_planner" -> ivfProbePlanner,
     "q69_knn_quantized" -> knnQuantized,
     "q51_ann_lsh" -> annLsh,
     "q55_ann_ivf" -> annIvf,
@@ -2311,6 +2356,25 @@ object CorpusQueries {
         |  true AS lists_match_oneshot,
         |  true AS recall_ge_080,
         |  true AS skew_below_retrain""".stripMargin,
+    // q270: the exact side (top-3 per probe, self excluded) is constant
+    // across depths; curve certificates are engine-verified booleans
+    // (the q168 doctrine — full-cover-at-max is an exact identity)
+    "q270_ivf_probe_planner" ->
+      """WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 37 = 5),
+        |s AS (SELECT p.vec_id AS qid, c.vec_id AS nid,
+        |    list_cosine_similarity(p.embedding, c.embedding) AS cs
+        |  FROM p JOIN embeddings c ON p.vec_id <> c.vec_id),
+        |e AS (SELECT qid, nid FROM (SELECT qid, nid, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cs DESC, nid ASC) AS rk FROM s)
+        |  WHERE rk <= 3),
+        |x AS (SELECT CAST(count(*) AS BIGINT) AS ne,
+        |  CAST(sum(nid) AS BIGINT) AS sids FROM e)
+        |SELECT CAST(u.np AS INT) AS n_probe, x.ne AS n_exact,
+        |  x.sids AS sum_exact_ids,
+        |  true AS cover_monotone, true AS full_cover_at_max,
+        |  true AS cover_ge_080_at_12
+        |FROM x, UNNEST(generate_series(1, 16)) AS u(np)
+        |ORDER BY 1""".stripMargin,
     // q261: the exact-side integers replayed per generation (cosine top-3
     // per probe over the corpus-so-far, self excluded); the ANN/store
     // certificates are engine-verified booleans (the q168 doctrine)

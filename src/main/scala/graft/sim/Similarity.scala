@@ -228,7 +228,19 @@ object Similarity {
     * paths — the queries are small, the centroid table broadcasts. */
   private[graft] def rankLists(queries: DataFrame, idCol: String, vecCol: String,
                              centroids: Seq[(Int, Seq[Double])],
-                             nProbe: Int): DataFrame = {
+                             nProbe: Int): DataFrame =
+    rankListsRanked(queries, idCol, vecCol, centroids)
+      .where(col("crank") <= nProbe)
+      .select("query_id", "qv", "list_id")
+
+  /** The full per-query centroid ranking (`crank` 1..nLists kept) — the
+    * probe-planner's input ([[graft.queries.CorpusQueries]] q270): a true
+    * neighbor is retrievable at probe depth p iff the crank of ITS list
+    * is ≤ p, so the whole recall-vs-nProbe tuning curve falls out of one
+    * ranking pass. */
+  private[graft] def rankListsRanked(queries: DataFrame, idCol: String,
+                             vecCol: String,
+                             centroids: Seq[(Int, Seq[Double])]): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
     val spark = queries.sparkSession
@@ -243,8 +255,7 @@ object Similarity {
             col("centroid").cast("array<double>"), col("centroid").cast("array<double>")))
       .withColumn("crank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("dist").asc, col("list_id").asc)))
-      .where(col("crank") <= nProbe)
-      .select("query_id", "qv", "list_id")
+      .select("query_id", "qv", "list_id", "crank")
   }
 
   /** Probe a prebuilt [[IvfIndex]]: rank centroids per query, keep nProbe
