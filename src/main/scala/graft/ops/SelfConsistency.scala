@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Self-consistency voting over sampled model answers — the selection
+  * step of rejection-sampling / STaR-style data generation (Wang et al.
+  * 2023, "Self-Consistency Improves Chain of Thought Reasoning"; Zelikman
+  * et al. 2022): a prompt is sampled N times, the MAJORITY final answer is
+  * taken as the presumed-correct one, and one canonical sample carrying
+  * that answer graduates into the training set when the vote is decisive
+  * enough.
+  *
+  * Scale shape: two map-side-combined aggregations and nothing else —
+  * (prompt, answer) counts off one scan, then one max(struct) per prompt
+  * (never a window function: the per-prompt argmax rides the same shuffle
+  * as the count). Ties break deterministically to the SMALLEST answer via
+  * lexicographic struct order on (n, −answer); the canonical sample is the
+  * lowest sample id among majority-answer samples, carried through the
+  * argmax struct so no second pass over the samples is needed. The keep
+  * rule is integer arithmetic (3·n_majority ≥ 2·n_samples, i.e. agreement
+  * ≥ 2/3) — no float threshold enters the decision.
+  */
+object SelfConsistency {
+
+  /** Per-prompt vote census over (promptCol, sampleIdCol, answerCol) rows:
+    * (prompt_id, n_samples, majority_answer, n_majority, agreement, kept,
+    * chosen_id). `answerCol` must be numeric (the tie rule orders answers).
+    */
+  def voteCensus(samples: DataFrame, promptCol: String, sampleIdCol: String,
+      answerCol: String): DataFrame = {
+    val counts = samples
+      .groupBy(col(promptCol).as("prompt_id"), col(answerCol).as("answer"))
+      .agg(count(lit(1)).as("n"), min(col(sampleIdCol)).as("min_id"))
+    counts.groupBy("prompt_id")
+      .agg(sum(col("n")).as("n_samples"),
+        max(struct(col("n").as("n"), (-col("answer")).as("na"),
+          col("min_id").as("mid"))).as("w"))
+      .select(col("prompt_id"), col("n_samples"),
+        (-col("w.na")).as("majority_answer"),
+        col("w.n").as("n_majority"),
+        round(col("w.n") * lit(1.0) / col("n_samples"), 6).as("agreement"),
+        (col("w.n") * 3 >= col("n_samples") * 2).as("kept"),
+        col("w.mid").as("chosen_id"))
+  }
+}

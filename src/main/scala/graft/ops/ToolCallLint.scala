@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+
+/** Tool-call trace validation for function-calling SFT data — the lint a
+  * tool-use dataset runs before training: every assistant tool call must
+  * (a) be well-formed JSON, (b) name a tool the serving registry knows,
+  * (c) carry every required argument, and (d) pass per-argument kind
+  * checks (an integer argument carrying prose is a silent train-time
+  * poison — the model learns to emit unparseable calls). Traces harvested
+  * from agent runs violate all four in practice, so the screen reports a
+  * verdict census rather than assuming cleanliness.
+  *
+  * Verdict precedence (first failure wins, fail-closed — an unparseable
+  * call never reaches the arg checks): `malformed` > `unknown_tool` >
+  * `missing_arg` > `bad_type` > `ok`.
+  *
+  * Scale shape: ONE corpus scan parses each call once (`get_json_object`
+  * for the name, `from_json` to map<string,string> for the args — both
+  * codegen'd, no UDF); the registry is metadata-sized and joins broadcast
+  * (one row per (call, required arg), i.e. a small constant fan-out);
+  * the per-call verdict folds back with one map-side-combined groupBy.
+  * Null handling is fail-closed throughout: a null/absent extraction is a
+  * violation, never a pass.
+  */
+object ToolCallLint {
+
+  /** Registry row: a tool plus one required argument and its kind
+    * ("string" | "int"). A tool appears once per required argument. */
+  case class ToolArg(tool: String, arg: String, kind: String)
+
+  private val argsMapSchema = MapType(StringType, StringType)
+
+  /** Lint (idCol, callCol JSON-string) rows against the registry.
+    * Returns one row per call: (id, tool, verdict). `tool` is the name
+    * string as found in the JSON (null when malformed). */
+  def lint(calls: DataFrame, idCol: String, callCol: String,
+      registry: Seq[ToolArg]): DataFrame = {
+    val spark = calls.sparkSession
+    import spark.implicits._
+    val reg = registry.toDF("tool", "arg", "kind")
+    val parsed = calls.select(col(idCol).as("id"),
+      get_json_object(col(callCol), "$.name").as("tool"),
+      from_json(get_json_object(col(callCol), "$.args"), argsMapSchema)
+        .as("args"))
+    val known = reg.select("tool").distinct()
+      .withColumn("known", lit(true))
+    // one row per (call, required arg); calls whose tool has no registry
+    // row (unknown/malformed) keep a single null-arg row through the
+    // left join so the fold below still sees them once
+    val checked = parsed
+      .join(broadcast(known), Seq("tool"), "left")
+      .join(broadcast(reg), Seq("tool"), "left")
+      .withColumn("v",
+        when(col("arg").isNull, lit(null).cast("string")) // no reg row
+          .when(col("args").isNull ||
+            !map_contains_key(col("args"), col("arg")), "missing_arg")
+          .when(col("kind") === "int" &&
+            !coalesce(col("args")(col("arg")), lit(""))
+              .rlike("^-?[0-9]+$"), "bad_type")
+          .otherwise("pass"))
+    checked.groupBy("id", "tool", "known")
+      .agg(max(col("v") === "missing_arg").as("any_missing"),
+        max(col("v") === "bad_type").as("any_badtype"))
+      .select(col("id"), col("tool"),
+        when(col("tool").isNull, "malformed")
+          .when(coalesce(col("known"), lit(false)) === false, "unknown_tool")
+          .when(col("any_missing"), "missing_arg")
+          .when(col("any_badtype"), "bad_type")
+          .otherwise("ok").as("verdict"))
+  }
+
+  /** The census form: per (tool, verdict) call count plus the Σid
+    * certificate (malformed calls group under tool = '<malformed>'). */
+  def lintCensus(calls: DataFrame, idCol: String, callCol: String,
+      registry: Seq[ToolArg]): DataFrame =
+    lint(calls, idCol, callCol, registry)
+      .groupBy(coalesce(col("tool"), lit("<malformed>")).as("tool"),
+        col("verdict"))
+      .agg(count(lit(1)).as("n_calls"), sum(col("id")).as("sum_ids"))
+}

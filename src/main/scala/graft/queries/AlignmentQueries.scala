@@ -1,0 +1,196 @@
+package graft.queries
+
+import graft.ops.{SelfConsistency, ToolCallLint}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-11 second-half additions: the alignment-data operators that sit
+  * between raw corpus curation and an RLHF/tool-use training run —
+  * self-consistency sample selection, tool-call trace linting, stored
+  * (incremental) annotator agreement, prefix-cache savings planning, and
+  * dynamic-batch padding accounting. Every gate is deterministic id
+  * arithmetic over the documents table so the DuckDB oracle rebuilds the
+  * identical fixture. */
+object AlignmentQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q271
+
+  /** Shared q271 fixture: each doc is one sampled model answer; prompts
+    * are 6-sample groups, the true answer is prompt-id arithmetic, and two
+    * deterministic noise classes (+1 on (id·13+5)%9==0, +2 on
+    * (id·11+1)%31==0) plant the disagreement the vote exists to resolve —
+    * including prompts whose majority falls below the 2/3 keep line. */
+  private def sampleFixture(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      expr("doc_id div 6").as("prompt_id"),
+      col("doc_id").as("sample_id"),
+      ((expr("doc_id div 6") % 10) +
+        when((col("doc_id") * 13 + 5) % 9 === 0, 1L).otherwise(0L) +
+        when((col("doc_id") * 11 + 1) % 31 === 0, 2L).otherwise(0L))
+        .%(10).as("answer"))
+
+  /** q271: self-consistency vote census ([[graft.ops.SelfConsistency]]) —
+    * per prompt: sample count, majority answer (ties → smallest answer),
+    * majority size, 6-dp agreement, the integer-arithmetic 2/3 keep flag,
+    * and the canonical sample id (lowest id carrying the majority
+    * answer). */
+  val selfConsistency: Q = (s, dir) =>
+    SelfConsistency.voteCensus(sampleFixture(s, dir),
+      "prompt_id", "sample_id", "answer")
+      .orderBy("prompt_id")
+
+  // ---------------------------------------------------------------- q272
+
+  /** The q272 serving registry: tool → required arg → kind. */
+  private val toolRegistry = Seq(
+    ToolCallLint.ToolArg("search", "query", "string"),
+    ToolCallLint.ToolArg("search", "k", "int"),
+    ToolCallLint.ToolArg("calc", "expression", "string"),
+    ToolCallLint.ToolArg("fetch", "url", "string"),
+    ToolCallLint.ToolArg("fetch", "timeout_ms", "int"))
+
+  /** Shared q272 fixture: docs with id%3==1 are harvested tool calls;
+    * the tool cycles (id div 3)%3 ∈ {search, calc, fetch} and four plant
+    * classes realize every verdict at every SF: id%23==7 → unterminated
+    * JSON (malformed), id%17==5 → a name the registry doesn't know,
+    * id%13==2 → the required int/expression arg dropped, id%19==3 → the
+    * int arg carrying prose ("ten"). Plant precedence is the when-chain
+    * order, identically CASE'd in the oracle. */
+  private def toolCallFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).where(col("doc_id") % 3 === 1)
+    val kind = expr("(doc_id div 3) % 3")
+    val name = when(col("doc_id") % 17 === 5, lit("delete_all"))
+      .otherwise(when(kind === 0, lit("search"))
+        .when(kind === 1, lit("calc")).otherwise(lit("fetch")))
+    val id = col("doc_id").cast("string")
+    val searchArgs =
+      when(col("doc_id") % 13 === 2,
+        concat(lit("{\"query\":\"q"), id, lit("\"}")))
+        .when(col("doc_id") % 19 === 3,
+          concat(lit("{\"query\":\"q"), id, lit("\",\"k\":\"ten\"}")))
+        .otherwise(concat(lit("{\"query\":\"q"), id, lit("\",\"k\":"),
+          (col("doc_id") % 10).cast("string"), lit("}")))
+    val calcArgs =
+      when(col("doc_id") % 13 === 2, lit("{}"))
+        .otherwise(concat(lit("{\"expression\":\"1+"),
+          (col("doc_id") % 100).cast("string"), lit("\"}")))
+    val fetchArgs =
+      when(col("doc_id") % 13 === 2,
+        concat(lit("{\"url\":\"https://ex.com/"), id, lit("\"}")))
+        .when(col("doc_id") % 19 === 3,
+          concat(lit("{\"url\":\"https://ex.com/"), id,
+            lit("\",\"timeout_ms\":\"ten\"}")))
+        .otherwise(concat(lit("{\"url\":\"https://ex.com/"), id,
+          lit("\",\"timeout_ms\":"),
+          (col("doc_id") % 5000).cast("string"), lit("}")))
+    val args = when(kind === 0, searchArgs).when(kind === 1, calcArgs)
+      .otherwise(fetchArgs)
+    val call = when(col("doc_id") % 23 === 7,
+      concat(lit("{\"name\": \"broken"), id))
+      .otherwise(concat(lit("{\"name\":\""), name, lit("\",\"args\":"),
+        args, lit("}")))
+    d.select(col("doc_id"), call.as("tool_call"))
+  }
+
+  /** q272: tool-call lint census ([[graft.ops.ToolCallLint]]) — per
+    * (tool-as-found, verdict): call count + Σid certificate. Verdict
+    * precedence malformed > unknown_tool > missing_arg > bad_type > ok,
+    * fail-closed on every null extraction. */
+  val toolCallLint: Q = (s, dir) =>
+    ToolCallLint.lintCensus(toolCallFixture(s, dir), "doc_id", "tool_call",
+      toolRegistry)
+      .orderBy("tool", "verdict")
+
+  val all: Map[String, Q] = Map(
+    "q271_selfconsistency_vote" -> selfConsistency,
+    "q272_toolcall_lint" -> toolCallLint)
+
+  val oracles: Map[String, String] = Map(
+    "q271_selfconsistency_vote" ->
+      """WITH s AS (
+        |  SELECT doc_id // 6 AS prompt_id, doc_id AS sample_id,
+        |    ((doc_id // 6) % 10
+        |      + CASE WHEN (doc_id*13+5) % 9 = 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN (doc_id*11+1) % 31 = 0 THEN 2 ELSE 0 END) % 10 AS answer
+        |  FROM documents),
+        |c AS (SELECT prompt_id, answer, CAST(count(*) AS BIGINT) AS n,
+        |        min(sample_id) AS min_id
+        |      FROM s GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY prompt_id
+        |        ORDER BY n DESC, answer ASC) AS rn,
+        |      CAST(sum(n) OVER (PARTITION BY prompt_id) AS BIGINT) AS n_samples
+        |      FROM c)
+        |SELECT prompt_id, n_samples, answer AS majority_answer,
+        |  n AS n_majority, round(n * 1.0 / n_samples, 6) AS agreement,
+        |  n * 3 >= n_samples * 2 AS kept, min_id AS chosen_id
+        |FROM r WHERE rn = 1 ORDER BY prompt_id""".stripMargin,
+
+    // q272: the JSON strings are REBUILT identically and re-parsed with
+    // DuckDB's json functions (json_valid / json_extract_string), so both
+    // engines reach the verdict through actual JSON parsing, not plant
+    // shortcuts; the registry is the same VALUES table
+    "q272_toolcall_lint" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id // 3) % 3 AS kind,
+        |    CASE WHEN doc_id % 17 = 5 THEN 'delete_all'
+        |         WHEN (doc_id // 3) % 3 = 0 THEN 'search'
+        |         WHEN (doc_id // 3) % 3 = 1 THEN 'calc'
+        |         ELSE 'fetch' END AS nm
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |j AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 23 = 7 THEN '{"name": "broken' || doc_id
+        |      ELSE '{"name":"' || nm || '","args":' ||
+        |        CASE
+        |          WHEN kind = 0 AND doc_id % 13 = 2
+        |            THEN '{"query":"q' || doc_id || '"}'
+        |          WHEN kind = 0 AND doc_id % 19 = 3
+        |            THEN '{"query":"q' || doc_id || '","k":"ten"}'
+        |          WHEN kind = 0
+        |            THEN '{"query":"q' || doc_id || '","k":' || (doc_id % 10) || '}'
+        |          WHEN kind = 1 AND doc_id % 13 = 2 THEN '{}'
+        |          WHEN kind = 1
+        |            THEN '{"expression":"1+' || (doc_id % 100) || '"}'
+        |          WHEN doc_id % 13 = 2
+        |            THEN '{"url":"https://ex.com/' || doc_id || '"}'
+        |          WHEN doc_id % 19 = 3
+        |            THEN '{"url":"https://ex.com/' || doc_id || '","timeout_ms":"ten"}'
+        |          ELSE '{"url":"https://ex.com/' || doc_id || '","timeout_ms":' ||
+        |            (doc_id % 5000) || '}'
+        |        END || '}'
+        |    END AS call
+        |  FROM d),
+        |reg AS (SELECT * FROM (VALUES
+        |    ('search', 'query', 'string'), ('search', 'k', 'int'),
+        |    ('calc', 'expression', 'string'), ('fetch', 'url', 'string'),
+        |    ('fetch', 'timeout_ms', 'int')) AS t(tool, arg, kind)),
+        |p AS (
+        |  SELECT doc_id, call, json_valid(call) AS ok,
+        |    CASE WHEN json_valid(call)
+        |      THEN json_extract_string(call, '$.name') END AS tool
+        |  FROM j),
+        |chk AS (
+        |  SELECT p.doc_id, p.tool, reg.arg, reg.kind,
+        |    json_extract_string(p.call, '$.args.' || reg.arg) AS v
+        |  FROM p JOIN reg ON reg.tool = p.tool),
+        |fold AS (
+        |  SELECT doc_id, tool,
+        |    bool_or(v IS NULL) AS any_missing,
+        |    bool_or(kind = 'int' AND
+        |      NOT regexp_full_match(coalesce(v, ''), '-?[0-9]+')) AS any_badtype
+        |  FROM chk GROUP BY 1, 2),
+        |verd AS (
+        |  SELECT p.doc_id, coalesce(p.tool, '<malformed>') AS tool,
+        |    CASE WHEN p.tool IS NULL THEN 'malformed'
+        |         WHEN f.doc_id IS NULL THEN 'unknown_tool'
+        |         WHEN f.any_missing THEN 'missing_arg'
+        |         WHEN f.any_badtype THEN 'bad_type'
+        |         ELSE 'ok' END AS verdict
+        |  FROM p LEFT JOIN fold f ON f.doc_id = p.doc_id)
+        |SELECT tool, verdict, CAST(count(*) AS BIGINT) AS n_calls,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM verd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}

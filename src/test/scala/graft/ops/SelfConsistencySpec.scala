@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Self-consistency vote: majority pick, tie rule, canonical sample,
+  * and the integer 2/3 keep line. */
+class SelfConsistencySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vote(rows: (Long, Long, Long)*) =
+    SelfConsistency.voteCensus(
+      rows.toDF("prompt_id", "sample_id", "answer"),
+      "prompt_id", "sample_id", "answer")
+
+  test("majority answer wins and the lowest majority sample is canonical") {
+    // prompt 1: answers 7,7,7,2 — majority 7, canonical = min id among 7s
+    val r = vote((1L, 10L, 7L), (1L, 11L, 7L), (1L, 12L, 7L), (1L, 13L, 2L))
+      .as[(Long, Long, Long, Long, Double, Boolean, Long)].head()
+    assert(r == ((1L, 4L, 7L, 3L, 0.75, true, 10L)))
+  }
+
+  test("count ties break to the smallest answer") {
+    // 2-2 split between answers 5 and 3 -> majority_answer 3
+    val r = vote((1L, 1L, 5L), (1L, 2L, 5L), (1L, 3L, 3L), (1L, 4L, 3L))
+      .as[(Long, Long, Long, Long, Double, Boolean, Long)].head()
+    assert(r._3 == 3L && r._4 == 2L && !r._6) // 2/4 < 2/3 -> dropped
+    assert(r._7 == 3L) // canonical comes from the winning answer's samples
+  }
+
+  test("keep line is exactly 2/3, decided in integers") {
+    // 2 of 3 -> 3*2 >= 2*3 holds (kept); 3 of 5 -> 9 < 10 (dropped)
+    val r = vote(
+      (1L, 1L, 4L), (1L, 2L, 4L), (1L, 3L, 9L),
+      (2L, 4L, 1L), (2L, 5L, 1L), (2L, 6L, 1L), (2L, 7L, 0L), (2L, 8L, 2L))
+      .orderBy("prompt_id")
+      .as[(Long, Long, Long, Long, Double, Boolean, Long)].collect()
+    assert(r(0)._6 === true)
+    assert(r(1)._6 === false)
+  }
+
+  test("unanimous single-sample prompt keeps with agreement 1.0") {
+    val r = vote((9L, 42L, 0L))
+      .as[(Long, Long, Long, Long, Double, Boolean, Long)].head()
+    assert(r == ((9L, 1L, 0L, 1L, 1.0, true, 42L)))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.ops.ToolCallLint.ToolArg
+
+/** Tool-call lint: verdict precedence, fail-closed null handling, and the
+  * registry fan-out. */
+class ToolCallLintSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val reg = Seq(
+    ToolArg("search", "query", "string"), ToolArg("search", "k", "int"))
+
+  private def verdicts(rows: (Long, String)*): Map[Long, String] =
+    ToolCallLint.lint(rows.toDF("id", "call"), "id", "call", reg)
+      .as[(Long, Option[String], String)].collect()
+      .map(r => r._1 -> r._3).toMap
+
+  test("clean call passes") {
+    assert(verdicts((1L, """{"name":"search","args":{"query":"x","k":3}}"""))
+      (1L) == "ok")
+  }
+
+  test("int arg as quoted digits still passes; prose fails the kind check") {
+    val v = verdicts(
+      (1L, """{"name":"search","args":{"query":"x","k":"7"}}"""),
+      (2L, """{"name":"search","args":{"query":"x","k":"ten"}}"""))
+    assert(v(1L) == "ok")
+    assert(v(2L) == "bad_type")
+  }
+
+  test("verdict precedence: malformed > unknown > missing > bad_type") {
+    val v = verdicts(
+      (1L, """{"name": "broken"""),                         // unterminated
+      (2L, """{"name":"rm_rf","args":{}}"""),               // not in registry
+      (3L, """{"name":"search","args":{"query":"x"}}"""),   // k missing
+      (4L, """{"name":"search","args":{"k":"ten"}}"""))     // missing beats bad
+    assert(v(1L) == "malformed")
+    assert(v(2L) == "unknown_tool")
+    assert(v(3L) == "missing_arg")
+    assert(v(4L) == "missing_arg")
+  }
+
+  test("fail-closed: a null or absent args object is missing_arg, not ok") {
+    val v = verdicts(
+      (1L, """{"name":"search"}"""),
+      (2L, """{"name":"search","args":null}"""))
+    assert(v(1L) == "missing_arg")
+    assert(v(2L) == "missing_arg")
+  }
+
+  test("census groups malformed under <malformed> with id certificates") {
+    val c = ToolCallLint.lintCensus(Seq(
+        (1L, """{"name":"search","args":{"query":"x","k":1}}"""),
+        (5L, """{"name": "brok"""),
+        (9L, """{"name": "brok"""))
+      .toDF("id", "call"), "id", "call", reg)
+      .as[(String, String, Long, Long)].collect().sortBy(_._1)
+    assert(c.toSeq == Seq(("<malformed>", "malformed", 2L, 14L),
+      ("search", "ok", 1L, 1L)))
+  }
+}
