@@ -608,15 +608,62 @@ object CurationQueries {
     * item — panel size is metadata cardinality); every census value is an
     * exact integer until the final 6-dp ratios. */
   val annotatorAgreement: Q = (s, dir) => {
-    val r = Tables.documents(s, dir).select(
+    val r = ratingsFixture(s, dir)
+    agreementReport(pairCensus(r), itemCensus(r))
+  }
+
+  /** q273: INCREMENTAL annotator agreement — κ's sufficient statistics
+    * are ADDITIVE censuses (pair census keyed (a,b), item census keyed
+    * item), so rating batches merge into two census stores exactly-once
+    * and both κs derive AT REPORT TIME from the reloaded integers (the
+    * q267 doctrine applied to label quality: annotation arrives in waves,
+    * the agreement dashboard stays current without rescanning history).
+    * Batches partition ITEMS (item parity) so each item's full panel
+    * lands in one batch — the condition under which pair counts add; the
+    * item census is additive unconditionally, and its ni ≥ 2 filter is
+    * applied at report time so a panel split across FUTURE batches would
+    * still aggregate correctly. Gate: two batches through the stores,
+    * replay no-op on both, report == q268's one-shot oracle. */
+  val annotatorIncremental: Q = (s, dir) => {
+    val r = ratingsFixture(s, dir)
+    val root = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_iaa_idx"))
+    val pairPath = root.resolve("pairs").toString
+    val itemPath = root.resolve("items").toString
+    def ingest(half: Int, id: Long): Boolean = {
+      val batch = r.where(col("item") % 2 === half)
+      val p = graft.store.IndexStore.updateCensus(s, pairPath,
+        pairCensus(batch), Seq("a", "b"), batchId = id)
+      val i = graft.store.IndexStore.updateCensus(s, itemPath,
+        itemCensus(batch), Seq("item"), batchId = id)
+      p && i
+    }
+    ingest(0, 0L)
+    val replayNoop = !ingest(0, 0L)
+    ingest(1, 1L)
+    agreementReport(
+        graft.store.IndexStore.loadCensus(s, pairPath),
+        graft.store.IndexStore.loadCensus(s, itemPath))
+      .withColumn("replay_noop", lit(replayNoop))
+  }
+
+  /** The shared q268/q273 rating fixture (pure id arithmetic). */
+  private def ratingsFixture(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
       expr("doc_id div 5").as("item"),
       (col("doc_id") % 5).as("annotator"),
       ((expr("doc_id div 5") % 3) +
         when((col("doc_id") * 7 + 3) % 11 === 0, 1L).otherwise(0L))
         .%(3).as("label"))
+
+  /** The ADDITIVE pair census: per (a, b), shared-item count, agreement
+    * count, and both marginals — the sufficient statistics of Cohen's κ,
+    * all integers, additive across batches that partition ITEMS (a pair's
+    * counts on disjoint item sets sum). */
+  private def pairCensus(r: DataFrame): DataFrame = {
     val a = r.select(col("item"), col("annotator").as("a"), col("label").as("la"))
     val b = r.select(col("item"), col("annotator").as("b"), col("label").as("lb"))
-    val perPair = a.join(b, Seq("item")).where(col("a") < col("b"))
+    a.join(b, Seq("item")).where(col("a") < col("b"))
       .groupBy("a", "b")
       .agg(count(lit(1)).as("n_shared"),
         sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_agree"),
@@ -626,6 +673,23 @@ object CurationQueries {
         sum(when(col("lb") === 0, 1L).otherwise(0L)).as("b0"),
         sum(when(col("lb") === 1, 1L).otherwise(0L)).as("b1"),
         sum(when(col("lb") === 2, 1L).otherwise(0L)).as("b2"))
+  }
+
+  /** The ADDITIVE item census: per item, rating count + per-class counts
+    * — the sufficient statistics of Fleiss' κ. Additive even when one
+    * item's panel splits across batches; the ni ≥ 2 eligibility filter is
+    * applied at REPORT time, never before storing. */
+  private def itemCensus(r: DataFrame): DataFrame =
+    r.groupBy("item")
+      .agg(count(lit(1)).as("ni"),
+        sum(when(col("label") === 0, 1L).otherwise(0L)).as("x0"),
+        sum(when(col("label") === 1, 1L).otherwise(0L)).as("x1"),
+        sum(when(col("label") === 2, 1L).otherwise(0L)).as("x2"))
+
+  /** κ arithmetic from the two censuses (the ratios derive at report
+    * time — never stored, the additive-store rule). */
+  private def agreementReport(pairs: DataFrame, items: DataFrame): DataFrame = {
+    val perPair = pairs
       .withColumn("po", col("n_agree") * lit(1.0) / col("n_shared"))
       .withColumn("pe",
         (col("a0") * col("b0") + col("a1") * col("b1") +
@@ -633,13 +697,7 @@ object CurationQueries {
           (col("n_shared") * col("n_shared")))
     // Fleiss over items with >= 2 ratings: P_i = (Σ_c x_ic² − n_i) /
     // (n_i(n_i−1)); P̄ vs Pe = Σ p_c² from the pooled class mass
-    val items = r.groupBy("item")
-      .agg(count(lit(1)).as("ni"),
-        sum(when(col("label") === 0, 1L).otherwise(0L)).as("x0"),
-        sum(when(col("label") === 1, 1L).otherwise(0L)).as("x1"),
-        sum(when(col("label") === 2, 1L).otherwise(0L)).as("x2"))
-      .where(col("ni") >= 2)
-    val fleiss = items.agg(
+    val fleiss = items.where(col("ni") >= 2).agg(
         count(lit(1)).as("n_items"),
         sum((col("x0") * col("x0") + col("x1") * col("x1") +
           col("x2") * col("x2") - col("ni")) * lit(1.0) /
@@ -839,6 +897,7 @@ object CurationQueries {
     "q266_packed_leakage" -> packedLeakage,
     "q267_bt_incremental" -> btIncremental,
     "q268_annotator_agreement" -> annotatorAgreement,
+    "q273_annotator_incremental" -> annotatorIncremental,
     "q196_chat_render" -> chatRender,
     "q245_sft_pack_masks" -> sftPackMasks,
     "q269_bfd_sft_pack" -> bfdSftPack,
@@ -1021,18 +1080,9 @@ object CurationQueries {
       |  CAST(sum(CASE WHEN hit THEN pos ELSE 0 END) AS BIGINT) AS sum_hit_pos
       |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "q264_bt_strength" -> btStrengthOracle(BtSteps, BtLr),
-    "q265_preference_consistency" -> preferenceConsistencyOracle,
-    "q266_packed_leakage" -> packedLeakageOracle,
-    // q267: batched census == one-shot IS the gate (q252 doctrine) — the
-    // q264 oracle with the engine replay-noop boolean appended
-    "q267_bt_incremental" -> btStrengthOracle(BtSteps, BtLr)
-      .replace("round(t.th, 6) AS strength", "round(t.th, 6) AS strength, true AS replay_noop"),
-    // q268: kappa arithmetic replayed from the same integer counts with
-    // the same expression shapes; fixture is pure id arithmetic
-    "q268_annotator_agreement" ->
-      """WITH r AS MATERIALIZED (
+  /** q268 oracle, shared with q273 (which appends replay_noop). */
+  private val annotatorAgreementOracle: String =
+    """WITH r AS MATERIALIZED (
         |  SELECT doc_id // 5 AS item, doc_id % 5 AS annotator,
         |    ((doc_id // 5) % 3 +
         |      CASE WHEN (doc_id * 7 + 3) % 11 = 0 THEN 1 ELSE 0 END) % 3 AS label
@@ -1076,7 +1126,24 @@ object CurationQueries {
         |  round(po, 6) AS po, round(pe, 6) AS pe,
         |  round((po - pe) / (1.0 - pe), 6) AS cohen_kappa,
         |  fk.n_items, fk.fleiss_kappa
-        |FROM pp, fk ORDER BY 1, 2""".stripMargin,
+        |FROM pp, fk ORDER BY 1, 2""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q264_bt_strength" -> btStrengthOracle(BtSteps, BtLr),
+    "q265_preference_consistency" -> preferenceConsistencyOracle,
+    "q266_packed_leakage" -> packedLeakageOracle,
+    // q267: batched census == one-shot IS the gate (q252 doctrine) — the
+    // q264 oracle with the engine replay-noop boolean appended
+    "q267_bt_incremental" -> btStrengthOracle(BtSteps, BtLr)
+      .replace("round(t.th, 6) AS strength", "round(t.th, 6) AS strength, true AS replay_noop"),
+    // q268: kappa arithmetic replayed from the same integer counts with
+    // the same expression shapes; fixture is pure id arithmetic
+    "q268_annotator_agreement" -> annotatorAgreementOracle,
+    // q273: batched censuses == one-shot IS the gate (q267 doctrine) —
+    // the q268 oracle with the engine replay-noop boolean appended
+    "q273_annotator_incremental" -> annotatorAgreementOracle
+      .replace("fk.n_items, fk.fleiss_kappa\n",
+        "fk.n_items, fk.fleiss_kappa, true AS replay_noop\n"),
 
     // q208: chosen/rejected replayed with two ranking windows (the window
     // IS the oracle's job; the engine uses max/min(struct) aggregates);

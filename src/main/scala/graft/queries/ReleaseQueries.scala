@@ -795,7 +795,77 @@ object ReleaseQueries {
       .orderBy("source")
   }
 
+  /** q274: model-output MEMORIZATION screen — the release-time audit run
+    * on a model's GENERATIONS, not its training data: how much of what
+    * the model emits is a verbatim ≥8-token copy of the training corpus
+    * (Carlini et al. 2021/2023 extraction methodology, productionized as
+    * a screen). The corpus is never rescanned per audit: its window
+    * fingerprints live in the additive census store
+    * ([[graft.ops.SubstringDedup.ingestWindowCensus]], here ingested in
+    * two doc-parity batches with a replay no-op certificate), and each
+    * generation batch probes the RELOADED store
+    * ([[graft.ops.SubstringDedup.repeatedSpansAgainstIndex]] — the
+    * memorization rule is "present in the corpus at all", count ≥ 1,
+    * unlike q136's within-corpus ≥ 2). Fixture: docs with id%10==0 play
+    * the generations; id%50==0 emits a FULL copy of its neighbor doc,
+    * id%30==0 appends the neighbor's first 24 tokens (a long quoted
+    * span), the rest emit their own (novel) text — so full-copy,
+    * long-span, and clean classes are all realized at every SF. Report
+    * per source: generations, flagged (max matched span ≥ 16 tokens),
+    * memorized vs emitted token volume, the longest span, and the
+    * id-weighted span certificate. */
+  val memorizationScreen: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val donors = docs.select((col("doc_id") - 1).as("gid"),
+      col("text").as("donor_text"))
+    val gens = docs.where(col("doc_id") % 10 === 0)
+      .join(donors, col("doc_id") === col("gid"), "left")
+      .withColumn("dt", coalesce(col("donor_text"), col("text")))
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 50 === 0, col("dt"))
+          .when(col("doc_id") % 30 === 0,
+            concat(col("text"), lit(" "),
+              array_join(slice(split(trim(col("dt")), "\\s+"), 1, 24), " ")))
+          .otherwise(col("text")).as("gen_text"))
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val path = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_memo_idx"))
+      .resolve("census").toString
+    graft.ops.SubstringDedup.ingestWindowCensus(s, path,
+      corpus.where(col("doc_id") % 2 === 0), "doc_id", "text", k = 8,
+      batchId = 0L)
+    val replayNoop = !graft.ops.SubstringDedup.ingestWindowCensus(s, path,
+      corpus.where(col("doc_id") % 2 === 0), "doc_id", "text", k = 8,
+      batchId = 0L)
+    graft.ops.SubstringDedup.ingestWindowCensus(s, path,
+      corpus.where(col("doc_id") % 2 === 1), "doc_id", "text", k = 8,
+      batchId = 1L)
+    val idx = graft.store.IndexStore.loadCensus(s, path)
+    val spans = graft.ops.SubstringDedup.repeatedSpansAgainstIndex(
+        gens, "doc_id", "gen_text", idx, k = 8)
+      .groupBy("id")
+      .agg(sum(col("span_end") - col("span_start")).as("dup_tokens"),
+        max(col("span_end") - col("span_start")).as("max_span"))
+    gens.select(col("doc_id").as("id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("gen_text"))
+          .cast("long").as("n_tokens"))
+      .join(spans, Seq("id"), "left")
+      .select(col("id"), col("source"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_gens"),
+        sum(when(col("max_span") >= 16, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("dup_tokens")).as("memorized_tokens"),
+        sum(col("n_tokens")).as("gen_tokens"),
+        max(col("max_span")).as("max_span"),
+        sum(col("id") * col("max_span")).as("sum_id_x_span"))
+      .withColumn("replay_noop", lit(replayNoop))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "q274_memorization_screen" -> memorizationScreen,
     "q238_host_quota" -> hostQuota,
     "q241_passk_census" -> passAtK,
     "q242_mojibake_screen" -> mojibakeScreen,
@@ -838,6 +908,71 @@ object ReleaseQueries {
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q274: generations rebuilt with the same donor-join CASE, corpus
+    // 8-gram set and matched-window islands enumerated in STRING space
+    // (gate equality doubles as the engine's hash-collision check — the
+    // q136 doctrine); replay_noop is the engine's store certificate
+    "q274_memorization_screen" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT g.doc_id, g.source,
+        |    CASE WHEN g.doc_id % 50 = 0 THEN coalesce(d.text, g.text)
+        |         WHEN g.doc_id % 30 = 0 THEN g.text || ' ' ||
+        |           array_to_string(string_split_regex(
+        |             trim(coalesce(d.text, g.text)), '\s+')[1:24], ' ')
+        |         ELSE g.text END AS t
+        |  FROM documents g LEFT JOIN documents d ON d.doc_id = g.doc_id + 1
+        |  WHERE g.doc_id % 10 = 0),
+        |corp AS MATERIALIZED (
+        |  SELECT DISTINCT array_to_string(ts[i:i+7], ' ') AS w
+        |  FROM (SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |          ELSE string_split_regex(trim(text), '\s+') END AS ts
+        |        FROM documents WHERE doc_id % 10 <> 0),
+        |    UNNEST(range(1, len(ts) - 6)) AS u(i)
+        |  WHERE len(ts) >= 8),
+        |gt AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(t), '\s+') END AS ts
+        |  FROM base),
+        |win AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    array_to_string(ts[i:i+7], ' ') AS w
+        |  FROM gt, UNNEST(range(1, len(ts) - 6)) AS u(i)
+        |  WHERE len(ts) >= 8),
+        |m AS (SELECT doc_id, pos FROM win WHERE w IN (SELECT w FROM corp)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(max(pos + 8) OVER (
+        |        PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM m),
+        |isl2 AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl),
+        |sp AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+        |  FROM isl2 GROUP BY doc_id, island),
+        |per AS (
+        |  SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS dup_tokens,
+        |    CAST(max(e - s) AS BIGINT) AS max_span
+        |  FROM sp GROUP BY 1),
+        |gs AS (
+        |  SELECT gt.doc_id, gt.source, CAST(len(gt.ts) AS BIGINT) AS n_tokens,
+        |    coalesce(per.dup_tokens, 0) AS dup_tokens,
+        |    coalesce(per.max_span, 0) AS max_span
+        |  FROM gt LEFT JOIN per USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_gens,
+        |  CAST(sum(CASE WHEN max_span >= 16 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged,
+        |  CAST(sum(dup_tokens) AS BIGINT) AS memorized_tokens,
+        |  CAST(sum(n_tokens) AS BIGINT) AS gen_tokens,
+        |  CAST(max(max_span) AS BIGINT) AS max_span,
+        |  CAST(sum(doc_id * max_span) AS BIGINT) AS sum_id_x_span,
+        |  true AS replay_noop
+        |FROM gs GROUP BY 1 ORDER BY 1""".stripMargin,
     "q227_snapshot_delta" ->
       """WITH d AS (
         |  SELECT doc_id, source, text,

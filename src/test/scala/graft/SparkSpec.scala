@@ -15,6 +15,9 @@ object SparkTestSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config(graft.sources.Tables.NanosAsLongConf, "true")
     .getOrCreate()
+
+  // Scheduler/codegen INFO chatter drowns test output in forked runs
+  spark.sparkContext.setLogLevel("WARN")
 }
 
 abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {

@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Memorization-screen semantics (the q274 composition): generations are
+  * screened against the CORPUS window store with the count ≥ 1 rule —
+  * verbatim quotes flag, paraphrases and within-generation repeats do
+  * not, and a quoted span's bounds exclude the juxtaposition windows at
+  * its edges. */
+class MemorizationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val passage =
+    "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14 c15 c16"
+
+  private def corpusIdx =
+    SubstringDedup.windowIndex(
+      Seq((100L, s"pre1 pre2 $passage post1 post2"))
+        .toDF("doc_id", "text"), "doc_id", "text", 4)
+
+  private def spansOf(gens: (Long, String)*) =
+    SubstringDedup.repeatedSpansAgainstIndex(
+      gens.toDF("doc_id", "text"), "doc_id", "text", corpusIdx, 4)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+
+  test("a verbatim quote flags with exactly the quoted token span") {
+    // 4 own tokens, then the 16-token passage: anchors exist only where
+    // all 4 window tokens lie inside the quote -> span = [4, 20)
+    val s = spansOf((1L, s"o1 o2 o3 o4 $passage"))
+    assert(s.toSeq == Seq((1L, 4L, 20L)))
+  }
+
+  test("a paraphrase (no shared k-gram) stays clean") {
+    assert(spansOf((1L, "c1 x c2 x c3 x c4 x c5 x c6 x c7 x c8")).isEmpty)
+  }
+
+  test("within-generation repeats do not flag against the corpus store") {
+    // the generation repeats ITSELF, but none of its windows exist in
+    // the corpus -> the memorization rule (corpus count >= 1) sees nothing
+    assert(spansOf((1L, "g1 g2 g3 g4 g5 g1 g2 g3 g4 g5")).isEmpty)
+  }
+
+  test("juxtaposition windows at the quote edges do not extend the span") {
+    // own tokens on BOTH sides: windows straddling own/quote boundaries
+    // are not corpus windows, so the span is exactly the passage
+    val s = spansOf((1L, s"o1 o2 o3 $passage z1 z2 z3"))
+    assert(s.toSeq == Seq((1L, 3L, 19L)))
+  }
+}

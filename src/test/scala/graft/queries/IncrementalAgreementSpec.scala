@@ -1,0 +1,20 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q273: the incremental annotator-agreement report derived from the two
+  * reloaded censuses must equal q268's one-shot report row for row, with
+  * the replayed batch a no-op. */
+class IncrementalAgreementSpec extends SparkSpec {
+
+  test("batched censuses == one-shot kappa report, replayed batch is a no-op") {
+    val dir = "/root/testdata/sf0.001"
+    val one = CurationQueries.annotatorAgreement(spark, dir)
+      .orderBy("a", "b").collect().toSeq
+    val inc = CurationQueries.annotatorIncremental(spark, dir)
+    assert(inc.where(!col("replay_noop")).count() == 0,
+      "replaying batch 0 must be skipped by the census cursor")
+    assert(inc.drop("replay_noop").orderBy("a", "b").collect().toSeq == one)
+  }
+}
