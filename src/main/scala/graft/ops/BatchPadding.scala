@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Length-bucketed dynamic-batching waste census — the padding
+  * accounting a PADDED (non-packed) training or inference fleet runs
+  * before choosing its batching strategy: sequences are grouped into
+  * power-of-two length buckets (each sequence pads to its bucket length,
+  * over-cap sequences truncate to the cap), batches of size B form within
+  * a bucket, and the census prices the waste — pad tokens per bucket,
+  * truncation loss, batch counts — against the naive baseline of padding
+  * everything to the global (capped) max. This is the complement of the
+  * q259 PACKING census: packing eliminates padding by concatenation;
+  * bucketing keeps sequence isolation and pays measured padding for it.
+  *
+  * Exact integer arithmetic end to end: the bucket function is a CASE
+  * ladder over the fixed power-of-two boundaries (never float log2 — an
+  * exact power must not straddle buckets by rounding), pad and truncation
+  * counts are sums of differences, and the baseline attaches as a 1-row
+  * broadcast (the global-normalizer idiom). One scan + one
+  * bucket-cardinality groupBy.
+  */
+object BatchPadding {
+
+  /** Smallest power of two ≥ n, capped: the CASE ladder both engines
+    * state identically. */
+  def pow2Bucket(n: Column, cap: Int): Column = {
+    val caps = Iterator.iterate(1)(_ * 2).takeWhile(_ < cap).toSeq
+    caps.foldLeft(when(lit(false), lit(0L))) { (acc, b) =>
+      acc.when(n <= b, lit(b.toLong))
+    }.otherwise(lit(cap.toLong))
+  }
+
+  /** Per-bucket waste census over (idCol, lenCol) rows:
+    * (bucket_len, n_seqs, n_batches, sum_tokens, pad_tokens,
+    * trunc_tokens, baseline_pad_tokens, saved_vs_baseline). `lenCol` is
+    * the raw sequence length in tokens; lengths above `cap` truncate. */
+  def paddingCensus(seqs: DataFrame, lenCol: String, cap: Int,
+      batchSize: Int): DataFrame = {
+    require(cap >= 1 && Integer.bitCount(cap) == 1, s"cap must be a power of two, got $cap")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val eff = least(col(lenCol).cast("long"), lit(cap.toLong))
+    val rows = seqs.select(
+      pow2Bucket(eff, cap).as("bucket_len"),
+      eff.as("eff_len"),
+      (col(lenCol).cast("long") - eff).as("trunc"))
+    val perBucket = rows.groupBy("bucket_len")
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("eff_len")).as("sum_tokens"),
+        sum(col("bucket_len") - col("eff_len")).as("pad_tokens"),
+        sum(col("trunc")).as("trunc_tokens"))
+      .withColumn("n_batches",
+        expr(s"(n_seqs + ${batchSize - 1}) div $batchSize"))
+    // baseline: pad every sequence to the global capped max
+    val base = rows.agg(
+      (max(col("eff_len")) * count(lit(1)) - sum(col("eff_len")))
+        .as("baseline_pad_tokens"))
+    perBucket.crossJoin(broadcast(base))
+      .select(col("bucket_len"), col("n_seqs"), col("n_batches"),
+        col("sum_tokens"), col("pad_tokens"), col("trunc_tokens"),
+        col("baseline_pad_tokens"))
+      .orderBy("bucket_len")
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Shared-prefix savings census over conversation data — the planning
+  * aggregate behind prefix/KV-cache reuse (radix-tree prefix caching in
+  * modern serving stacks, e.g. SGLang's RadixAttention / vLLM automatic
+  * prefix caching, both published 2023-24): when many conversations open
+  * with the same system template (depth 1) or the same template+task pair
+  * (depth 2), every repeat of that prefix can reuse the first occurrence's
+  * KV cache, and the same census prices prefix-grouped training batches.
+  * The report answers: at prefix depth d, how many distinct prefixes
+  * exist, how many conversations share one, and how many prefix tokens
+  * are REPEATS (cacheable) — per group, (n_convs − 1) · prefix_tokens.
+  *
+  * Scale shape: one scan collects each conversation's first `maxDepth`
+  * turns into a sorted struct array (never collect_list order — the house
+  * render rule), one generator expands the ≤ maxDepth prefix depths, and
+  * the per-depth census groups on xxhash64 of the joined prefix (the
+  * 8-byte key is what shuffles at 100 TB, never the prefix string; the
+  * string-space oracle doubles as the collision check, the q89 doctrine).
+  * Token counts are summed per turn — the unit-separator join is a group
+  * KEY, never tokenized.
+  */
+object PrefixCache {
+
+  /** Unit separator joining turn contents into the group KEY (never
+    * tokenized). */
+  private val Sep = "\u001f"
+
+  /** Per-depth savings census over (convCol, turnCol, contentCol) rows:
+    * (depth, n_groups, n_shared_groups, n_convs, prefix_tokens,
+    * saved_tokens, saved_frac). Conversations shorter than a depth
+    * contribute their full turn list at that depth. */
+  def savingsByDepth(turns: DataFrame, convCol: String, turnCol: String,
+      contentCol: String, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val headTurns = turns
+      .where(col(turnCol) < maxDepth)
+      .select(col(convCol).as("conv"),
+        struct(col(turnCol).cast("int").as("t"),
+          col(contentCol).as("c"),
+          TextFunctions.tokenCount(col(contentCol)).cast("long").as("ntok"))
+          .as("turn"))
+      .groupBy("conv")
+      .agg(array_sort(collect_list(col("turn"))).as("ts"))
+    // one row per (conv, depth): the depth-d prefix key + its token count
+    val perDepth = headTurns
+      .select(col("conv"), explode(sequence(lit(1), least(lit(maxDepth),
+        size(col("ts"))))).as("depth"), col("ts"))
+      .select(col("conv"), col("depth").cast("long").as("depth"),
+        xxhash64(array_join(transform(slice(col("ts"), lit(1), col("depth")),
+          t => t.getField("c")), Sep)).as("pfx"),
+        aggregate(slice(col("ts"), lit(1), col("depth")), lit(0L),
+          (acc, t) => acc + t.getField("ntok")).as("pfx_ntok"))
+    perDepth
+      .groupBy("depth", "pfx")
+      .agg(count(lit(1)).as("n"), max(col("pfx_ntok")).as("pfx_ntok"))
+      .groupBy("depth")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_shared_groups"),
+        sum(col("n")).as("n_convs"),
+        sum(col("n") * col("pfx_ntok")).as("prefix_tokens"),
+        sum((col("n") - 1) * col("pfx_ntok")).as("saved_tokens"))
+      .withColumn("saved_frac",
+        round(col("saved_tokens") * lit(1.0) / col("prefix_tokens"), 6))
+      .orderBy("depth")
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{SelfConsistency, ToolCallLint}
+import graft.ops.{BatchPadding, PrefixCache, SelfConsistency, ToolCallLint}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -104,9 +104,51 @@ object AlignmentQueries {
       toolRegistry)
       .orderBy("tool", "verdict")
 
+  // ---------------------------------------------------------------- q275
+
+  /** Shared q275 fixture: 4-turn conversations (the q196 idiom) whose
+    * first two turns are TEMPLATED — turn 0 is one of 5 system templates,
+    * turn 1 one of 25 task directives (both conv-id arithmetic), turns
+    * 2-3 the unique doc text — so depth-1 and depth-2 prefix sharing are
+    * both heavily realized at every SF. */
+  private def prefixTurns(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      expr("doc_id div 4").as("conv_id"),
+      (col("doc_id") % 4).cast("int").as("turn_idx"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("system template "),
+          (expr("doc_id div 4") % 5).cast("string")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("task directive "),
+            (expr("doc_id div 4") % 25).cast("string")))
+        .otherwise(col("text")).as("content"))
+
+  /** q275: prefix-cache savings census ([[graft.ops.PrefixCache]]) — per
+    * prefix depth: distinct prefixes, shared groups, cacheable (repeat)
+    * prefix tokens and the 6-dp saved fraction. */
+  val prefixSavings: Q = (s, dir) =>
+    PrefixCache.savingsByDepth(prefixTurns(s, dir),
+      "conv_id", "turn_idx", "content", maxDepth = 2)
+
+  // ---------------------------------------------------------------- q276
+
+  /** q276: length-bucketed batch-padding census
+    * ([[graft.ops.BatchPadding]]). Sequence lengths are the doc token
+    * count stretched by (1 + id%11) — spreading sequences across every
+    * power-of-two bucket from 16 to the 512 cap AND realizing truncation
+    * (the longest stretch factors exceed the cap) at every SF. */
+  val batchPadding: Q = (s, dir) =>
+    BatchPadding.paddingCensus(
+      Tables.documents(s, dir).select(
+        (graft.functions.TextFunctions.tokenCount(col("text")).cast("long") *
+          (lit(1L) + col("doc_id") % 11)).as("seq_len")),
+      "seq_len", cap = 512, batchSize = 8)
+
   val all: Map[String, Q] = Map(
     "q271_selfconsistency_vote" -> selfConsistency,
-    "q272_toolcall_lint" -> toolCallLint)
+    "q272_toolcall_lint" -> toolCallLint,
+    "q275_prefix_savings" -> prefixSavings,
+    "q276_batch_padding" -> batchPadding)
 
   val oracles: Map[String, String] = Map(
     "q271_selfconsistency_vote" ->
@@ -192,5 +234,80 @@ object AlignmentQueries {
         |  FROM p LEFT JOIN fold f ON f.doc_id = p.doc_id)
         |SELECT tool, verdict, CAST(count(*) AS BIGINT) AS n_calls,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
-        |FROM verd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM verd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q275: prefixes grouped in STRING space (chr(31)-joined turn
+    // contents) where the engine groups on xxhash64 — gate equality
+    // doubles as the collision check (the q89 doctrine); same token
+    // convention, same per-depth fold
+    "q275_prefix_savings" ->
+      """WITH t AS (
+        |  SELECT doc_id // 4 AS conv, CAST(doc_id % 4 AS INT) AS turn,
+        |    CASE WHEN doc_id % 4 = 0
+        |        THEN 'system template ' || ((doc_id // 4) % 5)
+        |      WHEN doc_id % 4 = 1
+        |        THEN 'task directive ' || ((doc_id // 4) % 25)
+        |      ELSE text END AS content
+        |  FROM documents),
+        |h AS (
+        |  SELECT conv, turn, content,
+        |    CAST(len(CASE WHEN trim(content) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(content), '\s+') END) AS BIGINT)
+        |      AS ntok
+        |  FROM t WHERE turn < 2),
+        |c AS (
+        |  SELECT conv, list(content ORDER BY turn) AS cs,
+        |    list(ntok ORDER BY turn) AS ns
+        |  FROM h GROUP BY 1),
+        |pd AS (
+        |  SELECT conv, CAST(d.depth AS BIGINT) AS depth,
+        |    array_to_string(cs[1:d.depth], chr(31)) AS pfx,
+        |    CAST(list_sum(ns[1:d.depth]) AS BIGINT) AS pfx_ntok
+        |  FROM c, (SELECT UNNEST([1, 2]) AS depth) d
+        |  WHERE d.depth <= len(cs)),
+        |g AS (SELECT depth, pfx, CAST(count(*) AS BIGINT) AS n,
+        |        max(pfx_ntok) AS pfx_ntok
+        |      FROM pd GROUP BY 1, 2)
+        |SELECT depth, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared_groups,
+        |  CAST(sum(n) AS BIGINT) AS n_convs,
+        |  CAST(sum(n * pfx_ntok) AS BIGINT) AS prefix_tokens,
+        |  CAST(sum((n - 1) * pfx_ntok) AS BIGINT) AS saved_tokens,
+        |  round(sum((n - 1) * pfx_ntok) * 1.0 / sum(n * pfx_ntok), 6)
+        |    AS saved_frac
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q276: the same CASE ladder (never float log2), same integer
+    // ceil-div batch count, same capped-max baseline
+    "q276_batch_padding" ->
+      """WITH s AS (
+        |  SELECT CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT)
+        |      * (1 + doc_id % 11) AS seq_len
+        |  FROM documents),
+        |e AS (
+        |  SELECT seq_len, least(seq_len, 512) AS eff,
+        |    seq_len - least(seq_len, 512) AS trunc,
+        |    CASE WHEN least(seq_len, 512) <= 1 THEN 1
+        |      WHEN least(seq_len, 512) <= 2 THEN 2
+        |      WHEN least(seq_len, 512) <= 4 THEN 4
+        |      WHEN least(seq_len, 512) <= 8 THEN 8
+        |      WHEN least(seq_len, 512) <= 16 THEN 16
+        |      WHEN least(seq_len, 512) <= 32 THEN 32
+        |      WHEN least(seq_len, 512) <= 64 THEN 64
+        |      WHEN least(seq_len, 512) <= 128 THEN 128
+        |      WHEN least(seq_len, 512) <= 256 THEN 256
+        |      ELSE 512 END AS bucket_len
+        |  FROM s),
+        |b AS (SELECT CAST(max(eff) * count(*) - sum(eff) AS BIGINT)
+        |        AS baseline_pad_tokens FROM e)
+        |SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
+        |  CAST(count(*) AS BIGINT) AS n_seqs,
+        |  CAST((count(*) + 7) // 8 AS BIGINT) AS n_batches,
+        |  CAST(sum(eff) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(bucket_len - eff) AS BIGINT) AS pad_tokens,
+        |  CAST(sum(trunc) AS BIGINT) AS trunc_tokens,
+        |  (SELECT baseline_pad_tokens FROM b) AS baseline_pad_tokens
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)
 }

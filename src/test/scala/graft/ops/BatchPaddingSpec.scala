@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Batch-padding census: exact pow2 bucketing (no float log2 drift),
+  * ceil-div batch counts, truncation at the cap, and the baseline. */
+class BatchPaddingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def census(cap: Int, b: Int, lens: Long*) =
+    BatchPadding.paddingCensus(lens.toDF("seq_len"), "seq_len", cap, b)
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+
+  test("exact powers of two land in their own bucket, not the next") {
+    val r = census(512, 8, 64L, 65L, 128L)
+    assert(r.map(x => (x._1, x._2)).toSeq == Seq((64L, 1L), (128L, 2L)))
+    // 64 pads 0; 65 pads 63; 128 pads 0
+    assert(r.find(_._1 == 128L).get._5 == 63L)
+  }
+
+  test("batch count is ceil(n/B) per bucket") {
+    val r = census(512, 4, Seq.fill(9)(100L): _*)
+    assert(r.head._3 == 3L) // ceil(9/4)
+  }
+
+  test("over-cap sequences truncate to the cap and count trunc tokens") {
+    val r = census(512, 8, 600L, 512L)
+    assert(r.toSeq.map(x => (x._1, x._2, x._6)) == Seq((512L, 2L, 88L)))
+    assert(r.head._5 == 0L, "both pad to exactly the cap")
+  }
+
+  test("baseline pads everything to the global capped max") {
+    val r = census(512, 8, 10L, 100L)
+    // baseline = 2*100 - 110 = 90, attached to every row
+    assert(r.forall(_._7 == 90L))
+  }
+
+  test("empty sequences bucket at 1 and pad a single slot") {
+    val r = census(512, 8, 0L)
+    assert(r.toSeq == Seq((1L, 1L, 1L, 0L, 1L, 0L, 0L)))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Prefix-cache savings: group-key semantics, depth fold, short
+  * conversations, and the separator's key-not-token role. */
+class PrefixCacheSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def census(maxDepth: Int, rows: (Long, Int, String)*) =
+    PrefixCache.savingsByDepth(rows.toDF("conv", "turn", "content"),
+      "conv", "turn", "content", maxDepth)
+      .as[(Long, Long, Long, Long, Long, Long, Double)]
+      .collect().sortBy(_._1)
+
+  test("shared first turn saves (n-1) copies of its tokens at depth 1") {
+    val r = census(1,
+      (1L, 0, "sys a b"), (2L, 0, "sys a b"), (3L, 0, "other one two three"))
+    // depth 1: groups {sys a b}=2 convs, {other...}=1 -> saved = 1*3
+    assert(r.toSeq == Seq((1L, 2L, 1L, 3L, 10L, 3L, 0.3)))
+  }
+
+  test("depth-2 groups split when the second turn differs") {
+    val r = census(2,
+      (1L, 0, "s"), (1L, 1, "t1"), (2L, 0, "s"), (2L, 1, "t1"),
+      (3L, 0, "s"), (3L, 1, "t2"))
+    assert(r(0) == ((1L, 1L, 1L, 3L, 3L, 2L, round6(2.0 / 3))))
+    // depth 2: (s,t1) shared by 2, (s,t2) alone -> saved = 1*2
+    assert(r(1) == ((2L, 2L, 1L, 3L, 6L, 2L, round6(2.0 / 6))))
+  }
+
+  test("turn-boundary ambiguity does not merge distinct prefixes") {
+    // ["a b", "c"] vs ["a", "b c"]: same concatenation without a
+    // separator; the unit-separator key must keep them distinct groups
+    val r = census(2,
+      (1L, 0, "a b"), (1L, 1, "c"), (2L, 0, "a"), (2L, 1, "b c"))
+    assert(r(1)._2 == 2L, "two distinct depth-2 groups")
+    assert(r(1)._6 == 0L, "nothing saved")
+  }
+
+  test("a conversation shorter than maxDepth reports at its own depth only") {
+    val r = census(2, (1L, 0, "solo"), (2L, 0, "s"), (2L, 1, "t"))
+    assert(r(0)._4 == 2L, "both convs appear at depth 1")
+    assert(r(1)._4 == 1L, "only the 2-turn conv reaches depth 2")
+  }
+
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+}
