@@ -28,10 +28,23 @@ object SelfConsistency {
     * chosen_id). `answerCol` must be numeric (the tie rule orders answers).
     */
   def voteCensus(samples: DataFrame, promptCol: String, sampleIdCol: String,
-      answerCol: String): DataFrame = {
-    val counts = samples
+      answerCol: String): DataFrame =
+    voteFromCounts(answerCounts(samples, promptCol, sampleIdCol, answerCol))
+
+  /** The ADDITIVE form: per (prompt_id, answer), the vote count and the
+    * lowest sample id. Additive across sample batches that partition
+    * PROMPTS (each prompt's samples land in one batch, so per-key rows
+    * merge trivially and min_id survives the sum-merge as the single
+    * contribution) — the census a wave-generating sampler stores so the
+    * vote stays current without rescanning prior waves. */
+  def answerCounts(samples: DataFrame, promptCol: String,
+      sampleIdCol: String, answerCol: String): DataFrame =
+    samples
       .groupBy(col(promptCol).as("prompt_id"), col(answerCol).as("answer"))
       .agg(count(lit(1)).as("n"), min(col(sampleIdCol)).as("min_id"))
+
+  /** The vote fold over (prompt_id, answer, n, min_id) census rows. */
+  def voteFromCounts(counts: DataFrame): DataFrame =
     counts.groupBy("prompt_id")
       .agg(sum(col("n")).as("n_samples"),
         max(struct(col("n").as("n"), (-col("answer")).as("na"),
@@ -42,5 +55,4 @@ object SelfConsistency {
         round(col("w.n") * lit(1.0) / col("n_samples"), 6).as("agreement"),
         (col("w.n") * 3 >= col("n_samples") * 2).as("kept"),
         col("w.mid").as("chosen_id"))
-  }
 }

@@ -144,15 +144,109 @@ object AlignmentQueries {
           (lit(1L) + col("doc_id") % 11)).as("seq_len")),
       "seq_len", cap = 512, batchSize = 8)
 
+  // ---------------------------------------------------------------- q277
+
+  /** q277: INCREMENTAL self-consistency — the (prompt, answer) vote
+    * counts are an additive census (plus the lowest sample id, which
+    * survives the sum-merge because batches partition PROMPTS — the
+    * q267/q273 doctrine), so sample waves merge into the census store
+    * exactly-once and the vote derives AT REPORT TIME from the reloaded
+    * integers. A sampler that generates answers in waves keeps the vote
+    * current without rescanning prior waves. Gate: two prompt-parity
+    * batches through the store, replay no-op, report == q271's one-shot
+    * oracle. */
+  val selfConsistencyIncremental: Q = (s, dir) => {
+    val samples = sampleFixture(s, dir)
+    val path = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_vote_idx"))
+      .resolve("census").toString
+    def ingest(half: Int, id: Long): Boolean =
+      graft.store.IndexStore.updateCensus(s, path,
+        SelfConsistency.answerCounts(
+          samples.where(col("prompt_id") % 2 === half),
+          "prompt_id", "sample_id", "answer"),
+        Seq("prompt_id", "answer"), batchId = id)
+    ingest(0, 0L)
+    val replayNoop = !ingest(0, 0L)
+    ingest(1, 1L)
+    SelfConsistency.voteFromCounts(
+        graft.store.IndexStore.loadCensus(s, path))
+      .withColumn("replay_noop", lit(replayNoop))
+      .orderBy("prompt_id")
+  }
+
+  // ---------------------------------------------------------------- q278
+
+  /** q278: preference-JUDGE bias census — the audit run on pairwise
+    * judgments BEFORE they train a reward model: how often does the
+    * judge prefer the FIRST-position response (position bias), how often
+    * the LONGER one (verbosity bias), and how often it abstains (tie
+    * rate)? Both biases are documented failure modes of LLM and human
+    * judges (Zheng et al. 2023, "Judging LLM-as-a-Judge"). Fixture:
+    * each doc is the first-position response, its partner the
+    * (id·17+3) mod n neighbor (the q264 pairing idiom); the organic
+    * winner is a QUALITY score independent of length ((id·13+5) mod 97,
+    * quality ties defaulting to first — itself a position default), and
+    * two plants realize the pathologies: id%19==7 → tie, id%6==0 → the
+    * judge picks FIRST regardless. Report per first-response source:
+    * comparisons, ties, first-position wins and 6-dp rate, longer wins
+    * (among unequal lengths) and rate, Σ winner-id certificate. One
+    * self-join on the partner key + one groupBy — no windows. */
+  val preferenceBias: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val nRows = docs.agg(count(lit(1)).as("nn"))
+    val ntok = graft.functions.TextFunctions.tokenCount(col("text"))
+      .cast("long")
+    val a = docs.crossJoin(broadcast(nRows)).select(
+      col("doc_id").as("a_id"), col("source").as("a_src"),
+      ntok.as("a_ntok"),
+      ((col("doc_id") * 17 + 3) % col("nn")).as("partner"))
+    val b = docs.select(col("doc_id").as("b_id"), ntok.as("b_ntok"))
+    val cmp = a.join(b, col("partner") === col("b_id"))
+      .where(col("a_id") =!= col("b_id"))
+      .withColumn("qa", (col("a_id") * 13 + 5) % 97)
+      .withColumn("qb", (col("b_id") * 13 + 5) % 97)
+      .withColumn("verdict",
+        when(col("a_id") % 19 === 7, "tie")
+          .when(col("a_id") % 6 === 0, "first")
+          .when(col("qa") >= col("qb"), "first")
+          .otherwise("second"))
+    cmp.groupBy(col("a_src").as("source"))
+      .agg(count(lit(1)).as("n_comparisons"),
+        sum(when(col("verdict") === "tie", 1L).otherwise(0L)).as("n_ties"),
+        sum(when(col("verdict") === "first", 1L).otherwise(0L))
+          .as("first_wins"),
+        sum(when(col("verdict") =!= "tie" && col("a_ntok") =!= col("b_ntok"),
+          1L).otherwise(0L)).as("n_unequal_len"),
+        sum(when(col("verdict") === "first" && col("a_ntok") > col("b_ntok"),
+          1L).when(col("verdict") === "second" &&
+            col("b_ntok") > col("a_ntok"), 1L)
+          .otherwise(0L)).as("longer_wins"),
+        sum(when(col("verdict") === "first", col("a_id"))
+          .when(col("verdict") === "second", col("partner"))
+          .otherwise(0L)).as("sum_winner_ids"))
+      .select(col("source"), col("n_comparisons"), col("n_ties"),
+        col("first_wins"),
+        round(col("first_wins") * lit(1.0) /
+          (col("n_comparisons") - col("n_ties")), 6).as("first_win_rate"),
+        col("n_unequal_len"), col("longer_wins"),
+        round(col("longer_wins") * lit(1.0) / col("n_unequal_len"), 6)
+          .as("longer_win_rate"),
+        col("sum_winner_ids"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
     "q271_selfconsistency_vote" -> selfConsistency,
     "q272_toolcall_lint" -> toolCallLint,
     "q275_prefix_savings" -> prefixSavings,
-    "q276_batch_padding" -> batchPadding)
+    "q276_batch_padding" -> batchPadding,
+    "q277_vote_incremental" -> selfConsistencyIncremental,
+    "q278_preference_bias" -> preferenceBias)
 
-  val oracles: Map[String, String] = Map(
-    "q271_selfconsistency_vote" ->
-      """WITH s AS (
+  /** q271 oracle, shared with q277 (which appends replay_noop). */
+  private val selfConsistencyOracle: String =
+    """WITH s AS (
         |  SELECT doc_id // 6 AS prompt_id, doc_id AS sample_id,
         |    ((doc_id // 6) % 10
         |      + CASE WHEN (doc_id*13+5) % 9 = 0 THEN 1 ELSE 0 END
@@ -168,7 +262,59 @@ object AlignmentQueries {
         |SELECT prompt_id, n_samples, answer AS majority_answer,
         |  n AS n_majority, round(n * 1.0 / n_samples, 6) AS agreement,
         |  n * 3 >= n_samples * 2 AS kept, min_id AS chosen_id
-        |FROM r WHERE rn = 1 ORDER BY prompt_id""".stripMargin,
+        |FROM r WHERE rn = 1 ORDER BY prompt_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q271_selfconsistency_vote" -> selfConsistencyOracle,
+    // q277: batched census == one-shot IS the gate (q267 doctrine) —
+    // the q271 oracle with the engine replay-noop boolean appended
+    "q277_vote_incremental" -> selfConsistencyOracle
+      .replace("min_id AS chosen_id\n",
+        "min_id AS chosen_id, true AS replay_noop\n"),
+
+    // q278: the pairing, quality scores, plants, and both bias folds
+    // replayed with the same integer arithmetic
+    "q278_preference_bias" ->
+      """WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+        |d AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT)
+        |      AS ntok
+        |  FROM documents),
+        |c AS (
+        |  SELECT a.doc_id AS a_id, a.source AS a_src, a.ntok AS a_ntok,
+        |    b.doc_id AS b_id, b.ntok AS b_ntok,
+        |    (a.doc_id * 13 + 5) % 97 AS qa, (b.doc_id * 13 + 5) % 97 AS qb
+        |  FROM d a JOIN d b ON (a.doc_id * 17 + 3) % (SELECT n FROM nn) = b.doc_id
+        |  WHERE a.doc_id <> b.doc_id),
+        |v AS (
+        |  SELECT *, CASE WHEN a_id % 19 = 7 THEN 'tie'
+        |    WHEN a_id % 6 = 0 THEN 'first'
+        |    WHEN qa >= qb THEN 'first' ELSE 'second' END AS verdict
+        |  FROM c)
+        |SELECT a_src AS source, CAST(count(*) AS BIGINT) AS n_comparisons,
+        |  CAST(sum(CASE WHEN verdict = 'tie' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_ties,
+        |  CAST(sum(CASE WHEN verdict = 'first' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS first_wins,
+        |  round(sum(CASE WHEN verdict = 'first' THEN 1 ELSE 0 END) * 1.0 /
+        |    (count(*) - sum(CASE WHEN verdict = 'tie' THEN 1 ELSE 0 END)), 6)
+        |    AS first_win_rate,
+        |  CAST(sum(CASE WHEN verdict <> 'tie' AND a_ntok <> b_ntok
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_unequal_len,
+        |  CAST(sum(CASE WHEN (verdict = 'first' AND a_ntok > b_ntok)
+        |    OR (verdict = 'second' AND b_ntok > a_ntok)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS longer_wins,
+        |  round(sum(CASE WHEN (verdict = 'first' AND a_ntok > b_ntok)
+        |    OR (verdict = 'second' AND b_ntok > a_ntok) THEN 1 ELSE 0 END)
+        |    * 1.0 /
+        |    sum(CASE WHEN verdict <> 'tie' AND a_ntok <> b_ntok
+        |      THEN 1 ELSE 0 END), 6) AS longer_win_rate,
+        |  CAST(sum(CASE WHEN verdict = 'first' THEN a_id
+        |    WHEN verdict = 'second' THEN b_id ELSE 0 END) AS BIGINT)
+        |    AS sum_winner_ids
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q272: the JSON strings are REBUILT identically and re-parsed with
     // DuckDB's json functions (json_valid / json_extract_string), so both

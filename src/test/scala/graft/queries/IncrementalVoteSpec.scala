@@ -1,0 +1,20 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q277: the vote derived from the reloaded answer-count census must
+  * equal q271's one-shot vote row for row, with the replayed batch a
+  * no-op. */
+class IncrementalVoteSpec extends SparkSpec {
+
+  test("batched answer censuses == one-shot vote, replayed batch no-op") {
+    val dir = "/root/testdata/sf0.001"
+    val one = AlignmentQueries.selfConsistency(spark, dir)
+      .orderBy("prompt_id").collect().toSeq
+    val inc = AlignmentQueries.selfConsistencyIncremental(spark, dir)
+    assert(inc.where(!col("replay_noop")).count() == 0,
+      "replaying batch 0 must be skipped by the census cursor")
+    assert(inc.drop("replay_noop").orderBy("prompt_id").collect().toSeq == one)
+  }
+}
