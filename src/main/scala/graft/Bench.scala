@@ -216,7 +216,15 @@ object Bench {
     "q267_bt_incremental",    // stored win-matrix census -> derived fit
     "q268_annotator_agreement", // Cohen/Fleiss kappa label-quality census
     "q269_bfd_sft_pack",      // whole-conversation BFD pack + loss masks
-    "q270_ivf_probe_planner") // recall-vs-nProbe curve, one ranking pass
+    "q270_ivf_probe_planner", // recall-vs-nProbe curve, one ranking pass
+    "q271_selfconsistency_vote", // majority-vote sample selection
+    "q272_toolcall_lint",     // tool-call JSON registry validation
+    "q273_annotator_incremental", // stored kappa censuses -> derived report
+    "q274_memorization_screen", // generations vs stored corpus fingerprints
+    "q275_prefix_savings",    // shared-prefix KV-cache savings census
+    "q276_batch_padding",     // pow2-bucket padding/truncation waste
+    "q277_vote_incremental",  // stored answer counts -> derived vote
+    "q278_preference_bias")   // judge position/verbosity bias audit
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{MapType, StringType}
 
@@ -17,13 +17,17 @@ import org.apache.spark.sql.types.{MapType, StringType}
   * call never reaches the arg checks): `malformed` > `unknown_tool` >
   * `missing_arg` > `bad_type` > `ok`.
   *
-  * Scale shape: ONE corpus scan parses each call once (`get_json_object`
-  * for the name, `from_json` to map<string,string> for the args — both
-  * codegen'd, no UDF); the registry is metadata-sized and joins broadcast
-  * (one row per (call, required arg), i.e. a small constant fan-out);
-  * the per-call verdict folds back with one map-side-combined groupBy.
-  * Null handling is fail-closed throughout: a null/absent extraction is a
-  * violation, never a pass.
+  * Scale shape: the whole verdict is ONE stateless in-row projection —
+  * each call is parsed once (`get_json_object` for the name, `from_json`
+  * to map<string,string> for the args, both codegen'd, no UDF) and the
+  * registry rides along as a LITERAL map column (tool → required
+  * (arg, kind) list; it is metadata-sized), so the required-arg fold is
+  * an in-row `exists` with no join fan-out and no re-aggregation. That
+  * statelessness is also what makes the streaming twin
+  * ([[graft.streaming.StreamingPipeline.toolCallLintStream]]) share this
+  * code verbatim: verdicts are additive across micro-batches with no
+  * state and no watermark. Null handling is fail-closed throughout: a
+  * null/absent extraction is a violation, never a pass.
   */
 object ToolCallLint {
 
@@ -33,44 +37,36 @@ object ToolCallLint {
 
   private val argsMapSchema = MapType(StringType, StringType)
 
+  /** The per-call verdict as a single in-row column over a JSON-string
+    * call column. */
+  def verdictCol(call: Column, registry: Seq[ToolArg]): Column = {
+    val regMap: Map[String, Seq[(String, String)]] =
+      registry.groupBy(_.tool).map { case (t, as) =>
+        t -> as.map(a => (a.arg, a.kind))
+      }
+    val tool = get_json_object(call, "$.name")
+    val args = from_json(get_json_object(call, "$.args"), argsMapSchema)
+    val reqs = element_at(typedLit(regMap), tool)
+    val missing = exists(reqs, r =>
+      args.isNull || !map_contains_key(args, r.getField("_1")))
+    val badType = exists(reqs, r =>
+      r.getField("_2") === "int" &&
+        !coalesce(args(r.getField("_1")), lit("")).rlike("^-?[0-9]+$"))
+    when(tool.isNull, "malformed")
+      .when(reqs.isNull, "unknown_tool")
+      .when(missing, "missing_arg")
+      .when(badType, "bad_type")
+      .otherwise("ok")
+  }
+
   /** Lint (idCol, callCol JSON-string) rows against the registry.
     * Returns one row per call: (id, tool, verdict). `tool` is the name
     * string as found in the JSON (null when malformed). */
   def lint(calls: DataFrame, idCol: String, callCol: String,
-      registry: Seq[ToolArg]): DataFrame = {
-    val spark = calls.sparkSession
-    import spark.implicits._
-    val reg = registry.toDF("tool", "arg", "kind")
-    val parsed = calls.select(col(idCol).as("id"),
+      registry: Seq[ToolArg]): DataFrame =
+    calls.select(col(idCol).as("id"),
       get_json_object(col(callCol), "$.name").as("tool"),
-      from_json(get_json_object(col(callCol), "$.args"), argsMapSchema)
-        .as("args"))
-    val known = reg.select("tool").distinct()
-      .withColumn("known", lit(true))
-    // one row per (call, required arg); calls whose tool has no registry
-    // row (unknown/malformed) keep a single null-arg row through the
-    // left join so the fold below still sees them once
-    val checked = parsed
-      .join(broadcast(known), Seq("tool"), "left")
-      .join(broadcast(reg), Seq("tool"), "left")
-      .withColumn("v",
-        when(col("arg").isNull, lit(null).cast("string")) // no reg row
-          .when(col("args").isNull ||
-            !map_contains_key(col("args"), col("arg")), "missing_arg")
-          .when(col("kind") === "int" &&
-            !coalesce(col("args")(col("arg")), lit(""))
-              .rlike("^-?[0-9]+$"), "bad_type")
-          .otherwise("pass"))
-    checked.groupBy("id", "tool", "known")
-      .agg(max(col("v") === "missing_arg").as("any_missing"),
-        max(col("v") === "bad_type").as("any_badtype"))
-      .select(col("id"), col("tool"),
-        when(col("tool").isNull, "malformed")
-          .when(coalesce(col("known"), lit(false)) === false, "unknown_tool")
-          .when(col("any_missing"), "missing_arg")
-          .when(col("any_badtype"), "bad_type")
-          .otherwise("ok").as("verdict"))
-  }
+      verdictCol(col(callCol), registry).as("verdict"))
 
   /** The census form: per (tool, verdict) call count plus the Σid
     * certificate (malformed calls group under tool = '<malformed>'). */

@@ -44,8 +44,9 @@ object AlignmentQueries {
 
   // ---------------------------------------------------------------- q272
 
-  /** The q272 serving registry: tool → required arg → kind. */
-  private val toolRegistry = Seq(
+  /** The q272 serving registry: tool → required arg → kind (shared with
+    * the streaming twin's spec). */
+  private[graft] val toolRegistry = Seq(
     ToolCallLint.ToolArg("search", "query", "string"),
     ToolCallLint.ToolArg("search", "k", "int"),
     ToolCallLint.ToolArg("calc", "expression", "string"),
@@ -59,7 +60,7 @@ object AlignmentQueries {
     * id%13==2 → the required int/expression arg dropped, id%19==3 → the
     * int arg carrying prose ("ten"). Plant precedence is the when-chain
     * order, identically CASE'd in the oracle. */
-  private def toolCallFixture(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def toolCallFixture(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).where(col("doc_id") % 3 === 1)
     val kind = expr("(doc_id div 3) % 3")
     val name = when(col("doc_id") % 17 === 5, lit("delete_all"))

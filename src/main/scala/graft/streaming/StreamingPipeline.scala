@@ -318,6 +318,19 @@ object StreamingPipeline {
     vecs.withColumn("intake_verdict",
       graft.queries.HygieneQueries.embeddingVerdictCol(col(vecCol), dim))
 
+  /** Streaming tool-call lint (q272's verdict per micro-batch): one
+    * stateless in-row classification shared VERBATIM with the batch gate
+    * ([[graft.ops.ToolCallLint.verdictCol]] — the registry rides along
+    * as a literal map column, so there is no stream-static join and no
+    * state). Run at intake so a malformed / unregistered / ill-typed
+    * tool call never lands in the SFT corpus; verdict counts are
+    * additive across micro-batches (the chatLint shape for tool-use
+    * data). */
+  def toolCallLintStream(calls: DataFrame, callCol: String,
+      registry: Seq[graft.ops.ToolCallLint.ToolArg]): DataFrame =
+    calls.withColumn("lint_verdict",
+      graft.ops.ToolCallLint.verdictCol(col(callCol), registry))
+
   /** Streaming secret scrub (q204/q205's operators per micro-batch):
     * detector census struct + in-place token redaction in one stateless
     * projection — the code-corpus analogue of [[cardPiiStream]], run at

@@ -1445,4 +1445,40 @@ class StreamingSpec extends SparkSpec {
     assert(detected == batchDetected, "streamed secret census diverged from batch")
     assert(residual == 0L, "a planted credential survived the streaming scrub")
   }
+
+  test("streaming tool-call lint == batch verdicts per call") {
+    val calls = graft.queries.AlignmentQueries.toolCallFixture(spark, dir)
+    val reg = graft.queries.AlignmentQueries.toolRegistry
+    def tally(df: org.apache.spark.sql.DataFrame) =
+      StreamingPipeline.toolCallLintStream(df, "tool_call", reg)
+        .groupBy("lint_verdict")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("ids"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = tally(calls)
+    assert(b.keySet == Set("malformed", "unknown_tool", "missing_arg",
+      "bad_type", "ok"), s"plants must realize every verdict: ${b.keySet}")
+
+    val d = java.nio.file.Files.createTempDirectory("graft_tclint_src")
+    calls.repartition(3).write.mode("overwrite").parquet(d.toString)
+    val schema = spark.read.parquet(d.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+    val acc = scala.collection.mutable.Map[String, (Long, Long)]()
+    var nBatches = 0
+    val q = StreamingPipeline.toolCallLintStream(stream, "tool_call", reg)
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+        nBatches += 1
+        bdf.groupBy("lint_verdict")
+          .agg(count(lit(1)), sum(col("doc_id")))
+          .collect().foreach { r =>
+            val (n0, i0) = acc.getOrElse(r.getString(0), (0L, 0L))
+            acc(r.getString(0)) = (n0 + r.getLong(1), i0 + r.getLong(2))
+          }
+      }.start()
+    q.awaitTermination()
+    assert(nBatches >= 2)
+    assert(acc.toMap == b, "streamed lint verdicts diverged from batch")
+  }
 }
