@@ -224,7 +224,8 @@ object Bench {
     "q275_prefix_savings",    // shared-prefix KV-cache savings census
     "q276_batch_padding",     // pow2-bucket padding/truncation waste
     "q277_vote_incremental",  // stored answer counts -> derived vote
-    "q278_preference_bias")   // judge position/verbosity bias audit
+    "q278_preference_bias",   // judge position/verbosity bias audit
+    "q279_semantic_packing")  // cluster-ordered packing coherence
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{BatchPadding, PrefixCache, SelfConsistency, ToolCallLint}
+import graft.ops.{BatchPadding, PrefixCache, SelfConsistency, SemanticPacking, ToolCallLint}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -237,13 +237,37 @@ object AlignmentQueries {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- q279
+
+  /** q279: semantic (cluster-ordered) packing coherence census
+    * ([[graft.ops.SemanticPacking]]) — documents are k-means-assigned on
+    * their embeddings (16 clusters, the engine's compiled centroid
+    * kernel), packed to a 256-token budget in (cluster, id) order within
+    * 4 shards, and compared against arrival-order packing on the mean
+    * adjacent-same-sequence cosine. Gate shape is the q78 bounded-assert
+    * doctrine: everything not downstream of k-means is oracle-exact
+    * (doc/token/chunk totals and the ENTIRE arrival-order adjacency
+    * census — DuckDB recomputes the cosines), while the k-means-dependent
+    * verdict is the integer-arithmetic `coherence_gain` boolean (measured
+    * true at sf0.001/0.01/0.1 before being fixed as the bound). */
+  val semanticPacking: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("doc_id").as("id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+        .as("ntok"))
+    val assigned = graft.dedup.SemanticDedup.assignClusters(
+      Tables.embeddings(s, dir), "vec_id", "embedding", nClusters = 16)
+    SemanticPacking.coherenceCensus(docs.join(assigned, Seq("id")),
+      "id", "ntok", "v", "cluster", budget = 256, nShards = 4)
+  }
+
   val all: Map[String, Q] = Map(
     "q271_selfconsistency_vote" -> selfConsistency,
     "q272_toolcall_lint" -> toolCallLint,
     "q275_prefix_savings" -> prefixSavings,
     "q276_batch_padding" -> batchPadding,
     "q277_vote_incremental" -> selfConsistencyIncremental,
-    "q278_preference_bias" -> preferenceBias)
+    "q278_preference_bias" -> preferenceBias,
+    "q279_semantic_packing" -> semanticPacking)
 
   /** q271 oracle, shared with q277 (which appends replay_noop). */
   private val selfConsistencyOracle: String =
@@ -316,6 +340,42 @@ object AlignmentQueries {
         |    WHEN verdict = 'second' THEN b_id ELSE 0 END) AS BIGINT)
         |    AS sum_winner_ids
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q279: everything upstream of k-means is recomputed exactly —
+    // including the arrival-order adjacency cosines (DOUBLE[] casts, the
+    // q257 float-parity idiom; per-pair micro-unit quantization makes the
+    // sums order-independent integers); the k-means-dependent semantic
+    // side is the bounded-assert boolean
+    "q279_semantic_packing" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT g.doc_id AS id, g.doc_id % 4 AS shard,
+        |    CAST(len(CASE WHEN trim(g.text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(g.text), '\s+') END) AS BIGINT)
+        |      AS ntok,
+        |    CAST(e.embedding AS DOUBLE[]) AS v
+        |  FROM documents g JOIN embeddings e ON e.vec_id = g.doc_id),
+        |r AS MATERIALIZED (
+        |  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY id)
+        |      AS rnk,
+        |    sum(ntok) OVER (PARTITION BY shard ORDER BY id
+        |      ROWS UNBOUNDED PRECEDING) - ntok AS strt
+        |  FROM d),
+        |p AS MATERIALIZED (
+        |  SELECT list_cosine_similarity(a.v, b.v) AS c
+        |  FROM r a JOIN r b ON a.shard = b.shard AND b.rnk = a.rnk + 1
+        |    AND (a.strt // 256) = (b.strt // 256)),
+        |t AS (
+        |  SELECT CAST(sum(nd) AS BIGINT) AS n_docs,
+        |    CAST(sum(tt) AS BIGINT) AS total_tokens,
+        |    CAST(sum((tt + 255) // 256) AS BIGINT) AS n_chunks
+        |  FROM (SELECT shard, count(*) AS nd, sum(ntok) AS tt
+        |        FROM d GROUP BY 1))
+        |SELECT n_docs, total_tokens, n_chunks,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_pairs_id,
+        |  (SELECT CAST(sum(CAST(round(c * 1000000.0) AS BIGINT)) AS BIGINT)
+        |    FROM p) AS sum_c6_id,
+        |  true AS coherence_gain
+        |FROM t""".stripMargin,
 
     // q272: the JSON strings are REBUILT identically and re-parsed with
     // DuckDB's json functions (json_valid / json_extract_string), so both

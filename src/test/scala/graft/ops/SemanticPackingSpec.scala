@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Semantic-packing coherence census: adjacency within sequences, the
+  * seq-boundary cutoff, and the cluster-order gain on a frame where the
+  * right answer is computable by hand. */
+class SemanticPackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two orthogonal "topics": cluster 0 -> (1,0), cluster 1 -> (0,1);
+  // ids alternate clusters so arrival order maximally mixes topics
+  private def rows(n: Int, ntok: Long) =
+    (0 until n).map { i =>
+      val c = i % 2
+      (i.toLong, ntok, Seq(if (c == 0) 1.0 else 0.0, c.toDouble), c)
+    }.toDF("id", "ntok", "v", "cluster")
+
+  private def census(df: org.apache.spark.sql.DataFrame, budget: Int,
+      shards: Int) =
+    SemanticPacking.coherenceCensus(df, "id", "ntok", "v", "cluster",
+        budget, shards)
+      .as[(Long, Long, Long, Long, Long, Boolean)].head()
+
+  test("alternating topics: id-order pairs are orthogonal, cluster order coheres") {
+    // 8 docs, 10 tokens each, budget 80: ONE sequence per shard (1 shard)
+    val r = census(rows(8, 10L), budget = 80, shards = 1)
+    // id order: 7 adjacent pairs, every one crosses topics -> cos 0
+    assert(r == ((8L, 80L, 1L, 7L, 0L, true)))
+  }
+
+  test("sequence boundaries cut adjacency in both orders") {
+    // budget 20 = 2 docs per sequence: pairs only between seq-mates
+    // id order: docs (0,1),(2,3),(4,5),(6,7) share seqs -> 4 pairs, cos 0
+    val r = census(rows(8, 10L), budget = 20, shards = 1)
+    assert(r._3 == 4L, "ceil(80/20) chunks")
+    assert(r._4 == 4L && r._5 == 0L)
+    // cluster order pairs (0,2),(4,6),(1,3),(5,7): same-topic, cos 1 each
+    // -> sem mean 1.0 > id mean 0.0
+    assert(r._6 === true)
+  }
+
+  test("identical vectors everywhere make the gain a tie, which passes >=") {
+    val same = (0 until 6).map(i => (i.toLong, 10L, Seq(1.0, 0.0), i % 2))
+      .toDF("id", "ntok", "v", "cluster")
+    val r = census(same, budget = 60, shards = 1)
+    assert(r._5 == r._4 * 1000000L, "all pair cosines are exactly 1")
+    assert(r._6 === true)
+  }
+
+  test("shards pack and pair independently") {
+    // 2 shards by id parity: shard 0 holds even ids (all cluster 0)
+    val r = census(rows(8, 10L), budget = 80, shards = 2)
+    // within each shard all docs share one topic -> id pairs cos 1
+    assert(r._4 == 6L && r._5 == 6000000L)
+  }
+}
