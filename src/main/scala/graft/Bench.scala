@@ -225,7 +225,9 @@ object Bench {
     "q276_batch_padding",     // pow2-bucket padding/truncation waste
     "q277_vote_incremental",  // stored answer counts -> derived vote
     "q278_preference_bias",   // judge position/verbosity bias audit
-    "q279_semantic_packing")  // cluster-ordered packing coherence
+    "q279_semantic_packing",  // cluster-ordered packing coherence
+    "q280_embedding_staleness", // RAG index freshness full-outer audit
+    "q281_prefix_incremental") // stored prefix census -> derived savings
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -30,12 +30,10 @@ object PrefixCache {
     * tokenized). */
   private val Sep = "\u001f"
 
-  /** Per-depth savings census over (convCol, turnCol, contentCol) rows:
-    * (depth, n_groups, n_shared_groups, n_convs, prefix_tokens,
-    * saved_tokens, saved_frac). Conversations shorter than a depth
-    * contribute their full turn list at that depth. */
-  def savingsByDepth(turns: DataFrame, convCol: String, turnCol: String,
-      contentCol: String, maxDepth: Int): DataFrame = {
+  /** One row per (conv, depth ≤ min(maxDepth, turns)): the depth-d
+    * prefix key (xxhash64) and its exact token count. */
+  private def perConvDepths(turns: DataFrame, convCol: String,
+      turnCol: String, contentCol: String, maxDepth: Int): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
     val headTurns = turns
       .where(col(turnCol) < maxDepth)
@@ -46,8 +44,7 @@ object PrefixCache {
           .as("turn"))
       .groupBy("conv")
       .agg(array_sort(collect_list(col("turn"))).as("ts"))
-    // one row per (conv, depth): the depth-d prefix key + its token count
-    val perDepth = headTurns
+    headTurns
       .select(col("conv"), explode(sequence(lit(1), least(lit(maxDepth),
         size(col("ts"))))).as("depth"), col("ts"))
       .select(col("conv"), col("depth").cast("long").as("depth"),
@@ -55,17 +52,41 @@ object PrefixCache {
           t => t.getField("c")), Sep)).as("pfx"),
         aggregate(slice(col("ts"), lit(1), col("depth")), lit(0L),
           (acc, t) => acc + t.getField("ntok")).as("pfx_ntok"))
-    perDepth
+  }
+
+  /** The ADDITIVE form: per (depth, prefix-hash), member count and token
+    * volume — both plain sums, so conversation batches merge into the
+    * census store unconditionally (no partitioning requirement: a group
+    * split across batches sums to the same (n, sum_ntok)). The per-group
+    * prefix length recovers at report time as sum_ntok div n. */
+  def prefixCensus(turns: DataFrame, convCol: String, turnCol: String,
+      contentCol: String, maxDepth: Int): DataFrame =
+    perConvDepths(turns, convCol, turnCol, contentCol, maxDepth)
       .groupBy("depth", "pfx")
-      .agg(count(lit(1)).as("n"), max(col("pfx_ntok")).as("pfx_ntok"))
+      .agg(count(lit(1)).as("n"), sum(col("pfx_ntok")).as("sum_ntok"))
+
+  /** The savings report over (depth, pfx, n, sum_ntok) census rows.
+    * Every group member carries the identical prefix, so sum_ntok is
+    * exactly n · prefix_ntok and the cacheable volume is
+    * sum_ntok − sum_ntok div n — integer arithmetic throughout. */
+  def reportFromCensus(census: DataFrame): DataFrame =
+    census
       .groupBy("depth")
       .agg(count(lit(1)).as("n_groups"),
         sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_shared_groups"),
         sum(col("n")).as("n_convs"),
-        sum(col("n") * col("pfx_ntok")).as("prefix_tokens"),
-        sum((col("n") - 1) * col("pfx_ntok")).as("saved_tokens"))
+        sum(col("sum_ntok")).as("prefix_tokens"),
+        sum(col("sum_ntok") - expr("sum_ntok div n")).as("saved_tokens"))
       .withColumn("saved_frac",
         round(col("saved_tokens") * lit(1.0) / col("prefix_tokens"), 6))
       .orderBy("depth")
-  }
+
+  /** Per-depth savings census over (convCol, turnCol, contentCol) rows:
+    * (depth, n_groups, n_shared_groups, n_convs, prefix_tokens,
+    * saved_tokens, saved_frac). Conversations shorter than a depth
+    * contribute their full turn list at that depth. */
+  def savingsByDepth(turns: DataFrame, convCol: String, turnCol: String,
+      contentCol: String, maxDepth: Int): DataFrame =
+    reportFromCensus(
+      prefixCensus(turns, convCol, turnCol, contentCol, maxDepth))
 }

@@ -260,6 +260,36 @@ object AlignmentQueries {
       "id", "ntok", "v", "cluster", budget = 256, nShards = 4)
   }
 
+  // ---------------------------------------------------------------- q281
+
+  /** q281: INCREMENTAL prefix-cache census — the (depth, prefix-hash)
+    * census is UNCONDITIONALLY additive (count and token volume are both
+    * plain sums; a prefix group split across batches merges exactly — no
+    * partitioning requirement, unlike the q273/q277 min-carrying
+    * censuses), so conversation batches stream into the census store and
+    * the savings report derives at report time from the reloaded
+    * integers (per-group prefix length recovers as sum_ntok div n). A
+    * serving fleet re-plans its cache budget as traffic arrives without
+    * rescanning history. Gate: two conv-parity batches through the
+    * store, replay no-op, report == q275's one-shot oracle. */
+  val prefixIncremental: Q = (s, dir) => {
+    val turns = prefixTurns(s, dir)
+    val path = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_pfx_idx"))
+      .resolve("census").toString
+    def ingest(half: Int, id: Long): Boolean =
+      graft.store.IndexStore.updateCensus(s, path,
+        PrefixCache.prefixCensus(turns.where(col("conv_id") % 2 === half),
+          "conv_id", "turn_idx", "content", maxDepth = 2),
+        Seq("depth", "pfx"), batchId = id)
+    ingest(0, 0L)
+    val replayNoop = !ingest(0, 0L)
+    ingest(1, 1L)
+    PrefixCache.reportFromCensus(
+        graft.store.IndexStore.loadCensus(s, path))
+      .withColumn("replay_noop", lit(replayNoop))
+  }
+
   val all: Map[String, Q] = Map(
     "q271_selfconsistency_vote" -> selfConsistency,
     "q272_toolcall_lint" -> toolCallLint,
@@ -267,7 +297,8 @@ object AlignmentQueries {
     "q276_batch_padding" -> batchPadding,
     "q277_vote_incremental" -> selfConsistencyIncremental,
     "q278_preference_bias" -> preferenceBias,
-    "q279_semantic_packing" -> semanticPacking)
+    "q279_semantic_packing" -> semanticPacking,
+    "q281_prefix_incremental" -> prefixIncremental)
 
   /** q271 oracle, shared with q277 (which appends replay_noop). */
   private val selfConsistencyOracle: String =
@@ -288,6 +319,48 @@ object AlignmentQueries {
         |  n AS n_majority, round(n * 1.0 / n_samples, 6) AS agreement,
         |  n * 3 >= n_samples * 2 AS kept, min_id AS chosen_id
         |FROM r WHERE rn = 1 ORDER BY prompt_id""".stripMargin
+
+  /** q275 oracle, shared with q281 (which appends replay_noop):
+    * prefixes grouped in STRING space (chr(31)-joined turn contents)
+    * where the engine groups on xxhash64 — gate equality doubles as
+    * the collision check (the q89 doctrine). */
+  private val prefixSavingsOracle: String =
+    """WITH t AS (
+        |  SELECT doc_id // 4 AS conv, CAST(doc_id % 4 AS INT) AS turn,
+        |    CASE WHEN doc_id % 4 = 0
+        |        THEN 'system template ' || ((doc_id // 4) % 5)
+        |      WHEN doc_id % 4 = 1
+        |        THEN 'task directive ' || ((doc_id // 4) % 25)
+        |      ELSE text END AS content
+        |  FROM documents),
+        |h AS (
+        |  SELECT conv, turn, content,
+        |    CAST(len(CASE WHEN trim(content) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(content), '\s+') END) AS BIGINT)
+        |      AS ntok
+        |  FROM t WHERE turn < 2),
+        |c AS (
+        |  SELECT conv, list(content ORDER BY turn) AS cs,
+        |    list(ntok ORDER BY turn) AS ns
+        |  FROM h GROUP BY 1),
+        |pd AS (
+        |  SELECT conv, CAST(d.depth AS BIGINT) AS depth,
+        |    array_to_string(cs[1:d.depth], chr(31)) AS pfx,
+        |    CAST(list_sum(ns[1:d.depth]) AS BIGINT) AS pfx_ntok
+        |  FROM c, (SELECT UNNEST([1, 2]) AS depth) d
+        |  WHERE d.depth <= len(cs)),
+        |g AS (SELECT depth, pfx, CAST(count(*) AS BIGINT) AS n,
+        |        max(pfx_ntok) AS pfx_ntok
+        |      FROM pd GROUP BY 1, 2)
+        |SELECT depth, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared_groups,
+        |  CAST(sum(n) AS BIGINT) AS n_convs,
+        |  CAST(sum(n * pfx_ntok) AS BIGINT) AS prefix_tokens,
+        |  CAST(sum((n - 1) * pfx_ntok) AS BIGINT) AS saved_tokens,
+        |  round(sum((n - 1) * pfx_ntok) * 1.0 / sum(n * pfx_ntok), 6)
+        |    AS saved_frac
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q271_selfconsistency_vote" -> selfConsistencyOracle,
@@ -443,47 +516,12 @@ object AlignmentQueries {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM verd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    // q275: prefixes grouped in STRING space (chr(31)-joined turn
-    // contents) where the engine groups on xxhash64 — gate equality
-    // doubles as the collision check (the q89 doctrine); same token
-    // convention, same per-depth fold
-    "q275_prefix_savings" ->
-      """WITH t AS (
-        |  SELECT doc_id // 4 AS conv, CAST(doc_id % 4 AS INT) AS turn,
-        |    CASE WHEN doc_id % 4 = 0
-        |        THEN 'system template ' || ((doc_id // 4) % 5)
-        |      WHEN doc_id % 4 = 1
-        |        THEN 'task directive ' || ((doc_id // 4) % 25)
-        |      ELSE text END AS content
-        |  FROM documents),
-        |h AS (
-        |  SELECT conv, turn, content,
-        |    CAST(len(CASE WHEN trim(content) = '' THEN CAST([] AS VARCHAR[])
-        |      ELSE string_split_regex(trim(content), '\s+') END) AS BIGINT)
-        |      AS ntok
-        |  FROM t WHERE turn < 2),
-        |c AS (
-        |  SELECT conv, list(content ORDER BY turn) AS cs,
-        |    list(ntok ORDER BY turn) AS ns
-        |  FROM h GROUP BY 1),
-        |pd AS (
-        |  SELECT conv, CAST(d.depth AS BIGINT) AS depth,
-        |    array_to_string(cs[1:d.depth], chr(31)) AS pfx,
-        |    CAST(list_sum(ns[1:d.depth]) AS BIGINT) AS pfx_ntok
-        |  FROM c, (SELECT UNNEST([1, 2]) AS depth) d
-        |  WHERE d.depth <= len(cs)),
-        |g AS (SELECT depth, pfx, CAST(count(*) AS BIGINT) AS n,
-        |        max(pfx_ntok) AS pfx_ntok
-        |      FROM pd GROUP BY 1, 2)
-        |SELECT depth, CAST(count(*) AS BIGINT) AS n_groups,
-        |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_shared_groups,
-        |  CAST(sum(n) AS BIGINT) AS n_convs,
-        |  CAST(sum(n * pfx_ntok) AS BIGINT) AS prefix_tokens,
-        |  CAST(sum((n - 1) * pfx_ntok) AS BIGINT) AS saved_tokens,
-        |  round(sum((n - 1) * pfx_ntok) * 1.0 / sum(n * pfx_ntok), 6)
-        |    AS saved_frac
-        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q275_prefix_savings" -> prefixSavingsOracle,
+    // q281: batched census == one-shot IS the gate (the q252/q267
+    // doctrine) — the q275 oracle with replay_noop appended
+    "q281_prefix_incremental" -> prefixSavingsOracle
+      .replace("AS saved_frac\n",
+        "AS saved_frac, true AS replay_noop\n"),
 
     // q276: the same CASE ladder (never float log2), same integer
     // ceil-div batch count, same capped-max baseline

@@ -586,7 +586,52 @@ object HygieneQueries {
       .orderBy("verdict")
   }
 
+  /** q280: embedding STALENESS screen — the maintenance audit a RAG /
+    * retrieval index runs continuously: every embedding record stores the
+    * content hash of the text it was computed FROM, and the screen joins
+    * that against the current corpus to answer "which vectors still
+    * describe their document?". Verdicts: `fresh` (hashes agree), `stale`
+    * (the document changed since embedding — the silent retrieval-quality
+    * killer), `missing_embedding` (document never embedded — the backlog),
+    * `orphan_embedding` (vector whose document was deleted — the index
+    * bloat). The report also prices the re-embed backlog in tokens
+    * (stale + missing), which is what the embedding-job scheduler
+    * actually budgets. Fixture plants (pure id arithmetic, both engines
+    * rebuild them): id%13==6 docs were never embedded, id%9==4 records
+    * hash a stale text version, id%17==9 contribute an orphan record at
+    * an id offset no document occupies. Scale shape: a FULL OUTER join of
+    * two narrow (id, 32-char hash) frames — the q227 snapshot-delta shape
+    * — classified in-row and rolled up per source; document bodies never
+    * shuffle. */
+  val embeddingStaleness: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val docs = d.select(col("doc_id").as("id"), col("source"),
+      md5(col("text")).as("cur_hash"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+    val embRecs = d.where(col("doc_id") % 13 =!= 6)
+      .select(col("doc_id").as("id"),
+        when(col("doc_id") % 9 === 4, md5(concat(col("text"), lit("!old"))))
+          .otherwise(md5(col("text"))).as("stored_hash"))
+      .unionByName(d.where(col("doc_id") % 17 === 9)
+        .select((col("doc_id") + 10000000L).as("id"),
+          md5(col("text")).as("stored_hash")))
+    docs.join(embRecs, Seq("id"), "full_outer")
+      .withColumn("verdict",
+        when(col("cur_hash").isNull, "orphan_embedding")
+          .when(col("stored_hash").isNull, "missing_embedding")
+          .when(col("stored_hash") =!= col("cur_hash"), "stale")
+          .otherwise("fresh"))
+      .groupBy(coalesce(col("source"), lit("<none>")).as("source"),
+        col("verdict"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(when(col("verdict").isin("stale", "missing_embedding"),
+          col("ntok")).otherwise(0L)).as("backlog_tokens"),
+        sum(col("id")).as("sum_ids"))
+      .orderBy("source", "verdict")
+  }
+
   val all: Map[String, Q] = Map(
+    "q280_embedding_staleness" -> embeddingStaleness,
     "q255_embedding_intake" -> embeddingIntake,
     "q213_signal_corr" -> signalCorrelation,
     "q193_distinctive_phrases" -> distinctivePhrases,
@@ -602,6 +647,36 @@ object HygieneQueries {
     "q138_dsir_calibrated" -> dsirCalibrated)
 
   val oracles: Map[String, String] = Map(
+    // q280: the same plants and the same full-outer classification,
+    // hashes recomputed with DuckDB's md5 over the identical strings
+    "q280_embedding_staleness" ->
+      """WITH docs AS MATERIALIZED (
+        |  SELECT doc_id AS id, source, md5(text) AS cur_hash,
+        |    CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT)
+        |      AS ntok
+        |  FROM documents),
+        |emb AS MATERIALIZED (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 9 = 4 THEN md5(text || '!old')
+        |      ELSE md5(text) END AS stored_hash
+        |  FROM documents WHERE doc_id % 13 <> 6
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS id, md5(text) AS stored_hash
+        |  FROM documents WHERE doc_id % 17 = 9),
+        |j AS (
+        |  SELECT coalesce(d.id, e.id) AS id, d.source, d.ntok,
+        |    CASE WHEN d.cur_hash IS NULL THEN 'orphan_embedding'
+        |      WHEN e.stored_hash IS NULL THEN 'missing_embedding'
+        |      WHEN e.stored_hash <> d.cur_hash THEN 'stale'
+        |      ELSE 'fresh' END AS verdict
+        |  FROM docs d FULL OUTER JOIN emb e ON d.id = e.id)
+        |SELECT coalesce(source, '<none>') AS source, verdict,
+        |  CAST(count(*) AS BIGINT) AS n_records,
+        |  CAST(sum(CASE WHEN verdict IN ('stale', 'missing_embedding')
+        |    THEN ntok ELSE 0 END) AS BIGINT) AS backlog_tokens,
+        |  CAST(sum(id) AS BIGINT) AS sum_ids
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q255: the same plants, the same fixed classification precedence;
     // verdict counts are pure vec_id arithmetic given well-formed input
     "q255_embedding_intake" ->

@@ -44,6 +44,27 @@ class PrefixCacheSpec extends SparkSpec {
     assert(r(1)._4 == 1L, "only the 2-turn conv reaches depth 2")
   }
 
+  test("prefix census is additive even when a group splits across batches") {
+    // four convs share the same 2-token prefix; split them 2/2 and merge
+    // the per-batch censuses by summing per (depth, pfx)
+    val all = (1L to 4L).flatMap(c => Seq((c, 0, "sys a"), (c, 1, s"u$c")))
+      .toDF("conv", "turn", "content")
+    def cen(df: org.apache.spark.sql.DataFrame) =
+      PrefixCache.prefixCensus(df, "conv", "turn", "content", 2)
+    val merged = cen(all.where($"conv" <= 2))
+      .unionByName(cen(all.where($"conv" > 2)))
+      .groupBy("depth", "pfx")
+      .agg(org.apache.spark.sql.functions.sum("n").as("n"),
+        org.apache.spark.sql.functions.sum("sum_ntok").as("sum_ntok"))
+    val oneShot = cen(all)
+    assert(merged.orderBy("depth", "pfx").collect().toSeq ==
+      oneShot.orderBy("depth", "pfx").collect().toSeq)
+    // and the report derived from the merged census matches the one-shot
+    assert(PrefixCache.reportFromCensus(merged).collect().toSeq ==
+      PrefixCache.savingsByDepth(all, "conv", "turn", "content", 2)
+        .collect().toSeq)
+  }
+
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
