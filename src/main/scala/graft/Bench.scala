@@ -227,7 +227,9 @@ object Bench {
     "q278_preference_bias",   // judge position/verbosity bias audit
     "q279_semantic_packing",  // cluster-ordered packing coherence
     "q280_embedding_staleness", // RAG index freshness full-outer audit
-    "q281_prefix_incremental") // stored prefix census -> derived savings
+    "q281_prefix_incremental", // stored prefix census -> derived savings
+    "q282_cache_budget",      // greedy KV-cache admission plan
+    "q283_truncation_screen") // generation structural-completeness lint
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -89,4 +89,45 @@ object PrefixCache {
       contentCol: String, maxDepth: Int): DataFrame =
     reportFromCensus(
       prefixCensus(turns, convCol, turnCol, contentCol, maxDepth))
+
+  /** Cache ADMISSION plan under a token capacity: which depth-`depth`
+    * prefixes should live in the KV cache when it can hold `capacity`
+    * prefix tokens? Greedy by benefit — a cached prefix of p tokens
+    * shared by n conversations serves n−1 of them from cache, so its
+    * benefit is (n−1)·p against a residency cost of p. Groups order by
+    * (benefit desc, lowest member conv id asc — a REPLAYABLE tie key,
+    * never the hash) and admit while the running cost fits. Returns one
+    * summary row: groups admitted, resident tokens, realized vs total
+    * savings, 6-dp coverage. The plan runs on the census (group-
+    * cardinality, metadata-sized) — the corpus is never rescanned. */
+  def cacheBudgetPlan(turns: DataFrame, convCol: String, turnCol: String,
+      contentCol: String, depth: Int, capacity: Long): DataFrame = {
+    require(capacity >= 0, s"capacity must be >= 0, got $capacity")
+    val groups = perConvDepths(turns, convCol, turnCol, contentCol, depth)
+      .where(col("depth") === depth)
+      .groupBy("pfx")
+      .agg(count(lit(1)).as("n"), sum(col("pfx_ntok")).as("sum_ntok"),
+        min(col("conv")).as("min_conv"))
+      .withColumn("cost", expr("sum_ntok div n"))
+      .withColumn("benefit", col("sum_ntok") - expr("sum_ntok div n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("benefit").desc, col("min_conv").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val planned = groups
+      .withColumn("cum_cost", sum(col("cost")).over(w))
+      .withColumn("admitted", col("cum_cost") <= capacity)
+    planned.agg(
+        lit(capacity).as("capacity"),
+        sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("admitted"), col("cost")).otherwise(0L))
+          .as("resident_tokens"),
+        sum(when(col("admitted"), col("benefit")).otherwise(0L))
+          .as("saved_tokens_realized"),
+        sum(col("benefit")).as("saved_tokens_total"))
+      .withColumn("coverage",
+        round(col("saved_tokens_realized") * lit(1.0) /
+          col("saved_tokens_total"), 6))
+  }
 }

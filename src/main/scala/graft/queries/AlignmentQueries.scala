@@ -290,6 +290,36 @@ object AlignmentQueries {
       .withColumn("replay_noop", lit(replayNoop))
   }
 
+  // ---------------------------------------------------------------- q282
+
+  /** q282 fixture: like q275 but with SKEWED sharing — odd conversations
+    * reuse one of only 5 task directives (big prefix groups) while even
+    * ones spread over 25 (small groups), so the admission plan faces a
+    * real benefit gradient plus exact ties (equal-size small groups)
+    * that exercise the replayable min-conv tie key. */
+  private def cacheTurns(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      expr("doc_id div 4").as("conv_id"),
+      (col("doc_id") % 4).cast("int").as("turn_idx"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("system template "),
+          (expr("doc_id div 4") % 5).cast("string")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("task directive "),
+            when(expr("doc_id div 4") % 2 === 0, expr("doc_id div 4") % 25)
+              .otherwise(expr("doc_id div 4") % 5).cast("string")))
+        .otherwise(col("text")).as("content"))
+
+  /** q282: KV-cache ADMISSION plan
+    * ([[graft.ops.PrefixCache.cacheBudgetPlan]]) — given a 60-token
+    * prefix-cache capacity, which depth-2 prefixes should be resident?
+    * Greedy by benefit (n−1)·p with the min-conv tie key; one summary
+    * row prices the plan: admitted groups, resident tokens, realized vs
+    * total savings, 6-dp coverage. */
+  val cacheBudget: Q = (s, dir) =>
+    PrefixCache.cacheBudgetPlan(cacheTurns(s, dir),
+      "conv_id", "turn_idx", "content", depth = 2, capacity = 60L)
+
   val all: Map[String, Q] = Map(
     "q271_selfconsistency_vote" -> selfConsistency,
     "q272_toolcall_lint" -> toolCallLint,
@@ -298,7 +328,8 @@ object AlignmentQueries {
     "q277_vote_incremental" -> selfConsistencyIncremental,
     "q278_preference_bias" -> preferenceBias,
     "q279_semantic_packing" -> semanticPacking,
-    "q281_prefix_incremental" -> prefixIncremental)
+    "q281_prefix_incremental" -> prefixIncremental,
+    "q282_cache_budget" -> cacheBudget)
 
   /** q271 oracle, shared with q277 (which appends replay_noop). */
   private val selfConsistencyOracle: String =
@@ -517,6 +548,57 @@ object AlignmentQueries {
         |FROM verd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q275_prefix_savings" -> prefixSavingsOracle,
+
+    // q282: the plan replayed in string space — groups, the benefit
+    // gradient, the min-conv tie key, the greedy cumulative admission
+    "q282_cache_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id // 4 AS conv, CAST(doc_id % 4 AS INT) AS turn,
+        |    CASE WHEN doc_id % 4 = 0
+        |        THEN 'system template ' || ((doc_id // 4) % 5)
+        |      WHEN doc_id % 4 = 1
+        |        THEN 'task directive ' ||
+        |          (CASE WHEN (doc_id // 4) % 2 = 0 THEN (doc_id // 4) % 25
+        |            ELSE (doc_id // 4) % 5 END)
+        |      ELSE text END AS content
+        |  FROM documents),
+        |h AS (
+        |  SELECT conv, turn, content,
+        |    CAST(len(CASE WHEN trim(content) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(content), '\s+') END) AS BIGINT)
+        |      AS ntok
+        |  FROM t WHERE turn < 2),
+        |c AS (
+        |  SELECT conv, list(content ORDER BY turn) AS cs,
+        |    list(ntok ORDER BY turn) AS ns
+        |  FROM h GROUP BY 1),
+        |g AS (
+        |  SELECT array_to_string(cs[1:2], chr(31)) AS pfx,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(list_sum(ns[1:2]) AS BIGINT)) AS BIGINT)
+        |      AS sum_ntok,
+        |    min(conv) AS min_conv
+        |  FROM c GROUP BY 1),
+        |b AS (
+        |  SELECT *, sum_ntok // n AS cost,
+        |    sum_ntok - sum_ntok // n AS benefit
+        |  FROM g),
+        |p AS (
+        |  SELECT *, sum(cost) OVER (ORDER BY benefit DESC, min_conv ASC
+        |    ROWS UNBOUNDED PRECEDING) <= 60 AS admitted
+        |  FROM b)
+        |SELECT CAST(60 AS BIGINT) AS capacity,
+        |  CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_admitted,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN admitted THEN cost ELSE 0 END) AS BIGINT)
+        |    AS resident_tokens,
+        |  CAST(sum(CASE WHEN admitted THEN benefit ELSE 0 END) AS BIGINT)
+        |    AS saved_tokens_realized,
+        |  CAST(sum(benefit) AS BIGINT) AS saved_tokens_total,
+        |  round(sum(CASE WHEN admitted THEN benefit ELSE 0 END) * 1.0 /
+        |    sum(benefit), 6) AS coverage
+        |FROM p""".stripMargin,
     // q281: batched census == one-shot IS the gate (the q252/q267
     // doctrine) — the q275 oracle with replay_noop appended
     "q281_prefix_incremental" -> prefixSavingsOracle

@@ -864,8 +864,41 @@ object ReleaseQueries {
       .orderBy("source")
   }
 
+  /** q283: generation-TRUNCATION screen — the structural-completeness
+    * lint run on model outputs before they enter an SFT/distillation
+    * corpus: a response cut off by max_tokens mid-sentence, inside a
+    * code fence, or inside an unclosed parenthesis teaches the model to
+    * truncate. Three in-row integer checks (all length/replace
+    * arithmetic + one anchored regex, identical in both engines), fixed
+    * precedence dangling_fence > unbalanced_paren > no_terminal > ok.
+    * Fixture: responses are the doc text with a terminal period; plants
+    * strip the terminal (id%21==3), leave a dangling ``` fence
+    * (id%27==5), or an unclosed '(' pair (id%31==8). One scan, one
+    * census groupBy. */
+  val truncationScreen: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val r = when(col("doc_id") % 21 === 3, col("text"))
+      .when(col("doc_id") % 27 === 5,
+        concat(col("text"), lit(" ```python code")))
+      .when(col("doc_id") % 31 === 8,
+        concat(col("text"), lit(" (see (note.")))
+      .otherwise(concat(col("text"), lit(".")))
+    val fenceChars = length(r) - length(regexp_replace(r, "```", ""))
+    val opens = length(r) - length(regexp_replace(r, "\\(", ""))
+    val closes = length(r) - length(regexp_replace(r, "\\)", ""))
+    d.select(col("doc_id"), col("source"),
+        when(fenceChars % 6 === 3, "dangling_fence")
+          .when(opens =!= closes, "unbalanced_paren")
+          .when(!r.rlike("[.!?]$"), "no_terminal")
+          .otherwise("ok").as("verdict"))
+      .groupBy("source", "verdict")
+      .agg(count(lit(1)).as("n_responses"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy("source", "verdict")
+  }
+
   val all: Map[String, Q] = Map(
     "q274_memorization_screen" -> memorizationScreen,
+    "q283_truncation_screen" -> truncationScreen,
     "q238_host_quota" -> hostQuota,
     "q241_passk_census" -> passAtK,
     "q242_mojibake_screen" -> mojibakeScreen,
@@ -908,6 +941,28 @@ object ReleaseQueries {
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q283: the same plants, the same length/replace integer checks, the
+    // same anchored regex and precedence
+    "q283_truncation_screen" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 21 = 3 THEN text
+        |      WHEN doc_id % 27 = 5 THEN text || ' ```python code'
+        |      WHEN doc_id % 31 = 8 THEN text || ' (see (note.'
+        |      ELSE text || '.' END AS t
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN (len(t) - len(replace(t, '```', ''))) % 6 = 3
+        |        THEN 'dangling_fence'
+        |      WHEN len(t) - len(replace(t, '(', '')) <>
+        |        len(t) - len(replace(t, ')', '')) THEN 'unbalanced_paren'
+        |      WHEN NOT regexp_matches(t, '[.!?]$') THEN 'no_terminal'
+        |      ELSE 'ok' END AS verdict
+        |  FROM r)
+        |SELECT source, verdict, CAST(count(*) AS BIGINT) AS n_responses,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q274: generations rebuilt with the same donor-join CASE, corpus
     // 8-gram set and matched-window islands enumerated in STRING space
     // (gate equality doubles as the engine's hash-collision check — the
