@@ -229,7 +229,9 @@ object Bench {
     "q280_embedding_staleness", // RAG index freshness full-outer audit
     "q281_prefix_incremental", // stored prefix census -> derived savings
     "q282_cache_budget",      // greedy KV-cache admission plan
-    "q283_truncation_screen") // generation structural-completeness lint
+    "q283_truncation_screen", // generation structural-completeness lint
+    "q284_registry_migration", // re-lint corpus under registry v1 vs v2
+    "q285_weighted_labels")   // agreement-weighted label aggregation
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

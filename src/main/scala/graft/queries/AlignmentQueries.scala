@@ -320,6 +320,40 @@ object AlignmentQueries {
     PrefixCache.cacheBudgetPlan(cacheTurns(s, dir),
       "conv_id", "turn_idx", "content", depth = 2, capacity = 60L)
 
+  // ---------------------------------------------------------------- q284
+
+  /** The q284 UPGRADED registry: search gains a required `lang`, fetch
+    * swaps `timeout_ms` for a required `retries`. */
+  private val toolRegistryV2 = Seq(
+    ToolCallLint.ToolArg("search", "query", "string"),
+    ToolCallLint.ToolArg("search", "k", "int"),
+    ToolCallLint.ToolArg("search", "lang", "string"),
+    ToolCallLint.ToolArg("calc", "expression", "string"),
+    ToolCallLint.ToolArg("fetch", "url", "string"),
+    ToolCallLint.ToolArg("fetch", "retries", "int"))
+
+  /** q284: registry-MIGRATION audit — before a serving registry upgrade
+    * ships, re-lint the historical tool-call corpus under both versions
+    * and census the verdict TRANSITIONS: how many previously-ok calls
+    * break (the retraining/compat burden), what class they break into,
+    * and whether anything heals. Both verdicts are the same stateless
+    * in-row classifier ([[graft.ops.ToolCallLint.verdictCol]]) with two
+    * literal registry maps — ONE scan, zero joins; the census is one
+    * groupBy on the (v1, v2) pair. The v2 plants are the registry diff
+    * itself: every clean search/fetch call goes ok → missing_arg (lang /
+    * retries missing), v1 bad-type timeout_ms calls RECLASSIFY (the arg
+    * is no longer required), calc is unaffected — all transition classes
+    * realized at every SF. */
+  val registryMigration: Q = (s, dir) => {
+    val calls = toolCallFixture(s, dir)
+    calls.select(col("doc_id"),
+        ToolCallLint.verdictCol(col("tool_call"), toolRegistry).as("v1"),
+        ToolCallLint.verdictCol(col("tool_call"), toolRegistryV2).as("v2"))
+      .groupBy("v1", "v2")
+      .agg(count(lit(1)).as("n_calls"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy("v1", "v2")
+  }
+
   val all: Map[String, Q] = Map(
     "q271_selfconsistency_vote" -> selfConsistency,
     "q272_toolcall_lint" -> toolCallLint,
@@ -329,7 +363,87 @@ object AlignmentQueries {
     "q278_preference_bias" -> preferenceBias,
     "q279_semantic_packing" -> semanticPacking,
     "q281_prefix_incremental" -> prefixIncremental,
-    "q282_cache_budget" -> cacheBudget)
+    "q282_cache_budget" -> cacheBudget,
+    "q284_registry_migration" -> registryMigration)
+
+  /** The q272 fixture rebuilt in SQL (shared by the q272 and q284
+    * oracles): (doc_id, call) with every plant class. */
+  private val toolCallFixtureSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, (doc_id // 3) % 3 AS kind,
+      |    CASE WHEN doc_id % 17 = 5 THEN 'delete_all'
+      |         WHEN (doc_id // 3) % 3 = 0 THEN 'search'
+      |         WHEN (doc_id // 3) % 3 = 1 THEN 'calc'
+      |         ELSE 'fetch' END AS nm
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |j AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 23 = 7 THEN '{"name": "broken' || doc_id
+      |      ELSE '{"name":"' || nm || '","args":' ||
+      |        CASE
+      |          WHEN kind = 0 AND doc_id % 13 = 2
+      |            THEN '{"query":"q' || doc_id || '"}'
+      |          WHEN kind = 0 AND doc_id % 19 = 3
+      |            THEN '{"query":"q' || doc_id || '","k":"ten"}'
+      |          WHEN kind = 0
+      |            THEN '{"query":"q' || doc_id || '","k":' || (doc_id % 10) || '}'
+      |          WHEN kind = 1 AND doc_id % 13 = 2 THEN '{}'
+      |          WHEN kind = 1
+      |            THEN '{"expression":"1+' || (doc_id % 100) || '"}'
+      |          WHEN doc_id % 13 = 2
+      |            THEN '{"url":"https://ex.com/' || doc_id || '"}'
+      |          WHEN doc_id % 19 = 3
+      |            THEN '{"url":"https://ex.com/' || doc_id || '","timeout_ms":"ten"}'
+      |          ELSE '{"url":"https://ex.com/' || doc_id || '","timeout_ms":' ||
+      |            (doc_id % 5000) || '}'
+      |        END || '}'
+      |    END AS call
+      |  FROM d),
+      |p AS (
+      |  SELECT doc_id, call, json_valid(call) AS ok,
+      |    CASE WHEN json_valid(call)
+      |      THEN json_extract_string(call, '$.name') END AS tool
+      |  FROM j)""".stripMargin
+
+  /** One verdict derivation per registry table (the q272 fold shape). */
+  private def verdictCtes(tag: String, regCte: String): String =
+    s"""reg$tag AS (SELECT * FROM (VALUES
+       |    $regCte) AS t(tool, arg, kind)),
+       |chk$tag AS (
+       |  SELECT p.doc_id, p.tool, r.arg, r.kind,
+       |    json_extract_string(p.call, '$$.args.' || r.arg) AS v
+       |  FROM p JOIN reg$tag r ON r.tool = p.tool),
+       |fold$tag AS (
+       |  SELECT doc_id, tool,
+       |    bool_or(v IS NULL) AS any_missing,
+       |    bool_or(kind = 'int' AND
+       |      NOT regexp_full_match(coalesce(v, ''), '-?[0-9]+')) AS any_badtype
+       |  FROM chk$tag GROUP BY 1, 2),
+       |verd$tag AS (
+       |  SELECT p.doc_id,
+       |    CASE WHEN p.tool IS NULL THEN 'malformed'
+       |         WHEN f.doc_id IS NULL THEN 'unknown_tool'
+       |         WHEN f.any_missing THEN 'missing_arg'
+       |         WHEN f.any_badtype THEN 'bad_type'
+       |         ELSE 'ok' END AS verdict
+       |  FROM p LEFT JOIN fold$tag f ON f.doc_id = p.doc_id)""".stripMargin
+
+  private val registryMigrationOracle: String =
+    s"""$toolCallFixtureSql,
+       |${verdictCtes("1",
+          """('search', 'query', 'string'), ('search', 'k', 'int'),
+            |    ('calc', 'expression', 'string'), ('fetch', 'url', 'string'),
+            |    ('fetch', 'timeout_ms', 'int')""".stripMargin)},
+       |${verdictCtes("2",
+          """('search', 'query', 'string'), ('search', 'k', 'int'),
+            |    ('search', 'lang', 'string'),
+            |    ('calc', 'expression', 'string'), ('fetch', 'url', 'string'),
+            |    ('fetch', 'retries', 'int')""".stripMargin)}
+       |SELECT a.verdict AS v1, b.verdict AS v2,
+       |  CAST(count(*) AS BIGINT) AS n_calls,
+       |  CAST(sum(a.doc_id) AS BIGINT) AS sum_ids
+       |FROM verd1 a JOIN verd2 b ON a.doc_id = b.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** q271 oracle, shared with q277 (which appends replay_noop). */
   private val selfConsistencyOracle: String =
@@ -480,6 +594,10 @@ object AlignmentQueries {
         |    FROM p) AS sum_c6_id,
         |  true AS coherence_gain
         |FROM t""".stripMargin,
+
+    // q284: both verdicts re-derived through DuckDB's JSON parsing over
+    // the identical rebuilt calls, one registry VALUES table per version
+    "q284_registry_migration" -> registryMigrationOracle,
 
     // q272: the JSON strings are REBUILT identically and re-parsed with
     // DuckDB's json functions (json_valid / json_extract_string), so both

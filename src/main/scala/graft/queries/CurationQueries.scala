@@ -647,6 +647,65 @@ object CurationQueries {
       .withColumn("replay_noop", lit(replayNoop))
   }
 
+  /** q285: agreement-WEIGHTED label aggregation — the step after the
+    * q268 agreement census: when annotators differ in reliability, the
+    * released label should not be a flat majority vote. This is the
+    * one-round Dawid-Skene shape (Dawid & Skene 1979; the full EM is the
+    * q166 fold doctrine, but one reliability-weighted round is what
+    * labeling pipelines actually ship first): each annotator's weight is
+    * their OBSERVED pairwise agreement rate over the whole corpus
+    * (quantized to integer micro-units — the float-parity rule), each
+    * item's label is the weight-sum argmax (ties → smaller label), and
+    * the census reports the (majority_label, weighted_label) transition
+    * matrix — the flips are exactly the items where reliability
+    * information changed the released label. Fixture: annotators 3 and 4
+    * are HEAVILY unreliable (they flip on ~3/4 of items, in different
+    * directions, so their global agreement rates crater), and on the
+    * designated item%5==2 items they gang up with annotator 2 into a 3-2
+    * count majority for base+1 — a majority whose weight sum loses to
+    * the two reliable base votes, so exactly those items flip back to
+    * base under weighting (realized at every SF; the transition matrix
+    * shows them off-diagonal). Scale shape: one item-keyed self join for
+    * the agreement rates (panel-sized fan-out), one broadcast of the
+    * 5-row weight table, two max(struct) argmaxes — no windows. */
+  val weightedLabels: Q = (s, dir) => {
+    val item = expr("doc_id div 5")
+    val ann = col("doc_id") % 5
+    val base = item % 3
+    val r = Tables.documents(s, dir).select(
+      item.as("item"), ann.as("annotator"),
+      when(item % 5 === 2 && ann >= 2, (base + 1) % 3)
+        .when(item % 5 === 2, base)
+        .when(ann === 3 && item % 4 =!= 0, (base + 1) % 3)
+        .when(ann === 4 && item % 4 =!= 1, (base + 2) % 3)
+        .when((col("doc_id") * 7 + 3) % 11 === 0, (base + 1) % 3)
+        .otherwise(base).as("label"))
+    val a = r.select(col("item"), col("annotator"), col("label"))
+    val b = r.select(col("item"), col("annotator").as("b_ann"),
+      col("label").as("b_label"))
+    val weights = a.join(b, Seq("item"))
+      .where(col("annotator") =!= col("b_ann"))
+      .groupBy("annotator")
+      .agg(count(lit(1)).as("n_cmp"),
+        sum(when(col("label") === col("b_label"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .select(col("annotator"),
+        round(col("n_agree") * lit(1000000.0) / col("n_cmp"))
+          .cast("long").as("wq"))
+    val votes = r.join(broadcast(weights), Seq("annotator"))
+      .groupBy("item", "label")
+      .agg(sum(col("wq")).as("score"), count(lit(1)).as("nv"))
+    votes.groupBy("item")
+      .agg(max(struct(col("score").as("s"), (-col("label")).as("nl")))
+          .as("w"),
+        max(struct(col("nv").as("n"), (-col("label")).as("nl"))).as("u"))
+      .select(col("item"), (-col("u.nl")).as("majority_label"),
+        (-col("w.nl")).as("weighted_label"))
+      .groupBy("majority_label", "weighted_label")
+      .agg(count(lit(1)).as("n_items"), sum(col("item")).as("sum_items"))
+      .orderBy("majority_label", "weighted_label")
+  }
+
   /** The shared q268/q273 rating fixture (pure id arithmetic). */
   private def ratingsFixture(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
@@ -898,6 +957,7 @@ object CurationQueries {
     "q267_bt_incremental" -> btIncremental,
     "q268_annotator_agreement" -> annotatorAgreement,
     "q273_annotator_incremental" -> annotatorIncremental,
+    "q285_weighted_labels" -> weightedLabels,
     "q196_chat_render" -> chatRender,
     "q245_sft_pack_masks" -> sftPackMasks,
     "q269_bfd_sft_pack" -> bfdSftPack,
@@ -1139,6 +1199,46 @@ object CurationQueries {
     // q268: kappa arithmetic replayed from the same integer counts with
     // the same expression shapes; fixture is pure id arithmetic
     "q268_annotator_agreement" -> annotatorAgreementOracle,
+    // q285: weights, votes, and both argmaxes replayed — the window does
+    // the oracle's argmax job; the engine uses max(struct)
+    "q285_weighted_labels" ->
+      """WITH r AS MATERIALIZED (
+        |  SELECT doc_id // 5 AS item, doc_id % 5 AS annotator,
+        |    CASE
+        |      WHEN (doc_id // 5) % 5 = 2 AND doc_id % 5 >= 2
+        |        THEN ((doc_id // 5) % 3 + 1) % 3
+        |      WHEN (doc_id // 5) % 5 = 2 THEN (doc_id // 5) % 3
+        |      WHEN doc_id % 5 = 3 AND (doc_id // 5) % 4 <> 0
+        |        THEN ((doc_id // 5) % 3 + 1) % 3
+        |      WHEN doc_id % 5 = 4 AND (doc_id // 5) % 4 <> 1
+        |        THEN ((doc_id // 5) % 3 + 2) % 3
+        |      WHEN (doc_id * 7 + 3) % 11 = 0
+        |        THEN ((doc_id // 5) % 3 + 1) % 3
+        |      ELSE (doc_id // 5) % 3 END AS label
+        |  FROM documents),
+        |pa AS (
+        |  SELECT a.annotator, count(*) AS n_cmp,
+        |    sum(CASE WHEN a.label = b.label THEN 1 ELSE 0 END) AS n_agree
+        |  FROM r a JOIN r b ON a.item = b.item AND a.annotator <> b.annotator
+        |  GROUP BY 1),
+        |w AS (SELECT annotator,
+        |    CAST(round(n_agree * 1000000.0 / n_cmp) AS BIGINT) AS wq
+        |  FROM pa),
+        |v AS (
+        |  SELECT r.item, r.label, CAST(sum(wq) AS BIGINT) AS score,
+        |    CAST(count(*) AS BIGINT) AS nv
+        |  FROM r JOIN w USING (annotator) GROUP BY 1, 2),
+        |ww AS (SELECT item, label AS wl FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY item
+        |      ORDER BY score DESC, label ASC) AS rn FROM v) WHERE rn = 1),
+        |uw AS (SELECT item, label AS ul FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY item
+        |      ORDER BY nv DESC, label ASC) AS rn FROM v) WHERE rn = 1)
+        |SELECT ul AS majority_label, wl AS weighted_label,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(item) AS BIGINT) AS sum_items
+        |FROM uw JOIN ww USING (item)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q273: batched censuses == one-shot IS the gate (q267 doctrine) —
     // the q268 oracle with the engine replay-noop boolean appended
     "q273_annotator_incremental" -> annotatorAgreementOracle

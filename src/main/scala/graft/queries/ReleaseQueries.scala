@@ -875,26 +875,37 @@ object ReleaseQueries {
     * strip the terminal (id%21==3), leave a dangling ``` fence
     * (id%27==5), or an unclosed '(' pair (id%31==8). One scan, one
     * census groupBy. */
-  val truncationScreen: Q = (s, dir) => {
-    val d = Tables.documents(s, dir)
-    val r = when(col("doc_id") % 21 === 3, col("text"))
-      .when(col("doc_id") % 27 === 5,
-        concat(col("text"), lit(" ```python code")))
-      .when(col("doc_id") % 31 === 8,
-        concat(col("text"), lit(" (see (note.")))
-      .otherwise(concat(col("text"), lit(".")))
+  /** The q283 verdict over a response column — shared VERBATIM by the
+    * batch gate and the streaming intake twin
+    * ([[graft.streaming.StreamingPipeline.truncationScreenStream]]), so
+    * batch and stream verdicts cannot drift. */
+  def truncationVerdictCol(r: Column): Column = {
     val fenceChars = length(r) - length(regexp_replace(r, "```", ""))
     val opens = length(r) - length(regexp_replace(r, "\\(", ""))
     val closes = length(r) - length(regexp_replace(r, "\\)", ""))
-    d.select(col("doc_id"), col("source"),
-        when(fenceChars % 6 === 3, "dangling_fence")
-          .when(opens =!= closes, "unbalanced_paren")
-          .when(!r.rlike("[.!?]$"), "no_terminal")
-          .otherwise("ok").as("verdict"))
+    when(fenceChars % 6 === 3, "dangling_fence")
+      .when(opens =!= closes, "unbalanced_paren")
+      .when(!r.rlike("[.!?]$"), "no_terminal")
+      .otherwise("ok")
+  }
+
+  /** The q283 response fixture (shared with the streaming twin's spec). */
+  private[graft] def truncationFixture(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      when(col("doc_id") % 21 === 3, col("text"))
+        .when(col("doc_id") % 27 === 5,
+          concat(col("text"), lit(" ```python code")))
+        .when(col("doc_id") % 31 === 8,
+          concat(col("text"), lit(" (see (note.")))
+        .otherwise(concat(col("text"), lit("."))).as("response"))
+
+  val truncationScreen: Q = (s, dir) =>
+    truncationFixture(s, dir)
+      .select(col("doc_id"), col("source"),
+        truncationVerdictCol(col("response")).as("verdict"))
       .groupBy("source", "verdict")
       .agg(count(lit(1)).as("n_responses"), sum(col("doc_id")).as("sum_ids"))
       .orderBy("source", "verdict")
-  }
 
   val all: Map[String, Q] = Map(
     "q274_memorization_screen" -> memorizationScreen,

@@ -331,6 +331,17 @@ object StreamingPipeline {
     calls.withColumn("lint_verdict",
       graft.ops.ToolCallLint.verdictCol(col(callCol), registry))
 
+  /** Streaming truncation screen (q283's verdict per micro-batch): one
+    * stateless in-row classification shared VERBATIM with the batch gate
+    * ([[graft.queries.ReleaseQueries.truncationVerdictCol]]) — run on
+    * generations as they arrive so a structurally-cut response never
+    * lands in the SFT corpus; verdict counts are additive across
+    * micro-batches (no state, no watermark). */
+  def truncationScreenStream(responses: DataFrame,
+      responseCol: String): DataFrame =
+    responses.withColumn("trunc_verdict",
+      graft.queries.ReleaseQueries.truncationVerdictCol(col(responseCol)))
+
   /** Streaming secret scrub (q204/q205's operators per micro-batch):
     * detector census struct + in-place token redaction in one stateless
     * projection — the code-corpus analogue of [[cardPiiStream]], run at
