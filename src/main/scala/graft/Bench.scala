@@ -231,7 +231,8 @@ object Bench {
     "q282_cache_budget",      // greedy KV-cache admission plan
     "q283_truncation_screen", // generation structural-completeness lint
     "q284_registry_migration", // re-lint corpus under registry v1 vs v2
-    "q285_weighted_labels")   // agreement-weighted label aggregation
+    "q285_weighted_labels",   // agreement-weighted label aggregation
+    "q286_epoch_audit")       // post-dedup epoch-accounting ledger
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

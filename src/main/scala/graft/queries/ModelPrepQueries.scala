@@ -1343,7 +1343,54 @@ object ModelPrepQueries {
       .orderBy("dim")
   }
 
+  /** q286: EPOCH-ACCOUNTING audit — the repeat-rate ledger a mixture
+    * plan publishes before training: after exact dedup, how many EPOCHS
+    * of each domain's unique data does the sampling plan actually
+    * consume? Repeating data beyond ~4 epochs stops helping
+    * (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    * Models"), so the audit flags domains whose quota implies
+    * over-repetition. The plan here is the standard √-temperature
+    * mixture in INTEGER form: per-domain weight = floor(√unique_tokens)
+    * (engine-stable — IEEE sqrt is exact on perfect squares and never
+    * straddles an integer elsewhere at these magnitudes), budget = 3×
+    * total unique tokens, target = (budget · w) div Σw, epochs =
+    * target / unique. Fixture: docs with id%3==0 are replicated 1 +
+    * (source-index mod 4) times (a generator explode — both engines
+    * rebuild it), so supply, duplication, and unique volume all vary by
+    * source and the dedup step is load-bearing. One scan + two
+    * map-side-combined groupBys + a 1-row broadcast of the totals. */
+  val epochAudit: Q = (s, dir) => {
+    val srcIdx = substring(col("source"), 4, 10).cast("int")
+    val copies = Tables.documents(s, dir).select(
+      col("source"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("ntok"),
+      md5(col("text")).as("h"),
+      explode(sequence(lit(0),
+        when(col("doc_id") % 3 === 0, srcIdx % 4).otherwise(0))).as("cp"))
+    val supply = copies.groupBy("source")
+      .agg(count(lit(1)).as("n_copies"), sum(col("ntok")).as("supply_tokens"))
+    val uniq = copies.groupBy("source", "h")
+      .agg(max(col("ntok")).as("ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_unique"), sum(col("ntok")).as("unique_tokens"))
+    val perSource = supply.join(uniq, Seq("source"))
+      .withColumn("w", floor(sqrt(col("unique_tokens"))).cast("long"))
+    val totals = perSource.agg(sum(col("unique_tokens")).as("tot_u"),
+      sum(col("w")).as("tot_w"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("target_tokens", expr("(3 * tot_u * w) div tot_w"))
+      .select(col("source"), col("n_copies"), col("supply_tokens"),
+        col("n_unique"), col("unique_tokens"),
+        (col("supply_tokens") - col("unique_tokens")).as("dup_tokens"),
+        col("target_tokens"),
+        round(col("target_tokens") * lit(1.0) / col("unique_tokens"), 6)
+          .as("epochs"),
+        (col("target_tokens") > col("unique_tokens") * 3).as("over_plan"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "q286_epoch_audit" -> epochAudit,
     "q211_dim_drift" -> dimDriftReport,
     "q212_neyman_sample" -> neymanEval,
     "q217_niah_build" -> niahBuild,
@@ -1689,6 +1736,39 @@ object ModelPrepQueries {
       |FROM g ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q286: replication generator, dedup, integer sqrt-temperature plan
+    // replayed with the same div arithmetic
+    "q286_epoch_audit" ->
+      """WITH c AS MATERIALIZED (
+        |  SELECT source,
+        |    CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT)
+        |      AS ntok,
+        |    md5(text) AS h
+        |  FROM documents,
+        |    UNNEST(generate_series(0,
+        |      CASE WHEN doc_id % 3 = 0
+        |        THEN CAST(substr(source, 4) AS INT) % 4 ELSE 0 END)) AS u(cp)),
+        |sup AS (SELECT source, CAST(count(*) AS BIGINT) AS n_copies,
+        |    CAST(sum(ntok) AS BIGINT) AS supply_tokens
+        |  FROM c GROUP BY 1),
+        |un AS (SELECT source, CAST(count(*) AS BIGINT) AS n_unique,
+        |    CAST(sum(ntok) AS BIGINT) AS unique_tokens
+        |  FROM (SELECT source, h, max(ntok) AS ntok FROM c GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |p AS (SELECT sup.source, n_copies, supply_tokens, n_unique,
+        |    unique_tokens,
+        |    CAST(floor(sqrt(unique_tokens)) AS BIGINT) AS w
+        |  FROM sup JOIN un USING (source)),
+        |t AS (SELECT CAST(sum(unique_tokens) AS BIGINT) AS tot_u,
+        |    CAST(sum(w) AS BIGINT) AS tot_w FROM p)
+        |SELECT source, n_copies, supply_tokens, n_unique, unique_tokens,
+        |  supply_tokens - unique_tokens AS dup_tokens,
+        |  (3 * t.tot_u * w) // t.tot_w AS target_tokens,
+        |  round(((3 * t.tot_u * w) // t.tot_w) * 1.0 / unique_tokens, 6)
+        |    AS epochs,
+        |  (3 * t.tot_u * w) // t.tot_w > unique_tokens * 3 AS over_plan
+        |FROM p, t ORDER BY source""".stripMargin,
     // q217: same ordered string_agg base, same modular depth arithmetic,
     // same splice — the render certificate hashes every byte of every
     // haystack on both sides
