@@ -180,7 +180,54 @@ object RetrievalQueries {
       .select(col("id"), col("score"), col("rank"))
   }
 
+  /** The q287 query set: five fixed bag-of-terms queries over the corpus
+    * vocabulary (shared verbatim with the oracle's VALUES table). */
+  private val ragQueries: Seq[(Long, String)] = Seq(
+    0L -> "spark", 0L -> "shuffle",
+    1L -> "join", 1L -> "filter",
+    2L -> "table", 2L -> "scan", 2L -> "merge",
+    3L -> "row", 3L -> "data",
+    4L -> "vector", 4L -> "hash", 4L -> "column")
+
+  /** q287: RAG context-budget assembly census — the step between
+    * retrieval and the prompt: given each query's BM25 top-20
+    * candidates, how many actually FIT the context budget, in rank
+    * order (the prefix rule: a running token total is monotone, so the
+    * admitted set is exactly the ranked prefix that fits)? Per query:
+    * candidates, admitted docs, tokens used of the 256-token budget,
+    * the first excluded rank (0 when everything fits), and the Σid
+    * certificate of the admitted set. The retrieval leg is the
+    * already-verified batched BM25 ([[graft.ops.Bm25.topKBatch]] —
+    * term-filtered before any shuffle, O(k) per-query ranking state);
+    * the fit pass is one window over ≤ k rows per query. */
+  val ragContextFit: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val queries = ragQueries.toDF("query_id", "term")
+    val run = Bm25.topKBatch(docs, "doc_id", "text", queries, k = 20)
+    val withLen = run.join(
+      docs.select(col("doc_id").as("id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("ntok")),
+      Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy("rank")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    withLen
+      .withColumn("cum", sum(col("ntok")).over(w))
+      .withColumn("fits", col("cum") <= 256)
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("fits"), 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("fits"), col("ntok")).otherwise(0L)).as("tokens_used"),
+        coalesce(min(when(!col("fits"), col("rank"))), lit(0))
+          .as("first_excluded_rank"),
+        sum(when(col("fits"), col("id")).otherwise(0L)).as("sum_admitted_ids"))
+      .orderBy("query_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q287_rag_context_fit" -> ragContextFit,
     "q115_incremental_reprocess" -> incrementalReprocess,
     "q110_corpus_diff" -> corpusDiff,
     "q111_indexed_bm25" -> indexedBm25,
@@ -192,6 +239,60 @@ object RetrievalQueries {
     "q109_semantic_decontam" -> semanticDecontam)
 
   val oracles: Map[String, String] = Map(
+    // q287: the q77 BM25 SQL generalized to a (query_id, term) table,
+    // same 6-dp round-before-rank and (score desc, id asc) tie order,
+    // then the ranked-prefix budget fold
+    "q287_rag_context_fit" ->
+      """WITH qt AS (SELECT * FROM (VALUES
+        |    (0, 'spark'), (0, 'shuffle'), (1, 'join'), (1, 'filter'),
+        |    (2, 'table'), (2, 'scan'), (2, 'merge'), (3, 'row'),
+        |    (3, 'data'), (4, 'vector'), (4, 'hash'), (4, 'column'))
+        |  AS t(query_id, term)),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |dlen AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS dl,
+        |    CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT)
+        |      AS ntok
+        |  FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+        |  FROM dlen),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+        |dfv AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    round(sum(ln(1.0 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+        |      * tf.tf * 2.2 /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))), 6) AS score
+        |  FROM tf JOIN dfv USING (term) JOIN dlen d USING (doc_id)
+        |    CROSS JOIN stats s JOIN qt USING (term)
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS rnk
+        |  FROM scored QUALIFY rnk <= 20),
+        |f AS (
+        |  SELECT rk.query_id, rk.doc_id, rk.rnk, d.ntok,
+        |    sum(d.ntok) OVER (PARTITION BY rk.query_id ORDER BY rk.rnk
+        |      ROWS UNBOUNDED PRECEDING) <= 256 AS fits
+        |  FROM rk JOIN dlen d USING (doc_id))
+        |SELECT CAST(query_id AS BIGINT) AS query_id,
+        |  CAST(count(*) AS BIGINT) AS n_candidates,
+        |  CAST(sum(CASE WHEN fits THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_admitted,
+        |  CAST(sum(CASE WHEN fits THEN ntok ELSE 0 END) AS BIGINT)
+        |    AS tokens_used,
+        |  CAST(coalesce(min(CASE WHEN NOT fits THEN rnk END), 0) AS INT)
+        |    AS first_excluded_rank,
+        |  CAST(sum(CASE WHEN fits THEN doc_id ELSE 0 END) AS BIGINT)
+        |    AS sum_admitted_ids
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     // q115: BM25 from scratch over the FULL v2 snapshot — equality proves
     // the diff-driven index maintenance converged
     "q115_incremental_reprocess" ->
