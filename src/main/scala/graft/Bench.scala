@@ -233,7 +233,8 @@ object Bench {
     "q284_registry_migration", // re-lint corpus under registry v1 vs v2
     "q285_weighted_labels",   // agreement-weighted label aggregation
     "q286_epoch_audit",       // post-dedup epoch-accounting ledger
-    "q287_rag_context_fit")   // ranked-prefix context-budget assembly
+    "q287_rag_context_fit",   // ranked-prefix context-budget assembly
+    "q288_annotator_report")  // per-annotator accuracy vs consensus
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -668,11 +668,20 @@ object CurationQueries {
     * shows them off-diagonal). Scale shape: one item-keyed self join for
     * the agreement rates (panel-sized fan-out), one broadcast of the
     * 5-row weight table, two max(struct) argmaxes — no windows. */
-  val weightedLabels: Q = (s, dir) => {
+  val weightedLabels: Q = (s, dir) =>
+    weightedPicks(unreliableRatings(s, dir))
+      .groupBy("majority_label", "weighted_label")
+      .agg(count(lit(1)).as("n_items"), sum(col("item")).as("sum_items"))
+      .orderBy("majority_label", "weighted_label")
+
+  /** The shared q285/q288 fixture: the q268 id arithmetic plus two
+    * heavily-unreliable annotators and the designated flip items (see
+    * [[weightedLabels]]'s scaladoc). */
+  private def unreliableRatings(s: SparkSession, dir: String): DataFrame = {
     val item = expr("doc_id div 5")
     val ann = col("doc_id") % 5
     val base = item % 3
-    val r = Tables.documents(s, dir).select(
+    Tables.documents(s, dir).select(
       item.as("item"), ann.as("annotator"),
       when(item % 5 === 2 && ann >= 2, (base + 1) % 3)
         .when(item % 5 === 2, base)
@@ -680,10 +689,13 @@ object CurationQueries {
         .when(ann === 4 && item % 4 =!= 1, (base + 2) % 3)
         .when((col("doc_id") * 7 + 3) % 11 === 0, (base + 1) % 3)
         .otherwise(base).as("label"))
-    val a = r.select(col("item"), col("annotator"), col("label"))
+  }
+
+  /** Agreement weights (integer micro-units) for a ratings frame. */
+  private def annotatorWeights(r: DataFrame): DataFrame = {
     val b = r.select(col("item"), col("annotator").as("b_ann"),
       col("label").as("b_label"))
-    val weights = a.join(b, Seq("item"))
+    r.join(b, Seq("item"))
       .where(col("annotator") =!= col("b_ann"))
       .groupBy("annotator")
       .agg(count(lit(1)).as("n_cmp"),
@@ -692,7 +704,12 @@ object CurationQueries {
       .select(col("annotator"),
         round(col("n_agree") * lit(1000000.0) / col("n_cmp"))
           .cast("long").as("wq"))
-    val votes = r.join(broadcast(weights), Seq("annotator"))
+  }
+
+  /** Per item: the flat-majority and agreement-weighted argmax labels
+    * (ties → smaller label on both). */
+  private def weightedPicks(r: DataFrame): DataFrame = {
+    val votes = r.join(broadcast(annotatorWeights(r)), Seq("annotator"))
       .groupBy("item", "label")
       .agg(sum(col("wq")).as("score"), count(lit(1)).as("nv"))
     votes.groupBy("item")
@@ -701,9 +718,34 @@ object CurationQueries {
         max(struct(col("nv").as("n"), (-col("label")).as("nl"))).as("u"))
       .select(col("item"), (-col("u.nl")).as("majority_label"),
         (-col("w.nl")).as("weighted_label"))
-      .groupBy("majority_label", "weighted_label")
-      .agg(count(lit(1)).as("n_items"), sum(col("item")).as("sum_items"))
-      .orderBy("majority_label", "weighted_label")
+  }
+
+  /** q288: annotator REPORT CARDS — the per-annotator QC dashboard that
+    * closes the labeling loop: score every annotator against the
+    * RELEASED (agreement-weighted, q285) consensus label. Per annotator:
+    * items rated, consensus matches, 6-dp accuracy, and a full
+    * confusion-matrix checksum (Σ consensus·3 + voted over mismatches —
+    * one integer certifying every off-diagonal cell). The two planted
+    * unreliable annotators surface at the bottom of the accuracy column
+    * — the report a labeling vendor review actually reads. One extra
+    * broadcast join over q285's machinery; output is panel-sized. */
+  val annotatorReport: Q = (s, dir) => {
+    val r = unreliableRatings(s, dir)
+    val consensus = weightedPicks(r)
+      .select(col("item"), col("weighted_label").as("consensus"))
+    r.join(consensus, Seq("item"))
+      .groupBy("annotator")
+      .agg(count(lit(1)).as("n_rated"),
+        sum(when(col("label") === col("consensus"), 1L).otherwise(0L))
+          .as("n_match"),
+        sum(when(col("label") =!= col("consensus"),
+          col("consensus") * 3 + col("label")).otherwise(0L))
+          .as("confusion_sum"))
+      .select(col("annotator"), col("n_rated"), col("n_match"),
+        round(col("n_match") * lit(1.0) / col("n_rated"), 6).as("accuracy"),
+        (col("n_rated") - col("n_match")).as("n_mismatch"),
+        col("confusion_sum"))
+      .orderBy("annotator")
   }
 
   /** The shared q268/q273 rating fixture (pure id arithmetic). */
@@ -958,6 +1000,7 @@ object CurationQueries {
     "q268_annotator_agreement" -> annotatorAgreement,
     "q273_annotator_incremental" -> annotatorIncremental,
     "q285_weighted_labels" -> weightedLabels,
+    "q288_annotator_report" -> annotatorReport,
     "q196_chat_render" -> chatRender,
     "q245_sft_pack_masks" -> sftPackMasks,
     "q269_bfd_sft_pack" -> bfdSftPack,
@@ -1188,6 +1231,39 @@ object CurationQueries {
         |  fk.n_items, fk.fleiss_kappa
         |FROM pp, fk ORDER BY 1, 2""".stripMargin
 
+  /** Shared q285/q288 oracle CTEs: the unreliable-ratings fixture,
+    * agreement weights, vote scores, and the weighted per-item pick. */
+  private val weightedVotesSql: String =
+    """WITH r AS MATERIALIZED (
+      |  SELECT doc_id // 5 AS item, doc_id % 5 AS annotator,
+      |    CASE
+      |      WHEN (doc_id // 5) % 5 = 2 AND doc_id % 5 >= 2
+      |        THEN ((doc_id // 5) % 3 + 1) % 3
+      |      WHEN (doc_id // 5) % 5 = 2 THEN (doc_id // 5) % 3
+      |      WHEN doc_id % 5 = 3 AND (doc_id // 5) % 4 <> 0
+      |        THEN ((doc_id // 5) % 3 + 1) % 3
+      |      WHEN doc_id % 5 = 4 AND (doc_id // 5) % 4 <> 1
+      |        THEN ((doc_id // 5) % 3 + 2) % 3
+      |      WHEN (doc_id * 7 + 3) % 11 = 0
+      |        THEN ((doc_id // 5) % 3 + 1) % 3
+      |      ELSE (doc_id // 5) % 3 END AS label
+      |  FROM documents),
+      |pa AS (
+      |  SELECT a.annotator, count(*) AS n_cmp,
+      |    sum(CASE WHEN a.label = b.label THEN 1 ELSE 0 END) AS n_agree
+      |  FROM r a JOIN r b ON a.item = b.item AND a.annotator <> b.annotator
+      |  GROUP BY 1),
+      |w AS (SELECT annotator,
+      |    CAST(round(n_agree * 1000000.0 / n_cmp) AS BIGINT) AS wq
+      |  FROM pa),
+      |v AS (
+      |  SELECT r.item, r.label, CAST(sum(wq) AS BIGINT) AS score,
+      |    CAST(count(*) AS BIGINT) AS nv
+      |  FROM r JOIN w USING (annotator) GROUP BY 1, 2),
+      |ww AS (SELECT item, label AS wl FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY item
+      |      ORDER BY score DESC, label ASC) AS rn FROM v) WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q264_bt_strength" -> btStrengthOracle(BtSteps, BtLr),
     "q265_preference_consistency" -> preferenceConsistencyOracle,
@@ -1201,36 +1277,8 @@ object CurationQueries {
     "q268_annotator_agreement" -> annotatorAgreementOracle,
     // q285: weights, votes, and both argmaxes replayed — the window does
     // the oracle's argmax job; the engine uses max(struct)
-    "q285_weighted_labels" ->
-      """WITH r AS MATERIALIZED (
-        |  SELECT doc_id // 5 AS item, doc_id % 5 AS annotator,
-        |    CASE
-        |      WHEN (doc_id // 5) % 5 = 2 AND doc_id % 5 >= 2
-        |        THEN ((doc_id // 5) % 3 + 1) % 3
-        |      WHEN (doc_id // 5) % 5 = 2 THEN (doc_id // 5) % 3
-        |      WHEN doc_id % 5 = 3 AND (doc_id // 5) % 4 <> 0
-        |        THEN ((doc_id // 5) % 3 + 1) % 3
-        |      WHEN doc_id % 5 = 4 AND (doc_id // 5) % 4 <> 1
-        |        THEN ((doc_id // 5) % 3 + 2) % 3
-        |      WHEN (doc_id * 7 + 3) % 11 = 0
-        |        THEN ((doc_id // 5) % 3 + 1) % 3
-        |      ELSE (doc_id // 5) % 3 END AS label
-        |  FROM documents),
-        |pa AS (
-        |  SELECT a.annotator, count(*) AS n_cmp,
-        |    sum(CASE WHEN a.label = b.label THEN 1 ELSE 0 END) AS n_agree
-        |  FROM r a JOIN r b ON a.item = b.item AND a.annotator <> b.annotator
-        |  GROUP BY 1),
-        |w AS (SELECT annotator,
-        |    CAST(round(n_agree * 1000000.0 / n_cmp) AS BIGINT) AS wq
-        |  FROM pa),
-        |v AS (
-        |  SELECT r.item, r.label, CAST(sum(wq) AS BIGINT) AS score,
-        |    CAST(count(*) AS BIGINT) AS nv
-        |  FROM r JOIN w USING (annotator) GROUP BY 1, 2),
-        |ww AS (SELECT item, label AS wl FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY item
-        |      ORDER BY score DESC, label ASC) AS rn FROM v) WHERE rn = 1),
+    "q285_weighted_labels" -> (weightedVotesSql +
+      """,
         |uw AS (SELECT item, label AS ul FROM (
         |    SELECT *, row_number() OVER (PARTITION BY item
         |      ORDER BY nv DESC, label ASC) AS rn FROM v) WHERE rn = 1)
@@ -1238,7 +1286,22 @@ object CurationQueries {
         |  CAST(count(*) AS BIGINT) AS n_items,
         |  CAST(sum(item) AS BIGINT) AS sum_items
         |FROM uw JOIN ww USING (item)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // q288: the per-annotator scorecard against the q285 weighted pick,
+    // same integer confusion checksum
+    "q288_annotator_report" -> (weightedVotesSql +
+      """
+        |SELECT r.annotator, CAST(count(*) AS BIGINT) AS n_rated,
+        |  CAST(sum(CASE WHEN r.label = ww.wl THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_match,
+        |  round(sum(CASE WHEN r.label = ww.wl THEN 1 ELSE 0 END) * 1.0 /
+        |    count(*), 6) AS accuracy,
+        |  CAST(sum(CASE WHEN r.label <> ww.wl THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_mismatch,
+        |  CAST(sum(CASE WHEN r.label <> ww.wl THEN ww.wl * 3 + r.label
+        |    ELSE 0 END) AS BIGINT) AS confusion_sum
+        |FROM r JOIN ww USING (item)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
     // q273: batched censuses == one-shot IS the gate (q267 doctrine) —
     // the q268 oracle with the engine replay-noop boolean appended
     "q273_annotator_incremental" -> annotatorAgreementOracle
