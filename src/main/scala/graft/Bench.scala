@@ -234,7 +234,9 @@ object Bench {
     "q285_weighted_labels",   // agreement-weighted label aggregation
     "q286_epoch_audit",       // post-dedup epoch-accounting ledger
     "q287_rag_context_fit",   // ranked-prefix context-budget assembly
-    "q288_annotator_report")  // per-annotator accuracy vs consensus
+    "q288_annotator_report",  // per-annotator accuracy vs consensus
+    "q289_rm_calibration",    // BT reliability diagram by decile
+    "q290_epoch_incremental") // stored dedup census -> derived plan
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -943,6 +943,56 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  /** q289: reward-model CALIBRATION census — the reliability diagram of
+    * the fitted Bradley-Terry model (the probe run on any reward model
+    * before its scores gate data): for every source pair, the model
+    * PREDICTS P(stronger side wins) = σ(θ_hi − θ_lo); binning pairs by
+    * predicted decile and comparing against the OBSERVED win rate in
+    * each bin exposes over/under-confidence that the strength ranking
+    * alone hides. Predictions quantize to integer micro-units (the
+    * float-parity rule: both engines compute σ from the SAME fold —
+    * q264's quantized-gradient steps make the θ trajectory IEEE-
+    * identical, so the 1e-6 rounding agrees); observed rates are exact
+    * integer ratios. Pair matrix + θ table are metadata-sized; the
+    * census is arithmetic on ≤ C(sources,2) rows. */
+  val rmCalibration: Q = (s, dir) => {
+    import s.implicits._
+    val mat = graft.ops.BradleyTerry.winMatrix(
+      comparisonFixture(Tables.documents(s, dir)), "winner", "loser")
+      .cache()
+    val strengths = graft.ops.BradleyTerry.fitFromMatrix(mat, BtSteps, BtLr)
+      .toDF("source", "th")
+    val lo = when(col("winner") < col("loser"), col("winner"))
+      .otherwise(col("loser"))
+    val hi = when(col("winner") < col("loser"), col("loser"))
+      .otherwise(col("winner"))
+    val pairs = mat
+      .select(lo.as("s_lo"), hi.as("s_hi"),
+        when(col("winner") === hi, col("n_wins")).otherwise(0L).as("hw"),
+        when(col("winner") === hi, 0L).otherwise(col("n_wins")).as("lw"))
+      .groupBy("s_lo", "s_hi")
+      .agg(sum(col("hw")).as("hi_wins"), sum(col("lw")).as("lo_wins"))
+    val thLo = strengths.select(col("source").as("s_lo"), col("th").as("th_lo"))
+    val thHi = strengths.select(col("source").as("s_hi"), col("th").as("th_hi"))
+    pairs.join(broadcast(thLo), Seq("s_lo")).join(broadcast(thHi), Seq("s_hi"))
+      .withColumn("p6",
+        round(lit(1000000.0) / (lit(1.0) + exp(-(col("th_hi") - col("th_lo")))))
+          .cast("long"))
+      .withColumn("bin", least(expr("p6 div 100000"), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("hi_wins") + col("lo_wins")).as("n_comparisons"),
+        sum(col("hi_wins")).as("hi_wins"),
+        sum(col("p6")).as("sum_p6"))
+      .select(col("bin"), col("n_pairs"), col("n_comparisons"),
+        col("hi_wins"),
+        round(col("hi_wins") * lit(1.0) / col("n_comparisons"), 6)
+          .as("observed_rate"),
+        round(col("sum_p6") * lit(1.0) / col("n_pairs") / 1000000.0, 6)
+          .as("predicted_rate"))
+      .orderBy("bin")
+  }
+
   /** q265: preference-consistency census — the annotation-quality screen
     * run BEFORE fitting anything on preference data: per source pair, the
     * two directed win counts, the majority direction, and the minority
@@ -1001,6 +1051,7 @@ object CurationQueries {
     "q273_annotator_incremental" -> annotatorIncremental,
     "q285_weighted_labels" -> weightedLabels,
     "q288_annotator_report" -> annotatorReport,
+    "q289_rm_calibration" -> rmCalibration,
     "q196_chat_render" -> chatRender,
     "q245_sft_pack_masks" -> sftPackMasks,
     "q269_bfd_sft_pack" -> bfdSftPack,
@@ -1061,8 +1112,10 @@ object CurationQueries {
     * instead of scalar weights): per step, both directed per-edge terms
     * round to 1e-6 integers, sums update θ with the identical expression
     * order the engine uses. */
-  private def btStrengthOracle(steps: Int, lr: Double): String = {
-    val stepCtes = (1 to steps).map { t =>
+  /** The quantized-gradient fold CTEs shared by the q264/q267/q289
+    * oracles: t0..t{steps} score tables over the win matrix `m`. */
+  private def btStepCtes(steps: Int, lr: Double): String =
+    (1 to steps).map { t =>
       val p = t - 1
       s"""e$t AS MATERIALIZED (
          |  SELECT m.winner AS source,
@@ -1080,6 +1133,9 @@ object CurationQueries {
          |  FROM t$p t LEFT JOIN (SELECT source, sum(g) AS sg FROM e$t GROUP BY 1) g
          |    USING (source))""".stripMargin
     }.mkString(",\n")
+
+  private def btStrengthOracle(steps: Int, lr: Double): String = {
+    val stepCtes = btStepCtes(steps, lr)
     s"""WITH $btComparisonSql,
        |items AS MATERIALIZED (SELECT DISTINCT source FROM d),
        |tot AS MATERIALIZED (SELECT CAST(sum(w) AS DOUBLE) AS tot FROM m),
@@ -1094,6 +1150,36 @@ object CurationQueries {
        |FROM t$steps t LEFT JOIN wn USING (source) LEFT JOIN ls USING (source)
        |ORDER BY 1""".stripMargin
   }
+
+  /** q289 oracle: the same fold to t{steps}, then pair probabilities
+    * quantized to micro-units and the decile reliability table. */
+  private def rmCalibrationOracle(steps: Int, lr: Double): String =
+    s"""WITH $btComparisonSql,
+       |items AS MATERIALIZED (SELECT DISTINCT source FROM d),
+       |tot AS MATERIALIZED (SELECT CAST(sum(w) AS DOUBLE) AS tot FROM m),
+       |t0 AS MATERIALIZED (SELECT source, 0.0 AS th FROM items),
+       |${btStepCtes(steps, lr)},
+       |pm AS MATERIALIZED (
+       |  SELECT CASE WHEN winner < loser THEN winner ELSE loser END AS s_lo,
+       |    CASE WHEN winner < loser THEN loser ELSE winner END AS s_hi,
+       |    CAST(sum(CASE WHEN winner > loser THEN w ELSE 0 END) AS BIGINT)
+       |      AS hi_wins,
+       |    CAST(sum(CASE WHEN winner > loser THEN 0 ELSE w END) AS BIGINT)
+       |      AS lo_wins
+       |  FROM m GROUP BY 1, 2),
+       |pp AS (
+       |  SELECT pm.*, CAST(round(1000000.0 /
+       |      (1.0 + exp(-(th_h.th - th_l.th)))) AS BIGINT) AS p6
+       |  FROM pm JOIN t$steps th_l ON th_l.source = pm.s_lo
+       |    JOIN t$steps th_h ON th_h.source = pm.s_hi),
+       |b AS (SELECT least(p6 // 100000, 9) AS bin, * FROM pp)
+       |SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(hi_wins + lo_wins) AS BIGINT) AS n_comparisons,
+       |  CAST(sum(hi_wins) AS BIGINT) AS hi_wins,
+       |  round(sum(hi_wins) * 1.0 / sum(hi_wins + lo_wins), 6)
+       |    AS observed_rate,
+       |  round(sum(p6) * 1.0 / count(*) / 1000000.0, 6) AS predicted_rate
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val preferenceConsistencyOracle: String =
     s"""WITH $btComparisonSql,
@@ -1275,6 +1361,7 @@ object CurationQueries {
     // q268: kappa arithmetic replayed from the same integer counts with
     // the same expression shapes; fixture is pure id arithmetic
     "q268_annotator_agreement" -> annotatorAgreementOracle,
+    "q289_rm_calibration" -> rmCalibrationOracle(BtSteps, BtLr),
     // q285: weights, votes, and both argmaxes replayed — the window does
     // the oracle's argmax job; the engine uses max(struct)
     "q285_weighted_labels" -> (weightedVotesSql +

@@ -1359,21 +1359,38 @@ object ModelPrepQueries {
     * rebuild it), so supply, duplication, and unique volume all vary by
     * source and the dedup step is load-bearing. One scan + two
     * map-side-combined groupBys + a 1-row broadcast of the totals. */
-  val epochAudit: Q = (s, dir) => {
+  val epochAudit: Q = (s, dir) =>
+    epochPlanReport(dedupCensus(replicatedCopies(s, dir)))
+
+  /** The q286/q290 replication fixture: one row per CORPUS COPY. */
+  private def replicatedCopies(s: SparkSession, dir: String): DataFrame = {
     val srcIdx = substring(col("source"), 4, 10).cast("int")
-    val copies = Tables.documents(s, dir).select(
-      col("source"),
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("source"),
       TextFunctions.tokenCount(col("text")).cast("long").as("ntok"),
       md5(col("text")).as("h"),
       explode(sequence(lit(0),
         when(col("doc_id") % 3 === 0, srcIdx % 4).otherwise(0))).as("cp"))
-    val supply = copies.groupBy("source")
-      .agg(count(lit(1)).as("n_copies"), sum(col("ntok")).as("supply_tokens"))
-    val uniq = copies.groupBy("source", "h")
-      .agg(max(col("ntok")).as("ntok"))
+  }
+
+  /** The ADDITIVE dedup census: per (source, content-hash), copy count
+    * and token volume — both plain sums, so corpus batches merge into
+    * the census store unconditionally (a hash's copies split across
+    * batches still sum, and the per-copy length recovers as
+    * sum_ntok div n — the q281 recovery rule). */
+  private def dedupCensus(copies: DataFrame): DataFrame =
+    copies.groupBy("source", "h")
+      .agg(count(lit(1)).as("n"), sum(col("ntok")).as("sum_ntok"))
+
+  /** The √-temperature plan report over (source, h, n, sum_ntok) census
+    * rows (integer arithmetic throughout; see [[epochAudit]]). */
+  private def epochPlanReport(census: DataFrame): DataFrame = {
+    val perSource = census
       .groupBy("source")
-      .agg(count(lit(1)).as("n_unique"), sum(col("ntok")).as("unique_tokens"))
-    val perSource = supply.join(uniq, Seq("source"))
+      .agg(sum(col("n")).as("n_copies"),
+        sum(col("sum_ntok")).as("supply_tokens"),
+        count(lit(1)).as("n_unique"),
+        sum(expr("sum_ntok div n")).as("unique_tokens"))
       .withColumn("w", floor(sqrt(col("unique_tokens"))).cast("long"))
     val totals = perSource.agg(sum(col("unique_tokens")).as("tot_u"),
       sum(col("w")).as("tot_w"))
@@ -1389,8 +1406,33 @@ object ModelPrepQueries {
       .orderBy("source")
   }
 
+  /** q290: INCREMENTAL epoch accounting — the (source, content-hash)
+    * dedup census is unconditionally additive (copy count + token
+    * volume are plain sums; per-copy length recovers as sum_ntok div n),
+    * so corpus generations merge into the census store exactly-once and
+    * the whole q286 plan re-derives from the reloaded integers: the
+    * mixture planner stays current as crawls land, without rescanning
+    * history. Gate: two doc-parity batches through the store, replay
+    * no-op, report == q286's one-shot oracle. */
+  val epochIncremental: Q = (s, dir) => {
+    val copies = replicatedCopies(s, dir)
+    val path = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_epoch_idx"))
+      .resolve("census").toString
+    def ingest(half: Int, id: Long): Boolean =
+      graft.store.IndexStore.updateCensus(s, path,
+        dedupCensus(copies.where(col("doc_id") % 2 === half)),
+        Seq("source", "h"), batchId = id)
+    ingest(0, 0L)
+    val replayNoop = !ingest(0, 0L)
+    ingest(1, 1L)
+    epochPlanReport(graft.store.IndexStore.loadCensus(s, path))
+      .withColumn("replay_noop", lit(replayNoop))
+  }
+
   val all: Map[String, Q] = Map(
     "q286_epoch_audit" -> epochAudit,
+    "q290_epoch_incremental" -> epochIncremental,
     "q211_dim_drift" -> dimDriftReport,
     "q212_neyman_sample" -> neymanEval,
     "q217_niah_build" -> niahBuild,
@@ -1735,11 +1777,11 @@ object ModelPrepQueries {
       |        (qa / na - (sa / na) * (sa / na)), 6) AS var_ratio
       |FROM g ORDER BY 1""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    // q286: replication generator, dedup, integer sqrt-temperature plan
-    // replayed with the same div arithmetic
-    "q286_epoch_audit" ->
-      """WITH c AS MATERIALIZED (
+  /** q286 oracle, shared with q290 (which appends replay_noop):
+    * replication generator, dedup, integer sqrt-temperature plan
+    * replayed with the same div arithmetic. */
+  private val epochAuditOracle: String =
+    """WITH c AS MATERIALIZED (
         |  SELECT source,
         |    CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
         |      ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT)
@@ -1768,7 +1810,15 @@ object ModelPrepQueries {
         |  round(((3 * t.tot_u * w) // t.tot_w) * 1.0 / unique_tokens, 6)
         |    AS epochs,
         |  (3 * t.tot_u * w) // t.tot_w > unique_tokens * 3 AS over_plan
-        |FROM p, t ORDER BY source""".stripMargin,
+        |FROM p, t ORDER BY source""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q286_epoch_audit" -> epochAuditOracle,
+    // q290: batched census == one-shot IS the gate (the q281/q252
+    // doctrine) — the q286 oracle with replay_noop appended
+    "q290_epoch_incremental" -> epochAuditOracle
+      .replace(" > unique_tokens * 3 AS over_plan\n",
+        " > unique_tokens * 3 AS over_plan, true AS replay_noop\n"),
     // q217: same ordered string_agg base, same modular depth arithmetic,
     // same splice — the render certificate hashes every byte of every
     // haystack on both sides
