@@ -559,4 +559,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Generate explode") && !plan.contains("Join"),
       s"the card must stay in-row into one partial aggregate:\n${plan.take(3000)}")
   }
+
+  test("tool-call lint and registry migration: one scan, zero joins") {
+    // the registry rides as a LITERAL map; the verdicts (one for q272,
+    // two for q284) must stay in-row into one partial aggregate
+    Seq("q272_toolcall_lint", "q284_registry_migration").foreach { q =>
+      val plan = planOf(q)
+      assert("FileScan parquet".r.findAllIn(plan).length == 1,
+        s"$q must scan documents exactly once:\n${plan.take(2000)}")
+      assert(!plan.contains("Join"),
+        s"$q must not join the registry:\n${plan.take(2000)}")
+    }
+  }
+
+  test("truncation and preference-bias screens: single scan / key-equi join only") {
+    val t = planOf("q283_truncation_screen")
+    assert("FileScan parquet".r.findAllIn(t).length == 1,
+      s"truncation screen must scan documents exactly once:\n${t.take(2000)}")
+    assert(!t.contains("Join"), s"no join in a stateless screen:\n${t.take(2000)}")
+    // q278 carries ONE BroadcastNestedLoop — the 1-row corpus-count
+    // attach (the established normalizer idiom); the doc-doc pairing
+    // itself must be a key-equi join and never a cartesian
+    val b = planOf("q278_preference_bias")
+    assert(!b.contains("CartesianProduct"),
+      s"the partner pairing must be a key-equi join:\n${b.take(2000)}")
+    assert("BroadcastNestedLoop".r.findAllIn(b).length <= 1,
+      s"only the 1-row count attach may nest-loop:\n${b.take(2000)}")
+  }
+
+  test("self-consistency vote: two map-side aggregates, no window") {
+    val plan = planOf("q271_selfconsistency_vote")
+    assert(!plan.contains("Window"),
+      s"the per-prompt argmax must ride the aggregate, not a window:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), s"no join needed:\n${plan.take(2000)}")
+  }
 }
