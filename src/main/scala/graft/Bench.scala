@@ -236,7 +236,9 @@ object Bench {
     "q287_rag_context_fit",   // ranked-prefix context-budget assembly
     "q288_annotator_report",  // per-annotator accuracy vs consensus
     "q289_rm_calibration",    // BT reliability diagram by decile
-    "q290_epoch_incremental") // stored dedup census -> derived plan
+    "q290_epoch_incremental", // stored dedup census -> derived plan
+    "q291_refusal_screen",    // refusal / over-refusal verdict census
+    "q298_refusal_incremental") // stored refusal census -> derived shares
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

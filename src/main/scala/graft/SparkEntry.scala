@@ -3,7 +3,7 @@ package graft
 import graft.config.PipelineConfig
 import graft.connect.{ParquetSource, ParquetStage, ParquetTarget}
 import graft.ledger.Ledger
-import graft.queries.{AlignmentQueries, AnalysisQueries, CorpusQueries, CurationQueries, ExtendedQueries, HygieneQueries, ModelPrepQueries, RelationalQueries, ReleaseQueries, RetrievalQueries, SqlQueries, StarQueries}
+import graft.queries.{AlignmentQueries, AnalysisQueries, CorpusQueries, CurationQueries, EvalQueries, ExtendedQueries, HygieneQueries, ModelPrepQueries, RelationalQueries, ReleaseQueries, RetrievalQueries, SqlQueries, StarQueries}
 import graft.runner.PipelineRunner
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -41,7 +41,8 @@ object SparkEntry {
     RelationalQueries.all ++ StarQueries.all ++ CorpusQueries.all ++
       ExtendedQueries.all ++ SqlQueries.all ++ CurationQueries.all ++
       ModelPrepQueries.all ++ RetrievalQueries.all ++ AnalysisQueries.all ++
-      HygieneQueries.all ++ ReleaseQueries.all ++ AlignmentQueries.all
+      HygieneQueries.all ++ ReleaseQueries.all ++ AlignmentQueries.all ++
+      EvalQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (seeded
@@ -51,5 +52,6 @@ object SparkEntry {
     RelationalQueries.oracles ++ StarQueries.oracles ++ CorpusQueries.oracles ++
       ExtendedQueries.oracles ++ SqlQueries.oracles ++ CurationQueries.oracles ++
       ModelPrepQueries.oracles ++ RetrievalQueries.oracles ++ AnalysisQueries.oracles ++
-      HygieneQueries.oracles ++ ReleaseQueries.oracles ++ AlignmentQueries.oracles
+      HygieneQueries.oracles ++ ReleaseQueries.oracles ++ AlignmentQueries.oracles ++
+      EvalQueries.oracles
 }

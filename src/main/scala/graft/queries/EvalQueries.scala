@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.ops.RefusalScreen
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-11 third-wave additions: the eval-integrity / fleet-ops tier —
+  * the operators that audit model OUTPUTS (refusals, constraint
+  * compliance, agent traces, decode acceptance) and plan the physical
+  * fleet work (epoch shuffle shards, file compaction, packed-attention
+  * cost). Every fixture is deterministic id arithmetic over the documents
+  * table so the DuckDB oracle rebuilds the identical inputs. */
+object EvalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q291
+
+  /** Shared q291 fixture: each doc is one (prompt, response) eval row.
+    * Category is id arithmetic (id%7==3 → sensitive); five response
+    * classes realize every verdict at every SF: sensitive prompts mostly
+    * draw a hard refusal (id%3!=0) else a compliant safety answer; benign
+    * prompts plant an over-refusal (id%41==5), a hedge (id%29==11), and a
+    * dropped/null generation (id%37==9), else a normal answer. Plant
+    * precedence is the when-chain order, identically CASE'd in the
+    * oracle. */
+  private[graft] def refusalFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val sensitive = col("doc_id") % 7 === 3
+    d.select(col("doc_id"),
+      when(sensitive, lit("sensitive")).otherwise(lit("benign"))
+        .as("category"),
+      when(sensitive && col("doc_id") % 3 =!= 0,
+          lit("I cannot help with that request."))
+        .when(sensitive, concat(lit("Here is a safety overview: "),
+          col("text")))
+        .when(col("doc_id") % 41 === 5,
+          lit("I'm sorry, but I can't assist with that."))
+        .when(col("doc_id") % 29 === 11,
+          concat(lit("As an AI language model, I don't have opinions, but "),
+            col("text")))
+        .when(col("doc_id") % 37 === 9, lit(null).cast("string"))
+        .otherwise(concat(lit("Sure - "), col("text"))).as("resp"))
+  }
+
+  /** q291: refusal / over-refusal census ([[graft.ops.RefusalScreen]]) —
+    * per (prompt category, verdict): response count, Σid certificate, and
+    * within-category share in ppm. The benign/refusal row IS the
+    * over-refusal rate the audit exists to surface. */
+  val refusalScreen: Q = (s, dir) =>
+    RefusalScreen.census(refusalFixture(s, dir), "doc_id", "category", "resp")
+      .orderBy("category", "verdict")
+
+  /** q298: the incremental twin — per-batch (category, verdict) counts
+    * are plain sums (unconditionally additive), so each generation batch
+    * ingests its [[RefusalScreen.verdictCounts]] into the census store
+    * exactly-once and the report derives from the reloaded integers;
+    * `replay_noop` certifies the second ingest of batch 0 was refused. */
+  val refusalIncremental: Q = (s, dir) => {
+    val gens = refusalFixture(s, dir)
+    val path = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_refusal_idx"))
+      .resolve("census").toString
+    def ingest(half: Int, id: Long): Boolean =
+      graft.store.IndexStore.updateCensus(s, path,
+        RefusalScreen.verdictCounts(
+          gens.where(col("doc_id") % 2 === half),
+          "doc_id", "category", "resp"),
+        Seq("category", "verdict"), batchId = id)
+    ingest(0, 0L)
+    val replayNoop = !ingest(0, 0L)
+    ingest(1, 1L)
+    RefusalScreen.censusFromCounts(
+        graft.store.IndexStore.loadCensus(s, path))
+      .withColumn("replay_noop", lit(replayNoop))
+      .orderBy("category", "verdict")
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val all: Map[String, Q] = Map(
+    "q291_refusal_screen" -> refusalScreen,
+    "q298_refusal_incremental" -> refusalIncremental)
+
+  /** The q291 fixture + classifier replayed in SQL (shared by q291/q298):
+    * same plant CASE order, same anchored openers / hedge probes, same
+    * fail-closed empty class, same integer ppm shares. */
+  private val refusalOracle: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 3 THEN 'sensitive' ELSE 'benign' END
+      |      AS category,
+      |    CASE
+      |      WHEN doc_id % 7 = 3 AND doc_id % 3 <> 0
+      |        THEN 'I cannot help with that request.'
+      |      WHEN doc_id % 7 = 3 THEN 'Here is a safety overview: ' || text
+      |      WHEN doc_id % 41 = 5
+      |        THEN 'I''m sorry, but I can''t assist with that.'
+      |      WHEN doc_id % 29 = 11
+      |        THEN 'As an AI language model, I don''t have opinions, but '
+      |          || text
+      |      WHEN doc_id % 37 = 9 THEN NULL
+      |      ELSE 'Sure - ' || text END AS resp
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id, category,
+      |    CASE
+      |      WHEN resp IS NULL OR trim(resp) = '' THEN 'empty'
+      |      WHEN starts_with(trim(resp), 'I cannot')
+      |        OR starts_with(trim(resp), 'I can''t')
+      |        OR starts_with(trim(resp), 'I won''t')
+      |        OR starts_with(trim(resp), 'I am unable')
+      |        OR starts_with(trim(resp), 'I''m sorry, but I can')
+      |        THEN 'refusal'
+      |      WHEN contains(resp, 'As an AI')
+      |        OR contains(resp, 'as an AI language model')
+      |        OR contains(resp, 'I don''t have opinions') THEN 'hedge'
+      |      ELSE 'ok' END AS verdict
+      |  FROM g),
+      |c AS (
+      |  SELECT category, verdict, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(doc_id) AS BIGINT) AS sum_ids
+      |  FROM v GROUP BY 1, 2),
+      |t AS (SELECT category, sum(n) AS cat_total FROM c GROUP BY 1)
+      |SELECT c.category, c.verdict, c.n, c.sum_ids,
+      |  CAST(c.n * 1000000 // t.cat_total AS BIGINT) AS share_ppm
+      |FROM c JOIN t USING (category)
+      |""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q291_refusal_screen" -> refusalOracle,
+    "q298_refusal_incremental" -> refusalOracle
+      .replace("AS share_ppm\n",
+        "AS share_ppm, true AS replay_noop\n"))
+}

@@ -342,6 +342,18 @@ object StreamingPipeline {
     responses.withColumn("trunc_verdict",
       graft.queries.ReleaseQueries.truncationVerdictCol(col(responseCol)))
 
+  /** Streaming refusal screen (q291's verdict per micro-batch): one
+    * stateless in-row classification shared VERBATIM with the batch gate
+    * ([[graft.ops.RefusalScreen.verdictCol]]) — run on generations as
+    * they arrive so refusal and over-refusal rates are live per prompt
+    * category instead of discovered at corpus-build time; (category,
+    * verdict) counts are additive across micro-batches (no state, no
+    * watermark — the chatLint shape for response-policy audits). */
+  def refusalScreenStream(responses: DataFrame,
+      responseCol: String): DataFrame =
+    responses.withColumn("refusal_verdict",
+      graft.ops.RefusalScreen.verdictCol(col(responseCol)))
+
   /** Streaming secret scrub (q204/q205's operators per micro-batch):
     * detector census struct + in-place token redaction in one stateless
     * projection — the code-corpus analogue of [[cardPiiStream]], run at
