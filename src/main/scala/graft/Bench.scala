@@ -238,6 +238,7 @@ object Bench {
     "q289_rm_calibration",    // BT reliability diagram by decile
     "q290_epoch_incremental", // stored dedup census -> derived plan
     "q291_refusal_screen",    // refusal / over-refusal verdict census
+    "q292_constraint_lint",   // executed verifiable-instruction checks
     "q298_refusal_incremental") // stored refusal census -> derived shares
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean

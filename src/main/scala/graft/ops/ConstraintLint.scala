@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Verifiable-instruction compliance lint (the IFEval doctrine: Zhou et
+  * al. 2023, "Instruction-Following Evaluation for Large Language
+  * Models") — instructions that carry a MACHINE-CHECKABLE constraint
+  * ("answer in at most N words", "mention <keyword>", "reply with a JSON
+  * object", "end with a period") are scored by executing the check, never
+  * by a judge model. The same screen that grades an eval run also gates
+  * SFT candidates: a response that violates its own prompt's constraint
+  * teaches the model to ignore instructions.
+  *
+  * Supported constraint kinds (the `param` column carries the
+  * kind-specific operand as a string):
+  *   - `max_words`   — whitespace token count ≤ int(param)
+  *   - `must_include`— response contains the literal param
+  *   - `json_object` — response parses as a JSON object carrying an
+  *                     `answer` field (param unused)
+  *   - `ends_period` — trimmed response ends with '.'
+  *
+  * Scale shape: ONE stateless in-row projection (split/contains/
+  * get_json_object/endswith — all codegen'd, no UDF, no join), so the
+  * streaming twin ([[graft.streaming.StreamingPipeline
+  * .constraintLintStream]]) shares it verbatim and verdict counts are
+  * additive across micro-batches. Fail-closed throughout: a null/blank
+  * response classes `empty`, a kind the linter doesn't know classes
+  * `unknown_constraint` — neither ever passes.
+  *
+  * Verdict precedence: `empty` > `unknown_constraint` > `violated` >
+  * `pass`.
+  */
+object ConstraintLint {
+
+  /** The per-response verdict as a single in-row column over
+    * (kind, param, resp) string columns. */
+  def verdictCol(kind: Column, param: Column, resp: Column): Column = {
+    val t = trim(resp)
+    val ntok = size(split(t, "\\s+"))
+    val ok = when(kind === "max_words", ntok <= param.cast("int"))
+      .when(kind === "must_include", contains(resp, param))
+      .when(kind === "json_object",
+        get_json_object(t, "$.answer").isNotNull)
+      .when(kind === "ends_period", t.endsWith("."))
+    when(resp.isNull || t === "", "empty")
+      .when(ok.isNull, "unknown_constraint")
+      .when(!ok, "violated")
+      .otherwise("pass")
+  }
+
+  /** The ADDITIVE form: per (constraint kind, verdict) response count +
+    * Σid certificate — plain sums, so a census store maintains them
+    * across eval waves. */
+  def verdictCounts(rows: DataFrame, idCol: String, kindCol: String,
+      paramCol: String, respCol: String): DataFrame =
+    rows.groupBy(col(kindCol).as("constraint_kind"),
+        verdictCol(col(kindCol), col(paramCol), col(respCol)).as("verdict"))
+      .agg(count(lit(1)).as("n"), sum(col(idCol)).as("sum_ids"))
+
+  /** Census over (idCol, kindCol, paramCol, respCol) rows: per
+    * (constraint, verdict) count, Σid certificate, and within-constraint
+    * share_ppm (integer micro-units; the ≤4-row constraint-total frame
+    * broadcasts onto the census). */
+  def census(rows: DataFrame, idCol: String, kindCol: String,
+      paramCol: String, respCol: String): DataFrame = {
+    val counts = verdictCounts(rows, idCol, kindCol, paramCol, respCol)
+    val totals = counts.groupBy("constraint_kind")
+      .agg(sum(col("n")).as("kind_total"))
+    counts.join(broadcast(totals), "constraint_kind")
+      .select(col("constraint_kind"), col("verdict"), col("n"), col("sum_ids"),
+        expr("n * 1000000 div kind_total").as("share_ppm"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.RefusalScreen
+import graft.ops.{ConstraintLint, RefusalScreen}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -77,10 +77,58 @@ object EvalQueries {
       .orderBy("category", "verdict")
   }
 
+  // ---------------------------------------------------------------- q292
+
+  /** Shared q292 fixture: each doc is one (constraint, response) eval row.
+    * The constraint kind cycles id%4 over the four verifiable kinds, the
+    * operand is id arithmetic (word budget 4+id%5; keyword kw0..kw6), and
+    * two plants realize the non-pass verdicts at every SF: id%5==2
+    * violates its own kind's check (2 extra words / keyword dropped /
+    * prose before the JSON / missing terminal period) and id%43==17 is a
+    * dropped null generation. Plant precedence is the when-chain order,
+    * identically CASE'd in the oracle. */
+  private[graft] def constraintFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val kn = col("doc_id") % 4
+    val kind = when(kn === 0, lit("max_words"))
+      .when(kn === 1, lit("must_include"))
+      .when(kn === 2, lit("json_object"))
+      .otherwise(lit("ends_period"))
+    val kw = concat(lit("kw"), (col("doc_id") % 7).cast("string"))
+    val viol = col("doc_id") % 5 === 2
+    val param = when(kn === 0, ((col("doc_id") % 5) + 4).cast("string"))
+      .when(kn === 1, kw).otherwise(lit(""))
+    val resp = when(col("doc_id") % 43 === 17, lit(null).cast("string"))
+      .when(kn === 0, trim(expr(
+        "repeat('w ', cast(doc_id % 5 + 4 as int) + " +
+          "(case when doc_id % 5 = 2 then 2 else 0 end))")))
+      .when(kn === 1, when(viol, col("text"))
+        .otherwise(concat(col("text"), lit(" mentioning "), kw)))
+      .when(kn === 2, when(viol, lit("Sure! {\"answer\": \"1\"}"))
+        .otherwise(concat(lit("{\"answer\": \""),
+          (col("doc_id") % 100).cast("string"), lit("\"}"))))
+      .otherwise(when(viol, concat(lit("Done: "), substring(col("text"), 1, 20)))
+        .otherwise(concat(lit("Done: "), substring(col("text"), 1, 20),
+          lit("."))))
+    d.select(col("doc_id"), kind.as("constraint_kind"), param.as("param"),
+      resp.as("resp"))
+  }
+
+  /** q292: verifiable-instruction compliance lint
+    * ([[graft.ops.ConstraintLint]]) — per (constraint kind, verdict):
+    * response count, Σid certificate, within-kind share_ppm. The check is
+    * EXECUTED (word budget / keyword presence / JSON-object parse /
+    * terminal period), never judged. */
+  val constraintLint: Q = (s, dir) =>
+    ConstraintLint.census(constraintFixture(s, dir), "doc_id",
+      "constraint_kind", "param", "resp")
+      .orderBy("constraint_kind", "verdict")
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
     "q291_refusal_screen" -> refusalScreen,
+    "q292_constraint_lint" -> constraintLint,
     "q298_refusal_incremental" -> refusalIncremental)
 
   /** The q291 fixture + classifier replayed in SQL (shared by q291/q298):
@@ -130,6 +178,56 @@ object EvalQueries {
 
   val oracles: Map[String, String] = Map(
     "q291_refusal_screen" -> refusalOracle,
+
+    // q292: fixture + executed checks replayed in SQL — same plant CASE
+    // order, same word-split convention, json_valid guard standing in for
+    // get_json_object's null-on-malformed, same integer ppm shares
+    "q292_constraint_lint" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4 WHEN 0 THEN 'max_words'
+        |      WHEN 1 THEN 'must_include' WHEN 2 THEN 'json_object'
+        |      ELSE 'ends_period' END AS constraint_kind,
+        |    CASE WHEN doc_id % 4 = 0 THEN CAST(doc_id % 5 + 4 AS VARCHAR)
+        |      WHEN doc_id % 4 = 1 THEN 'kw' || (doc_id % 7)
+        |      ELSE '' END AS param,
+        |    CASE WHEN doc_id % 43 = 17 THEN NULL
+        |      WHEN doc_id % 4 = 0 THEN trim(repeat('w ',
+        |        CAST(doc_id % 5 + 4 AS INT)
+        |          + CASE WHEN doc_id % 5 = 2 THEN 2 ELSE 0 END))
+        |      WHEN doc_id % 4 = 1 THEN CASE WHEN doc_id % 5 = 2 THEN text
+        |        ELSE text || ' mentioning kw' || (doc_id % 7) END
+        |      WHEN doc_id % 4 = 2 THEN CASE WHEN doc_id % 5 = 2
+        |        THEN 'Sure! {"answer": "1"}'
+        |        ELSE '{"answer": "' || (doc_id % 100) || '"}' END
+        |      ELSE CASE WHEN doc_id % 5 = 2
+        |        THEN 'Done: ' || substr(text, 1, 20)
+        |        ELSE 'Done: ' || substr(text, 1, 20) || '.' END
+        |    END AS resp
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, constraint_kind,
+        |    CASE WHEN resp IS NULL OR trim(resp) = '' THEN 'empty'
+        |      WHEN CASE constraint_kind
+        |        WHEN 'max_words' THEN
+        |          len(string_split_regex(trim(resp), '\s+'))
+        |            <= CAST(param AS INT)
+        |        WHEN 'must_include' THEN contains(resp, param)
+        |        WHEN 'json_object' THEN CASE WHEN json_valid(trim(resp))
+        |          THEN json_extract_string(trim(resp), '$.answer')
+        |            IS NOT NULL ELSE false END
+        |        ELSE ends_with(trim(resp), '.') END THEN 'pass'
+        |      ELSE 'violated' END AS verdict
+        |  FROM f),
+        |c AS (
+        |  SELECT constraint_kind, verdict, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |  FROM v GROUP BY 1, 2),
+        |t AS (SELECT constraint_kind, sum(n) AS kind_total FROM c GROUP BY 1)
+        |SELECT c.constraint_kind, c.verdict, c.n, c.sum_ids,
+        |  CAST(c.n * 1000000 // t.kind_total AS BIGINT) AS share_ppm
+        |FROM c JOIN t USING (constraint_kind)
+        |""".stripMargin,
     "q298_refusal_incremental" -> refusalOracle
       .replace("AS share_ppm\n",
         "AS share_ppm, true AS replay_noop\n"))

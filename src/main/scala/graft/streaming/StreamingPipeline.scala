@@ -354,6 +354,18 @@ object StreamingPipeline {
     responses.withColumn("refusal_verdict",
       graft.ops.RefusalScreen.verdictCol(col(responseCol)))
 
+  /** Streaming constraint lint (q292's verdict per micro-batch): one
+    * stateless in-row classification shared VERBATIM with the batch gate
+    * ([[graft.ops.ConstraintLint.verdictCol]]) — run on eval responses as
+    * they arrive so instruction-compliance rates are live per constraint
+    * kind; (kind, verdict) counts are additive across micro-batches (no
+    * state, no watermark). */
+  def constraintLintStream(rows: DataFrame, kindCol: String,
+      paramCol: String, respCol: String): DataFrame =
+    rows.withColumn("lint_verdict",
+      graft.ops.ConstraintLint.verdictCol(col(kindCol), col(paramCol),
+        col(respCol)))
+
   /** Streaming secret scrub (q204/q205's operators per micro-batch):
     * detector census struct + in-place token redaction in one stateless
     * projection — the code-corpus analogue of [[cardPiiStream]], run at

@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Constraint lint: each executed check, verdict precedence, and the
+  * fail-closed classes (empty response, unknown constraint kind). */
+class ConstraintLintSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def verdicts(rows: (Long, String, String, String)*) =
+    rows.toDF("id", "kind", "param", "resp")
+      .select(col("id"), ConstraintLint.verdictCol(col("kind"), col("param"),
+        col("resp")).as("v"))
+      .as[(Long, String)].collect().toMap
+
+  test("max_words counts whitespace tokens against the integer budget") {
+    val v = verdicts(
+      (1L, "max_words", "3", "one two three"),
+      (2L, "max_words", "3", "one two three four"),
+      (3L, "max_words", "3", "  one   two  ")) // ragged whitespace, 2 toks
+    assert(v(1L) == "pass" && v(2L) == "violated" && v(3L) == "pass")
+  }
+
+  test("must_include is a literal containment check") {
+    val v = verdicts(
+      (1L, "must_include", "kw3", "mentions kw3 inline"),
+      (2L, "must_include", "kw3", "mentions kw1 only"))
+    assert(v(1L) == "pass" && v(2L) == "violated")
+  }
+
+  test("json_object requires a parseable object carrying answer") {
+    val v = verdicts(
+      (1L, "json_object", "", "{\"answer\": \"42\"}"),
+      (2L, "json_object", "", "Sure! {\"answer\": \"42\"}"), // prose prefix
+      (3L, "json_object", "", "{\"other\": 1}")) // parses, wrong field
+    assert(v(1L) == "pass" && v(2L) == "violated" && v(3L) == "violated")
+  }
+
+  test("ends_period checks the trimmed terminal character") {
+    val v = verdicts(
+      (1L, "ends_period", "", "Done."),
+      (2L, "ends_period", "", "Done.  "), // trailing space trims
+      (3L, "ends_period", "", "Done"))
+    assert(v(1L) == "pass" && v(2L) == "pass" && v(3L) == "violated")
+  }
+
+  test("fail-closed: empty beats everything; unknown kinds never pass") {
+    val v = verdicts(
+      (1L, "max_words", "3", null),
+      (2L, "max_words", "3", "   "),
+      (3L, "word_count_exact", "3", "one two three")) // kind not supported
+    assert(v(1L) == "empty" && v(2L) == "empty")
+    assert(v(3L) == "unknown_constraint")
+  }
+
+  test("census shares are integer ppm within constraint kind") {
+    val rows = Seq(
+      (1L, "ends_period", "", "Done."), (2L, "ends_period", "", "Done."),
+      (3L, "ends_period", "", "Done"))
+      .toDF("id", "kind", "param", "resp")
+    val out = ConstraintLint.census(rows, "id", "kind", "param", "resp")
+      .orderBy("verdict")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("ends_period", "pass", 2L, 3L, 666666L),
+      ("ends_period", "violated", 1L, 3L, 333333L)))
+  }
+}

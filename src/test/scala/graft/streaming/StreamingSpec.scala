@@ -1551,4 +1551,41 @@ class StreamingSpec extends SparkSpec {
     assert(nBatches >= 2)
     assert(acc.toMap == b, "streamed refusal verdicts diverged from batch")
   }
+
+  test("streaming constraint lint == batch verdicts per response") {
+    val rows = graft.queries.EvalQueries.constraintFixture(spark, dir)
+    def tally(df: org.apache.spark.sql.DataFrame) =
+      StreamingPipeline.constraintLintStream(df, "constraint_kind", "param",
+          "resp")
+        .groupBy("lint_verdict")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("ids"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = tally(rows)
+    assert(b.keySet == Set("empty", "pass", "violated"),
+      s"plants must realize every fixture verdict: ${b.keySet}")
+
+    val d = java.nio.file.Files.createTempDirectory("graft_clint_src")
+    rows.repartition(3).write.mode("overwrite").parquet(d.toString)
+    val schema = spark.read.parquet(d.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+    val acc = scala.collection.mutable.Map[String, (Long, Long)]()
+    var nBatches = 0
+    val q = StreamingPipeline.constraintLintStream(stream, "constraint_kind",
+        "param", "resp")
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+        nBatches += 1
+        bdf.groupBy("lint_verdict")
+          .agg(count(lit(1)), sum(col("doc_id")))
+          .collect().foreach { r =>
+            val (n0, i0) = acc.getOrElse(r.getString(0), (0L, 0L))
+            acc(r.getString(0)) = (n0 + r.getLong(1), i0 + r.getLong(2))
+          }
+      }.start()
+    q.awaitTermination()
+    assert(nBatches >= 2)
+    assert(acc.toMap == b, "streamed constraint verdicts diverged from batch")
+  }
 }
