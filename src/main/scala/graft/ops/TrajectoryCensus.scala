@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Agent-trajectory census — the trace-level rollup an agentic-SFT
+  * curation pipeline runs over harvested multi-step tool traces: a trace
+  * is admissible only if EVERY step passes the step lint (a single bad
+  * call poisons the whole demonstration), and the failure profile (where
+  * in the trace the first error lands, how many steps executed after it)
+  * is the census that prices both the lost data and the wasted serving
+  * compute a fail-fast harness would have saved.
+  *
+  * The operator is generic over the per-step verdict: callers pass any
+  * verdict Column (the q272 tool-call lint here; a judge verdict or an
+  * execution-result code equally fit), so the trace rollup composes with
+  * every step screen the engine has.
+  *
+  * Scale shape: one scan with the in-row step verdict → ONE
+  * map-side-combined groupBy on the trace key (count + a conditional
+  * min — the first-error step rides the same shuffle; never a window) →
+  * one tiny census groupBy. Nothing is ever per-step state.
+  */
+object TrajectoryCensus {
+
+  /** Per-trace rollup: (trace_id, n_steps, first_error_step|null). */
+  def traceRollup(steps: DataFrame, traceCol: String, stepCol: String,
+      stepVerdict: Column): DataFrame =
+    steps.groupBy(col(traceCol).as("trace_id"))
+      .agg(count(lit(1)).as("n_steps"),
+        min(when(stepVerdict =!= "ok", col(stepCol)))
+          .as("first_error_step"))
+
+  /** The census: per (first_error_step, outcome) — trace count, total
+    * steps wasted after the first error (the fail-fast savings), and the
+    * Σtrace-id certificate. Successful traces group under
+    * first_error_step = -1. */
+  def census(steps: DataFrame, traceCol: String, stepCol: String,
+      stepVerdict: Column): DataFrame =
+    traceRollup(steps, traceCol, stepCol, stepVerdict)
+      .groupBy(
+        coalesce(col("first_error_step"), lit(-1L)).as("first_error_step"),
+        when(col("first_error_step").isNull, "success").otherwise("failed")
+          .as("outcome"))
+      .agg(count(lit(1)).as("n_traces"),
+        sum(when(col("first_error_step").isNull, lit(0L))
+          .otherwise(col("n_steps") - 1 - col("first_error_step")))
+          .as("wasted_steps"),
+        sum(col("trace_id")).as("sum_traces"))
+}

@@ -124,11 +124,53 @@ object EvalQueries {
       "constraint_kind", "param", "resp")
       .orderBy("constraint_kind", "verdict")
 
+  // ---------------------------------------------------------------- q293
+
+  /** The q293 step registry: one tool, two required args. */
+  private[graft] val traceRegistry = Seq(
+    graft.ops.ToolCallLint.ToolArg("search", "query", "string"),
+    graft.ops.ToolCallLint.ToolArg("search", "k", "int"))
+
+  /** Shared q293 fixture: 4-step agent traces (trace = id div 4, step =
+    * id % 4), each step a tool call; three plant classes realize failures
+    * at every step position and every SF: id%31==6 → unterminated JSON
+    * (malformed), id%11==4 → the required int arg dropped (missing_arg),
+    * id%29==21 → the int arg carrying prose (bad_type). Plant precedence
+    * is the when-chain order, identically CASE'd in the oracle. */
+  private[graft] def traceFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val id = col("doc_id").cast("string")
+    val call = when(col("doc_id") % 31 === 6,
+        concat(lit("{\"name\": \"broken"), id))
+      .when(col("doc_id") % 11 === 4,
+        concat(lit("{\"name\":\"search\",\"args\":{\"query\":\"q"), id,
+          lit("\"}}")))
+      .when(col("doc_id") % 29 === 21,
+        concat(lit("{\"name\":\"search\",\"args\":{\"query\":\"q"), id,
+          lit("\",\"k\":\"ten\"}}")))
+      .otherwise(concat(
+        lit("{\"name\":\"search\",\"args\":{\"query\":\"q"), id,
+        lit("\",\"k\":"), (col("doc_id") % 10).cast("string"), lit("}}")))
+    d.select(expr("doc_id div 4").as("trace_id"),
+      (col("doc_id") % 4).as("step_idx"), call.as("tool_call"))
+  }
+
+  /** q293: agent-trajectory census ([[graft.ops.TrajectoryCensus]] over
+    * the q272 step lint) — per (first_error_step, outcome): trace count,
+    * steps wasted after the first error (the fail-fast savings a
+    * harness would bank), Σtrace-id certificate. */
+  val trajectoryCensus: Q = (s, dir) =>
+    graft.ops.TrajectoryCensus.census(traceFixture(s, dir),
+      "trace_id", "step_idx",
+      graft.ops.ToolCallLint.verdictCol(col("tool_call"), traceRegistry))
+      .orderBy("first_error_step")
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
     "q291_refusal_screen" -> refusalScreen,
     "q292_constraint_lint" -> constraintLint,
+    "q293_trajectory_census" -> trajectoryCensus,
     "q298_refusal_incremental" -> refusalIncremental)
 
   /** The q291 fixture + classifier replayed in SQL (shared by q291/q298):
@@ -228,6 +270,49 @@ object EvalQueries {
         |  CAST(c.n * 1000000 // t.kind_total AS BIGINT) AS share_ppm
         |FROM c JOIN t USING (constraint_kind)
         |""".stripMargin,
+    // q293: fixture + step lint + trace fold replayed in SQL — json_valid
+    // guarding the extraction (the q272 idiom), the same conditional-min
+    // first-error fold, the same wasted-step arithmetic
+    "q293_trajectory_census" ->
+      """WITH s AS (
+        |  SELECT doc_id, doc_id // 4 AS trace_id, doc_id % 4 AS step_idx,
+        |    CASE WHEN doc_id % 31 = 6 THEN '{"name": "broken' || doc_id
+        |      WHEN doc_id % 11 = 4
+        |        THEN '{"name":"search","args":{"query":"q' || doc_id || '"}}'
+        |      WHEN doc_id % 29 = 21
+        |        THEN '{"name":"search","args":{"query":"q' || doc_id
+        |          || '","k":"ten"}}'
+        |      ELSE '{"name":"search","args":{"query":"q' || doc_id
+        |        || '","k":' || (doc_id % 10) || '}}'
+        |    END AS call
+        |  FROM documents),
+        |v AS (
+        |  SELECT trace_id, step_idx,
+        |    CASE WHEN NOT json_valid(call)
+        |        OR json_extract_string(call, '$.name') IS NULL
+        |        THEN 'malformed'
+        |      WHEN json_extract_string(call, '$.name') <> 'search'
+        |        THEN 'unknown_tool'
+        |      WHEN json_extract_string(call, '$.args.query') IS NULL
+        |        OR json_extract_string(call, '$.args.k') IS NULL
+        |        THEN 'missing_arg'
+        |      WHEN NOT regexp_matches(json_extract_string(call, '$.args.k'),
+        |        '^-?[0-9]+$') THEN 'bad_type'
+        |      ELSE 'ok' END AS verdict
+        |  FROM s),
+        |t AS (
+        |  SELECT trace_id, count(*) AS n_steps,
+        |    min(CASE WHEN verdict <> 'ok' THEN step_idx END) AS fe
+        |  FROM v GROUP BY 1)
+        |SELECT coalesce(fe, -1) AS first_error_step,
+        |  CASE WHEN fe IS NULL THEN 'success' ELSE 'failed' END AS outcome,
+        |  CAST(count(*) AS BIGINT) AS n_traces,
+        |  CAST(sum(CASE WHEN fe IS NULL THEN 0
+        |    ELSE n_steps - 1 - fe END) AS BIGINT) AS wasted_steps,
+        |  CAST(sum(trace_id) AS BIGINT) AS sum_traces
+        |FROM t GROUP BY 1, 2
+        |""".stripMargin,
+
     "q298_refusal_incremental" -> refusalOracle
       .replace("AS share_ppm\n",
         "AS share_ppm, true AS replay_noop\n"))

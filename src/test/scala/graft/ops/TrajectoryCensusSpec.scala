@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Trajectory census: first-error fold, wasted-step arithmetic, success
+  * grouping, and genericity over the step-verdict column. */
+class TrajectoryCensusSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (trace, step, verdict): trace 1 clean; trace 2 fails at step 1 of 4
+  // (2 wasted); trace 3 fails at steps 0 AND 2 (first error wins, 3 wasted)
+  private val steps = Seq(
+    (1L, 0L, "ok"), (1L, 1L, "ok"), (1L, 2L, "ok"),
+    (2L, 0L, "ok"), (2L, 1L, "bad_type"), (2L, 2L, "ok"), (2L, 3L, "ok"),
+    (3L, 0L, "malformed"), (3L, 1L, "ok"), (3L, 2L, "missing_arg"),
+    (3L, 3L, "ok")).toDF("trace_id", "step_idx", "verdict")
+
+  test("rollup finds the FIRST error and counts steps") {
+    val r = TrajectoryCensus.traceRollup(steps, "trace_id", "step_idx",
+        col("verdict"))
+      .orderBy("trace_id")
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(r == Seq((1L, 3L, None), (2L, 4L, Some(1L)), (3L, 4L, Some(0L))))
+  }
+
+  test("census groups successes under -1 and prices wasted steps") {
+    val r = TrajectoryCensus.census(steps, "trace_id", "step_idx",
+        col("verdict"))
+      .orderBy("first_error_step")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (-1L, "success", 1L, 0L, 1L), // trace 1
+      (0L, "failed", 1L, 3L, 3L),   // trace 3: 4 steps, error at 0 -> 3 wasted
+      (1L, "failed", 1L, 2L, 2L)))  // trace 2: 4 steps, error at 1 -> 2 wasted
+  }
+
+  test("a failure on the LAST step wastes nothing") {
+    val s = Seq((9L, 0L, "ok"), (9L, 1L, "malformed"))
+      .toDF("trace_id", "step_idx", "verdict")
+    val r = TrajectoryCensus.census(s, "trace_id", "step_idx", col("verdict"))
+      .as[(Long, String, Long, Long, Long)].head()
+    assert(r == ((1L, "failed", 1L, 0L, 9L)))
+  }
+
+  test("composes with the tool-call lint verdict (the q293 shape)") {
+    val traces = graft.queries.EvalQueries.traceFixture(
+      spark, "/root/testdata/sf0.001")
+    val out = TrajectoryCensus.census(traces, "trace_id", "step_idx",
+        ToolCallLint.verdictCol(col("tool_call"),
+          graft.queries.EvalQueries.traceRegistry))
+      .as[(Long, String, Long, Long, Long)].collect()
+    val total = out.map(_._3).sum
+    assert(total == 125, s"500 docs / 4-step traces = 125 traces, got $total")
+    assert(out.filter(_._2 == "failed").map(_._1).toSet == Set(0L, 1L, 2L, 3L),
+      "plants must realize a first error at every step position")
+  }
+}
