@@ -240,6 +240,7 @@ object Bench {
     "q291_refusal_screen",    // refusal / over-refusal verdict census
     "q292_constraint_lint",   // executed verifiable-instruction checks
     "q293_trajectory_census", // agent-trace first-error / wasted-step fold
+    "q294_epoch_churn",       // multi-epoch shard plan: coverage + churn
     "q298_refusal_incremental") // stored refusal census -> derived shares
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean

@@ -65,4 +65,39 @@ object Sharding {
       .parquet(path)
     manifest(df, keyCol, epoch, nShards)
   }
+
+  /** Cross-epoch shard-plan census: for every (epoch, shard) cell, the row
+    * count, Σkey certificate, and INFLOW — rows assigned to this shard at
+    * epoch e that sat in a different shard at epoch e−1. Together the
+    * cells certify the three properties a multi-epoch dataloader plan
+    * must hold: coverage (each epoch's cells sum to the corpus — every
+    * row appears exactly once per epoch), balance (per-epoch cell counts
+    * are near-uniform), and DECORRELATION (inflow ≈ (1 − 1/nShards)·n —
+    * epoch e's batches are not epoch e−1's batches replayed, the failure
+    * mode of naive mod-sharding where epoch salt doesn't reach the key).
+    *
+    * Scale shape: the per-row work is nEpochs hash evaluations in ONE
+    * stateless projection (epoch e and e−1 assignments are both pure
+    * functions of the key, so churn needs NO self-join across epochs) →
+    * one explode (×nEpochs) → one map-side-combined groupBy on
+    * (epoch, shard). No global sort anywhere: hash-bucket shuffling is
+    * what makes a 100 TB epoch plan seekable and re-derivable. `keyCol`
+    * must be numeric (the Σkey certificate sums it). */
+  def epochChurnCensus(df: DataFrame, keyCol: String, nEpochs: Int,
+      nShards: Int): DataFrame = {
+    require(nEpochs > 0, "nEpochs must be positive")
+    val stages = array((0 until nEpochs).map { e =>
+      struct(lit(e).as("epoch"),
+        epochShard(col(keyCol), e, nShards).as("shard"),
+        (if (e == 0) lit(null).cast("int")
+         else epochShard(col(keyCol), e - 1, nShards)).as("prev"))
+    }: _*)
+    df.select(col(keyCol).as("__k"), explode(stages).as("st"))
+      .groupBy(col("st.epoch").as("epoch"), col("st.shard").as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__k")).as("sum_keys"),
+        sum(when(col("st.prev").isNotNull &&
+          col("st.prev") =!= col("st.shard"), 1L).otherwise(0L))
+          .as("inflow"))
+  }
 }

@@ -165,12 +165,25 @@ object EvalQueries {
       graft.ops.ToolCallLint.verdictCol(col("tool_call"), traceRegistry))
       .orderBy("first_error_step")
 
+  // ---------------------------------------------------------------- q294
+
+  /** q294: multi-epoch shuffle-shard plan census
+    * ([[graft.ops.Sharding.epochChurnCensus]]) — 3 epochs × 8 shards of
+    * the documents corpus: per cell the row count, Σid certificate, and
+    * inflow from the previous epoch's assignment. Coverage, balance, and
+    * epoch decorrelation read straight off the cells. */
+  val epochShufflePlan: Q = (s, dir) =>
+    graft.ops.Sharding.epochChurnCensus(
+      Tables.documents(s, dir), "doc_id", nEpochs = 3, nShards = 8)
+      .orderBy("epoch", "shard")
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
     "q291_refusal_screen" -> refusalScreen,
     "q292_constraint_lint" -> constraintLint,
     "q293_trajectory_census" -> trajectoryCensus,
+    "q294_epoch_churn" -> epochShufflePlan,
     "q298_refusal_incremental" -> refusalIncremental)
 
   /** The q291 fixture + classifier replayed in SQL (shared by q291/q298):
@@ -311,6 +324,27 @@ object EvalQueries {
         |    ELSE n_steps - 1 - fe END) AS BIGINT) AS wasted_steps,
         |  CAST(sum(trace_id) AS BIGINT) AS sum_traces
         |FROM t GROUP BY 1, 2
+        |""".stripMargin,
+
+    // q294: the q92 md5-bucket idiom per epoch; prev-epoch assignment is
+    // the same pure function of the key, so churn replays with zero joins
+    "q294_epoch_churn" ->
+      """WITH e AS (SELECT unnest([0, 1, 2]) AS epoch),
+        |a AS (
+        |  SELECT d.doc_id, e.epoch,
+        |    CAST(concat('0x', substr(md5('e' || e.epoch || ':'
+        |      || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
+        |    CASE WHEN e.epoch = 0 THEN NULL ELSE
+        |      CAST(concat('0x', substr(md5('e' || (e.epoch - 1) || ':'
+        |        || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+        |    END AS prev
+        |  FROM documents d CROSS JOIN e)
+        |SELECT CAST(epoch AS INT) AS epoch, CAST(shard AS INT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_keys,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> shard
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS inflow
+        |FROM a GROUP BY 1, 2
         |""".stripMargin,
 
     "q298_refusal_incremental" -> refusalOracle

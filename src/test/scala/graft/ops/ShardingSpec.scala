@@ -46,4 +46,36 @@ class ShardingSpec extends SparkSpec {
     val moved = e2.where($"s1" =!= $"s2").count()
     assert(moved > 0, "epoch 2 must shard differently than epoch 1")
   }
+
+  test("churn census certifies coverage, epoch-0 zero inflow, decorrelation") {
+    val c = Sharding.epochChurnCensus(docs, "doc_id", nEpochs = 3, nShards = 8)
+      .as[(Int, Int, Long, Long, Long)].collect().toSeq
+    val n = docs.count()
+    val idSum = (0L until n).sum
+    for (e <- 0 to 2) {
+      val cells = c.filter(_._1 == e)
+      assert(cells.map(_._3).sum == n, s"epoch $e must cover every row once")
+      assert(cells.map(_._4).sum == idSum, s"epoch $e Σkey certificate")
+    }
+    assert(c.filter(_._1 == 0).forall(_._5 == 0L), "epoch 0 has no inflow")
+    // inflow/n should sit near 1 - 1/8 = 0.875 for a decorrelated re-deal
+    for (e <- 1 to 2) {
+      val inflow = c.filter(_._1 == e).map(_._5).sum.toDouble / n
+      assert(inflow > 0.8 && inflow < 0.95,
+        s"epoch $e inflow $inflow should approximate 7/8")
+    }
+  }
+
+  test("churn census inflow equals the direct two-column comparison") {
+    val c = Sharding.epochChurnCensus(docs, "doc_id", 2, 8)
+      .as[(Int, Int, Long, Long, Long)].collect()
+    val direct = docs
+      .withColumn("s0", Sharding.epochShard(col("doc_id"), 0, 8))
+      .withColumn("s1", Sharding.epochShard(col("doc_id"), 1, 8))
+      .where($"s0" =!= $"s1").groupBy("s1").count()
+      .as[(Int, Long)].collect().toMap
+    val fromCensus = c.filter(_._1 == 1).map(r => r._2 -> r._5).toMap
+    assert(fromCensus.filter(_._2 > 0) == direct,
+      "census inflow must equal the explicit epoch-pair comparison")
+  }
 }
