@@ -241,6 +241,7 @@ object Bench {
     "q292_constraint_lint",   // executed verifiable-instruction checks
     "q293_trajectory_census", // agent-trace first-error / wasted-step fold
     "q294_epoch_churn",       // multi-epoch shard plan: coverage + churn
+    "q295_compaction_plan",   // manifest-level small-file rewrite planner
     "q298_refusal_incremental") // stored refusal census -> derived shares
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean

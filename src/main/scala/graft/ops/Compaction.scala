@@ -94,4 +94,33 @@ object Compaction {
       }
     }
   }
+
+  /** The PLANNER half of [[compactWindows]], lifted to a distributed
+    * census over a file MANIFEST frame (one row per physical file:
+    * group key + byte size) — at 100 TB the plan comes from the catalog /
+    * listing, never from reading data. Per group: current file count,
+    * total bytes, small-file count (below half the target — the files
+    * that pay a footer-planning + seek tax per scan), the post-compaction
+    * file count `ceil(bytes / targetBytes)` (min 1, matching
+    * [[compactWindows]]' rewrite arithmetic exactly), whether a rewrite
+    * is warranted (strictly fewer files after — the same
+    * `before.length <= nAfter` skip rule), and the bytes a rewrite moves.
+    * All integer arithmetic; ONE map-side-combined groupBy. */
+  def planFromManifest(manifest: org.apache.spark.sql.DataFrame,
+      groupCol: String, bytesCol: String, targetBytes: Long)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(targetBytes > 0, "targetBytes must be positive")
+    manifest.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col(bytesCol)).as("total_bytes"),
+        sum(when(col(bytesCol) * 2 < targetBytes, 1L).otherwise(0L))
+          .as("small_files"))
+      .withColumn("planned_files",
+        greatest(lit(1L),
+          expr(s"(total_bytes + ${targetBytes - 1}) div $targetBytes")))
+      .withColumn("compaction_needed", col("n_files") > col("planned_files"))
+      .withColumn("bytes_rewritten",
+        when(col("compaction_needed"), col("total_bytes")).otherwise(0L))
+  }
 }

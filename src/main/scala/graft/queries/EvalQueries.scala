@@ -177,6 +177,33 @@ object EvalQueries {
       Tables.documents(s, dir), "doc_id", nEpochs = 3, nShards = 8)
       .orderBy("epoch", "shard")
 
+  // ---------------------------------------------------------------- q295
+
+  /** Shared q295 fixture: the physical file MANIFEST of the documents
+    * corpus under a two-regime ingest layout — bulk loaders (even source
+    * index) write one file per 200-id block, trickle streams (odd index)
+    * one file per 10-id block, so the trickle half realizes the
+    * small-file problem at every SF. File bytes = Σ n_chars of the docs
+    * it holds (the catalog-size proxy). */
+  private[graft] def manifestFixture(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("source"),
+        when(expr("cast(substring(source, 4) as int)") % 2 === 0,
+          expr("doc_id div 200")).otherwise(expr("doc_id div 10"))
+          .as("batch"))
+      .agg(sum(col("n_chars")).as("bytes"))
+
+  /** q295: compaction planner census
+    * ([[graft.ops.Compaction.planFromManifest]], target 3000 bytes) —
+    * per source: current vs planned file counts, small-file count,
+    * rewrite flag and bytes moved. The plan arithmetic is exactly
+    * [[graft.ops.Compaction.compactWindows]]' rewrite rule, so this gate
+    * certifies the executor's decision function against SQL. */
+  val compactionPlan: Q = (s, dir) =>
+    graft.ops.Compaction.planFromManifest(manifestFixture(s, dir),
+      "source", "bytes", targetBytes = 3000L)
+      .orderBy("source")
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -184,6 +211,7 @@ object EvalQueries {
     "q292_constraint_lint" -> constraintLint,
     "q293_trajectory_census" -> trajectoryCensus,
     "q294_epoch_churn" -> epochShufflePlan,
+    "q295_compaction_plan" -> compactionPlan,
     "q298_refusal_incremental" -> refusalIncremental)
 
   /** The q291 fixture + classifier replayed in SQL (shared by q291/q298):
@@ -345,6 +373,28 @@ object EvalQueries {
         |  CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> shard
         |    THEN 1 ELSE 0 END) AS BIGINT) AS inflow
         |FROM a GROUP BY 1, 2
+        |""".stripMargin,
+
+    // q295: layout model + planner arithmetic replayed — same ceil-div,
+    // same strictly-fewer rewrite rule, same doubled small-file compare
+    "q295_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT source,
+        |    CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+        |      THEN doc_id // 200 ELSE doc_id // 10 END AS batch,
+        |    sum(n_chars) AS bytes
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |  CAST(sum(CASE WHEN bytes * 2 < 3000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS small_files,
+        |  CAST(greatest(1, (sum(bytes) + 2999) // 3000) AS BIGINT)
+        |    AS planned_files,
+        |  count(*) > greatest(1, (sum(bytes) + 2999) // 3000)
+        |    AS compaction_needed,
+        |  CAST(CASE WHEN count(*) > greatest(1, (sum(bytes) + 2999) // 3000)
+        |    THEN sum(bytes) ELSE 0 END AS BIGINT) AS bytes_rewritten
+        |FROM f GROUP BY 1
         |""".stripMargin,
 
     "q298_refusal_incremental" -> refusalOracle

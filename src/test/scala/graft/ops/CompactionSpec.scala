@@ -120,4 +120,57 @@ class CompactionSpec extends SparkSpec {
     assert(n > 1 && n < 12, s"expected a mid-range file count, got $n")
     assert(reports.head.filesAfter == n)
   }
+
+  test("manifest planner: ceil-div, min 1, strictly-fewer rule, small files") {
+    import spark.implicits._
+    // group a: 4 files of 500B -> planned ceil(2000/1000)=2, rewrite 2000
+    // group b: 2 files of 1000B -> planned 2, NOT needed (2 <= 2)
+    // group c: 1 file of 100B -> planned max(1, ceil(100/1000))=1, not needed
+    val manifest = Seq(
+      ("a", 500L), ("a", 500L), ("a", 500L), ("a", 500L),
+      ("b", 1000L), ("b", 1000L), ("c", 100L))
+      .toDF("grp", "bytes")
+    val plan = Compaction.planFromManifest(manifest, "grp", "bytes", 1000L)
+      .orderBy("grp")
+      .as[(String, Long, Long, Long, Long, Boolean, Long)].collect().toSeq
+    assert(plan == Seq(
+      ("a", 4L, 2000L, 0L, 2L, true, 2000L),
+      ("b", 2L, 2000L, 0L, 2L, false, 0L),
+      ("c", 1L, 100L, 1L, 1L, false, 0L)))
+    // small-file compare is doubled-integer: 499*2 < 1000, 500*2 == 1000
+    val edge = Compaction.planFromManifest(
+        Seq(("e", 499L), ("e", 500L)).toDF("grp", "bytes"), "grp", "bytes",
+        1000L)
+      .as[(String, Long, Long, Long, Long, Boolean, Long)].head()
+    assert(edge._4 == 1L, "exactly half the target is NOT a small file")
+  }
+
+  test("manifest planner decision matches the executor's rewrite decision") {
+    val (cfg, target) = freshTarget()
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    target.load(w(1), ev.where(Connectors.windowPredicate(col("ts"), w(1)))
+      .repartition(16)) // fragmented -> should rewrite
+    target.load(w(2), ev.where(Connectors.windowPredicate(col("ts"), w(2)))
+      .coalesce(1)) // already compact -> should skip
+    val root = new org.apache.hadoop.fs.Path(cfg.targetPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = fs.listStatus(root).filter(_.isDirectory).flatMap { d =>
+      fs.listStatus(d.getPath).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+        .map(s => (d.getPath.getName, s.getLen))
+    }.toSeq
+    import spark.implicits._
+    val tgt = 1L << 20
+    val plan = Compaction.planFromManifest(
+        manifest.toDF("window", "bytes"), "window", "bytes", tgt)
+      .select("window", "compaction_needed")
+      .as[(String, Boolean)].collect().toMap
+    val rewritten = Compaction.compactWindows(spark, cfg.targetPath,
+      targetFileBytes = tgt).map(r => s"window=${r.window}").toSet
+    assert(plan.filter(_._2).keySet == rewritten,
+      s"planner flagged ${plan.filter(_._2).keySet}, executor rewrote $rewritten")
+    assert(rewritten.nonEmpty && plan.exists(!_._2),
+      "fixture must realize both decisions")
+  }
 }
