@@ -141,4 +141,40 @@ object BinPacking {
         "chop_split_docs", "chop_fill", "bfd_bins", "bfd_pad", "bfd_trunc",
         "bfd_fill")
   }
+
+  /** Self-attention FLOPs accounting over a [[bestFitDecreasing]] pack —
+    * the compute-side companion of [[graft.ops.PackedLeakage]] (which
+    * prices the QUALITY hole packing opens, this prices the COMPUTE):
+    * attention cost scales with the SQUARE of what a token may attend to,
+    * so per shard the census reports the three masking tiers an attention
+    * kernel can run at, in exact integer token-pair units —
+    *  - `dense_cost`      = bins · budget² (pad attended — the naive
+    *    fixed-shape kernel),
+    *  - `padmask_cost`    = Σ used² (pad masked, segment boundaries NOT —
+    *    cross-doc attention still paid AND leaking),
+    *  - `blockdiag_cost`  = Σ len² per doc (the varlen/block-diagonal
+    *    kernel a packed loader should run),
+    * plus the two derived gaps (`pad_waste`, `crossdoc_waste`). The gap
+    * ratios are exactly what decides whether a fleet ships varlen
+    * attention or just eats the pad.
+    *
+    * Scale shape: two map-side-combined groupBys ((shard, bin) then
+    * shard) on the pack map — no joins, no windows, squares stay in
+    * Long (used ≤ budget). */
+  def attentionCostCensus(packed: DataFrame, budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val b2 = budget.toLong * budget
+    packed.groupBy(col("shard"), col("bin"))
+      .agg(sum(col("len_capped")).as("used"),
+        sum(col("len_capped") * col("len_capped")).as("seg_sq"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("used") * col("used")).as("padmask_cost"),
+        sum(col("seg_sq")).as("blockdiag_cost"))
+      .select(col("shard"), col("n_bins"),
+        (col("n_bins") * b2).as("dense_cost"),
+        col("padmask_cost"), col("blockdiag_cost"),
+        (col("n_bins") * b2 - col("padmask_cost")).as("pad_waste"),
+        (col("padmask_cost") - col("blockdiag_cost")).as("crossdoc_waste"))
+  }
 }

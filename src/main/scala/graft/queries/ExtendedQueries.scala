@@ -342,6 +342,22 @@ object ExtendedQueries {
       .orderBy("source", "doc_id")
   }
 
+  /** q296: attention-FLOPs census over the q260 BFD pack
+    * ([[graft.ops.BinPacking.attentionCostCensus]]) — per source, the
+    * dense / pad-masked / block-diagonal attention costs in exact
+    * token-pair units, plus the pad and cross-doc waste gaps. The
+    * compute-price companion of q266's leakage screen. */
+  val attentionCost: Q = (s, dir) => {
+    val withTok = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+    graft.ops.BinPacking.attentionCostCensus(
+        graft.ops.BinPacking.bestFitDecreasing(withTok, "source", "doc_id",
+          "ntok", PackBudget), PackBudget)
+      .withColumnRenamed("shard", "source")
+      .orderBy("source")
+  }
+
   /** Incremental dedup: a delta batch (doc_id%10==3) checked against the
     * signature INDEX of the existing corpus — the corpus is never
     * re-shingled wholesale, only candidate docs are verified. Oracled by
@@ -778,6 +794,7 @@ object ExtendedQueries {
     "q64_sequence_packing" -> sequencePacking,
     "q259_packing_efficiency" -> packingEfficiencyCensus,
     "q260_bfd_pack_map" -> bfdPackMap,
+    "q296_attention_cost" -> attentionCost,
     "q65_token_quota" -> tokenQuota,
     "q66_incremental_dedup" -> incrementalDedup,
     "q29_rolling_revenue" -> rollingRevenue,
@@ -1196,9 +1213,32 @@ object ExtendedQueries {
        |  round(bfd.kept * 1.0 / (bfd.bfd_bins * $PackBudget), 6) AS bfd_fill
        |FROM chop JOIN bfd USING (source) ORDER BY 1""".stripMargin
 
+  /** q296: the BFD fold's per-bin fill list squared (pad-mask tier), the
+    * capped per-doc lengths squared (block-diag tier), dense = bins·B². */
+  private def attentionCostOracle: String =
+    s"""$bfdOracleCtes,
+       |bq AS (
+       |  SELECT source, CAST(len(bins) AS BIGINT) AS n_bins,
+       |    CAST(coalesce(list_sum(list_transform(bins, x -> x * x)), 0)
+       |      AS BIGINT) AS padmask_cost
+       |  FROM fin),
+       |sq AS (
+       |  SELECT source, CAST(sum(lc * lc) AS BIGINT) AS blockdiag_cost
+       |  FROM r GROUP BY 1)
+       |SELECT bq.source, bq.n_bins,
+       |  CAST(bq.n_bins * ${PackBudget.toLong * PackBudget} AS BIGINT)
+       |    AS dense_cost,
+       |  bq.padmask_cost, sq.blockdiag_cost,
+       |  CAST(bq.n_bins * ${PackBudget.toLong * PackBudget}
+       |    - bq.padmask_cost AS BIGINT) AS pad_waste,
+       |  CAST(bq.padmask_cost - sq.blockdiag_cost AS BIGINT)
+       |    AS crossdoc_waste
+       |FROM bq JOIN sq USING (source) ORDER BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q259_packing_efficiency" -> packingEfficiencyOracle,
     "q260_bfd_pack_map" -> bfdPackMapOracle,
+    "q296_attention_cost" -> attentionCostOracle,
     // q216: same fold alphabet, same per-fold-group (n, distinct-raw)
     // arithmetic; oracle's translate() shares Spark's drop-when-shorter
     // semantics

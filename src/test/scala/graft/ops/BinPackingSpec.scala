@@ -140,4 +140,38 @@ class BinPackingSpec extends SparkSpec {
     // (own bin), doc2 bin of 2 -> pad 2, trunc 6
     assert(out == ((3L, 0L, 1L, 2L, 2L, 6L)))
   }
+
+  test("attention cost census: hand-computed masking tiers") {
+    // budget 10; docs 6,4 share bin0 (used 10), doc 5 opens bin1 (used 5)
+    val docs = Seq(("a", 1L, 6L), ("a", 2L, 4L), ("a", 3L, 5L))
+      .toDF("src", "id", "ntok")
+    val out = BinPacking.attentionCostCensus(
+        BinPacking.bestFitDecreasing(docs, "src", "id", "ntok", 10), 10)
+      .as[(String, Long, Long, Long, Long, Long, Long)].head()
+    // dense 2*100; padmask 10^2+5^2=125; blockdiag 36+16+25=77
+    assert(out == (("a", 2L, 200L, 125L, 77L, 75L, 48L)))
+  }
+
+  test("attention cost census: tier ordering and the exact-fill identity") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("source"), col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+          .as("ntok"))
+    val rows = BinPacking.attentionCostCensus(
+        BinPacking.bestFitDecreasing(docs, "source", "doc_id", "ntok", 80), 80)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, _, dense, padmask, blockdiag, padW, crossW) =>
+      assert(dense >= padmask && padmask >= blockdiag,
+        s"$s: masking tiers must be monotone")
+      assert(padW == dense - padmask && crossW == padmask - blockdiag)
+    }
+    // exactly-budget docs: every bin holds ONE doc, all three tiers equal
+    val exact = Seq(("e", 1L, 10L), ("e", 2L, 10L), ("e", 3L, 10L))
+      .toDF("src", "id", "ntok")
+    val one = BinPacking.attentionCostCensus(
+        BinPacking.bestFitDecreasing(exact, "src", "id", "ntok", 10), 10)
+      .as[(String, Long, Long, Long, Long, Long, Long)].head()
+    assert(one == (("e", 3L, 300L, 300L, 300L, 0L, 0L)))
+  }
 }
