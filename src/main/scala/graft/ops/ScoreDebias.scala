@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Length-debiased reward scoring — the CORRECTIVE step for the verbosity
+  * bias the q278 judge census measures: reward models systematically score
+  * longer responses higher (Dubois et al. 2024, "Length-Controlled
+  * AlpacaEval"; Singhal et al. 2023, "A Long Way To Go"), so best-of-n
+  * selection on raw scores quietly optimizes for length. The standard
+  * parameter-free correction subtracts the mean score of the response's
+  * LENGTH BUCKET: what survives is the score component length does not
+  * explain, and the best-of-n argmax re-runs on that residual.
+  *
+  * All decisions are integer-exact: the residual is computed in
+  * micro-units with floor division (`score·10^6 − (Σ_b·10^6 div n_b)`),
+  * so engine and oracle agree bit-for-bit and no float mean enters a
+  * selection.
+  *
+  * Scale shape: one scan → bucket projection; bucket stats are a
+  * handful of rows (lengths div bucketWidth) broadcast back onto the
+  * samples; BOTH argmaxes (raw and debiased) ride ONE max(struct) pair in
+  * a single per-prompt aggregate — never a window; the flip census is a
+  * final tiny groupBy.
+  */
+object ScoreDebias {
+
+  /** Best-of-n flip census over (promptCol, idCol numeric, scoreCol
+    * integer, lenCol integer) sample rows: per `flipped` outcome — prompt
+    * count, Σprompt certificate, and the total token length of the raw
+    * vs debiased choices (the length reduction the debias buys). Ties
+    * break to the lowest sample id on both sides. */
+  def debiasCensus(samples: DataFrame, promptCol: String, idCol: String,
+      scoreCol: String, lenCol: String, bucketWidth: Int): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val base = samples.select(col(promptCol).as("prompt_id"),
+      col(idCol).cast("long").as("id"),
+      col(scoreCol).cast("long").as("score"),
+      col(lenCol).cast("long").as("len"))
+      .withColumn("bucket", expr(s"len div $bucketWidth"))
+    val stats = base.groupBy("bucket")
+      .agg(count(lit(1)).as("n_b"), sum(col("score")).as("sum_b"))
+    val x = base.join(broadcast(stats), "bucket")
+      .withColumn("deb", expr("score * 1000000 - (sum_b * 1000000 div n_b)"))
+    val sel = x.groupBy("prompt_id").agg(
+      max(struct(col("score"), (-col("id")).as("ni"), col("len").as("l")))
+        .as("r"),
+      max(struct(col("deb"), (-col("id")).as("ni"), col("len").as("l")))
+        .as("d"))
+    sel.groupBy((col("r.ni") =!= col("d.ni")).as("flipped"))
+      .agg(count(lit(1)).as("n_prompts"),
+        sum(col("prompt_id")).as("sum_prompts"),
+        sum(col("r.l")).as("raw_choice_tokens"),
+        sum(col("d.l")).as("deb_choice_tokens"))
+  }
+}

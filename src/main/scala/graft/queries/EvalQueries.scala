@@ -204,6 +204,31 @@ object EvalQueries {
       "source", "bytes", targetBytes = 3000L)
       .orderBy("source")
 
+  // ---------------------------------------------------------------- q297
+
+  /** Shared q297 fixture: 6-sample best-of-n groups (the q271 idiom) whose
+    * reward score carries a PLANTED verbosity bias — score = the
+    * length-independent q278 quality term ((id·13+5)%97) + 2·ntok — so
+    * raw argmax systematically picks long samples and the debias has a
+    * real bias to remove. */
+  private[graft] def rmSampleFixture(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      expr("doc_id div 6").as("prompt_id"),
+      col("doc_id").as("sample_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+        .as("ntok"))
+      .withColumn("score",
+        (col("sample_id") * 13 + 5) % 97 + col("ntok") * 2)
+
+  /** q297: length-debiased best-of-n census ([[graft.ops.ScoreDebias]],
+    * bucket width 16) — per flip outcome: prompt count, Σprompt
+    * certificate, and total chosen-sample tokens before vs after the
+    * debias (the verbosity the correction removes). */
+  val rmLengthDebias: Q = (s, dir) =>
+    graft.ops.ScoreDebias.debiasCensus(rmSampleFixture(s, dir),
+      "prompt_id", "sample_id", "score", "ntok", bucketWidth = 16)
+      .orderBy("flipped")
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -212,6 +237,7 @@ object EvalQueries {
     "q293_trajectory_census" -> trajectoryCensus,
     "q294_epoch_churn" -> epochShufflePlan,
     "q295_compaction_plan" -> compactionPlan,
+    "q297_rm_length_debias" -> rmLengthDebias,
     "q298_refusal_incremental" -> refusalIncremental)
 
   /** The q291 fixture + classifier replayed in SQL (shared by q291/q298):
@@ -395,6 +421,48 @@ object EvalQueries {
         |  CAST(CASE WHEN count(*) > greatest(1, (sum(bytes) + 2999) // 3000)
         |    THEN sum(bytes) ELSE 0 END AS BIGINT) AS bytes_rewritten
         |FROM f GROUP BY 1
+        |""".stripMargin,
+
+    // q297: fixture + bucket stats + micro-unit residual + both argmaxes
+    // replayed — the ranking windows are the oracle's job (the engine
+    // uses max(struct) pairs), floor division matches div exactly
+    "q297_rm_length_debias" ->
+      """WITH d AS (
+        |  SELECT doc_id // 6 AS prompt_id, doc_id AS sample_id,
+        |    CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT)
+        |      AS ntok
+        |  FROM documents),
+        |s AS (
+        |  SELECT *, (sample_id * 13 + 5) % 97 + ntok * 2 AS score,
+        |    ntok // 16 AS bucket
+        |  FROM d),
+        |b AS (
+        |  SELECT bucket, count(*) AS n_b, sum(score) AS sum_b
+        |  FROM s GROUP BY 1),
+        |x AS (
+        |  SELECT s.*, s.score * 1000000 - (b.sum_b * 1000000 // b.n_b)
+        |    AS deb
+        |  FROM s JOIN b USING (bucket)),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY prompt_id
+        |      ORDER BY score DESC, sample_id ASC) AS rn_r,
+        |    row_number() OVER (PARTITION BY prompt_id
+        |      ORDER BY deb DESC, sample_id ASC) AS rn_d
+        |  FROM x),
+        |sel AS (
+        |  SELECT prompt_id,
+        |    max(CASE WHEN rn_r = 1 THEN sample_id END) AS raw_id,
+        |    max(CASE WHEN rn_r = 1 THEN ntok END) AS raw_len,
+        |    max(CASE WHEN rn_d = 1 THEN sample_id END) AS deb_id,
+        |    max(CASE WHEN rn_d = 1 THEN ntok END) AS deb_len
+        |  FROM w GROUP BY 1)
+        |SELECT raw_id <> deb_id AS flipped,
+        |  CAST(count(*) AS BIGINT) AS n_prompts,
+        |  CAST(sum(prompt_id) AS BIGINT) AS sum_prompts,
+        |  CAST(sum(raw_len) AS BIGINT) AS raw_choice_tokens,
+        |  CAST(sum(deb_len) AS BIGINT) AS deb_choice_tokens
+        |FROM sel GROUP BY 1
         |""".stripMargin,
 
     "q298_refusal_incremental" -> refusalOracle

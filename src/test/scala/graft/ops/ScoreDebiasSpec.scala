@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Length-debias: bucket-mean residual arithmetic, flip detection, tie
+  * rule, and the degenerate single-bucket case. */
+class ScoreDebiasSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def census(rows: (Long, Long, Long, Long)*) =
+    ScoreDebias.debiasCensus(
+      rows.toDF("prompt_id", "sample_id", "score", "len"),
+      "prompt_id", "sample_id", "score", "len", bucketWidth = 10)
+      .as[(Boolean, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+  test("bucket-mean subtraction flips a verbosity-driven pick") {
+    // bucket 0 (len<10): samples score 5,9; bucket 1 (len>=10): 20,24.
+    // Raw argmax on prompt 1 picks the long 24; bucket means are 7 and 22
+    // in micro-units, residuals: 5-7=-2, 9-7=+2, 20-22=-2, 24-22=+2 —
+    // tie at +2e6 breaks to the lower id: sample 11 (short) wins.
+    val c = census(
+      (1L, 10L, 5L, 3L), (1L, 11L, 9L, 4L),
+      (1L, 12L, 20L, 12L), (1L, 13L, 24L, 15L))
+    assert(c.keySet == Set(true))
+    val (n, sp, rawTok, debTok) = c(true)
+    assert(n == 1L && sp == 1L)
+    assert(rawTok == 15L && debTok == 4L, "debias must pick the short sample")
+  }
+
+  test("one bucket degenerates to the raw argmax (no flip possible)") {
+    val c = census(
+      (1L, 10L, 5L, 3L), (1L, 11L, 9L, 4L), (1L, 12L, 7L, 5L),
+      (2L, 20L, 1L, 2L), (2L, 21L, 8L, 6L))
+    assert(c.keySet == Set(false),
+      "identical bucket means shift every score equally — order preserved")
+  }
+
+  test("exact ties break to the lowest sample id on both sides") {
+    val c = census((1L, 10L, 7L, 3L), (1L, 11L, 7L, 3L))
+    assert(c.keySet == Set(false))
+    assert(c(false)._3 == 3L && c(false)._4 == 3L)
+  }
+
+  test("fixture plant: flips remove measurable verbosity at sf0.001") {
+    val out = ScoreDebias.debiasCensus(
+        graft.queries.EvalQueries.rmSampleFixture(spark, "/root/testdata/sf0.001"),
+        "prompt_id", "sample_id", "score", "ntok", 16)
+      .as[(Boolean, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.contains(true) && out.contains(false),
+      "both outcomes must be realized")
+    val (_, nFlip, _, raw, deb) = out(true)
+    assert(nFlip > 0 && deb < raw,
+      s"debiased choices should be shorter: raw=$raw deb=$deb")
+    val (_, _, _, rawSame, debSame) = out(false)
+    assert(rawSame == debSame, "unflipped prompts keep the same choice")
+  }
+}
