@@ -244,6 +244,7 @@ object Bench {
     "q295_compaction_plan",   // manifest-level small-file rewrite planner
     "q296_attention_cost",    // dense/padmask/blockdiag FLOPs over BFD pack
     "q297_rm_length_debias",  // bucket-residual best-of-n flip census
+    "q299_spec_decode",       // draft/target accepted-prefix economics
     "q298_refusal_incremental") // stored refusal census -> derived shares
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean

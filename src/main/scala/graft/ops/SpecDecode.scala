@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Speculative-decoding acceptance accounting (Leviathan et al. 2023,
+  * "Fast Inference from Transformers via Speculative Decoding"; Chen et
+  * al. 2023) — the serving-fleet audit that decides whether a draft model
+  * pays for itself: the target model accepts a drafted token stream up to
+  * the FIRST disagreement, so the accepted-prefix length per generation is
+  * the whole economics (expected tokens per verify pass ≈ acceptance
+  * rate). Run over logged (draft, target) token pairs it answers, per
+  * corpus slice, "how many drafted tokens does the verifier keep?" —
+  * which prompt families a draft model serves well and which it wastes
+  * verify passes on.
+  *
+  * Scale shape: the accepted prefix is ONE in-row array expression
+  * (`zip_with` equality → `array_position` of the first mismatch —
+  * codegen'd, no UDF, no explode), and the census is one
+  * map-side-combined groupBy. Token arrays never shuffle; only the
+  * per-row scalar lengths do.
+  */
+object SpecDecode {
+
+  /** Longest-common-prefix length of two SAME-LENGTH token arrays as an
+    * in-row column: the number of drafted tokens a prefix-verify keeps. */
+  def acceptedPrefixLen(draft: Column, target: Column): Column = {
+    val pos = array_position(zip_with(draft, target, (x, y) => x === y),
+      lit(false))
+    when(pos === 0, least(size(draft), size(target))).otherwise(pos - 1)
+  }
+
+  /** Acceptance census over (idCol, groupCol, draftCol, targetCol) rows:
+    * per group — generation count, target and accepted token totals,
+    * full-accept count, and the acceptance rate in integer ppm. */
+  def acceptanceCensus(gens: DataFrame, groupCol: String, draftCol: String,
+      targetCol: String): DataFrame =
+    gens.select(col(groupCol),
+        size(col(targetCol)).cast("long").as("__tlen"),
+        acceptedPrefixLen(col(draftCol), col(targetCol)).cast("long")
+          .as("__acc"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_gens"),
+        sum(col("__tlen")).as("target_tokens"),
+        sum(col("__acc")).as("accepted_tokens"),
+        sum(when(col("__acc") === col("__tlen"), 1L).otherwise(0L))
+          .as("full_accepts"))
+      .withColumn("accept_ppm",
+        expr("accepted_tokens * 1000000 div target_tokens"))
+}

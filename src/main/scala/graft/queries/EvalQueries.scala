@@ -229,6 +229,32 @@ object EvalQueries {
       "prompt_id", "sample_id", "score", "ntok", bucketWidth = 16)
       .orderBy("flipped")
 
+  // ---------------------------------------------------------------- q299
+
+  /** Shared q299 fixture: each doc is one logged (draft, target) token
+    * pair — target length 8 + id%5, token stream (id·7 + 3i) % 50, and
+    * the draft diverges from position p = id % (len+1) onward (+1 on
+    * every later token), so p == len realizes full accepts and every
+    * acceptance length 0..len occurs at every SF. */
+  private[graft] def specDecodeFixture(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      expr("transform(sequence(0, cast(8 + doc_id % 5 as int) - 1)," +
+        " i -> (doc_id * 7 + i * 3) % 50)").as("target_toks"),
+      expr("transform(sequence(0, cast(8 + doc_id % 5 as int) - 1)," +
+        " i -> case when i < doc_id % (8 + doc_id % 5 + 1)" +
+        " then (doc_id * 7 + i * 3) % 50" +
+        " else (doc_id * 7 + i * 3) % 50 + 1 end)").as("draft_toks"))
+
+  /** q299: speculative-decoding acceptance census
+    * ([[graft.ops.SpecDecode]]) — per source: generation count, target vs
+    * accepted token totals, full accepts, acceptance ppm. The
+    * accepted-prefix fold is one in-row zip_with/array_position
+    * expression; the oracle rebuilds both token lists and replays it. */
+  val specDecodeAcceptance: Q = (s, dir) =>
+    graft.ops.SpecDecode.acceptanceCensus(specDecodeFixture(s, dir),
+      "source", "draft_toks", "target_toks")
+      .orderBy("source")
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -238,6 +264,7 @@ object EvalQueries {
     "q294_epoch_churn" -> epochShufflePlan,
     "q295_compaction_plan" -> compactionPlan,
     "q297_rm_length_debias" -> rmLengthDebias,
+    "q299_spec_decode" -> specDecodeAcceptance,
     "q298_refusal_incremental" -> refusalIncremental)
 
   /** The q291 fixture + classifier replayed in SQL (shared by q291/q298):
@@ -463,6 +490,39 @@ object EvalQueries {
         |  CAST(sum(raw_len) AS BIGINT) AS raw_choice_tokens,
         |  CAST(sum(deb_len) AS BIGINT) AS deb_choice_tokens
         |FROM sel GROUP BY 1
+        |""".stripMargin,
+
+    // q299: both token lists rebuilt and the first-mismatch fold replayed
+    // with list functions (list_position and array_position BOTH return 0
+    // when no mismatch exists — the same full-length CASE on each side)
+    "q299_spec_decode" ->
+      """WITH a AS (
+        |  SELECT doc_id, source, 8 + doc_id % 5 AS L,
+        |    doc_id % (8 + doc_id % 5 + 1) AS p
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, source, L,
+        |    list_transform(range(L), i -> (doc_id * 7 + i * 3) % 50) AS t,
+        |    list_transform(range(L), i -> CASE
+        |      WHEN i < p THEN (doc_id * 7 + i * 3) % 50
+        |      ELSE (doc_id * 7 + i * 3) % 50 + 1 END) AS d
+        |  FROM a),
+        |pz AS (
+        |  SELECT source, L,
+        |    list_position(list_transform(range(L),
+        |      i -> d[i + 1] = t[i + 1]), false) AS pos
+        |  FROM b),
+        |c AS (
+        |  SELECT source, L,
+        |    CASE WHEN pos = 0 THEN L ELSE pos - 1 END AS acc
+        |  FROM pz)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_gens,
+        |  CAST(sum(L) AS BIGINT) AS target_tokens,
+        |  CAST(sum(acc) AS BIGINT) AS accepted_tokens,
+        |  CAST(sum(CASE WHEN acc = L THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS full_accepts,
+        |  CAST(sum(acc) * 1000000 // sum(L) AS BIGINT) AS accept_ppm
+        |FROM c GROUP BY 1
         |""".stripMargin,
 
     "q298_refusal_incremental" -> refusalOracle

@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Speculative-decode acceptance: prefix fold edge cases and the fixture
+  * identity (first mismatch is exactly the planted divergence point). */
+class SpecDecodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def acc(pairs: (Long, Seq[Long], Seq[Long])*) =
+    pairs.toDF("id", "draft", "target")
+      .select(col("id"),
+        SpecDecode.acceptedPrefixLen(col("draft"), col("target"))
+          .cast("long").as("acc"))
+      .as[(Long, Long)].collect().toMap
+
+  test("accepted prefix: full, zero, and mid-stream mismatch") {
+    val v = acc(
+      (1L, Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)), // identical -> 3
+      (2L, Seq(9L, 2L, 3L), Seq(1L, 2L, 3L)), // first token wrong -> 0
+      (3L, Seq(1L, 2L, 9L), Seq(1L, 2L, 3L)), // diverges at 2
+      (4L, Seq(1L, 9L, 3L), Seq(1L, 2L, 3L))) // later re-agreement ignored
+    assert(v == Map(1L -> 3L, 2L -> 0L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("census totals and ppm arithmetic") {
+    val gens = Seq(
+      ("a", Seq(1L, 2L), Seq(1L, 2L)),   // acc 2 of 2
+      ("a", Seq(9L, 2L), Seq(1L, 2L)))   // acc 0 of 2
+      .toDF("src", "draft", "target")
+    val r = SpecDecode.acceptanceCensus(gens, "src", "draft", "target")
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    assert(r == (("a", 2L, 4L, 2L, 1L, 500000L)))
+  }
+
+  test("fixture identity: accepted length equals the planted divergence") {
+    val fx = graft.queries.EvalQueries.specDecodeFixture(
+      spark, "/root/testdata/sf0.001")
+    val bad = fx.select(col("doc_id"),
+        SpecDecode.acceptedPrefixLen(col("draft_toks"), col("target_toks"))
+          .cast("long").as("acc"),
+        expr("doc_id % (8 + doc_id % 5 + 1)").as("p"))
+      .where(col("acc") =!= col("p")).count()
+    assert(bad == 0, "draft diverges at p by +1, so acc must equal p")
+    val full = fx.where(
+      SpecDecode.acceptedPrefixLen(col("draft_toks"), col("target_toks"))
+        === size(col("target_toks"))).count()
+    assert(full > 0, "p == len must realize full accepts")
+  }
+}
