@@ -245,7 +245,8 @@ object Bench {
     "q296_attention_cost",    // dense/padmask/blockdiag FLOPs over BFD pack
     "q297_rm_length_debias",  // bucket-residual best-of-n flip census
     "q299_spec_decode",       // draft/target accepted-prefix economics
-    "q298_refusal_incremental") // stored refusal census -> derived shares
+    "q298_refusal_incremental", // stored refusal census -> derived shares
+    "q300_constraint_incremental") // stored constraint census -> shares
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -58,17 +58,21 @@ object ConstraintLint {
         verdictCol(col(kindCol), col(paramCol), col(respCol)).as("verdict"))
       .agg(count(lit(1)).as("n"), sum(col(idCol)).as("sum_ids"))
 
-  /** Census over (idCol, kindCol, paramCol, respCol) rows: per
-    * (constraint, verdict) count, Σid certificate, and within-constraint
-    * share_ppm (integer micro-units; the ≤4-row constraint-total frame
+  /** The report fold over (constraint_kind, verdict, n, sum_ids) census
+    * rows: within-kind share in integer ppm (the ≤4-row kind-total frame
     * broadcasts onto the census). */
-  def census(rows: DataFrame, idCol: String, kindCol: String,
-      paramCol: String, respCol: String): DataFrame = {
-    val counts = verdictCounts(rows, idCol, kindCol, paramCol, respCol)
+  def censusFromCounts(counts: DataFrame): DataFrame = {
     val totals = counts.groupBy("constraint_kind")
       .agg(sum(col("n")).as("kind_total"))
     counts.join(broadcast(totals), "constraint_kind")
       .select(col("constraint_kind"), col("verdict"), col("n"), col("sum_ids"),
         expr("n * 1000000 div kind_total").as("share_ppm"))
   }
+
+  /** Census over (idCol, kindCol, paramCol, respCol) rows: per
+    * (constraint, verdict) count, Σid certificate, and within-constraint
+    * share_ppm. */
+  def census(rows: DataFrame, idCol: String, kindCol: String,
+      paramCol: String, respCol: String): DataFrame =
+    censusFromCounts(verdictCounts(rows, idCol, kindCol, paramCol, respCol))
 }

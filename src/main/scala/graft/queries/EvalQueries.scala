@@ -124,6 +124,31 @@ object EvalQueries {
       "constraint_kind", "param", "resp")
       .orderBy("constraint_kind", "verdict")
 
+  /** q300: the q292 incremental twin — (constraint, verdict) counts are
+    * plain sums (unconditionally additive), so each eval wave ingests its
+    * [[ConstraintLint.verdictCounts]] into the census store exactly-once
+    * and the shares derive from the reloaded integers; `replay_noop`
+    * certifies the second ingest of batch 0 was refused. */
+  val constraintIncremental: Q = (s, dir) => {
+    val rows = constraintFixture(s, dir)
+    val path = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_clint_idx"))
+      .resolve("census").toString
+    def ingest(half: Int, id: Long): Boolean =
+      graft.store.IndexStore.updateCensus(s, path,
+        ConstraintLint.verdictCounts(
+          rows.where(col("doc_id") % 2 === half),
+          "doc_id", "constraint_kind", "param", "resp"),
+        Seq("constraint_kind", "verdict"), batchId = id)
+    ingest(0, 0L)
+    val replayNoop = !ingest(0, 0L)
+    ingest(1, 1L)
+    ConstraintLint.censusFromCounts(
+        graft.store.IndexStore.loadCensus(s, path))
+      .withColumn("replay_noop", lit(replayNoop))
+      .orderBy("constraint_kind", "verdict")
+  }
+
   // ---------------------------------------------------------------- q293
 
   /** The q293 step registry: one tool, two required args. */
@@ -265,7 +290,8 @@ object EvalQueries {
     "q295_compaction_plan" -> compactionPlan,
     "q297_rm_length_debias" -> rmLengthDebias,
     "q299_spec_decode" -> specDecodeAcceptance,
-    "q298_refusal_incremental" -> refusalIncremental)
+    "q298_refusal_incremental" -> refusalIncremental,
+    "q300_constraint_incremental" -> constraintIncremental)
 
   /** The q291 fixture + classifier replayed in SQL (shared by q291/q298):
     * same plant CASE order, same anchored openers / hedge probes, same
@@ -312,14 +338,12 @@ object EvalQueries {
       |FROM c JOIN t USING (category)
       |""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "q291_refusal_screen" -> refusalOracle,
-
-    // q292: fixture + executed checks replayed in SQL — same plant CASE
-    // order, same word-split convention, json_valid guard standing in for
-    // get_json_object's null-on-malformed, same integer ppm shares
-    "q292_constraint_lint" ->
-      """WITH f AS (
+  /** The q292 fixture + executed checks replayed in SQL (shared by
+    * q292/q300): same plant CASE order, same word-split convention,
+    * json_valid guard standing in for get_json_object's
+    * null-on-malformed, same integer ppm shares. */
+  private val constraintOracle: String =
+    """WITH f AS (
         |  SELECT doc_id,
         |    CASE doc_id % 4 WHEN 0 THEN 'max_words'
         |      WHEN 1 THEN 'must_include' WHEN 2 THEN 'json_object'
@@ -363,7 +387,12 @@ object EvalQueries {
         |SELECT c.constraint_kind, c.verdict, c.n, c.sum_ids,
         |  CAST(c.n * 1000000 // t.kind_total AS BIGINT) AS share_ppm
         |FROM c JOIN t USING (constraint_kind)
-        |""".stripMargin,
+        |""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q291_refusal_screen" -> refusalOracle,
+
+    "q292_constraint_lint" -> constraintOracle,
     // q293: fixture + step lint + trace fold replayed in SQL — json_valid
     // guarding the extraction (the q272 idiom), the same conditional-min
     // first-error fold, the same wasted-step arithmetic
@@ -526,6 +555,10 @@ object EvalQueries {
         |""".stripMargin,
 
     "q298_refusal_incremental" -> refusalOracle
+      .replace("AS share_ppm\n",
+        "AS share_ppm, true AS replay_noop\n"),
+
+    "q300_constraint_incremental" -> constraintOracle
       .replace("AS share_ppm\n",
         "AS share_ppm, true AS replay_noop\n"))
 }

@@ -65,4 +65,19 @@ class ConstraintLintSpec extends SparkSpec {
     assert(out == Seq(("ends_period", "pass", 2L, 3L, 666666L),
       ("ends_period", "violated", 1L, 3L, 333333L)))
   }
+
+  test("verdict counts are additive across arbitrary batch splits") {
+    val rows = graft.queries.EvalQueries.constraintFixture(
+      spark, "/root/testdata/sf0.001")
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      ConstraintLint.verdictCounts(df, "doc_id", "constraint_kind", "param",
+        "resp")
+    val one = counts(rows).as[(String, String, Long, Long)].collect().toSet
+    val merged = counts(rows.where(col("doc_id") % 3 === 0))
+      .unionAll(counts(rows.where(col("doc_id") % 3 =!= 0)))
+      .groupBy("constraint_kind", "verdict")
+      .agg(sum("n").as("n"), sum("sum_ids").as("sum_ids"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(merged == one, "split-and-sum must equal the one-shot census")
+  }
 }
