@@ -246,7 +246,8 @@ object Bench {
     "q297_rm_length_debias",  // bucket-residual best-of-n flip census
     "q299_spec_decode",       // draft/target accepted-prefix economics
     "q298_refusal_incremental", // stored refusal census -> derived shares
-    "q300_constraint_incremental") // stored constraint census -> shares
+    "q300_constraint_incremental", // stored constraint census -> shares
+    "q301_matryoshka_census") // truncated-dim top-1 retrieval loss
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -280,6 +280,75 @@ object EvalQueries {
       "source", "draft_toks", "target_toks")
       .orderBy("source")
 
+  // ---------------------------------------------------------------- q301
+
+  private val MatryoshkaTiers = Seq(8, 16, 32, 64)
+
+  /** Sequential-fold dot product of the first `d` dims — Spark's
+    * `aggregate` folds left-to-right from 0.0 exactly like the oracle's
+    * `list_reduce`, so the doubles agree bit-wise (the q289 doctrine). */
+  private def sliceDot(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column, d: Int): org.apache.spark.sql.Column =
+    aggregate(
+      zip_with(slice(a, 1, d), slice(b, 1, d),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** q301: matryoshka / truncated-dimension retrieval census — the
+    * storage-tier decision for an embedding fleet (Kusupati et al. 2022,
+    * "Matryoshka Representation Learning"): serve the first d of 64 dims
+    * and measure what top-1 retrieval loses. For each probe (a bounded
+    * deterministic sample, the q148 recall-census doctrine) and each dim
+    * tier, the exact top-1 neighbor under truncated cosine; the census
+    * reports per tier how often the truncated choice equals the full-dim
+    * choice and how often it preserves the probe's label. The probe's own
+    * norm cancels in per-probe ranking, so the score is dot/√(cand-norm)
+    * — every fold sequential and bit-replayable.
+    *
+    * Scale shape: probes broadcast against one corpus scan; all four
+    * tier scores are in-row expressions over the SAME pair row; per-probe
+    * argmaxes ride ONE groupBy as four max(struct)s (never a window); the
+    * census is a final explode + tiny groupBy. At corpus scale the
+    * candidate side pre-filters through the stored IVF index (q168) —
+    * this gate certifies the exact arithmetic on the probe sample. */
+  val matryoshkaCensus: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val probes = emb.where(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val cands = emb.select(col("vec_id").as("cid"),
+      col("embedding").as("cv"), col("label").as("clabel"))
+    def score(d: Int) = {
+      val nc = sliceDot(col("cv"), col("cv"), d)
+      when(nc === 0.0, lit(-2.0))
+        .otherwise(sliceDot(col("qv"), col("cv"), d) / sqrt(nc))
+    }
+    val scored = cands.crossJoin(broadcast(probes))
+      .where(col("cid") =!= col("qid"))
+      .select(Seq(col("qid"), col("qlabel"), col("cid"), col("clabel")) ++
+        MatryoshkaTiers.map(d => score(d).as(s"s$d")): _*)
+    val per = scored.groupBy("qid", "qlabel")
+      .agg(max(struct(col(s"s${MatryoshkaTiers.head}"),
+          (-col("cid")).as("ni"), col("clabel").as("cl")))
+          .as(s"w${MatryoshkaTiers.head}"),
+        MatryoshkaTiers.tail.map(d =>
+          max(struct(col(s"s$d"), (-col("cid")).as("ni"),
+            col("clabel").as("cl"))).as(s"w$d")): _*)
+    per.select(col("qid"), col("qlabel"),
+        (-col("w64.ni")).as("full_cid"),
+        explode(array(MatryoshkaTiers.map(d =>
+          struct(lit(d).as("dim"), (-col(s"w$d.ni")).as("cid"),
+            col(s"w$d.cl").as("clabel"))): _*)).as("t"))
+      .groupBy(col("t.dim").as("dim"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("t.cid") === col("full_cid"), 1L).otherwise(0L))
+          .as("same_as_full"),
+        sum(when(col("t.clabel") === col("qlabel"), 1L).otherwise(0L))
+          .as("label_matches"),
+        sum(col("t.cid")).as("sum_chosen"))
+      .orderBy("dim")
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -291,7 +360,8 @@ object EvalQueries {
     "q297_rm_length_debias" -> rmLengthDebias,
     "q299_spec_decode" -> specDecodeAcceptance,
     "q298_refusal_incremental" -> refusalIncremental,
-    "q300_constraint_incremental" -> constraintIncremental)
+    "q300_constraint_incremental" -> constraintIncremental,
+    "q301_matryoshka_census" -> matryoshkaCensus)
 
   /** The q291 fixture + classifier replayed in SQL (shared by q291/q298):
     * same plant CASE order, same anchored openers / hedge probes, same
@@ -560,5 +630,49 @@ object EvalQueries {
 
     "q300_constraint_incremental" -> constraintOracle
       .replace("AS share_ppm\n",
-        "AS share_ppm, true AS replay_noop\n"))
+        "AS share_ppm, true AS replay_noop\n"),
+
+    // q301: every fold replayed with sequential list_reduce (bit-identical
+    // to the engine's aggregate-from-0.0), score = dot/sqrt(cand norm),
+    // the ranking windows are the oracle's job (engine: max(struct) ×4)
+    "q301_matryoshka_census" ->
+      """WITH p AS (
+        |  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+        |  FROM embeddings WHERE vec_id % 25 = 0),
+        |dims AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+        |pair AS (
+        |  SELECT p.qid, p.qlabel, d.dim, c.vec_id AS cid,
+        |    c.label AS clabel,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(d.dim), i ->
+        |        CAST(p.qv[i + 1] AS DOUBLE)
+        |          * CAST(c.embedding[i + 1] AS DOUBLE))),
+        |      (a, b) -> a + b) AS dt,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(d.dim), i ->
+        |        CAST(c.embedding[i + 1] AS DOUBLE)
+        |          * CAST(c.embedding[i + 1] AS DOUBLE))),
+        |      (a, b) -> a + b) AS nc
+        |  FROM p CROSS JOIN dims d
+        |  JOIN embeddings c ON c.vec_id <> p.qid),
+        |sc AS (
+        |  SELECT qid, qlabel, dim, cid, clabel,
+        |    CASE WHEN nc = 0 THEN -2.0 ELSE dt / sqrt(nc) END AS score
+        |  FROM pair),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY qid, dim
+        |    ORDER BY score DESC, cid ASC) AS rn
+        |  FROM sc),
+        |ch AS (SELECT qid, qlabel, dim, cid, clabel FROM rk WHERE rn = 1),
+        |ref AS (SELECT qid, cid AS full_cid FROM ch WHERE dim = 64)
+        |SELECT CAST(ch.dim AS INT) AS dim,
+        |  CAST(count(*) AS BIGINT) AS n_probes,
+        |  CAST(sum(CASE WHEN ch.cid = ref.full_cid THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS same_as_full,
+        |  CAST(sum(CASE WHEN ch.clabel = ch.qlabel THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS label_matches,
+        |  CAST(sum(ch.cid) AS BIGINT) AS sum_chosen
+        |FROM ch JOIN ref USING (qid)
+        |GROUP BY 1
+        |""".stripMargin)
 }

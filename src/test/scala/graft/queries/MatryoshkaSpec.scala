@@ -1,0 +1,33 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Matryoshka truncation census (q301): the full-dim identity, the
+  * degradation signal, and determinism across runs. */
+class MatryoshkaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val rows = EvalQueries.matryoshkaCensus(
+      spark, "/root/testdata/sf0.001")
+    .as[(Int, Long, Long, Long, Long)].collect().toSeq
+
+  test("dim 64 agrees with itself on every probe — the built-in identity") {
+    val full = rows.find(_._1 == 64).get
+    assert(full._2 == full._3, "full-dim top-1 must equal the reference")
+  }
+
+  test("every tier scores the same probe set; truncation loses recall") {
+    assert(rows.map(_._1) == Seq(8, 16, 32, 64))
+    val n = rows.head._2
+    assert(rows.forall(_._2 == n), "all tiers share the probe set")
+    val d8 = rows.find(_._1 == 8).get
+    assert(d8._3 < n, "8 of 64 dims should NOT preserve every top-1 " +
+      "(a fixture where it does would make the census vacuous)")
+  }
+
+  test("census is deterministic across runs") {
+    val again = EvalQueries.matryoshkaCensus(spark, "/root/testdata/sf0.001")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(again == rows)
+  }
+}
