@@ -247,7 +247,8 @@ object Bench {
     "q299_spec_decode",       // draft/target accepted-prefix economics
     "q298_refusal_incremental", // stored refusal census -> derived shares
     "q300_constraint_incremental", // stored constraint census -> shares
-    "q301_matryoshka_census") // truncated-dim top-1 retrieval loss
+    "q301_matryoshka_census", // truncated-dim top-1 retrieval loss
+    "q302_cascade_curve")     // one-pass quality/cost routing curve
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

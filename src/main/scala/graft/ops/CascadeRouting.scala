@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Model-cascade routing economics (the FrugalGPT shape: Chen et al.
+  * 2023; selective prediction: Geifman & El-Yaniv 2017) — a serving fleet
+  * answers with the SMALL model unless its confidence falls below a
+  * threshold, in which case the request routes to the big model. Picking
+  * the threshold is a measured trade between quality and cost, so the
+  * planner needs the WHOLE curve: per candidate threshold, how much
+  * traffic routes, what the cascade's accuracy becomes, what it costs.
+  *
+  * Scale shape (the q270 one-pass-curve doctrine): the corpus is scanned
+  * ONCE into a confidence-bucket census (count + small-model and
+  * big-model correct tallies per bucket — map-side combined); every
+  * threshold is then a prefix split of that metadata-sized frame, so the
+  * full curve is a tiny thresholds × buckets cross join, never a
+  * per-threshold corpus pass. Thresholds are bucket boundaries by
+  * construction (both multiples of `step`), which makes the prefix split
+  * exact, not approximate.
+  */
+object CascadeRouting {
+
+  /** Threshold curve over (confCol int in [0, maxConf), smallOkCol bool,
+    * bigOkCol bool) rows: one row per threshold (0, step, 2·step, …) with
+    * routed/kept counts, cascade correct count, total cost at the given
+    * per-request model costs, and accuracy in integer ppm. */
+  def thresholdCurve(rows: DataFrame, confCol: String, smallOkCol: String,
+      bigOkCol: String, step: Int, maxConf: Int, costSmall: Long,
+      costBig: Long): DataFrame = {
+    require(step > 0 && maxConf % step == 0,
+      "maxConf must be a multiple of step")
+    val buckets = rows.groupBy(expr(s"$confCol div $step").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(smallOkCol), 1L).otherwise(0L)).as("s_ok"),
+        sum(when(col(bigOkCol), 1L).otherwise(0L)).as("b_ok"))
+    val spark = rows.sparkSession
+    val thresholds = spark.range(0L, (maxConf / step).toLong)
+      .select((col("id") * step).cast("int").as("threshold"))
+    // a bucket routes iff it sits entirely below the threshold — exact
+    // because thresholds and bucket edges share the step grid
+    val routed = col("bucket") * step < col("threshold")
+    thresholds.crossJoin(broadcast(buckets))
+      .groupBy("threshold")
+      .agg(sum(col("n")).as("n_total"),
+        sum(when(routed, col("n")).otherwise(0L)).as("n_routed"),
+        sum(when(routed, col("b_ok")).otherwise(col("s_ok")))
+          .as("n_correct"))
+      .select(col("threshold"), col("n_routed"),
+        (col("n_total") - col("n_routed")).as("n_kept"), col("n_correct"),
+        (col("n_routed") * costBig +
+          (col("n_total") - col("n_routed")) * costSmall).as("total_cost"),
+        expr("n_correct * 1000000 div n_total").as("accuracy_ppm"))
+  }
+}

@@ -349,6 +349,31 @@ object EvalQueries {
       .orderBy("dim")
   }
 
+  // ---------------------------------------------------------------- q302
+
+  /** Shared q302 fixture: each doc is one served request with a
+    * confidence in [0,100) and deterministic correctness bits — the small
+    * model's accuracy RISES with confidence (40% + conf/2 — the planted
+    * signal a cascade exploits), the big model sits flat at 90%. */
+  private[graft] def cascadeFixture(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      ((col("doc_id") * 17 + 3) % 100).as("conf"),
+      expr("(doc_id * 11 + 7) % 100 < " +
+        "40 + ((doc_id * 17 + 3) % 100) div 2").as("small_ok"),
+      ((col("doc_id") * 13 + 5) % 100 < 90).as("big_ok"))
+
+  /** q302: cascade-routing threshold curve
+    * ([[graft.ops.CascadeRouting]], step 10, small costs 1, big costs
+    * 10) — one corpus pass to the confidence-bucket census, the full
+    * quality/cost curve from the metadata frame. The oracle replays the
+    * routing ROW-LEVEL (corpus × thresholds), certifying the engine's
+    * bucket-prefix optimization exactly. */
+  val cascadeCurve: Q = (s, dir) =>
+    graft.ops.CascadeRouting.thresholdCurve(cascadeFixture(s, dir),
+      "conf", "small_ok", "big_ok", step = 10, maxConf = 100,
+      costSmall = 1L, costBig = 10L)
+      .orderBy("threshold")
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -361,7 +386,8 @@ object EvalQueries {
     "q299_spec_decode" -> specDecodeAcceptance,
     "q298_refusal_incremental" -> refusalIncremental,
     "q300_constraint_incremental" -> constraintIncremental,
-    "q301_matryoshka_census" -> matryoshkaCensus)
+    "q301_matryoshka_census" -> matryoshkaCensus,
+    "q302_cascade_curve" -> cascadeCurve)
 
   /** The q291 fixture + classifier replayed in SQL (shared by q291/q298):
     * same plant CASE order, same anchored openers / hedge probes, same
@@ -674,5 +700,34 @@ object EvalQueries {
         |  CAST(sum(ch.cid) AS BIGINT) AS sum_chosen
         |FROM ch JOIN ref USING (qid)
         |GROUP BY 1
+        |""".stripMargin,
+
+    // q302: the routing replayed ROW-LEVEL (corpus × thresholds CASE),
+    // certifying the engine's one-pass bucket-prefix curve exactly
+    "q302_cascade_curve" ->
+      """WITH t AS (SELECT unnest([0, 10, 20, 30, 40, 50, 60, 70, 80, 90])
+        |  AS threshold),
+        |d AS (
+        |  SELECT doc_id, (doc_id * 17 + 3) % 100 AS c,
+        |    (doc_id * 11 + 7) % 100
+        |      < 40 + ((doc_id * 17 + 3) % 100) // 2 AS s_ok,
+        |    (doc_id * 13 + 5) % 100 < 90 AS b_ok
+        |  FROM documents)
+        |SELECT CAST(t.threshold AS INT) AS threshold,
+        |  CAST(sum(CASE WHEN d.c < t.threshold THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_routed,
+        |  CAST(sum(CASE WHEN d.c < t.threshold THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN d.c < t.threshold
+        |    THEN CASE WHEN d.b_ok THEN 1 ELSE 0 END
+        |    ELSE CASE WHEN d.s_ok THEN 1 ELSE 0 END END) AS BIGINT)
+        |    AS n_correct,
+        |  CAST(sum(CASE WHEN d.c < t.threshold THEN 10 ELSE 1 END)
+        |    AS BIGINT) AS total_cost,
+        |  CAST(sum(CASE WHEN d.c < t.threshold
+        |    THEN CASE WHEN d.b_ok THEN 1 ELSE 0 END
+        |    ELSE CASE WHEN d.s_ok THEN 1 ELSE 0 END END) * 1000000
+        |    // count(*) AS BIGINT) AS accuracy_ppm
+        |FROM d CROSS JOIN t GROUP BY 1
         |""".stripMargin)
 }

@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Cascade routing curve: hand-computed splits, the bucket-prefix ==
+  * row-level equivalence, and curve invariants. */
+class CascadeRoutingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed two-threshold split") {
+    // conf 5 (small wrong, big right), conf 15 (small right, big wrong)
+    val rows = Seq((1L, 5, false, true), (2L, 15, true, false))
+      .toDF("id", "conf", "small_ok", "big_ok")
+    val curve = CascadeRouting.thresholdCurve(rows, "conf", "small_ok",
+        "big_ok", step = 10, maxConf = 20, costSmall = 1L, costBig = 10L)
+      .orderBy("threshold")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(curve == Seq(
+      // t=0: nothing routes -> only small answers: 1 correct, cost 2
+      (0, 0L, 2L, 1L, 2L, 500000L),
+      // t=10: conf 5 routes to big (right), conf 15 stays small (right)
+      (10, 1L, 1L, 2L, 11L, 1000000L)))
+  }
+
+  test("bucket-prefix curve equals the explicit row-level routing") {
+    val fx = graft.queries.EvalQueries.cascadeFixture(
+      spark, "/root/testdata/sf0.001")
+    val fast = CascadeRouting.thresholdCurve(fx, "conf", "small_ok",
+        "big_ok", 10, 100, 1L, 10L)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSet
+    val slow = (0 until 100 by 10).map { t =>
+      val routed = fx.where(col("conf") < t).count()
+      val kept = fx.where(col("conf") >= t).count()
+      val correct = fx.where((col("conf") < t && col("big_ok")) ||
+        (col("conf") >= t && col("small_ok"))).count()
+      (t, routed, kept, correct, routed * 10 + kept,
+        correct * 1000000 / (routed + kept))
+    }.toSet
+    assert(fast == slow, "one-pass curve must equal per-threshold passes")
+  }
+
+  test("curve invariants: routing volume is monotone in the threshold") {
+    val fx = graft.queries.EvalQueries.cascadeFixture(
+      spark, "/root/testdata/sf0.001")
+    val curve = CascadeRouting.thresholdCurve(fx, "conf", "small_ok",
+        "big_ok", 10, 100, 1L, 10L)
+      .orderBy("threshold")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(curve.map(_._2) == curve.map(_._2).sorted, "n_routed monotone")
+    assert(curve.map(_._5) == curve.map(_._5).sorted, "cost monotone")
+    assert(curve.head._2 == 0L, "threshold 0 routes nothing")
+    val n = curve.head._3
+    assert(curve.forall(r => r._2 + r._3 == n), "routed + kept == corpus")
+  }
+}
