@@ -59,15 +59,16 @@ object ConstraintLint {
       .agg(count(lit(1)).as("n"), sum(col(idCol)).as("sum_ids"))
 
   /** The report fold over (constraint_kind, verdict, n, sum_ids) census
-    * rows: within-kind share in integer ppm (the ≤4-row kind-total frame
-    * broadcasts onto the census). */
-  def censusFromCounts(counts: DataFrame): DataFrame = {
-    val totals = counts.groupBy("constraint_kind")
-      .agg(sum(col("n")).as("kind_total"))
-    counts.join(broadcast(totals), "constraint_kind")
+    * rows: within-kind share in integer ppm. The kind total is a window
+    * over the CENSUS frame (≤ a dozen rows — metadata-sized), so the
+    * corpus is scanned exactly once; a totals re-aggregate would
+    * physically recompute the census branch. */
+  def censusFromCounts(counts: DataFrame): DataFrame =
+    counts
+      .withColumn("kind_total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("constraint_kind")))
       .select(col("constraint_kind"), col("verdict"), col("n"), col("sum_ids"),
         expr("n * 1000000 div kind_total").as("share_ppm"))
-  }
 
   /** Census over (idCol, kindCol, paramCol, respCol) rows: per
     * (constraint, verdict) count, Σid certificate, and within-constraint

@@ -58,15 +58,17 @@ object RefusalScreen {
       .agg(count(lit(1)).as("n"), sum(col(idCol)).as("sum_ids"))
 
   /** The report fold over (category, verdict, n, sum_ids) census rows:
-    * within-category share in ppm (integer micro-units — the 2-row
-    * category-total frame broadcasts onto the census). */
-  def censusFromCounts(counts: DataFrame): DataFrame = {
-    val totals = counts.groupBy("category")
-      .agg(sum(col("n")).as("cat_total"))
-    counts.join(broadcast(totals), "category")
+    * within-category share in ppm (integer micro-units). The category
+    * total is a window over the CENSUS frame — a handful of rows, so the
+    * window is metadata-sized and the corpus is scanned exactly once (a
+    * totals re-aggregate would physically recompute the census branch,
+    * i.e. a second corpus scan). */
+  def censusFromCounts(counts: DataFrame): DataFrame =
+    counts
+      .withColumn("cat_total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("category")))
       .select(col("category"), col("verdict"), col("n"), col("sum_ids"),
         expr("n * 1000000 div cat_total").as("share_ppm"))
-  }
 
   /** Census over (idCol, categoryCol, respCol) generations: per
     * (category, verdict) count, Σid certificate, and within-category

@@ -593,4 +593,52 @@ class PlanShapeSpec extends SparkSpec {
       s"the per-prompt argmax must ride the aggregate, not a window:\n${plan.take(2000)}")
     assert(!plan.contains("Join"), s"no join needed:\n${plan.take(2000)}")
   }
+
+  test("refusal and constraint lints: one scan, zero joins") {
+    // the classifiers are in-row ladders; share_ppm's total is a window
+    // over the ALREADY-AGGREGATED census frame (metadata-sized), so the
+    // corpus is never scanned twice and nothing joins
+    Seq("q291_refusal_screen", "q292_constraint_lint").foreach { q =>
+      val plan = planOf(q)
+      assert("FileScan parquet".r.findAllIn(plan).length == 1,
+        s"$q must scan documents exactly once:\n${plan.take(2000)}")
+      assert(!plan.contains("Join"),
+        s"$q must not join:\n${plan.take(2000)}")
+    }
+  }
+
+  test("trajectory census and epoch churn: aggregates only, no join, no window") {
+    Seq("q293_trajectory_census", "q294_epoch_churn").foreach { q =>
+      val plan = planOf(q)
+      assert("FileScan parquet".r.findAllIn(plan).length == 1,
+        s"$q must scan documents exactly once:\n${plan.take(2000)}")
+      assert(!plan.contains("Join"), s"$q must not join:\n${plan.take(2000)}")
+      assert(!plan.contains("Window"),
+        s"$q folds must ride aggregates:\n${plan.take(2000)}")
+    }
+  }
+
+  test("spec-decode census: arrays stay in-row — no explode, no join") {
+    val plan = planOf("q299_spec_decode")
+    assert("FileScan parquet".r.findAllIn(plan).length == 1)
+    assert(!plan.contains("Generate"),
+      s"the prefix fold must not explode token arrays:\n${plan.take(2000)}")
+    assert(!plan.contains("Join") && !plan.contains("Window"))
+  }
+
+  test("cascade curve: one corpus scan; thresholds join only metadata") {
+    val plan = planOf("q302_cascade_curve")
+    assert("FileScan parquet".r.findAllIn(plan).length == 1,
+      s"the bucket census must be the only corpus pass:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"thresholds × buckets is metadata-sized and must broadcast:\n${plan.take(2000)}")
+  }
+
+  test("matryoshka census: probes broadcast; argmaxes ride the aggregate") {
+    val plan = planOf("q301_matryoshka_census")
+    assert(!plan.contains("Window"),
+      s"per-probe top-1 must be max(struct), not a window:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the bounded probe side must broadcast:\n${plan.take(2000)}")
+  }
 }
