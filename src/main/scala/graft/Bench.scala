@@ -248,7 +248,8 @@ object Bench {
     "q298_refusal_incremental", // stored refusal census -> derived shares
     "q300_constraint_incremental", // stored constraint census -> shares
     "q301_matryoshka_census", // truncated-dim top-1 retrieval loss
-    "q302_cascade_curve")     // one-pass quality/cost routing curve
+    "q302_cascade_curve",     // one-pass quality/cost routing curve
+    "q303_compaction_incremental") // stored manifest census -> plan
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

@@ -108,6 +108,18 @@ object Compaction {
     * All integer arithmetic; ONE map-side-combined groupBy. */
   def planFromManifest(manifest: org.apache.spark.sql.DataFrame,
       groupCol: String, bytesCol: String, targetBytes: Long)
+      : org.apache.spark.sql.DataFrame =
+    planFromCounts(manifestCounts(manifest, groupCol, bytesCol, targetBytes),
+      targetBytes)
+
+  /** The ADDITIVE half of [[planFromManifest]]: per group, file count,
+    * byte total, and small-file count. Every column is a plain sum over
+    * FILES, so ingest waves that each contribute disjoint files merge
+    * exactly in the census store ([[graft.store.IndexStore.updateCensus]])
+    * and the plan re-derives from the reloaded integers — the catalog is
+    * never re-listed. */
+  def manifestCounts(manifest: org.apache.spark.sql.DataFrame,
+      groupCol: String, bytesCol: String, targetBytes: Long)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     require(targetBytes > 0, "targetBytes must be positive")
@@ -116,6 +128,14 @@ object Compaction {
         sum(col(bytesCol)).as("total_bytes"),
         sum(when(col(bytesCol) * 2 < targetBytes, 1L).otherwise(0L))
           .as("small_files"))
+  }
+
+  /** The DERIVED half: planned file count, rewrite flag, bytes moved —
+    * pure integer functions of the stored counts. */
+  def planFromCounts(counts: org.apache.spark.sql.DataFrame,
+      targetBytes: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    counts
       .withColumn("planned_files",
         greatest(lit(1L),
           expr(s"(total_bytes + ${targetBytes - 1}) div $targetBytes")))

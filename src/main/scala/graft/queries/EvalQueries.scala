@@ -229,6 +229,32 @@ object EvalQueries {
       "source", "bytes", targetBytes = 3000L)
       .orderBy("source")
 
+  /** q303: the q295 incremental twin — per-source (n_files, total_bytes,
+    * small_files) are plain sums over FILES, so each ingest wave (batch
+    * parity here: every physical file lands wholly in one wave) ingests
+    * its [[graft.ops.Compaction.manifestCounts]] into the census store
+    * exactly-once and the rewrite plan re-derives from the reloaded
+    * integers — the catalog is never re-listed. */
+  val compactionIncremental: Q = (s, dir) => {
+    val manifest = manifestFixture(s, dir)
+    val path = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_compact_idx"))
+      .resolve("census").toString
+    def ingest(parity: Int, id: Long): Boolean =
+      graft.store.IndexStore.updateCensus(s, path,
+        graft.ops.Compaction.manifestCounts(
+          manifest.where(col("batch") % 2 === parity),
+          "source", "bytes", targetBytes = 3000L),
+        Seq("source"), batchId = id)
+    ingest(0, 0L)
+    val replayNoop = !ingest(0, 0L)
+    ingest(1, 1L)
+    graft.ops.Compaction.planFromCounts(
+        graft.store.IndexStore.loadCensus(s, path), targetBytes = 3000L)
+      .withColumn("replay_noop", lit(replayNoop))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------- q297
 
   /** Shared q297 fixture: 6-sample best-of-n groups (the q271 idiom) whose
@@ -387,7 +413,8 @@ object EvalQueries {
     "q298_refusal_incremental" -> refusalIncremental,
     "q300_constraint_incremental" -> constraintIncremental,
     "q301_matryoshka_census" -> matryoshkaCensus,
-    "q302_cascade_curve" -> cascadeCurve)
+    "q302_cascade_curve" -> cascadeCurve,
+    "q303_compaction_incremental" -> compactionIncremental)
 
   /** The q291 fixture + classifier replayed in SQL (shared by q291/q298):
     * same plant CASE order, same anchored openers / hedge probes, same
@@ -485,6 +512,29 @@ object EvalQueries {
         |FROM c JOIN t USING (constraint_kind)
         |""".stripMargin
 
+  /** The q295 layout model + planner arithmetic replayed (shared by
+    * q295/q303): same ceil-div, same strictly-fewer rewrite rule, same
+    * doubled small-file compare. */
+  private val compactionOracle: String =
+    """WITH f AS (
+        |  SELECT source,
+        |    CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+        |      THEN doc_id // 200 ELSE doc_id // 10 END AS batch,
+        |    sum(n_chars) AS bytes
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |  CAST(sum(CASE WHEN bytes * 2 < 3000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS small_files,
+        |  CAST(greatest(1, (sum(bytes) + 2999) // 3000) AS BIGINT)
+        |    AS planned_files,
+        |  count(*) > greatest(1, (sum(bytes) + 2999) // 3000)
+        |    AS compaction_needed,
+        |  CAST(CASE WHEN count(*) > greatest(1, (sum(bytes) + 2999) // 3000)
+        |    THEN sum(bytes) ELSE 0 END AS BIGINT) AS bytes_rewritten
+        |FROM f GROUP BY 1
+        |""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q291_refusal_screen" -> refusalOracle,
 
@@ -555,25 +605,10 @@ object EvalQueries {
 
     // q295: layout model + planner arithmetic replayed — same ceil-div,
     // same strictly-fewer rewrite rule, same doubled small-file compare
-    "q295_compaction_plan" ->
-      """WITH f AS (
-        |  SELECT source,
-        |    CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
-        |      THEN doc_id // 200 ELSE doc_id // 10 END AS batch,
-        |    sum(n_chars) AS bytes
-        |  FROM documents GROUP BY 1, 2)
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_files,
-        |  CAST(sum(bytes) AS BIGINT) AS total_bytes,
-        |  CAST(sum(CASE WHEN bytes * 2 < 3000 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS small_files,
-        |  CAST(greatest(1, (sum(bytes) + 2999) // 3000) AS BIGINT)
-        |    AS planned_files,
-        |  count(*) > greatest(1, (sum(bytes) + 2999) // 3000)
-        |    AS compaction_needed,
-        |  CAST(CASE WHEN count(*) > greatest(1, (sum(bytes) + 2999) // 3000)
-        |    THEN sum(bytes) ELSE 0 END AS BIGINT) AS bytes_rewritten
-        |FROM f GROUP BY 1
-        |""".stripMargin,
+    "q295_compaction_plan" -> compactionOracle,
+    "q303_compaction_incremental" -> compactionOracle
+      .replace("AS bytes_rewritten\n",
+        "AS bytes_rewritten, true AS replay_noop\n"),
 
     // q297: fixture + bucket stats + micro-unit residual + both argmaxes
     // replayed — the ranking windows are the oracle's job (the engine

@@ -145,6 +145,22 @@ class CompactionSpec extends SparkSpec {
     assert(edge._4 == 1L, "exactly half the target is NOT a small file")
   }
 
+  test("manifest counts are additive across ingest waves of disjoint files") {
+    import spark.implicits._
+    val manifest = graft.queries.EvalQueries.manifestFixture(
+      spark, "/root/testdata/sf0.001")
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      Compaction.manifestCounts(df, "source", "bytes", 3000L)
+    val one = counts(manifest).as[(String, Long, Long, Long)].collect().toSet
+    val merged = counts(manifest.where(col("batch") % 2 === 0))
+      .unionAll(counts(manifest.where(col("batch") % 2 =!= 0)))
+      .groupBy("source")
+      .agg(sum("n_files").as("n_files"), sum("total_bytes").as("total_bytes"),
+        sum("small_files").as("small_files"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(merged == one, "wave-split counts must merge to the one-shot")
+  }
+
   test("manifest planner decision matches the executor's rewrite decision") {
     val (cfg, target) = freshTarget()
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
