@@ -249,7 +249,8 @@ object Bench {
     "q300_constraint_incremental", // stored constraint census -> shares
     "q301_matryoshka_census", // truncated-dim top-1 retrieval loss
     "q302_cascade_curve",     // one-pass quality/cost routing curve
-    "q303_compaction_incremental") // stored manifest census -> plan
+    "q303_compaction_incremental", // stored manifest census -> plan
+    "q304_bestofn_curve")     // pass@n vs best-of-n-by-RM gap curve
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

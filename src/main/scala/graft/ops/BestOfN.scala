@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Best-of-n verifier-gap curve — the sampling-budget planner for
+  * rejection sampling: as n samples per prompt grow, pass@n (an ORACLE
+  * verifier keeps any correct sample) rises fast, but a production
+  * pipeline selects with a learned reward model, so what it actually
+  * banks is best-of-n-by-RM. The gap between the two curves is the RM's
+  * selection shortfall (Cobbe et al. 2021, "Training Verifiers"; Lightman
+  * et al. 2023) — it decides whether the next dollar goes to more samples
+  * or a better RM. q241 reports the unordered combinatorial pass@k
+  * estimator; this census walks the REALIZED sampling order, so both
+  * curves and their gap are exact counts, not estimates.
+  *
+  * Scale shape: one groupBy collects each prompt's ≤N samples into a
+  * bounded sorted array; every prefix size's argmax-by-score and
+  * any-correct fold are IN-ROW array expressions over that array (a
+  * strict-greater fold in id order IS the min-id tie rule), so the whole
+  * curve costs one shuffle + one explode over N metadata rows per
+  * prompt — never a per-n corpus pass.
+  */
+object BestOfN {
+
+  /** Curve over (promptCol, idCol, scoreCol integer, okCol boolean)
+    * sample rows, for prefix sizes 1..maxN in realized id order: per n —
+    * prompt count, best-of-n-by-RM correct count, pass@n count (any
+    * correct in prefix), both in integer ppm. Prompts shorter than n use
+    * their full sample set (slice past the end is the whole array). */
+  def verifierGapCurve(samples: DataFrame, promptCol: String, idCol: String,
+      scoreCol: String, okCol: String, maxN: Int): DataFrame = {
+    require(maxN > 0, "maxN must be positive")
+    val arr = samples.groupBy(col(promptCol).as("prompt_id"))
+      .agg(sort_array(collect_list(struct(
+        col(idCol).cast("long").as("sid"),
+        col(scoreCol).cast("long").as("score"),
+        col(okCol).as("ok")))).as("arr"))
+    val curveRows = arr.select(col("prompt_id"),
+      explode(expr(
+        s"""transform(sequence(1, $maxN), n -> named_struct(
+           |  'n', n,
+           |  'any_ok', exists(slice(arr, 1, n), x -> x.ok),
+           |  'rm_ok', aggregate(slice(arr, 1, n),
+           |    named_struct('bs', cast(-1 as bigint), 'ok', false),
+           |    (acc, x) -> IF(x.score > acc.bs,
+           |      named_struct('bs', x.score, 'ok', x.ok), acc)).ok))
+           |""".stripMargin)).as("c"))
+    curveRows.groupBy(col("c.n").as("n"))
+      .agg(count(lit(1)).as("n_prompts"),
+        sum(when(col("c.rm_ok"), 1L).otherwise(0L)).as("rm_correct"),
+        sum(when(col("c.any_ok"), 1L).otherwise(0L)).as("pass_correct"))
+      .select(col("n"), col("n_prompts"), col("rm_correct"),
+        col("pass_correct"),
+        expr("rm_correct * 1000000 div n_prompts").as("rm_ppm"),
+        expr("pass_correct * 1000000 div n_prompts").as("pass_ppm"))
+  }
+}

@@ -280,6 +280,21 @@ object EvalQueries {
       "prompt_id", "sample_id", "score", "ntok", bucketWidth = 16)
       .orderBy("flipped")
 
+  // ---------------------------------------------------------------- q304
+
+  /** q304: best-of-n verifier-gap curve ([[graft.ops.BestOfN]], n 1..6) —
+    * the q297 samples with a ground-truth bit on the LENGTH-INDEPENDENT
+    * quality term (base ≥ 60), so the RM (which also rewards length)
+    * selects imperfectly and the pass@n − best-of-n gap is real. Exact
+    * realized-order counts, complementing q241's unordered combinatorial
+    * estimator. */
+  val bestOfNCurve: Q = (s, dir) =>
+    graft.ops.BestOfN.verifierGapCurve(
+      rmSampleFixture(s, dir)
+        .withColumn("ok", (col("sample_id") * 13 + 5) % 97 >= 60),
+      "prompt_id", "sample_id", "score", "ok", maxN = 6)
+      .orderBy("n")
+
   // ---------------------------------------------------------------- q299
 
   /** Shared q299 fixture: each doc is one logged (draft, target) token
@@ -414,7 +429,8 @@ object EvalQueries {
     "q300_constraint_incremental" -> constraintIncremental,
     "q301_matryoshka_census" -> matryoshkaCensus,
     "q302_cascade_curve" -> cascadeCurve,
-    "q303_compaction_incremental" -> compactionIncremental)
+    "q303_compaction_incremental" -> compactionIncremental,
+    "q304_bestofn_curve" -> bestOfNCurve)
 
   /** The q291 fixture + classifier replayed in SQL (shared by q291/q298):
     * same plant CASE order, same anchored openers / hedge probes, same
@@ -764,5 +780,41 @@ object EvalQueries {
         |    ELSE CASE WHEN d.s_ok THEN 1 ELSE 0 END END) * 1000000
         |    // count(*) AS BIGINT) AS accuracy_ppm
         |FROM d CROSS JOIN t GROUP BY 1
+        |""".stripMargin,
+
+    // q304: realized-order prefixes replayed with ranking windows (the
+    // oracle's job; the engine's strict-greater fold in id order IS the
+    // score-desc/id-asc rank-1 pick)
+    "q304_bestofn_curve" ->
+      """WITH d AS (
+        |  SELECT doc_id // 6 AS prompt_id, doc_id AS sample_id,
+        |    (doc_id * 13 + 5) % 97
+        |      + 2 * CAST(len(CASE WHEN trim(text) = ''
+        |        THEN CAST([] AS VARCHAR[])
+        |        ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT)
+        |      AS score,
+        |    (doc_id * 13 + 5) % 97 >= 60 AS ok
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY prompt_id
+        |    ORDER BY sample_id) AS rk
+        |  FROM d),
+        |ns AS (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n),
+        |x AS (
+        |  SELECT r.prompt_id, ns.n, r.sample_id, r.ok,
+        |    row_number() OVER (PARTITION BY r.prompt_id, ns.n
+        |      ORDER BY r.score DESC, r.sample_id ASC) AS rs
+        |  FROM r JOIN ns ON r.rk <= ns.n),
+        |per AS (
+        |  SELECT prompt_id, n,
+        |    max(CASE WHEN rs = 1 AND ok THEN 1 ELSE 0 END) AS rm_ok,
+        |    max(CASE WHEN ok THEN 1 ELSE 0 END) AS any_ok
+        |  FROM x GROUP BY 1, 2)
+        |SELECT CAST(n AS INT) AS n, CAST(count(*) AS BIGINT) AS n_prompts,
+        |  CAST(sum(rm_ok) AS BIGINT) AS rm_correct,
+        |  CAST(sum(any_ok) AS BIGINT) AS pass_correct,
+        |  CAST(sum(rm_ok) * 1000000 // count(*) AS BIGINT) AS rm_ppm,
+        |  CAST(sum(any_ok) * 1000000 // count(*) AS BIGINT) AS pass_ppm
+        |FROM per GROUP BY 1
         |""".stripMargin)
 }

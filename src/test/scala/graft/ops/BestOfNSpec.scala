@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Best-of-n verifier gap: hand-computed prefixes, the n=1 identity,
+  * tie rule, short prompts, and curve invariants on the fixture. */
+class BestOfNSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def curve(maxN: Int, rows: (Long, Long, Long, Boolean)*) =
+    BestOfN.verifierGapCurve(
+      rows.toDF("prompt_id", "sample_id", "score", "ok"),
+      "prompt_id", "sample_id", "score", "ok", maxN)
+      .orderBy("n")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+
+  test("hand-computed prefixes: RM picks the high score, oracle any-correct") {
+    // order: s1 (score 5, wrong), s2 (score 9, wrong), s3 (score 7, RIGHT)
+    val c = curve(3, (1L, 1L, 5L, false), (1L, 2L, 9L, false),
+      (1L, 3L, 7L, true))
+    // n=1: pick s1 wrong, none correct; n=2: pick s2 wrong, none correct;
+    // n=3: RM still picks s2 (9 > 7) wrong, but pass@3 = 1
+    assert(c == Seq(
+      (1, 1L, 0L, 0L, 0L, 0L),
+      (2, 1L, 0L, 0L, 0L, 0L),
+      (3, 1L, 0L, 1L, 0L, 1000000L)))
+  }
+
+  test("score ties pick the EARLIEST sample (strict-greater fold)") {
+    val c = curve(2, (1L, 1L, 7L, true), (1L, 2L, 7L, false))
+    assert(c.map(r => (r._1, r._3)) == Seq((1, 1L), (2, 1L)),
+      "the first max in id order must win the tie")
+  }
+
+  test("prompts shorter than n reuse their full sample set") {
+    val c = curve(4, (1L, 1L, 3L, false), (1L, 2L, 8L, true))
+    assert(c.map(_._3) == Seq(0L, 1L, 1L, 1L), "prefix saturates at size 2")
+  }
+
+  test("fixture curves: n=1 identity, monotone pass@n, a real gap") {
+    val fx = graft.queries.EvalQueries.rmSampleFixture(
+        spark, "/root/testdata/sf0.001")
+      .withColumn("ok", (col("sample_id") * 13 + 5) % 97 >= 60)
+    val c = BestOfN.verifierGapCurve(fx, "prompt_id", "sample_id", "score",
+        "ok", 6)
+      .orderBy("n")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(c.head._3 == c.head._4, "at n=1 RM selection IS the only sample")
+    assert(c.map(_._4) == c.map(_._4).sorted, "pass@n never decreases")
+    c.foreach(r => assert(r._3 <= r._4, "RM can never beat the oracle"))
+    assert(c.last._3 < c.last._4,
+      "the length-biased RM must show a selection shortfall at n=6")
+  }
+}
