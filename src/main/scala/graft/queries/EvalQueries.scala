@@ -415,6 +415,53 @@ object EvalQueries {
       costSmall = 1L, costBig = 10L)
       .orderBy("threshold")
 
+  // ---------------------------------------------------------------- q305
+
+  /** q305: contamination-stratified eval census — the reporting step
+    * after the q37/q46 decontamination machinery: eval items whose
+    * 3-gram overlap with the benchmark slice (id%20==0, the q37
+    * convention) reaches 80% are CONTAMINATED, and their accuracy is
+    * reported separately because memorization inflates it (the fixture
+    * plants exactly that: contaminated items score +30 points). Per
+    * source: item/contaminated counts, all-items vs clean-only accuracy
+    * in integer ppm, and the inflation the split exposes. The 80% line
+    * is decided in integers (matched·5 ≥ total·4 — no float threshold).
+    *
+    * Scale shape: one gram pass against the broadcast benchmark gram
+    * table ([[graft.dedup.Contamination.scores]]; the Bloom-prefiltered
+    * q70 form is the drop-in at benchmark scale), one id-keyed join back
+    * to the item frame, one groupBy. */
+  val contamStratifiedEval: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val bench = docs.where(col("doc_id") % 20 === 0)
+    val items = docs.where(col("doc_id") % 20 =!= 0)
+    val contam = graft.dedup.Contamination.scores(items, bench,
+        "doc_id", "text", n = 3)
+      .select(col("id").as("doc_id"),
+        (col("matched_grams") * 5 >= col("total_grams") * 4).as("contam"))
+    items.select(col("doc_id"), col("source"))
+      .join(contam, "doc_id")
+      .withColumn("ok", (col("doc_id") * 7 + 3) % 100 <
+        lit(50) + when(col("contam"), 30).otherwise(0))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("contam"), 1L).otherwise(0L)).as("n_contam"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("correct_all"),
+        sum(when(col("ok") && !col("contam"), 1L).otherwise(0L))
+          .as("correct_clean"))
+      .select(col("source"), col("n_items"), col("n_contam"),
+        col("correct_all"), col("correct_clean"),
+        expr("correct_all * 1000000 div n_items").as("acc_all_ppm"),
+        expr("case when n_items = n_contam then -1 else " +
+          "correct_clean * 1000000 div (n_items - n_contam) end")
+          .as("acc_clean_ppm"),
+        expr("case when n_items = n_contam then 0 else " +
+          "correct_all * 1000000 div n_items - " +
+          "correct_clean * 1000000 div (n_items - n_contam) end")
+          .as("inflation_ppm"))
+      .orderBy("source")
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -430,7 +477,8 @@ object EvalQueries {
     "q301_matryoshka_census" -> matryoshkaCensus,
     "q302_cascade_curve" -> cascadeCurve,
     "q303_compaction_incremental" -> compactionIncremental,
-    "q304_bestofn_curve" -> bestOfNCurve)
+    "q304_bestofn_curve" -> bestOfNCurve,
+    "q305_contam_eval" -> contamStratifiedEval)
 
   /** The q291 fixture + classifier replayed in SQL (shared by q291/q298):
     * same plant CASE order, same anchored openers / hedge probes, same
@@ -816,5 +864,54 @@ object EvalQueries {
         |  CAST(sum(rm_ok) * 1000000 // count(*) AS BIGINT) AS rm_ppm,
         |  CAST(sum(any_ok) * 1000000 // count(*) AS BIGINT) AS pass_ppm
         |FROM per GROUP BY 1
+        |""".stripMargin,
+
+    // q305: the q37 gram construction in string space, the integer 80%
+    // line, the planted inflation, and the stratified ppm arithmetic
+    "q305_contam_eval" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |      ELSE [array_to_string(ts[i:i+2], ' ')
+        |        FOR i IN generate_series(1, len(ts) - 2)]
+        |    END AS grams
+        |  FROM toks),
+        |cg AS (
+        |  SELECT doc_id, source, unnest(list_distinct(grams)) AS gm
+        |  FROM g WHERE doc_id % 20 <> 0),
+        |bench AS (
+        |  SELECT DISTINCT unnest(list_distinct(grams)) AS gm
+        |  FROM g WHERE doc_id % 20 = 0),
+        |m AS (
+        |  SELECT c.doc_id, c.source, count(*) AS total,
+        |    sum(CASE WHEN b.gm IS NOT NULL THEN 1 ELSE 0 END) AS matched
+        |  FROM cg c LEFT JOIN bench b USING (gm) GROUP BY 1, 2),
+        |v AS (
+        |  SELECT doc_id, source, matched * 5 >= total * 4 AS contam,
+        |    (doc_id * 7 + 3) % 100 < 50 +
+        |      CASE WHEN matched * 5 >= total * 4 THEN 30 ELSE 0 END AS ok
+        |  FROM m),
+        |c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(CASE WHEN contam THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_contam,
+        |    CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS correct_all,
+        |    CAST(sum(CASE WHEN ok AND NOT contam THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS correct_clean
+        |  FROM v GROUP BY 1)
+        |SELECT source, n_items, n_contam, correct_all, correct_clean,
+        |  CAST(correct_all * 1000000 // n_items AS BIGINT) AS acc_all_ppm,
+        |  CAST(CASE WHEN n_items = n_contam THEN -1
+        |    ELSE correct_clean * 1000000 // (n_items - n_contam) END
+        |    AS BIGINT) AS acc_clean_ppm,
+        |  CAST(CASE WHEN n_items = n_contam THEN 0
+        |    ELSE correct_all * 1000000 // n_items
+        |      - correct_clean * 1000000 // (n_items - n_contam) END
+        |    AS BIGINT) AS inflation_ppm
+        |FROM c
         |""".stripMargin)
 }

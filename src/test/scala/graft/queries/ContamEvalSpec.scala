@@ -1,0 +1,38 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Contamination-stratified eval census (q305): realization, the
+  * accounting identities, and the planted inflation direction. */
+class ContamEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val rows = EvalQueries.contamStratifiedEval(
+      spark, "/root/testdata/sf0.001")
+    .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+
+  test("benchmark overlap realizes contaminated eval items") {
+    assert(rows.map(_._3).sum > 0, "the corpus's planted near-dups must " +
+      "put some eval items over the 80% overlap line")
+    assert(rows.map(_._2).sum == 475, "500 docs minus the id%20==0 benchmark")
+  }
+
+  test("accounting identities hold per source") {
+    rows.foreach { case (src, n, nc, ca, cc, accAll, accClean, infl) =>
+      assert(nc <= n && cc <= ca, s"$src: counts must nest")
+      assert(accAll == ca * 1000000 / n, s"$src: acc_all arithmetic")
+      if (n != nc) {
+        assert(accClean == cc * 1000000 / (n - nc), s"$src: acc_clean")
+        assert(infl == accAll - accClean, s"$src: inflation identity")
+      }
+    }
+  }
+
+  test("contaminated items inflate the contaminated sources' accuracy") {
+    val touched = rows.filter(_._3 > 0)
+    assert(touched.nonEmpty)
+    val totalInflation = touched.map(_._8).sum
+    assert(totalInflation > 0,
+      s"the +30-point plant must inflate all-items accuracy: $touched")
+  }
+}
