@@ -1006,6 +1006,44 @@ class StreamingSpec extends SparkSpec {
       "streamed census diverged from the one-shot census")
   }
 
+  test("refusal-verdict stream survives kill+restart; store == one-shot") {
+    // q298's streaming form: each generation wave's (category, verdict)
+    // counts merge into the census store; a died-and-restarted stream
+    // must not re-merge the already-ingested wave
+    val gens = graft.queries.EvalQueries.refusalFixture(spark, dir)
+    def census(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.RefusalScreen.verdictCounts(df, "doc_id", "category", "resp")
+    val src = java.nio.file.Files.createTempDirectory("graft_refusal_csrc")
+    val root = java.nio.file.Files.createTempDirectory("graft_refusal_cs").toString
+    val idxPath = s"$root/idx"
+    def stageFile(part: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_refc_p$part")
+      gens.where(pmod(col("doc_id"), lit(2)) === part).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, src.resolve(s"p$part.parquet"))
+    }
+    stageFile(0)
+    val schema = gens.schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+      val q = StreamingPipeline
+        .censusIngestStream(stream, idxPath, Seq("category", "verdict"),
+          census)
+        .option("checkpointLocation", s"$root/ckpt").start()
+      q.awaitTermination()
+    }
+    runOnce()
+    stageFile(1)
+    runOnce()
+    val stored = graft.store.IndexStore.loadCensus(spark, idxPath)
+    val oneShot = census(gens)
+    assert(stored.exceptAll(oneShot).isEmpty && oneShot.exceptAll(stored).isEmpty,
+      "streamed refusal census diverged from the one-shot census")
+  }
+
   test("preference-comparison stream -> BT fit from store == one-shot fit") {
     // comparisons arrive as (winner, loser) events; the stored win matrix
     // is their additive census, and the strengths derive at report time
