@@ -251,7 +251,8 @@ object Bench {
     "q302_cascade_curve",     // one-pass quality/cost routing curve
     "q303_compaction_incremental", // stored manifest census -> plan
     "q304_bestofn_curve",     // pass@n vs best-of-n-by-RM gap curve
-    "q305_contam_eval")       // contamination-stratified eval accuracy
+    "q305_contam_eval",       // contamination-stratified eval accuracy
+    "q306_citation_screen")   // RAG citation-faithfulness lint
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

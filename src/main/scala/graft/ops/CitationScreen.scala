@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** RAG citation-faithfulness screen — the attribution lint a
+  * retrieval-augmented serving stack runs on generations that cite
+  * corpus documents (the RARR/attribution-eval doctrine: a citation is
+  * only worth rendering if the cited document exists AND actually
+  * supports the claimed text). Generations cite with an inline marker
+  * (`[doc:<id>]` + the claimed term here); the screen parses the marker,
+  * joins the corpus, and classes every citation:
+  *
+  *   - `dangling`     — the cited id does not exist in the corpus (the
+  *     model hallucinated a reference),
+  *   - `unsupported`  — the document exists but does not contain the
+  *     claimed term (the reference is real, the claim is not),
+  *   - `supported`    — document exists and carries the claim.
+  *
+  * Precedence dangling > unsupported > supported; both extraction
+  * failures fail CLOSED (a response whose marker does not parse classes
+  * `dangling` — an unverifiable citation must never render as
+  * supported).
+  *
+  * Scale shape: marker extraction is one in-row `regexp_extract`; the
+  * corpus attach is ONE id-keyed left join (the cited-id side shuffles
+  * only (response_id, cited_id, claim) — never response bodies); the
+  * verdict is in-row on the joined row; the census is one groupBy. */
+object CitationScreen {
+
+  /** Parse `[doc:<id>]` + `term <claim>` markers out of a response
+    * column: (cited_id nullable long, claim nullable string). */
+  def citedId(resp: Column): Column =
+    nullif(regexp_extract(resp, "\\[doc:(-?[0-9]+)\\]", 1), lit(""))
+      .cast("long")
+
+  def claimedTerm(resp: Column): Column =
+    nullif(regexp_extract(resp, "term ([A-Za-z0-9_]+)", 1), lit(""))
+
+  /** Census over (idCol, groupCol, respCol) generations against
+    * (docIdCol, textCol) corpus rows: per (group, verdict) — citation
+    * count + Σid certificate. */
+  def census(gens: DataFrame, idCol: String, groupCol: String,
+      respCol: String, corpus: DataFrame, docIdCol: String,
+      textCol: String): DataFrame = {
+    val parsed = gens.select(col(idCol).as("__gid"),
+      col(groupCol).as("grp"),
+      citedId(col(respCol)).as("__cid"),
+      claimedTerm(col(respCol)).as("__claim"))
+    val docs = corpus.select(col(docIdCol).as("__cid"),
+      col(textCol).as("__dtext"))
+    parsed.join(docs, Seq("__cid"), "left_outer")
+      .select(col("__gid"), col("grp"),
+        when(col("__cid").isNull || col("__dtext").isNull, "dangling")
+          .when(col("__claim").isNull ||
+            !contains(col("__dtext"), col("__claim")), "unsupported")
+          .otherwise("supported").as("verdict"))
+      .groupBy("grp", "verdict")
+      .agg(count(lit(1)).as("n_citations"), sum(col("__gid")).as("sum_ids"))
+  }
+}

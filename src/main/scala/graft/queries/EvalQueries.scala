@@ -462,6 +462,43 @@ object EvalQueries {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- q306
+
+  /** Shared q306 fixture: each doc is one RAG generation citing another
+    * corpus doc inline (`[doc:<id>] term <claim>`); the citation target
+    * is id arithmetic ((id·3+1) mod N), the claim is the cited doc's
+    * FIRST token (supported by construction), and two plants realize the
+    * failure classes at every SF: id%13==4 cites a non-existent id
+    * (dangling), id%11==3 claims a term the cited doc cannot contain
+    * (unsupported). */
+  private[graft] def citationFixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val g = docs.select(col("doc_id"), col("source"),
+      when(col("doc_id") % 13 === 4, lit(n) + col("doc_id") % 50)
+        .otherwise((col("doc_id") * 3 + 1) % n).as("cited"))
+    val c = docs.select(col("doc_id").as("cited"),
+      element_at(split(trim(col("text")), "\\s+"), 1).as("ftok"))
+    g.join(c, Seq("cited"), "left_outer")
+      .select(col("doc_id"), col("source"),
+        concat(lit("Cites [doc:"), col("cited").cast("string"),
+          lit("] term "),
+          when(col("doc_id") % 11 === 3, lit("zzzunsupported"))
+            .otherwise(coalesce(col("ftok"), lit("missing"))),
+          lit(" end.")).as("resp"))
+  }
+
+  /** q306: citation-faithfulness screen ([[graft.ops.CitationScreen]]) —
+    * per (source, verdict): citation count + Σid certificate, verdicts
+    * dangling > unsupported > supported, extraction failures fail-closed
+    * to dangling. */
+  val citationScreen: Q = (s, dir) =>
+    graft.ops.CitationScreen.census(citationFixture(s, dir),
+      "doc_id", "source", "resp",
+      Tables.documents(s, dir), "doc_id", "text")
+      .withColumnRenamed("grp", "source")
+      .orderBy("source", "verdict")
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -478,7 +515,8 @@ object EvalQueries {
     "q302_cascade_curve" -> cascadeCurve,
     "q303_compaction_incremental" -> compactionIncremental,
     "q304_bestofn_curve" -> bestOfNCurve,
-    "q305_contam_eval" -> contamStratifiedEval)
+    "q305_contam_eval" -> contamStratifiedEval,
+    "q306_citation_screen" -> citationScreen)
 
   /** The q291 fixture + classifier replayed in SQL (shared by q291/q298):
     * same plant CASE order, same anchored openers / hedge probes, same
@@ -913,5 +951,44 @@ object EvalQueries {
         |      - correct_clean * 1000000 // (n_items - n_contam) END
         |    AS BIGINT) AS inflation_ppm
         |FROM c
+        |""".stripMargin,
+
+    // q306: fixture (cite + claim build, LEFT join for the first token)
+    // AND the screen (parse + corpus join + verdict ladder) replayed
+    "q306_citation_screen" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |g AS (
+        |  SELECT d.doc_id, d.source,
+        |    CASE WHEN d.doc_id % 13 = 4
+        |      THEN (SELECT n FROM nn) + d.doc_id % 50
+        |      ELSE (d.doc_id * 3 + 1) % (SELECT n FROM nn) END AS cited
+        |  FROM documents d),
+        |cl AS (
+        |  SELECT g.doc_id, g.source, g.cited,
+        |    CASE WHEN g.doc_id % 11 = 3 THEN 'zzzunsupported'
+        |      ELSE coalesce(string_split_regex(trim(c.text), '\s+')[1],
+        |        'missing') END AS claim
+        |  FROM g LEFT JOIN documents c ON c.doc_id = g.cited),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    'Cites [doc:' || cited || '] term ' || claim || ' end.' AS resp
+        |  FROM cl),
+        |p AS (
+        |  SELECT doc_id, source,
+        |    CAST(nullif(regexp_extract(resp, '\[doc:(-?[0-9]+)\]', 1), '')
+        |      AS BIGINT) AS cid,
+        |    nullif(regexp_extract(resp, 'term ([A-Za-z0-9_]+)', 1), '')
+        |      AS claim
+        |  FROM r),
+        |v AS (
+        |  SELECT p.doc_id, p.source,
+        |    CASE WHEN p.cid IS NULL OR c.text IS NULL THEN 'dangling'
+        |      WHEN p.claim IS NULL OR NOT contains(c.text, p.claim)
+        |        THEN 'unsupported'
+        |      ELSE 'supported' END AS verdict
+        |  FROM p LEFT JOIN documents c ON c.doc_id = p.cid)
+        |SELECT source, verdict, CAST(count(*) AS BIGINT) AS n_citations,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM v GROUP BY 1, 2
         |""".stripMargin)
 }

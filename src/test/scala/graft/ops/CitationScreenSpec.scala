@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Citation screen: verdict ladder, fail-closed parsing, and the join
+  * semantics against a tiny hand corpus. */
+class CitationScreenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (10L, "alpha beta gamma"), (11L, "delta epsilon"))
+    .toDF("doc_id", "text")
+
+  private def verdicts(gens: (Long, String)*) =
+    CitationScreen.census(
+      gens.toDF("id", "resp").withColumn("grp", lit("g")),
+      "id", "grp", "resp", corpus, "doc_id", "text")
+      .select("verdict", "n_citations", "sum_ids")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("supported, unsupported, and dangling classify correctly") {
+    val v = verdicts(
+      1L -> "See [doc:10] term beta end.",      // in doc 10 -> supported
+      2L -> "See [doc:11] term beta end.",      // not in doc 11 -> unsupported
+      3L -> "See [doc:99] term beta end.")      // no doc 99 -> dangling
+    assert(v == Map("supported" -> ((1L, 1L)),
+      "unsupported" -> ((1L, 2L)), "dangling" -> ((1L, 3L))))
+  }
+
+  test("fail-closed: unparseable markers and claims never support") {
+    val v = verdicts(
+      1L -> "No citation marker here at all.",  // no [doc:] -> dangling
+      2L -> "See [doc:10] with no claim.")      // doc ok, claim missing
+    assert(v("dangling")._1 == 1L)
+    assert(v("unsupported")._1 == 1L,
+      "a real citation with an unverifiable claim is unsupported, not ok")
+  }
+
+  test("substring containment is the support rule (full text, not first token)") {
+    val v = verdicts(1L -> "See [doc:10] term gamma end.")
+    assert(v.keySet == Set("supported"),
+      "any term the cited doc contains counts as support")
+  }
+
+  test("fixture realizes every verdict at sf0.001") {
+    val out = graft.queries.EvalQueries.citationScreen(
+        spark, "/root/testdata/sf0.001")
+      .select("verdict").distinct().as[String].collect().toSet
+    assert(out == Set("dangling", "unsupported", "supported"))
+  }
+}
