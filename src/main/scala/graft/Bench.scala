@@ -252,7 +252,8 @@ object Bench {
     "q303_compaction_incremental", // stored manifest census -> plan
     "q304_bestofn_curve",     // pass@n vs best-of-n-by-RM gap curve
     "q305_contam_eval",       // contamination-stratified eval accuracy
-    "q306_citation_screen")   // RAG citation-faithfulness lint
+    "q306_citation_screen",   // RAG citation-faithfulness lint
+    "q307_eval_regression")   // cross-version per-slice score regression
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

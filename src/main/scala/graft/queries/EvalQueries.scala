@@ -499,6 +499,39 @@ object EvalQueries {
       .withColumnRenamed("grp", "source")
       .orderBy("source", "verdict")
 
+  // ---------------------------------------------------------------- q307
+
+  /** q307: cross-version eval regression census — the report an eval-ops
+    * rotation reads after every model release: per source slice, how the
+    * new version's per-item scores moved against the old. The fixture
+    * plants a −15-point regression on the src-index%7==2 slices and ±2
+    * noise elsewhere, so flagged and unflagged slices both realize at
+    * every SF. The flag is decided in integers (more losses than wins
+    * AND a negative total delta) — a noisy slice with balanced wins
+    * never flags on noise alone. */
+  val evalRegression: Q = (s, dir) =>
+    Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        ((col("doc_id") * 19 + 11) % 41 + 30).as("v1"),
+        when(expr("cast(substring(source, 4) as int)") % 7 === 2,
+          lit(-15)).otherwise(
+          (col("doc_id") * 7 + expr("doc_id div 20")) % 5 - 2).as("delta"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("delta")).as("sum_delta"),
+        sum(when(col("delta") > 0, 1L).otherwise(0L)).as("wins"),
+        sum(when(col("delta") < 0, 1L).otherwise(0L)).as("losses"),
+        sum(when(col("delta") === 0, 1L).otherwise(0L)).as("ties"))
+      .select(col("source"), col("n_items"), col("sum_delta"), col("wins"),
+        col("losses"), col("ties"),
+        // sign/abs split: Spark div truncates, DuckDB // floors — they
+        // only agree on non-negative numerators
+        expr("case when sum_delta < 0 " +
+          "then -((-sum_delta) * 1000 div n_items) " +
+          "else sum_delta * 1000 div n_items end").as("mean_delta_milli"),
+        (col("losses") > col("wins") && col("sum_delta") < 0)
+          .as("regressed"))
+      .orderBy("source")
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -516,7 +549,8 @@ object EvalQueries {
     "q303_compaction_incremental" -> compactionIncremental,
     "q304_bestofn_curve" -> bestOfNCurve,
     "q305_contam_eval" -> contamStratifiedEval,
-    "q306_citation_screen" -> citationScreen)
+    "q306_citation_screen" -> citationScreen,
+    "q307_eval_regression" -> evalRegression)
 
   /** The q291 fixture + classifier replayed in SQL (shared by q291/q298):
     * same plant CASE order, same anchored openers / hedge probes, same
@@ -990,5 +1024,32 @@ object EvalQueries {
         |SELECT source, verdict, CAST(count(*) AS BIGINT) AS n_citations,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM v GROUP BY 1, 2
+        |""".stripMargin,
+
+    // q307: same integer arithmetic; the sign/abs split mirrors the
+    // engine (Spark div truncates, DuckDB // floors)
+    "q307_eval_regression" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN CAST(substr(source, 4) AS INT) % 7 = 2 THEN -15
+        |      ELSE (doc_id * 7 + doc_id // 20) % 5 - 2 END AS delta
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(delta) AS BIGINT) AS sum_delta,
+        |    CAST(sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS wins,
+        |    CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS losses,
+        |    CAST(sum(CASE WHEN delta = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ties
+        |  FROM d GROUP BY 1)
+        |SELECT source, n_items, sum_delta, wins, losses, ties,
+        |  CAST(CASE WHEN sum_delta < 0
+        |    THEN -((-sum_delta) * 1000 // n_items)
+        |    ELSE sum_delta * 1000 // n_items END AS BIGINT)
+        |    AS mean_delta_milli,
+        |  losses > wins AND sum_delta < 0 AS regressed
+        |FROM c
         |""".stripMargin)
 }

@@ -1,0 +1,34 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Cross-version eval regression census (q307): only the planted slices
+  * flag; balanced noise never does. */
+class EvalRegressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val rows = EvalQueries.evalRegression(
+      spark, "/root/testdata/sf0.001")
+    .as[(String, Long, Long, Long, Long, Long, Long, Boolean)]
+    .collect().toSeq
+
+  test("exactly the planted src-index%7==2 slices flag as regressed") {
+    val flagged = rows.filter(_._8).map(_._1).toSet
+    assert(flagged == Set("src2", "src9", "src16"), s"got $flagged")
+  }
+
+  test("flagged slices show the planted -15-point mean; noise slices don't") {
+    rows.foreach { case (src, n, sumD, wins, losses, ties, milli, reg) =>
+      assert(wins + losses + ties == n, s"$src: outcome counts must tile")
+      if (reg) assert(milli == -15000L, s"$src: planted regression size")
+      else assert(milli > -3000L && milli < 3000L,
+        s"$src: noise stays inside the +/-2 band, got $milli")
+    }
+  }
+
+  test("balanced-noise slices realize wins AND losses without flagging") {
+    val noisy = rows.filter(!_._8)
+    assert(noisy.exists(r => r._4 > 0 && r._5 > 0),
+      "noise must produce mixed outcomes, not constants")
+  }
+}
