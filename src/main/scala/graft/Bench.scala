@@ -253,7 +253,9 @@ object Bench {
     "q304_bestofn_curve",     // pass@n vs best-of-n-by-RM gap curve
     "q305_contam_eval",       // contamination-stratified eval accuracy
     "q306_citation_screen",   // RAG citation-faithfulness lint
-    "q307_eval_regression")   // cross-version per-slice score regression
+    "q307_eval_regression",   // cross-version per-slice score regression
+    "q308_specdecode_incremental", // stored acceptance counts -> economics
+    "q309_grpo_degenerate")   // uniform-reward rollout-waste census
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

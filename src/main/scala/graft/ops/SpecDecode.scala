@@ -30,10 +30,12 @@ object SpecDecode {
     when(pos === 0, least(size(draft), size(target))).otherwise(pos - 1)
   }
 
-  /** Acceptance census over (idCol, groupCol, draftCol, targetCol) rows:
-    * per group — generation count, target and accepted token totals,
-    * full-accept count, and the acceptance rate in integer ppm. */
-  def acceptanceCensus(gens: DataFrame, groupCol: String, draftCol: String,
+  /** The ADDITIVE form: per group — generation count, target/accepted
+    * token totals, full-accept count. Plain sums, so a serving fleet
+    * ingests each traffic window's counts into the census store
+    * ([[graft.store.IndexStore.updateCensus]]) and the acceptance rate
+    * derives from the merged integers. */
+  def acceptanceCounts(gens: DataFrame, groupCol: String, draftCol: String,
       targetCol: String): DataFrame =
     gens.select(col(groupCol),
         size(col(targetCol)).cast("long").as("__tlen"),
@@ -45,6 +47,16 @@ object SpecDecode {
         sum(col("__acc")).as("accepted_tokens"),
         sum(when(col("__acc") === col("__tlen"), 1L).otherwise(0L))
           .as("full_accepts"))
-      .withColumn("accept_ppm",
-        expr("accepted_tokens * 1000000 div target_tokens"))
+
+  /** The report fold: acceptance rate in integer ppm off the counts. */
+  def censusFromCounts(counts: DataFrame): DataFrame =
+    counts.withColumn("accept_ppm",
+      expr("accepted_tokens * 1000000 div target_tokens"))
+
+  /** Acceptance census over (groupCol, draftCol, targetCol) rows:
+    * per group — generation count, target and accepted token totals,
+    * full-accept count, and the acceptance rate in integer ppm. */
+  def acceptanceCensus(gens: DataFrame, groupCol: String, draftCol: String,
+      targetCol: String): DataFrame =
+    censusFromCounts(acceptanceCounts(gens, groupCol, draftCol, targetCol))
 }

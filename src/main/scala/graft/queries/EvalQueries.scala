@@ -280,6 +280,31 @@ object EvalQueries {
       "prompt_id", "sample_id", "score", "ntok", bucketWidth = 16)
       .orderBy("flipped")
 
+  /** q308: the q299 incremental twin — per-group acceptance counts are
+    * plain sums, so each traffic window ingests its
+    * [[graft.ops.SpecDecode.acceptanceCounts]] into the census store
+    * exactly-once and the acceptance economics derive from the reloaded
+    * integers (the live monitor a draft-model fleet actually runs). */
+  val specDecodeIncremental: Q = (s, dir) => {
+    val gens = specDecodeFixture(s, dir)
+    val path = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_specdec_idx"))
+      .resolve("census").toString
+    def ingest(half: Int, id: Long): Boolean =
+      graft.store.IndexStore.updateCensus(s, path,
+        graft.ops.SpecDecode.acceptanceCounts(
+          gens.where(col("doc_id") % 2 === half),
+          "source", "draft_toks", "target_toks"),
+        Seq("source"), batchId = id)
+    ingest(0, 0L)
+    val replayNoop = !ingest(0, 0L)
+    ingest(1, 1L)
+    graft.ops.SpecDecode.censusFromCounts(
+        graft.store.IndexStore.loadCensus(s, path))
+      .withColumn("replay_noop", lit(replayNoop))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------- q304
 
   /** q304: best-of-n verifier-gap curve ([[graft.ops.BestOfN]], n 1..6) —
@@ -532,6 +557,42 @@ object EvalQueries {
           .as("regressed"))
       .orderBy("source")
 
+  // ---------------------------------------------------------------- q309
+
+  /** q309: group-relative (GRPO-style) degenerate-group census — in
+    * group-relative policy optimization the advantage is the reward's
+    * deviation from its GROUP mean, so a group whose samples all score
+    * the same contributes ZERO gradient: every rollout in it is wasted
+    * serving compute. The census prices that waste per domain: group
+    * count, degenerate groups (min == max — an integer test, no float
+    * std), wasted rollouts, usable share in ppm, and the summed reward
+    * range (the gradient-signal budget). The fixture plants uniform
+    * rewards on prompt%9==4 groups; everything else varies per sample.
+    * Two map-side aggregates (prompt, then domain) — never a window. */
+  val grpoDegenerate: Q = (s, dir) =>
+    Tables.documents(s, dir).select(
+        expr("doc_id div 6").as("prompt_id"),
+        col("doc_id").as("sample_id"),
+        when(expr("(doc_id div 6) % 9") === 4, lit(50L))
+          .otherwise((col("doc_id") * 13 + 5) % 97).as("reward"))
+      .groupBy("prompt_id")
+      .agg(count(lit(1)).as("n_samples"),
+        min(col("reward")).as("r_min"), max(col("reward")).as("r_max"))
+      .groupBy(concat(lit("d"), (col("prompt_id") % 4).cast("string"))
+        .as("domain"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("r_min") === col("r_max"), 1L).otherwise(0L))
+          .as("degenerate_groups"),
+        sum(when(col("r_min") === col("r_max"), col("n_samples"))
+          .otherwise(0L)).as("wasted_rollouts"),
+        sum(col("n_samples")).as("n_rollouts"),
+        sum(col("r_max") - col("r_min")).as("sum_reward_range"))
+      .select(col("domain"), col("n_groups"), col("degenerate_groups"),
+        col("wasted_rollouts"), col("n_rollouts"), col("sum_reward_range"),
+        expr("(n_rollouts - wasted_rollouts) * 1000000 div n_rollouts")
+          .as("usable_ppm"))
+      .orderBy("domain")
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -550,7 +611,9 @@ object EvalQueries {
     "q304_bestofn_curve" -> bestOfNCurve,
     "q305_contam_eval" -> contamStratifiedEval,
     "q306_citation_screen" -> citationScreen,
-    "q307_eval_regression" -> evalRegression)
+    "q307_eval_regression" -> evalRegression,
+    "q308_specdecode_incremental" -> specDecodeIncremental,
+    "q309_grpo_degenerate" -> grpoDegenerate)
 
   /** The q291 fixture + classifier replayed in SQL (shared by q291/q298):
     * same plant CASE order, same anchored openers / hedge probes, same
@@ -669,6 +732,39 @@ object EvalQueries {
         |  CAST(CASE WHEN count(*) > greatest(1, (sum(bytes) + 2999) // 3000)
         |    THEN sum(bytes) ELSE 0 END AS BIGINT) AS bytes_rewritten
         |FROM f GROUP BY 1
+        |""".stripMargin
+
+  /** The q299 token lists + first-mismatch fold replayed (shared by
+    * q299/q308); list_position and array_position both return 0 when
+    * no mismatch exists — the same full-length CASE on each side. */
+  private val specDecodeOracle: String =
+    """WITH a AS (
+        |  SELECT doc_id, source, 8 + doc_id % 5 AS L,
+        |    doc_id % (8 + doc_id % 5 + 1) AS p
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, source, L,
+        |    list_transform(range(L), i -> (doc_id * 7 + i * 3) % 50) AS t,
+        |    list_transform(range(L), i -> CASE
+        |      WHEN i < p THEN (doc_id * 7 + i * 3) % 50
+        |      ELSE (doc_id * 7 + i * 3) % 50 + 1 END) AS d
+        |  FROM a),
+        |pz AS (
+        |  SELECT source, L,
+        |    list_position(list_transform(range(L),
+        |      i -> d[i + 1] = t[i + 1]), false) AS pos
+        |  FROM b),
+        |c AS (
+        |  SELECT source, L,
+        |    CASE WHEN pos = 0 THEN L ELSE pos - 1 END AS acc
+        |  FROM pz)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_gens,
+        |  CAST(sum(L) AS BIGINT) AS target_tokens,
+        |  CAST(sum(acc) AS BIGINT) AS accepted_tokens,
+        |  CAST(sum(CASE WHEN acc = L THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS full_accepts,
+        |  CAST(sum(acc) * 1000000 // sum(L) AS BIGINT) AS accept_ppm
+        |FROM c GROUP BY 1
         |""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -791,35 +887,10 @@ object EvalQueries {
     // q299: both token lists rebuilt and the first-mismatch fold replayed
     // with list functions (list_position and array_position BOTH return 0
     // when no mismatch exists — the same full-length CASE on each side)
-    "q299_spec_decode" ->
-      """WITH a AS (
-        |  SELECT doc_id, source, 8 + doc_id % 5 AS L,
-        |    doc_id % (8 + doc_id % 5 + 1) AS p
-        |  FROM documents),
-        |b AS (
-        |  SELECT doc_id, source, L,
-        |    list_transform(range(L), i -> (doc_id * 7 + i * 3) % 50) AS t,
-        |    list_transform(range(L), i -> CASE
-        |      WHEN i < p THEN (doc_id * 7 + i * 3) % 50
-        |      ELSE (doc_id * 7 + i * 3) % 50 + 1 END) AS d
-        |  FROM a),
-        |pz AS (
-        |  SELECT source, L,
-        |    list_position(list_transform(range(L),
-        |      i -> d[i + 1] = t[i + 1]), false) AS pos
-        |  FROM b),
-        |c AS (
-        |  SELECT source, L,
-        |    CASE WHEN pos = 0 THEN L ELSE pos - 1 END AS acc
-        |  FROM pz)
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_gens,
-        |  CAST(sum(L) AS BIGINT) AS target_tokens,
-        |  CAST(sum(acc) AS BIGINT) AS accepted_tokens,
-        |  CAST(sum(CASE WHEN acc = L THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS full_accepts,
-        |  CAST(sum(acc) * 1000000 // sum(L) AS BIGINT) AS accept_ppm
-        |FROM c GROUP BY 1
-        |""".stripMargin,
+    "q299_spec_decode" -> specDecodeOracle,
+    "q308_specdecode_incremental" -> specDecodeOracle
+      .replace("AS accept_ppm\n",
+        "AS accept_ppm, true AS replay_noop\n"),
 
     "q298_refusal_incremental" -> refusalOracle
       .replace("AS share_ppm\n",
@@ -1050,6 +1121,35 @@ object EvalQueries {
         |    ELSE sum_delta * 1000 // n_items END AS BIGINT)
         |    AS mean_delta_milli,
         |  losses > wins AND sum_delta < 0 AS regressed
+        |FROM c
+        |""".stripMargin,
+
+    // q309: same two-level fold (group min/max, then the domain census),
+    // same integer min==max degeneracy test and ppm arithmetic
+    "q309_grpo_degenerate" ->
+      """WITH d AS (
+        |  SELECT doc_id // 6 AS prompt_id, doc_id AS sample_id,
+        |    CASE WHEN (doc_id // 6) % 9 = 4 THEN 50
+        |      ELSE (doc_id * 13 + 5) % 97 END AS reward
+        |  FROM documents),
+        |g AS (
+        |  SELECT prompt_id, count(*) AS n_samples,
+        |    min(reward) AS r_min, max(reward) AS r_max
+        |  FROM d GROUP BY 1),
+        |c AS (
+        |  SELECT 'd' || (prompt_id % 4) AS domain,
+        |    CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(CASE WHEN r_min = r_max THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS degenerate_groups,
+        |    CAST(sum(CASE WHEN r_min = r_max THEN n_samples ELSE 0 END)
+        |      AS BIGINT) AS wasted_rollouts,
+        |    CAST(sum(n_samples) AS BIGINT) AS n_rollouts,
+        |    CAST(sum(r_max - r_min) AS BIGINT) AS sum_reward_range
+        |  FROM g GROUP BY 1)
+        |SELECT domain, n_groups, degenerate_groups, wasted_rollouts,
+        |  n_rollouts, sum_reward_range,
+        |  CAST((n_rollouts - wasted_rollouts) * 1000000 // n_rollouts
+        |    AS BIGINT) AS usable_ppm
         |FROM c
         |""".stripMargin)
 }

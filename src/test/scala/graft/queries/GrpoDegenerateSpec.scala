@@ -1,0 +1,30 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** GRPO degenerate-group census (q309): the min==max test, waste
+  * accounting identities, and plant realization. */
+class GrpoDegenerateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val rows = EvalQueries.grpoDegenerate(
+      spark, "/root/testdata/sf0.001")
+    .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+
+  test("planted uniform-reward groups surface as degenerate") {
+    // prompts 0..83 (+ the 2-sample tail), plant on prompt%9==4
+    val planted = (0L to 83L).count(_ % 9 == 4)
+    assert(rows.map(_._3).sum == planted,
+      s"expected exactly the $planted planted groups")
+    assert(rows.forall(r => r._3 > 0), "every domain sees some waste")
+  }
+
+  test("waste accounting: wasted rollouts nest inside totals, ppm exact") {
+    rows.foreach { case (d, groups, degen, wasted, total, range, ppm) =>
+      assert(degen <= groups && wasted <= total, s"$d: counts must nest")
+      assert(wasted >= degen * 2, s"$d: every group has >= 2 samples")
+      assert(ppm == (total - wasted) * 1000000 / total, s"$d: ppm arithmetic")
+      assert(range > 0, s"$d: non-degenerate groups must carry signal")
+    }
+  }
+}
