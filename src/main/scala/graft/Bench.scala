@@ -255,7 +255,11 @@ object Bench {
     "q306_citation_screen",   // RAG citation-faithfulness lint
     "q307_eval_regression",   // cross-version per-slice score regression
     "q308_specdecode_incremental", // stored acceptance counts -> economics
-    "q309_grpo_degenerate")   // uniform-reward rollout-waste census
+    "q309_grpo_degenerate",   // uniform-reward rollout-waste census
+    "q310_weighted_eval",     // deployment-mix importance-weighted eval
+    "q311_tool_attribution",  // first-error blast radius per tool
+    "q312_sliding_window",    // closed-form window-kernel savings bands
+    "q313_answer_extraction") // extractor-ladder grading census
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage

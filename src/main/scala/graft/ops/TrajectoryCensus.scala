@@ -47,4 +47,29 @@ object TrajectoryCensus {
           .otherwise(col("n_steps") - 1 - col("first_error_step")))
           .as("wasted_steps"),
         sum(col("trace_id")).as("sum_traces"))
+
+  /** First-error ATTRIBUTION: which tool breaks traces — for every failed
+    * trace, the step sitting at the first error joins back to recover its
+    * tool (the name as found; unparseable calls group under
+    * `<malformed>`), and the census prices each tool's blast radius:
+    * failed traces caused, steps wasted downstream, Σtrace certificate.
+    * This is the "which integration to fix first" report.
+    *
+    * Scale shape: the rollup's one groupBy + ONE (trace, step)-keyed join
+    * back to the step frame (only failed traces join — the rollup side is
+    * pre-filtered), + one tiny census groupBy. */
+  def firstErrorAttribution(steps: DataFrame, traceCol: String,
+      stepCol: String, toolCol: Column, stepVerdict: Column): DataFrame = {
+    val rollup = traceRollup(steps, traceCol, stepCol, stepVerdict)
+      .where(col("first_error_step").isNotNull)
+    val stepTools = steps.select(col(traceCol).as("trace_id"),
+      col(stepCol).as("first_error_step"),
+      coalesce(toolCol, lit("<malformed>")).as("tool"))
+    rollup.join(stepTools, Seq("trace_id", "first_error_step"))
+      .groupBy("tool")
+      .agg(count(lit(1)).as("n_failed_traces"),
+        sum(col("n_steps") - 1 - col("first_error_step"))
+          .as("wasted_steps"),
+        sum(col("trace_id")).as("sum_traces"))
+  }
 }

@@ -190,6 +190,95 @@ object EvalQueries {
       graft.ops.ToolCallLint.verdictCol(col("tool_call"), traceRegistry))
       .orderBy("first_error_step")
 
+  // ---------------------------------------------------------------- q311
+
+  /** Shared q311 fixture: q293's 4-step traces with the tool now cycling
+    * over the full q272 registry (search/calc/fetch by (id + trace) % 3,
+    * so every tool appears at every step position) and the same three
+    * plant classes (id%31==6 malformed, id%11==4 missing required arg,
+    * id%29==21 int arg carrying prose — calc has no int arg, so its %29
+    * rows stay valid by construction). */
+  private[graft] def trace3Fixture(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val id = col("doc_id").cast("string")
+    val kind = (col("doc_id") + expr("doc_id div 4")) % 3
+    val searchArgs = when(col("doc_id") % 11 === 4,
+        concat(lit("{\"query\":\"q"), id, lit("\"}")))
+      .when(col("doc_id") % 29 === 21,
+        concat(lit("{\"query\":\"q"), id, lit("\",\"k\":\"ten\"}")))
+      .otherwise(concat(lit("{\"query\":\"q"), id, lit("\",\"k\":"),
+        (col("doc_id") % 10).cast("string"), lit("}")))
+    val calcArgs = when(col("doc_id") % 11 === 4, lit("{}"))
+      .otherwise(concat(lit("{\"expression\":\"1+"),
+        (col("doc_id") % 100).cast("string"), lit("\"}")))
+    val fetchArgs = when(col("doc_id") % 11 === 4,
+        concat(lit("{\"url\":\"https://ex.com/"), id, lit("\"}")))
+      .when(col("doc_id") % 29 === 21,
+        concat(lit("{\"url\":\"https://ex.com/"), id,
+          lit("\",\"timeout_ms\":\"ten\"}")))
+      .otherwise(concat(lit("{\"url\":\"https://ex.com/"), id,
+        lit("\",\"timeout_ms\":"), (col("doc_id") % 5000).cast("string"),
+        lit("}")))
+    val name = when(kind === 0, lit("search")).when(kind === 1, lit("calc"))
+      .otherwise(lit("fetch"))
+    val args = when(kind === 0, searchArgs).when(kind === 1, calcArgs)
+      .otherwise(fetchArgs)
+    val call = when(col("doc_id") % 31 === 6,
+        concat(lit("{\"name\": \"broken"), id))
+      .otherwise(concat(lit("{\"name\":\""), name, lit("\",\"args\":"),
+        args, lit("}")))
+    d.select(expr("doc_id div 4").as("trace_id"),
+      (col("doc_id") % 4).as("step_idx"), call.as("tool_call"))
+  }
+
+  /** q311: first-error tool attribution
+    * ([[graft.ops.TrajectoryCensus.firstErrorAttribution]] over the q272
+    * registry) — per tool (as found; `<malformed>` for unparseable
+    * calls): failed traces caused, steps wasted downstream, Σtrace
+    * certificate. The "which integration to fix first" report. */
+  val toolAttribution: Q = (s, dir) => {
+    val steps = trace3Fixture(s, dir)
+    graft.ops.TrajectoryCensus.firstErrorAttribution(steps,
+      "trace_id", "step_idx",
+      get_json_object(col("tool_call"), "$.name"),
+      graft.ops.ToolCallLint.verdictCol(col("tool_call"),
+        AlignmentQueries.toolRegistry))
+      .orderBy("tool")
+  }
+
+  // ---------------------------------------------------------------- q310
+
+  /** q310: deployment-weighted eval census — offline eval items are never
+    * distributed like production traffic, so the headline number a fleet
+    * should watch is the accuracy REWEIGHTED to the deployment mix
+    * (importance weighting over domains; integer weights, one common
+    * denominator — no float shares). Per source: items, correct, the
+    * literal deployment weight (1 + src_idx % 5), accuracy ppm; plus one
+    * `__overall` row carrying both the unweighted and the
+    * deployment-weighted totals — the gap between them is the report. */
+  val weightedEval: Q = (s, dir) => {
+    val items = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      (expr("cast(substring(source, 4) as int)") % 5 + 1).as("w"),
+      ((col("doc_id") * 11 + 7) % 100 <
+        lit(40) + (expr("cast(substring(source, 4) as int)") * 3) % 40)
+        .as("ok"))
+    val per = items.groupBy("source")
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_correct"),
+        max(col("w")).as("weight"))
+      .select(col("source"), col("n_items"), col("n_correct"), col("weight"),
+        expr("n_correct * 1000000 div n_items").as("acc_ppm"))
+    val overall = per.agg(
+        sum(col("n_items")).as("n_items"),
+        sum(col("n_correct")).as("n_correct"),
+        sum(col("weight") * col("n_items")).as("wn"),
+        sum(col("weight") * col("n_correct")).as("wc"))
+      .select(lit("__overall").as("source"), col("n_items"),
+        col("n_correct"), lit(0L).as("weight"),
+        expr("wc * 1000000 div wn").as("acc_ppm"))
+    per.unionByName(overall).orderBy("source")
+  }
+
   // ---------------------------------------------------------------- q294
 
   /** q294: multi-epoch shuffle-shard plan census
@@ -593,6 +682,85 @@ object EvalQueries {
           .as("usable_ppm"))
       .orderBy("domain")
 
+  // ---------------------------------------------------------------- q312
+
+  /** q312: sliding-window attention savings census — the kernel-policy
+    * complement of q296's packing tiers: a sliding-window kernel
+    * (window W=32 + S=4 sink tokens, the StreamingLLM/Mistral shape)
+    * attends min(i+1, W) positions plus the sinks once past the window,
+    * so both costs are CLOSED-FORM integers per document length:
+    * full causal L(L+1)/2 vs W(W+1)/2 + (L−W)(W+S). Per length band
+    * (L div 16): doc count, both costs, net savings, and the documents
+    * where the sink tax EXCEEDS the savings (short overshoots — the
+    * band where enabling the window kernel is a loss). One scan, one
+    * groupBy, pure arithmetic. */
+  val slidingWindowSavings: Q = (s, dir) => {
+    val W = 32L; val S = 4L
+    val len = graft.functions.TextFunctions.tokenCount(col("text"))
+      .cast("long")
+    val full = expr(s"__len * (__len + 1) div 2")
+    val win = when(col("__len") <= W, full)
+      .otherwise(lit(W * (W + 1) / 2) + (col("__len") - W) * (W + S))
+    Tables.documents(s, dir).select(col("doc_id"), len.as("__len"))
+      .select(col("doc_id"), col("__len"),
+        full.as("__full"), win.as("__win"))
+      .groupBy(expr("__len div 16").as("len_band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__full")).as("full_cost"),
+        sum(col("__win")).as("window_cost"),
+        sum(col("__full") - col("__win")).as("net_savings"),
+        sum(when(col("__win") > col("__full"), 1L).otherwise(0L))
+          .as("n_sink_tax_losses"))
+      .orderBy("len_band")
+  }
+
+  // ---------------------------------------------------------------- q313
+
+  /** q313: final-answer extraction census — the GSM8K-style eval-harness
+    * step that turns free-form generations into gradeable answers: an
+    * extractor ladder (\boxed{} > "Answer:" > "= n" > last number) with a
+    * fail-closed `none` class, scored against the gold answer. Per
+    * (extraction method, correct): count + Σid certificate — the report
+    * that tells an eval owner which answer FORMATS their harness actually
+    * sees and where extraction (not the model) loses points. The fixture
+    * cycles all four formats, plants wrong answers (id%7==2) and missing
+    * answers (id%37==9). One stateless in-row projection + one groupBy. */
+  val answerExtraction: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val gold = (col("doc_id") * 3 + 7) % 1000
+    val e = (gold + when(col("doc_id") % 7 === 2, 1L).otherwise(0L))
+      .cast("string")
+    val resp = when(col("doc_id") % 37 === 9, lit("I am not sure."))
+      .when(col("doc_id") % 4 === 0,
+        concat(lit("After checking, Answer: "), e, lit(".")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("We compute \\boxed{"), e, lit("} as shown.")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("So x = "), e, lit(".")))
+      .otherwise(concat(lit("final value "), e))
+    val fx = d.select(col("doc_id"), gold.as("gold"), resp.as("resp"))
+    val boxed = nullif(regexp_extract(col("resp"),
+      "\\\\boxed\\{(-?[0-9]+)\\}", 1), lit(""))
+    val ans = nullif(regexp_extract(col("resp"),
+      "Answer: (-?[0-9]+)", 1), lit(""))
+    val eq = nullif(regexp_extract(col("resp"),
+      "= (-?[0-9]+)", 1), lit(""))
+    val last = nullif(regexp_extract(col("resp"),
+      "(-?[0-9]+)[^0-9]*$", 1), lit(""))
+    val method = when(boxed.isNotNull, "boxed")
+      .when(ans.isNotNull, "answer")
+      .when(eq.isNotNull, "equals")
+      .when(last.isNotNull, "lastnum")
+      .otherwise("none")
+    val extracted = coalesce(boxed, ans, eq, last).cast("long")
+    fx.select(col("doc_id"),
+        method.as("method"),
+        coalesce(extracted === col("gold"), lit(false)).as("correct"))
+      .groupBy("method", "correct")
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy("method", "correct")
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -613,7 +781,11 @@ object EvalQueries {
     "q306_citation_screen" -> citationScreen,
     "q307_eval_regression" -> evalRegression,
     "q308_specdecode_incremental" -> specDecodeIncremental,
-    "q309_grpo_degenerate" -> grpoDegenerate)
+    "q309_grpo_degenerate" -> grpoDegenerate,
+    "q310_weighted_eval" -> weightedEval,
+    "q311_tool_attribution" -> toolAttribution,
+    "q312_sliding_window" -> slidingWindowSavings,
+    "q313_answer_extraction" -> answerExtraction)
 
   /** The q291 fixture + classifier replayed in SQL (shared by q291/q298):
     * same plant CASE order, same anchored openers / hedge probes, same
@@ -1151,5 +1323,178 @@ object EvalQueries {
         |  CAST((n_rollouts - wasted_rollouts) * 1000000 // n_rollouts
         |    AS BIGINT) AS usable_ppm
         |FROM c
+        |""".stripMargin,
+
+    // q310: per-source accuracy + the importance-weighted overall row,
+    // all in one common-denominator integer division
+    "q310_weighted_eval" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(substr(source, 4) AS INT) % 5 + 1 AS w,
+        |    (doc_id * 11 + 7) % 100
+        |      < 40 + (CAST(substr(source, 4) AS INT) * 3) % 40 AS ok
+        |  FROM documents),
+        |per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_correct,
+        |    CAST(max(w) AS BIGINT) AS weight
+        |  FROM d GROUP BY 1)
+        |SELECT source, n_items, n_correct, weight,
+        |  CAST(n_correct * 1000000 // n_items AS BIGINT) AS acc_ppm
+        |FROM per
+        |UNION ALL
+        |SELECT '__overall', CAST(sum(n_items) AS BIGINT),
+        |  CAST(sum(n_correct) AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(sum(weight * n_correct) * 1000000
+        |    // sum(weight * n_items) AS BIGINT)
+        |FROM per
+        |""".stripMargin,
+
+    // q311: the 3-tool trace fixture + the q272 verdict ladder + the
+    // first-error join replayed (calc carries no int arg, so its %29
+    // rows are valid by construction on both sides)
+    "q311_tool_attribution" ->
+      """WITH s AS (
+        |  SELECT doc_id, doc_id // 4 AS trace_id, doc_id % 4 AS step_idx,
+        |    (doc_id + doc_id // 4) % 3 AS kind,
+        |    CASE WHEN doc_id % 31 = 6 THEN '{"name": "broken' || doc_id
+        |      ELSE '{"name":"' ||
+        |        CASE (doc_id + doc_id // 4) % 3 WHEN 0 THEN 'search'
+        |          WHEN 1 THEN 'calc' ELSE 'fetch' END
+        |        || '","args":' ||
+        |        CASE
+        |          WHEN (doc_id + doc_id // 4) % 3 = 0 AND doc_id % 11 = 4
+        |            THEN '{"query":"q' || doc_id || '"}'
+        |          WHEN (doc_id + doc_id // 4) % 3 = 0 AND doc_id % 29 = 21
+        |            THEN '{"query":"q' || doc_id || '","k":"ten"}'
+        |          WHEN (doc_id + doc_id // 4) % 3 = 0
+        |            THEN '{"query":"q' || doc_id || '","k":'
+        |              || (doc_id % 10) || '}'
+        |          WHEN (doc_id + doc_id // 4) % 3 = 1 AND doc_id % 11 = 4
+        |            THEN '{}'
+        |          WHEN (doc_id + doc_id // 4) % 3 = 1
+        |            THEN '{"expression":"1+' || (doc_id % 100) || '"}'
+        |          WHEN doc_id % 11 = 4
+        |            THEN '{"url":"https://ex.com/' || doc_id || '"}'
+        |          WHEN doc_id % 29 = 21
+        |            THEN '{"url":"https://ex.com/' || doc_id
+        |              || '","timeout_ms":"ten"}'
+        |          ELSE '{"url":"https://ex.com/' || doc_id
+        |            || '","timeout_ms":' || (doc_id % 5000) || '}'
+        |        END || '}'
+        |    END AS call
+        |  FROM documents),
+        |v AS (
+        |  SELECT trace_id, step_idx,
+        |    json_extract_string(CASE WHEN json_valid(call) THEN call END,
+        |      '$.name') AS tool,
+        |    CASE WHEN NOT json_valid(call)
+        |        OR json_extract_string(call, '$.name') IS NULL
+        |        THEN 'malformed'
+        |      WHEN json_extract_string(call, '$.name')
+        |        NOT IN ('search', 'calc', 'fetch') THEN 'unknown_tool'
+        |      WHEN json_extract_string(call, '$.name') = 'search'
+        |        AND (json_extract_string(call, '$.args.query') IS NULL
+        |          OR json_extract_string(call, '$.args.k') IS NULL)
+        |        THEN 'missing_arg'
+        |      WHEN json_extract_string(call, '$.name') = 'calc'
+        |        AND json_extract_string(call, '$.args.expression') IS NULL
+        |        THEN 'missing_arg'
+        |      WHEN json_extract_string(call, '$.name') = 'fetch'
+        |        AND (json_extract_string(call, '$.args.url') IS NULL
+        |          OR json_extract_string(call, '$.args.timeout_ms') IS NULL)
+        |        THEN 'missing_arg'
+        |      WHEN json_extract_string(call, '$.name') = 'search'
+        |        AND NOT regexp_matches(
+        |          json_extract_string(call, '$.args.k'), '^-?[0-9]+$')
+        |        THEN 'bad_type'
+        |      WHEN json_extract_string(call, '$.name') = 'fetch'
+        |        AND NOT regexp_matches(
+        |          json_extract_string(call, '$.args.timeout_ms'),
+        |          '^-?[0-9]+$') THEN 'bad_type'
+        |      ELSE 'ok' END AS verdict
+        |  FROM s),
+        |t AS (
+        |  SELECT trace_id, count(*) AS n_steps,
+        |    min(CASE WHEN verdict <> 'ok' THEN step_idx END) AS fe
+        |  FROM v GROUP BY 1),
+        |j AS (
+        |  SELECT t.trace_id, t.n_steps, t.fe,
+        |    coalesce(v.tool, '<malformed>') AS tool
+        |  FROM t JOIN v ON v.trace_id = t.trace_id AND v.step_idx = t.fe
+        |  WHERE t.fe IS NOT NULL)
+        |SELECT tool, CAST(count(*) AS BIGINT) AS n_failed_traces,
+        |  CAST(sum(n_steps - 1 - fe) AS BIGINT) AS wasted_steps,
+        |  CAST(sum(trace_id) AS BIGINT) AS sum_traces
+        |FROM j GROUP BY 1
+        |""".stripMargin,
+
+    // q312: both closed forms replayed (L(L+1)/2 is always even — // 2
+    // and div 2 agree exactly on non-negatives)
+    "q312_sliding_window" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT)
+        |      AS l
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, l, l * (l + 1) // 2 AS fullc,
+        |    CASE WHEN l <= 32 THEN l * (l + 1) // 2
+        |      ELSE 528 + (l - 32) * 36 END AS winc
+        |  FROM d)
+        |SELECT l // 16 AS len_band, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(fullc) AS BIGINT) AS full_cost,
+        |  CAST(sum(winc) AS BIGINT) AS window_cost,
+        |  CAST(sum(fullc - winc) AS BIGINT) AS net_savings,
+        |  CAST(sum(CASE WHEN winc > fullc THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sink_tax_losses
+        |FROM c GROUP BY 1
+        |""".stripMargin,
+
+    // q313: the same extractor ladder with the same regexes; DuckDB
+    // single-quoted strings keep backslashes literal, so '\\boxed\{'
+    // is the regex for a literal \boxed{
+    "q313_answer_extraction" ->
+      """WITH g AS (
+        |  SELECT doc_id, (doc_id * 3 + 7) % 1000 AS gold,
+        |    CAST((doc_id * 3 + 7) % 1000
+        |      + CASE WHEN doc_id % 7 = 2 THEN 1 ELSE 0 END AS VARCHAR)
+        |      AS e
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, gold,
+        |    CASE WHEN doc_id % 37 = 9 THEN 'I am not sure.'
+        |      WHEN doc_id % 4 = 0
+        |        THEN 'After checking, Answer: ' || e || '.'
+        |      WHEN doc_id % 4 = 1
+        |        THEN 'We compute \boxed{' || e || '} as shown.'
+        |      WHEN doc_id % 4 = 2 THEN 'So x = ' || e || '.'
+        |      ELSE 'final value ' || e END AS resp
+        |  FROM g),
+        |x AS (
+        |  SELECT doc_id, gold,
+        |    nullif(regexp_extract(resp, '\\boxed\{(-?[0-9]+)\}', 1), '')
+        |      AS boxed,
+        |    nullif(regexp_extract(resp, 'Answer: (-?[0-9]+)', 1), '')
+        |      AS ans,
+        |    nullif(regexp_extract(resp, '= (-?[0-9]+)', 1), '') AS eq,
+        |    nullif(regexp_extract(resp, '(-?[0-9]+)[^0-9]*$', 1), '')
+        |      AS lastn
+        |  FROM r),
+        |v AS (
+        |  SELECT doc_id,
+        |    CASE WHEN boxed IS NOT NULL THEN 'boxed'
+        |      WHEN ans IS NOT NULL THEN 'answer'
+        |      WHEN eq IS NOT NULL THEN 'equals'
+        |      WHEN lastn IS NOT NULL THEN 'lastnum'
+        |      ELSE 'none' END AS method,
+        |    coalesce(CAST(coalesce(boxed, ans, eq, lastn) AS BIGINT)
+        |      = gold, false) AS correct
+        |  FROM x)
+        |SELECT method, correct, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM v GROUP BY 1, 2
         |""".stripMargin)
 }

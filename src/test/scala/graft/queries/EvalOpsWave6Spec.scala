@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Wave-6 gates (q310–q313): identities and plant realization. */
+class EvalOpsWave6Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q310: weighted overall differs from unweighted; per-source exact") {
+    val rows = EvalQueries.weightedEval(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val overall = rows.find(_._1 == "__overall").get
+    val unweightedPpm = overall._3 * 1000000 / overall._2
+    assert(overall._5 != unweightedPpm,
+      "the deployment mix must move the headline number")
+    val per = rows.filter(_._1 != "__overall")
+    assert(per.map(_._2).sum == overall._2 && per.map(_._3).sum == overall._3)
+    // weighted overall replays from the per-source rows
+    val wc = per.map(r => r._4 * r._3).sum
+    val wn = per.map(r => r._4 * r._2).sum
+    assert(overall._5 == wc * 1000000 / wn)
+  }
+
+  test("q311: attribution covers every tool and nests inside q293-style totals") {
+    val rows = EvalQueries.toolAttribution(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1).toSet ==
+      Set("<malformed>", "search", "calc", "fetch"),
+      "every registry tool plus malformed must cause first errors")
+    val steps = EvalQueries.trace3Fixture(spark, dir)
+    val failedTotal = graft.ops.TrajectoryCensus.census(steps,
+        "trace_id", "step_idx",
+        graft.ops.ToolCallLint.verdictCol(col("tool_call"),
+          AlignmentQueries.toolRegistry))
+      .where(col("outcome") === "failed")
+      .agg(sum("n_traces"), sum("wasted_steps"))
+      .as[(Long, Long)].head()
+    assert((rows.map(_._2).sum, rows.map(_._3).sum) == failedTotal,
+      "attribution rows must partition the failed-trace census exactly")
+  }
+
+  test("q312: closed forms agree with a direct per-position simulation") {
+    val W = 32; val S = 4
+    def sim(l: Int): (Long, Long) = {
+      val full = (0 until l).map(i => (i + 1).toLong).sum
+      val win = (0 until l).map { i =>
+        if (i + 1 <= W) (i + 1).toLong else W.toLong + S
+      }.sum
+      (full, win)
+    }
+    for (l <- Seq(0, 1, 31, 32, 33, 40, 100)) {
+      val full = l.toLong * (l + 1) / 2
+      val win = if (l <= W) full
+        else W.toLong * (W + 1) / 2 + (l - W).toLong * (W + S)
+      assert((full, win) == sim(l), s"closed form diverges at L=$l")
+    }
+    // the census realizes the overshoot regime where sinks cost more
+    val bands = EvalQueries.slidingWindowSavings(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(bands.map(_._6).sum > 0, "sink-tax losses must be realized")
+    assert(bands.map(_._5).sum > 0, "long docs must realize net savings")
+  }
+
+  test("q313: ladder precedence and fail-closed none class") {
+    val out = EvalQueries.answerExtraction(spark, dir)
+      .as[(String, Boolean, Long, Long)].collect().toSeq
+    val methods = out.map(_._1).toSet
+    assert(methods == Set("boxed", "answer", "equals", "lastnum", "none"))
+    assert(out.filter(_._1 == "none").forall(!_._2),
+      "an unextractable answer can never grade correct")
+    assert(out.exists(r => r._1 == "boxed" && !r._2),
+      "wrong-answer plants must be realized per method")
+  }
+}
