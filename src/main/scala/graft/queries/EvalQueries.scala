@@ -262,21 +262,24 @@ object EvalQueries {
       ((col("doc_id") * 11 + 7) % 100 <
         lit(40) + (expr("cast(substring(source, 4) as int)") * 3) % 40)
         .as("ok"))
-    val per = items.groupBy("source")
+    // ONE rollup pass: the per-source rows and the grand-total row come
+    // from the same scan (a union of per + per.agg would physically
+    // recompute the aggregate branch — a second corpus scan at fleet
+    // scale); the weighted sums ride the same aggregate and are simply
+    // unused on the per-source rows
+    items.rollup(col("source"))
       .agg(count(lit(1)).as("n_items"),
         sum(when(col("ok"), 1L).otherwise(0L)).as("n_correct"),
-        max(col("w")).as("weight"))
-      .select(col("source"), col("n_items"), col("n_correct"), col("weight"),
-        expr("n_correct * 1000000 div n_items").as("acc_ppm"))
-    val overall = per.agg(
-        sum(col("n_items")).as("n_items"),
-        sum(col("n_correct")).as("n_correct"),
-        sum(col("weight") * col("n_items")).as("wn"),
-        sum(col("weight") * col("n_correct")).as("wc"))
-      .select(lit("__overall").as("source"), col("n_items"),
-        col("n_correct"), lit(0L).as("weight"),
-        expr("wc * 1000000 div wn").as("acc_ppm"))
-    per.unionByName(overall).orderBy("source")
+        max(col("w")).as("w_max"),
+        sum(col("w")).as("wn"),
+        sum(when(col("ok"), col("w")).otherwise(0L)).as("wc"))
+      .select(
+        coalesce(col("source"), lit("__overall")).as("source"),
+        col("n_items"), col("n_correct"),
+        when(col("source").isNull, 0L).otherwise(col("w_max")).as("weight"),
+        when(col("source").isNull, expr("wc * 1000000 div wn"))
+          .otherwise(expr("n_correct * 1000000 div n_items")).as("acc_ppm"))
+      .orderBy("source")
   }
 
   // ---------------------------------------------------------------- q294

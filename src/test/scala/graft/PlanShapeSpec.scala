@@ -641,4 +641,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"the bounded probe side must broadcast:\n${plan.take(2000)}")
   }
+
+  test("wave-6 single-scan gates: one FileScan, no join, no window") {
+    // q309 two stacked aggregates; q310 ONE rollup (a union of per +
+    // per.agg would re-scan the corpus); q312/q313 stateless folds
+    Seq("q309_grpo_degenerate", "q310_weighted_eval",
+        "q312_sliding_window", "q313_answer_extraction").foreach { q =>
+      val plan = planOf(q)
+      assert("FileScan parquet".r.findAllIn(plan).length == 1,
+        s"$q must scan documents exactly once:\n${plan.take(2000)}")
+      assert(!plan.contains("Join"), s"$q must not join:\n${plan.take(2000)}")
+      assert(!plan.contains("Window"), s"$q needs no window")
+    }
+  }
+
+  test("best-of-n curve: prefix folds ride the collected array, no window") {
+    val plan = planOf("q304_bestofn_curve")
+    assert(!plan.contains("Window"),
+      s"every prefix argmax must be an in-row fold:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), s"no join needed:\n${plan.take(2000)}")
+  }
+
+  test("tool attribution: key-equi joins only, never cartesian") {
+    val plan = planOf("q311_tool_attribution")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"the first-error join must be (trace, step)-keyed:\n${plan.take(2000)}")
+  }
 }
