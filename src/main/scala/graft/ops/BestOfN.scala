@@ -27,7 +27,9 @@ object BestOfN {
     * sample rows, for prefix sizes 1..maxN in realized id order: per n —
     * prompt count, best-of-n-by-RM correct count, pass@n count (any
     * correct in prefix), both in integer ppm. Prompts shorter than n use
-    * their full sample set (slice past the end is the whole array). */
+    * their full sample set (slice past the end is the whole array).
+    * Scores may be any Long (centered/debiased rewards included): the
+    * argmax fold seeds with the FIRST sample, not a sentinel. */
   def verifierGapCurve(samples: DataFrame, promptCol: String, idCol: String,
       scoreCol: String, okCol: String, maxN: Int): DataFrame = {
     require(maxN > 0, "maxN must be positive")
@@ -41,8 +43,8 @@ object BestOfN {
         s"""transform(sequence(1, $maxN), n -> named_struct(
            |  'n', n,
            |  'any_ok', exists(slice(arr, 1, n), x -> x.ok),
-           |  'rm_ok', aggregate(slice(arr, 1, n),
-           |    named_struct('bs', cast(-1 as bigint), 'ok', false),
+           |  'rm_ok', aggregate(slice(arr, 2, n - 1),
+           |    named_struct('bs', arr[0].score, 'ok', arr[0].ok),
            |    (acc, x) -> IF(x.score > acc.bs,
            |      named_struct('bs', x.score, 'ok', x.ok), acc)).ok))
            |""".stripMargin)).as("c"))

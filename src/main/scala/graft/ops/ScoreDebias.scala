@@ -40,8 +40,16 @@ object ScoreDebias {
       .withColumn("bucket", expr(s"len div $bucketWidth"))
     val stats = base.groupBy("bucket")
       .agg(count(lit(1)).as("n_b"), sum(col("score")).as("sum_b"))
+    // micro-unit residual with BOUNDED intermediates: sum_b*1000000 in one
+    // Long overflows once a bucket's score mass exceeds ~9.2e12 (trivially
+    // reached at fleet scale); the quotient is decomposed instead —
+    // sum_b*1e6 div n = (sum_b div n)*1e6 + (sum_b mod n)*1e6 div n, exact
+    // for non-negative sums (|sum_b mod n| < n, so the second term's
+    // intermediate is < n*1e6).
     val x = base.join(broadcast(stats), "bucket")
-      .withColumn("deb", expr("score * 1000000 - (sum_b * 1000000 div n_b)"))
+      .withColumn("deb", expr(
+        "score * 1000000 - (sum_b div n_b) * 1000000" +
+          " - ((sum_b % n_b) * 1000000 div n_b)"))
     val sel = x.groupBy("prompt_id").agg(
       max(struct(col("score"), (-col("id")).as("ni"), col("len").as("l")))
         .as("r"),

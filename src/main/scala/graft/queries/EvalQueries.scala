@@ -267,17 +267,22 @@ object EvalQueries {
     // recompute the aggregate branch — a second corpus scan at fleet
     // scale); the weighted sums ride the same aggregate and are simply
     // unused on the per-source rows
+    // grouping() (not isNull) identifies the total row: a legitimately
+    // NULL source value must stay a per-source row, never conflate with
+    // the rollup grand total (the classic rollup pitfall)
     items.rollup(col("source"))
       .agg(count(lit(1)).as("n_items"),
         sum(when(col("ok"), 1L).otherwise(0L)).as("n_correct"),
         max(col("w")).as("w_max"),
         sum(col("w")).as("wn"),
-        sum(when(col("ok"), col("w")).otherwise(0L)).as("wc"))
+        sum(when(col("ok"), col("w")).otherwise(0L)).as("wc"),
+        grouping(col("source")).as("gtotal"))
       .select(
-        coalesce(col("source"), lit("__overall")).as("source"),
+        when(col("gtotal") === 1, lit("__overall"))
+          .otherwise(col("source")).as("source"),
         col("n_items"), col("n_correct"),
-        when(col("source").isNull, 0L).otherwise(col("w_max")).as("weight"),
-        when(col("source").isNull, expr("wc * 1000000 div wn"))
+        when(col("gtotal") === 1, 0L).otherwise(col("w_max")).as("weight"),
+        when(col("gtotal") === 1, expr("wc * 1000000 div wn"))
           .otherwise(expr("n_correct * 1000000 div n_items")).as("acc_ppm"))
       .orderBy("source")
   }
@@ -588,9 +593,16 @@ object EvalQueries {
     * failure classes at every SF: id%13==4 cites a non-existent id
     * (dangling), id%11==3 claims a term the cited doc cannot contain
     * (unsupported). */
+  /** Corpus-size memo for [[citationFixture]]: the modulus is a literal in
+    * the plan (the oracle mirrors it via a scalar subquery), but the count
+    * action behind it runs ONCE per dir per JVM — not on every fixture
+    * construction (engine run + each test that touches it). */
+  private val corpusSizeMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
   private[graft] def citationFixture(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val n = docs.count()
+    val n = corpusSizeMemo.getOrElseUpdate(dir, docs.count())
     val g = docs.select(col("doc_id"), col("source"),
       when(col("doc_id") % 13 === 4, lit(n) + col("doc_id") % 50)
         .otherwise((col("doc_id") * 3 + 1) % n).as("cited"))
@@ -1035,8 +1047,8 @@ object EvalQueries {
         |  SELECT bucket, count(*) AS n_b, sum(score) AS sum_b
         |  FROM s GROUP BY 1),
         |x AS (
-        |  SELECT s.*, s.score * 1000000 - (b.sum_b * 1000000 // b.n_b)
-        |    AS deb
+        |  SELECT s.*, s.score * 1000000 - (b.sum_b // b.n_b) * 1000000
+        |    - ((b.sum_b % b.n_b) * 1000000 // b.n_b) AS deb
         |  FROM s JOIN b USING (bucket)),
         |w AS (
         |  SELECT *, row_number() OVER (PARTITION BY prompt_id

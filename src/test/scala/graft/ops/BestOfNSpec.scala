@@ -33,6 +33,16 @@ class BestOfNSpec extends SparkSpec {
       "the first max in id order must win the tie")
   }
 
+  test("all-negative scores: the argmax still works (fold seeds with " +
+      "the first sample, not a sentinel)") {
+    // centered/debiased rewards are routinely negative — a -1 sentinel
+    // seed would leave rm_ok false forever on this prompt
+    val c = curve(3, (1L, 1L, -9L, false), (1L, 2L, -3L, true),
+      (1L, 3L, -7L, false))
+    assert(c.map(_._3) == Seq(0L, 1L, 1L),
+      "RM must pick the -3 (correct) sample from n=2 on")
+  }
+
   test("prompts shorter than n reuse their full sample set") {
     val c = curve(4, (1L, 1L, 3L, false), (1L, 2L, 8L, true))
     assert(c.map(_._3) == Seq(0L, 1L, 1L, 1L), "prefix saturates at size 2")

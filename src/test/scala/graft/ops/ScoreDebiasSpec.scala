@@ -42,6 +42,26 @@ class ScoreDebiasSpec extends SparkSpec {
     assert(c(false)._3 == 3L && c(false)._4 == 3L)
   }
 
+  test("huge bucket mass: the residual must not overflow Long") {
+    // 1201 samples of score ~1e10 in bucket 0: sum_b ≈ 1.2e13, so the
+    // naive sum_b*1000000 wraps past Long.MaxValue to a large NEGATIVE
+    // bucket term — bucket-0 residuals would inflate by ~5e15 micro-units
+    // and steal every cross-bucket argmax. The decomposed quotient keeps
+    // intermediates at mean*1e6 (≈1e16) and rem*1e6 (<1201e6). Prompt 1
+    // spans both buckets: its bucket-0 residual is -3996669, its bucket-1
+    // residual 0 (sole member) — debias must agree with raw (no flip).
+    val filler = (0 until 1200).map(i =>
+      (999L, 100000L + i, 10000000000L, 3L))
+    val rows = filler ++ Seq(
+      (1L, 1L, 9999999996L, 3L), (1L, 2L, 10000000009L, 12L))
+    val c = census(rows: _*)
+    assert(c.keySet == Set(false),
+      s"a wrapped bucket term would flip prompt 1 to its short sample: $c")
+    assert(c(false)._1 == 2L && c(false)._2 == 1000L)
+    assert(c(false)._3 == 15L && c(false)._4 == 15L,
+      "prompt 1 keeps the long (genuinely higher-scored) sample")
+  }
+
   test("fixture plant: flips remove measurable verbosity at sf0.001") {
     val out = ScoreDebias.debiasCensus(
         graft.queries.EvalQueries.rmSampleFixture(spark, "/root/testdata/sf0.001"),
