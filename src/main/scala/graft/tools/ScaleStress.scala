@@ -1,0 +1,233 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale certification for the hot operator families.
+  *
+  * Every "survives 100×" claim in the coverage map rests on plan-shape
+  * argument pinned at sf0.1. This tool measures it: inflate the hot tables
+  * (documents, embeddings) k× by deterministic id arithmetic, run the most
+  * expensive families at each scale under a task-metrics listener, and fit
+  * the runtime scaling exponent per family (slope of ln t vs ln k). A
+  * near-linear exponent (≤ ~1.2) plus bounded per-task shuffle certifies
+  * the shape; a super-linear curve names the operator that breaks at 100 TB.
+  *
+  * Inflation doctrine: replica r of doc i gets id = i + r·N and every token
+  * suffixed `_r` — replicas are DISTINCT documents with disjoint shingle
+  * sets, so corpus statistics (near-dup cluster count, vocabulary, hosts)
+  * scale LINEARLY and the measured exponent reflects the ENGINE, not a
+  * quadratic blowup of planted near-dup clusters that exact copies would
+  * synthesize (k copies of one cluster member = k²/2 true pairs — real data
+  * growth adds documents, it does not multiply duplicates of every doc).
+  * Embedding replicas add a ±3e-3 per-dimension deterministic offset:
+  * distinct vectors, same cluster geometry, cluster populations ×k.
+  *
+  * Usage: runMain graft.tools.ScaleStress <baseSfDir> <workDir>
+  *          [scalesCsv=1,10,30] [familiesCsv=all]
+  * Results feed SCALING.md; materialized x{k} dirs are reused across runs.
+  */
+object ScaleStress {
+
+  /** Families under test: the 7 most expensive shapes per the bench record
+    * (LSH banding, substring census one-shot + stored, CC + canonical
+    * selection, IVF store round trips, iterative graph, unigram EM). */
+  val Families: Seq[(String, String)] = Seq(
+    "lsh" -> "q42_minhash_lsh_pairs",
+    "substring" -> "q136_substring_dedup",
+    "substr_store" -> "q262_substring_incremental",
+    "canonical" -> "q263_quality_canonical",
+    "ivf_store" -> "q168_ivf_incremental",
+    "graph" -> "q246_pagerank_incremental",
+    "unigram" -> "q174_unigram_census")
+
+  /** Sums task-level shuffle/spill metrics across one measured run; the
+    * max single-task shuffle read is the partition-fits-in-memory signal
+    * (a growing max under fixed partition count = the skew/size wall). */
+  final class TaskMetricsListener extends SparkListener {
+    val shuffleRead = new AtomicLong
+    val shuffleWrite = new AtomicLong
+    val maxTaskShuffleRead = new AtomicLong
+    val spill = new AtomicLong
+    val tasks = new AtomicLong
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        val sr = m.shuffleReadMetrics.totalBytesRead
+        shuffleRead.addAndGet(sr)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        maxTaskShuffleRead.getAndUpdate(v => math.max(v, sr))
+        tasks.incrementAndGet()
+        ()
+      }
+    }
+    def reset(): Unit =
+      Seq(shuffleRead, shuffleWrite, maxTaskShuffleRead, spill, tasks)
+        .foreach(_.set(0))
+  }
+
+  /** k distinct replicas of the documents table. Replica 0 is the
+    * original; replica r Caesar-rotates the whole text by r mod 26 (the
+    * corpus alphabet is lowercase a–z + space), so EVERY character differs
+    * and the CHARACTER k-gram shingle sets of distinct rotations are fully
+    * disjoint — a token suffix is not enough (intra-word shingles survive
+    * it, leaving replicas ~50% Jaccard-similar and turning LSH candidate
+    * volume quadratic in k, a fixture artifact). Token counts, duplicate
+    * structure WITHIN a replica, lang and source are preserved. Replicas
+    * ≥ 26 reuse a rotation and get a per-generation token suffix instead
+    * (partial disjointness — keep scales ≤ 26 for clean exponents). */
+  def inflateDocuments(docs: DataFrame, n: Long, k: Int): DataFrame = {
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    (0 until k).map { r =>
+      val rot = r % 26
+      val rotated = if (rot == 0) col("text")
+        else translate(col("text"), alpha,
+          alpha.substring(rot) + alpha.substring(0, rot))
+      val gen = r / 26
+      val txt = if (gen == 0) rotated
+        else concat_ws(" ", transform(split(trim(rotated), "\\s+"),
+          t => concat(t, lit("_" + ('a' + (gen - 1) % 26).toChar))))
+      docs.select((col("doc_id") + lit(r.toLong * n)).as("doc_id"),
+        txt.as("text"), col("lang"), col("source"),
+        length(txt).cast("long").as("n_chars"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** k replicas of the embeddings table: replica 0 is the original;
+    * others get a bounded (|δ| ≤ 4e-3) deterministic per-(replica, dim)
+    * offset — distinct vectors, same cluster geometry. The `r % 101`
+    * epsilon keeps replicas congruent mod 7 (same dim-pattern) from
+    * colliding into exact duplicates. Labels preserved. */
+  def inflateEmbeddings(emb: DataFrame, n: Long, k: Int): DataFrame = {
+    val reps = emb.sparkSession.range(k).toDF("r")
+    emb.crossJoin(broadcast(reps)).select(
+      (col("vec_id") + col("r") * n).as("vec_id"),
+      expr("transform(embedding, (x, i) -> IF(r = 0, x, " +
+        "cast(x + ((r * 31 + i) % 7 - 3) / 1000.0" +
+        " + (r % 101) / 100000.0 as float)))")
+        .as("embedding"),
+      col("label"))
+  }
+
+  /** Materialize workDir/x{k}: inflated documents+embeddings written with
+    * a partition count that grows with k (input split structure scales
+    * like the data), all other tables symlinked from the base dir.
+    * Idempotent — an existing _DONE marker skips the rebuild. */
+  def materialize(spark: SparkSession, baseDir: String, workDir: String,
+      k: Int): String = {
+    val out = s"$workDir/x$k"
+    val done = Paths.get(out, "_DONE")
+    if (Files.exists(done)) return out
+    Files.createDirectories(Paths.get(out))
+    val docs = graft.sources.Tables.documents(spark, baseDir)
+    val emb = graft.sources.Tables.embeddings(spark, baseDir)
+    inflateDocuments(docs, docs.count(), k)
+      .repartition(math.max(2, k)).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+    inflateEmbeddings(emb, emb.count(), k)
+      .repartition(math.max(2, k)).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events").foreach { t =>
+      val link = Paths.get(out, s"$t.parquet")
+      if (!Files.exists(link))
+        Files.createSymbolicLink(link,
+          Paths.get(baseDir, s"$t.parquet").toAbsolutePath)
+    }
+    Files.writeString(done, "ok")
+    out
+  }
+
+  /** Least-squares slope of ln(t) vs ln(k) — the empirical exponent. */
+  def fitExponent(points: Seq[(Int, Double)]): Double = {
+    val xs = points.map(p => math.log(p._1.toDouble))
+    val ys = points.map(p => math.log(p._2))
+    val mx = xs.sum / xs.size
+    val my = ys.sum / ys.size
+    val den = xs.map(x => (x - mx) * (x - mx)).sum
+    if (den == 0.0) 0.0
+    else xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / den
+  }
+
+  private def mb(b: Long): String = f"${b / 1048576.0}%.1f"
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args(0)
+    val workDir = args(1)
+    val scales = (if (args.length > 2) args(2) else "1,10,30")
+      .split(",").map(_.trim.toInt).toSeq.sorted
+    val fams = if (args.length > 3 && args(3) != "all")
+      Families.filter(f => args(3).split(",").contains(f._1))
+    else Families
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config(graft.sources.Tables.NanosAsLongConf, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val listener = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+
+    val dirs = scales.map(k => k -> materialize(spark, baseDir, workDir, k)).toMap
+    scales.foreach { k =>
+      val nd = spark.read.parquet(s"${dirs(k)}/documents.parquet").count()
+      val ne = spark.read.parquet(s"${dirs(k)}/embeddings.parquet").count()
+      println(s"[scale] x$k materialized: docs=$nd emb=$ne at ${dirs(k)}")
+    }
+
+    def runOnce(q: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(q)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // JVM/JIT warmup: one untimed pass of every family at the smallest scale
+    fams.foreach { case (_, q) => runOnce(q, dirs(scales.head)) }
+
+    case class Cell(fam: String, k: Int, sec: Double, shufRead: Long,
+      shufWrite: Long, maxTask: Long, spill: Long, tasks: Long)
+    val cells = scala.collection.mutable.ArrayBuffer[Cell]()
+    for ((fam, q) <- fams; k <- scales) {
+      listener.reset()
+      val t1 = runOnce(q, dirs(k))
+      // cheap cells get a second pass (min) to shave JIT/GC noise; the
+      // listener keeps the FIRST pass's metrics either way (bytes are
+      // deterministic, time is not)
+      val snap = Cell(fam, k, t1, listener.shuffleRead.get,
+        listener.shuffleWrite.get, listener.maxTaskShuffleRead.get,
+        listener.spill.get, listener.tasks.get)
+      val sec = if (t1 < 5.0) math.min(t1, runOnce(q, dirs(k))) else t1
+      cells += snap.copy(sec = sec)
+      println(f"[scale] $fam%-13s x$k%-3d ${sec}%7.2fs " +
+        f"shufRead=${mb(snap.shufRead)}%8sMB maxTask=${mb(snap.maxTask)}%7sMB " +
+        f"shufWrite=${mb(snap.shufWrite)}%8sMB spill=${mb(snap.spill)}%6sMB " +
+        f"tasks=${snap.tasks}%d")
+    }
+
+    println("\nfamily        query                        exponent   " +
+      "t(x" + scales.head + ")   t(x" + scales.last + ")  maxTaskMB(x" +
+      scales.last + ")  spillMB(x" + scales.last + ")")
+    val summary = fams.map { case (fam, q) =>
+      val pts = cells.filter(_.fam == fam).map(c => c.k -> c.sec).toSeq
+      val e = fitExponent(pts)
+      val last = cells.filter(c => c.fam == fam && c.k == scales.last).head
+      val first = cells.filter(c => c.fam == fam && c.k == scales.head).head
+      println(f"$fam%-13s $q%-28s $e%8.2f ${first.sec}%7.2f ${last.sec}%7.2f " +
+        f"${mb(last.maxTask)}%14s ${mb(last.spill)}%12s")
+      s""""$fam":{"exponent":$e,"sec":{${
+        cells.filter(_.fam == fam).map(c => s""""x${c.k}":${c.sec}""").mkString(",")
+      }},"max_task_shuffle_mb":${last.maxTask / 1048576.0},"spill_mb":${
+        last.spill / 1048576.0}}"""
+    }
+    println(s"""{"metric":"scale_stress","base":"$baseDir","scales":[${
+      scales.mkString(",")}],"families":{${summary.mkString(",")}}}""")
+    spark.stop()
+  }
+}

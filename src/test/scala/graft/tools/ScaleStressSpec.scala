@@ -1,0 +1,74 @@
+package graft.tools
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness invariants: the inflation must preserve per-replica
+  * structure while keeping replicas DISJOINT in shingle space — the
+  * property that makes the measured exponent an engine signal rather than
+  * a fixture artifact (a token-suffix perturbation measurably failed this:
+  * replicas stayed ~50% Jaccard-similar and LSH candidates went quadratic). */
+class ScaleStressSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en", "src1", 0L),
+    (1L, "pack my box with five dozen liquor jugs", "en", "src2", 0L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+    .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("document inflation: k distinct ids, replica 0 verbatim, token " +
+      "counts preserved") {
+    val inf = ScaleStress.inflateDocuments(base, 2L, 3)
+    assert(inf.count() == 6)
+    assert(inf.select("doc_id").distinct().count() == 6)
+    val r0 = inf.where(col("doc_id") < 2).orderBy("doc_id")
+      .select("text").as[String].collect()
+    val orig = base.orderBy("doc_id").select("text").as[String].collect()
+    assert(r0.sameElements(orig), "replica 0 must be the original corpus")
+    val tokCounts = inf
+      .select((col("doc_id") % 2).as("i"), size(split(col("text"), "\\s+")).as("nt"))
+      .groupBy("i").agg(countDistinct("nt").as("d")).select("d")
+      .as[Long].collect()
+    assert(tokCounts.forall(_ == 1L), "every replica keeps the token count")
+  }
+
+  test("distinct rotations have fully disjoint character 5-gram shingles") {
+    val inf = ScaleStress.inflateDocuments(base, 2L, 3)
+    val sh = inf.select((col("doc_id") / 2).cast("int").as("r"),
+        explode(graft.functions.TextFunctions.charShingles(col("text"), 5))
+          .as("shingle"))
+      .distinct()
+    val overlap = sh.where(col("r") === 0).select("shingle")
+      .intersect(sh.where(col("r") === 1).select("shingle"))
+      .count()
+    assert(overlap == 0, "rotated replicas must share zero char shingles")
+  }
+
+  test("embedding inflation: distinct ids, same dims, bounded offsets") {
+    val emb = Seq((0L, Array(1.0f, 2.0f, 3.0f), 1),
+      (1L, Array(4.0f, 5.0f, 6.0f), 2)).toDF("vec_id", "embedding", "label")
+    val inf = ScaleStress.inflateEmbeddings(emb, 2L, 4)
+    assert(inf.count() == 8)
+    assert(inf.select("vec_id").distinct().count() == 8)
+    val rows = inf.orderBy("vec_id")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val origs = Map(0L -> Array(1.0f, 2.0f, 3.0f), 1L -> Array(4.0f, 5.0f, 6.0f))
+    rows.foreach { case (id, v) =>
+      val o = origs(id % 2)
+      assert(v.length == o.length)
+      if (id < 2) assert(v.sameElements(o), "replica 0 must be the original")
+      v.zip(o).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 0.0041f, s"offset out of bounds at $id") }
+    }
+    assert(rows.map(_._2.toSeq).distinct.length == 8,
+      "every replica vector must be distinct")
+  }
+
+  test("fitExponent recovers a planted power law exactly") {
+    val pts = Seq(1 -> 2.0, 5 -> 2.0 * math.pow(5, 1.3),
+      25 -> 2.0 * math.pow(25, 1.3))
+    assert(math.abs(ScaleStress.fitExponent(pts) - 1.3) < 1e-9)
+    assert(ScaleStress.fitExponent(Seq(3 -> 7.0)) == 0.0)
+  }
+}
