@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Parquet layout / sort-key advisor — the other half of the 100-TB layout
+  * decision next to [[Compaction]]'s file-size planner: which sort key
+  * maximizes row-group min-max (zone-map) pruning for the query mix.
+  *
+  * A parquet scan skips a row group when the predicate's [lo, hi] misses
+  * the group's column min/max; under a sort key the groups are CONTIGUOUS
+  * KEY RANGES, so the advisor simulates the layout as nBins equal-width
+  * key bins and measures, per (candidate key × workload predicate), the
+  * rows a pruned scan would still read. Equal-width (not equal-rows) bins
+  * keep the census ONE windowless scan — a global equal-rows chop needs a
+  * corpus-wide rank — and the modeling loss is visible, not hidden: the
+  * per-bin row count rides the census, and the advisor's objective is
+  * ROWS read (which charges unbalanced bins correctly), never bin counts.
+  *
+  * Scale shape: one 1-row min/max aggregate (bin arithmetic bounds), then
+  * ONE corpus scan whose per-row explode emits a (key, bin) pair per
+  * candidate — map-side combined into a bins×candidates census frame;
+  * everything downstream (predicate overlap, totals, the argmin pick) is
+  * metadata-sized joins over that frame. Integer arithmetic throughout;
+  * a bin with a NULL stat min/max fails CLOSED (no zone map → must read).
+  */
+object LayoutAdvisor {
+
+  /** Simulated-layout census: per (sort_key, bin) — row count plus
+    * min/max of every stat column (the columns workload predicates touch).
+    * `candidates` and `stats` are (name, integer column) pairs; bins are
+    * equal-width over each candidate's observed [min, max]. */
+  def binningCensus(df: DataFrame, candidates: Seq[(String, Column)],
+      stats: Seq[(String, Column)], nBins: Int): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    require(candidates.nonEmpty && stats.nonEmpty, "need candidates + stats")
+    val keyed = df.select(
+      candidates.map { case (n, c) => c.cast("long").as(s"__k_$n") } ++
+        stats.map { case (n, c) => c.cast("long").as(s"__s_$n") }: _*)
+    // bounded 1-row collect: one (min, max) pair per candidate key
+    val boundAggs = candidates.flatMap { case (n, _) => Seq(
+      min(col(s"__k_$n")).as(s"__lo_$n"),
+      max(col(s"__k_$n")).as(s"__hi_$n")) }
+    val bounds = keyed.agg(boundAggs.head, boundAggs.tail: _*).collect()(0)
+    val entries = candidates.map { case (n, _) =>
+      val lo = bounds.getAs[Long](s"__lo_$n")
+      val hi = bounds.getAs[Long](s"__hi_$n")
+      val width = math.max(hi - lo + 1, 1L)
+      struct(lit(n).as("sort_key"),
+        expr(s"(__k_$n - $lo) * $nBins div $width").as("bin"))
+    }
+    keyed.select(explode(array(entries: _*)).as("e"),
+        col("*"))
+      .groupBy(col("e.sort_key").as("sort_key"), col("e.bin").as("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        stats.flatMap { case (n, _) => Seq(
+          min(col(s"__s_$n")).as(s"min_$n"),
+          max(col(s"__s_$n")).as(s"max_$n")) }: _*)
+  }
+
+  /** Pruning census: join the binning census against a workload frame
+    * (pred_id, stat, lo, hi — range predicates; equality is lo = hi) and
+    * report per (sort_key, pred_id): bins + rows a zone-map-pruned scan
+    * reads, totals, and the skip rate in ppm of rows. A bin whose stat
+    * min/max is NULL is read (fail-closed). `stats` names must match the
+    * census's stat columns. */
+  def pruningCensus(census: DataFrame, preds: DataFrame,
+      stats: Seq[String]): DataFrame = {
+    val unpivoted = census.select(col("sort_key"), col("bin"), col("n_rows"),
+      explode(array(stats.map(n => struct(lit(n).as("stat"),
+        col(s"min_$n").as("smin"), col(s"max_$n").as("smax"))): _*)).as("s"))
+      .select(col("sort_key"), col("bin"), col("n_rows"),
+        col("s.stat").as("stat"), col("s.smin").as("smin"),
+        col("s.smax").as("smax"))
+    unpivoted.join(broadcast(preds), "stat")
+      .withColumn("__read",
+        col("smin").isNull || col("smax").isNull ||
+          (col("lo") <= col("smax") && col("hi") >= col("smin")))
+      .groupBy("sort_key", "pred_id")
+      .agg(count(lit(1)).as("n_bins"),
+        sum(when(col("__read"), 1L).otherwise(0L)).as("bins_read"),
+        sum(col("n_rows")).as("total_rows"),
+        sum(when(col("__read"), col("n_rows")).otherwise(0L)).as("rows_read"))
+      .withColumn("skip_ppm",
+        expr("(total_rows - rows_read) * 1000000 div total_rows"))
+  }
+
+  /** The advisor's pick: per candidate key, the workload-total rows read
+    * under the simulated layout; `recommended` marks the minimum (ties
+    * break to the lexicographically first key — deterministic). The best
+    * is an unpartitioned window over the TOTALS frame — bounded at the
+    * candidate-key count — so the census branch is scanned once (a
+    * broadcast-best attach would recompute the aggregate lineage and
+    * re-scan the corpus, the q310 anti-pattern). */
+  def advise(pruning: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    pruning.groupBy("sort_key")
+      .agg(sum(col("rows_read")).as("workload_rows_read"),
+        sum(col("total_rows")).as("workload_rows_total"))
+      .withColumn("__best",
+        min(struct(col("workload_rows_read"), col("sort_key")))
+          .over(Window.partitionBy()))
+      .withColumn("recommended", col("sort_key") === col("__best.sort_key"))
+      .drop("__best")
+  }
+}

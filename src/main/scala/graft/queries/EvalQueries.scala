@@ -287,6 +287,53 @@ object EvalQueries {
       .orderBy("source")
   }
 
+  // ----------------------------------------------------------- q314/q315
+
+  /** Shared q314/q315 fixture pieces ([[graft.ops.LayoutAdvisor]]): the
+    * candidate sort keys (natural id, the length signal, and a
+    * multiplicative-hash scatter — the deliberately unprunable control,
+    * Knuth's 2654435761), the zone-map stat columns, and the 4-predicate
+    * headline workload: a recent-ingest id range (last 10%), an id point
+    * lookup, and the short-/long-document screens. Predicate bounds on
+    * the id axis derive from the corpus size so both pruned and read
+    * bins realize at every SF. */
+  private def layoutCandidates = Seq(
+    "doc_id" -> col("doc_id"),
+    "n_chars" -> col("n_chars"),
+    "scatter" -> expr("(doc_id * 2654435761) % 1048576"))
+
+  private def layoutStats = Seq(
+    "doc_id" -> col("doc_id"), "n_chars" -> col("n_chars"))
+
+  private def layoutPreds(s: SparkSession, dir: String): DataFrame = {
+    val n = corpusSizeMemo.getOrElseUpdate(dir,
+      Tables.documents(s, dir).count())
+    import s.implicits._
+    Seq(("id_recent", "doc_id", n * 9 / 10, n),
+      ("id_point", "doc_id", n / 2, n / 2),
+      ("len_short", "n_chars", 0L, 150L),
+      ("len_long", "n_chars", 450L, 1000000000L))
+      .toDF("pred_id", "stat", "lo", "hi")
+  }
+
+  private def layoutPruning(s: SparkSession, dir: String): DataFrame =
+    graft.ops.LayoutAdvisor.pruningCensus(
+      graft.ops.LayoutAdvisor.binningCensus(Tables.documents(s, dir),
+        layoutCandidates, layoutStats, nBins = 32),
+      layoutPreds(s, dir), layoutStats.map(_._1))
+
+  /** q314: sort-key pruning census — per (candidate sort key × workload
+    * predicate): bins and rows a zone-map-pruned scan reads under the
+    * simulated layout, and the row skip rate in ppm. The other half of
+    * q295's layout decision (file sizes there, sort order here). */
+  val layoutPruningCensus: Q = (s, dir) =>
+    layoutPruning(s, dir).orderBy("sort_key", "pred_id")
+
+  /** q315: the advisor's pick — per candidate key the workload-total rows
+    * read; `recommended` marks the minimum (ties to the first key name). */
+  val layoutAdvisorPick: Q = (s, dir) =>
+    graft.ops.LayoutAdvisor.advise(layoutPruning(s, dir)).orderBy("sort_key")
+
   // ---------------------------------------------------------------- q294
 
   /** q294: multi-epoch shuffle-shard plan census
@@ -800,7 +847,9 @@ object EvalQueries {
     "q310_weighted_eval" -> weightedEval,
     "q311_tool_attribution" -> toolAttribution,
     "q312_sliding_window" -> slidingWindowSavings,
-    "q313_answer_extraction" -> answerExtraction)
+    "q313_answer_extraction" -> answerExtraction,
+    "q314_layout_pruning" -> layoutPruningCensus,
+    "q315_layout_pick" -> layoutAdvisorPick)
 
   /** The q291 fixture + classifier replayed in SQL (shared by q291/q298):
     * same plant CASE order, same anchored openers / hedge probes, same
@@ -1511,5 +1560,91 @@ object EvalQueries {
         |SELECT method, correct, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM v GROUP BY 1, 2
-        |""".stripMargin)
+        |""".stripMargin,
+
+    // q314/q315: the simulated binning census, predicate overlap, and
+    // the argmin pick replayed — equal-width bins over each candidate's
+    // observed [min, max], fail-closed NULL zone maps, integer ppm
+    "q314_layout_pruning" ->
+      (layoutCensusSql + """
+        |SELECT sort_key, pred_id, n_bins, bins_read, total_rows, rows_read,
+        |  CAST((total_rows - rows_read) * 1000000 // total_rows AS BIGINT)
+        |    AS skip_ppm
+        |FROM g
+        |""".stripMargin),
+
+    "q315_layout_pick" ->
+      (layoutCensusSql + """,
+        |t AS (
+        |  SELECT sort_key,
+        |    CAST(sum(rows_read) AS BIGINT) AS workload_rows_read,
+        |    CAST(sum(total_rows) AS BIGINT) AS workload_rows_total
+        |  FROM g GROUP BY 1)
+        |SELECT sort_key, workload_rows_read, workload_rows_total,
+        |  sort_key = (SELECT sort_key FROM t
+        |    ORDER BY workload_rows_read, sort_key LIMIT 1) AS recommended
+        |FROM t
+        |""".stripMargin))
+
+  /** Shared q314/q315 CTE chain: candidate keys → per-key equal-width
+    * bins → per-bin zone maps → predicate workload → per (key, pred)
+    * read/total bins and rows (the `g` frame both gates read). A `def`,
+    * not a `val`: the oracles map above initializes first. */
+  private def layoutCensusSql: String =
+    """WITH k AS (
+      |  SELECT doc_id, n_chars,
+      |    (doc_id * 2654435761) % 1048576 AS scatter
+      |  FROM documents),
+      |r AS (
+      |  SELECT min(doc_id) AS lo_id, max(doc_id) AS hi_id,
+      |    min(n_chars) AS lo_nc, max(n_chars) AS hi_nc,
+      |    min(scatter) AS lo_sc, max(scatter) AS hi_sc,
+      |    count(*) AS n
+      |  FROM k),
+      |b AS (
+      |  SELECT 'doc_id' AS sort_key,
+      |    (doc_id - (SELECT lo_id FROM r)) * 32
+      |      // greatest((SELECT hi_id - lo_id + 1 FROM r), 1) AS bin,
+      |    doc_id, n_chars FROM k
+      |  UNION ALL
+      |  SELECT 'n_chars',
+      |    (n_chars - (SELECT lo_nc FROM r)) * 32
+      |      // greatest((SELECT hi_nc - lo_nc + 1 FROM r), 1),
+      |    doc_id, n_chars FROM k
+      |  UNION ALL
+      |  SELECT 'scatter',
+      |    (scatter - (SELECT lo_sc FROM r)) * 32
+      |      // greatest((SELECT hi_sc - lo_sc + 1 FROM r), 1),
+      |    doc_id, n_chars FROM k),
+      |c AS (
+      |  SELECT sort_key, bin, count(*) AS n_rows,
+      |    min(doc_id) AS min_id, max(doc_id) AS max_id,
+      |    min(n_chars) AS min_nc, max(n_chars) AS max_nc
+      |  FROM b GROUP BY 1, 2),
+      |p AS (
+      |  SELECT * FROM (VALUES
+      |    ('id_recent', 'doc_id',
+      |      (SELECT n * 9 // 10 FROM r), (SELECT n FROM r)),
+      |    ('id_point', 'doc_id',
+      |      (SELECT n // 2 FROM r), (SELECT n // 2 FROM r)),
+      |    ('len_short', 'n_chars', 0, 150),
+      |    ('len_long', 'n_chars', 450, 1000000000))
+      |    AS t(pred_id, stat, lo, hi)),
+      |u AS (
+      |  SELECT sort_key, bin, n_rows, 'doc_id' AS stat,
+      |    min_id AS smin, max_id AS smax FROM c
+      |  UNION ALL
+      |  SELECT sort_key, bin, n_rows, 'n_chars', min_nc, max_nc FROM c),
+      |j AS (
+      |  SELECT u.sort_key, p.pred_id, u.n_rows,
+      |    (u.smin IS NULL OR u.smax IS NULL
+      |      OR (p.lo <= u.smax AND p.hi >= u.smin)) AS rd
+      |  FROM u JOIN p USING (stat)),
+      |g AS (
+      |  SELECT sort_key, pred_id, CAST(count(*) AS BIGINT) AS n_bins,
+      |    CAST(sum(CASE WHEN rd THEN 1 ELSE 0 END) AS BIGINT) AS bins_read,
+      |    CAST(sum(n_rows) AS BIGINT) AS total_rows,
+      |    CAST(sum(CASE WHEN rd THEN n_rows ELSE 0 END) AS BIGINT)
+      |      AS rows_read
+      |  FROM j GROUP BY 1, 2)""".stripMargin
 }

@@ -668,4 +668,24 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoop"),
       s"the first-error join must be (trace, step)-keyed:\n${plan.take(2000)}")
   }
+
+  test("layout advisor: one pruned census scan, broadcast workload, no window") {
+    // the bounds 1-row aggregate runs at FIXTURE time (bin arithmetic
+    // literals); the census frame itself reads the corpus exactly once,
+    // explode fans the candidate keys in-row, and the predicate workload
+    // is a broadcast-joined metadata frame
+    Seq("q314_layout_pruning", "q315_layout_pick").foreach { q =>
+      val plan = planOf(q)
+      assert("FileScan parquet".r.findAllIn(plan).length == 1,
+        s"$q must scan documents exactly once:\n${plan.take(2000)}")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q workload/pick joins are metadata-sized and must broadcast")
+      assert(plan.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+        s"$q must prune the scan to the key/stat columns")
+    }
+    // the census itself needs no window; q315's argmin window runs over
+    // the candidate-key totals frame (bounded), never the corpus
+    assert(!planOf("q314_layout_pruning").contains("Window"),
+      "q314 needs no window")
+  }
 }

@@ -1,0 +1,104 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Layout advisor: hand-computed zone maps, fail-closed NULL stats, and
+  * the two-regime pick — per workload the advisor must recommend the key
+  * that maximizes the measured (brute-force recomputed) row skip rate. */
+class LayoutAdvisorSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two independent axes: id 0..99; len anti-correlated scatter (id*37%100)
+  private def corpus = (0L until 100L).map(i => (i, (i * 37) % 100))
+    .toDF("id", "len")
+
+  private val candidates = Seq("id" -> col("id"), "len" -> col("len"))
+  private val stats = Seq("id" -> col("id"), "len" -> col("len"))
+
+  private def preds(rows: (String, String, Long, Long)*) =
+    rows.toDF("pred_id", "stat", "lo", "hi")
+
+  test("hand-computed bins: 4 equal-width bins over 0..99, exact zone maps") {
+    val c = LayoutAdvisor.binningCensus(corpus, Seq("id" -> col("id")),
+        stats, nBins = 4)
+      .orderBy("bin")
+      .select("bin", "n_rows", "min_id", "max_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(c == Seq((0L, 25L, 0L, 24L), (1L, 25L, 25L, 49L),
+      (2L, 25L, 50L, 74L), (3L, 25L, 75L, 99L)))
+  }
+
+  test("pruning census: a range predicate reads exactly the overlapping bins") {
+    val census = LayoutAdvisor.binningCensus(corpus, Seq("id" -> col("id")),
+      stats, nBins = 4)
+    val p = LayoutAdvisor.pruningCensus(census,
+        preds(("mid", "id", 30L, 60L)), Seq("id", "len"))
+      .select("pred_id", "n_bins", "bins_read", "total_rows", "rows_read",
+        "skip_ppm")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // bins 1 [25,49] and 2 [50,74] overlap [30,60]; 0 and 3 are skipped
+    assert(p == Seq(("mid", 4L, 2L, 100L, 50L, 500000L)))
+  }
+
+  test("NULL zone maps fail closed: the bin is read") {
+    val census = Seq(("k", 0L, 10L, Some(5L), Some(9L), None: Option[Long],
+        None: Option[Long]),
+        ("k", 1L, 10L, Some(50L), Some(90L), Some(1L), Some(2L)))
+      .toDF("sort_key", "bin", "n_rows", "min_id", "max_id", "min_len",
+        "max_len")
+    val p = LayoutAdvisor.pruningCensus(census,
+        preds(("q", "len", 100L, 200L)), Seq("id", "len"))
+      .select("bins_read", "rows_read").as[(Long, Long)].collect().head
+    assert(p == ((1L, 10L)),
+      "the NULL-stat bin must be read; the [1,2] bin is skipped")
+  }
+
+  test("two-regime pick: each workload recommends the key that maximizes " +
+      "measured skip") {
+    def brute(keyIsId: Boolean, lo: Long, hi: Long, onId: Boolean): Long = {
+      // recompute rows read from first principles: equal-width 4-bin chop
+      // on the sort key, zone map of the predicate column per bin
+      val rows = (0L until 100L).map(i => (i, (i * 37) % 100))
+      val keyed = rows.groupBy { case (id, len) =>
+        (if (keyIsId) id else len) * 4 / 100 }
+      keyed.values.map { bin =>
+        val vals = bin.map { case (id, len) => if (onId) id else len }
+        if (lo <= vals.max && hi >= vals.min) bin.size.toLong else 0L
+      }.sum
+    }
+    val census = LayoutAdvisor.binningCensus(corpus, candidates, stats, 4)
+    for ((wl, onId, expectKey) <- Seq(
+        (preds(("a", "id", 10L, 20L), ("b", "id", 80L, 85L)), true, "id"),
+        (preds(("a", "len", 10L, 20L), ("b", "len", 80L, 85L)), false, "len"))) {
+      val pruning = LayoutAdvisor.pruningCensus(census, wl, Seq("id", "len"))
+      val out = LayoutAdvisor.advise(pruning)
+        .select("sort_key", "workload_rows_read", "recommended")
+        .as[(String, Long, Boolean)].collect().toMap2
+      assert(out.filter(_._2._2).keySet == Set(expectKey),
+        s"workload on ${if (onId) "id" else "len"} must recommend $expectKey")
+      // the advisor's totals equal the brute-force recount, so the pick
+      // provably maximizes measured skip
+      for (k <- Seq("id", "len")) {
+        val expected = Seq((10L, 20L), (80L, 85L))
+          .map { case (lo, hi) => brute(k == "id", lo, hi, onId) }.sum
+        assert(out(k)._1 == expected, s"rows_read($k) vs brute force")
+      }
+    }
+  }
+
+  test("tie breaks to the lexicographically first key") {
+    val census = LayoutAdvisor.binningCensus(corpus, candidates, stats, 4)
+    // a predicate neither key prunes: full reads on both → tie → "id"
+    val pruning = LayoutAdvisor.pruningCensus(census,
+      preds(("all", "id", 0L, 99L)), Seq("id", "len"))
+    val rec = LayoutAdvisor.advise(pruning)
+      .where(col("recommended")).select("sort_key").as[String].collect()
+    assert(rec.toSeq == Seq("id"))
+  }
+
+  private implicit class MapOps(rows: Array[(String, Long, Boolean)]) {
+    def toMap2: Map[String, (Long, Boolean)] =
+      rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+}
