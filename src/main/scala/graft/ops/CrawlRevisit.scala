@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-snapshot crawl revisit census — the freshness signal a crawl
+  * scheduler feeds next to centrality × quality (the q202 planner): between
+  * two crawl generations, per host, how many URLs were revisited unchanged,
+  * revisited with new content, gone, or newly discovered — and the derived
+  * revisit / change rates in integer ppm.
+  *
+  * Scale shape (the q227 snapshot-delta doctrine): the delta is a FULL
+  * OUTER join of two narrow (url, host, content-hash) frames hash-
+  * partitioned on url — never the document bodies — classified in-row and
+  * rolled up to host cardinality in one map-side-combined aggregate. The
+  * per-host counts are plain sums over URLs, and a URL lives in exactly one
+  * ingest batch, so generation pairs ingest additively into the census
+  * store ([[graft.store.IndexStore.updateCensus]]) and the rates re-derive
+  * from the reloaded integers — history is never re-diffed.
+  *
+  * Reference anchor: the reference audits source vs target counts per
+  * window (pipeline_logic/audit/audit_manager.py); this is that refresh
+  * audit grown to crawl-frontier scale.
+  */
+object CrawlRevisit {
+
+  /** Per-url delta classes of two (urlCol, hostCol, idCol, hashCol)
+    * snapshot frames: `unchanged` / `changed` / `gone` / `new`, classified
+    * in-row off the full-outer join. Carries the doc id (whichever side
+    * has it) for the Σid certificate. */
+  def urlDelta(snapA: DataFrame, snapB: DataFrame, urlCol: String,
+      hostCol: String, idCol: String, hashCol: String): DataFrame = {
+    val a = snapA.select(col(urlCol).as("url"), col(hostCol).as("h_a"),
+      col(idCol).as("i_a"), col(hashCol).as("x_a"))
+    val b = snapB.select(col(urlCol).as("url"), col(hostCol).as("h_b"),
+      col(idCol).as("i_b"), col(hashCol).as("x_b"))
+    a.join(b, Seq("url"), "full_outer")
+      .select(col("url"),
+        coalesce(col("h_a"), col("h_b")).as("host"),
+        coalesce(col("i_a"), col("i_b")).as("id"),
+        when(col("x_a").isNull, lit("new"))
+          .when(col("x_b").isNull, lit("gone"))
+          .when(col("x_a") =!= col("x_b"), lit("changed"))
+          .otherwise(lit("unchanged")).as("cls"))
+  }
+
+  /** The ADDITIVE half: per host — URL count in the previous generation,
+    * the four class counts, and the Σid certificate over changed URLs.
+    * Every column is a plain sum over URLs, so url-partitioned ingest
+    * batches merge exactly in the census store. */
+  def hostCounts(delta: DataFrame): DataFrame =
+    delta.groupBy("host")
+      .agg(sum(when(col("cls") =!= "new", 1L).otherwise(0L)).as("n_prev"),
+        sum(when(col("cls") === "unchanged", 1L).otherwise(0L))
+          .as("n_unchanged"),
+        sum(when(col("cls") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("cls") === "gone", 1L).otherwise(0L)).as("n_gone"),
+        sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("cls") === "changed", col("id")).otherwise(0L))
+          .as("sum_changed_ids"))
+
+  /** The DERIVED half: current-generation URL count plus the scheduler's
+    * two freshness rates — revisit_ppm (share of the previous generation
+    * seen again) and change_ppm (share of revisits whose content moved).
+    * Zero denominators derive to 0 (a host with no history or no revisits
+    * has no freshness signal, not an error) — pure integer functions of
+    * the stored counts, so the incremental twin reloads and re-derives. */
+  def fromCounts(counts: DataFrame): DataFrame =
+    counts
+      .withColumn("n_cur",
+        col("n_unchanged") + col("n_changed") + col("n_new"))
+      .withColumn("revisit_ppm",
+        when(col("n_prev") === 0, 0L).otherwise(expr(
+          "(n_unchanged + n_changed) * 1000000 div n_prev")))
+      .withColumn("change_ppm",
+        when(col("n_unchanged") + col("n_changed") === 0, 0L).otherwise(expr(
+          "n_changed * 1000000 div (n_unchanged + n_changed)")))
+
+  /** One-shot census: delta → counts → rates, per host. */
+  def census(snapA: DataFrame, snapB: DataFrame, urlCol: String,
+      hostCol: String, idCol: String, hashCol: String): DataFrame =
+    fromCounts(hostCounts(urlDelta(snapA, snapB, urlCol, hostCol, idCol,
+      hashCol)))
+}

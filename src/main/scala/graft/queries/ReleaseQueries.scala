@@ -172,6 +172,66 @@ object ReleaseQueries {
       .orderBy("source")
   }
 
+  /** Shared q316/q317 fixture: two crawl generations over per-host URL
+    * frames, all id arithmetic both engines rebuild — si = the source
+    * index; a URL is absent from generation A when id%11 == si%11 (new),
+    * absent from B when id%13 == si%13 (gone), and a revisited URL's
+    * content moved when (id div 7) % (3 + si%4) == 0 — the modulus varies
+    * BY HOST, so hosts realize genuinely different change rates (the
+    * signal the q202 crawl planner consumes). */
+  private def crawlSnapshots(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        concat(col("source"), lit(".example.org")).as("host"),
+        expr("cast(substring(source, 4) as int)").as("si"))
+      .withColumn("url", concat(col("host"), lit("/"), col("doc_id")))
+    val snapA = d.where(col("doc_id") % 11 =!= col("si") % 11)
+      .select(col("url"), col("host"), col("doc_id"), md5(col("text")).as("hash"))
+    val snapB = d.where(col("doc_id") % 13 =!= col("si") % 13)
+      .select(col("url"), col("host"), col("doc_id"),
+        when(expr("(doc_id div 7) % (3 + si % 4)") === 0,
+          md5(concat(col("text"), lit("#g2"))))
+          .otherwise(md5(col("text"))).as("hash"))
+    (snapA, snapB)
+  }
+
+  /** q316: crawl revisit census ([[graft.ops.CrawlRevisit]]) — per host:
+    * unchanged / changed / gone / new URL counts between two crawl
+    * generations, the Σid certificate over changed URLs, and the
+    * scheduler's revisit/change rates in integer ppm. */
+  val crawlRevisit: Q = (s, dir) => {
+    val (snapA, snapB) = crawlSnapshots(s, dir)
+    graft.ops.CrawlRevisit.census(snapA, snapB, "url", "host", "doc_id",
+      "hash").orderBy("host")
+  }
+
+  /** q317: the q316 incremental twin — per-host class counts are plain
+    * sums over URLs and a URL lives in exactly one ingest batch (id
+    * parity here), so generation-pair deltas ingest additively into the
+    * census store exactly-once and the rates re-derive from the reloaded
+    * integers; history is never re-diffed. */
+  val crawlRevisitIncremental: Q = (s, dir) => {
+    val (snapA, snapB) = crawlSnapshots(s, dir)
+    val delta = graft.ops.CrawlRevisit.urlDelta(snapA, snapB, "url", "host",
+      "doc_id", "hash")
+    val path = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_revisit_idx"))
+      .resolve("census").toString
+    def ingest(parity: Int, id: Long): Boolean =
+      graft.store.IndexStore.updateCensus(s, path,
+        graft.ops.CrawlRevisit.hostCounts(
+          delta.where(col("id") % 2 === parity)),
+        Seq("host"), batchId = id)
+    require(ingest(0, 0L))
+    val replayNoop = !ingest(0, 0L)
+    require(ingest(1, 1L))
+    graft.ops.CrawlRevisit.fromCounts(
+        graft.store.IndexStore.loadCensus(s, path))
+      .withColumn("replay_noop", lit(replayNoop))
+      .orderBy("host")
+  }
+
   /** q231: host-template boilerplate census — the shared-banner detector a
     * crawl cleaner runs before line-level dedup: per host, the longest
     * common PREFIX and SUFFIX across every document, using the classic
@@ -925,7 +985,9 @@ object ReleaseQueries {
     "q230_snapshot_incremental" -> snapshotIncremental,
     "q231_host_template" -> hostTemplateCensus,
     "q232_chat_lint" -> chatLintCensus,
-    "q233_rougel_decontam" -> rougeDecontam)
+    "q233_rougel_decontam" -> rougeDecontam,
+    "q316_crawl_revisit" -> crawlRevisit,
+    "q317_revisit_incremental" -> crawlRevisitIncremental)
 
   /** Shared by q235 and q237 — the expected-shape table join; never
     * parses JSON. */
@@ -1450,5 +1512,63 @@ object ReleaseQueries {
         |  CAST(sum(stok) AS BIGINT) AS sent_tokens,
         |  round(sum(stok) / CAST(sum(ch) AS DOUBLE), 4) AS avg_chunk_fill,
         |  CAST(max(ch) AS BIGINT) AS max_doc_chunks
-        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q316/q317: the two crawl generations rebuilt, the full-outer url
+    // delta classified, per-host additive counts + derived ppm rates;
+    // the incremental twin is the identical census plus the replay flag
+    "q316_crawl_revisit" -> crawlRevisitOracle,
+    "q317_revisit_incremental" -> crawlRevisitOracle
+      .replace("AS change_ppm\n", "AS change_ppm, true AS replay_noop\n"))
+
+  /** Shared q316/q317 oracle: generations → full-outer delta → per-host
+    * counts → rates (a `def`: the oracles map above initializes first). */
+  private def crawlRevisitOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, source || '.example.org' AS host,
+      |    source || '.example.org/' || doc_id AS url,
+      |    CAST(substr(source, 4) AS INT) AS si
+      |  FROM documents),
+      |a AS (
+      |  SELECT url, host, doc_id, md5(text) AS h FROM d
+      |  WHERE doc_id % 11 <> si % 11),
+      |b AS (
+      |  SELECT url, host, doc_id,
+      |    CASE WHEN (doc_id // 7) % (3 + si % 4) = 0
+      |      THEN md5(text || '#g2') ELSE md5(text) END AS h
+      |  FROM d WHERE doc_id % 13 <> si % 13),
+      |j AS (
+      |  SELECT coalesce(a.host, b.host) AS host,
+      |    coalesce(a.doc_id, b.doc_id) AS id,
+      |    CASE WHEN a.h IS NULL THEN 'new'
+      |      WHEN b.h IS NULL THEN 'gone'
+      |      WHEN a.h <> b.h THEN 'changed'
+      |      ELSE 'unchanged' END AS cls
+      |  FROM a FULL OUTER JOIN b USING (url)),
+      |c AS (
+      |  SELECT host,
+      |    CAST(sum(CASE WHEN cls <> 'new' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_prev,
+      |    CAST(sum(CASE WHEN cls = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_unchanged,
+      |    CAST(sum(CASE WHEN cls = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_changed,
+      |    CAST(sum(CASE WHEN cls = 'gone' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_gone,
+      |    CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_new,
+      |    CAST(sum(CASE WHEN cls = 'changed' THEN id ELSE 0 END) AS BIGINT)
+      |      AS sum_changed_ids
+      |  FROM j GROUP BY 1)
+      |SELECT host, n_prev, n_unchanged, n_changed, n_gone, n_new,
+      |  sum_changed_ids,
+      |  n_unchanged + n_changed + n_new AS n_cur,
+      |  CAST(CASE WHEN n_prev = 0 THEN 0
+      |    ELSE (n_unchanged + n_changed) * 1000000 // n_prev END AS BIGINT)
+      |    AS revisit_ppm,
+      |  CAST(CASE WHEN n_unchanged + n_changed = 0 THEN 0
+      |    ELSE n_changed * 1000000 // (n_unchanged + n_changed) END
+      |    AS BIGINT) AS change_ppm
+      |FROM c
+      |""".stripMargin
 }

@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Crawl revisit census: hand-computed delta classes, count additivity
+  * over url-partitioned batches (the census-store contract), and the
+  * zero-denominator rate guards. */
+class CrawlRevisitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snap(rows: (String, String, Long, String)*) =
+    rows.toDF("url", "host", "doc_id", "hash")
+
+  test("hand-computed delta: all four classes, ids carried from either side") {
+    val a = snap(("h/1", "h", 1L, "x1"), ("h/2", "h", 2L, "x2"),
+      ("h/3", "h", 3L, "x3"))
+    val b = snap(("h/1", "h", 1L, "x1"), ("h/2", "h", 2L, "y2"),
+      ("h/4", "h", 4L, "x4"))
+    val d = CrawlRevisit.urlDelta(a, b, "url", "host", "doc_id", "hash")
+      .select("url", "id", "cls").as[(String, Long, String)]
+      .collect().toMap2
+    assert(d == Map("h/1" -> ((1L, "unchanged")), "h/2" -> ((2L, "changed")),
+      "h/3" -> ((3L, "gone")), "h/4" -> ((4L, "new"))))
+    val c = CrawlRevisit.census(a, b, "url", "host", "doc_id", "hash")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    // host, n_prev=3, unch=1, chg=1, gone=1, new=1, Σchanged=2, n_cur=3,
+    // revisit 2/3, change 1/2
+    assert(c == (("h", 3L, 1L, 1L, 1L, 1L, 2L, 3L, 666666L, 500000L)))
+  }
+
+  test("host counts are additive over any url partition") {
+    val a = snap((0L until 40L).map(i =>
+      (s"h${i % 3}/$i", s"h${i % 3}", i, s"x$i")): _*)
+    val b = snap((5L until 45L).map(i =>
+      (s"h${i % 3}/$i", s"h${i % 3}", i,
+        if (i % 4 == 0) s"y$i" else s"x$i")): _*)
+    val delta = CrawlRevisit.urlDelta(a, b, "url", "host", "doc_id", "hash")
+    val oneShot = CrawlRevisit.hostCounts(delta)
+    val merged = CrawlRevisit.hostCounts(delta.where(col("id") % 2 === 0))
+      .unionByName(CrawlRevisit.hostCounts(delta.where(col("id") % 2 === 1)))
+      .groupBy("host")
+      .agg(sum("n_prev").as("n_prev"), sum("n_unchanged").as("n_unchanged"),
+        sum("n_changed").as("n_changed"), sum("n_gone").as("n_gone"),
+        sum("n_new").as("n_new"), sum("sum_changed_ids").as("sum_changed_ids"))
+    assert(oneShot.unionByName(merged).distinct().count() == oneShot.count(),
+      "per-host counts must merge exactly across url batches")
+  }
+
+  test("zero denominators derive to 0, not an error") {
+    val onlyNew = CrawlRevisit.census(
+      snap(), snap(("h/9", "h", 9L, "x9")), "url", "host", "doc_id", "hash")
+      .select("n_prev", "revisit_ppm", "change_ppm")
+      .as[(Long, Long, Long)].collect().head
+    assert(onlyNew == ((0L, 0L, 0L)), "a host with no history has no signal")
+    val onlyGone = CrawlRevisit.census(
+      snap(("h/9", "h", 9L, "x9")), snap(), "url", "host", "doc_id", "hash")
+      .select("revisit_ppm", "change_ppm").as[(Long, Long)].collect().head
+    assert(onlyGone == ((0L, 0L)), "no revisits → no change signal")
+  }
+
+  private implicit class MapOps(rows: Array[(String, Long, String)]) {
+    def toMap2: Map[String, (Long, String)] =
+      rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+}
