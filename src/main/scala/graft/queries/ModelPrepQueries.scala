@@ -586,6 +586,55 @@ object ModelPrepQueries {
       .orderBy("source")
   }
 
+  /** q318 — data valuation by hashed-feature datamodel (Ilyas et al. 2022
+    * "Datamodels", the linear-regression-on-inclusion idea run through the
+    * [[graft.ops.HashedClassifier]] machinery): regress per-item eval
+    * outcomes on which SOURCES were included in the training mixture that
+    * produced the item's model. 32 mixtures by id arithmetic; source i is
+    * in mixture m iff ((m·7 + i·5 + 3) mod 32) < 16 — every source in
+    * exactly half the mixtures, all 20 inclusion patterns distinct. The
+    * observation's "text" is the mixture's source-name manifest, so the
+    * hashed TF features ARE the inclusion indicators; the plant gives
+    * mixtures containing src3 a +28-point accuracy lift (src9 +9), so the
+    * fitted weight of src3's hash bucket (bucket 7, collision-free among
+    * the 20 names) must come out on top — "which source earns its tokens"
+    * answered by the q264 replayable-fold doctrine rather than proxy
+    * loss. Per source: hash bucket, mixture membership count, learned
+    * weight, and the top flag (argmax over the source frame, computed on
+    * the bit-identical raw doubles both engines derive). */
+  val dataValuation: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val labeled = docs.select(col("doc_id"),
+      expr("array_join(filter(transform(sequence(0, 19), i -> " +
+        "IF(((doc_id % 32) * 7 + i * 5 + 3) % 32 < 16, " +
+        "concat('src', cast(i as string)), NULL)), x -> x IS NOT NULL), ' ')")
+        .as("manifest"),
+      (((col("doc_id") * 11 + 7) % 100) <
+        (lit(30) +
+          when(expr("((doc_id % 32) * 7 + 18) % 32 < 16"), 28).otherwise(0) +
+          when(expr("((doc_id % 32) * 7 + 48) % 32 < 16"), 9).otherwise(0)))
+        .cast("int").as("y"))
+    val fit = graft.ops.HashedClassifier.fit(labeled, "manifest", "y",
+      d = HashedD, steps = HashedSteps, lr = HashedLr)
+    import s.implicits._
+    val weights = fit.weights.zipWithIndex.drop(1)
+      .map { case (w, j) => (j - 1L, w) }.toSeq.toDF("bucket", "wt")
+    val sources = docs.select(col("source")).distinct()
+      .withColumn("bucket",
+        expr("cast(conv(substring(md5(source), 1, 8), 16, 10) as bigint)" +
+          s" % $HashedD"))
+      .withColumn("n_mixtures_in", expr(
+        "size(filter(sequence(0, 31), m -> " +
+          "(m * 7 + cast(substring(source, 4) as int) * 5 + 3) % 32 < 16))")
+        .cast("long"))
+    sources.join(broadcast(weights), "bucket")
+      .withColumn("is_top", col("wt") === max(col("wt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("source"), col("bucket"), col("n_mixtures_in"),
+        round(col("wt"), 6).as("weight"), col("is_top"))
+      .orderBy("source")
+  }
+
   /** q166 — distributed quality-classifier TRAINING
     * ([[graft.ops.QualityTrainer.fit]]): the full 8-step full-batch GD
     * weight trajectory plus per-step exact train-correct counts. The
@@ -1451,6 +1500,7 @@ object ModelPrepQueries {
     "q263_quality_canonical" -> qualityCanonical,
     "q198_hashed_fit" -> hashedFit,
     "q199_hashed_quality" -> hashedQuality,
+    "q318_data_valuation" -> dataValuation,
     "q155_embedding_diversity" -> embeddingDiversity,
     "q142_domain_reweight" -> domainReweight,
     "q100_modelprep_pipeline" -> modelPrepPipeline,
@@ -1554,7 +1604,10 @@ object ModelPrepQueries {
   private def hashedZExpr: String =
     (1 to HashedD).map(j => s"w$j*(qs[$j]/10000.0)").mkString("w0 + ", " + ", "")
 
-  private def hashedOraclePrefix: String = {
+  /** The hashed-GD fold unrolled for ANY labeled CTE body producing
+    * (doc_id, text, y) — shared by the q198/q199 quality fit and the
+    * q318 data-valuation fit (different labels, identical machinery). */
+  private def hashedGdChain(labSql: String): String = {
     val w0cols = (0 to HashedD).map(j => s"0.0 AS w$j").mkString(", ")
     val steps = (1 to HashedSteps).map { t =>
       val gcols = (0 to HashedD).map { j =>
@@ -1576,10 +1629,7 @@ object ModelPrepQueries {
          |  FROM dv CROSS JOIN w${t}s)""".stripMargin
     }.mkString(",\n")
     s"""WITH lab AS (
-       |  SELECT doc_id, text, 1 AS y FROM documents WHERE doc_id % 20 = 0
-       |  UNION ALL
-       |  SELECT doc_id, text || ' spam spam spam spam spam spam spam spam', 0
-       |  FROM documents WHERE doc_id % 20 = 7),
+       |$labSql),
        |tl AS MATERIALIZED (SELECT doc_id, y,
        |  string_split_regex(trim(text), '\\s+') AS ts FROM lab),
        |bk AS (SELECT doc_id,
@@ -1598,6 +1648,12 @@ object ModelPrepQueries {
        |$steps""".stripMargin
   }
 
+  private def hashedOraclePrefix: String = hashedGdChain(
+    """  SELECT doc_id, text, 1 AS y FROM documents WHERE doc_id % 20 = 0
+      |  UNION ALL
+      |  SELECT doc_id, text || ' spam spam spam spam spam spam spam spam', 0
+      |  FROM documents WHERE doc_id % 20 = 7""".stripMargin)
+
   private def hashedFitOracle: String = {
     val rows = (1 to HashedSteps).map { t =>
       val checksum = (0 to HashedD)
@@ -1608,6 +1664,44 @@ object ModelPrepQueries {
          |FROM w${t}s CROSS JOIN c$t CROSS JOIN nr""".stripMargin
     }.mkString("\nUNION ALL\n")
     hashedOraclePrefix + "\n" + rows + "\nORDER BY step"
+  }
+
+  /** q318 oracle: the mixture-manifest labeled frame through the shared
+    * hashed-GD chain, the final weights unpivoted to (bucket, wt), joined
+    * to each source's md5 bucket; is_top compares the RAW doubles (the
+    * replayed fold is bit-identical per the q198 doctrine). */
+  private def dataValuationOracle: String = {
+    val wj = (0 until HashedD).map(j =>
+      s"SELECT $j AS bucket, w${j + 1} AS wt FROM w${HashedSteps}s")
+      .mkString("\n  UNION ALL ")
+    hashedGdChain(
+      """  SELECT doc_id,
+        |    array_to_string(list_filter(list_transform(generate_series(0, 19),
+        |      i -> CASE WHEN ((doc_id % 32) * 7 + i * 5 + 3) % 32 < 16
+        |        THEN 'src' || CAST(i AS VARCHAR) END),
+        |      x -> x IS NOT NULL), ' ') AS text,
+        |    CASE WHEN (doc_id * 11 + 7) % 100 < 30
+        |      + CASE WHEN ((doc_id % 32) * 7 + 18) % 32 < 16
+        |          THEN 28 ELSE 0 END
+        |      + CASE WHEN ((doc_id % 32) * 7 + 48) % 32 < 16
+        |          THEN 9 ELSE 0 END
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM documents""".stripMargin) + s""",
+      |wj AS ($wj),
+      |sb AS (
+      |  SELECT source,
+      |    CAST(concat('0x', substr(md5(source), 1, 8)) AS BIGINT) % $HashedD
+      |      AS bucket,
+      |    CAST(len(list_filter(generate_series(0, 31), m ->
+      |      (m * 7 + CAST(substr(source, 4) AS INT) * 5 + 3) % 32 < 16))
+      |      AS BIGINT) AS n_mixtures_in
+      |  FROM (SELECT DISTINCT source FROM documents)),
+      |sw AS (SELECT sb.source, sb.bucket, sb.n_mixtures_in, wj.wt
+      |  FROM sb JOIN wj USING (bucket))
+      |SELECT source, bucket, n_mixtures_in, round(wt, 6) AS weight,
+      |  wt = (SELECT max(wt) FROM sw) AS is_top
+      |FROM sw
+      |""".stripMargin
   }
 
   private def hashedQualityOracle: String =
@@ -1907,6 +2001,7 @@ object ModelPrepQueries {
     "q174_unigram_census" -> unigramCensusOracle,
     "q198_hashed_fit" -> hashedFitOracle,
     "q199_hashed_quality" -> hashedQualityOracle,
+    "q318_data_valuation" -> dataValuationOracle,
     "q166_classifier_fit" -> classifierFitOracle(ClassifierSteps, ClassifierLr),
     "q167_learned_quality" -> learnedQualityOracle(ClassifierSteps, ClassifierLr),
     "q263_quality_canonical" -> qualityCanonicalOracle(ClassifierSteps, ClassifierLr),

@@ -1,0 +1,42 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** q318 data valuation: the planted high-value source must earn the top
+  * coefficient, the secondary plant must outrank the unplanted field, and
+  * the balanced design must hold (every source in exactly half the
+  * mixtures). */
+class DataValuationSpec extends SparkSpec {
+
+  private lazy val rows = ModelPrepQueries.dataValuation(
+      spark, "/root/testdata/sf0.001")
+    .collect()
+    .map(r => r.getAs[String]("source") ->
+      ((r.getAs[Long]("bucket"), r.getAs[Long]("n_mixtures_in"),
+        r.getAs[Double]("weight"), r.getAs[Boolean]("is_top"))))
+    .toMap
+
+  test("the +28-point planted source gets the top coefficient, uniquely") {
+    assert(rows("src3")._4, "src3 must be flagged top")
+    assert(rows.count(_._2._4) == 1,
+      "src3's bucket is collision-free among the 20 names, so the top " +
+        "flag must be unique")
+    val w3 = rows("src3")._3
+    rows.filterNot(_._1 == "src3").foreach { case (s, (_, _, w, _)) =>
+      assert(w < w3, s"$s weight $w must sit below src3's $w3")
+    }
+  }
+
+  test("the +9-point secondary plant outranks every unplanted source") {
+    val w9 = rows("src9")._3
+    rows.filterNot(r => r._1 == "src3" || r._1 == "src9")
+      .foreach { case (s, (_, _, w, _)) =>
+        assert(w < w9, s"unplanted $s ($w) must sit below src9 ($w9)")
+      }
+  }
+
+  test("balanced design: every source sits in exactly 16 of 32 mixtures") {
+    assert(rows.size == 20)
+    assert(rows.values.forall(_._2 == 16L))
+  }
+}
