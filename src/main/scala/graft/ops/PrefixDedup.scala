@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Conversation-tree prefix DEDUP — the [[PrefixCache]] savings census
+  * turned into a storage operator: multi-turn SFT corpora share long
+  * prefixes across branches (N completions re-rendered from one
+  * conversation root repeat the root N times on disk), so the deduped
+  * form stores each distinct depth-d prefix ONCE and every conversation
+  * keeps only its suffix plus an 8-byte reference.
+  *
+  * Certification doctrine: the operator is only correct if the deduped
+  * form is LOSSLESS, so the census carries a re-render certificate — each
+  * conversation is re-rendered from (prefix store ⋈ leaf) and string-
+  * compared to its original render (the q196 chat-render gate's
+  * certificate replayed over the deduped form). The prefix key is the
+  * house 32-bit md5 fingerprint (replayable in SQL); a key collision
+  * would merge distinct prefixes and FAIL the certificate visibly rather
+  * than corrupt silently.
+  *
+  * Scale shape: one scan folds each conversation's turns into a sorted
+  * struct array (never collect_list order) and derives prefix/suffix
+  * strings + exact char counts in-row; the store picks one representative
+  * per prefix key with a single max-free `min(struct)` aggregate; the
+  * re-render join is key-equi on the 8-byte prefix key. Nothing is ever
+  * all-pairs; output is group-cardinality.
+  */
+object PrefixDedup {
+
+  /** Unit separator joining turn contents in renders (the [[PrefixCache]]
+    * / q196 house join). */
+  val Sep = "\u001f"
+
+  /** House 32-bit md5 fingerprint (first 8 hex chars as BIGINT) — the
+    * q217 render-certificate idiom, shared verbatim by DuckDB oracles. */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** One row per conversation: the depth-`depth` prefix (string + key +
+    * chars), the suffix (turns ≥ depth), the full original render, and
+    * the first turn (the grouping template). */
+  def convFrames(turns: DataFrame, convCol: String, turnCol: String,
+      contentCol: String, depth: Int): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    turns
+      .select(col(convCol).as("conv"),
+        struct(col(turnCol).cast("int").as("t"), col(contentCol).as("c"))
+          .as("turn"))
+      .groupBy("conv")
+      .agg(array_sort(collect_list(col("turn"))).as("ts"))
+      .select(col("conv"),
+        element_at(col("ts"), 1).getField("c").as("template"),
+        array_join(transform(slice(col("ts"), 1, depth),
+          t => t.getField("c")), Sep).as("pfx"),
+        array_join(transform(
+          expr(s"slice(ts, ${depth + 1}, greatest(size(ts) - $depth, 0))"),
+          t => t.getField("c")), Sep).as("suffix"),
+        array_join(transform(col("ts"), t => t.getField("c")), Sep)
+          .as("full"),
+        aggregate(slice(col("ts"), 1, depth), lit(0L),
+          (acc, t) => acc + length(t.getField("c"))).as("pfx_chars"),
+        aggregate(
+          expr(s"slice(ts, ${depth + 1}, greatest(size(ts) - $depth, 0))"),
+          lit(0L), (acc, t) => acc + length(t.getField("c")))
+          .as("suf_chars"))
+      .withColumn("pfx_key", h32(col("pfx")))
+  }
+
+  /** The prefix STORE: one representative (lowest conv id) per prefix
+    * key — (pfx_key, rep_pfx, store_chars). */
+  def prefixStore(frames: DataFrame): DataFrame =
+    frames.groupBy("pfx_key")
+      .agg(min(struct(col("conv"), col("pfx"), col("pfx_chars"))).as("r"))
+      .select(col("pfx_key"), col("r.pfx").as("rep_pfx"),
+        col("r.pfx_chars").as("store_chars"))
+
+  /** The LEAVES: per conversation, the reference key + suffix only. */
+  def leaves(frames: DataFrame): DataFrame =
+    frames.select(col("conv"), col("pfx_key"), col("template"),
+      col("suffix"), col("suf_chars"), col("full"), col("pfx_chars"))
+
+  /** Dedup census with the lossless re-render certificate, one row per
+    * `template` (first-turn) group: conversation and distinct-prefix
+    * counts, raw vs deduped char volumes, chars saved, and render_match —
+    * true iff EVERY member re-renders byte-identically from the store.
+    * All integer arithmetic; the certificate fails closed on key
+    * collisions (merged prefixes re-render wrong). */
+  def censusWithCertificate(turns: DataFrame, convCol: String,
+      turnCol: String, contentCol: String, depth: Int): DataFrame =
+    censusFromFrames(convFrames(turns, convCol, turnCol, contentCol, depth))
+
+  /** The census over pre-built conversation frames (exposed so the spec
+    * can plant a forced key collision and pin that the certificate fails
+    * closed). */
+  def censusFromFrames(frames: DataFrame): DataFrame = {
+    val rejoined = leaves(frames)
+      .join(prefixStore(frames), "pfx_key")
+      .withColumn("rerender",
+        when(length(col("suffix")) === 0, col("rep_pfx"))
+          .otherwise(concat(col("rep_pfx"), lit(Sep), col("suffix"))))
+    val perKey = rejoined.groupBy("template", "pfx_key")
+      .agg(count(lit(1)).as("n"),
+        max(col("store_chars")).as("pchars"),
+        sum(col("pfx_chars")).as("raw_pfx"),
+        sum(col("suf_chars")).as("suf_sum"),
+        sum(when(col("rerender") === col("full"), 1L).otherwise(0L))
+          .as("n_match"),
+        sum(col("conv")).as("sum_convs"))
+    perKey.groupBy("template")
+      .agg(sum(col("n")).as("n_convs"),
+        count(lit(1)).as("n_prefixes"),
+        sum(col("raw_pfx") + col("suf_sum")).as("raw_chars"),
+        sum(col("pchars") + col("suf_sum")).as("dedup_chars"),
+        sum(col("raw_pfx") - col("pchars")).as("saved_chars"),
+        (sum(col("n_match")) === sum(col("n"))).as("render_match"),
+        sum(col("sum_convs")).as("sum_conv_ids"))
+  }
+}

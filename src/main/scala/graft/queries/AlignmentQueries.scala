@@ -131,6 +131,21 @@ object AlignmentQueries {
     PrefixCache.savingsByDepth(prefixTurns(s, dir),
       "conv_id", "turn_idx", "content", maxDepth = 2)
 
+  // ---------------------------------------------------------------- q319
+
+  /** q319: conversation-tree prefix DEDUP ([[graft.ops.PrefixDedup]]) —
+    * the q275 savings census turned into the storage operator: each
+    * distinct depth-2 prefix (template + directive) is stored once,
+    * leaves keep only suffix + reference, and the census certifies the
+    * deduped form LOSSLESS by re-rendering every conversation from
+    * (store ⋈ leaf) and string-comparing to the original render (the
+    * q196 certificate replayed over the deduped form). Per template:
+    * conv/prefix counts, raw vs deduped char volumes, chars saved. */
+  val prefixDedup: Q = (s, dir) =>
+    graft.ops.PrefixDedup.censusWithCertificate(prefixTurns(s, dir),
+      "conv_id", "turn_idx", "content", depth = 2)
+      .orderBy("template")
+
   // ---------------------------------------------------------------- q276
 
   /** q276: length-bucketed batch-padding census
@@ -364,7 +379,8 @@ object AlignmentQueries {
     "q279_semantic_packing" -> semanticPacking,
     "q281_prefix_incremental" -> prefixIncremental,
     "q282_cache_budget" -> cacheBudget,
-    "q284_registry_migration" -> registryMigration)
+    "q284_registry_migration" -> registryMigration,
+    "q319_prefix_dedup" -> prefixDedup)
 
   /** The q272 fixture rebuilt in SQL (shared by the q272 and q284
     * oracles): (doc_id, call) with every plant class. */
@@ -507,7 +523,59 @@ object AlignmentQueries {
         |    AS saved_frac
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q319 oracle: the whole dedup replayed in SQL — conversation frames,
+    * the md5-fingerprint prefix key, the min-conv representative store,
+    * the re-render, and the byte-equality certificate. */
+  private val prefixDedupOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id // 4 AS conv, CAST(doc_id % 4 AS INT) AS turn,
+      |    CASE WHEN doc_id % 4 = 0
+      |        THEN 'system template ' || ((doc_id // 4) % 5)
+      |      WHEN doc_id % 4 = 1
+      |        THEN 'task directive ' || ((doc_id // 4) % 25)
+      |      ELSE text END AS content
+      |  FROM documents),
+      |cv AS (SELECT conv, list(content ORDER BY turn) AS cs
+      |  FROM t GROUP BY 1),
+      |cf AS (
+      |  SELECT conv, cs[1] AS template,
+      |    array_to_string(cs[1:2], chr(31)) AS pfx,
+      |    array_to_string(cs[3:len(cs)], chr(31)) AS suf,
+      |    array_to_string(cs, chr(31)) AS fullr,
+      |    CAST(list_sum(list_transform(cs[1:2], x -> len(x))) AS BIGINT)
+      |      AS pchars,
+      |    CAST(coalesce(list_sum(list_transform(cs[3:len(cs)],
+      |      x -> len(x))), 0) AS BIGINT) AS schars
+      |  FROM cv),
+      |cf2 AS (SELECT *,
+      |    CAST(concat('0x', substr(md5(pfx), 1, 8)) AS BIGINT) AS pfx_key
+      |  FROM cf),
+      |rep AS (SELECT pfx_key, min(conv) AS rc FROM cf2 GROUP BY 1),
+      |reps AS (SELECT r.pfx_key, c.pfx AS rep_pfx, c.pchars AS store_chars
+      |  FROM rep r JOIN cf2 c ON c.conv = r.rc AND c.pfx_key = r.pfx_key),
+      |rj AS (SELECT c.*, s.rep_pfx, s.store_chars,
+      |    CASE WHEN len(c.suf) = 0 THEN s.rep_pfx
+      |      ELSE s.rep_pfx || chr(31) || c.suf END AS rr
+      |  FROM cf2 c JOIN reps s USING (pfx_key)),
+      |g1 AS (SELECT template, pfx_key, CAST(count(*) AS BIGINT) AS n,
+      |    max(store_chars) AS pch, CAST(sum(pchars) AS BIGINT) AS raw_pfx,
+      |    CAST(sum(schars) AS BIGINT) AS suf_sum,
+      |    CAST(sum(CASE WHEN rr = fullr THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_match,
+      |    CAST(sum(conv) AS BIGINT) AS sum_convs
+      |  FROM rj GROUP BY 1, 2)
+      |SELECT template, CAST(sum(n) AS BIGINT) AS n_convs,
+      |  CAST(count(*) AS BIGINT) AS n_prefixes,
+      |  CAST(sum(raw_pfx + suf_sum) AS BIGINT) AS raw_chars,
+      |  CAST(sum(pch + suf_sum) AS BIGINT) AS dedup_chars,
+      |  CAST(sum(raw_pfx - pch) AS BIGINT) AS saved_chars,
+      |  sum(n_match) = sum(n) AS render_match,
+      |  CAST(sum(sum_convs) AS BIGINT) AS sum_conv_ids
+      |FROM g1 GROUP BY 1
+      |""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q319_prefix_dedup" -> prefixDedupOracle,
     "q271_selfconsistency_vote" -> selfConsistencyOracle,
     // q277: batched census == one-shot IS the gate (q267 doctrine) —
     // the q271 oracle with the engine replay-noop boolean appended

@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Conversation-tree prefix dedup: hand-computed store/leaves/census,
+  * conversations at or below the dedup depth, and the fail-closed
+  * certificate under a forced prefix-key collision. */
+class PrefixDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two 3-turn conversations sharing a depth-2 prefix, one divergent
+  private def turns = Seq(
+    (1L, 0, "sys"), (1L, 1, "task"), (1L, 2, "alpha"),
+    (2L, 0, "sys"), (2L, 1, "task"), (2L, 2, "beta"),
+    (3L, 0, "sys"), (3L, 1, "other"), (3L, 2, "gamma"))
+    .toDF("conv_id", "turn_idx", "content")
+
+  test("hand-computed dedup: shared prefix stored once, savings exact") {
+    val c = PrefixDedup.censusWithCertificate(turns, "conv_id", "turn_idx",
+        "content", depth = 2)
+      .as[(String, Long, Long, Long, Long, Long, Boolean, Long)]
+      .collect().head
+    // template "sys": 3 convs, 2 distinct prefixes ("systask", "sysother");
+    // raw prefix chars = 7 + 7 + 8 = 22, stored = 7 + 8 = 15 → saved 7;
+    // suffixes alpha(5) + beta(4) + gamma(5) = 14 ride both sides
+    assert(c == (("sys", 3L, 2L, 36L, 29L, 7L, true, 6L)))
+  }
+
+  test("a conversation at or below the dedup depth keeps an empty suffix " +
+      "and still re-renders losslessly") {
+    val short = Seq((1L, 0, "sys"), (1L, 1, "task"),
+      (2L, 0, "sys"), (2L, 1, "task"), (2L, 2, "tail"))
+      .toDF("conv_id", "turn_idx", "content")
+    val c = PrefixDedup.censusWithCertificate(short, "conv_id", "turn_idx",
+        "content", depth = 2)
+      .select("n_convs", "n_prefixes", "saved_chars", "render_match")
+      .as[(Long, Long, Long, Boolean)].collect().head
+    assert(c == ((2L, 1L, 7L, true)))
+  }
+
+  test("store + leaves decompose completely: leaves carry no prefix text") {
+    val frames = PrefixDedup.convFrames(turns, "conv_id", "turn_idx",
+      "content", depth = 2)
+    val store = PrefixDedup.prefixStore(frames)
+    assert(store.count() == 2)
+    assert(PrefixDedup.leaves(frames).columns.toSet
+      .intersect(Set("pfx", "rep_pfx")).isEmpty,
+      "the deduped leaf schema must not repeat the prefix content")
+    val total = store.agg(sum("store_chars")).as[Long].collect().head
+    assert(total == 15L)
+  }
+
+  test("a forced prefix-key collision fails the certificate closed") {
+    val frames = PrefixDedup.convFrames(turns, "conv_id", "turn_idx",
+        "content", depth = 2)
+      .withColumn("pfx_key", lit(42L)) // every prefix collides
+    val c = PrefixDedup.censusFromFrames(frames)
+      .select("n_prefixes", "render_match").as[(Long, Boolean)]
+      .collect().head
+    assert(c == ((1L, false)),
+      "merged prefixes must re-render wrong, never corrupt silently")
+  }
+}
