@@ -810,6 +810,7 @@ object ExtendedQueries {
     "q62_dedup_clusters" -> dedupClusters,
     "q201_lsh_planner" -> lshPlanner,
     "q202_crawl_priority" -> crawlPriority,
+    "q320_crawl_priority_fresh" -> crawlPriorityFresh,
     "q171_host_pagerank" -> hostPageRank,
     "q240_host_hits" -> hostHits,
     "q246_pagerank_incremental" -> pageRankIncremental,
@@ -869,11 +870,14 @@ object ExtendedQueries {
     * rounded-BEFORE-ranked (q59 doctrine) with host tie-break. The
     * ranking window runs on the HOST frame — bounded by distinct hosts,
     * never by docs. */
-  lazy val crawlPriority: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-    val ranks = graft.ops.GraphRank
+  /** Shared q202/q320 pieces: 6-dp host PageRank and the per-host Gopher
+    * pass-rate counts. */
+  private def hostRanks(docs: DataFrame): DataFrame =
+    graft.ops.GraphRank
       .pageRank(hostEdges(docs), "src", "dst", iters = 8)
       .select(col("host"), round(col("rank"), 6).as("rank"))
+
+  private def hostQualityCounts(docs: DataFrame): DataFrame = {
     val g = docs.withColumn("g",
       graft.functions.GopherFunctions.gopherStats(col("text")))
     val pass = col("g.n_words") >= 50 && col("g.n_words") <= 100000 &&
@@ -881,16 +885,52 @@ object ExtendedQueries {
       col("g.sum_word_chars") * lit(1.0) / col("g.n_words") >= 3.0 &&
       col("g.sum_word_chars") * lit(1.0) / col("g.n_words") <= 10.0 &&
       col("g.n_alpha_words") * lit(1.0) / col("g.n_words") >= 0.8
-    val qual = g.groupBy(concat(col("source"), lit(".example.org")).as("host"))
+    g.groupBy(concat(col("source"), lit(".example.org")).as("host"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(pass, 1L).otherwise(0L)).as("n_pass"))
-    val pr = qual.join(ranks, "host")
+  }
+
+  lazy val crawlPriority: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pr = hostQualityCounts(docs).join(hostRanks(docs), "host")
       .withColumn("priority",
         round(col("rank") * (col("n_pass") * lit(1.0) / col("n_docs")), 9))
     pr.withColumn("crawl_rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("priority").desc, col("host").asc)))
       .select("host", "rank", "n_docs", "n_pass", "priority", "crawl_rank")
+      .orderBy("host")
+  }
+
+  /** q320: freshness-aware crawl priority — the q202 planner finally fed
+    * all three signals a crawl scheduler weighs: host centrality (q171
+    * PageRank), content quality (Gopher pass rate), and FRESHNESS (q316's
+    * per-host change rate — a host whose content churns earns recrawl
+    * budget). fresh_priority = base_priority × (1 + change_ppm/1e6),
+    * multiplied in the same left-associated order both engines parse, and
+    * both rankings ride rounded-before-ranked windows on the HOST frame
+    * (bounded by distinct hosts, never docs). */
+  lazy val crawlPriorityFresh: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val (snapA, snapB) = ReleaseQueries.crawlSnapshots(s, dir)
+    val fresh = graft.ops.CrawlRevisit.census(snapA, snapB,
+        "url", "host", "doc_id", "hash")
+      .select(col("host"), col("change_ppm"))
+    val pr = hostQualityCounts(docs).join(hostRanks(docs), "host")
+      .join(fresh, "host")
+      .withColumn("base_priority",
+        round(col("rank") * (col("n_pass") * lit(1.0) / col("n_docs")), 9))
+      .withColumn("fresh_priority",
+        round(col("rank") * (col("n_pass") * lit(1.0) / col("n_docs")) *
+          ((lit(1000000L) + col("change_ppm")) * lit(1.0) / lit(1000000.0)),
+          9))
+    val w = org.apache.spark.sql.expressions.Window
+    pr.withColumn("base_rank", row_number().over(
+        w.orderBy(col("base_priority").desc, col("host").asc)))
+      .withColumn("fresh_rank", row_number().over(
+        w.orderBy(col("fresh_priority").desc, col("host").asc)))
+      .select("host", "rank", "n_docs", "n_pass", "change_ppm",
+        "base_priority", "fresh_priority", "base_rank", "fresh_rank")
       .orderBy("host")
   }
 
@@ -1054,6 +1094,47 @@ object ExtendedQueries {
 
   /** q202 oracle: the PageRank chain + the raw-text Gopher quality subset
     * + the rounded-before-ranked priority ordering. */
+  /** q320 oracle: the q202 chain + the q316 rv-CTEs (rv-prefixed so they
+    * coexist with the PageRank prefix's names) + the freshness factor in
+    * the identical left-associated multiply order. */
+  private def crawlPriorityFreshOracle(iters: Int): String =
+    hostGraphPrefix(iters) + ",\n" +
+      ReleaseQueries.crawlRevisitCtes + s""",
+      |fr AS (
+      |  SELECT host, CAST(CASE WHEN n_unchanged + n_changed = 0 THEN 0
+      |    ELSE n_changed * 1000000 // (n_unchanged + n_changed) END
+      |    AS BIGINT) AS change_ppm
+      |  FROM rvc),
+      |gq AS (
+      |  SELECT source || '.example.org' AS host, count(*) AS n_docs,
+      |    CAST(sum(CASE WHEN nw >= 50 AND nw <= 100000 AND nw > 0
+      |      AND sc * 1.0 / nw >= 3.0 AND sc * 1.0 / nw <= 10.0
+      |      AND na * 1.0 / nw >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+      |  FROM (SELECT source,
+      |      CAST(len(ts) AS BIGINT) AS nw,
+      |      CAST(coalesce(list_sum(list_transform(ts, w -> length(w))), 0) AS BIGINT) AS sc,
+      |      CAST(len(list_filter(ts, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS na
+      |    FROM (SELECT source, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |        ELSE string_split_regex(trim(text), '\\s+') END AS ts FROM documents))
+      |  GROUP BY 1),
+      |pr AS (
+      |  SELECT gq.host, round(r$iters.r, 6) AS rank, gq.n_docs, gq.n_pass,
+      |    fr.change_ppm,
+      |    round(round(r$iters.r, 6) * (gq.n_pass * 1.0 / gq.n_docs), 9)
+      |      AS base_priority,
+      |    round(round(r$iters.r, 6) * (gq.n_pass * 1.0 / gq.n_docs)
+      |      * ((1000000 + fr.change_ppm) * 1.0 / 1000000.0), 9)
+      |      AS fresh_priority
+      |  FROM gq JOIN r$iters ON r$iters.host = gq.host
+      |  JOIN fr ON fr.host = gq.host)
+      |SELECT host, rank, n_docs, n_pass, change_ppm, base_priority,
+      |  fresh_priority,
+      |  CAST(row_number() OVER (ORDER BY base_priority DESC, host ASC)
+      |    AS INT) AS base_rank,
+      |  CAST(row_number() OVER (ORDER BY fresh_priority DESC, host ASC)
+      |    AS INT) AS fresh_rank
+      |FROM pr ORDER BY host""".stripMargin
+
   private def crawlPriorityOracle(iters: Int): String =
     hostGraphPrefix(iters) + s""",
       |gq AS (
@@ -1494,6 +1575,7 @@ object ExtendedQueries {
     "q246_pagerank_incremental" -> hostPageRankOracle(8),
     "q247_hits_incremental" -> hostHitsOracle(6),
     "q202_crawl_priority" -> crawlPriorityOracle(8),
+    "q320_crawl_priority_fresh" -> crawlPriorityFreshOracle(8),
     "q139_neardup_decontam" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id AS id, unnest(

@@ -179,7 +179,7 @@ object ReleaseQueries {
     * content moved when (id div 7) % (3 + si%4) == 0 — the modulus varies
     * BY HOST, so hosts realize genuinely different change rates (the
     * signal the q202 crawl planner consumes). */
-  private def crawlSnapshots(s: SparkSession, dir: String)
+  private[graft] def crawlSnapshots(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"),
@@ -1521,31 +1521,32 @@ object ReleaseQueries {
     "q317_revisit_incremental" -> crawlRevisitOracle
       .replace("AS change_ppm\n", "AS change_ppm, true AS replay_noop\n"))
 
-  /** Shared q316/q317 oracle: generations → full-outer delta → per-host
-    * counts → rates (a `def`: the oracles map above initializes first). */
-  private def crawlRevisitOracle: String =
-    """WITH d AS (
+  /** The q316 delta chain as rv-prefixed CTEs (no WITH), ending at `rvc`
+    * (per-host counts) — shared with the q320 freshness-priority oracle
+    * in [[ExtendedQueries]], whose PageRank prefix owns the WITH. */
+  private[graft] def crawlRevisitCtes: String =
+    """rvd AS (
       |  SELECT doc_id, text, source || '.example.org' AS host,
       |    source || '.example.org/' || doc_id AS url,
       |    CAST(substr(source, 4) AS INT) AS si
       |  FROM documents),
-      |a AS (
-      |  SELECT url, host, doc_id, md5(text) AS h FROM d
+      |rva AS (
+      |  SELECT url, host, doc_id, md5(text) AS h FROM rvd
       |  WHERE doc_id % 11 <> si % 11),
-      |b AS (
+      |rvb AS (
       |  SELECT url, host, doc_id,
       |    CASE WHEN (doc_id // 7) % (3 + si % 4) = 0
       |      THEN md5(text || '#g2') ELSE md5(text) END AS h
-      |  FROM d WHERE doc_id % 13 <> si % 13),
-      |j AS (
-      |  SELECT coalesce(a.host, b.host) AS host,
-      |    coalesce(a.doc_id, b.doc_id) AS id,
-      |    CASE WHEN a.h IS NULL THEN 'new'
-      |      WHEN b.h IS NULL THEN 'gone'
-      |      WHEN a.h <> b.h THEN 'changed'
+      |  FROM rvd WHERE doc_id % 13 <> si % 13),
+      |rvj AS (
+      |  SELECT coalesce(rva.host, rvb.host) AS host,
+      |    coalesce(rva.doc_id, rvb.doc_id) AS id,
+      |    CASE WHEN rva.h IS NULL THEN 'new'
+      |      WHEN rvb.h IS NULL THEN 'gone'
+      |      WHEN rva.h <> rvb.h THEN 'changed'
       |      ELSE 'unchanged' END AS cls
-      |  FROM a FULL OUTER JOIN b USING (url)),
-      |c AS (
+      |  FROM rva FULL OUTER JOIN rvb USING (url)),
+      |rvc AS (
       |  SELECT host,
       |    CAST(sum(CASE WHEN cls <> 'new' THEN 1 ELSE 0 END) AS BIGINT)
       |      AS n_prev,
@@ -1559,7 +1560,12 @@ object ReleaseQueries {
       |      AS n_new,
       |    CAST(sum(CASE WHEN cls = 'changed' THEN id ELSE 0 END) AS BIGINT)
       |      AS sum_changed_ids
-      |  FROM j GROUP BY 1)
+      |  FROM rvj GROUP BY 1)""".stripMargin
+
+  /** Shared q316/q317 oracle: generations → full-outer delta → per-host
+    * counts → rates (a `def`: the oracles map above initializes first). */
+  private def crawlRevisitOracle: String =
+    "WITH " + crawlRevisitCtes + """
       |SELECT host, n_prev, n_unchanged, n_changed, n_gone, n_new,
       |  sum_changed_ids,
       |  n_unchanged + n_changed + n_new AS n_cur,
@@ -1569,6 +1575,6 @@ object ReleaseQueries {
       |  CAST(CASE WHEN n_unchanged + n_changed = 0 THEN 0
       |    ELSE n_changed * 1000000 // (n_unchanged + n_changed) END
       |    AS BIGINT) AS change_ppm
-      |FROM c
+      |FROM rvc
       |""".stripMargin
 }

@@ -971,6 +971,46 @@ class StreamingSpec extends SparkSpec {
     assert(leaked == 0L, "a planted card number survived the streaming scrub")
   }
 
+  test("crawl-revisit delta stream survives kill+restart; store == one-shot") {
+    // q317's streaming form: url-delta rows arrive in waves (a url lives
+    // in exactly one wave, so per-host class counts are additive); a
+    // died-and-restarted stream must not re-merge the ingested wave
+    val (snapA, snapB) = graft.queries.ReleaseQueries.crawlSnapshots(spark, dir)
+    val delta = graft.ops.CrawlRevisit.urlDelta(snapA, snapB,
+      "url", "host", "doc_id", "hash")
+    val src = java.nio.file.Files.createTempDirectory("graft_revisit_csrc")
+    val root = java.nio.file.Files.createTempDirectory("graft_revisit_cs").toString
+    val idxPath = s"$root/idx"
+    def stageFile(part: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_revc_p$part")
+      delta.where(pmod(col("id"), lit(2)) === part).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, src.resolve(s"p$part.parquet"))
+    }
+    stageFile(0)
+    val schema = delta.schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+      val q = StreamingPipeline
+        .censusIngestStream(stream, idxPath, Seq("host"),
+          graft.ops.CrawlRevisit.hostCounts)
+        .option("checkpointLocation", s"$root/ckpt").start()
+      q.awaitTermination()
+    }
+    runOnce() // "process dies" after wave 0
+    stageFile(1) // the next crawl wave lands while down
+    runOnce() // restart: must not re-merge wave 0
+    val stored = graft.ops.CrawlRevisit.fromCounts(
+      graft.store.IndexStore.loadCensus(spark, idxPath))
+    val oneShot = graft.ops.CrawlRevisit.fromCounts(
+      graft.ops.CrawlRevisit.hostCounts(delta))
+    assert(stored.exceptAll(oneShot).isEmpty && oneShot.exceptAll(stored).isEmpty,
+      "streamed revisit census diverged from the one-shot census")
+  }
+
   test("census ingest stream == one-shot census; survives restart exactly-once") {
     val docs = Tables.documents(spark, dir)
     def census(df: org.apache.spark.sql.DataFrame) =
