@@ -559,6 +559,67 @@ object EvalQueries {
       .orderBy("dim")
   }
 
+  // ---------------------------------------------------------------- q322
+
+  /** (bits, M = 2^{b−1}−1) tiers for the quantization sweep. */
+  private val QuantWidths: Seq[(Int, Int)] = Seq(8 -> 127, 4 -> 7, 2 -> 1)
+
+  /** q322: quantization-width retrieval sweep — the index-compression
+    * decision next to q301's dimension decision (and the q44
+    * reconstruction-error view): serve GLOBAL-scale symmetric b-bit
+    * embeddings and measure what top-1 MIPS retrieval loses per width.
+    * q_i = floor(x·M/0.6 + 0.5) clamped to [−M, M] (M = 2^{b−1}−1; 0.6
+    * bounds the corpus |x|; floor(+0.5) is the engine-portable rounding
+    * rule from [[graft.sim.Quantization]]). With ONE global scale the
+    * quantized dot is a pure INTEGER, so every per-width argmax is exact
+    * integer arithmetic — the only float is the full-precision reference
+    * fold (sequential, the q301 bit-replay doctrine).
+    *
+    * Scale shape: each side quantizes ONCE before the broadcast join (the
+    * pair row only multiplies integers); all width scores ride the same
+    * pair row; per-probe argmaxes ride one groupBy as max(struct)s. At
+    * corpus scale the candidate side pre-filters through the stored IVF
+    * index — this gate certifies the arithmetic on the probe sample. */
+  val quantSweep: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    def qcols(v: org.apache.spark.sql.Column, pfx: String) =
+      QuantWidths.map { case (b, m) =>
+        transform(v, x => greatest(lit(-m.toLong), least(lit(m.toLong),
+          floor(x.cast("double") * m / 0.6 + 0.5)))).as(s"$pfx$b")
+      }
+    val probes = emb.where(col("vec_id") % 25 === 0)
+      .select(Seq(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qv")) ++ qcols(col("embedding"), "pq"): _*)
+    val cands = emb
+      .select(Seq(col("vec_id").as("cid"), col("label").as("clabel"),
+        col("embedding").as("cv")) ++ qcols(col("embedding"), "cq"): _*)
+    def iscore(b: Int) = aggregate(
+      zip_with(col(s"pq$b"), col(s"cq$b"), (a, c) => a * c),
+      lit(0L), (acc, v) => acc + v)
+    val scored = cands.crossJoin(broadcast(probes))
+      .where(col("cid") =!= col("qid"))
+      .select(Seq(col("qid"), col("qlabel"), col("cid"), col("clabel"),
+        sliceDot(col("qv"), col("cv"), 64).as("sf")) ++
+        QuantWidths.map { case (b, _) => iscore(b).as(s"s$b") }: _*)
+    val per = scored.groupBy("qid", "qlabel")
+      .agg(max(struct(col("sf"), (-col("cid")).as("ni"))).as("wf"),
+        QuantWidths.map { case (b, _) =>
+          max(struct(col(s"s$b"), (-col("cid")).as("ni"),
+            col("clabel").as("cl"))).as(s"w$b") }: _*)
+    per.select(col("qid"), col("qlabel"), (-col("wf.ni")).as("full_cid"),
+        explode(array(QuantWidths.map { case (b, _) =>
+          struct(lit(b).as("bits"), (-col(s"w$b.ni")).as("cid"),
+            col(s"w$b.cl").as("clabel")) }: _*)).as("t"))
+      .groupBy(col("t.bits").as("bits"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("t.cid") === col("full_cid"), 1L).otherwise(0L))
+          .as("same_as_full"),
+        sum(when(col("t.clabel") === col("qlabel"), 1L).otherwise(0L))
+          .as("label_matches"),
+        sum(col("t.cid")).as("sum_chosen"))
+      .orderBy("bits")
+  }
+
   // ---------------------------------------------------------------- q302
 
   /** Shared q302 fixture: each doc is one served request with a
@@ -849,7 +910,8 @@ object EvalQueries {
     "q312_sliding_window" -> slidingWindowSavings,
     "q313_answer_extraction" -> answerExtraction,
     "q314_layout_pruning" -> layoutPruningCensus,
-    "q315_layout_pick" -> layoutAdvisorPick)
+    "q315_layout_pick" -> layoutAdvisorPick,
+    "q322_quant_sweep" -> quantSweep)
 
   /** The q291 fixture + classifier replayed in SQL (shared by q291/q298):
     * same plant CASE order, same anchored openers / hedge probes, same
@@ -1170,6 +1232,53 @@ object EvalQueries {
         |ch AS (SELECT qid, qlabel, dim, cid, clabel FROM rk WHERE rn = 1),
         |ref AS (SELECT qid, cid AS full_cid FROM ch WHERE dim = 64)
         |SELECT CAST(ch.dim AS INT) AS dim,
+        |  CAST(count(*) AS BIGINT) AS n_probes,
+        |  CAST(sum(CASE WHEN ch.cid = ref.full_cid THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS same_as_full,
+        |  CAST(sum(CASE WHEN ch.clabel = ch.qlabel THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS label_matches,
+        |  CAST(sum(ch.cid) AS BIGINT) AS sum_chosen
+        |FROM ch JOIN ref USING (qid)
+        |GROUP BY 1
+        |""".stripMargin,
+
+    // q322: global-scale symmetric quantization + the integer dots + both
+    // argmaxes replayed; the only float is the full-precision reference
+    // fold (the q301 list_reduce idiom); floor(+0.5) mirrors exactly
+    "q322_quant_sweep" ->
+      """WITH ws AS (SELECT * FROM (VALUES (8, 127), (4, 7), (2, 1))
+        |  AS t(bits, m)),
+        |p AS (
+        |  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+        |  FROM embeddings WHERE vec_id % 25 = 0),
+        |pair AS (
+        |  SELECT p.qid, p.qlabel, w.bits, c.vec_id AS cid,
+        |    c.label AS clabel,
+        |    list_sum(list_transform(range(64), i ->
+        |      CAST(greatest(-w.m, least(w.m,
+        |        floor(CAST(p.qv[i + 1] AS DOUBLE) * w.m / 0.6 + 0.5)))
+        |        AS BIGINT)
+        |      * CAST(greatest(-w.m, least(w.m,
+        |        floor(CAST(c.embedding[i + 1] AS DOUBLE) * w.m / 0.6
+        |          + 0.5))) AS BIGINT))) AS idot,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(64), i ->
+        |        CAST(p.qv[i + 1] AS DOUBLE)
+        |          * CAST(c.embedding[i + 1] AS DOUBLE))),
+        |      (a, b) -> a + b) AS sf
+        |  FROM p CROSS JOIN ws w
+        |  JOIN embeddings c ON c.vec_id <> p.qid),
+        |rki AS (
+        |  SELECT *, row_number() OVER (PARTITION BY qid, bits
+        |    ORDER BY idot DESC, cid ASC) AS rn
+        |  FROM pair),
+        |rkf AS (
+        |  SELECT qid, cid AS full_cid, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sf DESC, cid ASC) AS rn
+        |  FROM pair WHERE bits = 8),
+        |ch AS (SELECT qid, qlabel, bits, cid, clabel FROM rki WHERE rn = 1),
+        |ref AS (SELECT qid, full_cid FROM rkf WHERE rn = 1)
+        |SELECT CAST(ch.bits AS INT) AS bits,
         |  CAST(count(*) AS BIGINT) AS n_probes,
         |  CAST(sum(CASE WHEN ch.cid = ref.full_cid THEN 1 ELSE 0 END)
         |    AS BIGINT) AS same_as_full,

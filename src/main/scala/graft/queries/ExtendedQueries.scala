@@ -388,6 +388,35 @@ object ExtendedQueries {
       .orderBy("source")
   }
 
+  /** q321: dedup provenance matrix — after canonicalization every removed
+    * document maps to the canonical (min-id cluster representative) it
+    * duplicated; per (loser_source, canonical_source): docs removed,
+    * tokens removed, Σid certificate. The cross-source rows answer the
+    * question a curation rotation actually asks after a dedup pass —
+    * which sources are copying (or being scraped by) which — and the
+    * matrix is source²-bounded however large the corpus. Same LSH + CC
+    * machinery as q67; the provenance attach is two key-equi joins on
+    * the loser and canonical ids. */
+  lazy val dedupProvenance: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+      shingleK = 5, numHashes = 64, bands = 16, minJaccard = 0.6)
+    val comps = graft.dedup.ConnectedComponents.run(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    val meta = docs.select(col("doc_id"), col("source"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+    comps.where(col("id") =!= col("component"))
+      .join(meta.select(col("doc_id").as("id"),
+        col("source").as("loser_source"), col("ntok")), "id")
+      .join(meta.select(col("doc_id").as("component"),
+        col("source").as("canonical_source")), "component")
+      .groupBy("loser_source", "canonical_source")
+      .agg(count(lit(1)).as("n_removed"),
+        sum(col("ntok")).as("removed_tokens"),
+        sum(col("id")).as("sum_removed_ids"))
+      .orderBy("loser_source", "canonical_source")
+  }
+
   /** Int8 embedding quantization quality report: per bucket, mean absolute
     * reconstruction error and mean cosine between original and dequantized
     * vectors — the check run before switching an ANN index to a compressed
@@ -791,6 +820,7 @@ object ExtendedQueries {
     "q139_neardup_decontam" -> nearDupDecontam,
     "q68_embedding_quant" -> embeddingQuantization,
     "q67_neardup_canonical" -> nearDupCanonical,
+    "q321_dedup_provenance" -> dedupProvenance,
     "q64_sequence_packing" -> sequencePacking,
     "q259_packing_efficiency" -> packingEfficiencyCensus,
     "q260_bfd_pack_map" -> bfdPackMap,
@@ -1094,6 +1124,31 @@ object ExtendedQueries {
 
   /** q202 oracle: the PageRank chain + the raw-text Gopher quality subset
     * + the rounded-before-ranked priority ordering. */
+  /** Shared q67/q321 oracle prefix: exact char-5-gram Jaccard pairs at
+    * 0.6 + recursive min-id connected components, ending at `comp`
+    * (id, c) — the string-space ground truth the LSH path must equal. */
+  private def neardupCcCte: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT DISTINCT doc_id AS id, unnest(
+      |    [substring(text, i, 5) FOR i IN generate_series(1, greatest(length(text) - 4, 1))]) AS shingle
+      |  FROM documents),
+      |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.id AS ia, b.id AS ib, count(*) AS n
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT ia AS doc_a, ib AS doc_b
+      |  FROM inter JOIN sizes sa ON ia = sa.id JOIN sizes sb ON ib = sb.id
+      |  WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.6),
+      |nodes AS (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
+      |comp AS (SELECT id, min(r) AS c FROM reach GROUP BY 1)""".stripMargin
+
   /** q320 oracle: the q202 chain + the q316 rv-CTEs (rv-prefixed so they
     * coexist with the PageRank prefix's names) + the freshness factor in
     * the identical left-associated multiply order. */
@@ -1659,26 +1714,7 @@ object ExtendedQueries {
         |  round(avg(cos), 6) AS avg_cosine
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "q67_neardup_canonical" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT DISTINCT doc_id AS id, unnest(
-        |    [substring(text, i, 5) FOR i IN generate_series(1, greatest(length(text) - 4, 1))]) AS shingle
-        |  FROM documents),
-        |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.id AS ia, b.id AS ib, count(*) AS n
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT ia AS doc_a, ib AS doc_b
-        |  FROM inter JOIN sizes sa ON ia = sa.id JOIN sizes sb ON ib = sb.id
-        |  WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.6),
-        |nodes AS (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
-        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(id, r) AS (
-        |  SELECT id, id FROM nodes
-        |  UNION
-        |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
-        |comp AS (SELECT id, min(r) AS c FROM reach GROUP BY 1),
+      (neardupCcCte + """,
         |losers AS (SELECT id FROM comp WHERE id <> c),
         |k AS (
         |  SELECT source, count(*) AS n_kept,
@@ -1686,7 +1722,27 @@ object ExtendedQueries {
         |  FROM documents WHERE doc_id NOT IN (SELECT id FROM losers) GROUP BY 1),
         |t AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
         |SELECT t.source, t.n_docs, k.n_kept, k.kept_tokens
-        |FROM t JOIN k USING (source) ORDER BY 1""".stripMargin,
+        |FROM t JOIN k USING (source) ORDER BY 1""".stripMargin),
+
+    // q321: the q67 cluster chain + the loser→canonical provenance join
+    "q321_dedup_provenance" ->
+      (neardupCcCte + """,
+        |dm AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS ntok
+        |  FROM documents),
+        |prov AS (
+        |  SELECT l.source AS loser_source, kd.source AS canonical_source,
+        |    l.doc_id, l.ntok
+        |  FROM comp JOIN dm l ON l.doc_id = comp.id
+        |    JOIN dm kd ON kd.doc_id = comp.c
+        |  WHERE comp.id <> comp.c)
+        |SELECT loser_source, canonical_source,
+        |  CAST(count(*) AS BIGINT) AS n_removed,
+        |  CAST(sum(ntok) AS BIGINT) AS removed_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_removed_ids
+        |FROM prov GROUP BY 1, 2""".stripMargin),
     "q66_incremental_dedup" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id AS id, unnest(

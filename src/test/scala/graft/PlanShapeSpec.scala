@@ -642,6 +642,14 @@ class PlanShapeSpec extends SparkSpec {
       s"the bounded probe side must broadcast:\n${plan.take(2000)}")
   }
 
+  test("quantization sweep: probes broadcast; integer argmaxes ride the aggregate") {
+    val plan = planOf("q322_quant_sweep")
+    assert(!plan.contains("Window"),
+      s"per-probe/width top-1 must be max(struct), not a window:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the bounded probe side must broadcast:\n${plan.take(2000)}")
+  }
+
   test("wave-6 single-scan gates: one FileScan, no join, no window") {
     // q309 two stacked aggregates; q310 ONE rollup (a union of per +
     // per.agg would re-scan the corpus); q312/q313 stateless folds
