@@ -417,6 +417,54 @@ object ExtendedQueries {
       .orderBy("loser_source", "canonical_source")
   }
 
+  /** The q323 threshold grid, in ppm so the output column is integer.
+    * The corpus pair-Jaccard distribution is bimodal (background topic
+    * similarity in [0.2, 0.5), planted near-dups at ≥ 0.9), so the grid
+    * brackets BOTH regimes — the curve shows what lowering τ past the
+    * background cliff would collapse. */
+  private val DedupCurveTaus = Seq(0.3, 0.5, 0.7, 0.9)
+
+  /** q323: dedup threshold CLUSTER curve — q154's tuning sweep upgraded
+    * from the pairwise-dominated UPPER BOUND to the exact answer: at each
+    * candidate τ, what does min-id canonicalization over the REAL
+    * connected components actually remove? The exact pair set is computed
+    * ONCE at the lowest threshold with its Jaccard attached, and the
+    * whole curve re-derives by re-clustering the PAIR-SIZED edge frame at
+    * each τ — CC per τ costs edge-cardinality, never a corpus rescan (the
+    * q270/q302 one-pass-curve doctrine applied to dedup). Per τ:
+    * surviving edges, clustered docs, clusters, removed docs/tokens,
+    * Σid certificate. Same sample-and-exact doctrine as q154 (doc_id%2;
+    * exact similarity is the honest tool below LSH banding recall, and
+    * like q41/q45/q154 this deliberately-quadratic path stays out of the
+    * bench headline — corpus-wide production runs the q42 LSH at the τ
+    * this curve picks). */
+  lazy val dedupClusterCurve: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).where(col("doc_id") % 2 === 0)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 5, minJaccard = DedupCurveTaus.min).cache()
+    val meta = docs.select(col("doc_id").as("id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+    DedupCurveTaus.map { tau =>
+      val edges = pairs.where(col("jaccard") >= tau)
+      val comps = graft.dedup.ConnectedComponents.run(
+        edges.select(col("id_a").as("src"), col("id_b").as("dst")))
+      val e1 = edges.agg(count(lit(1)).as("n_edges"))
+      val c1 = comps.agg(
+        coalesce(countDistinct(col("component")), lit(0L)).as("n_clusters"),
+        count(lit(1)).as("n_clustered_docs"))
+      val r1 = comps.where(col("id") =!= col("component"))
+        .join(meta, "id")
+        .agg(count(lit(1)).as("n_removed"),
+          coalesce(sum(col("ntok")), lit(0L)).as("removed_tokens"),
+          coalesce(sum(col("id")), lit(0L)).as("sum_removed_ids"))
+      e1.crossJoin(c1).crossJoin(r1)
+        .withColumn("tau_ppm", lit(math.round(tau * 1000000)))
+    }.reduce(_ unionByName _)
+      .select("tau_ppm", "n_edges", "n_clustered_docs", "n_clusters",
+        "n_removed", "removed_tokens", "sum_removed_ids")
+      .orderBy("tau_ppm")
+  }
+
   /** Int8 embedding quantization quality report: per bucket, mean absolute
     * reconstruction error and mean cosine between original and dequantized
     * vectors — the check run before switching an ANN index to a compressed
@@ -821,6 +869,7 @@ object ExtendedQueries {
     "q68_embedding_quant" -> embeddingQuantization,
     "q67_neardup_canonical" -> nearDupCanonical,
     "q321_dedup_provenance" -> dedupProvenance,
+    "q323_dedup_cluster_curve" -> dedupClusterCurve,
     "q64_sequence_packing" -> sequencePacking,
     "q259_packing_efficiency" -> packingEfficiencyCensus,
     "q260_bfd_pack_map" -> bfdPackMap,
@@ -1124,6 +1173,58 @@ object ExtendedQueries {
 
   /** q202 oracle: the PageRank chain + the raw-text Gopher quality subset
     * + the rounded-before-ranked priority ordering. */
+  /** q323 oracle: exact pairs with Jaccard attached once, then per τ a
+    * filtered edge set + recursive min-id components + the removal
+    * census — generated from the same grid the engine uses. */
+  private def dedupCurveOracle: String = {
+    val perTau = DedupCurveTaus.map { tau =>
+      val t = math.round(tau * 1000000)
+      s"""p$t AS (SELECT ia AS doc_a, ib AS doc_b FROM pj WHERE j >= $tau),
+         |nodes$t AS (SELECT doc_a AS id FROM p$t UNION SELECT doc_b FROM p$t),
+         |edges$t AS (SELECT doc_a AS u, doc_b AS v FROM p$t
+         |  UNION SELECT doc_b, doc_a FROM p$t),
+         |reach$t(id, r) AS (
+         |  SELECT id, id FROM nodes$t
+         |  UNION
+         |  SELECT reach$t.id, e.v FROM reach$t JOIN edges$t e
+         |    ON reach$t.r = e.u),
+         |comp$t AS (SELECT id, min(r) AS c FROM reach$t GROUP BY 1),
+         |st$t AS (
+         |  SELECT CAST($t AS BIGINT) AS tau_ppm,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM p$t) AS n_edges,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM comp$t)
+         |      AS n_clustered_docs,
+         |    (SELECT CAST(count(DISTINCT c) AS BIGINT) FROM comp$t)
+         |      AS n_clusters,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM comp$t WHERE id <> c)
+         |      AS n_removed,
+         |    (SELECT CAST(coalesce(sum(
+         |        len(string_split_regex(trim(d.text), '\\s+'))), 0) AS BIGINT)
+         |      FROM comp$t JOIN documents d ON d.doc_id = comp$t.id
+         |      WHERE comp$t.id <> comp$t.c) AS removed_tokens,
+         |    (SELECT CAST(coalesce(sum(id), 0) AS BIGINT) FROM comp$t
+         |      WHERE id <> c) AS sum_removed_ids)""".stripMargin
+    }.mkString(",\n")
+    val unions = DedupCurveTaus
+      .map(tau => s"SELECT * FROM st${math.round(tau * 1000000)}")
+      .mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT DISTINCT doc_id AS id, unnest(
+       |    [substring(text, i, 5) FOR i IN generate_series(1, greatest(length(text) - 4, 1))]) AS shingle
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.id AS ia, b.id AS ib, count(*) AS n
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+       |  GROUP BY 1, 2),
+       |pj AS (
+       |  SELECT ia, ib, n * 1.0 / (sa.sz + sb.sz - n) AS j
+       |  FROM inter JOIN sizes sa ON ia = sa.id JOIN sizes sb ON ib = sb.id),
+       |$perTau
+       |$unions
+       |ORDER BY tau_ppm""".stripMargin
+  }
+
   /** Shared q67/q321 oracle prefix: exact char-5-gram Jaccard pairs at
     * 0.6 + recursive min-id connected components, ending at `comp`
     * (id, c) — the string-space ground truth the LSH path must equal. */
@@ -1631,6 +1732,7 @@ object ExtendedQueries {
     "q247_hits_incremental" -> hostHitsOracle(6),
     "q202_crawl_priority" -> crawlPriorityOracle(8),
     "q320_crawl_priority_fresh" -> crawlPriorityFreshOracle(8),
+    "q323_dedup_cluster_curve" -> dedupCurveOracle,
     "q139_neardup_decontam" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id AS id, unnest(
