@@ -259,7 +259,19 @@ object Bench {
     "q310_weighted_eval",     // deployment-mix importance-weighted eval
     "q311_tool_attribution",  // first-error blast radius per tool
     "q312_sliding_window",    // closed-form window-kernel savings bands
-    "q313_answer_extraction") // extractor-ladder grading census
+    "q313_answer_extraction", // extractor-ladder grading census
+    "q314_layout_pruning",    // sort-key zone-map pruning census (one scan)
+    "q315_layout_pick",       // layout advisor argmin over candidate totals
+    "q316_crawl_revisit",     // full-outer url delta -> per-host freshness
+    "q317_revisit_incremental", // revisit census via the store, exactly-once
+    "q318_data_valuation",    // hashed-datamodel source-value regression
+    "q319_prefix_dedup",      // conversation-tree prefix store + certificate
+    "q320_crawl_priority_fresh", // centrality x quality x freshness ranking
+    "q321_dedup_provenance",  // loser->canonical source matrix over LSH+CC
+    "q322_quant_sweep")       // integer-dot retrieval agreement per bit width
+    // q323 stays out like q41/q45/q154: the deliberately-quadratic exact
+    // path is the correctness tool; production runs the q42 LSH at the
+    // curve's chosen threshold
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage
