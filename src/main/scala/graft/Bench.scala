@@ -268,7 +268,8 @@ object Bench {
     "q319_prefix_dedup",      // conversation-tree prefix store + certificate
     "q320_crawl_priority_fresh", // centrality x quality x freshness ranking
     "q321_dedup_provenance",  // loser->canonical source matrix over LSH+CC
-    "q322_quant_sweep")       // integer-dot retrieval agreement per bit width
+    "q322_quant_sweep",       // integer-dot retrieval agreement per bit width
+    "q324_late_interaction")  // MaxSim vs pooled vs full-vector top-1 census
     // q323 stays out like q41/q45/q154: the deliberately-quadratic exact
     // path is the correctness tool; production runs the q42 LSH at the
     // curve's chosen threshold

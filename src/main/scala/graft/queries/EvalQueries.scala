@@ -620,6 +620,69 @@ object EvalQueries {
       .orderBy("bits")
   }
 
+  // ---------------------------------------------------------------- q324
+
+  /** q324: late-interaction (multi-vector) retrieval census — the ColBERT
+    * architecture decision (Khattab & Zaharia 2020): store one vector per
+    * token and score by MaxSim (each query sub-vector takes its best
+    * match among the candidate's sub-vectors, summed) instead of one
+    * pooled vector per document. Token vectors are the 8 deterministic
+    * 8-dim slices of the stored 64-dim embedding (the multimodal stub
+    * doctrine: the Spark-side shapes — per-pair in-row sub-vector folds,
+    * broadcast probes, argmaxes riding the aggregate — are the real
+    * thing). Three modes ride the SAME pair row: the full-vector dot
+    * (reference), MaxSim, and the mean-pooled dot (the CLS-style
+    * baseline MaxSim is supposed to beat); the census reports per mode
+    * the top-1 agreement with the reference + label preservation. Every
+    * fold is sequential-from-0.0 (the q301 bit-replay doctrine);
+    * greatest() over 8 doubles is order-free. */
+  val lateInteraction: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val probes = emb.where(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qv"))
+    val cands = emb.select(col("vec_id").as("cid"),
+      col("label").as("clabel"), col("embedding").as("cv"))
+    def subdot(i: Int, j: Int) =
+      aggregate(zip_with(slice(col("qv"), i * 8 + 1, 8),
+        slice(col("cv"), j * 8 + 1, 8),
+        (a, b) => a.cast("double") * b.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val maxsim = (0 until 8).map(i =>
+      greatest((0 until 8).map(j => subdot(i, j)): _*))
+      .reduce[org.apache.spark.sql.Column](_ + _)
+    def pool(v: String, d: Int) = (0 until 8)
+      .map(sl => element_at(col(v), sl * 8 + d + 1).cast("double"))
+      .reduce[org.apache.spark.sql.Column](_ + _) / 8.0
+    val pooledDot = (0 until 8).map(d => pool("qv", d) * pool("cv", d))
+      .reduce[org.apache.spark.sql.Column](_ + _)
+    val scored = cands.crossJoin(broadcast(probes))
+      .where(col("cid") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("cid"), col("clabel"),
+        sliceDot(col("qv"), col("cv"), 64).as("sf"),
+        maxsim.as("sm"), pooledDot.as("sp"))
+    val per = scored.groupBy("qid", "qlabel")
+      .agg(max(struct(col("sf"), (-col("cid")).as("ni"))).as("wf"),
+        max(struct(col("sm"), (-col("cid")).as("ni"),
+          col("clabel").as("cl"))).as("wm"),
+        max(struct(col("sp"), (-col("cid")).as("ni"),
+          col("clabel").as("cl"))).as("wp"))
+    per.select(col("qid"), col("qlabel"), (-col("wf.ni")).as("full_cid"),
+        explode(array(
+          struct(lit("maxsim").as("mode"), (-col("wm.ni")).as("cid"),
+            col("wm.cl").as("clabel")),
+          struct(lit("pooled").as("mode"), (-col("wp.ni")).as("cid"),
+            col("wp.cl").as("clabel")))).as("t"))
+      .groupBy(col("t.mode").as("mode"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("t.cid") === col("full_cid"), 1L).otherwise(0L))
+          .as("same_as_full"),
+        sum(when(col("t.clabel") === col("qlabel"), 1L).otherwise(0L))
+          .as("label_matches"),
+        sum(col("t.cid")).as("sum_chosen"))
+      .orderBy("mode")
+  }
+
   // ---------------------------------------------------------------- q302
 
   /** Shared q302 fixture: each doc is one served request with a
@@ -911,7 +974,60 @@ object EvalQueries {
     "q313_answer_extraction" -> answerExtraction,
     "q314_layout_pruning" -> layoutPruningCensus,
     "q315_layout_pick" -> layoutAdvisorPick,
-    "q322_quant_sweep" -> quantSweep)
+    "q322_quant_sweep" -> quantSweep,
+    "q324_late_interaction" -> lateInteraction)
+
+  /** q324 oracle, generated from the same 8×8 slice grid the engine
+    * uses: per-pair sub-vector dot folds, the MaxSim sum of row-wise
+    * greatest(), the mean-pooled baseline, and the three rankings. */
+  private def lateInteractionOracle: String = {
+    def subdot(i: Int, j: Int): String =
+      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(range(8), d -> " +
+        s"CAST(p.qv[${i * 8} + d + 1] AS DOUBLE) * " +
+        s"CAST(c.embedding[${j * 8} + d + 1] AS DOUBLE))), (a, b) -> a + b)"
+    val maxsim = (0 until 8).map(i =>
+      "greatest(" + (0 until 8).map(j => subdot(i, j)).mkString(", ") + ")")
+      .mkString("\n      + ")
+    def pool(v: String, d: Int): String =
+      "(" + (0 until 8).map(sl => s"CAST($v[${sl * 8 + d + 1}] AS DOUBLE)")
+        .mkString(" + ") + ") / 8.0"
+    val pooled = (0 until 8)
+      .map(d => s"(${pool("p.qv", d)}) * (${pool("c.embedding", d)})")
+      .mkString("\n      + ")
+    s"""WITH p AS (
+       |  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+       |  FROM embeddings WHERE vec_id % 25 = 0),
+       |pair AS (
+       |  SELECT p.qid, p.qlabel, c.vec_id AS cid, c.label AS clabel,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(64), i ->
+       |        CAST(p.qv[i + 1] AS DOUBLE)
+       |          * CAST(c.embedding[i + 1] AS DOUBLE))),
+       |      (a, b) -> a + b) AS sf,
+       |    $maxsim AS sm,
+       |    $pooled AS sp
+       |  FROM p JOIN embeddings c ON c.vec_id <> p.qid),
+       |rkf AS (SELECT qid, cid AS full_cid, row_number() OVER (
+       |    PARTITION BY qid ORDER BY sf DESC, cid ASC) AS rn FROM pair),
+       |ref AS (SELECT qid, full_cid FROM rkf WHERE rn = 1),
+       |rkm AS (SELECT qid, qlabel, 'maxsim' AS mode, cid, clabel,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sm DESC, cid ASC)
+       |      AS rn FROM pair),
+       |rkp AS (SELECT qid, qlabel, 'pooled' AS mode, cid, clabel,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sp DESC, cid ASC)
+       |      AS rn FROM pair),
+       |ch AS (SELECT * FROM rkm WHERE rn = 1
+       |  UNION ALL SELECT * FROM rkp WHERE rn = 1)
+       |SELECT ch.mode, CAST(count(*) AS BIGINT) AS n_probes,
+       |  CAST(sum(CASE WHEN ch.cid = ref.full_cid THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS same_as_full,
+       |  CAST(sum(CASE WHEN ch.clabel = ch.qlabel THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS label_matches,
+       |  CAST(sum(ch.cid) AS BIGINT) AS sum_chosen
+       |FROM ch JOIN ref USING (qid)
+       |GROUP BY 1""".stripMargin
+  }
 
   /** The q291 fixture + classifier replayed in SQL (shared by q291/q298):
     * same plant CASE order, same anchored openers / hedge probes, same
@@ -1288,6 +1404,11 @@ object EvalQueries {
         |FROM ch JOIN ref USING (qid)
         |GROUP BY 1
         |""".stripMargin,
+
+    // q324: all 64 sub-vector dots + MaxSim + the pooled baseline + the
+    // three argmaxes replayed (generated from the same slice grid; every
+    // fold sequential-from-0.0, greatest() order-free)
+    "q324_late_interaction" -> lateInteractionOracle,
 
     // q302: the routing replayed ROW-LEVEL (corpus × thresholds CASE),
     // certifying the engine's one-pass bucket-prefix curve exactly

@@ -43,7 +43,9 @@ object ScaleStress {
     "canonical" -> "q263_quality_canonical",
     "ivf_store" -> "q168_ivf_incremental",
     "graph" -> "q246_pagerank_incremental",
-    "unigram" -> "q174_unigram_census")
+    "unigram" -> "q174_unigram_census",
+    "revisit" -> "q316_crawl_revisit",
+    "layout" -> "q314_layout_pruning")
 
   /** Sums task-level shuffle/spill metrics across one measured run; the
     * max single-task shuffle read is the partition-fits-in-memory signal

@@ -650,6 +650,15 @@ class PlanShapeSpec extends SparkSpec {
       s"the bounded probe side must broadcast:\n${plan.take(2000)}")
   }
 
+  test("late-interaction census: probes broadcast; all three mode argmaxes " +
+      "ride one aggregate") {
+    val plan = planOf("q324_late_interaction")
+    assert(!plan.contains("Window"),
+      s"per-probe top-1 must be max(struct), not a window:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the bounded probe side must broadcast:\n${plan.take(2000)}")
+  }
+
   test("wave-6 single-scan gates: one FileScan, no join, no window") {
     // q309 two stacked aggregates; q310 ONE rollup (a union of per +
     // per.agg would re-scan the corpus); q312/q313 stateless folds
