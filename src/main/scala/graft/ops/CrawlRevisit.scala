@@ -69,12 +69,19 @@ object CrawlRevisit {
     counts
       .withColumn("n_cur",
         col("n_unchanged") + col("n_changed") + col("n_new"))
+      // ppm quotients decomposed (the ScoreDebias bounded-intermediate
+      // idiom): numerator*1e6 in one Long wraps once a host's URL count
+      // exceeds ~9.2e12; (m div d)*1e6 + (m % d)*1e6 div d is exact for
+      // non-negative counts with every intermediate < d*1e6
       .withColumn("revisit_ppm",
         when(col("n_prev") === 0, 0L).otherwise(expr(
-          "(n_unchanged + n_changed) * 1000000 div n_prev")))
+          "((n_unchanged + n_changed) div n_prev) * 1000000" +
+            " + ((n_unchanged + n_changed) % n_prev) * 1000000 div n_prev")))
       .withColumn("change_ppm",
         when(col("n_unchanged") + col("n_changed") === 0, 0L).otherwise(expr(
-          "n_changed * 1000000 div (n_unchanged + n_changed)")))
+          "(n_changed div (n_unchanged + n_changed)) * 1000000" +
+            " + (n_changed % (n_unchanged + n_changed)) * 1000000" +
+            " div (n_unchanged + n_changed)")))
 
   /** One-shot census: delta → counts → rates, per host. */
   def census(snapA: DataFrame, snapB: DataFrame, urlCol: String,

@@ -43,11 +43,20 @@ object LayoutAdvisor {
       max(col(s"__k_$n")).as(s"__hi_$n")) }
     val bounds = keyed.agg(boundAggs.head, boundAggs.tail: _*).collect()(0)
     val entries = candidates.map { case (n, _) =>
-      val lo = bounds.getAs[Long](s"__lo_$n")
-      val hi = bounds.getAs[Long](s"__hi_$n")
-      val width = math.max(hi - lo + 1, 1L)
+      // a NULL min/max (empty corpus or all-NULL key) must be a clear
+      // error, not an unboxing NPE deep in the bin arithmetic
+      require(!bounds.isNullAt(bounds.fieldIndex(s"__lo_$n")),
+        s"candidate sort key '$n' has no non-NULL values " +
+          "(empty corpus or all-NULL key) — cannot simulate a layout")
+      val lo = BigInt(bounds.getAs[Long](s"__lo_$n"))
+      val hi = BigInt(bounds.getAs[Long](s"__hi_$n"))
+      // bin arithmetic in DECIMAL(38,0): a hash-valued candidate key can
+      // span most of the signed-64 range, where both (hi - lo + 1) and
+      // (__k - lo) * nBins wrap in Long
+      val width = (hi - lo + 1).max(BigInt(1))
       struct(lit(n).as("sort_key"),
-        expr(s"(__k_$n - $lo) * $nBins div $width").as("bin"))
+        expr(s"(cast(__k_$n as decimal(38,0)) - " +
+          s"cast('$lo' as decimal(38,0))) * $nBins div $width").as("bin"))
     }
     keyed.select(explode(array(entries: _*)).as("e"),
         col("*"))

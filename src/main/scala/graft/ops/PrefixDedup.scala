@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   * form is LOSSLESS, so the census carries a re-render certificate — each
   * conversation is re-rendered from (prefix store ⋈ leaf) and string-
   * compared to its original render (the q196 chat-render gate's
-  * certificate replayed over the deduped form). The prefix key is the
-  * house 32-bit md5 fingerprint (replayable in SQL); a key collision
-  * would merge distinct prefixes and FAIL the certificate visibly rather
-  * than corrupt silently.
+  * certificate replayed over the deduped form). The prefix key is a
+  * 64-bit md5 fingerprint (first 16 hex chars as a signed BIGINT,
+  * replayable in SQL) — 32 bits would birthday-collide at ~77k distinct
+  * prefixes, real SFT-corpus scale, whereas 64 bits hold to ~5e9; a key
+  * collision would merge distinct prefixes and FAIL the certificate
+  * visibly rather than corrupt silently.
   *
   * Scale shape: one scan folds each conversation's turns into a sorted
   * struct array (never collect_list order) and derives prefix/suffix
@@ -32,10 +34,18 @@ object PrefixDedup {
     * / q196 house join). */
   val Sep = "\u001f"
 
-  /** House 32-bit md5 fingerprint (first 8 hex chars as BIGINT) — the
-    * q217 render-certificate idiom, shared verbatim by DuckDB oracles. */
-  private def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  /** 64-bit md5 fingerprint: the first 16 hex chars as a signed BIGINT,
+    * assembled from two 32-bit halves so both Spark (`shiftleft | or`)
+    * and the DuckDB oracle (signed-hi decomposition in HUGEINT) compute
+    * the identical value without unsigned-overflow hazards. The q217
+    * 32-bit idiom is reserved for bounded oracle-replayed populations —
+    * a corpus-scale store key needs the full 64 bits. */
+  private def h64(c: Column): Column = {
+    val hex = md5(c)
+    val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
+    shiftleft(hi, 32).bitwiseOR(lo)
+  }
 
   /** One row per conversation: the depth-`depth` prefix (string + key +
     * chars), the suffix (turns ≥ depth), the full original render, and
@@ -63,8 +73,9 @@ object PrefixDedup {
         aggregate(
           expr(s"slice(ts, ${depth + 1}, greatest(size(ts) - $depth, 0))"),
           lit(0L), (acc, t) => acc + length(t.getField("c")))
-          .as("suf_chars"))
-      .withColumn("pfx_key", h32(col("pfx")))
+          .as("suf_chars"),
+        (size(col("ts")) > depth).as("has_suffix"))
+      .withColumn("pfx_key", h64(col("pfx")))
   }
 
   /** The prefix STORE: one representative (lowest conv id) per prefix
@@ -78,7 +89,8 @@ object PrefixDedup {
   /** The LEAVES: per conversation, the reference key + suffix only. */
   def leaves(frames: DataFrame): DataFrame =
     frames.select(col("conv"), col("pfx_key"), col("template"),
-      col("suffix"), col("suf_chars"), col("full"), col("pfx_chars"))
+      col("suffix"), col("suf_chars"), col("has_suffix"), col("full"),
+      col("pfx_chars"))
 
   /** Dedup census with the lossless re-render certificate, one row per
     * `template` (first-turn) group: conversation and distinct-prefix
@@ -96,8 +108,10 @@ object PrefixDedup {
   def censusFromFrames(frames: DataFrame): DataFrame = {
     val rejoined = leaves(frames)
       .join(prefixStore(frames), "pfx_key")
+      // branch on WHETHER suffix turns exist, not on the suffix string
+      // length — a suffix of empty-string turns renders its separators
       .withColumn("rerender",
-        when(length(col("suffix")) === 0, col("rep_pfx"))
+        when(!col("has_suffix"), col("rep_pfx"))
           .otherwise(concat(col("rep_pfx"), lit(Sep), col("suffix"))))
     val perKey = rejoined.groupBy("template", "pfx_key")
       .agg(count(lit(1)).as("n"),

@@ -524,7 +524,9 @@ object AlignmentQueries {
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q319 oracle: the whole dedup replayed in SQL — conversation frames,
-    * the md5-fingerprint prefix key, the min-conv representative store,
+    * the 64-bit md5-fingerprint prefix key (two 32-bit halves assembled
+    * in HUGEINT with the signed-hi decomposition, matching Spark's
+    * `shiftleft(hi,32)|lo` exactly), the min-conv representative store,
     * the re-render, and the byte-equality certificate. */
   private val prefixDedupOracle: String =
     """WITH t AS (
@@ -545,16 +547,24 @@ object AlignmentQueries {
       |    CAST(list_sum(list_transform(cs[1:2], x -> len(x))) AS BIGINT)
       |      AS pchars,
       |    CAST(coalesce(list_sum(list_transform(cs[3:len(cs)],
-      |      x -> len(x))), 0) AS BIGINT) AS schars
+      |      x -> len(x))), 0) AS BIGINT) AS schars,
+      |    len(cs) > 2 AS has_suf
       |  FROM cv),
-      |cf2 AS (SELECT *,
-      |    CAST(concat('0x', substr(md5(pfx), 1, 8)) AS BIGINT) AS pfx_key
+      |ch AS (SELECT *,
+      |    CAST(CAST(concat('0x', substr(md5(pfx), 1, 8)) AS BIGINT)
+      |      AS HUGEINT) AS khi,
+      |    CAST(CAST(concat('0x', substr(md5(pfx), 9, 8)) AS BIGINT)
+      |      AS HUGEINT) AS klo
       |  FROM cf),
+      |cf2 AS (SELECT * EXCLUDE (khi, klo),
+      |    CAST((CASE WHEN khi >= 2147483648 THEN khi - 4294967296
+      |      ELSE khi END) * 4294967296 + klo AS BIGINT) AS pfx_key
+      |  FROM ch),
       |rep AS (SELECT pfx_key, min(conv) AS rc FROM cf2 GROUP BY 1),
       |reps AS (SELECT r.pfx_key, c.pfx AS rep_pfx, c.pchars AS store_chars
       |  FROM rep r JOIN cf2 c ON c.conv = r.rc AND c.pfx_key = r.pfx_key),
       |rj AS (SELECT c.*, s.rep_pfx, s.store_chars,
-      |    CASE WHEN len(c.suf) = 0 THEN s.rep_pfx
+      |    CASE WHEN NOT c.has_suf THEN s.rep_pfx
       |      ELSE s.rep_pfx || chr(31) || c.suf END AS rr
       |  FROM cf2 c JOIN reps s USING (pfx_key)),
       |g1 AS (SELECT template, pfx_key, CAST(count(*) AS BIGINT) AS n,

@@ -767,9 +767,16 @@ object EvalQueries {
   /** Corpus-size memo for [[citationFixture]]: the modulus is a literal in
     * the plan (the oracle mirrors it via a scalar subquery), but the count
     * action behind it runs ONCE per dir per JVM — not on every fixture
-    * construction (engine run + each test that touches it). */
+    * construction (engine run + each test that touches it). Assumes
+    * fixture dirs are IMMUTABLE for the JVM lifetime (the testdata
+    * convention); a harness that regenerates a dir in-place must call
+    * [[resetCorpusSizeMemo]] or the stale modulus silently survives. */
   private val corpusSizeMemo =
     scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Drops every memoized corpus size — for long-lived test JVMs that
+    * regenerate a fixture dir in place. */
+  private[graft] def resetCorpusSizeMemo(): Unit = corpusSizeMemo.clear()
 
   private[graft] def citationFixture(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)

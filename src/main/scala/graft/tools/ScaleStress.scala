@@ -74,22 +74,31 @@ object ScaleStress {
   }
 
   /** k distinct replicas of the documents table. Replica 0 is the
-    * original; replica r Caesar-rotates the whole text by r mod 26 (the
-    * corpus alphabet is lowercase a–z + space), so EVERY character differs
-    * and the CHARACTER k-gram shingle sets of distinct rotations are fully
-    * disjoint — a token suffix is not enough (intra-word shingles survive
-    * it, leaving replicas ~50% Jaccard-similar and turning LSH candidate
-    * volume quadratic in k, a fixture artifact). Token counts, duplicate
-    * structure WITHIN a replica, lang and source are preserved. Replicas
-    * ≥ 26 reuse a rotation and get a per-generation token suffix instead
+    * original; replica r Caesar-rotates letters by r mod 26 AND digits by
+    * a never-identity rotation 1+((r-1) mod 9), so every alphanumeric
+    * character differs between rotations and the CHARACTER k-gram shingle
+    * sets of distinct rotations are disjoint for any shingle containing
+    * at least one [a-z0-9] — a token suffix is not enough (intra-word
+    * shingles survive it, leaving replicas ~50% Jaccard-similar and
+    * turning LSH candidate volume quadratic in k, a fixture artifact),
+    * and a letters-only rotation is not enough on corpora with digits
+    * (digit-bearing shingles survive verbatim and partially re-couple
+    * replicas). Residual coupling is limited to shingles made ENTIRELY
+    * of non-alphanumerics — absent from the testdata corpus and
+    * negligible on any prose. Token counts, duplicate structure WITHIN a
+    * replica, lang and source are preserved. Replicas ≥ 26 reuse a
+    * letter rotation and get a per-generation token suffix instead
     * (partial disjointness — keep scales ≤ 26 for clean exponents). */
   def inflateDocuments(docs: DataFrame, n: Long, k: Int): DataFrame = {
     val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val digits = "0123456789"
     (0 until k).map { r =>
       val rot = r % 26
+      val drot = if (rot == 0) 0 else 1 + ((rot - 1) % 9)
       val rotated = if (rot == 0) col("text")
-        else translate(col("text"), alpha,
-          alpha.substring(rot) + alpha.substring(0, rot))
+        else translate(col("text"), alpha + digits,
+          alpha.substring(rot) + alpha.substring(0, rot) +
+            digits.substring(drot) + digits.substring(0, drot))
       val gen = r / 26
       val txt = if (gen == 0) rotated
         else concat_ws(" ", transform(split(trim(rotated), "\\s+"),

@@ -97,6 +97,37 @@ class LayoutAdvisorSpec extends SparkSpec {
     assert(rec.toSeq == Seq("id"))
   }
 
+  test("a hash-valued candidate key spanning the full signed-64 range " +
+      "bins without overflow") {
+    // width = hi - lo + 1 and (k - lo) * nBins both wrap in Long here;
+    // the decimal bin arithmetic must still chop [Long.Min, Long.Max]
+    // into 4 ordered bins
+    val hashKeyed = Seq(Long.MinValue, Long.MinValue / 2, -1L, 0L,
+        Long.MaxValue / 2, Long.MaxValue)
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("hk", "len")
+    val c = LayoutAdvisor.binningCensus(hashKeyed,
+        Seq("hk" -> col("hk")), Seq("len" -> col("len")), nBins = 4)
+      .orderBy("bin").select("bin", "n_rows")
+      .as[(Long, Long)].collect().toSeq
+    // (k + 2^63)*4 div 2^64: Min→0; {Min/2, -1}→1; {0, Max/2}→2; Max→3
+    assert(c == Seq((0L, 1L), (1L, 2L), (2L, 2L), (3L, 1L)),
+      "full-range keys must land in monotone bins, not wrap")
+  }
+
+  test("an empty corpus (or all-NULL key) is a clear error, not an NPE") {
+    val err = intercept[IllegalArgumentException] {
+      LayoutAdvisor.binningCensus(corpus.where(col("id") < 0),
+        Seq("id" -> col("id")), stats, nBins = 4)
+    }
+    assert(err.getMessage.contains("no non-NULL values"))
+    val allNull = corpus.withColumn("nk", lit(null).cast("long"))
+    val err2 = intercept[IllegalArgumentException] {
+      LayoutAdvisor.binningCensus(allNull, Seq("nk" -> col("nk")),
+        stats, nBins = 4)
+    }
+    assert(err2.getMessage.contains("'nk'"))
+  }
+
   private implicit class MapOps(rows: Array[(String, Long, Boolean)]) {
     def toMap2: Map[String, (Long, Boolean)] =
       rows.map(r => r._1 -> ((r._2, r._3))).toMap

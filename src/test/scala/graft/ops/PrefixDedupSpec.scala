@@ -51,6 +51,42 @@ class PrefixDedupSpec extends SparkSpec {
     assert(total == 15L)
   }
 
+  test("a genuine 32-bit md5-prefix collision no longer collides under " +
+      "the 64-bit key: both prefixes certify losslessly") {
+    // "p194560" and "p206842" share md5[0:8] = 7c5294b8 (brute-forced
+    // offline) — under the old 32-bit key these merged and the
+    // certificate tripped on legitimate data; 64 bits keep them apart
+    def hex8(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    assert(hex8("p194560") == hex8("p206842"),
+      "fixture must be a true 32-bit collision")
+    val coll = Seq((1L, 0, "p194560"), (1L, 1, "x"),
+      (2L, 0, "p206842"), (2L, 1, "y"))
+      .toDF("conv_id", "turn_idx", "content")
+    val rows = PrefixDedup.censusWithCertificate(coll, "conv_id",
+        "turn_idx", "content", depth = 1)
+      .select("n_prefixes", "render_match").as[(Long, Boolean)].collect()
+    assert(rows.map(_._1).sum == 2L,
+      "64-bit keys must keep the 32-bit-colliding prefixes distinct")
+    assert(rows.forall(_._2), "both conversations must certify losslessly")
+  }
+
+  test("a suffix of empty-string turns keeps its separators: re-render " +
+      "branches on suffix EXISTENCE, not suffix length") {
+    // conv 1 has a third turn whose content is "" — its full render ends
+    // in a trailing separator, which a length(suffix)==0 branch would drop
+    val empties = Seq((1L, 0, "sys"), (1L, 1, "task"), (1L, 2, ""),
+      (2L, 0, "sys"), (2L, 1, "task"), (2L, 2, "beta"))
+      .toDF("conv_id", "turn_idx", "content")
+    val c = PrefixDedup.censusWithCertificate(empties, "conv_id",
+        "turn_idx", "content", depth = 2)
+      .select("n_convs", "n_prefixes", "raw_chars", "dedup_chars",
+        "saved_chars", "render_match")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().head
+    assert(c == ((2L, 1L, 18L, 11L, 7L, true)))
+  }
+
   test("a forced prefix-key collision fails the certificate closed") {
     val frames = PrefixDedup.convFrames(turns, "conv_id", "turn_idx",
         "content", depth = 2)
