@@ -269,7 +269,10 @@ object Bench {
     "q320_crawl_priority_fresh", // centrality x quality x freshness ranking
     "q321_dedup_provenance",  // loser->canonical source matrix over LSH+CC
     "q322_quant_sweep",       // integer-dot retrieval agreement per bit width
-    "q324_late_interaction")  // MaxSim vs pooled vs full-vector top-1 census
+    "q324_late_interaction",  // MaxSim vs pooled vs full-vector top-1 census
+    "q325_takedown_certificate", // removal-set absence across 5 artifacts
+    "q326_repack_worklist",   // first-dirty-sequence minimal re-pack plan
+    "q327_reindex_worklist")  // per-term postings/df maintenance plan
     // q323 stays out like q41/q45/q154: the deliberately-quadratic exact
     // path is the correctness tool; production runs the q42 LSH at the
     // curve's chosen threshold

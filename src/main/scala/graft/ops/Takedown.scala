@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Takedown / right-to-be-forgotten propagation — given a removal set of
+  * document ids, certify ABSENCE across every derived artifact a training
+  * pipeline materializes (packed shards, stored dedup/ANN/lexical indexes,
+  * additive censuses) and emit the MINIMAL re-pack / re-index work lists.
+  *
+  * A fleet hits this monthly: a takedown request arrives long after the
+  * corpus fanned out into sequence-packed shards, inverted indexes, and
+  * stored censuses, and "we deleted the source row" is not a compliance
+  * answer — every derived artifact must measurably no longer carry the
+  * removed ids. The certificate here is MEASURED, not inferred: each
+  * artifact's post-purge frame is rescanned against the removal set and
+  * the residual count reported (0 == clean); an artifact whose purge was
+  * skipped or incomplete shows a non-zero residual instead of passing
+  * silently.
+  *
+  * Scale shape: each artifact census is ONE scan of that artifact with a
+  * broadcast semi-probe of the removal set (removal sets are thousands of
+  * ids — always broadcastable) aggregated to a single row; the work lists
+  * are group-cardinality (shards / index maintenance units), never
+  * row-level dumps. Nothing is all-pairs; the certificate's cost is the
+  * unavoidable one scan per artifact that any absence PROOF requires.
+  *
+  * Reference anchor: the reference's audit stage certifies target counts
+  * against source counts per window (pipeline_logic/audit/audit_manager.py);
+  * this is that reconciliation doctrine applied to deletion instead of
+  * ingestion.
+  */
+object Takedown {
+
+  /** One id-bearing derived artifact: a display name, its rows, and the
+    * column carrying the (long) document/vector id. */
+  final case class Artifact(name: String, rows: DataFrame, idCol: String)
+
+  /** One artifact's 1-row hit census against the removal set:
+    * (artifact, n_rows, n_hits). The removal set is deduped and broadcast;
+    * the artifact is scanned once. */
+  def hitCensus(a: Artifact, removal: DataFrame, removalIdCol: String): DataFrame =
+    a.rows.select(col(a.idCol).cast("long").as("__id"))
+      .join(broadcast(removal.select(col(removalIdCol).cast("long")
+        .as("__id")).distinct().withColumn("__hit", lit(1L))),
+        Seq("__id"), "left_outer")
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+      .select(lit(a.name).as("artifact"), col("n_rows"), col("n_hits"))
+
+  /** The deletion certificate: per artifact — rows and removal-id hits
+    * BEFORE the purge, rows and residual hits AFTER, and `clean`
+    * (residual == 0). `before` and `after` must name the same artifacts;
+    * the after-side residual is measured by rescanning the purged frames,
+    * so a skipped or partial purge fails visibly. */
+  def absenceCertificate(before: Seq[Artifact], after: Seq[Artifact],
+      removal: DataFrame, removalIdCol: String): DataFrame = {
+    require(before.nonEmpty, "need at least one artifact")
+    require(before.map(_.name) == after.map(_.name),
+      s"before/after artifact sets differ: ${before.map(_.name)} vs " +
+        after.map(_.name))
+    val b = before.map(hitCensus(_, removal, removalIdCol))
+      .reduce(_ unionByName _)
+      .select(col("artifact"), col("n_rows").as("rows_before"),
+        col("n_hits").as("hits_before"))
+    val a = after.map(hitCensus(_, removal, removalIdCol))
+      .reduce(_ unionByName _)
+      .select(col("artifact"), col("n_rows").as("rows_after"),
+        col("n_hits").as("residual_after"))
+    b.join(a, "artifact")
+      .withColumn("clean", col("residual_after") === 0)
+  }
+
+  /** Minimal re-PACK plan for concat-chop packed shards
+    * ([[Packing.packSequences]] output): removing a document shifts every
+    * later token offset in its shard, so the smallest correct rewrite unit
+    * is the shard SUFFIX from the first sequence containing a removed doc.
+    * Per AFFECTED shard: sequence/doc totals, removed-doc count, the first
+    * dirty sequence, and the sequences to rewrite (total − first dirty).
+    * Untouched shards are absent — this is the work list, not a census. */
+  def repackWorklist(packed: DataFrame, shardCols: Seq[String],
+      seqCol: String, idCol: String, removal: DataFrame,
+      removalIdCol: String): DataFrame = {
+    val rm = broadcast(removal.select(col(removalIdCol).cast("long")
+      .as("__rid")).distinct())
+    packed
+      .join(rm, col(idCol).cast("long") === col("__rid"), "left_outer")
+      .groupBy(shardCols.map(col): _*)
+      .agg((max(col(seqCol)) + 1).as("n_seqs"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__rid").isNotNull, 1L).otherwise(0L))
+          .as("n_docs_removed"),
+        min(when(col("__rid").isNotNull, col(seqCol))).as("first_dirty_seq"))
+      .where(col("n_docs_removed") > 0)
+      .withColumn("n_seqs_rewrite", col("n_seqs") - col("first_dirty_seq"))
+  }
+
+  /** Minimal re-INDEX plan for a unit-keyed index artifact (BM25 term
+    * postings, IVF inverted lists, LSH buckets): the maintenance units
+    * that lose rows, with the per-unit drop count. Output is bounded by
+    * the removed rows' unit fan-out (O(removed × units-per-doc)), never
+    * the index size. */
+  def reindexWorklist(index: DataFrame, unitCol: String, idCol: String,
+      removal: DataFrame, removalIdCol: String): DataFrame = {
+    val rm = broadcast(removal.select(col(removalIdCol).cast("long")
+      .as("__rid")).distinct())
+    index
+      .join(rm, col(idCol).cast("long") === col("__rid"), "left_semi")
+      .groupBy(col(unitCol).as("unit"))
+      .agg(count(lit(1)).as("n_dropped"))
+  }
+}

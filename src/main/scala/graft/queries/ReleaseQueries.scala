@@ -967,7 +967,146 @@ object ReleaseQueries {
       .agg(count(lit(1)).as("n_responses"), sum(col("doc_id")).as("sum_ids"))
       .orderBy("source", "verdict")
 
+  // ------------------------------------------------------- q325/q326/q327
+
+  /** Shared takedown fixture: the removal set (doc_id % 31 == 5 — ~3% of
+    * the corpus, hitting every source at every SF) and the token-counted
+    * narrow frame the packed artifact derives from. */
+  private def takedownRemoval(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") % 31 === 5).select("doc_id")
+
+  private def takedownToked(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+        .as("tok"))
+
+  /** q325: takedown / right-to-be-forgotten certificate
+    * ([[graft.ops.Takedown]]) — a removal set propagated through FIVE
+    * derived artifacts and certified absent from each by MEASUREMENT:
+    * packed shards are re-packed without the removed docs, the
+    * fingerprint store and IVF lists are purged through the stores'
+    * rename-swap removal APIs, the BM25 postings through the lexical
+    * maintenance algebra (remove = exact inverse of merge), and the
+    * additive source census through a NEGATIVE delta ingest; every
+    * after-frame is then rescanned against the removal set (the census
+    * against a survivor rebuild), so a skipped or partial purge reports a
+    * non-zero residual instead of passing silently. Per artifact:
+    * rows/hits before, rows/residual after, clean. */
+  val takedownCertificate: Q = (s, dir) => {
+    import graft.ops.{Bm25, Packing, Takedown}
+    import graft.store.IndexStore
+    val docs = Tables.documents(s, dir)
+    val removal = takedownRemoval(docs)
+    val toked = takedownToked(docs)
+    val root = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_takedown")).toString
+    // packed shards: the purge is a re-pack of the surviving docs
+    val packed = Packing.packSequences(toked, Seq("source"), "doc_id",
+      "tok", 512)
+    val repacked = Packing.packSequences(
+      toked.join(removal, Seq("doc_id"), "left_anti"),
+      Seq("source"), "doc_id", "tok", 512)
+    // fingerprint store: rename-swap removal on the persisted index
+    IndexStore.saveHashIndex(s,
+      docs.select(col("doc_id"), xxhash64(col("text")).as("fp")),
+      s"$root/fp")
+    IndexStore.removeFromHashIndex(s, s"$root/fp", removal, "doc_id")
+    // BM25: remove is the exact inverse of merge; the purged index is
+    // persisted and the after-frame read back from the store
+    val lexical = Bm25.buildIndex(docs, "doc_id", "text")
+    IndexStore.saveLexicalIndex(s,
+      Bm25.removeFromIndex(lexical, removal.select(col("doc_id").as("id"))),
+      s"$root/bm25")
+    // IVF: rename-swap removal; frozen centroids, lists lose the ids
+    val ivf = graft.sim.Similarity.buildIvfIndex(
+      Tables.embeddings(s, dir), "vec_id", "embedding", 16, 42)
+    IndexStore.saveIvfIndex(s, ivf, s"$root/ivf")
+    IndexStore.removeFromIvfIndex(s, s"$root/ivf",
+      removal.select(col("doc_id")), "doc_id")
+    val idArtifacts = Takedown.absenceCertificate(
+      Seq(
+        Takedown.Artifact("packed_shards", packed, "doc_id"),
+        Takedown.Artifact("fingerprint_index",
+          docs.select(col("doc_id")), "doc_id"),
+        Takedown.Artifact("bm25_postings", lexical.postings, "id"),
+        Takedown.Artifact("ivf_lists", ivf.lists, "neighbor_id")),
+      Seq(
+        Takedown.Artifact("packed_shards", repacked, "doc_id"),
+        Takedown.Artifact("fingerprint_index",
+          IndexStore.loadHashIndex(s, s"$root/fp"), "doc_id"),
+        Takedown.Artifact("bm25_postings",
+          IndexStore.loadLexicalIndex(s, s"$root/bm25").postings, "id"),
+        Takedown.Artifact("ivf_lists",
+          IndexStore.loadIvfIndex(s, s"$root/ivf").lists, "neighbor_id")),
+      removal, "doc_id")
+    // additive census: purge = NEGATIVE delta ingest; residual = stored
+    // rows that disagree with a census rebuilt over the survivors
+    def srcCensus(d: DataFrame): DataFrame = d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_toks"))
+    require(IndexStore.updateCensus(s, s"$root/census", srcCensus(toked),
+      Seq("source"), 0L))
+    require(IndexStore.updateCensus(s, s"$root/census",
+      toked.join(removal, Seq("doc_id"), "left_semi").groupBy("source")
+        .agg((-count(lit(1))).as("n_docs"), (-sum(col("tok"))).as("n_toks")),
+      Seq("source"), 1L))
+    val beforeRow = srcCensus(toked).join(
+        toked.join(broadcast(removal), Seq("doc_id"), "left_semi")
+          .select(col("source")).distinct().withColumn("__hit", lit(1L)),
+        Seq("source"), "left_outer")
+      .agg(count(lit(1)).as("rows_before"),
+        coalesce(sum(col("__hit")), lit(0L)).as("hits_before"))
+    val stored = IndexStore.loadCensus(s, s"$root/census")
+      .where(col("n_docs") > 0)
+    val survivors = srcCensus(toked.join(removal, Seq("doc_id"), "left_anti"))
+      .select(col("source"), col("n_docs").as("sd"), col("n_toks").as("st"))
+    val afterRow = stored.join(survivors, Seq("source"), "full_outer")
+      .agg(count(lit(1)).as("rows_after"),
+        sum(when(col("n_docs").isNull || col("sd").isNull ||
+          col("n_docs") =!= col("sd") || col("n_toks") =!= col("st"), 1L)
+          .otherwise(0L)).as("residual_after"))
+    val censusCert = beforeRow.crossJoin(afterRow)
+      .select(lit("source_census").as("artifact"), col("rows_before"),
+        col("hits_before"), col("rows_after"), col("residual_after"))
+      .withColumn("clean", col("residual_after") === 0)
+    idArtifacts.unionByName(censusCert).orderBy("artifact")
+  }
+
+  /** q326: minimal re-pack work list ([[graft.ops.Takedown.repackWorklist]])
+    * — removing a document shifts every later token offset in its
+    * concat-chop shard, so the smallest correct rewrite unit is the shard
+    * suffix from the first dirty sequence. Per affected shard: sequence
+    * and doc totals, removed docs, first dirty sequence, sequences to
+    * rewrite. */
+  val repackWorklist: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val packed = graft.ops.Packing.packSequences(takedownToked(docs),
+      Seq("source"), "doc_id", "tok", 512)
+    graft.ops.Takedown.repackWorklist(packed, Seq("source"), "__seq",
+      "doc_id", takedownRemoval(docs), "doc_id").orderBy("source")
+  }
+
+  /** q327: minimal re-index work list
+    * ([[graft.ops.Takedown.reindexWorklist]]) over the BM25 postings —
+    * per term losing postings: dropped count, df before/after, and
+    * whether the term vanishes from the vocabulary (its stats row must be
+    * deleted, not decremented). Bounded by the removed docs' term
+    * fan-out, never the index size. */
+  val reindexWorklist: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val idx = graft.ops.Bm25.buildIndex(docs, "doc_id", "text")
+    graft.ops.Takedown.reindexWorklist(idx.postings, "term", "id",
+        takedownRemoval(docs), "doc_id")
+      .join(idx.stats.select(col("term").as("unit"),
+        col("df").as("df_before")), "unit")
+      .withColumn("df_after", col("df_before") - col("n_dropped"))
+      .withColumn("vanished", col("df_after") === 0)
+      .orderBy("unit")
+  }
+
   val all: Map[String, Q] = Map(
+    "q325_takedown_certificate" -> takedownCertificate,
+    "q326_repack_worklist" -> repackWorklist,
+    "q327_reindex_worklist" -> reindexWorklist,
     "q274_memorization_screen" -> memorizationScreen,
     "q283_truncation_screen" -> truncationScreen,
     "q238_host_quota" -> hostQuota,
@@ -1014,6 +1153,85 @@ object ReleaseQueries {
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q325: per-artifact expected row/hit counts are pure set arithmetic
+    // over the removal predicate (each artifact carries each id exactly
+    // once — postings once per (term, doc) pair); residuals and `clean`
+    // are asserted zero/true — the ENGINE side measures them by
+    // rescanning the purged stores, so a failed purge hash-mismatches
+    "q325_takedown_certificate" ->
+      """WITH rm AS (SELECT doc_id FROM documents WHERE doc_id % 31 = 5),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |nrm AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rm),
+        |pairs AS (SELECT DISTINCT doc_id, term FROM (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+        |    AS term FROM documents) t),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pairs),
+        |nph AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pairs
+        |  WHERE doc_id IN (SELECT doc_id FROM rm)),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+        |neh AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+        |  WHERE vec_id IN (SELECT doc_id FROM rm)),
+        |ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n
+        |  FROM documents),
+        |nsh AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 31 = 5),
+        |nss AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 31 <> 5)
+        |SELECT * FROM (
+        |  SELECT 'packed_shards' AS artifact, nd.n AS rows_before,
+        |    nrm.n AS hits_before, nd.n - nrm.n AS rows_after,
+        |    CAST(0 AS BIGINT) AS residual_after, true AS clean
+        |  FROM nd, nrm
+        |  UNION ALL SELECT 'fingerprint_index', nd.n, nrm.n, nd.n - nrm.n,
+        |    CAST(0 AS BIGINT), true FROM nd, nrm
+        |  UNION ALL SELECT 'bm25_postings', np.n, nph.n, np.n - nph.n,
+        |    CAST(0 AS BIGINT), true FROM np, nph
+        |  UNION ALL SELECT 'ivf_lists', ne.n, neh.n, ne.n - neh.n,
+        |    CAST(0 AS BIGINT), true FROM ne, neh
+        |  UNION ALL SELECT 'source_census', ns.n, nsh.n, nss.n,
+        |    CAST(0 AS BIGINT), true FROM ns, nsh, nss
+        |) ORDER BY artifact""".stripMargin,
+    // q326: the whole concat-chop packing replayed as a window cumsum,
+    // then the per-shard first-dirty-sequence arithmetic
+    "q326_repack_worklist" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT)
+        |      AS tok
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source,
+        |    CAST(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok
+        |      AS BIGINT) AS strt
+        |  FROM d),
+        |sq AS (SELECT doc_id, source, strt // 512 AS seq FROM p),
+        |g AS (
+        |  SELECT source, CAST(max(seq) + 1 AS BIGINT) AS n_seqs,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN doc_id % 31 = 5 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_docs_removed,
+        |    CAST(min(CASE WHEN doc_id % 31 = 5 THEN seq END) AS BIGINT)
+        |      AS first_dirty_seq
+        |  FROM sq GROUP BY 1)
+        |SELECT source, n_seqs, n_docs, n_docs_removed, first_dirty_seq,
+        |  n_seqs - first_dirty_seq AS n_seqs_rewrite
+        |FROM g WHERE n_docs_removed > 0 ORDER BY source""".stripMargin,
+    // q327: postings are distinct (term, doc) pairs; df maintenance is
+    // exact integer subtraction
+    "q327_reindex_worklist" ->
+      """WITH rm AS (SELECT doc_id FROM documents WHERE doc_id % 31 = 5),
+        |pairs AS (SELECT DISTINCT doc_id, term FROM (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+        |    AS term FROM documents) t),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df_before
+        |  FROM pairs GROUP BY 1),
+        |dr AS (SELECT term AS unit, CAST(count(*) AS BIGINT) AS n_dropped
+        |  FROM pairs WHERE doc_id IN (SELECT doc_id FROM rm) GROUP BY 1)
+        |SELECT unit, n_dropped, df_before, df_before - n_dropped AS df_after,
+        |  (df_before - n_dropped) = 0 AS vanished
+        |FROM dr JOIN df ON df.term = dr.unit ORDER BY unit""".stripMargin,
     // q283: the same plants, the same length/replace integer checks, the
     // same anchored regex and precedence
     "q283_truncation_screen" ->

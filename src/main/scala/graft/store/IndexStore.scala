@@ -393,6 +393,30 @@ object IndexStore {
     spark.read.parquet(s"$path/index")
   }
 
+  /** Right-to-be-forgotten for the generic hash-index store: drop the
+    * given ids from the stored frame behind the same dot-tmp →
+    * rename-swap protocol as the other stores (a reader never sees a
+    * half-purged index). Ids absent from the index are ignored (removal
+    * is idempotent). */
+  def removeFromHashIndex(spark: SparkSession, path: String,
+                          removedIds: org.apache.spark.sql.DataFrame,
+                          idCol: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta")),
+      s"removeFromHashIndex: no hash index at $path")
+    val idx = loadHashIndex(spark, path)
+    val surviving = idx.join(
+      removedIds.select(org.apache.spark.sql.functions.col(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+      .select(idx.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    val parent = Option(root.getParent).map(_.toString).getOrElse(".")
+    val tmp = new org.apache.hadoop.fs.Path(s"$parent/.${root.getName}_update_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    saveHashIndex(spark, surviving, tmp.toString)
+    graft.util.AtomicSwap.swap(fs, tmp, root)
+  }
+
   /** Persist a BM25 inverted index ([[graft.ops.Bm25.LexicalIndex]]):
     * term-keyed postings, vocabulary-sized df stats, per-doc length norms,
     * and the exact integer corpus scalars. The stored-retrieval half of

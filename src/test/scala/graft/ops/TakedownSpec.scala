@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Takedown propagation: hand-computed absence certificate, the planted
+  * survivor an incomplete purge must surface, the minimal re-pack plan,
+  * the per-term re-index plan, and the hash-store removal round trip. */
+class TakedownSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame(ids: Long*) = ids.map(Tuple1(_)).toDF("id")
+  private def removal = frame(2L)
+
+  test("hand-computed certificate: rows/hits before, residual zero after " +
+      "a complete purge") {
+    val before = Takedown.Artifact("idx", frame(1L, 2L, 3L, 4L), "id")
+    val after = Takedown.Artifact("idx", frame(1L, 3L, 4L), "id")
+    val c = Takedown.absenceCertificate(Seq(before), Seq(after),
+        removal, "id")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(c == Seq(("idx", 4L, 1L, 3L, 0L, true)))
+  }
+
+  test("a removed id surviving in exactly one artifact fails THAT " +
+      "artifact's certificate and no other") {
+    val a = Takedown.Artifact("clean_idx", frame(1L, 2L, 3L), "id")
+    val b = Takedown.Artifact("dirty_idx", frame(1L, 2L, 3L), "id")
+    val after = Seq(
+      Takedown.Artifact("clean_idx", frame(1L, 3L), "id"),
+      Takedown.Artifact("dirty_idx", frame(1L, 2L, 3L), "id")) // purge skipped
+    val c = Takedown.absenceCertificate(Seq(a, b), after, removal, "id")
+      .orderBy("artifact")
+      .select("artifact", "residual_after", "clean")
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(c == Seq(("clean_idx", 0L, true), ("dirty_idx", 1L, false)),
+      "the surviving id must be caught where it survives, not globally")
+  }
+
+  test("repack worklist: rewrite starts at the first dirty sequence; " +
+      "untouched shards are absent") {
+    // shard a: 4 docs of 3 tokens, budget 6 -> seqs [0,0,1,1]
+    val docs = Seq((1L, "a", 3L), (2L, "a", 3L), (3L, "a", 3L),
+      (4L, "a", 3L), (5L, "b", 3L), (6L, "b", 3L))
+      .toDF("doc_id", "shard", "tok")
+    val packed = Packing.packSequences(docs, Seq("shard"), "doc_id",
+      "tok", 6)
+    val w = Takedown.repackWorklist(packed, Seq("shard"), "__seq",
+        "doc_id", frame(3L), "id")
+      .select("shard", "n_seqs", "n_docs", "n_docs_removed",
+        "first_dirty_seq", "n_seqs_rewrite")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(w == Seq(("a", 2L, 4L, 1L, 1L, 1L)),
+      "doc 3 opens sequence 1, so only sequence 1 rewrites; shard b absent")
+    // removing the shard's first doc dirties every sequence
+    val w0 = Takedown.repackWorklist(packed, Seq("shard"), "__seq",
+        "doc_id", frame(1L), "id")
+      .select("first_dirty_seq", "n_seqs_rewrite")
+      .as[(Long, Long)].collect().toSeq
+    assert(w0 == Seq((0L, 2L)))
+  }
+
+  test("reindex worklist: per-term drop counts, exact df maintenance, " +
+      "vanished terms flagged") {
+    val postings = Seq(("x", 1L, 2L), ("x", 2L, 1L), ("y", 2L, 3L),
+      ("z", 1L, 1L), ("z", 3L, 1L)).toDF("term", "id", "tf")
+    val stats = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Takedown.reindexWorklist(postings, "term", "id", removal, "id")
+      .join(stats.withColumnRenamed("term", "unit"), "unit")
+      .withColumn("df_after", col("df") - col("n_dropped"))
+      .orderBy("unit")
+      .select("unit", "n_dropped", "df", "df_after")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(w == Seq(("x", 1L, 2L, 1L), ("y", 1L, 1L, 0L)),
+      "z has no removed postings and must be absent; y vanishes")
+  }
+
+  test("hash-store removal round trip: rename-swap purge survives reload, " +
+      "absent ids are a no-op") {
+    val path = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_takedown_spec"))
+      .resolve("fp").toString
+    val idx = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "fp")
+    graft.store.IndexStore.saveHashIndex(spark, idx, path)
+    graft.store.IndexStore.removeFromHashIndex(spark, path,
+      Seq(2L, 99L).map(Tuple1(_)).toDF("doc_id"), "doc_id")
+    val survivors = graft.store.IndexStore.loadHashIndex(spark, path)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(survivors == Seq((1L, "a"), (3L, "c")))
+  }
+}
