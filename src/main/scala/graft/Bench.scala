@@ -272,7 +272,10 @@ object Bench {
     "q324_late_interaction",  // MaxSim vs pooled vs full-vector top-1 census
     "q325_takedown_certificate", // removal-set absence across 5 artifacts
     "q326_repack_worklist",   // first-dirty-sequence minimal re-pack plan
-    "q327_reindex_worklist")  // per-term postings/df maintenance plan
+    "q327_reindex_worklist",  // per-term postings/df maintenance plan
+    "q329_bitext_ann")        // per-language IVF margin mining + recall cert
+    // q328 stays out like q41/q147: the exact brute-force baseline is the
+    // correctness oracle; q329 is the IVF scale path the fleet runs
     // q323 stays out like q41/q45/q154: the deliberately-quadratic exact
     // path is the correctness tool; production runs the q42 LSH at the
     // curve's chosen threshold

@@ -667,6 +667,95 @@ object CorpusQueries {
       .toDF("n_exact", "stored_equals_fused", "recall_ge_080")
   }
 
+  // ---------------------------------------------------------- q328/q329
+
+  /** Shared q328/q329 bitext fixture: three language populations over the
+    * embeddings table with PLANTED translations. "en" is the corpus
+    * verbatim; "de" plants a translation for vec_id % 3 == 0 (the en
+    * vector scaled 1.01 — cosine ~1 to its source, recoverable at top
+    * rank) and fills the rest with reversed vectors (unrelated geometry);
+    * "fr" plants vec_id % 4 == 1 (scaled 0.99) and fills with NEGATED
+    * reversed vectors. Ids offset per language (+1e5 / +2e5) — globally
+    * disjoint as the directed top-k frames require. Returns (corpus,
+    * gold alignments). */
+  private[graft] def bitextFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(s, dir)
+    def dbl(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("array<double>")
+    val en = emb.select(col("vec_id").as("id"), lit("en").as("lang"),
+      dbl(col("embedding")).as("v"))
+    val de = emb.select((col("vec_id") + 100000L).as("id"),
+      lit("de").as("lang"),
+      when(col("vec_id") % 3 === 0,
+        expr("transform(embedding, x -> cast(x as double) * 1.01)"))
+        .otherwise(expr(
+          "transform(reverse(embedding), x -> cast(x as double))")).as("v"))
+    val fr = emb.select((col("vec_id") + 200000L).as("id"),
+      lit("fr").as("lang"),
+      when(col("vec_id") % 4 === 1,
+        expr("transform(embedding, x -> cast(x as double) * 0.99)"))
+        .otherwise(expr(
+          "transform(reverse(embedding), x -> cast(x as double) * -1.0)"))
+        .as("v"))
+    val gold = emb.where(col("vec_id") % 3 === 0)
+      .select(lit("de").as("lang"), col("vec_id").as("left_id"),
+        (col("vec_id") + 100000L).as("right_id"))
+      .unionByName(emb.where(col("vec_id") % 4 === 1)
+        .select(lit("fr").as("lang"), col("vec_id").as("left_id"),
+          (col("vec_id") + 200000L).as("right_id")))
+    (en.unionByName(de).unionByName(fr), gold)
+  }
+
+  private val bitextTaus = Seq(1.0, 1.03, 1.06, 1.1)
+
+  /** q328: bitext yield curve ([[graft.sim.BitextMining]]) — the pivot
+    * "en" population mined against "de" and "fr" with the CCMatrix
+    * margin-ratio mutual-best rule (exact top-k baseline at gate scale;
+    * q329 runs the IVF composition), rolled into the per-language-pair
+    * yield curve: pairs and planted-gold recoveries surviving each margin
+    * threshold, with Σid certificates. Planted translations are scaled
+    * copies (cosine ~1) — mined at top rank by construction, so
+    * n_gold_recovered at the floor equals the plant count. */
+  val bitextYield: Q = (s, dir) => {
+    val (corpus, gold) = bitextFixture(s, dir)
+    val pairs = graft.sim.BitextMining.minePerLanguage(corpus, "id", "lang",
+      "v", "en", Seq("de", "fr"), k = 4, floor = bitextTaus.head)
+    graft.sim.BitextMining.yieldCensus(pairs, Seq("de", "fr"), bitextTaus,
+        gold)
+      .orderBy("lang", "tau")
+  }
+
+  /** q329: ANN-backed bitext mining — [[graft.sim.BitextMining
+    * .minePerLanguage]] through per-side IVF indexes (the two-large-
+    * corpora shape; neither side broadcasts), certified against the exact
+    * q328 pairs per language with the q148 recall doctrine: n_exact and
+    * n_gold are SQL-derivable, recall ≥ 0.8 bounds IVF pruning loss, and
+    * gold recovery at the floor must also clear 0.8 (planted pairs sit at
+    * cosine ~1 — pruning can only lose the ones whose partner lands in an
+    * unprobed list). */
+  val bitextAnn: Q = (s, dir) => {
+    val (corpus, gold) = bitextFixture(s, dir)
+    val exact = graft.sim.BitextMining.minePerLanguage(corpus, "id", "lang",
+      "v", "en", Seq("de", "fr"), k = 4, floor = bitextTaus.head)
+    val ann = graft.sim.BitextMining.minePerLanguage(corpus, "id", "lang",
+      "v", "en", Seq("de", "fr"), k = 4, floor = bitextTaus.head,
+      ann = Some((16, 12, 42L)))
+    val keys = Seq("lang", "left_id", "right_id")
+    val hits = exact.select(keys.map(col): _*)
+      .join(ann.select(keys.map(col): _*), keys, "left_semi")
+      .groupBy("lang").agg(count(lit(1)).as("n_hits"))
+    val goldHits = gold.join(ann.select(keys.map(col): _*), keys,
+      "left_semi").groupBy("lang").agg(count(lit(1)).as("n_gold_hits"))
+    exact.groupBy("lang").agg(count(lit(1)).as("n_exact"))
+      .join(gold.groupBy("lang").agg(count(lit(1)).as("n_gold")), "lang")
+      .join(hits, "lang").join(goldHits, "lang")
+      .select(col("lang"), col("n_exact"), col("n_gold"),
+        (col("n_hits") * 5 >= col("n_exact") * 4).as("recall_ge_080"),
+        (col("n_gold_hits") * 5 >= col("n_gold") * 4).as("gold_ge_080"))
+      .orderBy("lang")
+  }
+
   /** q168: incremental IVF index maintenance
     * ([[graft.store.IndexStore.updateIvfIndex]]) — the dense twin of the
     * q111/q115 lexical-index story, closing the build-once asymmetry:
@@ -1659,6 +1748,8 @@ object CorpusQueries {
     "q258_label_noise" -> labelNoise,
     "q147_margin_mining" -> marginMining,
     "q148_margin_mining_ann" -> marginMiningAnn,
+    "q328_bitext_yield" -> bitextYield,
+    "q329_bitext_ann" -> bitextAnn,
     "q149_skew_report" -> skewReport,
     "q154_dedup_threshold_curve" -> dedupThresholdCurve,
     "q163_margin_mining_stored" -> marginMiningStored,
@@ -1689,6 +1780,49 @@ object CorpusQueries {
     "q137_image_neardup_radius" -> imageNearDupRadius,
     "q141_leakage_attribution" -> leakageAttribution,
     "q144_leakage_incremental" -> leakageIncremental)
+
+  /** Shared q328/q329 oracle CTEs: the planted language populations, the
+    * brute-force directed top-4 frames per language pair, the mutual-best
+    * margin rule at the 1.0 floor, and the gold alignments. */
+  private val bitextOracleCtes: String =
+    """WITH en AS (SELECT vec_id AS id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |de AS (SELECT vec_id + 100000 AS id,
+      |    CASE WHEN vec_id % 3 = 0
+      |      THEN list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01)
+      |      ELSE list_transform(list_reverse(embedding),
+      |        x -> CAST(x AS DOUBLE)) END AS v
+      |  FROM embeddings),
+      |fr AS (SELECT vec_id + 200000 AS id,
+      |    CASE WHEN vec_id % 4 = 1
+      |      THEN list_transform(embedding, x -> CAST(x AS DOUBLE) * 0.99)
+      |      ELSE list_transform(list_reverse(embedding),
+      |        x -> CAST(x AS DOUBLE) * -1.0) END AS v
+      |  FROM embeddings),
+      |pop AS (SELECT 'de' AS lang, id, v FROM de
+      |  UNION ALL SELECT 'fr' AS lang, id, v FROM fr),
+      |fw AS (SELECT p.lang, e.id AS lid, p.id AS rid,
+      |    list_cosine_similarity(e.v, p.v) AS cs
+      |  FROM en e CROSS JOIN pop p),
+      |fwr AS (SELECT lang, lid, rid, cs, row_number() OVER (
+      |    PARTITION BY lang, lid ORDER BY cs DESC, rid ASC) AS rk FROM fw),
+      |bwr AS (SELECT lang, lid, rid, cs, row_number() OVER (
+      |    PARTITION BY lang, rid ORDER BY cs DESC, lid ASC) AS rk FROM fw),
+      |dx AS (SELECT lang, lid, avg(cs) AS dl FROM fwr WHERE rk <= 4
+      |  GROUP BY 1, 2),
+      |dy AS (SELECT lang, rid, avg(cs) AS dr FROM bwr WHERE rk <= 4
+      |  GROUP BY 1, 2),
+      |bf AS (SELECT lang, lid, rid, cs FROM fwr WHERE rk = 1),
+      |bb AS (SELECT lang, lid, rid FROM bwr WHERE rk = 1),
+      |mined AS (SELECT bf.lang, lid, rid, cs / ((dl + dr) / 2) AS margin
+      |  FROM bf JOIN bb USING (lang, lid, rid) JOIN dx USING (lang, lid)
+      |    JOIN dy USING (lang, rid)
+      |  WHERE cs / ((dl + dr) / 2) >= 1.0),
+      |gold AS (SELECT 'de' AS lang, vec_id AS lid, vec_id + 100000 AS rid
+      |    FROM embeddings WHERE vec_id % 3 = 0
+      |  UNION ALL SELECT 'fr' AS lang, vec_id AS lid, vec_id + 200000
+      |    AS rid FROM embeddings WHERE vec_id % 4 = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q177_crawl_pipeline" ->
@@ -2328,6 +2462,42 @@ object CorpusQueries {
         |FROM bf JOIN bb USING (lid, rid) JOIN dx USING (lid) JOIN dy USING (rid)
         |WHERE cs / ((dl + dr) / 2) >= 1.02
         |ORDER BY left_id""".stripMargin,
+    // q328/q329: the q147 brute-force margin replay extended with the
+    // language dimension and the planted-translation populations; the
+    // yield curve is the mined set re-cut per threshold (no re-mining)
+    "q328_bitext_yield" ->
+      (bitextOracleCtes +
+        """,
+          |taus AS (SELECT CAST(unnest([1.0, 1.03, 1.06, 1.1]) AS DOUBLE)
+          |  AS tau),
+          |langs AS (SELECT * FROM (VALUES ('de'), ('fr')) AS l(lang)),
+          |cnt AS (SELECT m.lang, t.tau, CAST(count(*) AS BIGINT) AS n_pairs,
+          |    CAST(sum(CASE WHEN g.lid IS NOT NULL THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n_gold_recovered,
+          |    CAST(sum(m.lid) AS BIGINT) AS sum_left_ids,
+          |    CAST(sum(m.rid) AS BIGINT) AS sum_right_ids
+          |  FROM mined m CROSS JOIN taus t
+          |    LEFT JOIN gold g ON g.lang = m.lang AND g.lid = m.lid
+          |      AND g.rid = m.rid
+          |  WHERE m.margin >= t.tau GROUP BY 1, 2)
+          |SELECT l.lang, t.tau,
+          |  coalesce(n_pairs, 0) AS n_pairs,
+          |  coalesce(n_gold_recovered, 0) AS n_gold_recovered,
+          |  coalesce(sum_left_ids, 0) AS sum_left_ids,
+          |  coalesce(sum_right_ids, 0) AS sum_right_ids
+          |FROM langs l CROSS JOIN taus t
+          |  LEFT JOIN cnt ON cnt.lang = l.lang AND cnt.tau = t.tau
+          |ORDER BY 1, 2""".stripMargin),
+    "q329_bitext_ann" ->
+      (bitextOracleCtes +
+        """
+          |SELECT m.lang, n_exact, n_gold,
+          |  true AS recall_ge_080, true AS gold_ge_080
+          |FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n_exact
+          |    FROM mined GROUP BY 1) m
+          |  JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS n_gold
+          |    FROM gold GROUP BY 1) g USING (lang)
+          |ORDER BY lang""".stripMargin),
     "q163_margin_mining_stored" ->
       """WITH l AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
         |r AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),

@@ -1,0 +1,88 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bitext / cross-lingual pair mining — the parallel-corpus builder
+  * (Schwenk et al. 2021 CCMatrix; Artetxe & Schwenk 2019): a PIVOT
+  * language population mined against each other language population with
+  * the margin-ratio mutual-best rule ([[MarginMining]]), rolled up into
+  * the census a mining fleet actually publishes — the per-language-pair
+  * YIELD CURVE: how many pairs (and how many known-gold alignments)
+  * survive each margin threshold, so the corpus owner picks the
+  * precision/volume trade-off per language pair instead of globally.
+  *
+  * Scale shape: mining is delegated to the [[MarginMining]] tier — the
+  * exact form is the gate baseline, the ANN form probes one prebuilt IVF
+  * index per side so candidates are a nProbe/nLists fraction of the other
+  * side and NEITHER side broadcasts. Mining runs ONCE per language pair
+  * at the floor threshold; the curve is one pass over the mined-pairs
+  * frame (already yield-sized) exploded against the threshold list —
+  * thresholds never re-mine. The gold set joins key-equi on
+  * (lang, left, right).
+  */
+object BitextMining {
+
+  /** Margin-mined pairs of the pivot population against each `others`
+    * language: (lang, left_id, right_id, margin), mined at the FLOOR
+    * threshold (the lowest the census will report). Ids must be globally
+    * disjoint across languages (they key the directed top-k frames).
+    * `ann = Some((nLists, nProbe, seed))` routes through the IVF
+    * composition — the shape that survives two corpus-sized sides;
+    * `None` is the exact brute-force baseline the ANN path gates
+    * against. */
+  def minePerLanguage(corpus: DataFrame, idCol: String, langCol: String,
+      vecCol: String, pivot: String, others: Seq[String], k: Int,
+      floor: Double, ann: Option[(Int, Int, Long)] = None): DataFrame = {
+    require(others.nonEmpty, "need at least one non-pivot language")
+    require(!others.contains(pivot), s"pivot '$pivot' cannot be mined " +
+      "against itself")
+    val pvt = corpus.where(col(langCol) === pivot)
+    others.map { l =>
+      val other = corpus.where(col(langCol) === l)
+      val pairs = ann match {
+        case Some((nLists, nProbe, seed)) => MarginMining.marginPairsAnn(
+          pvt, other, idCol, vecCol, k, floor, nLists, nProbe, seed)
+        case None => MarginMining.marginPairs(
+          pvt, other, idCol, vecCol, k, floor)
+      }
+      pairs.select(lit(l).as("lang"), col("left_id"), col("right_id"),
+        col("margin"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The yield curve: per (language, threshold) — mined pairs at that
+    * margin cut, gold alignments recovered, and Σid certificates. `gold`
+    * holds known-true (lang, left_id, right_id) alignments (a seed
+    * dictionary / planted translations); zero-yield cells are present
+    * with zero counts so the curve is always a full langs × taus grid.
+    * One pass over the mined-pairs frame; the grid is metadata-sized. */
+  def yieldCensus(pairs: DataFrame, langs: Seq[String], taus: Seq[Double],
+      gold: DataFrame): DataFrame = {
+    require(taus.nonEmpty, "need at least one threshold")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val grid = broadcast(
+      langs.flatMap(l => taus.map(t => (l, t))).toDF("lang", "tau"))
+    val counts = pairs
+      .join(gold.select(col("lang"), col("left_id"), col("right_id"))
+          .withColumn("__gold", lit(1L)),
+        Seq("lang", "left_id", "right_id"), "left_outer")
+      .select(col("lang"), col("margin"),
+        coalesce(col("__gold"), lit(0L)).as("g"),
+        col("left_id"), col("right_id"),
+        explode(array(taus.map(lit(_)): _*)).as("tau"))
+      .where(col("margin") >= col("tau"))
+      .groupBy("lang", "tau")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("g")).as("n_gold_recovered"),
+        sum(col("left_id")).as("sum_left_ids"),
+        sum(col("right_id")).as("sum_right_ids"))
+    grid.join(counts, Seq("lang", "tau"), "left_outer")
+      .select(col("lang"), col("tau"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_gold_recovered"), lit(0L)).as("n_gold_recovered"),
+        coalesce(col("sum_left_ids"), lit(0L)).as("sum_left_ids"),
+        coalesce(col("sum_right_ids"), lit(0L)).as("sum_right_ids"))
+  }
+}

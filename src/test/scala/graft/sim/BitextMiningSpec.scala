@@ -1,0 +1,73 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bitext mining: hand-computed yield curve (with zero-filled grid
+  * cells), planted-translation recovery through the exact path, and the
+  * ANN-vs-exact parity bound on the real fixture. */
+class BitextMiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed yield census: thresholds re-cut the mined set, " +
+      "gold tags join, empty cells zero-fill") {
+    val pairs = Seq(("de", 1L, 101L, 1.5), ("de", 2L, 102L, 1.05),
+      ("fr", 3L, 203L, 1.0))
+      .toDF("lang", "left_id", "right_id", "margin")
+    val gold = Seq(("de", 1L, 101L)).toDF("lang", "left_id", "right_id")
+    val c = BitextMining.yieldCensus(pairs, Seq("de", "fr"),
+        Seq(1.0, 1.2), gold)
+      .orderBy("lang", "tau")
+      .as[(String, Double, Long, Long, Long, Long)].collect().toSeq
+    assert(c == Seq(
+      ("de", 1.0, 2L, 1L, 3L, 203L),
+      ("de", 1.2, 1L, 1L, 1L, 101L),
+      ("fr", 1.0, 1L, 0L, 3L, 203L),
+      ("fr", 1.2, 0L, 0L, 0L, 0L)))
+  }
+
+  test("planted translations are mined at top rank by the exact path: " +
+      "every gold pair is recovered at the floor") {
+    val (corpus, gold) = graft.queries.CorpusQueries.bitextFixture(
+      spark, "/root/testdata/sf0.001")
+    val pairs = BitextMining.minePerLanguage(corpus, "id", "lang", "v",
+      "en", Seq("de", "fr"), k = 4, floor = 1.0)
+    val perLang = BitextMining.yieldCensus(pairs, Seq("de", "fr"),
+        Seq(1.0), gold)
+      .select("lang", "n_gold_recovered").as[(String, Long)].collect().toMap
+    val goldCounts = gold.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(perLang == goldCounts,
+      "a scaled-copy translation must be mutual-best with margin >= 1")
+  }
+
+  test("ANN-vs-exact parity: IVF mining recovers >= 0.8 of the exact " +
+      "pairs and >= 0.8 of the gold pairs per language") {
+    val (corpus, gold) = graft.queries.CorpusQueries.bitextFixture(
+      spark, "/root/testdata/sf0.001")
+    val exact = BitextMining.minePerLanguage(corpus, "id", "lang", "v",
+      "en", Seq("de", "fr"), k = 4, floor = 1.0)
+    val ann = BitextMining.minePerLanguage(corpus, "id", "lang", "v",
+      "en", Seq("de", "fr"), k = 4, floor = 1.0, ann = Some((8, 6, 42L)))
+    val keys = Seq("lang", "left_id", "right_id")
+    for (l <- Seq("de", "fr")) {
+      val e = exact.where(col("lang") === l)
+      val nExact = e.count()
+      val hits = e.select(keys.map(col): _*)
+        .join(ann.select(keys.map(col): _*), keys, "left_semi").count()
+      assert(hits * 5 >= nExact * 4, s"$l: ANN recall ${hits}/$nExact")
+      val nGold = gold.where(col("lang") === l).count()
+      val goldHits = gold.where(col("lang") === l)
+        .join(ann.select(keys.map(col): _*), keys, "left_semi").count()
+      assert(goldHits * 5 >= nGold * 4, s"$l: gold recall $goldHits/$nGold")
+    }
+  }
+
+  test("pivot mined against itself is rejected") {
+    val df = Seq((1L, "en", Array(1.0))).toDF("id", "lang", "v")
+    intercept[IllegalArgumentException] {
+      BitextMining.minePerLanguage(df, "id", "lang", "v", "en",
+        Seq("en", "de"), 4, 1.0)
+    }
+  }
+}
