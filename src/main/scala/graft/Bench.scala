@@ -273,7 +273,8 @@ object Bench {
     "q325_takedown_certificate", // removal-set absence across 5 artifacts
     "q326_repack_worklist",   // first-dirty-sequence minimal re-pack plan
     "q327_reindex_worklist",  // per-term postings/df maintenance plan
-    "q329_bitext_ann")        // per-language IVF margin mining + recall cert
+    "q329_bitext_ann",        // per-language IVF margin mining + recall cert
+    "q330_training_order")    // range-shard global order, no global sort
     // q328 stays out like q41/q147: the exact brute-force baseline is the
     // correctness oracle; q329 is the IVF scale path the fleet runs
     // q323 stays out like q41/q45/q154: the deliberately-quadratic exact

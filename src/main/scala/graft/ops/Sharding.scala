@@ -66,6 +66,52 @@ object Sharding {
     manifest(df, keyCol, epoch, nShards)
   }
 
+  /** Deterministic GLOBAL training-order emit — the materialized form of
+    * the order [[Sampling.epochOrderKey]] defines: every doc gets its
+    * (shard, position, global_pos) for the epoch, with NO global sort.
+    * The trick is RANGE sharding on the order key itself: the shard id is
+    * the top bits of the md5 order key (an equal-width chop of the
+    * [0, 2^32) bucket space), so shards are CONTIGUOUS KEY RANGES and the
+    * concatenation shard 0, 1, … in intra-shard order IS the global md5
+    * order — `global_pos` derives from the shard-local rank plus a
+    * broadcast prefix-sum of shard counts (a shard-cardinality frame).
+    * [[epochShard]]'s mod-sharding decorrelates batches ACROSS epochs
+    * (the q294 churn census); range-sharding is the right chop when the
+    * emitted artifact must BE the global order.
+    *
+    * Scale shape: one hash-partitioned exchange on the shard id + an
+    * intra-shard sort — the minimum any sharded global order costs; the
+    * window rank never sees more than one shard per task, and nothing
+    * range-partitions or globally sorts. Any engine replays the exact
+    * order from (key, epoch, nShards) alone — no RNG, no state. */
+  def globalOrderEmit(df: DataFrame, keyCol: String, epoch: Int,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val width = ((1L << 32) + nShards - 1) / nShards
+    val base = df
+      .withColumn("__ek", Sampling.epochOrderKey(col(keyCol), epoch))
+      // shard = top 32 bits of the order key chopped into equal ranges;
+      // lexicographic order of the fixed-width lowercase-hex key equals
+      // numeric bucket order, so shards are prefixes of the global order
+      .withColumn("shard", expr("cast(cast(conv(substring(__ek, 1, 8), " +
+        s"16, 10) as bigint) div ${width}L as int)"))
+    val ranked = base.withColumn("position",
+      row_number().over(Window.partitionBy(col("shard"))
+        .orderBy(col("__ek"), col(keyCol))).cast("long") - 1)
+    // prefix-sum of shard counts: shard-cardinality frame, broadcast back
+    val offsets = ranked.groupBy("shard")
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__n")).over(Window.partitionBy(lit(1))
+          .orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("__offset"))
+    ranked.join(broadcast(offsets), "shard")
+      .select(col(keyCol), col("shard"), col("position"),
+        (col("__offset") + col("position")).as("global_pos"))
+  }
+
   /** Cross-epoch shard-plan census: for every (epoch, shard) cell, the row
     * count, Σkey certificate, and INFLOW — rows assigned to this shard at
     * epoch e that sat in a different shard at epoch e−1. Together the

@@ -346,6 +346,23 @@ object EvalQueries {
       Tables.documents(s, dir), "doc_id", nEpochs = 3, nShards = 8)
       .orderBy("epoch", "shard")
 
+  // ---------------------------------------------------------------- q330
+
+  /** q330: deterministic global training-order EMIT
+    * ([[graft.ops.Sharding.globalOrderEmit]]) — q294 measures epoch
+    * churn; this materializes the order itself: every doc's (shard,
+    * position, global_pos) for epoch 1 over 8 shards, where the shard is
+    * a RANGE of the md5 order key (so shard concatenation IS the global
+    * order) and the rank is computed within shards only — the oracle's
+    * global row_number must equal the engine's shard-local rank plus the
+    * broadcast prefix-sum, which is exactly the no-global-sort identity
+    * the operator claims. */
+  val trainingOrder: Q = (s, dir) =>
+    graft.ops.Sharding.globalOrderEmit(
+      Tables.documents(s, dir).select("doc_id"), "doc_id",
+      epoch = 1, nShards = 8)
+      .orderBy("global_pos")
+
   // ---------------------------------------------------------------- q295
 
   /** Shared q295 fixture: the physical file MANIFEST of the documents
@@ -961,6 +978,7 @@ object EvalQueries {
     "q292_constraint_lint" -> constraintLint,
     "q293_trajectory_census" -> trajectoryCensus,
     "q294_epoch_churn" -> epochShufflePlan,
+    "q330_training_order" -> trainingOrder,
     "q295_compaction_plan" -> compactionPlan,
     "q297_rm_length_debias" -> rmLengthDebias,
     "q299_spec_decode" -> specDecodeAcceptance,
@@ -1234,6 +1252,26 @@ object EvalQueries {
         |  CAST(sum(trace_id) AS BIGINT) AS sum_traces
         |FROM t GROUP BY 1, 2
         |""".stripMargin,
+
+    // q330: the oracle ranks GLOBALLY (row_number over the whole md5
+    // order) — the engine never does; equality of the two is the
+    // no-global-sort identity the gate certifies. Shard width
+    // 536870912 = ceil(2^32 / 8); fixed-width lowercase hex sorts like
+    // the numeric bucket, so range-sharding the bucket prefixes the order
+    "q330_training_order" ->
+      """WITH k AS (SELECT doc_id,
+        |    md5(concat('e1:', CAST(doc_id AS VARCHAR))) AS ek
+        |  FROM documents),
+        |s AS (SELECT doc_id, ek,
+        |    CAST(CAST(concat('0x', substr(ek, 1, 8)) AS BIGINT)
+        |      // 536870912 AS INT) AS shard
+        |  FROM k)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ek, doc_id)
+        |    - 1 AS BIGINT) AS position,
+        |  CAST(row_number() OVER (ORDER BY ek, doc_id) - 1 AS BIGINT)
+        |    AS global_pos
+        |FROM s ORDER BY global_pos""".stripMargin,
 
     // q294: the q92 md5-bucket idiom per epoch; prev-epoch assignment is
     // the same pure function of the key, so churn replays with zero joins

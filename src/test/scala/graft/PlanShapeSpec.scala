@@ -243,6 +243,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange rangepartitioning"))
   }
 
+  test("global training-order emit never global-sorts: no range exchange, " +
+      "ranks windowed within shards only") {
+    val plan = graft.ops.Sharding.globalOrderEmit(
+        Tables.documents(spark, dir).select("doc_id"), "doc_id", 1, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global order emit must not range-partition:\n${plan.take(3000)}")
+    assert(plan.contains("Window"), "shard-local rank must be a window")
+    assert(plan.contains("BroadcastExchange"),
+      "prefix offsets must broadcast back, never shuffle the corpus")
+    // data-path shuffles: the shard exchange (+ the nShards-row offset
+    // frame's constant-key exchange) — never more
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 3, s"expected <= 3 hash exchanges, got $shuffles:" +
+      s"\n${plan.take(3000)}")
+  }
+
   test("hybrid RRF keeps both legs' scale shapes: bounded top-k aggregate + TakeOrdered") {
     val plan = planOf("q106_hybrid_rrf")
     assert(plan.contains("top_k_by_score"),

@@ -66,6 +66,41 @@ class ShardingSpec extends SparkSpec {
     }
   }
 
+  test("global order emit: (shard, position) concatenation IS the global " +
+      "md5 order; global_pos is an exact permutation") {
+    val out = Sharding.globalOrderEmit(docs.select("doc_id"), "doc_id",
+        epoch = 1, nShards = 8)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    val n = out.size
+    assert(out.map(_._4).sorted == (0L until n), "global_pos must be a " +
+      "permutation of 0..N-1")
+    // recompute the global order the expensive way (a true global sort)
+    // and pin that the shard-local emit reproduced it exactly
+    val globalRank = docs.select("doc_id")
+      .withColumn("__ek", Sampling.epochOrderKey(col("doc_id"), 1))
+      .orderBy("__ek", "doc_id").select("doc_id")
+      .as[Long].collect().zipWithIndex.map { case (id, i) => id -> i.toLong }
+      .toMap
+    assert(out.forall { case (id, _, _, g) => globalRank(id) == g },
+      "shard-local rank + prefix offsets must equal the global sort rank")
+    // positions are contiguous 0..n_s-1 within every shard
+    out.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted == (0L until rows.size),
+        s"shard $sh positions must be contiguous from 0")
+    }
+  }
+
+  test("global order emit: different epochs emit genuinely different " +
+      "permutations") {
+    val e1 = Sharding.globalOrderEmit(docs.select("doc_id"), "doc_id", 1, 8)
+      .select("doc_id", "global_pos").as[(Long, Long)].collect().toMap
+    val e2 = Sharding.globalOrderEmit(docs.select("doc_id"), "doc_id", 2, 8)
+      .select("doc_id", "global_pos").as[(Long, Long)].collect().toMap
+    val moved = e1.count { case (id, g) => e2(id) != g }
+    assert(moved * 10 > e1.size * 9,
+      s"only $moved/${e1.size} docs moved between epoch orders")
+  }
+
   test("churn census inflow equals the direct two-column comparison") {
     val c = Sharding.epochChurnCensus(docs, "doc_id", 2, 8)
       .as[(Int, Int, Long, Long, Long)].collect()
