@@ -239,6 +239,34 @@ object Dedup {
     * pairs — a dup cluster larger than the cap, where all buckets of the
     * cluster are oversized — is exactly the case that belongs to EXACT
     * dedup (boilerplate is byte-identical), which runs without any cap. */
+  /** The band structs for one signature array: (band, bh) per band, with
+    * bh = xxhash64 over that band's signature components. One shared
+    * construction for the LSH join and the guard census below, so the
+    * observed buckets cannot drift from the joined ones. */
+  private def bandStructs(bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      val comps = (0 until rowsPerBand)
+        .map(r => col("sig").getItem(b * rowsPerBand + r))
+      struct(lit(b).as("band"), xxhash64(comps: _*).as("bh"))
+    }: _*)
+
+  /** Mega-bucket guard OBSERVABILITY: the band buckets [[minHashLsh]]'s
+    * guard drops at `maxBucketSize` — (band, bh, n) rows. One partial-
+    * aggregated groupBy over the narrow band table; empty on healthy
+    * corpora. Built from the identical band construction the join uses,
+    * so a non-empty result IS the guard firing (the ScaleStress guard
+    * certification records this count next to the bounded runtime). */
+  def oversizedBandBuckets(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    minHashSignaturesPerRow(docs, idCol, textCol, shingleK, numHashes)
+      .select(explode(bandStructs(bands, numHashes / bands)).as("bb"))
+      .groupBy(col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucketSize)
+  }
+
   private def dropOversizedBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame =
     if (maxBucketSize <= 0) banded
     else {
@@ -328,12 +356,9 @@ object Dedup {
     // background similarity. Default off; the equality of both shapes is
     // pinned by DedupSpec.
     val cand = (if (carrySignatures) {
-      val bandCols = (0 until bands).map { b =>
-        val comps = (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r))
-        struct(lit(b).as("band"), xxhash64(comps: _*).as("bh"))
-      }
       val banded = dropOversizedBuckets(
-        sig.select(col("id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
+        sig.select(col("id"), col("sig"),
+            explode(bandStructs(bands, rowsPerBand)).as("bb"))
           .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh")),
         maxBucketSize)
       banded.as("a").join(banded.as("b"),
@@ -346,12 +371,8 @@ object Dedup {
       // banding straight off the signature array: band hash = xxhash64 over
       // that band's signature components (identical values to the aggregate
       // form's h_j columns, so buckets — and final output — are unchanged)
-      val bandCols = (0 until bands).map { b =>
-        val comps = (0 until rowsPerBand).map(r => col("sig").getItem(b * rowsPerBand + r))
-        struct(lit(b).as("band"), xxhash64(comps: _*).as("bh"))
-      }
       val banded = dropOversizedBuckets(
-        sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+        sig.select(col("id"), explode(bandStructs(bands, rowsPerBand)).as("bb"))
           .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh")),
         maxBucketSize)
       // distinct BEFORE the prefilter joins, deliberately: the materialized

@@ -363,6 +363,44 @@ object EvalQueries {
       epoch = 1, nShards = 8)
       .orderBy("global_pos")
 
+  // ---------------------------------------------------------------- q331
+
+  /** q331: order-growth churn — what a corpus REFRESH costs under the
+    * deterministic training order: emit the q330 order for the old corpus
+    * (doc_id % 5 != 0) and for the grown corpus, join on the old docs,
+    * and census per shard. Shard membership is a pure hash of the key, so
+    * old docs NEVER change shard (shard_stable pins it — the property
+    * that bounds the rewrite to within-shard position shifts); positions
+    * shift by exactly the new docs inserted ahead in the same shard
+    * (sum_shift ≤ n_old·n_new per shard, realized much lower). The fleet
+    * reads this as "which shard files a refresh rewrites and how far the
+    * resume cursors move". */
+  val orderGrowth: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select("doc_id")
+    def emit(d: DataFrame) = graft.ops.Sharding.globalOrderEmit(
+      d, "doc_id", epoch = 1, nShards = 8)
+    val old = emit(docs.where(col("doc_id") % 5 =!= 0))
+      .select(col("doc_id"), col("shard").as("shard_old"),
+        col("position").as("pos_old"))
+    val grown = emit(docs)
+    val delta = grown.join(old.select("doc_id"), Seq("doc_id"), "left_anti")
+      .groupBy("shard").agg(count(lit(1)).as("n_new"))
+    grown.join(old, "doc_id")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_old"),
+        sum(when(col("shard") =!= col("shard_old"), 1L).otherwise(0L))
+          .as("n_moved"),
+        sum(when(col("position") =!= col("pos_old"), 1L).otherwise(0L))
+          .as("n_shifted"),
+        sum(col("position") - col("pos_old")).as("sum_shift"))
+      .join(delta, Seq("shard"), "left_outer")
+      .select(col("shard"), col("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        (col("n_moved") === 0).as("shard_stable"),
+        col("n_shifted"), col("sum_shift"))
+      .orderBy("shard")
+  }
+
   // ---------------------------------------------------------------- q295
 
   /** Shared q295 fixture: the physical file MANIFEST of the documents
@@ -979,6 +1017,7 @@ object EvalQueries {
     "q293_trajectory_census" -> trajectoryCensus,
     "q294_epoch_churn" -> epochShufflePlan,
     "q330_training_order" -> trainingOrder,
+    "q331_order_growth" -> orderGrowth,
     "q295_compaction_plan" -> compactionPlan,
     "q297_rm_length_debias" -> rmLengthDebias,
     "q299_spec_decode" -> specDecodeAcceptance,
@@ -1272,6 +1311,42 @@ object EvalQueries {
         |  CAST(row_number() OVER (ORDER BY ek, doc_id) - 1 AS BIGINT)
         |    AS global_pos
         |FROM s ORDER BY global_pos""".stripMargin,
+
+    // q331: both orders replayed end-to-end, joined on the surviving docs
+    "q331_order_growth" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |ko AS (SELECT doc_id,
+        |    md5(concat('e1:', CAST(doc_id AS VARCHAR))) AS ek
+        |  FROM d WHERE doc_id % 5 <> 0),
+        |so AS (SELECT doc_id,
+        |    CAST(CAST(concat('0x', substr(ek, 1, 8)) AS BIGINT)
+        |      // 536870912 AS INT) AS shard_old,
+        |    CAST(row_number() OVER (PARTITION BY
+        |      CAST(concat('0x', substr(ek, 1, 8)) AS BIGINT) // 536870912
+        |      ORDER BY ek, doc_id) - 1 AS BIGINT) AS pos_old
+        |  FROM ko),
+        |kg AS (SELECT doc_id,
+        |    md5(concat('e1:', CAST(doc_id AS VARCHAR))) AS ek FROM d),
+        |sg AS (SELECT doc_id,
+        |    CAST(CAST(concat('0x', substr(ek, 1, 8)) AS BIGINT)
+        |      // 536870912 AS INT) AS shard,
+        |    CAST(row_number() OVER (PARTITION BY
+        |      CAST(concat('0x', substr(ek, 1, 8)) AS BIGINT) // 536870912
+        |      ORDER BY ek, doc_id) - 1 AS BIGINT) AS position
+        |  FROM kg),
+        |nw AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_new FROM sg
+        |  WHERE doc_id % 5 = 0 GROUP BY 1),
+        |j AS (SELECT sg.shard, sg.position, so.shard_old, so.pos_old
+        |  FROM sg JOIN so USING (doc_id))
+        |SELECT j.shard, CAST(count(*) AS BIGINT) AS n_old,
+        |  coalesce(nw.n_new, 0) AS n_new,
+        |  CAST(sum(CASE WHEN j.shard <> shard_old THEN 1 ELSE 0 END)
+        |    AS BIGINT) = 0 AS shard_stable,
+        |  CAST(sum(CASE WHEN position <> pos_old THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_shifted,
+        |  CAST(sum(position - pos_old) AS BIGINT) AS sum_shift
+        |FROM j LEFT JOIN nw ON nw.shard = j.shard
+        |GROUP BY 1, nw.n_new ORDER BY 1""".stripMargin,
 
     // q294: the q92 md5-bucket idiom per epoch; prev-epoch assignment is
     // the same pure function of the key, so churn replays with zero joins

@@ -1103,8 +1103,49 @@ object ReleaseQueries {
       .orderBy("unit")
   }
 
+  /** q332: the q325 census artifact's INCREMENTAL twin — takedown
+    * requests arrive in WAVES (legal queues batch them), and the additive
+    * census purges by ingesting each wave's NEGATIVE per-source delta
+    * into the store exactly-once (the q317 cursor doctrine: a replayed
+    * wave must no-op, or the census double-subtracts and under-reports
+    * the corpus). Gate: two waves (removal id div 31 parity) through the
+    * store + a replay, then the reloaded census must equal the
+    * survivor-corpus rebuild per source. */
+  val takedownIncremental: Q = (s, dir) => {
+    import graft.store.IndexStore
+    val docs = Tables.documents(s, dir)
+    val toked = takedownToked(docs)
+    val removal = takedownRemoval(docs)
+    val path = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_takedown_idx"))
+      .resolve("census").toString
+    def census(d: DataFrame): DataFrame = d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_toks"))
+    require(IndexStore.updateCensus(s, path, census(toked), Seq("source"),
+      batchId = 0L))
+    def wave(parity: Int, id: Long): Boolean =
+      IndexStore.updateCensus(s, path,
+        toked.join(removal.where(expr("(doc_id div 31) % 2") === parity),
+            Seq("doc_id"), "left_semi")
+          .groupBy("source")
+          .agg((-count(lit(1))).as("n_docs"), (-sum(col("tok"))).as("n_toks")),
+        Seq("source"), batchId = id)
+    require(wave(0, 1L))
+    val replayNoop = !wave(0, 1L)
+    require(wave(1, 2L))
+    val survivors = census(toked.join(removal, Seq("doc_id"), "left_anti"))
+      .select(col("source"), col("n_docs").as("sd"), col("n_toks").as("st"))
+    IndexStore.loadCensus(s, path).join(survivors, "source")
+      .select(col("source"), col("n_docs"), col("n_toks"),
+        (col("n_docs") === col("sd") && col("n_toks") === col("st"))
+          .as("match_survivors"))
+      .withColumn("replay_noop", lit(replayNoop))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
     "q325_takedown_certificate" -> takedownCertificate,
+    "q332_takedown_incremental" -> takedownIncremental,
     "q326_repack_worklist" -> repackWorklist,
     "q327_reindex_worklist" -> reindexWorklist,
     "q274_memorization_screen" -> memorizationScreen,
@@ -1191,6 +1232,21 @@ object ReleaseQueries {
         |  UNION ALL SELECT 'source_census', ns.n, nsh.n, nss.n,
         |    CAST(0 AS BIGINT), true FROM ns, nsh, nss
         |) ORDER BY artifact""".stripMargin,
+    // q332: the stored census after both negative waves must equal the
+    // survivor rebuild — SQL computes the survivors; booleans are the
+    // engine-verified exactly-once contract (the q317 doctrine)
+    "q332_takedown_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT)
+        |      AS tok
+        |  FROM documents WHERE doc_id % 31 <> 5)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS n_toks,
+        |  true AS match_survivors, true AS replay_noop
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // q326: the whole concat-chop packing replayed as a window cumsum,
     // then the per-shard first-dirty-sequence arithmetic
     "q326_repack_worklist" ->

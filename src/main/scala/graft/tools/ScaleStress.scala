@@ -73,36 +73,42 @@ object ScaleStress {
         .foreach(_.set(0))
   }
 
+  /** Unit multipliers coprime to 26 — the generation axis of the affine
+    * replica-cipher family below. 12 units × 26 shifts = 312 pairwise
+    * near-disjoint letter maps. */
+  private val AffineUnits = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
   /** k distinct replicas of the documents table. Replica 0 is the
-    * original; replica r Caesar-rotates letters by r mod 26 AND digits by
-    * a never-identity rotation 1+((r-1) mod 9), so every alphanumeric
-    * character differs between rotations and the CHARACTER k-gram shingle
-    * sets of distinct rotations are disjoint for any shingle containing
-    * at least one [a-z0-9] — a token suffix is not enough (intra-word
-    * shingles survive it, leaving replicas ~50% Jaccard-similar and
-    * turning LSH candidate volume quadratic in k, a fixture artifact),
-    * and a letters-only rotation is not enough on corpora with digits
-    * (digit-bearing shingles survive verbatim and partially re-couple
-    * replicas). Residual coupling is limited to shingles made ENTIRELY
-    * of non-alphanumerics — absent from the testdata corpus and
-    * negligible on any prose. Token counts, duplicate structure WITHIN a
-    * replica, lang and source are preserved. Replicas ≥ 26 reuse a
-    * letter rotation and get a per-generation token suffix instead
-    * (partial disjointness — keep scales ≤ 26 for clean exponents). */
+    * original; replica r maps letter index i to (a·i + s) mod 26 with
+    * s = r mod 26 and a = AffineUnits(r div 26) — an AFFINE cipher per
+    * replica (replicas 1–25 are the plain Caesar shifts the round-12
+    * certification shipped with; generations ≥ 1 change the multiplier
+    * instead of suffixing tokens). Two distinct replica maps agree on at
+    * most 2 letters (same multiplier → shifts differ → zero agreement;
+    * different multipliers a₁≠a₂ → (a₁−a₂)i ≡ s₂−s₁ mod 26 has gcd(a₁−a₂,
+    * 26) = 2 solutions at most), so any character k-gram containing ≥3
+    * distinct letters differs between replicas and the shingle sets are
+    * disjoint to fixture standards — a token suffix is NOT enough
+    * (intra-word shingles survive it, leaving replicas ~50%
+    * Jaccard-similar and turning LSH candidate volume quadratic in k, a
+    * measured fixture artifact). Digits additionally rotate by the
+    * never-identity 1+((r−1) mod 9) for corpora that have them (the
+    * testdata corpus is letters+space only). Token counts, duplicate
+    * structure WITHIN a replica, lang and source are preserved. Scales
+    * beyond 312 replicas would need a wider cipher family — require()d. */
   def inflateDocuments(docs: DataFrame, n: Long, k: Int): DataFrame = {
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     val digits = "0123456789"
+    require(k <= 26 * AffineUnits.size,
+      s"inflation supports up to ${26 * AffineUnits.size} disjoint replicas")
     (0 until k).map { r =>
-      val rot = r % 26
-      val drot = if (rot == 0) 0 else 1 + ((rot - 1) % 9)
-      val rotated = if (rot == 0) col("text")
+      val shift = r % 26
+      val a = AffineUnits(r / 26)
+      val mapped = alpha.indices.map(i => alpha((a * i + shift) % 26)).mkString
+      val drot = if (r == 0) 0 else 1 + ((r - 1) % 9)
+      val txt = if (r == 0) col("text")
         else translate(col("text"), alpha + digits,
-          alpha.substring(rot) + alpha.substring(0, rot) +
-            digits.substring(drot) + digits.substring(0, drot))
-      val gen = r / 26
-      val txt = if (gen == 0) rotated
-        else concat_ws(" ", transform(split(trim(rotated), "\\s+"),
-          t => concat(t, lit("_" + ('a' + (gen - 1) % 26).toChar))))
+          mapped + digits.substring(drot) + digits.substring(0, drot))
       docs.select((col("doc_id") + lit(r.toLong * n)).as("doc_id"),
         txt.as("text"), col("lang"), col("source"),
         length(txt).cast("long").as("n_chars"))
@@ -239,6 +245,69 @@ object ScaleStress {
     }
     println(s"""{"metric":"scale_stress","base":"$baseDir","scales":[${
       scales.mkString(",")}],"families":{${summary.mkString(",")}}}""")
+
+    // ------------------------------------------------ guard certification
+    // Optional 5th arg "guard": plant a boilerplate key (every 6th doc's
+    // text replaced by one constant string — the templated-site shape) and
+    // measure the mega-bucket guard FIRING, twice:
+    //  (a) contrast at the smallest scale: guard OFF realizes the C(n,2)
+    //      candidate blowup of the planted cluster, guard ON (cap sized
+    //      under the cluster) removes it — both runs complete, so the
+    //      cliff and its removal are measured, not argued;
+    //  (b) the DEFAULT 100k cap at the largest scale: the planted cluster
+    //      must exceed 100k docs (x125 of sf0.1 plants ~104k), all 16
+    //      band buckets fire, and the guarded run completes bounded.
+    if (args.length > 4 && args(4) == "guard") {
+      import graft.dedup.Dedup
+      val boiler = "terms of service apply to every page of this site"
+      def planted(k: Int): DataFrame =
+        graft.sources.Tables.documents(spark, dirs(k))
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(6L)) === 0, lit(boiler))
+              .otherwise(col("text")))
+      def timedPairs(df: DataFrame, cap: Int): (Double, Long) = {
+        listener.reset()
+        val t0 = System.nanoTime()
+        val n = Dedup.minHashLsh(df, "doc_id", "text",
+          maxBucketSize = cap).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val kc = scales.head
+      val pc = planted(kc)
+      val nPlantedSmall = pc.where(col("text") === lit(boiler)).count()
+      // cap must sit UNDER the planted cluster (else nothing fires) and
+      // above legitimate dup clusters (single digits on this corpus)
+      val capOn = math.max(100L, nPlantedSmall / 2).toInt
+      val (tOff, nOff) = timedPairs(pc, 0)
+      val (tOn, nOn) = timedPairs(pc, capOn)
+      val firedSmall = Dedup.oversizedBandBuckets(pc, "doc_id", "text",
+        maxBucketSize = capOn).count()
+      println(f"[guard] x$kc planted=$nPlantedSmall cap=$capOn " +
+        f"off: ${tOff}%.2fs/$nOff pairs  on: ${tOn}%.2fs/$nOn pairs  " +
+        f"fired=$firedSmall buckets")
+      val kb = scales.last
+      val pb = planted(kb)
+      val nPlantedBig = pb.where(col("text") === lit(boiler)).count()
+      val firedBig = Dedup.oversizedBandBuckets(pb, "doc_id", "text").count()
+      listener.reset()
+      val t0 = System.nanoTime()
+      val nBig = Dedup.minHashLsh(pb, "doc_id", "text").count()
+      val tBig = (System.nanoTime() - t0) / 1e9
+      println(f"[guard] x$kb planted=$nPlantedBig default cap " +
+        f"${Dedup.DefaultMaxBucketSize}: fired=$firedBig buckets, " +
+        f"guarded run ${tBig}%.2fs/$nBig pairs, " +
+        f"spill=${mb(listener.spill.get)}MB " +
+        f"maxTask=${mb(listener.maxTaskShuffleRead.get)}MB")
+      println(s"""{"metric":"lsh_guard","small":{"scale":$kc,""" +
+        s""""planted":$nPlantedSmall,"cap":$capOn,"sec_off":$tOff,""" +
+        s""""pairs_off":$nOff,"sec_on":$tOn,"pairs_on":$nOn,""" +
+        s""""buckets_fired":$firedSmall},"big":{"scale":$kb,""" +
+        s""""planted":$nPlantedBig,"cap":${Dedup.DefaultMaxBucketSize},""" +
+        s""""buckets_fired":$firedBig,"sec":$tBig,"pairs":$nBig,""" +
+        s""""spill_mb":${listener.spill.get / 1048576.0},""" +
+        s""""max_task_shuffle_mb":${
+          listener.maxTaskShuffleRead.get / 1048576.0}}}""")
+    }
     spark.stop()
   }
 }

@@ -191,6 +191,25 @@ class DedupSpec extends SparkSpec {
     assert(unguarded.size == 300 * 299 / 2 + 1)
   }
 
+  test("guard observability census names exactly the buckets the guard " +
+      "drops: 16 fired on a planted cluster, none on the clean corpus") {
+    val boiler = (0L until 300L).map(i =>
+      (1000L + i, "standard footer text repeated on every templated page " * 5))
+    val planted = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again until done",
+      2L -> "the quick brown fox jumps over the lazy dog again and again until dusk")
+    val d = (boiler ++ planted.map(p => (p._1, p._2))).toDF("doc_id", "text")
+    val fired = Dedup.oversizedBandBuckets(d, "doc_id", "text",
+        maxBucketSize = 50)
+      .select("n").as[Long].collect().toSeq
+    // identical signatures -> the cluster owns all 16 band buckets; each
+    // holds exactly the 300 boilerplate docs
+    assert(fired.size == 16 && fired.forall(_ == 300L),
+      s"expected 16 buckets of 300, got $fired")
+    assert(Dedup.oversizedBandBuckets(docs, "doc_id", "text").count() == 0,
+      "the clean corpus must not fire the default-cap guard")
+  }
+
   test("mega-bucket guard is a no-op on this corpus at the default cap") {
     val off = Dedup.minHashLsh(docs, "doc_id", "text", maxBucketSize = 0)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
