@@ -276,7 +276,8 @@ object Bench {
     "q329_bitext_ann",        // per-language IVF margin mining + recall cert
     "q330_training_order",    // range-shard global order, no global sort
     "q331_order_growth",      // refresh churn under the deterministic order
-    "q332_takedown_incremental") // negative-delta census waves, exactly-once
+    "q332_takedown_incremental", // negative-delta census waves, exactly-once
+    "q333_ordered_packing")   // order emit composed with concat-chop packing
     // q328 stays out like q41/q147: the exact brute-force baseline is the
     // correctness oracle; q329 is the IVF scale path the fleet runs
     // q323 stays out like q41/q45/q154: the deliberately-quadratic exact

@@ -401,6 +401,38 @@ object EvalQueries {
       .orderBy("shard")
   }
 
+  // ---------------------------------------------------------------- q333
+
+  /** q333: ORDERED packing — the q330 order composed with q64's
+    * concat-chop packer: each order-shard packs its docs in emitted
+    * position order into 512-token sequences, which is the last hop from
+    * "corpus" to "the training batches, reproducibly": shard = dataloader
+    * unit, position = batch order, sequence boundaries a pure function of
+    * (key, epoch, budget). Per shard: docs, sequences, token total, the
+    * Σseq boundary certificate (any drift in the order moves some doc
+    * across a boundary), and the fill ratio in ppm (bounded-intermediate
+    * quotient). */
+  val orderedPacking: Q = (s, dir) => {
+    val toked = Tables.documents(s, dir).select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+        .as("tok"))
+    val ordered = graft.ops.Sharding.globalOrderEmit(toked, "doc_id",
+        epoch = 1, nShards = 8)
+      .join(toked, "doc_id")
+    graft.ops.Packing.packSequences(ordered, Seq("shard"), "position",
+        "tok", 512)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        (max(col("__seq")) + 1).as("n_seqs"),
+        sum(col("tok")).as("sum_tok"),
+        sum(col("__seq")).as("sum_seq"),
+        sum(col("doc_id")).as("sum_ids"))
+      .withColumn("fill_ppm", expr(
+        "(sum_tok div (n_seqs * 512)) * 1000000" +
+          " + (sum_tok % (n_seqs * 512)) * 1000000 div (n_seqs * 512)"))
+      .orderBy("shard")
+  }
+
   // ---------------------------------------------------------------- q295
 
   /** Shared q295 fixture: the physical file MANIFEST of the documents
@@ -1018,6 +1050,7 @@ object EvalQueries {
     "q294_epoch_churn" -> epochShufflePlan,
     "q330_training_order" -> trainingOrder,
     "q331_order_growth" -> orderGrowth,
+    "q333_ordered_packing" -> orderedPacking,
     "q295_compaction_plan" -> compactionPlan,
     "q297_rm_length_debias" -> rmLengthDebias,
     "q299_spec_decode" -> specDecodeAcceptance,
@@ -1311,6 +1344,37 @@ object EvalQueries {
         |  CAST(row_number() OVER (ORDER BY ek, doc_id) - 1 AS BIGINT)
         |    AS global_pos
         |FROM s ORDER BY global_pos""".stripMargin,
+
+    // q333: the whole ordered-packing chain replayed — md5 order key,
+    // range shard, windowed cumsum in key order, 512-token chop
+    "q333_ordered_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT)
+        |      AS tok,
+        |    md5(concat('e1:', CAST(doc_id AS VARCHAR))) AS ek
+        |  FROM documents),
+        |s AS (SELECT doc_id, tok, ek,
+        |    CAST(CAST(concat('0x', substr(ek, 1, 8)) AS BIGINT)
+        |      // 536870912 AS INT) AS shard
+        |  FROM t),
+        |p AS (SELECT doc_id, shard, tok,
+        |    CAST(sum(tok) OVER (PARTITION BY shard ORDER BY ek, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok
+        |      AS BIGINT) AS strt
+        |  FROM s),
+        |q AS (SELECT doc_id, shard, tok, strt // 512 AS seq FROM p),
+        |g AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(max(seq) + 1 AS BIGINT) AS n_seqs,
+        |    CAST(sum(tok) AS BIGINT) AS sum_tok,
+        |    CAST(sum(seq) AS BIGINT) AS sum_seq,
+        |    CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |  FROM q GROUP BY 1)
+        |SELECT shard, n_docs, n_seqs, sum_tok, sum_seq, sum_ids,
+        |  (sum_tok // (n_seqs * 512)) * 1000000
+        |    + (sum_tok % (n_seqs * 512)) * 1000000 // (n_seqs * 512)
+        |    AS fill_ppm
+        |FROM g ORDER BY 1""".stripMargin,
 
     // q331: both orders replayed end-to-end, joined on the surviving docs
     "q331_order_growth" ->

@@ -1,0 +1,36 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off diagnostic: decompose the LSH x-cell cost — signature count,
+  * band-bucket histogram, raw candidate volume (Σ C(n_b,2)), distinct
+  * candidates, and verified pairs — per scale dir. Where the time goes
+  * at x125 must be visible in these integers. */
+object ProbeLshScale {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config(graft.sources.Tables.NanosAsLongConf, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.foreach { dir =>
+      val docs = graft.sources.Tables.documents(spark, dir)
+      val sig = graft.dedup.Dedup.minHashSignaturesPerRow(
+        docs, "doc_id", "text", 5, 64)
+      val buckets = graft.dedup.Dedup.oversizedBandBuckets(
+        docs, "doc_id", "text", maxBucketSize = 0)
+      val hist = buckets.agg(count(lit(1)), max(col("n")),
+        sum(col("n") * (col("n") - 1) / 2)).head()
+      val t0 = System.nanoTime()
+      val nPairs = graft.SparkEntry.queries("q42_minhash_lsh_pairs")(
+        spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $dir docs=${docs.count()} buckets=${hist.getLong(0)} " +
+        f"maxBucket=${hist.getLong(1)} rawCandUB=${hist.getDouble(2)}%.0f " +
+        f"pairs=$nPairs sec=$sec%.1f")
+    }
+    spark.stop()
+  }
+}

@@ -45,6 +45,30 @@ class ScaleStressSpec extends SparkSpec {
     assert(overlap == 0, "rotated replicas must share zero char shingles")
   }
 
+  test("cross-GENERATION replicas (affine multipliers) also keep disjoint " +
+      "shingles: any two of the 312 maps agree on at most 2 letters") {
+    // r=0 (identity), r=1/r=25 (Caesar), r=27/r=52/r=120 (multipliers
+    // 3, 5, 11) — every pair must share zero 5-gram shingles on prose
+    val inf = ScaleStress.inflateDocuments(base, 2L, 121)
+    val reps = Seq(0, 1, 25, 27, 52, 120)
+    val sh = inf.where((col("doc_id") / 2).cast("int").isin(reps: _*))
+      .select((col("doc_id") / 2).cast("int").as("r"),
+        explode(graft.functions.TextFunctions.charShingles(col("text"), 5))
+          .as("shingle"))
+      .distinct()
+    for (Seq(r1, r2) <- reps.combinations(2)) {
+      val overlap = sh.where(col("r") === r1).select("shingle")
+        .intersect(sh.where(col("r") === r2).select("shingle")).count()
+      assert(overlap == 0, s"replicas $r1 and $r2 share $overlap shingles")
+    }
+  }
+
+  test("inflation past the cipher family's 312 maps is refused") {
+    intercept[IllegalArgumentException] {
+      ScaleStress.inflateDocuments(base, 2L, 313)
+    }
+  }
+
   test("embedding inflation: distinct ids, same dims, bounded offsets") {
     val emb = Seq((0L, Array(1.0f, 2.0f, 3.0f), 1),
       (1L, Array(4.0f, 5.0f, 6.0f), 2)).toDF("vec_id", "embedding", "label")
