@@ -277,7 +277,9 @@ object Bench {
     "q330_training_order",    // range-shard global order, no global sort
     "q331_order_growth",      // refresh churn under the deterministic order
     "q332_takedown_incremental", // negative-delta census waves, exactly-once
-    "q333_ordered_packing")   // order emit composed with concat-chop packing
+    "q333_ordered_packing",   // order emit composed with concat-chop packing
+    "q334_takedown_expansion", // removal seeds expanded through LSH+CC mirrors
+    "q335_takedown_residual") // word-8-gram content-residual screen
     // q328 stays out like q41/q147: the exact brute-force baseline is the
     // correctness oracle; q329 is the IVF scale path the fleet runs
     // q323 stays out like q41/q45/q154: the deliberately-quadratic exact

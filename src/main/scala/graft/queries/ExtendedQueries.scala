@@ -274,6 +274,78 @@ object ExtendedQueries {
       .orderBy("doc_id")
   }
 
+  /** q334: takedown near-dup EXPANSION — a takedown notice names specific
+    * documents, but the obligation covers their MIRRORS (near-duplicates
+    * carry the same content; a copyright takedown that leaves the
+    * scraped copies standing is not executed). Seeds (doc_id % 13 == 4,
+    * measured to intersect organic clusters at every SF) expand through
+    * the q62 LSH+CC clusters: every doc sharing a connected component
+    * with a seed joins the removal set. Census per source: seeds,
+    * mirrors added, removal total, Σid — the frame q325's certificate
+    * then takes as its removal input. Expansion work is two key-equi
+    * joins over the component frame; nothing rescans the corpus. */
+  val takedownExpansion: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val seeds = docs.where(col("doc_id") % 13 === 4).select("doc_id")
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+      shingleK = 5, numHashes = 64, bands = 16, minJaccard = 0.6)
+    val comps = ConnectedComponents.run(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    val seedComps = comps.join(seeds.withColumnRenamed("doc_id", "id"),
+      Seq("id"), "left_semi").select("component").distinct()
+    val mirrors = comps.join(seedComps, Seq("component"), "left_semi")
+      .select(col("id").as("doc_id"))
+      .join(seeds, Seq("doc_id"), "left_anti")
+    seeds.withColumn("cls", lit("seed"))
+      .unionByName(mirrors.withColumn("cls", lit("mirror")))
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(sum(when(col("cls") === "seed", 1L).otherwise(0L)).as("n_seeds"),
+        sum(when(col("cls") === "mirror", 1L).otherwise(0L)).as("n_mirrors"),
+        count(lit(1)).as("n_removed"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy("source")
+  }
+
+  /** q335: takedown CONTENT-residual screen — id-absence (q325) is not
+    * content-absence: a survivor can QUOTE a removed document verbatim,
+    * and the obligation covers the content. Word 8-gram overlap of every
+    * survivor against the removed set — the q46 decontamination machinery
+    * with the REMOVED DOCS as the benchmark side (removal sets are small,
+    * so the gram table broadcasts exactly like a benchmark's). The
+    * fixture plants quoting survivors: doc_id % 89 == 7 appends the text
+    * of the nearest removed doc below it, so carriers realize at every
+    * SF; organic 8-gram overlaps (if any) replay identically in the
+    * oracle. Census per source: survivors, carriers, matched-gram mass,
+    * Σcarrier ids. */
+  val takedownResidual: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val removed = docs.where(col("doc_id") % 13 === 4)
+    val survivors = docs.join(removed.select("doc_id"), Seq("doc_id"),
+        "left_anti")
+      .withColumn("cid",
+        when(col("doc_id") % 89 === 7 && col("doc_id") >= 17,
+          col("doc_id") - pmod(col("doc_id"), lit(13L)) - 9)
+          .otherwise(lit(-1L)))
+      .join(removed.select(col("doc_id").as("cid"),
+        col("text").as("c_text")), Seq("cid"), "left_outer")
+      .select(col("doc_id"), col("source"),
+        when(col("c_text").isNotNull,
+          concat(col("text"), lit(" "), col("c_text")))
+          .otherwise(col("text")).as("text"))
+    graft.dedup.Contamination.scores(survivors, removed, "doc_id", "text",
+        n = 8)
+      .join(survivors.select(col("doc_id").as("id"), col("source")), "id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_survivors"),
+        sum(when(col("matched_grams") > 0, 1L).otherwise(0L))
+          .as("n_carriers"),
+        sum(col("matched_grams")).as("sum_matched"),
+        sum(when(col("matched_grams") > 0, col("id")).otherwise(0L))
+          .as("sum_carrier_ids"))
+      .orderBy("source")
+  }
+
   /** Sequence packing: docs laid end-to-end per source in doc_id order,
     * chopped into 512-token sequences (a doc belongs to the sequence its
     * first token lands in) — the "pack to context length" batch-prep step.
@@ -887,6 +959,8 @@ object ExtendedQueries {
     "q105_url_canonical" -> urlCanonical,
     "q49_quality_filter" -> qualityFilter,
     "q62_dedup_clusters" -> dedupClusters,
+    "q334_takedown_expansion" -> takedownExpansion,
+    "q335_takedown_residual" -> takedownResidual,
     "q201_lsh_planner" -> lshPlanner,
     "q202_crawl_priority" -> crawlPriority,
     "q320_crawl_priority_fresh" -> crawlPriorityFresh,
@@ -1909,6 +1983,61 @@ object ExtendedQueries {
     // prefilter is provably lossless, so the oracle is q46's verbatim
     "q70_bloom_decontaminate" -> DecontaminateOracle,
     "q46_decontaminate" -> DecontaminateOracle,
+    // q334: the q62 exact-Jaccard + recursive-closure chain, expanded
+    // from the seed set through component membership
+    "q334_takedown_expansion" ->
+      (neardupCcCte + """,
+        |seeds AS (SELECT doc_id FROM documents WHERE doc_id % 13 = 4),
+        |scomp AS (SELECT DISTINCT c FROM comp
+        |  JOIN seeds ON comp.id = seeds.doc_id),
+        |mirrors AS (SELECT comp.id AS doc_id FROM comp JOIN scomp USING (c)
+        |  WHERE comp.id NOT IN (SELECT doc_id FROM seeds)),
+        |ex AS (SELECT doc_id, 'seed' AS cls FROM seeds
+        |  UNION ALL SELECT doc_id, 'mirror' AS cls FROM mirrors)
+        |SELECT d.source,
+        |  CAST(sum(CASE WHEN cls = 'seed' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_seeds,
+        |  CAST(sum(CASE WHEN cls = 'mirror' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_mirrors,
+        |  CAST(count(*) AS BIGINT) AS n_removed,
+        |  CAST(sum(ex.doc_id) AS BIGINT) AS sum_ids
+        |FROM ex JOIN documents d USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""").stripMargin,
+    // q335: the q46 word-gram idiom at n=8 with the removed docs as the
+    // benchmark side and the quoting plant applied to survivors
+    "q335_takedown_residual" ->
+      """WITH rm AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 13 = 4),
+        |sv AS (SELECT d.doc_id, d.source,
+        |    CASE WHEN c.text IS NOT NULL
+        |      THEN d.text || ' ' || c.text ELSE d.text END AS text
+        |  FROM documents d LEFT JOIN rm c
+        |    ON d.doc_id % 89 = 7 AND d.doc_id >= 17
+        |     AND c.doc_id = d.doc_id - (d.doc_id % 13) - 9
+        |  WHERE d.doc_id % 13 <> 4),
+        |st AS (SELECT doc_id, source,
+        |    string_split_regex(trim(text), '\s+') AS ts FROM sv),
+        |sg AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(ts) < 8 THEN [array_to_string(ts, ' ')]
+        |      ELSE [array_to_string(ts[i:i+7], ' ')
+        |        FOR i IN generate_series(1, len(ts) - 7)] END)) AS gm
+        |  FROM st),
+        |bt AS (SELECT string_split_regex(trim(text), '\s+') AS ts FROM rm),
+        |bg AS (SELECT DISTINCT unnest(
+        |    CASE WHEN len(ts) < 8 THEN [array_to_string(ts, ' ')]
+        |      ELSE [array_to_string(ts[i:i+7], ' ')
+        |        FOR i IN generate_series(1, len(ts) - 7)] END) AS gm
+        |  FROM bt),
+        |m AS (SELECT s.doc_id, count(*) AS total,
+        |    sum(CASE WHEN b.gm IS NOT NULL THEN 1 ELSE 0 END) AS matched
+        |  FROM sg s LEFT JOIN bg b USING (gm) GROUP BY 1)
+        |SELECT st.source, CAST(count(*) AS BIGINT) AS n_survivors,
+        |  CAST(sum(CASE WHEN m.matched > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_carriers,
+        |  CAST(sum(m.matched) AS BIGINT) AS sum_matched,
+        |  CAST(sum(CASE WHEN m.matched > 0 THEN st.doc_id ELSE 0 END)
+        |    AS BIGINT) AS sum_carrier_ids
+        |FROM m JOIN st USING (doc_id) GROUP BY 1 ORDER BY 1""".stripMargin,
     // q84: identical computation against the vocabulary-disjoint benchmark
     // (the transformed-token injection makes contamination provably 0, so
     // the oracle is the all-kept report — but it recomputes the full
