@@ -1068,7 +1068,39 @@ object CurationQueries {
     "q77_bm25_topk" -> bm25TopK,
     "q78_semantic_dedup" -> semanticDedup,
     "q79_semantic_incremental" -> semanticIncremental,
-    "q80_temperature_mix" -> temperatureMix)
+    "q80_temperature_mix" -> temperatureMix,
+    "q336_takedown_rebalance" -> takedownRebalance)
+
+  /** q336: takedown MIXTURE rebalance — removal skews the domain mixture:
+    * the shipped training plan allocated α-temperature quotas
+    * ([[graft.ops.Sampling.temperatureQuotas]], the q80 machinery) against
+    * the FULL corpus, and after a takedown (doc_id % 13 == 4, the q334
+    * seed rule) the survivors may no longer cover their domain's quota —
+    * α-damping up-weights small domains toward their full size, so a
+    * uniform removal realizes genuine shortfalls there (measured: every
+    * non-head lang backfills at every SF at the 90% budget) while the
+    * head domain absorbs it. Per domain: docs and quota before/after,
+    * the quota drift, and the BACKFILL the fleet must source to restore
+    * the plan. Budget = 90% of the corpus (integer-derived both sides);
+    * two domain-cardinality quota frames joined key-equi. */
+  lazy val takedownRebalance: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val budget = docs.count() * 9 / 10 // 1-row driver scalar (q163 idiom)
+    val survivors = docs.where(col("doc_id") % 13 =!= 4)
+    val before = graft.ops.Sampling
+      .temperatureQuotas(docs, Seq("lang"), 0.5, budget)
+      .select(col("lang"), col("n_docs").as("n_before"),
+        col("quota").as("quota_before"))
+    val after = graft.ops.Sampling
+      .temperatureQuotas(survivors, Seq("lang"), 0.5, budget)
+      .select(col("lang"), col("n_docs").as("n_after"),
+        col("quota").as("quota_after"))
+    before.join(after, "lang")
+      .withColumn("quota_delta", col("quota_after") - col("quota_before"))
+      .withColumn("backfill",
+        greatest(lit(0L), col("quota_before") - col("n_after")))
+      .orderBy("lang")
+  }
 
   /** Shared q196/q197 oracle prefix: the conversation synthesis replayed
     * with the same id arithmetic, plus the engine token convention. */
@@ -1985,6 +2017,30 @@ object CurationQueries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |  AND ((a.vec_id % 10 = 3) <> (b.vec_id % 10 = 3))
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin,
+    // q336: both quota computations replayed at the integer-derived 90%
+    // budget; backfill = max(0, planned quota − surviving docs)
+    "q336_takedown_rebalance" ->
+      """WITH tot AS (
+        |  SELECT (count(*) * 9) // 10 AS budget FROM documents),
+        |cb AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |wb AS (SELECT lang, n, pow(n, 0.5) AS pw FROM cb),
+        |tb AS (SELECT sum(pw) AS tw FROM wb),
+        |qb AS (SELECT lang, CAST(n AS BIGINT) AS n_before,
+        |    CAST(floor(round(budget * pw / tw, 6)) AS BIGINT)
+        |      AS quota_before
+        |  FROM wb CROSS JOIN tb CROSS JOIN tot),
+        |ca AS (SELECT lang, count(*) AS n FROM documents
+        |  WHERE doc_id % 13 <> 4 GROUP BY 1),
+        |wa AS (SELECT lang, n, pow(n, 0.5) AS pw FROM ca),
+        |ta AS (SELECT sum(pw) AS tw FROM wa),
+        |qa AS (SELECT lang, CAST(n AS BIGINT) AS n_after,
+        |    CAST(floor(round(budget * pw / tw, 6)) AS BIGINT)
+        |      AS quota_after
+        |  FROM wa CROSS JOIN ta CROSS JOIN tot)
+        |SELECT lang, n_before, quota_before, n_after, quota_after,
+        |  quota_after - quota_before AS quota_delta,
+        |  greatest(0, quota_before - n_after) AS backfill
+        |FROM qb JOIN qa USING (lang) ORDER BY 1""".stripMargin,
     "q80_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
         |w AS (SELECT lang, n, pow(n, 0.5) AS pw FROM c),
