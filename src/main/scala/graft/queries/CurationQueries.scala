@@ -1085,7 +1085,9 @@ object CurationQueries {
     * two domain-cardinality quota frames joined key-equi. */
   lazy val takedownRebalance: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val budget = docs.count() * 9 / 10 // 1-row driver scalar (q163 idiom)
+    // memoized per dir per JVM (the q291 memo doctrine) — never a
+    // per-construction count action
+    val budget = EvalQueries.corpusSize(s, dir) * 9 / 10
     val survivors = docs.where(col("doc_id") % 13 =!= 4)
     val before = graft.ops.Sampling
       .temperatureQuotas(docs, Seq("lang"), 0.5, budget)

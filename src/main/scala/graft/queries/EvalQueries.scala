@@ -865,6 +865,13 @@ object EvalQueries {
     * regenerate a fixture dir in place. */
   private[graft] def resetCorpusSizeMemo(): Unit = corpusSizeMemo.clear()
 
+  /** The memoized documents row count for a fixture dir — shared by every
+    * query whose plan embeds a corpus-size-derived literal (q291's
+    * citation modulus, q336's takedown-rebalance budget), so the count
+    * action runs once per dir per JVM. */
+  private[graft] def corpusSize(s: SparkSession, dir: String): Long =
+    corpusSizeMemo.getOrElseUpdate(dir, Tables.documents(s, dir).count())
+
   private[graft] def citationFixture(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val n = corpusSizeMemo.getOrElseUpdate(dir, docs.count())

@@ -38,11 +38,18 @@ object BitextMining {
     require(!others.contains(pivot), s"pivot '$pivot' cannot be mined " +
       "against itself")
     val pvt = corpus.where(col(langCol) === pivot)
+    // the pivot's index is built ONCE and probed by every language pair
+    // (the CCMatrix steady state; marginPairsFromIndexes == the fused
+    // build+mine form exactly — the q163 stored/fused identity)
+    val pvtIdx = ann.map { case (nLists, _, seed) =>
+      Similarity.buildIvfIndex(pvt, idCol, vecCol, nLists, seed) }
     others.map { l =>
       val other = corpus.where(col(langCol) === l)
       val pairs = ann match {
-        case Some((nLists, nProbe, seed)) => MarginMining.marginPairsAnn(
-          pvt, other, idCol, vecCol, k, floor, nLists, nProbe, seed)
+        case Some((nLists, nProbe, seed)) =>
+          MarginMining.marginPairsFromIndexes(pvtIdx.get,
+            Similarity.buildIvfIndex(other, idCol, vecCol, nLists, seed),
+            pvt, other, idCol, vecCol, k, floor, nProbe)
         case None => MarginMining.marginPairs(
           pvt, other, idCol, vecCol, k, floor)
       }

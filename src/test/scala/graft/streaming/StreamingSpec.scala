@@ -1666,4 +1666,55 @@ class StreamingSpec extends SparkSpec {
     assert(nBatches >= 2)
     assert(acc.toMap == b, "streamed constraint verdicts diverged from batch")
   }
+
+  test("takedown removal stream survives kill+restart: negative-delta " +
+      "census == survivor one-shot (q332's streaming form)") {
+    // removal waves arrive as a STREAM; each micro-batch ingests its
+    // NEGATIVE per-source delta into a census seeded with the full
+    // corpus. A died-and-restarted stream must not re-subtract the
+    // already-ingested wave (double-subtraction under-reports the corpus)
+    val toked = Tables.documents(spark, dir).select(col("doc_id"),
+      col("source"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+        .as("tok"))
+    def census(d: org.apache.spark.sql.DataFrame) = d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_toks"))
+    def negCensus(d: org.apache.spark.sql.DataFrame) = d.groupBy("source")
+      .agg((-count(lit(1))).as("n_docs"), (-sum(col("tok"))).as("n_toks"))
+    val removal = toked.where(col("doc_id") % 13 === 4)
+    assert(removal.count() > 0, "fixture must realize removals")
+    val src = java.nio.file.Files.createTempDirectory("graft_takedown_csrc")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_takedown_cs").toString
+    val idxPath = s"$root/idx"
+    // seed the store with the full-corpus census (pre-cursor batch)
+    graft.store.IndexStore.updateCensus(spark, idxPath, census(toked),
+      Seq("source"))
+    def stageFile(part: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_td_p$part")
+      removal.where(expr("(doc_id div 13) % 2") === part).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, src.resolve(s"p$part.parquet"))
+    }
+    stageFile(0)
+    val schema = removal.schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+      val q = StreamingPipeline
+        .censusIngestStream(stream, idxPath, Seq("source"), negCensus)
+        .option("checkpointLocation", s"$root/ckpt").start()
+      q.awaitTermination()
+    }
+    runOnce() // process dies after wave 0
+    stageFile(1) // the second removal wave arrives while down
+    runOnce() // restart must not re-subtract wave 0
+    val stored = graft.store.IndexStore.loadCensus(spark, idxPath)
+    val oneShot = census(toked.where(col("doc_id") % 13 =!= 4))
+    assert(stored.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(stored).isEmpty,
+      "streamed negative-delta census diverged from the survivor census")
+  }
 }
