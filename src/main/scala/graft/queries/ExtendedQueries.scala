@@ -346,6 +346,59 @@ object ExtendedQueries {
       .orderBy("source")
   }
 
+  /** q337: license-label propagation through PACKED shards — the release
+    * gate's provenance complement to the takedown tier: every doc carries
+    * a license class (id arithmetic: cc0 / cc-by / cc-by-sa / proprietary
+    * / unknown), packing concatenates docs into sequences, and a SEQUENCE
+    * inherits the most restrictive obligations of its members — so the
+    * releasable unit is the sequence, not the doc. Policy (the usual
+    * release rule): a sequence is BLOCKED if it contains any `unknown`
+    * (unclearable) or mixes `proprietary` with open-license content
+    * (the pack leaks licensed text into an open shard). Census per
+    * source: sequences, blocked sequences (by reason), docs per class,
+    * and the blocked-token mass a re-pack would recover by segregating
+    * classes. One packing pass + one (source, seq) rollup + one source
+    * rollup — group-cardinality throughout. */
+  val licensePackGate: Q = (s, dir) => {
+    // license in BLOCKS of 100 ids (5 in-source docs — the sources stride
+    // doc_id by 20), so sequences are mostly single-class with mixes at
+    // block boundaries: clean, mix-only and unknown-blocked outcomes all
+    // realize at every SF (measured: 20/16/24 of 60 seqs at sf0.01)
+    val lic = when(expr("(doc_id div 100) % 5") === 0, "cc0")
+      .when(expr("(doc_id div 100) % 5") === 1, "cc-by")
+      .when(expr("(doc_id div 100) % 5") === 2, "cc-by-sa")
+      .when(expr("(doc_id div 100) % 5") === 3, "proprietary")
+      .otherwise("unknown")
+    val toked = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), lic.as("license"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+    val packed = graft.ops.Packing.packSequences(toked, Seq("source"),
+      "doc_id", "tok", 512)
+    val perSeq = packed.groupBy("source", "__seq")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("seq_tokens"),
+        sum(when(col("license") === "unknown", 1L).otherwise(0L))
+          .as("n_unknown"),
+        sum(when(col("license") === "proprietary", 1L).otherwise(0L))
+          .as("n_prop"),
+        sum(when(col("license").isin("cc0", "cc-by", "cc-by-sa"), 1L)
+          .otherwise(0L)).as("n_open"))
+      .withColumn("blocked_unknown", col("n_unknown") > 0)
+      .withColumn("blocked_mix", col("n_prop") > 0 && col("n_open") > 0)
+    perSeq.groupBy("source")
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(when(col("blocked_unknown") || col("blocked_mix"), 1L)
+          .otherwise(0L)).as("n_blocked"),
+        sum(when(col("blocked_unknown"), 1L).otherwise(0L))
+          .as("n_blocked_unknown"),
+        sum(when(col("blocked_mix") && !col("blocked_unknown"), 1L)
+          .otherwise(0L)).as("n_blocked_mix_only"),
+        sum(when(col("blocked_unknown") || col("blocked_mix"),
+          col("seq_tokens")).otherwise(0L)).as("blocked_tokens"),
+        sum(col("seq_tokens")).as("total_tokens"))
+      .orderBy("source")
+  }
+
   /** Sequence packing: docs laid end-to-end per source in doc_id order,
     * chopped into 512-token sequences (a doc belongs to the sequence its
     * first token lands in) — the "pack to context length" batch-prep step.
@@ -961,6 +1014,7 @@ object ExtendedQueries {
     "q62_dedup_clusters" -> dedupClusters,
     "q334_takedown_expansion" -> takedownExpansion,
     "q335_takedown_residual" -> takedownResidual,
+    "q337_license_pack_gate" -> licensePackGate,
     "q201_lsh_planner" -> lshPlanner,
     "q202_crawl_priority" -> crawlPriority,
     "q320_crawl_priority_fresh" -> crawlPriorityFresh,
@@ -2003,6 +2057,46 @@ object ExtendedQueries {
         |  CAST(sum(ex.doc_id) AS BIGINT) AS sum_ids
         |FROM ex JOIN documents d USING (doc_id)
         |GROUP BY 1 ORDER BY 1""").stripMargin,
+    // q337: the packing cumsum replayed with the license classes and the
+    // same per-sequence policy arithmetic
+    "q337_license_pack_gate" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE (doc_id // 100) % 5 WHEN 0 THEN 'cc0' WHEN 1 THEN 'cc-by'
+        |      WHEN 2 THEN 'cc-by-sa' WHEN 3 THEN 'proprietary'
+        |      ELSE 'unknown' END AS license,
+        |    CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT)
+        |      AS tok
+        |  FROM documents),
+        |p AS (SELECT *,
+        |    CAST(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok
+        |      AS BIGINT) AS strt
+        |  FROM d),
+        |q AS (SELECT *, strt // 512 AS seq FROM p),
+        |g AS (SELECT source, seq,
+        |    CAST(sum(tok) AS BIGINT) AS seq_tokens,
+        |    sum(CASE WHEN license = 'unknown' THEN 1 ELSE 0 END) AS nu,
+        |    sum(CASE WHEN license = 'proprietary' THEN 1 ELSE 0 END) AS np,
+        |    sum(CASE WHEN license IN ('cc0', 'cc-by', 'cc-by-sa')
+        |      THEN 1 ELSE 0 END) AS no
+        |  FROM q GROUP BY 1, 2),
+        |v AS (SELECT source, seq_tokens, nu > 0 AS bu,
+        |    np > 0 AND no > 0 AS bm
+        |  FROM g)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_seqs,
+        |  CAST(sum(CASE WHEN bu OR bm THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_blocked,
+        |  CAST(sum(CASE WHEN bu THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_blocked_unknown,
+        |  CAST(sum(CASE WHEN bm AND NOT bu THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_blocked_mix_only,
+        |  CAST(sum(CASE WHEN bu OR bm THEN seq_tokens ELSE 0 END)
+        |    AS BIGINT) AS blocked_tokens,
+        |  CAST(sum(seq_tokens) AS BIGINT) AS total_tokens
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // q335: the q46 word-gram idiom at n=8 with the removed docs as the
     // benchmark side and the quoting plant applied to survivors
     "q335_takedown_residual" ->
