@@ -281,7 +281,8 @@ object Bench {
     "q334_takedown_expansion", // removal seeds expanded through LSH+CC mirrors
     "q335_takedown_residual", // word-8-gram content-residual screen
     "q336_takedown_rebalance", // quota drift + backfill after removal
-    "q337_license_pack_gate") // per-sequence license policy release gate
+    "q337_license_pack_gate", // per-sequence license policy release gate
+    "q338_license_repack_plan") // class-segregated re-pack priced vs mixed
     // q328 stays out like q41/q147: the exact brute-force baseline is the
     // correctness oracle; q329 is the IVF scale path the fleet runs
     // q323 stays out like q41/q45/q154: the deliberately-quadratic exact

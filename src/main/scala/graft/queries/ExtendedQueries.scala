@@ -399,6 +399,55 @@ object ExtendedQueries {
       .orderBy("source")
   }
 
+  /** q338: license-SEGREGATED re-pack plan — the planner q337's census
+    * calls for: re-pack each (source, license) class as its own stream
+    * (a single-class sequence can never be policy-blocked by mixing, and
+    * `unknown` isolates into quarantine shards instead of poisoning open
+    * ones), and price the move. Per (source, license): docs, segregated
+    * sequences, token mass — with the source-level mixed-layout numbers
+    * (sequences, blocked sequences, and the fragmentation the compliant
+    * layout adds: Σ segregated − mixed sequences) on every row, so one
+    * frame answers "what does compliance cost this source". Same shape
+    * as the q333 packer: one shuffle per layout on the shard key, all
+    * rollups group-cardinality. */
+  val licenseRepackPlan: Q = (s, dir) => {
+    val lic = when(expr("(doc_id div 100) % 5") === 0, "cc0")
+      .when(expr("(doc_id div 100) % 5") === 1, "cc-by")
+      .when(expr("(doc_id div 100) % 5") === 2, "cc-by-sa")
+      .when(expr("(doc_id div 100) % 5") === 3, "proprietary")
+      .otherwise("unknown")
+    val toked = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), lic.as("license"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+    val seg = graft.ops.Packing.packSequences(toked,
+        Seq("source", "license"), "doc_id", "tok", 512)
+      .groupBy("source", "license")
+      .agg(count(lit(1)).as("n_docs"),
+        (max(col("__seq")) + 1).as("n_seqs_seg"),
+        sum(col("tok")).as("sum_tok"))
+    val mixed = graft.ops.Packing.packSequences(toked, Seq("source"),
+        "doc_id", "tok", 512)
+      .groupBy("source", "__seq")
+      .agg(sum(when(col("license") === "unknown", 1L).otherwise(0L))
+          .as("nu"),
+        sum(when(col("license") === "proprietary", 1L).otherwise(0L))
+          .as("np"),
+        sum(when(col("license").isin("cc0", "cc-by", "cc-by-sa"), 1L)
+          .otherwise(0L)).as("no"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_seqs_mixed"),
+        sum(when(col("nu") > 0 || (col("np") > 0 && col("no") > 0), 1L)
+          .otherwise(0L)).as("n_blocked_mixed"))
+    val segTotals = seg.groupBy("source")
+      .agg(sum(col("n_seqs_seg")).as("__segsum"))
+    seg.join(mixed, "source").join(segTotals, "source")
+      .withColumn("seqs_added", col("__segsum") - col("n_seqs_mixed"))
+      .drop("__segsum")
+      .select("source", "license", "n_docs", "n_seqs_seg", "sum_tok",
+        "n_seqs_mixed", "n_blocked_mixed", "seqs_added")
+      .orderBy("source", "license")
+  }
+
   /** Sequence packing: docs laid end-to-end per source in doc_id order,
     * chopped into 512-token sequences (a doc belongs to the sequence its
     * first token lands in) — the "pack to context length" batch-prep step.
@@ -1015,6 +1064,7 @@ object ExtendedQueries {
     "q334_takedown_expansion" -> takedownExpansion,
     "q335_takedown_residual" -> takedownResidual,
     "q337_license_pack_gate" -> licensePackGate,
+    "q338_license_repack_plan" -> licenseRepackPlan,
     "q201_lsh_planner" -> lshPlanner,
     "q202_crawl_priority" -> crawlPriority,
     "q320_crawl_priority_fresh" -> crawlPriorityFresh,
@@ -2096,6 +2146,51 @@ object ExtendedQueries {
         |    AS BIGINT) AS blocked_tokens,
         |  CAST(sum(seq_tokens) AS BIGINT) AS total_tokens
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q338: both layouts' packing cumsums replayed; the fragmentation
+    // delta is pure integer arithmetic on the two rollups
+    "q338_license_repack_plan" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE (doc_id // 100) % 5 WHEN 0 THEN 'cc0' WHEN 1 THEN 'cc-by'
+        |      WHEN 2 THEN 'cc-by-sa' WHEN 3 THEN 'proprietary'
+        |      ELSE 'unknown' END AS license,
+        |    CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT)
+        |      AS tok
+        |  FROM documents),
+        |ps AS (SELECT *,
+        |    CAST(sum(tok) OVER (PARTITION BY source, license
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) - tok AS BIGINT) AS strt
+        |  FROM d),
+        |seg AS (SELECT source, license, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(max(strt // 512) + 1 AS BIGINT) AS n_seqs_seg,
+        |    CAST(sum(tok) AS BIGINT) AS sum_tok
+        |  FROM ps GROUP BY 1, 2),
+        |pm AS (SELECT *,
+        |    CAST(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok
+        |      AS BIGINT) AS strt
+        |  FROM d),
+        |gm AS (SELECT source, strt // 512 AS seq,
+        |    sum(CASE WHEN license = 'unknown' THEN 1 ELSE 0 END) AS nu,
+        |    sum(CASE WHEN license = 'proprietary' THEN 1 ELSE 0 END)
+        |      AS np,
+        |    sum(CASE WHEN license IN ('cc0', 'cc-by', 'cc-by-sa')
+        |      THEN 1 ELSE 0 END) AS no
+        |  FROM pm GROUP BY 1, 2),
+        |mx AS (SELECT source, CAST(count(*) AS BIGINT) AS n_seqs_mixed,
+        |    CAST(sum(CASE WHEN nu > 0 OR (np > 0 AND no > 0)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked_mixed
+        |  FROM gm GROUP BY 1),
+        |tt AS (SELECT source, CAST(sum(n_seqs_seg) AS BIGINT) AS segsum
+        |  FROM seg GROUP BY 1)
+        |SELECT seg.source, license, n_docs, n_seqs_seg, sum_tok,
+        |  n_seqs_mixed, n_blocked_mixed, segsum - n_seqs_mixed AS seqs_added
+        |FROM seg JOIN mx ON mx.source = seg.source
+        |  JOIN tt ON tt.source = seg.source
+        |ORDER BY 1, 2""".stripMargin,
 
     // q335: the q46 word-gram idiom at n=8 with the removed docs as the
     // benchmark side and the quoting plant applied to survivors
