@@ -346,6 +346,69 @@ object ExtendedQueries {
       .orderBy("source")
   }
 
+  /** q339: END-TO-END takedown composition — the four takedown stages the
+    * fleet runs on a legal deadline, as ONE certified pipeline instead of
+    * four separately-gated halves: (1) EXPAND the named seed set
+    * (doc_id % 13 == 4) through the q62 LSH+CC near-dup clusters (the
+    * q334 obligation: mirrors carry the same content), (2) SCREEN the
+    * expansion's survivors for verbatim content residue — word 8-gram
+    * overlap against the EXPANDED removed texts, not just the seeds': a
+    * survivor quoting a mirror-only doc is invisible to an id-only
+    * pipeline (TakedownComposeSpec plants exactly that survivor and
+    * proves the seeds-only screen misses it), (3) PURGE the final set
+    * (seeds ∪ mirrors ∪ carriers) from all five derived artifacts through
+    * the q325 store machinery (re-pack, rename-swap hash/IVF removal,
+    * BM25 merge-inverse, census negative-delta), and (4) CERTIFY absence
+    * by rescanning every purged artifact against the final set. One
+    * frame: the five-artifact certificate with the expansion-stage counts
+    * (seeds/mirrors/carriers) pinned on every row, so the gate covers the
+    * whole composition. The final removal frame is cached — it is
+    * thousands of ids feeding ~10 broadcast probes; recomputing LSH+CC
+    * per probe would be the scale bug. Carriers keep the q335 quoting
+    * plant so the content stage has guaranteed signal at every SF. */
+  val takedownEndToEnd: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val seeds = docs.where(col("doc_id") % 13 === 4).select("doc_id")
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+      shingleK = 5, numHashes = 64, bands = 16, minJaccard = 0.6)
+    val comps = ConnectedComponents.run(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    val seedComps = comps.join(seeds.withColumnRenamed("doc_id", "id"),
+      Seq("id"), "left_semi").select("component").distinct()
+    val expanded = seeds.unionByName(
+        comps.join(seedComps, Seq("component"), "left_semi")
+          .select(col("id").as("doc_id")))
+      .distinct().cache()
+    // content screen against the EXPANDED texts — the composition point:
+    // a mirror's text is screened even though no notice named it
+    val removedDocs = docs.join(expanded, Seq("doc_id"), "left_semi")
+    val survivors = docs.join(expanded, Seq("doc_id"), "left_anti")
+      .withColumn("cid",
+        when(col("doc_id") % 89 === 7 && col("doc_id") >= 17,
+          col("doc_id") - pmod(col("doc_id"), lit(13L)) - 9)
+          .otherwise(lit(-1L)))
+      .join(docs.where(col("doc_id") % 13 === 4)
+          .select(col("doc_id").as("cid"), col("text").as("c_text")),
+        Seq("cid"), "left_outer")
+      .select(col("doc_id"),
+        when(col("c_text").isNotNull,
+          concat(col("text"), lit(" "), col("c_text")))
+          .otherwise(col("text")).as("text"))
+    val carriers = Contamination.scores(survivors, removedDocs,
+        "doc_id", "text", n = 8)
+      .where(col("matched_grams") > 0).select(col("id").as("doc_id"))
+    val finalRemoval = expanded.unionByName(carriers).cache()
+    val nSeeds = seeds.count()
+    val nMirrors = expanded.count() - nSeeds
+    val nCarriers = finalRemoval.count() - nSeeds - nMirrors
+    ReleaseQueries.fiveArtifactCertificate(s, dir, finalRemoval,
+        "graft_takedown_e2e")
+      .withColumn("n_seeds", lit(nSeeds))
+      .withColumn("n_mirrors", lit(nMirrors))
+      .withColumn("n_carriers", lit(nCarriers))
+      .orderBy("artifact")
+  }
+
   /** q337: license-label propagation through PACKED shards — the release
     * gate's provenance complement to the takedown tier: every doc carries
     * a license class (id arithmetic: cc0 / cc-by / cc-by-sa / proprietary
@@ -1063,6 +1126,7 @@ object ExtendedQueries {
     "q62_dedup_clusters" -> dedupClusters,
     "q334_takedown_expansion" -> takedownExpansion,
     "q335_takedown_residual" -> takedownResidual,
+    "q339_takedown_e2e" -> takedownEndToEnd,
     "q337_license_pack_gate" -> licensePackGate,
     "q338_license_repack_plan" -> licenseRepackPlan,
     "q201_lsh_planner" -> lshPlanner,
@@ -2192,6 +2256,83 @@ object ExtendedQueries {
         |  JOIN tt ON tt.source = seg.source
         |ORDER BY 1, 2""".stripMargin,
 
+    // q339: the q334 recursive closure expands the seed set; the q335
+    // gram arithmetic (benchmark side = the EXPANDED texts) yields the
+    // carriers; the q325 per-artifact set arithmetic prices the final
+    // removal set. Residuals/clean are asserted zero/true — the engine
+    // MEASURES them by rescanning the purged stores.
+    "q339_takedown_e2e" ->
+      (neardupCcCte + """,
+        |seeds AS (SELECT doc_id FROM documents WHERE doc_id % 13 = 4),
+        |scomp AS (SELECT DISTINCT c FROM comp
+        |  JOIN seeds ON comp.id = seeds.doc_id),
+        |ex AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT doc_id FROM seeds UNION ALL
+        |  SELECT comp.id FROM comp JOIN scomp USING (c))),
+        |rmtext AS (SELECT d.text FROM documents d JOIN ex USING (doc_id)),
+        |sv AS (SELECT d.doc_id,
+        |    CASE WHEN c.text IS NOT NULL THEN d.text || ' ' || c.text
+        |      ELSE d.text END AS text
+        |  FROM documents d LEFT JOIN
+        |    (SELECT doc_id, text FROM documents WHERE doc_id % 13 = 4) c
+        |    ON d.doc_id % 89 = 7 AND d.doc_id >= 17
+        |     AND c.doc_id = d.doc_id - (d.doc_id % 13) - 9
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM ex)),
+        |st AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS ts FROM sv),
+        |sg AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(ts) < 8 THEN [array_to_string(ts, ' ')]
+        |      ELSE [array_to_string(ts[i:i+7], ' ')
+        |        FOR i IN generate_series(1, len(ts) - 7)] END)) AS gm
+        |  FROM st),
+        |bt AS (SELECT string_split_regex(trim(text), '\s+') AS ts
+        |  FROM rmtext),
+        |bg AS (SELECT DISTINCT unnest(
+        |    CASE WHEN len(ts) < 8 THEN [array_to_string(ts, ' ')]
+        |      ELSE [array_to_string(ts[i:i+7], ' ')
+        |        FOR i IN generate_series(1, len(ts) - 7)] END) AS gm
+        |  FROM bt),
+        |car AS (SELECT DISTINCT s.doc_id FROM sg s JOIN bg b USING (gm)),
+        |fin AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT doc_id FROM ex UNION ALL SELECT doc_id FROM car)),
+        |cn AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM seeds) AS n_seeds,
+        |  CAST((SELECT count(*) FROM ex) - (SELECT count(*) FROM seeds)
+        |    AS BIGINT) AS n_mirrors,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM car) AS n_carriers),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |nrm AS (SELECT CAST(count(*) AS BIGINT) AS n FROM fin),
+        |prs AS (SELECT DISTINCT doc_id, term FROM (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+        |    AS term FROM documents) t),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM prs),
+        |nph AS (SELECT CAST(count(*) AS BIGINT) AS n FROM prs
+        |  WHERE doc_id IN (SELECT doc_id FROM fin)),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+        |neh AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+        |  WHERE vec_id IN (SELECT doc_id FROM fin)),
+        |ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n
+        |  FROM documents),
+        |nsh AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM fin)),
+        |nss AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM fin))
+        |SELECT artifact, rows_before, hits_before, rows_after,
+        |  residual_after, clean, n_seeds, n_mirrors, n_carriers
+        |FROM (
+        |  SELECT 'packed_shards' AS artifact, nd.n AS rows_before,
+        |    nrm.n AS hits_before, nd.n - nrm.n AS rows_after,
+        |    CAST(0 AS BIGINT) AS residual_after, true AS clean
+        |  FROM nd, nrm
+        |  UNION ALL SELECT 'fingerprint_index', nd.n, nrm.n, nd.n - nrm.n,
+        |    CAST(0 AS BIGINT), true FROM nd, nrm
+        |  UNION ALL SELECT 'bm25_postings', np.n, nph.n, np.n - nph.n,
+        |    CAST(0 AS BIGINT), true FROM np, nph
+        |  UNION ALL SELECT 'ivf_lists', ne.n, neh.n, ne.n - neh.n,
+        |    CAST(0 AS BIGINT), true FROM ne, neh
+        |  UNION ALL SELECT 'source_census', ns.n, nsh.n, nss.n,
+        |    CAST(0 AS BIGINT), true FROM ns, nsh, nss
+        |) u, cn ORDER BY artifact""").stripMargin,
     // q335: the q46 word-gram idiom at n=8 with the removed docs as the
     // benchmark side and the quoting plant applied to survivors
     "q335_takedown_residual" ->

@@ -992,14 +992,24 @@ object ReleaseQueries {
     * against a survivor rebuild), so a skipped or partial purge reports a
     * non-zero residual instead of passing silently. Per artifact:
     * rows/hits before, rows/residual after, clean. */
-  val takedownCertificate: Q = (s, dir) => {
+  val takedownCertificate: Q = (s, dir) =>
+    fiveArtifactCertificate(s, dir,
+      takedownRemoval(Tables.documents(s, dir)), "graft_takedown")
+
+  /** The q325 five-artifact purge+certificate, parameterized on the
+    * removal set so the composed end-to-end gate (q339) can run it over
+    * the EXPANDED removal frame (seeds + LSH mirrors + content carriers)
+    * with the identical store machinery. The removal frame is scanned
+    * many times (re-pack anti-join, four store purges, the before/after
+    * censuses) — callers with a computed removal set should cache it. */
+  private[queries] def fiveArtifactCertificate(s: SparkSession, dir: String,
+      removal: DataFrame, tmpPrefix: String): DataFrame = {
     import graft.ops.{Bm25, Packing, Takedown}
     import graft.store.IndexStore
     val docs = Tables.documents(s, dir)
-    val removal = takedownRemoval(docs)
     val toked = takedownToked(docs)
     val root = graft.util.TempDirs.deleteOnExit(
-      java.nio.file.Files.createTempDirectory("graft_takedown")).toString
+      java.nio.file.Files.createTempDirectory(tmpPrefix)).toString
     // packed shards: the purge is a re-pack of the surviving docs
     val packed = Packing.packSequences(toked, Seq("source"), "doc_id",
       "tok", 512)

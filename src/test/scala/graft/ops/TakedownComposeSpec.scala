@@ -1,0 +1,113 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.dedup.{ConnectedComponents, Contamination, Dedup}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end takedown composition (the q339 pipeline) on a hand-built
+  * corpus with a MIRROR-ONLY SURVIVOR: a doc that quotes text appearing
+  * only in a near-duplicate of the named seed, never in the seed itself.
+  * The composed pipeline (expand seeds through LSH+CC, then screen
+  * survivors against the EXPANDED texts) must catch it; a seeds-only
+  * pipeline provably misses it — both the miss and the resulting dirty
+  * certificate are asserted, not just the catch. */
+class TakedownComposeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Base text A (seed): 150 distinct words, ~1.3k chars — dense char-5
+  // shingle set so appending the phrase keeps Jaccard(S, M) ~0.94, far
+  // above the LSH gate threshold (16 bands x 4 rows at J=0.9 miss odds
+  // ~4e-8). Phrase P and the survivor filler use vocabularies disjoint
+  // from A, so 8-gram overlap is exactly the planted quote.
+  private val baseText = (0 until 150).map(i => s"alpha$i corpus").mkString(" ")
+  private val phrase =
+    "quoted passage zeta yankee xray whiskey victor uniform tango sierra romeo quebec"
+  private val filler = (0 until 40).map(i => s"zulu$i noise").mkString(" ")
+
+  private def corpus: DataFrame = Seq(
+    (1L, baseText),                       // seed S
+    (2L, baseText + " " + phrase),        // mirror M = near-dup of S + P
+    (3L, filler + " " + phrase),          // survivor V quoting P (mirror-only text)
+    (4L, (0 until 60).map(i => s"golf$i green").mkString(" ")),
+    (5L, (0 until 60).map(i => s"hotel$i harbor").mkString(" ")),
+    (6L, (0 until 60).map(i => s"india$i island").mkString(" "))
+  ).toDF("doc_id", "text")
+
+  private def seeds: DataFrame = Seq(Tuple1(1L)).toDF("doc_id")
+
+  /** Expand a seed set through LSH+CC near-dup clusters (the q339 stage 1). */
+  private def expand(docs: DataFrame, sd: DataFrame): DataFrame = {
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+      shingleK = 5, numHashes = 64, bands = 16, minJaccard = 0.6)
+    val comps = ConnectedComponents.run(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    val seedComps = comps.join(sd.withColumnRenamed("doc_id", "id"),
+      Seq("id"), "left_semi").select("component").distinct()
+    sd.unionByName(comps.join(seedComps, Seq("component"), "left_semi")
+      .select(col("id").as("doc_id"))).distinct()
+  }
+
+  /** Screen survivors for 8-gram content residue against a removed set
+    * (the q339 stage 2); returns carrier doc ids. */
+  private def carriers(docs: DataFrame, removal: DataFrame): DataFrame = {
+    val survivors = docs.join(removal, Seq("doc_id"), "left_anti")
+    val removedDocs = docs.join(removal, Seq("doc_id"), "left_semi")
+    Contamination.scores(survivors, removedDocs, "doc_id", "text", n = 8)
+      .where(col("matched_grams") > 0).select(col("id").as("doc_id"))
+  }
+
+  test("expansion finds the mirror: seed component membership, nothing else") {
+    val ex = expand(corpus, seeds).as[Long].collect().toSet
+    assert(ex == Set(1L, 2L), "expanded set must be seed + its near-dup mirror")
+  }
+
+  test("composed screen catches the mirror-only survivor; the seeds-only " +
+      "screen provably misses it") {
+    val docs = corpus
+    val expanded = expand(docs, seeds).cache()
+    val composedCarriers = carriers(docs, expanded).as[Long].collect().toSet
+    assert(composedCarriers == Set(3L),
+      "V quotes the phrase that exists only in the mirror's text")
+    // id-only pipeline: no expansion, screen against the SEED text alone.
+    // It still catches the MIRROR (M quotes the seed wholesale — one hop),
+    // but not V: V's quote exists only in the mirror, and reaching it
+    // needs the expanded benchmark — the transitive hop only the composed
+    // pipeline takes.
+    val idOnlyCarriers = carriers(docs, seeds).as[Long].collect().toSet
+    assert(idOnlyCarriers == Set(2L),
+      "seeds-only screen sees the mirror but is blind to the mirror-only survivor")
+  }
+
+  test("the composed removal set certifies clean; the id-only removal " +
+      "leaves a measured residual on every artifact") {
+    val docs = corpus
+    val expanded = expand(docs, seeds)
+    val composedFinal = expanded
+      .unionByName(carriers(docs, expanded)).distinct()
+    val idOnlyFinal = seeds.unionByName(carriers(docs, seeds)).distinct()
+    val ids = docs.select("doc_id")
+    def purged(rm: DataFrame) = ids.join(rm, Seq("doc_id"), "left_anti")
+    val art = Takedown.Artifact("fingerprint_index", ids, "doc_id")
+    // composed: purge with the composed set, certify against it — clean
+    val ok = Takedown.absenceCertificate(Seq(art),
+        Seq(Takedown.Artifact("fingerprint_index", purged(composedFinal),
+          "doc_id")), composedFinal, "doc_id")
+      .select("hits_before", "residual_after", "clean")
+      .as[(Long, Long, Boolean)].head()
+    assert(ok == ((3L, 0L, true)), "seed + mirror + carrier, all purged")
+    // id-only: purge with the id-only set (seed + the one-hop carrier M),
+    // certify against the TRUE obligation (the composed set) — V, the
+    // mirror-only survivor, measurably stands
+    val bad = Takedown.absenceCertificate(Seq(art),
+        Seq(Takedown.Artifact("fingerprint_index", purged(idOnlyFinal),
+          "doc_id")), composedFinal, "doc_id")
+      .select("residual_after", "clean").as[(Long, Boolean)].head()
+    assert(bad == ((1L, false)),
+      "the id-only purge measurably leaves the mirror-only survivor standing")
+    val standing = purged(idOnlyFinal)
+      .join(composedFinal, Seq("doc_id"), "left_semi")
+      .as[Long].collect().toSeq
+    assert(standing == Seq(3L), "and the survivor is exactly V")
+  }
+}
