@@ -681,6 +681,13 @@ object CorpusQueries {
   private[graft] def bitextFixture(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(s, dir)
+    // The per-language id offsets assume vec_id < 100000 (gate dirs top
+    // out at 1999, but ScaleStress-inflated dirs reach ~250k); a silent
+    // violation would conflate distinct vectors in the directed top-k
+    // frames, so the assumption fails loudly instead.
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    require(maxId < 100000L, s"bitextFixture id offsets need " +
+      s"vec_id < 100000, got max vec_id = $maxId")
     def dbl(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       c.cast("array<double>")
     val en = emb.select(col("vec_id").as("id"), lit("en").as("lang"),
@@ -747,12 +754,74 @@ object CorpusQueries {
       .groupBy("lang").agg(count(lit(1)).as("n_hits"))
     val goldHits = gold.join(ann.select(keys.map(col): _*), keys,
       "left_semi").groupBy("lang").agg(count(lit(1)).as("n_gold_hits"))
+    // left_outer + coalesce(0): a language where IVF mining collapses to
+    // zero overlap must fail legibly on the recall boolean, not vanish as
+    // a row-count mismatch
     exact.groupBy("lang").agg(count(lit(1)).as("n_exact"))
       .join(gold.groupBy("lang").agg(count(lit(1)).as("n_gold")), "lang")
-      .join(hits, "lang").join(goldHits, "lang")
+      .join(hits, Seq("lang"), "left_outer")
+      .join(goldHits, Seq("lang"), "left_outer")
       .select(col("lang"), col("n_exact"), col("n_gold"),
-        (col("n_hits") * 5 >= col("n_exact") * 4).as("recall_ge_080"),
-        (col("n_gold_hits") * 5 >= col("n_gold") * 4).as("gold_ge_080"))
+        (coalesce(col("n_hits"), lit(0L)) * 5 >= col("n_exact") * 4)
+          .as("recall_ge_080"),
+        (coalesce(col("n_gold_hits"), lit(0L)) * 5 >= col("n_gold") * 4)
+          .as("gold_ge_080"))
+      .orderBy("lang")
+  }
+
+  /** q340: bitext mining through STORED per-language indexes
+    * ([[graft.sim.BitextMining.saveLanguageIndexes]] /
+    * [[graft.sim.BitextMining.minePerLanguageFromStore]]) — the fleet's
+    * steady state: one IVF index persisted per language population, every
+    * mining job reloading instead of re-clustering. Certifies the q163
+    * stored/fused identity on the whole tier — the reload-mined pair set
+    * must equal the fused build+mine ANN form EXACTLY per language (same
+    * function, fed from parquet) — plus the q329 recall doctrine against
+    * the exact baseline: pair recall ≥ 0.8 and planted-gold recovery
+    * ≥ 0.8 per language. Zero-overlap collapse fails legibly on the
+    * booleans (left_outer + coalesce), never as a row-count mismatch. */
+  val bitextStored: Q = (s, dir) => {
+    val (corpus, gold) = bitextFixture(s, dir)
+    val langs = Seq("de", "fr")
+    val root = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_bitext_idx")).toString
+    graft.sim.BitextMining.saveLanguageIndexes(corpus, "id", "lang", "v",
+      "en" +: langs, nLists = 16, seed = 42L, root = root)
+    val stored = graft.sim.BitextMining.minePerLanguageFromStore(corpus,
+      "id", "lang", "v", "en", langs, k = 4, floor = 1.0, nProbe = 12,
+      root = root)
+    val fused = graft.sim.BitextMining.minePerLanguage(corpus, "id", "lang",
+      "v", "en", langs, k = 4, floor = 1.0, ann = Some((16, 12, 42L)))
+    val exact = graft.sim.BitextMining.minePerLanguage(corpus, "id", "lang",
+      "v", "en", langs, k = 4, floor = 1.0)
+    val keys = Seq("lang", "left_id", "right_id")
+    val sk = stored.select(keys.map(col): _*)
+    val fk = fused.select(keys.map(col): _*)
+    val perLang = (d: DataFrame, n: String) =>
+      d.groupBy("lang").agg(count(lit(1)).as(n))
+    val eqCert = perLang(sk, "ns")
+      .join(perLang(fk, "nf"), Seq("lang"), "full_outer")
+      .join(perLang(sk.unionByName(fk).distinct(), "nu"), Seq("lang"),
+        "full_outer")
+      .select(col("lang"),
+        (coalesce(col("ns"), lit(0L)) === coalesce(col("nf"), lit(0L)) &&
+          coalesce(col("ns"), lit(0L)) === coalesce(col("nu"), lit(0L)))
+          .as("stored_equals_fused"))
+    val hits = perLang(exact.select(keys.map(col): _*)
+      .join(sk, keys, "left_semi"), "n_hits")
+    val goldHits = perLang(gold.select(keys.map(col): _*)
+      .join(sk, keys, "left_semi"), "n_gold_hits")
+    perLang(exact, "n_exact")
+      .join(perLang(gold, "n_gold"), "lang")
+      .join(eqCert, "lang")
+      .join(hits, Seq("lang"), "left_outer")
+      .join(goldHits, Seq("lang"), "left_outer")
+      .select(col("lang"), col("n_exact"), col("n_gold"),
+        col("stored_equals_fused"),
+        (coalesce(col("n_hits"), lit(0L)) * 5 >= col("n_exact") * 4)
+          .as("recall_ge_080"),
+        (coalesce(col("n_gold_hits"), lit(0L)) * 5 >= col("n_gold") * 4)
+          .as("gold_ge_080"))
       .orderBy("lang")
   }
 
@@ -1750,6 +1819,7 @@ object CorpusQueries {
     "q148_margin_mining_ann" -> marginMiningAnn,
     "q328_bitext_yield" -> bitextYield,
     "q329_bitext_ann" -> bitextAnn,
+    "q340_bitext_stored" -> bitextStored,
     "q149_skew_report" -> skewReport,
     "q154_dedup_threshold_curve" -> dedupThresholdCurve,
     "q163_margin_mining_stored" -> marginMiningStored,
@@ -2492,6 +2562,18 @@ object CorpusQueries {
       (bitextOracleCtes +
         """
           |SELECT m.lang, n_exact, n_gold,
+          |  true AS recall_ge_080, true AS gold_ge_080
+          |FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n_exact
+          |    FROM mined GROUP BY 1) m
+          |  JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS n_gold
+          |    FROM gold GROUP BY 1) g USING (lang)
+          |ORDER BY lang""".stripMargin),
+    // q340: the exact-side integers are SQL-derivable (q329's oracle);
+    // stored==fused and the recall bounds are engine-verified booleans
+    "q340_bitext_stored" ->
+      (bitextOracleCtes +
+        """
+          |SELECT m.lang, n_exact, n_gold, true AS stored_equals_fused,
           |  true AS recall_ge_080, true AS gold_ge_080
           |FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n_exact
           |    FROM mined GROUP BY 1) m

@@ -58,6 +58,50 @@ object BitextMining {
     }.reduce(_ unionByName _)
   }
 
+  /** Persist one IVF index per language population under `root/<lang>`
+    * ([[graft.store.IndexStore.saveIvfIndex]]) — the mining fleet's
+    * steady state: embeddings are indexed once per corpus generation, and
+    * every subsequent mining job (new language pair, threshold re-sweep,
+    * re-mine after ingest) RELOADS instead of re-clustering. Closes the
+    * build-once asymmetry for the bitext tier (the q163 doctrine). */
+  def saveLanguageIndexes(corpus: DataFrame, idCol: String, langCol: String,
+      vecCol: String, langs: Seq[String], nLists: Int, seed: Long,
+      root: String): Unit = {
+    val spark = corpus.sparkSession
+    langs.foreach { l =>
+      graft.store.IndexStore.saveIvfIndex(spark,
+        Similarity.buildIvfIndex(corpus.where(col(langCol) === l), idCol,
+          vecCol, nLists, seed),
+        s"$root/$l")
+    }
+  }
+
+  /** [[minePerLanguage]]'s stored twin: mine every pair through indexes
+    * RELOADED from `root` ([[saveLanguageIndexes]] layout). The pivot
+    * index is loaded once and probed by every pair; per-language indexes
+    * load per pair. Output is identical to the fused ANN form —
+    * [[MarginMining.marginPairsFromIndexes]] is the same function the
+    * fused path composes, fed from parquet instead of a live build
+    * (q340 certifies the identity at the gate SFs). */
+  def minePerLanguageFromStore(corpus: DataFrame, idCol: String,
+      langCol: String, vecCol: String, pivot: String, others: Seq[String],
+      k: Int, floor: Double, nProbe: Int, root: String): DataFrame = {
+    require(others.nonEmpty, "need at least one non-pivot language")
+    require(!others.contains(pivot), s"pivot '$pivot' cannot be mined " +
+      "against itself")
+    val spark = corpus.sparkSession
+    val pvt = corpus.where(col(langCol) === pivot)
+    val pvtIdx = graft.store.IndexStore.loadIvfIndex(spark, s"$root/$pivot")
+    others.map { l =>
+      MarginMining.marginPairsFromIndexes(pvtIdx,
+          graft.store.IndexStore.loadIvfIndex(spark, s"$root/$l"),
+          pvt, corpus.where(col(langCol) === l), idCol, vecCol, k, floor,
+          nProbe)
+        .select(lit(l).as("lang"), col("left_id"), col("right_id"),
+          col("margin"))
+    }.reduce(_ unionByName _)
+  }
+
   /** The yield curve: per (language, threshold) — mined pairs at that
     * margin cut, gold alignments recovered, and Σid certificates. `gold`
     * holds known-true (lang, left_id, right_id) alignments (a seed

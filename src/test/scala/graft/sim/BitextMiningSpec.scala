@@ -63,6 +63,28 @@ class BitextMiningSpec extends SparkSpec {
     }
   }
 
+  test("stored-index mining equals the fused ANN form exactly: same " +
+      "function fed from parquet") {
+    val (corpus, _) = graft.queries.CorpusQueries.bitextFixture(
+      spark, "/root/testdata/sf0.001")
+    val root = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_bitext_spec")).toString
+    BitextMining.saveLanguageIndexes(corpus, "id", "lang", "v",
+      Seq("en", "de", "fr"), nLists = 8, seed = 42L, root = root)
+    val stored = BitextMining.minePerLanguageFromStore(corpus, "id",
+      "lang", "v", "en", Seq("de", "fr"), k = 4, floor = 1.0, nProbe = 6,
+      root = root)
+    val fused = BitextMining.minePerLanguage(corpus, "id", "lang", "v",
+      "en", Seq("de", "fr"), k = 4, floor = 1.0, ann = Some((8, 6, 42L)))
+    val keys = Seq("lang", "left_id", "right_id")
+    val sk = stored.select(keys.map(col): _*)
+    val fk = fused.select(keys.map(col): _*)
+    val ns = sk.count()
+    assert(ns == fk.count() &&
+      sk.unionByName(fk).distinct().count() == ns,
+      "reload must not change the mined pair set")
+  }
+
   test("pivot mined against itself is rejected") {
     val df = Seq((1L, "en", Array(1.0))).toDF("id", "lang", "v")
     intercept[IllegalArgumentException] {
