@@ -217,35 +217,112 @@ case class WordGramHashes(child: Expression, n: Int)
 }
 
 object WordGramHashes {
-  private val Whitespace = Pattern.compile("\\s+")
-  private def hashGram(s: String): Long =
-    XXH64.hashUTF8String(UTF8String.fromString(s), 42L)
+
+  /** Exactly regex `\s` (Java default, ASCII-only): space, \t, \n, \x0B,
+    * \f, \r. All single-byte in UTF-8; continuation bytes (>= 0x80, i.e.
+    * negative) never match, so a byte scan tokenizes identically to
+    * `Pattern.compile("\\s+").split(trimmed)`. */
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0D)
 
   /** The shared per-row gram loop: distinct word n-gram xxhash64s in
     * first-occurrence order (blank -> one "" gram; < n tokens -> one
     * whole-text gram) — used by [[WordGramHashes]] and the fused Bloom
-    * screen ([[BloomScreen]]). */
+    * screen ([[BloomScreen]]).
+    *
+    * Allocation-free gram construction (the CharShingleHashes idiom,
+    * round-13 verdict #3): tokens are byte ranges found by a whitespace
+    * byte scan — no toString, no regex split, no per-token Strings. A
+    * gram's joined form ("tok_i ... tok_{i+n-1}", single spaces) equals
+    * the SOURCE byte range whenever every interior gap is exactly one
+    * 0x20 byte — true for almost all natural text — so the common case
+    * hashes a zero-copy view (hashUnsafeBytes over the row buffer,
+    * jshell-verified == hashUTF8String of the joined string). Grams
+    * spanning a multi-byte / non-space gap join token bytes into one
+    * reused byte buffer (no UTF-16 round trip). A single-space-gap
+    * prefix count makes the fast-path test O(1) per gram. */
   private[functions] def distinctGramHashes(input: UTF8String, n: Int): Array[Long] = {
     val trimmed = input.trim()
-    val toks: Array[String] =
-      if (trimmed.numBytes() == 0) Array.empty[String]
-      else Whitespace.split(trimmed.toString, -1)
+    val base = trimmed.getBaseObject
+    val off = trimmed.getBaseOffset
+    val nBytes = trimmed.numBytes()
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    if (toks.length < n) {
-      seen.add(hashGram(String.join(" ", toks: _*)))
-    } else {
-      val sb = new java.lang.StringBuilder
-      var i = 0
-      while (i + n <= toks.length) {
-        sb.setLength(0)
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(toks(i + j))
+    if (nBytes == 0) {
+      // blank text: one "" gram
+      seen.add(XXH64.hashUnsafeBytes(base, off, 0, 42L))
+      return Array(seen.iterator().next().longValue())
+    }
+    // byte-scan tokenization. trim() strips only 0x20, so a leading or
+    // trailing NON-SPACE separator (\t, \n, ...) yields a boundary EMPTY
+    // token, exactly like split("\\s+", -1) on the space-trimmed string
+    // (the "\tword\t" -> ["", "word", ""] edge the differential spec pins)
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nTok = 0
+    def addTok(st: Int, en: Int): Unit = {
+      if (nTok == starts.length) {
+        starts = java.util.Arrays.copyOf(starts, nTok * 2)
+        ends = java.util.Arrays.copyOf(ends, nTok * 2)
+      }
+      starts(nTok) = st
+      ends(nTok) = en
+      nTok += 1
+    }
+    if (isWs(Platform.getByte(base, off))) addTok(0, 0)
+    var i = 0
+    while (i < nBytes) {
+      while (i < nBytes && isWs(Platform.getByte(base, off + i))) i += 1
+      if (i < nBytes) {
+        val st = i
+        while (i < nBytes && !isWs(Platform.getByte(base, off + i))) i += 1
+        addTok(st, i)
+      }
+    }
+    if (isWs(Platform.getByte(base, off + nBytes - 1))) addTok(nBytes, nBytes)
+    // prefix counts: singlePre(t) = single-space gaps among gaps 0..t-1
+    // (gap g between tokens g and g+1); lenPre(t) = Σ token byte lengths
+    val singlePre = new Array[Int](nTok)
+    val lenPre = new Array[Int](nTok + 1)
+    var t = 0
+    while (t < nTok) {
+      lenPre(t + 1) = lenPre(t) + (ends(t) - starts(t))
+      if (t + 1 < nTok)
+        singlePre(t) = (if (t == 0) 0 else singlePre(t - 1)) +
+          (if (starts(t + 1) - ends(t) == 1 &&
+            Platform.getByte(base, off + ends(t)) == 0x20) 1 else 0)
+      t += 1
+    }
+    var buf: Array[Byte] = null
+    // hash the gram spanning tokens [a, b]: zero-copy when every gap in
+    // the span is one 0x20 byte, else byte-buffer join
+    def gramHash(a: Int, b: Int): Long = {
+      val singleGaps =
+        if (b == a) 0
+        else singlePre(b - 1) - (if (a == 0) 0 else singlePre(a - 1))
+      if (singleGaps == b - a)
+        XXH64.hashUnsafeBytes(base, off + starts(a), ends(b) - starts(a), 42L)
+      else {
+        val len = lenPre(b + 1) - lenPre(a) + (b - a)
+        if (buf == null || buf.length < len) buf = new Array[Byte](len)
+        var pos = 0
+        var j = a
+        while (j <= b) {
+          if (j > a) { buf(pos) = 0x20; pos += 1 }
+          val l = ends(j) - starts(j)
+          Platform.copyMemory(base, off + starts(j), buf,
+            Platform.BYTE_ARRAY_OFFSET + pos, l)
+          pos += l
           j += 1
         }
-        seen.add(hashGram(sb.toString))
-        i += 1
+        XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      }
+    }
+    if (nTok < n) seen.add(gramHash(0, nTok - 1))
+    else {
+      var g = 0
+      while (g + n <= nTok) {
+        seen.add(gramHash(g, g + n - 1))
+        g += 1
       }
     }
     val out = new Array[Long](seen.size())

@@ -26,7 +26,9 @@ class HashExpressionsSpec extends SparkSpec {
     900004L -> "héllo wörld ünïcode",   // multi-byte chars cross shingle bounds
     900005L -> "  spaced   out  ",      // space-only trim + interior runs
     900006L -> "\tword\t",              // tab survives space-trim; empty tokens
-    900007L -> "日本語のテキストです")   // 3-byte chars throughout
+    900007L -> "日本語のテキストです",   // 3-byte chars throughout
+    900008L -> "a\u00A0b c",         // NBSP is NOT regex \s - one token "a<nbsp>b"
+    900009L -> "x \t y\r\nz  w")        // mixed \s runs: space+tab, CRLF, double space
 
   test("per-row minhash signature equals the aggregate signatures (corpus)") {
     val agg = Dedup.minHashSignatures(
