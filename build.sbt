@@ -36,4 +36,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // ad-hoc JVM flags for profiling runs (GC logs, heap pinning) without
+  // editing the build, e.g. GRAFT_EXTRA_JVM_OPTS="-Xlog:gc* -Xms48g"
+  sys.env.get("GRAFT_EXTRA_JVM_OPTS").toSeq.flatMap(_.split("\\s+"))

@@ -292,6 +292,26 @@ object Bench {
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage
 
+  // The 1-minute load average cannot tell OUR cpu from a neighbor's: a
+  // long interleaved run keeps loadavg above any fraction-of-cores gate
+  // for its whole duration, so four consecutive official records
+  // self-flagged "contended" on an idle box and the flag carried no
+  // information. EXTERNAL load — whole-system recent cpu minus this
+  // JVM's own recent cpu, in cores — is what the gate actually means,
+  // and the HotSpot bean exposes both sides. NaN (first sample / non-
+  // HotSpot) falls back to the old loadavg test.
+  private val sunBean = osBean match {
+    case b: com.sun.management.OperatingSystemMXBean => Some(b)
+    case _ => None
+  }
+  private def externalCores: Double = sunBean.map { b =>
+    val sys = b.getCpuLoad
+    val self = b.getProcessCpuLoad
+    if (sys.isNaN || self.isNaN || sys < 0 || self < 0) Double.NaN
+    else math.max(0.0, sys - self) *
+      Runtime.getRuntime.availableProcessors()
+  }.getOrElse(Double.NaN)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -309,18 +329,21 @@ object Bench {
     // warmup: pay session/codegen/IO cold-start outside the timings
     qs("q25_acctbal_by_nation")(spark, sfDir).count()
 
-    // One timed pass; returns (seconds, load avg sampled just before).
-    def timeOnce(name: String): (Double, Double) = {
+    // One timed pass; returns (seconds, load avg, external cores), both
+    // load measures sampled just before the pass.
+    def timeOnce(name: String): (Double, Double, Double) = {
       spark.catalog.clearCache() // isolate: some operators cache intermediates
       val l0 = loadAvg
+      val x0 = externalCores
       val t0 = System.nanoTime()
       val n = try qs(name)(spark, sfDir).count() catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-26s $sec%8.2fs rows=$n load=$l0%.1f")
-      (sec, l0)
+      System.err.println(f"[bench] $name%-26s $sec%8.2fs rows=$n " +
+        f"load=$l0%.1f ext=$x0%.1f")
+      (sec, l0, x0)
     }
 
     // ad-hoc override for profiling: SPARK_GRAFT_BENCH_QUERIES=q62_x,q64_y
@@ -332,16 +355,21 @@ object Bench {
     // Round-robin: pass 1 of every query, then pass 2, then pass 3. A
     // transient spike then pollutes one pass of many queries instead of
     // every pass of one — min-of-3 absorbs it. Then, bounded contention
-    // retry: while any query's BEST pass started above the gate (1-min
-    // load above an eighth of the cores — strict on purpose; the r4/r6/r7
-    // records all had load-born phantoms), run one more interleaved pass
-    // over just the suspect queries, up to 3 extra rounds.
+    // retry: while any query's BEST pass started with EXTERNAL cpu above
+    // the gate (an eighth of the cores — strict on purpose; the r4/r6/r7
+    // records all had load-born phantoms, while the r10–r13 records
+    // self-flagged on the run's OWN loadavg), run one more interleaved
+    // pass over just the suspect queries, up to 3 extra rounds.
     val loadGate = cpus.toDouble / 8.0
-    val passes = scala.collection.mutable.Map[String, Vector[(Double, Double)]]()
+    // a pass is contended when external cpu clears the gate; loadavg is
+    // only the fallback when the external sample is unavailable
+    def hot(p: (Double, Double, Double)): Boolean =
+      if (p._3.isNaN) p._2 > loadGate else p._3 > loadGate
+    val passes = scala.collection.mutable.Map[String, Vector[(Double, Double, Double)]]()
       .withDefaultValue(Vector.empty)
     for (round <- 1 to 3; name <- selected)
       passes(name) = passes(name) :+ timeOnce(name)
-    def suspects = selected.filter(n => passes(n).minBy(_._1)._2 > loadGate)
+    def suspects = selected.filter(n => hot(passes(n).minBy(_._1)))
     var extra = 0
     while (suspects.nonEmpty && extra < 3) {
       for (name <- suspects) passes(name) = passes(name) :+ timeOnce(name)
@@ -350,11 +378,11 @@ object Bench {
 
     val results = selected.map { name =>
       val ps = passes(name)
-      val (t, l) = ps.minBy(_._1)
-      (name, t, l, ps)
+      val (t, l, x) = ps.minBy(_._1)
+      (name, t, l, x, ps)
     }
-    def jmap(f: (String, Double, Double, Vector[(Double, Double)]) => String) =
-      results.map { case (k, t, l, ps) => "\"" + k + "\":" + f(k, t, l, ps) }
+    def jmap(f: (String, Double, Double, Vector[(Double, Double, Double)]) => String) =
+      results.map { case (k, t, l, _, ps) => "\"" + k + "\":" + f(k, t, l, ps) }
         .mkString("{", ",", "}")
     val qjson = jmap((_, t, _, _) => f"$t%.3f")
     val ljson = jmap((_, _, l, _) => f"$l%.2f")
@@ -365,13 +393,18 @@ object Bench {
       ps.map(p => f"${p._1}%.3f").mkString("[", ",", "]"))
     val passLoads = jmap((_, _, _, ps) =>
       ps.map(p => f"${p._2}%.2f").mkString("[", ",", "]"))
+    val passExternal = jmap((_, _, _, ps) =>
+      ps.map(p => if (p._3.isNaN) "null" else f"${p._3}%.2f")
+        .mkString("[", ",", "]"))
     val total = results.map(_._2).sum
-    val passesMax = if (results.isEmpty) 0 else results.map(_._4.size).max
+    val passesMax = if (results.isEmpty) 0 else results.map(_._5.size).max
     val loadEnd = loadAvg
-    // validity stamp: queries whose BEST pass still ran above the gate after
-    // the bounded retry loop — their published times are upper bounds, not
-    // clean measurements
-    val contendedQs = results.collect { case (k, _, l, _) if l > loadGate => k }
+    // validity stamp: queries whose BEST pass still ran with external cpu
+    // above the gate after the bounded retry loop — their published times
+    // are upper bounds, not clean measurements
+    val contendedQs = results.collect {
+      case (k, t, l, x, _) if hot((t, l, x)) => k
+    }
     val contended = contendedQs.nonEmpty
     val cjson = contendedQs.map("\"" + _ + "\"").mkString("[", ",", "]")
     // stability evidence: median-over-min pass ratio per query. An 84-query
@@ -388,11 +421,11 @@ object Bench {
     }
     val sjson = jmap((_, t, _, ps) => f"${median(ps.map(_._1)) / t}%.3f")
     val unstableQs = results.collect {
-      case (k, t, _, ps) if median(ps.map(_._1)) / t > 1.3 => k
+      case (k, t, _, _, ps) if median(ps.map(_._1)) / t > 1.3 => k
     }
     val ujson = unstableQs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"loads":$ljson,"sf":"$sfDir","passes":$passesMax,"passes_per_query":$pjson,"pass_times":$passTimes,"pass_loads":$passLoads,"spread":$sjson,"unstable_queries":$ujson,"load_gate":$loadGate%.1f,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"contended":$contended,"contended_queries":$cjson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"loads":$ljson,"sf":"$sfDir","passes":$passesMax,"passes_per_query":$pjson,"pass_times":$passTimes,"pass_loads":$passLoads,"pass_external_cores":$passExternal,"spread":$sjson,"unstable_queries":$ujson,"load_gate":$loadGate%.1f,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"contended":$contended,"contended_queries":$cjson}"""
     val out = sys.env.getOrElse("BENCH_OUT", "target/bench.json")
     def write(path: String): Unit = try {
       val p = java.nio.file.Paths.get(path)

@@ -250,20 +250,35 @@ object Dedup {
       struct(lit(b).as("band"), xxhash64(comps: _*).as("bh"))
     }: _*)
 
-  /** Mega-bucket guard OBSERVABILITY: the band buckets [[minHashLsh]]'s
-    * guard drops at `maxBucketSize` — (band, bh, n) rows. One partial-
-    * aggregated groupBy over the narrow band table; empty on healthy
-    * corpora. Built from the identical band construction the join uses,
-    * so a non-empty result IS the guard firing (the ScaleStress guard
-    * certification records this count next to the bounded runtime). */
-  def oversizedBandBuckets(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+  /** Full band-bucket histogram — every non-empty (band, bh, n) bucket
+    * from the identical band construction [[minHashLsh]] joins on. The
+    * diagnostic entry point (ProbeLshScale's candidate-volume decompose);
+    * [[oversizedBandBuckets]] is this filtered to the guard's drop set. */
+  def bandBucketHistogram(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     minHashSignaturesPerRow(docs, idCol, textCol, shingleK, numHashes)
       .select(explode(bandStructs(bands, numHashes / bands)).as("bb"))
       .groupBy(col("bb.band").as("band"), col("bb.bh").as("bh"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** Mega-bucket guard OBSERVABILITY: the band buckets [[minHashLsh]]'s
+    * guard drops at `maxBucketSize` — (band, bh, n) rows. One partial-
+    * aggregated groupBy over the narrow band table; empty on healthy
+    * corpora. Built from the identical band construction the join uses,
+    * so a non-empty result IS the guard firing (the ScaleStress guard
+    * certification records this count next to the bounded runtime).
+    * `maxBucketSize` must be positive — the `<= 0` guard-disabled
+    * sentinel [[minHashLsh]] accepts has no meaning for a drop census
+    * (a disabled guard drops nothing); use [[bandBucketHistogram]] for
+    * the all-buckets view. */
+  def oversizedBandBuckets(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(maxBucketSize > 0, "a drop census needs a positive cap; " +
+      "use bandBucketHistogram for the all-buckets view")
+    bandBucketHistogram(docs, idCol, textCol, shingleK, numHashes, bands)
       .where(col("n") > maxBucketSize)
   }
 
@@ -319,6 +334,19 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sig = minHashSignaturesPerRow(docs, idCol, textCol, shingleK, numHashes).cache()
+    // Wide-stage parallelism below scales with MEASURED intermediate
+    // volumes (candidate pairs, candidate shingles) instead of blindly
+    // inheriting the session shuffle width. The measurement itself costs
+    // three extra actions (+43% on the sf0.1 bench family when paid
+    // unconditionally), so it is gated on a DRIVER-SIDE plan-stats size
+    // check that launches no job: corpora under ~64 MB keep the exact
+    // session plan and zero extra actions; big corpora pay the counts,
+    // which are noise against their runtime.
+    val sessionParts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val bigCorpus =
+      docs.queryExecution.optimizedPlan.stats.sizeInBytes > (64L << 20)
+    def scaledTo(parts: Int)(df: DataFrame, keys: Column*): DataFrame =
+      if (parts > sessionParts) df.repartition(parts, keys: _*) else df
 
     // Prefilter candidates by the signature-estimated jaccard (fraction of
     // equal components, E[est] = J, sigma = sqrt(J(1-J)/k)); 64 integer
@@ -381,14 +409,29 @@ object Dedup {
       // measured 35% SLOWER here — the stat-less stream made the sig joins
       // shuffle. Band duplication is only ~1.1x on this corpus, so the
       // distinct's input is barely larger than the filtered stream anyway.
-      val rawCand = banded.as("a").join(banded.as("b"),
+      val rawCand0 = banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
             col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
         .distinct()
-      rawCand
-        .join(sig.as("a"), col("id_a") === col("a.id"))
-        .join(sig.as("b"), col("id_b") === col("b.id"))
+      // The sig-attach joins carry the 64-long signature on every
+      // candidate row (~2.8 GB at x125's 5.3M candidates), and their
+      // sort-merge sorts were THE spill of the default 8 GB envelope
+      // (22 GB at 32 partitions, stage-attributed by MeasureLshSpill).
+      // On a big corpus, size them by the MEASURED candidate count —
+      // ~32k rows per partition keeps each task's sort inside the
+      // envelope; the count materializes a cached rawCand the first join
+      // needed anyway. Small corpora skip cache+count and keep the
+      // session plan (AQE broadcast included) byte-identical.
+      val rawCand = if (bigCorpus) rawCand0.cache() else rawCand0
+      val preParts =
+        if (bigCorpus) math.min(4096L, rawCand.count() / 32000L).toInt else 0
+      def pre(df: DataFrame, keys: Column*): DataFrame =
+        scaledTo(preParts)(df, keys: _*)
+      pre(pre(rawCand, col("id_a"))
+          .join(pre(sig, col("id")).as("a"), col("id_a") === col("a.id")),
+          col("id_b"))
+        .join(pre(sig, col("id")).as("b"), col("id_b") === col("b.id"))
         .where(estCols >= lit(sigMargin * numHashes))
         .select("id_a", "id_b")
     }).cache()
@@ -405,16 +448,44 @@ object Dedup {
     // second join is an equi-join on (id_b, shingle) so only true
     // intersections materialize.
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    // The candidate-id set is a frame of bare longs bounded by 2x the
+    // candidate pair count. Broadcasting it keeps the semi-join free of
+    // any exchange/sort of document TEXTS by construction — AQE usually
+    // reaches the same plan from runtime stats, but the explicit hint
+    // makes the no-text-shuffle shape deterministic (AQE off, static
+    // planner, stats drift). Guarded by a count on the already-cached
+    // cand frame: past ~4M ids (~32 MB broadcast) fall back to the
+    // shuffled semi-join — at that scale the candidate set itself is the
+    // pathology and the mega-bucket guard is the real lever.
     val candDocs = docs.select(col(idCol).as("id"), col(textCol).as("__t"))
-      .join(candIds, Seq("id"), "left_semi")
+      .join(if (!bigCorpus || candIds.count() <= 4000000L)
+          broadcast(candIds) else candIds,
+        Seq("id"), "left_semi")
     val shCand = candDocs
       .select(col("id"), explode(graft.functions.HashFunctions
         .charShingleHashes(col("__t"), shingleK)).as("shingle"))
       .cache()
+    // Verification-stage parallelism scales with the MEASURED candidate
+    // shingle volume instead of inheriting the session shuffle width: the
+    // (id_b, shingle) intersection join builds hash/sort state ~10x its
+    // shuffle input, which at x125 (~9e7 candidate shingles) over 32
+    // partitions overflows the default 8 GB executor into a 22 GB spill
+    // (MeasureLshSpill, stage-attributed). ~500k shingles per partition
+    // keeps per-task state inside the envelope; small corpora keep the
+    // session width and the exact session plan (broadcast candidates
+    // included). The count is a cache-materializing pass shCand needed
+    // anyway; the explicit repartitions replace exchanges the sort-merge
+    // join would have inserted at session width, so no new shuffle.
+    val verifyParts =
+      if (bigCorpus) math.min(4096L, shCand.count() / 500000L).toInt else 0
+    def scaled(df: DataFrame, keys: Column*): DataFrame =
+      scaledTo(verifyParts)(df, keys: _*)
     val sizes = shCand.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(shCand.withColumnRenamed("id", "id_a"), "id_a")
-      .join(shCand.withColumnRenamed("id", "id_b"), Seq("id_b", "shingle"))
+    val inter = scaled(
+        cand.join(shCand.withColumnRenamed("id", "id_a"), "id_a"),
+        col("id_b"), col("shingle"))
+      .join(scaled(shCand.withColumnRenamed("id", "id_b"),
+        col("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")

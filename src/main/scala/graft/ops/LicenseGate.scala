@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** License-label propagation through packed shards — the release-gate
+  * policy shared by the q337 batch gate and its streaming ingest twin so
+  * the two can never drift: a packed SEQUENCE inherits the most
+  * restrictive obligations of its member docs, and is BLOCKED if it
+  * contains any `unknown` license (unclearable) or mixes `proprietary`
+  * with open-license content (the pack leaks licensed text into an open
+  * shard).
+  *
+  * Scale shape: one (shard-key, seq) rollup + one shard-key rollup —
+  * group-cardinality throughout, never doc-level output. Every census
+  * column is an ADDITIVE long counter, so per-batch censuses over whole
+  * sequences merge exactly through the store cursor
+  * ([[graft.store.IndexStore.updateCensus]]).
+  */
+object LicenseGate {
+
+  /** Open license classes for the mixing rule. */
+  val OpenClasses: Seq[String] = Seq("cc0", "cc-by", "cc-by-sa")
+
+  /** Per-(source, seq) policy verdicts for packed rows carrying
+    * (source, seqCol, license, tok). */
+  def perSequence(packed: DataFrame, seqCol: String): DataFrame =
+    packed.groupBy("source", seqCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("seq_tokens"),
+        sum(when(col("license") === "unknown", 1L).otherwise(0L))
+          .as("n_unknown"),
+        sum(when(col("license") === "proprietary", 1L).otherwise(0L))
+          .as("n_prop"),
+        sum(when(col("license").isin(OpenClasses: _*), 1L)
+          .otherwise(0L)).as("n_open"))
+      .withColumn("blocked_unknown", col("n_unknown") > 0)
+      .withColumn("blocked_mix", col("n_prop") > 0 && col("n_open") > 0)
+
+  /** The per-source census: sequences, blocked sequences (by reason),
+    * blocked/total token mass. Valid for any packed frame whose
+    * sequences are COMPLETE within it — the full corpus (the q337 batch
+    * gate) or one packer-emitted micro-batch (the streaming twin); the
+    * counters then add across batches because each sequence lives in
+    * exactly one. */
+  def sourceCensus(packed: DataFrame, seqCol: String = "__seq"): DataFrame =
+    perSequence(packed, seqCol).groupBy("source")
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(when(col("blocked_unknown") || col("blocked_mix"), 1L)
+          .otherwise(0L)).as("n_blocked"),
+        sum(when(col("blocked_unknown"), 1L).otherwise(0L))
+          .as("n_blocked_unknown"),
+        sum(when(col("blocked_mix") && !col("blocked_unknown"), 1L)
+          .otherwise(0L)).as("n_blocked_mix_only"),
+        sum(when(col("blocked_unknown") || col("blocked_mix"),
+          col("seq_tokens")).otherwise(0L)).as("blocked_tokens"),
+        sum(col("seq_tokens")).as("total_tokens"))
+}

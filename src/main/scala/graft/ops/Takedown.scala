@@ -83,16 +83,28 @@ object Takedown {
       removalIdCol: String): DataFrame = {
     val rm = broadcast(removal.select(col(removalIdCol).cast("long")
       .as("__rid")).distinct())
-    packed
+    // counts are RANK arithmetic over the realized sequences, not raw id
+    // arithmetic — [[Packing.packSequences]] emits dense 0-based ids (for
+    // which the two coincide), but a packed frame with offset or sparse
+    // seq ids would silently mis-price max(seq)+1 as its sequence count.
+    // The window runs over the per-(shard, seq) rollup: group-cardinality
+    // rows, bounded per shard, never the packed corpus.
+    val perSeq = packed
       .join(rm, col(idCol).cast("long") === col("__rid"), "left_outer")
+      .groupBy((shardCols :+ seqCol).map(col): _*)
+      .agg(count(lit(1)).as("__nd"),
+        sum(when(col("__rid").isNotNull, 1L).otherwise(0L)).as("__nr"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCols.map(col): _*).orderBy(col(seqCol))
+    perSeq.withColumn("__rk", row_number().over(w))
       .groupBy(shardCols.map(col): _*)
-      .agg((max(col(seqCol)) + 1).as("n_seqs"),
-        count(lit(1)).as("n_docs"),
-        sum(when(col("__rid").isNotNull, 1L).otherwise(0L))
-          .as("n_docs_removed"),
-        min(when(col("__rid").isNotNull, col(seqCol))).as("first_dirty_seq"))
+      .agg(count(lit(1)).cast("long").as("n_seqs"),
+        sum(col("__nd")).as("n_docs"),
+        sum(col("__nr")).as("n_docs_removed"),
+        min(when(col("__nr") > 0, col(seqCol))).as("first_dirty_seq"),
+        (max(col("__rk")) - min(when(col("__nr") > 0, col("__rk"))) + 1)
+          .cast("long").as("n_seqs_rewrite"))
       .where(col("n_docs_removed") > 0)
-      .withColumn("n_seqs_rewrite", col("n_seqs") - col("first_dirty_seq"))
   }
 
   /** Minimal re-INDEX plan for a unit-keyed index artifact (BM25 term

@@ -437,29 +437,10 @@ object ExtendedQueries {
         TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
     val packed = graft.ops.Packing.packSequences(toked, Seq("source"),
       "doc_id", "tok", 512)
-    val perSeq = packed.groupBy("source", "__seq")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("tok")).as("seq_tokens"),
-        sum(when(col("license") === "unknown", 1L).otherwise(0L))
-          .as("n_unknown"),
-        sum(when(col("license") === "proprietary", 1L).otherwise(0L))
-          .as("n_prop"),
-        sum(when(col("license").isin("cc0", "cc-by", "cc-by-sa"), 1L)
-          .otherwise(0L)).as("n_open"))
-      .withColumn("blocked_unknown", col("n_unknown") > 0)
-      .withColumn("blocked_mix", col("n_prop") > 0 && col("n_open") > 0)
-    perSeq.groupBy("source")
-      .agg(count(lit(1)).as("n_seqs"),
-        sum(when(col("blocked_unknown") || col("blocked_mix"), 1L)
-          .otherwise(0L)).as("n_blocked"),
-        sum(when(col("blocked_unknown"), 1L).otherwise(0L))
-          .as("n_blocked_unknown"),
-        sum(when(col("blocked_mix") && !col("blocked_unknown"), 1L)
-          .otherwise(0L)).as("n_blocked_mix_only"),
-        sum(when(col("blocked_unknown") || col("blocked_mix"),
-          col("seq_tokens")).otherwise(0L)).as("blocked_tokens"),
-        sum(col("seq_tokens")).as("total_tokens"))
-      .orderBy("source")
+    // policy + census live in [[graft.ops.LicenseGate]], shared verbatim
+    // with the streaming ingest twin (StreamingPipeline
+    // .licensePackIngestStream) so batch and stream verdicts cannot drift
+    graft.ops.LicenseGate.sourceCensus(packed).orderBy("source")
   }
 
   /** q338: license-SEGREGATED re-pack plan — the planner q337's census

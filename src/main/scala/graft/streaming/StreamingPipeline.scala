@@ -459,6 +459,21 @@ object StreamingPipeline {
         ()
       }
 
+  /** Continuous LICENSE-GATE ingest (q337's streaming form): packed
+    * shards arrive as a stream of WHOLE sequences (the packer's emit
+    * unit — rows carry (source, __seq, license, tok)), and each
+    * micro-batch folds its per-source policy census
+    * ([[graft.ops.LicenseGate.sourceCensus]]: sequences, blocked by
+    * reason, blocked/total token mass — all additive longs) into the
+    * stored census. Exactly-once by the stored batch-id cursor; a
+    * replayed micro-batch is a no-op, so a died-and-restarted stream
+    * cannot double-count a shard wave. Batch and stream share the
+    * policy function verbatim. */
+  def licensePackIngestStream(newPacked: DataFrame,
+                              indexPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    censusIngestStream(newPacked, indexPath, Seq("source"),
+      b => graft.ops.LicenseGate.sourceCensus(b))
+
   /** Continuous SNAPSHOT ingest: each arriving micro-batch of
     * (url, source, version, hash) crawl observations folds into the stored
     * per-url LWW state ([[graft.store.IndexStore.updateSnapshotState]]:

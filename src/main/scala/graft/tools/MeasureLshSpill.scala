@@ -1,0 +1,59 @@
+package graft.tools
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Per-STAGE spill/shuffle attribution for the LSH x-cell: the global
+  * TaskMetricsListener in ScaleStress says the 8 GB x125 cell spills
+  * 25.3 GB but not WHERE. This prints one line per completed stage —
+  * name, tasks, shuffle read/write, memory+disk spill — so the partition
+  * -scaling fix targets the measured stage instead of a guess.
+  *
+  * Usage: runMain graft.tools.MeasureLshSpill <dir> [query=q42_minhash_lsh_pairs] [shufflePartitions=32]
+  */
+object MeasureLshSpill {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val query = if (args.length > 1) args(1) else "q42_minhash_lsh_pairs"
+    val parts = if (args.length > 2) args(2) else "32"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.ui.enabled", "false")
+      .config(graft.sources.Tables.NanosAsLongConf, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val rows = new ConcurrentHashMap[Int, String]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val s = e.stageInfo
+        val m = s.taskMetrics
+        if (m != null) {
+          def mb(b: Long) = f"${b / 1048576.0}%9.1f"
+          rows.put(s.stageId,
+            f"[stage] ${s.stageId}%4d tasks=${s.numTasks}%4d " +
+              f"shufRead=${mb(m.shuffleReadMetrics.totalBytesRead)}MB " +
+              f"shufWrite=${mb(m.shuffleWriteMetrics.bytesWritten)}MB " +
+              f"memSpill=${mb(m.memoryBytesSpilled)}MB " +
+              f"diskSpill=${mb(m.diskBytesSpilled)}MB " +
+              // run vs cpu vs gc: a stage whose Σrun far exceeds Σcpu+Σgc
+              // spent the difference descheduled or blocked, not computing
+              f"runSec=${m.executorRunTime / 1000.0}%8.1f " +
+              f"cpuSec=${m.executorCpuTime / 1e9}%8.1f " +
+              f"gcSec=${m.jvmGCTime / 1000.0}%6.1f " +
+              f"${s.details.linesIterator.take(1).mkString}")
+        }
+      }
+    })
+    val t0 = System.nanoTime()
+    graft.SparkEntry.queries(query)(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    // stages print sorted after the run so interleaving doesn't scramble them
+    import scala.jdk.CollectionConverters._
+    rows.asScala.toSeq.sortBy(_._1).foreach(r => println(r._2))
+    println(f"[spillprobe] $query $dir parts=$parts total=${sec}%.1fs")
+    spark.stop()
+  }
+}

@@ -19,8 +19,8 @@ object ProbeLshScale {
       val docs = graft.sources.Tables.documents(spark, dir)
       val sig = graft.dedup.Dedup.minHashSignaturesPerRow(
         docs, "doc_id", "text", 5, 64)
-      val buckets = graft.dedup.Dedup.oversizedBandBuckets(
-        docs, "doc_id", "text", maxBucketSize = 0)
+      val buckets = graft.dedup.Dedup.bandBucketHistogram(
+        docs, "doc_id", "text")
       val hist = buckets.agg(count(lit(1)), max(col("n")),
         sum(col("n") * (col("n") - 1) / 2)).head()
       val t0 = System.nanoTime()

@@ -60,6 +60,22 @@ class TakedownSpec extends SparkSpec {
     assert(w0 == Seq((0L, 2L)))
   }
 
+  test("repack worklist prices sparse / offset sequence ids by rank, " +
+      "not raw id arithmetic") {
+    // shard with seqs {10, 12, 14} (2 docs each): removing a doc in seq 12
+    // rewrites seqs 12 and 14 — TWO sequences, not max+1-12 = 3
+    val sparse = Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "a", 12L),
+      (4L, "a", 12L), (5L, "a", 14L), (6L, "a", 14L))
+      .toDF("doc_id", "shard", "__seq")
+    val w = Takedown.repackWorklist(sparse, Seq("shard"), "__seq",
+        "doc_id", frame(3L), "id")
+      .select("n_seqs", "n_docs", "n_docs_removed", "first_dirty_seq",
+        "n_seqs_rewrite")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(w == Seq((3L, 6L, 1L, 12L, 2L)),
+      "three realized sequences; the suffix from seq 12 is two of them")
+  }
+
   test("reindex worklist: per-term drop counts, exact df maintenance, " +
       "vanished terms flagged") {
     val postings = Seq(("x", 1L, 2L), ("x", 2L, 1L), ("y", 2L, 3L),

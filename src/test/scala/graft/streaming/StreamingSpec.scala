@@ -1717,4 +1717,55 @@ class StreamingSpec extends SparkSpec {
       oneShot.exceptAll(stored).isEmpty,
       "streamed negative-delta census diverged from the survivor census")
   }
+
+  test("license-gate ingest stream == q337 batch census; kill+restart " +
+      "exactly-once") {
+    // packed shards stream in WHOLE-sequence waves; each micro-batch's
+    // per-source policy census folds additively into the store. The
+    // census after both waves (with a death between them) must equal the
+    // q337 batch gate's frame over the same corpus.
+    val lic = when(expr("(doc_id div 100) % 5") === 0, "cc0")
+      .when(expr("(doc_id div 100) % 5") === 1, "cc-by")
+      .when(expr("(doc_id div 100) % 5") === 2, "cc-by-sa")
+      .when(expr("(doc_id div 100) % 5") === 3, "proprietary")
+      .otherwise("unknown")
+    val toked = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), lic.as("license"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+          .as("tok"))
+    val packed = graft.ops.Packing.packSequences(toked, Seq("source"),
+      "doc_id", "tok", 512)
+    val src = java.nio.file.Files.createTempDirectory("graft_licgate_src")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_licgate").toString
+    val idxPath = s"$root/idx"
+    // waves split by SEQUENCE parity: sequences stay whole per wave, so
+    // each wave's census is a clean additive slice
+    def stageFile(part: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_lg_p$part")
+      packed.where(pmod(col("__seq"), lit(2L)) === part).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, src.resolve(s"p$part.parquet"))
+    }
+    stageFile(0)
+    val schema = packed.schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+      val q = StreamingPipeline.licensePackIngestStream(stream, idxPath)
+        .option("checkpointLocation", s"$root/ckpt").start()
+      q.awaitTermination()
+    }
+    runOnce() // process dies after the first shard wave
+    stageFile(1) // the second wave lands while down
+    runOnce() // restart must not re-count wave 0's sequences
+    val stored = graft.store.IndexStore.loadCensus(spark, idxPath)
+    val batchGate = graft.queries.ExtendedQueries.licensePackGate(spark, dir)
+    val cols = batchGate.columns.map(col)
+    assert(stored.select(cols: _*).exceptAll(batchGate).isEmpty &&
+      batchGate.exceptAll(stored.select(cols: _*)).isEmpty,
+      "streamed license-gate census diverged from the q337 batch gate")
+  }
 }
