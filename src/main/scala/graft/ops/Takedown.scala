@@ -107,6 +107,46 @@ object Takedown {
       .where(col("n_docs_removed") > 0)
   }
 
+  /** Ingest one takedown WAVE through the cumulative removed-id LEDGER:
+    * wave expansions overlap (two notices' seeds can share a near-dup
+    * cluster), so the wave's negative census delta must cover only ids
+    * not already purged — a naive per-wave delta double-subtracts the
+    * shared mirrors and under-reports the corpus. The ledger is itself
+    * an additive census keyed by doc_id behind the same batch-id cursor,
+    * so a replayed wave no-ops at BOTH layers. Returns (newIds purged
+    * this wave, replay-no-op certificate — verified by actually
+    * replaying both ingests).
+    *
+    * @param toked (doc_id, source, tok) corpus frame the census covers
+    * @param expansion this wave's full expanded removal set (doc_id)
+    */
+  def ingestWaveWithLedger(toked: DataFrame, expansion: DataFrame,
+      censusPath: String, ledgerPath: String, batchId: Long): (Long, Boolean) = {
+    import graft.store.IndexStore
+    val spark = toked.sparkSession
+    val already =
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(ledgerPath)))
+        expansion.limit(0)
+      else expansion.join(IndexStore.loadCensus(spark, ledgerPath),
+        Seq("doc_id"), "left_semi")
+    val newIds = expansion.join(already, Seq("doc_id"), "left_anti").cache()
+    val n = newIds.count()
+    def negDelta: DataFrame =
+      toked.join(newIds, Seq("doc_id"), "left_semi").groupBy("source")
+        .agg((-count(lit(1))).as("n_docs"), (-sum(col("tok"))).as("n_toks"))
+    require(IndexStore.updateCensus(spark, censusPath, negDelta,
+      Seq("source"), batchId), s"census cursor already past wave $batchId")
+    require(IndexStore.updateCensus(spark, ledgerPath,
+      newIds.withColumn("n", lit(1L)), Seq("doc_id"), batchId),
+      s"ledger cursor already past wave $batchId")
+    val replayNoop =
+      !IndexStore.updateCensus(spark, censusPath, negDelta, Seq("source"),
+        batchId) &&
+      !IndexStore.updateCensus(spark, ledgerPath,
+        newIds.withColumn("n", lit(1L)), Seq("doc_id"), batchId)
+    (n, replayNoop)
+  }
+
   /** Minimal re-INDEX plan for a unit-keyed index artifact (BM25 term
     * postings, IVF inverted lists, LSH buckets): the maintenance units
     * that lose rows, with the per-unit drop count. Output is bounded by

@@ -409,6 +409,106 @@ object ExtendedQueries {
       .orderBy("artifact")
   }
 
+  /** Shared by q339/q341/q342: expand a seed frame through the LSH+CC
+    * near-dup clusters — every doc sharing a component with a seed joins
+    * the set (seeds included). `comps` is the (id, component) frame so
+    * wave callers compute clusters ONCE and expand per wave. */
+  private def expandThroughComponents(seeds: DataFrame,
+      comps: DataFrame): DataFrame = {
+    val seedComps = comps.join(seeds.withColumnRenamed("doc_id", "id"),
+      Seq("id"), "left_semi").select("component").distinct()
+    seeds.unionByName(comps.join(seedComps, Seq("component"), "left_semi")
+      .select(col("id").as("doc_id"))).distinct()
+  }
+
+  private def neardupComponents(docs: DataFrame): DataFrame =
+    ConnectedComponents.run(
+      Dedup.minHashLsh(docs, "doc_id", "text", shingleK = 5,
+          numHashes = 64, bands = 16, minJaccard = 0.6)
+        .select(col("id_a").as("src"), col("id_b").as("dst")))
+
+  /** q341: the re-pack BILL of a takedown order — q326's minimal
+    * worklist priced against the EXPANDED removal set: a notice names
+    * seeds, but the rewrite obligation covers their near-dup mirrors
+    * (q334), and mirrors sit EARLIER in some shards than any seed does,
+    * so the expanded bill is not just bigger — its first dirty sequence
+    * moves. Per affected source: the expanded-set worklist (sequences,
+    * docs, removed, first dirty, sequences to rewrite) plus the
+    * seeds-only rewrite count and the expansion's marginal cost, so the
+    * frame answers "what does honoring the mirrors add to the rewrite
+    * bill". Cluster expansion runs once; both worklists are
+    * group-cardinality rollups of one packing pass. */
+  val takedownExpandedRepack: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val seeds = docs.where(col("doc_id") % 13 === 4).select("doc_id")
+    val expanded = expandThroughComponents(seeds, neardupComponents(docs))
+      .cache()
+    val toked = docs.select(col("doc_id"), col("source"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+    val packed = graft.ops.Packing.packSequences(toked, Seq("source"),
+      "doc_id", "tok", 512)
+    val expBill = graft.ops.Takedown.repackWorklist(packed, Seq("source"),
+      "__seq", "doc_id", expanded, "doc_id")
+    val seedBill = graft.ops.Takedown.repackWorklist(packed, Seq("source"),
+        "__seq", "doc_id", seeds, "doc_id")
+      .select(col("source"), col("n_seqs_rewrite").as("n_seqs_rewrite_seeds"))
+    expBill.join(seedBill, Seq("source"), "left_outer")
+      .withColumn("n_seqs_rewrite_seeds",
+        coalesce(col("n_seqs_rewrite_seeds"), lit(0L)))
+      .withColumn("n_seqs_rewrite_marginal",
+        col("n_seqs_rewrite") - col("n_seqs_rewrite_seeds"))
+      .orderBy("source")
+  }
+
+  /** q342: cumulative takedown LEDGER — notices arrive in WAVES and
+    * their cluster expansions OVERLAP (two waves' seeds can share a
+    * near-dup component), so naive per-wave negative census deltas
+    * double-subtract the shared mirrors. Each wave: expand its seeds
+    * through the (once-computed) clusters, anti-join the STORED
+    * removed-id ledger so only genuinely NEW ids purge, ingest the
+    * wave's negative per-source delta exactly-once, and append the new
+    * ids to the ledger (itself an additive census keyed by doc_id,
+    * cursor-guarded). A replayed wave must no-op at BOTH layers. Gate:
+    * the stored census equals the survivor rebuild of the UNION
+    * expansion per source, with the wave/new/overlap cardinalities
+    * pinned (the overlap is what the ledger exists for). */
+  val takedownLedger: Q = (s, dir) => {
+    import graft.store.IndexStore
+    val docs = Tables.documents(s, dir)
+    val comps = neardupComponents(docs).cache()
+    val seeds = docs.where(col("doc_id") % 13 === 4).select("doc_id")
+    def waveSeeds(w: Int) = seeds.where(expr("(doc_id div 13) % 2") === w)
+    val exp0 = expandThroughComponents(waveSeeds(0), comps).cache()
+    val exp1 = expandThroughComponents(waveSeeds(1), comps).cache()
+    val toked = docs.select(col("doc_id"), col("source"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+    def census(d: DataFrame): DataFrame = d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_toks"))
+    val root = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_td_ledger")).toString
+    val cen = s"$root/census"
+    val led = s"$root/ledger"
+    require(IndexStore.updateCensus(s, cen, census(toked), Seq("source"), 0L))
+    val (n0, noop0) = graft.ops.Takedown.ingestWaveWithLedger(toked, exp0,
+      cen, led, 1L)
+    val (n1, noop1) = graft.ops.Takedown.ingestWaveWithLedger(toked, exp1,
+      cen, led, 2L)
+    val overlap = exp1.join(exp0, Seq("doc_id"), "left_semi").count()
+    val union = exp0.unionByName(exp1).distinct()
+    val survivors = census(toked.join(union, Seq("doc_id"), "left_anti"))
+      .select(col("source"), col("n_docs").as("sd"), col("n_toks").as("st"))
+    IndexStore.loadCensus(s, cen).where(col("n_docs") > 0)
+      .join(survivors, "source")
+      .select(col("source"), col("n_docs"), col("n_toks"),
+        (col("n_docs") === col("sd") && col("n_toks") === col("st"))
+          .as("match_survivors"))
+      .withColumn("replay_noop", lit(noop0 && noop1))
+      .withColumn("n_removed_w0", lit(n0))
+      .withColumn("n_new_w1", lit(n1))
+      .withColumn("n_overlap_w1", lit(overlap))
+      .orderBy("source")
+  }
+
   /** q337: license-label propagation through PACKED shards — the release
     * gate's provenance complement to the takedown tier: every doc carries
     * a license class (id arithmetic: cc0 / cc-by / cc-by-sa / proprietary
@@ -1108,6 +1208,8 @@ object ExtendedQueries {
     "q334_takedown_expansion" -> takedownExpansion,
     "q335_takedown_residual" -> takedownResidual,
     "q339_takedown_e2e" -> takedownEndToEnd,
+    "q341_takedown_repack_bill" -> takedownExpandedRepack,
+    "q342_takedown_ledger" -> takedownLedger,
     "q337_license_pack_gate" -> licensePackGate,
     "q338_license_repack_plan" -> licenseRepackPlan,
     "q201_lsh_planner" -> lshPlanner,
@@ -2314,6 +2416,81 @@ object ExtendedQueries {
         |  UNION ALL SELECT 'source_census', ns.n, nsh.n, nss.n,
         |    CAST(0 AS BIGINT), true FROM ns, nsh, nss
         |) u, cn ORDER BY artifact""").stripMargin,
+    // q341: the q334 closure expands the seed set; the q326 packing
+    // cumsum is read twice (expanded / seeds-only dirty marks) and the
+    // marginal bill is integer arithmetic on the two
+    "q341_takedown_repack_bill" ->
+      (neardupCcCte + """,
+        |seeds AS (SELECT doc_id FROM documents WHERE doc_id % 13 = 4),
+        |scomp AS (SELECT DISTINCT c FROM comp
+        |  JOIN seeds ON comp.id = seeds.doc_id),
+        |ex AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT doc_id FROM seeds UNION ALL
+        |  SELECT comp.id FROM comp JOIN scomp USING (c))),
+        |d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT)
+        |      AS tok
+        |  FROM documents),
+        |p AS (SELECT doc_id, source,
+        |    CAST(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok
+        |      AS BIGINT) AS strt
+        |  FROM d),
+        |sq AS (SELECT doc_id, source, strt // 512 AS seq FROM p),
+        |g AS (
+        |  SELECT source, CAST(max(seq) + 1 AS BIGINT) AS n_seqs,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM ex)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_removed,
+        |    CAST(min(CASE WHEN doc_id IN (SELECT doc_id FROM ex)
+        |      THEN seq END) AS BIGINT) AS first_dirty_seq,
+        |    CAST(min(CASE WHEN doc_id % 13 = 4 THEN seq END) AS BIGINT)
+        |      AS sfd
+        |  FROM sq GROUP BY 1)
+        |SELECT source, n_seqs, n_docs, n_docs_removed, first_dirty_seq,
+        |  n_seqs - first_dirty_seq AS n_seqs_rewrite,
+        |  CAST(coalesce(n_seqs - sfd, 0) AS BIGINT) AS n_seqs_rewrite_seeds,
+        |  (n_seqs - first_dirty_seq) - coalesce(n_seqs - sfd, 0)
+        |    AS n_seqs_rewrite_marginal
+        |FROM g WHERE n_docs_removed > 0 ORDER BY source""").stripMargin,
+    // q342: two wave closures + their union; the ledger/cursor booleans
+    // are engine-verified, the cardinalities and the survivor census are
+    // pure set arithmetic
+    "q342_takedown_ledger" ->
+      (neardupCcCte + """,
+        |seeds AS (SELECT doc_id FROM documents WHERE doc_id % 13 = 4),
+        |s0 AS (SELECT doc_id FROM seeds WHERE (doc_id // 13) % 2 = 0),
+        |s1 AS (SELECT doc_id FROM seeds WHERE (doc_id // 13) % 2 = 1),
+        |c0 AS (SELECT DISTINCT c FROM comp JOIN s0 ON comp.id = s0.doc_id),
+        |c1 AS (SELECT DISTINCT c FROM comp JOIN s1 ON comp.id = s1.doc_id),
+        |e0 AS (SELECT DISTINCT doc_id FROM (SELECT doc_id FROM s0
+        |  UNION ALL SELECT comp.id FROM comp JOIN c0 USING (c))),
+        |e1 AS (SELECT DISTINCT doc_id FROM (SELECT doc_id FROM s1
+        |  UNION ALL SELECT comp.id FROM comp JOIN c1 USING (c))),
+        |eu AS (SELECT DISTINCT doc_id FROM (SELECT doc_id FROM e0
+        |  UNION ALL SELECT doc_id FROM e1)),
+        |d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT)
+        |      AS tok
+        |  FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM eu)),
+        |cn AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_removed_w0,
+        |  CAST((SELECT count(*) FROM eu) - (SELECT count(*) FROM e0)
+        |    AS BIGINT) AS n_new_w1,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e1
+        |    WHERE doc_id IN (SELECT doc_id FROM e0)) AS n_overlap_w1)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS n_toks,
+        |  true AS match_survivors, true AS replay_noop,
+        |  n_removed_w0, n_new_w1, n_overlap_w1
+        |FROM d, cn
+        |GROUP BY source, n_removed_w0, n_new_w1, n_overlap_w1
+        |ORDER BY source""").stripMargin,
     // q335: the q46 word-gram idiom at n=8 with the removed docs as the
     // benchmark side and the quoting plant applied to survivors
     "q335_takedown_residual" ->

@@ -110,4 +110,44 @@ class TakedownComposeSpec extends SparkSpec {
       .as[Long].collect().toSeq
     assert(standing == Seq(3L), "and the survivor is exactly V")
   }
+
+  test("overlapping takedown waves: the removed-id ledger purges each " +
+      "shared mirror once; the naive per-wave delta double-subtracts") {
+    // six docs, one source; wave expansions overlap on doc 3
+    val toked = Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L),
+      (4L, "a", 10L), (5L, "a", 10L), (6L, "a", 10L))
+      .toDF("doc_id", "source", "tok")
+    val exp0 = Seq(1L, 2L, 3L).toDF("doc_id")
+    val exp1 = Seq(3L, 4L).toDF("doc_id")
+    def census(d: org.apache.spark.sql.DataFrame) = d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_toks"))
+    val root = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_ledger_spec")).toString
+    // ledger path: anti-joined waves, replay-safe
+    require(graft.store.IndexStore.updateCensus(spark, s"$root/cen",
+      census(toked), Seq("source"), 0L))
+    val (n0, noop0) = Takedown.ingestWaveWithLedger(toked, exp0,
+      s"$root/cen", s"$root/led", 1L)
+    val (n1, noop1) = Takedown.ingestWaveWithLedger(toked, exp1,
+      s"$root/cen", s"$root/led", 2L)
+    assert(n0 == 3L && n1 == 1L && noop0 && noop1,
+      "wave 1 purges only doc 4 — doc 3 is already in the ledger")
+    val stored = graft.store.IndexStore.loadCensus(spark, s"$root/cen")
+      .select("source", "n_docs", "n_toks").as[(String, Long, Long)].head()
+    assert(stored == (("a", 2L, 20L)), "survivors are exactly docs 5 and 6")
+    // naive path: per-wave deltas with no ledger — doc 3 subtracts twice
+    require(graft.store.IndexStore.updateCensus(spark, s"$root/cen2",
+      census(toked), Seq("source"), 0L))
+    def naiveDelta(exp: org.apache.spark.sql.DataFrame, id: Long) =
+      require(graft.store.IndexStore.updateCensus(spark, s"$root/cen2",
+        toked.join(exp, Seq("doc_id"), "left_semi").groupBy("source")
+          .agg((-count(lit(1))).as("n_docs"), (-sum(col("tok"))).as("n_toks")),
+        Seq("source"), id))
+    naiveDelta(exp0, 1L)
+    naiveDelta(exp1, 2L)
+    val naive = graft.store.IndexStore.loadCensus(spark, s"$root/cen2")
+      .select("n_docs").as[Long].head()
+    assert(naive == 1L,
+      "the naive census measurably under-reports: 6 - 3 - 2 = 1, not 2")
+  }
 }
