@@ -509,6 +509,40 @@ object ExtendedQueries {
       .orderBy("source")
   }
 
+  /** q343: license CONTAGION through near-dup clusters — the licensing
+    * complement of q334's takedown expansion: a document's license label
+    * belongs to its CONTENT, so a near-duplicate of a proprietary doc is
+    * proprietary whatever its own metadata says (scraped mirrors launder
+    * labels; a release gate that trusts per-doc labels ships the same
+    * text under two licenses). Effective license = most restrictive over
+    * the doc's near-dup cluster (cc0 < cc-by < cc-by-sa < proprietary <
+    * unknown); singletons keep their label. License classes are pure id
+    * arithmetic (doc_id % 5 — fine-grained so clusters mix classes and
+    * contagion realizes at every SF). Census per (source, effective
+    * class): docs, relabeled docs (effective ≠ labeled — the laundered
+    * copies), Σid. Cluster work is one max-rank rollup per component +
+    * two key-equi joins; nothing rescans text beyond the LSH pass. */
+  val licenseContagion: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val classes = Seq("cc0", "cc-by", "cc-by-sa", "proprietary", "unknown")
+    val labeled = docs.select(col("doc_id"), col("source"),
+      pmod(col("doc_id"), lit(5L)).cast("int").as("rk"))
+    val comps = neardupComponents(docs).withColumnRenamed("id", "doc_id")
+    val compMax = labeled.join(comps, "doc_id")
+      .groupBy("component").agg(max(col("rk")).as("crk"))
+    val nameOf = (r: org.apache.spark.sql.Column) =>
+      element_at(array(classes.map(lit(_)): _*), r + 1)
+    labeled.join(comps, Seq("doc_id"), "left_outer")
+      .join(compMax, Seq("component"), "left_outer")
+      .withColumn("erk", greatest(col("rk"), coalesce(col("crk"), col("rk"))))
+      .groupBy(col("source"), nameOf(col("erk")).as("license_effective"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("erk") =!= col("rk"), 1L).otherwise(0L))
+          .as("n_relabeled"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy("source", "license_effective")
+  }
+
   /** q337: license-label propagation through PACKED shards — the release
     * gate's provenance complement to the takedown tier: every doc carries
     * a license class (id arithmetic: cc0 / cc-by / cc-by-sa / proprietary
@@ -1210,6 +1244,7 @@ object ExtendedQueries {
     "q339_takedown_e2e" -> takedownEndToEnd,
     "q341_takedown_repack_bill" -> takedownExpandedRepack,
     "q342_takedown_ledger" -> takedownLedger,
+    "q343_license_contagion" -> licenseContagion,
     "q337_license_pack_gate" -> licensePackGate,
     "q338_license_repack_plan" -> licenseRepackPlan,
     "q201_lsh_planner" -> lshPlanner,
@@ -2455,6 +2490,27 @@ object ExtendedQueries {
         |  (n_seqs - first_dirty_seq) - coalesce(n_seqs - sfd, 0)
         |    AS n_seqs_rewrite_marginal
         |FROM g WHERE n_docs_removed > 0 ORDER BY source""").stripMargin,
+    // q343: the closure's per-component max-rank in string space; the
+    // rank<->class mapping is the same CASE on both sides
+    "q343_license_contagion" ->
+      (neardupCcCte + """,
+        |r AS (SELECT doc_id, source,
+        |    CAST(doc_id % 5 AS INT) AS rk FROM documents),
+        |cm AS (SELECT c, max(rk) AS crk FROM comp
+        |  JOIN r ON comp.id = r.doc_id GROUP BY 1),
+        |e AS (SELECT r.doc_id, r.source, r.rk,
+        |    greatest(r.rk, coalesce(cm.crk, r.rk)) AS erk
+        |  FROM r LEFT JOIN comp ON comp.id = r.doc_id
+        |  LEFT JOIN cm USING (c))
+        |SELECT source,
+        |  CASE erk WHEN 0 THEN 'cc0' WHEN 1 THEN 'cc-by'
+        |    WHEN 2 THEN 'cc-by-sa' WHEN 3 THEN 'proprietary'
+        |    ELSE 'unknown' END AS license_effective,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN erk <> rk THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_relabeled,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""").stripMargin,
     // q342: two wave closures + their union; the ledger/cursor booleans
     // are engine-verified, the cardinalities and the survivor census are
     // pure set arithmetic
