@@ -543,6 +543,67 @@ object ExtendedQueries {
       .orderBy("source", "license_effective")
   }
 
+  /** Effective-license class name from its restrictiveness rank. */
+  private def licName(r: org.apache.spark.sql.Column) =
+    element_at(array(Seq("cc0", "cc-by", "cc-by-sa", "proprietary",
+      "unknown").map(lit(_)): _*), r + 1)
+
+  /** q344: INCREMENTAL license contagion — content-level licensing is
+    * RETROACTIVE: a newly ingested doc can join an existing near-dup
+    * cluster and raise the effective restrictiveness of docs cleared
+    * generations ago (the laundered copy arrives AFTER its original
+    * shipped). Even ids are the standing corpus — its signature index
+    * and components are the stored state; odd ids arrive as the delta.
+    * The delta never re-mines the old corpus: delta-vs-index LSH (the
+    * q66 machinery) + delta-internal LSH yield the new edges, and the
+    * merged clusters come from one CC run over (old id→component
+    * assignments as edges) ∪ new pairs — old-old pairs are never
+    * recomputed, which is the whole point at 100 TB. Gate: the merged
+    * effective-license census must equal the oracle's ONE-SHOT closure
+    * over the full corpus, with the retroactive count (old docs whose
+    * effective class ROSE because of the delta) pinned per group. */
+  val licenseContagionIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val old = docs.where(col("doc_id") % 2 === 0)
+    val delta = docs.where(col("doc_id") % 2 === 1)
+    val compsOld = neardupComponents(old).withColumnRenamed("id", "doc_id")
+      .cache()
+    val oldSigs = Dedup.minHashSignaturesPerRow(old, "doc_id", "text", 5, 64)
+    val crossPairs = Dedup.incrementalMinHashLsh(delta, "doc_id", "text",
+        oldSigs, old)
+      .select(col("new_id").as("src"), col("old_id").as("dst"))
+    val deltaPairs = Dedup.minHashLsh(delta, "doc_id", "text", shingleK = 5,
+        numHashes = 64, bands = 16, minJaccard = 0.6)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val merged = ConnectedComponents.run(
+        compsOld.select(col("doc_id").as("src"), col("component").as("dst"))
+          .unionByName(crossPairs).unionByName(deltaPairs))
+      .withColumnRenamed("id", "doc_id")
+    val labeled = docs.select(col("doc_id"), col("source"),
+      pmod(col("doc_id"), lit(5L)).cast("int").as("rk"))
+    val compMax = labeled.join(merged, "doc_id")
+      .groupBy("component").agg(max(col("rk")).as("crk"))
+    val eff = labeled.join(merged, Seq("doc_id"), "left_outer")
+      .join(compMax, Seq("component"), "left_outer")
+      .withColumn("erk", greatest(col("rk"), coalesce(col("crk"), col("rk"))))
+    val cmOld = labeled.join(compsOld, "doc_id")
+      .groupBy("component").agg(max(col("rk")).as("ork"))
+    val effOld = labeled.where(col("doc_id") % 2 === 0)
+      .join(compsOld, Seq("doc_id"), "left_outer")
+      .join(cmOld, Seq("component"), "left_outer")
+      .select(col("doc_id"),
+        greatest(col("rk"), coalesce(col("ork"), col("rk"))).as("erk_old"))
+    eff.join(effOld, Seq("doc_id"), "left_outer")
+      .groupBy(col("source"), licName(col("erk")).as("license_effective"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("erk") =!= col("rk"), 1L).otherwise(0L))
+          .as("n_relabeled"),
+        sum(when(col("erk_old").isNotNull && col("erk") > col("erk_old"),
+          1L).otherwise(0L)).as("n_retroactive"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy("source", "license_effective")
+  }
+
   /** q337: license-label propagation through PACKED shards — the release
     * gate's provenance complement to the takedown tier: every doc carries
     * a license class (id arithmetic: cc0 / cc-by / cc-by-sa / proprietary
@@ -1245,6 +1306,7 @@ object ExtendedQueries {
     "q341_takedown_repack_bill" -> takedownExpandedRepack,
     "q342_takedown_ledger" -> takedownLedger,
     "q343_license_contagion" -> licenseContagion,
+    "q344_contagion_incremental" -> licenseContagionIncremental,
     "q337_license_pack_gate" -> licensePackGate,
     "q338_license_repack_plan" -> licenseRepackPlan,
     "q201_lsh_planner" -> lshPlanner,
@@ -1584,6 +1646,37 @@ object ExtendedQueries {
        |$unions
        |ORDER BY tau_ppm""".stripMargin
   }
+
+  /** The [[neardupCcCte]] body with every CTE name suffixed and an
+    * optional WHERE on the corpus scan — so one oracle can run TWO
+    * closures (q344 needs the full corpus AND the even-id standing
+    * corpus in the same query). Emits `comp$sfx` (id, c). */
+  private def neardupCcBody(sfx: String, where: String): String =
+    s"""sh$sfx AS (
+       |  SELECT DISTINCT doc_id AS id, unnest(
+       |    [substring(text, i, 5) FOR i IN generate_series(1, greatest(length(text) - 4, 1))]) AS shingle
+       |  FROM documents $where),
+       |sizes$sfx AS (SELECT id, count(*) AS sz FROM sh$sfx GROUP BY 1),
+       |inter$sfx AS (
+       |  SELECT a.id AS ia, b.id AS ib, count(*) AS n
+       |  FROM sh$sfx a JOIN sh$sfx b ON a.shingle = b.shingle AND a.id < b.id
+       |  GROUP BY 1, 2),
+       |prs$sfx AS (
+       |  SELECT ia AS doc_a, ib AS doc_b
+       |  FROM inter$sfx JOIN sizes$sfx sa ON ia = sa.id
+       |    JOIN sizes$sfx sb ON ib = sb.id
+       |  WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.6),
+       |nodes$sfx AS (SELECT doc_a AS id FROM prs$sfx
+       |  UNION SELECT doc_b FROM prs$sfx),
+       |edges$sfx AS (SELECT doc_a AS u, doc_b AS v FROM prs$sfx
+       |  UNION SELECT doc_b, doc_a FROM prs$sfx),
+       |reach$sfx(id, r) AS (
+       |  SELECT id, id FROM nodes$sfx
+       |  UNION
+       |  SELECT reach$sfx.id, e.v FROM reach$sfx
+       |    JOIN edges$sfx e ON reach$sfx.r = e.u),
+       |comp$sfx AS (SELECT id, min(r) AS c FROM reach$sfx GROUP BY 1)"""
+      .stripMargin
 
   /** Shared q67/q321 oracle prefix: exact char-5-gram Jaccard pairs at
     * 0.6 + recursive min-id connected components, ending at `comp`
@@ -2511,6 +2604,40 @@ object ExtendedQueries {
         |    AS n_relabeled,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""").stripMargin,
+    // q344: TWO closures in one oracle — the full corpus (merged truth)
+    // and the even-id standing corpus (pre-delta state); retroactive =
+    // full effective rank rose past the pre-delta effective rank
+    "q344_contagion_incremental" ->
+      ("WITH RECURSIVE " + neardupCcBody("f", "") + ",\n" +
+        neardupCcBody("o", "WHERE doc_id % 2 = 0") + """,
+        |r AS (SELECT doc_id, source, CAST(doc_id % 5 AS INT) AS rk
+        |  FROM documents),
+        |cmf AS (SELECT c, max(rk) AS crk FROM compf
+        |  JOIN r ON compf.id = r.doc_id GROUP BY 1),
+        |f AS (SELECT r.doc_id, r.source, r.rk,
+        |    greatest(r.rk, coalesce(cmf.crk, r.rk)) AS erk
+        |  FROM r LEFT JOIN compf ON compf.id = r.doc_id
+        |  LEFT JOIN cmf USING (c)),
+        |cmo AS (SELECT c, max(rk) AS ork FROM compo
+        |  JOIN r ON compo.id = r.doc_id GROUP BY 1),
+        |fo AS (SELECT r.doc_id,
+        |    greatest(r.rk, coalesce(cmo.ork, r.rk)) AS erk_old
+        |  FROM r LEFT JOIN compo ON compo.id = r.doc_id
+        |  LEFT JOIN cmo USING (c)
+        |  WHERE r.doc_id % 2 = 0)
+        |SELECT f.source,
+        |  CASE f.erk WHEN 0 THEN 'cc0' WHEN 1 THEN 'cc-by'
+        |    WHEN 2 THEN 'cc-by-sa' WHEN 3 THEN 'proprietary'
+        |    ELSE 'unknown' END AS license_effective,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN f.erk <> f.rk THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_relabeled,
+        |  CAST(sum(CASE WHEN fo.erk_old IS NOT NULL
+        |    AND f.erk > fo.erk_old THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_retroactive,
+        |  CAST(sum(f.doc_id) AS BIGINT) AS sum_ids
+        |FROM f LEFT JOIN fo USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""").stripMargin,
     // q342: two wave closures + their union; the ledger/cursor booleans
     // are engine-verified, the cardinalities and the survivor census are
     // pure set arithmetic

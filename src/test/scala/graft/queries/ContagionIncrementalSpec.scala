@@ -1,0 +1,28 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q344: the incremental license-contagion census (delta-vs-index LSH +
+  * one CC over old assignments ∪ new pairs, never re-mining old-old
+  * pairs) must equal q343's one-shot closure census, and the RETROACTIVE
+  * path — an old doc whose effective class rises because a delta doc
+  * joined its cluster — must actually be realized by the fixture. */
+class ContagionIncrementalSpec extends SparkSpec {
+
+  test("incremental census == one-shot census; retroactive rise realized") {
+    val dir = "/root/testdata/sf0.001"
+    val one = ExtendedQueries.licenseContagion(spark, dir)
+      .orderBy("source", "license_effective").collect().toSeq
+    val inc = ExtendedQueries.licenseContagionIncremental(spark, dir).cache()
+    assert(inc.drop("n_retroactive")
+      .orderBy("source", "license_effective").collect().toSeq == one,
+      "merged incremental closure must reproduce the one-shot census")
+    // the fixture must exercise the retroactive path, not vacuously pass
+    val retro = inc.agg(sum("n_retroactive")).head.getLong(0)
+    assert(retro > 0, "no old doc's effective class rose — fixture inert")
+    // a retroactive doc has erk > erk_old >= rk, so it is also relabeled:
+    // n_retroactive can never exceed n_relabeled in any census group
+    assert(inc.where(col("n_retroactive") > col("n_relabeled")).count() == 0)
+  }
+}
