@@ -825,6 +825,77 @@ object CorpusQueries {
       .orderBy("lang")
   }
 
+  // ---------------------------------------------------------------- q345
+
+  /** q345: CROSS-LINGUAL eval contamination — the leak the entire
+    * text-space decontamination ladder (q46 n-grams, q70 Bloom, q109
+    * semantic-text, q139 near-dup, q233 ROUGE-L) is structurally blind
+    * to: a benchmark item TRANSLATED into another language shares zero
+    * n-grams with its source, yet trains the model on the answer. The
+    * detector runs in shared multilingual embedding space: margin-mine
+    * the eval suite against the training corpus with the hubness-robust
+    * CCMatrix rule ([[graft.sim.MarginMining.marginPairs]] — raw cosine
+    * fails exactly here, because "is near everything" hub docs would
+    * flood the worklist), and every mutual-best pair above τ flags a
+    * corpus doc for removal. Fixture: the corpus is the embeddings table
+    * verbatim; the eval suite plants a translated leak for vec_id%7==2
+    * (corpus vector scaled 1.02 — cosine ~1, the "same sentence, other
+    * language" geometry) and a clean item for vec_id%7==3 (reversed
+    * vector). Census per τ: flagged corpus docs, planted leaks recovered,
+    * Σ(flagged corpus ids) — the removal-worklist certificate.
+    *
+    * Scale shape: mutual-best pairs form a matching, so the census is
+    * O(pairs); the gate mines exact (the certificate baseline), the
+    * 100 TB path is the prebuilt-IVF composition already certified on
+    * this exact machinery by q329/q340 (eval suites are tiny — the
+    * corpus-side index is the one that matters, and it probes, never
+    * broadcasts). */
+  val crosslingualContam: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    require(maxId < 100000L, s"crosslingualContam id offset needs " +
+      s"vec_id < 100000, got max vec_id = $maxId")
+    def dbl(e: String) = expr(e)
+    val corpus = emb.select(col("vec_id").as("id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val evalSuite = emb.where(col("vec_id") % 7 === 2)
+      .select((col("vec_id") + 100000L).as("id"),
+        dbl("transform(embedding, x -> cast(x as double) * 1.02)").as("v"))
+      .unionByName(emb.where(col("vec_id") % 7 === 3)
+        .select((col("vec_id") + 100000L).as("id"),
+          dbl("transform(reverse(embedding), x -> cast(x as double))")
+            .as("v")))
+    val gold = emb.where(col("vec_id") % 7 === 2)
+      .select((col("vec_id") + 100000L).as("left_id"),
+        col("vec_id").as("right_id"))
+    val taus = Seq(1.0, 1.03, 1.06, 1.1)
+    val pairs = graft.sim.MarginMining.marginPairs(evalSuite, corpus,
+        "id", "v", k = 4, threshold = taus.head)
+      .join(gold.withColumn("__g", lit(1L)), Seq("left_id", "right_id"),
+        "left_outer")
+      .select(col("right_id"), col("margin"),
+        coalesce(col("__g"), lit(0L)).as("g"))
+      .cache()
+    val grid = broadcast(taus.toDF("tau"))
+    val counts = pairs
+      .select(col("right_id"), col("g"),
+        explode(array(taus.map(lit(_)): _*)).as("tau"),
+        col("margin"))
+      .where(col("margin") >= col("tau"))
+      .groupBy("tau")
+      .agg(count(lit(1)).as("n_flagged"),
+        sum(col("g")).as("n_planted_recovered"),
+        sum(col("right_id")).as("sum_flagged_ids"))
+    grid.join(counts, Seq("tau"), "left_outer")
+      .select(col("tau"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        coalesce(col("n_planted_recovered"), lit(0L))
+          .as("n_planted_recovered"),
+        coalesce(col("sum_flagged_ids"), lit(0L)).as("sum_flagged_ids"))
+      .orderBy("tau")
+  }
+
   /** q168: incremental IVF index maintenance
     * ([[graft.store.IndexStore.updateIvfIndex]]) — the dense twin of the
     * q111/q115 lexical-index story, closing the build-once asymmetry:
@@ -1820,6 +1891,7 @@ object CorpusQueries {
     "q328_bitext_yield" -> bitextYield,
     "q329_bitext_ann" -> bitextAnn,
     "q340_bitext_stored" -> bitextStored,
+    "q345_crosslingual_contam" -> crosslingualContam,
     "q149_skew_report" -> skewReport,
     "q154_dedup_threshold_curve" -> dedupThresholdCurve,
     "q163_margin_mining_stored" -> marginMiningStored,
@@ -2580,6 +2652,49 @@ object CorpusQueries {
           |  JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS n_gold
           |    FROM gold GROUP BY 1) g USING (lang)
           |ORDER BY lang""".stripMargin),
+    // q345: the full cross-lingual detector replayed — planted eval
+    // suite, brute-force directed top-4 frames, mutual-best margin rule,
+    // and the per-τ removal-worklist census with Σid certificates
+    "q345_crosslingual_contam" ->
+      """WITH c AS (SELECT vec_id AS id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |e AS (SELECT vec_id + 100000 AS id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.02) AS v
+        |  FROM embeddings WHERE vec_id % 7 = 2
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |    list_transform(list_reverse(embedding), x -> CAST(x AS DOUBLE))
+        |  FROM embeddings WHERE vec_id % 7 = 3),
+        |fw AS (SELECT e.id AS lid, c.id AS rid,
+        |    list_cosine_similarity(e.v, c.v) AS cs
+        |  FROM e CROSS JOIN c),
+        |fr AS (SELECT lid, rid, cs, row_number() OVER (
+        |    PARTITION BY lid ORDER BY cs DESC, rid ASC) AS rk FROM fw),
+        |br AS (SELECT lid, rid, cs, row_number() OVER (
+        |    PARTITION BY rid ORDER BY cs DESC, lid ASC) AS rk FROM fw),
+        |dx AS (SELECT lid, avg(cs) AS dl FROM fr WHERE rk <= 4 GROUP BY 1),
+        |dy AS (SELECT rid, avg(cs) AS dr FROM br WHERE rk <= 4 GROUP BY 1),
+        |mined AS (SELECT f.lid, f.rid, cs / ((dl + dr) / 2) AS margin
+        |  FROM (SELECT lid, rid, cs FROM fr WHERE rk = 1) f
+        |    JOIN (SELECT lid, rid FROM br WHERE rk = 1) b USING (lid, rid)
+        |    JOIN dx USING (lid) JOIN dy USING (rid)
+        |  WHERE cs / ((dl + dr) / 2) >= 1.0),
+        |gold AS (SELECT vec_id + 100000 AS lid, vec_id AS rid
+        |  FROM embeddings WHERE vec_id % 7 = 2),
+        |taus AS (SELECT CAST(unnest([1.0, 1.03, 1.06, 1.1]) AS DOUBLE)
+        |  AS tau),
+        |cnt AS (SELECT t.tau, CAST(count(*) AS BIGINT) AS n_flagged,
+        |    CAST(sum(CASE WHEN g.lid IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_planted_recovered,
+        |    CAST(sum(m.rid) AS BIGINT) AS sum_flagged_ids
+        |  FROM mined m CROSS JOIN taus t
+        |    LEFT JOIN gold g ON g.lid = m.lid AND g.rid = m.rid
+        |  WHERE m.margin >= t.tau GROUP BY 1)
+        |SELECT t.tau, coalesce(n_flagged, 0) AS n_flagged,
+        |  coalesce(n_planted_recovered, 0) AS n_planted_recovered,
+        |  coalesce(sum_flagged_ids, 0) AS sum_flagged_ids
+        |FROM taus t LEFT JOIN cnt USING (tau) ORDER BY tau""".stripMargin,
     "q163_margin_mining_stored" ->
       """WITH l AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
         |r AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),

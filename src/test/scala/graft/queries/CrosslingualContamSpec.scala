@@ -1,0 +1,44 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.sim.MarginMining
+import org.apache.spark.sql.functions._
+
+/** q345: the cross-lingual contamination detector must recover every
+  * planted translated leak at every τ on the curve, and the IVF-backed
+  * composition (the 100 TB path) must keep ≥0.8 of the exact worklist. */
+class CrosslingualContamSpec extends SparkSpec {
+
+  test("plants fully recovered; ANN worklist recall >= 0.8") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val nPlanted = emb.where(col("vec_id") % 7 === 2).count()
+    val census = CorpusQueries.crosslingualContam(spark, dir).cache()
+    // a translated copy sits at cosine ~1 with a sub-1 neighborhood
+    // denominator — its margin clears every τ on the curve, so recovery
+    // below 100% means the detector, not the threshold, lost it
+    assert(census.where(col("n_planted_recovered") =!= nPlanted)
+      .count() == 0, s"expected all $nPlanted plants at every tau")
+    assert(census.where(col("n_flagged") < col("n_planted_recovered"))
+      .count() == 0)
+
+    // the scale path: same fixture mined through per-side IVF indexes
+    val corpus = emb.select(col("vec_id").as("id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val evalSuite = emb.where(col("vec_id") % 7 === 2)
+      .select((col("vec_id") + 100000L).as("id"),
+        expr("transform(embedding, x -> cast(x as double) * 1.02)").as("v"))
+      .unionByName(emb.where(col("vec_id") % 7 === 3)
+        .select((col("vec_id") + 100000L).as("id"),
+          expr("transform(reverse(embedding), x -> cast(x as double))")
+            .as("v")))
+    val exact = MarginMining.marginPairs(evalSuite, corpus, "id", "v", 4, 1.0)
+    val ann = MarginMining.marginPairsAnn(evalSuite, corpus, "id", "v", 4,
+      1.0, nLists = 16, nProbe = 12, seed = 42)
+    val nExact = exact.count()
+    val hits = exact.select("left_id", "right_id")
+      .join(ann.select("left_id", "right_id"), Seq("left_id", "right_id"),
+        "left_semi").count()
+    assert(hits * 5 >= nExact * 4, s"ANN recall $hits/$nExact below 0.8")
+  }
+}
