@@ -509,6 +509,63 @@ object ExtendedQueries {
       .orderBy("source")
   }
 
+  /** q346: what a takedown does to the DETERMINISTIC TRAINING ORDER —
+    * the removal mirror of q331's growth census, closing the loop between
+    * the takedown tier and the q330 order emit: the expanded removal set
+    * (q334's seeds ∪ near-dup mirrors) is deleted, both orders are
+    * emitted, and the per-shard census certifies the minimal re-emit
+    * claim a 100 TB fleet plans file rewrites by. Shard membership is a
+    * pure hash of the key, so survivors NEVER change shard
+    * (`shard_stable`); within-shard positions shift only where a removed
+    * doc sat AHEAD in the SAME shard, so a CLEAN shard (n_removed == 0)
+    * is bit-identical and never rewritten (`clean_untouched` — the
+    * minimal-worklist certificate, dirty shards only); global cursors
+    * move everywhere, but only by the broadcast offset arithmetic
+    * (`sum_global_shift`), never by touching clean files. Scale shape:
+    * two order emits (each one exchange + intra-shard sort) + key-joins;
+    * the census is one groupBy over shard ids. */
+  val takedownOrderImpact: Q = (s, dir) => {
+    val full = Tables.documents(s, dir)
+    val docs = full.select("doc_id")
+    val seeds = docs.where(col("doc_id") % 13 === 4)
+    val removal = expandThroughComponents(seeds, neardupComponents(full))
+      .cache()
+    def emit(d: DataFrame) =
+      graft.ops.Sharding.globalOrderEmit(d, "doc_id", epoch = 1, nShards = 8)
+    val old = emit(docs).select(col("doc_id"), col("shard").as("shard_old"),
+      col("position").as("pos_old"), col("global_pos").as("gpos_old"))
+    val neu = emit(docs.join(removal, Seq("doc_id"), "left_anti"))
+    val base = old.groupBy(col("shard_old").as("shard"))
+      .agg(count(lit(1)).as("n_total"))
+    val removed = old.join(removal, "doc_id")
+      .groupBy(col("shard_old").as("shard"))
+      .agg(count(lit(1)).as("n_removed"))
+    val surv = neu.join(old, "doc_id")
+      .groupBy(col("shard_old").as("shard"))
+      .agg(
+        sum(when(col("shard") =!= col("shard_old"), 1L).otherwise(0L))
+          .as("n_moved"),
+        sum(when(col("position") =!= col("pos_old"), 1L).otherwise(0L))
+          .as("n_pos_shifted"),
+        sum(col("position") - col("pos_old")).as("sum_pos_shift"),
+        sum(col("global_pos") - col("gpos_old")).as("sum_global_shift"))
+    base.join(removed, Seq("shard"), "left_outer")
+      .join(surv, Seq("shard"), "left_outer")
+      .select(col("shard"),
+        (col("n_total") - coalesce(col("n_removed"), lit(0L)))
+          .as("n_survivors"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (coalesce(col("n_removed"), lit(0L)) > 0).as("dirty"),
+        (coalesce(col("n_moved"), lit(0L)) === 0).as("shard_stable"),
+        coalesce(col("n_pos_shifted"), lit(0L)).as("n_pos_shifted"),
+        coalesce(col("sum_pos_shift"), lit(0L)).as("sum_pos_shift"),
+        coalesce(col("sum_global_shift"), lit(0L)).as("sum_global_shift"),
+        (coalesce(col("n_removed"), lit(0L)) > 0 ||
+          coalesce(col("n_pos_shifted"), lit(0L)) === 0)
+          .as("clean_untouched"))
+      .orderBy("shard")
+  }
+
   /** q343: license CONTAGION through near-dup clusters — the licensing
     * complement of q334's takedown expansion: a document's license label
     * belongs to its CONTENT, so a near-duplicate of a proprietary doc is
@@ -1306,6 +1363,7 @@ object ExtendedQueries {
     "q341_takedown_repack_bill" -> takedownExpandedRepack,
     "q342_takedown_ledger" -> takedownLedger,
     "q343_license_contagion" -> licenseContagion,
+    "q346_takedown_order_impact" -> takedownOrderImpact,
     "q344_contagion_incremental" -> licenseContagionIncremental,
     "q337_license_pack_gate" -> licensePackGate,
     "q338_license_repack_plan" -> licenseRepackPlan,
@@ -2364,6 +2422,59 @@ object ExtendedQueries {
     "q46_decontaminate" -> DecontaminateOracle,
     // q334: the q62 exact-Jaccard + recursive-closure chain, expanded
     // from the seed set through component membership
+    // q346: both orders replayed end-to-end (md5 key, range shard, window
+    // ranks) over the full corpus and the survivors of the EXPANDED
+    // removal set; the census arithmetic is pure set/rank work
+    "q346_takedown_order_impact" ->
+      (neardupCcCte + """,
+        |sd AS (SELECT doc_id FROM documents WHERE doc_id % 13 = 4),
+        |sc AS (SELECT DISTINCT c FROM comp JOIN sd ON comp.id = sd.doc_id),
+        |rmv AS (SELECT DISTINCT doc_id FROM (SELECT doc_id FROM sd
+        |  UNION ALL SELECT id AS doc_id FROM comp JOIN sc USING (c))),
+        |k AS (SELECT doc_id,
+        |    md5(concat('e1:', CAST(doc_id AS VARCHAR))) AS ek
+        |  FROM documents),
+        |o AS (SELECT doc_id, ek,
+        |    CAST(CAST(concat('0x', substr(ek, 1, 8)) AS BIGINT)
+        |      // 536870912 AS INT) AS shard
+        |  FROM k),
+        |oo AS (SELECT doc_id, shard,
+        |    CAST(row_number() OVER (PARTITION BY shard ORDER BY ek, doc_id)
+        |      - 1 AS BIGINT) AS pos_old,
+        |    CAST(row_number() OVER (ORDER BY ek, doc_id) - 1 AS BIGINT)
+        |      AS gpos_old
+        |  FROM o),
+        |sv AS (SELECT doc_id, ek, shard FROM o
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM rmv)),
+        |nn AS (SELECT doc_id, shard AS shard_new,
+        |    CAST(row_number() OVER (PARTITION BY shard ORDER BY ek, doc_id)
+        |      - 1 AS BIGINT) AS pos_new,
+        |    CAST(row_number() OVER (ORDER BY ek, doc_id) - 1 AS BIGINT)
+        |      AS gpos_new
+        |  FROM sv),
+        |base AS (SELECT shard, count(*) AS n_total FROM oo GROUP BY 1),
+        |rmc AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_removed
+        |  FROM oo JOIN rmv USING (doc_id) GROUP BY 1),
+        |sj AS (SELECT oo.shard,
+        |    sum(CASE WHEN nn.shard_new <> oo.shard THEN 1 ELSE 0 END)
+        |      AS n_moved,
+        |    sum(CASE WHEN nn.pos_new <> oo.pos_old THEN 1 ELSE 0 END)
+        |      AS n_pos_shifted,
+        |    sum(nn.pos_new - oo.pos_old) AS sum_pos_shift,
+        |    sum(nn.gpos_new - oo.gpos_old) AS sum_global_shift
+        |  FROM nn JOIN oo USING (doc_id) GROUP BY 1)
+        |SELECT b.shard,
+        |  CAST(b.n_total - coalesce(n_removed, 0) AS BIGINT) AS n_survivors,
+        |  coalesce(n_removed, 0) AS n_removed,
+        |  coalesce(n_removed, 0) > 0 AS dirty,
+        |  coalesce(n_moved, 0) = 0 AS shard_stable,
+        |  CAST(coalesce(n_pos_shifted, 0) AS BIGINT) AS n_pos_shifted,
+        |  CAST(coalesce(sum_pos_shift, 0) AS BIGINT) AS sum_pos_shift,
+        |  CAST(coalesce(sum_global_shift, 0) AS BIGINT) AS sum_global_shift,
+        |  (coalesce(n_removed, 0) > 0 OR coalesce(n_pos_shifted, 0) = 0)
+        |    AS clean_untouched
+        |FROM base b LEFT JOIN rmc USING (shard) LEFT JOIN sj USING (shard)
+        |ORDER BY shard""").stripMargin,
     "q334_takedown_expansion" ->
       (neardupCcCte + """,
         |seeds AS (SELECT doc_id FROM documents WHERE doc_id % 13 = 4),

@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q346's load-bearing claim, exercised non-vacuously: a removal confined
+  * to ONE shard leaves every other shard's (doc_id, position) frame
+  * bit-identical (clean shards are never rewritten), and global cursors
+  * move only by the offset arithmetic (shards before the dirty one don't
+  * move at all; shards after shift uniformly by the removed count). */
+class OrderImpactSpec extends SparkSpec {
+
+  test("single-shard removal: clean shards bit-identical, offsets uniform") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir).select("doc_id")
+    val old = Sharding.globalOrderEmit(docs, "doc_id", epoch = 1, nShards = 8)
+      .cache()
+    val dirty = 3
+    val removal = old.where(col("shard") === dirty)
+      .orderBy("position").limit(5).select("doc_id").cache()
+    val nRemoved = removal.count()
+    assert(nRemoved == 5, "fixture shard 3 must hold at least 5 docs")
+    val neu = Sharding.globalOrderEmit(
+      docs.join(removal, Seq("doc_id"), "left_anti"),
+      "doc_id", epoch = 1, nShards = 8).cache()
+
+    // clean shards: the emitted (doc_id, shard, position) frames are
+    // bit-identical in both directions — nothing to rewrite
+    val oldClean = old.where(col("shard") =!= dirty)
+      .select("doc_id", "shard", "position")
+    val newClean = neu.where(col("shard") =!= dirty)
+      .select("doc_id", "shard", "position")
+    assert(newClean.exceptAll(oldClean).count() == 0)
+    assert(oldClean.exceptAll(newClean).count() == 0)
+
+    // global positions: untouched before the dirty shard, shifted by
+    // exactly -nRemoved after it (pure offset arithmetic, no rewrite)
+    val j = neu.join(old.select(col("doc_id"),
+      col("global_pos").as("gpos_old")), "doc_id")
+    assert(j.where(col("shard") < dirty &&
+      col("global_pos") =!= col("gpos_old")).count() == 0)
+    assert(j.where(col("shard") > dirty &&
+      col("global_pos") =!= col("gpos_old") - nRemoved).count() == 0)
+
+    // dirty shard: survivors keep their relative order (positions are a
+    // monotone re-rank, never a reshuffle)
+    val sur = j.where(col("shard") === dirty)
+      .select(col("position"), col("gpos_old"))
+      .orderBy("position").collect()
+    assert(sur.map(_.getLong(1)).sliding(2).forall(w =>
+      w.length < 2 || w(0) < w(1)), "survivor order must be preserved")
+  }
+}
