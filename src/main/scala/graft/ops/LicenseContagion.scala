@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared license-contagion policy arithmetic — the single definition the
+  * q343 one-shot gate, the q344 incremental gate, and the streaming ingest
+  * twin all evaluate (the batch/stream-share-the-policy doctrine): a
+  * document's license belongs to its CONTENT, so the effective class is
+  * the MOST RESTRICTIVE over its near-dup cluster (cc0 < cc-by < cc-by-sa
+  * < proprietary < unknown); singletons keep their own label. License
+  * classes are pure id arithmetic (doc_id % 5) so clusters mix classes and
+  * the contagion realizes at every SF. */
+object LicenseContagion {
+
+  val Classes: Seq[String] =
+    Seq("cc0", "cc-by", "cc-by-sa", "proprietary", "unknown")
+
+  /** Restrictiveness rank of a doc's own label (id arithmetic). */
+  def rank(id: Column): Column = pmod(id, lit(5L)).cast("int")
+
+  /** Class name from a restrictiveness rank. */
+  def name(r: Column): Column =
+    element_at(array(Classes.map(lit(_)): _*), r + 1)
+
+  /** Effective-rank frame (doc_id, source, rk, erk) over component
+    * assignments (doc_id, component): one max-rank rollup per component +
+    * two key-equi joins; docs absent from `comps` are singletons and keep
+    * their own rank. Nothing here rescans text. */
+  def effectiveRanks(docs: DataFrame, comps: DataFrame): DataFrame = {
+    val labeled = docs.select(col("doc_id"), col("source"),
+      rank(col("doc_id")).as("rk"))
+    val compMax = labeled.join(comps, "doc_id")
+      .groupBy("component").agg(max(col("rk")).as("crk"))
+    labeled.join(comps, Seq("doc_id"), "left_outer")
+      .join(compMax, Seq("component"), "left_outer")
+      .select(col("doc_id"), col("source"), col("rk"),
+        greatest(col("rk"), coalesce(col("crk"), col("rk"))).as("erk"))
+  }
+
+  /** The q343 census frame over an effective-rank frame: per (source,
+    * effective class) — docs, relabeled docs (effective ≠ labeled, the
+    * laundered copies), Σid certificate. */
+  def census(eff: DataFrame): DataFrame =
+    eff.groupBy(col("source"), name(col("erk")).as("license_effective"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("erk") =!= col("rk"), 1L).otherwise(0L))
+          .as("n_relabeled"),
+        sum(col("doc_id")).as("sum_ids"))
+
+  /** The census REPLAYED from the stored contagion state
+    * ([[graft.store.IndexStore.updateContagionState]]) — what the
+    * streaming twin reports after any number of ingested waves; equals the
+    * one-shot q343 census over the same corpus (StreamingSpec-pinned). */
+  def censusFromStore(spark: SparkSession, path: String): DataFrame = {
+    val docs = graft.store.IndexStore.loadContagionDocs(spark, path)
+    val comps = graft.store.IndexStore.loadContagionComps(spark, path)
+    census(effectiveRanks(docs, comps))
+  }
+}

@@ -581,83 +581,61 @@ object ExtendedQueries {
     * two key-equi joins; nothing rescans text beyond the LSH pass. */
   val licenseContagion: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val classes = Seq("cc0", "cc-by", "cc-by-sa", "proprietary", "unknown")
-    val labeled = docs.select(col("doc_id"), col("source"),
-      pmod(col("doc_id"), lit(5L)).cast("int").as("rk"))
     val comps = neardupComponents(docs).withColumnRenamed("id", "doc_id")
-    val compMax = labeled.join(comps, "doc_id")
-      .groupBy("component").agg(max(col("rk")).as("crk"))
-    val nameOf = (r: org.apache.spark.sql.Column) =>
-      element_at(array(classes.map(lit(_)): _*), r + 1)
-    labeled.join(comps, Seq("doc_id"), "left_outer")
-      .join(compMax, Seq("component"), "left_outer")
-      .withColumn("erk", greatest(col("rk"), coalesce(col("crk"), col("rk"))))
-      .groupBy(col("source"), nameOf(col("erk")).as("license_effective"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("erk") =!= col("rk"), 1L).otherwise(0L))
-          .as("n_relabeled"),
-        sum(col("doc_id")).as("sum_ids"))
+    graft.ops.LicenseContagion.census(
+        graft.ops.LicenseContagion.effectiveRanks(docs, comps))
       .orderBy("source", "license_effective")
   }
 
-  /** Effective-license class name from its restrictiveness rank. */
-  private def licName(r: org.apache.spark.sql.Column) =
-    element_at(array(Seq("cc0", "cc-by", "cc-by-sa", "proprietary",
-      "unknown").map(lit(_)): _*), r + 1)
-
-  /** q344: INCREMENTAL license contagion — content-level licensing is
-    * RETROACTIVE: a newly ingested doc can join an existing near-dup
-    * cluster and raise the effective restrictiveness of docs cleared
-    * generations ago (the laundered copy arrives AFTER its original
-    * shipped). Even ids are the standing corpus — its signature index
-    * and components are the stored state; odd ids arrive as the delta.
-    * The delta never re-mines the old corpus: delta-vs-index LSH (the
-    * q66 machinery) + delta-internal LSH yield the new edges, and the
-    * merged clusters come from one CC run over (old id→component
-    * assignments as edges) ∪ new pairs — old-old pairs are never
-    * recomputed, which is the whole point at 100 TB. Gate: the merged
-    * effective-license census must equal the oracle's ONE-SHOT closure
-    * over the full corpus, with the retroactive count (old docs whose
-    * effective class ROSE because of the delta) pinned per group. */
+  /** q344: INCREMENTAL license contagion THROUGH THE STORE — content-level
+    * licensing is RETROACTIVE: a newly ingested doc can join an existing
+    * near-dup cluster and raise the effective restrictiveness of docs
+    * cleared generations ago (the laundered copy arrives AFTER its
+    * original shipped). Even ids ingest as the standing corpus (batch 0),
+    * odd ids as the delta (batch 1), both through
+    * [[graft.store.IndexStore.updateContagionState]] — the EXACT code
+    * path the streaming twin runs: the delta never re-mines the old
+    * corpus (delta-vs-signature-index probe + delta-internal LSH + one CC
+    * merge over old assignments ∪ new pairs), the swap is atomic, and a
+    * replayed batch is a no-op (`replay_noop`, engine-verified). Gate:
+    * the store-derived effective-license census must equal the oracle's
+    * ONE-SHOT closure over the full corpus, with the retroactive count
+    * (old docs whose effective class ROSE because of the delta) pinned
+    * per group. Policy arithmetic shared verbatim with q343 and the
+    * stream ([[graft.ops.LicenseContagion]]). */
   val licenseContagionIncremental: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
+    import graft.ops.LicenseContagion
+    import graft.store.IndexStore
+    val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
     val old = docs.where(col("doc_id") % 2 === 0)
     val delta = docs.where(col("doc_id") % 2 === 1)
-    val compsOld = neardupComponents(old).withColumnRenamed("id", "doc_id")
+    val root = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_contagion")).toString
+    val path = s"$root/state"
+    require(IndexStore.updateContagionState(s, path, old, batchId = 0L))
+    // materialize the PRE-DELTA effective ranks before the swap replaces
+    // the state directory underneath the lazy parquet scan
+    val effOld = LicenseContagion.effectiveRanks(
+        IndexStore.loadContagionDocs(s, path),
+        IndexStore.loadContagionComps(s, path))
+      .select(col("doc_id"), col("erk").as("erk_old"))
       .cache()
-    val oldSigs = Dedup.minHashSignaturesPerRow(old, "doc_id", "text", 5, 64)
-    val crossPairs = Dedup.incrementalMinHashLsh(delta, "doc_id", "text",
-        oldSigs, old)
-      .select(col("new_id").as("src"), col("old_id").as("dst"))
-    val deltaPairs = Dedup.minHashLsh(delta, "doc_id", "text", shingleK = 5,
-        numHashes = 64, bands = 16, minJaccard = 0.6)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val merged = ConnectedComponents.run(
-        compsOld.select(col("doc_id").as("src"), col("component").as("dst"))
-          .unionByName(crossPairs).unionByName(deltaPairs))
-      .withColumnRenamed("id", "doc_id")
-    val labeled = docs.select(col("doc_id"), col("source"),
-      pmod(col("doc_id"), lit(5L)).cast("int").as("rk"))
-    val compMax = labeled.join(merged, "doc_id")
-      .groupBy("component").agg(max(col("rk")).as("crk"))
-    val eff = labeled.join(merged, Seq("doc_id"), "left_outer")
-      .join(compMax, Seq("component"), "left_outer")
-      .withColumn("erk", greatest(col("rk"), coalesce(col("crk"), col("rk"))))
-    val cmOld = labeled.join(compsOld, "doc_id")
-      .groupBy("component").agg(max(col("rk")).as("ork"))
-    val effOld = labeled.where(col("doc_id") % 2 === 0)
-      .join(compsOld, Seq("doc_id"), "left_outer")
-      .join(cmOld, Seq("component"), "left_outer")
-      .select(col("doc_id"),
-        greatest(col("rk"), coalesce(col("ork"), col("rk"))).as("erk_old"))
+    effOld.count()
+    require(IndexStore.updateContagionState(s, path, delta, batchId = 1L))
+    val noop = !IndexStore.updateContagionState(s, path, delta, batchId = 1L)
+    val eff = LicenseContagion.effectiveRanks(
+      IndexStore.loadContagionDocs(s, path),
+      IndexStore.loadContagionComps(s, path))
     eff.join(effOld, Seq("doc_id"), "left_outer")
-      .groupBy(col("source"), licName(col("erk")).as("license_effective"))
+      .groupBy(col("source"),
+        LicenseContagion.name(col("erk")).as("license_effective"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("erk") =!= col("rk"), 1L).otherwise(0L))
           .as("n_relabeled"),
         sum(when(col("erk_old").isNotNull && col("erk") > col("erk_old"),
           1L).otherwise(0L)).as("n_retroactive"),
         sum(col("doc_id")).as("sum_ids"))
+      .withColumn("replay_noop", lit(noop))
       .orderBy("source", "license_effective")
   }
 
@@ -2746,7 +2724,8 @@ object ExtendedQueries {
         |  CAST(sum(CASE WHEN fo.erk_old IS NOT NULL
         |    AND f.erk > fo.erk_old THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_retroactive,
-        |  CAST(sum(f.doc_id) AS BIGINT) AS sum_ids
+        |  CAST(sum(f.doc_id) AS BIGINT) AS sum_ids,
+        |  true AS replay_noop
         |FROM f LEFT JOIN fo USING (doc_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""").stripMargin,
     // q342: two wave closures + their union; the ledger/cursor booleans

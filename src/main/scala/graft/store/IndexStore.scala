@@ -812,4 +812,98 @@ object IndexStore {
     graft.util.AtomicSwap.swap(fs, tmp, root)
     true
   }
+
+  /** Persist the license-CONTAGION state: the near-dup clustering's
+    * sufficient statistics for retroactive relabeling —
+    * `docs` (doc_id, source, text: the staged corpus the dedup service
+    * owns; a lake-backed deployment would store the lake path instead),
+    * `sigs` (id, sig: the MinHash signature index the delta probes),
+    * `comps` (doc_id, component: the current cluster assignments), and
+    * the batch cursor. Effective-license censuses DERIVE from this state
+    * at report time ([[graft.ops.LicenseContagion.censusFromStore]]) and
+    * are never stored — a cluster merge retroactively relabels old docs,
+    * so the census is not additive and storing it would bake in stale
+    * labels. */
+  def saveContagionState(spark: SparkSession,
+                         docs: org.apache.spark.sql.DataFrame,
+                         sigs: org.apache.spark.sql.DataFrame,
+                         comps: org.apache.spark.sql.DataFrame,
+                         path: String, lastBatchId: Long = -1L): Unit = {
+    import spark.implicits._
+    writeMeta(spark, path, "contagion")
+    docs.write.mode("overwrite").parquet(s"$path/docs")
+    sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    comps.write.mode("overwrite").parquet(s"$path/comps")
+    Seq(Tuple1(lastBatchId)).toDF("last_batch")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/scalars")
+  }
+
+  def loadContagionDocs(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    checkMeta(spark, path, "contagion")
+    spark.read.parquet(s"$path/docs")
+  }
+
+  def loadContagionComps(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    checkMeta(spark, path, "contagion")
+    spark.read.parquet(s"$path/comps")
+  }
+
+  /** The stored contagion state's replay cursor (−1 on fresh). */
+  def contagionLastBatch(spark: SparkSession, path: String): Long =
+    spark.read.parquet(s"$path/scalars").select("last_batch").head().getLong(0)
+
+  /** Fold a (doc_id, source, text) micro-batch into the stored contagion
+    * state, atomically and exactly-once (dot-tmp write → rename-swap; the
+    * batchId cursor makes a replayed micro-batch a no-op). The delta
+    * NEVER re-mines the standing corpus: new-vs-old pairs come from the
+    * delta-vs-index probe ([[graft.dedup.Dedup.incrementalMinHashLsh]] —
+    * one streaming scan of the signature index against a broadcast
+    * delta), delta-internal pairs from LSH over the batch alone, and the
+    * merged clusters from ONE connected-components run over (old
+    * assignments as edges) ∪ new pairs — old-old pairs are never
+    * recomputed, which is the whole point at 100 TB. Same LSH family as
+    * the q343 one-shot gate (k=5, 64 hashes, 16 bands, J≥0.6).
+    * @return true if applied, false if skipped as a replay. */
+  def updateContagionState(spark: SparkSession, path: String,
+                           batch: org.apache.spark.sql.DataFrame,
+                           batchId: Long = -1L): Boolean = {
+    import graft.dedup.{ConnectedComponents, Dedup}
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta"))
+    if (exists && batchId >= 0 && batchId <= contagionLastBatch(spark, path))
+      return false
+    val docsB = batch.select(col("doc_id"), col("source"), col("text"))
+      .localCheckpoint()
+    val newSigs = Dedup.minHashSignaturesPerRow(docsB, "doc_id", "text",
+      shingleK = 5, numHashes = 64)
+    val deltaPairs = Dedup.minHashLsh(docsB, "doc_id", "text", shingleK = 5,
+        numHashes = 64, bands = 16, minJaccard = 0.6)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val (docs, sigs, comps) =
+      if (!exists) {
+        (docsB, newSigs,
+          ConnectedComponents.run(deltaPairs)
+            .withColumnRenamed("id", "doc_id"))
+      } else {
+        val oldDocs = loadContagionDocs(spark, path)
+        val oldSigs = spark.read.parquet(s"$path/sigs")
+        val oldComps = loadContagionComps(spark, path)
+        val cross = Dedup.incrementalMinHashLsh(docsB, "doc_id", "text",
+            oldSigs, oldDocs)
+          .select(col("new_id").as("src"), col("old_id").as("dst"))
+        val merged = ConnectedComponents.run(
+            oldComps.select(col("doc_id").as("src"),
+                col("component").as("dst"))
+              .unionByName(cross).unionByName(deltaPairs))
+          .withColumnRenamed("id", "doc_id")
+        (oldDocs.unionByName(docsB), oldSigs.unionByName(newSigs), merged)
+      }
+    val parent = Option(root.getParent).map(_.toString).getOrElse(".")
+    val tmp = new org.apache.hadoop.fs.Path(s"$parent/.${root.getName}_update_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    saveContagionState(spark, docs, sigs, comps, tmp.toString, batchId)
+    graft.util.AtomicSwap.swap(fs, tmp, root)
+    true
+  }
 }

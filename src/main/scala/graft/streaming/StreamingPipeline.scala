@@ -474,6 +474,31 @@ object StreamingPipeline {
     censusIngestStream(newPacked, indexPath, Seq("source"),
       b => graft.ops.LicenseGate.sourceCensus(b))
 
+  /** Continuous LICENSE-CONTAGION ingest: each arriving micro-batch of
+    * (doc_id, source, text) docs folds into the stored near-dup
+    * clustering state ([[graft.store.IndexStore.updateContagionState]]:
+    * delta-vs-signature-index probe + delta-internal LSH + one
+    * connected-components merge over old assignments ∪ new pairs — the
+    * standing corpus is never re-mined). Exactly-once by the stored
+    * batch-id cursor; a replayed micro-batch is a no-op, so a
+    * died-and-restarted stream cannot double-ingest a wave. The
+    * effective-license census derives at report time
+    * ([[graft.ops.LicenseContagion.censusFromStore]]) — contagion is
+    * RETROACTIVE (a new doc can raise old docs' effective class), so the
+    * census is not additive and is never stored. Stream and the q343
+    * batch gate share the policy arithmetic verbatim
+    * ([[graft.ops.LicenseContagion]]). */
+  def contagionIngestStream(newDocs: DataFrame,
+                            indexPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.store.IndexStore.updateContagionState(
+          batch.sparkSession, indexPath, batch, batchId = batchId)
+        ()
+      }
+
   /** Continuous SNAPSHOT ingest: each arriving micro-batch of
     * (url, source, version, hash) crawl observations folds into the stored
     * per-url LWW state ([[graft.store.IndexStore.updateSnapshotState]]:

@@ -15,9 +15,11 @@ class ContagionIncrementalSpec extends SparkSpec {
     val one = ExtendedQueries.licenseContagion(spark, dir)
       .orderBy("source", "license_effective").collect().toSeq
     val inc = ExtendedQueries.licenseContagionIncremental(spark, dir).cache()
-    assert(inc.drop("n_retroactive")
+    assert(inc.drop("n_retroactive", "replay_noop")
       .orderBy("source", "license_effective").collect().toSeq == one,
       "merged incremental closure must reproduce the one-shot census")
+    assert(inc.where(!col("replay_noop")).count() == 0,
+      "replaying batch 1 must be skipped by the store cursor")
     // the fixture must exercise the retroactive path, not vacuously pass
     val retro = inc.agg(sum("n_retroactive")).head.getLong(0)
     assert(retro > 0, "no old doc's effective class rose — fixture inert")

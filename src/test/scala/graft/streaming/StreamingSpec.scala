@@ -1768,4 +1768,61 @@ class StreamingSpec extends SparkSpec {
       batchGate.exceptAll(stored.select(cols: _*)).isEmpty,
       "streamed license-gate census diverged from the q337 batch gate")
   }
+
+  test("contagion ingest stream == q343 one-shot census; kill+restart " +
+      "exactly-once; retroactive relabel realized") {
+    // docs stream in three waves (even ids = the standing corpus, then the
+    // odd ids split by residue); each micro-batch folds into the stored
+    // near-dup clustering WITHOUT re-mining the standing corpus. The
+    // report derived from the final state must equal the q343 one-shot
+    // closure over the full corpus — including the retroactive relabels a
+    // late-arriving laundered copy inflicts on docs ingested waves ago.
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val src = java.nio.file.Files.createTempDirectory("graft_contag_src")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_contag").toString
+    val statePath = s"$root/state"
+    def stageFile(name: String, wave: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_ct_$name")
+      wave.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, src.resolve(s"$name.parquet"))
+    }
+    stageFile("w0", docs.where(col("doc_id") % 2 === 0))
+    stageFile("w1", docs.where(col("doc_id") % 4 === 1))
+    val schema = docs.schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+      val q = StreamingPipeline.contagionIngestStream(stream, statePath)
+        .option("checkpointLocation", s"$root/ckpt").start()
+      q.awaitTermination()
+    }
+    runOnce() // process dies after two waves
+    // pre-restart snapshot: effective ranks as of the first two waves
+    val effMid = graft.ops.LicenseContagion.effectiveRanks(
+        graft.store.IndexStore.loadContagionDocs(spark, statePath),
+        graft.store.IndexStore.loadContagionComps(spark, statePath))
+      .select(col("doc_id"), col("erk").as("erk_mid")).cache()
+    effMid.count()
+    stageFile("w2", docs.where(col("doc_id") % 4 === 3)) // lands while down
+    runOnce() // restart must not re-ingest waves 0/1
+    val streamed = graft.ops.LicenseContagion
+      .censusFromStore(spark, statePath)
+    val oneShot = graft.queries.ExtendedQueries.licenseContagion(spark, dir)
+    val cols = oneShot.columns.map(col)
+    assert(streamed.select(cols: _*).exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(streamed.select(cols: _*)).isEmpty,
+      "streamed contagion census diverged from the q343 one-shot gate")
+    // the retroactive path must be realized: some doc ingested in the
+    // first two waves rose in effective class when wave 2 arrived
+    val effFin = graft.ops.LicenseContagion.effectiveRanks(
+      graft.store.IndexStore.loadContagionDocs(spark, statePath),
+      graft.store.IndexStore.loadContagionComps(spark, statePath))
+    val rose = effFin.join(effMid, "doc_id")
+      .where(col("erk") > col("erk_mid")).count()
+    assert(rose > 0, "no earlier-wave doc rose in class — fixture inert")
+  }
 }
