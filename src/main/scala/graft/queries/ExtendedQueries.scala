@@ -566,6 +566,53 @@ object ExtendedQueries {
       .orderBy("shard")
   }
 
+  /** q347: the LICENSE-CLEAN MIXTURE RE-SOLVE — what contagion DOES to
+    * the training mix: a release gate that trusts per-doc labels budgets
+    * tokens it cannot legally train on, because laundered copies of
+    * proprietary docs sit in "open" sources. The gate runs the q343
+    * closure, restricts eligibility to docs whose EFFECTIVE class is open
+    * (cc0/cc-by/cc-by-sa — rank ≤ 2; erk ≥ rk always, so clean ⊆ naive),
+    * and re-solves the q180 max-min-fair waterfill over the CLEAN corpus
+    * (budget = 9/10 of clean tokens). Per source: the label-trusting
+    * availability, the laundered token mass the naive mix would have
+    * shipped (`tokens_laundered` = open-labeled docs whose effective
+    * class is closed), and the re-solved quota/kept census. Scale shape:
+    * the closure is the q343 LSH+CC pass; everything after is one grouped
+    * token sum + the D-row waterfill window + the per-source hash-prefix
+    * selection — nothing rescans text. */
+  val licenseCleanMix: Q = (s, dir) => {
+    import graft.ops.{LicenseContagion, Sampling}
+    val docs = Tables.documents(s, dir)
+    val comps = neardupComponents(docs).withColumnRenamed("id", "doc_id")
+    val eff = LicenseContagion.effectiveRanks(docs, comps)
+    val toked = docs.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+    val j = eff.join(toked, "doc_id").cache()
+    val clean = j.where(col("erk") <= 2)
+    val budget = clean.agg(coalesce(sum(col("ntok")), lit(0L)))
+      .head().getLong(0) * 9 / 10
+    val quotas = Sampling.waterfillQuotas(clean, "source", col("ntok"),
+      budget)
+    val kept = Sampling.waterfillSample(clean, "source", "doc_id",
+        col("ntok"), budget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("ntok")).as("kept_tokens"))
+    val naive = j.groupBy("source")
+      .agg(sum(when(col("rk") <= 2, col("ntok")).otherwise(0L))
+          .as("available_naive"),
+        sum(when(col("rk") <= 2 && col("erk") > 2, col("ntok"))
+          .otherwise(0L)).as("tokens_laundered"))
+    naive.join(quotas, Seq("source"), "left_outer")
+      .join(kept, Seq("source"), "left_outer")
+      .select(col("source"), col("available_naive"),
+        col("tokens_laundered"),
+        coalesce(col("available"), lit(0L)).as("available_clean"),
+        coalesce(col("quota"), lit(0L)).as("quota"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
   /** q343: license CONTAGION through near-dup clusters — the licensing
     * complement of q334's takedown expansion: a document's license label
     * belongs to its CONTENT, so a near-duplicate of a proprietary doc is
@@ -1342,6 +1389,7 @@ object ExtendedQueries {
     "q342_takedown_ledger" -> takedownLedger,
     "q343_license_contagion" -> licenseContagion,
     "q346_takedown_order_impact" -> takedownOrderImpact,
+    "q347_license_clean_mix" -> licenseCleanMix,
     "q344_contagion_incremental" -> licenseContagionIncremental,
     "q337_license_pack_gate" -> licensePackGate,
     "q338_license_repack_plan" -> licenseRepackPlan,
@@ -2674,6 +2722,75 @@ object ExtendedQueries {
         |FROM g WHERE n_docs_removed > 0 ORDER BY source""").stripMargin,
     // q343: the closure's per-component max-rank in string space; the
     // rank<->class mapping is the same CASE on both sides
+    // q347: the closure replayed, eligibility restricted to effective-open
+    // docs, then the exact q180 waterfill arithmetic (closed-form level,
+    // remainder to the first unsaturated sources, md5-prefix selection)
+    // over the clean corpus at 9/10 of its token mass
+    "q347_license_clean_mix" ->
+      (neardupCcCte + """,
+        |r AS (SELECT doc_id, source,
+        |    CAST(doc_id % 5 AS INT) AS rk,
+        |    CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT)
+        |      AS ntok
+        |  FROM documents),
+        |cm AS (SELECT c, max(rk) AS crk FROM comp
+        |  JOIN r ON comp.id = r.doc_id GROUP BY 1),
+        |e AS (SELECT r.doc_id, r.source, r.rk, r.ntok,
+        |    greatest(r.rk, coalesce(cm.crk, r.rk)) AS erk
+        |  FROM r LEFT JOIN comp ON comp.id = r.doc_id
+        |  LEFT JOIN cm USING (c)),
+        |cl AS (SELECT * FROM e WHERE erk <= 2),
+        |a AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS available
+        |  FROM cl GROUP BY 1),
+        |b AS (SELECT CAST(coalesce(sum(available), 0) AS BIGINT) * 9 // 10
+        |  AS budget FROM a),
+        |rr AS (SELECT source, available,
+        |    CAST(row_number() OVER (ORDER BY available, source) AS BIGINT)
+        |      AS i,
+        |    CAST(coalesce(sum(available) OVER (ORDER BY available, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS pfx,
+        |    CAST(count(*) OVER () AS BIGINT) AS k
+        |  FROM a),
+        |ss AS (SELECT rr.*, (pfx + (k - i + 1) * available <= b.budget)
+        |  AS sat FROM rr, b),
+        |m AS (SELECT CAST(coalesce(sum(CASE WHEN sat THEN available END),
+        |    0) AS BIGINT) AS smass,
+        |    CAST(coalesce(sum(CASE WHEN sat THEN 1 END), 0) AS BIGINT)
+        |      AS msat
+        |  FROM ss),
+        |q AS (SELECT ss.source, ss.available,
+        |    CASE WHEN ss.sat THEN ss.available
+        |      ELSE (b.budget - m.smass) // (ss.k - m.msat)
+        |        + CASE WHEN ss.i - m.msat
+        |            <= (b.budget - m.smass) % (ss.k - m.msat)
+        |          THEN 1 ELSE 0 END END AS quota
+        |  FROM ss, m, b),
+        |o AS (SELECT cl.source, cl.doc_id, cl.ntok,
+        |    sum(cl.ntok) OVER (PARTITION BY cl.source
+        |      ORDER BY CAST(concat('0x',
+        |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+        |        doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM cl),
+        |kept AS (SELECT o.source, CAST(count(*) AS BIGINT) AS n_kept,
+        |    CAST(sum(o.ntok) AS BIGINT) AS kept_tokens
+        |  FROM o JOIN q USING (source) WHERE o.cum <= q.quota GROUP BY 1),
+        |naive AS (SELECT source,
+        |    CAST(sum(CASE WHEN rk <= 2 THEN ntok ELSE 0 END) AS BIGINT)
+        |      AS available_naive,
+        |    CAST(sum(CASE WHEN rk <= 2 AND erk > 2 THEN ntok ELSE 0 END)
+        |      AS BIGINT) AS tokens_laundered
+        |  FROM e GROUP BY 1)
+        |SELECT naive.source, available_naive, tokens_laundered,
+        |  coalesce(q.available, 0) AS available_clean,
+        |  CAST(coalesce(q.quota, 0) AS BIGINT) AS quota,
+        |  coalesce(kept.n_kept, 0) AS n_kept,
+        |  coalesce(kept.kept_tokens, 0) AS kept_tokens
+        |FROM naive LEFT JOIN q ON naive.source = q.source
+        |  LEFT JOIN kept ON naive.source = kept.source
+        |ORDER BY naive.source""").stripMargin,
     "q343_license_contagion" ->
       (neardupCcCte + """,
         |r AS (SELECT doc_id, source,
