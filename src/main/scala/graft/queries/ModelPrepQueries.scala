@@ -983,6 +983,53 @@ object ModelPrepQueries {
       .orderBy("source")
   }
 
+  /** q348: DATA-CONSTRAINED effective-token census — the repeat-decay
+    * accounting a token-starved mixture plan runs before burning compute
+    * (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    * Models": repeated epochs decay exponentially in value; with R the
+    * repeat count past the first pass and R* ≈ 15 the fitted decay
+    * constant, a budget of B tokens over U unique yields effective data
+    * D' = U + U·R*·(1 − e^(−R/R*)) — the 4th epoch is worth much less
+    * than the 1st, and beyond ~R* epochs extra repeats are worthless).
+    * Budgets follow the q80/q186 α=0.5 temperature allocation (floor∘
+    * round-6 portability contract), so small sources land in the heavy-
+    * repeat regime and the decay realizes at every SF. Per source: the
+    * plan's repeat factor (exact ppm integers), effective tokens (the
+    * one float crossing — same floor∘round-6 contract), the WASTED mass
+    * the naive token-count accounting overstates, and utilization.
+    * Downsampled sources (B ≤ U) never repeat: effective = budget.
+    * All-integer D-row arithmetic after one grouped token sum; ppm
+    * headroom is ~9.2e12 tokens per source (Long/1e6). */
+  val dataConstrainedCensus: Q = (s, dir) => {
+    val withTok = Tables.documents(s, dir)
+      .select(col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+    val avail = withTok.groupBy("source")
+      .agg(sum(col("ntok")).as("unique_tokens"))
+    val total = avail.agg(coalesce(sum(col("unique_tokens")), lit(0L)))
+      .head().getLong(0)
+    val w = avail.withColumn("__pw",
+      pow(col("unique_tokens").cast("double"), 0.5))
+    val tw = w.agg(sum(col("__pw")).as("__tw"))
+    val q = w.crossJoin(broadcast(tw))
+      .withColumn("budget",
+        floor(round(lit(total * 4) * col("__pw") / col("__tw"), 6))
+          .cast("long"))
+    val u = col("unique_tokens").cast("double")
+    val b = col("budget").cast("double")
+    val eff = when(col("budget") <= col("unique_tokens"), b)
+      .otherwise(u + u * lit(15.0) *
+        (lit(1.0) - exp((b / u - lit(1.0)) * lit(-1.0) / lit(15.0))))
+    q.withColumn("eff_tokens", floor(round(eff, 6)).cast("long"))
+      .select(col("source"), col("unique_tokens"), col("budget"),
+        expr("budget * 1000000 div unique_tokens - 1000000")
+          .as("repeats_ppm"),
+        col("eff_tokens"),
+        (col("budget") - col("eff_tokens")).as("wasted_tokens"),
+        expr("eff_tokens * 1000000 div budget").as("utilization_ppm"))
+      .orderBy("source")
+  }
+
   /** q192's oracle, generated from the same grid the engine uses so the 20
     * (stage, threshold) cells can never drift apart: the q184 feature CTE,
     * ONE aggregate with 20 conditional sums, then a 20-row unpivot. */
@@ -1490,6 +1537,7 @@ object ModelPrepQueries {
     "q183_span_corrupt" -> spanCorruptCensus,
     "q180_waterfill_mix" -> waterfillMix,
     "q186_epoch_copies" -> epochCopiesPlan,
+    "q348_data_constrained" -> dataConstrainedCensus,
     "q192_funnel_sweep" -> funnelSweep,
     "q179_curriculum" -> curriculumSchedule,
     "q176_kcenter_sample" -> kcenterSample,
@@ -1994,6 +2042,40 @@ object ModelPrepQueries {
     "q183_span_corrupt" -> spanCorruptOracle,
     "q180_waterfill_mix" -> waterfillOracle,
     "q186_epoch_copies" -> epochCopiesOracle,
+    // q348: the same alpha=0.5 budget arithmetic as q186, then the
+    // Muennighoff repeat-decay formula with the identical float shape
+    "q348_data_constrained" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT)
+        |      AS ntok
+        |  FROM documents),
+        |a AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS unique_tokens
+        |  FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(unique_tokens) * 4 AS BIGINT) AS tb FROM a),
+        |w AS (SELECT source, unique_tokens,
+        |    pow(unique_tokens, 0.5) AS pw FROM a),
+        |tw AS (SELECT sum(pw) AS s FROM w),
+        |q AS (SELECT source, unique_tokens,
+        |    CAST(floor(round(tot.tb * pw / tw.s, 6)) AS BIGINT) AS budget
+        |  FROM w, tw, tot),
+        |e AS (SELECT *,
+        |    CASE WHEN budget <= unique_tokens
+        |      THEN CAST(budget AS DOUBLE)
+        |      ELSE CAST(unique_tokens AS DOUBLE)
+        |        + CAST(unique_tokens AS DOUBLE) * 15.0
+        |        * (1.0 - exp((CAST(budget AS DOUBLE)
+        |            / CAST(unique_tokens AS DOUBLE) - 1.0)
+        |          * -1.0 / 15.0)) END AS effd
+        |  FROM q)
+        |SELECT source, unique_tokens, budget,
+        |  budget * 1000000 // unique_tokens - 1000000 AS repeats_ppm,
+        |  CAST(floor(round(effd, 6)) AS BIGINT) AS eff_tokens,
+        |  budget - CAST(floor(round(effd, 6)) AS BIGINT) AS wasted_tokens,
+        |  CAST(floor(round(effd, 6)) AS BIGINT) * 1000000 // budget
+        |    AS utilization_ppm
+        |FROM e ORDER BY source""".stripMargin,
     "q192_funnel_sweep" -> funnelSweepOracle,
     "q179_curriculum" -> curriculumOracle,
     "q176_kcenter_sample" -> kcenterOracle(8),
