@@ -84,18 +84,31 @@ object Sharding {
     * window rank never sees more than one shard per task, and nothing
     * range-partitions or globally sorts. Any engine replays the exact
     * order from (key, epoch, nShards) alone — no RNG, no state. */
+  /** RANGE shard of the [[globalOrderEmit]] order: equal-width chop of
+    * the md5 order key's top 32 bits, so shard boundaries ARE
+    * global-order prefixes. A pure function of (key, epoch, nShards) —
+    * the q346 takedown-impact census and its streaming twin evaluate it
+    * statelessly per row, with no order emit in sight. */
+  def orderRangeShard(key: Column, epoch: Int, nShards: Int): Column = {
+    require(nShards > 0, "nShards must be positive")
+    val width = ((1L << 32) + nShards - 1) / nShards
+    val top = conv(substring(Sampling.epochOrderKey(key, epoch), 1, 8),
+      16, 10).cast("long")
+    // integer division via TRUE div (Column./ on longs is double division
+    // — a silent fraction, not a shard id)
+    (top - pmod(top, lit(width))).divide(lit(width)).cast("int")
+  }
+
   def globalOrderEmit(df: DataFrame, keyCol: String, epoch: Int,
       nShards: Int): DataFrame = {
     require(nShards > 0, "nShards must be positive")
     import org.apache.spark.sql.expressions.Window
-    val width = ((1L << 32) + nShards - 1) / nShards
     val base = df
       .withColumn("__ek", Sampling.epochOrderKey(col(keyCol), epoch))
       // shard = top 32 bits of the order key chopped into equal ranges;
       // lexicographic order of the fixed-width lowercase-hex key equals
       // numeric bucket order, so shards are prefixes of the global order
-      .withColumn("shard", expr("cast(cast(conv(substring(__ek, 1, 8), " +
-        s"16, 10) as bigint) div ${width}L as int)"))
+      .withColumn("shard", orderRangeShard(col(keyCol), epoch, nShards))
     val ranked = base.withColumn("position",
       row_number().over(Window.partitionBy(col("shard"))
         .orderBy(col("__ek"), col(keyCol))).cast("long") - 1)

@@ -258,6 +258,56 @@ object ExtendedQueries {
       .orderBy("source")
   }
 
+  /** q349: ANNEAL-PHASE mixture plan — the two-phase token schedule of
+    * modern pretraining (Llama-3 / MiniCPM style: spend the last slice of
+    * the budget on a high-quality-only mix, upsampled, after the bulk
+    * phase over everything): phase 1 gets 9/10 of the total budget,
+    * α=0.5-temperature-allocated over each source's full availability
+    * (the q80 arithmetic, floor∘round-6 portability contract); phase 2
+    * gets the remainder, allocated over the HIGH-QUALITY token mass only
+    * — eligibility is the FULL q49 four-rule screen (length band, mean
+    * word length, stopword floor, repetition cap), shared verbatim.
+    * Per source: both availabilities, both phase budgets, and the anneal
+    * upsample factor in exact ppm integers (a source with no HQ docs
+    * anneals at zero — the plan says so instead of silently reweighting).
+    * D-row arithmetic after one corpus scan; nothing materializes doc
+    * selections here (q65/q180 own that). */
+  val annealMixPlan: Q = (s, dir) => {
+    val ntok = TextFunctions.tokenCount(col("text"))
+    val hq = ntok.between(30, 90) &&
+      TextFunctions.meanTokenLength(col("text")).between(4.3, 4.7) &&
+      TextFunctions.stopwordRatio(col("text")) >= 0.02 &&
+      TextFunctions.repetitionScore(col("text"), 3) <= 0.02
+    val t = Tables.documents(s, dir).select(col("source"),
+      ntok.cast("long").as("ntok"), hq.as("hq"))
+    val avail = t.groupBy("source")
+      .agg(sum(col("ntok")).as("available"),
+        sum(when(col("hq"), col("ntok")).otherwise(0L)).as("hq_available"))
+      .cache()
+    val total = avail.agg(coalesce(sum(col("available")), lit(0L)))
+      .head().getLong(0)
+    val p1Total = total * 9 / 10
+    val p2Total = total - p1Total
+    val w = avail
+      .withColumn("__pw1", pow(col("available").cast("double"), 0.5))
+      .withColumn("__pw2", pow(col("hq_available").cast("double"), 0.5))
+    val tw = w.agg(sum(col("__pw1")).as("__tw1"), sum(col("__pw2")).as("__tw2"))
+    w.crossJoin(broadcast(tw))
+      .withColumn("p1_budget",
+        floor(round(lit(p1Total) * col("__pw1") / col("__tw1"), 6))
+          .cast("long"))
+      .withColumn("p2_budget",
+        when(col("__tw2") > 0.0,
+          floor(round(lit(p2Total) * col("__pw2") / col("__tw2"), 6))
+            .cast("long")).otherwise(0L))
+      .select(col("source"), col("available"), col("hq_available"),
+        col("p1_budget"), col("p2_budget"),
+        when(col("hq_available") > 0,
+          expr("p2_budget * 1000000 div hq_available")).otherwise(0L)
+          .as("p2_repeats_ppm"))
+      .orderBy("source")
+  }
+
   /** Near-dup CLUSTERS: pair edges resolved into connected components by
     * the distributed large-star/small-star algorithm — pair detection is
     * only half of dedup; this is the half that picks one canonical doc per
@@ -524,12 +574,18 @@ object ExtendedQueries {
     * (`sum_global_shift`), never by touching clean files. Scale shape:
     * two order emits (each one exchange + intra-shard sort) + key-joins;
     * the census is one groupBy over shard ids. */
+  /** The q334/q346 expanded removal set (seeds ∪ near-dup mirrors) —
+    * shared by the takedown-order gate and its streaming shard-census
+    * twin so both certify the same removal. */
+  private[graft] def takedownRemovalSet(full: DataFrame): DataFrame =
+    expandThroughComponents(
+      full.select("doc_id").where(col("doc_id") % 13 === 4),
+      neardupComponents(full))
+
   val takedownOrderImpact: Q = (s, dir) => {
     val full = Tables.documents(s, dir)
     val docs = full.select("doc_id")
-    val seeds = docs.where(col("doc_id") % 13 === 4)
-    val removal = expandThroughComponents(seeds, neardupComponents(full))
-      .cache()
+    val removal = takedownRemovalSet(full).cache()
     def emit(d: DataFrame) =
       graft.ops.Sharding.globalOrderEmit(d, "doc_id", epoch = 1, nShards = 8)
     val old = emit(docs).select(col("doc_id"), col("shard").as("shard_old"),
@@ -1390,6 +1446,7 @@ object ExtendedQueries {
     "q343_license_contagion" -> licenseContagion,
     "q346_takedown_order_impact" -> takedownOrderImpact,
     "q347_license_clean_mix" -> licenseCleanMix,
+    "q349_anneal_mix_plan" -> annealMixPlan,
     "q344_contagion_incremental" -> licenseContagionIncremental,
     "q337_license_pack_gate" -> licensePackGate,
     "q338_license_repack_plan" -> licenseRepackPlan,
@@ -3026,6 +3083,53 @@ object ExtendedQueries {
         |SELECT dom AS domain, count(*) AS n FROM (
         |  SELECT unnest(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1)) AS dom FROM aug)
         |GROUP BY 1 ORDER BY n DESC, domain LIMIT 15""".stripMargin,
+    // q349: the q49 four-rule screen verbatim, then the q80/q186 α=0.5
+    // budget arithmetic per phase with the same float shape
+    "q349_anneal_mix_plan" ->
+      """WITH t AS (
+        |  SELECT source, text, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |m AS (
+        |  SELECT source,
+        |    CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE ts END) AS BIGINT) AS ntok0,
+        |    len(ts) AS ntok,
+        |    CASE WHEN len(ts) = 0 THEN 0.0
+        |      ELSE list_sum(list_transform(ts, x -> length(x))) * 1.0
+        |        / len(ts) END AS mtl,
+        |    CASE WHEN len(ts) = 0 THEN 0.0
+        |      ELSE len(list_filter(ts, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that','be'], lower(x)))) * 1.0 / len(ts)
+        |    END AS swr,
+        |    (SELECT 1.0 - len(list_distinct(g)) * 1.0 / len(g) FROM (
+        |      SELECT CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |        ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts) - 2)]
+        |      END AS g)) AS rep
+        |  FROM t),
+        |a AS (SELECT source, CAST(sum(ntok0) AS BIGINT) AS available,
+        |    CAST(sum(CASE WHEN ntok BETWEEN 30 AND 90
+        |      AND mtl BETWEEN 4.3 AND 4.7 AND swr >= 0.02 AND rep <= 0.02
+        |      THEN ntok0 ELSE 0 END) AS BIGINT) AS hq_available
+        |  FROM m GROUP BY 1),
+        |tot AS (SELECT CAST(sum(available) AS BIGINT) * 9 // 10 AS p1,
+        |    CAST(sum(available) AS BIGINT)
+        |      - CAST(sum(available) AS BIGINT) * 9 // 10 AS p2
+        |  FROM a),
+        |w AS (SELECT source, available, hq_available,
+        |    pow(available, 0.5) AS pw1, pow(hq_available, 0.5) AS pw2
+        |  FROM a),
+        |tw AS (SELECT sum(pw1) AS s1, sum(pw2) AS s2 FROM w),
+        |q AS (SELECT source, available, hq_available,
+        |    CAST(floor(round(tot.p1 * pw1 / tw.s1, 6)) AS BIGINT)
+        |      AS p1_budget,
+        |    CASE WHEN tw.s2 > 0.0
+        |      THEN CAST(floor(round(tot.p2 * pw2 / tw.s2, 6)) AS BIGINT)
+        |      ELSE 0 END AS p2_budget
+        |  FROM w, tw, tot)
+        |SELECT source, available, hq_available, p1_budget, p2_budget,
+        |  CASE WHEN hq_available > 0
+        |    THEN p2_budget * 1000000 // hq_available ELSE 0 END
+        |    AS p2_repeats_ppm
+        |FROM q ORDER BY source""".stripMargin,
     "q49_quality_filter" ->
       """WITH t AS (
         |  SELECT source, text, string_split_regex(trim(text), '\s+') AS ts FROM documents),

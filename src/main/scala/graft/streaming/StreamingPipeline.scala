@@ -459,6 +459,25 @@ object StreamingPipeline {
         ()
       }
 
+  /** Continuous TAKEDOWN-ORDER-IMPACT ingest (q346's streaming form):
+    * removal waves arrive as (doc_id) micro-batches (already ledger-
+    * deduped — the q342 wave ledger owns overlap), each is assigned its
+    * RANGE shard of the deterministic training order by the stateless
+    * [[graft.ops.Sharding.orderRangeShard]] projection (shared verbatim
+    * with the q330 emit and the q346 gate), and the per-shard removed
+    * count folds additively into the stored census — the live "which
+    * shard files does the pending takedown dirty" worklist a fleet
+    * consults before scheduling re-emits. Exactly-once by the stored
+    * batch-id cursor; a replayed wave is a no-op. */
+  def takedownShardIngestStream(removal: DataFrame, indexPath: String,
+                                epoch: Int, nShards: Int): DataStreamWriter[org.apache.spark.sql.Row] =
+    censusIngestStream(removal, indexPath, Seq("shard"),
+      b => b.select(graft.ops.Sharding
+          .orderRangeShard(col("doc_id"), epoch, nShards).as("shard"))
+        .groupBy("shard")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_removed")))
+
   /** Continuous LICENSE-GATE ingest (q337's streaming form): packed
     * shards arrive as a stream of WHOLE sequences (the packer's emit
     * unit — rows carry (source, __seq, license, tok)), and each

@@ -1769,6 +1769,47 @@ class StreamingSpec extends SparkSpec {
       "streamed license-gate census diverged from the q337 batch gate")
   }
 
+  test("takedown shard-impact stream == q346 removed census; " +
+      "kill+restart exactly-once") {
+    // the expanded removal set streams in two disjoint waves; the stored
+    // per-shard census after both (with a death between them) must equal
+    // the q346 gate's (shard, n_removed, dirty) columns over the same
+    // removal.
+    val full = Tables.documents(spark, dir)
+    val removal = graft.queries.ExtendedQueries.takedownRemovalSet(full)
+      .cache()
+    val src = java.nio.file.Files.createTempDirectory("graft_tdsh_src")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_tdsh").toString
+    val idxPath = s"$root/idx"
+    def stageFile(name: String, wave: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_ts_$name")
+      wave.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, src.resolve(s"$name.parquet"))
+    }
+    stageFile("w0", removal.where(col("doc_id") % 2 === 0))
+    val schema = removal.schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+      val q = StreamingPipeline.takedownShardIngestStream(stream, idxPath,
+        epoch = 1, nShards = 8)
+        .option("checkpointLocation", s"$root/ckpt").start()
+      q.awaitTermination()
+    }
+    runOnce() // process dies after the first wave
+    stageFile("w1", removal.where(col("doc_id") % 2 === 1))
+    runOnce() // restart must not re-count wave 0
+    val stored = graft.store.IndexStore.loadCensus(spark, idxPath)
+    val gate = graft.queries.ExtendedQueries
+      .takedownOrderImpact(spark, dir)
+      .where(col("dirty")).select("shard", "n_removed")
+    assert(stored.exceptAll(gate).isEmpty && gate.exceptAll(stored).isEmpty,
+      "streamed shard-impact census diverged from the q346 gate")
+  }
+
   test("contagion ingest stream == q343 one-shot census; kill+restart " +
       "exactly-once; retroactive relabel realized") {
     // docs stream in three waves (even ids = the standing corpus, then the
