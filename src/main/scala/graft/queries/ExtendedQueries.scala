@@ -909,6 +909,45 @@ object ExtendedQueries {
       .orderBy("source")
   }
 
+  /** q350: CONTEXT-EXTENSION schedule census — progressive long-context
+    * training runs stages of growing sequence length (L 64 → 256 → 1024
+    * here, straddling the corpus's 10–100-token docs); before committing
+    * compute, the fleet asks per (stage, source): how many docs even fit,
+    * how much token mass the stage cap TRUNCATES away, and what the
+    * stage's greedy packing looks like (sequences, fill). Docs are capped
+    * at L (truncation policy; q107's sliding chunks is the no-loss
+    * alternative), then packed by the q64/q333 cumsum chop at L in
+    * deterministic doc_id order. One corpus scan → a ×|stages| explode →
+    * one (stage, source) window cumsum → one groupBy; every column is an
+    * exact integer (fill in ppm). */
+  val contextSchedule: Q = (s, dir) => {
+    val stages = Seq(64L, 256L, 1024L)
+    val t = Tables.documents(s, dir).select(col("source"), col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+    val staged = t.withColumn("stage_len",
+        explode(array(stages.map(lit(_)): _*)))
+      .withColumn("tok_capped", least(col("ntok"), col("stage_len")))
+    val w = Window.partitionBy(col("stage_len"), col("source"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged
+      .withColumn("__strt", sum(col("tok_capped")).over(w) - col("tok_capped"))
+      .withColumn("__seq", expr("__strt div stage_len"))
+      .groupBy("stage_len", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ntok") <= col("stage_len"), 1L).otherwise(0L))
+          .as("n_docs_fit"),
+        sum(when(col("ntok") > col("stage_len"), 1L).otherwise(0L))
+          .as("n_docs_truncated"),
+        sum(col("ntok")).as("tokens_total"),
+        sum(col("ntok") - col("tok_capped")).as("tokens_truncated"),
+        (max(col("__seq")) + 1).as("n_seqs"),
+        sum(col("tok_capped")).as("tokens_packed"))
+      .withColumn("fill_ppm",
+        expr("tokens_packed * 1000000 div (n_seqs * stage_len)"))
+      .orderBy("stage_len", "source")
+  }
+
   /** Incremental dedup: a delta batch (doc_id%10==3) checked against the
     * signature INDEX of the existing corpus — the corpus is never
     * re-shingled wholesale, only candidate docs are verified. Oracled by
@@ -1447,6 +1486,7 @@ object ExtendedQueries {
     "q346_takedown_order_impact" -> takedownOrderImpact,
     "q347_license_clean_mix" -> licenseCleanMix,
     "q349_anneal_mix_plan" -> annealMixPlan,
+    "q350_context_schedule" -> contextSchedule,
     "q344_contagion_incremental" -> licenseContagionIncremental,
     "q337_license_pack_gate" -> licensePackGate,
     "q338_license_repack_plan" -> licenseRepackPlan,
@@ -3083,6 +3123,38 @@ object ExtendedQueries {
         |SELECT dom AS domain, count(*) AS n FROM (
         |  SELECT unnest(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1)) AS dom FROM aug)
         |GROUP BY 1 ORDER BY n DESC, domain LIMIT 15""".stripMargin,
+    // q350: the cap + cumsum-chop packing replayed per stage with one
+    // shared window shape (the q333 arithmetic parameterized by L)
+    "q350_context_schedule" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT)
+        |      AS ntok
+        |  FROM documents),
+        |st AS (SELECT CAST(unnest([64, 256, 1024]) AS BIGINT) AS stage_len),
+        |x AS (SELECT st.stage_len, t.source, t.doc_id, t.ntok,
+        |    least(t.ntok, st.stage_len) AS tok_capped
+        |  FROM t CROSS JOIN st),
+        |p AS (SELECT *,
+        |    CAST(sum(tok_capped) OVER (PARTITION BY stage_len, source
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) - tok_capped AS BIGINT) AS strt
+        |  FROM x),
+        |q AS (SELECT *, strt // stage_len AS seq FROM p)
+        |SELECT stage_len, source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN ntok <= stage_len THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_docs_fit,
+        |  CAST(sum(CASE WHEN ntok > stage_len THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_docs_truncated,
+        |  CAST(sum(ntok) AS BIGINT) AS tokens_total,
+        |  CAST(sum(ntok - tok_capped) AS BIGINT) AS tokens_truncated,
+        |  CAST(max(seq) + 1 AS BIGINT) AS n_seqs,
+        |  CAST(sum(tok_capped) AS BIGINT) AS tokens_packed,
+        |  CAST(sum(tok_capped) AS BIGINT) * 1000000
+        |    // (CAST(max(seq) + 1 AS BIGINT) * stage_len) AS fill_ppm
+        |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q349: the q49 four-rule screen verbatim, then the q80/q186 α=0.5
     // budget arithmetic per phase with the same float shape
     "q349_anneal_mix_plan" ->
