@@ -813,64 +813,70 @@ object IndexStore {
     true
   }
 
-  /** Persist the license-CONTAGION state: the near-dup clustering's
-    * sufficient statistics for retroactive relabeling —
-    * `docs` (doc_id, source, text: the staged corpus the dedup service
-    * owns; a lake-backed deployment would store the lake path instead),
-    * `sigs` (id, sig: the MinHash signature index the delta probes),
-    * `comps` (doc_id, component: the current cluster assignments), and
-    * the batch cursor. Effective-license censuses DERIVE from this state
-    * at report time ([[graft.ops.LicenseContagion.censusFromStore]]) and
-    * are never stored — a cluster merge retroactively relabels old docs,
-    * so the census is not additive and storing it would bake in stale
-    * labels. */
-  def saveContagionState(spark: SparkSession,
-                         docs: org.apache.spark.sql.DataFrame,
-                         sigs: org.apache.spark.sql.DataFrame,
-                         comps: org.apache.spark.sql.DataFrame,
-                         path: String, lastBatchId: Long = -1L): Unit = {
-    import spark.implicits._
-    writeMeta(spark, path, "contagion")
-    docs.write.mode("overwrite").parquet(s"$path/docs")
-    sigs.write.mode("overwrite").parquet(s"$path/sigs")
-    comps.write.mode("overwrite").parquet(s"$path/comps")
-    Seq(Tuple1(lastBatchId)).toDF("last_batch")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/scalars")
+  /** License-CONTAGION state layout — the near-dup clustering's
+    * sufficient statistics for retroactive relabeling, stored so the
+    * HEAVY data is APPEND-ONLY: corpus text and MinHash signatures land
+    * once per wave under `<path>/batches/batch=<id>/{docs,sigs}` and are
+    * NEVER rewritten (a first cut rewrote the whole state per wave —
+    * measured 5.5× the one-shot rebuild at sf0.1, an O(corpus) write per
+    * delta that sinks at 100 TB); only the NARROW per-doc component
+    * assignments, the batch manifest, and the cursor live in the swapped
+    * `<path>/state` dir. Readers resolve batch dirs THROUGH the promoted
+    * manifest, so a crash between the batch-dir write and the state swap
+    * leaves an invisible orphan that the replayed wave overwrites —
+    * exactly-once survives the crash. Effective-license censuses DERIVE
+    * from this state at report time
+    * ([[graft.ops.LicenseContagion.censusFromStore]]) and are never
+    * stored — a cluster merge retroactively relabels old docs, so the
+    * census is not additive and storing it would bake in stale labels. */
+  private def contagionBatches(spark: SparkSession, path: String): Seq[String] = {
+    checkMeta(spark, s"$path/state", "contagion")
+    spark.read.parquet(s"$path/state/manifest")
+      .select("batch_dir").collect().map(_.getString(0)).toSeq.sorted
   }
 
-  def loadContagionDocs(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
-    checkMeta(spark, path, "contagion")
-    spark.read.parquet(s"$path/docs")
-  }
+  def loadContagionDocs(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(
+      contagionBatches(spark, path).map(b => s"$path/batches/$b/docs"): _*)
+
+  private def loadContagionSigs(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(
+      contagionBatches(spark, path).map(b => s"$path/batches/$b/sigs"): _*)
 
   def loadContagionComps(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
-    checkMeta(spark, path, "contagion")
-    spark.read.parquet(s"$path/comps")
+    checkMeta(spark, s"$path/state", "contagion")
+    spark.read.parquet(s"$path/state/comps")
   }
 
   /** The stored contagion state's replay cursor (−1 on fresh). */
   def contagionLastBatch(spark: SparkSession, path: String): Long =
-    spark.read.parquet(s"$path/scalars").select("last_batch").head().getLong(0)
+    spark.read.parquet(s"$path/state/scalars").select("last_batch")
+      .head().getLong(0)
 
   /** Fold a (doc_id, source, text) micro-batch into the stored contagion
-    * state, atomically and exactly-once (dot-tmp write → rename-swap; the
-    * batchId cursor makes a replayed micro-batch a no-op). The delta
-    * NEVER re-mines the standing corpus: new-vs-old pairs come from the
+    * state, atomically and exactly-once (batch dir written idempotently,
+    * then dot-tmp write → rename-swap of the small state dir; the batchId
+    * cursor makes a replayed micro-batch a no-op). The delta NEVER
+    * re-mines the standing corpus: new-vs-old pairs come from the
     * delta-vs-index probe ([[graft.dedup.Dedup.incrementalMinHashLsh]] —
     * one streaming scan of the signature index against a broadcast
     * delta), delta-internal pairs from LSH over the batch alone, and the
     * merged clusters from ONE connected-components run over (old
     * assignments as edges) ∪ new pairs — old-old pairs are never
-    * recomputed, which is the whole point at 100 TB. Same LSH family as
-    * the q343 one-shot gate (k=5, 64 hashes, 16 bands, J≥0.6).
+    * recomputed. Per-wave WRITE cost is O(delta) + the narrow assignment
+    * frame; the standing text/signatures are read, never copied
+    * (MeasureContagion certifies the write asymmetry by measurement).
+    * Same LSH family as the q343 one-shot gate (k=5, 64 hashes, 16
+    * bands, J≥0.6).
     * @return true if applied, false if skipped as a replay. */
   def updateContagionState(spark: SparkSession, path: String,
                            batch: org.apache.spark.sql.DataFrame,
                            batchId: Long = -1L): Boolean = {
+    import spark.implicits._
     import graft.dedup.{ConnectedComponents, Dedup}
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val exists = fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta"))
+    val stateRoot = new org.apache.hadoop.fs.Path(s"$path/state")
+    val fs = stateRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(s"$path/state/meta"))
     if (exists && batchId >= 0 && batchId <= contagionLastBatch(spark, path))
       return false
     val docsB = batch.select(col("doc_id"), col("source"), col("text"))
@@ -880,30 +886,36 @@ object IndexStore {
     val deltaPairs = Dedup.minHashLsh(docsB, "doc_id", "text", shingleK = 5,
         numHashes = 64, bands = 16, minJaccard = 0.6)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val (docs, sigs, comps) =
-      if (!exists) {
-        (docsB, newSigs,
-          ConnectedComponents.run(deltaPairs)
-            .withColumnRenamed("id", "doc_id"))
-      } else {
-        val oldDocs = loadContagionDocs(spark, path)
-        val oldSigs = spark.read.parquet(s"$path/sigs")
-        val oldComps = loadContagionComps(spark, path)
+    val comps =
+      if (!exists) ConnectedComponents.run(deltaPairs)
+        .withColumnRenamed("id", "doc_id")
+      else {
         val cross = Dedup.incrementalMinHashLsh(docsB, "doc_id", "text",
-            oldSigs, oldDocs)
+            loadContagionSigs(spark, path), loadContagionDocs(spark, path))
           .select(col("new_id").as("src"), col("old_id").as("dst"))
-        val merged = ConnectedComponents.run(
-            oldComps.select(col("doc_id").as("src"),
-                col("component").as("dst"))
+        ConnectedComponents.run(
+            loadContagionComps(spark, path)
+              .select(col("doc_id").as("src"), col("component").as("dst"))
               .unionByName(cross).unionByName(deltaPairs))
           .withColumnRenamed("id", "doc_id")
-        (oldDocs.unionByName(docsB), oldSigs.unionByName(newSigs), merged)
       }
-    val parent = Option(root.getParent).map(_.toString).getOrElse(".")
-    val tmp = new org.apache.hadoop.fs.Path(s"$parent/.${root.getName}_update_tmp")
+    // heavy data: written ONCE under an id-stable dir (a replayed wave
+    // that crashed pre-swap overwrites its own orphan — idempotent)
+    val batchDir = s"batch=$batchId"
+    docsB.write.mode("overwrite").parquet(s"$path/batches/$batchDir/docs")
+    newSigs.write.mode("overwrite").parquet(s"$path/batches/$batchDir/sigs")
+    val manifest = (if (exists) contagionBatches(spark, path) else Nil)
+      .filterNot(_ == batchDir) :+ batchDir
+    // narrow state: comps + manifest + cursor behind the atomic swap
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.state_update_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    saveContagionState(spark, docs, sigs, comps, tmp.toString, batchId)
-    graft.util.AtomicSwap.swap(fs, tmp, root)
+    writeMeta(spark, tmp.toString, "contagion")
+    comps.write.mode("overwrite").parquet(s"$tmp/comps")
+    manifest.toDF("batch_dir").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/manifest")
+    Seq(Tuple1(batchId)).toDF("last_batch")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/scalars")
+    graft.util.AtomicSwap.swap(fs, tmp, stateRoot)
     true
   }
 }

@@ -1,0 +1,100 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures the contagion store's INCREMENTAL claim: ingesting a FIXED
+  * delta through [[graft.store.IndexStore.updateContagionState]] (delta-
+  * vs-signature-index probe + one CC merge over old assignments ∪ new
+  * pairs; heavy state append-only) must grow with the standing corpus
+  * much slower than the one-shot LSH+CC rebuild does, because the
+  * standing corpus is scanned, never re-mined and never rewritten. Run
+  * at several ScaleStress inflations (k) and compare growth: the delta
+  * is pinned to the odd ids below 5000 whatever k is, so the per-wave
+  * trend isolates the corpus-size term (index scan + narrow comps
+  * rewrite). Census equality against the one-shot closure is asserted at
+  * every k. Numbers feed SCALING.md.
+  *
+  * Usage: runMain graft.tools.MeasureContagion <dir> [k=1] [waves=4] [reps=3]
+  */
+object MeasureContagion {
+  def main(args: Array[String]): Unit = {
+    val baseDir = args(0)
+    val k = if (args.length > 1) args(1).toInt else 1
+    val waves = if (args.length > 2) args(2).toInt else 4
+    val reps = if (args.length > 3) args(3).toInt else 3
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config(graft.sources.Tables.NanosAsLongConf, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = if (k <= 1) baseDir
+      else ScaleStress.materialize(spark, baseDir, "/tmp/graft_scale", k)
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text")).cache()
+    val n = docs.count()
+    val isDelta = col("doc_id") % 2 === 1 && col("doc_id") < 5000
+    println(s"[contagion] corpus $dir x$k n_docs=$n waves=$waves " +
+      s"n_delta=${docs.where(isDelta).count()}")
+
+    def time[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime(); val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    def minOf(label: String)(f: => Unit): Double = {
+      val best = (1 to reps).map(_ => time(f)._1).min
+      println(f"[contagion] x$k $label%-26s ${best}%7.2f s (min of $reps)")
+      best
+    }
+
+    // one-shot rebuild over the FULL corpus — what the incremental path avoids
+    val oneShot = minOf("one-shot LSH+CC (full)") {
+      graft.dedup.ConnectedComponents.run(
+        graft.dedup.Dedup.minHashLsh(docs, "doc_id", "text", 5, 64, 16, 0.6)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))).count()
+      ()
+    }
+
+    // standing corpus = everything but the fixed delta
+    val standing = docs.where(!isDelta)
+    val root = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_meas_ct")).toString
+    val path = s"$root/state"
+    val (buildS, _) = time {
+      graft.store.IndexStore.updateContagionState(spark, path, standing, 0L)
+    }
+    println(f"[contagion] x$k standing build (batch 0) $buildS%7.2f s " +
+      s"(n=${standing.count()})")
+    var waveTotal = 0.0
+    (0 until waves).foreach { w =>
+      val delta = docs.where(isDelta &&
+        pmod(expr("doc_id div 2"), lit(waves.toLong)) === w)
+      val nd = delta.count()
+      val (tw, applied) = time {
+        graft.store.IndexStore.updateContagionState(spark, path, delta,
+          batchId = w + 1L)
+      }
+      require(applied, s"wave $w skipped unexpectedly")
+      waveTotal += tw
+      println(f"[contagion] x$k wave $w ingest (n=$nd%5d)   $tw%7.2f s")
+    }
+    // equality: the store census must equal the one-shot q343 closure
+    // census over the same corpus (computed inline at inflated scale)
+    val comps = graft.dedup.ConnectedComponents.run(
+        graft.dedup.Dedup.minHashLsh(docs, "doc_id", "text", 5, 64, 16, 0.6)
+          .select(col("id_a").as("src"), col("id_b").as("dst")))
+      .withColumnRenamed("id", "doc_id")
+    val oneShotCensus = graft.ops.LicenseContagion.census(
+      graft.ops.LicenseContagion.effectiveRanks(docs, comps))
+    val stored = graft.ops.LicenseContagion.censusFromStore(spark, path)
+      .select(oneShotCensus.columns.map(col): _*)
+    val eq = stored.exceptAll(oneShotCensus).isEmpty &&
+      oneShotCensus.exceptAll(stored).isEmpty
+    println(f"[contagion] x$k per-wave avg ${waveTotal / waves}%7.2f s vs " +
+      f"one-shot $oneShot%7.2f s -> ratio ${waveTotal / waves / oneShot}%5.2f")
+    println(s"[contagion] x$k census_equals_oneshot=$eq")
+    require(eq, "store census diverged from one-shot closure")
+    spark.stop()
+  }
+}
