@@ -918,4 +918,48 @@ object IndexStore {
     graft.util.AtomicSwap.swap(fs, tmp, stateRoot)
     true
   }
+
+  /** Compact the contagion store's batch dirs: the append-only layout
+    * accrues one `batches/batch=<id>/` per wave — correct, but a year of
+    * daily waves is a small-file problem. Rewrites ALL current batches
+    * into one consolidated dir (named `batch=c<cursor>` — the `c` prefix
+    * can never collide with a numeric wave dir, so a replayed wave never
+    * overwrites the compacted data), swaps a manifest referencing only
+    * it (comps and cursor carried over unchanged — compaction moves
+    * bytes, never meaning), then deletes the now-orphaned dirs. A crash
+    * before the swap leaves an invisible half-written compact dir; a
+    * crash after it leaves orphans that the post-swap sweep (re-run by
+    * the next compaction) removes. Exactly-once ingest is untouched:
+    * the cursor survives, so replayed waves still no-op.
+    * @return true if compacted, false if already a single batch. */
+  def compactContagionState(spark: SparkSession, path: String): Boolean = {
+    import spark.implicits._
+    val batches = contagionBatches(spark, path)
+    if (batches.size <= 1) return false
+    val stateRoot = new org.apache.hadoop.fs.Path(s"$path/state")
+    val fs = stateRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cursor = contagionLastBatch(spark, path)
+    val target = s"batch=c$cursor"
+    loadContagionDocs(spark, path).write.mode("overwrite")
+      .parquet(s"$path/batches/$target/docs")
+    loadContagionSigs(spark, path).write.mode("overwrite")
+      .parquet(s"$path/batches/$target/sigs")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.state_update_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    writeMeta(spark, tmp.toString, "contagion")
+    loadContagionComps(spark, path).write.mode("overwrite")
+      .parquet(s"$tmp/comps")
+    Seq(target).toDF("batch_dir").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/manifest")
+    Seq(Tuple1(cursor)).toDF("last_batch")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/scalars")
+    graft.util.AtomicSwap.swap(fs, tmp, stateRoot)
+    // orphan sweep: anything the promoted manifest no longer references
+    val keep = Set(target)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/batches")
+    fs.listStatus(dir).foreach { st =>
+      if (!keep(st.getPath.getName)) fs.delete(st.getPath, true)
+    }
+    true
+  }
 }

@@ -1,0 +1,55 @@
+package graft.store
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The contagion store's operational contracts: append-only wave ingest
+  * (heavy batch dirs written once), compaction (bytes move, meaning
+  * doesn't), and the exactly-once cursor surviving both. */
+class ContagionStoreSpec extends SparkSpec {
+
+  private def census(path: String) =
+    graft.ops.LicenseContagion.censusFromStore(spark, path)
+      .orderBy("source", "license_effective").collect().toSeq
+
+  test("compaction: one batch dir, identical census, cursor preserved, " +
+      "ingest continues") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val root = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_ct_compact")).toString
+    val path = s"$root/state"
+    // three waves in, so compaction has something to merge
+    assert(IndexStore.updateContagionState(spark, path,
+      docs.where(col("doc_id") % 3 === 0), 0L))
+    assert(IndexStore.updateContagionState(spark, path,
+      docs.where(col("doc_id") % 3 === 1), 1L))
+    assert(IndexStore.updateContagionState(spark, path,
+      docs.where(col("doc_id") % 3 === 2), 2L))
+    val before = census(path)
+    val nDocs = IndexStore.loadContagionDocs(spark, path).count()
+
+    assert(IndexStore.compactContagionState(spark, path))
+    // one referenced batch dir AND one on-disk dir (orphans swept)
+    val live = new java.io.File(s"$path/batches").listFiles.map(_.getName)
+    assert(live.toSeq == Seq("c2").map("batch=" + _), live.mkString(","))
+    assert(IndexStore.loadContagionDocs(spark, path).count() == nDocs)
+    assert(census(path) == before, "compaction changed the census")
+    assert(IndexStore.contagionLastBatch(spark, path) == 2L)
+    // exactly-once survives: a replayed wave still no-ops...
+    assert(!IndexStore.updateContagionState(spark, path,
+      docs.where(col("doc_id") % 3 === 1), 1L))
+    // ...and a genuinely new wave still ingests (here: re-ingesting wave
+    // 2's docs under a fresh id — near-dup of themselves, so the census
+    // frame stays the same rows while doc counts double for that slice)
+    assert(IndexStore.updateContagionState(spark, path,
+      docs.where(col("doc_id") % 3 === 2)
+        .withColumn("doc_id", col("doc_id") + 1000000L), 3L))
+    assert(IndexStore.contagionLastBatch(spark, path) == 3L)
+    assert(IndexStore.loadContagionDocs(spark, path).count() > nDocs)
+    // single-batch store refuses a second compaction only when single
+    assert(IndexStore.compactContagionState(spark, path)) // 2 dirs -> 1
+    assert(!IndexStore.compactContagionState(spark, path))
+  }
+}
