@@ -669,6 +669,47 @@ object ExtendedQueries {
       .orderBy("source")
   }
 
+  /** q351: TAKEDOWN through the contagion store — the q325 doctrine
+    * applied to the newest stateful artifact, with the repair problem
+    * the other stores don't have: the state holds component ASSIGNMENTS,
+    * not edges, and removing a doc can SPLIT a component (the removed
+    * doc was the bridge holding two sub-clusters together). The store
+    * builds incrementally (even wave, odd wave), the q334 expanded
+    * removal set is purged ([[graft.store.IndexStore
+    * .removeFromContagionState]]: only batch dirs holding removed docs
+    * rewrite; only components CONTAINING a removed doc re-mine their
+    * survivors — component-bounded work, never a corpus re-mine), and
+    * the gate certifies (a) the MEASURED absence (removed ids rescanned
+    * against the store — `residual` is counted, not assumed), (b) the
+    * repaired census equals the ORACLE'S ONE-SHOT closure over the
+    * survivor corpus — split, merged, and untouched components all land
+    * exactly where a full rebuild would put them. `ContagionStoreSpec`
+    * plants an A–B–C bridge chain and pins the split branch. */
+  val contagionTakedown: Q = (s, dir) => {
+    import graft.ops.LicenseContagion
+    import graft.store.IndexStore
+    val full = Tables.documents(s, dir)
+    val docs = full.select("doc_id", "source", "text")
+    val root = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_ct_takedown")).toString
+    val path = s"$root/state"
+    require(IndexStore.updateContagionState(s, path,
+      docs.where(col("doc_id") % 2 === 0), batchId = 0L))
+    require(IndexStore.updateContagionState(s, path,
+      docs.where(col("doc_id") % 2 === 1), batchId = 1L))
+    val removal = takedownRemovalSet(full).cache()
+    val (nRem, nBatch, nComp) =
+      IndexStore.removeFromContagionState(s, path, removal)
+    val residual = IndexStore.loadContagionDocs(s, path)
+      .join(removal, Seq("doc_id"), "left_semi").count()
+    LicenseContagion.censusFromStore(s, path)
+      .withColumn("residual", lit(residual))
+      .withColumn("n_removed", lit(nRem))
+      .withColumn("n_batches_rewritten", lit(nBatch))
+      .withColumn("n_components_repaired", lit(nComp))
+      .orderBy("source", "license_effective")
+  }
+
   /** q343: license CONTAGION through near-dup clusters — the licensing
     * complement of q334's takedown expansion: a document's license label
     * belongs to its CONTENT, so a near-duplicate of a proprietary doc is
@@ -1486,6 +1527,7 @@ object ExtendedQueries {
     "q346_takedown_order_impact" -> takedownOrderImpact,
     "q347_license_clean_mix" -> licenseCleanMix,
     "q349_anneal_mix_plan" -> annealMixPlan,
+    "q351_contagion_takedown" -> contagionTakedown,
     "q350_context_schedule" -> contextSchedule,
     "q344_contagion_incremental" -> licenseContagionIncremental,
     "q337_license_pack_gate" -> licensePackGate,
@@ -2819,6 +2861,42 @@ object ExtendedQueries {
         |FROM g WHERE n_docs_removed > 0 ORDER BY source""").stripMargin,
     // q343: the closure's per-component max-rank in string space; the
     // rank<->class mapping is the same CASE on both sides
+    // q351: the full closure drives the expansion; a SECOND closure over
+    // the survivors is the repaired-state truth the store must equal;
+    // residual is engine-measured (the oracle states the requirement, 0)
+    "q351_contagion_takedown" ->
+      ("WITH RECURSIVE " + neardupCcBody("f", "") + """,
+        |sd AS (SELECT doc_id FROM documents WHERE doc_id % 13 = 4),
+        |sc AS (SELECT DISTINCT c FROM compf
+        |  JOIN sd ON compf.id = sd.doc_id),
+        |rmv AS (SELECT DISTINCT doc_id FROM (SELECT doc_id FROM sd
+        |  UNION ALL SELECT id AS doc_id FROM compf JOIN sc USING (c))),
+        |""".stripMargin +
+        neardupCcBody("s",
+          "WHERE doc_id NOT IN (SELECT doc_id FROM rmv)") + """,
+        |r AS (SELECT doc_id, source, CAST(doc_id % 5 AS INT) AS rk
+        |  FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM rmv)),
+        |cm AS (SELECT c, max(rk) AS crk FROM comps
+        |  JOIN r ON comps.id = r.doc_id GROUP BY 1),
+        |e AS (SELECT r.doc_id, r.source, r.rk,
+        |    greatest(r.rk, coalesce(cm.crk, r.rk)) AS erk
+        |  FROM r LEFT JOIN comps ON comps.id = r.doc_id
+        |  LEFT JOIN cm USING (c))
+        |SELECT source,
+        |  CASE erk WHEN 0 THEN 'cc0' WHEN 1 THEN 'cc-by'
+        |    WHEN 2 THEN 'cc-by-sa' WHEN 3 THEN 'proprietary'
+        |    ELSE 'unknown' END AS license_effective,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN erk <> rk THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_relabeled,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(0 AS BIGINT) AS residual,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM rmv) AS n_removed,
+        |  (SELECT CAST(count(DISTINCT doc_id % 2) AS BIGINT) FROM rmv)
+        |    AS n_batches_rewritten,
+        |  (SELECT CAST(count(DISTINCT c) AS BIGINT) FROM compf
+        |    JOIN rmv ON compf.id = rmv.doc_id) AS n_components_repaired
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""").stripMargin,
     // q347: the closure replayed, eligibility restricted to effective-open
     // docs, then the exact q180 waterfill arithmetic (closed-form level,
     // remainder to the first unsaturated sources, md5-prefix selection)

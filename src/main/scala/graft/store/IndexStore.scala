@@ -919,6 +919,89 @@ object IndexStore {
     true
   }
 
+  /** Right-to-be-forgotten for the contagion store — the q325 doctrine
+    * applied to the newest stateful artifact, with the twist the other
+    * stores don't have: removing a doc can SPLIT a near-dup component
+    * (the removed doc was the bridge), and the state holds ASSIGNMENTS,
+    * not edges, so the split is not derivable in place. The repair is
+    * component-bounded re-mining: only components CONTAINING a removed
+    * doc have their surviving members re-run through the same LSH family
+    * (near-dup edges never cross components, and band collisions are
+    * pairwise-deterministic, so repaired assignments equal the one-shot
+    * closure over survivors — the q351 gate certifies exactly that).
+    * Batch dirs are rewritten only where they hold removed docs (each
+    * behind its own dot-tmp swap); comps swap last with the cursor
+    * unchanged. A crash mid-way leaves some batches purged and some not,
+    * with the manifest untouched — re-running the removal is idempotent
+    * (absent ids are ignored).
+    * @return (removed docs actually present, batch dirs rewritten,
+    *         components repaired) */
+  def removeFromContagionState(spark: SparkSession, path: String,
+                               removedIds: org.apache.spark.sql.DataFrame,
+                               idCol: String = "doc_id"): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val removed = removedIds.select(col(idCol).cast("long").as("doc_id"))
+      .distinct().localCheckpoint()
+    val stateRoot = new org.apache.hadoop.fs.Path(s"$path/state")
+    val fs = stateRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var present = 0L
+    var rewritten = 0L
+    contagionBatches(spark, path).foreach { b =>
+      val docsB = spark.read.parquet(s"$path/batches/$b/docs")
+      val hit = docsB.join(broadcast(removed), Seq("doc_id"), "left_semi")
+        .count()
+      if (hit > 0) {
+        present += hit
+        rewritten += 1
+        val sigsB = spark.read.parquet(s"$path/batches/$b/sigs")
+        val tmp = new org.apache.hadoop.fs.Path(s"$path/batches/.${b}_purge_tmp")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        docsB.join(broadcast(removed), Seq("doc_id"), "left_anti")
+          .write.parquet(s"$tmp/docs")
+        sigsB.join(broadcast(removed.withColumnRenamed("doc_id", "id")),
+            Seq("id"), "left_anti")
+          .write.parquet(s"$tmp/sigs")
+        graft.util.AtomicSwap.swap(fs, tmp,
+          new org.apache.hadoop.fs.Path(s"$path/batches/$b"))
+      }
+    }
+    // component repair: re-mine ONLY the affected components' survivors
+    val comps = loadContagionComps(spark, path).localCheckpoint()
+    val affected = comps.join(broadcast(removed), Seq("doc_id"), "left_semi")
+      .select("component").distinct().localCheckpoint()
+    val nAffected = affected.count()
+    val survivors = comps.join(broadcast(affected), Seq("component"),
+        "left_semi")
+      .join(broadcast(removed), Seq("doc_id"), "left_anti")
+      .select("doc_id")
+    val memberDocs = loadContagionDocs(spark, path)
+      .join(broadcast(survivors), Seq("doc_id"), "left_semi")
+    val repaired = graft.dedup.ConnectedComponents.run(
+        graft.dedup.Dedup.minHashLsh(memberDocs, "doc_id", "text",
+            shingleK = 5, numHashes = 64, bands = 16, minJaccard = 0.6)
+          .select(col("id_a").as("src"), col("id_b").as("dst")))
+      .withColumnRenamed("id", "doc_id")
+    // a usingColumns join reorders columns (join key first) — pin the
+    // stored schema so positional readers survive a removal
+    val newComps = comps
+      .join(broadcast(affected), Seq("component"), "left_anti")
+      .select("doc_id", "component")
+      .unionByName(repaired.select("doc_id", "component"))
+    val cursor = contagionLastBatch(spark, path)
+    val manifest = contagionBatches(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.state_update_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    writeMeta(spark, tmp.toString, "contagion")
+    newComps.write.parquet(s"$tmp/comps")
+    import spark.implicits._
+    manifest.toDF("batch_dir").coalesce(1)
+      .write.parquet(s"$tmp/manifest")
+    Seq(Tuple1(cursor)).toDF("last_batch")
+      .coalesce(1).write.parquet(s"$tmp/scalars")
+    graft.util.AtomicSwap.swap(fs, tmp, stateRoot)
+    (present, rewritten, nAffected)
+  }
+
   /** Compact the contagion store's batch dirs: the append-only layout
     * accrues one `batches/batch=<id>/` per wave — correct, but a year of
     * daily waves is a small-file problem. Rewrites ALL current batches

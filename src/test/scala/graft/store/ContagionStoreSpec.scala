@@ -52,4 +52,48 @@ class ContagionStoreSpec extends SparkSpec {
     assert(IndexStore.compactContagionState(spark, path)) // 2 dirs -> 1
     assert(!IndexStore.compactContagionState(spark, path))
   }
+
+  test("removal SPLITS a bridged component: A–B–C minus B becomes " +
+      "{A}, {C}; untouched clusters keep their assignments") {
+    import spark.implicits._
+    // A and C each share enough 5-gram shingle mass with bridge B to
+    // clear J >= 0.6 pairwise, but A vs C falls below the threshold —
+    // the component exists only through B. D/E are an untouched pair.
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val a = s"$base left unique tail alpha beta gamma delta"
+    val c = s"epsilon zeta eta theta right unique head $base"
+    val b = s"$base left unique tail alpha beta gamma delta " +
+      s"epsilon zeta eta theta right unique head $base"
+    val d = "completely different cluster of words which repeats itself " +
+      "completely different cluster of words which repeats itself ok"
+    val e = d + " x"
+    val docs = Seq((1L, "s", a), (2L, "s", b), (3L, "s", c),
+      (10L, "s", d), (11L, "s", e)).toDF("doc_id", "source", "text")
+    val root = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_ct_split")).toString
+    val path = s"$root/state"
+    assert(IndexStore.updateContagionState(spark, path, docs, 0L))
+    def compMap() = IndexStore.loadContagionComps(spark, path).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    val before = compMap()
+    // the fixture must actually realize the bridge: one component {1,2,3}
+    assert(before.get(1L) == before.get(2L) && before.get(2L) == before.get(3L)
+      && before.contains(1L), s"bridge chain not realized: $before")
+    assert(before.get(10L) == before.get(11L) && before.contains(10L))
+
+    val (n, nBatch, nComp) = IndexStore.removeFromContagionState(spark,
+      path, Seq(Tuple1(2L)).toDF("doc_id"))
+    assert(n == 1 && nBatch == 1 && nComp == 1, s"($n, $nBatch, $nComp)")
+    val after = compMap()
+    // B gone; A and C no longer share a component (both drop out of the
+    // pair frame as singletons); D/E untouched with the SAME assignment
+    assert(!after.contains(2L))
+    assert(!after.contains(1L) && !after.contains(3L),
+      s"split survivors must be singletons, got $after")
+    assert(after.get(10L) == before.get(10L) &&
+      after.get(11L) == before.get(11L))
+    // measured absence
+    assert(IndexStore.loadContagionDocs(spark, path)
+      .where(col("doc_id") === 2L).count() == 0)
+  }
 }
