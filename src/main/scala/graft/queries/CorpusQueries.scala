@@ -850,25 +850,35 @@ object CorpusQueries {
     * this exact machinery by q329/q340 (eval suites are tiny — the
     * corpus-side index is the one that matters, and it probes, never
     * broadcasts). */
-  val crosslingualContam: Q = (s, dir) => {
-    import s.implicits._
+  /** Shared q345/q353 fixture: corpus = embeddings verbatim; the eval
+    * suite plants a translated leak (scaled corpus vector, cosine ~1)
+    * for vec_id%7==2 and a clean item (reversed vector) for %7==3; gold
+    * = the planted (eval, corpus) alignments. Ids offset +1e5 with the
+    * loud bound (the q328 contract). */
+  private[graft] def crosslingualFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val emb = Tables.embeddings(s, dir)
     val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
-    require(maxId < 100000L, s"crosslingualContam id offset needs " +
+    require(maxId < 100000L, s"crosslingualFixture id offset needs " +
       s"vec_id < 100000, got max vec_id = $maxId")
-    def dbl(e: String) = expr(e)
     val corpus = emb.select(col("vec_id").as("id"),
       expr("transform(embedding, x -> cast(x as double))").as("v"))
     val evalSuite = emb.where(col("vec_id") % 7 === 2)
       .select((col("vec_id") + 100000L).as("id"),
-        dbl("transform(embedding, x -> cast(x as double) * 1.02)").as("v"))
+        expr("transform(embedding, x -> cast(x as double) * 1.02)").as("v"))
       .unionByName(emb.where(col("vec_id") % 7 === 3)
         .select((col("vec_id") + 100000L).as("id"),
-          dbl("transform(reverse(embedding), x -> cast(x as double))")
+          expr("transform(reverse(embedding), x -> cast(x as double))")
             .as("v")))
     val gold = emb.where(col("vec_id") % 7 === 2)
       .select((col("vec_id") + 100000L).as("left_id"),
         col("vec_id").as("right_id"))
+    (corpus, evalSuite, gold)
+  }
+
+  val crosslingualContam: Q = (s, dir) => {
+    import s.implicits._
+    val (corpus, evalSuite, gold) = crosslingualFixture(s, dir)
     val taus = Seq(1.0, 1.03, 1.06, 1.1)
     val pairs = graft.sim.MarginMining.marginPairs(evalSuite, corpus,
         "id", "v", k = 4, threshold = taus.head)
@@ -894,6 +904,47 @@ object CorpusQueries {
           .as("n_planted_recovered"),
         coalesce(col("sum_flagged_ids"), lit(0L)).as("sum_flagged_ids"))
       .orderBy("tau")
+  }
+
+  /** q353: the cross-lingual screen through STORED indexes — the
+    * q163/q340 build-once doctrine applied to the contamination tier:
+    * eval suites are fixed artifacts, so their index is built and
+    * persisted ONCE ([[graft.store.IndexStore.saveIvfIndex]]) and every
+    * corpus snapshot re-screens against the reload; the corpus-side
+    * index is the snapshot's own. Certifies stored == fused ANN EXACTLY
+    * (same function fed from parquet) plus the q345 doctrine against the
+    * exact baseline: worklist recall ≥ 0.8 and planted-leak recovery
+    * ≥ 0.8 (left_outer + coalesce so a collapse fails on the boolean). */
+  val crosslingualStored: Q = (s, dir) => {
+    val (corpus, evalSuite, gold) = crosslingualFixture(s, dir)
+    val root = graft.util.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_xling_idx")).toString
+    graft.store.IndexStore.saveIvfIndex(s,
+      Similarity.buildIvfIndex(evalSuite, "id", "v", 16, 42), s"$root/eval")
+    graft.store.IndexStore.saveIvfIndex(s,
+      Similarity.buildIvfIndex(corpus, "id", "v", 16, 42), s"$root/corpus")
+    val stored = graft.sim.MarginMining.marginPairsFromIndexes(
+      graft.store.IndexStore.loadIvfIndex(s, s"$root/eval"),
+      graft.store.IndexStore.loadIvfIndex(s, s"$root/corpus"),
+      evalSuite, corpus, "id", "v", k = 4, threshold = 1.0, nProbe = 12)
+    val fused = graft.sim.MarginMining.marginPairsAnn(evalSuite, corpus,
+      "id", "v", k = 4, threshold = 1.0, nLists = 16, nProbe = 12, seed = 42)
+    val exact = graft.sim.MarginMining.marginPairs(evalSuite, corpus,
+      "id", "v", k = 4, threshold = 1.0)
+    val keys = Seq("left_id", "right_id")
+    val sk = stored.select(keys.map(col): _*).cache()
+    val fk = fused.select(keys.map(col): _*)
+    val nS = sk.count(); val nF = fk.count()
+    val nU = sk.unionByName(fk).distinct().count()
+    val hits = exact.select(keys.map(col): _*).join(sk, keys, "left_semi")
+      .count()
+    val goldHits = gold.join(sk, keys, "left_semi").count()
+    val nExact = exact.count(); val nGold = gold.count()
+    import s.implicits._
+    Seq((nExact, nGold, nS == nF && nS == nU,
+        hits * 5 >= nExact * 4, goldHits * 5 >= nGold * 4))
+      .toDF("n_exact", "n_gold", "stored_equals_fused", "recall_ge_080",
+        "gold_ge_080")
   }
 
   /** q168: incremental IVF index maintenance
@@ -1892,6 +1943,7 @@ object CorpusQueries {
     "q329_bitext_ann" -> bitextAnn,
     "q340_bitext_stored" -> bitextStored,
     "q345_crosslingual_contam" -> crosslingualContam,
+    "q353_crosslingual_stored" -> crosslingualStored,
     "q149_skew_report" -> skewReport,
     "q154_dedup_threshold_curve" -> dedupThresholdCurve,
     "q163_margin_mining_stored" -> marginMiningStored,
@@ -2652,6 +2704,39 @@ object CorpusQueries {
           |  JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS n_gold
           |    FROM gold GROUP BY 1) g USING (lang)
           |ORDER BY lang""".stripMargin),
+    // q353: the exact side is SQL-derivable (the q345 mined set at the
+    // floor); store/fused identity and the recall bounds are
+    // engine-verified booleans (the q340 doctrine)
+    "q353_crosslingual_stored" ->
+      """WITH c AS (SELECT vec_id AS id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |e AS (SELECT vec_id + 100000 AS id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.02) AS v
+        |  FROM embeddings WHERE vec_id % 7 = 2
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |    list_transform(list_reverse(embedding), x -> CAST(x AS DOUBLE))
+        |  FROM embeddings WHERE vec_id % 7 = 3),
+        |fw AS (SELECT e.id AS lid, c.id AS rid,
+        |    list_cosine_similarity(e.v, c.v) AS cs
+        |  FROM e CROSS JOIN c),
+        |fr AS (SELECT lid, rid, cs, row_number() OVER (
+        |    PARTITION BY lid ORDER BY cs DESC, rid ASC) AS rk FROM fw),
+        |br AS (SELECT lid, rid, cs, row_number() OVER (
+        |    PARTITION BY rid ORDER BY cs DESC, lid ASC) AS rk FROM fw),
+        |dx AS (SELECT lid, avg(cs) AS dl FROM fr WHERE rk <= 4 GROUP BY 1),
+        |dy AS (SELECT rid, avg(cs) AS dr FROM br WHERE rk <= 4 GROUP BY 1),
+        |mined AS (SELECT f.lid FROM
+        |    (SELECT lid, rid, cs FROM fr WHERE rk = 1) f
+        |    JOIN (SELECT lid, rid FROM br WHERE rk = 1) b USING (lid, rid)
+        |    JOIN dx USING (lid) JOIN dy USING (rid)
+        |  WHERE cs / ((dl + dr) / 2) >= 1.0)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM mined) AS n_exact,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        |    WHERE vec_id % 7 = 2) AS n_gold,
+        |  true AS stored_equals_fused, true AS recall_ge_080,
+        |  true AS gold_ge_080""".stripMargin,
     // q345: the full cross-lingual detector replayed — planted eval
     // suite, brute-force directed top-4 frames, mutual-best margin rule,
     // and the per-τ removal-worklist census with Σid certificates

@@ -1030,6 +1030,65 @@ object ModelPrepQueries {
       .orderBy("source")
   }
 
+  /** q352: DUPLICATION-ADJUSTED effective tokens — the interaction q348
+    * prices wrong on a duplicated corpus: repeat decay applies to UNIQUE
+    * data, and a corpus with internal exact duplicates is ALREADY
+    * spending repeat budget before the first epoch (training on 4 copies
+    * ≈ 4 epochs of the unique text — the Muennighoff accounting's whole
+    * point, and the quantified case FOR dedup: at a fixed token budget,
+    * deduping raises effective data). Per source: raw vs unique token
+    * mass (exact dedup by md5(text) — q40's hash family), the naive
+    * effective tokens q348's arithmetic would report (U = raw, blind to
+    * dups), the true effective tokens (U = unique mass, R counts both
+    * the dup inflation and the budget repeats), and the overstatement.
+    * Same α=0.5 budget plan and floor∘round-6 float contract as q348;
+    * dup_inflation in exact ppm. */
+  val dupAdjustedCensus: Q = (s, dir) => {
+    // the raw corpus has zero exact duplicates, so the laundering is
+    // PLANTED by id arithmetic (the q200 plant doctrine): every ninth-ish
+    // doc becomes its source's boilerplate notice — one multi-copy group
+    // per source, the exact-dup shape scraped mirrors produce
+    val planted = when(col("doc_id") % 9 === 7,
+      concat(lit("duplicate takedown notice boilerplate for "),
+        col("source"))).otherwise(col("text"))
+    val t = Tables.documents(s, dir)
+      .select(col("source"),
+        TextFunctions.tokenCount(planted).cast("long").as("ntok"),
+        md5(planted).as("h"))
+    // unique mass: one copy per distinct (source, hash) text
+    val uniq = t.groupBy("source", "h")
+      .agg(first(col("ntok")).as("ntok"))
+      .groupBy("source").agg(sum(col("ntok")).as("unique_tokens"))
+    val avail = t.groupBy("source").agg(sum(col("ntok")).as("raw_tokens"))
+      .join(uniq, "source")
+    val total = avail.agg(coalesce(sum(col("raw_tokens")), lit(0L)))
+      .head().getLong(0)
+    val w = avail.withColumn("__pw",
+      pow(col("raw_tokens").cast("double"), 0.5))
+    val tw = w.agg(sum(col("__pw")).as("__tw"))
+    val q = w.crossJoin(broadcast(tw))
+      .withColumn("budget",
+        floor(round(lit(total * 4) * col("__pw") / col("__tw"), 6))
+          .cast("long"))
+    def eff(uCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val u = uCol.cast("double")
+      val b = col("budget").cast("double")
+      when(col("budget") <= uCol, b)
+        .otherwise(u + u * lit(15.0) *
+          (lit(1.0) - exp((b / u - lit(1.0)) * lit(-1.0) / lit(15.0))))
+    }
+    q.withColumn("eff_naive", floor(round(eff(col("raw_tokens")), 6))
+        .cast("long"))
+      .withColumn("eff_true", floor(round(eff(col("unique_tokens")), 6))
+        .cast("long"))
+      .select(col("source"), col("raw_tokens"), col("unique_tokens"),
+        expr("raw_tokens * 1000000 div unique_tokens - 1000000")
+          .as("dup_inflation_ppm"),
+        col("budget"), col("eff_naive"), col("eff_true"),
+        (col("eff_naive") - col("eff_true")).as("overstatement"))
+      .orderBy("source")
+  }
+
   /** q192's oracle, generated from the same grid the engine uses so the 20
     * (stage, threshold) cells can never drift apart: the q184 feature CTE,
     * ONE aggregate with 20 conditional sums, then a 20-row unpivot. */
@@ -1538,6 +1597,7 @@ object ModelPrepQueries {
     "q180_waterfill_mix" -> waterfillMix,
     "q186_epoch_copies" -> epochCopiesPlan,
     "q348_data_constrained" -> dataConstrainedCensus,
+    "q352_dup_adjusted" -> dupAdjustedCensus,
     "q192_funnel_sweep" -> funnelSweep,
     "q179_curriculum" -> curriculumSchedule,
     "q176_kcenter_sample" -> kcenterSample,
@@ -2042,6 +2102,57 @@ object ModelPrepQueries {
     "q183_span_corrupt" -> spanCorruptOracle,
     "q180_waterfill_mix" -> waterfillOracle,
     "q186_epoch_copies" -> epochCopiesOracle,
+    // q352: exact-dedup unique mass + the q348 budget/decay arithmetic
+    // applied to both the raw (naive) and unique (true) token masses
+    "q352_dup_adjusted" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN doc_id % 9 = 7
+        |      THEN 'duplicate takedown notice boilerplate for ' || source
+        |      ELSE text END AS text
+        |  FROM documents),
+        |t AS (
+        |  SELECT source, text,
+        |    CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT)
+        |      AS ntok
+        |  FROM d),
+        |u AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS unique_tokens
+        |  FROM (SELECT source, text, min(ntok) AS ntok FROM t GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |a AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS raw_tokens
+        |  FROM t GROUP BY 1),
+        |j AS (SELECT a.source, raw_tokens, unique_tokens
+        |  FROM a JOIN u USING (source)),
+        |tot AS (SELECT CAST(sum(raw_tokens) * 4 AS BIGINT) AS tb FROM j),
+        |w AS (SELECT *, pow(raw_tokens, 0.5) AS pw FROM j),
+        |tw AS (SELECT sum(pw) AS s FROM w),
+        |q AS (SELECT source, raw_tokens, unique_tokens,
+        |    CAST(floor(round(tot.tb * pw / tw.s, 6)) AS BIGINT) AS budget
+        |  FROM w, tw, tot),
+        |e AS (SELECT *,
+        |    CASE WHEN budget <= raw_tokens THEN CAST(budget AS DOUBLE)
+        |      ELSE CAST(raw_tokens AS DOUBLE)
+        |        + CAST(raw_tokens AS DOUBLE) * 15.0
+        |        * (1.0 - exp((CAST(budget AS DOUBLE)
+        |            / CAST(raw_tokens AS DOUBLE) - 1.0)
+        |          * -1.0 / 15.0)) END AS effn,
+        |    CASE WHEN budget <= unique_tokens THEN CAST(budget AS DOUBLE)
+        |      ELSE CAST(unique_tokens AS DOUBLE)
+        |        + CAST(unique_tokens AS DOUBLE) * 15.0
+        |        * (1.0 - exp((CAST(budget AS DOUBLE)
+        |            / CAST(unique_tokens AS DOUBLE) - 1.0)
+        |          * -1.0 / 15.0)) END AS efft
+        |  FROM q)
+        |SELECT source, raw_tokens, unique_tokens,
+        |  raw_tokens * 1000000 // unique_tokens - 1000000
+        |    AS dup_inflation_ppm,
+        |  budget,
+        |  CAST(floor(round(effn, 6)) AS BIGINT) AS eff_naive,
+        |  CAST(floor(round(efft, 6)) AS BIGINT) AS eff_true,
+        |  CAST(floor(round(effn, 6)) AS BIGINT)
+        |    - CAST(floor(round(efft, 6)) AS BIGINT) AS overstatement
+        |FROM e ORDER BY source""".stripMargin,
     // q348: the same alpha=0.5 budget arithmetic as q186, then the
     // Muennighoff repeat-decay formula with the identical float shape
     "q348_data_constrained" ->

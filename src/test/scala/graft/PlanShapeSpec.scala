@@ -722,4 +722,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(!planOf("q314_layout_pruning").contains("Window"),
       "q314 needs no window")
   }
+
+  test("takedown order impact: the only range exchange is the 8-row " +
+      "output sort; removal joins stay equi") {
+    val plan = planOf("q346_takedown_order_impact")
+    // the final .orderBy over the shard census (8 rows) range-partitions;
+    // the ORDER EMITS themselves must not — so at most that one
+    val ranges = "Exchange rangepartitioning".r.findAllIn(plan).length
+    assert(ranges <= 1,
+      s"order emits must never range-partition:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"removal joins degenerated:\n${plan.take(3000)}")
+  }
+
+  test("context schedule: one documents scan, one stage-window, no join") {
+    spark.catalog.clearCache() // a sibling suite may have cached the frame
+    val plan = planOf("q350_context_schedule")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly one scan, got $scans:" +
+      s"\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), "q350 needs no join")
+    assert(plan.contains("Window"), "per-stage cumsum must be a window")
+  }
+
+  test("mixture plans (q348/q349/q352): D-row arithmetic — no window, no " +
+      "range exchange; the only cross join is the broadcast scalar attach") {
+    spark.catalog.clearCache()
+    Seq("q348_data_constrained", "q349_anneal_mix_plan",
+        "q352_dup_adjusted").foreach { q =>
+      val plan = planOf(q)
+      // the final .orderBy over the D-row frame is the only range exchange
+      val ranges = "Exchange rangepartitioning".r.findAllIn(plan).length
+      assert(ranges <= 1, s"$q: corpus-side range exchange")
+      assert(!plan.contains("Window"), s"$q needs no window")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: the scalar attach must broadcast, never cartesian: " +
+          plan.take(2000))
+    }
+  }
 }

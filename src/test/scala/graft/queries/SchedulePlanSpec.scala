@@ -1,0 +1,66 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The q348–q352 planning gates must be REALIZED, not vacuous: the
+  * corpus has to put sources in the regimes the operators exist to
+  * price (repeats, laundered dups, HQ subsets, truncation), and the
+  * arithmetic must hold the inequalities the semantics promise. */
+class SchedulePlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q348: repeat regime realized; decay never exceeds the budget " +
+      "or the no-repeat bound") {
+    val d = ModelPrepQueries.dataConstrainedCensus(spark, dir).cache()
+    assert(d.where(col("repeats_ppm") > 0).count() > 0, "no repeats")
+    assert(d.where(col("eff_tokens") > col("budget")).count() == 0,
+      "effective tokens can never exceed the budget")
+    assert(d.where(col("repeats_ppm") > 0 &&
+      col("eff_tokens") >= col("budget")).count() == 0,
+      "repeated tokens must decay strictly below the budget")
+    d.unpersist()
+  }
+
+  test("q352: duplication realized; the naive accounting strictly " +
+      "overstates on duplicated sources; eff_true <= eff_naive always") {
+    val d = ModelPrepQueries.dupAdjustedCensus(spark, dir).cache()
+    assert(d.where(col("dup_inflation_ppm") > 0).count() > 0,
+      "fixture has no exact duplicates — gate inert")
+    assert(d.where(col("eff_true") > col("eff_naive")).count() == 0)
+    assert(d.where(col("dup_inflation_ppm") > 0 &&
+      col("overstatement") <= 0).count() == 0,
+      "a duplicated source must show a strict overstatement")
+    d.unpersist()
+  }
+
+  test("q349: HQ subset realized (0 < hq < available somewhere); anneal " +
+      "budget flows only where HQ mass exists") {
+    val d = ExtendedQueries.annealMixPlan(spark, dir).cache()
+    assert(d.where(col("hq_available") > 0 &&
+      col("hq_available") < col("available")).count() > 0)
+    assert(d.where(col("hq_available") === 0 &&
+      col("p2_budget") =!= 0).count() == 0)
+    assert(d.where(col("hq_available") > 0 && col("p2_budget") <= 0)
+      .count() == 0, "every HQ source gets anneal budget at this SF")
+    d.unpersist()
+  }
+
+  test("q350: truncation bites at the short stage and decays " +
+      "monotonically; sequence counts shrink as stages lengthen") {
+    val d = ExtendedQueries.contextSchedule(spark, dir).cache()
+    assert(d.where(col("stage_len") === 64 && col("n_docs_truncated") > 0)
+      .count() > 0, "64-token stage must truncate this corpus")
+    val self = d.select(col("source"), col("stage_len").as("l1"),
+      col("tokens_truncated").as("t1"), col("n_seqs").as("s1"))
+    val next = d.select(col("source"), col("stage_len").as("l2"),
+      col("tokens_truncated").as("t2"), col("n_seqs").as("s2"))
+    val bad = self.join(next, "source")
+      .where(col("l1") < col("l2") &&
+        (col("t1") < col("t2") || col("s1") < col("s2")))
+    assert(bad.count() == 0,
+      "longer stages must truncate less and pack into fewer sequences")
+    d.unpersist()
+  }
+}
