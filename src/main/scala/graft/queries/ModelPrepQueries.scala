@@ -1089,6 +1089,55 @@ object ModelPrepQueries {
       .orderBy("source")
   }
 
+  /** q354: OPTIMAL repeat allocation under decay — what the q348
+    * accounting implies for mixture design, solved in closed form:
+    * maximizing Σ_s eff(B_s) subject to Σ B_s = B, with eff' (the
+    * marginal value of a token in source s) = e^(−R_s/R*), equal
+    * marginals force a UNIFORM repeat factor — B_s ∝ U_s exactly
+    * (every source repeated the same number of epochs), because any
+    * skew repeats one source deeper into the flat tail of the decay
+    * while another still had near-fresh capacity. The gate prices the
+    * α=0.5 temperature heuristic against that optimum: per source both
+    * budgets and both effective masses; per-source gain can be negative
+    * (reallocation) but the TOTAL gain is ≥ 0 by construction —
+    * SchedulePlanSpec pins it strictly positive here, the measured
+    * "temperature mixing loses effective data in the data-constrained
+    * regime" statement. Same float contract as q348. */
+  val optimalRepeats: Q = (s, dir) => {
+    val t = Tables.documents(s, dir)
+      .select(col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+    val avail = t.groupBy("source").agg(sum(col("ntok")).as("tokens"))
+    val totalU = avail.agg(coalesce(sum(col("tokens")), lit(0L)))
+      .head().getLong(0)
+    val budget = totalU * 4
+    val w = avail.withColumn("__pw", pow(col("tokens").cast("double"), 0.5))
+    val tw = w.agg(sum(col("__pw")).as("__tw"))
+    val q = w.crossJoin(broadcast(tw))
+      .withColumn("b_heur",
+        floor(round(lit(budget) * col("__pw") / col("__tw"), 6))
+          .cast("long"))
+      // optimal: uniform repeat factor — proportional to unique mass
+      .withColumn("b_opt",
+        floor(round(lit(budget) * col("tokens").cast("double") /
+          lit(totalU.toDouble), 6)).cast("long"))
+    def eff(bCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val u = col("tokens").cast("double")
+      val b = bCol.cast("double")
+      when(bCol <= col("tokens"), b)
+        .otherwise(u + u * lit(15.0) *
+          (lit(1.0) - exp((b / u - lit(1.0)) * lit(-1.0) / lit(15.0))))
+    }
+    q.withColumn("eff_heur", floor(round(eff(col("b_heur")), 6))
+        .cast("long"))
+      .withColumn("eff_opt", floor(round(eff(col("b_opt")), 6))
+        .cast("long"))
+      .select(col("source"), col("tokens"), col("b_heur"), col("b_opt"),
+        col("eff_heur"), col("eff_opt"),
+        (col("eff_opt") - col("eff_heur")).as("gain"))
+      .orderBy("source")
+  }
+
   /** q192's oracle, generated from the same grid the engine uses so the 20
     * (stage, threshold) cells can never drift apart: the q184 feature CTE,
     * ONE aggregate with 20 conditional sums, then a 20-row unpivot. */
@@ -1598,6 +1647,7 @@ object ModelPrepQueries {
     "q186_epoch_copies" -> epochCopiesPlan,
     "q348_data_constrained" -> dataConstrainedCensus,
     "q352_dup_adjusted" -> dupAdjustedCensus,
+    "q354_optimal_repeats" -> optimalRepeats,
     "q192_funnel_sweep" -> funnelSweep,
     "q179_curriculum" -> curriculumSchedule,
     "q176_kcenter_sample" -> kcenterSample,
@@ -2102,6 +2152,44 @@ object ModelPrepQueries {
     "q183_span_corrupt" -> spanCorruptOracle,
     "q180_waterfill_mix" -> waterfillOracle,
     "q186_epoch_copies" -> epochCopiesOracle,
+    // q354: both allocations + both decay evaluations at identical float
+    // shape; the optimum is proportional-to-mass (uniform repeat factor)
+    "q354_optimal_repeats" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT)
+        |      AS ntok
+        |  FROM documents),
+        |a AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS tokens
+        |  FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS u,
+        |    CAST(sum(tokens) * 4 AS BIGINT) AS tb FROM a),
+        |w AS (SELECT source, tokens, pow(tokens, 0.5) AS pw FROM a),
+        |tw AS (SELECT sum(pw) AS s FROM w),
+        |q AS (SELECT source, tokens,
+        |    CAST(floor(round(tot.tb * pw / tw.s, 6)) AS BIGINT) AS b_heur,
+        |    CAST(floor(round(tot.tb * CAST(tokens AS DOUBLE)
+        |      / CAST(tot.u AS DOUBLE), 6)) AS BIGINT) AS b_opt
+        |  FROM w, tw, tot),
+        |e AS (SELECT *,
+        |    CASE WHEN b_heur <= tokens THEN CAST(b_heur AS DOUBLE)
+        |      ELSE CAST(tokens AS DOUBLE) + CAST(tokens AS DOUBLE) * 15.0
+        |        * (1.0 - exp((CAST(b_heur AS DOUBLE)
+        |            / CAST(tokens AS DOUBLE) - 1.0) * -1.0 / 15.0)) END
+        |      AS effh,
+        |    CASE WHEN b_opt <= tokens THEN CAST(b_opt AS DOUBLE)
+        |      ELSE CAST(tokens AS DOUBLE) + CAST(tokens AS DOUBLE) * 15.0
+        |        * (1.0 - exp((CAST(b_opt AS DOUBLE)
+        |            / CAST(tokens AS DOUBLE) - 1.0) * -1.0 / 15.0)) END
+        |      AS effo
+        |  FROM q)
+        |SELECT source, tokens, b_heur, b_opt,
+        |  CAST(floor(round(effh, 6)) AS BIGINT) AS eff_heur,
+        |  CAST(floor(round(effo, 6)) AS BIGINT) AS eff_opt,
+        |  CAST(floor(round(effo, 6)) AS BIGINT)
+        |    - CAST(floor(round(effh, 6)) AS BIGINT) AS gain
+        |FROM e ORDER BY source""".stripMargin,
     // q352: exact-dedup unique mass + the q348 budget/decay arithmetic
     // applied to both the raw (naive) and unique (true) token masses
     "q352_dup_adjusted" ->

@@ -47,6 +47,20 @@ class SchedulePlanSpec extends SparkSpec {
     d.unpersist()
   }
 
+  test("q354: the uniform-repeat optimum strictly beats the temperature " +
+      "heuristic in total effective tokens; budgets conserve mass") {
+    val d = ModelPrepQueries.optimalRepeats(spark, dir).cache()
+    val gain = d.agg(sum("gain")).head.getLong(0)
+    assert(gain > 0, s"optimal allocation must win in total, got $gain")
+    // both allocations spend (close to) the same budget: the floor∘round
+    // quantization may drop at most one token per source per plan
+    val Array(bh, bo, n) = d.agg(sum("b_heur"), sum("b_opt"),
+      count(lit(1))).head.toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(math.abs(bh - bo) <= n,
+      s"allocations diverge beyond quantization: $bh vs $bo over $n")
+    d.unpersist()
+  }
+
   test("q350: truncation bites at the short stage and decays " +
       "monotonically; sequence counts shrink as stages lengthen") {
     val d = ExtendedQueries.contextSchedule(spark, dir).cache()
