@@ -282,9 +282,26 @@ object Bench {
     "q335_takedown_residual", // word-8-gram content-residual screen
     "q336_takedown_rebalance", // quota drift + backfill after removal
     "q337_license_pack_gate", // per-sequence license policy release gate
-    "q338_license_repack_plan") // class-segregated re-pack priced vs mixed
+    "q338_license_repack_plan", // class-segregated re-pack priced vs mixed
+    "q339_takedown_e2e",      // expand -> screen -> purge -> certify, composed
+    "q340_bitext_stored",     // bitext mining through reloaded per-lang IVF
+    "q341_takedown_repack_bill", // re-pack bill over the expanded set
+    "q342_takedown_ledger",   // cumulative wave ledger through the store
+    "q343_license_contagion", // effective license over near-dup clusters
+    "q344_contagion_incremental", // store-backed delta contagion merge
+    "q346_takedown_order_impact", // dirty-shard census of a removal
+    "q347_license_clean_mix", // waterfill re-solve over effective-open docs
+    "q348_data_constrained",  // repeat-decay effective-token census
+    "q349_anneal_mix_plan",   // two-phase bulk + HQ-anneal budgets
+    "q350_context_schedule",  // truncation + packing across stage lengths
+    "q351_contagion_takedown", // store purge + component repair + census
+    "q352_dup_adjusted",      // dup-aware effective tokens (planted mirrors)
+    "q353_crosslingual_stored", // stored-index cross-lingual screen
+    "q354_optimal_repeats")   // uniform-repeat optimum vs alpha heuristic
     // q328 stays out like q41/q147: the exact brute-force baseline is the
     // correctness oracle; q329 is the IVF scale path the fleet runs
+    // q345 stays out the same way: its exact margin screen is the gate
+    // baseline; q353 (stored-index form) is the path the fleet runs
     // q323 stays out like q41/q45/q154: the deliberately-quadratic exact
     // path is the correctness tool; production runs the q42 LSH at the
     // curve's chosen threshold
