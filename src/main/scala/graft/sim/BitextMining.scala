@@ -66,14 +66,36 @@ object BitextMining {
     * build-once asymmetry for the bitext tier (the q163 doctrine). */
   def saveLanguageIndexes(corpus: DataFrame, idCol: String, langCol: String,
       vecCol: String, langs: Seq[String], nLists: Int, seed: Long,
-      root: String): Unit = {
+      root: String): Map[String, Similarity.IvfIndex] = {
     val spark = corpus.sparkSession
-    langs.foreach { l =>
-      graft.store.IndexStore.saveIvfIndex(spark,
-        Similarity.buildIvfIndex(corpus.where(col(langCol) === l), idCol,
-          vecCol, nLists, seed),
-        s"$root/$l")
-    }
+    langs.map { l =>
+      val idx = Similarity.buildIvfIndex(corpus.where(col(langCol) === l),
+        idCol, vecCol, nLists, seed)
+      graft.store.IndexStore.saveIvfIndex(spark, idx, s"$root/$l")
+      l -> idx
+    }.toMap
+  }
+
+  /** Mine every pair through GIVEN per-language indexes — the shared core
+    * of the stored ([[minePerLanguageFromStore]]) and fused forms: same
+    * probes, same margin rule; only where the index bytes come from
+    * differs. A caller holding the builds (e.g. right after
+    * [[saveLanguageIndexes]]) mines without re-clustering. */
+  def minePerLanguageFromIndexes(idxs: Map[String, Similarity.IvfIndex],
+      corpus: DataFrame, idCol: String, langCol: String, vecCol: String,
+      pivot: String, others: Seq[String], k: Int, floor: Double,
+      nProbe: Int): DataFrame = {
+    require(others.nonEmpty, "need at least one non-pivot language")
+    require(!others.contains(pivot), s"pivot '$pivot' cannot be mined " +
+      "against itself")
+    val pvt = corpus.where(col(langCol) === pivot)
+    others.map { l =>
+      MarginMining.marginPairsFromIndexes(idxs(pivot), idxs(l),
+          pvt, corpus.where(col(langCol) === l), idCol, vecCol, k, floor,
+          nProbe)
+        .select(lit(l).as("lang"), col("left_id"), col("right_id"),
+          col("margin"))
+    }.reduce(_ unionByName _)
   }
 
   /** [[minePerLanguage]]'s stored twin: mine every pair through indexes
@@ -86,20 +108,11 @@ object BitextMining {
   def minePerLanguageFromStore(corpus: DataFrame, idCol: String,
       langCol: String, vecCol: String, pivot: String, others: Seq[String],
       k: Int, floor: Double, nProbe: Int, root: String): DataFrame = {
-    require(others.nonEmpty, "need at least one non-pivot language")
-    require(!others.contains(pivot), s"pivot '$pivot' cannot be mined " +
-      "against itself")
     val spark = corpus.sparkSession
-    val pvt = corpus.where(col(langCol) === pivot)
-    val pvtIdx = graft.store.IndexStore.loadIvfIndex(spark, s"$root/$pivot")
-    others.map { l =>
-      MarginMining.marginPairsFromIndexes(pvtIdx,
-          graft.store.IndexStore.loadIvfIndex(spark, s"$root/$l"),
-          pvt, corpus.where(col(langCol) === l), idCol, vecCol, k, floor,
-          nProbe)
-        .select(lit(l).as("lang"), col("left_id"), col("right_id"),
-          col("margin"))
-    }.reduce(_ unionByName _)
+    val loaded = (pivot +: others).map(l =>
+      l -> graft.store.IndexStore.loadIvfIndex(spark, s"$root/$l")).toMap
+    minePerLanguageFromIndexes(loaded, corpus, idCol, langCol, vecCol,
+      pivot, others, k, floor, nProbe)
   }
 
   /** The yield curve: per (language, threshold) — mined pairs at that
