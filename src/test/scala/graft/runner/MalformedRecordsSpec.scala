@@ -64,6 +64,6 @@ class MalformedRecordsSpec extends SparkSpec {
     release()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty ||
       spark.sparkContext.getPersistentRDDs.values
-        .forall(!_.name.contains("json")), "raw cache released")
+        .forall(r => !Option(r.name).exists(_.contains("json"))), "raw cache released")
   }
 }
