@@ -330,10 +330,26 @@ object Dedup {
                  shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
                  minJaccard: Double = 0.6,
                  carrySignatures: Boolean = false,
+                 maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    minHashLshFromSigs(docs, idCol, textCol,
+      minHashSignaturesPerRow(docs, idCol, textCol, shingleK, numHashes),
+      shingleK, numHashes, bands, minJaccard, carrySignatures, maxBucketSize)
+
+  /** [[minHashLsh]] fed PRECOMPUTED per-row signatures (an (id, sig) frame
+    * from [[minHashSignaturesPerRow]] — possibly already materialized by
+    * the caller, e.g. a store ingest that persists the same signatures):
+    * identical output, skips the second signature scan of the batch. The
+    * signature computation is the one text-wide pass of the operator, so
+    * callers that already hold the frame should never pay it twice. */
+  private[graft] def minHashLshFromSigs(docs: DataFrame, idCol: String,
+                 textCol: String, sigs: DataFrame,
+                 shingleK: Int, numHashes: Int, bands: Int,
+                 minJaccard: Double,
+                 carrySignatures: Boolean = false,
                  maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sig = minHashSignaturesPerRow(docs, idCol, textCol, shingleK, numHashes).cache()
+    val sig = sigs.cache()
     // Wide-stage parallelism below scales with MEASURED intermediate
     // volumes (candidate pairs, candidate shingles) instead of blindly
     // inheriting the session shuffle width. The measurement itself costs
@@ -515,7 +531,8 @@ object Dedup {
                             corpusSigs: DataFrame, corpusDocs: DataFrame,
                             shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
                             minJaccard: Double = 0.6,
-                            maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+                            maxBucketSize: Int = DefaultMaxBucketSize,
+                            newSigs: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // The delta is small by definition (that is WHY the operator is
@@ -526,7 +543,10 @@ object Dedup {
     //   verification  = corpus-docs scan  x broadcast(delta shingles)
     // At 1000 executors against a petabyte index, the wall-clock is one pass
     // over the index partitions + one over the candidate corpus docs.
-    val newSig = minHashSignaturesPerRow(newDocs, idCol, textCol, shingleK, numHashes).cache()
+    // precomputed delta signatures (newSigs) skip the second text-wide
+    // scan of the batch — same (id, sig) contract as the corpus index
+    val newSig = newSigs.getOrElse(
+      minHashSignaturesPerRow(newDocs, idCol, textCol, shingleK, numHashes)).cache()
     val oldSig = corpusSigs.select(col("id"), col("sig"))
 
     // Band rows CARRY the signature array so the signature-estimate

@@ -62,19 +62,25 @@ object GraphRank {
       .localCheckpoint(true)
     var iter = 0
     while (iter < iters) {
-      // dangling mass: hosts with no out-links (one double to the driver)
+      // dangling mass: hosts with no out-links. A 1-row aggregate frame
+      // cross-joined into the step (NOT a per-step .head() action): the
+      // whole step — dangling sum, contribution join, rank update — is ONE
+      // Spark job per iteration instead of two, and at scale one pass over
+      // the nodes-sized rank vector per step instead of two. Arithmetic is
+      // unchanged (same sum, same /n, same IEEE ops), only WHERE the
+      // scalar is computed moves.
       val dangling = ranks.join(outDeg.select(col("src").as("host")),
           Seq("host"), "left_anti")
-        .agg(coalesce(sum("r"), lit(0.0))).head().getDouble(0)
-      val dmOverN = dangling / n
+        .agg((coalesce(sum("r"), lit(0.0)) / lit(n.toDouble)).as("__dm_over_n"))
       val contrib = contribEdges
         .join(ranks.withColumnRenamed("host", "src"), Seq("src"))
         .groupBy("dst").agg(sum(col("r") * col("w")).as("s"))
       val next = nodes
         .join(contrib.withColumnRenamed("dst", "host"), Seq("host"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("host"),
           (lit(base) + lit(damping) *
-            (coalesce(col("s"), lit(0.0)) + lit(dmOverN))).as("r"))
+            (coalesce(col("s"), lit(0.0)) + col("__dm_over_n"))).as("r"))
         .localCheckpoint(true) // materializes eagerly, truncates lineage
       ranks.unpersist()
       ranks = next
@@ -120,27 +126,34 @@ object GraphRank {
     var iter = 0
     while (iter < iters) {
       // authority half-step: a(d) ∝ Σ_{(s,d)} h(s), L2-normalized over
-      // the non-zero raw sums (zeros contribute nothing to the norm)
+      // the non-zero raw sums (zeros contribute nothing to the norm).
+      // The L2 norm rides as a 1-row aggregate frame cross-joined into
+      // the half-step (the pageRank dangling-mass treatment): one Spark
+      // job per half-step instead of two, one pass over the raw sums
+      // instead of two at scale; sqrt/÷ are the same IEEE ops as the
+      // driver-side form.
       val aRaw = e.join(hub.withColumnRenamed("host", "src"), Seq("src"))
         .groupBy("dst").agg(sum("h").as("s"))
-      val aNorm = math.sqrt(
-        aRaw.agg(coalesce(sum(col("s") * col("s")), lit(0.0)))
-          .head().getDouble(0))
+      val aNorm = aRaw
+        .agg(sqrt(coalesce(sum(col("s") * col("s")), lit(0.0))).as("__nrm"))
       val nextAuth = nodes
         .join(aRaw.withColumnRenamed("dst", "host"), Seq("host"), "left")
-        .select(col("host"), (coalesce(col("s"), lit(0.0)) / aNorm).as("a"))
+        .crossJoin(broadcast(aNorm))
+        .select(col("host"),
+          (coalesce(col("s"), lit(0.0)) / col("__nrm")).as("a"))
         .localCheckpoint(true)
       auth.unpersist()
       auth = nextAuth
       // hub half-step: h(s) ∝ Σ_{(s,d)} a(d)
       val hRaw = e.join(auth.withColumnRenamed("host", "dst"), Seq("dst"))
         .groupBy("src").agg(sum("a").as("s"))
-      val hNorm = math.sqrt(
-        hRaw.agg(coalesce(sum(col("s") * col("s")), lit(0.0)))
-          .head().getDouble(0))
+      val hNorm = hRaw
+        .agg(sqrt(coalesce(sum(col("s") * col("s")), lit(0.0))).as("__nrm"))
       val nextHub = nodes
         .join(hRaw.withColumnRenamed("src", "host"), Seq("host"), "left")
-        .select(col("host"), (coalesce(col("s"), lit(0.0)) / hNorm).as("h"))
+        .crossJoin(broadcast(hNorm))
+        .select(col("host"),
+          (coalesce(col("s"), lit(0.0)) / col("__nrm")).as("h"))
         .localCheckpoint(true)
       hub.unpersist()
       hub = nextHub

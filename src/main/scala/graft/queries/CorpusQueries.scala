@@ -743,16 +743,22 @@ object CorpusQueries {
     * unprobed list). */
   val bitextAnn: Q = (s, dir) => {
     val (corpus, gold) = bitextFixture(s, dir)
-    val exact = graft.sim.BitextMining.minePerLanguage(corpus, "id", "lang",
-      "v", "en", Seq("de", "fr"), k = 4, floor = bitextTaus.head)
-    val ann = graft.sim.BitextMining.minePerLanguage(corpus, "id", "lang",
-      "v", "en", Seq("de", "fr"), k = 4, floor = bitextTaus.head,
-      ann = Some((16, 12, 42L)))
     val keys = Seq("lang", "left_id", "right_id")
-    val hits = exact.select(keys.map(col): _*)
-      .join(ann.select(keys.map(col): _*), keys, "left_semi")
+    // The mined-pair frames feed several joins/rollups below; without a
+    // cache each occurrence re-runs the whole mining pipeline (the exact
+    // side is 4 brute-force top-k passes, the ANN side 2 IVF builds + 4
+    // probes) — the key frames are pair-sized, so cache once, read many.
+    val exact = graft.sim.BitextMining.minePerLanguage(corpus, "id", "lang",
+        "v", "en", Seq("de", "fr"), k = 4, floor = bitextTaus.head)
+      .select(keys.map(col): _*).cache()
+    val ann = graft.sim.BitextMining.minePerLanguage(corpus, "id", "lang",
+        "v", "en", Seq("de", "fr"), k = 4, floor = bitextTaus.head,
+        ann = Some((16, 12, 42L)))
+      .select(keys.map(col): _*).cache()
+    val hits = exact
+      .join(ann, keys, "left_semi")
       .groupBy("lang").agg(count(lit(1)).as("n_hits"))
-    val goldHits = gold.join(ann.select(keys.map(col): _*), keys,
+    val goldHits = gold.join(ann, keys,
       "left_semi").groupBy("lang").agg(count(lit(1)).as("n_gold_hits"))
     // left_outer + coalesce(0): a language where IVF mining collapses to
     // zero overlap must fail legibly on the recall boolean, not vanish as
@@ -791,17 +797,22 @@ object CorpusQueries {
     // this seed is byte-identical and only adds cost)
     val built = graft.sim.BitextMining.saveLanguageIndexes(corpus, "id",
       "lang", "v", "en" +: langs, nLists = 16, seed = 42L, root = root)
-    val stored = graft.sim.BitextMining.minePerLanguageFromStore(corpus,
-      "id", "lang", "v", "en", langs, k = 4, floor = 1.0, nProbe = 12,
-      root = root)
-    val fused = graft.sim.BitextMining.minePerLanguageFromIndexes(built,
-      corpus, "id", "lang", "v", "en", langs, k = 4, floor = 1.0,
-      nProbe = 12)
-    val exact = graft.sim.BitextMining.minePerLanguage(corpus, "id", "lang",
-      "v", "en", langs, k = 4, floor = 1.0)
     val keys = Seq("lang", "left_id", "right_id")
-    val sk = stored.select(keys.map(col): _*)
-    val fk = fused.select(keys.map(col): _*)
+    // Each mined key frame below feeds 2–4 joins/rollups; cached once so
+    // the stored probe, the fused probe, and the 4-direction exact
+    // baseline each execute a single time instead of per-consumer (the
+    // frames are pair-sized; the pipelines behind them are the cost).
+    val sk = graft.sim.BitextMining.minePerLanguageFromStore(corpus,
+        "id", "lang", "v", "en", langs, k = 4, floor = 1.0, nProbe = 12,
+        root = root)
+      .select(keys.map(col): _*).cache()
+    val fk = graft.sim.BitextMining.minePerLanguageFromIndexes(built,
+        corpus, "id", "lang", "v", "en", langs, k = 4, floor = 1.0,
+        nProbe = 12)
+      .select(keys.map(col): _*).cache()
+    val exact = graft.sim.BitextMining.minePerLanguage(corpus, "id", "lang",
+        "v", "en", langs, k = 4, floor = 1.0)
+      .select(keys.map(col): _*).cache()
     val perLang = (d: DataFrame, n: String) =>
       d.groupBy("lang").agg(count(lit(1)).as(n))
     val eqCert = perLang(sk, "ns")
@@ -812,7 +823,7 @@ object CorpusQueries {
         (coalesce(col("ns"), lit(0L)) === coalesce(col("nf"), lit(0L)) &&
           coalesce(col("ns"), lit(0L)) === coalesce(col("nu"), lit(0L)))
           .as("stored_equals_fused"))
-    val hits = perLang(exact.select(keys.map(col): _*)
+    val hits = perLang(exact
       .join(sk, keys, "left_semi"), "n_hits")
     val goldHits = perLang(gold.select(keys.map(col): _*)
       .join(sk, keys, "left_semi"), "n_gold_hits")
@@ -942,14 +953,18 @@ object CorpusQueries {
     val exact = graft.sim.MarginMining.marginPairs(evalSuite, corpus,
       "id", "v", k = 4, threshold = 1.0)
     val keys = Seq("left_id", "right_id")
+    // every key frame is consumed by 2+ of the counts below — cache all
+    // three so the fused probe and the exact brute-force baseline run
+    // once instead of once per count (sk was already cached)
     val sk = stored.select(keys.map(col): _*).cache()
-    val fk = fused.select(keys.map(col): _*)
+    val fk = fused.select(keys.map(col): _*).cache()
+    val ek = exact.select(keys.map(col): _*).cache()
     val nS = sk.count(); val nF = fk.count()
     val nU = sk.unionByName(fk).distinct().count()
-    val hits = exact.select(keys.map(col): _*).join(sk, keys, "left_semi")
+    val hits = ek.join(sk, keys, "left_semi")
       .count()
     val goldHits = gold.join(sk, keys, "left_semi").count()
-    val nExact = exact.count(); val nGold = gold.count()
+    val nExact = ek.count(); val nGold = gold.count()
     import s.implicits._
     Seq((nExact, nGold, nS == nF && nS == nU,
         hits * 5 >= nExact * 4, goldHits * 5 >= nGold * 4))

@@ -495,8 +495,9 @@ object ExtendedQueries {
       .cache()
     val toked = docs.select(col("doc_id"), col("source"),
       TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+    // both worklists below replay the same packing pass — cache it once
     val packed = graft.ops.Packing.packSequences(toked, Seq("source"),
-      "doc_id", "tok", 512)
+      "doc_id", "tok", 512).cache()
     val expBill = graft.ops.Takedown.repackWorklist(packed, Seq("source"),
       "__seq", "doc_id", expanded, "doc_id")
     val seedBill = graft.ops.Takedown.repackWorklist(packed, Seq("source"),
@@ -530,8 +531,10 @@ object ExtendedQueries {
     def waveSeeds(w: Int) = seeds.where(expr("(doc_id div 13) % 2") === w)
     val exp0 = expandThroughComponents(waveSeeds(0), comps).cache()
     val exp1 = expandThroughComponents(waveSeeds(1), comps).cache()
+    // feeds the base census, both wave ingests, and the survivor rebuild —
+    // cache so the tokenize scan runs once, not per consumer
     val toked = docs.select(col("doc_id"), col("source"),
-      TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+      TextFunctions.tokenCount(col("text")).cast("long").as("tok")).cache()
     def census(d: DataFrame): DataFrame = d.groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_toks"))
     val root = graft.util.TempDirs.deleteOnExit(
@@ -588,8 +591,11 @@ object ExtendedQueries {
     val removal = takedownRemovalSet(full).cache()
     def emit(d: DataFrame) =
       graft.ops.Sharding.globalOrderEmit(d, "doc_id", epoch = 1, nShards = 8)
+    // the old order feeds three rollups (base, removed, survivor shift) —
+    // cache so the emit (exchange + intra-shard sort) runs once
     val old = emit(docs).select(col("doc_id"), col("shard").as("shard_old"),
       col("position").as("pos_old"), col("global_pos").as("gpos_old"))
+      .cache()
     val neu = emit(docs.join(removal, Seq("doc_id"), "left_anti"))
     val base = old.groupBy(col("shard_old").as("shard"))
       .agg(count(lit(1)).as("n_total"))

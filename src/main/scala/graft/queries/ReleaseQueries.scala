@@ -1007,7 +1007,9 @@ object ReleaseQueries {
     import graft.ops.{Bm25, Packing, Takedown}
     import graft.store.IndexStore
     val docs = Tables.documents(s, dir)
-    val toked = takedownToked(docs)
+    // the token-counted narrow frame feeds the pack, the re-pack, and four
+    // censuses — cache it so the tokenize scan runs once, not per consumer
+    val toked = takedownToked(docs).cache()
     val root = graft.util.TempDirs.deleteOnExit(
       java.nio.file.Files.createTempDirectory(tmpPrefix)).toString
     // packed shards: the purge is a re-pack of the surviving docs
@@ -1022,14 +1024,22 @@ object ReleaseQueries {
       s"$root/fp")
     IndexStore.removeFromHashIndex(s, s"$root/fp", removal, "doc_id")
     // BM25: remove is the exact inverse of merge; the purged index is
-    // persisted and the after-frame read back from the store
-    val lexical = Bm25.buildIndex(docs, "doc_id", "text")
+    // persisted and the after-frame read back from the store. The built
+    // index feeds the purge-save (postings+stats+norms writes) AND the
+    // before-census — cache its frames so the tokenize+groupBy pipeline
+    // runs once, not once per consumer.
+    val lexical0 = Bm25.buildIndex(docs, "doc_id", "text")
+    val lexical = lexical0.copy(postings = lexical0.postings.cache(),
+      stats = lexical0.stats.cache(), norms = lexical0.norms.cache())
     IndexStore.saveLexicalIndex(s,
       Bm25.removeFromIndex(lexical, removal.select(col("doc_id").as("id"))),
       s"$root/bm25")
-    // IVF: rename-swap removal; frozen centroids, lists lose the ids
-    val ivf = graft.sim.Similarity.buildIvfIndex(
+    // IVF: rename-swap removal; frozen centroids, lists lose the ids.
+    // The list assignment (KMeans transform) feeds the save AND the
+    // before-census — cache it so the corpus is assigned once.
+    val ivf0 = graft.sim.Similarity.buildIvfIndex(
       Tables.embeddings(s, dir), "vec_id", "embedding", 16, 42)
+    val ivf = ivf0.copy(lists = ivf0.lists.cache())
     IndexStore.saveIvfIndex(s, ivf, s"$root/ivf")
     IndexStore.removeFromIvfIndex(s, s"$root/ivf",
       removal.select(col("doc_id")), "doc_id")

@@ -29,11 +29,20 @@ object IndexStore {
 
   val FormatVersion = 1
 
-  private def writeMeta(spark: SparkSession, path: String, kind: String): Unit = {
-    import spark.implicits._
-    Seq((FormatVersion, kind)).toDF("version", "kind")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-  }
+  // metadata-sized frames (meta stamps, cursors, manifests, centroid
+  // tables) are written driver-direct ([[TinyParquet]]) — the DataFrame
+  // write path spends a Spark job + the Hadoop commit protocol per sub-KB
+  // file, and stateful updates write several per call
+  private def hconf(spark: SparkSession) =
+    spark.sparkContext.hadoopConfiguration
+
+  private def writeMeta(spark: SparkSession, path: String, kind: String): Unit =
+    TinyParquet.write(hconf(spark), s"$path/meta",
+      Seq("version" -> "int", "kind" -> "string"),
+      Seq(Seq(FormatVersion, kind)))
+
+  private def writeCursor(spark: SparkSession, dir: String, v: Long): Unit =
+    TinyParquet.writeLong(hconf(spark), dir, "last_batch", v)
 
   private def checkMeta(spark: SparkSession, path: String, kind: String): Unit = {
     val m = spark.read.parquet(s"$path/meta").select("version", "kind").head()
@@ -49,9 +58,9 @@ object IndexStore {
                         path: String): Unit = {
     import spark.implicits._
     writeMeta(spark, path, "semantic")
-    idx.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
-      .toDF("cid", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    TinyParquet.write(hconf(spark), s"$path/centroids",
+      Seq("cid" -> "int", "centroid" -> "array<double>"),
+      idx.centroids.zipWithIndex.map { case (c, i) => Seq(i, c) })
     idx.assignment.write.mode("overwrite").parquet(s"$path/assignment")
   }
 
@@ -72,11 +81,11 @@ object IndexStore {
                    path: String, lastBatchId: Long = -1L): Unit = {
     import spark.implicits._
     writeMeta(spark, path, "ivf")
-    idx.centroids.toDF("cid", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    TinyParquet.write(hconf(spark), s"$path/centroids",
+      Seq("cid" -> "int", "centroid" -> "array<double>"),
+      idx.centroids.map { case (cid, c) => Seq(cid, c) })
     idx.lists.write.mode("overwrite").parquet(s"$path/lists")
-    Seq(Tuple1(lastBatchId)).toDF("last_batch")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/scalars")
+    writeCursor(spark, s"$path/scalars", lastBatchId)
   }
 
   def loadIvfIndex(spark: SparkSession, path: String): Similarity.IvfIndex = {
@@ -180,10 +189,11 @@ object IndexStore {
                   codes: org.apache.spark.sql.DataFrame, path: String): Unit = {
     import spark.implicits._
     writeMeta(spark, path, "pq")
-    cb.centroids.zipWithIndex.flatMap { case (subCents, s) =>
-      subCents.zipWithIndex.map { case (c, ci) => (s, ci, c) }
-    }.toDF("sub", "code", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    TinyParquet.write(hconf(spark), s"$path/codebook",
+      Seq("sub" -> "int", "code" -> "int", "centroid" -> "array<double>"),
+      cb.centroids.zipWithIndex.flatMap { case (subCents, s) =>
+        subCents.zipWithIndex.map { case (c, ci) => Seq(s, ci, c) }
+      })
     codes.write.mode("overwrite").parquet(s"$path/codes")
   }
 
@@ -207,15 +217,16 @@ object IndexStore {
                      path: String, lastBatchId: Long = -1L): Unit = {
     import spark.implicits._
     writeMeta(spark, path, "ivfpq")
-    idx.centroids.toDF("cid", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    idx.codebook.centroids.zipWithIndex.flatMap { case (subCents, s) =>
-      subCents.zipWithIndex.map { case (c, ci) => (s, ci, c) }
-    }.toDF("sub", "code", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    TinyParquet.write(hconf(spark), s"$path/centroids",
+      Seq("cid" -> "int", "centroid" -> "array<double>"),
+      idx.centroids.map { case (cid, c) => Seq(cid, c) })
+    TinyParquet.write(hconf(spark), s"$path/codebook",
+      Seq("sub" -> "int", "code" -> "int", "centroid" -> "array<double>"),
+      idx.codebook.centroids.zipWithIndex.flatMap { case (subCents, s) =>
+        subCents.zipWithIndex.map { case (c, ci) => Seq(s, ci, c) }
+      })
     idx.codes.write.mode("overwrite").parquet(s"$path/codes")
-    Seq(Tuple1(lastBatchId)).toDF("last_batch")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/scalars")
+    writeCursor(spark, s"$path/scalars", lastBatchId)
   }
 
   /** The stored IVF-PQ index's replay cursor (−1 on fresh/batch-built,
@@ -430,8 +441,9 @@ object IndexStore {
     idx.postings.write.mode("overwrite").parquet(s"$path/postings")
     idx.stats.write.mode("overwrite").parquet(s"$path/stats")
     idx.norms.write.mode("overwrite").parquet(s"$path/norms")
-    Seq((idx.nDocs, idx.sumDl, lastBatchId)).toDF("n_docs", "sum_dl", "last_batch")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/scalars")
+    TinyParquet.writeLongs(hconf(spark), s"$path/scalars",
+      Seq("n_docs" -> idx.nDocs, "sum_dl" -> idx.sumDl,
+        "last_batch" -> lastBatchId))
   }
 
   def loadLexicalIndex(spark: SparkSession, path: String): graft.ops.Bm25.LexicalIndex = {
@@ -501,8 +513,7 @@ object IndexStore {
     writeMeta(spark, path, "leakage")
     state.matched.write.mode("overwrite").parquet(s"$path/matched")
     state.pairs.write.mode("overwrite").parquet(s"$path/pairs")
-    Seq(Tuple1(lastBatchId)).toDF("last_batch")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/scalars")
+    writeCursor(spark, s"$path/scalars", lastBatchId)
   }
 
   def loadLeakState(spark: SparkSession, path: String): graft.dedup.Contamination.LeakState = {
@@ -587,8 +598,7 @@ object IndexStore {
     writeMeta(spark, path, "vocab")
     grams.write.mode("overwrite").parquet(s"$path/grams")
     batches.write.mode("overwrite").parquet(s"$path/batches")
-    Seq(Tuple1(lastBatchId)).toDF("last_batch")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/scalars")
+    writeCursor(spark, s"$path/scalars", lastBatchId)
   }
 
   def loadVocabGrams(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
@@ -665,8 +675,7 @@ object IndexStore {
     import spark.implicits._
     writeMeta(spark, path, "census")
     rows.write.mode("overwrite").parquet(s"$path/rows")
-    Seq(Tuple1(lastBatchId)).toDF("last_batch")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/scalars")
+    writeCursor(spark, s"$path/scalars", lastBatchId)
   }
 
   def loadCensus(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
@@ -724,8 +733,7 @@ object IndexStore {
     import spark.implicits._
     writeMeta(spark, path, "snapshot")
     rows.write.mode("overwrite").parquet(s"$path/rows")
-    Seq(Tuple1(lastBatchId)).toDF("last_batch")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/scalars")
+    writeCursor(spark, s"$path/scalars", lastBatchId)
   }
 
   def loadSnapshotState(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
@@ -881,17 +889,21 @@ object IndexStore {
       return false
     val docsB = batch.select(col("doc_id"), col("source"), col("text"))
       .localCheckpoint()
+    // ONE signature scan of the batch, shared by the persisted sig frame,
+    // the delta-internal LSH, and the delta-vs-index probe (each used to
+    // recompute it — three text-wide passes where one suffices)
     val newSigs = Dedup.minHashSignaturesPerRow(docsB, "doc_id", "text",
-      shingleK = 5, numHashes = 64)
-    val deltaPairs = Dedup.minHashLsh(docsB, "doc_id", "text", shingleK = 5,
-        numHashes = 64, bands = 16, minJaccard = 0.6)
+      shingleK = 5, numHashes = 64).cache()
+    val deltaPairs = Dedup.minHashLshFromSigs(docsB, "doc_id", "text",
+        newSigs, shingleK = 5, numHashes = 64, bands = 16, minJaccard = 0.6)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val comps =
       if (!exists) ConnectedComponents.run(deltaPairs)
         .withColumnRenamed("id", "doc_id")
       else {
         val cross = Dedup.incrementalMinHashLsh(docsB, "doc_id", "text",
-            loadContagionSigs(spark, path), loadContagionDocs(spark, path))
+            loadContagionSigs(spark, path), loadContagionDocs(spark, path),
+            newSigs = Some(newSigs))
           .select(col("new_id").as("src"), col("old_id").as("dst"))
         ConnectedComponents.run(
             loadContagionComps(spark, path)
@@ -904,6 +916,9 @@ object IndexStore {
     val batchDir = s"batch=$batchId"
     docsB.write.mode("overwrite").parquet(s"$path/batches/$batchDir/docs")
     newSigs.write.mode("overwrite").parquet(s"$path/batches/$batchDir/sigs")
+    // comps is materialized by ConnectedComponents.run (checksum /
+    // driver fast-path) before this point, so the shared sig cache is done
+    newSigs.unpersist()
     val manifest = (if (exists) contagionBatches(spark, path) else Nil)
       .filterNot(_ == batchDir) :+ batchDir
     // narrow state: comps + manifest + cursor behind the atomic swap
@@ -911,10 +926,9 @@ object IndexStore {
     if (fs.exists(tmp)) fs.delete(tmp, true)
     writeMeta(spark, tmp.toString, "contagion")
     comps.write.mode("overwrite").parquet(s"$tmp/comps")
-    manifest.toDF("batch_dir").coalesce(1)
-      .write.mode("overwrite").parquet(s"$tmp/manifest")
-    Seq(Tuple1(batchId)).toDF("last_batch")
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/scalars")
+    TinyParquet.write(hconf(spark), s"$tmp/manifest",
+      Seq("batch_dir" -> "string"), manifest.map(Seq(_)))
+    writeCursor(spark, s"$tmp/scalars", batchId)
     graft.util.AtomicSwap.swap(fs, tmp, stateRoot)
     true
   }
@@ -976,9 +990,17 @@ object IndexStore {
       .select("doc_id")
     val memberDocs = loadContagionDocs(spark, path)
       .join(broadcast(survivors), Seq("doc_id"), "left_semi")
+    // the store already holds these docs' MinHash signatures (same family:
+    // k=5, 64 hashes) — the re-mine reads them instead of re-running the
+    // text-wide signature scan over the member texts; only candidate docs
+    // are re-shingled for exact verification, as in every LSH pass
+    val memberSigs = loadContagionSigs(spark, path)
+      .join(broadcast(survivors.withColumnRenamed("doc_id", "id")),
+        Seq("id"), "left_semi")
     val repaired = graft.dedup.ConnectedComponents.run(
-        graft.dedup.Dedup.minHashLsh(memberDocs, "doc_id", "text",
-            shingleK = 5, numHashes = 64, bands = 16, minJaccard = 0.6)
+        graft.dedup.Dedup.minHashLshFromSigs(memberDocs, "doc_id", "text",
+            memberSigs, shingleK = 5, numHashes = 64, bands = 16,
+            minJaccard = 0.6)
           .select(col("id_a").as("src"), col("id_b").as("dst")))
       .withColumnRenamed("id", "doc_id")
     // a usingColumns join reorders columns (join key first) — pin the
@@ -993,11 +1015,9 @@ object IndexStore {
     if (fs.exists(tmp)) fs.delete(tmp, true)
     writeMeta(spark, tmp.toString, "contagion")
     newComps.write.parquet(s"$tmp/comps")
-    import spark.implicits._
-    manifest.toDF("batch_dir").coalesce(1)
-      .write.parquet(s"$tmp/manifest")
-    Seq(Tuple1(cursor)).toDF("last_batch")
-      .coalesce(1).write.parquet(s"$tmp/scalars")
+    TinyParquet.write(hconf(spark), s"$tmp/manifest",
+      Seq("batch_dir" -> "string"), manifest.map(Seq(_)))
+    writeCursor(spark, s"$tmp/scalars", cursor)
     graft.util.AtomicSwap.swap(fs, tmp, stateRoot)
     (present, rewritten, nAffected)
   }
@@ -1032,10 +1052,9 @@ object IndexStore {
     writeMeta(spark, tmp.toString, "contagion")
     loadContagionComps(spark, path).write.mode("overwrite")
       .parquet(s"$tmp/comps")
-    Seq(target).toDF("batch_dir").coalesce(1)
-      .write.mode("overwrite").parquet(s"$tmp/manifest")
-    Seq(Tuple1(cursor)).toDF("last_batch")
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/scalars")
+    TinyParquet.write(hconf(spark), s"$tmp/manifest",
+      Seq("batch_dir" -> "string"), Seq(Seq(target)))
+    writeCursor(spark, s"$tmp/scalars", cursor)
     graft.util.AtomicSwap.swap(fs, tmp, stateRoot)
     // orphan sweep: anything the promoted manifest no longer references
     val keep = Set(target)

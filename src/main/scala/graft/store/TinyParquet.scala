@@ -1,0 +1,85 @@
+package graft.store
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.ParquetFileWriter
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.MessageTypeParser
+
+/** Direct driver-side writer for the stores' METADATA-SIZED parquet frames
+  * (meta stamps, replay cursors, manifests, centroid tables — a handful of
+  * rows each). The `Seq(...).toDF.coalesce(1).write.parquet` form spends a
+  * full Spark job plus the Hadoop commit protocol (staging dir, task
+  * commit, job commit renames) on a sub-KB file; a stateful store update
+  * writes 3–5 of them, and queries that exercise stores pay that job
+  * latency dozens of times per run — at any scale, since the frames are
+  * metadata-sized by construction. This writes the same parquet bytes with
+  * parquet-mr directly: no job, no committer, one file. Readers are
+  * unchanged (`spark.read.parquet` on the directory).
+  *
+  * Column types supported: Int, Long, Double, String, Seq[Double] (written
+  * as the standard 3-level LIST that Spark's vectorized reader expects).
+  * Values must be non-null — these are engine-authored metadata rows.
+  */
+private[graft] object TinyParquet {
+
+  /** Overwrite `dir` with a single parquet file holding `rows`.
+    * @param schema (name, type) pairs; type ∈ int, long, double, string,
+    *               array&lt;double&gt; */
+  def write(conf: Configuration, dir: String, schema: Seq[(String, String)],
+            rows: Seq[Seq[Any]]): Unit = {
+    val fields = schema.map {
+      case (n, "int")    => s"required int32 $n;"
+      case (n, "long")   => s"required int64 $n;"
+      case (n, "double") => s"required double $n;"
+      case (n, "string") => s"required binary $n (STRING);"
+      case (n, "array<double>") =>
+        s"optional group $n (LIST) { repeated group list { required double element; } }"
+      case (n, t) => throw new IllegalArgumentException(s"TinyParquet: unsupported type $t for $n")
+    }.mkString("\n")
+    val msg = MessageTypeParser.parseMessageType(s"message row {\n$fields\n}")
+    // GroupWriteSupport stamps the schema into the conf — work on a copy so
+    // Spark's shared hadoopConfiguration is never mutated
+    val conf0 = new Configuration(conf)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf0)
+    if (fs.exists(root)) fs.delete(root, true)
+    fs.mkdirs(root)
+    val file = new Path(root, "part-00000.parquet")
+    val writer = ExampleParquetWriter.builder(file)
+      .withConf(conf0)
+      .withType(msg)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+      .build()
+    val factory = new SimpleGroupFactory(msg)
+    try rows.foreach { r =>
+      val g = factory.newGroup()
+      schema.zip(r).foreach {
+        case ((n, "int"), v)    => g.append(n, v.asInstanceOf[Int])
+        case ((n, "long"), v)   => g.append(n, v.asInstanceOf[Long])
+        case ((n, "double"), v) => g.append(n, v.asInstanceOf[Double])
+        case ((n, "string"), v) =>
+          g.append(n, Binary.fromString(v.asInstanceOf[String]))
+        case ((n, "array<double>"), v) =>
+          val lg = g.addGroup(n)
+          v.asInstanceOf[Seq[Double]].foreach { d =>
+            lg.addGroup("list").append("element", d)
+          }
+        case ((n, t), _) => throw new IllegalArgumentException(s"$n: $t")
+      }
+      writer.write(g)
+    } finally writer.close()
+  }
+
+  /** One-column long frame (replay cursors). */
+  def writeLong(conf: Configuration, dir: String, name: String, v: Long): Unit =
+    write(conf, dir, Seq(name -> "long"), Seq(Seq(v)))
+
+  /** Multi-column single-row long frame (scalar blocks). */
+  def writeLongs(conf: Configuration, dir: String, cols: Seq[(String, Long)]): Unit =
+    write(conf, dir, cols.map(_._1 -> "long"), Seq(cols.map(_._2)))
+}

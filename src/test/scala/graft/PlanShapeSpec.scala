@@ -245,6 +245,11 @@ class PlanShapeSpec extends SparkSpec {
 
   test("global training-order emit never global-sorts: no range exchange, " +
       "ranks windowed within shards only") {
+    // a sibling suite (q346 caches its old-order emit) may have registered
+    // an identical emit subtree in the CacheManager, which substitutes an
+    // InMemoryRelation into THIS plan and skews the exchange count — the
+    // q350 pin's treatment
+    spark.catalog.clearCache()
     val plan = graft.ops.Sharding.globalOrderEmit(
         Tables.documents(spark, dir).select("doc_id"), "doc_id", 1, 8)
       .queryExecution.executedPlan.toString
