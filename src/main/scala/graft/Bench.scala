@@ -338,6 +338,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // runtime SMJ -> shuffled-hash rewrite, gated on the MEASURED
+      // post-shuffle partition size (guide §3.1): scale-adaptive by
+      // construction — partitions over the threshold keep sort-merge, so
+      // a 100 TB shuffle never builds an unbounded hash table; small
+      // partitions skip both sorts. Overridable for A/B and cluster runs.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
       .config(graft.sources.Tables.NanosAsLongConf, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -159,6 +159,13 @@ object QualityTrainer {
 
     var w = Array.fill(5)(0.0)
     val out = Seq.newBuilder[FitStep]
+    // step t's accuracy uses the POST-update weights w_t — exactly the
+    // weights step t+1's gradient evaluates — so both reductions share one
+    // aggregate pass: step t+1 computes [grad(w_t), acc(w_t)] together and
+    // only the final step pays a separate accuracy pass. Same sums, same
+    // values; one action per step instead of two.
+    def accAgg(wc: Array[Double]) =
+      sum(when((zCol(wc) >= 0) === (col("y") === 1), 1L).otherwise(0L))
     for (t <- 1 to steps) {
       val z = zCol(w)
       val s = lit(1.0) / (lit(1.0) + exp(-z))
@@ -169,16 +176,15 @@ object QualityTrainer {
                      else resid * xj * lit(GradScale)
           sum(round(term, 0).cast("long")).as(s"g$j")
       }
-      val gRow = feat.agg(gradAggs.head, gradAggs.tail: _*).head()
+      val aggs = gradAggs ++ (if (t > 1) Seq(accAgg(w).as("acc")) else Nil)
+      val gRow = feat.agg(aggs.head, aggs.tail: _*).head()
+      if (t > 1) out += FitStep(t - 1, w.clone(), gRow.getLong(gradAggs.size))
       w = w.zipWithIndex.map { case (wj, j) =>
         wj - lr * (gRow.getLong(j).toDouble / (GradScale * n))
       }
-      val zNew = zCol(w)
-      val nCorrect = feat.agg(
-        sum(when((zNew >= 0) === (col("y") === 1), 1L).otherwise(0L))).head()
-        .getLong(0)
-      out += FitStep(t, w.clone(), nCorrect)
     }
+    val lastAcc = feat.agg(accAgg(w)).head().getLong(0)
+    out += FitStep(steps, w.clone(), lastAcc)
     feat.unpersist()
     FitResult(n, nPos, mu, sigma, out.result())
   }

@@ -98,8 +98,15 @@ object UnigramLm {
     val spark = docs.sparkSession
     import spark.implicits._
     // distributed: substring census over the TYPE table (weighted by f) —
-    // types × len × maxPieceLen rows, vocabulary-scale, never the corpus
+    // types × len × maxPieceLen rows, vocabulary-scale, never the corpus.
+    // The type table is a driver-local relation, which plans as ONE
+    // partition — the two explodes and the substring hashing then run on a
+    // single core (measured 4s of q174's 8s at sf0.1). Spread it across
+    // the session's parallelism first; the census is a groupBy-sum and the
+    // seed cut a deterministic total order, so results are
+    // partitioning-invariant.
     val typesDf = wordFreq.toSeq.toDF("w", "f")
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     val subs = typesDf
       .select(col("w"), col("f"),
         explode(sequence(lit(1), length(col("w")))).as("st"))

@@ -44,13 +44,29 @@ object IndexStore {
   private def writeCursor(spark: SparkSession, dir: String, v: Long): Unit =
     TinyParquet.writeLong(hconf(spark), dir, "last_batch", v)
 
+  private def readCursor(spark: SparkSession, dir: String): Long =
+    TinyParquet.readLong(hconf(spark), dir, "last_batch")
+
   private def checkMeta(spark: SparkSession, path: String, kind: String): Unit = {
-    val m = spark.read.parquet(s"$path/meta").select("version", "kind").head()
-    require(m.getInt(0) == FormatVersion,
-      s"index at $path has format version ${m.getInt(0)}, expected $FormatVersion")
-    require(m.getString(1) == kind,
-      s"index at $path is a '${m.getString(1)}' index, expected '$kind'")
+    val m = TinyParquet.readGroups(hconf(spark), s"$path/meta").head
+    val version = m.getInteger("version", 0)
+    val k = m.getString("kind", 0)
+    require(version == FormatVersion,
+      s"index at $path has format version $version, expected $FormatVersion")
+    require(k == kind,
+      s"index at $path is a '$k' index, expected '$kind'")
   }
+
+  /** Driver-direct read of a (cid, centroid) table — centroid tables are
+    * k·dim doubles by contract, and the Spark read path spent schema
+    * inference + a collect job per reload. */
+  private def readCentroids(spark: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
+    TinyParquet.readGroups(hconf(spark), dir).map { g =>
+      val lg = g.getGroup("centroid", 0)
+      val n = lg.getFieldRepetitionCount("list")
+      val arr = (0 until n).map(i => lg.getGroup("list", i).getDouble("element", 0))
+      (g.getInteger("cid", 0), arr)
+    }.sortBy(_._1)
 
   /** Persist a [[SemanticDedup.SemanticIndex]]: centroids + the (id, v,
     * cluster) corpus assignment. Overwrites. */
@@ -68,9 +84,7 @@ object IndexStore {
     * scan (pruned/pushed like any other source). */
   def loadSemanticIndex(spark: SparkSession, path: String): SemanticDedup.SemanticIndex = {
     checkMeta(spark, path, "semantic")
-    val cents = spark.read.parquet(s"$path/centroids")
-      .orderBy("cid").collect()
-      .map(r => r.getSeq[Double](1))
+    val cents = readCentroids(spark, s"$path/centroids").map(_._2).toArray
     SemanticDedup.SemanticIndex(cents, spark.read.parquet(s"$path/assignment"))
   }
 
@@ -90,9 +104,7 @@ object IndexStore {
 
   def loadIvfIndex(spark: SparkSession, path: String): Similarity.IvfIndex = {
     checkMeta(spark, path, "ivf")
-    val cents = spark.read.parquet(s"$path/centroids")
-      .orderBy("cid").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    val cents = readCentroids(spark, s"$path/centroids")
     Similarity.IvfIndex(cents, spark.read.parquet(s"$path/lists"))
   }
 
@@ -102,8 +114,7 @@ object IndexStore {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/scalars"))) -1L
-    else spark.read.parquet(s"$path/scalars").select("last_batch").head()
-      .getLong(0)
+    else readCursor(spark, s"$path/scalars")
   }
 
   /** Merge a delta of NEW vectors into the stored IVF index, atomically
@@ -202,9 +213,13 @@ object IndexStore {
                   path: String): (ProductQuantization.PqCodebook,
                                   org.apache.spark.sql.DataFrame) = {
     checkMeta(spark, path, "pq")
-    val rows = spark.read.parquet(s"$path/codebook")
-      .orderBy("sub", "code").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val rows = TinyParquet.readGroups(hconf(spark), s"$path/codebook")
+      .map { g =>
+        val lg = g.getGroup("centroid", 0)
+        val nEl = lg.getFieldRepetitionCount("list")
+        (g.getInteger("sub", 0), g.getInteger("code", 0),
+          (0 until nEl).map(i => lg.getGroup("list", i).getDouble("element", 0)): Seq[Double])
+      }.sortBy(t => (t._1, t._2))
     val cents = rows.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, cs) => cs.sortBy(_._2).map(_._3).toSeq }
     val cb = ProductQuantization.PqCodebook(cents.head.head.length, cents)
@@ -235,8 +250,7 @@ object IndexStore {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/scalars"))) -1L
-    else spark.read.parquet(s"$path/scalars").select("last_batch").head()
-      .getLong(0)
+    else readCursor(spark, s"$path/scalars")
   }
 
   /** [[updateIvfIndex]]'s composed twin: merge a vector delta into the
@@ -310,12 +324,14 @@ object IndexStore {
 
   def loadIvfPqIndex(spark: SparkSession, path: String): IvfPq.IvfPqIndex = {
     checkMeta(spark, path, "ivfpq")
-    val cents = spark.read.parquet(s"$path/centroids")
-      .orderBy("cid").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
-    val rows = spark.read.parquet(s"$path/codebook")
-      .orderBy("sub", "code").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val cents = readCentroids(spark, s"$path/centroids")
+    val rows = TinyParquet.readGroups(hconf(spark), s"$path/codebook")
+      .map { g =>
+        val lg = g.getGroup("centroid", 0)
+        val nEl = lg.getFieldRepetitionCount("list")
+        (g.getInteger("sub", 0), g.getInteger("code", 0),
+          (0 until nEl).map(i => lg.getGroup("list", i).getDouble("element", 0)): Seq[Double])
+      }.sortBy(t => (t._1, t._2))
     val cbCents = rows.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, cs) => cs.sortBy(_._2).map(_._3).toSeq }
     val cb = ProductQuantization.PqCodebook(cbCents.head.head.length, cbCents)
@@ -448,20 +464,18 @@ object IndexStore {
 
   def loadLexicalIndex(spark: SparkSession, path: String): graft.ops.Bm25.LexicalIndex = {
     checkMeta(spark, path, "lexical")
-    val s = spark.read.parquet(s"$path/scalars").select("n_docs", "sum_dl").head()
+    val sg = TinyParquet.readGroups(hconf(spark), s"$path/scalars").head
     graft.ops.Bm25.LexicalIndex(
       spark.read.parquet(s"$path/postings"),
       spark.read.parquet(s"$path/stats"),
       spark.read.parquet(s"$path/norms"),
-      s.getLong(0), s.getLong(1))
+      sg.getLong("n_docs", 0), sg.getLong("sum_dl", 0))
   }
 
   /** The stored index's replay cursor (−1 on a fresh/batch-written index).
     * See [[updateLexicalIndex]]. */
-  def lexicalIndexLastBatch(spark: SparkSession, path: String): Long = {
-    val row = spark.read.parquet(s"$path/scalars").select("last_batch").head()
-    row.getLong(0)
-  }
+  def lexicalIndexLastBatch(spark: SparkSession, path: String): Long =
+    readCursor(spark, s"$path/scalars")
 
   /** Merge a delta of NEW docs into the stored lexical index, in place and
     * atomically: the merged index (lazy frames still reading the live
@@ -525,7 +539,7 @@ object IndexStore {
 
   /** The stored attribution state's replay cursor (−1 on fresh/batch). */
   def leakStateLastBatch(spark: SparkSession, path: String): Long =
-    spark.read.parquet(s"$path/scalars").select("last_batch").head().getLong(0)
+    readCursor(spark, s"$path/scalars")
 
   /** Merge a NEW corpus batch's attribution hits into the stored state,
     * atomically and exactly-once — [[updateLexicalIndex]]'s contract
@@ -613,7 +627,7 @@ object IndexStore {
 
   /** The stored vocabulary index's replay cursor (−1 on fresh/batch). */
   def vocabIndexLastBatch(spark: SparkSession, path: String): Long =
-    spark.read.parquet(s"$path/scalars").select("last_batch").head().getLong(0)
+    readCursor(spark, s"$path/scalars")
 
   /** Merge a NEW corpus batch's gram types into the stored vocabulary
     * index, atomically and exactly-once ([[updateLexicalIndex]]'s
@@ -685,7 +699,7 @@ object IndexStore {
 
   /** The stored census's replay cursor (−1 on fresh/batch ingest). */
   def censusLastBatch(spark: SparkSession, path: String): Long =
-    spark.read.parquet(s"$path/scalars").select("last_batch").head().getLong(0)
+    readCursor(spark, s"$path/scalars")
 
   /** Merge a new batch's census rows into the stored census, atomically
     * and exactly-once (the [[updateVocabIndex]] contract: dot-tmp write →
@@ -743,7 +757,7 @@ object IndexStore {
 
   /** The stored snapshot state's replay cursor (−1 on fresh/batch). */
   def snapshotLastBatch(spark: SparkSession, path: String): Long =
-    spark.read.parquet(s"$path/scalars").select("last_batch").head().getLong(0)
+    readCursor(spark, s"$path/scalars")
 
   /** Fold a (url, source, version, hash) micro-batch into the stored
     * snapshot state, atomically and exactly-once (the [[updateVocabIndex]]
@@ -839,8 +853,8 @@ object IndexStore {
     * census is not additive and storing it would bake in stale labels. */
   private def contagionBatches(spark: SparkSession, path: String): Seq[String] = {
     checkMeta(spark, s"$path/state", "contagion")
-    spark.read.parquet(s"$path/state/manifest")
-      .select("batch_dir").collect().map(_.getString(0)).toSeq.sorted
+    TinyParquet.readGroups(hconf(spark), s"$path/state/manifest")
+      .map(_.getString("batch_dir", 0)).sorted
   }
 
   def loadContagionDocs(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame =
@@ -858,8 +872,7 @@ object IndexStore {
 
   /** The stored contagion state's replay cursor (−1 on fresh). */
   def contagionLastBatch(spark: SparkSession, path: String): Long =
-    spark.read.parquet(s"$path/state/scalars").select("last_batch")
-      .head().getLong(0)
+    readCursor(spark, s"$path/state/scalars")
 
   /** Fold a (doc_id, source, text) micro-batch into the stored contagion
     * state, atomically and exactly-once (batch dir written idempotently,

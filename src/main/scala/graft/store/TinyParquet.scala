@@ -82,4 +82,36 @@ private[graft] object TinyParquet {
   /** Multi-column single-row long frame (scalar blocks). */
   def writeLongs(conf: Configuration, dir: String, cols: Seq[(String, Long)]): Unit =
     write(conf, dir, cols.map(_._1 -> "long"), Seq(cols.map(_._2)))
+
+  /** Read every row of every parquet part file under `dir` as example-API
+    * Groups — the driver-direct counterpart of the writers above, for the
+    * same metadata-sized frames (a `spark.read.parquet(...).head()` spends
+    * schema inference plus an executeTake job on a sub-KB file, and store
+    * round trips do it dozens of times per query). Reads the FILE's own
+    * schema, so frames written by either Spark or [[write]] load the same
+    * way. Keep this off corpus-sized tables. */
+  def readGroups(conf: Configuration, dir: String)
+      : Seq[org.apache.parquet.example.data.Group] = {
+    val conf0 = new Configuration(conf)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf0)
+    val parts = fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val out = Seq.newBuilder[org.apache.parquet.example.data.Group]
+    parts.foreach { p =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
+        .withConf(conf0).build()
+      try {
+        var g = reader.read()
+        while (g != null) { out += g; g = reader.read() }
+      } finally reader.close()
+    }
+    out.result()
+  }
+
+  /** First-row long field (replay cursors / scalar blocks). */
+  def readLong(conf: Configuration, dir: String, name: String): Long =
+    readGroups(conf, dir).head.getLong(name, 0)
 }

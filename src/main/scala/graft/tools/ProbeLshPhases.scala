@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Warm per-phase timing of the minHashLsh pipeline: signatures alone,
+  * banding+candidates alone, and the full pipeline (adds the exact-Jaccard
+  * verification) — so optimization effort lands on the measured phase, not
+  * a guess. Each phase is timed min-of-N on its own noop action after JIT
+  * warm-up passes.
+  *
+  * Usage: runMain graft.tools.ProbeLshPhases <dir> [reps=5]
+  */
+object ProbeLshPhases {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 5
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config(graft.sources.Tables.NanosAsLongConf, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.sources.Tables.documents(spark, dir)
+
+    def time(label: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      val ts = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[lshphase] $label%-28s min=${ts.min}%6.2f s  all=" +
+        ts.map(t => f"$t%.2f").mkString(","))
+    }
+
+    time("signatures") {
+      graft.dedup.Dedup.minHashSignaturesPerRow(docs, "doc_id", "text", 5, 64)
+    }
+    time("sig+band+selfjoin+distinct") {
+      val sig = graft.dedup.Dedup
+        .minHashSignaturesPerRow(docs, "doc_id", "text", 5, 64)
+      val pairs = graft.dedup.Dedup.lshCandidates(sig
+          .select(col("id") +: (0 until 64).map(j =>
+            col("sig").getItem(j).as(s"h$j")): _*),
+        bands = 16, rowsPerBand = 4)
+      pairs
+    }
+    time("full minHashLsh") {
+      graft.dedup.Dedup.minHashLsh(docs, "doc_id", "text", 5, 64, 16, 0.6)
+    }
+    time("candidate shingle explode") {
+      docs.select(col("doc_id"), explode(graft.functions.HashFunctions
+        .charShingleHashes(col("text"), 5)).as("sh"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    }
+    spark.stop()
+  }
+}

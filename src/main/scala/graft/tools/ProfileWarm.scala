@@ -1,0 +1,62 @@
+package graft.tools
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Per-stage attribution of a WARM run: executes the query `reps-1` times
+  * to pay JIT/codegen/IO cold-start, clears the stage log, then profiles
+  * one more run — so the printed stages describe the steady state the
+  * bench's min-of-3 actually measures, not first-run artifacts
+  * (MeasureLshSpill profiles a cold single run by design; its numbers mix
+  * JIT warm-up into every stage).
+  *
+  * Usage: runMain graft.tools.ProfileWarm <dir> <query> [reps=3] [parts=32]
+  */
+object ProfileWarm {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val query = args(1)
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val parts = if (args.length > 3) args(3) else "32"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.ui.enabled", "false")
+      .config(graft.sources.Tables.NanosAsLongConf, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val rows = new ConcurrentHashMap[Int, String]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val s = e.stageInfo
+        val m = s.taskMetrics
+        if (m != null) {
+          def mb(b: Long) = f"${b / 1048576.0}%8.1f"
+          rows.put(s.stageId,
+            f"[stage] ${s.stageId}%4d tasks=${s.numTasks}%4d " +
+              f"shufR=${mb(m.shuffleReadMetrics.totalBytesRead)}MB " +
+              f"shufW=${mb(m.shuffleWriteMetrics.bytesWritten)}MB " +
+              f"spill=${mb(m.memoryBytesSpilled)}MB " +
+              f"runSec=${m.executorRunTime / 1000.0}%7.2f " +
+              f"cpuSec=${m.executorCpuTime / 1e9}%7.2f " +
+              f"gcSec=${m.jvmGCTime / 1000.0}%5.1f " +
+              f"${s.details.linesIterator.take(1).mkString}")
+        }
+      }
+    })
+    def once(): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(query)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    for (i <- 1 until reps) println(f"[warmup] pass $i: ${once()}%.2f s")
+    rows.clear()
+    val sec = once()
+    import scala.jdk.CollectionConverters._
+    rows.asScala.toSeq.sortBy(_._1).foreach(r => println(r._2))
+    println(f"[warmprofile] $query $dir parts=$parts warmPass=$sec%.2f s")
+    spark.stop()
+  }
+}
